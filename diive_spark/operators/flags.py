@@ -1,0 +1,143 @@
+"""Quality-flag operator family (SURVEY §2.8) — expression tier.
+
+Flag semantics follow the reference protocol
+(/root/reference/diive/core/base/flagbase.py:80-88): per test one flag
+column with 0 = ok, 2 = hard-rejected (1 = soft, used by correction flags);
+the overall QCF flag combines per-test flags via the ladder in
+/root/reference/diive/pkgs/qaqc/qcf.py:241-292.
+
+Everything here is pure column expressions — whole-stage codegen, no
+shuffles beyond those of any window the caller already has.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def flag_missing(df: DataFrame, value_col: str = "value", flag_col: str = "flag_missing") -> DataFrame:
+    """Flag missing records: 2 where null, 0 otherwise
+    (/root/reference/diive/pkgs/qaqc/flags.py:48-67)."""
+    return df.withColumn(
+        flag_col,
+        F.when(F.col(value_col).isNull(), F.lit(2)).otherwise(F.lit(0)).cast("tinyint"),
+    )
+
+
+def flag_abslim(
+    df: DataFrame,
+    value_col: str = "value",
+    minval: float = float("-inf"),
+    maxval: float = float("inf"),
+    flag_col: str = "flag_abslim",
+) -> DataFrame:
+    """Absolute-limits flag: 2 where value < min or value > max
+    (/root/reference/diive/pkgs/outlierdetection/absolutelimits.py:138-194).
+
+    NOTE the reference's ``ok`` mask uses ``|`` instead of ``&``
+    (absolutelimits.py:189) which would mark everything ok; its ``rejected``
+    mask is correct and is what drives the flag, so the net behavior matches
+    this implementation. Documented deviation: we implement the correct
+    boolean algebra for both.
+    """
+    v = F.col(value_col)
+    return df.withColumn(
+        flag_col,
+        F.when(v.isNull(), F.lit(0))
+        .when((v < minval) | (v > maxval), F.lit(2))
+        .otherwise(F.lit(0))
+        .cast("tinyint"),
+    )
+
+
+def flag_manual(
+    df: DataFrame,
+    ts_col: str = "ts",
+    ranges: list[tuple[str, str]] | None = None,
+    flag_col: str = "flag_manual",
+) -> DataFrame:
+    """Flag explicit [start, end] datetime ranges as rejected
+    (/root/reference/diive/pkgs/outlierdetection/manualremoval.py:71-99)."""
+    cond = F.lit(False)
+    for a, b in ranges or []:
+        cond = cond | F.col(ts_col).between(F.lit(a), F.lit(b))
+    return df.withColumn(
+        flag_col, F.when(cond, F.lit(2)).otherwise(F.lit(0)).cast("tinyint")
+    )
+
+
+def setto_threshold(
+    df: DataFrame,
+    value_col: str = "value",
+    threshold: float = 0.0,
+    mode: str = "above",
+    out_col: str | None = None,
+    flag_col: str = "flag_setto",
+) -> DataFrame:
+    """Clamp values above/below a threshold to the threshold and soft-flag
+    (1) the corrected records
+    (/root/reference/diive/pkgs/corrections/setto_threshold.py:9-73)."""
+    v = F.col(value_col)
+    out_col = out_col or value_col
+    if mode == "above":
+        corrected = v > threshold
+        clamped = F.least(v, F.lit(float(threshold)))
+    else:
+        corrected = v < threshold
+        clamped = F.greatest(v, F.lit(float(threshold)))
+    return df.withColumn(
+        flag_col,
+        F.when(v.isNotNull() & corrected, F.lit(1)).otherwise(F.lit(0)).cast("tinyint"),
+    ).withColumn(out_col, clamped)
+
+
+def _sum_where(flag_cols: list[str], flag_value: int) -> Column:
+    """Sum of flag VALUES equal to ``flag_value`` across columns — mirrors
+    ``df[df == v].sum(axis=1)`` (qcf.py:284-292): each matching hard flag
+    contributes 2, each soft flag 1."""
+    total = F.lit(0)
+    for c in flag_cols:
+        total = total + F.when(F.col(c) == flag_value, F.lit(flag_value)).otherwise(F.lit(0))
+    return total
+
+
+def add_qcf(
+    df: DataFrame,
+    flag_cols: list[str],
+    value_col: str = "value",
+    qcf_col: str = "qcf",
+) -> DataFrame:
+    """Flag sums + overall QCF ladder + filtered series
+    (/root/reference/diive/pkgs/qaqc/qcf.py:241-292,108-115).
+
+    Ladder (pandas assignment order → first-match-wins reversal):
+      1 where 1 <= softsum <= 3 and hardsum == 0   (last pandas write)
+      2 where hardsum >= 2 or softsum > 3
+      0 where total == 0
+      null otherwise (unreachable for integer flags).
+    ``value_qcf`` nulls QCF==2 records; ``value_qcf0`` keeps QCF==0 only.
+    """
+    hard = _sum_where(flag_cols, 2)
+    soft = _sum_where(flag_cols, 1)
+    out = (
+        df.withColumn("sum_hardflags", hard.cast("int"))
+        .withColumn("sum_softflags", soft.cast("int"))
+    )
+    h, s = F.col("sum_hardflags"), F.col("sum_softflags")
+    qcf = (
+        F.when(s.between(1, 3) & (h == 0), F.lit(1))
+        .when((h >= 2) | (s > 3), F.lit(2))
+        .when((h + s) == 0, F.lit(0))
+        .otherwise(F.lit(None))
+        .cast("tinyint")
+    )
+    out = out.withColumn(qcf_col, qcf)
+    out = out.withColumn(
+        f"{value_col}_qcf",
+        F.when(F.col(qcf_col) == 2, F.lit(None)).otherwise(F.col(value_col)),
+    ).withColumn(
+        f"{value_col}_qcf0",
+        F.when(F.col(qcf_col) > 0, F.lit(None)).otherwise(F.col(value_col)),
+    )
+    return out

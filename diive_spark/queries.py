@@ -20,6 +20,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from diive_spark.operators import flags as FL
+from diive_spark.operators import gapfill as GF
+from diive_spark.operators import outliers as OU
 from diive_spark.operators.resample import resample_gated
 from diive_spark.operators.sanitize import dedup_keep_last
 
@@ -169,6 +172,325 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# gridded 30-min series (shared input of the flag/gap-fill queries):
+# per-user mean per 30-min slot on a continuous grid; empty slots -> null.
+# Re-expresses the reference's regularization (times.py:824-849) over bins.
+# ---------------------------------------------------------------------------
+
+def _gridded_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    binned = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        ((F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_800_000_000) + 1)
+         * 1800).cast("long").alias("slot_s"),
+        "value",
+    )
+    agg = binned.groupBy("user_id", "slot_s").agg(F.avg("value").alias("v"))
+    bounds = agg.groupBy("user_id").agg(
+        F.min("slot_s").alias("t0"), F.max("slot_s").alias("t1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("t0", "t1", F.lit(1800))).alias("slot_s"),
+    )
+    return grid.join(agg, ["user_id", "slot_s"], "left")
+
+
+SQL_GRIDDED = """
+binned AS (
+  SELECT user_id,
+         (CAST(floor(epoch(ts) / 1800) AS BIGINT) + 1) * 1800 AS slot_s,
+         value
+  FROM events
+), agg AS (
+  SELECT user_id, slot_s, avg(value) AS v FROM binned GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, min(slot_s) AS t0, max(slot_s) AS t1 FROM agg GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, 1800)) AS slot_s FROM bounds
+), g AS (
+  SELECT CAST(grid.user_id AS BIGINT) AS user_id, grid.slot_s, agg.v
+  FROM grid LEFT JOIN agg ON grid.user_id = agg.user_id AND grid.slot_s = agg.slot_s
+)
+"""
+
+
+# F8 + F5 + C3 + F11 — flag family + QCF ladder (qcf.py:241-292)
+def q_qcf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flags (missing F8, absolute limits F5, soft threshold-clamp flag C3)
+    combined into the reference QCF ladder + quality-filtered series."""
+    g = _gridded_30min(spark, sf_dir)
+    d = FL.flag_missing(g, "v")
+    d = FL.flag_abslim(d, "v", minval=2.0, maxval=90.0)
+    d = FL.setto_threshold(d, "v", threshold=80.0, mode="above", out_col="v_clamped")
+    d = FL.add_qcf(d, ["flag_missing", "flag_abslim", "flag_setto"], value_col="v")
+    return d.select(
+        "user_id",
+        "slot_s",
+        F.col("flag_missing").cast("int").alias("flag_missing"),
+        F.col("flag_abslim").cast("int").alias("flag_abslim"),
+        F.col("flag_setto").cast("int").alias("flag_setto"),
+        F.col("sum_hardflags").cast("int").alias("sum_hardflags"),
+        F.col("sum_softflags").cast("int").alias("sum_softflags"),
+        F.col("qcf").cast("int").alias("qcf"),
+        F.round("v_qcf", 4).alias("v_qcf"),
+        F.round("v_qcf0", 4).alias("v_qcf0"),
+    )
+
+
+SQL_QCF_PIPELINE = f"""
+WITH {SQL_GRIDDED}
+, flagged AS (
+  SELECT user_id, slot_s, v,
+         CASE WHEN v IS NULL THEN 2 ELSE 0 END AS flag_missing,
+         CASE WHEN v IS NULL THEN 0
+              WHEN v < 2.0 OR v > 90.0 THEN 2 ELSE 0 END AS flag_abslim,
+         CASE WHEN v IS NOT NULL AND v > 80.0 THEN 1 ELSE 0 END AS flag_setto
+  FROM g
+), sums AS (
+  SELECT *,
+         (CASE WHEN flag_missing = 2 THEN 2 ELSE 0 END
+          + CASE WHEN flag_abslim = 2 THEN 2 ELSE 0 END
+          + CASE WHEN flag_setto = 2 THEN 2 ELSE 0 END) AS sum_hardflags,
+         (CASE WHEN flag_missing = 1 THEN 1 ELSE 0 END
+          + CASE WHEN flag_abslim = 1 THEN 1 ELSE 0 END
+          + CASE WHEN flag_setto = 1 THEN 1 ELSE 0 END) AS sum_softflags
+  FROM flagged
+), laddered AS (
+  SELECT *,
+         CASE WHEN sum_softflags BETWEEN 1 AND 3 AND sum_hardflags = 0 THEN 1
+              WHEN sum_hardflags >= 2 OR sum_softflags > 3 THEN 2
+              WHEN sum_hardflags + sum_softflags = 0 THEN 0
+         END AS qcf
+  FROM sums
+)
+SELECT user_id, slot_s,
+       CAST(flag_missing AS INT) AS flag_missing,
+       CAST(flag_abslim AS INT) AS flag_abslim,
+       CAST(flag_setto AS INT) AS flag_setto,
+       CAST(sum_hardflags AS INT) AS sum_hardflags,
+       CAST(sum_softflags AS INT) AS sum_softflags,
+       CAST(qcf AS INT) AS qcf,
+       round(CASE WHEN qcf = 2 THEN NULL ELSE v END, 4) AS v_qcf,
+       round(CASE WHEN qcf > 0 THEN NULL ELSE v END, 4) AS v_qcf0
+FROM laddered
+"""
+
+
+# F3 — single-pass z-score flag (funcs.py:37-41, zscore.py:140-204)
+def q_flag_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "value",
+    )
+    out = OU.zscore_flag_expr(ev, "user_id", "value", thres_zscore=2.5)
+    return out.select(
+        "event_id", "user_id", F.col("flag_zscore").cast("int").alias("flag_zscore")
+    )
+
+
+SQL_FLAG_ZSCORE = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(CASE WHEN value IS NOT NULL
+                  AND abs((value - avg(value) OVER w) / stddev_pop(value) OVER w) > 2.5
+            THEN 2 ELSE 0 END AS INT) AS flag_zscore
+FROM events
+WINDOW w AS (PARTITION BY user_id)
+"""
+
+
+# T2 — z-score on increments (incremental.py:62-88)
+def q_flag_zscore_increments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts",
+        "value",
+    )
+    out = OU.zscore_increments_flag_expr(
+        ev, "user_id", "ts", "value", thres_zscore=2.5, order_cols=["ts", "event_id"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("flag_zscore_incr").cast("int").alias("flag_zscore_incr"),
+    )
+
+
+SQL_FLAG_ZSCORE_INCR = """
+WITH inc AS (
+  SELECT event_id, user_id,
+         value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+  FROM events
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(CASE WHEN i IS NOT NULL
+                  AND abs((i - avg(i) OVER w) / stddev_pop(i) OVER w) > 2.5
+            THEN 2 ELSE 0 END AS INT) AS flag_zscore_incr
+FROM inc
+WINDOW w AS (PARTITION BY user_id)
+"""
+
+
+# T1 scale path — single-pass Hampel via exact percentile window
+def q_flag_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _gridded_30min(spark, sf_dir)
+    out = OU.hampel_flag_expr(g, "user_id", "slot_s", "v", winsize=15, n_sd=3.0)
+    return out.select(
+        "user_id", "slot_s", F.col("flag_hampel").cast("int").alias("flag_hampel")
+    )
+
+
+SQL_FLAG_HAMPEL = f"""
+WITH {SQL_GRIDDED}
+, nn AS (SELECT * FROM g WHERE v IS NOT NULL),
+scored AS (
+  SELECT user_id, slot_s, v,
+         median(v) OVER w AS med,
+         stddev_samp(v) OVER w AS sd,
+         count(v) OVER w AS cnt
+  FROM nn
+  WINDOW w AS (PARTITION BY user_id ORDER BY slot_s
+               ROWS BETWEEN 7 PRECEDING AND 7 FOLLOWING)
+)
+SELECT user_id, slot_s,
+       CAST(CASE WHEN cnt >= 3 AND (v > med + 3.0 * sd OR v < med - 3.0 * sd)
+            THEN 2 ELSE 0 END AS INT) AS flag_hampel
+FROM scored
+UNION ALL
+SELECT user_id, slot_s, CAST(0 AS INT) AS flag_hampel FROM g WHERE v IS NULL
+"""
+
+
+# A5 — gap run-length encoding (gapfinder.py:58-117)
+def q_gap_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _gridded_30min(spark, sf_dir)
+    runs = GF.gap_runs(g, "user_id", "slot_s", "v", limit=12)
+    return runs.select(
+        "user_id",
+        F.col("gap_start").cast("long").alias("gap_start_s"),
+        F.col("gap_end").cast("long").alias("gap_end_s"),
+        F.col("gap_len").cast("long").alias("gap_len"),
+    )
+
+
+SQL_GAP_RUNS = f"""
+WITH {SQL_GRIDDED}
+, runs AS (
+  SELECT user_id, slot_s, v,
+         count(v) OVER (PARTITION BY user_id ORDER BY slot_s
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM g
+)
+SELECT user_id,
+       min(slot_s) AS gap_start_s,
+       max(slot_s) AS gap_end_s,
+       CAST(count(*) AS BIGINT) AS gap_len
+FROM runs WHERE v IS NULL
+GROUP BY user_id, run_id
+HAVING count(*) <= 12
+"""
+
+
+# T3 — linear interpolation with gap-length limit (interpolate.py:8-36)
+def q_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _gridded_30min(spark, sf_dir)
+    out = GF.linear_interp_limited(
+        g, "user_id", "slot_s", "v", gap_limit=3, out_col="v_filled"
+    )
+    return out.select(
+        "user_id",
+        "slot_s",
+        F.round("v_filled", 4).alias("v_filled"),
+        F.col("flag_gapfilled").cast("int").alias("flag_gapfilled"),
+    )
+
+
+SQL_INTERP_LINEAR = f"""
+WITH {SQL_GRIDDED}
+, pos AS (
+  SELECT user_id, slot_s, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY slot_s) AS p,
+         count(v) OVER (PARTITION BY user_id ORDER BY slot_s
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM g
+), ctx AS (
+  SELECT *,
+         last_value(v IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY slot_s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_v,
+         last_value(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY slot_s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_p,
+         first_value(v IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY slot_s
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY slot_s
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p,
+         sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id, run_id) AS gap_len
+  FROM pos
+)
+SELECT user_id, slot_s,
+       round(CASE WHEN v IS NULL AND prev_v IS NOT NULL AND next_v IS NOT NULL
+                   AND gap_len <= 3
+                  THEN prev_v + (next_v - prev_v) * (p - prev_p) / (next_p - prev_p)
+                  ELSE v END, 4) AS v_filled,
+       CAST(CASE WHEN v IS NULL AND prev_v IS NOT NULL AND next_v IS NOT NULL
+                  AND gap_len <= 3 THEN 1 ELSE 0 END AS INT) AS flag_gapfilled
+FROM ctx
+"""
+
+
+# T4 — limited forward/backward fill (meteoscreening.py:571-631)
+def q_ffill_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _gridded_30min(spark, sf_dir)
+    out = GF.ffill_limited(g, "user_id", "slot_s", "v", limit=3, out_col="v_ffill")
+    out = GF.bfill_limited(out, "user_id", "slot_s", "v", limit=3, out_col="v_bfill")
+    return out.select(
+        "user_id",
+        "slot_s",
+        F.round("v_ffill", 4).alias("v_ffill"),
+        F.round("v_bfill", 4).alias("v_bfill"),
+    )
+
+
+SQL_FFILL_BFILL = f"""
+WITH {SQL_GRIDDED}
+SELECT user_id, slot_s,
+       round(coalesce(v, last_value(v IGNORE NULLS) OVER
+         (PARTITION BY user_id ORDER BY slot_s
+          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)), 4) AS v_ffill,
+       round(coalesce(v, first_value(v IGNORE NULLS) OVER
+         (PARTITION BY user_id ORDER BY slot_s
+          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)), 4) AS v_bfill
+FROM g
+"""
+
+
+# F2+F3 / T1 — reference-exact iterated kernels (non-SQL-expressible loops:
+# rows-only driver check; exactness asserted in pytest vs the pandas oracle)
+def q_flag_zscore_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _gridded_30min(spark, sf_dir)
+    out = OU.zscore_flag_iterated(g, "user_id", "slot_s", "v", thres_zscore=2.5)
+    return out.select(
+        "user_id", "slot_s", F.col("flag_zscore").cast("int").alias("flag_zscore")
+    )
+
+
+def q_flag_localsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _gridded_30min(spark, sf_dir)
+    out = OU.localsd_flag_kernel(g, "user_id", "slot_s", "v", n_sd=3.0, winsize=21)
+    return out.select(
+        "user_id", "slot_s", F.col("flag_localsd").cast("int").alias("flag_localsd")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -176,10 +498,28 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resample_30min_gated": q_resample_30min_gated,
     "dedup_keep_last": q_dedup_keep_last,
     "sstats": q_sstats,
+    "qcf_pipeline": q_qcf_pipeline,
+    "flag_zscore": q_flag_zscore,
+    "flag_zscore_increments": q_flag_zscore_increments,
+    "flag_hampel": q_flag_hampel,
+    "gap_runs": q_gap_runs,
+    "interp_linear": q_interp_linear,
+    "ffill_bfill": q_ffill_bfill,
+    "flag_zscore_iterated": q_flag_zscore_iterated,
+    "flag_localsd": q_flag_localsd,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "resample_30min_gated": SQL_RESAMPLE_30MIN,
     "dedup_keep_last": SQL_DEDUP_KEEP_LAST,
     "sstats": SQL_SSTATS,
+    "qcf_pipeline": SQL_QCF_PIPELINE,
+    "flag_zscore": SQL_FLAG_ZSCORE,
+    "flag_zscore_increments": SQL_FLAG_ZSCORE_INCR,
+    "flag_hampel": SQL_FLAG_HAMPEL,
+    "gap_runs": SQL_GAP_RUNS,
+    "interp_linear": SQL_INTERP_LINEAR,
+    "ffill_bfill": SQL_FFILL_BFILL,
+    # flag_zscore_iterated / flag_localsd: iterate-until-converged loops are
+    # not SQL-expressible; rows-only check (pytest covers exactness).
 }
