@@ -1,0 +1,261 @@
+"""Continuous-aggregate tier engine with incremental merge, lineage
+checkpointing, idempotent resume and tier expiry (north-rule core).
+
+Reference analog: the multi-tier resample family
+(/root/reference/diive/core/times/resampling.py:13-132 re-run per
+resolution) + file-at-a-time merge (filereader.py:215-273). The reference
+recomputes everything per run; this engine is INCREMENTAL:
+
+  * Tier tables store PARTIAL aggregates per (key, window):
+    ``(psum, pcount, pslots)``. Late/new source rows aggregate into deltas
+    that MERGE by summation — associative and commutative, so any batch
+    order yields identical tables (exactness preserved: mean = psum/pcount
+    recomposed after merge, min-count gate re-evaluated over merged counts
+    at read time, exactly like the reference re-running resample).
+  * Storage is a partitioned columnar table (parquet in the sandbox; the
+    layout — partition by (tier, window_day) — and the snapshot/lineage
+    manifest mirror Iceberg semantics: in production the same operations
+    bind to Iceberg MERGE INTO + snapshot summary properties +
+    expire_snapshots).
+  * Lineage: every applied source batch records
+    (batch_id, rows, per-partition row counts, watermark) in the manifest;
+    re-applying an already-recorded batch_id is a no-op, so a killed job
+    re-run resumes idempotently.
+  * Expiry: partitions older than ``retention_buckets`` windows are dropped
+    at the partition level (directory delete recorded in the manifest).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import asdict
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from diive_spark.config import TierSpec
+from diive_spark.operators.sanitize import ts_shift
+
+PARTIALS = ["psum", "pcount", "pslots"]
+
+
+class TierStore:
+    """Filesystem layout + snapshot/lineage manifest for one tier table.
+
+    Layout::
+
+        root/<tier>/data/window_day=YYYY-MM-DD/*.parquet
+        root/<tier>/_lineage.json
+    """
+
+    def __init__(self, root: str, tier: TierSpec):
+        self.root = Path(root) / tier.name
+        self.tier = tier
+        self.data_dir = self.root / "data"
+        self.manifest_path = self.root / "_lineage.json"
+
+    # -- manifest ----------------------------------------------------------
+    def read_manifest(self) -> dict:
+        if self.manifest_path.exists():
+            return json.loads(self.manifest_path.read_text())
+        return {"tier": asdict(self.tier), "snapshots": [], "expired": []}
+
+    def write_manifest(self, manifest: dict) -> None:
+        self.root.mkdir(parents=True, exist_ok=True)
+        tmp = self.manifest_path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(manifest, indent=1))
+        os.replace(tmp, self.manifest_path)  # atomic
+
+    def applied_batches(self) -> set[str]:
+        return {s["batch_id"] for s in self.read_manifest()["snapshots"]}
+
+    # -- data --------------------------------------------------------------
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        if not self.data_dir.exists() or not any(self.data_dir.iterdir()):
+            return None
+        df = spark.read.parquet(str(self.data_dir))
+        # partition-column type inference reads window_day back as DATE;
+        # normalize to the string form used by the writer and the manifest
+        return df.withColumn("window_day", F.col("window_day").cast("string"))
+
+    def partitions(self) -> list[str]:
+        if not self.data_dir.exists():
+            return []
+        return sorted(
+            p.name.split("=", 1)[1]
+            for p in self.data_dir.iterdir()
+            if p.is_dir() and p.name.startswith("window_day=")
+        )
+
+
+class TierEngine:
+    """Cascaded incremental rollup into one or more retention tiers."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        tiers: tuple[TierSpec, ...],
+        key_col: str = "url",
+        ts_col: str = "ts",
+        value_col: str = "value",
+        source_freq_seconds: int | None = None,
+    ):
+        self.spark = spark
+        self.tiers = tiers
+        self.stores = {t.name: TierStore(root, t) for t in tiers}
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self.source_freq_seconds = source_freq_seconds
+
+    # -- partial aggregation -------------------------------------------------
+    def _partials(self, df: DataFrame, tier: TierSpec) -> DataFrame:
+        """Map-side partial aggregates per (key, window_end)."""
+        ts_eff = F.col(self.ts_col)
+        if self.source_freq_seconds:
+            ts_eff = ts_shift(ts_eff, -self.source_freq_seconds / 2)
+        us = tier.seconds * 1_000_000
+        wend = (F.floor(F.unix_micros(ts_eff.cast("timestamp")) / us) + 1) * tier.seconds
+        return (
+            df.withColumn("window_end_s", wend.cast("long"))
+            .groupBy(self.key_col, "window_end_s")
+            .agg(
+                F.sum(self.value_col).alias("psum"),
+                F.count(self.value_col).alias("pcount"),
+                F.count(F.lit(1)).alias("pslots"),
+            )
+            .withColumn(
+                "window_day",
+                F.date_format(
+                    F.timestamp_seconds(F.col("window_end_s") - 1), "yyyy-MM-dd"
+                ),
+            )
+        )
+
+    # -- incremental apply ----------------------------------------------------
+    def apply_batch(self, source: DataFrame, batch_id: str | None = None) -> dict:
+        """MERGE one source batch into every tier. Returns per-tier metrics.
+
+        Idempotent: a ``batch_id`` already present in a tier's lineage is
+        skipped for that tier (resume after kill re-applies only missing
+        tiers)."""
+        batch_id = batch_id or uuid.uuid4().hex
+        metrics: dict[str, dict] = {}
+        for tier in self.tiers:
+            store = self.stores[tier.name]
+            if batch_id in store.applied_batches():
+                metrics[tier.name] = {"skipped": True}
+                continue
+            delta = self._partials(source, tier)
+            existing = store.read(self.spark)
+            if existing is not None:
+                affected_days = [r[0] for r in delta.select("window_day").distinct().collect()]
+                keep = existing.filter(~F.col("window_day").isin(affected_days))
+                touch = existing.filter(F.col("window_day").isin(affected_days))
+                merged_touch = (
+                    touch.unionByName(delta)
+                    .groupBy(self.key_col, "window_end_s", "window_day")
+                    .agg(*[F.sum(c).alias(c) for c in PARTIALS])
+                )
+                merged = keep.unionByName(merged_touch)
+            else:
+                merged = delta
+            # atomic swap: write to a new snapshot dir then rename
+            tmp_dir = store.root / f"_staging_{batch_id}"
+            (
+                merged.repartition(F.col("window_day"))
+                .write.mode("overwrite")
+                .partitionBy("window_day")
+                .parquet(str(tmp_dir))
+            )
+            new_rows = self.spark.read.parquet(str(tmp_dir)).count()
+            old_dir = store.root / f"_old_{batch_id}"
+            if store.data_dir.exists():
+                os.replace(store.data_dir, old_dir)
+            os.replace(tmp_dir, store.data_dir)
+            if old_dir.exists():
+                shutil.rmtree(old_dir)
+            manifest = store.read_manifest()
+            part_counts = {
+                str(r["window_day"]): r["cnt"]
+                for r in store.read(self.spark)
+                .groupBy("window_day")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            }
+            snap = {
+                "batch_id": batch_id,
+                "snapshot_id": uuid.uuid4().hex,
+                "committed_at": time.time(),
+                "rows": new_rows,
+                "partition_rows": part_counts,
+            }
+            manifest["snapshots"].append(snap)
+            store.write_manifest(manifest)
+            metrics[tier.name] = {"rows": new_rows, "partitions": len(part_counts)}
+        return metrics
+
+    # -- reads -----------------------------------------------------------------
+    def read_tier(
+        self, name: str, mincounts_perc: float | None = None, gated: bool = True
+    ) -> DataFrame:
+        """Tier as the reference-shaped output: (key, window_end_s, agg_mean,
+        agg_sum, n_vals), min-count gate evaluated over the MERGED counts —
+        identical to running the reference resample over all data at once."""
+        store = self.stores[name]
+        df = store.read(self.spark)
+        if df is None:
+            raise FileNotFoundError(f"tier {name} is empty")
+        perc = mincounts_perc if mincounts_perc is not None else store.tier.mincounts_perc
+        out = df.select(
+            self.key_col,
+            "window_end_s",
+            F.when(F.col("pcount") > 0, F.col("psum") / F.col("pcount")).alias("agg_mean"),
+            F.col("psum").alias("agg_sum"),
+            F.col("pcount").alias("n_vals"),
+            "pslots",
+        )
+        if not gated:
+            return out.drop("pslots")
+        w = Window.partitionBy(self.key_col)
+        return (
+            out.withColumn("__maxcount", F.max("pslots").over(w))
+            .withColumn(
+                "__mincount",
+                F.when(F.floor(F.col("__maxcount") * perc) < 3, F.lit(1)).otherwise(
+                    F.floor(F.col("__maxcount") * perc)
+                ),
+            )
+            .filter(F.col("n_vals") >= F.col("__mincount"))
+            .drop("pslots", "__maxcount", "__mincount")
+        )
+
+    # -- expiry ------------------------------------------------------------------
+    def expire(self, name: str, keep_days: int, now_day: str) -> list[str]:
+        """Drop partitions strictly older than ``now_day - keep_days``
+        (partition-level delete, recorded in lineage — Iceberg analog:
+        ``DELETE WHERE window_day < cutoff`` + ``expire_snapshots``)."""
+        import datetime as dt
+
+        store = self.stores[name]
+        cutoff = (
+            dt.date.fromisoformat(now_day) - dt.timedelta(days=keep_days)
+        ).isoformat()
+        dropped = []
+        for day in store.partitions():
+            if day < cutoff:
+                shutil.rmtree(store.data_dir / f"window_day={day}")
+                dropped.append(day)
+        if dropped:
+            manifest = store.read_manifest()
+            manifest["expired"].append(
+                {"at": time.time(), "cutoff": cutoff, "partitions": dropped}
+            )
+            store.write_manifest(manifest)
+        return dropped

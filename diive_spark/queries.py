@@ -472,6 +472,50 @@ FROM g
 """
 
 
+# A1-A4 cascade — multi-resolution continuous aggregates (1h + 1d tiers)
+def q_tier_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup: the reference re-runs the gated resample per
+    resolution (SURVEY §2.3 note after A17); one row set per tier, tagged."""
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"), "ts", "value"
+    )
+    outs = []
+    for tier_name, secs in (("1h", 3600), ("1d", 86400)):
+        t = resample_gated(
+            ev, "user_id", "ts", "value", bucket_seconds=secs, mincounts_perc=0.9
+        ).select(
+            F.lit(tier_name).alias("tier"),
+            "user_id",
+            _epoch_s("window_end").cast("long").alias("window_end_s"),
+            F.round("agg_mean", 4).alias("agg_mean"),
+            F.col("n_vals").cast("long").alias("n_vals"),
+        )
+        outs.append(t)
+    return outs[0].unionByName(outs[1])
+
+
+def _sql_tier(tier_name: str, secs: int) -> str:
+    return f"""
+SELECT '{tier_name}' AS tier, CAST(user_id AS BIGINT) AS user_id,
+       window_end_s, round(agg_mean, 4) AS agg_mean,
+       CAST(n_vals AS BIGINT) AS n_vals
+FROM (
+  SELECT *, max(n_slots) OVER (PARTITION BY user_id) AS maxcount
+  FROM (
+    SELECT user_id,
+           (CAST(floor(epoch(ts) / {secs}) AS BIGINT) + 1) * {secs} AS window_end_s,
+           avg(value) AS agg_mean, count(value) AS n_vals, count(*) AS n_slots
+    FROM events GROUP BY 1, 2
+  )
+)
+WHERE n_vals >= CASE WHEN floor(maxcount * 0.9) < 3 THEN 1
+                     ELSE floor(maxcount * 0.9) END
+"""
+
+
+SQL_TIER_CASCADE = _sql_tier("1h", 3600) + " UNION ALL " + _sql_tier("1d", 86400)
+
+
 # F2+F3 / T1 — reference-exact iterated kernels (non-SQL-expressible loops:
 # rows-only driver check; exactness asserted in pytest vs the pandas oracle)
 def q_flag_zscore_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,6 +551,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ffill_bfill": q_ffill_bfill,
     "flag_zscore_iterated": q_flag_zscore_iterated,
     "flag_localsd": q_flag_localsd,
+    "tier_cascade": q_tier_cascade,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -520,6 +565,7 @@ ORACLE_SQL: dict[str, str] = {
     "gap_runs": SQL_GAP_RUNS,
     "interp_linear": SQL_INTERP_LINEAR,
     "ffill_bfill": SQL_FFILL_BFILL,
+    "tier_cascade": SQL_TIER_CASCADE,
     # flag_zscore_iterated / flag_localsd: iterate-until-converged loops are
     # not SQL-expressible; rows-only check (pytest covers exactness).
 }
