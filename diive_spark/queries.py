@@ -538,6 +538,8 @@ def q_flag_localsd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry
 # ---------------------------------------------------------------------------
 
+from diive_spark import queries_text as _qt  # noqa: E402
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resample_30min_gated": q_resample_30min_gated,
     "dedup_keep_last": q_dedup_keep_last,
@@ -569,3 +571,6 @@ ORACLE_SQL: dict[str, str] = {
     # flag_zscore_iterated / flag_localsd: iterate-until-converged loops are
     # not SQL-expressible; rows-only check (pytest covers exactness).
 }
+
+QUERIES.update(_qt.QUERIES)
+ORACLE_SQL.update(_qt.ORACLE_SQL)

@@ -1,0 +1,518 @@
+"""Web-text query registry: dedup / similarity / text-analysis operators
+over the ``documents`` and ``embeddings`` tables, each with a DuckDB oracle
+that recomputes the SAME deterministic pipeline (hashes are bit-identical
+across engines — see :mod:`diive_spark.text.hashing`).
+
+Near-dup queries build a corpus of documents ∪ perturbed copies (last word
+dropped, doc_id + 1_000_000) so the candidate-pair stage has true near
+duplicates to find at every scale factor.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from diive_spark.text import analysis as TA
+from diive_spark.text import dedup as DD
+from diive_spark.text import multimodal as MM
+from diive_spark.text import similarity as SIM
+from diive_spark.text.hashing import (
+    LSH_BANDS,
+    LSH_ROWS_PER_BAND,
+    MERSENNE,
+    N_PERMS,
+    PERM_A,
+    PERM_B,
+    SIMHASH_BITS,
+    SIMHASH_CHUNKS,
+)
+
+PERTURB_OFFSET = 1_000_000
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# DuckDB snippets kept structurally parallel to the Spark expressions
+DUCK_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+DUCK_H60 = "CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# text_token_stats — token counting (whitespace / word-regex / BPE-ish)
+# ---------------------------------------------------------------------------
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    out = TA.with_token_stats(d)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_chars_t",
+        "n_ws_tokens",
+        "n_word_tokens",
+        "n_bpe_pieces",
+        F.round("distinct_token_ratio", 4).alias("distinct_token_ratio"),
+    )
+
+
+SQL_TEXT_TOKEN_STATS = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_t,
+       CAST(len({DUCK_TOKS}) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT) AS n_word_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]{{1,4}}')) AS BIGINT) AS n_bpe_pieces,
+       round(len(list_distinct({DUCK_TOKS})) * 1.0
+             / greatest(len({DUCK_TOKS}), 1), 4) AS distinct_token_ratio
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_quality — quality scoring
+# ---------------------------------------------------------------------------
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    out = TA.with_quality_score(d)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("stopword_ratio", 4).alias("stopword_ratio"),
+        F.round("punct_ratio", 4).alias("punct_ratio"),
+        F.round("mean_token_len", 4).alias("mean_token_len"),
+        F.round("quality_score", 4).alias("quality_score"),
+    )
+
+
+_SW_EN = "[" + ", ".join(f"'{w}'" for w in TA.STOPWORDS["en"]) + "]"
+
+SQL_TEXT_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text, {DUCK_TOKS} AS toks FROM documents
+), feat AS (
+  SELECT doc_id,
+         len(list_intersect(list_distinct(toks), {_SW_EN})) / 10.0 AS stop_ratio,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+           / greatest(length(text), 1) AS punct_ratio,
+         list_sum(list_transform(toks, t -> length(t))) * 1.0
+           / greatest(len(toks), 1) AS mean_token_len,
+         least(len(toks) / 32.0, 1.0) AS len_score,
+         len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1) AS rep_score
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       round(stop_ratio, 4) AS stopword_ratio,
+       round(punct_ratio, 4) AS punct_ratio,
+       round(mean_token_len, 4) AS mean_token_len,
+       round(0.35 * len_score + 0.25 * rep_score
+             + 0.25 * least(stop_ratio * 2.0, 1.0)
+             + 0.15 * (1.0 - least(punct_ratio * 4.0, 1.0)), 4) AS quality_score
+FROM feat
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_langid — stopword-ratio language ID
+# ---------------------------------------------------------------------------
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    out = TA.with_langid(d)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score_en", 4).alias("score_en"),
+        F.round("score_de", 4).alias("score_de"),
+        F.round("score_fr", 4).alias("score_fr"),
+        "lang_pred",
+    )
+
+
+def _sw_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in TA.STOPWORDS[lang]) + "]"
+
+
+SQL_TEXT_LANGID = f"""
+WITH t AS (
+  SELECT doc_id, list_distinct({DUCK_TOKS}) AS dtoks FROM documents
+), s AS (
+  SELECT doc_id,
+         len(list_intersect(dtoks, {_sw_list('en')})) / 10.0 AS score_en,
+         len(list_intersect(dtoks, {_sw_list('de')})) / 10.0 AS score_de,
+         len(list_intersect(dtoks, {_sw_list('fr')})) / 10.0 AS score_fr
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       round(score_en, 4) AS score_en,
+       round(score_de, 4) AS score_de,
+       round(score_fr, 4) AS score_fr,
+       CASE WHEN score_de > 0 AND score_de = greatest(score_en, score_de, score_fr) THEN 'de'
+            WHEN score_en > 0 AND score_en = greatest(score_en, score_de, score_fr) THEN 'en'
+            WHEN score_fr > 0 AND score_fr = greatest(score_en, score_de, score_fr) THEN 'fr'
+            ELSE 'und' END AS lang_pred
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# doc_fingerprint — min k-gram rolling-hash fingerprint
+# ---------------------------------------------------------------------------
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    out = TA.with_fingerprint(d, k=3)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "fingerprint", "n_shingles"
+    )
+
+
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)), "
+    "i -> array_to_string(toks[i:i+2], ' ')))"
+)
+
+SQL_DOC_FINGERPRINT = f"""
+WITH t AS (
+  SELECT doc_id, {DUCK_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       list_min(list_transform(shingles, s -> {DUCK_H60.format(s='s')})) AS fingerprint,
+       CAST(len(shingles) AS BIGINT) AS n_shingles
+FROM sh
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact — content-hash dedup
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    # union a verbatim copy so the dedup has real duplicate groups to merge
+    dup = d.select((F.col("doc_id") + PERTURB_OFFSET).alias("doc_id"), "text")
+    out = DD.exact_dedup(d.unionByName(dup))
+    return out.select(
+        "content_hash",
+        F.col("keep_id").cast("long").alias("keep_id"),
+        "n_dups",
+    )
+
+
+SQL_DEDUP_EXACT = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PERTURB_OFFSET} AS doc_id, text FROM documents
+)
+SELECT {DUCK_H60.format(s='text')} AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM corpus
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# near-dup corpus (shared by MinHash-LSH and SimHash queries)
+# ---------------------------------------------------------------------------
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    toks = F.split(F.trim("text"), r"\s+")
+    perturbed = d.select(
+        (F.col("doc_id") + PERTURB_OFFSET).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)).alias("text"),
+    )
+    return d.unionByName(perturbed)
+
+
+SQL_NEARDUP_CORPUS = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PERTURB_OFFSET} AS doc_id,
+         array_to_string(({DUCK_TOKS})[1:len({DUCK_TOKS}) - 1], ' ') AS text
+  FROM documents
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_lsh — banded LSH candidates + exact Jaccard verify
+# ---------------------------------------------------------------------------
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir)
+    sh = DD.with_shingles(corpus, k=3)
+    mh = DD.with_minhash(sh)
+    pairs = DD.lsh_candidate_pairs(mh)
+    out = DD.jaccard_verify(pairs, sh, threshold=0.6)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "n_inter",
+        F.round("jaccard", 4).alias("jaccard"),
+    )
+
+
+def _sql_minhash_lsh() -> str:
+    sig_exprs = ",\n         ".join(
+        f"list_min(list_transform(hs, h -> ({PERM_A[j]} * h + {PERM_B[j]}) % {MERSENNE})) AS s{j}"
+        for j in range(N_PERMS)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_id, concat_ws('_', {keys}) AS band_key FROM sigs".format(
+            b=b,
+            keys=", ".join(
+                f"s{b * LSH_ROWS_PER_BAND + i}" for i in range(LSH_ROWS_PER_BAND)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH {SQL_NEARDUP_CORPUS},
+t AS (
+  SELECT doc_id, {DUCK_TOKS} AS toks FROM corpus
+), sh AS (
+  SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM t
+), hashed AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles, s -> {DUCK_H60.format(s='s')} % {MERSENNE}) AS hs
+  FROM sh
+), sigs AS (
+  SELECT doc_id, {sig_exprs} FROM hashed
+), bands AS (
+{band_selects}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT p.id_a, p.id_b,
+         len(list_intersect(sa.shingles, sb.shingles)) AS n_inter,
+         len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+           / (len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(n_inter AS BIGINT) AS n_inter, round(jaccard, 4) AS jaccard
+FROM verified WHERE jaccard >= 0.6
+"""
+
+
+SQL_DEDUP_MINHASH_LSH = _sql_minhash_lsh()
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash — 32-bit SimHash + chunk-banded hamming pairs
+# ---------------------------------------------------------------------------
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir)
+    sh = DD.with_simhash(corpus)
+    out = DD.simhash_candidate_pairs(sh, max_hamming=3)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def _sql_simhash() -> str:
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    bit_terms = "\n         + ".join(
+        f"CASE WHEN list_sum(list_transform(hs, h -> (h >> {b}) & 1)) * 2"
+        f" > len(hs) THEN {1 << b} ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    chunk_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {c} AS chunk_id,"
+        f" (simhash >> {c * chunk_bits}) & {(1 << chunk_bits) - 1} AS chunk_key FROM sims"
+        for c in range(SIMHASH_CHUNKS)
+    )
+    return f"""
+WITH {SQL_NEARDUP_CORPUS},
+t AS (
+  SELECT doc_id,
+         list_transform({DUCK_TOKS}, tok -> {DUCK_H60.format(s='tok')}) AS hs
+  FROM corpus
+), sims AS (
+  SELECT doc_id,
+         CAST({bit_terms} AS BIGINT) AS simhash
+  FROM t
+), chunks AS (
+{chunk_selects}
+)
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a,
+       CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM chunks a JOIN chunks b
+  ON a.chunk_id = b.chunk_id AND a.chunk_key = b.chunk_key
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+SQL_DEDUP_SIMHASH = _sql_simhash()
+
+
+# ---------------------------------------------------------------------------
+# ann_cosine_topk — brute-force exact cosine top-k (probes = vec_id 0..7)
+# ---------------------------------------------------------------------------
+
+N_PROBES = 8
+TOP_K = 5
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    out = SIM.cosine_topk_bruteforce(emb, probes, k=TOP_K)
+    return out.select(
+        F.col("probe_id").cast("long").alias("probe_id"),
+        F.col("cand_id").cast("long").alias("cand_id"),
+        F.round("cos_sim", 4).alias("cos_sim"),
+        "rank",
+    )
+
+
+_DUCK_COS = (
+    "round(list_sum(list_transform(generate_series(1, len(p.embedding)), "
+    "i -> CAST(p.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))) "
+    "/ (sqrt(list_sum(list_transform(p.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+    "* sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+)
+
+SQL_ANN_COSINE_TOPK = f"""
+WITH scored AS (
+  SELECT p.vec_id AS probe_id, v.vec_id AS cand_id,
+         {_DUCK_COS} AS cos_sim
+  FROM embeddings v
+  JOIN embeddings p ON p.vec_id < {N_PROBES} AND v.vec_id <> p.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos_sim DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(probe_id AS BIGINT) AS probe_id,
+       CAST(cand_id AS BIGINT) AS cand_id,
+       round(cos_sim, 4) AS cos_sim,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# ann_cosine_ivf — IVF-bucketed approximate top-k (centroids = vec_id 8..15)
+# ---------------------------------------------------------------------------
+
+CENTROID_IDS = list(range(8, 16))
+
+
+def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    cents = sorted(
+        (
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in emb.filter(
+                F.col("vec_id").isin(CENTROID_IDS)
+            ).select("vec_id", "embedding").collect()
+        ),
+        key=lambda t: t[0],
+    )
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    out = SIM.cosine_topk_ivf(emb, probes, cents, k=TOP_K)
+    return out.select(
+        F.col("probe_id").cast("long").alias("probe_id"),
+        F.col("cand_id").cast("long").alias("cand_id"),
+        F.round("cos_sim", 4).alias("cos_sim"),
+        "rank",
+    )
+
+
+_DUCK_COS_VC = _DUCK_COS.replace("p.embedding", "c.embedding")
+
+SQL_ANN_COSINE_IVF = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding FROM embeddings
+  WHERE vec_id IN ({", ".join(str(i) for i in CENTROID_IDS)})
+), assigned AS (
+  SELECT v.vec_id, v.embedding, c.cid,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {_DUCK_COS_VC} DESC, c.cid ASC) AS rn
+  FROM embeddings v CROSS JOIN cents c
+), cells AS (
+  SELECT vec_id, embedding, cid AS cell FROM assigned WHERE rn = 1
+), scored AS (
+  SELECT p.vec_id AS probe_id, v.vec_id AS cand_id,
+         {_DUCK_COS} AS cos_sim
+  FROM cells v
+  JOIN cells p ON p.cell = v.cell AND p.vec_id < {N_PROBES}
+              AND v.vec_id <> p.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos_sim DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(probe_id AS BIGINT) AS probe_id,
+       CAST(cand_id AS BIGINT) AS cand_id,
+       round(cos_sim, 4) AS cos_sim,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal_decode — Arrow-batch media decode plumbing (rows-only check:
+# mapInPandas with a stubbed codec is not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.synth_media(spark, n=64)
+    out = MM.decode_media(media, payload_col="payload")
+    return out.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "content_hash",
+        F.round(F.element_at("feature", 1), 4).alias("feat0"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_cosine_ivf": q_ann_cosine_ivf,
+    "multimodal_decode": q_multimodal_decode,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "text_token_stats": SQL_TEXT_TOKEN_STATS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "text_langid": SQL_TEXT_LANGID,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "ann_cosine_ivf": SQL_ANN_COSINE_IVF,
+    # multimodal_decode: mapInPandas pipeline — rows-only check
+}

@@ -1,0 +1,271 @@
+"""Deduplication operators: exact hash-dedup, MinHash + LSH near-dup,
+SimHash near-dup, n-gram Jaccard verification.
+
+Scale design (the part that matters at 10^12 documents):
+  * Signature computation (shingles -> 16 MinHash values / 32-bit SimHash)
+    is pure per-row array math — ``transform``/``array_min``/``aggregate``
+    higher-order functions, whole-stage codegen, ZERO shuffle.
+  * Candidate generation is the classic banded-LSH bucket join: explode to
+    (band_id, band_key) — 4 rows per doc — then a self-equi-join on the
+    band key. Catalyst picks sort-merge with AQE skew splitting; band keys
+    are ~uniform because they are hashes, so no salting needed.
+  * Verification joins candidate pairs back to the (small per-pair) shingle
+    sets and computes exact Jaccard — only on the candidate set, never all
+    pairs (brute-force n^2 never materializes).
+
+The same pipeline is expressed in DuckDB SQL (queries_text.py) with
+bit-identical hashes (see hashing.py), so the driver's oracle compare is an
+EXACT check, not a statistical one.
+
+Reference analog: diive's only dedup is timestamp dedup-keep-last
+(/root/reference/diive/core/times/times.py:804-821) — the web-text graft
+generalizes dedup to content identity/similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from diive_spark.text.hashing import (
+    LSH_BANDS,
+    LSH_ROWS_PER_BAND,
+    MERSENNE,
+    N_PERMS,
+    PERM_A,
+    PERM_B,
+    SIMHASH_BITS,
+    SIMHASH_CHUNKS,
+)
+
+__all__ = [
+    "exact_dedup",
+    "with_shingles",
+    "with_minhash",
+    "lsh_candidate_pairs",
+    "jaccard_verify",
+    "with_simhash",
+    "simhash_candidate_pairs",
+]
+
+
+def _h60(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: group by content hash, keep the lowest id; adds the
+    group's duplicate count. One shuffle on the 60-bit content hash
+    (uniform => no skew); at scale this is a map-side-combinable agg."""
+    h = df.select(
+        F.col(id_col), _h60(F.col(text_col)).alias("content_hash")
+    )
+    return h.groupBy("content_hash").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count("*").cast("long").alias("n_dups"),
+    )
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", k: int = 3, out_col: str = "shingles"
+) -> DataFrame:
+    """Distinct word k-shingles per document (per-row, no shuffle)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+    return df.withColumn(out_col, sh)
+
+
+def _perm(a: int, b: int):
+    return lambda x: F.pmod(a * x + b, F.lit(MERSENNE))
+
+
+def with_minhash(
+    df: DataFrame, shingle_col: str = "shingles", out_col: str = "minhash"
+) -> DataFrame:
+    """16-permutation MinHash signature as an array<bigint> column.
+
+    sig_j = min over shingles s of (a_j * (h60(s) mod P) + b_j) mod P,
+    P = 2^31-1 — every intermediate fits signed-64. Per-row math only.
+    The md5 hash array is materialized in its own projection so the 16
+    permutation scans reuse it (CollapseProject keeps non-cheap exprs
+    un-inlined).
+    """
+    hashed = df.withColumn(
+        "_sh_hashes",
+        F.transform(F.col(shingle_col), lambda s: F.pmod(_h60(s), F.lit(MERSENNE))),
+    )
+    sigs = F.array(
+        *[
+            F.array_min(F.transform(F.col("_sh_hashes"), _perm(PERM_A[j], PERM_B[j])))
+            for j in range(N_PERMS)
+        ]
+    )
+    return hashed.withColumn(out_col, sigs).drop("_sh_hashes")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str = "doc_id", minhash_col: str = "minhash"
+) -> DataFrame:
+    """Banded-LSH candidate pairs: 4 bands x 4 rows; docs sharing any band
+    key become a candidate pair (id_a < id_b, distinct).
+
+    The self-join key is (band_id, band_key) — hash-uniform, so the shuffle
+    is balanced; hot buckets (boilerplate-heavy corpora) are exactly what
+    AQE skew-join splitting handles.
+    """
+    r = LSH_ROWS_PER_BAND
+    bands = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.element_at(F.col(minhash_col), b * r + i + 1)
+                                for i in range(r)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band_id") == F.col(f"b.band_id"))
+            & (F.col(f"a.band_key") == F.col(f"b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingles",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs:
+    |A ∩ B| / (|A| + |B| - |A ∩ B|) over distinct shingle sets."""
+    s = shingled.select(F.col(id_col), F.col(shingle_col))
+    j = (
+        pairs.join(
+            s.withColumnRenamed(id_col, "id_a").withColumnRenamed(
+                shingle_col, "sh_a"
+            ),
+            "id_a",
+        )
+        .join(
+            s.withColumnRenamed(id_col, "id_b").withColumnRenamed(
+                shingle_col, "sh_b"
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "n_inter", "jaccard"
+    )
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", out_col: str = "simhash"
+) -> DataFrame:
+    """32-bit SimHash over whitespace tokens (with multiplicity).
+
+    bit b is set iff sum over tokens of bit b of h60(token) strictly
+    exceeds n_tokens/2 (i.e. majority of ones). Nested higher-order
+    aggregates — still per-row, still codegen, still zero shuffle.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    hashed = df.withColumn("_tok_hashes", F.transform(toks, lambda t: _h60(t)))
+
+    def bit_sum(b: int):
+        return F.aggregate(
+            F.col("_tok_hashes"),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.shiftright(x, b).bitwiseAND(F.lit(1)),
+        )
+
+    ntok = F.size(F.col("_tok_hashes"))
+    sim = F.lit(0).cast("bigint")
+    for b in range(SIMHASH_BITS):
+        sim = sim + F.when(bit_sum(b) * 2 > ntok, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return hashed.withColumn(out_col, sim).drop("_tok_hashes")
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    simhash_col: str = "simhash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 32-bit hash into 4 byte-chunks; by
+    pigeonhole, any pair within hamming distance 3 shares at least one
+    chunk — join on chunk equality, then exact hamming filter via
+    bit_count(xor). Same bucket-join scale shape as MinHash-LSH."""
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    chunks = df.select(
+        F.col(id_col),
+        F.col(simhash_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright(F.col(simhash_col), c * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("chunk_key"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("ch"),
+    ).select(id_col, simhash_col, "ch.chunk_id", "ch.chunk_key")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_key") == F.col("b.chunk_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col(f"a.{simhash_col}").bitwiseXOR(F.col(f"b.{simhash_col}"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,194 @@
+"""Web-text operator family: dedup (exact / MinHash-LSH / SimHash),
+similarity search, text analysis, multimodal plumbing.
+
+Exactness oracles here are small pure-python/numpy recomputations of the
+same deterministic pipelines; the DuckDB cross-engine check runs in
+tools/check_queries.py (driver gate)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from diive_spark.text import analysis as TA
+from diive_spark.text import dedup as DD
+from diive_spark.text import multimodal as MM
+from diive_spark.text import similarity as SIM
+from diive_spark.text.hashing import MERSENNE, N_PERMS, PERM_A, PERM_B
+
+DOCS = [
+    (0, "the cat sat on the mat and looked at the dog"),
+    (1, "the cat sat on the mat and looked at the dog"),  # exact dup of 0
+    (2, "the cat sat on the mat and looked at a bird"),  # near dup of 0
+    (3, "completely different words about spark engines and rollups"),
+    (4, "der hund ist nicht auf der matte und das ist gut"),
+    (5, "le chat est dans la maison et il est content"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _shingles(text: str, k: int = 3) -> list[str]:
+    toks = text.split()
+    n = max(len(toks) - k + 1, 1)
+    out, seen = [], set()
+    for i in range(n):
+        s = " ".join(toks[i : i + k])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+def test_exact_dedup_groups(docs_df):
+    out = {
+        r["keep_id"]: r["n_dups"]
+        for r in DD.exact_dedup(docs_df).collect()
+    }
+    assert out[0] == 2  # docs 0 and 1 merge, lowest id kept
+    assert out[2] == 1 and out[3] == 1
+    assert sum(out.values()) == len(DOCS)
+
+
+def test_minhash_signature_matches_python(docs_df):
+    row = (
+        DD.with_minhash(DD.with_shingles(docs_df))
+        .filter("doc_id = 3")
+        .select("minhash")
+        .first()
+    )
+    hs = [_h60(s) % MERSENNE for s in _shingles(DOCS[3][1])]
+    expected = [
+        min((PERM_A[j] * h + PERM_B[j]) % MERSENNE for h in hs)
+        for j in range(N_PERMS)
+    ]
+    assert list(row["minhash"]) == expected
+
+
+def test_lsh_finds_near_dups_and_jaccard_exact(docs_df):
+    sh = DD.with_shingles(docs_df)
+    mh = DD.with_minhash(sh)
+    pairs = DD.lsh_candidate_pairs(mh)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got  # exact dup always collides in every band
+    verified = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.jaccard_verify(pairs, sh).collect()
+    }
+    assert verified[(0, 1)] == 1.0
+    # python-exact jaccard for any found (0,2)-style pair
+    for (a, b), j in verified.items():
+        sa, sb = set(_shingles(DOCS[a][1])), set(_shingles(DOCS[b][1]))
+        assert j == pytest.approx(len(sa & sb) / len(sa | sb))
+
+
+def test_simhash_identical_docs_distance_zero(docs_df):
+    sims = {
+        r["doc_id"]: r["simhash"] for r in DD.with_simhash(docs_df).collect()
+    }
+    assert sims[0] == sims[1]
+    assert 0 <= sims[0] < 2**32
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in DD.simhash_candidate_pairs(
+            DD.with_simhash(docs_df), max_hamming=3
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 0
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(20, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    probes = df.filter(F.col("vec_id") < 2)
+    out = SIM.cosine_topk_bruteforce(df, probes, k=3)
+    got = {
+        (r["probe_id"], r["rank"]): (r["cand_id"], r["cos_sim"])
+        for r in out.collect()
+    }
+    v = vecs.astype(np.float64)
+    norms = np.linalg.norm(v, axis=1)
+    for p in range(2):
+        cos = (v @ v[p]) / (norms * norms[p])
+        cos[p] = -np.inf
+        order = sorted(range(20), key=lambda i: (-round(cos[i], 6), i))
+        for rank in range(1, 4):
+            cand = order[rank - 1]
+            assert got[(p, rank)][0] == cand
+            assert got[(p, rank)][1] == pytest.approx(cos[cand], abs=1e-5)
+
+
+def test_ivf_restricts_to_cell(spark):
+    # 2 well-separated clusters; centroids = one member of each
+    base = np.eye(2)
+    rows = []
+    for i in range(10):
+        c = i % 2
+        vec = base[c] * 10 + np.array([0.01 * i, -0.01 * i])
+        rows.append((i, [float(vec[0]), float(vec[1])]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [(0, [10.0, 0.0]), (1, [0.0, 10.0])]
+    out = SIM.cosine_topk_ivf(df, df.filter("vec_id < 2"), cents, k=3)
+    for r in out.collect():
+        assert r["probe_id"] % 2 == r["cand_id"] % 2  # never leaves its cell
+
+
+def test_token_stats_and_quality(docs_df):
+    r = (
+        TA.with_quality_score(TA.with_token_stats(docs_df))
+        .filter("doc_id = 0")
+        .first()
+    )
+    text = DOCS[0][1]
+    assert r["n_ws_tokens"] == len(text.split())
+    assert r["n_chars_t"] == len(text)
+    assert r["punct_ratio"] == 0.0
+    assert 0.0 <= r["quality_score"] <= 1.0
+    # 'the' and 'and' from the en stopword list appear: 2/10
+    assert r["stopword_ratio"] == pytest.approx(0.2)
+
+
+def test_langid_picks_plausible_language(docs_df):
+    preds = {r["doc_id"]: r["lang_pred"] for r in TA.with_langid(docs_df).collect()}
+    assert preds[0] == "en"
+    assert preds[4] == "de"
+    assert preds[5] == "fr"
+
+
+def test_fingerprint_is_min_shingle_hash(docs_df):
+    r = TA.with_fingerprint(docs_df).filter("doc_id = 3").first()
+    sh = _shingles(DOCS[3][1])
+    assert r["fingerprint"] == min(_h60(s) for s in sh)
+    assert r["n_shingles"] == len(sh)
+
+
+def test_multimodal_decode_plumbing(spark):
+    media = MM.synth_media(spark, n=12)
+    out = MM.decode_media(media).collect()
+    assert len(out) == 12
+    by_id = {r["media_id"]: r for r in out}
+    payload = (
+        media.filter("media_id = 3").select("payload").first()["payload"]
+    )
+    assert by_id[3]["n_bytes"] == len(payload)
+    assert by_id[3]["content_hash"] == hashlib.md5(bytes(payload)).hexdigest()
+    assert len(by_id[3]["feature"]) == MM.FEATURE_DIM
+    np.testing.assert_allclose(
+        by_id[3]["feature"], MM._fake_decode(bytes(payload))
+    )
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(media, strict=True)
