@@ -1,0 +1,236 @@
+"""Analytics operators (SURVEY §2.3/§2.4): histograms, quantile binning,
+circular stats, frequency detection, lag-search covariance, similarity
+range-join, scenario fan-out, combine-first merge.
+
+All are pure DataFrame compositions — no Python UDFs. Where the reference
+iterates per-row (uncertainty.py:244-291 iterrows, lag.py:189-231 per-shift
+loop) the re-expression is a join/window, per the input_hint ban on per-row
+Python.
+
+Scale notes are on each function: the recurring patterns are
+(1) broadcast tiny aggregate back onto the big side,
+(2) bucketed range join instead of theta cross-join,
+(3) window functions partitioned by the series key so Spark shuffles once
+    per key layout and reuses it across chained ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def histogram_fixed_bins(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Per-key equal-width histogram (reference Histogram,
+    /root/reference/diive/pkgs/analyses/histogram.py:14-125).
+
+    Per-key (min, max) is a tiny aggregate — broadcast back onto the fact
+    side, so the only wide exchange is the final (key, bin) count, which is
+    map-side combinable."""
+    bounds = df.groupBy(key_col).agg(
+        F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / n_bins
+    binned = df.join(F.broadcast(bounds), key_col).withColumn(
+        "bin",
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+            F.least(
+                F.floor((F.col(value_col) - F.col("_lo")) / width),
+                F.lit(n_bins - 1),
+            )
+        ).cast("long"),
+    )
+    return (
+        binned.groupBy(key_col, "bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.min("_lo") + F.col("bin") * F.min(width), 4).alias("bin_lo"),
+        )
+        .select(key_col, "bin", "bin_lo", "n")
+    )
+
+
+def circular_mean_deg(deg_col: str | Column) -> Column:
+    """Circular (Kanda) mean of angles in degrees, result in [0, 360)
+    (reference winddirection_agg_kanda, funcs.py:52-85):
+    atan2(mean sin, mean cos), vectorized aggregate expression."""
+    c = F.col(deg_col) if isinstance(deg_col, str) else deg_col
+    rad = F.radians(c)
+    mean_deg = F.degrees(F.atan2(F.avg(F.sin(rad)), F.avg(F.cos(rad))))
+    return F.pmod(mean_deg + 360.0, F.lit(360.0))
+
+
+def freq_detect(
+    df: DataFrame, key_col: str, ts_col: str, order_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-key dominant timestamp delta (reference DetectFrequency mode
+    path, times.py:637-720: delta mode must hold >90% share).
+
+    lag + two grouped aggs; every stage is keyed by ``key_col`` so one
+    hash layout serves all three."""
+    order_cols = order_cols or [ts_col]
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    deltas = (
+        df.withColumn("_e", F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .withColumn("_d", (F.col("_e") - F.lag("_e").over(w)) / 1_000_000.0)
+        .filter(F.col("_d").isNotNull())
+        .withColumn("delta_s", F.floor("_d").cast("long"))
+    )
+    counts = deltas.groupBy(key_col, "delta_s").agg(
+        F.count("*").cast("long").alias("n_mode")
+    )
+    totals = deltas.groupBy(key_col).agg(F.count("*").cast("long").alias("n_total"))
+    wr = Window.partitionBy(key_col).orderBy(
+        F.col("n_mode").desc(), F.col("delta_s").asc()
+    )
+    return (
+        counts.withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") == 1)
+        .join(F.broadcast(totals), key_col)
+        .withColumn("share", F.round(F.col("n_mode") / F.col("n_total"), 4))
+        .withColumn("freq_ok", (F.col("n_mode") / F.col("n_total") >= 0.9).cast("int"))
+        .select(key_col, "delta_s", "n_mode", "n_total", "share", "freq_ok")
+    )
+
+
+def lag_search_max_cov(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    order_cols: list[str],
+    max_shift: int = 5,
+) -> DataFrame:
+    """Per-key lag search (reference MaxCovariance, echires/lag.py:167-244):
+    covariance between the series and its k-shifted copy for k=1..max_shift,
+    flagging the |cov|-argmax shift.
+
+    The reference loops shifts in Python per segment; here all shifts are
+    window expressions over ONE sorted layout (single shuffle), and the
+    per-(key, shift) covariances are one grouped agg after an unpivot."""
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    shifted = df.select(
+        key_col,
+        F.col(value_col).alias("_v"),
+        *[F.lag(value_col, k).over(w).alias(f"_l{k}") for k in range(1, max_shift + 1)],
+    )
+    stacked = shifted.select(
+        key_col,
+        "_v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("shift"), F.col(f"_l{k}").alias("_lv"))
+                    for k in range(1, max_shift + 1)
+                ]
+            )
+        ).alias("s"),
+    ).select(key_col, "_v", "s.shift", "s._lv")
+    cov = stacked.groupBy(key_col, "shift").agg(
+        F.covar_samp("_v", "_lv").alias("_cov")
+    )
+    wb = Window.partitionBy(key_col).orderBy(
+        F.abs(F.round("_cov", 6)).desc(), F.col("shift").asc()
+    )
+    return cov.withColumn(
+        "is_best", (F.row_number().over(wb) == 1).cast("int")
+    ).select(
+        key_col,
+        F.col("shift").cast("long").alias("shift"),
+        F.round("_cov", 4).alias("cov"),
+        "is_best",
+    )
+
+
+def similarity_window_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    ts_tol_s: int = 1800,
+    value_tol: float = 5.0,
+) -> DataFrame:
+    """Similarity-window uncertainty (reference RandomUncertaintyPAS20
+    method-1, flux/uncertainty.py:218-291): for every record, the std/count
+    of records of the same key within ±ts_tol AND ±value_tol.
+
+    The reference iterates rows in Python; re-expressed as a **bucketed
+    range join**: bucket = floor(ts / tol); each left row joins right rows
+    in its bucket ±1 (covers the full ±tol range), then the exact predicate
+    filters. Join key (key, bucket) is equi — sort-merge/AQE handles it;
+    candidate sets stay O(rows per 3 buckets), never O(n²)."""
+    e = F.unix_micros(F.col(ts_col).cast("timestamp")) / 1_000_000.0
+    base = df.select(
+        F.col(id_col), F.col(key_col), e.alias("_e"), F.col(value_col).alias("_v")
+    ).withColumn("_b", F.floor(F.col("_e") / ts_tol_s).cast("long"))
+    left = base.select(
+        F.col(id_col),
+        F.col(key_col),
+        F.col("_e").alias("_ea"),
+        F.col("_v").alias("_va"),
+        F.explode(
+            F.array(F.col("_b") - 1, F.col("_b"), F.col("_b") + 1)
+        ).alias("_b"),
+    )
+    right = base.select(
+        F.col(key_col), F.col("_b"), F.col("_e").alias("_eb"), F.col("_v").alias("_vb")
+    )
+    joined = left.join(right, [key_col, "_b"]).filter(
+        (F.abs(F.col("_ea") - F.col("_eb")) <= ts_tol_s)
+        & (F.abs(F.col("_va") - F.col("_vb")) <= value_tol)
+    )
+    return joined.groupBy(id_col, key_col).agg(
+        F.count("*").cast("long").alias("n_similar"),
+        F.round(F.stddev_samp("_vb"), 4).alias("sd_similar"),
+        F.round(F.avg("_vb"), 4).alias("mean_similar"),
+    )
+
+
+def scenario_threshold_fanout(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    thresholds: list[float],
+) -> DataFrame:
+    """Constant-threshold scenario fan-out (reference
+    UstarThresholdConstantScenarios, ustarthreshold.py:14-166: for each
+    threshold u, mask value where below u, aggregate what survives).
+    The threshold list is a literal array — explode is per-row, no join."""
+    t = F.explode(F.array(*[F.lit(float(x)) for x in thresholds])).alias("threshold")
+    masked = df.select(F.col(key_col), F.col(value_col).alias("_v"), t).withColumn(
+        "_kept", F.when(F.col("_v") >= F.col("threshold"), F.col("_v"))
+    )
+    return masked.groupBy(key_col, "threshold").agg(
+        F.count("_kept").cast("long").alias("n_kept"),
+        F.round(F.avg("_kept"), 4).alias("mean_kept"),
+    )
+
+
+def combine_first(
+    primary: DataFrame,
+    secondary: DataFrame,
+    on: list[str],
+    value_col: str,
+    out_col: str = "v",
+) -> DataFrame:
+    """First-non-null-wins merge of two sources (reference
+    ``combine_first`` in MultiDataFileReader, filereader.py:271-272):
+    full-outer join on the grid keys + coalesce, primary wins."""
+    p = primary.select(*on, F.col(value_col).alias("_vp"))
+    s = secondary.select(*on, F.col(value_col).alias("_vs"))
+    return (
+        p.join(s, on, "full_outer")
+        .withColumn(out_col, F.coalesce("_vp", "_vs"))
+        .withColumn(
+            "src",
+            F.when(F.col("_vp").isNotNull(), F.lit("primary"))
+            .when(F.col("_vs").isNotNull(), F.lit("secondary"))
+            .otherwise(F.lit("none")),
+        )
+        .drop("_vp", "_vs")
+    )

@@ -574,3 +574,8 @@ ORACLE_SQL: dict[str, str] = {
 
 QUERIES.update(_qt.QUERIES)
 ORACLE_SQL.update(_qt.ORACLE_SQL)
+
+from diive_spark import queries_analytics as _qa  # noqa: E402
+
+QUERIES.update(_qa.QUERIES)
+ORACLE_SQL.update(_qa.ORACLE_SQL)
