@@ -576,6 +576,14 @@ QUERIES.update(_qt.QUERIES)
 ORACLE_SQL.update(_qt.ORACLE_SQL)
 
 from diive_spark import queries_analytics as _qa  # noqa: E402
+from diive_spark import queries_features as _qf  # noqa: E402
 
 QUERIES.update(_qa.QUERIES)
 ORACLE_SQL.update(_qa.ORACLE_SQL)
+QUERIES.update(_qf.QUERIES)
+ORACLE_SQL.update(_qf.ORACLE_SQL)
+
+from diive_spark import queries_ml as _qm  # noqa: E402
+
+QUERIES.update(_qm.QUERIES)
+ORACLE_SQL.update(_qm.ORACLE_SQL)

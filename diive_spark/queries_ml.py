@@ -1,0 +1,114 @@
+"""Registry entries for HTML text extraction (input_hint invariant) and
+ML gap-filling (SURVEY §2.10)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from diive_spark.ml.gapfill import ml_gapfill
+from diive_spark.text.extract import verify_extraction
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# extract_text_roundtrip — input_hint invariant: build html around each
+# document's text (identically in both engines), extract, and verify the
+# extraction is byte-identical to the source text.
+# ---------------------------------------------------------------------------
+
+def q_extract_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    html = F.concat(
+        F.lit("<html><head><style>p{color:red}</style></head><body><p>"),
+        F.col("text"),
+        F.lit("</p><script>var x = 1;</script></body></html>"),
+    )
+    pages = d.withColumn("html", F.encode(html, "UTF-8"))
+    out = verify_extraction(pages, html_col="html", text_col="text", binary=True)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("extract_ok").cast("int").alias("extract_ok"),
+        "n_chars_extracted",
+    )
+
+
+SQL_EXTRACT_TEXT = r"""
+WITH pages AS (
+  SELECT doc_id, text,
+         '<html><head><style>p{color:red}</style></head><body><p>' || text ||
+         '</p><script>var x = 1;</script></body></html>' AS html
+  FROM documents
+), stripped AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(html, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+             '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+           '(?s)<[^>]*>', ' ', 'g') AS s
+  FROM pages
+), unescaped AS (
+  SELECT doc_id, text,
+         replace(replace(replace(replace(replace(
+           s, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+           '&amp;', '&') AS s
+  FROM stripped
+), final AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(s, '\s+', ' ', 'g')) AS extracted
+  FROM unescaped
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(CASE WHEN extracted = text THEN 1 ELSE 0 END AS INT) AS extract_ok,
+       CAST(length(extracted) AS BIGINT) AS n_chars_extracted
+FROM final
+"""
+
+
+# ---------------------------------------------------------------------------
+# ml_gapfill_30min — M1/M2 pipeline on the gridded 30-min series
+# (rows-only driver check: the OLS kernel is not SQL-expressible;
+# exactness vs the pandas oracle is asserted in tests/test_mlgapfill.py)
+# ---------------------------------------------------------------------------
+
+def q_ml_gapfill_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    binned = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        (
+            (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_800_000_000) + 1)
+            * 1800
+        ).cast("long").alias("slot_s"),
+        "value",
+    )
+    agg = binned.groupBy("user_id", "slot_s").agg(F.avg("value").alias("v"))
+    bounds = agg.groupBy("user_id").agg(
+        F.min("slot_s").alias("t0"), F.max("slot_s").alias("t1")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("t0", "t1", F.lit(1800))).alias("slot_s")
+    )
+    g = grid.join(agg, ["user_id", "slot_s"], "left")
+    out = ml_gapfill(g, "user_id", "slot_s", "v", n_lags=1)
+    return out.select(
+        "user_id",
+        F.col("ts_s").alias("slot_s"),
+        F.round("value_filled", 4).alias("v_filled"),
+        F.col("flag_fill").cast("int").alias("flag_fill"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "extract_text_roundtrip": q_extract_text_roundtrip,
+    "ml_gapfill_30min": q_ml_gapfill_30min,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "extract_text_roundtrip": SQL_EXTRACT_TEXT,
+    # ml_gapfill_30min: OLS kernel — rows-only check
+}

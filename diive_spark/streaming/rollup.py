@@ -1,0 +1,83 @@
+"""Structured Streaming rollup (SURVEY §2.12): the batch tier aggregation
+as an incremental stream with watermarked late-data handling.
+
+The reference is batch-only; its late/duplicate-data story is re-running
+the sanitizer (times.py:148-244). The streaming re-expression:
+
+  * source: file stream (parquet dirs; Iceberg/Kafka in production),
+  * event-time watermark bounds state for late rows,
+  * tumbling ``window(ts, tier)`` per key computes the same PARTIAL
+    aggregates the batch tier engine stores (psum/pcount) — means are
+    recomposed downstream, so streaming output MERGEs into the same tier
+    tables (plans/tiers.py) associatively,
+  * dedup-keep-first within the watermark via ``dropDuplicates`` mirrors
+    the batch dedup (times.py:804-821; keep-first vs keep-last is the one
+    semantic difference — documented, as true keep-last needs state the
+    stream cannot bound).
+
+The min-count gate (resampling.py:76-92) needs the per-key max bin count,
+a global statistic — it is applied at READ time over the merged tier
+table, not in-stream (same place the batch engine applies it)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_tier_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_seconds: int = 1800,
+    watermark: str = "2 hours",
+    dedup: bool = True,
+) -> DataFrame:
+    """Returns a STREAMING DataFrame of partial tier aggregates
+    (psum, pcount, pslots per key/window). Attach any sink; tests use a
+    memory sink with ``trigger(availableNow=True)``."""
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+    # watermarks require TIMESTAMP (tz-aware); ntz sources are cast (the
+    # session tz is pinned UTC, so the instant is unchanged)
+    src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    wm = src.withWatermark(ts_col, watermark)
+    if dedup:
+        wm = wm.dropDuplicates([key_col, ts_col])
+    win = F.window(F.col(ts_col), f"{bucket_seconds} seconds")
+    return (
+        wm.groupBy(F.col(key_col), win.alias("win"))
+        .agg(
+            F.sum(value_col).alias("psum"),
+            F.count(value_col).alias("pcount"),
+            F.count("*").alias("pslots"),
+        )
+        .select(
+            key_col,
+            F.col("win.end").alias("window_end"),
+            "psum",
+            "pcount",
+            "pslots",
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, query_name: str, timeout_s: int = 120
+) -> None:
+    """Drain all available input into an in-memory table (append mode —
+    watermark-closed windows only), blocking until done."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

@@ -1,0 +1,124 @@
+"""Text extraction invariant, ML gap-fill kernel exactness, and the
+Structured Streaming tier rollup."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from diive_spark.ml.gapfill import fill_series_pdf, ml_gapfill
+from diive_spark.sources.pages import synth_pages_pdf
+from diive_spark.streaming.rollup import run_to_memory, stream_tier_rollup
+from diive_spark.text.extract import extract_text, verify_extraction
+
+
+def test_extraction_byte_identical_on_pages(spark):
+    """BASELINE.json input_hint: extracted text byte-identical per url."""
+    pdf = synth_pages_pdf(n_urls=6, n_records=40)
+    df = spark.createDataFrame(pdf[["url", "warc_ts", "html", "text"]])
+    checked = verify_extraction(df, html_col="html", text_col="text")
+    n_bad = checked.filter(F.col("extract_ok") != 1).count()
+    assert n_bad == 0
+
+
+def test_extraction_strips_scripts_styles_entities(spark):
+    html = (
+        b"<html><head><style>p {c: 1}</style></head><body>"
+        b"<script type='x'>alert(1)</script>"
+        b"<p>a &amp; b &lt;tag&gt;   c</p></body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "html binary")
+    got = extract_text(df).first()["text_extracted"]
+    assert got == 'a & b <tag> c'
+
+
+def _series_with_gaps() -> pd.DataFrame:
+    rng = np.random.RandomState(3)
+    n = 200
+    ts = 1_700_000_000 + 1800 * np.arange(n)
+    v = 50 + 10 * np.sin(np.arange(n) / 9.0) + rng.normal(0, 1, n)
+    v[10:13] = np.nan
+    v[50] = np.nan
+    v[197:] = np.nan  # tail gap: lead feature missing -> fallback model
+    return pd.DataFrame({"ts_s": ts, "value": v})
+
+
+def test_fill_series_kernel_semantics():
+    out = fill_series_pdf(_series_with_gaps())
+    # observed rows unchanged, flag 0
+    obs = out[out["value"].notna()]
+    assert (obs["flag_fill"] == 0).all()
+    assert (obs["value_filled"] == obs["value"]).all()
+    # single-point gap has lag AND lead present -> main model (flag 1)
+    assert out.loc[50, "flag_fill"] == 1
+    # multi-row gap: neighbours are NaN -> features incomplete -> fallback
+    # (flag 2), mirroring randomforest_ts.py:813-872's two-stage fill
+    assert set(out.loc[10:12, "flag_fill"]) == {2}
+    # tail gap: lead feature unavailable -> fallback (flag 2)
+    assert out.loc[199, "flag_fill"] == 2
+    assert out["value_filled"].notna().all()
+    # cumulative matches nancumsum of the filled series
+    np.testing.assert_allclose(
+        out["cumsum_filled"], np.nancumsum(out["value_filled"])
+    )
+
+
+def test_ml_gapfill_spark_matches_kernel(spark):
+    pdf = _series_with_gaps()
+    both = pd.concat(
+        [pdf.assign(key=1), pdf.assign(key=2, value=pdf["value"] * 2)]
+    )
+    df = spark.createDataFrame(both[["key", "ts_s", "value"]])
+    got = (
+        ml_gapfill(df, "key", "ts_s", "value")
+        .filter("key = 2")
+        .toPandas()
+        .sort_values("ts_s")
+        .reset_index(drop=True)
+    )
+    expect = fill_series_pdf(pdf.assign(value=pdf["value"] * 2))
+    np.testing.assert_allclose(got["value_filled"], expect["value_filled"])
+    assert (got["flag_fill"].to_numpy() == expect["flag_fill"].to_numpy()).all()
+
+
+def test_stream_rollup_matches_batch(spark, sf_dir, tmp_path):
+    src = f"{sf_dir}/events.parquet"
+    ev = spark.read.parquet(src)
+    # stream source dir with several files to exercise multi-trigger
+    ev.repartition(4).write.parquet(str(tmp_path / "stream_src"))
+    schema = ev.schema
+    sdf = stream_tier_rollup(
+        spark,
+        str(tmp_path / "stream_src"),
+        schema,
+        bucket_seconds=3600,
+        watermark="0 seconds",  # availableNow drain: emit everything
+        dedup=False,
+    )
+    run_to_memory(sdf, "tier_stream_test")
+    got = spark.sql(
+        "SELECT user_id, window_end, psum, pcount FROM tier_stream_test"
+    )
+    batch = ev.groupBy(
+        "user_id", F.window("ts", "3600 seconds").alias("win")
+    ).agg(F.sum("value").alias("psum"), F.count("value").alias("pcount"))
+    batch = batch.select(
+        "user_id", F.col("win.end").alias("window_end"), "psum", "pcount"
+    )
+    # append mode only emits windows the watermark has CLOSED: the final
+    # window (end > max event time) stays in state — exclude it from the
+    # batch expectation
+    max_ts = ev.agg(F.max(F.col("ts").cast("timestamp"))).first()[0]
+    batch = batch.filter(F.col("window_end") <= F.lit(max_ts))
+    g = {
+        (r["user_id"], r["window_end"]): (round(r["psum"], 6), r["pcount"])
+        for r in got.collect()
+    }
+    b = {
+        (r["user_id"], r["window_end"]): (round(r["psum"], 6), r["pcount"])
+        for r in batch.collect()
+    }
+    assert g == b
+    assert len(g) > 0
