@@ -51,6 +51,34 @@ def flag_abslim(
     )
 
 
+def flag_abslim_daynight(
+    df: DataFrame,
+    value_col: str,
+    daytime_col: str,
+    daytime_minmax: tuple[float, float],
+    nighttime_minmax: tuple[float, float],
+    flag_col: str = "flag_abslim_dn",
+) -> DataFrame:
+    """Absolute-limits flag with separate day/night limits (SURVEY §2.8 F6,
+    /root/reference/diive/pkgs/outlierdetection/absolutelimits.py:20-134):
+    the active (min, max) pair is chosen by the daytime flag (1=day)."""
+    is_day = F.col(daytime_col) == 1
+    vmin = F.when(is_day, F.lit(daytime_minmax[0])).otherwise(
+        F.lit(nighttime_minmax[0])
+    )
+    vmax = F.when(is_day, F.lit(daytime_minmax[1])).otherwise(
+        F.lit(nighttime_minmax[1])
+    )
+    v = F.col(value_col)
+    return df.withColumn(
+        flag_col,
+        F.when(v.isNull(), F.lit(0))
+        .when((v < vmin) | (v > vmax), F.lit(2))
+        .otherwise(F.lit(0))
+        .cast("tinyint"),
+    )
+
+
 def flag_manual(
     df: DataFrame,
     ts_col: str = "ts",
@@ -107,6 +135,7 @@ def add_qcf(
     flag_cols: list[str],
     value_col: str = "value",
     qcf_col: str = "qcf",
+    suffix: str = "",
 ) -> DataFrame:
     """Flag sums + overall QCF ladder + filtered series
     (/root/reference/diive/pkgs/qaqc/qcf.py:241-292,108-115).
@@ -120,11 +149,13 @@ def add_qcf(
     """
     hard = _sum_where(flag_cols, 2)
     soft = _sum_where(flag_cols, 1)
+    hard_col = f"sum_hardflags{suffix}"
+    soft_col = f"sum_softflags{suffix}"
     out = (
-        df.withColumn("sum_hardflags", hard.cast("int"))
-        .withColumn("sum_softflags", soft.cast("int"))
+        df.withColumn(hard_col, hard.cast("int"))
+        .withColumn(soft_col, soft.cast("int"))
     )
-    h, s = F.col("sum_hardflags"), F.col("sum_softflags")
+    h, s = F.col(hard_col), F.col(soft_col)
     qcf = (
         F.when(s.between(1, 3) & (h == 0), F.lit(1))
         .when((h >= 2) | (s > 3), F.lit(2))

@@ -45,6 +45,30 @@ def zscore_flag_expr(
     )
 
 
+def zscore_flag_daynight_expr(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    daytime_col: str,
+    thres_zscore: float = 4.0,
+    flag_col: str = "flag_zscore_dn",
+) -> DataFrame:
+    """z-score flag computed SEPARATELY within the daytime and nighttime
+    populations of each series (SURVEY §2.8 F4,
+    /root/reference/diive/pkgs/outlierdetection/zscore.py:25-136): same
+    population-σ test as :func:`zscore_flag_expr` but partitioned by
+    ``(key, daytime)`` — day/night each get their own mean/σ."""
+    w = Window.partitionBy(key_col, daytime_col)
+    v = F.col(value_col)
+    z = F.abs((v - F.avg(value_col).over(w)) / F.stddev_pop(value_col).over(w))
+    return df.withColumn(
+        flag_col,
+        F.when(v.isNotNull() & (z > thres_zscore), F.lit(2))
+        .otherwise(F.lit(0))
+        .cast("tinyint"),
+    )
+
+
 def zscore_increments_flag_expr(
     df: DataFrame,
     key_col: str = "url",

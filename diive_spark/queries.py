@@ -587,3 +587,8 @@ from diive_spark import queries_ml as _qm  # noqa: E402
 
 QUERIES.update(_qm.QUERIES)
 ORACLE_SQL.update(_qm.ORACLE_SQL)
+
+from diive_spark import queries_meteo as _qmet  # noqa: E402
+
+QUERIES.update(_qmet.QUERIES)
+ORACLE_SQL.update(_qmet.ORACLE_SQL)

@@ -1,0 +1,426 @@
+"""Queries for the meteo/solar/wind/flux-chain operator families
+(SURVEY §2.7 domain functions, §2.8 F4/F6/F12/F13/F14, §2.11 WindRotation,
+§2.9 C5).
+
+Synthetic physical columns are derived DETERMINISTICALLY from the events
+table (identical arithmetic in Spark and the DuckDB oracle), because the
+test tables carry no meteo variables.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from diive_spark.functions import meteo as MET
+from diive_spark.functions import wind as WIND
+from diive_spark.operators import flags as FL
+from diive_spark.operators import fluxchain as FC
+from diive_spark.operators import outliers as OU
+
+LAT, LON, UTC_OFF = 47.286417, 7.733750, 1  # reference example site
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Domain scalars — potential radiation + day/night flags
+# (potentialradiation.py:44-77, daynightflag.py:110-134)
+# ---------------------------------------------------------------------------
+
+def q_potential_radiation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    sw = MET.swin_pot("ts", LAT, LON, UTC_OFF)
+    return ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.round(sw, 4).alias("swinpot"),
+        MET.daytime_flag(sw).cast("int").alias("daytime"),
+        MET.nighttime_flag(sw).cast("int").alias("nighttime"),
+    )
+
+
+_SW_SQL = MET.swin_pot_sql("ts", LAT, LON, UTC_OFF)
+
+SQL_POTENTIAL_RADIATION = f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       round({_SW_SQL}, 4) AS swinpot,
+       CAST(CASE WHEN {_SW_SQL} >= 50 THEN 1 ELSE 0 END AS INT) AS daytime,
+       CAST(CASE WHEN {_SW_SQL} >= 50 THEN 0 ELSE 1 END AS INT) AS nighttime
+FROM events
+"""
+
+
+# VPD from TA + RH (vpd.py:40-48); TA/RH synthesized deterministically
+def q_vpd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    ta = F.col("value") * 0.3
+    rh = (F.lit(40) + F.col("event_id") % 60).cast("double")
+    return ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.round(ta, 4).alias("ta"),
+        F.round(rh, 4).alias("rh"),
+        F.round(MET.vpd_from_ta_rh(ta, rh), 4).alias("vpd_kpa"),
+    )
+
+
+SQL_VPD = f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       round(value * 0.3, 4) AS ta,
+       round(CAST(40 + event_id % 60 AS DOUBLE), 4) AS rh,
+       round({MET.vpd_sql('value * 0.3', 'CAST(40 + event_id % 60 AS DOUBLE)')}, 4) AS vpd_kpa
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# F4 — z-score separately for daytime/nighttime (zscore.py:25-136)
+# ---------------------------------------------------------------------------
+
+def q_flag_zscore_daynight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn(
+        "is_daytime", MET.daytime_flag(MET.swin_pot("ts", LAT, LON, UTC_OFF))
+    )
+    out = OU.zscore_flag_daynight_expr(
+        ev, "user_id", "value", "is_daytime", thres_zscore=2.0
+    )
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("is_daytime").cast("int").alias("is_daytime"),
+        F.col("flag_zscore_dn").cast("int").alias("flag_zscore_dn"),
+    )
+
+
+SQL_FLAG_ZSCORE_DAYNIGHT = f"""
+WITH base AS (
+  SELECT event_id, user_id, value,
+         CASE WHEN {_SW_SQL} >= 50 THEN 1 ELSE 0 END AS is_daytime
+  FROM events
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(is_daytime AS INT) AS is_daytime,
+       CAST(CASE WHEN value IS NOT NULL
+                  AND abs((value - avg(value) OVER w) / stddev_pop(value) OVER w) > 2.0
+            THEN 2 ELSE 0 END AS INT) AS flag_zscore_dn
+FROM base
+WINDOW w AS (PARTITION BY user_id, is_daytime)
+"""
+
+
+# ---------------------------------------------------------------------------
+# F6 — absolute limits separately for daytime/nighttime
+# (absolutelimits.py:20-134)
+# ---------------------------------------------------------------------------
+
+DAY_LIMITS = (5.0, 95.0)
+NIGHT_LIMITS = (0.0, 80.0)
+
+
+def q_flag_abslim_daynight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn(
+        "is_daytime", MET.daytime_flag(MET.swin_pot("ts", LAT, LON, UTC_OFF))
+    )
+    out = FL.flag_abslim_daynight(
+        ev, "value", "is_daytime", DAY_LIMITS, NIGHT_LIMITS
+    )
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("is_daytime").cast("int").alias("is_daytime"),
+        F.col("flag_abslim_dn").cast("int").alias("flag_abslim_dn"),
+    )
+
+
+SQL_FLAG_ABSLIM_DAYNIGHT = f"""
+WITH base AS (
+  SELECT event_id, value,
+         CASE WHEN {_SW_SQL} >= 50 THEN 1 ELSE 0 END AS is_daytime
+  FROM events
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(is_daytime AS INT) AS is_daytime,
+       CAST(CASE WHEN value IS NULL THEN 0
+                 WHEN is_daytime = 1 AND (value < {DAY_LIMITS[0]} OR value > {DAY_LIMITS[1]}) THEN 2
+                 WHEN is_daytime = 0 AND (value < {NIGHT_LIMITS[0]} OR value > {NIGHT_LIMITS[1]}) THEN 2
+                 ELSE 0 END AS INT) AS flag_abslim_dn
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# WindRotation2D — double rotation from segment-mean wind
+# (windrotation.py:78-136); u/v/w synthesized deterministically
+# ---------------------------------------------------------------------------
+
+def q_wind_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        (F.col("value") + F.lit(1.0)).alias("u"),
+        (F.col("value") * 0.3 + F.sin(F.radians(F.col("event_id") % 360))).alias("v"),
+        (F.col("value") * 0.1 - 0.05 * F.cos(F.radians(F.col("event_id") % 180))).alias("w"),
+    )
+    out = WIND.double_rotation(ev, "user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("u_rot", 4).alias("u_rot"),
+        F.round("v_rot", 4).alias("v_rot"),
+        F.round("w_rot", 4).alias("w_rot"),
+    )
+
+
+SQL_WIND_ROTATION = """
+WITH base AS (
+  SELECT event_id, user_id,
+         value + 1.0 AS u,
+         value * 0.3 + sin(radians(event_id % 360)) AS v,
+         value * 0.1 - 0.05 * cos(radians(event_id % 180)) AS w
+  FROM events
+), m AS (
+  SELECT *,
+         avg(u) OVER wk AS u_m, avg(v) OVER wk AS v_m, avg(w) OVER wk AS w_m
+  FROM base
+  WINDOW wk AS (PARTITION BY user_id)
+), ang AS (
+  SELECT *, atan(v_m / u_m) AS a1 FROM m
+), ang2 AS (
+  SELECT *, atan(w_m / (u_m * cos(a1) + v_m * sin(a1))) AS a2 FROM ang
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       round((u * cos(a1) + v * sin(a1)) * cos(a2) + w * sin(a2), 4) AS u_rot,
+       round(-u * sin(a1) + v * cos(a1), 4) AS v_rot,
+       round(-(u * cos(a1) + v * sin(a1)) * sin(a2) + w * cos(a2), 4) AS w_rot
+FROM ang2
+"""
+
+
+# ---------------------------------------------------------------------------
+# C5/T13 — wind-direction offset search (winddiroffset.py:102-141)
+# ---------------------------------------------------------------------------
+
+WD_OFFSETS = list(range(-50, 51, 10))
+
+
+def q_winddir_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth("ts").cast("int").alias("grp"),
+        ((F.col("value") * 3.6 + (F.col("event_id") % 360)) % 360).alias("wd"),
+    )
+    out = WIND.winddir_offset_search(
+        ev, "grp", "wd", offsets=WD_OFFSETS, bin_deg=10, round_r=6
+    )
+    return out.select(
+        "grp",
+        F.col("best_offset").cast("int").alias("best_offset"),
+        F.round("best_corr", 4).alias("best_corr"),
+    )
+
+
+SQL_WINDDIR_OFFSET = """
+WITH base AS (
+  SELECT CAST(dayofmonth(ts) AS INT) AS grp,
+         fmod(value * 3.6 + (event_id % 360), 360.0) AS wd
+  FROM events
+), ref AS (
+  SELECT CAST(floor(fmod(fmod(wd, 360) + 360, 360) / 10) AS INT) AS bin,
+         count(*) AS ref_n
+  FROM base GROUP BY 1
+), offs AS (
+  SELECT unnest(generate_series(-50, 50, 10)) AS off
+), cand AS (
+  SELECT grp, off,
+         CAST(floor(fmod(fmod(wd + off, 360) + 360, 360) / 10) AS INT) AS bin,
+         count(*) AS n
+  FROM base CROSS JOIN offs GROUP BY 1, 2, 3
+), bins AS (
+  SELECT unnest(generate_series(0, 35)) AS bin
+), grid AS (
+  SELECT DISTINCT grp, off FROM cand
+), dense AS (
+  SELECT g.grp, g.off, b.bin,
+         coalesce(c.n, 0) AS n, coalesce(r.ref_n, 0) AS ref_n
+  FROM grid g CROSS JOIN bins b
+  LEFT JOIN cand c ON c.grp = g.grp AND c.off = g.off AND c.bin = b.bin
+  LEFT JOIN ref r ON r.bin = b.bin
+), scored AS (
+  SELECT grp, off,
+         round(corr(CAST(n AS DOUBLE), CAST(ref_n AS DOUBLE)), 6) AS r
+  FROM dense GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY grp ORDER BY r DESC, off ASC) AS rn
+  FROM scored
+)
+SELECT grp, CAST(off AS INT) AS best_offset, round(r, 4) AS best_corr
+FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# F12 — EddyPro hard-flag digit extraction (eddyproflags.py:91-98,136-143)
+# ---------------------------------------------------------------------------
+
+def _raw_vm97(ev: DataFrame) -> F.Column:
+    """Deterministic synthetic EddyPro flag value: 80 / 81 / 89 / null."""
+    m = F.col("event_id") % 4
+    return (
+        F.when(m == 0, F.lit(80))
+        .when(m == 1, F.lit(81))
+        .when(m == 2, F.lit(89))
+        .otherwise(F.lit(None))
+    )
+
+
+def q_eddypro_digit_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    raw = _raw_vm97(ev)
+    return ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        raw.cast("int").alias("raw_flag"),
+        FC.eddypro_digit_flag(raw).cast("int").alias("flag_vm97"),
+    )
+
+
+SQL_EDDYPRO_DIGIT = """
+WITH base AS (
+  SELECT event_id,
+         CASE CAST(event_id % 4 AS INT)
+              WHEN 0 THEN 80 WHEN 1 THEN 81 WHEN 2 THEN 89 ELSE NULL END AS raw_flag
+  FROM events
+), d AS (
+  SELECT *,
+         CAST(substring(CAST(coalesce(raw_flag, 89) AS VARCHAR), 2, 1) AS INT) AS digit
+  FROM base
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(raw_flag AS INT) AS raw_flag,
+       CAST(CASE WHEN digit = 9 THEN NULL
+                 WHEN digit = 1 THEN 2 ELSE digit END AS INT) AS flag_vm97
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# F13/F14/E2 — Level-2 -> Level-3.1 -> Level-3.2 flux chain
+# (fluxprocessingchain.py:20-393)
+# ---------------------------------------------------------------------------
+
+FLUX_ABS = (-45.0, 45.0)
+FLUX_Z = 3.0
+
+
+def q_flux_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _events(spark, sf_dir)
+    ev = raw.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        (F.col("value") - 50.0).alias("flux"),
+        (F.lit(0.1) * F.sin(F.radians(F.col("event_id") % 180))).alias("storage"),
+        _raw_vm97(raw).alias("raw_flag"),
+    )
+    out = FC.flux_chain(
+        ev,
+        key_col="user_id",
+        flux_col="flux",
+        storage_col="storage",
+        raw_flag_col="raw_flag",
+        abs_min=FLUX_ABS[0],
+        abs_max=FLUX_ABS[1],
+        zscore_thres=FLUX_Z,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("qcf_l2").cast("int").alias("qcf_l2"),
+        F.round("flux_l31", 4).alias("flux_l31"),
+        F.col("flag_zscore_l32").cast("int").alias("flag_zscore_l32"),
+        F.col("qcf_l32").cast("int").alias("qcf_l32"),
+        F.round("flux_l31_qcf", 4).alias("flux_l32"),
+    )
+
+
+SQL_FLUX_CHAIN = f"""
+WITH base AS (
+  SELECT event_id, user_id,
+         value - 50.0 AS flux,
+         0.1 * sin(radians(event_id % 180)) AS storage,
+         CASE CAST(event_id % 4 AS INT)
+              WHEN 0 THEN 80 WHEN 1 THEN 81 WHEN 2 THEN 89 ELSE NULL END AS raw_flag
+  FROM events
+), l2flags AS (
+  SELECT *,
+         CAST(substring(CAST(coalesce(raw_flag, 89) AS VARCHAR), 2, 1) AS INT) AS digit
+  FROM base
+), l2f AS (
+  SELECT *,
+         CASE WHEN digit = 9 THEN NULL WHEN digit = 1 THEN 2 ELSE digit END AS flag_vm97,
+         CASE WHEN flux IS NULL THEN 0
+              WHEN flux < {FLUX_ABS[0]} OR flux > {FLUX_ABS[1]} THEN 2 ELSE 0 END AS flag_abslim
+  FROM l2flags
+), l2sum AS (
+  SELECT *,
+         (CASE WHEN flag_vm97 = 2 THEN 2 ELSE 0 END
+          + CASE WHEN flag_abslim = 2 THEN 2 ELSE 0 END) AS hard,
+         (CASE WHEN flag_vm97 = 1 THEN 1 ELSE 0 END
+          + CASE WHEN flag_abslim = 1 THEN 1 ELSE 0 END) AS soft
+  FROM l2f
+), l2q AS (
+  SELECT *,
+         CASE WHEN soft BETWEEN 1 AND 3 AND hard = 0 THEN 1
+              WHEN hard >= 2 OR soft > 3 THEN 2
+              WHEN hard + soft = 0 THEN 0 END AS qcf_l2
+  FROM l2sum
+), l31 AS (
+  SELECT *,
+         (CASE WHEN qcf_l2 = 2 THEN NULL ELSE flux END) + storage AS flux_l31
+  FROM l2q
+), l32 AS (
+  SELECT *,
+         CASE WHEN flux_l31 IS NOT NULL
+               AND abs((flux_l31 - avg(flux_l31) OVER wk) / stddev_pop(flux_l31) OVER wk) > {FLUX_Z}
+              THEN 2 ELSE 0 END AS flag_zscore_l32
+  FROM l31
+  WINDOW wk AS (PARTITION BY user_id)
+), l32q AS (
+  SELECT *,
+         CASE WHEN flag_zscore_l32 = 2 THEN 2
+              WHEN flag_zscore_l32 = 0 THEN 0 END AS qcf_l32
+  FROM l32
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(qcf_l2 AS INT) AS qcf_l2,
+       round(flux_l31, 4) AS flux_l31,
+       CAST(flag_zscore_l32 AS INT) AS flag_zscore_l32,
+       CAST(qcf_l32 AS INT) AS qcf_l32,
+       round(CASE WHEN qcf_l32 = 2 THEN NULL ELSE flux_l31 END, 4) AS flux_l32
+FROM l32q
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "potential_radiation": q_potential_radiation,
+    "vpd": q_vpd,
+    "flag_zscore_daynight": q_flag_zscore_daynight,
+    "flag_abslim_daynight": q_flag_abslim_daynight,
+    "wind_rotation": q_wind_rotation,
+    "winddir_offset": q_winddir_offset,
+    "eddypro_digit_flags": q_eddypro_digit_flags,
+    "flux_chain": q_flux_chain,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "potential_radiation": SQL_POTENTIAL_RADIATION,
+    "vpd": SQL_VPD,
+    "flag_zscore_daynight": SQL_FLAG_ZSCORE_DAYNIGHT,
+    "flag_abslim_daynight": SQL_FLAG_ABSLIM_DAYNIGHT,
+    "wind_rotation": SQL_WIND_ROTATION,
+    "winddir_offset": SQL_WINDDIR_OFFSET,
+    "eddypro_digit_flags": SQL_EDDYPRO_DIGIT,
+    "flux_chain": SQL_FLUX_CHAIN,
+}
