@@ -592,3 +592,8 @@ from diive_spark import queries_meteo as _qmet  # noqa: E402
 
 QUERIES.update(_qmet.QUERIES)
 ORACLE_SQL.update(_qmet.ORACLE_SQL)
+
+from diive_spark import queries_analytics2 as _qa2  # noqa: E402
+
+QUERIES.update(_qa2.QUERIES)
+ORACLE_SQL.update(_qa2.ORACLE_SQL)

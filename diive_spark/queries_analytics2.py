@@ -1,0 +1,313 @@
+"""Second analytics batch: nested quantile binning (SURVEY §2.3 A10),
+value counts (A16), regression scores (§2.10 M6), seasonal time filters
+(§2.2 P2/P3), plus the two remaining dedup families from the
+training-data-pipeline checklist: direct n-gram Jaccard and
+embedding-cosine near-dup."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from diive_spark.queries_text import (
+    DUCK_TOKS,
+    PERTURB_OFFSET,
+    _DUCK_SHINGLES,
+)
+from diive_spark.text import dedup as DD
+from diive_spark.text import similarity as SIM
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# A10 — SortingBinsMethod (decoupling.py:91-140): quantile-bin var1, within
+# each bin quantile-bin var2, median + IQR of var3 per sub-bin.
+# The reference uses pd.qcut; engine-portable equivalent is ntile with a
+# deterministic total order (ties broken by row keys). Scale path: replace
+# the global ntile sort with percentile_approx boundaries + width_bucket.
+# ---------------------------------------------------------------------------
+
+NESTED_BINS1 = 8
+NESTED_BINS2 = 4
+
+
+def q_nested_bin_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem(spark, sf_dir)
+    wx = Window.orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    b1 = li.withColumn("bin1", F.ntile(NESTED_BINS1).over(wx))
+    wy = Window.partitionBy("bin1").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    b2 = b1.withColumn("bin2", F.ntile(NESTED_BINS2).over(wy))
+    return b2.groupBy(
+        F.col("bin1").cast("long").alias("bin1"),
+        F.col("bin2").cast("long").alias("bin2"),
+    ).agg(
+        F.round(F.expr("percentile(l_discount, 0.5)"), 4).alias("median_z"),
+        F.round(F.expr("percentile(l_discount, 0.25)"), 4).alias("p25_z"),
+        F.round(F.expr("percentile(l_discount, 0.75)"), 4).alias("p75_z"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+SQL_NESTED_BIN_AGG = f"""
+WITH b1 AS (
+  SELECT *, ntile({NESTED_BINS1}) OVER (ORDER BY l_quantity, l_orderkey, l_linenumber) AS bin1
+  FROM lineitem
+), b2 AS (
+  SELECT *, ntile({NESTED_BINS2}) OVER (PARTITION BY bin1
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bin2
+  FROM b1
+)
+SELECT CAST(bin1 AS BIGINT) AS bin1, CAST(bin2 AS BIGINT) AS bin2,
+       round(quantile_cont(l_discount, 0.5), 4) AS median_z,
+       round(quantile_cont(l_discount, 0.25), 4) AS p25_z,
+       round(quantile_cont(l_discount, 0.75), 4) AS p75_z,
+       CAST(count(*) AS BIGINT) AS n
+FROM b2 GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# A16 — count_unique_values / df_unique_values (frames.py:241-272):
+# value-frequency table per column (here: per event_type, integer-rounded
+# value buckets — numeric-only like the reference)
+# ---------------------------------------------------------------------------
+
+def q_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        "event_type",
+        F.round("value", 0).cast("long").alias("value_int"),
+    ).agg(F.count("*").cast("long").alias("n"))
+
+
+SQL_VALUE_COUNTS = """
+SELECT event_type,
+       CAST(round(value, 0) AS BIGINT) AS value_int,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# M6 — prediction_scores_regr (core/ml/common.py:126-178): MAE / MedAE /
+# MSE / RMSE / MAXE / R2 per series; predictor = per-day mean (A3 style)
+# ---------------------------------------------------------------------------
+
+def q_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.to_date("ts").alias("d"),
+        "value",
+    )
+    wd = Window.partitionBy("user_id", "d")
+    scored = ev.withColumn("pred", F.avg("value").over(wd)).withColumn(
+        "err", F.col("value") - F.col("pred")
+    )
+    wu = Window.partitionBy("user_id")
+    scored = scored.withColumn("mean_t", F.avg("value").over(wu))
+    return scored.groupBy("user_id").agg(
+        F.round(F.avg(F.abs("err")), 4).alias("mae"),
+        F.round(F.expr("percentile(abs(err), 0.5)"), 4).alias("medae"),
+        F.round(F.avg(F.col("err") * F.col("err")), 4).alias("mse"),
+        F.round(F.sqrt(F.avg(F.col("err") * F.col("err"))), 4).alias("rmse"),
+        F.round(F.max(F.abs("err")), 4).alias("maxe"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.col("err") * F.col("err"))
+            / F.sum(
+                (F.col("value") - F.col("mean_t")) * (F.col("value") - F.col("mean_t"))
+            ),
+            4,
+        ).alias("r2"),
+    )
+
+
+SQL_PREDICTION_SCORES = """
+WITH base AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, value FROM events
+), p AS (
+  SELECT *,
+         value - avg(value) OVER (PARTITION BY user_id, d) AS err,
+         avg(value) OVER (PARTITION BY user_id) AS mean_t
+  FROM base
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       round(avg(abs(err)), 4) AS mae,
+       round(quantile_cont(abs(err), 0.5), 4) AS medae,
+       round(avg(err * err), 4) AS mse,
+       round(sqrt(avg(err * err)), 4) AS rmse,
+       round(max(abs(err)), 4) AS maxe,
+       round(1.0 - sum(err * err)
+                   / sum((value - mean_t) * (value - mean_t)), 4) AS r2
+FROM p GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# P2/P3 — keep_years (times.py:1089-1107) + remove_after_date
+# (times.py:1063-1086): year-range filter + per-year seasonal cutoff
+# ---------------------------------------------------------------------------
+
+KEEP_Y = (2024, 2024)
+CUTOFF = (1, 20)  # drop rows after Jan 20 in every kept year
+
+
+def q_seasonal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    after_cutoff = (F.month("ts") > CUTOFF[0]) | (
+        (F.month("ts") == CUTOFF[0]) & (F.dayofmonth("ts") > CUTOFF[1])
+    )
+    return ev.filter(
+        F.year("ts").between(*KEEP_Y) & ~after_cutoff
+    ).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("ts_s"),
+    )
+
+
+SQL_SEASONAL_FILTER = f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+FROM events
+WHERE year(ts) BETWEEN {KEEP_Y[0]} AND {KEEP_Y[1]}
+  AND NOT (month(ts) > {CUTOFF[0]}
+           OR (month(ts) = {CUTOFF[0]} AND dayofmonth(ts) > {CUTOFF[1]}))
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup: direct word-3-gram Jaccard with language blocking
+# ---------------------------------------------------------------------------
+
+JACCARD_THRES = 0.6
+SUBSET_MOD = 10  # deterministic corpus subsample bounds the quadratic pair count
+
+
+def _jaccard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).filter(
+        F.col("doc_id") % SUBSET_MOD == 0
+    ).select("doc_id", "lang", "text")
+    toks = F.split(F.trim("text"), r"\s+")
+    perturbed = d.select(
+        (F.col("doc_id") + PERTURB_OFFSET).alias("doc_id"),
+        "lang",
+        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)).alias("text"),
+    )
+    return d.unionByName(perturbed)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _jaccard_corpus(spark, sf_dir)
+    out = DD.ngram_jaccard_dedup(
+        corpus, "doc_id", "text", block_col="lang", k=3, threshold=JACCARD_THRES
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "n_inter",
+        F.round("jaccard", 4).alias("jaccard"),
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH corpus AS (
+  SELECT doc_id, lang, text FROM documents WHERE doc_id % {SUBSET_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {PERTURB_OFFSET} AS doc_id, lang,
+         array_to_string(({DUCK_TOKS})[1:len({DUCK_TOKS}) - 1], ' ') AS text
+  FROM documents WHERE doc_id % {SUBSET_MOD} = 0
+), t AS (
+  SELECT doc_id, lang, {DUCK_TOKS} AS toks FROM corpus
+), sh AS (
+  SELECT doc_id, lang, {_DUCK_SHINGLES} AS shingles FROM t
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.shingles, b.shingles)) AS n_inter,
+         len(list_intersect(a.shingles, b.shingles)) * 1.0
+           / (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(n_inter AS BIGINT) AS n_inter, round(jaccard, 4) AS jaccard
+FROM pairs WHERE jaccard >= {JACCARD_THRES}
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup: embedding-cosine near-dup with label blocking (IVF-cell analog)
+# ---------------------------------------------------------------------------
+
+COS_THRES = 0.25  # synthetic embeddings are near-orthogonal; P99 of same-label cosine
+
+
+def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    out = SIM.cosine_neardup_pairs(
+        emb, "vec_id", "embedding", block_col="label", threshold=COS_THRES
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("cos_sim", 4).alias("cos_sim"),
+    )
+
+
+_DUCK_COS_AB = (
+    "round(list_sum(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) "
+    "/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+    "* sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+)
+
+SQL_DEDUP_EMBED_COSINE = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_DUCK_COS_AB} AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       round(cos_sim, 4) AS cos_sim
+FROM pairs WHERE cos_sim >= {COS_THRES}
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "nested_bin_agg": q_nested_bin_agg,
+    "value_counts": q_value_counts,
+    "prediction_scores": q_prediction_scores,
+    "seasonal_filter": q_seasonal_filter,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_embed_cosine": q_dedup_embed_cosine,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "nested_bin_agg": SQL_NESTED_BIN_AGG,
+    "value_counts": SQL_VALUE_COUNTS,
+    "prediction_scores": SQL_PREDICTION_SCORES,
+    "seasonal_filter": SQL_SEASONAL_FILTER,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_embed_cosine": SQL_DEDUP_EMBED_COSINE,
+}

@@ -194,6 +194,57 @@ def jaccard_verify(
     )
 
 
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Direct word-k-gram Jaccard near-dup pairs with hash-partition
+    blocking.
+
+    Candidate pairs are all (a < b) pairs sharing ``block_col`` (e.g.
+    language, domain, or an LSH band) — the blocking key bounds the
+    quadratic blow-up: cost is sum over blocks of |block|^2, not N^2.
+    At 100 TB the block key MUST be selective (use
+    :func:`lsh_candidate_pairs` when no natural key exists); the shuffle
+    is a single self-join co-partitioned on the block key.
+    """
+    sh = with_shingles(df, text_col=text_col, k=k)
+    cols = [F.col(id_col), F.col("shingles")]
+    if block_col:
+        cols.append(F.col(block_col).alias("_blk"))
+    s = sh.select(*cols)
+    a = s.select(
+        F.col(id_col).alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        *([F.col("_blk")] if block_col else []),
+    )
+    b = s.select(
+        F.col(id_col).alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        *([F.col("_blk")] if block_col else []),
+    )
+    joined = (
+        a.join(b, on=["_blk"] if block_col else None, how="inner")
+        if block_col
+        else a.crossJoin(b)
+    )
+    j = (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "n_inter", "jaccard"
+    )
+
+
 def with_simhash(
     df: DataFrame, text_col: str = "text", out_col: str = "simhash"
 ) -> DataFrame:

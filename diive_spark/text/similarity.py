@@ -78,6 +78,47 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b) above a similarity
+    threshold, blocked on ``block_col`` (cluster/IVF-cell id).
+
+    The block key turns the O(N^2) all-pairs scan into a sum of per-block
+    quadratics and makes the self-join co-partitioned on one shuffle key —
+    at 100 TB the key comes from :func:`with_ivf_cell` so only same-cell
+    vectors are compared (the standard ANN-dedup recipe)."""
+    sel = [F.col(id_col), F.col(vec_col)]
+    if block_col:
+        sel.append(F.col(block_col).alias("_blk"))
+    s = df.select(*sel)
+    a = s.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        *([F.col("_blk")] if block_col else []),
+    )
+    b = s.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        *([F.col("_blk")] if block_col else []),
+    )
+    joined = (
+        a.join(b, on=["_blk"] if block_col else None, how="inner")
+        if block_col
+        else a.crossJoin(b)
+    )
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def with_ivf_cell(
     vectors: DataFrame,
     centroids: list[tuple[int, list[float]]],
