@@ -55,35 +55,87 @@ def run_bench() -> dict:
     }
 
 
+SCALE_KEYS = 2000
+SCALE_ROWS_PER_KEY = 1440  # one day of 1-min points per series
+
+
+def _scale_input(spark, cores: int):
+    """Deterministic distributed synthesis — identical input at every
+    parallelism level (no external data, no randomness)."""
+    from pyspark.sql import functions as F
+
+    n = SCALE_KEYS * SCALE_ROWS_PER_KEY
+    return spark.range(0, n, 1, numPartitions=cores).select(
+        F.concat(F.lit("url"), (F.col("id") / SCALE_ROWS_PER_KEY).cast("long")).alias(
+            "url"
+        ),
+        F.timestamp_micros(
+            F.lit(1704067200_000_000) + (F.col("id") % SCALE_ROWS_PER_KEY) * 60_000_000
+        ).alias("ts"),
+        ((F.xxhash64("id") % 100000) / 997.0).alias("value"),
+    )
+
+
 def run_scaling() -> dict:
-    """Flagship rollup throughput at two parallelism levels (the sandbox
-    proxy for N vs 4N executors — BASELINE.md scaling criterion)."""
-    from diive_spark import queries as q
+    """Same two jobs at several parallelism levels — the sandbox proxy for
+    N vs 4N executors (BASELINE.md scaling criterion).
+
+    Jobs (both tiers of the engine):
+      * rollup  — expression-tier gated resample (whole-stage codegen)
+      * gorilla — kernel-tier Gorilla+delta-of-delta block compression
+        (Arrow-batched applyInPandas; compute-bound)
+
+    Methodology: identical deterministic input at every level; one
+    warm-up run then best-of-3 timed runs (the sandbox VM shows
+    hypervisor steal time under full load — see BASELINE.md).
+    Efficiencies are reported for BOTH N->4N pairs: cores 2->8 and 8->32.
+    """
+    from diive_spark.compression.blocks import compress_blocks, decompress_blocks
+    from diive_spark.operators.resample import resample_gated
     from diive_spark.session import get_spark
 
-    results = {}
-    for cores in (8, 32):
+    n_input = SCALE_KEYS * SCALE_ROWS_PER_KEY
+    results: dict = {"input_points": n_input}
+    for cores in (2, 8, 32):
         spark = get_spark(
             master=f"local[{cores}]",
             app_name=f"diive-spark-scale-{cores}",
             shuffle_partitions=cores,
+            extra_conf={"spark.driver.memory": "8g"},
         )
-        spark.read.parquet(f"{SF_DIR}/events.parquet").count()  # warm
-        t0 = time.perf_counter()
-        n_points = q.q_resample_30min_gated(spark, SF_DIR).count()
-        dt = time.perf_counter() - t0
-        results[f"local[{cores}]"] = {
-            "sec": round(dt, 4),
-            "points": n_points,
-            "points_per_sec": round(n_points / dt, 1),
+        inp = _scale_input(spark, cores)
+        compressed = compress_blocks(inp, "url", "ts", "value", block_seconds=86400)
+        jobs = {
+            "rollup": resample_gated(
+                inp, "url", "ts", "value", bucket_seconds=1800, mincounts_perc=0.9
+            ),
+            "gorilla": compressed,
+            "gorilla_roundtrip": decompress_blocks(compressed, key_col="url"),
         }
+        level = {}
+        for name, df in jobs.items():
+            df.count()  # warm-up (JIT, codegen, python workers)
+            times = []
+            for _ in range(4):
+                t0 = time.perf_counter()
+                df.count()
+                times.append(time.perf_counter() - t0)
+            dt = min(times)
+            level[name] = {
+                "sec": round(dt, 4),
+                "points_per_sec": round(n_input / dt, 1),
+            }
+        results[f"local[{cores}]"] = level
         spark.stop()
-    eff = (
-        results["local[32]"]["points_per_sec"]
-        / results["local[8]"]["points_per_sec"]
-        / 4.0
-    )
-    results["scaling_efficiency"] = round(eff, 3)
+
+    for job in ("rollup", "gorilla", "gorilla_roundtrip"):
+        for lo, hi in ((2, 8), (8, 32)):
+            eff = (
+                results[f"local[{hi}]"][job]["points_per_sec"]
+                / results[f"local[{lo}]"][job]["points_per_sec"]
+                / (hi / lo)
+            )
+            results[f"efficiency_{job}_{lo}to{hi}"] = round(eff, 3)
     return results
 
 

@@ -103,12 +103,38 @@ def q_ml_gapfill_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# flag_lof — F9 LocalOutlierFactor (rows-only driver check: kNN-density is
+# not SQL-expressible; exactness vs a brute-force O(n^2) LOF oracle is
+# asserted in tests/test_lof.py)
+# ---------------------------------------------------------------------------
+
+def q_flag_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.lof import lof_flag_kernel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "value",
+    )
+    out = lof_flag_kernel(
+        ev, "user_id", "event_id", "value", n_neighbors=20, contamination=0.02
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("flag_lof").cast("int").alias("flag_lof"),
+        F.round("lof", 4).alias("lof"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_text_roundtrip": q_extract_text_roundtrip,
     "ml_gapfill_30min": q_ml_gapfill_30min,
+    "flag_lof": q_flag_lof,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "extract_text_roundtrip": SQL_EXTRACT_TEXT,
-    # ml_gapfill_30min: OLS kernel — rows-only check
+    # ml_gapfill_30min / flag_lof: kernel loops — rows-only check
 }
