@@ -105,12 +105,19 @@ def run_scaling() -> dict:
         )
         inp = _scale_input(spark, cores)
         compressed = compress_blocks(inp, "url", "ts", "value", block_seconds=86400)
+        # pre-materialize compressed blocks so the decode job is pure
+        # kernel compute over a tiny scan (the shape a tier read has)
+        import tempfile
+
+        blk_dir = tempfile.mkdtemp(prefix=f"scale_blocks_{cores}_")
+        compressed.repartition(cores).write.mode("overwrite").parquet(blk_dir)
+        blocks_on_disk = spark.read.parquet(blk_dir)
         jobs = {
             "rollup": resample_gated(
                 inp, "url", "ts", "value", bucket_seconds=1800, mincounts_perc=0.9
             ),
             "gorilla": compressed,
-            "gorilla_roundtrip": decompress_blocks(compressed, key_col="url"),
+            "gorilla_decode": decompress_blocks(blocks_on_disk, key_col="url"),
         }
         level = {}
         for name, df in jobs.items():
@@ -127,8 +134,11 @@ def run_scaling() -> dict:
             }
         results[f"local[{cores}]"] = level
         spark.stop()
+        import shutil
 
-    for job in ("rollup", "gorilla", "gorilla_roundtrip"):
+        shutil.rmtree(blk_dir, ignore_errors=True)
+
+    for job in ("rollup", "gorilla", "gorilla_decode"):
         for lo, hi in ((2, 8), (8, 32)):
             eff = (
                 results[f"local[{hi}]"][job]["points_per_sec"]

@@ -94,15 +94,26 @@ def decompress_blocks(
         ]
     )
 
-    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
-        out_k, out_t, out_v = [], [], []
-        for _, row in pdf.iterrows():
-            n = int(row["n_points"])
-            ts = decode_timestamps(bytes(row["ts_blob"]), n)
-            vals = decode_floats(bytes(row["val_blob"]), n)
-            out_k.extend([row[key_col]] * n)
-            out_t.extend(ts.tolist())
-            out_v.extend(vals.tolist())
-        return pd.DataFrame({key_col: out_k, "ts_us": out_t, "value": out_v})
+    def decode(batches):
+        # per-BLOCK decode is independent -> mapInPandas: no shuffle at all
+        # (a groupBy would force an exchange of the block rows for nothing)
+        for pdf in batches:
+            keys, ts_parts, v_parts = [], [], []
+            for key, n, ts_blob, val_blob in zip(
+                pdf[key_col], pdf["n_points"], pdf["ts_blob"], pdf["val_blob"]
+            ):
+                n = int(n)
+                ts_parts.append(decode_timestamps(bytes(ts_blob), n))
+                v_parts.append(decode_floats(bytes(val_blob), n))
+                keys.append(np.full(n, key, dtype=object))
+            if not keys:
+                continue
+            yield pd.DataFrame(
+                {
+                    key_col: np.concatenate(keys),
+                    "ts_us": np.concatenate(ts_parts),
+                    "value": np.concatenate(v_parts),
+                }
+            )
 
-    return blocks.groupBy(key_col).applyInPandas(decode, schema)
+    return blocks.mapInPandas(decode, schema)

@@ -23,8 +23,35 @@ first-class operator.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+_COSINE_PAIR_UDF = None
+
+
+def cosine_pair_udf(a: Column, b: Column) -> Column:
+    """Vectorized row-wise cosine over two array columns: the whole Arrow
+    batch becomes ONE einsum (float64) — ~100x the throughput of the
+    interpreted `aggregate`/`zip_with` higher-order-function path, which
+    costs ~80 µs per 64-dim cosine.  (UDF object is created lazily —
+    ``pandas_udf`` needs an active SparkSession.)"""
+    global _COSINE_PAIR_UDF
+    if _COSINE_PAIR_UDF is None:
+
+        @F.pandas_udf("double")
+        def _cos(pa: pd.Series, pb: pd.Series) -> pd.Series:
+            A = np.stack(pa.to_numpy()).astype(np.float64)
+            B = np.stack(pb.to_numpy()).astype(np.float64)
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                return pd.Series(num / den)
+
+        _COSINE_PAIR_UDF = _cos
+    return _COSINE_PAIR_UDF(a, b)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -65,7 +92,7 @@ def cosine_topk_bruteforce(
     v = vectors.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec"))
     scored = (
         v.join(F.broadcast(p), F.col("cand_id") != F.col("probe_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("probe_vec"), F.col("cand_vec")), 6))
+        .withColumn("cos_sim", F.round(cosine_pair_udf(F.col("probe_vec"), F.col("cand_vec")), 6))
         .select("probe_id", "cand_id", "cos_sim")
     )
     w = Window.partitionBy("probe_id").orderBy(
@@ -113,7 +140,7 @@ def cosine_neardup_pairs(
     )
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .withColumn("cos_sim", F.round(cosine_pair_udf(F.col("vec_a"), F.col("vec_b")), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -126,20 +153,28 @@ def with_ivf_cell(
     out_col: str = "cell",
 ) -> DataFrame:
     """Assign each vector to the max-cosine centroid (per-row math; the
-    centroid list is a literal array — effectively broadcast)."""
-    best_cell = None
-    best_sim = None
-    out = vectors
-    for cid, cvec in centroids:
-        carr = F.array(*[F.lit(float(x)) for x in cvec])
-        sim = F.round(cosine(F.col(vec_col), carr), 6)
-        if best_sim is None:
-            best_cell, best_sim = F.lit(cid), sim
-        else:
-            cond = sim > best_sim
-            best_cell = F.when(cond, F.lit(cid)).otherwise(best_cell)
-            best_sim = F.when(cond, sim).otherwise(best_sim)
-    return out.withColumn(out_col, best_cell.cast("long"))
+    centroid list is a literal array — effectively broadcast).
+
+    Implementation note: the whole Arrow batch scores against the centroid
+    matrix in ONE numpy matmul inside a pandas UDF; argmax-first over
+    round-6 sims gives the deterministic smallest-centroid tie-break,
+    matching the oracle's ``ORDER BY cos DESC, cid ASC`` (centroids are
+    passed sorted by id).  Earlier versions paid dearly here: a fold of
+    ``when(sim > best)`` chains re-inlined every cosine combinatorially
+    (~20 s at sf0.1), and even the fixed expression path ran the
+    interpreted `aggregate` HOF per cosine (~80 µs each)."""
+    C = np.array([cvec for _, cvec in centroids], dtype=np.float64)
+    ids = np.array([int(cid) for cid, _ in centroids], dtype=np.int64)
+    c_norms = np.linalg.norm(C, axis=1)
+
+    @F.pandas_udf("long")
+    def assign(emb: pd.Series) -> pd.Series:
+        M = np.stack(emb.to_numpy()).astype(np.float64)
+        # same op order as the pairwise path/oracle: dot / (|a| * |b|)
+        sims = np.round((M @ C.T) / np.outer(np.linalg.norm(M, axis=1), c_norms), 6)
+        return pd.Series(ids[np.argmax(sims, axis=1)])
+
+    return vectors.withColumn(out_col, assign(F.col(vec_col)))
 
 
 def cosine_topk_ivf(
@@ -163,7 +198,7 @@ def cosine_topk_ivf(
     scored = (
         v.join(F.broadcast(pc), "cell")
         .filter(F.col("cand_id") != F.col("probe_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("probe_vec"), F.col("cand_vec")), 6))
+        .withColumn("cos_sim", F.round(cosine_pair_udf(F.col("probe_vec"), F.col("cand_vec")), 6))
         .select("probe_id", "cand_id", "cos_sim")
     )
     w = Window.partitionBy("probe_id").orderBy(
