@@ -211,6 +211,74 @@ def scenario_threshold_fanout(
     )
 
 
+def binned_quadratic_fit(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    n_bins: int = 12,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Binned quadratic fit (SURVEY §2.11 ``BinFitterCP``/``QuadraticFit``,
+    /root/reference/diive/core/dfun/fits.py:74-260): quantile-bin x, take
+    per-bin medians of x and y, then fit ``y = c0 + c1*x + c2*x^2``
+    through the bin medians.
+
+    The reference calls ``np.polyfit`` on the binned medians; here the
+    degree-2 least-squares solution is CLOSED FORM — power sums + Cramer's
+    rule — so the whole fit is two aggregations (bin medians, then per-group
+    sums): pure Spark SQL, no driver math, one small shuffle, and an exact
+    DuckDB oracle twin.
+    """
+    order = [x_col] + (order_cols or [])
+    wb = Window.partitionBy(group_col).orderBy(*order)
+    binned = df.withColumn("__bin", F.ntile(n_bins).over(wb))
+    med = binned.groupBy(group_col, "__bin").agg(
+        F.expr(f"percentile({x_col}, 0.5)").alias("mx"),
+        F.expr(f"percentile({y_col}, 0.5)").alias("my"),
+    )
+    mx, my = F.col("mx"), F.col("my")
+    sums = med.groupBy(group_col).agg(
+        F.count("*").cast("double").alias("s0"),
+        F.sum(mx).alias("s1"),
+        F.sum(mx * mx).alias("s2"),
+        F.sum(mx * mx * mx).alias("s3"),
+        F.sum(mx * mx * mx * mx).alias("s4"),
+        F.sum(my).alias("t0"),
+        F.sum(my * mx).alias("t1"),
+        F.sum(my * mx * mx).alias("t2"),
+    )
+    s0, s1, s2, s3, s4 = (F.col(c) for c in ("s0", "s1", "s2", "s3", "s4"))
+    t0, t1, t2 = (F.col(c) for c in ("t0", "t1", "t2"))
+    # Cramer's rule for [[s0,s1,s2],[s1,s2,s3],[s2,s3,s4]] @ [c0,c1,c2] = [t0,t1,t2]
+    det = (
+        s0 * (s2 * s4 - s3 * s3)
+        - s1 * (s1 * s4 - s3 * s2)
+        + s2 * (s1 * s3 - s2 * s2)
+    )
+    d0 = (
+        t0 * (s2 * s4 - s3 * s3)
+        - s1 * (t1 * s4 - s3 * t2)
+        + s2 * (t1 * s3 - s2 * t2)
+    )
+    d1 = (
+        s0 * (t1 * s4 - t2 * s3)
+        - t0 * (s1 * s4 - s3 * s2)
+        + s2 * (s1 * t2 - s2 * t1)
+    )
+    d2 = (
+        s0 * (s2 * t2 - s3 * t1)
+        - s1 * (s1 * t2 - s3 * t0)
+        + t0 * (s1 * s3 - s2 * s2)
+    )
+    return sums.select(
+        group_col,
+        (d0 / det).alias("c0"),
+        (d1 / det).alias("c1"),
+        (d2 / det).alias("c2"),
+    )
+
+
 def combine_first(
     primary: DataFrame,
     secondary: DataFrame,

@@ -294,7 +294,71 @@ FROM pairs WHERE cos_sim >= {COS_THRES}
 """
 
 
+# ---------------------------------------------------------------------------
+# §2.11 BinFitterCP / QuadraticFit (fits.py:74-260): quantile-bin x,
+# bin medians, closed-form degree-2 least squares (Cramer's rule)
+# ---------------------------------------------------------------------------
+
+FIT_BINS = 12
+
+
+def q_binned_quadratic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.analytics import binned_quadratic_fit
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("value").alias("x"),
+        ((F.col("value") - 50.0) * (F.col("value") - 50.0) * 0.1
+         + F.sin(F.radians(F.col("event_id") % 90))).alias("y"),
+        "event_id",
+    )
+    out = binned_quadratic_fit(
+        ev, "user_id", "x", "y", n_bins=FIT_BINS, order_cols=["event_id"]
+    )
+    return out.select(
+        "user_id",
+        F.round("c0", 4).alias("c0"),
+        F.round("c1", 4).alias("c1"),
+        F.round("c2", 4).alias("c2"),
+    )
+
+
+SQL_BINNED_QUADRATIC_FIT = f"""
+WITH base AS (
+  SELECT user_id, value AS x,
+         (value - 50.0) * (value - 50.0) * 0.1 + sin(radians(event_id % 90)) AS y,
+         event_id
+  FROM events
+), binned AS (
+  SELECT *, ntile({FIT_BINS}) OVER (PARTITION BY user_id ORDER BY x, event_id) AS b
+  FROM base
+), med AS (
+  SELECT user_id, b,
+         quantile_cont(x, 0.5) AS mx, quantile_cont(y, 0.5) AS my
+  FROM binned GROUP BY 1, 2
+), sums AS (
+  SELECT user_id,
+         CAST(count(*) AS DOUBLE) AS s0,
+         sum(mx) AS s1, sum(mx*mx) AS s2, sum(mx*mx*mx) AS s3,
+         sum(mx*mx*mx*mx) AS s4,
+         sum(my) AS t0, sum(my*mx) AS t1, sum(my*mx*mx) AS t2
+  FROM med GROUP BY 1
+), solved AS (
+  SELECT user_id,
+         (s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2)) AS det,
+         (t0*(s2*s4 - s3*s3) - s1*(t1*s4 - s3*t2) + s2*(t1*s3 - s2*t2)) AS d0,
+         (s0*(t1*s4 - t2*s3) - t0*(s1*s4 - s3*s2) + s2*(s1*t2 - s2*t1)) AS d1,
+         (s0*(s2*t2 - s3*t1) - s1*(s1*t2 - s3*t0) + t0*(s1*s3 - s2*s2)) AS d2
+  FROM sums
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       round(d0/det, 4) AS c0, round(d1/det, 4) AS c1, round(d2/det, 4) AS c2
+FROM solved
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "binned_quadratic_fit": q_binned_quadratic_fit,
     "nested_bin_agg": q_nested_bin_agg,
     "value_counts": q_value_counts,
     "prediction_scores": q_prediction_scores,
@@ -304,6 +368,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "binned_quadratic_fit": SQL_BINNED_QUADRATIC_FIT,
     "nested_bin_agg": SQL_NESTED_BIN_AGG,
     "value_counts": SQL_VALUE_COUNTS,
     "prediction_scores": SQL_PREDICTION_SCORES,
