@@ -56,11 +56,33 @@ def _fit_predict(
     return np.column_stack([np.ones(len(X_pred)), X_pred]) @ coef
 
 
-def fill_series_pdf(pdf: pd.DataFrame, n_lags: int = 1) -> pd.DataFrame:
+def fill_series_pdf(
+    pdf: pd.DataFrame, n_lags: int = 1, grid_step: int | None = None
+) -> pd.DataFrame:
     """Gap-fill ONE series (pandas frame with ts_s, value sorted later).
     This is both the Spark kernel body and the test oracle — identical code
-    runs per group in executors and standalone in tests."""
+    runs per group in executors and standalone in tests.
+
+    ``grid_step`` (seconds): reindex onto the complete [min, max] grid
+    INSIDE the kernel before filling — the reference's
+    ``reindex(hires_index)`` (randomforest_ts.py:807). Building the grid
+    here instead of with sequence/explode + join upstream removes two
+    cluster-level shuffles and a 2x-row join from the plan (the grid never
+    exists as distributed rows)."""
     pdf = pdf.sort_values("ts_s").reset_index(drop=True)
+    if grid_step is not None and len(pdf):
+        full = np.arange(
+            int(pdf["ts_s"].iloc[0]),
+            int(pdf["ts_s"].iloc[-1]) + grid_step,
+            grid_step,
+            dtype=np.int64,
+        )
+        pdf = (
+            pdf.set_index("ts_s")
+            .reindex(full)
+            .rename_axis("ts_s")
+            .reset_index()
+        )
     v = pdf["value"].to_numpy(dtype=np.float64)
     n = len(pdf)
     recno = np.arange(n, dtype=np.float64)
@@ -108,10 +130,12 @@ def ml_gapfill(
     ts_s_col: str,
     value_col: str,
     n_lags: int = 1,
+    grid_step: int | None = None,
 ) -> DataFrame:
     """Distributed per-key gap fill. Input: long frame with an epoch-second
     grid column and a nullable value; output adds filled value + 0/1/2 flag
-    + cumulative sum."""
+    + cumulative sum. With ``grid_step`` the full grid is materialized
+    inside the kernel (sparse input rows suffice — no upstream grid join)."""
     key_field = [f for f in df.schema.fields if f.name == key_col][0]
     schema = StructType([key_field] + FILL_SCHEMA_FIELDS)
 
@@ -120,6 +144,7 @@ def ml_gapfill(
         out = fill_series_pdf(
             pdf.rename(columns={ts_s_col: "ts_s", value_col: "value"}),
             n_lags=n_lags,
+            grid_step=grid_step,
         )
         out.insert(0, key_col, key)
         return out

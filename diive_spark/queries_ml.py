@@ -87,14 +87,9 @@ def q_ml_gapfill_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     agg = binned.groupBy("user_id", "slot_s").agg(F.avg("value").alias("v"))
-    bounds = agg.groupBy("user_id").agg(
-        F.min("slot_s").alias("t0"), F.max("slot_s").alias("t1")
-    )
-    grid = bounds.select(
-        "user_id", F.explode(F.sequence("t0", "t1", F.lit(1800))).alias("slot_s")
-    )
-    g = grid.join(agg, ["user_id", "slot_s"], "left")
-    out = ml_gapfill(g, "user_id", "slot_s", "v", n_lags=1)
+    # grid reindex happens INSIDE the kernel (grid_step) — no sequence/
+    # explode + join, two fewer shuffles (see PLANS.md §4)
+    out = ml_gapfill(agg, "user_id", "slot_s", "v", n_lags=1, grid_step=1800)
     return out.select(
         "user_id",
         F.col("ts_s").alias("slot_s"),
