@@ -143,6 +143,7 @@ def _grouped_flag_kernel(
     ts_col: str,
     value_col: str,
     flag_col: str,
+    grid_step: int | None = None,
     **kw,
 ):
     """Run a pandas per-series flag function as a grouped Arrow kernel.
@@ -150,12 +151,34 @@ def _grouped_flag_kernel(
     One Arrow batch per series; the kernel sorts by ts (Spark groups are
     unordered) and appends the tinyint flag column. State is bounded by one
     series per task — for very long series chunk upstream by time range with
-    halo rows (SURVEY §7.3)."""
+    halo rows (SURVEY §7.3).
+
+    ``grid_step``: reindex each series onto its complete [min, max] grid
+    INSIDE the kernel (the reference's ``reindex``) — callers pass the
+    sparse aggregate instead of a distributed sequence/explode + join grid,
+    saving two shuffles and a 2x-row join."""
     # copy: StructType.add mutates in place and df.schema is cached
     schema = StructType(list(df.schema.fields) + [StructField(flag_col, ByteType())])
 
     def apply(pdf):
         pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        if grid_step is not None and len(pdf):
+            import numpy as np
+
+            full = np.arange(
+                int(pdf[ts_col].iloc[0]),
+                int(pdf[ts_col].iloc[-1]) + grid_step,
+                grid_step,
+                dtype=np.int64,
+            )
+            key = pdf[key_col].iloc[0]
+            pdf = (
+                pdf.set_index(ts_col)
+                .reindex(full)
+                .rename_axis(ts_col)
+                .reset_index()
+            )
+            pdf[key_col] = key
         s = pdf[value_col]
         flag = fn(s, **kw)
         pdf[flag_col] = flag.to_numpy().astype("int8")
@@ -171,6 +194,7 @@ def zscore_flag_iterated(
     value_col: str = "value",
     thres_zscore: float = 4.0,
     flag_col: str = "flag_zscore",
+    grid_step: int | None = None,
 ) -> DataFrame:
     """Reference-exact iterated z-score (repeat-until-clean,
     flagbase.py:122-140 + zscore.py:185-204) as a grouped Arrow kernel."""
@@ -181,6 +205,7 @@ def zscore_flag_iterated(
         ts_col,
         value_col,
         flag_col,
+        grid_step=grid_step,
         thres_zscore=thres_zscore,
         repeat=True,
     )
@@ -194,6 +219,7 @@ def localsd_flag_kernel(
     n_sd: float = 7.0,
     winsize: int | None = None,
     flag_col: str = "flag_localsd",
+    grid_step: int | None = None,
 ) -> DataFrame:
     """Reference-exact LocalSD outlier flag (rolling median ± n_sd*sd over
     dropna'd positions, iterated until clean; localsd.py:73-101) as a
@@ -205,6 +231,7 @@ def localsd_flag_kernel(
         ts_col,
         value_col,
         flag_col,
+        grid_step=grid_step,
         n_sd=n_sd,
         winsize=winsize,
     )

@@ -517,18 +517,35 @@ SQL_TIER_CASCADE = _sql_tier("1h", 3600) + " UNION ALL " + _sql_tier("1d", 86400
 
 
 # F2+F3 / T1 — reference-exact iterated kernels (non-SQL-expressible loops:
-# rows-only driver check; exactness asserted in pytest vs the pandas oracle)
+# rows-only driver check; exactness asserted in pytest vs the pandas oracle).
+# The kernels take the SPARSE per-slot aggregate and reindex onto the full
+# grid in-kernel (grid_step) — no distributed sequence/explode + join.
+def _sparse_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    binned = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        ((F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_800_000_000) + 1)
+         * 1800).cast("long").alias("slot_s"),
+        "value",
+    )
+    return binned.groupBy("user_id", "slot_s").agg(F.avg("value").alias("v"))
+
+
 def q_flag_zscore_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = _gridded_30min(spark, sf_dir)
-    out = OU.zscore_flag_iterated(g, "user_id", "slot_s", "v", thres_zscore=2.5)
+    g = _sparse_30min(spark, sf_dir)
+    out = OU.zscore_flag_iterated(
+        g, "user_id", "slot_s", "v", thres_zscore=2.5, grid_step=1800
+    )
     return out.select(
         "user_id", "slot_s", F.col("flag_zscore").cast("int").alias("flag_zscore")
     )
 
 
 def q_flag_localsd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = _gridded_30min(spark, sf_dir)
-    out = OU.localsd_flag_kernel(g, "user_id", "slot_s", "v", n_sd=3.0, winsize=21)
+    g = _sparse_30min(spark, sf_dir)
+    out = OU.localsd_flag_kernel(
+        g, "user_id", "slot_s", "v", n_sd=3.0, winsize=21, grid_step=1800
+    )
     return out.select(
         "user_id", "slot_s", F.col("flag_localsd").cast("int").alias("flag_localsd")
     )
