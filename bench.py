@@ -31,8 +31,17 @@ def run_bench() -> dict:
         app_name="diive-spark-bench",
         shuffle_partitions=int(CPUS),
     )
-    # warm the JVM + parquet footers once
-    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    # warm the JVM + parquet footers + Python UDF workers once
+    from pyspark.sql import functions as F
+
+    warm = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    warm.count()
+
+    @F.pandas_udf("double")
+    def _noop(v):
+        return v
+
+    warm.select(_noop("value")).count()
 
     timings: dict[str, float] = {}
     for name, fn in q.QUERIES.items():

@@ -86,6 +86,108 @@ FROM b2 GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# A8 (full) — Histogram peak detection (histogram.py:84-125): per-series
+# fixed-bin histogram -> top-5 peak bins by count (ties -> lower bin)
+# ---------------------------------------------------------------------------
+
+def q_histogram_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.analytics import histogram_fixed_bins
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"), "value"
+    )
+    hist = histogram_fixed_bins(ev, "user_id", "value", n_bins=20)
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("bin").asc())
+    return (
+        hist.withColumn("peak_rank", F.row_number().over(w))
+        .filter(F.col("peak_rank") <= 5)
+        .select(
+            "user_id",
+            F.col("bin").cast("long").alias("bin"),
+            "bin_lo",
+            "n",
+            F.col("peak_rank").cast("long").alias("peak_rank"),
+        )
+    )
+
+
+SQL_HISTOGRAM_PEAKS = """
+WITH bounds AS (
+  SELECT user_id, min(value) AS lo, max(value) AS hi FROM events GROUP BY 1
+), b AS (
+  SELECT e.user_id,
+         CASE WHEN hi = lo THEN 0
+              ELSE least(CAST(floor((value - lo) / ((hi - lo) / 20)) AS BIGINT), 19)
+         END AS bin,
+         lo, (hi - lo) / 20 AS w
+  FROM events e JOIN bounds USING (user_id)
+), hist AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, CAST(bin AS BIGINT) AS bin,
+         round(lo + bin * w, 4) AS bin_lo, CAST(count(*) AS BIGINT) AS n
+  FROM b GROUP BY user_id, bin, lo, w
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n DESC, bin ASC) AS peak_rank
+  FROM hist
+)
+SELECT user_id, bin, bin_lo, n, CAST(peak_rank AS BIGINT) AS peak_rank
+FROM ranked WHERE peak_rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# A15 — detect_freq_groups (times.py:22-145): per-record delta to prev/next
+# neighbour; records with delta_prev == delta_next are frequency-"certain";
+# counts per delta = the series' resolution groups
+# ---------------------------------------------------------------------------
+
+def q_freq_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # raw event arrivals are irregular (every delta unique) — the reference
+    # runs this on recorded sensor slots, so bin to occupied 30-min slots
+    # first: runs of consecutive slots are the "certain" resolution group,
+    # gap edges fall out (times.py:60-76 semantics)
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        (
+            (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_800_000_000) + 1)
+            * 1800
+        ).cast("long").alias("ts_s"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("ts_s")
+    d = ev.withColumn("d_prev", F.col("ts_s") - F.lag("ts_s").over(w)).withColumn(
+        "d_next", F.lead("ts_s").over(w) - F.col("ts_s")
+    )
+    certain = d.filter(
+        F.col("d_prev").isNotNull()
+        & F.col("d_next").isNotNull()
+        & (F.col("d_prev") == F.col("d_next"))
+    )
+    return certain.groupBy("user_id", F.col("d_prev").alias("delta_s")).agg(
+        F.count("*").cast("long").alias("n_certain")
+    )
+
+
+SQL_FREQ_GROUPS = """
+WITH t AS (
+  SELECT DISTINCT user_id,
+         (CAST(floor(epoch(ts) / 1800) AS BIGINT) + 1) * 1800 AS ts_s
+  FROM events
+), d AS (
+  SELECT user_id, ts_s,
+         ts_s - lag(ts_s) OVER w AS d_prev,
+         lead(ts_s) OVER w - ts_s AS d_next
+  FROM t
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       d_prev AS delta_s,
+       CAST(count(*) AS BIGINT) AS n_certain
+FROM d
+WHERE d_prev IS NOT NULL AND d_next IS NOT NULL AND d_prev = d_next
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # A16 — count_unique_values / df_unique_values (frames.py:241-272):
 # value-frequency table per column (here: per event_type, integer-rounded
 # value buckets — numeric-only like the reference)
@@ -359,6 +461,8 @@ FROM solved
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "binned_quadratic_fit": q_binned_quadratic_fit,
+    "histogram_peaks": q_histogram_peaks,
+    "freq_groups": q_freq_groups,
     "nested_bin_agg": q_nested_bin_agg,
     "value_counts": q_value_counts,
     "prediction_scores": q_prediction_scores,
@@ -369,6 +473,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "binned_quadratic_fit": SQL_BINNED_QUADRATIC_FIT,
+    "histogram_peaks": SQL_HISTOGRAM_PEAKS,
+    "freq_groups": SQL_FREQ_GROUPS,
     "nested_bin_agg": SQL_NESTED_BIN_AGG,
     "value_counts": SQL_VALUE_COUNTS,
     "prediction_scores": SQL_PREDICTION_SCORES,
