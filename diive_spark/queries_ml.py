@@ -123,10 +123,34 @@ def q_flag_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# gorilla_blocks — north-rule compression: per-(series, day) Gorilla XOR +
+# delta-of-delta block stats (rows-only: bit-packing is not SQL-expressible;
+# lossless round-trip is property-tested in tests/test_compression.py)
+# ---------------------------------------------------------------------------
+
+def q_gorilla_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.compression.blocks import compress_blocks
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("url"), "ts", "value"
+    )
+    blocks = compress_blocks(ev, "url", "ts", "value", block_seconds=86400)
+    return blocks.select(
+        "url",
+        "block_start_s",
+        "n_points",
+        "raw_bytes",
+        "enc_bytes",
+        F.round(F.col("raw_bytes") / F.col("enc_bytes"), 2).alias("ratio"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_text_roundtrip": q_extract_text_roundtrip,
     "ml_gapfill_30min": q_ml_gapfill_30min,
     "flag_lof": q_flag_lof,
+    "gorilla_blocks": q_gorilla_blocks,
 }
 
 ORACLE_SQL: dict[str, str] = {
