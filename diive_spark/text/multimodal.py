@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -110,3 +111,101 @@ def synth_media(spark, n: int = 64) -> DataFrame:
             "UTF-8",
         ).alias("payload"),
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("payload_resized", BinaryType()),
+        StructField("n_bytes_resized", LongType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    strict: bool = False,
+) -> DataFrame:
+    """Resize stub over mapInPandas: real Spark plumbing (binary in/out,
+    Arrow batches, metadata columns), deterministic fake resample of the
+    byte stream standing in for a PIL ``Image.resize``.
+
+    ``strict=True`` raises NotImplementedError — production needs PIL."""
+    if strict:
+        raise NotImplementedError("real image resize requires PIL")
+
+    target = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            def _resize(b) -> bytes:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                if len(arr) == 0:
+                    return bytes(target)
+                # nearest-neighbour byte resample — deterministic stand-in
+                idx = np.linspace(0, len(arr) - 1, target).astype(np.int64)
+                return arr[idx].tobytes()
+
+            out = pdf[payload_col].map(_resize)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "payload_resized": out,
+                    "n_bytes_resized": out.map(len).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 32,
+    every_n: int = 2,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    strict: bool = False,
+) -> DataFrame:
+    """Frame-sampling stub (1 video row -> N frame rows) over mapInPandas:
+    demonstrates the fan-out batch shape a real ffmpeg frame extractor
+    uses — the output batch is LONGER than the input batch, which
+    mapInPandas supports natively (applyInPandas would too, but no
+    grouping is needed: each video is independent).
+
+    Fake decode: the payload is cut into fixed-size "frames"; every
+    ``every_n``-th frame is emitted. ``strict=True`` raises for production."""
+    if strict:
+        raise NotImplementedError("real frame sampling requires ffmpeg")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(b)
+                n_frames = max(len(raw) // frame_bytes, 1)
+                for fi in range(0, n_frames, every_n):
+                    ids.append(int(mid))
+                    idxs.append(fi)
+                    frames.append(raw[fi * frame_bytes : (fi + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_payload": frames}
+            )
+
+    return df.mapInPandas(batches, FRAMES_SCHEMA)

@@ -192,3 +192,30 @@ def test_multimodal_decode_plumbing(spark):
     )
     with pytest.raises(NotImplementedError):
         MM.decode_media(media, strict=True)
+
+
+def test_multimodal_resize_and_frames(spark):
+    from diive_spark.text.multimodal import resize_media, sample_frames, synth_media
+
+    media = synth_media(spark, n=12)
+    resized = resize_media(media, width=8, height=4).toPandas()
+    assert len(resized) == 12
+    assert (resized["n_bytes_resized"] == 32).all()
+    # deterministic: same input -> same bytes
+    r2 = resize_media(synth_media(spark, n=12), width=8, height=4).toPandas()
+    assert (
+        resized.sort_values("media_id")["payload_resized"].map(bytes).tolist()
+        == r2.sort_values("media_id")["payload_resized"].map(bytes).tolist()
+    )
+
+    frames = sample_frames(media, frame_bytes=16, every_n=2).toPandas()
+    # fan-out: more frame rows than videos, frame_idx stride 2
+    assert len(frames) > 12
+    assert (frames["frame_idx"] % 2 == 0).all()
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        resize_media(media, 8, 4, strict=True)
+    with pytest.raises(NotImplementedError):
+        sample_frames(media, strict=True)
