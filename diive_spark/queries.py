@@ -101,6 +101,32 @@ WHERE n_vals >= CASE WHEN floor(maxcount * 0.25) < 3 THEN 1
 """
 
 
+# Same rollup through the SALTED two-phase aggregation (SURVEY §4.1 item 5,
+# the hot-key skew path). MUST produce identical results — the oracle is the
+# same SQL as the unsalted query, so the driver verifies the skew plan's
+# correctness, not just its existence.
+def q_resample_30min_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"), "ts", "value"
+    )
+    out = resample_gated(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        bucket_seconds=1800,
+        mincounts_perc=0.25,
+        salt_buckets=8,
+    )
+    return out.select(
+        "user_id",
+        _epoch_s("window_end").cast("long").alias("window_end_s"),
+        F.round("agg_mean", 4).alias("agg_mean"),
+        F.round("agg_sum", 4).alias("agg_sum"),
+        F.col("n_vals").cast("long").alias("n_vals"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # P6 — dedup keep-last (times.py:804-821)
 # ---------------------------------------------------------------------------
@@ -516,6 +542,91 @@ WHERE n_vals >= CASE WHEN floor(maxcount * 0.9) < 3 THEN 1
 SQL_TIER_CASCADE = _sql_tier("1h", 3600) + " UNION ALL " + _sql_tier("1d", 86400)
 
 
+# ---------------------------------------------------------------------------
+# E1 — the full north-rule meteoscreening pipeline as ONE lazy DAG
+# (meteoscreening.py stages 1-5, SURVEY §3 E1): gridded series -> flags
+# (missing F8, abslim F5, z-score F3) -> QCF ladder -> threshold-clamp
+# correction C3 -> min-count-gated hourly rollup A1. One registry entry so
+# the driver verifies the COMPOSITE, not just the pieces.
+# ---------------------------------------------------------------------------
+
+E1_ABS = (2.0, 90.0)
+E1_Z = 3.0
+E1_CLAMP = 85.0
+E1_MINC = 0.9
+
+
+def q_meteoscreening_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _gridded_30min(spark, sf_dir)
+    d = FL.flag_missing(g, "v")
+    d = FL.flag_abslim(d, "v", minval=E1_ABS[0], maxval=E1_ABS[1])
+    d = OU.zscore_flag_expr(d, "user_id", "v", thres_zscore=E1_Z)
+    d = FL.add_qcf(d, ["flag_missing", "flag_abslim", "flag_zscore"], value_col="v")
+    # guard: least() skips nulls in both engines — QCF-rejected rows must
+    # stay null through the correction
+    d = d.withColumn(
+        "v_corr",
+        F.when(F.col("v_qcf").isNull(), F.lit(None)).otherwise(
+            F.least(F.col("v_qcf"), F.lit(E1_CLAMP))
+        ),
+    )
+    hourly = resample_gated(
+        d.withColumn("ts", F.timestamp_seconds(F.col("slot_s"))),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="v_corr",
+        bucket_seconds=3600,
+        mincounts_perc=E1_MINC,
+    )
+    return hourly.select(
+        "user_id",
+        _epoch_s("window_end").cast("long").alias("hour_end_s"),
+        F.round("agg_mean", 4).alias("agg_mean"),
+        F.col("n_vals").cast("long").alias("n_vals"),
+    )
+
+
+SQL_METEOSCREENING = f"""
+WITH {SQL_GRIDDED}
+, flagged AS (
+  SELECT user_id, slot_s, v,
+         CASE WHEN v IS NULL THEN 2 ELSE 0 END AS f_miss,
+         CASE WHEN v IS NULL THEN 0
+              WHEN v < {E1_ABS[0]} OR v > {E1_ABS[1]} THEN 2 ELSE 0 END AS f_abs,
+         CASE WHEN v IS NOT NULL
+               AND abs((v - avg(v) OVER wk) / stddev_pop(v) OVER wk) > {E1_Z}
+              THEN 2 ELSE 0 END AS f_z
+  FROM g
+  WINDOW wk AS (PARTITION BY user_id)
+), qcfd AS (
+  SELECT *,
+         (CASE WHEN f_miss = 2 THEN 2 ELSE 0 END
+          + CASE WHEN f_abs = 2 THEN 2 ELSE 0 END
+          + CASE WHEN f_z = 2 THEN 2 ELSE 0 END) AS hard
+  FROM flagged
+), corrected AS (
+  SELECT user_id, slot_s,
+         CASE WHEN hard >= 2 OR v IS NULL THEN NULL
+              ELSE least(v, {E1_CLAMP}) END AS v_corr
+  FROM qcfd
+), hourly AS (
+  SELECT user_id,
+         (CAST(floor(slot_s / 3600) AS BIGINT) + 1) * 3600 AS hour_end_s,
+         avg(v_corr) AS agg_mean,
+         count(v_corr) AS n_vals,
+         count(*) AS n_slots
+  FROM corrected GROUP BY 1, 2
+), gated AS (
+  SELECT *, max(n_slots) OVER (PARTITION BY user_id) AS maxcount FROM hourly
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, hour_end_s,
+       round(agg_mean, 4) AS agg_mean, CAST(n_vals AS BIGINT) AS n_vals
+FROM gated
+WHERE n_vals >= CASE WHEN floor(maxcount * {E1_MINC}) < 3 THEN 1
+                     ELSE floor(maxcount * {E1_MINC}) END
+"""
+
+
 # F2+F3 / T1 — reference-exact iterated kernels (non-SQL-expressible loops:
 # rows-only driver check; exactness asserted in pytest vs the pandas oracle).
 # The kernels take the SPARSE per-slot aggregate and reindex onto the full
@@ -559,6 +670,8 @@ from diive_spark import queries_text as _qt  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resample_30min_gated": q_resample_30min_gated,
+    "resample_30min_salted": q_resample_30min_salted,
+    "meteoscreening_pipeline": q_meteoscreening_pipeline,
     "dedup_keep_last": q_dedup_keep_last,
     "sstats": q_sstats,
     "qcf_pipeline": q_qcf_pipeline,
@@ -575,6 +688,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "resample_30min_gated": SQL_RESAMPLE_30MIN,
+    # the salted two-phase plan must match the SAME oracle as the plain plan
+    "resample_30min_salted": SQL_RESAMPLE_30MIN,
+    "meteoscreening_pipeline": SQL_METEOSCREENING,
     "dedup_keep_last": SQL_DEDUP_KEEP_LAST,
     "sstats": SQL_SSTATS,
     "qcf_pipeline": SQL_QCF_PIPELINE,
