@@ -35,6 +35,9 @@ def _stub(name: str) -> types.ModuleType:
     # a real ModuleSpec so importlib.util.find_spec probes (e.g. pyspark's
     # scipy detection) don't raise "__spec__ is None"
     m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None, is_package=True)
+    # PEP 562 module __getattr__: any `from stub import X` yields a callable
+    # sentinel that raises on use — no per-name patching needed
+    m.__getattr__ = lambda attr, _n=name: _StubAttr(f"{_n}.{attr}")
     sys.modules[name] = m
     parent, _, child = name.rpartition(".")
     if parent and parent in sys.modules:
@@ -56,13 +59,39 @@ def load_reference():
             from diive.pkgs.gapfilling.interpolate import (  # noqa: F401
                 linear_interpolation,
             )
+            from diive.core.dfun.stats import sstats  # noqa: F401
+            from diive.core.times.times import DetectFrequency  # noqa: F401
+            from diive.pkgs.analyses.correlation import (  # noqa: F401
+                daily_correlation,
+            )
+            from diive.pkgs.analyses.gapfinder import GapFinder  # noqa: F401
+            from diive.pkgs.analyses.histogram import Histogram  # noqa: F401
+            from diive.pkgs.createvar.potentialradiation import potrad  # noqa: F401
+            from diive.pkgs.createvar.vpd import calc_vpd_from_ta_rh  # noqa: F401
+            from diive.pkgs.outlierdetection.absolutelimits import (  # noqa: F401
+                AbsoluteLimits,
+            )
+            from diive.pkgs.outlierdetection.incremental import (  # noqa: F401
+                zScoreIncrements,
+            )
             from diive.pkgs.outlierdetection.localsd import LocalSD  # noqa: F401
+            from diive.pkgs.qaqc.qcf import FlagQCF  # noqa: F401
 
             return types.SimpleNamespace(
                 resample_series_to_30MIN=resample_series_to_30MIN,
                 zscore=zscore,
                 linear_interpolation=linear_interpolation,
                 LocalSD=LocalSD,
+                zScoreIncrements=zScoreIncrements,
+                AbsoluteLimits=AbsoluteLimits,
+                GapFinder=GapFinder,
+                Histogram=Histogram,
+                sstats=sstats,
+                DetectFrequency=DetectFrequency,
+                FlagQCF=FlagQCF,
+                potrad=potrad,
+                calc_vpd_from_ta_rh=calc_vpd_from_ta_rh,
+                daily_correlation=daily_correlation,
             )
         except ModuleNotFoundError as e:
             _stub(str(e).split("'")[1])
