@@ -45,36 +45,54 @@ def rh_offset_correction(
 ) -> DataFrame:
     """Relative-humidity-style offset removal (reference
     ``remove_relativehumidity_offset``, offsetcorrection.py:9-67): the
-    daily offset is the day's mean exceedance over 100; days without
-    exceedance inherit the previous day's offset (ffill) then the next
-    day's (bfill), exactly the reference's interpolate+ffill+bfill chain
-    collapsed to fills; corrected = value - offset (missing -> 0)."""
+    daily offset is the day's mean exceedance over 100, broadcast to every
+    row of the day; rows in days WITHOUT exceedance get the offset
+    LINEARLY INTERPOLATED by row position between the neighbouring
+    exceedance days (the reference's hires ``.interpolate()``), then
+    ffill/bfill at the edges; all-null -> 0; corrected = value - offset.
+    Matched row-exact against the reference in
+    tests/test_reference_differential3.py."""
     wday = Window.partitionBy(key_col, day_col)
     exceed = F.when(F.col(value_col) > 100.0, F.col(value_col) - 100.0)
     with_off = df.withColumn("_day_off", F.avg(exceed).over(wday))
-    wff = (
+
+    worder = Window.partitionBy(key_col).orderBy(*order_cols)
+    pos = F.row_number().over(worder)
+    with_off = with_off.withColumn("_pos", pos)
+    wprev = (
         Window.partitionBy(key_col)
         .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, 0)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    wbf = (
+    wnext = (
         Window.partitionBy(key_col)
         .orderBy(*order_cols)
-        .rowsBetween(0, Window.unboundedFollowing)
+        .rowsBetween(1, Window.unboundedFollowing)
     )
+    prev_v = F.last("_day_off", ignorenulls=True).over(wprev)
+    prev_p = F.last(
+        F.when(F.col("_day_off").isNotNull(), F.col("_pos")), ignorenulls=True
+    ).over(wprev)
+    next_v = F.first("_day_off", ignorenulls=True).over(wnext)
+    next_p = F.first(
+        F.when(F.col("_day_off").isNotNull(), F.col("_pos")), ignorenulls=True
+    ).over(wnext)
+    interp = prev_v + (next_v - prev_v) * (F.col("_pos") - prev_p) / (next_p - prev_p)
     filled = with_off.withColumn(
         "offset_filled",
         F.coalesce(
-            F.last("_day_off", ignorenulls=True).over(wff),
-            F.first("_day_off", ignorenulls=True).over(wbf),
-            F.lit(0.0),
+            F.col("_day_off"),
+            F.when(prev_v.isNotNull() & next_v.isNotNull(), interp),
+            prev_v,  # ffill tail
+            next_v,  # bfill head
+            F.lit(0.0),  # no exceedance anywhere
         ),
     )
     # offset_filled is kept so callers can round it before differencing
     # (cross-engine float-boundary control, see queries_features.py)
     return filled.withColumn(
         out_col, F.col(value_col) - F.col("offset_filled")
-    ).drop("_day_off")
+    ).drop("_day_off", "_pos")
 
 
 def radiation_offset_correction(
@@ -89,6 +107,12 @@ def radiation_offset_correction(
     ``remove_radiation_zero_offset``, offsetcorrection.py:71-160): offset =
     per-(key, day) nighttime mean, gap-filled with the key's median daily
     offset; value - offset, nighttime forced to 0, negatives clamped to 0.
+    Row-exact vs the reference when every day has nighttime data
+    (tests/test_reference_differential3.py); DOCUMENTED deviation for
+    missing-day gap-fill: the reference interpolates missing days first and
+    median-fills the remainder with a row-weighted median
+    (offsetcorrection.py:118-127), this operator median-fills directly with
+    the per-day median — simpler and identical when no days are missing.
 
     The per-day offset is a conditional window aggregate; the median
     fallback is a tiny per-key aggregate joined back broadcast."""

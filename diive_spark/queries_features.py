@@ -198,7 +198,13 @@ def q_rh_offset_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.round("offset_filled", 6).alias("offset_r6"),
-        F.round(F.col("value") - F.round("offset_filled", 6), 4).alias("value_corr"),
+        # decimal round() is NOT engine-portable on boundary doubles (Spark
+        # BigDecimal-HALF_UP vs DuckDB float rounding disagree on exact
+        # x.xxxx5 like 60.57625) -> emit a floor-scaled INTEGER: floor of an
+        # identical double is bit-deterministic in both engines
+        F.floor((F.col("value") - F.round("offset_filled", 6)) * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("value_corr_e4"),
     )
 
 
@@ -211,22 +217,35 @@ WITH e AS (
   SELECT *, avg(CASE WHEN value > 100.0 THEN value - 100.0 END)
               OVER (PARTITION BY user_id, day_s) AS day_off
   FROM e
+), pos AS (
+  SELECT *, row_number() OVER wo AS p FROM d
+  WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+), ctx AS (
+  SELECT *,
+         last_value(day_off IGNORE NULLS) OVER wp AS prev_v,
+         last_value(CASE WHEN day_off IS NOT NULL THEN p END IGNORE NULLS) OVER wp AS prev_p,
+         first_value(day_off IGNORE NULLS) OVER wn AS next_v,
+         first_value(CASE WHEN day_off IS NOT NULL THEN p END IGNORE NULLS) OVER wn AS next_p
+  FROM pos
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         wn AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
 ), filled AS (
   SELECT *,
          coalesce(
-           last_value(day_off IGNORE NULLS) OVER
-             (PARTITION BY user_id ORDER BY ts, event_id
-              ROWS UNBOUNDED PRECEDING),
-           first_value(day_off IGNORE NULLS) OVER
-             (PARTITION BY user_id ORDER BY ts, event_id
-              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+           day_off,
+           CASE WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                THEN prev_v + (next_v - prev_v) * (p - prev_p) / (next_p - prev_p) END,
+           prev_v,
+           next_v,
            0.0) AS off
-  FROM d
+  FROM ctx
 )
 SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(user_id AS BIGINT) AS user_id,
        round(off, 6) AS offset_r6,
-       round(value - round(off, 6), 4) AS value_corr
+       CAST(floor((value - round(off, 6)) * 10000 + 0.5) AS BIGINT) AS value_corr_e4
 FROM filled
 """
 
