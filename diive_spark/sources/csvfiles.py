@@ -58,11 +58,9 @@ def read_filetype_csv(
     """
     na = na_values if na_values is not None else DEFAULT_NA_VALUES
     raw = spark.read.csv(path, header=True, inferSchema=False)
-    if units_row:
-        # row 1 holds units: drop rows whose ts column does not parse —
-        # the units row never parses as a timestamp (filereader.py:378-381
-        # folds it into a MultiIndex; we discard units into table comments)
-        pass  # handled below by the parse-filter
+    # units_row: row 1 holds units — dropped below by keeping only rows
+    # whose ts parses (the units row never parses as a timestamp;
+    # filereader.py:378-381 folds it into a MultiIndex instead)
     cols = value_cols or [c for c in raw.columns if c != ts_col]
 
     def clean(c: str):

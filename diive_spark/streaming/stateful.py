@@ -71,13 +71,10 @@ def stream_zscore_flags(
     spark,
     source_dir: str,
     schema: str,
-    threshold: float = 4.0,
 ) -> DataFrame:
-    """Streaming per-key z-score flags over a file stream.
-
-    Note: ``threshold`` is fixed at 4.0 inside the state function (Spark
-    serializes the bare function); parameterize via closure in production.
-    """
+    """Streaming per-key z-score flags over a file stream (threshold 4.0,
+    the reference default, funcs.py:37-41 + zscore.py:140; wrap
+    :func:`flag_zscore_stateful` in a closure to parameterize)."""
     src = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 2)
