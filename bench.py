@@ -64,7 +64,7 @@ def run_bench() -> dict:
     }
 
 
-SCALE_KEYS = 2000
+SCALE_KEYS = 8000
 SCALE_ROWS_PER_KEY = 1440  # one day of 1-min points per series
 
 
