@@ -99,25 +99,35 @@ def calendar_features(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     )
 
 
-def resample_monthly_right(
+def resample_calendar_right(
     df: DataFrame,
     key_col: str,
     ts_col: str,
     value_col: str,
+    unit: str = "month",
     mincounts_perc: float = 0.25,
 ) -> DataFrame:
-    """Calendar-month downsample with RIGHT-closed/right-labeled bins
-    (reference ``resample_df`` freq policy: W/M/A -> label='right',
-    closed='right', frames.py:323-393) and the min-count gate of
+    """Calendar downsample (week / month / year) with RIGHT-closed,
+    right-labeled bins (reference ``resample_df`` freq policy: W/M/A ->
+    label='right', closed='right', frames.py:323-393; weeks start Monday
+    like diive, frames.py:374-377) and the min-count gate of
     resampling.py:76-92.
 
     Spark's ``window()`` only does fixed durations, so calendar bins use
-    ``date_trunc`` bucketing; the END label is the next month start.
-    Scale: groupBy (key, month) — partial aggregation map-side, the gate's
-    per-key maxcount is a tiny broadcastable window."""
-    month_end = F.add_months(F.date_trunc("month", F.col(ts_col)), 1)
+    ``date_trunc`` bucketing; the END label is the next period start.
+    Scale: groupBy (key, period) — partial aggregation map-side, the
+    gate's per-key maxcount is a tiny broadcastable window."""
+    start = F.date_trunc(unit, F.col(ts_col))
+    if unit == "month":
+        period_end = F.add_months(start, 1)
+    elif unit == "year":
+        period_end = F.add_months(start, 12)
+    elif unit == "week":
+        period_end = F.date_add(start.cast("date"), 7).cast("timestamp")
+    else:
+        raise ValueError(f"unsupported calendar unit: {unit}")
     agg = df.groupBy(
-        F.col(key_col), month_end.alias("_month_end")
+        F.col(key_col), period_end.alias("_month_end")
     ).agg(
         F.avg(value_col).alias("agg_mean"),
         F.sum(value_col).alias("agg_sum"),
@@ -133,8 +143,23 @@ def resample_monthly_right(
     )
     return gated.filter(F.col("n_vals") >= F.col("_mincount")).select(
         key_col,
-        F.col("_month_end").alias("month_end"),
+        F.col("_month_end").alias("period_end"),
         "agg_mean",
         "agg_sum",
         F.col("n_vals").cast("long").alias("n_vals"),
     )
+
+
+def resample_monthly_right(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    mincounts_perc: float = 0.25,
+) -> DataFrame:
+    """Backward-compatible month-only wrapper of
+    :func:`resample_calendar_right`."""
+    out = resample_calendar_right(
+        df, key_col, ts_col, value_col, unit="month", mincounts_perc=mincounts_perc
+    )
+    return out.withColumnRenamed("period_end", "month_end")

@@ -139,6 +139,51 @@ WHERE n_vals >= CASE WHEN floor(maxcount * 0.25) < 3 THEN 1
 
 
 # ---------------------------------------------------------------------------
+# weekly_resample_right — A2 (W policy: right-closed, right-labeled,
+# weeks start Monday like diive, frames.py:374-377)
+# ---------------------------------------------------------------------------
+
+def q_weekly_resample_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"), "ts", "value"
+    )
+    out = FE.resample_calendar_right(
+        ev, "user_id", "ts", "value", unit="week", mincounts_perc=0.25
+    )
+    return out.select(
+        "user_id",
+        F.floor(
+            F.unix_micros(F.col("period_end").cast("timestamp")) / 1_000_000
+        ).cast("long").alias("week_end_s"),
+        # round-2: weekly means aggregate ~200+ values whose summation order
+        # differs between engines; a 4-decimal round can straddle a boundary
+        F.round("agg_mean", 2).alias("agg_mean"),
+        F.round("agg_sum", 2).alias("agg_sum"),
+        "n_vals",
+    )
+
+
+SQL_WEEKLY_RESAMPLE = """
+WITH agg AS (
+  SELECT user_id,
+         CAST(floor(epoch(date_trunc('week', ts) + INTERVAL 7 DAY)) AS BIGINT)
+           AS week_end_s,
+         avg(value) AS agg_mean, sum(value) AS agg_sum,
+         count(value) AS n_vals, count(*) AS n_slots
+  FROM events GROUP BY 1, 2
+), gated AS (
+  SELECT *, max(n_slots) OVER (PARTITION BY user_id) AS maxcount FROM agg
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, week_end_s,
+       round(agg_mean, 2) AS agg_mean, round(agg_sum, 2) AS agg_sum,
+       CAST(n_vals AS BIGINT) AS n_vals
+FROM gated
+WHERE n_vals >= CASE WHEN floor(maxcount * 0.25) < 3 THEN 1
+                     ELSE floor(maxcount * 0.25) END
+"""
+
+
+# ---------------------------------------------------------------------------
 # setto_value_ranges — C4 + F7
 # ---------------------------------------------------------------------------
 
@@ -318,6 +363,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lagged_rolling_features": q_lagged_rolling_features,
     "calendar_features": q_calendar_features,
     "monthly_resample_right": q_monthly_resample_right,
+    "weekly_resample_right": q_weekly_resample_right,
     "setto_value_ranges": q_setto_value_ranges,
     "rh_offset_correction": q_rh_offset_correction,
     "radiation_offset_correction": q_radiation_offset_correction,
@@ -327,6 +373,7 @@ ORACLE_SQL: dict[str, str] = {
     "lagged_rolling_features": SQL_LAGGED_ROLLING,
     "calendar_features": SQL_CALENDAR_FEATURES,
     "monthly_resample_right": SQL_MONTHLY_RESAMPLE,
+    "weekly_resample_right": SQL_WEEKLY_RESAMPLE,
     "setto_value_ranges": SQL_SETTO_VALUE,
     "rh_offset_correction": SQL_RH_OFFSET,
     "radiation_offset_correction": SQL_RADIATION_OFFSET,
