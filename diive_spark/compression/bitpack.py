@@ -13,8 +13,8 @@ import numpy as np
 
 def pack_fields(values: np.ndarray, nbits: np.ndarray) -> bytes:
     """Pack ``values[i]`` (low ``nbits[i]`` bits, MSB-first) contiguously."""
-    values = values.astype(np.uint64)
-    nbits = nbits.astype(np.int64)
+    values = np.asarray(values, dtype=np.uint64)  # no copy when already u64
+    nbits = np.asarray(nbits, dtype=np.int64)
     if len(values) == 0:
         return b""
     maxb = int(nbits.max())

@@ -61,16 +61,22 @@ def encode_floats(values: np.ndarray) -> bytes:
     trail = _ctz64(xor)
     mlen = 64 - lead - trail  # meaningful bits (xor != 0)
 
+    # hoist numpy->int conversions out of the loop (np scalar indexing is
+    # ~10x a list index; the loop is the encode hot path)
+    xor_l = xor.tolist()
+    lead_l = lead.tolist()
+    mlen_l = mlen.tolist()
+
     fields_v: list[int] = [int(v[0])]
     fields_b: list[int] = [64]
     prev_lead, prev_mlen = -1, -1  # no reusable window initially
     for i in range(1, n):
-        x = int(xor[i])
+        x = xor_l[i]
         if x == 0:
             fields_v.append(0)
             fields_b.append(1)
             continue
-        li, mi = int(lead[i]), int(mlen[i])
+        li, mi = lead_l[i], mlen_l[i]
         if (
             prev_lead >= 0
             and li >= prev_lead
