@@ -17,14 +17,26 @@ def pack_fields(values: np.ndarray, nbits: np.ndarray) -> bytes:
     nbits = np.asarray(nbits, dtype=np.int64)
     if len(values) == 0:
         return b""
-    maxb = int(nbits.max())
-    # bit matrix: row i holds the nbits[i] MSB-first bits of values[i]
-    shifts = (nbits[:, None] - 1 - np.arange(maxb)[None, :]).astype(np.int64)
-    valid = shifts >= 0
-    shifts_c = np.where(valid, shifts, 0).astype(np.uint64)
-    bits = ((values[:, None] >> shifts_c) & np.uint64(1)).astype(np.uint8)
-    flat = bits[valid]  # row-major: fields concatenated in order
-    pad = (-len(flat)) % 8
+    # scatter per DISTINCT width: work is proportional to the bits actually
+    # written (the previous n x max-width bit matrix wrote ~18x more cells
+    # for Gorilla streams, whose fields are mostly 1-bit controls)
+    offsets = np.empty(len(nbits), dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(nbits[:-1], out=offsets[1:])
+    total = int(offsets[-1] + nbits[-1])
+    flat = np.zeros(total, dtype=np.uint8)
+    for w in np.unique(nbits):
+        w = int(w)
+        if w == 0:
+            continue
+        rows = nbits == w
+        sh = np.arange(w - 1, -1, -1, dtype=np.uint64)
+        bits = ((values[rows][:, None] >> sh[None, :]) & np.uint64(1)).astype(
+            np.uint8
+        )
+        pos = offsets[rows][:, None] + np.arange(w)[None, :]
+        flat[pos.ravel()] = bits.ravel()
+    pad = (-total) % 8
     if pad:
         flat = np.concatenate([flat, np.zeros(pad, dtype=np.uint8)])
     return np.packbits(flat).tobytes()
