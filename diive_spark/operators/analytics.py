@@ -268,7 +268,7 @@ def binned_quadratic_fit(
     )
     d2 = (
         s0 * (s2 * t2 - s3 * t1)
-        - s1 * (s1 * t2 - s3 * t0)
+        - s1 * (s1 * t2 - s2 * t1)
         + t0 * (s1 * s3 - s2 * s2)
     )
     return sums.select(
@@ -277,6 +277,64 @@ def binned_quadratic_fit(
         (d1 / det).alias("c1"),
         (d2 / det).alias("c2"),
     )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n_tiles: int,
+    range_col: str | None = None,
+    n_buckets: int = 32,
+    out_col: str = "ntile",
+) -> DataFrame:
+    """Exact global ``ntile(n)`` without the single-task unpartitioned
+    window (SortingBinsMethod's first-level bin, reference
+    /root/reference/diive/pkgs/analyses/quantilexyaggz.py sorting path).
+
+    An unpartitioned ``Window.orderBy`` funnels every row through ONE task
+    — fine at sf0.01, fatal at 100 TB.  This reproduces the exact ntile
+    semantics distributed, in two phases:
+
+    1. Range-bucket rows on ``range_col`` (default: first order column)
+       at boundaries from ``approxQuantile`` (a no-shuffle aggregate;
+       driver holds ≤ ``n_buckets`` doubles).  Equal boundary values all
+       land in one bucket, so bucket id is MONOTONE in the composite sort
+       order — a per-bucket local rank plus the bucket's global offset is
+       an exact global rank.
+    2. Per-bucket ``row_number`` (parallel window, one hash exchange on
+       the bucket id) + driver-side cumulative offsets (≤ ``n_buckets``
+       tiny rows collected) → global row number → closed-form ntile
+       bucket (first ``k % n`` tiles get one extra row, matching
+       Spark/DuckDB/pandas ``qcut``-free ntile).
+    """
+    range_col = range_col or order_cols[0]
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(df.approxQuantile(range_col, qs, 0.001)))
+    bucket = F.lit(0)
+    for i, b in enumerate(bounds):
+        bucket = F.when(F.col(range_col) > F.lit(b), F.lit(i + 1)).otherwise(bucket)
+    b = df.withColumn("_gb", bucket)
+    counts = {r["_gb"]: r["cnt"] for r in b.groupBy("_gb").agg(F.count("*").alias("cnt")).collect()}
+    total = sum(counts.values())
+    off, offsets = 0, {}
+    for gb in sorted(counts):
+        offsets[gb] = off
+        off += counts[gb]
+    off_col = F.lit(0)
+    for gb, o in offsets.items():
+        off_col = F.when(F.col("_gb") == F.lit(gb), F.lit(o)).otherwise(off_col)
+    w = Window.partitionBy("_gb").orderBy(*order_cols)
+    rn = (F.row_number().over(w) + off_col).cast("long")
+    base, rem = divmod(total, n_tiles)
+    threshold = rem * (base + 1)
+    safe_base = max(base, 1)  # base==0 (k<n) → every row is its own tile
+    tile = F.when(
+        rn <= F.lit(threshold),
+        F.floor((rn - 1) / F.lit(base + 1)) + 1,
+    ).otherwise(
+        F.lit(rem) + F.floor((rn - 1 - F.lit(threshold)) / F.lit(safe_base)) + 1
+    )
+    return b.withColumn(out_col, tile.cast("int")).drop("_gb")
 
 
 def combine_first(

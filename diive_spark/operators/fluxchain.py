@@ -44,7 +44,7 @@ def storage_correction(
     flux_col: str,
     storage_col: str,
     out_col: str = "flux_corrected",
-) -> Column | DataFrame:
+) -> DataFrame:
     """Level-3.1: ``flux + storage_term``
     (/root/reference/diive/pkgs/fluxprocessingchain/level31_storagecorrection.py:129-147,
     non-gapfilled branch).  Null storage keeps the flux un-correctable

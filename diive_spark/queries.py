@@ -730,3 +730,13 @@ from diive_spark import queries_analytics2 as _qa2  # noqa: E402
 
 QUERIES.update(_qa2.QUERIES)
 ORACLE_SQL.update(_qa2.ORACLE_SQL)
+
+# Driver-window ordering: the driver records correctness rows for a prefix
+# of this registry, so every oracle-backed query must come BEFORE the
+# rows-only kernels (iterated loops / LOF / ML / multimodal / gorilla) —
+# otherwise oracle-green queries fall outside the recorded window
+# (round-1 lesson: 17 oracle-backed queries got no driver row).
+QUERIES = {
+    **{k: v for k, v in QUERIES.items() if k in ORACLE_SQL},
+    **{k: v for k, v in QUERIES.items() if k not in ORACLE_SQL},
+}

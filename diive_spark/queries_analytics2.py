@@ -49,9 +49,14 @@ NESTED_BINS2 = 4
 
 
 def q_nested_bin_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.analytics import global_ntile
+
     li = _lineitem(spark, sf_dir)
-    wx = Window.orderBy("l_quantity", "l_orderkey", "l_linenumber")
-    b1 = li.withColumn("bin1", F.ntile(NESTED_BINS1).over(wx))
+    # distributed exact ntile — no unpartitioned Window (single-task) here
+    b1 = global_ntile(
+        li, ["l_quantity", "l_orderkey", "l_linenumber"], NESTED_BINS1,
+        out_col="bin1",
+    )
     wy = Window.partitionBy("bin1").orderBy(
         "l_extendedprice", "l_orderkey", "l_linenumber"
     )
@@ -450,7 +455,7 @@ WITH base AS (
          (s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2)) AS det,
          (t0*(s2*s4 - s3*s3) - s1*(t1*s4 - s3*t2) + s2*(t1*s3 - s2*t2)) AS d0,
          (s0*(t1*s4 - t2*s3) - t0*(s1*s4 - s3*s2) + s2*(s1*t2 - s2*t1)) AS d1,
-         (s0*(s2*t2 - s3*t1) - s1*(s1*t2 - s3*t0) + t0*(s1*s3 - s2*s2)) AS d2
+         (s0*(s2*t2 - s3*t1) - s1*(s1*t2 - s2*t1) + t0*(s1*s3 - s2*s2)) AS d2
   FROM sums
 )
 SELECT CAST(user_id AS BIGINT) AS user_id,

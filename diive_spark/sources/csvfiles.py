@@ -31,7 +31,7 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # diive/configs/filetypes/DIIVE-CSV-30MIN.yml DATA.NA_VALUES
@@ -86,9 +86,16 @@ def read_multifile_csv(
     **kwargs,
 ) -> DataFrame:
     """S3: union all files (earlier path = higher priority) and keep, per
-    timestamp, the first file's non-null row — ``combine_first`` semantics
-    (filereader.py:271-272) as ONE dedup window instead of N-1 outer
-    joins: scales linearly in file count."""
+    timestamp, the first non-null value PER COLUMN — exact pandas
+    ``combine_first`` cell semantics (filereader.py:271-272): when the
+    higher-priority file has a null cell at an overlapping timestamp, the
+    lower-priority file's value for that column fills it.
+
+    One groupBy(ts) with a ``min(struct(_prio, v))`` per column — the
+    ``when(isNotNull)`` guard makes min skip null cells, and struct
+    ordering picks the lowest surviving priority.  Map-side combinable
+    (partial min per input split), ONE shuffle, linear in file count —
+    vs the reference's N-1 sequential pandas outer joins."""
     parts = []
     for prio, p in enumerate(paths):
         parts.append(
@@ -99,12 +106,17 @@ def read_multifile_csv(
     unioned = parts[0]
     for df in parts[1:]:
         unioned = unioned.unionByName(df)
-    w = Window.partitionBy("ts").orderBy("_prio")
-    return (
-        unioned.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_prio", "_rn")
-    )
+    value_cols = [c for c in unioned.columns if c not in ("ts", "_prio")]
+    aggs = [
+        F.min(
+            F.when(
+                F.col(c).isNotNull(),
+                F.struct(F.col("_prio").alias("p"), F.col(c).alias("v")),
+            )
+        )["v"].alias(c)
+        for c in value_cols
+    ]
+    return unioned.groupBy("ts").agg(*aggs)
 
 
 def write_split(

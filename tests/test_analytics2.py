@@ -69,3 +69,44 @@ def test_cosine_neardup_pairs(spark):
     ).toPandas()
     assert list(zip(out["id_a"], out["id_b"])) == [(1, 2)]
     assert out["cos_sim"].iloc[0] > 0.99
+
+
+def test_binned_quadratic_fit_matches_polyfit(spark):
+    """Guard against shared Spark/oracle algebra errors (ADVICE r1): the
+    closed-form Cramer's-rule coefficients must match np.polyfit — the
+    reference's actual method (fits.py:74-260) — on random data."""
+    from diive_spark.operators.analytics import binned_quadratic_fit
+
+    rng = np.random.default_rng(42)
+    n, n_bins = 600, 12
+    rows = pd.DataFrame(
+        {
+            "g": np.repeat([1, 2, 3], n // 3),
+            "x": rng.uniform(-5, 20, n),
+            "y": rng.normal(0, 1, n),
+            "ord": np.arange(n),
+        }
+    )
+    # non-trivial curvature + offset so s1 != 0 exercises the d2 middle term
+    rows["y"] += 0.3 * rows["x"] ** 2 - 2.0 * rows["x"] + 7.0
+    out = (
+        binned_quadratic_fit(
+            spark.createDataFrame(rows), "g", "x", "y", n_bins=n_bins,
+            order_cols=["ord"],
+        )
+        .toPandas()
+        .set_index("g")
+        .sort_index()
+    )
+    for g, grp in rows.groupby("g"):
+        grp = grp.sort_values(["x", "ord"]).reset_index(drop=True)
+        # ntile replica: first (k % n_bins) buckets get one extra row
+        k = len(grp)
+        base, rem = divmod(k, n_bins)
+        sizes = [base + 1 if i < rem else base for i in range(n_bins)]
+        bins = np.repeat(np.arange(n_bins), sizes)
+        med = grp.groupby(bins).agg(mx=("x", "median"), my=("y", "median"))
+        c2, c1, c0 = np.polyfit(med["mx"], med["my"], 2)
+        assert abs(out.loc[g, "c0"] - c0) < 1e-8
+        assert abs(out.loc[g, "c1"] - c1) < 1e-8
+        assert abs(out.loc[g, "c2"] - c2) < 1e-8

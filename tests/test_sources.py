@@ -54,10 +54,10 @@ def test_read_multifile_combine_first(spark, tmp_path):
     rows = df.toPandas()
     # union of timestamps: 5 distinct
     assert len(rows) == 5
-    # overlapping ts 01:00 -> first file wins (TA null from sentinel, but the
-    # ROW comes from file A per combine-first row semantics)
+    # overlapping ts 01:00 -> per-CELL combine_first: file A's TA is null
+    # (sentinel), so file B's 9.9 fills it; RH keeps file A's 81.0
     overlap = rows[rows["ts"] == pd.Timestamp("2024-01-01 01:00:00")].iloc[0]
-    assert pd.isna(overlap["TA"]) and overlap["RH"] == 81.0
+    assert overlap["TA"] == 9.9 and overlap["RH"] == 81.0
     # 02:30 only in file B
     only_b = rows[rows["ts"] == pd.Timestamp("2024-01-01 02:30:00")].iloc[0]
     assert only_b["TA"] == 3.0
