@@ -110,3 +110,20 @@ def test_binned_quadratic_fit_matches_polyfit(spark):
         assert abs(out.loc[g, "c0"] - c0) < 1e-8
         assert abs(out.loc[g, "c1"] - c1) < 1e-8
         assert abs(out.loc[g, "c2"] - c2) < 1e-8
+
+
+def test_unblocked_neardup_requires_opt_in(spark):
+    """block_col=None is an O(N^2) crossJoin — must raise without the
+    explicit allow_full_scan=True opt-in."""
+    import pytest
+
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["x y z"]}))
+    with pytest.raises(ValueError, match="allow_full_scan"):
+        ngram_jaccard_dedup(docs, "doc_id", "text")
+    vecs = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1], "embedding": [[1.0, 0.0]]})
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    with pytest.raises(ValueError, match="allow_full_scan"):
+        cosine_neardup_pairs(vecs, "vec_id", "embedding")
+    # opt-in path still works
+    assert ngram_jaccard_dedup(docs, "doc_id", "text", allow_full_scan=True).count() == 0
