@@ -403,6 +403,166 @@ FROM l32q
 """
 
 
+# ---------------------------------------------------------------------------
+# F12 (full) — EddyPro Level-2 flag family (level2_qualityflags.py:16-139,
+# eddyproflags.py:13-480): VM97 raw-data screens, AoA, wind steadiness,
+# SSITC, SCF, gas completeness, signal strength -> QCF ladder
+# ---------------------------------------------------------------------------
+
+L2_SS_THRESHOLD = 40.0
+L2_EXPECT_NR = 36000
+
+
+def q_flux_level2_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators import eddypro as EP
+
+    ev = _events(spark, sf_dir)
+    eid = F.col("event_id")
+    m5 = eid % 5
+    d1 = (eid % 2).cast("long")
+    d3 = F.when(m5 == 0, F.lit(1)).when(m5 == 1, F.lit(9)).otherwise(F.lit(0)).cast("long")
+    d6 = F.when(eid % 3 == 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    d8 = F.when(eid % 7 == 0, F.lit(9)).otherwise(F.lit(0)).cast("long")
+    vm97 = F.when(eid % 17 == 0, F.lit(None)).otherwise(
+        F.lit(800000000)
+        + d1 * 10000000
+        + d3 * 100000
+        + d6 * 100
+        + d8
+    )
+    nshw = (
+        F.when(m5 <= 1, F.lit(80))
+        .when(m5 == 2, F.lit(81))
+        .when(m5 == 3, F.lit(89))
+        .otherwise(F.lit(None))
+    )
+    base = ev.select(
+        eid.cast("long").alias("event_id"),
+        (F.col("value") - 50.0).alias("flux"),
+        vm97.cast("long").alias("vm97"),
+        _raw_vm97(ev).alias("aoa"),
+        nshw.alias("nshw"),
+        (eid % 3).cast("int").alias("ssitc"),
+        (F.lit(1.0) + F.col("value") / 25.0).alias("scf"),
+        (F.lit(L2_EXPECT_NR) - eid % 2000).alias("gas_nr"),
+        F.col("value").alias("ss"),
+    )
+    out, flag_cols = EP.level2_flags(
+        base,
+        "flux",
+        vm97_col="vm97",
+        vm97_tests=dict(spikes=True, dropout=True, skewkurt_sf=True, discont_sf=True),
+        aoa_col="aoa",
+        nshw_col="nshw",
+        ssitc_col="ssitc",
+        scf_col="scf",
+        nr_col="gas_nr",
+        expect_col=L2_EXPECT_NR,
+        signal_strength_col="ss",
+        signal_strength_method="discard below",
+        signal_strength_threshold=L2_SS_THRESHOLD,
+    )
+    out = FL.add_qcf(out, flag_cols, value_col="flux", qcf_col="qcf_l2", suffix="_l2")
+    return out.select(
+        "event_id",
+        *[F.col(c).cast("int").alias(c) for c in flag_cols],
+        F.col("qcf_l2").cast("int").alias("qcf_l2"),
+    )
+
+
+SQL_FLUX_LEVEL2_FLAGS = f"""
+WITH base AS (
+  SELECT event_id,
+         value - 50.0 AS flux,
+         CASE WHEN event_id % 17 = 0 THEN NULL ELSE
+              800000000
+              + (event_id % 2) * 10000000
+              + (CASE CAST(event_id % 5 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 9 ELSE 0 END) * 100000
+              + (CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) * 100
+              + (CASE WHEN event_id % 7 = 0 THEN 9 ELSE 0 END)
+         END AS vm97,
+         CASE CAST(event_id % 4 AS INT)
+              WHEN 0 THEN 80 WHEN 1 THEN 81 WHEN 2 THEN 89 ELSE NULL END AS aoa,
+         CASE WHEN event_id % 5 <= 1 THEN 80
+              WHEN event_id % 5 = 2 THEN 81
+              WHEN event_id % 5 = 3 THEN 89 ELSE NULL END AS nshw,
+         CAST(event_id % 3 AS INT) AS ssitc,
+         1.0 + value / 25.0 AS scf,
+         {L2_EXPECT_NR} - event_id % 2000 AS gas_nr,
+         value AS ss
+  FROM events
+), digits AS (
+  SELECT *,
+         CAST(substring(CAST(coalesce(vm97, 899999999) AS VARCHAR), 2, 1) AS INT) AS dg1,
+         CAST(substring(CAST(coalesce(vm97, 899999999) AS VARCHAR), 4, 1) AS INT) AS dg3,
+         CAST(substring(CAST(coalesce(vm97, 899999999) AS VARCHAR), 7, 1) AS INT) AS dg6,
+         CAST(substring(CAST(coalesce(vm97, 899999999) AS VARCHAR), 9, 1) AS INT) AS dg8,
+         CAST(substring(CAST(coalesce(aoa, 89) AS VARCHAR), 2, 1) AS INT) AS dga,
+         CAST(substring(CAST(coalesce(nshw, 89) AS VARCHAR), 2, 1) AS INT) AS dgn
+  FROM base
+), flags AS (
+  SELECT *,
+         CASE WHEN flux IS NULL THEN 2 ELSE 0 END AS flag_missing,
+         CASE WHEN dg1 = 9 THEN NULL WHEN dg1 = 1 THEN 2 ELSE dg1 END AS flag_vm97_spike_hf,
+         CASE WHEN dg3 = 9 THEN NULL ELSE dg3 END AS flag_vm97_dropout,
+         CASE WHEN dg6 = 9 THEN NULL ELSE dg6 END AS flag_vm97_skewkurt_sf,
+         CASE WHEN dg8 = 9 THEN NULL ELSE dg8 END AS flag_vm97_discontinuities_sf,
+         CASE WHEN dga = 9 THEN NULL WHEN dga = 1 THEN 2 ELSE dga END AS flag_vm97_aoa_hf,
+         CASE WHEN dgn = 9 THEN NULL WHEN dgn = 1 THEN 2 ELSE dgn END AS flag_vm97_nshw_hf,
+         ssitc AS flag_ssitc,
+         CASE WHEN scf < 2 THEN 0 WHEN scf >= 2 AND scf < 4 THEN 1
+              WHEN scf >= 4 THEN 2 END AS flag_scf,
+         CASE WHEN gas_nr / {L2_EXPECT_NR}.0 >= 0.99 THEN 0
+              WHEN gas_nr / {L2_EXPECT_NR}.0 >= 0.97 THEN 1
+              ELSE 2 END AS flag_completeness,
+         CASE WHEN ss >= {L2_SS_THRESHOLD} THEN 0
+              WHEN ss < {L2_SS_THRESHOLD} THEN 2 END AS flag_signal_strength
+  FROM digits
+), sums AS (
+  SELECT *,
+         (CASE WHEN flag_missing = 2 THEN 2 ELSE 0 END
+          + CASE WHEN flag_vm97_spike_hf = 2 THEN 2 ELSE 0 END
+          + CASE WHEN flag_vm97_dropout = 2 THEN 2 ELSE 0 END
+          + CASE WHEN flag_vm97_skewkurt_sf = 2 THEN 2 ELSE 0 END
+          + CASE WHEN flag_vm97_discontinuities_sf = 2 THEN 2 ELSE 0 END
+          + CASE WHEN flag_vm97_aoa_hf = 2 THEN 2 ELSE 0 END
+          + CASE WHEN flag_vm97_nshw_hf = 2 THEN 2 ELSE 0 END
+          + CASE WHEN flag_ssitc = 2 THEN 2 ELSE 0 END
+          + CASE WHEN flag_scf = 2 THEN 2 ELSE 0 END
+          + CASE WHEN flag_completeness = 2 THEN 2 ELSE 0 END
+          + CASE WHEN flag_signal_strength = 2 THEN 2 ELSE 0 END) AS hard,
+         (CASE WHEN flag_missing = 1 THEN 1 ELSE 0 END
+          + CASE WHEN flag_vm97_spike_hf = 1 THEN 1 ELSE 0 END
+          + CASE WHEN flag_vm97_dropout = 1 THEN 1 ELSE 0 END
+          + CASE WHEN flag_vm97_skewkurt_sf = 1 THEN 1 ELSE 0 END
+          + CASE WHEN flag_vm97_discontinuities_sf = 1 THEN 1 ELSE 0 END
+          + CASE WHEN flag_vm97_aoa_hf = 1 THEN 1 ELSE 0 END
+          + CASE WHEN flag_vm97_nshw_hf = 1 THEN 1 ELSE 0 END
+          + CASE WHEN flag_ssitc = 1 THEN 1 ELSE 0 END
+          + CASE WHEN flag_scf = 1 THEN 1 ELSE 0 END
+          + CASE WHEN flag_completeness = 1 THEN 1 ELSE 0 END
+          + CASE WHEN flag_signal_strength = 1 THEN 1 ELSE 0 END) AS soft
+  FROM flags
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(flag_missing AS INT) AS flag_missing,
+       CAST(flag_vm97_spike_hf AS INT) AS flag_vm97_spike_hf,
+       CAST(flag_vm97_dropout AS INT) AS flag_vm97_dropout,
+       CAST(flag_vm97_skewkurt_sf AS INT) AS flag_vm97_skewkurt_sf,
+       CAST(flag_vm97_discontinuities_sf AS INT) AS flag_vm97_discontinuities_sf,
+       CAST(flag_vm97_aoa_hf AS INT) AS flag_vm97_aoa_hf,
+       CAST(flag_vm97_nshw_hf AS INT) AS flag_vm97_nshw_hf,
+       CAST(flag_ssitc AS INT) AS flag_ssitc,
+       CAST(flag_scf AS INT) AS flag_scf,
+       CAST(flag_completeness AS INT) AS flag_completeness,
+       CAST(flag_signal_strength AS INT) AS flag_signal_strength,
+       CAST(CASE WHEN soft BETWEEN 1 AND 3 AND hard = 0 THEN 1
+                 WHEN hard >= 2 OR soft > 3 THEN 2
+                 WHEN hard + soft = 0 THEN 0 END AS INT) AS qcf_l2
+FROM sums
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "potential_radiation": q_potential_radiation,
     "vpd": q_vpd,
@@ -411,6 +571,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wind_rotation": q_wind_rotation,
     "winddir_offset": q_winddir_offset,
     "eddypro_digit_flags": q_eddypro_digit_flags,
+    "flux_level2_flags": q_flux_level2_flags,
     "flux_chain": q_flux_chain,
 }
 
@@ -422,5 +583,6 @@ ORACLE_SQL: dict[str, str] = {
     "wind_rotation": SQL_WIND_ROTATION,
     "winddir_offset": SQL_WINDDIR_OFFSET,
     "eddypro_digit_flags": SQL_EDDYPRO_DIGIT,
+    "flux_level2_flags": SQL_FLUX_LEVEL2_FLAGS,
     "flux_chain": SQL_FLUX_CHAIN,
 }

@@ -76,8 +76,10 @@ def load_reference():
             )
             from diive.pkgs.outlierdetection.localsd import LocalSD  # noqa: F401
             from diive.pkgs.qaqc.qcf import FlagQCF  # noqa: F401
+            from diive.pkgs.qaqc import eddyproflags  # noqa: F401
 
             return types.SimpleNamespace(
+                eddyproflags=eddyproflags,
                 resample_series_to_30MIN=resample_series_to_30MIN,
                 zscore=zscore,
                 linear_interpolation=linear_interpolation,

@@ -86,3 +86,104 @@ def test_radiation_offset_matches_reference(spark):
         .to_numpy()
     )
     np.testing.assert_allclose(got, want.to_numpy(), rtol=1e-12, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# F12 — EddyPro Level-2 flags vs the imported reference (eddyproflags.py)
+# ---------------------------------------------------------------------------
+
+def _l2_fixture(n=400, seed=7):
+    rng = np.random.default_rng(seed)
+    idx = pd.date_range("2024-03-01", periods=n, freq="30min")
+    df = pd.DataFrame(index=idx)
+    # fluxnet VM97 packed integer with digits 0/1/9 + missing rows
+    digits = rng.integers(0, 3, size=(n, 8))
+    digits = np.where(digits == 2, 9, digits)
+    vm97 = 8 * 10**8 + (digits * (10 ** np.arange(7, -1, -1))).sum(axis=1)
+    vm97 = vm97.astype(float)
+    vm97[rng.random(n) < 0.1] = np.nan
+    df["CO2_VM97_TEST"] = vm97
+    aoa = rng.choice([80.0, 81.0, 89.0, np.nan], size=n)
+    df["VM97_AOA_HF"] = aoa
+    df["VM97_NSHW_HF"] = rng.choice([80.0, 81.0, 89.0, np.nan], size=n)
+    df["SS"] = rng.uniform(0, 100, n)
+    df.loc[rng.random(n) < 0.05, "SS"] = np.nan
+    df["FC_SCF"] = rng.uniform(0.5, 6.0, n)
+    df["EXPECT_NR"] = 36000
+    df["CO2_NR"] = (36000 * rng.uniform(0.9, 1.0, n)).round()
+    df["FC_SSITC_TEST"] = rng.integers(0, 3, n).astype(float)
+    return df
+
+
+def _spark_flags(spark, pdf):
+    from diive_spark.operators import eddypro as EP
+
+    sdf = spark.createDataFrame(pdf.reset_index(names="ts"))
+    out = sdf.select(
+        "ts",
+        *[c.alias(n) for n, c in EP.vm97_fluxnet_flags(
+            "CO2_VM97_TEST", spikes=True, amplitude=True, dropout=True,
+            abslim=True, skewkurt_hf=True, skewkurt_sf=True,
+            discont_hf=True, discont_sf=True,
+        ).items()],
+        EP.flag_angle_of_attack("VM97_AOA_HF").alias("aoa"),
+        EP.flag_steadiness_horizontal_wind("VM97_NSHW_HF").alias("nshw"),
+        EP.flag_signal_strength("SS", "discard below", 40).alias("ss_below"),
+        EP.flag_signal_strength("SS", "discard above", 60).alias("ss_above"),
+        EP.flag_spectral_correction_factor("FC_SCF").alias("scf"),
+        EP.flag_gas_completeness("CO2_NR", "EXPECT_NR").alias("compl"),
+        EP.flag_ssitc("FC_SSITC_TEST").alias("ssitc"),
+    )
+    return out.toPandas().set_index("ts").sort_index()
+
+
+def test_eddypro_level2_flags_match_reference(spark):
+    epf = ref.eddyproflags
+    pdf = _l2_fixture()
+    got = _spark_flags(spark, pdf)
+
+    vm97 = epf.flags_vm97_eddypro_fluxnetfile_tests(
+        df=pdf, units=None, flux="FC", gas="CO2",
+        spikes=True, amplitude=True, dropout=True, abslim=True,
+        skewkurt_hf=True, skewkurt_sf=True, discont_hf=True, discont_sf=True,
+    )
+    name_map = {
+        "flag_vm97_spike_hf": "FLAGNone_FC_CO2_VM97_SPIKE_HF_TEST",
+        "flag_vm97_amplitude_resolution_hf": "FLAGNone_FC_CO2_VM97_AMPLITUDE_RESOLUTION_HF_TEST",
+        "flag_vm97_dropout": "FLAGNone_FC_CO2_VM97_DROPOUT_TEST",
+        "flag_vm97_absolute_limits_hf": "FLAGNone_FC_CO2_VM97_ABSOLUTE_LIMITS_HF_TEST",
+        "flag_vm97_skewkurt_hf": "FLAGNone_FC_CO2_VM97_SKEWKURT_HF_TEST",
+        "flag_vm97_skewkurt_sf": "FLAGNone_FC_CO2_VM97_SKEWKURT_SF_TEST",
+        "flag_vm97_discontinuities_hf": "FLAGNone_FC_CO2_VM97_DISCONTINUITIES_HF_TEST",
+        "flag_vm97_discontinuities_sf": "FLAGNone_FC_CO2_VM97_DISCONTINUITIES_SF_TEST",
+    }
+    for ours, theirs in name_map.items():
+        np.testing.assert_array_equal(
+            got[ours].astype(float).values, vm97[theirs].astype(float).values,
+            err_msg=ours,
+        )
+
+    aoa = epf.flag_angle_of_attack_eddypro_test(
+        df=pdf, flux="FC", filetype="EDDYPRO-FLUXNET-30MIN")
+    np.testing.assert_array_equal(got["aoa"].astype(float).values, aoa.values)
+    nshw = epf.flag_steadiness_horizontal_wind_eddypro_test(
+        df=pdf, flux="FC", filetype="EDDYPRO-FLUXNET-30MIN")
+    np.testing.assert_array_equal(got["nshw"].astype(float).values, nshw.values)
+
+    for method, thr, col in (("discard below", 40, "ss_below"), ("discard above", 60, "ss_above")):
+        ss = epf.flag_signal_strength_eddypro_test(
+            df=pdf, signal_strength_col="SS", var_col="FC",
+            method=method, threshold=thr)
+        np.testing.assert_array_equal(got[col].astype(float).values, ss.values, err_msg=col)
+
+    scf = epf.flag_spectral_correction_factor_eddypro_test(
+        df=pdf, flux="FC", gas="CO2", filetype="EDDYPRO-FLUXNET-30MIN")
+    np.testing.assert_array_equal(got["scf"].astype(float).values, scf.values)
+
+    compl = epf.flag_gas_completeness_eddypro_test(
+        df=pdf, flux="FC", gas="CO2", filetype="EDDYPRO-FLUXNET-30MIN")
+    np.testing.assert_array_equal(got["compl"].astype(float).values, compl.values)
+
+    ssitc = epf.flag_ssitc_eddypro_test(
+        df=pdf, flux="FC", filetype="EDDYPRO-FLUXNET-30MIN")
+    np.testing.assert_array_equal(got["ssitc"].astype(float).values, ssitc.values)
