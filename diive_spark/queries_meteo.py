@@ -563,6 +563,54 @@ FROM sums
 """
 
 
+# ---------------------------------------------------------------------------
+# §2.11 FormatEddyProFluxnetFileForUpload (formats/fluxnet.py:31-322):
+# subset -> variable codes -> _1_1_1 suffix -> YYYYMMDDhhmm timestamps ->
+# -9999 fill (the yearly CSV write itself is tested in pytest)
+# ---------------------------------------------------------------------------
+
+def q_export_fluxnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.sources.fluxnet import format_fluxnet
+
+    ev = _events(spark, sf_dir)
+    eid = F.col("event_id")
+    base = ev.select(
+        "ts",
+        F.when(eid % 13 == 0, F.lit(None))
+        .otherwise(F.round(F.col("value") - 50.0, 4)).alias("FC"),
+        (eid % 3).cast("double").alias("FC_SSITC_TEST"),
+        F.round(F.sin(F.radians(eid % 360)) * 2, 4).alias("SC_SINGLE"),
+        F.round(F.col("value") * 4 + 380, 4).alias("CO2"),
+        (eid % 360).cast("double").alias("WD"),
+        F.when(eid % 11 == 0, F.lit(None))
+        .otherwise(F.round(F.col("value") / 3, 4)).alias("TA_1_1_1"),
+    )
+    return format_fluxnet(base, ts_col="ts", freq_seconds=1800)
+
+
+SQL_EXPORT_FLUXNET = """
+WITH base AS (
+  SELECT ts,
+         CASE WHEN event_id % 13 = 0 THEN NULL ELSE round(value - 50.0, 4) END AS fc,
+         CAST(event_id % 3 AS DOUBLE) AS ssitc,
+         round(2 * sin(radians(event_id % 360)), 4) AS sc,
+         round(value * 4 + 380, 4) AS co2,
+         CAST(event_id % 360 AS DOUBLE) AS wd,
+         CASE WHEN event_id % 11 = 0 THEN NULL ELSE round(value / 3, 4) END AS ta
+  FROM events
+)
+SELECT strftime(ts - INTERVAL 1800 SECOND, '%Y%m%d%H%M') AS TIMESTAMP_START,
+       strftime(ts, '%Y%m%d%H%M') AS TIMESTAMP_END,
+       coalesce(fc, -9999) AS FC_1_1_1,
+       coalesce(ssitc, -9999) AS FC_SSITC_TEST_1_1_1,
+       coalesce(sc, -9999) AS SC_1_1_1,
+       coalesce(co2, -9999) AS CO2_1_1_1,
+       coalesce(wd, -9999) AS WD_1_1_1,
+       coalesce(ta, -9999) AS TA_1_1_1
+FROM base
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "potential_radiation": q_potential_radiation,
     "vpd": q_vpd,
@@ -572,6 +620,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winddir_offset": q_winddir_offset,
     "eddypro_digit_flags": q_eddypro_digit_flags,
     "flux_level2_flags": q_flux_level2_flags,
+    "export_fluxnet": q_export_fluxnet,
     "flux_chain": q_flux_chain,
 }
 
@@ -584,5 +633,6 @@ ORACLE_SQL: dict[str, str] = {
     "winddir_offset": SQL_WINDDIR_OFFSET,
     "eddypro_digit_flags": SQL_EDDYPRO_DIGIT,
     "flux_level2_flags": SQL_FLUX_LEVEL2_FLAGS,
+    "export_fluxnet": SQL_EXPORT_FLUXNET,
     "flux_chain": SQL_FLUX_CHAIN,
 }

@@ -5,6 +5,7 @@ from __future__ import annotations
 import glob
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from diive_spark.sources.csvfiles import (
     load_parquet_with_meta,
@@ -82,3 +83,41 @@ def test_parquet_meta_roundtrip(spark, tmp_path, sf_dir):
     df, meta = load_parquet_with_meta(spark, out)
     assert df.count() == 10
     assert meta == {"freq_seconds": 1800, "timestamp_convention": "end"}
+
+
+def test_fluxnet_export_yearly_roundtrip(spark, tmp_path, sf_dir):
+    """FLUXNET sink (formats/fluxnet.py:31-322): formatted layout +
+    one partition directory per year, -9999 fill, YYYYMMDDhhmm."""
+    from diive_spark.sources.fluxnet import export_fluxnet_yearly, format_fluxnet
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(500)
+    base = ev.select(
+        "ts",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None))
+        .otherwise(F.col("value")).alias("FC"),
+        (F.col("event_id") % 3).cast("double").alias("FC_SSITC_TEST"),
+        F.col("value").alias("SC_SINGLE"),
+        F.col("value").alias("not_shareable"),
+    )
+    out = format_fluxnet(base, ts_col="ts", freq_seconds=1800)
+    assert out.columns == ["TIMESTAMP_START", "TIMESTAMP_END", "FC_1_1_1",
+                          "FC_SSITC_TEST_1_1_1", "SC_1_1_1"]
+    rows = out.toPandas()
+    # -9999 fill and YYYYMMDDhhmm format
+    assert (rows["FC_1_1_1"] == -9999).sum() > 0
+    assert rows["TIMESTAMP_END"].str.len().eq(12).all()
+    # start = end - 30min
+    s = pd.to_datetime(rows["TIMESTAMP_START"], format="%Y%m%d%H%M")
+    e = pd.to_datetime(rows["TIMESTAMP_END"], format="%Y%m%d%H%M")
+    assert ((e - s) == pd.Timedelta(minutes=30)).all()
+
+    export_fluxnet_yearly(out, str(tmp_path), site="CH-TEST")
+    back = spark.read.option("header", True).csv(
+        str(tmp_path / "CH-TEST_fluxes_meteo")
+    )
+    assert back.count() == 500
+    years = sorted(
+        p.name.split("=")[1] for p in (tmp_path / "CH-TEST_fluxes_meteo").iterdir()
+        if p.name.startswith("year=")
+    )
+    assert years == sorted(rows["TIMESTAMP_END"].str[:4].unique())
