@@ -151,3 +151,104 @@ def ml_gapfill(
 
     sel = df.select(key_col, ts_s_col, value_col)
     return sel.groupBy(key_col).applyInPandas(kernel, schema)
+
+
+def year_pools(years) -> list[tuple[int, int, int]]:
+    """(center_year, pool_min, pool_max) per year — the year and its two
+    nearest neighboring years, replicating ``neighboring_years``
+    (/root/reference/diive/core/times/neighbors.py:6-46) including the
+    ``find_nearest_val`` argmin-first tie-break (funcs.py:44-48): for a
+    year with both adjacent neighbors present the EARLIER year wins the
+    tie, so pools match the reference's 2013->[2013..2015],
+    2014->[2013..2015], 2015->[2014..2016] pattern.  The pool is the
+    [min, max] year RANGE (the reference's ``_limit_yearpool_data``
+    slices by range, not by membership)."""
+    ys = sorted({int(y) for y in years})
+    out = []
+    for y in ys:
+        rest = [u for u in ys if u != y]
+        pool = [y]
+        for _ in range(2):
+            if not rest:
+                break
+            nearest = min(rest, key=lambda u: (abs(u - y), u))
+            pool.append(nearest)
+            rest.remove(nearest)
+        out.append((y, min(pool), max(pool)))
+    return out
+
+
+def ml_gapfill_longterm(
+    df: DataFrame,
+    key_col: str,
+    ts_s_col: str,
+    value_col: str,
+    n_lags: int = 1,
+    grid_step: int | None = None,
+) -> DataFrame:
+    """M3 ``LongTermRandomForestTS`` (randomforest_ts.py:948-1095): each
+    year is gap-filled by a model trained on the year plus its two
+    nearest neighboring years; only the center year's rows are kept from
+    each pool run (the reference's ``keepyear`` collect).
+
+    Distributed shape: rows are replicated into every pool whose
+    [ymin, ymax] range covers their year (<= 3x fan-out — the standard
+    halo trick), then ONE grouped kernel per (key, center_year) trains
+    and fills; each output row is emitted exactly once, by its own
+    year's pool.  Parallelism is keys x years instead of the reference's
+    sequential per-year loop; per-task memory is bounded by one series'
+    3-year pool."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType
+
+    key_field = [f for f in df.schema.fields if f.name == key_col][0]
+    d = df.select(
+        F.col(key_col),
+        F.col(ts_s_col).alias("ts_s"),
+        F.col(value_col).alias("value"),
+        F.year(F.timestamp_seconds(F.col(ts_s_col))).cast("int").alias("_yr"),
+    )
+    ylist = (
+        d.select(key_col, "_yr")
+        .distinct()
+        .groupBy(key_col)
+        .agg(F.sort_array(F.collect_list("_yr")).alias("_years"))
+    )
+    pool_schema = StructType(
+        [
+            key_field,
+            StructField("_cy", IntegerType()),
+            StructField("_ymin", IntegerType()),
+            StructField("_ymax", IntegerType()),
+        ]
+    )
+
+    def pools(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k, years in zip(pdf[key_col], pdf["_years"]):
+                for c, mn, mx in year_pools(years):
+                    rows.append((k, c, mn, mx))
+            yield pd.DataFrame(rows, columns=[key_col, "_cy", "_ymin", "_ymax"])
+
+    pools_df = ylist.mapInPandas(pools, pool_schema)
+    tagged = d.join(pools_df, on=key_col).filter(
+        (F.col("_yr") >= F.col("_ymin")) & (F.col("_yr") <= F.col("_ymax"))
+    )
+
+    schema = StructType(
+        [key_field, StructField("center_year", IntegerType())] + FILL_SCHEMA_FIELDS
+    )
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        k, cy = key[0], key[1]
+        out = fill_series_pdf(
+            pdf[["ts_s", "value"]], n_lags=n_lags, grid_step=grid_step
+        )
+        yrs = pd.to_datetime(out["ts_s"], unit="s").dt.year
+        out = out[yrs == cy].reset_index(drop=True)
+        out.insert(0, "center_year", np.int32(cy))
+        out.insert(0, key_col, k)
+        return out
+
+    return tagged.groupBy(key_col, "_cy").applyInPandas(kernel, schema)

@@ -99,6 +99,38 @@ def q_ml_gapfill_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ml_gapfill_longterm — M3 LongTermRandomForestTS
+# (randomforest_ts.py:948-1095): per-year model trained on the year plus
+# its two nearest neighbor years (rows-only driver check: the iterative
+# fit is not SQL-expressible; pytest-exact vs a pandas oracle of the same
+# year-pool scheme in tests/test_extract_ml_streaming.py)
+# ---------------------------------------------------------------------------
+
+def q_ml_gapfill_longterm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.ml.gapfill import ml_gapfill_longterm
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # events span only ~1 month — stretch time 40x so the fixture covers
+    # several calendar years (the scheme under test is per-year pooling)
+    stretched = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000 * 40)
+        .cast("long").alias("ts_s"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("value")).alias("v"),
+    )
+    agg = stretched.groupBy("user_id", "ts_s").agg(F.avg("v").alias("v"))
+    out = ml_gapfill_longterm(agg, "user_id", "ts_s", "v", n_lags=1)
+    return out.select(
+        "user_id",
+        "center_year",
+        "ts_s",
+        F.round("value_filled", 4).alias("v_filled"),
+        F.col("flag_fill").cast("int").alias("flag_fill"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # flag_lof — F9 LocalOutlierFactor (rows-only driver check: kNN-density is
 # not SQL-expressible; exactness vs a brute-force O(n^2) LOF oracle is
 # asserted in tests/test_lof.py)
@@ -152,6 +184,7 @@ def q_gorilla_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_text_roundtrip": q_extract_text_roundtrip,
     "ml_gapfill_30min": q_ml_gapfill_30min,
+    "ml_gapfill_longterm": q_ml_gapfill_longterm,
     "flag_lof": q_flag_lof,
     "gorilla_blocks": q_gorilla_blocks,
 }

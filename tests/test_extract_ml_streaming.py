@@ -122,3 +122,56 @@ def test_stream_rollup_matches_batch(spark, sf_dir, tmp_path):
     }
     assert g == b
     assert len(g) > 0
+
+
+def test_ml_gapfill_longterm_matches_pandas_oracle(spark):
+    """M3: Spark year-pool plumbing (fan-out join + per-(key, year)
+    kernel + center-year keep) must equal a sequential pandas run of the
+    same scheme built directly on fill_series_pdf."""
+    from diive_spark.ml.gapfill import ml_gapfill_longterm, year_pools
+
+    rng = np.random.default_rng(3)
+    # 3.5 years of 6-hourly data with gaps, two series
+    ts = (pd.Timestamp("2013-01-01").value // 10**9
+          + np.arange(5100) * 21600).astype(np.int64)
+    frames = []
+    for key in (1, 2):
+        v = np.sin(np.arange(5100) / 50) * 10 + key + rng.normal(0, 0.3, 5100)
+        v[rng.random(5100) < 0.08] = np.nan
+        frames.append(pd.DataFrame({"key": key, "ts_s": ts, "value": v}))
+    both = pd.concat(frames, ignore_index=True)
+
+    got = (
+        ml_gapfill_longterm(
+            spark.createDataFrame(both), "key", "ts_s", "value", n_lags=1
+        )
+        .toPandas()
+        .sort_values(["key", "ts_s"])
+        .reset_index(drop=True)
+    )
+
+    # pandas oracle: same pools, same kernel, sequential
+    expect_parts = []
+    for key, grp in both.groupby("key"):
+        years = pd.to_datetime(grp["ts_s"], unit="s").dt.year
+        for cy, ymin, ymax in year_pools(years.unique()):
+            pool = grp[(years >= ymin) & (years <= ymax)]
+            filled = fill_series_pdf(pool[["ts_s", "value"]], n_lags=1)
+            fy = pd.to_datetime(filled["ts_s"], unit="s").dt.year
+            keep = filled[fy == cy].copy()
+            keep.insert(0, "center_year", cy)
+            keep.insert(0, "key", key)
+            expect_parts.append(keep)
+    expect = (
+        pd.concat(expect_parts, ignore_index=True)
+        .sort_values(["key", "ts_s"])
+        .reset_index(drop=True)
+    )
+
+    assert len(got) == len(both)  # every row exactly once
+    np.testing.assert_array_equal(got["center_year"], expect["center_year"])
+    np.testing.assert_allclose(got["value_filled"], expect["value_filled"])
+    assert (got["flag_fill"].to_numpy() == expect["flag_fill"].to_numpy()).all()
+    # 2013 rows were filled by the 2013-2015 pool, 2016 rows by 2014-2016
+    y13 = got[got["center_year"] == 2013]
+    assert len(y13) > 0 and (pd.to_datetime(y13["ts_s"], unit="s").dt.year == 2013).all()
