@@ -110,12 +110,16 @@ def q_ml_gapfill_longterm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diive_spark.ml.gapfill import ml_gapfill_longterm
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # events span only ~1 month — stretch time 40x so the fixture covers
-    # several calendar years (the scheme under test is per-year pooling)
+    # events span only ~1 month (anchored at 2024-01-01 = 1704067200) —
+    # stretch 40x from a 2013 base so the fixture covers several calendar
+    # years (the scheme under test is per-year pooling)
     stretched = ev.select(
         F.col("user_id").cast("long").alias("user_id"),
-        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000 * 40)
-        .cast("long").alias("ts_s"),
+        (
+            F.lit(1356998400)
+            + (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
+               - F.lit(1704067200)) * 40
+        ).cast("long").alias("ts_s"),
         F.when(F.col("event_id") % 7 == 0, F.lit(None))
         .otherwise(F.col("value")).alias("v"),
     )
