@@ -98,6 +98,120 @@ def freq_detect(
     )
 
 
+def freq_detect_reconciled(
+    df: DataFrame, key_col: str, ts_col: str
+) -> DataFrame:
+    """T6 full 3-way DetectFrequency reconcile (reference
+    /root/reference/diive/core/times/times.py:637-801), per key:
+
+    * ``full``  — the whole index is one constant delta and n >= 10
+      (pd.infer_freq-over-fullset analog for second grids);
+    * ``mode``  — most frequent delta holds > 90% of ALL rows (the
+      reference divides by the row count INCLUDING the first NaN delta,
+      times.py:793-797);
+    * ``prog``  — progressively shrinking head/tail check: some
+      ndr in [4, 1000] with n >= 2*ndr has the first ndr and last ndr
+      rows regular with the same delta — equivalently the leading and
+      trailing constant-delta runs both span >= 3 deltas and agree.
+
+    Reconcile mirrors the reference's branch order exactly, including
+    the quirk that three DISAGREEING detections yield freq = null
+    (times.py:664-672 sets nothing when the set has > 1 element):
+    all-agree -> 'max'; all-found-but-disagree -> 'ambiguous' (null
+    freq); else full -> 'max', mode -> 'high', prog -> 'medium',
+    nothing -> 'failed'.
+
+    Plan shape: every window and aggregation is keyed by ``key_col`` —
+    one hash exchange serves the lag, both rank directions and the final
+    aggregate; the mode sub-aggregate is map-side combinable.
+    """
+    w = Window.partitionBy(key_col).orderBy("_e")
+    wd = Window.partitionBy(key_col).orderBy(F.col("_e").desc())
+    wk = Window.partitionBy(key_col)
+    d = (
+        df.select(key_col, F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_e"))
+        .withColumn("delta", (F.col("_e") - F.lag("_e").over(w)) / F.lit(1_000_000.0))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rnd", F.row_number().over(wd))
+    )
+    d = d.withColumn(
+        "fd", F.max(F.when(F.col("rn") == 2, F.col("delta"))).over(wk)
+    ).withColumn(
+        "ld", F.max(F.when(F.col("rnd") == 1, F.col("delta"))).over(wk)
+    )
+    per_key = d.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.count_distinct("delta").alias("n_distinct"),
+        F.max("fd").alias("first_delta"),
+        F.max("ld").alias("last_delta"),
+        F.min(
+            F.when((F.col("rn") >= 2) & (F.col("delta") != F.col("fd")), F.col("rn"))
+        ).alias("first_mismatch"),
+        F.min(
+            F.when((F.col("rnd") >= 1) & F.col("delta").isNotNull()
+                   & (F.col("delta") != F.col("ld")), F.col("rnd"))
+        ).alias("last_mismatch"),
+    )
+    mode_counts = (
+        d.filter(F.col("delta").isNotNull())
+        .groupBy(key_col, "delta")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    wr = Window.partitionBy(key_col).orderBy(F.col("cnt").desc(), F.col("delta").asc())
+    mode = (
+        mode_counts.withColumn("_r", F.row_number().over(wr))
+        .filter(F.col("_r") == 1)
+        .select(key_col, F.col("delta").alias("mode_delta"), F.col("cnt").alias("mode_cnt"))
+    )
+    j = per_key.join(mode, key_col, "left")
+    lead_len = F.coalesce(F.col("first_mismatch"), F.col("n") + 1) - 2
+    trail_len = F.coalesce(F.col("last_mismatch"), F.col("n")) - 1
+    freq_full = F.when(
+        (F.col("n") >= 10) & (F.col("n_distinct") == 1), F.col("first_delta")
+    )
+    freq_mode = F.when(
+        F.col("mode_cnt") / F.col("n") > 0.90, F.col("mode_delta")
+    )
+    freq_prog = F.when(
+        (F.col("n") >= 8)
+        & (F.col("first_delta") == F.col("last_delta"))
+        & (lead_len >= 3)
+        & (trail_len >= 3),
+        F.col("first_delta"),
+    )
+    out = j.select(
+        key_col,
+        F.col("n"),
+        freq_full.alias("freq_full_s"),
+        freq_mode.alias("freq_mode_s"),
+        freq_prog.alias("freq_prog_s"),
+    )
+    all3 = (
+        F.col("freq_full_s").isNotNull()
+        & F.col("freq_mode_s").isNotNull()
+        & F.col("freq_prog_s").isNotNull()
+    )
+    agree = (F.col("freq_full_s") == F.col("freq_mode_s")) & (
+        F.col("freq_mode_s") == F.col("freq_prog_s")
+    )
+    return out.withColumn(
+        "freq_s",
+        F.when(all3 & agree, F.col("freq_full_s"))
+        .when(all3, F.lit(None))
+        .when(F.col("freq_full_s").isNotNull(), F.col("freq_full_s"))
+        .when(F.col("freq_mode_s").isNotNull(), F.col("freq_mode_s"))
+        .when(F.col("freq_prog_s").isNotNull(), F.col("freq_prog_s")),
+    ).withColumn(
+        "confidence",
+        F.when(all3 & agree, F.lit("max"))
+        .when(all3, F.lit("ambiguous"))
+        .when(F.col("freq_full_s").isNotNull(), F.lit("max"))
+        .when(F.col("freq_mode_s").isNotNull(), F.lit("high"))
+        .when(F.col("freq_prog_s").isNotNull(), F.lit("medium"))
+        .otherwise(F.lit("failed")),
+    )
+
+
 def lag_search_max_cov(
     df: DataFrame,
     key_col: str,

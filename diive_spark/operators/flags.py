@@ -172,3 +172,41 @@ def add_qcf(
         F.when(F.col(qcf_col) > 0, F.lit(None)).otherwise(F.col(value_col)),
     )
     return out
+
+
+def add_qcf_daynight(
+    df: DataFrame,
+    flag_cols: list[str],
+    value_col: str = "value",
+    daytime_col: str | None = None,
+    nighttime_col: str | None = None,
+    daytime_accept_qcf_below: int = 2,
+    nighttime_accept_qcf_below: int = 2,
+    qcf_col: str = "qcf",
+    suffix: str = "",
+) -> DataFrame:
+    """QCF ladder with daytime/nighttime acceptance thresholds
+    (/root/reference/diive/pkgs/qaqc/qcf.py:264-282): after the base
+    ladder, DAYTIME records with ``qcf >= daytime_accept_qcf_below`` are
+    rejected (set to 2), then NIGHTTIME records likewise against the
+    UPDATED flag — sequential overwrites exactly like the reference's
+    two ``.loc`` assignments. The filtered series columns are rebuilt
+    from the final flag."""
+    out = add_qcf(df, flag_cols, value_col=value_col, qcf_col=qcf_col, suffix=suffix)
+    q = F.col(qcf_col)
+    if daytime_col is not None:
+        q = F.when(
+            (q >= daytime_accept_qcf_below) & (F.col(daytime_col) == 1), F.lit(2)
+        ).otherwise(q)
+    if nighttime_col is not None:
+        q = F.when(
+            (q >= nighttime_accept_qcf_below) & (F.col(nighttime_col) == 1), F.lit(2)
+        ).otherwise(q)
+    out = out.withColumn(qcf_col, q.cast("tinyint"))
+    return out.withColumn(
+        f"{value_col}_qcf",
+        F.when(F.col(qcf_col) == 2, F.lit(None)).otherwise(F.col(value_col)),
+    ).withColumn(
+        f"{value_col}_qcf0",
+        F.when(F.col(qcf_col) > 0, F.lit(None)).otherwise(F.col(value_col)),
+    )

@@ -464,8 +464,122 @@ FROM solved
 """
 
 
+# ---------------------------------------------------------------------------
+# T6 (full) — DetectFrequency 3-way reconcile (times.py:637-801): per-key
+# synthetic series in four regularity classes (regular / mode-dominant /
+# regular-ends-only / irregular) exercise every reconcile branch
+# ---------------------------------------------------------------------------
+
+def q_freq_detect_reconciled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.analytics import freq_detect_reconciled
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    rn = F.row_number().over(w)
+    cls = F.col("user_id") % 4
+    pert = (
+        F.when(cls == 0, F.lit(0))
+        .when(cls == 1, F.when(rn % 37 == 0, F.lit(7)).otherwise(F.lit(0)))
+        .when(
+            cls == 2,
+            F.when((rn % 5 == 0) & rn.between(11, 40), F.lit(211)).otherwise(F.lit(0)),
+        )
+        .otherwise((rn * rn * 7) % 450)
+    )
+    base = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.timestamp_seconds(F.lit(1704067200) + rn * 600 + pert).alias("ts"),
+    )
+    out = freq_detect_reconciled(base, "user_id", "ts")
+    return out.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("freq_full_s").cast("int").alias("freq_full_s"),
+        F.col("freq_mode_s").cast("int").alias("freq_mode_s"),
+        F.col("freq_prog_s").cast("int").alias("freq_prog_s"),
+        F.col("freq_s").cast("int").alias("freq_s"),
+        "confidence",
+    )
+
+
+SQL_FREQ_DETECT_RECONCILED = """
+WITH rnm AS (
+  SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+), tsx AS (
+  SELECT user_id, rn,
+         1704067200 + rn * 600 +
+         CASE CAST(user_id % 4 AS INT)
+           WHEN 0 THEN 0
+           WHEN 1 THEN CASE WHEN rn % 37 = 0 THEN 7 ELSE 0 END
+           WHEN 2 THEN CASE WHEN rn % 5 = 0 AND rn BETWEEN 11 AND 40 THEN 211 ELSE 0 END
+           ELSE (rn * rn * 7) % 450 END AS ts_s
+  FROM rnm
+), d AS (
+  SELECT user_id, ts_s,
+         CAST(ts_s - lag(ts_s) OVER w AS DOUBLE) AS delta,
+         row_number() OVER w AS rn2,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts_s DESC) AS rnd
+  FROM tsx WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)
+), d2 AS (
+  SELECT *,
+         max(CASE WHEN rn2 = 2 THEN delta END) OVER (PARTITION BY user_id) AS fd,
+         max(CASE WHEN rnd = 1 THEN delta END) OVER (PARTITION BY user_id) AS ld
+  FROM d
+), pk AS (
+  SELECT user_id, count(*) AS n, count(DISTINCT delta) AS n_distinct,
+         max(fd) AS first_delta, max(ld) AS last_delta,
+         min(CASE WHEN rn2 >= 2 AND delta <> fd THEN rn2 END) AS first_mismatch,
+         min(CASE WHEN delta IS NOT NULL AND delta <> ld THEN rnd END) AS last_mismatch
+  FROM d2 GROUP BY 1
+), mc AS (
+  SELECT user_id, delta, count(*) AS cnt
+  FROM d WHERE delta IS NOT NULL GROUP BY 1, 2
+), md AS (
+  SELECT user_id, delta AS mode_delta, cnt AS mode_cnt
+  FROM mc
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, delta ASC) = 1
+), f AS (
+  SELECT pk.*, md.mode_delta, md.mode_cnt,
+         coalesce(first_mismatch, n + 1) - 2 AS lead_len,
+         coalesce(last_mismatch, n) - 1 AS trail_len
+  FROM pk LEFT JOIN md USING (user_id)
+), c AS (
+  SELECT *,
+         CASE WHEN n >= 10 AND n_distinct = 1 THEN first_delta END AS ff,
+         CASE WHEN CAST(mode_cnt AS DOUBLE) / n > 0.90 THEN mode_delta END AS fm,
+         CASE WHEN n >= 8 AND first_delta = last_delta
+                   AND lead_len >= 3 AND trail_len >= 3 THEN first_delta END AS fp
+  FROM f
+), r AS (
+  SELECT *,
+         (ff IS NOT NULL AND fm IS NOT NULL AND fp IS NOT NULL) AS all3,
+         (ff = fm AND fm = fp) AS agree
+  FROM c
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(n AS BIGINT) AS n,
+       CAST(ff AS INT) AS freq_full_s,
+       CAST(fm AS INT) AS freq_mode_s,
+       CAST(fp AS INT) AS freq_prog_s,
+       CAST(CASE WHEN all3 AND agree THEN ff
+                 WHEN all3 THEN NULL
+                 WHEN ff IS NOT NULL THEN ff
+                 WHEN fm IS NOT NULL THEN fm
+                 WHEN fp IS NOT NULL THEN fp END AS INT) AS freq_s,
+       CASE WHEN all3 AND agree THEN 'max'
+            WHEN all3 THEN 'ambiguous'
+            WHEN ff IS NOT NULL THEN 'max'
+            WHEN fm IS NOT NULL THEN 'high'
+            WHEN fp IS NOT NULL THEN 'medium'
+            ELSE 'failed' END AS confidence
+FROM r
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "binned_quadratic_fit": q_binned_quadratic_fit,
+    "freq_detect_reconciled": q_freq_detect_reconciled,
     "histogram_peaks": q_histogram_peaks,
     "freq_groups": q_freq_groups,
     "nested_bin_agg": q_nested_bin_agg,
@@ -478,6 +592,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "binned_quadratic_fit": SQL_BINNED_QUADRATIC_FIT,
+    "freq_detect_reconciled": SQL_FREQ_DETECT_RECONCILED,
     "histogram_peaks": SQL_HISTOGRAM_PEAKS,
     "freq_groups": SQL_FREQ_GROUPS,
     "nested_bin_agg": SQL_NESTED_BIN_AGG,

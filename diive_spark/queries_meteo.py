@@ -611,6 +611,88 @@ FROM base
 """
 
 
+# ---------------------------------------------------------------------------
+# F11 (full) — FlagQCF daytime/nighttime acceptance thresholds
+# (qcf.py:241-282): day records with qcf >= daytime_accept_qcf_below are
+# rejected, night records against nighttime_accept_qcf_below
+# ---------------------------------------------------------------------------
+
+QCF_DN_DAY_BELOW = 1   # strict: reject ANY day flagging (qcf >= 1)
+QCF_DN_NIGHT_BELOW = 2
+
+
+def q_qcf_daynight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    sw = MET.swin_pot("ts", LAT, LON, UTC_OFF)
+    base = ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "value",
+        MET.daytime_flag(sw).cast("int").alias("is_day"),
+        MET.nighttime_flag(sw).cast("int").alias("is_night"),
+        # one soft flag (event_id%5) + one hard flag (abs limits)
+        F.when(F.col("event_id") % 5 == 0, F.lit(1)).otherwise(F.lit(0)).alias("flag_soft"),
+    )
+    base = FL.flag_missing(base, "value")
+    base = FL.flag_abslim(base, "value", minval=5.0, maxval=95.0)
+    out = FL.add_qcf_daynight(
+        base,
+        ["flag_missing", "flag_abslim", "flag_soft"],
+        value_col="value",
+        daytime_col="is_day",
+        nighttime_col="is_night",
+        daytime_accept_qcf_below=QCF_DN_DAY_BELOW,
+        nighttime_accept_qcf_below=QCF_DN_NIGHT_BELOW,
+    )
+    return out.select(
+        "event_id",
+        "is_day",
+        F.col("qcf").cast("int").alias("qcf"),
+        F.round("value_qcf", 4).alias("value_qcf"),
+    )
+
+
+SQL_QCF_DAYNIGHT = f"""
+WITH base AS (
+  SELECT event_id, value,
+         CASE WHEN {_SW_SQL} >= 50 THEN 1 ELSE 0 END AS is_day,
+         CASE WHEN {_SW_SQL} >= 50 THEN 0 ELSE 1 END AS is_night,
+         CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS flag_soft,
+         CASE WHEN value IS NULL THEN 2 ELSE 0 END AS flag_missing,
+         CASE WHEN value IS NULL THEN 0
+              WHEN value < 5.0 OR value > 95.0 THEN 2 ELSE 0 END AS flag_abslim
+  FROM events
+), sums AS (
+  SELECT *,
+         (CASE WHEN flag_missing = 2 THEN 2 ELSE 0 END
+          + CASE WHEN flag_abslim = 2 THEN 2 ELSE 0 END
+          + CASE WHEN flag_soft = 2 THEN 2 ELSE 0 END) AS hard,
+         (CASE WHEN flag_missing = 1 THEN 1 ELSE 0 END
+          + CASE WHEN flag_abslim = 1 THEN 1 ELSE 0 END
+          + CASE WHEN flag_soft = 1 THEN 1 ELSE 0 END) AS soft
+  FROM base
+), ladder AS (
+  SELECT *,
+         CASE WHEN soft BETWEEN 1 AND 3 AND hard = 0 THEN 1
+              WHEN hard >= 2 OR soft > 3 THEN 2
+              WHEN hard + soft = 0 THEN 0 END AS qcf0
+  FROM sums
+), dn AS (
+  SELECT *,
+         CASE WHEN qcf0 >= {QCF_DN_DAY_BELOW} AND is_day = 1 THEN 2 ELSE qcf0 END AS qcf1
+  FROM ladder
+), dn2 AS (
+  SELECT *,
+         CASE WHEN qcf1 >= {QCF_DN_NIGHT_BELOW} AND is_night = 1 THEN 2 ELSE qcf1 END AS qcf
+  FROM dn
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(is_day AS INT) AS is_day,
+       CAST(qcf AS INT) AS qcf,
+       round(CASE WHEN qcf = 2 THEN NULL ELSE value END, 4) AS value_qcf
+FROM dn2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "potential_radiation": q_potential_radiation,
     "vpd": q_vpd,
@@ -620,6 +702,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winddir_offset": q_winddir_offset,
     "eddypro_digit_flags": q_eddypro_digit_flags,
     "flux_level2_flags": q_flux_level2_flags,
+    "qcf_daynight": q_qcf_daynight,
     "export_fluxnet": q_export_fluxnet,
     "flux_chain": q_flux_chain,
 }
@@ -633,6 +716,7 @@ ORACLE_SQL: dict[str, str] = {
     "winddir_offset": SQL_WINDDIR_OFFSET,
     "eddypro_digit_flags": SQL_EDDYPRO_DIGIT,
     "flux_level2_flags": SQL_FLUX_LEVEL2_FLAGS,
+    "qcf_daynight": SQL_QCF_DAYNIGHT,
     "export_fluxnet": SQL_EXPORT_FLUXNET,
     "flux_chain": SQL_FLUX_CHAIN,
 }

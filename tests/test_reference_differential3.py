@@ -187,3 +187,144 @@ def test_eddypro_level2_flags_match_reference(spark):
     ssitc = epf.flag_ssitc_eddypro_test(
         df=pdf, flux="FC", filetype="EDDYPRO-FLUXNET-30MIN")
     np.testing.assert_array_equal(got["ssitc"].astype(float).values, ssitc.values)
+
+
+# ---------------------------------------------------------------------------
+# T6 — DetectFrequency 3-way reconcile vs the imported reference
+# ---------------------------------------------------------------------------
+
+def _freq_to_seconds(freq: str | None) -> float | None:
+    if freq is None:
+        return None
+    off = pd.tseries.frequencies.to_offset(freq)
+    return pd.to_timedelta(off).total_seconds()
+
+
+def test_detect_frequency_reconcile_matches_reference(spark):
+    from diive_spark.operators.analytics import freq_detect_reconciled
+
+    base = pd.Timestamp("2024-01-01")
+    cases = {}
+    # regular -> all three agree (max)
+    cases["regular"] = base + pd.to_timedelta(np.arange(200) * 600, unit="s")
+    # sparse perturbation -> full fails, mode + progressive succeed (high)
+    t = np.arange(200) * 600
+    t[::37] += 7
+    t.sort()
+    cases["mostly"] = base + pd.to_timedelta(t, unit="s")
+    # clean ends, noisy middle below 90% -> progressive only (medium)
+    t2 = np.arange(200) * 600.0
+    t2[20:120:3] += 211
+    cases["ends"] = base + pd.to_timedelta(t2, unit="s")
+
+    frames = []
+    for i, (name, idx) in enumerate(cases.items()):
+        frames.append(pd.DataFrame({"key": name, "ts": idx}))
+    sdf = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    got = (
+        freq_detect_reconciled(sdf, "key", "ts")
+        .toPandas()
+        .set_index("key")
+    )
+
+    import diive.core.times.times as T
+
+    for name, idx in cases.items():
+        idx = pd.DatetimeIndex(idx)
+        f_full = _freq_to_seconds(T.timestamp_infer_freq_from_fullset(idx)[0])
+        f_td = _freq_to_seconds(T.timestamp_infer_freq_from_timedelta(idx)[0])
+        f_prog = _freq_to_seconds(T.timestamp_infer_freq_progressively(idx)[0])
+        row = got.loc[name]
+
+        def _eq(a, b):
+            return pd.isna(a) if b is None else a == b
+
+        assert _eq(row["freq_full_s"], f_full), (name, "full")
+        assert _eq(row["freq_mode_s"], f_td), (name, "timedelta")
+        assert _eq(row["freq_prog_s"], f_prog), (name, "progressive")
+
+    # confidence tiers as per the reference's branch order
+    assert got.loc["regular", "confidence"] == "max"
+    assert got.loc["mostly", "confidence"] == "high"
+    assert got.loc["ends", "confidence"] == "medium"
+
+    # REFERENCE BUG (documented deviation): on modern pandas the
+    # reference's timedelta path emits the legacy alias ('10T') while
+    # infer_freq emits '10min', so its STRING-set reconcile sees a fake
+    # disagreement on a perfectly regular grid and DetectFrequency
+    # returns None (times.py:664-672). Our reconcile compares NUMERIC
+    # seconds, so agreement is detected correctly.
+    assert ref.DetectFrequency(index=pd.DatetimeIndex(cases["regular"])).get() is None
+    assert got.loc["regular", "freq_s"] == 600.0
+
+
+# ---------------------------------------------------------------------------
+# F11 — FlagQCF daytime/nighttime acceptance vs the imported reference
+# ---------------------------------------------------------------------------
+
+def test_qcf_daynight_acceptance_matches_reference(spark):
+    from diive_spark.operators import flags as FL
+
+    rng = np.random.default_rng(11)
+    n = 300
+    idx = pd.date_range("2024-06-01", periods=n, freq="30min")
+    val = rng.uniform(0, 100, n)
+    val[rng.random(n) < 0.05] = np.nan
+    # swinpot: deterministic diel cycle so both day and night appear
+    swinpot = np.maximum(
+        0.0, 600 * np.sin((idx.hour * 60 + idx.minute) / 1440 * 2 * np.pi - np.pi / 2)
+    )
+    hard = np.where(np.isnan(val), 0, np.where((val < 5) | (val > 95), 2, 0))
+    soft = np.where(np.arange(n) % 5 == 0, 1, 0)
+    missing = np.where(np.isnan(val), 2, 0)
+
+    refdf = pd.DataFrame(
+        {
+            "VAL": val,
+            "FLAG_VAL_MISSING_TEST": missing.astype(float),
+            "FLAG_VAL_ABSLIM_TEST": hard.astype(float),
+            "FLAG_VAL_SOFT_TEST": soft.astype(float),
+        },
+        index=idx,
+    )
+    qcf = ref.FlagQCF(
+        df=refdf, series=refdf["VAL"], swinpot=pd.Series(swinpot, index=idx)
+    )
+    qcf.calculate(daytime_accept_qcf_below=1, nighttimetime_accept_qcf_below=2)
+    want = qcf.flagqcf
+
+    sdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "i": np.arange(n),
+                "value": val,
+                "flag_missing": missing,
+                "flag_abslim": hard,
+                "flag_soft": soft,
+                # the reference derives day/night from swinpot >= 50
+                "is_day": (swinpot >= 50).astype(int),
+                "is_night": (swinpot < 50).astype(int),
+            }
+        )
+    )
+    got = (
+        FL.add_qcf_daynight(
+            sdf,
+            ["flag_missing", "flag_abslim", "flag_soft"],
+            value_col="value",
+            daytime_col="is_day",
+            nighttime_col="is_night",
+            daytime_accept_qcf_below=1,
+            nighttime_accept_qcf_below=2,
+        )
+        .orderBy("i")
+        .toPandas()
+    )
+    np.testing.assert_array_equal(
+        got["qcf"].astype(float).values, want.astype(float).values
+    )
+    # filtered series: rejected -> missing
+    filt = qcf.filteredseries
+    np.testing.assert_allclose(
+        got["value_qcf"].values, filt.values, equal_nan=True
+    )
