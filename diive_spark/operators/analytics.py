@@ -25,9 +25,12 @@ def histogram_fixed_bins(
     key_col: str,
     value_col: str,
     n_bins: int = 20,
+    ignore_fringe: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Per-key equal-width histogram (reference Histogram,
-    /root/reference/diive/pkgs/analyses/histogram.py:14-125).
+    /root/reference/diive/pkgs/analyses/histogram.py:14-125);
+    ``ignore_fringe=(i, j)`` drops the first i and last j bins
+    (histogram.py:110-115).
 
     Per-key (min, max) is a tiny aggregate — broadcast back onto the fact
     side, so the only wide exchange is the final (key, bin) count, which is
@@ -45,7 +48,7 @@ def histogram_fixed_bins(
             )
         ).cast("long"),
     )
-    return (
+    out = (
         binned.groupBy(key_col, "bin")
         .agg(
             F.count("*").cast("long").alias("n"),
@@ -53,6 +56,10 @@ def histogram_fixed_bins(
         )
         .select(key_col, "bin", "bin_lo", "n")
     )
+    if ignore_fringe:
+        i, j = ignore_fringe
+        out = out.filter((F.col("bin") >= i) & (F.col("bin") <= n_bins - 1 - j))
+    return out
 
 
 def circular_mean_deg(deg_col: str | Column) -> Column:
@@ -391,6 +398,49 @@ def binned_quadratic_fit(
         (d1 / det).alias("c1"),
         (d2 / det).alias("c2"),
     )
+
+
+def histogram_uniques(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ignore_fringe: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Per-key histogram with each unique value as a bin edge (reference
+    Histogram ``method='uniques'``, histogram.py:56-83 + numpy edge
+    semantics): k uniques form k-1 bins; the LAST bin is right-inclusive,
+    so it counts the two largest uniques together.  ``ignore_fringe=(i,
+    j)`` drops the first i and last j result bins
+    (histogram.py:110-115).
+
+    Plan: one (key, value) count aggregate (map-side combinable), one
+    keyed window for the rank/lead — no data explosion, no Python."""
+    cnt = df.filter(F.col(value_col).isNotNull()).groupBy(key_col, value_col).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = Window.partitionBy(key_col).orderBy(value_col)
+    wk = Window.partitionBy(key_col)
+    d = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .withColumn("k", F.count("*").over(wk))
+        .withColumn("next_cnt", F.lead("cnt").over(w))
+    )
+    out = d.filter(F.col("rn") <= F.col("k") - 1).select(
+        key_col,
+        F.col(value_col).alias("bin_start_incl"),
+        (
+            F.col("cnt")
+            + F.when(F.col("rn") == F.col("k") - 1, F.col("next_cnt")).otherwise(F.lit(0))
+        ).cast("long").alias("counts"),
+        "rn",
+        "k",
+    )
+    if ignore_fringe:
+        i, j = ignore_fringe
+        out = out.filter(
+            (F.col("rn") > i) & (F.col("rn") <= F.col("k") - 1 - j)
+        )
+    return out.drop("rn", "k")
 
 
 def global_ntile(

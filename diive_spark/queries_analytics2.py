@@ -577,9 +577,51 @@ FROM r
 """
 
 
+# ---------------------------------------------------------------------------
+# A8 (full) — Histogram method='uniques' + fringe-bin trim
+# (histogram.py:56-83,110-115): k uniques -> k-1 bins, last bin
+# right-inclusive (counts the two largest uniques together), first 1 and
+# last 2 bins dropped
+# ---------------------------------------------------------------------------
+
+def q_histogram_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.analytics import histogram_uniques
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.floor("value").cast("double").alias("v"),
+    )
+    out = histogram_uniques(ev, "user_id", "v", ignore_fringe=(1, 2))
+    return out.select(
+        "user_id",
+        F.round("bin_start_incl", 4).alias("bin_start_incl"),
+        "counts",
+    )
+
+
+SQL_HISTOGRAM_UNIQUES = """
+WITH vals AS (
+  SELECT user_id, CAST(floor(value) AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+), cnt AS (
+  SELECT user_id, v, count(*) AS cnt FROM vals GROUP BY 1, 2
+), d AS (
+  SELECT *, row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY user_id) AS k,
+         lead(cnt) OVER w AS next_cnt
+  FROM cnt WINDOW w AS (PARTITION BY user_id ORDER BY v)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       round(v, 4) AS bin_start_incl,
+       CAST(cnt + CASE WHEN rn = k - 1 THEN next_cnt ELSE 0 END AS BIGINT) AS counts
+FROM d WHERE rn > 1 AND rn <= k - 1 - 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "binned_quadratic_fit": q_binned_quadratic_fit,
     "freq_detect_reconciled": q_freq_detect_reconciled,
+    "histogram_uniques": q_histogram_uniques,
     "histogram_peaks": q_histogram_peaks,
     "freq_groups": q_freq_groups,
     "nested_bin_agg": q_nested_bin_agg,
@@ -593,6 +635,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE_SQL: dict[str, str] = {
     "binned_quadratic_fit": SQL_BINNED_QUADRATIC_FIT,
     "freq_detect_reconciled": SQL_FREQ_DETECT_RECONCILED,
+    "histogram_uniques": SQL_HISTOGRAM_UNIQUES,
     "histogram_peaks": SQL_HISTOGRAM_PEAKS,
     "freq_groups": SQL_FREQ_GROUPS,
     "nested_bin_agg": SQL_NESTED_BIN_AGG,

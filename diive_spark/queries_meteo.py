@@ -693,6 +693,111 @@ FROM dn2
 """
 
 
+# ---------------------------------------------------------------------------
+# §2.11 FluxDetectionLimit (echires/fluxdetectionlimit.py:56-209):
+# cross-covariance lag fan-out, realistic-window max with fringe rule,
+# LAN15 noise RMSE -> detection limit (lag ranges scaled to the fixture)
+# ---------------------------------------------------------------------------
+
+FDL_LAG_FROM, FDL_LAG_TO = -30, -25
+FDL_REAL_LO, FDL_REAL_HI, FDL_NOMINAL = -10, 0, -4
+
+
+def q_flux_detection_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.detectionlimit import flux_detection_limit
+
+    ev = _events(spark, sf_dir)
+    eid = F.col("event_id")
+    base = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        eid.alias("event_id"),
+        (F.sin(F.radians(eid % 97)) + F.col("value") * 0.01).alias("w"),
+        (F.lit(400.0) + F.col("value") * 0.2 + F.sin(F.radians(eid % 89))).alias("c"),
+        (F.lit(293.0) + F.col("value") * 0.05).alias("ta"),
+        (F.lit(0.01) + F.col("value") * 0.0001).alias("h2o"),
+        F.lit(96000.0).alias("press"),
+    )
+    out = flux_detection_limit(
+        base, "user_id", "event_id", "w", "c", "ta", "h2o", "press",
+        lag_from=FDL_LAG_FROM, lag_to=FDL_LAG_TO, shift_step=1,
+        realistic_lo=FDL_REAL_LO, realistic_hi=FDL_REAL_HI,
+        nominal_shift=FDL_NOMINAL,
+    )
+    return out.select(
+        "user_id",
+        F.col("cov_max_shift").cast("int").alias("cov_max_shift"),
+        F.round("flux", 4).alias("flux"),
+        F.round("flux_noise_rmse", 4).alias("noise_rmse"),
+        F.round("flux_detection_limit", 4).alias("detection_limit"),
+        F.round("signal_to_noise", 4).alias("snr"),
+    )
+
+
+SQL_FLUX_DETECTION_LIMIT = f"""
+WITH base AS (
+  SELECT user_id, event_id,
+         sin(radians(event_id % 97)) + value * 0.01 AS w,
+         400.0 + value * 0.2 + sin(radians(event_id % 89)) AS c,
+         293.0 + value * 0.05 AS ta,
+         0.01 + value * 0.0001 AS h2o,
+         96000.0 AS press
+  FROM events
+), primes AS (
+  SELECT user_id, event_id,
+         w - avg(w) OVER wk AS w_prime,
+         c - avg(c) OVER wk AS c_prime,
+         avg((press - h2o * press) / (8.31446261815324 * ta)) OVER wk AS factor,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM base
+  WINDOW wk AS (PARTITION BY user_id)
+), shifts AS (
+  SELECT CAST(range AS INT) AS shift FROM range({FDL_LAG_FROM}, {abs(FDL_LAG_FROM)})
+), cov AS (
+  SELECT a.user_id, s.shift,
+         covar_samp(a.w_prime, b.c_prime) AS cv,
+         first(a.factor) AS factor
+  FROM primes a
+  CROSS JOIN shifts s
+  JOIN primes b ON b.user_id = a.user_id AND b.rn = a.rn - s.shift
+  GROUP BY 1, 2
+), covf AS (
+  SELECT *, cv * factor AS cov_flux, abs(cv) AS cov_abs FROM cov
+), best AS (
+  SELECT user_id,
+         CASE WHEN shift > {FDL_REAL_LO} AND shift < {FDL_REAL_HI} THEN shift
+              ELSE {FDL_NOMINAL} END AS cov_max_shift
+  FROM covf
+  WHERE shift BETWEEN {FDL_REAL_LO} AND {FDL_REAL_HI}
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY cov_abs DESC, shift ASC) = 1
+), flux AS (
+  SELECT b.user_id, b.cov_max_shift, f.cov_flux AS flux
+  FROM best b JOIN covf f
+    ON f.user_id = b.user_id AND f.shift = b.cov_max_shift
+), noise AS (
+  SELECT user_id,
+         sqrt(0.5 * (
+           stddev_samp(CASE WHEN shift BETWEEN {FDL_LAG_FROM} AND {FDL_LAG_TO}
+                            THEN cov_flux END) ** 2
+           + avg(CASE WHEN shift BETWEEN {FDL_LAG_FROM} AND {FDL_LAG_TO}
+                      THEN cov_flux END) ** 2
+           + stddev_samp(CASE WHEN shift BETWEEN {-FDL_LAG_TO} AND {-FDL_LAG_FROM}
+                              THEN cov_flux END) ** 2
+           + avg(CASE WHEN shift BETWEEN {-FDL_LAG_TO} AND {-FDL_LAG_FROM}
+                      THEN cov_flux END) ** 2
+         )) AS rmse
+  FROM covf GROUP BY 1
+)
+SELECT CAST(f.user_id AS BIGINT) AS user_id,
+       CAST(f.cov_max_shift AS INT) AS cov_max_shift,
+       round(f.flux, 4) AS flux,
+       round(n.rmse, 4) AS noise_rmse,
+       round(n.rmse * 3, 4) AS detection_limit,
+       round(abs(f.flux) / n.rmse, 4) AS snr
+FROM flux f JOIN noise n ON n.user_id = f.user_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "potential_radiation": q_potential_radiation,
     "vpd": q_vpd,
@@ -703,6 +808,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eddypro_digit_flags": q_eddypro_digit_flags,
     "flux_level2_flags": q_flux_level2_flags,
     "qcf_daynight": q_qcf_daynight,
+    "flux_detection_limit": q_flux_detection_limit,
     "export_fluxnet": q_export_fluxnet,
     "flux_chain": q_flux_chain,
 }
@@ -717,6 +823,7 @@ ORACLE_SQL: dict[str, str] = {
     "eddypro_digit_flags": SQL_EDDYPRO_DIGIT,
     "flux_level2_flags": SQL_FLUX_LEVEL2_FLAGS,
     "qcf_daynight": SQL_QCF_DAYNIGHT,
+    "flux_detection_limit": SQL_FLUX_DETECTION_LIMIT,
     "export_fluxnet": SQL_EXPORT_FLUXNET,
     "flux_chain": SQL_FLUX_CHAIN,
 }

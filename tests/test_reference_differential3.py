@@ -328,3 +328,50 @@ def test_qcf_daynight_acceptance_matches_reference(spark):
     np.testing.assert_allclose(
         got["value_qcf"].values, filt.values, equal_nan=True
     )
+
+
+# ---------------------------------------------------------------------------
+# A8 — Histogram method='uniques' + fringe trim vs the imported reference
+# ---------------------------------------------------------------------------
+
+def test_histogram_uniques_fringe_matches_reference(spark):
+    from diive_spark.operators.analytics import histogram_fixed_bins, histogram_uniques
+
+    rng = np.random.default_rng(5)
+    vals = np.floor(rng.normal(50, 15, 800)).astype(float)
+    s = pd.Series(vals)
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"key": 1, "v": vals})
+    )
+
+    for fringe in (None, (1, 2)):
+        want = ref.Histogram(
+            s=s, method="uniques",
+            ignore_fringe_bins=list(fringe) if fringe else None,
+        ).results
+        got = (
+            histogram_uniques(sdf, "key", "v", ignore_fringe=fringe)
+            .orderBy("bin_start_incl")
+            .toPandas()
+        )
+        np.testing.assert_allclose(
+            got["bin_start_incl"].values, want["BIN_START_INCL"].values,
+            err_msg=f"edges fringe={fringe}",
+        )
+        np.testing.assert_array_equal(
+            got["counts"].values, want["COUNTS"].values,
+            err_msg=f"counts fringe={fringe}",
+        )
+
+    # fixed-bin fringe trim vs numpy n_bins histogram (empty bins absent
+    # from the Spark result by construction — compare non-empty only)
+    want = ref.Histogram(s=s, method="n_bins", n_bins=20,
+                         ignore_fringe_bins=[2, 3]).results
+    want = want[want["COUNTS"] > 0]
+    got = (
+        histogram_fixed_bins(sdf, "key", "v", n_bins=20, ignore_fringe=(2, 3))
+        .orderBy("bin")
+        .toPandas()
+    )
+    np.testing.assert_allclose(got["bin_lo"].values, want["BIN_START_INCL"].values, rtol=1e-9)
+    np.testing.assert_array_equal(got["n"].values, want["COUNTS"].values)
