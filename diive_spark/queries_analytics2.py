@@ -618,10 +618,281 @@ FROM d WHERE rn > 1 AND rn <= k - 1 - 2
 """
 
 
+# ---------------------------------------------------------------------------
+# §2.11 FluxCriticalHeatDaysP95 (flux/criticalheatdays.py:19-748):
+# daily TA-max / VPD-max / flux-sum -> 20 percentile bins -> combined-bin
+# flux stats per scenario + P95 critical-heat-day thresholds
+# ---------------------------------------------------------------------------
+
+def _chd_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.heatdays import assign_percentile_bins
+
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("date"))
+        .agg(
+            F.max(F.col("value") * 0.3).alias("ta"),
+            F.max(F.col("value") * 0.02 + F.sin(F.radians(F.col("event_id") % 180))).alias("vpd"),
+            F.sum((F.col("value") - 50.0) * 0.01).alias("flux"),
+        )
+    )
+    return assign_percentile_bins(
+        daily, "ta", "vpd", "flux", date_col="date",
+        n_quantiles=20, min_n_vals_per_bin=1,
+    )
+
+
+def q_critical_heat_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.heatdays import combo_bin_stats
+
+    out = combo_bin_stats(_chd_long(spark, sf_dir), "ta", "vpd", "flux")
+    return out.select(
+        "scenario",
+        F.col("bins_combined_int").cast("int").alias("bins_combined_int"),
+        F.round("flux_mean", 4).alias("flux_mean"),
+        F.round("flux_std", 4).alias("flux_std"),
+        "n",
+        F.round("ta_min", 4).alias("ta_min"),
+        F.round("ta_max", 4).alias("ta_max"),
+        F.round("vpd_min", 4).alias("vpd_min"),
+        F.round("vpd_max", 4).alias("vpd_max"),
+    )
+
+
+def q_chd_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.heatdays import chd_thresholds
+
+    out = chd_thresholds(_chd_long(spark, sf_dir), "ta", "vpd")
+    return out.select(
+        F.round("thres_chd_ta", 4).alias("thres_chd_ta"),
+        F.round("thres_chd_vpd", 4).alias("thres_chd_vpd"),
+        F.round("thres_nchd_ta_lo", 4).alias("thres_nchd_ta_lo"),
+        F.round("thres_nchd_ta_hi", 4).alias("thres_nchd_ta_hi"),
+        F.round("thres_nchd_vpd_lo", 4).alias("thres_nchd_vpd_lo"),
+        F.round("thres_nchd_vpd_hi", 4).alias("thres_nchd_vpd_hi"),
+        "n_chd",
+        "n_nchd",
+    )
+
+
+_CHD_LONG_SQL = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS dt,
+         max(value * 0.3) AS ta,
+         max(value * 0.02 + sin(radians(event_id % 180))) AS vpd,
+         sum((value - 50.0) * 0.01) AS flux
+  FROM events GROUP BY 1
+), binned AS (
+  SELECT *,
+         (ntile(20) OVER (ORDER BY ta, dt) - 1) * 5 AS bin_ta,
+         (ntile(20) OVER (ORDER BY vpd, dt) - 1) * 5 AS bin_vpd
+  FROM daily
+), long AS (
+  SELECT *, bin_ta + bin_vpd AS bins_combined_int,
+         bin_ta - bin_vpd AS bin_diff
+  FROM binned
+  QUALIFY count(*) OVER (PARTITION BY bin_ta, bin_vpd) >= 1
+)
+"""
+
+SQL_CRITICAL_HEAT_DAYS = _CHD_LONG_SQL + """
+, scen AS (
+  SELECT 'all' AS scenario, * FROM long
+  UNION ALL SELECT 'equal', * FROM long WHERE bin_diff = 0
+  UNION ALL SELECT 'tahigher', * FROM long WHERE bin_diff > 5
+  UNION ALL SELECT 'vpdhigher', * FROM long WHERE bin_diff < 5
+)
+SELECT scenario,
+       CAST(bins_combined_int AS INT) AS bins_combined_int,
+       round(avg(flux), 4) AS flux_mean,
+       round(stddev_samp(flux), 4) AS flux_std,
+       CAST(count(flux) AS BIGINT) AS n,
+       round(min(ta), 4) AS ta_min, round(max(ta), 4) AS ta_max,
+       round(min(vpd), 4) AS vpd_min, round(max(vpd), 4) AS vpd_max
+FROM scen GROUP BY 1, 2
+"""
+
+SQL_CHD_THRESHOLDS = _CHD_LONG_SQL + """
+SELECT round(min(CASE WHEN bin_ta = 95 AND bin_vpd = 95 THEN ta END), 4) AS thres_chd_ta,
+       round(min(CASE WHEN bin_ta = 95 AND bin_vpd = 95 THEN vpd END), 4) AS thres_chd_vpd,
+       round(min(CASE WHEN bin_ta = 90 AND bin_vpd = 90 THEN ta END), 4) AS thres_nchd_ta_lo,
+       round(max(CASE WHEN bin_ta = 90 AND bin_vpd = 90 THEN ta END), 4) AS thres_nchd_ta_hi,
+       round(min(CASE WHEN bin_ta = 90 AND bin_vpd = 90 THEN vpd END), 4) AS thres_nchd_vpd_lo,
+       round(max(CASE WHEN bin_ta = 90 AND bin_vpd = 90 THEN vpd END), 4) AS thres_nchd_vpd_hi,
+       CAST(sum(CASE WHEN bin_ta = 95 AND bin_vpd = 95 THEN 1 ELSE 0 END) AS BIGINT) AS n_chd,
+       CAST(sum(CASE WHEN bin_ta = 90 AND bin_vpd = 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_nchd
+FROM long
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.11 CO2penalty (flux/co2_penalty.py:25-876): critical-heat-day rows
+# replaced with counterfactual diel-template estimates; penalty = filled
+# NEP - measured NEP, summed per year with strict-> CHD day counts
+# ---------------------------------------------------------------------------
+
+CHD_TA, CHD_VPD = 76.0, 16.0
+NCHD_TA, NCHD_VPD = (70.0, 76.0), (10.0, 16.0)
+
+
+def _penalty_hires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.functions.meteo import vpd_from_ta_rh
+    from diive_spark.operators.co2penalty import co2_penalty_hires
+
+    ev = _events(spark, sf_dir)
+    sec = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000).cast(
+        "long"
+    ) % 86400
+    ta = F.col("value") * 0.2 + 10 * F.sin(F.radians(sec / 240.0))
+    rh = (F.lit(40) + F.col("event_id") % 60).cast("double")
+    base = ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "ts",
+        ((F.lit(55.0) - F.col("value")) * 0.5).alias("nee"),
+        ta.alias("ta"),
+        rh.alias("rh"),
+        F.greatest(F.lit(0.0), 600 * F.sin(F.radians(sec / 240.0 - 90))).alias("swin"),
+        vpd_from_ta_rh(ta, rh).alias("vpd"),
+    )
+    return co2_penalty_hires(
+        base, "ts", "nee", "ta", "rh", "swin", "vpd",
+        thres_chd_ta=CHD_TA, thres_chd_vpd=CHD_VPD,
+        thres_nchd_ta=NCHD_TA, thres_nchd_vpd=NCHD_VPD,
+        penalty_start_month=1, penalty_end_month=12,
+    )
+
+
+def q_co2_penalty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _penalty_hires(spark, sf_dir)
+    return h.select(
+        "event_id",
+        "flag_chd",
+        "flag_nchd",
+        F.round("nep", 4).alias("nep"),
+        F.round("nep_limited_gf", 4).alias("nep_limited_gf"),
+        F.round("penalty", 4).alias("penalty"),
+        F.round("ta_limited", 4).alias("ta_limited"),
+        F.round("vpd_limited_gf", 4).alias("vpd_limited_gf"),
+    )
+
+
+def q_co2_penalty_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.co2penalty import co2_penalty_per_year
+
+    h = _penalty_hires(spark, sf_dir)
+    out = co2_penalty_per_year(h, "ts", "ta", "vpd", CHD_TA, CHD_VPD)
+    return out.select(
+        F.col("year").cast("int").alias("year"),
+        F.round("penalty", 2).alias("penalty"),
+        F.round("nep_limited_gf", 2).alias("nep_limited_gf"),
+        F.round("nep", 2).alias("nep"),
+        "num_chds",
+    )
+
+
+_PENALTY_SQL_BASE = f"""
+WITH raw AS (
+  SELECT event_id, ts, value,
+         (CAST(floor(epoch(ts)) AS BIGINT) % 86400) AS sec
+  FROM events
+), syn AS (
+  SELECT event_id, ts,
+         CAST(floor(sec / 1800) * 1800 AS BIGINT) AS tod,
+         CAST(ts AS DATE) AS d,
+         value * 0.2 + 10 * sin(radians(sec / 240.0)) AS ta,
+         CAST(40 + event_id % 60 AS DOUBLE) AS rh,
+         (55.0 - value) * 0.5 AS nee
+  FROM raw
+), v AS (
+  SELECT *,
+         0.1 * 6.1078 * (1 - rh / 100.0)
+             * exp(17.08085 * ta / (234.175 + ta)) AS vpd,
+         nee * 0.0792171 * -1 AS nep
+  FROM syn
+), dm AS (
+  SELECT *, max(ta) OVER (PARTITION BY d) AS ta_dmax,
+            max(vpd) OVER (PARTITION BY d) AS vpd_dmax
+  FROM v
+), fl AS (
+  SELECT *,
+         CASE WHEN ta_dmax >= {CHD_TA} AND vpd_dmax >= {CHD_VPD}
+              THEN 1 ELSE 0 END AS flag_chd,
+         CASE WHEN ta_dmax BETWEEN {NCHD_TA[0]} AND {NCHD_TA[1]}
+                   AND vpd_dmax BETWEEN {NCHD_VPD[0]} AND {NCHD_VPD[1]}
+              THEN 1 ELSE 0 END AS flag_nchd
+  FROM dm
+), ta_tpl AS (
+  SELECT tod, quantile_cont(ta, 0.5) AS tpl_ta
+  FROM fl WHERE flag_nchd = 1 AND ta IS NOT NULL GROUP BY 1
+), lim1 AS (
+  SELECT f.*, coalesce(CASE WHEN flag_chd = 1 THEN NULL ELSE ta END, t.tpl_ta)
+         AS ta_limited
+  FROM fl f LEFT JOIN ta_tpl t USING (tod)
+), lim2 AS (
+  SELECT *,
+         0.1 * 6.1078 * (1 - rh / 100.0)
+             * exp(17.08085 * ta_limited / (234.175 + ta_limited)) AS vpd_limited
+  FROM lim1
+), vpd_tpl AS (
+  SELECT tod, quantile_cont(vpd_limited, 0.5) AS tpl_vpd
+  FROM lim2 WHERE vpd_limited IS NOT NULL GROUP BY 1
+), lim3 AS (
+  SELECT l.*, coalesce(l.vpd_limited, t.tpl_vpd) AS vpd_limited_gf
+  FROM lim2 l LEFT JOIN vpd_tpl t USING (tod)
+), nep_tpl AS (
+  SELECT tod, quantile_cont(CASE WHEN flag_chd = 1 THEN NULL ELSE nep END, 0.5) AS tpl_nep
+  FROM lim3 WHERE flag_chd = 0 AND nep IS NOT NULL GROUP BY 1
+), gf AS (
+  SELECT l.*,
+         coalesce(CASE WHEN flag_chd = 1 THEN NULL ELSE nep END, t.tpl_nep) AS nep_gf
+  FROM lim3 l LEFT JOIN nep_tpl t USING (tod)
+)
+"""
+
+SQL_CO2_PENALTY = _PENALTY_SQL_BASE + """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(flag_chd AS INT) AS flag_chd,
+       CAST(flag_nchd AS INT) AS flag_nchd,
+       round(nep, 4) AS nep,
+       round(nep_gf, 4) AS nep_limited_gf,
+       round(nep_gf - nep, 4) AS penalty,
+       round(ta_limited, 4) AS ta_limited,
+       round(vpd_limited_gf, 4) AS vpd_limited_gf
+FROM gf
+"""
+
+SQL_CO2_PENALTY_YEAR = _PENALTY_SQL_BASE + """
+, sums AS (
+  SELECT CAST(year(ts) AS INT) AS year,
+         round(sum(nep_gf - nep), 2) AS penalty,
+         round(sum(nep_gf), 2) AS nep_limited_gf,
+         round(sum(nep), 2) AS nep
+  FROM gf GROUP BY 1
+), chddays AS (
+  SELECT CAST(year(ts) AS INT) AS year, CAST(count(*) AS BIGINT) AS num_chds
+  FROM (
+    SELECT year(ts) AS yts, ts, CAST(ts AS DATE) AS dd,
+           max(ta) OVER (PARTITION BY CAST(ts AS DATE)) AS tam,
+           max(vpd) OVER (PARTITION BY CAST(ts AS DATE)) AS vpdm
+    FROM v QUALIFY row_number() OVER (PARTITION BY dd ORDER BY ts) = 1
+  )
+  WHERE tam > {chd_ta} AND vpdm > {chd_vpd}
+  GROUP BY 1
+)
+SELECT s.year, s.penalty, s.nep_limited_gf, s.nep,
+       coalesce(c.num_chds, 0) AS num_chds
+FROM sums s LEFT JOIN chddays c USING (year)
+""".replace("{chd_ta}", str(CHD_TA)).replace("{chd_vpd}", str(CHD_VPD))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "binned_quadratic_fit": q_binned_quadratic_fit,
     "freq_detect_reconciled": q_freq_detect_reconciled,
     "histogram_uniques": q_histogram_uniques,
+    "critical_heat_days": q_critical_heat_days,
+    "chd_thresholds": q_chd_thresholds,
+    "co2_penalty": q_co2_penalty,
+    "co2_penalty_year": q_co2_penalty_year,
     "histogram_peaks": q_histogram_peaks,
     "freq_groups": q_freq_groups,
     "nested_bin_agg": q_nested_bin_agg,
@@ -636,6 +907,10 @@ ORACLE_SQL: dict[str, str] = {
     "binned_quadratic_fit": SQL_BINNED_QUADRATIC_FIT,
     "freq_detect_reconciled": SQL_FREQ_DETECT_RECONCILED,
     "histogram_uniques": SQL_HISTOGRAM_UNIQUES,
+    "critical_heat_days": SQL_CRITICAL_HEAT_DAYS,
+    "chd_thresholds": SQL_CHD_THRESHOLDS,
+    "co2_penalty": SQL_CO2_PENALTY,
+    "co2_penalty_year": SQL_CO2_PENALTY_YEAR,
     "histogram_peaks": SQL_HISTOGRAM_PEAKS,
     "freq_groups": SQL_FREQ_GROUPS,
     "nested_bin_agg": SQL_NESTED_BIN_AGG,
