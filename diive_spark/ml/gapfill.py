@@ -252,3 +252,128 @@ def ml_gapfill_longterm(
         return out
 
     return tagged.groupBy(key_col, "_cy").applyInPandas(kernel, schema)
+
+
+def train_report_pdf(
+    pdf: pd.DataFrame,
+    n_lags: int = 1,
+    test_size: float = 0.25,
+    perm_n_repeats: int = 10,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """M1 model-quality report for ONE series (reference
+    ``RandomForestTS.trainmodel`` + ``_permutation_importance``,
+    randomforest_ts.py:431-495,682-710): deterministic train/test split,
+    fit on train, score on test (R2 / MAE / RMSE / MedAE — the
+    reference's ``prediction_scores_regr`` set), and sklearn-style
+    permutation importance (importance = baseline R2 minus the R2 with
+    ONE feature column shuffled, mean/std over ``perm_n_repeats``
+    seeded repeats).  One output row per feature."""
+    pdf = pdf.sort_values("ts_s").reset_index(drop=True)
+    v = pdf["value"].to_numpy(dtype=np.float64)
+    n = len(pdf)
+    recno = np.arange(n, dtype=np.float64)
+    tod = (pdf["ts_s"].to_numpy() % 86400) / 86400.0
+    feats, names = [recno, tod], ["recno", "tod"]
+    for k in range(1, n_lags + 1):
+        lag = np.roll(v, k)
+        lag[:k] = np.nan
+        lead = np.roll(v, -k)
+        lead[-k:] = np.nan
+        feats.extend([lag, lead])
+        names.extend([f"lag{k}", f"lead{k}"])
+    X = np.column_stack(feats)
+    ok = ~np.isnan(v) & ~np.isnan(X).any(axis=1)  # complete rows only
+    X, y = X[ok], v[ok]
+
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(y))
+    n_test = int(round(len(y) * test_size))
+    test_idx, train_idx = perm[:n_test], perm[n_test:]
+    Xtr, ytr, Xte, yte = X[train_idx], y[train_idx], X[test_idx], y[test_idx]
+
+    A = np.column_stack([np.ones(len(Xtr)), Xtr])
+    coef, *_ = np.linalg.lstsq(A, ytr, rcond=None)
+
+    def predict(Xp: np.ndarray) -> np.ndarray:
+        return np.column_stack([np.ones(len(Xp)), Xp]) @ coef
+
+    def r2(y_true: np.ndarray, y_pred: np.ndarray) -> float:
+        ss_res = np.sum((y_true - y_pred) ** 2)
+        ss_tot = np.sum((y_true - y_true.mean()) ** 2)
+        return 1.0 - ss_res / ss_tot
+
+    pred = predict(Xte)
+    base_r2 = r2(yte, pred)
+    mae = float(np.mean(np.abs(yte - pred)))
+    rmse = float(np.sqrt(np.mean((yte - pred) ** 2)))
+    medae = float(np.median(np.abs(yte - pred)))
+
+    rows = []
+    for j, name in enumerate(names):
+        drops = []
+        for _ in range(perm_n_repeats):
+            Xp = Xte.copy()
+            Xp[:, j] = Xp[rng.permutation(len(Xp)), j]
+            drops.append(base_r2 - r2(yte, predict(Xp)))
+        rows.append(
+            {
+                "feature": name,
+                "perm_importance": float(np.mean(drops)),
+                "perm_sd": float(np.std(drops)),
+                "r2": float(base_r2),
+                "mae": mae,
+                "rmse": rmse,
+                "medae": medae,
+                "n_train": len(train_idx),
+                "n_test": len(test_idx),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def ml_train_report(
+    df: DataFrame,
+    key_col: str,
+    ts_s_col: str,
+    value_col: str,
+    n_lags: int = 1,
+    test_size: float = 0.25,
+    perm_n_repeats: int = 10,
+) -> DataFrame:
+    """Distributed per-key model-quality report (one kernel per key,
+    deterministic per-key crc32 seed)."""
+    from pyspark.sql.types import DoubleType, IntegerType, StringType
+
+    key_field = [f for f in df.schema.fields if f.name == key_col][0]
+    schema = StructType(
+        [
+            key_field,
+            StructField("feature", StringType()),
+            StructField("perm_importance", DoubleType()),
+            StructField("perm_sd", DoubleType()),
+            StructField("r2", DoubleType()),
+            StructField("mae", DoubleType()),
+            StructField("rmse", DoubleType()),
+            StructField("medae", DoubleType()),
+            StructField("n_train", IntegerType()),
+            StructField("n_test", IntegerType()),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        key = pdf[key_col].iloc[0]
+        seed = zlib.crc32(str(key).encode()) % (2**31)
+        out = train_report_pdf(
+            pdf.rename(columns={ts_s_col: "ts_s", value_col: "value"}),
+            n_lags=n_lags, test_size=test_size,
+            perm_n_repeats=perm_n_repeats, seed=seed,
+        )
+        out = out.astype({"n_train": "int32", "n_test": "int32"})
+        out.insert(0, key_col, key)
+        return out
+
+    sel = df.select(key_col, ts_s_col, value_col)
+    return sel.groupBy(key_col).applyInPandas(kernel, schema)

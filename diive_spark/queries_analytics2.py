@@ -885,6 +885,33 @@ FROM sums s LEFT JOIN chddays c USING (year)
 """.replace("{chd_ta}", str(CHD_TA)).replace("{chd_vpd}", str(CHD_VPD))
 
 
+# ---------------------------------------------------------------------------
+# §2.11 BinFitterBTS — bootstrap prediction bands (rows-only: the
+# bootstrap resampling + Student-t bands are not SQL-expressible;
+# exactness of the t-quantile + band math is asserted in pytest)
+# ---------------------------------------------------------------------------
+
+def q_binfitter_bts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.binfitter import binfitter_bts
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("value").alias("x"),
+        ((F.col("value") - 50.0) * (F.col("value") - 50.0) * 0.05
+         + F.sin(F.radians(F.col("event_id") % 90)) * 3).alias("y"),
+    )
+    out = binfitter_bts(ev, "user_id", "x", "y", n_bins=10, n_bootstraps=10)
+    return out.select(
+        "user_id",
+        F.round("fit_x", 4).alias("fit_x"),
+        F.round("nom", 4).alias("nom"),
+        F.round("lower_predband", 4).alias("lower_predband"),
+        F.round("upper_predband", 4).alias("upper_predband"),
+        F.round("bts_lower_q025", 4).alias("bts_lower_q025"),
+        F.round("bts_upper_q975", 4).alias("bts_upper_q975"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "binned_quadratic_fit": q_binned_quadratic_fit,
     "freq_detect_reconciled": q_freq_detect_reconciled,
@@ -893,6 +920,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chd_thresholds": q_chd_thresholds,
     "co2_penalty": q_co2_penalty,
     "co2_penalty_year": q_co2_penalty_year,
+    "binfitter_bts": q_binfitter_bts,
     "histogram_peaks": q_histogram_peaks,
     "freq_groups": q_freq_groups,
     "nested_bin_agg": q_nested_bin_agg,

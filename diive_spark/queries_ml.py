@@ -135,6 +135,37 @@ def q_ml_gapfill_longterm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ml_train_report — M1 model-quality: train/test scores + permutation
+# importance (randomforest_ts.py:431-495,682-710; rows-only — seeded
+# shuffles are not SQL-expressible, exactness pytest-checked)
+# ---------------------------------------------------------------------------
+
+def q_ml_train_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.ml.gapfill import ml_train_report
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    binned = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        (
+            (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_800_000_000) + 1)
+            * 1800
+        ).cast("long").alias("slot_s"),
+        "value",
+    )
+    agg = binned.groupBy("user_id", "slot_s").agg(F.avg("value").alias("v"))
+    out = ml_train_report(agg, "user_id", "slot_s", "v", n_lags=1)
+    return out.select(
+        "user_id",
+        "feature",
+        F.round("perm_importance", 4).alias("perm_importance"),
+        F.round("r2", 4).alias("r2"),
+        F.round("rmse", 4).alias("rmse"),
+        "n_train",
+        "n_test",
+    )
+
+
+# ---------------------------------------------------------------------------
 # flag_lof — F9 LocalOutlierFactor (rows-only driver check: kNN-density is
 # not SQL-expressible; exactness vs a brute-force O(n^2) LOF oracle is
 # asserted in tests/test_lof.py)
@@ -189,6 +220,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_text_roundtrip": q_extract_text_roundtrip,
     "ml_gapfill_30min": q_ml_gapfill_30min,
     "ml_gapfill_longterm": q_ml_gapfill_longterm,
+    "ml_train_report": q_ml_train_report,
     "flag_lof": q_flag_lof,
     "gorilla_blocks": q_gorilla_blocks,
 }

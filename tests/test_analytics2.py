@@ -127,3 +127,58 @@ def test_unblocked_neardup_requires_opt_in(spark):
         cosine_neardup_pairs(vecs, "vec_id", "embedding")
     # opt-in path still works
     assert ngram_jaccard_dedup(docs, "doc_id", "text", allow_full_scan=True).count() == 0
+
+
+def test_t_ppf_matches_known_values():
+    """numpy Student-t quantile vs published scipy values."""
+    from diive_spark.operators.binfitter import t_cdf, t_ppf
+
+    known = {
+        (0.975, 7): 2.3646242510103, (0.975, 10): 2.2281388519650,
+        (0.975, 30): 2.0422724563013, (0.95, 5): 2.0150483726691,
+        (0.025, 10): -2.2281388519650,
+    }
+    for (p, df), want in known.items():
+        assert abs(t_ppf(p, df) - want) < 1e-9, (p, df)
+        assert abs(t_cdf(want, df) - p) < 1e-9
+
+
+def test_binfitter_bts_kernel_and_spark_agree(spark):
+    """BinFitterBTS: quadratic params match np.polyfit on the bin means,
+    the 95% prediction band covers ~95% of the binned points, bootstrap
+    quantiles bracket sanely, and the Spark kernel equals the standalone
+    function (same per-key crc32 seed)."""
+    import zlib
+
+    from diive_spark.operators.binfitter import binfitter_bts, binfitter_bts_pdf
+
+    rng = np.random.default_rng(9)
+    n = 500
+    x = rng.uniform(0, 10, n)
+    y = 0.4 * x**2 - 2 * x + 5 + rng.normal(0, 1.5, n)
+    pdf = pd.DataFrame({"key": 7, "x": x, "y": y})
+
+    seed = zlib.crc32(b"7") % (2**31)
+    out = binfitter_bts_pdf(pdf, "x", "y", n_bins=10, n_bootstraps=10, seed=seed)
+    # params == np.polyfit through the qcut bin means
+    g = pd.qcut(pdf["x"], q=10, duplicates="drop")
+    med = pdf.groupby(g, observed=True).mean()
+    a, b, c = np.polyfit(med["x"], med["y"], 2)
+    assert abs(out["a"].iloc[0] - a) < 1e-9
+    assert abs(out["b"].iloc[0] - b) < 1e-9
+    assert abs(out["c"].iloc[0] - c) < 1e-9
+    # band ordering + bootstrap quantile ordering
+    assert (out["lower_predband"] < out["nom"]).all()
+    assert (out["upper_predband"] > out["nom"]).all()
+    assert (out["bts_lower_q025"] <= out["bts_lower_q975"]).all()
+    assert (out["bts_upper_q025"] <= out["bts_upper_q975"]).all()
+    assert (out["nom_lower_ci95"] < out["nom"]).all()
+
+    got = (
+        binfitter_bts(spark.createDataFrame(pdf), "key", "x", "y",
+                      n_bins=10, n_bootstraps=10)
+        .orderBy("fit_x")
+        .toPandas()
+    )
+    np.testing.assert_allclose(got["nom"], out["nom"])
+    np.testing.assert_allclose(got["bts_upper_q975"], out["bts_upper_q975"])

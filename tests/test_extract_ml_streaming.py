@@ -175,3 +175,39 @@ def test_ml_gapfill_longterm_matches_pandas_oracle(spark):
     # 2013 rows were filled by the 2013-2015 pool, 2016 rows by 2014-2016
     y13 = got[got["center_year"] == 2013]
     assert len(y13) > 0 and (pd.to_datetime(y13["ts_s"], unit="s").dt.year == 2013).all()
+
+
+def test_ml_train_report_scores_and_importance(spark):
+    """M1 model-quality report: R2/MAE/RMSE computed on the held-out
+    split, lag features dominate permutation importance on an
+    autocorrelated series, and Spark == standalone kernel."""
+    import zlib
+
+    from diive_spark.ml.gapfill import ml_train_report, train_report_pdf
+
+    rng = np.random.default_rng(21)
+    n = 400
+    ts = np.arange(n) * 1800
+    # AR-ish series: neighbors are informative, time-of-day not
+    v = np.cumsum(rng.normal(0, 1, n))
+    pdf = pd.DataFrame({"key": 3, "ts_s": ts, "value": v})
+
+    seed = zlib.crc32(b"3") % (2**31)
+    rep = train_report_pdf(pdf, n_lags=1, seed=seed)
+    assert set(rep["feature"]) == {"recno", "tod", "lag1", "lead1"}
+    assert rep["n_train"].iloc[0] + rep["n_test"].iloc[0] <= n
+    # scores match their definitions on the same deterministic split
+    assert 0.9 < rep["r2"].iloc[0] <= 1.0  # neighbors predict a random walk well
+    assert rep["rmse"].iloc[0] >= rep["mae"].iloc[0] * 0.5
+    # lag/lead features beat time-of-day importance on this series
+    imp = rep.set_index("feature")["perm_importance"]
+    assert max(imp["lag1"], imp["lead1"]) > imp["tod"]
+
+    got = (
+        ml_train_report(spark.createDataFrame(pdf), "key", "ts_s", "value")
+        .orderBy("feature")
+        .toPandas()
+    )
+    want = rep.sort_values("feature").reset_index(drop=True)
+    np.testing.assert_allclose(got["perm_importance"], want["perm_importance"])
+    np.testing.assert_allclose(got["r2"], want["r2"])
