@@ -125,3 +125,57 @@ def sanitize(
     if to_middle and freq_seconds:
         out = end_to_middle(out, ts_col, freq_seconds)
     return out
+
+
+def add_timezone_info(ts: Column, timezone_of_timestamp: str) -> Column:
+    """S-tier tz localization (reference ``add_timezone_info``,
+    /root/reference/diive/core/times/times.py:1047-1060): the reference
+    tz-localizes a naive index at a fixed UTC offset like 'UTC+01:00'
+    (so InfluxDB uploads in UTC). Spark timestamps are instants, so the
+    equivalent is shifting the naive local reading to its UTC instant:
+    instant = naive - offset."""
+    sign = 1 if "+" in timezone_of_timestamp else -1
+    hh, mm = timezone_of_timestamp.split("UTC")[1][1:].split(":")
+    offset_s = sign * (int(hh) * 3600 + int(mm) * 60)
+    return F.to_timestamp(
+        F.timestamp_seconds(
+            F.floor(F.unix_micros(ts.cast("timestamp")) / 1_000_000) - offset_s
+        )
+    )
+
+
+def timestamps_from_file_start(
+    df: DataFrame,
+    order_col: str,
+    file_start: str,
+    data_nominal_res: float,
+    expected_duration: int,
+    out_col: str = "ts",
+) -> DataFrame:
+    """Rebuild raw-file timestamps from the file start (reference
+    ``insert_datetimerange`` path, times.py:1200-1224): the TRUE
+    resolution stretches the nominal one when the record count deviates
+    >0.1% from the expected count (times.py:1143-1172), timestamps are
+    ``file_start + rn * true_resolution`` rounded to 50 ms.
+
+    The row number comes from a window over ``order_col`` partitioned
+    by nothing — raw files are single-file-sized by construction; for
+    many files partition by a file-id column upstream."""
+    from pyspark.sql import Window
+
+    n = df.count()
+    expected_records = int(expected_duration / data_nominal_res)
+    ratio = n / expected_records
+    if 0.999 < ratio < 1.001:
+        true_res = expected_duration / n
+    else:
+        true_res = data_nominal_res
+    w = Window.orderBy(order_col)
+    sec = (F.row_number().over(w) - 1).cast("double") * true_res
+    ts_us = (
+        F.unix_micros(F.to_timestamp(F.lit(file_start)))
+        + (sec * 1_000_000).cast("long")
+    )
+    # round to 50 ms accuracy (times.py:1223)
+    rounded = (F.round(ts_us / 50_000) * 50_000).cast("long")
+    return df.withColumn(out_col, F.timestamp_micros(rounded))

@@ -183,3 +183,56 @@ def test_ffill_bfill_limited(spark, series_sdf, series_pdf, limit):
         np.testing.assert_allclose(
             sub_b, g["value"].bfill(limit=limit).to_numpy(), rtol=0, equal_nan=True
         )
+
+
+def test_add_timezone_info_and_file_start_timestamps(spark):
+    """S-tier tz localization (times.py:1047-1060) + raw-file timestamp
+    rebuild with true-resolution stretch and 50 ms rounding
+    (times.py:1143-1172, 1200-1224), checked against the reference's
+    pandas semantics computed inline."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from diive_spark.operators.sanitize import (
+        add_timezone_info,
+        timestamps_from_file_start,
+    )
+
+    # tz: CET reading 12:00 local == 11:00 UTC instant
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"ts": [pd.Timestamp("2024-06-01 12:00:00")]})
+    )
+    got = sdf.select(
+        add_timezone_info(F.col("ts"), "UTC+01:00").alias("utc")
+    ).collect()[0]["utc"]
+    want = (
+        pd.Timestamp("2024-06-01 12:00:00")
+        .tz_localize("UTC+01:00")
+        .tz_convert("UTC")
+        .tz_localize(None)
+    )
+    assert pd.Timestamp(got) == want
+
+    # file timestamps: 1790 records where 1800 were expected over 90 s at
+    # 20 Hz -> ratio 0.994 outside the 0.1% window -> nominal res kept
+    n = 1790
+    sdf = spark.createDataFrame(pd.DataFrame({"rn": range(n)}))
+    out = timestamps_from_file_start(
+        sdf, "rn", "2024-06-01 00:00:00", data_nominal_res=0.05,
+        expected_duration=90,
+    ).orderBy("rn").toPandas()
+    want_ts = (
+        pd.Timestamp("2024-06-01")
+        + pd.to_timedelta(pd.Series(range(n)) * 0.05, unit="s")
+    ).dt.round("50ms")
+    pd.testing.assert_series_equal(
+        pd.Series(out["ts"]), want_ts, check_names=False
+    )
+
+    # complete file: 1800 of 1800 -> true res = duration / n
+    sdf = spark.createDataFrame(pd.DataFrame({"rn": range(1800)}))
+    out2 = timestamps_from_file_start(
+        sdf, "rn", "2024-06-01 00:00:00", data_nominal_res=0.05,
+        expected_duration=90,
+    ).orderBy("rn").limit(3).toPandas()
+    assert pd.Timestamp(out2["ts"].iloc[1]) == pd.Timestamp("2024-06-01 00:00:00.050")
