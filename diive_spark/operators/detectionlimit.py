@@ -82,63 +82,59 @@ def flux_detection_limit(
     cov = cov.withColumn("cov_flux", F.col("cov") * F.col("factor")).withColumn(
         "cov_abs", F.abs("cov")
     )
-    # max |cov| in the realistic window, ties -> lowest shift (pandas
+    # Everything downstream reads the cov table ONCE: the max-|cov| pick,
+    # the fringe fallback and the noise stats are windows + one aggregate
+    # over the same (already key-partitioned) rows — joining cov against
+    # derived-from-cov frames would re-execute the whole fan-out subtree
+    # per join arm.
+    in_real = (F.col("shift") >= realistic_lo) & (F.col("shift") <= realistic_hi)
+    wk = Window.partitionBy(key_col)
+    # rank 1 = realistic row with max |cov|, ties -> lowest shift (pandas
     # idxmax takes the first row in shift order)
-    realistic = cov.filter(
-        (F.col("shift") >= realistic_lo) & (F.col("shift") <= realistic_hi)
+    wr = Window.partitionBy(key_col).orderBy(
+        in_real.cast("int").desc(), F.col("cov_abs").desc(), F.col("shift").asc()
     )
-    wr = Window.partitionBy(key_col).orderBy(F.col("cov_abs").desc(), F.col("shift").asc())
-    best = (
-        realistic.withColumn("_r", F.row_number().over(wr))
-        .filter(F.col("_r") == 1)
-        .select(
-            key_col,
-            F.when(
-                (F.col("shift") > realistic_lo) & (F.col("shift") < realistic_hi),
-                F.col("shift"),
-            )
-            .otherwise(F.lit(nominal_shift))
-            .alias("cov_max_shift"),
+    inside = (F.col("shift") > realistic_lo) & (F.col("shift") < realistic_hi)
+    c = (
+        cov.withColumn("_rn", F.row_number().over(wr))
+        .withColumn(
+            "_nominal_flux",
+            F.max(F.when(F.col("shift") == nominal_shift, F.col("cov_flux"))).over(wk),
+        )
+        .withColumn(
+            "_chosen_shift",
+            F.when(inside, F.col("shift")).otherwise(F.lit(nominal_shift)),
+        )
+        .withColumn(
+            "_chosen_flux",
+            F.when(inside, F.col("cov_flux")).otherwise(F.col("_nominal_flux")),
         )
     )
-    flux = best.join(
-        cov.select(key_col, F.col("shift").alias("cov_max_shift"), "cov_flux"),
-        [key_col, "cov_max_shift"],
-    ).withColumnRenamed("cov_flux", "flux")
-    noise = cov.groupBy(key_col).agg(
-        F.stddev_samp(
-            F.when(F.col("shift").between(lag_from, lag_to), F.col("cov_flux"))
-        ).alias("std_l"),
-        F.avg(
-            F.when(F.col("shift").between(lag_from, lag_to), F.col("cov_flux"))
-        ).alias("mean_l"),
-        F.stddev_samp(
-            F.when(F.col("shift").between(-lag_to, -lag_from), F.col("cov_flux"))
-        ).alias("std_r"),
-        F.avg(
-            F.when(F.col("shift").between(-lag_to, -lag_from), F.col("cov_flux"))
-        ).alias("mean_r"),
+    left = F.col("shift").between(lag_from, lag_to)
+    right = F.col("shift").between(-lag_to, -lag_from)
+    agg = c.groupBy(key_col).agg(
+        F.max(F.when(F.col("_rn") == 1, F.col("_chosen_shift"))).alias("cov_max_shift"),
+        F.max(F.when(F.col("_rn") == 1, F.col("_chosen_flux"))).alias("flux"),
+        F.stddev_samp(F.when(left, F.col("cov_flux"))).alias("std_l"),
+        F.avg(F.when(left, F.col("cov_flux"))).alias("mean_l"),
+        F.stddev_samp(F.when(right, F.col("cov_flux"))).alias("std_r"),
+        F.avg(F.when(right, F.col("cov_flux"))).alias("mean_r"),
     )
-    noise = noise.select(
-        key_col,
-        F.sqrt(
-            0.5
-            * (
-                F.col("std_l") * F.col("std_l")
-                + F.col("mean_l") * F.col("mean_l")
-                + F.col("std_r") * F.col("std_r")
-                + F.col("mean_r") * F.col("mean_r")
-            )
-        ).alias("flux_noise_rmse"),
-    ).withColumn("flux_detection_limit", F.col("flux_noise_rmse") * 3)
-    return flux.join(noise, key_col).select(
+    rmse = F.sqrt(
+        0.5
+        * (
+            F.col("std_l") * F.col("std_l")
+            + F.col("mean_l") * F.col("mean_l")
+            + F.col("std_r") * F.col("std_r")
+            + F.col("mean_r") * F.col("mean_r")
+        )
+    )
+    return agg.select(
         key_col,
         "cov_max_shift",
         "flux",
-        "flux_noise_rmse",
-        "flux_detection_limit",
-        (F.abs(F.col("flux")) / F.col("flux_noise_rmse")).alias("signal_to_noise"),
-        (F.abs(F.col("flux")) / F.col("flux_detection_limit")).alias(
-            "signal_to_detection_limit"
-        ),
+        rmse.alias("flux_noise_rmse"),
+        (rmse * 3).alias("flux_detection_limit"),
+        (F.abs(F.col("flux")) / rmse).alias("signal_to_noise"),
+        (F.abs(F.col("flux")) / (rmse * 3)).alias("signal_to_detection_limit"),
     )
