@@ -26,6 +26,8 @@ from pyspark.sql.types import (
 from diive_spark.compression.deltadelta import decode_timestamps, encode_timestamps
 from diive_spark.compression.gorilla import decode_floats, encode_floats
 
+from diive_spark.session import kernel_partition
+
 
 def block_schema(key_col: str) -> StructType:
     return StructType(
@@ -118,7 +120,7 @@ def compress_blocks(
             }
         )
 
-    return d.groupBy(key_col).applyInPandas(encode, schema)
+    return kernel_partition(d, key_col).groupBy(key_col).applyInPandas(encode, schema)
 
 
 def decompress_blocks(

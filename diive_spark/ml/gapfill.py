@@ -38,6 +38,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from diive_spark.session import kernel_partition
+
 FILL_SCHEMA_FIELDS = [
     StructField("ts_s", LongType()),
     StructField("value", DoubleType()),
@@ -149,7 +151,7 @@ def ml_gapfill(
         out.insert(0, key_col, key)
         return out
 
-    sel = df.select(key_col, ts_s_col, value_col)
+    sel = kernel_partition(df.select(key_col, ts_s_col, value_col), key_col)
     return sel.groupBy(key_col).applyInPandas(kernel, schema)
 
 
@@ -251,7 +253,7 @@ def ml_gapfill_longterm(
         out.insert(0, key_col, k)
         return out
 
-    return tagged.groupBy(key_col, "_cy").applyInPandas(kernel, schema)
+    return kernel_partition(tagged, key_col, "_cy").groupBy(key_col, "_cy").applyInPandas(kernel, schema)
 
 
 def train_report_pdf(
@@ -375,5 +377,5 @@ def ml_train_report(
         out.insert(0, key_col, key)
         return out
 
-    sel = df.select(key_col, ts_s_col, value_col)
+    sel = kernel_partition(df.select(key_col, ts_s_col, value_col), key_col)
     return sel.groupBy(key_col).applyInPandas(kernel, schema)

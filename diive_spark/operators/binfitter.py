@@ -31,10 +31,14 @@ parallelism is per key with a single hash exchange.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import DoubleType, StructField, StructType
+
+from diive_spark.session import kernel_partition
 
 
 def _betacf(a: float, b: float, x: float, max_iter: int = 200) -> float:
@@ -95,8 +99,15 @@ def t_cdf(x: float, df: float) -> float:
     return 1.0 - p if x > 0 else p
 
 
+@lru_cache(maxsize=1024)
 def t_ppf(p: float, df: float) -> float:
-    """Student-t quantile via bisection on :func:`t_cdf`."""
+    """Student-t quantile via bisection on :func:`t_cdf`.
+
+    Memoized: the bisection costs ~200 CDF evaluations, and the kernel
+    calls it once per bootstrap run with the same (0.975, n_bins - 3)
+    arguments — per worker process it should be paid once, not
+    keys x bootstraps times.
+    """
     lo, hi = -1e3, 1e3
     for _ in range(200):
         mid = 0.5 * (lo + hi)
@@ -119,11 +130,24 @@ def _quad_fit(x: np.ndarray, y: np.ndarray):
 
 
 def _bin_means(x: np.ndarray, y: np.ndarray, n_bins: int):
-    """qcut bin means (fits.py:42-55, duplicates dropped)."""
-    df = pd.DataFrame({"x": x, "y": y})
-    df["g"] = pd.qcut(df["x"], q=n_bins, duplicates="drop")
-    g = df.groupby("g", observed=True).mean()
-    return g["x"].to_numpy(), g["y"].to_numpy()
+    """qcut bin means (fits.py:42-55, duplicates dropped).
+
+    Pure-numpy replica of ``pd.qcut(x, q).groupby().mean()``: identical
+    linear-interpolated quantile edges, right-closed intervals with the
+    minimum included in the first bin, duplicate edges dropped.  qcut
+    itself costs ~1.5 ms per call (Interval objects + groupby); this is
+    ~30 us, which matters because the bootstrap loop calls it
+    keys x (bootstraps + 1) times.
+    """
+    edges = np.unique(np.quantile(x, np.linspace(0.0, 1.0, n_bins + 1)))
+    # right-closed (a, b]: a value on an interior edge falls in the
+    # lower bin; clip puts x == min into bin 0 (include_lowest)
+    idx = np.clip(np.searchsorted(edges, x, side="left") - 1, 0, len(edges) - 2)
+    cnt = np.bincount(idx, minlength=len(edges) - 1)
+    keep = cnt > 0
+    sx = np.bincount(idx, weights=x, minlength=len(edges) - 1)
+    sy = np.bincount(idx, weights=y, minlength=len(edges) - 1)
+    return sx[keep] / cnt[keep], sy[keep] / cnt[keep]
 
 
 def binfitter_bts_pdf(
@@ -225,5 +249,5 @@ def binfitter_bts(
         out.insert(0, key_col, key)
         return out
 
-    sel = df.select(key_col, x_col, y_col)
+    sel = kernel_partition(df.select(key_col, x_col, y_col), key_col)
     return sel.groupBy(key_col).applyInPandas(kernel, schema)

@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import ByteType, DoubleType, StructField, StructType
 
+from diive_spark.session import kernel_partition
+
 
 def lof_scores_1d(values: np.ndarray, k: int = 20) -> np.ndarray:
     """Exact LOF scores for 1-D points.
@@ -117,6 +119,6 @@ def lof_flag_kernel(
             }
         )
 
-    return df.select(key_col, ts_col, value_col).groupBy(key_col).applyInPandas(
-        kernel, schema
-    )
+    return kernel_partition(
+        df.select(key_col, ts_col, value_col), key_col
+    ).groupBy(key_col).applyInPandas(kernel, schema)

@@ -20,6 +20,8 @@ from pyspark.sql.types import ByteType, StructField, StructType
 
 from diive_spark.oracle import pandas_oracle as _oracle
 
+from diive_spark.session import kernel_partition
+
 
 def zscore_flag_expr(
     df: DataFrame,
@@ -184,7 +186,7 @@ def _grouped_flag_kernel(
         pdf[flag_col] = flag.to_numpy().astype("int8")
         return pdf
 
-    return df.groupBy(key_col).applyInPandas(apply, schema)
+    return kernel_partition(df, key_col).groupBy(key_col).applyInPandas(apply, schema)
 
 
 def zscore_flag_iterated(

@@ -63,3 +63,21 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     return spark
+
+
+def kernel_partition(df, *cols):
+    """Repartition a DataFrame by key for a CPU-bound grouped kernel.
+
+    AQE's coalescePartitions sizes post-shuffle partitions by BYTES, which
+    collapses small-but-CPU-heavy Python kernel stages (bootstrap fits,
+    iterated outlier kernels, per-series ML) onto 1-2 tasks and idles the
+    rest of the cluster.  An explicit user repartition with a stated
+    partition count is exempt from AQE coalescing, and because
+    HashPartitioning(cols, N) satisfies the downstream groupBy's
+    ClusteredDistribution there is still exactly ONE exchange — the same
+    shuffle, just with its width pinned to the configured parallelism
+    instead of the byte estimate.
+    """
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n, *cols)
