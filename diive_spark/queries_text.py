@@ -33,11 +33,30 @@ from diive_spark.text.hashing import (
 PERTURB_OFFSET = 1_000_000
 
 
+def _scan_parallel(df: DataFrame) -> DataFrame:
+    """Widen a small-file scan to the configured parallelism.
+
+    The sf0.01/0.1 documents/embeddings parquet is a single input split,
+    so every downstream per-row transform (shingle HOFs, hash UDFs,
+    similarity kernels) would run on ONE core.  A 100 TB table arrives as
+    thousands of splits (spark.sql.files.maxPartitionBytes) and needs no
+    repartition — this round-robin shuffle of a few MB is the local-scale
+    stand-in for that natural split fan-out.
+    """
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n)
+
+
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _scan_parallel(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no _scan_parallel here: the ANN kernels are one numpy matmul per
+    # Arrow batch and the centroid/probe arms are collect/broadcast-sized,
+    # so the extra exchange costs more than the fan-out buys (measured
+    # 1.4s -> 2.2s at sf0.1)
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
@@ -251,10 +270,14 @@ corpus AS (
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _neardup_corpus(spark, sf_dir)
-    sh = DD.with_shingles(corpus, k=3)
-    mh = DD.with_minhash(sh)
+    # one interpreted shingle+hash pass, persisted: signatures AND the
+    # exact-Jaccard verify both read this table (3 join arms), and
+    # recomputing the HOF transform per arm tripled the query's cost.
+    # At 100 TB this persist is "write the signature table to storage".
+    hs = DD.with_hashed_shingles(corpus, k=3).select("doc_id", "sh_hashes").persist()
+    mh = DD.with_minhash(hs, shingle_col="sh_hashes", hashed=True)
     pairs = DD.lsh_candidate_pairs(mh)
-    out = DD.jaccard_verify(pairs, sh, threshold=0.6)
+    out = DD.jaccard_verify(pairs, hs, shingle_col="sh_hashes", threshold=0.6)
     return out.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
@@ -265,7 +288,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_minhash_lsh() -> str:
     sig_exprs = ",\n         ".join(
-        f"list_min(list_transform(hs, h -> ({PERM_A[j]} * h + {PERM_B[j]}) % {MERSENNE})) AS s{j}"
+        f"list_min(list_transform(hs, h -> ({PERM_A[j]} * (h % {MERSENNE}) + {PERM_B[j]}) % {MERSENNE})) AS s{j}"
         for j in range(N_PERMS)
     )
     band_selects = "\n  UNION ALL\n".join(
@@ -284,8 +307,8 @@ t AS (
 ), sh AS (
   SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM t
 ), hashed AS (
-  SELECT doc_id, shingles,
-         list_transform(shingles, s -> {DUCK_H60.format(s='s')} % {MERSENNE}) AS hs
+  SELECT doc_id,
+         list_distinct(list_transform(shingles, s -> {DUCK_H60.format(s='s')})) AS hs
   FROM sh
 ), sigs AS (
   SELECT doc_id, {sig_exprs} FROM hashed
@@ -298,13 +321,13 @@ t AS (
    AND a.doc_id < b.doc_id
 ), verified AS (
   SELECT p.id_a, p.id_b,
-         len(list_intersect(sa.shingles, sb.shingles)) AS n_inter,
-         len(list_intersect(sa.shingles, sb.shingles)) * 1.0
-           / (len(sa.shingles) + len(sb.shingles)
-              - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+         len(list_intersect(sa.hs, sb.hs)) AS n_inter,
+         len(list_intersect(sa.hs, sb.hs)) * 1.0
+           / (len(sa.hs) + len(sb.hs)
+              - len(list_intersect(sa.hs, sb.hs))) AS jaccard
   FROM pairs p
-  JOIN sh sa ON sa.doc_id = p.id_a
-  JOIN sh sb ON sb.doc_id = p.id_b
+  JOIN hashed sa ON sa.doc_id = p.id_a
+  JOIN hashed sb ON sb.doc_id = p.id_b
 )
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
        CAST(n_inter AS BIGINT) AS n_inter, round(jaccard, 4) AS jaccard

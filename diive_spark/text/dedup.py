@@ -45,6 +45,7 @@ from diive_spark.text.hashing import (
 __all__ = [
     "exact_dedup",
     "with_shingles",
+    "with_hashed_shingles",
     "with_minhash",
     "lsh_candidate_pairs",
     "jaccard_verify",
@@ -90,26 +91,88 @@ def _perm(a: int, b: int):
     return lambda x: F.pmod(a * x + b, F.lit(MERSENNE))
 
 
+_SHINGLE_HASH_UDFS: dict = {}
+
+
+def _shingle_hash_udf(k: int):
+    """Per-doc distinct 60-bit shingle hashes as ONE Python pass.
+
+    The declarative equivalent — transform(sequence(...),
+    i -> conv(substr(md5(concat_ws(slice(toks, i, k))), 1, 15), 16, 10))
+    — runs in Catalyst's INTERPRETED higher-order-function evaluator:
+    ~160 us per shingle, 5+ s per 10k docs.  hashlib.md5 produces the
+    byte-identical digest (same UTF-8 input, same hex prefix), so this
+    stays an exact bit-match with the JVM/DuckDB expression at ~100x the
+    throughput.
+    """
+    if k not in _SHINGLE_HASH_UDFS:
+        import hashlib
+
+        @F.pandas_udf("array<bigint>")
+        def _sh(texts: pd.Series) -> pd.Series:
+            out = []
+            md5 = hashlib.md5
+            for t in texts:
+                # replicate trim() + split('\\s+'): trim strips SPACES only
+                toks = (t or "").strip(" ").split()
+                n = max(len(toks) - (k - 1), 1)
+                # dict.fromkeys == array_distinct (first-occurrence order)
+                uniq = dict.fromkeys(
+                    " ".join(toks[i : i + k]) for i in range(n)
+                )
+                out.append(
+                    [
+                        int(md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                        for s in uniq
+                    ]
+                )
+            return pd.Series(out)
+
+        _SHINGLE_HASH_UDFS[k] = _sh
+    return _SHINGLE_HASH_UDFS[k]
+
+
+def with_hashed_shingles(
+    df: DataFrame, text_col: str = "text", k: int = 3, out_col: str = "sh_hashes"
+) -> DataFrame:
+    """Distinct 60-bit-hashed word k-shingles (shingle strings are never
+    materialized as a column).
+
+    This is the table worth materializing: MinHash signatures AND the
+    exact-Jaccard verify both derive from it, so the query persists it
+    instead of re-running the shingle transform once per join arm (at
+    100 TB this is the signature table you'd write to storage).  Hash
+    sets stand in for string sets in the Jaccard — both engines use the
+    identical md5-based h60, so the substitution is engine-exact.
+    """
+    return df.withColumn(out_col, _shingle_hash_udf(k)(F.col(text_col)))
+
+
 def with_minhash(
-    df: DataFrame, shingle_col: str = "shingles", out_col: str = "minhash"
+    df: DataFrame,
+    shingle_col: str = "shingles",
+    out_col: str = "minhash",
+    hashed: bool = False,
 ) -> DataFrame:
     """16-permutation MinHash signature as an array<bigint> column.
 
     sig_j = min over shingles s of (a_j * (h60(s) mod P) + b_j) mod P,
     P = 2^31-1 — every intermediate fits signed-64. Per-row math only.
-    The md5 hash array is materialized in its own projection so the 16
-    permutation scans reuse it (CollapseProject keeps non-cheap exprs
-    un-inlined).
+    With ``hashed=True`` the column already holds h60 values (see
+    :func:`with_hashed_shingles`) and the md5 pass is skipped; the mod-P
+    reduction happens inside the numpy kernel either way.
     """
-    hashed = df.withColumn(
-        "_sh_hashes",
-        F.transform(F.col(shingle_col), lambda s: F.pmod(_h60(s), F.lit(MERSENNE))),
-    )
+    if hashed:
+        hashed_df = df.withColumn("_sh_hashes", F.col(shingle_col))
+    else:
+        hashed_df = df.withColumn(
+            "_sh_hashes", F.transform(F.col(shingle_col), lambda s: _h60(s))
+        )
     # md5 stays JVM-side (bit-matches the DuckDB oracle); the 16
     # permutations run in ONE numpy pass inside a pandas UDF — the
     # equivalent 16x array_min(transform(...)) higher-order functions are
     # interpreted per element and cost ~10x more at sf0.1
-    return hashed.withColumn(
+    return hashed_df.withColumn(
         out_col, _minhash_perms_udf(F.col("_sh_hashes"))
     ).drop("_sh_hashes")
 
@@ -131,8 +194,9 @@ def _minhash_perms_udf(col: Column) -> Column:
                 if lens.sum()
                 else np.empty(0, dtype=np.int64)
             ).astype(np.int64)
-            # a*h + b < 2^62: fits signed-64 exactly (a, b, h < 2^31)
-            perms = (A * flat[None, :] + B) % MERSENNE
+            # accept raw 60-bit hashes or already-modded values: x % P is
+            # idempotent, and a*(h%P) + b < 2^62 fits signed-64 exactly
+            perms = (A * (flat[None, :] % MERSENNE) + B) % MERSENNE
             offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
             if len(flat):
                 # ONE vectorized segment-min across the whole Arrow batch
@@ -308,29 +372,37 @@ def with_simhash(
     exceeds n_tokens/2 (i.e. majority of ones). Nested higher-order
     aggregates — still per-row, still codegen, still zero shuffle.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    hashed = df.withColumn("_tok_hashes", F.transform(toks, lambda t: _h60(t)))
-    # token md5 stays JVM-side (oracle bit-match); all 32 bit-majority
-    # sums happen in one vectorized numpy pass (the 32 interpreted
-    # `aggregate` HOFs cost ~10x more)
-    return hashed.withColumn(
-        out_col, _simhash_bits_udf(F.col("_tok_hashes"))
-    ).drop("_tok_hashes")
+    # ONE Python pass from raw text: tokenize, md5 each token (hashlib is
+    # byte-identical to the JVM/DuckDB md5 expression), then a vectorized
+    # numpy bit-majority.  The interpreted transform(toks, md5...) HOF
+    # cost ~160 us/token; this is ~100x cheaper and still an exact
+    # bit-match with the oracle.
+    return df.withColumn(out_col, _simhash_text_udf(F.col(text_col)))
 
 
 _SIMHASH_UDF = None
 
 
-def _simhash_bits_udf(col: Column) -> Column:
+def _simhash_text_udf(col: Column) -> Column:
     global _SIMHASH_UDF
     if _SIMHASH_UDF is None:
+        import hashlib
+
         bits = np.arange(SIMHASH_BITS, dtype=np.int64)
 
         @F.pandas_udf("bigint")
-        def _sh(hs: pd.Series) -> pd.Series:
-            lens = hs.map(len).to_numpy()
+        def _sh(texts: pd.Series) -> pd.Series:
+            md5 = hashlib.md5
+            tok_hashes = [
+                [
+                    int(md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                    for t in ((s or "").strip(" ").split() or [""])
+                ]
+                for s in texts
+            ]
+            lens = np.array([len(h) for h in tok_hashes])
             flat = (
-                np.concatenate(hs.to_numpy())
+                np.concatenate([np.asarray(h, dtype=np.int64) for h in tok_hashes])
                 if lens.sum()
                 else np.empty(0, dtype=np.int64)
             ).astype(np.int64)
