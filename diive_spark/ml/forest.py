@@ -1,0 +1,263 @@
+"""Pure-numpy tree ensembles: random forest + gradient boosting.
+
+The reference's gap-filling model family is sklearn's
+``RandomForestRegressor`` (M1-M3,
+/root/reference/diive/pkgs/gapfilling/randomforest_ts.py:431-495) and an
+XGBoost variant (M5, xgboost_ts.py); neither library ships in this
+container, so this module implements the standard histogram CART
+algorithm (quantile-binned features, level-wise split search — the
+LightGBM/XGBoost "hist" construction, public knowledge) in vectorized
+numpy:
+
+  * features are quantile-binned to <=256 uint8 codes once per fit;
+  * each tree level computes per-(node, feature, bin) histograms of
+    (weight, sum_y) with ``np.bincount`` — one vectorized pass per
+    feature, no per-node Python loop;
+  * the best split per node maximizes the SSE reduction
+    sum_L^2/n_L + sum_R^2/n_R (variance gain), subject to
+    ``min_samples_leaf``;
+  * bootstrap resampling enters as integer sample WEIGHTS in the same
+    bincounts (no data copies);
+  * per-tree feature subsampling (``colsample``) provides the forest's
+    decorrelation (per-split sampling would forbid the level-wise
+    vectorization; per-tree is the classic Ho-1998 random-subspace
+    variant).
+
+Gradient boosting reuses the same tree builder on residuals with a
+learning rate and optional row subsampling.
+
+Everything is deterministic given ``seed`` — the Spark kernels seed per
+series key, so results are independent of partitioning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_BINS = 256
+
+
+def _quantile_bin(X: np.ndarray, max_bins: int = MAX_BINS):
+    """Per-feature quantile bin edges + uint8 codes.
+
+    Returns (codes (n, F) uint8, edges list of per-feature arrays).
+    """
+    n, f = X.shape
+    codes = np.zeros((n, f), dtype=np.uint8)
+    edges = []
+    qs = np.linspace(0.0, 1.0, max_bins + 1)[1:-1]
+    for j in range(f):
+        e = np.unique(np.quantile(X[:, j], qs))
+        codes[:, j] = np.searchsorted(e, X[:, j], side="right").astype(np.uint8)
+        edges.append(e)
+    return codes, edges
+
+
+def _apply_bins(X: np.ndarray, edges) -> np.ndarray:
+    n, f = X.shape
+    codes = np.zeros((n, f), dtype=np.uint8)
+    for j in range(f):
+        codes[:, j] = np.searchsorted(edges[j], X[:, j], side="right").astype(
+            np.uint8
+        )
+    return codes
+
+
+def _build_tree(
+    codes: np.ndarray,
+    y: np.ndarray,
+    w: np.ndarray,
+    feat_idx: np.ndarray,
+    max_depth: int,
+    min_samples_leaf: int,
+):
+    """Level-wise histogram CART on pre-binned features.
+
+    Returns (split_feat, split_bin, leaf_value) arrays in implicit
+    heap layout: node i has children 2i+1 / 2i+2; split_feat == -1
+    marks a leaf.  All rows participate via weights (w == 0 rows are
+    out-of-bag — they traverse but never contribute to histograms).
+    """
+    n = len(y)
+    n_nodes = 2 ** (max_depth + 1) - 1
+    split_feat = np.full(n_nodes, -1, dtype=np.int32)
+    split_bin = np.zeros(n_nodes, dtype=np.int32)
+    leaf_value = np.zeros(n_nodes, dtype=np.float64)
+
+    node = np.zeros(n, dtype=np.int64)  # heap index per row
+    wy = w * y
+    tot_w = w.sum()
+    leaf_value[0] = wy.sum() / tot_w if tot_w > 0 else 0.0
+
+    level_start = 0
+    for depth in range(max_depth):
+        k = 2**depth  # nodes at this level
+        rel = node - level_start
+        active = (rel >= 0) & (rel < k)
+        if not active.any():
+            break
+        # per-(node, feature, bin) histograms, one bincount per feature
+        best_gain = np.full(k, 0.0)
+        best_feat = np.full(k, -1, dtype=np.int64)
+        best_bin = np.zeros(k, dtype=np.int64)
+        base = rel[active] * MAX_BINS
+        w_a, wy_a = w[active], wy[active]
+        for j in feat_idx:
+            key = base + codes[active, j]
+            cw = np.bincount(key, weights=w_a, minlength=k * MAX_BINS).reshape(
+                k, MAX_BINS
+            )
+            cwy = np.bincount(key, weights=wy_a, minlength=k * MAX_BINS).reshape(
+                k, MAX_BINS
+            )
+            # prefix over bins: split "bin <= b goes left"
+            lw = np.cumsum(cw, axis=1)[:, :-1]
+            lwy = np.cumsum(cwy, axis=1)[:, :-1]
+            tw = lw[:, -1:] + cw[:, -1:]
+            twy = lwy[:, -1:] + cwy[:, -1:]
+            rw = tw - lw
+            rwy = twy - lwy
+            ok = (lw >= min_samples_leaf) & (rw >= min_samples_leaf)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                gain = (
+                    np.where(ok, lwy * lwy / lw, 0.0)
+                    + np.where(ok, rwy * rwy / rw, 0.0)
+                    - np.where(tw > 0, twy * twy / tw, 0.0)
+                )
+            gain = np.where(ok, gain, 0.0)
+            gb = np.argmax(gain, axis=1)
+            gv = gain[np.arange(k), gb]
+            better = gv > best_gain + 1e-12
+            best_gain = np.where(better, gv, best_gain)
+            best_feat = np.where(better, j, best_feat)
+            best_bin = np.where(better, gb, best_bin)
+
+        made_split = best_feat >= 0
+        if not made_split.any():
+            break
+        node_ids = level_start + np.arange(k)
+        split_feat[node_ids] = np.where(made_split, best_feat, -1).astype(np.int32)
+        split_bin[node_ids] = best_bin.astype(np.int32)
+
+        # route rows; rows in non-split nodes keep their node id (it
+        # falls out of later levels' [level_start, level_start+k) window
+        # and its leaf_value is already final)
+        act_idx = np.flatnonzero(active)
+        r_act = rel[active]
+        f_act = best_feat[r_act]
+        has = f_act >= 0
+        moved = act_idx[has]
+        go_right = (
+            codes[moved, f_act[has]] > best_bin[r_act[has]]
+        ).astype(np.int64)
+        node[moved] = (level_start + k) + 2 * r_act[has] + go_right
+
+        # leaf values for the new level (weighted means)
+        next_start = level_start + k
+        nk = 2 * k
+        relc = node - next_start
+        in_next = (relc >= 0) & (relc < nk)
+        if in_next.any():
+            cw = np.bincount(relc[in_next], weights=w[in_next], minlength=nk)
+            cwy = np.bincount(relc[in_next], weights=wy[in_next], minlength=nk)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                lv = np.where(cw > 0, cwy / cw, 0.0)
+            # empty children inherit the parent mean (possible when the
+            # in-bag histogram and the routed rows disagree via w == 0)
+            parent = leaf_value[level_start : level_start + k]
+            inherit = np.repeat(parent, 2)
+            leaf_value[next_start : next_start + nk] = np.where(cw > 0, lv, inherit)
+        level_start += k
+
+    return split_feat, split_bin, leaf_value
+
+
+def _tree_predict(codes: np.ndarray, tree) -> np.ndarray:
+    split_feat, split_bin, leaf_value = tree
+    n = len(codes)
+    node = np.zeros(n, dtype=np.int64)
+    # max depth implied by array length
+    depth = int(np.log2(len(split_feat) + 1)) - 1
+    level_start = 0
+    for d in range(depth):
+        k = 2**d
+        f = split_feat[node]
+        is_split = f >= 0
+        b = split_bin[node]
+        right = np.zeros(n, dtype=np.int64)
+        idx = np.flatnonzero(is_split)
+        if len(idx):
+            right[idx] = (
+                codes[idx, f[idx]] > b[idx]
+            ).astype(np.int64)
+        rel = node - level_start
+        child = level_start + k + 2 * rel + right
+        node = np.where(is_split & (rel >= 0) & (rel < k), child, node)
+        level_start += k
+    return leaf_value[node]
+
+
+def fit_forest(
+    X: np.ndarray,
+    y: np.ndarray,
+    n_estimators: int = 20,
+    max_depth: int = 5,
+    min_samples_leaf: int = 3,
+    colsample: float = 0.8,
+    seed: int = 0,
+):
+    """Random forest: bootstrap weights + per-tree feature subsample."""
+    rng = np.random.default_rng(seed)
+    codes, edges = _quantile_bin(X)
+    n, f = X.shape
+    n_feats = max(1, int(round(colsample * f)))
+    trees = []
+    for _ in range(n_estimators):
+        w = np.bincount(rng.integers(0, n, n), minlength=n).astype(np.float64)
+        feat_idx = np.sort(rng.choice(f, size=n_feats, replace=False))
+        trees.append(_build_tree(codes, y, w, feat_idx, max_depth, min_samples_leaf))
+    return {"kind": "rf", "trees": trees, "edges": edges}
+
+
+def fit_gbt(
+    X: np.ndarray,
+    y: np.ndarray,
+    n_estimators: int = 50,
+    max_depth: int = 3,
+    min_samples_leaf: int = 3,
+    learning_rate: float = 0.3,
+    subsample: float = 1.0,
+    seed: int = 0,
+):
+    """Gradient-boosted trees on squared loss (residual fitting)."""
+    rng = np.random.default_rng(seed)
+    codes, edges = _quantile_bin(X)
+    n, f = X.shape
+    base = float(np.mean(y))
+    resid = y - base
+    feat_idx = np.arange(f)
+    trees = []
+    for _ in range(n_estimators):
+        if subsample < 1.0:
+            w = (rng.random(n) < subsample).astype(np.float64)
+        else:
+            w = np.ones(n)
+        tree = _build_tree(codes, resid, w, feat_idx, max_depth, min_samples_leaf)
+        pred = _tree_predict(codes, tree)
+        resid = resid - learning_rate * pred
+        trees.append(tree)
+    return {
+        "kind": "gbt",
+        "trees": trees,
+        "edges": edges,
+        "base": base,
+        "lr": learning_rate,
+    }
+
+
+def predict(model, X: np.ndarray) -> np.ndarray:
+    codes = _apply_bins(X, model["edges"])
+    preds = np.stack([_tree_predict(codes, t) for t in model["trees"]])
+    if model["kind"] == "rf":
+        return preds.mean(axis=0)
+    return model["base"] + model["lr"] * preds.sum(axis=0)

@@ -12,10 +12,11 @@ re-expressing the RandomForestTS pipeline shape
   6. cumulative sum of the filled series (randomforest_ts.py:838-839).
 
 Model family: the reference uses sklearn RandomForestRegressor; sklearn is
-not available in this container, so the kernel uses deterministic ordinary
-least squares (numpy ``lstsq``). The PIPELINE semantics (feature set,
-fit/predict masks, two-stage fallback, 0/1/2 flags) match; the regressor
-is pluggable — swap ``_fit_predict`` for sklearn in production.
+not available in this container, so the kernel's regressor is pluggable
+(:func:`_fit_predict`): deterministic OLS, or the numpy histogram random
+forest / gradient-boosted trees from :mod:`diive_spark.ml.forest` (the
+reference's actual model families for M1-M3 and M5).  M4's grid search is
+:func:`ml_optimize_params`.
 
 Execution shape: one series per group via ``applyInPandas`` (Arrow
 batches). Each series is independent => embarrassingly parallel across the
@@ -50,16 +51,42 @@ FILL_SCHEMA_FIELDS = [
 
 
 def _fit_predict(
-    X_train: np.ndarray, y_train: np.ndarray, X_pred: np.ndarray
+    X_train: np.ndarray,
+    y_train: np.ndarray,
+    X_pred: np.ndarray,
+    regressor: str = "ols",
+    seed: int = 0,
+    **params,
 ) -> np.ndarray:
-    """Deterministic OLS with intercept (production slot for sklearn RF)."""
-    A = np.column_stack([np.ones(len(X_train)), X_train])
-    coef, *_ = np.linalg.lstsq(A, y_train, rcond=None)
-    return np.column_stack([np.ones(len(X_pred)), X_pred]) @ coef
+    """Pluggable per-series regressor.
+
+    ``ols`` — deterministic least squares (the round-1 stand-in, kept as
+    the fast/linear option); ``rf`` — numpy histogram random forest
+    (the reference's actual model family, ml/forest.py); ``gbt`` —
+    gradient-boosted trees (the XGBoostTS analog, M5).
+    """
+    if regressor == "ols":
+        A = np.column_stack([np.ones(len(X_train)), X_train])
+        coef, *_ = np.linalg.lstsq(A, y_train, rcond=None)
+        return np.column_stack([np.ones(len(X_pred)), X_pred]) @ coef
+    from diive_spark.ml import forest
+
+    if regressor == "rf":
+        model = forest.fit_forest(X_train, y_train, seed=seed, **params)
+    elif regressor == "gbt":
+        model = forest.fit_gbt(X_train, y_train, seed=seed, **params)
+    else:
+        raise ValueError(f"unknown regressor {regressor!r}")
+    return forest.predict(model, X_pred)
 
 
 def fill_series_pdf(
-    pdf: pd.DataFrame, n_lags: int = 1, grid_step: int | None = None
+    pdf: pd.DataFrame,
+    n_lags: int = 1,
+    grid_step: int | None = None,
+    regressor: str = "ols",
+    seed: int = 0,
+    **reg_params,
 ) -> pd.DataFrame:
     """Gap-fill ONE series (pandas frame with ts_s, value sorted later).
     This is both the Spark kernel body and the test oracle — identical code
@@ -108,11 +135,17 @@ def fill_series_pdf(
     fit_mask = obs & full_feat
     pred_mask = (~obs) & full_feat
     if fit_mask.sum() >= X.shape[1] + 1 and pred_mask.any():
-        filled[pred_mask] = _fit_predict(X[fit_mask], v[fit_mask], X[pred_mask])
+        filled[pred_mask] = _fit_predict(
+            X[fit_mask], v[fit_mask], X[pred_mask],
+            regressor=regressor, seed=seed, **reg_params,
+        )
         flag[pred_mask] = 1
     rest = (~obs) & np.isnan(filled)
     if obs.sum() >= ts_feats.shape[1] + 1 and rest.any():
-        filled[rest] = _fit_predict(ts_feats[obs], v[obs], ts_feats[rest])
+        filled[rest] = _fit_predict(
+            ts_feats[obs], v[obs], ts_feats[rest],
+            regressor=regressor, seed=seed, **reg_params,
+        )
         flag[rest] = 2
     out = pd.DataFrame(
         {
@@ -133,20 +166,30 @@ def ml_gapfill(
     value_col: str,
     n_lags: int = 1,
     grid_step: int | None = None,
+    regressor: str = "ols",
+    **reg_params,
 ) -> DataFrame:
     """Distributed per-key gap fill. Input: long frame with an epoch-second
     grid column and a nullable value; output adds filled value + 0/1/2 flag
     + cumulative sum. With ``grid_step`` the full grid is materialized
-    inside the kernel (sparse input rows suffice — no upstream grid join)."""
+    inside the kernel (sparse input rows suffice — no upstream grid join).
+    ``regressor``: 'ols' | 'rf' | 'gbt' (see :func:`_fit_predict`); tree
+    models seed per key (crc32) so results are partitioning-independent."""
     key_field = [f for f in df.schema.fields if f.name == key_col][0]
     schema = StructType([key_field] + FILL_SCHEMA_FIELDS)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
         key = pdf[key_col].iloc[0]
+        seed = zlib.crc32(str(key).encode()) % (2**31)
         out = fill_series_pdf(
             pdf.rename(columns={ts_s_col: "ts_s", value_col: "value"}),
             n_lags=n_lags,
             grid_step=grid_step,
+            regressor=regressor,
+            seed=seed,
+            **reg_params,
         )
         out.insert(0, key_col, key)
         return out
@@ -374,6 +417,146 @@ def ml_train_report(
             perm_n_repeats=perm_n_repeats, seed=seed,
         )
         out = out.astype({"n_train": "int32", "n_test": "int32"})
+        out.insert(0, key_col, key)
+        return out
+
+    sel = kernel_partition(df.select(key_col, ts_s_col, value_col), key_col)
+    return sel.groupBy(key_col).applyInPandas(kernel, schema)
+
+
+PARAM_GRID_DEFAULT = {
+    "n_estimators": [5, 10],
+    "max_depth": [3, 5],
+    "min_samples_leaf": [1, 3],
+}
+
+OPT_SCHEMA_FIELDS = [
+    StructField("best_n_estimators", LongType()),
+    StructField("best_max_depth", LongType()),
+    StructField("best_min_samples_leaf", LongType()),
+    StructField("cv_neg_mse", DoubleType()),
+    StructField("n_folds", LongType()),
+    StructField("test_mse", DoubleType()),
+    StructField("test_mae", DoubleType()),
+    StructField("test_r2", DoubleType()),
+]
+
+
+def optimize_params_pdf(
+    pdf: pd.DataFrame,
+    n_lags: int = 1,
+    param_grid: dict | None = None,
+    n_splits: int = 5,
+    test_size: float = 0.25,
+    regressor: str = "rf",
+    seed: int = 0,
+) -> pd.DataFrame:
+    """M4 ``OptimizeParamsRFTS.optimize`` for ONE series
+    (/root/reference/diive/pkgs/gapfilling/randomforest_ts.py:119-156):
+    grid search scored by negative MSE under time-series CV, then
+    test-set scores for the winning params.
+
+    Deviations (documented): the train/test split is CHRONOLOGICAL
+    (last ``test_size`` fraction) instead of sklearn's shuffled
+    ``random_state=42`` split — deterministic and leakage-free for time
+    series; the estimator is ml/forest.py's numpy forest, not sklearn.
+    The CV follows sklearn ``TimeSeriesSplit``: data in ``n_splits + 1``
+    chronological blocks, fold i trains on blocks[0..i] and validates on
+    block i+1 (expanding window).
+    """
+    from itertools import product
+
+    grid = param_grid or PARAM_GRID_DEFAULT
+    pdf = pdf.sort_values("ts_s").reset_index(drop=True)
+    v = pdf["value"].to_numpy(dtype=np.float64)
+    n = len(pdf)
+    recno = np.arange(n, dtype=np.float64)
+    tod = (pdf["ts_s"].to_numpy() % 86400) / 86400.0
+    feats = [recno, tod]
+    for k in range(1, n_lags + 1):
+        lag = np.roll(v, k)
+        lag[:k] = np.nan
+        lead = np.roll(v, -k)
+        lead[-k:] = np.nan
+        feats.extend([lag, lead])
+    X = np.column_stack(feats)
+    ok = ~np.isnan(v) & ~np.isnan(X).any(axis=1)
+    Xc, yc = X[ok], v[ok]
+    m = len(yc)
+    n_test = max(1, int(round(m * test_size)))
+    Xtr, ytr = Xc[: m - n_test], yc[: m - n_test]
+    Xte, yte = Xc[m - n_test :], yc[m - n_test :]
+
+    ntr = len(ytr)
+    # sklearn TimeSeriesSplit boundaries: test blocks of size
+    # ntr // (n_splits + 1), training always starts at 0
+    fold = ntr // (n_splits + 1)
+    combos = [
+        dict(zip(grid.keys(), vals)) for vals in product(*grid.values())
+    ]
+    results = []
+    for params in combos:
+        errs = []
+        for i in range(1, n_splits + 1):
+            tr_end = fold * i + ntr % (n_splits + 1)
+            va_end = min(tr_end + fold, ntr)
+            if tr_end < 2 or va_end <= tr_end:
+                continue
+            pred = _fit_predict(
+                Xtr[:tr_end], ytr[:tr_end], Xtr[tr_end:va_end],
+                regressor=regressor, seed=seed, **params,
+            )
+            errs.append(float(np.mean((pred - ytr[tr_end:va_end]) ** 2)))
+        results.append(-float(np.mean(errs)) if errs else -np.inf)
+    best_i = int(np.argmax(results))
+    best = combos[best_i]
+    pred_te = _fit_predict(
+        Xtr, ytr, Xte, regressor=regressor, seed=seed, **best
+    )
+    mse = float(np.mean((pred_te - yte) ** 2))
+    mae = float(np.mean(np.abs(pred_te - yte)))
+    ss = float(np.sum((yte - yte.mean()) ** 2))
+    r2 = 1.0 - float(np.sum((pred_te - yte) ** 2)) / ss if ss > 0 else np.nan
+    return pd.DataFrame(
+        {
+            "best_n_estimators": [int(best["n_estimators"])],
+            "best_max_depth": [int(best["max_depth"])],
+            "best_min_samples_leaf": [int(best["min_samples_leaf"])],
+            "cv_neg_mse": [results[best_i]],
+            "n_folds": [int(n_splits)],
+            "test_mse": [mse],
+            "test_mae": [mae],
+            "test_r2": [r2],
+        }
+    )
+
+
+def ml_optimize_params(
+    df: DataFrame,
+    key_col: str,
+    ts_s_col: str,
+    value_col: str,
+    n_lags: int = 1,
+    param_grid: dict | None = None,
+    n_splits: int = 5,
+    regressor: str = "rf",
+) -> DataFrame:
+    """Distributed M4: one grid-search kernel per series (embarrassingly
+    parallel — the reference runs GridSearchCV single-node with
+    n_jobs=-1; here every series' whole grid is one task)."""
+    key_field = [f for f in df.schema.fields if f.name == key_col][0]
+    schema = StructType([key_field] + OPT_SCHEMA_FIELDS)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        key = pdf[key_col].iloc[0]
+        seed = zlib.crc32(str(key).encode()) % (2**31)
+        out = optimize_params_pdf(
+            pdf.rename(columns={ts_s_col: "ts_s", value_col: "value"}),
+            n_lags=n_lags, param_grid=param_grid, n_splits=n_splits,
+            regressor=regressor, seed=seed,
+        )
         out.insert(0, key_col, key)
         return out
 

@@ -216,11 +216,86 @@ def q_gorilla_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# ml_gapfill_rf / ml_gapfill_xgb — M1 with the reference's actual model
+# family (numpy histogram random forest / gradient-boosted trees,
+# ml/forest.py) instead of the OLS stand-in; ml_optimize_params — M4
+# OptimizeParamsRFTS grid search under TimeSeriesSplit CV.
+# (rows-only driver checks: tree fits are not SQL-expressible; exactness
+# + model-quality properties asserted in tests/test_forest.py)
+# ---------------------------------------------------------------------------
+
+def _agg_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    binned = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        (
+            (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_800_000_000) + 1)
+            * 1800
+        ).cast("long").alias("slot_s"),
+        "value",
+    )
+    return binned.groupBy("user_id", "slot_s").agg(F.avg("value").alias("v"))
+
+
+def q_ml_gapfill_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ml_gapfill(
+        _agg_30min(spark, sf_dir), "user_id", "slot_s", "v",
+        n_lags=1, grid_step=1800, regressor="rf",
+        n_estimators=10, max_depth=5, min_samples_leaf=3,
+    )
+    return out.select(
+        "user_id",
+        F.col("ts_s").alias("slot_s"),
+        F.round("value_filled", 4).alias("v_filled"),
+        F.col("flag_fill").cast("int").alias("flag_fill"),
+    )
+
+
+def q_ml_gapfill_xgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ml_gapfill(
+        _agg_30min(spark, sf_dir), "user_id", "slot_s", "v",
+        n_lags=1, grid_step=1800, regressor="gbt",
+        n_estimators=30, max_depth=3,
+    )
+    return out.select(
+        "user_id",
+        F.col("ts_s").alias("slot_s"),
+        F.round("value_filled", 4).alias("v_filled"),
+        F.col("flag_fill").cast("int").alias("flag_fill"),
+    )
+
+
+def q_ml_optimize_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.ml.gapfill import ml_optimize_params
+
+    # param search is a per-deployment calibration, not a per-series
+    # always-on stage — run it on a third of the series
+    agg = _agg_30min(spark, sf_dir).filter(F.col("user_id") % 3 == 0)
+    out = ml_optimize_params(
+        agg, "user_id", "slot_s", "v",
+        n_lags=1, n_splits=3,
+    )
+    return out.select(
+        "user_id",
+        "best_n_estimators",
+        "best_max_depth",
+        "best_min_samples_leaf",
+        F.round("cv_neg_mse", 4).alias("cv_neg_mse"),
+        "n_folds",
+        F.round("test_mae", 4).alias("test_mae"),
+        F.round("test_r2", 4).alias("test_r2"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_text_roundtrip": q_extract_text_roundtrip,
     "ml_gapfill_30min": q_ml_gapfill_30min,
     "ml_gapfill_longterm": q_ml_gapfill_longterm,
     "ml_train_report": q_ml_train_report,
+    "ml_gapfill_rf": q_ml_gapfill_rf,
+    "ml_gapfill_xgb": q_ml_gapfill_xgb,
+    "ml_optimize_params": q_ml_optimize_params,
     "flag_lof": q_flag_lof,
     "gorilla_blocks": q_gorilla_blocks,
 }

@@ -1,0 +1,157 @@
+"""Tree-ensemble regressors (ml/forest.py) + their gap-fill / M4 wiring.
+
+No sklearn in the container, so correctness is established from first
+principles: exact recovery of piecewise-constant targets, monotone
+boosting improvement, nonlinear targets where OLS provably fails,
+min_samples_leaf enforcement, determinism, and Spark-kernel ==
+standalone-function agreement.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from diive_spark.ml.forest import (
+    _build_tree,
+    _quantile_bin,
+    _tree_predict,
+    fit_forest,
+    fit_gbt,
+    predict,
+)
+
+
+def test_single_tree_fits_step_function_exactly():
+    # discrete feature values: every distinct value gets its own
+    # quantile bin, so the two step thresholds are representable splits
+    # (with continuous x the cut can only land on a bin edge — the
+    # defining approximation of histogram trees)
+    rng = np.random.default_rng(0)
+    x = (rng.integers(0, 10, (2000, 1)) / 10.0).astype(float)
+    y = np.where(x[:, 0] > 0.5, 3.0, -1.0) + np.where(x[:, 0] > 0.8, 2.0, 0.0)
+    codes, _ = _quantile_bin(x)
+    tree = _build_tree(codes, y, np.ones(len(y)), np.array([0]), 3, 1)
+    assert np.abs(_tree_predict(codes, tree) - y).max() < 1e-12
+
+
+def test_min_samples_leaf_respected():
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 1, (500, 1))
+    y = rng.normal(0, 1, 500)
+    codes, _ = _quantile_bin(x)
+    tree = _build_tree(codes, y, np.ones(500), np.array([0]), 8, 50)
+    leaves = _tree_predict(codes, tree)
+    # every distinct leaf must hold >= 50 samples
+    _, counts = np.unique(leaves, return_counts=True)
+    assert counts.min() >= 50
+
+
+def test_forest_beats_ols_on_nonlinear_target():
+    rng = np.random.default_rng(2)
+    n = 3000
+    X = rng.uniform(0, 10, (n, 2))
+    y = np.sin(X[:, 0]) * 3 + np.cos(X[:, 1] * 0.7) + rng.normal(0, 0.2, n)
+
+    def r2(pred):
+        return 1 - np.sum((y - pred) ** 2) / np.sum((y - y.mean()) ** 2)
+
+    A = np.column_stack([np.ones(n), X])
+    ols = A @ np.linalg.lstsq(A, y, rcond=None)[0]
+    rf = predict(fit_forest(X, y, n_estimators=20, max_depth=8, seed=3), X)
+    gbt = predict(fit_gbt(X, y, n_estimators=80, max_depth=4, seed=3), X)
+    assert r2(ols) < 0.2  # OLS cannot express the target
+    assert r2(rf) > 0.9
+    assert r2(gbt) > 0.95
+
+
+def test_gbt_training_error_monotone_in_estimators():
+    rng = np.random.default_rng(4)
+    X = rng.uniform(0, 5, (1000, 2))
+    y = X[:, 0] * X[:, 1] + rng.normal(0, 0.1, 1000)
+    errs = []
+    for n_est in (5, 20, 60):
+        p = predict(fit_gbt(X, y, n_estimators=n_est, max_depth=3, seed=5), X)
+        errs.append(np.mean((y - p) ** 2))
+    assert errs[0] > errs[1] > errs[2]
+
+
+def test_determinism_and_seed_sensitivity():
+    rng = np.random.default_rng(6)
+    X = rng.uniform(0, 1, (800, 3))
+    y = rng.normal(0, 1, 800)
+    a = predict(fit_forest(X, y, n_estimators=5, seed=9), X)
+    b = predict(fit_forest(X, y, n_estimators=5, seed=9), X)
+    c = predict(fit_forest(X, y, n_estimators=5, seed=10), X)
+    np.testing.assert_array_equal(a, b)
+    assert not np.allclose(a, c)
+
+
+def test_predict_on_unseen_rows_uses_frozen_bins():
+    rng = np.random.default_rng(7)
+    X = rng.uniform(0, 1, (1000, 1))
+    y = np.where(X[:, 0] > 0.5, 1.0, 0.0)
+    model = fit_forest(X, y, n_estimators=10, max_depth=4, seed=8)
+    Xnew = np.array([[0.1], [0.9], [-5.0], [5.0]])  # incl. out-of-range
+    p = predict(model, Xnew)
+    assert p[0] < 0.2 and p[2] < 0.2
+    assert p[1] > 0.8 and p[3] > 0.8
+
+
+def test_gapfill_rf_kernel_matches_standalone(spark):
+    """Spark kernel == standalone fill_series_pdf with the same crc32 seed,
+    and RF-filled values stay inside the observed value envelope (tree
+    means cannot extrapolate, unlike OLS)."""
+    import zlib
+
+    from diive_spark.ml.gapfill import fill_series_pdf, ml_gapfill
+
+    rng = np.random.default_rng(11)
+    n = 600
+    ts = 1704067200 + np.arange(n) * 1800
+    v = np.sin(np.arange(n) * 0.1) * 10 + rng.normal(0, 0.5, n)
+    v[rng.choice(n, 60, replace=False)] = np.nan
+    pdf = pd.DataFrame({"key": 3, "ts_s": ts, "value": v})
+
+    seed = zlib.crc32(b"3") % (2**31)
+    want = fill_series_pdf(
+        pdf[["ts_s", "value"]], n_lags=1, regressor="rf", seed=seed,
+        n_estimators=10, max_depth=5,
+    )
+    got = (
+        ml_gapfill(
+            spark.createDataFrame(pdf), "key", "ts_s", "value",
+            n_lags=1, regressor="rf", n_estimators=10, max_depth=5,
+        )
+        .orderBy("ts_s")
+        .toPandas()
+    )
+    np.testing.assert_allclose(got["value_filled"], want["value_filled"])
+    np.testing.assert_array_equal(got["flag_fill"], want["flag_fill"])
+    filled = got.loc[got["flag_fill"] > 0, "value_filled"]
+    lo, hi = np.nanmin(v), np.nanmax(v)
+    assert filled.between(lo, hi).all()
+
+
+def test_optimize_params_returns_sane_grid_point(spark):
+    from diive_spark.ml.gapfill import PARAM_GRID_DEFAULT, ml_optimize_params
+
+    rng = np.random.default_rng(12)
+    n = 500
+    ts = 1704067200 + np.arange(n) * 1800
+    v = np.sin(np.arange(n) * 0.05) * 5 + rng.normal(0, 0.3, n)
+    pdf = pd.DataFrame({"key": 1, "ts_s": ts, "value": v})
+    row = (
+        ml_optimize_params(
+            spark.createDataFrame(pdf), "key", "ts_s", "value", n_splits=3
+        )
+        .toPandas()
+        .iloc[0]
+    )
+    assert row["best_n_estimators"] in PARAM_GRID_DEFAULT["n_estimators"]
+    assert row["best_max_depth"] in PARAM_GRID_DEFAULT["max_depth"]
+    assert row["best_min_samples_leaf"] in PARAM_GRID_DEFAULT["min_samples_leaf"]
+    assert row["n_folds"] == 3
+    assert row["cv_neg_mse"] <= 0.0
+    assert row["test_r2"] > 0.5  # smooth signal: any grid point fits decently
