@@ -470,6 +470,8 @@ def simhash_candidate_pairs(
                 F.col(f"a.{simhash_col}").bitwiseXOR(F.col(f"b.{simhash_col}"))
             ).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: hamming is a pure function of the pair,
+        # so the dedup shuffle only carries pairs that survive the cut
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
