@@ -118,12 +118,26 @@ def t_ppf(p: float, df: float) -> float:
     return 0.5 * (lo + hi)
 
 
-def _quad_fit(x: np.ndarray, y: np.ndarray):
-    """Least-squares quadratic: params (a, b, c), covariance, RSS dof."""
-    A = np.column_stack([x * x, x, np.ones_like(x)])
+def _design(x: np.ndarray, fit_type: str) -> np.ndarray:
+    """Design matrix per BinFitterCP fit_type (fits.py:132-148):
+    quadratic_offset a*x^2+b*x+c; quadratic a*x^2+b*x (NO intercept);
+    linear a*x+b."""
+    if fit_type == "quadratic_offset":
+        return np.column_stack([x * x, x, np.ones_like(x)])
+    if fit_type == "quadratic":
+        return np.column_stack([x * x, x])
+    if fit_type == "linear":
+        return np.column_stack([x, np.ones_like(x)])
+    raise ValueError(f"unknown fit_type {fit_type!r}")
+
+
+def _quad_fit(x: np.ndarray, y: np.ndarray, fit_type: str = "quadratic_offset"):
+    """Least-squares fit (curve_fit on a linear-in-parameters model is
+    exact least squares): params, covariance."""
+    A = _design(x, fit_type)
     params, *_ = np.linalg.lstsq(A, y, rcond=None)
     resid = y - A @ params
-    n, p = len(x), 3
+    n, p = len(x), A.shape[1]
     sigma2 = resid @ resid / (n - p)
     cov = sigma2 * np.linalg.inv(A.T @ A)
     return params, cov
@@ -158,37 +172,45 @@ def binfitter_bts_pdf(
     n_bootstraps: int = 10,
     n_predictions: int = 50,
     seed: int = 0,
+    fit_type: str = "quadratic_offset",
 ) -> pd.DataFrame:
     """Kernel body == test oracle: fit + bands + bootstrap quantiles for
-    ONE series; returns one row per fit_x point."""
+    ONE series; returns one row per fit_x point.  ``fit_type`` follows
+    BinFitterCP (fits.py:87): linear / quadratic / quadratic_offset; the
+    params row reports (a, b, c) with c = 0 when absent from the model
+    (fits.py:192).  ``fit_r2`` replicates fits.py:202
+    (1 - SSE / ((n-1) * var(y, ddof=1)) over the fitted points)."""
     x = pdf[x_col].to_numpy(dtype=np.float64)
     y = pdf[y_col].to_numpy(dtype=np.float64)
     ok = ~(np.isnan(x) | np.isnan(y))
     x, y = x[ok], y[ok]
     fit_x = np.linspace(x.min(), x.max(), n_predictions)
+    G = _design(fit_x, fit_type)
 
     def run(xs: np.ndarray, ys: np.ndarray):
         bx, by = _bin_means(xs, ys, n_bins)
-        params, cov = _quad_fit(bx, by)
-        yp = params[0] * fit_x**2 + params[1] * fit_x + params[2]
+        params, cov = _quad_fit(bx, by, fit_type)
+        A = _design(bx, fit_type)
+        yp = G @ params
         # prediction band (binfitter.py _predband), over the BINNED points
-        n, p = len(bx), 3
+        n, p = len(bx), A.shape[1]
         q = t_ppf(0.975, n - p)
-        se = np.sqrt(np.sum((by - (params[0] * bx**2 + params[1] * bx + params[2])) ** 2) / (n - p))
+        fitted = A @ params
+        se = np.sqrt(np.sum((by - fitted) ** 2) / (n - p))
         sx = (fit_x - bx.mean()) ** 2
         sxd = np.sum((bx - bx.mean()) ** 2)
         dy = q * se * np.sqrt(1.0 + 1.0 / n + sx / sxd)
         # confidence region from parameter covariance (exact propagation)
-        G = np.column_stack([fit_x**2, fit_x, np.ones_like(fit_x)])
         std = np.sqrt(np.einsum("ij,jk,ik->i", G, cov, G))
-        return params, yp, yp - dy, yp + dy, std
+        r2 = 1.0 - np.sum((by - fitted) ** 2) / ((n - 1.0) * np.var(by, ddof=1))
+        return params, yp, yp - dy, yp + dy, std, r2
 
-    params, nom, lpb, upb, std = run(x, y)
+    params, nom, lpb, upb, std, fit_r2 = run(x, y)
     rng = np.random.default_rng(seed)
     lowers, uppers = [], []
     for _ in range(n_bootstraps):
         idx = rng.integers(0, len(x), len(x))
-        _, _, lo, up, _ = run(x[idx], y[idx])
+        _, _, lo, up, _, _ = run(x[idx], y[idx])
         lowers.append(lo)
         uppers.append(up)
     lowers = np.vstack(lowers)
@@ -207,7 +229,8 @@ def binfitter_bts_pdf(
             "bts_upper_q975": np.quantile(uppers, 0.975, axis=0),
             "a": params[0],
             "b": params[1],
-            "c": params[2],
+            "c": params[2] if len(params) > 2 else 0.0,
+            "fit_r2": fit_r2,
         }
     )
 
@@ -220,9 +243,10 @@ def binfitter_bts(
     n_bins: int = 10,
     n_bootstraps: int = 10,
     n_predictions: int = 50,
+    fit_type: str = "quadratic_offset",
 ) -> DataFrame:
-    """Distributed BinFitterBTS: one kernel per key, deterministic
-    per-key bootstrap seed (hash of the key)."""
+    """Distributed BinFitterBTS/BinFitterCP: one kernel per key,
+    deterministic per-key bootstrap seed (hash of the key)."""
     key_field = [f for f in df.schema.fields if f.name == key_col][0]
     fields = [
         StructField(c, DoubleType())
@@ -230,7 +254,7 @@ def binfitter_bts(
             "fit_x", "nom", "nom_lower_ci95", "nom_upper_ci95",
             "lower_predband", "upper_predband",
             "bts_lower_q025", "bts_lower_q975",
-            "bts_upper_q025", "bts_upper_q975", "a", "b", "c",
+            "bts_upper_q025", "bts_upper_q975", "a", "b", "c", "fit_r2",
         )
     ]
     schema = StructType([key_field] + fields)
@@ -244,7 +268,7 @@ def binfitter_bts(
         seed = zlib.crc32(str(key).encode()) % (2**31)
         out = binfitter_bts_pdf(
             pdf, x_col, y_col, n_bins=n_bins, n_bootstraps=n_bootstraps,
-            n_predictions=n_predictions, seed=seed,
+            n_predictions=n_predictions, seed=seed, fit_type=fit_type,
         )
         out.insert(0, key_col, key)
         return out

@@ -182,3 +182,37 @@ def test_binfitter_bts_kernel_and_spark_agree(spark):
     )
     np.testing.assert_allclose(got["nom"], out["nom"])
     np.testing.assert_allclose(got["bts_upper_q975"], out["bts_upper_q975"])
+
+
+def test_binfitter_fit_types_match_lstsq():
+    """BinFitterCP fit_type variants: params match closed-form least
+    squares on the qcut bin means; 'quadratic' has NO intercept
+    (fits.py:145-152); fit_r2 replicates fits.py:202."""
+    from diive_spark.operators.binfitter import _bin_means, binfitter_bts_pdf
+
+    rng = np.random.default_rng(21)
+    n = 400
+    x = rng.uniform(0, 10, n)
+    y = 0.7 * x**2 - 2 * x + rng.normal(0, 0.5, n)
+    pdf = pd.DataFrame({"x": x, "y": y})
+    bx, by = _bin_means(x, y, 10)
+
+    for fit_type, cols in [
+        ("quadratic_offset", [bx**2, bx, np.ones_like(bx)]),
+        ("quadratic", [bx**2, bx]),
+        ("linear", [bx, np.ones_like(bx)]),
+    ]:
+        out = binfitter_bts_pdf(
+            pdf, "x", "y", n_bins=10, n_bootstraps=2, fit_type=fit_type
+        )
+        A = np.column_stack(cols)
+        want = np.linalg.lstsq(A, by, rcond=None)[0]
+        got = [out["a"].iloc[0], out["b"].iloc[0], out["c"].iloc[0]][: len(want)]
+        np.testing.assert_allclose(got, want, rtol=1e-9)
+        if fit_type != "quadratic_offset":
+            assert len(want) == 2 and out["c"].iloc[0] == 0.0
+        fitted = A @ want
+        r2_want = 1.0 - np.sum((by - fitted) ** 2) / (
+            (len(by) - 1.0) * np.var(by, ddof=1)
+        )
+        assert abs(out["fit_r2"].iloc[0] - r2_want) < 1e-9
