@@ -37,6 +37,13 @@ import numpy as np
 MAX_BINS = 256
 
 
+def _adaptive_bins(n: int, max_bins: int = MAX_BINS) -> int:
+    """Bin count scaled to the sample: ~4 samples per bin floor, min 16.
+    256 bins on a 100-row series is statistical overkill AND makes the
+    per-level histogram arrays 10x larger than the data."""
+    return int(min(max_bins, max(16, n // 4)))
+
+
 def _quantile_bin(X: np.ndarray, max_bins: int = MAX_BINS):
     """Per-feature quantile bin edges + uint8 codes.
 
@@ -70,6 +77,7 @@ def _build_tree(
     feat_idx: np.ndarray,
     max_depth: int,
     min_samples_leaf: int,
+    n_bins: int = MAX_BINS,
 ):
     """Level-wise histogram CART on pre-binned features.
 
@@ -89,6 +97,10 @@ def _build_tree(
     tot_w = w.sum()
     leaf_value[0] = wy.sum() / tot_w if tot_w > 0 else 0.0
 
+    n_f = len(feat_idx)
+    codes_sel = codes[:, feat_idx].astype(np.int64)  # (n, n_f)
+    foff = np.arange(n_f, dtype=np.int64) * n_bins  # per-feature key offset
+
     level_start = 0
     for depth in range(max_depth):
         k = 2**depth  # nodes at this level
@@ -96,41 +108,39 @@ def _build_tree(
         active = (rel >= 0) & (rel < k)
         if not active.any():
             break
-        # per-(node, feature, bin) histograms, one bincount per feature
-        best_gain = np.full(k, 0.0)
-        best_feat = np.full(k, -1, dtype=np.int64)
-        best_bin = np.zeros(k, dtype=np.int64)
-        base = rel[active] * MAX_BINS
+        # ONE bincount pair over (node, feature, bin) keys for ALL
+        # features — per-feature passes were overhead-bound on the short
+        # series this kernel typically sees
         w_a, wy_a = w[active], wy[active]
-        for j in feat_idx:
-            key = base + codes[active, j]
-            cw = np.bincount(key, weights=w_a, minlength=k * MAX_BINS).reshape(
-                k, MAX_BINS
+        key = (
+            rel[active, None] * (n_f * n_bins) + foff[None, :] + codes_sel[active]
+        ).ravel()
+        rep_w = np.broadcast_to(w_a[:, None], (len(w_a), n_f)).ravel()
+        rep_wy = np.broadcast_to(wy_a[:, None], (len(wy_a), n_f)).ravel()
+        size = k * n_f * n_bins
+        cw = np.bincount(key, weights=rep_w, minlength=size).reshape(k, n_f, n_bins)
+        cwy = np.bincount(key, weights=rep_wy, minlength=size).reshape(k, n_f, n_bins)
+        # prefix over bins: split "bin <= b goes left"
+        lw = np.cumsum(cw, axis=2)[:, :, :-1]
+        lwy = np.cumsum(cwy, axis=2)[:, :, :-1]
+        tw = lw[:, :, -1:] + cw[:, :, -1:]
+        twy = lwy[:, :, -1:] + cwy[:, :, -1:]
+        rw = tw - lw
+        rwy = twy - lwy
+        ok = (lw >= min_samples_leaf) & (rw >= min_samples_leaf)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            gain = (
+                np.where(ok, lwy * lwy / np.where(lw > 0, lw, 1.0), 0.0)
+                + np.where(ok, rwy * rwy / np.where(rw > 0, rw, 1.0), 0.0)
+                - np.where(tw > 0, twy * twy / np.where(tw > 0, tw, 1.0), 0.0)
             )
-            cwy = np.bincount(key, weights=wy_a, minlength=k * MAX_BINS).reshape(
-                k, MAX_BINS
-            )
-            # prefix over bins: split "bin <= b goes left"
-            lw = np.cumsum(cw, axis=1)[:, :-1]
-            lwy = np.cumsum(cwy, axis=1)[:, :-1]
-            tw = lw[:, -1:] + cw[:, -1:]
-            twy = lwy[:, -1:] + cwy[:, -1:]
-            rw = tw - lw
-            rwy = twy - lwy
-            ok = (lw >= min_samples_leaf) & (rw >= min_samples_leaf)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                gain = (
-                    np.where(ok, lwy * lwy / lw, 0.0)
-                    + np.where(ok, rwy * rwy / rw, 0.0)
-                    - np.where(tw > 0, twy * twy / tw, 0.0)
-                )
-            gain = np.where(ok, gain, 0.0)
-            gb = np.argmax(gain, axis=1)
-            gv = gain[np.arange(k), gb]
-            better = gv > best_gain + 1e-12
-            best_gain = np.where(better, gv, best_gain)
-            best_feat = np.where(better, j, best_feat)
-            best_bin = np.where(better, gb, best_bin)
+        gain = np.where(ok, gain, 0.0)
+        flat = gain.reshape(k, n_f * (n_bins - 1))
+        gi = np.argmax(flat, axis=1)
+        gv = flat[np.arange(k), gi]
+        has_gain = gv > 1e-12
+        best_feat = np.where(has_gain, feat_idx[gi // (n_bins - 1)], -1)
+        best_bin = np.where(has_gain, gi % (n_bins - 1), 0)
 
         made_split = best_feat >= 0
         if not made_split.any():
@@ -208,14 +218,17 @@ def fit_forest(
 ):
     """Random forest: bootstrap weights + per-tree feature subsample."""
     rng = np.random.default_rng(seed)
-    codes, edges = _quantile_bin(X)
+    nb = _adaptive_bins(len(y))
+    codes, edges = _quantile_bin(X, nb)
     n, f = X.shape
     n_feats = max(1, int(round(colsample * f)))
     trees = []
     for _ in range(n_estimators):
         w = np.bincount(rng.integers(0, n, n), minlength=n).astype(np.float64)
         feat_idx = np.sort(rng.choice(f, size=n_feats, replace=False))
-        trees.append(_build_tree(codes, y, w, feat_idx, max_depth, min_samples_leaf))
+        trees.append(
+            _build_tree(codes, y, w, feat_idx, max_depth, min_samples_leaf, nb)
+        )
     return {"kind": "rf", "trees": trees, "edges": edges}
 
 
@@ -231,7 +244,8 @@ def fit_gbt(
 ):
     """Gradient-boosted trees on squared loss (residual fitting)."""
     rng = np.random.default_rng(seed)
-    codes, edges = _quantile_bin(X)
+    nb = _adaptive_bins(len(y))
+    codes, edges = _quantile_bin(X, nb)
     n, f = X.shape
     base = float(np.mean(y))
     resid = y - base
@@ -242,7 +256,7 @@ def fit_gbt(
             w = (rng.random(n) < subsample).astype(np.float64)
         else:
             w = np.ones(n)
-        tree = _build_tree(codes, resid, w, feat_idx, max_depth, min_samples_leaf)
+        tree = _build_tree(codes, resid, w, feat_idx, max_depth, min_samples_leaf, nb)
         pred = _tree_predict(codes, tree)
         resid = resid - learning_rate * pred
         trees.append(tree)
