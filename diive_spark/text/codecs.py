@@ -1,0 +1,243 @@
+"""Pure-stdlib/numpy media codecs for the multimodal pipeline.
+
+No PIL/ffmpeg/librosa in this container — but PNG, BMP and WAV are
+fully documented public formats decodable with ``zlib`` + ``struct`` +
+numpy alone:
+
+* **PNG** (RFC 2083): chunk walk, IDAT zlib stream, scanline
+  unfiltering (None/Sub/Up/Average/Paeth), bit depth 8, color types
+  0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA).  The Sub filter's
+  left-recursion vectorizes as a per-lane cumulative sum mod 256;
+  Average/Paeth fall back to a per-pixel row loop (test-scale images).
+* **BMP** (BITMAPINFOHEADER, BI_RGB): 24/32-bit uncompressed,
+  bottom-up or top-down, 4-byte row padding.
+* **WAV** (RIFF PCM): 8/16-bit integer PCM, any channel count.
+
+Encoders for the same subsets exist so tests can round-trip without any
+external fixture data.  Exotic/compressed codecs (JPEG, H.264, MP3...)
+remain honestly out of scope — ``multimodal.decode_media`` falls back
+to the deterministic byte-feature stub for unknown magic bytes and
+``strict=True`` raises there.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG -> (h, w, channels) uint8 array."""
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if bit_depth != 8:
+                raise ValueError(f"unsupported bit depth {bit_depth}")
+            if color_type not in _CHANNELS:
+                raise ValueError(f"unsupported color type {color_type}")
+            if interlace != 0:
+                raise ValueError("interlaced PNG unsupported")
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+    ch = _CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("bad IDAT length")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters = raw[:, 0]
+    rows = raw[:, 1:].astype(np.int64)
+    out = np.zeros((height, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        f = filters[y]
+        row = rows[y]
+        if f == 0:  # None
+            rec = row
+        elif f == 1:  # Sub: recon[x] = row[x] + recon[x-ch]
+            # per-lane cumsum mod 256 (each of the ch byte lanes is an
+            # independent additive chain)
+            rec = row.copy()
+            lanes = rec.reshape(-1, ch)
+            rec = (np.cumsum(lanes, axis=0) % 256).reshape(-1)
+        elif f == 2:  # Up
+            rec = (row + prev) % 256
+        elif f == 3:  # Average
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                rec[x] = (row[x] + (left + prev[x]) // 2) % 256
+        elif f == 4:  # Paeth
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                rec[x] = (row[x] + pr) % 256
+        else:
+            raise ValueError(f"bad filter {f}")
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8).reshape(height, width, ch)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w, channels) uint8 -> PNG bytes (filter 0, one IDAT)."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP (BITMAPINFOHEADER, BI_RGB 24/32-bit) -> (h, w, 3|4) uint8 RGB(A)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack("<I", data[10:14])
+    hdr_size, w, h, _planes, bpp, compression = struct.unpack(
+        "<IiiHHI", data[14:34]
+    )
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
+    top_down = h < 0
+    h = abs(h)
+    ch = bpp // 8
+    row_bytes = (w * ch + 3) & ~3  # rows pad to 4 bytes
+    px = np.frombuffer(
+        data, dtype=np.uint8, count=h * row_bytes, offset=data_off
+    ).reshape(h, row_bytes)[:, : w * ch].reshape(h, w, ch)
+    if not top_down:
+        px = px[::-1]
+    # BGR(A) -> RGB(A)
+    if ch == 3:
+        px = px[:, :, ::-1]
+    else:
+        px = px[:, :, [2, 1, 0, 3]]
+    return np.ascontiguousarray(px)
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit bottom-up BMP."""
+    h, w, ch = img.shape
+    assert ch == 3
+    row_bytes = (w * 3 + 3) & ~3
+    pad = row_bytes - w * 3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        body += img[y, :, ::-1].tobytes()  # RGB -> BGR
+        body += b"\x00" * pad
+    data_off = 14 + 40
+    size = data_off + len(body)
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", size, 0, 0, data_off)
+        + struct.pack("<IiihHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    )
+    return bytes(header) + bytes(body)
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM -> (sample_rate, samples (n, channels) float64 in [-1, 1])."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    fmt = None
+    samples = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)  # chunks pad to even
+        if cid == b"fmt ":
+            audio_fmt, n_ch, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1 or bits not in (8, 16):
+                raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+            fmt = (n_ch, rate, bits)
+        elif cid == b"data":
+            samples = body
+    if fmt is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    n_ch, rate, bits = fmt
+    if bits == 16:
+        arr = np.frombuffer(samples, dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        arr = (np.frombuffer(samples, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    return rate, arr.reshape(-1, n_ch)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """(n, channels) float in [-1, 1] -> 16-bit PCM WAV."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    pcm = np.clip(np.round(samples * 32767.0), -32768, 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbour image resize, pure numpy indexing."""
+    h, w = img.shape[:2]
+    yi = np.minimum((np.arange(height) * h) // height, h - 1)
+    xi = np.minimum((np.arange(width) * w) // width, w - 1)
+    return img[yi][:, xi]
+
+
+def sniff(data: bytes) -> str:
+    """Magic-byte format sniff: png | bmp | wav | unknown."""
+    if data[:8] == PNG_MAGIC:
+        return "png"
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"

@@ -1,20 +1,21 @@
-"""Multimodal column plumbing: image/audio/video as opaque ``binary``
-columns with typed metadata, processed in Arrow batches via
-``mapInPandas``.
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed in Arrow batches via ``mapInPandas``.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode step is stubbed: ``decode_image_stub`` produces a deterministic fake
-"decoded" feature vector from the bytes (so the whole pipeline — schema,
-batching, partitioning, UDF signature — is real and testable), and raises
-``NotImplementedError`` when ``strict=True`` to mark where a real codec
-plugs in.
+Decode is REAL for the formats a pure-stdlib codec can express (see
+``text/codecs.py``): PNG (zlib inflate + scanline unfiltering), BMP
+(BI_RGB), WAV (PCM) — plus an uncompressed concatenated-BMP "raw
+video" container for frame sampling.  Compressed codecs that require
+external libraries (JPEG, H.264, MP3...) are sniffed as ``unknown``:
+``strict=False`` falls back to a deterministic byte-moment feature so
+the pipeline shape still runs; ``strict=True`` raises — the marker
+where PIL/ffmpeg plug in in production.
 
 Scale shape: ``mapInPandas`` streams Arrow record batches; peak executor
-memory is one batch (spark.sql.execution.arrow.maxRecordsPerBatch), not one
-partition — the right contract for 100 KB..10 MB media blobs. Binary
+memory is one batch (spark.sql.execution.arrow.maxRecordsPerBatch), not
+one partition — the right contract for 100 KB..10 MB media blobs. Binary
 payloads should live in their own parquet column chunk so metadata-only
-queries never read them (columnar pruning: select the metadata columns and
-the scan's ReadSchema drops the blob).
+queries never read them (columnar pruning: select the metadata columns
+and the scan's ReadSchema drops the blob).
 """
 
 from __future__ import annotations
@@ -35,12 +36,20 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from diive_spark.text import codecs
+
 MEDIA_META_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
         StructField("media_type", StringType()),  # image | audio | video
+        StructField("format", StringType()),  # png | bmp | wav | unknown
         StructField("n_bytes", LongType()),
         StructField("content_hash", StringType()),
+        StructField("width", LongType()),  # images: pixels; audio: -1
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("sample_rate", LongType()),  # audio; -1 for images
+        StructField("n_samples", LongType()),
         StructField("feature", ArrayType(DoubleType())),  # decoded features
     ]
 )
@@ -49,13 +58,46 @@ FEATURE_DIM = 8
 
 
 def _fake_decode(payload: bytes) -> np.ndarray:
-    """Deterministic stand-in for a real decoder: 8 byte-histogram moments.
-    Replace with PIL/librosa decode + model features in production."""
+    """Deterministic fallback for unknown formats: 8 byte-histogram
+    moments (production: plug PIL/ffmpeg here)."""
     if len(payload) == 0:
         return np.zeros(FEATURE_DIM)
     arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
     chunks = np.array_split(arr, FEATURE_DIM)
     return np.array([c.mean() if len(c) else 0.0 for c in chunks])
+
+
+def _decode_one(payload: bytes, strict: bool) -> dict:
+    fmt = codecs.sniff(payload)
+    meta = {
+        "format": fmt, "width": -1, "height": -1, "channels": -1,
+        "sample_rate": -1, "n_samples": -1,
+    }
+    if fmt in ("png", "bmp"):
+        img = codecs.decode_png(payload) if fmt == "png" else codecs.decode_bmp(payload)
+        h, w, ch = img.shape
+        v = img.astype(np.float64)
+        meta.update(width=w, height=h, channels=ch)
+        meta["feature"] = [
+            1.0, float(h), float(w), float(ch),
+            v.mean(), v.std(), v.min(), v.max(),
+        ]
+    elif fmt == "wav":
+        rate, s = codecs.decode_wav(payload)
+        meta.update(channels=s.shape[1], sample_rate=rate, n_samples=s.shape[0])
+        meta["feature"] = [
+            2.0, float(s.shape[0]), float(rate), float(s.shape[1]),
+            s.mean(), float(np.sqrt((s**2).mean())), s.min(), s.max(),
+        ]
+    else:
+        if strict:
+            raise NotImplementedError(
+                "no pure-stdlib codec for this payload (JPEG/H.264/MP3 need "
+                "PIL/ffmpeg) — decode_media(strict=False) uses the byte-moment "
+                "fallback"
+            )
+        meta["feature"] = _fake_decode(payload).tolist()
+    return meta
 
 
 def decode_media(
@@ -67,50 +109,73 @@ def decode_media(
 ) -> DataFrame:
     """Decode/feature-extract binary media via mapInPandas (Arrow batches).
 
-    ``strict=True`` raises NotImplementedError — the marker that a real
-    codec library must be installed for production decode.
+    PNG/BMP/WAV decode for real (text/codecs.py); unknown formats use the
+    deterministic byte-moment fallback, or raise with ``strict=True``.
     """
-    if strict:
-        raise NotImplementedError(
-            "real media decode requires PIL/librosa/ffmpeg — not in this "
-            "container; wire them into _fake_decode's slot"
-        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in it:
-            payloads = pdf[payload_col]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf[id_col].astype("int64"),
-                    "media_type": pdf[type_col].astype(str),
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "content_hash": payloads.map(
-                        lambda b: hashlib.md5(bytes(b)).hexdigest()
-                    ),
-                    "feature": payloads.map(
-                        lambda b: _fake_decode(bytes(b)).tolist()
-                    ),
-                }
-            )
+            recs = []
+            for mid, mtype, b in zip(pdf[id_col], pdf[type_col], pdf[payload_col]):
+                raw = bytes(b)
+                meta = _decode_one(raw, strict)
+                recs.append(
+                    {
+                        "media_id": int(mid),
+                        "media_type": str(mtype),
+                        "n_bytes": len(raw),
+                        "content_hash": hashlib.md5(raw).hexdigest(),
+                        **meta,
+                    }
+                )
+            yield pd.DataFrame(recs, columns=[f.name for f in MEDIA_META_SCHEMA])
 
     return df.mapInPandas(batches, MEDIA_META_SCHEMA)
 
 
 def synth_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table: payload bytes derived from the id."""
-    return spark.range(n).select(
-        F.col("id").alias("media_id"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.pmod(F.col("id"), 3) + 1).cast("int"),
-        ).alias("media_type"),
-        F.encode(
-            F.concat(F.lit("MEDIA"), F.repeat(F.concat(F.lit("x"), F.col("id").cast("string")), 50)),
-            "UTF-8",
-        ).alias("payload"),
+    """Deterministic REAL media table, synthesized distributively:
+    id % 3 == 0 -> PNG image, 1 -> WAV audio, 2 -> concatenated-BMP "raw
+    video" (3 frames).  Payload content derives from the id alone."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, types, payloads = [], [], []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                rng = np.random.default_rng(mid)
+                kind = mid % 3
+                if kind == 0:
+                    img = rng.integers(0, 256, (8 + mid % 5, 10, 3), dtype=np.uint8)
+                    ids.append(mid); types.append("image")
+                    payloads.append(codecs.encode_png(img))
+                elif kind == 1:
+                    s = np.sin(np.arange(400) * (0.02 + 0.001 * mid))[:, None]
+                    ids.append(mid); types.append("audio")
+                    payloads.append(codecs.encode_wav(s, 16000))
+                else:
+                    frames = [
+                        codecs.encode_bmp(
+                            rng.integers(0, 256, (6, 6, 3), dtype=np.uint8)
+                        )
+                        for _ in range(3)
+                    ]
+                    ids.append(mid); types.append("video")
+                    payloads.append(b"".join(frames))
+            yield pd.DataFrame(
+                {"media_id": ids, "media_type": types, "payload": payloads}
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
     )
+    return spark.range(n).mapInPandas(gen, schema)
 
 
 RESIZED_SCHEMA = StructType(
@@ -132,26 +197,30 @@ def resize_media(
     payload_col: str = "payload",
     strict: bool = False,
 ) -> DataFrame:
-    """Resize stub over mapInPandas: real Spark plumbing (binary in/out,
-    Arrow batches, metadata columns), deterministic fake resample of the
-    byte stream standing in for a PIL ``Image.resize``.
-
-    ``strict=True`` raises NotImplementedError — production needs PIL."""
-    if strict:
-        raise NotImplementedError("real image resize requires PIL")
-
+    """Image resize over mapInPandas: PNG/BMP payloads are REALLY decoded,
+    nearest-neighbour resized in numpy, and re-encoded as PNG.  Unknown
+    formats fall back to a deterministic byte resample (``strict=True``
+    raises — production needs PIL for compressed formats)."""
     target = width * height
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            def _resize(b) -> bytes:
-                arr = np.frombuffer(bytes(b), dtype=np.uint8)
-                if len(arr) == 0:
-                    return bytes(target)
-                # nearest-neighbour byte resample — deterministic stand-in
-                idx = np.linspace(0, len(arr) - 1, target).astype(np.int64)
-                return arr[idx].tobytes()
+        def _resize(b) -> bytes:
+            raw = bytes(b)
+            fmt = codecs.sniff(raw)
+            if fmt in ("png", "bmp"):
+                img = (
+                    codecs.decode_png(raw) if fmt == "png" else codecs.decode_bmp(raw)
+                )
+                return codecs.encode_png(codecs.resize_nearest(img, width, height))
+            if strict:
+                raise NotImplementedError("compressed-format resize requires PIL")
+            arr = np.frombuffer(raw, dtype=np.uint8)
+            if len(arr) == 0:
+                return bytes(target)
+            idx = np.linspace(0, len(arr) - 1, target).astype(np.int64)
+            return arr[idx].tobytes()
 
+        for pdf in it:
             out = pdf[payload_col].map(_resize)
             yield pd.DataFrame(
                 {
@@ -175,6 +244,18 @@ FRAMES_SCHEMA = StructType(
 )
 
 
+def _split_bmp_stream(raw: bytes) -> list[bytes]:
+    """Split a concatenated-BMP raw-video container on the BMP size field."""
+    frames, pos = [], 0
+    import struct
+
+    while pos + 6 <= len(raw) and raw[pos : pos + 2] == b"BM":
+        (size,) = struct.unpack("<I", raw[pos + 2 : pos + 6])
+        frames.append(raw[pos : pos + size])
+        pos += size
+    return frames
+
+
 def sample_frames(
     df: DataFrame,
     frame_bytes: int = 32,
@@ -183,27 +264,35 @@ def sample_frames(
     payload_col: str = "payload",
     strict: bool = False,
 ) -> DataFrame:
-    """Frame-sampling stub (1 video row -> N frame rows) over mapInPandas:
-    demonstrates the fan-out batch shape a real ffmpeg frame extractor
-    uses — the output batch is LONGER than the input batch, which
-    mapInPandas supports natively (applyInPandas would too, but no
-    grouping is needed: each video is independent).
+    """Frame sampling (1 video row -> N frame rows) over mapInPandas —
+    the output batch is LONGER than the input batch, which mapInPandas
+    supports natively.
 
-    Fake decode: the payload is cut into fixed-size "frames"; every
-    ``every_n``-th frame is emitted. ``strict=True`` raises for production."""
-    if strict:
-        raise NotImplementedError("real frame sampling requires ffmpeg")
+    REAL for the concatenated-BMP raw-video container (frames split on
+    the BMP header size field, every ``every_n``-th emitted); compressed
+    containers fall back to fixed-size byte chunks (``strict=True``
+    raises — production needs ffmpeg)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, idxs, frames = [], [], []
             for mid, b in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(b)
-                n_frames = max(len(raw) // frame_bytes, 1)
-                for fi in range(0, n_frames, every_n):
+                parts = _split_bmp_stream(raw)
+                if not parts:
+                    if strict:
+                        raise NotImplementedError(
+                            "compressed video containers require ffmpeg"
+                        )
+                    n_frames = max(len(raw) // frame_bytes, 1)
+                    parts = [
+                        raw[fi * frame_bytes : (fi + 1) * frame_bytes]
+                        for fi in range(n_frames)
+                    ]
+                for fi in range(0, len(parts), every_n):
                     ids.append(int(mid))
                     idxs.append(fi)
-                    frames.append(raw[fi * frame_bytes : (fi + 1) * frame_bytes])
+                    frames.append(parts[fi])
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "frame_payload": frames}
             )

@@ -10,6 +10,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -176,31 +177,66 @@ def test_fingerprint_is_min_shingle_hash(docs_df):
     assert r["n_shingles"] == len(sh)
 
 
-def test_multimodal_decode_plumbing(spark):
+def test_multimodal_decode_real_codecs(spark):
+    """PNG/WAV payloads REALLY decode (dims/rate/stats from the pixels and
+    samples, not the container bytes); video (concatenated BMP) sniffs as
+    bmp and decodes its first frame as the preview image."""
+    from diive_spark.text import codecs
+
     media = MM.synth_media(spark, n=12)
     out = MM.decode_media(media).collect()
     assert len(out) == 12
     by_id = {r["media_id"]: r for r in out}
-    payload = (
-        media.filter("media_id = 3").select("payload").first()["payload"]
-    )
-    assert by_id[3]["n_bytes"] == len(payload)
-    assert by_id[3]["content_hash"] == hashlib.md5(bytes(payload)).hexdigest()
-    assert len(by_id[3]["feature"]) == MM.FEATURE_DIM
+
+    # id 3 -> PNG image (8 + 3%5 = 11 rows x 10 cols x 3 ch)
+    payload = bytes(media.filter("media_id = 3").first()["payload"])
+    r = by_id[3]
+    assert r["format"] == "png"
+    assert (r["height"], r["width"], r["channels"]) == (11, 10, 3)
+    assert r["content_hash"] == hashlib.md5(payload).hexdigest()
+    img = codecs.decode_png(payload).astype(np.float64)
     np.testing.assert_allclose(
-        by_id[3]["feature"], MM._fake_decode(bytes(payload))
+        r["feature"], [1.0, 11, 10, 3, img.mean(), img.std(), img.min(), img.max()]
     )
-    with pytest.raises(NotImplementedError):
-        MM.decode_media(media, strict=True)
+
+    # id 1 -> WAV audio (400 mono samples @ 16 kHz)
+    a = by_id[1]
+    assert a["format"] == "wav"
+    assert (a["sample_rate"], a["n_samples"], a["channels"]) == (16000, 400, 1)
+    assert a["feature"][0] == 2.0
+
+    # id 2 -> concatenated-BMP raw video: first frame decodes as preview
+    v = by_id[2]
+    assert v["format"] == "bmp"
+    assert (v["height"], v["width"]) == (6, 6)
+
+    # strict only raises for formats WITHOUT a stdlib codec
+    junk = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": [0], "media_type": ["image"], "payload": [b"\xff\xd8JPEG?"]}
+        )
+    )
+    with pytest.raises(Exception, match="NotImplementedError|PIL|ffmpeg"):
+        MM.decode_media(junk, strict=True).collect()
+    # non-strict fallback: byte moments, flagged unknown
+    fb = MM.decode_media(junk).collect()[0]
+    assert fb["format"] == "unknown" and len(fb["feature"]) == MM.FEATURE_DIM
 
 
 def test_multimodal_resize_and_frames(spark):
+    from diive_spark.text import codecs
     from diive_spark.text.multimodal import resize_media, sample_frames, synth_media
 
     media = synth_media(spark, n=12)
     resized = resize_media(media, width=8, height=4).toPandas()
     assert len(resized) == 12
-    assert (resized["n_bytes_resized"] == 32).all()
+    # image/video payloads -> REAL resized PNGs with the requested dims
+    by_id = dict(zip(resized["media_id"], resized["payload_resized"]))
+    img = codecs.decode_png(bytes(by_id[3]))
+    assert img.shape == (4, 8, 3)
+    # resize is content-exact: nearest-neighbour of the decoded source
+    src = codecs.decode_png(bytes(media.filter("media_id = 3").first()["payload"]))
+    np.testing.assert_array_equal(img, codecs.resize_nearest(src, 8, 4))
     # deterministic: same input -> same bytes
     r2 = resize_media(synth_media(spark, n=12), width=8, height=4).toPandas()
     assert (
@@ -208,14 +244,23 @@ def test_multimodal_resize_and_frames(spark):
         == r2.sort_values("media_id")["payload_resized"].map(bytes).tolist()
     )
 
-    frames = sample_frames(media, frame_bytes=16, every_n=2).toPandas()
-    # fan-out: more frame rows than videos, frame_idx stride 2
-    assert len(frames) > 12
-    assert (frames["frame_idx"] % 2 == 0).all()
+    # raw-video containers split on real BMP frame boundaries: 3 frames,
+    # every 2nd -> frame_idx {0, 2}, each a decodable BMP
+    videos = media.filter("media_type = 'video'")
+    frames = sample_frames(videos, every_n=2).toPandas()
+    assert sorted(frames["frame_idx"].unique()) == [0, 2]
+    assert len(frames) == 2 * videos.count()
+    assert codecs.decode_bmp(bytes(frames["frame_payload"].iloc[0])).shape == (6, 6, 3)
 
-    import pytest
-
-    with pytest.raises(NotImplementedError):
-        resize_media(media, 8, 4, strict=True)
-    with pytest.raises(NotImplementedError):
-        sample_frames(media, strict=True)
+    # fallback chunking for non-container payloads; strict raises there
+    audio = media.filter("media_type = 'audio'")
+    assert len(sample_frames(audio, frame_bytes=16, every_n=2).toPandas()) > 0
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        sample_frames(audio, strict=True).collect()
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        resize_media(
+            spark.createDataFrame(
+                pd.DataFrame({"media_id": [0], "payload": [b"\xff\xd8JPEG?"]})
+            ),
+            8, 4, strict=True,
+        ).collect()
