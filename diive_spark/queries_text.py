@@ -508,9 +508,48 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "media_id",
         "media_type",
+        "format",
         "n_bytes",
         "content_hash",
+        "width",
+        "height",
+        "channels",
+        "sample_rate",
         F.round(F.element_at("feature", 1), 4).alias("feat0"),
+        F.round(F.element_at("feature", 5), 4).alias("feat_mean"),
+    )
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG/BMP decode -> nearest-neighbour resize -> PNG re-encode;
+    verified by re-decoding the output (rows-only: binary transform)."""
+    media = MM.synth_media(spark, n=64).filter(F.col("media_type") != "audio")
+    resized = MM.resize_media(media, width=8, height=6)
+    meta = MM.decode_media(
+        resized.withColumnRenamed("payload_resized", "payload").withColumn(
+            "media_type", F.lit("image")
+        )
+    )
+    return meta.select(
+        "media_id", "format", "width", "height", "channels",
+        F.round(F.element_at("feature", 5), 4).alias("feat_mean"),
+    )
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling from concatenated-BMP raw-video containers; each
+    emitted frame re-decodes as an image (rows-only: 1->N binary fan-out)."""
+    videos = MM.synth_media(spark, n=64).filter(F.col("media_type") == "video")
+    frames = MM.sample_frames(videos, every_n=2)
+    meta = MM.decode_media(
+        frames.select(
+            (F.col("media_id") * 100 + F.col("frame_idx")).alias("media_id"),
+            F.lit("image").alias("media_type"),
+            F.col("frame_payload").alias("payload"),
+        )
+    )
+    return meta.select(
+        "media_id", "format", "width", "height", "channels", "content_hash"
     )
 
 
@@ -525,6 +564,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_cosine_ivf": q_ann_cosine_ivf,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frames": q_multimodal_frames,
 }
 
 ORACLE_SQL: dict[str, str] = {
