@@ -305,6 +305,8 @@ def train_report_pdf(
     test_size: float = 0.25,
     perm_n_repeats: int = 10,
     seed: int = 42,
+    regressor: str = "ols",
+    **reg_params,
 ) -> pd.DataFrame:
     """M1 model-quality report for ONE series (reference
     ``RandomForestTS.trainmodel`` + ``_permutation_importance``,
@@ -337,11 +339,21 @@ def train_report_pdf(
     test_idx, train_idx = perm[:n_test], perm[n_test:]
     Xtr, ytr, Xte, yte = X[train_idx], y[train_idx], X[test_idx], y[test_idx]
 
-    A = np.column_stack([np.ones(len(Xtr)), Xtr])
-    coef, *_ = np.linalg.lstsq(A, ytr, rcond=None)
+    if regressor == "ols":
+        A = np.column_stack([np.ones(len(Xtr)), Xtr])
+        coef, *_ = np.linalg.lstsq(A, ytr, rcond=None)
 
-    def predict(Xp: np.ndarray) -> np.ndarray:
-        return np.column_stack([np.ones(len(Xp)), Xp]) @ coef
+        def predict(Xp: np.ndarray) -> np.ndarray:
+            return np.column_stack([np.ones(len(Xp)), Xp]) @ coef
+
+    else:  # rf | gbt: fit once, permutation repeats reuse the model
+        from diive_spark.ml import forest
+
+        fit = forest.fit_forest if regressor == "rf" else forest.fit_gbt
+        model = fit(Xtr, ytr, seed=seed, **reg_params)
+
+        def predict(Xp: np.ndarray) -> np.ndarray:
+            return forest.predict(model, Xp)
 
     def r2(y_true: np.ndarray, y_pred: np.ndarray) -> float:
         ss_res = np.sum((y_true - y_pred) ** 2)
@@ -385,6 +397,8 @@ def ml_train_report(
     n_lags: int = 1,
     test_size: float = 0.25,
     perm_n_repeats: int = 10,
+    regressor: str = "ols",
+    **reg_params,
 ) -> DataFrame:
     """Distributed per-key model-quality report (one kernel per key,
     deterministic per-key crc32 seed)."""
@@ -415,6 +429,7 @@ def ml_train_report(
             pdf.rename(columns={ts_s_col: "ts_s", value_col: "value"}),
             n_lags=n_lags, test_size=test_size,
             perm_n_repeats=perm_n_repeats, seed=seed,
+            regressor=regressor, **reg_params,
         )
         out = out.astype({"n_train": "int32", "n_test": "int32"})
         out.insert(0, key_col, key)

@@ -266,6 +266,26 @@ def q_ml_gapfill_xgb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ml_train_report_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 model-quality report with the REAL forest regressor:
+    permutation importance over a fitted random forest (the reference's
+    actual model family) instead of the OLS stand-in."""
+    from diive_spark.ml.gapfill import ml_train_report
+
+    agg = _agg_30min(spark, sf_dir).filter(F.col("user_id") % 3 == 1)
+    out = ml_train_report(
+        agg, "user_id", "slot_s", "v", n_lags=1, perm_n_repeats=5,
+        regressor="rf", n_estimators=10, max_depth=5,
+    )
+    return out.select(
+        "user_id", "feature",
+        F.round("perm_importance", 4).alias("perm_importance"),
+        F.round("r2", 4).alias("r2"),
+        F.round("mae", 4).alias("mae"),
+        "n_train", "n_test",
+    )
+
+
 def q_ml_optimize_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diive_spark.ml.gapfill import ml_optimize_params
 
@@ -293,6 +313,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ml_gapfill_30min": q_ml_gapfill_30min,
     "ml_gapfill_longterm": q_ml_gapfill_longterm,
     "ml_train_report": q_ml_train_report,
+    "ml_train_report_rf": q_ml_train_report_rf,
     "ml_gapfill_rf": q_ml_gapfill_rf,
     "ml_gapfill_xgb": q_ml_gapfill_xgb,
     "ml_optimize_params": q_ml_optimize_params,
