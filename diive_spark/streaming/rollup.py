@@ -81,3 +81,39 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+def stream_exact_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact content dedup for a document/page stream (web-text
+    ingest front door): 60-bit md5 content hash per row, then
+    ``dropDuplicatesWithinWatermark`` on the hash — state is bounded by
+    the event-time watermark, so at 10^12-docs scale the dedup store
+    holds one hash per distinct document seen within the lateness
+    horizon, not forever (exactly the guarantee a crawl-ingest pipeline
+    needs: re-crawled duplicates arrive close together in time).
+
+    Batch twin: ``text/dedup.py::exact_dedup`` (same hash, keep-lowest-id
+    per group); the streaming variant keeps the FIRST arrival — the same
+    keep-first-vs-keep-last note as the rollup dedup above.
+    """
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+    src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    hashed = src.withColumn(
+        "content_hash",
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10).cast("bigint"),
+    )
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )

@@ -59,3 +59,48 @@ def test_stateful_zscore_stream(spark, sf_dir, tmp_path):
     )
     mismatch = j.filter(F.col("s.flag_zscore") != F.col("b.flag_b")).count()
     assert mismatch == 0
+
+
+def test_stream_exact_dedup_within_watermark(spark, tmp_path):
+    """Duplicate content across micro-batches within the watermark is
+    dropped (first arrival wins); distinct content all survives."""
+    import pandas as pd
+
+    from diive_spark.streaming.rollup import stream_exact_dedup
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    b1 = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["aaa", "bbb", "ccc"],
+            "ts": [base, base, base + pd.Timedelta("5min")],
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "doc_id": [4, 5],
+            "text": ["aaa", "ddd"],  # 4 duplicates doc 1's content
+            "ts": [base + pd.Timedelta("10min"), base + pd.Timedelta("12min")],
+        }
+    )
+    spark.createDataFrame(b1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(b2).write.parquet(str(src / "b2"))
+
+    out = stream_exact_dedup(
+        spark, f"{src}/*", "doc_id long, text string, ts timestamp_ntz"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dedup_out").collect()
+    texts = sorted(r["text"] for r in rows)
+    assert texts == ["aaa", "bbb", "ccc", "ddd"]
+    kept = {r["text"]: r["doc_id"] for r in rows}
+    assert kept["aaa"] in (1, 4)  # one of the duplicate pair, exactly once
