@@ -798,6 +798,93 @@ FROM flux f JOIN noise n ON n.user_id = f.user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# ustar_mpt — USTAR threshold DETECTION (moving-point test).  The
+# reference's UstarDetectionMPT ships only the data-assembly scaffold
+# (ustar_detection.py:56 stops at "# TODO HIER WEITER"); the algorithm its
+# docstring specifies (Papale et al. 2006) is implemented declaratively in
+# operators/ustar.py and checked against the identical SQL below.
+# ---------------------------------------------------------------------------
+
+def q_ustar_mpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.ustar import ustar_mpt_thresholds
+
+    ev = _events(spark, sf_dir)
+    # deterministic synthetic (nee, ta, ustar): NEE saturates above
+    # ustar ~0.25 — the plateau the MPT is built to find
+    d = ev.select(
+        (F.col("event_id") % 2).cast("int").alias("season_key"),
+        (
+            F.least((F.col("event_id") % 100) / 100.0 * 10, F.lit(2.5))
+            + (F.col("event_id") % 7) * 0.05
+        ).alias("nee"),
+        (F.col("event_id") % 33).cast("double").alias("ta"),
+        ((F.col("event_id") % 100) / 100.0).alias("ustar"),
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+    out = ustar_mpt_thresholds(
+        d, "nee", "ta", "ustar", "event_id", season_col="season_key",
+        n_ta_classes=7, n_ustar_classes=20,
+    )
+    return out.select(
+        F.col("season").cast("int").alias("season"),
+        F.col("ta_class").cast("int").alias("ta_class"),
+        F.floor(F.col("threshold") * 10000 + 0.5).cast("long").alias("threshold_s4"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.floor(F.col("season_threshold") * 10000 + 0.5)
+        .cast("long")
+        .alias("season_threshold_s4"),
+    )
+
+
+SQL_USTAR_MPT = """
+WITH d AS (
+  SELECT CAST(event_id % 2 AS INT) AS season,
+         least((event_id % 100) / 100.0 * 10, 2.5) + (event_id % 7) * 0.05 AS nee,
+         CAST(event_id % 33 AS DOUBLE) AS ta,
+         (event_id % 100) / 100.0 AS ustar,
+         event_id AS _id
+  FROM events
+), c1 AS (
+  SELECT *, ntile(7) OVER (PARTITION BY season ORDER BY ta, _id) AS ta_class FROM d
+), c2 AS (
+  SELECT *, ntile(20) OVER (PARTITION BY season, ta_class ORDER BY ustar, _id)
+            AS ustar_class
+  FROM c1
+), sub AS (
+  SELECT season, ta_class, ustar_class,
+         avg(nee) AS nee_mean, avg(ustar) AS ustar_mean
+  FROM c2 GROUP BY 1, 2, 3
+), nr AS (
+  SELECT season, ta_class, count(*) AS n_rows FROM c2 GROUP BY 1, 2
+), scan AS (
+  SELECT *, avg(nee_mean) OVER (PARTITION BY season, ta_class ORDER BY ustar_class
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nee_above
+  FROM sub
+), pl AS (
+  SELECT *, CASE WHEN nee_above IS NULL THEN TRUE
+                 ELSE nee_mean >= 0.99 * nee_above END AS plateau
+  FROM scan
+), pl2 AS (
+  SELECT *, plateau AND coalesce(
+              lead(plateau) OVER (PARTITION BY season, ta_class ORDER BY ustar_class),
+              TRUE) AS plateau2
+  FROM pl
+), per_class AS (
+  SELECT season, ta_class,
+         coalesce(min(CASE WHEN plateau2 THEN ustar_mean END), max(ustar_mean))
+           AS threshold
+  FROM pl2 GROUP BY 1, 2
+)
+SELECT p.season, CAST(p.ta_class AS INT) AS ta_class,
+       CAST(floor(p.threshold * 10000 + 0.5) AS BIGINT) AS threshold_s4,
+       CAST(n.n_rows AS BIGINT) AS n_rows,
+       CAST(floor(max(p.threshold) OVER (PARTITION BY p.season) * 10000 + 0.5)
+            AS BIGINT) AS season_threshold_s4
+FROM per_class p JOIN nr n ON n.season = p.season AND n.ta_class = p.ta_class
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "potential_radiation": q_potential_radiation,
     "vpd": q_vpd,
@@ -809,6 +896,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flux_level2_flags": q_flux_level2_flags,
     "qcf_daynight": q_qcf_daynight,
     "flux_detection_limit": q_flux_detection_limit,
+    "ustar_mpt": q_ustar_mpt,
     "export_fluxnet": q_export_fluxnet,
     "flux_chain": q_flux_chain,
 }
@@ -824,6 +912,7 @@ ORACLE_SQL: dict[str, str] = {
     "flux_level2_flags": SQL_FLUX_LEVEL2_FLAGS,
     "qcf_daynight": SQL_QCF_DAYNIGHT,
     "flux_detection_limit": SQL_FLUX_DETECTION_LIMIT,
+    "ustar_mpt": SQL_USTAR_MPT,
     "export_fluxnet": SQL_EXPORT_FLUXNET,
     "flux_chain": SQL_FLUX_CHAIN,
 }

@@ -197,3 +197,42 @@ def test_flux_chain_levels(spark):
     assert out.loc[0, "flux_l31"] == pytest.approx(1.1)
     # nan flux propagates
     assert pd.isna(out.loc[4, "flux_l31"])
+
+
+def test_ustar_mpt_finds_saturation_point(spark):
+    """NEE saturates above ustar=0.3 by construction; every TA class
+    threshold must land near 0.3, and the corr screen drops classes
+    where TA and USTAR are (deliberately) correlated."""
+    import numpy as np
+    import pandas as pd
+
+    from diive_spark.operators.ustar import ustar_mpt_thresholds
+
+    rng = np.random.default_rng(5)
+    n = 6000
+    ustar = rng.uniform(0, 1, n)
+    ta = rng.uniform(0, 30, n)
+    nee = np.minimum(ustar / 0.3, 1.0) * 5 + rng.normal(0, 0.05, n)
+    pdf = pd.DataFrame(
+        {"nee": nee, "ta": ta, "ustar": ustar, "rid": np.arange(n)}
+    )
+    out = ustar_mpt_thresholds(
+        spark.createDataFrame(pdf), "nee", "ta", "ustar", "rid",
+        n_ta_classes=5, n_ustar_classes=20,
+    ).toPandas()
+    assert len(out) == 5
+    # plateau detection: thresholds in the saturation onset region
+    assert (out["threshold"].between(0.2, 0.55)).all()
+    assert out["season_threshold"].nunique() == 1
+    assert out["season_threshold"].iloc[0] == out["threshold"].max()
+
+    # correlation screen: make ustar a function of ta -> |corr| ~ 1,
+    # classes excluded, season threshold null
+    pdf2 = pdf.copy()
+    pdf2["ustar"] = pdf2["ta"] / 30.0
+    out2 = ustar_mpt_thresholds(
+        spark.createDataFrame(pdf2), "nee", "ta", "ustar", "rid",
+        n_ta_classes=5, n_ustar_classes=10, max_ta_ustar_corr=0.4,
+    ).toPandas()
+    assert (out2["included"] == 0).all()
+    assert out2["season_threshold"].isna().all()
