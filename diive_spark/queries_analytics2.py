@@ -642,6 +642,40 @@ def _chd_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# critical_days — §2.11 CriticalDays threshold detection (criticaldays.py:
+# 29-331): daily aggs -> bootstrapped bin fit -> zero-crossing threshold.
+# (rows-only: bootstrap resampling is not SQL-expressible; the crossing
+# math is pytest-exact vs the standalone kernel in tests/test_analytics2.py)
+# ---------------------------------------------------------------------------
+
+def q_critical_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.criticaldays import critical_days
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 5 == 0)
+    # synthetic (x, y): x is VPD-like 0..10, per-row y declines with x so
+    # the daily-sum fit crosses zero inside the x range
+    d = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts"),
+        (F.col("value") / 10.0).alias("x"),
+        (F.lit(1.0) - (F.col("value") / 10.0) * 0.25
+         + F.sin(F.col("event_id").cast("double")) * 0.05).alias("y"),
+    )
+    out = critical_days(
+        d, "user_id", "ts", "x", "y", thres_min_x=1.0,
+        n_bins=8, n_bootstraps=10,
+    )
+    return out.select(
+        "user_id",
+        F.round("thres_dcrit", 4).alias("thres_dcrit"),
+        F.round("thres_ndcrit_lower", 4).alias("thres_ndcrit_lower"),
+        "n_dcrit", "n_ndcrit", "n_runs_accepted", "n_days",
+    )
+
+
 def q_critical_heat_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diive_spark.operators.heatdays import combo_bin_stats
 
@@ -917,6 +951,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "freq_detect_reconciled": q_freq_detect_reconciled,
     "histogram_uniques": q_histogram_uniques,
     "critical_heat_days": q_critical_heat_days,
+    "critical_days": q_critical_days,
     "chd_thresholds": q_chd_thresholds,
     "co2_penalty": q_co2_penalty,
     "co2_penalty_year": q_co2_penalty_year,

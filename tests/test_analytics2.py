@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -216,3 +217,68 @@ def test_binfitter_fit_types_match_lstsq():
             (len(by) - 1.0) * np.var(by, ddof=1)
         )
         assert abs(out["fit_r2"].iloc[0] - r2_want) < 1e-9
+
+
+def test_critical_days_threshold_detection(spark):
+    """y = 3 - 0.75*x + noise crosses zero at x = 4: the detected Dcrit
+    threshold must land there, day counts must partition around it, and
+    the Spark kernel must equal the standalone function (same crc32
+    seed). A series that never crosses yields NaN/0 results."""
+    import zlib
+
+    from diive_spark.operators.criticaldays import critical_days, critical_days_pdf
+
+    rng = np.random.default_rng(31)
+    n_days = 120
+    ts = pd.date_range("2023-01-01", periods=n_days, freq="D")
+    # 4 rows per day so the daily agg (max x, sum y) does real work
+    rows = []
+    for d, t in enumerate(ts):
+        xs = rng.uniform(0, 8, 4)
+        for x in xs:
+            rows.append((7, t, x, (3 - 0.75 * x) / 4 + rng.normal(0, 0.02)))
+    pdf = pd.DataFrame(rows, columns=["key", "ts", "x", "y"])
+
+    out = (
+        critical_days(
+            spark.createDataFrame(pdf), "key", "ts", "x", "y",
+            thres_min_x=1.0, n_bins=8, n_bootstraps=10,
+        )
+        .toPandas()
+        .iloc[0]
+    )
+    # daily max x ~ 6-8, daily sum y crosses zero near x = 4 (sum over 4
+    # draws vs the daily max — the fitted crossing sits above the
+    # per-row root, so just require a sane interior crossing)
+    assert 3.0 < out["thres_dcrit"] < 8.0
+    assert out["n_days"] == n_days
+    assert out["n_dcrit"] + out["n_ndcrit"] <= n_days
+    assert out["n_ndcrit"] <= out["n_dcrit"]
+    assert out["thres_ndcrit_lower"] < out["thres_dcrit"]
+    assert out["n_runs_accepted"] >= 8  # clean signal: nearly all accepted
+
+    # kernel == standalone with the same per-key seed
+    daily = (
+        pdf.assign(day=pdf["ts"].dt.date)
+        .groupby("day")
+        .agg(x=("x", "max"), y=("y", "sum"))
+        .reset_index()
+    )
+    seed = zlib.crc32(b"7") % (2**31)
+    want = critical_days_pdf(daily, thres_min_x=1.0, n_bins=8,
+                             n_bootstraps=10, seed=seed).iloc[0]
+    assert out["thres_dcrit"] == pytest.approx(want["thres_dcrit"])
+    assert out["n_dcrit"] == want["n_dcrit"]
+
+    # never-crossing series -> rejected
+    pdf2 = pdf.copy()
+    pdf2["y"] = pdf2["y"].abs() + 1.0
+    out2 = (
+        critical_days(
+            spark.createDataFrame(pdf2), "key", "ts", "x", "y",
+            thres_min_x=1.0, n_bootstraps=5,
+        )
+        .toPandas()
+        .iloc[0]
+    )
+    assert np.isnan(out2["thres_dcrit"]) and out2["n_dcrit"] == 0
