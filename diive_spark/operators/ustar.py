@@ -73,14 +73,18 @@ def ustar_mpt_thresholds(
     w_us = Window.partitionBy("season", "ta_class").orderBy("ustar", "_id")
     d = d.withColumn("ustar_class", F.ntile(n_ustar_classes).over(w_us))
 
+    # ONE scan: the subclass agg also carries the sufficient statistics
+    # for the class-level TA~USTAR correlation (sums are associative), so
+    # no second pass over the raw rows and no class-level join arm
     sub = d.groupBy("season", "ta_class", "ustar_class").agg(
         F.avg("nee").alias("nee_mean"),
         F.avg("ustar").alias("ustar_mean"),
         F.count("*").alias("n"),
-    )
-    corr = d.groupBy("season", "ta_class").agg(
-        F.corr("ta", "ustar").alias("ta_ustar_corr"),
-        F.count("*").alias("n_rows"),
+        F.sum("ta").alias("s_x"),
+        F.sum("ustar").alias("s_y"),
+        F.sum(F.col("ta") * F.col("ustar")).alias("s_xy"),
+        F.sum(F.col("ta") * F.col("ta")).alias("s_xx"),
+        F.sum(F.col("ustar") * F.col("ustar")).alias("s_yy"),
     )
 
     w_next = (
@@ -103,13 +107,20 @@ def ustar_mpt_thresholds(
             F.col("plateau") & F.coalesce(F.lead("plateau").over(w_ord), F.lit(True)),
         )
     )
-    per_class = scan.groupBy("season", "ta_class").agg(
+    n_t = F.sum("n")
+    sx, sy = F.sum("s_x"), F.sum("s_y")
+    sxy, sxx, syy = F.sum("s_xy"), F.sum("s_xx"), F.sum("s_yy")
+    out = scan.groupBy("season", "ta_class").agg(
         F.coalesce(
             F.min(F.when(F.col("plateau2"), F.col("ustar_mean"))),
             F.max("ustar_mean"),
         ).alias("threshold"),
+        n_t.alias("n_rows"),
+        (
+            (n_t * sxy - sx * sy)
+            / F.sqrt((n_t * sxx - sx * sx) * (n_t * syy - sy * sy))
+        ).alias("ta_ustar_corr"),
     )
-    out = per_class.join(corr, ["season", "ta_class"])
     included = (
         F.lit(True)
         if max_ta_ustar_corr is None
