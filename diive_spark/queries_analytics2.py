@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from diive_spark.queries_text import (
+    DUCK_H60,
     DUCK_TOKS,
     PERTURB_OFFSET,
     _DUCK_SHINGLES,
@@ -348,13 +349,17 @@ WITH corpus AS (
   SELECT doc_id, lang, {DUCK_TOKS} AS toks FROM corpus
 ), sh AS (
   SELECT doc_id, lang, {_DUCK_SHINGLES} AS shingles FROM t
+), hashed AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(shingles, s -> {DUCK_H60.format(s='s')})) AS hs
+  FROM sh
 ), pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         len(list_intersect(a.shingles, b.shingles)) AS n_inter,
-         len(list_intersect(a.shingles, b.shingles)) * 1.0
-           / (len(a.shingles) + len(b.shingles)
-              - len(list_intersect(a.shingles, b.shingles))) AS jaccard
-  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         len(list_intersect(a.hs, b.hs)) AS n_inter,
+         len(list_intersect(a.hs, b.hs)) * 1.0
+           / (len(a.hs) + len(b.hs)
+              - len(list_intersect(a.hs, b.hs))) AS jaccard
+  FROM hashed a JOIN hashed b ON a.lang = b.lang AND a.doc_id < b.doc_id
 )
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
        CAST(n_inter AS BIGINT) AS n_inter, round(jaccard, 4) AS jaccard

@@ -330,19 +330,23 @@ def ngram_jaccard_dedup(
             "pass a selective block_col (or lsh_candidate_pairs output), or "
             "opt in explicitly with allow_full_scan=True"
         )
-    sh = with_shingles(df, text_col=text_col, k=k)
-    cols = [F.col(id_col), F.col("shingles")]
+    # distinct 60-bit shingle HASHES, not strings: the python-md5 pass is
+    # ~100x cheaper than the interpreted shingle HOF, bigint intersects
+    # beat string intersects, and both engines hash identically so the
+    # set arithmetic stays engine-exact
+    sh = with_hashed_shingles(df, text_col=text_col, k=k)
+    cols = [F.col(id_col), F.col("sh_hashes")]
     if block_col:
         cols.append(F.col(block_col).alias("_blk"))
     s = sh.select(*cols)
     a = s.select(
         F.col(id_col).alias("id_a"),
-        F.col("shingles").alias("sh_a"),
+        F.col("sh_hashes").alias("sh_a"),
         *([F.col("_blk")] if block_col else []),
     )
     b = s.select(
         F.col(id_col).alias("id_b"),
-        F.col("shingles").alias("sh_b"),
+        F.col("sh_hashes").alias("sh_b"),
         *([F.col("_blk")] if block_col else []),
     )
     joined = (
