@@ -175,7 +175,13 @@ def synth_media(spark, n: int = 64) -> DataFrame:
             StructField("payload", BinaryType()),
         ]
     )
-    return spark.range(n).mapInPandas(gen, schema)
+    # right-size the fixture: spark.range defaults to defaultParallelism
+    # partitions, and the downstream decode/resize chains inherit it — 3
+    # chained Python stages x 32 tasks of 2 rows each is pure per-task
+    # overhead.  ~8 rows per partition keeps the chain parallel without
+    # the task storm.
+    n_parts = max(2, min(32, n // 8))
+    return spark.range(n, numPartitions=n_parts).mapInPandas(gen, schema)
 
 
 RESIZED_SCHEMA = StructType(
