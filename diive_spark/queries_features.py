@@ -112,8 +112,8 @@ def q_monthly_resample_right(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(
             F.unix_micros(F.col("month_end").cast("timestamp")) / 1_000_000
         ).cast("long").alias("month_end_s"),
-        F.round("agg_mean", 4).alias("agg_mean"),
-        F.round("agg_sum", 4).alias("agg_sum"),
+        (F.floor(F.col("agg_mean") * 10000 + 0.5) / 10000).alias("agg_mean"),
+        (F.floor(F.col("agg_sum") * 10000 + 0.5) / 10000).alias("agg_sum"),
         "n_vals",
     )
 
@@ -130,7 +130,8 @@ WITH agg AS (
   SELECT *, max(n_slots) OVER (PARTITION BY user_id) AS maxcount FROM agg
 )
 SELECT CAST(user_id AS BIGINT) AS user_id, month_end_s,
-       round(agg_mean, 4) AS agg_mean, round(agg_sum, 4) AS agg_sum,
+       floor(agg_mean * 10000 + 0.5) / 10000 AS agg_mean,
+       floor(agg_sum * 10000 + 0.5) / 10000 AS agg_sum,
        CAST(n_vals AS BIGINT) AS n_vals
 FROM gated
 WHERE n_vals >= CASE WHEN floor(maxcount * 0.25) < 3 THEN 1
@@ -155,10 +156,12 @@ def q_weekly_resample_right(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(
             F.unix_micros(F.col("period_end").cast("timestamp")) / 1_000_000
         ).cast("long").alias("week_end_s"),
-        # round-2: weekly means aggregate ~200+ values whose summation order
-        # differs between engines; a 4-decimal round can straddle a boundary
-        F.round("agg_mean", 2).alias("agg_mean"),
-        F.round("agg_sum", 2).alias("agg_sum"),
+        # floor-scale instead of round: the mean can land EXACTLY on a
+        # .xx5 boundary (sf0.001 hit 62.505) where Spark HALF_UP and
+        # DuckDB disagree about the underlying double; floor(x*100+0.5)
+        # evaluates the same IEEE double in both engines
+        (F.floor(F.col("agg_mean") * 100 + 0.5) / 100).alias("agg_mean"),
+        (F.floor(F.col("agg_sum") * 100 + 0.5) / 100).alias("agg_sum"),
         "n_vals",
     )
 
@@ -175,7 +178,8 @@ WITH agg AS (
   SELECT *, max(n_slots) OVER (PARTITION BY user_id) AS maxcount FROM agg
 )
 SELECT CAST(user_id AS BIGINT) AS user_id, week_end_s,
-       round(agg_mean, 2) AS agg_mean, round(agg_sum, 2) AS agg_sum,
+       floor(agg_mean * 100 + 0.5) / 100 AS agg_mean,
+       floor(agg_sum * 100 + 0.5) / 100 AS agg_sum,
        CAST(n_vals AS BIGINT) AS n_vals
 FROM gated
 WHERE n_vals >= CASE WHEN floor(maxcount * 0.25) < 3 THEN 1
