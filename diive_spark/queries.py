@@ -731,12 +731,50 @@ from diive_spark import queries_analytics2 as _qa2  # noqa: E402
 QUERIES.update(_qa2.QUERIES)
 ORACLE_SQL.update(_qa2.ORACLE_SQL)
 
-# Driver-window ordering: the driver records correctness rows for a prefix
-# of this registry, so every oracle-backed query must come BEFORE the
-# rows-only kernels (iterated loops / LOF / ML / multimodal / gorilla) —
-# otherwise oracle-green queries fall outside the recorded window
-# (round-1 lesson: 17 oracle-backed queries got no driver row).
+# Driver-window ordering: the driver records correctness rows for exactly the
+# first 50 registry entries.  Round-2 verdict: 25 oracle-backed queries sat at
+# positions 50-74 and have never had a driver row — rotate them (plus every
+# query newly added this round) to the FRONT so CORRECTNESS_r03 finally
+# covers them; the 50 previously-green queries keep their r01/r02 history.
+# Rows-only kernels stay last as always.
+_FRONT = [
+    # positions 50-74 of the round-2 registry (VERDICT.md "Next round" #1)
+    "flag_abslim_daynight",
+    "wind_rotation",
+    "winddir_offset",
+    "eddypro_digit_flags",
+    "flux_level2_flags",
+    "qcf_daynight",
+    "flux_detection_limit",
+    "ustar_mpt",
+    "export_fluxnet",
+    "flux_chain",
+    "binned_quadratic_fit",
+    "freq_detect_reconciled",
+    "histogram_uniques",
+    "critical_heat_days",
+    "chd_thresholds",
+    "co2_penalty",
+    "co2_penalty_year",
+    "histogram_peaks",
+    "freq_groups",
+    "nested_bin_agg",
+    "value_counts",
+    "prediction_scores",
+    "seasonal_filter",
+    "dedup_ngram_jaccard",
+    "dedup_embed_cosine",
+    # round-3 additions (never driver-checked by definition)
+    "random_uncertainty",
+    "random_uncertainty_cumulative",
+    "ann_cosine_ivf_trained",
+    # round-3 re-verification targets: materially rewritten this round
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+]
+_front = {k: QUERIES[k] for k in _FRONT if k in QUERIES}
 QUERIES = {
-    **{k: v for k, v in QUERIES.items() if k in ORACLE_SQL},
+    **_front,
+    **{k: v for k, v in QUERIES.items() if k not in _front and k in ORACLE_SQL},
     **{k: v for k, v in QUERIES.items() if k not in ORACLE_SQL},
 }

@@ -98,7 +98,7 @@ def test_simhash_identical_docs_distance_zero(docs_df):
         r["doc_id"]: r["simhash"] for r in DD.with_simhash(docs_df).collect()
     }
     assert sims[0] == sims[1]
-    assert 0 <= sims[0] < 2**32
+    assert 0 <= sims[0] < 2**60
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
         for r in DD.simhash_candidate_pairs(
