@@ -137,10 +137,12 @@ def add_timezone_info(ts: Column, timezone_of_timestamp: str) -> Column:
     sign = 1 if "+" in timezone_of_timestamp else -1
     hh, mm = timezone_of_timestamp.split("UTC")[1][1:].split(":")
     offset_s = sign * (int(hh) * 3600 + int(mm) * 60)
-    return F.to_timestamp(
-        F.timestamp_seconds(
-            F.floor(F.unix_micros(ts.cast("timestamp")) / 1_000_000) - offset_s
-        )
+    # microsecond arithmetic: the reference's tz_localize keeps full
+    # resolution, so flooring to whole seconds here would silently drop the
+    # 50 ms-rounded fractions produced by timestamps_from_file_start
+    # (ADVICE r2 low #4)
+    return F.timestamp_micros(
+        F.unix_micros(ts.cast("timestamp")) - offset_s * 1_000_000
     )
 
 

@@ -241,15 +241,25 @@ class TierEngine:
             store.data_dir.mkdir(parents=True, exist_ok=True)
             for day in affected_days:
                 staged_day = staging / f"window_day={day}"
+                trash = store.root / f"_trash_{batch_id}_{day}"
                 if not staged_day.exists():
+                    # already swapped on a previous (crashed) attempt — the
+                    # crash may have landed between the two os.replace calls,
+                    # leaving this day's trash dir orphaned (ADVICE r2 low #3)
+                    if trash.exists():
+                        shutil.rmtree(trash)
                     continue
                 live_day = store.data_dir / f"window_day={day}"
-                trash = store.root / f"_trash_{batch_id}_{day}"
                 if live_day.exists():
                     os.replace(live_day, trash)
                 os.replace(staged_day, live_day)
                 if trash.exists():
                     shutil.rmtree(trash)
+            # sweep any stragglers for this batch (e.g. a day later dropped
+            # from affected_days) so trash never accumulates across
+            # crash-resume cycles
+            for orphan in store.root.glob(f"_trash_{batch_id}_*"):
+                shutil.rmtree(orphan, ignore_errors=True)
             shutil.rmtree(staging, ignore_errors=True)
             # commit: fold staged per-day counts into the previous
             # snapshot's partition_rows (untouched partitions not re-read)

@@ -731,6 +731,11 @@ from diive_spark import queries_analytics2 as _qa2  # noqa: E402
 QUERIES.update(_qa2.QUERIES)
 ORACLE_SQL.update(_qa2.ORACLE_SQL)
 
+from diive_spark import queries_uncertainty as _qu  # noqa: E402
+
+QUERIES.update(_qu.QUERIES)
+ORACLE_SQL.update(_qu.ORACLE_SQL)
+
 # Driver-window ordering: the driver records correctness rows for exactly the
 # first 50 registry entries.  Round-2 verdict: 25 oracle-backed queries sat at
 # positions 50-74 and have never had a driver row — rotate them (plus every

@@ -77,8 +77,12 @@ def load_reference():
             from diive.pkgs.outlierdetection.localsd import LocalSD  # noqa: F401
             from diive.pkgs.qaqc.qcf import FlagQCF  # noqa: F401
             from diive.pkgs.qaqc import eddyproflags  # noqa: F401
+            from diive.pkgs.flux.uncertainty import (  # noqa: F401
+                RandomUncertaintyPAS20,
+            )
 
             return types.SimpleNamespace(
+                RandomUncertaintyPAS20=RandomUncertaintyPAS20,
                 eddyproflags=eddyproflags,
                 resample_series_to_30MIN=resample_series_to_30MIN,
                 zscore=zscore,

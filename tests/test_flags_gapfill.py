@@ -213,6 +213,17 @@ def test_add_timezone_info_and_file_start_timestamps(spark):
     )
     assert pd.Timestamp(got) == want
 
+    # sub-second precision survives localization (the reference's
+    # tz_localize keeps full resolution — ADVICE r2 low #4): a 50 ms-rounded
+    # reading must keep its fractional part
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"ts": [pd.Timestamp("2024-06-01 12:00:00.150")]})
+    )
+    got = sdf.select(
+        add_timezone_info(F.col("ts"), "UTC+01:00").alias("utc")
+    ).collect()[0]["utc"]
+    assert pd.Timestamp(got) == pd.Timestamp("2024-06-01 11:00:00.150")
+
     # file timestamps: 1790 records where 1800 were expected over 90 s at
     # 20 Hz -> ratio 0.994 outside the 0.1% window -> nominal res kept
     n = 1790

@@ -207,3 +207,39 @@ def test_pending_intent_resume_no_double_merge(spark, series_sdf, tmp_path):
     man = store.read_manifest()
     assert man["pending"] == []
     assert [s["batch_id"] for s in man["snapshots"]] == ["seed", "crash"]
+
+
+def test_resume_sweeps_orphaned_trash(spark, series_sdf, tmp_path):
+    """Crash between the two os.replace calls of a day swap leaves a
+    _trash_{batch}_{day} dir with no staged day left; resume must sweep it
+    instead of accumulating trash across crash-resume cycles."""
+    eng = TierEngine(
+        spark, str(tmp_path / "t7"), TIERS[:1], "url", "ts", "value",
+        source_freq_seconds=600,
+    )
+    eng.apply_batch(series_sdf, batch_id="seed")
+    store = eng.stores["30m"]
+    days = store.partitions()
+    day = days[0]
+
+    # crash state: every staged day already swapped (empty staging dir),
+    # one day's trash dir orphaned, intent still pending
+    staging = store.root / "_staging_crash3"
+    staging.mkdir()
+    orphan = store.root / f"_trash_crash3_{day}"
+    orphan.mkdir()
+    (orphan / "part-stale.parquet").write_bytes(b"stale")
+    man = store.read_manifest()
+    man.setdefault("pending", []).append(
+        {
+            "batch_id": "crash3",
+            "affected_days": [day],
+            "staged_rows": {day: 0},
+        }
+    )
+    store.write_manifest(man)
+
+    eng.apply_batch(series_sdf, batch_id="crash3")
+    assert not list(store.root.glob("_trash_*")), "orphaned trash must be swept"
+    man = store.read_manifest()
+    assert man["pending"] == []
