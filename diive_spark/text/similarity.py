@@ -184,7 +184,125 @@ def with_ivf_cell(
         sims = np.round((M @ C.T) / np.outer(np.linalg.norm(M, axis=1), c_norms), 6)
         return pd.Series(ids[np.argmax(sims, axis=1)])
 
-    return vectors.withColumn(out_col, assign(F.col(vec_col)))
+    # optimizer fence: `cell` becomes a join key downstream, and Catalyst's
+    # derived isnotnull(cell) pushdown would re-evaluate the whole corpus
+    # assignment once per filter copy (see text/dedup.py); the kernel is pure
+    return vectors.withColumn(out_col, assign.asNondeterministic()(F.col(vec_col)))
+
+
+def train_ivf_kmeans(
+    vectors: DataFrame,
+    seed_centroids: list[tuple[int, list[float]]],
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Train IVF centroids with k-means iterations as DataFrame jobs.
+
+    Each iteration: assign every vector to its max-cosine centroid (one
+    broadcast matmul per Arrow batch, :func:`with_ivf_cell`), then recompute
+    each centroid as the member mean via posexplode + (cell, dim) groupBy.
+    The only collect is n_cells x dim aggregate rows (8 x 64 here) — the
+    centroid table stays broadcast-sized by construction, which is exactly
+    the 100 TB shape: the corpus is scanned once per iteration, the model
+    state is tiny.  Cells that lose all members are dropped (both engines
+    mirror this).  Deterministic: fixed seeds, argmax-first tie-break on
+    round-6 sims."""
+    cents = sorted(seed_centroids, key=lambda t: t[0])
+    for _ in range(n_iters):
+        assigned = with_ivf_cell(vectors, cents, vec_col)
+        rows = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)))
+            .groupBy("cell", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(r["m"])
+        cents = sorted(
+            (
+                (cid, [dims[p] for p in sorted(dims)])
+                for cid, dims in by_cell.items()
+            ),
+            key=lambda t: t[0],
+        )
+    return cents
+
+
+def with_ivf_cells_multiprobe(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    out_col: str = "cells",
+) -> DataFrame:
+    """Top-``n_probe`` nearest cells per vector (multi-probe search side):
+    same broadcast matmul as :func:`with_ivf_cell`, lexsort tie-break
+    (round-6 sim desc, centroid id asc) matching the oracle's window."""
+    C = np.array([cvec for _, cvec in centroids], dtype=np.float64)
+    ids = np.array([int(cid) for cid, _ in centroids], dtype=np.int64)
+    c_norms = np.linalg.norm(C, axis=1)
+    p = min(n_probe, len(ids))
+
+    @F.pandas_udf("array<bigint>")
+    def assign_multi(emb: pd.Series) -> pd.Series:
+        M = np.stack(emb.to_numpy()).astype(np.float64)
+        sims = np.round(
+            (M @ C.T) / np.outer(np.linalg.norm(M, axis=1), c_norms), 6
+        )
+        # lexsort: primary -sim, secondary centroid id
+        order = np.lexsort((np.broadcast_to(ids, sims.shape), -sims), axis=1)
+        return pd.Series(list(ids[order[:, :p]]))
+
+    # optimizer fence — see with_ivf_cell
+    return vectors.withColumn(
+        out_col, assign_multi.asNondeterministic()(F.col(vec_col))
+    )
+
+
+def cosine_topk_ivf_trained(
+    vectors: DataFrame,
+    probes: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k with trained centroids and multi-probe: each probe searches
+    its ``n_probe`` nearest cells (candidates live in exactly one cell, so
+    probing P disjoint cells never duplicates a candidate)."""
+    vc = with_ivf_cell(vectors, centroids, vec_col)
+    pc = (
+        with_ivf_cells_multiprobe(probes, centroids, n_probe, vec_col)
+        .select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("probe_vec"),
+            F.explode("cells").alias("cell"),
+        )
+    )
+    v = vc.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec"), "cell"
+    )
+    scored = (
+        v.join(F.broadcast(pc), "cell")
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(cosine_pair_udf(F.col("probe_vec"), F.col("cand_vec")), 6),
+        )
+        .select("probe_id", "cand_id", "cos_sim")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id", "cand_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+        )
+    )
 
 
 def cosine_topk_ivf(

@@ -264,3 +264,34 @@ def test_multimodal_resize_and_frames(spark):
             ),
             8, 4, strict=True,
         ).collect()
+
+
+def test_ivf_trained_recall(spark):
+    """k-means-trained IVF + 2-cell multi-probe must reach recall@5 >= 0.95
+    vs brute-force cosine on clustered vectors (VERDICT r2 next #4)."""
+    import numpy as np
+
+    from diive_spark.text import similarity as SIM
+
+    rng = np.random.default_rng(11)
+    n_clusters, dim, per = 8, 16, 60
+    centers = rng.normal(size=(n_clusters, dim)) * 4
+    vecs = (
+        centers[np.repeat(np.arange(n_clusters), per)]
+        + rng.normal(size=(n_clusters * per, dim)) * 0.5
+    ).astype(np.float32)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    sdf = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+    seeds = [(i, [float(x) for x in vecs[i * per]]) for i in range(n_clusters)]
+    cents = SIM.train_ivf_kmeans(sdf, seeds, n_iters=3)
+    assert len(cents) == n_clusters
+
+    probes = sdf.filter("vec_id % 37 = 0")  # held-out-ish probe set
+    exact = SIM.cosine_topk_bruteforce(sdf, probes, k=5)
+    approx = SIM.cosine_topk_ivf_trained(sdf, probes, cents, k=5, n_probe=2)
+
+    want = {(r["probe_id"], r["cand_id"]) for r in exact.collect()}
+    got = {(r["probe_id"], r["cand_id"]) for r in approx.collect()}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.95, f"recall@5 = {recall:.3f}"
