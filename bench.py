@@ -264,4 +264,22 @@ if __name__ == "__main__":
     elif "--reference" in sys.argv:
         print(json.dumps(run_reference_compare()))
     else:
-        print(json.dumps(run_bench()))
+        res = run_bench()
+        # VERDICT r2 wrong #3: the single giant JSON line got truncated by
+        # the driver's tail capture (BENCH_r02 parsed: null).  Emit the
+        # headline first on its own short line, persist the full record to
+        # bench_out.json, THEN print the one-line JSON contract.
+        print(
+            json.dumps(
+                {
+                    "metric": res["metric"],
+                    "value": res["value"],
+                    "unit": res["unit"],
+                    "sf": res["sf"],
+                    "n_queries": len(res["queries"]),
+                }
+            ),
+            flush=True,
+        )
+        (REPO / "bench_out.json").write_text(json.dumps(res, indent=1))
+        print(json.dumps(res))

@@ -56,6 +56,8 @@ def linear_interp_limited(
     gap_limit: int = 3,
     out_col: str | None = None,
     flag_col: str | None = "flag_gapfilled",
+    chunk_slots: int | None = None,
+    grid_step: int = 1,
 ) -> DataFrame:
     """Linear interpolation of interior gaps with run-length <= gap_limit
     (/root/reference/diive/pkgs/gapfilling/interpolate.py:8-36).
@@ -66,23 +68,52 @@ def linear_interp_limited(
     even on irregular grids.
 
     ``limit_area='inside'`` ⇒ only gaps with a valid value on BOTH sides.
-    """
-    w_ord = Window.partitionBy(key_col).orderBy(ts_col)
+
+    ``chunk_slots`` (with ``grid_step`` = the grid spacing of ``ts_col``):
+    halo-chunk the per-key windows so one monster series never lands in a
+    single task.  halo = gap_limit+1 slots is EXACT: a fillable gap (≤
+    gap_limit) plus both anchors fits inside the halo, and a gap that
+    extends past the halo leaves prev/next null inside the visible window,
+    so it is (correctly) left unfilled on both paths.  The interpolation
+    weights use row positions local to the visible window — only position
+    DIFFERENCES enter the formula, so they match the global ones."""
+    if chunk_slots:
+        from diive_spark.operators.chunking import explode_halo_chunks
+
+        d0 = df.withColumn("__slotpos", F.col(ts_col) / grid_step)
+        d0 = explode_halo_chunks(d0, "__slotpos", chunk_slots, gap_limit + 1)
+        out = linear_interp_limited(
+            d0,
+            key_col=[key_col, "__chunk"],  # type: ignore[arg-type]
+            ts_col=ts_col,
+            value_col=value_col,
+            gap_limit=gap_limit,
+            out_col=out_col,
+            flag_col=flag_col,
+        )
+        return out.filter(
+            F.col("__chunk") == F.floor(F.col("__slotpos") / chunk_slots)
+        ).drop("__slotpos", "__chunk")
+    part = key_col if isinstance(key_col, list) else [key_col]
+    w_ord = Window.partitionBy(*part).orderBy(ts_col)
     w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
     w_next = w_ord.rowsBetween(1, Window.unboundedFollowing)
     pos = F.row_number().over(w_ord)
     v = F.col(value_col)
 
+    run_id = F.count(value_col).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    )
     d = (
         df.withColumn("__pos", pos)
         .withColumn("__vpos", F.when(v.isNotNull(), F.col("__pos")))
-        .withColumn("__run", _run_id(key_col, ts_col, value_col))
+        .withColumn("__run", run_id)
     )
     prev_v = F.last(value_col, ignorenulls=True).over(w_prev)
     prev_p = F.last("__vpos", ignorenulls=True).over(w_prev)
     next_v = F.first(value_col, ignorenulls=True).over(w_next)
     next_p = F.first("__vpos", ignorenulls=True).over(w_next)
-    run_w = Window.partitionBy(key_col, "__run")
+    run_w = Window.partitionBy(*part, "__run")
     gap_len = F.sum(F.when(v.isNull(), 1).otherwise(0)).over(run_w)
 
     interp = prev_v + (next_v - prev_v) * (F.col("__pos") - prev_p) / (next_p - prev_p)

@@ -106,20 +106,39 @@ def hampel_flag_expr(
     winsize: int = 15,
     n_sd: float = 7.0,
     flag_col: str = "flag_hampel",
+    chunk_rows: int | None = None,
 ) -> DataFrame:
     """Single-pass LocalSD/Hampel flag, JVM-side (SURVEY §2.4 T1 scale path):
     centered rolling median (exact ``percentile`` over a row frame — Spark
     has no rolling-median builtin but allows the exact percentile aggregate
     in a window frame) ± ``n_sd`` × rolling sample std, ``min_periods=3``,
     over the NON-NULL record positions (localsd.py:77-91 rolls over the
-    dropna'd series). ``winsize`` must be odd (centered frame)."""
+    dropna'd series). ``winsize`` must be odd (centered frame).
+
+    ``chunk_rows``: halo-chunk the per-key window so a monster series never
+    lands in one task — exact global row numbers (no per-key-wide window),
+    winsize//2 halo rows duplicated across each chunk edge, window runs per
+    (key, chunk), own rows kept.  Chunked output == unchunked output for
+    ANY null distribution (the row frame rolls over non-null positions and
+    chunking happens on exactly those positions); pytest-pinned."""
     half = winsize // 2
     nn = df.filter(F.col(value_col).isNotNull())
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy(ts_col)
-        .rowsBetween(-half, half)
-    )
+    if chunk_rows:
+        from diive_spark.operators.chunking import (
+            explode_halo_chunks,
+            with_global_rn,
+        )
+
+        nn = explode_halo_chunks(
+            with_global_rn(nn, key_col, ts_col), "__rn", chunk_rows, half
+        )
+        w = (
+            Window.partitionBy(key_col, "__chunk")
+            .orderBy(ts_col)
+            .rowsBetween(-half, half)
+        )
+    else:
+        w = Window.partitionBy(key_col).orderBy(ts_col).rowsBetween(-half, half)
     med = F.expr(f"percentile({value_col}, 0.5)").over(w)
     sd = F.stddev_samp(value_col).over(w)
     cnt = F.count(value_col).over(w)
@@ -132,6 +151,10 @@ def hampel_flag_expr(
         .otherwise(F.lit(0))
         .cast("tinyint"),
     )
+    if chunk_rows:
+        flagged = flagged.filter(
+            F.col("__chunk") == F.floor(F.col("__rn") / chunk_rows)
+        ).drop("__rn", "__chunk")
     nulls = df.filter(F.col(value_col).isNull()).withColumn(
         flag_col, F.lit(0).cast("tinyint")
     )
@@ -146,23 +169,53 @@ def _grouped_flag_kernel(
     value_col: str,
     flag_col: str,
     grid_step: int | None = None,
+    chunk_slots: int | None = None,
+    halo_slots: int | None = None,
     **kw,
 ):
     """Run a pandas per-series flag function as a grouped Arrow kernel.
 
     One Arrow batch per series; the kernel sorts by ts (Spark groups are
-    unordered) and appends the tinyint flag column. State is bounded by one
-    series per task — for very long series chunk upstream by time range with
-    halo rows (SURVEY §7.3).
+    unordered) and appends the tinyint flag column.
 
     ``grid_step``: reindex each series onto its complete [min, max] grid
     INSIDE the kernel (the reference's ``reindex``) — callers pass the
     sparse aggregate instead of a distributed sequence/explode + join grid,
-    saving two shuffles and a 2x-row join."""
+    saving two shuffles and a 2x-row join.
+
+    ``chunk_slots``/``halo_slots`` (grid units; requires ``grid_step``):
+    halo-chunk each series so one 10⁹-point key cannot OOM a task — rows
+    within ``halo_slots`` of a chunk edge are duplicated into the adjacent
+    chunk, the kernel runs per (key, chunk) and keeps only own-chunk rows.
+    For the single-pass rolling kernels halo = winsize//2 is exact when
+    every chunk edge has observations within the halo; for the ITERATED
+    kernels (repeat-until-clean) flag influence can travel one winsize per
+    iteration, so size halo ≥ winsize × the expected iteration count
+    (tests pin equality on convergent series — the documented residual is
+    pathological non-local convergence)."""
     # copy: StructType.add mutates in place and df.schema is cached
     schema = StructType(list(df.schema.fields) + [StructField(flag_col, ByteType())])
 
+    chunked = chunk_slots is not None
+    if chunked:
+        if grid_step is None or halo_slots is None:
+            raise ValueError("chunk_slots requires grid_step and halo_slots")
+        from diive_spark.operators.chunking import explode_halo_chunks
+
+        df = explode_halo_chunks(
+            df.withColumn("__slotpos", F.col(ts_col) / grid_step),
+            "__slotpos",
+            chunk_slots,
+            halo_slots,
+        ).drop("__slotpos")
+        group_cols = [key_col, "__chunk"]
+    else:
+        group_cols = [key_col]
+
     def apply(pdf):
+        chunk_id = int(pdf["__chunk"].iloc[0]) if chunked else None
+        if chunked:
+            pdf = pdf.drop(columns="__chunk")
         pdf = pdf.sort_values(ts_col).reset_index(drop=True)
         if grid_step is not None and len(pdf):
             import numpy as np
@@ -184,9 +237,17 @@ def _grouped_flag_kernel(
         s = pdf[value_col]
         flag = fn(s, **kw)
         pdf[flag_col] = flag.to_numpy().astype("int8")
+        if chunked:
+            lo = chunk_id * chunk_slots * grid_step
+            hi = lo + chunk_slots * grid_step
+            pdf = pdf[(pdf[ts_col] >= lo) & (pdf[ts_col] < hi)]
         return pdf
 
-    return kernel_partition(df, key_col).groupBy(key_col).applyInPandas(apply, schema)
+    return (
+        kernel_partition(df, *group_cols)
+        .groupBy(*group_cols)
+        .applyInPandas(apply, schema)
+    )
 
 
 def zscore_flag_iterated(
@@ -222,6 +283,8 @@ def localsd_flag_kernel(
     winsize: int | None = None,
     flag_col: str = "flag_localsd",
     grid_step: int | None = None,
+    chunk_slots: int | None = None,
+    halo_slots: int | None = None,
 ) -> DataFrame:
     """Reference-exact LocalSD outlier flag (rolling median ± n_sd*sd over
     dropna'd positions, iterated until clean; localsd.py:73-101) as a
@@ -234,6 +297,8 @@ def localsd_flag_kernel(
         value_col,
         flag_col,
         grid_step=grid_step,
+        chunk_slots=chunk_slots,
+        halo_slots=halo_slots,
         n_sd=n_sd,
         winsize=winsize,
     )
