@@ -282,3 +282,51 @@ def test_critical_days_threshold_detection(spark):
         .iloc[0]
     )
     assert np.isnan(out2["thres_dcrit"]) and out2["n_dcrit"] == 0
+
+
+def test_linear_fit_matches_polyfit(spark):
+    """Per-key OLS from sufficient statistics == np.polyfit / statsmodels
+    (reference core/dfun/regression.py:6-63)."""
+    import numpy as np
+    import pandas as pd
+
+    from diive_spark.functions.regression import linear_fit
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(0, 3, 400)
+    y = 2.5 * x - 1.25 + rng.normal(0, 1, 400)
+    y[::37] = np.nan
+    pdf = pd.DataFrame({"k": 1, "x": x, "y": y})
+    got = linear_fit(spark.createDataFrame(pdf), "k", "x", "y").collect()[0]
+
+    m = ~np.isnan(y)
+    k_ref, d_ref = np.polyfit(x[m], y[m], 1)
+    r = np.corrcoef(x[m], y[m])[0, 1]
+    n = m.sum()
+    np.testing.assert_allclose(got["slope"], k_ref, rtol=1e-10)
+    np.testing.assert_allclose(got["intercept"], d_ref, rtol=1e-10)
+    np.testing.assert_allclose(got["rsquared"], r * r, rtol=1e-10)
+    np.testing.assert_allclose(
+        got["rsquared_adj"], 1 - (1 - r * r) * (n - 1) / (n - 2), rtol=1e-10
+    )
+
+
+def test_identify_and_vargroups():
+    from diive_spark.functions.regression import (
+        identify_flagcols,
+        identify_relevants,
+        match_vars,
+    )
+
+    assert identify_relevants("NEE_CUT_REF") == ["_FC_", "_NEE_", "_co2_flux_"]
+    assert identify_relevants("LE") == ["_LE_"]
+    assert identify_relevants("TA_1_1") == ["TA_1_1"]
+    cols = [
+        "FLAG_L2_FC_ABSLIM_TEST", "FLAG_L2_H_SSITC_TEST",
+        "FLAG_NEE_QCF", "FC", "FLAG_L2_FC_OTHER",
+    ]
+    assert identify_flagcols(cols, "NEE_CUT_REF") == [
+        "FLAG_L2_FC_ABSLIM_TEST", "FLAG_NEE_QCF",
+    ]
+    assert match_vars(["TA_1_1", "SW_IN_1", "co2_flux", "junk"], "AIR_TEMPERATURE") == ["TA_1_1"]
+    assert match_vars(["TA_1_1", "SW_IN_1"], "SHORTWAVE_IN") == ["SW_IN_1"]

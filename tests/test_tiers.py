@@ -243,3 +243,64 @@ def test_resume_sweeps_orphaned_trash(spark, series_sdf, tmp_path):
     assert not list(store.root.glob("_trash_*")), "orphaned trash must be swept"
     man = store.read_manifest()
     assert man["pending"] == []
+
+
+def test_streaming_late_data_converges(spark, series_sdf, tmp_path):
+    """Late data end-to-end (VERDICT r2 next #8): micro-batches arrive via
+    Structured Streaming foreachBatch with the LAST batch carrying the
+    EARLIEST timestamps (true late arrivals re-touching already-merged
+    windows); the streamed tier must equal a one-shot batch rebuild, at
+    every tier, gates included."""
+    import pyspark.sql.functions as F
+
+    # file-ordered source: newest timestamps first, oldest (late) last —
+    # maxFilesPerTrigger=1 makes each file one micro-batch in name order
+    src = tmp_path / "late_src"
+    pdf = series_sdf.toPandas().sort_values("ts").reset_index(drop=True)
+    n = len(pdf)
+    parts = [pdf.iloc[2 * n // 3 :], pdf.iloc[n // 3 : 2 * n // 3], pdf.iloc[: n // 3]]
+    src.mkdir()
+    for i, part in enumerate(parts):
+        spark.createDataFrame(part).coalesce(1).write.parquet(
+            str(src / f"batch_{i}.parquet")
+        )
+
+    engine = TierEngine(
+        spark, str(tmp_path / "late_tiers"), TIERS, "url", "ts", "value",
+        source_freq_seconds=600,
+    )
+    stream = (
+        spark.readStream.schema(series_sdf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: engine.apply_batch(bdf, batch_id=f"late-{bid}")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    for tier in TIERS:
+        got = gated_pdf(engine.read_tier(tier.name))
+        want = gated_pdf(
+            resample_gated(
+                series_sdf, "url", "ts", "value", tier.seconds,
+                tier.mincounts_perc, source_freq_seconds=600,
+            ).select(
+                "url",
+                (F.unix_micros(F.col("window_end").cast("timestamp")) / 1_000_000)
+                .cast("long")
+                .alias("window_end_s"),
+                "agg_mean",
+                "agg_sum",
+                "n_vals",
+            )
+        )
+        assert len(got) == len(want) > 0, tier.name
+        np.testing.assert_array_equal(got["n_vals"].values, want["n_vals"].values)
+        np.testing.assert_allclose(
+            got["agg_mean"].values, want["agg_mean"].values, rtol=1e-12
+        )
