@@ -773,6 +773,9 @@ _FRONT = [
     "random_uncertainty",
     "random_uncertainty_cumulative",
     "ann_cosine_ivf_trained",
+    "quality_filter",
+    "url_canon_dedup",
+    "stratified_sample",
     # round-3 re-verification targets: materially rewritten this round
     "dedup_simhash",
     "dedup_minhash_lsh",

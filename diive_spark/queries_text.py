@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from diive_spark.text import analysis as TA
+from diive_spark.text import curation as CU
 from diive_spark.text import dedup as DD
 from diive_spark.text import multimodal as MM
 from diive_spark.text import similarity as SIM
@@ -669,7 +670,173 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# quality_filter — Gopher/C4-style hard accept/reject ladder
+# ---------------------------------------------------------------------------
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    out = CU.gopher_quality_flags(d, min_words=30, min_stopwords=2)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_words", "mean_wordlen_e4", "symbol_ratio_e4", "n_stopwords",
+        "flag_nwords", "flag_wordlen", "flag_symbol", "flag_stopwords",
+        "keep",
+    )
+
+
+SQL_QUALITY_FILTER = f"""
+WITH t AS (
+  SELECT doc_id, text, {DUCK_TOKS} AS toks FROM documents
+), feat AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         list_sum(list_transform(toks, t -> length(t))) * 1.0
+           / greatest(len(toks), 1) AS mean_wordlen,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+           / greatest(length(text), 1) AS symbol_ratio,
+         len(list_intersect(list_distinct(toks), {_SW_EN})) AS n_stopwords
+  FROM t
+), flags AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(n_words AS BIGINT) AS n_words,
+         CAST(floor(mean_wordlen * 1e4 + 0.5) AS BIGINT) AS mean_wordlen_e4,
+         CAST(floor(symbol_ratio * 1e4 + 0.5) AS BIGINT) AS symbol_ratio_e4,
+         CAST(n_stopwords AS BIGINT) AS n_stopwords,
+         CASE WHEN n_words BETWEEN 30 AND 100000 THEN 0 ELSE 2 END AS flag_nwords,
+         CASE WHEN mean_wordlen BETWEEN 2.0 AND 12.0 THEN 0 ELSE 2 END AS flag_wordlen,
+         CASE WHEN symbol_ratio <= 0.10 THEN 0 ELSE 2 END AS flag_symbol,
+         CASE WHEN n_stopwords >= 2 THEN 0 ELSE 2 END AS flag_stopwords
+  FROM feat
+)
+SELECT *,
+       CASE WHEN flag_nwords = 0 AND flag_wordlen = 0 AND flag_symbol = 0
+                 AND flag_stopwords = 0 THEN 1 ELSE 0 END AS keep
+FROM flags
+"""
+
+
+# ---------------------------------------------------------------------------
+# url_canon_dedup — URL canonicalization + keep-best-per-canonical-URL
+# ---------------------------------------------------------------------------
+# The sf documents table has no url column; both engines synthesize the SAME
+# deterministic messy URLs from (source, doc_id) — uppercase authority,
+# default port, tracking params, fragments — so the oracle genuinely checks
+# the canonicalization + keep-best algebra.
+
+_URL_SYNTH_SQL = (
+    "concat('HTTPS://WWW.', upper(source), '.Example.COM:443/page/', "
+    "CAST(doc_id % 40 AS VARCHAR), "
+    "CASE CAST(doc_id % 3 AS INTEGER) "
+    "  WHEN 0 THEN '/?utm_source=feed&utm_campaign=x&id=7' "
+    "  WHEN 1 THEN '?id=7&utm_medium=mail' ELSE '/' END, "
+    "CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)"
+)
+
+
+def _url_synth_col() -> F.Column:
+    return F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper("source"),
+        F.lit(".Example.COM:443/page/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/?utm_source=feed&utm_campaign=x&id=7"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("?id=7&utm_medium=mail"))
+        .otherwise(F.lit("/")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+def q_url_canon_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select(
+        "doc_id", "n_chars", _url_synth_col().alias("url")
+    )
+    out = CU.url_keep_best(d, url_col="url", quality_col="n_chars")
+    return out.select(
+        "canon_url",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "n_dups",
+    ).orderBy("canon_url")
+
+
+SQL_URL_CANON_DEDUP = f"""
+WITH raw AS (
+  SELECT doc_id, n_chars, {_URL_SYNTH_SQL} AS url FROM documents
+), nofrag AS (
+  SELECT doc_id, n_chars, regexp_replace(url, '#.*', '') AS u FROM raw
+), split_auth AS (
+  SELECT doc_id, n_chars, u,
+         regexp_extract(u, '^([^/]*//[^/?#]*)', 1) AS prefix
+  FROM nofrag
+), canon0 AS (
+  SELECT doc_id, n_chars,
+         regexp_replace(lower(prefix), ':(80|443)$', '') AS p,
+         regexp_replace(
+           regexp_replace(substr(u, length(prefix) + 1),
+                          '(utm_[a-z]+|gclid|fbclid)=[^&#]*&?', '', 'g'),
+           '[?&]+$', '') AS r
+  FROM split_auth
+), canon AS (
+  SELECT doc_id, n_chars,
+         p || CASE WHEN contains(r, '?') THEN r
+                   ELSE regexp_replace(r, '/+$', '') END AS canon_url
+  FROM canon0
+), ranked AS (
+  SELECT canon_url, doc_id, n_chars,
+         row_number() OVER (PARTITION BY canon_url
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY canon_url) AS n_dups
+  FROM canon
+)
+SELECT canon_url, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars, CAST(n_dups AS BIGINT) AS n_dups
+FROM ranked WHERE rn = 1 ORDER BY canon_url
+"""
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample — deterministic per-language hash sampling
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATES = {"en": 0.12, "de": 0.50, "fr": 0.37, "zh": 0.91}
+_SAMPLE_DEFAULT = 0.25  # exercised by 'es' (absent from the dim)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("doc_id", "lang")
+    out = CU.stratified_sample(
+        d, strata_col="lang", rates=_SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang", "bucket", "rate_e4",
+    ).orderBy("doc_id")
+
+
+_RATES_VALUES = ", ".join(
+    f"('{k}', {int(round(v * 10000))})" for k, v in _SAMPLE_RATES.items()
+)
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH rates(lang, rate_e4) AS (VALUES {_RATES_VALUES}),
+h AS (
+  SELECT doc_id, d.lang,
+         {DUCK_H60.format(s="'samp:' || CAST(doc_id AS VARCHAR)")} % 10000
+           AS bucket,
+         COALESCE(r.rate_e4, {int(round(_SAMPLE_DEFAULT * 10000))}) AS rate_e4
+  FROM documents d LEFT JOIN rates r ON d.lang = r.lang
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(bucket AS BIGINT) AS bucket, CAST(rate_e4 AS BIGINT) AS rate_e4
+FROM h WHERE bucket < rate_e4 ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "quality_filter": q_quality_filter,
+    "url_canon_dedup": q_url_canon_dedup,
+    "stratified_sample": q_stratified_sample,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -686,6 +853,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "quality_filter": SQL_QUALITY_FILTER,
+    "url_canon_dedup": SQL_URL_CANON_DEDUP,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "text_token_stats": SQL_TEXT_TOKEN_STATS,
     "text_quality": SQL_TEXT_QUALITY,
     "text_langid": SQL_TEXT_LANGID,

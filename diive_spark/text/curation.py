@@ -1,0 +1,186 @@
+"""Dataset-curation operators for the web-text training-data pipeline:
+Gopher/C4-style rule filtering, URL canonicalization + keep-best dedup,
+and deterministic stratified sampling.
+
+The reference has no web-text analog; these re-express its flag-ladder
+pattern (per-rule 0/2 flags composed into one accept decision —
+`/root/reference/diive/pkgs/qaqc/qcf.py:150-210`) over the `documents`
+table, as the training-data-pipeline checklist requires.  Everything here
+is pure codegen column math — no UDFs, no shuffles beyond the final
+grouped dedup — so the operators inherit whole-stage codegen and scale
+linearly with the scan.
+
+Cross-engine determinism: derived ratios are emitted floor-scaled
+(``floor(x * 1e4 + 0.5)`` as BIGINT) per the repo convention, and the
+sampling hash is the same md5-prefix BIGINT used by the dedup family
+(bit-identical in Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from diive_spark.text.analysis import STOPWORDS
+
+__all__ = [
+    "gopher_quality_flags",
+    "canonicalize_url",
+    "url_keep_best",
+    "stratified_sample",
+]
+
+
+def _e4(c: Column) -> Column:
+    """Floor-scaled 1e4 fixed-point emit (cross-engine-stable rounding)."""
+    return F.floor(c * 1e4 + F.lit(0.5)).cast("bigint")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_wordlen: float = 2.0,
+    max_mean_wordlen: float = 12.0,
+    max_symbol_ratio: float = 0.10,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-rule quality FILTER ladder (Rae et al. 2021 §A1.1, simplified
+    to the rules computable from whitespace tokens): word-count bounds,
+    mean-word-length bounds, symbol-to-char ratio cap, minimum distinct
+    English stopwords.  Per-rule flags use the reference's QCF convention
+    (0 = pass, 2 = hard reject); ``keep`` = every flag 0.
+
+    Unlike :func:`with_quality_score` (a soft [0,1] score), this is the
+    hard accept/reject gate a crawl-curation pipeline applies before
+    dedup — flags are kept per rule so rejection reasons stay auditable.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mean_wordlen = sum_len / F.greatest(n_words, F.lit(1))
+    symbol_ratio = F.length(
+        F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]", "")
+    ) / F.greatest(F.length(text_col), F.lit(1))
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), sw)).cast("long")
+
+    flag = lambda ok: F.when(ok, F.lit(0)).otherwise(F.lit(2))  # noqa: E731
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_wordlen_e4", _e4(mean_wordlen))
+        .withColumn("symbol_ratio_e4", _e4(symbol_ratio))
+        .withColumn("n_stopwords", n_stop)
+        .withColumn(
+            "flag_nwords",
+            flag((n_words >= min_words) & (n_words <= max_words)),
+        )
+        .withColumn(
+            "flag_wordlen",
+            flag(
+                (mean_wordlen >= min_mean_wordlen)
+                & (mean_wordlen <= max_mean_wordlen)
+            ),
+        )
+        .withColumn("flag_symbol", flag(symbol_ratio <= max_symbol_ratio))
+        .withColumn("flag_stopwords", flag(n_stop >= min_stopwords))
+    )
+    keep = (
+        (F.col("flag_nwords") == 0)
+        & (F.col("flag_wordlen") == 0)
+        & (F.col("flag_symbol") == 0)
+        & (F.col("flag_stopwords") == 0)
+    )
+    return out.withColumn("keep", F.when(keep, F.lit(1)).otherwise(F.lit(0)))
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL for crawl dedup: drop the fragment, lowercase the
+    ``scheme://host[:port]`` authority, strip default ports (:80/:443),
+    remove tracking query params (utm_*, gclid, fbclid) plus any dangling
+    ``?``/``&``, and strip the trailing slash from query-less paths.
+
+    Pure regexp column math (identical patterns run on the DuckDB oracle
+    side), so canonicalization rides the scan inside codegen — the 100 TB
+    posture for a per-row normalizer.
+    """
+    u = F.regexp_replace(url, "#.*", "")
+    prefix = F.regexp_extract(u, "^([^/]*//[^/?#]*)", 1)
+    rest = F.substr(u, F.length(prefix) + 1, F.lit(1_000_000))
+    prefix = F.regexp_replace(F.lower(prefix), ":(80|443)$", "")
+    rest = F.regexp_replace(rest, "(utm_[a-z]+|gclid|fbclid)=[^&#]*&?", "")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    rest = F.when(
+        rest.contains("?"), rest
+    ).otherwise(F.regexp_replace(rest, "/+$", ""))
+    return F.concat(prefix, rest)
+
+
+def url_keep_best(
+    df: DataFrame,
+    url_col: str = "url",
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per canonical URL: highest ``quality_col`` wins, ties break
+    to the smallest id (deterministic).  Adds ``n_dups`` = group size.
+    Single hash-shuffle on the canonical key; AQE handles hot hosts."""
+    canon = canonicalize_url(F.col(url_col)).alias("canon_url")
+    d = df.select(canon, *df.columns)
+    w = Window.partitionBy("canon_url").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    wc = Window.partitionBy("canon_url")
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_dups", F.count("*").over(wc).cast("long"))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.25,
+    salt: str = "samp",
+) -> DataFrame:
+    """Deterministic per-stratum sampling for dataset curation: a doc is
+    kept iff ``md5(salt:id) mod 10000 < rate(stratum) * 10000``.  The same
+    doc always lands on the same side at any scale, on any cluster, in any
+    engine — reproducible train-set carving, no RNG state.
+
+    The rates table is a broadcast dim (a handful of strata); unknown
+    strata fall back to ``default_rate``.  Adds ``bucket`` (the hash slot)
+    and ``rate_e4`` so the decision is auditable downstream.
+    """
+    rates = rates or {}
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(k, int(round(v * 10000))) for k, v in rates.items()],
+        f"{strata_col} string, rate_e4 long",
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    bucket = F.pmod(h, F.lit(10000))
+    out = (
+        df.withColumn("bucket", bucket)
+        .join(F.broadcast(dim), strata_col, "left")
+        .withColumn(
+            "rate_e4",
+            F.coalesce(F.col("rate_e4"), F.lit(int(round(default_rate * 10000)))),
+        )
+    )
+    return out.filter(F.col("bucket") < F.col("rate_e4"))

@@ -295,3 +295,104 @@ def test_ivf_trained_recall(spark):
     got = {(r["probe_id"], r["cand_id"]) for r in approx.collect()}
     recall = len(want & got) / len(want)
     assert recall >= 0.95, f"recall@5 = {recall:.3f}"
+
+
+# ---------------------------------------------------------------------------
+# curation: quality filter ladder, URL canonicalization, stratified sampling
+# ---------------------------------------------------------------------------
+
+def test_canonicalize_url_cases(spark):
+    from diive_spark.text import curation as CU
+
+    cases = {
+        # fragment stripped, authority lowercased, :443 dropped,
+        # trailing slash stripped (no query)
+        "HTTPS://WWW.Foo.COM:443/Page/1/#frag": "https://www.foo.com/Page/1",
+        # :80 dropped, path case preserved
+        "http://EX.org:80/A/B": "http://ex.org/A/B",
+        # non-default port kept
+        "http://ex.org:8080/a": "http://ex.org:8080/a",
+        # tracking params removed (leading + trailing), real param kept,
+        # dangling separators cleaned
+        "https://a.b/p?utm_source=x&id=7&utm_campaign=y": "https://a.b/p?id=7",
+        "https://a.b/p?id=7&gclid=z": "https://a.b/p?id=7",
+        # all params tracking -> bare '?' cleaned FIRST, so the trailing
+        # slash rule then applies and the variants collapse together
+        "https://a.b/p/?fbclid=1": "https://a.b/p",
+        # root slash kept when path is just '/'
+        "https://a.b/": "https://a.b",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url: string")
+    got = {
+        r["url"]: r["canon"]
+        for r in df.select(
+            "url", CU.canonicalize_url(F.col("url")).alias("canon")
+        ).collect()
+    }
+    for raw, want in cases.items():
+        assert got[raw] == want, f"{raw}: {got[raw]} != {want}"
+
+
+def test_url_keep_best_picks_highest_quality_then_lowest_id(spark):
+    from diive_spark.text import curation as CU
+
+    rows = [
+        (1, 100, "https://A.b/x?utm_source=s"),
+        (2, 300, "https://a.B/x#f"),      # same canon, best n_chars
+        (3, 300, "https://a.b/x"),        # tie on n_chars -> id 2 wins
+        (4, 50, "https://a.b/y"),         # its own group
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, n_chars: long, url: string")
+    out = {
+        r["canon_url"]: (r["doc_id"], r["n_dups"])
+        for r in CU.url_keep_best(df).collect()
+    }
+    assert out["https://a.b/x"] == (2, 3)
+    assert out["https://a.b/y"] == (4, 1)
+
+
+def test_gopher_flags_reject_reasons(spark):
+    from diive_spark.text import curation as CU
+
+    rows = [
+        (0, "the cat sat on a mat and it is that for " * 5),   # clean: keep
+        (1, "short text"),                                      # too few words
+        (2, "the " + "!!!! ???? " * 40),                        # symbol-heavy
+        (3, ("zz " * 60).strip()),                              # no stopwords
+        (4, "the a of and to " + "abcdefghijklmnopqrstuv " * 40),  # long words
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {
+        r["doc_id"]: r
+        for r in CU.gopher_quality_flags(df, min_words=10).collect()
+    }
+    assert out[0]["keep"] == 1
+    assert out[1]["flag_nwords"] == 2 and out[1]["keep"] == 0
+    assert out[2]["flag_symbol"] == 2
+    assert out[3]["flag_stopwords"] == 2
+    assert out[4]["flag_wordlen"] == 2
+    # flags are per-rule: the clean doc fails nothing
+    assert all(out[0][f] == 0 for f in
+               ("flag_nwords", "flag_wordlen", "flag_symbol", "flag_stopwords"))
+
+
+def test_stratified_sample_deterministic_and_nested(spark):
+    """Same (salt, id) -> same bucket on every run; raising a stratum's
+    rate only ADDS docs (hash-threshold sampling is nested by design)."""
+    from diive_spark.text import curation as CU
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(400)],
+        "doc_id: long, lang: string",
+    )
+    lo = CU.stratified_sample(df, rates={"en": 0.2, "de": 0.1})
+    hi = CU.stratified_sample(df, rates={"en": 0.6, "de": 0.1})
+    lo_ids = {r["doc_id"] for r in lo.collect()}
+    lo_ids2 = {r["doc_id"] for r in lo.collect()}
+    hi_ids = {r["doc_id"] for r in hi.collect()}
+    assert lo_ids == lo_ids2
+    assert lo_ids <= hi_ids
+    # strata are independent: de selection identical across the two configs
+    de_lo = {r["doc_id"] for r in lo.collect() if r["lang"] == "de"}
+    de_hi = {r["doc_id"] for r in hi.collect() if r["lang"] == "de"}
+    assert de_lo == de_hi
