@@ -376,7 +376,7 @@ COS_THRES = 0.25  # synthetic embeddings are near-orthogonal; P99 of same-label 
 
 def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
-    out = SIM.cosine_neardup_pairs(
+    out = SIM.cosine_neardup_pairs_kernel(
         emb, "vec_id", "embedding", block_col="label", threshold=COS_THRES
     )
     return out.select(

@@ -156,6 +156,75 @@ def cosine_neardup_pairs(
     )
 
 
+def cosine_neardup_pairs_kernel(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.9,
+    row_chunk: int = 1024,
+) -> DataFrame:
+    """Per-block MATMUL kernel variant of :func:`cosine_neardup_pairs`,
+    same result contract (pairs ``id_a < id_b`` with rounded cos_sim >=
+    threshold).
+
+    Scale rationale: the join path duplicates every vector into every
+    candidate pair row, so shuffle volume is O(pairs x dim); here each
+    vector crosses the wire ONCE per block (O(N x dim)) and the pairwise
+    math is one BLAS matmul per block instead of per-pair einsum rows.
+    Block similarity is computed in ``row_chunk``-row slabs so kernel
+    memory is O(row_chunk x block), not O(block^2) — an oversized IVF
+    cell degrades to more slabs, not an OOM.
+
+    The kernel emits RAW cosines prefiltered with a 1e-6 margin; the
+    exact ``round(_, 6) >= threshold`` cut is applied as a Spark
+    expression so boundary rounding matches the join path (and the
+    DuckDB oracle) bit-for-bit.
+    """
+    margin = threshold - 1e-6
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        mat = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        out_a, out_b, out_s = [], [], []
+        for c0 in range(0, n - 1, row_chunk):
+            c1 = min(c0 + row_chunk, n - 1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                # num/den in the same order as the pairwise einsum path
+                sims = (mat[c0:c1] @ mat.T) / np.outer(norms[c0:c1], norms)
+            r, c = np.nonzero(sims >= margin)
+            upper = c > (r + c0)  # strict upper triangle in global index
+            r, c = r[upper], c[upper]
+            out_a.append(ids[r + c0])
+            out_b.append(ids[c])
+            out_s.append(sims[r, c])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos_sim": np.concatenate(out_s),
+            }
+        )
+
+    out = (
+        df.select(block_col, id_col, vec_col)
+        .groupBy(block_col)
+        .applyInPandas(kern, "id_a long, id_b long, cos_sim double")
+    )
+    return (
+        out.withColumn("cos_sim", F.round("cos_sim", 6))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def with_ivf_cell(
     vectors: DataFrame,
     centroids: list[tuple[int, list[float]]],

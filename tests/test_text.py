@@ -396,3 +396,31 @@ def test_stratified_sample_deterministic_and_nested(spark):
     de_lo = {r["doc_id"] for r in lo.collect() if r["lang"] == "de"}
     de_hi = {r["doc_id"] for r in hi.collect() if r["lang"] == "de"}
     assert de_lo == de_hi
+
+
+def test_cosine_neardup_kernel_equals_join_path(spark):
+    """The per-block matmul kernel must return exactly the join path's
+    pairs (same ids, same rounded cos_sim), including across row-chunk
+    boundaries."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(6, 8))
+    rows = []
+    vid = 0
+    for blk in range(3):
+        for i in range(40):
+            v = base[blk] + rng.normal(size=8) * (0.05 if i % 4 else 1.5)
+            rows.append((vid, blk, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id: long, label: long, embedding: array<float>")
+
+    a = SIM.cosine_neardup_pairs(
+        df, "vec_id", "embedding", block_col="label", threshold=0.95
+    )
+    b = SIM.cosine_neardup_pairs_kernel(
+        df, "vec_id", "embedding", block_col="label", threshold=0.95, row_chunk=16
+    )
+    ra = {(r["id_a"], r["id_b"], round(r["cos_sim"], 6)) for r in a.collect()}
+    rb = {(r["id_a"], r["id_b"], round(r["cos_sim"], 6)) for r in b.collect()}
+    assert ra == rb and len(ra) > 0
