@@ -211,7 +211,13 @@ class TierEngine:
                 else:
                     merged_touch = delta
                 (
-                    merged_touch.repartition(F.col("window_day"))
+                    # repartition on (day, key), not day alone: one-column
+                    # partitioning would funnel a whole day — billions of
+                    # rows at crawl scale — into a single task and a single
+                    # giant file; hashing the key in keeps day writes
+                    # parallel (the writer still splits per-day directories
+                    # via partitionBy). Cold days re-coalesce via compact().
+                    merged_touch.repartition(F.col("window_day"), F.col(self.key_col))
                     .write.mode("overwrite")
                     .partitionBy("window_day")
                     .parquet(str(staging))
@@ -322,6 +328,93 @@ class TierEngine:
             .filter(F.col("n_vals") >= F.col("__mincount"))
             .drop("pslots", "__maxcount", "__mincount")
         )
+
+    # -- compaction -------------------------------------------------------------
+    def compact(
+        self,
+        name: str,
+        max_files_per_day: int = 8,
+        target_files: int = 1,
+        days: list[str] | None = None,
+    ) -> list[str]:
+        """Small-file compaction (Iceberg ``rewrite_data_files`` analog).
+
+        Parallel day writes and streamed micro-batches leave day partitions
+        with one file per writing task; at crawl scale a cold day holding
+        hundreds of small files costs a scan task per file forever after.
+        Rewrites every day partition holding more than ``max_files_per_day``
+        data files down to ``target_files``, purely physical (row content
+        unchanged — asserted in tests/test_tiers.py).
+
+        Crash-safe like :meth:`apply_batch`: the rewritten days are fully
+        staged, an intent is recorded, then each day is swapped
+        live→trash→staged; a pending compaction found on entry is replayed
+        from staging first.  Re-running compact on an already-compacted day
+        is a no-op (its file count is at or under the threshold).
+        """
+        store = self.stores[name]
+
+        # replay a pending compaction left by a crash mid-swap
+        manifest = store.read_manifest()
+        for intent in manifest.get("pending_compactions", []):
+            self._swap_compaction(store, intent)
+
+        victims = []
+        for day in days or store.partitions():
+            day_dir = store.data_dir / f"window_day={day}"
+            n_files = sum(1 for f in day_dir.glob("*.parquet"))
+            if n_files > max_files_per_day:
+                victims.append(day)
+        if not victims:
+            return []
+
+        compact_id = uuid.uuid4().hex
+        staging = store.root / f"_staging_compact_{compact_id}"
+        for day in victims:
+            day_dir = store.data_dir / f"window_day={day}"
+            (
+                self.spark.read.parquet(str(day_dir))
+                .coalesce(target_files)
+                .write.mode("overwrite")
+                .parquet(str(staging / f"window_day={day}"))
+            )
+        manifest = store.read_manifest()
+        intent = {"compact_id": compact_id, "days": victims}
+        manifest.setdefault("pending_compactions", []).append(intent)
+        store.write_manifest(manifest)
+        self._swap_compaction(store, intent)
+        return victims
+
+    def _swap_compaction(self, store: TierStore, intent: dict) -> None:
+        """Swap a fully-staged compaction into the live table and commit."""
+        compact_id, days = intent["compact_id"], intent["days"]
+        staging = store.root / f"_staging_compact_{compact_id}"
+        for day in days:
+            staged_day = staging / f"window_day={day}"
+            trash = store.root / f"_trash_compact_{compact_id}_{day}"
+            if not staged_day.exists():  # already swapped pre-crash
+                if trash.exists():
+                    shutil.rmtree(trash)
+                continue
+            live_day = store.data_dir / f"window_day={day}"
+            if live_day.exists():
+                os.replace(live_day, trash)
+            os.replace(staged_day, live_day)
+            if trash.exists():
+                shutil.rmtree(trash)
+        for orphan in store.root.glob(f"_trash_compact_{compact_id}_*"):
+            shutil.rmtree(orphan, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
+        manifest = store.read_manifest()
+        manifest.setdefault("compactions", []).append(
+            {"at": time.time(), "compact_id": compact_id, "partitions": days}
+        )
+        manifest["pending_compactions"] = [
+            p
+            for p in manifest.get("pending_compactions", [])
+            if p["compact_id"] != compact_id
+        ]
+        store.write_manifest(manifest)
 
     # -- expiry ------------------------------------------------------------------
     def expire(self, name: str, keep_days: int, now_day: str) -> list[str]:

@@ -304,3 +304,90 @@ def test_streaming_late_data_converges(spark, series_sdf, tmp_path):
         np.testing.assert_allclose(
             got["agg_mean"].values, want["agg_mean"].values, rtol=1e-12
         )
+
+
+def test_compaction_preserves_content_and_shrinks_files(spark, series_sdf, tmp_path):
+    """compact() is purely physical: per-day parquet files collapse to
+    target_files, read_tier output is row-identical, manifest records the
+    compaction, and untouched days keep their files."""
+    import pyspark.sql.functions as F
+
+    eng = TierEngine(
+        spark, str(tmp_path / "tc"), TIERS[:1], "url", "ts", "value",
+        source_freq_seconds=600,
+    )
+    eng.apply_batch(series_sdf, batch_id="b0")
+    store = eng.stores["30m"]
+    days = store.partitions()
+    assert len(days) >= 2
+    # simulate streamed micro-batch accumulation: split two days into 3
+    # parquet files each (at local scale AQE byte-coalesces the (day, key)
+    # shuffle to one writer task per day, which is correct production
+    # behavior — small files come from many small INGEST ticks, not one)
+    import shutil as _sh
+
+    for d in days[:2]:
+        day_dir = store.data_dir / f"window_day={d}"
+        tmp = store.root / f"_resplit_{d}"
+        spark.read.parquet(str(day_dir)).repartition(3).write.mode(
+            "overwrite"
+        ).parquet(str(tmp))
+        _sh.rmtree(day_dir)
+        tmp.rename(day_dir)
+    before = gated_pdf(eng.read_tier("30m"))
+    n_before = {
+        d: sum(1 for _ in (store.data_dir / f"window_day={d}").glob("*.parquet"))
+        for d in days
+    }
+    assert max(n_before.values()) > 1
+
+    victims = eng.compact("30m", max_files_per_day=1, target_files=1)
+    assert set(victims) == {d for d, n in n_before.items() if n > 1}
+    for d in days:
+        n = sum(1 for _ in (store.data_dir / f"window_day={d}").glob("*.parquet"))
+        assert n == 1
+    after = gated_pdf(eng.read_tier("30m"))
+    np.testing.assert_array_equal(before["n_vals"].values, after["n_vals"].values)
+    np.testing.assert_allclose(
+        before["agg_mean"].values, after["agg_mean"].values, rtol=0
+    )
+    m = store.read_manifest()
+    assert m["compactions"][0]["partitions"] == victims
+    assert m.get("pending_compactions", []) == []
+    # idempotent: nothing left over threshold
+    assert eng.compact("30m", max_files_per_day=1) == []
+
+
+def test_compaction_crash_resume_replays_pending(spark, series_sdf, tmp_path):
+    """A compaction that crashed after staging + intent (before any swap)
+    is replayed from staging by the next compact() call."""
+    eng = TierEngine(
+        spark, str(tmp_path / "tcr"), TIERS[:1], "url", "ts", "value",
+        source_freq_seconds=600,
+    )
+    eng.apply_batch(series_sdf, batch_id="b0")
+    store = eng.stores["30m"]
+    before = gated_pdf(eng.read_tier("30m"))
+    day = store.partitions()[0]
+
+    # simulate the crash: stage the rewrite + record the intent by hand
+    compact_id = "deadbeef"
+    staging = store.root / f"_staging_compact_{compact_id}"
+    spark.read.parquet(str(store.data_dir / f"window_day={day}")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(staging / f"window_day={day}"))
+    m = store.read_manifest()
+    m.setdefault("pending_compactions", []).append(
+        {"compact_id": compact_id, "days": [day]}
+    )
+    store.write_manifest(m)
+
+    eng.compact("30m", max_files_per_day=10_000)  # no new victims: replay only
+    n = sum(1 for _ in (store.data_dir / f"window_day={day}").glob("*.parquet"))
+    assert n == 1
+    assert not staging.exists()
+    m = store.read_manifest()
+    assert m.get("pending_compactions", []) == []
+    assert any(c["compact_id"] == compact_id for c in m["compactions"])
+    after = gated_pdf(eng.read_tier("30m"))
+    np.testing.assert_array_equal(before["n_vals"].values, after["n_vals"].values)
