@@ -776,6 +776,7 @@ _FRONT = [
     "quality_filter",
     "url_canon_dedup",
     "stratified_sample",
+    "dedup_incremental",
     # round-3 re-verification targets: materially rewritten this round
     "dedup_simhash",
     "dedup_minhash_lsh",

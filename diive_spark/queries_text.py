@@ -671,6 +671,100 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dedup_incremental — NEW crawl batch vs the historical signature store
+# ---------------------------------------------------------------------------
+# The production ingest shape: the store (docs 0..HIST_CUTOFF-1, already
+# deduped) is a persisted signature table; the new batch (perturbed copies
+# of every doc) band-joins AGAINST it only — no store x store work, no
+# re-reading historical text.
+
+HIST_CUTOFF = 250
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    hist = d.filter(F.col("doc_id") < HIST_CUTOFF)
+    toks = F.split(F.trim("text"), r"\s+")
+    batch = d.select(
+        (F.col("doc_id") + PERTURB_OFFSET).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)).alias("text"),
+    )
+    # both signature frames feed two join arms (bands + verify): persist =
+    # "the signature table lives in storage" at crawl scale
+    store_sigs = DD.signature_store(hist).persist()
+    batch_sigs = DD.signature_store(batch).persist()
+    out = DD.incremental_lsh_dedup(batch_sigs, store_sigs, threshold=0.6)
+    return out.select(
+        F.col("new_id").cast("long").alias("new_id"),
+        F.col("hist_id").cast("long").alias("hist_id"),
+        "n_inter",
+        F.round("jaccard", 4).alias("jaccard"),
+    )
+
+
+def _sql_incremental_lsh() -> str:
+    sig_exprs = ",\n         ".join(
+        f"list_min(list_transform(hs, h -> ({PERM_A[j]} * (h % {MERSENNE}) + {PERM_B[j]}) % {MERSENNE})) AS s{j}"
+        for j in range(N_PERMS)
+    )
+
+    def band_selects(src: str) -> str:
+        return "\n  UNION ALL\n".join(
+            "  SELECT doc_id, {b} AS band_id, concat_ws('_', {keys}) AS band_key FROM {src}".format(
+                b=b,
+                src=src,
+                keys=", ".join(
+                    f"s{b * LSH_ROWS_PER_BAND + i}" for i in range(LSH_ROWS_PER_BAND)
+                ),
+            )
+            for b in range(LSH_BANDS)
+        )
+
+    return f"""
+WITH hist AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {HIST_CUTOFF}
+), newb AS (
+  SELECT doc_id + {PERTURB_OFFSET} AS doc_id,
+         array_to_string(({DUCK_TOKS})[1:len({DUCK_TOKS}) - 1], ' ') AS text
+  FROM documents
+), hist_hashed AS (
+  SELECT doc_id, list_distinct(list_transform({_DUCK_SHINGLES}, s -> {DUCK_H60.format(s='s')})) AS hs
+  FROM (SELECT doc_id, {DUCK_TOKS} AS toks FROM hist)
+), new_hashed AS (
+  SELECT doc_id, list_distinct(list_transform({_DUCK_SHINGLES}, s -> {DUCK_H60.format(s='s')})) AS hs
+  FROM (SELECT doc_id, {DUCK_TOKS} AS toks FROM newb)
+), hist_sigs AS (
+  SELECT doc_id, {sig_exprs} FROM hist_hashed
+), new_sigs AS (
+  SELECT doc_id, {sig_exprs} FROM new_hashed
+), hist_bands AS (
+{band_selects('hist_sigs')}
+), new_bands AS (
+{band_selects('new_sigs')}
+), pairs AS (
+  SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+  FROM new_bands n JOIN hist_bands h
+    ON n.band_id = h.band_id AND n.band_key = h.band_key
+), verified AS (
+  SELECT p.new_id, p.hist_id,
+         len(list_intersect(sa.hs, sb.hs)) AS n_inter,
+         len(list_intersect(sa.hs, sb.hs)) * 1.0
+           / (len(sa.hs) + len(sb.hs)
+              - len(list_intersect(sa.hs, sb.hs))) AS jaccard
+  FROM pairs p
+  JOIN new_hashed sa ON sa.doc_id = p.new_id
+  JOIN hist_hashed sb ON sb.doc_id = p.hist_id
+)
+SELECT CAST(new_id AS BIGINT) AS new_id, CAST(hist_id AS BIGINT) AS hist_id,
+       CAST(n_inter AS BIGINT) AS n_inter, round(jaccard, 4) AS jaccard
+FROM verified WHERE jaccard >= 0.6
+"""
+
+
+SQL_DEDUP_INCREMENTAL = _sql_incremental_lsh()
+
+
+# ---------------------------------------------------------------------------
 # quality_filter — Gopher/C4-style hard accept/reject ladder
 # ---------------------------------------------------------------------------
 
@@ -834,6 +928,7 @@ FROM h WHERE bucket < rate_e4 ORDER BY doc_id
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_incremental": q_dedup_incremental,
     "quality_filter": q_quality_filter,
     "url_canon_dedup": q_url_canon_dedup,
     "stratified_sample": q_stratified_sample,
@@ -853,6 +948,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "quality_filter": SQL_QUALITY_FILTER,
     "url_canon_dedup": SQL_URL_CANON_DEDUP,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,

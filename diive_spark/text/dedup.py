@@ -48,6 +48,8 @@ __all__ = [
     "with_hashed_shingles",
     "with_minhash",
     "lsh_candidate_pairs",
+    "signature_store",
+    "incremental_lsh_dedup",
     "jaccard_verify",
     "with_simhash",
     "simhash_candidate_pairs",
@@ -239,26 +241,14 @@ def _minhash_perms_udf(col: Column) -> Column:
     return _MINHASH_UDF(col)
 
 
-def lsh_candidate_pairs(
-    df: DataFrame, id_col: str = "doc_id", minhash_col: str = "minhash"
+def _band_explode(
+    df: DataFrame, id_col: str, minhash_col: str
 ) -> DataFrame:
-    """Banded-LSH candidate pairs: 4 bands x 4 rows; docs sharing any band
-    key become a candidate pair (id_a < id_b, distinct).
-
-    The self-join key is (band_id, band_key) — hash-uniform, so the shuffle
-    is balanced; hot buckets (boilerplate-heavy corpora) are exactly what
-    AQE skew-join splitting handles.
-
-    The join is pinned to sort-merge via an explicit repartition on the
-    bucket key + merge hint: a broadcast self-join would compute the whole
-    upstream signature pipeline (shingle + MinHash UDFs) TWICE — one per
-    arm — while two identical shuffle exchanges canonicalize to one
-    (ReusedExchange), so the signatures are computed exactly once.  At
-    crawl scale the build side never fits in a broadcast anyway, so this
-    is also the only plan shape that survives 100x.
-    """
+    """(id, band_id, band_key) rows — LSH_BANDS per doc — repartitioned on
+    the bucket key (hash-uniform; AQE skew-split covers hot boilerplate
+    buckets)."""
     r = LSH_ROWS_PER_BAND
-    bands = (
+    return (
         df.select(
             F.col(id_col),
             F.explode(
@@ -282,6 +272,27 @@ def lsh_candidate_pairs(
         .select(id_col, "band.band_id", "band.band_key")
         .repartition(F.col("band_id"), F.col("band_key"))
     )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str = "doc_id", minhash_col: str = "minhash"
+) -> DataFrame:
+    """Banded-LSH candidate pairs: 4 bands x 4 rows; docs sharing any band
+    key become a candidate pair (id_a < id_b, distinct).
+
+    The self-join key is (band_id, band_key) — hash-uniform, so the shuffle
+    is balanced; hot buckets (boilerplate-heavy corpora) are exactly what
+    AQE skew-join splitting handles.
+
+    The join is pinned to sort-merge via an explicit repartition on the
+    bucket key + merge hint: a broadcast self-join would compute the whole
+    upstream signature pipeline (shingle + MinHash UDFs) TWICE — one per
+    arm — while two identical shuffle exchanges canonicalize to one
+    (ReusedExchange), so the signatures are computed exactly once.  At
+    crawl scale the build side never fits in a broadcast anyway, so this
+    is also the only plan shape that survives 100x.
+    """
+    bands = _band_explode(df, id_col, minhash_col)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -332,6 +343,75 @@ def jaccard_verify(
     )
     return j.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "n_inter", "jaccard"
+    )
+
+
+def signature_store(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """The persisted dedup state for incremental ingest: one row per doc
+    with its hashed shingle SET and MinHash signature — everything both
+    the band join and the exact-Jaccard verify need, so new batches never
+    re-read (or re-shingle) historical text.  At 100 TB this table is
+    written to storage once per ingest tick and is ~2 orders of magnitude
+    smaller than the corpus."""
+    hs = with_hashed_shingles(df.select(id_col, text_col), text_col, k=k)
+    return with_minhash(hs, "sh_hashes", hashed=True).select(
+        id_col, "sh_hashes", "minhash"
+    )
+
+
+def incremental_lsh_dedup(
+    batch_sigs: DataFrame,
+    store_sigs: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Incremental near-dup detection: NEW batch vs the historical
+    signature store (the production crawl-ingest shape — the store was
+    already deduped, so only batch×store pairs are checked, never
+    store×store).  Returns (new_id, hist_id, n_inter, jaccard >= threshold).
+
+    Both inputs are :func:`signature_store`-shaped.  The band join is
+    batch-bands ⋈ store-bands on (band_id, band_key): co-partitioned
+    sort-merge at store scale, with AQE free to broadcast the batch side
+    when an ingest tick is small.  The verify re-joins hashed shingle sets
+    from each side's OWN frame — historical text is never touched.
+    """
+    nb = _band_explode(batch_sigs, id_col, "minhash").alias("n")
+    hb = _band_explode(store_sigs, id_col, "minhash").alias("h")
+    pairs = (
+        nb.join(
+            hb,
+            (F.col("n.band_id") == F.col("h.band_id"))
+            & (F.col("n.band_key") == F.col("h.band_key")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"h.{id_col}").alias("hist_id"),
+        )
+        .distinct()
+    )
+    sa = batch_sigs.select(
+        F.col(id_col).alias("new_id"), F.col("sh_hashes").alias("sh_a")
+    )
+    sb = store_sigs.select(
+        F.col(id_col).alias("hist_id"), F.col("sh_hashes").alias("sh_b")
+    )
+    j = (
+        pairs.join(sa, "new_id")
+        .join(sb, "hist_id")
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "new_id", "hist_id", "n_inter", "jaccard"
     )
 
 

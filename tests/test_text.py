@@ -424,3 +424,37 @@ def test_cosine_neardup_kernel_equals_join_path(spark):
     ra = {(r["id_a"], r["id_b"], round(r["cos_sim"], 6)) for r in a.collect()}
     rb = {(r["id_a"], r["id_b"], round(r["cos_sim"], 6)) for r in b.collect()}
     assert ra == rb and len(ra) > 0
+
+
+def test_incremental_lsh_dedup_only_batch_vs_store(spark):
+    """Incremental dedup checks the NEW batch against the historical
+    signature store only: a batch doc near-identical to a store doc is
+    found; store-internal and batch-internal dup pairs are NOT emitted."""
+    store_docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and looked at the dog"),
+            (1, "the cat sat on the mat and looked at the dog"),  # store dup
+            (2, "completely different words about spark engines and rollups"),
+        ],
+        "doc_id long, text string",
+    )
+    batch_docs = spark.createDataFrame(
+        [
+            (100, "the cat sat on the mat and looked at the"),  # near-dup of 0/1
+            (101, "the cat sat on the mat and looked at the"),  # batch dup
+            (102, "unrelated new content nothing shared here at all today"),
+        ],
+        "doc_id long, text string",
+    )
+    out = DD.incremental_lsh_dedup(
+        DD.signature_store(batch_docs), DD.signature_store(store_docs),
+        threshold=0.5,
+    ).collect()
+    pairs = {(r["new_id"], r["hist_id"]) for r in out}
+    assert (100, 0) in pairs and (100, 1) in pairs
+    assert (101, 0) in pairs  # every batch doc checked independently
+    assert all(n >= 100 and h < 100 for n, h in pairs)  # direction invariant
+    assert not any(n == 102 for n, _ in pairs)
+    # jaccard is the exact hashed-set value
+    for r in out:
+        assert 0.5 <= r["jaccard"] <= 1.0
