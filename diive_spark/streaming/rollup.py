@@ -21,6 +21,8 @@ table, not in-stream (same place the batch engine applies it)."""
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -117,3 +119,86 @@ def stream_exact_dedup(
     return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
+
+
+def stream_neardup_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    store_dir: str,
+    report_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    timeout_s: int = 120,
+) -> None:
+    """Streaming NEAR-dup ingest: every micro-batch is checked against the
+    persisted signature store (``text/dedup.py::signature_store`` rows in
+    ``store_dir``) via :func:`incremental_lsh_dedup`; batch-internal
+    near-dups are collapsed with the batch self-join; only FRESH
+    signatures append to the store, and detected (new_id, hist_id,
+    jaccard) pairs append to ``report_dir``.
+
+    This is the full crawl-ingest front door at 10^12-doc scale: the store
+    grows by exactly the deduplicated batch (one small row per doc —
+    hashed shingle set + MinHash), historical text is never re-read, and a
+    restart resumes from the stream checkpoint with the store already
+    reflecting every committed batch (foreachBatch re-delivers an
+    uncommitted batch; the append of an already-appended batch is the one
+    at-least-once caveat — production puts the store in an Iceberg table
+    and MERGEs on doc_id, which makes the append idempotent).
+
+    Drains all currently-available input (``availableNow``), then returns.
+    """
+    from diive_spark.text.dedup import (
+        incremental_lsh_dedup,
+        jaccard_verify,
+        lsh_candidate_pairs,
+        signature_store,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sigs = signature_store(batch_df, id_col, text_col).persist()
+        # collapse batch-internal near-dups first (keep lowest id)
+        inner = lsh_candidate_pairs(sigs, id_col=id_col)
+        inner = jaccard_verify(
+            inner, sigs, id_col=id_col, shingle_col="sh_hashes",
+            threshold=threshold,
+        )
+        sigs_kept = sigs.join(
+            inner.select(F.col("id_b").alias(id_col)).distinct(),
+            id_col,
+            "left_anti",
+        )
+        store_path = Path(store_dir)
+        if store_path.exists() and any(store_path.glob("*.parquet")):
+            store = spark.read.parquet(store_dir)
+            dups = incremental_lsh_dedup(
+                sigs_kept, store, id_col=id_col, threshold=threshold
+            ).persist()
+            fresh = sigs_kept.join(
+                dups.select(F.col("new_id").alias(id_col)).distinct(),
+                id_col,
+                "left_anti",
+            )
+        else:
+            dups = None
+            fresh = sigs_kept
+        if dups is not None:
+            dups.write.mode("append").parquet(report_dir)
+        fresh.write.mode("append").parquet(store_dir)
+        sigs.unpersist()
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

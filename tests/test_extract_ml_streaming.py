@@ -211,3 +211,49 @@ def test_ml_train_report_scores_and_importance(spark):
     want = rep.sort_values("feature").reset_index(drop=True)
     np.testing.assert_allclose(got["perm_importance"], want["perm_importance"])
     np.testing.assert_allclose(got["r2"], want["r2"])
+
+
+def test_stream_neardup_dedup_grows_store_and_reports(spark, tmp_path):
+    """foreachBatch near-dup ingest: batch-internal dups collapse, cross-
+    batch dups are detected against the persisted signature store (without
+    re-reading historical text), fresh signatures append, and a drained
+    re-run is a no-op."""
+    import pandas as pd
+
+    from diive_spark.streaming.rollup import stream_neardup_dedup
+
+    src = tmp_path / "src"
+    store = str(tmp_path / "store")
+    report = str(tmp_path / "report")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "spark structured streaming keeps bounded state with watermarks"
+    run = lambda: stream_neardup_dedup(  # noqa: E731
+        spark, str(src), "doc_id long, text string", store, report, ckpt,
+        threshold=0.5,
+    )
+
+    # tick 1: doc 2 is a batch-internal near-dup of doc 0
+    pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": [base, other, base + " woof"]}
+    ).to_parquet(src / "tick1.parquet")
+    run()
+    ids = {r["doc_id"] for r in spark.read.parquet(store).collect()}
+    assert ids == {0, 1}
+
+    # tick 2: doc 10 near-dups doc 0 cross-batch; doc 11 is fresh
+    pd.DataFrame(
+        {"doc_id": [10, 11], "text": [base + " woof", "completely new content words everywhere"]}
+    ).to_parquet(src / "tick2.parquet")
+    run()
+    ids = {r["doc_id"] for r in spark.read.parquet(store).collect()}
+    assert ids == {0, 1, 11}
+    rep = {(r["new_id"], r["hist_id"]) for r in spark.read.parquet(report).collect()}
+    assert (10, 0) in rep
+    assert all(h in (0, 1) for _, h in rep)
+
+    # drained: nothing new to process, store unchanged
+    run()
+    assert {r["doc_id"] for r in spark.read.parquet(store).collect()} == {0, 1, 11}
