@@ -78,6 +78,8 @@ def _build_tree(
     max_depth: int,
     min_samples_leaf: int,
     n_bins: int = MAX_BINS,
+    rng: np.random.Generator | None = None,
+    colsample_bynode: float | None = None,
 ):
     """Level-wise histogram CART on pre-binned features.
 
@@ -85,6 +87,12 @@ def _build_tree(
     heap layout: node i has children 2i+1 / 2i+2; split_feat == -1
     marks a leaf.  All rows participate via weights (w == 0 rows are
     out-of-bag — they traverse but never contribute to histograms).
+
+    ``colsample_bynode`` adds sklearn-style PER-SPLIT feature sampling
+    without giving up the level-wise vectorization: histograms are still
+    one bincount pass over every candidate feature, and each node's gain
+    matrix is then masked to its own random feature subset before the
+    argmax (the XGBoost ``colsample_bynode`` construction).
     """
     n = len(y)
     n_nodes = 2 ** (max_depth + 1) - 1
@@ -135,6 +143,12 @@ def _build_tree(
                 - np.where(tw > 0, twy * twy / np.where(tw > 0, tw, 1.0), 0.0)
             )
         gain = np.where(ok, gain, 0.0)
+        if colsample_bynode is not None and colsample_bynode < 1.0:
+            # per-node random feature subset: mask the gain matrix, keep
+            # the vectorized histogram pass (mtry smallest ranks win)
+            mtry = max(1, int(round(colsample_bynode * n_f)))
+            ranks = np.argsort(rng.random((k, n_f)), axis=1).argsort(axis=1)
+            gain = np.where((ranks < mtry)[:, :, None], gain, 0.0)
         flat = gain.reshape(k, n_f * (n_bins - 1))
         gi = np.argmax(flat, axis=1)
         gv = flat[np.arange(k), gi]
@@ -214,9 +228,12 @@ def fit_forest(
     max_depth: int = 5,
     min_samples_leaf: int = 3,
     colsample: float = 0.8,
+    colsample_bynode: float | None = None,
     seed: int = 0,
 ):
-    """Random forest: bootstrap weights + per-tree feature subsample."""
+    """Random forest: bootstrap weights + per-tree feature subsample;
+    ``colsample_bynode`` additionally re-samples the candidate features at
+    EVERY split (sklearn ``max_features`` semantics)."""
     rng = np.random.default_rng(seed)
     nb = _adaptive_bins(len(y))
     codes, edges = _quantile_bin(X, nb)
@@ -227,7 +244,10 @@ def fit_forest(
         w = np.bincount(rng.integers(0, n, n), minlength=n).astype(np.float64)
         feat_idx = np.sort(rng.choice(f, size=n_feats, replace=False))
         trees.append(
-            _build_tree(codes, y, w, feat_idx, max_depth, min_samples_leaf, nb)
+            _build_tree(
+                codes, y, w, feat_idx, max_depth, min_samples_leaf, nb,
+                rng=rng, colsample_bynode=colsample_bynode,
+            )
         )
     return {"kind": "rf", "trees": trees, "edges": edges}
 
@@ -240,6 +260,7 @@ def fit_gbt(
     min_samples_leaf: int = 3,
     learning_rate: float = 0.3,
     subsample: float = 1.0,
+    colsample_bynode: float | None = None,
     seed: int = 0,
 ):
     """Gradient-boosted trees on squared loss (residual fitting)."""
@@ -256,7 +277,10 @@ def fit_gbt(
             w = (rng.random(n) < subsample).astype(np.float64)
         else:
             w = np.ones(n)
-        tree = _build_tree(codes, resid, w, feat_idx, max_depth, min_samples_leaf, nb)
+        tree = _build_tree(
+            codes, resid, w, feat_idx, max_depth, min_samples_leaf, nb,
+            rng=rng, colsample_bynode=colsample_bynode,
+        )
         pred = _tree_predict(codes, tree)
         resid = resid - learning_rate * pred
         trees.append(tree)

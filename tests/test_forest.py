@@ -88,6 +88,53 @@ def test_determinism_and_seed_sensitivity():
     assert not np.allclose(a, c)
 
 
+def test_colsample_bynode_diversifies_root_splits():
+    """Per-split feature sampling (sklearn max_features semantics): with
+    mtry=1 of 2 features, roots must sometimes split on the weaker
+    feature; without it, every root picks the dominant one.  1.0 and
+    None are byte-identical (the mask path is skipped entirely)."""
+    rng = np.random.default_rng(13)
+    n = 2000
+    X = np.column_stack([
+        rng.uniform(0, 1, n),           # dominant: clean step
+        rng.uniform(0, 1, n),           # weak: noisy step
+    ])
+    y = np.where(X[:, 0] > 0.5, 4.0, 0.0) + np.where(X[:, 1] > 0.5, 0.5, 0.0)
+
+    def root_feats(model):
+        return {int(t[0][0]) for t in model["trees"]}
+
+    plain = fit_forest(X, y, n_estimators=20, max_depth=4, colsample=1.0, seed=14)
+    assert root_feats(plain) == {0}
+
+    mixed = fit_forest(
+        X, y, n_estimators=20, max_depth=4, colsample=1.0,
+        colsample_bynode=0.5, seed=14,
+    )
+    assert root_feats(mixed) == {0, 1}
+    # still a usable fit, and deterministic
+    p = predict(mixed, X)
+    r2 = 1 - np.sum((y - p) ** 2) / np.sum((y - y.mean()) ** 2)
+    assert r2 > 0.9
+    again = fit_forest(
+        X, y, n_estimators=20, max_depth=4, colsample=1.0,
+        colsample_bynode=0.5, seed=14,
+    )
+    np.testing.assert_array_equal(p, predict(again, X))
+
+    # colsample_bynode=1.0 must not perturb the rng stream vs None
+    a = fit_forest(X, y, n_estimators=5, seed=15)
+    b = fit_forest(X, y, n_estimators=5, colsample_bynode=1.0, seed=15)
+    np.testing.assert_array_equal(predict(a, X), predict(b, X))
+
+    # gbt accepts it too and still converges
+    g = predict(
+        fit_gbt(X, y, n_estimators=40, max_depth=3, colsample_bynode=0.5, seed=16), X
+    )
+    r2g = 1 - np.sum((y - g) ** 2) / np.sum((y - y.mean()) ** 2)
+    assert r2g > 0.95
+
+
 def test_predict_on_unseen_rows_uses_frozen_bins():
     rng = np.random.default_rng(7)
     X = rng.uniform(0, 1, (1000, 1))
