@@ -777,6 +777,8 @@ _FRONT = [
     "url_canon_dedup",
     "stratified_sample",
     "dedup_incremental",
+    "ngram_repetition",
+    "decontaminate_ngram",
     # round-3 re-verification targets: materially rewritten this round
     "dedup_simhash",
     "dedup_minhash_lsh",

@@ -927,7 +927,126 @@ FROM h WHERE bucket < rate_e4 ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# ngram_repetition — Gopher repetition-rule flags (top-/dup-n-gram coverage)
+# ---------------------------------------------------------------------------
+
+def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    out = CU.ngram_repetition_flags(d, top_n=2, dup_n=3)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "top_ngram", "top_ngram_count", "top_ngram_frac_e4",
+        "dup_ngram_frac_e4", "flag_top_ngram", "flag_dup_ngram", "keep",
+    )
+
+
+def _duck_ngrams(n: int) -> str:
+    """DuckDB n-gram list over ``toks`` (same floor convention as the Spark
+    side: a doc shorter than n words yields its whole text once)."""
+    return (
+        f"list_transform(generate_series(1, greatest(len(toks) - {n - 1}, 1)), "
+        f"i -> array_to_string(toks[i:i+{n - 1}], ' '))"
+    )
+
+
+SQL_NGRAM_REPETITION = f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS tlen, {DUCK_TOKS} AS toks FROM documents
+), ng_top AS (
+  SELECT doc_id, tlen, unnest({_duck_ngrams(2)}) AS ng FROM t
+), c_top AS (
+  SELECT doc_id, min(tlen) AS tlen, ng, count(*) AS c
+  FROM ng_top GROUP BY doc_id, ng
+), ranked AS (
+  SELECT doc_id, tlen, ng, c,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, length(ng) DESC, ng DESC) AS rn
+  FROM c_top
+), ng_dup AS (
+  SELECT doc_id, tlen, unnest({_duck_ngrams(3)}) AS ng FROM t
+), c_dup AS (
+  SELECT doc_id, min(tlen) AS tlen, ng, count(*) AS c
+  FROM ng_dup GROUP BY doc_id, ng
+), d_dup AS (
+  SELECT doc_id,
+         sum(CASE WHEN c > 1 THEN c * length(ng) ELSE 0 END) * 1.0
+           / greatest(min(tlen), 1) AS dup_frac
+  FROM c_dup GROUP BY doc_id
+), j AS (
+  SELECT r.doc_id, r.ng, r.c,
+         (r.c * length(r.ng)) / greatest(r.tlen, 1) AS top_frac,
+         d.dup_frac
+  FROM ranked r JOIN d_dup d ON d.doc_id = r.doc_id
+  WHERE r.rn = 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       ng AS top_ngram,
+       CAST(c AS BIGINT) AS top_ngram_count,
+       CAST(floor(top_frac * 1e4 + 0.5) AS BIGINT) AS top_ngram_frac_e4,
+       CAST(floor(dup_frac * 1e4 + 0.5) AS BIGINT) AS dup_ngram_frac_e4,
+       CASE WHEN top_frac <= 0.20 THEN 0 ELSE 2 END AS flag_top_ngram,
+       CASE WHEN dup_frac <= 0.60 THEN 0 ELSE 2 END AS flag_dup_ngram,
+       CASE WHEN top_frac <= 0.20 AND dup_frac <= 0.60 THEN 1 ELSE 0 END
+         AS keep
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_ngram — eval-set k-gram collision flagging (GPT-3 App. C)
+# ---------------------------------------------------------------------------
+# Benchmark = every 29th doc (a stand-in eval set); corpus = the rest.
+
+_DECON_MOD = 29
+
+
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % _DECON_MOD != 0)
+    bench = d.filter(F.col("doc_id") % _DECON_MOD == 0)
+    out = CU.decontaminate_ngram(corpus, bench, k=3, min_hits=1)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        "n_collisions",
+        "contaminated",
+    )
+
+
+SQL_DECONTAMINATE_NGRAM = f"""
+WITH corp AS (
+  SELECT doc_id, {DUCK_TOKS} AS toks FROM documents
+  WHERE doc_id % {_DECON_MOD} != 0
+), bencht AS (
+  SELECT {DUCK_TOKS} AS toks FROM documents WHERE doc_id % {_DECON_MOD} = 0
+), bh AS (
+  SELECT DISTINCT unnest(
+    list_transform(list_distinct({_duck_ngrams(3)}),
+                   s -> {DUCK_H60.format(s='s')})) AS h
+  FROM bencht
+), ch AS (
+  SELECT doc_id,
+         list_distinct(list_transform({_duck_ngrams(3)},
+                                      s -> {DUCK_H60.format(s='s')})) AS hs
+  FROM corp
+), hits AS (
+  SELECT doc_id, count(*) AS c
+  FROM (SELECT doc_id, unnest(hs) AS h FROM ch) u
+  JOIN bh USING (h)
+  GROUP BY doc_id
+)
+SELECT CAST(ch.doc_id AS BIGINT) AS doc_id,
+       CAST(len(hs) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(c, 0) AS BIGINT) AS n_collisions,
+       CASE WHEN COALESCE(c, 0) >= 1 THEN 1 ELSE 0 END AS contaminated
+FROM ch LEFT JOIN hits ON hits.doc_id = ch.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ngram_repetition": q_ngram_repetition,
+    "decontaminate_ngram": q_decontaminate_ngram,
     "dedup_incremental": q_dedup_incremental,
     "quality_filter": q_quality_filter,
     "url_canon_dedup": q_url_canon_dedup,
@@ -948,6 +1067,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "ngram_repetition": SQL_NGRAM_REPETITION,
+    "decontaminate_ngram": SQL_DECONTAMINATE_NGRAM,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "quality_filter": SQL_QUALITY_FILTER,
     "url_canon_dedup": SQL_URL_CANON_DEDUP,

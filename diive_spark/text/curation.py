@@ -28,6 +28,8 @@ __all__ = [
     "canonicalize_url",
     "url_keep_best",
     "stratified_sample",
+    "ngram_repetition_flags",
+    "decontaminate_ngram",
 ]
 
 
@@ -184,3 +186,137 @@ def stratified_sample(
         )
     )
     return out.filter(F.col("bucket") < F.col("rate_e4"))
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams as strings, 1-indexed slices; a doc shorter than n
+    words yields its whole text as one (short) n-gram — the same floor
+    convention as the shingle SQL twins (queries_text._DUCK_SHINGLES)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def ngram_repetition_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 3,
+    max_top_frac: float = 0.20,
+    max_dup_frac: float = 0.60,
+) -> DataFrame:
+    """Gopher repetition-rule flags (Rae et al. 2021 §A1.1): the fraction
+    of characters covered by the single most frequent ``top_n``-gram, and
+    the fraction covered by all ``dup_n``-grams occurring more than once.
+
+    Coverage is counted as ``occurrences x n-gram chars / text chars``
+    WITHOUT overlap adjustment (documented deviation from the paper's
+    character-dedup accounting: exact overlap tracking needs per-position
+    interval merging, which is per-row sequential work for a bound the
+    rule only uses as a coarse reject gate).  The top n-gram tie-breaks
+    deterministically by (count, char length, lexicographic) — mirrored in
+    the DuckDB oracle.
+
+    Scale shape: explode -> groupBy (doc, ngram) -> groupBy doc; both
+    aggregations are map-side combinable and key cardinality is bounded by
+    total token count, so the op is two well-behaved shuffles over data
+    proportional to the corpus — the textbook distributed n-gram profile.
+    The n-gram HOF is interpreted (repo perf note); for crawl-scale hot
+    paths swap in the pandas_udf shingle kernel (text/dedup.py).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    tlen = F.length(F.col(text_col))
+
+    def _per_doc(n: int, prefix: str) -> DataFrame:
+        g = df.select(
+            F.col(id_col),
+            tlen.alias("_tlen"),
+            F.explode(_word_ngrams(toks, n)).alias("_ng"),
+        )
+        cnt = g.groupBy(id_col, "_ng").agg(
+            F.count(F.lit(1)).alias("_c"), F.min("_tlen").alias("_tlen")
+        )
+        return cnt.groupBy(id_col).agg(
+            F.min("_tlen").alias(f"_{prefix}_tlen"),
+            F.max(
+                F.struct(
+                    F.col("_c").alias("c"),
+                    F.length("_ng").alias("l"),
+                    F.col("_ng").alias("ng"),
+                )
+            ).alias(f"_{prefix}_top"),
+            F.sum(
+                F.when(F.col("_c") > 1, F.col("_c") * F.length("_ng")).otherwise(0)
+            ).alias(f"_{prefix}_dupchars"),
+        )
+
+    top = _per_doc(top_n, "t")
+    dup = _per_doc(dup_n, "d")
+    j = top.join(dup, id_col)
+    top_frac = (
+        F.col("_t_top.c") * F.col("_t_top.l") / F.greatest(F.col("_t_tlen"), F.lit(1))
+    )
+    dup_frac = F.col("_d_dupchars") / F.greatest(F.col("_d_tlen"), F.lit(1))
+    flag = lambda ok: F.when(ok, F.lit(0)).otherwise(F.lit(2))  # noqa: E731
+    out = j.select(
+        F.col(id_col),
+        F.col("_t_top.ng").alias("top_ngram"),
+        F.col("_t_top.c").cast("long").alias("top_ngram_count"),
+        _e4(top_frac).alias("top_ngram_frac_e4"),
+        _e4(dup_frac).alias("dup_ngram_frac_e4"),
+        flag(top_frac <= max_top_frac).alias("flag_top_ngram"),
+        flag(dup_frac <= max_dup_frac).alias("flag_dup_ngram"),
+    )
+    keep = (F.col("flag_top_ngram") == 0) & (F.col("flag_dup_ngram") == 0)
+    return out.withColumn("keep", F.when(keep, F.lit(1)).otherwise(F.lit(0)))
+
+
+def decontaminate_ngram(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Eval-set decontamination by k-gram collision (the GPT-3 App. C /
+    PaLM procedure): a corpus document is flagged ``contaminated`` when at
+    least ``min_hits`` of its distinct word k-grams also occur anywhere in
+    the benchmark set.
+
+    Scale shape: the benchmark side (eval sets are tiny vs a crawl) is
+    reduced to a DISTINCT set of 60-bit k-gram hashes and broadcast, so
+    the corpus is matched in ONE scan with a broadcast-hash semi-join —
+    no shuffle touches the 100 TB side beyond the per-doc hit count, which
+    is map-side combinable on doc_id.  Hashing is the engine-portable h60
+    (text/hashing.py), so the DuckDB oracle reproduces hits bit-exactly.
+    """
+    from diive_spark.text.dedup import with_hashed_shingles
+
+    bench = (
+        with_hashed_shingles(
+            benchmark.select(F.col(text_col)), text_col=text_col, k=k,
+            out_col="_bh",
+        )
+        .select(F.explode("_bh").alias("_h"))
+        .distinct()
+    )
+    corp = with_hashed_shingles(
+        corpus.select(F.col(id_col), F.col(text_col)),
+        text_col=text_col, k=k, out_col="_sh",
+    ).select(F.col(id_col), F.size("_sh").alias("n_shingles"), F.col("_sh"))
+    hits = (
+        corp.select(id_col, F.explode("_sh").alias("_h"))
+        .join(F.broadcast(bench), "_h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_collisions"))
+    )
+    out = (
+        corp.drop("_sh")
+        .join(hits, id_col, "left")
+        .withColumn("n_collisions", F.coalesce("n_collisions", F.lit(0)))
+    )
+    return out.withColumn(
+        "contaminated",
+        F.when(F.col("n_collisions") >= min_hits, F.lit(1)).otherwise(F.lit(0)),
+    )

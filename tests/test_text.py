@@ -458,3 +458,67 @@ def test_incremental_lsh_dedup_only_batch_vs_store(spark):
     # jaccard is the exact hashed-set value
     for r in out:
         assert 0.5 <= r["jaccard"] <= 1.0
+
+
+def test_ngram_repetition_flags_exact_fractions(spark):
+    from diive_spark.text import curation as CU
+
+    # doc 1: "spam spam spam spam" — top bigram "spam spam" occurs 3x,
+    # chars 9 each, text 19 chars -> top_frac 27/19 > 0.20 -> reject;
+    # every trigram "spam spam spam" occurs 2x -> dup chars 2*14=28 -> 28/19
+    # doc 2: all-distinct words -> every n-gram unique -> fracs small/zero
+    d = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            # 12 distinct words, 72 chars: top bigram "charlie delta"
+            # (count-desc, charlen-desc, lexicographic-desc tie-break)
+            # covers 13/72 = 0.18 <= 0.20 -> passes
+            (2, "alpha bravo charlie delta echo foxtrot golf hotel india "
+                "juliet kilo lima"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in CU.ngram_repetition_flags(d, top_n=2, dup_n=3).collect()
+    }
+    r1 = out[1]
+    assert r1["top_ngram"] == "spam spam"
+    assert r1["top_ngram_count"] == 3
+    assert r1["top_ngram_frac_e4"] == int(np.floor(3 * 9 / 19 * 1e4 + 0.5))
+    assert r1["dup_ngram_frac_e4"] == int(np.floor(2 * 14 / 19 * 1e4 + 0.5))
+    assert r1["flag_top_ngram"] == 2 and r1["flag_dup_ngram"] == 2
+    assert r1["keep"] == 0
+    r2 = out[2]
+    assert r2["top_ngram"] == "charlie delta"
+    assert r2["top_ngram_count"] == 1
+    assert r2["top_ngram_frac_e4"] == int(np.floor(13 / 72 * 1e4 + 0.5))
+    assert r2["dup_ngram_frac_e4"] == 0
+    assert r2["flag_top_ngram"] == 0 and r2["flag_dup_ngram"] == 0
+    assert r2["keep"] == 1
+
+
+def test_decontaminate_ngram_planted_collision(spark):
+    from diive_spark.text import curation as CU
+
+    bench = spark.createDataFrame(
+        [(900, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares the 3-grams "quick brown fox" and "brown fox jumps"
+            (1, "a very quick brown fox jumps away now"),
+            # no 3-gram overlap with the benchmark
+            (2, "completely different words with zero shared trigrams here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in CU.decontaminate_ngram(corpus, bench, k=3).collect()
+    }
+    assert out[1]["contaminated"] == 1 and out[1]["n_collisions"] == 2
+    assert out[2]["contaminated"] == 0 and out[2]["n_collisions"] == 0
+    # n_shingles = distinct trigrams: 8 words -> 6 shingles
+    assert out[1]["n_shingles"] == 6
