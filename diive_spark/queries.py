@@ -779,6 +779,8 @@ _FRONT = [
     "dedup_incremental",
     "ngram_repetition",
     "decontaminate_ngram",
+    "redact_pii",
+    "shard_pack",
     # round-3 re-verification targets: materially rewritten this round
     "dedup_simhash",
     "dedup_minhash_lsh",

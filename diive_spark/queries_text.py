@@ -1044,9 +1044,136 @@ FROM ch LEFT JOIN hits ON hits.doc_id = ch.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# redact_pii — C4/RefinedWeb-style PII masking with per-category counts
+# ---------------------------------------------------------------------------
+# The sf documents have no PII; both engines append the SAME deterministic
+# synthetic PII (email / bare IPv4 / intl phone, keyed by doc_id % 4) so the
+# oracle genuinely checks the masking algebra, not just a no-op.
+
+
+def _pii_synth_col() -> F.Column:
+    m = F.col("doc_id") % 4
+    return F.concat(
+        F.col("text"),
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com now"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit(" server at 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 port"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit(" call +41 79 "),
+                F.col("doc_id").cast("string"),
+                F.lit(" 55"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+
+
+_PII_SYNTH_SQL = (
+    "text || CASE CAST(doc_id % 4 AS INTEGER) "
+    "WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now' "
+    "WHEN 1 THEN ' server at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 port' "
+    "WHEN 2 THEN ' call +41 79 ' || CAST(doc_id AS VARCHAR) || ' 55' "
+    "ELSE '' END"
+)
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select(
+        "doc_id", _pii_synth_col().alias("text")
+    )
+    out = CU.redact_pii(d)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_email", "n_ipv4", "n_phone", "text_redacted",
+    )
+
+
+SQL_REDACT_PII = f"""
+WITH t AS (
+  SELECT doc_id, {_PII_SYNTH_SQL} AS text FROM documents
+), m AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+         regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+             '<EMAIL>', 'g') AS t1
+  FROM t
+), i AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t1,
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_ipv4,
+         regexp_replace(t1,
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+             '<IP>', 'g') AS t2
+  FROM m
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t2, '\\+\\d[\\d ()-]{{7,}}\\d')) AS BIGINT)
+         AS n_phone,
+       regexp_replace(t2, '\\+\\d[\\d ()-]{{7,}}\\d', '<PHONE>', 'g')
+         AS text_redacted
+FROM i
+"""
+
+
+# ---------------------------------------------------------------------------
+# shard_pack — deterministic token-budget shard packing per language
+# ---------------------------------------------------------------------------
+
+_SHARD_BUDGET = 2000
+
+
+def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select(
+        "doc_id", "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    out = CU.shard_pack(d, part_col="lang", budget=_SHARD_BUDGET)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang", "n_tokens", "tok_start", "shard_id",
+    )
+
+
+SQL_SHARD_PACK = f"""
+WITH t AS (
+  SELECT doc_id, lang, len({DUCK_TOKS}) AS n_tokens FROM documents
+), c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS tok_start,
+       CAST(floor((cum - n_tokens) * 1.0 / {_SHARD_BUDGET}) AS BIGINT)
+         AS shard_id
+FROM c
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_repetition": q_ngram_repetition,
     "decontaminate_ngram": q_decontaminate_ngram,
+    "redact_pii": q_redact_pii,
+    "shard_pack": q_shard_pack,
     "dedup_incremental": q_dedup_incremental,
     "quality_filter": q_quality_filter,
     "url_canon_dedup": q_url_canon_dedup,
@@ -1069,6 +1196,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE_SQL: dict[str, str] = {
     "ngram_repetition": SQL_NGRAM_REPETITION,
     "decontaminate_ngram": SQL_DECONTAMINATE_NGRAM,
+    "redact_pii": SQL_REDACT_PII,
+    "shard_pack": SQL_SHARD_PACK,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "quality_filter": SQL_QUALITY_FILTER,
     "url_canon_dedup": SQL_URL_CANON_DEDUP,

@@ -30,6 +30,8 @@ __all__ = [
     "stratified_sample",
     "ngram_repetition_flags",
     "decontaminate_ngram",
+    "redact_pii",
+    "shard_pack",
 ]
 
 
@@ -319,4 +321,75 @@ def decontaminate_ngram(
     return out.withColumn(
         "contaminated",
         F.when(F.col("n_collisions") >= min_hits, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+# PII patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): no backreferences, no lookaround, leftmost-greedy safe.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d[\d ()-]{7,}\d",
+}
+PII_TOKENS = {"email": "<EMAIL>", "ipv4": "<IP>", "phone": "<PHONE>"}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    tokens: dict[str, str] | None = None,
+) -> DataFrame:
+    """C4/RefinedWeb-style PII masking: emails, bare IPv4s and
+    international phone numbers are replaced with placeholder tokens, with
+    per-category match counts kept for auditability (``n_email`` ...).
+
+    Pure ``regexp_replace``/``regexp_extract_all`` column math — rides the
+    scan inside whole-stage codegen, zero shuffles, and the patterns are
+    dialect-portable so the DuckDB oracle masks bit-identically.  Order is
+    fixed (email -> ipv4 -> phone) because masking rewrites the string the
+    next pattern sees.
+    """
+    patterns = patterns or PII_PATTERNS
+    tokens = tokens or PII_TOKENS
+    out = df
+    masked = F.col(text_col)
+    for name, pat in patterns.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(masked, F.lit(pat), F.lit(0))).cast("long"),
+        )
+        masked = F.regexp_replace(masked, pat, tokens[name])
+    return out.withColumn("text_redacted", masked)
+
+
+def shard_pack(
+    df: DataFrame,
+    part_col: str = "lang",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 4096,
+) -> DataFrame:
+    """Deterministic token-budget shard assignment (training-data sequence
+    packing): within each ``part_col`` partition, docs are laid out in
+    ``id_col`` order and cut into shards of at most ``budget`` tokens by
+    the running total — ``shard_id = floor((cumsum - n_tokens) / budget)``,
+    i.e. a doc starts a new shard when the budget would overflow ON
+    AVERAGE (Megatron-style contiguous packing; an oversized doc spills
+    its shard rather than splitting).
+
+    The running sum is a window per partition key — embarrassingly
+    parallel across languages/domains; a SINGLE global sequence would
+    serialize, which is why the op requires an explicit partition column
+    (use a hash bucket for corpora without a natural one).  Adds
+    ``tok_start`` (offset within the partition's stream) for writers that
+    need byte/token ranges.
+    """
+    w = Window.partitionBy(part_col).orderBy(id_col)
+    cum = F.sum(tokens_col).over(w)
+    return (
+        df.withColumn("tok_start", (cum - F.col(tokens_col)).cast("long"))
+        .withColumn(
+            "shard_id", F.floor(F.col("tok_start") / F.lit(budget)).cast("long")
+        )
     )

@@ -522,3 +522,49 @@ def test_decontaminate_ngram_planted_collision(spark):
     assert out[2]["contaminated"] == 0 and out[2]["n_collisions"] == 0
     # n_shingles = distinct trigrams: 8 words -> 6 shingles
     assert out[1]["n_shingles"] == 6
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from diive_spark.text import curation as CU
+
+    d = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@sub.example.org or 192.168.1.1 or +41 79 555 12 34 ok"),
+            (2, "nothing sensitive here at all"),
+            (3, "two mails x@y.co and z@w.io"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in CU.redact_pii(d).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_ipv4"] == 1 and out[1]["n_phone"] == 1
+    assert out[1]["text_redacted"] == "mail <EMAIL> or <IP> or <PHONE> ok"
+    assert out[2]["n_email"] == out[2]["n_ipv4"] == out[2]["n_phone"] == 0
+    assert out[2]["text_redacted"] == "nothing sensitive here at all"
+    assert out[3]["n_email"] == 2
+    assert out[3]["text_redacted"] == "two mails <EMAIL> and <EMAIL>"
+
+
+def test_shard_pack_budget_boundaries(spark):
+    from diive_spark.text import curation as CU
+
+    # lang a: 600+600+600 -> cum starts 0,600,1200 -> budget 1000:
+    # shards 0,0,1; then an OVERSIZED doc (2500) starts at 1800 -> shard 1
+    # (spills; never splits); next doc starts at 4300 -> shard 4
+    d = spark.createDataFrame(
+        [
+            (1, "a", 600), (2, "a", 600), (3, "a", 600),
+            (4, "a", 2500), (5, "a", 100),
+            (10, "b", 50),
+        ],
+        "doc_id long, lang string, n_tokens long",
+    )
+    out = {
+        r["doc_id"]: (r["tok_start"], r["shard_id"])
+        for r in CU.shard_pack(d, budget=1000).collect()
+    }
+    assert out[1] == (0, 0)
+    assert out[2] == (600, 0)
+    assert out[3] == (1200, 1)
+    assert out[4] == (1800, 1)
+    assert out[5] == (4300, 4)
+    assert out[10] == (0, 0)  # partitions pack independently
