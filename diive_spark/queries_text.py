@@ -673,26 +673,33 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # dedup_incremental — NEW crawl batch vs the historical signature store
 # ---------------------------------------------------------------------------
-# The production ingest shape: the store (docs 0..HIST_CUTOFF-1, already
-# deduped) is a persisted signature table; the new batch (perturbed copies
-# of every doc) band-joins AGAINST it only — no store x store work, no
-# re-reading historical text.
+# The production ingest shape AND proportions: the store (ALL existing docs,
+# already deduped) is the BIG persisted signature table; the new batch (a
+# perturbed 1-in-BATCH_MOD tick, each a planted near-dup of its original)
+# is the small side that band-joins AGAINST it — no store x store work, no
+# re-reading historical text, and AQE is free to broadcast the tick.
 
-HIST_CUTOFF = 250
+BATCH_MOD = 10
 
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _documents(spark, sf_dir).select("doc_id", "text")
-    hist = d.filter(F.col("doc_id") < HIST_CUTOFF)
+    hist = d
     toks = F.split(F.trim("text"), r"\s+")
-    batch = d.select(
+    batch = d.filter(F.col("doc_id") % BATCH_MOD == 0).select(
         (F.col("doc_id") + PERTURB_OFFSET).alias("doc_id"),
         F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)).alias("text"),
     )
     # both signature frames feed two join arms (bands + verify): persist =
-    # "the signature table lives in storage" at crawl scale
+    # "the signature table lives in storage" at crawl scale.  Materialize
+    # EAGERLY before the join — the band and verify arms are separate
+    # shuffle-map stages the scheduler runs concurrently, and an
+    # unpopulated cache makes them each recompute the md5 shingle pass
+    # (measured ~2x signature cost on the cold run).
     store_sigs = DD.signature_store(hist).persist()
     batch_sigs = DD.signature_store(batch).persist()
+    store_sigs.count()
+    batch_sigs.count()
     out = DD.incremental_lsh_dedup(batch_sigs, store_sigs, threshold=0.6)
     return out.select(
         F.col("new_id").cast("long").alias("new_id"),
@@ -722,11 +729,11 @@ def _sql_incremental_lsh() -> str:
 
     return f"""
 WITH hist AS (
-  SELECT doc_id, text FROM documents WHERE doc_id < {HIST_CUTOFF}
+  SELECT doc_id, text FROM documents
 ), newb AS (
   SELECT doc_id + {PERTURB_OFFSET} AS doc_id,
          array_to_string(({DUCK_TOKS})[1:len({DUCK_TOKS}) - 1], ' ') AS text
-  FROM documents
+  FROM documents WHERE doc_id % {BATCH_MOD} = 0
 ), hist_hashed AS (
   SELECT doc_id, list_distinct(list_transform({_DUCK_SHINGLES}, s -> {DUCK_H60.format(s='s')})) AS hs
   FROM (SELECT doc_id, {DUCK_TOKS} AS toks FROM hist)

@@ -18,6 +18,7 @@ sampling hash is the same md5-prefix BIGINT used by the dedup family
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -198,6 +199,57 @@ def _word_ngrams(toks: Column, n: int) -> Column:
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
 
 
+_REPETITION_UDFS: dict = {}
+
+
+def _repetition_stats_udf(top_n: int, dup_n: int):
+    """Per-doc repetition sufficient statistics in ONE Arrow-batched pass.
+
+    The stats are fully doc-local, so the kernel removes BOTH shuffles of
+    the expression path (explode -> (doc, ngram) -> doc): at crawl scale
+    that is the difference between a pure scan and shuffling ~n_tokens
+    rows per doc twice.  Tokenization, the len<n floor, and the
+    (count, charlen, lexicographic) tie-break replicate the declarative
+    expressions exactly (UTF-8 byte order == codepoint order, so python
+    tuple max matches Spark's binary struct max)."""
+    key = (top_n, dup_n)
+    if key not in _REPETITION_UDFS:
+        from collections import Counter
+
+        from diive_spark.text.dedup import _WS_SPLIT
+
+        @F.pandas_udf(
+            "struct<top_ngram:string,top_cnt:bigint,top_len:bigint,"
+            "dup_chars:bigint,tlen:bigint>"
+        )
+        def _rep(texts: pd.Series) -> pd.DataFrame:
+            rows = []
+            for t in texts:
+                t = t or ""
+                # replicate split(trim(text), '\s+'): trim strips SPACES
+                # only; regex split keeps leading empty fields
+                toks = _WS_SPLIT(t.strip(" "))
+
+                def grams(n: int):
+                    m = max(len(toks) - n + 1, 1)
+                    return (" ".join(toks[i : i + n]) for i in range(m))
+
+                ct = Counter(grams(top_n))
+                c, l, g = max((c, len(g), g) for g, c in ct.items())
+                cd = Counter(grams(dup_n))
+                dup_chars = sum(
+                    c2 * len(g2) for g2, c2 in cd.items() if c2 > 1
+                )
+                rows.append((g, c, l, dup_chars, len(t)))
+            return pd.DataFrame(
+                rows,
+                columns=["top_ngram", "top_cnt", "top_len", "dup_chars", "tlen"],
+            )
+
+        _REPETITION_UDFS[key] = _rep.asNondeterministic()
+    return _REPETITION_UDFS[key]
+
+
 def ngram_repetition_flags(
     df: DataFrame,
     text_col: str = "text",
@@ -206,6 +258,7 @@ def ngram_repetition_flags(
     dup_n: int = 3,
     max_top_frac: float = 0.20,
     max_dup_frac: float = 0.60,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """Gopher repetition-rule flags (Rae et al. 2021 §A1.1): the fraction
     of characters covered by the single most frequent ``top_n``-gram, and
@@ -219,13 +272,34 @@ def ngram_repetition_flags(
     deterministically by (count, char length, lexicographic) — mirrored in
     the DuckDB oracle.
 
-    Scale shape: explode -> groupBy (doc, ngram) -> groupBy doc; both
-    aggregations are map-side combinable and key cardinality is bounded by
-    total token count, so the op is two well-behaved shuffles over data
-    proportional to the corpus — the textbook distributed n-gram profile.
-    The n-gram HOF is interpreted (repo perf note); for crawl-scale hot
-    paths swap in the pandas_udf shingle kernel (text/dedup.py).
+    Default path: a zero-shuffle Arrow kernel (one Counter pass per doc —
+    the stats are doc-local, so nothing needs to leave the scan task).
+    ``use_kernel=False`` keeps the declarative twin — explode ->
+    groupBy(doc, ngram) -> groupBy(doc), two map-side-combinable shuffles
+    with an interpreted n-gram HOF — proven identical in pytest and used
+    as the in-engine cross-check.
     """
+    flag = lambda ok: F.when(ok, F.lit(0)).otherwise(F.lit(2))  # noqa: E731
+    if use_kernel:
+        r = _repetition_stats_udf(top_n, dup_n)(F.col(text_col))
+        s = df.select(F.col(id_col), r.alias("_r"))
+        top_frac = (
+            F.col("_r.top_cnt") * F.col("_r.top_len")
+            / F.greatest(F.col("_r.tlen"), F.lit(1))
+        )
+        dup_frac = F.col("_r.dup_chars") / F.greatest(F.col("_r.tlen"), F.lit(1))
+        out = s.select(
+            F.col(id_col),
+            F.col("_r.top_ngram").alias("top_ngram"),
+            F.col("_r.top_cnt").cast("long").alias("top_ngram_count"),
+            _e4(top_frac).alias("top_ngram_frac_e4"),
+            _e4(dup_frac).alias("dup_ngram_frac_e4"),
+            flag(top_frac <= max_top_frac).alias("flag_top_ngram"),
+            flag(dup_frac <= max_dup_frac).alias("flag_dup_ngram"),
+        )
+        keep = (F.col("flag_top_ngram") == 0) & (F.col("flag_dup_ngram") == 0)
+        return out.withColumn("keep", F.when(keep, F.lit(1)).otherwise(F.lit(0)))
+
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     tlen = F.length(F.col(text_col))
 

@@ -568,3 +568,22 @@ def test_shard_pack_budget_boundaries(spark):
     assert out[4] == (1800, 1)
     assert out[5] == (4300, 4)
     assert out[10] == (0, 0)  # partitions pack independently
+
+
+def test_ngram_repetition_kernel_equals_expression(spark):
+    """The Arrow kernel and the declarative explode/groupBy twin must be
+    row-identical, incl. tie-breaks, len<n floor docs and empty text."""
+    from diive_spark.text import curation as CU
+
+    rng = np.random.RandomState(5)
+    vocab = ["aa", "bb", "ccc", "dd", "e", "spam", "ham", "x"]
+    rows = [(i, " ".join(rng.choice(vocab, rng.randint(1, 40)))) for i in range(150)]
+    rows += [(150, ""), (151, "one"), (152, "two words"), (153, "a a a a a a")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    cols = ["doc_id", "top_ngram", "top_ngram_count", "top_ngram_frac_e4",
+            "dup_ngram_frac_e4", "flag_top_ngram", "flag_dup_ngram", "keep"]
+    a = (CU.ngram_repetition_flags(d, use_kernel=True)
+         .select(cols).orderBy("doc_id").collect())
+    b = (CU.ngram_repetition_flags(d, use_kernel=False)
+         .select(cols).orderBy("doc_id").collect())
+    assert a == b
