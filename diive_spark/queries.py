@@ -736,6 +736,11 @@ from diive_spark import queries_uncertainty as _qu  # noqa: E402
 QUERIES.update(_qu.QUERIES)
 ORACLE_SQL.update(_qu.ORACLE_SQL)
 
+from diive_spark import queries_text2 as _qt2  # noqa: E402
+
+QUERIES.update(_qt2.QUERIES)
+ORACLE_SQL.update(_qt2.ORACLE_SQL)
+
 # Driver-window ordering: the driver records correctness rows for exactly the
 # first 50 registry entries.  Round-2 verdict: 25 oracle-backed queries sat at
 # positions 50-74 and have never had a driver row — rotate them (plus every
@@ -781,6 +786,10 @@ _FRONT = [
     "decontaminate_ngram",
     "redact_pii",
     "shard_pack",
+    "dedup_clusters",
+    "line_dedup",
+    "domain_cap",
+    "lm_bigram_score",
     # round-3 re-verification targets: materially rewritten this round
     "dedup_simhash",
     "dedup_minhash_lsh",

@@ -287,7 +287,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash_lsh() -> str:
+def _sql_minhash_body() -> str:
+    """CTE body (everything after WITH, through ``verified``) of the
+    MinHash-LSH pipeline — shared by the pair query and the
+    connected-components clustering oracle (queries_text2)."""
     sig_exprs = ",\n         ".join(
         f"list_min(list_transform(hs, h -> ({PERM_A[j]} * (h % {MERSENNE}) + {PERM_B[j]}) % {MERSENNE})) AS s{j}"
         for j in range(N_PERMS)
@@ -302,7 +305,7 @@ def _sql_minhash_lsh() -> str:
         for b in range(LSH_BANDS)
     )
     return f"""
-WITH {SQL_NEARDUP_CORPUS},
+{SQL_NEARDUP_CORPUS},
 t AS (
   SELECT doc_id, {DUCK_TOKS} AS toks FROM corpus
 ), sh AS (
@@ -329,7 +332,12 @@ t AS (
   FROM pairs p
   JOIN hashed sa ON sa.doc_id = p.id_a
   JOIN hashed sb ON sb.doc_id = p.id_b
-)
+)"""
+
+
+def _sql_minhash_lsh() -> str:
+    return f"""
+WITH {_sql_minhash_body()}
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
        CAST(n_inter AS BIGINT) AS n_inter, round(jaccard, 4) AS jaccard
 FROM verified WHERE jaccard >= 0.6

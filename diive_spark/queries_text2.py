@@ -1,0 +1,270 @@
+"""Web-text curation query registry, part 2: near-dup clustering
+(connected components), corpus-global line dedup, per-domain capping, and
+bigram-LM quality scoring — each with a DuckDB oracle recomputing the same
+deterministic pipeline (cluster labels via a recursive-CTE transitive
+closure, which is exact at oracle scale; the Spark side runs the
+O(log^2 n) alternating-stars algorithm that survives 10^12 docs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from diive_spark.text import curation as CU
+from diive_spark.text import dedup as DD
+from diive_spark.text import graph as GR
+from diive_spark.text import lm as LM
+from diive_spark.queries_text import (
+    DUCK_H60,
+    DUCK_TOKS,
+    _documents,
+    _neardup_corpus,
+    _sql_minhash_body,
+    _url_synth_col,
+    _URL_SYNTH_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup_clusters — connected components over MinHash-LSH near-dup pairs
+# ---------------------------------------------------------------------------
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: verified LSH pairs (jaccard >= 0.6) are edges;
+    alternating large-star/small-star labels every touched doc with its
+    component minimum.  The oracle recomputes labels as a recursive-CTE
+    transitive closure — a completely different algorithm, so agreement
+    checks the clustering itself, not a shared implementation."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    hs = DD.with_hashed_shingles(corpus, k=3).select(
+        "doc_id", "sh_hashes"
+    ).persist()
+    mh = DD.with_minhash(hs, shingle_col="sh_hashes", hashed=True)
+    pairs = DD.lsh_candidate_pairs(mh)
+    verified = DD.jaccard_verify(
+        pairs, hs, shingle_col="sh_hashes", threshold=0.6
+    )
+    labels = GR.connected_components(verified, src_col="id_a", dst_col="id_b")
+    out = GR.cluster_sizes(labels)
+    return out.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "cluster_size",
+    ).orderBy("doc_id")
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_sql_minhash_body()},
+pairs06 AS (
+  SELECT id_a, id_b FROM verified WHERE jaccard >= 0.6
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs06
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs06
+), reach(u, v) AS (
+  SELECT u, u AS v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v
+), lab AS (
+  SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+), sz AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id
+)
+SELECT CAST(l.doc_id AS BIGINT) AS doc_id,
+       CAST(l.cluster_id AS BIGINT) AS cluster_id,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size
+FROM lab l JOIN sz s USING (cluster_id)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# line_dedup — C4-style corpus-global exact line dedup
+# ---------------------------------------------------------------------------
+# The sf documents are single-line; both engines deterministically re-wrap
+# them into 3-token lines first, so cross-doc line collisions actually
+# occur and the dedup is exercised for real.
+
+_LINE_TOKS = 3
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    toks = F.split(F.trim("text"), r"\s+")
+    nl = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(_LINE_TOKS))).cast("int"), F.lit(1)
+    )
+    lines_arr = F.transform(
+        F.sequence(F.lit(1), nl),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, (i - 1) * _LINE_TOKS + 1, _LINE_TOKS)
+        ),
+    )
+    wrapped = d.select(
+        "doc_id", F.array_join(lines_arr, "\n").alias("text")
+    )
+    out = CU.line_dedup(wrapped, min_len=1)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_lines",
+        "n_kept",
+        "text_dedup",
+    ).orderBy("doc_id")
+
+
+SQL_LINE_DEDUP = f"""
+WITH t AS (
+  SELECT doc_id, {DUCK_TOKS} AS toks FROM documents
+), lt AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(
+             1, greatest(CAST(ceil(len(toks) / {float(_LINE_TOKS)}) AS INT), 1)),
+           i -> array_to_string(
+                  toks[(i-1)*{_LINE_TOKS}+1:(i-1)*{_LINE_TOKS}+{_LINE_TOKS}],
+                  ' ')) AS lines
+  FROM t
+), e AS (
+  SELECT doc_id, lines,
+         unnest(generate_series(1, len(lines))) AS line_no
+  FROM lt
+), l AS (
+  SELECT doc_id, line_no, lines[line_no] AS line FROM e
+), r AS (
+  SELECT doc_id, line_no, line,
+         CASE WHEN length(line) < 1 THEN 1
+              WHEN row_number() OVER (PARTITION BY line
+                                      ORDER BY doc_id, line_no) = 1 THEN 1
+              ELSE 0 END AS keep
+  FROM l
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN keep = 1 THEN line END, chr(10)
+                           ORDER BY line_no), '') AS text_dedup
+FROM r GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# domain_cap — per-domain contribution cap (hash-ranked, deterministic)
+# ---------------------------------------------------------------------------
+
+_DOMAIN_CAP = 10
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select(
+        "doc_id", _url_synth_col().alias("url")
+    )
+    out = CU.domain_cap(d, max_per_domain=_DOMAIN_CAP)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "domain",
+        "domain_rank",
+        "n_domain_docs",
+        "kept",
+    ).orderBy("doc_id")
+
+
+SQL_DOMAIN_CAP = f"""
+WITH raw AS (
+  SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents
+), dom AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
+             ':[0-9]+$', ''),
+           '^[^@]*@', '') AS domain,
+         {DUCK_H60.format(s="'domcap:' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM raw
+), ranked AS (
+  SELECT doc_id, domain,
+         row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) AS rn,
+         count(*) OVER (PARTITION BY domain) AS n_domain_docs
+  FROM dom
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, domain,
+       CAST(rn AS BIGINT) AS domain_rank,
+       CAST(n_domain_docs AS BIGINT) AS n_domain_docs,
+       CASE WHEN rn <= {_DOMAIN_CAP} THEN 1 ELSE 0 END AS kept
+FROM ranked ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# lm_bigram_score — corpus-trained add-1 bigram LM mean log-probability
+# ---------------------------------------------------------------------------
+# Self-trained (ref == scoring corpus), the degenerate-but-deterministic
+# case; avg_logprob is an order-dependent float mean, emitted round(2)
+# per the cross-engine rounding convention (integer columns are exact).
+
+def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    out = LM.bigram_lm_score(d, d, alpha=1.0)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_bigrams",
+        "n_tokens",
+        F.round("avg_logprob", 2).alias("avg_logprob"),
+    ).orderBy("doc_id")
+
+
+SQL_LM_BIGRAM_SCORE = f"""
+WITH t AS (
+  SELECT doc_id, {DUCK_TOKS} AS toks FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 2
+                     THEN list_transform(generate_series(1, len(toks) - 1),
+                                         i -> toks[i] || ' ' || toks[i+1])
+                     ELSE CAST([] AS VARCHAR[]) END) AS bigram
+  FROM t
+), cb AS (
+  SELECT bigram, count(*) AS c_bigram FROM bg GROUP BY bigram
+), cs AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, sum(c_bigram) AS c_start
+  FROM cb GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(toks) AS tok FROM t)
+), inst AS (
+  SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS w1 FROM bg
+), sc AS (
+  SELECT i.doc_id, count(*) AS n_bigrams,
+         avg(ln((COALESCE(cb.c_bigram, 0) + 1.0)
+                / (COALESCE(cs.c_start, 0) + 1.0 * v.v))) AS lp
+  FROM inst i
+  LEFT JOIN cb USING (bigram)
+  LEFT JOIN cs USING (w1)
+  CROSS JOIN v
+  GROUP BY i.doc_id
+), n AS (
+  SELECT doc_id, len(toks) AS n_tokens FROM t
+)
+SELECT CAST(n.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(n.n_tokens AS BIGINT) AS n_tokens,
+       round(sc.lp, 2) AS avg_logprob
+FROM n LEFT JOIN sc USING (doc_id) ORDER BY doc_id
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_clusters": q_dedup_clusters,
+    "line_dedup": q_line_dedup,
+    "domain_cap": q_domain_cap,
+    "lm_bigram_score": q_lm_bigram_score,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "line_dedup": SQL_LINE_DEDUP,
+    "domain_cap": SQL_DOMAIN_CAP,
+    "lm_bigram_score": SQL_LM_BIGRAM_SCORE,
+}

@@ -33,6 +33,9 @@ __all__ = [
     "decontaminate_ngram",
     "redact_pii",
     "shard_pack",
+    "line_dedup",
+    "extract_domain",
+    "domain_cap",
 ]
 
 
@@ -435,6 +438,114 @@ def redact_pii(
         )
         masked = F.regexp_replace(masked, pat, tokens[name])
     return out.withColumn("text_redacted", masked)
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 1,
+) -> DataFrame:
+    """C4-style corpus-global line deduplication (Raffel et al. 2020 §2.2):
+    every line of at least ``min_len`` characters is kept only at its FIRST
+    occurrence across the whole corpus — first in (doc_id, line_no) order,
+    so the result is deterministic at any parallelism.  Lines shorter than
+    ``min_len`` never participate (they are kept everywhere; eligibility is
+    a function of the line text, so a dedup partition is never mixed).
+
+    Returns one row per doc: ``n_lines``, ``n_kept``, and the surviving
+    text reassembled in original line order (``text_dedup``).
+
+    Scale shape: posexplode → ONE window shuffle keyed on the line content
+    (hash-uniform — the empty/boilerplate hot lines are exactly what AQE
+    skew handling splits) → ONE regroup shuffle on doc_id.  Cost is linear
+    in total line count; nothing is quadratic and nothing collects.  At
+    100 TB you would key the window on ``xxhash64(line)`` instead of the
+    string itself to shrink shuffle bytes — kept as the raw string here so
+    the DuckDB oracle partitions identically.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    )
+    w = Window.partitionBy("line").orderBy(id_col, "line_no")
+    flagged = lines.withColumn(
+        "_keep",
+        F.when(F.length("line") < min_len, F.lit(1))
+        .when(F.row_number().over(w) == 1, F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("_keep").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("line_no", "_keep", "line"))
+                    ),
+                    lambda s: s["_keep"] == 1,
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_dedup"),
+    )
+
+
+def extract_domain(url: Column) -> Column:
+    """Registrable host of a URL, lowercased, port stripped — the blocking
+    key for per-site curation policies.  Pure regexp column math."""
+    host = F.regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    host = F.regexp_replace(F.lower(host), ":[0-9]+$", "")
+    return F.regexp_replace(host, "^[^@]*@", "")
+
+
+def domain_cap(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    max_per_domain: int = 10,
+    salt: str = "domcap",
+) -> DataFrame:
+    """Per-domain contribution cap (the RefinedWeb / Dolma "no single site
+    dominates the corpus" rule): within each domain, docs are ranked by a
+    deterministic per-doc hash (so the retained subset is an unbiased,
+    reproducible sample — NOT "first crawled wins") and only the first
+    ``max_per_domain`` survive.
+
+    Adds ``domain``, ``domain_rank``, ``n_domain_docs`` and ``kept``; the
+    caller filters on ``kept`` (flags stay auditable, matching the QCF
+    flag-ladder convention).  ONE window shuffle on the domain key; hot
+    mega-domains are real skew — at crawl scale this is the op to pair
+    with AQE skew splitting, and the rank-then-filter shape keeps it a
+    single pass (no per-domain count subquery join).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    d = df.withColumn("domain", extract_domain(F.col(url_col))).withColumn(
+        "_h", h
+    )
+    w = Window.partitionBy("domain").orderBy("_h", id_col)
+    wc = Window.partitionBy("domain")
+    return (
+        d.withColumn("domain_rank", F.row_number().over(w).cast("long"))
+        .withColumn("n_domain_docs", F.count(F.lit(1)).over(wc).cast("long"))
+        .withColumn(
+            "kept",
+            F.when(F.col("domain_rank") <= max_per_domain, F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .drop("_h")
+    )
 
 
 def shard_pack(

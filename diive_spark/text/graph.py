@@ -1,0 +1,153 @@
+"""Distributed connected components for near-duplicate clustering.
+
+Pairwise dedup (MinHash-LSH / SimHash) emits EDGES; a curation pipeline
+needs CLUSTERS — "keep one doc per connected component of the near-dup
+graph" (the Gopher / RefinedWeb / SlimPajama procedure).  Naive min-label
+propagation needs O(graph diameter) rounds — a duplicate CHAIN
+(A~B~C~...~Z, common with boilerplate drift) makes that linear.  This
+module implements the alternating large-star / small-star algorithm of
+Kiveris et al., "Connected Components in MapReduce and Beyond" (SoCC'14):
+O(log^2 n) rounds, each round two map-side-combinable shuffles on node id
+— the standard shape for trillion-edge graphs and the right posture for a
+10^12-document crawl.
+
+Every round is pure DataFrame algebra (groupBy-min + equi-join); the
+driver loop only compares a (count, xor-of-hashes) fingerprint per round,
+so nothing about the graph ever reaches the driver.  ``localCheckpoint``
+truncates the iterative lineage (the local stand-in for
+``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` on a cluster).
+
+Reference analog: diive has no graph ops; this generalizes its
+dedup-keep-last "pick one representative per group" pattern
+(/root/reference/diive/core/times/times.py:804-821) from equal timestamps
+to connected similarity components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "cluster_sizes"]
+
+
+def _canonical(e: DataFrame) -> DataFrame:
+    """Undirected edge set stored high→low: (a, b) with a > b, distinct."""
+    return (
+        e.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """large-star(u): connect every STRICTLY LARGER neighbor of u to
+    m = min(Γ(u) ∪ {u}).  Emitted edges (v, m) satisfy v > u ≥ m, so the
+    output is already high→low and self-loop-free."""
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    mins = sym.groupBy("a").agg(F.min("b").alias("_mn"))
+    mins = mins.select("a", F.least("_mn", F.col("a")).alias("_m"))
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """small-star(u): over edges directed high→low, connect every smaller
+    neighbor of u (and u itself) to m = min(N(u)).  Output stays
+    high→low; (m, m) self-loops are excluded by the b != m filter."""
+    d = _canonical(e)
+    mins = d.groupBy("a").agg(F.min("b").alias("_m"))
+    rewires = (
+        d.join(mins, "a")
+        .filter(F.col("b") != F.col("_m"))
+        .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+    )
+    anchors = mins.select("a", F.col("_m").alias("b"))
+    return rewires.unionByName(anchors).distinct()
+
+
+def _fingerprint(e: DataFrame) -> tuple[int, int]:
+    """(edge count, sum of per-edge 64-bit hashes) — an order-independent
+    edge-set fingerprint; ONE tiny aggregate per round is the only thing
+    the driver ever sees."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        # hashes folded to 31 bits before summing: ANSI mode makes a raw
+        # sum(xxhash64) overflow bigint on ~4 rows
+        F.coalesce(
+            F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(2**31))), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Label every node of the undirected graph with the MINIMUM node id
+    of its connected component (the deterministic cluster representative).
+
+    Returns a DataFrame (node: long, cluster_id: long).  Isolated nodes
+    never enter ``edges`` and are therefore absent — callers union
+    singletons back if they need total coverage (see ``q_dedup_clusters``).
+
+    Alternates large-star and small-star rounds until the edge-set
+    fingerprint is stable; at the fixpoint the edge set is a union of
+    stars (v → component minimum), so labels fall out of one final
+    groupBy-min.  ``max_iter`` is a safety bound — the algorithm provably
+    converges in O(log^2 n) rounds (Kiveris et al. 2014, Thm 2); hitting
+    the bound raises rather than returning partial clusters.
+    """
+    e = _canonical(
+        edges.select(
+            F.col(src_col).cast("long").alias("a"),
+            F.col(dst_col).cast("long").alias("b"),
+        )
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    fp = _fingerprint(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        nfp = _fingerprint(e)
+        if nfp == fp:
+            break
+        fp = nfp
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # converged: every non-root node a has exactly one edge (a, root);
+    # roots label themselves via the left join fallback
+    labels = e.groupBy("a").agg(F.min("b").alias("cluster_id"))
+    return nodes.join(
+        labels, nodes["node"] == labels["a"], "left"
+    ).select(
+        "node", F.coalesce("cluster_id", F.col("node")).alias("cluster_id")
+    )
+
+
+def cluster_sizes(labels: DataFrame) -> DataFrame:
+    """Attach cluster_size to a (node, cluster_id) labeling — one
+    map-side-combinable agg + a co-partitioned join back."""
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return labels.join(sizes, "cluster_id").select(
+        "node", "cluster_id", "cluster_size"
+    )
