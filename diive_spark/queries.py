@@ -790,6 +790,8 @@ _FRONT = [
     "line_dedup",
     "domain_cap",
     "lm_bigram_score",
+    "tfidf_topk",
+    "repeated_spans",
     # round-3 re-verification targets: materially rewritten this round
     "dedup_simhash",
     "dedup_minhash_lsh",

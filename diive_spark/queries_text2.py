@@ -17,10 +17,13 @@ from diive_spark.text import curation as CU
 from diive_spark.text import dedup as DD
 from diive_spark.text import graph as GR
 from diive_spark.text import lm as LM
+from diive_spark.text import tfidf as TI
 from diive_spark.queries_text import (
     DUCK_H60,
     DUCK_TOKS,
+    SQL_NEARDUP_CORPUS,
     _documents,
+    _duck_ngrams,
     _neardup_corpus,
     _sql_minhash_body,
     _url_synth_col,
@@ -255,11 +258,131 @@ FROM n LEFT JOIN sc USING (doc_id) ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# tfidf_topk — inverted-index TF-IDF cosine top-k (sparse similarity)
+# ---------------------------------------------------------------------------
+# The sf corpus has a ~31-term vocabulary where every term is near-universal
+# (df ≈ 0.8N), so the query disables max-df pruning (1.0) — the operator's
+# 0.5 default would empty the index; real crawls have heavy-tailed vocab.
+
+_TFIDF_PROBE_MOD = 23
+_TFIDF_K = 5
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    w = TI.tfidf_weights(d, max_df_frac=1.0)
+    probes = w.filter(F.col("doc_id") % _TFIDF_PROBE_MOD == 0)
+    out = TI.tfidf_topk(w.persist(), probes, k=_TFIDF_K)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "rank",
+        "score_e6",
+        "n_shared_terms",
+    ).orderBy("id_a", "rank")
+
+
+SQL_TFIDF_TOPK = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({DUCK_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), w0 AS (
+  SELECT doc_id, term,
+         tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS w_raw
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+  WHERE df <= n_docs * 1.0
+), w AS (
+  SELECT doc_id, term,
+         w_raw / sqrt(sum(w_raw * w_raw)
+                      OVER (PARTITION BY doc_id)) AS weight
+  FROM w0
+), s AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         sum(a.weight * b.weight) AS score,
+         count(*) AS n_shared_terms
+  FROM w a JOIN w b USING (term)
+  WHERE a.doc_id % {_TFIDF_PROBE_MOD} = 0 AND b.doc_id != a.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), r AS (
+  SELECT id_a, id_b, n_shared_terms,
+         CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_e6
+  FROM s
+), rk AS (
+  SELECT id_a, id_b, score_e6, n_shared_terms,
+         row_number() OVER (PARTITION BY id_a
+                            ORDER BY score_e6 DESC, id_b ASC) AS rn
+  FROM r
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(rn AS BIGINT) AS rank, score_e6,
+       CAST(n_shared_terms AS BIGINT) AS n_shared_terms
+FROM rk WHERE rn <= {_TFIDF_K} ORDER BY id_a, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# repeated_spans — cross-doc verbatim span detection (substring-dedup proxy)
+# ---------------------------------------------------------------------------
+# Runs on the neardup corpus (doc ∪ last-word-dropped copy) so long spans
+# genuinely repeat across documents.
+
+_SPAN_TOKENS = 15
+
+
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir)
+    out = CU.repeated_spans(corpus, span_tokens=_SPAN_TOKENS)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_spans",
+        "n_repeated",
+        "repeated_frac_e4",
+        "flag_repeated",
+    ).orderBy("doc_id")
+
+
+SQL_REPEATED_SPANS = f"""
+WITH {SQL_NEARDUP_CORPUS},
+t AS (
+  SELECT doc_id, {DUCK_TOKS} AS toks FROM corpus
+), sp AS (
+  SELECT doc_id,
+         list_distinct(list_transform({_duck_ngrams(_SPAN_TOKENS)},
+                                      s -> {DUCK_H60.format(s='s')})) AS hs
+  FROM t
+), e AS (
+  SELECT doc_id, unnest(hs) AS h FROM sp
+), dfq AS (
+  SELECT h, count(DISTINCT doc_id) AS nd FROM e GROUP BY h
+), p AS (
+  SELECT doc_id, count(*) AS n_spans,
+         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_repeated
+  FROM e JOIN dfq USING (h) GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(n_repeated AS BIGINT) AS n_repeated,
+       CAST(floor(n_repeated * 1.0 / greatest(n_spans, 1) * 1e4 + 0.5)
+            AS BIGINT) AS repeated_frac_e4,
+       CASE WHEN n_repeated * 1.0 / greatest(n_spans, 1) <= 0.5
+            THEN 0 ELSE 2 END AS flag_repeated
+FROM p ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "line_dedup": q_line_dedup,
     "domain_cap": q_domain_cap,
     "lm_bigram_score": q_lm_bigram_score,
+    "tfidf_topk": q_tfidf_topk,
+    "repeated_spans": q_repeated_spans,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -267,4 +390,6 @@ ORACLE_SQL: dict[str, str] = {
     "line_dedup": SQL_LINE_DEDUP,
     "domain_cap": SQL_DOMAIN_CAP,
     "lm_bigram_score": SQL_LM_BIGRAM_SCORE,
+    "tfidf_topk": SQL_TFIDF_TOPK,
+    "repeated_spans": SQL_REPEATED_SPANS,
 }

@@ -36,6 +36,7 @@ __all__ = [
     "line_dedup",
     "extract_domain",
     "domain_cap",
+    "repeated_spans",
 ]
 
 
@@ -490,6 +491,66 @@ def line_dedup(
             ),
             "\n",
         ).alias("text_dedup"),
+    )
+
+
+def repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 15,
+    max_span_frac: float = 0.5,
+) -> DataFrame:
+    """Cross-document repeated-span detection — the blocking-key
+    approximation of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    ``span_tokens``-token window that occurs verbatim in MORE THAN ONE
+    document marks duplicated content (licenses, boilerplate, syndicated
+    articles).  Exact suffix arrays don't distribute; hashed fixed-width
+    spans give the same reject signal with a groupBy — any duplicated
+    substring of >= span_tokens tokens contains at least one duplicated
+    span, so recall on long-form duplication is exact.
+
+    Per doc: distinct span count, how many of those spans also appear in
+    another doc, the repeated fraction (floor-e4), and a 0/2 QCF-style
+    flag when the fraction exceeds ``max_span_frac``.
+
+    Scale shape: one distinct-span hash pass per doc (the same Arrow
+    kernel as the shingle family — 60-bit hashes, never span strings),
+    ONE map-side-combinable groupBy on the span hash for doc-frequency,
+    one broadcast-unfriendly but hash-uniform join back, one per-doc agg.
+    Docs shorter than span_tokens yield their whole text as one span
+    (the shingle floor convention) and compare exactly.
+    """
+    from diive_spark.text.dedup import with_hashed_shingles
+
+    sh = with_hashed_shingles(
+        df.select(id_col, text_col), text_col=text_col, k=span_tokens,
+        out_col="_sp",
+    ).select(F.col(id_col), F.col("_sp"))
+    spans = sh.select(id_col, F.explode("_sp").alias("_h"))
+    docfreq = spans.groupBy("_h").agg(
+        F.count_distinct(id_col).cast("long").alias("_nd")
+    )
+    per_doc = (
+        spans.join(docfreq, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_repeated"),
+        )
+    )
+    frac = F.col("n_repeated") / F.greatest(F.col("n_spans"), F.lit(1))
+    return per_doc.select(
+        F.col(id_col),
+        "n_spans",
+        "n_repeated",
+        _e4(frac).alias("repeated_frac_e4"),
+        F.when(frac <= max_span_frac, F.lit(0)).otherwise(F.lit(2)).alias(
+            "flag_repeated"
+        ),
     )
 
 

@@ -1,0 +1,119 @@
+"""TF-IDF sparse retrieval: inverted-index cosine top-k.
+
+The dense-ANN family (text/similarity.py) needs an embedding column;
+crawl-curation pipelines also want similarity over the RAW TEXT — the
+classic sparse path: TF-IDF weights + an inverted index, where the
+pairwise score is a sum of per-term weight products computed by ONE
+equi-join on the term.  This is how you do "find similar docs" at
+10^12 rows without a vector index: the join only materializes
+(probe, candidate) pairs that SHARE a term, and pruning high-df terms
+(stopword-like, df > max_df_frac·N) both improves the metric and removes
+exactly the skewed hot keys from the shuffle.
+
+Determinism across engines: weights are pure arithmetic on exact integer
+counts, but the per-pair score is an order-dependent float sum — ranking
+happens on the floor-scaled integer ``score_e6`` (repo rounding
+convention) with an id tie-break, so top-k membership is engine-stable.
+
+Reference analog: diive's MaxCovariance "find the best-matching lag"
+(pkgs/flux/detectionlimit usage) is a 1-D similarity search; the web-text
+graft generalizes to document similarity over a learned term weighting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["tfidf_weights", "tfidf_topk"]
+
+
+def tfidf_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """L2-normalized smooth TF-IDF weights, one row per (doc, term).
+
+    idf = ln((N + 1) / (df + 1)) + 1 (sklearn's smooth variant); terms
+    with df > max_df_frac · N are DROPPED before weighting — at crawl
+    scale these near-universal terms dominate both the inverted index's
+    skew and the posting-list volume while carrying no signal.
+
+    Two map-side-combinable aggs (term-freq per doc, doc-freq per term)
+    + one join on the term key; the N scalar rides along as a 1-row
+    cross-joined aggregate, never a driver round-trip.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(n)
+        .filter(F.col("df") <= F.col("n_docs") * F.lit(max_df_frac))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + F.lit(1.0),
+        )
+        .withColumn("w_raw", F.col("tf") * F.col("idf"))
+    )
+    norm = Window.partitionBy(id_col)
+    # w*w, not pow(w, 2): libm pow is not guaranteed bit-equal to the
+    # multiply, and the DuckDB oracle squares by multiplying
+    sq = F.col("w_raw") * F.col("w_raw")
+    return w.withColumn(
+        "weight", F.col("w_raw") / F.sqrt(F.sum(sq).over(norm))
+    ).select(id_col, "term", "tf", "df", "weight")
+
+
+def tfidf_topk(
+    weights: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k most-similar corpus docs per probe doc by TF-IDF cosine.
+
+    ``weights``/``probes`` are :func:`tfidf_weights`-shaped (probes are
+    typically a filter of the same table).  Score(a, b) = Σ_t w_a(t)·w_b(t)
+    over SHARED terms only — the inverted-index join; both sides are
+    L2-normalized so this is exact cosine.  Self-pairs are excluded.
+
+    Ranking is per-probe row_number over (score_e6 desc, id asc) — a
+    partial top-k the optimizer can push below the final sort
+    (WindowGroupLimit), same shape as ann_cosine_topk.
+    """
+    a = probes.select(
+        F.col(id_col).alias("id_a"), "term", F.col("weight").alias("wa")
+    )
+    b = weights.select(
+        F.col(id_col).alias("id_b"), "term", F.col("weight").alias("wb")
+    )
+    scores = (
+        a.join(b, "term")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+        )
+        .withColumn(
+            "score_e6",
+            F.floor(F.col("score") * 1e6 + F.lit(0.5)).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("score_e6").desc(), F.col("id_b").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("id_a", "id_b", "rank", "score_e6", "n_shared_terms")
+    )
