@@ -209,7 +209,10 @@ FROM ranked ORDER BY doc_id
 
 def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _documents(spark, sf_dir).select("doc_id", "text")
-    out = LM.bigram_lm_score(d, d, alpha=1.0)
+    # train once, persist the model table; the start-count marginal and
+    # the scoring join both read the cache instead of re-tokenizing
+    counts = LM.bigram_counts(d).persist()
+    out = LM.bigram_lm_score(d, d, alpha=1.0, counts_df=counts)
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "n_bigrams",
@@ -271,9 +274,13 @@ _TFIDF_K = 5
 
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _documents(spark, sf_dir).select("doc_id", "text")
-    w = TI.tfidf_weights(d, max_df_frac=1.0)
+    # persist BEFORE deriving the two join arms: cache substitution is by
+    # plan equality, and both the corpus side and the probe filter must
+    # resolve to the SAME cached weights table (otherwise the probe arm
+    # hits the cache while the corpus arm recomputes the whole pipeline)
+    w = TI.tfidf_weights(d, max_df_frac=1.0).persist()
     probes = w.filter(F.col("doc_id") % _TFIDF_PROBE_MOD == 0)
-    out = TI.tfidf_topk(w.persist(), probes, k=_TFIDF_K)
+    out = TI.tfidf_topk(w, probes, k=_TFIDF_K)
     return out.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),

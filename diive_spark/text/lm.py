@@ -65,6 +65,7 @@ def bigram_lm_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 1.0,
+    counts_df: DataFrame | None = None,
 ) -> DataFrame:
     """Score every doc by the mean natural-log probability of its bigram
     instances under an add-α bigram model trained on ``ref``:
@@ -78,8 +79,15 @@ def bigram_lm_score(
     ``avg_logprob`` is an order-dependent float mean — emit it rounded
     COARSE (2 decimals) across engines per the repo convention; the
     integer columns are exact.  Docs with <2 tokens score NULL.
+
+    ``counts_df`` injects a precomputed (ideally PERSISTED)
+    :func:`bigram_counts` table.  Catalyst does not share subtrees across
+    join arms, so without it the reference corpus is re-tokenized once
+    for the counts arm and once for the start-count marginal — at crawl
+    scale, train once, persist the model table, and pass it here (the
+    marginal groupBy then reads the cache).
     """
-    counts = bigram_counts(ref, text_col)
+    counts = counts_df if counts_df is not None else bigram_counts(ref, text_col)
     starts = counts.groupBy("w1").agg(F.sum("c_bigram").alias("c_start"))
     vocab = ref.select(
         F.explode(_toks(text_col)).alias("tok")
@@ -96,7 +104,7 @@ def bigram_lm_score(
     scored = (
         inst.join(counts.select("bigram", "c_bigram"), "bigram", "left")
         .join(starts, "w1", "left")
-        .crossJoin(vocab)
+        .crossJoin(F.broadcast(vocab))
         .withColumn(
             "_logp",
             F.log(

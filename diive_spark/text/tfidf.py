@@ -52,11 +52,19 @@ def tfidf_weights(
     tf = toks.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # doc-frequency as a WINDOW over the tf table (each tf row is one
+    # distinct (doc, term)), not a groupBy + join back: Catalyst does not
+    # share common subtrees across join arms, so the join formulation
+    # re-tokenized the whole corpus once per arm — at crawl scale that is
+    # two extra full scans.  The window is one sort-exchange on the term
+    # key over the (much smaller) posting table.
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long")
+    # N from the raw table: a column-pruned count-star (parquet footer
+    # metadata), not a recompute of the explode+agg pipeline
     n = df.agg(F.count(F.lit(1)).alias("n_docs"))
     w = (
-        tf.join(dfreq, "term")
-        .crossJoin(n)
+        tf.withColumn("df", dfreq)
+        .crossJoin(F.broadcast(n))
         .filter(F.col("df") <= F.col("n_docs") * F.lit(max_df_frac))
         .withColumn(
             "idf",
