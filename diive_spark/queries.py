@@ -792,6 +792,7 @@ _FRONT = [
     "lm_bigram_score",
     "tfidf_topk",
     "repeated_spans",
+    "curation_pipeline",
     # round-3 re-verification targets: materially rewritten this round
     "dedup_simhash",
     "dedup_minhash_lsh",

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from diive_spark.text import curation as CU
@@ -26,6 +26,9 @@ from diive_spark.queries_text import (
     _duck_ngrams,
     _neardup_corpus,
     _sql_minhash_body,
+    _SAMPLE_DEFAULT,
+    _SAMPLE_RATES,
+    _SW_EN,
     _url_synth_col,
     _URL_SYNTH_SQL,
 )
@@ -383,6 +386,128 @@ FROM p ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# curation_pipeline — the end-to-end crawl-curation DAG as ONE query
+# ---------------------------------------------------------------------------
+# Gopher quality gate -> URL canonicalization + keep-best -> exact content
+# dedup -> per-domain cap -> stratified sampling: the composition a crawl
+# pipeline actually runs, exercised as a single DataFrame program so the
+# oracle checks the INTERACTION of the stages (order matters: each stage
+# sees only the previous stage's survivors), not just each in isolation.
+# Every stage is a documented standalone query; parameters are shared.
+
+_PIPE_CAP = 12
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).withColumn("url", _url_synth_col())
+    g = CU.gopher_quality_flags(d, min_words=30, min_stopwords=2).filter(
+        F.col("keep") == 1
+    )
+    u = CU.url_keep_best(g, url_col="url", quality_col="n_chars")
+    # exact content dedup, row grain: first doc_id per 60-bit content hash
+    h = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint")
+    wex = Window.partitionBy(h).orderBy("doc_id")
+    e = (
+        u.withColumn("_rn", F.row_number().over(wex))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    c = CU.domain_cap(
+        e, url_col="canon_url", max_per_domain=_PIPE_CAP
+    ).filter(F.col("kept") == 1)
+    s = CU.stratified_sample(
+        c, strata_col="lang", rates=_SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT
+    )
+    return s.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "domain",
+        "canon_url",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "bucket",
+        "rate_e4",
+    ).orderBy("doc_id")
+
+
+_PIPE_RATES_VALUES = ", ".join(
+    f"('{k}', {int(round(v * 10000))})" for k, v in _SAMPLE_RATES.items()
+)
+
+SQL_CURATION_PIPELINE = f"""
+WITH t AS (
+  SELECT doc_id, text, lang, source, n_chars, {_URL_SYNTH_SQL} AS url,
+         {DUCK_TOKS} AS toks
+  FROM documents
+), gq AS (
+  SELECT doc_id, text, lang, n_chars, url FROM t
+  WHERE len(toks) BETWEEN 30 AND 100000
+    AND (list_sum(list_transform(toks, x -> length(x))) * 1.0
+         / greatest(len(toks), 1)) BETWEEN 2.0 AND 12.0
+    AND (length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+         / greatest(length(text), 1)) <= 0.10
+    AND len(list_intersect(list_distinct(toks), {_SW_EN})) >= 2
+), nofrag AS (
+  SELECT *, regexp_replace(url, '#.*', '') AS u FROM gq
+), pre AS (
+  SELECT *, regexp_extract(u, '^([^/]*//[^/?#]*)', 1) AS prefix FROM nofrag
+), canon0 AS (
+  SELECT doc_id, text, lang, n_chars,
+         regexp_replace(lower(prefix), ':(80|443)$', '') AS p,
+         regexp_replace(
+           regexp_replace(substr(u, length(prefix) + 1),
+                          '(utm_[a-z]+|gclid|fbclid)=[^&#]*&?', '', 'g'),
+           '[?&]+$', '') AS r
+  FROM pre
+), canon AS (
+  SELECT doc_id, text, lang, n_chars,
+         p || CASE WHEN contains(r, '?') THEN r
+                   ELSE regexp_replace(r, '/+$', '') END AS canon_url
+  FROM canon0
+), best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY canon_url
+                                 ORDER BY n_chars DESC, doc_id ASC) AS rn
+    FROM canon) WHERE rn = 1
+), uniq AS (
+  SELECT * FROM (
+    SELECT doc_id, text, lang, n_chars, canon_url,
+           row_number() OVER (
+             PARTITION BY {DUCK_H60.format(s='text')}
+             ORDER BY doc_id) AS rn2
+    FROM best) WHERE rn2 = 1
+), dom AS (
+  SELECT doc_id, lang, n_chars, canon_url,
+         regexp_replace(
+           regexp_replace(
+             lower(regexp_extract(canon_url,
+                                  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
+             ':[0-9]+$', ''),
+           '^[^@]*@', '') AS domain,
+         {DUCK_H60.format(s="'domcap:' || CAST(doc_id AS VARCHAR)")} AS dh
+  FROM uniq
+), capped AS (
+  SELECT * FROM (
+    SELECT doc_id, lang, n_chars, canon_url, domain,
+           row_number() OVER (PARTITION BY domain ORDER BY dh, doc_id) AS dr
+    FROM dom) WHERE dr <= {_PIPE_CAP}
+), rates(lang, rate_e4) AS (VALUES {_PIPE_RATES_VALUES}),
+samp AS (
+  SELECT c.doc_id, c.lang, c.domain, c.canon_url, c.n_chars,
+         {DUCK_H60.format(s="'samp:' || CAST(c.doc_id AS VARCHAR)")} % 10000
+           AS bucket,
+         COALESCE(r.rate_e4, {int(round(_SAMPLE_DEFAULT * 10000))}) AS rate_e4
+  FROM capped c LEFT JOIN rates r ON c.lang = r.lang
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, domain, canon_url,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(bucket AS BIGINT) AS bucket, CAST(rate_e4 AS BIGINT) AS rate_e4
+FROM samp WHERE bucket < rate_e4 ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "line_dedup": q_line_dedup,
@@ -390,9 +515,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_bigram_score": q_lm_bigram_score,
     "tfidf_topk": q_tfidf_topk,
     "repeated_spans": q_repeated_spans,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "curation_pipeline": SQL_CURATION_PIPELINE,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "line_dedup": SQL_LINE_DEDUP,
     "domain_cap": SQL_DOMAIN_CAP,

@@ -153,6 +153,25 @@ def test_extract_domain(spark):
     assert got == ["www.example.com", "host.org", "plain.net"]
 
 
+def test_curation_pipeline_funnel(spark, sf_dir):
+    """Every pipeline stage must actually filter at sf0.001 — a stage that
+    passes everything through is a silently-miswired composition."""
+    from diive_spark.queries_text import _documents, _url_synth_col
+    from diive_spark.queries_text2 import q_curation_pipeline
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).withColumn("url", _url_synth_col())
+    total = d.count()
+    g = CU.gopher_quality_flags(d, min_words=30, min_stopwords=2).filter(
+        F.col("keep") == 1
+    )
+    n_quality = g.count()
+    n_canon = CU.url_keep_best(g, url_col="url", quality_col="n_chars").count()
+    final = q_curation_pipeline(spark, sf_dir).count()
+    assert total > n_quality > n_canon > final > 0
+
+
 def test_bigram_lm_score_matches_hand_model(spark):
     docs = spark.createDataFrame(
         [(1, "a b a b"), (2, "a b c"), (3, "z")],
