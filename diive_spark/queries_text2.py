@@ -508,7 +508,28 @@ FROM samp WHERE bucket < rate_e4 ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# bpe_token_stats — train a BPE vocab in-engine, count real subword tokens
+# ---------------------------------------------------------------------------
+# Iterative argmax training is not SQL-expressible -> rows-only driver
+# check; the trainer and the greedy encoder are pinned against an
+# independent pure-Python BPE in tests/test_bpe.py.
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.text import bpe as B
+
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    merges = B.bpe_train(d, num_merges=12, min_freq=2)
+    out = B.bpe_encode_counts(d, merges)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_words"),
+        "n_bpe_tokens",
+    ).orderBy("doc_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bpe_token_stats": q_bpe_token_stats,
     "dedup_clusters": q_dedup_clusters,
     "line_dedup": q_line_dedup,
     "domain_cap": q_domain_cap,
