@@ -53,7 +53,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = DD.jaccard_verify(
         pairs, hs, shingle_col="sh_hashes", threshold=0.6
     )
-    labels = GR.connected_components(verified, src_col="id_a", dst_col="id_b")
+    labels = GR.connected_components(
+        verified, src_col="id_a", dst_col="id_b", num_partitions=8
+    )
     out = GR.cluster_sizes(labels)
     return out.select(
         F.col("node").cast("long").alias("doc_id"),
@@ -519,7 +521,7 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diive_spark.text import bpe as B
 
     d = _documents(spark, sf_dir).select("doc_id", "text")
-    merges = B.bpe_train(d, num_merges=12, min_freq=2)
+    merges = B.bpe_train(d, num_merges=12, min_freq=2, state_partitions=1)
     out = B.bpe_encode_counts(d, merges)
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),

@@ -90,6 +90,7 @@ def bpe_train(
     text_col: str = "text",
     num_merges: int = 20,
     min_freq: int = 2,
+    state_partitions: int | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges; returns [(left, right, freq), ...]
     in rank order.  Stops early when the best pair's frequency drops
@@ -97,8 +98,16 @@ def bpe_train(
 
     Symbols start as characters plus a terminal ``</w>`` marker (the
     original word-boundary variant), so decoding is unambiguous.
+
+    ``state_partitions`` right-sizes the iterated word table: each merge
+    round re-materializes it, so its partition count (not the corpus's)
+    sets the per-round task overhead.  Natural-language vocabularies are
+    tiny next to their corpora — a 31-word fixture belongs on 1
+    partition, a crawl vocabulary on a few hundred.
     """
     wf = word_freqs(df, text_col)
+    if state_partitions:
+        wf = wf.repartition(state_partitions)
     state = wf.select(
         "word",
         "freq",
@@ -142,7 +151,9 @@ def bpe_train(
             _merge_pair_udf()(
                 F.col("syms"), F.lit(l), F.lit(r)
             ).alias("syms"),
-        ).localCheckpoint()
+            # lazy: next iteration's pair-count job materializes it —
+            # eager checkpointing costs one extra job per merge
+        ).localCheckpoint(eager=False)
     return merges
 
 

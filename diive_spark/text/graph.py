@@ -94,6 +94,7 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 30,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Label every node of the undirected graph with the MINIMUM node id
     of its connected component (the deterministic cluster representative).
@@ -108,13 +109,24 @@ def connected_components(
     groupBy-min.  ``max_iter`` is a safety bound — the algorithm provably
     converges in O(log^2 n) rounds (Kiveris et al. 2014, Thm 2); hitting
     the bound raises rather than returning partial clusters.
+
+    ``num_partitions`` right-sizes the per-round shuffles: the edge set
+    is usually orders of magnitude smaller than the corpus that produced
+    it (near-dup pairs, not documents), and every round pays fixed task
+    overhead per partition across ~4 exchanges — size it to the EDGE
+    data, not to the session default (AQE coalesces within a round, but
+    the checkpoint materialization and loop fan-out follow the input
+    partitioning).
     """
     e = _canonical(
         edges.select(
             F.col(src_col).cast("long").alias("a"),
             F.col(dst_col).cast("long").alias("b"),
         )
-    ).localCheckpoint()
+    )
+    if num_partitions:
+        e = e.repartition(num_partitions)
+    e = e.localCheckpoint()
     nodes = (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
@@ -123,7 +135,10 @@ def connected_components(
     )
     fp = _fingerprint(e)
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        # lazy checkpoint: the fingerprint aggregate right below
+        # materializes it inside its own job (eager would add a full
+        # extra materialization job per round)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         nfp = _fingerprint(e)
         if nfp == fp:
             break
