@@ -741,6 +741,11 @@ from diive_spark import queries_text2 as _qt2  # noqa: E402
 QUERIES.update(_qt2.QUERIES)
 ORACLE_SQL.update(_qt2.ORACLE_SQL)
 
+from diive_spark import queries_timeseries as _qts  # noqa: E402
+
+QUERIES.update(_qts.QUERIES)
+ORACLE_SQL.update(_qts.ORACLE_SQL)
+
 # Driver-window ordering: the driver records correctness rows for exactly the
 # first 50 registry entries.  Round-2 verdict: 25 oracle-backed queries sat at
 # positions 50-74 and have never had a driver row — rotate them (plus every
@@ -793,6 +798,7 @@ _FRONT = [
     "tfidf_topk",
     "repeated_spans",
     "curation_pipeline",
+    "asof_join_events",
     # round-3 re-verification targets: materially rewritten this round
     "dedup_simhash",
     "dedup_minhash_lsh",
