@@ -799,6 +799,10 @@ _FRONT = [
     "repeated_spans",
     "curation_pipeline",
     "asof_join_events",
+    "sessionize_events",
+    "funnel_events",
+    "tier_quantile_hist",
+    "perplexity_buckets",
     # round-3 re-verification targets: materially rewritten this round
     "dedup_simhash",
     "dedup_minhash_lsh",

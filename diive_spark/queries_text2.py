@@ -530,8 +530,97 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# perplexity_buckets — CCNet-style head/middle/tail LM-quality partition
+# ---------------------------------------------------------------------------
+# CCNet (Wenzek et al. 2020) splits a crawl into thirds by LM perplexity
+# and trains preferentially on the "head".  Here the LM is the in-engine
+# corpus-trained bigram model (text/lm.py) and the split is NTILE(3) over
+# (rounded score DESC, doc_id) — the tie-break makes the ordering exact
+# across engines; round(2) is the proven-stable emit for this score
+# (lm_bigram_score, driver-green).  Bucket stats are exact integers plus
+# min/max of the already-rounded score.
+#
+# Scale note: the NTILE ranks ONE ROW PER DOC of (score, id) — at crawl
+# scale you would replace the global window with range-partitioned sort +
+# per-partition offsets (Spark's sortWithinPartitions + partition counts)
+# or approximate tertile thresholds; the bucketing contract is unchanged.
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    counts = LM.bigram_counts(d).persist()
+    scored = LM.bigram_lm_score(d, d, alpha=1.0, counts_df=counts)
+    ranked = scored.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        F.round("avg_logprob", 2).alias("lp"),
+    ).withColumn(
+        "bucket",
+        F.ntile(3).over(
+            Window.orderBy(F.desc("lp"), F.col("doc_id"))
+        ).cast("long"),
+    )
+    return ranked.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("lp").alias("min_lp"),
+        F.max("lp").alias("max_lp"),
+    ).orderBy("bucket")
+
+
+_SQL_LM_DOC_SCORES = """
+  t AS (
+    SELECT doc_id, {toks} AS toks FROM documents
+  ), bg AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) >= 2
+                       THEN list_transform(generate_series(1, len(toks) - 1),
+                                           i -> toks[i] || ' ' || toks[i+1])
+                       ELSE CAST([] AS VARCHAR[]) END) AS bigram
+    FROM t
+  ), cb AS (
+    SELECT bigram, count(*) AS c_bigram FROM bg GROUP BY bigram
+  ), cs AS (
+    SELECT split_part(bigram, ' ', 1) AS w1, sum(c_bigram) AS c_start
+    FROM cb GROUP BY 1
+  ), v AS (
+    SELECT count(DISTINCT tok) AS v
+    FROM (SELECT unnest(toks) AS tok FROM t)
+  ), inst AS (
+    SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS w1 FROM bg
+  ), sc AS (
+    SELECT i.doc_id, count(*) AS n_bigrams,
+           avg(ln((COALESCE(cb.c_bigram, 0) + 1.0)
+                  / (COALESCE(cs.c_start, 0) + 1.0 * v.v))) AS lp
+    FROM inst i
+    LEFT JOIN cb USING (bigram)
+    LEFT JOIN cs USING (w1)
+    CROSS JOIN v
+    GROUP BY i.doc_id
+  ), n AS (
+    SELECT doc_id, len(toks) AS n_tokens FROM t
+  )
+"""
+
+SQL_PERPLEXITY_BUCKETS = (
+    "WITH " + _SQL_LM_DOC_SCORES.format(toks=DUCK_TOKS) + """
+, ranked AS (
+  SELECT CAST(n.doc_id AS BIGINT) AS doc_id, n.n_tokens,
+         round(sc.lp, 2) AS lp,
+         NTILE(3) OVER (ORDER BY round(sc.lp, 2) DESC, n.doc_id) AS bucket
+  FROM n LEFT JOIN sc USING (doc_id)
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       MIN(lp) AS min_lp, MAX(lp) AS max_lp
+FROM ranked GROUP BY bucket ORDER BY bucket
+"""
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_stats": q_bpe_token_stats,
+    "perplexity_buckets": q_perplexity_buckets,
     "dedup_clusters": q_dedup_clusters,
     "line_dedup": q_line_dedup,
     "domain_cap": q_domain_cap,
@@ -542,6 +631,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "line_dedup": SQL_LINE_DEDUP,

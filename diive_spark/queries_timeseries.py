@@ -149,12 +149,209 @@ def q_tier_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("hour_idx")
 
 
+# ---------------------------------------------------------------------------
+# sessionize_events — gap-timeout sessions per user (30-min timeout)
+# ---------------------------------------------------------------------------
+
+_SESSION_TIMEOUT_S = 1800
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.sessionize import session_stats
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", _epoch_s("ts").alias("ts_s"), "event_type"
+    )
+    out = session_stats(
+        ev,
+        key_col="user_id",
+        ts_col="ts_s",
+        timeout=_SESSION_TIMEOUT_S,
+        extra_aggs=[
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).cast("long").alias("n_clicks"),
+        ],
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "session_idx",
+        F.col("session_start").cast("long").alias("start_s"),
+        F.col("session_end").cast("long").alias("end_s"),
+        F.col("duration").cast("long").alias("duration_s"),
+        "n_events",
+        "n_clicks",
+    ).orderBy("user_id", "session_idx")
+
+
+SQL_SESSIONIZE = f"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type
+  FROM events
+), g AS (
+  SELECT *, CASE WHEN LAG(ts_s) OVER w IS NULL
+                   OR ts_s - LAG(ts_s) OVER w > {_SESSION_TIMEOUT_S}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)
+), s AS (
+  SELECT *, SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts_s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS session_idx FROM g
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_idx AS BIGINT) AS session_idx,
+       MIN(ts_s) AS start_s, MAX(ts_s) AS end_s,
+       MAX(ts_s) - MIN(ts_s) AS duration_s,
+       COUNT(*) AS n_events,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks
+FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# funnel_events — view → click → purchase conversion funnel
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.funnel import funnel_report
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", _epoch_s("ts").alias("ts_s"), "event_type"
+    )
+    return funnel_report(
+        ev,
+        key_col="user_id",
+        ts_col="ts_s",
+        type_col="event_type",
+        steps=_FUNNEL_STEPS,
+    ).orderBy("step_idx")
+
+
+SQL_FUNNEL = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type
+  FROM events
+), w1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_s END)
+              OVER (PARTITION BY user_id) AS step1_ts
+  FROM ev
+), w2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts_s >= step1_ts
+                     THEN ts_s END)
+              OVER (PARTITION BY user_id) AS step2_ts
+  FROM w1
+), w3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_s >= step2_ts
+                     THEN ts_s END)
+              OVER (PARTITION BY user_id) AS step3_ts
+  FROM w2
+), pk AS (
+  SELECT user_id, MIN(step1_ts) AS s1, MIN(step2_ts) AS s2,
+         MIN(step3_ts) AS s3
+  FROM w3 GROUP BY user_id
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+         COUNT(s1) AS n_keys,
+         CAST(floor(AVG(s1 - s1) * 1000 + 0.5) AS BIGINT)
+           AS mean_s_from_start_ms
+  FROM pk
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'click', COUNT(s2),
+         CAST(floor(AVG(s2 - s1) * 1000 + 0.5) AS BIGINT) FROM pk
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'purchase', COUNT(s3),
+         CAST(floor(AVG(s3 - s1) * 1000 + 0.5) AS BIGINT) FROM pk
+) ORDER BY step_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# tier_quantile_hist — mergeable histogram quantile tiers (minute → hour)
+# ---------------------------------------------------------------------------
+# gmin/gmax are FIXED sketch parameters (any out-of-range value clips into
+# the edge bins), chosen so the bin width 500/128 = 3.90625 is a binary-
+# exact double: every emitted edge is bit-identical across IEEE engines,
+# no rounding convention needed.
+
+_TQ_GMIN, _TQ_GMAX, _TQ_BINS = 0.0, 500.0, 128
+
+
+def q_tier_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.tierquantile import (
+        hist_tier, merge_tier, tier_quantiles,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 60_000_000
+        ).cast("long").alias("m"),
+        "value",
+    )
+    fine = hist_tier(
+        ev, F.col("m"), "value", _TQ_GMIN, _TQ_GMAX, _TQ_BINS
+    )
+    hour = merge_tier(fine, lambda b: F.floor(b / 60).cast("long"))
+    out = tier_quantiles(
+        hour, [0.5, 0.95, 0.99], _TQ_GMIN, _TQ_GMAX, _TQ_BINS
+    )
+    return out.select(
+        F.col("bucket").cast("long").alias("hour_idx"),
+        "n_points", "p50", "p95", "p99",
+    ).orderBy("hour_idx")
+
+
+SQL_TIER_QUANTILE_HIST = f"""
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts) / 60) AS BIGINT) AS m, value FROM events
+), b AS (
+  SELECT m, LEAST({_TQ_BINS - 1}, GREATEST(0,
+           CAST(floor((value - {_TQ_GMIN}) / ({_TQ_GMAX} - {_TQ_GMIN})
+                      * {_TQ_BINS}) AS BIGINT))) AS bin
+  FROM ev
+), fine AS (
+  SELECT m, bin, COUNT(*) AS n FROM b GROUP BY m, bin
+), coarse AS (
+  SELECT CAST(floor(m / 60.0) AS BIGINT) AS bucket, bin,
+         SUM(n) AS n
+  FROM fine GROUP BY 1, 2
+), cum AS (
+  SELECT bucket, bin, n,
+         SUM(n) OVER (PARTITION BY bucket ORDER BY bin) AS cum,
+         SUM(n) OVER (PARTITION BY bucket) AS total
+  FROM coarse
+)
+SELECT CAST(bucket AS BIGINT) AS hour_idx,
+       CAST(MAX(total) AS BIGINT) AS n_points,
+       {_TQ_GMIN} + (MIN(CASE WHEN cum >= CEIL(0.50 * total)
+                              THEN bin END) + 1)
+         * (({_TQ_GMAX} - {_TQ_GMIN}) / {_TQ_BINS}) AS p50,
+       {_TQ_GMIN} + (MIN(CASE WHEN cum >= CEIL(0.95 * total)
+                              THEN bin END) + 1)
+         * (({_TQ_GMAX} - {_TQ_GMIN}) / {_TQ_BINS}) AS p95,
+       {_TQ_GMIN} + (MIN(CASE WHEN cum >= CEIL(0.99 * total)
+                              THEN bin END) + 1)
+         * (({_TQ_GMAX} - {_TQ_GMIN}) / {_TQ_BINS}) AS p99
+FROM cum GROUP BY bucket ORDER BY hour_idx
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": q_asof_join,
+    "sessionize_events": q_sessionize,
+    "funnel_events": q_funnel,
+    "tier_quantile_hist": q_tier_quantile_hist,
     "lttb_downsample": q_lttb_downsample,
     "tier_distinct_hll": q_tier_distinct_hll,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "asof_join_events": SQL_ASOF_JOIN,
+    "sessionize_events": SQL_SESSIONIZE,
+    "funnel_events": SQL_FUNNEL,
+    "tier_quantile_hist": SQL_TIER_QUANTILE_HIST,
 }
