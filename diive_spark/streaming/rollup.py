@@ -202,3 +202,49 @@ def stream_neardup_dedup(
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    timeout_seconds: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming gap-timeout sessionization via the NATIVE
+    ``session_window`` (merging-window state, closed by the watermark) —
+    the incremental twin of the batch ``operators/sessionize.py``: a
+    session's (start, end, n_events) here equals the batch operator's
+    (session_start, session_end, n_events) for the same timeout once the
+    watermark passes, which tests/test_stream_to_tier.py asserts.
+
+    State is bounded: one open window per active (key, session), closed
+    and emitted ``watermark`` after the last event — the
+    applyInPandasWithState escape hatch is unnecessary because gap
+    semantics are exactly what session_window implements.
+    """
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+    src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    wm = src.withWatermark(ts_col, watermark)
+    sess = F.session_window(F.col(ts_col), f"{timeout_seconds} seconds")
+    return (
+        wm.groupBy(F.col(key_col), sess.alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("sw.start").alias("session_start"),
+            # session_window.end is EXCLUSIVE: last event + gap; the
+            # batch operator's session_end is the last event itself
+            (
+                F.unix_micros(F.col("sw.end")) / 1_000_000
+                - timeout_seconds
+            ).cast("long").alias("last_event_s"),
+            "n_events",
+        )
+    )

