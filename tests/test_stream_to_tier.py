@@ -79,6 +79,11 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
         rows.append((1, base + off, 1.0))
     # user 2: single event
     rows.append((2, base + 42, 1.0))
+    # watermark-advancing sentinel: append mode only emits a session once
+    # the watermark passes its (exclusive) end = last event + gap; this
+    # far-future event pushes the final watermark beyond every real
+    # session (its own open session stays in state, which is the point)
+    rows.append((99, base + 50_000, 1.0))
     src = spark.createDataFrame(
         rows, "user_id long, ts_s long, value double"
     ).withColumn("ts", F.timestamp_seconds("ts_s")).drop("ts_s")
@@ -94,10 +99,11 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     got = {
         (r.user_id, r.last_event_s, r.n_events)
         for r in spark.table("sessions_stream").collect()
+        if r.user_id != 99
     }
 
     batch = session_stats(
-        src.select(
+        src.filter(F.col("user_id") != 99).select(
             "user_id",
             (F.unix_micros("ts") / 1_000_000).cast("long").alias("ts_s"),
         ),
