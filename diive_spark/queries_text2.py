@@ -541,24 +541,29 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (lm_bigram_score, driver-green).  Bucket stats are exact integers plus
 # min/max of the already-rounded score.
 #
-# Scale note: the NTILE ranks ONE ROW PER DOC of (score, id) — at crawl
-# scale you would replace the global window with range-partitioned sort +
-# per-partition offsets (Spark's sortWithinPartitions + partition counts)
-# or approximate tertile thresholds; the bucketing contract is unchanged.
+# Scale note: NTILE over Window.orderBy would single-partition the doc
+# table; operators/rank.py::global_row_number is the distributed rank
+# (range exchange + per-partition offsets) and NTILE is recovered from
+# the rank by exact quota arithmetic — bit-identical to SQL NTILE, no
+# single-partition stage anywhere (nulls sort LAST to match DESC NULLS
+# LAST on both engines).
 
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.rank import global_row_number, ntile_from_rank
+
     d = _documents(spark, sf_dir).select("doc_id", "text")
     counts = LM.bigram_counts(d).persist()
     scored = LM.bigram_lm_score(d, d, alpha=1.0, counts_df=counts)
-    ranked = scored.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        "n_tokens",
-        F.round("avg_logprob", 2).alias("lp"),
+    ranked = global_row_number(
+        scored.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_tokens",
+            F.round("avg_logprob", 2).alias("lp"),
+        ).persist(),
+        [F.desc_nulls_last("lp"), F.col("doc_id")],
+        attach_total="n_total",
     ).withColumn(
-        "bucket",
-        F.ntile(3).over(
-            Window.orderBy(F.desc("lp"), F.col("doc_id"))
-        ).cast("long"),
+        "bucket", ntile_from_rank(F.col("rn"), F.col("n_total"), 3)
     )
     return ranked.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

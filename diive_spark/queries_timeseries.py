@@ -340,8 +340,66 @@ FROM cum GROUP BY bucket ORDER BY hour_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# tier_topk_users — per-hour heavy hitters (top-3 by event count)
+# ---------------------------------------------------------------------------
+# groupBy(hour, user) count is map-side combinable; the rank filter
+# compiles to WindowGroupLimit (partial top-k per partition BEFORE the
+# final sort — verified in PLANS.md §28), so no hour's full user list is
+# ever materialized.  Deterministic tie-break by user_id.
+
+_TOPK_N = 3
+
+
+def q_tier_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+        ).cast("long").alias("hour_idx"),
+        "user_id",
+    )
+    counts = ev.groupBy("hour_idx", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    w = Window.partitionBy("hour_idx").orderBy(
+        F.desc("n_events"), F.col("user_id")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _TOPK_N)
+        .select(
+            "hour_idx",
+            "rank",
+            F.col("user_id").cast("long").alias("user_id"),
+            "n_events",
+        )
+        .orderBy("hour_idx", "rank")
+    )
+
+
+SQL_TIER_TOPK_USERS = f"""
+WITH c AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_idx,
+         user_id, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY hour_idx ORDER BY n_events DESC, user_id
+  ) AS rank
+  FROM c
+)
+SELECT hour_idx, CAST(rank AS BIGINT) AS rank,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(n_events AS BIGINT) AS n_events
+FROM r WHERE rank <= {_TOPK_N} ORDER BY hour_idx, rank
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": q_asof_join,
+    "tier_topk_users": q_tier_topk_users,
     "sessionize_events": q_sessionize,
     "funnel_events": q_funnel,
     "tier_quantile_hist": q_tier_quantile_hist,
@@ -351,6 +409,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "asof_join_events": SQL_ASOF_JOIN,
+    "tier_topk_users": SQL_TIER_TOPK_USERS,
     "sessionize_events": SQL_SESSIONIZE,
     "funnel_events": SQL_FUNNEL,
     "tier_quantile_hist": SQL_TIER_QUANTILE_HIST,

@@ -165,3 +165,23 @@ def test_hist_tier_clips_out_of_range(spark):
     fine = hist_tier(df, F.col("m"), "value", 0.0, 500.0, 128)
     bins = sorted(r.bin for r in fine.collect())
     assert bins == [0, 127]
+
+
+def test_skew_report(spark):
+    from diive_spark.operators.skew import (
+        recommended_salt_buckets,
+        skew_report,
+    )
+
+    rows = [("hot", i) for i in range(900)] + [
+        (f"k{j}", j) for j in range(100)
+    ]
+    df = spark.createDataFrame(rows, "url string, x long")
+    rep = skew_report(df, "url", top_n=3, target_rows_per_task=100)
+    assert rep["total_rows"] == 1000 and rep["n_keys"] == 101
+    assert rep["max_key_rows"] == 900
+    assert rep["heavy_keys"][0] == ("hot", 900)
+    assert rep["recommended_salt_buckets"] == 9
+    assert rep["skew_ratio"] > 80
+    assert recommended_salt_buckets(50, 100) == 1
+    assert recommended_salt_buckets(10**12, 5_000_000) == 256  # capped
