@@ -85,12 +85,50 @@ def _merge_pair_udf():
     return _MERGE_UDF
 
 
+def _train_on_counts(
+    wf: list[tuple[str, int]], num_merges: int, min_freq: int
+) -> list[tuple[str, str, int]]:
+    """The merge loop on a collected (word, freq) list — identical
+    semantics to the DataFrame loop (same tie-break, same full-pass
+    rewrite, same min_freq stop), pinned equal in pytest."""
+    states: list[tuple[list[str], int]] = [
+        (list(w) + [END], f) for w, f in wf
+    ]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in states:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        # argmax with (freq desc, left asc, right asc) tie-break
+        (l, r), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if c < min_freq:
+            break
+        merges.append((l, r, c))
+        for idx, (syms, f) in enumerate(states):
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            states[idx] = (out, f)
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 20,
     min_freq: int = 2,
     state_partitions: int | None = None,
+    driver_vocab_threshold: int = 1_000_000,
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges; returns [(left, right, freq), ...]
     in rank order.  Stops early when the best pair's frequency drops
@@ -106,6 +144,21 @@ def bpe_train(
     partition, a crawl vocabulary on a few hundred.
     """
     wf = word_freqs(df, text_col)
+    # Vocabulary cutover — BPE statistics depend on the corpus ONLY
+    # through this table, which Heaps' law keeps vocabulary-bounded (a
+    # full crawl's distinct-word table is ~10^7 rows), so below the
+    # threshold the merge loop runs driver-side on the collected counts
+    # (what single-node BPE trainers do after the same word-count pass)
+    # instead of paying per-round job latency.  The DataFrame loop below
+    # remains the overflow path and stays pinned equal in pytest
+    # (driver_vocab_threshold=0 forces it).
+    n_vocab = wf.count()
+    if n_vocab <= driver_vocab_threshold:
+        rows = wf.collect()
+        return _train_on_counts(
+            [(r["word"], int(r["freq"])) for r in rows],
+            num_merges, min_freq,
+        )
     if state_partitions:
         wf = wf.repartition(state_partitions)
     state = wf.select(

@@ -54,9 +54,18 @@ def _corpus_df(spark):
     )
 
 
-def test_bpe_train_matches_reference(spark):
+import pytest
+
+
+@pytest.mark.parametrize("threshold", [0, 1_000_000])
+def test_bpe_train_matches_reference(spark, threshold):
+    # threshold=0 forces the distributed DataFrame merge loop; the
+    # default takes the vocabulary cutover — both must equal the
+    # independent reference BPE
     df = _corpus_df(spark)
-    got = B.bpe_train(df, num_merges=8, min_freq=2)
+    got = B.bpe_train(
+        df, num_merges=8, min_freq=2, driver_vocab_threshold=threshold
+    )
     want = _ref_bpe(CORPUS_FREQS, num_merges=8, min_freq=2)
     assert got == want
     # sanity on the classic corpus: 'es' ('e','s') is the top first merge
