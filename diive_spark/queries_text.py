@@ -543,6 +543,32 @@ def q_ann_cosine_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# ann_cosine_pq — product-quantized ADC search (rows-only: codes/scores
+# are engine-specific sketch state, like tier_distinct_hll; the ADC math
+# is pinned bit-exact vs a numpy oracle and shortlist-rerank recall >=0.8
+# in tests/test_pq.py)
+# ---------------------------------------------------------------------------
+
+def q_ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.text import pq as PQ
+
+    emb = _embeddings(spark, sf_dir).persist()
+    cb = PQ.train_pq(emb, m=8, k=16, n_iters=2)
+    probes = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < N_PROBES).collect()
+    ]
+    codes = PQ.encode_pq(emb, cb)
+    out = PQ.pq_topk(codes, cb, probes, top_k=TOP_K)
+    return out.select(
+        F.col("probe_id").cast("long").alias("probe_id"),
+        F.col("vec_id").cast("long").alias("cand_id"),
+        F.col("score").alias("adc_score"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("probe_id", "rank")
+
+
 def _duck_cos(p: str, v: str) -> str:
     """Rounded cosine between two list expressions (double math)."""
     return (
@@ -1203,6 +1229,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_cosine_ivf": q_ann_cosine_ivf,
     "ann_cosine_ivf_trained": q_ann_cosine_ivf_trained,
+    "ann_cosine_pq": q_ann_cosine_pq,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frames": q_multimodal_frames,
