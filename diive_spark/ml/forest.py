@@ -229,11 +229,32 @@ def fit_forest(
     min_samples_leaf: int = 3,
     colsample: float = 0.8,
     colsample_bynode: float | None = None,
+    max_features: float | int | str | None = None,
     seed: int = 0,
 ):
     """Random forest: bootstrap weights + per-tree feature subsample;
     ``colsample_bynode`` additionally re-samples the candidate features at
-    EVERY split (sklearn ``max_features`` semantics)."""
+    EVERY split (sklearn ``max_features`` semantics).
+
+    ``max_features`` is the sklearn-spelled alias reference users pass
+    through RandomForestTS kwargs (randomforest_ts.py:251 feeds **kwargs
+    straight to RandomForestRegressor): float fraction, int count,
+    'sqrt'/'log2', or 1.0/None for all features — mapped onto
+    ``colsample_bynode``'s per-split sampling."""
+    if max_features is not None:
+        f_all = X.shape[1]
+        if max_features == "sqrt":
+            frac = np.sqrt(f_all) / f_all
+        elif max_features == "log2":
+            frac = max(1.0, np.log2(f_all)) / f_all
+        elif isinstance(max_features, (int, np.integer)) and not isinstance(
+            max_features, bool
+        ):
+            frac = max_features / f_all
+        else:
+            frac = float(max_features)
+        colsample_bynode = min(1.0, frac)
+        colsample = 1.0  # sklearn samples per split over ALL features
     rng = np.random.default_rng(seed)
     nb = _adaptive_bins(len(y))
     codes, edges = _quantile_bin(X, nb)

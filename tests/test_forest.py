@@ -135,6 +135,38 @@ def test_colsample_bynode_diversifies_root_splits():
     assert r2g > 0.95
 
 
+def test_max_features_sklearn_alias():
+    """The kwarg name reference users actually pass (randomforest_ts.py
+    feeds **kwargs to RandomForestRegressor): float / int / 'sqrt' /
+    'log2' all map onto per-split sampling over ALL features."""
+    rng = np.random.default_rng(21)
+    n = 1500
+    X = rng.uniform(0, 1, (n, 4))
+    y = np.where(X[:, 0] > 0.5, 4.0, 0.0) + X[:, 1]
+
+    # float fraction == explicit colsample_bynode with colsample=1.0
+    a = fit_forest(X, y, n_estimators=8, max_features=0.5, seed=3)
+    b = fit_forest(
+        X, y, n_estimators=8, colsample=1.0, colsample_bynode=0.5, seed=3
+    )
+    np.testing.assert_array_equal(predict(a, X), predict(b, X))
+
+    # int count: 2 of 4 == 0.5
+    c = fit_forest(X, y, n_estimators=8, max_features=2, seed=3)
+    np.testing.assert_array_equal(predict(a, X), predict(c, X))
+
+    # 'sqrt' of 4 features == 2 == 0.5; 'log2' of 4 == 2 as well
+    d = fit_forest(X, y, n_estimators=8, max_features="sqrt", seed=3)
+    e = fit_forest(X, y, n_estimators=8, max_features="log2", seed=3)
+    np.testing.assert_array_equal(predict(a, X), predict(d, X))
+    np.testing.assert_array_equal(predict(a, X), predict(e, X))
+
+    # 1.0 == all features == no mask perturbation
+    f = fit_forest(X, y, n_estimators=8, max_features=1.0, seed=3)
+    g = fit_forest(X, y, n_estimators=8, colsample=1.0, seed=3)
+    np.testing.assert_array_equal(predict(f, X), predict(g, X))
+
+
 def test_predict_on_unseen_rows_uses_frozen_bins():
     rng = np.random.default_rng(7)
     X = rng.uniform(0, 1, (1000, 1))
