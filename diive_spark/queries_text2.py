@@ -339,6 +339,70 @@ FROM rk WHERE rn <= {_TFIDF_K} ORDER BY id_a, rank
 
 
 # ---------------------------------------------------------------------------
+# bm25_topk — Okapi BM25 inverted-index retrieval (the Lucene scoring
+# sibling of tfidf_topk: length-normalized tf saturation + positive idf)
+# ---------------------------------------------------------------------------
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    # persist before deriving the probe arm (same cache-substitution note
+    # as q_tfidf_topk: both join arms must hit the SAME cached postings)
+    imp = TI.bm25_impacts(d, k1=1.2, b=0.75).persist()
+    probes = imp.filter(F.col("doc_id") % _TFIDF_PROBE_MOD == 0)
+    out = TI.bm25_topk(imp, probes, k=_TFIDF_K)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "rank",
+        "score_e6",
+        "n_shared_terms",
+    ).orderBy("id_a", "rank")
+
+
+SQL_BM25_TOPK = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({DUCK_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs,
+         avg(len({DUCK_TOKS})) AS avgdl
+  FROM documents
+), dlt AS (
+  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+), imp AS (
+  SELECT t.doc_id, t.term,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (t.tf * 2.2)
+           / (t.tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS impact
+  FROM tf t JOIN dfq USING (term) JOIN dlt USING (doc_id) CROSS JOIN n
+), s AS (
+  SELECT q.doc_id AS id_a, d.doc_id AS id_b,
+         sum(d.impact) AS score,
+         count(*) AS n_shared_terms
+  FROM (SELECT DISTINCT doc_id, term FROM tf
+        WHERE doc_id % {_TFIDF_PROBE_MOD} = 0) q
+  JOIN imp d USING (term)
+  WHERE d.doc_id != q.doc_id
+  GROUP BY q.doc_id, d.doc_id
+), rk AS (
+  SELECT id_a, id_b, n_shared_terms,
+         CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_e6,
+         row_number() OVER (PARTITION BY id_a
+                            ORDER BY CAST(floor(score * 1e6 + 0.5) AS BIGINT)
+                                     DESC, id_b ASC) AS rn
+  FROM s
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(rn AS BIGINT) AS rank, score_e6,
+       CAST(n_shared_terms AS BIGINT) AS n_shared_terms
+FROM rk WHERE rn <= {_TFIDF_K} ORDER BY id_a, rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # repeated_spans — cross-doc verbatim span detection (substring-dedup proxy)
 # ---------------------------------------------------------------------------
 # Runs on the neardup corpus (doc ∪ last-word-dropped copy) so long spans
@@ -631,6 +695,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_cap": q_domain_cap,
     "lm_bigram_score": q_lm_bigram_score,
     "tfidf_topk": q_tfidf_topk,
+    "bm25_topk": q_bm25_topk,
     "repeated_spans": q_repeated_spans,
     "curation_pipeline": q_curation_pipeline,
 }
@@ -643,5 +708,6 @@ ORACLE_SQL: dict[str, str] = {
     "domain_cap": SQL_DOMAIN_CAP,
     "lm_bigram_score": SQL_LM_BIGRAM_SCORE,
     "tfidf_topk": SQL_TFIDF_TOPK,
+    "bm25_topk": SQL_BM25_TOPK,
     "repeated_spans": SQL_REPEATED_SPANS,
 }

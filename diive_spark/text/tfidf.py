@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["tfidf_weights", "tfidf_topk"]
+__all__ = ["tfidf_weights", "tfidf_topk", "bm25_impacts", "bm25_topk"]
 
 
 def tfidf_weights(
@@ -79,6 +79,109 @@ def tfidf_weights(
     return w.withColumn(
         "weight", F.col("w_raw") / F.sqrt(F.sum(sq).over(norm))
     ).select(id_col, "term", "tf", "df", "weight")
+
+
+def bm25_impacts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 per-(doc, term) impact scores — the precomputed
+    posting-list payload of a Lucene-style index.
+
+    impact(d, t) = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  (the Lucene variant —
+    always positive, so impacts are monotone in tf and safe to prune).
+
+    Same single-pipeline shape as :func:`tfidf_weights`: tf via one
+    explode+agg, df via a window over the posting table (no second corpus
+    scan), dl as a window sum per doc, and the two scalars (N, avgdl)
+    ride along as a broadcast 1-row aggregate.  Everything is codegen
+    column math over exact integer counts — deterministic across engines
+    up to the final ln/divide, which downstream ranking floor-scales.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long")
+    dl = F.sum("tf").over(Window.partitionBy(id_col)).cast("long")
+    # both scalars from ONE cheap scan of the raw table (size(split) is
+    # dl without materializing postings a second time)
+    scalars = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg(
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (1.0 - b + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.withColumn("df", dfreq)
+        .withColumn("dl", dl)
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            "dl",
+            (idf * tf_norm).alias("impact"),
+        )
+    )
+
+
+def bm25_topk(
+    impacts: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k BM25-scored corpus docs per probe doc.
+
+    The probe side contributes its term SET (Lucene semantics: query term
+    frequency is ignored); score(q, d) = Σ_{t ∈ q} impact(d, t) — one
+    equi-join on the term key against the posting table, identical
+    inverted-index shape (and WindowGroupLimit partial top-k) as
+    :func:`tfidf_topk`.  Ranking is on floor-scaled ``score_e6`` with an
+    id tie-break so top-k membership is engine-stable.
+    """
+    q = probes.select(F.col(id_col).alias("id_a"), "term").distinct()
+    d = impacts.select(
+        F.col(id_col).alias("id_b"), "term", "impact"
+    )
+    scores = (
+        q.join(d, "term")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum("impact").alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+        )
+        .withColumn(
+            "score_e6",
+            F.floor(F.col("score") * 1e6 + F.lit(0.5)).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("score_e6").desc(), F.col("id_b").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("id_a", "id_b", "rank", "score_e6", "n_shared_terms")
+    )
 
 
 def tfidf_topk(

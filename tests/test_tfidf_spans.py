@@ -71,6 +71,60 @@ def test_tfidf_topk_exact_cosine(spark):
         assert r["score_e6"] == math.floor(scores[r["id_b"]] * 1e6 + 0.5)
 
 
+def _numpy_bm25(docs, k1=1.2, b=0.75):
+    """Independent Okapi/Lucene BM25: per-(doc, term) impacts."""
+    texts = {i: t.split() for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(t) for t in texts.values()) / n
+    vocab = sorted({w for t in texts.values() for w in t})
+    df = {w: sum(w in set(t) for t in texts.values()) for w in vocab}
+    out = {}
+    for i, toks in texts.items():
+        dl = len(toks)
+        out[i] = {}
+        for w in set(toks):
+            tf = toks.count(w)
+            idf = math.log(1.0 + (n - df[w] + 0.5) / (df[w] + 0.5))
+            out[i][w] = idf * (tf * (k1 + 1)) / (
+                tf + k1 * (1 - b + b * dl / avgdl)
+            )
+    return out
+
+
+def test_bm25_impacts_match_numpy(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = TI.bm25_impacts(df).collect()
+    want = _numpy_bm25(DOCS)
+    assert len(got) == sum(len(v) for v in want.values())
+    for r in got:
+        assert r["impact"] == pytest.approx(
+            want[r["doc_id"]][r["term"]], rel=1e-12
+        )
+
+
+def test_bm25_topk_query_term_set_semantics(spark):
+    """The probe contributes its term SET (query tf ignored): doc 1's
+    repeated 'apple' must not double-count candidate impacts."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    imp = TI.bm25_impacts(df)
+    out = TI.bm25_topk(imp, imp.filter(F.col("doc_id") == 1), k=3).collect()
+    want = _numpy_bm25(DOCS)
+    qterms = set(DOCS[0][1].split())
+
+    def score(b):
+        return sum(v for t, v in want[b].items() if t in qterms)
+
+    scores = {2: score(2), 3: score(3), 4: score(4)}
+    order = sorted(scores, key=lambda d: (-math.floor(scores[d] * 1e6 + 0.5), d))
+    got = sorted(out, key=lambda r: r["rank"])
+    assert [r["id_b"] for r in got] == order
+    for r in got:
+        assert r["score_e6"] == math.floor(scores[r["id_b"]] * 1e6 + 0.5)
+        assert r["n_shared_terms"] == len(
+            qterms & set(want[r["id_b"]])
+        )
+
+
 def test_repeated_spans_flags_verbatim_duplication(spark):
     span = " ".join(f"w{i}" for i in range(15))
     docs = spark.createDataFrame(
