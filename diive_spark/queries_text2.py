@@ -687,6 +687,72 @@ FROM ranked GROUP BY bucket ORDER BY bucket
 )
 
 
+# ---------------------------------------------------------------------------
+# dsir_select — Data Selection with Importance Resampling (hashed n-gram
+# log-ratio scoring vs an in-corpus target; deterministic top-fraction)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 4096
+_DSIR_FRAC = 0.2
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.text import dsir as DS
+
+    d = _documents(spark, sf_dir).select("doc_id", "text", "lang")
+    out = DS.dsir_select(
+        d,
+        is_target=F.col("lang") == "en",
+        keep_frac=_DSIR_FRAC,
+        n_buckets=_DSIR_BUCKETS,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "weight",
+        F.col("selected").cast("long").alias("selected"),
+    ).orderBy("doc_id")
+
+
+SQL_DSIR_SELECT = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({DUCK_TOKS}) AS term,
+         CAST(lang = 'en' AS INT) AS is_t
+  FROM documents
+), bt AS (
+  SELECT doc_id,
+         CAST({DUCK_H60.format(s='term')} % {_DSIR_BUCKETS} AS INT) AS bucket,
+         is_t
+  FROM tok
+), counts AS (
+  SELECT bucket, count(*) AS c_raw, sum(is_t) AS c_tgt FROM bt GROUP BY bucket
+), tot AS (
+  SELECT count(*) AS n_raw, sum(is_t) AS n_tgt FROM bt
+), lr AS (
+  SELECT bucket,
+         ln((c_tgt + 1.0) / (n_tgt + {_DSIR_BUCKETS}.0))
+           - ln((c_raw + 1.0) / (n_raw + {_DSIR_BUCKETS}.0)) AS log_ratio
+  FROM counts CROSS JOIN tot
+), sc AS (
+  SELECT b.doc_id, count(*) AS n_tokens,
+         round(avg(log_ratio), 2) AS weight
+  FROM bt b JOIN lr USING (bucket) GROUP BY b.doc_id
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), rk AS (
+  SELECT doc_id, n_tokens, weight,
+         row_number() OVER (ORDER BY weight DESC, doc_id) AS rk,
+         n_docs
+  FROM sc CROSS JOIN n
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       weight,
+       CAST(rk <= ceil(n_docs * {_DSIR_FRAC}) AS BIGINT) AS selected
+FROM rk ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_stats": q_bpe_token_stats,
     "perplexity_buckets": q_perplexity_buckets,
@@ -696,6 +762,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_bigram_score": q_lm_bigram_score,
     "tfidf_topk": q_tfidf_topk,
     "bm25_topk": q_bm25_topk,
+    "dsir_select": q_dsir_select,
     "repeated_spans": q_repeated_spans,
     "curation_pipeline": q_curation_pipeline,
 }
@@ -709,5 +776,6 @@ ORACLE_SQL: dict[str, str] = {
     "lm_bigram_score": SQL_LM_BIGRAM_SCORE,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "bm25_topk": SQL_BM25_TOPK,
+    "dsir_select": SQL_DSIR_SELECT,
     "repeated_spans": SQL_REPEATED_SPANS,
 }
