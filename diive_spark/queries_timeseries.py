@@ -397,8 +397,136 @@ FROM r WHERE rank <= {_TOPK_N} ORDER BY hour_idx, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# seasonal_decompose — classical additive trend/seasonal/resid split of the
+# hourly rollup (operators/seasonal.py; the tier-anomaly screen's input)
+# ---------------------------------------------------------------------------
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators import seasonal as SEA
+
+    ev = _events(spark, sf_dir)
+    hr = (F.floor(_epoch_s("ts") / 3600) * 3600).cast("long")
+    # hourly rollup first (map-side combinable; input to the window pass
+    # scales with the time span, not event volume); y pre-rounded so both
+    # engines decompose identical doubles
+    hourly = ev.groupBy(hr.alias("ts_s")).agg(
+        F.round(F.avg("value"), 4).alias("y")
+    )
+    out = SEA.classical_decompose(
+        hourly, ts_col="ts_s", value_col="y", period=24
+    )
+    return out.select(
+        "ts_s",
+        "y",
+        F.col("phase").cast("long").alias("phase"),
+        F.round("trend", 2).alias("trend"),
+        F.round("seasonal", 2).alias("seasonal"),
+        F.round("resid", 2).alias("resid"),
+    ).orderBy("ts_s")
+
+
+SQL_SEASONAL_DECOMPOSE = """
+WITH h AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS ts_s,
+         round(avg(value), 4) AS y
+  FROM events GROUP BY 1
+), t AS (
+  SELECT ts_s, y,
+         CAST(ts_s / 3600 AS BIGINT) % 24 AS phase,
+         CASE WHEN count(y) OVER w25 = 25 THEN
+           (sum(y) OVER w25
+              - 0.5 * lag(y, 12) OVER wo
+              - 0.5 * lead(y, 12) OVER wo) / 24.0
+         END AS trend
+  FROM h
+  WINDOW wo AS (ORDER BY ts_s),
+         w25 AS (ORDER BY ts_s ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), s AS (
+  SELECT *,
+         avg(y - trend) OVER (PARTITION BY phase) AS sraw,
+         row_number() OVER (PARTITION BY phase ORDER BY ts_s) AS rn
+  FROM t
+), g AS (
+  SELECT *, sum(CASE WHEN rn = 1 THEN sraw END) OVER () / 24.0 AS grand
+  FROM s
+)
+SELECT ts_s, y, CAST(phase AS BIGINT) AS phase,
+       round(trend, 2) AS trend,
+       round(sraw - grand, 2) AS seasonal,
+       round(y - trend - (sraw - grand), 2) AS resid
+FROM g ORDER BY ts_s
+"""
+
+
+# ---------------------------------------------------------------------------
+# cusum_shift — two-sided CUSUM mean-shift statistics per event type over
+# the hourly rollup (closed-form cumsum − running-min; operators/seasonal.py)
+# ---------------------------------------------------------------------------
+
+def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators import seasonal as SEA
+
+    ev = _events(spark, sf_dir)
+    hr = (F.floor(_epoch_s("ts") / 3600) * 3600).cast("long")
+    hourly = ev.groupBy(
+        "event_type", hr.alias("ts_s")
+    ).agg(F.round(F.avg("value"), 4).alias("y"))
+    out = SEA.cusum_flags(
+        hourly, ts_col="ts_s", value_col="y", by=["event_type"],
+        drift_k=0.5, threshold_h=5.0,
+    )
+    return out.select(
+        "event_type",
+        "ts_s",
+        "y",
+        F.round("s_up", 2).alias("s_up"),
+        F.round("s_dn", 2).alias("s_dn"),
+        F.col("alarm").cast("long").alias("alarm"),
+    ).orderBy("event_type", "ts_s")
+
+
+SQL_CUSUM_SHIFT = """
+WITH h AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS ts_s,
+         round(avg(value), 4) AS y
+  FROM events GROUP BY 1, 2
+), z AS (
+  SELECT event_type, ts_s, y,
+         (y - avg(y) OVER wk) / stddev_samp(y) OVER wk AS zz
+  FROM h
+  WINDOW wk AS (PARTITION BY event_type)
+), c AS (
+  SELECT event_type, ts_s, y,
+         sum(zz - 0.5) OVER wc AS c_up,
+         sum(-zz - 0.5) OVER wc AS c_dn
+  FROM z
+  WINDOW wc AS (PARTITION BY event_type ORDER BY ts_s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s AS (
+  SELECT event_type, ts_s, y,
+         c_up - min(least(c_up, 0.0)) OVER wc AS s_up,
+         c_dn - min(least(c_dn, 0.0)) OVER wc AS s_dn
+  FROM c
+  WINDOW wc AS (PARTITION BY event_type ORDER BY ts_s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, ts_s, y,
+       round(s_up, 2) AS s_up, round(s_dn, 2) AS s_dn,
+       CAST(((s_up > 5.0 AND lag(s_up, 1, 0.0) OVER wo <= 5.0)
+          OR (s_dn > 5.0 AND lag(s_dn, 1, 0.0) OVER wo <= 5.0)) AS BIGINT)
+         AS alarm
+FROM s
+WINDOW wo AS (PARTITION BY event_type ORDER BY ts_s)
+ORDER BY event_type, ts_s
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": q_asof_join,
+    "seasonal_decompose": q_seasonal_decompose,
+    "cusum_shift": q_cusum_shift,
     "tier_topk_users": q_tier_topk_users,
     "sessionize_events": q_sessionize,
     "funnel_events": q_funnel,
@@ -409,6 +537,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "asof_join_events": SQL_ASOF_JOIN,
+    "seasonal_decompose": SQL_SEASONAL_DECOMPOSE,
+    "cusum_shift": SQL_CUSUM_SHIFT,
     "tier_topk_users": SQL_TIER_TOPK_USERS,
     "sessionize_events": SQL_SESSIONIZE,
     "funnel_events": SQL_FUNNEL,
