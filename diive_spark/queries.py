@@ -784,16 +784,11 @@ _FRONT = [
     "random_uncertainty_cumulative",
     "ann_cosine_ivf_trained",
     "quality_filter",
-    "url_canon_dedup",
-    "stratified_sample",
     "dedup_incremental",
     "ngram_repetition",
     "decontaminate_ngram",
     "redact_pii",
-    "shard_pack",
     "dedup_clusters",
-    "line_dedup",
-    "domain_cap",
     "lm_bigram_score",
     "tfidf_topk",
     "repeated_spans",
@@ -804,6 +799,16 @@ _FRONT = [
     "tier_quantile_hist",
     "perplexity_buckets",
     "tier_topk_users",
+    "bm25_topk",
+    "dsir_select",
+    "seasonal_decompose",
+    "cusum_shift",
+    "domain_cap",
+    # NOT in the window (54 never-checked candidates > 50 slots): the four
+    # simplest curation twins — url_canon_dedup, stratified_sample,
+    # shard_pack, line_dedup are plain projections/filters whose oracle
+    # compare passes locally (tools/check_queries.py) and whose semantics
+    # are pytest-pinned; the intricate-SQL queries take the slots.
     # round-3 re-verification target: materially rewritten this round
     # (dedup_minhash_lsh, also rewritten, keeps its r1/r2 driver history
     # and stays outside the 50-entry window — locally oracle-green)
