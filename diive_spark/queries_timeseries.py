@@ -523,7 +523,174 @@ ORDER BY event_type, ts_s
 """
 
 
+# ---------------------------------------------------------------------------
+# counter_rate_tiers — PromQL-style reset-aware increase/rate per (user, hour)
+# (operators/counters.py; the counter analog of the gauge mean tiers)
+# ---------------------------------------------------------------------------
+# Duplicate (user, second) samples are collapsed with max_by(value, event_id)
+# first so the lag order is deterministic in both engines.
+
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.counters import counter_increase
+
+    ev = (
+        _events(spark, sf_dir)
+        .select("user_id", _epoch_s("ts").alias("ts_s"), "event_id", "value")
+        .groupBy("user_id", "ts_s")
+        .agg(F.max_by("value", "event_id").alias("v"))
+    )
+    out = counter_increase(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts_s",
+        value_col="v",
+        bucket=F.floor(F.col("ts_s") / 3600).cast("long"),
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("bucket").alias("hour_idx"),
+        "increase",
+        "rate_per_s",
+        "n_samples",
+        "n_resets",
+    ).orderBy("user_id", "hour_idx")
+
+
+SQL_COUNTER_RATE = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         max_by(value, event_id) AS v
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT user_id, ts_s, v,
+         CAST(floor(ts_s / 3600) AS BIGINT) AS hour_idx,
+         LAG(ts_s) OVER w AS pt,
+         CASE WHEN LAG(v) OVER w IS NULL THEN NULL
+              WHEN v >= LAG(v) OVER w THEN v - LAG(v) OVER w
+              ELSE v END AS delta,
+         CASE WHEN LAG(v) OVER w IS NULL THEN 0
+              WHEN v < LAG(v) OVER w THEN 1 ELSE 0 END AS reset
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, hour_idx,
+       round(sum(delta), 4) AS increase,
+       round(sum(delta)
+             / nullif(CAST(sum(CASE WHEN pt IS NOT NULL
+                                    THEN ts_s - pt END) AS DOUBLE), 0),
+             6) AS rate_per_s,
+       COUNT(*) AS n_samples,
+       CAST(sum(reset) AS BIGINT) AS n_resets
+FROM d GROUP BY 1, 2 ORDER BY user_id, hour_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_hourly — LOCF time-weighted gauge average per (user, hour)
+# (operators/counters.py; timescaledb time_weight('LOCF') analog)
+# ---------------------------------------------------------------------------
+
+def q_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.counters import time_weighted_avg
+
+    ev = (
+        _events(spark, sf_dir)
+        .select("user_id", _epoch_s("ts").alias("ts_s"), "value")
+        .groupBy("user_id", "ts_s")
+        .agg(F.round(F.avg("value"), 4).alias("v"))
+    )
+    out = time_weighted_avg(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts_s",
+        value_col="v",
+        bucket=F.floor(F.col("ts_s") / 3600).cast("long"),
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("bucket").alias("hour_idx"),
+        "twa",
+        "plain_mean",
+        "n_samples",
+    ).orderBy("user_id", "hour_idx")
+
+
+SQL_TIME_WEIGHTED = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         round(avg(value), 4) AS v
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT user_id, CAST(floor(ts_s / 3600) AS BIGINT) AS hour_idx, ts_s, v
+  FROM ev
+), w AS (
+  SELECT *, CAST(LEAD(ts_s) OVER (PARTITION BY user_id, hour_idx
+                                  ORDER BY ts_s) - ts_s AS DOUBLE) AS wgt
+  FROM b
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, hour_idx,
+       round(CASE WHEN sum(wgt) > 0 THEN sum(v * wgt) / sum(wgt)
+                  ELSE avg(v) END, 4) AS twa,
+       round(avg(v), 4) AS plain_mean,
+       COUNT(*) AS n_samples
+FROM w GROUP BY 1, 2 ORDER BY user_id, hour_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# acf_hourly — staggered-series autocorrelation, lags 1..12, per event type
+# (operators/counters.py::acf; one WindowExec builds all lag columns)
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 12
+
+
+def q_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.counters import acf
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(_epoch_s("ts") / 3600).cast("long").alias("hr"),
+    ).agg(F.round(F.avg("value"), 4).alias("y"))
+    out = acf(
+        hourly,
+        key_cols=["event_type"],
+        ts_col="hr",
+        value_col="y",
+        max_lag=_ACF_MAX_LAG,
+    )
+    return out.select("event_type", "lag", "acf", "n_pairs").orderBy(
+        "event_type", "lag"
+    )
+
+
+SQL_ACF_HOURLY = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS hr,
+         round(avg(value), 4) AS y
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, hr, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+  FROM h
+), ks AS (
+  SELECT UNNEST(range(1, {_ACF_MAX_LAG + 1})) AS lag
+)
+SELECT a.event_type, CAST(ks.lag AS BIGINT) AS lag,
+       round(corr(a.y, b.y), 4) AS acf,
+       COUNT(*) AS n_pairs
+FROM r a
+JOIN ks ON true
+JOIN r b ON b.event_type = a.event_type AND b.rn = a.rn - ks.lag
+GROUP BY 1, 2 ORDER BY a.event_type, lag
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "counter_rate_tiers": q_counter_rate,
+    "time_weighted_hourly": q_time_weighted,
+    "acf_hourly": q_acf_hourly,
     "asof_join_events": q_asof_join,
     "seasonal_decompose": q_seasonal_decompose,
     "cusum_shift": q_cusum_shift,
@@ -536,6 +703,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "counter_rate_tiers": SQL_COUNTER_RATE,
+    "time_weighted_hourly": SQL_TIME_WEIGHTED,
+    "acf_hourly": SQL_ACF_HOURLY,
     "asof_join_events": SQL_ASOF_JOIN,
     "seasonal_decompose": SQL_SEASONAL_DECOMPOSE,
     "cusum_shift": SQL_CUSUM_SHIFT,

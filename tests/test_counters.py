@@ -1,0 +1,83 @@
+"""Counter/gauge rollup operators (operators/counters.py) pinned against
+hand-rolled numpy references: reset-aware increase/rate, LOCF
+time-weighted average (single-point fallback), staggered ACF."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from diive_spark.operators.counters import acf, counter_increase, time_weighted_avg
+
+
+def _to_pd(df):
+    return df.toPandas().sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_counter_increase_reset_aware(spark):
+    # one key: monotone ramp, a reset (40 -> 3), then resume; second key
+    # whose first (and only) sample lands alone in its bucket
+    rows = [
+        ("a", 0, 10.0), ("a", 600, 25.0), ("a", 3600, 40.0),
+        ("a", 4200, 3.0), ("a", 7200, 8.0),
+        ("b", 3600, 99.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts_s long, v double")
+    out = counter_increase(
+        df, key_cols=["k"], ts_col="ts_s", value_col="v",
+        bucket=F.floor(F.col("ts_s") / 3600).cast("long"),
+    ).toPandas().set_index(["k", "bucket"]).sort_index()
+
+    # a/bucket0: pairs (10->25)=15; first sample contributes nothing
+    assert out.loc[("a", 0), "increase"] == 15.0
+    assert out.loc[("a", 0), "rate_per_s"] == round(15.0 / 600, 6)
+    assert out.loc[("a", 0), "n_resets"] == 0
+    # a/bucket1: (25->40)=15, (40->3 reset)=3 => 18 over 3000+600 s
+    assert out.loc[("a", 1), "increase"] == 18.0
+    assert out.loc[("a", 1), "n_resets"] == 1
+    assert out.loc[("a", 1), "rate_per_s"] == round(18.0 / 3600, 6)
+    # a/bucket2: (3->8)=5
+    assert out.loc[("a", 2), "increase"] == 5.0
+    # b: only a first sample -> null increase, zero resets (not null)
+    assert pd.isna(out.loc[("b", 1), "increase"])
+    assert out.loc[("b", 1), "n_resets"] == 0
+    assert out.loc[("b", 1), "n_samples"] == 1
+
+
+def test_time_weighted_avg_locf(spark):
+    # value 10 held for 900 s, then 20 for 300 s, last point weight 0
+    rows = [
+        ("a", 0, 10.0), ("a", 900, 20.0), ("a", 1200, 99.0),
+        ("a", 3600, 7.0),  # alone in bucket 1 -> plain-mean fallback
+    ]
+    df = spark.createDataFrame(rows, "k string, ts_s long, v double")
+    out = time_weighted_avg(
+        df, key_cols=["k"], ts_col="ts_s", value_col="v",
+        bucket=F.floor(F.col("ts_s") / 3600).cast("long"),
+    ).toPandas().set_index(["k", "bucket"]).sort_index()
+
+    expect = (10.0 * 900 + 20.0 * 300) / 1200
+    assert out.loc[("a", 0), "twa"] == round(expect, 4)
+    assert out.loc[("a", 0), "plain_mean"] == round((10 + 20 + 99) / 3, 4)
+    assert out.loc[("a", 1), "twa"] == 7.0  # single point -> mean fallback
+
+
+def test_acf_matches_numpy_corrcoef(spark):
+    rng = np.random.RandomState(7)
+    n = 200
+    y = np.sin(np.arange(n) * 2 * np.pi / 24) + rng.normal(0, 0.3, n)
+    pdf = pd.DataFrame({"k": "s", "ts": np.arange(n), "y": np.round(y, 4)})
+    df = spark.createDataFrame(pdf)
+    out = (
+        acf(df, key_cols=["k"], ts_col="ts", value_col="y", max_lag=6)
+        .toPandas().set_index("lag").sort_index()
+    )
+    for k in range(1, 7):
+        a, b = pdf["y"].values[k:], pdf["y"].values[:-k]
+        expect = np.corrcoef(a, b)[0, 1]
+        assert abs(out.loc[k, "acf"] - round(expect, 4)) <= 1e-4
+        assert out.loc[k, "n_pairs"] == n - k
+    # seasonal series: lag-24/2=12 anticorrelation shows up at lag 6? just
+    # sanity: lag-1 autocorrelation of a smooth series is strongly positive
+    assert out.loc[1, "acf"] > 0.5
