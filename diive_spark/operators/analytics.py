@@ -466,10 +466,15 @@ def global_ntile(
        order — a per-bucket local rank plus the bucket's global offset is
        an exact global rank.
     2. Per-bucket ``row_number`` (parallel window, one hash exchange on
-       the bucket id) + driver-side cumulative offsets (≤ ``n_buckets``
-       tiny rows collected) → global row number → closed-form ntile
-       bucket (first ``k % n`` tiles get one extra row, matching
-       Spark/DuckDB/pandas ``qcut``-free ntile).
+       the bucket id) + cumulative bucket offsets computed IN-PLAN from a
+       ≤ ``n_buckets``-row aggregate and broadcast-joined back → global
+       row number → closed-form ntile bucket (first ``k % n`` tiles get
+       one extra row, matching Spark/DuckDB/pandas ``qcut``-free ntile).
+
+    The only eager action is ``approxQuantile`` (one column-pruned scan);
+    the bucket counts, offsets, and the total row count all stay inside
+    the single main job, so the table is scanned twice total — not three
+    times as a driver-side offsets collect would cost.
     """
     range_col = range_col or order_cols[0]
     qs = [i / n_buckets for i in range(1, n_buckets)]
@@ -478,27 +483,33 @@ def global_ntile(
     for i, b in enumerate(bounds):
         bucket = F.when(F.col(range_col) > F.lit(b), F.lit(i + 1)).otherwise(bucket)
     b = df.withColumn("_gb", bucket)
-    counts = {r["_gb"]: r["cnt"] for r in b.groupBy("_gb").agg(F.count("*").alias("cnt")).collect()}
-    total = sum(counts.values())
-    off, offsets = 0, {}
-    for gb in sorted(counts):
-        offsets[gb] = off
-        off += counts[gb]
-    off_col = F.lit(0)
-    for gb, o in offsets.items():
-        off_col = F.when(F.col("_gb") == F.lit(gb), F.lit(o)).otherwise(off_col)
-    w = Window.partitionBy("_gb").orderBy(*order_cols)
-    rn = (F.row_number().over(w) + off_col).cast("long")
-    base, rem = divmod(total, n_tiles)
-    threshold = rem * (base + 1)
-    safe_base = max(base, 1)  # base==0 (k<n) → every row is its own tile
-    tile = F.when(
-        rn <= F.lit(threshold),
-        F.floor((rn - 1) / F.lit(base + 1)) + 1,
-    ).otherwise(
-        F.lit(rem) + F.floor((rn - 1 - F.lit(threshold)) / F.lit(safe_base)) + 1
+    # offsets table: n_buckets tiny rows; the unpartitioned windows are a
+    # single task over <=n_buckets rows regardless of table size
+    cnt = b.groupBy("_gb").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_gb").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    return b.withColumn(out_col, tile.cast("int")).drop("_gb")
+    off = cnt.select(
+        "_gb",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_n").over(w_tot).alias("_total"),
+    )
+    b = b.join(F.broadcast(off), "_gb")
+    w = Window.partitionBy("_gb").orderBy(*order_cols)
+    rn = (F.row_number().over(w) + F.col("_off")).cast("long")
+    base = F.floor(F.col("_total") / n_tiles)
+    rem = F.col("_total") % n_tiles
+    threshold = rem * (base + 1)
+    safe_base = F.greatest(base, F.lit(1))  # base==0 (k<n) → one row per tile
+    tile = F.when(
+        rn <= threshold,
+        F.floor((rn - 1) / (base + 1)) + 1,
+    ).otherwise(rem + F.floor((rn - 1 - threshold) / safe_base) + 1)
+    return (
+        b.withColumn(out_col, tile.cast("int"))
+        .drop("_gb", "_off", "_total")
+    )
 
 
 def combine_first(

@@ -63,24 +63,50 @@ def _banded_self_join(
     key_col: str,
     slot_col: str,
     win_days: int,
+    win_hours: float | None = None,
 ):
     """(target, candidate) pairs within ±win_days on the slot axis via a
     3-bucket band explode — equi-join on (key, bucket), exact range filter
-    after.  Returns the joined frame with columns prefixed a_/b_."""
+    after.  Returns the joined frame with columns prefixed a_/b_.
+
+    When ``win_hours`` is given (and divides a day), the ±win_hours
+    time-of-day window is ALSO banded into the join key: hour-of-day
+    buckets of width win_hours, target exploded to its bucket ±1 mod the
+    day.  Any candidate within the wraparound tod window shares one of
+    those buckets, so the equi-join stays exact while the pair fan-out
+    drops by ~day/(3·win_hours) (≈8× at ±1 h) — the caller's exact
+    ``_tod_cond`` filter then prunes the band remainder.
+    """
     w = win_days * DAY_S
     bkt = F.floor(F.col(slot_col) / w)
     a = targets.withColumn(
         "_bkt", F.explode(F.array(bkt - 1, bkt, bkt + 1))
     )
     b = candidates.withColumn("_bkt", F.floor(F.col(slot_col) / w))
-    cond = (
-        (F.col(f"a.{key_col}") == F.col(f"b.{key_col}"))
-        & (F.col("a._bkt") == F.col("b._bkt"))
-        & (
-            F.abs(F.col(f"b.{slot_col}") - F.col(f"a.{slot_col}"))
-            <= w
+    on = ["_bkt"]
+    tw = int(win_hours * 3600) if win_hours else 0
+    if tw and DAY_S % tw == 0:
+        ntod = DAY_S // tw
+        tb = F.floor(F.pmod(F.col(slot_col), F.lit(DAY_S)) / tw)
+        a = a.withColumn(
+            "_tbkt",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.pmod(tb - 1, F.lit(ntod)), tb, F.pmod(tb + 1, F.lit(ntod))
+                    )
+                )
+            ),
         )
+        b = b.withColumn(
+            "_tbkt", F.floor(F.pmod(F.col(slot_col), F.lit(DAY_S)) / tw)
+        )
+        on = ["_bkt", "_tbkt"]
+    cond = (F.col(f"a.{key_col}") == F.col(f"b.{key_col}")) & (
+        F.abs(F.col(f"b.{slot_col}") - F.col(f"a.{slot_col}")) <= w
     )
+    for c in on:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     return a.alias("a").join(b.alias("b"), cond)
 
 
@@ -104,7 +130,7 @@ def pas20_method1(
     meas = grid.filter(F.col(flux_col).isNotNull()).select(
         key_col, slot_col, flux_col, ta_col, vpd_col, swin_col
     )
-    j = _banded_self_join(meas, meas, key_col, slot_col, win_days)
+    j = _banded_self_join(meas, meas, key_col, slot_col, win_days, win_hours)
     tod_a = F.pmod(F.col(f"a.{slot_col}"), F.lit(DAY_S))
     tod_b = F.pmod(F.col(f"b.{slot_col}"), F.lit(DAY_S))
     sim = (
@@ -154,7 +180,7 @@ def pas20_method2_pass(
         key_col, slot_col, gf_col
     )
     cands = snap.select(key_col, slot_col, gf_col, "randunc")
-    j = _banded_self_join(targets, cands, key_col, slot_col, win_days)
+    j = _banded_self_join(targets, cands, key_col, slot_col, win_days, win_hours)
     tod_a = F.pmod(F.col(f"a.{slot_col}"), F.lit(DAY_S))
     tod_b = F.pmod(F.col(f"b.{slot_col}"), F.lit(DAY_S))
     lo, hi = _flux_sim_bounds(F.col(f"a.{gf_col}"))
@@ -268,10 +294,18 @@ def pas20_random_uncertainty(
     until no record gains a value, then methods 3 and 4.
 
     ``expand_method2``: True runs the reference's data-dependent expanding
-    loop (driver-side convergence checks — each pass localCheckpoints the
-    snapshot so lineage stays bounded; at cluster scale use a real
-    checkpoint dir).  An int runs exactly that many fixed expansion passes
-    (lazy single DAG — what the oracle-backed registry query uses).
+    loop (driver-side convergence checks); an int runs exactly that many
+    fixed expansion passes (what the oracle-backed registry query uses).
+
+    EVERY stage boundary localCheckpoints the snapshot (eager): each
+    stage's plan references ``snap`` three times (the frame itself plus
+    the targets and candidates of its self-join), so an unpinned chain
+    triples the plan per stage — 4 chained stages re-execute the grid
+    ~3^4 times wherever exchange reuse misses.  The checkpoint caps the
+    plan at one stage deep; the snapshot is one row per grid slot, orders
+    of magnitude smaller than the raw table.  At cluster scale point
+    ``spark.checkpoint.dir`` at reliable storage and swap in
+    ``checkpoint()`` for executor-loss resilience.
     """
     snap = pas20_method1(
         grid,
@@ -288,7 +322,8 @@ def pas20_random_uncertainty(
         swin_tol=swin_tol,
     )
     snap = pas20_method2_pass(
-        snap, key_col, slot_col, gf_col, win_days=win2_days, win_hours=win_hours
+        snap.localCheckpoint(eager=True),
+        key_col, slot_col, gf_col, win_days=win2_days, win_hours=win_hours,
     )
     if expand_method2 is True:
         win = win2_days
@@ -305,14 +340,14 @@ def pas20_random_uncertainty(
     else:
         for i in range(int(expand_method2)):
             snap = pas20_method2_pass(
-                snap,
+                snap.localCheckpoint(eager=True),
                 key_col,
                 slot_col,
                 gf_col,
                 win_days=win2_days + 1 + i,
                 win_hours=win_hours,
             )
-    snap = pas20_method3(snap, key_col, slot_col, gf_col)
+    snap = pas20_method3(snap.localCheckpoint(eager=True), key_col, slot_col, gf_col)
     return pas20_method4(snap, key_col, slot_col, gf_col)
 
 

@@ -355,7 +355,13 @@ def signature_store(
     re-read (or re-shingle) historical text.  At 100 TB this table is
     written to storage once per ingest tick and is ~2 orders of magnitude
     smaller than the corpus."""
-    hs = with_hashed_shingles(df.select(id_col, text_col), text_col, k=k)
+    from diive_spark.session import kernel_partition
+
+    # the md5 shingle pass is CPU-bound Python: a single small parquet
+    # file (1-2 scan partitions) would run it one-core — pin the width to
+    # the configured parallelism before the UDF (session.kernel_partition)
+    base = kernel_partition(df.select(id_col, text_col), id_col)
+    hs = with_hashed_shingles(base, text_col, k=k)
     return with_minhash(hs, "sh_hashes", hashed=True).select(
         id_col, "sh_hashes", "minhash"
     )
