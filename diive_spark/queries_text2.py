@@ -753,7 +753,89 @@ FROM rk ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# nb_langid_train — multinomial Naive Bayes over hashed unigrams, trained
+# in-engine on an 80% doc_id split, scored on the 20% holdout
+# (text/classifier.py — the CCNet/fastText quality-router shape; both the
+# TRAINING aggregation and the scoring argmax have exact SQL twins)
+# ---------------------------------------------------------------------------
+
+_NB_BUCKETS = 262_144
+_NB_ALPHA = 1.0
+
+
+def q_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.text.classifier import nb_score, nb_train
+
+    d = _documents(spark, sf_dir).select("doc_id", "text", "lang")
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    test = d.filter(F.col("doc_id") % 5 == 0)
+    model, labels = nb_train(
+        train, "text", "lang", n_buckets=_NB_BUCKETS, alpha=_NB_ALPHA
+    )
+    pred = nb_score(
+        test, model, labels, "doc_id", "text",
+        label_col="lang_m", n_buckets=_NB_BUCKETS,
+    )
+    out = test.select("doc_id", "lang").join(pred, "doc_id")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lang").alias("true_lang"),
+        F.col("pred").alias("pred_lang"),
+        (F.col("pred") == F.col("lang")).cast("long").alias("correct"),
+        F.floor(F.col("score") * 1000 + F.lit(0.5)).cast("long").alias("score_e3"),
+    ).orderBy("doc_id")
+
+
+SQL_NB_LANGID = f"""
+WITH train AS (
+  SELECT lang, {DUCK_TOKS} AS toks FROM documents WHERE doc_id % 5 <> 0
+), test AS (
+  SELECT doc_id, lang, {DUCK_TOKS} AS toks FROM documents WHERE doc_id % 5 = 0
+), tf AS (
+  SELECT lang, {DUCK_H60.format(s='t.tok')} % {_NB_BUCKETS} AS feat
+  FROM train, UNNEST(toks) AS t(tok)
+), counts AS (
+  SELECT lang, feat, COUNT(*) AS c FROM tf GROUP BY 1, 2
+), label_tokens AS (
+  SELECT lang, SUM(c) AS tot FROM counts GROUP BY 1
+), model AS (
+  SELECT c.lang, c.feat,
+         ln((c.c + {_NB_ALPHA}) / (lt.tot + {_NB_ALPHA} * {_NB_BUCKETS})) AS ll
+  FROM counts c JOIN label_tokens lt USING (lang)
+), labels AS (
+  SELECT nd.lang,
+         ln(nd.nd * 1.0 / (SELECT COUNT(*) FROM train)) AS prior,
+         ln({_NB_ALPHA} / (lt.tot + {_NB_ALPHA} * {_NB_BUCKETS})) AS default_ll
+  FROM (SELECT lang, COUNT(*) AS nd FROM train GROUP BY 1) nd
+  JOIN label_tokens lt USING (lang)
+), ttf AS (
+  SELECT doc_id, {DUCK_H60.format(s='t.tok')} % {_NB_BUCKETS} AS feat
+  FROM test, UNNEST(toks) AS t(tok)
+), scored AS (
+  SELECT ttf.doc_id, lb.lang AS lang_m,
+         any_value(lb.prior) + SUM(coalesce(m.ll, lb.default_ll)) AS score
+  FROM ttf CROSS JOIN labels lb
+  LEFT JOIN model m ON m.lang = lb.lang AND m.feat = ttf.feat
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY round(score, 6) DESC, lang_m ASC
+  ) AS rk
+  FROM scored
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       t.lang AS true_lang,
+       r.lang_m AS pred_lang,
+       CAST(r.lang_m = t.lang AS BIGINT) AS correct,
+       CAST(floor(r.score * 1000 + 0.5) AS BIGINT) AS score_e3
+FROM ranked r JOIN test t USING (doc_id)
+WHERE r.rk = 1 ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "nb_langid_train": q_nb_langid,
     "bpe_token_stats": q_bpe_token_stats,
     "perplexity_buckets": q_perplexity_buckets,
     "dedup_clusters": q_dedup_clusters,
@@ -768,6 +850,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "nb_langid_train": SQL_NB_LANGID,
     "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
