@@ -135,6 +135,39 @@ def time_weighted_avg(
     )
 
 
+def ewma_truncated(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    decay: float = 0.75,
+    k: int = 16,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average truncated at the last ``k``
+    rows: ``Σ_j decay^j · y_{t-j} / Σ_j decay^j`` over the lags present
+    (pandas ``ewm(adjust=True)`` restricted to a k-row window — the
+    truncation is what makes the recursion SQL-expressible and therefore
+    oracle-checkable; with decay 0.75 the dropped tail weight is
+    0.75^16 ≈ 1%).
+
+    All ``k`` lags share one window spec, so Spark evaluates them in a
+    SINGLE WindowExec pass with O(1) state — no self-join, no k-pass
+    scan.  Weights are powers of a binary-exact decay (default 3/4)
+    precomputed as literals, so engines agree bit-for-bit and no runtime
+    ``pow`` is involved.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(k):
+        wt = decay**j  # python float: exact for decay with short mantissa
+        lagged = F.col(value_col) if j == 0 else F.lag(value_col, j).over(w)
+        num = num + F.coalesce(lagged * F.lit(wt), F.lit(0.0))
+        den = den + F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    return df.withColumn(out_col, F.round(num / den, 4))
+
+
 def acf(
     df: DataFrame,
     key_cols: Sequence[str],

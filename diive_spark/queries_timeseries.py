@@ -637,6 +637,61 @@ FROM w GROUP BY 1, 2 ORDER BY user_id, hour_idx
 
 
 # ---------------------------------------------------------------------------
+# ewma_hourly — truncated EWMA smoothing of the hourly rollup per event type
+# (operators/counters.py::ewma_truncated; binary-exact 3/4 decay weights)
+# ---------------------------------------------------------------------------
+
+_EWMA_DECAY = 0.75
+_EWMA_K = 16
+
+
+def q_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.counters import ewma_truncated
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(_epoch_s("ts") / 3600).cast("long").alias("hr"),
+    ).agg(F.round(F.avg("value"), 4).alias("y"))
+    out = ewma_truncated(
+        hourly, key_cols=["event_type"], ts_col="hr", value_col="y",
+        decay=_EWMA_DECAY, k=_EWMA_K,
+    )
+    return out.select("event_type", "hr", "y", "ewma").orderBy(
+        "event_type", "hr"
+    )
+
+
+def _sql_ewma() -> str:
+    num = " + ".join(
+        f"coalesce(lag(y, {j}) OVER w * {_EWMA_DECAY**j!r}, 0.0)"
+        if j else f"coalesce(y * 1.0, 0.0)"
+        for j in range(_EWMA_K)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(y, {j}) OVER w IS NOT NULL THEN {_EWMA_DECAY**j!r} ELSE 0.0 END)"
+        if j else "(CASE WHEN y IS NOT NULL THEN 1.0 ELSE 0.0 END)"
+        for j in range(_EWMA_K)
+    )
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS hr,
+         round(avg(value), 4) AS y
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hr, y,
+       round(({num}) / ({den}), 4) AS ewma
+FROM h
+WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+ORDER BY event_type, hr
+"""
+
+
+SQL_EWMA_HOURLY = _sql_ewma()
+
+
+# ---------------------------------------------------------------------------
 # acf_hourly — staggered-series autocorrelation, lags 1..12, per event type
 # (operators/counters.py::acf; one WindowExec builds all lag columns)
 # ---------------------------------------------------------------------------
@@ -691,6 +746,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "counter_rate_tiers": q_counter_rate,
     "time_weighted_hourly": q_time_weighted,
     "acf_hourly": q_acf_hourly,
+    "ewma_hourly": q_ewma_hourly,
     "asof_join_events": q_asof_join,
     "seasonal_decompose": q_seasonal_decompose,
     "cusum_shift": q_cusum_shift,
@@ -706,6 +762,7 @@ ORACLE_SQL: dict[str, str] = {
     "counter_rate_tiers": SQL_COUNTER_RATE,
     "time_weighted_hourly": SQL_TIME_WEIGHTED,
     "acf_hourly": SQL_ACF_HOURLY,
+    "ewma_hourly": SQL_EWMA_HOURLY,
     "asof_join_events": SQL_ASOF_JOIN,
     "seasonal_decompose": SQL_SEASONAL_DECOMPOSE,
     "cusum_shift": SQL_CUSUM_SHIFT,

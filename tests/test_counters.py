@@ -63,6 +63,25 @@ def test_time_weighted_avg_locf(spark):
     assert out.loc[("a", 1), "twa"] == 7.0  # single point -> mean fallback
 
 
+def test_ewma_truncated_matches_numpy(spark):
+    from diive_spark.operators.counters import ewma_truncated
+
+    rng = np.random.RandomState(3)
+    y = np.round(rng.uniform(0, 100, 50), 4)
+    pdf = pd.DataFrame({"k": "s", "ts": np.arange(50), "y": y})
+    out = (
+        ewma_truncated(
+            spark.createDataFrame(pdf), key_cols=["k"], ts_col="ts",
+            value_col="y", decay=0.75, k=16,
+        ).toPandas().sort_values("ts").reset_index(drop=True)
+    )
+    wts = 0.75 ** np.arange(16)
+    for t in [0, 1, 7, 15, 16, 49]:
+        j = np.arange(min(t + 1, 16))
+        expect = (y[t - j] * wts[j]).sum() / wts[j].sum()
+        assert out.loc[t, "ewma"] == round(expect, 4)
+
+
 def test_acf_matches_numpy_corrcoef(spark):
     rng = np.random.RandomState(7)
     n = 200
