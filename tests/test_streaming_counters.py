@@ -1,0 +1,79 @@
+"""Streaming counter-increase partials == batch counter_increase when
+summed per (key, bucket), across multi-batch replay with carried state."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from diive_spark.operators.counters import counter_increase
+from diive_spark.streaming.counters import stream_counter_increase
+
+
+def test_stream_counter_partials_match_batch(spark, sf_dir, tmp_path):
+    # unique (user, second) samples, split into 3 time-ordered files so
+    # state carries last samples across micro-batches
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "user_id",
+            (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+            .cast("long").alias("ts_s"),
+            "event_id", "value",
+        )
+        .groupBy("user_id", "ts_s")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    t0, t1 = ev.agg(F.min("ts_s"), F.max("ts_s")).first()
+    cut1, cut2 = t0 + (t1 - t0) // 3, t0 + 2 * (t1 - t0) // 3
+    src = tmp_path / "cstream"
+    src.mkdir()
+    for i, cond in enumerate([
+        F.col("ts_s") < cut1,
+        (F.col("ts_s") >= cut1) & (F.col("ts_s") < cut2),
+        F.col("ts_s") >= cut2,
+    ]):
+        part = ev.filter(cond).select(
+            "user_id",
+            F.timestamp_seconds("ts_s").alias("ts"),
+            "value",
+        )
+        part.coalesce(1).write.parquet(str(src / f"b{i}.parquet"))
+
+    schema = "user_id LONG, ts TIMESTAMP, value DOUBLE"
+    sdf = stream_counter_increase(
+        spark, str(src) + "/*", schema, bucket_s=3600, max_files_per_trigger=1
+    )
+    q = (
+        sdf.writeStream.format("memory").queryName("cpart")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    merged = (
+        spark.sql("SELECT * FROM cpart")
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.round(F.sum("increase"), 4).alias("increase"),
+            F.sum("pair_span_s").alias("span"),
+            F.sum("n_samples").alias("n_samples"),
+            F.sum("n_resets").alias("n_resets"),
+        )
+    )
+    batch = counter_increase(
+        ev.withColumnRenamed("value", "v"),
+        key_cols=["user_id"], ts_col="ts_s", value_col="v",
+        bucket=F.floor(F.col("ts_s") / 3600).cast("long"),
+    )
+    j = merged.alias("s").join(
+        batch.alias("b"), ["user_id", "bucket"], "full"
+    )
+    n = j.count()
+    assert n == batch.count()  # same (key, bucket) set
+    bad = j.filter(
+        (
+            F.coalesce(F.col("s.increase"), F.lit(-1e18))
+            != F.coalesce(F.col("b.increase"), F.lit(-1e18))
+        )
+        | (F.col("s.n_samples") != F.col("b.n_samples"))
+        | (F.col("s.n_resets") != F.col("b.n_resets"))
+    ).count()
+    assert bad == 0
