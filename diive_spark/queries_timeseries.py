@@ -742,8 +742,35 @@ GROUP BY 1, 2 ORDER BY a.event_type, lag
 """
 
 
+# ---------------------------------------------------------------------------
+# hw_forecast — Holt-Winters additive fit + 24-step forecast per event type
+# (operators/holtwinters.py; rows-only: the level/trend/season recursion is
+# inherently sequential and not SQL-expressible — exactness is pinned
+# kernel==numpy in tests/test_holtwinters.py)
+# ---------------------------------------------------------------------------
+
+def q_hw_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.holtwinters import holt_winters
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type",
+        (F.floor(_epoch_s("ts") / 3600) * 3600).cast("long").alias("ts_s"),
+    ).agg(F.round(F.avg("value"), 4).alias("y"))
+    out = holt_winters(
+        hourly, key_cols=["event_type"], ts_col="ts_s", value_col="y",
+        period=24, horizon=24,
+    )
+    return out.select(
+        "event_type", "ts_s", "kind",
+        F.round("y", 4).alias("y"),
+        F.round("yhat", 4).alias("yhat"),
+    ).orderBy("event_type", "ts_s", "kind")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "counter_rate_tiers": q_counter_rate,
+    "hw_forecast": q_hw_forecast,
     "time_weighted_hourly": q_time_weighted,
     "acf_hourly": q_acf_hourly,
     "ewma_hourly": q_ewma_hourly,
