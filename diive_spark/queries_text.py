@@ -649,6 +649,105 @@ SQL_ANN_COSINE_IVF_TRAINED = _sql_ann_ivf_trained()
 
 
 # ---------------------------------------------------------------------------
+# semantic_dedup — SemDeDup (Abbas et al. 2023): k-means-cluster the
+# embedding space, find near-identical pairs WITHIN each cluster, keep one
+# representative per semantic-duplicate group.
+#
+# Composition of audited pieces: trained IVF cells (spherical k-means as
+# DataFrame jobs) -> per-cell matmul near-dup kernel (vectors cross the
+# wire once per cell, slab-chunked) -> alternating-star connected
+# components -> keep = component minimum.  The oracle unrolls the SAME two
+# k-means iterations in SQL and recomputes components as a recursive-CTE
+# closure, so the full cluster->pair->component->keep chain is
+# engine-checked end to end.
+# ---------------------------------------------------------------------------
+
+SEM_COS_THRES = 0.25  # same P99 same-cluster bar as dedup_embed_cosine
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.text import graph as GR
+
+    emb = _embeddings(spark, sf_dir)
+    seeds = sorted(
+        (
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in emb.filter(F.col("vec_id").isin(CENTROID_IDS))
+            .select("vec_id", "embedding")
+            .collect()
+        ),
+        key=lambda t: t[0],
+    )
+    cents = SIM.train_ivf_kmeans(emb, seeds, n_iters=KMEANS_ITERS)
+    cells = SIM.with_ivf_cell(emb, cents, out_col="cell")
+    pairs = SIM.cosine_neardup_pairs_kernel(
+        cells, "vec_id", "embedding", block_col="cell",
+        threshold=SEM_COS_THRES,
+    )
+    labels = GR.connected_components(
+        pairs, src_col="id_a", dst_col="id_b", num_partitions=8
+    ).withColumnRenamed("node", "vec_id")
+    out = cells.select("vec_id", "cell").join(labels, "vec_id", "left")
+    rep = F.coalesce(F.col("cluster_id"), F.col("vec_id"))
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cell").cast("long").alias("cell"),
+        rep.cast("long").alias("rep_id"),
+        (rep == F.col("vec_id")).cast("long").alias("keep"),
+    ).orderBy("vec_id")
+
+
+def _sql_semantic_dedup() -> str:
+    cos_cv = _duck_cos("c.embedding", "v.embedding")
+    return f"""
+WITH RECURSIVE cents0 AS (
+  SELECT vec_id AS cid, embedding FROM embeddings
+  WHERE vec_id IN ({", ".join(str(i) for i in CENTROID_IDS)})
+), {_sql_kmeans_step("cents0", "a1", "cents1")},
+{_sql_kmeans_step("cents1", "a2", "cents2")},
+cells AS (
+  SELECT vec_id, embedding, cid AS cell FROM (
+    SELECT v.vec_id, v.embedding, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos_cv} DESC, c.cid ASC) AS rn
+    FROM embeddings v CROSS JOIN cents2 c
+  ) WHERE rn = 1
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cells a JOIN cells b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_DUCK_COS_AB_TXT} >= {SEM_COS_THRES}
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(u, v) AS (
+  SELECT u, u AS v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v
+), lab AS (
+  SELECT u AS vec_id, min(v) AS cluster_id FROM reach GROUP BY u
+)
+SELECT CAST(c.vec_id AS BIGINT) AS vec_id,
+       CAST(c.cell AS BIGINT) AS cell,
+       CAST(coalesce(l.cluster_id, c.vec_id) AS BIGINT) AS rep_id,
+       CAST(coalesce(l.cluster_id, c.vec_id) = c.vec_id AS BIGINT) AS keep
+FROM cells c LEFT JOIN lab l USING (vec_id)
+ORDER BY vec_id
+"""
+
+
+_DUCK_COS_AB_TXT = (
+    "round(list_sum(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) "
+    "/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+    "* sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+)
+
+SQL_SEMANTIC_DEDUP = _sql_semantic_dedup()
+
+
+# ---------------------------------------------------------------------------
 # multimodal_decode — Arrow-batch media decode plumbing (rows-only check:
 # mapInPandas with a stubbed codec is not SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -1229,6 +1328,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_cosine_ivf": q_ann_cosine_ivf,
     "ann_cosine_ivf_trained": q_ann_cosine_ivf_trained,
+    "semantic_dedup": q_semantic_dedup,
     "ann_cosine_pq": q_ann_cosine_pq,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_resize": q_multimodal_resize,
@@ -1254,5 +1354,6 @@ ORACLE_SQL: dict[str, str] = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_cosine_ivf": SQL_ANN_COSINE_IVF,
     "ann_cosine_ivf_trained": SQL_ANN_COSINE_IVF_TRAINED,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
     # multimodal_decode: mapInPandas pipeline — rows-only check
 }
