@@ -768,8 +768,77 @@ def q_hw_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "ts_s", "kind")
 
 
+# ---------------------------------------------------------------------------
+# interval_join_sessions — point-in-interval containment join: each click
+# event attached to the gap-timeout session that contains it
+# (operators/intervaljoin.py; bucket-banded equi-join, no theta-join BNL)
+# ---------------------------------------------------------------------------
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.intervaljoin import point_in_interval_join
+    from diive_spark.operators.sessionize import session_stats
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", _epoch_s("ts").alias("ts_s"), "event_type"
+    )
+    sessions = session_stats(
+        ev, key_col="user_id", ts_col="ts_s", timeout=_SESSION_TIMEOUT_S
+    ).select(
+        "user_id",
+        F.col("session_idx"),
+        F.col("session_start").cast("long").alias("start_s"),
+        F.col("session_end").cast("long").alias("end_s"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_s"
+    )
+    out = point_in_interval_join(
+        clicks, sessions, key_col="user_id", ts_col="ts_s",
+        start_col="start_s", end_col="end_s", bucket_s=3600,
+    )
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts_s",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "start_s",
+        "end_s",
+    ).orderBy("event_id")
+
+
+SQL_INTERVAL_JOIN = f"""
+WITH ev AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         event_type
+  FROM events
+), g AS (
+  SELECT *, CASE WHEN LAG(ts_s) OVER w IS NULL
+                   OR ts_s - LAG(ts_s) OVER w > {_SESSION_TIMEOUT_S}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)
+), s AS (
+  SELECT *, SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts_s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS session_idx FROM g
+), sessions AS (
+  SELECT user_id, session_idx, MIN(ts_s) AS start_s, MAX(ts_s) AS end_s
+  FROM s GROUP BY user_id, session_idx
+)
+SELECT CAST(c.event_id AS BIGINT) AS event_id,
+       CAST(c.user_id AS BIGINT) AS user_id, c.ts_s,
+       CAST(v.session_idx AS BIGINT) AS session_idx,
+       v.start_s, v.end_s
+FROM ev c JOIN sessions v
+  ON v.user_id = c.user_id AND c.ts_s BETWEEN v.start_s AND v.end_s
+WHERE c.event_type = 'click'
+ORDER BY event_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "counter_rate_tiers": q_counter_rate,
+    "interval_join_sessions": q_interval_join,
     "hw_forecast": q_hw_forecast,
     "time_weighted_hourly": q_time_weighted,
     "acf_hourly": q_acf_hourly,
@@ -787,6 +856,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "counter_rate_tiers": SQL_COUNTER_RATE,
+    "interval_join_sessions": SQL_INTERVAL_JOIN,
     "time_weighted_hourly": SQL_TIME_WEIGHTED,
     "acf_hourly": SQL_ACF_HOURLY,
     "ewma_hourly": SQL_EWMA_HOURLY,

@@ -1,0 +1,71 @@
+"""Point-in-interval join (operators/intervaljoin.py): containment,
+overlapping intervals, bucket-boundary spanning, left-join nulls, and the
+degenerate-span guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from diive_spark.operators.intervaljoin import point_in_interval_join
+
+
+def _frames(spark):
+    pts = spark.createDataFrame(
+        [(1, "a", 50), (2, "a", 150), (3, "a", 9_999), (4, "b", 75)],
+        "pid long, k string, ts long",
+    )
+    iv = spark.createDataFrame(
+        [
+            ("a", 101, 0, 100),       # contains pid 1
+            ("a", 102, 40, 200),      # overlaps: contains pid 1 AND 2
+            ("b", 201, 0, 100),       # contains pid 4 (other key)
+        ],
+        "k string, iid long, s long, e long",
+    )
+    return pts, iv
+
+
+def test_containment_and_overlap(spark):
+    pts, iv = _frames(spark)
+    out = point_in_interval_join(
+        pts, iv, key_col="k", ts_col="ts", start_col="s", end_col="e",
+        bucket_s=60,
+    ).toPandas()
+    got = sorted(zip(out["pid"], out["iid"]))
+    assert got == [(1, 101), (1, 102), (2, 102), (4, 201)]
+
+
+def test_bucket_boundary_span(spark):
+    # interval [59, 61] spans two 60s buckets; points in each must match
+    pts = spark.createDataFrame(
+        [(1, "a", 59), (2, "a", 61), (3, "a", 62)], "pid long, k string, ts long"
+    )
+    iv = spark.createDataFrame([("a", 9, 59, 61)], "k string, iid long, s long, e long")
+    out = point_in_interval_join(
+        pts, iv, key_col="k", ts_col="ts", start_col="s", end_col="e",
+        bucket_s=60,
+    ).toPandas()
+    assert sorted(out["pid"]) == [1, 2]
+
+
+def test_left_join_keeps_uncontained(spark):
+    pts, iv = _frames(spark)
+    out = point_in_interval_join(
+        pts, iv, key_col="k", ts_col="ts", start_col="s", end_col="e",
+        bucket_s=60, how="left",
+    ).toPandas()
+    orphan = out[out["pid"] == 3]
+    assert len(orphan) == 1 and orphan["iid"].isna().all()
+
+
+def test_degenerate_span_raises(spark):
+    pts, _ = _frames(spark)
+    iv = spark.createDataFrame(
+        [("a", 9, 0, 10_000_000)], "k string, iid long, s long, e long"
+    )
+    with pytest.raises(Exception, match="spans more than"):
+        point_in_interval_join(
+            pts, iv, key_col="k", ts_col="ts", start_col="s", end_col="e",
+            bucket_s=60, max_span_buckets=100,
+        ).count()
