@@ -63,6 +63,40 @@ def test_time_weighted_avg_locf(spark):
     assert out.loc[("a", 1), "twa"] == 7.0  # single point -> mean fallback
 
 
+def test_counter_bucket_sums_invariant_to_width(spark):
+    """Partition property: bucket increases/resets sum to the whole-series
+    totals at ANY bucket width (pairs are attributed to exactly one
+    bucket), on randomized counter-with-resets data."""
+    rng = np.random.RandomState(9)
+    rows = []
+    for k in "xy":
+        v, t = 0.0, 0
+        for _ in range(300):
+            t += int(rng.randint(1, 900))
+            v = 0.0 if rng.rand() < 0.05 else v + float(rng.randint(0, 50))
+            rows.append((k, t, v))
+    df = spark.createDataFrame(rows, "k string, ts_s long, v double")
+    totals = {}
+    for width in (3600, 86400, 10**9):
+        out = (
+            counter_increase(
+                df, key_cols=["k"], ts_col="ts_s", value_col="v",
+                bucket=F.floor(F.col("ts_s") / width).cast("long"),
+            )
+            .groupBy("k")
+            .agg(
+                F.round(F.sum("increase"), 4).alias("inc"),
+                F.sum("n_resets").alias("resets"),
+                F.sum("n_samples").alias("n"),
+            )
+            .toPandas().set_index("k").sort_index()
+        )
+        totals[width] = out
+    a, b, c = totals[3600], totals[86400], totals[10**9]
+    assert a.equals(b) and b.equals(c)
+    assert int(a.loc["x", "n"]) == 300
+
+
 def test_ewma_truncated_matches_numpy(spark):
     from diive_spark.operators.counters import ewma_truncated
 

@@ -59,6 +59,39 @@ def test_left_join_keeps_uncontained(spark):
     assert len(orphan) == 1 and orphan["iid"].isna().all()
 
 
+def test_randomized_matches_naive_theta_join(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(42)
+    n_pts, n_iv = 400, 60
+    pts = pd.DataFrame(
+        {
+            "pid": np.arange(n_pts),
+            "k": rng.choice(list("abc"), n_pts),
+            "ts": rng.randint(0, 5000, n_pts),
+        }
+    )
+    s = rng.randint(0, 4500, n_iv)
+    iv = pd.DataFrame(
+        {
+            "k": rng.choice(list("abc"), n_iv),
+            "iid": np.arange(n_iv),
+            "s": s,
+            "e": s + rng.randint(0, 800, n_iv),
+        }
+    )
+    got = point_in_interval_join(
+        spark.createDataFrame(pts), spark.createDataFrame(iv),
+        key_col="k", ts_col="ts", start_col="s", end_col="e", bucket_s=250,
+    ).toPandas()
+    naive = pts.merge(iv, on="k")
+    naive = naive[(naive["ts"] >= naive["s"]) & (naive["ts"] <= naive["e"])]
+    assert sorted(zip(got["pid"], got["iid"])) == sorted(
+        zip(naive["pid"], naive["iid"])
+    )
+
+
 def test_degenerate_span_raises(spark):
     pts, _ = _frames(spark)
     iv = spark.createDataFrame(
