@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from diive_spark.operators.asofjoin import asof_join_backward
@@ -836,8 +836,96 @@ ORDER BY event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# crawl_change_rate — recrawl change detection over the north-rule page key
+# (url, warc_ts): per url, crawl count, content-change count (hash != previous
+# hash), change rate, and median recrawl interval.  The crawl history is
+# synthesized DETERMINISTICALLY from documents (5 recrawls per url; text
+# mutated on a fixed schedule) so both engines derive the identical table —
+# the pattern every perturbed-corpus dedup query uses.
+# ---------------------------------------------------------------------------
+
+_CRAWLS_PER_URL = 5
+_CRAWL_STEP_S = 86_400  # daily recrawl
+
+
+def q_crawl_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    crawls = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_CRAWLS_PER_URL - 1))
+        ).alias("crawl_idx"),
+    ).select(
+        F.concat(F.lit("https://site"), (F.col("doc_id") % 50).cast("string"),
+                 F.lit("/p"), F.col("doc_id").cast("string")).alias("url"),
+        (F.col("doc_id") * 7 % 1000 + F.col("crawl_idx") * _CRAWL_STEP_S)
+        .cast("long").alias("warc_ts_s"),
+        # the page content changes on crawls where (doc_id + crawl_idx) % 3
+        # == 0: a deterministic edit both engines replicate exactly
+        F.when(
+            (F.col("doc_id") + F.col("crawl_idx")) % 3 == 0,
+            F.concat(F.col("text"), F.lit(" v"),
+                     F.col("crawl_idx").cast("string")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    w = Window.partitionBy("url").orderBy("warc_ts_s")
+    h = F.md5("text")
+    changed = (
+        F.lag(h).over(w).isNotNull() & (h != F.lag(h).over(w))
+    ).cast("long")
+    gap = F.col("warc_ts_s") - F.lag("warc_ts_s").over(w)
+    per_crawl = crawls.select(
+        "url", "warc_ts_s", changed.alias("chg"), gap.alias("gap_s")
+    )
+    return (
+        per_crawl.groupBy("url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_crawls"),
+            F.sum("chg").cast("long").alias("n_changes"),
+            F.round(F.sum("chg") / (F.count(F.lit(1)) - 1), 4).alias(
+                "change_rate"
+            ),
+            F.expr("percentile(gap_s, 0.5)").cast("long").alias(
+                "median_interval_s"
+            ),
+        )
+        .orderBy("url")
+    )
+
+
+SQL_CRAWL_CHANGE_RATE = f"""
+WITH crawls AS (
+  SELECT 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+           || '/p' || CAST(doc_id AS VARCHAR) AS url,
+         CAST((doc_id * 7) % 1000 + ci.crawl_idx * {_CRAWL_STEP_S} AS BIGINT)
+           AS warc_ts_s,
+         CASE WHEN (doc_id + ci.crawl_idx) % 3 = 0
+              THEN text || ' v' || CAST(ci.crawl_idx AS VARCHAR)
+              ELSE text END AS text
+  FROM documents,
+       (SELECT UNNEST(range({_CRAWLS_PER_URL})) AS crawl_idx) ci
+), per AS (
+  SELECT url, warc_ts_s,
+         CAST(LAG(md5(text)) OVER w IS NOT NULL
+              AND md5(text) <> LAG(md5(text)) OVER w AS BIGINT) AS chg,
+         warc_ts_s - LAG(warc_ts_s) OVER w AS gap_s
+  FROM crawls WINDOW w AS (PARTITION BY url ORDER BY warc_ts_s)
+)
+SELECT url, COUNT(*) AS n_crawls,
+       CAST(SUM(chg) AS BIGINT) AS n_changes,
+       round(SUM(chg) * 1.0 / (COUNT(*) - 1), 4) AS change_rate,
+       CAST(quantile_cont(gap_s, 0.5) AS BIGINT) AS median_interval_s
+FROM per GROUP BY url ORDER BY url
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "counter_rate_tiers": q_counter_rate,
+    "crawl_change_rate": q_crawl_change_rate,
     "interval_join_sessions": q_interval_join,
     "hw_forecast": q_hw_forecast,
     "time_weighted_hourly": q_time_weighted,
@@ -856,6 +944,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "counter_rate_tiers": SQL_COUNTER_RATE,
+    "crawl_change_rate": SQL_CRAWL_CHANGE_RATE,
     "interval_join_sessions": SQL_INTERVAL_JOIN,
     "time_weighted_hourly": SQL_TIME_WEIGHTED,
     "acf_hourly": SQL_ACF_HOURLY,
