@@ -179,7 +179,16 @@ def pas20_method2_pass(
     targets = snap.filter(F.col("randunc").isNull()).select(
         key_col, slot_col, gf_col
     )
-    cands = snap.select(key_col, slot_col, gf_col, "randunc")
+    # Candidates with NULL uncertainty contribute nothing to either
+    # aggregate below (count/percentile skip nulls), and every target is
+    # its own in-window flux-similar candidate (Δt = 0, |gf − gf| = 0 <
+    # max(0.2·gf, 2) > 0), so the per-target group always exists in the
+    # unfiltered join — pre-filtering nulls and coalescing the count to 0
+    # is EXACT while shrinking the join build side from the full snapshot
+    # to only the already-filled rows (a few % right after method 1).
+    cands = snap.filter(F.col("randunc").isNotNull()).select(
+        key_col, slot_col, gf_col, "randunc"
+    )
     j = _banded_self_join(targets, cands, key_col, slot_col, win_days, win_hours)
     tod_a = F.pmod(F.col(f"a.{slot_col}"), F.lit(DAY_S))
     tod_b = F.pmod(F.col(f"b.{slot_col}"), F.lit(DAY_S))
@@ -209,7 +218,9 @@ def pas20_method2_pass(
     )
     out = out.withColumn(
         "n_method2",
-        F.when(F.col("randunc").isNull(), F.col("_n2")).otherwise(prior_n2),
+        F.when(
+            F.col("randunc").isNull(), F.coalesce(F.col("_n2"), F.lit(0))
+        ).otherwise(prior_n2),
     )
     return out.withColumn(
         "randunc", F.coalesce(F.col("randunc"), F.col("_m2"))
@@ -223,7 +234,14 @@ def pas20_method3(
     targets = snap.filter(F.col("randunc").isNull()).select(
         key_col, slot_col, gf_col
     )
-    cands = snap.select(
+    # Same exact null-candidate elision as method 2: null-uncertainty rows
+    # are invisible to count/percentile, and the self-match (every target
+    # is flux-similar to itself) guarantees the unfiltered group exists —
+    # so filter them out and coalesce the count to 0.  This turns the
+    # reference's per-key ALL-PAIRS flux-similarity join (targets × full
+    # snapshot — the ladder's quadratic wall when method 1 fills little)
+    # into targets × already-filled-rows, typically 30-50× smaller.
+    cands = snap.filter(F.col("randunc").isNotNull()).select(
         F.col(key_col).alias("_k"),
         F.col(gf_col).alias("_gf"),
         F.col("randunc").alias("_ru"),
@@ -234,14 +252,21 @@ def pas20_method3(
         .filter((F.col("_gf") >= lo) & (F.col("_gf") <= hi))
         .groupBy(key_col, slot_col)
         .agg(
-            F.count("_ru").alias("n_method3"),
+            F.count("_ru").alias("_n3"),
             F.expr("percentile(_ru, 0.5)").alias("_m3"),
         )
     )
     out = snap.join(med, [key_col, slot_col], "left")
-    return out.withColumn(
-        "randunc", F.coalesce(F.col("randunc"), F.col("_m3"))
-    ).drop("_m3")
+    return (
+        out.withColumn(
+            "n_method3",
+            F.when(
+                F.col("randunc").isNull(), F.coalesce(F.col("_n3"), F.lit(0))
+            ),
+        )
+        .withColumn("randunc", F.coalesce(F.col("randunc"), F.col("_m3")))
+        .drop("_m3", "_n3")
+    )
 
 
 def pas20_method4(
