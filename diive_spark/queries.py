@@ -746,6 +746,11 @@ from diive_spark import queries_timeseries as _qts  # noqa: E402
 QUERIES.update(_qts.QUERIES)
 ORACLE_SQL.update(_qts.ORACLE_SQL)
 
+from diive_spark import queries_trend as _qtr  # noqa: E402
+
+QUERIES.update(_qtr.QUERIES)
+ORACLE_SQL.update(_qtr.ORACLE_SQL)
+
 # Driver-window ordering: the driver records correctness rows for exactly the
 # first 50 registry entries.  Round-2 verdict: 25 oracle-backed queries sat at
 # positions 50-74 and have never had a driver row — rotate them (plus every

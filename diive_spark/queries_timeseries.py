@@ -849,11 +849,13 @@ _CRAWLS_PER_URL = 5
 _CRAWL_STEP_S = 86_400  # daily recrawl
 
 
-def q_crawl_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _crawl_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (url, warc_ts_s, text) recrawl table both engines
+    derive identically — see q_crawl_change_rate."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
-    crawls = d.select(
+    return d.select(
         "doc_id",
         "text",
         F.explode(
@@ -872,6 +874,10 @@ def q_crawl_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("crawl_idx").cast("string")),
         ).otherwise(F.col("text")).alias("text"),
     )
+
+
+def q_crawl_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    crawls = _crawl_history(spark, sf_dir)
     w = Window.partitionBy("url").orderBy("warc_ts_s")
     h = F.md5("text")
     changed = (
@@ -923,9 +929,74 @@ FROM per GROUP BY url ORDER BY url
 """
 
 
+# ---------------------------------------------------------------------------
+# scd2_url_versions — SCD Type-2 content-version intervals per url from the
+# same deterministic recrawl history: consecutive runs of identical content
+# collapse to (url, version_no, valid_from, valid_to, n_obs), half-open.
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_url_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.scd import scd2_versions
+
+    crawls = _crawl_history(spark, sf_dir).select(
+        "url", "warc_ts_s", F.md5("text").alias("fp")
+    )
+    out = scd2_versions(crawls, "url", "warc_ts_s", "fp")
+    return out.select(
+        "url",
+        "version_no",
+        F.col("valid_from").alias("valid_from_s"),
+        F.col("valid_to").alias("valid_to_s"),
+        F.col("_last_seen").alias("last_seen_s"),
+        "fp",
+        "n_obs",
+    ).orderBy("url", "version_no")
+
+
+_SQL_CRAWLS_CTE = f"""
+crawls AS (
+  SELECT 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+           || '/p' || CAST(doc_id AS VARCHAR) AS url,
+         CAST((doc_id * 7) % 1000 + ci.crawl_idx * {_CRAWL_STEP_S} AS BIGINT)
+           AS warc_ts_s,
+         CASE WHEN (doc_id + ci.crawl_idx) % 3 = 0
+              THEN text || ' v' || CAST(ci.crawl_idx AS VARCHAR)
+              ELSE text END AS text
+  FROM documents,
+       (SELECT UNNEST(range({_CRAWLS_PER_URL})) AS crawl_idx) ci
+)
+"""
+
+SQL_SCD2_URL_VERSIONS = f"""
+WITH {_SQL_CRAWLS_CTE},
+obs AS (
+  SELECT url, warc_ts_s, md5(text) AS fp FROM crawls
+), flagged AS (
+  SELECT url, warc_ts_s, fp,
+         CAST(LAG(fp) OVER w IS NULL OR fp <> LAG(fp) OVER w AS BIGINT) AS chg
+  FROM obs WINDOW w AS (PARTITION BY url ORDER BY warc_ts_s)
+), runs AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY url ORDER BY warc_ts_s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver
+  FROM flagged
+), per AS (
+  SELECT url, ver AS version_no, min(warc_ts_s) AS valid_from_s,
+         max(warc_ts_s) AS last_seen_s, min(fp) AS fp, count(*) AS n_obs
+  FROM runs GROUP BY 1, 2
+)
+SELECT url, version_no, valid_from_s,
+       LEAD(valid_from_s) OVER (PARTITION BY url ORDER BY version_no)
+         AS valid_to_s,
+       last_seen_s, fp, n_obs
+FROM per ORDER BY url, version_no
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "counter_rate_tiers": q_counter_rate,
     "crawl_change_rate": q_crawl_change_rate,
+    "scd2_url_versions": q_scd2_url_versions,
     "interval_join_sessions": q_interval_join,
     "hw_forecast": q_hw_forecast,
     "time_weighted_hourly": q_time_weighted,
@@ -945,6 +1016,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE_SQL: dict[str, str] = {
     "counter_rate_tiers": SQL_COUNTER_RATE,
     "crawl_change_rate": SQL_CRAWL_CHANGE_RATE,
+    "scd2_url_versions": SQL_SCD2_URL_VERSIONS,
     "interval_join_sessions": SQL_INTERVAL_JOIN,
     "time_weighted_hourly": SQL_TIME_WEIGHTED,
     "acf_hourly": SQL_ACF_HOURLY,

@@ -639,3 +639,59 @@ def shard_pack(
             "shard_id", F.floor(F.col("tok_start") / F.lit(budget)).cast("long")
         )
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based corpus rebalancing (the multilingual sampling of
+    mC4 / XLM-R / CCNet, Conneau et al. 2020): flatten the stratum
+    distribution toward q_l ∝ n_l^alpha (alpha=1 keeps the natural mix,
+    alpha=0 is uniform).  With subsampling only (no duplication), the
+    per-stratum keep rate that realizes q is
+
+        rate_l = (min_m n_m / n_l)^(1-alpha)
+
+    — the smallest stratum is kept whole, larger ones downsampled by the
+    power law.  Acceptance is the same deterministic md5-threshold as
+    stratified_sample (reproducible at any scale, no RNG): keep iff
+    ``pmod(h60(salt:id), 10^6) < floor(rate·10^6 + 1/pi)`` (irrational
+    offset so the cut never sits on a representable boundary —
+    BASELINE.md round-half note).
+
+    Plan: one map-side-combinable count per stratum, a window min over
+    that handful of rows (no collect), broadcast back.  alpha=0.5 uses
+    sqrt (IEEE-exact, bit-identical across engines); other alphas go
+    through pow (1-ulp class, fine for production, noted for oracles).
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    wall = Window.partitionBy()
+    ratio = F.min("_n").over(wall) / F.col("_n")
+    power = (
+        F.sqrt(ratio) if abs((1.0 - alpha) - 0.5) < 1e-12
+        else F.pow(ratio, F.lit(1.0 - alpha))
+    )
+    rates = counts.select(
+        strata_col,
+        F.col("_n").alias("n_stratum"),
+        F.floor(power * 1_000_000 + F.lit(0.31830988618367))
+        .cast("long")
+        .alias("rate_e6"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    out = df.withColumn("bucket6", F.pmod(h, F.lit(1_000_000))).join(
+        F.broadcast(rates), strata_col
+    )
+    return out.filter(F.col("bucket6") < F.col("rate_e6"))
