@@ -930,6 +930,84 @@ FROM per GROUP BY url ORDER BY url
 
 
 # ---------------------------------------------------------------------------
+# recrawl_priority — adaptive recrawl scheduling from observed change rates
+# (Cho & Garcia-Molina 2003): under a uniform-change model the expected
+# number of missed updates since the last crawl is change_rate · staleness,
+# so the frontier orders by that product.  One window pass + one groupBy
+# over the same deterministic crawl history; top-100 via a rank window.
+# ---------------------------------------------------------------------------
+
+_HORIZON_S = 1_000_000  # "now" for staleness, fixed for determinism
+
+
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    crawls = _crawl_history(spark, sf_dir)
+    w = Window.partitionBy("url").orderBy("warc_ts_s")
+    h = F.md5("text")
+    changed = (
+        F.lag(h).over(w).isNotNull() & (h != F.lag(h).over(w))
+    ).cast("long")
+    per = (
+        crawls.select("url", "warc_ts_s", changed.alias("chg"))
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("chg").alias("_chg"),
+            F.max("warc_ts_s").alias("last_crawl_s"),
+        )
+    )
+    rate = F.col("_chg") / (F.col("_n") - 1)
+    staleness = F.lit(_HORIZON_S) - F.col("last_crawl_s")
+    scored = per.select(
+        "url",
+        "last_crawl_s",
+        F.floor(rate * 10_000 + F.lit(0.31830988618367))
+        .cast("long")
+        .alias("change_rate_e4"),
+        F.floor(rate * staleness + F.lit(0.31830988618367))
+        .cast("long")
+        .alias("priority_e0"),
+    )
+    rk = Window.orderBy(
+        F.col("priority_e0").desc(), F.col("url")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= 100)
+        .select("rank", "url", "change_rate_e4", "priority_e0", "last_crawl_s")
+        .orderBy("rank")
+    )
+
+
+SQL_RECRAWL_PRIORITY = f"""
+WITH {{crawls}},
+flags AS (
+  SELECT url, warc_ts_s,
+         CAST(LAG(md5(text)) OVER w IS NOT NULL
+              AND md5(text) <> LAG(md5(text)) OVER w AS BIGINT) AS chg
+  FROM crawls WINDOW w AS (PARTITION BY url ORDER BY warc_ts_s)
+), per AS (
+  SELECT url, count(*) AS n, sum(chg) AS chg,
+         max(warc_ts_s) AS last_crawl_s
+  FROM flags GROUP BY url
+), scored AS (
+  SELECT url, last_crawl_s,
+         CAST(floor(chg * 1.0 / (n - 1) * 10000 + 0.31830988618367) AS BIGINT)
+           AS change_rate_e4,
+         CAST(floor(chg * 1.0 / (n - 1) * ({_HORIZON_S} - last_crawl_s)
+              + 0.31830988618367) AS BIGINT) AS priority_e0
+  FROM per
+)
+SELECT CAST(row_number() OVER (ORDER BY priority_e0 DESC, url) AS INTEGER)
+         AS rank,
+       url, change_rate_e4, priority_e0, last_crawl_s
+FROM scored
+QUALIFY rank <= 100
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # scd2_url_versions — SCD Type-2 content-version intervals per url from the
 # same deterministic recrawl history: consecutive runs of identical content
 # collapse to (url, version_no, valid_from, valid_to, n_obs), half-open.
@@ -968,6 +1046,8 @@ crawls AS (
 )
 """
 
+SQL_RECRAWL_PRIORITY = SQL_RECRAWL_PRIORITY.format(crawls=_SQL_CRAWLS_CTE)
+
 SQL_SCD2_URL_VERSIONS = f"""
 WITH {_SQL_CRAWLS_CTE},
 obs AS (
@@ -997,6 +1077,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "counter_rate_tiers": q_counter_rate,
     "crawl_change_rate": q_crawl_change_rate,
     "scd2_url_versions": q_scd2_url_versions,
+    "recrawl_priority": q_recrawl_priority,
     "interval_join_sessions": q_interval_join,
     "hw_forecast": q_hw_forecast,
     "time_weighted_hourly": q_time_weighted,
@@ -1017,6 +1098,7 @@ ORACLE_SQL: dict[str, str] = {
     "counter_rate_tiers": SQL_COUNTER_RATE,
     "crawl_change_rate": SQL_CRAWL_CHANGE_RATE,
     "scd2_url_versions": SQL_SCD2_URL_VERSIONS,
+    "recrawl_priority": SQL_RECRAWL_PRIORITY,
     "interval_join_sessions": SQL_INTERVAL_JOIN,
     "time_weighted_hourly": SQL_TIME_WEIGHTED,
     "acf_hourly": SQL_ACF_HOURLY,

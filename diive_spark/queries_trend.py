@@ -322,12 +322,163 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# tier_coverage — gap-aware data-quality metric per retention window: how
+# many of the expected grid slots actually hold data (Timescale
+# heartbeat_agg / diive GapFinder turned into a rollup column).  Expected
+# slots per (user, day) are bounded by the user's own observation span, so
+# partial first/last days are not penalized.
+# ---------------------------------------------------------------------------
+
+
+def q_tier_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hourly(spark, sf_dir).select(
+        "user_id", "t", (F.col("t") - F.pmod(F.col("t"), F.lit(86400))).alias("day_s")
+    )
+    span = h.groupBy("user_id").agg(
+        F.min("t").alias("t0"), F.max("t").alias("t1")
+    )
+    per_day = h.groupBy("user_id", "day_s").agg(
+        F.countDistinct("t").cast("long").alias("observed")
+    )
+    j = per_day.join(span, "user_id")
+    # expected = hourly slots of the day clipped to [t0, t1]
+    lo = F.greatest(F.col("day_s"), F.col("t0"))
+    hi = F.least(F.col("day_s") + 86400 - 3600, F.col("t1"))
+    expected = ((hi - lo) / 3600 + 1).cast("long")
+    return (
+        j.select(
+            "user_id",
+            "day_s",
+            "observed",
+            expected.alias("expected"),
+            F.floor(F.col("observed") / expected * 10_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("coverage_e4"),
+        )
+        .orderBy("user_id", "day_s")
+    )
+
+
+SQL_TIER_COVERAGE = f"""
+WITH {_HOURLY_SQL},
+h AS (
+  SELECT user_id, t, t - (((t % 86400) + 86400) % 86400) AS day_s FROM hourly
+), span AS (
+  SELECT user_id, min(t) AS t0, max(t) AS t1 FROM h GROUP BY 1
+), per_day AS (
+  SELECT user_id, day_s, count(DISTINCT t) AS observed FROM h GROUP BY 1, 2
+)
+SELECT p.user_id AS user_id, p.day_s AS day_s, p.observed AS observed,
+       CAST((least(p.day_s + 86400 - 3600, s.t1)
+             - greatest(p.day_s, s.t0)) / 3600 + 1 AS BIGINT) AS expected,
+       CAST(floor(p.observed
+            / ((least(p.day_s + 86400 - 3600, s.t1)
+                - greatest(p.day_s, s.t0)) / 3600 + 1)
+            * 10000 + {_OFF}) AS BIGINT) AS coverage_e4
+FROM per_day p JOIN span s USING (user_id)
+ORDER BY user_id, day_s
+"""
+
+
+# ---------------------------------------------------------------------------
+# baseline_anomaly — seasonal-baseline deviation flags: each hourly point is
+# compared to the LOWER-median of its (day-of-week, hour-of-day) bucket for
+# that user; deviations beyond 3 robust sigmas (1.4826·MAD, lower-median)
+# flag.  The monitoring-at-scale twin of flag_zscore_daynight: the baseline
+# is a seasonal profile, not a global moment, so diurnal/weekly structure
+# doesn't masquerade as anomaly.  Two window passes, no join back (the
+# profile is computed over the same partitioning it is applied to).
+# ---------------------------------------------------------------------------
+
+
+def q_baseline_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    h = _hourly(spark, sf_dir).withColumn(
+        "how", F.pmod(F.floor(F.col("t") / 3600), F.lit(168))
+    )
+    wp = Window.partitionBy("user_id", "how")
+    # lower median via sorted rank: element at index (n-1)//2 — rank/count
+    # are materialized first, then the pick is a windowed max over the same
+    # partitioning (Catalyst keeps it all in one exchange)
+    h1 = h.withColumn("rn", F.row_number().over(wp.orderBy("v"))).withColumn(
+        "n", F.count(F.lit(1)).over(wp)
+    )
+    h1 = h1.withColumn(
+        "base",
+        F.max(
+            F.when(F.col("rn") - 1 == F.floor((F.col("n") - 1) / 2), F.col("v"))
+        ).over(wp),
+    ).withColumn("absdev", F.abs(F.col("v") - F.col("base")))
+    h2 = h1.withColumn("rn2", F.row_number().over(wp.orderBy("absdev")))
+    h2 = h2.withColumn(
+        "mad",
+        F.max(
+            F.when(
+                F.col("rn2") - 1 == F.floor((F.col("n") - 1) / 2),
+                F.col("absdev"),
+            )
+        ).over(wp),
+    )
+    sigma = F.col("mad") * 1.4826
+    out = h2.withColumn("sigma", sigma).select(
+        "user_id",
+        "t",
+        F.col("v").cast("long").alias("v_e2"),
+        F.col("base").cast("long").alias("base_e2"),
+        F.floor(F.col("sigma") * 100 + F.lit(_OFF)).cast("long").alias("sigma_e4"),
+        (F.col("absdev") > F.lit(3.0) * F.col("sigma"))
+        .cast("long")
+        .alias("flag_anomaly"),
+    )
+    return out.filter(F.col("flag_anomaly") == 1).orderBy("user_id", "t")
+
+
+SQL_BASELINE_ANOMALY = f"""
+WITH {_HOURLY_SQL},
+h AS (
+  SELECT user_id, t, v,
+         ((CAST(floor(t / 3600) AS BIGINT) % 168) + 168) % 168 AS how
+  FROM hourly
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, how ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY user_id, how) AS n
+  FROM h
+), based AS (
+  SELECT user_id, how, max(CASE WHEN rn - 1 = (n - 1) // 2 THEN v END) AS base
+  FROM ranked GROUP BY 1, 2
+), dev AS (
+  SELECT h.user_id, h.t, h.v, h.how, b.base, abs(h.v - b.base) AS absdev
+  FROM h JOIN based b USING (user_id, how)
+), rdev AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, how ORDER BY absdev) AS rn,
+         count(*) OVER (PARTITION BY user_id, how) AS n
+  FROM dev
+), mads AS (
+  SELECT user_id, how,
+         max(CASE WHEN rn - 1 = (n - 1) // 2 THEN absdev END) AS mad
+  FROM rdev GROUP BY 1, 2
+)
+SELECT d.user_id AS user_id, d.t AS t,
+       CAST(d.v AS BIGINT) AS v_e2,
+       CAST(d.base AS BIGINT) AS base_e2,
+       CAST(floor(m.mad * 1.4826 * 100 + {_OFF}) AS BIGINT) AS sigma_e4,
+       CAST(d.absdev > 3.0 * (m.mad * 1.4826) AS BIGINT) AS flag_anomaly
+FROM dev d JOIN mads m USING (user_id, how)
+WHERE d.absdev > 3.0 * (m.mad * 1.4826)
+ORDER BY user_id, t
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trend_mann_kendall": q_trend_mann_kendall,
     "m4_hourly": q_m4_hourly,
     "hysteresis_alerts": q_hysteresis_alerts,
     "cms_user_freq": q_cms_user_freq,
     "lang_temperature_sample": q_lang_temperature_sample,
+    "tier_coverage": q_tier_coverage,
+    "baseline_anomaly": q_baseline_anomaly,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -336,4 +487,6 @@ ORACLE_SQL: dict[str, str] = {
     "hysteresis_alerts": SQL_HYSTERESIS,
     "cms_user_freq": _sql_cms(),
     "lang_temperature_sample": SQL_LANG_TEMPERATURE,
+    "tier_coverage": SQL_TIER_COVERAGE,
+    "baseline_anomaly": SQL_BASELINE_ANOMALY,
 }
