@@ -234,3 +234,43 @@ def test_temperature_resample_rates(spark):
     # empirical keep fraction tracks the rate (hash is uniform)
     assert abs(kept["en"] / 800 - 0.25) < 0.08
     assert abs(kept["de"] / 200 - 0.5) < 0.12
+
+
+def test_cms_streaming_partials_converge(spark, tmp_path):
+    """Tier-ingest pattern: per-micro-batch CMS partials appended via
+    foreachBatch, cell-wise summed == one-shot batch sketch (linearity is
+    what makes the sketch streamable without state)."""
+    df = _cms_fixture(spark)
+    src = tmp_path / "cms_stream"
+    src.mkdir()
+    n = df.count()
+    for i in range(3):
+        part = df.filter(F.pmod(F.xxhash64("item", "ts_s"), F.lit(3)) == i)
+        part.coalesce(1).write.parquet(str(src / f"b{i}.parquet"))
+    store = str(tmp_path / "cms_store")
+    sdf = (
+        spark.readStream.schema("item string, ts_s long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+
+    def ingest(batch_df, batch_id):
+        cms_build(batch_df, "item", "ts_s", bucket_s=3600, depth=4, width=256) \
+            .write.mode("append").parquet(store)
+
+    q = (
+        sdf.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    merged = (
+        spark.read.parquet(store)
+        .groupBy("bucket", "r", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = cms_build(df, "item", "ts_s", bucket_s=3600, depth=4, width=256)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    assert n == df.count()
