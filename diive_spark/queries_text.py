@@ -271,11 +271,15 @@ corpus AS (
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _neardup_corpus(spark, sf_dir)
-    # one interpreted shingle+hash pass, persisted: signatures AND the
-    # exact-Jaccard verify both read this table (3 join arms), and
-    # recomputing the HOF transform per arm tripled the query's cost.
-    # At 100 TB this persist is "write the signature table to storage".
-    hs = DD.with_hashed_shingles(corpus, k=3).select("doc_id", "sh_hashes").persist()
+    # the shingle table feeds 3 join arms. NOT persisted: since the
+    # shingle+hash pass moved from the interpreted HOF to a pandas UDF
+    # (~1 core-second for the whole sf0.1 corpus), re-evaluating it per
+    # arm is CHEAPER than caching — InMemoryTableScan of the array<bigint>
+    # column measures ~1.5 s per cached read (3 arms), vs ~0.1 s wall to
+    # recompute on 32 cores (best-of-3: 3.3 s vs 4.5 s).  At 100 TB the
+    # signature table is WRITTEN TO STORAGE once (columnar parquet reads
+    # back far faster than Spark's row-oriented cache for arrays).
+    hs = DD.with_hashed_shingles(corpus, k=3).select("doc_id", "sh_hashes")
     mh = DD.with_minhash(hs, shingle_col="sh_hashes", hashed=True)
     pairs = DD.lsh_candidate_pairs(mh)
     out = DD.jaccard_verify(pairs, hs, shingle_col="sh_hashes", threshold=0.6)

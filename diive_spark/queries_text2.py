@@ -45,9 +45,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive closure — a completely different algorithm, so agreement
     checks the clustering itself, not a shared implementation."""
     corpus = _neardup_corpus(spark, sf_dir)
+    # not persisted — cached array<bigint> scans cost more than the pandas
+    # UDF recompute per arm (see q_dedup_minhash_lsh)
     hs = DD.with_hashed_shingles(corpus, k=3).select(
         "doc_id", "sh_hashes"
-    ).persist()
+    )
     mh = DD.with_minhash(hs, shingle_col="sh_hashes", hashed=True)
     pairs = DD.lsh_candidate_pairs(mh)
     verified = DD.jaccard_verify(
