@@ -213,3 +213,78 @@ def acf(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
         )
     )
+
+
+def trapezoid_integral(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket_s: int = 3600,
+    max_span_buckets: int = 10_000,
+) -> DataFrame:
+    """Per-(key, bucket) integral and time-weighted average of the LINEAR
+    interpolant — ``timescaledb_toolkit.time_weight('linear')`` next to
+    :func:`time_weighted_avg`'s LOCF variant.
+
+    Each consecutive sample pair (t0,v0)→(t1,v1) is one line segment; a
+    segment crossing bucket edges is SPLIT exactly, the boundary values
+    interpolated, so every bucket integrates precisely the part of the
+    line inside it (∫ = (v(a)+v(b))/2·(b−a) per piece — exact for a
+    linear integrand).  Requires unique (key, ts) rows (pre-aggregate
+    collisions); zero-length segments are dropped.
+
+    Plan shape: one lag window on the key partitioning, a bounded
+    bucket-explode per segment (guarded like the interval join — a
+    month-long gap cannot flood the shuffle), one combinable groupBy.
+    Output: key cols + bucket + ``integral`` (value·seconds), ``covered_s``
+    (seconds of the bucket actually spanned by data), ``twa_linear``
+    (integral / covered_s).
+    """
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(ts_col)
+    seg = (
+        df.select(*key_cols, ts_col, value_col)
+        .withColumn("_t1", F.lead(ts_col).over(w))
+        .withColumn("_v1", F.lead(value_col).over(w))
+        .filter(F.col("_t1") > F.col(ts_col))
+    )
+    t0, v0 = F.col(ts_col), F.col(value_col)
+    t1, v1 = F.col("_t1"), F.col("_v1")
+    b0 = F.floor(t0 / bucket_s).cast("long")
+    b1 = F.floor(t1 / bucket_s).cast("long")
+    # a segment's right endpoint landing exactly ON a bucket edge
+    # contributes nothing to that bucket — clamp to avoid an empty piece
+    b1c = F.when((t1 - b1 * bucket_s) == 0, b1 - 1).otherwise(b1)
+    seg = seg.withColumn(
+        "bucket",
+        F.explode(
+            F.when(
+                b1c - b0 + 1 <= max_span_buckets, F.sequence(b0, b1c)
+            ).otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"segment spans more than {max_span_buckets} "
+                        "buckets; raise bucket_s or split the series"
+                    )
+                )
+            )
+        ),
+    )
+    slope = (v1 - v0) / (t1 - t0).cast("double")
+    a = F.greatest(t0, F.col("bucket") * bucket_s).cast("double")
+    b = F.least(t1, (F.col("bucket") + 1) * bucket_s).cast("double")
+    va = v0 + (a - t0) * slope
+    vb = v0 + (b - t0) * slope
+    piece = seg.select(
+        *key_cols,
+        "bucket",
+        ((va + vb) / 2 * (b - a)).alias("_area"),
+        (b - a).alias("_len"),
+    )
+    out = piece.groupBy(*key_cols, "bucket").agg(
+        F.sum("_area").alias("integral"),
+        F.sum("_len").alias("covered_s"),
+    )
+    return out.withColumn(
+        "twa_linear", F.col("integral") / F.col("covered_s")
+    )

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["m4_downsample"]
+__all__ = ["m4_downsample", "m4_merge"]
 
 
 def m4_downsample(
@@ -70,6 +70,49 @@ def m4_downsample(
             F.col("_mn.y").alias("y_min"),
             F.col("_mx.x").alias("x_ymax"),
             F.col("_mx.y").alias("y_max"),
+            "n_in",
+        )
+    )
+
+
+def m4_merge(m4: DataFrame, key_col: str, factor: int) -> DataFrame:
+    """Roll ``factor`` fine M4 buckets into one coarse bucket WITHOUT
+    re-reading raw data — every M4 component is an associative extreme
+    (first of firsts, min of mins, ...), so the tuple is a mergeable
+    continuous aggregate like the CMS/HLL/histogram tiers:
+    ``m4_merge(m4_downsample(raw, w), f) == m4_downsample(raw, w·f)``
+    bit-exactly (pinned in tests/test_trend_m4.py).  The same
+    lexicographic-struct trick propagates the tie-breaks.
+    """
+    def mn(x: str, y: str):
+        return F.min(F.struct(F.col(x).alias("a"), F.col(y).alias("b")))
+
+    def mx(x: str, y: str):
+        return F.max(F.struct(F.col(x).alias("a"), F.col(y).alias("b")))
+
+    return (
+        m4.groupBy(
+            key_col,
+            F.floor(F.col("bucket") / factor).cast("long").alias("bucket"),
+        )
+        .agg(
+            mn("x_first", "y_first").alias("_f"),
+            mx("x_last", "y_last").alias("_l"),
+            mn("y_min", "x_ymin").alias("_mn"),
+            mx("y_max", "x_ymax").alias("_mx"),
+            F.sum("n_in").cast("long").alias("n_in"),
+        )
+        .select(
+            key_col,
+            "bucket",
+            F.col("_f.a").alias("x_first"),
+            F.col("_f.b").alias("y_first"),
+            F.col("_l.a").alias("x_last"),
+            F.col("_l.b").alias("y_last"),
+            F.col("_mn.b").alias("x_ymin"),
+            F.col("_mn.a").alias("y_min"),
+            F.col("_mx.b").alias("x_ymax"),
+            F.col("_mx.a").alias("y_max"),
             "n_in",
         )
     )

@@ -323,6 +323,89 @@ ORDER BY d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# trapezoid_hourly — time_weight('linear') tier: per (user, hour) integral
+# of the linear interpolant, segments split exactly at bucket edges.
+# Input samples are per-(user, second) max_by-deduped so (key, ts) is
+# unique (the operator's contract).
+# ---------------------------------------------------------------------------
+
+
+def q_trapezoid_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.counters import trapezoid_integral
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "user_id",
+            F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+            .cast("long")
+            .alias("ts_s"),
+            "event_id",
+            "value",
+        )
+        .groupBy("user_id", "ts_s")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    out = trapezoid_integral(ev, ["user_id"], "ts_s", "value", bucket_s=3600)
+    return out.select(
+        "user_id",
+        "bucket",
+        F.floor(F.col("integral") / 3600 * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("integral_h_e4"),
+        F.col("covered_s").cast("long").alias("covered_s"),
+        F.floor(F.col("twa_linear") * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("twa_e4"),
+    ).orderBy("user_id", "bucket")
+
+
+SQL_TRAPEZOID = f"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         max_by(value, event_id) AS value
+  FROM events GROUP BY 1, 2
+), seg AS (
+  SELECT user_id, ts_s AS t0, value AS v0,
+         LEAD(ts_s) OVER w AS t1, LEAD(value) OVER w AS v1
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)
+), segs AS (
+  SELECT * FROM seg WHERE t1 > t0
+), pieces AS (
+  SELECT s.user_id, b.bucket,
+         greatest(CAST(s.t0 AS DOUBLE), CAST(b.bucket * 3600 AS DOUBLE)) AS a,
+         least(CAST(s.t1 AS DOUBLE), CAST((b.bucket + 1) * 3600 AS DOUBLE)) AS b2,
+         s.t0, s.v0, s.t1, s.v1
+  FROM segs s,
+       LATERAL (
+         SELECT UNNEST(generate_series(
+           CAST(floor(s.t0 / 3600) AS BIGINT),
+           CASE WHEN s.t1 - CAST(floor(s.t1 / 3600) AS BIGINT) * 3600 = 0
+                THEN CAST(floor(s.t1 / 3600) AS BIGINT) - 1
+                ELSE CAST(floor(s.t1 / 3600) AS BIGINT) END
+         )) AS bucket
+       ) b
+), areas AS (
+  SELECT user_id, bucket,
+         ((v0 + (a - t0) * ((v1 - v0) / CAST(t1 - t0 AS DOUBLE)))
+          + (v0 + (b2 - t0) * ((v1 - v0) / CAST(t1 - t0 AS DOUBLE))))
+         / 2 * (b2 - a) AS area,
+         b2 - a AS len
+  FROM pieces
+), agg AS (
+  SELECT user_id, bucket, sum(area) AS integral, sum(len) AS covered_s
+  FROM areas GROUP BY 1, 2
+)
+SELECT user_id, bucket,
+       CAST(floor(integral / 3600 * 10000 + {_OFF}) AS BIGINT)
+         AS integral_h_e4,
+       CAST(covered_s AS BIGINT) AS covered_s,
+       CAST(floor(integral / covered_s * 10000 + {_OFF}) AS BIGINT) AS twa_e4
+FROM agg ORDER BY user_id, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # tier_coverage — gap-aware data-quality metric per retention window: how
 # many of the expected grid slots actually hold data (Timescale
 # heartbeat_agg / diive GapFinder turned into a rollup column).  Expected
@@ -479,6 +562,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_temperature_sample": q_lang_temperature_sample,
     "tier_coverage": q_tier_coverage,
     "baseline_anomaly": q_baseline_anomaly,
+    "trapezoid_hourly": q_trapezoid_hourly,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -489,4 +573,5 @@ ORACLE_SQL: dict[str, str] = {
     "lang_temperature_sample": SQL_LANG_TEMPERATURE,
     "tier_coverage": SQL_TIER_COVERAGE,
     "baseline_anomaly": SQL_BASELINE_ANOMALY,
+    "trapezoid_hourly": SQL_TRAPEZOID,
 }

@@ -274,3 +274,56 @@ def test_cms_streaming_partials_converge(spark, tmp_path):
     assert merged.exceptAll(direct).count() == 0
     assert direct.exceptAll(merged).count() == 0
     assert n == df.count()
+
+
+def test_trapezoid_integral_matches_numpy(spark):
+    from diive_spark.operators.counters import trapezoid_integral
+
+    rng = np.random.RandomState(11)
+    ts = np.unique(rng.randint(0, 4 * 3600, 300))
+    vals = np.round(rng.normal(10, 3, len(ts)), 2)
+    df = spark.createDataFrame(
+        [(1, int(t), float(v)) for t, v in zip(ts, vals)],
+        "key long, ts_s long, value double",
+    )
+    out = (
+        trapezoid_integral(df, ["key"], "ts_s", "value", bucket_s=3600)
+        .toPandas()
+        .set_index("bucket")
+        .sort_index()
+    )
+    # numpy oracle: dense 1-second grid of the linear interpolant, summed
+    # per bucket via the exact trapezoid on consecutive integer seconds
+    grid = np.arange(ts.min(), ts.max() + 1)
+    vg = np.interp(grid, ts, vals)
+    seg_area = (vg[:-1] + vg[1:]) / 2.0  # per 1-s step
+    seg_bucket = grid[:-1] // 3600
+    for b in np.unique(seg_bucket):
+        want = seg_area[seg_bucket == b].sum()
+        np.testing.assert_allclose(out.loc[b, "integral"], want, rtol=1e-9)
+    # total integral == whole-series trapezoid (bucket splits are exact)
+    np.testing.assert_allclose(
+        out["integral"].sum(), np.trapz(vals, ts), rtol=1e-9
+    )
+    # coverage: all of the span except the grid edges
+    assert out["covered_s"].sum() == ts.max() - ts.min()
+
+
+def test_m4_merge_equals_direct(spark):
+    from diive_spark.operators.downsample import m4_merge
+
+    rng = np.random.RandomState(13)
+    n = 2000
+    pdf = pd.DataFrame(
+        {
+            "key": rng.randint(0, 4, n).astype(np.int64),
+            "ts_s": rng.randint(0, 100000, n).astype(np.int64),
+            "value": np.round(rng.normal(0, 5, n), 2),
+        }
+    ).drop_duplicates(["key", "ts_s"])
+    df = spark.createDataFrame(pdf)
+    fine = m4_downsample(df, "key", "ts_s", "value", bucket_s=600)
+    merged = m4_merge(fine, "key", factor=6)
+    direct = m4_downsample(df, "key", "ts_s", "value", bucket_s=3600)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
