@@ -406,6 +406,103 @@ FROM agg ORDER BY user_id, bucket
 
 
 # ---------------------------------------------------------------------------
+# binseg_changepoints — fixed-structure depth-2 binary segmentation over
+# the hourly centivalue series (root split + one split per half).  The
+# oracle unrolls the identical search: integer-exact gain numerators make
+# the per-candidate gains bit-identical, so the argmax agrees with no
+# tolerance.
+# ---------------------------------------------------------------------------
+
+_BS_MIN = 12  # half a day of hourly slots
+
+
+def q_binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.changepoint import binseg_changepoints
+
+    out = binseg_changepoints(
+        _hourly(spark, sf_dir), "user_id", "t", "v", depth=2, min_size=_BS_MIN
+    )
+    return out.select(
+        "user_id",
+        "node",
+        "cp_idx",
+        "cp_t",
+        F.floor(F.col("gain") + F.lit(_OFF)).cast("long").alias("gain_e0"),
+    ).orderBy("user_id", "node")
+
+
+def _sql_binseg() -> str:
+    m = _BS_MIN
+
+    def best(cand: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT user_id, tsplit, gain FROM (
+    SELECT user_id, tsplit, gain,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY gain DESC, tsplit ASC) AS rk
+    FROM {cand}
+  ) WHERE rk = 1
+)"""
+
+    return f"""
+WITH {_HOURLY_SQL},
+idx AS (
+  SELECT user_id, t, CAST(v AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY t) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         sum(CAST(v AS BIGINT)) OVER (PARTITION BY user_id ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM hourly
+), tots AS (
+  SELECT user_id, max(n) AS n, sum(v) AS tot FROM idx GROUP BY 1
+), cand1 AS (
+  SELECT i.user_id, i.rn AS tsplit,
+         ((i.c * s.n - i.rn * s.tot) * (i.c * s.n - i.rn * s.tot))
+           / (s.n * i.rn * (s.n - i.rn)) AS gain
+  FROM idx i JOIN tots s USING (user_id)
+  WHERE i.rn >= {m} AND i.rn <= s.n - {m}
+), {best("cand1", "b1")},
+cp1 AS (
+  SELECT b1.user_id, b1.tsplit AS cp, b1.gain, i.c AS c_cp
+  FROM b1 JOIN idx i ON i.user_id = b1.user_id AND i.rn = b1.tsplit
+), cand2 AS (
+  -- left child: segment rows rn in [1, cp], length m2 = cp
+  SELECT i.user_id, i.rn AS tsplit,
+         ((i.c * p.cp - i.rn * p.c_cp) * (i.c * p.cp - i.rn * p.c_cp))
+           / (p.cp * i.rn * (p.cp - i.rn)) AS gain
+  FROM idx i JOIN cp1 p USING (user_id)
+  WHERE i.rn >= {m} AND i.rn <= p.cp - {m}
+), {best("cand2", "b2")},
+cand3 AS (
+  -- right child: rows rn in (cp, n], relative t = rn - cp, length n - cp
+  SELECT i.user_id, i.rn AS tsplit,
+         (((i.c - p.c_cp) * (s.n - p.cp) - (i.rn - p.cp) * (s.tot - p.c_cp))
+          * ((i.c - p.c_cp) * (s.n - p.cp) - (i.rn - p.cp) * (s.tot - p.c_cp)))
+           / ((s.n - p.cp) * (i.rn - p.cp) * (s.n - i.rn)) AS gain
+  FROM idx i JOIN cp1 p USING (user_id) JOIN tots s USING (user_id)
+  WHERE i.rn - p.cp >= {m} AND i.rn <= s.n - {m}
+), {best("cand3", "b3")},
+nodes AS (
+  SELECT user_id, 1 AS node, tsplit FROM b1
+  UNION ALL SELECT user_id, 2 AS node, tsplit FROM b2
+  UNION ALL SELECT user_id, 3 AS node, tsplit FROM b3
+), gains AS (
+  SELECT user_id, 1 AS node, gain FROM b1
+  UNION ALL SELECT user_id, 2 AS node, gain FROM b2
+  UNION ALL SELECT user_id, 3 AS node, gain FROM b3
+)
+SELECT n.user_id AS user_id, n.node AS node,
+       CAST(n.tsplit AS BIGINT) AS cp_idx,
+       i.t AS cp_t,
+       CAST(floor(g.gain + {_OFF}) AS BIGINT) AS gain_e0
+FROM nodes n
+JOIN gains g USING (user_id, node)
+JOIN idx i ON i.user_id = n.user_id AND i.rn = n.tsplit + 1
+ORDER BY user_id, node
+"""
+
+
+# ---------------------------------------------------------------------------
 # tier_coverage — gap-aware data-quality metric per retention window: how
 # many of the expected grid slots actually hold data (Timescale
 # heartbeat_agg / diive GapFinder turned into a rollup column).  Expected
@@ -563,6 +660,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tier_coverage": q_tier_coverage,
     "baseline_anomaly": q_baseline_anomaly,
     "trapezoid_hourly": q_trapezoid_hourly,
+    "binseg_changepoints": q_binseg_changepoints,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -574,4 +672,5 @@ ORACLE_SQL: dict[str, str] = {
     "tier_coverage": SQL_TIER_COVERAGE,
     "baseline_anomaly": SQL_BASELINE_ANOMALY,
     "trapezoid_hourly": SQL_TRAPEZOID,
+    "binseg_changepoints": _sql_binseg(),
 }

@@ -327,3 +327,45 @@ def test_m4_merge_equals_direct(spark):
     direct = m4_downsample(df, "key", "ts_s", "value", bucket_s=3600)
     assert merged.exceptAll(direct).count() == 0
     assert direct.exceptAll(merged).count() == 0
+
+
+def test_binseg_recovers_planted_shifts(spark):
+    from diive_spark.operators.changepoint import binseg_changepoints, binseg_kernel
+
+    # three-level step series: clear shifts at idx 40 and 70
+    v = np.concatenate([np.full(40, 100), np.full(30, 200), np.full(50, 50)])
+    rng = np.random.RandomState(5)
+    v = v + rng.randint(-3, 4, len(v))  # integer jitter keeps gains exact
+    rows = binseg_kernel(v.astype(np.int64), depth=2, min_size=5)
+    found = {node: cp for node, cp, _ in rows}
+    assert found[1] in (40, 70)  # root takes one of the true shifts
+    cps = sorted(cp for _, cp, _ in rows)
+    assert 40 in cps and 70 in cps  # depth 2 recovers both
+    # brute-force gain at the root equals the kernel's reported gain
+    node1 = [r for r in rows if r[0] == 1][0]
+    n = len(v)
+    c = np.cumsum(v.astype(np.int64))
+    t = node1[1]
+    num = int(c[t - 1]) * n - t * int(c[-1])
+    want = (num * num) / (n * t * (n - t))
+    assert node1[2] == want
+    # distributed == kernel
+    df = spark.createDataFrame(
+        [(1, int(i) * 3600, int(x)) for i, x in enumerate(v)],
+        "key long, ts_s long, value long",
+    )
+    got = {
+        r["node"]: (r["cp_idx"], r["gain"])
+        for r in binseg_changepoints(df, "key", "ts_s", "value",
+                                     depth=2, min_size=5).collect()
+    }
+    assert got == {node: (cp, g) for node, cp, g in rows}
+
+
+def test_binseg_overflow_guard():
+    from diive_spark.operators.changepoint import binseg_kernel
+
+    huge = np.full(2000, 3_000_000, dtype=np.int64)
+    huge[1000:] = 9_000_000
+    with pytest.raises(ValueError, match="overflow"):
+        binseg_kernel(huge, depth=1, min_size=5)
