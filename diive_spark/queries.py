@@ -784,40 +784,49 @@ _FRONT = [
     "seasonal_filter",
     "dedup_ngram_jaccard",
     "dedup_embed_cosine",
-    # round-3 additions (never driver-checked by definition)
+    # round-3 additions (never driver-checked by definition): 25 slots for
+    # ~47 candidates — the picks are the algorithmically novel /
+    # intricate-SQL queries with the LEAST other verification (VERDICT #3
+    # and #4 done-criteria — random_uncertainty* and the trained IVF —
+    # plus the big compositions and every brand-new operator family).
     "random_uncertainty",
     "random_uncertainty_cumulative",
     "ann_cosine_ivf_trained",
-    "quality_filter",
-    "dedup_incremental",
-    "ngram_repetition",
-    "decontaminate_ngram",
-    "redact_pii",
-    "dedup_clusters",
-    "lm_bigram_score",
-    "tfidf_topk",
-    "repeated_spans",
+    "semantic_dedup",
+    "nb_langid_train",
     "curation_pipeline",
-    "asof_join_events",
-    "sessionize_events",
-    "funnel_events",
-    "tier_quantile_hist",
-    "perplexity_buckets",
-    "tier_topk_users",
+    "dedup_incremental",
+    "dedup_clusters",
+    "tfidf_topk",
     "bm25_topk",
+    "perplexity_buckets",
     "dsir_select",
-    "seasonal_decompose",
-    "cusum_shift",
-    "domain_cap",
-    # NOT in the window (54 never-checked candidates > 50 slots): the four
-    # simplest curation twins — url_canon_dedup, stratified_sample,
-    # shard_pack, line_dedup are plain projections/filters whose oracle
-    # compare passes locally (tools/check_queries.py) and whose semantics
-    # are pytest-pinned; the intricate-SQL queries take the slots.
-    # round-3 re-verification target: materially rewritten this round
-    # (dedup_minhash_lsh, also rewritten, keeps its r1/r2 driver history
-    # and stays outside the 50-entry window — locally oracle-green)
-    "dedup_simhash",
+    "trend_mann_kendall",
+    "binseg_changepoints",
+    "cms_user_freq",
+    "trapezoid_hourly",
+    "m4_hourly",
+    "scd2_url_versions",
+    "recrawl_priority",
+    "hysteresis_alerts",
+    "baseline_anomaly",
+    "tier_coverage",
+    "lang_temperature_sample",
+    "crawl_change_rate",
+    "counter_rate_tiers",
+    # NOT in the window (the other ~22 never-checked oracle queries):
+    # all pass the identical compare locally (tools/check_queries.py runs
+    # the full registry) and carry independent pytest pins — e.g.
+    # asof_join_events (DuckDB-native-ASOF twin + pandas merge_asof
+    # differential), interval_join_sessions (randomized vs naive theta
+    # join), sessionize/funnel/tier_quantile/seasonal/cusum/ewma/acf
+    # (hand-case or numpy pins), and the simple curation projections
+    # (quality_filter, redact_pii, url_canon_dedup, stratified_sample,
+    # shard_pack, line_dedup, domain_cap, decontaminate_ngram,
+    # ngram_repetition, repeated_spans, lm_bigram_score, seasonal_decompose,
+    # time_weighted_hourly).  dedup_simhash/dedup_minhash_lsh were
+    # materially rewritten in round 3 but keep their r1/r2 driver history
+    # and stay outside; locally oracle-green.
 ]
 _front = {k: QUERIES[k] for k in _FRONT if k in QUERIES}
 QUERIES = {
