@@ -1073,11 +1073,136 @@ FROM per ORDER BY url, version_no
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus_as_of — point-in-time corpus reconstruction from the SCD2 version
+# table: the content each url had at time T (half-open interval semantics),
+# i.e. the snapshot a training run pinned at T would have read.
+# ---------------------------------------------------------------------------
+
+_AS_OF_T = 200_000  # inside the 5-crawl window for most urls
+
+
+def q_corpus_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.scd import scd2_versions
+
+    crawls = _crawl_history(spark, sf_dir).select(
+        "url", "warc_ts_s", F.md5("text").alias("fp")
+    )
+    vers = scd2_versions(crawls, "url", "warc_ts_s", "fp")
+    live = vers.filter(
+        (F.col("valid_from") <= _AS_OF_T)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > _AS_OF_T))
+    )
+    return live.select(
+        "url",
+        "version_no",
+        F.col("valid_from").alias("valid_from_s"),
+        "fp",
+    ).orderBy("url")
+
+
+SQL_CORPUS_AS_OF = f"""
+WITH {{crawls}},
+obs AS (
+  SELECT url, warc_ts_s, md5(text) AS fp FROM crawls
+), flagged AS (
+  SELECT url, warc_ts_s, fp,
+         CAST(LAG(fp) OVER w IS NULL OR fp <> LAG(fp) OVER w AS BIGINT) AS chg
+  FROM obs WINDOW w AS (PARTITION BY url ORDER BY warc_ts_s)
+), runs AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY url ORDER BY warc_ts_s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver
+  FROM flagged
+), per AS (
+  SELECT url, ver AS version_no, min(warc_ts_s) AS valid_from_s,
+         min(fp) AS fp
+  FROM runs GROUP BY 1, 2
+), v AS (
+  SELECT *, LEAD(valid_from_s) OVER (PARTITION BY url ORDER BY version_no)
+            AS valid_to_s
+  FROM per
+)
+SELECT url, version_no, valid_from_s, fp FROM v
+WHERE valid_from_s <= {_AS_OF_T}
+  AND (valid_to_s IS NULL OR valid_to_s > {_AS_OF_T})
+ORDER BY url
+"""
+
+
+# ---------------------------------------------------------------------------
+# politeness_schedule — per-host serialized fetch slots with a minimum
+# inter-request delay: slot_i = max(ready_i, slot_{i-1} + delay).  The
+# recurrence collapses DECLARATIVELY: slot_i = i·delay +
+# running_max(ready_j − j·delay) over j ≤ i — one running-max window, no
+# kernel, no iteration (the same trick that linearizes queueing
+# recurrences).  ready = the adaptive recrawl due time (last crawl + step).
+# ---------------------------------------------------------------------------
+
+_POLITE_DELAY_S = 30
+
+
+def q_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    crawls = _crawl_history(spark, sf_dir)
+    per_url = crawls.groupBy("url").agg(
+        F.max("warc_ts_s").alias("last_s")
+    )
+    host = F.regexp_extract("url", r"^https://([^/]+)/", 1)
+    ready = (F.col("last_s") + _CRAWL_STEP_S).alias("ready_s")
+    base = per_url.select("url", host.alias("host"), ready)
+    w = Window.partitionBy("host").orderBy("ready_s", "url")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    # materialize the rank first (window-in-window is not allowed), then
+    # the running max over the same partitioning — one exchange total
+    base = base.withColumn("fetch_order", F.row_number().over(w))
+    slot = (
+        F.max(
+            F.col("ready_s") - F.col("fetch_order") * _POLITE_DELAY_S
+        ).over(run)
+        + F.col("fetch_order") * _POLITE_DELAY_S
+    )
+    out = base.withColumn("slot_s", slot)
+    return out.select(
+        "host", "fetch_order", "url", "ready_s",
+        F.col("slot_s").cast("long").alias("slot_s"),
+        (F.col("slot_s") - F.col("ready_s")).cast("long").alias("wait_s"),
+    ).orderBy("host", "fetch_order")
+
+
+SQL_POLITENESS = f"""
+WITH {{crawls}},
+per_url AS (
+  SELECT url, max(warc_ts_s) + {_CRAWL_STEP_S} AS ready_s
+  FROM crawls GROUP BY url
+), based AS (
+  SELECT url, regexp_extract(url, '^https://([^/]+)/', 1) AS host, ready_s
+  FROM per_url
+), ordered AS (
+  SELECT *, row_number() OVER w AS i
+  FROM based WINDOW w AS (PARTITION BY host ORDER BY ready_s, url)
+), slotted AS (
+  SELECT *, max(ready_s - i * {_POLITE_DELAY_S}) OVER (
+         PARTITION BY host ORDER BY ready_s, url
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         + i * {_POLITE_DELAY_S} AS slot_s
+  FROM ordered
+)
+SELECT host, CAST(i AS INTEGER) AS fetch_order, url, ready_s,
+       CAST(slot_s AS BIGINT) AS slot_s,
+       CAST(slot_s - ready_s AS BIGINT) AS wait_s
+FROM slotted ORDER BY host, fetch_order
+"""
+
+
+SQL_CORPUS_AS_OF = SQL_CORPUS_AS_OF.format(crawls=_SQL_CRAWLS_CTE)
+SQL_POLITENESS = SQL_POLITENESS.format(crawls=_SQL_CRAWLS_CTE)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "counter_rate_tiers": q_counter_rate,
     "crawl_change_rate": q_crawl_change_rate,
     "scd2_url_versions": q_scd2_url_versions,
     "recrawl_priority": q_recrawl_priority,
+    "corpus_as_of": q_corpus_as_of,
+    "politeness_schedule": q_politeness_schedule,
     "interval_join_sessions": q_interval_join,
     "hw_forecast": q_hw_forecast,
     "time_weighted_hourly": q_time_weighted,
@@ -1099,6 +1224,8 @@ ORACLE_SQL: dict[str, str] = {
     "crawl_change_rate": SQL_CRAWL_CHANGE_RATE,
     "scd2_url_versions": SQL_SCD2_URL_VERSIONS,
     "recrawl_priority": SQL_RECRAWL_PRIORITY,
+    "corpus_as_of": SQL_CORPUS_AS_OF,
+    "politeness_schedule": SQL_POLITENESS,
     "interval_join_sessions": SQL_INTERVAL_JOIN,
     "time_weighted_hourly": SQL_TIME_WEIGHTED,
     "acf_hourly": SQL_ACF_HOURLY,
