@@ -369,3 +369,39 @@ def test_binseg_overflow_guard():
     huge[1000:] = 9_000_000
     with pytest.raises(ValueError, match="overflow"):
         binseg_kernel(huge, depth=1, min_size=5)
+
+
+def test_downsample_tier_cascade_double_merge(spark):
+    """North-rule tier cascade for the NEW mergeable aggregates: 10min
+    M4 / minute CMS partials roll 10min->1h->6h (two merge hops) and
+    still equal the sketch built directly at the coarse grain — so a
+    retention ladder never re-reads raw data."""
+    from diive_spark.operators.downsample import m4_merge
+    from diive_spark.sources.pages import synth_pages_df
+
+    pages = synth_pages_df(
+        spark, n_urls=20, n_records=3000, freq_seconds=60,
+        zipf_hot_fraction=0.05,
+    ).select(
+        F.xxhash64("url").alias("key"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("x_us"),
+        "value",
+    ).filter(F.col("value").isNotNull())
+
+    fine = m4_downsample(pages, "key", "x_us", "value", 600_000_000)
+    hour = m4_merge(fine, "key", 6)
+    six = m4_merge(hour, "key", 6)
+    direct = m4_downsample(pages, "key", "x_us", "value", 21_600_000_000)
+    assert six.exceptAll(direct).count() == 0
+    assert direct.exceptAll(six).count() == 0
+
+    ev = pages.select(
+        F.col("key").cast("string").alias("item"),
+        (F.col("x_us") / 1_000_000).cast("long").alias("ts_s"),
+    )
+    minute = cms_build(ev, "item", "ts_s", bucket_s=60, depth=4, width=128)
+    hour_c = cms_merge(minute, 60)
+    day_c = cms_merge(hour_c, 24)
+    direct_c = cms_build(ev, "item", "ts_s", bucket_s=86400, depth=4, width=128)
+    assert day_c.exceptAll(direct_c).count() == 0
+    assert direct_c.exceptAll(day_c).count() == 0
