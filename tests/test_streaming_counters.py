@@ -77,3 +77,57 @@ def test_stream_counter_partials_match_batch(spark, sf_dir, tmp_path):
         | (F.col("s.n_resets") != F.col("b.n_resets"))
     ).count()
     assert bad == 0
+
+
+def test_stream_hysteresis_episodes_match_batch(spark, tmp_path):
+    """Closed episodes emitted across a 3-micro-batch replay == the batch
+    operator's episodes; a low sentinel appended per key in the last
+    batch forces every episode to close so the comparison is total."""
+    import numpy as np
+
+    from diive_spark.operators.hysteresis import hysteresis_episodes
+    from diive_spark.streaming.hysteresis import stream_hysteresis_episodes
+
+    rng = np.random.RandomState(9)
+    rows = []
+    for key in range(6):
+        v = 100.0
+        for i in range(120):
+            v += rng.randint(-20, 22)
+            rows.append((key, i * 60, float(v)))
+    # sentinel far below lo at the very end of each key
+    rows += [(key, 120 * 60, -1e9) for key in range(6)]
+    df = spark.createDataFrame(rows, "user_id long, ts_s long, value double")
+    batch = {
+        (r["user_id"], r["start_s"]): (r["end_s"], r["peak"], r["n_rows"])
+        for r in hysteresis_episodes(
+            df, "user_id", "ts_s", "value", hi=150.0, lo=60.0
+        ).collect()
+    }
+
+    src = tmp_path / "hstream"
+    src.mkdir()
+    from pyspark.sql import functions as F
+
+    for i, cond in enumerate(
+        [F.col("ts_s") < 2400, (F.col("ts_s") >= 2400) & (F.col("ts_s") < 4800),
+         F.col("ts_s") >= 4800]
+    ):
+        df.filter(cond).select(
+            "user_id", F.timestamp_seconds("ts_s").alias("ts"), "value"
+        ).coalesce(1).write.parquet(str(src / f"b{i}.parquet"))
+
+    sdf = stream_hysteresis_episodes(
+        spark, str(src) + "/*", "user_id LONG, ts TIMESTAMP, value DOUBLE",
+        hi=150.0, lo=60.0,
+    )
+    q = (
+        sdf.writeStream.format("memory").queryName("hyst")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["start_s"]): (r["end_s"], r["peak"], r["n_rows"])
+        for r in spark.sql("SELECT * FROM hyst").collect()
+    }
+    assert got == batch
