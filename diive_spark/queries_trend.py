@@ -651,6 +651,53 @@ ORDER BY user_id, t
 """
 
 
+# ---------------------------------------------------------------------------
+# heatmap_datetime — the data side of diive's HeatmapDateTime plot
+# (/root/reference/diive/core/plotting/heatmap_datetime.py: pivot a series
+# into a date × time-of-day value matrix).  The pivot compiles to ONE
+# groupBy with 24 conditional aggregates (no join, no shuffle per column);
+# at dashboard scale the matrix per key-month is bounded (31×24), so the
+# export stays tiny however large the raw table is.
+# ---------------------------------------------------------------------------
+
+_HEAT_USERS = 40
+
+
+def q_heatmap_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hourly(spark, sf_dir).filter(F.col("user_id") < _HEAT_USERS)
+    h = h.select(
+        "user_id",
+        (F.col("t") - F.pmod(F.col("t"), F.lit(86400))).alias("day_s"),
+        (F.pmod(F.col("t"), F.lit(86400)) / 3600).cast("int").alias("hod"),
+        "v",
+    )
+    piv = (
+        h.groupBy("user_id", "day_s")
+        .pivot("hod", list(range(24)))
+        .agg(F.first("v"))
+    )
+    cols = [F.col(str(i)).cast("long").alias(f"h{i:02d}") for i in range(24)]
+    return piv.select("user_id", "day_s", *cols).orderBy("user_id", "day_s")
+
+
+_HEAT_COLS = ",\n       ".join(
+    f"CAST(min(CASE WHEN hod = {i} THEN v END) AS BIGINT) AS h{i:02d}"
+    for i in range(24)
+)
+
+SQL_HEATMAP = f"""
+WITH {_HOURLY_SQL},
+h AS (
+  SELECT user_id, t - (((t % 86400) + 86400) % 86400) AS day_s,
+         CAST((((t % 86400) + 86400) % 86400) / 3600 AS INTEGER) AS hod, v
+  FROM hourly WHERE user_id < {_HEAT_USERS}
+)
+SELECT user_id, day_s,
+       {_HEAT_COLS}
+FROM h GROUP BY 1, 2 ORDER BY user_id, day_s
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trend_mann_kendall": q_trend_mann_kendall,
     "m4_hourly": q_m4_hourly,
@@ -661,6 +708,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "baseline_anomaly": q_baseline_anomaly,
     "trapezoid_hourly": q_trapezoid_hourly,
     "binseg_changepoints": q_binseg_changepoints,
+    "heatmap_datetime": q_heatmap_datetime,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -673,4 +721,5 @@ ORACLE_SQL: dict[str, str] = {
     "baseline_anomaly": SQL_BASELINE_ANOMALY,
     "trapezoid_hourly": SQL_TRAPEZOID,
     "binseg_changepoints": _sql_binseg(),
+    "heatmap_datetime": SQL_HEATMAP,
 }
