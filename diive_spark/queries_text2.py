@@ -216,9 +216,10 @@ FROM ranked ORDER BY doc_id
 
 def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _documents(spark, sf_dir).select("doc_id", "text")
-    # train once, persist the model table; the start-count marginal and
-    # the scoring join both read the cache instead of re-tokenizing
-    counts = LM.bigram_counts(d).persist()
+    # count-table persist DROPPED (round-3 measurement, same finding as
+    # the MinHash shingle cache — PLANS.md §37): re-running the Arrow
+    # bigram kernel per arm beats Spark's row cache on the string table
+    counts = LM.bigram_counts(d)
     out = LM.bigram_lm_score(d, d, alpha=1.0, counts_df=counts)
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -618,7 +619,7 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diive_spark.operators.rank import global_row_number, ntile_from_rank
 
     d = _documents(spark, sf_dir).select("doc_id", "text")
-    counts = LM.bigram_counts(d).persist()
+    counts = LM.bigram_counts(d)  # not persisted — PLANS.md §37
     scored = LM.bigram_lm_score(d, d, alpha=1.0, counts_df=counts)
     ranked = global_row_number(
         scored.select(
