@@ -196,12 +196,20 @@ def _build_tree(
     return split_feat, split_bin, leaf_value
 
 
-def _tree_predict(codes: np.ndarray, tree) -> np.ndarray:
+def _tree_predict(codes: np.ndarray, tree, depth: int | None = None) -> np.ndarray:
+    """Traverse to ``depth`` levels (default: the tree's own depth).
+
+    Depth-truncated prediction is EXACT equivalence to a tree grown with
+    that max_depth: level-wise split decisions at levels < d never look at
+    the depth limit, and every node (internal included) stores its
+    weighted-mean value — the grid-search fast path below leans on this.
+    """
     split_feat, split_bin, leaf_value = tree
     n = len(codes)
     node = np.zeros(n, dtype=np.int64)
     # max depth implied by array length
-    depth = int(np.log2(len(split_feat) + 1)) - 1
+    full_depth = int(np.log2(len(split_feat) + 1)) - 1
+    depth = full_depth if depth is None else min(depth, full_depth)
     level_start = 0
     for d in range(depth):
         k = 2**d
@@ -314,9 +322,23 @@ def fit_gbt(
     }
 
 
-def predict(model, X: np.ndarray) -> np.ndarray:
+def predict(
+    model,
+    X: np.ndarray,
+    n_trees: int | None = None,
+    depth: int | None = None,
+) -> np.ndarray:
+    """``n_trees``/``depth`` evaluate a PREFIX of the ensemble.
+
+    For an rf fit WITHOUT per-split feature sampling, trees[:k] of an
+    n-tree fit are bit-identical to a k-tree fit (one rng stream, two
+    draws per tree regardless of depth) and depth-truncated traversal is
+    bit-identical to a shallower fit — so one (max trees, max depth) fit
+    answers the whole (n_estimators × max_depth) grid.  For gbt only the
+    n_trees prefix is exact (residuals depend on depth)."""
     codes = _apply_bins(X, model["edges"])
-    preds = np.stack([_tree_predict(codes, t) for t in model["trees"]])
+    trees = model["trees"] if n_trees is None else model["trees"][:n_trees]
+    preds = np.stack([_tree_predict(codes, t, depth=depth) for t in trees])
     if model["kind"] == "rf":
         return preds.mean(axis=0)
     return model["base"] + model["lr"] * preds.sum(axis=0)

@@ -509,20 +509,52 @@ def optimize_params_pdf(
     combos = [
         dict(zip(grid.keys(), vals)) for vals in product(*grid.values())
     ]
-    results = []
-    for params in combos:
-        errs = []
-        for i in range(1, n_splits + 1):
-            tr_end = fold * i + ntr % (n_splits + 1)
-            va_end = min(tr_end + fold, ntr)
-            if tr_end < 2 or va_end <= tr_end:
-                continue
-            pred = _fit_predict(
-                Xtr[:tr_end], ytr[:tr_end], Xtr[tr_end:va_end],
-                regressor=regressor, seed=seed, **params,
-            )
-            errs.append(float(np.mean((pred - ytr[tr_end:va_end]) ** 2)))
-        results.append(-float(np.mean(errs)) if errs else -np.inf)
+    # rf grid fast path: one (max trees, max depth) fit per
+    # (fold, min_samples_leaf) answers EVERY (n_estimators, max_depth)
+    # combo exactly via ensemble-prefix + depth-truncated prediction
+    # (ml/forest.py::predict) — tree t's rng draws depend only on t, and
+    # level-wise splits never look at the depth limit, so the shared fit
+    # is bit-identical to per-combo fits (pinned in tests/test_forest.py).
+    rf_fast = regressor == "rf" and set(grid.keys()) <= {
+        "n_estimators", "max_depth", "min_samples_leaf"
+    }
+    errs_by_combo: list[list[float]] = [[] for _ in combos]
+    for i in range(1, n_splits + 1):
+        tr_end = fold * i + ntr % (n_splits + 1)
+        va_end = min(tr_end + fold, ntr)
+        if tr_end < 2 or va_end <= tr_end:
+            continue
+        Xf, yf, Xv, yv = (
+            Xtr[:tr_end], ytr[:tr_end], Xtr[tr_end:va_end], ytr[tr_end:va_end]
+        )
+        if rf_fast:
+            from diive_spark.ml import forest
+
+            max_ne = max(c.get("n_estimators", 20) for c in combos)
+            max_md = max(c.get("max_depth", 5) for c in combos)
+            for leaf in sorted({c.get("min_samples_leaf", 3) for c in combos}):
+                model = forest.fit_forest(
+                    Xf, yf, n_estimators=max_ne, max_depth=max_md,
+                    min_samples_leaf=leaf, seed=seed,
+                )
+                for ci, c in enumerate(combos):
+                    if c.get("min_samples_leaf", 3) != leaf:
+                        continue
+                    pred = forest.predict(
+                        model, Xv,
+                        n_trees=c.get("n_estimators", 20),
+                        depth=c.get("max_depth", 5),
+                    )
+                    errs_by_combo[ci].append(float(np.mean((pred - yv) ** 2)))
+        else:
+            for ci, params in enumerate(combos):
+                pred = _fit_predict(
+                    Xf, yf, Xv, regressor=regressor, seed=seed, **params
+                )
+                errs_by_combo[ci].append(float(np.mean((pred - yv) ** 2)))
+    results = [
+        -float(np.mean(e)) if e else -np.inf for e in errs_by_combo
+    ]
     best_i = int(np.argmax(results))
     best = combos[best_i]
     pred_te = _fit_predict(

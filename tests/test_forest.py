@@ -234,3 +234,74 @@ def test_optimize_params_returns_sane_grid_point(spark):
     assert row["n_folds"] == 3
     assert row["cv_neg_mse"] <= 0.0
     assert row["test_r2"] > 0.5  # smooth signal: any grid point fits decently
+
+
+def test_prefix_and_depth_truncation_exact():
+    """One (max trees, max depth) rf fit answers the whole grid: trees[:k]
+    == a k-tree fit (shared rng prefix) and depth-truncated traversal ==
+    a shallower fit — the optimize_params fast path's correctness."""
+    rng = np.random.RandomState(3)
+    X = rng.normal(0, 1, (300, 4))
+    y = np.sin(X[:, 0]) + 0.3 * X[:, 1] ** 2 + rng.normal(0, 0.1, 300)
+    Xq = rng.normal(0, 1, (80, 4))
+    big = fit_forest(X, y, n_estimators=10, max_depth=5,
+                     min_samples_leaf=2, seed=7)
+    for ne in (3, 5, 10):
+        for md in (2, 3, 5):
+            small = fit_forest(X, y, n_estimators=ne, max_depth=md,
+                               min_samples_leaf=2, seed=7)
+            np.testing.assert_array_equal(
+                predict(big, Xq, n_trees=ne, depth=md), predict(small, Xq)
+            )
+
+
+def test_optimize_params_fast_path_matches_naive():
+    """The shared-fit CV must reproduce the per-combo loop exactly."""
+    import pandas as pd
+
+    from diive_spark.ml.gapfill import _fit_predict, optimize_params_pdf
+
+    rng = np.random.RandomState(5)
+    n = 400
+    ts = np.arange(n) * 1800
+    v = np.sin(ts / 40000.0) * 5 + rng.normal(0, 0.5, n)
+    v[rng.choice(n, 30, replace=False)] = np.nan
+    pdf = pd.DataFrame({"ts_s": ts, "value": v})
+    out = optimize_params_pdf(pdf, n_lags=1, n_splits=3, regressor="rf")
+    # naive re-run of the same CV, literal per-combo fits
+    from itertools import product
+
+    from diive_spark.ml.gapfill import PARAM_GRID_DEFAULT
+
+    pdf2 = pdf.sort_values("ts_s").reset_index(drop=True)
+    vv = pdf2["value"].to_numpy()
+    recno = np.arange(n, dtype=np.float64)
+    tod = (pdf2["ts_s"].to_numpy() % 86400) / 86400.0
+    lag = np.roll(vv, 1); lag[:1] = np.nan
+    lead = np.roll(vv, -1); lead[-1:] = np.nan
+    X = np.column_stack([recno, tod, lag, lead])
+    ok = ~np.isnan(vv) & ~np.isnan(X).any(axis=1)
+    Xc, yc = X[ok], vv[ok]
+    m = len(yc)
+    n_test = max(1, int(round(m * 0.25)))
+    Xtr, ytr = Xc[: m - n_test], yc[: m - n_test]
+    ntr = len(ytr)
+    fold = ntr // 4
+    best = (None, -np.inf)
+    for vals in product(*PARAM_GRID_DEFAULT.values()):
+        params = dict(zip(PARAM_GRID_DEFAULT.keys(), vals))
+        errs = []
+        for i in range(1, 4):
+            tr_end = fold * i + ntr % 4
+            va_end = min(tr_end + fold, ntr)
+            pred = _fit_predict(Xtr[:tr_end], ytr[:tr_end],
+                                Xtr[tr_end:va_end], regressor="rf",
+                                seed=0, **params)
+            errs.append(float(np.mean((pred - ytr[tr_end:va_end]) ** 2)))
+        score = -float(np.mean(errs))
+        if score > best[1]:
+            best = (params, score)
+    assert out["cv_neg_mse"].iloc[0] == best[1]
+    assert out["best_n_estimators"].iloc[0] == best[0]["n_estimators"]
+    assert out["best_max_depth"].iloc[0] == best[0]["max_depth"]
+    assert out["best_min_samples_leaf"].iloc[0] == best[0]["min_samples_leaf"]
