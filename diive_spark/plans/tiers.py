@@ -44,6 +44,76 @@ from diive_spark.operators.sanitize import ts_shift
 PARTIALS = ["psum", "pcount", "pslots"]
 
 
+class SumCountPartials:
+    """Default mergeable-aggregate spec: (psum, pcount, pslots) merged by
+    summation — mean/sum/count tiers with the min-count gate re-evaluable
+    at read time (the reference resample semantics).
+
+    A spec supplies the tier engine's two aggregate stages (delta partials
+    and merge) plus how to present merged rows; everything else — lineage,
+    intent-log resume, partition-scoped swap, expiry, compaction — is
+    aggregate-agnostic, so new mergeable summaries (M4 tuples below; the
+    histogram/HLL/CMS sketches run standalone today) ride the same
+    machinery.
+    """
+
+    columns = tuple(PARTIALS)
+    supports_gating = True
+
+    def partial_exprs(self, value_col: str, ts_s_col: str):
+        return [
+            F.sum(value_col).alias("psum"),
+            F.count(value_col).alias("pcount"),
+            F.count(F.lit(1)).alias("pslots"),
+        ]
+
+    def merge_exprs(self):
+        return [F.sum(c).alias(c) for c in self.columns]
+
+
+class M4Partials:
+    """M4 downsample tuples as a tier aggregate: every component is an
+    associative extreme (operators/downsample.py::m4_merge), so partials
+    merge bit-exactly.  Stored as four (a, b) structs + n_in; ``finalize``
+    flattens to the standard M4 row."""
+
+    columns = ("_f", "_l", "_mn", "_mx", "n_in")
+    supports_gating = False
+
+    def partial_exprs(self, value_col: str, ts_s_col: str):
+        x, y = F.col(ts_s_col), F.col(value_col)
+        return [
+            F.min(F.struct(x.alias("a"), y.alias("b"))).alias("_f"),
+            F.max(F.struct(x.alias("a"), y.alias("b"))).alias("_l"),
+            F.min(F.struct(y.alias("a"), x.alias("b"))).alias("_mn"),
+            F.max(F.struct(y.alias("a"), x.alias("b"))).alias("_mx"),
+            F.count(F.lit(1)).cast("long").alias("n_in"),
+        ]
+
+    def merge_exprs(self):
+        return [
+            F.min("_f").alias("_f"),
+            F.max("_l").alias("_l"),
+            F.min("_mn").alias("_mn"),
+            F.max("_mx").alias("_mx"),
+            F.sum("n_in").alias("n_in"),
+        ]
+
+    def finalize(self, df: DataFrame) -> DataFrame:
+        return df.select(
+            *[c for c in df.columns if c not in self.columns],
+            F.col("_f.a").alias("x_first"),
+            F.col("_f.b").alias("y_first"),
+            F.col("_l.a").alias("x_last"),
+            F.col("_l.b").alias("y_last"),
+            F.col("_mn.b").alias("x_ymin"),
+            F.col("_mn.a").alias("y_min"),
+            F.col("_mx.b").alias("x_ymax"),
+            F.col("_mx.a").alias("y_max"),
+            "n_in",
+        )
+
+
 class TierStore:
     """Filesystem layout + snapshot/lineage manifest for one tier table.
 
@@ -111,6 +181,7 @@ class TierEngine:
         ts_col: str = "ts",
         value_col: str = "value",
         source_freq_seconds: int | None = None,
+        partials=None,
     ):
         self.spark = spark
         self.tiers = tiers
@@ -119,6 +190,9 @@ class TierEngine:
         self.ts_col = ts_col
         self.value_col = value_col
         self.source_freq_seconds = source_freq_seconds
+        # pluggable mergeable-aggregate spec; default = reference-shaped
+        # sum/count partials (see SumCountPartials)
+        self.partials = partials or SumCountPartials()
 
     # -- partial aggregation -------------------------------------------------
     def _partials(self, df: DataFrame, tier: TierSpec) -> DataFrame:
@@ -130,12 +204,15 @@ class TierEngine:
         wend = (F.floor(F.unix_micros(ts_eff.cast("timestamp")) / us) + 1) * tier.seconds
         return (
             df.withColumn("window_end_s", wend.cast("long"))
-            .groupBy(self.key_col, "window_end_s")
-            .agg(
-                F.sum(self.value_col).alias("psum"),
-                F.count(self.value_col).alias("pcount"),
-                F.count(F.lit(1)).alias("pslots"),
+            .withColumn(
+                "_ts_s",
+                F.floor(
+                    F.unix_micros(F.col(self.ts_col).cast("timestamp"))
+                    / 1_000_000
+                ).cast("long"),
             )
+            .groupBy(self.key_col, "window_end_s")
+            .agg(*self.partials.partial_exprs(self.value_col, "_ts_s"))
             .withColumn(
                 "window_day",
                 F.date_format(
@@ -206,7 +283,7 @@ class TierEngine:
                     merged_touch = (
                         touch.unionByName(delta)
                         .groupBy(self.key_col, "window_end_s", "window_day")
-                        .agg(*[F.sum(c).alias(c) for c in PARTIALS])
+                        .agg(*self.partials.merge_exprs())
                     )
                 else:
                     merged_touch = delta
@@ -305,6 +382,10 @@ class TierEngine:
         df = store.read(self.spark)
         if df is None:
             raise FileNotFoundError(f"tier {name} is empty")
+        if not self.partials.supports_gating:
+            # custom mergeable aggregates present their own row shape; the
+            # min-count gate is a sum/count-tier concept
+            return self.partials.finalize(df)
         perc = mincounts_perc if mincounts_perc is not None else store.tier.mincounts_perc
         out = df.select(
             self.key_col,

@@ -391,3 +391,54 @@ def test_compaction_crash_resume_replays_pending(spark, series_sdf, tmp_path):
     assert any(c["compact_id"] == compact_id for c in m["compactions"])
     after = gated_pdf(eng.read_tier("30m"))
     np.testing.assert_array_equal(before["n_vals"].values, after["n_vals"].values)
+
+
+def test_m4_partials_through_tier_engine(spark, tmp_path):
+    """The pluggable-partials engine runs M4 tuples through the SAME
+    incremental MERGE / lineage / idempotent-resume machinery: out-of-order
+    batches == one-shot m4_downsample, and a re-applied batch is a no-op."""
+    from pyspark.sql import functions as F
+
+    from diive_spark.operators.downsample import m4_downsample
+    from diive_spark.plans.tiers import M4Partials, TierEngine
+    from diive_spark.sources.pages import synth_pages_df
+
+    pages = synth_pages_df(
+        spark, n_urls=25, n_records=2500, freq_seconds=60, zipf_hot_fraction=0.05
+    ).select("url", "ts", "value").filter(F.col("value").isNotNull())
+
+    eng = TierEngine(
+        spark, str(tmp_path / "m4tiers"),
+        (TierSpec("1h", "1 hour", 3600, mincounts_perc=0.0),),
+        "url", "ts", "value", partials=M4Partials(),
+    )
+    for i in range(3):
+        batch = pages.filter(F.pmod(F.xxhash64("url", "ts"), 3) == i)
+        eng.apply_batch(batch, batch_id=f"m4b{i}")
+
+    got = (
+        eng.read_tier("1h")
+        .select("url", "window_end_s", "x_first", "y_first", "x_last",
+                "y_last", "x_ymin", "y_min", "x_ymax", "y_max", "n_in")
+    )
+    want = m4_downsample(
+        pages.select(
+            "url",
+            F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+            .cast("long").alias("ts_s"),
+            "value",
+        ),
+        "url", "ts_s", "value", bucket_s=3600,
+    ).select(
+        "url",
+        ((F.col("bucket") + 1) * 3600).cast("long").alias("window_end_s"),
+        F.col("x_first").cast("long").alias("x_first"), "y_first",
+        F.col("x_last").cast("long").alias("x_last"), "y_last",
+        F.col("x_ymin").cast("long").alias("x_ymin"), "y_min",
+        F.col("x_ymax").cast("long").alias("x_ymax"), "y_max", "n_in",
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # idempotent resume: re-applying a recorded batch is a no-op
+    m = eng.apply_batch(pages.limit(50), batch_id="m4b1")
+    assert m["1h"] == {"skipped": True}
