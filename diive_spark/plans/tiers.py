@@ -299,26 +299,32 @@ class TierEngine:
                     .partitionBy("window_day")
                     .parquet(str(staging))
                 )
-                staged_counts = {
-                    str(r["window_day"]): r["cnt"]
-                    for r in self.spark.read.parquet(str(staging))
+                staged = (
+                    self.spark.read.parquet(str(staging))
                     .withColumn("window_day", F.col("window_day").cast("string"))
                     .groupBy("window_day")
-                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .agg(
+                        F.count(F.lit(1)).alias("cnt"),
+                        F.max("window_end_s").alias("wm"),
+                    )
                     .collect()
-                }
+                )
+                staged_counts = {str(r["window_day"]): r["cnt"] for r in staged}
+                watermark = max((r["wm"] for r in staged), default=None)
                 manifest = store.read_manifest()
                 manifest.setdefault("pending", []).append(
                     {
                         "batch_id": batch_id,
                         "affected_days": affected_days,
                         "staged_rows": staged_counts,
+                        "watermark_s": watermark,
                     }
                 )
                 store.write_manifest(manifest)
             else:
                 affected_days = intent["affected_days"]
                 staged_counts = intent["staged_rows"]
+                watermark = intent.get("watermark_s")
             # swap staged day dirs into the live table (idempotent replay:
             # a day missing from staging was already swapped)
             store.data_dir.mkdir(parents=True, exist_ok=True)
@@ -358,6 +364,10 @@ class TierEngine:
                 "rows": sum(part_counts.values()),
                 "partition_rows": part_counts,
                 "merged_partitions": affected_days,
+                # high-water mark of merged window ends — the "resume
+                # reading the source from here" cursor the docstring
+                # promises (Iceberg analog: a snapshot summary property)
+                "watermark_s": watermark,
             }
             manifest["snapshots"].append(snap)
             manifest["pending"] = [
