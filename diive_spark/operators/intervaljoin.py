@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["point_in_interval_join"]
+__all__ = ["point_in_interval_join", "interval_overlap_join"]
 
 
 def point_in_interval_join(
@@ -82,3 +82,69 @@ def point_in_interval_join(
         if c != key_col
     ]
     return joined.select(*keep_p, *keep_i)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_start: str = "l_start",
+    left_end: str = "l_end",
+    right_start: str = "r_start",
+    right_end: str = "r_end",
+    bucket_s: int = 3600,
+    max_span_buckets: int = 10_000,
+) -> DataFrame:
+    """Interval × interval OVERLAP join (closed intervals of the same
+    key; ``a.s <= b.e AND b.s <= a.e``) — the two-sided sibling of
+    :func:`point_in_interval_join`.
+
+    Both sides band to covered buckets, but overlapping pairs share MANY
+    buckets; instead of a distinct pass, each pair is emitted from exactly
+    ONE canonical bucket — the bucket holding the overlap's start
+    ``max(a.s, b.s)``, which both intervals cover by definition.  The join
+    stays a pure equi-join + filter: no dedup shuffle, no theta-join BNL.
+    Adds ``overlap_start/overlap_end/overlap_s`` to the joined row.
+    Column names must not collide apart from ``key_col``.
+    """
+    def banded(df: DataFrame, s: str, e: str) -> DataFrame:
+        b0 = F.floor(F.col(s) / bucket_s).cast("long")
+        b1 = F.floor(F.col(e) / bucket_s).cast("long")
+        return df.withColumn(
+            "_bkt",
+            F.explode(
+                F.when(
+                    b1 - b0 + 1 <= max_span_buckets, F.sequence(b0, b1)
+                ).otherwise(
+                    F.raise_error(
+                        F.lit(
+                            f"interval spans more than {max_span_buckets} "
+                            "buckets; raise bucket_s or split it"
+                        )
+                    )
+                )
+            ),
+        )
+
+    a = banded(left, left_start, left_end).alias("a")
+    b = banded(right, right_start, right_end).alias("b")
+    ls, le = F.col(f"a.{left_start}"), F.col(f"a.{left_end}")
+    rs, re_ = F.col(f"b.{right_start}"), F.col(f"b.{right_end}")
+    canonical = F.floor(F.greatest(ls, rs) / bucket_s).cast("long")
+    joined = a.join(
+        b,
+        (F.col(f"a.{key_col}") == F.col(f"b.{key_col}"))
+        & (F.col("a._bkt") == F.col("b._bkt"))
+        & (ls <= re_)
+        & (rs <= le)
+        & (F.col("a._bkt") == canonical),
+    )
+    left_cols = [F.col(f"a.{c}") for c in left.columns]
+    right_cols = [F.col(f"b.{c}") for c in right.columns if c != key_col]
+    return joined.select(
+        *left_cols,
+        *right_cols,
+        F.greatest(ls, rs).alias("overlap_start"),
+        F.least(le, re_).alias("overlap_end"),
+        (F.least(le, re_) - F.greatest(ls, rs)).alias("overlap_s"),
+    )

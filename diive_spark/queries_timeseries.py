@@ -1196,6 +1196,106 @@ FROM slotted ORDER BY host, fetch_order
 SQL_CORPUS_AS_OF = SQL_CORPUS_AS_OF.format(crawls=_SQL_CRAWLS_CTE)
 SQL_POLITENESS = SQL_POLITENESS.format(crawls=_SQL_CRAWLS_CTE)
 
+
+# ---------------------------------------------------------------------------
+# overlap_outages — interval × interval OVERLAP join: user sessions against
+# deterministic per-user maintenance windows (every 6 h, 20 min, phase from
+# user id).  The engine emits each overlapping pair from ONE canonical
+# band bucket (no dedup shuffle); the oracle is a plain theta join — an
+# independent formulation of the same pair set.
+# ---------------------------------------------------------------------------
+
+_OUTAGE_T0 = 1_704_067_200  # 2024-01-01
+_OUTAGE_EVERY_S = 21_600
+_OUTAGE_LEN_S = 1_200
+_OUTAGE_N = 120  # 30 days x 4/day
+
+
+def q_overlap_outages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.intervaljoin import interval_overlap_join
+    from diive_spark.operators.sessionize import session_stats
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", _epoch_s("ts").alias("ts_s")
+    )
+    sess = session_stats(
+        ev, key_col="user_id", ts_col="ts_s", timeout=_SESSION_TIMEOUT_S
+    ).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "session_idx",
+        F.col("session_start").cast("long").alias("s_start"),
+        F.col("session_end").cast("long").alias("s_end"),
+    )
+    outages = (
+        ev.select("user_id").distinct()
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_OUTAGE_N - 1))
+            ).alias("outage_idx"),
+        )
+        .select(
+            "user_id",
+            "outage_idx",
+            (
+                F.lit(_OUTAGE_T0)
+                + F.col("outage_idx") * _OUTAGE_EVERY_S
+                + F.pmod(F.col("user_id"), F.lit(7)) * 600
+            ).cast("long").alias("o_start"),
+        )
+        .withColumn("o_end", (F.col("o_start") + _OUTAGE_LEN_S).cast("long"))
+    )
+    out = interval_overlap_join(
+        sess, outages, "user_id",
+        left_start="s_start", left_end="s_end",
+        right_start="o_start", right_end="o_end",
+        bucket_s=3600,
+    )
+    return out.select(
+        "user_id", "session_idx", "s_start", "s_end",
+        "outage_idx", "o_start", "o_end",
+        "overlap_start", "overlap_end", "overlap_s",
+    ).orderBy("user_id", "session_idx", "outage_idx")
+
+
+SQL_OVERLAP_OUTAGES = f"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events
+), g AS (
+  SELECT *, CASE WHEN LAG(ts_s) OVER w IS NULL
+                   OR ts_s - LAG(ts_s) OVER w > {_SESSION_TIMEOUT_S}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)
+), s AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM g
+), sess AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(session_idx AS BIGINT) AS session_idx,
+         MIN(ts_s) AS s_start, MAX(ts_s) AS s_end
+  FROM s GROUP BY user_id, session_idx
+), outages AS (
+  SELECT CAST(u.user_id AS BIGINT) AS user_id,
+         CAST(k.outage_idx AS BIGINT) AS outage_idx,
+         CAST({_OUTAGE_T0} + k.outage_idx * {_OUTAGE_EVERY_S}
+              + (u.user_id % 7) * 600 AS BIGINT) AS o_start,
+         CAST({_OUTAGE_T0} + k.outage_idx * {_OUTAGE_EVERY_S}
+              + (u.user_id % 7) * 600 + {_OUTAGE_LEN_S} AS BIGINT) AS o_end
+  FROM (SELECT DISTINCT user_id FROM ev) u,
+       (SELECT UNNEST(range({_OUTAGE_N})) AS outage_idx) k
+)
+SELECT s.user_id AS user_id, s.session_idx, s.s_start, s.s_end,
+       o.outage_idx, o.o_start, o.o_end,
+       greatest(s.s_start, o.o_start) AS overlap_start,
+       least(s.s_end, o.o_end) AS overlap_end,
+       least(s.s_end, o.o_end) - greatest(s.s_start, o.o_start) AS overlap_s
+FROM sess s JOIN outages o
+  ON s.user_id = o.user_id
+ AND s.s_start <= o.o_end AND o.o_start <= s.s_end
+ORDER BY user_id, session_idx, outage_idx
+"""
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "counter_rate_tiers": q_counter_rate,
     "crawl_change_rate": q_crawl_change_rate,
@@ -1203,6 +1303,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recrawl_priority": q_recrawl_priority,
     "corpus_as_of": q_corpus_as_of,
     "politeness_schedule": q_politeness_schedule,
+    "overlap_outages": q_overlap_outages,
     "interval_join_sessions": q_interval_join,
     "hw_forecast": q_hw_forecast,
     "time_weighted_hourly": q_time_weighted,
@@ -1226,6 +1327,7 @@ ORACLE_SQL: dict[str, str] = {
     "recrawl_priority": SQL_RECRAWL_PRIORITY,
     "corpus_as_of": SQL_CORPUS_AS_OF,
     "politeness_schedule": SQL_POLITENESS,
+    "overlap_outages": SQL_OVERLAP_OUTAGES,
     "interval_join_sessions": SQL_INTERVAL_JOIN,
     "time_weighted_hourly": SQL_TIME_WEIGHTED,
     "acf_hourly": SQL_ACF_HOURLY,
