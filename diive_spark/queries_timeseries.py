@@ -1296,6 +1296,68 @@ FROM sess s JOIN outages o
 ORDER BY user_id, session_idx, outage_idx
 """
 
+# ---------------------------------------------------------------------------
+# cohort_retention — product-analytics retention matrix: users grouped by
+# first-seen day, activity counted per (cohort, age-in-days).  Two
+# combinable aggregations + one broadcast-sized join back on cohort sizes;
+# no self-join, no window over the raw table.
+# ---------------------------------------------------------------------------
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.floor(_epoch_s("ts") / 86400).cast("long").alias("day"),
+    )
+    activity = ev.distinct()
+    first_seen = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = first_seen.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    aged = activity.join(first_seen, "user_id").select(
+        "cohort_day", (F.col("day") - F.col("cohort_day")).alias("age_d"), "user_id"
+    )
+    ret = aged.groupBy("cohort_day", "age_d").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    out = ret.join(F.broadcast(sizes), "cohort_day")
+    return out.select(
+        "cohort_day",
+        "age_d",
+        "n_active",
+        "cohort_size",
+        F.floor(F.col("n_active") / F.col("cohort_size") * 10_000 + 0.31830988618367)
+        .cast("long")
+        .alias("retention_e4"),
+    ).orderBy("cohort_day", "age_d")
+
+
+SQL_COHORT_RETENTION = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400) AS BIGINT) AS day
+  FROM events
+), fs AS (
+  SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1
+), sizes AS (
+  SELECT cohort_day, count(DISTINCT user_id) AS cohort_size FROM fs GROUP BY 1
+), aged AS (
+  SELECT f.cohort_day, a.day - f.cohort_day AS age_d, a.user_id
+  FROM act a JOIN fs f USING (user_id)
+), ret AS (
+  SELECT cohort_day, age_d, count(DISTINCT user_id) AS n_active
+  FROM aged GROUP BY 1, 2
+)
+SELECT r.cohort_day AS cohort_day, r.age_d AS age_d,
+       CAST(r.n_active AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(floor(r.n_active * 1.0 / s.cohort_size * 10000
+            + 0.31830988618367) AS BIGINT) AS retention_e4
+FROM ret r JOIN sizes s USING (cohort_day)
+ORDER BY cohort_day, age_d
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "counter_rate_tiers": q_counter_rate,
     "crawl_change_rate": q_crawl_change_rate,
@@ -1304,6 +1366,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_as_of": q_corpus_as_of,
     "politeness_schedule": q_politeness_schedule,
     "overlap_outages": q_overlap_outages,
+    "cohort_retention": q_cohort_retention,
     "interval_join_sessions": q_interval_join,
     "hw_forecast": q_hw_forecast,
     "time_weighted_hourly": q_time_weighted,
@@ -1328,6 +1391,7 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_as_of": SQL_CORPUS_AS_OF,
     "politeness_schedule": SQL_POLITENESS,
     "overlap_outages": SQL_OVERLAP_OUTAGES,
+    "cohort_retention": SQL_COHORT_RETENTION,
     "interval_join_sessions": SQL_INTERVAL_JOIN,
     "time_weighted_hourly": SQL_TIME_WEIGHTED,
     "acf_hourly": SQL_ACF_HOURLY,
