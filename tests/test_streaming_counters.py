@@ -131,3 +131,59 @@ def test_stream_hysteresis_episodes_match_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM hyst").collect()
     }
     assert got == batch
+
+
+def test_stream_scd2_versions_match_batch(spark, tmp_path):
+    """Closed versions across a 3-batch replay == the batch SCD2 operator;
+    a unique sentinel fingerprint at each url's end closes every version
+    so the comparison is total."""
+    import numpy as np
+
+    from diive_spark.operators.scd import scd2_versions
+    from diive_spark.streaming.scd import stream_scd2_versions
+
+    rng = np.random.RandomState(21)
+    rows = []
+    for u in range(8):
+        t = 0
+        for i in range(40):
+            t += int(rng.randint(60, 600))
+            rows.append((f"u{u}", t, f"c{rng.randint(0, 4)}"))
+        rows.append((f"u{u}", t + 600, "__END__"))
+    df = spark.createDataFrame(rows, "url string, ts_s long, fp string")
+    batch = {
+        (r["url"], r["version_no"]): (
+            r["valid_from"], r["valid_to"], r["_last_seen"], r["fp"], r["n_obs"]
+        )
+        for r in scd2_versions(df, "url", "ts_s", "fp").collect()
+        if r["fp"] != "__END__"
+    }
+
+    src = tmp_path / "scdstream"
+    src.mkdir()
+    from pyspark.sql import functions as F
+
+    t1, t2 = 4000, 9000
+    for i, cond in enumerate(
+        [F.col("ts_s") < t1, (F.col("ts_s") >= t1) & (F.col("ts_s") < t2),
+         F.col("ts_s") >= t2]
+    ):
+        df.filter(cond).select(
+            "url", F.timestamp_seconds("ts_s").alias("ts"), "fp"
+        ).coalesce(1).write.parquet(str(src / f"b{i}.parquet"))
+
+    sdf = stream_scd2_versions(
+        spark, str(src) + "/*", "url STRING, ts TIMESTAMP, fp STRING"
+    )
+    q = (
+        sdf.writeStream.format("memory").queryName("scdv")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["url"], r["version_no"]): (
+            r["valid_from"], r["valid_to"], r["last_seen"], r["fp"], r["n_obs"]
+        )
+        for r in spark.sql("SELECT * FROM scdv").collect()
+    }
+    assert got == batch
