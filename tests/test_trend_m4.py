@@ -405,3 +405,43 @@ def test_downsample_tier_cascade_double_merge(spark):
     direct_c = cms_build(ev, "item", "ts_s", bucket_s=86400, depth=4, width=128)
     assert day_c.exceptAll(direct_c).count() == 0
     assert direct_c.exceptAll(day_c).count() == 0
+
+
+def test_m4_streaming_partials_converge(spark, tmp_path):
+    """foreachBatch M4 partials merged across micro-batches == one-shot
+    M4 — the same stateless tier-ingest contract as the CMS test (all
+    four components are associative extremes)."""
+    from diive_spark.operators.downsample import m4_merge
+
+    rng = np.random.RandomState(23)
+    n = 3000
+    pdf = pd.DataFrame(
+        {
+            "key": rng.randint(0, 5, n).astype(np.int64),
+            "ts_s": rng.randint(0, 200000, n).astype(np.int64),
+            "value": np.round(rng.normal(0, 5, n), 2),
+        }
+    ).drop_duplicates(["key", "ts_s"])
+    df = spark.createDataFrame(pdf)
+    src = tmp_path / "m4stream"
+    src.mkdir()
+    for i in range(3):
+        df.filter(F.pmod(F.xxhash64("key", "ts_s"), 3) == i) \
+          .coalesce(1).write.parquet(str(src / f"b{i}.parquet"))
+    store = str(tmp_path / "m4store")
+
+    def ingest(batch_df, batch_id):
+        m4_downsample(batch_df, "key", "ts_s", "value", bucket_s=3600) \
+            .write.mode("append").parquet(store)
+
+    q = (
+        spark.readStream.schema("key long, ts_s long, value double")
+        .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*")
+        .writeStream.foreachBatch(ingest).trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "m4ckpt")).start()
+    )
+    q.awaitTermination(180)
+    merged = m4_merge(spark.read.parquet(store), "key", factor=1)
+    direct = m4_downsample(df, "key", "ts_s", "value", bucket_s=3600)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
