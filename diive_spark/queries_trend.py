@@ -698,6 +698,64 @@ FROM h GROUP BY 1, 2 ORDER BY user_id, day_s
 """
 
 
+# ---------------------------------------------------------------------------
+# heavy_hitters_verified — the sketch-then-verify pattern (the counting
+# analog of LSH-then-verify dedup): CMS candidates (estimate ≥ K, a
+# SUPERSET — the sketch never underestimates, so recall is guaranteed) are
+# exactly re-counted; only candidate rows reach the exact aggregation.
+# At 100 TB the first pass is bounded by the sketch size and the second
+# by the (rare) heavy rows; the oracle is the plain GROUP BY ... HAVING —
+# same answer, which is the point.
+# ---------------------------------------------------------------------------
+
+_HH_K = 5
+
+
+def q_heavy_hitters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.cms import cms_merge
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("item"),
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("ts_s"),
+    )
+    hourly = cms_build(ev, "item", "ts_s", bucket_s=3600, depth=_CMS_D, width=_CMS_W)
+    daily = cms_merge(hourly, 24)
+    probes = ev.select("item").distinct()
+    est = cms_estimate(daily, probes, "item", depth=_CMS_D, width=_CMS_W)
+    cands = est.filter(F.col("est") >= _HH_K).select(
+        "item", F.col("bucket").alias("day_bucket")
+    )
+    withday = ev.withColumn(
+        "day_bucket",
+        F.floor(F.floor(F.col("ts_s") / 3600) / 24).cast("long"),
+    )
+    verified = (
+        withday.join(
+            F.broadcast(cands), ["item", "day_bucket"], "left_semi"
+        )
+        .groupBy("item", "day_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .filter(F.col("n_exact") >= _HH_K)
+    )
+    return verified.select(
+        F.col("item").cast("long").alias("user_id"), "day_bucket", "n_exact"
+    ).orderBy("user_id", "day_bucket")
+
+
+SQL_HEAVY_HITTERS = f"""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(floor(CAST(floor(
+         CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) / 3600
+       ) AS BIGINT) / 24) AS BIGINT) AS day_bucket,
+       count(*) AS n_exact
+FROM events
+GROUP BY 1, 2 HAVING count(*) >= {_HH_K}
+ORDER BY user_id, day_bucket
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trend_mann_kendall": q_trend_mann_kendall,
     "m4_hourly": q_m4_hourly,
@@ -709,6 +767,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trapezoid_hourly": q_trapezoid_hourly,
     "binseg_changepoints": q_binseg_changepoints,
     "heatmap_datetime": q_heatmap_datetime,
+    "heavy_hitters_verified": q_heavy_hitters_verified,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -722,4 +781,5 @@ ORACLE_SQL: dict[str, str] = {
     "trapezoid_hourly": SQL_TRAPEZOID,
     "binseg_changepoints": _sql_binseg(),
     "heatmap_datetime": SQL_HEATMAP,
+    "heavy_hitters_verified": SQL_HEAVY_HITTERS,
 }
