@@ -756,6 +756,76 @@ ORDER BY user_id, day_bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# time_in_state_median — duration-WEIGHTED lower median per event type: the
+# value that held for at least half the observed time (each sample weighted
+# by its LOCF duration, i.e. seconds until the user's next sample, capped).
+# The robust sibling of time_weighted_hourly's mean: one lag window for the
+# durations, one sort-by-value window with a cumulative-weight pick — an
+# exact element, no interpolation, engine-stable.
+# ---------------------------------------------------------------------------
+
+_TIS_CAP_S = 3600  # cap a gap's weight at an hour (sparse series guard)
+
+
+def q_time_in_state_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("ts_s"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v_e2"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts_s")
+    weighted = ev.withColumn(
+        "w_s",
+        F.least(
+            F.coalesce(F.lead("ts_s").over(wu) - F.col("ts_s"), F.lit(0)),
+            F.lit(_TIS_CAP_S),
+        ),
+    ).filter(F.col("w_s") > 0)
+    wo = Window.partitionBy("event_type").orderBy("v_e2", "user_id", "ts_s")
+    wt = Window.partitionBy("event_type")
+    ranked = weighted.withColumn(
+        "cumw", F.sum("w_s").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("totw", F.sum("w_s").over(wt))
+    picked = ranked.filter(F.col("cumw") * 2 >= F.col("totw")).groupBy(
+        "event_type"
+    ).agg(
+        F.min("v_e2").alias("median_v_e2"),
+        F.min("totw").cast("long").alias("total_weight_s"),
+    )
+    return picked.orderBy("event_type")
+
+
+SQL_TIME_IN_STATE_MEDIAN = f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v_e2
+  FROM events
+), weighted AS (
+  SELECT *, least(coalesce(LEAD(ts_s) OVER w - ts_s, 0), {_TIS_CAP_S}) AS w_s
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)
+), pos AS (
+  SELECT * FROM weighted WHERE w_s > 0
+), ranked AS (
+  SELECT *,
+         sum(w_s) OVER (PARTITION BY event_type ORDER BY v_e2, user_id, ts_s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         sum(w_s) OVER (PARTITION BY event_type) AS totw
+  FROM pos
+)
+SELECT event_type, min(v_e2) AS median_v_e2,
+       CAST(min(totw) AS BIGINT) AS total_weight_s
+FROM ranked WHERE cumw * 2 >= totw
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trend_mann_kendall": q_trend_mann_kendall,
     "m4_hourly": q_m4_hourly,
@@ -768,6 +838,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "binseg_changepoints": q_binseg_changepoints,
     "heatmap_datetime": q_heatmap_datetime,
     "heavy_hitters_verified": q_heavy_hitters_verified,
+    "time_in_state_median": q_time_in_state_median,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -782,4 +853,5 @@ ORACLE_SQL: dict[str, str] = {
     "binseg_changepoints": _sql_binseg(),
     "heatmap_datetime": SQL_HEATMAP,
     "heavy_hitters_verified": SQL_HEAVY_HITTERS,
+    "time_in_state_median": SQL_TIME_IN_STATE_MEDIAN,
 }
