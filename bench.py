@@ -265,10 +265,13 @@ if __name__ == "__main__":
         print(json.dumps(run_reference_compare()))
     else:
         res = run_bench()
-        # VERDICT r2 wrong #3: the single giant JSON line got truncated by
-        # the driver's tail capture (BENCH_r02 parsed: null).  Emit the
-        # headline first on its own short line, persist the full record to
-        # bench_out.json, THEN print the one-line JSON contract.
+        # VERDICT r3 #6: the driver's capture keeps the END of stdout, so
+        # the giant full record must come FIRST and the short headline LAST
+        # — otherwise the tail keeps only the truncated giant line and
+        # BENCH parses as null (it did in r02 AND r03).  Full record also
+        # persisted to bench_out.json.
+        (REPO / "bench_out.json").write_text(json.dumps(res, indent=1))
+        print(json.dumps(res), flush=True)
         print(
             json.dumps(
                 {
@@ -281,5 +284,3 @@ if __name__ == "__main__":
             ),
             flush=True,
         )
-        (REPO / "bench_out.json").write_text(json.dumps(res, indent=1))
-        print(json.dumps(res))

@@ -143,12 +143,20 @@ def _build_tree(
                 - np.where(tw > 0, twy * twy / np.where(tw > 0, tw, 1.0), 0.0)
             )
         gain = np.where(ok, gain, 0.0)
-        if colsample_bynode is not None and colsample_bynode < 1.0:
+        if colsample_bynode is not None:
             # per-node random feature subset: mask the gain matrix, keep
-            # the vectorized histogram pass (mtry smallest ranks win)
-            mtry = max(1, int(round(colsample_bynode * n_f)))
-            ranks = np.argsort(rng.random((k, n_f)), axis=1).argsort(axis=1)
-            gain = np.where((ranks < mtry)[:, :, None], gain, 0.0)
+            # the vectorized histogram pass (mtry smallest ranks win).
+            # An int is an EXPLICIT mtry (sklearn max_features mapping —
+            # fit_forest floors like sklearn does); a float is a fraction.
+            if isinstance(colsample_bynode, (int, np.integer)) and not isinstance(
+                colsample_bynode, bool
+            ):
+                mtry = int(min(n_f, max(1, colsample_bynode)))
+            else:
+                mtry = max(1, int(round(colsample_bynode * n_f)))
+            if mtry < n_f:
+                ranks = np.argsort(rng.random((k, n_f)), axis=1).argsort(axis=1)
+                gain = np.where((ranks < mtry)[:, :, None], gain, 0.0)
         flat = gain.reshape(k, n_f * (n_bins - 1))
         gi = np.argmax(flat, axis=1)
         gv = flat[np.arange(k), gi]
@@ -250,18 +258,21 @@ def fit_forest(
     'sqrt'/'log2', or 1.0/None for all features — mapped onto
     ``colsample_bynode``'s per-split sampling."""
     if max_features is not None:
+        # ADVICE r3: sklearn FLOORS ('sqrt' on 8 features -> mtry 2, not
+        # round(sqrt(8))=3) — carry an explicit integer mtry through to
+        # _build_tree instead of a fraction that gets re-rounded.
         f_all = X.shape[1]
         if max_features == "sqrt":
-            frac = np.sqrt(f_all) / f_all
+            mtry = max(1, int(np.sqrt(f_all)))
         elif max_features == "log2":
-            frac = max(1.0, np.log2(f_all)) / f_all
+            mtry = max(1, int(np.log2(f_all)))
         elif isinstance(max_features, (int, np.integer)) and not isinstance(
             max_features, bool
         ):
-            frac = max_features / f_all
+            mtry = int(max_features)
         else:
-            frac = float(max_features)
-        colsample_bynode = min(1.0, frac)
+            mtry = max(1, int(float(max_features) * f_all))
+        colsample_bynode = min(f_all, max(1, mtry))
         colsample = 1.0  # sklearn samples per split over ALL features
     rng = np.random.default_rng(seed)
     nb = _adaptive_bins(len(y))

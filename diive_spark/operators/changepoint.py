@@ -49,6 +49,15 @@ def _best_split(
     c = np.cumsum(seg)
     total = int(c[-1])
     t = np.arange(min_size, n - min_size + 1, dtype=np.int64)
+    # ADVICE r3: guard the INPUTS before the int64 products — with huge
+    # cumsums c[t-1]*n can wrap in int64 first, and a wrapped value can
+    # slip under the |num| bound below.  Python ints are exact, so check
+    # max|c|·n (an upper bound on both products) against 2^62 up front.
+    if int(np.abs(c).max(initial=0)) * n >= 2**62:
+        raise ValueError(
+            "binseg gain numerator products would overflow int64 — "
+            "rescale values (coarser centi-units) or shorten the series"
+        )
     num = c[t - 1] * np.int64(n) - t * np.int64(total)
     # num² must stay exact in int64 (numpy would wrap SILENTLY; the SQL
     # twin would error loudly) — |num| ≤ 2·|c|·n, so guard the bound

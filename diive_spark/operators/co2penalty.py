@@ -133,7 +133,12 @@ def co2_penalty_hires(
         "flag_nep_filled",
         (F.col("nep_limited").isNull() & F.col("nep_limited_gf").isNotNull()).cast("int"),
     )
-    # penalty + global cumulatives (co2_penalty.py:203-210)
+    # penalty + global cumulatives (co2_penalty.py:203-210).
+    # SCOPE GUARD: the unpartitioned running-sum window is the reference's
+    # own contract — ONE site's single flux series (≤ ~20 yr of 30-min
+    # slots, bounded rows).  Do NOT lift into a multi-site path: partition
+    # by site id, or use operators/rank.py::global_row_number to seed a
+    # distributed cumulative.
     d = d.withColumn("penalty", F.col("nep_limited_gf") - F.col("nep"))
     wc = Window.orderBy(ts_col).rowsBetween(Window.unboundedPreceding, 0)
     return (

@@ -60,10 +60,13 @@ def hw_fit_numpy(
     for t in range(period, n):
         s_prev = season[t % period]
         fitted[t] = lvl + trend + s_prev
-        l_prev = lvl
+        # ADVICE r3: the seasonal update must use the PRIOR trend b_{t-1}
+        # (Hyndman §8.3 form cited in the module docstring), not the
+        # just-updated b_t — save both priors before updating.
+        l_prev, b_prev = lvl, trend
         lvl = alpha * (y[t] - s_prev) + (1 - alpha) * (lvl + trend)
         trend = beta * (lvl - l_prev) + (1 - beta) * trend
-        season[t % period] = gamma * (y[t] - l_prev - trend) + (1 - gamma) * s_prev
+        season[t % period] = gamma * (y[t] - l_prev - b_prev) + (1 - gamma) * s_prev
     fc = np.array(
         [
             lvl + h * trend + season[(n + h - 1) % period]

@@ -160,9 +160,13 @@ def timestamps_from_file_start(
     >0.1% from the expected count (times.py:1143-1172), timestamps are
     ``file_start + rn * true_resolution`` rounded to 50 ms.
 
-    The row number comes from a window over ``order_col`` partitioned
-    by nothing — raw files are single-file-sized by construction; for
-    many files partition by a file-id column upstream."""
+    SCOPE GUARD: the row number comes from a window over ``order_col``
+    partitioned by NOTHING — correct here because the contract is
+    per-file (raw logger files are single-file-sized by construction, the
+    reference operates on one file's frame).  Do NOT lift this into a
+    multi-file/multi-key path: partition by a file-id column upstream, or
+    use :func:`diive_spark.operators.rank.global_row_number` for an exact
+    distributed global rank."""
     from pyspark.sql import Window
 
     n = df.count()

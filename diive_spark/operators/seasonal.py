@@ -45,21 +45,27 @@ def classical_decompose(
     value_col: str = "y",
     period: int = 24,
     by: list[str] | None = None,
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Additive y = trend + seasonal + resid over a regular series.
 
     ``period`` must be even (the 2xP centered-MA formula); phase is
-    ``(ts / bucket_seconds) mod period`` — the caller's ``ts_col`` is
-    expected in units where consecutive rows differ by one bucket
-    (epoch-seconds inputs with hourly buckets: pass ts already bucketed,
-    phase derives from row ts // 3600 % 24 upstream or here via the
-    ``phase`` column if present).
+    ``(ts / bucket_seconds) mod period``.  Phase resolution (ADVICE r3):
+    an existing ``phase`` column wins; else ``bucket_seconds`` if given;
+    else the grid step is DERIVED per key as the minimum positive ts
+    delta (no hardcoded 3600 s assumption).
+
+    Re-centering divides by the number of phases actually PRESENT per
+    key (``countDistinct(phase)``), not the literal ``period`` — for a
+    series covering every phase the two agree, but a short series no
+    longer biases seasonal/resid (ADVICE r3).
     """
     assert period % 2 == 0, "classical even-period formula needs even P"
     h = period // 2
     keys = by or []
     w = Window.partitionBy(*keys).orderBy(ts_col)
     win = w.rowsBetween(-h, h)
+    wall = Window.partitionBy(*keys)
     y = F.col(value_col)
     # 2xP MA == (sum of the 2h+1 window - half the two end values) / P
     trend = F.when(
@@ -71,18 +77,31 @@ def classical_decompose(
         )
         / F.lit(float(period)),
     )
-    out = df.withColumn("trend", trend).withColumn(
-        "phase",
-        (F.col(ts_col) / F.lit(3600)).cast("long") % period
-        if "phase" not in df.columns
-        else F.col("phase"),
-    )
+    out = df.withColumn("trend", trend)
+    if "phase" in df.columns:
+        out = out.withColumn("phase", F.col("phase"))
+    elif bucket_seconds is not None:
+        out = out.withColumn(
+            "phase",
+            (F.col(ts_col) / F.lit(bucket_seconds)).cast("long") % period,
+        )
+    else:
+        # derive the grid step per key: min positive ts delta (one lag +
+        # one per-key aggregate window — both reuse the existing sort)
+        out = (
+            out.withColumn(
+                "_step", F.min(F.col(ts_col) - F.lag(ts_col).over(w)).over(wall)
+            )
+            .withColumn(
+                "phase", (F.col(ts_col) / F.col("_step")).cast("long") % period
+            )
+            .drop("_step")
+        )
     detr = F.col(value_col) - F.col("trend")
     wp = Window.partitionBy(*keys, "phase")
-    wall = Window.partitionBy(*keys)
-    # re-center: subtract the mean of the P DISTINCT phase means (the
-    # mean over rows equals it only for balanced designs) — each window
-    # layer materializes as its own column so nothing nests
+    # re-center: subtract the mean of the DISTINCT phase means actually
+    # present (the mean over rows equals it only for balanced designs) —
+    # each window layer materializes as its own column so nothing nests
     out = (
         out.withColumn("_sraw", F.avg(detr).over(wp))
         .withColumn(
@@ -91,7 +110,7 @@ def classical_decompose(
         .withColumn(
             "_grand",
             F.sum(F.when(F.col("_rn") == 1, F.col("_sraw"))).over(wall)
-            / F.lit(float(period)),
+            / F.count(F.when(F.col("_rn") == 1, F.lit(1))).over(wall),
         )
         .withColumn("seasonal", F.col("_sraw") - F.col("_grand"))
         .withColumn(

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from diive_spark.operators import analytics as AN
+from diive_spark.operators.analytics import global_ntile
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -349,11 +350,17 @@ MIN_CELL = 5
 
 
 def q_qxy_binagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round-3 verdict #4: an unpartitioned Window.orderBy ntile funnels the
+    # whole table through ONE task; global_ntile is the distributed exact
+    # equivalent (range-bucketed rank, pinned bit-identical in tests).
     li = _lineitem(spark, sf_dir)
-    wx = Window.orderBy("l_quantity", "l_orderkey", "l_linenumber")
-    wy = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    binned = li.withColumn("xbin", F.ntile(10).over(wx)).withColumn(
-        "ybin", F.ntile(10).over(wy)
+    binned = global_ntile(
+        li, ["l_quantity", "l_orderkey", "l_linenumber"], 10,
+        out_col="xbin",
+    )
+    binned = global_ntile(
+        binned, ["l_extendedprice", "l_orderkey", "l_linenumber"], 10,
+        out_col="ybin",
     )
     return (
         binned.groupBy(
@@ -390,9 +397,14 @@ N_OPT_BINS = 12
 
 
 def q_optimum_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round-3 verdict #4: distributed exact ntile instead of the
+    # single-partition Window (see q_qxy_binagg).  The remaining
+    # unpartitioned windows below run over N_OPT_BINS rows only.
     li = _lineitem(spark, sf_dir)
-    wb = Window.orderBy("l_quantity", "l_orderkey", "l_linenumber")
-    binned = li.withColumn("bin", F.ntile(N_OPT_BINS).over(wb))
+    binned = global_ntile(
+        li, ["l_quantity", "l_orderkey", "l_linenumber"], N_OPT_BINS,
+        out_col="bin",
+    )
     per_bin = binned.groupBy(F.col("bin").cast("long").alias("bin")).agg(
         F.expr("percentile(l_extendedprice, 0.5)").alias("median_y"),
         F.count("*").cast("long").alias("n"),

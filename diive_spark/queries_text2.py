@@ -619,7 +619,11 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diive_spark.operators.rank import global_row_number, ntile_from_rank
 
     d = _documents(spark, sf_dir).select("doc_id", "text")
-    counts = LM.bigram_counts(d)  # not persisted — PLANS.md §37
+    # persist the trained model table (VERDICT r3 #7): it's a small
+    # (bigram, count) key table — the PLANS §37 row-cache caveat is about
+    # ARRAY/STRING-heavy rows, not scalar count tables — and without the
+    # cache the corpus is re-tokenized for the start-count marginal arm.
+    counts = LM.bigram_counts(d).persist()
     scored = LM.bigram_lm_score(d, d, alpha=1.0, counts_df=counts)
     ranked = global_row_number(
         scored.select(

@@ -204,7 +204,8 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        MIN(ts_s) AS start_s, MAX(ts_s) AS end_s,
        MAX(ts_s) - MIN(ts_s) AS duration_s,
        COUNT(*) AS n_events,
-       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clicks
 FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx
 """
 
@@ -448,7 +449,8 @@ WITH h AS (
          row_number() OVER (PARTITION BY phase ORDER BY ts_s) AS rn
   FROM t
 ), g AS (
-  SELECT *, sum(CASE WHEN rn = 1 THEN sraw END) OVER () / 24.0 AS grand
+  SELECT *, sum(CASE WHEN rn = 1 THEN sraw END) OVER ()
+            / count(CASE WHEN rn = 1 THEN 1 END) OVER () AS grand
   FROM s
 )
 SELECT ts_s, y, CAST(phase AS BIGINT) AS phase,
@@ -1061,7 +1063,8 @@ obs AS (
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver
   FROM flagged
 ), per AS (
-  SELECT url, ver AS version_no, min(warc_ts_s) AS valid_from_s,
+  SELECT url, CAST(ver AS BIGINT) AS version_no,
+         min(warc_ts_s) AS valid_from_s,
          max(warc_ts_s) AS last_seen_s, min(fp) AS fp, count(*) AS n_obs
   FROM runs GROUP BY 1, 2
 )
@@ -1114,7 +1117,8 @@ obs AS (
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver
   FROM flagged
 ), per AS (
-  SELECT url, ver AS version_no, min(warc_ts_s) AS valid_from_s,
+  SELECT url, CAST(ver AS BIGINT) AS version_no,
+         min(warc_ts_s) AS valid_from_s,
          min(fp) AS fp
   FROM runs GROUP BY 1, 2
 ), v AS (

@@ -110,8 +110,8 @@ pairs AS (
          (nn.n * (nn.n - 1) * (2 * nn.n + 5) - coalesce(ties.tie, 0)) AS v18i
   FROM nn LEFT JOIN stats USING (user_id) LEFT JOIN ties USING (user_id)
 )
-SELECT agg.user_id, agg.n, agg.s,
-       agg.v18i AS var_s18,
+SELECT agg.user_id, agg.n, CAST(agg.s AS BIGINT) AS s,
+       CAST(agg.v18i AS BIGINT) AS var_s18,
        CAST(floor(
          CASE WHEN agg.v18i <= 0 OR agg.s = 0 THEN 0.0
               WHEN agg.s > 0 THEN (agg.s - 1) / sqrt(agg.v18i / 18.0)
@@ -218,7 +218,8 @@ sig AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS episode_no
   FROM op
 )
-SELECT user_id, episode_no, min(t) AS start_s, max(t) AS end_s,
+SELECT user_id, CAST(episode_no AS BIGINT) AS episode_no,
+       min(t) AS start_s, max(t) AS end_s,
        CAST(max(v) AS BIGINT) AS peak_e2, count(*) AS n_rows
 FROM epi WHERE state = 1
 GROUP BY 1, 2 ORDER BY user_id, episode_no
@@ -491,7 +492,7 @@ nodes AS (
   UNION ALL SELECT user_id, 2 AS node, gain FROM b2
   UNION ALL SELECT user_id, 3 AS node, gain FROM b3
 )
-SELECT n.user_id AS user_id, n.node AS node,
+SELECT n.user_id AS user_id, CAST(n.node AS BIGINT) AS node,
        CAST(n.tsplit AS BIGINT) AS cp_idx,
        i.t AS cp_t,
        CAST(floor(g.gain + {_OFF}) AS BIGINT) AS gain_e0

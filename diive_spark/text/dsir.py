@@ -127,16 +127,32 @@ def dsir_select(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Score every doc and flag the top ``keep_frac`` by (weight desc,
-    id asc) — the deterministic zero-temperature DSIR selection."""
+    id asc) — the deterministic zero-temperature DSIR selection.
+
+    Scale posture (round-3 verdict #5): the rank is a distributed exact
+    global row_number (range-repartitioned, per-partition window + offsets
+    — :func:`diive_spark.operators.rank.global_row_number`), never an
+    unpartitioned ``Window.orderBy`` that would funnel the corpus through
+    one task.  The selection threshold ``ceil(n_docs * keep_frac)`` rides
+    along as a broadcast one-row aggregate instead of a driver-side
+    ``df.count()`` job.
+    """
+    from diive_spark.operators.rank import global_row_number
+
     ratios = dsir_bucket_ratios(
         df, is_target, n_buckets, text_col, id_col
     )
     scored = dsir_scores(df, ratios, n_buckets, text_col, id_col)
-    n = df.count()
-    m = int(-(-n * keep_frac // 1))  # ceil
-    w = Window.orderBy(F.col("weight").desc(), F.col(id_col).asc())
+    n_docs = df.groupBy().agg(F.count(F.lit(1)).alias("_n_docs"))
+    ranked = global_row_number(
+        scored, [F.col("weight").desc(), F.col(id_col).asc()], out_col="rk"
+    )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .withColumn("selected", (F.col("rk") <= m).cast("int"))
-        .drop("rk")
+        ranked.crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "selected",
+            (F.col("rk") <= F.ceil(F.col("_n_docs") * F.lit(keep_frac)))
+            .cast("int"),
+        )
+        .drop("rk", "_n_docs")
     )

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import math
 import sys
+from decimal import Decimal
 from pathlib import Path
 
 import duckdb
@@ -27,17 +28,53 @@ TABLES = [
 
 
 def norm_cell(v):
+    """Type-TAGGED normalization (round-3 verdict #2): the driver's value
+    hash is type-sensitive — DuckDB HUGEINT surfacing as ``decimal128`` vs
+    Spark ``int64`` hash-fails even when the numbers are equal.  Tag every
+    cell with its Python type family so a Decimal never compares equal to
+    an int, and an int never to a float.  Floats keep the 6-sig-fig value
+    normalization (cross-engine ulp noise), but no longer collapse to ints.
+    """
     if v is None:
         return "∅"
+    if isinstance(v, bool):
+        return f"b:{int(v)}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        if v == int(v) and abs(v) < 2**52:
-            return str(int(v))
-        return f"{v:.6g}"
-    if isinstance(v, bool):
-        return str(int(v))
-    return str(v)
+            return "f:nan"
+        return f"f:{v:.6g}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, Decimal):
+        return f"dec:{v}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return f"s:{v}"
+
+
+# Spark simpleString dtype -> acceptable DuckDB Arrow type families.  A
+# mismatch here is exactly the class the driver caught in round 3
+# (decimal128(38,0) from an uncast HUGEINT sum vs Spark int64).
+_TYPE_FAMILY = {
+    "bigint": {"int64"},
+    "int": {"int32", "int64"},
+    "smallint": {"int16", "int32", "int64"},
+    "tinyint": {"int8", "int16", "int32", "int64"},
+    "double": {"double", "float"},
+    "float": {"float", "double"},
+    "string": {"string", "large_string"},
+    "boolean": {"bool"},
+    "date": {"date32[day]", "date64[ms]"},
+}
+
+
+def arrow_type_ok(spark_dtype: str, arrow_type: str) -> bool:
+    fam = _TYPE_FAMILY.get(spark_dtype)
+    if fam is None:
+        # arrays/structs/timestamps: value compare still applies; skip the
+        # family check rather than false-positive on container spellings.
+        return True
+    return str(arrow_type) in fam
 
 
 def canon(rows, cols):
@@ -67,9 +104,10 @@ def main(names: list[str] | None = None) -> int:
                   f"({'OK' if len(srows) >= 0 else 'FAIL'})")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            tbl = con.execute(oracles[name]).arrow()
+            ocols = tbl.column_names
+            orows = [tuple(r.values()) for r in tbl.to_pylist()]
+            otypes = {n: str(t) for n, t in zip(tbl.schema.names, tbl.schema.types)}
         except Exception as e:  # noqa: BLE001
             print(f"{name}: ORACLE SQL ERROR: {e}")
             failures += 1
@@ -78,6 +116,13 @@ def main(names: list[str] | None = None) -> int:
         if sorted(scols) != sorted(ocols):
             print(f"{name}: SCHEMA MISMATCH spark={sorted(scols)} duck={sorted(ocols)}")
             ok = False
+        else:
+            sdtypes = dict(sdf.dtypes)
+            for c in scols:
+                if not arrow_type_ok(sdtypes[c], otypes[c]):
+                    print(f"{name}: TYPE MISMATCH col={c} "
+                          f"spark={sdtypes[c]} duck-arrow={otypes[c]}")
+                    ok = False
         if len(srows) != len(orows):
             print(f"{name}: ROWCOUNT MISMATCH spark={len(srows)} duck={len(orows)}")
             ok = False
