@@ -752,81 +752,68 @@ QUERIES.update(_qtr.QUERIES)
 ORACLE_SQL.update(_qtr.ORACLE_SQL)
 
 # Driver-window ordering: the driver records correctness rows for exactly the
-# first 50 registry entries.  Round-2 verdict: 25 oracle-backed queries sat at
-# positions 50-74 and have never had a driver row — rotate them (plus every
-# query newly added this round) to the FRONT so CORRECTNESS_r03 finally
-# covers them; the 50 previously-green queries keep their r01/r02 history.
-# Rows-only kernels stay last as always.
+# first 50 registry entries.  Round-4 rotation (VERDICT r3 #1/#2): the three
+# r03 hash-fails stay in the window so CORRECTNESS_r04 records the HUGEINT
+# repair; the 29 oracle-backed queries that have NEVER had a driver row come
+# next (this finishes the job round 2 started — after r04 every oracle query
+# has a driver row); then every query whose PHYSICAL PLAN changed this round
+# (distributed ntile/rank swaps, persist changes), then the riskiest prior
+# greens (the round-3 rewrites that kept their old driver history).
 _FRONT = [
-    # positions 50-74 of the round-2 registry (VERDICT.md "Next round" #1)
-    "flag_abslim_daynight",
-    "wind_rotation",
-    "winddir_offset",
-    "eddypro_digit_flags",
-    "flux_level2_flags",
-    "qcf_daynight",
-    "flux_detection_limit",
-    "ustar_mpt",
-    "export_fluxnet",
-    "flux_chain",
-    "binned_quadratic_fit",
-    "freq_detect_reconciled",
-    "histogram_uniques",
-    "critical_heat_days",
-    "chd_thresholds",
-    "co2_penalty",
-    "co2_penalty_year",
-    "histogram_peaks",
-    "freq_groups",
-    "nested_bin_agg",
-    "value_counts",
-    "prediction_scores",
-    "seasonal_filter",
-    "dedup_ngram_jaccard",
-    "dedup_embed_cosine",
-    # round-3 additions (never driver-checked by definition): 25 slots for
-    # ~47 candidates — the picks are the algorithmically novel /
-    # intricate-SQL queries with the LEAST other verification (VERDICT #3
-    # and #4 done-criteria — random_uncertainty* and the trained IVF —
-    # plus the big compositions and every brand-new operator family).
+    # --- 3 re-checks: r03 hash-fails, oracle casts repaired this round ---
+    "trend_mann_kendall",
+    "scd2_url_versions",
+    "hysteresis_alerts",
+    # --- 29 never-driver-checked oracle queries (VERDICT list) ---
+    "acf_hourly",
+    "asof_join_events",
+    "cohort_retention",
+    "corpus_as_of",
+    "cusum_shift",
+    "decontaminate_ngram",
+    "domain_cap",
+    "ewma_hourly",
+    "funnel_events",
+    "heatmap_datetime",
+    "heavy_hitters_verified",
+    "interval_join_sessions",
+    "line_dedup",
+    "lm_bigram_score",
+    "ngram_repetition",
+    "overlap_outages",
+    "politeness_schedule",
+    "quality_filter",
+    "redact_pii",
+    "repeated_spans",
+    "seasonal_decompose",
+    "sessionize_events",
+    "shard_pack",
+    "stratified_sample",
+    "tier_quantile_hist",
+    "tier_topk_users",
+    "time_in_state_median",
+    "time_weighted_hourly",
+    "url_canon_dedup",
+    # --- plans changed this round: re-verify against unchanged oracles ---
+    "qxy_binagg",
+    "optimum_range",
+    "dsir_select",
+    "perplexity_buckets",
+    "binseg_changepoints",
+    # --- riskiest prior greens: round-3 rewrites riding old driver rows ---
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
     "random_uncertainty",
     "random_uncertainty_cumulative",
-    "ann_cosine_ivf_trained",
-    "semantic_dedup",
-    "nb_langid_train",
-    "curation_pipeline",
     "dedup_incremental",
-    "dedup_clusters",
-    "tfidf_topk",
-    "bm25_topk",
-    "perplexity_buckets",
-    "dsir_select",
-    "trend_mann_kendall",
-    "binseg_changepoints",
-    "cms_user_freq",
-    "trapezoid_hourly",
+    "semantic_dedup",
+    "ann_cosine_ivf_trained",
+    "curation_pipeline",
+    "nb_langid_train",
     "m4_hourly",
-    "scd2_url_versions",
-    "recrawl_priority",
-    "hysteresis_alerts",
-    "baseline_anomaly",
-    "tier_coverage",
-    "lang_temperature_sample",
+    "cms_user_freq",
     "crawl_change_rate",
-    "counter_rate_tiers",
-    # NOT in the window (the other ~22 never-checked oracle queries):
-    # all pass the identical compare locally (tools/check_queries.py runs
-    # the full registry) and carry independent pytest pins — e.g.
-    # asof_join_events (DuckDB-native-ASOF twin + pandas merge_asof
-    # differential), interval_join_sessions (randomized vs naive theta
-    # join), sessionize/funnel/tier_quantile/seasonal/cusum/ewma/acf
-    # (hand-case or numpy pins), and the simple curation projections
-    # (quality_filter, redact_pii, url_canon_dedup, stratified_sample,
-    # shard_pack, line_dedup, domain_cap, decontaminate_ngram,
-    # ngram_repetition, repeated_spans, lm_bigram_score, seasonal_decompose,
-    # time_weighted_hourly).  dedup_simhash/dedup_minhash_lsh were
-    # materially rewritten in round 3 but keep their r1/r2 driver history
-    # and stay outside; locally oracle-green.
 ]
 _front = {k: QUERIES[k] for k in _FRONT if k in QUERIES}
 QUERIES = {
