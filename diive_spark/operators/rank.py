@@ -85,3 +85,58 @@ def ntile_from_rank(
     ).otherwise(
         r + F.floor((rank_col - 1 - big) / F.greatest(q, F.lit(1))) + 1
     ).cast("long")
+
+
+def value_offset_row_number(
+    df: DataFrame,
+    value_col: str,
+    tie_cols: list[Column],
+    descending: bool = True,
+    out_col: str = "rn",
+    attach_total: str | None = None,
+) -> DataFrame:
+    """Global row_number for orderings whose FIRST key has low
+    cardinality (e.g. a score rounded to 2 decimals): exact and cheaper
+    than :func:`global_row_number` because it needs NO range-sampling
+    job and NO per-partition-count collect.
+
+    1. per-value counts: one map-side-combinable groupBy on
+       ``value_col`` — the result has one row per DISTINCT value;
+    2. cumulative offsets over the tiny counts table (the unpartitioned
+       window runs over #distinct-values rows, not data rows);
+    3. broadcast null-safe join back + ``row_number`` over a window
+       PARTITIONED by the value (parallel, bounded per-group state);
+       rank = offset + intra-value row number.
+
+    Bit-identical to ``Window.orderBy(value desc_nulls_last, *ties)``
+    row_number for any tie-free (value, *ties) ordering; nulls sort
+    LAST like ``desc_nulls_last``/``asc_nulls_last``.  Use
+    :func:`global_row_number` instead when the leading key is
+    high-cardinality (the counts table would approach the data size).
+    """
+    order_first = (
+        F.desc_nulls_last(value_col) if descending
+        else F.asc_nulls_last(value_col)
+    )
+    cnt = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy(order_first).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = cnt.select(
+        F.col(value_col).alias("_v"),
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_n").over(w_tot).alias("_total"),
+    )
+    joined = df.join(
+        F.broadcast(offs), F.col(value_col).eqNullSafe(F.col("_v"))
+    )
+    w_in = Window.partitionBy(value_col).orderBy(*tie_cols)
+    out = joined.withColumn(
+        out_col, (F.col("_off") + F.row_number().over(w_in)).cast("long")
+    )
+    if attach_total:
+        out = out.withColumn(attach_total, F.col("_total").cast("long"))
+    return out.drop("_v", "_off", "_total")

@@ -220,7 +220,10 @@ def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the MinHash shingle cache — PLANS.md §37): re-running the Arrow
     # bigram kernel per arm beats Spark's row cache on the string table
     counts = LM.bigram_counts(d)
-    out = LM.bigram_lm_score(d, d, alpha=1.0, counts_df=counts)
+    # broadcast_model: this corpus's model fits an executor; see lm.py
+    out = LM.bigram_lm_score(
+        d, d, alpha=1.0, counts_df=counts, broadcast_model=True
+    )
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "n_bigrams",
@@ -609,29 +612,42 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # min/max of the already-rounded score.
 #
 # Scale note: NTILE over Window.orderBy would single-partition the doc
-# table; operators/rank.py::global_row_number is the distributed rank
-# (range exchange + per-partition offsets) and NTILE is recovered from
-# the rank by exact quota arithmetic — bit-identical to SQL NTILE, no
-# single-partition stage anywhere (nulls sort LAST to match DESC NULLS
-# LAST on both engines).
+# table.  The rank here is value_offset_row_number (operators/rank.py,
+# round 4): the leading sort key is the round(2) score — LOW cardinality
+# by construction — so exact per-value counts, cumulative offsets over
+# the tiny distinct-score table, and a score-PARTITIONED row_number give
+# the global rank with no range-sampling job and no partition-count
+# collect (the two extra actions global_row_number pays).  NTILE is
+# recovered by exact quota arithmetic — bit-identical to SQL NTILE, no
+# single-partition stage over data-sized input anywhere (nulls sort LAST
+# to match DESC NULLS LAST on both engines).
+#
+# Model-table persist experiments (round 4): persisting the STRING count
+# table cost +0.7 s vs recompute (PLANS §37 again); a hashed-int64
+# rollup model was cache-friendly but the md5 per bigram instance cost
+# more than the string joins saved (3.0 s vs 2.1 s scored build) —
+# measured, reverted, documented in PLANS.md.
 
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from diive_spark.operators.rank import global_row_number, ntile_from_rank
+    from diive_spark.operators.rank import (
+        ntile_from_rank,
+        value_offset_row_number,
+    )
 
     d = _documents(spark, sf_dir).select("doc_id", "text")
-    # persist the trained model table (VERDICT r3 #7): it's a small
-    # (bigram, count) key table — the PLANS §37 row-cache caveat is about
-    # ARRAY/STRING-heavy rows, not scalar count tables — and without the
-    # cache the corpus is re-tokenized for the start-count marginal arm.
-    counts = LM.bigram_counts(d).persist()
-    scored = LM.bigram_lm_score(d, d, alpha=1.0, counts_df=counts)
-    ranked = global_row_number(
+    counts = LM.bigram_counts(d)  # not persisted — PLANS.md §37
+    scored = LM.bigram_lm_score(
+        d, d, alpha=1.0, counts_df=counts, broadcast_model=True
+    )
+    ranked = value_offset_row_number(
         scored.select(
             F.col("doc_id").cast("long").alias("doc_id"),
             "n_tokens",
             F.round("avg_logprob", 2).alias("lp"),
         ).persist(),
-        [F.desc_nulls_last("lp"), F.col("doc_id")],
+        "lp",
+        [F.col("doc_id")],
+        descending=True,
         attach_total="n_total",
     ).withColumn(
         "bucket", ntile_from_rank(F.col("rn"), F.col("n_total"), 3)

