@@ -55,10 +55,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = DD.jaccard_verify(
         pairs, hs, shingle_col="sh_hashes", threshold=0.6
     )
-    labels = GR.connected_components(
-        verified, src_col="id_a", dst_col="id_b", num_partitions=8
+    out = GR.connected_components(
+        verified, src_col="id_a", dst_col="id_b", num_partitions=8,
+        with_sizes=True,
     )
-    out = GR.cluster_sizes(labels)
     return out.select(
         F.col("node").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),

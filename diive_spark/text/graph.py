@@ -120,12 +120,16 @@ def connected_components(
     max_iter: int = 30,
     num_partitions: int | None = None,
     small_graph_threshold: int = 1_000_000,
+    with_sizes: bool = False,
 ) -> DataFrame:
     """Label every node of the undirected graph with the MINIMUM node id
     of its connected component (the deterministic cluster representative).
 
-    Returns a DataFrame (node: long, cluster_id: long).  Isolated nodes
-    never enter ``edges`` and are therefore absent — callers union
+    Returns a DataFrame (node: long, cluster_id: long); with
+    ``with_sizes=True`` a third ``cluster_size`` column is attached —
+    free in the small-graph cutover (driver-side Counter), one
+    map-side-combinable agg + co-partitioned join otherwise.  Isolated
+    nodes never enter ``edges`` and are therefore absent — callers union
     singletons back if they need total coverage (see ``q_dedup_clusters``).
 
     Alternates large-star and small-star rounds until the edge-set
@@ -166,6 +170,18 @@ def connected_components(
         labels_map = _unionfind_labels(
             (r["a"], r["b"]) for r in e.collect()
         )
+        if with_sizes:
+            # sizes ride along for free: the labels already live on the
+            # driver, so the cluster_sizes groupBy+join (two exchanges +
+            # an extra createDataFrame round-trip, ~1 s of pure small-
+            # data overhead at sf0.1) collapses into a Counter.
+            from collections import Counter
+
+            sizes = Counter(labels_map.values())
+            return edges.sparkSession.createDataFrame(
+                [(n, c, sizes[c]) for n, c in labels_map.items()],
+                "node long, cluster_id long, cluster_size long",
+            )
         return edges.sparkSession.createDataFrame(
             list(labels_map.items()), "node long, cluster_id long"
         )
@@ -191,11 +207,12 @@ def connected_components(
     # converged: every non-root node a has exactly one edge (a, root);
     # roots label themselves via the left join fallback
     labels = e.groupBy("a").agg(F.min("b").alias("cluster_id"))
-    return nodes.join(
+    out = nodes.join(
         labels, nodes["node"] == labels["a"], "left"
     ).select(
         "node", F.coalesce("cluster_id", F.col("node")).alias("cluster_id")
     )
+    return cluster_sizes(out) if with_sizes else out
 
 
 def cluster_sizes(labels: DataFrame) -> DataFrame:
