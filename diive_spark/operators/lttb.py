@@ -7,12 +7,18 @@ resample flattens them).  diive downsamples by aggregation only
 points needs the shape-preserving variant at the last mile.
 
 Scale shape: one grouped Arrow kernel per key (`applyInPandas` via
-``kernel_partition`` — width pinned against AQE byte-coalescing).  LTTB
-is inherently sequential within a series (each pick depends on the
-previous pick), so per-key kernel IS the distributed formulation; the
-input to downsample is normally a tier rollup (1m/1h), already orders of
-magnitude smaller than raw, and the halo-chunking bound
-(operators/chunking.py) applies upstream if a raw series is monstrous.
+``kernel_partition`` — width pinned against AQE byte-coalescing).
+
+Why there is deliberately NO halo-chunked variant (round-4 audit, same
+verdict as Holt-Winters): LTTB's recurrence is unbounded — the anchor of
+every triangle is the PREVIOUS selected point, which transitively
+depends on every pick back to the first bucket, so no finite halo makes
+a chunked run bit-equal to the whole-series run (operators/chunking.py's
+pattern requires a bounded dependency radius, like Hampel's window).
+The honest monster-series story is upstream: downsample input is
+normally a tier rollup (1m/1h), already orders of magnitude smaller than
+raw — a 10⁹-point single key should be pre-aggregated by the tier
+cascade first, after which one series fits one task by construction.
 """
 
 from __future__ import annotations
