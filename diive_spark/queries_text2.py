@@ -857,8 +857,100 @@ WHERE r.rk = 1 ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# langid_rank_profile — Cavnar–Trenkle rank-order n-gram language ID
+# ---------------------------------------------------------------------------
+# Train per-language top-K char-trigram profiles in-engine, classify the
+# same corpus by out-of-place distance (text/rankprofile.py).  Fully
+# declarative -> full DuckDB twin; complements nb_langid_train with the
+# vocabulary-free char-n-gram classifier shape.
+
+_CT_N, _CT_K, _CT_KDOC = 3, 40, 20
+
+
+def q_langid_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.text import rankprofile as RP
+
+    d = _documents(spark, sf_dir).select("doc_id", "lang", "text")
+    profiles = RP.ct_train_profiles(
+        d, text_col="text", label_col="lang", n=_CT_N, k=_CT_K
+    )
+    pred = RP.ct_classify(
+        d, profiles, id_col="doc_id", text_col="text",
+        label_col="lang", n=_CT_N, k_doc=_CT_KDOC,
+    )
+    return (
+        pred.join(d.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "pred_lang",
+            "dist",
+            "true_lang",
+            (F.col("pred_lang") == F.col("true_lang"))
+            .cast("long").alias("is_correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CT_GRAMS = (
+    "unnest(list_transform("
+    "generate_series(1, greatest(length(trim(text)) - {nm1}, 0)), "
+    "i -> substr(trim(text), i, {n})))"
+).format(nm1=_CT_N - 1, n=_CT_N)
+
+SQL_LANGID_RANK_PROFILE = f"""
+WITH g AS (
+  SELECT lang, {_CT_GRAMS} AS ngram FROM documents
+), lc AS (
+  SELECT lang, ngram, count(*) AS c FROM g GROUP BY 1, 2
+), lp AS (
+  SELECT lang, ngram, rank FROM (
+    SELECT lang, ngram,
+           row_number() OVER (PARTITION BY lang ORDER BY c DESC, ngram ASC)
+             AS rank
+    FROM lc
+  ) WHERE rank <= {_CT_K}
+), pen AS (
+  SELECT max(rank) AS p FROM lp
+), dg AS (
+  SELECT doc_id, {_CT_GRAMS} AS ngram FROM documents
+), dc AS (
+  SELECT doc_id, ngram, count(*) AS c FROM dg GROUP BY 1, 2
+), dp AS (
+  SELECT doc_id, ngram, d_rank FROM (
+    SELECT doc_id, ngram,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, ngram ASC)
+             AS d_rank
+    FROM dc
+  ) WHERE d_rank <= {_CT_KDOC}
+), langs AS (
+  SELECT DISTINCT lang FROM lp
+), dist AS (
+  SELECT dp.doc_id, l.lang,
+         CAST(sum(COALESCE(abs(dp.d_rank - lp.rank), pen.p)) AS BIGINT)
+           AS dist
+  FROM dp CROSS JOIN langs l
+  LEFT JOIN lp ON lp.lang = l.lang AND lp.ngram = dp.ngram
+  CROSS JOIN pen
+  GROUP BY 1, 2
+), best AS (
+  SELECT doc_id, lang AS pred_lang, dist,
+         row_number() OVER (PARTITION BY doc_id ORDER BY dist ASC, lang ASC)
+           AS rn
+  FROM dist
+)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id, b.pred_lang, b.dist,
+       d.lang AS true_lang,
+       CAST(b.pred_lang = d.lang AS BIGINT) AS is_correct
+FROM best b JOIN documents d USING (doc_id)
+WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nb_langid_train": q_nb_langid,
+    "langid_rank_profile": q_langid_rank_profile,
     "bpe_token_stats": q_bpe_token_stats,
     "perplexity_buckets": q_perplexity_buckets,
     "dedup_clusters": q_dedup_clusters,
@@ -874,6 +966,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "nb_langid_train": SQL_NB_LANGID,
+    "langid_rank_profile": SQL_LANGID_RANK_PROFILE,
     "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
