@@ -827,8 +827,83 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# asap_smoothing — ASAP auto-chosen moving-average window per user series
+# (operators/asap.py; Rong & Bailis VLDB'17): smoothest candidate window
+# whose smoothed series preserves kurtosis.  Fully declarative; the SQL
+# twin unrolls the same candidate grid into one union arm per window.
+# ---------------------------------------------------------------------------
+
+_ASAP_W = [1, 2, 4, 8, 12, 24]
+
+
+def q_asap_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators import asap as ASAP
+
+    h = _hourly(spark, sf_dir)
+    out = ASAP.asap_select(h, ["user_id"], "t", "v", candidates=_ASAP_W)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("w_opt").cast("long").alias("w_opt"),
+        "n_pts",
+        "roughness",
+        "kurtosis",
+        "kurt_raw",
+    ).orderBy("user_id")
+
+
+def _sql_asap() -> str:
+    arms = "\n  UNION ALL\n".join(
+        f"""  SELECT * FROM (
+    SELECT user_id, {w} AS w, s,
+           s - lag(s) OVER (PARTITION BY user_id ORDER BY t) AS d
+    FROM (
+      SELECT user_id, t,
+             avg(v) OVER (PARTITION BY user_id ORDER BY t
+                          ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS s,
+             count(v) OVER (PARTITION BY user_id ORDER BY t
+                            ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+               AS cnt
+      FROM hourly
+    ) WHERE cnt = {w}
+  ) WHERE d IS NOT NULL"""
+        for w in _ASAP_W
+    )
+    return f"""
+WITH {_HOURLY_SQL},
+arms AS (
+{arms}
+), met AS (
+  SELECT user_id, w, count(*) AS n_pts,
+         avg(s) AS m1, avg(s*s) AS m2, avg(s*s*s) AS m3,
+         avg(s*s*s*s) AS m4,
+         avg(d) AS d1, avg(d*d) AS d2
+  FROM arms GROUP BY 1, 2
+), met2 AS (
+  SELECT user_id, w, n_pts,
+         round(sqrt(greatest(d2 - d1*d1, 0.0)), 4) AS roughness,
+         round((m4 - 4*m3*m1 + 6*m2*m1*m1 - 3*power(m1, 4))
+               / power(m2 - m1*m1, 2), 4) AS kurtosis
+  FROM met
+), base AS (
+  SELECT user_id, kurtosis AS kurt_raw FROM met2 WHERE w = 1
+), sel AS (
+  SELECT m.*, b.kurt_raw,
+         row_number() OVER (
+           PARTITION BY m.user_id
+           ORDER BY CASE WHEN m.kurtosis >= b.kurt_raw THEN 1 ELSE 0 END DESC,
+                    m.roughness ASC, m.w ASC) AS rn
+  FROM met2 m JOIN base b USING (user_id)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(w AS BIGINT) AS w_opt,
+       n_pts, roughness, kurtosis, kurt_raw
+FROM sel WHERE rn = 1 ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trend_mann_kendall": q_trend_mann_kendall,
+    "asap_smoothing": q_asap_smoothing,
     "m4_hourly": q_m4_hourly,
     "hysteresis_alerts": q_hysteresis_alerts,
     "cms_user_freq": q_cms_user_freq,
@@ -844,6 +919,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "trend_mann_kendall": SQL_TREND_MK,
+    "asap_smoothing": _sql_asap(),
     "m4_hourly": SQL_M4_HOURLY,
     "hysteresis_alerts": SQL_HYSTERESIS,
     "cms_user_freq": _sql_cms(),
