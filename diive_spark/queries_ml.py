@@ -191,6 +191,42 @@ def q_flag_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# flag_iforest — Isolation Forest anomaly score over (value, time-of-day)
+# (ml/iforest.py; Liu et al. ICDM'08).  Rows-only driver check: the
+# random-split ensemble is not SQL-expressible; distributed==local
+# scoring and planted-outlier behavior are pinned in tests/test_iforest.py.
+# ---------------------------------------------------------------------------
+
+def q_flag_iforest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.ml.iforest import iforest_score
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("value").cast("double").alias("value"),
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
+            ) % 86_400
+        ).cast("double").alias("sec_of_day"),
+    )
+    out = iforest_score(
+        ev,
+        feature_cols=["value", "sec_of_day"],
+        id_cols=["event_id", "user_id"],
+        n_trees=50,
+        psi=256,
+        seed=7,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("iforest_score", 4).alias("iforest_score"),
+        (F.col("iforest_score") >= 0.6).cast("int").alias("flag_iforest"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
 # gorilla_blocks — north-rule compression: per-(series, day) Gorilla XOR +
 # delta-of-delta block stats (rows-only: bit-packing is not SQL-expressible;
 # lossless round-trip is property-tested in tests/test_compression.py)
@@ -318,6 +354,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ml_gapfill_xgb": q_ml_gapfill_xgb,
     "ml_optimize_params": q_ml_optimize_params,
     "flag_lof": q_flag_lof,
+    "flag_iforest": q_flag_iforest,
     "gorilla_blocks": q_gorilla_blocks,
 }
 
