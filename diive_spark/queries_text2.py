@@ -948,9 +948,88 @@ WHERE rn = 1 ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# domain_pagerank — PageRank over the crawl-order domain graph
+# ---------------------------------------------------------------------------
+# Edges: domain(doc) -> domain(next doc_id in the same lang) — the
+# deterministic "crawl frontier" link graph the synthetic corpus admits.
+# Fixed 10-iteration power method with dangling-mass redistribution
+# (text/graph.py::pagerank); the DuckDB twin unrolls the identical
+# iteration chain, so agreement checks the algebra, not shared code.
+# Ranks emitted floor-scaled (sums of float shares are order-dependent).
+
+_PR_D, _PR_ITER = 0.85, 10
+
+
+def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("doc_id", "lang", "source")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    edges = (
+        d.withColumn("_nxt", F.lead("source").over(w))
+        .filter(F.col("_nxt").isNotNull())
+        .select(F.col("source").alias("src"), F.col("_nxt").alias("dst"))
+    )
+    ranks = GR.pagerank(
+        edges, "src", "dst", damping=_PR_D, n_iter=_PR_ITER
+    )
+    return ranks.select(
+        "node",
+        F.floor(F.col("rank") * 1_000_000 + F.lit(0.31830988618367))
+        .cast("long").alias("rank_e6"),
+    ).orderBy("node")
+
+
+def _sql_pagerank() -> str:
+    # AS MATERIALIZED is load-bearing: each iteration references its
+    # predecessor 3x (contrib join, dangling subquery, node scan) — with
+    # DuckDB's default CTE INLINING the 10-level chain explodes to 3^10
+    # evaluations of the base case and never finishes.
+    its = []
+    prev = "r0"
+    for i in range(1, _PR_ITER + 1):
+        its.append(f"""r{i} AS MATERIALIZED (
+  SELECT n.node,
+         (1 - {_PR_D}) / nn.n
+         + {_PR_D} * (COALESCE(c.inc, 0)
+                      + (SELECT COALESCE(sum(r.rank), 0) FROM {prev} r
+                         LEFT JOIN outdeg o ON o.src = r.node
+                         WHERE o.src IS NULL) / nn.n) AS rank
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / o.deg) AS inc
+    FROM {prev} r JOIN outdeg o ON o.src = r.node
+    JOIN edges e ON e.src = r.node
+    GROUP BY e.dst
+  ) c ON c.node = n.node
+)""")
+        prev = f"r{i}"
+    chain = ",\n".join(its)
+    return f"""
+WITH edges AS (
+  SELECT source AS src,
+         lead(source) OVER (PARTITION BY lang ORDER BY doc_id) AS dst
+  FROM documents
+  QUALIFY dst IS NOT NULL
+), outdeg AS (
+  SELECT src, count(*) AS deg FROM edges GROUP BY 1
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), nn AS (
+  SELECT count(*) AS n FROM nodes
+), r0 AS MATERIALIZED (
+  SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn
+),
+{chain}
+SELECT node,
+       CAST(floor(rank * 1000000 + 0.31830988618367) AS BIGINT) AS rank_e6
+FROM {prev} ORDER BY node
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nb_langid_train": q_nb_langid,
     "langid_rank_profile": q_langid_rank_profile,
+    "domain_pagerank": q_domain_pagerank,
     "bpe_token_stats": q_bpe_token_stats,
     "perplexity_buckets": q_perplexity_buckets,
     "dedup_clusters": q_dedup_clusters,
@@ -967,6 +1046,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE_SQL: dict[str, str] = {
     "nb_langid_train": SQL_NB_LANGID,
     "langid_rank_profile": SQL_LANGID_RANK_PROFILE,
+    "domain_pagerank": _sql_pagerank(),
     "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,

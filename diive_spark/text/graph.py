@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "cluster_sizes"]
+__all__ = ["connected_components", "cluster_sizes", "pagerank"]
 
 
 def _canonical(e: DataFrame) -> DataFrame:
@@ -224,3 +224,75 @@ def cluster_sizes(labels: DataFrame) -> DataFrame:
     return labels.join(sizes, "cluster_id").select(
         "node", "cluster_id", "cluster_size"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """Fixed-iteration PageRank (Page & Brin 1998) with uniform dangling-
+    mass redistribution:
+
+        r'(v) = (1-d)/N + d * ( Σ_{u→v} r(u)/outdeg(u) + dangling/N )
+
+    Multi-edges carry weight (outdeg counts multiplicity).  Returns
+    (node, rank) after exactly ``n_iter`` power iterations from the
+    uniform start — a FIXED iteration count keeps the operator
+    SQL-expressible (the DuckDB twin unrolls the same chain), unlike a
+    convergence loop.
+
+    Scale shape: per iteration one hash-join (ranks ⋈ edges on src) +
+    one map-side-combinable groupBy(dst) + two 1-row aggregates (N is
+    computed once; dangling mass per round) — all broadcast back, so the
+    big table never re-shuffles beyond the join.  Iterations
+    localCheckpoint(eager=False) like the CC loop so the plan stays
+    shallow; rank state is one row per node, orders of magnitude below
+    the edge set.
+    """
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).localCheckpoint(eager=False)
+    outdeg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_tot = F.broadcast(nodes.groupBy().agg(F.count(F.lit(1)).alias("_n")))
+    ranks = nodes.crossJoin(n_tot).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("rank")
+    )
+    d = float(damping)
+    for _ in range(n_iter):
+        with_deg = ranks.join(outdeg, ranks["node"] == outdeg["_s"], "left")
+        contrib = (
+            with_deg.filter(F.col("_deg").isNotNull())
+            .select("node", (F.col("rank") / F.col("_deg")).alias("_share"))
+            .join(e, F.col("node") == F.col("_s"))
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.sum("_share").alias("_in"))
+        )
+        dang = F.broadcast(
+            with_deg.filter(F.col("_deg").isNull())
+            .groupBy()
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(n_tot)
+            .crossJoin(dang)
+            .select(
+                "node",
+                (
+                    (1.0 - d) / F.col("_n")
+                    + d * (F.coalesce(F.col("_in"), F.lit(0.0))
+                           + F.col("_dang") / F.col("_n"))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
