@@ -901,9 +901,52 @@ FROM sel WHERE rn = 1 ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# backtest_seasonal_naive — rolling-origin evaluation of the seasonal-naive
+# and naive-1 baselines over the hourly tier (operators/backtest.py)
+# ---------------------------------------------------------------------------
+
+def q_backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.backtest import seasonal_naive_backtest
+
+    h = _hourly(spark, sf_dir)
+    out = seasonal_naive_backtest(
+        h, ["user_id"], "t", "v", season_s=86_400, step_s=3_600
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "n_evals",
+        "mae_seasonal",
+        "rmse_seasonal",
+        "mae_naive1",
+        "rmse_naive1",
+        "skill",
+    ).orderBy("user_id")
+
+
+SQL_BACKTEST_SN = f"""
+WITH {_HOURLY_SQL},
+j AS (
+  SELECT c.user_id, c.v AS y, s.v AS yhat_s, n1.v AS yhat_1
+  FROM hourly c
+  JOIN hourly s  ON s.user_id = c.user_id AND s.t = c.t - 86400
+  JOIN hourly n1 ON n1.user_id = c.user_id AND n1.t = c.t - 3600
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_evals,
+       round(avg(abs(y - yhat_s)), 4) AS mae_seasonal,
+       round(sqrt(avg((y - yhat_s) * (y - yhat_s))), 4) AS rmse_seasonal,
+       round(avg(abs(y - yhat_1)), 4) AS mae_naive1,
+       round(sqrt(avg((y - yhat_1) * (y - yhat_1))), 4) AS rmse_naive1,
+       round(avg(abs(y - yhat_s)) / avg(abs(y - yhat_1)), 4) AS skill
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trend_mann_kendall": q_trend_mann_kendall,
     "asap_smoothing": q_asap_smoothing,
+    "backtest_seasonal_naive": q_backtest_seasonal_naive,
     "m4_hourly": q_m4_hourly,
     "hysteresis_alerts": q_hysteresis_alerts,
     "cms_user_freq": q_cms_user_freq,
@@ -920,6 +963,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE_SQL: dict[str, str] = {
     "trend_mann_kendall": SQL_TREND_MK,
     "asap_smoothing": _sql_asap(),
+    "backtest_seasonal_naive": SQL_BACKTEST_SN,
     "m4_hourly": SQL_M4_HOURLY,
     "hysteresis_alerts": SQL_HYSTERESIS,
     "cms_user_freq": _sql_cms(),
