@@ -44,3 +44,20 @@ def test_pagerank_matches_numpy(spark, seed):
         assert got[k] == pytest.approx(want[k], abs=1e-12)
     # ranks are a probability distribution
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_cutover_equals_distributed(spark):
+    rng = np.random.default_rng(4)
+    edges = [
+        (f"h{int(rng.integers(0, 12))}", f"h{int(rng.integers(0, 13))}")
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    cut = {r["node"]: r["rank"] for r in pagerank(df, "src", "dst").collect()}
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, "src", "dst", small_graph_threshold=0).collect()
+    }
+    assert set(cut) == set(dist)
+    for k in cut:
+        assert cut[k] == pytest.approx(dist[k], abs=1e-12)
