@@ -84,24 +84,44 @@ def asap_metrics(
     likewise needs a previous smoothed row.
     """
     cands = candidates or ASAP_CANDIDATES
-    arms = []
+    base = Window.partitionBy(*key_cols).orderBy(t_col)
+    # ALL candidate windows share (partition, order), so every trailing
+    # average, its lag, and the row number ride ONE sort-exchange —
+    # a union of per-w arms would re-sort the series |W| times.  On a
+    # trailing w-row frame, "count == w" simply means row_number ≥ w, so
+    # the filtered-lag of the original formulation equals the unfiltered
+    # lag restricted to row_number > w (both rows have full windows) —
+    # bit-identical, no per-arm filter-then-lag needed.
+    cols = [F.row_number().over(base).alias("_rn")]
     for w in cands:
-        win = Window.partitionBy(*key_cols).orderBy(t_col).rowsBetween(
-            -(w - 1), 0
+        win = base.rowsBetween(-(w - 1), 0)
+        cols.append(F.avg(v_col).over(win).alias(f"_s{w}"))
+    staged = df.select(*key_cols, t_col, *cols)
+    lag_cols = [
+        (F.col(f"_s{w}") - F.lag(f"_s{w}").over(base)).alias(f"_d{w}")
+        for w in cands
+    ]
+    staged = staged.select(*key_cols, "_rn", *[f"_s{w}" for w in cands], *lag_cols)
+    allw = (
+        staged.select(
+            *key_cols,
+            "_rn",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(w).cast("long").alias("w"),
+                            F.col(f"_s{w}").alias("s"),
+                            F.col(f"_d{w}").alias("d"),
+                        )
+                        for w in cands
+                    ]
+                )
+            ).alias("_x"),
         )
-        lagw = Window.partitionBy(*key_cols).orderBy(t_col)
-        sm = (
-            df.withColumn("s", F.avg(v_col).over(win))
-            .withColumn("_cnt", F.count(v_col).over(win))
-            .filter(F.col("_cnt") == w)
-            .withColumn("d", F.col("s") - F.lag("s").over(lagw))
-            .filter(F.col("d").isNotNull())
-            .withColumn("w", F.lit(w).cast("long"))
-        )
-        arms.append(sm.select(*key_cols, "w", "s", "d"))
-    allw = arms[0]
-    for a in arms[1:]:
-        allw = allw.unionByName(a)
+        .filter(F.col("_rn") > F.col("_x.w"))
+        .select(*key_cols, "_x.w", "_x.s", "_x.d")
+    )
     return _central_metrics(allw, key_cols)
 
 
@@ -120,7 +140,15 @@ def asap_select(
     exists.  Output keeps the chosen window's metrics plus the raw
     series' kurtosis threshold.
     """
-    m = asap_metrics(df, key_cols, t_col, v_col, candidates)
+    # one materialization of the input series: the |W| union arms (and
+    # the kurt_raw base arm) would otherwise each recompute the upstream
+    # rollup — Catalyst does not share subtrees across union branches.
+    # The input is an already-rolled-up tier series (rows ∝ time span),
+    # so the checkpoint is small by construction.
+    df = df.select(*key_cols, t_col, v_col).localCheckpoint(eager=False)
+    m = asap_metrics(df, key_cols, t_col, v_col, candidates).localCheckpoint(
+        eager=False
+    )
     base = m.filter(F.col("w") == 1).select(
         *key_cols, F.col("kurtosis").alias("kurt_raw")
     )
