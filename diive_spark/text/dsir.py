@@ -129,23 +129,32 @@ def dsir_select(
     """Score every doc and flag the top ``keep_frac`` by (weight desc,
     id asc) — the deterministic zero-temperature DSIR selection.
 
-    Scale posture (round-3 verdict #5): the rank is a distributed exact
-    global row_number (range-repartitioned, per-partition window + offsets
-    — :func:`diive_spark.operators.rank.global_row_number`), never an
-    unpartitioned ``Window.orderBy`` that would funnel the corpus through
-    one task.  The selection threshold ``ceil(n_docs * keep_frac)`` rides
-    along as a broadcast one-row aggregate instead of a driver-side
-    ``df.count()`` job.
+    Scale posture (round-3 verdict #5, refined round 4): the rank is a
+    distributed exact global row_number, never an unpartitioned
+    ``Window.orderBy`` that would funnel the corpus through one task.
+    The leading sort key is the round(2) ``weight`` — LOW cardinality by
+    construction — so :func:`diive_spark.operators.rank.
+    value_offset_row_number` applies: per-value counts + offsets over
+    the tiny distinct-weight table + a weight-partitioned window, with
+    ZERO extra driver actions (the range-sampling + partition-count
+    collect of ``global_row_number`` cost ~2 s of fixed job overhead at
+    sf scale).  The selection threshold ``ceil(n_docs * keep_frac)``
+    rides along as a broadcast one-row aggregate instead of a
+    driver-side ``df.count()`` job.
     """
-    from diive_spark.operators.rank import global_row_number
+    from diive_spark.operators.rank import value_offset_row_number
 
     ratios = dsir_bucket_ratios(
         df, is_target, n_buckets, text_col, id_col
     )
     scored = dsir_scores(df, ratios, n_buckets, text_col, id_col)
     n_docs = df.groupBy().agg(F.count(F.lit(1)).alias("_n_docs"))
-    ranked = global_row_number(
-        scored, [F.col("weight").desc(), F.col(id_col).asc()], out_col="rk"
+    ranked = value_offset_row_number(
+        scored.persist(),
+        "weight",
+        [F.col(id_col).asc()],
+        descending=True,
+        out_col="rk",
     )
     return (
         ranked.crossJoin(F.broadcast(n_docs))
