@@ -943,10 +943,65 @@ FROM j GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# sax_symbols — SAX symbolic discretization of the hourly series
+# (operators/sax.py; Lin et al. DMKD'03): z-normalize, PAA frames of 4,
+# alphabet 4 via the paper's N(0,1) breakpoint table.
+# ---------------------------------------------------------------------------
+
+_SAX_FRAME, _SAX_A = 4, 4
+
+
+def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.sax import sax_symbols
+
+    h = _hourly(spark, sf_dir)
+    out = sax_symbols(
+        h, ["user_id"], "t", "v", frame=_SAX_FRAME, alphabet=_SAX_A
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "frame_id",
+        "n_in_frame",
+        "paa_z",
+        "symbol",
+    ).orderBy("user_id", "frame_id")
+
+
+SQL_SAX = f"""
+WITH {_HOURLY_SQL},
+stats AS (
+  SELECT user_id, avg(v) AS mu, stddev_pop(v) AS sd
+  FROM hourly GROUP BY 1
+), rn AS (
+  SELECT user_id, v,
+         (row_number() OVER (PARTITION BY user_id ORDER BY t) - 1)
+           // {_SAX_FRAME} AS fid
+  FROM hourly
+), fr AS (
+  SELECT user_id, fid, count(*) AS n_in_frame, avg(v) AS paa_raw
+  FROM rn GROUP BY 1, 2
+), z AS (
+  SELECT f.user_id, f.fid, f.n_in_frame,
+         CASE WHEN s.sd > 0 THEN (f.paa_raw - s.mu) / s.sd ELSE 0.0 END AS zz
+  FROM fr f JOIN stats s USING (user_id)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(fid AS BIGINT) AS frame_id,
+       CAST(n_in_frame AS BIGINT) AS n_in_frame,
+       round(zz, 4) AS paa_z,
+       CAST((CASE WHEN zz > -0.67 THEN 1 ELSE 0 END
+             + CASE WHEN zz > 0.0 THEN 1 ELSE 0 END
+             + CASE WHEN zz > 0.67 THEN 1 ELSE 0 END) AS BIGINT) AS symbol
+FROM z ORDER BY user_id, frame_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trend_mann_kendall": q_trend_mann_kendall,
     "asap_smoothing": q_asap_smoothing,
     "backtest_seasonal_naive": q_backtest_seasonal_naive,
+    "sax_symbols": q_sax_symbols,
     "m4_hourly": q_m4_hourly,
     "hysteresis_alerts": q_hysteresis_alerts,
     "cms_user_freq": q_cms_user_freq,
@@ -964,6 +1019,7 @@ ORACLE_SQL: dict[str, str] = {
     "trend_mann_kendall": SQL_TREND_MK,
     "asap_smoothing": _sql_asap(),
     "backtest_seasonal_naive": SQL_BACKTEST_SN,
+    "sax_symbols": SQL_SAX,
     "m4_hourly": SQL_M4_HOURLY,
     "hysteresis_alerts": SQL_HYSTERESIS,
     "cms_user_freq": _sql_cms(),
