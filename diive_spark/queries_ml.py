@@ -227,6 +227,30 @@ def q_flag_iforest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# embedding_pca — distributed PCA of the embeddings table (ml/pca.py):
+# one-pass per-partition Gram partials -> driver eigh (d x d, model-sized)
+# -> broadcast projection.  Rows-only driver check (no SQL eig);
+# distributed==numpy pinned in tests/test_pca.py.
+# ---------------------------------------------------------------------------
+
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.ml.pca import pca_fit, pca_project
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("long").alias("label"),
+        "embedding",
+    )
+    model = pca_fit(e, "embedding", k=4)
+    out = pca_project(e, model, "embedding", out_col="p")
+    return out.select(
+        "vec_id",
+        "label",
+        *[F.round(F.col("p")[i], 4).alias(f"pc{i}") for i in range(4)],
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
 # gorilla_blocks — north-rule compression: per-(series, day) Gorilla XOR +
 # delta-of-delta block stats (rows-only: bit-packing is not SQL-expressible;
 # lossless round-trip is property-tested in tests/test_compression.py)
@@ -355,6 +379,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ml_optimize_params": q_ml_optimize_params,
     "flag_lof": q_flag_lof,
     "flag_iforest": q_flag_iforest,
+    "embedding_pca": q_embedding_pca,
     "gorilla_blocks": q_gorilla_blocks,
 }
 
