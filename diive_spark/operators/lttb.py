@@ -15,10 +15,13 @@ every triangle is the PREVIOUS selected point, which transitively
 depends on every pick back to the first bucket, so no finite halo makes
 a chunked run bit-equal to the whole-series run (operators/chunking.py's
 pattern requires a bounded dependency radius, like Hampel's window).
-The honest monster-series story is upstream: downsample input is
-normally a tier rollup (1m/1h), already orders of magnitude smaller than
-raw — a 10⁹-point single key should be pre-aggregated by the tier
-cascade first, after which one series fits one task by construction.
+The monster-series story is therefore TWO-fold: (a) upstream, the
+downsample input is normally a tier rollup (1m/1h), already orders of
+magnitude smaller than raw; (b) ``minmax_lttb`` below — the published
+MinMaxLTTB parallelization (Van der Donckt et al. 2023) — reduces any
+key to <= 2*ratio*n_out candidates with a combinable distributed
+aggregate before the sequential kernel ever runs, so even a raw
+10⁹-point key never funnels into one task.
 """
 
 from __future__ import annotations
@@ -30,7 +33,7 @@ from pyspark.sql import functions as F
 
 from diive_spark.session import kernel_partition
 
-__all__ = ["lttb_kernel", "lttb_downsample"]
+__all__ = ["lttb_kernel", "lttb_downsample", "minmax_lttb"]
 
 
 def lttb_kernel(x: np.ndarray, y: np.ndarray, n_out: int) -> np.ndarray:
@@ -92,3 +95,107 @@ def lttb_downsample(
         .groupBy(key_col)
         .applyInPandas(apply, schema)
     )
+
+
+def minmax_lttb(
+    df: DataFrame,
+    key_col: str = "key",
+    x_col: str = "ts_s",
+    y_col: str = "value",
+    n_out: int = 100,
+    ratio: int = 4,
+) -> DataFrame:
+    """MinMaxLTTB (Van der Donckt et al., arXiv:2305.00332): the
+    published PARALLEL scale path for LTTB.
+
+    Phase 1 (distributed, combinable): split each key's x-range into
+    ``(n_out - 2) * ratio / 2`` equal bins and keep each bin's y-min,
+    y-max, x-min and x-max points — a plain groupBy aggregate with
+    map-side partial aggregation, so a 10^9-point key reduces to at most
+    ``2 * ratio * n_out`` candidates without any per-key sequential
+    stage.  Phase 2: plain LTTB over the candidates (bounded input, one
+    tiny task per key).  The paper shows the preselection leaves LTTB's
+    visual output virtually unchanged at ratio >= 2; with ratio large
+    enough that every point survives preselection the output is EXACTLY
+    plain LTTB (pinned in tests).
+
+    Deliberately one exchange end-to-end: the Window(key), the
+    groupBy(key, bin) and the final groupBy(key) kernel all cluster by
+    ``key``, so EnsureRequirements reuses the first hash exchange
+    (HashPartitioning(key) satisfies ClusteredDistribution(key, bin)).
+
+    Tie rule (deterministic): struct ordering — y-extremes break ties on
+    smallest/largest x, x-extremes are unique on a sane series.
+    """
+    from pyspark.sql import Window
+
+    nbins = max(1, (n_out - 2) * ratio // 2)
+    d = df.select(
+        F.col(key_col).cast("long").alias(key_col),
+        F.col(x_col).cast("long").alias(x_col),
+        F.col(y_col).cast("double").alias(y_col),
+    ).where(F.col(y_col).isNotNull())
+    w = Window.partitionBy(key_col)
+    d = (
+        d.withColumn("_xmin", F.min(x_col).over(w))
+        .withColumn("_xmax", F.max(x_col).over(w))
+        .withColumn(
+            "_bin",
+            F.least(
+                F.floor(
+                    (F.col(x_col) - F.col("_xmin"))
+                    * F.lit(nbins)
+                    / (F.col("_xmax") - F.col("_xmin") + F.lit(1))
+                ),
+                F.lit(nbins - 1),
+            ).cast("long"),
+        )
+    )
+    yx = F.struct(F.col(y_col).alias("y"), F.col(x_col).alias("x"))
+    xy = F.struct(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+    pre = (
+        d.groupBy(key_col, "_bin")
+        .agg(
+            F.min(yx).alias("ymn"),
+            F.max(yx).alias("ymx"),
+            F.min(xy).alias("xmn"),
+            F.max(xy).alias("xmx"),
+        )
+        .select(
+            key_col,
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.struct(
+                            F.col("ymn.x").alias("x"), F.col("ymn.y").alias("y")
+                        ),
+                        F.struct(
+                            F.col("ymx.x").alias("x"), F.col("ymx.y").alias("y")
+                        ),
+                        F.struct(
+                            F.col("xmn.x").alias("x"), F.col("xmn.y").alias("y")
+                        ),
+                        F.struct(
+                            F.col("xmx.x").alias("x"), F.col("xmx.y").alias("y")
+                        ),
+                    )
+                )
+            ).alias("pt"),
+        )
+        .select(
+            key_col,
+            F.col("pt.x").alias(x_col),
+            F.col("pt.y").alias(y_col),
+        )
+    )
+
+    schema = f"{key_col} long, {x_col} long, {y_col} double"
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(x_col, kind="mergesort")
+        x = pdf[x_col].to_numpy(dtype=np.float64)
+        y = pdf[y_col].to_numpy(dtype=np.float64)
+        idx = lttb_kernel(x, y, n_out)
+        return pdf.iloc[idx][[key_col, x_col, y_col]]
+
+    return pre.groupBy(key_col).applyInPandas(apply, schema)
