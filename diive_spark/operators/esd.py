@@ -127,19 +127,23 @@ def shesd_kernel(
     period: int,
     max_anoms: float = 0.02,
     alpha: float = 0.05,
+    phase: np.ndarray | None = None,
 ) -> np.ndarray:
     """Indices of anomalous points in one series (grid order assumed).
 
     Residual = y - per-phase median - median(y); then GESD with
     median/MAD.  Returns the indices of the first j* removals where j*
     is the largest j whose test statistic exceeded its critical value.
+    ``phase`` overrides the default positional phase (use the absolute
+    grid slot mod period so gaps don't drift the seasonal alignment).
     """
     y = np.asarray(y, dtype=np.float64)
     n = len(y)
     max_out = max(1, int(np.floor(max_anoms * n)))
     if n < period * 2 or n - max_out < 3:
         return np.zeros(0, dtype=np.int64)
-    phase = np.arange(n) % period
+    if phase is None:
+        phase = np.arange(n) % period
     seasonal = np.zeros(n)
     for ph in range(period):
         sel = phase == ph
@@ -178,16 +182,41 @@ def shesd_anomalies(
     period: int,
     max_anoms: float = 0.02,
     alpha: float = 0.05,
+    key_type: str = "string",
+    grid_step_s: int | None = None,
+    fill: float = 0.0,
 ) -> DataFrame:
-    """One row per detected anomaly: (key, ts, value, residual_score)."""
-    schema = f"{key_col} long, {ts_col} timestamp, {value_col} double"
+    """One row per detected anomaly: (key, ts_s, value).  ``ts_col``
+    holds epoch seconds; with ``grid_step_s`` the kernel regrids
+    in-kernel (missing slots -> ``fill``; 0 is right for count series)
+    and phases are anchored to the ABSOLUTE slot index mod period, so
+    e.g. step 3600 / period 24 always aligns phase to hour-of-day."""
+    schema = f"{key_col} {key_type}, ts_s long, {value_col} double"
 
     def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        from diive_spark.operators.matrixprofile import regrid
+
         pdf = pdf.sort_values(ts_col).dropna(subset=[value_col])
         y = pdf[value_col].to_numpy(dtype=np.float64)
-        idx = shesd_kernel(y, period, max_anoms=max_anoms, alpha=alpha)
-        out = pdf.iloc[idx][[key_col, ts_col, value_col]]
-        return out
+        ts = pdf[ts_col].to_numpy(dtype=np.int64)
+        if len(y) == 0:
+            return pd.DataFrame(columns=[key_col, "ts_s", value_col])
+        if grid_step_s is not None:
+            t0, y = regrid(ts, y, grid_step_s, fill)
+            ts = t0 + np.arange(len(y), dtype=np.int64) * grid_step_s
+            phase = (ts // grid_step_s) % period
+        else:
+            phase = np.arange(len(y)) % period
+        idx = shesd_kernel(
+            y, period, max_anoms=max_anoms, alpha=alpha, phase=phase
+        )
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col].iloc[0],
+                "ts_s": ts[idx],
+                value_col: y[idx],
+            }
+        )
 
     return (
         kernel_partition(df.select(key_col, ts_col, value_col), key_col)

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from diive_spark.session import kernel_partition
 
-__all__ = ["lttb_kernel", "lttb_downsample", "minmax_lttb"]
+__all__ = ["lttb_kernel", "lttb_downsample", "minmax_lttb", "minmax_preselect"]
 
 
 def lttb_kernel(x: np.ndarray, y: np.ndarray, n_out: int) -> np.ndarray:
@@ -127,6 +127,36 @@ def minmax_lttb(
     Tie rule (deterministic): struct ordering — y-extremes break ties on
     smallest/largest x, x-extremes are unique on a sane series.
     """
+    pre = minmax_preselect(
+        df, key_col=key_col, x_col=x_col, y_col=y_col, n_out=n_out,
+        ratio=ratio,
+    )
+
+    schema = f"{key_col} long, {x_col} long, {y_col} double"
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(x_col, kind="mergesort")
+        x = pdf[x_col].to_numpy(dtype=np.float64)
+        y = pdf[y_col].to_numpy(dtype=np.float64)
+        idx = lttb_kernel(x, y, n_out)
+        return pdf.iloc[idx][[key_col, x_col, y_col]]
+
+    return pre.groupBy(key_col).applyInPandas(apply, schema)
+
+
+def minmax_preselect(
+    df: DataFrame,
+    key_col: str = "key",
+    x_col: str = "ts_s",
+    y_col: str = "value",
+    n_out: int = 100,
+    ratio: int = 4,
+) -> DataFrame:
+    """MinMaxLTTB phase 1 as a standalone distributed operator: per key
+    and equal-width x-bin, the y-min / y-max / x-min / x-max points,
+    deduplicated.  Struct-ordering tie rule: y-extremes break ties on x,
+    x-extremes on y — identical to a window rank ordered by (y, x) /
+    (x, y), which is how the SQL oracle reproduces it."""
     from pyspark.sql import Window
 
     nbins = max(1, (n_out - 2) * ratio // 2)
@@ -188,14 +218,4 @@ def minmax_lttb(
             F.col("pt.y").alias(y_col),
         )
     )
-
-    schema = f"{key_col} long, {x_col} long, {y_col} double"
-
-    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(x_col, kind="mergesort")
-        x = pdf[x_col].to_numpy(dtype=np.float64)
-        y = pdf[y_col].to_numpy(dtype=np.float64)
-        idx = lttb_kernel(x, y, n_out)
-        return pdf.iloc[idx][[key_col, x_col, y_col]]
-
-    return pre.groupBy(key_col).applyInPandas(apply, schema)
+    return pre

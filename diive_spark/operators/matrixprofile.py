@@ -88,48 +88,64 @@ def matrix_profile_kernel(
     return prof, pidx
 
 
+def regrid(
+    ts_s: np.ndarray, y: np.ndarray, step_s: int, fill: float | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """In-kernel grid reindex (the repo's grid_step pattern — never build
+    time grids with sequence/explode+join upstream of a grouped kernel).
+    Returns (grid_start_seconds, full gridded values); missing slots get
+    ``fill`` (None => series median)."""
+    slots = (ts_s // step_s).astype(np.int64)
+    lo, hi = int(slots.min()), int(slots.max())
+    full = np.full(hi - lo + 1, np.nan)
+    full[slots - lo] = y
+    if fill is None:
+        fill = float(np.nanmedian(y))
+    full[np.isnan(full)] = fill
+    return np.int64(lo) * step_s, full
+
+
 def matrix_profile(
     df: DataFrame,
     key_col: str,
     ts_col: str,
     value_col: str,
     m: int,
+    key_type: str = "string",
+    grid_step_s: int | None = None,
+    fill: float | None = None,
 ) -> DataFrame:
     """Per-key matrix profile summary: the top discord (max profile) and
-    top motif (min profile) subsequence start timestamps + distances."""
+    top motif (min profile) subsequence start epoch-seconds + distances.
+    ``ts_col`` holds epoch seconds; with ``grid_step_s`` the kernel
+    regrids first (missing slots -> ``fill``, default series median)."""
     schema = (
-        f"{key_col} long, discord_ts timestamp, discord_d double, "
-        f"motif_ts timestamp, motif_d double, n long"
+        f"{key_col} {key_type}, discord_s long, discord_d double, "
+        f"motif_s long, motif_d double, n long"
     )
+    cols = [key_col, "discord_s", "discord_d", "motif_s", "motif_d", "n"]
 
     def apply(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col)
+        pdf = pdf.sort_values(ts_col).dropna(subset=[value_col])
         y = pdf[value_col].to_numpy(dtype=np.float64)
-        mask = ~np.isnan(y)
-        y, ts = y[mask], pdf[ts_col].to_numpy()[mask]
+        ts = pdf[ts_col].to_numpy(dtype=np.int64)
+        if grid_step_s is not None and len(y):
+            t0, y = regrid(ts, y, grid_step_s, fill)
+            ts = t0 + np.arange(len(y), dtype=np.int64) * grid_step_s
         if len(y) < max(2 * m, m + 2):
-            return pd.DataFrame(
-                columns=[
-                    key_col, "discord_ts", "discord_d",
-                    "motif_ts", "motif_d", "n",
-                ]
-            )
+            return pd.DataFrame(columns=cols)
         prof, _ = matrix_profile_kernel(y, m)
         fin = np.isfinite(prof)
         if not fin.any():
-            return pd.DataFrame(columns=[
-                key_col, "discord_ts", "discord_d", "motif_ts", "motif_d", "n",
-            ])
-        pf = np.where(fin, prof, -np.inf)
-        di = int(np.argmax(pf))
-        pf = np.where(fin, prof, np.inf)
-        mi = int(np.argmin(pf))
+            return pd.DataFrame(columns=cols)
+        di = int(np.argmax(np.where(fin, prof, -np.inf)))
+        mi = int(np.argmin(np.where(fin, prof, np.inf)))
         return pd.DataFrame(
             {
                 key_col: [pdf[key_col].iloc[0]],
-                "discord_ts": [ts[di]],
+                "discord_s": [int(ts[di])],
                 "discord_d": [float(prof[di])],
-                "motif_ts": [ts[mi]],
+                "motif_s": [int(ts[mi])],
                 "motif_d": [float(prof[mi])],
                 "n": [len(y)],
             }

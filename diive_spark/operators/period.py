@@ -74,18 +74,26 @@ def detect_period(
     key_col: str,
     ts_col: str,
     value_col: str,
-    step_s: float,
+    step_s: int,
+    key_type: str = "string",
+    fill: float = 0.0,
 ) -> DataFrame:
     """Per key: periodogram period, ACF-refined period, dominant power
-    share and series length."""
+    share and series length.  ``ts_col`` holds epoch seconds; the kernel
+    regrids in-kernel onto the ``step_s`` lattice (missing -> fill)."""
     schema = (
-        f"{key_col} long, period_s double, acf_period_s double, "
+        f"{key_col} {key_type}, period_s double, acf_period_s double, "
         "power_frac double, n long"
     )
 
     def apply(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col)
+        from diive_spark.operators.matrixprofile import regrid
+
+        pdf = pdf.sort_values(ts_col).dropna(subset=[value_col])
         y = pdf[value_col].to_numpy(dtype=np.float64)
+        ts = pdf[ts_col].to_numpy(dtype=np.int64)
+        if len(y):
+            _, y = regrid(ts, y, int(step_s), fill)
         p, ap, pf = dominant_period_kernel(y, step_s)
         return pd.DataFrame(
             {
@@ -93,7 +101,7 @@ def detect_period(
                 "period_s": [p],
                 "acf_period_s": [ap],
                 "power_frac": [pf],
-                "n": [int(np.sum(~np.isnan(y)))],
+                "n": [len(y)],
             }
         )
 

@@ -751,6 +751,11 @@ from diive_spark import queries_trend as _qtr  # noqa: E402
 QUERIES.update(_qtr.QUERIES)
 ORACLE_SQL.update(_qtr.ORACLE_SQL)
 
+from diive_spark import queries_spectral as _qsp  # noqa: E402
+
+QUERIES.update(_qsp.QUERIES)
+ORACLE_SQL.update(_qsp.ORACLE_SQL)
+
 # Driver-window ordering: the driver records correctness rows for exactly the
 # first 50 registry entries.  Round-4 rotation (VERDICT r3 #1/#2): the three
 # r03 hash-fails stay in the window so CORRECTNESS_r04 records the HUGEINT
@@ -800,6 +805,14 @@ _FRONT = [
     "dsir_select",
     "perplexity_buckets",
     "binseg_changepoints",
+    # --- new oracle-backed queries this round (no driver row yet) ---
+    "trend_ols",
+    "doc_keywords",
+    "term_pmi",
+    "zipf_slope",
+    "readability",
+    "bloom_decontaminate",
+    "minmax_preselect",
     # --- riskiest prior greens: round-3 rewrites riding old driver rows ---
     "dedup_simhash",
     "dedup_minhash_lsh",
@@ -807,13 +820,6 @@ _FRONT = [
     "random_uncertainty",
     "random_uncertainty_cumulative",
     "dedup_incremental",
-    "semantic_dedup",
-    "ann_cosine_ivf_trained",
-    "curation_pipeline",
-    "nb_langid_train",
-    "m4_hourly",
-    "cms_user_freq",
-    "crawl_change_rate",
 ]
 _front = {k: QUERIES[k] for k in _FRONT if k in QUERIES}
 QUERIES = {
