@@ -533,6 +533,34 @@ def q_detect_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pelt_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly_counts(spark, sf_dir)
+    from diive_spark.operators.pelt import pelt_changepoints
+
+    out = pelt_changepoints(
+        hourly, "event_type", "ts_s", "mean_val", min_size=2,
+        key_type="string",
+    )
+    return out.select(
+        "event_type", "cp_no", "ts_s",
+        F.round("mean_before", 4).alias("mean_before"),
+        F.round("mean_after", 4).alias("mean_after"),
+    )
+
+
+def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.tdigest import tdigest_quantiles
+
+    ev = _events(spark, sf_dir)
+    out = tdigest_quantiles(ev, "event_type", "value", [0.5, 0.95, 0.99])
+    return out.select(
+        "event_type", "n_points", "n_centroids",
+        F.round("p50", 4).alias("p50"),
+        F.round("p95", 4).alias("p95"),
+        F.round("p99", 4).alias("p99"),
+    )
+
+
 def q_minmax_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select(
         F.col("user_id").alias("key"),
@@ -557,6 +585,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shesd_anomalies": q_shesd_anomalies,
     "burst_windows": q_burst_windows,
     "detect_period": q_detect_period,
+    "pelt_changepoints": q_pelt_changepoints,
+    "tdigest_quantiles": q_tdigest_quantiles,
     "minmax_lttb": q_minmax_lttb,
 }
 
