@@ -813,12 +813,12 @@ _FRONT = [
     "readability",
     "bloom_decontaminate",
     "minmax_preselect",
+    "weighted_sample",
     # --- riskiest prior greens: round-3 rewrites riding old driver rows ---
     "dedup_simhash",
     "dedup_minhash_lsh",
     "dedup_clusters",
     "random_uncertainty",
-    "random_uncertainty_cumulative",
     "dedup_incremental",
 ]
 _front = {k: QUERIES[k] for k in _FRONT if k in QUERIES}

@@ -467,9 +467,66 @@ FROM r WHERE rymn = 1 OR rymx = 1 OR rxmn = 1 OR rxmx = 1
 
 
 # ---------------------------------------------------------------------------
+# weighted_sample — Efraimidis-Spirakis A-ES weighted sampling without
+# replacement (Inf. Proc. Letters 2006), made DETERMINISTIC by deriving
+# the uniform from the portable h60 of the row id: u = (h60(id)+1)/2^60,
+# rank key = ln(u)/w (monotone in u^(1/w)).  Fully oracle-backed — the
+# "random" sample is reproducible on any engine, the property a
+# re-runnable 100 TB curation pipeline actually wants.
+# ---------------------------------------------------------------------------
+
+_WS_K = 5
+_TWO60 = float(1 << 60)
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.text.hashing import spark_h60
+
+    d = _documents(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    h = F.expr(spark_h60("cast(doc_id as string)"))
+    score = F.log((h + F.lit(1)) / F.lit(_TWO60)) / F.col("n_chars")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.where(F.col("n_chars") > 0)
+        .withColumn("_score", score)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= _WS_K)
+        .select(
+            "lang", "rk",
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.floor(F.col("_score") * 1e9 + F.lit(0.5)).cast("long")
+            .alias("score_e9"),
+        )
+    )
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH scored AS (
+  SELECT lang, doc_id, n_chars,
+         ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) + 1) / {_TWO60}) / n_chars AS score
+  FROM documents WHERE n_chars > 0
+), ranked AS (
+  SELECT lang, doc_id, n_chars, score,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY score DESC, doc_id ASC) AS rk
+  FROM scored
+)
+SELECT lang, CAST(rk AS BIGINT) AS rk, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(floor(score * 1e9 + 0.5) AS BIGINT) AS score_e9
+FROM ranked WHERE rk <= {_WS_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # rows-only kernels (non-SQL-expressible: STOMP, GESD iteration, Viterbi,
-# FFT, LTTB tail) — all deterministic, so the driver's rows+schema check
-# is stable; exactness is pinned in tests/ against brute-force oracles
+# FFT, DP recurrences, LTTB tail) — all deterministic, so the driver's
+# rows+schema check is stable; exactness is pinned in tests/ against
+# brute-force oracles
 # ---------------------------------------------------------------------------
 
 def _hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -533,6 +590,24 @@ def q_detect_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dtw_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.dtw import pairwise_dtw
+
+    ev = _events(spark, sf_dir)
+    diel = ev.groupBy(
+        "event_type", F.hour("ts").alias("hh")
+    ).agg(F.avg("value").alias("v"))
+    profiles = diel.groupBy("event_type").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(hh, v))), s -> s.v)"
+        ).alias("vec")
+    )
+    out = pairwise_dtw(profiles, "event_type", "vec", znorm=True)
+    return out.select(
+        "key_a", "key_b", F.round("dtw", 4).alias("dtw")
+    )
+
+
 def q_pelt_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = _hourly_counts(spark, sf_dir)
     from diive_spark.operators.pelt import pelt_changepoints
@@ -587,6 +662,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "detect_period": q_detect_period,
     "pelt_changepoints": q_pelt_changepoints,
     "tdigest_quantiles": q_tdigest_quantiles,
+    "dtw_profiles": q_dtw_profiles,
+    "weighted_sample": q_weighted_sample,
     "minmax_lttb": q_minmax_lttb,
 }
 
@@ -598,4 +675,5 @@ ORACLE_SQL: dict[str, str] = {
     "readability": SQL_READABILITY,
     "bloom_decontaminate": _sql_bloom(),
     "minmax_preselect": SQL_MINMAX_PRESELECT,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
 }
