@@ -523,6 +523,57 @@ FROM ranked WHERE rk <= {_WS_K}
 
 
 # ---------------------------------------------------------------------------
+# zorder_stats — Morton-curve layout key (functions/zorder.py): the
+# Delta/Iceberg ZORDER BY compaction key over (user, minute), summarized
+# per curve segment.  Pure bit arithmetic — bit-exact across engines.
+# ---------------------------------------------------------------------------
+
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.functions.zorder import z_value_sql
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("uid"),
+        F.floor(_epoch_s("ts") / 60).cast("long").alias("minute"),
+    )
+    z = z_value_sql("uid", "minute")
+    return (
+        ev.withColumn("z", F.expr(z))
+        .groupBy(F.shiftright("z", 22).cast("long").alias("segment"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("z").cast("long").alias("z_min"),
+            F.max("z").cast("long").alias("z_max"),
+            F.countDistinct("uid").cast("long").alias("n_users"),
+            (F.max("minute") - F.min("minute")).cast("long")
+            .alias("minute_span"),
+        )
+    )
+
+
+def _sql_zorder() -> str:
+    from diive_spark.functions.zorder import z_value_sql
+
+    z = z_value_sql("uid", "minute")
+    return f"""
+WITH ev AS (
+  SELECT user_id AS uid,
+         CAST(floor(CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) / 60)
+              AS BIGINT) AS minute
+  FROM events
+), zz AS (
+  SELECT uid, minute, {z} AS z FROM ev
+)
+SELECT CAST(z >> 22 AS BIGINT) AS segment,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(z) AS BIGINT) AS z_min,
+       CAST(max(z) AS BIGINT) AS z_max,
+       CAST(count(DISTINCT uid) AS BIGINT) AS n_users,
+       CAST(max(minute) - min(minute) AS BIGINT) AS minute_span
+FROM zz GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # rows-only kernels (non-SQL-expressible: STOMP, GESD iteration, Viterbi,
 # FFT, DP recurrences, LTTB tail) — all deterministic, so the driver's
 # rows+schema check is stable; exactness is pinned in tests/ against
@@ -664,6 +715,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tdigest_quantiles": q_tdigest_quantiles,
     "dtw_profiles": q_dtw_profiles,
     "weighted_sample": q_weighted_sample,
+    "zorder_stats": q_zorder_stats,
     "minmax_lttb": q_minmax_lttb,
 }
 
@@ -676,4 +728,5 @@ ORACLE_SQL: dict[str, str] = {
     "bloom_decontaminate": _sql_bloom(),
     "minmax_preselect": SQL_MINMAX_PRESELECT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "zorder_stats": _sql_zorder(),
 }
