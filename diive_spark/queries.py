@@ -756,6 +756,11 @@ from diive_spark import queries_spectral as _qsp  # noqa: E402
 QUERIES.update(_qsp.QUERIES)
 ORACLE_SQL.update(_qsp.ORACLE_SQL)
 
+from diive_spark import queries_drift as _qd  # noqa: E402
+
+QUERIES.update(_qd.QUERIES)
+ORACLE_SQL.update(_qd.ORACLE_SQL)
+
 # Driver-window ordering: the driver records correctness rows for exactly the
 # first 50 registry entries.  Round-4 rotation (VERDICT r3 #1/#2): the three
 # r03 hash-fails stay in the window so CORRECTNESS_r04 records the HUGEINT
@@ -814,12 +819,15 @@ _FRONT = [
     "bloom_decontaminate",
     "minmax_preselect",
     "weighted_sample",
-    # --- riskiest prior greens: round-3 rewrites riding old driver rows ---
-    "dedup_simhash",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "random_uncertainty",
-    "dedup_incremental",
+    # --- drift battery (new this round, no driver row yet); these displace
+    # the 5 riskiest-prior-greens (dedup_simhash/minhash/clusters,
+    # random_uncertainty, dedup_incremental) which all have green driver
+    # rows from r02/r03 — never-checked beats re-check ---
+    "ks_drift",
+    "psi_drift",
+    "benford_digits",
+    "max_drawdown",
+    "ccf_lags",
 ]
 _front = {k: QUERIES[k] for k in _FRONT if k in QUERIES}
 QUERIES = {
