@@ -766,6 +766,11 @@ from diive_spark import queries_olap as _qo  # noqa: E402
 QUERIES.update(_qo.QUERIES)
 ORACLE_SQL.update(_qo.ORACLE_SQL)
 
+from diive_spark import queries_gapfill as _qg  # noqa: E402
+
+QUERIES.update(_qg.QUERIES)
+ORACLE_SQL.update(_qg.ORACLE_SQL)
+
 # Driver-window ordering: the driver records correctness rows for exactly the
 # first 50 registry entries.  Round-4 rotation (VERDICT r3 #1/#2): the three
 # r03 hash-fails stay in the window so CORRECTNESS_r04 records the HUGEINT
