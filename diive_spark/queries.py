@@ -771,6 +771,11 @@ from diive_spark import queries_gapfill as _qg  # noqa: E402
 QUERIES.update(_qg.QUERIES)
 ORACLE_SQL.update(_qg.ORACLE_SQL)
 
+from diive_spark import queries_multires as _qmr  # noqa: E402
+
+QUERIES.update(_qmr.QUERIES)
+ORACLE_SQL.update(_qmr.ORACLE_SQL)
+
 # Driver-window ordering: the driver records correctness rows for exactly the
 # first 50 registry entries.  Round-4 rotation (VERDICT r3 #1/#2): the three
 # r03 hash-fails stay in the window so CORRECTNESS_r04 records the HUGEINT

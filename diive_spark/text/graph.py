@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "cluster_sizes", "pagerank"]
+__all__ = ["connected_components", "cluster_sizes", "pagerank", "triangle_count"]
 
 
 def _canonical(e: DataFrame) -> DataFrame:
@@ -328,3 +328,73 @@ def pagerank(
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts on the undirected simple graph.
+
+    Degree-ordered wedge closure (Cohen, CiSE 2009; Suri &
+    Vassilvitskii, WWW'11 "Counting Triangles and the Curse of the Last
+    Reducer"): orient every canonical edge from its lower endpoint to
+    its higher endpoint under the total order pi(v) = (degree(v), v),
+    build wedges by self-joining out-edges on their source, and close
+    each wedge against the oriented edge set.  Under pi-orientation a
+    triangle {x,y,z} with pi(x)<pi(y)<pi(z) is produced exactly once —
+    as the wedge at x closed by (y,z) — and every node's out-degree is
+    bounded by O(sqrt(|E|)) on skewed (power-law) graphs, which is the
+    whole point: the hub that would explode a naive wedge join emits
+    almost no wedges because nearly all its edges point INTO it.
+
+    Three shuffles total: degree groupBy, wedge self-join on the wedge
+    apex, closure join on the (lo, hi) edge key — all combinable /
+    equi-joins, no driver participation.  Returns (node, n_tri) for
+    nodes in >= 1 triangle.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("db"))
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lo_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        )
+    )
+    e1 = oriented.select(
+        F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("dv1")
+    )
+    e2 = oriented.select(
+        F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("dv2")
+    )
+    order12 = (F.col("dv1") < F.col("dv2")) | (
+        (F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2"))
+    )
+    wedges = e1.join(e2, "u").where(order12).select("u", "v1", "v2")
+    closing = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tris = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    nodes = (
+        tris.select(F.col("u").alias("node"))
+        .unionAll(tris.select(F.col("v1").alias("node")))
+        .unionAll(tris.select(F.col("v2").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count("*").cast("long").alias("n_tri"))
