@@ -398,3 +398,113 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .unionAll(tris.select(F.col("v2").alias("node")))
     )
     return nodes.groupBy("node").agg(F.count("*").cast("long").alias("n_tri"))
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 5,
+    small_graph_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-iteration HITS hub/authority scores (Kleinberg, JACM 1999)
+    with L1 normalization after each half-step:
+
+        auth'(v) = sum_{u->v} hub(u)   then auth /= sum(auth)
+        hub'(u)  = sum_{u->v} auth(v)  then hub  /= sum(hub)
+
+    starting from uniform hub = 1/N over all nodes.  A FIXED iteration
+    count keeps the operator SQL-expressible (the DuckDB twin unrolls
+    the identical chain), same design as :func:`pagerank`.  Distinct
+    directed edges only — HITS on a multigraph double-counts crawl
+    adjacency noise.
+
+    Small-graph cutover below ``small_graph_threshold`` edges: the
+    per-iteration cost is pure job-coordination overhead at that size,
+    so run the identical numpy iteration driver-side — pinned equal to
+    the distributed loop in tests/test_stats_queries.py.
+
+    Distributed path per iteration: two hash joins (scores x edges) and
+    two combinable groupBys, plus two broadcastable 1-row sums for the
+    L1 norms; score state is one row per node.  Returns
+    ``(node, hub, auth)``.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    node_t = edges.schema[src_col].dataType.simpleString()
+    n_edges = e.count()
+    if n_edges <= small_graph_threshold:
+        import numpy as np
+
+        pairs = [(r["_s"], r["_d"]) for r in e.collect()]
+        node_list = sorted({u for u, _ in pairs} | {v for _, v in pairs})
+        ix = {u: i for i, u in enumerate(node_list)}
+        n = len(node_list)
+        src = np.array([ix[u] for u, _ in pairs], dtype=np.int64)
+        dst = np.array([ix[v] for _, v in pairs], dtype=np.int64)
+        hub = np.full(n, 1.0 / n)
+        auth = np.zeros(n)
+        for _ in range(n_iter):
+            auth = np.bincount(dst, weights=hub[src], minlength=n)
+            auth = auth / auth.sum() if auth.sum() > 0 else auth
+            hub = np.bincount(src, weights=auth[dst], minlength=n)
+            hub = hub / hub.sum() if hub.sum() > 0 else hub
+        return edges.sparkSession.createDataFrame(
+            [
+                (node_list[i], float(hub[i]), float(auth[i]))
+                for i in range(n)
+            ],
+            f"node {node_t}, hub double, auth double",
+        )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_tot = F.broadcast(nodes.groupBy().agg(F.count(F.lit(1)).alias("_n")))
+    hub = nodes.crossJoin(n_tot).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("hub")
+    )
+    auth = None
+    for it in range(n_iter):
+        a_raw = (
+            hub.join(e, hub["node"] == e["_s"])
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.sum("hub").alias("_a"))
+        )
+        a_sum = F.broadcast(a_raw.groupBy().agg(F.sum("_a").alias("_as")))
+        auth = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(a_sum)
+            .select(
+                "node",
+                (F.coalesce(F.col("_a"), F.lit(0.0)) / F.col("_as")).alias(
+                    "auth"
+                ),
+            )
+        )
+        h_raw = (
+            auth.join(e, auth["node"] == e["_d"])
+            .groupBy(F.col("_s").alias("node"))
+            .agg(F.sum("auth").alias("_h"))
+        )
+        h_sum = F.broadcast(h_raw.groupBy().agg(F.sum("_h").alias("_hs")))
+        hub = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(h_sum)
+            .select(
+                "node",
+                (F.coalesce(F.col("_h"), F.lit(0.0)) / F.col("_hs")).alias(
+                    "hub"
+                ),
+            )
+        )
+        if (it + 1) % 2 == 0:
+            hub = hub.localCheckpoint(eager=False)
+            auth = auth.localCheckpoint(eager=False)
+    return hub.join(auth, "node")
