@@ -298,11 +298,187 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# markov_transitions — corpus event-type transition matrix (exact)
+# ---------------------------------------------------------------------------
+# First-order Markov estimate over per-user event streams: transition
+# counts are exact integers, row-normalized probabilities are one double
+# division each => p_e6 is bit-identical across engines.  One per-key
+# ordered window (lag) + one combinable groupBy; the matrix is
+# |types|^2 rows regardless of corpus size.
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    pairs = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "to_type")
+    )
+    cnt = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wr = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(
+            F.col("n").cast("double")
+            / F.sum("n").over(wr).cast("double")
+            * 1_000_000
+            + F.lit(0.5)
+        ).cast("long").alias("p_e6"),
+    )
+
+
+SQL_MARKOV = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events QUALIFY to_type IS NOT NULL
+), cnt AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM seq GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       CAST(floor(CAST(n AS DOUBLE)
+                  / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT) AS p_e6
+FROM cnt
+"""
+
+
+# ---------------------------------------------------------------------------
+# event_entropy — Shannon entropy of each user's event-type mix
+# ---------------------------------------------------------------------------
+# H = -sum p_i ln p_i over the per-user type distribution; p_i are exact
+# integer ratios, the <=|types| ln terms are summed as doubles, so the
+# floor gets the same irrational offset as hits_scores/domain_pagerank.
+
+def q_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"), "event_type"
+    )
+    cnt = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = cnt.groupBy("user_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_types")
+    )
+    p = (
+        cnt.join(tot, "user_id")
+        .withColumn("_p", F.col("c").cast("double") / F.col("n"))
+    )
+    return p.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.max("n_types").cast("long").alias("n_types"),
+        F.floor(
+            -F.sum(F.col("_p") * F.log("_p")) * 10_000 + F.lit(_OFF)
+        ).cast("long").alias("h_e4"),
+    )
+
+
+SQL_ENTROPY = f"""
+WITH cnt AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY user_id, event_type
+), tot AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_types
+  FROM cnt GROUP BY user_id
+), p AS (
+  SELECT cnt.user_id, tot.n, tot.n_types,
+         CAST(c AS DOUBLE) / n AS p
+  FROM cnt JOIN tot USING (user_id)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(max(n) AS BIGINT) AS n_events,
+       CAST(max(n_types) AS BIGINT) AS n_types,
+       CAST(floor(-sum(p * ln(p)) * 10000 + {_OFF}) AS BIGINT) AS h_e4
+FROM p GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# audience_jaccard — user-set overlap between event types (exact)
+# ---------------------------------------------------------------------------
+# Jaccard of the DISTINCT-user audiences of every event-type pair:
+# |A ∩ B| from an equi-self-join on user, |A ∪ B| = |A|+|B|-|A∩B| — all
+# exact integers, one double division => jaccard_e6 exact.  The join is
+# on user_id (combinable distinct first), output is |types|^2 rows.
+
+def q_audience_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    au = (
+        _events(spark, sf_dir)
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    sizes = au.groupBy("event_type").agg(F.count(F.lit(1)).alias("sz"))
+    a = au.select(F.col("event_type").alias("type_a"), "user_id")
+    b = au.select(F.col("event_type").alias("type_b"), "user_id")
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("sz").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("sz").alias("n_b")
+    )
+    j = both.join(F.broadcast(sa), "type_a").join(F.broadcast(sb), "type_b")
+    union = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    return j.select(
+        "type_a",
+        "type_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_both").cast("long").alias("n_both"),
+        F.floor(
+            F.col("n_both").cast("double") / union.cast("double")
+            * 1_000_000
+            + F.lit(0.5)
+        ).cast("long").alias("jaccard_e6"),
+    )
+
+
+SQL_JACCARD = """
+WITH au AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), sizes AS (
+  SELECT event_type, count(*) AS sz FROM au GROUP BY event_type
+), both_ AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_both
+  FROM au a JOIN au b USING (user_id)
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b,
+       CAST(sa.sz AS BIGINT) AS n_a, CAST(sb.sz AS BIGINT) AS n_b,
+       CAST(n_both AS BIGINT) AS n_both,
+       CAST(floor(CAST(n_both AS DOUBLE)
+                  / CAST(sa.sz + sb.sz - n_both AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT) AS jaccard_e6
+FROM both_
+JOIN sizes sa ON sa.event_type = type_a
+JOIN sizes sb ON sb.event_type = type_b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "allan_variance": q_allan_variance,
     "burstiness": q_burstiness,
     "hits_scores": q_hits_scores,
     "gini_sources": q_gini_sources,
+    "markov_transitions": q_markov_transitions,
+    "event_entropy": q_event_entropy,
+    "audience_jaccard": q_audience_jaccard,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -310,4 +486,7 @@ ORACLE_SQL: dict[str, str] = {
     "burstiness": SQL_BURSTINESS,
     "hits_scores": _sql_hits(),
     "gini_sources": SQL_GINI,
+    "markov_transitions": SQL_MARKOV,
+    "event_entropy": SQL_ENTROPY,
+    "audience_jaccard": SQL_JACCARD,
 }
