@@ -1,0 +1,548 @@
+"""Round-4e query registry: trend/persistence diagnostics and corpus
+lexical statistics — seasonal Mann-Kendall (Hirsch & Slack 1984), AR(1)
+persistence + mean-reversion half-life, Lo-MacKinlay variance-ratio,
+running record highs, per-doc lexical diversity (TTR/hapax), and
+cross-corpus n-gram novelty.
+
+Oracle conventions as everywhere in this repo: identical column names,
+every DuckDB integer SUM wrapped in ``CAST(... AS BIGINT)`` (HUGEINT
+trap), derived doubles floor-scaled with the house 1/pi offset.  All
+series math runs on exact-integer centivalues (``floor(avg*100+1/pi)``)
+so sums/products are exact in doubles and the final scalar expression is
+bit-identical across engines (same IEEE op tree on both sides).
+
+Reference parity notes: diive's trend analysis exposes plain MK + Sen
+(core/dfun/stats and the ustar/trend notebooks); the seasonal variant is
+the standard extension for diel-cycled sensor data (Hirsch & Slack, WRR
+1984) — seasons here are the four 6-hour diel blocks, matching the
+reference's day/night stratification idiom (e.g. FlagZscoreDaynight).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from diive_spark.operators.trend import mann_kendall_trend
+
+_OFF = 0.31830988618367  # 1/pi — the house irrational floor offset
+
+# hourly per-user series with exact-integer centivalues (same CTE as
+# queries_trend.py so the two batteries stay comparable)
+_HOURLY_SQL = f"""
+hourly AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS t,
+         CAST(floor(avg(value) * 100 + {_OFF}) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+)
+"""
+
+
+def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            "user_id",
+            (
+                F.floor(
+                    F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+                )
+                * 3600
+            ).cast("long").alias("t"),
+        )
+        .agg(
+            F.floor(F.avg("value") * 100 + F.lit(_OFF))
+            .cast("double")
+            .alias("v")
+        )
+    )
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# seasonal_mann_kendall — Hirsch-Slack seasonal MK over 6-hour diel blocks
+# ---------------------------------------------------------------------------
+# S = sum of per-season S_g, Var = sum of per-season tie-corrected Var_g
+# (independent-seasons form, Hirsch & Slack 1984 eq. 2-4); z uses the
+# usual continuity correction on the summed statistic.  Implementation:
+# the existing per-key MK kernel runs once per (user, season) composite
+# key — per-key bounded state, embarrassingly parallel — and a combinable
+# groupBy folds the four seasons back to one row per user.  var_s*18 is
+# an exact integer per season, so the summed var18 is exact too.
+
+
+def q_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hour_of_day = (F.col("t") / 3600).cast("long") % 24
+    h = _hourly(spark, sf_dir).withColumn(
+        "k",
+        (F.col("user_id") * 4 + (hour_of_day / 6).cast("long")).cast("long"),
+    )
+    mk = mann_kendall_trend(h, "k", "t", "v")
+    agg = (
+        mk.groupBy((F.col("k") / 4).cast("long").alias("user_id"))
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("s").cast("long").alias("s"),
+            F.sum(F.round(F.col("var_s") * 18)).cast("long").alias("var_s18"),
+        )
+    )
+    z = (
+        F.when((F.col("var_s18") <= 0) | (F.col("s") == 0), F.lit(0.0))
+        .when(
+            F.col("s") > 0,
+            (F.col("s") - 1) / F.sqrt(F.col("var_s18") / 18.0),
+        )
+        .otherwise((F.col("s") + 1) / F.sqrt(F.col("var_s18") / 18.0))
+    )
+    return agg.select(
+        "user_id",
+        "n",
+        "s",
+        "var_s18",
+        F.floor(z * 10_000 + F.lit(_OFF)).cast("long").alias("z_e4"),
+    ).orderBy("user_id")
+
+
+SQL_SEASONAL_MK = f"""
+WITH {_HOURLY_SQL},
+hs AS (
+  SELECT user_id, (t // 3600 % 24) // 6 AS g, t, v FROM hourly
+), pairs AS (
+  SELECT a.user_id, a.g, CAST(sign(b.v - a.v) AS BIGINT) AS sg
+  FROM hs a JOIN hs b
+    ON a.user_id = b.user_id AND a.g = b.g AND b.t > a.t
+), s_g AS (
+  SELECT user_id, g, sum(sg) AS s FROM pairs GROUP BY 1, 2
+), nn AS (
+  SELECT user_id, g, count(*) AS n FROM hs GROUP BY 1, 2
+), ties AS (
+  SELECT user_id, g, sum(c * (c - 1) * (2 * c + 5)) AS tie
+  FROM (SELECT user_id, g, v, count(*) AS c FROM hs GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+), per_season AS (
+  SELECT nn.user_id, nn.n, coalesce(s_g.s, 0) AS s,
+         (nn.n * (nn.n - 1) * (2 * nn.n + 5) - coalesce(ties.tie, 0)) AS v18
+  FROM nn
+  LEFT JOIN s_g ON s_g.user_id = nn.user_id AND s_g.g = nn.g
+  LEFT JOIN ties ON ties.user_id = nn.user_id AND ties.g = nn.g
+), agg AS (
+  SELECT user_id, CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS s,
+         CAST(sum(v18) AS BIGINT) AS var_s18
+  FROM per_season GROUP BY 1
+)
+SELECT user_id, n, s, var_s18,
+       CAST(floor(
+         CASE WHEN var_s18 <= 0 OR s = 0 THEN 0.0
+              WHEN s > 0 THEN (s - 1) / sqrt(var_s18 / 18.0)
+              ELSE (s + 1) / sqrt(var_s18 / 18.0)
+         END * 10000 + {_OFF}) AS BIGINT) AS z_e4
+FROM agg
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# ar1_halflife — lag-1 autocorrelation + mean-reversion half-life
+# ---------------------------------------------------------------------------
+# Pairs are consecutive ROWS of the hourly series (gap-tolerant, same
+# convention as acf_hourly).  Pearson r over exact-integer (x, y) pairs:
+# every sum/product is an exact integer, so r and the downstream ln are
+# the same IEEE expression on both engines.  Half-life (hours) =
+# -ln 2 / ln r, defined only for 0 < r < 1 (stationary persistence).
+# One per-key ordered window + one combinable groupBy — no kernel.
+
+
+def q_ar1_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("t")
+    p = (
+        _hourly(spark, sf_dir)
+        .select("user_id", "t", F.col("v").alias("x"))
+        .withColumn("y", F.lead("x").over(w))
+        .filter(F.col("y").isNotNull())
+    )
+    agg = p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    den = (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    r = F.when(
+        den > 0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(den),
+    )
+    hl = F.when(
+        (r > 0) & (r < 1), -F.log(F.lit(2.0)) / F.log(r)
+    )
+    return agg.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.floor(r * 1_000_000 + F.lit(_OFF)).cast("long").alias("r1_e6"),
+        F.floor(hl * 10_000 + F.lit(_OFF)).cast("long").alias("halflife_h_e4"),
+    ).orderBy("user_id")
+
+
+SQL_AR1 = f"""
+WITH {_HOURLY_SQL},
+p AS (
+  SELECT user_id, v AS x,
+         lead(v) OVER (PARTITION BY user_id ORDER BY t) AS y
+  FROM hourly QUALIFY y IS NOT NULL
+), agg AS (
+  SELECT user_id, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM p GROUP BY 1
+), rr AS (
+  SELECT user_id, n,
+         CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+              THEN (n * sxy - sx * sy)
+                   / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+         END AS r
+  FROM agg
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+       CAST(floor(r * 1000000 + {_OFF}) AS BIGINT) AS r1_e6,
+       CAST(floor(CASE WHEN r > 0 AND r < 1 THEN -ln(2.0) / ln(r) END
+                  * 10000 + {_OFF}) AS BIGINT) AS halflife_h_e4
+FROM rr
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# variance_ratio — Lo-MacKinlay VR(q), q = 24 h, overlapping differences
+# ---------------------------------------------------------------------------
+# VR(q) = Var(v_{i+q} - v_i) / (q * Var(v_{i+1} - v_i)) over row-lagged
+# differences of the hourly series; VR ~ 1 for a random walk, < 1 for
+# mean reversion, > 1 for trending.  Population variances via the
+# sum-of-squares identity on exact-integer diffs — the whole scalar is
+# one deterministic IEEE expression.  Two lead windows share ONE sort
+# exchange per key (same partition + ordering).
+
+
+_VR_Q = 24
+
+
+def q_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("t")
+    h = (
+        _hourly(spark, sf_dir)
+        .withColumn("d1", F.lead("v", 1).over(w) - F.col("v"))
+        .withColumn("dq", F.lead("v", _VR_Q).over(w) - F.col("v"))
+    )
+    agg = h.groupBy("user_id").agg(
+        F.count("d1").alias("n1"),
+        F.sum("d1").alias("s1"),
+        F.sum(F.col("d1") * F.col("d1")).alias("s11"),
+        F.count("dq").alias("nq"),
+        F.sum("dq").alias("sq"),
+        F.sum(F.col("dq") * F.col("dq")).alias("sqq"),
+    )
+    n1g = F.greatest(F.col("n1"), F.lit(1))
+    nqg = F.greatest(F.col("nq"), F.lit(1))
+    var1 = (F.col("s11") - F.col("s1") * F.col("s1") / n1g) / n1g
+    varq = (F.col("sqq") - F.col("sq") * F.col("sq") / nqg) / nqg
+    vr = F.when((F.col("nq") >= 2) & (var1 > 0), varq / F.lit(float(_VR_Q)) / var1)
+    return agg.select(
+        "user_id",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("nq").cast("long").alias("nq"),
+        F.floor(vr * 1_000_000 + F.lit(_OFF)).cast("long").alias("vr_e6"),
+    ).orderBy("user_id")
+
+
+SQL_VARIANCE_RATIO = f"""
+WITH {_HOURLY_SQL},
+d AS (
+  SELECT user_id,
+         lead(v, 1) OVER (PARTITION BY user_id ORDER BY t) - v AS d1,
+         lead(v, {_VR_Q}) OVER (PARTITION BY user_id ORDER BY t) - v AS dq
+  FROM hourly
+), agg AS (
+  SELECT user_id,
+         count(d1) AS n1, sum(d1) AS s1, sum(d1 * d1) AS s11,
+         count(dq) AS nq, sum(dq) AS sq, sum(dq * dq) AS sqq
+  FROM d GROUP BY 1
+)
+SELECT user_id, CAST(n1 AS BIGINT) AS n1, CAST(nq AS BIGINT) AS nq,
+       CAST(floor(
+         CASE WHEN nq >= 2
+                   AND (s11 - s1 * s1 / greatest(n1, 1)) / greatest(n1, 1) > 0
+              THEN ((sqq - sq * sq / greatest(nq, 1)) / greatest(nq, 1))
+                   / {float(_VR_Q)}
+                   / ((s11 - s1 * s1 / greatest(n1, 1)) / greatest(n1, 1))
+         END * 1000000 + {_OFF}) AS BIGINT) AS vr_e6
+FROM agg
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# running_records — record highs of each user's hourly series
+# ---------------------------------------------------------------------------
+# A row is a record when v strictly exceeds every earlier v (the first
+# row is a record).  Exact integer compares; one per-key ordered window
+# + one combinable groupBy.
+
+
+def q_running_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    h = _hourly(spark, sf_dir).withColumn(
+        "is_rec",
+        F.when(
+            F.max("v").over(w).isNull() | (F.col("v") > F.max("v").over(w)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        h.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.sum("is_rec").cast("long").alias("n_records"),
+            F.max(F.when(F.col("is_rec") == 1, F.col("t")))
+            .cast("long")
+            .alias("last_record_t"),
+            F.max("v").cast("long").alias("max_v_e2"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_RUNNING_RECORDS = f"""
+WITH {_HOURLY_SQL},
+r AS (
+  SELECT user_id, t, v,
+         CASE WHEN max(v) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) IS NULL
+                   OR v > max(v) OVER (PARTITION BY user_id ORDER BY t
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS is_rec
+  FROM hourly
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(sum(is_rec) AS BIGINT) AS n_records,
+       CAST(max(CASE WHEN is_rec = 1 THEN t END) AS BIGINT)
+         AS last_record_t,
+       CAST(max(v) AS BIGINT) AS max_v_e2
+FROM r GROUP BY 1
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# lexical_diversity — per-doc type/token and hapax ratios
+# ---------------------------------------------------------------------------
+# Stats are fully doc-local, so a single Arrow kernel pass computes them
+# with ZERO shuffles (same argument as curation._repetition_stats_udf:
+# the explode -> (doc, token) -> doc expression path would shuffle
+# ~n_tokens rows per doc twice).  Tokenization is the house word rule
+# ([a-z0-9]+ on lowercased text) — replicated verbatim in the oracle.
+
+_LEXSTATS_UDF = []
+
+
+def _lexstats_udf():
+    if not _LEXSTATS_UDF:
+        import re
+        from collections import Counter
+
+        word = re.compile(r"[a-z0-9]+")
+
+        @F.pandas_udf("struct<n_tokens:bigint,n_types:bigint,n_hapax:bigint>")
+        def _lex(texts: pd.Series) -> pd.DataFrame:
+            rows = []
+            for t in texts:
+                ct = Counter(word.findall((t or "").lower()))
+                n_tok = sum(ct.values())
+                n_hapax = sum(1 for c in ct.values() if c == 1)
+                rows.append((n_tok, len(ct), n_hapax))
+            return pd.DataFrame(
+                rows, columns=["n_tokens", "n_types", "n_hapax"]
+            )
+
+        _LEXSTATS_UDF.append(_lex.asNondeterministic())
+    return _LEXSTATS_UDF[0]
+
+
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select(
+        "doc_id", _lexstats_udf()(F.col("text")).alias("_s")
+    )
+    n_tok = F.col("_s.n_tokens")
+    n_typ = F.col("_s.n_types")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        n_typ.alias("n_types"),
+        F.col("_s.n_hapax").alias("n_hapax"),
+        F.floor(n_typ / F.greatest(n_tok, F.lit(1)) * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("ttr_e6"),
+        F.floor(
+            F.col("_s.n_hapax") / F.greatest(n_typ, F.lit(1)) * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("hapax_e6"),
+    ).orderBy("doc_id")
+
+
+SQL_LEXICAL_DIVERSITY = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents
+), ct AS (
+  SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM ct GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_types, 0) AS n_types,
+       coalesce(a.n_hapax, 0) AS n_hapax,
+       CAST(floor(coalesce(a.n_types, 0)
+                  / greatest(coalesce(a.n_tokens, 0), 1) * 1000000
+                  + {_OFF}) AS BIGINT) AS ttr_e6,
+       CAST(floor(coalesce(a.n_hapax, 0)
+                  / greatest(coalesce(a.n_types, 0), 1) * 1000000
+                  + {_OFF}) AS BIGINT) AS hapax_e6
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty — fraction of a doc's 3-gram shingles it owns corpus-wide
+# ---------------------------------------------------------------------------
+# Owner of a shingle = the smallest doc_id containing it (deterministic
+# first-occurrence under the corpus's stable id order).  Per doc:
+# distinct 3-grams, how many it owns, novelty ratio.  Plan: one Arrow
+# kernel emits each doc's DISTINCT shingles (doc-local dedup — no
+# (doc, ng, pos) blow-up leaves the scan), then ONE hash shuffle on the
+# shingle computes the corpus-wide owner via a window min, and ONE
+# combinable groupBy folds back to docs.  This is the bounded two-shuffle
+# shape that survives 100 TB; an all-pairs join never appears.
+
+_NGRAMSET_UDF = []
+
+
+def _ngramset_udf():
+    if not _NGRAMSET_UDF:
+        import re
+
+        word = re.compile(r"[a-z0-9]+")
+
+        @F.pandas_udf("array<string>")
+        def _ngs(texts: pd.Series) -> pd.Series:
+            out = []
+            for t in texts:
+                toks = word.findall((t or "").lower())
+                out.append(
+                    list(
+                        {
+                            " ".join(toks[i : i + 3])
+                            for i in range(max(len(toks) - 2, 0))
+                        }
+                    )
+                )
+            return pd.Series(out)
+
+        _NGRAMSET_UDF.append(_ngs.asNondeterministic())
+    return _NGRAMSET_UDF[0]
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(_ngramset_udf()(F.col("text"))).alias("ng"),
+    )
+    w = Window.partitionBy("ng")
+    owned = d.select(
+        "doc_id", "ng", F.min("doc_id").over(w).alias("owner")
+    )
+    agg = owned.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum((F.col("owner") == F.col("doc_id")).cast("long"))
+        .cast("long")
+        .alias("n_novel"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.floor(
+            F.col("n_novel") / F.col("n_grams") * 1_000_000 + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("novelty_e6"),
+    ).orderBy("doc_id")
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+), ng AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 2),
+                               i -> array_to_string(toks[i:i+2], ' '))) AS g
+  FROM tok WHERE len(toks) >= 3
+), own AS (
+  SELECT doc_id, g, min(doc_id) OVER (PARTITION BY g) AS owner FROM ng
+), agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM own GROUP BY 1
+)
+SELECT doc_id, n_grams, n_novel,
+       CAST(floor(n_novel / n_grams * 1000000 + {_OFF}) AS BIGINT)
+         AS novelty_e6
+FROM agg
+ORDER BY doc_id
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "seasonal_mann_kendall": q_seasonal_mann_kendall,
+    "ar1_halflife": q_ar1_halflife,
+    "variance_ratio": q_variance_ratio,
+    "running_records": q_running_records,
+    "lexical_diversity": q_lexical_diversity,
+    "ngram_novelty": q_ngram_novelty,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "seasonal_mann_kendall": SQL_SEASONAL_MK,
+    "ar1_halflife": SQL_AR1,
+    "variance_ratio": SQL_VARIANCE_RATIO,
+    "running_records": SQL_RUNNING_RECORDS,
+    "lexical_diversity": SQL_LEXICAL_DIVERSITY,
+    "ngram_novelty": SQL_NGRAM_NOVELTY,
+}

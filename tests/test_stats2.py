@@ -1,0 +1,192 @@
+"""queries_stats2 — seasonal MK / AR(1) / variance ratio / records /
+lexical diversity / n-gram novelty pinned against independent numpy and
+brute-force oracles at sf0.001 (the DuckDB twin is the cross-engine gate;
+these pins prove the SEMANTICS, not just engine agreement)."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from diive_spark.queries_stats2 import (
+    _OFF,
+    q_ar1_halflife,
+    q_lexical_diversity,
+    q_ngram_novelty,
+    q_running_records,
+    q_seasonal_mann_kendall,
+    q_variance_ratio,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _hourly_pd(spark):
+    df = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    df["t"] = (df["ts"].astype("int64") // 10**9 // 3600) * 3600
+    g = df.groupby(["user_id", "t"])["value"].mean().reset_index()
+    g["v"] = np.floor(g["value"] * 100 + _OFF)
+    return g.sort_values(["user_id", "t"])
+
+
+def _mk_s_var(v):
+    """O(n^2) textbook MK S and tie-corrected var*18."""
+    v = np.asarray(v, dtype=float)
+    n = len(v)
+    s = sum(
+        int(np.sign(v[j] - v[i])) for i in range(n) for j in range(i + 1, n)
+    )
+    _, counts = np.unique(v, return_counts=True)
+    tie = int(sum(c * (c - 1) * (2 * c + 5) for c in counts))
+    v18 = n * (n - 1) * (2 * n + 5) - tie
+    return s, v18
+
+
+def test_seasonal_mk_matches_bruteforce(spark):
+    out = {
+        r["user_id"]: r
+        for r in q_seasonal_mann_kendall(spark, SF).collect()
+    }
+    g = _hourly_pd(spark)
+    g["season"] = (g["t"] // 3600 % 24) // 6
+    for uid, grp in list(g.groupby("user_id"))[:8]:
+        s_tot = v18_tot = n_tot = 0
+        for _, sg in grp.groupby("season"):
+            s, v18 = _mk_s_var(sg["v"].to_numpy())
+            s_tot += s
+            v18_tot += v18
+            n_tot += len(sg)
+        row = out[uid]
+        assert row["n"] == n_tot
+        assert row["s"] == s_tot
+        assert row["var_s18"] == v18_tot
+        if v18_tot > 0 and s_tot != 0:
+            z = (s_tot - math.copysign(1, s_tot)) / math.sqrt(v18_tot / 18.0)
+        else:
+            z = 0.0
+        assert row["z_e4"] == math.floor(z * 10_000 + _OFF)
+
+
+def test_ar1_matches_numpy_corrcoef(spark):
+    out = {r["user_id"]: r for r in q_ar1_halflife(spark, SF).collect()}
+    g = _hourly_pd(spark)
+    for uid, grp in list(g.groupby("user_id"))[:8]:
+        v = grp["v"].to_numpy()
+        if len(v) < 3:
+            continue
+        x, y = v[:-1], v[1:]
+        r = float(np.corrcoef(x, y)[0, 1])
+        row = out[uid]
+        assert row["n_pairs"] == len(x)
+        assert abs(row["r1_e6"] - math.floor(r * 1e6 + _OFF)) <= 1
+        if 0 < r < 1:
+            hl = -math.log(2) / math.log(r)
+            assert abs(row["halflife_h_e4"] - math.floor(hl * 1e4 + _OFF)) <= 1
+
+
+def test_variance_ratio_matches_numpy(spark):
+    out = {r["user_id"]: r for r in q_variance_ratio(spark, SF).collect()}
+    g = _hourly_pd(spark)
+    q = 24
+    for uid, grp in list(g.groupby("user_id"))[:8]:
+        v = grp["v"].to_numpy()
+        d1 = v[1:] - v[:-1]
+        dq = v[q:] - v[:-q] if len(v) > q else np.array([])
+        row = out[uid]
+        assert row["n1"] == len(d1) and row["nq"] == len(dq)
+        if len(dq) >= 2 and np.var(d1) > 0:
+            vr = float(np.var(dq) / q / np.var(d1))
+            assert abs(row["vr_e6"] - math.floor(vr * 1e6 + _OFF)) <= 1
+
+
+def test_running_records_matches_pandas_cummax(spark):
+    out = {r["user_id"]: r for r in q_running_records(spark, SF).collect()}
+    g = _hourly_pd(spark)
+    for uid, grp in g.groupby("user_id"):
+        v = grp["v"].to_numpy()
+        t = grp["t"].to_numpy()
+        run = np.maximum.accumulate(v)
+        rec = np.concatenate([[True], v[1:] > run[:-1]])
+        row = out[uid]
+        assert row["n_obs"] == len(v)
+        assert row["n_records"] == int(rec.sum())
+        assert row["last_record_t"] == int(t[rec][-1])
+        assert row["max_v_e2"] == int(v.max())
+
+
+_WORD = re.compile(r"[a-z0-9]+")
+
+
+def test_lexical_diversity_matches_counter(spark):
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    out = {r["doc_id"]: r for r in q_lexical_diversity(spark, SF).collect()}
+    assert len(out) == len(docs)
+    for _, d in docs.head(40).iterrows():
+        ct = Counter(_WORD.findall((d["text"] or "").lower()))
+        n_tok = sum(ct.values())
+        n_typ = len(ct)
+        n_hap = sum(1 for c in ct.values() if c == 1)
+        row = out[d["doc_id"]]
+        assert (row["n_tokens"], row["n_types"], row["n_hapax"]) == (
+            n_tok, n_typ, n_hap,
+        )
+        assert row["ttr_e6"] == math.floor(n_typ / max(n_tok, 1) * 1e6 + _OFF)
+
+
+def test_ngram_novelty_matches_bruteforce(spark):
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    grams: dict[int, set] = {}
+    for _, d in docs.iterrows():
+        toks = _WORD.findall((d["text"] or "").lower())
+        grams[d["doc_id"]] = {
+            " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))
+        }
+    owner: dict[str, int] = {}
+    for did in sorted(grams):
+        for ng in grams[did]:
+            owner.setdefault(ng, did)
+    out = {r["doc_id"]: r for r in q_ngram_novelty(spark, SF).collect()}
+    for did, gs in grams.items():
+        if not gs:
+            assert did not in out
+            continue
+        n_novel = sum(1 for ng in gs if owner[ng] == did)
+        row = out[did]
+        assert row["n_grams"] == len(gs)
+        assert row["n_novel"] == n_novel
+        assert row["novelty_e6"] == math.floor(
+            n_novel / len(gs) * 1e6 + _OFF
+        )
+
+
+def test_variance_ratio_random_walk_near_one(spark):
+    """Sanity: VR(q) of a pure random walk is ~1 (the statistic's defining
+    property) — built directly, not via parquet."""
+    rng = np.random.default_rng(3)
+    steps = rng.choice([-100.0, 100.0], size=4000)
+    v = np.cumsum(steps)
+    rows = [(1, 3600 * i, float(x)) for i, x in enumerate(v)]
+    df = spark.createDataFrame(rows, "user_id long, t long, v double")
+
+    import diive_spark.queries_stats2 as m
+
+    orig = m._hourly
+    m._hourly = lambda s, d: df
+    try:
+        row = q_variance_ratio(spark, "ignored").collect()[0]
+    finally:
+        m._hourly = orig
+    assert 0.8e6 < row["vr_e6"] < 1.2e6
