@@ -546,3 +546,170 @@ ORACLE_SQL: dict[str, str] = {
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
 }
+
+
+# ---------------------------------------------------------------------------
+# survival_km — Kaplan-Meier feature-abandonment curve
+# ---------------------------------------------------------------------------
+# Subject = (user, event_type); lifetime = days between the user's first
+# and last event OF THAT TYPE.  The type is CHURNED (event observed)
+# when its last use is >= 7 days before the user's own last activity
+# (internal censoring — the user abandoned the feature while still
+# active); otherwise censored at the user's horizon (Kaplan & Meier,
+# JASA 1958).  S(t) = prod_{t_i <= t} (1 - d_i / n_i) computed as
+# exp(cumsum(ln ...)) over the per-lifetime aggregate — the cumulative
+# window runs on a table whose width is DISTINCT LIFETIMES (days-span
+# bounded, never subject count), so the partition-less ordered window is
+# safe at any corpus size (same bounded-aggregate argument as
+# gini_sources' rank window).
+
+
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000)
+        .cast("long")
+        .alias("day"),
+    )
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    horizon = ut.groupBy("user_id").agg(F.max("d1").alias("ud1"))
+    # equi-join on user_id (NOT broadcast: horizon is one row per user —
+    # unbounded at corpus scale; AQE may still broadcast it when small)
+    u = ut.join(horizon, "user_id").select(
+        (F.col("d1") - F.col("d0")).alias("life"),
+        (F.col("d1") <= F.col("ud1") - 7).cast("long").alias("observed"),
+    )
+    per_t = u.groupBy("life").agg(
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum("observed").alias("d"),
+    )
+    w_risk = (
+        Window.orderBy("life").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_cum = Window.orderBy("life").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = (
+        per_t.withColumn("n_risk", F.sum("n_at").over(w_risk))
+        .withColumn(
+            "lnterm",
+            F.log(
+                F.lit(1.0)
+                - F.col("d").cast("double") / F.col("n_risk").cast("double")
+            ),
+        )
+        .withColumn("s", F.exp(F.sum("lnterm").over(w_cum)))
+    )
+    return (
+        km.filter(F.col("d") > 0)
+        .select(
+            F.col("life").cast("long").alias("life_days"),
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d").cast("long").alias("n_events"),
+            F.floor(F.col("s") * 1_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("s_e6"),
+        )
+        .orderBy("life_days")
+    )
+
+
+SQL_SURVIVAL_KM = f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+), ut AS (
+  SELECT user_id, event_type, min(day) AS d0, max(day) AS d1
+  FROM ev GROUP BY 1, 2
+), horizon AS (
+  SELECT user_id, max(d1) AS ud1 FROM ut GROUP BY 1
+), u AS (
+  SELECT ut.d1 - ut.d0 AS life,
+         CASE WHEN ut.d1 <= horizon.ud1 - 7 THEN 1 ELSE 0 END AS observed
+  FROM ut JOIN horizon USING (user_id)
+), per_t AS (
+  SELECT life, count(*) AS n_at, CAST(sum(observed) AS BIGINT) AS d
+  FROM u GROUP BY 1
+), risk AS (
+  SELECT life, d,
+         sum(n_at) OVER (ORDER BY life
+                         ROWS BETWEEN CURRENT ROW
+                         AND UNBOUNDED FOLLOWING) AS n_risk
+  FROM per_t
+), km AS (
+  SELECT life, d, n_risk,
+         exp(sum(ln(1.0 - CAST(d AS DOUBLE) / n_risk))
+             OVER (ORDER BY life
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+  FROM risk
+)
+SELECT CAST(life AS BIGINT) AS life_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events,
+       CAST(floor(s * 1000000 + {_OFF}) AS BIGINT) AS s_e6
+FROM km WHERE d > 0
+ORDER BY life_days
+"""
+
+
+# ---------------------------------------------------------------------------
+# powerlaw_alpha — discrete power-law tail MLE on doc lengths per language
+# ---------------------------------------------------------------------------
+# Clauset-Shalizi-Newman 2009 eq. 3.7 (continuous approximation for the
+# discrete MLE): alpha = 1 + n / sum ln(x_i / (xmin - 0.5)) over the
+# tail x_i >= xmin, xmin fixed at 10 word tokens.  Token counts are the
+# pure-codegen regexp length (no kernel) so both engines count the same
+# tail; the ln sum is order-nondeterministic across engines but its
+# error is ~n ulp against an e4 floor grid — the same margin argument
+# as zipf_slope's regression on ln frequencies.
+
+_PL_XMIN = 10
+
+
+def q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select(
+        "lang",
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("x"),
+    )
+    tail = d.filter(F.col("x") >= _PL_XMIN)
+    agg = tail.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.sum(F.log(F.col("x") / F.lit(_PL_XMIN - 0.5))).alias("lnsum"),
+    )
+    alpha = F.lit(1.0) + F.col("n_tail") / F.col("lnsum")
+    return agg.select(
+        "lang",
+        F.col("n_tail").cast("long").alias("n_tail"),
+        F.lit(_PL_XMIN).cast("long").alias("xmin"),
+        F.floor(alpha * 10_000 + F.lit(_OFF)).cast("long").alias("alpha_e4"),
+    ).orderBy("lang")
+
+
+SQL_POWERLAW = f"""
+WITH d AS (
+  SELECT lang, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS x
+  FROM documents
+), agg AS (
+  SELECT lang, count(*) AS n_tail,
+         sum(ln(x / {_PL_XMIN - 0.5})) AS lnsum
+  FROM d WHERE x >= {_PL_XMIN} GROUP BY 1
+)
+SELECT lang, CAST(n_tail AS BIGINT) AS n_tail,
+       CAST({_PL_XMIN} AS BIGINT) AS xmin,
+       CAST(floor((1.0 + n_tail / lnsum) * 10000 + {_OFF}) AS BIGINT)
+         AS alpha_e4
+FROM agg
+ORDER BY lang
+"""
+
+
+QUERIES["survival_km"] = q_survival_km
+QUERIES["powerlaw_alpha"] = q_powerlaw_alpha
+ORACLE_SQL["survival_km"] = SQL_SURVIVAL_KM
+ORACLE_SQL["powerlaw_alpha"] = SQL_POWERLAW

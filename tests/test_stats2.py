@@ -190,3 +190,64 @@ def test_variance_ratio_random_walk_near_one(spark):
     finally:
         m._hourly = orig
     assert 0.8e6 < row["vr_e6"] < 1.2e6
+
+
+def test_survival_km_matches_manual_product(spark):
+    from diive_spark.queries_stats2 import q_survival_km
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .selectExpr(
+            "user_id", "event_type",
+            "cast(unix_micros(cast(ts as timestamp)) / 86400000000 as long)"
+            " as day",
+        )
+        .toPandas()
+    )
+    g = ev.groupby(["user_id", "event_type"])["day"].agg(["min", "max"])
+    g["ud1"] = g.groupby(level=0)["max"].transform("max")
+    g["life"] = g["max"] - g["min"]
+    g["obs"] = (g["max"] <= g["ud1"] - 7).astype(int)
+    subj = g[["life", "obs"]].reset_index(drop=True)
+    out = q_survival_km(spark, SF).collect()
+    s = 1.0
+    exp_rows = []
+    for t in sorted(subj["life"].unique()):
+        n_risk = int((subj["life"] >= t).sum())
+        d = int(subj[(subj["life"] == t) & (subj["obs"] == 1)].shape[0])
+        s *= 1.0 - d / n_risk
+        if d > 0:
+            exp_rows.append((t, n_risk, d, s))
+    assert len(out) == len(exp_rows)
+    for row, (t, n_risk, d, s) in zip(out, exp_rows):
+        assert (row["life_days"], row["n_risk"], row["n_events"]) == (
+            t, n_risk, d,
+        )
+        assert abs(row["s_e6"] - math.floor(s * 1e6 + _OFF)) <= 1
+    # monotone non-increasing survival
+    ss = [r["s_e6"] for r in out]
+    assert all(a >= b for a, b in zip(ss, ss[1:]))
+
+
+def test_powerlaw_alpha_matches_numpy_mle(spark):
+    from diive_spark.queries_stats2 import _PL_XMIN, q_powerlaw_alpha
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("lang", "text")
+        .toPandas()
+    )
+    docs["x"] = docs["text"].map(
+        lambda t: len(_WORD.findall((t or "").lower()))
+    )
+    out = {r["lang"]: r for r in q_powerlaw_alpha(spark, SF).collect()}
+    for lang, grp in docs.groupby("lang"):
+        x = grp["x"].to_numpy()
+        tail = x[x >= _PL_XMIN].astype(float)
+        if len(tail) == 0:
+            assert lang not in out
+            continue
+        alpha = 1.0 + len(tail) / np.sum(np.log(tail / (_PL_XMIN - 0.5)))
+        row = out[lang]
+        assert row["n_tail"] == len(tail)
+        assert abs(row["alpha_e4"] - math.floor(alpha * 1e4 + _OFF)) <= 1
