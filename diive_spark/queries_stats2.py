@@ -713,3 +713,144 @@ QUERIES["survival_km"] = q_survival_km
 QUERIES["powerlaw_alpha"] = q_powerlaw_alpha
 ORACLE_SQL["survival_km"] = SQL_SURVIVAL_KM
 ORACLE_SQL["powerlaw_alpha"] = SQL_POWERLAW
+
+
+# ---------------------------------------------------------------------------
+# source_overlap — inter-source 3-gram shingle Jaccard matrix
+# ---------------------------------------------------------------------------
+# The cross-SOURCE duplication diagnostic a curation pipeline reads
+# before mixing corpora: Jaccard of the DISTINCT-shingle vocabularies of
+# every source pair.  Reuses the novelty kernel's per-doc distinct
+# shingles; (source, ng) distinct is a combinable aggregate, the
+# intersection is an equi-self-join on the shingle (never all-pairs of
+# DOCS — the join key is the shingle, its width is |sources| per side),
+# and the |sources|^2 output is driver-bounded.
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select(
+        "source", F.explode(_ngramset_udf()(F.col("text"))).alias("ng")
+    ).distinct()
+    sizes = d.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a = d.select(F.col("source").alias("src_a"), "ng")
+    b = d.select(F.col("source").alias("src_b"), "ng")
+    both = (
+        a.join(b, "ng")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("n_b"))
+    j = both.join(F.broadcast(sa), "src_a").join(F.broadcast(sb), "src_b")
+    union = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    return j.select(
+        "src_a",
+        "src_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_both").cast("long").alias("n_both"),
+        F.floor(
+            F.col("n_both").cast("double") / union.cast("double") * 1_000_000
+            + F.lit(0.5)
+        ).cast("long").alias("jaccard_e6"),
+    ).orderBy("src_a", "src_b")
+
+
+SQL_SOURCE_OVERLAP = """
+WITH tok AS (
+  SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+), sng AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(generate_series(1, len(toks) - 2),
+                               i -> array_to_string(toks[i:i+2], ' '))) AS g
+  FROM tok WHERE len(toks) >= 3
+), sizes AS (
+  SELECT source, count(*) AS sz FROM sng GROUP BY 1
+), both_ AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_both
+  FROM sng a JOIN sng b USING (g)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b,
+       CAST(sa.sz AS BIGINT) AS n_a, CAST(sb.sz AS BIGINT) AS n_b,
+       CAST(n_both AS BIGINT) AS n_both,
+       CAST(floor(CAST(n_both AS DOUBLE)
+                  / CAST(sa.sz + sb.sz - n_both AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT) AS jaccard_e6
+FROM both_
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+ORDER BY src_a, src_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# markov_entropy_rate — plug-in entropy rate of the event-type chain
+# ---------------------------------------------------------------------------
+# H_rate = sum_i p(i) * H(row_i) with p(i) the EMPIRICAL from-state
+# distribution of observed transitions (the plug-in estimator; Cover &
+# Thomas ch. 4).  Everything up to the ln terms is exact integer counts;
+# the <= |types|^2 ln terms ride the house 1/pi floor offset.  Output is
+# ONE row — the corpus-level sequence-predictability scalar.
+
+
+def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    pairs = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "to_type")
+    )
+    cnt = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rowtot = cnt.groupBy("from_type").agg(F.sum("n").alias("rn"))
+    tot = cnt.agg(F.sum("n").alias("tn"))
+    term = (
+        cnt.join(rowtot, "from_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                -(F.col("n") / F.col("tn"))
+                * F.log(F.col("n") / F.col("rn"))
+            ).alias("h")
+        )
+    )
+    return term.agg(
+        F.floor(F.sum("h") * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("h_rate_e4")
+    )
+
+
+SQL_MARKOV_ENTROPY = f"""
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events QUALIFY to_type IS NOT NULL
+), cnt AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM seq GROUP BY 1, 2
+), rowtot AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS rn FROM cnt GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn FROM cnt
+)
+SELECT CAST(floor(sum(-(CAST(n AS DOUBLE) / tn)
+                      * ln(CAST(n AS DOUBLE) / rn)) * 10000 + {_OFF})
+            AS BIGINT) AS h_rate_e4
+FROM cnt JOIN rowtot USING (from_type) CROSS JOIN tot
+"""
+
+
+QUERIES["source_overlap"] = q_source_overlap
+QUERIES["markov_entropy_rate"] = q_markov_entropy_rate
+ORACLE_SQL["source_overlap"] = SQL_SOURCE_OVERLAP
+ORACLE_SQL["markov_entropy_rate"] = SQL_MARKOV_ENTROPY

@@ -251,3 +251,62 @@ def test_powerlaw_alpha_matches_numpy_mle(spark):
         row = out[lang]
         assert row["n_tail"] == len(tail)
         assert abs(row["alpha_e4"] - math.floor(alpha * 1e4 + _OFF)) <= 1
+
+
+def test_source_overlap_matches_bruteforce(spark):
+    from diive_spark.queries_stats2 import q_source_overlap
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("source", "text")
+        .toPandas()
+    )
+    vocab: dict[str, set] = {}
+    for _, d in docs.iterrows():
+        toks = _WORD.findall((d["text"] or "").lower())
+        vocab.setdefault(d["source"], set()).update(
+            " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))
+        )
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in q_source_overlap(spark, SF).collect()
+    }
+    srcs = sorted(vocab)
+    n_pairs_with_overlap = 0
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            inter = len(vocab[a] & vocab[b])
+            if inter == 0:
+                assert (a, b) not in out
+                continue
+            n_pairs_with_overlap += 1
+            row = out[(a, b)]
+            assert row["n_a"] == len(vocab[a])
+            assert row["n_b"] == len(vocab[b])
+            assert row["n_both"] == inter
+            union = len(vocab[a] | vocab[b])
+            assert row["jaccard_e6"] == math.floor(inter / union * 1e6 + 0.5)
+    assert len(out) == n_pairs_with_overlap
+
+
+def test_markov_entropy_rate_matches_manual(spark):
+    from diive_spark.queries_stats2 import q_markov_entropy_rate
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    pairs = Counter()
+    for _, grp in ev.groupby("user_id"):
+        types = grp["event_type"].tolist()
+        for a, b in zip(types, types[1:]):
+            pairs[(a, b)] += 1
+    tn = sum(pairs.values())
+    rowtot = Counter()
+    for (a, _), n in pairs.items():
+        rowtot[a] += n
+    h = -sum(n / tn * math.log(n / rowtot[a]) for (a, _), n in pairs.items())
+    row = q_markov_entropy_rate(spark, SF).collect()[0]
+    assert abs(row["h_rate_e4"] - math.floor(h * 1e4 + _OFF)) <= 1
