@@ -854,3 +854,103 @@ QUERIES["source_overlap"] = q_source_overlap
 QUERIES["markov_entropy_rate"] = q_markov_entropy_rate
 ORACLE_SQL["source_overlap"] = SQL_SOURCE_OVERLAP
 ORACLE_SQL["markov_entropy_rate"] = SQL_MARKOV_ENTROPY
+
+
+# ---------------------------------------------------------------------------
+# shewhart_imr — individuals / moving-range control chart (SPC)
+# ---------------------------------------------------------------------------
+# Classic I-MR chart (Shewhart; Montgomery SPC ch. 6): center = series
+# mean, sigma-hat = mean moving range / d2(n=2) = MRbar / 1.128, control
+# limits mu +/- 3 sigma-hat = mu +/- 2.66 MRbar.  On centivalues every
+# input to mu and MRbar is an exact integer (|diff| of exact ints), so
+# both limits and every violation compare are the SAME IEEE expression
+# on both engines — flags cannot flip on ulp noise.  One sort exchange
+# (the lag) + one combinable groupBy; violations counted in the same agg.
+
+_IMR_K = 2.66  # 3 / d2(n=2) = 3 / 1.128
+
+
+def q_shewhart_imr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("t")
+    h = (
+        _hourly(spark, sf_dir)
+        .withColumn("mr", F.abs(F.col("v") - F.lag("v").over(w)))
+    )
+    agg = h.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum("mr").alias("smr"),
+        F.count("mr").alias("nmr"),
+    )
+    mu = F.col("sv") / F.col("n")
+    mrbar = F.col("smr") / F.col("nmr")
+    ucl = mu + F.lit(_IMR_K) * mrbar
+    lcl = mu - F.lit(_IMR_K) * mrbar
+    lim = agg.filter(F.col("nmr") >= 1).select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        F.floor(mu * 10_000 + F.lit(_OFF)).cast("long").alias("mu_e4"),
+        F.floor(ucl * 10_000 + F.lit(_OFF)).cast("long").alias("ucl_e4"),
+        F.floor(lcl * 10_000 + F.lit(_OFF)).cast("long").alias("lcl_e4"),
+        ucl.alias("_ucl"),
+        lcl.alias("_lcl"),
+    )
+    viol = (
+        h.join(lim.select("user_id", "_ucl", "_lcl"), "user_id")
+        .filter((F.col("v") > F.col("_ucl")) | (F.col("v") < F.col("_lcl")))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_viol"),
+            F.min("t").cast("long").alias("first_viol_t"),
+        )
+    )
+    return (
+        lim.drop("_ucl", "_lcl")
+        .join(viol, "user_id", "left")
+        .select(
+            "user_id", "n", "mu_e4", "ucl_e4", "lcl_e4",
+            F.coalesce(F.col("n_viol"), F.lit(0)).cast("long").alias("n_viol"),
+            "first_viol_t",
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_SHEWHART_IMR = f"""
+WITH {_HOURLY_SQL},
+mr AS (
+  SELECT user_id, t, v,
+         abs(v - lag(v) OVER (PARTITION BY user_id ORDER BY t)) AS m
+  FROM hourly
+), agg AS (
+  SELECT user_id, count(*) AS n, sum(v) AS sv,
+         sum(m) AS smr, count(m) AS nmr
+  FROM mr GROUP BY 1
+), lim AS (
+  SELECT user_id, n,
+         sv / n AS mu,
+         sv / n + {_IMR_K} * (smr / nmr) AS ucl,
+         sv / n - {_IMR_K} * (smr / nmr) AS lcl
+  FROM agg WHERE nmr >= 1
+), viol AS (
+  SELECT mr.user_id,
+         count(*) AS n_viol,
+         min(t) AS first_viol_t
+  FROM mr JOIN lim ON lim.user_id = mr.user_id
+  WHERE mr.v > lim.ucl OR mr.v < lim.lcl
+  GROUP BY 1
+)
+SELECT lim.user_id,
+       CAST(n AS BIGINT) AS n,
+       CAST(floor(mu * 10000 + {_OFF}) AS BIGINT) AS mu_e4,
+       CAST(floor(ucl * 10000 + {_OFF}) AS BIGINT) AS ucl_e4,
+       CAST(floor(lcl * 10000 + {_OFF}) AS BIGINT) AS lcl_e4,
+       CAST(coalesce(viol.n_viol, 0) AS BIGINT) AS n_viol,
+       CAST(viol.first_viol_t AS BIGINT) AS first_viol_t
+FROM lim LEFT JOIN viol ON viol.user_id = lim.user_id
+ORDER BY lim.user_id
+"""
+
+
+QUERIES["shewhart_imr"] = q_shewhart_imr
+ORACLE_SQL["shewhart_imr"] = SQL_SHEWHART_IMR

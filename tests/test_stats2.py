@@ -310,3 +310,29 @@ def test_markov_entropy_rate_matches_manual(spark):
     h = -sum(n / tn * math.log(n / rowtot[a]) for (a, _), n in pairs.items())
     row = q_markov_entropy_rate(spark, SF).collect()[0]
     assert abs(row["h_rate_e4"] - math.floor(h * 1e4 + _OFF)) <= 1
+
+
+def test_shewhart_imr_matches_numpy(spark):
+    from diive_spark.queries_stats2 import q_shewhart_imr
+
+    out = {r["user_id"]: r for r in q_shewhart_imr(spark, SF).collect()}
+    g = _hourly_pd(spark)
+    for uid, grp in g.groupby("user_id"):
+        v = grp["v"].to_numpy()
+        t = grp["t"].to_numpy()
+        if len(v) < 2:
+            assert uid not in out
+            continue
+        mu = v.mean()
+        mrbar = np.abs(np.diff(v)).mean()
+        ucl, lcl = mu + 2.66 * mrbar, mu - 2.66 * mrbar
+        bad = (v > ucl) | (v < lcl)
+        row = out[uid]
+        assert row["n"] == len(v)
+        assert row["mu_e4"] == math.floor(mu * 1e4 + _OFF)
+        assert row["ucl_e4"] == math.floor(ucl * 1e4 + _OFF)
+        assert row["n_viol"] == int(bad.sum())
+        if bad.any():
+            assert row["first_viol_t"] == int(t[bad][0])
+        else:
+            assert row["first_viol_t"] is None
