@@ -954,3 +954,97 @@ ORDER BY lim.user_id
 
 QUERIES["shewhart_imr"] = q_shewhart_imr
 ORACLE_SQL["shewhart_imr"] = SQL_SHEWHART_IMR
+
+
+# ---------------------------------------------------------------------------
+# ljung_box — portmanteau white-noise test Q(h) per user (Ljung & Box 1978)
+# ---------------------------------------------------------------------------
+# Q = n(n+2) sum_{k=1..h} r_k^2/(n-k).  Each r_k is expanded to exact
+# integer aggregates (sum v_i v_{i+k}, the two one-sided sums, counts):
+# r_k = (c_k - vbar*(a_k + b_k) + m_k*vbar^2) / (svv - sv^2/n) with
+# vbar = sv/n — ONE deterministic IEEE expression per k, so Q is
+# bit-identical across engines.  All h lag columns ride a single sort
+# exchange per key; the groupBy is map-side combinable.
+
+_LB_H = 6
+
+
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("t")
+    h = _hourly(spark, sf_dir)
+    for k in range(1, _LB_H + 1):
+        h = h.withColumn(f"l{k}", F.lead("v", k).over(w))
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    ]
+    for k in range(1, _LB_H + 1):
+        lk = F.col(f"l{k}")
+        aggs += [
+            F.sum(F.col("v") * lk).alias(f"c{k}"),
+            F.sum(F.when(lk.isNotNull(), F.col("v"))).alias(f"a{k}"),
+            F.sum(lk).alias(f"b{k}"),
+            F.count(lk).alias(f"m{k}"),
+        ]
+    agg = h.groupBy("user_id").agg(*aggs).filter(F.col("n") > _LB_H + 1)
+    vbar = F.col("sv") / F.col("n")
+    den = F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")
+    qsum = None
+    for k in range(1, _LB_H + 1):
+        num = (
+            F.col(f"c{k}")
+            - vbar * (F.col(f"a{k}") + F.col(f"b{k}"))
+            + F.col(f"m{k}") * vbar * vbar
+        )
+        rk = num / den
+        term = rk * rk / (F.col("n") - k)
+        qsum = term if qsum is None else qsum + term
+    q_stat = F.col("n") * (F.col("n") + 2) * qsum
+    return agg.filter(den > 0).select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        F.lit(_LB_H).cast("long").alias("h"),
+        F.floor(q_stat * 10_000 + F.lit(_OFF)).cast("long").alias("q_e4"),
+    ).orderBy("user_id")
+
+
+def _sql_ljung_box() -> str:
+    lag_cols = ",\n         ".join(
+        f"lead(v, {k}) OVER (PARTITION BY user_id ORDER BY t) AS l{k}"
+        for k in range(1, _LB_H + 1)
+    )
+    agg_cols = ",\n         ".join(
+        f"sum(v * l{k}) AS c{k}, "
+        f"sum(CASE WHEN l{k} IS NOT NULL THEN v END) AS a{k}, "
+        f"sum(l{k}) AS b{k}, count(l{k}) AS m{k}"
+        for k in range(1, _LB_H + 1)
+    )
+    terms = " + ".join(
+        f"pow((c{k} - (sv/n)*(a{k} + b{k}) + m{k}*(sv/n)*(sv/n))"
+        f" / (svv - sv*sv/n), 2) / (n - {k})"
+        for k in range(1, _LB_H + 1)
+    )
+    return f"""
+WITH {_HOURLY_SQL},
+lagged AS (
+  SELECT user_id, v,
+         {lag_cols}
+  FROM hourly
+), agg AS (
+  SELECT user_id, count(*) AS n, sum(v) AS sv, sum(v * v) AS svv,
+         {agg_cols}
+  FROM lagged GROUP BY 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CAST({_LB_H} AS BIGINT) AS h,
+       CAST(floor(n * (n + 2) * ({terms}) * 10000 + {_OFF}) AS BIGINT)
+         AS q_e4
+FROM agg
+WHERE n > {_LB_H + 1} AND svv - sv * sv / n > 0
+ORDER BY user_id
+"""
+
+
+QUERIES["ljung_box"] = q_ljung_box
+ORACLE_SQL["ljung_box"] = _sql_ljung_box()

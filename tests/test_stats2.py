@@ -336,3 +336,49 @@ def test_shewhart_imr_matches_numpy(spark):
             assert row["first_viol_t"] == int(t[bad][0])
         else:
             assert row["first_viol_t"] is None
+
+
+def test_ljung_box_matches_numpy(spark):
+    from diive_spark.queries_stats2 import _LB_H, q_ljung_box
+
+    out = {r["user_id"]: r for r in q_ljung_box(spark, SF).collect()}
+    g = _hourly_pd(spark)
+    for uid, grp in list(g.groupby("user_id"))[:8]:
+        v = grp["v"].to_numpy(dtype=float)
+        n = len(v)
+        if n <= _LB_H + 1:
+            assert uid not in out
+            continue
+        vbar = v.mean()
+        den = float(np.sum((v - vbar) ** 2))
+        qstat = 0.0
+        for k in range(1, _LB_H + 1):
+            rk = float(np.sum((v[:-k] - vbar) * (v[k:] - vbar))) / den
+            qstat += rk * rk / (n - k)
+        qstat *= n * (n + 2)
+        row = out[uid]
+        assert row["n"] == n
+        assert abs(row["q_e4"] - math.floor(qstat * 1e4 + _OFF)) <= 1
+
+
+def test_ljung_box_white_noise_small_q(spark):
+    """iid noise should give small Q (below the chi2_6 99% quantile ~16.8
+    most of the time); a strongly autocorrelated series must exceed it."""
+    import diive_spark.queries_stats2 as m
+    from diive_spark.queries_stats2 import q_ljung_box
+
+    rng = np.random.default_rng(5)
+    noise = np.floor(rng.normal(0, 100, 600))
+    trend = np.floor(np.cumsum(rng.normal(0, 30, 600)) + 1000)
+    rows = [(1, 3600 * i, float(x)) for i, x in enumerate(noise)] + [
+        (2, 3600 * i, float(x)) for i, x in enumerate(trend)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, t long, v double")
+    orig = m._hourly
+    m._hourly = lambda s, d: df
+    try:
+        res = {r["user_id"]: r["q_e4"] for r in q_ljung_box(spark, "x").collect()}
+    finally:
+        m._hourly = orig
+    assert res[1] < 30 * 10_000       # white noise: Q small
+    assert res[2] > 100 * 10_000      # random walk: Q enormous
