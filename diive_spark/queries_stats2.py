@@ -1048,3 +1048,145 @@ ORDER BY user_id
 
 QUERIES["ljung_box"] = q_ljung_box
 ORACLE_SQL["ljung_box"] = _sql_ljung_box()
+
+
+# ---------------------------------------------------------------------------
+# anova_event_types — one-way ANOVA F of value by event type, per user
+# ---------------------------------------------------------------------------
+# F = (SSB/(k-1)) / (SSW/(n-k)) via the exact-integer expansion
+# SSW = sum(v^2) - sum_g S_g^2/n_g,  SSB = sum_g S_g^2/n_g - S^2/n on
+# centivalues.  The only cross-engine drift is the order of the <=|types|
+# per-group double terms — n*ulp against an e4 grid (zipf_slope margin
+# argument).  Two combinable groupBys, pure codegen.
+
+
+def q_anova_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).alias("v"),
+    )
+    g = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("v").alias("sg"),
+        F.sum(F.col("v") * F.col("v")).alias("qg"),
+    )
+    agg = g.groupBy("user_id").agg(
+        F.sum("ng").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("sg").alias("s"),
+        F.sum("qg").alias("q"),
+        F.sum(
+            F.col("sg").cast("double") * F.col("sg") / F.col("ng")
+        ).alias("w"),
+    )
+    ssb = F.col("w") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ssw = F.col("q") - F.col("w")
+    fstat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return agg.filter((F.col("k") >= 2) & (F.col("n") > F.col("k"))).select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.floor(fstat * 10_000 + F.lit(_OFF)).cast("long").alias("f_e4"),
+    ).orderBy("user_id")
+
+
+SQL_ANOVA = f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), g AS (
+  SELECT user_id, event_type, count(*) AS ng,
+         CAST(sum(v) AS BIGINT) AS sg, CAST(sum(v * v) AS BIGINT) AS qg
+  FROM ev GROUP BY 1, 2
+), agg AS (
+  SELECT user_id, CAST(sum(ng) AS BIGINT) AS n, count(*) AS k,
+         CAST(sum(sg) AS BIGINT) AS s, CAST(sum(qg) AS BIGINT) AS q,
+         sum(CAST(sg AS DOUBLE) * sg / ng) AS w
+  FROM g GROUP BY 1
+)
+SELECT user_id, n, CAST(k AS BIGINT) AS k,
+       CAST(floor(
+         ((w - CAST(s AS DOUBLE) * s / n) / (k - 1))
+         / ((q - w) / (n - k)) * 10000 + {_OFF}) AS BIGINT) AS f_e4
+FROM agg WHERE k >= 2 AND n > k
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# chisq_type_hour — chi-square independence of event type x 6h diel block
+# ---------------------------------------------------------------------------
+# chi2 = sum_cells (o - e)^2 / e with e = row*col/n — every margin is an
+# exact integer, each of the <= |types| x 4 cell terms is one double
+# expression, summed over a bounded cell set.  Cell/margin counts ride
+# ONE combinable groupBy; margins come back via two window sums over the
+# (user) partition whose width is the bounded cell count, not events.
+
+
+def q_chisq_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        (F.hour(F.col("ts").cast("timestamp")) / 6).cast("long").alias("blk"),
+    )
+    cells = ev.groupBy("user_id", "event_type", "blk").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    w_r = Window.partitionBy("user_id", "event_type")
+    w_c = Window.partitionBy("user_id", "blk")
+    w_n = Window.partitionBy("user_id")
+    t = (
+        cells.withColumn("r", F.sum("o").over(w_r))
+        .withColumn("c", F.sum("o").over(w_c))
+        .withColumn("nn", F.sum("o").over(w_n))
+    )
+    e = F.col("r").cast("double") * F.col("c") / F.col("nn")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    agg = t.groupBy("user_id").agg(
+        F.max("nn").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum(term).alias("chi2"),
+    )
+    return agg.select(
+        "user_id",
+        "n",
+        "n_cells",
+        F.floor(F.col("chi2") * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("chi2_e4"),
+    ).orderBy("user_id")
+
+
+SQL_CHISQ = f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(hour(ts) // 6 AS BIGINT) AS blk
+  FROM events
+), cells AS (
+  SELECT user_id, event_type, blk, count(*) AS o
+  FROM ev GROUP BY 1, 2, 3
+), t AS (
+  SELECT user_id, o,
+         sum(o) OVER (PARTITION BY user_id, event_type) AS r,
+         sum(o) OVER (PARTITION BY user_id, blk) AS c,
+         sum(o) OVER (PARTITION BY user_id) AS nn
+  FROM cells
+)
+SELECT user_id,
+       CAST(max(nn) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(floor(sum((o - CAST(r AS DOUBLE) * c / nn)
+                      * (o - CAST(r AS DOUBLE) * c / nn)
+                      / (CAST(r AS DOUBLE) * c / nn)) * 10000 + {_OFF})
+            AS BIGINT) AS chi2_e4
+FROM t GROUP BY 1
+ORDER BY user_id
+"""
+
+
+QUERIES["anova_event_types"] = q_anova_event_types
+QUERIES["chisq_type_hour"] = q_chisq_type_hour
+ORACLE_SQL["anova_event_types"] = SQL_ANOVA
+ORACLE_SQL["chisq_type_hour"] = SQL_CHISQ

@@ -382,3 +382,51 @@ def test_ljung_box_white_noise_small_q(spark):
         m._hourly = orig
     assert res[1] < 30 * 10_000       # white noise: Q small
     assert res[2] > 100 * 10_000      # random walk: Q enormous
+
+
+def test_anova_matches_numpy(spark):
+    from diive_spark.queries_stats2 import q_anova_event_types
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id", "event_type", "value")
+        .toPandas()
+    )
+    ev["v"] = np.floor(ev["value"] * 100 + _OFF)
+    out = {r["user_id"]: r for r in q_anova_event_types(spark, SF).collect()}
+    for uid, grp in list(ev.groupby("user_id"))[:8]:
+        groups = [g["v"].to_numpy() for _, g in grp.groupby("event_type")]
+        k, n = len(groups), len(grp)
+        if k < 2 or n <= k:
+            continue
+        grand = grp["v"].mean()
+        ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+        ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+        f = (ssb / (k - 1)) / (ssw / (n - k))
+        row = out[uid]
+        assert (row["n"], row["k"]) == (n, k)
+        assert abs(row["f_e4"] - math.floor(f * 1e4 + _OFF)) <= 1
+
+
+def test_chisq_matches_numpy(spark):
+    from diive_spark.queries_stats2 import q_chisq_type_hour
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .selectExpr("user_id", "event_type", "cast(hour(ts) / 6 as long) blk")
+        .toPandas()
+    )
+    out = {r["user_id"]: r for r in q_chisq_type_hour(spark, SF).collect()}
+    for uid, grp in list(ev.groupby("user_id"))[:8]:
+        ct = grp.groupby(["event_type", "blk"]).size()
+        n = len(grp)
+        rows = ct.groupby(level=0).sum()
+        cols = ct.groupby(level=1).sum()
+        chi2 = 0.0
+        for (etype, blk), o in ct.items():
+            e = rows[etype] * cols[blk] / n
+            chi2 += (o - e) ** 2 / e
+        row = out[uid]
+        assert row["n"] == n
+        assert row["n_cells"] == len(ct)
+        assert abs(row["chi2_e4"] - math.floor(chi2 * 1e4 + _OFF)) <= 1
