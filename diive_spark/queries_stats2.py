@@ -1190,3 +1190,100 @@ QUERIES["anova_event_types"] = q_anova_event_types
 QUERIES["chisq_type_hour"] = q_chisq_type_hour
 ORACLE_SQL["anova_event_types"] = SQL_ANOVA
 ORACLE_SQL["chisq_type_hour"] = SQL_CHISQ
+
+
+# ---------------------------------------------------------------------------
+# spearman_daily — Spearman rank correlation of daily count vs daily mean
+# ---------------------------------------------------------------------------
+# Per user: does activity volume track intensity?  Tie-corrected
+# Spearman = Pearson on AVERAGE ranks, built without any kernel:
+# avg rank = min_rank + (tie_size - 1)/2 — exact half-integers, so all
+# Pearson sums are exact in halves and the final r is one deterministic
+# IEEE expression (the ar1_halflife argument).  Two rank windows + one
+# combinable groupBy.
+
+
+def q_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        ).cast("long").alias("day"),
+        "value",
+    )
+    d = ev.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+        F.floor(F.avg("value") * 100 + F.lit(_OFF)).alias("m"),
+    )
+
+    def avg_rank(col: str) -> F.Column:
+        # rank() is already the tie-group MIN rank, so the tie-corrected
+        # average rank is rank + (tie_size - 1)/2 — no nested windows
+        w_rank = Window.partitionBy("user_id").orderBy(col)
+        w_tie = Window.partitionBy("user_id", col)
+        return (
+            F.rank().over(w_rank)
+            + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0
+        )
+
+    r = d.select(
+        "user_id",
+        avg_rank("cnt").alias("rx"),
+        avg_rank("m").alias("ry"),
+    )
+    agg = r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    den = (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    rho = F.when(
+        den > 0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(den),
+    )
+    return agg.filter(F.col("n") >= 3).select(
+        "user_id",
+        F.col("n").cast("long").alias("n_days"),
+        F.floor(rho * 1_000_000 + F.lit(_OFF)).cast("long").alias("rho_e6"),
+    ).orderBy("user_id")
+
+
+SQL_SPEARMAN = f"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, value
+  FROM events
+), d AS (
+  SELECT user_id, day, CAST(count(*) AS DOUBLE) AS cnt,
+         floor(avg(value) * 100 + {_OFF}) AS m
+  FROM ev GROUP BY 1, 2
+), r AS (
+  SELECT user_id,
+         rank() OVER (PARTITION BY user_id ORDER BY cnt)
+           + (count(*) OVER (PARTITION BY user_id, cnt) - 1) / 2.0 AS rx,
+         rank() OVER (PARTITION BY user_id ORDER BY m)
+           + (count(*) OVER (PARTITION BY user_id, m) - 1) / 2.0 AS ry
+  FROM d
+), agg AS (
+  SELECT user_id, count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+         sum(rx * rx) AS sxx, sum(ry * ry) AS syy, sum(rx * ry) AS sxy
+  FROM r GROUP BY 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_days,
+       CAST(floor(
+         CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+              THEN (n * sxy - sx * sy)
+                   / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+         END * 1000000 + {_OFF}) AS BIGINT) AS rho_e6
+FROM agg WHERE n >= 3
+ORDER BY user_id
+"""
+
+
+QUERIES["spearman_daily"] = q_spearman_daily
+ORACLE_SQL["spearman_daily"] = SQL_SPEARMAN

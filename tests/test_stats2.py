@@ -430,3 +430,32 @@ def test_chisq_matches_numpy(spark):
         assert row["n"] == n
         assert row["n_cells"] == len(ct)
         assert abs(row["chi2_e4"] - math.floor(chi2 * 1e4 + _OFF)) <= 1
+
+
+def test_spearman_matches_scipy_formula(spark):
+    from diive_spark.queries_stats2 import q_spearman_daily
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["day"] = ev["ts"].astype("int64") // 10**9 // 86400
+    d = (
+        ev.groupby(["user_id", "day"])["value"]
+        .agg(cnt="count", mean="mean")
+        .reset_index()
+    )
+    d["m"] = np.floor(d["mean"] * 100 + _OFF)
+    out = {r["user_id"]: r for r in q_spearman_daily(spark, SF).collect()}
+    import pandas as pd
+
+    for uid, grp in list(d.groupby("user_id"))[:10]:
+        if len(grp) < 3:
+            assert uid not in out
+            continue
+        rx = pd.Series(grp["cnt"]).rank(method="average").to_numpy()
+        ry = pd.Series(grp["m"]).rank(method="average").to_numpy()
+        if np.var(rx) == 0 or np.var(ry) == 0:
+            assert out[uid]["rho_e6"] is None
+            continue
+        rho = float(np.corrcoef(rx, ry)[0, 1])
+        row = out[uid]
+        assert row["n_days"] == len(grp)
+        assert abs(row["rho_e6"] - math.floor(rho * 1e6 + _OFF)) <= 1
