@@ -1287,3 +1287,58 @@ ORDER BY user_id
 
 QUERIES["spearman_daily"] = q_spearman_daily
 ORACLE_SQL["spearman_daily"] = SQL_SPEARMAN
+
+
+# ---------------------------------------------------------------------------
+# heaps_law — vocabulary-growth exponent per language (Heaps 1978)
+# ---------------------------------------------------------------------------
+# V = K n^beta fitted in log-log across docs: each doc contributes one
+# (ln n_tokens, ln n_types) point from the zero-shuffle lexical kernel;
+# beta/lnK via the JVM regr_* aggregates (one combinable groupBy — the
+# zipf_slope pattern, same n*ulp-vs-grid margin argument for the ln
+# sums).  The static per-doc form estimates the growth law without any
+# sequential vocabulary accumulation — nothing sorts the corpus.
+
+
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select(
+        "lang", _lexstats_udf()(F.col("text")).alias("_s")
+    ).select(
+        "lang",
+        F.col("_s.n_tokens").alias("n_tok"),
+        F.col("_s.n_types").alias("n_typ"),
+    ).filter((F.col("n_tok") >= 10) & (F.col("n_typ") >= 2))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.floor(
+            F.expr("regr_slope(ln(n_typ), ln(n_tok))") * 10_000 + F.lit(_OFF)
+        ).cast("long").alias("beta_e4"),
+        F.floor(
+            F.exp(F.expr("regr_intercept(ln(n_typ), ln(n_tok))")) * 100
+            + F.lit(_OFF)
+        ).cast("long").alias("k_e2"),
+    ).orderBy("lang")
+
+
+SQL_HEAPS = f"""
+WITH tok AS (
+  SELECT lang,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok,
+         len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+           AS n_typ
+  FROM documents
+), d AS (
+  SELECT * FROM tok WHERE n_tok >= 10 AND n_typ >= 2
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(floor(regr_slope(ln(n_typ), ln(n_tok)) * 10000 + {_OFF})
+            AS BIGINT) AS beta_e4,
+       CAST(floor(exp(regr_intercept(ln(n_typ), ln(n_tok))) * 100 + {_OFF})
+            AS BIGINT) AS k_e2
+FROM d GROUP BY 1
+ORDER BY lang
+"""
+
+
+QUERIES["heaps_law"] = q_heaps_law
+ORACLE_SQL["heaps_law"] = SQL_HEAPS

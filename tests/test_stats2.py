@@ -459,3 +459,31 @@ def test_spearman_matches_scipy_formula(spark):
         row = out[uid]
         assert row["n_days"] == len(grp)
         assert abs(row["rho_e6"] - math.floor(rho * 1e6 + _OFF)) <= 1
+
+
+def test_heaps_law_matches_numpy_regression(spark):
+    from diive_spark.queries_stats2 import q_heaps_law
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("lang", "text")
+        .toPandas()
+    )
+    docs["n_tok"] = docs["text"].map(
+        lambda t: len(_WORD.findall((t or "").lower()))
+    )
+    docs["n_typ"] = docs["text"].map(
+        lambda t: len(set(_WORD.findall((t or "").lower())))
+    )
+    d = docs[(docs["n_tok"] >= 10) & (docs["n_typ"] >= 2)]
+    out = {r["lang"]: r for r in q_heaps_law(spark, SF).collect()}
+    for lang, grp in d.groupby("lang"):
+        x = np.log(grp["n_tok"].to_numpy(dtype=float))
+        y = np.log(grp["n_typ"].to_numpy(dtype=float))
+        beta, lnk = np.polyfit(x, y, 1)
+        row = out[lang]
+        assert row["n_docs"] == len(grp)
+        assert abs(row["beta_e4"] - math.floor(beta * 1e4 + _OFF)) <= 1
+        assert abs(row["k_e2"] - math.floor(math.exp(lnk) * 100 + _OFF)) <= 1
+        # Heaps exponent must be sublinear
+        assert 0 < row["beta_e4"] < 10_000
