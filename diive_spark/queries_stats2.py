@@ -1342,3 +1342,120 @@ ORDER BY lang
 
 QUERIES["heaps_law"] = q_heaps_law
 ORACLE_SQL["heaps_law"] = SQL_HEAPS
+
+
+# ---------------------------------------------------------------------------
+# ewma_control — EWMA control chart alarms (Roberts 1959 / Lucas-Saccucci)
+# ---------------------------------------------------------------------------
+# The small-shift SPC complement to shewhart_imr: the k-truncated EWMA
+# statistic (binary-exact 3/4 decay weights, single WindowExec pass —
+# operators/counters.py::ewma_truncated's construction) with its EXACT
+# weight-based variance, sigma_z = sigma * sqrt(sum w_j^2) / sum w_j
+# over the lags actually present, alarms where |z - mu| > L*sigma_z.
+# Every input is an exact integer (centivalues; weights are powers of
+# 3/4 = exact binary fractions), so limits and alarm compares are
+# identical IEEE expressions across engines.
+
+_EC_DECAY = 0.75
+_EC_K = 16
+_EC_L = 3.0
+
+
+def q_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hourly(spark, sf_dir)
+    stats = h.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    )
+    mu = F.col("sv") / F.col("n")
+    sigma = F.sqrt(
+        (F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")) / F.col("n")
+    )
+    stats = stats.select(
+        "user_id", "n", mu.alias("mu"), sigma.alias("sigma")
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    den2 = F.lit(0.0)
+    for j in range(_EC_K):
+        wt = _EC_DECAY**j
+        lagged = F.col("v") if j == 0 else F.lag("v", j).over(w)
+        num = num + F.coalesce(lagged * F.lit(wt), F.lit(0.0))
+        den = den + F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        den2 = den2 + F.when(lagged.isNotNull(), F.lit(wt * wt)).otherwise(
+            F.lit(0.0)
+        )
+    z = h.select("user_id", "t", (num / den).alias("z"),
+                 (F.sqrt(den2) / den).alias("fac"))
+    rows = z.join(stats, "user_id").withColumn(
+        "alarm",
+        (
+            F.abs(F.col("z") - F.col("mu"))
+            > F.lit(_EC_L) * F.col("sigma") * F.col("fac")
+        ).cast("long"),
+    )
+    return rows.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n"),
+        F.floor(F.max("mu") * 10_000 + F.lit(_OFF)).cast("long").alias("mu_e4"),
+        F.floor(F.max("sigma") * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("sigma_e4"),
+        F.sum("alarm").cast("long").alias("n_alarms"),
+        F.min(F.when(F.col("alarm") == 1, F.col("t")))
+        .cast("long")
+        .alias("first_alarm_t"),
+    ).orderBy("user_id")
+
+
+def _sql_ewma_control() -> str:
+    num = " + ".join(
+        f"coalesce(lag(v, {j}) OVER w * {_EC_DECAY**j!r}, 0.0)"
+        if j else "coalesce(v * 1.0, 0.0)"
+        for j in range(_EC_K)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(v, {j}) OVER w IS NOT NULL"
+        f" THEN {_EC_DECAY**j!r} ELSE 0.0 END)"
+        if j else "(CASE WHEN v IS NOT NULL THEN 1.0 ELSE 0.0 END)"
+        for j in range(_EC_K)
+    )
+    den2 = " + ".join(
+        f"(CASE WHEN lag(v, {j}) OVER w IS NOT NULL"
+        f" THEN {(_EC_DECAY**j)**2!r} ELSE 0.0 END)"
+        if j else "(CASE WHEN v IS NOT NULL THEN 1.0 ELSE 0.0 END)"
+        for j in range(_EC_K)
+    )
+    return f"""
+WITH {_HOURLY_SQL},
+stats AS (
+  SELECT user_id, count(*) AS n, sum(v) / count(*) AS mu,
+         sqrt((sum(v * v) - sum(v) * sum(v) / count(*)) / count(*)) AS sigma
+  FROM hourly GROUP BY 1
+), z AS (
+  SELECT user_id, t,
+         ({num}) / ({den}) AS z,
+         sqrt({den2}) / ({den}) AS fac
+  FROM hourly
+  WINDOW w AS (PARTITION BY user_id ORDER BY t)
+), rows_ AS (
+  SELECT z.user_id, z.t, stats.n, stats.mu, stats.sigma,
+         CASE WHEN abs(z.z - stats.mu)
+                   > {_EC_L} * stats.sigma * z.fac
+              THEN 1 ELSE 0 END AS alarm
+  FROM z JOIN stats USING (user_id)
+)
+SELECT user_id,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(floor(max(mu) * 10000 + {_OFF}) AS BIGINT) AS mu_e4,
+       CAST(floor(max(sigma) * 10000 + {_OFF}) AS BIGINT) AS sigma_e4,
+       CAST(sum(alarm) AS BIGINT) AS n_alarms,
+       CAST(min(CASE WHEN alarm = 1 THEN t END) AS BIGINT) AS first_alarm_t
+FROM rows_ GROUP BY 1
+ORDER BY user_id
+"""
+
+
+QUERIES["ewma_control"] = q_ewma_control
+ORACLE_SQL["ewma_control"] = _sql_ewma_control()

@@ -487,3 +487,31 @@ def test_heaps_law_matches_numpy_regression(spark):
         assert abs(row["k_e2"] - math.floor(math.exp(lnk) * 100 + _OFF)) <= 1
         # Heaps exponent must be sublinear
         assert 0 < row["beta_e4"] < 10_000
+
+
+def test_ewma_control_matches_numpy(spark):
+    from diive_spark.queries_stats2 import (
+        _EC_DECAY, _EC_K, _EC_L, q_ewma_control,
+    )
+
+    out = {r["user_id"]: r for r in q_ewma_control(spark, SF).collect()}
+    g = _hourly_pd(spark)
+    for uid, grp in list(g.groupby("user_id"))[:8]:
+        v = grp["v"].to_numpy(dtype=float)
+        t = grp["t"].to_numpy()
+        n = len(v)
+        mu = v.mean()
+        sigma = math.sqrt(((v - mu) ** 2).mean())
+        alarms = []
+        for i in range(n):
+            m = min(i + 1, _EC_K)
+            wts = np.array([_EC_DECAY**j for j in range(m)])
+            window = v[max(0, i - m + 1) : i + 1][::-1]
+            z = float((window * wts).sum() / wts.sum())
+            fac = math.sqrt((wts**2).sum()) / wts.sum()
+            alarms.append(abs(z - mu) > _EC_L * sigma * fac)
+        row = out[uid]
+        assert row["n"] == n
+        assert row["n_alarms"] == int(sum(alarms))
+        if any(alarms):
+            assert row["first_alarm_t"] == int(t[np.argmax(alarms)])
