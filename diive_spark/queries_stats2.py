@@ -1459,3 +1459,178 @@ ORDER BY user_id
 
 QUERIES["ewma_control"] = q_ewma_control
 ORACLE_SQL["ewma_control"] = _sql_ewma_control()
+
+
+# ---------------------------------------------------------------------------
+# tukey_fences — IQR outlier fences from exact order statistics (Tukey 1977)
+# ---------------------------------------------------------------------------
+# Q1/Q3 as exact ELEMENT PICKS (type-1 quantile: the ceil(p*n)-th order
+# statistic) so the fences are integer-exact and every outlier compare is
+# deterministic — the robust complement to the z-score family (diive's
+# zScore/Hampel/LocalSD flags; reference core/qcflags).  One rank window
+# + one combinable agg + one co-keyed join.
+
+
+def q_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hourly(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("v", "t")
+    ranked = h.withColumn("rn", F.row_number().over(w)).withColumn(
+        "nn", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+    )
+    q1 = ranked.filter(
+        F.col("rn") == F.ceil(F.col("nn") * 0.25)
+    ).select("user_id", F.col("v").alias("q1"))
+    q3 = ranked.filter(
+        F.col("rn") == F.ceil(F.col("nn") * 0.75)
+    ).select("user_id", F.col("v").alias("q3"))
+    fences = q1.join(q3, "user_id").select(
+        "user_id",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    out = (
+        h.join(fences, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("q1").cast("long").alias("q1_e2"),
+            F.max("q3").cast("long").alias("q3_e2"),
+            F.floor(F.max("lo") * 100 + F.lit(0.5)).cast("long").alias("lo_e4"),
+            F.floor(F.max("hi") * 100 + F.lit(0.5)).cast("long").alias("hi_e4"),
+            F.sum(
+                ((F.col("v") < F.col("lo")) | (F.col("v") > F.col("hi")))
+                .cast("long")
+            ).cast("long").alias("n_outliers"),
+        )
+        .orderBy("user_id")
+    )
+    return out
+
+
+SQL_TUKEY = f"""
+WITH {_HOURLY_SQL},
+ranked AS (
+  SELECT user_id, t, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY v, t) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS nn
+  FROM hourly
+), q1 AS (
+  SELECT user_id, v AS q1 FROM ranked WHERE rn = CAST(ceil(nn * 0.25) AS BIGINT)
+), q3 AS (
+  SELECT user_id, v AS q3 FROM ranked WHERE rn = CAST(ceil(nn * 0.75) AS BIGINT)
+), fences AS (
+  SELECT user_id, q1, q3,
+         q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+  FROM q1 JOIN q3 USING (user_id)
+)
+SELECT h.user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(q1) AS BIGINT) AS q1_e2,
+       CAST(max(q3) AS BIGINT) AS q3_e2,
+       CAST(floor(max(lo) * 100 + 0.5) AS BIGINT) AS lo_e4,
+       CAST(floor(max(hi) * 100 + 0.5) AS BIGINT) AS hi_e4,
+       CAST(sum(CASE WHEN h.v < lo OR h.v > hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM hourly h JOIN fences USING (user_id)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# trimmed_stats — 10% two-sided trimmed and winsorized means
+# ---------------------------------------------------------------------------
+# Rank-based robust locations: drop (trim) or clamp (winsorize) the
+# lowest/highest floor(0.1*n) order statistics.  Everything is exact
+# integer sums of exact element picks — a single rank window feeds both
+# estimators, one combinable agg folds the trimmed sum, and the clamp
+# bounds come from the same ranked rows.
+
+
+def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hourly(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("v", "t")
+    ranked = h.withColumn("rn", F.row_number().over(w)).withColumn(
+        "nn", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+    )
+    g = F.floor(F.col("nn") * 0.1)
+    mid = ranked.withColumn("g", g).withColumn(
+        "in_core",
+        (F.col("rn") > F.col("g")) & (F.col("rn") <= F.col("nn") - F.col("g")),
+    )
+    # winsorize clamp bounds = the (g+1)-th and (n-g)-th order statistics
+    lo = mid.filter(F.col("rn") == F.col("g") + 1).select(
+        "user_id", F.col("v").alias("lo")
+    )
+    hi = mid.filter(F.col("rn") == F.col("nn") - F.col("g")).select(
+        "user_id", F.col("v").alias("hi")
+    )
+    j = mid.join(lo, "user_id").join(hi, "user_id")
+    agg = j.groupBy("user_id").agg(
+        F.max("nn").cast("long").alias("n"),
+        F.max("g").cast("long").alias("n_trim"),
+        (
+            F.sum(F.when(F.col("in_core"), F.col("v")))
+            / F.sum(F.col("in_core").cast("long"))
+        ).alias("tm"),
+        (
+            F.sum(
+                F.when(F.col("v") < F.col("lo"), F.col("lo"))
+                .when(F.col("v") > F.col("hi"), F.col("hi"))
+                .otherwise(F.col("v"))
+            )
+            / F.max("nn")
+        ).alias("wm"),
+    )
+    return agg.select(
+        "user_id",
+        "n",
+        "n_trim",
+        F.floor(F.col("tm") * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "trimmed_e4"
+        ),
+        F.floor(F.col("wm") * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "winsor_e4"
+        ),
+    ).orderBy("user_id")
+
+
+SQL_TRIMMED = f"""
+WITH {_HOURLY_SQL},
+ranked AS (
+  SELECT user_id, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY v, t) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS nn
+  FROM hourly
+), mid AS (
+  SELECT *, CAST(floor(nn * 0.1) AS BIGINT) AS g,
+         (rn > floor(nn * 0.1) AND rn <= nn - floor(nn * 0.1)) AS in_core
+  FROM ranked
+), lo AS (
+  SELECT user_id, v AS lo FROM mid WHERE rn = g + 1
+), hi AS (
+  SELECT user_id, v AS hi FROM mid WHERE rn = nn - g
+)
+SELECT mid.user_id,
+       CAST(max(nn) AS BIGINT) AS n,
+       CAST(max(g) AS BIGINT) AS n_trim,
+       CAST(floor(sum(CASE WHEN in_core THEN v END)
+                  / sum(CASE WHEN in_core THEN 1 ELSE 0 END)
+                  * 10000 + {_OFF}) AS BIGINT) AS trimmed_e4,
+       CAST(floor(sum(CASE WHEN v < lo.lo THEN lo.lo
+                           WHEN v > hi.hi THEN hi.hi
+                           ELSE v END) / max(nn)
+                  * 10000 + {_OFF}) AS BIGINT) AS winsor_e4
+FROM mid JOIN lo ON lo.user_id = mid.user_id
+JOIN hi ON hi.user_id = mid.user_id
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QUERIES["tukey_fences"] = q_tukey_fences
+QUERIES["trimmed_stats"] = q_trimmed_stats
+ORACLE_SQL["tukey_fences"] = SQL_TUKEY
+ORACLE_SQL["trimmed_stats"] = SQL_TRIMMED

@@ -515,3 +515,41 @@ def test_ewma_control_matches_numpy(spark):
         assert row["n_alarms"] == int(sum(alarms))
         if any(alarms):
             assert row["first_alarm_t"] == int(t[np.argmax(alarms)])
+
+
+def test_tukey_fences_matches_numpy(spark):
+    from diive_spark.queries_stats2 import q_tukey_fences
+
+    out = {r["user_id"]: r for r in q_tukey_fences(spark, SF).collect()}
+    g = _hourly_pd(spark)
+    for uid, grp in g.groupby("user_id"):
+        v = np.sort(grp["v"].to_numpy())
+        n = len(v)
+        q1 = v[math.ceil(n * 0.25) - 1]
+        q3 = v[math.ceil(n * 0.75) - 1]
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        row = out[uid]
+        assert (row["q1_e2"], row["q3_e2"]) == (int(q1), int(q3))
+        assert row["n"] == n
+        assert row["n_outliers"] == int(((v < lo) | (v > hi)).sum())
+
+
+def test_trimmed_stats_matches_scipy_conventions(spark):
+    from diive_spark.queries_stats2 import q_trimmed_stats
+
+    out = {r["user_id"]: r for r in q_trimmed_stats(spark, SF).collect()}
+    g = _hourly_pd(spark)
+    for uid, grp in g.groupby("user_id"):
+        v = np.sort(grp["v"].to_numpy())
+        n = len(v)
+        k = int(math.floor(n * 0.1))
+        core = v[k : n - k]
+        tm = core.mean()
+        wv = v.copy()
+        wv[:k] = v[k]
+        wv[n - k :] = v[n - k - 1]
+        wm = wv.mean()
+        row = out[uid]
+        assert row["n_trim"] == k
+        assert abs(row["trimmed_e4"] - math.floor(tm * 1e4 + _OFF)) <= 1
+        assert abs(row["winsor_e4"] - math.floor(wm * 1e4 + _OFF)) <= 1
