@@ -1634,3 +1634,83 @@ QUERIES["tukey_fences"] = q_tukey_fences
 QUERIES["trimmed_stats"] = q_trimmed_stats
 ORACLE_SQL["tukey_fences"] = SQL_TUKEY
 ORACLE_SQL["trimmed_stats"] = SQL_TRIMMED
+
+
+# ---------------------------------------------------------------------------
+# kendall_tau — tau-b concordance of daily volume vs daily intensity
+# ---------------------------------------------------------------------------
+# tau_b = (C - D) / sqrt((n0 - n1)(n0 - n2)) with n0 = n(n-1)/2 and
+# n1/n2 the tie-pair counts (Kendall 1945).  C - D is one pairwise
+# self-join on the user whose width is DAYS per key (span-bounded, the
+# same pairwise-over-days shape as trend_mann_kendall's hourly pairs —
+# never raw events); every count is an exact integer so tau is one
+# deterministic double expression.
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        ).cast("long").alias("day"),
+        "value",
+    )
+    d = ev.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("x"),
+        F.floor(F.avg("value") * 100 + F.lit(_OFF)).alias("y"),
+    )
+    a = d.select("user_id", F.col("day").alias("da"),
+                 F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = d.select("user_id", F.col("day").alias("db"),
+                 F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = a.join(b, "user_id").filter(F.col("db") > F.col("da"))
+    cd = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(
+            F.signum(F.col("xb") - F.col("xa"))
+            * F.signum(F.col("yb") - F.col("ya"))
+        ).cast("long").alias("cmd"),
+        F.sum((F.col("xa") == F.col("xb")).cast("long")).alias("tx"),
+        F.sum((F.col("ya") == F.col("yb")).cast("long")).alias("ty"),
+    )
+    tau = F.col("cmd") / F.sqrt(
+        (F.col("n0") - F.col("tx")).cast("double")
+        * (F.col("n0") - F.col("ty")).cast("double")
+    )
+    return cd.filter(
+        (F.col("n0") > F.col("tx")) & (F.col("n0") > F.col("ty"))
+    ).select(
+        "user_id",
+        F.col("n0").cast("long").alias("n_pairs"),
+        F.floor(tau * 1_000_000 + F.lit(_OFF)).cast("long").alias("tau_e6"),
+    ).orderBy("user_id")
+
+
+SQL_KENDALL = f"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, value
+  FROM events
+), d AS (
+  SELECT user_id, day, count(*) AS x,
+         floor(avg(value) * 100 + {_OFF}) AS y
+  FROM ev GROUP BY 1, 2
+), cd AS (
+  SELECT a.user_id,
+         count(*) AS n0,
+         CAST(sum(sign(b.x - a.x) * sign(b.y - a.y)) AS BIGINT) AS cmd,
+         CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+         CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS ty
+  FROM d a JOIN d b ON a.user_id = b.user_id AND b.day > a.day
+  GROUP BY 1
+)
+SELECT user_id, CAST(n0 AS BIGINT) AS n_pairs,
+       CAST(floor(cmd / sqrt(CAST(n0 - tx AS DOUBLE)
+                             * CAST(n0 - ty AS DOUBLE))
+                  * 1000000 + {_OFF}) AS BIGINT) AS tau_e6
+FROM cd WHERE n0 > tx AND n0 > ty
+ORDER BY user_id
+"""
+
+
+QUERIES["kendall_tau"] = q_kendall_tau
+ORACLE_SQL["kendall_tau"] = SQL_KENDALL

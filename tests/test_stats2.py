@@ -553,3 +553,35 @@ def test_trimmed_stats_matches_scipy_conventions(spark):
         assert row["n_trim"] == k
         assert abs(row["trimmed_e4"] - math.floor(tm * 1e4 + _OFF)) <= 1
         assert abs(row["winsor_e4"] - math.floor(wm * 1e4 + _OFF)) <= 1
+
+
+def test_kendall_tau_matches_bruteforce(spark):
+    from diive_spark.queries_stats2 import q_kendall_tau
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["day"] = ev["ts"].astype("int64") // 10**9 // 86400
+    d = (
+        ev.groupby(["user_id", "day"])["value"]
+        .agg(x="count", mean="mean")
+        .reset_index()
+    )
+    d["y"] = np.floor(d["mean"] * 100 + _OFF)
+    out = {r["user_id"]: r for r in q_kendall_tau(spark, SF).collect()}
+    for uid, grp in list(d.groupby("user_id"))[:10]:
+        xs = grp["x"].to_numpy()
+        ys = grp["y"].to_numpy()
+        n = len(xs)
+        cmd = tx = ty = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                cmd += int(np.sign(xs[j] - xs[i]) * np.sign(ys[j] - ys[i]))
+                tx += int(xs[i] == xs[j])
+                ty += int(ys[i] == ys[j])
+        n0 = n * (n - 1) // 2
+        if n0 <= tx or n0 <= ty:
+            assert uid not in out
+            continue
+        tau = cmd / math.sqrt((n0 - tx) * (n0 - ty))
+        row = out[uid]
+        assert row["n_pairs"] == n0
+        assert abs(row["tau_e6"] - math.floor(tau * 1e6 + _OFF)) <= 1
