@@ -1714,3 +1714,103 @@ ORDER BY user_id
 
 QUERIES["kendall_tau"] = q_kendall_tau
 ORACLE_SQL["kendall_tau"] = SQL_KENDALL
+
+
+# ---------------------------------------------------------------------------
+# quantile_norm — cross-language quantile normalization of doc lengths
+# ---------------------------------------------------------------------------
+# Maps every doc's per-language percentile onto the POOLED length
+# distribution (the curation trick that makes per-lang quality scores
+# comparable before mixing).  Scale path: TWO distributed total orders
+# via operators/rank.py::global_row_number (range exchange + offset
+# fold — never a partition-less window): (lang, score, id) gives the
+# within-lang rank after subtracting the per-lang offset (a |langs|-row
+# broadcast), (score, id) gives the pooled order; the percentile->
+# position map is then ONE equi-join on the pooled rank.
+
+
+def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.rank import global_row_number
+
+    d = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.col("n_chars").cast("long").alias("score"),
+    )
+    # within-lang rank from ONE global order on (lang, score, doc_id)
+    by_lang = global_row_number(
+        d, [F.col("lang"), F.col("score"), F.col("doc_id")], "gr_lang"
+    )
+    lang_sizes = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    # offset of each lang in the (lang, ...) total order = cumulative
+    # count of lexicographically earlier langs — a |langs|-row window
+    w_off = Window.orderBy("lang").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = lang_sizes.withColumn(
+        "off", F.coalesce(F.sum("n_lang").over(w_off), F.lit(0))
+    )
+    ranked = by_lang.join(F.broadcast(offs), "lang").select(
+        "doc_id", "lang", "score", "n_lang",
+        (F.col("gr_lang") - F.col("off")).alias("r_lang"),
+    )
+    # pooled order + total
+    pooled = global_row_number(
+        d.select(F.col("doc_id").alias("p_id"), F.col("score").alias("p_score")),
+        [F.col("p_score"), F.col("p_id")],
+        "gr_pool",
+        attach_total="n_total",
+    )
+    # percentile -> pooled position (type-7 style: 1 + floor(p*(N-1)));
+    # the pooled total arrives as a broadcast 1-row join
+    tot = pooled.agg(F.max("n_total").alias("nt"))
+    target = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "tgt",
+        (
+            F.lit(1)
+            + F.floor(
+                (F.col("r_lang") - 1).cast("double")
+                / F.greatest(F.col("n_lang") - 1, F.lit(1))
+                * (F.col("nt") - 1)
+            )
+        ).cast("long"),
+    )
+    out = target.join(
+        pooled.select("gr_pool", F.col("p_score").alias("norm_score")),
+        target["tgt"] == pooled["gr_pool"],
+    )
+    return out.select(
+        "doc_id", "lang", "score",
+        F.col("norm_score").cast("long").alias("norm_score"),
+    ).orderBy("doc_id")
+
+
+SQL_QUANTILE_NORM = """
+WITH d AS (
+  SELECT doc_id, lang, n_chars AS score FROM documents
+), ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY lang ORDER BY score, doc_id)
+           AS r_lang,
+         count(*) OVER (PARTITION BY lang) AS n_lang
+  FROM d
+), pooled AS (
+  SELECT score AS norm_score,
+         row_number() OVER (ORDER BY score, doc_id) AS gr_pool
+  FROM d
+), tot AS (
+  SELECT count(*) AS nt FROM d
+)
+SELECT ranked.doc_id, ranked.lang, CAST(ranked.score AS BIGINT) AS score,
+       CAST(pooled.norm_score AS BIGINT) AS norm_score
+FROM ranked CROSS JOIN tot
+JOIN pooled
+  ON pooled.gr_pool = 1 + CAST(floor(
+       CAST(r_lang - 1 AS DOUBLE) / greatest(n_lang - 1, 1) * (nt - 1))
+       AS BIGINT)
+ORDER BY ranked.doc_id
+"""
+
+
+QUERIES["quantile_norm"] = q_quantile_norm
+ORACLE_SQL["quantile_norm"] = SQL_QUANTILE_NORM

@@ -585,3 +585,33 @@ def test_kendall_tau_matches_bruteforce(spark):
         row = out[uid]
         assert row["n_pairs"] == n0
         assert abs(row["tau_e6"] - math.floor(tau * 1e6 + _OFF)) <= 1
+
+
+def test_quantile_norm_matches_pandas(spark):
+    from diive_spark.queries_stats2 import q_quantile_norm
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    pooled = docs.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+    nt = len(pooled)
+    out = {r["doc_id"]: r for r in q_quantile_norm(spark, SF).collect()}
+    assert len(out) == nt
+    for lang, grp in docs.groupby("lang"):
+        g = grp.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+        nl = len(g)
+        for i, r in g.iterrows():
+            p = i / max(nl - 1, 1)
+            tgt = int(math.floor(p * (nt - 1)))
+            expect = int(pooled.iloc[tgt]["n_chars"])
+            row = out[r["doc_id"]]
+            assert row["norm_score"] == expect
+            assert row["score"] == r["n_chars"]
+    # normalized scores preserve within-language ordering
+    for lang, grp in docs.groupby("lang"):
+        g = grp.sort_values(["n_chars", "doc_id"])
+        norms = [out[d]["norm_score"] for d in g["doc_id"]]
+        assert norms == sorted(norms)
