@@ -1814,3 +1814,107 @@ ORDER BY ranked.doc_id
 
 QUERIES["quantile_norm"] = q_quantile_norm
 ORACLE_SQL["quantile_norm"] = SQL_QUANTILE_NORM
+
+
+# ---------------------------------------------------------------------------
+# lang_jsd — Jensen-Shannon divergence between language unigram mixes
+# ---------------------------------------------------------------------------
+# JSD(P,Q) = H(M) - (H(P)+H(Q))/2, M = (P+Q)/2 — the symmetric bounded
+# corpus-mix divergence a sampling pipeline reads before temperature
+# mixing.  Decomposed so only INNER joins appear (no full-outer over the
+# union support): with T(P) = sum -(p/2)ln(p/2),
+#   JSD = sum_shared [ -m ln m + (p/2)ln(p/2) + (q/2)ln(q/2) ]
+#         + T(P) + T(Q) - (H(P)+H(Q))/2.
+# Per-lang H/T are one combinable agg; the shared-term join keys on the
+# WORD (bounded fan-out |langs| per side); per-lang stats broadcast.
+
+
+def q_lang_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _documents(spark, sf_dir).select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("w"),
+    )
+    c = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = c.groupBy("lang").agg(F.sum("cnt").alias("n"))
+    p = c.join(F.broadcast(tot), "lang").select(
+        "lang", "w", (F.col("cnt").cast("double") / F.col("n")).alias("p")
+    )
+    half = F.col("p") / 2
+    stats = p.groupBy("lang").agg(
+        F.sum(-F.col("p") * F.log("p")).alias("hh"),
+        F.sum(-half * F.log(half)).alias("tt"),
+    )
+    a = p.select(F.col("lang").alias("la"), "w", F.col("p").alias("pa"))
+    b = p.select(F.col("lang").alias("lb"), "w", F.col("p").alias("pb"))
+    m = (F.col("pa") + F.col("pb")) / 2
+    ha, hb = F.col("pa") / 2, F.col("pb") / 2
+    shared = (
+        a.join(b, "w")
+        .filter(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.sum(
+                -m * F.log(m) + ha * F.log(ha) + hb * F.log(hb)
+            ).alias("s_shared"),
+        )
+    )
+    sa = stats.select(
+        F.col("lang").alias("la"), F.col("hh").alias("h_a"),
+        F.col("tt").alias("t_a"),
+    )
+    sb = stats.select(
+        F.col("lang").alias("lb"), F.col("hh").alias("h_b"),
+        F.col("tt").alias("t_b"),
+    )
+    j = shared.join(F.broadcast(sa), "la").join(F.broadcast(sb), "lb")
+    jsd = (
+        F.col("s_shared") + F.col("t_a") + F.col("t_b")
+        - (F.col("h_a") + F.col("h_b")) / 2
+    )
+    return j.select(
+        "la",
+        "lb",
+        "n_shared",
+        F.floor(jsd * 1_000_000 + F.lit(_OFF)).cast("long").alias("jsd_e6"),
+    ).orderBy("la", "lb")
+
+
+SQL_LANG_JSD = f"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents
+), c AS (
+  SELECT lang, w, count(*) AS cnt FROM toks GROUP BY 1, 2
+), tot AS (
+  SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1
+), p AS (
+  SELECT c.lang, w, CAST(cnt AS DOUBLE) / n AS p
+  FROM c JOIN tot ON tot.lang = c.lang
+), stats AS (
+  SELECT lang, sum(-p * ln(p)) AS hh,
+         sum(-(p / 2) * ln(p / 2)) AS tt
+  FROM p GROUP BY 1
+), shared AS (
+  SELECT a.lang AS la, b.lang AS lb, count(*) AS n_shared,
+         sum(-((a.p + b.p) / 2) * ln((a.p + b.p) / 2)
+             + (a.p / 2) * ln(a.p / 2)
+             + (b.p / 2) * ln(b.p / 2)) AS s_shared
+  FROM p a JOIN p b USING (w)
+  WHERE a.lang < b.lang
+  GROUP BY 1, 2
+)
+SELECT la, lb, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(floor((s_shared + sa.tt + sb.tt - (sa.hh + sb.hh) / 2)
+                  * 1000000 + {_OFF}) AS BIGINT) AS jsd_e6
+FROM shared
+JOIN stats sa ON sa.lang = la
+JOIN stats sb ON sb.lang = lb
+ORDER BY la, lb
+"""
+
+
+QUERIES["lang_jsd"] = q_lang_jsd
+ORACLE_SQL["lang_jsd"] = SQL_LANG_JSD

@@ -615,3 +615,42 @@ def test_quantile_norm_matches_pandas(spark):
         g = grp.sort_values(["n_chars", "doc_id"])
         norms = [out[d]["norm_score"] for d in g["doc_id"]]
         assert norms == sorted(norms)
+
+
+def test_lang_jsd_matches_direct_formula(spark):
+    from diive_spark.queries_stats2 import q_lang_jsd
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("lang", "text")
+        .toPandas()
+    )
+    dists: dict[str, Counter] = {}
+    for _, d in docs.iterrows():
+        dists.setdefault(d["lang"], Counter()).update(
+            _WORD.findall((d["text"] or "").lower())
+        )
+    probs = {
+        lang: {w: c / sum(ct.values()) for w, c in ct.items()}
+        for lang, ct in dists.items()
+    }
+    out = {(r["la"], r["lb"]): r for r in q_lang_jsd(spark, SF).collect()}
+    langs = sorted(probs)
+    for i, la in enumerate(langs):
+        for lb in langs[i + 1 :]:
+            P, Q = probs[la], probs[lb]
+            support = set(P) | set(Q)
+            # direct: JSD = H(M) - (H(P)+H(Q))/2
+            hm = -sum(
+                ((P.get(w, 0) + Q.get(w, 0)) / 2)
+                * math.log((P.get(w, 0) + Q.get(w, 0)) / 2)
+                for w in support
+            )
+            hp = -sum(p * math.log(p) for p in P.values())
+            hq = -sum(q * math.log(q) for q in Q.values())
+            jsd = hm - (hp + hq) / 2
+            row = out[(la, lb)]
+            assert row["n_shared"] == len(set(P) & set(Q))
+            assert abs(row["jsd_e6"] - math.floor(jsd * 1e6 + _OFF)) <= 1
+            # JSD bounded by ln 2
+            assert 0 <= row["jsd_e6"] <= math.log(2) * 1e6 + 1
