@@ -1918,3 +1918,70 @@ ORDER BY la, lb
 
 QUERIES["lang_jsd"] = q_lang_jsd
 ORACLE_SQL["lang_jsd"] = SQL_LANG_JSD
+
+
+# ---------------------------------------------------------------------------
+# label_propagation — communities on the crawl-order domain graph
+# ---------------------------------------------------------------------------
+# Synchronous LPA (Raghavan et al. 2007), fixed 4 rounds, deterministic
+# max-weight/lex-min tie-break — same fixed-iteration SQL-expressible
+# design as domain_pagerank/hits_scores; DuckDB twin unrolls the chain
+# with AS MATERIALIZED (the multi-reference CTE inlining trap).
+
+_LPA_ITER = 4
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.text.graph import label_propagation
+
+    d = _documents(spark, sf_dir).select("doc_id", "lang", "source")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    edges = (
+        d.withColumn("_nxt", F.lead("source").over(w))
+        .filter(F.col("_nxt").isNotNull())
+        .select(F.col("source").alias("src"), F.col("_nxt").alias("dst"))
+    )
+    out = label_propagation(edges, "src", "dst", n_iter=_LPA_ITER)
+    return out.select("node", "label").orderBy("node")
+
+
+def _sql_lpa() -> str:
+    iters = []
+    prev = "l0"
+    for i in range(1, _LPA_ITER + 1):
+        iters.append(f"""
+sc{i} AS MATERIALIZED (
+  SELECT e.d AS node, l.label, sum(e.w) AS wt
+  FROM sym e JOIN {prev} l ON l.node = e.s
+  GROUP BY 1, 2
+), l{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY wt DESC, label) AS rn
+    FROM sc{i}
+  ) WHERE rn = 1
+)""")
+        prev = f"l{i}"
+    chain = ",".join(iters)
+    return f"""
+WITH e0 AS (
+  SELECT source AS src,
+         lead(source) OVER (PARTITION BY lang ORDER BY doc_id) AS dst
+  FROM documents QUALIFY dst IS NOT NULL
+), sym AS MATERIALIZED (
+  SELECT s, d, count(*) AS w FROM (
+    SELECT src AS s, dst AS d FROM e0
+    UNION ALL
+    SELECT dst AS s, src AS d FROM e0
+  ) GROUP BY 1, 2
+), l0 AS (
+  SELECT DISTINCT s AS node, s AS label FROM sym
+),{chain}
+SELECT node, label FROM {prev}
+ORDER BY node
+"""
+
+
+QUERIES["label_propagation"] = q_label_propagation
+ORACLE_SQL["label_propagation"] = _sql_lpa()

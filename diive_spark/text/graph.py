@@ -508,3 +508,85 @@ def hits(
             hub = hub.localCheckpoint(eager=False)
             auth = auth.localCheckpoint(eager=False)
     return hub.join(auth, "node")
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 4,
+    small_graph_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) on the
+    UNDIRECTED multigraph, with the deterministic update
+
+        label'(v) = argmax_l  Σ_{u~v, label(u)=l} w(u,v)
+                    (ties -> lexicographically smallest label)
+
+    run for exactly ``n_iter`` rounds from label(v) = v.  The fixed
+    iteration count + deterministic tie-break keep the operator
+    SQL-expressible (the DuckDB twin unrolls the same chain), same
+    design as :func:`pagerank`/:func:`hits`.
+
+    Distributed path per round: one hash join (labels ⋈ symmetrized
+    edges) + one combinable groupBy(node, label) + a per-node window
+    whose width is the node's neighbor-label count (degree-bounded).
+    Label state is one row per node.  Small-graph cutover mirrors the
+    identical synchronous loop in plain dicts (pinned equal in tests).
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .union(
+            edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+        )
+        .groupBy("s", "d")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    n_edges = sym.count()
+    nodes = sym.select(F.col("s").alias("node")).distinct()
+    if n_edges <= small_graph_threshold:
+        rows = sym.collect()
+        adj: dict = {}
+        for r in rows:
+            adj.setdefault(r["s"], {})[r["d"]] = r["w"]
+        lbl = {v: v for v in adj}
+        for _ in range(n_iter):
+            new = {}
+            for v, nbrs in adj.items():
+                score: dict = {}
+                for u, w in nbrs.items():
+                    l = lbl[u]
+                    score[l] = score.get(l, 0) + w
+                best = min(score.items(), key=lambda kv: (-kv[1], kv[0]))
+                new[v] = best[0]
+            lbl = new
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            sorted(lbl.items()), "node string, label string"
+        )
+    from pyspark.sql import Window
+
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for it in range(n_iter):
+        scored = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("s"), F.col("label").alias("l")
+                ),
+                "s",
+            )
+            .groupBy(F.col("d").alias("node"), F.col("l").alias("label"))
+            .agg(F.sum("w").alias("wt"))
+        )
+        wn = Window.partitionBy("node").orderBy(
+            F.col("wt").desc(), F.col("label").asc()
+        )
+        labels = (
+            scored.withColumn("rn", F.row_number().over(wn))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        if (it + 1) % 2 == 0:
+            labels = labels.localCheckpoint(eager=False)
+    return labels

@@ -654,3 +654,33 @@ def test_lang_jsd_matches_direct_formula(spark):
             assert abs(row["jsd_e6"] - math.floor(jsd * 1e6 + _OFF)) <= 1
             # JSD bounded by ln 2
             assert 0 <= row["jsd_e6"] <= math.log(2) * 1e6 + 1
+
+
+def test_label_propagation_distributed_equals_cutover(spark):
+    from diive_spark.text.graph import label_propagation
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy("doc_id")
+    from pyspark.sql import functions as F
+
+    edges = (
+        docs.withColumn("_n", F.lead("source").over(w))
+        .filter(F.col("_n").isNotNull())
+        .select(F.col("source").alias("src"), F.col("_n").alias("dst"))
+    )
+    small = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, n_iter=4).collect()
+    }
+    dist = {
+        r["node"]: r["label"]
+        for r in label_propagation(
+            edges, n_iter=4, small_graph_threshold=0
+        ).collect()
+    }
+    assert small == dist
+    assert len(small) > 0
+    # labels are nodes of the same graph
+    assert set(small.values()) <= set(small.keys())
