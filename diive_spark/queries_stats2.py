@@ -1985,3 +1985,75 @@ ORDER BY node
 
 QUERIES["label_propagation"] = q_label_propagation
 ORACLE_SQL["label_propagation"] = _sql_lpa()
+
+
+# ---------------------------------------------------------------------------
+# mutual_info — mutual information of event type x 6h diel block
+# ---------------------------------------------------------------------------
+# I(X;Y) = sum_cells p log(p / (px py)) over the same bounded
+# contingency as chisq_type_hour — the information-theoretic association
+# twin of the chi-square test (bits via log2).  Margins by window sums
+# over the cell set; <= |types| x 4 log terms per user ride the house
+# floor offset.
+
+
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        (F.hour(F.col("ts").cast("timestamp")) / 6).cast("long").alias("blk"),
+    )
+    cells = ev.groupBy("user_id", "event_type", "blk").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    w_r = Window.partitionBy("user_id", "event_type")
+    w_c = Window.partitionBy("user_id", "blk")
+    w_n = Window.partitionBy("user_id")
+    t = (
+        cells.withColumn("r", F.sum("o").over(w_r))
+        .withColumn("c", F.sum("o").over(w_c))
+        .withColumn("nn", F.sum("o").over(w_n))
+    )
+    # p log2(p/(px py)) = (o/n) * log2(o*n/(r*c))
+    term = (
+        F.col("o").cast("double") / F.col("nn")
+        * F.log2(
+            F.col("o").cast("double") * F.col("nn")
+            / (F.col("r").cast("double") * F.col("c"))
+        )
+    )
+    return t.groupBy("user_id").agg(
+        F.max("nn").cast("long").alias("n"),
+        F.floor(F.sum(term) * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("mi_e6"),
+    ).orderBy("user_id")
+
+
+SQL_MUTUAL_INFO = f"""
+WITH ev AS (
+  SELECT user_id, event_type, CAST(hour(ts) // 6 AS BIGINT) AS blk
+  FROM events
+), cells AS (
+  SELECT user_id, event_type, blk, count(*) AS o
+  FROM ev GROUP BY 1, 2, 3
+), t AS (
+  SELECT user_id, o,
+         sum(o) OVER (PARTITION BY user_id, event_type) AS r,
+         sum(o) OVER (PARTITION BY user_id, blk) AS c,
+         sum(o) OVER (PARTITION BY user_id) AS nn
+  FROM cells
+)
+SELECT user_id,
+       CAST(max(nn) AS BIGINT) AS n,
+       CAST(floor(sum(CAST(o AS DOUBLE) / nn
+                      * log2(CAST(o AS DOUBLE) * nn
+                             / (CAST(r AS DOUBLE) * c)))
+                  * 1000000 + {_OFF}) AS BIGINT) AS mi_e6
+FROM t GROUP BY 1
+ORDER BY user_id
+"""
+
+
+QUERIES["mutual_info"] = q_mutual_info
+ORACLE_SQL["mutual_info"] = SQL_MUTUAL_INFO

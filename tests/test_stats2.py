@@ -684,3 +684,70 @@ def test_label_propagation_distributed_equals_cutover(spark):
     assert len(small) > 0
     # labels are nodes of the same graph
     assert set(small.values()) <= set(small.keys())
+
+
+def test_mutual_info_matches_numpy(spark):
+    from diive_spark.queries_stats2 import q_mutual_info
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .selectExpr("user_id", "event_type", "cast(hour(ts) / 6 as long) blk")
+        .toPandas()
+    )
+    out = {r["user_id"]: r for r in q_mutual_info(spark, SF).collect()}
+    for uid, grp in list(ev.groupby("user_id"))[:8]:
+        ct = grp.groupby(["event_type", "blk"]).size()
+        n = len(grp)
+        rows = ct.groupby(level=0).sum()
+        cols = ct.groupby(level=1).sum()
+        mi = sum(
+            (o / n) * math.log2(o * n / (rows[e] * cols[b]))
+            for (e, b), o in ct.items()
+        )
+        row = out[uid]
+        assert row["n"] == n
+        assert abs(row["mi_e6"] - math.floor(mi * 1e6 + _OFF)) <= 1
+        assert row["mi_e6"] >= -1  # MI is non-negative (floor noise aside)
+
+
+def test_lpa_disjoint_cliques_form_two_communities(spark):
+    from diive_spark.text.graph import label_propagation
+
+    tri1 = [("a", "b"), ("b", "c"), ("c", "a")]
+    tri2 = [("x", "y"), ("y", "z"), ("z", "x")]
+    edges = spark.createDataFrame(tri1 + tri2, "src string, dst string")
+    for thresh in (1_000_000, 0):  # cutover AND distributed paths
+        lbl = {
+            r["node"]: r["label"]
+            for r in label_propagation(
+                edges, n_iter=4, small_graph_threshold=thresh
+            ).collect()
+        }
+        assert len({lbl["a"], lbl["b"], lbl["c"]}) == 1
+        assert len({lbl["x"], lbl["y"], lbl["z"]}) == 1
+        assert lbl["a"] != lbl["x"]
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_new_queries_partition_invariant(spark, parts):
+    """Results must not depend on spark.sql.shuffle.partitions — catches
+    order-dependent aggregation bugs in the exact-integer formulations."""
+    from diive_spark.queries_stats2 import (
+        q_kendall_tau, q_ljung_box, q_shewhart_imr, q_variance_ratio,
+    )
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    baseline = {}
+    for fn in (q_variance_ratio, q_ljung_box, q_shewhart_imr, q_kendall_tau):
+        baseline[fn.__name__] = sorted(
+            tuple(r) for r in fn(spark, SF).collect()
+        )
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        for fn in (
+            q_variance_ratio, q_ljung_box, q_shewhart_imr, q_kendall_tau,
+        ):
+            got = sorted(tuple(r) for r in fn(spark, SF).collect())
+            assert got == baseline[fn.__name__], fn.__name__
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
