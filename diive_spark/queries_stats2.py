@@ -2057,3 +2057,119 @@ ORDER BY user_id
 
 QUERIES["mutual_info"] = q_mutual_info
 ORACLE_SQL["mutual_info"] = SQL_MUTUAL_INFO
+
+
+# ---------------------------------------------------------------------------
+# prewhitened_mk — Mann-Kendall after AR(1) prewhitening (Yue & Wang 2002)
+# ---------------------------------------------------------------------------
+# Serial correlation inflates plain MK's false-positive rate; the PW
+# variant tests v'_t = v_t - r1 * v_{t-1} when |r1| is significant
+# (|r1| > 1.96/sqrt(n)), else the raw series.  r1 is the ar1_halflife
+# closed form over exact ints, so v' is the same bit pattern on both
+# engines and every pairwise sign compare agrees.  One extra lag column
+# on the existing per-key sort exchange; the MK kernel runs unchanged.
+
+
+def q_prewhitened_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("t")
+    h = _hourly(spark, sf_dir).withColumn("vl", F.lag("v").over(w))
+    p = h.filter(F.col("vl").isNotNull())
+    agg = p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("vl").alias("sx"),
+        F.sum("v").alias("sy"),
+        F.sum(F.col("vl") * F.col("vl")).alias("sxx"),
+        F.sum(F.col("v") * F.col("v")).alias("syy"),
+        F.sum(F.col("vl") * F.col("v")).alias("sxy"),
+    )
+    den = (
+        (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("np") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    r = F.when(
+        den > 0,
+        (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.sqrt(den),
+    )
+    sig = F.abs(r) > F.lit(1.96) / F.sqrt(F.col("np").cast("double"))
+    rr = agg.select(
+        "user_id",
+        F.when(sig & r.isNotNull(), r).otherwise(F.lit(0.0)).alias("r1"),
+    )
+    pw = (
+        h.join(rr, "user_id")
+        .filter(F.col("vl").isNotNull())
+        .select(
+            "user_id",
+            "t",
+            (F.col("v") - F.col("r1") * F.col("vl")).alias("vp"),
+        )
+    )
+    from diive_spark.operators.trend import mann_kendall_trend
+
+    mk = mann_kendall_trend(pw, "user_id", "t", "vp")
+    return mk.select(
+        "user_id",
+        "n",
+        "s",
+        F.round(F.col("var_s") * 18).cast("long").alias("var_s18"),
+        F.floor(F.col("z") * 10_000 + F.lit(_OFF)).cast("long").alias("z_e4"),
+    ).orderBy("user_id")
+
+
+SQL_PREWHITENED_MK = f"""
+WITH {_HOURLY_SQL},
+lagged AS (
+  SELECT user_id, t, v,
+         lag(v) OVER (PARTITION BY user_id ORDER BY t) AS vl
+  FROM hourly
+), agg AS (
+  SELECT user_id, count(*) AS np,
+         sum(vl) AS sx, sum(v) AS sy,
+         sum(vl * vl) AS sxx, sum(v * v) AS syy, sum(vl * v) AS sxy
+  FROM lagged WHERE vl IS NOT NULL GROUP BY 1
+), rr AS (
+  SELECT user_id,
+         CASE WHEN (np * sxx - sx * sx) * (np * syy - sy * sy) > 0
+                   AND abs((np * sxy - sx * sy)
+                           / sqrt((np * sxx - sx * sx)
+                                  * (np * syy - sy * sy)))
+                       > 1.96 / sqrt(CAST(np AS DOUBLE))
+              THEN (np * sxy - sx * sy)
+                   / sqrt((np * sxx - sx * sx) * (np * syy - sy * sy))
+              ELSE 0.0 END AS r1
+  FROM agg
+), pw AS (
+  SELECT l.user_id, l.t, l.v - rr.r1 * l.vl AS vp
+  FROM lagged l JOIN rr ON rr.user_id = l.user_id
+  WHERE l.vl IS NOT NULL
+), pairs AS (
+  SELECT a.user_id, CAST(sign(b.vp - a.vp) AS BIGINT) AS sg
+  FROM pw a JOIN pw b ON a.user_id = b.user_id AND b.t > a.t
+), stats AS (
+  SELECT user_id, CAST(sum(sg) AS BIGINT) AS s FROM pairs GROUP BY 1
+), nn AS (
+  SELECT user_id, count(*) AS n FROM pw GROUP BY 1
+), ties AS (
+  SELECT user_id, CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tie
+  FROM (SELECT user_id, vp, count(*) AS c FROM pw GROUP BY 1, 2)
+  GROUP BY 1
+), agg2 AS (
+  SELECT nn.user_id, nn.n, coalesce(stats.s, 0) AS s,
+         (nn.n * (nn.n - 1) * (2 * nn.n + 5) - coalesce(ties.tie, 0)) AS v18
+  FROM nn LEFT JOIN stats USING (user_id) LEFT JOIN ties USING (user_id)
+)
+SELECT user_id, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+       CAST(v18 AS BIGINT) AS var_s18,
+       CAST(floor(
+         CASE WHEN v18 <= 0 OR s = 0 THEN 0.0
+              WHEN s > 0 THEN (s - 1) / sqrt(v18 / 18.0)
+              ELSE (s + 1) / sqrt(v18 / 18.0)
+         END * 10000 + {_OFF}) AS BIGINT) AS z_e4
+FROM agg2
+ORDER BY user_id
+"""
+
+
+QUERIES["prewhitened_mk"] = q_prewhitened_mk
+ORACLE_SQL["prewhitened_mk"] = SQL_PREWHITENED_MK

@@ -751,3 +751,32 @@ def test_new_queries_partition_invariant(spark, parts):
             assert got == baseline[fn.__name__], fn.__name__
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_prewhitened_mk_matches_bruteforce(spark):
+    from diive_spark.queries_stats2 import q_prewhitened_mk
+
+    out = {r["user_id"]: r for r in q_prewhitened_mk(spark, SF).collect()}
+    g = _hourly_pd(spark)
+    for uid, grp in list(g.groupby("user_id"))[:6]:
+        v = grp["v"].to_numpy(dtype=float)
+        if len(v) < 3:
+            continue
+        x, y = v[:-1], v[1:]
+        npairs = len(x)
+        den = (npairs * (x * x).sum() - x.sum() ** 2) * (
+            npairs * (y * y).sum() - y.sum() ** 2
+        )
+        r = (
+            (npairs * (x * y).sum() - x.sum() * y.sum()) / math.sqrt(den)
+            if den > 0
+            else 0.0
+        )
+        if abs(r) <= 1.96 / math.sqrt(npairs):
+            r = 0.0
+        vp = y - r * x
+        s, v18 = _mk_s_var(vp)
+        row = out[uid]
+        assert row["n"] == len(vp)
+        assert row["s"] == s
+        assert row["var_s18"] == v18
