@@ -2173,3 +2173,97 @@ ORDER BY user_id
 
 QUERIES["prewhitened_mk"] = q_prewhitened_mk
 ORACLE_SQL["prewhitened_mk"] = SQL_PREWHITENED_MK
+
+
+# ---------------------------------------------------------------------------
+# welch_t — Welch's t between each user's first and second half
+# ---------------------------------------------------------------------------
+# Change-of-level screen: split the hourly series at the row midpoint,
+# t = (m1 - m2)/sqrt(s1²/n1 + s2²/n2) with Welch-Satterthwaite df.  All
+# moments are exact-integer aggregates per half (rank from the per-key
+# sort exchange), so t and df are single deterministic expressions.
+
+
+def q_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("t")
+    wn = Window.partitionBy("user_id")
+    h = (
+        _hourly(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("nn", F.count(F.lit(1)).over(wn))
+        .withColumn("half", F.when(F.col("rn") * 2 <= F.col("nn"), 1).otherwise(2))
+    )
+    g = h.groupBy("user_id", "half").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("q"),
+    )
+    a = g.filter(F.col("half") == 1).select(
+        "user_id", F.col("n").alias("n1"), F.col("s").alias("s1"),
+        F.col("q").alias("q1"),
+    )
+    b = g.filter(F.col("half") == 2).select(
+        "user_id", F.col("n").alias("n2"), F.col("s").alias("s2"),
+        F.col("q").alias("q2"),
+    )
+    j = a.join(b, "user_id").filter((F.col("n1") >= 2) & (F.col("n2") >= 2))
+    m1 = F.col("s1") / F.col("n1")
+    m2 = F.col("s2") / F.col("n2")
+    # unbiased sample variances over exact ints
+    v1 = (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1")) / (
+        F.col("n1") - 1
+    )
+    v2 = (F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2")) / (
+        F.col("n2") - 1
+    )
+    se2 = v1 / F.col("n1") + v2 / F.col("n2")
+    tstat = (m1 - m2) / F.sqrt(se2)
+    df = se2 * se2 / (
+        (v1 / F.col("n1")) * (v1 / F.col("n1")) / (F.col("n1") - 1)
+        + (v2 / F.col("n2")) * (v2 / F.col("n2")) / (F.col("n2") - 1)
+    )
+    return j.filter(se2 > 0).select(
+        "user_id",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.floor(tstat * 10_000 + F.lit(_OFF)).cast("long").alias("t_e4"),
+        F.floor(df * 100 + F.lit(_OFF)).cast("long").alias("df_e2"),
+    ).orderBy("user_id")
+
+
+SQL_WELCH_T = f"""
+WITH {_HOURLY_SQL},
+r AS (
+  SELECT user_id, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY t) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS nn
+  FROM hourly
+), g AS (
+  SELECT user_id, CASE WHEN rn * 2 <= nn THEN 1 ELSE 2 END AS half,
+         count(*) AS n, sum(v) AS s, sum(v * v) AS q
+  FROM r GROUP BY 1, 2
+), j AS (
+  SELECT a.user_id,
+         a.n AS n1, a.s AS s1, a.q AS q1,
+         b.n AS n2, b.s AS s2, b.q AS q2
+  FROM g a JOIN g b ON a.user_id = b.user_id
+  WHERE a.half = 1 AND b.half = 2 AND a.n >= 2 AND b.n >= 2
+), calc AS (
+  SELECT user_id, n1, n2,
+         s1 / n1 - s2 / n2 AS dm,
+         (q1 - s1 * s1 / n1) / (n1 - 1) / n1 AS a1,
+         (q2 - s2 * s2 / n2) / (n2 - 1) / n2 AS a2
+  FROM j
+)
+SELECT user_id, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(floor(dm / sqrt(a1 + a2) * 10000 + {_OFF}) AS BIGINT) AS t_e4,
+       CAST(floor((a1 + a2) * (a1 + a2)
+                  / (a1 * a1 / (n1 - 1) + a2 * a2 / (n2 - 1))
+                  * 100 + {_OFF}) AS BIGINT) AS df_e2
+FROM calc WHERE a1 + a2 > 0
+ORDER BY user_id
+"""
+
+
+QUERIES["welch_t"] = q_welch_t
+ORACLE_SQL["welch_t"] = SQL_WELCH_T

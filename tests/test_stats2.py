@@ -780,3 +780,28 @@ def test_prewhitened_mk_matches_bruteforce(spark):
         assert row["n"] == len(vp)
         assert row["s"] == s
         assert row["var_s18"] == v18
+
+
+def test_welch_t_matches_scipy_formula(spark):
+    from diive_spark.queries_stats2 import q_welch_t
+
+    out = {r["user_id"]: r for r in q_welch_t(spark, SF).collect()}
+    g = _hourly_pd(spark)
+    for uid, grp in list(g.groupby("user_id"))[:8]:
+        v = grp["v"].to_numpy(dtype=float)
+        n = len(v)
+        k = n // 2
+        x, y = v[:k], v[k:]
+        if len(x) < 2 or len(y) < 2:
+            continue
+        v1, v2 = x.var(ddof=1), y.var(ddof=1)
+        se2 = v1 / len(x) + v2 / len(y)
+        t = (x.mean() - y.mean()) / math.sqrt(se2)
+        df = se2**2 / (
+            (v1 / len(x)) ** 2 / (len(x) - 1)
+            + (v2 / len(y)) ** 2 / (len(y) - 1)
+        )
+        row = out[uid]
+        assert (row["n1"], row["n2"]) == (len(x), len(y))
+        assert abs(row["t_e4"] - math.floor(t * 1e4 + _OFF)) <= 1
+        assert abs(row["df_e2"] - math.floor(df * 100 + _OFF)) <= 1
