@@ -2267,3 +2267,68 @@ ORDER BY user_id
 
 QUERIES["welch_t"] = q_welch_t
 ORACLE_SQL["welch_t"] = SQL_WELCH_T
+
+
+# ---------------------------------------------------------------------------
+# embedding_drift — per-label centroid vs global centroid cosine
+# ---------------------------------------------------------------------------
+# The cluster-health metric a semantic-dedup/IVF deployment watches: how
+# far each label's mean embedding sits from the corpus centroid.  The
+# array math stays JVM-side: posexplode -> combinable groupBy(label,
+# pos) sums (no pandas kernel, no interpreted higher-order fold over the
+# hot path), centroids join on the dimension index, cosine is three
+# combinable sums per label.
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select("label", "pos", F.col("val").cast("double").alias("val"))
+    per_label = e.groupBy("label", "pos").agg(
+        F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+    ).select(
+        "label", "pos", (F.col("s") / F.col("n")).alias("a"), "n"
+    )
+    global_c = e.groupBy("pos").agg(
+        (F.sum("val") / F.count(F.lit(1))).alias("b")
+    )
+    j = per_label.join(global_c, "pos")
+    agg = j.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        F.sum(F.col("a") * F.col("b")).alias("ab"),
+        F.sum(F.col("a") * F.col("a")).alias("aa"),
+        F.sum(F.col("b") * F.col("b")).alias("bb"),
+    )
+    cos = F.col("ab") / F.sqrt(F.col("aa") * F.col("bb"))
+    return agg.select(
+        F.col("label").cast("long").alias("label"),
+        "n_vecs",
+        F.floor(cos * 1_000_000 + F.lit(_OFF)).cast("long").alias("cos_e6"),
+    ).orderBy("label")
+
+
+SQL_EMBEDDING_DRIFT = f"""
+WITH flat AS (
+  SELECT label,
+         unnest(generate_series(1, len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+), per_label AS (
+  SELECT label, pos, sum(val) / count(*) AS a, count(*) AS n
+  FROM flat GROUP BY 1, 2
+), g AS (
+  SELECT pos, sum(val) / count(*) AS b FROM flat GROUP BY 1
+), j AS (
+  SELECT label, n, a, b FROM per_label JOIN g USING (pos)
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(max(n) AS BIGINT) AS n_vecs,
+       CAST(floor(sum(a * b) / sqrt(sum(a * a) * sum(b * b))
+                  * 1000000 + {_OFF}) AS BIGINT) AS cos_e6
+FROM j GROUP BY 1
+ORDER BY 1
+"""
+
+
+QUERIES["embedding_drift"] = q_embedding_drift
+ORACLE_SQL["embedding_drift"] = SQL_EMBEDDING_DRIFT

@@ -805,3 +805,19 @@ def test_welch_t_matches_scipy_formula(spark):
         assert (row["n1"], row["n2"]) == (len(x), len(y))
         assert abs(row["t_e4"] - math.floor(t * 1e4 + _OFF)) <= 1
         assert abs(row["df_e2"] - math.floor(df * 100 + _OFF)) <= 1
+
+
+def test_embedding_drift_matches_numpy(spark):
+    from diive_spark.queries_stats2 import q_embedding_drift
+
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").toPandas()
+    out = {r["label"]: r for r in q_embedding_drift(spark, SF).collect()}
+    mat = np.array([np.array(e, dtype=float) for e in df["embedding"]])
+    gc = mat.mean(axis=0)
+    for label, grp in df.groupby("label"):
+        m = np.array([np.array(e, dtype=float) for e in grp["embedding"]])
+        c = m.mean(axis=0)
+        cos = float(c @ gc / (np.linalg.norm(c) * np.linalg.norm(gc)))
+        row = out[label]
+        assert row["n_vecs"] == len(grp)
+        assert abs(row["cos_e6"] - math.floor(cos * 1e6 + _OFF)) <= 2
