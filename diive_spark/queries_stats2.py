@@ -2064,57 +2064,54 @@ ORACLE_SQL["mutual_info"] = SQL_MUTUAL_INFO
 # ---------------------------------------------------------------------------
 # Serial correlation inflates plain MK's false-positive rate; the PW
 # variant tests v'_t = v_t - r1 * v_{t-1} when |r1| is significant
-# (|r1| > 1.96/sqrt(n)), else the raw series.  r1 is the ar1_halflife
-# closed form over exact ints, so v' is the same bit pattern on both
-# engines and every pairwise sign compare agrees.  One extra lag column
-# on the existing per-key sort exchange; the MK kernel runs unchanged.
+# (|r1| > 1.96/sqrt(n)), else the raw series.  The whole computation is
+# per-key, so r1, the gate, the prewhitening, and the MK statistic all
+# run in ONE kernel pass over the per-user sort exchange — no lag
+# window, no stats join, no double lineage (round-4 profile: the
+# agg+join formulation recomputed the hourly rollup twice and ran 3x
+# slower than plain MK).  r1's sums are exact integers, so the in-kernel
+# numpy closed form is bit-identical to the SQL twin's aggregate form.
 
 
 def q_prewhitened_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("user_id").orderBy("t")
-    h = _hourly(spark, sf_dir).withColumn("vl", F.lag("v").over(w))
-    p = h.filter(F.col("vl").isNotNull())
-    agg = p.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("np"),
-        F.sum("vl").alias("sx"),
-        F.sum("v").alias("sy"),
-        F.sum(F.col("vl") * F.col("vl")).alias("sxx"),
-        F.sum(F.col("v") * F.col("v")).alias("syy"),
-        F.sum(F.col("vl") * F.col("v")).alias("sxy"),
-    )
-    den = (
-        (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (F.col("np") * F.col("syy") - F.col("sy") * F.col("sy"))
-    )
-    r = F.when(
-        den > 0,
-        (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy"))
-        / F.sqrt(den),
-    )
-    sig = F.abs(r) > F.lit(1.96) / F.sqrt(F.col("np").cast("double"))
-    rr = agg.select(
-        "user_id",
-        F.when(sig & r.isNotNull(), r).otherwise(F.lit(0.0)).alias("r1"),
-    )
-    pw = (
-        h.join(rr, "user_id")
-        .filter(F.col("vl").isNotNull())
-        .select(
-            "user_id",
-            "t",
-            (F.col("v") - F.col("r1") * F.col("vl")).alias("vp"),
-        )
-    )
-    from diive_spark.operators.trend import mann_kendall_trend
+    import numpy as np
 
-    mk = mann_kendall_trend(pw, "user_id", "t", "vp")
-    return mk.select(
-        "user_id",
-        "n",
-        "s",
-        F.round(F.col("var_s") * 18).cast("long").alias("var_s18"),
-        F.floor(F.col("z") * 10_000 + F.lit(_OFF)).cast("long").alias("z_e4"),
-    ).orderBy("user_id")
+    from diive_spark.operators.trend import mann_kendall_kernel
+    from diive_spark.session import kernel_partition
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t", kind="mergesort")
+        t = pdf["t"].to_numpy(dtype=np.float64)
+        v = pdf["v"].to_numpy(dtype=np.float64)
+        x, y = v[:-1], v[1:]
+        n = len(x)
+        r1 = 0.0
+        if n >= 2:
+            den = (n * (x * x).sum() - x.sum() ** 2) * (
+                n * (y * y).sum() - y.sum() ** 2
+            )
+            if den > 0:
+                r1 = (n * (x * y).sum() - x.sum() * y.sum()) / np.sqrt(den)
+                if abs(r1) <= 1.96 / np.sqrt(n):
+                    r1 = 0.0
+        vp = y - r1 * x
+        s, var_s, z, _, _ = mann_kendall_kernel(t[1:], vp)
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n": [len(vp)],
+                "s": [s],
+                "var_s18": [round(var_s * 18)],
+                "z_e4": [int(np.floor(z * 10_000 + _OFF))],
+            }
+        )
+
+    h = _hourly(spark, sf_dir)
+    out = kernel_partition(h, "user_id").groupBy("user_id").applyInPandas(
+        apply,
+        "user_id long, n long, s long, var_s18 long, z_e4 long",
+    )
+    return out.orderBy("user_id")
 
 
 SQL_PREWHITENED_MK = f"""
