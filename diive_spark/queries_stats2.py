@@ -2329,3 +2329,102 @@ ORDER BY 1
 
 QUERIES["embedding_drift"] = q_embedding_drift
 ORACLE_SQL["embedding_drift"] = SQL_EMBEDDING_DRIFT
+
+
+# ---------------------------------------------------------------------------
+# ts_strength — Hyndman trend/seasonal strength features per event type
+# ---------------------------------------------------------------------------
+# F_trend = max(0, 1 - Var(resid)/Var(trend + resid)), F_seasonal =
+# max(0, 1 - Var(resid)/Var(seasonal + resid)) (Wang, Smith & Hyndman
+# 2006; the tsfeatures battery) on the classical additive decomposition
+# of each type's hourly series — the screen that routes series to the
+# right gap-fill/forecast family.  Reuses operators/seasonal.py's
+# decompose (per-key windows, span-bounded input); the variance ratios
+# are var_pop aggregates whose cross-engine drift is ~n ulp against the
+# e4 floor grid.
+
+def q_ts_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators import seasonal as SEA
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hr = (
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000)
+        * 3600
+    ).cast("long")
+    hourly = ev.groupBy("event_type", hr.alias("ts_s")).agg(
+        F.round(F.avg("value"), 4).alias("y")
+    )
+    dec = SEA.classical_decompose(
+        hourly, ts_col="ts_s", value_col="y", period=24,
+        by=["event_type"], bucket_seconds=3600,
+    ).filter(F.col("trend").isNotNull())
+    agg = dec.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.var_pop("resid").alias("vr"),
+        F.var_pop(F.col("trend") + F.col("resid")).alias("vtr"),
+        F.var_pop(F.col("seasonal") + F.col("resid")).alias("vsr"),
+    )
+    f_t = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("vr") / F.col("vtr"))
+    f_s = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("vr") / F.col("vsr"))
+    return agg.filter((F.col("vtr") > 0) & (F.col("vsr") > 0)).select(
+        "event_type",
+        "n",
+        F.floor(f_t * 10_000 + F.lit(_OFF)).cast("long").alias("f_trend_e4"),
+        F.floor(f_s * 10_000 + F.lit(_OFF)).cast("long").alias("f_seas_e4"),
+    ).orderBy("event_type")
+
+
+SQL_TS_STRENGTH = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS ts_s,
+         round(avg(value), 4) AS y
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, ts_s, y,
+         CAST(ts_s / 3600 AS BIGINT) % 24 AS phase,
+         CASE WHEN count(y) OVER w25 = 25 THEN
+           (sum(y) OVER w25
+              - 0.5 * lag(y, 12) OVER wo
+              - 0.5 * lead(y, 12) OVER wo) / 24.0
+         END AS trend
+  FROM h
+  WINDOW wo AS (PARTITION BY event_type ORDER BY ts_s),
+         w25 AS (PARTITION BY event_type ORDER BY ts_s
+                 ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), s AS (
+  SELECT *,
+         avg(y - trend) OVER (PARTITION BY event_type, phase) AS sraw,
+         row_number() OVER (PARTITION BY event_type, phase
+                            ORDER BY ts_s) AS rn
+  FROM t
+), g AS (
+  SELECT *,
+         sum(CASE WHEN rn = 1 THEN sraw END)
+             OVER (PARTITION BY event_type)
+           / count(CASE WHEN rn = 1 THEN 1 END)
+             OVER (PARTITION BY event_type) AS grand
+  FROM s
+), vals AS (
+  SELECT event_type, trend, sraw - grand AS seasonal,
+         y - trend - (sraw - grand) AS resid
+  FROM g WHERE trend IS NOT NULL
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         var_pop(resid) AS vr,
+         var_pop(trend + resid) AS vtr,
+         var_pop(seasonal + resid) AS vsr
+  FROM vals GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(floor(greatest(0.0, 1.0 - vr / vtr) * 10000 + {_OFF})
+            AS BIGINT) AS f_trend_e4,
+       CAST(floor(greatest(0.0, 1.0 - vr / vsr) * 10000 + {_OFF})
+            AS BIGINT) AS f_seas_e4
+FROM agg WHERE vtr > 0 AND vsr > 0
+ORDER BY event_type
+"""
+
+
+QUERIES["ts_strength"] = q_ts_strength
+ORACLE_SQL["ts_strength"] = SQL_TS_STRENGTH

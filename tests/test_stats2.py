@@ -821,3 +821,49 @@ def test_embedding_drift_matches_numpy(spark):
         row = out[label]
         assert row["n_vecs"] == len(grp)
         assert abs(row["cos_e6"] - math.floor(cos * 1e6 + _OFF)) <= 2
+
+
+def test_ts_strength_matches_manual_decompose(spark):
+    from diive_spark.queries_stats2 import q_ts_strength
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["ts_s"] = (ev["ts"].astype("int64") // 10**9 // 3600) * 3600
+    h = (
+        ev.groupby(["event_type", "ts_s"])["value"]
+        .mean()
+        .round(4)
+        .reset_index(name="y")
+    )
+    out = {r["event_type"]: r for r in q_ts_strength(spark, SF).collect()}
+    for etype, grp in h.groupby("event_type"):
+        g = grp.sort_values("ts_s").reset_index(drop=True)
+        y = g["y"].to_numpy()
+        n = len(y)
+        trend = np.full(n, np.nan)
+        for i in range(12, n - 12):
+            w = y[i - 12 : i + 13]
+            trend[i] = (w.sum() - 0.5 * y[i - 12] - 0.5 * y[i + 12]) / 24.0
+        phase = (g["ts_s"].to_numpy() // 3600) % 24
+        det = y - trend
+        sraw = np.full(n, np.nan)
+        means = {}
+        for ph in np.unique(phase):
+            means[ph] = np.nanmean(det[phase == ph])
+        grand = np.mean(list(means.values()))
+        seasonal = np.array([means[p] - grand for p in phase])
+        resid = y - trend - seasonal
+        keep = ~np.isnan(trend)
+        vr = np.var(resid[keep])
+        vtr = np.var((trend + resid)[keep])
+        vsr = np.var((seasonal + resid)[keep])
+        if vtr <= 0 or vsr <= 0:
+            assert etype not in out
+            continue
+        ft = max(0.0, 1 - vr / vtr)
+        fs = max(0.0, 1 - vr / vsr)
+        row = out[etype]
+        assert row["n"] == int(keep.sum())
+        assert abs(row["f_trend_e4"] - math.floor(ft * 1e4 + _OFF)) <= 1
+        assert abs(row["f_seas_e4"] - math.floor(fs * 1e4 + _OFF)) <= 1
+        assert 0 <= row["f_trend_e4"] <= 10_000
+        assert 0 <= row["f_seas_e4"] <= 10_000
