@@ -2428,3 +2428,73 @@ ORDER BY event_type
 
 QUERIES["ts_strength"] = q_ts_strength
 ORACLE_SQL["ts_strength"] = SQL_TS_STRENGTH
+
+
+# ---------------------------------------------------------------------------
+# ts_stability — tiled-window stability and lumpiness per event type
+# ---------------------------------------------------------------------------
+# tsfeatures' complements to ts_strength (Hyndman et al.): split each
+# type's hourly series into non-overlapping 24h tiles; stability =
+# Var(tile means), lumpiness = Var(tile variances).  Two combinable
+# groupBys (hour rollup -> tile stats -> type), no windows at all; the
+# variance-of-variances drift is the usual n·ulp-vs-e4 margin.
+
+
+def q_ts_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hr = (
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000)
+        * 3600
+    ).cast("long")
+    hourly = ev.groupBy("event_type", hr.alias("ts_s")).agg(
+        F.round(F.avg("value"), 4).alias("y")
+    )
+    tiles = hourly.groupBy(
+        "event_type", (F.col("ts_s") / 86_400).cast("long").alias("tile")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.avg("y").alias("m"),
+        F.var_pop("y").alias("s2"),
+    ).filter(F.col("cnt") >= 12)  # tiles at least half full
+    agg = tiles.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tiles"),
+        F.var_pop("m").alias("stab"),
+        F.var_pop("s2").alias("lump"),
+    )
+    return agg.filter(F.col("n_tiles") >= 2).select(
+        "event_type",
+        "n_tiles",
+        F.floor(F.col("stab") * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("stability_e4"),
+        F.floor(F.col("lump") * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("lumpiness_e4"),
+    ).orderBy("event_type")
+
+
+SQL_TS_STABILITY = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS ts_s,
+         round(avg(value), 4) AS y
+  FROM events GROUP BY 1, 2
+), tiles AS (
+  SELECT event_type, ts_s // 86400 AS tile,
+         count(*) AS cnt, avg(y) AS m, var_pop(y) AS s2
+  FROM h GROUP BY 1, 2 HAVING count(*) >= 12
+), agg AS (
+  SELECT event_type, count(*) AS n_tiles,
+         var_pop(m) AS stab, var_pop(s2) AS lump
+  FROM tiles GROUP BY 1
+)
+SELECT event_type, CAST(n_tiles AS BIGINT) AS n_tiles,
+       CAST(floor(stab * 10000 + {_OFF}) AS BIGINT) AS stability_e4,
+       CAST(floor(lump * 10000 + {_OFF}) AS BIGINT) AS lumpiness_e4
+FROM agg WHERE n_tiles >= 2
+ORDER BY event_type
+"""
+
+
+QUERIES["ts_stability"] = q_ts_stability
+ORACLE_SQL["ts_stability"] = SQL_TS_STABILITY

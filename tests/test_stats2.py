@@ -867,3 +867,35 @@ def test_ts_strength_matches_manual_decompose(spark):
         assert abs(row["f_seas_e4"] - math.floor(fs * 1e4 + _OFF)) <= 1
         assert 0 <= row["f_trend_e4"] <= 10_000
         assert 0 <= row["f_seas_e4"] <= 10_000
+
+
+def test_ts_stability_matches_numpy(spark):
+    from diive_spark.queries_stats2 import q_ts_stability
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["ts_s"] = (ev["ts"].astype("int64") // 10**9 // 3600) * 3600
+    h = (
+        ev.groupby(["event_type", "ts_s"])["value"]
+        .mean()
+        .round(4)
+        .reset_index(name="y")
+    )
+    h["tile"] = h["ts_s"] // 86400
+    out = {r["event_type"]: r for r in q_ts_stability(spark, SF).collect()}
+    for etype, grp in h.groupby("event_type"):
+        ms, s2s = [], []
+        for _, tg in grp.groupby("tile"):
+            if len(tg) >= 12:
+                ms.append(tg["y"].mean())
+                s2s.append(tg["y"].var(ddof=0))
+        if len(ms) < 2:
+            assert etype not in out
+            continue
+        row = out[etype]
+        assert row["n_tiles"] == len(ms)
+        assert abs(
+            row["stability_e4"] - math.floor(np.var(ms) * 1e4 + _OFF)
+        ) <= 1
+        assert abs(
+            row["lumpiness_e4"] - math.floor(np.var(s2s) * 1e4 + _OFF)
+        ) <= 1
