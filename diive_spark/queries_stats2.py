@@ -2498,3 +2498,127 @@ ORDER BY event_type
 
 QUERIES["ts_stability"] = q_ts_stability
 ORACLE_SQL["ts_stability"] = SQL_TS_STABILITY
+
+
+# ---------------------------------------------------------------------------
+# ts_crossings — median crossings and longest flat spot per user
+# ---------------------------------------------------------------------------
+# Two more tsfeatures screens, both exact: crossing_points = transitions
+# of the above-lower-median indicator (lower median = exact element
+# pick, so the indicator is integer-exact), flat_spots = longest run of
+# the same decile bucket (bucket from exact order-stat thresholds via
+# ntile-quota rank arithmetic).  One rank window + one lag window on the
+# same per-key sort exchange + a run-length groupBy.
+
+
+def q_ts_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("t")
+    wv = Window.partitionBy("user_id").orderBy("v", "t")
+    wn = Window.partitionBy("user_id")
+    h = (
+        _hourly(spark, sf_dir)
+        .withColumn("rnv", F.row_number().over(wv))
+        .withColumn("nn", F.count(F.lit(1)).over(wn))
+    )
+    # lower median as exact element pick: value at rank (n-1)//2 + 1
+    med = h.filter(
+        F.col("rnv") == F.floor((F.col("nn") - 1) / 2) + 1
+    ).select("user_id", F.col("v").alias("med"))
+    # decile bucket by rank quota (SQL NTILE arithmetic: first n%10
+    # buckets one row larger)
+    q10 = F.col("nn") - F.floor(F.col("nn") / 10) * 10
+    big = (F.floor(F.col("nn") / 10) + 1) * q10
+    bucket = F.when(
+        F.col("rnv") <= big,
+        F.ceil(F.col("rnv") / (F.floor(F.col("nn") / 10) + 1)),
+    ).otherwise(
+        q10
+        + F.ceil((F.col("rnv") - big) / F.greatest(F.floor(F.col("nn") / 10), F.lit(1)))
+    )
+    t = (
+        h.join(med, "user_id")
+        .withColumn("abv", (F.col("v") > F.col("med")).cast("long"))
+        .withColumn("dec", bucket.cast("long"))
+        .withColumn("abv_prev", F.lag("abv").over(w))
+        .withColumn("dec_prev", F.lag("dec").over(w))
+        .withColumn(
+            "new_run",
+            (F.col("dec_prev").isNull() | (F.col("dec") != F.col("dec_prev")))
+            .cast("long"),
+        )
+        .withColumn("run_id", F.sum("new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+    )
+    crossings = t.groupBy("user_id").agg(
+        F.max("nn").cast("long").alias("n"),
+        F.sum(
+            (
+                F.col("abv_prev").isNotNull()
+                & (F.col("abv") != F.col("abv_prev"))
+            ).cast("long")
+        ).cast("long").alias("crossing_points"),
+    )
+    flats = (
+        t.groupBy("user_id", "run_id")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("user_id")
+        .agg(F.max("run_len").cast("long").alias("flat_spots"))
+    )
+    return (
+        crossings.join(flats, "user_id")
+        .select("user_id", "n", "crossing_points", "flat_spots")
+        .orderBy("user_id")
+    )
+
+
+SQL_TS_CROSSINGS = f"""
+WITH {_HOURLY_SQL},
+r AS (
+  SELECT user_id, t, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY v, t) AS rnv,
+         count(*) OVER (PARTITION BY user_id) AS nn
+  FROM hourly
+), med AS (
+  SELECT user_id, v AS med FROM r WHERE rnv = (nn - 1) // 2 + 1
+), b AS (
+  SELECT r.user_id, r.t, r.v, r.nn,
+         CASE WHEN r.v > med.med THEN 1 ELSE 0 END AS abv,
+         CASE WHEN rnv <= (nn // 10 + 1) * (nn % 10)
+              THEN CAST(ceil(rnv / (nn // 10 + 1.0)) AS BIGINT)
+              ELSE nn % 10 + CAST(ceil((rnv - (nn // 10 + 1) * (nn % 10))
+                                       / greatest(nn // 10, 1) * 1.0)
+                                  AS BIGINT)
+         END AS dec
+  FROM r JOIN med ON med.user_id = r.user_id
+), lagged AS (
+  SELECT *,
+         lag(abv) OVER w AS abv_prev,
+         CASE WHEN lag(dec) OVER w IS NULL OR dec <> lag(dec) OVER w
+              THEN 1 ELSE 0 END AS new_run
+  FROM b
+  WINDOW w AS (PARTITION BY user_id ORDER BY t)
+), runs AS (
+  SELECT *, sum(new_run) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS run_id
+  FROM lagged
+), flats AS (
+  SELECT user_id, CAST(max(run_len) AS BIGINT) AS flat_spots FROM (
+    SELECT user_id, run_id, count(*) AS run_len
+    FROM runs GROUP BY 1, 2
+  ) GROUP BY 1
+), cr AS (
+  SELECT user_id, CAST(max(nn) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN abv_prev IS NOT NULL AND abv <> abv_prev
+                       THEN 1 ELSE 0 END) AS BIGINT) AS crossing_points
+  FROM runs GROUP BY 1
+)
+SELECT cr.user_id, cr.n, cr.crossing_points, flats.flat_spots
+FROM cr JOIN flats ON flats.user_id = cr.user_id
+ORDER BY cr.user_id
+"""
+
+
+QUERIES["ts_crossings"] = q_ts_crossings
+ORACLE_SQL["ts_crossings"] = SQL_TS_CROSSINGS

@@ -899,3 +899,35 @@ def test_ts_stability_matches_numpy(spark):
         assert abs(
             row["lumpiness_e4"] - math.floor(np.var(s2s) * 1e4 + _OFF)
         ) <= 1
+
+
+def test_ts_crossings_matches_numpy(spark):
+    from diive_spark.queries_stats2 import q_ts_crossings
+
+    out = {r["user_id"]: r for r in q_ts_crossings(spark, SF).collect()}
+    g = _hourly_pd(spark)
+    for uid, grp in list(g.groupby("user_id"))[:10]:
+        v = grp["v"].to_numpy()
+        n = len(v)
+        med = np.sort(v)[(n - 1) // 2]
+        abv = (v > med).astype(int)
+        crossings = int((abv[1:] != abv[:-1]).sum())
+        # decile via NTILE quota on (v, t) rank
+        order = np.lexsort((grp["t"].to_numpy(), v))
+        rnv = np.empty(n, dtype=int)
+        rnv[order] = np.arange(1, n + 1)
+        q, r = divmod(n, 10)
+        big = (q + 1) * r
+        dec = np.where(
+            rnv <= big,
+            np.ceil(rnv / (q + 1)),
+            r + np.ceil((rnv - big) / max(q, 1)),
+        ).astype(int)
+        runs, best = 1, 1
+        for i in range(1, n):
+            runs = runs + 1 if dec[i] == dec[i - 1] else 1
+            best = max(best, runs)
+        row = out[uid]
+        assert row["n"] == n
+        assert row["crossing_points"] == crossings
+        assert row["flat_spots"] == best
