@@ -2622,3 +2622,112 @@ ORDER BY cr.user_id
 
 QUERIES["ts_crossings"] = q_ts_crossings
 ORACLE_SQL["ts_crossings"] = SQL_TS_CROSSINGS
+
+
+# ---------------------------------------------------------------------------
+# ar2_yule_walker — AR(2) coefficients + lag-2 PACF per user
+# ---------------------------------------------------------------------------
+# Yule-Walker: phi1 = r1(1-r2)/(1-r1²), phi2 = (r2-r1²)/(1-r1²); phi2 is
+# exactly the lag-2 partial autocorrelation (Durbin-Levinson step 2).
+# r1/r2 use the Ljung-Box exact-integer expansion (global-mean ACF), so
+# both coefficients are single deterministic expressions.  Two leads on
+# one sort exchange, one combinable groupBy.
+
+
+def q_ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("t")
+    h = (
+        _hourly(spark, sf_dir)
+        .withColumn("l1", F.lead("v", 1).over(w))
+        .withColumn("l2", F.lead("v", 2).over(w))
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    ]
+    for k in (1, 2):
+        lk = F.col(f"l{k}")
+        aggs += [
+            F.sum(F.col("v") * lk).alias(f"c{k}"),
+            F.sum(F.when(lk.isNotNull(), F.col("v"))).alias(f"a{k}"),
+            F.sum(lk).alias(f"b{k}"),
+            F.count(lk).alias(f"m{k}"),
+        ]
+    agg = h.groupBy("user_id").agg(*aggs).filter(F.col("n") > 4)
+    vbar = F.col("sv") / F.col("n")
+    den = F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")
+
+    def rk(k: int) -> F.Column:
+        return (
+            F.col(f"c{k}")
+            - vbar * (F.col(f"a{k}") + F.col(f"b{k}"))
+            + F.col(f"m{k}") * vbar * vbar
+        ) / den
+
+    r1, r2 = rk(1), rk(2)
+    disc = 1 - r1 * r1
+    phi1 = r1 * (1 - r2) / disc
+    phi2 = (r2 - r1 * r1) / disc
+    out = agg.filter(den > 0).select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        F.floor(r1 * 1_000_000 + F.lit(_OFF)).cast("long").alias("r1_e6"),
+        F.floor(r2 * 1_000_000 + F.lit(_OFF)).cast("long").alias("r2_e6"),
+        F.when(
+            disc > 0,
+            F.floor(phi1 * 1_000_000 + F.lit(_OFF)).cast("long"),
+        ).alias("phi1_e6"),
+        F.when(
+            disc > 0,
+            F.floor(phi2 * 1_000_000 + F.lit(_OFF)).cast("long"),
+        ).alias("phi2_e6"),
+    )
+    return out.orderBy("user_id")
+
+
+def _sql_ar2() -> str:
+    lag_cols = ",\n         ".join(
+        f"lead(v, {k}) OVER (PARTITION BY user_id ORDER BY t) AS l{k}"
+        for k in (1, 2)
+    )
+    agg_cols = ",\n         ".join(
+        f"sum(v * l{k}) AS c{k}, "
+        f"sum(CASE WHEN l{k} IS NOT NULL THEN v END) AS a{k}, "
+        f"sum(l{k}) AS b{k}, count(l{k}) AS m{k}"
+        for k in (1, 2)
+    )
+    r = {
+        k: f"((c{k} - (sv/n)*(a{k} + b{k}) + m{k}*(sv/n)*(sv/n))"
+           f" / (svv - sv*sv/n))"
+        for k in (1, 2)
+    }
+    disc = f"(1 - {r[1]} * {r[1]})"
+    return f"""
+WITH {_HOURLY_SQL},
+lagged AS (
+  SELECT user_id, v,
+         {lag_cols}
+  FROM hourly
+), agg AS (
+  SELECT user_id, count(*) AS n, sum(v) AS sv, sum(v * v) AS svv,
+         {agg_cols}
+  FROM lagged GROUP BY 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CAST(floor({r[1]} * 1000000 + {_OFF}) AS BIGINT) AS r1_e6,
+       CAST(floor({r[2]} * 1000000 + {_OFF}) AS BIGINT) AS r2_e6,
+       CAST(CASE WHEN {disc} > 0 THEN
+         floor({r[1]} * (1 - {r[2]}) / {disc} * 1000000 + {_OFF})
+       END AS BIGINT) AS phi1_e6,
+       CAST(CASE WHEN {disc} > 0 THEN
+         floor(({r[2]} - {r[1]} * {r[1]}) / {disc} * 1000000 + {_OFF})
+       END AS BIGINT) AS phi2_e6
+FROM agg
+WHERE n > 4 AND svv - sv * sv / n > 0
+ORDER BY user_id
+"""
+
+
+QUERIES["ar2_yule_walker"] = q_ar2_yule_walker
+ORACLE_SQL["ar2_yule_walker"] = _sql_ar2()

@@ -931,3 +931,28 @@ def test_ts_crossings_matches_numpy(spark):
         assert row["n"] == n
         assert row["crossing_points"] == crossings
         assert row["flat_spots"] == best
+
+
+def test_ar2_yule_walker_matches_numpy(spark):
+    from diive_spark.queries_stats2 import q_ar2_yule_walker
+
+    out = {r["user_id"]: r for r in q_ar2_yule_walker(spark, SF).collect()}
+    g = _hourly_pd(spark)
+    for uid, grp in list(g.groupby("user_id"))[:8]:
+        v = grp["v"].to_numpy(dtype=float)
+        n = len(v)
+        if n <= 4:
+            continue
+        vbar = v.mean()
+        den = ((v - vbar) ** 2).sum()
+        r1 = ((v[:-1] - vbar) * (v[1:] - vbar)).sum() / den
+        r2 = ((v[:-2] - vbar) * (v[2:] - vbar)).sum() / den
+        disc = 1 - r1 * r1
+        row = out[uid]
+        assert abs(row["r1_e6"] - math.floor(r1 * 1e6 + _OFF)) <= 1
+        assert abs(row["r2_e6"] - math.floor(r2 * 1e6 + _OFF)) <= 1
+        if disc > 0:
+            phi1 = r1 * (1 - r2) / disc
+            phi2 = (r2 - r1 * r1) / disc
+            assert abs(row["phi1_e6"] - math.floor(phi1 * 1e6 + _OFF)) <= 1
+            assert abs(row["phi2_e6"] - math.floor(phi2 * 1e6 + _OFF)) <= 1
