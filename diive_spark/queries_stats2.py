@@ -2731,3 +2731,67 @@ ORDER BY user_id
 
 QUERIES["ar2_yule_walker"] = q_ar2_yule_walker
 ORACLE_SQL["ar2_yule_walker"] = _sql_ar2()
+
+
+# ---------------------------------------------------------------------------
+# term_burstiness — within-document term repetition (Church & Gale 1995)
+# ---------------------------------------------------------------------------
+# For each term with df >= 20: adaptation P(repeat) = P(tf_d >= 2 |
+# tf_d >= 1) and mean extra repeats (tf - df)/df — the burstiness
+# profile that separates content words (bursty) from function words
+# (Poisson-ish).  Exact integer counts end-to-end; two combinable
+# groupBys ((doc, term) then term).
+
+
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("w"),
+    )
+    dt = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    agg = dt.groupBy("w").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("tf_total"),
+        F.sum((F.col("tf") >= 2).cast("long")).alias("df2"),
+    )
+    out = agg.filter(F.col("df") >= 20).select(
+        "w",
+        F.col("df").cast("long").alias("df"),
+        F.col("tf_total").cast("long").alias("tf_total"),
+        F.floor(
+            F.col("df2").cast("double") / F.col("df") * 1_000_000 + F.lit(0.5)
+        ).cast("long").alias("p_repeat_e6"),
+        F.floor(
+            (F.col("tf_total") - F.col("df")).cast("double") / F.col("df")
+            * 1_000_000
+            + F.lit(0.5)
+        ).cast("long").alias("extra_e6"),
+    )
+    return out.orderBy("w")
+
+
+SQL_TERM_BURSTINESS = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents
+), dt AS (
+  SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2
+), agg AS (
+  SELECT w, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
+         CAST(sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+  FROM dt GROUP BY 1
+)
+SELECT w, CAST(df AS BIGINT) AS df, tf_total,
+       CAST(floor(CAST(df2 AS DOUBLE) / df * 1000000 + 0.5) AS BIGINT)
+         AS p_repeat_e6,
+       CAST(floor(CAST(tf_total - df AS DOUBLE) / df * 1000000 + 0.5)
+            AS BIGINT) AS extra_e6
+FROM agg WHERE df >= 20
+ORDER BY w
+"""
+
+
+QUERIES["term_burstiness"] = q_term_burstiness
+ORACLE_SQL["term_burstiness"] = SQL_TERM_BURSTINESS

@@ -956,3 +956,34 @@ def test_ar2_yule_walker_matches_numpy(spark):
             phi2 = (r2 - r1 * r1) / disc
             assert abs(row["phi1_e6"] - math.floor(phi1 * 1e6 + _OFF)) <= 1
             assert abs(row["phi2_e6"] - math.floor(phi2 * 1e6 + _OFF)) <= 1
+
+
+def test_term_burstiness_matches_counter(spark):
+    from diive_spark.queries_stats2 import q_term_burstiness
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    df_ct, tf_ct, df2_ct = Counter(), Counter(), Counter()
+    for _, d in docs.iterrows():
+        ct = Counter(_WORD.findall((d["text"] or "").lower()))
+        for w, c in ct.items():
+            df_ct[w] += 1
+            tf_ct[w] += c
+            if c >= 2:
+                df2_ct[w] += 1
+    out = {r["w"]: r for r in q_term_burstiness(spark, SF).collect()}
+    expect = {w for w, c in df_ct.items() if c >= 20}
+    assert set(out) == expect
+    for w in expect:
+        row = out[w]
+        assert row["df"] == df_ct[w]
+        assert row["tf_total"] == tf_ct[w]
+        assert row["p_repeat_e6"] == math.floor(
+            df2_ct[w] / df_ct[w] * 1e6 + 0.5
+        )
+        assert row["extra_e6"] == math.floor(
+            (tf_ct[w] - df_ct[w]) / df_ct[w] * 1e6 + 0.5
+        )
