@@ -2795,3 +2795,95 @@ ORDER BY w
 
 QUERIES["term_burstiness"] = q_term_burstiness
 ORACLE_SQL["term_burstiness"] = SQL_TERM_BURSTINESS
+
+
+# ---------------------------------------------------------------------------
+# log_odds_terms — Monroe "fightin' words" log-odds keywords per language
+# ---------------------------------------------------------------------------
+# Informative-Dirichlet-prior log-odds (Monroe, Colaresi & Quinn 2008):
+# for each lang L vs the rest, delta_w = ln((y+a)/(nL+A-y-a)) -
+# ln((y'+a)/(nR+A-y'-a)), var = 1/(y+a) + 1/(y'+a), z = delta/sqrt(var),
+# prior a_w = global counts scaled to A = 500.  Exact integer counts,
+# ln margin as usual; top-5 per lang via a per-lang rank window whose
+# input is the lang's vocabulary (WindowGroupLimit pushes the top-k
+# before the final sort).
+
+
+def q_log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _documents(spark, sf_dir).select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("w"),
+    )
+    c = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("y"))
+    gw = c.groupBy("w").agg(F.sum("y").alias("g"))
+    tot = c.agg(F.sum("y").alias("gt"))
+    nl = c.groupBy("lang").agg(F.sum("y").alias("nl"))
+    j = (
+        c.join(F.broadcast(gw), "w")
+        .join(F.broadcast(nl), "lang")
+        .crossJoin(F.broadcast(tot))
+    )
+    a = F.col("g").cast("double") / F.col("gt") * 500.0
+    yl = F.col("y").cast("double")
+    yr = (F.col("g") - F.col("y")).cast("double")
+    nr = (F.col("gt") - F.col("nl")).cast("double")
+    delta = F.log((yl + a) / (F.col("nl") + 500.0 - yl - a)) - F.log(
+        (yr + a) / (nr + 500.0 - yr - a)
+    )
+    z = delta / F.sqrt(1.0 / (yl + a) + 1.0 / (yr + a))
+    scored = j.select("lang", "w", F.col("y").cast("long").alias("y"),
+                      z.alias("z"))
+    wr = Window.partitionBy("lang").orderBy(F.col("z").desc(), F.col("w"))
+    top = scored.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= 5
+    )
+    return top.select(
+        "lang",
+        F.col("rank").cast("long").alias("rank"),
+        "w",
+        "y",
+        F.floor(F.col("z") * 10_000 + F.lit(_OFF)).cast("long").alias("z_e4"),
+    ).orderBy("lang", "rank")
+
+
+SQL_LOG_ODDS = f"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents
+), c AS (
+  SELECT lang, w, count(*) AS y FROM toks GROUP BY 1, 2
+), gw AS (
+  SELECT w, CAST(sum(y) AS BIGINT) AS g FROM c GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(y) AS BIGINT) AS gt FROM c
+), nl AS (
+  SELECT lang, CAST(sum(y) AS BIGINT) AS nl FROM c GROUP BY 1
+), scored AS (
+  SELECT c.lang, c.w, c.y,
+         (ln((c.y + CAST(g AS DOUBLE) / gt * 500.0)
+             / (nl + 500.0 - c.y - CAST(g AS DOUBLE) / gt * 500.0))
+          - ln(((g - c.y) + CAST(g AS DOUBLE) / gt * 500.0)
+               / ((gt - nl) + 500.0 - (g - c.y)
+                  - CAST(g AS DOUBLE) / gt * 500.0)))
+         / sqrt(1.0 / (c.y + CAST(g AS DOUBLE) / gt * 500.0)
+                + 1.0 / ((g - c.y) + CAST(g AS DOUBLE) / gt * 500.0)) AS z
+  FROM c
+  JOIN gw ON gw.w = c.w
+  JOIN nl ON nl.lang = c.lang
+  CROSS JOIN tot
+), ranked AS (
+  SELECT lang, w, y, z,
+         row_number() OVER (PARTITION BY lang ORDER BY z DESC, w) AS rank
+  FROM scored
+)
+SELECT lang, CAST(rank AS BIGINT) AS rank, w, CAST(y AS BIGINT) AS y,
+       CAST(floor(z * 10000 + {_OFF}) AS BIGINT) AS z_e4
+FROM ranked WHERE rank <= 5
+ORDER BY lang, rank
+"""
+
+
+QUERIES["log_odds_terms"] = q_log_odds_terms
+ORACLE_SQL["log_odds_terms"] = SQL_LOG_ODDS

@@ -987,3 +987,45 @@ def test_term_burstiness_matches_counter(spark):
         assert row["extra_e6"] == math.floor(
             (tf_ct[w] - df_ct[w]) / df_ct[w] * 1e6 + 0.5
         )
+
+
+def test_log_odds_terms_matches_numpy(spark):
+    from diive_spark.queries_stats2 import q_log_odds_terms
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("lang", "text")
+        .toPandas()
+    )
+    counts: dict[str, Counter] = {}
+    for _, d in docs.iterrows():
+        counts.setdefault(d["lang"], Counter()).update(
+            _WORD.findall((d["text"] or "").lower())
+        )
+    gw = Counter()
+    for ct in counts.values():
+        gw.update(ct)
+    gt = sum(gw.values())
+    out = q_log_odds_terms(spark, SF).collect()
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        nl = sum(counts[lang].values())
+        nr = gt - nl
+        scored = []
+        for w, g in gw.items():
+            y = counts[lang].get(w, 0)
+            a = g / gt * 500.0
+            yr = g - y
+            delta = math.log((y + a) / (nl + 500.0 - y - a)) - math.log(
+                (yr + a) / (nr + 500.0 - yr - a)
+            )
+            z = delta / math.sqrt(1.0 / (y + a) + 1.0 / (yr + a))
+            scored.append((-z, w))
+        scored.sort()
+        top5 = [w for _, w in scored[:5]]
+        assert [r["w"] for r in sorted(rows, key=lambda r: r["rank"])] == top5
+        for r in rows:
+            zexp = -next(s for s, w in scored if w == r["w"])
+            assert abs(r["z_e4"] - math.floor(zexp * 1e4 + _OFF)) <= 1
