@@ -2887,3 +2887,68 @@ ORDER BY lang, rank
 
 QUERIES["log_odds_terms"] = q_log_odds_terms
 ORACLE_SQL["log_odds_terms"] = SQL_LOG_ODDS
+
+
+# ---------------------------------------------------------------------------
+# vocab_richness — Chao1 richness + Good-Turing unseen mass per language
+# ---------------------------------------------------------------------------
+# Chao1 = S_obs + N1^2 / (2 N2) (Chao 1984) estimates the true
+# vocabulary size; Good-Turing P0 = N1/N is the probability mass of
+# unseen words (Gale & Sampson 1995) — the two corpus-coverage numbers
+# a sampling plan reads.  Exact integer frequency-of-frequencies from
+# two combinable groupBys.
+
+
+def q_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _documents(spark, sf_dir).select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("w"),
+    )
+    c = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("f"))
+    agg = c.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("s_obs"),
+        F.sum("f").alias("n_tokens"),
+        F.sum((F.col("f") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("f") == 2).cast("long")).alias("n2"),
+    )
+    chao1 = F.col("s_obs") + F.col("n1") * F.col("n1") / (
+        2.0 * F.greatest(F.col("n2"), F.lit(1))
+    )
+    p0 = F.col("n1").cast("double") / F.col("n_tokens")
+    return agg.select(
+        "lang",
+        F.col("s_obs").cast("long").alias("s_obs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.floor(chao1 * 100 + F.lit(0.5)).cast("long").alias("chao1_e2"),
+        F.floor(p0 * 1_000_000 + F.lit(0.5)).cast("long").alias("p0_e6"),
+    ).orderBy("lang")
+
+
+SQL_VOCAB_RICHNESS = """
+WITH toks AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents
+), c AS (
+  SELECT lang, w, count(*) AS f FROM toks GROUP BY 1, 2
+), agg AS (
+  SELECT lang, count(*) AS s_obs, CAST(sum(f) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM c GROUP BY 1
+)
+SELECT lang, CAST(s_obs AS BIGINT) AS s_obs, n_tokens, n1, n2,
+       CAST(floor((s_obs + n1 * n1 / (2.0 * greatest(n2, 1))) * 100 + 0.5)
+            AS BIGINT) AS chao1_e2,
+       CAST(floor(CAST(n1 AS DOUBLE) / n_tokens * 1000000 + 0.5) AS BIGINT)
+         AS p0_e6
+FROM agg
+ORDER BY lang
+"""
+
+
+QUERIES["vocab_richness"] = q_vocab_richness
+ORACLE_SQL["vocab_richness"] = SQL_VOCAB_RICHNESS

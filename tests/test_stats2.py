@@ -1029,3 +1029,33 @@ def test_log_odds_terms_matches_numpy(spark):
         for r in rows:
             zexp = -next(s for s, w in scored if w == r["w"])
             assert abs(r["z_e4"] - math.floor(zexp * 1e4 + _OFF)) <= 1
+
+
+def test_vocab_richness_matches_counter(spark):
+    from diive_spark.queries_stats2 import q_vocab_richness
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("lang", "text")
+        .toPandas()
+    )
+    out = {r["lang"]: r for r in q_vocab_richness(spark, SF).collect()}
+    by_lang: dict[str, Counter] = {}
+    for _, d in docs.iterrows():
+        by_lang.setdefault(d["lang"], Counter()).update(
+            _WORD.findall((d["text"] or "").lower())
+        )
+    for lang, ct in by_lang.items():
+        s_obs = len(ct)
+        n = sum(ct.values())
+        n1 = sum(1 for c in ct.values() if c == 1)
+        n2 = sum(1 for c in ct.values() if c == 2)
+        chao1 = s_obs + n1 * n1 / (2.0 * max(n2, 1))
+        row = out[lang]
+        assert (row["s_obs"], row["n_tokens"], row["n1"], row["n2"]) == (
+            s_obs, n, n1, n2,
+        )
+        assert row["chao1_e2"] == math.floor(chao1 * 100 + 0.5)
+        assert row["p0_e6"] == math.floor(n1 / n * 1e6 + 0.5)
+        # Chao1 never below observed richness
+        assert row["chao1_e2"] >= s_obs * 100
