@@ -1,0 +1,553 @@
+"""Round-4g query registry: corpus concentration, count-process and
+randomness diagnostics, graph mixing, and forecast scoring — per-lang
+source HHI/Simpson concentration, Poisson dispersion of hourly event
+counts, Kendall turning-points randomness test, Wald-Wolfowitz runs
+test, Newman degree assortativity of the crawl-order domain graph, and
+a multi-model MASE forecast backtest.
+
+Oracle conventions as everywhere in this repo: identical column names,
+every DuckDB integer SUM wrapped in ``CAST(... AS BIGINT)`` (HUGEINT
+trap), derived doubles floor-scaled with the house 1/pi offset.  Every
+statistic here is a SINGLE double expression over exact-integer
+aggregates (counts, centivalue sums, absolute integer differences), so
+the IEEE op tree is identical across engines and the floor-scaled
+outputs are bit-identical.
+
+Reference parity notes: diive's analytics layer ships sstats /
+histogram / quantile diagnostics over single sensor series
+(core/dfun/stats.py); these queries are the corpus-scale and
+count-process analogues a crawl/event warehouse needs (concentration,
+over-dispersion, randomness screens, forecast accuracy) — same
+describe-the-series intent, re-expressed over grouped keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from diive_spark.queries_stats2 import _HOURLY_SQL, _OFF, _documents, _hourly
+
+# ---------------------------------------------------------------------------
+# source_hhi — Herfindahl-Hirschman / Simpson concentration per language
+# ---------------------------------------------------------------------------
+# HHI = sum_s (n_s/N)^2 = (sum n_s^2)/N^2; Simpson's unbiased diversity
+# D = 1 - sum n_s(n_s-1) / (N(N-1)); effective source count = 1/HHI
+# (inverse-Simpson form).  Companion to `gini_sources`: the domain-cap /
+# sampling planner reads HHI to spot languages dominated by one crawl
+# source.  Two combinable groupBys, every term an exact integer, one
+# double division per output — bit-identical across engines.
+
+
+def q_source_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        _documents(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("n").alias("n_docs"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("sp"),
+    )
+    hhi = F.col("ss").cast("double") / (
+        F.col("n_docs").cast("double") * F.col("n_docs").cast("double")
+    )
+    simpson = F.lit(1.0) - F.col("sp").cast("double") / (
+        F.col("n_docs").cast("double") * (F.col("n_docs").cast("double") - 1.0)
+    )
+    return agg.select(
+        "lang",
+        F.col("n_sources").cast("long").alias("n_sources"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.floor(hhi * 1_000_000 + F.lit(_OFF)).cast("long").alias("hhi_e6"),
+        F.floor(simpson * 1_000_000 + F.lit(_OFF)).cast("long").alias("simpson_e6"),
+        F.floor(F.lit(1.0) / hhi * 100 + F.lit(_OFF)).cast("long").alias("eff_sources_e2"),
+    ).orderBy("lang")
+
+
+SQL_SOURCE_HHI = f"""
+WITH per AS (
+  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
+), agg AS (
+  SELECT lang, count(*) AS n_sources,
+         CAST(sum(n) AS BIGINT) AS n_docs,
+         CAST(sum(n * n) AS BIGINT) AS ss,
+         CAST(sum(n * (n - 1)) AS BIGINT) AS sp
+  FROM per GROUP BY 1
+)
+SELECT lang, CAST(n_sources AS BIGINT) AS n_sources, n_docs,
+       CAST(floor(CAST(ss AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))
+                  * 1000000 + {_OFF}) AS BIGINT) AS hhi_e6,
+       CAST(floor((1.0 - CAST(sp AS DOUBLE)
+                         / (CAST(n_docs AS DOUBLE) * (CAST(n_docs AS DOUBLE) - 1.0)))
+                  * 1000000 + {_OFF}) AS BIGINT) AS simpson_e6,
+       CAST(floor(1.0 / (CAST(ss AS DOUBLE)
+                         / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+                  * 100 + {_OFF}) AS BIGINT) AS eff_sources_e2
+FROM agg
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# poisson_dispersion — over-dispersion of hourly event counts per type
+# ---------------------------------------------------------------------------
+# Index of dispersion D = s^2 / xbar over occupied-hour counts; the
+# chi-square dispersion statistic (n-1)*D tests Poisson-ness (Cox &
+# Lewis 1966 ch.6).  Counts, their squares, and the bucket count are
+# exact integers from two combinable groupBys; D is one double
+# expression (sum-of-squares identity), so the e6-scaled outputs match
+# bit-for-bit.  D >> 1 flags bursty (clustered) event arrival — the
+# recrawl scheduler's signal for hot types.
+
+
+def q_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        "event_type",
+        (
+            F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000)
+        ).cast("long").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    agg = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+    )
+    nd = F.col("n").cast("double")
+    scd = F.col("sc").cast("double")
+    var = (F.col("sc2").cast("double") - scd * scd / nd) / (nd - 1.0)
+    mean = scd / nd
+    disp = var / mean
+    return agg.select(
+        F.col("event_type"),
+        F.col("n").cast("long").alias("n"),
+        F.col("sc").cast("long").alias("n_events"),
+        F.floor(mean * 10_000 + F.lit(_OFF)).cast("long").alias("mean_e4"),
+        F.floor(disp * 1_000_000 + F.lit(_OFF)).cast("long").alias("dispersion_e6"),
+        F.floor((nd - 1.0) * disp * 10_000 + F.lit(_OFF)).cast("long").alias("chi2_e4"),
+    ).orderBy("event_type")
+
+
+SQL_POISSON_DISPERSION = f"""
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(c) AS BIGINT) AS sc,
+         CAST(sum(c * c) AS BIGINT) AS sc2
+  FROM hourly GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, sc AS n_events,
+       CAST(floor(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) * 10000 + {_OFF})
+            AS BIGINT) AS mean_e4,
+       CAST(floor((CAST(sc2 AS DOUBLE)
+                   - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 1.0)
+                  / (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+                  * 1000000 + {_OFF}) AS BIGINT) AS dispersion_e6,
+       CAST(floor((CAST(n AS DOUBLE) - 1.0)
+                  * ((CAST(sc2 AS DOUBLE)
+                      - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+                     / (CAST(n AS DOUBLE) - 1.0)
+                     / (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)))
+                  * 10000 + {_OFF}) AS BIGINT) AS chi2_e4
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# turning_points — Kendall's turning-point randomness test per user
+# ---------------------------------------------------------------------------
+# T = number of strict interior local extrema; under IID randomness
+# E[T] = 2(n-2)/3 and Var[T] = (16n-29)/90 (Kendall & Stuart vol.3
+# §45.19); z = (T - E)/sqrt(Var).  lag+lead share ONE window sort
+# exchange; T and n are exact integers on centivalues, z is one double
+# expression.  A cheap whiteness screen next to ljung_box (correlation-
+# based) — turning points catch non-randomness that survives the ACF.
+
+
+def q_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("t")
+    h = (
+        _hourly(spark, sf_dir)
+        .withColumn("vp", F.lag("v").over(w))
+        .withColumn("vn", F.lead("v").over(w))
+    )
+    turn = (
+        ((F.col("vp") < F.col("v")) & (F.col("vn") < F.col("v")))
+        | ((F.col("vp") > F.col("v")) & (F.col("vn") > F.col("v")))
+    ).cast("long")
+    agg = h.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("vp").isNotNull() & F.col("vn").isNotNull(), turn)
+            .otherwise(F.lit(0))
+        ).alias("t_pts"),
+    )
+    nd = F.col("n").cast("double")
+    e = 2.0 * (nd - 2.0) / 3.0
+    v = (16.0 * nd - 29.0) / 90.0
+    z = (F.col("t_pts").cast("double") - e) / F.sqrt(v)
+    return agg.select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        F.col("t_pts").cast("long").alias("t_pts"),
+        F.floor(z * 10_000 + F.lit(_OFF)).cast("long").alias("z_e4"),
+    ).orderBy("user_id")
+
+
+SQL_TURNING_POINTS = f"""
+WITH {_HOURLY_SQL},
+l AS (
+  SELECT user_id, v,
+         lag(v) OVER w AS vp, lead(v) OVER w AS vn
+  FROM hourly WINDOW w AS (PARTITION BY user_id ORDER BY t)
+), agg AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(CASE WHEN vp IS NOT NULL AND vn IS NOT NULL
+                        AND ((vp < v AND vn < v) OR (vp > v AND vn > v))
+                       THEN 1 ELSE 0 END) AS BIGINT) AS t_pts
+  FROM l GROUP BY 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n, t_pts,
+       CAST(floor((CAST(t_pts AS DOUBLE) - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)
+                  / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0)
+                  * 10000 + {_OFF}) AS BIGINT) AS z_e4
+FROM agg
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# runs_test — Wald-Wolfowitz runs above/below the median per user
+# ---------------------------------------------------------------------------
+# Median = lower-median exact element pick (rank window, same pattern as
+# ts_crossings); values equal to the median are dropped (standard
+# dichotomization); R = number of sign runs, mu = 1 + 2 n1 n2 / n,
+# sigma^2 = 2 n1 n2 (2 n1 n2 - n) / (n^2 (n-1)) with n = n1+n2
+# (Wald & Wolfowitz 1940).  n1/n2/R exact integers; the moments are
+# computed in doubles BEFORE multiplying (2*n1*n2*(2*n1*n2-n) overflows
+# int64 near n ~ 2^21, so the op tree casts first on BOTH engines).
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wv = Window.partitionBy("user_id").orderBy("v", "t")
+    wn = Window.partitionBy("user_id")
+    w = Window.partitionBy("user_id").orderBy("t")
+    h = (
+        _hourly(spark, sf_dir)
+        .withColumn("rnv", F.row_number().over(wv))
+        .withColumn("nn", F.count(F.lit(1)).over(wn))
+    )
+    med = h.filter(
+        F.col("rnv") == F.floor((F.col("nn") - 1) / 2) + 1
+    ).select("user_id", F.col("v").alias("med"))
+    s = (
+        h.join(med, "user_id")
+        .filter(F.col("v") != F.col("med"))
+        .withColumn("abv", (F.col("v") > F.col("med")).cast("long"))
+        .withColumn("abv_prev", F.lag("abv").over(w))
+        .withColumn(
+            "new_run",
+            (F.col("abv_prev").isNull() | (F.col("abv") != F.col("abv_prev")))
+            .cast("long"),
+        )
+    )
+    agg = s.groupBy("user_id").agg(
+        F.sum("abv").alias("n1"),
+        F.sum(F.lit(1) - F.col("abv")).alias("n2"),
+        F.sum("new_run").alias("runs"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    n = n1 + n2
+    mu = 1.0 + 2.0 * n1 * n2 / n
+    sig2 = (2.0 * n1 * n2) * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0))
+    z = (F.col("runs").cast("double") - mu) / F.sqrt(sig2)
+    return agg.filter(
+        (F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("n1") + F.col("n2") >= 10)
+    ).select(
+        "user_id",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("runs").cast("long").alias("runs"),
+        F.floor(z * 10_000 + F.lit(_OFF)).cast("long").alias("z_e4"),
+    ).orderBy("user_id")
+
+
+SQL_RUNS_TEST = f"""
+WITH {_HOURLY_SQL},
+r AS (
+  SELECT user_id, t, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY v, t) AS rnv,
+         count(*) OVER (PARTITION BY user_id) AS nn
+  FROM hourly
+), med AS (
+  SELECT user_id, v AS med FROM r WHERE rnv = (nn - 1) // 2 + 1
+), s AS (
+  SELECT r.user_id, r.t,
+         CASE WHEN r.v > med.med THEN 1 ELSE 0 END AS abv
+  FROM r JOIN med ON med.user_id = r.user_id
+  WHERE r.v <> med.med
+), lagged AS (
+  SELECT user_id, abv,
+         CASE WHEN lag(abv) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                OR abv <> lag(abv) OVER (PARTITION BY user_id ORDER BY t)
+              THEN 1 ELSE 0 END AS new_run
+  FROM s
+), agg AS (
+  SELECT user_id,
+         CAST(sum(abv) AS BIGINT) AS n1,
+         CAST(sum(1 - abv) AS BIGINT) AS n2,
+         CAST(sum(new_run) AS BIGINT) AS runs
+  FROM lagged GROUP BY 1
+)
+SELECT user_id, n1, n2, runs,
+       CAST(floor((CAST(runs AS DOUBLE)
+                   - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                            / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+                  / sqrt((2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                         * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                            - (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                         / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                            * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                            * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))
+                  * 10000 + {_OFF}) AS BIGINT) AS z_e4
+FROM agg
+WHERE n1 > 0 AND n2 > 0 AND n1 + n2 >= 10
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# degree_assortativity — Newman degree mixing of the crawl-order graph
+# ---------------------------------------------------------------------------
+# r = Pearson correlation of endpoint degrees over the directed-both-
+# ways edge list of the undirected simple graph (Newman PRL 2002 eq. 4)
+# — the standard form, which makes sum(x)=sum(y) by symmetry.  Edge
+# construction identical to domain_pagerank / triangle_count (crawl-
+# order source transitions).  Degrees via one combinable groupBy, two
+# broadcast-sized joins back to edges (the node dim is tiny vs the doc
+# table), every sum an exact BIGINT; r is one double expression.
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("doc_id", "lang", "source")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    e0 = (
+        d.withColumn("_nxt", F.lead("source").over(w))
+        .filter(F.col("_nxt").isNotNull() & (F.col("source") != F.col("_nxt")))
+        .select(
+            F.least("source", "_nxt").alias("a"),
+            F.greatest("source", "_nxt").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("a").alias("n"))
+        .unionAll(e0.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # both orientations -> symmetric (x, y) sample of size 2m
+    pairs = (
+        e0.join(F.broadcast(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da")), "a")
+        .join(F.broadcast(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db")), "b")
+        .select(
+            F.col("da").alias("x"), F.col("db").alias("y")
+        )
+    )
+    sym = pairs.unionAll(pairs.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    agg = sym.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    m2 = F.col("m2").cast("double")
+    sx = F.col("sx").cast("double")
+    num = m2 * F.col("sxy").cast("double") - sx * sx
+    den = m2 * F.col("sxx").cast("double") - sx * sx
+    return agg.select(
+        (F.col("m2") / 2).cast("long").alias("m_edges"),
+        F.when(den != 0.0, F.floor(num / den * 1_000_000 + F.lit(_OFF)).cast("long"))
+        .alias("assortativity_e6"),
+    )
+
+
+SQL_DEGREE_ASSORTATIVITY = f"""
+WITH e0 AS (
+  SELECT source AS sa,
+         lead(source) OVER (PARTITION BY lang ORDER BY doc_id) AS sb
+  FROM documents QUALIFY sb IS NOT NULL
+), und AS (
+  SELECT DISTINCT least(sa, sb) AS a, greatest(sa, sb) AS b
+  FROM e0 WHERE sa <> sb
+), deg AS (
+  SELECT n, count(*) AS deg
+  FROM (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+  GROUP BY n
+), pairs AS (
+  SELECT d1.deg AS x, d2.deg AS y
+  FROM und JOIN deg d1 ON d1.n = und.a JOIN deg d2 ON d2.n = und.b
+), sym AS (
+  SELECT x, y FROM pairs UNION ALL SELECT y AS x, x AS y FROM pairs
+), agg AS (
+  SELECT count(*) AS m2,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM sym
+)
+SELECT CAST(m2 // 2 AS BIGINT) AS m_edges,
+       CASE WHEN CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+            THEN CAST(floor((CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            / (CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * 1000000 + {_OFF}) AS BIGINT)
+       END AS assortativity_e6
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# forecast_mase — multi-model backtest scored with MASE per user
+# ---------------------------------------------------------------------------
+# Hold out the last 24 occupied hours per user; forecast with (a)
+# seasonal-naive (value 24 rows earlier), (b) naive (last train value),
+# (c) train mean; score each with MASE = mean|err| / in-sample seasonal-
+# naive mean|err| (Hyndman & Koehler 2006).  All errors are exact
+# integers on centivalues — the mean-model error is kept exact by
+# scaling through the train count (|v*den - num| with num = exact train
+# sum) — so every MASE is a ratio of exact-integer-derived doubles.
+# One sort exchange feeds rank + lag24; the per-key scalars join back
+# co-partitioned on user_id.
+
+
+def q_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("t")
+    wn = Window.partitionBy("user_id")
+    h = (
+        _hourly(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn("lag24", F.lag("v", 24).over(w))
+        .filter(F.col("n") >= 72)
+    )
+    train = F.col("rn") <= F.col("n") - 24
+    trains = h.filter(train).groupBy("user_id").agg(
+        F.sum("v").alias("num"),
+        F.count(F.lit(1)).alias("den"),
+        F.max(F.when(F.col("rn") == F.col("n") - 24, F.col("v"))).alias("last_v"),
+        F.sum(
+            F.when(F.col("lag24").isNotNull(), F.abs(F.col("v") - F.col("lag24")))
+        ).alias("scale_sum"),
+        F.sum(F.when(F.col("lag24").isNotNull(), F.lit(1)).otherwise(F.lit(0))).alias(
+            "scale_n"
+        ),
+    )
+    test = (
+        h.filter(~train)
+        .join(trains, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("den").alias("den"),
+            F.max("num").alias("num"),
+            F.max("scale_sum").alias("scale_sum"),
+            F.max("scale_n").alias("scale_n"),
+            F.sum(F.abs(F.col("v") - F.col("lag24"))).alias("e_snaive"),
+            F.sum(F.abs(F.col("v") - F.col("last_v"))).alias("e_naive"),
+            F.sum(F.abs(F.col("v") * F.col("den") - F.col("num"))).alias("e_mean_sc"),
+        )
+        .filter(F.col("scale_sum") > 0)
+    )
+    scale = F.col("scale_sum").cast("double") / F.col("scale_n").cast("double")
+    mase_sn = (F.col("e_snaive").cast("double") / 24.0) / scale
+    mase_nv = (F.col("e_naive").cast("double") / 24.0) / scale
+    mase_mn = (
+        F.col("e_mean_sc").cast("double") / F.col("den").cast("double") / 24.0
+    ) / scale
+    return test.select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        F.floor(mase_sn * 10_000 + F.lit(_OFF)).cast("long").alias("mase_snaive_e4"),
+        F.floor(mase_nv * 10_000 + F.lit(_OFF)).cast("long").alias("mase_naive_e4"),
+        F.floor(mase_mn * 10_000 + F.lit(_OFF)).cast("long").alias("mase_mean_e4"),
+    ).orderBy("user_id")
+
+
+SQL_FORECAST_MASE = f"""
+WITH {_HOURLY_SQL},
+r AS (
+  SELECT user_id, t, v,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         lag(v, 24) OVER w AS lag24
+  FROM hourly
+  WINDOW w AS (PARTITION BY user_id ORDER BY t)
+), f AS (
+  SELECT * FROM r WHERE n >= 72
+), trains AS (
+  SELECT user_id,
+         CAST(sum(v) AS BIGINT) AS num,
+         count(*) AS den,
+         max(CASE WHEN rn = n - 24 THEN v END) AS last_v,
+         CAST(sum(CASE WHEN lag24 IS NOT NULL THEN abs(v - lag24) END)
+              AS BIGINT) AS scale_sum,
+         CAST(sum(CASE WHEN lag24 IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS scale_n
+  FROM f WHERE rn <= n - 24 GROUP BY 1
+), test AS (
+  SELECT f.user_id, max(f.n) AS n, max(trains.den) AS den,
+         max(trains.num) AS num,
+         max(trains.scale_sum) AS scale_sum, max(trains.scale_n) AS scale_n,
+         CAST(sum(abs(f.v - f.lag24)) AS BIGINT) AS e_snaive,
+         CAST(sum(abs(f.v - trains.last_v)) AS BIGINT) AS e_naive,
+         CAST(sum(abs(f.v * trains.den - trains.num)) AS BIGINT) AS e_mean_sc
+  FROM f JOIN trains ON trains.user_id = f.user_id
+  WHERE f.rn > f.n - 24 GROUP BY 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CAST(floor((CAST(e_snaive AS DOUBLE) / 24.0)
+                  / (CAST(scale_sum AS DOUBLE) / CAST(scale_n AS DOUBLE))
+                  * 10000 + {_OFF}) AS BIGINT) AS mase_snaive_e4,
+       CAST(floor((CAST(e_naive AS DOUBLE) / 24.0)
+                  / (CAST(scale_sum AS DOUBLE) / CAST(scale_n AS DOUBLE))
+                  * 10000 + {_OFF}) AS BIGINT) AS mase_naive_e4,
+       CAST(floor((CAST(e_mean_sc AS DOUBLE) / CAST(den AS DOUBLE) / 24.0)
+                  / (CAST(scale_sum AS DOUBLE) / CAST(scale_n AS DOUBLE))
+                  * 10000 + {_OFF}) AS BIGINT) AS mase_mean_e4
+FROM test
+WHERE scale_sum > 0
+ORDER BY user_id
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "source_hhi": q_source_hhi,
+    "poisson_dispersion": q_poisson_dispersion,
+    "turning_points": q_turning_points,
+    "runs_test": q_runs_test,
+    "degree_assortativity": q_degree_assortativity,
+    "forecast_mase": q_forecast_mase,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "source_hhi": SQL_SOURCE_HHI,
+    "poisson_dispersion": SQL_POISSON_DISPERSION,
+    "turning_points": SQL_TURNING_POINTS,
+    "runs_test": SQL_RUNS_TEST,
+    "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
+    "forecast_mase": SQL_FORECAST_MASE,
+}

@@ -1,0 +1,193 @@
+"""queries_stats3 — concentration / dispersion / randomness / mixing /
+forecast-scoring queries pinned against independent numpy + pandas
+oracles at sf0.001 (the DuckDB twin is the cross-engine gate; these
+pins prove the SEMANTICS, not just engine agreement)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+from diive_spark.queries_stats2 import _OFF
+from diive_spark.queries_stats3 import (
+    q_degree_assortativity,
+    q_forecast_mase,
+    q_poisson_dispersion,
+    q_runs_test,
+    q_source_hhi,
+    q_turning_points,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _hourly_pd(spark):
+    df = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    df["t"] = (df["ts"].astype("int64") // 10**9 // 3600) * 3600
+    g = df.groupby(["user_id", "t"])["value"].mean().reset_index()
+    g["v"] = np.floor(g["value"] * 100 + _OFF)
+    return g.sort_values(["user_id", "t"])
+
+
+def test_source_hhi_matches_counter(spark):
+    out = {r["lang"]: r for r in q_source_hhi(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    for lang, grp in docs.groupby("lang"):
+        counts = Counter(grp["source"])
+        n = sum(counts.values())
+        ss = sum(c * c for c in counts.values())
+        sp = sum(c * (c - 1) for c in counts.values())
+        hhi = ss / (n * n)
+        simpson = 1.0 - sp / (n * (n - 1))
+        row = out[lang]
+        assert row["n_sources"] == len(counts)
+        assert row["n_docs"] == n
+        assert row["hhi_e6"] == math.floor(hhi * 1e6 + _OFF)
+        assert row["simpson_e6"] == math.floor(simpson * 1e6 + _OFF)
+        assert row["eff_sources_e2"] == math.floor(1.0 / hhi * 100 + _OFF)
+        # effective sources can never exceed observed sources
+        assert row["eff_sources_e2"] <= len(counts) * 100
+
+
+def test_poisson_dispersion_matches_numpy(spark):
+    out = {r["event_type"]: r for r in q_poisson_dispersion(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["hr"] = ev["ts"].astype("int64") // 10**9 // 3600
+    for et, grp in ev.groupby("event_type"):
+        c = grp.groupby("hr").size().to_numpy(dtype=float)
+        n = len(c)
+        mean = c.sum() / n
+        var = (np.sum(c * c) - c.sum() ** 2 / n) / (n - 1)
+        disp = var / mean
+        row = out[et]
+        assert row["n"] == n
+        assert row["n_events"] == int(c.sum())
+        assert abs(row["dispersion_e6"] - math.floor(disp * 1e6 + _OFF)) <= 1
+        assert abs(row["chi2_e4"] - math.floor((n - 1) * disp * 1e4 + _OFF)) <= 1
+
+
+def test_turning_points_matches_loop(spark):
+    out = {r["user_id"]: r for r in q_turning_points(spark, SF).collect()}
+    g = _hourly_pd(spark)
+    for uid, grp in list(g.groupby("user_id"))[:10]:
+        v = grp["v"].to_numpy()
+        n = len(v)
+        t = sum(
+            1
+            for i in range(1, n - 1)
+            if (v[i - 1] < v[i] and v[i + 1] < v[i])
+            or (v[i - 1] > v[i] and v[i + 1] > v[i])
+        )
+        e = 2.0 * (n - 2) / 3.0
+        var = (16.0 * n - 29.0) / 90.0
+        z = (t - e) / math.sqrt(var)
+        row = out[uid]
+        assert row["n"] == n
+        assert row["t_pts"] == t
+        assert abs(row["z_e4"] - math.floor(z * 1e4 + _OFF)) <= 1
+
+
+def test_runs_test_matches_loop(spark):
+    out = {r["user_id"]: r for r in q_runs_test(spark, SF).collect()}
+    g = _hourly_pd(spark)
+    for uid, grp in list(g.groupby("user_id"))[:10]:
+        v = grp["v"].to_numpy()
+        med = np.sort(v)[(len(v) - 1) // 2]
+        s = v[v != med]
+        abv = (s > med).astype(int)
+        n1 = int(abv.sum())
+        n2 = len(abv) - n1
+        runs = 1 + int(np.sum(abv[1:] != abv[:-1]))
+        if n1 == 0 or n2 == 0 or n1 + n2 < 10:
+            assert uid not in out
+            continue
+        n = n1 + n2
+        mu = 1.0 + 2.0 * n1 * n2 / n
+        sig2 = (2.0 * n1 * n2) * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0))
+        z = (runs - mu) / math.sqrt(sig2)
+        row = out[uid]
+        assert (row["n1"], row["n2"], row["runs"]) == (n1, n2, runs)
+        assert abs(row["z_e4"] - math.floor(z * 1e4 + _OFF)) <= 1
+
+
+def _und_edges(spark):
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .toPandas()
+        .sort_values(["lang", "doc_id"])
+    )
+    edges = set()
+    for _, grp in docs.groupby("lang"):
+        src = grp["source"].tolist()
+        for a, b in zip(src, src[1:]):
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+    return edges
+
+
+def test_degree_assortativity_matches_numpy(spark):
+    row = q_degree_assortativity(spark, SF).collect()[0]
+    edges = _und_edges(spark)
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    x = np.array(xs, dtype=float)
+    y = np.array(ys, dtype=float)
+    m2 = len(x)
+    num = m2 * np.sum(x * y) - np.sum(x) ** 2
+    den = m2 * np.sum(x * x) - np.sum(x) ** 2
+    assert row["m_edges"] == len(edges)
+    if den != 0:
+        assert abs(row["assortativity_e6"] - math.floor(num / den * 1e6 + _OFF)) <= 1
+        # correlation bound
+        assert -1_000_001 <= row["assortativity_e6"] <= 1_000_001
+
+
+def test_forecast_mase_matches_pandas(spark):
+    out = {r["user_id"]: r for r in q_forecast_mase(spark, SF).collect()}
+    g = _hourly_pd(spark)
+    for uid, grp in list(g.groupby("user_id"))[:10]:
+        v = grp["v"].to_numpy()
+        n = len(v)
+        if n < 72:
+            assert uid not in out
+            continue
+        train, test = v[: n - 24], v[n - 24 :]
+        lag24 = v[n - 48 : n - 24]
+        insample = np.abs(train[24:] - train[:-24])
+        if insample.sum() == 0:
+            assert uid not in out
+            continue
+        scale = insample.mean()
+        mase_sn = np.abs(test - lag24).mean() / scale
+        mase_nv = np.abs(test - train[-1]).mean() / scale
+        mean = train.sum() / len(train)
+        mase_mn = np.abs(test - mean).mean() / scale
+        row = out[uid]
+        assert row["n"] == n
+        assert abs(row["mase_snaive_e4"] - math.floor(mase_sn * 1e4 + _OFF)) <= 1
+        assert abs(row["mase_naive_e4"] - math.floor(mase_nv * 1e4 + _OFF)) <= 1
+        assert abs(row["mase_mean_e4"] - math.floor(mase_mn * 1e4 + _OFF)) <= 1
+
+
+def test_turning_points_random_series_near_zero_z():
+    """Property: on IID uniform data the turning-point z is near 0."""
+    rng = np.random.default_rng(7)
+    v = rng.integers(0, 10**6, size=5000).astype(float)
+    n = len(v)
+    t = sum(
+        1
+        for i in range(1, n - 1)
+        if (v[i - 1] < v[i] and v[i + 1] < v[i])
+        or (v[i - 1] > v[i] and v[i + 1] > v[i])
+    )
+    z = (t - 2.0 * (n - 2) / 3.0) / math.sqrt((16.0 * n - 29.0) / 90.0)
+    assert abs(z) < 3.5
