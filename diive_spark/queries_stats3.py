@@ -534,6 +534,308 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# spectral_entropy — normalized periodogram entropy per user
+# ---------------------------------------------------------------------------
+# Schuster periodogram power at a fixed 12-period grid (2h..168h) over
+# the hourly centivalue series; spectral entropy = -sum p_i ln p_i /
+# ln(K) with p_i the normalized powers (the tsfeatures `entropy`
+# flavor: low = one dominant cycle, high = white).  Same cross-engine
+# trig discipline as lomb_scargle: phase from exact integer (hr mod P)
+# so libm argument reduction cannot diverge; map-side literal grid
+# explode keeps it ONE shuffle.  Power sums are double folds (ulp-order
+# tolerant), so outputs use e4 half-up scaling like lomb_scargle.
+
+_SE_PERIODS = [2, 3, 4, 6, 8, 12, 24, 48, 72, 96, 120, 168]
+
+
+def q_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _math
+
+    h = _hourly(spark, sf_dir).withColumn("hr", (F.col("t") / 3600).cast("long"))
+    st = h.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("v").alias("mu")
+    )
+    grid = F.explode(
+        F.array(*[F.lit(p) for p in _SE_PERIODS])
+    ).alias("period_h")
+    ph = (
+        h.join(st, "user_id")
+        .select(
+            "user_id",
+            "n",
+            (F.col("v") - F.col("mu")).alias("dy"),
+            "hr",
+            grid,
+        )
+        .withColumn(
+            "theta",
+            2.0 * _math.pi * (F.col("hr") % F.col("period_h")) / F.col("period_h"),
+        )
+    )
+    pw = ph.groupBy("user_id", "period_h").agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("dy") * F.cos("theta")).alias("yc"),
+        F.sum(F.col("dy") * F.sin("theta")).alias("ys"),
+    )
+    pw = pw.withColumn(
+        "power", F.col("yc") * F.col("yc") + F.col("ys") * F.col("ys")
+    )
+    tot = pw.groupBy("user_id").agg(
+        F.max("n").alias("n"),
+        F.sum("power").alias("ptot"),
+        F.sum(
+            F.when(
+                F.col("power") > 0,
+                F.col("power") * F.log(F.col("power")),
+            ).otherwise(F.lit(0.0))
+        ).alias("plogp"),
+    )
+    # H = -sum (p/ptot) ln(p/ptot) = ln(ptot) - plogp/ptot, normalized
+    ent = (
+        (F.log(F.col("ptot")) - F.col("plogp") / F.col("ptot"))
+        / _math.log(len(_SE_PERIODS))
+    )
+    return (
+        tot.filter(F.col("ptot") > 0)
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            F.floor(ent * 10_000 + F.lit(0.5)).cast("long").alias("spec_entropy_e4"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_SPECTRAL_ENTROPY = f"""
+WITH {_HOURLY_SQL},
+h AS (
+  SELECT user_id, t // 3600 AS hr, v FROM hourly
+), st AS (
+  SELECT user_id, count(*) AS n, avg(v) AS mu FROM h GROUP BY 1
+), ph AS (
+  SELECT h.user_id, st.n, (h.v - st.mu) AS dy, g.period_h,
+         2 * pi() * (h.hr % g.period_h) / g.period_h AS theta
+  FROM h JOIN st USING (user_id)
+  CROSS JOIN (SELECT unnest({_SE_PERIODS}) AS period_h) g
+), pw AS (
+  SELECT user_id, period_h, max(n) AS n,
+         sum(dy * cos(theta)) AS yc, sum(dy * sin(theta)) AS ys
+  FROM ph GROUP BY 1, 2
+), pw2 AS (
+  SELECT user_id, n, yc * yc + ys * ys AS power FROM pw
+), tot AS (
+  SELECT user_id, max(n) AS n, sum(power) AS ptot,
+         sum(CASE WHEN power > 0 THEN power * ln(power) ELSE 0.0 END) AS plogp
+  FROM pw2 GROUP BY 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CAST(floor((ln(ptot) - plogp / ptot) / ln({len(_SE_PERIODS)})
+                  * 10000 + 0.5) AS BIGINT) AS spec_entropy_e4
+FROM tot
+WHERE ptot > 0
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# clustering_coefficient — per-node local clustering on the domain graph
+# ---------------------------------------------------------------------------
+# c_i = 2 t_i / (d_i (d_i - 1)) (Watts & Strogatz 1998) with t_i from
+# the degree-ordered wedge-closure triangle counter (text/graph.py) —
+# the per-node refinement of `triangle_count`.  Degrees and triangle
+# counts are exact integers from combinable aggs; c is one double
+# division.  Nodes with degree < 2 are excluded (undefined c).
+
+
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.text.graph import triangle_count
+
+    d = _documents(spark, sf_dir).select("doc_id", "lang", "source")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    edges = (
+        d.withColumn("_nxt", F.lead("source").over(w))
+        .filter(F.col("_nxt").isNotNull())
+        .select(F.col("source").alias("src"), F.col("_nxt").alias("dst"))
+    )
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_count(edges)
+    out = (
+        deg.join(tri, "node", "left")
+        .withColumn("n_tri", F.coalesce(F.col("n_tri"), F.lit(0)))
+        .filter(F.col("deg") >= 2)
+    )
+    c = 2.0 * F.col("n_tri").cast("double") / (
+        F.col("deg").cast("double") * (F.col("deg").cast("double") - 1.0)
+    )
+    return out.select(
+        "node",
+        F.col("deg").cast("long").alias("deg"),
+        F.col("n_tri").cast("long").alias("n_tri"),
+        F.floor(c * 1_000_000 + F.lit(_OFF)).cast("long").alias("clustering_e6"),
+    ).orderBy("node")
+
+
+SQL_CLUSTERING_COEFFICIENT = f"""
+WITH e0 AS (
+  SELECT source AS sa,
+         lead(source) OVER (PARTITION BY lang ORDER BY doc_id) AS sb
+  FROM documents QUALIFY sb IS NOT NULL
+), und AS (
+  SELECT DISTINCT least(sa, sb) AS a, greatest(sa, sb) AS b
+  FROM e0 WHERE sa <> sb
+), deg AS (
+  SELECT n AS node, count(*) AS deg
+  FROM (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+  GROUP BY n
+), oriented AS (
+  SELECT CASE WHEN lo THEN a ELSE b END AS u,
+         CASE WHEN lo THEN b ELSE a END AS v,
+         CASE WHEN lo THEN db ELSE da END AS dv
+  FROM (
+    SELECT und.a, und.b, d1.deg AS da, d2.deg AS db,
+           (d1.deg < d2.deg OR (d1.deg = d2.deg AND und.a < und.b)) AS lo
+    FROM und
+    JOIN deg d1 ON d1.node = und.a
+    JOIN deg d2 ON d2.node = und.b
+  )
+), wedges AS (
+  SELECT e1.u AS u, e1.v AS v1, e2.v AS v2
+  FROM oriented e1 JOIN oriented e2 USING (u)
+  WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)
+), tris AS (
+  SELECT w.u, w.v1, w.v2
+  FROM wedges w JOIN oriented o ON o.u = w.v1 AND o.v = w.v2
+), tcnt AS (
+  SELECT node, count(*) AS n_tri
+  FROM (SELECT u AS node FROM tris
+        UNION ALL SELECT v1 FROM tris
+        UNION ALL SELECT v2 FROM tris)
+  GROUP BY node
+)
+SELECT deg.node, CAST(deg.deg AS BIGINT) AS deg,
+       CAST(coalesce(tcnt.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(floor(2.0 * coalesce(tcnt.n_tri, 0)
+                  / (CAST(deg.deg AS DOUBLE) * (CAST(deg.deg AS DOUBLE) - 1.0))
+                  * 1000000 + {_OFF}) AS BIGINT) AS clustering_e6
+FROM deg LEFT JOIN tcnt ON tcnt.node = deg.node
+WHERE deg.deg >= 2
+ORDER BY deg.node
+"""
+
+
+# ---------------------------------------------------------------------------
+# kcore_2 — 2-core membership after 6 peeling rounds
+# ---------------------------------------------------------------------------
+# Iterative peeling (Matula & Beck JACM 1983): each round drops nodes
+# with current degree < 2 and their edges.  Semantics pinned as "6
+# synchronous rounds" on BOTH engines (same fixed-iteration discipline
+# as label_propagation / pagerank twins); a pytest pins 6 rounds ==
+# true fixpoint at test scale.  Each round = one combinable degree agg
+# + two semi-joins; edges only shrink, so round cost is monotonically
+# decreasing — the 100 TB posture is 12 bounded shuffles on the EDGE
+# set (orders of magnitude smaller than the doc corpus).  The DuckDB
+# twin unrolls the rounds with AS MATERIALIZED (multi-referenced CTEs
+# would otherwise be inlined exponentially).
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 6
+
+
+def q_kcore_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("doc_id", "lang", "source")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    e0 = (
+        d.withColumn("_nxt", F.lead("source").over(w))
+        .filter(F.col("_nxt").isNotNull() & (F.col("source") != F.col("_nxt")))
+        .select(
+            F.least("source", "_nxt").alias("a"),
+            F.greatest("source", "_nxt").alias("b"),
+        )
+        .distinct()
+    )
+    # localCheckpoint per round: each round references `cur` three times
+    # (degree union x2 + the semi-join base), so without lineage
+    # truncation the logical plan grows 3^rounds and analysis explodes —
+    # the same discipline as connected_components (text/graph.py).
+    cur = e0.localCheckpoint()
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            cur.select(F.col("a").alias("n"))
+            .unionAll(cur.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("n")
+        cur = (
+            cur.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+            .select("a", "b")
+        ).localCheckpoint()
+    final_deg = (
+        cur.select(F.col("a").alias("node"))
+        .unionAll(cur.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= _KCORE_K)
+    )
+    return final_deg.select(
+        "node", F.col("deg").cast("long").alias("deg")
+    ).orderBy("node")
+
+
+def _sql_kcore() -> str:
+    parts = [
+        """
+WITH e_0 AS MATERIALIZED (
+  SELECT DISTINCT least(sa, sb) AS a, greatest(sa, sb) AS b
+  FROM (
+    SELECT source AS sa,
+           lead(source) OVER (PARTITION BY lang ORDER BY doc_id) AS sb
+    FROM documents QUALIFY sb IS NOT NULL
+  ) WHERE sa <> sb
+)"""
+    ]
+    for r in range(_KCORE_ROUNDS):
+        parts.append(
+            f""", keep_{r} AS MATERIALIZED (
+  SELECT n FROM (
+    SELECT n, count(*) AS deg
+    FROM (SELECT a AS n FROM e_{r} UNION ALL SELECT b AS n FROM e_{r})
+    GROUP BY n
+  ) WHERE deg >= {_KCORE_K}
+), e_{r + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e_{r} e
+  WHERE e.a IN (SELECT n FROM keep_{r})
+    AND e.b IN (SELECT n FROM keep_{r})
+)"""
+        )
+    last = f"e_{_KCORE_ROUNDS}"
+    parts.append(
+        f"""
+SELECT node, CAST(deg AS BIGINT) AS deg FROM (
+  SELECT node, count(*) AS deg
+  FROM (SELECT a AS node FROM {last} UNION ALL SELECT b AS node FROM {last})
+  GROUP BY node
+) WHERE deg >= {_KCORE_K}
+ORDER BY node
+"""
+    )
+    return "".join(parts)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_hhi": q_source_hhi,
     "poisson_dispersion": q_poisson_dispersion,
@@ -541,6 +843,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "runs_test": q_runs_test,
     "degree_assortativity": q_degree_assortativity,
     "forecast_mase": q_forecast_mase,
+    "spectral_entropy": q_spectral_entropy,
+    "clustering_coefficient": q_clustering_coefficient,
+    "kcore_2": q_kcore_2,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -550,4 +855,7 @@ ORACLE_SQL: dict[str, str] = {
     "runs_test": SQL_RUNS_TEST,
     "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
     "forecast_mase": SQL_FORECAST_MASE,
+    "spectral_entropy": SQL_SPECTRAL_ENTROPY,
+    "clustering_coefficient": SQL_CLUSTERING_COEFFICIENT,
+    "kcore_2": _sql_kcore(),
 }

@@ -191,3 +191,85 @@ def test_turning_points_random_series_near_zero_z():
     )
     z = (t - 2.0 * (n - 2) / 3.0) / math.sqrt((16.0 * n - 29.0) / 90.0)
     assert abs(z) < 3.5
+
+
+def test_spectral_entropy_matches_numpy(spark):
+    from diive_spark.queries_stats3 import _SE_PERIODS, q_spectral_entropy
+
+    out = {r["user_id"]: r for r in q_spectral_entropy(spark, SF).collect()}
+    g = _hourly_pd(spark)
+    for uid, grp in list(g.groupby("user_id"))[:8]:
+        hr = (grp["t"] // 3600).to_numpy()
+        v = grp["v"].to_numpy(dtype=float)
+        dy = v - v.mean()
+        powers = []
+        for p in _SE_PERIODS:
+            th = 2 * np.pi * (hr % p) / p
+            powers.append(
+                np.sum(dy * np.cos(th)) ** 2 + np.sum(dy * np.sin(th)) ** 2
+            )
+        pw = np.array(powers)
+        if pw.sum() == 0:
+            assert uid not in out
+            continue
+        pr = pw / pw.sum()
+        pr = pr[pr > 0]
+        ent = -np.sum(pr * np.log(pr)) / math.log(len(_SE_PERIODS))
+        row = out[uid]
+        assert row["n"] == len(v)
+        assert abs(row["spec_entropy_e4"] - math.floor(ent * 1e4 + 0.5)) <= 1
+        assert 0 <= row["spec_entropy_e4"] <= 10_001
+
+
+def test_clustering_coefficient_matches_bruteforce(spark):
+    from diive_spark.queries_stats3 import q_clustering_coefficient
+
+    out = {r["node"]: r for r in q_clustering_coefficient(spark, SF).collect()}
+    edges = _und_edges(spark)
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for node, nbrs in adj.items():
+        d = len(nbrs)
+        if d < 2:
+            assert node not in out
+            continue
+        t = sum(
+            1
+            for x in nbrs
+            for y in nbrs
+            if x < y and y in adj.get(x, ())
+        )
+        row = out[node]
+        assert row["deg"] == d
+        assert row["n_tri"] == t
+        assert row["clustering_e6"] == math.floor(
+            2.0 * t / (d * (d - 1)) * 1e6 + _OFF
+        )
+
+
+def test_kcore_2_six_rounds_is_fixpoint(spark):
+    """The fixed-6-round contract equals the true peeling fixpoint at
+    test scale, and the result is the maximal 2-core (every node has
+    degree >= 2 inside it)."""
+    from diive_spark.queries_stats3 import q_kcore_2
+
+    out = {r["node"]: r["deg"] for r in q_kcore_2(spark, SF).collect()}
+    edges = set(_und_edges(spark))
+    # peel to TRUE fixpoint
+    while True:
+        deg = Counter()
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        drop = {n for n, d in deg.items() if d < 2}
+        if not drop:
+            break
+        edges = {(a, b) for a, b in edges if a not in drop and b not in drop}
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    assert out == dict(deg)
+    assert all(d >= 2 for d in out.values())
