@@ -836,6 +836,232 @@ ORDER BY node
     return "".join(parts)
 
 
+# ---------------------------------------------------------------------------
+# granger_causality — pairwise lag-1 Granger F-tests between event types
+# ---------------------------------------------------------------------------
+# Does type B's hourly volume help predict type A's beyond A's own
+# lag?  Restricted y_t ~ [1, y_{t-1}] vs unrestricted y_t ~ [1, y_{t-1},
+# x_{t-1}]; F = (RSS_r - RSS_u)(n-3)/RSS_u (Granger 1969, standard
+# bivariate lag-1 form).  Both RSS come from CLOSED-FORM normal-equation
+# algebra over ten exact-integer sums (counts on the shared hour grid,
+# zero-filled), so every F is one deterministic double expression — no
+# iterative solver.  Plan: one combinable (type, hr) count agg; the
+# |types|^2 pair fan-out joins the tiny per-type series through the
+# DENSE hour grid (time-bounded, not data-bounded); one lag window per
+# pair partition; one final combinable agg.
+
+
+def q_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cnt = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000))
+        .cast("long")
+        .alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    hrs = cnt.select("hr").distinct()
+    types = cnt.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("ta"))
+        .crossJoin(types.select(F.col("event_type").alias("tb")))
+        .filter(F.col("ta") != F.col("tb"))
+    )
+    grid = pairs.crossJoin(hrs)
+    ca = cnt.select(F.col("event_type").alias("ta"), "hr", F.col("c").alias("y"))
+    cb = cnt.select(F.col("event_type").alias("tb"), "hr", F.col("c").alias("x"))
+    s = (
+        grid.join(ca, ["ta", "hr"], "left")
+        .join(cb, ["tb", "hr"], "left")
+        .fillna(0, subset=["y", "x"])
+    )
+    w = Window.partitionBy("ta", "tb").orderBy("hr")
+    s = (
+        s.withColumn("y1", F.lag("y").over(w))
+        .withColumn("x1", F.lag("x").over(w))
+        .filter(F.col("y1").isNotNull())
+    )
+    agg = s.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("y1").alias("sy1"),
+        F.sum("x1").alias("sx1"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("y1") * F.col("y1")).alias("sy1y1"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx1x1"),
+        F.sum(F.col("y") * F.col("y1")).alias("syy1"),
+        F.sum(F.col("y") * F.col("x1")).alias("syx1"),
+        F.sum(F.col("y1") * F.col("x1")).alias("sy1x1"),
+    )
+    nd = F.col("n").cast("double")
+    syy_c = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double") / nd
+    s11 = F.col("sy1y1").cast("double") - F.col("sy1").cast("double") * F.col("sy1").cast("double") / nd
+    s22 = F.col("sx1x1").cast("double") - F.col("sx1").cast("double") * F.col("sx1").cast("double") / nd
+    s12 = F.col("sy1x1").cast("double") - F.col("sy1").cast("double") * F.col("sx1").cast("double") / nd
+    s1y = F.col("syy1").cast("double") - F.col("sy1").cast("double") * F.col("sy").cast("double") / nd
+    s2y = F.col("syx1").cast("double") - F.col("sx1").cast("double") * F.col("sy").cast("double") / nd
+    rss_r = syy_c - s1y * s1y / s11
+    det = s11 * s22 - s12 * s12
+    rss_u = syy_c - (s1y * s1y * s22 - 2.0 * s1y * s2y * s12 + s2y * s2y * s11) / det
+    f_stat = (rss_r - rss_u) * (nd - 3.0) / rss_u
+    return (
+        agg.filter((det > 0) & (F.col("n") > 3))
+        .select(
+            "ta",
+            "tb",
+            F.col("n").cast("long").alias("n"),
+            F.floor(rss_r * 10_000 + F.lit(_OFF)).cast("long").alias("rss_r_e4"),
+            F.floor(rss_u * 10_000 + F.lit(_OFF)).cast("long").alias("rss_u_e4"),
+            F.floor(f_stat * 10_000 + F.lit(_OFF)).cast("long").alias("f_e4"),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
+SQL_GRANGER = f"""
+WITH cnt AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), hrs AS (
+  SELECT DISTINCT hr FROM cnt
+), types AS (
+  SELECT DISTINCT event_type FROM cnt
+), pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM types a CROSS JOIN types b WHERE a.event_type <> b.event_type
+), s0 AS (
+  SELECT p.ta, p.tb, h.hr,
+         COALESCE(ca.c, 0) AS y, COALESCE(cb.c, 0) AS x
+  FROM pairs p CROSS JOIN hrs h
+  LEFT JOIN cnt ca ON ca.event_type = p.ta AND ca.hr = h.hr
+  LEFT JOIN cnt cb ON cb.event_type = p.tb AND cb.hr = h.hr
+), s AS (
+  SELECT ta, tb, y, x,
+         lag(y) OVER w AS y1, lag(x) OVER w AS x1
+  FROM s0 WINDOW w AS (PARTITION BY ta, tb ORDER BY hr)
+), agg AS (
+  SELECT ta, tb, count(*) AS n,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y1) AS BIGINT) AS sy1,
+         CAST(sum(x1) AS BIGINT) AS sx1,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(y1 * y1) AS BIGINT) AS sy1y1,
+         CAST(sum(x1 * x1) AS BIGINT) AS sx1x1,
+         CAST(sum(y * y1) AS BIGINT) AS syy1,
+         CAST(sum(y * x1) AS BIGINT) AS syx1,
+         CAST(sum(y1 * x1) AS BIGINT) AS sy1x1
+  FROM s WHERE y1 IS NOT NULL GROUP BY 1, 2
+), alg AS (
+  SELECT ta, tb, n,
+         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS syy_c,
+         CAST(sy1y1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(n AS DOUBLE) AS s11,
+         CAST(sx1x1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) AS s22,
+         CAST(sy1x1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) AS s12,
+         CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS s1y,
+         CAST(syx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS s2y
+  FROM agg
+), fin AS (
+  SELECT ta, tb, n,
+         syy_c - s1y * s1y / s11 AS rss_r,
+         s11 * s22 - s12 * s12 AS det,
+         syy_c - (s1y * s1y * s22 - 2.0 * s1y * s2y * s12 + s2y * s2y * s11)
+               / (s11 * s22 - s12 * s12) AS rss_u
+  FROM alg
+)
+SELECT ta, tb, CAST(n AS BIGINT) AS n,
+       CAST(floor(rss_r * 10000 + {_OFF}) AS BIGINT) AS rss_r_e4,
+       CAST(floor(rss_u * 10000 + {_OFF}) AS BIGINT) AS rss_u_e4,
+       CAST(floor((rss_r - rss_u) * (CAST(n AS DOUBLE) - 3.0) / rss_u
+                  * 10000 + {_OFF}) AS BIGINT) AS f_e4
+FROM fin
+WHERE det > 0 AND n > 3
+ORDER BY ta, tb
+"""
+
+
+# ---------------------------------------------------------------------------
+# gumbel_maxima — Gumbel EV1 fit of daily maxima + 30-day return level
+# ---------------------------------------------------------------------------
+# Block maxima (daily max of the hourly centivalue series) fitted by
+# method of moments: beta = s sqrt(6)/pi, mu = mean - gamma*beta
+# (Gumbel 1958; gamma = Euler-Mascheroni), return level for period T:
+# mu - beta ln(-ln(1 - 1/T)).  Daily maxima are exact integers (max of
+# centivalues); mean/std via sum-of-squares identity -> every output is
+# a deterministic double expression.  Two combinable groupBys, no
+# windows.  The extreme-value companion to max_drawdown/running_records
+# for alert-threshold sizing.
+
+_EULER_GAMMA = 0.5772156649015329
+_GUMBEL_T = 30
+
+
+def q_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hourly(spark, sf_dir)
+    daily = h.groupBy(
+        "user_id", F.floor(F.col("t") / 86_400).cast("long").alias("day")
+    ).agg(F.max("v").alias("mx"))
+    agg = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("mx").alias("sm"),
+        F.sum(F.col("mx") * F.col("mx")).alias("sm2"),
+    )
+    nd = F.col("n_days").cast("double")
+    mean = F.col("sm").cast("double") / nd
+    var = (F.col("sm2").cast("double") - F.col("sm").cast("double") * F.col("sm").cast("double") / nd) / (nd - 1.0)
+    beta = F.sqrt(var) * _GUMBEL_C
+    mu = mean - _EULER_GAMMA * beta
+    rl = mu - beta * _GUMBEL_RL
+    return (
+        agg.filter((F.col("n_days") >= 5) & (var > 0))
+        .select(
+            "user_id",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.floor(mu * 100 + F.lit(_OFF)).cast("long").alias("mu_e2"),
+            F.floor(beta * 100 + F.lit(_OFF)).cast("long").alias("beta_e2"),
+            F.floor(rl * 100 + F.lit(_OFF)).cast("long").alias("rl30_e2"),
+        )
+        .orderBy("user_id")
+    )
+
+
+import math as _m
+
+_GUMBEL_C = _m.sqrt(6.0) / _m.pi  # MoM scale factor
+_GUMBEL_RL = _m.log(-_m.log(1.0 - 1.0 / _GUMBEL_T))  # ln(-ln(1 - 1/T))
+
+SQL_GUMBEL = f"""
+WITH {_HOURLY_SQL},
+daily AS (
+  SELECT user_id, t // 86400 AS day, max(v) AS mx
+  FROM hourly GROUP BY 1, 2
+), agg AS (
+  SELECT user_id, count(*) AS n_days,
+         CAST(sum(mx) AS BIGINT) AS sm,
+         CAST(sum(mx * mx) AS BIGINT) AS sm2
+  FROM daily GROUP BY 1
+), alg AS (
+  SELECT user_id, n_days,
+         CAST(sm AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean,
+         (CAST(sm2 AS DOUBLE)
+          - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / CAST(n_days AS DOUBLE))
+         / (CAST(n_days AS DOUBLE) - 1.0) AS var
+  FROM agg
+), fit AS (
+  SELECT user_id, n_days, var,
+         mean - {_EULER_GAMMA!r} * (sqrt(var) * {_GUMBEL_C!r}) AS mu,
+         sqrt(var) * {_GUMBEL_C!r} AS beta
+  FROM alg
+)
+SELECT user_id, CAST(n_days AS BIGINT) AS n_days,
+       CAST(floor(mu * 100 + {_OFF}) AS BIGINT) AS mu_e2,
+       CAST(floor(beta * 100 + {_OFF}) AS BIGINT) AS beta_e2,
+       CAST(floor((mu - beta * {_GUMBEL_RL!r}) * 100 + {_OFF}) AS BIGINT) AS rl30_e2
+FROM fit
+WHERE n_days >= 5 AND var > 0
+ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_hhi": q_source_hhi,
     "poisson_dispersion": q_poisson_dispersion,
@@ -846,6 +1072,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spectral_entropy": q_spectral_entropy,
     "clustering_coefficient": q_clustering_coefficient,
     "kcore_2": q_kcore_2,
+    "granger_causality": q_granger_causality,
+    "gumbel_maxima": q_gumbel_maxima,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -858,4 +1086,6 @@ ORACLE_SQL: dict[str, str] = {
     "spectral_entropy": SQL_SPECTRAL_ENTROPY,
     "clustering_coefficient": SQL_CLUSTERING_COEFFICIENT,
     "kcore_2": _sql_kcore(),
+    "granger_causality": SQL_GRANGER,
+    "gumbel_maxima": SQL_GUMBEL,
 }

@@ -273,3 +273,66 @@ def test_kcore_2_six_rounds_is_fixpoint(spark):
         deg[b] += 1
     assert out == dict(deg)
     assert all(d >= 2 for d in out.values())
+
+
+def test_granger_matches_numpy_ols(spark):
+    from diive_spark.queries_stats3 import q_granger_causality
+
+    out = {(r["ta"], r["tb"]): r for r in q_granger_causality(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["hr"] = ev["ts"].astype("int64") // 10**9 // 3600
+    hrs = np.sort(ev["hr"].unique())
+    types = sorted(ev["event_type"].unique())
+    series = {
+        t: ev[ev["event_type"] == t].groupby("hr").size().reindex(hrs, fill_value=0)
+        for t in types
+    }
+    for ta in types:
+        for tb in types:
+            if ta == tb:
+                continue
+            y = series[ta].to_numpy(dtype=float)
+            x = series[tb].to_numpy(dtype=float)
+            Y, Y1, X1 = y[1:], y[:-1], x[:-1]
+            n = len(Y)
+            # restricted OLS: Y ~ [1, Y1]
+            A = np.column_stack([np.ones(n), Y1])
+            rss_r = np.sum((Y - A @ np.linalg.lstsq(A, Y, rcond=None)[0]) ** 2)
+            B = np.column_stack([np.ones(n), Y1, X1])
+            rss_u = np.sum((Y - B @ np.linalg.lstsq(B, Y, rcond=None)[0]) ** 2)
+            f = (rss_r - rss_u) * (n - 3) / rss_u
+            row = out[(ta, tb)]
+            assert row["n"] == n
+            assert abs(row["rss_r_e4"] / 1e4 - rss_r) < max(1e-3, rss_r * 1e-7)
+            assert abs(row["rss_u_e4"] / 1e4 - rss_u) < max(1e-3, rss_u * 1e-7)
+            assert abs(row["f_e4"] / 1e4 - f) < max(1e-3, abs(f) * 1e-5)
+
+
+def test_gumbel_matches_numpy(spark):
+    from diive_spark.queries_stats3 import (
+        _EULER_GAMMA,
+        _GUMBEL_C,
+        _GUMBEL_RL,
+        q_gumbel_maxima,
+    )
+
+    out = {r["user_id"]: r for r in q_gumbel_maxima(spark, SF).collect()}
+    g = _hourly_pd(spark)
+    g["day"] = g["t"] // 86400
+    for uid, grp in list(g.groupby("user_id"))[:10]:
+        mx = grp.groupby("day")["v"].max().to_numpy(dtype=float)
+        n = len(mx)
+        if n < 5 or mx.std(ddof=1) == 0:
+            assert uid not in out
+            continue
+        s = mx.std(ddof=1)
+        beta = s * _GUMBEL_C
+        mu = mx.mean() - _EULER_GAMMA * beta
+        rl = mu - beta * _GUMBEL_RL
+        row = out[uid]
+        assert row["n_days"] == n
+        assert abs(row["mu_e2"] - math.floor(mu * 100 + _OFF)) <= 1
+        assert abs(row["beta_e2"] - math.floor(beta * 100 + _OFF)) <= 1
+        assert abs(row["rl30_e2"] - math.floor(rl * 100 + _OFF)) <= 1
+        # the 30-day return level sits above the location parameter
+        assert row["rl30_e2"] > row["mu_e2"]
