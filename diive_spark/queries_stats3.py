@@ -1062,6 +1062,296 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# wasserstein_doclen — exact W1 distance between language length mixes
+# ---------------------------------------------------------------------------
+# W1(P,Q) = integral |F_P - F_Q| over the support (the 1-D optimal-
+# transport cost).  Kept EXACT: on the shared global support grid,
+# W1 * n_a * n_b = sum over support points of
+# |cum_a * n_b - cum_b * n_a| * (next_v - v) — every factor a BIGINT
+# (cums <= n, gaps <= value range), so the fold is an exact integer sum
+# and the final W1 is one division.  Between adjacent support points
+# both CDFs are constant, so evaluating on the UNION grid (a superset
+# per pair) only splits segments and never changes the sum.  Plan: one
+# (lang, len) count agg; |langs| x |support| cumsum window (per-lang
+# sort exchange); pair fan-out joins on the support point.  Overflow
+# bound: |cum*n| * gap <= n_a*n_b*range — fine to ~3e18; beyond that
+# pre-scale lengths (documented contract).
+
+
+def q_wasserstein_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("lang", "n_chars")
+    cnt = d.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    support = cnt.select("n_chars").distinct()
+    langs = cnt.select("lang").distinct()
+    grid = langs.crossJoin(support)
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    cum = (
+        grid.join(cnt, ["lang", "n_chars"], "left")
+        .fillna(0, subset=["c"])
+        .withColumn(
+            "cum",
+            F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("nxt", F.lead("n_chars").over(w))
+        .withColumn("tot", F.sum("c").over(Window.partitionBy("lang")))
+    )
+    a = cum.select(
+        F.col("lang").alias("la"),
+        "n_chars",
+        F.col("cum").alias("cum_a"),
+        F.col("nxt").alias("nxt"),
+        F.col("tot").alias("n_a"),
+    )
+    b = cum.select(
+        F.col("lang").alias("lb"),
+        "n_chars",
+        F.col("cum").alias("cum_b"),
+        F.col("tot").alias("n_b"),
+    )
+    j = a.join(b, "n_chars").filter(F.col("la") < F.col("lb"))
+    term = F.abs(
+        F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+    ) * (F.coalesce(F.col("nxt"), F.col("n_chars")) - F.col("n_chars"))
+    agg = j.groupBy("la", "lb").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(term).alias("s"),
+    )
+    w1 = F.col("s").cast("double") / (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    return agg.select(
+        "la",
+        "lb",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.floor(w1 * 10_000 + F.lit(_OFF)).cast("long").alias("w1_e4"),
+    ).orderBy("la", "lb")
+
+
+SQL_WASSERSTEIN = f"""
+WITH cnt AS (
+  SELECT lang, n_chars, count(*) AS c FROM documents GROUP BY 1, 2
+), support AS (
+  SELECT DISTINCT n_chars FROM cnt
+), langs AS (
+  SELECT DISTINCT lang FROM cnt
+), cum AS (
+  SELECT g.lang, g.n_chars,
+         CAST(sum(COALESCE(cnt.c, 0)) OVER (PARTITION BY g.lang ORDER BY g.n_chars
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         lead(g.n_chars) OVER (PARTITION BY g.lang ORDER BY g.n_chars) AS nxt,
+         CAST(sum(COALESCE(cnt.c, 0)) OVER (PARTITION BY g.lang) AS BIGINT) AS tot
+  FROM (SELECT lang, n_chars FROM langs CROSS JOIN support) g
+  LEFT JOIN cnt ON cnt.lang = g.lang AND cnt.n_chars = g.n_chars
+), j AS (
+  SELECT a.lang AS la, b.lang AS lb, a.n_chars,
+         abs(a.cum * b.tot - b.cum * a.tot)
+           * (COALESCE(a.nxt, a.n_chars) - a.n_chars) AS term,
+         a.tot AS n_a, b.tot AS n_b
+  FROM cum a JOIN cum b ON a.n_chars = b.n_chars AND a.lang < b.lang
+), agg AS (
+  SELECT la, lb, max(n_a) AS n_a, max(n_b) AS n_b,
+         CAST(sum(term) AS BIGINT) AS s
+  FROM j GROUP BY 1, 2
+)
+SELECT la, lb, n_a, n_b,
+       CAST(floor(CAST(s AS DOUBLE)
+                  / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                  * 10000 + {_OFF}) AS BIGINT) AS w1_e4
+FROM agg
+ORDER BY la, lb
+"""
+
+
+# ---------------------------------------------------------------------------
+# mann_whitney_daynight — Mann-Whitney U for day vs night levels
+# ---------------------------------------------------------------------------
+# The nonparametric twin of the reference's day/night stratification
+# idiom (FlagZscoreDaynight): does a user's hourly level differ between
+# the 06-18 diel block and the rest?  Average ranks as exact half-
+# integers (rank() + (ties-1)/2, the spearman_daily device) make
+# 2*R1 and 2*U1 exact BIGINTs; the tie-corrected normal approximation
+# z = (U1 - n1 n2/2)/sqrt(n1 n2 ((n+1) - sum(t^3-t)/(n(n-1)))/12)
+# (Mann & Whitney 1947; tie form per Lehmann) is one double expression.
+# One rank window + one combinable agg + one tiny tie agg.
+
+
+def q_mann_whitney_daynight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hourly(spark, sf_dir).withColumn(
+        "is_day",
+        ((F.col("t") / 3600 % 24 >= 6) & (F.col("t") / 3600 % 24 < 18)).cast("long"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("v")
+    wt = Window.partitionBy("user_id", "v")
+    r = (
+        h.withColumn("rk", F.rank().over(wv))
+        .withColumn("nt", F.count(F.lit(1)).over(wt))
+        # 2 * average rank = 2*rank + (ties - 1), an exact integer
+        .withColumn("r2", 2 * F.col("rk") + F.col("nt") - 1)
+    )
+    agg = r.groupBy("user_id").agg(
+        F.sum("is_day").alias("n1"),
+        F.sum(F.lit(1) - F.col("is_day")).alias("n2"),
+        F.sum(F.when(F.col("is_day") == 1, F.col("r2")).otherwise(F.lit(0))).alias(
+            "r1_x2"
+        ),
+    )
+    ties = (
+        h.groupBy("user_id", "v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3")
+        )
+    )
+    out = agg.join(ties, "user_id")
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    n = n1 + n2
+    u1_x2 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)  # exact int, = 2*U1
+    mu_x2 = n1 * n2  # 2 * n1 n2 / 2
+    sig2 = (
+        n1 * n2 / 12.0 * ((n + 1.0) - F.col("tie3").cast("double") / (n * (n - 1.0)))
+    )
+    z = (u1_x2.cast("double") - mu_x2) / (2.0 * F.sqrt(sig2))
+    return (
+        out.filter((F.col("n1") >= 5) & (F.col("n2") >= 5) & (sig2 > 0))
+        .select(
+            "user_id",
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            u1_x2.cast("long").alias("u1_x2"),
+            F.floor(z * 10_000 + F.lit(_OFF)).cast("long").alias("z_e4"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_MANN_WHITNEY = f"""
+WITH {_HOURLY_SQL},
+h AS (
+  SELECT user_id, t, v,
+         CASE WHEN (t / 3600) % 24 >= 6 AND (t / 3600) % 24 < 18
+              THEN 1 ELSE 0 END AS is_day
+  FROM hourly
+), r AS (
+  SELECT user_id, v, is_day,
+         2 * rank() OVER (PARTITION BY user_id ORDER BY v)
+           + count(*) OVER (PARTITION BY user_id, v) - 1 AS r2
+  FROM h
+), agg AS (
+  SELECT user_id,
+         CAST(sum(is_day) AS BIGINT) AS n1,
+         CAST(sum(1 - is_day) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN is_day = 1 THEN r2 ELSE 0 END) AS BIGINT) AS r1_x2
+  FROM r GROUP BY 1
+), ties AS (
+  SELECT user_id, CAST(sum(t * t * t - t) AS BIGINT) AS tie3 FROM (
+    SELECT user_id, v, count(*) AS t FROM h GROUP BY 1, 2
+  ) GROUP BY 1
+), fin AS (
+  SELECT agg.user_id, n1, n2, r1_x2 - n1 * (n1 + 1) AS u1_x2, tie3
+  FROM agg JOIN ties ON ties.user_id = agg.user_id
+  WHERE n1 >= 5 AND n2 >= 5
+)
+SELECT user_id, n1, n2, u1_x2,
+       CAST(floor((CAST(u1_x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                  / (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                        * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+                           - CAST(tie3 AS DOUBLE)
+                             / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                                * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))))
+                  * 10000 + {_OFF}) AS BIGINT) AS z_e4
+FROM fin
+WHERE CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+      * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+         - CAST(tie3 AS DOUBLE)
+           / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+              * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))) > 0
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# topk_churn — day-over-day Jaccard stability of the top-10 user list
+# ---------------------------------------------------------------------------
+# How much does the daily top-10 heaviest-user list change?  The
+# temporal companion of rbo_sources (list similarity across RANKINGS)
+# — churn across TIME.  Per-day top-10 via WindowGroupLimit partial
+# rank (count desc, user asc — deterministic); consecutive-day overlap
+# via one equi-self-join on (user, day+1); Jaccard from exact integers.
+
+
+def q_topk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000))
+        .cast("long")
+        .alias("day"),
+        "user_id",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wd = Window.partitionBy("day").orderBy(F.desc("c"), F.asc("user_id"))
+    top = (
+        daily.withColumn("rk", F.row_number().over(wd))
+        .filter(F.col("rk") <= 10)
+        .select("day", "user_id")
+    )
+    sizes = top.groupBy("day").agg(F.count(F.lit(1)).alias("k"))
+    prev = top.select((F.col("day") + 1).alias("day"), "user_id")
+    inter = (
+        top.join(prev, ["day", "user_id"])
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    psz = sizes.select((F.col("day") + 1).alias("day"), F.col("k").alias("k_prev"))
+    out = (
+        sizes.join(psz, "day")
+        .join(inter, "day", "left")
+        .withColumn("n_common", F.coalesce(F.col("n_common"), F.lit(0)))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("k") + F.col("k_prev") - F.col("n_common")
+    ).cast("double")
+    return out.select(
+        "day",
+        F.col("k").cast("long").alias("k"),
+        F.col("n_common").cast("long").alias("n_common"),
+        F.floor(jac * 1_000_000 + F.lit(_OFF)).cast("long").alias("jaccard_e6"),
+    ).orderBy("day")
+
+
+SQL_TOPK_CHURN = f"""
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, user_id,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), top AS (
+  SELECT day, user_id FROM (
+    SELECT day, user_id,
+           row_number() OVER (PARTITION BY day ORDER BY c DESC, user_id) AS rk
+    FROM daily
+  ) WHERE rk <= 10
+), sizes AS (
+  SELECT day, count(*) AS k FROM top GROUP BY 1
+), inter AS (
+  SELECT t.day, count(*) AS n_common
+  FROM top t JOIN top p ON p.day + 1 = t.day AND p.user_id = t.user_id
+  GROUP BY 1
+)
+SELECT s.day, CAST(s.k AS BIGINT) AS k,
+       CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common,
+       CAST(floor(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                  / CAST(s.k + ps.k - COALESCE(i.n_common, 0) AS DOUBLE)
+                  * 1000000 + {_OFF}) AS BIGINT) AS jaccard_e6
+FROM sizes s
+JOIN sizes ps ON ps.day + 1 = s.day
+LEFT JOIN inter i ON i.day = s.day
+ORDER BY s.day
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_hhi": q_source_hhi,
     "poisson_dispersion": q_poisson_dispersion,
@@ -1074,6 +1364,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kcore_2": q_kcore_2,
     "granger_causality": q_granger_causality,
     "gumbel_maxima": q_gumbel_maxima,
+    "wasserstein_doclen": q_wasserstein_doclen,
+    "mann_whitney_daynight": q_mann_whitney_daynight,
+    "topk_churn": q_topk_churn,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1088,4 +1381,7 @@ ORACLE_SQL: dict[str, str] = {
     "kcore_2": _sql_kcore(),
     "granger_causality": SQL_GRANGER,
     "gumbel_maxima": SQL_GUMBEL,
+    "wasserstein_doclen": SQL_WASSERSTEIN,
+    "mann_whitney_daynight": SQL_MANN_WHITNEY,
+    "topk_churn": SQL_TOPK_CHURN,
 }

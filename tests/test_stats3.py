@@ -336,3 +336,83 @@ def test_gumbel_matches_numpy(spark):
         assert abs(row["rl30_e2"] - math.floor(rl * 100 + _OFF)) <= 1
         # the 30-day return level sits above the location parameter
         assert row["rl30_e2"] > row["mu_e2"]
+
+
+def test_wasserstein_matches_scipy_formula(spark):
+    from diive_spark.queries_stats3 import q_wasserstein_doclen
+
+    out = {
+        (r["la"], r["lb"]): r for r in q_wasserstein_doclen(spark, SF).collect()
+    }
+    docs = _docs_pd(spark)
+    langs = sorted(docs["lang"].unique())
+    for i, la in enumerate(langs):
+        for lb in langs[i + 1 :]:
+            a = np.sort(docs[docs["lang"] == la]["n_chars"].to_numpy())
+            b = np.sort(docs[docs["lang"] == lb]["n_chars"].to_numpy())
+            # brute W1 on the union support
+            support = np.unique(np.concatenate([a, b]))
+            fa = np.searchsorted(a, support, side="right") / len(a)
+            fb = np.searchsorted(b, support, side="right") / len(b)
+            gaps = np.diff(support)
+            w1 = float(np.sum(np.abs(fa[:-1] - fb[:-1]) * gaps))
+            row = out[(la, lb)]
+            assert (row["n_a"], row["n_b"]) == (len(a), len(b))
+            assert abs(row["w1_e4"] - math.floor(w1 * 1e4 + _OFF)) <= 1
+
+
+def _docs_pd(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+
+
+def test_mann_whitney_matches_scipy_formula(spark):
+    from diive_spark.queries_stats3 import q_mann_whitney_daynight
+
+    out = {r["user_id"]: r for r in q_mann_whitney_daynight(spark, SF).collect()}
+    g = _hourly_pd(spark)
+    g["is_day"] = ((g["t"] // 3600 % 24 >= 6) & (g["t"] // 3600 % 24 < 18))
+    import pandas as pd
+
+    for uid, grp in list(g.groupby("user_id"))[:10]:
+        v = grp["v"].to_numpy()
+        day = grp["is_day"].to_numpy()
+        n1, n2 = int(day.sum()), int((~day).sum())
+        ranks = pd.Series(v).rank(method="average").to_numpy()
+        r1 = ranks[day].sum()
+        u1 = r1 - n1 * (n1 + 1) / 2
+        n = n1 + n2
+        _, counts = np.unique(v, return_counts=True)
+        tie3 = float(np.sum(counts**3 - counts))
+        sig2 = n1 * n2 / 12 * ((n + 1) - tie3 / (n * (n - 1)))
+        if n1 < 5 or n2 < 5 or sig2 <= 0:
+            assert uid not in out
+            continue
+        z = (u1 - n1 * n2 / 2) / math.sqrt(sig2)
+        row = out[uid]
+        assert (row["n1"], row["n2"]) == (n1, n2)
+        assert row["u1_x2"] == int(round(2 * u1))
+        assert abs(row["z_e4"] - math.floor(z * 1e4 + _OFF)) <= 1
+
+
+def test_topk_churn_matches_counter(spark):
+    from diive_spark.queries_stats3 import q_topk_churn
+
+    out = {r["day"]: r for r in q_topk_churn(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["day"] = ev["ts"].astype("int64") // 10**9 // 86400
+    tops = {}
+    for day, grp in ev.groupby("day"):
+        c = grp.groupby("user_id").size().reset_index(name="c")
+        c = c.sort_values(["c", "user_id"], ascending=[False, True])
+        tops[day] = set(c.head(10)["user_id"])
+    days = sorted(tops)
+    for prev, cur in zip(days, days[1:]):
+        if cur != prev + 1:
+            assert cur not in out
+            continue
+        common = len(tops[cur] & tops[prev])
+        jac = common / len(tops[cur] | tops[prev])
+        row = out[cur]
+        assert row["k"] == len(tops[cur])
+        assert row["n_common"] == common
+        assert row["jaccard_e6"] == math.floor(jac * 1e6 + _OFF)
