@@ -453,11 +453,114 @@ ORDER BY vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# textrank_words — TextRank keyword scores on the word co-occurrence graph
+# ---------------------------------------------------------------------------
+# TextRank (Mihalcea & Tarau EMNLP 2004): PageRank over the word
+# adjacency graph.  The graph is BOUNDED deterministically first — the
+# top-100 corpus words by (count desc, word asc), an exact-integer
+# selection — then the directed multi-edge graph of adjacent-token
+# pairs within that vocabulary feeds the SAME fixed-iteration pagerank
+# operator (and unrolled AS MATERIALIZED twin) as domain_pagerank.
+# Output is ALL retained nodes ordered by word — no rank-based
+# selection, so near-tied ranks can never flip rows across engines.
+
+_TR_D = 0.85
+_TR_ITER = 10
+_TR_VOCAB = 100
+
+
+def q_textrank_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.text import graph as GR
+
+    toks = _documents(spark, sf_dir).select(
+        "doc_id", F.posexplode(_toks()).alias("pos", "w")
+    )
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    wr = Window.orderBy(F.desc("c"), F.asc("w"))
+    vocab = (
+        wc.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= _TR_VOCAB)
+        .select("w")
+    )
+    wnext = Window.partitionBy("doc_id").orderBy("pos")
+    edges = (
+        toks.withColumn("nxt", F.lead("w").over(wnext))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("w").alias("src"), F.col("nxt").alias("dst"))
+        .join(F.broadcast(vocab.withColumnRenamed("w", "src")), "src")
+        .join(F.broadcast(vocab.withColumnRenamed("w", "dst")), "dst")
+    )
+    ranks = GR.pagerank(
+        edges, "src", "dst", damping=_TR_D, n_iter=_TR_ITER
+    )
+    return ranks.select(
+        F.col("node").alias("w"),
+        F.floor(F.col("rank") * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "rank_e6"
+        ),
+    ).orderBy("w")
+
+
+def _sql_textrank() -> str:
+    its = []
+    prev = "r0"
+    for i in range(1, _TR_ITER + 1):
+        its.append(f"""r{i} AS MATERIALIZED (
+  SELECT n.node,
+         (1 - {_TR_D}) / nn.n
+         + {_TR_D} * (COALESCE(c.inc, 0)
+                      + (SELECT COALESCE(sum(r.rank), 0) FROM {prev} r
+                         LEFT JOIN outdeg o ON o.src = r.node
+                         WHERE o.src IS NULL) / nn.n) AS rank
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / o.deg) AS inc
+    FROM {prev} r JOIN outdeg o ON o.src = r.node
+    JOIN edges e ON e.src = r.node
+    GROUP BY e.dst
+  ) c ON c.node = n.node
+)""")
+        prev = f"r{i}"
+    chain = ",\n".join(its)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({DUCK_TOKS}) AS w,
+         generate_subscripts({DUCK_TOKS}, 1) AS pos
+  FROM documents
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rk
+    FROM toks GROUP BY w
+  ) WHERE rk <= {_TR_VOCAB}
+), adj AS (
+  SELECT w AS src, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS dst
+  FROM toks QUALIFY dst IS NOT NULL
+), edges AS (
+  SELECT src, dst FROM adj
+  WHERE src IN (SELECT w FROM vocab) AND dst IN (SELECT w FROM vocab)
+), outdeg AS (
+  SELECT src, count(*) AS deg FROM edges GROUP BY 1
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), nn AS (
+  SELECT count(*) AS n FROM nodes
+), r0 AS MATERIALIZED (
+  SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn
+),
+{chain}
+SELECT node AS w,
+       CAST(floor(rank * 1000000 + {_OFF}) AS BIGINT) AS rank_e6
+FROM {prev} ORDER BY w
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rbo_sources": q_rbo_sources,
     "kneser_ney_top": q_kneser_ney_top,
     "mattr": q_mattr,
     "jl_distortion": q_jl_distortion,
+    "textrank_words": q_textrank_words,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -465,4 +568,5 @@ ORACLE_SQL: dict[str, str] = {
     "kneser_ney_top": SQL_KNESER_NEY,
     "mattr": SQL_MATTR,
     "jl_distortion": _sql_jl(),
+    "textrank_words": _sql_textrank(),
 }

@@ -151,3 +151,40 @@ def test_jl_distortion_concentrates_near_one(spark):
     ratios = np.array([r["ratio_e4"] for r in rows], dtype=float) / 1e4
     assert len(ratios) > 50
     assert abs(ratios.mean() - 1.0) < 0.25
+
+
+def test_textrank_matches_numpy_power_iteration(spark):
+    from diive_spark.queries_text3 import (
+        _TR_D,
+        _TR_ITER,
+        _TR_VOCAB,
+        q_textrank_words,
+    )
+
+    out = {r["w"]: r["rank_e6"] for r in q_textrank_words(spark, SF).collect()}
+    docs = _docs(spark)
+    cnt = Counter(w for t in docs["text"] for w in _tok(t))
+    vocab = set(
+        w
+        for w, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:_TR_VOCAB]
+    )
+    edges = []
+    for t in docs["text"]:
+        toks = _tok(t)
+        for a, b in zip(toks, toks[1:]):
+            if a in vocab and b in vocab:
+                edges.append((a, b))
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = Counter(a for a, _ in edges)
+    r = np.full(n, 1.0 / n)
+    for _ in range(_TR_ITER):
+        inc = np.zeros(n)
+        for a, b in edges:
+            inc[idx[b]] += r[idx[a]] / outdeg[a]
+        dangling = sum(r[idx[v]] for v in nodes if outdeg[v] == 0)
+        r = (1 - _TR_D) / n + _TR_D * (inc + dangling / n)
+    assert set(out) == set(nodes)
+    for v in nodes:
+        assert abs(out[v] - math.floor(r[idx[v]] * 1e6 + _OFF)) <= 1
