@@ -1,0 +1,503 @@
+"""Round-4h query registry: multiple-testing control, product-analytics
+rollups, session path mining, and graph structure — Benjamini-Hochberg
+FDR over the per-user runs-test family, DAU/WAU stickiness, top event
+trigram paths, directed-edge reciprocity, fixed-round BFS depths from a
+deterministic source, and per-language character entropy.
+
+Oracle conventions as everywhere in this repo: identical column names,
+every DuckDB integer SUM wrapped in ``CAST(... AS BIGINT)``, derived
+doubles floor-scaled with the house 1/pi offset.  The one transcendental
+beyond the established ln/exp/sqrt set — the standard normal CDF — is
+computed from the SAME Abramowitz-Stegun 7.1.26 polynomial literal on
+both engines (no erf dependency).
+
+Reference parity notes: the reference's flag ladders emit per-series
+test statistics but never control the family-wise error across
+hundreds of sensors; bh_fdr_runs adds the standard FDR step-up
+(Benjamini & Hochberg 1995) the multi-series deployment needs.  The
+rest are the crawl/event-warehouse rollups (engagement stickiness,
+path mining, link symmetry, hop distance) with no reference
+counterpart — public literature cited per query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from diive_spark.queries_stats2 import _OFF, _documents
+from diive_spark.queries_stats3 import q_runs_test
+
+# ---------------------------------------------------------------------------
+# bh_fdr_runs — Benjamini-Hochberg step-up over the runs-test family
+# ---------------------------------------------------------------------------
+# Two-sided p-values from the per-user Wald-Wolfowitz z (the SCALED
+# z_e4 output of q_runs_test is the exact cross-engine contract, so
+# both engines start from IDENTICAL doubles), Phi via the Abramowitz-
+# Stegun 7.1.26 polynomial (|eps| < 7.5e-8 — far inside the e6
+# scaling); BH at q = 0.10: reject ranks 1..k where k = max{i : p_(i)
+# <= i q / m} (Benjamini & Hochberg JRSS-B 1995).  The family is ONE
+# ROW PER USER (not per observation), so the family-wide rank window
+# is bounded by the key cardinality — the same justified-global-window
+# class as survival_km; the step-up "max k" is a running max over the
+# reversed rank order, one more bounded window.
+
+_BH_Q = 0.10
+# A&S 7.1.26 constants — embedded as the same literals in the SQL twin
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_AS_P = 0.2316419
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _phi_upper(z: Column) -> Column:
+    """Upper-tail P(Z > z) for z >= 0 via A&S 7.1.26 (same op tree as
+    the SQL twin)."""
+    t = 1.0 / (1.0 + _AS_P * z)
+    poly = (
+        _AS_B[0] * t
+        + _AS_B[1] * t * t
+        + _AS_B[2] * t * t * t
+        + _AS_B[3] * t * t * t * t
+        + _AS_B[4] * t * t * t * t * t
+    )
+    return _INV_SQRT_2PI * F.exp(-z * z / 2.0) * poly
+
+
+def q_bh_fdr_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = q_runs_test(spark, sf_dir).select(
+        "user_id", (F.col("z_e4").cast("double") / 1e4).alias("z")
+    )
+    p = base.withColumn("p", 2.0 * _phi_upper(F.abs(F.col("z"))))
+    m = Window.partitionBy()
+    wr = Window.orderBy(F.asc("p"), F.asc("user_id"))
+    ranked = (
+        p.withColumn("m", F.count(F.lit(1)).over(m))
+        .withColumn("rank", F.row_number().over(wr))
+        .withColumn(
+            "passes", (F.col("p") <= F.col("rank") * _BH_Q / F.col("m")).cast("long")
+        )
+    )
+    # step-up: rejected iff rank <= max rank that passes
+    wk = Window.orderBy(F.desc("rank")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = ranked.withColumn(
+        "k", F.max(F.when(F.col("passes") == 1, F.col("rank"))).over(wk)
+    ).withColumn("rejected", (F.col("k").isNotNull()).cast("long"))
+    return out.select(
+        "user_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.floor(F.col("p") * 1_000_000 + F.lit(_OFF)).cast("long").alias("p_e6"),
+        "rejected",
+    ).orderBy("rank")
+
+
+def _sql_bh(runs_sql: str) -> str:
+    b = _AS_B
+    phi = (
+        f"{_INV_SQRT_2PI} * exp(-(az * az) / 2.0)"
+        f" * ({b[0]!r} * tt + {b[1]!r} * tt * tt + {b[2]!r} * tt * tt * tt"
+        f" + {b[3]!r} * tt * tt * tt * tt"
+        f" + {b[4]!r} * tt * tt * tt * tt * tt)"
+    )
+    return f"""
+WITH runs_out AS (
+{runs_sql.replace("ORDER BY user_id", "")}
+), z AS (
+  SELECT user_id, CAST(z_e4 AS DOUBLE) / 1e4 AS zz FROM runs_out
+), pv AS (
+  SELECT user_id,
+         2.0 * {phi} AS p
+  FROM (
+    SELECT user_id, abs(zz) AS az,
+           1.0 / (1.0 + {_AS_P!r} * abs(zz)) AS tt
+    FROM z
+  )
+), ranked AS (
+  SELECT user_id, p,
+         count(*) OVER () AS m,
+         row_number() OVER (ORDER BY p, user_id) AS rank
+  FROM pv
+), marked AS (
+  SELECT *,
+         CASE WHEN p <= rank * {_BH_Q} / m THEN 1 ELSE 0 END AS passes
+  FROM ranked
+), stepped AS (
+  SELECT *,
+         max(CASE WHEN passes = 1 THEN rank END)
+           OVER (ORDER BY rank DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k
+  FROM marked
+)
+SELECT user_id, CAST(rank AS BIGINT) AS rank,
+       CAST(floor(p * 1000000 + {_OFF}) AS BIGINT) AS p_e6,
+       CAST(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS rejected
+FROM stepped
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# stickiness_dau_wau — DAU / trailing-7-day WAU engagement ratio
+# ---------------------------------------------------------------------------
+# The product-analytics stickiness metric: DAU(d) / WAU(d) with
+# WAU(d) = |distinct users active in [d-6, d]|.  The user-day DISTINCT
+# table is the materialization boundary (combinable distinct); WAU is a
+# bounded range join of that table against the tiny day grid (7-day
+# band), then one count-distinct per day — never a window over raw
+# events.  All integers; stickiness is one division.
+
+
+def q_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ud = ev.select(
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000))
+        .cast("long")
+        .alias("day"),
+        "user_id",
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    days = ud.select("day").distinct()
+    wau = (
+        ud.join(
+            F.broadcast(days.withColumnRenamed("day", "d")),
+            (F.col("d") - F.col("day") >= 0) & (F.col("d") - F.col("day") <= 6),
+        )
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .withColumnRenamed("d", "day")
+    )
+    out = dau.join(wau, "day")
+    stick = F.col("dau").cast("double") / F.col("wau").cast("double")
+    return out.select(
+        "day",
+        F.col("dau").cast("long").alias("dau"),
+        F.col("wau").cast("long").alias("wau"),
+        F.floor(stick * 10_000 + F.lit(_OFF)).cast("long").alias("stickiness_e4"),
+    ).orderBy("day")
+
+
+SQL_STICKINESS = f"""
+WITH ud AS (
+  SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, user_id
+  FROM events
+), dau AS (
+  SELECT day, count(*) AS dau FROM ud GROUP BY 1
+), days AS (
+  SELECT DISTINCT day AS d FROM ud
+), wau AS (
+  SELECT d AS day, count(DISTINCT user_id) AS wau
+  FROM ud JOIN days ON days.d - ud.day BETWEEN 0 AND 6
+  GROUP BY 1
+)
+SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+       CAST(floor(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE)
+                  * 10000 + {_OFF}) AS BIGINT) AS stickiness_e4
+FROM dau JOIN wau ON wau.day = dau.day
+ORDER BY dau.day
+"""
+
+
+# ---------------------------------------------------------------------------
+# session_paths — top event-type trigram paths per user-day session
+# ---------------------------------------------------------------------------
+# Path mining over (user, day) sessions: the 10 most frequent ordered
+# event-type trigrams with their corpus share.  Two lags on ONE
+# per-session sort exchange (ts, event_id total order — deterministic
+# under timestamp ties); exact integer counts; top-10 by (count desc,
+# path asc) — the global rank window runs over the bounded trigram-type
+# table (<= |types|^3 rows), never the event table.
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = ev.select(
+        "user_id",
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000))
+        .cast("long")
+        .alias("day"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts_us", "event_id")
+    tri = (
+        s.withColumn("e2", F.lead("event_type", 1).over(w))
+        .withColumn("e3", F.lead("event_type", 2).over(w))
+        .filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+    )
+    cnt = tri.groupBy("path").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("total"))
+    wr = Window.orderBy(F.desc("c"), F.asc("path"))
+    top = (
+        cnt.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 10)
+        .crossJoin(F.broadcast(tot))
+    )
+    share = F.col("c").cast("double") / F.col("total").cast("double")
+    return top.select(
+        F.col("rank").cast("long").alias("rank"),
+        "path",
+        F.col("c").cast("long").alias("c"),
+        F.floor(share * 1_000_000 + F.lit(_OFF)).cast("long").alias("share_e6"),
+    ).orderBy("rank")
+
+
+SQL_SESSION_PATHS = f"""
+WITH s AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         epoch_us(ts) AS ts_us, event_id, event_type
+  FROM events
+), tri AS (
+  SELECT event_type || '>' || e2 || '>' || e3 AS path
+  FROM (
+    SELECT event_type,
+           lead(event_type, 1) OVER w AS e2,
+           lead(event_type, 2) OVER w AS e3
+    FROM s
+    WINDOW w AS (PARTITION BY user_id, day ORDER BY ts_us, event_id)
+  ) WHERE e3 IS NOT NULL
+), cnt AS (
+  SELECT path, count(*) AS c FROM tri GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt
+), top AS (
+  SELECT path, c, row_number() OVER (ORDER BY c DESC, path) AS rank
+  FROM cnt
+)
+SELECT CAST(rank AS BIGINT) AS rank, path, CAST(c AS BIGINT) AS c,
+       CAST(floor(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)
+                  * 1000000 + {_OFF}) AS BIGINT) AS share_e6
+FROM top CROSS JOIN tot
+WHERE rank <= 10
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# graph_reciprocity — directed-edge reciprocity of the crawl graph
+# ---------------------------------------------------------------------------
+# r = |{(u,v) in E : (v,u) in E}| / |E| over the DISTINCT directed
+# edge set (Wasserman & Faust §13; Garlaschelli & Loffredo PRL 2004) —
+# the symmetry diagnostic for the crawl-order transition graph.  One
+# distinct, one self-join on the reversed key, exact integers.
+
+
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("doc_id", "lang", "source")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    e = (
+        d.withColumn("_nxt", F.lead("source").over(w))
+        .filter(F.col("_nxt").isNotNull() & (F.col("source") != F.col("_nxt")))
+        .select(F.col("source").alias("src"), F.col("_nxt").alias("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_recip")
+    )
+    tot = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    out = tot.crossJoin(recip)
+    r = F.col("n_recip").cast("double") / F.col("n_edges").cast("double")
+    return out.select(
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_recip").cast("long").alias("n_recip"),
+        F.floor(r * 1_000_000 + F.lit(_OFF)).cast("long").alias("reciprocity_e6"),
+    )
+
+
+SQL_RECIPROCITY = f"""
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT source AS src,
+           lead(source) OVER (PARTITION BY lang ORDER BY doc_id) AS dst
+    FROM documents QUALIFY dst IS NOT NULL
+  ) WHERE src <> dst
+), recip AS (
+  SELECT count(*) AS n_recip
+  FROM e WHERE EXISTS (SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src)
+), tot AS (
+  SELECT count(*) AS n_edges FROM e
+)
+SELECT CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_recip AS BIGINT) AS n_recip,
+       CAST(floor(CAST(n_recip AS DOUBLE) / CAST(n_edges AS DOUBLE)
+                  * 1000000 + {_OFF}) AS BIGINT) AS reciprocity_e6
+FROM tot CROSS JOIN recip
+"""
+
+
+# ---------------------------------------------------------------------------
+# bfs_depths — fixed-round BFS hop distances from a deterministic source
+# ---------------------------------------------------------------------------
+# Single-source shortest hop distances on the undirected domain graph
+# from the deterministic source (max degree, min name tie-break) —
+# 6 synchronous label-relaxation rounds (d'(v) = min(d(v),
+# min_{u~v} d(u)+1)), the same fixed-iteration contract as kcore_2 /
+# label_propagation, localCheckpoint per round.  A pytest pins 6
+# rounds == true BFS at test scale.  Per round: one hash join + one
+# combinable min-agg on the edge set.
+
+
+_BFS_ROUNDS = 6
+
+
+def q_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("doc_id", "lang", "source")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    e0 = (
+        d.withColumn("_nxt", F.lead("source").over(w))
+        .filter(F.col("_nxt").isNotNull() & (F.col("source") != F.col("_nxt")))
+        .select(
+            F.least("source", "_nxt").alias("a"),
+            F.greatest("source", "_nxt").alias("b"),
+        )
+        .distinct()
+    )
+    # both directions for relaxation
+    e = e0.unionAll(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    src = (
+        deg.orderBy(F.desc("deg"), F.asc("a")).limit(1).select(F.col("a").alias("n"))
+    )
+    depth = src.withColumn("depth", F.lit(0).cast("long")).localCheckpoint()
+    for _ in range(_BFS_ROUNDS):
+        relaxed = (
+            e.join(depth, e["a"] == depth["n"])
+            .select(F.col("b").alias("n"), (F.col("depth") + 1).alias("depth"))
+        )
+        depth = (
+            depth.unionAll(relaxed)
+            .groupBy("n")
+            .agg(F.min("depth").alias("depth"))
+            .localCheckpoint()
+        )
+    return depth.select("n", F.col("depth").cast("long").alias("depth")).orderBy(
+        "n"
+    )
+
+
+def _sql_bfs() -> str:
+    parts = [
+        """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT least(sa, sb) AS a, greatest(sa, sb) AS b
+  FROM (
+    SELECT source AS sa,
+           lead(source) OVER (PARTITION BY lang ORDER BY doc_id) AS sb
+    FROM documents QUALIFY sb IS NOT NULL
+  ) WHERE sa <> sb
+), e AS MATERIALIZED (
+  SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0
+), src AS (
+  SELECT a AS n FROM (
+    SELECT a, count(*) AS deg FROM e GROUP BY 1
+  ) ORDER BY deg DESC, a LIMIT 1
+), d_0 AS MATERIALIZED (
+  SELECT n, CAST(0 AS BIGINT) AS depth FROM src
+)"""
+    ]
+    for r in range(_BFS_ROUNDS):
+        parts.append(
+            f""", d_{r + 1} AS MATERIALIZED (
+  SELECT n, min(depth) AS depth FROM (
+    SELECT n, depth FROM d_{r}
+    UNION ALL
+    SELECT e.b AS n, d_{r}.depth + 1 AS depth
+    FROM e JOIN d_{r} ON d_{r}.n = e.a
+  ) GROUP BY n
+)"""
+        )
+    parts.append(
+        f"""
+SELECT n, CAST(depth AS BIGINT) AS depth FROM d_{_BFS_ROUNDS} ORDER BY n
+"""
+    )
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# char_entropy_lang — character-distribution entropy per language
+# ---------------------------------------------------------------------------
+# Shannon entropy of the character frequency mix per language (plus the
+# printable-distinct count) — the cheap orthographic fingerprint next
+# to the n-gram langid profile.  H = ln N - sum(c ln c)/N over exact
+# integer character counts; <= |alphabet| ln terms per language.
+
+
+def q_char_entropy_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = _documents(spark, sf_dir).select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[\s\S]"), F.lit(0))
+        ).alias("ch"),
+    )
+    cnt = ch.groupBy("lang", "ch").agg(F.count(F.lit(1)).alias("c"))
+    agg = cnt.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_chars_distinct"),
+        F.sum("c").alias("n"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+            "clogc"
+        ),
+    )
+    h = F.log(F.col("n").cast("double")) - F.col("clogc") / F.col("n").cast(
+        "double"
+    )
+    return agg.select(
+        "lang",
+        F.col("n_chars_distinct").cast("long").alias("n_chars_distinct"),
+        F.col("n").cast("long").alias("n"),
+        F.floor(h * 10_000 + F.lit(0.5)).cast("long").alias("entropy_e4"),
+    ).orderBy("lang")
+
+
+SQL_CHAR_ENTROPY = r"""
+WITH ch AS (
+  SELECT lang, unnest(regexp_extract_all(text, '[\s\S]')) AS ch
+  FROM documents
+), cnt AS (
+  SELECT lang, ch, count(*) AS c FROM ch GROUP BY 1, 2
+), agg AS (
+  SELECT lang, count(*) AS n_chars_distinct,
+         CAST(sum(c) AS BIGINT) AS n,
+         sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clogc
+  FROM cnt GROUP BY 1
+)
+SELECT lang, CAST(n_chars_distinct AS BIGINT) AS n_chars_distinct, n,
+       CAST(floor((ln(CAST(n AS DOUBLE)) - clogc / CAST(n AS DOUBLE))
+                  * 10000 + 0.5) AS BIGINT) AS entropy_e4
+FROM agg
+ORDER BY lang
+"""
+
+
+def _runs_sql() -> str:
+    from diive_spark.queries_stats3 import SQL_RUNS_TEST
+
+    return SQL_RUNS_TEST
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bh_fdr_runs": q_bh_fdr_runs,
+    "stickiness_dau_wau": q_stickiness_dau_wau,
+    "session_paths": q_session_paths,
+    "graph_reciprocity": q_graph_reciprocity,
+    "bfs_depths": q_bfs_depths,
+    "char_entropy_lang": q_char_entropy_lang,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "bh_fdr_runs": _sql_bh(_runs_sql()),
+    "stickiness_dau_wau": SQL_STICKINESS,
+    "session_paths": SQL_SESSION_PATHS,
+    "graph_reciprocity": SQL_RECIPROCITY,
+    "bfs_depths": _sql_bfs(),
+    "char_entropy_lang": SQL_CHAR_ENTROPY,
+}

@@ -1,0 +1,157 @@
+"""queries_stats4 — BH-FDR / stickiness / session paths / reciprocity /
+BFS / char entropy pinned against independent oracles at sf0.001."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+
+from diive_spark.queries_stats2 import _OFF
+from diive_spark.queries_stats4 import (
+    _BFS_ROUNDS,
+    _BH_Q,
+    q_bfs_depths,
+    q_bh_fdr_runs,
+    q_char_entropy_lang,
+    q_graph_reciprocity,
+    q_session_paths,
+    q_stickiness_dau_wau,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bh_fdr_matches_stepup(spark):
+    rows = q_bh_fdr_runs(spark, SF).collect()
+    m = len(rows)
+    assert m > 0
+    # p-values sorted by rank; A&S polynomial is within 7.5e-8 of the
+    # true normal CDF, so compare against scipy loosely and the BH
+    # step-up logic exactly on the query's OWN p-values.
+    ps = [r["p_e6"] / 1e6 for r in sorted(rows, key=lambda r: r["rank"])]
+    assert ps == sorted(ps)
+    ks = [i + 1 for i, p in enumerate(ps) if p <= (i + 1) * _BH_Q / m]
+    k = max(ks) if ks else 0
+    for r in rows:
+        assert r["rejected"] == (1 if r["rank"] <= k else 0)
+
+
+def test_bh_pvalues_match_normal_cdf(spark):
+    from diive_spark.queries_stats3 import q_runs_test
+
+    z = {r["user_id"]: r["z_e4"] / 1e4 for r in q_runs_test(spark, SF).collect()}
+    rows = q_bh_fdr_runs(spark, SF).collect()
+    # exact two-sided normal p via the stdlib complementary error
+    # function: 2 * (1 - Phi(|z|)) = erfc(|z| / sqrt(2))
+    got = sorted(r["p_e6"] for r in rows)
+    want = sorted(
+        math.floor(math.erfc(abs(v) / math.sqrt(2)) * 1e6 + _OFF)
+        for v in z.values()
+    )
+    assert len(got) == len(want)
+    # A&S 7.1.26 absolute error < 7.5e-8 -> after e6 scaling p differs
+    # by at most 1 count from the exact CDF
+    assert all(abs(a - b) <= 1 for a, b in zip(got, want))
+
+
+def test_stickiness_matches_counter(spark):
+    out = {r["day"]: r for r in q_stickiness_dau_wau(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["day"] = ev["ts"].astype("int64") // 10**9 // 86400
+    ud = ev[["day", "user_id"]].drop_duplicates()
+    days = sorted(ud["day"].unique())
+    for d in days:
+        dau = ud[ud["day"] == d]["user_id"].nunique()
+        wau = ud[(ud["day"] >= d - 6) & (ud["day"] <= d)]["user_id"].nunique()
+        row = out[d]
+        assert (row["dau"], row["wau"]) == (dau, wau)
+        assert row["stickiness_e4"] == math.floor(dau / wau * 1e4 + _OFF)
+        assert row["dau"] <= row["wau"]
+
+
+def test_session_paths_matches_counter(spark):
+    rows = q_session_paths(spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["day"] = ev["ts"].astype("int64") // 10**9 // 86400
+    ev["ts_us"] = ev["ts"].astype("int64") // 1000
+    ev = ev.sort_values(["user_id", "day", "ts_us", "event_id"])
+    c = Counter()
+    for _, grp in ev.groupby(["user_id", "day"]):
+        t = grp["event_type"].tolist()
+        for i in range(len(t) - 2):
+            c[f"{t[i]}>{t[i + 1]}>{t[i + 2]}"] += 1
+    total = sum(c.values())
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert len(rows) == min(10, len(top))
+    for rank, (path, cnt) in enumerate(top, start=1):
+        row = next(r for r in rows if r["rank"] == rank)
+        assert (row["path"], row["c"]) == (path, cnt)
+        assert row["share_e6"] == math.floor(cnt / total * 1e6 + _OFF)
+
+
+def _edges_directed(spark):
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .toPandas()
+        .sort_values(["lang", "doc_id"])
+    )
+    e = set()
+    for _, grp in docs.groupby("lang"):
+        src = grp["source"].tolist()
+        for a, b in zip(src, src[1:]):
+            if a != b:
+                e.add((a, b))
+    return e
+
+
+def test_reciprocity_matches_set_logic(spark):
+    row = q_graph_reciprocity(spark, SF).collect()[0]
+    e = _edges_directed(spark)
+    recip = sum(1 for a, b in e if (b, a) in e)
+    assert row["n_edges"] == len(e)
+    assert row["n_recip"] == recip
+    assert row["reciprocity_e6"] == math.floor(recip / len(e) * 1e6 + _OFF)
+
+
+def test_bfs_six_rounds_is_true_bfs(spark):
+    out = {r["n"]: r["depth"] for r in q_bfs_depths(spark, SF).collect()}
+    e = _edges_directed(spark)
+    und = {(min(a, b), max(a, b)) for a, b in e}
+    adj: dict[str, set[str]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(v) for n, v in adj.items()}
+    src = sorted(deg.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    # true BFS
+    depth = {src: 0}
+    frontier = [src]
+    d = 0
+    while frontier:
+        d += 1
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in depth:
+                    depth[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    reachable6 = {n: dd for n, dd in depth.items() if dd <= _BFS_ROUNDS}
+    assert out == reachable6
+
+
+def test_char_entropy_matches_counter(spark):
+    out = {r["lang"]: r for r in q_char_entropy_lang(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    for lang, grp in docs.groupby("lang"):
+        c = Counter(ch for t in grp["text"] for ch in t)
+        n = sum(c.values())
+        h = math.log(n) - sum(v * math.log(v) for v in c.values()) / n
+        row = out[lang]
+        assert row["n_chars_distinct"] == len(c)
+        assert row["n"] == n
+        assert abs(row["entropy_e4"] - math.floor(h * 1e4 + 0.5)) <= 1
+        # entropy bounded by log of alphabet size
+        assert row["entropy_e4"] <= math.floor(math.log(len(c)) * 1e4) + 1
