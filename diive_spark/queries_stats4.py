@@ -478,6 +478,316 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# energy_distance — exact squared energy distance between language mixes
+# ---------------------------------------------------------------------------
+# ED^2(P,Q) = 2 E|X-Y| - E|X-X'| - E|Y-Y'| (Szekely & Rizzo 2004) over
+# doc lengths.  Kept EXACT on the same union-support-grid scaffold as
+# wasserstein_doclen: with per-lang cumulative counts/sums at support
+# point v, sum_x |x - v| = v*(2*cumcnt - n) - 2*cumsum + totsum — a
+# BIGINT; the cross term folds c_other(v) * that.  Every pairwise
+# expectation is an exact integer divided once at the end.  Two
+# combinable groupBys + one per-lang cumsum window on the value-domain
+# grid + the |langs|^2 pair join on the support point.
+
+
+def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("lang", "n_chars")
+    cnt = d.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    support = cnt.select("n_chars").distinct()
+    langs = cnt.select("lang").distinct()
+    grid = langs.crossJoin(support)
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    cum = (
+        grid.join(cnt, ["lang", "n_chars"], "left")
+        .fillna(0, subset=["c"])
+        .withColumn(
+            "cumc", F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn(
+            "cums",
+            F.sum(F.col("c") * F.col("n_chars")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("n", F.sum("c").over(Window.partitionBy("lang")))
+        .withColumn(
+            "s", F.sum(F.col("c") * F.col("n_chars")).over(Window.partitionBy("lang"))
+        )
+    )
+    # sum_x |x - v| for this lang at support point v (exact BIGINT)
+    absdist = (
+        F.col("n_chars") * (2 * F.col("cumc") - F.col("n"))
+        - 2 * F.col("cums")
+        + F.col("s")
+    )
+    base = cum.select(
+        "lang", "n_chars", F.col("c").alias("cv"), absdist.alias("ad"),
+        F.col("n").alias("nn"),
+    )
+    a = base.select(
+        F.col("lang").alias("la"),
+        "n_chars",
+        F.col("cv").alias("c_a"),
+        F.col("ad").alias("ad_a"),
+        F.col("nn").alias("n_a"),
+    )
+    b = base.select(
+        F.col("lang").alias("lb"),
+        "n_chars",
+        F.col("cv").alias("c_b"),
+        F.col("ad").alias("ad_b"),
+        F.col("nn").alias("n_b"),
+    )
+    j = a.join(b, "n_chars").filter(F.col("la") < F.col("lb"))
+    agg = j.groupBy("la", "lb").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(F.col("c_b") * F.col("ad_a")).alias("sxy"),
+        F.sum(F.col("c_a") * F.col("ad_a")).alias("sxx"),
+        F.sum(F.col("c_b") * F.col("ad_b")).alias("syy"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ed2 = (
+        2.0 * F.col("sxy").cast("double") / (na * nb)
+        - F.col("sxx").cast("double") / (na * na)
+        - F.col("syy").cast("double") / (nb * nb)
+    )
+    return agg.select(
+        "la",
+        "lb",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.floor(ed2 * 10_000 + F.lit(_OFF)).cast("long").alias("ed2_e4"),
+    ).orderBy("la", "lb")
+
+
+SQL_ENERGY = f"""
+WITH cnt AS (
+  SELECT lang, n_chars, count(*) AS c FROM documents GROUP BY 1, 2
+), support AS (
+  SELECT DISTINCT n_chars FROM cnt
+), langs AS (
+  SELECT DISTINCT lang FROM cnt
+), cum AS (
+  SELECT g.lang, g.n_chars, COALESCE(cnt.c, 0) AS c,
+         CAST(sum(COALESCE(cnt.c, 0)) OVER pw AS BIGINT) AS cumc,
+         CAST(sum(COALESCE(cnt.c, 0) * g.n_chars) OVER pw AS BIGINT) AS cums,
+         CAST(sum(COALESCE(cnt.c, 0)) OVER (PARTITION BY g.lang) AS BIGINT) AS n,
+         CAST(sum(COALESCE(cnt.c, 0) * g.n_chars)
+              OVER (PARTITION BY g.lang) AS BIGINT) AS s
+  FROM (SELECT lang, n_chars FROM langs CROSS JOIN support) g
+  LEFT JOIN cnt ON cnt.lang = g.lang AND cnt.n_chars = g.n_chars
+  WINDOW pw AS (PARTITION BY g.lang ORDER BY g.n_chars
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), base AS (
+  SELECT lang, n_chars, c AS cv,
+         n_chars * (2 * cumc - n) - 2 * cums + s AS ad, n AS nn
+  FROM cum
+), j AS (
+  SELECT a.lang AS la, b.lang AS lb,
+         a.cv AS c_a, b.cv AS c_b, a.ad AS ad_a, b.ad AS ad_b,
+         a.nn AS n_a, b.nn AS n_b
+  FROM base a JOIN base b ON a.n_chars = b.n_chars AND a.lang < b.lang
+), agg AS (
+  SELECT la, lb, max(n_a) AS n_a, max(n_b) AS n_b,
+         CAST(sum(c_b * ad_a) AS BIGINT) AS sxy,
+         CAST(sum(c_a * ad_a) AS BIGINT) AS sxx,
+         CAST(sum(c_b * ad_b) AS BIGINT) AS syy
+  FROM j GROUP BY 1, 2
+)
+SELECT la, lb, n_a, n_b,
+       CAST(floor((2.0 * CAST(sxy AS DOUBLE)
+                    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                   - CAST(sxx AS DOUBLE)
+                     / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))
+                   - CAST(syy AS DOUBLE)
+                     / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)))
+                  * 10000 + {_OFF}) AS BIGINT) AS ed2_e4
+FROM agg
+ORDER BY la, lb
+"""
+
+
+# ---------------------------------------------------------------------------
+# basket_lift — association lift between event types in user-day baskets
+# ---------------------------------------------------------------------------
+# Market-basket association (Agrawal et al. SIGMOD 1993 support/
+# confidence; lift per Brin et al. 1997): baskets are user-day DISTINCT
+# type sets; for each ordered type pair, support(ab), confidence
+# P(b|a), lift P(ab)/(P(a)P(b)).  Pair counts via one equi-self-join of
+# the distinct basket-membership table on the basket key (output
+# bounded by |types|^2); every probability an exact integer ratio.
+
+
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bm = ev.select(
+        "user_id",
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000))
+        .cast("long")
+        .alias("day"),
+        "event_type",
+    ).distinct()
+    nb = bm.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    single = bm.groupBy("event_type").agg(F.count(F.lit(1)).alias("c1"))
+    pair = (
+        bm.alias("x")
+        .join(
+            bm.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.day") == F.col("y.day"))
+            & (F.col("x.event_type") != F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("ta"), F.col("y.event_type").alias("tb")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    out = (
+        pair.join(
+            F.broadcast(single.withColumnRenamed("event_type", "ta").withColumnRenamed("c1", "c_a")),
+            "ta",
+        )
+        .join(
+            F.broadcast(single.withColumnRenamed("event_type", "tb").withColumnRenamed("c1", "c_b")),
+            "tb",
+        )
+        .crossJoin(F.broadcast(nb))
+    )
+    nbl = F.col("n_baskets").cast("double")
+    lift = (
+        F.col("c_ab").cast("double")
+        * nbl
+        / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+    )
+    conf = F.col("c_ab").cast("double") / F.col("c_a").cast("double")
+    supp = F.col("c_ab").cast("double") / nbl
+    return out.select(
+        "ta",
+        "tb",
+        F.col("c_ab").cast("long").alias("c_ab"),
+        F.floor(supp * 1_000_000 + F.lit(_OFF)).cast("long").alias("support_e6"),
+        F.floor(conf * 1_000_000 + F.lit(_OFF)).cast("long").alias("confidence_e6"),
+        F.floor(lift * 10_000 + F.lit(_OFF)).cast("long").alias("lift_e4"),
+    ).orderBy("ta", "tb")
+
+
+SQL_BASKET_LIFT = f"""
+WITH bm AS (
+  SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         event_type
+  FROM events
+), nb AS (
+  SELECT count(*) AS n_baskets FROM (SELECT DISTINCT user_id, day FROM bm)
+), single AS (
+  SELECT event_type, count(*) AS c1 FROM bm GROUP BY 1
+), pair AS (
+  SELECT x.event_type AS ta, y.event_type AS tb, count(*) AS c_ab
+  FROM bm x JOIN bm y
+    ON x.user_id = y.user_id AND x.day = y.day
+   AND x.event_type <> y.event_type
+  GROUP BY 1, 2
+)
+SELECT ta, tb, CAST(c_ab AS BIGINT) AS c_ab,
+       CAST(floor(CAST(c_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE)
+                  * 1000000 + {_OFF}) AS BIGINT) AS support_e6,
+       CAST(floor(CAST(c_ab AS DOUBLE) / CAST(sa.c1 AS DOUBLE)
+                  * 1000000 + {_OFF}) AS BIGINT) AS confidence_e6,
+       CAST(floor(CAST(c_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+                  / (CAST(sa.c1 AS DOUBLE) * CAST(sb.c1 AS DOUBLE))
+                  * 10000 + {_OFF}) AS BIGINT) AS lift_e4
+FROM pair
+JOIN single sa ON sa.event_type = pair.ta
+JOIN single sb ON sb.event_type = pair.tb
+CROSS JOIN nb
+ORDER BY ta, tb
+"""
+
+
+# ---------------------------------------------------------------------------
+# trending_terms — last-day odds-ratio trending terms with Haldane fix
+# ---------------------------------------------------------------------------
+# Temporal companion of log_odds_terms: terms whose LAST-DAY share
+# jumped vs the prior corpus, scored by the Haldane-Anscombe-corrected
+# log odds ratio ln(((a+.5)/(A-a+.5)) / ((b+.5)/(B-b+.5))) — exact
+# integer counts, one deterministic expression; top-10 by (log-OR desc,
+# term asc) over the bounded candidate set (terms seen on the last
+# day with count >= 3).  documents carry no timestamp, so the "day" is
+# the crawl-order bucket doc_id // 100 — the synthetic-table analog of
+# a crawl batch; the LAST bucket is the trending window.
+
+
+def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _documents(spark, sf_dir).select(
+        (F.col("doc_id") / 100).cast("long").alias("bucket"),
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    )
+    last = toks.agg(F.max("bucket").alias("lb"))
+    t = toks.crossJoin(F.broadcast(last)).withColumn(
+        "is_last", (F.col("bucket") == F.col("lb")).cast("long")
+    )
+    cnt = t.groupBy("w").agg(
+        F.sum("is_last").alias("a"),
+        F.sum(F.lit(1) - F.col("is_last")).alias("b"),
+    )
+    tot = cnt.agg(
+        F.sum("a").alias("ta"), F.sum("b").alias("tb")
+    )
+    c = cnt.filter(F.col("a") >= 3).crossJoin(F.broadcast(tot))
+    lor = F.log(
+        ((F.col("a") + 0.5) / (F.col("ta") - F.col("a") + 0.5))
+        / ((F.col("b") + 0.5) / (F.col("tb") - F.col("b") + 0.5))
+    )
+    scored = c.select(
+        "w",
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.floor(lor * 10_000 + F.lit(_OFF)).cast("long").alias("log_or_e4"),
+    )
+    wr = Window.orderBy(F.desc("log_or_e4"), F.asc("w"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 10)
+        .select(F.col("rank").cast("long").alias("rank"), "w", "a", "b", "log_or_e4")
+        .orderBy("rank")
+    )
+
+
+SQL_TRENDING = f"""
+WITH toks AS (
+  SELECT doc_id // 100 AS bucket,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), last AS (
+  SELECT max(bucket) AS lb FROM toks
+), cnt AS (
+  SELECT w,
+         CAST(sum(CASE WHEN bucket = lb THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN bucket = lb THEN 0 ELSE 1 END) AS BIGINT) AS b
+  FROM toks CROSS JOIN last GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb FROM cnt
+), scored AS (
+  SELECT w, a, b,
+         CAST(floor(ln(((a + 0.5) / (ta - a + 0.5))
+                       / ((b + 0.5) / (tb - b + 0.5))) * 10000 + {_OFF})
+              AS BIGINT) AS log_or_e4
+  FROM cnt CROSS JOIN tot
+  WHERE a >= 3
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY log_or_e4 DESC, w) AS rank
+  FROM scored
+)
+SELECT CAST(rank AS BIGINT) AS rank, w, a, b, log_or_e4
+FROM ranked WHERE rank <= 10
+ORDER BY rank
+"""
+
+
 def _runs_sql() -> str:
     from diive_spark.queries_stats3 import SQL_RUNS_TEST
 
@@ -491,6 +801,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_reciprocity": q_graph_reciprocity,
     "bfs_depths": q_bfs_depths,
     "char_entropy_lang": q_char_entropy_lang,
+    "energy_distance": q_energy_distance,
+    "basket_lift": q_basket_lift,
+    "trending_terms": q_trending_terms,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -500,4 +813,7 @@ ORACLE_SQL: dict[str, str] = {
     "graph_reciprocity": SQL_RECIPROCITY,
     "bfs_depths": _sql_bfs(),
     "char_entropy_lang": SQL_CHAR_ENTROPY,
+    "energy_distance": SQL_ENERGY,
+    "basket_lift": SQL_BASKET_LIFT,
+    "trending_terms": SQL_TRENDING,
 }

@@ -27,9 +27,8 @@ def test_bh_fdr_matches_stepup(spark):
     rows = q_bh_fdr_runs(spark, SF).collect()
     m = len(rows)
     assert m > 0
-    # p-values sorted by rank; A&S polynomial is within 7.5e-8 of the
-    # true normal CDF, so compare against scipy loosely and the BH
-    # step-up logic exactly on the query's OWN p-values.
+    # check the BH step-up logic exactly on the query's OWN p-values
+    # (the CDF itself is pinned against math.erfc below).
     ps = [r["p_e6"] / 1e6 for r in sorted(rows, key=lambda r: r["rank"])]
     assert ps == sorted(ps)
     ks = [i + 1 for i, p in enumerate(ps) if p <= (i + 1) * _BH_Q / m]
@@ -155,3 +154,89 @@ def test_char_entropy_matches_counter(spark):
         assert abs(row["entropy_e4"] - math.floor(h * 1e4 + 0.5)) <= 1
         # entropy bounded by log of alphabet size
         assert row["entropy_e4"] <= math.floor(math.log(len(c)) * 1e4) + 1
+
+
+def test_energy_distance_matches_numpy(spark):
+    from diive_spark.queries_stats4 import q_energy_distance
+
+    out = {
+        (r["la"], r["lb"]): r for r in q_energy_distance(spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    langs = sorted(docs["lang"].unique())
+    arr = {
+        lg: docs[docs["lang"] == lg]["n_chars"].to_numpy(dtype=np.int64)
+        for lg in langs
+    }
+    for i, la in enumerate(langs):
+        for lb in langs[i + 1 :]:
+            x, y = arr[la], arr[lb]
+            sxy = np.abs(x[:, None] - y[None, :]).sum()
+            sxx = np.abs(x[:, None] - x[None, :]).sum()
+            syy = np.abs(y[:, None] - y[None, :]).sum()
+            ed2 = (
+                2 * sxy / (len(x) * len(y))
+                - sxx / len(x) ** 2
+                - syy / len(y) ** 2
+            )
+            row = out[(la, lb)]
+            assert (row["n_a"], row["n_b"]) == (len(x), len(y))
+            assert abs(row["ed2_e4"] - math.floor(ed2 * 1e4 + _OFF)) <= 1
+            # energy distance is nonnegative
+            assert row["ed2_e4"] >= 0
+
+
+def test_basket_lift_matches_counter(spark):
+    from diive_spark.queries_stats4 import q_basket_lift
+
+    out = {(r["ta"], r["tb"]): r for r in q_basket_lift(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["day"] = ev["ts"].astype("int64") // 10**9 // 86400
+    baskets = ev.groupby(["user_id", "day"])["event_type"].apply(set)
+    n = len(baskets)
+    types = sorted(ev["event_type"].unique())
+    c1 = {t: sum(1 for b in baskets if t in b) for t in types}
+    for ta in types:
+        for tb in types:
+            if ta == tb:
+                continue
+            cab = sum(1 for b in baskets if ta in b and tb in b)
+            if cab == 0:
+                assert (ta, tb) not in out
+                continue
+            row = out[(ta, tb)]
+            assert row["c_ab"] == cab
+            assert row["support_e6"] == math.floor(cab / n * 1e6 + _OFF)
+            assert row["confidence_e6"] == math.floor(cab / c1[ta] * 1e6 + _OFF)
+            assert abs(
+                row["lift_e4"] - math.floor(cab * n / (c1[ta] * c1[tb]) * 1e4 + _OFF)
+            ) <= 1
+
+
+def test_trending_terms_matches_counter(spark):
+    from diive_spark.queries_stats4 import q_trending_terms
+
+    rows = q_trending_terms(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    docs["bucket"] = docs["doc_id"] // 100
+    lb = docs["bucket"].max()
+    a_cnt: Counter = Counter()
+    b_cnt: Counter = Counter()
+    for _, r in docs.iterrows():
+        toks = r["text"].strip().split()
+        tgt = a_cnt if r["bucket"] == lb else b_cnt
+        tgt.update(toks)
+    ta, tb = sum(a_cnt.values()), sum(b_cnt.values())
+    scored = {}
+    for w, a in a_cnt.items():
+        if a < 3:
+            continue
+        b = b_cnt.get(w, 0)
+        lor = math.log(((a + 0.5) / (ta - a + 0.5)) / ((b + 0.5) / (tb - b + 0.5)))
+        scored[w] = (a, b, math.floor(lor * 1e4 + _OFF))
+    top = sorted(scored.items(), key=lambda kv: (-kv[1][2], kv[0]))[:10]
+    assert len(rows) == min(10, len(top))
+    for rank, (w, (a, b, lor_e4)) in enumerate(top, start=1):
+        row = next(r for r in rows if r["rank"] == rank)
+        assert (row["w"], row["a"], row["b"]) == (w, a, b)
+        assert abs(row["log_or_e4"] - lor_e4) <= 1
