@@ -788,6 +788,262 @@ ORDER BY rank
 """
 
 
+# ---------------------------------------------------------------------------
+# Homogeneity battery — Pettitt / Buishand / SNHT per user
+# ---------------------------------------------------------------------------
+# The three standard break-detection screens for sensor relocation /
+# recalibration (complementing cusum_shift / binseg / pelt which find
+# MEAN shifts by least squares): Pettitt's rank test (1979,
+# distribution-free), Buishand's cumulative-deviation range (1982), and
+# Alexandersson's SNHT (1986).  All three reduce to per-key windows
+# over the hourly centivalue series with EXACT integer cores:
+# Pettitt's U_t = cumsum(2*avg-rank) - t(n+1) is a BIGINT; Buishand's
+# n-scaled partial sums n*cum_k - k*tot are BIGINTs; SNHT's T_k is a
+# deterministic double from those same exact cums.  p-values /
+# rescaled stats are single expressions.
+
+from diive_spark.queries_stats2 import _HOURLY_SQL as _HSQL
+from diive_spark.queries_stats2 import _hourly as _hourly_df
+
+
+def q_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rank over v ALONE (no tiebreak column): rank() must give tied
+    # values their shared min rank for the average-rank identity
+    wv = Window.partitionBy("user_id").orderBy("v")
+    wt = Window.partitionBy("user_id", "v")
+    wtime = Window.partitionBy("user_id").orderBy("t")
+    wn = Window.partitionBy("user_id")
+    h = (
+        _hourly_df(spark, sf_dir)
+        .withColumn("rk", F.rank().over(wv))
+        .withColumn("ties", F.count(F.lit(1)).over(wt))
+        .withColumn("r2", 2 * F.col("rk") + F.col("ties") - 1)
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn("tpos", F.row_number().over(wtime))
+        .withColumn(
+            "cum_r2",
+            F.sum("r2").over(wtime.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    # U_t (x2 scale cancels: cum_r2 = 2*cum_avg_rank) -> U_t = cum_r2 - t(n+1)
+    u = h.withColumn(
+        "u_abs", F.abs(F.col("cum_r2") - F.col("tpos") * (F.col("n") + 1))
+    ).filter(F.col("tpos") < F.col("n"))
+    agg = u.groupBy("user_id").agg(
+        F.max("n").alias("n"), F.max("u_abs").alias("k_stat")
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k_stat").cast("double")
+    p = 2.0 * F.exp(-6.0 * kd * kd / (nd * nd * nd + nd * nd))
+    return agg.select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        F.col("k_stat").cast("long").alias("k_stat"),
+        F.floor(F.least(p, F.lit(1.0)) * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("p_e6"),
+    ).orderBy("user_id")
+
+
+SQL_PETTITT = f"""
+WITH {_HSQL},
+r AS (
+  SELECT user_id, t, v,
+         2 * rank() OVER (PARTITION BY user_id ORDER BY v)
+           + count(*) OVER (PARTITION BY user_id, v) - 1 AS r2,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM hourly
+), c AS (
+  SELECT user_id, n,
+         row_number() OVER wt AS tpos,
+         sum(r2) OVER (PARTITION BY user_id ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_r2
+  FROM r
+  WINDOW wt AS (PARTITION BY user_id ORDER BY t)
+), u AS (
+  SELECT user_id, n, abs(cum_r2 - tpos * (n + 1)) AS u_abs
+  FROM c WHERE tpos < n
+), agg AS (
+  SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+         CAST(max(u_abs) AS BIGINT) AS k_stat
+  FROM u GROUP BY 1
+)
+SELECT user_id, n, k_stat,
+       CAST(floor(least(2.0 * exp(-6.0 * CAST(k_stat AS DOUBLE) * CAST(k_stat AS DOUBLE)
+                                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                     + CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 1.0)
+                  * 1000000 + {_OFF}) AS BIGINT) AS p_e6
+FROM agg
+ORDER BY user_id
+"""
+
+
+def q_buishand_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wtime = Window.partitionBy("user_id").orderBy("t")
+    wn = Window.partitionBy("user_id")
+    h = (
+        _hourly_df(spark, sf_dir)
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn("tot", F.sum("v").over(wn))
+        .withColumn("sv2", F.sum(F.col("v") * F.col("v")).over(wn))
+        .withColumn("k", F.row_number().over(wtime))
+        .withColumn(
+            "cum", F.sum("v").over(wtime.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    # n-scaled partial sum deviations: n*S_k = n*cum_k - k*tot (exact)
+    s = h.withColumn("ns", F.col("n") * F.col("cum") - F.col("k") * F.col("tot"))
+    agg = s.groupBy("user_id").agg(
+        F.max("n").alias("n"),
+        F.max("tot").alias("tot"),
+        F.max("sv2").alias("sv2"),
+        F.max("ns").alias("smax"),
+        F.min("ns").alias("smin"),
+    )
+    nd = F.col("n").cast("double")
+    # population variance via ss identity (Buishand's form uses /n)
+    var = (
+        F.col("sv2").cast("double")
+        - F.col("tot").cast("double") * F.col("tot").cast("double") / nd
+    ) / nd
+    q = (F.col("smax").cast("double") - F.col("smin").cast("double")) / nd
+    rb = q / (F.sqrt(var) * F.sqrt(nd))
+    return (
+        agg.filter(var > 0)
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            (F.col("smax") - F.col("smin")).cast("long").alias("q_n_scaled"),
+            F.floor(rb * 10_000 + F.lit(_OFF)).cast("long").alias("rb_e4"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_BUISHAND = f"""
+WITH {_HSQL},
+h AS (
+  SELECT user_id, t, v,
+         count(*) OVER pw AS n,
+         CAST(sum(v) OVER pw AS BIGINT) AS tot,
+         CAST(sum(v * v) OVER pw AS BIGINT) AS sv2,
+         row_number() OVER wt AS k,
+         CAST(sum(v) OVER (PARTITION BY user_id ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM hourly
+  WINDOW pw AS (PARTITION BY user_id),
+         wt AS (PARTITION BY user_id ORDER BY t)
+), s AS (
+  SELECT user_id, n, tot, sv2, n * cum - k * tot AS ns FROM h
+), agg AS (
+  SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+         max(tot) AS tot, max(sv2) AS sv2,
+         CAST(max(ns) AS BIGINT) AS smax, CAST(min(ns) AS BIGINT) AS smin
+  FROM s GROUP BY 1
+), alg AS (
+  SELECT user_id, n, smax, smin,
+         (CAST(sv2 AS DOUBLE)
+          - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))
+         / CAST(n AS DOUBLE) AS var
+  FROM agg
+)
+SELECT user_id, n, smax - smin AS q_n_scaled,
+       CAST(floor((CAST(smax AS DOUBLE) - CAST(smin AS DOUBLE)) / CAST(n AS DOUBLE)
+                  / (sqrt(var) * sqrt(CAST(n AS DOUBLE)))
+                  * 10000 + {_OFF}) AS BIGINT) AS rb_e4
+FROM alg
+WHERE var > 0
+ORDER BY user_id
+"""
+
+
+def q_snht_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wtime = Window.partitionBy("user_id").orderBy("t")
+    wn = Window.partitionBy("user_id")
+    h = (
+        _hourly_df(spark, sf_dir)
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn("tot", F.sum("v").over(wn))
+        .withColumn("sv2", F.sum(F.col("v") * F.col("v")).over(wn))
+        .withColumn("k", F.row_number().over(wtime))
+        .withColumn(
+            "cum", F.sum("v").over(wtime.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .filter(F.col("k") < F.col("n"))
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    mean = F.col("tot").cast("double") / nd
+    var = (
+        F.col("sv2").cast("double")
+        - F.col("tot").cast("double") * F.col("tot").cast("double") / nd
+    ) / nd
+    z1 = (F.col("cum").cast("double") / kd - mean) / F.sqrt(var)
+    z2 = (
+        (F.col("tot") - F.col("cum")).cast("double") / (nd - kd) - mean
+    ) / F.sqrt(var)
+    tk = kd * z1 * z1 + (nd - kd) * z2 * z2
+    s = h.withColumn("tk", tk).filter(var > 0)
+    # max T_k with smallest-k tie-break: per-k T values are identical
+    # IEEE expressions on both engines, so the argmax is deterministic
+    best = s.groupBy("user_id").agg(
+        F.max("n").alias("n"),
+        F.max(F.struct(F.col("tk"), (-F.col("k")).alias("negk"))).alias("b"),
+    )
+    return best.select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        (-F.col("b.negk")).cast("long").alias("k_hat"),
+        F.floor(F.col("b.tk") * 10_000 + F.lit(_OFF)).cast("long").alias("t_e4"),
+    ).orderBy("user_id")
+
+
+SQL_SNHT = f"""
+WITH {_HSQL},
+h AS (
+  SELECT user_id, t, v,
+         count(*) OVER pw AS n,
+         CAST(sum(v) OVER pw AS BIGINT) AS tot,
+         CAST(sum(v * v) OVER pw AS BIGINT) AS sv2,
+         row_number() OVER wt AS k,
+         CAST(sum(v) OVER (PARTITION BY user_id ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM hourly
+  WINDOW pw AS (PARTITION BY user_id),
+         wt AS (PARTITION BY user_id ORDER BY t)
+), s AS (
+  SELECT user_id, n, k,
+         CAST(k AS DOUBLE)
+           * pow((CAST(cum AS DOUBLE) / CAST(k AS DOUBLE)
+                  - CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt((CAST(sv2 AS DOUBLE)
+                         - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))
+                        / CAST(n AS DOUBLE)), 2)
+         + (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+           * pow((CAST(tot - cum AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+                  - CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt((CAST(sv2 AS DOUBLE)
+                         - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))
+                        / CAST(n AS DOUBLE)), 2) AS tk
+  FROM h
+  WHERE k < n
+    AND (CAST(sv2 AS DOUBLE)
+         - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))
+        / CAST(n AS DOUBLE) > 0
+), best AS (
+  SELECT user_id, n, k, tk,
+         row_number() OVER (PARTITION BY user_id ORDER BY tk DESC, k ASC) AS rn
+  FROM s
+)
+SELECT user_id, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_hat,
+       CAST(floor(tk * 10000 + {_OFF}) AS BIGINT) AS t_e4
+FROM best
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
 def _runs_sql() -> str:
     from diive_spark.queries_stats3 import SQL_RUNS_TEST
 
@@ -804,6 +1060,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "energy_distance": q_energy_distance,
     "basket_lift": q_basket_lift,
     "trending_terms": q_trending_terms,
+    "pettitt_test": q_pettitt_test,
+    "buishand_range": q_buishand_range,
+    "snht_test": q_snht_test,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -816,4 +1075,7 @@ ORACLE_SQL: dict[str, str] = {
     "energy_distance": SQL_ENERGY,
     "basket_lift": SQL_BASKET_LIFT,
     "trending_terms": SQL_TRENDING,
+    "pettitt_test": SQL_PETTITT,
+    "buishand_range": SQL_BUISHAND,
+    "snht_test": SQL_SNHT,
 }

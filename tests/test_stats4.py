@@ -240,3 +240,75 @@ def test_trending_terms_matches_counter(spark):
         row = next(r for r in rows if r["rank"] == rank)
         assert (row["w"], row["a"], row["b"]) == (w, a, b)
         assert abs(row["log_or_e4"] - lor_e4) <= 1
+
+
+def _hourly_pd4(spark):
+    from diive_spark.queries_stats2 import _OFF as OFF
+
+    df = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    df["t"] = (df["ts"].astype("int64") // 10**9 // 3600) * 3600
+    g = df.groupby(["user_id", "t"])["value"].mean().reset_index()
+    g["v"] = np.floor(g["value"] * 100 + OFF)
+    return g.sort_values(["user_id", "t"])
+
+
+def test_pettitt_matches_bruteforce(spark):
+    from diive_spark.queries_stats4 import q_pettitt_test
+
+    out = {r["user_id"]: r for r in q_pettitt_test(spark, SF).collect()}
+    g = _hourly_pd4(spark)
+    for uid, grp in list(g.groupby("user_id"))[:8]:
+        v = grp["v"].to_numpy()
+        n = len(v)
+        # brute-force U_t = sum_{i<=t} sum_{j>t} sign(x_j - x_i)
+        k = 0
+        for t in range(1, n):
+            u = int(np.sign(v[t:][None, :] - v[:t][:, None]).sum())
+            k = max(k, abs(u))
+        p = min(2 * math.exp(-6 * k * k / (n**3 + n**2)), 1.0)
+        row = out[uid]
+        assert row["n"] == n
+        assert row["k_stat"] == k
+        assert abs(row["p_e6"] - math.floor(p * 1e6 + _OFF)) <= 1
+
+
+def test_buishand_matches_numpy(spark):
+    from diive_spark.queries_stats4 import q_buishand_range
+
+    out = {r["user_id"]: r for r in q_buishand_range(spark, SF).collect()}
+    g = _hourly_pd4(spark)
+    for uid, grp in list(g.groupby("user_id"))[:8]:
+        v = grp["v"].to_numpy(dtype=float)
+        n = len(v)
+        s = np.cumsum(v - v.mean())
+        q = (s.max() - s.min())
+        rb = q / (v.std() * math.sqrt(n))
+        row = out[uid]
+        assert row["n"] == n
+        assert row["q_n_scaled"] == int(round(q * n))
+        assert abs(row["rb_e4"] - math.floor(rb * 1e4 + _OFF)) <= 1
+
+
+def test_snht_matches_numpy(spark):
+    from diive_spark.queries_stats4 import q_snht_test
+
+    out = {r["user_id"]: r for r in q_snht_test(spark, SF).collect()}
+    g = _hourly_pd4(spark)
+    for uid, grp in list(g.groupby("user_id"))[:8]:
+        v = grp["v"].to_numpy(dtype=float)
+        n = len(v)
+        s = v.std()
+        if s == 0:
+            assert uid not in out
+            continue
+        best_t, best_k = -1.0, -1
+        for k in range(1, n):
+            z1 = (v[:k].mean() - v.mean()) / s
+            z2 = (v[k:].mean() - v.mean()) / s
+            tk = k * z1 * z1 + (n - k) * z2 * z2
+            if tk > best_t:
+                best_t, best_k = tk, k
+        row = out[uid]
+        assert row["n"] == n
+        assert row["k_hat"] == best_k
+        assert abs(row["t_e4"] - math.floor(best_t * 1e4 + _OFF)) <= 1
