@@ -1044,6 +1044,146 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# JSON property extraction — the semi-structured ingest path
+# ---------------------------------------------------------------------------
+# events.props is a JSON string column ({"k": N}); these two queries
+# exercise the JSON extraction path end-to-end (Spark get_json_object —
+# JVM-side, codegen — vs DuckDB json_extract_string), the capability a
+# web-event warehouse uses constantly.  Extraction stays in the scan
+# stage (no UDF); malformed/missing keys count as nulls and are
+# reported, never dropped silently.
+
+
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    e = ev.select("event_type", k.alias("k"))
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("k").isNull().cast("long")).alias("n_null"),
+        F.sum("k").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).alias("sk2"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+    )
+    nn = (F.col("n") - F.col("n_null")).cast("double")
+    mean = F.col("sk").cast("double") / nn
+    var = (
+        F.col("sk2").cast("double")
+        - F.col("sk").cast("double") * F.col("sk").cast("double") / nn
+    ) / (nn - 1.0)
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("sk").cast("long").alias("sk"),
+        F.col("k_min").cast("long").alias("k_min"),
+        F.col("k_max").cast("long").alias("k_max"),
+        F.floor(mean * 10_000 + F.lit(_OFF)).cast("long").alias("mean_e4"),
+        F.floor(var * 10_000 + F.lit(_OFF)).cast("long").alias("var_e4"),
+    ).orderBy("event_type")
+
+
+SQL_JSON_STATS = f"""
+WITH e AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         CAST(sum(k) AS BIGINT) AS sk,
+         CAST(sum(k * k) AS BIGINT) AS sk2,
+         min(k) AS k_min, max(k) AS k_max
+  FROM e GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, n_null, sk,
+       CAST(k_min AS BIGINT) AS k_min, CAST(k_max AS BIGINT) AS k_max,
+       CAST(floor(CAST(sk AS DOUBLE) / CAST(n - n_null AS DOUBLE)
+                  * 10000 + {_OFF}) AS BIGINT) AS mean_e4,
+       CAST(floor((CAST(sk2 AS DOUBLE)
+                   - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE)
+                     / CAST(n - n_null AS DOUBLE))
+                  / (CAST(n - n_null AS DOUBLE) - 1.0)
+                  * 10000 + {_OFF}) AS BIGINT) AS var_e4
+FROM agg
+ORDER BY event_type
+"""
+
+
+def q_json_props_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select(
+        "event_type",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    ).filter(F.col("k").isNotNull())
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sk"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("k") * F.col("k")).alias("skk"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+        F.sum(F.col("k") * F.col("v")).alias("skv"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("skv").cast("double") - F.col("sk").cast("double") * F.col(
+        "sv"
+    ).cast("double")
+    den = F.sqrt(
+        nd * F.col("skk").cast("double")
+        - F.col("sk").cast("double") * F.col("sk").cast("double")
+    ) * F.sqrt(
+        nd * F.col("svv").cast("double")
+        - F.col("sv").cast("double") * F.col("sv").cast("double")
+    )
+    return (
+        agg.filter(den > 0)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.floor(num / den * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "corr_e6"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_JSON_CORR = f"""
+WITH e AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), f AS (
+  SELECT * FROM e WHERE k IS NOT NULL
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(k) AS BIGINT) AS sk, CAST(sum(v) AS BIGINT) AS sv,
+         CAST(sum(k * k) AS BIGINT) AS skk,
+         CAST(sum(v * v) AS BIGINT) AS svv,
+         CAST(sum(k * v) AS BIGINT) AS skv
+  FROM f GROUP BY 1
+), alg AS (
+  SELECT event_type, n,
+         CAST(n AS DOUBLE) * CAST(skv AS DOUBLE)
+           - CAST(sk AS DOUBLE) * CAST(sv AS DOUBLE) AS num,
+         sqrt(CAST(n AS DOUBLE) * CAST(skk AS DOUBLE)
+              - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE))
+         * sqrt(CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) AS den
+  FROM agg
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(floor(num / den * 1000000 + {_OFF}) AS BIGINT) AS corr_e6
+FROM alg
+WHERE den > 0
+ORDER BY event_type
+"""
+
+
 def _runs_sql() -> str:
     from diive_spark.queries_stats3 import SQL_RUNS_TEST
 
@@ -1063,6 +1203,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pettitt_test": q_pettitt_test,
     "buishand_range": q_buishand_range,
     "snht_test": q_snht_test,
+    "json_props_stats": q_json_props_stats,
+    "json_props_corr": q_json_props_corr,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1078,4 +1220,6 @@ ORACLE_SQL: dict[str, str] = {
     "pettitt_test": SQL_PETTITT,
     "buishand_range": SQL_BUISHAND,
     "snht_test": SQL_SNHT,
+    "json_props_stats": SQL_JSON_STATS,
+    "json_props_corr": SQL_JSON_CORR,
 }

@@ -312,3 +312,54 @@ def test_snht_matches_numpy(spark):
         assert row["n"] == n
         assert row["k_hat"] == best_k
         assert abs(row["t_e4"] - math.floor(best_t * 1e4 + _OFF)) <= 1
+
+
+def test_json_props_stats_matches_pandas(spark):
+    import json as _json
+
+    from diive_spark.queries_stats4 import q_json_props_stats
+
+    out = {r["event_type"]: r for r in q_json_props_stats(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+
+    def _k(s):
+        try:
+            v = _json.loads(s).get("k")
+            return int(v) if v is not None else None
+        except Exception:
+            return None
+
+    ev["k"] = ev["props"].map(_k)
+    for et, grp in ev.groupby("event_type"):
+        k = grp["k"].dropna().to_numpy(dtype=np.int64)
+        row = out[et]
+        assert row["n"] == len(grp)
+        assert row["n_null"] == int(grp["k"].isna().sum())
+        assert row["sk"] == int(k.sum())
+        assert (row["k_min"], row["k_max"]) == (int(k.min()), int(k.max()))
+        mean = k.sum() / len(k)
+        var = (np.sum(k.astype(float) ** 2) - k.sum() ** 2 / len(k)) / (len(k) - 1)
+        assert abs(row["mean_e4"] - math.floor(mean * 1e4 + _OFF)) <= 1
+        assert abs(row["var_e4"] - math.floor(var * 1e4 + _OFF)) <= 1
+
+
+def test_json_props_corr_matches_numpy(spark):
+    import json as _json
+
+    from diive_spark.queries_stats4 import q_json_props_corr
+
+    out = {r["event_type"]: r for r in q_json_props_corr(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["k"] = ev["props"].map(lambda s: _json.loads(s).get("k"))
+    ev["v"] = np.floor(ev["value"] * 100 + _OFF)
+    ev = ev.dropna(subset=["k"])
+    for et, grp in ev.groupby("event_type"):
+        k = grp["k"].to_numpy(dtype=float)
+        v = grp["v"].to_numpy(dtype=float)
+        if len(k) < 2 or k.std() == 0 or v.std() == 0:
+            assert et not in out
+            continue
+        r = np.corrcoef(k, v)[0, 1]
+        row = out[et]
+        assert row["n"] == len(k)
+        assert abs(row["corr_e6"] - math.floor(r * 1e6 + _OFF)) <= 2
