@@ -1184,6 +1184,222 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# new_user_share — cold-start share of daily actives
+# ---------------------------------------------------------------------------
+# Share of each day's active users whose FIRST-EVER activity is that
+# day.  First-seen via one combinable min-agg on the user-day distinct
+# table, joined back co-partitioned; exact integers.
+
+
+def q_new_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ud = ev.select(
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000))
+        .cast("long")
+        .alias("day"),
+        "user_id",
+    ).distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = ud.join(first, "user_id")
+    agg = j.groupBy("day").agg(
+        F.count(F.lit(1)).alias("dau"),
+        F.sum((F.col("day") == F.col("first_day")).cast("long")).alias("n_new"),
+    )
+    share = F.col("n_new").cast("double") / F.col("dau").cast("double")
+    return agg.select(
+        "day",
+        F.col("dau").cast("long").alias("dau"),
+        F.col("n_new").cast("long").alias("n_new"),
+        F.floor(share * 1_000_000 + F.lit(_OFF)).cast("long").alias("new_share_e6"),
+    ).orderBy("day")
+
+
+SQL_NEW_USER_SHARE = f"""
+WITH ud AS (
+  SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, user_id
+  FROM events
+), first AS (
+  SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1
+), agg AS (
+  SELECT ud.day, count(*) AS dau,
+         CAST(sum(CASE WHEN ud.day = first.first_day THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_new
+  FROM ud JOIN first ON first.user_id = ud.user_id
+  GROUP BY 1
+)
+SELECT day, CAST(dau AS BIGINT) AS dau, n_new,
+       CAST(floor(CAST(n_new AS DOUBLE) / CAST(dau AS DOUBLE)
+                  * 1000000 + {_OFF}) AS BIGINT) AS new_share_e6
+FROM agg
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# churn_labels — 7-day-inactivity churn label generation per active day
+# ---------------------------------------------------------------------------
+# The ML-pipeline label generator: a user "churns at day d" if they are
+# active on d and have NO activity in (d, d+7].  One lead() on the
+# per-user sorted active-day list decides the label (the next active
+# day is all that matters); per-day label rates are exact integers.
+# The last 7 days of the observation window are right-censored and
+# excluded (the label is undefined there), matching standard practice.
+
+
+def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ud = ev.select(
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000))
+        .cast("long")
+        .alias("day"),
+        "user_id",
+    ).distinct()
+    horizon = ud.agg(F.max("day").alias("max_day"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    lab = (
+        ud.withColumn("next_day", F.lead("day").over(w))
+        .crossJoin(F.broadcast(horizon))
+        .filter(F.col("day") <= F.col("max_day") - 7)
+        .withColumn(
+            "churned",
+            (
+                F.col("next_day").isNull() | (F.col("next_day") > F.col("day") + 7)
+            ).cast("long"),
+        )
+    )
+    agg = lab.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum("churned").alias("n_churned"),
+    )
+    rate = F.col("n_churned").cast("double") / F.col("n_active").cast("double")
+    return agg.select(
+        "day",
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("n_churned").cast("long").alias("n_churned"),
+        F.floor(rate * 1_000_000 + F.lit(_OFF)).cast("long").alias("churn_rate_e6"),
+    ).orderBy("day")
+
+
+SQL_CHURN_LABELS = f"""
+WITH ud AS (
+  SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, user_id
+  FROM events
+), horizon AS (
+  SELECT max(day) AS max_day FROM ud
+), lab AS (
+  SELECT day,
+         CASE WHEN next_day IS NULL OR next_day > day + 7
+              THEN 1 ELSE 0 END AS churned
+  FROM (
+    SELECT user_id, day,
+           lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+    FROM ud
+  ) CROSS JOIN horizon
+  WHERE day <= max_day - 7
+), agg AS (
+  SELECT day, count(*) AS n_active,
+         CAST(sum(churned) AS BIGINT) AS n_churned
+  FROM lab GROUP BY 1
+)
+SELECT day, CAST(n_active AS BIGINT) AS n_active, n_churned,
+       CAST(floor(CAST(n_churned AS DOUBLE) / CAST(n_active AS DOUBLE)
+                  * 1000000 + {_OFF}) AS BIGINT) AS churn_rate_e6
+FROM agg
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# lorenz_curve — source-concentration Lorenz deciles per language
+# ---------------------------------------------------------------------------
+# The curve behind gini_sources: sources ranked ascending by doc count
+# (count, then source name — deterministic), cumulative doc share at
+# each source rank expressed at the source-decile grid via the exact
+# NTILE quota arithmetic (first n%10 buckets one larger — the
+# ts_crossings device).  All integers; shares are single divisions.
+
+
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        _documents(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy("c", "source")
+    wn = Window.partitionBy("lang")
+    r = (
+        per.withColumn("rk", F.row_number().over(w))
+        .withColumn("ns", F.count(F.lit(1)).over(wn))
+        .withColumn("tot", F.sum("c").over(wn))
+        .withColumn(
+            "cum", F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    q10 = F.col("ns") - F.floor(F.col("ns") / 10) * 10
+    big = (F.floor(F.col("ns") / 10) + 1) * q10
+    bucket = F.when(
+        F.col("rk") <= big,
+        F.ceil(F.col("rk") / (F.floor(F.col("ns") / 10) + 1)),
+    ).otherwise(
+        q10
+        + F.ceil(
+            (F.col("rk") - big) / F.greatest(F.floor(F.col("ns") / 10), F.lit(1))
+        )
+    )
+    b = r.withColumn("decile", bucket.cast("long"))
+    agg = b.groupBy("lang", "decile").agg(
+        F.max("cum").alias("cum"),
+        F.max("tot").alias("tot"),
+        F.max("rk").alias("rk_hi"),
+        F.max("ns").alias("ns"),
+    )
+    share = F.col("cum").cast("double") / F.col("tot").cast("double")
+    pop = F.col("rk_hi").cast("double") / F.col("ns").cast("double")
+    return agg.select(
+        "lang",
+        "decile",
+        F.floor(pop * 10_000 + F.lit(_OFF)).cast("long").alias("pop_share_e4"),
+        F.floor(share * 10_000 + F.lit(_OFF)).cast("long").alias("doc_share_e4"),
+    ).orderBy("lang", "decile")
+
+
+SQL_LORENZ = f"""
+WITH per AS (
+  SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2
+), r AS (
+  SELECT lang, c,
+         row_number() OVER w AS rk,
+         count(*) OVER (PARTITION BY lang) AS ns,
+         CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS tot,
+         CAST(sum(c) OVER (PARTITION BY lang ORDER BY c, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM per
+  WINDOW w AS (PARTITION BY lang ORDER BY c, source)
+), b AS (
+  SELECT *,
+         CASE WHEN rk <= (ns // 10 + 1) * (ns % 10)
+              THEN CAST(ceil(rk / (ns // 10 + 1.0)) AS BIGINT)
+              ELSE ns % 10 + CAST(ceil((rk - (ns // 10 + 1) * (ns % 10))
+                                       / greatest(ns // 10, 1) * 1.0) AS BIGINT)
+         END AS decile
+  FROM r
+), agg AS (
+  SELECT lang, decile,
+         CAST(max(cum) AS BIGINT) AS cum, max(tot) AS tot,
+         CAST(max(rk) AS BIGINT) AS rk_hi, CAST(max(ns) AS BIGINT) AS ns
+  FROM b GROUP BY 1, 2
+)
+SELECT lang, decile,
+       CAST(floor(CAST(rk_hi AS DOUBLE) / CAST(ns AS DOUBLE)
+                  * 10000 + {_OFF}) AS BIGINT) AS pop_share_e4,
+       CAST(floor(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)
+                  * 10000 + {_OFF}) AS BIGINT) AS doc_share_e4
+FROM agg
+ORDER BY lang, decile
+"""
+
+
 def _runs_sql() -> str:
     from diive_spark.queries_stats3 import SQL_RUNS_TEST
 
@@ -1205,6 +1421,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snht_test": q_snht_test,
     "json_props_stats": q_json_props_stats,
     "json_props_corr": q_json_props_corr,
+    "new_user_share": q_new_user_share,
+    "churn_labels": q_churn_labels,
+    "lorenz_curve": q_lorenz_curve,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1222,4 +1441,7 @@ ORACLE_SQL: dict[str, str] = {
     "snht_test": SQL_SNHT,
     "json_props_stats": SQL_JSON_STATS,
     "json_props_corr": SQL_JSON_CORR,
+    "new_user_share": SQL_NEW_USER_SHARE,
+    "churn_labels": SQL_CHURN_LABELS,
+    "lorenz_curve": SQL_LORENZ,
 }

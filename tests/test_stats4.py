@@ -363,3 +363,81 @@ def test_json_props_corr_matches_numpy(spark):
         row = out[et]
         assert row["n"] == len(k)
         assert abs(row["corr_e6"] - math.floor(r * 1e6 + _OFF)) <= 2
+
+
+def test_new_user_share_matches_pandas(spark):
+    from diive_spark.queries_stats4 import q_new_user_share
+
+    out = {r["day"]: r for r in q_new_user_share(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["day"] = ev["ts"].astype("int64") // 10**9 // 86400
+    ud = ev[["day", "user_id"]].drop_duplicates()
+    first = ud.groupby("user_id")["day"].min()
+    for d, grp in ud.groupby("day"):
+        dau = len(grp)
+        n_new = int((first.loc[grp["user_id"]] == d).sum())
+        row = out[d]
+        assert (row["dau"], row["n_new"]) == (dau, n_new)
+        assert row["new_share_e6"] == math.floor(n_new / dau * 1e6 + _OFF)
+
+
+def test_churn_labels_matches_pandas(spark):
+    from diive_spark.queries_stats4 import q_churn_labels
+
+    out = {r["day"]: r for r in q_churn_labels(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["day"] = ev["ts"].astype("int64") // 10**9 // 86400
+    ud = ev[["day", "user_id"]].drop_duplicates()
+    max_day = ud["day"].max()
+    got = {}
+    for uid, grp in ud.groupby("user_id"):
+        days = sorted(grp["day"])
+        for i, d in enumerate(days):
+            if d > max_day - 7:
+                continue
+            nxt = days[i + 1] if i + 1 < len(days) else None
+            churned = nxt is None or nxt > d + 7
+            a, c = got.get(d, (0, 0))
+            got[d] = (a + 1, c + int(churned))
+    assert set(out) == set(got)
+    for d, (a, c) in got.items():
+        row = out[d]
+        assert (row["n_active"], row["n_churned"]) == (a, c)
+        assert row["churn_rate_e6"] == math.floor(c / a * 1e6 + _OFF)
+
+
+def test_lorenz_curve_matches_pandas(spark):
+    from diive_spark.queries_stats4 import q_lorenz_curve
+
+    rows = q_lorenz_curve(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    for lang, grp in docs.groupby("lang"):
+        per = (
+            grp.groupby("source").size().reset_index(name="c")
+            .sort_values(["c", "source"]).reset_index(drop=True)
+        )
+        ns, tot = len(per), per["c"].sum()
+        cum = per["c"].cumsum()
+        # NTILE quota decile of each rank
+        import numpy as _np
+
+        q10 = ns % 10
+        big = (ns // 10 + 1) * q10
+        lang_rows = [r for r in rows if r["lang"] == lang]
+        for r in lang_rows:
+            # verify monotone nondecreasing doc share along deciles
+            pass
+        shares = {}
+        for rk in range(1, ns + 1):
+            if rk <= big:
+                dec = math.ceil(rk / (ns // 10 + 1))
+            else:
+                dec = q10 + math.ceil((rk - big) / max(ns // 10, 1))
+            shares[dec] = (rk, int(cum[rk - 1]))
+        for r in lang_rows:
+            rk_hi, cumv = shares[r["decile"]]
+            assert r["pop_share_e4"] == math.floor(rk_hi / ns * 1e4 + _OFF)
+            assert r["doc_share_e4"] == math.floor(cumv / tot * 1e4 + _OFF)
+        # Lorenz curve lies below the diagonal (concentration)
+        for r in lang_rows:
+            assert r["doc_share_e4"] <= r["pop_share_e4"] + 1
