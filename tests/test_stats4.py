@@ -424,9 +424,6 @@ def test_lorenz_curve_matches_pandas(spark):
         q10 = ns % 10
         big = (ns // 10 + 1) * q10
         lang_rows = [r for r in rows if r["lang"] == lang]
-        for r in lang_rows:
-            # verify monotone nondecreasing doc share along deciles
-            pass
         shares = {}
         for rk in range(1, ns + 1):
             if rk <= big:
