@@ -1400,6 +1400,363 @@ ORDER BY lang, decile
 """
 
 
+# ---------------------------------------------------------------------------
+# cohens_kappa — agreement between two quality heuristics per language
+# ---------------------------------------------------------------------------
+# Inter-annotator agreement (Cohen 1960) between two in-engine binary
+# labelers over documents: A = "length above the language's lower
+# median", B = "distinct-token ratio above the language's lower
+# median".  Medians are exact order-statistic element picks (the
+# ts_crossings device); the 2x2 contingency is exact integers; kappa =
+# (po - pe)/(1 - pe) is one double expression.  The IAA metric every
+# labeling pipeline reports, computed without leaving the engine.
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("n_types"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_toks"),
+    )
+    # distinct-token ratio scaled exact: ttr_e6 = floor(types/toks * 1e6 + OFF)
+    d = d.withColumn(
+        "ttr_e6",
+        F.floor(
+            F.col("n_types").cast("double") / F.col("n_toks") * 1_000_000
+            + F.lit(_OFF)
+        ).cast("long"),
+    )
+    wlen = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wttr = Window.partitionBy("lang").orderBy("ttr_e6", "doc_id")
+    wn = Window.partitionBy("lang")
+    r = (
+        d.withColumn("r_len", F.row_number().over(wlen))
+        .withColumn("r_ttr", F.row_number().over(wttr))
+        .withColumn("nn", F.count(F.lit(1)).over(wn))
+    )
+    med_len = r.filter(
+        F.col("r_len") == F.floor((F.col("nn") - 1) / 2) + 1
+    ).select("lang", F.col("n_chars").alias("med_len"))
+    med_ttr = r.filter(
+        F.col("r_ttr") == F.floor((F.col("nn") - 1) / 2) + 1
+    ).select("lang", F.col("ttr_e6").alias("med_ttr"))
+    lab = (
+        d.join(F.broadcast(med_len), "lang")
+        .join(F.broadcast(med_ttr), "lang")
+        .withColumn("a", (F.col("n_chars") > F.col("med_len")).cast("long"))
+        .withColumn("b", (F.col("ttr_e6") > F.col("med_ttr")).cast("long"))
+    )
+    agg = lab.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(((F.col("a") == 1) & (F.col("b") == 1)).cast("long")).alias("n11"),
+        F.sum(((F.col("a") == 1) & (F.col("b") == 0)).cast("long")).alias("n10"),
+        F.sum(((F.col("a") == 0) & (F.col("b") == 1)).cast("long")).alias("n01"),
+        F.sum(((F.col("a") == 0) & (F.col("b") == 0)).cast("long")).alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / nd
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double")
+        * (F.col("n11") + F.col("n01")).cast("double")
+        + (F.col("n01") + F.col("n00")).cast("double")
+        * (F.col("n10") + F.col("n00")).cast("double")
+    ) / (nd * nd)
+    kappa = (po - pe) / (1.0 - pe)
+    return agg.filter(pe < 1.0).select(
+        "lang",
+        F.col("n").cast("long").alias("n"),
+        F.col("n11").cast("long").alias("n11"),
+        F.col("n00").cast("long").alias("n00"),
+        F.floor(kappa * 1_000_000 + F.lit(_OFF)).cast("long").alias("kappa_e6"),
+    ).orderBy("lang")
+
+
+SQL_COHENS_KAPPA = f"""
+WITH d AS (
+  SELECT lang, doc_id, n_chars,
+         CAST(floor(CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+                         AS DOUBLE)
+                    / len(regexp_split_to_array(trim(text), '\\s+'))
+                    * 1000000 + {_OFF}) AS BIGINT) AS ttr_e6
+  FROM documents
+), r AS (
+  SELECT lang, doc_id, n_chars, ttr_e6,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS r_len,
+         row_number() OVER (PARTITION BY lang ORDER BY ttr_e6, doc_id) AS r_ttr,
+         count(*) OVER (PARTITION BY lang) AS nn
+  FROM d
+), med_len AS (
+  SELECT lang, n_chars AS med_len FROM r WHERE r_len = (nn - 1) // 2 + 1
+), med_ttr AS (
+  SELECT lang, ttr_e6 AS med_ttr FROM r WHERE r_ttr = (nn - 1) // 2 + 1
+), lab AS (
+  SELECT d.lang,
+         CASE WHEN d.n_chars > med_len.med_len THEN 1 ELSE 0 END AS a,
+         CASE WHEN d.ttr_e6 > med_ttr.med_ttr THEN 1 ELSE 0 END AS b
+  FROM d
+  JOIN med_len ON med_len.lang = d.lang
+  JOIN med_ttr ON med_ttr.lang = d.lang
+), agg AS (
+  SELECT lang, count(*) AS n,
+         CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+  FROM lab GROUP BY 1
+), alg AS (
+  SELECT lang, n, n11, n00,
+         CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+         (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+          + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+  FROM agg
+)
+SELECT lang, CAST(n AS BIGINT) AS n, n11, n00,
+       CAST(floor((po - pe) / (1.0 - pe) * 1000000 + {_OFF}) AS BIGINT)
+         AS kappa_e6
+FROM alg
+WHERE pe < 1.0
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# cuped_adjustment — CUPED variance reduction per event type
+# ---------------------------------------------------------------------------
+# CUPED (Deng, Xu, Kohavi & Walker WSDM 2013): using each user's
+# FIRST-half mean value as the pre-experiment covariate X for their
+# SECOND-half mean Y, theta = cov(X,Y)/var(X) and the achievable
+# variance reduction is rho^2.  Per-user means are floored to exact
+# centi-integers FIRST (floor of an exact num/den ratio — deterministic),
+# so all cross-user moment sums are exact BIGINTs and theta/rho^2 are
+# single expressions.  Two combinable groupBys + one co-keyed join.
+
+
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select(
+        "event_type",
+        "user_id",
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000))
+        .cast("long")
+        .alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    mid = e.agg(
+        F.floor((F.min("day") + F.max("day")) / 2).cast("long").alias("mid")
+    )
+    e = e.crossJoin(F.broadcast(mid)).withColumn(
+        "half", (F.col("day") > F.col("mid")).cast("long")
+    )
+    um = e.groupBy("event_type", "user_id", "half").agg(
+        F.sum("v").alias("num"), F.count(F.lit(1)).alias("den")
+    )
+    # exact centi-integer user mean
+    um = um.withColumn(
+        "m",
+        F.floor(F.col("num").cast("double") / F.col("den") * 100 + F.lit(_OFF))
+        .cast("long"),
+    )
+    x = um.filter(F.col("half") == 0).select(
+        "event_type", "user_id", F.col("m").alias("x")
+    )
+    y = um.filter(F.col("half") == 1).select(
+        "event_type", "user_id", F.col("m").alias("y")
+    )
+    j = x.join(y, ["event_type", "user_id"])
+    agg = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double") / nd
+    vx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double") / nd
+    vy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double") / nd
+    theta = cov / vx
+    rho2 = cov * cov / (vx * vy)
+    return (
+        agg.filter((vx > 0) & (vy > 0))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.floor(theta * 10_000 + F.lit(_OFF)).cast("long").alias("theta_e4"),
+            F.floor(rho2 * 1_000_000 + F.lit(_OFF)).cast("long").alias("rho2_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_CUPED = f"""
+WITH e AS (
+  SELECT event_type, user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), mid AS (
+  SELECT (min(day) + max(day)) // 2 AS mid FROM e
+), h AS (
+  SELECT event_type, user_id,
+         CASE WHEN day > mid THEN 1 ELSE 0 END AS half, v
+  FROM e CROSS JOIN mid
+), um AS (
+  SELECT event_type, user_id, half,
+         CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) * 100 + {_OFF})
+              AS BIGINT) AS m
+  FROM h GROUP BY 1, 2, 3
+), j AS (
+  SELECT x.event_type, x.user_id, x.m AS x, y.m AS y
+  FROM (SELECT * FROM um WHERE half = 0) x
+  JOIN (SELECT * FROM um WHERE half = 1) y
+    ON y.event_type = x.event_type AND y.user_id = x.user_id
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM j GROUP BY 1
+), alg AS (
+  SELECT event_type, n,
+         CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+           / CAST(n AS DOUBLE) AS cov,
+         CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+           / CAST(n AS DOUBLE) AS vx,
+         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+           / CAST(n AS DOUBLE) AS vy
+  FROM agg
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(floor(cov / vx * 10000 + {_OFF}) AS BIGINT) AS theta_e4,
+       CAST(floor(cov * cov / (vx * vy) * 1000000 + {_OFF}) AS BIGINT)
+         AS rho2_e6
+FROM alg
+WHERE vx > 0 AND vy > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# diff_in_diff — DiD estimate between the two heaviest event types
+# ---------------------------------------------------------------------------
+# Difference-in-differences (Card & Krueger 1994 canonical 2x2):
+# treatment = the most frequent event type, control = the second, cut
+# at the midpoint day.  DiD = (y_t,post - y_t,pre) - (y_c,post -
+# y_c,pre) over exact centivalue means — a single expression over 8
+# exact integers.  The type selection is count-based (deterministic).
+
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select(
+        "event_type",
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000))
+        .cast("long")
+        .alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    wr = Window.orderBy(F.desc("c"), F.asc("event_type"))
+    top2 = (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 2)
+        .select("event_type", "rk")
+    )
+    mid = e.agg(F.floor((F.min("day") + F.max("day")) / 2).cast("long").alias("mid"))
+    cells = (
+        e.join(F.broadcast(top2), "event_type")
+        .crossJoin(F.broadcast(mid))
+        .withColumn("post", (F.col("day") > F.col("mid")).cast("long"))
+        .groupBy("rk", "post")
+        .agg(F.sum("v").alias("num"), F.count(F.lit(1)).alias("den"))
+    )
+    flat = cells.select(
+        F.when((F.col("rk") == 1) & (F.col("post") == 1), F.col("num")).alias("tn1"),
+        F.when((F.col("rk") == 1) & (F.col("post") == 1), F.col("den")).alias("td1"),
+        F.when((F.col("rk") == 1) & (F.col("post") == 0), F.col("num")).alias("tn0"),
+        F.when((F.col("rk") == 1) & (F.col("post") == 0), F.col("den")).alias("td0"),
+        F.when((F.col("rk") == 2) & (F.col("post") == 1), F.col("num")).alias("cn1"),
+        F.when((F.col("rk") == 2) & (F.col("post") == 1), F.col("den")).alias("cd1"),
+        F.when((F.col("rk") == 2) & (F.col("post") == 0), F.col("num")).alias("cn0"),
+        F.when((F.col("rk") == 2) & (F.col("post") == 0), F.col("den")).alias("cd0"),
+    ).agg(
+        F.max("tn1").alias("tn1"),
+        F.max("td1").alias("td1"),
+        F.max("tn0").alias("tn0"),
+        F.max("td0").alias("td0"),
+        F.max("cn1").alias("cn1"),
+        F.max("cd1").alias("cd1"),
+        F.max("cn0").alias("cn0"),
+        F.max("cd0").alias("cd0"),
+    )
+    did = (
+        F.col("tn1").cast("double") / F.col("td1")
+        - F.col("tn0").cast("double") / F.col("td0")
+    ) - (
+        F.col("cn1").cast("double") / F.col("cd1")
+        - F.col("cn0").cast("double") / F.col("cd0")
+    )
+    return flat.select(
+        F.col("td0").cast("long").alias("n_treat_pre"),
+        F.col("td1").cast("long").alias("n_treat_post"),
+        F.col("cd0").cast("long").alias("n_ctrl_pre"),
+        F.col("cd1").cast("long").alias("n_ctrl_post"),
+        F.floor(did * 10_000 + F.lit(_OFF)).cast("long").alias("did_e4"),
+    )
+
+
+SQL_DIFF_IN_DIFF = f"""
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), top2 AS (
+  SELECT event_type, rk FROM (
+    SELECT event_type, row_number() OVER (ORDER BY count(*) DESC, event_type)
+           AS rk
+    FROM e GROUP BY event_type
+  ) WHERE rk <= 2
+), mid AS (
+  SELECT (min(day) + max(day)) // 2 AS mid FROM e
+), cells AS (
+  SELECT top2.rk, CASE WHEN e.day > mid.mid THEN 1 ELSE 0 END AS post,
+         CAST(sum(e.v) AS BIGINT) AS num, count(*) AS den
+  FROM e JOIN top2 ON top2.event_type = e.event_type CROSS JOIN mid
+  GROUP BY 1, 2
+), flat AS (
+  SELECT
+    max(CASE WHEN rk = 1 AND post = 1 THEN num END) AS tn1,
+    max(CASE WHEN rk = 1 AND post = 1 THEN den END) AS td1,
+    max(CASE WHEN rk = 1 AND post = 0 THEN num END) AS tn0,
+    max(CASE WHEN rk = 1 AND post = 0 THEN den END) AS td0,
+    max(CASE WHEN rk = 2 AND post = 1 THEN num END) AS cn1,
+    max(CASE WHEN rk = 2 AND post = 1 THEN den END) AS cd1,
+    max(CASE WHEN rk = 2 AND post = 0 THEN num END) AS cn0,
+    max(CASE WHEN rk = 2 AND post = 0 THEN den END) AS cd0
+  FROM cells
+)
+SELECT CAST(td0 AS BIGINT) AS n_treat_pre, CAST(td1 AS BIGINT) AS n_treat_post,
+       CAST(cd0 AS BIGINT) AS n_ctrl_pre, CAST(cd1 AS BIGINT) AS n_ctrl_post,
+       CAST(floor(((CAST(tn1 AS DOUBLE) / td1 - CAST(tn0 AS DOUBLE) / td0)
+                   - (CAST(cn1 AS DOUBLE) / cd1 - CAST(cn0 AS DOUBLE) / cd0))
+                  * 10000 + {_OFF}) AS BIGINT) AS did_e4
+FROM flat
+"""
+
+
 def _runs_sql() -> str:
     from diive_spark.queries_stats3 import SQL_RUNS_TEST
 
@@ -1424,6 +1781,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "new_user_share": q_new_user_share,
     "churn_labels": q_churn_labels,
     "lorenz_curve": q_lorenz_curve,
+    "cohens_kappa": q_cohens_kappa,
+    "cuped_adjustment": q_cuped_adjustment,
+    "diff_in_diff": q_diff_in_diff,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1444,4 +1804,7 @@ ORACLE_SQL: dict[str, str] = {
     "new_user_share": SQL_NEW_USER_SHARE,
     "churn_labels": SQL_CHURN_LABELS,
     "lorenz_curve": SQL_LORENZ,
+    "cohens_kappa": SQL_COHENS_KAPPA,
+    "cuped_adjustment": SQL_CUPED,
+    "diff_in_diff": SQL_DIFF_IN_DIFF,
 }

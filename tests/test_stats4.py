@@ -438,3 +438,97 @@ def test_lorenz_curve_matches_pandas(spark):
         # Lorenz curve lies below the diagonal (concentration)
         for r in lang_rows:
             assert r["doc_share_e4"] <= r["pop_share_e4"] + 1
+
+
+def test_cohens_kappa_matches_counter(spark):
+    from diive_spark.queries_stats4 import q_cohens_kappa
+
+    out = {r["lang"]: r for r in q_cohens_kappa(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    docs["toks"] = docs["text"].str.strip().str.split()
+    docs["ttr_e6"] = docs["toks"].map(
+        lambda t: math.floor(len(set(t)) / len(t) * 1e6 + _OFF)
+    )
+    for lang, grp in docs.groupby("lang"):
+        grp = grp.sort_values(["n_chars", "doc_id"])
+        n = len(grp)
+        med_len = grp["n_chars"].to_numpy()[(n - 1) // 2]
+        med_ttr = np.sort(grp["ttr_e6"].to_numpy())[(n - 1) // 2]
+        a = (grp["n_chars"] > med_len).to_numpy()
+        b = (grp["ttr_e6"] > med_ttr).to_numpy()
+        n11 = int((a & b).sum())
+        n10 = int((a & ~b).sum())
+        n01 = int((~a & b).sum())
+        n00 = int((~a & ~b).sum())
+        po = (n11 + n00) / n
+        pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / n**2
+        if pe >= 1:
+            assert lang not in out
+            continue
+        kappa = (po - pe) / (1 - pe)
+        row = out[lang]
+        assert (row["n"], row["n11"], row["n00"]) == (n, n11, n00)
+        assert abs(row["kappa_e6"] - math.floor(kappa * 1e6 + _OFF)) <= 1
+        assert -1_000_001 <= row["kappa_e6"] <= 1_000_001
+
+
+def test_cuped_matches_numpy(spark):
+    from diive_spark.queries_stats4 import q_cuped_adjustment
+
+    out = {r["event_type"]: r for r in q_cuped_adjustment(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["day"] = ev["ts"].astype("int64") // 10**9 // 86400
+    ev["v"] = np.floor(ev["value"] * 100 + _OFF)
+    mid = (ev["day"].min() + ev["day"].max()) // 2
+    ev["half"] = (ev["day"] > mid).astype(int)
+    for et, grp in ev.groupby("event_type"):
+        um = grp.groupby(["user_id", "half"])["v"].agg(["sum", "count"])
+        um["m"] = np.floor(um["sum"] / um["count"] * 100 + _OFF)
+        x = um.xs(0, level="half")["m"]
+        y = um.xs(1, level="half")["m"]
+        both = x.index.intersection(y.index)
+        xv, yv = x.loc[both].to_numpy(), y.loc[both].to_numpy()
+        if len(both) < 2 or xv.std() == 0 or yv.std() == 0:
+            assert et not in out
+            continue
+        cov = np.sum(xv * yv) - xv.sum() * yv.sum() / len(both)
+        vx = np.sum(xv * xv) - xv.sum() ** 2 / len(both)
+        vy = np.sum(yv * yv) - yv.sum() ** 2 / len(both)
+        row = out[et]
+        assert row["n"] == len(both)
+        assert abs(row["theta_e4"] - math.floor(cov / vx * 1e4 + _OFF)) <= 1
+        assert abs(
+            row["rho2_e6"] - math.floor(cov * cov / (vx * vy) * 1e6 + _OFF)
+        ) <= 1
+        assert 0 <= row["rho2_e6"] <= 1_000_001
+
+
+def test_diff_in_diff_matches_pandas(spark):
+    from diive_spark.queries_stats4 import q_diff_in_diff
+
+    row = q_diff_in_diff(spark, SF).collect()[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["day"] = ev["ts"].astype("int64") // 10**9 // 86400
+    ev["v"] = np.floor(ev["value"] * 100 + _OFF)
+    counts = ev.groupby("event_type").size().reset_index(name="c")
+    counts = counts.sort_values(["c", "event_type"], ascending=[False, True])
+    treat, ctrl = counts["event_type"].iloc[0], counts["event_type"].iloc[1]
+    mid = (ev["day"].min() + ev["day"].max()) // 2
+    ev["post"] = (ev["day"] > mid).astype(int)
+
+    def m(et, post):
+        g = ev[(ev["event_type"] == et) & (ev["post"] == post)]["v"]
+        return g.sum() / len(g), len(g)
+
+    t1, nt1 = m(treat, 1)
+    t0, nt0 = m(treat, 0)
+    c1, nc1 = m(ctrl, 1)
+    c0, nc0 = m(ctrl, 0)
+    did = (t1 - t0) - (c1 - c0)
+    assert (
+        row["n_treat_pre"],
+        row["n_treat_post"],
+        row["n_ctrl_pre"],
+        row["n_ctrl_post"],
+    ) == (nt0, nt1, nc0, nc1)
+    assert abs(row["did_e4"] - math.floor(did * 1e4 + _OFF)) <= 1
