@@ -801,6 +801,11 @@ from diive_spark import queries_stats4 as _qst4  # noqa: E402
 QUERIES.update(_qst4.QUERIES)
 ORACLE_SQL.update(_qst4.ORACLE_SQL)
 
+from diive_spark import queries_text4 as _qtx4  # noqa: E402
+
+QUERIES.update(_qtx4.QUERIES)
+ORACLE_SQL.update(_qtx4.ORACLE_SQL)
+
 # Driver-window ordering: the driver records correctness rows for exactly the
 # first 50 registry entries.  Round-4 rotation (VERDICT r3 #1/#2): the three
 # r03 hash-fails stay in the window so CORRECTNESS_r04 records the HUGEINT
