@@ -1,0 +1,435 @@
+"""Round-4j query registry: paired-labeler marginal homogeneity, extreme
+value diagnostics, ecological scaling, and robust variance homogeneity —
+McNemar's test over the kappa labeler pair, the mean-excess function on
+doc lengths, Taylor's power law on weekly count fluctuations, and the
+Brown-Forsythe robust Levene test per user.
+
+Oracle conventions as everywhere in this repo: identical column names,
+every DuckDB integer SUM wrapped in ``CAST(... AS BIGINT)``, derived
+doubles floor-scaled with the house 1/pi offset; ln-based regression
+statistics ride ``regr_slope`` over PRE-QUANTIZED exact-integer points
+(the zipf_slope precedent) with e4 half-up scaling.
+
+Reference parity notes: the reference stops at single-flag ladders; the
+labeler-agreement pair (cohens_kappa + mcnemar_labelers), EVT threshold
+diagnostics (mean_excess, complementing gumbel_maxima and
+hill_tail_index), fluctuation scaling (Taylor 1961), and the robust
+variance-homogeneity screen (Brown & Forsythe JASA 1974, the
+median-centered Levene) are the multi-sensor deployment layer, public
+literature cited per query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from diive_spark.queries_stats2 import _OFF, _documents
+
+# ---------------------------------------------------------------------------
+# mcnemar_labelers — McNemar's test on the two kappa labelers per lang
+# ---------------------------------------------------------------------------
+# Same two in-engine binary labelers as cohens_kappa (doc length / TTR
+# above the exact per-language lower medians): kappa measures agreement,
+# McNemar (1947) tests MARGINAL HOMOGENEITY — do the two labelers fire
+# at the same rate?  Continuity-corrected chi2 = (|b - c| - 1)^2 /
+# (b + c) over the discordant cells only; every input is an exact
+# integer, the statistic one exact-rational expression.
+
+
+def _kappa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias(
+            "n_types"
+        ),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_toks"),
+    )
+    d = d.withColumn(
+        "ttr_e6",
+        F.floor(
+            F.col("n_types").cast("double") / F.col("n_toks") * 1_000_000
+            + F.lit(_OFF)
+        ).cast("long"),
+    )
+    wlen = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wttr = Window.partitionBy("lang").orderBy("ttr_e6", "doc_id")
+    wn = Window.partitionBy("lang")
+    r = (
+        d.withColumn("r_len", F.row_number().over(wlen))
+        .withColumn("r_ttr", F.row_number().over(wttr))
+        .withColumn("nn", F.count(F.lit(1)).over(wn))
+    )
+    med_len = r.filter(
+        F.col("r_len") == F.floor((F.col("nn") - 1) / 2) + 1
+    ).select("lang", F.col("n_chars").alias("med_len"))
+    med_ttr = r.filter(
+        F.col("r_ttr") == F.floor((F.col("nn") - 1) / 2) + 1
+    ).select("lang", F.col("ttr_e6").alias("med_ttr"))
+    return (
+        d.join(F.broadcast(med_len), "lang")
+        .join(F.broadcast(med_ttr), "lang")
+        .withColumn("a", (F.col("n_chars") > F.col("med_len")).cast("long"))
+        .withColumn("b", (F.col("ttr_e6") > F.col("med_ttr")).cast("long"))
+    )
+
+
+def q_mcnemar_labelers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab = _kappa_labels(spark, sf_dir)
+    agg = lab.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(((F.col("a") == 1) & (F.col("b") == 0)).cast("long")).alias(
+            "n10"
+        ),
+        F.sum(((F.col("a") == 0) & (F.col("b") == 1)).cast("long")).alias(
+            "n01"
+        ),
+    )
+    disc = F.col("n10") + F.col("n01")
+    diff = F.abs(F.col("n10") - F.col("n01")) - 1
+    chi2 = (diff * diff).cast("double") / disc.cast("double")
+    return agg.filter(disc > 0).select(
+        "lang",
+        F.col("n").cast("long").alias("n"),
+        F.col("n10").cast("long").alias("n10"),
+        F.col("n01").cast("long").alias("n01"),
+        F.floor(chi2 * 10_000 + F.lit(_OFF)).cast("long").alias("chi2_e4"),
+    ).orderBy("lang")
+
+
+# The labeler CTE chain is shared verbatim with SQL_COHENS_KAPPA
+# (queries_stats4.py) — same medians, same scaled TTR.
+_SQL_LABELS = f"""
+WITH d AS (
+  SELECT lang, doc_id, n_chars,
+         CAST(floor(CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+                         AS DOUBLE)
+                    / len(regexp_split_to_array(trim(text), '\\s+'))
+                    * 1000000 + {_OFF}) AS BIGINT) AS ttr_e6
+  FROM documents
+), r AS (
+  SELECT lang, doc_id, n_chars, ttr_e6,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS r_len,
+         row_number() OVER (PARTITION BY lang ORDER BY ttr_e6, doc_id) AS r_ttr,
+         count(*) OVER (PARTITION BY lang) AS nn
+  FROM d
+), med_len AS (
+  SELECT lang, n_chars AS med_len FROM r WHERE r_len = (nn - 1) // 2 + 1
+), med_ttr AS (
+  SELECT lang, ttr_e6 AS med_ttr FROM r WHERE r_ttr = (nn - 1) // 2 + 1
+), lab AS (
+  SELECT d.lang,
+         CASE WHEN d.n_chars > med_len.med_len THEN 1 ELSE 0 END AS a,
+         CASE WHEN d.ttr_e6 > med_ttr.med_ttr THEN 1 ELSE 0 END AS b
+  FROM d
+  JOIN med_len ON med_len.lang = d.lang
+  JOIN med_ttr ON med_ttr.lang = d.lang
+)
+"""
+
+SQL_MCNEMAR = (
+    _SQL_LABELS
+    + f""", agg AS (
+  SELECT lang, count(*) AS n,
+         CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n10,
+         CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n01
+  FROM lab GROUP BY 1
+)
+SELECT lang, CAST(n AS BIGINT) AS n, n10, n01,
+       CAST(floor(CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1)
+                       AS DOUBLE)
+                  / (n10 + n01) * 10000 + {_OFF}) AS BIGINT) AS chi2_e4
+FROM agg
+WHERE n10 + n01 > 0
+ORDER BY lang
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# mean_excess — EVT mean-excess function of doc length per language
+# ---------------------------------------------------------------------------
+# e(u) = E[X - u | X > u] at per-language order-statistic thresholds
+# (ranks ((n-1)*q)//100 + 1 for q in {50, 75, 90}) — the standard
+# peaks-over-threshold diagnostic (Davison & Smith JRSS-B 1990): linear
+# growth in u flags a GPD tail, complementing hill_tail_index (tail
+# exponent) and gumbel_maxima (block maxima).  Thresholds are exact
+# order statistics off ONE per-lang rank window; the excess sum is an
+# exact BIGINT, so the only double op is one division — identical IEEE
+# result on both engines.
+
+_ME_QS = (50, 75, 90)
+
+
+def q_mean_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("lang", "doc_id", "n_chars")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    r = d.withColumn("rk", F.row_number().over(w)).withColumn(
+        "nn", F.count(F.lit(1)).over(wn)
+    )
+    qs = r.withColumn(
+        "q_pct", F.explode(F.array(*[F.lit(q) for q in _ME_QS]))
+    )
+    thr = qs.filter(
+        F.col("rk")
+        == F.expr("((nn - 1) * q_pct) div 100") + 1
+    ).select(
+        "lang",
+        F.col("q_pct").cast("long").alias("q_pct"),
+        F.col("n_chars").cast("long").alias("u"),
+    )
+    exc = (
+        d.join(F.broadcast(thr), "lang")
+        .filter(F.col("n_chars") > F.col("u"))
+        .groupBy("lang", "q_pct", "u")
+        .agg(
+            F.count(F.lit(1)).alias("n_exc"),
+            F.sum(F.col("n_chars").cast("long") - F.col("u")).alias("s_exc"),
+        )
+    )
+    me = F.col("s_exc").cast("double") / F.col("n_exc").cast("double")
+    return exc.select(
+        "lang",
+        "q_pct",
+        "u",
+        F.col("n_exc").cast("long").alias("n_exc"),
+        F.col("s_exc").cast("long").alias("s_exc"),
+        F.floor(me * 10_000 + F.lit(_OFF)).cast("long").alias("me_e4"),
+    ).orderBy("lang", "q_pct")
+
+
+SQL_MEAN_EXCESS = f"""
+WITH r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+           AS rk,
+         count(*) OVER (PARTITION BY lang) AS nn
+  FROM documents
+), thr AS (
+  SELECT lang, CAST(q_pct AS BIGINT) AS q_pct, CAST(n_chars AS BIGINT) AS u
+  FROM r, (VALUES (50), (75), (90)) qs(q_pct)
+  WHERE rk = ((nn - 1) * q_pct) // 100 + 1
+), exc AS (
+  SELECT d.lang, t.q_pct, t.u, count(*) AS n_exc,
+         CAST(sum(d.n_chars - t.u) AS BIGINT) AS s_exc
+  FROM documents d
+  JOIN thr t ON t.lang = d.lang AND d.n_chars > t.u
+  GROUP BY 1, 2, 3
+)
+SELECT lang, q_pct, u, CAST(n_exc AS BIGINT) AS n_exc, s_exc,
+       CAST(floor(CAST(s_exc AS DOUBLE) / n_exc * 10000 + {_OFF})
+            AS BIGINT) AS me_e4
+FROM exc
+ORDER BY lang, q_pct
+"""
+
+
+# ---------------------------------------------------------------------------
+# taylor_law — Taylor's power law on weekly daily-count fluctuations
+# ---------------------------------------------------------------------------
+# Taylor (Nature 1961): var ~ a * mean^b across replicate windows; b in
+# (1, 2) is the universal fluctuation-scaling signature of bursty count
+# processes (Eisler et al. Adv. Phys. 2008).  Replicates = calendar
+# weeks of daily event counts per type; mean and variance are exact
+# rationals QUANTIZED to e2 integers BEFORE the logs, so both engines
+# regress over identical points (zipf_slope precedent); slope via
+# regr_slope, e4 half-up.
+
+_TL_MIN_DAYS = 3
+
+
+def q_taylor_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    weekly = daily.groupBy(
+        "event_type", F.expr("day div 7").alias("wk")
+    ).agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    ).filter(F.col("nd") >= _TL_MIN_DAYS)
+    m_e2 = F.floor(
+        F.col("s1").cast("double") / F.col("nd") * 100 + F.lit(_OFF)
+    ).cast("long")
+    v_e2 = F.floor(
+        (F.col("nd") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        / (F.col("nd") * (F.col("nd") - 1)).cast("double")
+        * 100
+        + F.lit(_OFF)
+    ).cast("long")
+    pts = weekly.select(
+        "event_type", m_e2.alias("m_e2"), v_e2.alias("v_e2")
+    ).filter((F.col("m_e2") > 0) & (F.col("v_e2") > 0))
+    return (
+        pts.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_weeks"),
+            F.floor(
+                F.expr("regr_slope(ln(v_e2), ln(m_e2))") * 10_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("b_e4"),
+        )
+        .filter(F.col("n_weeks") >= 3)
+        .orderBy("event_type")
+    )
+
+
+SQL_TAYLOR = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), weekly AS (
+  SELECT event_type, day // 7 AS wk, count(*) AS nd,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM daily GROUP BY 1, 2
+  HAVING count(*) >= {_TL_MIN_DAYS}
+), pts AS (
+  SELECT event_type,
+         CAST(floor(CAST(s1 AS DOUBLE) / nd * 100 + {_OFF}) AS BIGINT)
+           AS m_e2,
+         CAST(floor(CAST(nd * s2 - s1 * s1 AS DOUBLE)
+                    / (nd * (nd - 1)) * 100 + {_OFF}) AS BIGINT) AS v_e2
+  FROM weekly
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_weeks,
+       CAST(floor(regr_slope(ln(v_e2), ln(m_e2)) * 10000 + 0.5) AS BIGINT)
+         AS b_e4
+FROM pts
+WHERE m_e2 > 0 AND v_e2 > 0
+GROUP BY 1
+HAVING count(*) >= 3
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# levene_bf — Brown-Forsythe robust variance homogeneity per user
+# ---------------------------------------------------------------------------
+# The median-centered Levene test (Brown & Forsythe JASA 1974): one-way
+# ANOVA F on z_ij = |v_ij - median_j| — the robust companion to
+# anova_event_types (which compares MEANS; this compares SPREADS).
+# Group medians are exact lower medians of centivalues off one rank
+# window; z is an exact integer, so the whole statistic reuses the
+# anova exact-integer expansion (SSB/SSW from BIGINT sums, <=|types|
+# double terms against the e4 grid).
+
+
+def q_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).alias("v"),
+    )
+    wg = Window.partitionBy("user_id", "event_type").orderBy("v")
+    wn = Window.partitionBy("user_id", "event_type")
+    r = ev.withColumn("rk", F.row_number().over(wg)).withColumn(
+        "ng", F.count(F.lit(1)).over(wn)
+    )
+    med = r.filter(
+        F.col("rk") == F.floor((F.col("ng") - 1) / 2) + 1
+    ).select("user_id", "event_type", F.col("v").alias("med"))
+    z = ev.join(med, ["user_id", "event_type"]).withColumn(
+        "z", F.abs(F.col("v") - F.col("med"))
+    )
+    g = z.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).alias("qz"),
+    )
+    agg = g.groupBy("user_id").agg(
+        F.sum("ng").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("sz").alias("s"),
+        F.sum("qz").alias("q"),
+        F.sum(
+            F.col("sz").cast("double") * F.col("sz") / F.col("ng")
+        ).alias("w"),
+    )
+    ssb = F.col("w") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ssw = F.col("q") - F.col("w")
+    wstat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return (
+        agg.filter(
+            (F.col("k") >= 2) & (F.col("n") > F.col("k")) & (ssw > 0)
+        )
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            F.col("k").cast("long").alias("k"),
+            F.floor(wstat * 10_000 + F.lit(_OFF)).cast("long").alias("w_e4"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_LEVENE = f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), r AS (
+  SELECT user_id, event_type, v,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY v)
+           AS rk,
+         count(*) OVER (PARTITION BY user_id, event_type) AS ng
+  FROM ev
+), med AS (
+  SELECT user_id, event_type, v AS med
+  FROM r WHERE rk = (ng - 1) // 2 + 1
+), z AS (
+  SELECT ev.user_id, ev.event_type, abs(ev.v - med.med) AS z
+  FROM ev
+  JOIN med ON med.user_id = ev.user_id AND med.event_type = ev.event_type
+), g AS (
+  SELECT user_id, event_type, count(*) AS ng,
+         CAST(sum(z) AS BIGINT) AS sz, CAST(sum(z * z) AS BIGINT) AS qz
+  FROM z GROUP BY 1, 2
+), agg AS (
+  SELECT user_id, CAST(sum(ng) AS BIGINT) AS n, count(*) AS k,
+         CAST(sum(sz) AS BIGINT) AS s, CAST(sum(qz) AS BIGINT) AS q,
+         sum(CAST(sz AS DOUBLE) * sz / ng) AS w
+  FROM g GROUP BY 1
+)
+SELECT user_id, n, CAST(k AS BIGINT) AS k,
+       CAST(floor(
+         ((w - CAST(s AS DOUBLE) * s / n) / (k - 1))
+         / ((q - w) / (n - k)) * 10000 + {_OFF}) AS BIGINT) AS w_e4
+FROM agg
+WHERE k >= 2 AND n > k AND q - w > 0
+ORDER BY user_id
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "mcnemar_labelers": q_mcnemar_labelers,
+    "mean_excess": q_mean_excess,
+    "taylor_law": q_taylor_law,
+    "levene_bf": q_levene_bf,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "mcnemar_labelers": SQL_MCNEMAR,
+    "mean_excess": SQL_MEAN_EXCESS,
+    "taylor_law": SQL_TAYLOR,
+    "levene_bf": SQL_LEVENE,
+}

@@ -1,0 +1,149 @@
+"""queries_stats5 — McNemar / mean-excess / Taylor's law / Brown-Forsythe
+pinned against independent brute-force oracles at sf0.001."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import numpy as np
+
+from diive_spark.queries_stats2 import _OFF
+from diive_spark.queries_stats5 import (
+    _ME_QS,
+    _TL_MIN_DAYS,
+    q_levene_bf,
+    q_mcnemar_labelers,
+    q_mean_excess,
+    q_taylor_law,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+
+
+def _labels(docs):
+    """Recompute the kappa labeler pair with the low-median convention."""
+    out = {}
+    docs = docs.copy()
+    toks = docs["text"].str.strip().str.split()
+    docs["ttr_e6"] = [
+        math.floor(len(set(t)) / len(t) * 1_000_000 + _OFF) for t in toks
+    ]
+    for lang, grp in docs.groupby("lang"):
+        n = len(grp)
+        med_len = sorted(grp["n_chars"])[(n - 1) // 2]
+        med_ttr = sorted(grp["ttr_e6"])[(n - 1) // 2]
+        a = (grp["n_chars"] > med_len).astype(int)
+        b = (grp["ttr_e6"] > med_ttr).astype(int)
+        out[lang] = (a.values, b.values)
+    return out
+
+
+def test_mcnemar_matches_counter(spark):
+    out = {r["lang"]: r for r in q_mcnemar_labelers(spark, SF).collect()}
+    for lang, (a, b) in _labels(_docs(spark)).items():
+        n10 = int(((a == 1) & (b == 0)).sum())
+        n01 = int(((a == 0) & (b == 1)).sum())
+        if n10 + n01 == 0:
+            assert lang not in out
+            continue
+        chi2 = (abs(n10 - n01) - 1) ** 2 / (n10 + n01)
+        row = out[lang]
+        assert row["n"] == len(a)
+        assert row["n10"] == n10
+        assert row["n01"] == n01
+        assert row["chi2_e4"] == math.floor(chi2 * 10_000 + _OFF)
+
+
+def test_mean_excess_matches_sorted(spark):
+    out = {
+        (r["lang"], r["q_pct"]): r for r in q_mean_excess(spark, SF).collect()
+    }
+    docs = _docs(spark)
+    for lang, grp in docs.groupby("lang"):
+        xs = sorted(grp["n_chars"].astype(int))
+        n = len(xs)
+        for q in _ME_QS:
+            u = xs[((n - 1) * q) // 100]  # rank is 1-based; index 0-based
+            exc = [x - u for x in xs if x > u]
+            if not exc:
+                assert (lang, q) not in out
+                continue
+            row = out[(lang, q)]
+            assert row["u"] == u
+            assert row["n_exc"] == len(exc)
+            assert row["s_exc"] == sum(exc)
+            assert row["me_e4"] == math.floor(
+                sum(exc) / len(exc) * 10_000 + _OFF
+            )
+
+
+def test_taylor_law_matches_numpy(spark):
+    out = {r["event_type"]: r for r in q_taylor_law(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["day"] = (ev["ts"].astype("int64") // 1_000_000_000) // 86_400
+    daily = Counter(zip(ev["event_type"], ev["day"]))
+    weekly = defaultdict(list)
+    for (et, day), c in daily.items():
+        weekly[(et, day // 7)].append(c)
+    pts = defaultdict(list)
+    for (et, _wk), cs in weekly.items():
+        if len(cs) < _TL_MIN_DAYS:
+            continue
+        nd, s1, s2 = len(cs), sum(cs), sum(c * c for c in cs)
+        m_e2 = math.floor(s1 / nd * 100 + _OFF)
+        v_e2 = math.floor((nd * s2 - s1 * s1) / (nd * (nd - 1)) * 100 + _OFF)
+        if m_e2 > 0 and v_e2 > 0:
+            pts[et].append((m_e2, v_e2))
+    for et, pp in pts.items():
+        if len(pp) < 3:
+            assert et not in out
+            continue
+        x = np.log([p[0] for p in pp])
+        y = np.log([p[1] for p in pp])
+        b = np.polyfit(x, y, 1)[0]
+        row = out[et]
+        assert row["n_weeks"] == len(pp)
+        assert abs(row["b_e4"] - math.floor(b * 10_000 + 0.5)) <= 1
+    assert set(out) == {et for et, pp in pts.items() if len(pp) >= 3}
+
+
+def test_taylor_exponent_plausible(spark):
+    # fluctuation scaling for count processes lives in b ~ [0.5, 2.5];
+    # sf0.001 has few weeks so allow wide small-sample noise
+    for r in q_taylor_law(spark, SF).collect():
+        assert -20_000 < r["b_e4"] < 60_000
+
+
+def test_levene_bf_matches_numpy(spark):
+    out = {r["user_id"]: r for r in q_levene_bf(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["v"] = [math.floor(v * 100 + _OFF) for v in ev["value"]]
+    for uid, grp in ev.groupby("user_id"):
+        groups = []
+        for _et, g in grp.groupby("event_type"):
+            vs = sorted(g["v"].astype(int))
+            med = vs[(len(vs) - 1) // 2]
+            groups.append([abs(v - med) for v in vs])
+        k = len(groups)
+        n = sum(len(g) for g in groups)
+        if k < 2 or n <= k:
+            assert uid not in out
+            continue
+        s = sum(sum(g) for g in groups)
+        q = sum(sum(z * z for z in g) for g in groups)
+        w = sum(sum(g) ** 2 / len(g) for g in groups)
+        ssb = w - s * s / n
+        ssw = q - w
+        if ssw <= 0:
+            assert uid not in out
+            continue
+        wstat = (ssb / (k - 1)) / (ssw / (n - k))
+        row = out[int(uid)]
+        assert row["n"] == n
+        assert row["k"] == k
+        assert abs(row["w_e4"] - math.floor(wstat * 10_000 + _OFF)) <= 1
