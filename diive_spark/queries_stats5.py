@@ -420,11 +420,397 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# kruskal_wallis — tie-corrected rank ANOVA of value by event type, per user
+# ---------------------------------------------------------------------------
+# The nonparametric companion to anova_event_types (Kruskal & Wallis
+# JASA 1952).  Average ranks stay EXACT as the integer 2*avgrank =
+# 2*minrank + ties - 1 (rank() + per-value count windows over the
+# per-user sort); H = 3/(N(N+1)) * sum_g (2R_g)^2/n_g - 3(N+1), then
+# the tie correction 1 - sum(t^3-t)/(N^3-N) from one exact per-value
+# count agg.  Same <=|types| double-term discipline as anova.
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).alias("v"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("v")
+    wt = Window.partitionBy("user_id", "v")
+    r = ev.withColumn("minrk", F.rank().over(wr)).withColumn(
+        "t", F.count(F.lit(1)).over(wt)
+    )
+    # 2 * average rank is the exact integer 2*minrk + t - 1
+    r = r.withColumn("rk2", 2 * F.col("minrk") + F.col("t") - 1)
+    g = r.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("ng"), F.sum("rk2").alias("r2g")
+    )
+    ties = (
+        ev.groupBy("user_id", "v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).alias("tsum")
+        )
+    )
+    agg = g.groupBy("user_id").agg(
+        F.sum("ng").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            (F.col("r2g") * F.col("r2g")).cast("double") / F.col("ng")
+        ).alias("rr"),
+    )
+    j = agg.join(ties, "user_id")
+    nd = F.col("n").cast("double")
+    h = F.lit(3.0) / (nd * (nd + 1)) * F.col("rr") - 3 * (nd + 1)
+    corr = F.lit(1.0) - F.col("tsum").cast("double") / (nd * nd * nd - nd)
+    hc = h / corr
+    return (
+        j.filter((F.col("k") >= 2) & (corr > 0))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            F.col("k").cast("long").alias("k"),
+            F.col("tsum").cast("long").alias("tsum"),
+            F.floor(hc * 10_000 + F.lit(_OFF)).cast("long").alias("h_e4"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_KRUSKAL = f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), r AS (
+  SELECT user_id, event_type,
+         2 * rank() OVER (PARTITION BY user_id ORDER BY v)
+           + count(*) OVER (PARTITION BY user_id, v) - 1 AS rk2
+  FROM ev
+), g AS (
+  SELECT user_id, event_type, count(*) AS ng,
+         CAST(sum(rk2) AS BIGINT) AS r2g
+  FROM r GROUP BY 1, 2
+), ties AS (
+  SELECT user_id, CAST(sum(t * t * t - t) AS BIGINT) AS tsum
+  FROM (SELECT user_id, v, count(*) AS t FROM ev GROUP BY 1, 2)
+  GROUP BY 1
+), agg AS (
+  SELECT user_id, CAST(sum(ng) AS BIGINT) AS n, count(*) AS k,
+         sum(CAST(r2g * r2g AS DOUBLE) / ng) AS rr
+  FROM g GROUP BY 1
+)
+SELECT agg.user_id, n, CAST(k AS BIGINT) AS k, tsum,
+       CAST(floor(
+         (3.0 / (CAST(n AS DOUBLE) * (n + 1)) * rr - 3 * (n + 1))
+         / (1.0 - CAST(tsum AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * n * n - n)) * 10000 + {_OFF})
+         AS BIGINT) AS h_e4
+FROM agg JOIN ties ON ties.user_id = agg.user_id
+WHERE k >= 2
+  AND 1.0 - CAST(tsum AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n) > 0
+ORDER BY agg.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# arch_lm — Engle's lag-1 ARCH LM test on daily count fluctuations
+# ---------------------------------------------------------------------------
+# Engle (Econometrica 1982): volatility clustering shows as
+# autocorrelation in SQUARED innovations.  Innovation proxy u_t =
+# (n*c_t - S)^2 — the scaled squared deviation from the per-type mean,
+# an EXACT BIGINT (R^2 is invariant to the n^2 scale factor), so both
+# engines regress identical integer pairs (u_t, u_{t-1}); LM = m * R^2
+# over the m lag pairs, e4 half-up (zipf_slope regr precedent).
+
+
+def q_arch_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wn = Window.partitionBy("event_type")
+    d = daily.withColumn("n", F.count(F.lit(1)).over(wn)).withColumn(
+        "s", F.sum("c").over(wn)
+    )
+    d = d.withColumn(
+        "u",
+        (F.col("n") * F.col("c") - F.col("s"))
+        * (F.col("n") * F.col("c") - F.col("s")),
+    )
+    wl = Window.partitionBy("event_type").orderBy("day")
+    p = d.withColumn("u_lag", F.lag("u").over(wl)).filter(
+        F.col("u_lag").isNotNull()
+    )
+    agg = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.expr("regr_r2(CAST(u AS DOUBLE), CAST(u_lag AS DOUBLE))").alias(
+            "r2"
+        ),
+    )
+    return (
+        agg.filter((F.col("m") >= 5) & F.col("r2").isNotNull())
+        .select(
+            "event_type",
+            F.col("m").cast("long").alias("m"),
+            F.floor(F.col("m") * F.col("r2") * 10_000 + F.lit(0.5))
+            .cast("long")
+            .alias("lm_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_ARCH = """
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type, day,
+         (count(*) OVER (PARTITION BY event_type) * c
+          - sum(c) OVER (PARTITION BY event_type))
+         * (count(*) OVER (PARTITION BY event_type) * c
+            - sum(c) OVER (PARTITION BY event_type)) AS u
+  FROM daily
+), p AS (
+  SELECT event_type, u,
+         lag(u) OVER (PARTITION BY event_type ORDER BY day) AS u_lag
+  FROM d
+), agg AS (
+  SELECT event_type, count(*) AS m,
+         regr_r2(CAST(u AS DOUBLE), CAST(u_lag AS DOUBLE)) AS r2
+  FROM p WHERE u_lag IS NOT NULL
+  GROUP BY 1
+)
+SELECT event_type, CAST(m AS BIGINT) AS m,
+       CAST(floor(m * r2 * 10000 + 0.5) AS BIGINT) AS lm_e4
+FROM agg
+WHERE m >= 5 AND r2 IS NOT NULL
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# jarque_bera — JB normality test on daily counts per event type
+# ---------------------------------------------------------------------------
+# Jarque & Bera (1980): JB = n/6 * (g1^2 + g2^2/4) from moment
+# skewness/kurtosis.  Central moments expand over the EXACT raw power
+# sums S1..S4 (BIGINT; |c| <= ~1e4 daily at the benchmarked SFs keeps
+# S4 <= ~1e17 — bound documented, the wasserstein_doclen overflow
+# protocol); the double op tree after the sums is one expression,
+# identical on both engines, e4 floor + house offset.
+
+
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    c = F.col("c")
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c).alias("s1"),
+        F.sum(c * c).alias("s2"),
+        F.sum(c * c * c).alias("s3"),
+        F.sum(c * c * c * c).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / nd
+    m2 = F.col("s2").cast("double") / nd - mu * mu
+    m3 = (
+        F.col("s3").cast("double") / nd
+        - 3 * mu * F.col("s2").cast("double") / nd
+        + 2 * mu * mu * mu
+    )
+    m4 = (
+        F.col("s4").cast("double") / nd
+        - 4 * mu * F.col("s3").cast("double") / nd
+        + 6 * mu * mu * F.col("s2").cast("double") / nd
+        - 3 * mu * mu * mu * mu
+    )
+    g1 = m3 / F.sqrt(m2 * m2 * m2)
+    g2 = m4 / (m2 * m2) - 3.0
+    jb = nd / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+    return (
+        agg.filter((F.col("n") >= 8) & (m2 > 0))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.floor(g1 * 10_000 + F.lit(_OFF)).cast("long").alias("skew_e4"),
+            F.floor(g2 * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "exkurt_e4"
+            ),
+            F.floor(jb * 10_000 + F.lit(_OFF)).cast("long").alias("jb_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_JB = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2,
+         CAST(sum(c * c * c) AS BIGINT) AS s3,
+         CAST(sum(c * c * c * c) AS BIGINT) AS s4
+  FROM daily GROUP BY 1
+), m AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / n AS mu,
+         CAST(s2 AS DOUBLE) / n AS r2,
+         CAST(s3 AS DOUBLE) / n AS r3,
+         CAST(s4 AS DOUBLE) / n AS r4
+  FROM agg
+), mm AS (
+  SELECT event_type, n,
+         r2 - mu * mu AS m2,
+         r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3,
+         r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu AS m4
+  FROM m
+), g AS (
+  SELECT event_type, n,
+         m3 / sqrt(m2 * m2 * m2) AS g1,
+         m4 / (m2 * m2) - 3.0 AS g2,
+         m2
+  FROM mm
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(floor(g1 * 10000 + {_OFF}) AS BIGINT) AS skew_e4,
+       CAST(floor(g2 * 10000 + {_OFF}) AS BIGINT) AS exkurt_e4,
+       CAST(floor(CAST(n AS DOUBLE) / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+                  * 10000 + {_OFF}) AS BIGINT) AS jb_e4
+FROM g
+WHERE n >= 8 AND m2 > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# grubbs_test — Grubbs' max-deviation outlier test on daily counts
+# ---------------------------------------------------------------------------
+# Grubbs (Technometrics 1969): G = max|c - mean| / s.  The argmax day
+# is the EXACT integer argmax of |n*c - S| (ties broken by earliest
+# day — deterministic on both engines via min() over the tied set); s
+# from the exact sums, G one double expression.
+
+
+def q_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wn = Window.partitionBy("event_type")
+    d = (
+        daily.withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn("s", F.sum("c").over(wn))
+        .withColumn("q", F.sum(F.col("c") * F.col("c")).over(wn))
+    )
+    d = d.withColumn("dev", F.abs(F.col("n") * F.col("c") - F.col("s")))
+    wmax = Window.partitionBy("event_type")
+    d = d.withColumn("maxdev", F.max("dev").over(wmax))
+    top = (
+        d.filter(F.col("dev") == F.col("maxdev"))
+        .groupBy("event_type")
+        .agg(
+            F.min("day").alias("out_day"),
+            F.max("n").alias("n"),
+            F.max("s").alias("s"),
+            F.max("q").alias("q"),
+            F.max("maxdev").alias("dev"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    var = (F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast(
+        "double"
+    ) / (nd * (nd - 1))
+    g = F.col("dev").cast("double") / F.col("n") / F.sqrt(var)
+    return (
+        top.filter((F.col("n") >= 3) & (var > 0))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("out_day").cast("long").alias("out_day"),
+            F.col("dev").cast("long").alias("dev"),
+            F.floor(g * 10_000 + F.lit(_OFF)).cast("long").alias("g_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_GRUBBS = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type, day, c,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(c) OVER (PARTITION BY event_type) AS s,
+         sum(c * c) OVER (PARTITION BY event_type) AS q,
+         abs(count(*) OVER (PARTITION BY event_type) * c
+             - sum(c) OVER (PARTITION BY event_type)) AS dev
+  FROM daily
+), m AS (
+  SELECT event_type, day, c, n, s, q, dev,
+         max(dev) OVER (PARTITION BY event_type) AS maxdev
+  FROM d
+), top AS (
+  SELECT event_type, min(day) AS out_day,
+         CAST(max(n) AS BIGINT) AS n, CAST(max(s) AS BIGINT) AS s,
+         CAST(max(q) AS BIGINT) AS q, CAST(max(dev) AS BIGINT) AS dev
+  FROM m WHERE dev = maxdev GROUP BY 1
+)
+SELECT event_type, n, CAST(out_day AS BIGINT) AS out_day, dev,
+       CAST(floor(CAST(dev AS DOUBLE) / n
+                  / sqrt(CAST(n * q - s * s AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * (n - 1)))
+                  * 10000 + {_OFF}) AS BIGINT) AS g_e4
+FROM top
+WHERE n >= 3 AND n * q - s * s > 0
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mcnemar_labelers": q_mcnemar_labelers,
     "mean_excess": q_mean_excess,
     "taylor_law": q_taylor_law,
     "levene_bf": q_levene_bf,
+    "kruskal_wallis": q_kruskal_wallis,
+    "arch_lm": q_arch_lm,
+    "jarque_bera": q_jarque_bera,
+    "grubbs_test": q_grubbs_test,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -432,4 +818,8 @@ ORACLE_SQL: dict[str, str] = {
     "mean_excess": SQL_MEAN_EXCESS,
     "taylor_law": SQL_TAYLOR,
     "levene_bf": SQL_LEVENE,
+    "kruskal_wallis": SQL_KRUSKAL,
+    "arch_lm": SQL_ARCH,
+    "jarque_bera": SQL_JB,
+    "grubbs_test": SQL_GRUBBS,
 }

@@ -10,6 +10,10 @@ import numpy as np
 
 from diive_spark.queries_stats2 import _OFF
 from diive_spark.queries_stats5 import (
+    q_arch_lm,
+    q_grubbs_test,
+    q_jarque_bera,
+    q_kruskal_wallis,
     _ME_QS,
     _TL_MIN_DAYS,
     q_levene_bf,
@@ -147,3 +151,133 @@ def test_levene_bf_matches_numpy(spark):
         assert row["n"] == n
         assert row["k"] == k
         assert abs(row["w_e4"] - math.floor(wstat * 10_000 + _OFF)) <= 1
+
+
+def test_kruskal_wallis_matches_scipy_style(spark):
+    out = {r["user_id"]: r for r in q_kruskal_wallis(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["v"] = [math.floor(v * 100 + _OFF) for v in ev["value"]]
+    for uid, grp in ev.groupby("user_id"):
+        vals = grp["v"].astype(int).values
+        types = grp["event_type"].values
+        n = len(vals)
+        k = len(set(types))
+        if k < 2:
+            assert uid not in out
+            continue
+        # average ranks with ties
+        order = np.argsort(vals, kind="stable")
+        ranks = np.empty(n, dtype=float)
+        sv = vals[order]
+        i = 0
+        while i < n:
+            j = i
+            while j < n and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + 1 + j) / 2.0
+            i = j
+        rr = 0.0
+        for et in set(types):
+            mask = types == et
+            rr += ranks[mask].sum() ** 2 / mask.sum()
+        h = 12.0 / (n * (n + 1)) * rr - 3 * (n + 1)
+        cnt = Counter(vals)
+        tsum = sum(t**3 - t for t in cnt.values())
+        corr = 1.0 - tsum / (n**3 - n)
+        if corr <= 0:
+            assert uid not in out
+            continue
+        hc = h / corr
+        row = out[int(uid)]
+        assert row["n"] == n
+        assert row["k"] == k
+        assert row["tsum"] == tsum
+        assert abs(row["h_e4"] - math.floor(hc * 10_000 + _OFF)) <= 1
+
+
+def _daily_counts(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["day"] = (ev["ts"].astype("int64") // 1_000_000_000) // 86_400
+    return Counter(zip(ev["event_type"], ev["day"]))
+
+
+def test_arch_lm_matches_numpy(spark):
+    out = {r["event_type"]: r for r in q_arch_lm(spark, SF).collect()}
+    daily = _daily_counts(spark)
+    per = defaultdict(dict)
+    for (et, day), c in daily.items():
+        per[et][day] = c
+    for et, dd in per.items():
+        days = sorted(dd)
+        cs = np.array([dd[d] for d in days], dtype=np.int64)
+        n, s = len(cs), cs.sum()
+        u = (n * cs - s) ** 2
+        # lag pairs only for CONSECUTIVE-in-sort-order rows (window lag)
+        x = u[:-1].astype(float)
+        y = u[1:].astype(float)
+        m = len(x)
+        if m < 5:
+            assert et not in out
+            continue
+        r = np.corrcoef(x, y)[0, 1]
+        lm = m * r * r
+        row = out[et]
+        assert row["m"] == m
+        assert abs(row["lm_e4"] - math.floor(lm * 10_000 + 0.5)) <= 1
+
+
+def test_jarque_bera_matches_numpy(spark):
+    out = {r["event_type"]: r for r in q_jarque_bera(spark, SF).collect()}
+    daily = _daily_counts(spark)
+    per = defaultdict(list)
+    for (et, _day), c in daily.items():
+        per[et].append(c)
+    for et, cs in per.items():
+        x = np.array(cs, dtype=float)
+        n = len(x)
+        if n < 8:
+            assert et not in out
+            continue
+        m2 = ((x - x.mean()) ** 2).mean()
+        if m2 <= 0:
+            assert et not in out
+            continue
+        m3 = ((x - x.mean()) ** 3).mean()
+        m4 = ((x - x.mean()) ** 4).mean()
+        g1 = m3 / m2**1.5
+        g2 = m4 / m2**2 - 3
+        jb = n / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+        row = out[et]
+        assert row["n"] == n
+        assert abs(row["skew_e4"] - math.floor(g1 * 10_000 + _OFF)) <= 1
+        assert abs(row["exkurt_e4"] - math.floor(g2 * 10_000 + _OFF)) <= 1
+        assert abs(row["jb_e4"] - math.floor(jb * 10_000 + _OFF)) <= 1
+
+
+def test_grubbs_matches_numpy(spark):
+    out = {r["event_type"]: r for r in q_grubbs_test(spark, SF).collect()}
+    daily = _daily_counts(spark)
+    per = defaultdict(dict)
+    for (et, day), c in daily.items():
+        per[et][day] = c
+    for et, dd in per.items():
+        days = sorted(dd)
+        cs = np.array([dd[d] for d in days], dtype=np.int64)
+        n, s = len(cs), int(cs.sum())
+        if n < 3:
+            assert et not in out
+            continue
+        dev = np.abs(n * cs - s)
+        maxdev = int(dev.max())
+        out_day = min(d for d, dv in zip(days, dev) if dv == maxdev)
+        q = int((cs.astype(object) ** 2).sum())
+        var = (n * q - s * s) / (n * (n - 1))
+        if var <= 0:
+            assert et not in out
+            continue
+        g = maxdev / n / math.sqrt(var)
+        row = out[et]
+        assert row["n"] == n
+        assert row["out_day"] == out_day
+        assert row["dev"] == maxdev
+        assert abs(row["g_e4"] - math.floor(g * 10_000 + _OFF)) <= 1
