@@ -802,6 +802,409 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# lexical_richness — Yule's K, Sichel's S, Honore's R, Brunet's W per lang
+# ---------------------------------------------------------------------------
+# The classical lexical-richness battery (Yule 1944; Sichel 1975; Honore
+# 1979; Brunet 1978) complementing lexical_diversity/vocab_richness:
+# K = 1e4*(S2-N)/N^2 and S = V2/V are exact rationals; R =
+# 100*ln(N)/(1-V1/V) and W = exp(ln(N)*exp(-0.165*ln(V))) are one-ln/exp
+# expressions over exact integers — BOTH engines build W from the same
+# explicit exp/ln op tree (never pow, whose libm varies), e2 half-up.
+
+
+def q_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _documents(spark, sf_dir).select(
+        "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    freq = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("m"))
+    agg = freq.groupBy("lang").agg(
+        F.sum("m").alias("n"),
+        F.count(F.lit(1)).alias("v"),
+        F.sum((F.col("m") == 1).cast("long")).alias("v1"),
+        F.sum((F.col("m") == 2).cast("long")).alias("v2"),
+        F.sum(F.col("m") * F.col("m")).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    vd = F.col("v").cast("double")
+    yule_k = 10_000.0 * (F.col("s2") - F.col("n")).cast("double") / (nd * nd)
+    sichel = F.col("v2").cast("double") / vd
+    honore = 100.0 * F.log(nd) / (1.0 - F.col("v1").cast("double") / vd)
+    brunet = F.exp(F.log(nd) * F.exp(-0.165 * F.log(vd)))
+    return (
+        agg.filter((F.col("v1") < F.col("v")) & (F.col("n") > 1))
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n"),
+            F.col("v").cast("long").alias("v"),
+            F.col("v1").cast("long").alias("v1"),
+            F.col("v2").cast("long").alias("v2"),
+            F.floor(yule_k * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "yule_k_e4"
+            ),
+            F.floor(sichel * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "sichel_e6"
+            ),
+            F.floor(honore * 100 + F.lit(0.5)).cast("long").alias(
+                "honore_e2"
+            ),
+            F.floor(brunet * 100 + F.lit(0.5)).cast("long").alias(
+                "brunet_e2"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_RICHNESS = f"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), freq AS (
+  SELECT lang, w, count(*) AS m FROM toks GROUP BY 1, 2
+), agg AS (
+  SELECT lang, CAST(sum(m) AS BIGINT) AS n, count(*) AS v,
+         CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+         CAST(sum(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+         CAST(sum(m * m) AS BIGINT) AS s2
+  FROM freq GROUP BY 1
+)
+SELECT lang, n, CAST(v AS BIGINT) AS v, v1, v2,
+       CAST(floor(10000.0 * (s2 - n) / (CAST(n AS DOUBLE) * n) * 10000
+                  + {_OFF}) AS BIGINT) AS yule_k_e4,
+       CAST(floor(CAST(v2 AS DOUBLE) / v * 1000000 + {_OFF}) AS BIGINT)
+         AS sichel_e6,
+       CAST(floor(100.0 * ln(CAST(n AS DOUBLE))
+                  / (1.0 - CAST(v1 AS DOUBLE) / v) * 100 + 0.5) AS BIGINT)
+         AS honore_e2,
+       CAST(floor(exp(ln(CAST(n AS DOUBLE))
+                      * exp(-0.165 * ln(CAST(v AS DOUBLE)))) * 100 + 0.5)
+            AS BIGINT) AS brunet_e2
+FROM agg
+WHERE v1 < v AND n > 1
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# wilcoxon_signed_rank — paired week-over-week shift test per event type
+# ---------------------------------------------------------------------------
+# Wilcoxon (1945) on pairs (c_day, c_day+7): d = c_{t+7} - c_t, zeros
+# dropped, |d| average-ranked via the exact 2*avgrank = 2*minrank+t-1
+# integer; 2*W+ is an exact BIGINT; the normal approximation z uses the
+# tie-corrected variance n(n+1)(2n+1)/24 - sum(t^3-t)/48 — one double
+# expression over exact integers.  Pairing is a co-partitioned
+# equi-self-join on (event_type, day+7), robust to missing days.
+
+
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.day") == F.col("a.day") + 7),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (F.col("b.c") - F.col("a.c")).alias("d"),
+    ).filter(F.col("d") != 0)
+    pairs = pairs.withColumn("ad", F.abs(F.col("d")))
+    wr = Window.partitionBy("event_type").orderBy("ad")
+    wt = Window.partitionBy("event_type", "ad")
+    r = pairs.withColumn("minrk", F.rank().over(wr)).withColumn(
+        "t", F.count(F.lit(1)).over(wt)
+    )
+    r = r.withColumn("rk2", 2 * F.col("minrk") + F.col("t") - 1)
+    ties = (
+        pairs.groupBy("event_type", "ad")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).alias("tsum")
+        )
+    )
+    agg = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("d") > 0, F.col("rk2")).otherwise(F.lit(0))).alias(
+            "w2"
+        ),
+    )
+    j = agg.join(ties, "event_type")
+    nd = F.col("n").cast("double")
+    mean2 = nd * (nd + 1) / 2.0  # 2 * n(n+1)/4
+    var = nd * (nd + 1) * (2 * nd + 1) / 24.0 - F.col("tsum").cast(
+        "double"
+    ) / 48.0
+    z = (F.col("w2").cast("double") - mean2) / (2.0 * F.sqrt(var))
+    return (
+        j.filter((F.col("n") >= 5) & (var > 0))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("w2").cast("long").alias("w2"),
+            F.col("tsum").cast("long").alias("tsum"),
+            F.floor(z * 10_000 + F.lit(_OFF)).cast("long").alias("z_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_WILCOXON = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type, b.c - a.c AS d, abs(b.c - a.c) AS ad
+  FROM daily a
+  JOIN daily b ON b.event_type = a.event_type AND b.day = a.day + 7
+  WHERE b.c - a.c <> 0
+), r AS (
+  SELECT event_type, d,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY ad)
+           + count(*) OVER (PARTITION BY event_type, ad) - 1 AS rk2
+  FROM pairs
+), ties AS (
+  SELECT event_type, CAST(sum(t * t * t - t) AS BIGINT) AS tsum
+  FROM (SELECT event_type, ad, count(*) AS t FROM pairs GROUP BY 1, 2)
+  GROUP BY 1
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(CASE WHEN d > 0 THEN rk2 ELSE 0 END) AS BIGINT) AS w2
+  FROM r GROUP BY 1
+)
+SELECT agg.event_type, CAST(n AS BIGINT) AS n, w2, tsum,
+       CAST(floor(
+         (w2 - CAST(n AS DOUBLE) * (n + 1) / 2.0)
+         / (2.0 * sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
+                       - CAST(tsum AS DOUBLE) / 48.0)) * 10000 + {_OFF})
+         AS BIGINT) AS z_e4
+FROM agg JOIN ties ON ties.event_type = agg.event_type
+WHERE n >= 5
+  AND CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
+      - CAST(tsum AS DOUBLE) / 48.0 > 0
+ORDER BY agg.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# durbin_watson — DW autocorrelation of daily-count OLS trend residuals
+# ---------------------------------------------------------------------------
+# Durbin & Watson (Biometrika 1950): DW = sum (e_t - e_{t-1})^2 /
+# sum e_t^2 on residuals of the per-type c ~ day regression.  The
+# SCALED residual E_t = D*(n*y_t - Sy) - Nb*(n*t - St), with D =
+# n*St2 - St^2 and Nb = n*Sty - St*Sy, is an EXACT BIGINT (scale
+# cancels in the ratio); squares ride doubles of identical integers
+# (ljung_box few-term grid argument).  Day index is re-based to the
+# per-type min day so the integer magnitudes stay bounded
+# (|E| <= ~1e12 at the benchmarked SFs — documented bound).
+
+
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wn = Window.partitionBy("event_type")
+    d = daily.withColumn("t", F.col("day") - F.min("day").over(wn))
+    d = (
+        d.withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn("st", F.sum("t").over(wn))
+        .withColumn("st2", F.sum(F.col("t") * F.col("t")).over(wn))
+        .withColumn("sy", F.sum("c").over(wn))
+        .withColumn("sty", F.sum(F.col("t") * F.col("c")).over(wn))
+    )
+    dd = F.col("n") * F.col("st2") - F.col("st") * F.col("st")
+    nb = F.col("n") * F.col("sty") - F.col("st") * F.col("sy")
+    e = dd * (F.col("n") * F.col("c") - F.col("sy")) - nb * (
+        F.col("n") * F.col("t") - F.col("st")
+    )
+    d = d.withColumn("e", e)
+    wl = Window.partitionBy("event_type").orderBy("t")
+    p = d.withColumn("e_lag", F.lag("e").over(wl))
+    agg = p.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("e").cast("double") * F.col("e").cast("double")).alias(
+            "den"
+        ),
+        F.sum(
+            F.when(
+                F.col("e_lag").isNotNull(),
+                (F.col("e") - F.col("e_lag")).cast("double")
+                * (F.col("e") - F.col("e_lag")).cast("double"),
+            ).otherwise(F.lit(0.0))
+        ).alias("num"),
+    )
+    return (
+        agg.filter((F.col("n") >= 5) & (F.col("den") > 0))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.floor(F.col("num") / F.col("den") * 10_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("dw_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_DW = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), d0 AS (
+  SELECT event_type, c,
+         day - min(day) OVER (PARTITION BY event_type) AS t
+  FROM daily
+), d AS (
+  SELECT event_type, c, t,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(t) OVER (PARTITION BY event_type) AS st,
+         sum(t * t) OVER (PARTITION BY event_type) AS st2,
+         sum(c) OVER (PARTITION BY event_type) AS sy,
+         sum(t * c) OVER (PARTITION BY event_type) AS sty
+  FROM d0
+), e AS (
+  SELECT event_type, n, t,
+         (n * st2 - st * st) * (n * c - sy)
+         - (n * sty - st * sy) * (n * t - st) AS e
+  FROM d
+), p AS (
+  SELECT event_type, n, e,
+         lag(e) OVER (PARTITION BY event_type ORDER BY t) AS e_lag
+  FROM e
+), agg AS (
+  SELECT event_type, max(n) AS n,
+         sum(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)) AS den,
+         sum(CASE WHEN e_lag IS NOT NULL
+                  THEN CAST(e - e_lag AS DOUBLE) * CAST(e - e_lag AS DOUBLE)
+                  ELSE 0.0 END) AS num
+  FROM p GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(floor(num / den * 10000 + {_OFF}) AS BIGINT) AS dw_e4
+FROM agg
+WHERE n >= 5 AND den > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# friedman_test — Friedman rank test of day-of-week effect per event type
+# ---------------------------------------------------------------------------
+# Friedman (JASA 1937): blocks = complete calendar weeks (all 7 days
+# present), treatments = weekdays; within-block average ranks via the
+# exact 2*avgrank integer.  With rr = sum_j (2R_j)^2 = 4*sum R_j^2 the
+# statistic 12/(b*k*(k+1))*sum R_j^2 - 3*b*(k+1) becomes
+# 3*rr/(b*k*(k+1)) - 3*b*(k+1) — a single expression over exact BIGINTs.
+
+
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    daily = daily.withColumn("wk", F.expr("day div 7")).withColumn(
+        "dow", ((F.col("day") + 3) % 7).cast("long")
+    )
+    wb = Window.partitionBy("event_type", "wk")
+    full = daily.withColumn("nb", F.count(F.lit(1)).over(wb)).filter(
+        F.col("nb") == 7
+    )
+    wr = Window.partitionBy("event_type", "wk").orderBy("c")
+    wt = Window.partitionBy("event_type", "wk", "c")
+    r = full.withColumn("minrk", F.rank().over(wr)).withColumn(
+        "t", F.count(F.lit(1)).over(wt)
+    )
+    r = r.withColumn("rk2", 2 * F.col("minrk") + F.col("t") - 1)
+    per = r.groupBy("event_type", "dow").agg(F.sum("rk2").alias("r2"))
+    agg = per.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("r2") * F.col("r2")).alias("rr"),
+        (F.sum("r2") / 56).alias("b"),  # sum 2R_j = b*k*(k+1) = 56b for k=7
+    )
+    bd = F.col("b").cast("double")
+    # 12/(b k(k+1)) * sum R_j^2 - 3b(k+1) with rr = sum (2R_j)^2 = 4*sum R_j^2
+    chi2 = 3.0 * F.col("rr").cast("double") / (bd * 7 * 8) - 3.0 * bd * 8
+    return (
+        agg.filter((F.col("k") == 7) & (F.col("b") >= 2))
+        .select(
+            "event_type",
+            F.col("b").cast("long").alias("b"),
+            F.col("rr").cast("long").alias("rr"),
+            F.floor(chi2 * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "chi2_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_FRIEDMAN = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type, day // 7 AS wk, (day + 3) % 7 AS dow, c FROM daily
+), full_wk AS (
+  SELECT event_type, wk, dow, c
+  FROM (
+    SELECT event_type, wk, dow, c,
+           count(*) OVER (PARTITION BY event_type, wk) AS nb
+    FROM d
+  ) WHERE nb = 7
+), r AS (
+  SELECT event_type, wk, dow,
+         2 * rank() OVER (PARTITION BY event_type, wk ORDER BY c)
+           + count(*) OVER (PARTITION BY event_type, wk, c) - 1 AS rk2
+  FROM full_wk
+), per AS (
+  SELECT event_type, dow, CAST(sum(rk2) AS BIGINT) AS r2
+  FROM r GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, count(*) AS k,
+         CAST(sum(r2 * r2) AS BIGINT) AS rr,
+         CAST(sum(r2) AS BIGINT) // 56 AS b
+  FROM per GROUP BY 1
+)
+SELECT event_type, CAST(b AS BIGINT) AS b, rr,
+       CAST(floor((3.0 * rr / (b * 7 * 8) - 3.0 * b * 8) * 10000
+                  + {_OFF}) AS BIGINT) AS chi2_e4
+FROM agg
+WHERE k = 7 AND b >= 2
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mcnemar_labelers": q_mcnemar_labelers,
     "mean_excess": q_mean_excess,
@@ -811,6 +1214,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "arch_lm": q_arch_lm,
     "jarque_bera": q_jarque_bera,
     "grubbs_test": q_grubbs_test,
+    "lexical_richness": q_lexical_richness,
+    "wilcoxon_signed_rank": q_wilcoxon_signed_rank,
+    "durbin_watson": q_durbin_watson,
+    "friedman_test": q_friedman_test,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -822,4 +1229,8 @@ ORACLE_SQL: dict[str, str] = {
     "arch_lm": SQL_ARCH,
     "jarque_bera": SQL_JB,
     "grubbs_test": SQL_GRUBBS,
+    "lexical_richness": SQL_RICHNESS,
+    "wilcoxon_signed_rank": SQL_WILCOXON,
+    "durbin_watson": SQL_DW,
+    "friedman_test": SQL_FRIEDMAN,
 }

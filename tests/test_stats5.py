@@ -11,6 +11,10 @@ import numpy as np
 from diive_spark.queries_stats2 import _OFF
 from diive_spark.queries_stats5 import (
     q_arch_lm,
+    q_durbin_watson,
+    q_friedman_test,
+    q_lexical_richness,
+    q_wilcoxon_signed_rank,
     q_grubbs_test,
     q_jarque_bera,
     q_kruskal_wallis,
@@ -281,3 +285,128 @@ def test_grubbs_matches_numpy(spark):
         assert row["out_day"] == out_day
         assert row["dev"] == maxdev
         assert abs(row["g_e4"] - math.floor(g * 10_000 + _OFF)) <= 1
+
+
+def test_lexical_richness_matches_counter(spark):
+    out = {r["lang"]: r for r in q_lexical_richness(spark, SF).collect()}
+    docs = _docs(spark)
+    for lang, grp in docs.groupby("lang"):
+        cnt = Counter(w for t in grp["text"] for w in t.strip().split())
+        n = sum(cnt.values())
+        v = len(cnt)
+        v1 = sum(1 for m in cnt.values() if m == 1)
+        v2 = sum(1 for m in cnt.values() if m == 2)
+        s2 = sum(m * m for m in cnt.values())
+        if v1 >= v or n <= 1:
+            assert lang not in out
+            continue
+        yule_k = 10_000.0 * (s2 - n) / (n * n)
+        sichel = v2 / v
+        honore = 100.0 * math.log(n) / (1.0 - v1 / v)
+        brunet = math.exp(math.log(n) * math.exp(-0.165 * math.log(v)))
+        row = out[lang]
+        assert (row["n"], row["v"], row["v1"], row["v2"]) == (n, v, v1, v2)
+        assert row["yule_k_e4"] == math.floor(yule_k * 10_000 + _OFF)
+        assert row["sichel_e6"] == math.floor(sichel * 1_000_000 + _OFF)
+        assert abs(row["honore_e2"] - math.floor(honore * 100 + 0.5)) <= 1
+        assert abs(row["brunet_e2"] - math.floor(brunet * 100 + 0.5)) <= 1
+
+
+def _avg_ranks(vals):
+    order = np.argsort(vals, kind="stable")
+    ranks = np.empty(len(vals), dtype=float)
+    sv = np.asarray(vals)[order]
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    return ranks
+
+
+def test_wilcoxon_matches_numpy(spark):
+    out = {
+        r["event_type"]: r for r in q_wilcoxon_signed_rank(spark, SF).collect()
+    }
+    daily = _daily_counts(spark)
+    per = defaultdict(dict)
+    for (et, day), c in daily.items():
+        per[et][day] = c
+    for et, dd in per.items():
+        ds = [
+            dd[day + 7] - dd[day]
+            for day in sorted(dd)
+            if day + 7 in dd and dd[day + 7] != dd[day]
+        ]
+        n = len(ds)
+        if n < 5:
+            assert et not in out
+            continue
+        ad = np.abs(ds)
+        ranks = _avg_ranks(ad)
+        wplus = sum(r for r, d in zip(ranks, ds) if d > 0)
+        tcnt = Counter(ad)
+        tsum = sum(t**3 - t for t in tcnt.values())
+        var = n * (n + 1) * (2 * n + 1) / 24.0 - tsum / 48.0
+        if var <= 0:
+            assert et not in out
+            continue
+        z = (wplus - n * (n + 1) / 4.0) / math.sqrt(var)
+        row = out[et]
+        assert row["n"] == n
+        assert row["w2"] == int(round(2 * wplus))
+        assert row["tsum"] == tsum
+        assert abs(row["z_e4"] - math.floor(z * 10_000 + _OFF)) <= 1
+
+
+def test_durbin_watson_matches_numpy(spark):
+    out = {r["event_type"]: r for r in q_durbin_watson(spark, SF).collect()}
+    daily = _daily_counts(spark)
+    per = defaultdict(dict)
+    for (et, day), c in daily.items():
+        per[et][day] = c
+    for et, dd in per.items():
+        days = sorted(dd)
+        t = np.array(days) - days[0]
+        y = np.array([dd[d] for d in days], dtype=float)
+        n = len(y)
+        if n < 5:
+            assert et not in out
+            continue
+        b, a = np.polyfit(t, y, 1)
+        e = y - a - b * t
+        dw = np.sum(np.diff(e) ** 2) / np.sum(e**2)
+        row = out[et]
+        assert row["n"] == n
+        assert abs(row["dw_e4"] - math.floor(dw * 10_000 + _OFF)) <= 1
+        assert 0 <= row["dw_e4"] <= 40_000  # DW in [0, 4]
+
+
+def test_friedman_matches_numpy(spark):
+    out = {r["event_type"]: r for r in q_friedman_test(spark, SF).collect()}
+    daily = _daily_counts(spark)
+    per = defaultdict(dict)
+    for (et, day), c in daily.items():
+        per[et][day] = c
+    for et, dd in per.items():
+        weeks = defaultdict(dict)
+        for day, c in dd.items():
+            weeks[day // 7][(day + 3) % 7] = c
+        complete = {wk: m for wk, m in weeks.items() if len(m) == 7}
+        b = len(complete)
+        if b < 2:
+            assert et not in out
+            continue
+        rsum = defaultdict(float)
+        for _wk, m in complete.items():
+            dows = sorted(m)
+            ranks = _avg_ranks([m[d] for d in dows])
+            for d, r in zip(dows, ranks):
+                rsum[d] += r
+        chi2 = 12.0 / (b * 7 * 8) * sum(r * r for r in rsum.values()) - 3 * b * 8
+        row = out[et]
+        assert row["b"] == b
+        assert row["rr"] == int(round(sum((2 * r) ** 2 for r in rsum.values())))
+        assert abs(row["chi2_e4"] - math.floor(chi2 * 10_000 + _OFF)) <= 1
