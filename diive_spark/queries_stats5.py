@@ -1205,6 +1205,427 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# cramers_v — bias-corrected Cramer's V of source x language association
+# ---------------------------------------------------------------------------
+# Cramer (1946) with the Bergsma (2013) bias correction: phi2_corr =
+# max(0, chi2/n - (R-1)(C-1)/(n-1)), R' = R - (R-1)^2/(n-1), V =
+# sqrt(phi2_corr / min(R'-1, C'-1)).  Margins ride windows over the
+# |sources| x |langs| cell table (the chisq_type_hour discipline); the
+# whole statistic is one expression over exact integers.
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("source", "lang")
+    cells = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    wr = Window.partitionBy("source")
+    wc = Window.partitionBy("lang")
+    wn = Window.partitionBy()
+    t = (
+        cells.withColumn("r", F.sum("o").over(wr))
+        .withColumn("c", F.sum("o").over(wc))
+        .withColumn("nn", F.sum("o").over(wn))
+    )
+    e = F.col("r").cast("double") * F.col("c") / F.col("nn")
+    # unobserved cells contribute e to chi2; sum_all e = n, so fold them
+    # in exactly via chi2 = n + sum_observed((o-e)^2/e - e)
+    term = (F.col("o") - e) * (F.col("o") - e) / e - e
+    agg = t.groupBy().agg(
+        F.max("nn").cast("long").alias("n"),
+        F.countDistinct("source").alias("nr"),
+        F.countDistinct("lang").alias("nc"),
+        (F.max("nn").cast("double") + F.sum(term)).alias("chi2"),
+    )
+    nd = F.col("n").cast("double")
+    rd = F.col("nr").cast("double")
+    cd = F.col("nc").cast("double")
+    phi2c = F.greatest(
+        F.lit(0.0),
+        F.col("chi2") / nd - (rd - 1) * (cd - 1) / (nd - 1),
+    )
+    rprime = rd - (rd - 1) * (rd - 1) / (nd - 1)
+    cprime = cd - (cd - 1) * (cd - 1) / (nd - 1)
+    vcorr = F.sqrt(phi2c / F.least(rprime - 1, cprime - 1))
+    v = F.sqrt(
+        F.col("chi2") / (nd * F.least(rd - 1, cd - 1).cast("double"))
+    )
+    return agg.select(
+        "n",
+        F.col("nr").cast("long").alias("nr"),
+        F.col("nc").cast("long").alias("nc"),
+        F.floor(F.col("chi2") * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "chi2_e4"
+        ),
+        F.floor(v * 1_000_000 + F.lit(_OFF)).cast("long").alias("v_e6"),
+        F.floor(vcorr * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "v_corr_e6"
+        ),
+    )
+
+
+SQL_CRAMERS = f"""
+WITH cells AS (
+  SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2
+), t AS (
+  SELECT o,
+         sum(o) OVER (PARTITION BY source) AS r,
+         sum(o) OVER (PARTITION BY lang) AS c,
+         sum(o) OVER () AS nn
+  FROM cells
+), agg AS (
+  SELECT CAST(max(nn) AS BIGINT) AS n,
+         (SELECT count(DISTINCT source) FROM documents) AS nr,
+         (SELECT count(DISTINCT lang) FROM documents) AS nc,
+         CAST(max(nn) AS DOUBLE)
+         + sum((o - CAST(r AS DOUBLE) * c / nn)
+               * (o - CAST(r AS DOUBLE) * c / nn)
+               / (CAST(r AS DOUBLE) * c / nn)
+               - CAST(r AS DOUBLE) * c / nn) AS chi2
+  FROM t
+)
+SELECT n, CAST(nr AS BIGINT) AS nr, CAST(nc AS BIGINT) AS nc,
+       CAST(floor(chi2 * 10000 + {_OFF}) AS BIGINT) AS chi2_e4,
+       CAST(floor(sqrt(chi2 / (CAST(n AS DOUBLE)
+                               * least(CAST(nr AS DOUBLE) - 1,
+                                       CAST(nc AS DOUBLE) - 1)))
+                  * 1000000 + {_OFF}) AS BIGINT) AS v_e6,
+       CAST(floor(sqrt(greatest(0.0,
+                                chi2 / CAST(n AS DOUBLE)
+                                - (CAST(nr AS DOUBLE) - 1)
+                                  * (CAST(nc AS DOUBLE) - 1)
+                                  / (CAST(n AS DOUBLE) - 1))
+                       / least(CAST(nr AS DOUBLE)
+                               - (CAST(nr AS DOUBLE) - 1)
+                                 * (CAST(nr AS DOUBLE) - 1)
+                                 / (CAST(n AS DOUBLE) - 1) - 1,
+                               CAST(nc AS DOUBLE)
+                               - (CAST(nc AS DOUBLE) - 1)
+                                 * (CAST(nc AS DOUBLE) - 1)
+                                 / (CAST(n AS DOUBLE) - 1) - 1))
+                  * 1000000 + {_OFF}) AS BIGINT) AS v_corr_e6
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# cochran_q — Cochran's Q over THREE binary labelers per language
+# ---------------------------------------------------------------------------
+# Cochran (Biometrika 1950) completes the labeler-agreement trio
+# (cohens_kappa, mcnemar_labelers): k=3 judges — length, TTR, and
+# punctuation density above their exact per-lang lower medians.  With
+# column totals G_j, S = G1+G2+G3, row totals L_i: Q =
+# 2*sum(3G_j - S)^2 / (3*(3*sum L - sum L^2)) — an exact rational.
+
+
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias(
+            "n_types"
+        ),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_toks"),
+        F.regexp_count(F.col("text"), F.lit(r"[.,;:!?]")).alias("n_punct"),
+    )
+    d = d.withColumn(
+        "ttr_e6",
+        F.floor(
+            F.col("n_types").cast("double") / F.col("n_toks") * 1_000_000
+            + F.lit(_OFF)
+        ).cast("long"),
+    ).withColumn(
+        "pd_e6",
+        F.floor(
+            F.col("n_punct").cast("double") / F.col("n_chars") * 1_000_000
+            + F.lit(_OFF)
+        ).cast("long"),
+    )
+    wn = Window.partitionBy("lang")
+    meds = []
+    for col, med_name in (
+        ("n_chars", "med_len"),
+        ("ttr_e6", "med_ttr"),
+        ("pd_e6", "med_pd"),
+    ):
+        w = Window.partitionBy("lang").orderBy(col, "doc_id")
+        r = d.withColumn("rk", F.row_number().over(w)).withColumn(
+            "nn", F.count(F.lit(1)).over(wn)
+        )
+        meds.append(
+            r.filter(F.col("rk") == F.floor((F.col("nn") - 1) / 2) + 1)
+            .select("lang", F.col(col).alias(med_name))
+        )
+    lab = d
+    for m in meds:
+        lab = lab.join(F.broadcast(m), "lang")
+    lab = (
+        lab.withColumn("a", (F.col("n_chars") > F.col("med_len")).cast("long"))
+        .withColumn("b", (F.col("ttr_e6") > F.col("med_ttr")).cast("long"))
+        .withColumn("c", (F.col("pd_e6") > F.col("med_pd")).cast("long"))
+        .withColumn("l", F.col("a") + F.col("b") + F.col("c"))
+    )
+    agg = lab.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a").alias("g1"),
+        F.sum("b").alias("g2"),
+        F.sum("c").alias("g3"),
+        F.sum("l").alias("sl"),
+        F.sum(F.col("l") * F.col("l")).alias("sl2"),
+    )
+    s = F.col("g1") + F.col("g2") + F.col("g3")
+    num = (
+        (3 * F.col("g1") - s) * (3 * F.col("g1") - s)
+        + (3 * F.col("g2") - s) * (3 * F.col("g2") - s)
+        + (3 * F.col("g3") - s) * (3 * F.col("g3") - s)
+    )
+    den = 3 * (3 * F.col("sl") - F.col("sl2"))
+    q = (2 * num).cast("double") / den.cast("double")
+    return (
+        agg.filter(den > 0)
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n"),
+            F.col("g1").cast("long").alias("g1"),
+            F.col("g2").cast("long").alias("g2"),
+            F.col("g3").cast("long").alias("g3"),
+            F.floor(q * 10_000 + F.lit(_OFF)).cast("long").alias("q_e4"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_COCHRAN = f"""
+WITH d AS (
+  SELECT lang, doc_id, n_chars,
+         CAST(floor(CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+                         AS DOUBLE)
+                    / len(regexp_split_to_array(trim(text), '\\s+'))
+                    * 1000000 + {_OFF}) AS BIGINT) AS ttr_e6,
+         CAST(floor(CAST(len(regexp_extract_all(text, '[.,;:!?]'))
+                         AS DOUBLE)
+                    / n_chars * 1000000 + {_OFF}) AS BIGINT) AS pd_e6
+  FROM documents
+), r AS (
+  SELECT lang, n_chars, ttr_e6, pd_e6,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+           AS r_len,
+         row_number() OVER (PARTITION BY lang ORDER BY ttr_e6, doc_id)
+           AS r_ttr,
+         row_number() OVER (PARTITION BY lang ORDER BY pd_e6, doc_id)
+           AS r_pd,
+         count(*) OVER (PARTITION BY lang) AS nn
+  FROM d
+), med_len AS (
+  SELECT lang, n_chars AS med_len FROM r WHERE r_len = (nn - 1) // 2 + 1
+), med_ttr AS (
+  SELECT lang, ttr_e6 AS med_ttr FROM r WHERE r_ttr = (nn - 1) // 2 + 1
+), med_pd AS (
+  SELECT lang, pd_e6 AS med_pd FROM r WHERE r_pd = (nn - 1) // 2 + 1
+), lab AS (
+  SELECT d.lang,
+         CASE WHEN d.n_chars > med_len.med_len THEN 1 ELSE 0 END AS a,
+         CASE WHEN d.ttr_e6 > med_ttr.med_ttr THEN 1 ELSE 0 END AS b,
+         CASE WHEN d.pd_e6 > med_pd.med_pd THEN 1 ELSE 0 END AS c
+  FROM d
+  JOIN med_len ON med_len.lang = d.lang
+  JOIN med_ttr ON med_ttr.lang = d.lang
+  JOIN med_pd ON med_pd.lang = d.lang
+), agg AS (
+  SELECT lang, count(*) AS n,
+         CAST(sum(a) AS BIGINT) AS g1, CAST(sum(b) AS BIGINT) AS g2,
+         CAST(sum(c) AS BIGINT) AS g3,
+         CAST(sum(a + b + c) AS BIGINT) AS sl,
+         CAST(sum((a + b + c) * (a + b + c)) AS BIGINT) AS sl2
+  FROM lab GROUP BY 1
+)
+SELECT lang, CAST(n AS BIGINT) AS n, g1, g2, g3,
+       CAST(floor(CAST(2 * ((3 * g1 - (g1 + g2 + g3)) * (3 * g1 - (g1 + g2 + g3))
+                            + (3 * g2 - (g1 + g2 + g3)) * (3 * g2 - (g1 + g2 + g3))
+                            + (3 * g3 - (g1 + g2 + g3)) * (3 * g3 - (g1 + g2 + g3)))
+                       AS DOUBLE)
+                  / (3 * (3 * sl - sl2)) * 10000 + {_OFF}) AS BIGINT)
+         AS q_e4
+FROM agg
+WHERE 3 * (3 * sl - sl2) > 0
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# source_profile_cosine — cosine similarity of source unigram profiles
+# ---------------------------------------------------------------------------
+# Per-source count vectors over the GLOBAL top-100 vocabulary (exact
+# count-desc/term-asc ranking bounds the join key set before any
+# pairing — the textrank vocab discipline); dot products and norms are
+# exact BIGINTs off one term-keyed self-join, cosine one double
+# expression.  Distinct from source_overlap (set Jaccard) and
+# source_containment (asymmetric): this weighs terms by frequency.
+
+_SPC_TOP = 100
+
+
+def q_source_profile_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _documents(spark, sf_dir).select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    gcnt = toks.groupBy("w").agg(F.count(F.lit(1)).alias("gc"))
+    wv = Window.orderBy(F.desc("gc"), F.asc("w"))
+    vocab = (
+        gcnt.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") <= _SPC_TOP)
+        .select("w")
+    )
+    prof = (
+        toks.join(F.broadcast(vocab), "w")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    norms = prof.groupBy("source").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("nrm")
+    )
+    pairs = (
+        prof.alias("a")
+        .join(prof.alias("b"), "w")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(norms.withColumnRenamed("source", "sa")
+                        .withColumnRenamed("nrm", "na")),
+            "sa",
+        )
+        .join(
+            F.broadcast(norms.withColumnRenamed("source", "sb")
+                        .withColumnRenamed("nrm", "nb")),
+            "sb",
+        )
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    return out.select(
+        "sa",
+        "sb",
+        F.col("dot").cast("long").alias("dot"),
+        F.floor(cos * 1_000_000 + F.lit(_OFF)).cast("long").alias("cos_e6"),
+    ).orderBy("sa", "sb")
+
+
+SQL_SPC = f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), gcnt AS (
+  SELECT w, count(*) AS gc FROM toks GROUP BY 1
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY gc DESC, w ASC) AS rk FROM gcnt
+  ) WHERE rk <= {_SPC_TOP}
+), prof AS (
+  SELECT source, toks.w, count(*) AS cnt
+  FROM toks JOIN vocab ON vocab.w = toks.w
+  GROUP BY 1, 2
+), norms AS (
+  SELECT source, CAST(sum(cnt * cnt) AS BIGINT) AS nrm
+  FROM prof GROUP BY 1
+), pairs AS (
+  SELECT a.source AS sa, b.source AS sb,
+         CAST(sum(a.cnt * b.cnt) AS BIGINT) AS dot
+  FROM prof a JOIN prof b ON b.w = a.w AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT sa, sb, dot,
+       CAST(floor(CAST(dot AS DOUBLE)
+                  / sqrt(CAST(na.nrm AS DOUBLE) * nb.nrm)
+                  * 1000000 + {_OFF}) AS BIGINT) AS cos_e6
+FROM pairs
+JOIN norms na ON na.source = pairs.sa
+JOIN norms nb ON nb.source = pairs.sb
+ORDER BY sa, sb
+"""
+
+
+# ---------------------------------------------------------------------------
+# theil_sen — Theil-Sen median slope of daily counts per event type
+# ---------------------------------------------------------------------------
+# Theil (1950) / Sen (JASA 1968): the median of all pairwise slopes —
+# the robust companion to trend_ols and the natural slope estimate for
+# trend_mann_kendall.  Pairs ride a self-join on the DAY-GRID table
+# (|days|^2/2 per type — grid-bounded, never event-bounded, the
+# stickiness_dau_wau argument); each slope is ONE IEEE division of
+# exact integers, so both engines sort identical doubles and the
+# low-median selection is deterministic.
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.day") > F.col("a.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.c") - F.col("a.c")).cast("double")
+            / (F.col("b.day") - F.col("a.day")).cast("double")
+        ).alias("sl"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("sl")
+    wn = Window.partitionBy("event_type")
+    r = slopes.withColumn("rk", F.row_number().over(wr)).withColumn(
+        "np", F.count(F.lit(1)).over(wn)
+    )
+    med = r.filter(F.col("rk") == F.floor((F.col("np") - 1) / 2) + 1)
+    return med.select(
+        "event_type",
+        F.col("np").cast("long").alias("n_pairs"),
+        F.floor(F.col("sl") * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "slope_e6"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_THEIL_SEN = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), slopes AS (
+  SELECT a.event_type,
+         CAST(b.c - a.c AS DOUBLE) / (b.day - a.day) AS sl
+  FROM daily a
+  JOIN daily b ON b.event_type = a.event_type AND b.day > a.day
+), r AS (
+  SELECT event_type, sl,
+         row_number() OVER (PARTITION BY event_type ORDER BY sl) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS np
+  FROM slopes
+)
+SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+       CAST(floor(sl * 1000000 + {_OFF}) AS BIGINT) AS slope_e6
+FROM r
+WHERE rk = (np - 1) // 2 + 1
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mcnemar_labelers": q_mcnemar_labelers,
     "mean_excess": q_mean_excess,
@@ -1218,6 +1639,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wilcoxon_signed_rank": q_wilcoxon_signed_rank,
     "durbin_watson": q_durbin_watson,
     "friedman_test": q_friedman_test,
+    "cramers_v": q_cramers_v,
+    "cochran_q": q_cochran_q,
+    "source_profile_cosine": q_source_profile_cosine,
+    "theil_sen": q_theil_sen,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1233,4 +1658,8 @@ ORACLE_SQL: dict[str, str] = {
     "wilcoxon_signed_rank": SQL_WILCOXON,
     "durbin_watson": SQL_DW,
     "friedman_test": SQL_FRIEDMAN,
+    "cramers_v": SQL_CRAMERS,
+    "cochran_q": SQL_COCHRAN,
+    "source_profile_cosine": SQL_SPC,
+    "theil_sen": SQL_THEIL_SEN,
 }

@@ -11,6 +11,10 @@ import numpy as np
 from diive_spark.queries_stats2 import _OFF
 from diive_spark.queries_stats5 import (
     q_arch_lm,
+    q_cochran_q,
+    q_cramers_v,
+    q_source_profile_cosine,
+    q_theil_sen,
     q_durbin_watson,
     q_friedman_test,
     q_lexical_richness,
@@ -410,3 +414,120 @@ def test_friedman_matches_numpy(spark):
         assert row["b"] == b
         assert row["rr"] == int(round(sum((2 * r) ** 2 for r in rsum.values())))
         assert abs(row["chi2_e4"] - math.floor(chi2 * 10_000 + _OFF)) <= 1
+
+
+def test_cramers_v_matches_numpy(spark):
+    row = q_cramers_v(spark, SF).collect()[0]
+    docs = _docs(spark)
+    tab = docs.groupby(["source", "lang"]).size().unstack(fill_value=0)
+    o = tab.values.astype(float)
+    n = o.sum()
+    r = o.sum(axis=1, keepdims=True)
+    c = o.sum(axis=0, keepdims=True)
+    e = r @ c / n
+    mask = e > 0
+    chi2 = float(((o - e)[mask] ** 2 / e[mask]).sum())
+    nr, nc = o.shape
+    v = math.sqrt(chi2 / (n * min(nr - 1, nc - 1)))
+    phi2c = max(0.0, chi2 / n - (nr - 1) * (nc - 1) / (n - 1))
+    rp = nr - (nr - 1) ** 2 / (n - 1)
+    cp = nc - (nc - 1) ** 2 / (n - 1)
+    vc = math.sqrt(phi2c / min(rp - 1, cp - 1))
+    assert row["n"] == int(n)
+    assert row["nr"] == nr and row["nc"] == nc
+    assert abs(row["chi2_e4"] - math.floor(chi2 * 10_000 + _OFF)) <= 1
+    assert abs(row["v_e6"] - math.floor(v * 1_000_000 + _OFF)) <= 2
+    assert abs(row["v_corr_e6"] - math.floor(vc * 1_000_000 + _OFF)) <= 2
+
+
+def test_cochran_q_matches_counter(spark):
+    import re
+
+    out = {r["lang"]: r for r in q_cochran_q(spark, SF).collect()}
+    docs = _docs(spark)
+    docs = docs.copy()
+    toks = docs["text"].str.strip().str.split()
+    docs["ttr_e6"] = [
+        math.floor(len(set(t)) / len(t) * 1_000_000 + _OFF) for t in toks
+    ]
+    docs["pd_e6"] = [
+        math.floor(
+            len(re.findall(r"[.,;:!?]", tx)) / nc * 1_000_000 + _OFF
+        )
+        for tx, nc in zip(docs["text"], docs["n_chars"])
+    ]
+    for lang, grp in docs.groupby("lang"):
+        n = len(grp)
+        med = lambda s: sorted(s)[(n - 1) // 2]
+        a = (grp["n_chars"] > med(grp["n_chars"])).astype(int).values
+        b = (grp["ttr_e6"] > med(grp["ttr_e6"])).astype(int).values
+        c = (grp["pd_e6"] > med(grp["pd_e6"])).astype(int).values
+        g1, g2, g3 = int(a.sum()), int(b.sum()), int(c.sum())
+        ll = a + b + c
+        sl, sl2 = int(ll.sum()), int((ll * ll).sum())
+        den = 3 * (3 * sl - sl2)
+        if den <= 0:
+            assert lang not in out
+            continue
+        s = g1 + g2 + g3
+        num = sum((3 * g - s) ** 2 for g in (g1, g2, g3))
+        q = 2 * num / den
+        row = out[lang]
+        assert (row["g1"], row["g2"], row["g3"]) == (g1, g2, g3)
+        assert row["q_e4"] == math.floor(q * 10_000 + _OFF)
+
+
+def test_source_profile_cosine_matches_counter(spark):
+    out = {
+        (r["sa"], r["sb"]): r
+        for r in q_source_profile_cosine(spark, SF).collect()
+    }
+    docs = _docs(spark)
+    gc = Counter(w for t in docs["text"] for w in t.strip().split())
+    vocab = set(
+        w
+        for w, _ in sorted(gc.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    )
+    prof = {}
+    for src, grp in docs.groupby("source"):
+        cnt = Counter(
+            w for t in grp["text"] for w in t.strip().split() if w in vocab
+        )
+        prof[src] = cnt
+    srcs = sorted(prof)
+    expected = {}
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            dot = sum(prof[sa][w] * prof[sb][w] for w in vocab)
+            if dot == 0:
+                continue
+            na = sum(v * v for v in prof[sa].values())
+            nb = sum(v * v for v in prof[sb].values())
+            expected[(sa, sb)] = (dot, dot / math.sqrt(na * nb))
+    assert set(out) == set(expected)
+    for key, (dot, cos) in expected.items():
+        row = out[key]
+        assert row["dot"] == dot
+        assert abs(row["cos_e6"] - math.floor(cos * 1_000_000 + _OFF)) <= 1
+
+
+def test_theil_sen_matches_numpy(spark):
+    out = {r["event_type"]: r for r in q_theil_sen(spark, SF).collect()}
+    daily = _daily_counts(spark)
+    per = defaultdict(dict)
+    for (et, day), c in daily.items():
+        per[et][day] = c
+    for et, dd in per.items():
+        days = sorted(dd)
+        slopes = [
+            (dd[d2] - dd[d1]) / (d2 - d1)
+            for i, d1 in enumerate(days)
+            for d2 in days[i + 1 :]
+        ]
+        if not slopes:
+            assert et not in out
+            continue
+        med = sorted(slopes)[(len(slopes) - 1) // 2]
+        row = out[et]
+        assert row["n_pairs"] == len(slopes)
+        assert row["slope_e6"] == math.floor(med * 1_000_000 + _OFF)
