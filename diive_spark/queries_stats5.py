@@ -1626,6 +1626,309 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# char_class_profile — character-class composition per language
+# ---------------------------------------------------------------------------
+# The lang-ID QA readout: per language, exact counts of letters,
+# digits, whitespace, and sentence punctuation plus the residual
+# "other" class, with e6 fractions of total characters.  Pure codegen
+# (regexp_count), one combinable agg.
+
+
+def q_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select(
+        "lang",
+        "n_chars",
+        F.regexp_count(F.col("text"), F.lit("[A-Za-z]")).alias("n_alpha"),
+        F.regexp_count(F.col("text"), F.lit("[0-9]")).alias("n_digit"),
+        F.regexp_count(F.col("text"), F.lit(r"\s")).alias("n_space"),
+        F.regexp_count(F.col("text"), F.lit("[.,;:!?]")).alias("n_punct"),
+    )
+    agg = d.groupBy("lang").agg(
+        F.sum("n_chars").alias("nc"),
+        F.sum("n_alpha").alias("na"),
+        F.sum("n_digit").alias("ndg"),
+        F.sum("n_space").alias("nsp"),
+        F.sum("n_punct").alias("npt"),
+    )
+    other = (
+        F.col("nc") - F.col("na") - F.col("ndg") - F.col("nsp") - F.col("npt")
+    )
+    ncd = F.col("nc").cast("double")
+    return agg.select(
+        "lang",
+        F.col("nc").cast("long").alias("nc"),
+        F.col("na").cast("long").alias("na"),
+        F.col("ndg").cast("long").alias("ndg"),
+        F.col("nsp").cast("long").alias("nsp"),
+        F.col("npt").cast("long").alias("npt"),
+        other.cast("long").alias("noth"),
+        F.floor(F.col("na").cast("double") / ncd * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("alpha_e6"),
+        F.floor(F.col("nsp").cast("double") / ncd * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("space_e6"),
+    ).orderBy("lang")
+
+
+SQL_CHAR_CLASS = f"""
+WITH d AS (
+  SELECT lang, n_chars,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+         len(regexp_extract_all(text, '\\s')) AS n_space,
+         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+  FROM documents
+), agg AS (
+  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS nc,
+         CAST(sum(n_alpha) AS BIGINT) AS na,
+         CAST(sum(n_digit) AS BIGINT) AS ndg,
+         CAST(sum(n_space) AS BIGINT) AS nsp,
+         CAST(sum(n_punct) AS BIGINT) AS npt
+  FROM d GROUP BY 1
+)
+SELECT lang, nc, na, ndg, nsp, npt,
+       nc - na - ndg - nsp - npt AS noth,
+       CAST(floor(CAST(na AS DOUBLE) / nc * 1000000 + {_OFF}) AS BIGINT)
+         AS alpha_e6,
+       CAST(floor(CAST(nsp AS DOUBLE) / nc * 1000000 + {_OFF}) AS BIGINT)
+         AS space_e6
+FROM agg
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# sentence_length_quantiles — exact sentence-length quantiles per lang
+# ---------------------------------------------------------------------------
+# Sentences split on [.!?]+ runs, length = whitespace token count;
+# p25/p50/p90 as EXACT inverse-CDF order statistics computed on the
+# (lang, slen) COUNT table via one per-lang cumsum window — the
+# wasserstein_doclen value-domain discipline: the window is bounded by
+# the sentence-length DOMAIN (<= a few hundred), never by the corpus.
+
+
+def q_sentence_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sents = _documents(spark, sf_dir).select(
+        "lang", F.explode(F.split(F.col("text"), r"[.!?]+")).alias("s")
+    ).filter(F.trim("s") != "")
+    sl = sents.select(
+        "lang", F.size(F.split(F.trim("s"), r"\s+")).alias("slen")
+    )
+    cnt = sl.groupBy("lang", "slen").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy("slen")
+    wn = Window.partitionBy("lang")
+    cum = (
+        cnt.withColumn(
+            "cum", F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn("tot", F.sum("c").over(wn))
+        .withColumn("prev", F.col("cum") - F.col("c"))
+    )
+    qs = cum.withColumn(
+        "q_pct", F.explode(F.array(F.lit(25), F.lit(50), F.lit(90)))
+    )
+    k = F.expr("((tot - 1) * q_pct) div 100") + 1
+    hit = qs.filter((F.col("prev") < k) & (k <= F.col("cum")))
+    return hit.select(
+        "lang",
+        F.col("q_pct").cast("long").alias("q_pct"),
+        F.col("tot").cast("long").alias("n_sents"),
+        F.col("slen").cast("long").alias("slen"),
+    ).orderBy("lang", "q_pct")
+
+
+SQL_SENTLEN = """
+WITH sents AS (
+  SELECT lang, unnest(regexp_split_to_array(text, '[.!?]+')) AS s
+  FROM documents
+), sl AS (
+  SELECT lang, len(regexp_split_to_array(trim(s), '\\s+')) AS slen
+  FROM sents WHERE trim(s) <> ''
+), cnt AS (
+  SELECT lang, slen, count(*) AS c FROM sl GROUP BY 1, 2
+), cum AS (
+  SELECT lang, slen, c,
+         sum(c) OVER (PARTITION BY lang ORDER BY slen) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS tot
+  FROM cnt
+), qs AS (
+  SELECT lang, slen, cum, cum - c AS prev, tot, q_pct,
+         ((tot - 1) * q_pct) // 100 + 1 AS k
+  FROM cum, (VALUES (25), (50), (90)) q(q_pct)
+)
+SELECT lang, CAST(q_pct AS BIGINT) AS q_pct, CAST(tot AS BIGINT) AS n_sents,
+       CAST(slen AS BIGINT) AS slen
+FROM qs
+WHERE prev < k AND k <= cum
+ORDER BY lang, q_pct
+"""
+
+
+# ---------------------------------------------------------------------------
+# page_hinkley — Page-Hinkley upward-drift excursion per event type
+# ---------------------------------------------------------------------------
+# Page (Biometrika 1954) / Hinkley (1971): m_t = sum_{i<=t} (x_i -
+# xbar_i) with the RUNNING mean xbar_i = cum_i / i; the drift signal is
+# the max excursion PH_T = max_t (m_t - min_{s<=t} m_s).  Everything
+# rides the day-ORDERED cumulative windows (deterministic summation
+# order, so both engines fold identical doubles); the alarm day is the
+# earliest day attaining the floor-scaled integer max.
+
+
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    cw = w.rowsBetween(Window.unboundedPreceding, 0)
+    d = (
+        daily.withColumn("i", F.row_number().over(w))
+        .withColumn("cum", F.sum("c").over(cw))
+    )
+    d = d.withColumn(
+        "dev",
+        F.col("c").cast("double")
+        - F.col("cum").cast("double") / F.col("i").cast("double"),
+    )
+    d = d.withColumn("m", F.sum("dev").over(cw))
+    d = d.withColumn("mmin", F.min("m").over(cw))
+    d = d.withColumn(
+        "exc_e4",
+        F.floor((F.col("m") - F.col("mmin")) * 10_000 + F.lit(_OFF)).cast(
+            "long"
+        ),
+    )
+    wn = Window.partitionBy("event_type")
+    d = d.withColumn("mx", F.max("exc_e4").over(wn)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    top = (
+        d.filter(F.col("exc_e4") == F.col("mx"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.min("day").alias("alarm_day"),
+            F.max("mx").alias("ph_e4"),
+        )
+    )
+    return top.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("alarm_day").cast("long").alias("alarm_day"),
+        F.col("ph_e4").cast("long").alias("ph_e4"),
+    ).orderBy("event_type")
+
+
+SQL_PAGE_HINKLEY = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type, day, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         sum(c) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM daily
+), m AS (
+  SELECT event_type, day,
+         sum(CAST(c AS DOUBLE) - CAST(cum AS DOUBLE) / i)
+           OVER (PARTITION BY event_type ORDER BY day
+                 ROWS UNBOUNDED PRECEDING) AS m
+  FROM d
+), e AS (
+  SELECT event_type, day,
+         CAST(floor((m - min(m) OVER (PARTITION BY event_type ORDER BY day
+                                      ROWS UNBOUNDED PRECEDING))
+                    * 10000 + {_OFF}) AS BIGINT) AS exc_e4
+  FROM m
+), x AS (
+  SELECT event_type, day, exc_e4,
+         max(exc_e4) OVER (PARTITION BY event_type) AS mx,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM e
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       CAST(min(day) AS BIGINT) AS alarm_day,
+       CAST(max(mx) AS BIGINT) AS ph_e4
+FROM x WHERE exc_e4 = mx
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# diel_concentration — circular concentration of event times per type
+# ---------------------------------------------------------------------------
+# Directional statistics on the 24 h clock (Mardia & Jupp 2000):
+# theta = 2*pi*sec_of_day/86400, mean resultant length Rbar =
+# |sum e^{i theta}| / n (1 = a single daily spike, 0 = uniform), peak
+# hour from atan2.  Angles derive from EXACT integer seconds-of-day;
+# the cos/sin sums carry ~n*ulp libm noise — e6/e2 scaling leaves
+# >1e5 margin (the anova grid argument, documented).
+
+
+def q_diel_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _m
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = (
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        % 86_400
+    ).cast("long")
+    theta = sec.cast("double") * F.lit(2.0 * _m.pi / 86_400.0)
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.cos(theta)).alias("cs"),
+        F.sum(F.sin(theta)).alias("sn"),
+    )
+    nd = F.col("n").cast("double")
+    rbar = (
+        F.sqrt(F.col("cs") * F.col("cs") + F.col("sn") * F.col("sn")) / nd
+    )
+    hour = (
+        F.atan2(F.col("sn"), F.col("cs")) * F.lit(24.0 / (2.0 * _m.pi))
+        + 24.0
+    ) % 24.0
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(rbar * 1_000_000 + F.lit(_OFF)).cast("long").alias("r_e6"),
+        F.floor(hour * 100 + F.lit(0.5)).cast("long").alias("peak_hour_e2"),
+    ).orderBy("event_type")
+
+
+SQL_DIEL_CONC = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(CAST(floor(epoch(ts)) AS BIGINT) % 86400 AS DOUBLE)
+         * (2.0 * pi() / 86400.0) AS theta
+  FROM events
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         sum(cos(theta)) AS cs, sum(sin(theta)) AS sn
+  FROM ev GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(floor(sqrt(cs * cs + sn * sn) / n * 1000000 + {_OFF})
+            AS BIGINT) AS r_e6,
+       CAST(floor(((atan2(sn, cs) * (24.0 / (2.0 * pi())) + 24.0)
+                   % 24.0) * 100 + 0.5) AS BIGINT) AS peak_hour_e2
+FROM agg
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mcnemar_labelers": q_mcnemar_labelers,
     "mean_excess": q_mean_excess,
@@ -1643,6 +1946,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cochran_q": q_cochran_q,
     "source_profile_cosine": q_source_profile_cosine,
     "theil_sen": q_theil_sen,
+    "char_class_profile": q_char_class_profile,
+    "sentence_length_quantiles": q_sentence_length_quantiles,
+    "page_hinkley": q_page_hinkley,
+    "diel_concentration": q_diel_concentration,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1662,4 +1969,8 @@ ORACLE_SQL: dict[str, str] = {
     "cochran_q": SQL_COCHRAN,
     "source_profile_cosine": SQL_SPC,
     "theil_sen": SQL_THEIL_SEN,
+    "char_class_profile": SQL_CHAR_CLASS,
+    "sentence_length_quantiles": SQL_SENTLEN,
+    "page_hinkley": SQL_PAGE_HINKLEY,
+    "diel_concentration": SQL_DIEL_CONC,
 }

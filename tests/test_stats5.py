@@ -11,6 +11,10 @@ import numpy as np
 from diive_spark.queries_stats2 import _OFF
 from diive_spark.queries_stats5 import (
     q_arch_lm,
+    q_char_class_profile,
+    q_diel_concentration,
+    q_page_hinkley,
+    q_sentence_length_quantiles,
     q_cochran_q,
     q_cramers_v,
     q_source_profile_cosine,
@@ -531,3 +535,93 @@ def test_theil_sen_matches_numpy(spark):
         row = out[et]
         assert row["n_pairs"] == len(slopes)
         assert row["slope_e6"] == math.floor(med * 1_000_000 + _OFF)
+
+
+def test_char_class_profile_matches_re(spark):
+    import re
+
+    out = {r["lang"]: r for r in q_char_class_profile(spark, SF).collect()}
+    docs = _docs(spark)
+    for lang, grp in docs.groupby("lang"):
+        nc = int(grp["n_chars"].sum())
+        na = sum(len(re.findall(r"[A-Za-z]", t)) for t in grp["text"])
+        ndg = sum(len(re.findall(r"[0-9]", t)) for t in grp["text"])
+        nsp = sum(len(re.findall(r"\s", t)) for t in grp["text"])
+        npt = sum(len(re.findall(r"[.,;:!?]", t)) for t in grp["text"])
+        row = out[lang]
+        assert (row["nc"], row["na"], row["ndg"], row["nsp"], row["npt"]) == (
+            nc,
+            na,
+            ndg,
+            nsp,
+            npt,
+        )
+        assert row["noth"] == nc - na - ndg - nsp - npt
+        assert row["alpha_e6"] == math.floor(na / nc * 1_000_000 + _OFF)
+        assert row["space_e6"] == math.floor(nsp / nc * 1_000_000 + _OFF)
+
+
+def test_sentence_length_quantiles_matches_sorted(spark):
+    import re
+
+    out = {
+        (r["lang"], r["q_pct"]): r
+        for r in q_sentence_length_quantiles(spark, SF).collect()
+    }
+    docs = _docs(spark)
+    for lang, grp in docs.groupby("lang"):
+        lens = []
+        for t in grp["text"]:
+            for s in re.split(r"[.!?]+", t):
+                if s.strip():
+                    lens.append(len(s.strip().split()))
+        lens.sort()
+        n = len(lens)
+        for q in (25, 50, 90):
+            want = lens[((n - 1) * q) // 100]
+            row = out[(lang, q)]
+            assert row["n_sents"] == n
+            assert row["slen"] == want
+
+
+def test_page_hinkley_matches_numpy(spark):
+    out = {r["event_type"]: r for r in q_page_hinkley(spark, SF).collect()}
+    daily = _daily_counts(spark)
+    per = defaultdict(dict)
+    for (et, day), c in daily.items():
+        per[et][day] = c
+    for et, dd in per.items():
+        days = sorted(dd)
+        cs = [dd[d] for d in days]
+        m, cum, mmin = 0.0, 0, None
+        excs = []
+        for i, c in enumerate(cs, 1):
+            cum += c
+            m += c - cum / i
+            mmin = m if mmin is None else min(mmin, m)
+            excs.append(math.floor((m - mmin) * 10_000 + _OFF))
+        mx = max(excs)
+        alarm = days[excs.index(mx)]
+        row = out[et]
+        assert row["n"] == len(days)
+        assert row["ph_e4"] == mx
+        assert row["alarm_day"] == alarm
+
+
+def test_diel_concentration_matches_numpy(spark):
+    out = {
+        r["event_type"]: r for r in q_diel_concentration(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["sec"] = (ev["ts"].astype("int64") // 1_000_000_000) % 86_400
+    for et, grp in ev.groupby("event_type"):
+        th = grp["sec"].values * (2.0 * math.pi / 86_400.0)
+        cs, sn = np.cos(th).sum(), np.sin(th).sum()
+        n = len(th)
+        rbar = math.sqrt(cs * cs + sn * sn) / n
+        hour = (math.atan2(sn, cs) * (24.0 / (2.0 * math.pi)) + 24.0) % 24.0
+        row = out[et]
+        assert row["n"] == n
+        assert abs(row["r_e6"] - math.floor(rbar * 1_000_000 + _OFF)) <= 2
+        assert abs(row["peak_hour_e2"] - math.floor(hour * 100 + 0.5)) <= 1
+        assert 0 <= row["r_e6"] <= 1_000_000
