@@ -1929,6 +1929,368 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# span_leakage — verbatim 5-gram span leakage across source pairs
+# ---------------------------------------------------------------------------
+# The decontamination-attribution readout: which source pairs share
+# VERBATIM word 5-grams (the contamination span unit — longer than
+# source_containment's 3-gram profile overlap, unnormalized counts)?
+# The (source, 5-gram) DISTINCT table self-joins on the SPAN (join the
+# content key, never the source pair); output bounded |sources|^2.
+# The synthetic corpus has zero exact-duplicate documents, so span
+# granularity is where cross-source leakage actually lives.
+
+
+def q_span_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _documents(spark, sf_dir).select(
+        "source", F.split(F.trim("text"), r"\s+").alias("toks")
+    )
+    sp = toks.select(
+        "source",
+        F.explode(
+            F.when(
+                F.size("toks") >= 5,
+                F.expr(
+                    "transform(sequence(1, size(toks) - 4), i -> "
+                    "concat_ws(' ', toks[i-1], toks[i], toks[i+1],"
+                    " toks[i+2], toks[i+3]))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g5"),
+    ).distinct()
+    pairs = (
+        sp.alias("a")
+        .join(sp.alias("b"), "g5")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+    )
+    return pairs.select(
+        "sa", "sb", F.col("n_spans").cast("long").alias("n_spans")
+    ).orderBy("sa", "sb")
+
+
+SQL_SPAN_LEAKAGE = """
+WITH t AS (
+  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), sp AS (
+  SELECT DISTINCT source,
+         unnest(CASE WHEN len(toks) >= 5
+                     THEN list_transform(generate_series(1, len(toks) - 4),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' ||
+                               toks[i+2] || ' ' || toks[i+3] || ' ' ||
+                               toks[i+4])
+                     ELSE CAST([] AS VARCHAR[]) END) AS g5
+  FROM t
+)
+SELECT a.source AS sa, b.source AS sb,
+       CAST(count(*) AS BIGINT) AS n_spans
+FROM sp a JOIN sp b ON b.g5 = a.g5 AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# robust_scale — MAD, Rousseeuw-Croux Qn, and IQR of daily counts
+# ---------------------------------------------------------------------------
+# The robust scale battery per event type (Rousseeuw & Croux JASA
+# 1993): MAD = median |c - med| (two exact order-stat selections), Qn
+# kernel = k-th order statistic of the |c_i - c_j| pairwise distances
+# with k = C(h,2), h = n//2 + 1 (pairs on the DAY GRID — the theil_sen
+# bound), IQR from the same inverse-CDF rank rule as mean_excess.  All
+# outputs are exact integers; the 2.2219 consistency factor is left to
+# the consumer (documented) so the query stays integer-exact.
+
+
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wn = Window.partitionBy("event_type")
+
+    def order_stat(df, col, rank_expr, out):
+        w = Window.partitionBy("event_type").orderBy(col)
+        r = df.withColumn("rk", F.row_number().over(w)).withColumn(
+            "nn", F.count(F.lit(1)).over(wn)
+        )
+        return r.filter(F.col("rk") == rank_expr).select(
+            "event_type", F.col(col).alias(out)
+        )
+
+    med_rank = F.floor((F.col("nn") - 1) / 2) + 1
+    med = order_stat(daily, "c", med_rank, "med")
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("c") - F.col("med"))
+    )
+    mad = order_stat(dev, "ad", med_rank, "mad")
+    q1 = order_stat(daily, "c", F.expr("((nn - 1) * 25) div 100") + 1, "q1")
+    q3 = order_stat(daily, "c", F.expr("((nn - 1) * 75) div 100") + 1, "q3")
+    a = daily.alias("a")
+    b = daily.alias("b")
+    dist = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.day") > F.col("a.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.abs(F.col("b.c") - F.col("a.c")).alias("d"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("d")
+    nd = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    dd = dist.withColumn("rk", F.row_number().over(wd)).join(
+        F.broadcast(nd), "event_type"
+    )
+    h = F.expr("n div 2") + 1
+    kq = (h * (h - 1)) / 2
+    qn = dd.filter(F.col("rk") == kq).select(
+        "event_type", F.col("d").alias("qn"), "n"
+    )
+    out = (
+        qn.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(q1), "event_type")
+        .join(F.broadcast(q3), "event_type")
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("med").cast("long").alias("med"),
+        F.col("mad").cast("long").alias("mad"),
+        F.col("qn").cast("long").alias("qn"),
+        (F.col("q3") - F.col("q1")).cast("long").alias("iqr"),
+    ).orderBy("event_type")
+
+
+SQL_ROBUST_SCALE = """
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, day, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY c) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS nn
+  FROM daily
+), med AS (
+  SELECT event_type, c AS med FROM r WHERE rk = (nn - 1) // 2 + 1
+), q1 AS (
+  SELECT event_type, c AS q1 FROM r WHERE rk = ((nn - 1) * 25) // 100 + 1
+), q3 AS (
+  SELECT event_type, c AS q3 FROM r WHERE rk = ((nn - 1) * 75) // 100 + 1
+), dev AS (
+  SELECT daily.event_type, abs(daily.c - med.med) AS ad
+  FROM daily JOIN med ON med.event_type = daily.event_type
+), rd AS (
+  SELECT event_type, ad,
+         row_number() OVER (PARTITION BY event_type ORDER BY ad) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS nn
+  FROM dev
+), mad AS (
+  SELECT event_type, ad AS mad FROM rd WHERE rk = (nn - 1) // 2 + 1
+), nper AS (
+  SELECT event_type, count(*) AS n FROM daily GROUP BY 1
+), dist AS (
+  SELECT a.event_type, abs(b.c - a.c) AS d
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.day > a.day
+), rr AS (
+  SELECT dist.event_type, d,
+         row_number() OVER (PARTITION BY dist.event_type ORDER BY d) AS rk,
+         n
+  FROM dist JOIN nper ON nper.event_type = dist.event_type
+), qn AS (
+  SELECT event_type, d AS qn, n FROM rr
+  WHERE rk = ((n // 2 + 1) * (n // 2)) // 2
+)
+SELECT qn.event_type, CAST(qn.n AS BIGINT) AS n,
+       CAST(med AS BIGINT) AS med, CAST(mad AS BIGINT) AS mad,
+       CAST(qn AS BIGINT) AS qn, CAST(q3 - q1 AS BIGINT) AS iqr
+FROM qn
+JOIN med ON med.event_type = qn.event_type
+JOIN mad ON mad.event_type = qn.event_type
+JOIN q1 ON q1.event_type = qn.event_type
+JOIN q3 ON q3.event_type = qn.event_type
+ORDER BY qn.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# wilson_ci — Wilson score interval for the night-event share per type
+# ---------------------------------------------------------------------------
+# Wilson (JASA 1927): the CI that behaves at extreme proportions —
+# p_w = (p + z^2/2n ± z*sqrt(p(1-p)/n + z^2/4n^2)) / (1 + z^2/n) with
+# z = 1.96 as the same literal on both engines.  Night = hour in
+# [0, 6); counts exact, the interval one double expression.
+
+
+def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = ev.select(
+        "event_type",
+        (F.hour(F.col("ts").cast("timestamp")) < 6).cast("long").alias(
+            "night"
+        ),
+    )
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("night").alias("k")
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nd
+    z = F.lit(1.96)
+    z2n = z * z / nd
+    center = (p + z2n / 2) / (1 + z2n)
+    half = (
+        z
+        * F.sqrt(p * (1 - p) / nd + z * z / (4 * nd * nd))
+        / (1 + z2n)
+    )
+    return agg.filter(F.col("n") > 0).select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.floor(p * 1_000_000 + F.lit(_OFF)).cast("long").alias("p_e6"),
+        F.floor((center - half) * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("lo_e6"),
+        F.floor((center + half) * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("hi_e6"),
+    ).orderBy("event_type")
+
+
+SQL_WILSON = f"""
+WITH d AS (
+  SELECT event_type,
+         CASE WHEN hour(ts) < 6 THEN 1 ELSE 0 END AS night
+  FROM events
+), agg AS (
+  SELECT event_type, count(*) AS n, CAST(sum(night) AS BIGINT) AS k
+  FROM d GROUP BY 1
+), t AS (
+  SELECT event_type, n, k,
+         CAST(k AS DOUBLE) / n AS p,
+         1.96 * 1.96 / n AS z2n
+  FROM agg
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, k,
+       CAST(floor(p * 1000000 + {_OFF}) AS BIGINT) AS p_e6,
+       CAST(floor(((p + z2n / 2) / (1 + z2n)
+                   - 1.96 * sqrt(p * (1 - p) / n
+                                 + 1.96 * 1.96 / (4.0 * n * n)) / (1 + z2n))
+                  * 1000000 + {_OFF}) AS BIGINT) AS lo_e6,
+       CAST(floor(((p + z2n / 2) / (1 + z2n)
+                   + 1.96 * sqrt(p * (1 - p) / n
+                                 + 1.96 * 1.96 / (4.0 * n * n)) / (1 + z2n))
+                  * 1000000 + {_OFF}) AS BIGINT) AS hi_e6
+FROM t
+WHERE n > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# streak_stats — above-median run structure of daily counts per type
+# ---------------------------------------------------------------------------
+# The streak readout behind runs_test: longest above-median run,
+# longest below-or-equal run, and the run count, via the classic
+# gaps-and-islands double row_number difference — all exact integers,
+# one per-type sort exchange shared by both window chains.
+
+
+def q_streak_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("c", "day")
+    wn = Window.partitionBy("event_type")
+    r = daily.withColumn("rk", F.row_number().over(w)).withColumn(
+        "nn", F.count(F.lit(1)).over(wn)
+    )
+    med = r.filter(
+        F.col("rk") == F.floor((F.col("nn") - 1) / 2) + 1
+    ).select("event_type", F.col("c").alias("med"))
+    lab = daily.join(F.broadcast(med), "event_type").withColumn(
+        "up", (F.col("c") > F.col("med")).cast("long")
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    wg = Window.partitionBy("event_type", "up").orderBy("day")
+    isl = lab.withColumn(
+        "grp", F.row_number().over(wd) - F.row_number().over(wg)
+    )
+    runs = isl.groupBy("event_type", "up", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    agg = runs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max(F.when(F.col("up") == 1, F.col("len"))).alias("max_up"),
+        F.max(F.when(F.col("up") == 0, F.col("len"))).alias("max_down"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_runs").cast("long").alias("n_runs"),
+        F.coalesce(F.col("max_up"), F.lit(0)).cast("long").alias("max_up"),
+        F.coalesce(F.col("max_down"), F.lit(0)).cast("long").alias(
+            "max_down"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_STREAKS = """
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY c, day) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS nn
+  FROM daily
+), med AS (
+  SELECT event_type, c AS med FROM r WHERE rk = (nn - 1) // 2 + 1
+), lab AS (
+  SELECT daily.event_type, daily.day,
+         CASE WHEN daily.c > med.med THEN 1 ELSE 0 END AS up
+  FROM daily JOIN med ON med.event_type = daily.event_type
+), isl AS (
+  SELECT event_type, up,
+         row_number() OVER (PARTITION BY event_type ORDER BY day)
+         - row_number() OVER (PARTITION BY event_type, up ORDER BY day)
+           AS grp
+  FROM lab
+), runs AS (
+  SELECT event_type, up, grp, count(*) AS len
+  FROM isl GROUP BY 1, 2, 3
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(coalesce(max(CASE WHEN up = 1 THEN len END), 0) AS BIGINT)
+         AS max_up,
+       CAST(coalesce(max(CASE WHEN up = 0 THEN len END), 0) AS BIGINT)
+         AS max_down
+FROM runs GROUP BY 1
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mcnemar_labelers": q_mcnemar_labelers,
     "mean_excess": q_mean_excess,
@@ -1950,6 +2312,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sentence_length_quantiles": q_sentence_length_quantiles,
     "page_hinkley": q_page_hinkley,
     "diel_concentration": q_diel_concentration,
+    "span_leakage": q_span_leakage,
+    "robust_scale": q_robust_scale,
+    "wilson_ci": q_wilson_ci,
+    "streak_stats": q_streak_stats,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1973,4 +2339,8 @@ ORACLE_SQL: dict[str, str] = {
     "sentence_length_quantiles": SQL_SENTLEN,
     "page_hinkley": SQL_PAGE_HINKLEY,
     "diel_concentration": SQL_DIEL_CONC,
+    "span_leakage": SQL_SPAN_LEAKAGE,
+    "robust_scale": SQL_ROBUST_SCALE,
+    "wilson_ci": SQL_WILSON,
+    "streak_stats": SQL_STREAKS,
 }

@@ -11,6 +11,10 @@ import numpy as np
 from diive_spark.queries_stats2 import _OFF
 from diive_spark.queries_stats5 import (
     q_arch_lm,
+    q_robust_scale,
+    q_span_leakage,
+    q_streak_stats,
+    q_wilson_ci,
     q_char_class_profile,
     q_diel_concentration,
     q_page_hinkley,
@@ -625,3 +629,104 @@ def test_diel_concentration_matches_numpy(spark):
         assert abs(row["r_e6"] - math.floor(rbar * 1_000_000 + _OFF)) <= 2
         assert abs(row["peak_hour_e2"] - math.floor(hour * 100 + 0.5)) <= 1
         assert 0 <= row["r_e6"] <= 1_000_000
+
+
+def test_span_leakage_matches_sets(spark):
+    out = {(r["sa"], r["sb"]): r for r in q_span_leakage(spark, SF).collect()}
+    docs = _docs(spark)
+    grams = {}
+    for src, grp in docs.groupby("source"):
+        s = set()
+        for t in grp["text"]:
+            toks = t.strip().split()
+            s |= {
+                " ".join(toks[i : i + 5]) for i in range(len(toks) - 4)
+            }
+        grams[src] = s
+    srcs = sorted(grams)
+    expected = {}
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            n = len(grams[sa] & grams[sb])
+            if n:
+                expected[(sa, sb)] = n
+    assert {k: v["n_spans"] for k, v in out.items()} == expected
+
+
+def test_robust_scale_matches_numpy(spark):
+    out = {r["event_type"]: r for r in q_robust_scale(spark, SF).collect()}
+    daily = _daily_counts(spark)
+    per = defaultdict(list)
+    for (et, _day), c in daily.items():
+        per[et].append(c)
+    for et, cs in per.items():
+        n = len(cs)
+        if n < 2:
+            assert et not in out
+            continue
+        xs = sorted(cs)
+        med = xs[(n - 1) // 2]
+        mad = sorted(abs(c - med) for c in cs)[(n - 1) // 2]
+        q1 = xs[((n - 1) * 25) // 100]
+        q3 = xs[((n - 1) * 75) // 100]
+        dists = sorted(
+            abs(a - b)
+            for i, a in enumerate(cs)
+            for b in cs[i + 1 :]
+        )
+        h = n // 2 + 1
+        k = h * (h - 1) // 2
+        qn = dists[k - 1]
+        row = out[et]
+        assert row["n"] == n
+        assert row["med"] == med
+        assert row["mad"] == mad
+        assert row["qn"] == qn
+        assert row["iqr"] == q3 - q1
+
+
+def test_wilson_ci_matches_formula(spark):
+    out = {r["event_type"]: r for r in q_wilson_ci(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["night"] = (ev["ts"].dt.hour < 6).astype(int)
+    for et, grp in ev.groupby("event_type"):
+        n = len(grp)
+        k = int(grp["night"].sum())
+        p = k / n
+        z = 1.96
+        z2n = z * z / n
+        center = (p + z2n / 2) / (1 + z2n)
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / (1 + z2n)
+        row = out[et]
+        assert row["n"] == n and row["k"] == k
+        assert row["p_e6"] == math.floor(p * 1_000_000 + _OFF)
+        assert abs(row["lo_e6"] - math.floor((center - half) * 1e6 + _OFF)) <= 1
+        assert abs(row["hi_e6"] - math.floor((center + half) * 1e6 + _OFF)) <= 1
+        assert row["lo_e6"] <= row["p_e6"] <= row["hi_e6"]
+
+
+def test_streak_stats_matches_loop(spark):
+    out = {r["event_type"]: r for r in q_streak_stats(spark, SF).collect()}
+    daily = _daily_counts(spark)
+    per = defaultdict(dict)
+    for (et, day), c in daily.items():
+        per[et][day] = c
+    for et, dd in per.items():
+        days = sorted(dd)
+        cs = [dd[d] for d in days]
+        med = sorted(cs)[(len(cs) - 1) // 2]
+        ups = [1 if c > med else 0 for c in cs]
+        runs = []
+        for u in ups:
+            if runs and runs[-1][0] == u:
+                runs[-1][1] += 1
+            else:
+                runs.append([u, 1])
+        row = out[et]
+        assert row["n_runs"] == len(runs)
+        assert row["max_up"] == max(
+            (ln for u, ln in runs if u == 1), default=0
+        )
+        assert row["max_down"] == max(
+            (ln for u, ln in runs if u == 0), default=0
+        )
