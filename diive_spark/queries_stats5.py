@@ -2291,6 +2291,413 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# ks_doclen — exact two-sample KS distance between language length mixes
+# ---------------------------------------------------------------------------
+# sup_x |F_a - F_b| kept EXACT on the shared support grid: D * n_a *
+# n_b = max over support of |cum_a * n_b - cum_b * n_a| — every factor
+# a BIGINT (the wasserstein_doclen scaffold with max instead of the
+# gap-weighted sum).  Complements wasserstein (mass transport) with
+# the sup-norm readout ks_drift uses on events.
+
+
+def q_ks_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("lang", "n_chars")
+    cnt = d.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    support = cnt.select("n_chars").distinct()
+    langs = cnt.select("lang").distinct()
+    grid = langs.crossJoin(support)
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    cum = (
+        grid.join(cnt, ["lang", "n_chars"], "left")
+        .fillna(0, subset=["c"])
+        .withColumn(
+            "cum",
+            F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("tot", F.sum("c").over(Window.partitionBy("lang")))
+    )
+    a = cum.select(
+        F.col("lang").alias("la"),
+        "n_chars",
+        F.col("cum").alias("cum_a"),
+        F.col("tot").alias("n_a"),
+    )
+    b = cum.select(
+        F.col("lang").alias("lb"),
+        "n_chars",
+        F.col("cum").alias("cum_b"),
+        F.col("tot").alias("n_b"),
+    )
+    j = a.join(b, "n_chars").filter(F.col("la") < F.col("lb"))
+    term = F.abs(
+        F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+    )
+    agg = j.groupBy("la", "lb").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max(term).alias("m"),
+    )
+    ks = F.col("m").cast("double") / (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    return agg.select(
+        "la",
+        "lb",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("m").cast("long").alias("m"),
+        F.floor(ks * 1_000_000 + F.lit(_OFF)).cast("long").alias("ks_e6"),
+    ).orderBy("la", "lb")
+
+
+SQL_KS_DOCLEN = f"""
+WITH cnt AS (
+  SELECT lang, n_chars, count(*) AS c FROM documents GROUP BY 1, 2
+), support AS (
+  SELECT DISTINCT n_chars FROM cnt
+), langs AS (
+  SELECT DISTINCT lang FROM cnt
+), grid AS (
+  SELECT langs.lang, support.n_chars FROM langs, support
+), cum AS (
+  SELECT grid.lang, grid.n_chars,
+         sum(coalesce(cnt.c, 0))
+           OVER (PARTITION BY grid.lang ORDER BY grid.n_chars) AS cum,
+         sum(coalesce(cnt.c, 0)) OVER (PARTITION BY grid.lang) AS tot
+  FROM grid
+  LEFT JOIN cnt ON cnt.lang = grid.lang AND cnt.n_chars = grid.n_chars
+), j AS (
+  SELECT a.lang AS la, b.lang AS lb,
+         max(a.tot) AS n_a, max(b.tot) AS n_b,
+         max(abs(a.cum * b.tot - b.cum * a.tot)) AS m
+  FROM cum a JOIN cum b ON b.n_chars = a.n_chars AND a.lang < b.lang
+  GROUP BY 1, 2
+)
+SELECT la, lb, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(m AS BIGINT) AS m,
+       CAST(floor(CAST(m AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)
+                  * 1000000 + {_OFF}) AS BIGINT) AS ks_e6
+FROM j
+ORDER BY la, lb
+"""
+
+
+# ---------------------------------------------------------------------------
+# cliffs_delta — ordinal day/night effect size per event type
+# ---------------------------------------------------------------------------
+# Cliff (Psych. Bull. 1993): delta = (#(x>y) - #(x<y)) / (n*m) over
+# day-values x and night-values y — the effect-size companion to
+# mann_whitney_daynight, kept EXACT via the value-domain CDF trick:
+# #(x>y) = sum over night values of cum_day(<v), all BIGINTs on the
+# centivalue grid.
+
+
+def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (F.hour(F.col("ts").cast("timestamp")) < 6).cast("long").alias(
+            "night"
+        ),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).alias("v"),
+    )
+    cnt = ev.groupBy("event_type", "night", "v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    day = cnt.filter(F.col("night") == 0).select(
+        "event_type", "v", F.col("c").alias("cd")
+    )
+    night = cnt.filter(F.col("night") == 1).select(
+        "event_type", "v", F.col("c").alias("cn")
+    )
+    support = cnt.select("event_type", "v").distinct()
+    w = Window.partitionBy("event_type").orderBy("v")
+    g = (
+        support.join(day, ["event_type", "v"], "left")
+        .join(night, ["event_type", "v"], "left")
+        .fillna(0, subset=["cd", "cn"])
+        .withColumn(
+            "cum_d",
+            F.sum("cd").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "cum_n",
+            F.sum("cn").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    # gt = sum over day rows of (count_day at v) * (night strictly below v)
+    agg = g.groupBy("event_type").agg(
+        F.sum("cd").alias("n_day"),
+        F.sum("cn").alias("n_night"),
+        F.sum(F.col("cd") * (F.col("cum_n") - F.col("cn"))).alias("gt"),
+        F.sum(F.col("cn") * (F.col("cum_d") - F.col("cd"))).alias("lt"),
+    )
+    delta = (F.col("gt") - F.col("lt")).cast("double") / (
+        F.col("n_day").cast("double") * F.col("n_night").cast("double")
+    )
+    return (
+        agg.filter((F.col("n_day") > 0) & (F.col("n_night") > 0))
+        .select(
+            "event_type",
+            F.col("n_day").cast("long").alias("n_day"),
+            F.col("n_night").cast("long").alias("n_night"),
+            F.col("gt").cast("long").alias("gt"),
+            F.col("lt").cast("long").alias("lt"),
+            F.floor(delta * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "delta_e6"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_CLIFFS = f"""
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN hour(ts) < 6 THEN 1 ELSE 0 END AS night,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), cnt AS (
+  SELECT event_type, night, v, count(*) AS c FROM ev GROUP BY 1, 2, 3
+), sup AS (
+  SELECT DISTINCT event_type, v FROM cnt
+), g AS (
+  SELECT sup.event_type, sup.v,
+         coalesce(d.c, 0) AS cd, coalesce(n.c, 0) AS cn
+  FROM sup
+  LEFT JOIN cnt d ON d.event_type = sup.event_type AND d.v = sup.v
+                 AND d.night = 0
+  LEFT JOIN cnt n ON n.event_type = sup.event_type AND n.v = sup.v
+                 AND n.night = 1
+), cum AS (
+  SELECT event_type, v, cd, cn,
+         sum(cd) OVER (PARTITION BY event_type ORDER BY v) AS cum_d,
+         sum(cn) OVER (PARTITION BY event_type ORDER BY v) AS cum_n
+  FROM g
+), agg AS (
+  SELECT event_type,
+         CAST(sum(cd) AS BIGINT) AS n_day,
+         CAST(sum(cn) AS BIGINT) AS n_night,
+         CAST(sum(cd * (cum_n - cn)) AS BIGINT) AS gt,
+         CAST(sum(cn * (cum_d - cd)) AS BIGINT) AS lt
+  FROM cum GROUP BY 1
+)
+SELECT event_type, n_day, n_night, gt, lt,
+       CAST(floor(CAST(gt - lt AS DOUBLE)
+                  / (CAST(n_day AS DOUBLE) * n_night) * 1000000 + {_OFF})
+            AS BIGINT) AS delta_e6
+FROM agg
+WHERE n_day > 0 AND n_night > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# hedges_g — weekday/weekend standardized effect size per event type
+# ---------------------------------------------------------------------------
+# Cohen's d with the Hedges (1981) small-sample correction J = 1 -
+# 3/(4*df - 1) on daily counts: pooled SD from the exact integer sums,
+# the whole statistic one double expression.
+
+
+def q_hedges_g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    daily = daily.withColumn(
+        "wkend", (((F.col("day") + 3) % 7) >= 5).cast("long")
+    )
+    g = daily.groupBy("event_type", "wkend").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    a = g.filter(F.col("wkend") == 0).select(
+        "event_type",
+        F.col("n").alias("n1"),
+        F.col("s").alias("s1"),
+        F.col("q").alias("q1"),
+    )
+    b = g.filter(F.col("wkend") == 1).select(
+        "event_type",
+        F.col("n").alias("n2"),
+        F.col("s").alias("s2"),
+        F.col("q").alias("q2"),
+    )
+    j = a.join(b, "event_type")
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    ss1 = F.col("q1").cast("double") - F.col("s1").cast("double") * F.col(
+        "s1"
+    ) / n1d
+    ss2 = F.col("q2").cast("double") - F.col("s2").cast("double") * F.col(
+        "s2"
+    ) / n2d
+    sp = F.sqrt((ss1 + ss2) / (n1d + n2d - 2))
+    d = (F.col("s1") / n1d - F.col("s2") / n2d) / sp
+    corr = 1.0 - 3.0 / (4.0 * (n1d + n2d - 2) - 1.0)
+    return (
+        j.filter((F.col("n1") >= 2) & (F.col("n2") >= 2) & (ss1 + ss2 > 0))
+        .select(
+            "event_type",
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.floor(d * 10_000 + F.lit(_OFF)).cast("long").alias("d_e4"),
+            F.floor(d * corr * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "g_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_HEDGES = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), lab AS (
+  SELECT event_type, c,
+         CASE WHEN (day + 3) % 7 >= 5 THEN 1 ELSE 0 END AS wkend
+  FROM daily
+), g AS (
+  SELECT event_type, wkend, count(*) AS n,
+         CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+  FROM lab GROUP BY 1, 2
+), j AS (
+  SELECT a.event_type,
+         a.n AS n1, a.s AS s1, a.q AS q1,
+         b.n AS n2, b.s AS s2, b.q AS q2
+  FROM g a JOIN g b ON b.event_type = a.event_type
+  WHERE a.wkend = 0 AND b.wkend = 1
+), t AS (
+  SELECT event_type, n1, n2,
+         (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+         / sqrt(((q1 - CAST(s1 AS DOUBLE) * s1 / n1)
+                 + (q2 - CAST(s2 AS DOUBLE) * s2 / n2))
+                / (CAST(n1 AS DOUBLE) + n2 - 2)) AS d,
+         (q1 - CAST(s1 AS DOUBLE) * s1 / n1)
+         + (q2 - CAST(s2 AS DOUBLE) * s2 / n2) AS sstot
+  FROM j
+)
+SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(floor(d * 10000 + {_OFF}) AS BIGINT) AS d_e4,
+       CAST(floor(d * (1.0 - 3.0 / (4.0 * (CAST(n1 AS DOUBLE) + n2 - 2) - 1.0))
+                  * 10000 + {_OFF}) AS BIGINT) AS g_e4
+FROM t
+WHERE n1 >= 2 AND n2 >= 2 AND sstot > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# quantile_shape — Bowley skewness and Moors kurtosis from exact octiles
+# ---------------------------------------------------------------------------
+# Quantile-based robust shape (Bowley 1920; Moors 1988): skew =
+# (q3 + q1 - 2*q2)/(q3 - q1) from quartiles, kurtosis = ((e7 - e5) +
+# (e3 - e1))/(e6 - e2) from octiles — every quantile an exact
+# inverse-CDF order statistic of centivalues, the ratios exact-integer
+# divisions.
+
+
+def q_quantile_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.floor(F.col("value") * 100 + F.lit(_OFF)).alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("v")
+    wn = Window.partitionBy("event_type")
+    r = ev.withColumn("rk", F.row_number().over(w)).withColumn(
+        "nn", F.count(F.lit(1)).over(wn)
+    )
+    oct_ = r.withColumn(
+        "q_oct",
+        F.explode(F.array(*[F.lit(i) for i in range(1, 8)])),
+    )
+    hit = oct_.filter(
+        F.col("rk") == F.expr("((nn - 1) * q_oct) div 8") + 1
+    ).select("event_type", "q_oct", F.col("v").alias("qv"), "nn")
+    piv = hit.groupBy("event_type").pivot(
+        "q_oct", list(range(1, 8))
+    ).agg(F.max("qv"))
+    piv = piv.join(
+        F.broadcast(
+            r.groupBy("event_type").agg(F.max("nn").alias("n"))
+        ),
+        "event_type",
+    )
+    e = {i: F.col(str(i)) for i in range(1, 8)}
+    bowley = (
+        (e[6] + e[2] - 2 * e[4]).cast("double")
+        / (e[6] - e[2]).cast("double")
+    )
+    moors = (
+        ((e[7] - e[5]) + (e[3] - e[1])).cast("double")
+        / (e[6] - e[2]).cast("double")
+    )
+    return (
+        piv.filter(e[6] - e[2] > 0)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            e[2].cast("long").alias("q1"),
+            e[4].cast("long").alias("q2"),
+            e[6].cast("long").alias("q3"),
+            F.floor(bowley * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "bowley_e6"
+            ),
+            F.floor(moors * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "moors_e6"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_QSHAPE = f"""
+WITH ev AS (
+  SELECT event_type, CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), r AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS nn
+  FROM ev
+), hit AS (
+  SELECT event_type, q_oct, v AS qv, nn
+  FROM r, (VALUES (1), (2), (3), (4), (5), (6), (7)) q(q_oct)
+  WHERE rk = ((nn - 1) * q_oct) // 8 + 1
+), piv AS (
+  SELECT event_type, max(nn) AS n,
+         max(CASE WHEN q_oct = 1 THEN qv END) AS e1,
+         max(CASE WHEN q_oct = 2 THEN qv END) AS e2,
+         max(CASE WHEN q_oct = 3 THEN qv END) AS e3,
+         max(CASE WHEN q_oct = 4 THEN qv END) AS e4,
+         max(CASE WHEN q_oct = 5 THEN qv END) AS e5,
+         max(CASE WHEN q_oct = 6 THEN qv END) AS e6,
+         max(CASE WHEN q_oct = 7 THEN qv END) AS e7
+  FROM hit GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(e2 AS BIGINT) AS q1, CAST(e4 AS BIGINT) AS q2,
+       CAST(e6 AS BIGINT) AS q3,
+       CAST(floor(CAST(e6 + e2 - 2 * e4 AS DOUBLE) / (e6 - e2)
+                  * 1000000 + {_OFF}) AS BIGINT) AS bowley_e6,
+       CAST(floor(CAST((e7 - e5) + (e3 - e1) AS DOUBLE) / (e6 - e2)
+                  * 1000000 + {_OFF}) AS BIGINT) AS moors_e6
+FROM piv
+WHERE e6 - e2 > 0
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mcnemar_labelers": q_mcnemar_labelers,
     "mean_excess": q_mean_excess,
@@ -2316,6 +2723,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robust_scale": q_robust_scale,
     "wilson_ci": q_wilson_ci,
     "streak_stats": q_streak_stats,
+    "ks_doclen": q_ks_doclen,
+    "cliffs_delta": q_cliffs_delta,
+    "hedges_g": q_hedges_g,
+    "quantile_shape": q_quantile_shape,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2343,4 +2754,8 @@ ORACLE_SQL: dict[str, str] = {
     "robust_scale": SQL_ROBUST_SCALE,
     "wilson_ci": SQL_WILSON,
     "streak_stats": SQL_STREAKS,
+    "ks_doclen": SQL_KS_DOCLEN,
+    "cliffs_delta": SQL_CLIFFS,
+    "hedges_g": SQL_HEDGES,
+    "quantile_shape": SQL_QSHAPE,
 }

@@ -11,6 +11,10 @@ import numpy as np
 from diive_spark.queries_stats2 import _OFF
 from diive_spark.queries_stats5 import (
     q_arch_lm,
+    q_cliffs_delta,
+    q_hedges_g,
+    q_ks_doclen,
+    q_quantile_shape,
     q_robust_scale,
     q_span_leakage,
     q_streak_stats,
@@ -730,3 +734,96 @@ def test_streak_stats_matches_loop(spark):
         assert row["max_down"] == max(
             (ln for u, ln in runs if u == 0), default=0
         )
+
+
+def test_ks_doclen_matches_numpy(spark):
+    out = {(r["la"], r["lb"]): r for r in q_ks_doclen(spark, SF).collect()}
+    docs = _docs(spark)
+    by_lang = {
+        lang: sorted(grp["n_chars"].astype(int))
+        for lang, grp in docs.groupby("lang")
+    }
+    langs = sorted(by_lang)
+    for i, la in enumerate(langs):
+        for lb in langs[i + 1 :]:
+            xa, xb = by_lang[la], by_lang[lb]
+            na, nb = len(xa), len(xb)
+            support = sorted(set(xa) | set(xb))
+            m = 0
+            for v in support:
+                ca = np.searchsorted(xa, v, side="right")
+                cb = np.searchsorted(xb, v, side="right")
+                m = max(m, abs(ca * nb - cb * na))
+            row = out[(la, lb)]
+            assert (row["n_a"], row["n_b"]) == (na, nb)
+            assert row["m"] == m
+            assert row["ks_e6"] == math.floor(m / (na * nb) * 1e6 + _OFF)
+
+
+def test_cliffs_delta_matches_loop(spark):
+    out = {r["event_type"]: r for r in q_cliffs_delta(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["v"] = [math.floor(v * 100 + _OFF) for v in ev["value"]]
+    ev["night"] = (ev["ts"].dt.hour < 6).astype(int)
+    for et, grp in ev.groupby("event_type"):
+        xd = sorted(grp[grp["night"] == 0]["v"].astype(int))
+        xn = sorted(grp[grp["night"] == 1]["v"].astype(int))
+        if not xd or not xn:
+            assert et not in out
+            continue
+        xn_arr = np.array(xn)
+        gt = int(sum(np.searchsorted(xn_arr, v, side="left") for v in xd))
+        lt = int(
+            sum(len(xn) - np.searchsorted(xn_arr, v, side="right") for v in xd)
+        )
+        delta = (gt - lt) / (len(xd) * len(xn))
+        row = out[et]
+        assert (row["n_day"], row["n_night"]) == (len(xd), len(xn))
+        assert (row["gt"], row["lt"]) == (gt, lt)
+        assert row["delta_e6"] == math.floor(delta * 1_000_000 + _OFF)
+        assert -1_000_000 <= row["delta_e6"] <= 1_000_000
+
+
+def test_hedges_g_matches_numpy(spark):
+    out = {r["event_type"]: r for r in q_hedges_g(spark, SF).collect()}
+    daily = _daily_counts(spark)
+    per = defaultdict(lambda: ([], []))
+    for (et, day), c in daily.items():
+        per[et][1 if (day + 3) % 7 >= 5 else 0].append(c)
+    for et, (wd, we) in per.items():
+        n1, n2 = len(wd), len(we)
+        if n1 < 2 or n2 < 2:
+            assert et not in out
+            continue
+        x1, x2 = np.array(wd, float), np.array(we, float)
+        ss = ((x1 - x1.mean()) ** 2).sum() + ((x2 - x2.mean()) ** 2).sum()
+        if ss <= 0:
+            assert et not in out
+            continue
+        sp = math.sqrt(ss / (n1 + n2 - 2))
+        d = (x1.mean() - x2.mean()) / sp
+        gg = d * (1 - 3 / (4 * (n1 + n2 - 2) - 1))
+        row = out[et]
+        assert (row["n1"], row["n2"]) == (n1, n2)
+        assert abs(row["d_e4"] - math.floor(d * 10_000 + _OFF)) <= 1
+        assert abs(row["g_e4"] - math.floor(gg * 10_000 + _OFF)) <= 1
+
+
+def test_quantile_shape_matches_sorted(spark):
+    out = {r["event_type"]: r for r in q_quantile_shape(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["v"] = [math.floor(v * 100 + _OFF) for v in ev["value"]]
+    for et, grp in ev.groupby("event_type"):
+        xs = sorted(grp["v"].astype(int))
+        n = len(xs)
+        e = {i: xs[((n - 1) * i) // 8] for i in range(1, 8)}
+        if e[6] - e[2] <= 0:
+            assert et not in out
+            continue
+        bowley = (e[6] + e[2] - 2 * e[4]) / (e[6] - e[2])
+        moors = ((e[7] - e[5]) + (e[3] - e[1])) / (e[6] - e[2])
+        row = out[et]
+        assert row["n"] == n
+        assert (row["q1"], row["q2"], row["q3"]) == (e[2], e[4], e[6])
+        assert row["bowley_e6"] == math.floor(bowley * 1_000_000 + _OFF)
+        assert row["moors_e6"] == math.floor(moors * 1_000_000 + _OFF)
