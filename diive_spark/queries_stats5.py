@@ -2698,6 +2698,329 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# source_lang_purity — majority-language share and entropy per source
+# ---------------------------------------------------------------------------
+# The curation routing readout: is a source monolingual?  Majority
+# share exact; entropy over the <=|langs| cells (bounded ln terms);
+# the majority lang picked by (count desc, lang asc) — deterministic.
+
+
+def q_source_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = _documents(spark, sf_dir).groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
+    wn = Window.partitionBy("source")
+    t = (
+        cells.withColumn("rk", F.row_number().over(w))
+        .withColumn("tot", F.sum("c").over(wn))
+        .withColumn("k", F.count(F.lit(1)).over(wn))
+    )
+    p = F.col("c").cast("double") / F.col("tot").cast("double")
+    ent = t.groupBy("source").agg(
+        F.max("tot").alias("tot"),
+        F.max("k").alias("k"),
+        F.sum(-p * F.log(p)).alias("h"),
+    )
+    top = t.filter(F.col("rk") == 1).select(
+        "source",
+        F.col("lang").alias("major_lang"),
+        F.col("c").alias("major_c"),
+    )
+    j = ent.join(top, "source")
+    share = F.col("major_c").cast("double") / F.col("tot").cast("double")
+    return j.select(
+        "source",
+        F.col("tot").cast("long").alias("n_docs"),
+        F.col("k").cast("long").alias("n_langs"),
+        "major_lang",
+        F.floor(share * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "purity_e6"
+        ),
+        F.floor(F.col("h") * 10_000 + F.lit(0.5)).cast("long").alias(
+            "entropy_e4"
+        ),
+    ).orderBy("source")
+
+
+SQL_LANG_PURITY = f"""
+WITH cells AS (
+  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+), t AS (
+  SELECT source, lang, c,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, lang ASC)
+           AS rk,
+         sum(c) OVER (PARTITION BY source) AS tot,
+         count(*) OVER (PARTITION BY source) AS k
+  FROM cells
+), ent AS (
+  SELECT source, CAST(max(tot) AS BIGINT) AS tot,
+         CAST(max(k) AS BIGINT) AS k,
+         sum(-(CAST(c AS DOUBLE) / tot) * ln(CAST(c AS DOUBLE) / tot)) AS h
+  FROM t GROUP BY 1
+), top AS (
+  SELECT source, lang AS major_lang, c AS major_c FROM t WHERE rk = 1
+)
+SELECT ent.source, tot AS n_docs, k AS n_langs, major_lang,
+       CAST(floor(CAST(major_c AS DOUBLE) / tot * 1000000 + {_OFF})
+            AS BIGINT) AS purity_e6,
+       CAST(floor(h * 10000 + 0.5) AS BIGINT) AS entropy_e4
+FROM ent JOIN top ON top.source = ent.source
+ORDER BY ent.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# staleness_quantiles — user staleness distribution per event type
+# ---------------------------------------------------------------------------
+# Operational freshness: staleness = global max day - user's last
+# active day for that type; p50/p90/max as exact inverse-CDF order
+# statistics over the per-user last-day table (user-cardinality, not
+# event-cardinality).
+
+
+def q_staleness_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = (
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000)
+    ).cast("long")
+    last = ev.select("event_type", "user_id", day.alias("day")).groupBy(
+        "event_type", "user_id"
+    ).agg(F.max("day").alias("last_day"))
+    gmax = last.groupBy().agg(F.max("last_day").alias("gmax"))
+    st = last.crossJoin(F.broadcast(gmax)).withColumn(
+        "stale", F.col("gmax") - F.col("last_day")
+    )
+    w = Window.partitionBy("event_type").orderBy("stale", "user_id")
+    wn = Window.partitionBy("event_type")
+    r = st.withColumn("rk", F.row_number().over(w)).withColumn(
+        "nn", F.count(F.lit(1)).over(wn)
+    )
+    qs = r.withColumn(
+        "q_pct", F.explode(F.array(F.lit(50), F.lit(90), F.lit(100)))
+    )
+    hit = qs.filter(
+        F.col("rk") == F.expr("((nn - 1) * q_pct) div 100") + 1
+    )
+    return hit.select(
+        "event_type",
+        F.col("q_pct").cast("long").alias("q_pct"),
+        F.col("nn").cast("long").alias("n_users"),
+        F.col("stale").cast("long").alias("stale_days"),
+    ).orderBy("event_type", "q_pct")
+
+
+SQL_STALENESS = """
+WITH last AS (
+  SELECT event_type, user_id,
+         max(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS last_day
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT (SELECT max(last_day) FROM last) - last_day AS stale,
+         event_type, user_id
+  FROM last
+), r AS (
+  SELECT event_type, stale,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY stale, user_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS nn
+  FROM g
+)
+SELECT event_type, CAST(q_pct AS BIGINT) AS q_pct,
+       CAST(nn AS BIGINT) AS n_users, CAST(stale AS BIGINT) AS stale_days
+FROM r, (VALUES (50), (90), (100)) q(q_pct)
+WHERE rk = ((nn - 1) * q_pct) // 100 + 1
+ORDER BY event_type, q_pct
+"""
+
+
+# ---------------------------------------------------------------------------
+# type_corr_matrix — pairwise Pearson correlation of daily count series
+# ---------------------------------------------------------------------------
+# Co-movement of event types: daily counts joined pairwise on the DAY
+# (grid-bounded self-join, the theil_sen argument); all five Pearson
+# sums exact BIGINTs, r one expression.  Days missing for either type
+# are excluded pairwise (complete-case).
+
+
+def q_type_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("ta"),
+        F.col("b.event_type").alias("tb"),
+        F.col("a.c").alias("x"),
+        F.col("b.c").alias("y"),
+    )
+    agg = p.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    r = num / F.sqrt(dx * dy)
+    return (
+        agg.filter((F.col("n") >= 5) & (dx > 0) & (dy > 0))
+        .select(
+            "ta",
+            "tb",
+            F.col("n").cast("long").alias("n"),
+            F.floor(r * 1_000_000 + F.lit(_OFF)).cast("long").alias("r_e6"),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
+SQL_TYPE_CORR = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, a.c AS x, b.c AS y
+  FROM daily a
+  JOIN daily b ON b.day = a.day AND a.event_type < b.event_type
+), agg AS (
+  SELECT ta, tb, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM p GROUP BY 1, 2
+)
+SELECT ta, tb, CAST(n AS BIGINT) AS n,
+       CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                         * (n * syy - sy * sy))
+                  * 1000000 + {_OFF}) AS BIGINT) AS r_e6
+FROM agg
+WHERE n >= 5 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+ORDER BY ta, tb
+"""
+
+
+# ---------------------------------------------------------------------------
+# split_half_reliability — odd/even-day hourly-profile reliability
+# ---------------------------------------------------------------------------
+# Classical test theory applied to diel profiles: build each type's
+# 24-bin hourly count profile separately from ODD and EVEN days,
+# Pearson-correlate the halves (24 exact-integer pairs), then
+# Spearman-Brown step up r_full = 2r/(1+r) (Spearman 1910; Brown
+# 1910).  High reliability = the diel shape is signal, not noise.
+
+
+def q_split_half_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts = F.col("ts").cast("timestamp")
+    d = ev.select(
+        "event_type",
+        F.hour(ts).cast("long").alias("hr"),
+        (
+            F.floor(F.unix_micros(ts) / 86_400_000_000) % 2 == 0
+        ).cast("long").alias("even"),
+    )
+    prof = d.groupBy("event_type", "hr").agg(
+        F.sum(F.when(F.col("even") == 1, 1).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("even") == 0, 1).otherwise(0)).alias("y"),
+    )
+    agg = prof.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    r = num / F.sqrt(dx * dy)
+    sb = 2.0 * r / (1.0 + r)
+    return (
+        agg.filter((dx > 0) & (dy > 0))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_bins"),
+            F.floor(r * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "r_half_e6"
+            ),
+            F.floor(sb * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "r_full_e6"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_SPLIT_HALF = f"""
+WITH d AS (
+  SELECT event_type, hour(ts) AS hr,
+         CASE WHEN CAST(floor(epoch(ts) / 86400) AS BIGINT) % 2 = 0
+              THEN 1 ELSE 0 END AS even
+  FROM events
+), prof AS (
+  SELECT event_type, hr,
+         CAST(sum(even) AS BIGINT) AS x,
+         CAST(sum(1 - even) AS BIGINT) AS y
+  FROM d GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM prof GROUP BY 1
+), t AS (
+  SELECT event_type, n,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy))
+           AS r,
+         n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy
+  FROM agg
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_bins,
+       CAST(floor(r * 1000000 + {_OFF}) AS BIGINT) AS r_half_e6,
+       CAST(floor(2.0 * r / (1.0 + r) * 1000000 + {_OFF}) AS BIGINT)
+         AS r_full_e6
+FROM t
+WHERE dx > 0 AND dy > 0
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mcnemar_labelers": q_mcnemar_labelers,
     "mean_excess": q_mean_excess,
@@ -2727,6 +3050,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cliffs_delta": q_cliffs_delta,
     "hedges_g": q_hedges_g,
     "quantile_shape": q_quantile_shape,
+    "source_lang_purity": q_source_lang_purity,
+    "staleness_quantiles": q_staleness_quantiles,
+    "type_corr_matrix": q_type_corr_matrix,
+    "split_half_reliability": q_split_half_reliability,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2758,4 +3085,8 @@ ORACLE_SQL: dict[str, str] = {
     "cliffs_delta": SQL_CLIFFS,
     "hedges_g": SQL_HEDGES,
     "quantile_shape": SQL_QSHAPE,
+    "source_lang_purity": SQL_LANG_PURITY,
+    "staleness_quantiles": SQL_STALENESS,
+    "type_corr_matrix": SQL_TYPE_CORR,
+    "split_half_reliability": SQL_SPLIT_HALF,
 }

@@ -11,6 +11,10 @@ import numpy as np
 from diive_spark.queries_stats2 import _OFF
 from diive_spark.queries_stats5 import (
     q_arch_lm,
+    q_source_lang_purity,
+    q_split_half_reliability,
+    q_staleness_quantiles,
+    q_type_corr_matrix,
     q_cliffs_delta,
     q_hedges_g,
     q_ks_doclen,
@@ -827,3 +831,93 @@ def test_quantile_shape_matches_sorted(spark):
         assert (row["q1"], row["q2"], row["q3"]) == (e[2], e[4], e[6])
         assert row["bowley_e6"] == math.floor(bowley * 1_000_000 + _OFF)
         assert row["moors_e6"] == math.floor(moors * 1_000_000 + _OFF)
+
+
+def test_source_lang_purity_matches_counter(spark):
+    out = {r["source"]: r for r in q_source_lang_purity(spark, SF).collect()}
+    docs = _docs(spark)
+    for src, grp in docs.groupby("source"):
+        cnt = Counter(grp["lang"])
+        tot = sum(cnt.values())
+        major = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        h = -sum(c / tot * math.log(c / tot) for c in cnt.values())
+        row = out[src]
+        assert row["n_docs"] == tot
+        assert row["n_langs"] == len(cnt)
+        assert row["major_lang"] == major[0]
+        assert row["purity_e6"] == math.floor(major[1] / tot * 1e6 + _OFF)
+        assert abs(row["entropy_e4"] - math.floor(h * 10_000 + 0.5)) <= 1
+
+
+def test_staleness_quantiles_matches_sorted(spark):
+    out = {
+        (r["event_type"], r["q_pct"]): r
+        for r in q_staleness_quantiles(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["day"] = (ev["ts"].astype("int64") // 1_000_000_000) // 86_400
+    last = ev.groupby(["event_type", "user_id"])["day"].max()
+    gmax = int(ev["day"].max())
+    for et, grp in last.groupby(level=0):
+        st = sorted(gmax - grp.values)
+        n = len(st)
+        for q in (50, 90, 100):
+            want = st[((n - 1) * q) // 100]
+            row = out[(et, q)]
+            assert row["n_users"] == n
+            assert row["stale_days"] == want
+
+
+def test_type_corr_matrix_matches_numpy(spark):
+    out = {(r["ta"], r["tb"]): r for r in q_type_corr_matrix(spark, SF).collect()}
+    daily = _daily_counts(spark)
+    per = defaultdict(dict)
+    for (et, day), c in daily.items():
+        per[et][day] = c
+    types = sorted(per)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            common = sorted(set(per[ta]) & set(per[tb]))
+            n = len(common)
+            if n < 5:
+                assert (ta, tb) not in out
+                continue
+            x = np.array([per[ta][d] for d in common], float)
+            y = np.array([per[tb][d] for d in common], float)
+            if x.std() == 0 or y.std() == 0:
+                assert (ta, tb) not in out
+                continue
+            r = float(np.corrcoef(x, y)[0, 1])
+            row = out[(ta, tb)]
+            assert row["n"] == n
+            assert abs(row["r_e6"] - math.floor(r * 1_000_000 + _OFF)) <= 2
+
+
+def test_split_half_reliability_matches_numpy(spark):
+    out = {
+        r["event_type"]: r
+        for r in q_split_half_reliability(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["day"] = (ev["ts"].astype("int64") // 1_000_000_000) // 86_400
+    ev["hr"] = ev["ts"].dt.hour
+    ev["even"] = (ev["day"] % 2 == 0).astype(int)
+    for et, grp in ev.groupby("event_type"):
+        hrs = sorted(grp["hr"].unique())
+        x = np.array(
+            [((grp["hr"] == h) & (grp["even"] == 1)).sum() for h in hrs],
+            float,
+        )
+        y = np.array(
+            [((grp["hr"] == h) & (grp["even"] == 0)).sum() for h in hrs],
+            float,
+        )
+        if x.std() == 0 or y.std() == 0:
+            assert et not in out
+            continue
+        r = float(np.corrcoef(x, y)[0, 1])
+        sb = 2 * r / (1 + r)
+        row = out[et]
+        assert row["n_bins"] == len(hrs)
+        assert abs(row["r_half_e6"] - math.floor(r * 1e6 + _OFF)) <= 2
+        assert abs(row["r_full_e6"] - math.floor(sb * 1e6 + _OFF)) <= 2
