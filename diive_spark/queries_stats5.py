@@ -3021,6 +3021,388 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# lognormal_fit — lognormal MLE + KS goodness-of-fit on doc lengths
+# ---------------------------------------------------------------------------
+# mu/sigma are the ln-moment MLEs, QUANTIZED to e4 integers BEFORE the
+# KS stage (the CUPED discipline) so both engines evaluate the fitted
+# CDF at IDENTICAL parameters; Phi via the same A&S 7.1.26 polynomial
+# as bh_fdr_runs, extended to both signs (Phi(z) = 1 - up(z) for z>=0,
+# up(-z) otherwise).  The sup runs over the (lang, n_chars) support
+# grid (domain-bounded windows, the wasserstein discipline).
+
+from diive_spark.queries_stats4 import _AS_B, _AS_P, _INV_SQRT_2PI, _phi_upper
+
+
+def _phi_cdf(z):
+    up = _phi_upper(F.abs(z))
+    return F.when(z >= 0, 1.0 - up).otherwise(up)
+
+
+def q_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("lang", "n_chars").filter(
+        F.col("n_chars") > 0
+    )
+    lx = F.log(F.col("n_chars").cast("double"))
+    mom = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(lx).alias("m1"),
+        F.sum(lx * lx).alias("m2"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("m1") / nd
+    var = F.col("m2") / nd - mu * mu
+    params = mom.filter(var > 0).select(
+        "lang",
+        "n",
+        F.floor(mu * 10_000 + F.lit(0.5)).cast("long").alias("mu_e4"),
+        F.floor(F.sqrt(var) * 10_000 + F.lit(0.5)).cast("long").alias(
+            "sigma_e4"
+        ),
+    )
+    cnt = d.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    cum = cnt.withColumn(
+        "cum", F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    j = cum.join(F.broadcast(params), "lang")
+    z = (
+        F.log(F.col("n_chars").cast("double"))
+        - F.col("mu_e4").cast("double") / 10_000.0
+    ) / (F.col("sigma_e4").cast("double") / 10_000.0)
+    dks = F.greatest(
+        F.abs(F.col("cum").cast("double") / F.col("n") - _phi_cdf(z)),
+        F.abs(
+            (F.col("cum") - F.col("c")).cast("double") / F.col("n")
+            - _phi_cdf(z)
+        ),
+    )
+    agg = j.groupBy("lang").agg(
+        F.max("n").alias("n"),
+        F.max("mu_e4").alias("mu_e4"),
+        F.max("sigma_e4").alias("sigma_e4"),
+        F.max(dks).alias("ks"),
+    )
+    return agg.select(
+        "lang",
+        F.col("n").cast("long").alias("n"),
+        "mu_e4",
+        "sigma_e4",
+        F.floor(F.col("ks") * 10_000 + F.lit(0.5)).cast("long").alias(
+            "ks_e4"
+        ),
+    ).orderBy("lang")
+
+
+def _sql_lognormal() -> str:
+    b = _AS_B
+    phi_up = (
+        f"{_INV_SQRT_2PI} * exp(-(az * az) / 2.0)"
+        f" * ({b[0]!r} * tt + {b[1]!r} * tt * tt + {b[2]!r} * tt * tt * tt"
+        f" + {b[3]!r} * tt * tt * tt * tt"
+        f" + {b[4]!r} * tt * tt * tt * tt * tt)"
+    )
+    return f"""
+WITH d AS (
+  SELECT lang, n_chars FROM documents WHERE n_chars > 0
+), mom AS (
+  SELECT lang, count(*) AS n,
+         sum(ln(CAST(n_chars AS DOUBLE))) AS m1,
+         sum(ln(CAST(n_chars AS DOUBLE)) * ln(CAST(n_chars AS DOUBLE)))
+           AS m2
+  FROM d GROUP BY 1
+), params AS (
+  SELECT lang, n,
+         CAST(floor(m1 / n * 10000 + 0.5) AS BIGINT) AS mu_e4,
+         CAST(floor(sqrt(m2 / n - (m1 / n) * (m1 / n)) * 10000 + 0.5)
+              AS BIGINT) AS sigma_e4
+  FROM mom
+  WHERE m2 / n - (m1 / n) * (m1 / n) > 0
+), cnt AS (
+  SELECT lang, n_chars, count(*) AS c FROM d GROUP BY 1, 2
+), cum AS (
+  SELECT lang, n_chars, c,
+         sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum
+  FROM cnt
+), zt AS (
+  SELECT cum.lang, cum.c, cum.cum, params.n, params.mu_e4, params.sigma_e4,
+         (ln(CAST(cum.n_chars AS DOUBLE)) - CAST(mu_e4 AS DOUBLE) / 10000.0)
+         / (CAST(sigma_e4 AS DOUBLE) / 10000.0) AS z
+  FROM cum JOIN params ON params.lang = cum.lang
+), pt AS (
+  SELECT lang, c, cum, n, mu_e4, sigma_e4,
+         CASE WHEN z >= 0 THEN 1.0 - {phi_up} ELSE {phi_up} END AS fhat
+  FROM (
+    SELECT *, abs(z) AS az, 1.0 / (1.0 + {_AS_P!r} * abs(z)) AS tt
+    FROM zt
+  )
+)
+SELECT lang, CAST(max(n) AS BIGINT) AS n,
+       max(mu_e4) AS mu_e4, max(sigma_e4) AS sigma_e4,
+       CAST(floor(max(greatest(abs(CAST(cum AS DOUBLE) / n - fhat),
+                               abs(CAST(cum - c AS DOUBLE) / n - fhat)))
+                  * 10000 + 0.5) AS BIGINT) AS ks_e4
+FROM pt
+GROUP BY 1
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# user_concentration — top-1% user share and activity entropy per type
+# ---------------------------------------------------------------------------
+# Activity concentration: the share of events contributed by the top
+# max(1, n_users//100) users (exact rank on (count desc, user asc))
+# plus the Shannon entropy of the user distribution — the headline
+# readout on top of lorenz_curve/gini.
+
+
+def q_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("c"), F.asc("user_id")
+    )
+    wn = Window.partitionBy("event_type")
+    r = (
+        per.withColumn("rk", F.row_number().over(w))
+        .withColumn("nu", F.count(F.lit(1)).over(wn))
+        .withColumn("tot", F.sum("c").over(wn))
+    )
+    k = F.greatest(F.lit(1), F.expr("nu div 100"))
+    p = F.col("c").cast("double") / F.col("tot").cast("double")
+    agg = r.groupBy("event_type").agg(
+        F.max("nu").alias("n_users"),
+        F.max("tot").alias("n_events"),
+        F.max(k).alias("k"),
+        F.sum(F.when(F.col("rk") <= k, F.col("c")).otherwise(F.lit(0))).alias(
+            "top_c"
+        ),
+        F.sum(-p * F.log(p)).alias("h"),
+    )
+    share = F.col("top_c").cast("double") / F.col("n_events").cast("double")
+    return agg.select(
+        "event_type",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("k").cast("long").alias("k"),
+        F.floor(share * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "top_share_e6"
+        ),
+        F.floor(F.col("h") * 10_000 + F.lit(0.5)).cast("long").alias(
+            "entropy_e4"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_USER_CONC = f"""
+WITH per AS (
+  SELECT event_type, user_id, count(*) AS c FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY c DESC, user_id ASC) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS nu,
+         sum(c) OVER (PARTITION BY event_type) AS tot
+  FROM per
+)
+SELECT event_type,
+       CAST(max(nu) AS BIGINT) AS n_users,
+       CAST(max(tot) AS BIGINT) AS n_events,
+       CAST(max(greatest(1, nu // 100)) AS BIGINT) AS k,
+       CAST(floor(CAST(sum(CASE WHEN rk <= greatest(1, nu // 100)
+                                THEN c ELSE 0 END) AS DOUBLE)
+                  / max(tot) * 1000000 + {_OFF}) AS BIGINT)
+         AS top_share_e6,
+       CAST(floor(sum(-(CAST(c AS DOUBLE) / tot)
+                      * ln(CAST(c AS DOUBLE) / tot)) * 10000 + 0.5)
+            AS BIGINT) AS entropy_e4
+FROM r
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# nelson_aalen — cumulative hazard on the survival_km lifetime table
+# ---------------------------------------------------------------------------
+# Nelson (1972) / Aalen (1978): H(t) = sum_{t_i <= t} d_i / n_i and
+# its variance estimate sum d_i / n_i^2 — the hazard-scale companion
+# to survival_km, sharing its exact lifetime/censoring construction
+# (7-day censoring window) and the time-ORDERED cumulative fold.
+
+
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000)
+        .cast("long")
+        .alias("day"),
+    )
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    horizon = ut.groupBy("user_id").agg(F.max("d1").alias("ud1"))
+    u = ut.join(horizon, "user_id").select(
+        (F.col("d1") - F.col("d0")).alias("life"),
+        (F.col("d1") <= F.col("ud1") - 7).cast("long").alias("observed"),
+    )
+    per_t = u.groupBy("life").agg(
+        F.count(F.lit(1)).alias("n_at"), F.sum("observed").alias("d")
+    )
+    w_risk = Window.orderBy("life").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("life").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    na = (
+        per_t.withColumn("n_risk", F.sum("n_at").over(w_risk))
+        .withColumn(
+            "hterm",
+            F.col("d").cast("double") / F.col("n_risk").cast("double"),
+        )
+        .withColumn(
+            "vterm",
+            F.col("d").cast("double")
+            / (F.col("n_risk").cast("double") * F.col("n_risk")),
+        )
+        .withColumn("h", F.sum("hterm").over(w_cum))
+        .withColumn("v", F.sum("vterm").over(w_cum))
+    )
+    return (
+        na.filter(F.col("d") > 0)
+        .select(
+            F.col("life").cast("long").alias("life_days"),
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d").cast("long").alias("n_events"),
+            F.floor(F.col("h") * 1_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("h_e6"),
+            F.floor(F.col("v") * 1_000_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("var_e9"),
+        )
+        .orderBy("life_days")
+    )
+
+
+SQL_NELSON_AALEN = f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+), ut AS (
+  SELECT user_id, event_type, min(day) AS d0, max(day) AS d1
+  FROM ev GROUP BY 1, 2
+), horizon AS (
+  SELECT user_id, max(d1) AS ud1 FROM ut GROUP BY 1
+), u AS (
+  SELECT ut.d1 - ut.d0 AS life,
+         CASE WHEN ut.d1 <= horizon.ud1 - 7 THEN 1 ELSE 0 END AS observed
+  FROM ut JOIN horizon ON horizon.user_id = ut.user_id
+), per_t AS (
+  SELECT life, count(*) AS n_at, CAST(sum(observed) AS BIGINT) AS d
+  FROM u GROUP BY 1
+), na AS (
+  SELECT life, d,
+         sum(n_at) OVER (ORDER BY life
+                         ROWS BETWEEN CURRENT ROW
+                         AND UNBOUNDED FOLLOWING) AS n_risk
+  FROM per_t
+), cumfold AS (
+  SELECT life, d, n_risk,
+         sum(CAST(d AS DOUBLE) / n_risk)
+           OVER (ORDER BY life ROWS UNBOUNDED PRECEDING) AS h,
+         sum(CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE) * n_risk))
+           OVER (ORDER BY life ROWS UNBOUNDED PRECEDING) AS v
+  FROM na
+)
+SELECT CAST(life AS BIGINT) AS life_days, CAST(n_risk AS BIGINT) AS n_risk,
+       d AS n_events,
+       CAST(floor(h * 1000000 + {_OFF}) AS BIGINT) AS h_e6,
+       CAST(floor(v * 1000000000 + {_OFF}) AS BIGINT) AS var_e9
+FROM cumfold
+WHERE d > 0
+ORDER BY life_days
+"""
+
+
+# ---------------------------------------------------------------------------
+# retention_curve — pooled daily retention curve (exact integers)
+# ---------------------------------------------------------------------------
+# Classic D-k retention: r_k = share of a first-day cohort active k
+# days later, pooled over cohorts (sum nk / sum n0), k <= 14.  The
+# user-day DISTINCT table is the materialization boundary (the
+# stickiness_dau_wau discipline); everything downstream is exact
+# integers — the curve IS the deliverable, any decay fit is
+# downstream sugar (the synthetic corpus retains ~0.9 flat, so a
+# half-life fit would be noise-sign fragile; probed).
+
+_RET_MAX_K = 14
+
+
+def q_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("d"),
+    ).distinct()
+    first = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    j = ev.join(first, "user_id").withColumn("k", F.col("d") - F.col("d0"))
+    cohort = first.groupBy("d0").agg(F.count(F.lit(1)).alias("n0"))
+    act = j.groupBy("d0", "k").agg(F.count(F.lit(1)).alias("nk"))
+    r = (
+        act.join(cohort, "d0")
+        .filter((F.col("k") >= 1) & (F.col("k") <= _RET_MAX_K))
+        .groupBy("k")
+        .agg(F.sum("nk").alias("nk"), F.sum("n0").alias("n0"))
+    )
+    ret = F.col("nk").cast("double") / F.col("n0").cast("double")
+    return r.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("nk").cast("long").alias("nk"),
+        F.col("n0").cast("long").alias("n0"),
+        F.floor(ret * 1_000_000 + F.lit(_OFF)).cast("long").alias("r_e6"),
+    ).orderBy("k")
+
+
+SQL_RETENTION_CURVE = f"""
+WITH ev AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+  FROM events
+), first AS (
+  SELECT user_id, min(d) AS d0 FROM ev GROUP BY 1
+), j AS (
+  SELECT ev.user_id, first.d0, ev.d - first.d0 AS k
+  FROM ev JOIN first ON first.user_id = ev.user_id
+), cohort AS (
+  SELECT d0, count(*) AS n0 FROM first GROUP BY 1
+), act AS (
+  SELECT d0, k, count(*) AS nk FROM j GROUP BY 1, 2
+), r AS (
+  SELECT k, CAST(sum(nk) AS BIGINT) AS nk, CAST(sum(n0) AS BIGINT) AS n0
+  FROM act JOIN cohort USING (d0)
+  WHERE k >= 1 AND k <= {_RET_MAX_K}
+  GROUP BY 1
+)
+SELECT CAST(k AS BIGINT) AS k, nk, n0,
+       CAST(floor(CAST(nk AS DOUBLE) / n0 * 1000000 + {_OFF}) AS BIGINT)
+         AS r_e6
+FROM r
+ORDER BY k
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mcnemar_labelers": q_mcnemar_labelers,
     "mean_excess": q_mean_excess,
@@ -3054,6 +3436,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "staleness_quantiles": q_staleness_quantiles,
     "type_corr_matrix": q_type_corr_matrix,
     "split_half_reliability": q_split_half_reliability,
+    "lognormal_fit": q_lognormal_fit,
+    "user_concentration": q_user_concentration,
+    "nelson_aalen": q_nelson_aalen,
+    "retention_curve": q_retention_curve,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3089,4 +3475,8 @@ ORACLE_SQL: dict[str, str] = {
     "staleness_quantiles": SQL_STALENESS,
     "type_corr_matrix": SQL_TYPE_CORR,
     "split_half_reliability": SQL_SPLIT_HALF,
+    "lognormal_fit": _sql_lognormal(),
+    "user_concentration": SQL_USER_CONC,
+    "nelson_aalen": SQL_NELSON_AALEN,
+    "retention_curve": SQL_RETENTION_CURVE,
 }

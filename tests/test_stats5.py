@@ -11,6 +11,10 @@ import numpy as np
 from diive_spark.queries_stats2 import _OFF
 from diive_spark.queries_stats5 import (
     q_arch_lm,
+    q_lognormal_fit,
+    q_nelson_aalen,
+    q_retention_curve,
+    q_user_concentration,
     q_source_lang_purity,
     q_split_half_reliability,
     q_staleness_quantiles,
@@ -921,3 +925,133 @@ def test_split_half_reliability_matches_numpy(spark):
         assert row["n_bins"] == len(hrs)
         assert abs(row["r_half_e6"] - math.floor(r * 1e6 + _OFF)) <= 2
         assert abs(row["r_full_e6"] - math.floor(sb * 1e6 + _OFF)) <= 2
+
+
+def test_lognormal_fit_matches_numpy(spark):
+    out = {r["lang"]: r for r in q_lognormal_fit(spark, SF).collect()}
+    docs = _docs(spark)
+
+    def phi(z):
+        # A&S 7.1.26, matching the engine op tree
+        az = abs(z)
+        t = 1.0 / (1.0 + 0.2316419 * az)
+        poly = (
+            0.319381530 * t
+            - 0.356563782 * t**2
+            + 1.781477937 * t**3
+            - 1.821255978 * t**4
+            + 1.330274429 * t**5
+        )
+        up = 0.3989422804014327 * math.exp(-az * az / 2.0) * poly
+        return 1.0 - up if z >= 0 else up
+
+    for lang, grp in docs.groupby("lang"):
+        xs = sorted(int(x) for x in grp["n_chars"] if x > 0)
+        n = len(xs)
+        lx = np.log(xs)
+        mu, var = lx.mean(), lx.var()
+        if var <= 0:
+            assert lang not in out
+            continue
+        mu_q = math.floor(mu * 10_000 + 0.5) / 10_000
+        sg_q = math.floor(math.sqrt(var) * 10_000 + 0.5) / 10_000
+        support = sorted(set(xs))
+        import bisect
+
+        ks = 0.0
+        for v in support:
+            cum = bisect.bisect_right(xs, v)
+            prev = bisect.bisect_left(xs, v)
+            fh = phi((math.log(v) - mu_q) / sg_q)
+            ks = max(ks, abs(cum / n - fh), abs(prev / n - fh))
+        row = out[lang]
+        assert row["n"] == n
+        assert abs(row["mu_e4"] - math.floor(mu * 10_000 + 0.5)) <= 1
+        assert (
+            abs(row["sigma_e4"] - math.floor(math.sqrt(var) * 10_000 + 0.5))
+            <= 1
+        )
+        assert abs(row["ks_e4"] - math.floor(ks * 10_000 + 0.5)) <= 1
+
+
+def test_user_concentration_matches_counter(spark):
+    out = {
+        r["event_type"]: r for r in q_user_concentration(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    for et, grp in ev.groupby("event_type"):
+        cnt = Counter(grp["user_id"])
+        nu = len(cnt)
+        tot = sum(cnt.values())
+        k = max(1, nu // 100)
+        top = sum(
+            c
+            for _u, c in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[
+                :k
+            ]
+        )
+        h = -sum(c / tot * math.log(c / tot) for c in cnt.values())
+        row = out[et]
+        assert (row["n_users"], row["n_events"], row["k"]) == (nu, tot, k)
+        assert row["top_share_e6"] == math.floor(top / tot * 1e6 + _OFF)
+        assert abs(row["entropy_e4"] - math.floor(h * 10_000 + 0.5)) <= 1
+
+
+def test_nelson_aalen_matches_loop(spark):
+    out = {r["life_days"]: r for r in q_nelson_aalen(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["day"] = (ev["ts"].astype("int64") // 1_000_000_000) // 86_400
+    ut = ev.groupby(["user_id", "event_type"])["day"].agg(["min", "max"])
+    ud1 = ut.groupby(level=0)["max"].max()
+    lives = defaultdict(lambda: [0, 0])
+    for (uid, _et), row in ut.iterrows():
+        life = int(row["max"] - row["min"])
+        obs = int(row["max"] <= ud1[uid] - 7)
+        lives[life][0] += 1
+        lives[life][1] += obs
+    times = sorted(lives)
+    n_risk_tot = sum(v[0] for v in lives.values())
+    h = v = 0.0
+    seen = 0
+    for t in times:
+        n_at, d = lives[t]
+        n_risk = n_risk_tot - seen
+        seen += n_at
+        h += d / n_risk
+        v += d / (n_risk * n_risk)
+        if d > 0:
+            row = out[t]
+            assert row["n_risk"] == n_risk
+            assert row["n_events"] == d
+            assert abs(row["h_e6"] - math.floor(h * 1e6 + _OFF)) <= 1
+            assert abs(row["var_e9"] - math.floor(v * 1e9 + _OFF)) <= 1
+    assert set(out) == {t for t in times if lives[t][1] > 0}
+
+
+def test_retention_curve_matches_counter(spark):
+    out = {r["k"]: r for r in q_retention_curve(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["d"] = (ev["ts"].astype("int64") // 1_000_000_000) // 86_400
+    ud = set(zip(ev["user_id"], ev["d"]))
+    d0 = {}
+    for u, d in ud:
+        d0[u] = min(d0.get(u, d), d)
+    cohort = Counter(d0.values())
+    acc = defaultdict(lambda: [0, 0])
+    for u, d in ud:
+        k = d - d0[u]
+        if 1 <= k <= 14:
+            acc[k][0] += 1
+    # n0 pooled over cohorts that appear at that k
+    per_k_cohorts = defaultdict(set)
+    for u, d in ud:
+        k = d - d0[u]
+        if 1 <= k <= 14:
+            per_k_cohorts[k].add(d0[u])
+    for k in acc:
+        acc[k][1] = sum(cohort[c] for c in per_k_cohorts[k])
+    assert set(out) == set(acc)
+    for k, (nk, n0) in acc.items():
+        row = out[k]
+        assert (row["nk"], row["n0"]) == (nk, n0)
+        assert row["r_e6"] == math.floor(nk / n0 * 1_000_000 + _OFF)
