@@ -3403,6 +3403,411 @@ ORDER BY k
 """
 
 
+# ---------------------------------------------------------------------------
+# brier_decomposition — Murphy decomposition of a climatological forecaster
+# ---------------------------------------------------------------------------
+# Forecast "day k+1 is above the type's median" with p = the share of
+# SAME-WEEKDAY days that were above median (climatology by dow);
+# Brier = reliability - resolution + uncertainty (Murphy JAM 1973),
+# grouped exactly by the (rational) forecast bins: every piece derives
+# from exact integer counts, the decomposition identity holds in-query
+# and is ASSERTED in the pin.
+
+
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("c", "day")
+    wn = Window.partitionBy("event_type")
+    r = daily.withColumn("rk", F.row_number().over(w)).withColumn(
+        "nn", F.count(F.lit(1)).over(wn)
+    )
+    med = r.filter(
+        F.col("rk") == F.floor((F.col("nn") - 1) / 2) + 1
+    ).select("event_type", F.col("c").alias("med"))
+    lab = daily.join(F.broadcast(med), "event_type").withColumn(
+        "o", (F.col("c") > F.col("med")).cast("long")
+    ).withColumn("dow", ((F.col("day") + 3) % 7).cast("long"))
+    # forecast bin = weekday; p_bin = exact rational share above median
+    bins = lab.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("nb"), F.sum("o").alias("ob")
+    )
+    tot = lab.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o").alias("osum")
+    )
+    j = bins.join(F.broadcast(tot), "event_type")
+    pb = F.col("ob").cast("double") / F.col("nb").cast("double")
+    obar = F.col("osum").cast("double") / F.col("n").cast("double")
+    rel_t = F.col("nb") * (pb - pb) * (pb - pb)  # forecaster IS the bin mean
+    res_t = F.col("nb").cast("double") * (pb - obar) * (pb - obar)
+    agg = j.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("osum").alias("osum"),
+        F.sum(rel_t).alias("rel_n"),
+        F.sum(res_t).alias("res_n"),
+    )
+    nd = F.col("n").cast("double")
+    ob2 = F.col("osum").cast("double") / nd
+    unc = ob2 * (1.0 - ob2)
+    rel = F.col("rel_n").cast("double") / nd
+    res = F.col("res_n") / nd
+    brier = rel - res + unc
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("osum").cast("long").alias("n_above"),
+        F.floor(res * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "resolution_e6"
+        ),
+        F.floor(unc * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "uncertainty_e6"
+        ),
+        F.floor(brier * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "brier_e6"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_BRIER = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY c, day) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS nn
+  FROM daily
+), med AS (
+  SELECT event_type, c AS med FROM r WHERE rk = (nn - 1) // 2 + 1
+), lab AS (
+  SELECT daily.event_type, (daily.day + 3) % 7 AS dow,
+         CASE WHEN daily.c > med.med THEN 1 ELSE 0 END AS o
+  FROM daily JOIN med ON med.event_type = daily.event_type
+), bins AS (
+  SELECT event_type, dow, count(*) AS nb, CAST(sum(o) AS BIGINT) AS ob
+  FROM lab GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, count(*) AS n, CAST(sum(o) AS BIGINT) AS osum
+  FROM lab GROUP BY 1
+), agg AS (
+  SELECT bins.event_type, max(tot.n) AS n, max(tot.osum) AS osum,
+         sum(CAST(bins.nb AS DOUBLE)
+             * (CAST(bins.ob AS DOUBLE) / bins.nb
+                - CAST(tot.osum AS DOUBLE) / tot.n)
+             * (CAST(bins.ob AS DOUBLE) / bins.nb
+                - CAST(tot.osum AS DOUBLE) / tot.n)) AS res_n
+  FROM bins JOIN tot ON tot.event_type = bins.event_type
+  GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, osum AS n_above,
+       CAST(floor(res_n / n * 1000000 + {_OFF}) AS BIGINT)
+         AS resolution_e6,
+       CAST(floor((CAST(osum AS DOUBLE) / n) * (1.0 - CAST(osum AS DOUBLE) / n)
+                  * 1000000 + {_OFF}) AS BIGINT) AS uncertainty_e6,
+       CAST(floor((0.0 - res_n / n
+                   + (CAST(osum AS DOUBLE) / n)
+                     * (1.0 - CAST(osum AS DOUBLE) / n))
+                  * 1000000 + {_OFF}) AS BIGINT) AS brier_e6
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# source_coherence — mean doc-to-centroid cosine per source
+# ---------------------------------------------------------------------------
+# How topically tight is a source?  cos(doc, centroid) over the global
+# top-100 vocab; the centroid's 1/n_s factor CANCELS in the cosine, so
+# every dot product is the exact BIGINT x . S against the source SUM
+# vector — no rational vectors materialize.  The per-source mean is a
+# <=|docs| double fold (e4 half-up, anova grid argument).
+
+
+def q_source_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir).select("doc_id", "source", "text")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("w"),
+    )
+    gcnt = toks.groupBy("w").agg(F.count(F.lit(1)).alias("gc"))
+    wv = Window.orderBy(F.desc("gc"), F.asc("w"))
+    vocab = (
+        gcnt.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") <= _SPC_TOP)
+        .select("w")
+    )
+    x = (
+        toks.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id", "source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    s = x.groupBy("source", "w").agg(F.sum("cnt").alias("sw"))
+    snorm = s.groupBy("source").agg(
+        F.sum(F.col("sw") * F.col("sw")).alias("s2")
+    )
+    dot = (
+        x.join(s, ["source", "w"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.col("cnt") * F.col("sw")).alias("xs"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("x2"),
+        )
+    )
+    j = dot.join(F.broadcast(snorm), "source")
+    cos = F.col("xs").cast("double") / F.sqrt(
+        F.col("x2").cast("double") * F.col("s2").cast("double")
+    )
+    agg = j.filter((F.col("x2") > 0) & (F.col("s2") > 0)).groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(cos).alias("csum")
+    )
+    coh = F.col("csum") / F.col("n_docs").cast("double")
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.floor(coh * 10_000 + F.lit(0.5)).cast("long").alias(
+            "coherence_e4"
+        ),
+    ).orderBy("source")
+
+
+SQL_COHERENCE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), gcnt AS (
+  SELECT w, count(*) AS gc FROM toks GROUP BY 1
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY gc DESC, w ASC) AS rk FROM gcnt
+  ) WHERE rk <= {_SPC_TOP}
+), x AS (
+  SELECT doc_id, source, toks.w, count(*) AS cnt
+  FROM toks JOIN vocab ON vocab.w = toks.w
+  GROUP BY 1, 2, 3
+), s AS (
+  SELECT source, w, CAST(sum(cnt) AS BIGINT) AS sw FROM x GROUP BY 1, 2
+), snorm AS (
+  SELECT source, CAST(sum(sw * sw) AS BIGINT) AS s2 FROM s GROUP BY 1
+), dot AS (
+  SELECT x.doc_id, x.source,
+         CAST(sum(x.cnt * s.sw) AS BIGINT) AS xs,
+         CAST(sum(x.cnt * x.cnt) AS BIGINT) AS x2
+  FROM x JOIN s ON s.source = x.source AND s.w = x.w
+  GROUP BY 1, 2
+), cosd AS (
+  SELECT dot.source,
+         CAST(xs AS DOUBLE) / sqrt(CAST(x2 AS DOUBLE) * snorm.s2) AS cos
+  FROM dot JOIN snorm ON snorm.source = dot.source
+  WHERE x2 > 0 AND snorm.s2 > 0
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(floor(sum(cos) / count(*) * 10000 + 0.5) AS BIGINT)
+         AS coherence_e4
+FROM cosd
+GROUP BY 1
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# qq_slope — quantile-quantile regression slope between language pairs
+# ---------------------------------------------------------------------------
+# Distributional shape comparison: regress lang B's deciles on lang
+# A's deciles (both EXACT inverse-CDF order statistics).  Slope ~ scale
+# ratio, r^2 ~ shape agreement; regr over 9 exact-integer points.
+
+
+def q_qq_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("lang", "doc_id", "n_chars")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    r = d.withColumn("rk", F.row_number().over(w)).withColumn(
+        "nn", F.count(F.lit(1)).over(wn)
+    )
+    qs = r.withColumn(
+        "dec", F.explode(F.array(*[F.lit(i) for i in range(1, 10)]))
+    )
+    hit = qs.filter(
+        F.col("rk") == F.expr("((nn - 1) * dec) div 10") + 1
+    ).select("lang", "dec", F.col("n_chars").alias("qv"))
+    a = hit.select(
+        F.col("lang").alias("la"), "dec", F.col("qv").alias("qa")
+    )
+    b = hit.select(
+        F.col("lang").alias("lb"), "dec", F.col("qv").alias("qb")
+    )
+    p = a.join(b, "dec").filter(F.col("la") < F.col("lb"))
+    agg = p.groupBy("la", "lb").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.floor(
+            F.expr("regr_slope(CAST(qb AS DOUBLE), CAST(qa AS DOUBLE))")
+            * 10_000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("slope_e4"),
+        F.floor(
+            F.expr("regr_r2(CAST(qb AS DOUBLE), CAST(qa AS DOUBLE))")
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("r2_e6"),
+    )
+    return agg.select(
+        "la", "lb", F.col("n_pts").cast("long").alias("n_pts"),
+        "slope_e4", "r2_e6",
+    ).orderBy("la", "lb")
+
+
+SQL_QQ = """
+WITH r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+           AS rk,
+         count(*) OVER (PARTITION BY lang) AS nn
+  FROM documents
+), hit AS (
+  SELECT lang, dec, n_chars AS qv
+  FROM r, (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) d(dec)
+  WHERE rk = ((nn - 1) * dec) // 10 + 1
+), p AS (
+  SELECT a.lang AS la, b.lang AS lb, a.qv AS qa, b.qv AS qb
+  FROM hit a JOIN hit b ON b.dec = a.dec AND a.lang < b.lang
+)
+SELECT la, lb, CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(floor(regr_slope(CAST(qb AS DOUBLE), CAST(qa AS DOUBLE))
+                  * 10000 + 0.5) AS BIGINT) AS slope_e4,
+       CAST(floor(regr_r2(CAST(qb AS DOUBLE), CAST(qa AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT) AS r2_e6
+FROM p
+GROUP BY 1, 2
+ORDER BY la, lb
+"""
+
+
+# ---------------------------------------------------------------------------
+# tail_coexceedance — upper-tail co-exceedance between event type pairs
+# ---------------------------------------------------------------------------
+# The empirical chi coefficient of EVT tail dependence (Coles 2001
+# §8.4): on common days, P(both types above their own p90) scaled by
+# the marginal tail probability.  Thresholds are exact per-type p90
+# order statistics; the pair table is the day-grid join; all counts
+# exact.
+
+
+def q_tail_coexceedance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("c", "day")
+    wn = Window.partitionBy("event_type")
+    r = daily.withColumn("rk", F.row_number().over(w)).withColumn(
+        "nn", F.count(F.lit(1)).over(wn)
+    )
+    p90 = r.filter(
+        F.col("rk") == F.expr("((nn - 1) * 90) div 100") + 1
+    ).select("event_type", F.col("c").alias("thr"))
+    lab = daily.join(F.broadcast(p90), "event_type").withColumn(
+        "exc", (F.col("c") > F.col("thr")).cast("long")
+    )
+    a = lab.alias("a")
+    b = lab.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("ta"),
+        F.col("b.event_type").alias("tb"),
+        F.col("a.exc").alias("xa"),
+        F.col("b.exc").alias("xb"),
+    )
+    agg = p.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xa").alias("na"),
+        F.sum("xb").alias("nb"),
+        F.sum(F.col("xa") * F.col("xb")).alias("nboth"),
+    )
+    chi = (
+        F.col("nboth").cast("double")
+        * F.col("n")
+        / (F.col("na").cast("double") * F.col("nb"))
+    )
+    return (
+        agg.filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "ta",
+            "tb",
+            F.col("n").cast("long").alias("n"),
+            F.col("na").cast("long").alias("na"),
+            F.col("nb").cast("long").alias("nb"),
+            F.col("nboth").cast("long").alias("nboth"),
+            F.floor(chi * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "chi_e4"
+            ),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
+SQL_TAIL_COEX = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY c, day) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS nn
+  FROM daily
+), p90 AS (
+  SELECT event_type, c AS thr FROM r WHERE rk = ((nn - 1) * 90) // 100 + 1
+), lab AS (
+  SELECT daily.event_type, daily.day,
+         CASE WHEN daily.c > p90.thr THEN 1 ELSE 0 END AS exc
+  FROM daily JOIN p90 ON p90.event_type = daily.event_type
+), p AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, a.exc AS xa, b.exc AS xb
+  FROM lab a JOIN lab b ON b.day = a.day AND a.event_type < b.event_type
+), agg AS (
+  SELECT ta, tb, count(*) AS n,
+         CAST(sum(xa) AS BIGINT) AS na, CAST(sum(xb) AS BIGINT) AS nb,
+         CAST(sum(xa * xb) AS BIGINT) AS nboth
+  FROM p GROUP BY 1, 2
+)
+SELECT ta, tb, CAST(n AS BIGINT) AS n, na, nb, nboth,
+       CAST(floor(CAST(nboth AS DOUBLE) * n
+                  / (CAST(na AS DOUBLE) * nb) * 10000 + {_OFF})
+            AS BIGINT) AS chi_e4
+FROM agg
+WHERE na > 0 AND nb > 0
+ORDER BY ta, tb
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mcnemar_labelers": q_mcnemar_labelers,
     "mean_excess": q_mean_excess,
@@ -3440,6 +3845,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_concentration": q_user_concentration,
     "nelson_aalen": q_nelson_aalen,
     "retention_curve": q_retention_curve,
+    "brier_decomposition": q_brier_decomposition,
+    "source_coherence": q_source_coherence,
+    "qq_slope": q_qq_slope,
+    "tail_coexceedance": q_tail_coexceedance,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3479,4 +3888,8 @@ ORACLE_SQL: dict[str, str] = {
     "user_concentration": SQL_USER_CONC,
     "nelson_aalen": SQL_NELSON_AALEN,
     "retention_curve": SQL_RETENTION_CURVE,
+    "brier_decomposition": SQL_BRIER,
+    "source_coherence": SQL_COHERENCE,
+    "qq_slope": SQL_QQ,
+    "tail_coexceedance": SQL_TAIL_COEX,
 }

@@ -11,6 +11,10 @@ import numpy as np
 from diive_spark.queries_stats2 import _OFF
 from diive_spark.queries_stats5 import (
     q_arch_lm,
+    q_brier_decomposition,
+    q_qq_slope,
+    q_source_coherence,
+    q_tail_coexceedance,
     q_lognormal_fit,
     q_nelson_aalen,
     q_retention_curve,
@@ -1055,3 +1059,130 @@ def test_retention_curve_matches_counter(spark):
         row = out[k]
         assert (row["nk"], row["n0"]) == (nk, n0)
         assert row["r_e6"] == math.floor(nk / n0 * 1_000_000 + _OFF)
+
+
+def test_brier_decomposition_matches_loop(spark):
+    out = {
+        r["event_type"]: r
+        for r in q_brier_decomposition(spark, SF).collect()
+    }
+    daily = _daily_counts(spark)
+    per = defaultdict(dict)
+    for (et, day), c in daily.items():
+        per[et][day] = c
+    for et, dd in per.items():
+        days = sorted(dd)
+        cs = [dd[d] for d in days]
+        med = sorted(cs)[(len(cs) - 1) // 2]
+        n = len(days)
+        obs = {d: int(dd[d] > med) for d in days}
+        obar = sum(obs.values()) / n
+        bins = defaultdict(list)
+        for d in days:
+            bins[(d + 3) % 7].append(obs[d])
+        res = sum(
+            len(v) * (sum(v) / len(v) - obar) ** 2 for v in bins.values()
+        ) / n
+        unc = obar * (1 - obar)
+        # reliability is 0 by construction (forecast = bin mean), so
+        # Brier = unc - res; verify against the direct mean squared error
+        brier_direct = sum(
+            (sum(v) / len(v) - o) ** 2 for v in bins.values() for o in v
+        ) / n
+        assert abs((unc - res) - brier_direct) < 1e-12
+        row = out[et]
+        assert row["n"] == n
+        assert row["n_above"] == sum(obs.values())
+        assert abs(row["resolution_e6"] - math.floor(res * 1e6 + _OFF)) <= 1
+        assert abs(row["uncertainty_e6"] - math.floor(unc * 1e6 + _OFF)) <= 1
+        assert abs(row["brier_e6"] - math.floor((unc - res) * 1e6 + _OFF)) <= 1
+
+
+def test_source_coherence_matches_counter(spark):
+    out = {r["source"]: r for r in q_source_coherence(spark, SF).collect()}
+    docs = _docs(spark)
+    gc = Counter(w for t in docs["text"] for w in t.strip().split())
+    vocab = set(
+        w for w, _ in sorted(gc.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    )
+    for src, grp in docs.groupby("source"):
+        xs = []
+        for t in grp["text"]:
+            cnt = Counter(w for w in t.strip().split() if w in vocab)
+            if cnt:
+                xs.append(cnt)
+        svec = Counter()
+        for x in xs:
+            svec.update(x)
+        s2 = sum(v * v for v in svec.values())
+        cos_sum = 0.0
+        n_docs = 0
+        for x in xs:
+            x2 = sum(v * v for v in x.values())
+            dot = sum(v * svec[w] for w, v in x.items())
+            if x2 > 0 and s2 > 0:
+                cos_sum += dot / math.sqrt(x2 * s2)
+                n_docs += 1
+        row = out[src]
+        assert row["n_docs"] == n_docs
+        assert (
+            abs(row["coherence_e4"] - math.floor(cos_sum / n_docs * 1e4 + 0.5))
+            <= 1
+        )
+
+
+def test_qq_slope_matches_numpy(spark):
+    out = {(r["la"], r["lb"]): r for r in q_qq_slope(spark, SF).collect()}
+    docs = _docs(spark)
+    decs = {}
+    for lang, grp in docs.groupby("lang"):
+        xs = sorted(grp["n_chars"].astype(int))
+        n = len(xs)
+        decs[lang] = [xs[((n - 1) * i) // 10] for i in range(1, 10)]
+    langs = sorted(decs)
+    for i, la in enumerate(langs):
+        for lb in langs[i + 1 :]:
+            qa, qb = np.array(decs[la], float), np.array(decs[lb], float)
+            slope = np.polyfit(qa, qb, 1)[0]
+            r2 = float(np.corrcoef(qa, qb)[0, 1] ** 2)
+            row = out[(la, lb)]
+            assert row["n_pts"] == 9
+            assert abs(row["slope_e4"] - math.floor(slope * 1e4 + 0.5)) <= 1
+            assert abs(row["r2_e6"] - math.floor(r2 * 1e6 + 0.5)) <= 2
+
+
+def test_tail_coexceedance_matches_loop(spark):
+    out = {
+        (r["ta"], r["tb"]): r
+        for r in q_tail_coexceedance(spark, SF).collect()
+    }
+    daily = _daily_counts(spark)
+    per = defaultdict(dict)
+    for (et, day), c in daily.items():
+        per[et][day] = c
+    thr = {}
+    for et, dd in per.items():
+        days = sorted(dd)
+        cs = sorted(dd[d] for d in days)
+        thr[et] = cs[((len(cs) - 1) * 90) // 100]
+    types = sorted(per)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            common = sorted(set(per[ta]) & set(per[tb]))
+            n = len(common)
+            xa = [int(per[ta][d] > thr[ta]) for d in common]
+            xb = [int(per[tb][d] > thr[tb]) for d in common]
+            na, nb = sum(xa), sum(xb)
+            nboth = sum(a * b for a, b in zip(xa, xb))
+            if na == 0 or nb == 0:
+                assert (ta, tb) not in out
+                continue
+            chi = nboth * n / (na * nb)
+            row = out[(ta, tb)]
+            assert (row["n"], row["na"], row["nb"], row["nboth"]) == (
+                n,
+                na,
+                nb,
+                nboth,
+            )
+            assert row["chi_e4"] == math.floor(chi * 10_000 + _OFF)
