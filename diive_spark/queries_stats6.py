@@ -346,11 +346,422 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# transfer_entropy — lag-1 binary transfer entropy between type pairs
+# ---------------------------------------------------------------------------
+# Schreiber (PRL 2000) on above-median day states: TE(B->A) =
+# sum p(a', a, b) * ln[ p(a'|a,b) / p(a'|a) ] over the 8 joint cells —
+# every probability an exact integer ratio off the day-grid join, the
+# ln arguments exact rationals (c_aab * c_a) / (c_ab * c_aa'); asym-
+# metric, both directions emitted.
+
+
+def q_transfer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("c", "day")
+    wn = Window.partitionBy("event_type")
+    r = daily.withColumn("rk", F.row_number().over(w)).withColumn(
+        "nn", F.count(F.lit(1)).over(wn)
+    )
+    med = r.filter(
+        F.col("rk") == F.floor((F.col("nn") - 1) / 2) + 1
+    ).select("event_type", F.col("c").alias("med"))
+    st = daily.join(F.broadcast(med), "event_type").select(
+        "event_type", "day", (F.col("c") > F.col("med")).cast("long").alias("s")
+    )
+    a = st.alias("a")
+    b = st.alias("b")
+    an = st.select(
+        F.col("event_type").alias("ta"),
+        (F.col("day") - 1).alias("day"),
+        F.col("s").alias("a_nxt"),
+    ).alias("an")
+    trip = (
+        a.join(
+            b,
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") != F.col("b.event_type")),
+        )
+        .join(
+            an,
+            (F.col("an.ta") == F.col("a.event_type"))
+            & (F.col("an.day") == F.col("a.day")),
+        )
+        .select(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+            F.col("a.s").alias("sa"),
+            F.col("b.s").alias("sb"),
+            F.col("a_nxt").alias("sn"),
+        )
+    )
+    cells = trip.groupBy("ta", "tb", "sa", "sb", "sn").agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    wp = Window.partitionBy("ta", "tb")
+    t = (
+        cells.withColumn("n", F.sum("c3").over(wp))
+        .withColumn(
+            "c_ab", F.sum("c3").over(Window.partitionBy("ta", "tb", "sa", "sb"))
+        )
+        .withColumn(
+            "c_a", F.sum("c3").over(Window.partitionBy("ta", "tb", "sa"))
+        )
+        .withColumn(
+            "c_an", F.sum("c3").over(Window.partitionBy("ta", "tb", "sa", "sn"))
+        )
+    )
+    term = (
+        F.col("c3").cast("double")
+        / F.col("n")
+        * F.log(
+            F.col("c3").cast("double")
+            * F.col("c_a")
+            / (F.col("c_ab").cast("double") * F.col("c_an"))
+        )
+    )
+    agg = t.groupBy("ta", "tb").agg(
+        F.max("n").alias("n"), F.sum(term).alias("te")
+    )
+    return (
+        agg.filter(F.col("n") >= 10)
+        .select(
+            "ta",
+            "tb",
+            F.col("n").cast("long").alias("n"),
+            F.floor(F.col("te") * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("te_e6"),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
+SQL_TRANSFER_ENTROPY = """
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY c, day) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS nn
+  FROM daily
+), med AS (
+  SELECT event_type, c AS med FROM r WHERE rk = (nn - 1) // 2 + 1
+), st AS (
+  SELECT daily.event_type, daily.day,
+         CASE WHEN daily.c > med.med THEN 1 ELSE 0 END AS s
+  FROM daily JOIN med ON med.event_type = daily.event_type
+), trip AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         a.s AS sa, b.s AS sb, an.s AS sn
+  FROM st a
+  JOIN st b ON b.day = a.day AND b.event_type <> a.event_type
+  JOIN st an ON an.event_type = a.event_type AND an.day = a.day + 1
+), cells AS (
+  SELECT ta, tb, sa, sb, sn, count(*) AS c3
+  FROM trip GROUP BY 1, 2, 3, 4, 5
+), t AS (
+  SELECT ta, tb, c3,
+         sum(c3) OVER (PARTITION BY ta, tb) AS n,
+         sum(c3) OVER (PARTITION BY ta, tb, sa, sb) AS c_ab,
+         sum(c3) OVER (PARTITION BY ta, tb, sa) AS c_a,
+         sum(c3) OVER (PARTITION BY ta, tb, sa, sn) AS c_an
+  FROM cells
+)
+SELECT ta, tb, CAST(max(n) AS BIGINT) AS n,
+       CAST(floor(sum(CAST(c3 AS DOUBLE) / n
+                      * ln(CAST(c3 AS DOUBLE) * c_a
+                           / (CAST(c_ab AS DOUBLE) * c_an)))
+                  * 1000000 + 0.5) AS BIGINT) AS te_e6
+FROM t
+GROUP BY 1, 2
+HAVING max(n) >= 10
+ORDER BY ta, tb
+"""
+
+
+# ---------------------------------------------------------------------------
+# rate_ratio — weekday/weekend Poisson rate ratio with log-normal CI
+# ---------------------------------------------------------------------------
+# The epidemiology standard (Rothman): RR = (s1/n1)/(s2/n2), 95% CI
+# exp(ln RR +- 1.96*sqrt(1/s1 + 1/s2)) — all inputs exact integers,
+# one expression, z literal identical on both engines.
+
+
+def q_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    lab = daily.withColumn(
+        "wkend", (((F.col("day") + 3) % 7) >= 5).cast("long")
+    )
+    g = lab.groupBy("event_type", "wkend").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
+    )
+    a = g.filter(F.col("wkend") == 0).select(
+        "event_type", F.col("n").alias("n1"), F.col("s").alias("s1")
+    )
+    b = g.filter(F.col("wkend") == 1).select(
+        "event_type", F.col("n").alias("n2"), F.col("s").alias("s2")
+    )
+    j = a.join(b, "event_type")
+    rr = (
+        F.col("s1").cast("double") / F.col("n1")
+    ) / (F.col("s2").cast("double") / F.col("n2"))
+    se = F.sqrt(
+        1.0 / F.col("s1").cast("double") + 1.0 / F.col("s2").cast("double")
+    )
+    lo = F.exp(F.log(rr) - 1.96 * se)
+    hi = F.exp(F.log(rr) + 1.96 * se)
+    return (
+        j.filter((F.col("s1") > 0) & (F.col("s2") > 0))
+        .select(
+            "event_type",
+            F.col("s1").cast("long").alias("s1"),
+            F.col("s2").cast("long").alias("s2"),
+            F.floor(rr * 10_000 + F.lit(_OFF)).cast("long").alias("rr_e4"),
+            F.floor(lo * 10_000 + F.lit(0.5)).cast("long").alias("lo_e4"),
+            F.floor(hi * 10_000 + F.lit(0.5)).cast("long").alias("hi_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_RATE_RATIO = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), lab AS (
+  SELECT event_type, c,
+         CASE WHEN (day + 3) % 7 >= 5 THEN 1 ELSE 0 END AS wkend
+  FROM daily
+), g AS (
+  SELECT event_type, wkend, count(*) AS n, CAST(sum(c) AS BIGINT) AS s
+  FROM lab GROUP BY 1, 2
+), j AS (
+  SELECT a.event_type, a.n AS n1, a.s AS s1, b.n AS n2, b.s AS s2
+  FROM g a JOIN g b ON b.event_type = a.event_type
+  WHERE a.wkend = 0 AND b.wkend = 1
+), t AS (
+  SELECT event_type, s1, s2,
+         (CAST(s1 AS DOUBLE) / n1) / (CAST(s2 AS DOUBLE) / n2) AS rr,
+         sqrt(1.0 / s1 + 1.0 / s2) AS se
+  FROM j WHERE s1 > 0 AND s2 > 0
+)
+SELECT event_type, s1, s2,
+       CAST(floor(rr * 10000 + {_OFF}) AS BIGINT) AS rr_e4,
+       CAST(floor(exp(ln(rr) - 1.96 * se) * 10000 + 0.5) AS BIGINT)
+         AS lo_e4,
+       CAST(floor(exp(ln(rr) + 1.96 * se) * 10000 + 0.5) AS BIGINT)
+         AS hi_e4
+FROM t
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# uniqueness_risk — k-anonymity of the (favorite type, favorite block)
+# ---------------------------------------------------------------------------
+# Privacy-risk screening (Sweeney 2002): treat each user's (most-
+# frequent event type, most-frequent 6h diel block) as a quasi-
+# identifier; report the k-anonymity histogram — share of users in
+# equivalence classes of size 1 (unique!), 2-5, and >5.  Favorites are
+# deterministic (count desc, value asc); everything exact.
+
+
+def q_uniqueness_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        (F.hour(F.col("ts").cast("timestamp")) / 6).cast("long").alias("blk"),
+    )
+    ft = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wt = Window.partitionBy("user_id").orderBy(
+        F.desc("c"), F.asc("event_type")
+    )
+    fav_t = ft.withColumn("rk", F.row_number().over(wt)).filter(
+        F.col("rk") == 1
+    ).select("user_id", F.col("event_type").alias("fav_type"))
+    fb = ev.groupBy("user_id", "blk").agg(F.count(F.lit(1)).alias("c"))
+    wb = Window.partitionBy("user_id").orderBy(F.desc("c"), F.asc("blk"))
+    fav_b = fb.withColumn("rk", F.row_number().over(wb)).filter(
+        F.col("rk") == 1
+    ).select("user_id", F.col("blk").alias("fav_blk"))
+    qi = fav_t.join(fav_b, "user_id")
+    cls = qi.groupBy("fav_type", "fav_blk").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    agg = cls.groupBy().agg(
+        F.sum("k").alias("n_users"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("k") == 1, 1).otherwise(0)).alias("n_unique"),
+        F.sum(
+            F.when((F.col("k") >= 2) & (F.col("k") <= 5), F.col("k")).otherwise(
+                0
+            )
+        ).alias("u_2_5"),
+        F.sum(F.when(F.col("k") > 5, F.col("k")).otherwise(0)).alias("u_gt5"),
+    )
+    risk = F.col("n_unique").cast("double") / F.col("n_users").cast("double")
+    return agg.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_classes").cast("long").alias("n_classes"),
+        F.col("n_unique").cast("long").alias("n_unique"),
+        F.col("u_2_5").cast("long").alias("u_2_5"),
+        F.col("u_gt5").cast("long").alias("u_gt5"),
+        F.floor(risk * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "risk_e6"
+        ),
+    )
+
+
+SQL_UNIQUENESS = f"""
+WITH ev AS (
+  SELECT user_id, event_type, hour(ts) // 6 AS blk FROM events
+), ft AS (
+  SELECT user_id, event_type, count(*) AS c FROM ev GROUP BY 1, 2
+), fav_t AS (
+  SELECT user_id, event_type AS fav_type FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY c DESC, event_type ASC) AS rk
+    FROM ft
+  ) WHERE rk = 1
+), fb AS (
+  SELECT user_id, blk, count(*) AS c FROM ev GROUP BY 1, 2
+), fav_b AS (
+  SELECT user_id, blk AS fav_blk FROM (
+    SELECT user_id, blk,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY c DESC, blk ASC) AS rk
+    FROM fb
+  ) WHERE rk = 1
+), cls AS (
+  SELECT fav_type, fav_blk, count(*) AS k
+  FROM fav_t JOIN fav_b USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT CAST(sum(k) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(sum(CASE WHEN k BETWEEN 2 AND 5 THEN k ELSE 0 END) AS BIGINT)
+         AS u_2_5,
+       CAST(sum(CASE WHEN k > 5 THEN k ELSE 0 END) AS BIGINT) AS u_gt5,
+       CAST(floor(CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / sum(k) * 1000000 + {_OFF}) AS BIGINT) AS risk_e6
+FROM cls
+"""
+
+
+# ---------------------------------------------------------------------------
+# load_profile — peak/mean hourly load structure per event type
+# ---------------------------------------------------------------------------
+# The capacity-planning readout: hourly event counts per type; peak
+# hour (earliest argmax), peak count, mean hourly count over the
+# OBSERVED span (distinct hours), and load factor = mean/peak — all
+# exact integers plus one division.
+
+
+def q_load_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+            )
+        )
+        .cast("long")
+        .alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wn = Window.partitionBy("event_type")
+    t = (
+        hourly.withColumn("mx", F.max("c").over(wn))
+        .withColumn("nh", F.count(F.lit(1)).over(wn))
+        .withColumn("tot", F.sum("c").over(wn))
+    )
+    top = (
+        t.filter(F.col("c") == F.col("mx"))
+        .groupBy("event_type")
+        .agg(
+            F.min("hr").alias("peak_hr"),
+            F.max("mx").alias("peak"),
+            F.max("nh").alias("n_hours"),
+            F.max("tot").alias("tot"),
+        )
+    )
+    lf = F.col("tot").cast("double") / (
+        F.col("n_hours").cast("double") * F.col("peak").cast("double")
+    )
+    return top.select(
+        "event_type",
+        F.col("n_hours").cast("long").alias("n_hours"),
+        F.col("peak_hr").cast("long").alias("peak_hr"),
+        F.col("peak").cast("long").alias("peak"),
+        F.col("tot").cast("long").alias("tot"),
+        F.floor(lf * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "load_factor_e6"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_LOAD_PROFILE = f"""
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, hr, c,
+         max(c) OVER (PARTITION BY event_type) AS mx,
+         count(*) OVER (PARTITION BY event_type) AS nh,
+         sum(c) OVER (PARTITION BY event_type) AS tot
+  FROM hourly
+), top AS (
+  SELECT event_type, min(hr) AS peak_hr, CAST(max(mx) AS BIGINT) AS peak,
+         CAST(max(nh) AS BIGINT) AS n_hours,
+         CAST(max(tot) AS BIGINT) AS tot
+  FROM t WHERE c = mx GROUP BY 1
+)
+SELECT event_type, n_hours, CAST(peak_hr AS BIGINT) AS peak_hr, peak, tot,
+       CAST(floor(CAST(tot AS DOUBLE) / (CAST(n_hours AS DOUBLE) * peak)
+                  * 1000000 + {_OFF}) AS BIGINT) AS load_factor_e6
+FROM top
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cusum_squares": q_cusum_squares,
     "bartels_rvn": q_bartels_rvn,
     "good_toulmin": q_good_toulmin,
     "hill_numbers": q_hill_numbers,
+    "transfer_entropy": q_transfer_entropy,
+    "rate_ratio": q_rate_ratio,
+    "uniqueness_risk": q_uniqueness_risk,
+    "load_profile": q_load_profile,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -358,4 +769,8 @@ ORACLE_SQL: dict[str, str] = {
     "bartels_rvn": SQL_BARTELS,
     "good_toulmin": SQL_GOOD_TOULMIN,
     "hill_numbers": SQL_HILL_NUMBERS,
+    "transfer_entropy": SQL_TRANSFER_ENTROPY,
+    "rate_ratio": SQL_RATE_RATIO,
+    "uniqueness_risk": SQL_UNIQUENESS,
+    "load_profile": SQL_LOAD_PROFILE,
 }

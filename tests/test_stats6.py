@@ -13,6 +13,10 @@ from diive_spark.queries_stats6 import (
     _GT_K,
     q_bartels_rvn,
     q_cusum_squares,
+    q_load_profile,
+    q_rate_ratio,
+    q_transfer_entropy,
+    q_uniqueness_risk,
     q_good_toulmin,
     q_hill_numbers,
 )
@@ -133,3 +137,108 @@ def test_hill_numbers_matches_counter(spark):
         assert abs(row["d2_e2"] - math.floor(d2 * 100 + 0.5)) <= 1
         # Hill ordering: D0 >= D1 >= D2
         assert row["d0"] * 100 >= row["d1_e2"] >= row["d2_e2"]
+
+
+def test_transfer_entropy_matches_loop(spark):
+    out = {(r["ta"], r["tb"]): r for r in q_transfer_entropy(spark, SF).collect()}
+    daily = _daily_counts(spark)
+    per = defaultdict(dict)
+    for (et, day), c in daily.items():
+        per[et][day] = c
+    med = {}
+    for et, dd in per.items():
+        cs = sorted(dd.values())
+        med[et] = cs[(len(cs) - 1) // 2]
+    st = {et: {d: int(c > med[et]) for d, c in dd.items()} for et, dd in per.items()}
+    types = sorted(st)
+    for ta in types:
+        for tb in types:
+            if ta == tb:
+                continue
+            trips = Counter()
+            for d in st[ta]:
+                if d in st[tb] and d + 1 in st[ta]:
+                    trips[(st[ta][d], st[tb][d], st[ta][d + 1])] += 1
+            n = sum(trips.values())
+            if n < 10:
+                assert (ta, tb) not in out
+                continue
+            c_ab = Counter()
+            c_a = Counter()
+            c_an = Counter()
+            for (sa, sb, sn), c in trips.items():
+                c_ab[(sa, sb)] += c
+                c_a[sa] += c
+                c_an[(sa, sn)] += c
+            te = sum(
+                c / n * math.log(c * c_a[sa] / (c_ab[(sa, sb)] * c_an[(sa, sn)]))
+                for (sa, sb, sn), c in trips.items()
+            )
+            row = out[(ta, tb)]
+            assert row["n"] == n
+            assert abs(row["te_e6"] - math.floor(te * 1e6 + 0.5)) <= 2
+            assert row["te_e6"] >= -2  # TE >= 0 up to quantization
+
+
+def test_rate_ratio_matches_formula(spark):
+    out = {r["event_type"]: r for r in q_rate_ratio(spark, SF).collect()}
+    daily = _daily_counts(spark)
+    per = defaultdict(lambda: ([], []))
+    for (et, day), c in daily.items():
+        per[et][1 if (day + 3) % 7 >= 5 else 0].append(c)
+    for et, (wd, we) in per.items():
+        if not wd or not we or sum(wd) == 0 or sum(we) == 0:
+            assert et not in out
+            continue
+        s1, s2 = sum(wd), sum(we)
+        rr = (s1 / len(wd)) / (s2 / len(we))
+        se = math.sqrt(1 / s1 + 1 / s2)
+        row = out[et]
+        assert (row["s1"], row["s2"]) == (s1, s2)
+        assert row["rr_e4"] == math.floor(rr * 10_000 + _OFF)
+        assert abs(row["lo_e4"] - math.floor(math.exp(math.log(rr) - 1.96 * se) * 1e4 + 0.5)) <= 1
+        assert abs(row["hi_e4"] - math.floor(math.exp(math.log(rr) + 1.96 * se) * 1e4 + 0.5)) <= 1
+        assert row["lo_e4"] <= row["rr_e4"] <= row["hi_e4"]
+
+
+def test_uniqueness_risk_matches_counter(spark):
+    row = q_uniqueness_risk(spark, SF).collect()[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["blk"] = ev["ts"].dt.hour // 6
+    fav_t = {}
+    fav_b = {}
+    for uid, grp in ev.groupby("user_id"):
+        ct = Counter(grp["event_type"])
+        fav_t[uid] = sorted(ct.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        cb = Counter(grp["blk"])
+        fav_b[uid] = sorted(cb.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    cls = Counter((fav_t[u], fav_b[u]) for u in fav_t)
+    n_users = sum(cls.values())
+    n_unique = sum(1 for k in cls.values() if k == 1)
+    assert row["n_users"] == n_users
+    assert row["n_classes"] == len(cls)
+    assert row["n_unique"] == n_unique
+    assert row["u_2_5"] == sum(k for k in cls.values() if 2 <= k <= 5)
+    assert row["u_gt5"] == sum(k for k in cls.values() if k > 5)
+    assert row["risk_e6"] == math.floor(n_unique / n_users * 1e6 + _OFF)
+
+
+def test_load_profile_matches_counter(spark):
+    out = {r["event_type"]: r for r in q_load_profile(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["hr"] = ev["ts"].astype("int64") // 1_000_000_000 // 3600
+    for et, grp in ev.groupby("event_type"):
+        cnt = Counter(grp["hr"])
+        peak = max(cnt.values())
+        peak_hr = min(h for h, c in cnt.items() if c == peak)
+        tot = sum(cnt.values())
+        nh = len(cnt)
+        lf = tot / (nh * peak)
+        row = out[et]
+        assert (row["n_hours"], row["peak_hr"], row["peak"], row["tot"]) == (
+            nh,
+            peak_hr,
+            peak,
+            tot,
+        )
+        assert row["load_factor_e6"] == math.floor(lf * 1e6 + _OFF)
