@@ -753,6 +753,294 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# boilerplate_prefixes — shared 5-token prefix clusters per source
+# ---------------------------------------------------------------------------
+# Template/boilerplate detection: docs that open with the SAME 5
+# tokens form a prefix cluster; report per source the cluster count
+# (size >= 2), the largest cluster, and the share of docs sitting in
+# boilerplate clusters — the removal-candidate mass.  Exact integers;
+# the prefix key is one slice, no self-join (hash-group on the prefix).
+
+
+def q_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select(
+        "source", F.split(F.trim("text"), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= 5)
+    pre = d.select(
+        "source",
+        F.concat_ws(" ", F.slice("toks", 1, 5)).alias("prefix"),
+    )
+    cl = pre.groupBy("source", "prefix").agg(F.count(F.lit(1)).alias("sz"))
+    agg = cl.groupBy("source").agg(
+        F.sum("sz").alias("n_docs"),
+        F.sum((F.col("sz") >= 2).cast("long")).alias("n_clusters"),
+        F.max("sz").alias("max_cluster"),
+        F.sum(F.when(F.col("sz") >= 2, F.col("sz")).otherwise(0)).alias(
+            "n_boiler"
+        ),
+    )
+    share = F.col("n_boiler").cast("double") / F.col("n_docs").cast("double")
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        F.col("max_cluster").cast("long").alias("max_cluster"),
+        F.col("n_boiler").cast("long").alias("n_boiler"),
+        F.floor(share * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "boiler_share_e6"
+        ),
+    ).orderBy("source")
+
+
+SQL_BOILERPLATE = f"""
+WITH d AS (
+  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), pre AS (
+  SELECT source,
+         array_to_string(toks[1:5], ' ') AS prefix
+  FROM d WHERE len(toks) >= 5
+), cl AS (
+  SELECT source, prefix, count(*) AS sz FROM pre GROUP BY 1, 2
+), agg AS (
+  SELECT source, CAST(sum(sz) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clusters,
+         CAST(max(sz) AS BIGINT) AS max_cluster,
+         CAST(sum(CASE WHEN sz >= 2 THEN sz ELSE 0 END) AS BIGINT)
+           AS n_boiler
+  FROM cl GROUP BY 1
+)
+SELECT source, n_docs, n_clusters, max_cluster, n_boiler,
+       CAST(floor(CAST(n_boiler AS DOUBLE) / n_docs * 1000000 + {_OFF})
+            AS BIGINT) AS boiler_share_e6
+FROM agg
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# mad_outlier_rate — MAD-z length outlier rate per language
+# ---------------------------------------------------------------------------
+# The robust outlier screen as an EXACT INTEGER INEQUALITY: flag docs
+# with |x - med| * 10000 > 44478 * MAD (3 * 1.4826 = 4.4478 — the
+# normal-consistency factor as the same scaled-integer literal on both
+# engines), so the flag — and therefore the rate — is exact.
+
+
+def q_mad_outlier_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("lang", "doc_id", "n_chars")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    r = d.withColumn("rk", F.row_number().over(w)).withColumn(
+        "nn", F.count(F.lit(1)).over(wn)
+    )
+    med = r.filter(
+        F.col("rk") == F.floor((F.col("nn") - 1) / 2) + 1
+    ).select("lang", F.col("n_chars").alias("med"))
+    dev = d.join(F.broadcast(med), "lang").withColumn(
+        "ad", F.abs(F.col("n_chars") - F.col("med"))
+    )
+    wad = Window.partitionBy("lang").orderBy("ad", "doc_id")
+    rad = dev.withColumn("rk", F.row_number().over(wad)).withColumn(
+        "nn", F.count(F.lit(1)).over(wn)
+    )
+    mad = rad.filter(
+        F.col("rk") == F.floor((F.col("nn") - 1) / 2) + 1
+    ).select("lang", F.col("ad").alias("mad"))
+    lab = dev.join(F.broadcast(mad), "lang").withColumn(
+        "out", (F.col("ad") * 10_000 > 44_478 * F.col("mad")).cast("long")
+    )
+    agg = lab.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("med").alias("med"),
+        F.max("mad").alias("mad"),
+        F.sum("out").alias("n_out"),
+    )
+    rate = F.col("n_out").cast("double") / F.col("n").cast("double")
+    return agg.filter(F.col("mad") > 0).select(
+        "lang",
+        F.col("n").cast("long").alias("n"),
+        F.col("med").cast("long").alias("med"),
+        F.col("mad").cast("long").alias("mad"),
+        F.col("n_out").cast("long").alias("n_out"),
+        F.floor(rate * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "rate_e6"
+        ),
+    ).orderBy("lang")
+
+
+SQL_MAD_OUTLIER = f"""
+WITH r AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+           AS rk,
+         count(*) OVER (PARTITION BY lang) AS nn
+  FROM documents
+), med AS (
+  SELECT lang, n_chars AS med FROM r WHERE rk = (nn - 1) // 2 + 1
+), dev AS (
+  SELECT d.lang, d.doc_id, abs(d.n_chars - med.med) AS ad, med.med
+  FROM documents d JOIN med ON med.lang = d.lang
+), rad AS (
+  SELECT lang, ad,
+         row_number() OVER (PARTITION BY lang ORDER BY ad, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS nn
+  FROM dev
+), mad AS (
+  SELECT lang, ad AS mad FROM rad WHERE rk = (nn - 1) // 2 + 1
+), lab AS (
+  SELECT dev.lang, dev.med, mad.mad,
+         CASE WHEN dev.ad * 10000 > 44478 * mad.mad THEN 1 ELSE 0 END
+           AS o
+  FROM dev JOIN mad ON mad.lang = dev.lang
+), agg AS (
+  SELECT lang, count(*) AS n, max(med) AS med, max(mad) AS mad,
+         CAST(sum(o) AS BIGINT) AS n_out
+  FROM lab GROUP BY 1
+)
+SELECT lang, CAST(n AS BIGINT) AS n, CAST(med AS BIGINT) AS med,
+       CAST(mad AS BIGINT) AS mad, n_out,
+       CAST(floor(CAST(n_out AS DOUBLE) / n * 1000000 + {_OFF}) AS BIGINT)
+         AS rate_e6
+FROM agg
+WHERE mad > 0
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# charset_coverage — distinct-character inventory per language
+# ---------------------------------------------------------------------------
+# Alphabet forensics: distinct characters used, how many are ASCII
+# printable (0x20-0x7E), and the share of the 95-char printable set
+# covered — exact distinct counts off one char explode.
+
+
+def q_charset_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = _documents(spark, sf_dir).select(
+        "lang", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    dist = ch.groupBy("lang", "ch").agg(F.count(F.lit(1)).alias("c"))
+    is_print = (F.ascii("ch") >= 32) & (F.ascii("ch") <= 126)
+    agg = dist.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(is_print.cast("long")).alias("n_printable"),
+        F.sum(F.when(is_print, F.lit(0)).otherwise(F.col("c"))).alias(
+            "nonprint_mass"
+        ),
+    )
+    cov = F.col("n_printable").cast("double") / 95.0
+    return agg.select(
+        "lang",
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("n_printable").cast("long").alias("n_printable"),
+        F.col("nonprint_mass").cast("long").alias("nonprint_mass"),
+        F.floor(cov * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "printable_cov_e6"
+        ),
+    ).orderBy("lang")
+
+
+SQL_CHARSET = f"""
+WITH ch AS (
+  SELECT lang, unnest(string_split_regex(text, '')) AS ch FROM documents
+), dist AS (
+  SELECT lang, ch, count(*) AS c FROM ch WHERE ch <> '' GROUP BY 1, 2
+), agg AS (
+  SELECT lang, count(*) AS n_distinct,
+         CAST(sum(CASE WHEN ascii(ch) BETWEEN 32 AND 126 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_printable,
+         CAST(sum(CASE WHEN ascii(ch) BETWEEN 32 AND 126 THEN 0 ELSE c END)
+              AS BIGINT) AS nonprint_mass
+  FROM dist GROUP BY 1
+)
+SELECT lang, CAST(n_distinct AS BIGINT) AS n_distinct, n_printable,
+       nonprint_mass,
+       CAST(floor(CAST(n_printable AS DOUBLE) / 95.0 * 1000000 + {_OFF})
+            AS BIGINT) AS printable_cov_e6
+FROM agg
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# core_vocab_coverage — token-mass coverage of the global top-1000 vocab
+# ---------------------------------------------------------------------------
+# Tokenizer design readout: what share of each language's token MASS
+# does a shared 1000-term core vocabulary capture (count-desc/term-asc
+# exact top-k via the TakeOrderedAndProject rewrite, §52)?  Exact
+# integer masses; low coverage = the language needs its own vocab.
+
+_CORE_K = 1000
+
+
+def q_core_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _documents(spark, sf_dir).select(
+        "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    gcnt = toks.groupBy("w").agg(F.count(F.lit(1)).alias("gc"))
+    wv = Window.orderBy(F.desc("gc"), F.asc("w"))
+    vocab = (
+        gcnt.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") <= _CORE_K)
+        .select("w")
+    )
+    per = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    cov = per.join(F.broadcast(vocab), "w", "left_semi").groupBy("lang").agg(
+        F.sum("c").alias("core_mass"), F.count(F.lit(1)).alias("core_types")
+    )
+    tot = per.groupBy("lang").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    j = tot.join(cov, "lang", "left").fillna(
+        0, subset=["core_mass", "core_types"]
+    )
+    share = F.col("core_mass").cast("double") / F.col("n").cast("double")
+    return j.select(
+        "lang",
+        F.col("n").cast("long").alias("n"),
+        F.col("v").cast("long").alias("v"),
+        F.col("core_types").cast("long").alias("core_types"),
+        F.col("core_mass").cast("long").alias("core_mass"),
+        F.floor(share * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "coverage_e6"
+        ),
+    ).orderBy("lang")
+
+
+SQL_CORE_VOCAB = f"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), gcnt AS (
+  SELECT w, count(*) AS gc FROM toks GROUP BY 1
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY gc DESC, w ASC) AS rk FROM gcnt
+  ) WHERE rk <= {_CORE_K}
+), per AS (
+  SELECT lang, w, count(*) AS c FROM toks GROUP BY 1, 2
+), cov AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS core_mass,
+         count(*) AS core_types
+  FROM per WHERE w IN (SELECT w FROM vocab)
+  GROUP BY 1
+), tot AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS n, count(*) AS v
+  FROM per GROUP BY 1
+)
+SELECT tot.lang, n, CAST(v AS BIGINT) AS v,
+       CAST(coalesce(core_types, 0) AS BIGINT) AS core_types,
+       coalesce(core_mass, 0) AS core_mass,
+       CAST(floor(CAST(coalesce(core_mass, 0) AS DOUBLE) / n * 1000000
+                  + {_OFF}) AS BIGINT) AS coverage_e6
+FROM tot LEFT JOIN cov ON cov.lang = tot.lang
+ORDER BY tot.lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cusum_squares": q_cusum_squares,
     "bartels_rvn": q_bartels_rvn,
@@ -762,6 +1050,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rate_ratio": q_rate_ratio,
     "uniqueness_risk": q_uniqueness_risk,
     "load_profile": q_load_profile,
+    "boilerplate_prefixes": q_boilerplate_prefixes,
+    "mad_outlier_rate": q_mad_outlier_rate,
+    "charset_coverage": q_charset_coverage,
+    "core_vocab_coverage": q_core_vocab_coverage,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -773,4 +1065,8 @@ ORACLE_SQL: dict[str, str] = {
     "rate_ratio": SQL_RATE_RATIO,
     "uniqueness_risk": SQL_UNIQUENESS,
     "load_profile": SQL_LOAD_PROFILE,
+    "boilerplate_prefixes": SQL_BOILERPLATE,
+    "mad_outlier_rate": SQL_MAD_OUTLIER,
+    "charset_coverage": SQL_CHARSET,
+    "core_vocab_coverage": SQL_CORE_VOCAB,
 }

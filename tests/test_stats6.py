@@ -12,7 +12,11 @@ from diive_spark.queries_stats2 import _OFF
 from diive_spark.queries_stats6 import (
     _GT_K,
     q_bartels_rvn,
+    q_boilerplate_prefixes,
+    q_charset_coverage,
+    q_core_vocab_coverage,
     q_cusum_squares,
+    q_mad_outlier_rate,
     q_load_profile,
     q_rate_ratio,
     q_transfer_entropy,
@@ -242,3 +246,94 @@ def test_load_profile_matches_counter(spark):
             tot,
         )
         assert row["load_factor_e6"] == math.floor(lf * 1e6 + _OFF)
+
+
+def test_boilerplate_prefixes_matches_counter(spark):
+    out = {
+        r["source"]: r for r in q_boilerplate_prefixes(spark, SF).collect()
+    }
+    docs = _docs(spark)
+    for src, grp in docs.groupby("source"):
+        prefixes = [
+            " ".join(t.strip().split()[:5])
+            for t in grp["text"]
+            if len(t.strip().split()) >= 5
+        ]
+        if not prefixes:
+            assert src not in out
+            continue
+        cl = Counter(prefixes)
+        n_docs = len(prefixes)
+        n_clusters = sum(1 for v in cl.values() if v >= 2)
+        n_boiler = sum(v for v in cl.values() if v >= 2)
+        row = out[src]
+        assert row["n_docs"] == n_docs
+        assert row["n_clusters"] == n_clusters
+        assert row["max_cluster"] == max(cl.values())
+        assert row["n_boiler"] == n_boiler
+        assert row["boiler_share_e6"] == math.floor(
+            n_boiler / n_docs * 1e6 + _OFF
+        )
+
+
+def test_mad_outlier_rate_matches_loop(spark):
+    out = {r["lang"]: r for r in q_mad_outlier_rate(spark, SF).collect()}
+    docs = _docs(spark)
+    for lang, grp in docs.groupby("lang"):
+        xs = sorted(grp["n_chars"].astype(int))
+        n = len(xs)
+        med = xs[(n - 1) // 2]
+        ads = sorted(abs(x - med) for x in xs)
+        mad = ads[(n - 1) // 2]
+        if mad <= 0:
+            assert lang not in out
+            continue
+        n_out = sum(
+            1 for x in grp["n_chars"] if abs(int(x) - med) * 10_000 > 44_478 * mad
+        )
+        row = out[lang]
+        assert (row["n"], row["med"], row["mad"], row["n_out"]) == (
+            n,
+            med,
+            mad,
+            n_out,
+        )
+        assert row["rate_e6"] == math.floor(n_out / n * 1e6 + _OFF)
+
+
+def test_charset_coverage_matches_counter(spark):
+    out = {r["lang"]: r for r in q_charset_coverage(spark, SF).collect()}
+    docs = _docs(spark)
+    for lang, grp in docs.groupby("lang"):
+        cnt = Counter(ch for t in grp["text"] for ch in t)
+        n_distinct = len(cnt)
+        printable = {ch for ch in cnt if 32 <= ord(ch) <= 126}
+        nonprint_mass = sum(c for ch, c in cnt.items() if ch not in printable)
+        row = out[lang]
+        assert row["n_distinct"] == n_distinct
+        assert row["n_printable"] == len(printable)
+        assert row["nonprint_mass"] == nonprint_mass
+        assert row["printable_cov_e6"] == math.floor(
+            len(printable) / 95.0 * 1e6 + _OFF
+        )
+
+
+def test_core_vocab_coverage_matches_counter(spark):
+    out = {r["lang"]: r for r in q_core_vocab_coverage(spark, SF).collect()}
+    docs = _docs(spark)
+    gc = Counter(w for t in docs["text"] for w in t.strip().split())
+    vocab = set(
+        w
+        for w, _ in sorted(gc.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    )
+    for lang, grp in docs.groupby("lang"):
+        cnt = Counter(w for t in grp["text"] for w in t.strip().split())
+        n = sum(cnt.values())
+        core_mass = sum(c for w, c in cnt.items() if w in vocab)
+        core_types = sum(1 for w in cnt if w in vocab)
+        row = out[lang]
+        assert row["n"] == n
+        assert row["v"] == len(cnt)
+        assert row["core_types"] == core_types
+        assert row["core_mass"] == core_mass
+        assert row["coverage_e6"] == math.floor(core_mass / n * 1e6 + _OFF)
