@@ -1041,6 +1041,359 @@ ORDER BY tot.lang
 """
 
 
+# ---------------------------------------------------------------------------
+# extremal_index — runs-declustering extremal index of daily exceedances
+# ---------------------------------------------------------------------------
+# EVT clustering (Smith & Weissman JRSS-B 1994, runs method, r = 2):
+# theta ~ #clusters / #exceedances over the p90 threshold, a cluster
+# starting whenever the previous exceedance is > r days back.  Also
+# reports the mean inter-exceedance gap.  Thresholds exact order
+# statistics; everything else exact integers off day-ordered lags.
+
+_EI_RUN = 2
+
+
+def q_extremal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("c", "day")
+    wn = Window.partitionBy("event_type")
+    r = daily.withColumn("rk", F.row_number().over(w)).withColumn(
+        "nn", F.count(F.lit(1)).over(wn)
+    )
+    p90 = r.filter(
+        F.col("rk") == F.expr("((nn - 1) * 90) div 100") + 1
+    ).select("event_type", F.col("c").alias("thr"))
+    exc = (
+        daily.join(F.broadcast(p90), "event_type")
+        .filter(F.col("c") > F.col("thr"))
+        .select("event_type", "day")
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    g = exc.withColumn("prev", F.lag("day").over(wo)).withColumn(
+        "gap", F.col("day") - F.col("prev")
+    )
+    agg = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exc"),
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("gap") > _EI_RUN), 1
+            ).otherwise(0)
+        ).alias("n_clusters"),
+        F.sum("gap").alias("gap_sum"),
+        F.sum(F.col("gap").isNotNull().cast("long")).alias("n_gaps"),
+    )
+    theta = F.col("n_clusters").cast("double") / F.col("n_exc").cast(
+        "double"
+    )
+    mean_gap = F.col("gap_sum").cast("double") / F.col("n_gaps").cast(
+        "double"
+    )
+    return (
+        agg.filter(F.col("n_exc") >= 2)
+        .select(
+            "event_type",
+            F.col("n_exc").cast("long").alias("n_exc"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            F.floor(theta * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "theta_e6"
+            ),
+            F.floor(mean_gap * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "mean_gap_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EXTREMAL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY c, day) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS nn
+  FROM daily
+), p90 AS (
+  SELECT event_type, c AS thr FROM r WHERE rk = ((nn - 1) * 90) // 100 + 1
+), exc AS (
+  SELECT daily.event_type, daily.day
+  FROM daily JOIN p90 ON p90.event_type = daily.event_type
+  WHERE daily.c > p90.thr
+), g AS (
+  SELECT event_type, day,
+         day - lag(day) OVER (PARTITION BY event_type ORDER BY day)
+           AS gap
+  FROM exc
+), agg AS (
+  SELECT event_type, count(*) AS n_exc,
+         CAST(sum(CASE WHEN gap IS NULL OR gap > {_EI_RUN}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_clusters,
+         CAST(sum(gap) AS BIGINT) AS gap_sum,
+         CAST(sum(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_gaps
+  FROM g GROUP BY 1
+)
+SELECT event_type, CAST(n_exc AS BIGINT) AS n_exc, n_clusters,
+       CAST(floor(CAST(n_clusters AS DOUBLE) / n_exc * 1000000 + {_OFF})
+            AS BIGINT) AS theta_e6,
+       CAST(floor(CAST(gap_sum AS DOUBLE) / n_gaps * 10000 + {_OFF})
+            AS BIGINT) AS mean_gap_e4
+FROM agg
+WHERE n_exc >= 2
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# vocab_gini — Gini concentration of term frequencies per language
+# ---------------------------------------------------------------------------
+# How unequal is vocabulary usage?  G = (2 * sum i*m_(i)) / (V * N)
+# - (V + 1) / V over ascending-sorted term counts — the rank weights
+# ride ONE per-lang rank window (value-deterministic under ties), all
+# sums exact BIGINTs, G one expression.
+
+
+def q_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _documents(spark, sf_dir).select(
+        "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    freq = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("m"))
+    w = Window.partitionBy("lang").orderBy("m", "w")
+    r = freq.withColumn("i", F.row_number().over(w))
+    agg = r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("m").alias("n"),
+        F.sum(F.col("i") * F.col("m")).alias("im"),
+    )
+    vd = F.col("v").cast("double")
+    gini = (
+        2.0 * F.col("im").cast("double") / (vd * F.col("n").cast("double"))
+        - (vd + 1.0) / vd
+    )
+    return agg.select(
+        "lang",
+        F.col("v").cast("long").alias("v"),
+        F.col("n").cast("long").alias("n"),
+        F.floor(gini * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "gini_e6"
+        ),
+    ).orderBy("lang")
+
+
+SQL_VOCAB_GINI = f"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), freq AS (
+  SELECT lang, w, count(*) AS m FROM toks GROUP BY 1, 2
+), r AS (
+  SELECT lang, m,
+         row_number() OVER (PARTITION BY lang ORDER BY m, w) AS i
+  FROM freq
+), agg AS (
+  SELECT lang, count(*) AS v, CAST(sum(m) AS BIGINT) AS n,
+         CAST(sum(i * m) AS BIGINT) AS im
+  FROM r GROUP BY 1
+)
+SELECT lang, CAST(v AS BIGINT) AS v, n,
+       CAST(floor((2.0 * im / (CAST(v AS DOUBLE) * n)
+                   - (CAST(v AS DOUBLE) + 1.0) / v) * 1000000 + {_OFF})
+            AS BIGINT) AS gini_e6
+FROM agg
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# exp_gap_fit — exponential fit + KS on per-user inter-event gaps
+# ---------------------------------------------------------------------------
+# Queueing diagnosis: are arrivals memoryless?  Per-user consecutive
+# gaps in whole minutes pooled per type; lambda = 1/mean QUANTIZED to
+# an exact e9 rational (CUPED discipline), then the exact-CDF KS
+# D = max |F_emp - (1 - exp(-lambda*g))| over the (type, gap) count
+# table — domain-bounded windows throughout.
+
+
+def q_exp_gap_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "user_id",
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 60_000_000)
+        .cast("long")
+        .alias("mn"),
+    )
+    wo = Window.partitionBy("event_type", "user_id").orderBy("mn", "mn")
+    g = ev.withColumn("prev", F.lag("mn").over(wo)).filter(
+        F.col("prev").isNotNull()
+    ).select("event_type", (F.col("mn") - F.col("prev")).alias("gap"))
+    g = g.filter(F.col("gap") > 0)
+    cnt = g.groupBy("event_type", "gap").agg(F.count(F.lit(1)).alias("c"))
+    wn = Window.partitionBy("event_type")
+    t = cnt.withColumn("n", F.sum("c").over(wn)).withColumn(
+        "s", F.sum(F.col("gap") * F.col("c")).over(wn)
+    )
+    # lambda quantized: lam_e9 = floor(n/s * 1e9 + 0.5) — identical ints
+    lam = F.floor(
+        F.col("n").cast("double") / F.col("s") * 1e9 + F.lit(0.5)
+    ).cast("long")
+    t = t.withColumn("lam_e9", lam)
+    w = Window.partitionBy("event_type").orderBy("gap")
+    t = t.withColumn(
+        "cum", F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    fhat = 1.0 - F.exp(
+        -F.col("lam_e9").cast("double") / 1e9 * F.col("gap").cast("double")
+    )
+    dks = F.greatest(
+        F.abs(F.col("cum").cast("double") / F.col("n") - fhat),
+        F.abs((F.col("cum") - F.col("c")).cast("double") / F.col("n") - fhat),
+    )
+    agg = t.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("lam_e9").alias("lam_e9"),
+        F.max(dks).alias("ks"),
+    )
+    return (
+        agg.filter(F.col("n") >= 10)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("lam_e9").cast("long").alias("lam_e9"),
+            F.floor(F.col("ks") * 10_000 + F.lit(0.5)).cast("long").alias(
+                "ks_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EXP_GAP = """
+WITH ev AS (
+  SELECT event_type, user_id,
+         CAST(floor(epoch(ts) / 60) AS BIGINT) AS mn
+  FROM events
+), g AS (
+  SELECT event_type,
+         mn - lag(mn) OVER (PARTITION BY event_type, user_id
+                            ORDER BY mn, mn) AS gap
+  FROM ev
+), gg AS (
+  SELECT event_type, gap FROM g WHERE gap IS NOT NULL AND gap > 0
+), cnt AS (
+  SELECT event_type, gap, count(*) AS c FROM gg GROUP BY 1, 2
+), t AS (
+  SELECT event_type, gap, c,
+         sum(c) OVER (PARTITION BY event_type) AS n,
+         sum(gap * c) OVER (PARTITION BY event_type) AS s,
+         sum(c) OVER (PARTITION BY event_type ORDER BY gap) AS cum
+  FROM cnt
+), t2 AS (
+  SELECT event_type, gap, c, n, cum,
+         CAST(floor(CAST(n AS DOUBLE) / s * 1e9 + 0.5) AS BIGINT)
+           AS lam_e9
+  FROM t
+), pt AS (
+  SELECT event_type, c, n, cum, lam_e9,
+         1.0 - exp(-(CAST(lam_e9 AS DOUBLE) / 1e9)
+                   * CAST(gap AS DOUBLE)) AS fhat
+  FROM t2
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n, max(lam_e9) AS lam_e9,
+       CAST(floor(max(greatest(abs(CAST(cum AS DOUBLE) / n - fhat),
+                               abs(CAST(cum - c AS DOUBLE) / n - fhat)))
+                  * 10000 + 0.5) AS BIGINT) AS ks_e4
+FROM pt
+GROUP BY 1
+HAVING max(n) >= 10
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# word_length_profile — word-length distribution stats per language
+# ---------------------------------------------------------------------------
+# Mean word length (exact rational), the length-distribution entropy
+# (bounded length domain), and the long-word (> 7 chars) rate — the
+# classic lang-ID/readability inputs, all off one (lang, len) count
+# table.
+
+
+def q_word_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _documents(spark, sf_dir).select(
+        "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    wl = toks.select("lang", F.length("w").alias("wl")).filter(
+        F.col("wl") > 0
+    )
+    cnt = wl.groupBy("lang", "wl").agg(F.count(F.lit(1)).alias("c"))
+    wn = Window.partitionBy("lang")
+    t = cnt.withColumn("n", F.sum("c").over(wn))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    agg = t.groupBy("lang").agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("wl") * F.col("c")).alias("lsum"),
+        F.sum(-p * F.log(p)).alias("h"),
+        F.sum(F.when(F.col("wl") > 7, F.col("c")).otherwise(0)).alias(
+            "n_long"
+        ),
+    )
+    mean = F.col("lsum").cast("double") / F.col("n").cast("double")
+    rate = F.col("n_long").cast("double") / F.col("n").cast("double")
+    return agg.select(
+        "lang",
+        F.col("n").cast("long").alias("n"),
+        F.floor(mean * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "mean_len_e4"
+        ),
+        F.floor(F.col("h") * 10_000 + F.lit(0.5)).cast("long").alias(
+            "entropy_e4"
+        ),
+        F.floor(rate * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "long_rate_e6"
+        ),
+    ).orderBy("lang")
+
+
+SQL_WORD_LENGTH = f"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), wl AS (
+  SELECT lang, len(w) AS wl FROM toks WHERE len(w) > 0
+), cnt AS (
+  SELECT lang, wl, count(*) AS c FROM wl GROUP BY 1, 2
+), t AS (
+  SELECT lang, wl, c, sum(c) OVER (PARTITION BY lang) AS n FROM cnt
+), agg AS (
+  SELECT lang, CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(wl * c) AS BIGINT) AS lsum,
+         sum(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)) AS h,
+         CAST(sum(CASE WHEN wl > 7 THEN c ELSE 0 END) AS BIGINT) AS n_long
+  FROM t GROUP BY 1
+)
+SELECT lang, n,
+       CAST(floor(CAST(lsum AS DOUBLE) / n * 10000 + {_OFF}) AS BIGINT)
+         AS mean_len_e4,
+       CAST(floor(h * 10000 + 0.5) AS BIGINT) AS entropy_e4,
+       CAST(floor(CAST(n_long AS DOUBLE) / n * 1000000 + {_OFF}) AS BIGINT)
+         AS long_rate_e6
+FROM agg
+ORDER BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cusum_squares": q_cusum_squares,
     "bartels_rvn": q_bartels_rvn,
@@ -1054,6 +1407,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad_outlier_rate": q_mad_outlier_rate,
     "charset_coverage": q_charset_coverage,
     "core_vocab_coverage": q_core_vocab_coverage,
+    "extremal_index": q_extremal_index,
+    "vocab_gini": q_vocab_gini,
+    "exp_gap_fit": q_exp_gap_fit,
+    "word_length_profile": q_word_length_profile,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1069,4 +1426,8 @@ ORACLE_SQL: dict[str, str] = {
     "mad_outlier_rate": SQL_MAD_OUTLIER,
     "charset_coverage": SQL_CHARSET,
     "core_vocab_coverage": SQL_CORE_VOCAB,
+    "extremal_index": SQL_EXTREMAL,
+    "vocab_gini": SQL_VOCAB_GINI,
+    "exp_gap_fit": SQL_EXP_GAP,
+    "word_length_profile": SQL_WORD_LENGTH,
 }

@@ -16,6 +16,10 @@ from diive_spark.queries_stats6 import (
     q_charset_coverage,
     q_core_vocab_coverage,
     q_cusum_squares,
+    q_exp_gap_fit,
+    q_extremal_index,
+    q_vocab_gini,
+    q_word_length_profile,
     q_mad_outlier_rate,
     q_load_profile,
     q_rate_ratio,
@@ -337,3 +341,93 @@ def test_core_vocab_coverage_matches_counter(spark):
         assert row["core_types"] == core_types
         assert row["core_mass"] == core_mass
         assert row["coverage_e6"] == math.floor(core_mass / n * 1e6 + _OFF)
+
+
+def test_extremal_index_matches_loop(spark):
+    out = {r["event_type"]: r for r in q_extremal_index(spark, SF).collect()}
+    daily = _daily_counts(spark)
+    per = defaultdict(dict)
+    for (et, day), c in daily.items():
+        per[et][day] = c
+    for et, dd in per.items():
+        cs = sorted(dd.values())
+        thr = cs[((len(cs) - 1) * 90) // 100]
+        exc = sorted(d for d, c in dd.items() if c > thr)
+        if len(exc) < 2:
+            assert et not in out
+            continue
+        gaps = [b - a for a, b in zip(exc, exc[1:])]
+        n_clusters = 1 + sum(1 for g in gaps if g > 2)
+        theta = n_clusters / len(exc)
+        mean_gap = sum(gaps) / len(gaps)
+        row = out[et]
+        assert (row["n_exc"], row["n_clusters"]) == (len(exc), n_clusters)
+        assert row["theta_e6"] == math.floor(theta * 1e6 + _OFF)
+        assert row["mean_gap_e4"] == math.floor(mean_gap * 1e4 + _OFF)
+        assert 0 < row["theta_e6"] <= 1_000_000
+
+
+def test_vocab_gini_matches_sorted(spark):
+    out = {r["lang"]: r for r in q_vocab_gini(spark, SF).collect()}
+    docs = _docs(spark)
+    for lang, grp in docs.groupby("lang"):
+        cnt = Counter(w for t in grp["text"] for w in t.strip().split())
+        ms = sorted(cnt.values())
+        v, n = len(ms), sum(ms)
+        im = sum((i + 1) * m for i, m in enumerate(ms))
+        gini = 2 * im / (v * n) - (v + 1) / v
+        row = out[lang]
+        assert (row["v"], row["n"]) == (v, n)
+        assert row["gini_e6"] == math.floor(gini * 1e6 + _OFF)
+        assert 0 <= row["gini_e6"] <= 1_000_000
+
+
+def test_exp_gap_fit_matches_loop(spark):
+    out = {r["event_type"]: r for r in q_exp_gap_fit(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["mn"] = ev["ts"].astype("int64") // 1_000_000_000 // 60
+    gaps_by_type = defaultdict(list)
+    for (et, _uid), grp in ev.groupby(["event_type", "user_id"]):
+        mns = sorted(grp["mn"])
+        gaps_by_type[et].extend(
+            b - a for a, b in zip(mns, mns[1:]) if b - a > 0
+        )
+    for et, gaps in gaps_by_type.items():
+        n = len(gaps)
+        if n < 10:
+            assert et not in out
+            continue
+        s = sum(gaps)
+        lam_e9 = math.floor(n / s * 1e9 + 0.5)
+        lam = lam_e9 / 1e9
+        xs = sorted(gaps)
+        support = sorted(set(xs))
+        import bisect
+
+        ks = 0.0
+        for g in support:
+            cum = bisect.bisect_right(xs, g)
+            prev = bisect.bisect_left(xs, g)
+            fh = 1.0 - math.exp(-lam * g)
+            ks = max(ks, abs(cum / n - fh), abs(prev / n - fh))
+        row = out[et]
+        assert row["n"] == n
+        assert row["lam_e9"] == lam_e9
+        assert abs(row["ks_e4"] - math.floor(ks * 1e4 + 0.5)) <= 1
+
+
+def test_word_length_profile_matches_counter(spark):
+    out = {r["lang"]: r for r in q_word_length_profile(spark, SF).collect()}
+    docs = _docs(spark)
+    for lang, grp in docs.groupby("lang"):
+        lens = [len(w) for t in grp["text"] for w in t.strip().split() if w]
+        n = len(lens)
+        cnt = Counter(lens)
+        mean = sum(lens) / n
+        h = -sum(c / n * math.log(c / n) for c in cnt.values())
+        rate = sum(1 for ln in lens if ln > 7) / n
+        row = out[lang]
+        assert row["n"] == n
+        assert row["mean_len_e4"] == math.floor(mean * 1e4 + _OFF)
+        assert abs(row["entropy_e4"] - math.floor(h * 1e4 + 0.5)) <= 1
+        assert row["long_rate_e6"] == math.floor(rate * 1e6 + _OFF)
