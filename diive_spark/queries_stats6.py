@@ -1394,6 +1394,429 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# habit_strength — lag-7 activity persistence (phi + odds ratio)
+# ---------------------------------------------------------------------------
+# Habit formation readout: over all (user, day) cells in each user's
+# observed span, cross-tabulate "active on day d" x "active on day
+# d+7"; phi coefficient and the Haldane-corrected odds ratio — all
+# exact integers off the user-day DISTINCT boundary; the 2x2 comes
+# from set joins, never a dense calendar materialization per user:
+# n11 by a (user, day+7) self-join, margins from per-user span counts.
+
+
+def q_habit_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ud = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("d"),
+    ).distinct()
+    span = ud.groupBy("user_id").agg(
+        F.min("d").alias("d0"),
+        F.max("d").alias("d1"),
+        F.count(F.lit(1)).alias("n_active"),
+    ).filter(F.col("d1") - F.col("d0") >= 7)
+    # pairs considered: d in [d0, d1-7]; active(d) x active(d+7)
+    a = ud.join(span, "user_id").filter(F.col("d") <= F.col("d1") - 7)
+    b = ud.select("user_id", (F.col("d") - 7).alias("d"))
+    n11 = (
+        a.join(b, ["user_id", "d"], "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n11"))
+    )
+    act_lo = a.groupBy("user_id").agg(F.count(F.lit(1)).alias("r1"))
+    act_hi = (
+        ud.join(span, "user_id")
+        .filter(F.col("d") >= F.col("d0") + 7)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    base = span.select(
+        "user_id", (F.col("d1") - F.col("d0") - 6).alias("m")
+    )
+    j = (
+        base.join(act_lo, "user_id", "left")
+        .join(act_hi, "user_id", "left")
+        .join(n11, "user_id", "left")
+        .fillna(0, subset=["r1", "c1", "n11"])
+    )
+    agg = j.groupBy().agg(
+        F.sum("m").alias("m"),
+        F.sum("r1").alias("r1"),
+        F.sum("c1").alias("c1"),
+        F.sum("n11").alias("n11"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    n11c = F.col("n11").cast("double")
+    n10 = (F.col("r1") - F.col("n11")).cast("double")
+    n01 = (F.col("c1") - F.col("n11")).cast("double")
+    n00 = (F.col("m") - F.col("r1") - F.col("c1") + F.col("n11")).cast(
+        "double"
+    )
+    md = F.col("m").cast("double")
+    phi = (n11c * n00 - n10 * n01) / F.sqrt(
+        (n11c + n10) * (n01 + n00) * (n11c + n01) * (n10 + n00)
+    )
+    lor = F.log(
+        ((n11c + 0.5) * (n00 + 0.5)) / ((n10 + 0.5) * (n01 + 0.5))
+    )
+    return agg.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("m").cast("long").alias("m"),
+        F.col("n11").cast("long").alias("n11"),
+        F.floor(phi * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "phi_e6"
+        ),
+        F.floor(lor * 10_000 + F.lit(0.5)).cast("long").alias("lor_e4"),
+    )
+
+
+SQL_HABIT = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+  FROM events
+), span AS (
+  SELECT user_id, min(d) AS d0, max(d) AS d1
+  FROM ud GROUP BY 1 HAVING max(d) - min(d) >= 7
+), a AS (
+  SELECT ud.user_id, ud.d
+  FROM ud JOIN span ON span.user_id = ud.user_id
+  WHERE ud.d <= span.d1 - 7
+), n11 AS (
+  SELECT a.user_id, count(*) AS n11
+  FROM a SEMI JOIN ud b ON b.user_id = a.user_id AND b.d = a.d + 7
+  GROUP BY 1
+), act_lo AS (
+  SELECT user_id, count(*) AS r1 FROM a GROUP BY 1
+), act_hi AS (
+  SELECT ud.user_id, count(*) AS c1
+  FROM ud JOIN span ON span.user_id = ud.user_id
+  WHERE ud.d >= span.d0 + 7
+  GROUP BY 1
+), base AS (
+  SELECT user_id, d1 - d0 - 6 AS m FROM span
+), j AS (
+  SELECT base.user_id, base.m,
+         coalesce(act_lo.r1, 0) AS r1,
+         coalesce(act_hi.c1, 0) AS c1,
+         coalesce(n11.n11, 0) AS n11
+  FROM base
+  LEFT JOIN act_lo ON act_lo.user_id = base.user_id
+  LEFT JOIN act_hi ON act_hi.user_id = base.user_id
+  LEFT JOIN n11 ON n11.user_id = base.user_id
+), agg AS (
+  SELECT CAST(sum(m) AS BIGINT) AS m, CAST(sum(r1) AS BIGINT) AS r1,
+         CAST(sum(c1) AS BIGINT) AS c1, CAST(sum(n11) AS BIGINT) AS n11,
+         count(*) AS n_users
+  FROM j
+)
+SELECT CAST(n_users AS BIGINT) AS n_users, m, n11,
+       CAST(floor((CAST(n11 AS DOUBLE) * (m - r1 - c1 + n11)
+                   - CAST(r1 - n11 AS DOUBLE) * (c1 - n11))
+                  / sqrt(CAST(r1 AS DOUBLE) * (m - r1)
+                         * c1 * (m - c1))
+                  * 1000000 + {_OFF}) AS BIGINT) AS phi_e6,
+       CAST(floor(ln(((CAST(n11 AS DOUBLE) + 0.5)
+                      * (CAST(m - r1 - c1 + n11 AS DOUBLE) + 0.5))
+                     / ((CAST(r1 - n11 AS DOUBLE) + 0.5)
+                        * (CAST(c1 - n11 AS DOUBLE) + 0.5)))
+                  * 10000 + 0.5) AS BIGINT) AS lor_e4
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# dow_anova — one-way ANOVA of daily counts by weekday per event type
+# ---------------------------------------------------------------------------
+# Is the day-of-week effect significant?  The anova_event_types
+# exact-integer expansion with groups = the 7 weekdays on the daily
+# grid — SSB/SSW from BIGINT sums, <=7 double terms per type.
+
+
+def q_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    daily = daily.withColumn("dow", ((F.col("day") + 3) % 7).cast("long"))
+    g = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("c").alias("sg"),
+        F.sum(F.col("c") * F.col("c")).alias("qg"),
+    )
+    agg = g.groupBy("event_type").agg(
+        F.sum("ng").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("sg").alias("s"),
+        F.sum("qg").alias("q"),
+        F.sum(
+            F.col("sg").cast("double") * F.col("sg") / F.col("ng")
+        ).alias("w"),
+    )
+    ssb = F.col("w") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ssw = F.col("q") - F.col("w")
+    fstat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    eta2 = ssb / (F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+    return (
+        agg.filter((F.col("k") >= 2) & (F.col("n") > F.col("k")) & (ssw > 0))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("k").cast("long").alias("k"),
+            F.floor(fstat * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "f_e4"
+            ),
+            F.floor(eta2 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "eta2_e6"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_DOW_ANOVA = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type, (day + 3) % 7 AS dow, c FROM daily
+), g AS (
+  SELECT event_type, dow, count(*) AS ng,
+         CAST(sum(c) AS BIGINT) AS sg, CAST(sum(c * c) AS BIGINT) AS qg
+  FROM d GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, CAST(sum(ng) AS BIGINT) AS n, count(*) AS k,
+         CAST(sum(sg) AS BIGINT) AS s, CAST(sum(qg) AS BIGINT) AS q,
+         sum(CAST(sg AS DOUBLE) * sg / ng) AS w
+  FROM g GROUP BY 1
+)
+SELECT event_type, n, CAST(k AS BIGINT) AS k,
+       CAST(floor(
+         ((w - CAST(s AS DOUBLE) * s / n) / (k - 1))
+         / ((q - w) / (n - k)) * 10000 + {_OFF}) AS BIGINT) AS f_e4,
+       CAST(floor((w - CAST(s AS DOUBLE) * s / n)
+                  / (q - CAST(s AS DOUBLE) * s / n) * 1000000 + {_OFF})
+            AS BIGINT) AS eta2_e6
+FROM agg
+WHERE k >= 2 AND n > k AND q - w > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# peak_week — max/min 7-day rolling event load per type
+# ---------------------------------------------------------------------------
+# Capacity planning on the rolling week: RANGE frame over the day
+# VALUE (gap-correct — missing days shrink the window's content, not
+# its span); exact integer sums, earliest-day argmax/argmin.
+
+
+def q_peak_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wr = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-6, 0)
+    )
+    wn = Window.partitionBy("event_type")
+    d = daily.withColumn("wk7", F.sum("c").over(wr))
+    d = d.withColumn("mx", F.max("wk7").over(wn)).withColumn(
+        "mn", F.min("wk7").over(wn)
+    )
+    top = (
+        d.filter(F.col("wk7") == F.col("mx"))
+        .groupBy("event_type")
+        .agg(F.min("day").alias("peak_end_day"), F.max("mx").alias("peak"))
+    )
+    bot = (
+        d.filter(F.col("wk7") == F.col("mn"))
+        .groupBy("event_type")
+        .agg(
+            F.min("day").alias("trough_end_day"),
+            F.max("mn").alias("trough"),
+        )
+    )
+    j = top.join(bot, "event_type")
+    ratio = F.col("peak").cast("double") / F.col("trough").cast("double")
+    return j.select(
+        "event_type",
+        F.col("peak_end_day").cast("long").alias("peak_end_day"),
+        F.col("peak").cast("long").alias("peak"),
+        F.col("trough_end_day").cast("long").alias("trough_end_day"),
+        F.col("trough").cast("long").alias("trough"),
+        F.floor(ratio * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "ratio_e4"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_PEAK_WEEK = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type, day,
+         sum(c) OVER (PARTITION BY event_type ORDER BY day
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS wk7
+  FROM daily
+), m AS (
+  SELECT event_type, day, wk7,
+         max(wk7) OVER (PARTITION BY event_type) AS mx,
+         min(wk7) OVER (PARTITION BY event_type) AS mn
+  FROM d
+), top AS (
+  SELECT event_type, min(day) AS peak_end_day,
+         CAST(max(mx) AS BIGINT) AS peak
+  FROM m WHERE wk7 = mx GROUP BY 1
+), bot AS (
+  SELECT event_type, min(day) AS trough_end_day,
+         CAST(max(mn) AS BIGINT) AS trough
+  FROM m WHERE wk7 = mn GROUP BY 1
+)
+SELECT top.event_type, CAST(peak_end_day AS BIGINT) AS peak_end_day, peak,
+       CAST(trough_end_day AS BIGINT) AS trough_end_day, trough,
+       CAST(floor(CAST(peak AS DOUBLE) / trough * 10000 + {_OFF})
+            AS BIGINT) AS ratio_e4
+FROM top JOIN bot ON bot.event_type = top.event_type
+ORDER BY top.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# cvm_two_sample — exact two-sample Cramer-von Mises (weekday/weekend)
+# ---------------------------------------------------------------------------
+# T = n*m/N^2 * sum_j l_j * (F1(x_j) - F2(x_j))^2 over the pooled
+# support (Anderson 1962, tie-weighted form) — kept EXACT: the inner
+# sum scaled by (n*m)^2 is sum l_j * (cum1*m - cum2*n)^2, a BIGINT on
+# the daily-count value domain (counts <= ~1e4 at benchmarked SFs,
+# bound documented); one division at the end.
+
+
+def q_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    lab = daily.withColumn(
+        "g", (((F.col("day") + 3) % 7) >= 5).cast("long")
+    )
+    cnt = lab.groupBy("event_type", "c").agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("c2"),
+    )
+    w = Window.partitionBy("event_type").orderBy("c")
+    wn = Window.partitionBy("event_type")
+    t = (
+        cnt.withColumn(
+            "cum1",
+            F.sum("c1").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "cum2",
+            F.sum("c2").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("n1", F.sum("c1").over(wn))
+        .withColumn("n2", F.sum("c2").over(wn))
+    )
+    term = (F.col("c1") + F.col("c2")) * (
+        F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
+    ) * (F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+    agg = t.groupBy("event_type").agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.sum(term).alias("s"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
+    # T = n1*n2/N^2 * S / (n1*n2)^2 = S / (N^2 * n1 * n2)
+    tstat = F.col("s").cast("double") / (nd * nd * n1d * n2d)
+    return (
+        agg.filter((F.col("n1") > 0) & (F.col("n2") > 0))
+        .select(
+            "event_type",
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.col("s").cast("long").alias("s"),
+            F.floor(tstat * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "t_e6"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_CVM = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), lab AS (
+  SELECT event_type, c,
+         CASE WHEN (day + 3) % 7 >= 5 THEN 1 ELSE 0 END AS g
+  FROM daily
+), cnt AS (
+  SELECT event_type, c,
+         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM lab GROUP BY 1, 2
+), t AS (
+  SELECT event_type, c1, c2,
+         sum(c1) OVER (PARTITION BY event_type ORDER BY c) AS cum1,
+         sum(c2) OVER (PARTITION BY event_type ORDER BY c) AS cum2,
+         sum(c1) OVER (PARTITION BY event_type) AS n1,
+         sum(c2) OVER (PARTITION BY event_type) AS n2
+  FROM cnt
+), agg AS (
+  SELECT event_type, CAST(max(n1) AS BIGINT) AS n1,
+         CAST(max(n2) AS BIGINT) AS n2,
+         CAST(sum((c1 + c2) * (cum1 * n2 - cum2 * n1)
+                  * (cum1 * n2 - cum2 * n1)) AS BIGINT) AS s
+  FROM t GROUP BY 1
+)
+SELECT event_type, n1, n2, s,
+       CAST(floor(CAST(s AS DOUBLE)
+                  / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2)
+                     * n1 * n2)
+                  * 1000000 + {_OFF}) AS BIGINT) AS t_e6
+FROM agg
+WHERE n1 > 0 AND n2 > 0
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cusum_squares": q_cusum_squares,
     "bartels_rvn": q_bartels_rvn,
@@ -1411,6 +1834,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_gini": q_vocab_gini,
     "exp_gap_fit": q_exp_gap_fit,
     "word_length_profile": q_word_length_profile,
+    "habit_strength": q_habit_strength,
+    "dow_anova": q_dow_anova,
+    "peak_week": q_peak_week,
+    "cvm_two_sample": q_cvm_two_sample,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1430,4 +1857,8 @@ ORACLE_SQL: dict[str, str] = {
     "vocab_gini": SQL_VOCAB_GINI,
     "exp_gap_fit": SQL_EXP_GAP,
     "word_length_profile": SQL_WORD_LENGTH,
+    "habit_strength": SQL_HABIT,
+    "dow_anova": SQL_DOW_ANOVA,
+    "peak_week": SQL_PEAK_WEEK,
+    "cvm_two_sample": SQL_CVM,
 }

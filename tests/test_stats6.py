@@ -16,6 +16,10 @@ from diive_spark.queries_stats6 import (
     q_charset_coverage,
     q_core_vocab_coverage,
     q_cusum_squares,
+    q_cvm_two_sample,
+    q_dow_anova,
+    q_habit_strength,
+    q_peak_week,
     q_exp_gap_fit,
     q_extremal_index,
     q_vocab_gini,
@@ -431,3 +435,113 @@ def test_word_length_profile_matches_counter(spark):
         assert row["mean_len_e4"] == math.floor(mean * 1e4 + _OFF)
         assert abs(row["entropy_e4"] - math.floor(h * 1e4 + 0.5)) <= 1
         assert row["long_rate_e6"] == math.floor(rate * 1e6 + _OFF)
+
+
+def test_habit_strength_matches_loop(spark):
+    row = q_habit_strength(spark, SF).collect()[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["d"] = (ev["ts"].astype("int64") // 1_000_000_000) // 86_400
+    ud = defaultdict(set)
+    for u, d in set(zip(ev["user_id"], ev["d"])):
+        ud[u].add(d)
+    m = r1 = c1 = n11 = 0
+    n_users = 0
+    for u, ds in ud.items():
+        d0, d1 = min(ds), max(ds)
+        if d1 - d0 < 7:
+            continue
+        n_users += 1
+        m += d1 - d0 - 6
+        for d in range(d0, d1 - 6):
+            a = d in ds
+            b = (d + 7) in ds
+            r1 += a
+            c1 += b
+            n11 += a and b
+    n10, n01 = r1 - n11, c1 - n11
+    n00 = m - r1 - c1 + n11
+    phi = (n11 * n00 - n10 * n01) / math.sqrt(
+        (n11 + n10) * (n01 + n00) * (n11 + n01) * (n10 + n00)
+    )
+    lor = math.log(((n11 + 0.5) * (n00 + 0.5)) / ((n10 + 0.5) * (n01 + 0.5)))
+    assert row["n_users"] == n_users
+    assert row["m"] == m
+    assert row["n11"] == n11
+    assert abs(row["phi_e6"] - math.floor(phi * 1e6 + _OFF)) <= 1
+    assert abs(row["lor_e4"] - math.floor(lor * 1e4 + 0.5)) <= 1
+
+
+def test_dow_anova_matches_numpy(spark):
+    out = {r["event_type"]: r for r in q_dow_anova(spark, SF).collect()}
+    daily = _daily_counts(spark)
+    per = defaultdict(lambda: defaultdict(list))
+    for (et, day), c in daily.items():
+        per[et][(day + 3) % 7].append(c)
+    for et, groups in per.items():
+        k = len(groups)
+        n = sum(len(v) for v in groups.values())
+        if k < 2 or n <= k:
+            assert et not in out
+            continue
+        allv = [c for v in groups.values() for c in v]
+        gm = sum(allv) / n
+        ssb = sum(
+            len(v) * (sum(v) / len(v) - gm) ** 2 for v in groups.values()
+        )
+        ssw = sum(
+            (c - sum(v) / len(v)) ** 2 for v in groups.values() for c in v
+        )
+        sst = sum((c - gm) ** 2 for c in allv)
+        if ssw <= 0:
+            assert et not in out
+            continue
+        fstat = (ssb / (k - 1)) / (ssw / (n - k))
+        eta2 = ssb / sst
+        row = out[et]
+        assert (row["n"], row["k"]) == (n, k)
+        assert abs(row["f_e4"] - math.floor(fstat * 1e4 + _OFF)) <= 1
+        assert abs(row["eta2_e6"] - math.floor(eta2 * 1e6 + _OFF)) <= 2
+
+
+def test_peak_week_matches_loop(spark):
+    out = {r["event_type"]: r for r in q_peak_week(spark, SF).collect()}
+    daily = _daily_counts(spark)
+    per = defaultdict(dict)
+    for (et, day), c in daily.items():
+        per[et][day] = c
+    for et, dd in per.items():
+        days = sorted(dd)
+        wk7 = {
+            d: sum(dd.get(x, 0) for x in range(d - 6, d + 1)) for d in days
+        }
+        mx, mn = max(wk7.values()), min(wk7.values())
+        row = out[et]
+        assert row["peak"] == mx
+        assert row["trough"] == mn
+        assert row["peak_end_day"] == min(d for d in days if wk7[d] == mx)
+        assert row["trough_end_day"] == min(d for d in days if wk7[d] == mn)
+        assert row["ratio_e4"] == math.floor(mx / mn * 1e4 + _OFF)
+
+
+def test_cvm_two_sample_matches_loop(spark):
+    out = {r["event_type"]: r for r in q_cvm_two_sample(spark, SF).collect()}
+    daily = _daily_counts(spark)
+    per = defaultdict(lambda: ([], []))
+    for (et, day), c in daily.items():
+        per[et][1 if (day + 3) % 7 >= 5 else 0].append(c)
+    for et, (wd, we) in per.items():
+        n1, n2 = len(wd), len(we)
+        if n1 == 0 or n2 == 0:
+            assert et not in out
+            continue
+        support = sorted(set(wd) | set(we))
+        s = 0
+        for v in support:
+            l = wd.count(v) + we.count(v)
+            cum1 = sum(1 for x in wd if x <= v)
+            cum2 = sum(1 for x in we if x <= v)
+            s += l * (cum1 * n2 - cum2 * n1) ** 2
+        tstat = s / ((n1 + n2) ** 2 * n1 * n2)
+        row = out[et]
+        assert (row["n1"], row["n2"], row["s"]) == (n1, n2, s)
+        assert row["t_e6"] == math.floor(tstat * 1e6 + _OFF)
