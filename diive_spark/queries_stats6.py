@@ -1817,6 +1817,389 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# sample_entropy — SampEn(m=1, r=0.2*sd) with EXACT integer matching
+# ---------------------------------------------------------------------------
+# Richman & Moorman (Am J Physiol 2000).  The tolerance test
+# |x_i - x_j| <= 0.2*sd is kept EXACT: d^2 * 25 * n(n-1) <=
+# n*S2 - S^2 is an integer inequality (both sides BIGINT), so the
+# template-match counts B (length 1) and A (length 2) are exact and
+# SampEn = ln(B/A) is ONE ln of an exact ratio.  Pairs ride the
+# day-grid self-join (i < j, the theil_sen bound).
+
+
+def q_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wn = Window.partitionBy("event_type")
+    d = (
+        daily.withColumn("i", F.row_number().over(wo))
+        .withColumn("nxt", F.lead("c").over(wo))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn("s", F.sum("c").over(wn))
+        .withColumn("q", F.sum(F.col("c") * F.col("c")).over(wn))
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.i") > F.col("a.i")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.c").alias("xa"),
+        F.col("b.c").alias("xb"),
+        F.col("a.nxt").alias("na_"),
+        F.col("b.nxt").alias("nb_"),
+        F.col("a.n").alias("n"),
+        F.col("a.s").alias("s"),
+        F.col("a.q").alias("q"),
+    )
+    var_num = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    nn1 = F.col("n") * (F.col("n") - 1)
+    m1 = (
+        (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) * 25 * nn1
+        <= var_num
+    ).cast("long")
+    m2 = (
+        F.col("na_").isNotNull()
+        & F.col("nb_").isNotNull()
+        & (
+            (F.col("na_") - F.col("nb_"))
+            * (F.col("na_") - F.col("nb_"))
+            * 25
+            * nn1
+            <= var_num
+        )
+    ).cast("long")
+    agg = p.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(m1).alias("bb"),
+        F.sum(m1 * m2).alias("aa"),
+    )
+    se = F.log(F.col("bb").cast("double") / F.col("aa"))
+    return (
+        agg.filter((F.col("aa") > 0) & (F.col("bb") > 0))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("bb").cast("long").alias("b_m"),
+            F.col("aa").cast("long").alias("a_m1"),
+            F.floor(se * 10_000 + F.lit(0.5)).cast("long").alias(
+                "sampen_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_SAMPEN = """
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         lead(c) OVER (PARTITION BY event_type ORDER BY day) AS nxt,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(c) OVER (PARTITION BY event_type) AS s,
+         sum(c * c) OVER (PARTITION BY event_type) AS q
+  FROM daily
+), p AS (
+  SELECT a.event_type, a.n,
+         CASE WHEN (a.c - b.c) * (a.c - b.c) * 25 * a.n * (a.n - 1)
+                   <= a.n * a.q - a.s * a.s THEN 1 ELSE 0 END AS m1,
+         CASE WHEN a.nxt IS NOT NULL AND b.nxt IS NOT NULL
+                   AND (a.nxt - b.nxt) * (a.nxt - b.nxt) * 25
+                       * a.n * (a.n - 1)
+                       <= a.n * a.q - a.s * a.s THEN 1 ELSE 0 END AS m2
+  FROM d a JOIN d b ON b.event_type = a.event_type AND b.i > a.i
+), agg AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(m1) AS BIGINT) AS bb,
+         CAST(sum(m1 * m2) AS BIGINT) AS aa
+  FROM p GROUP BY 1
+)
+SELECT event_type, n, bb AS b_m, aa AS a_m1,
+       CAST(floor(ln(CAST(bb AS DOUBLE) / aa) * 10000 + 0.5) AS BIGINT)
+         AS sampen_e4
+FROM agg
+WHERE aa > 0 AND bb > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# time_reversal_asymmetry — trev statistic on daily count diffs
+# ---------------------------------------------------------------------------
+# The tsfeatures/hctsa trev: E[d^3] / E[d^2]^(3/2) over lag-1 diffs —
+# zero for time-reversible processes.  Cube and square sums are exact
+# BIGINTs (|d| <= ~1e4 daily keeps d^3 * n <= ~1e14); one expression.
+
+
+def q_time_reversal_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    d = daily.withColumn("prev", F.lag("c").over(wo)).filter(
+        F.col("prev").isNotNull()
+    ).select("event_type", (F.col("c") - F.col("prev")).alias("d"))
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("d") * F.col("d")).alias("s2"),
+        F.sum(F.col("d") * F.col("d") * F.col("d")).alias("s3"),
+    )
+    md = F.col("m").cast("double")
+    e2 = F.col("s2").cast("double") / md
+    e3 = F.col("s3").cast("double") / md
+    trev = e3 / F.sqrt(e2 * e2 * e2)
+    return (
+        agg.filter((F.col("m") >= 5) & (F.col("s2") > 0))
+        .select(
+            "event_type",
+            F.col("m").cast("long").alias("m"),
+            F.col("s2").cast("long").alias("s2"),
+            F.col("s3").cast("long").alias("s3"),
+            F.floor(trev * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "trev_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_TREV = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type,
+         c - lag(c) OVER (PARTITION BY event_type ORDER BY day) AS d
+  FROM daily
+), dd AS (
+  SELECT event_type, d FROM d WHERE d IS NOT NULL
+), agg AS (
+  SELECT event_type, count(*) AS m,
+         CAST(sum(d * d) AS BIGINT) AS s2,
+         CAST(sum(d * d * d) AS BIGINT) AS s3
+  FROM dd GROUP BY 1
+)
+SELECT event_type, CAST(m AS BIGINT) AS m, s2, s3,
+       CAST(floor((CAST(s3 AS DOUBLE) / m)
+                  / sqrt((CAST(s2 AS DOUBLE) / m) * (CAST(s2 AS DOUBLE) / m)
+                         * (CAST(s2 AS DOUBLE) / m))
+                  * 10000 + {_OFF}) AS BIGINT) AS trev_e4
+FROM agg
+WHERE m >= 5 AND s2 > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# cohens_h — arcsine effect size of diel-composition drift per type
+# ---------------------------------------------------------------------------
+# Cohen (1988): h = 2*asin(sqrt(p1)) - 2*asin(sqrt(p2)) — the
+# variance-stabilized effect size for two proportions; here p = night
+# share in the first vs second half of each type's observed day span
+# (split at the midpoint day, floor-division both engines).
+
+
+def q_cohens_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts = F.col("ts").cast("timestamp")
+    d = ev.select(
+        "event_type",
+        (F.floor(F.unix_micros(ts) / 86_400_000_000)).cast("long").alias(
+            "day"
+        ),
+        (F.hour(ts) < 6).cast("long").alias("night"),
+    )
+    wn = Window.partitionBy("event_type")
+    d = d.withColumn("d0", F.min("day").over(wn)).withColumn(
+        "d1", F.max("day").over(wn)
+    )
+    d = d.withColumn(
+        "half",
+        (F.col("day") > F.col("d0") + F.expr("(d1 - d0) div 2")).cast(
+            "long"
+        ),
+    )
+    g = d.groupBy("event_type", "half").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("night").alias("k")
+    )
+    a = g.filter(F.col("half") == 0).select(
+        "event_type", F.col("n").alias("n1"), F.col("k").alias("k1")
+    )
+    b = g.filter(F.col("half") == 1).select(
+        "event_type", F.col("n").alias("n2"), F.col("k").alias("k2")
+    )
+    j = a.join(b, "event_type")
+    p1 = F.col("k1").cast("double") / F.col("n1")
+    p2 = F.col("k2").cast("double") / F.col("n2")
+    h = 2.0 * F.asin(F.sqrt(p1)) - 2.0 * F.asin(F.sqrt(p2))
+    return (
+        j.filter((F.col("n1") > 0) & (F.col("n2") > 0))
+        .select(
+            "event_type",
+            F.col("n1").cast("long").alias("n1"),
+            F.col("k1").cast("long").alias("k1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.col("k2").cast("long").alias("k2"),
+            F.floor(h * 10_000 + F.lit(0.5)).cast("long").alias("h_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_COHENS_H = """
+WITH d AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CASE WHEN hour(ts) < 6 THEN 1 ELSE 0 END AS night
+  FROM events
+), sp AS (
+  SELECT event_type, night,
+         CASE WHEN day > min(day) OVER (PARTITION BY event_type)
+                        + (max(day) OVER (PARTITION BY event_type)
+                           - min(day) OVER (PARTITION BY event_type)) // 2
+              THEN 1 ELSE 0 END AS half
+  FROM d
+), g AS (
+  SELECT event_type, half, count(*) AS n, CAST(sum(night) AS BIGINT) AS k
+  FROM sp GROUP BY 1, 2
+), j AS (
+  SELECT a.event_type, a.n AS n1, a.k AS k1, b.n AS n2, b.k AS k2
+  FROM g a JOIN g b ON b.event_type = a.event_type
+  WHERE a.half = 0 AND b.half = 1
+)
+SELECT event_type, CAST(n1 AS BIGINT) AS n1, k1,
+       CAST(n2 AS BIGINT) AS n2, k2,
+       CAST(floor((2.0 * asin(sqrt(CAST(k1 AS DOUBLE) / n1))
+                   - 2.0 * asin(sqrt(CAST(k2 AS DOUBLE) / n2)))
+                  * 10000 + 0.5) AS BIGINT) AS h_e4
+FROM j
+WHERE n1 > 0 AND n2 > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# diel_jsd — Jensen-Shannon divergence of weekday vs weekend diel shape
+# ---------------------------------------------------------------------------
+# Does the 24-bin hourly profile change on weekends?  JSD over the
+# bounded 24-cell distributions: every p an exact integer ratio, the
+# ln fold has <= 48 terms (lang_jsd discipline), sqrt(JSD) is the
+# metric form.
+
+
+def q_diel_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts = F.col("ts").cast("timestamp")
+    d = ev.select(
+        "event_type",
+        F.hour(ts).cast("long").alias("hr"),
+        (
+            ((F.floor(F.unix_micros(ts) / 86_400_000_000) + 3) % 7) >= 5
+        ).cast("long").alias("wkend"),
+    )
+    cells = d.groupBy("event_type", "hr").agg(
+        F.sum(F.when(F.col("wkend") == 0, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("wkend") == 1, 1).otherwise(0)).alias("b"),
+    )
+    wn = Window.partitionBy("event_type")
+    t = cells.withColumn("na", F.sum("a").over(wn)).withColumn(
+        "nb", F.sum("b").over(wn)
+    )
+    pa = F.col("a").cast("double") / F.col("na")
+    pb = F.col("b").cast("double") / F.col("nb")
+    m = (pa + pb) / 2.0
+    term = (
+        F.when(F.col("a") > 0, 0.5 * pa * F.log(pa / m)).otherwise(0.0)
+        + F.when(F.col("b") > 0, 0.5 * pb * F.log(pb / m)).otherwise(0.0)
+    )
+    agg = t.filter((F.col("na") > 0) & (F.col("nb") > 0)).groupBy(
+        "event_type"
+    ).agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.sum(term).alias("jsd"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        F.floor(F.col("jsd") * 1_000_000 + F.lit(0.5)).cast("long").alias(
+            "jsd_e6"
+        ),
+        F.floor(F.sqrt(F.col("jsd")) * 10_000 + F.lit(0.5))
+        .cast("long")
+        .alias("dist_e4"),
+    ).orderBy("event_type")
+
+
+SQL_DIEL_JSD = """
+WITH d AS (
+  SELECT event_type, hour(ts) AS hr,
+         CASE WHEN (CAST(floor(epoch(ts) / 86400) AS BIGINT) + 3) % 7 >= 5
+              THEN 1 ELSE 0 END AS wkend
+  FROM events
+), cells AS (
+  SELECT event_type, hr,
+         CAST(sum(CASE WHEN wkend = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN wkend = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM d GROUP BY 1, 2
+), t AS (
+  SELECT event_type, a, b,
+         sum(a) OVER (PARTITION BY event_type) AS na,
+         sum(b) OVER (PARTITION BY event_type) AS nb
+  FROM cells
+), terms AS (
+  SELECT event_type, na, nb,
+         (CASE WHEN a > 0
+               THEN 0.5 * (CAST(a AS DOUBLE) / na)
+                    * ln((CAST(a AS DOUBLE) / na)
+                         / ((CAST(a AS DOUBLE) / na
+                             + CAST(b AS DOUBLE) / nb) / 2.0))
+               ELSE 0.0 END
+          + CASE WHEN b > 0
+                 THEN 0.5 * (CAST(b AS DOUBLE) / nb)
+                      * ln((CAST(b AS DOUBLE) / nb)
+                           / ((CAST(a AS DOUBLE) / na
+                               + CAST(b AS DOUBLE) / nb) / 2.0))
+                 ELSE 0.0 END) AS term
+  FROM t WHERE na > 0 AND nb > 0
+)
+SELECT event_type, CAST(max(na) AS BIGINT) AS na,
+       CAST(max(nb) AS BIGINT) AS nb,
+       CAST(floor(sum(term) * 1000000 + 0.5) AS BIGINT) AS jsd_e6,
+       CAST(floor(sqrt(sum(term)) * 10000 + 0.5) AS BIGINT) AS dist_e4
+FROM terms
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cusum_squares": q_cusum_squares,
     "bartels_rvn": q_bartels_rvn,
@@ -1838,6 +2221,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dow_anova": q_dow_anova,
     "peak_week": q_peak_week,
     "cvm_two_sample": q_cvm_two_sample,
+    "sample_entropy": q_sample_entropy,
+    "time_reversal_asymmetry": q_time_reversal_asymmetry,
+    "cohens_h": q_cohens_h,
+    "diel_jsd": q_diel_jsd,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1861,4 +2248,8 @@ ORACLE_SQL: dict[str, str] = {
     "dow_anova": SQL_DOW_ANOVA,
     "peak_week": SQL_PEAK_WEEK,
     "cvm_two_sample": SQL_CVM,
+    "sample_entropy": SQL_SAMPEN,
+    "time_reversal_asymmetry": SQL_TREV,
+    "cohens_h": SQL_COHENS_H,
+    "diel_jsd": SQL_DIEL_JSD,
 }

@@ -15,7 +15,11 @@ from diive_spark.queries_stats6 import (
     q_boilerplate_prefixes,
     q_charset_coverage,
     q_core_vocab_coverage,
+    q_cohens_h,
     q_cusum_squares,
+    q_diel_jsd,
+    q_sample_entropy,
+    q_time_reversal_asymmetry,
     q_cvm_two_sample,
     q_dow_anova,
     q_habit_strength,
@@ -545,3 +549,113 @@ def test_cvm_two_sample_matches_loop(spark):
         row = out[et]
         assert (row["n1"], row["n2"], row["s"]) == (n1, n2, s)
         assert row["t_e6"] == math.floor(tstat * 1e6 + _OFF)
+
+
+def test_sample_entropy_matches_loop(spark):
+    out = {r["event_type"]: r for r in q_sample_entropy(spark, SF).collect()}
+    daily = _daily_counts(spark)
+    per = defaultdict(dict)
+    for (et, day), c in daily.items():
+        per[et][day] = c
+    for et, dd in per.items():
+        days = sorted(dd)
+        x = [dd[d] for d in days]
+        n = len(x)
+        s, q = sum(x), sum(v * v for v in x)
+        var_num = n * q - s * s
+        nn1 = n * (n - 1)
+        bb = aa = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                m1 = (x[i] - x[j]) ** 2 * 25 * nn1 <= var_num
+                bb += m1
+                if m1 and i + 1 < n and j + 1 < n:
+                    if (x[i + 1] - x[j + 1]) ** 2 * 25 * nn1 <= var_num:
+                        aa += 1
+        if aa == 0 or bb == 0:
+            assert et not in out
+            continue
+        row = out[et]
+        assert (row["n"], row["b_m"], row["a_m1"]) == (n, bb, aa)
+        assert abs(row["sampen_e4"] - math.floor(math.log(bb / aa) * 1e4 + 0.5)) <= 1
+        assert row["sampen_e4"] >= 0
+
+
+def test_trev_matches_numpy(spark):
+    out = {
+        r["event_type"]: r
+        for r in q_time_reversal_asymmetry(spark, SF).collect()
+    }
+    daily = _daily_counts(spark)
+    per = defaultdict(dict)
+    for (et, day), c in daily.items():
+        per[et][day] = c
+    for et, dd in per.items():
+        days = sorted(dd)
+        cs = [dd[d] for d in days]
+        ds = [b - a for a, b in zip(cs, cs[1:])]
+        m = len(ds)
+        if m < 5:
+            assert et not in out
+            continue
+        s2 = sum(d * d for d in ds)
+        s3 = sum(d**3 for d in ds)
+        if s2 <= 0:
+            assert et not in out
+            continue
+        trev = (s3 / m) / (s2 / m) ** 1.5
+        row = out[et]
+        assert (row["m"], row["s2"], row["s3"]) == (m, s2, s3)
+        assert abs(row["trev_e4"] - math.floor(trev * 1e4 + _OFF)) <= 1
+
+
+def test_cohens_h_matches_formula(spark):
+    out = {r["event_type"]: r for r in q_cohens_h(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["day"] = (ev["ts"].astype("int64") // 1_000_000_000) // 86_400
+    ev["night"] = (ev["ts"].dt.hour < 6).astype(int)
+    for et, grp in ev.groupby("event_type"):
+        d0, d1 = int(grp["day"].min()), int(grp["day"].max())
+        mid = d0 + (d1 - d0) // 2
+        first = grp[grp["day"] <= mid]
+        second = grp[grp["day"] > mid]
+        n1, n2 = len(first), len(second)
+        if n1 == 0 or n2 == 0:
+            assert et not in out
+            continue
+        k1, k2 = int(first["night"].sum()), int(second["night"].sum())
+        h = 2 * math.asin(math.sqrt(k1 / n1)) - 2 * math.asin(
+            math.sqrt(k2 / n2)
+        )
+        row = out[et]
+        assert (row["n1"], row["k1"], row["n2"], row["k2"]) == (n1, k1, n2, k2)
+        assert abs(row["h_e4"] - math.floor(h * 1e4 + 0.5)) <= 1
+
+
+def test_diel_jsd_matches_loop(spark):
+    out = {r["event_type"]: r for r in q_diel_jsd(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["day"] = (ev["ts"].astype("int64") // 1_000_000_000) // 86_400
+    ev["hr"] = ev["ts"].dt.hour
+    ev["wkend"] = ((ev["day"] + 3) % 7 >= 5).astype(int)
+    for et, grp in ev.groupby("event_type"):
+        wd = Counter(grp[grp["wkend"] == 0]["hr"])
+        we = Counter(grp[grp["wkend"] == 1]["hr"])
+        na, nb = sum(wd.values()), sum(we.values())
+        if na == 0 or nb == 0:
+            assert et not in out
+            continue
+        jsd = 0.0
+        for h in set(wd) | set(we):
+            pa = wd.get(h, 0) / na
+            pb = we.get(h, 0) / nb
+            m = (pa + pb) / 2
+            if pa > 0:
+                jsd += 0.5 * pa * math.log(pa / m)
+            if pb > 0:
+                jsd += 0.5 * pb * math.log(pb / m)
+        row = out[et]
+        assert (row["na"], row["nb"]) == (na, nb)
+        assert abs(row["jsd_e6"] - math.floor(jsd * 1e6 + 0.5)) <= 2
+        assert abs(row["dist_e4"] - math.floor(math.sqrt(jsd) * 1e4 + 0.5)) <= 1
+        assert 0 <= row["jsd_e6"] <= 693_148  # JSD <= ln 2
