@@ -2200,6 +2200,338 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# l_moments — Hosking L-moment ratios of daily counts per type
+# ---------------------------------------------------------------------------
+# Hosking (JRSS-B 1990): with B_r = sum_i C(i-1, r) * x_(i) (EXACT
+# BIGINTs off one rank window; the binomial weights are integer
+# polynomials in the rank), b_r = B_r / (n * C(n-1, r)) and the
+# lambda/tau ladder is one double expression.  L-CV, L-skew and
+# L-kurtosis are the robust shape trio for heavy-tailed counts.
+
+
+def q_l_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("c", "day")
+    r = daily.withColumn("i", F.row_number().over(w))
+    i1 = F.col("i") - 1
+    agg = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("b0n"),
+        F.sum(i1 * F.col("c")).alias("b1n"),
+        F.sum(i1 * (i1 - 1) * F.col("c")).alias("b2n2"),
+        F.sum(i1 * (i1 - 1) * (i1 - 2) * F.col("c")).alias("b3n6"),
+    )
+    nd = F.col("n").cast("double")
+    b0 = F.col("b0n").cast("double") / nd
+    b1 = F.col("b1n").cast("double") / (nd * (nd - 1))
+    b2 = F.col("b2n2").cast("double") / (nd * (nd - 1) * (nd - 2))
+    b3 = F.col("b3n6").cast("double") / (
+        nd * (nd - 1) * (nd - 2) * (nd - 3)
+    )
+    l1 = b0
+    l2 = 2 * b1 - b0
+    l3 = 6 * b2 - 6 * b1 + b0
+    l4 = 20 * b3 - 30 * b2 + 12 * b1 - b0
+    return (
+        agg.filter((F.col("n") >= 8) & (l2 > 0))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.floor(l1 * 100 + F.lit(_OFF)).cast("long").alias("l1_e2"),
+            F.floor(l2 * 100 + F.lit(_OFF)).cast("long").alias("l2_e2"),
+            F.floor(l2 / l1 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "lcv_e6"
+            ),
+            F.floor(l3 / l2 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "lskew_e6"
+            ),
+            F.floor(l4 / l2 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "lkurt_e6"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_LMOMENTS = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY c, day) AS i
+  FROM daily
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(c) AS BIGINT) AS b0n,
+         CAST(sum((i - 1) * c) AS BIGINT) AS b1n,
+         CAST(sum((i - 1) * (i - 2) * c) AS BIGINT) AS b2n2,
+         CAST(sum((i - 1) * (i - 2) * (i - 3) * c) AS BIGINT) AS b3n6
+  FROM r GROUP BY 1
+), lm AS (
+  SELECT event_type, n,
+         CAST(b0n AS DOUBLE) / n AS b0,
+         CAST(b1n AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)) AS b1,
+         CAST(b2n2 AS DOUBLE)
+           / (CAST(n AS DOUBLE) * (n - 1) * (n - 2)) AS b2,
+         CAST(b3n6 AS DOUBLE)
+           / (CAST(n AS DOUBLE) * (n - 1) * (n - 2) * (n - 3)) AS b3
+  FROM agg
+), l AS (
+  SELECT event_type, n, b0 AS l1,
+         2 * b1 - b0 AS l2,
+         6 * b2 - 6 * b1 + b0 AS l3,
+         20 * b3 - 30 * b2 + 12 * b1 - b0 AS l4
+  FROM lm
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(floor(l1 * 100 + {_OFF}) AS BIGINT) AS l1_e2,
+       CAST(floor(l2 * 100 + {_OFF}) AS BIGINT) AS l2_e2,
+       CAST(floor(l2 / l1 * 1000000 + {_OFF}) AS BIGINT) AS lcv_e6,
+       CAST(floor(l3 / l2 * 1000000 + {_OFF}) AS BIGINT) AS lskew_e6,
+       CAST(floor(l4 / l2 * 1000000 + {_OFF}) AS BIGINT) AS lkurt_e6
+FROM l
+WHERE n >= 8 AND l2 > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# zero_inflation — van den Broek score test on the hourly grid
+# ---------------------------------------------------------------------------
+# Are there more empty hours than Poisson predicts?  Zeros = span
+# hours minus observed hours (exact); lambda = tot/span exact
+# rational; the score z (van den Broek, Biometrics 1995) is one
+# expression with a single exp on both engines.
+
+
+def q_zero_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+            )
+        )
+        .cast("long")
+        .alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    agg = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("h0"),
+        F.max("hr").alias("h1"),
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("c").alias("tot"),
+    )
+    span = (F.col("h1") - F.col("h0") + 1).cast("long")
+    agg = agg.withColumn("span", span).withColumn(
+        "n0", span - F.col("n_obs")
+    )
+    nd = F.col("span").cast("double")
+    lam = F.col("tot").cast("double") / nd
+    p0 = F.exp(-lam)
+    num = F.col("n0").cast("double") - nd * p0
+    den = F.sqrt(nd * p0 * (1.0 - p0) - nd * lam * p0 * p0)
+    z = num / den
+    return (
+        agg.filter((F.col("span") >= 10) & (den > 0))
+        .select(
+            "event_type",
+            F.col("span").cast("long").alias("span"),
+            F.col("n0").cast("long").alias("n0"),
+            F.col("tot").cast("long").alias("tot"),
+            F.floor(z * 10_000 + F.lit(0.5)).cast("long").alias("z_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_ZERO_INFL = """
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, max(hr) - min(hr) + 1 AS span,
+         max(hr) - min(hr) + 1 - count(*) AS n0,
+         CAST(sum(c) AS BIGINT) AS tot
+  FROM hourly GROUP BY 1
+), t AS (
+  SELECT event_type, span, n0, tot,
+         CAST(tot AS DOUBLE) / span AS lam,
+         exp(-(CAST(tot AS DOUBLE) / span)) AS p0
+  FROM agg
+)
+SELECT event_type, CAST(span AS BIGINT) AS span, CAST(n0 AS BIGINT) AS n0,
+       tot,
+       CAST(floor((CAST(n0 AS DOUBLE) - span * p0)
+                  / sqrt(CAST(span AS DOUBLE) * p0 * (1.0 - p0)
+                         - CAST(span AS DOUBLE) * lam * p0 * p0)
+                  * 10000 + 0.5) AS BIGINT) AS z_e4
+FROM t
+WHERE span >= 10
+  AND CAST(span AS DOUBLE) * p0 * (1.0 - p0)
+      - CAST(span AS DOUBLE) * lam * p0 * p0 > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# laplace_trend — Laplace trend test on event arrival times per type
+# ---------------------------------------------------------------------------
+# The reliability-engineering standard (Cox & Lewis 1966): for event
+# times u_i in (0, T), z = (mean(u)/T - 1/2) * sqrt(12 n) detects
+# intensity trend in a point process.  Exact integer second sums; one
+# expression.
+
+
+def q_laplace_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("sec"),
+    )
+    wn = Window.partitionBy("event_type")
+    d = ev.withColumn("t0", F.min("sec").over(wn)).withColumn(
+        "t1", F.max("sec").over(wn)
+    )
+    d = d.withColumn("u", F.col("sec") - F.col("t0"))
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("u").alias("su"),
+        F.max(F.col("t1") - F.col("t0")).alias("tt"),
+    )
+    nd = F.col("n").cast("double")
+    z = (
+        F.col("su").cast("double") / nd / F.col("tt").cast("double") - 0.5
+    ) * F.sqrt(12.0 * nd)
+    return (
+        agg.filter((F.col("tt") > 0) & (F.col("n") >= 10))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("tt").cast("long").alias("span_s"),
+            F.floor(z * 10_000 + F.lit(0.5)).cast("long").alias("z_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_LAPLACE = """
+WITH ev AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+), d AS (
+  SELECT event_type, sec,
+         min(sec) OVER (PARTITION BY event_type) AS t0,
+         max(sec) OVER (PARTITION BY event_type) AS t1
+  FROM ev
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(sec - t0) AS BIGINT) AS su,
+         CAST(max(t1 - t0) AS BIGINT) AS tt
+  FROM d GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, tt AS span_s,
+       CAST(floor((CAST(su AS DOUBLE) / n / tt - 0.5)
+                  * sqrt(12.0 * n) * 10000 + 0.5) AS BIGINT) AS z_e4
+FROM agg
+WHERE tt > 0 AND n >= 10
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# caps_profile — capitalization structure per language
+# ---------------------------------------------------------------------------
+# Curation signals: Title-Case word rate, ALL-CAPS word rate (len >=
+# 2), and the uppercase-letter share — pure regexp codegen, exact
+# integers.
+
+
+def q_caps_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select(
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_words"),
+        F.regexp_count(
+            F.col("text"), F.lit(r"(^|\s)[A-Z][a-z]+")
+        ).alias("n_title"),
+        F.regexp_count(
+            F.col("text"), F.lit(r"(^|\s)[A-Z]{2,}(\s|$)")
+        ).alias("n_allcaps"),
+        F.regexp_count(F.col("text"), F.lit("[A-Z]")).alias("n_upper"),
+        F.regexp_count(F.col("text"), F.lit("[A-Za-z]")).alias("n_alpha"),
+    )
+    agg = d.groupBy("lang").agg(
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_title").alias("n_title"),
+        F.sum("n_allcaps").alias("n_allcaps"),
+        F.sum("n_upper").alias("n_upper"),
+        F.sum("n_alpha").alias("n_alpha"),
+    )
+    tr = F.col("n_title").cast("double") / F.col("n_words").cast("double")
+    ar = F.col("n_allcaps").cast("double") / F.col("n_words").cast("double")
+    ur = F.col("n_upper").cast("double") / F.col("n_alpha").cast("double")
+    return agg.filter((F.col("n_words") > 0) & (F.col("n_alpha") > 0)).select(
+        "lang",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_title").cast("long").alias("n_title"),
+        F.col("n_allcaps").cast("long").alias("n_allcaps"),
+        F.floor(tr * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "title_rate_e6"
+        ),
+        F.floor(ar * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "allcaps_rate_e6"
+        ),
+        F.floor(ur * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "upper_share_e6"
+        ),
+    ).orderBy("lang")
+
+
+SQL_CAPS = f"""
+WITH d AS (
+  SELECT lang,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+         len(regexp_extract_all(text, '(^|\\s)[A-Z][a-z]+')) AS n_title,
+         len(regexp_extract_all(text, '(^|\\s)[A-Z]{{2,}}(\\s|$)'))
+           AS n_allcaps,
+         len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+  FROM documents
+), agg AS (
+  SELECT lang, CAST(sum(n_words) AS BIGINT) AS n_words,
+         CAST(sum(n_title) AS BIGINT) AS n_title,
+         CAST(sum(n_allcaps) AS BIGINT) AS n_allcaps,
+         CAST(sum(n_upper) AS BIGINT) AS n_upper,
+         CAST(sum(n_alpha) AS BIGINT) AS n_alpha
+  FROM d GROUP BY 1
+)
+SELECT lang, n_words, n_title, n_allcaps,
+       CAST(floor(CAST(n_title AS DOUBLE) / n_words * 1000000 + {_OFF})
+            AS BIGINT) AS title_rate_e6,
+       CAST(floor(CAST(n_allcaps AS DOUBLE) / n_words * 1000000 + {_OFF})
+            AS BIGINT) AS allcaps_rate_e6,
+       CAST(floor(CAST(n_upper AS DOUBLE) / n_alpha * 1000000 + {_OFF})
+            AS BIGINT) AS upper_share_e6
+FROM agg
+WHERE n_words > 0 AND n_alpha > 0
+ORDER BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cusum_squares": q_cusum_squares,
     "bartels_rvn": q_bartels_rvn,
@@ -2225,6 +2557,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_reversal_asymmetry": q_time_reversal_asymmetry,
     "cohens_h": q_cohens_h,
     "diel_jsd": q_diel_jsd,
+    "l_moments": q_l_moments,
+    "zero_inflation": q_zero_inflation,
+    "laplace_trend": q_laplace_trend,
+    "caps_profile": q_caps_profile,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2252,4 +2588,8 @@ ORACLE_SQL: dict[str, str] = {
     "time_reversal_asymmetry": SQL_TREV,
     "cohens_h": SQL_COHENS_H,
     "diel_jsd": SQL_DIEL_JSD,
+    "l_moments": SQL_LMOMENTS,
+    "zero_inflation": SQL_ZERO_INFL,
+    "laplace_trend": SQL_LAPLACE,
+    "caps_profile": SQL_CAPS,
 }

@@ -15,7 +15,11 @@ from diive_spark.queries_stats6 import (
     q_boilerplate_prefixes,
     q_charset_coverage,
     q_core_vocab_coverage,
+    q_caps_profile,
     q_cohens_h,
+    q_l_moments,
+    q_laplace_trend,
+    q_zero_inflation,
     q_cusum_squares,
     q_diel_jsd,
     q_sample_entropy,
@@ -659,3 +663,110 @@ def test_diel_jsd_matches_loop(spark):
         assert abs(row["jsd_e6"] - math.floor(jsd * 1e6 + 0.5)) <= 2
         assert abs(row["dist_e4"] - math.floor(math.sqrt(jsd) * 1e4 + 0.5)) <= 1
         assert 0 <= row["jsd_e6"] <= 693_148  # JSD <= ln 2
+
+
+def test_l_moments_matches_loop(spark):
+    out = {r["event_type"]: r for r in q_l_moments(spark, SF).collect()}
+    daily = _daily_counts(spark)
+    per = defaultdict(dict)
+    for (et, day), c in daily.items():
+        per[et][day] = c
+    for et, dd in per.items():
+        xs = sorted(dd.values())
+        n = len(xs)
+        if n < 8:
+            assert et not in out
+            continue
+        b0 = sum(xs) / n
+        b1 = sum((i) * x for i, x in enumerate(xs)) / (n * (n - 1))
+        b2 = sum(i * (i - 1) * x for i, x in enumerate(xs)) / (
+            n * (n - 1) * (n - 2)
+        )
+        b3 = sum(i * (i - 1) * (i - 2) * x for i, x in enumerate(xs)) / (
+            n * (n - 1) * (n - 2) * (n - 3)
+        )
+        l1 = b0
+        l2 = 2 * b1 - b0
+        l3 = 6 * b2 - 6 * b1 + b0
+        l4 = 20 * b3 - 30 * b2 + 12 * b1 - b0
+        if l2 <= 0:
+            assert et not in out
+            continue
+        row = out[et]
+        assert row["n"] == n
+        assert abs(row["l1_e2"] - math.floor(l1 * 100 + _OFF)) <= 1
+        assert abs(row["l2_e2"] - math.floor(l2 * 100 + _OFF)) <= 1
+        assert abs(row["lcv_e6"] - math.floor(l2 / l1 * 1e6 + _OFF)) <= 2
+        assert abs(row["lskew_e6"] - math.floor(l3 / l2 * 1e6 + _OFF)) <= 2
+        assert abs(row["lkurt_e6"] - math.floor(l4 / l2 * 1e6 + _OFF)) <= 2
+        # Hosking bounds: |tau3| < 1, tau4 in [(5*tau3^2-1)/4, 1)
+        assert -1_000_000 < row["lskew_e6"] < 1_000_000
+
+
+def test_zero_inflation_matches_formula(spark):
+    out = {r["event_type"]: r for r in q_zero_inflation(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["hr"] = ev["ts"].astype("int64") // 1_000_000_000 // 3600
+    for et, grp in ev.groupby("event_type"):
+        cnt = Counter(grp["hr"])
+        span = int(max(cnt) - min(cnt) + 1)
+        n0 = span - len(cnt)
+        tot = sum(cnt.values())
+        lam = tot / span
+        p0 = math.exp(-lam)
+        den2 = span * p0 * (1 - p0) - span * lam * p0 * p0
+        if span < 10 or den2 <= 0:
+            assert et not in out
+            continue
+        z = (n0 - span * p0) / math.sqrt(den2)
+        row = out[et]
+        assert (row["span"], row["n0"], row["tot"]) == (span, n0, tot)
+        assert abs(row["z_e4"] - math.floor(z * 1e4 + 0.5)) <= 1
+
+
+def test_laplace_trend_matches_formula(spark):
+    out = {r["event_type"]: r for r in q_laplace_trend(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["sec"] = ev["ts"].astype("int64") // 1_000_000_000
+    for et, grp in ev.groupby("event_type"):
+        secs = grp["sec"].astype(int)
+        t0, t1 = int(secs.min()), int(secs.max())
+        tt = t1 - t0
+        n = len(secs)
+        if tt <= 0 or n < 10:
+            assert et not in out
+            continue
+        su = int((secs - t0).sum())
+        z = (su / n / tt - 0.5) * math.sqrt(12 * n)
+        row = out[et]
+        assert (row["n"], row["span_s"]) == (n, tt)
+        assert abs(row["z_e4"] - math.floor(z * 1e4 + 0.5)) <= 1
+
+
+def test_caps_profile_matches_re(spark):
+    import re
+
+    out = {r["lang"]: r for r in q_caps_profile(spark, SF).collect()}
+    docs = _docs(spark)
+    for lang, grp in docs.groupby("lang"):
+        n_words = sum(len(t.strip().split()) for t in grp["text"])
+        n_title = sum(
+            len(re.findall(r"(^|\s)[A-Z][a-z]+", t)) for t in grp["text"]
+        )
+        n_allcaps = sum(
+            len(re.findall(r"(^|\s)[A-Z]{2,}(\s|$)", t)) for t in grp["text"]
+        )
+        n_upper = sum(len(re.findall(r"[A-Z]", t)) for t in grp["text"])
+        n_alpha = sum(len(re.findall(r"[A-Za-z]", t)) for t in grp["text"])
+        row = out[lang]
+        assert (row["n_words"], row["n_title"], row["n_allcaps"]) == (
+            n_words,
+            n_title,
+            n_allcaps,
+        )
+        assert row["title_rate_e6"] == math.floor(
+            n_title / n_words * 1e6 + _OFF
+        )
+        assert row["upper_share_e6"] == math.floor(
+            n_upper / n_alpha * 1e6 + _OFF
+        )
