@@ -2532,6 +2532,338 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# kpss_level — KPSS level-stationarity statistic (lag-0) per type
+# ---------------------------------------------------------------------------
+# Kwiatkowski-Phillips-Schmidt-Shin (J. Econometrics 1992), short-run
+# variance at lag 0: with partial sums of the demeaned series kept
+# exact as n*cum_t - t*S, the statistic is
+# sum(n*cum - t*S)^2 / (n^2 * (n*S2 - S^2)) — exact BIGINTs, one
+# division.  The unit-root companion to variance_ratio and the trend
+# battery.
+
+
+def q_kpss_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wn = Window.partitionBy("event_type")
+    d = (
+        daily.withColumn("t", F.row_number().over(wo))
+        .withColumn(
+            "cum",
+            F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn("s", F.sum("c").over(wn))
+        .withColumn("q", F.sum(F.col("c") * F.col("c")).over(wn))
+    )
+    part = F.col("n") * F.col("cum") - F.col("t") * F.col("s")
+    agg = d.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.max("q").alias("q"),
+        F.sum(part * part).alias("ss"),
+    )
+    den = F.col("n") * F.col("n") * (
+        F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    )
+    eta = F.col("ss").cast("double") / den.cast("double")
+    return (
+        agg.filter((F.col("n") >= 10) & (den > 0))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("ss").cast("long").alias("ss"),
+            F.floor(eta * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "eta_e6"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_KPSS = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         sum(c) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(c) OVER (PARTITION BY event_type) AS s,
+         sum(c * c) OVER (PARTITION BY event_type) AS q
+  FROM daily
+), agg AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         CAST(max(s) AS BIGINT) AS s, CAST(max(q) AS BIGINT) AS q,
+         CAST(sum((n * cum - t * s) * (n * cum - t * s)) AS BIGINT) AS ss
+  FROM d GROUP BY 1
+)
+SELECT event_type, n, ss,
+       CAST(floor(CAST(ss AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * n * (n * q - s * s))
+                  * 1000000 + {_OFF}) AS BIGINT) AS eta_e6
+FROM agg
+WHERE n >= 10 AND n * q - s * s > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# user_specialization — event-type HHI distribution across users
+# ---------------------------------------------------------------------------
+# Per-user Herfindahl over event types (HHI = sum share^2, exact
+# rational sum(c^2)/total^2); report per event-grid: mean HHI,
+# specialist share (HHI > 1/2, an exact integer inequality
+# 2*sum c^2 > total^2), and the user count.
+
+
+def q_user_specialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    u = per.groupBy("user_id").agg(
+        F.sum("c").alias("tot"),
+        F.sum(F.col("c") * F.col("c")).alias("c2"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    hhi = F.col("c2").cast("double") / (
+        F.col("tot").cast("double") * F.col("tot")
+    )
+    spec = (2 * F.col("c2") > F.col("tot") * F.col("tot")).cast("long")
+    agg = u.select(hhi.alias("hhi"), spec.alias("spec"), "k").groupBy().agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("spec").alias("n_specialists"),
+        F.sum("hhi").alias("hhi_sum"),
+        F.sum("k").alias("k_sum"),
+    )
+    mean_hhi = F.col("hhi_sum") / F.col("n_users").cast("double")
+    spec_share = F.col("n_specialists").cast("double") / F.col(
+        "n_users"
+    ).cast("double")
+    mean_k = F.col("k_sum").cast("double") / F.col("n_users").cast("double")
+    return agg.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_specialists").cast("long").alias("n_specialists"),
+        F.floor(mean_hhi * 1_000_000 + F.lit(0.5)).cast("long").alias(
+            "mean_hhi_e6"
+        ),
+        F.floor(spec_share * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "spec_share_e6"
+        ),
+        F.floor(mean_k * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "mean_k_e4"
+        ),
+    )
+
+
+SQL_SPECIALIZATION = f"""
+WITH per AS (
+  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+), u AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS tot,
+         CAST(sum(c * c) AS BIGINT) AS c2, count(*) AS k
+  FROM per GROUP BY 1
+), t AS (
+  SELECT CAST(c2 AS DOUBLE) / (CAST(tot AS DOUBLE) * tot) AS hhi,
+         CASE WHEN 2 * c2 > tot * tot THEN 1 ELSE 0 END AS spec,
+         k
+  FROM u
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(spec) AS BIGINT) AS n_specialists,
+       CAST(floor(sum(hhi) / count(*) * 1000000 + 0.5) AS BIGINT)
+         AS mean_hhi_e6,
+       CAST(floor(CAST(sum(spec) AS DOUBLE) / count(*) * 1000000 + {_OFF})
+            AS BIGINT) AS spec_share_e6,
+       CAST(floor(CAST(sum(k) AS DOUBLE) / count(*) * 10000 + {_OFF})
+            AS BIGINT) AS mean_k_e4
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# medcouple — robust skewness of daily counts (strict-pair kernel)
+# ---------------------------------------------------------------------------
+# Brys, Hubert & Struyf (JCGS 2004): MC = median over pairs x_i < med
+# < x_j of h = ((x_j - med) - (med - x_i)) / (x_j - x_i) — restricted
+# to STRICT pairs (the med-equal kernel special cases are excluded;
+# documented deviation, exact on tie-free grids).  Each h is one IEEE
+# division of exact integers; low-median selection of identical
+# doubles is deterministic.
+
+
+def q_medcouple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("c", "day")
+    wn = Window.partitionBy("event_type")
+    r = daily.withColumn("rk", F.row_number().over(w)).withColumn(
+        "nn", F.count(F.lit(1)).over(wn)
+    )
+    med = r.filter(
+        F.col("rk") == F.floor((F.col("nn") - 1) / 2) + 1
+    ).select("event_type", F.col("c").alias("med"))
+    lo = daily.join(F.broadcast(med), "event_type").filter(
+        F.col("c") < F.col("med")
+    ).select("event_type", F.col("c").alias("xi"), "med")
+    hi = daily.join(F.broadcast(med), "event_type").filter(
+        F.col("c") > F.col("med")
+    ).select(F.col("event_type").alias("et2"), F.col("c").alias("xj"))
+    p = lo.join(hi, lo.event_type == hi.et2).select(
+        "event_type",
+        (
+            ((F.col("xj") - F.col("med")) - (F.col("med") - F.col("xi")))
+            .cast("double")
+            / (F.col("xj") - F.col("xi")).cast("double")
+        ).alias("h"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("h")
+    wc = Window.partitionBy("event_type")
+    rr = p.withColumn("rk", F.row_number().over(wr)).withColumn(
+        "np", F.count(F.lit(1)).over(wc)
+    )
+    sel = rr.filter(F.col("rk") == F.floor((F.col("np") - 1) / 2) + 1)
+    return sel.select(
+        "event_type",
+        F.col("np").cast("long").alias("n_pairs"),
+        F.floor(F.col("h") * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "mc_e6"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_MEDCOUPLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY c, day) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS nn
+  FROM daily
+), med AS (
+  SELECT event_type, c AS med FROM r WHERE rk = (nn - 1) // 2 + 1
+), lo AS (
+  SELECT daily.event_type, daily.c AS xi, med.med
+  FROM daily JOIN med ON med.event_type = daily.event_type
+  WHERE daily.c < med.med
+), hi AS (
+  SELECT daily.event_type, daily.c AS xj
+  FROM daily JOIN med ON med.event_type = daily.event_type
+  WHERE daily.c > med.med
+), p AS (
+  SELECT lo.event_type,
+         CAST((xj - med) - (med - xi) AS DOUBLE) / (xj - xi) AS h
+  FROM lo JOIN hi ON hi.event_type = lo.event_type
+), rr AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS np
+  FROM p
+)
+SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+       CAST(floor(h * 1000000 + {_OFF}) AS BIGINT) AS mc_e6
+FROM rr
+WHERE rk = (np - 1) // 2 + 1
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# ulcer_index — Martin's ulcer index of the daily count series
+# ---------------------------------------------------------------------------
+# Martin (1987): UI = sqrt(mean over days of pct-drawdown^2), with
+# drawdown against the RUNNING max (day-ordered cumulative max —
+# deterministic); the per-day percentage is one division of exact
+# integers; the squared fold is day-bounded (anova grid argument).
+
+
+def q_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    d = daily.withColumn(
+        "rmax",
+        F.max("c").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    dd = (
+        (F.col("rmax") - F.col("c")).cast("double")
+        / F.col("rmax").cast("double")
+        * 100.0
+    )
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dd * dd).alias("sdd"),
+        F.max("rmax").alias("peak"),
+    )
+    ui = F.sqrt(F.col("sdd") / F.col("n").cast("double"))
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("peak").cast("long").alias("peak"),
+        F.floor(ui * 10_000 + F.lit(0.5)).cast("long").alias("ui_e4"),
+    ).orderBy("event_type")
+
+
+SQL_ULCER = """
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type, c,
+         max(c) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS rmax
+  FROM daily
+), t AS (
+  SELECT event_type,
+         (CAST(rmax - c AS DOUBLE) / rmax * 100.0) AS dd, rmax
+  FROM d
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(max(rmax) AS BIGINT) AS peak,
+       CAST(floor(sqrt(sum(dd * dd) / count(*)) * 10000 + 0.5) AS BIGINT)
+         AS ui_e4
+FROM t
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cusum_squares": q_cusum_squares,
     "bartels_rvn": q_bartels_rvn,
@@ -2561,6 +2893,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zero_inflation": q_zero_inflation,
     "laplace_trend": q_laplace_trend,
     "caps_profile": q_caps_profile,
+    "kpss_level": q_kpss_level,
+    "user_specialization": q_user_specialization,
+    "medcouple": q_medcouple,
+    "ulcer_index": q_ulcer_index,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2592,4 +2928,8 @@ ORACLE_SQL: dict[str, str] = {
     "zero_inflation": SQL_ZERO_INFL,
     "laplace_trend": SQL_LAPLACE,
     "caps_profile": SQL_CAPS,
+    "kpss_level": SQL_KPSS,
+    "user_specialization": SQL_SPECIALIZATION,
+    "medcouple": SQL_MEDCOUPLE,
+    "ulcer_index": SQL_ULCER,
 }

@@ -21,6 +21,10 @@ from diive_spark.queries_stats6 import (
     q_laplace_trend,
     q_zero_inflation,
     q_cusum_squares,
+    q_kpss_level,
+    q_medcouple,
+    q_ulcer_index,
+    q_user_specialization,
     q_diel_jsd,
     q_sample_entropy,
     q_time_reversal_asymmetry,
@@ -770,3 +774,95 @@ def test_caps_profile_matches_re(spark):
         assert row["upper_share_e6"] == math.floor(
             n_upper / n_alpha * 1e6 + _OFF
         )
+
+
+def test_kpss_level_matches_loop(spark):
+    out = {r["event_type"]: r for r in q_kpss_level(spark, SF).collect()}
+    daily = _daily_counts(spark)
+    per = defaultdict(dict)
+    for (et, day), c in daily.items():
+        per[et][day] = c
+    for et, dd in per.items():
+        days = sorted(dd)
+        x = [dd[d] for d in days]
+        n = len(x)
+        s, q = sum(x), sum(v * v for v in x)
+        if n < 10 or n * q - s * s <= 0:
+            assert et not in out
+            continue
+        cum = 0
+        ss = 0
+        for t, v in enumerate(x, 1):
+            cum += v
+            ss += (n * cum - t * s) ** 2
+        eta = ss / (n * n * (n * q - s * s))
+        row = out[et]
+        assert (row["n"], row["ss"]) == (n, ss)
+        assert row["eta_e6"] == math.floor(eta * 1e6 + _OFF)
+
+
+def test_user_specialization_matches_counter(spark):
+    row = q_user_specialization(spark, SF).collect()[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    hhi_sum = 0.0
+    n_spec = 0
+    k_sum = 0
+    users = 0
+    for _uid, grp in ev.groupby("user_id"):
+        cnt = Counter(grp["event_type"])
+        tot = sum(cnt.values())
+        c2 = sum(c * c for c in cnt.values())
+        hhi_sum += c2 / (tot * tot)
+        n_spec += 2 * c2 > tot * tot
+        k_sum += len(cnt)
+        users += 1
+    assert row["n_users"] == users
+    assert row["n_specialists"] == n_spec
+    assert abs(row["mean_hhi_e6"] - math.floor(hhi_sum / users * 1e6 + 0.5)) <= 1
+    assert row["spec_share_e6"] == math.floor(n_spec / users * 1e6 + _OFF)
+    assert row["mean_k_e4"] == math.floor(k_sum / users * 1e4 + _OFF)
+
+
+def test_medcouple_matches_loop(spark):
+    out = {r["event_type"]: r for r in q_medcouple(spark, SF).collect()}
+    daily = _daily_counts(spark)
+    per = defaultdict(dict)
+    for (et, day), c in daily.items():
+        per[et][day] = c
+    for et, dd in per.items():
+        xs = sorted(dd.values())
+        med = xs[(len(xs) - 1) // 2]
+        lo = [x for x in xs if x < med]
+        hi = [x for x in xs if x > med]
+        hs = sorted(
+            ((xj - med) - (med - xi)) / (xj - xi) for xi in lo for xj in hi
+        )
+        if not hs:
+            assert et not in out
+            continue
+        mc = hs[(len(hs) - 1) // 2]
+        row = out[et]
+        assert row["n_pairs"] == len(hs)
+        assert row["mc_e6"] == math.floor(mc * 1e6 + _OFF)
+        assert -1_000_000 <= row["mc_e6"] <= 1_000_000
+
+
+def test_ulcer_index_matches_loop(spark):
+    out = {r["event_type"]: r for r in q_ulcer_index(spark, SF).collect()}
+    daily = _daily_counts(spark)
+    per = defaultdict(dict)
+    for (et, day), c in daily.items():
+        per[et][day] = c
+    for et, dd in per.items():
+        days = sorted(dd)
+        rmax = 0
+        sdd = 0.0
+        for d in days:
+            rmax = max(rmax, dd[d])
+            pct = (rmax - dd[d]) / rmax * 100.0
+            sdd += pct * pct
+        ui = math.sqrt(sdd / len(days))
+        row = out[et]
+        assert row["n"] == len(days)
+        assert row["peak"] == rmax
+        assert abs(row["ui_e4"] - math.floor(ui * 1e4 + 0.5)) <= 1
