@@ -2864,6 +2864,298 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# expected_shortfall — lower-tail ES (worst 5% of days) per type
+# ---------------------------------------------------------------------------
+# The coherent risk measure (Acerbi & Tasche 2002) applied to traffic
+# drops: k = max(1, n//20) worst days; VaR = k-th order statistic,
+# ES = mean of the k worst — exact integers off one ascending rank
+# window.
+
+
+def q_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("c", "day")
+    wn = Window.partitionBy("event_type")
+    r = daily.withColumn("rk", F.row_number().over(w)).withColumn(
+        "nn", F.count(F.lit(1)).over(wn)
+    )
+    k = F.greatest(F.lit(1), F.expr("nn div 20"))
+    agg = r.groupBy("event_type").agg(
+        F.max("nn").alias("n"),
+        F.max(k).alias("k"),
+        F.sum(F.when(F.col("rk") <= k, F.col("c")).otherwise(0)).alias(
+            "tail_sum"
+        ),
+        F.max(F.when(F.col("rk") == k, F.col("c"))).alias("var_k"),
+    )
+    es = F.col("tail_sum").cast("double") / F.col("k").cast("double")
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.col("var_k").cast("long").alias("var_k"),
+        F.floor(es * 10_000 + F.lit(_OFF)).cast("long").alias("es_e4"),
+    ).orderBy("event_type")
+
+
+SQL_ES = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY c, day) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS nn
+  FROM daily
+)
+SELECT event_type, CAST(max(nn) AS BIGINT) AS n,
+       CAST(max(greatest(1, nn // 20)) AS BIGINT) AS k,
+       CAST(max(CASE WHEN rk = greatest(1, nn // 20) THEN c END)
+            AS BIGINT) AS var_k,
+       CAST(floor(CAST(sum(CASE WHEN rk <= greatest(1, nn // 20)
+                                THEN c ELSE 0 END) AS DOUBLE)
+                  / max(greatest(1, nn // 20)) * 10000 + {_OFF})
+            AS BIGINT) AS es_e4
+FROM r
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# median_ci — distribution-free binomial CI for the median
+# ---------------------------------------------------------------------------
+# The classic order-statistic interval (Hahn & Meeker 1991): ranks
+# l = floor((n - 1.96*sqrt(n))/2), u = n + 1 - l clamped to [1, n];
+# the interval is (x_(l), x_(u)) — rank arithmetic uses the same 1.96
+# literal and floor on both engines, selections are exact order
+# statistics of daily counts.
+
+
+def q_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("c", "day")
+    wn = Window.partitionBy("event_type")
+    r = daily.withColumn("rk", F.row_number().over(w)).withColumn(
+        "nn", F.count(F.lit(1)).over(wn)
+    )
+    nd = F.col("nn").cast("double")
+    lo_rk = F.greatest(
+        F.lit(1), F.floor((nd - 1.96 * F.sqrt(nd)) / 2.0).cast("long")
+    )
+    hi_rk = F.least(F.col("nn"), F.col("nn") + 1 - lo_rk)
+    med_rk = F.floor((F.col("nn") - 1) / 2) + 1
+    r = r.withColumn("lo_rk", lo_rk).withColumn("hi_rk", hi_rk).withColumn(
+        "med_rk", med_rk
+    )
+    agg = r.groupBy("event_type").agg(
+        F.max("nn").alias("n"),
+        F.max(F.when(F.col("rk") == F.col("lo_rk"), F.col("c"))).alias("lo"),
+        F.max(F.when(F.col("rk") == F.col("med_rk"), F.col("c"))).alias(
+            "med"
+        ),
+        F.max(F.when(F.col("rk") == F.col("hi_rk"), F.col("c"))).alias("hi"),
+    )
+    return (
+        agg.filter(F.col("n") >= 6)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("lo").cast("long").alias("lo"),
+            F.col("med").cast("long").alias("med"),
+            F.col("hi").cast("long").alias("hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_MEDIAN_CI = """
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY c, day) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS nn
+  FROM daily
+), t AS (
+  SELECT event_type, c, rk, nn,
+         greatest(1, CAST(floor((nn - 1.96 * sqrt(CAST(nn AS DOUBLE)))
+                                / 2.0) AS BIGINT)) AS lo_rk,
+         (nn - 1) // 2 + 1 AS med_rk
+  FROM r
+)
+SELECT event_type, CAST(max(nn) AS BIGINT) AS n,
+       CAST(max(CASE WHEN rk = lo_rk THEN c END) AS BIGINT) AS lo,
+       CAST(max(CASE WHEN rk = med_rk THEN c END) AS BIGINT) AS med,
+       CAST(max(CASE WHEN rk = least(nn, nn + 1 - lo_rk) THEN c END)
+            AS BIGINT) AS hi
+FROM t
+GROUP BY 1
+HAVING max(nn) >= 6
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# max_outage — longest silent stretch on the hourly grid per type
+# ---------------------------------------------------------------------------
+# Availability readout: gaps between consecutive OBSERVED hours;
+# longest silence (gap - 1 hours), count of silences >= 3 h, and total
+# silent hours within the span — all exact integers off one
+# day-ordered lag.
+
+
+def q_max_outage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+            )
+        )
+        .cast("long")
+        .alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("hr")
+    g = hourly.withColumn("prev", F.lag("hr").over(wo)).withColumn(
+        "silent", F.col("hr") - F.col("prev") - 1
+    )
+    agg = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.max("silent").alias("max_silent"),
+        F.sum(
+            F.when(F.col("silent") >= 3, 1).otherwise(0)
+        ).alias("n_outages_3h"),
+        F.sum(F.coalesce(F.col("silent"), F.lit(0))).alias("total_silent"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_hours").cast("long").alias("n_hours"),
+        F.coalesce(F.col("max_silent"), F.lit(0)).cast("long").alias(
+            "max_silent"
+        ),
+        F.col("n_outages_3h").cast("long").alias("n_outages_3h"),
+        F.col("total_silent").cast("long").alias("total_silent"),
+    ).orderBy("event_type")
+
+
+SQL_MAX_OUTAGE = """
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT event_type,
+         hr - lag(hr) OVER (PARTITION BY event_type ORDER BY hr) - 1
+           AS silent
+  FROM hourly
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(coalesce(max(silent), 0) AS BIGINT) AS max_silent,
+       CAST(sum(CASE WHEN silent >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outages_3h,
+       CAST(sum(coalesce(silent, 0)) AS BIGINT) AS total_silent
+FROM g
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# diel_fwhm — full-width-at-half-max of the diel profile per type
+# ---------------------------------------------------------------------------
+# Peak sharpness: 24-bin hourly profile; peak count, hours at or above
+# half the peak (the FWHM analogue on a cyclic 24-bin histogram), and
+# the peak-to-mean ratio — exact integers, the half-max test as the
+# integer inequality 2*c >= peak.
+
+
+def q_diel_fwhm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    prof = ev.groupBy(
+        "event_type",
+        F.hour(F.col("ts").cast("timestamp")).cast("long").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wn = Window.partitionBy("event_type")
+    t = prof.withColumn("peak", F.max("c").over(wn)).withColumn(
+        "tot", F.sum("c").over(wn)
+    ).withColumn("nh", F.count(F.lit(1)).over(wn))
+    agg = t.groupBy("event_type").agg(
+        F.max("peak").alias("peak"),
+        F.max("tot").alias("tot"),
+        F.max("nh").alias("nh"),
+        F.sum((2 * F.col("c") >= F.col("peak")).cast("long")).alias(
+            "fwhm_hours"
+        ),
+        F.min(F.when(F.col("c") == F.col("peak"), F.col("hr"))).alias(
+            "peak_hr"
+        ),
+    )
+    pmr = (
+        F.col("peak").cast("double")
+        * F.col("nh").cast("double")
+        / F.col("tot").cast("double")
+    )
+    return agg.select(
+        "event_type",
+        F.col("peak_hr").cast("long").alias("peak_hr"),
+        F.col("peak").cast("long").alias("peak"),
+        F.col("fwhm_hours").cast("long").alias("fwhm_hours"),
+        F.floor(pmr * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "peak_mean_ratio_e4"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_DIEL_FWHM = f"""
+WITH prof AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, count(*) AS c
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, hr, c,
+         max(c) OVER (PARTITION BY event_type) AS peak,
+         sum(c) OVER (PARTITION BY event_type) AS tot,
+         count(*) OVER (PARTITION BY event_type) AS nh
+  FROM prof
+)
+SELECT event_type,
+       CAST(min(CASE WHEN c = peak THEN hr END) AS BIGINT) AS peak_hr,
+       CAST(max(peak) AS BIGINT) AS peak,
+       CAST(sum(CASE WHEN 2 * c >= peak THEN 1 ELSE 0 END) AS BIGINT)
+         AS fwhm_hours,
+       CAST(floor(CAST(max(peak) AS DOUBLE) * max(nh) / max(tot)
+                  * 10000 + {_OFF}) AS BIGINT) AS peak_mean_ratio_e4
+FROM t
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cusum_squares": q_cusum_squares,
     "bartels_rvn": q_bartels_rvn,
@@ -2897,6 +3189,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_specialization": q_user_specialization,
     "medcouple": q_medcouple,
     "ulcer_index": q_ulcer_index,
+    "expected_shortfall": q_expected_shortfall,
+    "median_ci": q_median_ci,
+    "max_outage": q_max_outage,
+    "diel_fwhm": q_diel_fwhm,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2932,4 +3228,8 @@ ORACLE_SQL: dict[str, str] = {
     "user_specialization": SQL_SPECIALIZATION,
     "medcouple": SQL_MEDCOUPLE,
     "ulcer_index": SQL_ULCER,
+    "expected_shortfall": SQL_ES,
+    "median_ci": SQL_MEDIAN_CI,
+    "max_outage": SQL_MAX_OUTAGE,
+    "diel_fwhm": SQL_DIEL_FWHM,
 }

@@ -21,6 +21,10 @@ from diive_spark.queries_stats6 import (
     q_laplace_trend,
     q_zero_inflation,
     q_cusum_squares,
+    q_diel_fwhm,
+    q_expected_shortfall,
+    q_max_outage,
+    q_median_ci,
     q_kpss_level,
     q_medcouple,
     q_ulcer_index,
@@ -866,3 +870,80 @@ def test_ulcer_index_matches_loop(spark):
         assert row["n"] == len(days)
         assert row["peak"] == rmax
         assert abs(row["ui_e4"] - math.floor(ui * 1e4 + 0.5)) <= 1
+
+
+def test_expected_shortfall_matches_loop(spark):
+    out = {
+        r["event_type"]: r for r in q_expected_shortfall(spark, SF).collect()
+    }
+    daily = _daily_counts(spark)
+    per = defaultdict(list)
+    for (et, _day), c in daily.items():
+        per[et].append(c)
+    for et, cs in per.items():
+        xs = sorted(cs)
+        n = len(xs)
+        k = max(1, n // 20)
+        tail = xs[:k]
+        row = out[et]
+        assert (row["n"], row["k"]) == (n, k)
+        assert row["var_k"] == xs[k - 1]
+        assert row["es_e4"] == math.floor(sum(tail) / k * 1e4 + _OFF)
+        assert row["es_e4"] <= row["var_k"] * 10_000
+
+
+def test_median_ci_matches_loop(spark):
+    out = {r["event_type"]: r for r in q_median_ci(spark, SF).collect()}
+    daily = _daily_counts(spark)
+    per = defaultdict(list)
+    for (et, _day), c in daily.items():
+        per[et].append(c)
+    for et, cs in per.items():
+        xs = sorted(cs)
+        n = len(xs)
+        if n < 6:
+            assert et not in out
+            continue
+        lo_rk = max(1, math.floor((n - 1.96 * math.sqrt(n)) / 2))
+        hi_rk = min(n, n + 1 - lo_rk)
+        row = out[et]
+        assert row["n"] == n
+        assert row["lo"] == xs[lo_rk - 1]
+        assert row["med"] == xs[(n - 1) // 2]
+        assert row["hi"] == xs[hi_rk - 1]
+        assert row["lo"] <= row["med"] <= row["hi"]
+
+
+def test_max_outage_matches_loop(spark):
+    out = {r["event_type"]: r for r in q_max_outage(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["hr"] = ev["ts"].astype("int64") // 1_000_000_000 // 3600
+    for et, grp in ev.groupby("event_type"):
+        hrs = sorted(set(grp["hr"]))
+        silences = [b - a - 1 for a, b in zip(hrs, hrs[1:])]
+        row = out[et]
+        assert row["n_hours"] == len(hrs)
+        assert row["max_silent"] == (max(silences) if silences else 0)
+        assert row["n_outages_3h"] == sum(1 for s in silences if s >= 3)
+        assert row["total_silent"] == sum(silences)
+
+
+def test_diel_fwhm_matches_loop(spark):
+    out = {r["event_type"]: r for r in q_diel_fwhm(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["hr"] = ev["ts"].dt.hour
+    for et, grp in ev.groupby("event_type"):
+        cnt = Counter(grp["hr"])
+        peak = max(cnt.values())
+        peak_hr = min(h for h, c in cnt.items() if c == peak)
+        fwhm = sum(1 for c in cnt.values() if 2 * c >= peak)
+        tot = sum(cnt.values())
+        nh = len(cnt)
+        pmr = peak * nh / tot
+        row = out[et]
+        assert (row["peak_hr"], row["peak"], row["fwhm_hours"]) == (
+            peak_hr,
+            peak,
+            fwhm,
+        )
+        assert row["peak_mean_ratio_e4"] == math.floor(pmr * 1e4 + _OFF)
