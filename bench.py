@@ -50,10 +50,22 @@ def run_bench() -> dict:
     # plans are reused across the two runs beyond Spark's normal
     # session state).
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Wall-clock budget guard: the registry is 300+ queries, so a
+    # best-of-2 pass can outlive a caller-side timeout — and this
+    # harness prints ONLY at the end, which would lose the whole
+    # record.  Past the budget, degrade remaining queries to a single
+    # run (recorded in "degraded" so the methodology stays honest).
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "480"))
+    bench_t0 = time.perf_counter()
     timings: dict[str, float] = {}
+    degraded: list[str] = []
     for name, fn in q.QUERIES.items():
+        runs = runs_per_query
+        if time.perf_counter() - bench_t0 > budget_s and runs > 1:
+            runs = 1
+            degraded.append(name)
         best = float("inf")
-        for _ in range(runs_per_query):
+        for _ in range(runs):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             _ = df.count()
@@ -67,7 +79,7 @@ def run_bench() -> dict:
         sf = float(SF_DIR.rstrip("/").split("sf")[-1])
     except ValueError:
         sf = None
-    return {
+    rec = {
         "metric": "total_query_time",
         "value": total,
         "unit": "sec",
@@ -75,6 +87,9 @@ def run_bench() -> dict:
         "sf": sf,
         "runs_per_query": runs_per_query,
     }
+    if degraded:
+        rec["degraded_to_one_run"] = degraded
+    return rec
 
 
 SCALE_KEYS = 8000
