@@ -430,11 +430,462 @@ ORDER BY pre.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# ad_two_sample — two-sample Anderson-Darling, day vs night hourly counts
+# ---------------------------------------------------------------------------
+# Pettitt (Biometrika 63, 1976) / Scholz & Stephens (JASA 82, 1987):
+# the right-continuous-ECDF variant on the pooled distinct-value
+# support, A2 = (1/(n1*n2)) * sum_j l_j (N*M_j - n1*B_j)^2 /
+# (B_j (N - B_j)) over pooled values with B_j < N (documented variant
+# — no midrank continuity term).  M_j, B_j, l_j are exact BIGINT
+# cumulatives; each term's single division is evaluated in double and
+# floor-scaled to an e6 BIGINT BEFORE summing, so the cross-engine sum
+# is an exact integer regardless of accumulation order.  Day hours =
+# [6, 18), the repo's diel convention.
+
+
+def q_ad_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts = F.col("ts").cast("timestamp")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_micros(ts) / 3_600_000_000)).cast("long").alias("t"),
+        ((F.hour(ts) >= 6) & (F.hour(ts) < 18)).cast("int").alias("is_day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cells = hourly.groupBy("event_type", "c").agg(
+        F.sum(F.when(F.col("is_day") == 1, 1).otherwise(0)).alias("l1"),
+        F.count(F.lit(1)).alias("l"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("c")
+    wn = Window.partitionBy("event_type")
+    t = (
+        cells.withColumn(
+            "m", F.sum("l1").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn(
+            "bb", F.sum("l").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn("n1", F.sum("l1").over(wn))
+        .withColumn("nn", F.sum("l").over(wn))
+    )
+    dev = (
+        F.col("nn") * F.col("m") - F.col("n1") * F.col("bb")
+    ).cast("double")
+    term = (
+        F.col("l").cast("double")
+        * dev
+        * dev
+        / (F.col("bb").cast("double") * (F.col("nn") - F.col("bb")).cast("double"))
+    )
+    t = t.withColumn(
+        "term_e6",
+        F.when(
+            F.col("bb") < F.col("nn"),
+            F.floor(term * 1_000_000 + F.lit(_OFF)).cast("long"),
+        ).otherwise(F.lit(0)),
+    )
+    agg = t.groupBy("event_type").agg(
+        F.max("n1").alias("n1"),
+        F.max("nn").alias("nn"),
+        F.sum("term_e6").alias("s6"),
+    )
+    n2 = F.col("nn") - F.col("n1")
+    a2 = F.col("s6").cast("double") / 1e6 / (F.col("n1") * n2).cast("double")
+    return (
+        agg.filter((F.col("n1") > 0) & (n2 > 0))
+        .select(
+            "event_type",
+            F.col("n1").cast("long").alias("n_day"),
+            n2.cast("long").alias("n_night"),
+            F.floor(a2 * 10_000 + F.lit(_OFF)).cast("long").alias("a2_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_AD_TWO_SAMPLE = f"""
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS t,
+         CASE WHEN hour(ts) >= 6 AND hour(ts) < 18 THEN 1 ELSE 0 END
+           AS is_day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2, 3
+), cells AS (
+  SELECT event_type, c,
+         CAST(sum(CASE WHEN is_day = 1 THEN 1 ELSE 0 END) AS BIGINT) AS l1,
+         CAST(count(*) AS BIGINT) AS l
+  FROM hourly GROUP BY 1, 2
+), t AS (
+  SELECT event_type, c, l1, l,
+         CAST(sum(l1) OVER (PARTITION BY event_type ORDER BY c
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS m,
+         CAST(sum(l) OVER (PARTITION BY event_type ORDER BY c
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS bb,
+         CAST(sum(l1) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+         CAST(sum(l) OVER (PARTITION BY event_type) AS BIGINT) AS nn
+  FROM cells
+), terms AS (
+  SELECT event_type, n1, nn,
+         CASE WHEN bb < nn THEN
+           CAST(floor(CAST(l AS DOUBLE)
+                      * CAST(nn * m - n1 * bb AS DOUBLE)
+                      * CAST(nn * m - n1 * bb AS DOUBLE)
+                      / (CAST(bb AS DOUBLE) * CAST(nn - bb AS DOUBLE))
+                      * 1000000 + {_OFF}) AS BIGINT)
+         ELSE 0 END AS term_e6
+  FROM t
+)
+SELECT event_type,
+       CAST(max(n1) AS BIGINT) AS n_day,
+       CAST(max(nn) - max(n1) AS BIGINT) AS n_night,
+       CAST(floor(CAST(sum(term_e6) AS DOUBLE) / 1e6
+                  / CAST(max(n1) * (max(nn) - max(n1)) AS DOUBLE)
+                  * 10000 + {_OFF}) AS BIGINT) AS a2_e4
+FROM terms
+GROUP BY event_type
+HAVING max(n1) > 0 AND max(nn) - max(n1) > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# url_depth_profile — URL structure profile over the canonical corpus URLs
+# ---------------------------------------------------------------------------
+# Crawl-frontier shape audit (cf. Cho & Garcia-Molina, VLDB 2000
+# frontier statistics): bucket the synthetic corpus URLs (the SAME
+# generator as url_canon_dedup) by path depth, query-parameter count,
+# and fragment presence; per bucket report URL count, distinct hosts,
+# and the mean document length.  Pure string ops with identical
+# regex/replace semantics in both engines; means floor-scaled.
+
+from diive_spark.queries_text import _URL_SYNTH_SQL, _url_synth_col  # noqa: E402
+
+_HOSTSTRIP = "^HTTPS://WWW\\.[A-Z0-9]+\\.Example\\.COM:443"
+
+
+def q_url_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats2 import _documents
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id", "n_chars", _url_synth_col().alias("url")
+    )
+    nofrag = F.regexp_replace(F.col("url"), "#.*", "")
+    rest = F.regexp_replace(nofrag, _HOSTSTRIP, "")
+    path = F.regexp_replace(rest, "\\?.*", "")
+    qry = F.when(
+        F.instr(rest, "?") > 0, F.substring_index(rest, "?", -1)
+    ).otherwise(F.lit(""))
+    depth = (
+        F.length(path) - F.length(F.regexp_replace(path, "/", ""))
+    ).cast("long")
+    n_params = F.when(F.length(qry) == 0, F.lit(0)).otherwise(
+        F.length(qry) - F.length(F.regexp_replace(qry, "&", "")) + 1
+    ).cast("long")
+    has_frag = F.col("url").contains("#").cast("int")
+    b = d.select(
+        depth.alias("depth"),
+        n_params.alias("n_params"),
+        has_frag.alias("has_frag"),
+        "n_chars",
+    )
+    agg = b.groupBy("depth", "n_params", "has_frag").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum("n_chars").alias("schars"),
+    )
+    return agg.select(
+        "depth",
+        "n_params",
+        F.col("has_frag").cast("long").alias("has_frag"),
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.floor(
+            F.col("schars").cast("double") / F.col("n_urls") * 100
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("mean_chars_e2"),
+    ).orderBy("depth", "n_params", "has_frag")
+
+
+SQL_URL_DEPTH = f"""
+WITH raw AS (
+  SELECT doc_id, n_chars, {_URL_SYNTH_SQL} AS url FROM documents
+), parts AS (
+  SELECT n_chars,
+         CASE WHEN url LIKE '%#%' THEN 1 ELSE 0 END AS has_frag,
+         regexp_replace(regexp_replace(url, '#.*', ''),
+                        '{_HOSTSTRIP}', '') AS rest
+  FROM raw
+), fields AS (
+  SELECT n_chars, has_frag,
+         regexp_replace(rest, '\\?.*', '') AS path,
+         CASE WHEN position('?' IN rest) > 0
+              THEN substr(rest, position('?' IN rest) + 1)
+              ELSE '' END AS qry
+  FROM parts
+), b AS (
+  SELECT CAST(length(path) - length(replace(path, '/', '')) AS BIGINT)
+           AS depth,
+         CAST(CASE WHEN length(qry) = 0 THEN 0
+              ELSE length(qry) - length(replace(qry, '&', '')) + 1
+              END AS BIGINT) AS n_params,
+         CAST(has_frag AS BIGINT) AS has_frag,
+         n_chars
+  FROM fields
+)
+SELECT depth, n_params, has_frag,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(floor(CAST(sum(n_chars) AS DOUBLE) / count(*) * 100 + {_OFF})
+            AS BIGINT) AS mean_chars_e2
+FROM b
+GROUP BY 1, 2, 3
+ORDER BY depth, n_params, has_frag
+"""
+
+
+# ---------------------------------------------------------------------------
+# theil_decomposition — Theil T inequality of document length by source
+# ---------------------------------------------------------------------------
+# Theil (Economics and Information Theory, 1967): T = (1/n) sum
+# (x/mu) ln(x/mu) decomposes into between-group + within-group parts.
+# Per source g: within T_g from per-doc terms floor-scaled to e9
+# BIGINTs before summing (order-free cross-engine sums; drift bound
+# n_g * 1e-9 documented), plus that source's between-group
+# contribution (n_g/n)(mu_g/mu) ln(mu_g/mu) — a fixed-order double
+# expression off exact integer sums.
+
+
+def q_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats2 import _documents
+
+    d = _documents(spark, sf_dir).select("source", "n_chars")
+    d = d.filter(F.col("n_chars") > 0)
+    # group means via a broadcast-joined 1-row-per-source aggregate (and a
+    # 1-row global total) — NEVER a partition-less window over the corpus
+    grp = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("ng"), F.sum("n_chars").alias("sg")
+    )
+    tot = grp.agg(
+        F.sum("ng").alias("n"), F.sum("sg").alias("s")
+    )
+    t = d.join(F.broadcast(grp), "source")
+    mug = F.col("sg").cast("double") / F.col("ng")
+    x = F.col("n_chars").cast("double")
+    term = (x / mug) * F.log(x / mug)
+    t = t.withColumn(
+        "term_e9", F.floor(term * 1e9 + F.lit(_OFF)).cast("long")
+    )
+    agg = (
+        t.groupBy("source")
+        .agg(
+            F.max("ng").alias("ng"),
+            F.max("sg").alias("sg"),
+            F.sum("term_e9").alias("s9"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    mug2 = F.col("sg").cast("double") / F.col("ng")
+    mu = F.col("s").cast("double") / F.col("n")
+    t_within = F.col("s9").cast("double") / 1e9 / F.col("ng").cast("double")
+    between = (
+        (F.col("ng").cast("double") / F.col("n"))
+        * (mug2 / mu)
+        * F.log(mug2 / mu)
+    )
+    return agg.select(
+        "source",
+        F.col("ng").cast("long").alias("n_docs"),
+        F.floor(mug2 * 100 + F.lit(_OFF)).cast("long").alias("mean_chars_e2"),
+        F.floor(t_within * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("theil_within_e6"),
+        F.floor(between * 1e9 + F.lit(_OFF)).cast("long").alias(
+            "between_contrib_e9"
+        ),
+    ).orderBy("source")
+
+
+SQL_THEIL = f"""
+WITH d AS (
+  SELECT source, n_chars FROM documents WHERE n_chars > 0
+), t AS (
+  SELECT source, n_chars,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ng,
+         CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS sg,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CAST(sum(n_chars) OVER () AS BIGINT) AS s
+  FROM d
+), terms AS (
+  SELECT source, ng, sg, n, s,
+         CAST(floor((CAST(n_chars AS DOUBLE)
+                     / (CAST(sg AS DOUBLE) / ng))
+                    * ln(CAST(n_chars AS DOUBLE)
+                         / (CAST(sg AS DOUBLE) / ng)) * 1e9 + {_OFF})
+              AS BIGINT) AS term_e9
+  FROM t
+), agg AS (
+  SELECT source, max(ng) AS ng, max(sg) AS sg, max(n) AS n, max(s) AS s,
+         CAST(sum(term_e9) AS BIGINT) AS s9
+  FROM terms GROUP BY 1
+)
+SELECT source,
+       CAST(ng AS BIGINT) AS n_docs,
+       CAST(floor(CAST(sg AS DOUBLE) / ng * 100 + {_OFF}) AS BIGINT)
+         AS mean_chars_e2,
+       CAST(floor(CAST(s9 AS DOUBLE) / 1e9 / CAST(ng AS DOUBLE)
+                  * 1000000 + {_OFF}) AS BIGINT) AS theil_within_e6,
+       CAST(floor((CAST(ng AS DOUBLE) / n)
+                  * ((CAST(sg AS DOUBLE) / ng) / (CAST(s AS DOUBLE) / n))
+                  * ln((CAST(sg AS DOUBLE) / ng)
+                       / (CAST(s AS DOUBLE) / n)) * 1e9 + {_OFF})
+            AS BIGINT) AS between_contrib_e9
+FROM agg
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# weibull_gap_fit — Weibull fit of inter-event gaps by rank regression
+# ---------------------------------------------------------------------------
+# Regression on order statistics with Benard's median ranks
+# F_i = (i - 0.3)/(n + 0.4): ln(-ln(1 - F_i)) is linear in ln(t) with
+# slope = the Weibull shape k (k = 1 reduces to the exponential — the
+# companion exp_gap_fit); intercept a gives ln(scale) = -a/k.  Gaps
+# are exact integer microseconds off a (ts, event_id)-ordered lag;
+# per-gap x = ln(gap_us) and y = ln(-ln(1-F)) and their products are
+# floor-scaled to e9 BIGINTs per row before summing, so the OLS input
+# sums are exact integers in both engines.  Tied gaps are
+# rank-assignment-invariant: x is constant within a tie group and y
+# depends only on i, so every sum is independent of tie order.
+
+
+def q_weibull_gap_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wo = Window.partitionBy("event_type").orderBy("tsu", "event_id")
+    g = (
+        ev.select(
+            "event_type",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"),
+        )
+        .withColumn("nxt", F.lead("tsu").over(wo))
+        .filter(F.col("nxt").isNotNull() & (F.col("nxt") > F.col("tsu")))
+        .select("event_type", (F.col("nxt") - F.col("tsu")).alias("gap_us"))
+    )
+    wr = Window.partitionBy("event_type").orderBy("gap_us")
+    wn = Window.partitionBy("event_type")
+    r = g.withColumn("i", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    fi = (F.col("i").cast("double") - 0.3) / (F.col("n").cast("double") + 0.4)
+    x = F.log(F.col("gap_us").cast("double"))
+    y = F.log(-F.log(1.0 - fi))
+    r = (
+        r.withColumn("x9", F.floor(x * 1e9 + F.lit(_OFF)).cast("long"))
+        .withColumn("y9", F.floor(y * 1e9 + F.lit(_OFF)).cast("long"))
+    )
+    xd = F.col("x9").cast("double") / 1e9
+    yd = F.col("y9").cast("double") / 1e9
+    r = (
+        r.withColumn(
+            "xy9", F.floor(xd * yd * 1e9 + F.lit(_OFF)).cast("long")
+        )
+        .withColumn("xx9", F.floor(xd * xd * 1e9 + F.lit(_OFF)).cast("long"))
+    )
+    agg = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x9").alias("sx"),
+        F.sum("y9").alias("sy"),
+        F.sum("xy9").alias("sxy"),
+        F.sum("xx9").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / 1e9
+    sy = F.col("sy").cast("double") / 1e9
+    sxy = F.col("sxy").cast("double") / 1e9
+    sxx = F.col("sxx").cast("double") / 1e9
+    k = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    a = (sy - k * sx) / nd
+    lnscale = -(a / k)
+    return (
+        agg.filter(F.col("n") >= 10)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_gaps"),
+            F.floor(k * 10_000 + F.lit(_OFF)).cast("long").alias("shape_e4"),
+            F.floor(lnscale * 10_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("lnscale_us_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_WEIBULL = f"""
+WITH g AS (
+  SELECT event_type,
+         lead(CAST(epoch_us(ts) AS BIGINT))
+           OVER (PARTITION BY event_type
+                 ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id)
+           - CAST(epoch_us(ts) AS BIGINT) AS gap_us
+  FROM events
+), gg AS (
+  SELECT event_type, gap_us FROM g
+  WHERE gap_us IS NOT NULL AND gap_us > 0
+), r AS (
+  SELECT event_type, gap_us,
+         row_number() OVER (PARTITION BY event_type ORDER BY gap_us) AS i,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM gg
+), s9 AS (
+  SELECT event_type, n,
+         CAST(floor(ln(CAST(gap_us AS DOUBLE)) * 1e9 + {_OFF}) AS BIGINT)
+           AS x9,
+         CAST(floor(ln(-ln(1.0 - (CAST(i AS DOUBLE) - 0.3)
+                              / (CAST(n AS DOUBLE) + 0.4))) * 1e9 + {_OFF})
+              AS BIGINT) AS y9
+  FROM r
+), p9 AS (
+  SELECT event_type, n, x9, y9,
+         CAST(floor((CAST(x9 AS DOUBLE) / 1e9)
+                    * (CAST(y9 AS DOUBLE) / 1e9) * 1e9 + {_OFF})
+              AS BIGINT) AS xy9,
+         CAST(floor((CAST(x9 AS DOUBLE) / 1e9)
+                    * (CAST(x9 AS DOUBLE) / 1e9) * 1e9 + {_OFF})
+              AS BIGINT) AS xx9
+  FROM s9
+), agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x9) AS BIGINT) AS sx, CAST(sum(y9) AS BIGINT) AS sy,
+         CAST(sum(xy9) AS BIGINT) AS sxy, CAST(sum(xx9) AS BIGINT) AS sxx
+  FROM p9 GROUP BY 1
+), fit AS (
+  SELECT event_type, n,
+         (CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e9)
+          - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))
+         / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e9)
+            - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9)) AS k,
+         CAST(sx AS DOUBLE) / 1e9 AS sxd, CAST(sy AS DOUBLE) / 1e9 AS syd
+  FROM agg
+)
+SELECT event_type, n AS n_gaps,
+       CAST(floor(k * 10000 + {_OFF}) AS BIGINT) AS shape_e4,
+       CAST(floor(-(((syd - k * sxd) / CAST(n AS DOUBLE)) / k) * 10000
+                  + {_OFF}) AS BIGINT) AS lnscale_us_e4
+FROM fit
+WHERE n >= 10
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "permutation_entropy": q_permutation_entropy,
     "variogram_profile": q_variogram_profile,
     "rayleigh_diel": q_rayleigh_diel,
     "its_segmented": q_its_segmented,
+    "ad_two_sample": q_ad_two_sample,
+    "url_depth_profile": q_url_depth_profile,
+    "theil_decomposition": q_theil_decomposition,
+    "weibull_gap_fit": q_weibull_gap_fit,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -442,4 +893,8 @@ ORACLE_SQL: dict[str, str] = {
     "variogram_profile": SQL_VARIOGRAM,
     "rayleigh_diel": SQL_RAYLEIGH,
     "its_segmented": SQL_ITS,
+    "ad_two_sample": SQL_AD_TWO_SAMPLE,
+    "url_depth_profile": SQL_URL_DEPTH,
+    "theil_decomposition": SQL_THEIL,
+    "weibull_gap_fit": SQL_WEIBULL,
 }
