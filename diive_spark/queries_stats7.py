@@ -159,14 +159,10 @@ def q_variogram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.floor(F.avg("value") * 100 + F.lit(_OFF)).cast("long").alias("v")
     )
-    lags = spark.range(1).select(
-        F.explode(F.array(*[F.lit(h) for h in (1, 2, 3, 6, 12, 24)])).alias(
-            "lag_h"
-        )
-    )
-    left = hourly.crossJoin(F.broadcast(lags)).withColumn(
-        "t2", F.col("t") + F.col("lag_h") * 3600
-    )
+    left = hourly.withColumn(
+        "lag_h",
+        F.explode(F.array(*[F.lit(h) for h in (1, 2, 3, 6, 12, 24)])),
+    ).withColumn("t2", F.col("t") + F.col("lag_h") * 3600)
     right = hourly.select(
         F.col("event_type").alias("event_type_r"),
         F.col("t").alias("t_r"),
