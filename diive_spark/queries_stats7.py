@@ -873,6 +873,411 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# cronbach_alpha — internal consistency of the diel profile (hours as items)
+# ---------------------------------------------------------------------------
+# Cronbach (Psychometrika 16, 1951): alpha = k/(k-1) * (1 - sum_i
+# var_i / var_total), here with the 24 hours of day as "items" and
+# days as "subjects" (scores = hourly event counts; absent cells are
+# true zeros, folded in exactly because sums over observed cells equal
+# sums with zeros and n = distinct observed days).  Population
+# variances share the n^2 denominator, so the ratio sum var_i /
+# var_total = sum_i (n*Sxx_i - Sx_i^2) / (n*Stt - St^2) is a ratio of
+# exact BIGINTs — alpha has exactly ONE floating division.
+
+
+def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts = F.col("ts").cast("timestamp")
+    cells = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_micros(ts) / 86_400_000_000)).cast("long").alias("day"),
+        F.hour(ts).cast("int").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    nd = (
+        cells.groupBy("event_type")
+        .agg(F.countDistinct("day").alias("n"))
+    )
+    item = (
+        cells.groupBy("event_type", "hr")
+        .agg(
+            F.sum("c").alias("sx"),
+            F.sum(F.col("c") * F.col("c")).alias("sxx"),
+        )
+        .join(F.broadcast(nd), "event_type")
+        .select(
+            "event_type",
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+                "vnum"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum("vnum").alias("svnum"),
+        )
+    )
+    tot = (
+        cells.groupBy("event_type", "day")
+        .agg(F.sum("c").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("t").alias("st"),
+            F.sum(F.col("t") * F.col("t")).alias("stt"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).alias(
+                "vtot"
+            ),
+        )
+    )
+    j = item.join(tot, "event_type")
+    alpha = (
+        F.col("k").cast("double")
+        / (F.col("k") - 1).cast("double")
+        * (1.0 - F.col("svnum").cast("double") / F.col("vtot").cast("double"))
+    )
+    return (
+        j.filter((F.col("k") >= 2) & (F.col("vtot") > 0))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.col("k").cast("long").alias("k_items"),
+            F.floor(alpha * 1_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("alpha_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_CRONBACH = f"""
+WITH cells AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         hour(ts) AS hr, count(*) AS c
+  FROM events GROUP BY 1, 2, 3
+), nd AS (
+  SELECT event_type, CAST(count(DISTINCT day) AS BIGINT) AS n
+  FROM cells GROUP BY 1
+), item AS (
+  SELECT c.event_type, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n * sxx - sx * sx) AS BIGINT) AS svnum
+  FROM (
+    SELECT event_type, hr, CAST(sum(c) AS BIGINT) AS sx,
+           CAST(sum(c * c) AS BIGINT) AS sxx
+    FROM cells GROUP BY 1, 2
+  ) c JOIN nd ON nd.event_type = c.event_type
+  GROUP BY 1
+), tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) * sum(t * t) - sum(t) * sum(t) AS BIGINT) AS vtot
+  FROM (
+    SELECT event_type, day, CAST(sum(c) AS BIGINT) AS t
+    FROM cells GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT item.event_type, tot.n AS n_days, item.k AS k_items,
+       CAST(floor(CAST(item.k AS DOUBLE) / (item.k - 1)
+                  * (1.0 - CAST(svnum AS DOUBLE) / CAST(vtot AS DOUBLE))
+                  * 1000000 + {_OFF}) AS BIGINT) AS alpha_e6
+FROM item JOIN tot ON tot.event_type = item.event_type
+WHERE item.k >= 2 AND vtot > 0
+ORDER BY item.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# cox_stuart — Cox-Stuart paired-sign trend test on daily counts
+# ---------------------------------------------------------------------------
+# Cox & Stuart (Biometrika 42, 1955): pair day i with day i + h
+# (h = floor((n+1)/2)), count strict sign changes; under H0 the
+# positive count is Binomial(m', 1/2).  z = (2*S+ - m') / sqrt(m')
+# with ties dropped — everything an exact integer until the one sqrt.
+
+
+def q_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wn = Window.partitionBy("event_type")
+    r = daily.withColumn("i", F.row_number().over(wo)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    h = F.floor((F.col("n") + 1) / 2).cast("long")
+    left = r.filter(F.col("i") <= F.floor(F.col("n") / 2)).select(
+        "event_type", (F.col("i") + h).alias("j"), F.col("y").alias("y1")
+    )
+    right = r.select(
+        F.col("event_type").alias("event_type_r"),
+        F.col("i").alias("i_r"),
+        F.col("y").alias("y2"),
+    )
+    p = left.join(
+        right,
+        (F.col("event_type") == F.col("event_type_r"))
+        & (F.col("j") == F.col("i_r")),
+    )
+    agg = p.groupBy("event_type").agg(
+        F.sum(F.when(F.col("y2") > F.col("y1"), 1).otherwise(0)).alias(
+            "s_plus"
+        ),
+        F.sum(F.when(F.col("y2") < F.col("y1"), 1).otherwise(0)).alias(
+            "s_minus"
+        ),
+    )
+    m = F.col("s_plus") + F.col("s_minus")
+    z = (2 * F.col("s_plus") - m).cast("double") / F.sqrt(m.cast("double"))
+    return (
+        agg.filter(m > 0)
+        .select(
+            "event_type",
+            F.col("s_plus").cast("long").alias("s_plus"),
+            F.col("s_minus").cast("long").alias("s_minus"),
+            F.floor(z * 10_000 + F.lit(_OFF)).cast("long").alias("z_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_COX_STUART = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS y
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM daily
+), p AS (
+  SELECT a.event_type, a.y AS y1, b.y AS y2
+  FROM r a JOIN r b
+    ON b.event_type = a.event_type
+   AND b.i = a.i + CAST(floor((a.n + 1) / 2.0) AS BIGINT)
+  WHERE a.i <= CAST(floor(a.n / 2.0) AS BIGINT)
+), agg AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN y2 > y1 THEN 1 ELSE 0 END) AS BIGINT) AS s_plus,
+         CAST(sum(CASE WHEN y2 < y1 THEN 1 ELSE 0 END) AS BIGINT) AS s_minus
+  FROM p GROUP BY 1
+)
+SELECT event_type, s_plus, s_minus,
+       CAST(floor(CAST(2 * s_plus - (s_plus + s_minus) AS DOUBLE)
+                  / sqrt(CAST(s_plus + s_minus AS DOUBLE)) * 10000 + {_OFF})
+            AS BIGINT) AS z_e4
+FROM agg
+WHERE s_plus + s_minus > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# hodges_lehmann — Hodges-Lehmann pseudo-median of daily counts
+# ---------------------------------------------------------------------------
+# Hodges & Lehmann (Ann. Math. Stat. 34, 1963): the median of the
+# Walsh averages (x_i + x_j)/2, i <= j.  The pair set is day-grid
+# bounded (n(n+1)/2 per key on the DAILY grid — the medcouple/
+# theil_sen bound, documented as the acceptable quadratic-in-days
+# envelope); the output is the exact integer LOW-MEDIAN of the pair
+# sums s = x_i + x_j (hl = s/2 exactly, reported as hl_x2 so the
+# result never leaves BIGINT).
+
+
+def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    b = daily.select(
+        F.col("event_type").alias("event_type_r"),
+        F.col("day").alias("day_r"),
+        F.col("y").alias("y2"),
+    )
+    pairs = daily.join(
+        b,
+        (F.col("event_type") == F.col("event_type_r"))
+        & (F.col("day") <= F.col("day_r")),
+    ).select("event_type", (F.col("y") + F.col("y2")).alias("s"))
+    wo = Window.partitionBy("event_type").orderBy("s")
+    wn = Window.partitionBy("event_type")
+    r = pairs.withColumn("i", F.row_number().over(wo)).withColumn(
+        "m", F.count(F.lit(1)).over(wn)
+    )
+    med = r.filter(F.col("i") == F.floor((F.col("m") + 1) / 2))
+    return med.select(
+        "event_type",
+        F.col("m").cast("long").alias("n_pairs"),
+        F.col("s").cast("long").alias("hl_x2"),
+    ).orderBy("event_type")
+
+
+SQL_HODGES_LEHMANN = """
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS y
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type, CAST(a.y + b.y AS BIGINT) AS s
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND a.day <= b.day
+), r AS (
+  SELECT event_type, s,
+         row_number() OVER (PARTITION BY event_type ORDER BY s) AS i,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+  FROM pairs
+)
+SELECT event_type, m AS n_pairs, s AS hl_x2
+FROM r
+WHERE i = CAST(floor((m + 1) / 2.0) AS BIGINT)
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# diel_phase_drift — week-over-week drift of the circular diel phase
+# ---------------------------------------------------------------------------
+# Fisher (Statistical Analysis of Circular Data, 1993 §2.3): the
+# weekly mean diel phase is atan2 of the integer resultant (the SAME
+# shared cos/sin table as rayleigh_diel), unwrapped across weeks by
+# mapping successive differences into (-pi, pi].  The unwrapped phase
+# is floor-scaled to an e9 BIGINT per week, so the OLS drift slope
+# (radians/week) comes from exact integer sums; weeks are indexed from
+# the per-key min day (no ISO-week engine dependence).
+
+_TWO_PI = 6.283185307179586
+
+
+def q_diel_phase_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts = F.col("ts").cast("timestamp")
+    hr = F.hour(ts).cast("int")
+    cos_t = F.element_at(F.array(*[F.lit(v) for v in _COS9]), hr + 1).cast(
+        "long"
+    )
+    sin_t = F.element_at(F.array(*[F.lit(v) for v in _SIN9]), hr + 1).cast(
+        "long"
+    )
+    d = ev.select(
+        "event_type",
+        (F.floor(F.unix_micros(ts) / 86_400_000_000)).cast("long").alias("day"),
+        cos_t.alias("ct"),
+        sin_t.alias("st"),
+    )
+    wn = Window.partitionBy("event_type")
+    d = d.withColumn("mn", F.min("day").over(wn))
+    wk = d.groupBy(
+        "event_type",
+        F.floor((F.col("day") - F.col("mn")) / 7).cast("long").alias("w"),
+    ).agg(F.sum("ct").alias("x"), F.sum("st").alias("y"))
+    ang = F.atan2(F.col("y").cast("double"), F.col("x").cast("double"))
+    wk = wk.withColumn("ang", ang)
+    wo = Window.partitionBy("event_type").orderBy("w")
+    wk = wk.withColumn("prev", F.lag("ang").over(wo))
+    delta = F.col("ang") - F.col("prev")
+    delta = (
+        F.when(delta > F.lit(_TWO_PI / 2), delta - F.lit(_TWO_PI))
+        .when(delta <= F.lit(-_TWO_PI / 2), delta + F.lit(_TWO_PI))
+        .otherwise(delta)
+    )
+    wk = wk.withColumn(
+        "d", F.when(F.col("prev").isNull(), F.col("ang")).otherwise(delta)
+    )
+    wk = wk.withColumn(
+        "ph",
+        F.sum("d").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    wk = wk.withColumn(
+        "p9", F.floor(F.col("ph") * 1e9 + F.lit(_OFF)).cast("long")
+    )
+    agg = wk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("w").alias("sw"),
+        F.sum("p9").alias("sp"),
+        F.sum(F.col("w") * F.col("p9")).alias("swp"),
+        F.sum(F.col("w") * F.col("w")).alias("sww"),
+    )
+    den = F.col("n") * F.col("sww") - F.col("sw") * F.col("sw")
+    slope = (
+        (F.col("n") * F.col("swp") - F.col("sw") * F.col("sp")).cast("double")
+        / den.cast("double")
+        / 1e9
+    )
+    return (
+        agg.filter(den > 0)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_weeks"),
+            F.floor(slope * 1_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("drift_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_PHASE_DRIFT = f"""
+WITH d AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         {_COS9_SQL}[hour(ts) + 1] AS ct,
+         {_SIN9_SQL}[hour(ts) + 1] AS st
+  FROM events
+), dm AS (
+  SELECT event_type, day, ct, st,
+         min(day) OVER (PARTITION BY event_type) AS mn
+  FROM d
+), wk AS (
+  SELECT event_type,
+         CAST(floor((day - mn) / 7.0) AS BIGINT) AS w,
+         CAST(sum(ct) AS BIGINT) AS x, CAST(sum(st) AS BIGINT) AS y
+  FROM dm GROUP BY 1, 2
+), a AS (
+  SELECT event_type, w,
+         atan2(CAST(y AS DOUBLE), CAST(x AS DOUBLE)) AS ang,
+         lag(atan2(CAST(y AS DOUBLE), CAST(x AS DOUBLE)))
+           OVER (PARTITION BY event_type ORDER BY w) AS prev
+  FROM wk
+), dd AS (
+  SELECT event_type, w,
+         CASE WHEN prev IS NULL THEN ang
+              WHEN ang - prev > {_TWO_PI / 2} THEN ang - prev - {_TWO_PI}
+              WHEN ang - prev <= {-_TWO_PI / 2} THEN ang - prev + {_TWO_PI}
+              ELSE ang - prev END AS d
+  FROM a
+), ph AS (
+  SELECT event_type, w,
+         CAST(floor(sum(d) OVER (PARTITION BY event_type ORDER BY w
+                                 ROWS UNBOUNDED PRECEDING) * 1e9 + {_OFF})
+              AS BIGINT) AS p9
+  FROM dd
+), agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(w) AS BIGINT) AS sw, CAST(sum(p9) AS BIGINT) AS sp,
+         CAST(sum(w * p9) AS BIGINT) AS swp,
+         CAST(sum(w * w) AS BIGINT) AS sww
+  FROM ph GROUP BY 1
+)
+SELECT event_type, n AS n_weeks,
+       CAST(floor(CAST(n * swp - sw * sp AS DOUBLE)
+                  / CAST(n * sww - sw * sw AS DOUBLE) / 1e9
+                  * 1000000 + {_OFF}) AS BIGINT) AS drift_e6
+FROM agg
+WHERE n * sww - sw * sw > 0
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "permutation_entropy": q_permutation_entropy,
     "variogram_profile": q_variogram_profile,
@@ -882,6 +1287,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_depth_profile": q_url_depth_profile,
     "theil_decomposition": q_theil_decomposition,
     "weibull_gap_fit": q_weibull_gap_fit,
+    "cronbach_alpha": q_cronbach_alpha,
+    "cox_stuart": q_cox_stuart,
+    "hodges_lehmann": q_hodges_lehmann,
+    "diel_phase_drift": q_diel_phase_drift,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -893,4 +1302,8 @@ ORACLE_SQL: dict[str, str] = {
     "url_depth_profile": SQL_URL_DEPTH,
     "theil_decomposition": SQL_THEIL,
     "weibull_gap_fit": SQL_WEIBULL,
+    "cronbach_alpha": SQL_CRONBACH,
+    "cox_stuart": SQL_COX_STUART,
+    "hodges_lehmann": SQL_HODGES_LEHMANN,
+    "diel_phase_drift": SQL_PHASE_DRIFT,
 }
