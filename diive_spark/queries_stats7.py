@@ -1278,6 +1278,454 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# burrows_delta — Burrows' Delta stylometric distance between sources
+# ---------------------------------------------------------------------------
+# Burrows (LLC 17, 2002): z-score the relative frequencies of the k
+# most frequent words across the source population, then Delta(s1,s2)
+# = mean_w |z_{w,s1} - z_{w,s2}|.  Top-k selection is a deterministic
+# total order (count DESC, word ASC) via TakeOrdered limit (partial
+# per-partition top-k — no global window); the word x source grid is
+# densified with a broadcast cross join (absent words are true f = 0
+# cells).  Relative frequencies and their squares are e12-floored
+# BIGINTs, per-word moments are fixed-order doubles off those ints,
+# and the per-pair |z| terms are e9-floored before summing — every
+# cross-engine sum is an exact integer.
+
+_DELTA_K = 30
+
+
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats2 import _documents
+
+    toks = _documents(spark, sf_dir).select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    cnt = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        cnt.groupBy("w")
+        .agg(F.sum("c").alias("gc"))
+        .orderBy(F.desc("gc"), F.asc("w"))
+        .limit(_DELTA_K)
+        .select("w")
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("t"))
+    grid = tot.crossJoin(F.broadcast(vocab)).join(
+        cnt, ["source", "w"], "left"
+    ).fillna(0, subset=["c"])
+    f = F.col("c").cast("double") / F.col("t").cast("double")
+    grid = grid.withColumn(
+        "f12", F.floor(f * 1e12 + F.lit(_OFF)).cast("long")
+    )
+    fd = F.col("f12").cast("double") / 1e12
+    grid = grid.withColumn(
+        "ff12", F.floor(fd * fd * 1e12 + F.lit(_OFF)).cast("long")
+    )
+    mom = grid.groupBy("w").agg(
+        F.count(F.lit(1)).alias("s"),
+        F.sum("f12").alias("sf"),
+        F.sum("ff12").alias("sff"),
+    )
+    mu = F.col("sf").cast("double") / (F.col("s").cast("double") * 1e12)
+    var = (
+        F.col("sff").cast("double") / (F.col("s").cast("double") * 1e12)
+        - mu * mu
+    )
+    mom = mom.select(
+        "w", mu.alias("mu"), F.sqrt(var).alias("sigma")
+    ).filter(F.col("sigma") > 0)
+    z = grid.join(F.broadcast(mom), "w").select(
+        "w",
+        "source",
+        (
+            (F.col("f12").cast("double") / 1e12 - F.col("mu"))
+            / F.col("sigma")
+        ).alias("z"),
+    )
+    z2 = z.select(
+        F.col("w").alias("w_r"),
+        F.col("source").alias("s2"),
+        F.col("z").alias("z2"),
+    )
+    pairs = z.join(
+        z2,
+        (F.col("w") == F.col("w_r")) & (F.col("source") < F.col("s2")),
+    ).select(
+        F.col("source").alias("s1"),
+        "s2",
+        F.floor(F.abs(F.col("z") - F.col("z2")) * 1e9 + F.lit(_OFF))
+        .cast("long")
+        .alias("d9"),
+    )
+    agg = pairs.groupBy("s1", "s2").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("d9").alias("sd9"),
+    )
+    delta = F.col("sd9").cast("double") / 1e9 / F.col("n_words").cast("double")
+    return agg.select(
+        "s1",
+        "s2",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.floor(delta * 10_000 + F.lit(_OFF)).cast("long").alias("delta_e4"),
+    ).orderBy("s1", "s2")
+
+
+SQL_BURROWS_DELTA = f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), cnt AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, CAST(sum(c) AS BIGINT) AS gc FROM cnt GROUP BY 1
+  ) ORDER BY gc DESC, w ASC LIMIT {_DELTA_K}
+), tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1
+), grid AS (
+  SELECT tot.source, vocab.w, tot.t, COALESCE(cnt.c, 0) AS c
+  FROM tot CROSS JOIN vocab
+  LEFT JOIN cnt ON cnt.source = tot.source AND cnt.w = vocab.w
+), g12 AS (
+  SELECT source, w,
+         CAST(floor(CAST(c AS DOUBLE) / CAST(t AS DOUBLE) * 1e12 + {_OFF})
+              AS BIGINT) AS f12
+  FROM grid
+), g24 AS (
+  SELECT source, w, f12,
+         CAST(floor((CAST(f12 AS DOUBLE) / 1e12)
+                    * (CAST(f12 AS DOUBLE) / 1e12) * 1e12 + {_OFF})
+              AS BIGINT) AS ff12
+  FROM g12
+), mom AS (
+  SELECT w,
+         CAST(sum(f12) AS BIGINT) / (CAST(count(*) AS DOUBLE) * 1e12) AS mu,
+         sqrt(CAST(sum(ff12) AS BIGINT)
+                / (CAST(count(*) AS DOUBLE) * 1e12)
+              - (CAST(sum(f12) AS BIGINT)
+                 / (CAST(count(*) AS DOUBLE) * 1e12))
+                * (CAST(sum(f12) AS BIGINT)
+                   / (CAST(count(*) AS DOUBLE) * 1e12))) AS sigma
+  FROM g24 GROUP BY 1
+), z AS (
+  SELECT g.source, g.w,
+         (CAST(g.f12 AS DOUBLE) / 1e12 - mom.mu) / mom.sigma AS z
+  FROM g12 g JOIN mom ON mom.w = g.w
+  WHERE mom.sigma > 0
+), pairs AS (
+  SELECT a.source AS s1, b.source AS s2,
+         CAST(floor(abs(a.z - b.z) * 1e9 + {_OFF}) AS BIGINT) AS d9
+  FROM z a JOIN z b ON b.w = a.w AND a.source < b.source
+)
+SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(floor(CAST(sum(d9) AS DOUBLE) / 1e9 / count(*) * 10000 + {_OFF})
+            AS BIGINT) AS delta_e4
+FROM pairs
+GROUP BY 1, 2
+ORDER BY s1, s2
+"""
+
+
+# ---------------------------------------------------------------------------
+# recurrence_rate — recurrence rate + determinism (RQA) on daily counts
+# ---------------------------------------------------------------------------
+# Webber & Zbilut (J Appl Physiol 76, 1994): fraction of pairs
+# (i < j) with |x_i - x_j| <= eps (recurrence rate), and the share of
+# recurrent pairs whose diagonal successor (i+1, j+1) is also
+# recurrent (a determinism proxy).  eps = max(1, floor(0.1 * range))
+# per key — all integer logic on the day grid; the pair set is the
+# documented quadratic-in-days envelope.
+
+
+def q_recurrence_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    wn = Window.partitionBy("event_type")
+    d = daily.withColumn(
+        "eps",
+        F.greatest(
+            F.lit(1),
+            F.floor(
+                (F.max("y").over(wn) - F.min("y").over(wn)).cast("double")
+                * 0.1
+            ).cast("long"),
+        ),
+    )
+    b = d.select(
+        F.col("event_type").alias("event_type_r"),
+        F.col("day").alias("day_r"),
+        F.col("y").alias("y2"),
+    )
+    pairs = d.join(
+        b,
+        (F.col("event_type") == F.col("event_type_r"))
+        & (F.col("day") < F.col("day_r")),
+    ).select(
+        "event_type",
+        "day",
+        "day_r",
+        (F.abs(F.col("y") - F.col("y2")) <= F.col("eps")).cast("int").alias(
+            "rec"
+        ),
+    )
+    recs = pairs.filter(F.col("rec") == 1).select(
+        "event_type", "day", "day_r"
+    )
+    nxt = recs.select(
+        F.col("event_type").alias("et_n"),
+        (F.col("day") - 1).alias("day_p"),
+        (F.col("day_r") - 1).alias("day_rp"),
+    )
+    diag = recs.join(
+        nxt,
+        (F.col("event_type") == F.col("et_n"))
+        & (F.col("day") == F.col("day_p"))
+        & (F.col("day_r") == F.col("day_rp")),
+        "left_semi",
+    )
+    base = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("rec").alias("n_rec"),
+    )
+    dd = diag.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_diag"))
+    j = base.join(dd, "event_type", "left").fillna(0, subset=["n_diag"])
+    rr = F.col("n_rec").cast("double") / F.col("n_pairs").cast("double")
+    det = F.col("n_diag").cast("double") / F.col("n_rec").cast("double")
+    return (
+        j.filter(F.col("n_rec") > 0)
+        .select(
+            "event_type",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_rec").cast("long").alias("n_rec"),
+            F.floor(rr * 10_000 + F.lit(_OFF)).cast("long").alias("rec_e4"),
+            F.floor(det * 10_000 + F.lit(_OFF)).cast("long").alias("det_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_RECURRENCE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS y
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type, day, y,
+         greatest(1, CAST(floor(
+           CAST(max(y) OVER (PARTITION BY event_type)
+                - min(y) OVER (PARTITION BY event_type) AS DOUBLE) * 0.1)
+           AS BIGINT)) AS eps
+  FROM daily
+), pairs AS (
+  SELECT a.event_type, a.day, b.day AS day_r,
+         CASE WHEN abs(a.y - b.y) <= a.eps THEN 1 ELSE 0 END AS rec
+  FROM d a JOIN d b
+    ON b.event_type = a.event_type AND a.day < b.day
+), recs AS (
+  SELECT event_type, day, day_r FROM pairs WHERE rec = 1
+), diag AS (
+  SELECT r.event_type, count(*) AS n_diag
+  FROM recs r
+  WHERE EXISTS (
+    SELECT 1 FROM recs n
+    WHERE n.event_type = r.event_type
+      AND n.day = r.day + 1 AND n.day_r = r.day_r + 1
+  )
+  GROUP BY 1
+), base AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(rec) AS BIGINT) AS n_rec
+  FROM pairs GROUP BY 1
+)
+SELECT base.event_type, n_pairs, n_rec,
+       CAST(floor(CAST(n_rec AS DOUBLE) / n_pairs * 10000 + {_OFF})
+            AS BIGINT) AS rec_e4,
+       CAST(floor(CAST(COALESCE(n_diag, 0) AS DOUBLE) / n_rec * 10000
+                  + {_OFF}) AS BIGINT) AS det_e4
+FROM base LEFT JOIN diag ON diag.event_type = base.event_type
+WHERE n_rec > 0
+ORDER BY base.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# poincare_sd — Poincare plot SD1/SD2 of the daily-count series
+# ---------------------------------------------------------------------------
+# Brennan, Palaniswami & Kamen (IEEE TBME 48, 2001): SD1^2 =
+# var(x_{t+1} - x_t)/2 (short-term variability), SD2^2 =
+# var(x_{t+1} + x_t)/2 (long-term), on successive pairs.  Population
+# variances off exact BIGINT sums share the n^2 denominator; the only
+# floating ops are two sqrt and the ratio.
+
+
+def q_poincare_sd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    p = (
+        daily.withColumn("y2", F.lead("y").over(wo))
+        .filter(F.col("y2").isNotNull())
+        .select(
+            "event_type",
+            (F.col("y2") - F.col("y")).alias("d"),
+            (F.col("y2") + F.col("y")).alias("s"),
+        )
+    )
+    agg = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum("s").alias("ss"),
+        F.sum(F.col("s") * F.col("s")).alias("sss"),
+    )
+    nd = F.col("n").cast("double")
+    vard = (F.col("n") * F.col("sdd") - F.col("sd") * F.col("sd")).cast(
+        "double"
+    ) / (nd * nd)
+    vars_ = (F.col("n") * F.col("sss") - F.col("ss") * F.col("ss")).cast(
+        "double"
+    ) / (nd * nd)
+    sd1 = F.sqrt(vard / 2.0)
+    sd2 = F.sqrt(vars_ / 2.0)
+    return (
+        agg.filter((F.col("n") >= 2) & (vars_ > 0))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_pairs"),
+            F.floor(sd1 * 10_000 + F.lit(_OFF)).cast("long").alias("sd1_e4"),
+            F.floor(sd2 * 10_000 + F.lit(_OFF)).cast("long").alias("sd2_e4"),
+            F.floor(sd1 / sd2 * 10_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("ratio_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_POINCARE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS y
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT event_type,
+         lead(y) OVER (PARTITION BY event_type ORDER BY day) - y AS d,
+         lead(y) OVER (PARTITION BY event_type ORDER BY day) + y AS s
+  FROM daily
+), agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(d) AS BIGINT) AS sd, CAST(sum(d * d) AS BIGINT) AS sdd,
+         CAST(sum(s) AS BIGINT) AS ss, CAST(sum(s * s) AS BIGINT) AS sss
+  FROM p WHERE d IS NOT NULL GROUP BY 1
+)
+SELECT event_type, n AS n_pairs,
+       CAST(floor(sqrt(CAST(n * sdd - sd * sd AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 2.0)
+                  * 10000 + {_OFF}) AS BIGINT) AS sd1_e4,
+       CAST(floor(sqrt(CAST(n * sss - ss * ss AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 2.0)
+                  * 10000 + {_OFF}) AS BIGINT) AS sd2_e4,
+       CAST(floor(sqrt(CAST(n * sdd - sd * sd AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 2.0)
+                  / sqrt(CAST(n * sss - ss * ss AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 2.0)
+                  * 10000 + {_OFF}) AS BIGINT) AS ratio_e4
+FROM agg
+WHERE n >= 2 AND n * sss - ss * ss > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# fano_factor — Fano factor (variance-to-mean) across block sizes
+# ---------------------------------------------------------------------------
+# Fano (Phys Rev 72, 1947) / spike-train practice (Teich 1989): the
+# index of dispersion of block counts at block sizes 1 h, 6 h, 24 h.
+# Blocks derive from ONE shared hourly agg (never re-scanning events
+# per size); empty blocks inside the span are true zeros, folded in
+# exactly because count sums over observed blocks equal sums with
+# zeros and n_blocks = span/size.  F = (n*Scc - Sc^2) / (n*Sc) — a
+# single division of exact BIGINTs.
+
+
+def q_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000))
+        .cast("long")
+        .alias("h"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    sized = hourly.withColumn(
+        "size_h", F.explode(F.array(F.lit(1), F.lit(6), F.lit(24)))
+    )
+    blocks = sized.groupBy(
+        "event_type",
+        "size_h",
+        F.floor(F.col("h") / F.col("size_h")).cast("long").alias("b"),
+    ).agg(F.sum("c").alias("cb"))
+    agg = blocks.groupBy("event_type", "size_h").agg(
+        (F.max("b") - F.min("b") + 1).alias("n"),
+        F.sum("cb").alias("sc"),
+        F.sum(F.col("cb") * F.col("cb")).alias("scc"),
+    )
+    fano = (F.col("n") * F.col("scc") - F.col("sc") * F.col("sc")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sc")).cast("double")
+    return (
+        agg.filter(F.col("sc") > 0)
+        .select(
+            "event_type",
+            F.col("size_h").cast("long").alias("block_h"),
+            F.col("n").cast("long").alias("n_blocks"),
+            F.floor(fano * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "fano_e4"
+            ),
+        )
+        .orderBy("event_type", "block_h")
+    )
+
+
+SQL_FANO = f"""
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), sized AS (
+  SELECT event_type, h, c, s.size_h
+  FROM hourly CROSS JOIN (VALUES (1), (6), (24)) AS s(size_h)
+), blocks AS (
+  SELECT event_type, size_h,
+         CAST(floor(CAST(h AS DOUBLE) / size_h) AS BIGINT) AS b,
+         CAST(sum(c) AS BIGINT) AS cb
+  FROM sized GROUP BY 1, 2, 3
+), agg AS (
+  SELECT event_type, size_h,
+         CAST(max(b) - min(b) + 1 AS BIGINT) AS n,
+         CAST(sum(cb) AS BIGINT) AS sc,
+         CAST(sum(cb * cb) AS BIGINT) AS scc
+  FROM blocks GROUP BY 1, 2
+)
+SELECT event_type, CAST(size_h AS BIGINT) AS block_h, n AS n_blocks,
+       CAST(floor(CAST(n * scc - sc * sc AS DOUBLE)
+                  / CAST(n * sc AS DOUBLE) * 10000 + {_OFF}) AS BIGINT)
+         AS fano_e4
+FROM agg
+WHERE sc > 0
+ORDER BY event_type, block_h
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "permutation_entropy": q_permutation_entropy,
     "variogram_profile": q_variogram_profile,
@@ -1291,6 +1739,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cox_stuart": q_cox_stuart,
     "hodges_lehmann": q_hodges_lehmann,
     "diel_phase_drift": q_diel_phase_drift,
+    "burrows_delta": q_burrows_delta,
+    "recurrence_rate": q_recurrence_rate,
+    "poincare_sd": q_poincare_sd,
+    "fano_factor": q_fano_factor,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1306,4 +1758,8 @@ ORACLE_SQL: dict[str, str] = {
     "cox_stuart": SQL_COX_STUART,
     "hodges_lehmann": SQL_HODGES_LEHMANN,
     "diel_phase_drift": SQL_PHASE_DRIFT,
+    "burrows_delta": SQL_BURROWS_DELTA,
+    "recurrence_rate": SQL_RECURRENCE,
+    "poincare_sd": SQL_POINCARE,
+    "fano_factor": SQL_FANO,
 }
