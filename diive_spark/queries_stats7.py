@@ -1726,6 +1726,432 @@ ORDER BY event_type, block_h
 """
 
 
+# ---------------------------------------------------------------------------
+# rfm_segments — RFM (recency/frequency/monetary) quintile segmentation
+# ---------------------------------------------------------------------------
+# Hughes (Strategic Database Marketing, 1994): score every user 1-5 on
+# recency, frequency, and monetary value, then profile the segments.
+# Monetary sums are exact (per-event centivalues floored BEFORE the
+# sum); each quintile is assigned on the VALUE-DOMAIN count table
+# (bucket = floor(5 * prev / tot) + 1 at the value's first rank), so
+# ties share a bucket deterministically and no corpus-sized window
+# exists — the three domain maps are tiny and broadcast back.
+
+
+def _rfm_bucket(per_user: DataFrame, col: str, out: str) -> DataFrame:
+    cnt = per_user.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.orderBy(col)
+    cum = cnt.withColumn(
+        "cum", F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("tot", F.sum("c").over(Window.partitionBy()))
+    return cum.select(
+        col,
+        (F.floor(5 * (F.col("cum") - F.col("c")) / F.col("tot")) + 1)
+        .cast("int")
+        .alias(out),
+    )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts = F.col("ts").cast("timestamp")
+    base = ev.select(
+        "user_id",
+        (F.floor(F.unix_micros(ts) / 86_400_000_000)).cast("long").alias(
+            "day"
+        ),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("cv"),
+    )
+    horizon = base.agg(F.max("day").alias("hz"))
+    per_user = (
+        base.groupBy("user_id")
+        .agg(
+            F.max("day").alias("last_day"),
+            F.count(F.lit(1)).alias("fr"),
+            F.sum("cv").alias("mo"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            (F.col("hz") - F.col("last_day")).alias("rec"),
+            "fr",
+            "mo",
+            # whole-unit resolution for the monetary DOMAIN map — keeps the
+            # bucket table value-range-bounded instead of per-user-unique
+            F.floor(F.col("mo") / 100).cast("long").alias("mo_u"),
+        )
+    )
+    rb = _rfm_bucket(per_user, "rec", "r_q")
+    fb = _rfm_bucket(per_user, "fr", "f_q")
+    mb = _rfm_bucket(per_user, "mo_u", "m_q")
+    seg = (
+        per_user.join(F.broadcast(rb), "rec")
+        .join(F.broadcast(fb), "fr")
+        .join(F.broadcast(mb), "mo_u")
+    )
+    agg = seg.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("mo").alias("smo"),
+    )
+    return agg.select(
+        F.col("r_q").cast("long").alias("r_q"),
+        F.col("f_q").cast("long").alias("f_q"),
+        F.col("m_q").cast("long").alias("m_q"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.floor(
+            F.col("smo").cast("double") / F.col("n_users") / 100.0
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("mean_monetary"),
+    ).orderBy("r_q", "f_q", "m_q")
+
+
+SQL_RFM = f"""
+WITH base AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS cv
+  FROM events
+), per_user AS (
+  SELECT user_id,
+         (SELECT max(day) FROM base) - max(day) AS rec,
+         CAST(count(*) AS BIGINT) AS fr,
+         CAST(sum(cv) AS BIGINT) AS mo,
+         CAST(floor(CAST(sum(cv) AS BIGINT) / 100.0) AS BIGINT) AS mo_u
+  FROM base GROUP BY user_id
+), rb AS (
+  SELECT rec, CAST(floor(5.0 * (cum - c) / tot) + 1 AS INT) AS r_q FROM (
+    SELECT rec, c, sum(c) OVER (ORDER BY rec) AS cum,
+           sum(c) OVER () AS tot
+    FROM (SELECT rec, count(*) AS c FROM per_user GROUP BY 1)
+  )
+), fb AS (
+  SELECT fr, CAST(floor(5.0 * (cum - c) / tot) + 1 AS INT) AS f_q FROM (
+    SELECT fr, c, sum(c) OVER (ORDER BY fr) AS cum,
+           sum(c) OVER () AS tot
+    FROM (SELECT fr, count(*) AS c FROM per_user GROUP BY 1)
+  )
+), mb AS (
+  SELECT mo_u, CAST(floor(5.0 * (cum - c) / tot) + 1 AS INT) AS m_q FROM (
+    SELECT mo_u, c, sum(c) OVER (ORDER BY mo_u) AS cum,
+           sum(c) OVER () AS tot
+    FROM (SELECT mo_u, count(*) AS c FROM per_user GROUP BY 1)
+  )
+)
+SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+       CAST(m_q AS BIGINT) AS m_q,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(floor(CAST(sum(mo) AS DOUBLE) / count(*) / 100.0 + {_OFF})
+            AS BIGINT) AS mean_monetary
+FROM per_user
+JOIN rb USING (rec) JOIN fb USING (fr) JOIN mb USING (mo_u)
+GROUP BY 1, 2, 3
+ORDER BY r_q, f_q, m_q
+"""
+
+
+# ---------------------------------------------------------------------------
+# bass_diffusion — Bass model fit on per-type adoption curves
+# ---------------------------------------------------------------------------
+# Bass (Management Science 15, 1969), conditional-rate form: with M =
+# observed total adopters, n_t / (M - N_{t-1}) = p + q * N_{t-1} / M.
+# Adoption day = each user's FIRST event day per type; the per-day
+# rate y and regressor x are e9-floored BIGINTs, so the 2-var OLS
+# sums are exact integers (the weibull_gap_fit discipline); one
+# division chain at the end yields p and q.
+
+
+def q_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    first = ev.groupBy("event_type", "user_id").agg(
+        F.min(
+            (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000))
+            .cast("long")
+        ).alias("day")
+    )
+    daily = first.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("nt")
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wn = Window.partitionBy("event_type")
+    d = daily.withColumn(
+        "cum", F.sum("nt").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("m", F.sum("nt").over(wn))
+    d = d.withColumn("nprev", F.col("cum") - F.col("nt")).filter(
+        F.col("nprev") < F.col("m")
+    )
+    y = F.col("nt").cast("double") / (F.col("m") - F.col("nprev")).cast(
+        "double"
+    )
+    x = F.col("nprev").cast("double") / F.col("m").cast("double")
+    d = d.withColumn(
+        "x9", F.floor(x * 1e9 + F.lit(_OFF)).cast("long")
+    ).withColumn("y9", F.floor(y * 1e9 + F.lit(_OFF)).cast("long"))
+    xd = F.col("x9").cast("double") / 1e9
+    yd = F.col("y9").cast("double") / 1e9
+    d = d.withColumn(
+        "xy9", F.floor(xd * yd * 1e9 + F.lit(_OFF)).cast("long")
+    ).withColumn("xx9", F.floor(xd * xd * 1e9 + F.lit(_OFF)).cast("long"))
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("m").alias("m"),
+        F.sum("x9").alias("sx"),
+        F.sum("y9").alias("sy"),
+        F.sum("xy9").alias("sxy"),
+        F.sum("xx9").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / 1e9
+    sy = F.col("sy").cast("double") / 1e9
+    sxy = F.col("sxy").cast("double") / 1e9
+    sxx = F.col("sxx").cast("double") / 1e9
+    q_ = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    p_ = (sy - q_ * sx) / nd
+    return (
+        agg.filter((nd * sxx - sx * sx) > 0)
+        .select(
+            "event_type",
+            F.col("m").cast("long").alias("m_adopters"),
+            F.col("n").cast("long").alias("n_days"),
+            F.floor(p_ * 1_000_000 + F.lit(_OFF)).cast("long").alias("p_e6"),
+            F.floor(q_ * 1_000_000 + F.lit(_OFF)).cast("long").alias("q_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_BASS = f"""
+WITH first_day AS (
+  SELECT event_type, user_id,
+         min(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS day
+  FROM events GROUP BY 1, 2
+), daily AS (
+  SELECT event_type, day, count(*) AS nt FROM first_day GROUP BY 1, 2
+), d AS (
+  SELECT event_type, day, nt,
+         CAST(sum(nt) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(nt) OVER (PARTITION BY event_type) AS BIGINT) AS m
+  FROM daily
+), s9 AS (
+  SELECT event_type, m,
+         CAST(floor(CAST(cum - nt AS DOUBLE) / m * 1e9 + {_OFF})
+              AS BIGINT) AS x9,
+         CAST(floor(CAST(nt AS DOUBLE) / (m - (cum - nt)) * 1e9 + {_OFF})
+              AS BIGINT) AS y9
+  FROM d WHERE cum - nt < m
+), p9 AS (
+  SELECT event_type, m, x9, y9,
+         CAST(floor((CAST(x9 AS DOUBLE) / 1e9)
+                    * (CAST(y9 AS DOUBLE) / 1e9) * 1e9 + {_OFF})
+              AS BIGINT) AS xy9,
+         CAST(floor((CAST(x9 AS DOUBLE) / 1e9)
+                    * (CAST(x9 AS DOUBLE) / 1e9) * 1e9 + {_OFF})
+              AS BIGINT) AS xx9
+  FROM s9
+), agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n, max(m) AS m,
+         CAST(sum(x9) AS BIGINT) AS sx, CAST(sum(y9) AS BIGINT) AS sy,
+         CAST(sum(xy9) AS BIGINT) AS sxy, CAST(sum(xx9) AS BIGINT) AS sxx
+  FROM p9 GROUP BY 1
+), fit AS (
+  SELECT event_type, m, n,
+         (CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e9)
+          - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))
+         / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e9)
+            - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9)) AS q,
+         CAST(sx AS DOUBLE) / 1e9 AS sxd, CAST(sy AS DOUBLE) / 1e9 AS syd,
+         CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e9)
+           - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9) AS den
+  FROM agg
+)
+SELECT event_type, m AS m_adopters, n AS n_days,
+       CAST(floor((syd - q * sxd) / CAST(n AS DOUBLE) * 1000000 + {_OFF})
+            AS BIGINT) AS p_e6,
+       CAST(floor(q * 1000000 + {_OFF}) AS BIGINT) AS q_e6
+FROM fit
+WHERE den > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# conversion_lag — view -> purchase latency quantiles (value-domain exact)
+# ---------------------------------------------------------------------------
+# Attribution-lag analysis: per user, the delay from FIRST view to
+# FIRST subsequent purchase, in whole minutes.  p25/p50/p75/p90 as
+# exact inverse-CDF order statistics on the (lag_min, count) DOMAIN
+# table — the window is bounded by the minute domain (span-capped:
+# ~43 k values per observed month, independent of row count), the
+# sentence_length_quantiles discipline.
+
+
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tsu = F.unix_micros(F.col("ts").cast("timestamp"))
+    per = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", tsu)).alias("tv"),
+            F.min(F.when(F.col("event_type") == "purchase", tsu)).alias(
+                "tp"
+            ),
+        )
+        .filter(
+            F.col("tv").isNotNull()
+            & F.col("tp").isNotNull()
+            & (F.col("tp") > F.col("tv"))
+        )
+        .select(
+            F.floor((F.col("tp") - F.col("tv")) / 60_000_000)
+            .cast("long")
+            .alias("lag_min")
+        )
+    )
+    cnt = per.groupBy("lag_min").agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.orderBy("lag_min")
+    cum = cnt.withColumn(
+        "cum", F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("tot", F.sum("c").over(Window.partitionBy()))
+    qs = cum.withColumn(
+        "q_pct",
+        F.explode(F.array(F.lit(25), F.lit(50), F.lit(75), F.lit(90))),
+    )
+    k = F.expr("((tot - 1) * q_pct) div 100") + 1
+    hit = qs.filter(((F.col("cum") - F.col("c")) < k) & (k <= F.col("cum")))
+    return hit.select(
+        F.col("q_pct").cast("long").alias("q_pct"),
+        F.col("tot").cast("long").alias("n_users"),
+        F.col("lag_min").cast("long").alias("lag_min"),
+    ).orderBy("q_pct")
+
+
+SQL_CONVERSION_LAG = """
+WITH per AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view'
+                  THEN CAST(epoch_us(ts) AS BIGINT) END) AS tv,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN CAST(epoch_us(ts) AS BIGINT) END) AS tp
+  FROM events
+  WHERE event_type IN ('view', 'purchase')
+  GROUP BY user_id
+), lags AS (
+  SELECT CAST(floor(CAST(tp - tv AS DOUBLE) / 60000000) AS BIGINT)
+           AS lag_min
+  FROM per
+  WHERE tv IS NOT NULL AND tp IS NOT NULL AND tp > tv
+), cnt AS (
+  SELECT lag_min, count(*) AS c FROM lags GROUP BY 1
+), cum AS (
+  SELECT lag_min, c,
+         sum(c) OVER (ORDER BY lag_min) AS cum,
+         sum(c) OVER () AS tot
+  FROM cnt
+), qs AS (
+  SELECT lag_min, cum, cum - c AS prev, tot, q_pct,
+         ((tot - 1) * q_pct) // 100 + 1 AS k
+  FROM cum, (VALUES (25), (50), (75), (90)) q(q_pct)
+)
+SELECT CAST(q_pct AS BIGINT) AS q_pct, CAST(tot AS BIGINT) AS n_users,
+       CAST(lag_min AS BIGINT) AS lag_min
+FROM qs
+WHERE prev < k AND k <= cum
+ORDER BY q_pct
+"""
+
+
+# ---------------------------------------------------------------------------
+# user_lifetime_profile — lifetime span / active-day / intensity quantiles
+# ---------------------------------------------------------------------------
+# Cohort-lifetime shape audit: per user, the active span in days
+# (last - first + 1), the count of distinct active days, and the
+# events-per-active-day intensity (integer div, exact).  Each metric's
+# p50/p90 come off its own value-domain count table (spans and day
+# counts are span-capped domains; intensity is count-capped) — exact
+# order statistics, no corpus-sized windows.
+
+
+def q_user_lifetime_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = (
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000)
+    ).cast("long")
+    per = ev.groupBy("user_id").agg(
+        (F.max(day) - F.min(day) + 1).alias("span_d"),
+        F.countDistinct(day).alias("active_d"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    per = per.withColumn(
+        "intensity", F.floor(F.col("n_ev") / F.col("active_d")).cast("long")
+    )
+    metrics = per.select(
+        F.explode(
+            F.create_map(
+                F.lit("span_d"),
+                F.col("span_d").cast("long"),
+                F.lit("active_d"),
+                F.col("active_d").cast("long"),
+                F.lit("intensity"),
+                F.col("intensity"),
+            )
+        ).alias("metric", "v")
+    )
+    cnt = metrics.groupBy("metric", "v").agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("metric").orderBy("v")
+    wn = Window.partitionBy("metric")
+    cum = cnt.withColumn(
+        "cum", F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("tot", F.sum("c").over(wn))
+    qs = cum.withColumn(
+        "q_pct", F.explode(F.array(F.lit(50), F.lit(90)))
+    )
+    k = F.expr("((tot - 1) * q_pct) div 100") + 1
+    hit = qs.filter(((F.col("cum") - F.col("c")) < k) & (k <= F.col("cum")))
+    return hit.select(
+        "metric",
+        F.col("q_pct").cast("long").alias("q_pct"),
+        F.col("tot").cast("long").alias("n_users"),
+        F.col("v").cast("long").alias("v"),
+    ).orderBy("metric", "q_pct")
+
+
+SQL_LIFETIME = """
+WITH per AS (
+  SELECT user_id,
+         max(CAST(floor(epoch(ts) / 86400) AS BIGINT))
+           - min(CAST(floor(epoch(ts) / 86400) AS BIGINT)) + 1 AS span_d,
+         CAST(count(DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT))
+              AS BIGINT) AS active_d,
+         CAST(count(*) AS BIGINT) AS n_ev
+  FROM events GROUP BY user_id
+), metrics AS (
+  SELECT 'span_d' AS metric, span_d AS v FROM per
+  UNION ALL
+  SELECT 'active_d' AS metric, active_d AS v FROM per
+  UNION ALL
+  SELECT 'intensity' AS metric, n_ev // active_d AS v FROM per
+), cnt AS (
+  SELECT metric, v, count(*) AS c FROM metrics GROUP BY 1, 2
+), cum AS (
+  SELECT metric, v, c,
+         sum(c) OVER (PARTITION BY metric ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY metric) AS tot
+  FROM cnt
+), qs AS (
+  SELECT metric, v, cum, cum - c AS prev, tot, q_pct,
+         ((tot - 1) * q_pct) // 100 + 1 AS k
+  FROM cum, (VALUES (50), (90)) q(q_pct)
+)
+SELECT metric, CAST(q_pct AS BIGINT) AS q_pct, CAST(tot AS BIGINT)
+         AS n_users, CAST(v AS BIGINT) AS v
+FROM qs
+WHERE prev < k AND k <= cum
+ORDER BY metric, q_pct
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "permutation_entropy": q_permutation_entropy,
     "variogram_profile": q_variogram_profile,
@@ -1743,6 +2169,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recurrence_rate": q_recurrence_rate,
     "poincare_sd": q_poincare_sd,
     "fano_factor": q_fano_factor,
+    "rfm_segments": q_rfm_segments,
+    "bass_diffusion": q_bass_diffusion,
+    "conversion_lag": q_conversion_lag,
+    "user_lifetime_profile": q_user_lifetime_profile,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1762,4 +2192,8 @@ ORACLE_SQL: dict[str, str] = {
     "recurrence_rate": SQL_RECURRENCE,
     "poincare_sd": SQL_POINCARE,
     "fano_factor": SQL_FANO,
+    "rfm_segments": SQL_RFM,
+    "bass_diffusion": SQL_BASS,
+    "conversion_lag": SQL_CONVERSION_LAG,
+    "user_lifetime_profile": SQL_LIFETIME,
 }
