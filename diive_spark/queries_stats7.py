@@ -2152,6 +2152,424 @@ ORDER BY metric, q_pct
 """
 
 
+# ---------------------------------------------------------------------------
+# gpd_fit — peaks-over-threshold GPD fit by method of moments
+# ---------------------------------------------------------------------------
+# Pickands (Ann Stat 3, 1975) / Hosking & Wallis (Technometrics 29,
+# 1987 MoM): over exceedances e = y - u above the exact p90 day-count
+# threshold, xi = (1 - mean^2/var) / 2 and beta = mean (mean^2/var
+# + 1) / 2.  The threshold is an exact inverse-CDF order statistic on
+# the (key, count) value-domain table; exceedance moments are exact
+# BIGINT sums (population variance, documented); the xi/beta chain is
+# fixed-order doubles.
+
+
+def q_gpd_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    cnt = daily.groupBy("event_type", "y").agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("y")
+    wn = Window.partitionBy("event_type")
+    cum = cnt.withColumn(
+        "cum", F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("tot", F.sum("c").over(wn))
+    k = F.expr("((tot - 1) * 90) div 100") + 1
+    u = (
+        cum.filter(((F.col("cum") - F.col("c")) < k) & (k <= F.col("cum")))
+        .select("event_type", F.col("y").alias("u"))
+    )
+    exc = daily.join(F.broadcast(u), "event_type").filter(
+        F.col("y") > F.col("u")
+    )
+    agg = exc.groupBy("event_type").agg(
+        F.max("u").alias("u"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y") - F.col("u")).alias("se"),
+        F.sum((F.col("y") - F.col("u")) * (F.col("y") - F.col("u"))).alias(
+            "see"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("se").cast("double") / nd
+    var = (F.col("n") * F.col("see") - F.col("se") * F.col("se")).cast(
+        "double"
+    ) / (nd * nd)
+    ratio = mean * mean / var
+    xi = 0.5 * (1.0 - ratio)
+    beta = 0.5 * mean * (ratio + 1.0)
+    return (
+        agg.filter((F.col("n") >= 3) & (var > 0))
+        .select(
+            "event_type",
+            F.col("u").cast("long").alias("u"),
+            F.col("n").cast("long").alias("n_exc"),
+            F.floor(xi * 10_000 + F.lit(_OFF)).cast("long").alias("xi_e4"),
+            F.floor(beta * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "beta_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_GPD = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS y
+  FROM events GROUP BY 1, 2
+), cnt AS (
+  SELECT event_type, y, count(*) AS c FROM daily GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, y, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY y) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS tot
+  FROM cnt
+), u AS (
+  SELECT event_type, y AS u
+  FROM cum
+  WHERE cum - c < ((tot - 1) * 90) // 100 + 1
+    AND ((tot - 1) * 90) // 100 + 1 <= cum
+), agg AS (
+  SELECT d.event_type, max(u.u) AS u, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(d.y - u.u) AS BIGINT) AS se,
+         CAST(sum((d.y - u.u) * (d.y - u.u)) AS BIGINT) AS see
+  FROM daily d JOIN u ON u.event_type = d.event_type
+  WHERE d.y > u.u
+  GROUP BY 1
+)
+SELECT event_type, CAST(u AS BIGINT) AS u, n AS n_exc,
+       CAST(floor(0.5 * (1.0 - (CAST(se AS DOUBLE) / n)
+                               * (CAST(se AS DOUBLE) / n)
+                               / (CAST(n * see - se * se AS DOUBLE)
+                                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                  * 10000 + {_OFF}) AS BIGINT) AS xi_e4,
+       CAST(floor(0.5 * (CAST(se AS DOUBLE) / n)
+                  * ((CAST(se AS DOUBLE) / n) * (CAST(se AS DOUBLE) / n)
+                     / (CAST(n * see - se * se AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) + 1.0)
+                  * 10000 + {_OFF}) AS BIGINT) AS beta_e4
+FROM agg
+WHERE n >= 3 AND n * see - se * se > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# variance_time_plot — aggregated-variance LRD estimator (variance-time)
+# ---------------------------------------------------------------------------
+# Beran (Statistics for Long-Memory Processes, 1994 §4.4) / Leland et
+# al. (ToN 2, 1994): the variance of m-block means decays like
+# m^(2H - 2); the log-log slope over block sizes {1,3,6,12,24} h gives
+# H = 1 + slope/2.  Block moments reuse the fano_factor discipline
+# (one shared hourly agg, span-derived n folds empty blocks exactly);
+# per-size ln(var) and ln(m) are e9-floored BIGINTs, so the 5-point
+# OLS runs on exact integer sums.
+
+
+def q_variance_time_plot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000))
+        .cast("long")
+        .alias("h"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    sized = hourly.withColumn(
+        "m",
+        F.explode(
+            F.array(F.lit(1), F.lit(3), F.lit(6), F.lit(12), F.lit(24))
+        ),
+    )
+    blocks = sized.groupBy(
+        "event_type",
+        "m",
+        F.floor(F.col("h") / F.col("m")).cast("long").alias("b"),
+    ).agg(F.sum("c").alias("cb"))
+    per = blocks.groupBy("event_type", "m").agg(
+        (F.max("b") - F.min("b") + 1).alias("n"),
+        F.sum("cb").alias("sc"),
+        F.sum(F.col("cb") * F.col("cb")).alias("scc"),
+    )
+    nd = F.col("n").cast("double")
+    md = F.col("m").cast("double")
+    varm = (F.col("n") * F.col("scc") - F.col("sc") * F.col("sc")).cast(
+        "double"
+    ) / (nd * nd * md * md)
+    per = per.filter(
+        (F.col("n") >= 2)
+        & ((F.col("n") * F.col("scc") - F.col("sc") * F.col("sc")) > 0)
+    ).select(
+        "event_type",
+        F.floor(F.log(md) * 1e9 + F.lit(_OFF)).cast("long").alias("x9"),
+        F.floor(F.log(varm) * 1e9 + F.lit(_OFF)).cast("long").alias("y9"),
+    )
+    xd = F.col("x9").cast("double") / 1e9
+    yd = F.col("y9").cast("double") / 1e9
+    per = per.withColumn(
+        "xy9", F.floor(xd * yd * 1e9 + F.lit(_OFF)).cast("long")
+    ).withColumn("xx9", F.floor(xd * xd * 1e9 + F.lit(_OFF)).cast("long"))
+    agg = per.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x9").alias("sx"),
+        F.sum("y9").alias("sy"),
+        F.sum("xy9").alias("sxy"),
+        F.sum("xx9").alias("sxx"),
+    )
+    n2 = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / 1e9
+    sy = F.col("sy").cast("double") / 1e9
+    sxy = F.col("sxy").cast("double") / 1e9
+    sxx = F.col("sxx").cast("double") / 1e9
+    slope = (n2 * sxy - sx * sy) / (n2 * sxx - sx * sx)
+    hurst = 1.0 + slope / 2.0
+    return (
+        agg.filter((n2 * sxx - sx * sx) > 0)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_sizes"),
+            F.floor(slope * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "slope_e4"
+            ),
+            F.floor(hurst * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "hurst_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_VARIANCE_TIME = f"""
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), sized AS (
+  SELECT event_type, h, c, s.m
+  FROM hourly CROSS JOIN (VALUES (1), (3), (6), (12), (24)) AS s(m)
+), blocks AS (
+  SELECT event_type, m,
+         CAST(floor(CAST(h AS DOUBLE) / m) AS BIGINT) AS b,
+         CAST(sum(c) AS BIGINT) AS cb
+  FROM sized GROUP BY 1, 2, 3
+), per AS (
+  SELECT event_type, m,
+         CAST(max(b) - min(b) + 1 AS BIGINT) AS n,
+         CAST(sum(cb) AS BIGINT) AS sc,
+         CAST(sum(cb * cb) AS BIGINT) AS scc
+  FROM blocks GROUP BY 1, 2
+), pts AS (
+  SELECT event_type,
+         CAST(floor(ln(CAST(m AS DOUBLE)) * 1e9 + {_OFF}) AS BIGINT) AS x9,
+         CAST(floor(ln(CAST(n * scc - sc * sc AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                          * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)))
+                    * 1e9 + {_OFF}) AS BIGINT) AS y9
+  FROM per
+  WHERE n >= 2 AND n * scc - sc * sc > 0
+), p9 AS (
+  SELECT event_type, x9, y9,
+         CAST(floor((CAST(x9 AS DOUBLE) / 1e9)
+                    * (CAST(y9 AS DOUBLE) / 1e9) * 1e9 + {_OFF})
+              AS BIGINT) AS xy9,
+         CAST(floor((CAST(x9 AS DOUBLE) / 1e9)
+                    * (CAST(x9 AS DOUBLE) / 1e9) * 1e9 + {_OFF})
+              AS BIGINT) AS xx9
+  FROM pts
+), agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x9) AS BIGINT) AS sx, CAST(sum(y9) AS BIGINT) AS sy,
+         CAST(sum(xy9) AS BIGINT) AS sxy, CAST(sum(xx9) AS BIGINT) AS sxx
+  FROM p9 GROUP BY 1
+)
+SELECT event_type, n AS n_sizes,
+       CAST(floor((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e9)
+                   - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))
+                  / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e9)
+                     - (CAST(sx AS DOUBLE) / 1e9)
+                       * (CAST(sx AS DOUBLE) / 1e9))
+                  * 10000 + {_OFF}) AS BIGINT) AS slope_e4,
+       CAST(floor((1.0 + (CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e9)
+                          - (CAST(sx AS DOUBLE) / 1e9)
+                            * (CAST(sy AS DOUBLE) / 1e9))
+                         / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e9)
+                            - (CAST(sx AS DOUBLE) / 1e9)
+                              * (CAST(sx AS DOUBLE) / 1e9)) / 2.0)
+                  * 10000 + {_OFF}) AS BIGINT) AS hurst_e4
+FROM agg
+WHERE CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e9)
+      - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9) > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# dup_family_sizes — exact-duplicate family-size histogram
+# ---------------------------------------------------------------------------
+# The dedup economics complement to dedup_savings (which reports
+# per-lang savings): the SIZE DISTRIBUTION of exact-hash duplicate
+# families over the whole corpus — how much of the corpus sits in
+# families of size 1, 2, 3, ...  One combinable md5 groupBy then a
+# histogram groupBy; share is the only division.
+
+
+def q_dup_family_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats2 import _documents
+
+    d = _documents(spark, sf_dir).select("text")
+    fam = d.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    hist = fam.groupBy("sz").agg(F.count(F.lit(1)).alias("n_families"))
+    tot = hist.agg(
+        F.sum(F.col("sz") * F.col("n_families")).alias("n_total")
+    )
+    out = hist.crossJoin(F.broadcast(tot))
+    share = (F.col("sz") * F.col("n_families")).cast("double") / F.col(
+        "n_total"
+    ).cast("double")
+    return out.select(
+        F.col("sz").cast("long").alias("family_size"),
+        F.col("n_families").cast("long").alias("n_families"),
+        (F.col("sz") * F.col("n_families")).cast("long").alias("n_docs"),
+        F.floor(share * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "share_e6"
+        ),
+    ).orderBy("family_size")
+
+
+SQL_DUP_FAMILY = f"""
+WITH fam AS (
+  SELECT md5(text) AS h, count(*) AS sz FROM documents GROUP BY 1
+), hist AS (
+  SELECT sz, CAST(count(*) AS BIGINT) AS n_families FROM fam GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(sz * n_families) AS BIGINT) AS n_total FROM hist
+)
+SELECT CAST(sz AS BIGINT) AS family_size, n_families,
+       CAST(sz * n_families AS BIGINT) AS n_docs,
+       CAST(floor(CAST(sz * n_families AS DOUBLE) / n_total * 1000000
+                  + {_OFF}) AS BIGINT) AS share_e6
+FROM hist CROSS JOIN tot
+ORDER BY family_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# twonn_intrinsic_dim — TwoNN intrinsic dimension per embedding label
+# ---------------------------------------------------------------------------
+# Facco, d'Errico, Rodriguez & Laio (Sci Rep 7, 2017): with r1, r2 the
+# 1st/2nd-NN distances of each point, ID = n / sum ln(r2/r1).  NN
+# search is BLOCKED on the label column (per-cluster ID, the house
+# never-all-pairs posture); squared distances ride the Arrow-batch
+# einsum kernel and are rounded to 6 dp BEFORE ranking (the
+# ann_cosine_topk tie discipline), so NN choice and the e9-floored
+# ln-ratio terms are engine-deterministic.
+
+
+def q_twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.text.similarity import l2sq_pair_udf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", "embedding"
+    )
+    b = emb.select(
+        F.col("label").alias("label_r"),
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("emb_r"),
+    )
+    pairs = emb.join(
+        b,
+        (F.col("label") == F.col("label_r"))
+        & (F.col("vec_id") != F.col("cand_id")),
+    ).select(
+        "label",
+        "vec_id",
+        "cand_id",
+        F.round(l2sq_pair_udf(F.col("embedding"), F.col("emb_r")), 6).alias(
+            "d2"
+        ),
+    )
+    wo = Window.partitionBy("label", "vec_id").orderBy(
+        F.col("d2").asc(), F.col("cand_id").asc()
+    )
+    nn = pairs.withColumn("rk", F.row_number().over(wo)).filter(
+        F.col("rk") <= 2
+    )
+    two = (
+        nn.groupBy("label", "vec_id")
+        .agg(
+            F.min(F.when(F.col("rk") == 1, F.col("d2"))).alias("d1"),
+            F.min(F.when(F.col("rk") == 2, F.col("d2"))).alias("d2nd"),
+        )
+        .filter((F.col("d1") > 0) & F.col("d2nd").isNotNull())
+    )
+    two = two.withColumn(
+        "t9",
+        F.floor(0.5 * F.log(F.col("d2nd") / F.col("d1")) * 1e9 + F.lit(_OFF))
+        .cast("long"),
+    )
+    agg = two.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t9").alias("s9"),
+    )
+    idim = F.col("n").cast("double") / (F.col("s9").cast("double") / 1e9)
+    return (
+        agg.filter((F.col("n") >= 10) & (F.col("s9") > 0))
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("n").cast("long").alias("n_points"),
+            F.floor(idim * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "id_e4"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_TWONN = f"""
+WITH pairs AS (
+  SELECT a.label, a.vec_id, b.vec_id AS cand_id,
+         round(list_sum(list_transform(
+           generate_series(1, len(a.embedding)),
+           i -> (CAST(a.embedding[i] AS DOUBLE)
+                 - CAST(b.embedding[i] AS DOUBLE))
+                * (CAST(a.embedding[i] AS DOUBLE)
+                   - CAST(b.embedding[i] AS DOUBLE)))), 6) AS d2
+  FROM embeddings a JOIN embeddings b
+    ON b.label = a.label AND b.vec_id <> a.vec_id
+), nn AS (
+  SELECT label, vec_id, d2,
+         row_number() OVER (PARTITION BY label, vec_id
+                            ORDER BY d2 ASC, cand_id ASC) AS rk
+  FROM pairs
+), two AS (
+  SELECT label, vec_id,
+         min(CASE WHEN rk = 1 THEN d2 END) AS d1,
+         min(CASE WHEN rk = 2 THEN d2 END) AS d2nd
+  FROM nn WHERE rk <= 2 GROUP BY 1, 2
+), terms AS (
+  SELECT label,
+         CAST(floor(0.5 * ln(d2nd / d1) * 1e9 + {_OFF}) AS BIGINT) AS t9
+  FROM two WHERE d1 > 0 AND d2nd IS NOT NULL
+), agg AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(t9) AS BIGINT) AS s9
+  FROM terms GROUP BY 1
+)
+SELECT CAST(label AS BIGINT) AS label, n AS n_points,
+       CAST(floor(CAST(n AS DOUBLE) / (CAST(s9 AS DOUBLE) / 1e9)
+                  * 10000 + {_OFF}) AS BIGINT) AS id_e4
+FROM agg
+WHERE n >= 10 AND s9 > 0
+ORDER BY label
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "permutation_entropy": q_permutation_entropy,
     "variogram_profile": q_variogram_profile,
@@ -2173,6 +2591,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bass_diffusion": q_bass_diffusion,
     "conversion_lag": q_conversion_lag,
     "user_lifetime_profile": q_user_lifetime_profile,
+    "gpd_fit": q_gpd_fit,
+    "variance_time_plot": q_variance_time_plot,
+    "dup_family_sizes": q_dup_family_sizes,
+    "twonn_intrinsic_dim": q_twonn_intrinsic_dim,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2196,4 +2618,8 @@ ORACLE_SQL: dict[str, str] = {
     "bass_diffusion": SQL_BASS,
     "conversion_lag": SQL_CONVERSION_LAG,
     "user_lifetime_profile": SQL_LIFETIME,
+    "gpd_fit": SQL_GPD,
+    "variance_time_plot": SQL_VARIANCE_TIME,
+    "dup_family_sizes": SQL_DUP_FAMILY,
+    "twonn_intrinsic_dim": SQL_TWONN,
 }

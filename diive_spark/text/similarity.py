@@ -54,6 +54,30 @@ def cosine_pair_udf(a: Column, b: Column) -> Column:
     return _COSINE_PAIR_UDF(a, b)
 
 
+_L2SQ_PAIR_UDF = None
+
+
+def l2sq_pair_udf(a: Column, b: Column) -> Column:
+    """Vectorized row-wise SQUARED Euclidean distance over two array
+    columns (same Arrow-batch einsum discipline as
+    :func:`cosine_pair_udf`; float32 -> float64 casts are exact, so the
+    per-element squares are bit-identical to DuckDB's
+    ``(CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE))^2`` — only the sum
+    order differs, absorbed by the caller's round())."""
+    global _L2SQ_PAIR_UDF
+    if _L2SQ_PAIR_UDF is None:
+
+        @F.pandas_udf("double")
+        def _l2(pa: pd.Series, pb: pd.Series) -> pd.Series:
+            A = np.stack(pa.to_numpy()).astype(np.float64)
+            B = np.stack(pb.to_numpy()).astype(np.float64)
+            D = A - B
+            return pd.Series(np.einsum("ij,ij->i", D, D))
+
+        _L2SQ_PAIR_UDF = _l2
+    return _L2SQ_PAIR_UDF(a, b)
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
