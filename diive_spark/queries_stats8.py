@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from diive_spark.queries_stats2 import _OFF, _documents
+from diive_spark.queries_stats2 import _HOURLY_SQL, _OFF, _documents
 
 # ---------------------------------------------------------------------------
 # atkinson_index — Atkinson inequality indices A(1) and A(2) per source
@@ -419,11 +419,608 @@ WHERE sv9 > 0
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# lorenz_asymmetry — Lorenz asymmetry coefficient S per source
+# ---------------------------------------------------------------------------
+# Damgaard & Weiner (Ecology 81, 2000): S = F(mu) + L(mu) with the
+# interpolated point where the Lorenz curve has slope 1; S < 1 means
+# inequality is driven by many small units, S > 1 by a few large ones.
+# Series = doc lengths per source.  m, L_m, x_m, x_{m+1} are exact
+# order statistics found by the division-free comparison x*n < sum(x)
+# (never a double threshold), so everything up to the final delta
+# interpolation is exact BIGINT; the S chain is fixed-order doubles.
+
+
+def q_lorenz_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select(
+        "source", F.col("n_chars").cast("long").alias("x")
+    )
+    tot = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
+    )
+    j = d.join(F.broadcast(tot), "source")
+    below = F.col("x") * F.col("n") < F.col("sx")
+    agg = j.groupBy("source").agg(
+        F.max("n").alias("n"),
+        F.max("sx").alias("sx"),
+        F.sum(F.when(below, 1).otherwise(0)).alias("m"),
+        F.sum(F.when(below, F.col("x")).otherwise(0)).alias("lm"),
+        F.max(F.when(below, F.col("x"))).alias("xm"),
+        F.min(F.when(~below, F.col("x"))).alias("xm1"),
+    )
+    mu = F.col("sx").cast("double") / F.col("n").cast("double")
+    delta = (mu - F.col("xm").cast("double")) / (
+        F.col("xm1") - F.col("xm")
+    ).cast("double")
+    f_mu = (F.col("m").cast("double") + delta) / F.col("n").cast("double")
+    l_mu = (
+        F.col("lm").cast("double") + delta * F.col("xm1").cast("double")
+    ) / F.col("sx").cast("double")
+    return (
+        agg.filter(
+            (F.col("n") >= 2)
+            & (F.col("m") >= 1)
+            & (F.col("xm1") > F.col("xm"))
+        )
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("m").cast("long").alias("m_below"),
+            F.floor(f_mu * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "f_mu_e6"
+            ),
+            F.floor(l_mu * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "l_mu_e6"
+            ),
+            F.floor((f_mu + l_mu) * 1_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("s_e6"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_LORENZ_ASYM = f"""
+WITH d AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents
+), tot AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx
+  FROM d GROUP BY 1
+), agg AS (
+  SELECT d.source, max(tot.n) AS n, max(tot.sx) AS sx,
+         CAST(sum(CASE WHEN d.x * tot.n < tot.sx THEN 1 ELSE 0 END)
+              AS BIGINT) AS m,
+         CAST(sum(CASE WHEN d.x * tot.n < tot.sx THEN d.x ELSE 0 END)
+              AS BIGINT) AS lm,
+         max(CASE WHEN d.x * tot.n < tot.sx THEN d.x END) AS xm,
+         min(CASE WHEN d.x * tot.n >= tot.sx THEN d.x END) AS xm1
+  FROM d JOIN tot ON tot.source = d.source
+  GROUP BY 1
+)
+SELECT source, n AS n_docs, m AS m_below,
+       CAST(floor((CAST(m AS DOUBLE)
+                   + (CAST(sx AS DOUBLE) / n - CAST(xm AS DOUBLE))
+                     / CAST(xm1 - xm AS DOUBLE))
+                  / CAST(n AS DOUBLE) * 1000000 + {_OFF})
+            AS BIGINT) AS f_mu_e6,
+       CAST(floor((CAST(lm AS DOUBLE)
+                   + (CAST(sx AS DOUBLE) / n - CAST(xm AS DOUBLE))
+                     / CAST(xm1 - xm AS DOUBLE) * CAST(xm1 AS DOUBLE))
+                  / CAST(sx AS DOUBLE) * 1000000 + {_OFF})
+            AS BIGINT) AS l_mu_e6,
+       CAST(floor(((CAST(m AS DOUBLE)
+                    + (CAST(sx AS DOUBLE) / n - CAST(xm AS DOUBLE))
+                      / CAST(xm1 - xm AS DOUBLE))
+                   / CAST(n AS DOUBLE)
+                   + (CAST(lm AS DOUBLE)
+                      + (CAST(sx AS DOUBLE) / n - CAST(xm AS DOUBLE))
+                        / CAST(xm1 - xm AS DOUBLE) * CAST(xm1 AS DOUBLE))
+                     / CAST(sx AS DOUBLE)) * 1000000 + {_OFF})
+            AS BIGINT) AS s_e6
+FROM agg
+WHERE n >= 2 AND m >= 1 AND xm1 > xm
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# icc_oneway — one-way random-effects intraclass correlation ICC(1,1)
+# ---------------------------------------------------------------------------
+# Shrout & Fleiss (Psych Bull 86, 1979) with the unbalanced-groups k0
+# of the one-way ANOVA (days = groups, hourly centivalues = ratings):
+# ICC = (MSB - MSW) / (MSB + (k0 - 1) MSW), k0 = (N - sum n_j^2 / N)
+# / (k - 1).  v is the house exact-integer centivalue, so N, S, sum
+# v^2, per-day S_j and n_j are exact BIGINT; the only order-sensitive
+# division S_j^2/n_j is e6-floored per day before summing (bounded
+# number of days).  One groupBy cascade, no window, no join.
+
+
+def q_icc_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats2 import _hourly
+
+    h = _hourly(spark, sf_dir).select(
+        "user_id",
+        F.floor(F.col("t") / 86_400).cast("long").alias("day"),
+        F.col("v").cast("long").alias("v"),
+    )
+    per_day = h.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("nj"),
+        F.sum("v").alias("sj"),
+        F.sum(F.col("v") * F.col("v")).alias("sjj"),
+    )
+    rat = (F.col("sj") * F.col("sj")).cast("double") / F.col("nj").cast(
+        "double"
+    )
+    per_day = per_day.withColumn(
+        "r6", F.floor(rat * 1e6 + F.lit(_OFF)).cast("long")
+    )
+    agg = per_day.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("nj").alias("nn"),
+        F.sum("sj").alias("s"),
+        F.sum("sjj").alias("svv"),
+        F.sum("r6").alias("sr6"),
+        F.sum(F.col("nj") * F.col("nj")).alias("snn2"),
+    )
+    nd = F.col("nn").cast("double")
+    kd = F.col("k").cast("double")
+    grp = F.col("sr6").cast("double") / 1e6
+    ssb = grp - F.col("s").cast("double") * F.col("s").cast("double") / nd
+    ssw = F.col("svv").cast("double") - grp
+    msb = ssb / (kd - 1.0)
+    msw = ssw / (nd - kd)
+    k0 = (nd - F.col("snn2").cast("double") / nd) / (kd - 1.0)
+    icc = (msb - msw) / (msb + (k0 - 1.0) * msw)
+    return (
+        agg.filter((F.col("k") >= 2) & (F.col("nn") > F.col("k")))
+        .filter(ssw > 0)
+        .select(
+            "user_id",
+            F.col("k").cast("long").alias("n_days"),
+            F.col("nn").cast("long").alias("n_hours"),
+            F.floor(k0 * 10_000 + F.lit(_OFF)).cast("long").alias("k0_e4"),
+            F.floor(icc * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "icc_e6"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_ICC = f"""
+WITH {_HOURLY_SQL},
+hv AS (
+  SELECT user_id, CAST(floor(t / 86400.0) AS BIGINT) AS day,
+         CAST(v AS BIGINT) AS v
+  FROM hourly
+), per_day AS (
+  SELECT user_id, day, CAST(count(*) AS BIGINT) AS nj,
+         CAST(sum(v) AS BIGINT) AS sj,
+         CAST(sum(v * v) AS BIGINT) AS sjj
+  FROM hv GROUP BY 1, 2
+), r AS (
+  SELECT user_id, nj, sj, sjj,
+         CAST(floor(CAST(sj * sj AS DOUBLE) / nj * 1e6 + {_OFF})
+              AS BIGINT) AS r6
+  FROM per_day
+), agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(nj) AS BIGINT) AS nn,
+         CAST(sum(sj) AS BIGINT) AS s,
+         CAST(sum(sjj) AS BIGINT) AS svv,
+         CAST(sum(r6) AS BIGINT) AS sr6,
+         CAST(sum(nj * nj) AS BIGINT) AS snn2
+  FROM r GROUP BY 1
+)
+SELECT user_id, k AS n_days, nn AS n_hours,
+       CAST(floor((CAST(nn AS DOUBLE) - CAST(snn2 AS DOUBLE) / nn)
+                  / (CAST(k AS DOUBLE) - 1.0) * 10000 + {_OFF})
+            AS BIGINT) AS k0_e4,
+       CAST(floor(((CAST(sr6 AS DOUBLE) / 1e6
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / nn)
+                   / (CAST(k AS DOUBLE) - 1.0)
+                   - (CAST(svv AS DOUBLE) - CAST(sr6 AS DOUBLE) / 1e6)
+                     / (CAST(nn AS DOUBLE) - k))
+                  / ((CAST(sr6 AS DOUBLE) / 1e6
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / nn)
+                     / (CAST(k AS DOUBLE) - 1.0)
+                     + ((CAST(nn AS DOUBLE) - CAST(snn2 AS DOUBLE) / nn)
+                        / (CAST(k AS DOUBLE) - 1.0) - 1.0)
+                       * (CAST(svv AS DOUBLE) - CAST(sr6 AS DOUBLE) / 1e6)
+                       / (CAST(nn AS DOUBLE) - k))
+                  * 1000000 + {_OFF}) AS BIGINT) AS icc_e6
+FROM agg
+WHERE k >= 2 AND nn > k
+  AND CAST(svv AS DOUBLE) - CAST(sr6 AS DOUBLE) / 1e6 > 0
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# adf_test — augmented Dickey-Fuller unit-root test, lag 1, per user
+# ---------------------------------------------------------------------------
+# Dickey & Fuller (JASA 74, 1979): regress dy_t on [1, y_{t-1},
+# dy_{t-1}] and report the t-statistic of the y_{t-1} coefficient
+# (compared against the DF distribution, not Student t — reported as
+# a statistic, the house posture for test batteries).  Series = hourly
+# exact-integer centivalues, row-adjacent lags (documented).  ALL nine
+# cross-moment sums are exact BIGINT; the 3x3 Cramer solve, RSS and
+# t-stat are fixed-order double chains off those integers (and sqrt is
+# IEEE-correctly-rounded), so both engines are bit-identical with no
+# scaled refloors needed anywhere.
+
+
+def q_adf_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats2 import _hourly
+
+    h = _hourly(spark, sf_dir).select(
+        "user_id", "t", F.col("v").cast("long").alias("v")
+    )
+    wo = Window.partitionBy("user_id").orderBy("t")
+    r = (
+        h.withColumn("y1", F.lag("v", 1).over(wo))
+        .withColumn("y2", F.lag("v", 2).over(wo))
+        .filter(F.col("y2").isNotNull())
+        .select(
+            "user_id",
+            (F.col("v") - F.col("y1")).alias("d"),
+            F.col("y1").alias("y1"),
+            (F.col("y1") - F.col("y2")).alias("d1"),
+        )
+    )
+    agg = r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y1").alias("sy1"),
+        F.sum("d1").alias("sd1"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("y1") * F.col("y1")).alias("syy"),
+        F.sum(F.col("d1") * F.col("d1")).alias("sdd1"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("y1") * F.col("d1")).alias("sy1d1"),
+        F.sum(F.col("y1") * F.col("d")).alias("sy1d"),
+        F.sum(F.col("d1") * F.col("d")).alias("sd1d"),
+    )
+    n = F.col("n").cast("double")
+    sy1 = F.col("sy1").cast("double")
+    sd1 = F.col("sd1").cast("double")
+    sd = F.col("sd").cast("double")
+    syy = F.col("syy").cast("double")
+    sdd1 = F.col("sdd1").cast("double")
+    sdd = F.col("sdd").cast("double")
+    sy1d1 = F.col("sy1d1").cast("double")
+    sy1d = F.col("sy1d").cast("double")
+    sd1d = F.col("sd1d").cast("double")
+    det = (
+        n * (syy * sdd1 - sy1d1 * sy1d1)
+        - sy1 * (sy1 * sdd1 - sy1d1 * sd1)
+        + sd1 * (sy1 * sy1d1 - syy * sd1)
+    )
+    det_a = (
+        sd * (syy * sdd1 - sy1d1 * sy1d1)
+        - sy1 * (sy1d * sdd1 - sy1d1 * sd1d)
+        + sd1 * (sy1d * sy1d1 - syy * sd1d)
+    )
+    det_b = (
+        n * (sy1d * sdd1 - sy1d1 * sd1d)
+        - sd * (sy1 * sdd1 - sy1d1 * sd1)
+        + sd1 * (sy1 * sd1d - sy1d * sd1)
+    )
+    det_g = (
+        n * (syy * sd1d - sy1d * sy1d1)
+        - sy1 * (sy1 * sd1d - sy1d * sd1)
+        + sd * (sy1 * sy1d1 - syy * sd1)
+    )
+    alpha = det_a / det
+    beta = det_b / det
+    gamma = det_g / det
+    rss = sdd - (alpha * sd + beta * sy1d + gamma * sd1d)
+    c22 = (n * sdd1 - sd1 * sd1) / det
+    tstat = beta / F.sqrt(rss / (n - 3.0) * c22)
+    return (
+        agg.filter((F.col("n") >= 12) & (det > 0) & (rss > 0) & (c22 > 0))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_obs"),
+            F.floor(beta * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "beta_e6"
+            ),
+            F.floor(tstat * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "tstat_e4"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_ADF = f"""
+WITH {{_HOURLY}},
+hv AS (
+  SELECT user_id, t, CAST(v AS BIGINT) AS v FROM hourly
+), lagged AS (
+  SELECT user_id,
+         v - lag(v, 1) OVER (PARTITION BY user_id ORDER BY t) AS d,
+         lag(v, 1) OVER (PARTITION BY user_id ORDER BY t) AS y1,
+         lag(v, 1) OVER (PARTITION BY user_id ORDER BY t)
+           - lag(v, 2) OVER (PARTITION BY user_id ORDER BY t) AS d1,
+         lag(v, 2) OVER (PARTITION BY user_id ORDER BY t) AS y2
+  FROM hv
+), r AS (
+  SELECT user_id, d, y1, d1 FROM lagged WHERE y2 IS NOT NULL
+), agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y1) AS BIGINT) AS sy1,
+         CAST(sum(d1) AS BIGINT) AS sd1,
+         CAST(sum(d) AS BIGINT) AS sd,
+         CAST(sum(y1 * y1) AS BIGINT) AS syy,
+         CAST(sum(d1 * d1) AS BIGINT) AS sdd1,
+         CAST(sum(d * d) AS BIGINT) AS sdd,
+         CAST(sum(y1 * d1) AS BIGINT) AS sy1d1,
+         CAST(sum(y1 * d) AS BIGINT) AS sy1d,
+         CAST(sum(d1 * d) AS BIGINT) AS sd1d
+  FROM r GROUP BY 1
+), solved AS (
+  SELECT user_id, n,
+         CAST(n AS DOUBLE) * (CAST(syy AS DOUBLE) * sdd1
+                              - CAST(sy1d1 AS DOUBLE) * sy1d1)
+           - CAST(sy1 AS DOUBLE) * (CAST(sy1 AS DOUBLE) * sdd1
+                                    - CAST(sy1d1 AS DOUBLE) * sd1)
+           + CAST(sd1 AS DOUBLE) * (CAST(sy1 AS DOUBLE) * sy1d1
+                                    - CAST(syy AS DOUBLE) * sd1) AS det,
+         CAST(sd AS DOUBLE) * (CAST(syy AS DOUBLE) * sdd1
+                               - CAST(sy1d1 AS DOUBLE) * sy1d1)
+           - CAST(sy1 AS DOUBLE) * (CAST(sy1d AS DOUBLE) * sdd1
+                                    - CAST(sy1d1 AS DOUBLE) * sd1d)
+           + CAST(sd1 AS DOUBLE) * (CAST(sy1d AS DOUBLE) * sy1d1
+                                    - CAST(syy AS DOUBLE) * sd1d) AS det_a,
+         CAST(n AS DOUBLE) * (CAST(sy1d AS DOUBLE) * sdd1
+                              - CAST(sy1d1 AS DOUBLE) * sd1d)
+           - CAST(sd AS DOUBLE) * (CAST(sy1 AS DOUBLE) * sdd1
+                                   - CAST(sy1d1 AS DOUBLE) * sd1)
+           + CAST(sd1 AS DOUBLE) * (CAST(sy1 AS DOUBLE) * sd1d
+                                    - CAST(sy1d AS DOUBLE) * sd1) AS det_b,
+         CAST(n AS DOUBLE) * (CAST(syy AS DOUBLE) * sd1d
+                              - CAST(sy1d AS DOUBLE) * sy1d1)
+           - CAST(sy1 AS DOUBLE) * (CAST(sy1 AS DOUBLE) * sd1d
+                                    - CAST(sy1d AS DOUBLE) * sd1)
+           + CAST(sd AS DOUBLE) * (CAST(sy1 AS DOUBLE) * sy1d1
+                                   - CAST(syy AS DOUBLE) * sd1) AS det_g,
+         CAST(sd AS DOUBLE) AS sdf, CAST(sy1d AS DOUBLE) AS sy1df,
+         CAST(sd1d AS DOUBLE) AS sd1df, CAST(sdd AS DOUBLE) AS sddf,
+         CAST(n * sdd1 - sd1 * sd1 AS DOUBLE) AS c22n
+  FROM agg
+), fin AS (
+  SELECT user_id, n, det, det_b / det AS beta,
+         sddf - ((det_a / det) * sdf + (det_b / det) * sy1df
+                 + (det_g / det) * sd1df) AS rss,
+         c22n / det AS c22
+  FROM solved
+)
+SELECT user_id, n AS n_obs,
+       CAST(floor(beta * 1000000 + {{OFF}}) AS BIGINT) AS beta_e6,
+       CAST(floor(beta / sqrt(rss / (CAST(n AS DOUBLE) - 3.0) * c22)
+                  * 10000 + {{OFF}}) AS BIGINT) AS tstat_e4
+FROM fin
+WHERE n >= 12 AND det > 0 AND rss > 0 AND c22 > 0
+ORDER BY user_id
+""".format(_HOURLY=_HOURLY_SQL, OFF=_OFF)
+
+
+# ---------------------------------------------------------------------------
+# dfa_alpha — detrended fluctuation analysis (DFA-1) scaling exponent
+# ---------------------------------------------------------------------------
+# Peng et al. (Phys Rev E 49, 1994): integrate the mean-subtracted
+# hourly count series, split into non-overlapping windows of m rows,
+# detrend each by per-window OLS, and fit ln F^2(m) ~ 2 alpha ln m
+# over m in {4, 8, 16, 32}.  Exactness: the profile is kept DIVISION-
+# FREE as P_i = n*cumsum - i*total (exact BIGINT), then rescaled once
+# by the single deterministic division floor(P/n); all per-window OLS
+# sums (Sy, Sxy, Syy) are exact BIGINT with closed-form Sx/Sxx, the
+# per-window RSS is a fixed-order double chain, e6-floored per window
+# before the F^2 mean; ln points e9-floored before the 4-point OLS
+# (the variance_time_plot discipline, queries_stats7).  Magnitudes:
+# |floor(P/n)| <= total events per key, safe in BIGINT products up to
+# ~sf10; rescale the profile coarser for larger corpora (documented).
+
+
+_DFA_SIZES = (4, 8, 16, 32)
+
+
+def q_dfa_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000))
+        .cast("long")
+        .alias("h"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("h")
+    wall = Window.partitionBy("event_type")
+    prof = (
+        hourly.withColumn("i", F.row_number().over(wo))
+        .withColumn(
+            "cum", F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+        .withColumn("s", F.sum("c").over(wall))
+    )
+    # division-free exact profile, then ONE deterministic rescale
+    p = F.col("cum") * F.col("n") - F.col("i") * F.col("s")
+    prof = prof.select(
+        "event_type",
+        "i",
+        F.floor(p.cast("double") / F.col("n").cast("double"))
+        .cast("long")
+        .alias("y"),
+    )
+    sized = prof.withColumn(
+        "m",
+        F.explode(F.array(*[F.lit(m) for m in _DFA_SIZES])),
+    ).select(
+        "event_type",
+        "m",
+        ((F.col("i") - 1) / F.col("m")).cast("long").alias("seg"),
+        ((F.col("i") - 1) % F.col("m")).alias("x"),
+        "y",
+    )
+    win = sized.groupBy("event_type", "m", "seg").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    md = F.col("m").cast("double")
+    sx = md * (md - 1.0) / 2.0
+    sxx = (md - 1.0) * md * (2.0 * md - 1.0) / 6.0
+    dd = md * sxx - sx * sx
+    num = md * F.col("sxy").cast("double") - sx * F.col("sy").cast("double")
+    rss = (
+        (md * F.col("syy").cast("double")
+         - F.col("sy").cast("double") * F.col("sy").cast("double")) * dd
+        - num * num
+    ) / (md * dd)
+    win = win.filter(F.col("cnt") == F.col("m")).select(
+        "event_type",
+        "m",
+        F.floor(rss / md * 1e6 + F.lit(_OFF)).cast("long").alias("r6"),
+    )
+    per = win.groupBy("event_type", "m").agg(
+        F.count(F.lit(1)).alias("nseg"),
+        F.sum("r6").alias("sr6"),
+    )
+    f2 = F.col("sr6").cast("double") / 1e6 / F.col("nseg").cast("double")
+    pts = per.filter((F.col("nseg") >= 2) & (F.col("sr6") > 0)).select(
+        "event_type",
+        F.floor(F.log(F.col("m").cast("double")) * 1e9 + F.lit(_OFF))
+        .cast("long")
+        .alias("x9"),
+        F.floor(F.log(f2) * 1e9 + F.lit(_OFF)).cast("long").alias("y9"),
+    )
+    xd = F.col("x9").cast("double") / 1e9
+    yd = F.col("y9").cast("double") / 1e9
+    pts = pts.withColumn(
+        "xy9", F.floor(xd * yd * 1e9 + F.lit(_OFF)).cast("long")
+    ).withColumn("xx9", F.floor(xd * xd * 1e9 + F.lit(_OFF)).cast("long"))
+    agg = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("x9").alias("sx9"),
+        F.sum("y9").alias("sy9"),
+        F.sum("xy9").alias("sxy9"),
+        F.sum("xx9").alias("sxx9"),
+    )
+    n2 = F.col("np").cast("double")
+    sxp = F.col("sx9").cast("double") / 1e9
+    syp = F.col("sy9").cast("double") / 1e9
+    sxyp = F.col("sxy9").cast("double") / 1e9
+    sxxp = F.col("sxx9").cast("double") / 1e9
+    slope = (n2 * sxyp - sxp * syp) / (n2 * sxxp - sxp * sxp)
+    return (
+        agg.filter((F.col("np") >= 3) & ((n2 * sxxp - sxp * sxp) > 0))
+        .select(
+            "event_type",
+            F.col("np").cast("long").alias("n_sizes"),
+            F.floor(slope / 2.0 * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "alpha_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_DFA = """
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), prof0 AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS i,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY h) AS BIGINT)
+           AS cum,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS s
+  FROM hourly
+), prof AS (
+  SELECT event_type, i,
+         CAST(floor(CAST(cum * n - i * s AS DOUBLE) / n) AS BIGINT) AS y
+  FROM prof0
+), sized AS (
+  SELECT p.event_type, p.i, p.y, sz.m,
+         CAST((p.i - 1) // sz.m AS BIGINT) AS seg,
+         CAST((p.i - 1) % sz.m AS BIGINT) AS x
+  FROM prof p CROSS JOIN (VALUES (4), (8), (16), (32)) AS sz(m)
+), win AS (
+  SELECT event_type, m, seg,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM sized GROUP BY 1, 2, 3
+), rs AS (
+  SELECT event_type, m,
+         CAST(floor(((CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                     * (CAST(m AS DOUBLE)
+                        * ((m - 1.0) * m * (2.0 * m - 1.0) / 6.0)
+                        - (m * (m - 1.0) / 2.0) * (m * (m - 1.0) / 2.0))
+                     - (CAST(m AS DOUBLE) * sxy
+                        - (m * (m - 1.0) / 2.0) * CAST(sy AS DOUBLE))
+                       * (CAST(m AS DOUBLE) * sxy
+                          - (m * (m - 1.0) / 2.0) * CAST(sy AS DOUBLE)))
+                    / (CAST(m AS DOUBLE)
+                       * (CAST(m AS DOUBLE)
+                          * ((m - 1.0) * m * (2.0 * m - 1.0) / 6.0)
+                          - (m * (m - 1.0) / 2.0) * (m * (m - 1.0) / 2.0)))
+                    / CAST(m AS DOUBLE) * 1e6 + {OFF}) AS BIGINT) AS r6
+  FROM win WHERE cnt = m
+), per AS (
+  SELECT event_type, m, CAST(count(*) AS BIGINT) AS nseg,
+         CAST(sum(r6) AS BIGINT) AS sr6
+  FROM rs GROUP BY 1, 2
+), pts0 AS (
+  SELECT event_type,
+         CAST(floor(ln(CAST(m AS DOUBLE)) * 1e9 + {OFF}) AS BIGINT) AS x9,
+         CAST(floor(ln(CAST(sr6 AS DOUBLE) / 1e6 / nseg) * 1e9 + {OFF})
+              AS BIGINT) AS y9
+  FROM per WHERE nseg >= 2 AND sr6 > 0
+), pts AS (
+  SELECT event_type, x9, y9,
+         CAST(floor((CAST(x9 AS DOUBLE) / 1e9) * (CAST(y9 AS DOUBLE) / 1e9)
+                    * 1e9 + {OFF}) AS BIGINT) AS xy9,
+         CAST(floor((CAST(x9 AS DOUBLE) / 1e9) * (CAST(x9 AS DOUBLE) / 1e9)
+                    * 1e9 + {OFF}) AS BIGINT) AS xx9
+  FROM pts0
+), agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS np,
+         CAST(sum(x9) AS BIGINT) AS sx9, CAST(sum(y9) AS BIGINT) AS sy9,
+         CAST(sum(xy9) AS BIGINT) AS sxy9, CAST(sum(xx9) AS BIGINT) AS sxx9
+  FROM pts GROUP BY 1
+)
+SELECT event_type, np AS n_sizes,
+       CAST(floor((CAST(np AS DOUBLE) * (CAST(sxy9 AS DOUBLE) / 1e9)
+                   - (CAST(sx9 AS DOUBLE) / 1e9) * (CAST(sy9 AS DOUBLE) / 1e9))
+                  / (CAST(np AS DOUBLE) * (CAST(sxx9 AS DOUBLE) / 1e9)
+                     - (CAST(sx9 AS DOUBLE) / 1e9)
+                       * (CAST(sx9 AS DOUBLE) / 1e9))
+                  / 2.0 * 10000 + {OFF}) AS BIGINT) AS alpha_e4
+FROM agg
+WHERE np >= 3
+  AND CAST(np AS DOUBLE) * (CAST(sxx9 AS DOUBLE) / 1e9)
+      - (CAST(sx9 AS DOUBLE) / 1e9) * (CAST(sx9 AS DOUBLE) / 1e9) > 0
+ORDER BY event_type
+""".format(OFF=_OFF)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "atkinson_index": q_atkinson_index,
     "juilland_d": q_juilland_d,
     "title_edit_dedup": q_title_edit_dedup,
     "logrank_test": q_logrank_test,
+    "lorenz_asymmetry": q_lorenz_asymmetry,
+    "icc_oneway": q_icc_oneway,
+    "adf_test": q_adf_test,
+    "dfa_alpha": q_dfa_alpha,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -431,4 +1028,8 @@ ORACLE_SQL: dict[str, str] = {
     "juilland_d": SQL_JUILLAND,
     "title_edit_dedup": SQL_TITLE_EDIT,
     "logrank_test": SQL_LOGRANK,
+    "lorenz_asymmetry": SQL_LORENZ_ASYM,
+    "icc_oneway": SQL_ICC,
+    "adf_test": SQL_ADF,
+    "dfa_alpha": SQL_DFA,
 }
