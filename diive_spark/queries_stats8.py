@@ -1012,6 +1012,488 @@ ORDER BY event_type
 """.format(OFF=_OFF)
 
 
+
+# ---------------------------------------------------------------------------
+# gwet_ac1 — Gwet's AC1 chance-corrected agreement per language
+# ---------------------------------------------------------------------------
+# Gwet (Br J Math Stat Psychol 61, 2008): AC1 = (po - pe)/(1 - pe) with
+# pe = 2 pi (1 - pi), pi = (pa + pb)/2 — robust to the kappa paradox
+# under prevalence skew.  Same two in-engine binary labelers as
+# cohens_kappa / mcnemar_labelers (doc length / TTR above the exact
+# per-language lower medians, queries_stats5._kappa_labels); every
+# input is an exact integer and the statistic is one fixed-order
+# rational chain.
+
+
+def q_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats5 import _kappa_labels
+
+    lab = _kappa_labels(spark, sf_dir)
+    agg = lab.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("a") == F.col("b")).cast("long")).alias("n_agree"),
+        F.sum("a").alias("na"),
+        F.sum("b").alias("nb"),
+    )
+    nd = F.col("n").cast("double")
+    po = F.col("n_agree").cast("double") / nd
+    pi = (F.col("na") + F.col("nb")).cast("double") / (2.0 * nd)
+    pe = 2.0 * pi * (1.0 - pi)
+    ac1 = (po - pe) / (1.0 - pe)
+    return (
+        agg.filter((F.col("n") >= 4) & (pe < 1.0))
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n"),
+            F.floor(po * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "po_e6"
+            ),
+            F.floor(pe * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "pe_e6"
+            ),
+            F.floor(ac1 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "ac1_e6"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+from diive_spark.queries_stats5 import _SQL_LABELS  # noqa: E402
+
+SQL_GWET = (
+    _SQL_LABELS
+    + f""", agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         CAST(sum(a) AS BIGINT) AS na,
+         CAST(sum(b) AS BIGINT) AS nb
+  FROM lab GROUP BY 1
+)
+SELECT lang, n,
+       CAST(floor(CAST(n_agree AS DOUBLE) / n * 1000000 + {_OFF})
+            AS BIGINT) AS po_e6,
+       CAST(floor(2.0 * (CAST(na + nb AS DOUBLE) / (2.0 * n))
+                      * (1.0 - CAST(na + nb AS DOUBLE) / (2.0 * n))
+                  * 1000000 + {_OFF}) AS BIGINT) AS pe_e6,
+       CAST(floor((CAST(n_agree AS DOUBLE) / n
+                   - 2.0 * (CAST(na + nb AS DOUBLE) / (2.0 * n))
+                         * (1.0 - CAST(na + nb AS DOUBLE) / (2.0 * n)))
+                  / (1.0 - 2.0 * (CAST(na + nb AS DOUBLE) / (2.0 * n))
+                               * (1.0 - CAST(na + nb AS DOUBLE) / (2.0 * n)))
+                  * 1000000 + {_OFF}) AS BIGINT) AS ac1_e6
+FROM agg
+WHERE n >= 4
+  AND 2.0 * (CAST(na + nb AS DOUBLE) / (2.0 * n))
+        * (1.0 - CAST(na + nb AS DOUBLE) / (2.0 * n)) < 1.0
+ORDER BY lang
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# pacf_profile — partial autocorrelation at lags 1-3 (Durbin-Levinson)
+# ---------------------------------------------------------------------------
+# Box & Jenkins (1970) via the Durbin-Levinson recursion on the biased
+# ACF estimates r1..r3 (row-adjacent hourly centivalues, the house lag
+# convention): phi11 = r1, phi22 = (r2 - r1^2)/(1 - r1^2), phi33 from
+# the order-2 prediction coefficients.  The three lag cross-products
+# and truncated-edge sums are exact BIGINTs off ONE window with three
+# leads; every downstream step is a fixed-order double chain, so both
+# engines are bit-identical with no refloors (the adf_test posture).
+
+
+def q_pacf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats2 import _hourly
+
+    h = _hourly(spark, sf_dir).select(
+        "user_id", "t", F.col("v").cast("long").alias("v")
+    )
+    wo = Window.partitionBy("user_id").orderBy("t")
+    r = (
+        h.withColumn("v1", F.lead("v", 1).over(wo))
+        .withColumn("v2", F.lead("v", 2).over(wo))
+        .withColumn("v3", F.lead("v", 3).over(wo))
+    )
+    agg = r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+        F.sum(F.col("v") * F.col("v1")).alias("p1"),
+        F.sum(F.col("v") * F.col("v2")).alias("p2"),
+        F.sum(F.col("v") * F.col("v3")).alias("p3"),
+        F.sum(F.when(F.col("v1").isNotNull(), F.col("v"))).alias("a1"),
+        F.sum(F.when(F.col("v2").isNotNull(), F.col("v"))).alias("a2"),
+        F.sum(F.when(F.col("v3").isNotNull(), F.col("v"))).alias("a3"),
+        F.sum("v1").alias("b1"),
+        F.sum("v2").alias("b2"),
+        F.sum("v3").alias("b3"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("s").cast("double") / nd
+    c0 = (F.col("svv").cast("double") - nd * mu * mu) / nd
+
+    def ck(p, a, b, k):
+        return (
+            F.col(p).cast("double")
+            - mu * (F.col(a) + F.col(b)).cast("double")
+            + (nd - float(k)) * mu * mu
+        ) / nd
+
+    r1 = ck("p1", "a1", "b1", 1) / c0
+    r2 = ck("p2", "a2", "b2", 2) / c0
+    r3 = ck("p3", "a3", "b3", 3) / c0
+    phi22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    phi21 = r1 * (1.0 - phi22)
+    phi33 = (r3 - phi21 * r2 - phi22 * r1) / (1.0 - phi21 * r1 - phi22 * r2)
+    return (
+        agg.filter((F.col("n") >= 10) & (c0 > 0))
+        .filter((1.0 - r1 * r1) != 0.0)
+        .filter((1.0 - phi21 * r1 - phi22 * r2) != 0.0)
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_obs"),
+            F.floor(r1 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "pacf1_e6"
+            ),
+            F.floor(phi22 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "pacf2_e6"
+            ),
+            F.floor(phi33 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "pacf3_e6"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_PACF = """
+WITH {_HOURLY},
+hv AS (
+  SELECT user_id, t, CAST(v AS BIGINT) AS v FROM hourly
+), led AS (
+  SELECT user_id, v,
+         lead(v, 1) OVER (PARTITION BY user_id ORDER BY t) AS v1,
+         lead(v, 2) OVER (PARTITION BY user_id ORDER BY t) AS v2,
+         lead(v, 3) OVER (PARTITION BY user_id ORDER BY t) AS v3
+  FROM hv
+), agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS s,
+         CAST(sum(v * v) AS BIGINT) AS svv,
+         CAST(sum(v * v1) AS BIGINT) AS p1,
+         CAST(sum(v * v2) AS BIGINT) AS p2,
+         CAST(sum(v * v3) AS BIGINT) AS p3,
+         CAST(sum(CASE WHEN v1 IS NOT NULL THEN v END) AS BIGINT) AS a1,
+         CAST(sum(CASE WHEN v2 IS NOT NULL THEN v END) AS BIGINT) AS a2,
+         CAST(sum(CASE WHEN v3 IS NOT NULL THEN v END) AS BIGINT) AS a3,
+         CAST(sum(v1) AS BIGINT) AS b1,
+         CAST(sum(v2) AS BIGINT) AS b2,
+         CAST(sum(v3) AS BIGINT) AS b3
+  FROM led GROUP BY 1
+), acf AS (
+  SELECT user_id, n,
+         (CAST(svv AS DOUBLE)
+          - n * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+           / CAST(n AS DOUBLE) AS c0,
+         (CAST(p1 AS DOUBLE)
+          - (CAST(s AS DOUBLE) / n) * CAST(a1 + b1 AS DOUBLE)
+          + (CAST(n AS DOUBLE) - 1.0) * (CAST(s AS DOUBLE) / n)
+            * (CAST(s AS DOUBLE) / n)) / CAST(n AS DOUBLE) AS c1,
+         (CAST(p2 AS DOUBLE)
+          - (CAST(s AS DOUBLE) / n) * CAST(a2 + b2 AS DOUBLE)
+          + (CAST(n AS DOUBLE) - 2.0) * (CAST(s AS DOUBLE) / n)
+            * (CAST(s AS DOUBLE) / n)) / CAST(n AS DOUBLE) AS c2,
+         (CAST(p3 AS DOUBLE)
+          - (CAST(s AS DOUBLE) / n) * CAST(a3 + b3 AS DOUBLE)
+          + (CAST(n AS DOUBLE) - 3.0) * (CAST(s AS DOUBLE) / n)
+            * (CAST(s AS DOUBLE) / n)) / CAST(n AS DOUBLE) AS c3
+  FROM agg
+), rr AS (
+  SELECT user_id, n, c0, c1 / c0 AS r1, c2 / c0 AS r2, c3 / c0 AS r3
+  FROM acf WHERE n >= 10 AND c0 > 0
+), dl AS (
+  SELECT user_id, n, r1, r2, r3,
+         (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22,
+         r1 * (1.0 - (r2 - r1 * r1) / (1.0 - r1 * r1)) AS phi21
+  FROM rr WHERE 1.0 - r1 * r1 <> 0.0
+)
+SELECT user_id, n AS n_obs,
+       CAST(floor(r1 * 1000000 + {OFF}) AS BIGINT) AS pacf1_e6,
+       CAST(floor(phi22 * 1000000 + {OFF}) AS BIGINT) AS pacf2_e6,
+       CAST(floor((r3 - phi21 * r2 - phi22 * r1)
+                  / (1.0 - phi21 * r1 - phi22 * r2) * 1000000 + {OFF})
+            AS BIGINT) AS pacf3_e6
+FROM dl
+WHERE 1.0 - phi21 * r1 - phi22 * r2 <> 0.0
+ORDER BY user_id
+""".format(_HOURLY=_HOURLY_SQL, OFF=_OFF)
+
+
+
+# ---------------------------------------------------------------------------
+# hotelling_t2 — Hotelling T^2 multivariate control chart over daily 2-D
+# ---------------------------------------------------------------------------
+# Hotelling (Techniques of Statistical Analysis, 1947): per user, each
+# day is the 2-vector (hours active, sum of hourly centivalues); T^2_d
+# = z' S^-1 z against the per-user sample covariance, alarms at the
+# chi2(2, .999) = 13.8155 line.  All five moment sums are exact
+# BIGINTs; the closed-form 2x2 inverse and per-day T^2 are fixed-order
+# double chains (bit-identical, the adf_test posture), so the alarm
+# count and e4-floored max are engine-exact.
+
+
+def q_hotelling_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats2 import _hourly
+
+    h = _hourly(spark, sf_dir).select(
+        "user_id",
+        F.floor(F.col("t") / 86_400).cast("long").alias("day"),
+        F.col("v").cast("long").alias("v"),
+    )
+    daily = h.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("x1"), F.sum("v").alias("x2")
+    )
+    mom = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+    )
+    j = daily.join(mom, "user_id")
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / nd
+    m2 = F.col("s2").cast("double") / nd
+    c11 = (F.col("s11").cast("double") - nd * m1 * m1) / (nd - 1.0)
+    c22 = (F.col("s22").cast("double") - nd * m2 * m2) / (nd - 1.0)
+    c12 = (F.col("s12").cast("double") - nd * m1 * m2) / (nd - 1.0)
+    det = c11 * c22 - c12 * c12
+    z1 = F.col("x1").cast("double") - m1
+    z2 = F.col("x2").cast("double") - m2
+    t2 = (c22 * z1 * z1 - 2.0 * c12 * z1 * z2 + c11 * z2 * z2) / det
+    per = j.filter((F.col("n") >= 5) & (det > 0)).select(
+        "user_id",
+        F.col("n").alias("n"),
+        F.floor(t2 * 10_000 + F.lit(_OFF)).cast("long").alias("t2_e4"),
+    )
+    return (
+        per.groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            F.sum((F.col("t2_e4") > 138_155).cast("long")).alias("n_alarm"),
+            F.max("t2_e4").alias("max_t2_e4"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_HOTELLING = """
+WITH {_HOURLY},
+hv AS (
+  SELECT user_id, CAST(floor(t / 86400.0) AS BIGINT) AS day,
+         CAST(v AS BIGINT) AS v
+  FROM hourly
+), daily AS (
+  SELECT user_id, day, CAST(count(*) AS BIGINT) AS x1,
+         CAST(sum(v) AS BIGINT) AS x2
+  FROM hv GROUP BY 1, 2
+), mom AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         CAST(sum(x1 * x1) AS BIGINT) AS s11,
+         CAST(sum(x2 * x2) AS BIGINT) AS s22,
+         CAST(sum(x1 * x2) AS BIGINT) AS s12
+  FROM daily GROUP BY 1
+), cov AS (
+  SELECT user_id, n,
+         CAST(s1 AS DOUBLE) / n AS m1, CAST(s2 AS DOUBLE) / n AS m2,
+         (CAST(s11 AS DOUBLE)
+          - n * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+           / (CAST(n AS DOUBLE) - 1.0) AS c11,
+         (CAST(s22 AS DOUBLE)
+          - n * (CAST(s2 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n))
+           / (CAST(n AS DOUBLE) - 1.0) AS c22,
+         (CAST(s12 AS DOUBLE)
+          - n * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n))
+           / (CAST(n AS DOUBLE) - 1.0) AS c12
+  FROM mom
+), per AS (
+  SELECT d.user_id, cov.n,
+         CAST(floor((cov.c22 * (CAST(d.x1 AS DOUBLE) - cov.m1)
+                              * (CAST(d.x1 AS DOUBLE) - cov.m1)
+                     - 2.0 * cov.c12 * (CAST(d.x1 AS DOUBLE) - cov.m1)
+                                     * (CAST(d.x2 AS DOUBLE) - cov.m2)
+                     + cov.c11 * (CAST(d.x2 AS DOUBLE) - cov.m2)
+                               * (CAST(d.x2 AS DOUBLE) - cov.m2))
+                    / (cov.c11 * cov.c22 - cov.c12 * cov.c12)
+                    * 10000 + {OFF}) AS BIGINT) AS t2_e4
+  FROM daily d JOIN cov ON cov.user_id = d.user_id
+  WHERE cov.n >= 5 AND cov.c11 * cov.c22 - cov.c12 * cov.c12 > 0
+)
+SELECT user_id, CAST(max(n) AS BIGINT) AS n_days,
+       CAST(sum(CASE WHEN t2_e4 > 138155 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarm,
+       CAST(max(t2_e4) AS BIGINT) AS max_t2_e4
+FROM per
+GROUP BY 1
+ORDER BY user_id
+""".format(_HOURLY=_HOURLY_SQL, OFF=_OFF)
+
+
+# ---------------------------------------------------------------------------
+# trend_ols_hc0 — OLS hourly trend with White-robust (HC0) t-statistic
+# ---------------------------------------------------------------------------
+# White (Econometrica 48, 1980): se_HC0^2 = sum(xt^2 e^2) / (sum
+# xt^2)^2 vs the classic homoskedastic se; reported side by side so
+# the ratio exposes heteroskedastic keys.  x = per-user row index
+# (row_number, the house row-adjacency convention); all OLS moment
+# sums are exact BIGINT, b/a are exact-rational fixed-order doubles,
+# and the ONLY order-sensitive reduction — the per-row xt^2 e^2 sum —
+# is unit-floored per row first (magnitude ~1e14, double noise ~1e-2,
+# far below the floor).
+
+
+def q_trend_ols_hc0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats2 import _hourly
+
+    h = _hourly(spark, sf_dir).select(
+        "user_id", "t", F.col("v").cast("long").alias("y")
+    )
+    wo = Window.partitionBy("user_id").orderBy("t")
+    r = h.withColumn("x", F.row_number().over(wo).cast("long"))
+    mom = r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    j = r.join(mom, "user_id")
+    nd = F.col("n").cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    b = num / den
+    a = (F.col("sy").cast("double") - b * F.col("sx").cast("double")) / nd
+    xt = F.col("x").cast("double") - F.col("sx").cast("double") / nd
+    e = F.col("y").cast("double") - a - b * F.col("x").cast("double")
+    per = j.filter((F.col("n") >= 10) & (den > 0)).select(
+        "user_id",
+        F.floor(xt * xt * e * e + F.lit(_OFF)).cast("long").alias("q0"),
+    )
+    agg = per.groupBy("user_id").agg(F.sum("q0").alias("sq")).join(
+        mom, "user_id"
+    )
+    den2 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    num2 = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    nd2 = F.col("n").cast("double")
+    b2 = num2 / den2
+    a2 = (F.col("sy").cast("double") - b2 * F.col("sx").cast("double")) / nd2
+    rss = (
+        F.col("syy").cast("double")
+        - a2 * F.col("sy").cast("double")
+        - b2 * F.col("sxy").cast("double")
+    )
+    sxt2 = den2 / nd2
+    se_cl = F.sqrt(rss / (nd2 - 2.0) / sxt2)
+    se_h = F.sqrt(F.col("sq").cast("double") / (sxt2 * sxt2))
+    return (
+        agg.filter((rss > 0) & (F.col("sq") > 0))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_obs"),
+            F.floor(b2 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "slope_e6"
+            ),
+            F.floor(b2 / se_cl * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "t_classic_e4"
+            ),
+            F.floor(b2 / se_h * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "t_hc0_e4"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_TREND_HC0 = """
+WITH {_HOURLY},
+r AS (
+  SELECT user_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY t)
+              AS BIGINT) AS x,
+         CAST(v AS BIGINT) AS y
+  FROM hourly
+), mom AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM r GROUP BY 1
+), per AS (
+  SELECT r.user_id,
+         CAST(floor((CAST(r.x AS DOUBLE) - CAST(m.sx AS DOUBLE) / m.n)
+                    * (CAST(r.x AS DOUBLE) - CAST(m.sx AS DOUBLE) / m.n)
+                    * (CAST(r.y AS DOUBLE)
+                       - (CAST(m.sy AS DOUBLE)
+                          - CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+                            / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
+                            * CAST(m.sx AS DOUBLE)) / m.n
+                       - CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+                         / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
+                         * CAST(r.x AS DOUBLE))
+                    * (CAST(r.y AS DOUBLE)
+                       - (CAST(m.sy AS DOUBLE)
+                          - CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+                            / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
+                            * CAST(m.sx AS DOUBLE)) / m.n
+                       - CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+                         / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
+                         * CAST(r.x AS DOUBLE))
+                    + {OFF}) AS BIGINT) AS q0
+  FROM r JOIN mom m ON m.user_id = r.user_id
+  WHERE m.n >= 10 AND m.n * m.sxx - m.sx * m.sx > 0
+), agg AS (
+  SELECT p.user_id, CAST(sum(p.q0) AS BIGINT) AS sq
+  FROM per p GROUP BY 1
+), fin AS (
+  SELECT m.user_id, m.n, a.sq,
+         CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+           / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE) AS b,
+         (CAST(m.sy AS DOUBLE)
+          - CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+            / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
+            * CAST(m.sx AS DOUBLE)) / m.n AS a2,
+         CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
+           / CAST(m.n AS DOUBLE) AS sxt2,
+         CAST(m.syy AS DOUBLE) AS syyf, CAST(m.sy AS DOUBLE) AS syf,
+         CAST(m.sxy AS DOUBLE) AS sxyf
+  FROM mom m JOIN agg a ON a.user_id = m.user_id
+)
+SELECT user_id, n AS n_obs,
+       CAST(floor(b * 1000000 + {OFF}) AS BIGINT) AS slope_e6,
+       CAST(floor(b / sqrt((syyf - a2 * syf - b * sxyf)
+                           / (CAST(n AS DOUBLE) - 2.0) / sxt2)
+                  * 10000 + {OFF}) AS BIGINT) AS t_classic_e4,
+       CAST(floor(b / sqrt(CAST(sq AS DOUBLE) / (sxt2 * sxt2))
+                  * 10000 + {OFF}) AS BIGINT) AS t_hc0_e4
+FROM fin
+WHERE syyf - a2 * syf - b * sxyf > 0 AND sq > 0
+ORDER BY user_id
+""".format(_HOURLY=_HOURLY_SQL, OFF=_OFF)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "atkinson_index": q_atkinson_index,
     "juilland_d": q_juilland_d,
@@ -1021,6 +1503,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "icc_oneway": q_icc_oneway,
     "adf_test": q_adf_test,
     "dfa_alpha": q_dfa_alpha,
+    "gwet_ac1": q_gwet_ac1,
+    "pacf_profile": q_pacf_profile,
+    "hotelling_t2": q_hotelling_t2,
+    "trend_ols_hc0": q_trend_ols_hc0,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1032,4 +1518,8 @@ ORACLE_SQL: dict[str, str] = {
     "icc_oneway": SQL_ICC,
     "adf_test": SQL_ADF,
     "dfa_alpha": SQL_DFA,
+    "gwet_ac1": SQL_GWET,
+    "pacf_profile": SQL_PACF,
+    "hotelling_t2": SQL_HOTELLING,
+    "trend_ols_hc0": SQL_TREND_HC0,
 }
