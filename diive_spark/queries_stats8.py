@@ -1494,6 +1494,464 @@ ORDER BY user_id
 """.format(_HOURLY=_HOURLY_SQL, OFF=_OFF)
 
 
+
+# ---------------------------------------------------------------------------
+# char_bigram_entropy — conditional character entropy H(c2|c1) per lang
+# ---------------------------------------------------------------------------
+# Shannon (BSTJ 30, 1951, "Prediction and entropy of printed English"):
+# H(c2|c1) = H(bigram) - H(first char), both estimated from the
+# character-bigram table.  Bigrams use the rankprofile construction —
+# transform(sequence(1, greatest(len-1, 0)), i -> substring(text, i, 2))
+# with the length-2 filter guarding Spark's DESCENDING sequence(1, 0)
+# (text/rankprofile.py) — identical in both engines; the prefix
+# marginal is the bigram table re-grouped by its first character, so
+# the two entropies share one count table.  Each p ln(1/p) term is
+# e9-floored before summing (order-free).
+
+
+def q_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir)
+    bg = d.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(1, greatest(length(trim(text)) - 1, 0)),"
+                " i -> substring(trim(text), i, 2)), x -> length(x) = 2)"
+            )
+        ).alias("bg"),
+    )
+    cnt = bg.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("lang").agg(F.sum("c").alias("t"))
+    j = cnt.join(F.broadcast(tot), "lang")
+    term = (
+        F.col("c").cast("double")
+        / F.col("t").cast("double")
+        * F.log(F.col("t").cast("double") / F.col("c").cast("double"))
+    )
+    h12 = (
+        j.select(
+            "lang",
+            F.floor(term * 1e9 + F.lit(_OFF)).cast("long").alias("e9"),
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("e9").alias("s12"))
+    )
+    pre = cnt.groupBy("lang", F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("c").alias("c")
+    )
+    jp = pre.join(F.broadcast(tot), "lang")
+    term1 = (
+        F.col("c").cast("double")
+        / F.col("t").cast("double")
+        * F.log(F.col("t").cast("double") / F.col("c").cast("double"))
+    )
+    h1 = (
+        jp.select(
+            "lang",
+            F.floor(term1 * 1e9 + F.lit(_OFF)).cast("long").alias("e9"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("e9").alias("s1"))
+    )
+    out = h12.join(h1, "lang")
+    return out.select(
+        "lang",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.floor(F.col("s12").cast("double") / 1e9 * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("h12_e6"),
+        F.floor(F.col("s1").cast("double") / 1e9 * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("h1_e6"),
+        F.floor(
+            (F.col("s12") - F.col("s1")).cast("double") / 1e9 * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("hcond_e6"),
+    ).orderBy("lang")
+
+
+SQL_CHAR_BIGRAM = f"""
+WITH bg AS (
+  SELECT lang, unnest(list_filter(list_transform(
+           generate_series(1, greatest(len(trim(text)) - 1, 0)),
+           i -> substr(trim(text), i, 2)), x -> len(x) = 2)) AS bg
+  FROM documents
+), cnt AS (
+  SELECT lang, bg, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2
+), tot AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1
+), h12 AS (
+  SELECT cnt.lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(CAST(floor(CAST(cnt.c AS DOUBLE) / tot.t
+                             * ln(CAST(tot.t AS DOUBLE) / cnt.c)
+                             * 1e9 + {_OFF}) AS BIGINT)) AS BIGINT) AS s12
+  FROM cnt JOIN tot ON tot.lang = cnt.lang
+  GROUP BY 1
+), pre AS (
+  SELECT lang, substr(bg, 1, 1) AS c1, CAST(sum(c) AS BIGINT) AS c
+  FROM cnt GROUP BY 1, 2
+), h1 AS (
+  SELECT pre.lang,
+         CAST(sum(CAST(floor(CAST(pre.c AS DOUBLE) / tot.t
+                             * ln(CAST(tot.t AS DOUBLE) / pre.c)
+                             * 1e9 + {_OFF}) AS BIGINT)) AS BIGINT) AS s1
+  FROM pre JOIN tot ON tot.lang = pre.lang
+  GROUP BY 1
+)
+SELECT h12.lang, h12.n_bigrams,
+       CAST(floor(CAST(s12 AS DOUBLE) / 1e9 * 1000000 + {_OFF})
+            AS BIGINT) AS h12_e6,
+       CAST(floor(CAST(s1 AS DOUBLE) / 1e9 * 1000000 + {_OFF})
+            AS BIGINT) AS h1_e6,
+       CAST(floor(CAST(s12 - s1 AS DOUBLE) / 1e9 * 1000000 + {_OFF})
+            AS BIGINT) AS hcond_e6
+FROM h12 JOIN h1 ON h1.lang = h12.lang
+ORDER BY h12.lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# silhouette_centroid — simplified (centroid) silhouette per label
+# ---------------------------------------------------------------------------
+# Rousseeuw (J Comput Appl Math 20, 1987), the centroid-based
+# "simplified silhouette" variant used at scale (one pass, k
+# centroids, never point-pairs): s_i = (b_i - a_i)/max(a_i, b_i) with
+# a = squared distance to own centroid, b = min over other centroids.
+# Centroids come from e6-floored components (exact BIGINT sums, one
+# deterministic division); point-to-centroid distances ride the Arrow
+# einsum kernel vs DuckDB list arithmetic and are rounded to 6 dp
+# BEFORE the min/compare (the twonn/ann tie discipline — the engines'
+# sum-order drift is ~1e-12 of O(1) values); per-point s e6-floored
+# before the label mean.
+
+
+def q_silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.text.similarity import l2sq_pair_udf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", "embedding"
+    )
+    comp = emb.select(
+        "label",
+        F.posexplode("embedding").alias("d", "x"),
+    ).select(
+        "label",
+        "d",
+        F.floor(F.col("x").cast("double") * 1e6 + F.lit(_OFF))
+        .cast("long")
+        .alias("x6"),
+    )
+    cmom = comp.groupBy("label", "d").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x6").alias("s6")
+    )
+    cent = cmom.groupBy("label").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("d"), F.col("s6"), F.col("n")))
+            ),
+            lambda s: s["s6"].cast("double")
+            / (s["n"].cast("double") * 1e6),
+        ).alias("carr")
+    )
+    pairs = emb.crossJoin(
+        F.broadcast(
+            cent.select(F.col("label").alias("label_c"), "carr")
+        )
+    ).select(
+        "vec_id",
+        "label",
+        "label_c",
+        F.round(l2sq_pair_udf(F.col("embedding"), F.col("carr")), 6).alias(
+            "d2"
+        ),
+    )
+    per = pairs.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("label") == F.col("label_c"), F.col("d2"))).alias(
+            "a"
+        ),
+        F.min(F.when(F.col("label") != F.col("label_c"), F.col("d2"))).alias(
+            "b"
+        ),
+    )
+    s = (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))
+    per = per.filter(
+        F.col("a").isNotNull()
+        & F.col("b").isNotNull()
+        & (F.greatest(F.col("a"), F.col("b")) > 0)
+    ).select(
+        "label",
+        F.floor(s * 1_000_000 + F.lit(_OFF)).cast("long").alias("s6"),
+    )
+    agg = per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("s6").alias("ss6")
+    )
+    mean = F.col("ss6").cast("double") / 1e6 / F.col("n").cast("double")
+    return agg.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("n").cast("long").alias("n_points"),
+        F.floor(mean * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "mean_sil_e4"
+        ),
+    ).orderBy("label")
+
+
+SQL_SILHOUETTE = f"""
+WITH comp0 AS (
+  SELECT label,
+         unnest(list_transform(generate_series(1, len(embedding)),
+           i -> struct_pack(d := i,
+                x6 := CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6
+                                 + {_OFF}) AS BIGINT)))) AS u
+  FROM embeddings
+), comp AS (
+  SELECT label, u.d AS d, u.x6 AS x6 FROM comp0
+), cmom AS (
+  SELECT label, d, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x6) AS BIGINT) AS s6
+  FROM comp GROUP BY 1, 2
+), cent AS (
+  SELECT label AS label_c,
+         list(CAST(s6 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6)
+              ORDER BY d) AS carr
+  FROM cmom GROUP BY 1
+), pairs AS (
+  SELECT e.vec_id, e.label, c.label_c,
+         round(list_sum(list_transform(
+           generate_series(1, len(e.embedding)),
+           i -> (CAST(e.embedding[i] AS DOUBLE) - c.carr[i])
+                * (CAST(e.embedding[i] AS DOUBLE) - c.carr[i]))), 6) AS d2
+  FROM embeddings e CROSS JOIN cent c
+), per AS (
+  SELECT vec_id, label,
+         min(CASE WHEN label = label_c THEN d2 END) AS a,
+         min(CASE WHEN label <> label_c THEN d2 END) AS b
+  FROM pairs GROUP BY 1, 2
+), s AS (
+  SELECT label,
+         CAST(floor((b - a) / greatest(a, b) * 1000000 + {_OFF})
+              AS BIGINT) AS s6
+  FROM per
+  WHERE a IS NOT NULL AND b IS NOT NULL AND greatest(a, b) > 0
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(floor(CAST(sum(s6) AS DOUBLE) / 1e6 / count(*) * 10000 + {_OFF})
+            AS BIGINT) AS mean_sil_e4
+FROM s
+GROUP BY 1
+ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# kendall_w — Kendall's coefficient of concordance over source rankings
+# ---------------------------------------------------------------------------
+# Kendall & Babington Smith (Ann Math Stat 10, 1939): do the m sources
+# agree on the ordering of the n = 20 top corpus words?  Each source
+# ranks the dense word grid by (count desc, word asc) — row_number,
+# so NO ties and the whole statistic stays exact integer: using
+# doubled deviations, S4 = sum_j (2 R_j - m(n+1))^2 and W = 3 S4 /
+# (m^2 (n^3 - n)); chi2 = m (n - 1) W.  One global row.
+
+
+_W_K = 20
+
+
+def q_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _documents(spark, sf_dir).select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    cnt = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        cnt.groupBy("w")
+        .agg(F.sum("c").alias("gc"))
+        .orderBy(F.desc("gc"), F.asc("w"))
+        .limit(_W_K)
+        .select("w")
+    )
+    srcs = cnt.select("source").distinct()
+    grid = (
+        srcs.crossJoin(F.broadcast(vocab))
+        .join(cnt, ["source", "w"], "left")
+        .fillna(0, subset=["c"])
+    )
+    wr = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("w"))
+    ranked = grid.withColumn("r", F.row_number().over(wr))
+    rj = ranked.groupBy("w").agg(F.sum("r").alias("rj"))
+    stats = rj.crossJoin(
+        F.broadcast(
+            ranked.agg(
+                F.countDistinct("source").alias("m"),
+                F.countDistinct("w").alias("n"),
+            )
+        )
+    )
+    dev = 2 * F.col("rj") - F.col("m") * (F.col("n") + 1)
+    agg = stats.agg(
+        F.max("m").alias("m"),
+        F.max("n").alias("n"),
+        F.sum(dev * dev).alias("s4"),
+    )
+    md = F.col("m").cast("double")
+    nd = F.col("n").cast("double")
+    w_stat = 3.0 * F.col("s4").cast("double") / (
+        md * md * (nd * nd * nd - nd)
+    )
+    return agg.select(
+        F.col("m").cast("long").alias("m_sources"),
+        F.col("n").cast("long").alias("n_words"),
+        F.col("s4").cast("long").alias("s4"),
+        F.floor(w_stat * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "w_e6"
+        ),
+        F.floor(md * (nd - 1.0) * w_stat * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("chi2_e4"),
+    )
+
+
+SQL_KENDALL_W = f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), cnt AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, CAST(sum(c) AS BIGINT) AS gc FROM cnt GROUP BY 1
+  ) ORDER BY gc DESC, w ASC LIMIT {_W_K}
+), srcs AS (
+  SELECT DISTINCT source FROM cnt
+), grid AS (
+  SELECT srcs.source, vocab.w, COALESCE(cnt.c, 0) AS c
+  FROM srcs CROSS JOIN vocab
+  LEFT JOIN cnt ON cnt.source = srcs.source AND cnt.w = vocab.w
+), ranked AS (
+  SELECT source, w,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY c DESC, w ASC) AS BIGINT) AS r
+  FROM grid
+), rj AS (
+  SELECT w, CAST(sum(r) AS BIGINT) AS rj FROM ranked GROUP BY 1
+), mn AS (
+  SELECT CAST(count(DISTINCT source) AS BIGINT) AS m,
+         CAST(count(DISTINCT w) AS BIGINT) AS n
+  FROM ranked
+), agg AS (
+  SELECT max(mn.m) AS m, max(mn.n) AS n,
+         CAST(sum((2 * rj.rj - mn.m * (mn.n + 1))
+                  * (2 * rj.rj - mn.m * (mn.n + 1))) AS BIGINT) AS s4
+  FROM rj CROSS JOIN mn
+)
+SELECT m AS m_sources, n AS n_words, s4,
+       CAST(floor(3.0 * s4 / (CAST(m AS DOUBLE) * m
+                              * (CAST(n AS DOUBLE) * n * n - n))
+                  * 1000000 + {_OFF}) AS BIGINT) AS w_e6,
+       CAST(floor(CAST(m AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                  * (3.0 * s4 / (CAST(m AS DOUBLE) * m
+                                 * (CAST(n AS DOUBLE) * n * n - n)))
+                  * 10000 + {_OFF}) AS BIGINT) AS chi2_e4
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# morisita_horn — Morisita-Horn abundance overlap between source pairs
+# ---------------------------------------------------------------------------
+# Horn (Am Nat 100, 1966) simplification of Morisita (1959): C_H =
+# 2 sum(x_i y_i) / ((D_x + D_y) X Y) with D = sum x_i^2 / X^2 —
+# abundance-weighted overlap, complementing the set-based
+# source_overlap / audience_jaccard.  The word-level pair join is
+# bounded by vocab x sources^2 (documented envelope, cf. burrows
+# pairs); every sum is exact BIGINT and C_H is one fixed-order chain.
+
+
+def q_morisita_horn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _documents(spark, sf_dir).select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    cnt = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    stats = cnt.groupBy("source").agg(
+        F.sum("c").alias("x"),
+        F.sum(F.col("c") * F.col("c")).alias("dx"),
+    )
+    b = cnt.select(
+        F.col("source").alias("s2"),
+        F.col("w").alias("w_r"),
+        F.col("c").alias("c2"),
+    )
+    pairs = cnt.join(
+        b, (F.col("w") == F.col("w_r")) & (F.col("source") < F.col("s2"))
+    )
+    sxy = pairs.groupBy(F.col("source").alias("s1"), "s2").agg(
+        F.sum(F.col("c") * F.col("c2")).alias("sxy")
+    )
+    sa = stats.select(
+        F.col("source").alias("s1"),
+        F.col("x").alias("xa"),
+        F.col("dx").alias("da"),
+    )
+    sb = stats.select(
+        F.col("source").alias("s2"),
+        F.col("x").alias("xb"),
+        F.col("dx").alias("db"),
+    )
+    j = sxy.join(F.broadcast(sa), "s1").join(F.broadcast(sb), "s2")
+    xa = F.col("xa").cast("double")
+    xb = F.col("xb").cast("double")
+    ch = (
+        2.0
+        * F.col("sxy").cast("double")
+        / (
+            (
+                F.col("da").cast("double") / (xa * xa)
+                + F.col("db").cast("double") / (xb * xb)
+            )
+            * xa
+            * xb
+        )
+    )
+    return j.select(
+        "s1",
+        "s2",
+        F.col("sxy").cast("long").alias("sxy"),
+        F.floor(ch * 1_000_000 + F.lit(_OFF)).cast("long").alias("ch_e6"),
+    ).orderBy("s1", "s2")
+
+
+SQL_MORISITA = f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), cnt AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+), stats AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS x,
+         CAST(sum(c * c) AS BIGINT) AS dx
+  FROM cnt GROUP BY 1
+), sxy AS (
+  SELECT a.source AS s1, b.source AS s2,
+         CAST(sum(a.c * b.c) AS BIGINT) AS sxy
+  FROM cnt a JOIN cnt b ON b.w = a.w AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s1, s2, sxy,
+       CAST(floor(2.0 * sxy
+                  / ((CAST(sa.dx AS DOUBLE)
+                      / (CAST(sa.x AS DOUBLE) * sa.x)
+                      + CAST(sb.dx AS DOUBLE)
+                        / (CAST(sb.x AS DOUBLE) * sb.x))
+                     * CAST(sa.x AS DOUBLE) * CAST(sb.x AS DOUBLE))
+                  * 1000000 + {_OFF}) AS BIGINT) AS ch_e6
+FROM sxy
+JOIN stats sa ON sa.source = sxy.s1
+JOIN stats sb ON sb.source = sxy.s2
+ORDER BY s1, s2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "atkinson_index": q_atkinson_index,
     "juilland_d": q_juilland_d,
@@ -1507,6 +1965,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pacf_profile": q_pacf_profile,
     "hotelling_t2": q_hotelling_t2,
     "trend_ols_hc0": q_trend_ols_hc0,
+    "char_bigram_entropy": q_char_bigram_entropy,
+    "silhouette_centroid": q_silhouette_centroid,
+    "kendall_w": q_kendall_w,
+    "morisita_horn": q_morisita_horn,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1522,4 +1984,8 @@ ORACLE_SQL: dict[str, str] = {
     "pacf_profile": SQL_PACF,
     "hotelling_t2": SQL_HOTELLING,
     "trend_ols_hc0": SQL_TREND_HC0,
+    "char_bigram_entropy": SQL_CHAR_BIGRAM,
+    "silhouette_centroid": SQL_SILHOUETTE,
+    "kendall_w": SQL_KENDALL_W,
+    "morisita_horn": SQL_MORISITA,
 }
