@@ -1952,6 +1952,457 @@ ORDER BY s1, s2
 """
 
 
+
+# ---------------------------------------------------------------------------
+# modularity_q — Newman modularity of the LPA community partition
+# ---------------------------------------------------------------------------
+# Newman & Girvan (Phys Rev E 69, 2004): Q = sum_c [ W_in,c / (2m) -
+# (deg_c / (2m))^2 ] on the weighted undirected crawl-order domain
+# graph, with the communities from the SAME fixed-4-round
+# deterministic LPA as label_propagation (queries_stats2) — both
+# engines recompute the identical partition, so Q and the per-
+# community decomposition are engine-exact integers until the final
+# two divisions per community (bounded #communities).  W_in,c counts
+# the symmetrized within-community weight (self-inverse convention:
+# 2m = total sym weight).
+
+
+def q_modularity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.text.graph import label_propagation
+
+    d = _documents(spark, sf_dir).select("doc_id", "lang", "source")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    edges = (
+        d.withColumn("_nxt", F.lead("source").over(w))
+        .filter(F.col("_nxt").isNotNull())
+        .select(F.col("source").alias("src"), F.col("_nxt").alias("dst"))
+    )
+    sym = (
+        edges.select(F.col("src").alias("s"), F.col("dst").alias("d"))
+        .union(
+            edges.select(F.col("dst").alias("s"), F.col("src").alias("d"))
+        )
+        .groupBy("s", "d")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    lab = label_propagation(edges, "src", "dst", n_iter=4)
+    ls = lab.select(F.col("node").alias("s"), F.col("label").alias("cs"))
+    ld = lab.select(F.col("node").alias("d"), F.col("label").alias("cd"))
+    e = sym.join(F.broadcast(ls), "s").join(F.broadcast(ld), "d")
+    deg = e.groupBy("cs").agg(F.sum("w").alias("deg_w"))
+    win = (
+        e.filter(F.col("cs") == F.col("cd"))
+        .groupBy("cs")
+        .agg(F.sum("w").alias("win_w"))
+    )
+    nsz = lab.groupBy(F.col("label").alias("cs")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    tot = sym.agg(F.sum("w").alias("m2"))
+    out = (
+        deg.join(win, "cs", "left")
+        .fillna(0, subset=["win_w"])
+        .join(F.broadcast(nsz), "cs")
+        .crossJoin(F.broadcast(tot))
+    )
+    m2 = F.col("m2").cast("double")
+    contrib = F.col("win_w").cast("double") / m2 - (
+        F.col("deg_w").cast("double") / m2
+    ) * (F.col("deg_w").cast("double") / m2)
+    return out.select(
+        F.col("cs").alias("community"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("win_w").cast("long").alias("win_w"),
+        F.col("deg_w").cast("long").alias("deg_w"),
+        F.floor(contrib * 1e9 + F.lit(_OFF)).cast("long").alias(
+            "contrib_e9"
+        ),
+    ).orderBy("community")
+
+
+def _sql_modularity() -> str:
+    from diive_spark.queries_stats2 import _sql_lpa
+
+    return f"""
+WITH lab AS ({_sql_lpa()}),
+e0 AS (
+  SELECT source AS src,
+         lead(source) OVER (PARTITION BY lang ORDER BY doc_id) AS dst
+  FROM documents QUALIFY dst IS NOT NULL
+), symg AS (
+  SELECT s, d, CAST(count(*) AS BIGINT) AS w FROM (
+    SELECT src AS s, dst AS d FROM e0
+    UNION ALL
+    SELECT dst AS s, src AS d FROM e0
+  ) GROUP BY 1, 2
+), degc AS (
+  SELECT l.label AS community, CAST(sum(e.w) AS BIGINT) AS deg_w
+  FROM symg e JOIN lab l ON l.node = e.s
+  GROUP BY 1
+), winc AS (
+  SELECT ls.label AS community, CAST(sum(e.w) AS BIGINT) AS win_w
+  FROM symg e
+  JOIN lab ls ON ls.node = e.s
+  JOIN lab ld ON ld.node = e.d
+  WHERE ls.label = ld.label
+  GROUP BY 1
+), nsz AS (
+  SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+  FROM lab GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(w) AS BIGINT) AS m2 FROM symg
+)
+SELECT d.community, nsz.n_nodes,
+       CAST(COALESCE(w.win_w, 0) AS BIGINT) AS win_w, d.deg_w,
+       CAST(floor((CAST(COALESCE(w.win_w, 0) AS DOUBLE) / tot.m2
+                   - (CAST(d.deg_w AS DOUBLE) / tot.m2)
+                     * (CAST(d.deg_w AS DOUBLE) / tot.m2))
+                  * 1e9 + {_OFF}) AS BIGINT) AS contrib_e9
+FROM degc d
+LEFT JOIN winc w ON w.community = d.community
+JOIN nsz ON nsz.community = d.community
+CROSS JOIN tot
+ORDER BY d.community
+"""
+
+
+
+# ---------------------------------------------------------------------------
+# rich_club — rich-club coefficient profile on the domain graph
+# ---------------------------------------------------------------------------
+# Zhou & Mondragon (IEEE Comm Lett 8, 2004): phi(k) = 2 E_{>k} /
+# (N_{>k} (N_{>k} - 1)) — the edge density among nodes of degree > k,
+# for k in {1, 2, 4, 8}.  Simple undirected graph = distinct sym
+# pairs; degrees = distinct-neighbor counts.  Everything is exact
+# integer counting; the k fan-out is a 4-literal explode against the
+# (tiny) degree table, never a rescan of edges per k.
+
+
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("doc_id", "lang", "source")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    edges = (
+        d.withColumn("_nxt", F.lead("source").over(w))
+        .filter(F.col("_nxt").isNotNull() & (F.col("_nxt") != F.col("source")))
+        .select(
+            F.least("source", "_nxt").alias("a"),
+            F.greatest("source", "_nxt").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .union(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    ks = deg.withColumn(
+        "kth", F.explode(F.array(F.lit(1), F.lit(2), F.lit(4), F.lit(8)))
+    ).filter(F.col("k") > F.col("kth"))
+    nk = ks.groupBy("kth").agg(F.count(F.lit(1)).alias("n_nodes"))
+    da = ks.select(F.col("v").alias("a"), "kth")
+    db = ks.select(F.col("v").alias("b"), "kth")
+    ek = (
+        edges.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), ["b", "kth"])
+        .groupBy("kth")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    out = nk.join(ek, "kth", "left").fillna(0, subset=["n_edges"])
+    phi = (
+        2.0
+        * F.col("n_edges").cast("double")
+        / (
+            F.col("n_nodes").cast("double")
+            * (F.col("n_nodes").cast("double") - 1.0)
+        )
+    )
+    return (
+        out.filter(F.col("n_nodes") >= 2)
+        .select(
+            F.col("kth").cast("long").alias("k"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.floor(phi * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "phi_e6"
+            ),
+        )
+        .orderBy("k")
+    )
+
+
+SQL_RICH_CLUB = f"""
+WITH e0 AS (
+  SELECT source AS src,
+         lead(source) OVER (PARTITION BY lang ORDER BY doc_id) AS dst
+  FROM documents QUALIFY dst IS NOT NULL AND dst <> source
+), edges AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e0
+), deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS k FROM (
+    SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+  ) GROUP BY 1
+), ks AS (
+  SELECT deg.v, deg.k, t.kth
+  FROM deg CROSS JOIN (VALUES (1), (2), (4), (8)) AS t(kth)
+  WHERE deg.k > t.kth
+), nk AS (
+  SELECT kth, CAST(count(*) AS BIGINT) AS n_nodes FROM ks GROUP BY 1
+), ek AS (
+  SELECT ka.kth, CAST(count(*) AS BIGINT) AS n_edges
+  FROM edges e
+  JOIN ks ka ON ka.v = e.a
+  JOIN ks kb ON kb.v = e.b AND kb.kth = ka.kth
+  GROUP BY 1
+)
+SELECT CAST(nk.kth AS BIGINT) AS k, nk.n_nodes,
+       CAST(COALESCE(ek.n_edges, 0) AS BIGINT) AS n_edges,
+       CAST(floor(2.0 * COALESCE(ek.n_edges, 0)
+                  / (CAST(nk.n_nodes AS DOUBLE)
+                     * (CAST(nk.n_nodes AS DOUBLE) - 1.0))
+                  * 1000000 + {_OFF}) AS BIGINT) AS phi_e6
+FROM nk LEFT JOIN ek ON ek.kth = nk.kth
+WHERE nk.n_nodes >= 2
+ORDER BY k
+"""
+
+
+# ---------------------------------------------------------------------------
+# zipf_abbreviation — Zipf's law of abbreviation per language
+# ---------------------------------------------------------------------------
+# Zipf (The Psycho-Biology of Language, 1935): frequent words are
+# short — the correlation between word frequency and word length over
+# the vocabulary.  Pearson r from exact BIGINT cross-moments of
+# (count, length); also the ln-frequency variant's OLS slope with
+# per-word e9-floored ln terms.  One vocab groupBy then one combinable
+# moment agg per lang — no window, no join.
+
+
+def q_zipf_abbreviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _documents(spark, sf_dir).select(
+        "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    voc = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    voc = voc.select(
+        "lang",
+        F.col("c").cast("long").alias("c"),
+        F.length("w").cast("long").alias("l"),
+        F.floor(F.log(F.col("c").cast("double")) * 1e9 + F.lit(_OFF))
+        .cast("long")
+        .alias("lc9"),
+    )
+    lcd = F.col("lc9").cast("double") / 1e9
+    ld = F.col("l").cast("double")
+    voc = voc.withColumn(
+        "xy9", F.floor(lcd * ld * 1e9 + F.lit(_OFF)).cast("long")
+    ).withColumn("xx9", F.floor(lcd * lcd * 1e9 + F.lit(_OFF)).cast("long"))
+    agg = voc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum("l").alias("sl"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+        F.sum(F.col("l") * F.col("l")).alias("sll"),
+        F.sum(F.col("c") * F.col("l")).alias("scl"),
+        F.sum("lc9").alias("sx"),
+        F.sum("xy9").alias("sxy"),
+        F.sum("xx9").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    covn = (F.col("n") * F.col("scl") - F.col("sc") * F.col("sl")).cast(
+        "double"
+    )
+    vc = (F.col("n") * F.col("scc") - F.col("sc") * F.col("sc")).cast(
+        "double"
+    )
+    vl = (F.col("n") * F.col("sll") - F.col("sl") * F.col("sl")).cast(
+        "double"
+    )
+    r = covn / F.sqrt(vc * vl)
+    sx = F.col("sx").cast("double") / 1e9
+    sxy = F.col("sxy").cast("double") / 1e9
+    sxx = F.col("sxx").cast("double") / 1e9
+    sl = F.col("sl").cast("double")
+    slope = (nd * sxy - sx * sl) / (nd * sxx - sx * sx)
+    return (
+        agg.filter((F.col("n") >= 5) & (vc > 0) & (vl > 0))
+        .filter((nd * sxx - sx * sx) > 0)
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_words"),
+            F.floor(r * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "pearson_e6"
+            ),
+            F.floor(slope * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "lnslope_e6"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_ZIPF_ABBREV = f"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), voc AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS c,
+         CAST(len(w) AS BIGINT) AS l,
+         CAST(floor(ln(CAST(count(*) AS DOUBLE)) * 1e9 + {_OFF})
+              AS BIGINT) AS lc9
+  FROM toks GROUP BY lang, w
+), v2 AS (
+  SELECT lang, c, l, lc9,
+         CAST(floor((CAST(lc9 AS DOUBLE) / 1e9) * l * 1e9 + {_OFF})
+              AS BIGINT) AS xy9,
+         CAST(floor((CAST(lc9 AS DOUBLE) / 1e9)
+                    * (CAST(lc9 AS DOUBLE) / 1e9) * 1e9 + {_OFF})
+              AS BIGINT) AS xx9
+  FROM voc
+), agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS sc, CAST(sum(l) AS BIGINT) AS sl,
+         CAST(sum(c * c) AS BIGINT) AS scc,
+         CAST(sum(l * l) AS BIGINT) AS sll,
+         CAST(sum(c * l) AS BIGINT) AS scl,
+         CAST(sum(lc9) AS BIGINT) AS sx,
+         CAST(sum(xy9) AS BIGINT) AS sxy,
+         CAST(sum(xx9) AS BIGINT) AS sxx
+  FROM v2 GROUP BY 1
+)
+SELECT lang, n AS n_words,
+       CAST(floor(CAST(n * scl - sc * sl AS DOUBLE)
+                  / sqrt(CAST(n * scc - sc * sc AS DOUBLE)
+                         * CAST(n * sll - sl * sl AS DOUBLE))
+                  * 1000000 + {_OFF}) AS BIGINT) AS pearson_e6,
+       CAST(floor((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e9)
+                   - (CAST(sx AS DOUBLE) / 1e9) * CAST(sl AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e9)
+                     - (CAST(sx AS DOUBLE) / 1e9)
+                       * (CAST(sx AS DOUBLE) / 1e9))
+                  * 1000000 + {_OFF}) AS BIGINT) AS lnslope_e6
+FROM agg
+WHERE n >= 5 AND n * scc - sc * sc > 0 AND n * sll - sl * sl > 0
+  AND CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e9)
+      - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9) > 0
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# menzerath_altmann — Menzerath-Altmann law fit per language
+# ---------------------------------------------------------------------------
+# Altmann (Glottometrika 2, 1980): the larger the construct (document,
+# in tokens), the smaller its constituents (mean word length) —
+# fitted as ln(meanlen) = a + b ln(n_tokens).  Per-doc ln terms are
+# e9-floored (order-free); the 2-point moments xy/xx are refloored per
+# doc, so the per-lang OLS runs on exact BIGINT sums (variance_time
+# discipline).
+
+
+def q_menzerath_altmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select(
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("nt"),
+        F.length(F.regexp_replace(F.trim("text"), r"\s+", "")).cast(
+            "long"
+        ).alias("nc"),
+    ).filter((F.col("nt") >= 2) & (F.col("nc") > 0))
+    x = F.floor(
+        F.log(F.col("nt").cast("double")) * 1e9 + F.lit(_OFF)
+    ).cast("long")
+    y = F.floor(
+        F.log(F.col("nc").cast("double") / F.col("nt").cast("double")) * 1e9
+        + F.lit(_OFF)
+    ).cast("long")
+    pts = d.select("lang", x.alias("x9"), y.alias("y9"))
+    xd = F.col("x9").cast("double") / 1e9
+    yd = F.col("y9").cast("double") / 1e9
+    pts = pts.withColumn(
+        "xy9", F.floor(xd * yd * 1e9 + F.lit(_OFF)).cast("long")
+    ).withColumn("xx9", F.floor(xd * xd * 1e9 + F.lit(_OFF)).cast("long"))
+    agg = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x9").alias("sx"),
+        F.sum("y9").alias("sy"),
+        F.sum("xy9").alias("sxy"),
+        F.sum("xx9").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / 1e9
+    sy = F.col("sy").cast("double") / 1e9
+    sxy = F.col("sxy").cast("double") / 1e9
+    sxx = F.col("sxx").cast("double") / 1e9
+    den = nd * sxx - sx * sx
+    slope = (nd * sxy - sx * sy) / den
+    intercept = (sy - slope * sx) / nd
+    return (
+        agg.filter((F.col("n") >= 5) & (den > 0))
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_docs"),
+            F.floor(slope * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "b_e6"
+            ),
+            F.floor(intercept * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "a_e6"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_MENZERATH = f"""
+WITH d AS (
+  SELECT lang,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS nt,
+         CAST(len(regexp_replace(trim(text), '\\s+', '', 'g')) AS BIGINT)
+           AS nc
+  FROM documents
+), f AS (
+  SELECT lang,
+         CAST(floor(ln(CAST(nt AS DOUBLE)) * 1e9 + {_OFF}) AS BIGINT) AS x9,
+         CAST(floor(ln(CAST(nc AS DOUBLE) / nt) * 1e9 + {_OFF})
+              AS BIGINT) AS y9
+  FROM d WHERE nt >= 2 AND nc > 0
+), pts AS (
+  SELECT lang, x9, y9,
+         CAST(floor((CAST(x9 AS DOUBLE) / 1e9) * (CAST(y9 AS DOUBLE) / 1e9)
+                    * 1e9 + {_OFF}) AS BIGINT) AS xy9,
+         CAST(floor((CAST(x9 AS DOUBLE) / 1e9) * (CAST(x9 AS DOUBLE) / 1e9)
+                    * 1e9 + {_OFF}) AS BIGINT) AS xx9
+  FROM f
+), agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x9) AS BIGINT) AS sx, CAST(sum(y9) AS BIGINT) AS sy,
+         CAST(sum(xy9) AS BIGINT) AS sxy, CAST(sum(xx9) AS BIGINT) AS sxx
+  FROM pts GROUP BY 1
+)
+SELECT lang, n AS n_docs,
+       CAST(floor((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e9)
+                   - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))
+                  / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e9)
+                     - (CAST(sx AS DOUBLE) / 1e9)
+                       * (CAST(sx AS DOUBLE) / 1e9))
+                  * 1000000 + {_OFF}) AS BIGINT) AS b_e6,
+       CAST(floor(((CAST(sy AS DOUBLE) / 1e9)
+                   - (CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e9)
+                      - (CAST(sx AS DOUBLE) / 1e9)
+                        * (CAST(sy AS DOUBLE) / 1e9))
+                     / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e9)
+                        - (CAST(sx AS DOUBLE) / 1e9)
+                          * (CAST(sx AS DOUBLE) / 1e9))
+                     * (CAST(sx AS DOUBLE) / 1e9))
+                  / CAST(n AS DOUBLE) * 1000000 + {_OFF})
+            AS BIGINT) AS a_e6
+FROM agg
+WHERE n >= 5
+  AND CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e9)
+      - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9) > 0
+ORDER BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "atkinson_index": q_atkinson_index,
     "juilland_d": q_juilland_d,
@@ -1969,6 +2420,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "silhouette_centroid": q_silhouette_centroid,
     "kendall_w": q_kendall_w,
     "morisita_horn": q_morisita_horn,
+    "modularity_q": q_modularity_q,
+    "rich_club": q_rich_club,
+    "zipf_abbreviation": q_zipf_abbreviation,
+    "menzerath_altmann": q_menzerath_altmann,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1988,4 +2443,8 @@ ORACLE_SQL: dict[str, str] = {
     "silhouette_centroid": SQL_SILHOUETTE,
     "kendall_w": SQL_KENDALL_W,
     "morisita_horn": SQL_MORISITA,
+    "modularity_q": _sql_modularity(),
+    "rich_club": SQL_RICH_CLUB,
+    "zipf_abbreviation": SQL_ZIPF_ABBREV,
+    "menzerath_altmann": SQL_MENZERATH,
 }
