@@ -2403,6 +2403,392 @@ ORDER BY lang
 """
 
 
+
+# ---------------------------------------------------------------------------
+# eb_shrinkage — empirical-Bayes beta-binomial shrinkage of activity rates
+# ---------------------------------------------------------------------------
+# Robbins (Proc 3rd Berkeley Symp, 1956) / standard beta-binomial MoM:
+# every user shares the SAME trial count n (days in the global span),
+# so the cross-user moments of p_i = x_i / n come off exact BIGINT
+# sums of x and x^2; alpha + beta = m(1 - m)/v - 1 and the shrunk
+# rate (x + alpha)/(n + alpha + beta) are fixed-order double chains —
+# bit-identical, zero refloors (the adf_test posture).
+
+
+def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000)
+    per = ev.select("user_id", day.cast("long").alias("day"))
+    x = per.groupBy("user_id").agg(
+        F.countDistinct("day").alias("x")
+    )
+    span = per.agg(
+        (F.max("day") - F.min("day") + 1).alias("n"),
+    )
+    mom = x.agg(
+        F.count(F.lit(1)).alias("u"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    j = x.crossJoin(F.broadcast(span)).crossJoin(F.broadcast(mom))
+    ud = F.col("u").cast("double")
+    nd = F.col("n").cast("double")
+    m = F.col("sx").cast("double") / (ud * nd)
+    v = (
+        F.col("sxx").cast("double") / ud
+        - (F.col("sx").cast("double") / ud)
+        * (F.col("sx").cast("double") / ud)
+    ) / (nd * nd)
+    ab = m * (1.0 - m) / v - 1.0
+    alpha = m * ab
+    shrunk = (F.col("x").cast("double") + alpha) / (nd + ab)
+    return (
+        j.filter((v > 0) & (ab > 0))
+        .select(
+            "user_id",
+            F.col("x").cast("long").alias("x_days"),
+            F.col("n").cast("long").alias("n_days"),
+            F.floor(
+                F.col("x").cast("double") / nd * 1_000_000 + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("raw_e6"),
+            F.floor(shrunk * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "shrunk_e6"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_EB_SHRINK = f"""
+WITH per AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+), x AS (
+  SELECT user_id, CAST(count(DISTINCT day) AS BIGINT) AS x
+  FROM per GROUP BY 1
+), span AS (
+  SELECT CAST(max(day) - min(day) + 1 AS BIGINT) AS n FROM per
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS u, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM x
+), fin AS (
+  SELECT x.user_id, x.x, span.n,
+         CAST(sx AS DOUBLE) / (CAST(u AS DOUBLE) * span.n) AS m,
+         (CAST(sxx AS DOUBLE) / u
+          - (CAST(sx AS DOUBLE) / u) * (CAST(sx AS DOUBLE) / u))
+           / (CAST(span.n AS DOUBLE) * span.n) AS v
+  FROM x CROSS JOIN span CROSS JOIN mom
+)
+SELECT user_id, x AS x_days, n AS n_days,
+       CAST(floor(CAST(x AS DOUBLE) / n * 1000000 + {_OFF})
+            AS BIGINT) AS raw_e6,
+       CAST(floor((CAST(x AS DOUBLE) + m * (m * (1.0 - m) / v - 1.0))
+                  / (CAST(n AS DOUBLE) + m * (1.0 - m) / v - 1.0)
+                  * 1000000 + {_OFF}) AS BIGINT) AS shrunk_e6
+FROM fin
+WHERE v > 0 AND m * (1.0 - m) / v - 1.0 > 0
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# hash_collision_audit — birthday-collision audit of truncated hashes
+# ---------------------------------------------------------------------------
+# The dedup-engineering question "how wide must the signature be":
+# observed colliding pairs among DISTINCT texts under 16/24/32-bit
+# md5 prefixes vs the birthday expectation C(N,2)/2^b (Chen-Stein
+# Poisson regime).  Observed = sum C(c, 2) per bucket — exact
+# integers; expected is one closed-form division.  One distinct, one
+# groupBy per width via explode (never a rescan per width).
+
+
+def q_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("text").distinct()
+    h = d.select(F.md5("text").alias("h"))
+    sized = h.withColumn(
+        "bits", F.explode(F.array(F.lit(16), F.lit(24), F.lit(32)))
+    ).select(
+        "bits",
+        F.substring("h", 1, (F.col("bits") / 4).cast("int")).alias("pre"),
+    )
+    buck = sized.groupBy("bits", "pre").agg(F.count(F.lit(1)).alias("c"))
+    obs = buck.groupBy("bits").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias(
+            "obs_pairs"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    exp_pairs = nd * (nd - 1.0) / 2.0 / F.pow(F.lit(2.0), F.col("bits"))
+    return obs.select(
+        F.col("bits").cast("long").alias("bits"),
+        F.col("n").cast("long").alias("n_distinct"),
+        "obs_pairs",
+        F.floor(exp_pairs * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "exp_pairs_e4"
+        ),
+    ).orderBy("bits")
+
+
+SQL_HASH_AUDIT = f"""
+WITH d AS (
+  SELECT DISTINCT text FROM documents
+), h AS (
+  SELECT md5(text) AS h FROM d
+), sized AS (
+  SELECT t.bits, substr(h.h, 1, t.bits // 4) AS pre
+  FROM h CROSS JOIN (VALUES (16), (24), (32)) AS t(bits)
+), buck AS (
+  SELECT bits, pre, CAST(count(*) AS BIGINT) AS c
+  FROM sized GROUP BY 1, 2
+), obs AS (
+  SELECT bits, CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c * (c - 1) // 2) AS BIGINT) AS obs_pairs
+  FROM buck GROUP BY 1
+)
+SELECT CAST(bits AS BIGINT) AS bits, n AS n_distinct, obs_pairs,
+       CAST(floor(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0
+                  / pow(2.0, bits) * 10000 + {_OFF})
+            AS BIGINT) AS exp_pairs_e4
+FROM obs
+ORDER BY bits
+"""
+
+
+# ---------------------------------------------------------------------------
+# geometric_fit_gof — geometric fit + chi-square GoF on session lengths
+# ---------------------------------------------------------------------------
+# Feller (Vol I, ch. XI): session click-counts under a memoryless
+# model are Geometric(p) on {1, 2, ...}; p-hat = 1/mean, then a
+# chi-square GoF over cells {1, .., 6, 7+}.  Sessions use the house
+# 1800 s gap rule (queries_timeseries sessionize); observed cell
+# counts are exact integers, expected counts and the chi-square are
+# fixed-order double chains per cell, e6-floored per cell before the
+# (bounded, 7-cell) sum.
+
+
+def q_geometric_fit_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+    wo = Window.partitionBy("user_id").orderBy("s", "event_id")
+    g = (
+        ev.select("user_id", "event_id", sec.cast("long").alias("s"))
+        .withColumn("prev", F.lag("s").over(wo))
+        .withColumn(
+            "brk",
+            (
+                F.col("prev").isNull()
+                | ((F.col("s") - F.col("prev")) > 1800)
+            ).cast("long"),
+        )
+        .withColumn(
+            "sid",
+            F.sum("brk").over(
+                wo.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    ln = g.groupBy("user_id", "sid").agg(F.count(F.lit(1)).alias("len"))
+    cell = ln.select(
+        F.least(F.col("len"), F.lit(7)).alias("cell")
+    ).groupBy("cell").agg(F.count(F.lit(1)).alias("obs"))
+    tot = ln.agg(
+        F.count(F.lit(1)).alias("ns"), F.sum("len").alias("sl")
+    )
+    j = cell.crossJoin(F.broadcast(tot))
+    p = F.col("ns").cast("double") / F.col("sl").cast("double")
+    k = F.col("cell").cast("double")
+    prob = F.when(
+        F.col("cell") < 7, F.pow(1.0 - p, k - 1.0) * p
+    ).otherwise(F.pow(1.0 - p, F.lit(6.0)))
+    exp = F.col("ns").cast("double") * prob
+    chi = (F.col("obs").cast("double") - exp) * (
+        F.col("obs").cast("double") - exp
+    ) / exp
+    cells = j.select(
+        "cell",
+        "obs",
+        F.floor(exp * 10_000 + F.lit(_OFF)).cast("long").alias("exp_e4"),
+        F.floor(chi * 1_000_000 + F.lit(_OFF)).cast("long").alias("chi6"),
+    )
+    return cells.select(
+        F.col("cell").cast("long").alias("cell"),
+        F.col("obs").cast("long").alias("obs"),
+        "exp_e4",
+        F.floor(F.col("chi6").cast("double") / 100.0 + F.lit(_OFF))
+        .cast("long")
+        .alias("chi_e4"),
+    ).orderBy("cell")
+
+
+SQL_GEOMETRIC = f"""
+WITH g AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         lag(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev
+  FROM events
+), b AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN prev IS NULL OR s - prev > 1800
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY s, event_id)
+              AS BIGINT) AS sid
+  FROM g
+), ln AS (
+  SELECT user_id, sid, CAST(count(*) AS BIGINT) AS len
+  FROM b GROUP BY 1, 2
+), cell AS (
+  SELECT least(len, 7) AS cell, CAST(count(*) AS BIGINT) AS obs
+  FROM ln GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS ns, CAST(sum(len) AS BIGINT) AS sl
+  FROM ln
+), j AS (
+  SELECT cell, obs, ns,
+         CASE WHEN cell < 7
+              THEN pow(1.0 - CAST(ns AS DOUBLE) / sl, cell - 1.0)
+                   * (CAST(ns AS DOUBLE) / sl)
+              ELSE pow(1.0 - CAST(ns AS DOUBLE) / sl, 6.0)
+         END AS prob
+  FROM cell CROSS JOIN tot
+)
+SELECT CAST(cell AS BIGINT) AS cell, obs,
+       CAST(floor(CAST(ns AS DOUBLE) * prob * 10000 + {_OFF})
+            AS BIGINT) AS exp_e4,
+       CAST(floor(CAST(floor((CAST(obs AS DOUBLE) - ns * prob)
+                             * (CAST(obs AS DOUBLE) - ns * prob)
+                             / (ns * prob) * 1000000 + {_OFF}) AS BIGINT)
+                  / 100.0 + {_OFF}) AS BIGINT) AS chi_e4
+FROM j
+ORDER BY cell
+"""
+
+
+# ---------------------------------------------------------------------------
+# bimodality_coeff — Sarle's bimodality coefficient of doc lengths
+# ---------------------------------------------------------------------------
+# Sarle (SAS Technical Report A-108, 1983) / Pfister et al. (Front
+# Psychol 4, 2013): BC = (g1^2 + 1) / (g2 + 3 (n-1)^2 / ((n-2)(n-3)))
+# with sample skewness g1 and excess kurtosis g2; BC > 5/9 hints
+# bimodality.  Raw power sums up to x^4 are exact BIGINT (n_chars <=
+# ~1e3, x^4 <= 1e12 x corpus rows — safe through sf10); central
+# moments and the g1/g2/BC chain are fixed-order doubles.
+
+
+def q_bimodality_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select(
+        "lang", F.col("n_chars").cast("long").alias("x")
+    )
+    agg = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).alias("s3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x")).alias(
+            "s4"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    m = F.col("s1").cast("double") / nd
+    m2 = F.col("s2").cast("double") / nd - m * m
+    m3 = (
+        F.col("s3").cast("double") / nd
+        - 3.0 * m * (F.col("s2").cast("double") / nd)
+        + 2.0 * m * m * m
+    )
+    m4 = (
+        F.col("s4").cast("double") / nd
+        - 4.0 * m * (F.col("s3").cast("double") / nd)
+        + 6.0 * m * m * (F.col("s2").cast("double") / nd)
+        - 3.0 * m * m * m * m
+    )
+    g1 = (
+        F.sqrt(nd * (nd - 1.0))
+        / (nd - 2.0)
+        * (m3 / F.pow(m2, F.lit(1.5)))
+    )
+    g2 = (
+        (nd - 1.0)
+        / ((nd - 2.0) * (nd - 3.0))
+        * ((nd + 1.0) * (m4 / (m2 * m2) - 3.0) + 6.0)
+    )
+    bc = (g1 * g1 + 1.0) / (
+        g2 + 3.0 * (nd - 1.0) * (nd - 1.0) / ((nd - 2.0) * (nd - 3.0))
+    )
+    return (
+        agg.filter((F.col("n") >= 5) & (m2 > 0))
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_docs"),
+            F.floor(g1 * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "skew_e4"
+            ),
+            F.floor(g2 * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "exkurt_e4"
+            ),
+            F.floor(bc * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "bc_e6"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_BIMODALITY = f"""
+WITH agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS s1,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS s2,
+         CAST(sum(n_chars * n_chars * n_chars) AS BIGINT) AS s3,
+         CAST(sum(n_chars * n_chars * n_chars * n_chars) AS BIGINT) AS s4
+  FROM documents GROUP BY 1
+), c AS (
+  SELECT lang, n,
+         CAST(s1 AS DOUBLE) / n AS m,
+         CAST(s2 AS DOUBLE) / n
+           - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m2,
+         CAST(s3 AS DOUBLE) / n
+           - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+           + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+             * (CAST(s1 AS DOUBLE) / n) AS m3,
+         CAST(s4 AS DOUBLE) / n
+           - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+           + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+             * (CAST(s2 AS DOUBLE) / n)
+           - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+             * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m4
+  FROM agg
+), g AS (
+  SELECT lang, n,
+         sqrt(CAST(n AS DOUBLE) * (n - 1.0)) / (CAST(n AS DOUBLE) - 2.0)
+           * (m3 / pow(m2, 1.5)) AS g1,
+         (CAST(n AS DOUBLE) - 1.0)
+           / ((CAST(n AS DOUBLE) - 2.0) * (CAST(n AS DOUBLE) - 3.0))
+           * ((CAST(n AS DOUBLE) + 1.0) * (m4 / (m2 * m2) - 3.0) + 6.0)
+           AS g2,
+         m2
+  FROM c
+)
+SELECT lang, n AS n_docs,
+       CAST(floor(g1 * 10000 + {_OFF}) AS BIGINT) AS skew_e4,
+       CAST(floor(g2 * 10000 + {_OFF}) AS BIGINT) AS exkurt_e4,
+       CAST(floor((g1 * g1 + 1.0)
+                  / (g2 + 3.0 * (CAST(n AS DOUBLE) - 1.0)
+                           * (CAST(n AS DOUBLE) - 1.0)
+                           / ((CAST(n AS DOUBLE) - 2.0)
+                              * (CAST(n AS DOUBLE) - 3.0)))
+                  * 1000000 + {_OFF}) AS BIGINT) AS bc_e6
+FROM g
+WHERE n >= 5 AND m2 > 0
+ORDER BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "atkinson_index": q_atkinson_index,
     "juilland_d": q_juilland_d,
@@ -2424,6 +2810,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rich_club": q_rich_club,
     "zipf_abbreviation": q_zipf_abbreviation,
     "menzerath_altmann": q_menzerath_altmann,
+    "eb_shrinkage": q_eb_shrinkage,
+    "hash_collision_audit": q_hash_collision_audit,
+    "geometric_fit_gof": q_geometric_fit_gof,
+    "bimodality_coeff": q_bimodality_coeff,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2447,4 +2837,8 @@ ORACLE_SQL: dict[str, str] = {
     "rich_club": SQL_RICH_CLUB,
     "zipf_abbreviation": SQL_ZIPF_ABBREV,
     "menzerath_altmann": SQL_MENZERATH,
+    "eb_shrinkage": SQL_EB_SHRINK,
+    "hash_collision_audit": SQL_HASH_AUDIT,
+    "geometric_fit_gof": SQL_GEOMETRIC,
+    "bimodality_coeff": SQL_BIMODALITY,
 }
