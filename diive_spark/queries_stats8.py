@@ -12,6 +12,7 @@ any aggregate sum so the cross-engine sum order can never matter.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -2789,6 +2790,590 @@ ORDER BY lang
 """
 
 
+
+# ---------------------------------------------------------------------------
+# newey_west_se — HAC (Newey-West, lag 2) standard error of the mean
+# ---------------------------------------------------------------------------
+# Newey & West (Econometrica 55, 1987): long-run variance = g0 +
+# 2 sum_k (1 - k/(K+1)) g_k with Bartlett weights, K = 2; the ratio
+# se_NW / se_iid exposes serial correlation in hourly centivalues.
+# Same exact-BIGINT truncated-edge autocovariance construction as
+# pacf_profile (two leads on ONE window); the whole chain after the
+# integer sums is fixed-order doubles — bit-identical, zero refloors.
+
+
+def q_newey_west_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats2 import _hourly
+
+    h = _hourly(spark, sf_dir).select(
+        "user_id", "t", F.col("v").cast("long").alias("v")
+    )
+    wo = Window.partitionBy("user_id").orderBy("t")
+    r = h.withColumn("v1", F.lead("v", 1).over(wo)).withColumn(
+        "v2", F.lead("v", 2).over(wo)
+    )
+    agg = r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+        F.sum(F.col("v") * F.col("v1")).alias("p1"),
+        F.sum(F.col("v") * F.col("v2")).alias("p2"),
+        F.sum(F.when(F.col("v1").isNotNull(), F.col("v"))).alias("a1"),
+        F.sum(F.when(F.col("v2").isNotNull(), F.col("v"))).alias("a2"),
+        F.sum("v1").alias("b1"),
+        F.sum("v2").alias("b2"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("s").cast("double") / nd
+    g0 = (F.col("svv").cast("double") - nd * mu * mu) / nd
+    g1 = (
+        F.col("p1").cast("double")
+        - mu * (F.col("a1") + F.col("b1")).cast("double")
+        + (nd - 1.0) * mu * mu
+    ) / nd
+    g2 = (
+        F.col("p2").cast("double")
+        - mu * (F.col("a2") + F.col("b2")).cast("double")
+        + (nd - 2.0) * mu * mu
+    ) / nd
+    lrv = g0 + 2.0 * (2.0 / 3.0) * g1 + 2.0 * (1.0 / 3.0) * g2
+    se_iid = F.sqrt(g0 / nd)
+    se_nw = F.sqrt(lrv / nd)
+    return (
+        agg.filter((F.col("n") >= 10) & (g0 > 0) & (lrv > 0))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_obs"),
+            F.floor(mu * 100 + F.lit(_OFF)).cast("long").alias("mean_e2"),
+            F.floor(se_iid * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "se_iid_e4"
+            ),
+            F.floor(se_nw * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "se_nw_e4"
+            ),
+            F.floor(se_nw / se_iid * 10_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("ratio_e4"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_NEWEY_WEST = """
+WITH {_HOURLY},
+hv AS (
+  SELECT user_id, t, CAST(v AS BIGINT) AS v FROM hourly
+), led AS (
+  SELECT user_id, v,
+         lead(v, 1) OVER (PARTITION BY user_id ORDER BY t) AS v1,
+         lead(v, 2) OVER (PARTITION BY user_id ORDER BY t) AS v2
+  FROM hv
+), agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS s,
+         CAST(sum(v * v) AS BIGINT) AS svv,
+         CAST(sum(v * v1) AS BIGINT) AS p1,
+         CAST(sum(v * v2) AS BIGINT) AS p2,
+         CAST(sum(CASE WHEN v1 IS NOT NULL THEN v END) AS BIGINT) AS a1,
+         CAST(sum(CASE WHEN v2 IS NOT NULL THEN v END) AS BIGINT) AS a2,
+         CAST(sum(v1) AS BIGINT) AS b1,
+         CAST(sum(v2) AS BIGINT) AS b2
+  FROM led GROUP BY 1
+), g AS (
+  SELECT user_id, n,
+         CAST(s AS DOUBLE) / n AS mu,
+         (CAST(svv AS DOUBLE)
+          - n * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+           / CAST(n AS DOUBLE) AS g0,
+         (CAST(p1 AS DOUBLE)
+          - (CAST(s AS DOUBLE) / n) * CAST(a1 + b1 AS DOUBLE)
+          + (CAST(n AS DOUBLE) - 1.0) * (CAST(s AS DOUBLE) / n)
+            * (CAST(s AS DOUBLE) / n)) / CAST(n AS DOUBLE) AS g1,
+         (CAST(p2 AS DOUBLE)
+          - (CAST(s AS DOUBLE) / n) * CAST(a2 + b2 AS DOUBLE)
+          + (CAST(n AS DOUBLE) - 2.0) * (CAST(s AS DOUBLE) / n)
+            * (CAST(s AS DOUBLE) / n)) / CAST(n AS DOUBLE) AS g2
+  FROM agg
+), fin AS (
+  SELECT user_id, n, mu, g0,
+         g0 + 2.0 * (2.0 / 3.0) * g1 + 2.0 * (1.0 / 3.0) * g2 AS lrv
+  FROM g
+)
+SELECT user_id, n AS n_obs,
+       CAST(floor(mu * 100 + {OFF}) AS BIGINT) AS mean_e2,
+       CAST(floor(sqrt(g0 / n) * 10000 + {OFF}) AS BIGINT) AS se_iid_e4,
+       CAST(floor(sqrt(lrv / n) * 10000 + {OFF}) AS BIGINT) AS se_nw_e4,
+       CAST(floor(sqrt(lrv / n) / sqrt(g0 / n) * 10000 + {OFF})
+            AS BIGINT) AS ratio_e4
+FROM fin
+WHERE n >= 10 AND g0 > 0 AND lrv > 0
+ORDER BY user_id
+""".format(_HOURLY=_HOURLY_SQL, OFF=_OFF)
+
+
+# ---------------------------------------------------------------------------
+# fisher_g_test — Fisher's g-test for a hidden periodicity
+# ---------------------------------------------------------------------------
+# Fisher (Proc R Soc A 125, 1929): g = max_j I_j / sum_j I_j over the
+# periodogram at the Fourier frequencies j = 1..(n-1)/2 of the hourly
+# count series (row-index grid), p ~ m (1 - g)^(m - 1).  On the
+# COMPLETE index grid the exact-frequency DFT needs no mean
+# subtraction (sum of e^{-iwt} vanishes); angles reduce to the n-point
+# lattice 2 pi ((j t) mod n)/n.  Each ordinate is e3-floored before
+# the max/sum (trig libm drift is ~1e-10 absolute here, 7 orders
+# below the floor), so argmax, g and the p chain are engine-exact.
+# Cost envelope: n x m ~ span^2/2 rows — bounded by the CALENDAR, not
+# the data volume; cap m for decade spans (documented knob).
+
+
+def q_fisher_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000))
+        .cast("long")
+        .alias("h"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("h")
+    wn = Window.partitionBy("event_type")
+    base = (
+        hourly.withColumn("t", F.row_number().over(wo) - 1)
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("n") >= 8)
+    )
+    m = F.floor((F.col("n") - 1) / 2).cast("long")
+    fan = base.select(
+        "event_type",
+        "t",
+        "c",
+        "n",
+        F.explode(F.sequence(F.lit(1), m)).alias("j"),
+    )
+    k = (F.col("j") * F.col("t")) % F.col("n")
+    ang = (
+        F.lit(2.0)
+        * F.lit(math.pi)
+        * k.cast("double")
+        / F.col("n").cast("double")
+    )
+    trig = fan.select(
+        "event_type",
+        "j",
+        "n",
+        (F.col("c").cast("double") * F.cos(ang)).alias("ca"),
+        (F.col("c").cast("double") * F.sin(ang)).alias("sa"),
+    )
+    ords = trig.groupBy("event_type", "j").agg(
+        F.max("n").alias("n"),
+        F.sum("ca").alias("a"),
+        F.sum("sa").alias("b"),
+    )
+    i_j = (F.col("a") * F.col("a") + F.col("b") * F.col("b")) / F.col(
+        "n"
+    ).cast("double")
+    ords = ords.select(
+        "event_type",
+        "j",
+        "n",
+        F.floor(i_j * 1_000 + F.lit(_OFF)).cast("long").alias("i3"),
+    )
+    wmax = Window.partitionBy("event_type").orderBy(
+        F.col("i3").desc(), F.col("j").asc()
+    )
+    agg = (
+        ords.withColumn("rk", F.row_number().over(wmax))
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.count(F.lit(1)).alias("m"),
+            F.sum("i3").alias("si3"),
+            F.max(F.when(F.col("rk") == 1, F.col("i3"))).alias("imax3"),
+            F.max(F.when(F.col("rk") == 1, F.col("j"))).alias("peak_j"),
+        )
+    )
+    g = F.col("imax3").cast("double") / F.col("si3").cast("double")
+    md = F.col("m").cast("double")
+    logp = F.log(md) + (md - 1.0) * F.log(1.0 - g)
+    return (
+        agg.filter((F.col("si3") > 0) & (g < 1.0))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_hours"),
+            F.col("m").cast("long").alias("m_ords"),
+            F.col("peak_j").cast("long").alias("peak_j"),
+            F.floor(
+                F.col("n").cast("double") / F.col("peak_j").cast("double")
+                * 100
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("peak_period_h_e2"),
+            F.floor(g * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "g_e6"
+            ),
+            F.floor(logp * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "logp_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_FISHER_G = f"""
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), base AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) - 1 AS t,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM hourly
+), fan AS (
+  SELECT event_type, t, c, n,
+         unnest(generate_series(1, CAST((n - 1) // 2 AS BIGINT))) AS j
+  FROM base WHERE n >= 8
+), trig AS (
+  SELECT event_type, j, n,
+         CAST(c AS DOUBLE)
+           * cos(2 * pi() * CAST((j * t) % n AS DOUBLE) / n) AS ca,
+         CAST(c AS DOUBLE)
+           * sin(2 * pi() * CAST((j * t) % n AS DOUBLE) / n) AS sa
+  FROM fan
+), ords AS (
+  SELECT event_type, j, max(n) AS n,
+         CAST(floor((sum(ca) * sum(ca) + sum(sa) * sum(sa))
+                    / max(n) * 1000 + {_OFF}) AS BIGINT) AS i3
+  FROM trig GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, j, n, i3,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY i3 DESC, j ASC) AS rk
+  FROM ords
+), agg AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(i3) AS BIGINT) AS si3,
+         CAST(max(CASE WHEN rk = 1 THEN i3 END) AS BIGINT) AS imax3,
+         CAST(max(CASE WHEN rk = 1 THEN j END) AS BIGINT) AS peak_j
+  FROM ranked GROUP BY 1
+)
+SELECT event_type, n AS n_hours, m AS m_ords, peak_j,
+       CAST(floor(CAST(n AS DOUBLE) / peak_j * 100 + {_OFF})
+            AS BIGINT) AS peak_period_h_e2,
+       CAST(floor(CAST(imax3 AS DOUBLE) / si3 * 1000000 + {_OFF})
+            AS BIGINT) AS g_e6,
+       CAST(floor((ln(CAST(m AS DOUBLE))
+                   + (CAST(m AS DOUBLE) - 1.0)
+                     * ln(1.0 - CAST(imax3 AS DOUBLE) / si3))
+                  * 10000 + {_OFF}) AS BIGINT) AS logp_e4
+FROM agg
+WHERE si3 > 0 AND imax3 < si3
+ORDER BY event_type
+"""
+
+
+
+# ---------------------------------------------------------------------------
+# davies_bouldin / calinski_harabasz — internal clustering validity
+# ---------------------------------------------------------------------------
+# Davies & Bouldin (IEEE TPAMI 1, 1979): DB = (1/k) sum_i max_{j != i}
+# (s_i + s_j)/d_ij with s = mean point-to-own-centroid distance.
+# Calinski & Harabasz (Comm Stat 3, 1974): CH = (BSS/(k-1)) /
+# (WSS/(N-k)).  Both reuse the silhouette_centroid machinery:
+# e6-floored centroid components (exact BIGINT sums); point distances
+# ride the Arrow einsum kernel, 6-dp rounded, then sqrt/e6-floored per
+# point before label means; the k x k centroid-pair block and the
+# global-centroid distances are tiny fixed-order chains.
+
+
+def _centroids(emb):
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("d", "x")
+    ).select(
+        "label",
+        "d",
+        F.floor(F.col("x").cast("double") * 1e6 + F.lit(_OFF))
+        .cast("long")
+        .alias("x6"),
+    )
+    cmom = comp.groupBy("label", "d").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x6").alias("s6")
+    )
+    return cmom.groupBy("label").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("d"), F.col("s6"), F.col("n")))
+            ),
+            lambda s: s["s6"].cast("double") / (s["n"].cast("double") * 1e6),
+        ).alias("carr")
+    )
+
+
+def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.text.similarity import l2sq_pair_udf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", "embedding"
+    )
+    cent = _centroids(emb)
+    own = emb.join(F.broadcast(cent), "label").select(
+        "label",
+        F.floor(
+            F.sqrt(F.round(l2sq_pair_udf(F.col("embedding"), F.col("carr")), 6))
+            * 1e6
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("r6"),
+    )
+    s = own.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("r6").alias("sr6")
+    ).select(
+        "label",
+        (F.col("sr6").cast("double") / 1e6 / F.col("n").cast("double")).alias(
+            "s"
+        ),
+    )
+    c2 = cent.select(
+        F.col("label").alias("label_r"), F.col("carr").alias("carr_r")
+    )
+    dpair = (
+        cent.crossJoin(F.broadcast(c2))
+        .filter(F.col("label") != F.col("label_r"))
+        .select(
+            "label",
+            "label_r",
+            F.sqrt(
+                F.round(l2sq_pair_udf(F.col("carr"), F.col("carr_r")), 6)
+            ).alias("dij"),
+        )
+    )
+    sj = s.select(F.col("label").alias("label_r"), F.col("s").alias("s_r"))
+    ratio = (
+        dpair.join(F.broadcast(s), "label")
+        .join(F.broadcast(sj), "label_r")
+        .filter(F.col("dij") > 0)
+        .select(
+            "label",
+            F.floor(
+                (F.col("s") + F.col("s_r")) / F.col("dij") * 1e6
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("r6"),
+        )
+    )
+    peri = ratio.groupBy("label").agg(F.max("r6").alias("ri6"))
+    agg = peri.agg(
+        F.count(F.lit(1)).alias("k"), F.sum("ri6").alias("sri6")
+    )
+    db = F.col("sri6").cast("double") / 1e6 / F.col("k").cast("double")
+    return agg.select(
+        F.col("k").cast("long").alias("k_labels"),
+        F.floor(db * 10_000 + F.lit(_OFF)).cast("long").alias("db_e4"),
+    )
+
+
+_SQL_CENT = f"""
+comp0 AS (
+  SELECT label,
+         unnest(list_transform(generate_series(1, len(embedding)),
+           i -> struct_pack(d := i,
+                x6 := CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6
+                                 + {_OFF}) AS BIGINT)))) AS u
+  FROM embeddings
+), comp AS (
+  SELECT label, u.d AS d, u.x6 AS x6 FROM comp0
+), cmom AS (
+  SELECT label, d, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x6) AS BIGINT) AS s6
+  FROM comp GROUP BY 1, 2
+), cent AS (
+  SELECT label,
+         list(CAST(s6 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6)
+              ORDER BY d) AS carr
+  FROM cmom GROUP BY 1
+)"""
+
+
+SQL_DAVIES_BOULDIN = f"""
+WITH {_SQL_CENT},
+own AS (
+  SELECT e.label,
+         CAST(floor(sqrt(round(list_sum(list_transform(
+                generate_series(1, len(e.embedding)),
+                i -> (CAST(e.embedding[i] AS DOUBLE) - c.carr[i])
+                     * (CAST(e.embedding[i] AS DOUBLE) - c.carr[i]))), 6))
+                    * 1e6 + {_OFF}) AS BIGINT) AS r6
+  FROM embeddings e JOIN cent c ON c.label = e.label
+), s AS (
+  SELECT label,
+         CAST(sum(r6) AS DOUBLE) / 1e6 / count(*) AS s
+  FROM own GROUP BY 1
+), dpair AS (
+  SELECT a.label, b.label AS label_r,
+         sqrt(round(list_sum(list_transform(
+           generate_series(1, len(a.carr)),
+           i -> (a.carr[i] - b.carr[i]) * (a.carr[i] - b.carr[i]))), 6))
+           AS dij
+  FROM cent a CROSS JOIN cent b
+  WHERE a.label <> b.label
+), ratio AS (
+  SELECT d.label,
+         CAST(floor((sa.s + sb.s) / d.dij * 1e6 + {_OFF})
+              AS BIGINT) AS r6
+  FROM dpair d
+  JOIN s sa ON sa.label = d.label
+  JOIN s sb ON sb.label = d.label_r
+  WHERE d.dij > 0
+), peri AS (
+  SELECT label, CAST(max(r6) AS BIGINT) AS ri6 FROM ratio GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS k_labels,
+       CAST(floor(CAST(sum(ri6) AS DOUBLE) / 1e6 / count(*) * 10000
+                  + {_OFF}) AS BIGINT) AS db_e4
+FROM peri
+"""
+
+
+def q_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.text.similarity import l2sq_pair_udf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", "embedding"
+    )
+    cent = _centroids(emb)
+    gcomp = emb.select(F.posexplode("embedding").alias("d", "x")).select(
+        "d",
+        F.floor(F.col("x").cast("double") * 1e6 + F.lit(_OFF))
+        .cast("long")
+        .alias("x6"),
+    )
+    gcent = (
+        gcomp.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("x6").alias("s6"))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("d"), F.col("s6"), F.col("n"))
+                    )
+                ),
+                lambda s: s["s6"].cast("double")
+                / (s["n"].cast("double") * 1e6),
+            ).alias("garr")
+        )
+    )
+    own = emb.join(F.broadcast(cent), "label").select(
+        "label",
+        F.floor(
+            F.round(l2sq_pair_udf(F.col("embedding"), F.col("carr")), 6)
+            * 1e6
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("w6"),
+    )
+    wss = own.agg(
+        F.count(F.lit(1)).alias("nn"), F.sum("w6").alias("sw6")
+    )
+    sz = emb.groupBy("label").agg(F.count(F.lit(1)).alias("nl"))
+    bterm = (
+        cent.join(F.broadcast(sz), "label")
+        .crossJoin(F.broadcast(gcent))
+        .select(
+            F.floor(
+                F.col("nl").cast("double")
+                * F.round(l2sq_pair_udf(F.col("carr"), F.col("garr")), 6)
+                * 1e6
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("b6"),
+        )
+    )
+    bss = bterm.agg(
+        F.count(F.lit(1)).alias("k"), F.sum("b6").alias("sb6")
+    )
+    j = wss.crossJoin(F.broadcast(bss))
+    nn = F.col("nn").cast("double")
+    kd = F.col("k").cast("double")
+    ch = (F.col("sb6").cast("double") / (kd - 1.0)) / (
+        F.col("sw6").cast("double") / (nn - kd)
+    )
+    return j.filter((F.col("k") >= 2) & (F.col("sw6") > 0)).select(
+        F.col("nn").cast("long").alias("n_points"),
+        F.col("k").cast("long").alias("k_labels"),
+        F.floor(
+            F.col("sw6").cast("double") / 1e6 * 100 + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("wss_e2"),
+        F.floor(
+            F.col("sb6").cast("double") / 1e6 * 100 + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("bss_e2"),
+        F.floor(ch * 10_000 + F.lit(_OFF)).cast("long").alias("ch_e4"),
+    )
+
+
+SQL_CALINSKI = f"""
+WITH {_SQL_CENT},
+gcomp0 AS (
+  SELECT unnest(list_transform(generate_series(1, len(embedding)),
+           i -> struct_pack(d := i,
+                x6 := CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6
+                                 + {_OFF}) AS BIGINT)))) AS u
+  FROM embeddings
+), gcomp AS (
+  SELECT u.d AS d, u.x6 AS x6 FROM gcomp0
+), gcent AS (
+  SELECT list(CAST(s6 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6)
+              ORDER BY d) AS garr
+  FROM (
+    SELECT d, CAST(count(*) AS BIGINT) AS n, CAST(sum(x6) AS BIGINT) AS s6
+    FROM gcomp GROUP BY 1
+  )
+), own AS (
+  SELECT CAST(floor(round(list_sum(list_transform(
+                generate_series(1, len(e.embedding)),
+                i -> (CAST(e.embedding[i] AS DOUBLE) - c.carr[i])
+                     * (CAST(e.embedding[i] AS DOUBLE) - c.carr[i]))), 6)
+                    * 1e6 + {_OFF}) AS BIGINT) AS w6
+  FROM embeddings e JOIN cent c ON c.label = e.label
+), wss AS (
+  SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(w6) AS BIGINT) AS sw6
+  FROM own
+), sz AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS nl
+  FROM embeddings GROUP BY 1
+), bterm AS (
+  SELECT CAST(floor(sz.nl * round(list_sum(list_transform(
+                generate_series(1, len(c.carr)),
+                i -> (c.carr[i] - g.garr[i])
+                     * (c.carr[i] - g.garr[i]))), 6)
+                    * 1e6 + {_OFF}) AS BIGINT) AS b6
+  FROM cent c JOIN sz ON sz.label = c.label CROSS JOIN gcent g
+), bss AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(b6) AS BIGINT) AS sb6
+  FROM bterm
+)
+SELECT nn AS n_points, k AS k_labels,
+       CAST(floor(CAST(sw6 AS DOUBLE) / 1e6 * 100 + {_OFF})
+            AS BIGINT) AS wss_e2,
+       CAST(floor(CAST(sb6 AS DOUBLE) / 1e6 * 100 + {_OFF})
+            AS BIGINT) AS bss_e2,
+       CAST(floor((CAST(sb6 AS DOUBLE) / 1e6 / (CAST(k AS DOUBLE) - 1.0))
+                  / (CAST(sw6 AS DOUBLE) / 1e6
+                     / (CAST(nn AS DOUBLE) - k))
+                  * 10000 + {_OFF}) AS BIGINT) AS ch_e4
+FROM wss CROSS JOIN bss
+WHERE k >= 2 AND sw6 > 0
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "atkinson_index": q_atkinson_index,
     "juilland_d": q_juilland_d,
@@ -2814,6 +3399,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_collision_audit": q_hash_collision_audit,
     "geometric_fit_gof": q_geometric_fit_gof,
     "bimodality_coeff": q_bimodality_coeff,
+    "newey_west_se": q_newey_west_se,
+    "fisher_g_test": q_fisher_g_test,
+    "davies_bouldin": q_davies_bouldin,
+    "calinski_harabasz": q_calinski_harabasz,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2841,4 +3430,8 @@ ORACLE_SQL: dict[str, str] = {
     "hash_collision_audit": SQL_HASH_AUDIT,
     "geometric_fit_gof": SQL_GEOMETRIC,
     "bimodality_coeff": SQL_BIMODALITY,
+    "newey_west_se": SQL_NEWEY_WEST,
+    "fisher_g_test": SQL_FISHER_G,
+    "davies_bouldin": SQL_DAVIES_BOULDIN,
+    "calinski_harabasz": SQL_CALINSKI,
 }
