@@ -3374,6 +3374,493 @@ WHERE k >= 2 AND sw6 > 0
 """
 
 
+
+# ---------------------------------------------------------------------------
+# pinball_loss — quantile-forecast backtest with pinball loss + coverage
+# ---------------------------------------------------------------------------
+# Koenker & Bassett (Econometrica 46, 1978) check loss / the M4
+# competition's quantile eval: split daily counts 70/30 by calendar,
+# forecast the q10/q50/q90 of the test days by the TRAIN empirical
+# quantiles (exact inverse-CDF order statistics on the value domain),
+# and score pinball loss plus central-interval coverage.  With integer
+# weights (w, 10 - w) the per-day pinball x10 is an exact integer, so
+# every mean is scaled from exact BIGINT sums.
+
+
+def q_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    span = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    split = F.col("d0") + F.floor((F.col("d1") - F.col("d0")) * 7 / 10) + 1
+    daily = daily.join(F.broadcast(span), "event_type").withColumn(
+        "is_train", (F.col("day") < split).cast("long")
+    )
+    tr = daily.filter(F.col("is_train") == 1)
+    cnt = tr.groupBy("event_type", "y").agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("y")
+    wn = Window.partitionBy("event_type")
+    cum = cnt.withColumn(
+        "cum", F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("tot", F.sum("c").over(wn))
+    qs = None
+    for name, num in (("q10", 10), ("q50", 50), ("q90", 90)):
+        k = F.expr(f"((tot - 1) * {num}) div 100") + 1
+        sel = cum.filter(
+            ((F.col("cum") - F.col("c")) < k) & (k <= F.col("cum"))
+        ).select("event_type", F.col("y").alias(name))
+        qs = sel if qs is None else qs.join(sel, "event_type")
+    te = daily.filter(F.col("is_train") == 0).join(
+        F.broadcast(qs), "event_type"
+    )
+
+    def pb(f, w):
+        return F.when(
+            F.col("y") >= F.col(f), (F.col("y") - F.col(f)) * w
+        ).otherwise((F.col(f) - F.col("y")) * (10 - w))
+
+    agg = te.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.max("q10").alias("q10"),
+        F.max("q50").alias("q50"),
+        F.max("q90").alias("q90"),
+        F.sum(pb("q10", 1)).alias("p1"),
+        F.sum(pb("q50", 5)).alias("p5"),
+        F.sum(pb("q90", 9)).alias("p9"),
+        F.sum(
+            (
+                (F.col("y") >= F.col("q10")) & (F.col("y") <= F.col("q90"))
+            ).cast("long")
+        ).alias("nc"),
+    )
+    nt = F.col("n_test").cast("double")
+    return agg.filter(F.col("n_test") >= 2).select(
+        "event_type",
+        F.col("n_test").cast("long").alias("n_test"),
+        F.col("q10").cast("long").alias("q10"),
+        F.col("q50").cast("long").alias("q50"),
+        F.col("q90").cast("long").alias("q90"),
+        F.floor(F.col("p1").cast("double") / 10.0 / nt * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("pb10_e4"),
+        F.floor(F.col("p5").cast("double") / 10.0 / nt * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("pb50_e4"),
+        F.floor(F.col("p9").cast("double") / 10.0 / nt * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("pb90_e4"),
+        F.floor(F.col("nc").cast("double") / nt * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("cover_e6"),
+    ).orderBy("event_type")
+
+
+SQL_PINBALL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT event_type, min(day) AS d0, max(day) AS d1
+  FROM daily GROUP BY 1
+), lab AS (
+  SELECT d.event_type, d.day, d.y,
+         CASE WHEN d.day < s.d0 + (s.d1 - s.d0) * 7 // 10 + 1
+              THEN 1 ELSE 0 END AS is_train
+  FROM daily d JOIN span s ON s.event_type = d.event_type
+), cnt AS (
+  SELECT event_type, y, count(*) AS c FROM lab WHERE is_train = 1
+  GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, y, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY y) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS tot
+  FROM cnt
+), q AS (
+  SELECT event_type,
+         max(CASE WHEN cum - c < ((tot - 1) * 10) // 100 + 1
+                   AND ((tot - 1) * 10) // 100 + 1 <= cum
+                  THEN y END) AS q10,
+         max(CASE WHEN cum - c < ((tot - 1) * 50) // 100 + 1
+                   AND ((tot - 1) * 50) // 100 + 1 <= cum
+                  THEN y END) AS q50,
+         max(CASE WHEN cum - c < ((tot - 1) * 90) // 100 + 1
+                   AND ((tot - 1) * 90) // 100 + 1 <= cum
+                  THEN y END) AS q90
+  FROM cum GROUP BY 1
+), te AS (
+  SELECT l.event_type, l.y, q.q10, q.q50, q.q90
+  FROM lab l JOIN q ON q.event_type = l.event_type
+  WHERE l.is_train = 0
+), agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_test,
+         CAST(max(q10) AS BIGINT) AS q10,
+         CAST(max(q50) AS BIGINT) AS q50,
+         CAST(max(q90) AS BIGINT) AS q90,
+         CAST(sum(CASE WHEN y >= q10 THEN (y - q10) * 1
+                       ELSE (q10 - y) * 9 END) AS BIGINT) AS p1,
+         CAST(sum(CASE WHEN y >= q50 THEN (y - q50) * 5
+                       ELSE (q50 - y) * 5 END) AS BIGINT) AS p5,
+         CAST(sum(CASE WHEN y >= q90 THEN (y - q90) * 9
+                       ELSE (q90 - y) * 1 END) AS BIGINT) AS p9,
+         CAST(sum(CASE WHEN y >= q10 AND y <= q90 THEN 1 ELSE 0 END)
+              AS BIGINT) AS nc
+  FROM te GROUP BY 1
+)
+SELECT event_type, n_test, q10, q50, q90,
+       CAST(floor(CAST(p1 AS DOUBLE) / 10.0 / n_test * 10000 + {_OFF})
+            AS BIGINT) AS pb10_e4,
+       CAST(floor(CAST(p5 AS DOUBLE) / 10.0 / n_test * 10000 + {_OFF})
+            AS BIGINT) AS pb50_e4,
+       CAST(floor(CAST(p9 AS DOUBLE) / 10.0 / n_test * 10000 + {_OFF})
+            AS BIGINT) AS pb90_e4,
+       CAST(floor(CAST(nc AS DOUBLE) / n_test * 1000000 + {_OFF})
+            AS BIGINT) AS cover_e6
+FROM agg
+WHERE n_test >= 2
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# local_maxima_stats — strict local maxima of the hourly series
+# ---------------------------------------------------------------------------
+# Peak census on the row-adjacent hourly count grid: c > prev AND
+# c > next (strict, so no tie ambiguity); reports peak count, rate,
+# mean height and mean spacing — all exact integers off one window
+# with two lags (the spacing uses min/max peak index, exact).
+
+
+def q_local_maxima_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000))
+        .cast("long")
+        .alias("h"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("h")
+    r = (
+        hourly.withColumn("i", F.row_number().over(wo))
+        .withColumn("pv", F.lag("c").over(wo))
+        .withColumn("nx", F.lead("c").over(wo))
+    )
+    pk = (F.col("pv").isNotNull() & F.col("nx").isNotNull()
+          & (F.col("c") > F.col("pv")) & (F.col("c") > F.col("nx")))
+    agg = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(pk.cast("long")).alias("n_peaks"),
+        F.sum(F.when(pk, F.col("c"))).alias("sh"),
+        F.min(F.when(pk, F.col("i"))).alias("i0"),
+        F.max(F.when(pk, F.col("i"))).alias("i1"),
+    )
+    npk = F.col("n_peaks").cast("double")
+    return (
+        agg.filter(F.col("n_peaks") >= 2)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_hours"),
+            F.col("n_peaks").cast("long").alias("n_peaks"),
+            F.floor(npk / F.col("n").cast("double") * 1_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("rate_e6"),
+            F.floor(F.col("sh").cast("double") / npk * 100 + F.lit(_OFF))
+            .cast("long")
+            .alias("mean_height_e2"),
+            F.floor(
+                (F.col("i1") - F.col("i0")).cast("double") / (npk - 1.0) * 100
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("mean_spacing_e2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_LOCAL_MAXIMA = f"""
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS i,
+         lag(c) OVER (PARTITION BY event_type ORDER BY h) AS pv,
+         lead(c) OVER (PARTITION BY event_type ORDER BY h) AS nx
+  FROM hourly
+), agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN pv IS NOT NULL AND nx IS NOT NULL
+                        AND c > pv AND c > nx THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_peaks,
+         CAST(sum(CASE WHEN pv IS NOT NULL AND nx IS NOT NULL
+                        AND c > pv AND c > nx THEN c END)
+              AS BIGINT) AS sh,
+         CAST(min(CASE WHEN pv IS NOT NULL AND nx IS NOT NULL
+                        AND c > pv AND c > nx THEN i END)
+              AS BIGINT) AS i0,
+         CAST(max(CASE WHEN pv IS NOT NULL AND nx IS NOT NULL
+                        AND c > pv AND c > nx THEN i END)
+              AS BIGINT) AS i1
+  FROM r GROUP BY 1
+)
+SELECT event_type, n AS n_hours, n_peaks,
+       CAST(floor(CAST(n_peaks AS DOUBLE) / n * 1000000 + {_OFF})
+            AS BIGINT) AS rate_e6,
+       CAST(floor(CAST(sh AS DOUBLE) / n_peaks * 100 + {_OFF})
+            AS BIGINT) AS mean_height_e2,
+       CAST(floor(CAST(i1 - i0 AS DOUBLE) / (CAST(n_peaks AS DOUBLE) - 1.0)
+                  * 100 + {_OFF}) AS BIGINT) AS mean_spacing_e2
+FROM agg
+WHERE n_peaks >= 2
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# gini_drift — weekly Gini of per-user activity, with OLS drift slope
+# ---------------------------------------------------------------------------
+# Inequality dynamics: the per-week Gini over user event-counts via
+# the sorted-rank identity G = (2 sum i x_(i) - (n+1) sum x)/(n sum x)
+# — tie assignments cancel, so row_number ranks keep it EXACT
+# rational; the week-over-week OLS slope runs on e9-floored per-week
+# Gini (variance_time discipline) and is reported as a constant column
+# alongside the weekly rows.
+
+
+def q_gini_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    week = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / (86_400_000_000 * 7)
+    )
+    per = ev.groupBy(week.cast("long").alias("wk"), "user_id").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    wr = Window.partitionBy("wk").orderBy("x", "user_id")
+    r = per.withColumn("i", F.row_number().over(wr))
+    agg = r.groupBy("wk").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    g = (
+        (2 * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast("double")
+        / (F.col("n") * F.col("sx")).cast("double")
+    )
+    wkly = agg.filter((F.col("n") >= 2) & (F.col("sx") > 0)).select(
+        "wk",
+        F.col("n").cast("long").alias("n_users"),
+        F.col("sx").cast("long").alias("n_events"),
+        F.floor(g * 1e9 + F.lit(_OFF)).cast("long").alias("g9"),
+    )
+    xd = F.col("wk").cast("double")
+    yd = F.col("g9").cast("double") / 1e9
+    pts = wkly.select(
+        "wk",
+        "n_users",
+        "n_events",
+        "g9",
+        F.floor(xd * yd * 1e9 + F.lit(_OFF)).cast("long").alias("xy9"),
+        (F.col("wk") * F.col("wk")).alias("xx"),
+    )
+    ols = pts.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("wk").alias("sw"),
+        F.sum("g9").alias("sg9"),
+        F.sum("xy9").alias("sxy9"),
+        F.sum("xx").alias("sxx"),
+    )
+    md = F.col("m").cast("double")
+    sw = F.col("sw").cast("double")
+    sg = F.col("sg9").cast("double") / 1e9
+    sxy = F.col("sxy9").cast("double") / 1e9
+    sxx = F.col("sxx").cast("double")
+    den = md * sxx - sw * sw
+    slope = (md * sxy - sw * sg) / den
+    ols = ols.select(
+        F.when(den > 0, F.floor(slope * 1e9 + F.lit(_OFF)))
+        .otherwise(F.lit(None))
+        .cast("long")
+        .alias("slope_e9")
+    )
+    return (
+        pts.crossJoin(F.broadcast(ols))
+        .select(
+            F.col("wk").cast("long").alias("wk"),
+            "n_users",
+            "n_events",
+            F.floor(F.col("g9").cast("double") / 1e9 * 1_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("gini_e6"),
+            "slope_e9",
+        )
+        .orderBy("wk")
+    )
+
+
+SQL_GINI_DRIFT = f"""
+WITH per AS (
+  SELECT CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk, user_id,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT wk, x,
+         CAST(row_number() OVER (PARTITION BY wk ORDER BY x, user_id)
+              AS BIGINT) AS i
+  FROM per
+), agg AS (
+  SELECT wk, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(i * x) AS BIGINT) AS six
+  FROM r GROUP BY 1
+), wkly AS (
+  SELECT wk, n, sx,
+         CAST(floor(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                    / CAST(n * sx AS DOUBLE) * 1e9 + {_OFF})
+              AS BIGINT) AS g9
+  FROM agg WHERE n >= 2 AND sx > 0
+), pts AS (
+  SELECT wk, n, sx, g9,
+         CAST(floor(wk * (CAST(g9 AS DOUBLE) / 1e9) * 1e9 + {_OFF})
+              AS BIGINT) AS xy9,
+         CAST(wk * wk AS BIGINT) AS xx
+  FROM wkly
+), ols AS (
+  SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(wk) AS BIGINT) AS sw,
+         CAST(sum(g9) AS BIGINT) AS sg9,
+         CAST(sum(xy9) AS BIGINT) AS sxy9,
+         CAST(sum(xx) AS BIGINT) AS sxx
+  FROM pts
+), sl AS (
+  SELECT CASE WHEN CAST(m AS DOUBLE) * sxx - CAST(sw AS DOUBLE) * sw > 0
+              THEN CAST(floor((CAST(m AS DOUBLE)
+                               * (CAST(sxy9 AS DOUBLE) / 1e9)
+                               - CAST(sw AS DOUBLE)
+                                 * (CAST(sg9 AS DOUBLE) / 1e9))
+                              / (CAST(m AS DOUBLE) * sxx
+                                 - CAST(sw AS DOUBLE) * sw)
+                              * 1e9 + {_OFF}) AS BIGINT)
+         END AS slope_e9
+  FROM ols
+)
+SELECT pts.wk, pts.n AS n_users, pts.sx AS n_events,
+       CAST(floor(CAST(pts.g9 AS DOUBLE) / 1e9 * 1000000 + {_OFF})
+            AS BIGINT) AS gini_e6,
+       sl.slope_e9
+FROM pts CROSS JOIN sl
+ORDER BY pts.wk
+"""
+
+
+# ---------------------------------------------------------------------------
+# gap_entropy — Shannon entropy of power-of-two binned inter-event gaps
+# ---------------------------------------------------------------------------
+# Multi-scale temporal texture: integer-second gaps fall into bins
+# [2^k, 2^(k+1)) found by an EXACT integer range join against a
+# 40-row broadcast power-of-two table (never floor(log2 .) — libm
+# log2 sits exactly on bin edges at powers of two); zero gaps are
+# counted separately.  Bin entropy terms e9-floored (bounded <= 40
+# bins).
+
+
+def q_gap_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+    wo = Window.partitionBy("event_type").orderBy("s", "event_id")
+    g = (
+        ev.select("event_type", "event_id", sec.cast("long").alias("s"))
+        .withColumn("prev", F.lag("s").over(wo))
+        .filter(F.col("prev").isNotNull())
+        .select("event_type", (F.col("s") - F.col("prev")).alias("gap"))
+    )
+    pows = spark.range(0, 40).select(
+        F.col("id").cast("long").alias("k"),
+        F.pow(F.lit(2.0), F.col("id")).cast("long").alias("lo"),
+        F.pow(F.lit(2.0), F.col("id") + 1).cast("long").alias("hi"),
+    )
+    binned = g.filter(F.col("gap") > 0).join(
+        F.broadcast(pows),
+        (F.col("gap") >= F.col("lo")) & (F.col("gap") < F.col("hi")),
+    )
+    cnt = binned.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum((F.col("gap") == 0).cast("long")).alias("n_zero"),
+    )
+    j = cnt.join(F.broadcast(tot), "event_type")
+    t = (F.col("n_gaps") - F.col("n_zero")).cast("double")
+    term = (
+        F.col("c").cast("double") / t * F.log(t / F.col("c").cast("double"))
+    )
+    e = j.select(
+        "event_type",
+        F.floor(term * 1e9 + F.lit(_OFF)).cast("long").alias("e9"),
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_bins"), F.sum("e9").alias("s9")
+    )
+    out = e.join(F.broadcast(tot), "event_type")
+    return out.select(
+        "event_type",
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        F.col("n_zero").cast("long").alias("n_zero"),
+        F.col("n_bins").cast("long").alias("n_bins"),
+        F.floor(F.col("s9").cast("double") / 1e9 * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("h_e6"),
+    ).orderBy("event_type")
+
+
+SQL_GAP_ENTROPY = f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY event_type
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+           AS gap
+  FROM events QUALIFY gap IS NOT NULL
+), pows AS (
+  SELECT k, CAST(pow(2.0, k) AS BIGINT) AS lo,
+         CAST(pow(2.0, k + 1) AS BIGINT) AS hi
+  FROM (SELECT unnest(generate_series(0, 39)) AS k)
+), binned AS (
+  SELECT g.event_type, p.k
+  FROM g JOIN pows p ON g.gap >= p.lo AND g.gap < p.hi
+  WHERE g.gap > 0
+), cnt AS (
+  SELECT event_type, k, CAST(count(*) AS BIGINT) AS c
+  FROM binned GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(CASE WHEN gap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+  FROM g GROUP BY 1
+), e AS (
+  SELECT cnt.event_type, CAST(count(*) AS BIGINT) AS n_bins,
+         CAST(sum(CAST(floor(CAST(cnt.c AS DOUBLE)
+                             / (tot.n_gaps - tot.n_zero)
+                             * ln(CAST(tot.n_gaps - tot.n_zero AS DOUBLE)
+                                  / cnt.c)
+                             * 1e9 + {_OFF}) AS BIGINT)) AS BIGINT) AS s9
+  FROM cnt JOIN tot ON tot.event_type = cnt.event_type
+  GROUP BY 1
+)
+SELECT e.event_type, tot.n_gaps, tot.n_zero, e.n_bins,
+       CAST(floor(CAST(s9 AS DOUBLE) / 1e9 * 1000000 + {_OFF})
+            AS BIGINT) AS h_e6
+FROM e JOIN tot ON tot.event_type = e.event_type
+ORDER BY e.event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "atkinson_index": q_atkinson_index,
     "juilland_d": q_juilland_d,
@@ -3403,6 +3890,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fisher_g_test": q_fisher_g_test,
     "davies_bouldin": q_davies_bouldin,
     "calinski_harabasz": q_calinski_harabasz,
+    "pinball_loss": q_pinball_loss,
+    "local_maxima_stats": q_local_maxima_stats,
+    "gini_drift": q_gini_drift,
+    "gap_entropy": q_gap_entropy,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3434,4 +3925,8 @@ ORACLE_SQL: dict[str, str] = {
     "fisher_g_test": SQL_FISHER_G,
     "davies_bouldin": SQL_DAVIES_BOULDIN,
     "calinski_harabasz": SQL_CALINSKI,
+    "pinball_loss": SQL_PINBALL,
+    "local_maxima_stats": SQL_LOCAL_MAXIMA,
+    "gini_drift": SQL_GINI_DRIFT,
+    "gap_entropy": SQL_GAP_ENTROPY,
 }
