@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from diive_spark.queries_stats2 import _OFF
+from diive_spark.queries_stats2 import _OFF, _documents
 
 # ---------------------------------------------------------------------------
 # hubness_skew — k-occurrence skewness of label-blocked 5-NN lists
@@ -413,11 +413,451 @@ ORDER BY r1.wk
 """
 
 
+
+# ---------------------------------------------------------------------------
+# term_position_bias — where do the top-20 corpus terms sit inside docs?
+# ---------------------------------------------------------------------------
+# Boilerplate and navigation chrome concentrate at document heads, so
+# a term whose mean normalized position is far below 0.5 is a
+# boilerplate suspect (the rationale behind position-aware extraction,
+# cf. Kohlschutter boilerpipe, WSDM 2010).  Positions come from ONE
+# posexplode of the token split; the per-occurrence normalized
+# position is e9-floored before summing (order-free), the vocabulary
+# is the deterministic top-20 broadcast.
+
+
+def q_term_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "w"),
+    )
+    nt = toks.groupBy("doc_id").agg(F.max("pos").alias("maxpos"))
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("gc"))
+        .orderBy(F.desc("gc"), F.asc("w"))
+        .limit(20)
+    )
+    j = (
+        toks.join(F.broadcast(vocab.select("w")), "w")
+        .join(F.broadcast(nt), "doc_id")
+        .filter(F.col("maxpos") > 0)
+    )
+    relpos = F.col("pos").cast("double") / F.col("maxpos").cast("double")
+    terms = j.select(
+        "w",
+        F.floor(relpos * 1e9 + F.lit(_OFF)).cast("long").alias("p9"),
+    )
+    agg = terms.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n_occ"), F.sum("p9").alias("sp9")
+    )
+    mean = F.col("sp9").cast("double") / 1e9 / F.col("n_occ").cast("double")
+    out = agg.join(F.broadcast(vocab), "w")
+    return out.select(
+        "w",
+        F.col("gc").cast("long").alias("gc"),
+        F.col("n_occ").cast("long").alias("n_occ"),
+        F.floor(mean * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "mean_pos_e6"
+        ),
+    ).orderBy("w")
+
+
+SQL_TERM_POSITION = f"""
+WITH toks AS (
+  SELECT doc_id, u.w, u.pos
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             regexp_split_to_array(trim(text), '\\s+'),
+             (x, i) -> struct_pack(w := x, pos := i - 1))) AS u
+    FROM documents
+  )
+), nt AS (
+  SELECT doc_id, CAST(max(pos) AS BIGINT) AS maxpos
+  FROM toks GROUP BY 1
+), vocab AS (
+  SELECT w, gc FROM (
+    SELECT w, CAST(count(*) AS BIGINT) AS gc FROM toks GROUP BY 1
+  ) ORDER BY gc DESC, w ASC LIMIT 20
+), j AS (
+  SELECT t.w,
+         CAST(floor(CAST(t.pos AS DOUBLE) / nt.maxpos * 1e9 + {_OFF})
+              AS BIGINT) AS p9
+  FROM toks t
+  JOIN vocab v ON v.w = t.w
+  JOIN nt ON nt.doc_id = t.doc_id
+  WHERE nt.maxpos > 0
+), agg AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_occ,
+         CAST(sum(p9) AS BIGINT) AS sp9
+  FROM j GROUP BY 1
+)
+SELECT agg.w, vocab.gc, agg.n_occ,
+       CAST(floor(CAST(sp9 AS DOUBLE) / 1e9 / n_occ * 1000000 + {_OFF})
+            AS BIGINT) AS mean_pos_e6
+FROM agg JOIN vocab ON vocab.w = agg.w
+ORDER BY agg.w
+"""
+
+
+# ---------------------------------------------------------------------------
+# gibrat_law — is user growth independent of size? (Gibrat 1931)
+# ---------------------------------------------------------------------------
+# Gibrat's law of proportionate effect: regress ln(x2/x1) on ln(x1)
+# over users active in both calendar halves; beta < 0 is the standard
+# mean-reversion finding.  Halves split the day span at its midpoint
+# (integer arithmetic); per-user ln terms e9-floored, xy/xx refloored
+# (variance_time discipline), OLS + Pearson r off exact BIGINT sums.
+
+
+def q_gibrat_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+    ).cast("long")
+    d = ev.select("user_id", day.alias("day"))
+    span = d.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    j = d.crossJoin(F.broadcast(span))
+    half = F.col("day") < (
+        F.col("d0") + F.floor((F.col("d1") - F.col("d0")) / 2) + 1
+    )
+    per = j.groupBy("user_id").agg(
+        F.sum(half.cast("long")).alias("x1"),
+        F.sum((~half).cast("long")).alias("x2"),
+    ).filter((F.col("x1") > 0) & (F.col("x2") > 0))
+    x = F.floor(
+        F.log(F.col("x1").cast("double")) * 1e9 + F.lit(_OFF)
+    ).cast("long")
+    y = F.floor(
+        F.log(F.col("x2").cast("double") / F.col("x1").cast("double")) * 1e9
+        + F.lit(_OFF)
+    ).cast("long")
+    pts = per.select(x.alias("x9"), y.alias("y9"))
+    xd = F.col("x9").cast("double") / 1e9
+    yd = F.col("y9").cast("double") / 1e9
+    pts = pts.withColumn(
+        "xy9", F.floor(xd * yd * 1e9 + F.lit(_OFF)).cast("long")
+    ).withColumn(
+        "xx9", F.floor(xd * xd * 1e9 + F.lit(_OFF)).cast("long")
+    ).withColumn(
+        "yy9", F.floor(yd * yd * 1e9 + F.lit(_OFF)).cast("long")
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x9").alias("sx"),
+        F.sum("y9").alias("sy"),
+        F.sum("xy9").alias("sxy"),
+        F.sum("xx9").alias("sxx"),
+        F.sum("yy9").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / 1e9
+    sy = F.col("sy").cast("double") / 1e9
+    sxy = F.col("sxy").cast("double") / 1e9
+    sxx = F.col("sxx").cast("double") / 1e9
+    syy = F.col("syy").cast("double") / 1e9
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    cov = nd * sxy - sx * sy
+    beta = cov / vx
+    r = cov / F.sqrt(vx * vy)
+    return agg.filter((F.col("n") >= 10) & (vx > 0) & (vy > 0)).select(
+        F.col("n").cast("long").alias("n_users"),
+        F.floor(beta * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "beta_e6"
+        ),
+        F.floor(r * 1_000_000 + F.lit(_OFF)).cast("long").alias("r_e6"),
+    )
+
+
+SQL_GIBRAT = f"""
+WITH d AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+), span AS (
+  SELECT min(day) AS d0, max(day) AS d1 FROM d
+), per AS (
+  SELECT d.user_id,
+         CAST(sum(CASE WHEN d.day < s.d0 + (s.d1 - s.d0) // 2 + 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+         CAST(sum(CASE WHEN d.day < s.d0 + (s.d1 - s.d0) // 2 + 1
+                       THEN 0 ELSE 1 END) AS BIGINT) AS x2
+  FROM d CROSS JOIN span s
+  GROUP BY 1
+), pts AS (
+  SELECT CAST(floor(ln(CAST(x1 AS DOUBLE)) * 1e9 + {_OFF}) AS BIGINT) AS x9,
+         CAST(floor(ln(CAST(x2 AS DOUBLE) / x1) * 1e9 + {_OFF})
+              AS BIGINT) AS y9
+  FROM per WHERE x1 > 0 AND x2 > 0
+), p2 AS (
+  SELECT x9, y9,
+         CAST(floor((CAST(x9 AS DOUBLE) / 1e9) * (CAST(y9 AS DOUBLE) / 1e9)
+                    * 1e9 + {_OFF}) AS BIGINT) AS xy9,
+         CAST(floor((CAST(x9 AS DOUBLE) / 1e9) * (CAST(x9 AS DOUBLE) / 1e9)
+                    * 1e9 + {_OFF}) AS BIGINT) AS xx9,
+         CAST(floor((CAST(y9 AS DOUBLE) / 1e9) * (CAST(y9 AS DOUBLE) / 1e9)
+                    * 1e9 + {_OFF}) AS BIGINT) AS yy9
+  FROM pts
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x9) AS BIGINT) AS sx, CAST(sum(y9) AS BIGINT) AS sy,
+         CAST(sum(xy9) AS BIGINT) AS sxy, CAST(sum(xx9) AS BIGINT) AS sxx,
+         CAST(sum(yy9) AS BIGINT) AS syy
+  FROM p2
+), f AS (
+  SELECT n,
+         CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e9)
+           - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9) AS vx,
+         CAST(n AS DOUBLE) * (CAST(syy AS DOUBLE) / 1e9)
+           - (CAST(sy AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9) AS vy,
+         CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e9)
+           - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9) AS cov
+  FROM agg
+)
+SELECT n AS n_users,
+       CAST(floor(cov / vx * 1000000 + {_OFF}) AS BIGINT) AS beta_e6,
+       CAST(floor(cov / sqrt(vx * vy) * 1000000 + {_OFF})
+            AS BIGINT) AS r_e6
+FROM f
+WHERE n >= 10 AND vx > 0 AND vy > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# spectral_flatness — Wiener entropy of the hourly periodogram
+# ---------------------------------------------------------------------------
+# Gray & Markel (IEEE TASSP 22, 1974): flatness = geometric mean /
+# arithmetic mean of the power spectrum; 1 = white noise, -> 0 =
+# strongly tonal.  Shares the fisher_g_test DFT construction
+# (complete-grid Fourier frequencies, ordinates e3-floored); the
+# geometric mean adds per-ordinate e9-floored ln terms over the
+# FLOORED integer ordinates, so both engines fold identical integers.
+
+
+def q_spectral_flatness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _m
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000))
+        .cast("long")
+        .alias("h"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("h")
+    wn = Window.partitionBy("event_type")
+    base = (
+        hourly.withColumn("t", F.row_number().over(wo) - 1)
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("n") >= 8)
+    )
+    m = F.floor((F.col("n") - 1) / 2).cast("long")
+    fan = base.select(
+        "event_type", "t", "c", "n",
+        F.explode(F.sequence(F.lit(1), m)).alias("j"),
+    )
+    k = (F.col("j") * F.col("t")) % F.col("n")
+    ang = (
+        F.lit(2.0) * F.lit(_m.pi) * k.cast("double")
+        / F.col("n").cast("double")
+    )
+    trig = fan.select(
+        "event_type", "j", "n",
+        (F.col("c").cast("double") * F.cos(ang)).alias("ca"),
+        (F.col("c").cast("double") * F.sin(ang)).alias("sa"),
+    )
+    ords = trig.groupBy("event_type", "j").agg(
+        F.max("n").alias("n"),
+        F.sum("ca").alias("a"),
+        F.sum("sa").alias("b"),
+    )
+    i_j = (F.col("a") * F.col("a") + F.col("b") * F.col("b")) / F.col(
+        "n"
+    ).cast("double")
+    ords = ords.select(
+        "event_type",
+        F.floor(i_j * 1_000 + F.lit(_OFF)).cast("long").alias("i3"),
+    ).filter(F.col("i3") > 0)
+    lnterm = F.floor(
+        F.log(F.col("i3").cast("double") / 1e3) * 1e9 + F.lit(_OFF)
+    ).cast("long")
+    agg = ords.select("event_type", "i3", lnterm.alias("l9")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("i3").alias("si3"),
+        F.sum("l9").alias("sl9"),
+    )
+    md = F.col("m").cast("double")
+    geo = F.exp(F.col("sl9").cast("double") / 1e9 / md)
+    amean = F.col("si3").cast("double") / 1e3 / md
+    return agg.filter(F.col("si3") > 0).select(
+        "event_type",
+        F.col("m").cast("long").alias("m_ords"),
+        F.floor(geo / amean * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "flatness_e6"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_SPECTRAL_FLATNESS = f"""
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), base AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) - 1 AS t,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM hourly
+), fan AS (
+  SELECT event_type, t, c, n,
+         unnest(generate_series(1, CAST((n - 1) // 2 AS BIGINT))) AS j
+  FROM base WHERE n >= 8
+), trig AS (
+  SELECT event_type, j, n,
+         CAST(c AS DOUBLE)
+           * cos(2 * pi() * CAST((j * t) % n AS DOUBLE) / n) AS ca,
+         CAST(c AS DOUBLE)
+           * sin(2 * pi() * CAST((j * t) % n AS DOUBLE) / n) AS sa
+  FROM fan
+), ords AS (
+  SELECT event_type,
+         CAST(floor((sum(ca) * sum(ca) + sum(sa) * sum(sa))
+                    / max(n) * 1000 + {_OFF}) AS BIGINT) AS i3
+  FROM trig GROUP BY event_type, j
+), pos AS (
+  SELECT event_type, i3,
+         CAST(floor(ln(CAST(i3 AS DOUBLE) / 1e3) * 1e9 + {_OFF})
+              AS BIGINT) AS l9
+  FROM ords WHERE i3 > 0
+), agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(i3) AS BIGINT) AS si3,
+         CAST(sum(l9) AS BIGINT) AS sl9
+  FROM pos GROUP BY 1
+)
+SELECT event_type, m AS m_ords,
+       CAST(floor(exp(CAST(sl9 AS DOUBLE) / 1e9 / m)
+                  / (CAST(si3 AS DOUBLE) / 1e3 / m)
+                  * 1000000 + {_OFF}) AS BIGINT) AS flatness_e6
+FROM agg
+WHERE si3 > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# precedence_matrix — which event type comes first within a session?
+# ---------------------------------------------------------------------------
+# Behavioral ordering: over sessions (house 1800 s gap rule) where
+# both types of a pair occur, the share where a precedes b — the
+# precedence matrix behind funnel hypotheses.  First-occurrence times
+# per (session, type) are exact integers (ties broken by event_id
+# min, documented); the pair compare and shares are exact counting.
+
+
+def q_precedence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+    wo = Window.partitionBy("user_id").orderBy("s", "event_id")
+    g = (
+        ev.select(
+            "user_id", "event_id", "event_type", sec.cast("long").alias("s")
+        )
+        .withColumn("prev", F.lag("s").over(wo))
+        .withColumn(
+            "brk",
+            (
+                F.col("prev").isNull()
+                | ((F.col("s") - F.col("prev")) > 1800)
+            ).cast("long"),
+        )
+        .withColumn(
+            "sid",
+            F.sum("brk").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    first = g.groupBy("user_id", "sid", "event_type").agg(
+        F.min(F.struct(F.col("s"), F.col("event_id"))).alias("f")
+    )
+    b = first.select(
+        F.col("user_id").alias("user_id"),
+        F.col("sid").alias("sid"),
+        F.col("event_type").alias("et2"),
+        F.col("f").alias("f2"),
+    )
+    pairs = first.join(b, ["user_id", "sid"]).filter(
+        F.col("event_type") < F.col("et2")
+    )
+    agg = pairs.groupBy(
+        F.col("event_type").alias("et1"), "et2"
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum((F.col("f") < F.col("f2")).cast("long")).alias("n_first"),
+    )
+    share = F.col("n_first").cast("double") / F.col("n_sessions").cast(
+        "double"
+    )
+    return agg.select(
+        "et1",
+        "et2",
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        F.col("n_first").cast("long").alias("n_first"),
+        F.floor(share * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "share_first_e6"
+        ),
+    ).orderBy("et1", "et2")
+
+
+SQL_PRECEDENCE = f"""
+WITH g AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         lag(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev
+  FROM events
+), sb AS (
+  SELECT user_id, event_id, event_type, s,
+         CAST(sum(CASE WHEN prev IS NULL OR s - prev > 1800
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY s, event_id)
+              AS BIGINT) AS sid
+  FROM g
+), first AS (
+  SELECT user_id, sid, event_type,
+         min(s * 100000000 + event_id) AS fkey
+  FROM sb GROUP BY 1, 2, 3
+), pairs AS (
+  SELECT a.event_type AS et1, b.event_type AS et2,
+         CASE WHEN a.fkey < b.fkey THEN 1 ELSE 0 END AS afirst
+  FROM first a
+  JOIN first b ON b.user_id = a.user_id AND b.sid = a.sid
+  WHERE a.event_type < b.event_type
+)
+SELECT et1, et2, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(afirst) AS BIGINT) AS n_first,
+       CAST(floor(CAST(sum(afirst) AS DOUBLE) / count(*) * 1000000
+                  + {_OFF}) AS BIGINT) AS share_first_e6
+FROM pairs
+GROUP BY 1, 2
+ORDER BY et1, et2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hubness_skew": q_hubness_skew,
     "embedding_anisotropy": q_embedding_anisotropy,
     "ovl_coefficient": q_ovl_coefficient,
     "whittaker_beta": q_whittaker_beta,
+    "term_position_bias": q_term_position_bias,
+    "gibrat_law": q_gibrat_law,
+    "spectral_flatness": q_spectral_flatness,
+    "precedence_matrix": q_precedence_matrix,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -425,4 +865,8 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_anisotropy": SQL_ANISOTROPY,
     "ovl_coefficient": SQL_OVL,
     "whittaker_beta": SQL_WHITTAKER,
+    "term_position_bias": SQL_TERM_POSITION,
+    "gibrat_law": SQL_GIBRAT,
+    "spectral_flatness": SQL_SPECTRAL_FLATNESS,
+    "precedence_matrix": SQL_PRECEDENCE,
 }
