@@ -849,6 +849,513 @@ ORDER BY et1, et2
 """
 
 
+
+# ---------------------------------------------------------------------------
+# adjacent_containment — 5-gram containment of crawl-adjacent doc pairs
+# ---------------------------------------------------------------------------
+# Crawl streams emit near-duplicate RUNS (pagination, template
+# variants), so containment |S_a cap S_b| / |S_a| between CONSECUTIVE
+# docs (doc_id order per source) is the cheap first-pass dup signal
+# (Broder, SEQUENCES 1997 containment; complements the blocked
+# source_containment).  Pairs are adjacency-bounded (n-1 per source,
+# never quadratic); word-5-gram sets via the rankprofile slice
+# construction; all counts exact.
+
+
+def q_adjacent_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("source", "doc_id", "text")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    d = d.withColumn("nxt", F.lead("doc_id").over(w))
+    sh = d.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                # sequence(1, 0) DESCENDS and slice() rejects start 0
+                # (house trap, cf. text/rankprofile.py) — gate on token
+                # count instead of filtering after the fact
+                F.expr(
+                    "CASE WHEN size(split(trim(text), '\\\\s+')) >= 5 THEN"
+                    " transform(sequence(1, size(split(trim(text), '\\\\s+'))"
+                    " - 4), i -> array_join(slice(split(trim(text),"
+                    " '\\\\s+'), i, 5), ' '))"
+                    " ELSE array() END"
+                )
+            )
+        ).alias("g"),
+    )
+    sz = sh.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    pairs = d.filter(F.col("nxt").isNotNull()).select(
+        "source", "doc_id", "nxt"
+    )
+    rhs = sh.select(
+        F.col("source").alias("source"),
+        F.col("doc_id").alias("nxt"),
+        F.col("g").alias("g"),
+    )
+    inter = (
+        sh.join(pairs, ["source", "doc_id"])
+        .join(rhs, ["source", "nxt", "g"])
+        .groupBy("source", "doc_id")
+        .agg(F.count(F.lit(1)).alias("ninter"))
+    )
+    per = (
+        pairs.join(sz, ["source", "doc_id"])
+        .join(inter, ["source", "doc_id"], "left")
+        .fillna(0, subset=["ninter"])
+    )
+    cont = F.col("ninter").cast("double") / F.col("na").cast("double")
+    per = per.filter(F.col("na") > 0).select(
+        "source",
+        F.floor(cont * 1e9 + F.lit(_OFF)).cast("long").alias("c9"),
+    )
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("c9").alias("sc9"),
+        F.max("c9").alias("max_c9"),
+        F.sum((F.col("c9") >= 500_000_000).cast("long")).alias("n_half"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.floor(
+            F.col("sc9").cast("double") / 1e9
+            / F.col("n_pairs").cast("double")
+            * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("mean_cont_e6"),
+        F.floor(F.col("max_c9").cast("double") / 1e9 * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("max_cont_e6"),
+        F.col("n_half").cast("long").alias("n_over_half"),
+    ).orderBy("source")
+
+
+SQL_ADJ_CONTAINMENT = f"""
+WITH d AS (
+  SELECT source, doc_id, text,
+         lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS nxt
+  FROM documents
+), sh AS (
+  SELECT source, doc_id, unnest(list_distinct(list_filter(
+           list_transform(
+             generate_series(1, greatest(
+               len(regexp_split_to_array(trim(text), '\\s+')) - 4, 0)),
+             i -> array_to_string(
+                    regexp_split_to_array(trim(text), '\\s+')[i:i+4],
+                    ' ')),
+           x -> x <> ''))) AS g
+  FROM d
+), sz AS (
+  SELECT source, doc_id, CAST(count(*) AS BIGINT) AS na
+  FROM sh GROUP BY 1, 2
+), pairs AS (
+  SELECT source, doc_id, nxt FROM d WHERE nxt IS NOT NULL
+), inter AS (
+  SELECT p.source, p.doc_id, CAST(count(*) AS BIGINT) AS ninter
+  FROM pairs p
+  JOIN sh a ON a.source = p.source AND a.doc_id = p.doc_id
+  JOIN sh b ON b.source = p.source AND b.doc_id = p.nxt AND b.g = a.g
+  GROUP BY 1, 2
+), per AS (
+  SELECT p.source,
+         CAST(floor(CAST(COALESCE(i.ninter, 0) AS DOUBLE) / sz.na * 1e9
+                    + {_OFF}) AS BIGINT) AS c9
+  FROM pairs p
+  JOIN sz ON sz.source = p.source AND sz.doc_id = p.doc_id
+  LEFT JOIN inter i ON i.source = p.source AND i.doc_id = p.doc_id
+  WHERE sz.na > 0
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(floor(CAST(sum(c9) AS DOUBLE) / 1e9 / count(*) * 1000000
+                  + {_OFF}) AS BIGINT) AS mean_cont_e6,
+       CAST(floor(CAST(max(c9) AS DOUBLE) / 1e9 * 1000000 + {_OFF})
+            AS BIGINT) AS max_cont_e6,
+       CAST(sum(CASE WHEN c9 >= 500000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over_half
+FROM per
+GROUP BY 1
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# cochran_armitage — trend in the weekly purchase share
+# ---------------------------------------------------------------------------
+# Cochran (Biometrics 10, 1954) / Armitage (Biometrics 11, 1955):
+# trend test for proportions across ordered groups — here the share
+# of purchase events across calendar weeks with the week index as
+# score.  T = sum w_k (x_k - n_k p-bar), Var = p-bar (1 - p-bar)
+# (sum n w^2 - (sum n w)^2 / N): every sum is an exact BIGINT, the
+# z chain is fixed-order (zero refloors).
+
+
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wk = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / (86_400_000_000 * 7)
+    )
+    per = ev.groupBy(wk.cast("long").alias("w")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("x"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("x").alias("xx"),
+        F.sum(F.col("w") * F.col("x")).alias("swx"),
+        F.sum(F.col("w") * F.col("n")).alias("swn"),
+        F.sum(F.col("w") * F.col("w") * F.col("n")).alias("swwn"),
+    )
+    nn = F.col("nn").cast("double")
+    pbar = F.col("xx").cast("double") / nn
+    t = F.col("swx").cast("double") - pbar * F.col("swn").cast("double")
+    varr = (
+        pbar
+        * (1.0 - pbar)
+        * (
+            F.col("swwn").cast("double")
+            - F.col("swn").cast("double")
+            * F.col("swn").cast("double")
+            / nn
+        )
+    )
+    z = t / F.sqrt(varr)
+    return agg.filter((F.col("k") >= 3) & (varr > 0)).select(
+        F.col("k").cast("long").alias("n_weeks"),
+        F.col("nn").cast("long").alias("n_events"),
+        F.col("xx").cast("long").alias("n_purchase"),
+        F.floor(pbar * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "pbar_e6"
+        ),
+        F.floor(z * 10_000 + F.lit(_OFF)).cast("long").alias("z_e4"),
+    )
+
+
+SQL_COCHRAN_ARMITAGE = f"""
+WITH per AS (
+  SELECT CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM events GROUP BY 1
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(x) AS BIGINT) AS xx,
+         CAST(sum(w * x) AS BIGINT) AS swx,
+         CAST(sum(w * n) AS BIGINT) AS swn,
+         CAST(sum(w * w * n) AS BIGINT) AS swwn
+  FROM per
+), f AS (
+  SELECT k, nn, xx,
+         CAST(xx AS DOUBLE) / nn AS pbar,
+         CAST(swx AS DOUBLE) - (CAST(xx AS DOUBLE) / nn)
+           * CAST(swn AS DOUBLE) AS t,
+         (CAST(xx AS DOUBLE) / nn) * (1.0 - CAST(xx AS DOUBLE) / nn)
+           * (CAST(swwn AS DOUBLE)
+              - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE) / nn) AS varr
+  FROM agg
+)
+SELECT k AS n_weeks, nn AS n_events, xx AS n_purchase,
+       CAST(floor(pbar * 1000000 + {_OFF}) AS BIGINT) AS pbar_e6,
+       CAST(floor(t / sqrt(varr) * 10000 + {_OFF}) AS BIGINT) AS z_e4
+FROM f
+WHERE k >= 3 AND varr > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# welch_anova — heteroskedastic one-way Welch ANOVA across event types
+# ---------------------------------------------------------------------------
+# Welch (Biometrika 38, 1951): F* over k groups without the equal-
+# variance assumption, with Satterthwaite-style df2.  Groups = event
+# types, observations = daily counts; per-group n / sum / sum-sq are
+# exact BIGINT; the weight chain w_j = n_j / s_j^2 and the F*/df2
+# assembly run over the BOUNDED group table (k rows, e9-floored per
+# group before cross-group sums — order-free).
+
+
+def q_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("ss"),
+    ).filter(F.col("n") >= 3)
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    var = (
+        (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+        / (nd * (nd - 1.0))
+    )
+    wcol = nd / var
+    g = g.filter(var > 0).select(
+        "event_type",
+        F.col("n").alias("n"),
+        F.floor(wcol * 1e9 + F.lit(_OFF)).cast("long").alias("w9"),
+        F.floor(wcol * mean * 1e9 + F.lit(_OFF)).cast("long").alias("wm9"),
+        F.floor(wcol * mean * mean * 1e9 + F.lit(_OFF))
+        .cast("long")
+        .alias("wmm9"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("w9").alias("sw9"),
+        F.sum("wm9").alias("swm9"),
+        F.sum("wmm9").alias("swmm9"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    kd = F.col("k").cast("double")
+    w = F.col("w9").cast("double") / 1e9
+    sw = F.col("sw9").cast("double") / 1e9
+    term = (1.0 - w / sw) * (1.0 - w / sw) / (F.col("n").cast("double") - 1.0)
+    lam = j.select(
+        "k",
+        "sw9",
+        "swm9",
+        "swmm9",
+        F.floor(term * 1e9 + F.lit(_OFF)).cast("long").alias("t9"),
+    ).groupBy("k", "sw9", "swm9", "swmm9").agg(F.sum("t9").alias("st9"))
+    kd = F.col("k").cast("double")
+    sw = F.col("sw9").cast("double") / 1e9
+    swm = F.col("swm9").cast("double") / 1e9
+    swmm = F.col("swmm9").cast("double") / 1e9
+    lt = F.col("st9").cast("double") / 1e9
+    gbar = swm / sw
+    num = (swmm - sw * gbar * gbar) / (kd - 1.0)
+    den = 1.0 + 2.0 * (kd - 2.0) / (kd * kd - 1.0) * lt
+    fstar = num / den
+    df2 = (kd * kd - 1.0) / (3.0 * lt)
+    return lam.filter((F.col("k") >= 3) & (F.col("st9") > 0)).select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.floor(fstar * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "fstar_e4"
+        ),
+        F.floor(df2 * 100 + F.lit(_OFF)).cast("long").alias("df2_e2"),
+    )
+
+
+SQL_WELCH_ANOVA = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), g0 AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS s,
+         CAST(sum(y * y) AS BIGINT) AS ss
+  FROM daily GROUP BY 1
+), g AS (
+  SELECT event_type, n,
+         CAST(floor(CAST(n AS DOUBLE)
+                    / (CAST(n * ss - s * s AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * (n - 1.0)))
+                    * 1e9 + {_OFF}) AS BIGINT) AS w9,
+         CAST(floor(CAST(n AS DOUBLE)
+                    / (CAST(n * ss - s * s AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * (n - 1.0)))
+                    * (CAST(s AS DOUBLE) / n) * 1e9 + {_OFF})
+              AS BIGINT) AS wm9,
+         CAST(floor(CAST(n AS DOUBLE)
+                    / (CAST(n * ss - s * s AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * (n - 1.0)))
+                    * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)
+                    * 1e9 + {_OFF}) AS BIGINT) AS wmm9
+  FROM g0
+  WHERE n >= 3 AND n * ss - s * s > 0
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(w9) AS BIGINT) AS sw9,
+         CAST(sum(wm9) AS BIGINT) AS swm9,
+         CAST(sum(wmm9) AS BIGINT) AS swmm9
+  FROM g
+), lam AS (
+  SELECT tot.k, tot.sw9, tot.swm9, tot.swmm9,
+         CAST(sum(CAST(floor((1.0 - (CAST(g.w9 AS DOUBLE) / 1e9)
+                                    / (CAST(tot.sw9 AS DOUBLE) / 1e9))
+                             * (1.0 - (CAST(g.w9 AS DOUBLE) / 1e9)
+                                      / (CAST(tot.sw9 AS DOUBLE) / 1e9))
+                             / (CAST(g.n AS DOUBLE) - 1.0) * 1e9 + {_OFF})
+                        AS BIGINT)) AS BIGINT) AS st9
+  FROM g CROSS JOIN tot
+  GROUP BY 1, 2, 3, 4
+)
+SELECT k AS k_groups,
+       CAST(floor(((CAST(swmm9 AS DOUBLE) / 1e9
+                    - (CAST(sw9 AS DOUBLE) / 1e9)
+                      * ((CAST(swm9 AS DOUBLE) / 1e9)
+                         / (CAST(sw9 AS DOUBLE) / 1e9))
+                      * ((CAST(swm9 AS DOUBLE) / 1e9)
+                         / (CAST(sw9 AS DOUBLE) / 1e9)))
+                   / (CAST(k AS DOUBLE) - 1.0))
+                  / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0)
+                         / (CAST(k AS DOUBLE) * k - 1.0)
+                         * (CAST(st9 AS DOUBLE) / 1e9))
+                  * 10000 + {_OFF}) AS BIGINT) AS fstar_e4,
+       CAST(floor((CAST(k AS DOUBLE) * k - 1.0)
+                  / (3.0 * (CAST(st9 AS DOUBLE) / 1e9)) * 100 + {_OFF})
+            AS BIGINT) AS df2_e2
+FROM lam
+WHERE k >= 3 AND st9 > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# markov_stationary — power-iteration stationary law vs empirical mix
+# ---------------------------------------------------------------------------
+# The stationary distribution of the event-type transition chain
+# (3 unrolled power iterations from uniform — the fixed-iteration
+# SQL-expressible design of domain_pagerank) compared to the
+# empirical type mix: a large gap flags non-ergodic sampling.
+# Transition probabilities are e9-floored integers; the state vector
+# is REFLOORED to e9 after every iteration, so the <= k-term fold can
+# never leak sum-order noise.
+
+
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+    wo = Window.partitionBy("user_id").orderBy("s", "event_id")
+    tr = (
+        ev.select(
+            "user_id", "event_id", "event_type", sec.cast("long").alias("s")
+        )
+        .withColumn("nxt", F.lead("event_type").over(wo))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rowtot = tr.groupBy("a").agg(F.sum("c").alias("t"))
+    pmat = tr.join(F.broadcast(rowtot), "a").select(
+        "a",
+        "b",
+        F.floor(
+            F.col("c").cast("double") / F.col("t").cast("double") * 1e9
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("p9"),
+    )
+    states = rowtot.select(F.col("a").alias("st"))
+    nstates = states.count()
+    v = states.select(
+        "st",
+        F.lit(int(round(1e9 / nstates))).alias("v9"),
+    )
+    for _ in range(3):
+        v = (
+            pmat.join(v.withColumnRenamed("st", "a"), "a")
+            .groupBy(F.col("b").alias("st"))
+            .agg(
+                F.floor(
+                    F.sum(
+                        F.col("p9").cast("double")
+                        * F.col("v9").cast("double")
+                        / 1e9
+                    )
+                    + F.lit(_OFF)
+                )
+                .cast("long")
+                .alias("v9")
+            )
+        )
+    emp = ev.groupBy(F.col("event_type").alias("st")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    etot = emp.agg(F.sum("c").alias("t"))
+    emp = emp.crossJoin(F.broadcast(etot)).select(
+        "st",
+        F.floor(
+            F.col("c").cast("double") / F.col("t").cast("double") * 1e9
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("e9"),
+    )
+    out = v.join(emp, "st")
+    return out.select(
+        F.col("st").alias("event_type"),
+        F.floor(F.col("v9").cast("double") / 1e9 * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("stationary_e6"),
+        F.floor(F.col("e9").cast("double") / 1e9 * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("empirical_e6"),
+        F.floor(
+            F.abs(F.col("v9") - F.col("e9")).cast("double")
+            / 1e9
+            * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("absdiff_e6"),
+    ).orderBy("event_type")
+
+
+def _sql_markov_stationary() -> str:
+    iters = []
+    prev = "v0"
+    for i in range(1, 4):
+        iters.append(f"""
+v{i} AS MATERIALIZED (
+  SELECT p.b AS st,
+         CAST(floor(sum(CAST(p.p9 AS DOUBLE) * v.v9 / 1e9) + {{OFF}})
+              AS BIGINT) AS v9
+  FROM pmat p JOIN {prev} v ON v.st = p.a
+  GROUP BY 1
+)""")
+        prev = f"v{i}"
+    chain = ",".join(iters)
+    return f"""
+WITH tr AS (
+  SELECT event_type AS a,
+         lead(event_type) OVER (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS b
+  FROM events QUALIFY b IS NOT NULL
+), cnt AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2
+), rowtot AS (
+  SELECT a, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1
+), pmat AS MATERIALIZED (
+  SELECT cnt.a, cnt.b,
+         CAST(floor(CAST(cnt.c AS DOUBLE) / rowtot.t * 1e9 + {{OFF}})
+              AS BIGINT) AS p9
+  FROM cnt JOIN rowtot ON rowtot.a = cnt.a
+), nst AS (
+  SELECT CAST(count(*) AS BIGINT) AS k FROM rowtot
+), v0 AS (
+  SELECT a AS st,
+         CAST(round(1e9 / (SELECT k FROM nst)) AS BIGINT) AS v9
+  FROM rowtot
+),{chain},
+emp AS (
+  SELECT event_type AS st,
+         CAST(floor(CAST(count(*) AS DOUBLE)
+                    / (SELECT count(*) FROM events) * 1e9 + {{OFF}})
+              AS BIGINT) AS e9
+  FROM events GROUP BY 1
+)
+SELECT v.st AS event_type,
+       CAST(floor(CAST(v.v9 AS DOUBLE) / 1e9 * 1000000 + {{OFF}})
+            AS BIGINT) AS stationary_e6,
+       CAST(floor(CAST(emp.e9 AS DOUBLE) / 1e9 * 1000000 + {{OFF}})
+            AS BIGINT) AS empirical_e6,
+       CAST(floor(CAST(abs(v.v9 - emp.e9) AS DOUBLE) / 1e9 * 1000000
+                  + {{OFF}}) AS BIGINT) AS absdiff_e6
+FROM {prev} v JOIN emp ON emp.st = v.st
+ORDER BY event_type
+""".format(OFF=_OFF)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hubness_skew": q_hubness_skew,
     "embedding_anisotropy": q_embedding_anisotropy,
@@ -858,6 +1365,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gibrat_law": q_gibrat_law,
     "spectral_flatness": q_spectral_flatness,
     "precedence_matrix": q_precedence_matrix,
+    "adjacent_containment": q_adjacent_containment,
+    "cochran_armitage": q_cochran_armitage,
+    "welch_anova": q_welch_anova,
+    "markov_stationary": q_markov_stationary,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -869,4 +1380,8 @@ ORACLE_SQL: dict[str, str] = {
     "gibrat_law": SQL_GIBRAT,
     "spectral_flatness": SQL_SPECTRAL_FLATNESS,
     "precedence_matrix": SQL_PRECEDENCE,
+    "adjacent_containment": SQL_ADJ_CONTAINMENT,
+    "cochran_armitage": SQL_COCHRAN_ARMITAGE,
+    "welch_anova": SQL_WELCH_ANOVA,
+    "markov_stationary": _sql_markov_stationary(),
 }
