@@ -1356,6 +1356,432 @@ ORDER BY event_type
 """.format(OFF=_OFF)
 
 
+
+# ---------------------------------------------------------------------------
+# topk_tenure — tenure distribution of weekly top-10 users
+# ---------------------------------------------------------------------------
+# Leaderboard persistence: for every user who EVER enters the weekly
+# top-10 (by event count, ties -> user_id asc), how many weeks do they
+# hold a slot?  Complements topk_churn (which measures set turnover)
+# with the per-member tenure histogram.  Rank windows are per-week
+# (bounded); everything is exact counting.
+
+
+def q_topk_tenure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wk = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / (86_400_000_000 * 7)
+    )
+    per = ev.groupBy(wk.cast("long").alias("w"), "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wr = Window.partitionBy("w").orderBy(F.desc("c"), F.asc("user_id"))
+    top = per.withColumn("rk", F.row_number().over(wr)).filter(
+        F.col("rk") <= 10
+    )
+    ten = top.groupBy("user_id").agg(F.count(F.lit(1)).alias("tenure"))
+    hist = ten.groupBy("tenure").agg(F.count(F.lit(1)).alias("n_users"))
+    tot = hist.agg(F.sum("n_users").alias("t"))
+    out = hist.crossJoin(F.broadcast(tot))
+    return out.select(
+        F.col("tenure").cast("long").alias("tenure_weeks"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.floor(
+            F.col("n_users").cast("double") / F.col("t").cast("double")
+            * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("share_e6"),
+    ).orderBy("tenure_weeks")
+
+
+SQL_TOPK_TENURE = f"""
+WITH per AS (
+  SELECT CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w, user_id,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), top AS (
+  SELECT user_id FROM (
+    SELECT w, user_id,
+           row_number() OVER (PARTITION BY w
+                              ORDER BY c DESC, user_id ASC) AS rk
+    FROM per
+  ) WHERE rk <= 10
+), ten AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS tenure
+  FROM top GROUP BY 1
+), hist AS (
+  SELECT tenure, CAST(count(*) AS BIGINT) AS n_users
+  FROM ten GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_users) AS BIGINT) AS t FROM hist
+)
+SELECT tenure AS tenure_weeks, n_users,
+       CAST(floor(CAST(n_users AS DOUBLE) / t * 1000000 + {_OFF})
+            AS BIGINT) AS share_e6
+FROM hist CROSS JOIN tot
+ORDER BY tenure_weeks
+"""
+
+
+# ---------------------------------------------------------------------------
+# nested_variance_components — day-within-week variance decomposition
+# ---------------------------------------------------------------------------
+# Searle, Casella & McCulloch (Variance Components, 1992 ch. 3): the
+# two-level nested random model hourly = mu + week + day(week) + e,
+# estimated by the ANOVA method of moments on the GLOBAL hourly count
+# series.  All sums of squares come from exact BIGINT sums with the
+# per-group S^2/n terms e6-floored (bounded group tables); the
+# coefficient chain (unbalanced k-factors) is fixed-order.
+
+
+def q_nested_variance_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hr = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+    ).cast("long")
+    h = ev.groupBy(hr.alias("h")).agg(F.count(F.lit(1)).alias("y"))
+    h = h.select(
+        (F.floor(F.col("h") / 168)).cast("long").alias("wk"),
+        (F.floor(F.col("h") / 24)).cast("long").alias("day"),
+        "y",
+    )
+    dayg = h.groupBy("wk", "day").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("y").alias("sd"),
+    )
+    rat_d = (F.col("sd") * F.col("sd")).cast("double") / F.col("nd").cast(
+        "double"
+    )
+    dayg = dayg.withColumn(
+        "r6", F.floor(rat_d * 1e6 + F.lit(_OFF)).cast("long")
+    )
+    wkg = dayg.groupBy("wk").agg(
+        F.sum("nd").alias("nw"),
+        F.sum("sd").alias("sw"),
+        F.sum("r6").alias("rd6"),
+        F.sum(F.col("nd") * F.col("nd")).alias("snd2"),
+        F.count(F.lit(1)).alias("days_in_wk"),
+    )
+    rat_w = (F.col("sw") * F.col("sw")).cast("double") / F.col("nw").cast(
+        "double"
+    )
+    wkg = wkg.withColumn(
+        "rw6", F.floor(rat_w * 1e6 + F.lit(_OFF)).cast("long")
+    ).withColumn(
+        "k6",
+        F.floor(
+            F.col("snd2").cast("double") / F.col("nw").cast("double") * 1e6
+            + F.lit(_OFF)
+        ).cast("long"),
+    )
+    tot = h.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    lv = wkg.agg(
+        F.count(F.lit(1)).alias("a"),
+        F.sum("days_in_wk").alias("b"),
+        F.sum("rw6").alias("srw6"),
+        F.sum("rd6").alias("srd6"),
+        F.sum("k6").alias("sk6"),
+        F.sum("snd2").alias("snd2"),
+        F.sum((F.col("nw") * F.col("nw")).cast("long")).alias("snw2"),
+    )
+    j = tot.crossJoin(F.broadcast(lv))
+    nd = F.col("n").cast("double")
+    cf = F.col("s").cast("double") * F.col("s").cast("double") / nd
+    ssw = F.col("srw6").cast("double") / 1e6 - cf
+    ssd = (F.col("srd6") - F.col("srw6")).cast("double") / 1e6
+    sse = F.col("syy").cast("double") - F.col("srd6").cast("double") / 1e6
+    a = F.col("a").cast("double")
+    b = F.col("b").cast("double")
+    msw = ssw / (a - 1.0)
+    msd = ssd / (b - a)
+    mse = sse / (nd - b)
+    k1 = (nd - F.col("sk6").cast("double") / 1e6) / (b - a)
+    k2 = (
+        F.col("sk6").cast("double") / 1e6
+        - F.col("snd2").cast("double") / nd
+    ) / (a - 1.0)
+    k3 = (nd - F.col("snw2").cast("double") / nd) / (a - 1.0)
+    var_e = mse
+    var_d = (msd - mse) / k1
+    var_w = (msw - mse - k2 * var_d) / k3
+    return j.filter(
+        (F.col("a") >= 2) & (b > a) & (nd > b)
+    ).select(
+        F.col("a").cast("long").alias("n_weeks"),
+        F.col("b").cast("long").alias("n_days"),
+        F.col("n").cast("long").alias("n_hours"),
+        F.floor(var_w * 100 + F.lit(_OFF)).cast("long").alias("var_week_e2"),
+        F.floor(var_d * 100 + F.lit(_OFF)).cast("long").alias("var_day_e2"),
+        F.floor(var_e * 100 + F.lit(_OFF)).cast("long").alias(
+            "var_resid_e2"
+        ),
+    )
+
+
+SQL_NESTED_VAR = f"""
+WITH h AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hh,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), lv AS (
+  SELECT CAST(floor(hh / 168.0) AS BIGINT) AS wk,
+         CAST(floor(hh / 24.0) AS BIGINT) AS day, y
+  FROM h
+), dayg AS (
+  SELECT wk, day, CAST(count(*) AS BIGINT) AS nd,
+         CAST(sum(y) AS BIGINT) AS sd
+  FROM lv GROUP BY 1, 2
+), dayg6 AS (
+  SELECT wk, day, nd, sd,
+         CAST(floor(CAST(sd * sd AS DOUBLE) / nd * 1e6 + {_OFF})
+              AS BIGINT) AS r6
+  FROM dayg
+), wkg AS (
+  SELECT wk, CAST(sum(nd) AS BIGINT) AS nw,
+         CAST(sum(sd) AS BIGINT) AS sw,
+         CAST(sum(r6) AS BIGINT) AS rd6,
+         CAST(sum(nd * nd) AS BIGINT) AS snd2,
+         CAST(count(*) AS BIGINT) AS days_in_wk
+  FROM dayg6 GROUP BY 1
+), wkg6 AS (
+  SELECT wk, nw, sw, rd6, snd2, days_in_wk,
+         CAST(floor(CAST(sw * sw AS DOUBLE) / nw * 1e6 + {_OFF})
+              AS BIGINT) AS rw6,
+         CAST(floor(CAST(snd2 AS DOUBLE) / nw * 1e6 + {_OFF})
+              AS BIGINT) AS k6
+  FROM wkg
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM lv
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS a,
+         CAST(sum(days_in_wk) AS BIGINT) AS b,
+         CAST(sum(rw6) AS BIGINT) AS srw6,
+         CAST(sum(rd6) AS BIGINT) AS srd6,
+         CAST(sum(k6) AS BIGINT) AS sk6,
+         CAST(sum(snd2) AS BIGINT) AS snd2,
+         CAST(sum(nw * nw) AS BIGINT) AS snw2
+  FROM wkg6
+), f AS (
+  SELECT tot.n, tot.s, tot.syy, agg.*,
+         (CAST(srw6 AS DOUBLE) / 1e6
+          - CAST(s AS DOUBLE) * s / n) / (CAST(a AS DOUBLE) - 1.0) AS msw,
+         (CAST(srd6 - srw6 AS DOUBLE) / 1e6)
+           / (CAST(b AS DOUBLE) - a) AS msd,
+         (CAST(syy AS DOUBLE) - CAST(srd6 AS DOUBLE) / 1e6)
+           / (CAST(n AS DOUBLE) - b) AS mse,
+         (CAST(n AS DOUBLE) - CAST(sk6 AS DOUBLE) / 1e6)
+           / (CAST(b AS DOUBLE) - a) AS k1,
+         (CAST(sk6 AS DOUBLE) / 1e6 - CAST(snd2 AS DOUBLE) / n)
+           / (CAST(a AS DOUBLE) - 1.0) AS k2,
+         (CAST(n AS DOUBLE) - CAST(snw2 AS DOUBLE) / n)
+           / (CAST(a AS DOUBLE) - 1.0) AS k3
+  FROM tot CROSS JOIN agg
+)
+SELECT a AS n_weeks, b AS n_days, n AS n_hours,
+       CAST(floor((msw - mse - k2 * ((msd - mse) / k1)) / k3 * 100
+                  + {_OFF}) AS BIGINT) AS var_week_e2,
+       CAST(floor((msd - mse) / k1 * 100 + {_OFF}) AS BIGINT)
+         AS var_day_e2,
+       CAST(floor(mse * 100 + {_OFF}) AS BIGINT) AS var_resid_e2
+FROM f
+WHERE a >= 2 AND b > a AND n > b
+"""
+
+
+# ---------------------------------------------------------------------------
+# diel_amplitude_drift — week-over-week drift of the diel peak/mean ratio
+# ---------------------------------------------------------------------------
+# The amplitude companion to diel_phase_drift (queries_stats7): per
+# week, the diel profile's max-hour share over its mean-hour share
+# (peak-to-mean ratio, exact rational off hourly integer counts);
+# then the OLS drift across weeks on e9-floored weekly ratios.
+
+
+def q_diel_amplitude_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.unix_micros(F.col("ts").cast("timestamp"))
+    per = ev.groupBy(
+        "event_type",
+        F.floor(sec / (86_400_000_000 * 7)).cast("long").alias("wk"),
+        (F.floor(sec / 3_600_000_000) % 24).cast("long").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wkly = per.groupBy("event_type", "wk").agg(
+        F.max("c").alias("peak"),
+        F.sum("c").alias("tot"),
+        F.count(F.lit(1)).alias("n_hrs"),
+    )
+    ratio = (
+        F.col("peak").cast("double")
+        * F.col("n_hrs").cast("double")
+        / F.col("tot").cast("double")
+    )
+    wkly = wkly.filter(F.col("tot") > 0).select(
+        "event_type",
+        "wk",
+        F.floor(ratio * 1e9 + F.lit(_OFF)).cast("long").alias("r9"),
+    )
+    yd = F.col("r9").cast("double") / 1e9
+    pts = wkly.select(
+        "event_type",
+        "wk",
+        "r9",
+        F.floor(F.col("wk").cast("double") * yd * 1e9 + F.lit(_OFF))
+        .cast("long")
+        .alias("xy9"),
+        (F.col("wk") * F.col("wk")).alias("xx"),
+    )
+    agg = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("wk").alias("sw"),
+        F.sum("r9").alias("sr9"),
+        F.sum("xy9").alias("sxy9"),
+        F.sum("xx").alias("sxx"),
+    )
+    md = F.col("m").cast("double")
+    sw = F.col("sw").cast("double")
+    sr = F.col("sr9").cast("double") / 1e9
+    sxy = F.col("sxy9").cast("double") / 1e9
+    sxx = F.col("sxx").cast("double")
+    den = md * sxx - sw * sw
+    slope = (md * sxy - sw * sr) / den
+    return agg.filter((F.col("m") >= 3) & (den > 0)).select(
+        "event_type",
+        F.col("m").cast("long").alias("n_weeks"),
+        F.floor(sr / md * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "mean_ratio_e4"
+        ),
+        F.floor(slope * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "slope_e6"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_DIEL_AMPLITUDE = f"""
+WITH per AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hr,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3
+), wkly AS (
+  SELECT event_type, wk,
+         CAST(floor(CAST(max(c) AS DOUBLE) * count(*) / sum(c) * 1e9
+                    + {_OFF}) AS BIGINT) AS r9
+  FROM per GROUP BY 1, 2 HAVING sum(c) > 0
+), pts AS (
+  SELECT event_type, wk, r9,
+         CAST(floor(CAST(wk AS DOUBLE) * (CAST(r9 AS DOUBLE) / 1e9) * 1e9
+                    + {_OFF}) AS BIGINT) AS xy9,
+         CAST(wk * wk AS BIGINT) AS xx
+  FROM wkly
+), agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(wk) AS BIGINT) AS sw,
+         CAST(sum(r9) AS BIGINT) AS sr9,
+         CAST(sum(xy9) AS BIGINT) AS sxy9,
+         CAST(sum(xx) AS BIGINT) AS sxx
+  FROM pts GROUP BY 1
+)
+SELECT event_type, m AS n_weeks,
+       CAST(floor((CAST(sr9 AS DOUBLE) / 1e9) / m * 10000 + {_OFF})
+            AS BIGINT) AS mean_ratio_e4,
+       CAST(floor((CAST(m AS DOUBLE) * (CAST(sxy9 AS DOUBLE) / 1e9)
+                   - CAST(sw AS DOUBLE) * (CAST(sr9 AS DOUBLE) / 1e9))
+                  / (CAST(m AS DOUBLE) * sxx
+                     - CAST(sw AS DOUBLE) * sw)
+                  * 1000000 + {_OFF}) AS BIGINT) AS slope_e6
+FROM agg
+WHERE m >= 3
+  AND CAST(m AS DOUBLE) * sxx - CAST(sw AS DOUBLE) * sw > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# transition_predictability — modal next-event hit rate per user
+# ---------------------------------------------------------------------------
+# Song, Qu, Blumm & Barabasi (Science 327, 2010) operationalized as
+# the 1-step Markov hit rate: for each user and current type, the
+# MODAL next type (ties -> lexicographically smallest) predicts; the
+# hit rate is the summed modal counts over total transitions — pure
+# exact counting with deterministic tie-breaks.
+
+
+def q_transition_predictability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+    wo = Window.partitionBy("user_id").orderBy("s", "event_id")
+    tr = (
+        ev.select(
+            "user_id", "event_id", "event_type", sec.cast("long").alias("s")
+        )
+        .withColumn("nxt", F.lead("event_type").over(wo))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("user_id", F.col("event_type").alias("a"), F.col("nxt"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wm = Window.partitionBy("user_id", "a").orderBy(
+        F.desc("c"), F.asc("nxt")
+    )
+    modal = tr.withColumn("rk", F.row_number().over(wm)).filter(
+        F.col("rk") == 1
+    )
+    hits = modal.groupBy("user_id").agg(F.sum("c").alias("hit"))
+    tots = tr.groupBy("user_id").agg(F.sum("c").alias("tot"))
+    j = hits.join(tots, "user_id").filter(F.col("tot") >= 10)
+    rate = F.col("hit").cast("double") / F.col("tot").cast("double")
+    return j.select(
+        "user_id",
+        F.col("tot").cast("long").alias("n_transitions"),
+        F.col("hit").cast("long").alias("n_hits"),
+        F.floor(rate * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "hit_rate_e6"
+        ),
+    ).orderBy("user_id")
+
+
+SQL_PREDICTABILITY = f"""
+WITH tr0 AS (
+  SELECT user_id, event_type AS a,
+         lead(event_type) OVER (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS nxt
+  FROM events QUALIFY nxt IS NOT NULL
+), tr AS (
+  SELECT user_id, a, nxt, CAST(count(*) AS BIGINT) AS c
+  FROM tr0 GROUP BY 1, 2, 3
+), modal AS (
+  SELECT user_id, c FROM (
+    SELECT user_id, a, c,
+           row_number() OVER (PARTITION BY user_id, a
+                              ORDER BY c DESC, nxt ASC) AS rk
+    FROM tr
+  ) WHERE rk = 1
+), hits AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS hit FROM modal GROUP BY 1
+), tots AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS tot FROM tr GROUP BY 1
+)
+SELECT h.user_id, t.tot AS n_transitions, h.hit AS n_hits,
+       CAST(floor(CAST(h.hit AS DOUBLE) / t.tot * 1000000 + {_OFF})
+            AS BIGINT) AS hit_rate_e6
+FROM hits h JOIN tots t ON t.user_id = h.user_id
+WHERE t.tot >= 10
+ORDER BY h.user_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hubness_skew": q_hubness_skew,
     "embedding_anisotropy": q_embedding_anisotropy,
@@ -1369,6 +1795,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cochran_armitage": q_cochran_armitage,
     "welch_anova": q_welch_anova,
     "markov_stationary": q_markov_stationary,
+    "topk_tenure": q_topk_tenure,
+    "nested_variance_components": q_nested_variance_components,
+    "diel_amplitude_drift": q_diel_amplitude_drift,
+    "transition_predictability": q_transition_predictability,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1384,4 +1814,8 @@ ORACLE_SQL: dict[str, str] = {
     "cochran_armitage": SQL_COCHRAN_ARMITAGE,
     "welch_anova": SQL_WELCH_ANOVA,
     "markov_stationary": _sql_markov_stationary(),
+    "topk_tenure": SQL_TOPK_TENURE,
+    "nested_variance_components": SQL_NESTED_VAR,
+    "diel_amplitude_drift": SQL_DIEL_AMPLITUDE,
+    "transition_predictability": SQL_PREDICTABILITY,
 }
