@@ -1782,6 +1782,418 @@ ORDER BY h.user_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# fleiss_kappa — multi-rater agreement over three in-engine labelers
+# ---------------------------------------------------------------------------
+# Fleiss (Psych Bull 76, 1971): kappa for m = 3 raters x binary
+# categories per language.  Raters: doc length, TTR (the shared
+# cohens_kappa pair) plus type count, each split at its exact
+# per-language lower median.  P-bar and Pe-bar are exact rationals:
+# per-doc agreement pairs sum_j n_ij (n_ij - 1) are integers, and the
+# category shares come off exact counts — one fixed-order chain.
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias(
+            "n_types"
+        ),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_toks"),
+    )
+    d = d.withColumn(
+        "ttr_e6",
+        F.floor(
+            F.col("n_types").cast("double") / F.col("n_toks") * 1_000_000
+            + F.lit(_OFF)
+        ).cast("long"),
+    )
+    wn = Window.partitionBy("lang")
+    r = d
+    for col, rcol in (
+        ("n_chars", "r_len"),
+        ("ttr_e6", "r_ttr"),
+        ("n_types", "r_typ"),
+    ):
+        w = Window.partitionBy("lang").orderBy(col, "doc_id")
+        r = r.withColumn(rcol, F.row_number().over(w))
+    r = r.withColumn("nn", F.count(F.lit(1)).over(wn))
+    med = F.floor((F.col("nn") - 1) / 2) + 1
+    meds = r.groupBy("lang").agg(
+        F.max(F.when(F.col("r_len") == med, F.col("n_chars"))).alias(
+            "m_len"
+        ),
+        F.max(F.when(F.col("r_ttr") == med, F.col("ttr_e6"))).alias(
+            "m_ttr"
+        ),
+        F.max(F.when(F.col("r_typ") == med, F.col("n_types"))).alias(
+            "m_typ"
+        ),
+    )
+    lab = d.join(F.broadcast(meds), "lang").select(
+        "lang",
+        (
+            (F.col("n_chars") > F.col("m_len")).cast("long")
+            + (F.col("ttr_e6") > F.col("m_ttr")).cast("long")
+            + (F.col("n_types") > F.col("m_typ")).cast("long")
+        ).alias("k1"),
+    )
+    # per-doc: k1 raters said 1, (3 - k1) said 0; pair-agreement count
+    pairs = lab.select(
+        "lang",
+        "k1",
+        (
+            F.col("k1") * (F.col("k1") - 1)
+            + (3 - F.col("k1")) * (2 - F.col("k1"))
+        ).alias("agree2"),
+    )
+    agg = pairs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("agree2").alias("sa"),
+        F.sum("k1").alias("s1"),
+    )
+    nd = F.col("n").cast("double")
+    pbar = F.col("sa").cast("double") / (nd * 6.0)
+    p1 = F.col("s1").cast("double") / (nd * 3.0)
+    pe = p1 * p1 + (1.0 - p1) * (1.0 - p1)
+    kappa = (pbar - pe) / (1.0 - pe)
+    return agg.filter((F.col("n") >= 4) & (pe < 1.0)).select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        F.floor(pbar * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "pbar_e6"
+        ),
+        F.floor(pe * 1_000_000 + F.lit(_OFF)).cast("long").alias("pe_e6"),
+        F.floor(kappa * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "kappa_e6"
+        ),
+    ).orderBy("lang")
+
+
+SQL_FLEISS = f"""
+WITH d AS (
+  SELECT lang, doc_id, n_chars,
+         len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+           AS n_types,
+         CAST(floor(CAST(len(list_distinct(
+                  regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
+                    / len(regexp_split_to_array(trim(text), '\\s+'))
+                    * 1000000 + {_OFF}) AS BIGINT) AS ttr_e6
+  FROM documents
+), r AS (
+  SELECT lang, doc_id, n_chars, ttr_e6, n_types,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars, doc_id) AS r_len,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY ttr_e6, doc_id) AS r_ttr,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_types, doc_id) AS r_typ,
+         count(*) OVER (PARTITION BY lang) AS nn
+  FROM d
+), meds AS (
+  SELECT lang,
+         max(CASE WHEN r_len = (nn - 1) // 2 + 1 THEN n_chars END) AS m_len,
+         max(CASE WHEN r_ttr = (nn - 1) // 2 + 1 THEN ttr_e6 END) AS m_ttr,
+         max(CASE WHEN r_typ = (nn - 1) // 2 + 1 THEN n_types END) AS m_typ
+  FROM r GROUP BY 1
+), lab AS (
+  SELECT d.lang,
+         (CASE WHEN d.n_chars > m.m_len THEN 1 ELSE 0 END
+          + CASE WHEN d.ttr_e6 > m.m_ttr THEN 1 ELSE 0 END
+          + CASE WHEN d.n_types > m.m_typ THEN 1 ELSE 0 END) AS k1
+  FROM d JOIN meds m ON m.lang = d.lang
+), agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(k1 * (k1 - 1) + (3 - k1) * (2 - k1)) AS BIGINT) AS sa,
+         CAST(sum(k1) AS BIGINT) AS s1
+  FROM lab GROUP BY 1
+), f AS (
+  SELECT lang, n,
+         CAST(sa AS DOUBLE) / (CAST(n AS DOUBLE) * 6.0) AS pbar,
+         (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0))
+           * (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0))
+         + (1.0 - CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0))
+           * (1.0 - CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0)) AS pe
+  FROM agg
+)
+SELECT lang, n AS n_docs,
+       CAST(floor(pbar * 1000000 + {_OFF}) AS BIGINT) AS pbar_e6,
+       CAST(floor(pe * 1000000 + {_OFF}) AS BIGINT) AS pe_e6,
+       CAST(floor((pbar - pe) / (1.0 - pe) * 1000000 + {_OFF})
+            AS BIGINT) AS kappa_e6
+FROM f
+WHERE n >= 4 AND pe < 1.0
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# burst_excitation — short-horizon clustering vs the memoryless bar
+# ---------------------------------------------------------------------------
+# A one-number self-excitation screen (the Hawkes intuition without
+# the fit): the observed share of inter-event gaps <= 60 s against
+# the exponential null 1 - exp(-60 / mean-gap).  Gaps are exact
+# integer seconds off one per-type lag; the null needs one exp().
+
+
+def q_burst_excitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+    wo = Window.partitionBy("event_type").orderBy("s", "event_id")
+    g = (
+        ev.select("event_type", "event_id", sec.cast("long").alias("s"))
+        .withColumn("prev", F.lag("s").over(wo))
+        .filter(F.col("prev").isNotNull())
+        .select("event_type", (F.col("s") - F.col("prev")).alias("gap"))
+    )
+    agg = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("gap").alias("sg"),
+        F.sum((F.col("gap") <= 60).cast("long")).alias("n60"),
+    )
+    nd = F.col("n").cast("double")
+    obs = F.col("n60").cast("double") / nd
+    mean_gap = F.col("sg").cast("double") / nd
+    expv = 1.0 - F.exp(-60.0 / mean_gap)
+    return agg.filter((F.col("n") >= 10) & (F.col("sg") > 0)).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_gaps"),
+        F.floor(obs * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "obs_share_e6"
+        ),
+        F.floor(expv * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "null_share_e6"
+        ),
+        F.floor(obs / expv * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "excitation_e4"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_BURST_EXCITATION = f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY event_type
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+           AS gap
+  FROM events QUALIFY gap IS NOT NULL
+), agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(gap) AS BIGINT) AS sg,
+         CAST(sum(CASE WHEN gap <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS n60
+  FROM g GROUP BY 1
+)
+SELECT event_type, n AS n_gaps,
+       CAST(floor(CAST(n60 AS DOUBLE) / n * 1000000 + {_OFF})
+            AS BIGINT) AS obs_share_e6,
+       CAST(floor((1.0 - exp(-60.0 / (CAST(sg AS DOUBLE) / n)))
+                  * 1000000 + {_OFF}) AS BIGINT) AS null_share_e6,
+       CAST(floor((CAST(n60 AS DOUBLE) / n)
+                  / (1.0 - exp(-60.0 / (CAST(sg AS DOUBLE) / n)))
+                  * 10000 + {_OFF}) AS BIGINT) AS excitation_e4
+FROM agg
+WHERE n >= 10 AND sg > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# type_run_lengths — run-length census of the per-user event-type stream
+# ---------------------------------------------------------------------------
+# Mood (Ann Math Stat 11, 1940) runs machinery applied to the symbol
+# stream: per event type, the distribution of consecutive-repeat run
+# lengths across users (runs via the lag != current break trick, all
+# exact integers).
+
+
+def q_type_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+    wo = Window.partitionBy("user_id").orderBy("s", "event_id")
+    g = (
+        ev.select(
+            "user_id", "event_id", "event_type", sec.cast("long").alias("s")
+        )
+        .withColumn("prev_t", F.lag("event_type").over(wo))
+        .withColumn(
+            "brk",
+            (
+                F.col("prev_t").isNull()
+                | (F.col("prev_t") != F.col("event_type"))
+            ).cast("long"),
+        )
+        .withColumn(
+            "rid",
+            F.sum("brk").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    runs = g.groupBy("user_id", "rid", "event_type").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    agg = runs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.sum("len").alias("sl"),
+        F.max("len").alias("max_len"),
+        F.sum((F.col("len") >= 3).cast("long")).alias("n_ge3"),
+    )
+    mean = F.col("sl").cast("double") / F.col("n_runs").cast("double")
+    return agg.select(
+        "event_type",
+        F.col("n_runs").cast("long").alias("n_runs"),
+        F.floor(mean * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "mean_len_e4"
+        ),
+        F.col("max_len").cast("long").alias("max_len"),
+        F.col("n_ge3").cast("long").alias("n_ge3"),
+    ).orderBy("event_type")
+
+
+SQL_TYPE_RUNS = f"""
+WITH g AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev_t
+  FROM events
+), b AS (
+  SELECT user_id, event_type,
+         CAST(sum(CASE WHEN prev_t IS NULL OR prev_t <> event_type
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY s, event_id)
+              AS BIGINT) AS rid
+  FROM g
+), runs AS (
+  SELECT user_id, rid, event_type, CAST(count(*) AS BIGINT) AS len
+  FROM b GROUP BY 1, 2, 3
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(floor(CAST(sum(len) AS DOUBLE) / count(*) * 10000 + {_OFF})
+            AS BIGINT) AS mean_len_e4,
+       CAST(max(len) AS BIGINT) AS max_len,
+       CAST(sum(CASE WHEN len >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge3
+FROM runs
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# winsor_impact — how much does winsorizing move the mean?
+# ---------------------------------------------------------------------------
+# Dixon (Ann Math Stat 31, 1960) winsorized means as a robustness
+# audit: per event type, the mean of centivalues vs the mean after
+# clipping at the exact (p01, p99), (p05, p95), (p10, p90) order
+# statistics of the centivalue domain.  Quantiles are exact inverse-
+# CDF order stats on the integer value domain; clipped sums are exact
+# BIGINT (clamp then sum).
+
+
+def q_winsor_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    cnt = v.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("v")
+    wn = Window.partitionBy("event_type")
+    cum = cnt.withColumn(
+        "cum", F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("tot", F.sum("c").over(wn))
+    qs = None
+    for nm, pct in (
+        ("q01", 1), ("q05", 5), ("q10", 10),
+        ("q90", 90), ("q95", 95), ("q99", 99),
+    ):
+        k = F.expr(f"((tot - 1) * {pct}) div 100") + 1
+        sel = cum.filter(
+            ((F.col("cum") - F.col("c")) < k) & (k <= F.col("cum"))
+        ).select("event_type", F.col("v").alias(nm))
+        qs = sel if qs is None else qs.join(sel, "event_type")
+    j = v.join(F.broadcast(qs), "event_type")
+
+    def clip(lo, hi):
+        return F.greatest(F.least(F.col("v"), F.col(hi)), F.col(lo))
+
+    agg = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s0"),
+        F.sum(clip("q01", "q99")).alias("s1"),
+        F.sum(clip("q05", "q95")).alias("s5"),
+        F.sum(clip("q10", "q90")).alias("s10"),
+    )
+    nd = F.col("n").cast("double")
+
+    def m(c):
+        return F.floor(
+            F.col(c).cast("double") / nd / 100.0 * 10_000 + F.lit(_OFF)
+        ).cast("long")
+
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        m("s0").alias("mean_e4"),
+        m("s1").alias("w01_mean_e4"),
+        m("s5").alias("w05_mean_e4"),
+        m("s10").alias("w10_mean_e4"),
+    ).orderBy("event_type")
+
+
+SQL_WINSOR = f"""
+WITH v AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), cnt AS (
+  SELECT event_type, v, count(*) AS c FROM v GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, v, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS tot
+  FROM cnt
+), q AS (
+  SELECT event_type,
+         max(CASE WHEN cum - c < ((tot - 1) * 1) // 100 + 1
+                   AND ((tot - 1) * 1) // 100 + 1 <= cum THEN v END) AS q01,
+         max(CASE WHEN cum - c < ((tot - 1) * 5) // 100 + 1
+                   AND ((tot - 1) * 5) // 100 + 1 <= cum THEN v END) AS q05,
+         max(CASE WHEN cum - c < ((tot - 1) * 10) // 100 + 1
+                   AND ((tot - 1) * 10) // 100 + 1 <= cum THEN v END) AS q10,
+         max(CASE WHEN cum - c < ((tot - 1) * 90) // 100 + 1
+                   AND ((tot - 1) * 90) // 100 + 1 <= cum THEN v END) AS q90,
+         max(CASE WHEN cum - c < ((tot - 1) * 95) // 100 + 1
+                   AND ((tot - 1) * 95) // 100 + 1 <= cum THEN v END) AS q95,
+         max(CASE WHEN cum - c < ((tot - 1) * 99) // 100 + 1
+                   AND ((tot - 1) * 99) // 100 + 1 <= cum THEN v END) AS q99
+  FROM cum GROUP BY 1
+), agg AS (
+  SELECT v.event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v.v) AS BIGINT) AS s0,
+         CAST(sum(greatest(least(v.v, q.q99), q.q01)) AS BIGINT) AS s1,
+         CAST(sum(greatest(least(v.v, q.q95), q.q05)) AS BIGINT) AS s5,
+         CAST(sum(greatest(least(v.v, q.q90), q.q10)) AS BIGINT) AS s10
+  FROM v JOIN q ON q.event_type = v.event_type
+  GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(floor(CAST(s0 AS DOUBLE) / n / 100.0 * 10000 + {_OFF})
+            AS BIGINT) AS mean_e4,
+       CAST(floor(CAST(s1 AS DOUBLE) / n / 100.0 * 10000 + {_OFF})
+            AS BIGINT) AS w01_mean_e4,
+       CAST(floor(CAST(s5 AS DOUBLE) / n / 100.0 * 10000 + {_OFF})
+            AS BIGINT) AS w05_mean_e4,
+       CAST(floor(CAST(s10 AS DOUBLE) / n / 100.0 * 10000 + {_OFF})
+            AS BIGINT) AS w10_mean_e4
+FROM agg
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hubness_skew": q_hubness_skew,
     "embedding_anisotropy": q_embedding_anisotropy,
@@ -1799,6 +2211,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nested_variance_components": q_nested_variance_components,
     "diel_amplitude_drift": q_diel_amplitude_drift,
     "transition_predictability": q_transition_predictability,
+    "fleiss_kappa": q_fleiss_kappa,
+    "burst_excitation": q_burst_excitation,
+    "type_run_lengths": q_type_run_lengths,
+    "winsor_impact": q_winsor_impact,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1818,4 +2234,8 @@ ORACLE_SQL: dict[str, str] = {
     "nested_variance_components": SQL_NESTED_VAR,
     "diel_amplitude_drift": SQL_DIEL_AMPLITUDE,
     "transition_predictability": SQL_PREDICTABILITY,
+    "fleiss_kappa": SQL_FLEISS,
+    "burst_excitation": SQL_BURST_EXCITATION,
+    "type_run_lengths": SQL_TYPE_RUNS,
+    "winsor_impact": SQL_WINSOR,
 }
