@@ -2194,6 +2194,312 @@ ORDER BY event_type
 """
 
 
+
+# ---------------------------------------------------------------------------
+# id_gap_audit — doc_id continuity audit per source (ingestion loss)
+# ---------------------------------------------------------------------------
+# Crawl/ingest pipelines assign monotone ids, so holes in the per-
+# source doc_id sequence measure loss: missing = span - count, plus
+# the largest single hole (max consecutive-id gap - 1, off one lag).
+# All exact integers.
+
+
+def q_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("source", "doc_id")
+    wo = Window.partitionBy("source").orderBy("doc_id")
+    g = d.withColumn("prev", F.lag("doc_id").over(wo))
+    agg = g.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+        F.max(F.col("doc_id") - F.col("prev")).alias("maxstep"),
+    )
+    span = F.col("hi") - F.col("lo") + 1
+    missing = span - F.col("n")
+    share = missing.cast("double") / span.cast("double")
+    return agg.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        span.cast("long").alias("span"),
+        missing.cast("long").alias("n_missing"),
+        (F.col("maxstep") - 1).cast("long").alias("max_hole"),
+        F.floor(share * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "missing_share_e6"
+        ),
+    ).orderBy("source")
+
+
+SQL_ID_GAP = f"""
+WITH g AS (
+  SELECT source, doc_id,
+         lag(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS prev
+  FROM documents
+), agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(min(doc_id) AS BIGINT) AS lo,
+         CAST(max(doc_id) AS BIGINT) AS hi,
+         CAST(max(doc_id - prev) AS BIGINT) AS maxstep
+  FROM g GROUP BY 1
+)
+SELECT source, n AS n_docs,
+       CAST(hi - lo + 1 AS BIGINT) AS span,
+       CAST(hi - lo + 1 - n AS BIGINT) AS n_missing,
+       CAST(maxstep - 1 AS BIGINT) AS max_hole,
+       CAST(floor(CAST(hi - lo + 1 - n AS DOUBLE) / (hi - lo + 1)
+                  * 1000000 + {_OFF}) AS BIGINT) AS missing_share_e6
+FROM agg
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# lang_mix_drift — language-mix shift between corpus halves
+# ---------------------------------------------------------------------------
+# Streaming-ingest drift check: the language shares in the first vs
+# second half of the doc_id RANGE (ids are the monotone ingest order,
+# so the range midpoint is the scale-clean split — no partition-less
+# window over the corpus), with the 2 x k chi-square of homogeneity.
+# Expected counts and chi terms are per-lang (bounded).
+
+
+def q_lang_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("doc_id", "lang")
+    span = d.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    half = d.crossJoin(F.broadcast(span)).select(
+        "lang",
+        (
+            F.col("doc_id") * 2 <= F.col("lo") + F.col("hi")
+        ).cast("long").alias("h1"),
+    )
+    per = half.groupBy("lang").agg(
+        F.sum("h1").alias("a"),
+        F.sum(1 - F.col("h1")).alias("b"),
+    )
+    t = per.agg(
+        F.sum("a").alias("ta"), F.sum("b").alias("tb")
+    )
+    j = per.crossJoin(F.broadcast(t))
+    n = (F.col("ta") + F.col("tb")).cast("double")
+    rowt = (F.col("a") + F.col("b")).cast("double")
+    ea = rowt * F.col("ta").cast("double") / n
+    eb = rowt * F.col("tb").cast("double") / n
+    chi = (
+        (F.col("a").cast("double") - ea) * (F.col("a").cast("double") - ea)
+        / ea
+        + (F.col("b").cast("double") - eb)
+        * (F.col("b").cast("double") - eb)
+        / eb
+    )
+    share1 = F.col("a").cast("double") / F.col("ta").cast("double")
+    share2 = F.col("b").cast("double") / F.col("tb").cast("double")
+    return j.filter((ea > 0) & (eb > 0)).select(
+        "lang",
+        F.col("a").cast("long").alias("n_first"),
+        F.col("b").cast("long").alias("n_second"),
+        F.floor(share1 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "share1_e6"
+        ),
+        F.floor(share2 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "share2_e6"
+        ),
+        F.floor(chi * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "chi_e6"
+        ),
+    ).orderBy("lang")
+
+
+SQL_LANG_MIX = f"""
+WITH span AS (
+  SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents
+), half AS (
+  SELECT lang,
+         CASE WHEN doc_id * 2 <= span.lo + span.hi THEN 1 ELSE 0 END AS h1
+  FROM documents CROSS JOIN span
+), per AS (
+  SELECT lang, CAST(sum(h1) AS BIGINT) AS a,
+         CAST(sum(1 - h1) AS BIGINT) AS b
+  FROM half GROUP BY 1
+), t AS (
+  SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb
+  FROM per
+)
+SELECT lang, a AS n_first, b AS n_second,
+       CAST(floor(CAST(a AS DOUBLE) / ta * 1000000 + {_OFF})
+            AS BIGINT) AS share1_e6,
+       CAST(floor(CAST(b AS DOUBLE) / tb * 1000000 + {_OFF})
+            AS BIGINT) AS share2_e6,
+       CAST(floor(((CAST(a AS DOUBLE)
+                    - CAST(a + b AS DOUBLE) * ta / (ta + tb))
+                   * (CAST(a AS DOUBLE)
+                      - CAST(a + b AS DOUBLE) * ta / (ta + tb))
+                   / (CAST(a + b AS DOUBLE) * ta / (ta + tb))
+                   + (CAST(b AS DOUBLE)
+                      - CAST(a + b AS DOUBLE) * tb / (ta + tb))
+                     * (CAST(b AS DOUBLE)
+                        - CAST(a + b AS DOUBLE) * tb / (ta + tb))
+                     / (CAST(a + b AS DOUBLE) * tb / (ta + tb)))
+                  * 1000000 + {_OFF}) AS BIGINT) AS chi_e6
+FROM per CROSS JOIN t
+WHERE CAST(a + b AS DOUBLE) * ta / (ta + tb) > 0
+  AND CAST(a + b AS DOUBLE) * tb / (ta + tb) > 0
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# modal_hour_stability — does the diel peak hour move week to week?
+# ---------------------------------------------------------------------------
+# Per event type: the modal hour of each week (ties -> earliest hour)
+# and the share of weeks whose modal hour equals the global modal
+# hour — a robust, exact-integer companion to diel_phase_drift.
+
+
+def q_modal_hour_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.unix_micros(F.col("ts").cast("timestamp"))
+    cells = ev.groupBy(
+        "event_type",
+        F.floor(sec / (86_400_000_000 * 7)).cast("long").alias("wk"),
+        (F.floor(sec / 3_600_000_000) % 24).cast("long").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    ww = Window.partitionBy("event_type", "wk").orderBy(
+        F.desc("c"), F.asc("hr")
+    )
+    wmod = cells.withColumn("rk", F.row_number().over(ww)).filter(
+        F.col("rk") == 1
+    )
+    gcells = cells.groupBy("event_type", "hr").agg(F.sum("c").alias("c"))
+    wg = Window.partitionBy("event_type").orderBy(F.desc("c"), F.asc("hr"))
+    gmod = gcells.withColumn("rk", F.row_number().over(wg)).filter(
+        F.col("rk") == 1
+    ).select("event_type", F.col("hr").alias("g_hr"))
+    j = wmod.join(F.broadcast(gmod), "event_type")
+    agg = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.max("g_hr").alias("global_modal_hr"),
+        F.sum((F.col("hr") == F.col("g_hr")).cast("long")).alias(
+            "n_match"
+        ),
+    )
+    share = F.col("n_match").cast("double") / F.col("n_weeks").cast(
+        "double"
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_weeks").cast("long").alias("n_weeks"),
+        F.col("global_modal_hr").cast("long").alias("global_modal_hr"),
+        F.col("n_match").cast("long").alias("n_match"),
+        F.floor(share * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "stability_e6"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_MODAL_HOUR = f"""
+WITH cells AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hr,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3
+), wmod AS (
+  SELECT event_type, wk, hr FROM (
+    SELECT event_type, wk, hr,
+           row_number() OVER (PARTITION BY event_type, wk
+                              ORDER BY c DESC, hr ASC) AS rk
+    FROM cells
+  ) WHERE rk = 1
+), gmod AS (
+  SELECT event_type, hr AS g_hr FROM (
+    SELECT event_type, hr,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY sum(c) DESC, hr ASC) AS rk
+    FROM cells GROUP BY event_type, hr
+  ) WHERE rk = 1
+)
+SELECT w.event_type, CAST(count(*) AS BIGINT) AS n_weeks,
+       CAST(max(g.g_hr) AS BIGINT) AS global_modal_hr,
+       CAST(sum(CASE WHEN w.hr = g.g_hr THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_match,
+       CAST(floor(CAST(sum(CASE WHEN w.hr = g.g_hr THEN 1 ELSE 0 END)
+                       AS DOUBLE) / count(*) * 1000000 + {_OFF})
+            AS BIGINT) AS stability_e6
+FROM wmod w JOIN gmod g ON g.event_type = w.event_type
+GROUP BY 1
+ORDER BY w.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# footrule_weekly — Spearman footrule between consecutive weekly top-20s
+# ---------------------------------------------------------------------------
+# Diaconis & Graham (JRSS B 39, 1977): the footrule sum |r1 - r2| over
+# users present in BOTH weekly top-20 leaderboards, normalized by the
+# shared count; plus the overlap size — a heavier-tailed companion to
+# rbo_sources.  Ranks are row_number (count desc, user asc): exact.
+
+
+def q_footrule_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wk = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / (86_400_000_000 * 7)
+    )
+    per = ev.groupBy(wk.cast("long").alias("w"), "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wr = Window.partitionBy("w").orderBy(F.desc("c"), F.asc("user_id"))
+    top = per.withColumn("rk", F.row_number().over(wr)).filter(
+        F.col("rk") <= 20
+    ).select("w", "user_id", "rk")
+    nxt = top.select(
+        (F.col("w") - 1).alias("w"),
+        F.col("user_id"),
+        F.col("rk").alias("rk2"),
+    )
+    j = top.join(nxt, ["w", "user_id"])
+    agg = j.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n_shared"),
+        F.sum(F.abs(F.col("rk") - F.col("rk2"))).alias("fr"),
+    )
+    norm = F.col("fr").cast("double") / F.col("n_shared").cast("double")
+    return agg.select(
+        F.col("w").cast("long").alias("wk"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.col("fr").cast("long").alias("footrule"),
+        F.floor(norm * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "mean_disp_e4"
+        ),
+    ).orderBy("wk")
+
+
+SQL_FOOTRULE = f"""
+WITH per AS (
+  SELECT CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w, user_id,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), top AS (
+  SELECT w, user_id, rk FROM (
+    SELECT w, user_id,
+           CAST(row_number() OVER (PARTITION BY w
+                ORDER BY c DESC, user_id ASC) AS BIGINT) AS rk
+    FROM per
+  ) WHERE rk <= 20
+), j AS (
+  SELECT a.w, a.rk, b.rk AS rk2
+  FROM top a JOIN top b ON b.w = a.w + 1 AND b.user_id = a.user_id
+)
+SELECT w AS wk, CAST(count(*) AS BIGINT) AS n_shared,
+       CAST(sum(abs(rk - rk2)) AS BIGINT) AS footrule,
+       CAST(floor(CAST(sum(abs(rk - rk2)) AS DOUBLE) / count(*) * 10000
+                  + {_OFF}) AS BIGINT) AS mean_disp_e4
+FROM j
+GROUP BY 1
+ORDER BY wk
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hubness_skew": q_hubness_skew,
     "embedding_anisotropy": q_embedding_anisotropy,
@@ -2215,6 +2521,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "burst_excitation": q_burst_excitation,
     "type_run_lengths": q_type_run_lengths,
     "winsor_impact": q_winsor_impact,
+    "id_gap_audit": q_id_gap_audit,
+    "lang_mix_drift": q_lang_mix_drift,
+    "modal_hour_stability": q_modal_hour_stability,
+    "footrule_weekly": q_footrule_weekly,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2238,4 +2548,8 @@ ORACLE_SQL: dict[str, str] = {
     "burst_excitation": SQL_BURST_EXCITATION,
     "type_run_lengths": SQL_TYPE_RUNS,
     "winsor_impact": SQL_WINSOR,
+    "id_gap_audit": SQL_ID_GAP,
+    "lang_mix_drift": SQL_LANG_MIX,
+    "modal_hour_stability": SQL_MODAL_HOUR,
+    "footrule_weekly": SQL_FOOTRULE,
 }
