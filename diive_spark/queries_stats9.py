@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from diive_spark.queries_stats2 import _HOURLY_SQL as _HOURLY_SQL_S9
 from diive_spark.queries_stats2 import _OFF, _documents
 
 # ---------------------------------------------------------------------------
@@ -2500,6 +2501,382 @@ ORDER BY wk
 """
 
 
+
+import math as _math
+
+_H1C = [int(_math.floor(_math.cos(2.0 * _math.pi * h / 24.0) * 1e9)) for h in range(24)]
+_H1S = [int(_math.floor(_math.sin(2.0 * _math.pi * h / 24.0) * 1e9)) for h in range(24)]
+_H2C = [int(_math.floor(_math.cos(4.0 * _math.pi * h / 24.0) * 1e9)) for h in range(24)]
+_H2S = [int(_math.floor(_math.sin(4.0 * _math.pi * h / 24.0) * 1e9)) for h in range(24)]
+
+
+# ---------------------------------------------------------------------------
+# hill_k_sweep — Hill tail-index stability across k
+# ---------------------------------------------------------------------------
+# Hill (Ann Stat 3, 1975) with the standard k-sweep diagnostic
+# (Drees-de Haan-Resnick "Hill horror plot" antidote): alpha-hat at
+# k in {10, 25, 50, 100} over per-user event counts.  Order stats by
+# ONE descending rank window; per-order-statistic ln terms e9-floored;
+# the k fan-out filters the ranked table (never a rescan).
+
+
+def q_hill_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    wr = Window.orderBy(F.desc("x"), F.asc("user_id"))
+    r = per.withColumn("rk", F.row_number().over(wr)).filter(
+        F.col("rk") <= 101
+    )
+    r = r.withColumn(
+        "l9",
+        F.floor(F.log(F.col("x").cast("double")) * 1e9 + F.lit(_OFF))
+        .cast("long"),
+    )
+    ks = r.withColumn(
+        "k",
+        F.explode(
+            F.array(F.lit(10), F.lit(25), F.lit(50), F.lit(100))
+        ),
+    )
+    top = ks.filter(F.col("rk") <= F.col("k")).groupBy("k").agg(
+        F.sum("l9").alias("sl9")
+    )
+    thr = ks.filter(F.col("rk") == F.col("k") + 1).select(
+        "k", F.col("l9").alias("lthr9")
+    )
+    j = top.join(thr, "k")
+    kd = F.col("k").cast("double")
+    mean_excess = (
+        F.col("sl9").cast("double") / 1e9 / kd
+        - F.col("lthr9").cast("double") / 1e9
+    )
+    alpha = 1.0 / mean_excess
+    return j.filter(mean_excess > 0).select(
+        F.col("k").cast("long").alias("k"),
+        F.floor(alpha * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "alpha_e4"
+        ),
+    ).orderBy("k")
+
+
+SQL_HILL_SWEEP = f"""
+WITH per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), r AS (
+  SELECT x, row_number() OVER (ORDER BY x DESC, user_id ASC) AS rk
+  FROM per QUALIFY rk <= 101
+), l AS (
+  SELECT rk,
+         CAST(floor(ln(CAST(x AS DOUBLE)) * 1e9 + {_OFF}) AS BIGINT) AS l9
+  FROM r
+), ks AS (
+  SELECT l.rk, l.l9, t.k
+  FROM l CROSS JOIN (VALUES (10), (25), (50), (100)) AS t(k)
+), top AS (
+  SELECT k, CAST(sum(l9) AS BIGINT) AS sl9
+  FROM ks WHERE rk <= k GROUP BY 1
+), thr AS (
+  SELECT k, l9 AS lthr9 FROM ks WHERE rk = k + 1
+)
+SELECT CAST(top.k AS BIGINT) AS k,
+       CAST(floor(1.0 / (CAST(sl9 AS DOUBLE) / 1e9 / top.k
+                         - CAST(lthr9 AS DOUBLE) / 1e9)
+                  * 10000 + {_OFF}) AS BIGINT) AS alpha_e4
+FROM top JOIN thr ON thr.k = top.k
+WHERE CAST(sl9 AS DOUBLE) / 1e9 / top.k - CAST(lthr9 AS DOUBLE) / 1e9 > 0
+ORDER BY k
+"""
+
+
+# ---------------------------------------------------------------------------
+# diel_harmonics — two-harmonic regression on the diel profile
+# ---------------------------------------------------------------------------
+# Bloomfield (Fourier Analysis of Time Series, 2000 ch. 2): on the
+# COMPLETE 24-point hour-of-day grid the harmonic regressors are
+# orthogonal, so coefficients are direct sums a_k = (1/12) sum y_h
+# cos_k(h) — computed with SHARED integer trig tables (the rayleigh
+# discipline, 1e-9 resolution rendered identically into both
+# engines), making every harmonic sum an exact BIGINT; R^2 and the
+# amplitude ratios are fixed-order.
+
+
+def q_diel_harmonics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hr = (
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000)
+        % 24
+    ).cast("int")
+    prof = ev.groupBy("event_type", hr.alias("h")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+
+    def tab(vals):
+        return F.element_at(
+            F.array(*[F.lit(v) for v in vals]), F.col("h") + 1
+        ).cast("long")
+
+    agg = prof.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("y") * tab(_H1C)).alias("a1"),
+        F.sum(F.col("y") * tab(_H1S)).alias("b1"),
+        F.sum(F.col("y") * tab(_H2C)).alias("a2"),
+        F.sum(F.col("y") * tab(_H2S)).alias("b2"),
+    )
+    sd = F.col("s").cast("double")
+    sst = F.col("syy").cast("double") - sd * sd / 24.0
+    e1 = (
+        F.col("a1").cast("double") * F.col("a1").cast("double")
+        + F.col("b1").cast("double") * F.col("b1").cast("double")
+    ) / (12.0 * 1e18)
+    e2 = (
+        F.col("a2").cast("double") * F.col("a2").cast("double")
+        + F.col("b2").cast("double") * F.col("b2").cast("double")
+    ) / (12.0 * 1e18)
+    mean = sd / 24.0
+    amp1 = F.sqrt(e1 / 12.0)
+    return (
+        agg.filter((F.col("n_cells") == 24) & (sst > 0))
+        .select(
+            "event_type",
+            F.col("s").cast("long").alias("n_events"),
+            F.floor((e1 + e2) / sst * 1_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("r2_e6"),
+            F.floor(e1 / sst * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "r2_h1_e6"
+            ),
+            F.floor(amp1 / mean * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "amp1_ratio_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_T1C = "[" + ", ".join(str(v) for v in _H1C) + "]"
+_T1S = "[" + ", ".join(str(v) for v in _H1S) + "]"
+_T2C = "[" + ", ".join(str(v) for v in _H2C) + "]"
+_T2S = "[" + ", ".join(str(v) for v in _H2S) + "]"
+
+SQL_DIEL_HARMONICS = f"""
+WITH prof AS (
+  SELECT event_type,
+         CAST(CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS INT) AS h,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(y) AS BIGINT) AS s,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(y * {_T1C}[h + 1]) AS BIGINT) AS a1,
+         CAST(sum(y * {_T1S}[h + 1]) AS BIGINT) AS b1,
+         CAST(sum(y * {_T2C}[h + 1]) AS BIGINT) AS a2,
+         CAST(sum(y * {_T2S}[h + 1]) AS BIGINT) AS b2
+  FROM prof GROUP BY 1
+), f AS (
+  SELECT event_type, n_cells, s,
+         CAST(syy AS DOUBLE) - CAST(s AS DOUBLE) * s / 24.0 AS sst,
+         (CAST(a1 AS DOUBLE) * a1 + CAST(b1 AS DOUBLE) * b1)
+           / (12.0 * 1e18) AS e1,
+         (CAST(a2 AS DOUBLE) * a2 + CAST(b2 AS DOUBLE) * b2)
+           / (12.0 * 1e18) AS e2
+  FROM agg
+)
+SELECT event_type, s AS n_events,
+       CAST(floor((e1 + e2) / sst * 1000000 + {_OFF})
+            AS BIGINT) AS r2_e6,
+       CAST(floor(e1 / sst * 1000000 + {_OFF}) AS BIGINT) AS r2_h1_e6,
+       CAST(floor(sqrt(e1 / 12.0) / (CAST(s AS DOUBLE) / 24.0) * 10000
+                  + {_OFF}) AS BIGINT) AS amp1_ratio_e4
+FROM f
+WHERE n_cells = 24 AND sst > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# growth_accounting — weekly new / retained / resurrected / churned
+# ---------------------------------------------------------------------------
+# The standard growth-accounting identity (popularized by Social
+# Capital's "accounting for growth"): active(w) = new + retained +
+# resurrected, churned(w) = active(w-1) - retained(w); quick ratio =
+# (new + resurrected) / churned.  All exact counting off one distinct
+# (week, user) table, its adjacency self-join, and first-week minima.
+
+
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wk = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / (86_400_000_000 * 7)
+    )
+    act = ev.select(wk.cast("long").alias("wk"), "user_id").distinct()
+    fw = act.groupBy("user_id").agg(F.min("wk").alias("fw"))
+    prev = act.select(
+        (F.col("wk") + 1).alias("wk"), F.col("user_id"), F.lit(1).alias("p")
+    )
+    j = act.join(F.broadcast(fw), "user_id").join(
+        prev, ["wk", "user_id"], "left"
+    )
+    per = j.groupBy("wk").agg(
+        F.count(F.lit(1)).alias("active"),
+        F.sum((F.col("fw") == F.col("wk")).cast("long")).alias("new"),
+        F.sum(F.col("p").isNotNull().cast("long")).alias("retained"),
+        F.sum(
+            (
+                (F.col("fw") < F.col("wk")) & F.col("p").isNull()
+            ).cast("long")
+        ).alias("resurrected"),
+    )
+    pa = per.select(
+        (F.col("wk") + 1).alias("wk"),
+        F.col("active").alias("prev_active"),
+    )
+    out = per.join(pa, "wk")
+    churned = F.col("prev_active") - F.col("retained")
+    qr = (F.col("new") + F.col("resurrected")).cast("double") / churned.cast(
+        "double"
+    )
+    return out.select(
+        F.col("wk").cast("long").alias("wk"),
+        F.col("active").cast("long").alias("active"),
+        F.col("new").cast("long").alias("new"),
+        F.col("retained").cast("long").alias("retained"),
+        F.col("resurrected").cast("long").alias("resurrected"),
+        churned.cast("long").alias("churned"),
+        F.when(
+            churned > 0,
+            F.floor(qr * 10_000 + F.lit(_OFF)),
+        )
+        .cast("long")
+        .alias("quick_ratio_e4"),
+    ).orderBy("wk")
+
+
+SQL_GROWTH = f"""
+WITH act AS (
+  SELECT DISTINCT CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk, user_id
+  FROM events
+), fw AS (
+  SELECT user_id, min(wk) AS fw FROM act GROUP BY 1
+), per AS (
+  SELECT a.wk, CAST(count(*) AS BIGINT) AS active,
+         CAST(sum(CASE WHEN f.fw = a.wk THEN 1 ELSE 0 END) AS BIGINT)
+           AS new,
+         CAST(sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS retained,
+         CAST(sum(CASE WHEN f.fw < a.wk AND p.user_id IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+  FROM act a
+  JOIN fw f ON f.user_id = a.user_id
+  LEFT JOIN act p ON p.user_id = a.user_id AND p.wk = a.wk - 1
+  GROUP BY 1
+)
+SELECT cur.wk, cur.active, cur.new, cur.retained, cur.resurrected,
+       CAST(prv.active - cur.retained AS BIGINT) AS churned,
+       CASE WHEN prv.active - cur.retained > 0
+            THEN CAST(floor(CAST(cur.new + cur.resurrected AS DOUBLE)
+                            / (prv.active - cur.retained) * 10000
+                            + {_OFF}) AS BIGINT)
+       END AS quick_ratio_e4
+FROM per cur JOIN per prv ON prv.wk = cur.wk - 1
+ORDER BY cur.wk
+"""
+
+
+# ---------------------------------------------------------------------------
+# masd_volatility — robust vs rms successive-difference volatility
+# ---------------------------------------------------------------------------
+# von Neumann successive differences with a robust twist: per user,
+# the LOW MEDIAN of |delta v| (exact order statistic via one rank
+# window, deterministic ties) against the rms delta; the ratio flags
+# heavy-tailed increment distributions.  All inputs exact integer
+# centivalues.
+
+
+def q_masd_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats2 import _hourly
+
+    h = _hourly(spark, sf_dir).select(
+        "user_id", "t", F.col("v").cast("long").alias("v")
+    )
+    wo = Window.partitionBy("user_id").orderBy("t")
+    d = (
+        h.withColumn("pv", F.lag("v").over(wo))
+        .filter(F.col("pv").isNotNull())
+        .select(
+            "user_id",
+            "t",
+            F.abs(F.col("v") - F.col("pv")).alias("ad"),
+        )
+    )
+    wr = Window.partitionBy("user_id").orderBy("ad", "t")
+    wn = Window.partitionBy("user_id")
+    r = d.withColumn("rk", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    med = r.filter(
+        F.col("rk") == F.floor((F.col("n") - 1) / 2) + 1
+    ).select("user_id", F.col("ad").alias("med_ad"))
+    mom = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("ad") * F.col("ad")).alias("sdd"),
+    )
+    j = mom.join(med, "user_id")
+    rms = F.sqrt(F.col("sdd").cast("double") / F.col("n").cast("double"))
+    return (
+        j.filter((F.col("n") >= 10) & (F.col("med_ad") > 0))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_diffs"),
+            F.col("med_ad").cast("long").alias("med_absdiff_c"),
+            F.floor(rms * 100 + F.lit(_OFF)).cast("long").alias(
+                "rms_diff_e2"
+            ),
+            F.floor(
+                rms / F.col("med_ad").cast("double") * 10_000 + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("tail_ratio_e4"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_MASD = """
+WITH {_HOURLY},
+d AS (
+  SELECT user_id, t,
+         abs(CAST(v AS BIGINT)
+             - lag(CAST(v AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY t)) AS ad
+  FROM hourly QUALIFY ad IS NOT NULL
+), r AS (
+  SELECT user_id, ad,
+         row_number() OVER (PARTITION BY user_id ORDER BY ad, t) AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM d
+), med AS (
+  SELECT user_id, ad AS med_ad FROM r WHERE rk = (n - 1) // 2 + 1
+), mom AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ad * ad) AS BIGINT) AS sdd
+  FROM d GROUP BY 1
+)
+SELECT m.user_id, m.n AS n_diffs,
+       CAST(med.med_ad AS BIGINT) AS med_absdiff_c,
+       CAST(floor(sqrt(CAST(m.sdd AS DOUBLE) / m.n) * 100 + {OFF})
+            AS BIGINT) AS rms_diff_e2,
+       CAST(floor(sqrt(CAST(m.sdd AS DOUBLE) / m.n) / med.med_ad * 10000
+                  + {OFF}) AS BIGINT) AS tail_ratio_e4
+FROM mom m JOIN med ON med.user_id = m.user_id
+WHERE m.n >= 10 AND med.med_ad > 0
+ORDER BY m.user_id
+""".format(_HOURLY=_HOURLY_SQL_S9, OFF=_OFF)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hubness_skew": q_hubness_skew,
     "embedding_anisotropy": q_embedding_anisotropy,
@@ -2525,6 +2902,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_mix_drift": q_lang_mix_drift,
     "modal_hour_stability": q_modal_hour_stability,
     "footrule_weekly": q_footrule_weekly,
+    "hill_k_sweep": q_hill_k_sweep,
+    "diel_harmonics": q_diel_harmonics,
+    "growth_accounting": q_growth_accounting,
+    "masd_volatility": q_masd_volatility,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2552,4 +2933,8 @@ ORACLE_SQL: dict[str, str] = {
     "lang_mix_drift": SQL_LANG_MIX,
     "modal_hour_stability": SQL_MODAL_HOUR,
     "footrule_weekly": SQL_FOOTRULE,
+    "hill_k_sweep": SQL_HILL_SWEEP,
+    "diel_harmonics": SQL_DIEL_HARMONICS,
+    "growth_accounting": SQL_GROWTH,
+    "masd_volatility": SQL_MASD,
 }
