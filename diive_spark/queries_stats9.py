@@ -2877,6 +2877,484 @@ ORDER BY m.user_id
 """.format(_HOURLY=_HOURLY_SQL_S9, OFF=_OFF)
 
 
+
+# ---------------------------------------------------------------------------
+# type_quantile_shift — Doksum shift function: purchase vs view values
+# ---------------------------------------------------------------------------
+# Doksum (Ann Stat 2, 1974): the quantile-wise difference between two
+# distributions — here event values of 'purchase' vs 'view' at the
+# deciles, as exact centivalue-domain order statistics (inverse-CDF,
+# the house quantile discipline); differences stay exact integers.
+
+
+def q_type_quantile_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = ev.filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    cnt = v.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("v")
+    wn = Window.partitionBy("event_type")
+    cum = cnt.withColumn(
+        "cum", F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("tot", F.sum("c").over(wn))
+    dec = cum.withColumn(
+        "q", F.explode(F.sequence(F.lit(1), F.lit(9)))
+    )
+    k = F.expr("((tot - 1) * q * 10) div 100") + 1
+    sel = dec.filter(
+        ((F.col("cum") - F.col("c")) < k) & (k <= F.col("cum"))
+    ).select("event_type", "q", F.col("v").alias("qv"))
+    a = sel.filter(F.col("event_type") == "purchase").select(
+        "q", F.col("qv").alias("q_purchase")
+    )
+    b = sel.filter(F.col("event_type") == "view").select(
+        "q", F.col("qv").alias("q_view")
+    )
+    j = a.join(b, "q")
+    return j.select(
+        (F.col("q") * 10).cast("long").alias("pct"),
+        F.col("q_purchase").cast("long").alias("q_purchase_c"),
+        F.col("q_view").cast("long").alias("q_view_c"),
+        (F.col("q_purchase") - F.col("q_view")).cast("long").alias(
+            "shift_c"
+        ),
+    ).orderBy("pct")
+
+
+SQL_TYPE_SHIFT = f"""
+WITH v AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('purchase', 'view')
+), cnt AS (
+  SELECT event_type, v, count(*) AS c FROM v GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, v, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS tot
+  FROM cnt
+), dec AS (
+  SELECT event_type, v, c, cum, tot, q.q
+  FROM cum CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS q) q
+), sel AS (
+  SELECT event_type, q, v AS qv
+  FROM dec
+  WHERE cum - c < ((tot - 1) * q * 10) // 100 + 1
+    AND ((tot - 1) * q * 10) // 100 + 1 <= cum
+)
+SELECT CAST(a.q * 10 AS BIGINT) AS pct,
+       CAST(a.qv AS BIGINT) AS q_purchase_c,
+       CAST(b.qv AS BIGINT) AS q_view_c,
+       CAST(a.qv - b.qv AS BIGINT) AS shift_c
+FROM sel a JOIN sel b ON b.q = a.q
+WHERE a.event_type = 'purchase' AND b.event_type = 'view'
+ORDER BY pct
+"""
+
+
+# ---------------------------------------------------------------------------
+# gph_estimator — GPH log-periodogram long-memory estimator
+# ---------------------------------------------------------------------------
+# Geweke & Porter-Hudak (J Time Ser Anal 4, 1983): regress ln I_j on
+# -ln(4 sin^2(w_j / 2)) over the lowest m ~ sqrt(n) Fourier ordinates;
+# the slope estimates the fractional order d (H = d + 1/2).  Completes
+# the LRD battery (hurst_rs, variance_time_plot, dfa_alpha) on a
+# FOURTH methodology.  Shares the complete-grid DFT (ordinates
+# e3-floored); the regressor is e9-floored per ordinate, OLS off exact
+# sums.
+
+
+def q_gph_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _m
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000))
+        .cast("long")
+        .alias("h"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("h")
+    wn = Window.partitionBy("event_type")
+    base = (
+        hourly.withColumn("t", F.row_number().over(wo) - 1)
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("n") >= 16)
+    )
+    m = F.floor(F.sqrt(F.col("n").cast("double"))).cast("long")
+    fan = base.select(
+        "event_type", "t", "c", "n",
+        F.explode(F.sequence(F.lit(1), m)).alias("j"),
+    )
+    k = (F.col("j") * F.col("t")) % F.col("n")
+    ang = (
+        F.lit(2.0) * F.lit(_m.pi) * k.cast("double")
+        / F.col("n").cast("double")
+    )
+    trig = fan.select(
+        "event_type", "j", "n",
+        (F.col("c").cast("double") * F.cos(ang)).alias("ca"),
+        (F.col("c").cast("double") * F.sin(ang)).alias("sa"),
+    )
+    ords = trig.groupBy("event_type", "j").agg(
+        F.max("n").alias("n"),
+        F.sum("ca").alias("a"),
+        F.sum("sa").alias("b"),
+    )
+    i_j = (F.col("a") * F.col("a") + F.col("b") * F.col("b")) / F.col(
+        "n"
+    ).cast("double")
+    ords = ords.select(
+        "event_type",
+        "j",
+        "n",
+        F.floor(i_j * 1_000 + F.lit(_OFF)).cast("long").alias("i3"),
+    ).filter(F.col("i3") > 0)
+    wj = (
+        F.lit(2.0) * F.lit(_m.pi) * F.col("j").cast("double")
+        / F.col("n").cast("double")
+    )
+    x9 = F.floor(
+        -F.log(4.0 * F.sin(wj / 2.0) * F.sin(wj / 2.0)) * 1e9 + F.lit(_OFF)
+    ).cast("long")
+    y9 = F.floor(
+        F.log(F.col("i3").cast("double") / 1e3) * 1e9 + F.lit(_OFF)
+    ).cast("long")
+    pts = ords.select("event_type", x9.alias("x9"), y9.alias("y9"))
+    xd = F.col("x9").cast("double") / 1e9
+    yd = F.col("y9").cast("double") / 1e9
+    pts = pts.withColumn(
+        "xy9", F.floor(xd * yd * 1e9 + F.lit(_OFF)).cast("long")
+    ).withColumn("xx9", F.floor(xd * xd * 1e9 + F.lit(_OFF)).cast("long"))
+    agg = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x9").alias("sx"),
+        F.sum("y9").alias("sy"),
+        F.sum("xy9").alias("sxy"),
+        F.sum("xx9").alias("sxx"),
+    )
+    md = F.col("m").cast("double")
+    sx = F.col("sx").cast("double") / 1e9
+    sy = F.col("sy").cast("double") / 1e9
+    sxy = F.col("sxy").cast("double") / 1e9
+    sxx = F.col("sxx").cast("double") / 1e9
+    den = md * sxx - sx * sx
+    d = (md * sxy - sx * sy) / den
+    return agg.filter((F.col("m") >= 4) & (den > 0)).select(
+        "event_type",
+        F.col("m").cast("long").alias("m_ords"),
+        F.floor(d * 10_000 + F.lit(_OFF)).cast("long").alias("d_e4"),
+        F.floor((d + 0.5) * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "h_e4"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_GPH = f"""
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), base AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) - 1 AS t,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM hourly
+), fan AS (
+  SELECT event_type, t, c, n,
+         unnest(generate_series(1,
+           CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT))) AS j
+  FROM base WHERE n >= 16
+), trig AS (
+  SELECT event_type, j, n,
+         CAST(c AS DOUBLE)
+           * cos(2 * pi() * CAST((j * t) % n AS DOUBLE) / n) AS ca,
+         CAST(c AS DOUBLE)
+           * sin(2 * pi() * CAST((j * t) % n AS DOUBLE) / n) AS sa
+  FROM fan
+), ords AS (
+  SELECT event_type, j, max(n) AS n,
+         CAST(floor((sum(ca) * sum(ca) + sum(sa) * sum(sa))
+                    / max(n) * 1000 + {_OFF}) AS BIGINT) AS i3
+  FROM trig GROUP BY 1, 2
+), pts AS (
+  SELECT event_type,
+         CAST(floor(-ln(4.0 * sin(pi() * j / n) * sin(pi() * j / n))
+                    * 1e9 + {_OFF}) AS BIGINT) AS x9,
+         CAST(floor(ln(CAST(i3 AS DOUBLE) / 1e3) * 1e9 + {_OFF})
+              AS BIGINT) AS y9
+  FROM ords WHERE i3 > 0
+), p2 AS (
+  SELECT event_type, x9, y9,
+         CAST(floor((CAST(x9 AS DOUBLE) / 1e9) * (CAST(y9 AS DOUBLE) / 1e9)
+                    * 1e9 + {_OFF}) AS BIGINT) AS xy9,
+         CAST(floor((CAST(x9 AS DOUBLE) / 1e9) * (CAST(x9 AS DOUBLE) / 1e9)
+                    * 1e9 + {_OFF}) AS BIGINT) AS xx9
+  FROM pts
+), agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(x9) AS BIGINT) AS sx, CAST(sum(y9) AS BIGINT) AS sy,
+         CAST(sum(xy9) AS BIGINT) AS sxy, CAST(sum(xx9) AS BIGINT) AS sxx
+  FROM p2 GROUP BY 1
+)
+SELECT event_type, m AS m_ords,
+       CAST(floor((CAST(m AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e9)
+                   - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))
+                  / (CAST(m AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e9)
+                     - (CAST(sx AS DOUBLE) / 1e9)
+                       * (CAST(sx AS DOUBLE) / 1e9))
+                  * 10000 + {_OFF}) AS BIGINT) AS d_e4,
+       CAST(floor(((CAST(m AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e9)
+                    - (CAST(sx AS DOUBLE) / 1e9)
+                      * (CAST(sy AS DOUBLE) / 1e9))
+                   / (CAST(m AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e9)
+                      - (CAST(sx AS DOUBLE) / 1e9)
+                        * (CAST(sx AS DOUBLE) / 1e9)) + 0.5)
+                  * 10000 + {_OFF}) AS BIGINT) AS h_e4
+FROM agg
+WHERE m >= 4
+  AND CAST(m AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e9)
+      - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9) > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# activity_block_entropy — 3-day activity-pattern block entropy
+# ---------------------------------------------------------------------------
+# Behavioral regularity: each user's active/inactive day string,
+# chopped into overlapping 3-day blocks (8 possible patterns); the
+# Shannon entropy of the pooled pattern distribution per USER COHORT
+# (split by total активity tercile) measures schedule regularity.
+# Day grid is span-complete per user (missing days are genuine 0s via
+# the day-domain left join on the bounded calendar); entropy terms
+# half-up scaled over the <= 8-pattern set.
+
+
+def q_activity_block_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+    ).cast("long")
+    act = ev.select("user_id", day.alias("day")).distinct()
+    span = act.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    users = act.groupBy("user_id").agg(F.count(F.lit(1)).alias("ndays"))
+    grid = users.crossJoin(F.broadcast(span)).select(
+        "user_id",
+        "ndays",
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+    )
+    g = grid.join(
+        act.withColumn("on", F.lit(1)), ["user_id", "day"], "left"
+    ).fillna(0, subset=["on"])
+    wo = Window.partitionBy("user_id").orderBy("day")
+    pat = (
+        g.withColumn("b1", F.lead("on", 1).over(wo))
+        .withColumn("b2", F.lead("on", 2).over(wo))
+        .filter(F.col("b2").isNotNull())
+        .select(
+            "user_id",
+            "ndays",
+            (F.col("on") * 4 + F.col("b1") * 2 + F.col("b2")).alias("pat"),
+        )
+    )
+    terc = F.when(F.col("ndays") >= 10, 2).when(
+        F.col("ndays") >= 4, 1
+    ).otherwise(0)
+    cnt = pat.groupBy(terc.alias("cohort"), "pat").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = cnt.groupBy("cohort").agg(F.sum("c").alias("t"))
+    j = cnt.join(F.broadcast(tot), "cohort")
+    term = (
+        F.col("c").cast("double")
+        / F.col("t").cast("double")
+        * F.log(F.col("t").cast("double") / F.col("c").cast("double"))
+    )
+    e = j.select(
+        "cohort",
+        F.floor(term * 1e9 + F.lit(_OFF)).cast("long").alias("e9"),
+    ).groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_patterns"),
+        F.sum("e9").alias("s9"),
+    )
+    out = e.join(F.broadcast(tot), "cohort")
+    return out.select(
+        F.col("cohort").cast("long").alias("cohort"),
+        F.col("t").cast("long").alias("n_blocks"),
+        F.col("n_patterns").cast("long").alias("n_patterns"),
+        F.floor(F.col("s9").cast("double") / 1e9 * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("h_e6"),
+    ).orderBy("cohort")
+
+
+SQL_BLOCK_ENTROPY = f"""
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+), span AS (
+  SELECT min(day) AS d0, max(day) AS d1 FROM act
+), users AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS ndays FROM act GROUP BY 1
+), grid AS (
+  SELECT u.user_id, u.ndays, g.day
+  FROM users u CROSS JOIN span s,
+       unnest(generate_series(s.d0, s.d1)) AS g(day)
+), gg AS (
+  SELECT g.user_id, g.ndays, g.day,
+         CASE WHEN a.user_id IS NULL THEN 0 ELSE 1 END AS onb
+  FROM grid g
+  LEFT JOIN act a ON a.user_id = g.user_id AND a.day = g.day
+), pat AS (
+  SELECT user_id, ndays,
+         onb * 4
+           + lead(onb, 1) OVER (PARTITION BY user_id ORDER BY day) * 2
+           + lead(onb, 2) OVER (PARTITION BY user_id ORDER BY day) AS pat
+  FROM gg QUALIFY pat IS NOT NULL
+), cnt AS (
+  SELECT CASE WHEN ndays >= 10 THEN 2
+              WHEN ndays >= 4 THEN 1 ELSE 0 END AS cohort,
+         pat, CAST(count(*) AS BIGINT) AS c
+  FROM pat GROUP BY 1, 2
+), tot AS (
+  SELECT cohort, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1
+), e AS (
+  SELECT cnt.cohort, CAST(count(*) AS BIGINT) AS n_patterns,
+         CAST(sum(CAST(floor(CAST(cnt.c AS DOUBLE) / tot.t
+                             * ln(CAST(tot.t AS DOUBLE) / cnt.c)
+                             * 1e9 + {_OFF}) AS BIGINT)) AS BIGINT) AS s9
+  FROM cnt JOIN tot ON tot.cohort = cnt.cohort
+  GROUP BY 1
+)
+SELECT CAST(e.cohort AS BIGINT) AS cohort, tot.t AS n_blocks,
+       e.n_patterns,
+       CAST(floor(CAST(s9 AS DOUBLE) / 1e9 * 1000000 + {_OFF})
+            AS BIGINT) AS h_e6
+FROM e JOIN tot ON tot.cohort = e.cohort
+ORDER BY cohort
+"""
+
+
+# ---------------------------------------------------------------------------
+# cohort_half_life — retention half-life per signup-week cohort
+# ---------------------------------------------------------------------------
+# Exponential-decay reading of the cohort retention triangle: per
+# first-week cohort, OLS of ln(retention at week offset k) on k
+# (k >= 1), half-life = ln 2 / (-slope).  Retention shares are exact
+# rationals; ln terms e9-floored, OLS off exact sums.
+
+
+def q_cohort_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wk = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / (86_400_000_000 * 7)
+    )
+    act = ev.select(wk.cast("long").alias("wk"), "user_id").distinct()
+    fw = act.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    sz = fw.groupBy("cohort").agg(F.count(F.lit(1)).alias("n0"))
+    ret = (
+        act.join(F.broadcast(fw), "user_id")
+        .groupBy("cohort", (F.col("wk") - F.col("cohort")).alias("k"))
+        .agg(F.count(F.lit(1)).alias("nk"))
+        .filter(F.col("k") >= 1)
+    )
+    j = ret.join(F.broadcast(sz), "cohort")
+    y = F.floor(
+        F.log(F.col("nk").cast("double") / F.col("n0").cast("double")) * 1e9
+        + F.lit(_OFF)
+    ).cast("long")
+    pts = j.select("cohort", F.col("k").alias("k"), y.alias("y9"))
+    yd = F.col("y9").cast("double") / 1e9
+    pts = pts.withColumn(
+        "xy9",
+        F.floor(F.col("k").cast("double") * yd * 1e9 + F.lit(_OFF)).cast(
+            "long"
+        ),
+    ).withColumn("xx", F.col("k") * F.col("k"))
+    agg = pts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("k").alias("sk"),
+        F.sum("y9").alias("sy9"),
+        F.sum("xy9").alias("sxy9"),
+        F.sum("xx").alias("sxx"),
+    )
+    md = F.col("m").cast("double")
+    sk = F.col("sk").cast("double")
+    sy = F.col("sy9").cast("double") / 1e9
+    sxy = F.col("sxy9").cast("double") / 1e9
+    sxx = F.col("sxx").cast("double")
+    den = md * sxx - sk * sk
+    slope = (md * sxy - sk * sy) / den
+    hl = F.log(F.lit(2.0)) / (-slope)
+    return agg.filter((F.col("m") >= 2) & (den > 0)).select(
+        F.col("cohort").cast("long").alias("cohort"),
+        F.col("m").cast("long").alias("n_offsets"),
+        F.floor(slope * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "slope_e6"
+        ),
+        F.when(slope < 0, F.floor(hl * 10_000 + F.lit(_OFF)))
+        .cast("long")
+        .alias("half_life_wk_e4"),
+    ).orderBy("cohort")
+
+
+SQL_COHORT_HL = f"""
+WITH act AS (
+  SELECT DISTINCT CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk, user_id
+  FROM events
+), fw AS (
+  SELECT user_id, min(wk) AS cohort FROM act GROUP BY 1
+), sz AS (
+  SELECT cohort, CAST(count(*) AS BIGINT) AS n0 FROM fw GROUP BY 1
+), ret AS (
+  SELECT f.cohort, a.wk - f.cohort AS k, CAST(count(*) AS BIGINT) AS nk
+  FROM act a JOIN fw f ON f.user_id = a.user_id
+  GROUP BY 1, 2 HAVING a.wk - f.cohort >= 1
+), pts AS (
+  SELECT r.cohort, r.k,
+         CAST(floor(ln(CAST(r.nk AS DOUBLE) / sz.n0) * 1e9 + {_OFF})
+              AS BIGINT) AS y9
+  FROM ret r JOIN sz ON sz.cohort = r.cohort
+), p2 AS (
+  SELECT cohort, k, y9,
+         CAST(floor(CAST(k AS DOUBLE) * (CAST(y9 AS DOUBLE) / 1e9) * 1e9
+                    + {_OFF}) AS BIGINT) AS xy9,
+         CAST(k * k AS BIGINT) AS xx
+  FROM pts
+), agg AS (
+  SELECT cohort, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(k) AS BIGINT) AS sk,
+         CAST(sum(y9) AS BIGINT) AS sy9,
+         CAST(sum(xy9) AS BIGINT) AS sxy9,
+         CAST(sum(xx) AS BIGINT) AS sxx
+  FROM p2 GROUP BY 1
+), f AS (
+  SELECT cohort, m,
+         (CAST(m AS DOUBLE) * (CAST(sxy9 AS DOUBLE) / 1e9)
+          - CAST(sk AS DOUBLE) * (CAST(sy9 AS DOUBLE) / 1e9))
+           / (CAST(m AS DOUBLE) * sxx - CAST(sk AS DOUBLE) * sk) AS slope,
+         CAST(m AS DOUBLE) * sxx - CAST(sk AS DOUBLE) * sk AS den
+  FROM agg
+)
+SELECT cohort, m AS n_offsets,
+       CAST(floor(slope * 1000000 + {_OFF}) AS BIGINT) AS slope_e6,
+       CASE WHEN slope < 0
+            THEN CAST(floor(ln(2.0) / (-slope) * 10000 + {_OFF}) AS BIGINT)
+       END AS half_life_wk_e4
+FROM f
+WHERE m >= 2 AND den > 0
+ORDER BY cohort
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hubness_skew": q_hubness_skew,
     "embedding_anisotropy": q_embedding_anisotropy,
@@ -2906,6 +3384,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "diel_harmonics": q_diel_harmonics,
     "growth_accounting": q_growth_accounting,
     "masd_volatility": q_masd_volatility,
+    "type_quantile_shift": q_type_quantile_shift,
+    "gph_estimator": q_gph_estimator,
+    "activity_block_entropy": q_activity_block_entropy,
+    "cohort_half_life": q_cohort_half_life,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2937,4 +3419,8 @@ ORACLE_SQL: dict[str, str] = {
     "diel_harmonics": SQL_DIEL_HARMONICS,
     "growth_accounting": SQL_GROWTH,
     "masd_volatility": SQL_MASD,
+    "type_quantile_shift": SQL_TYPE_SHIFT,
+    "gph_estimator": SQL_GPH,
+    "activity_block_entropy": SQL_BLOCK_ENTROPY,
+    "cohort_half_life": SQL_COHORT_HL,
 }
