@@ -3355,6 +3355,373 @@ ORDER BY cohort
 """
 
 
+
+# ---------------------------------------------------------------------------
+# freq_spectrum_fit — Zipf's second law on the frequency spectrum
+# ---------------------------------------------------------------------------
+# Zipf's law of frequencies (1935) / the Karlin-Rouault regime: the
+# number of words occurring exactly m times should follow V_m ~
+# V_1 / (m (m + 1)).  Observed V_m for m = 1..5 per language are exact
+# counts; expectations and chi contributions are fixed-order.
+
+
+def q_freq_spectrum_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _documents(spark, sf_dir).select(
+        "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    freq = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("m"))
+    spec = freq.filter(F.col("m") <= 5).groupBy("lang", "m").agg(
+        F.count(F.lit(1)).alias("vm")
+    )
+    v1 = spec.filter(F.col("m") == 1).select(
+        "lang", F.col("vm").alias("v1")
+    )
+    j = spec.join(F.broadcast(v1), "lang")
+    exp = F.col("v1").cast("double") / (
+        F.col("m").cast("double") * (F.col("m").cast("double") + 1.0)
+    )
+    chi = (F.col("vm").cast("double") - exp) * (
+        F.col("vm").cast("double") - exp
+    ) / exp
+    return j.filter(F.col("v1") > 0).select(
+        "lang",
+        F.col("m").cast("long").alias("m"),
+        F.col("vm").cast("long").alias("v_m"),
+        F.floor(exp * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "expected_e4"
+        ),
+        F.floor(chi * 10_000 + F.lit(_OFF)).cast("long").alias("chi_e4"),
+    ).orderBy("lang", "m")
+
+
+SQL_FREQ_SPECTRUM = f"""
+WITH freq AS (
+  SELECT lang, w, count(*) AS m
+  FROM (SELECT lang,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents)
+  GROUP BY 1, 2
+), spec AS (
+  SELECT lang, m, CAST(count(*) AS BIGINT) AS vm
+  FROM freq WHERE m <= 5 GROUP BY 1, 2
+), v1 AS (
+  SELECT lang, vm AS v1 FROM spec WHERE m = 1
+)
+SELECT s.lang, CAST(s.m AS BIGINT) AS m, s.vm AS v_m,
+       CAST(floor(CAST(v1.v1 AS DOUBLE)
+                  / (CAST(s.m AS DOUBLE) * (CAST(s.m AS DOUBLE) + 1.0))
+                  * 10000 + {_OFF}) AS BIGINT) AS expected_e4,
+       CAST(floor((CAST(s.vm AS DOUBLE)
+                   - CAST(v1.v1 AS DOUBLE)
+                     / (CAST(s.m AS DOUBLE) * (CAST(s.m AS DOUBLE) + 1.0)))
+                  * (CAST(s.vm AS DOUBLE)
+                     - CAST(v1.v1 AS DOUBLE)
+                       / (CAST(s.m AS DOUBLE)
+                          * (CAST(s.m AS DOUBLE) + 1.0)))
+                  / (CAST(v1.v1 AS DOUBLE)
+                     / (CAST(s.m AS DOUBLE) * (CAST(s.m AS DOUBLE) + 1.0)))
+                  * 10000 + {_OFF}) AS BIGINT) AS chi_e4
+FROM spec s JOIN v1 ON v1.lang = s.lang
+WHERE v1.v1 > 0
+ORDER BY s.lang, s.m
+"""
+
+
+# ---------------------------------------------------------------------------
+# hourly_conversion_wilson — purchase share by hour with Wilson bands
+# ---------------------------------------------------------------------------
+# Wilson (JASA 22, 1927) score interval on the hour-of-day purchase
+# share — the diel conversion profile with honest small-sample bands.
+# Counts exact; the Wilson chain (z = 1.96 literal) is fixed-order.
+
+
+def q_hourly_conversion_wilson(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hr = (
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000)
+        % 24
+    ).cast("long")
+    per = ev.groupBy(hr.alias("hr")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "x"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    ph = F.col("x").cast("double") / nd
+    z2 = 1.96 * 1.96
+    center = (ph + z2 / (2.0 * nd)) / (1.0 + z2 / nd)
+    half = (
+        1.96
+        * F.sqrt(ph * (1.0 - ph) / nd + z2 / (4.0 * nd * nd))
+        / (1.0 + z2 / nd)
+    )
+    return per.filter(F.col("n") > 0).select(
+        "hr",
+        F.col("n").cast("long").alias("n"),
+        F.col("x").cast("long").alias("n_purchase"),
+        F.floor(ph * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "share_e6"
+        ),
+        F.floor((center - half) * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("wilson_lo_e6"),
+        F.floor((center + half) * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("wilson_hi_e6"),
+    ).orderBy("hr")
+
+
+SQL_HOURLY_WILSON = f"""
+WITH per AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hr,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM events GROUP BY 1
+), f AS (
+  SELECT hr, n, x,
+         CAST(x AS DOUBLE) / n AS ph,
+         1.96 * 1.96 AS z2
+  FROM per WHERE n > 0
+)
+SELECT hr, n, x AS n_purchase,
+       CAST(floor(ph * 1000000 + {_OFF}) AS BIGINT) AS share_e6,
+       CAST(floor(((ph + z2 / (2.0 * n)) / (1.0 + z2 / n)
+                   - 1.96 * sqrt(ph * (1.0 - ph) / n
+                                 + z2 / (4.0 * CAST(n AS DOUBLE) * n))
+                     / (1.0 + z2 / n)) * 1000000 + {_OFF})
+            AS BIGINT) AS wilson_lo_e6,
+       CAST(floor(((ph + z2 / (2.0 * n)) / (1.0 + z2 / n)
+                   + 1.96 * sqrt(ph * (1.0 - ph) / n
+                                 + z2 / (4.0 * CAST(n AS DOUBLE) * n))
+                     / (1.0 + z2 / n)) * 1000000 + {_OFF})
+            AS BIGINT) AS wilson_hi_e6
+FROM f
+ORDER BY hr
+"""
+
+
+# ---------------------------------------------------------------------------
+# prefix_mean_stability — running-mean convergence of doc lengths
+# ---------------------------------------------------------------------------
+# An LLN-style ingest audit: per source, the maximum deviation of the
+# prefix mean of n_chars (in doc_id order) from the final mean, and
+# where it happens.  Prefix sums ride one per-source window; each
+# prefix deviation is e6-floored BEFORE the max (max is order-free),
+# and the arg-position tie-breaks to the earliest prefix.
+
+
+def q_prefix_mean_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("source", "doc_id", "n_chars")
+    wo = Window.partitionBy("source").orderBy("doc_id")
+    wn = Window.partitionBy("source")
+    r = (
+        d.withColumn("i", F.row_number().over(wo))
+        .withColumn(
+            "cs",
+            F.sum("n_chars").over(
+                wo.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn("s", F.sum("n_chars").over(wn))
+    )
+    dev = F.abs(
+        F.col("cs").cast("double") / F.col("i").cast("double")
+        - F.col("s").cast("double") / F.col("n").cast("double")
+    )
+    r = r.select(
+        "source",
+        "i",
+        "n",
+        F.floor(dev * 1e6 + F.lit(_OFF)).cast("long").alias("d6"),
+    )
+    wmax = Window.partitionBy("source").orderBy(
+        F.col("d6").desc(), F.col("i").asc()
+    )
+    top = r.withColumn("rk", F.row_number().over(wmax)).filter(
+        F.col("rk") == 1
+    )
+    return top.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("d6").cast("long").alias("max_dev_e6"),
+        F.col("i").cast("long").alias("at_prefix"),
+        F.floor(
+            F.col("i").cast("double") / F.col("n").cast("double") * 10_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("at_frac_e4"),
+    ).orderBy("source")
+
+
+SQL_PREFIX_MEAN = f"""
+WITH r AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS i,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS cs,
+         count(*) OVER (PARTITION BY source) AS n,
+         sum(n_chars) OVER (PARTITION BY source) AS s
+  FROM documents
+), d AS (
+  SELECT source, i, n,
+         CAST(floor(abs(CAST(cs AS DOUBLE) / i
+                        - CAST(s AS DOUBLE) / n) * 1e6 + {_OFF})
+              AS BIGINT) AS d6
+  FROM r
+), top AS (
+  SELECT source, i, n, d6,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY d6 DESC, i ASC) AS rk
+  FROM d
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+       d6 AS max_dev_e6,
+       CAST(i AS BIGINT) AS at_prefix,
+       CAST(floor(CAST(i AS DOUBLE) / n * 10000 + {_OFF})
+            AS BIGINT) AS at_frac_e4
+FROM top
+WHERE rk = 1
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# participation_ratio — effective dimensionality without an eigensolve
+# ---------------------------------------------------------------------------
+# Gao et al. (bioRxiv 2017) / standard physics PR: PR = (tr C)^2 /
+# tr(C^2) with tr(C^2) = sum_ij C_ij^2 — NO eigendecomposition needed,
+# so the whole statistic reduces to exact component cross-moments:
+# C_ij numerators are exact BIGINT off the e6-floored components; the
+# 64^2 per-label C_ij^2 terms are e6-floored before the (bounded)
+# fold.  Pairs with twonn_intrinsic_dim (geometry) as the variance
+# reading of effective dimension.
+
+
+def q_participation_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", "embedding"
+    )
+    comp = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode("embedding").alias("d", "x"),
+    ).select(
+        "label",
+        "vec_id",
+        "d",
+        F.floor(F.col("x").cast("double") * 1e6 + F.lit(_OFF))
+        .cast("long")
+        .alias("x6"),
+    )
+    b = comp.select(
+        F.col("label").alias("label"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("d").alias("d2"),
+        F.col("x6").alias("y6"),
+    )
+    cross = comp.join(b, ["label", "vec_id"]).filter(
+        F.col("d") <= F.col("d2")
+    )
+    mom = cross.groupBy("label", "d", "d2").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x6") * F.col("y6")).alias("sxy"),
+    )
+    sums = comp.groupBy("label", "d").agg(F.sum("x6").alias("sx"))
+    sa = sums.select("label", F.col("d").alias("d"), F.col("sx").alias("sxa"))
+    sb = sums.select(
+        "label", F.col("d").alias("d2"), F.col("sx").alias("sxb")
+    )
+    j = mom.join(sa, ["label", "d"]).join(sb, ["label", "d2"])
+    nd = F.col("n").cast("double")
+    cij = (
+        F.col("sxy").cast("double")
+        - F.col("sxa").cast("double") * F.col("sxb").cast("double") / nd
+    ) / nd / 1e12
+    terms = j.select(
+        "label",
+        (F.col("d") == F.col("d2")).cast("long").alias("diag"),
+        F.floor(cij * 1e9 + F.lit(_OFF)).cast("long").alias("c9"),
+    )
+    c9d = F.col("c9").cast("double") / 1e9
+    wfac = F.when(F.col("diag") == 1, 1.0).otherwise(2.0)
+    terms = terms.withColumn(
+        "cc6", F.floor(wfac * c9d * c9d * 1e6 + F.lit(_OFF)).cast("long")
+    )
+    agg = terms.groupBy("label").agg(
+        F.sum(F.when(F.col("diag") == 1, F.col("c9"))).alias("tr9"),
+        F.sum("cc6").alias("tr2_6"),
+    )
+    tr = F.col("tr9").cast("double") / 1e9
+    tr2 = F.col("tr2_6").cast("double") / 1e6
+    pr = tr * tr / tr2
+    return agg.filter(F.col("tr2_6") > 0).select(
+        F.col("label").cast("long").alias("label"),
+        F.floor(tr * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "trace_e6"
+        ),
+        F.floor(pr * 10_000 + F.lit(_OFF)).cast("long").alias("pr_e4"),
+    ).orderBy("label")
+
+
+SQL_PARTICIPATION = f"""
+WITH comp0 AS (
+  SELECT label, vec_id,
+         unnest(list_transform(generate_series(1, len(embedding)),
+           i -> struct_pack(d := i,
+                x6 := CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6
+                                 + {_OFF}) AS BIGINT)))) AS u
+  FROM embeddings
+), comp AS (
+  SELECT label, vec_id, u.d AS d, u.x6 AS x6 FROM comp0
+), cross0 AS (
+  SELECT a.label, a.d, b.d AS d2, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a.x6 * b.x6) AS BIGINT) AS sxy
+  FROM comp a
+  JOIN comp b ON b.label = a.label AND b.vec_id = a.vec_id
+              AND a.d <= b.d
+  GROUP BY 1, 2, 3
+), sums AS (
+  SELECT label, d, CAST(sum(x6) AS BIGINT) AS sx
+  FROM comp GROUP BY 1, 2
+), cij AS (
+  SELECT c.label, c.d, c.d2,
+         CAST(floor((CAST(c.sxy AS DOUBLE)
+                     - CAST(sa.sx AS DOUBLE) * sb.sx / c.n)
+                    / c.n / 1e12 * 1e9 + {_OFF}) AS BIGINT) AS c9
+  FROM cross0 c
+  JOIN sums sa ON sa.label = c.label AND sa.d = c.d
+  JOIN sums sb ON sb.label = c.label AND sb.d = c.d2
+), terms AS (
+  SELECT label,
+         CASE WHEN d = d2 THEN c9 END AS diag9,
+         CAST(floor((CASE WHEN d = d2 THEN 1.0 ELSE 2.0 END)
+                    * (CAST(c9 AS DOUBLE) / 1e9)
+                    * (CAST(c9 AS DOUBLE) / 1e9) * 1e6 + {_OFF})
+              AS BIGINT) AS cc6
+  FROM cij
+), agg AS (
+  SELECT label, CAST(sum(diag9) AS BIGINT) AS tr9,
+         CAST(sum(cc6) AS BIGINT) AS tr2_6
+  FROM terms GROUP BY 1
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(floor(CAST(tr9 AS DOUBLE) / 1e9 * 1000000 + {_OFF})
+            AS BIGINT) AS trace_e6,
+       CAST(floor((CAST(tr9 AS DOUBLE) / 1e9)
+                  * (CAST(tr9 AS DOUBLE) / 1e9)
+                  / (CAST(tr2_6 AS DOUBLE) / 1e6) * 10000 + {_OFF})
+            AS BIGINT) AS pr_e4
+FROM agg
+WHERE tr2_6 > 0
+ORDER BY label
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hubness_skew": q_hubness_skew,
     "embedding_anisotropy": q_embedding_anisotropy,
@@ -3388,6 +3755,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gph_estimator": q_gph_estimator,
     "activity_block_entropy": q_activity_block_entropy,
     "cohort_half_life": q_cohort_half_life,
+    "freq_spectrum_fit": q_freq_spectrum_fit,
+    "hourly_conversion_wilson": q_hourly_conversion_wilson,
+    "prefix_mean_stability": q_prefix_mean_stability,
+    "participation_ratio": q_participation_ratio,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3423,4 +3794,8 @@ ORACLE_SQL: dict[str, str] = {
     "gph_estimator": SQL_GPH,
     "activity_block_entropy": SQL_BLOCK_ENTROPY,
     "cohort_half_life": SQL_COHORT_HL,
+    "freq_spectrum_fit": SQL_FREQ_SPECTRUM,
+    "hourly_conversion_wilson": SQL_HOURLY_WILSON,
+    "prefix_mean_stability": SQL_PREFIX_MEAN,
+    "participation_ratio": SQL_PARTICIPATION,
 }
