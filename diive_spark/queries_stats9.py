@@ -3722,6 +3722,389 @@ ORDER BY label
 """
 
 
+
+# ---------------------------------------------------------------------------
+# how_surprise — Poisson surprise census over the hour-of-week profile
+# ---------------------------------------------------------------------------
+# SPC on the 168-cell hour-of-week heatmap: under a homogeneous
+# Poisson row the cell deviation z = (c - mu)/sqrt(mu) with mu the
+# per-type cell mean; the census counts |z| > 3 cells and reports the
+# worst cell.  Counts exact; mu is one division; per-cell z is
+# fixed-order and e6-floored before the order-free max/argmax.
+
+
+def q_how_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.unix_micros(F.col("ts").cast("timestamp"))
+    how = (F.floor(sec / 3_600_000_000) % 168).cast("long")
+    cells = ev.groupBy("event_type", how.alias("hw")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("c").alias("s"), F.count(F.lit(1)).alias("ncells")
+    )
+    j = cells.join(F.broadcast(tot), "event_type")
+    mu = F.col("s").cast("double") / F.col("ncells").cast("double")
+    z = (F.col("c").cast("double") - mu) / F.sqrt(mu)
+    j = j.select(
+        "event_type",
+        "hw",
+        F.floor(F.abs(z) * 1e6 + F.lit(_OFF)).cast("long").alias("az6"),
+    )
+    wmax = Window.partitionBy("event_type").orderBy(
+        F.col("az6").desc(), F.col("hw").asc()
+    )
+    r = j.withColumn("rk", F.row_number().over(wmax))
+    agg = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum((F.col("az6") > 3_000_000).cast("long")).alias("n_over3"),
+        F.max(F.when(F.col("rk") == 1, F.col("az6"))).alias("max_az6"),
+        F.max(F.when(F.col("rk") == 1, F.col("hw"))).alias("worst_hw"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.col("n_over3").cast("long").alias("n_over3"),
+        F.col("worst_hw").cast("long").alias("worst_hw"),
+        F.floor(F.col("max_az6").cast("double") / 100.0 + F.lit(_OFF))
+        .cast("long")
+        .alias("max_absz_e4"),
+    ).orderBy("event_type")
+
+
+SQL_HOW_SURPRISE = f"""
+WITH cells AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) % 168 AS hw,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS ncells
+  FROM cells GROUP BY 1
+), z AS (
+  SELECT c.event_type, c.hw,
+         CAST(floor(abs((CAST(c.c AS DOUBLE)
+                         - CAST(t.s AS DOUBLE) / t.ncells)
+                        / sqrt(CAST(t.s AS DOUBLE) / t.ncells)) * 1e6
+                    + {_OFF}) AS BIGINT) AS az6
+  FROM cells c JOIN tot t ON t.event_type = c.event_type
+), r AS (
+  SELECT event_type, hw, az6,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY az6 DESC, hw ASC) AS rk
+  FROM z
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(CASE WHEN az6 > 3000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over3,
+       CAST(max(CASE WHEN rk = 1 THEN hw END) AS BIGINT) AS worst_hw,
+       CAST(floor(CAST(max(CASE WHEN rk = 1 THEN az6 END) AS DOUBLE)
+                  / 100.0 + {_OFF}) AS BIGINT) AS max_absz_e4
+FROM r
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# sq8_error_audit — 8-bit scalar-quantization reconstruction error
+# ---------------------------------------------------------------------------
+# The standard SQ8 vector-compression audit (cf. Faiss SQ8): per-dim
+# min/max over the corpus define the 255-step grid; code = round
+# ((x - lo)/(hi - lo) * 255), reconstruction lo + code*step.  Per-dim
+# ranges are exact e6 integers, codes are deterministic single
+# divisions; squared per-element errors are e12-floored before the
+# label sums, so MSE and the max element error are engine-exact.
+
+
+def q_sq8_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", "embedding"
+    )
+    comp = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode("embedding").alias("d", "x"),
+    ).select(
+        "label",
+        "vec_id",
+        "d",
+        F.floor(F.col("x").cast("double") * 1e6 + F.lit(_OFF))
+        .cast("long")
+        .alias("x6"),
+    )
+    rng = comp.groupBy("d").agg(
+        F.min("x6").alias("lo6"), F.max("x6").alias("hi6")
+    ).filter(F.col("hi6") > F.col("lo6"))
+    j = comp.join(F.broadcast(rng), "d")
+    step = (F.col("hi6") - F.col("lo6")).cast("double") / 255.0
+    code = F.round(
+        (F.col("x6") - F.col("lo6")).cast("double") / step, 0
+    )
+    err = (
+        F.col("x6").cast("double")
+        - (F.col("lo6").cast("double") + code * step)
+    ) / 1e6
+    terms = j.select(
+        "label",
+        F.floor(err * err * 1e12 + F.lit(_OFF)).cast("long").alias(
+            "e12"
+        ),
+    )
+    agg = terms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_el"),
+        F.sum("e12").alias("se12"),
+        F.max("e12").alias("mx12"),
+    )
+    mse = F.col("se12").cast("double") / 1e12 / F.col("n_el").cast(
+        "double"
+    )
+    return agg.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("n_el").cast("long").alias("n_elements"),
+        F.floor(mse * 1e9 + F.lit(_OFF)).cast("long").alias("mse_e9"),
+        F.col("mx12").cast("long").alias("max_sqerr_e12"),
+    ).orderBy("label")
+
+
+SQL_SQ8 = f"""
+WITH comp0 AS (
+  SELECT label, vec_id,
+         unnest(list_transform(generate_series(1, len(embedding)),
+           i -> struct_pack(d := i,
+                x6 := CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6
+                                 + {_OFF}) AS BIGINT)))) AS u
+  FROM embeddings
+), comp AS (
+  SELECT label, vec_id, u.d AS d, u.x6 AS x6 FROM comp0
+), rng AS (
+  SELECT d, CAST(min(x6) AS BIGINT) AS lo6,
+         CAST(max(x6) AS BIGINT) AS hi6
+  FROM comp GROUP BY 1 HAVING max(x6) > min(x6)
+), terms AS (
+  SELECT c.label,
+         CAST(floor(((CAST(c.x6 AS DOUBLE)
+                      - (CAST(r.lo6 AS DOUBLE)
+                         + round((c.x6 - r.lo6)
+                                 / (CAST(r.hi6 - r.lo6 AS DOUBLE) / 255.0),
+                                 0)
+                           * (CAST(r.hi6 - r.lo6 AS DOUBLE) / 255.0)))
+                     / 1e6)
+                    * ((CAST(c.x6 AS DOUBLE)
+                        - (CAST(r.lo6 AS DOUBLE)
+                           + round((c.x6 - r.lo6)
+                                   / (CAST(r.hi6 - r.lo6 AS DOUBLE)
+                                      / 255.0), 0)
+                             * (CAST(r.hi6 - r.lo6 AS DOUBLE) / 255.0)))
+                       / 1e6)
+                    * 1e12 + {_OFF}) AS BIGINT) AS e12
+  FROM comp c JOIN rng r ON r.d = c.d
+), agg AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_el,
+         CAST(sum(e12) AS BIGINT) AS se12,
+         CAST(max(e12) AS BIGINT) AS mx12
+  FROM terms GROUP BY 1
+)
+SELECT CAST(label AS BIGINT) AS label, n_el AS n_elements,
+       CAST(floor(CAST(se12 AS DOUBLE) / 1e12 / n_el * 1e9 + {_OFF})
+            AS BIGINT) AS mse_e9,
+       mx12 AS max_sqerr_e12
+FROM agg
+ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# think_time_quantiles — within-session gap quantiles
+# ---------------------------------------------------------------------------
+# The think-time distribution (within-session inter-click gaps under
+# the house 1800 s rule) at exact quartiles + p90 on the integer-
+# second gap value domain — the behavioral companion to
+# conversion_lag's value-domain discipline.
+
+
+def q_think_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+    wo = Window.partitionBy("user_id").orderBy("s", "event_id")
+    g = (
+        ev.select("user_id", "event_id", sec.cast("long").alias("s"))
+        .withColumn("prev", F.lag("s").over(wo))
+        .filter(
+            F.col("prev").isNotNull()
+            & ((F.col("s") - F.col("prev")) <= 1800)
+        )
+        .select((F.col("s") - F.col("prev")).alias("gap"))
+    )
+    cnt = g.groupBy("gap").agg(F.count(F.lit(1)).alias("c"))
+    wo2 = Window.orderBy("gap")
+    cum = cnt.withColumn(
+        "cum", F.sum("c").over(wo2.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("tot", F.sum("c").over(Window.partitionBy()))
+    qs = cum.withColumn(
+        "pct",
+        F.explode(
+            F.array(F.lit(25), F.lit(50), F.lit(75), F.lit(90))
+        ),
+    )
+    k = F.expr("((tot - 1) * pct) div 100") + 1
+    sel = qs.filter(
+        ((F.col("cum") - F.col("c")) < k) & (k <= F.col("cum"))
+    )
+    return sel.select(
+        F.col("pct").cast("long").alias("pct"),
+        F.col("gap").cast("long").alias("gap_s"),
+        F.col("tot").cast("long").alias("n_gaps"),
+    ).orderBy("pct")
+
+
+SQL_THINK_TIME = """
+WITH g AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+           AS gap
+  FROM events QUALIFY gap IS NOT NULL AND gap <= 1800
+), cnt AS (
+  SELECT gap, count(*) AS c FROM g GROUP BY 1
+), cum AS (
+  SELECT gap, c,
+         sum(c) OVER (ORDER BY gap) AS cum,
+         sum(c) OVER () AS tot
+  FROM cnt
+), qs AS (
+  SELECT cum.*, p.pct
+  FROM cum CROSS JOIN (VALUES (25), (50), (75), (90)) AS p(pct)
+)
+SELECT CAST(pct AS BIGINT) AS pct, CAST(gap AS BIGINT) AS gap_s,
+       CAST(tot AS BIGINT) AS n_gaps
+FROM qs
+WHERE cum - c < ((tot - 1) * pct) // 100 + 1
+  AND ((tot - 1) * pct) // 100 + 1 <= cum
+ORDER BY pct
+"""
+
+
+# ---------------------------------------------------------------------------
+# trend_direction_census — population census of per-user trend t-stats
+# ---------------------------------------------------------------------------
+# The meta-analytic reading of trend_ols: how many users trend
+# significantly up / down / flat at |t| > 1.96 (classic OLS t on the
+# hourly centivalue series, row-index regressor — the trend_ols_hc0
+# moment chain without the HC0 second pass).  All moment sums exact
+# BIGINT; per-user t fixed-order; the census is exact counting.
+
+
+def q_trend_direction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats2 import _hourly
+
+    h = _hourly(spark, sf_dir).select(
+        "user_id", "t", F.col("v").cast("long").alias("y")
+    )
+    wo = Window.partitionBy("user_id").orderBy("t")
+    r = h.withColumn("x", F.row_number().over(wo).cast("long"))
+    mom = r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).filter(F.col("n") >= 10)
+    nd = F.col("n").cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    b = num / den
+    a = (F.col("sy").cast("double") - b * F.col("sx").cast("double")) / nd
+    rss = (
+        F.col("syy").cast("double")
+        - a * F.col("sy").cast("double")
+        - b * F.col("sxy").cast("double")
+    )
+    tstat = b / F.sqrt(rss / (nd - 2.0) / (den / nd))
+    per = mom.filter((den > 0) & (rss > 0)).select(
+        F.floor(tstat * 10_000 + F.lit(_OFF)).cast("long").alias("t4")
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum((F.col("t4") > 19_600).cast("long")).alias("n_up"),
+        F.sum((F.col("t4") < -19_600).cast("long")).alias("n_down"),
+    )
+    return agg.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_up").cast("long").alias("n_up"),
+        F.col("n_down").cast("long").alias("n_down"),
+        (F.col("n_users") - F.col("n_up") - F.col("n_down"))
+        .cast("long")
+        .alias("n_flat"),
+        F.floor(
+            F.col("n_up").cast("double")
+            / F.col("n_users").cast("double")
+            * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("up_share_e6"),
+    )
+
+
+SQL_TREND_CENSUS = """
+WITH {_HOURLY},
+r AS (
+  SELECT user_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY t)
+              AS BIGINT) AS x,
+         CAST(v AS BIGINT) AS y
+  FROM hourly
+), mom AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM r GROUP BY 1 HAVING count(*) >= 10
+), f AS (
+  SELECT n,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+         (CAST(sy AS DOUBLE)
+          - CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           / n AS a,
+         CAST(syy AS DOUBLE) AS syyf, CAST(sy AS DOUBLE) AS syf,
+         CAST(sxy AS DOUBLE) AS sxyf,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS den
+  FROM mom
+  WHERE n * sxx - sx * sx > 0
+), t AS (
+  SELECT CAST(floor(b / sqrt((syyf - a * syf - b * sxyf)
+                             / (CAST(n AS DOUBLE) - 2.0)
+                             / (den / n)) * 10000 + {OFF})
+              AS BIGINT) AS t4
+  FROM f
+  WHERE syyf - a * syf - b * sxyf > 0
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(CASE WHEN t4 > 19600 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_up,
+         CAST(sum(CASE WHEN t4 < -19600 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_down
+  FROM t
+)
+SELECT n_users, n_up, n_down,
+       CAST(n_users - n_up - n_down AS BIGINT) AS n_flat,
+       CAST(floor(CAST(n_up AS DOUBLE) / n_users * 1000000 + {OFF})
+            AS BIGINT) AS up_share_e6
+FROM agg
+""".format(_HOURLY=_HOURLY_SQL_S9, OFF=_OFF)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hubness_skew": q_hubness_skew,
     "embedding_anisotropy": q_embedding_anisotropy,
@@ -3759,6 +4142,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hourly_conversion_wilson": q_hourly_conversion_wilson,
     "prefix_mean_stability": q_prefix_mean_stability,
     "participation_ratio": q_participation_ratio,
+    "how_surprise": q_how_surprise,
+    "sq8_error_audit": q_sq8_error_audit,
+    "think_time_quantiles": q_think_time_quantiles,
+    "trend_direction_census": q_trend_direction_census,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3798,4 +4185,8 @@ ORACLE_SQL: dict[str, str] = {
     "hourly_conversion_wilson": SQL_HOURLY_WILSON,
     "prefix_mean_stability": SQL_PREFIX_MEAN,
     "participation_ratio": SQL_PARTICIPATION,
+    "how_surprise": SQL_HOW_SURPRISE,
+    "sq8_error_audit": SQL_SQ8,
+    "think_time_quantiles": SQL_THINK_TIME,
+    "trend_direction_census": SQL_TREND_CENSUS,
 }
