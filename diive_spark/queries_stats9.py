@@ -4105,6 +4105,338 @@ FROM agg
 """.format(_HOURLY=_HOURLY_SQL_S9, OFF=_OFF)
 
 
+
+# ---------------------------------------------------------------------------
+# bounce_rate_hourly — single-event-session share by start hour
+# ---------------------------------------------------------------------------
+# The classic web bounce rate on the house 1800 s sessionization,
+# sliced by session START hour-of-day; pure exact counting (session
+# start = min (s, event_id) key per sid).
+
+
+def q_bounce_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+    wo = Window.partitionBy("user_id").orderBy("s", "event_id")
+    g = (
+        ev.select("user_id", "event_id", sec.cast("long").alias("s"))
+        .withColumn("prev", F.lag("s").over(wo))
+        .withColumn(
+            "brk",
+            (
+                F.col("prev").isNull()
+                | ((F.col("s") - F.col("prev")) > 1800)
+            ).cast("long"),
+        )
+        .withColumn(
+            "sid",
+            F.sum("brk").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    per = g.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("s").alias("start_s"),
+    )
+    hr = ((F.col("start_s") % 86_400) / 3_600).cast("long")
+    agg = per.groupBy(hr.alias("hr")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum((F.col("len") == 1).cast("long")).alias("n_bounce"),
+    )
+    rate = F.col("n_bounce").cast("double") / F.col("n_sessions").cast(
+        "double"
+    )
+    return agg.select(
+        "hr",
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        F.col("n_bounce").cast("long").alias("n_bounce"),
+        F.floor(rate * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "bounce_e6"
+        ),
+    ).orderBy("hr")
+
+
+SQL_BOUNCE = f"""
+WITH g AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         lag(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev
+  FROM events
+), b AS (
+  SELECT user_id, s,
+         CAST(sum(CASE WHEN prev IS NULL OR s - prev > 1800
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY s, event_id)
+              AS BIGINT) AS sid
+  FROM g
+), per AS (
+  SELECT user_id, sid, CAST(count(*) AS BIGINT) AS len,
+         CAST(min(s) AS BIGINT) AS start_s
+  FROM b GROUP BY 1, 2
+), agg AS (
+  SELECT CAST(floor((start_s % 86400) / 3600.0) AS BIGINT) AS hr,
+         CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(sum(CASE WHEN len = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounce
+  FROM per GROUP BY 1
+)
+SELECT hr, n_sessions, n_bounce,
+       CAST(floor(CAST(n_bounce AS DOUBLE) / n_sessions * 1000000
+                  + {_OFF}) AS BIGINT) AS bounce_e6
+FROM agg
+ORDER BY hr
+"""
+
+
+# ---------------------------------------------------------------------------
+# daily_span_quantiles — time-on-platform proxy: daily activity span
+# ---------------------------------------------------------------------------
+# Per (user, day): span minutes between first and last event; exact
+# quartiles + p90 on the minute value domain (conversion_lag
+# discipline).
+
+
+def q_daily_span_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+    per = ev.groupBy(
+        "user_id",
+        F.floor(sec / 86_400).cast("long").alias("day"),
+    ).agg(
+        (
+            F.floor((F.max(sec) - F.min(sec)) / 60)
+        ).cast("long").alias("span_min")
+    )
+    cnt = per.groupBy("span_min").agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.orderBy("span_min")
+    cum = cnt.withColumn(
+        "cum", F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("tot", F.sum("c").over(Window.partitionBy()))
+    qs = cum.withColumn(
+        "pct",
+        F.explode(
+            F.array(F.lit(25), F.lit(50), F.lit(75), F.lit(90))
+        ),
+    )
+    k = F.expr("((tot - 1) * pct) div 100") + 1
+    sel = qs.filter(
+        ((F.col("cum") - F.col("c")) < k) & (k <= F.col("cum"))
+    )
+    return sel.select(
+        F.col("pct").cast("long").alias("pct"),
+        F.col("span_min").cast("long").alias("span_min"),
+        F.col("tot").cast("long").alias("n_user_days"),
+    ).orderBy("pct")
+
+
+SQL_DAILY_SPAN = """
+WITH per AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(floor((max(CAST(floor(epoch(ts)) AS BIGINT))
+                     - min(CAST(floor(epoch(ts)) AS BIGINT))) / 60.0)
+              AS BIGINT) AS span_min
+  FROM events GROUP BY 1, 2
+), cnt AS (
+  SELECT span_min, count(*) AS c FROM per GROUP BY 1
+), cum AS (
+  SELECT span_min, c,
+         sum(c) OVER (ORDER BY span_min) AS cum,
+         sum(c) OVER () AS tot
+  FROM cnt
+), qs AS (
+  SELECT cum.*, p.pct
+  FROM cum CROSS JOIN (VALUES (25), (50), (75), (90)) AS p(pct)
+)
+SELECT CAST(pct AS BIGINT) AS pct, CAST(span_min AS BIGINT) AS span_min,
+       CAST(tot AS BIGINT) AS n_user_days
+FROM qs
+WHERE cum - c < ((tot - 1) * pct) // 100 + 1
+  AND ((tot - 1) * pct) // 100 + 1 <= cum
+ORDER BY pct
+"""
+
+
+# ---------------------------------------------------------------------------
+# type_phi_matrix — phi association between heavy-usage type pairs
+# ---------------------------------------------------------------------------
+# Yule's phi (2x2 Pearson) over users with "heavy user of type T" =
+# per-user count STRICTLY above the type's exact p75 over users (the
+# value-domain order stat), which guarantees non-degenerate margins.
+# All cells exact counts off one per-(user, type) table and a pair
+# self-join bounded by types^2; phi is one fixed-order chain.
+
+
+def q_type_phi_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cnt = per.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    wo = Window.partitionBy("event_type").orderBy("c")
+    wn = Window.partitionBy("event_type")
+    cum = cnt.withColumn(
+        "cum", F.sum("k").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("tot", F.sum("k").over(wn))
+    kth = F.expr("((tot - 1) * 75) div 100") + 1
+    q75 = cum.filter(
+        ((F.col("cum") - F.col("k")) < kth) & (kth <= F.col("cum"))
+    ).select("event_type", F.col("c").alias("p75"))
+    heavy = per.join(F.broadcast(q75), "event_type").filter(
+        F.col("c") > F.col("p75")
+    ).select("user_id", "event_type")
+    tot_u = per.select("user_id").distinct().count()
+    marg = heavy.groupBy("event_type").agg(F.count(F.lit(1)).alias("na"))
+    b = heavy.select(
+        F.col("user_id"), F.col("event_type").alias("et2")
+    )
+    both = (
+        heavy.join(b, "user_id")
+        .filter(F.col("event_type") < F.col("et2"))
+        .groupBy(F.col("event_type").alias("et1"), "et2")
+        .agg(F.count(F.lit(1)).alias("n11"))
+    )
+    ma = marg.select(F.col("event_type").alias("et1"), F.col("na").alias("na"))
+    mb = marg.select(F.col("event_type").alias("et2"), F.col("na").alias("nb"))
+    j = both.join(F.broadcast(ma), "et1").join(F.broadcast(mb), "et2")
+    n = F.lit(float(tot_u))
+    n11 = F.col("n11").cast("double")
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    num = n11 * n - na * nb
+    den = F.sqrt(na * (n - na) * nb * (n - nb))
+    return j.filter(den > 0).select(
+        "et1",
+        "et2",
+        F.col("n11").cast("long").alias("n_both"),
+        F.floor(num / den * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "phi_e6"
+        ),
+    ).orderBy("et1", "et2")
+
+
+SQL_TYPE_PHI = f"""
+WITH per AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), cnt AS (
+  SELECT event_type, c, count(*) AS k FROM per GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, c, k,
+         sum(k) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+         sum(k) OVER (PARTITION BY event_type) AS tot
+  FROM cnt
+), q75 AS (
+  SELECT event_type, c AS p75
+  FROM cum
+  WHERE cum - k < ((tot - 1) * 75) // 100 + 1
+    AND ((tot - 1) * 75) // 100 + 1 <= cum
+), heavy AS (
+  SELECT per.user_id, per.event_type
+  FROM per JOIN q75 ON q75.event_type = per.event_type
+  WHERE per.c > q75.p75
+), totu AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM per
+), marg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS na
+  FROM heavy GROUP BY 1
+), pairboth AS (
+  SELECT a.event_type AS et1, b.event_type AS et2,
+         CAST(count(*) AS BIGINT) AS n11
+  FROM heavy a JOIN heavy b
+    ON b.user_id = a.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT et1, et2, n11 AS n_both,
+       CAST(floor((CAST(n11 AS DOUBLE) * totu.n
+                   - CAST(ma.na AS DOUBLE) * mb.na)
+                  / sqrt(CAST(ma.na AS DOUBLE) * (totu.n - ma.na)
+                         * mb.na * (totu.n - mb.na))
+                  * 1000000 + {_OFF}) AS BIGINT) AS phi_e6
+FROM pairboth
+JOIN marg ma ON ma.event_type = pairboth.et1
+JOIN marg mb ON mb.event_type = pairboth.et2
+CROSS JOIN totu
+WHERE CAST(ma.na AS DOUBLE) * (totu.n - ma.na)
+      * mb.na * (totu.n - mb.na) > 0
+ORDER BY et1, et2
+"""
+
+
+# ---------------------------------------------------------------------------
+# volume_value_corr — does busy mean cheap? daily count vs mean value
+# ---------------------------------------------------------------------------
+# Pearson correlation between a type's daily event count and its
+# daily MEAN value (volume-value decoupling).  Daily means are the
+# house coarse centivalue floor (2-decimal aggregate-mean convention);
+# cross-moments then run on exact integers.
+
+
+def q_volume_value_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000))
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.floor(F.avg("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "mv"
+        ),
+    )
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum("mv").alias("sm"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+        F.sum(F.col("mv") * F.col("mv")).alias("smm"),
+        F.sum(F.col("c") * F.col("mv")).alias("scm"),
+    )
+    vc = (F.col("n") * F.col("scc") - F.col("sc") * F.col("sc")).cast(
+        "double"
+    )
+    vm = (F.col("n") * F.col("smm") - F.col("sm") * F.col("sm")).cast(
+        "double"
+    )
+    cov = (F.col("n") * F.col("scm") - F.col("sc") * F.col("sm")).cast(
+        "double"
+    )
+    r = cov / F.sqrt(vc * vm)
+    return agg.filter((F.col("n") >= 5) & (vc > 0) & (vm > 0)).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.floor(r * 1_000_000 + F.lit(_OFF)).cast("long").alias("r_e6"),
+    ).orderBy("event_type")
+
+
+SQL_VOLUME_VALUE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS c,
+         CAST(floor(avg(value) * 100 + {_OFF}) AS BIGINT) AS mv
+  FROM events GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS sc, CAST(sum(mv) AS BIGINT) AS sm,
+         CAST(sum(c * c) AS BIGINT) AS scc,
+         CAST(sum(mv * mv) AS BIGINT) AS smm,
+         CAST(sum(c * mv) AS BIGINT) AS scm
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n AS n_days,
+       CAST(floor(CAST(n * scm - sc * sm AS DOUBLE)
+                  / sqrt(CAST(n * scc - sc * sc AS DOUBLE)
+                         * CAST(n * smm - sm * sm AS DOUBLE))
+                  * 1000000 + {_OFF}) AS BIGINT) AS r_e6
+FROM agg
+WHERE n >= 5 AND n * scc - sc * sc > 0 AND n * smm - sm * sm > 0
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hubness_skew": q_hubness_skew,
     "embedding_anisotropy": q_embedding_anisotropy,
@@ -4146,6 +4478,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sq8_error_audit": q_sq8_error_audit,
     "think_time_quantiles": q_think_time_quantiles,
     "trend_direction_census": q_trend_direction_census,
+    "bounce_rate_hourly": q_bounce_rate_hourly,
+    "daily_span_quantiles": q_daily_span_quantiles,
+    "type_phi_matrix": q_type_phi_matrix,
+    "volume_value_corr": q_volume_value_corr,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4189,4 +4525,8 @@ ORACLE_SQL: dict[str, str] = {
     "sq8_error_audit": SQL_SQ8,
     "think_time_quantiles": SQL_THINK_TIME,
     "trend_direction_census": SQL_TREND_CENSUS,
+    "bounce_rate_hourly": SQL_BOUNCE,
+    "daily_span_quantiles": SQL_DAILY_SPAN,
+    "type_phi_matrix": SQL_TYPE_PHI,
+    "volume_value_corr": SQL_VOLUME_VALUE,
 }
