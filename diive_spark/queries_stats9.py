@@ -4437,6 +4437,399 @@ ORDER BY event_type
 """
 
 
+
+# ---------------------------------------------------------------------------
+# otsu_threshold — Otsu's between-class variance split of the value mix
+# ---------------------------------------------------------------------------
+# Otsu (IEEE TSMC 9, 1979): the threshold maximizing between-class
+# variance w0 w1 (mu0 - mu1)^2 over the centivalue histogram — the
+# classic unsupervised 2-mixture split, run per event type on the
+# exact integer value domain.  The objective is evaluated per
+# candidate cut from exact prefix sums and e6-floored BEFORE the
+# order-free argmax (ties -> lowest threshold).
+
+
+def q_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    cnt = v.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("v")
+    wn = Window.partitionBy("event_type")
+    cum = (
+        cnt.withColumn(
+            "cw",
+            F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "cs",
+            F.sum(F.col("c") * F.col("v")).over(
+                wo.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("tw", F.sum("c").over(wn))
+        .withColumn(
+            "ts", F.sum(F.col("c") * F.col("v")).over(wn)
+        )
+    )
+    cand = cum.filter(F.col("cw") < F.col("tw"))
+    w0 = F.col("cw").cast("double")
+    w1 = (F.col("tw") - F.col("cw")).cast("double")
+    mu0 = F.col("cs").cast("double") / w0
+    mu1 = (F.col("ts") - F.col("cs")).cast("double") / w1
+    obj = w0 * w1 * (mu0 - mu1) * (mu0 - mu1) / (
+        F.col("tw").cast("double") * F.col("tw").cast("double")
+    )
+    cand = cand.select(
+        "event_type",
+        "v",
+        F.floor(obj * 1e6 + F.lit(_OFF)).cast("long").alias("o6"),
+        F.floor(
+            w0 / F.col("tw").cast("double") * 1_000_000 + F.lit(_OFF)
+        ).cast("long").alias("w0_e6"),
+    )
+    wmax = Window.partitionBy("event_type").orderBy(
+        F.col("o6").desc(), F.col("v").asc()
+    )
+    top = cand.withColumn("rk", F.row_number().over(wmax)).filter(
+        F.col("rk") == 1
+    )
+    return top.select(
+        "event_type",
+        F.col("v").cast("long").alias("threshold_c"),
+        F.col("o6").cast("long").alias("between_var_e6"),
+        F.col("w0_e6").cast("long").alias("low_share_e6"),
+    ).orderBy("event_type")
+
+
+SQL_OTSU = f"""
+WITH v AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), cnt AS (
+  SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+  FROM v GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, v, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cw,
+         sum(c * v) OVER (PARTITION BY event_type ORDER BY v) AS cs,
+         sum(c) OVER (PARTITION BY event_type) AS tw,
+         sum(c * v) OVER (PARTITION BY event_type) AS ts
+  FROM cnt
+), cand AS (
+  SELECT event_type, v,
+         CAST(floor(CAST(cw AS DOUBLE) * (tw - cw)
+                    * (CAST(cs AS DOUBLE) / cw
+                       - CAST(ts - cs AS DOUBLE) / (tw - cw))
+                    * (CAST(cs AS DOUBLE) / cw
+                       - CAST(ts - cs AS DOUBLE) / (tw - cw))
+                    / (CAST(tw AS DOUBLE) * tw) * 1e6 + {_OFF})
+              AS BIGINT) AS o6,
+         CAST(floor(CAST(cw AS DOUBLE) / tw * 1000000 + {_OFF})
+              AS BIGINT) AS w0_e6
+  FROM cum WHERE cw < tw
+), top AS (
+  SELECT event_type, v, o6, w0_e6,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY o6 DESC, v ASC) AS rk
+  FROM cand
+)
+SELECT event_type, CAST(v AS BIGINT) AS threshold_c,
+       o6 AS between_var_e6, w0_e6 AS low_share_e6
+FROM top
+WHERE rk = 1
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# length_auc_langid — ROC AUC of doc length as an is-English classifier
+# ---------------------------------------------------------------------------
+# AUC = P(X_pos > X_neg) + P(=)/2, computed EXACTLY via the tie-
+# corrected Mann-Whitney rank-sum identity on the n_chars value
+# domain: AUC = (R_pos - n_pos (n_pos + 1)/2) / (n_pos n_neg) with
+# midranks — everything an exact rational off integer counts (the 2x
+# scaling keeps midranks integral).
+
+
+def q_length_auc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select(
+        (F.col("lang") == "en").cast("long").alias("pos"),
+        F.col("n_chars").cast("long").alias("x"),
+    )
+    cnt = d.groupBy("x").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("pos").alias("cp"),
+    )
+    wo = Window.orderBy("x")
+    cum = cnt.withColumn(
+        "cumc",
+        F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    # doubled midrank of the tied block at value x: (prev + 1) + cumc
+    r2 = cum.select(
+        "x",
+        "c",
+        "cp",
+        (F.col("cumc") - F.col("c") + 1 + F.col("cumc")).alias("mr2"),
+    )
+    agg = r2.agg(
+        F.sum("cp").alias("npos"),
+        F.sum(F.col("c") - F.col("cp")).alias("nneg"),
+        F.sum(F.col("cp") * F.col("mr2")).alias("rp2"),
+    )
+    npos = F.col("npos").cast("double")
+    nneg = F.col("nneg").cast("double")
+    auc = (
+        F.col("rp2").cast("double") / 2.0
+        - npos * (npos + 1.0) / 2.0
+    ) / (npos * nneg)
+    return agg.filter((F.col("npos") > 0) & (F.col("nneg") > 0)).select(
+        F.col("npos").cast("long").alias("n_pos"),
+        F.col("nneg").cast("long").alias("n_neg"),
+        F.floor(auc * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "auc_e6"
+        ),
+    )
+
+
+SQL_LENGTH_AUC = f"""
+WITH d AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         CAST(n_chars AS BIGINT) AS x
+  FROM documents
+), cnt AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(pos) AS BIGINT) AS cp
+  FROM d GROUP BY 1
+), cum AS (
+  SELECT x, c, cp,
+         sum(c) OVER (ORDER BY x) AS cumc
+  FROM cnt
+), agg AS (
+  SELECT CAST(sum(cp) AS BIGINT) AS npos,
+         CAST(sum(c - cp) AS BIGINT) AS nneg,
+         CAST(sum(cp * (cumc - c + 1 + cumc)) AS BIGINT) AS rp2
+  FROM cum
+)
+SELECT npos AS n_pos, nneg AS n_neg,
+       CAST(floor((CAST(rp2 AS DOUBLE) / 2.0
+                   - CAST(npos AS DOUBLE) * (npos + 1.0) / 2.0)
+                  / (CAST(npos AS DOUBLE) * nneg) * 1000000 + {_OFF})
+            AS BIGINT) AS auc_e6
+FROM agg
+WHERE npos > 0 AND nneg > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# page_trend_test — Page's L for ordered weekly alternatives
+# ---------------------------------------------------------------------------
+# Page (JASA 58, 1963): with event types as blocks and weeks as the
+# ordered treatments, rank each type's weekly daily-mean within the
+# block (row_number, count desc ties -> week asc, documented) and
+# L = sum_w w_idx R_w; z uses the exact null moments.  Everything up
+# to z is exact integer.
+
+
+def q_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.unix_micros(F.col("ts").cast("timestamp"))
+    wkcell = ev.groupBy(
+        "event_type",
+        F.floor(sec / (86_400_000_000 * 7)).cast("long").alias("wk"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wmin = wkcell.agg(F.min("wk").alias("w0"))
+    wkcell = wkcell.crossJoin(F.broadcast(wmin)).select(
+        "event_type",
+        (F.col("wk") - F.col("w0") + 1).alias("widx"),
+        "c",
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.asc("c"), F.asc("widx")
+    )
+    ranked = wkcell.withColumn("r", F.row_number().over(wr))
+    rw = ranked.groupBy("widx").agg(
+        F.sum("r").alias("rw"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    agg = rw.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("m").alias("m"),
+        F.sum(F.col("widx") * F.col("rw")).alias("l_stat"),
+    )
+    nd = F.col("n").cast("double")
+    md = F.col("m").cast("double")
+    el = md * nd * (nd + 1.0) * (nd + 1.0) / 4.0
+    vl = (
+        md
+        * nd
+        * nd
+        * (nd + 1.0)
+        * (nd * nd - 1.0)
+        * (nd + 1.0)
+        / 144.0
+    )
+    z = (F.col("l_stat").cast("double") - el) / F.sqrt(vl)
+    return agg.filter((F.col("n") >= 3) & (vl > 0)).select(
+        F.col("m").cast("long").alias("n_blocks"),
+        F.col("n").cast("long").alias("n_weeks"),
+        F.col("l_stat").cast("long").alias("l_stat"),
+        F.floor(el * 100 + F.lit(_OFF)).cast("long").alias("e_l_e2"),
+        F.floor(z * 10_000 + F.lit(_OFF)).cast("long").alias("z_e4"),
+    )
+
+
+SQL_PAGE_TREND = f"""
+WITH wkcell AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), wmin AS (
+  SELECT min(wk) AS w0 FROM wkcell
+), idx AS (
+  SELECT event_type, wk - w0 + 1 AS widx, c
+  FROM wkcell CROSS JOIN wmin
+), ranked AS (
+  SELECT event_type, widx,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY c ASC, widx ASC) AS BIGINT) AS r
+  FROM idx
+), rw AS (
+  SELECT widx, CAST(sum(r) AS BIGINT) AS rw,
+         CAST(count(*) AS BIGINT) AS m
+  FROM ranked GROUP BY 1
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(max(m) AS BIGINT) AS m,
+         CAST(sum(widx * rw) AS BIGINT) AS l_stat
+  FROM rw
+)
+SELECT m AS n_blocks, n AS n_weeks, l_stat,
+       CAST(floor(CAST(m AS DOUBLE) * n * (n + 1.0) * (n + 1.0) / 4.0
+                  * 100 + {_OFF}) AS BIGINT) AS e_l_e2,
+       CAST(floor((CAST(l_stat AS DOUBLE)
+                   - CAST(m AS DOUBLE) * n * (n + 1.0) * (n + 1.0) / 4.0)
+                  / sqrt(CAST(m AS DOUBLE) * n * n * (n + 1.0)
+                         * (CAST(n AS DOUBLE) * n - 1.0) * (n + 1.0)
+                         / 144.0)
+                  * 10000 + {_OFF}) AS BIGINT) AS z_e4
+FROM agg
+WHERE n >= 3
+  AND CAST(m AS DOUBLE) * n * n * (n + 1.0)
+      * (CAST(n AS DOUBLE) * n - 1.0) * (n + 1.0) / 144.0 > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# char_drift_kl — add-one-smoothed char KL between id-range halves
+# ---------------------------------------------------------------------------
+# Content drift at the character level: per language, KL(first-half
+# char dist || second-half) with add-one smoothing over the UNION
+# charset — the fine-grained companion to lang_mix_drift (which only
+# sees labels).  Chars via the rankprofile 1-gram construction; the
+# id-range midpoint split (no corpus window); per-char terms
+# e9-floored before the sum.
+
+
+def q_char_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir).select("doc_id", "lang", "text")
+    span = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    d = d.crossJoin(F.broadcast(span)).select(
+        "lang",
+        (F.col("doc_id") * 2 <= F.col("lo") + F.col("hi"))
+        .cast("long")
+        .alias("h1"),
+        "text",
+    )
+    ch = d.select(
+        "lang",
+        "h1",
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(1, greatest(length(trim(text)),"
+                " 0)), i -> substring(trim(text), i, 1)), x -> x <> '')"
+            )
+        ).alias("ch"),
+    )
+    cnt = ch.groupBy("lang", "ch").agg(
+        F.sum("h1").alias("a"),
+        F.sum(1 - F.col("h1")).alias("b"),
+    )
+    tot = cnt.groupBy("lang").agg(
+        F.sum("a").alias("ta"),
+        F.sum("b").alias("tb"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = cnt.join(F.broadcast(tot), "lang")
+    pa = (F.col("a") + 1).cast("double") / (F.col("ta") + F.col("k")).cast(
+        "double"
+    )
+    pb = (F.col("b") + 1).cast("double") / (F.col("tb") + F.col("k")).cast(
+        "double"
+    )
+    term = pa * F.log(pa / pb)
+    e = j.select(
+        "lang",
+        F.floor(term * 1e9 + F.lit(_OFF)).cast("long").alias("e9"),
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("k_chars"),
+        F.sum("e9").alias("s9"),
+    )
+    return e.select(
+        "lang",
+        F.col("k_chars").cast("long").alias("k_chars"),
+        F.floor(F.col("s9").cast("double") / 1e9 * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("kl_e6"),
+    ).orderBy("lang")
+
+
+SQL_CHAR_DRIFT = f"""
+WITH span AS (
+  SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents
+), d AS (
+  SELECT lang,
+         CASE WHEN doc_id * 2 <= span.lo + span.hi THEN 1 ELSE 0 END AS h1,
+         text
+  FROM documents CROSS JOIN span
+), ch AS (
+  SELECT lang, h1,
+         unnest(list_filter(list_transform(
+           generate_series(1, greatest(len(trim(text)), 0)),
+           i -> substr(trim(text), i, 1)), x -> x <> '')) AS ch
+  FROM d
+), cnt AS (
+  SELECT lang, ch, CAST(sum(h1) AS BIGINT) AS a,
+         CAST(sum(1 - h1) AS BIGINT) AS b
+  FROM ch GROUP BY 1, 2
+), tot AS (
+  SELECT lang, CAST(sum(a) AS BIGINT) AS ta,
+         CAST(sum(b) AS BIGINT) AS tb,
+         CAST(count(*) AS BIGINT) AS k
+  FROM cnt GROUP BY 1
+), e AS (
+  SELECT cnt.lang, CAST(count(*) AS BIGINT) AS k_chars,
+         CAST(sum(CAST(floor((CAST(cnt.a + 1 AS DOUBLE) / (tot.ta + tot.k))
+                             * ln((CAST(cnt.a + 1 AS DOUBLE)
+                                   / (tot.ta + tot.k))
+                                  / (CAST(cnt.b + 1 AS DOUBLE)
+                                     / (tot.tb + tot.k)))
+                             * 1e9 + {_OFF}) AS BIGINT)) AS BIGINT) AS s9
+  FROM cnt JOIN tot ON tot.lang = cnt.lang
+  GROUP BY 1
+)
+SELECT lang, k_chars,
+       CAST(floor(CAST(s9 AS DOUBLE) / 1e9 * 1000000 + {_OFF})
+            AS BIGINT) AS kl_e6
+FROM e
+ORDER BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hubness_skew": q_hubness_skew,
     "embedding_anisotropy": q_embedding_anisotropy,
@@ -4482,6 +4875,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_span_quantiles": q_daily_span_quantiles,
     "type_phi_matrix": q_type_phi_matrix,
     "volume_value_corr": q_volume_value_corr,
+    "otsu_threshold": q_otsu_threshold,
+    "length_auc_langid": q_length_auc_langid,
+    "page_trend_test": q_page_trend_test,
+    "char_drift_kl": q_char_drift_kl,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4529,4 +4926,8 @@ ORACLE_SQL: dict[str, str] = {
     "daily_span_quantiles": SQL_DAILY_SPAN,
     "type_phi_matrix": SQL_TYPE_PHI,
     "volume_value_corr": SQL_VOLUME_VALUE,
+    "otsu_threshold": SQL_OTSU,
+    "length_auc_langid": SQL_LENGTH_AUC,
+    "page_trend_test": SQL_PAGE_TREND,
+    "char_drift_kl": SQL_CHAR_DRIFT,
 }
