@@ -4830,6 +4830,390 @@ ORDER BY lang
 """
 
 
+
+# ---------------------------------------------------------------------------
+# pareto_ratio — value concentration: top-20% share and the 80% point
+# ---------------------------------------------------------------------------
+# The iconic Pareto numbers on per-user total centivalue, computed on
+# the DISTINCT-VALUE domain (cumulative windows over distinct v, the
+# house value-domain posture — never a corpus-wide per-user window):
+# the top-20% cutoff and the 80%-of-value crossing both land inside a
+# tied value block, resolved by EXACT integer interpolation (k20 users
+# at v* contribute (k20 - prev_users) * v*; the 80% crossing rank is
+# an integer ceiling).
+
+
+def q_pareto_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")).alias(
+            "v"
+        )
+    )
+    dom = per.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.orderBy(F.desc("v"))
+    wall = Window.partitionBy()
+    cum = (
+        dom.withColumn(
+            "cc", F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn(
+            "cv",
+            F.sum(F.col("c") * F.col("v")).over(
+                wo.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("n", F.sum("c").over(wall))
+        .withColumn("tv", F.sum(F.col("c") * F.col("v")).over(wall))
+    )
+    k20 = F.floor((F.col("n") + 4) / 5)
+    blk20 = cum.filter(
+        ((F.col("cc") - F.col("c")) < k20) & (k20 <= F.col("cc"))
+    ).select(
+        "n",
+        "tv",
+        (
+            F.col("cv")
+            - F.col("c") * F.col("v")
+            + (k20 - (F.col("cc") - F.col("c"))) * F.col("v")
+        ).alias("v20"),
+    )
+    # 80% crossing: first block where cv*10 >= tv*8; rank inside it
+    blk80 = cum.filter(
+        (F.col("cv") * 10 >= F.col("tv") * 8)
+        & ((F.col("cv") - F.col("c") * F.col("v")) * 10 < F.col("tv") * 8)
+    ).select(
+        (
+            F.col("cc")
+            - F.col("c")
+            + F.ceil(
+                (
+                    F.col("tv") * 8
+                    - (F.col("cv") - F.col("c") * F.col("v")) * 10
+                ).cast("double")
+                / (F.col("v") * 10).cast("double")
+            )
+        ).alias("k80")
+    )
+    j = blk20.crossJoin(F.broadcast(blk80))
+    return j.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.floor(
+            F.col("v20").cast("double") / F.col("tv").cast("double")
+            * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("top20_value_share_e6"),
+        F.floor(
+            F.col("k80").cast("double") / F.col("n").cast("double")
+            * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("users_for_80pct_e6"),
+    )
+
+
+SQL_PARETO = f"""
+WITH per AS (
+  SELECT user_id,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT)) AS BIGINT)
+           AS v
+  FROM events GROUP BY 1
+), dom AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS c FROM per GROUP BY 1
+), cum AS (
+  SELECT v, c,
+         sum(c) OVER (ORDER BY v DESC) AS cc,
+         sum(c * v) OVER (ORDER BY v DESC) AS cv,
+         sum(c) OVER () AS n,
+         sum(c * v) OVER () AS tv
+  FROM dom
+), blk20 AS (
+  SELECT n, tv,
+         cv - c * v + ((n + 4) // 5 - (cc - c)) * v AS v20
+  FROM cum
+  WHERE cc - c < (n + 4) // 5 AND (n + 4) // 5 <= cc
+), blk80 AS (
+  SELECT cc - c + CAST(ceil(CAST(tv * 8 - (cv - c * v) * 10 AS DOUBLE)
+                            / (CAST(v AS DOUBLE) * 10)) AS BIGINT) AS k80
+  FROM cum
+  WHERE cv * 10 >= tv * 8 AND (cv - c * v) * 10 < tv * 8
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(floor(CAST(v20 AS DOUBLE) / tv * 1000000 + {_OFF})
+            AS BIGINT) AS top20_value_share_e6,
+       CAST(floor(CAST(k80 AS DOUBLE) / n * 1000000 + {_OFF})
+            AS BIGINT) AS users_for_80pct_e6
+FROM blk20 CROSS JOIN blk80
+"""
+
+
+# ---------------------------------------------------------------------------
+# session_type_diversity — distinct event types per session
+# ---------------------------------------------------------------------------
+# Session breadth census on the house 1800 s rule: the distribution
+# of DISTINCT types per session (mean, share single-type, share
+# full-width) — exact counting end to end.
+
+
+def q_session_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+    wo = Window.partitionBy("user_id").orderBy("s", "event_id")
+    g = (
+        ev.select(
+            "user_id", "event_id", "event_type", sec.cast("long").alias("s")
+        )
+        .withColumn("prev", F.lag("s").over(wo))
+        .withColumn(
+            "brk",
+            (
+                F.col("prev").isNull()
+                | ((F.col("s") - F.col("prev")) > 1800)
+            ).cast("long"),
+        )
+        .withColumn(
+            "sid",
+            F.sum("brk").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    per = g.groupBy("user_id", "sid").agg(
+        F.countDistinct("event_type").alias("k"),
+        F.count(F.lit(1)).alias("len"),
+    )
+    hist = per.groupBy("k").agg(F.count(F.lit(1)).alias("n_sessions"))
+    tot = hist.agg(
+        F.sum("n_sessions").alias("t"),
+        F.sum(F.col("k") * F.col("n_sessions")).alias("sk"),
+    )
+    out = hist.crossJoin(F.broadcast(tot))
+    return out.select(
+        F.col("k").cast("long").alias("n_types"),
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        F.floor(
+            F.col("n_sessions").cast("double")
+            / F.col("t").cast("double")
+            * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("share_e6"),
+        F.floor(
+            F.col("sk").cast("double") / F.col("t").cast("double") * 10_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("mean_types_e4"),
+    ).orderBy("n_types")
+
+
+SQL_SESSION_DIVERSITY = f"""
+WITH g AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         lag(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev
+  FROM events
+), b AS (
+  SELECT user_id, event_type, s,
+         CAST(sum(CASE WHEN prev IS NULL OR s - prev > 1800
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY s, event_id)
+              AS BIGINT) AS sid
+  FROM g
+), per AS (
+  SELECT user_id, sid,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS k
+  FROM b GROUP BY 1, 2
+), hist AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_sessions
+  FROM per GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_sessions) AS BIGINT) AS t,
+         CAST(sum(k * n_sessions) AS BIGINT) AS sk
+  FROM hist
+)
+SELECT k AS n_types, n_sessions,
+       CAST(floor(CAST(n_sessions AS DOUBLE) / t * 1000000 + {_OFF})
+            AS BIGINT) AS share_e6,
+       CAST(floor(CAST(sk AS DOUBLE) / t * 10000 + {_OFF})
+            AS BIGINT) AS mean_types_e4
+FROM hist CROSS JOIN tot
+ORDER BY n_types
+"""
+
+
+# ---------------------------------------------------------------------------
+# dow_adjusted_outliers — day-of-week-adjusted daily outlier census
+# ---------------------------------------------------------------------------
+# Seasonal SPC: daily totals z-scored WITHIN their day-of-week group
+# (removing the weekly cycle before flagging), census of |z| > 2 days
+# per event type.  Group moments exact BIGINT; per-day z fixed-order;
+# the census is exact counting.
+
+
+def q_dow_adjusted_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    daily = daily.withColumn("dow", F.col("day") % 7)
+    mom = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("ss"),
+    ).filter(F.col("n") >= 2)
+    j = daily.join(mom, ["event_type", "dow"])
+    nd = F.col("n").cast("double")
+    mu = F.col("s").cast("double") / nd
+    var = (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast(
+        "double"
+    ) / (nd * (nd - 1.0))
+    z = (F.col("y").cast("double") - mu) / F.sqrt(var)
+    per = j.filter(var > 0).select(
+        "event_type",
+        F.floor(F.abs(z) * 1e6 + F.lit(_OFF)).cast("long").alias("az6"),
+    )
+    agg = per.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum((F.col("az6") > 2_000_000).cast("long")).alias("n_out"),
+        F.max("az6").alias("max_az6"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("n_out").cast("long").alias("n_outliers"),
+        F.floor(F.col("max_az6").cast("double") / 100.0 + F.lit(_OFF))
+        .cast("long")
+        .alias("max_absz_e4"),
+    ).orderBy("event_type")
+
+
+SQL_DOW_OUTLIERS = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), dd AS (
+  SELECT event_type, day % 7 AS dow, y FROM daily
+), mom AS (
+  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS s,
+         CAST(sum(y * y) AS BIGINT) AS ss
+  FROM dd GROUP BY 1, 2 HAVING count(*) >= 2
+), per AS (
+  SELECT dd.event_type,
+         CAST(floor(abs((CAST(dd.y AS DOUBLE) - CAST(m.s AS DOUBLE) / m.n)
+                        / sqrt(CAST(m.n * m.ss - m.s * m.s AS DOUBLE)
+                               / (CAST(m.n AS DOUBLE) * (m.n - 1.0))))
+                    * 1e6 + {_OFF}) AS BIGINT) AS az6
+  FROM dd JOIN mom m ON m.event_type = dd.event_type AND m.dow = dd.dow
+  WHERE m.n * m.ss - m.s * m.s > 0
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(CASE WHEN az6 > 2000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(floor(CAST(max(az6) AS DOUBLE) / 100.0 + {_OFF})
+            AS BIGINT) AS max_absz_e4
+FROM per
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# depth_purchase_hazard — P(purchase at step k | reached step k)
+# ---------------------------------------------------------------------------
+# The discrete funnel hazard over within-session event depth (house
+# 1800 s sessions): at each step k = 1..8, among sessions reaching
+# step k, the share whose k-th event is a purchase.  Step indices via
+# one per-session row_number; everything exact counting.
+
+
+def q_depth_purchase_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+    wo = Window.partitionBy("user_id").orderBy("s", "event_id")
+    g = (
+        ev.select(
+            "user_id", "event_id", "event_type", sec.cast("long").alias("s")
+        )
+        .withColumn("prev", F.lag("s").over(wo))
+        .withColumn(
+            "brk",
+            (
+                F.col("prev").isNull()
+                | ((F.col("s") - F.col("prev")) > 1800)
+            ).cast("long"),
+        )
+        .withColumn(
+            "sid",
+            F.sum("brk").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("s", "event_id")
+    step = g.withColumn("k", F.row_number().over(ws)).filter(
+        F.col("k") <= 8
+    )
+    agg = step.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "n_purchase"
+        ),
+    )
+    hz = F.col("n_purchase").cast("double") / F.col("n_reached").cast(
+        "double"
+    )
+    return agg.select(
+        F.col("k").cast("long").alias("step"),
+        F.col("n_reached").cast("long").alias("n_reached"),
+        F.col("n_purchase").cast("long").alias("n_purchase"),
+        F.floor(hz * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "hazard_e6"
+        ),
+    ).orderBy("step")
+
+
+SQL_DEPTH_HAZARD = f"""
+WITH g AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         lag(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev
+  FROM events
+), b AS (
+  SELECT user_id, event_type, s, event_id,
+         CAST(sum(CASE WHEN prev IS NULL OR s - prev > 1800
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY s, event_id)
+              AS BIGINT) AS sid
+  FROM g
+), step AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY s, event_id) AS k
+  FROM b QUALIFY k <= 8
+)
+SELECT CAST(k AS BIGINT) AS step,
+       CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchase,
+       CAST(floor(CAST(sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*) * 1000000 + {_OFF}) AS BIGINT) AS hazard_e6
+FROM step
+GROUP BY 1
+ORDER BY step
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hubness_skew": q_hubness_skew,
     "embedding_anisotropy": q_embedding_anisotropy,
@@ -4879,6 +5263,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_auc_langid": q_length_auc_langid,
     "page_trend_test": q_page_trend_test,
     "char_drift_kl": q_char_drift_kl,
+    "pareto_ratio": q_pareto_ratio,
+    "session_type_diversity": q_session_type_diversity,
+    "dow_adjusted_outliers": q_dow_adjusted_outliers,
+    "depth_purchase_hazard": q_depth_purchase_hazard,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4930,4 +5318,8 @@ ORACLE_SQL: dict[str, str] = {
     "length_auc_langid": SQL_LENGTH_AUC,
     "page_trend_test": SQL_PAGE_TREND,
     "char_drift_kl": SQL_CHAR_DRIFT,
+    "pareto_ratio": SQL_PARETO,
+    "session_type_diversity": SQL_SESSION_DIVERSITY,
+    "dow_adjusted_outliers": SQL_DOW_OUTLIERS,
+    "depth_purchase_hazard": SQL_DEPTH_HAZARD,
 }
