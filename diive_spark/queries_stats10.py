@@ -567,11 +567,471 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# gk_gamma — Goodman-Kruskal gamma between diel quarter and value
+# ---------------------------------------------------------------------------
+# Goodman & Kruskal (JASA 1954): gamma = (C - D) / (C + D) over
+# concordant/discordant pairs of (diel quarter, value), per event
+# type.  Pair counting rides the centivalue DOMAIN exactly like
+# jonckheere_terpstra (pivot the four quarter counts wide, exclusive
+# lower-cumulative window, one multiply-accumulate pass) — O(|domain|)
+# and never O(N^2) row pairs.  C and D are exact BIGINTs; gamma hits
+# doubles only in the final division.
+
+
+def _quarter_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (
+            F.floor(
+                F.floor(
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    / 3_600_000_000
+                )
+                % 24
+                / 6
+            )
+        )
+        .cast("long")
+        .alias("g"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    cell = ev.groupBy("event_type", "v").agg(
+        *[
+            F.sum((F.col("g") == i).cast("long")).alias(f"c{i}")
+            for i in range(4)
+        ]
+    )
+    wv = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    for i in range(4):
+        cell = cell.withColumn(
+            f"s{i}", F.coalesce(F.sum(f"c{i}").over(wv), F.lit(0))
+        )
+    return cell
+
+
+_CELLS_SQL = f"""
+ev AS (
+  SELECT event_type,
+         CAST(floor((CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24) / 6)
+              AS BIGINT) AS g,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), cell AS (
+  SELECT event_type, v,
+         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(sum(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3
+  FROM ev GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, c0, c1, c2, c3,
+         COALESCE(CAST(sum(c0) OVER (PARTITION BY event_type ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           0) AS s0,
+         COALESCE(CAST(sum(c1) OVER (PARTITION BY event_type ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           0) AS s1,
+         COALESCE(CAST(sum(c2) OVER (PARTITION BY event_type ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           0) AS s2,
+         COALESCE(CAST(sum(c3) OVER (PARTITION BY event_type ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           0) AS s3
+  FROM cell
+)
+"""
+
+
+def q_gk_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cell = _quarter_cells(spark, sf_dir)
+    conc = (
+        F.col("c1") * F.col("s0")
+        + F.col("c2") * (F.col("s0") + F.col("s1"))
+        + F.col("c3") * (F.col("s0") + F.col("s1") + F.col("s2"))
+    )
+    disc = (
+        F.col("c0") * (F.col("s1") + F.col("s2") + F.col("s3"))
+        + F.col("c1") * (F.col("s2") + F.col("s3"))
+        + F.col("c2") * F.col("s3")
+    )
+    agg = cell.groupBy("event_type").agg(
+        F.sum(conc).alias("conc"), F.sum(disc).alias("disc")
+    )
+    gamma = (F.col("conc") - F.col("disc")).cast("double") / (
+        F.col("conc") + F.col("disc")
+    )
+    return (
+        agg.filter(F.col("conc") + F.col("disc") > 0)
+        .select(
+            "event_type",
+            F.col("conc").cast("long").alias("conc"),
+            F.col("disc").cast("long").alias("disc"),
+            F.floor(gamma * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "gamma_e6"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_GK_GAMMA = f"""
+WITH {_CELLS_SQL},
+agg AS (
+  SELECT event_type,
+         CAST(sum(c1 * s0 + c2 * (s0 + s1) + c3 * (s0 + s1 + s2))
+              AS BIGINT) AS conc,
+         CAST(sum(c0 * (s1 + s2 + s3) + c1 * (s2 + s3) + c2 * s3)
+              AS BIGINT) AS disc
+  FROM cum GROUP BY 1
+)
+SELECT event_type, conc, disc,
+       CAST(floor(CAST(conc - disc AS DOUBLE) / (conc + disc)
+                  * 1000000 + {_OFF}) AS BIGINT) AS gamma_e6
+FROM agg
+WHERE conc + disc > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# somers_d — asymmetric ordinal association (both directions)
+# ---------------------------------------------------------------------------
+# Somers (ASR 1962): D_yx = (C - D) / (pairs differing on X) and
+# D_xy = (C - D) / (pairs differing on Y), X = diel quarter, Y =
+# centivalue, per event type.  Same domain-pivot machinery as
+# gk_gamma; the two tie totals come from exact per-cell and per-group
+# counting identities (T_y-only = sum_v sum_{i<j} c_i c_j; T_x-only =
+# sum_i [n_i(n_i-1) - sum_v c_i(c_i-1)] / 2), so everything before
+# the final two divisions is BIGINT.
+
+
+def q_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cell = _quarter_cells(spark, sf_dir)
+    conc = (
+        F.col("c1") * F.col("s0")
+        + F.col("c2") * (F.col("s0") + F.col("s1"))
+        + F.col("c3") * (F.col("s0") + F.col("s1") + F.col("s2"))
+    )
+    disc = (
+        F.col("c0") * (F.col("s1") + F.col("s2") + F.col("s3"))
+        + F.col("c1") * (F.col("s2") + F.col("s3"))
+        + F.col("c2") * F.col("s3")
+    )
+    ty = (
+        F.col("c0") * F.col("c1")
+        + F.col("c0") * F.col("c2")
+        + F.col("c0") * F.col("c3")
+        + F.col("c1") * F.col("c2")
+        + F.col("c1") * F.col("c3")
+        + F.col("c2") * F.col("c3")
+    )
+    tieq = sum(
+        F.col(f"c{i}") * (F.col(f"c{i}") - 1) for i in range(4)
+    )
+    agg = cell.groupBy("event_type").agg(
+        F.sum(conc).alias("conc"),
+        F.sum(disc).alias("disc"),
+        F.sum(ty).alias("ty"),
+        F.sum(tieq).alias("qt"),
+        *[F.sum(f"c{i}").alias(f"n{i}") for i in range(4)],
+    )
+    tx = (
+        sum(F.col(f"n{i}") * (F.col(f"n{i}") - 1) for i in range(4))
+        - F.col("qt")
+    ) / 2
+    agg = agg.withColumn("tx", tx.cast("long"))
+    dyx = (F.col("conc") - F.col("disc")).cast("double") / (
+        F.col("conc") + F.col("disc") + F.col("ty")
+    )
+    dxy = (F.col("conc") - F.col("disc")).cast("double") / (
+        F.col("conc") + F.col("disc") + F.col("tx")
+    )
+    return (
+        agg.filter(
+            (F.col("conc") + F.col("disc") + F.col("ty") > 0)
+            & (F.col("conc") + F.col("disc") + F.col("tx") > 0)
+        )
+        .select(
+            "event_type",
+            F.col("conc").cast("long").alias("conc"),
+            F.col("disc").cast("long").alias("disc"),
+            F.col("ty").cast("long").alias("ty"),
+            F.col("tx").cast("long").alias("tx"),
+            F.floor(dyx * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "d_yx_e6"
+            ),
+            F.floor(dxy * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "d_xy_e6"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_SOMERS = f"""
+WITH {_CELLS_SQL},
+agg AS (
+  SELECT event_type,
+         CAST(sum(c1 * s0 + c2 * (s0 + s1) + c3 * (s0 + s1 + s2))
+              AS BIGINT) AS conc,
+         CAST(sum(c0 * (s1 + s2 + s3) + c1 * (s2 + s3) + c2 * s3)
+              AS BIGINT) AS disc,
+         CAST(sum(c0 * c1 + c0 * c2 + c0 * c3 + c1 * c2 + c1 * c3
+                  + c2 * c3) AS BIGINT) AS ty,
+         CAST(sum(c0 * (c0 - 1) + c1 * (c1 - 1) + c2 * (c2 - 1)
+                  + c3 * (c3 - 1)) AS BIGINT) AS qt,
+         CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(sum(c2) AS BIGINT) AS n2, CAST(sum(c3) AS BIGINT) AS n3
+  FROM cum GROUP BY 1
+), t AS (
+  SELECT event_type, conc, disc, ty,
+         (n0 * (n0 - 1) + n1 * (n1 - 1) + n2 * (n2 - 1)
+          + n3 * (n3 - 1) - qt) // 2 AS tx
+  FROM agg
+)
+SELECT event_type, conc, disc, ty, tx,
+       CAST(floor(CAST(conc - disc AS DOUBLE) / (conc + disc + ty)
+                  * 1000000 + {_OFF}) AS BIGINT) AS d_yx_e6,
+       CAST(floor(CAST(conc - disc AS DOUBLE) / (conc + disc + tx)
+                  * 1000000 + {_OFF}) AS BIGINT) AS d_xy_e6
+FROM t
+WHERE conc + disc + ty > 0 AND conc + disc + tx > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# uncertainty_coeff — Theil's U between hour-of-day and event type
+# ---------------------------------------------------------------------------
+# Theil (Statistical Decomposition Analysis 1972): U(Y|X) =
+# I(X;Y) / H(Y), the fraction of Y's entropy explained by X — the
+# normalized cousin of mutual_info (which is per-user raw MI over 6 h
+# blocks; this is the GLOBAL hour x type table, both directions).
+# Every entropy is a sum of per-cell (p ln 1/p) terms floor-scaled e9
+# to BIGINT BEFORE the aggregate, so the cross-engine sums are
+# exact-integer (<= 24 x |types| cells); MI = H(X) + H(Y) - H(X,Y)
+# then stays in scaled-integer space until the final ratios.
+
+
+def q_uncertainty_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+            )
+            % 24
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    cells = ev.groupBy("h", "event_type").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    wall = Window.partitionBy()
+    cells = cells.withColumn("nn", F.sum("o").over(wall))
+
+    def ent9(cnt: F.Column) -> F.Column:
+        # ln(nn/o), never ln(1/(o/nn)) — the two differ in the last ulp
+        # and the oracle computes the direct ratio
+        p = cnt.cast("double") / F.col("nn")
+        q = F.col("nn").cast("double") / cnt
+        return F.floor(p * F.log(q) * 1e9 + F.lit(_OFF)).cast("long")
+
+    hxy = cells.select("nn", ent9(F.col("o")).alias("t")).groupBy("nn").agg(
+        F.sum("t").alias("hxy9")
+    )
+    hx = (
+        cells.groupBy("h")
+        .agg(F.sum("o").alias("oh"), F.max("nn").alias("nn"))
+        .select("nn", ent9(F.col("oh")).alias("t"))
+        .groupBy("nn")
+        .agg(F.sum("t").alias("hx9"))
+    )
+    hy = (
+        cells.groupBy("event_type")
+        .agg(F.sum("o").alias("oy"), F.max("nn").alias("nn"))
+        .select("nn", ent9(F.col("oy")).alias("t"))
+        .groupBy("nn")
+        .agg(F.sum("t").alias("hy9"))
+    )
+    j = hxy.join(hx, "nn").join(hy, "nn")
+    mi9 = F.col("hx9") + F.col("hy9") - F.col("hxy9")
+    return j.select(
+        F.col("nn").cast("long").alias("n"),
+        F.col("hx9").cast("long").alias("hx_e9"),
+        F.col("hy9").cast("long").alias("hy_e9"),
+        F.col("hxy9").cast("long").alias("hxy_e9"),
+        F.floor(
+            mi9.cast("double") / F.col("hy9") * 1_000_000 + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("u_yx_e6"),
+        F.floor(
+            mi9.cast("double") / F.col("hx9") * 1_000_000 + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("u_xy_e6"),
+    )
+
+
+SQL_UNCERTAINTY = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS h
+  FROM events
+), cells AS (
+  SELECT h, event_type, CAST(count(*) AS BIGINT) AS o,
+         CAST(sum(count(*)) OVER () AS BIGINT) AS nn
+  FROM ev GROUP BY 1, 2
+), hxy AS (
+  SELECT nn,
+         CAST(sum(CAST(floor(CAST(o AS DOUBLE) / nn
+                             * ln(CAST(nn AS DOUBLE) / o) * 1e9 + {_OFF})
+                       AS BIGINT)) AS BIGINT) AS hxy9
+  FROM cells GROUP BY 1
+), hx AS (
+  SELECT nn,
+         CAST(sum(CAST(floor(CAST(oh AS DOUBLE) / nn
+                             * ln(CAST(nn AS DOUBLE) / oh) * 1e9 + {_OFF})
+                       AS BIGINT)) AS BIGINT) AS hx9
+  FROM (SELECT h, CAST(sum(o) AS BIGINT) AS oh, max(nn) AS nn
+        FROM cells GROUP BY 1)
+  GROUP BY 1
+), hy AS (
+  SELECT nn,
+         CAST(sum(CAST(floor(CAST(oy AS DOUBLE) / nn
+                             * ln(CAST(nn AS DOUBLE) / oy) * 1e9 + {_OFF})
+                       AS BIGINT)) AS BIGINT) AS hy9
+  FROM (SELECT event_type, CAST(sum(o) AS BIGINT) AS oy, max(nn) AS nn
+        FROM cells GROUP BY 1)
+  GROUP BY 1
+)
+SELECT hxy.nn AS n, hx9 AS hx_e9, hy9 AS hy_e9, hxy9 AS hxy_e9,
+       CAST(floor(CAST(hx9 + hy9 - hxy9 AS DOUBLE) / hy9 * 1000000
+                  + {_OFF}) AS BIGINT) AS u_yx_e6,
+       CAST(floor(CAST(hx9 + hy9 - hxy9 AS DOUBLE) / hx9 * 1000000
+                  + {_OFF}) AS BIGINT) AS u_xy_e6
+FROM hxy
+JOIN hx ON hx.nn = hxy.nn
+JOIN hy ON hy.nn = hxy.nn
+"""
+
+
+# ---------------------------------------------------------------------------
+# gk_lambda — Goodman-Kruskal lambda (proportional reduction in error)
+# ---------------------------------------------------------------------------
+# Goodman & Kruskal (JASA 1954): lambda(Y|X) = (sum_x max_y n_xy -
+# max_y n_y) / (N - max_y n_y) — how much knowing the hour improves a
+# modal guess of the event type, and vice versa.  Pure exact-integer
+# counting end to end (joint table <= 24 x |types| cells); doubles
+# appear only in the final two ratios.
+
+
+def q_gk_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+            )
+            % 24
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    cells = ev.groupBy("h", "event_type").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    byx = cells.groupBy("h").agg(F.max("o").alias("mx"))
+    byx2 = cells.groupBy("h").agg(F.sum("o").alias("nx"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    sx = byx.agg(F.sum("mx").alias("sum_max_y"))
+    sy = (
+        cells.groupBy("event_type")
+        .agg(F.sum("o").alias("ny"))
+        .agg(F.max("ny").alias("max_ny"))
+    )
+    sxy = (
+        cells.groupBy("event_type")
+        .agg(F.max("o").alias("my"))
+        .agg(F.sum("my").alias("sum_max_x"))
+    )
+    syx = byx2.agg(F.max("nx").alias("max_nx"))
+    j = (
+        tot.crossJoin(F.broadcast(sx))
+        .crossJoin(F.broadcast(sy))
+        .crossJoin(F.broadcast(sxy))
+        .crossJoin(F.broadcast(syx))
+    )
+    lyx = (F.col("sum_max_y") - F.col("max_ny")).cast("double") / (
+        F.col("n") - F.col("max_ny")
+    )
+    lxy = (F.col("sum_max_x") - F.col("max_nx")).cast("double") / (
+        F.col("n") - F.col("max_nx")
+    )
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_max_y").cast("long").alias("sum_max_y"),
+        F.col("max_ny").cast("long").alias("max_ny"),
+        F.col("sum_max_x").cast("long").alias("sum_max_x"),
+        F.col("max_nx").cast("long").alias("max_nx"),
+        F.floor(lyx * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "lambda_yx_e6"
+        ),
+        F.floor(lxy * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "lambda_xy_e6"
+        ),
+    )
+
+
+SQL_GK_LAMBDA = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS h
+  FROM events
+), cells AS (
+  SELECT h, event_type, CAST(count(*) AS BIGINT) AS o
+  FROM ev GROUP BY 1, 2
+), sx AS (
+  SELECT CAST(sum(mx) AS BIGINT) AS sum_max_y
+  FROM (SELECT h, max(o) AS mx FROM cells GROUP BY 1)
+), sy AS (
+  SELECT CAST(max(ny) AS BIGINT) AS max_ny
+  FROM (SELECT event_type, CAST(sum(o) AS BIGINT) AS ny
+        FROM cells GROUP BY 1)
+), sxy AS (
+  SELECT CAST(sum(my) AS BIGINT) AS sum_max_x
+  FROM (SELECT event_type, max(o) AS my FROM cells GROUP BY 1)
+), syx AS (
+  SELECT CAST(max(nx) AS BIGINT) AS max_nx
+  FROM (SELECT h, CAST(sum(o) AS BIGINT) AS nx FROM cells GROUP BY 1)
+), tot AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n FROM cells
+)
+SELECT n, sum_max_y, max_ny, sum_max_x, max_nx,
+       CAST(floor(CAST(sum_max_y - max_ny AS DOUBLE) / (n - max_ny)
+                  * 1000000 + {_OFF}) AS BIGINT) AS lambda_yx_e6,
+       CAST(floor(CAST(sum_max_x - max_nx AS DOUBLE) / (n - max_nx)
+                  * 1000000 + {_OFF}) AS BIGINT) AS lambda_xy_e6
+FROM tot, sx, sy, sxy, syx
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jonckheere_terpstra": q_jonckheere_terpstra,
     "mood_median": q_mood_median,
     "brunner_munzel": q_brunner_munzel,
     "bartlett_test": q_bartlett_test,
+    "gk_gamma": q_gk_gamma,
+    "somers_d": q_somers_d,
+    "uncertainty_coeff": q_uncertainty_coeff,
+    "gk_lambda": q_gk_lambda,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -579,4 +1039,8 @@ ORACLE_SQL: dict[str, str] = {
     "mood_median": SQL_MOOD,
     "brunner_munzel": SQL_BRUNNER,
     "bartlett_test": SQL_BARTLETT,
+    "gk_gamma": SQL_GK_GAMMA,
+    "somers_d": SQL_SOMERS,
+    "uncertainty_coeff": SQL_UNCERTAINTY,
+    "gk_lambda": SQL_GK_LAMBDA,
 }
