@@ -1023,6 +1023,425 @@ FROM tot, sx, sy, sxy, syx
 """
 
 
+# ---------------------------------------------------------------------------
+# hjorth_params — Hjorth activity / mobility / complexity per user
+# ---------------------------------------------------------------------------
+# Hjorth (EEG Clin. Neurophysiol. 1970): activity = var(y), mobility =
+# sqrt(var(y') / var(y)), complexity = mobility(y') / mobility(y),
+# with y' the first difference of the hourly per-user series (house
+# grid; diffs are successive-sample, gaps included by contract).  All
+# three variances are POPULATION moments off exact BIGINT power sums
+# of centivalues and their lag-1 / lag-2 integer differences — one
+# per-user window pass, one combinable aggregate, doubles only in the
+# final three expressions.
+
+
+def _hourly10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.col("user_id").cast("long").alias("user_id"),
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+            )
+            * 3600
+        )
+        .cast("long")
+        .alias("t"),
+    ).agg(
+        F.floor(F.avg("value") * 100 + F.lit(_OFF)).cast("long").alias("v")
+    )
+
+
+_HOURLY10_SQL = f"""
+hourly AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS t,
+         CAST(floor(avg(value) * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+)
+"""
+
+
+def q_hjorth_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hourly10(spark, sf_dir)
+    wo = Window.partitionBy("user_id").orderBy("t")
+    d = (
+        h.withColumn("v1", F.lag("v", 1).over(wo))
+        .withColumn("v2", F.lag("v", 2).over(wo))
+        .withColumn("dy", F.col("v") - F.col("v1"))
+        .withColumn("ddy", F.col("v") - 2 * F.col("v1") + F.col("v2"))
+    )
+    agg = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("v").alias("s0"),
+        F.sum(F.col("v") * F.col("v")).alias("q0"),
+        F.count("dy").alias("n1"),
+        F.sum("dy").alias("s1"),
+        F.sum(F.col("dy") * F.col("dy")).alias("q1"),
+        F.count("ddy").alias("n2"),
+        F.sum("ddy").alias("s2"),
+        F.sum(F.col("ddy") * F.col("ddy")).alias("q2"),
+    )
+
+    def pvar(n, s, q):
+        nd = F.col(n).cast("double")
+        return (
+            (F.col(n) * F.col(q) - F.col(s) * F.col(s)).cast("double")
+            / (nd * nd)
+        )
+
+    v0, v1, v2 = (
+        pvar("n0", "s0", "q0"),
+        pvar("n1", "s1", "q1"),
+        pvar("n2", "s2", "q2"),
+    )
+    mob = F.sqrt(v1 / v0)
+    comp = F.sqrt(v2 / v1) / mob
+    return (
+        agg.filter(
+            (F.col("n2") >= 2)
+            & (F.col("n0") * F.col("q0") - F.col("s0") * F.col("s0") > 0)
+            & (F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1") > 0)
+        )
+        .select(
+            "user_id",
+            F.col("n0").cast("long").alias("n"),
+            F.floor(v0 * 100 + F.lit(_OFF)).cast("long").alias(
+                "activity_e2"
+            ),
+            F.floor(mob * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "mobility_e6"
+            ),
+            F.floor(comp * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "complexity_e6"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_HJORTH = f"""
+WITH {_HOURLY10_SQL},
+d AS (
+  SELECT user_id, v,
+         v - lag(v, 1) OVER (PARTITION BY user_id ORDER BY t) AS dy,
+         v - 2 * lag(v, 1) OVER (PARTITION BY user_id ORDER BY t)
+           + lag(v, 2) OVER (PARTITION BY user_id ORDER BY t) AS ddy
+  FROM hourly
+), agg AS (
+  SELECT user_id,
+         count(*) AS n0,
+         CAST(sum(v) AS BIGINT) AS s0,
+         CAST(sum(v * v) AS BIGINT) AS q0,
+         count(dy) AS n1,
+         CAST(sum(dy) AS BIGINT) AS s1,
+         CAST(sum(dy * dy) AS BIGINT) AS q1,
+         count(ddy) AS n2,
+         CAST(sum(ddy) AS BIGINT) AS s2,
+         CAST(sum(ddy * ddy) AS BIGINT) AS q2
+  FROM d GROUP BY 1
+)
+SELECT user_id, CAST(n0 AS BIGINT) AS n,
+       CAST(floor(CAST(n0 * q0 - s0 * s0 AS DOUBLE)
+                  / (CAST(n0 AS DOUBLE) * n0) * 100 + {_OFF})
+            AS BIGINT) AS activity_e2,
+       CAST(floor(sqrt((CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+                        / (CAST(n1 AS DOUBLE) * n1))
+                       / (CAST(n0 * q0 - s0 * s0 AS DOUBLE)
+                          / (CAST(n0 AS DOUBLE) * n0)))
+                  * 1000000 + {_OFF}) AS BIGINT) AS mobility_e6,
+       CAST(floor(sqrt((CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+                        / (CAST(n2 AS DOUBLE) * n2))
+                       / (CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+                          / (CAST(n1 AS DOUBLE) * n1)))
+                  / sqrt((CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+                          / (CAST(n1 AS DOUBLE) * n1))
+                         / (CAST(n0 * q0 - s0 * s0 AS DOUBLE)
+                            / (CAST(n0 AS DOUBLE) * n0)))
+                  * 1000000 + {_OFF}) AS BIGINT) AS complexity_e6
+FROM agg
+WHERE n2 >= 2 AND n0 * q0 - s0 * s0 > 0 AND n1 * q1 - s1 * s1 > 0
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# petrosian_fd — Petrosian fractal dimension of the hourly series
+# ---------------------------------------------------------------------------
+# Petrosian (IEEE CBMS 1995): PFD = log10(n) / (log10(n) +
+# log10(n / (n + 0.4 N_delta))) with N_delta the count of strict sign
+# changes in the first difference (zero differences break a change by
+# contract — the product test d_t * d_{t-1} < 0).  Pure exact-integer
+# counting off two lag windows; logs only in the final expression.
+
+
+def q_petrosian_fd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hourly10(spark, sf_dir)
+    wo = Window.partitionBy("user_id").orderBy("t")
+    d = h.withColumn("dy", F.col("v") - F.lag("v", 1).over(wo))
+    d = d.withColumn("dp", F.lag("dy", 1).over(wo))
+    agg = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            ((F.col("dy") * F.col("dp")) < 0).cast("long")
+        ).alias("nd"),
+    )
+    nd_ = F.col("n").cast("double")
+    pfd = F.log10(nd_) / (
+        F.log10(nd_)
+        + F.log10(nd_ / (nd_ + 0.4 * F.col("nd").cast("double")))
+    )
+    return (
+        agg.filter(F.col("n") >= 4)
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            F.col("nd").cast("long").alias("n_sign_changes"),
+            F.floor(pfd * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "pfd_e6"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_PETROSIAN = f"""
+WITH {_HOURLY10_SQL},
+d0 AS (
+  SELECT user_id, t,
+         v - lag(v, 1) OVER (PARTITION BY user_id ORDER BY t) AS dy
+  FROM hourly
+), d AS (
+  SELECT user_id, dy,
+         lag(dy, 1) OVER (PARTITION BY user_id ORDER BY t) AS dp
+  FROM d0
+), agg AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(CASE WHEN dy * dp < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nd
+  FROM d GROUP BY 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n, nd AS n_sign_changes,
+       CAST(floor(log10(CAST(n AS DOUBLE))
+                  / (log10(CAST(n AS DOUBLE))
+                     + log10(CAST(n AS DOUBLE)
+                             / (n + 0.4 * CAST(nd AS DOUBLE))))
+                  * 1000000 + {_OFF}) AS BIGINT) AS pfd_e6
+FROM agg
+WHERE n >= 4
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# katz_fd — Katz fractal dimension of the hourly series
+# ---------------------------------------------------------------------------
+# Katz (Comput. Biol. Med. 1988), in the waveform form standard in the
+# EEG feature literature (e.g. the PyEEG implementation): with L =
+# sum |dy| (total curve length), d = max |y_i - y_0| (planar extent)
+# and m = number of steps, KFD = log10(m) / (log10(m) + log10(d / L)).
+# L and d are exact BIGINTs (first_value / lag windows on the integer
+# centivalue series); logs only at the end.
+
+
+def q_katz_fd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hourly10(spark, sf_dir)
+    wo = Window.partitionBy("user_id").orderBy("t")
+    d = h.withColumn(
+        "dy", F.abs(F.col("v") - F.lag("v", 1).over(wo))
+    ).withColumn(
+        "dev",
+        F.abs(
+            F.col("v")
+            - F.first("v").over(
+                wo.rowsBetween(Window.unboundedPreceding, 0)
+            )
+        ),
+    )
+    agg = d.groupBy("user_id").agg(
+        F.count("dy").alias("m"),
+        F.sum("dy").alias("ll"),
+        F.max("dev").alias("dd"),
+    )
+    md = F.col("m").cast("double")
+    kfd = F.log10(md) / (
+        F.log10(md)
+        + F.log10(F.col("dd").cast("double") / F.col("ll").cast("double"))
+    )
+    return (
+        agg.filter((F.col("ll") > 0) & (F.col("dd") > 0) & (F.col("m") >= 2))
+        .select(
+            "user_id",
+            F.col("m").cast("long").alias("m"),
+            F.col("ll").cast("long").alias("curve_len"),
+            F.col("dd").cast("long").alias("extent"),
+            F.floor(kfd * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "kfd_e6"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_KATZ = f"""
+WITH {_HOURLY10_SQL},
+d AS (
+  SELECT user_id,
+         abs(v - lag(v, 1) OVER (PARTITION BY user_id ORDER BY t)) AS dy,
+         abs(v - first_value(v)
+               OVER (PARTITION BY user_id ORDER BY t)) AS dev
+  FROM hourly
+), agg AS (
+  SELECT user_id, count(dy) AS m,
+         CAST(sum(dy) AS BIGINT) AS ll,
+         CAST(max(dev) AS BIGINT) AS dd
+  FROM d GROUP BY 1
+)
+SELECT user_id, CAST(m AS BIGINT) AS m, ll AS curve_len, dd AS extent,
+       CAST(floor(log10(CAST(m AS DOUBLE))
+                  / (log10(CAST(m AS DOUBLE))
+                     + log10(CAST(dd AS DOUBLE) / ll))
+                  * 1000000 + {_OFF}) AS BIGINT) AS kfd_e6
+FROM agg
+WHERE ll > 0 AND dd > 0 AND m >= 2
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# higuchi_fd — Higuchi fractal dimension (kmax = 4) of the hourly series
+# ---------------------------------------------------------------------------
+# Higuchi (Physica D 1988): for lag k build the k decimated
+# sub-series, L_m(k) = [sum |y(m+ik) - y(m+(i-1)k)|] (n-1) /
+# (cnt_m k^2), L(k) = mean_m L_m(k); FD = -slope of ln L(k) on ln k,
+# k = 1..4.  Decimation is index arithmetic on ONE per-user window
+# pass (row_number + lag(v, k)); all |diff| sums and counts stay
+# exact BIGINT; each user contributes <= 4+4+4+4 = bounded rows after
+# the first aggregate, and the final OLS over the 4 (ln k, ln L)
+# points follows the anova small-sum discipline.  Users are kept only
+# when every k has all its k sub-series populated (n >= 13 guarantee
+# enforced by count).
+
+
+def q_higuchi_fd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hourly10(spark, sf_dir)
+    wo = Window.partitionBy("user_id").orderBy("t")
+    d = h.withColumn("idx", F.row_number().over(wo))
+    for k in range(1, 5):
+        d = d.withColumn(f"d{k}", F.abs(F.col("v") - F.lag("v", k).over(wo)))
+    # unpivot: one row per (user, k, m) diff
+    parts = []
+    for k in range(1, 5):
+        parts.append(
+            d.select(
+                "user_id",
+                F.lit(k).alias("k"),
+                ((F.col("idx") - 1) % k).alias("m"),
+                F.col(f"d{k}").alias("ad"),
+            ).filter(F.col("ad").isNotNull())
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    n_per = h.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    series = u.groupBy("user_id", "k", "m").agg(
+        F.sum("ad").alias("s"), F.count(F.lit(1)).alias("cnt")
+    )
+    series = series.join(n_per, "user_id")
+    lm = series.select(
+        "user_id",
+        "k",
+        (
+            F.col("s").cast("double")
+            * (F.col("n") - 1)
+            / (F.col("cnt").cast("double") * F.col("k") * F.col("k"))
+        ).alias("lmk"),
+    )
+    lk = lm.groupBy("user_id", "k").agg(
+        (F.sum("lmk") / F.col("k")).alias("lk"),
+        F.count(F.lit(1)).alias("nm"),
+    )
+    pts = lk.filter((F.col("lk") > 0) & (F.col("nm") == F.col("k"))).select(
+        "user_id",
+        F.log(F.col("k").cast("double")).alias("x"),
+        F.log("lk").alias("y"),
+    )
+    reg = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        F.col("sxy") - F.col("sx") * F.col("sy") / F.col("np")
+    ) / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("np"))
+    return (
+        reg.filter(F.col("np") == 4)
+        .select(
+            "user_id",
+            F.floor(-slope * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "hfd_e6"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_HIGUCHI = f"""
+WITH {_HOURLY10_SQL},
+idx AS (
+  SELECT user_id, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY t) AS idx,
+         lag(v, 1) OVER (PARTITION BY user_id ORDER BY t) AS l1,
+         lag(v, 2) OVER (PARTITION BY user_id ORDER BY t) AS l2,
+         lag(v, 3) OVER (PARTITION BY user_id ORDER BY t) AS l3,
+         lag(v, 4) OVER (PARTITION BY user_id ORDER BY t) AS l4
+  FROM hourly
+), u AS (
+  SELECT user_id, 1 AS k, (idx - 1) % 1 AS m, abs(v - l1) AS ad
+  FROM idx WHERE l1 IS NOT NULL
+  UNION ALL
+  SELECT user_id, 2 AS k, (idx - 1) % 2 AS m, abs(v - l2) AS ad
+  FROM idx WHERE l2 IS NOT NULL
+  UNION ALL
+  SELECT user_id, 3 AS k, (idx - 1) % 3 AS m, abs(v - l3) AS ad
+  FROM idx WHERE l3 IS NOT NULL
+  UNION ALL
+  SELECT user_id, 4 AS k, (idx - 1) % 4 AS m, abs(v - l4) AS ad
+  FROM idx WHERE l4 IS NOT NULL
+), n_per AS (
+  SELECT user_id, count(*) AS n FROM hourly GROUP BY 1
+), series AS (
+  SELECT u.user_id, k, m,
+         CAST(sum(ad) AS BIGINT) AS s, count(*) AS cnt, max(n) AS n
+  FROM u JOIN n_per ON n_per.user_id = u.user_id
+  GROUP BY 1, 2, 3
+), lk AS (
+  SELECT user_id, k,
+         sum(CAST(s AS DOUBLE) * (n - 1)
+             / (CAST(cnt AS DOUBLE) * k * k)) / k AS lk,
+         count(*) AS nm
+  FROM series GROUP BY 1, 2
+), pts AS (
+  SELECT user_id, ln(CAST(k AS DOUBLE)) AS x, ln(lk) AS y
+  FROM lk WHERE lk > 0 AND nm = k
+), reg AS (
+  SELECT user_id, count(*) AS np,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM pts GROUP BY 1
+)
+SELECT user_id,
+       CAST(floor(-((sxy - sx * sy / np) / (sxx - sx * sx / np))
+                  * 1000000 + {_OFF}) AS BIGINT) AS hfd_e6
+FROM reg
+WHERE np = 4
+ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jonckheere_terpstra": q_jonckheere_terpstra,
     "mood_median": q_mood_median,
@@ -1032,6 +1451,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "somers_d": q_somers_d,
     "uncertainty_coeff": q_uncertainty_coeff,
     "gk_lambda": q_gk_lambda,
+    "hjorth_params": q_hjorth_params,
+    "petrosian_fd": q_petrosian_fd,
+    "katz_fd": q_katz_fd,
+    "higuchi_fd": q_higuchi_fd,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1043,4 +1466,8 @@ ORACLE_SQL: dict[str, str] = {
     "somers_d": SQL_SOMERS,
     "uncertainty_coeff": SQL_UNCERTAINTY,
     "gk_lambda": SQL_GK_LAMBDA,
+    "hjorth_params": SQL_HJORTH,
+    "petrosian_fd": SQL_PETROSIAN,
+    "katz_fd": SQL_KATZ,
+    "higuchi_fd": SQL_HIGUCHI,
 }
