@@ -1442,6 +1442,456 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# lid_mle — Levina-Bickel local intrinsic dimension (k = 5), per label
+# ---------------------------------------------------------------------------
+# Levina & Bickel (NIPS 2004): the MLE of local intrinsic dimension at
+# x from its k nearest neighbours is (k-1) / sum_{i<k} ln(d_k / d_i).
+# NN search is label-BLOCKED (the twonn/hubness posture, never
+# all-pairs); squared distances ride the Arrow einsum kernel, 6-dp
+# rounded BEFORE ranking with the (d2, cand_id) tie-break.  Each
+# ln-ratio term is e9-floored to BIGINT per pair, each point's LID is
+# e6-floored, so every aggregate sum is exact-integer and order-free.
+
+
+_LID_K = 5
+
+
+def q_lid_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.text.similarity import l2sq_pair_udf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", "embedding"
+    )
+    b = emb.select(
+        F.col("label").alias("label_r"),
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("emb_r"),
+    )
+    pairs = emb.join(
+        b,
+        (F.col("label") == F.col("label_r"))
+        & (F.col("vec_id") != F.col("cand_id")),
+    ).select(
+        "label",
+        "vec_id",
+        F.round(l2sq_pair_udf(F.col("embedding"), F.col("emb_r")), 6).alias(
+            "d2"
+        ),
+        "cand_id",
+    )
+    wo = Window.partitionBy("label", "vec_id").orderBy(
+        F.col("d2").asc(), F.col("cand_id").asc()
+    )
+    nn = pairs.withColumn("rk", F.row_number().over(wo)).filter(
+        F.col("rk") <= _LID_K
+    )
+    dk = (
+        nn.filter(F.col("rk") == _LID_K)
+        .select("label", "vec_id", F.col("d2").alias("dk"))
+    )
+    lo = nn.filter(F.col("rk") < _LID_K).join(dk, ["label", "vec_id"])
+    t = lo.filter(F.col("d2") > 0).withColumn(
+        "t9",
+        F.floor(0.5 * F.log(F.col("dk") / F.col("d2")) * 1e9 + F.lit(_OFF))
+        .cast("long"),
+    )
+    per = t.groupBy("label", "vec_id").agg(
+        F.count(F.lit(1)).alias("m"), F.sum("t9").alias("s9")
+    ).filter((F.col("m") == _LID_K - 1) & (F.col("s9") > 0))
+    per = per.withColumn(
+        "lid6",
+        F.floor(
+            (_LID_K - 1) / (F.col("s9").cast("double") / 1e9) * 1e6
+            + F.lit(_OFF)
+        ).cast("long"),
+    )
+    agg = per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("lid6").alias("sl6")
+    )
+    return (
+        agg.filter(F.col("n") >= 10)
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("n").cast("long").alias("n_points"),
+            F.floor(
+                F.col("sl6").cast("double") / 1e6 / F.col("n") * 10_000
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("mean_lid_e4"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_LID = f"""
+WITH pairs AS (
+  SELECT a.label, a.vec_id, b.vec_id AS cand_id,
+         round(list_sum(list_transform(
+           generate_series(1, len(a.embedding)),
+           i -> (CAST(a.embedding[i] AS DOUBLE)
+                 - CAST(b.embedding[i] AS DOUBLE))
+                * (CAST(a.embedding[i] AS DOUBLE)
+                   - CAST(b.embedding[i] AS DOUBLE)))), 6) AS d2
+  FROM embeddings a JOIN embeddings b
+    ON b.label = a.label AND b.vec_id <> a.vec_id
+), nn AS (
+  SELECT label, vec_id, d2,
+         row_number() OVER (PARTITION BY label, vec_id
+                            ORDER BY d2 ASC, cand_id ASC) AS rk
+  FROM pairs
+), dk AS (
+  SELECT label, vec_id, d2 AS dk FROM nn WHERE rk = {_LID_K}
+), t AS (
+  SELECT nn.label, nn.vec_id,
+         CAST(floor(0.5 * ln(dk / d2) * 1e9 + {_OFF}) AS BIGINT) AS t9
+  FROM nn JOIN dk ON dk.label = nn.label AND dk.vec_id = nn.vec_id
+  WHERE rk < {_LID_K} AND d2 > 0
+), per AS (
+  SELECT label, vec_id, count(*) AS m, CAST(sum(t9) AS BIGINT) AS s9
+  FROM t GROUP BY 1, 2
+  HAVING count(*) = {_LID_K - 1} AND CAST(sum(t9) AS BIGINT) > 0
+), lid AS (
+  SELECT label,
+         CAST(floor(({_LID_K} - 1) / (CAST(s9 AS DOUBLE) / 1e9) * 1e6
+                    + {_OFF}) AS BIGINT) AS lid6
+  FROM per
+), agg AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(lid6) AS BIGINT) AS sl6
+  FROM lid GROUP BY 1
+)
+SELECT CAST(label AS BIGINT) AS label, n AS n_points,
+       CAST(floor(CAST(sl6 AS DOUBLE) / 1e6 / n * 10000 + {_OFF})
+            AS BIGINT) AS mean_lid_e4
+FROM agg
+WHERE n >= 10
+ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# dunn_index — centroid-linkage Dunn index over the label clustering
+# ---------------------------------------------------------------------------
+# Dunn (J. Cybernetics 1974), in the centroid-linkage member of the
+# generalized Dunn family (Bezdek & Pal 1998): separation = min
+# centroid-pair distance, cohesion = max within-label diameter.
+# Within-label diameters are label-BLOCKED pair maxima (the hubness
+# posture — never cross-label all-pairs, which is the O(N^2) trap the
+# true single-linkage Dunn would require at 100 TB); the k x k
+# centroid grid is a broadcast cross join.  Distances are 6-dp rounded
+# squared L2; sqrt and the final ratio are the only late doubles.
+
+
+def q_dunn_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats8 import _centroids
+    from diive_spark.text.similarity import l2sq_pair_udf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", "embedding"
+    )
+    b = emb.select(
+        F.col("label").alias("label_r"),
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("emb_r"),
+    )
+    diam = (
+        emb.join(
+            b,
+            (F.col("label") == F.col("label_r"))
+            & (F.col("vec_id") < F.col("cand_id")),
+        )
+        .select(
+            "label",
+            F.round(
+                l2sq_pair_udf(F.col("embedding"), F.col("emb_r")), 6
+            ).alias("d2"),
+        )
+        .groupBy("label")
+        .agg(F.max("d2").alias("maxd2"))
+        .agg(F.max("maxd2").alias("max_diam2"), F.count(F.lit(1)).alias("k"))
+    )
+    cent = _centroids(emb)
+    c2 = cent.select(
+        F.col("label").alias("label_r"), F.col("carr").alias("carr_r")
+    )
+    sep = (
+        cent.crossJoin(F.broadcast(c2))
+        .filter(F.col("label") < F.col("label_r"))
+        .select(
+            F.round(l2sq_pair_udf(F.col("carr"), F.col("carr_r")), 6).alias(
+                "c2d"
+            )
+        )
+        .agg(F.min("c2d").alias("min_sep2"))
+    )
+    j = diam.crossJoin(F.broadcast(sep))
+    dunn = F.sqrt(F.col("min_sep2")) / F.sqrt(F.col("max_diam2"))
+    return j.select(
+        F.col("k").cast("long").alias("k_labels"),
+        F.floor(F.sqrt(F.col("min_sep2")) * 1e6 + F.lit(_OFF))
+        .cast("long")
+        .alias("min_sep_e6"),
+        F.floor(F.sqrt(F.col("max_diam2")) * 1e6 + F.lit(_OFF))
+        .cast("long")
+        .alias("max_diam_e6"),
+        F.floor(dunn * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "dunn_e6"
+        ),
+    )
+
+
+SQL_DUNN = f"""
+WITH {{cent}},
+diam AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, max(maxd2) AS max_diam2
+  FROM (
+    SELECT a.label, max(round(list_sum(list_transform(
+             generate_series(1, len(a.embedding)),
+             i -> (CAST(a.embedding[i] AS DOUBLE)
+                   - CAST(b.embedding[i] AS DOUBLE))
+                  * (CAST(a.embedding[i] AS DOUBLE)
+                     - CAST(b.embedding[i] AS DOUBLE)))), 6)) AS maxd2
+    FROM embeddings a JOIN embeddings b
+      ON b.label = a.label AND a.vec_id < b.vec_id
+    GROUP BY 1
+  )
+), sep AS (
+  SELECT min(round(list_sum(list_transform(
+           generate_series(1, len(a.carr)),
+           i -> (a.carr[i] - b.carr[i]) * (a.carr[i] - b.carr[i]))), 6))
+         AS min_sep2
+  FROM cent a JOIN cent b ON a.label < b.label
+)
+SELECT k AS k_labels,
+       CAST(floor(sqrt(min_sep2) * 1e6 + {_OFF}) AS BIGINT)
+         AS min_sep_e6,
+       CAST(floor(sqrt(max_diam2) * 1e6 + {_OFF}) AS BIGINT)
+         AS max_diam_e6,
+       CAST(floor(sqrt(min_sep2) / sqrt(max_diam2) * 1000000 + {_OFF})
+            AS BIGINT) AS dunn_e6
+FROM diam CROSS JOIN sep
+"""
+
+
+# ---------------------------------------------------------------------------
+# mahalanobis_census — diagonal-Mahalanobis outlier census per label
+# ---------------------------------------------------------------------------
+# Classic multivariate QC with a scale-aware metric: D^2(x) = sum_d
+# (x_d - mu_d)^2 / sigma_d^2 against the point's own label, with the
+# DIAGONAL covariance (the full-matrix inverse is not expressible as a
+# combinable aggregate; the diagonal form is the standard streaming
+# variant).  Per-dimension terms are exact rationals ((n x6 - s6)^2 /
+# (n (n q6 - s6^2))) e9-floored to BIGINT per (point, dim), so the
+# 64-term per-point sum and all label sums are exact-integer.  The
+# outlier threshold is the chi-square normal approximation dim + 3
+# sqrt(2 dim) on the used-dimension count; zero-variance dims are
+# skipped by contract.  No UDF anywhere — pure codegen explode + two
+# hash aggregates + one broadcast join.
+
+
+def q_mahalanobis_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", "embedding"
+    )
+    comp = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("d", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "d",
+        F.floor(F.col("x").cast("double") * 1e6 + F.lit(_OFF))
+        .cast("long")
+        .alias("x6"),
+    )
+    mom = comp.groupBy("label", "d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x6").alias("s6"),
+        F.sum(F.col("x6") * F.col("x6")).alias("q6"),
+    )
+    mom = mom.withColumn(
+        "den", F.col("n") * (F.col("n") * F.col("q6") - F.col("s6") * F.col("s6"))
+    ).filter(F.col("den") > 0)
+    t = comp.join(F.broadcast(mom), ["label", "d"]).select(
+        "vec_id",
+        "label",
+        F.floor(
+            (F.col("n") * F.col("x6") - F.col("s6")).cast("double")
+            * (F.col("n") * F.col("x6") - F.col("s6"))
+            / F.col("den")
+            * F.col("n")
+            * 1e9
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("t9"),
+    )
+    per = t.groupBy("vec_id", "label").agg(
+        F.count(F.lit(1)).alias("dims"), F.sum("t9").alias("d29")
+    )
+    thr = F.col("dims").cast("double") + 3.0 * F.sqrt(
+        2.0 * F.col("dims").cast("double")
+    )
+    agg = per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.max("dims").alias("dims"),
+        F.sum("d29").alias("sd29"),
+        F.sum(
+            ((F.col("d29").cast("double") / 1e9) > thr).cast("long")
+        ).alias("n_outliers"),
+    )
+    return agg.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("n_pts").cast("long").alias("n_pts"),
+        F.col("dims").cast("long").alias("dims"),
+        F.floor(
+            F.col("sd29").cast("double") / 1e9 / F.col("n_pts") * 10_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("mean_d2_e4"),
+        F.col("n_outliers").cast("long").alias("n_outliers"),
+    ).orderBy("label")
+
+
+SQL_MAHALANOBIS = f"""
+WITH comp0 AS (
+  SELECT vec_id, label,
+         unnest(list_transform(generate_series(1, len(embedding)),
+           i -> struct_pack(d := i,
+                x6 := CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6
+                                 + {_OFF}) AS BIGINT)))) AS u
+  FROM embeddings
+), comp AS (
+  SELECT vec_id, label, u.d AS d, u.x6 AS x6 FROM comp0
+), mom AS (
+  SELECT label, d, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x6) AS BIGINT) AS s6,
+         CAST(sum(x6 * x6) AS BIGINT) AS q6
+  FROM comp GROUP BY 1, 2
+), momf AS (
+  SELECT label, d, n, s6, n * (n * q6 - s6 * s6) AS den
+  FROM mom WHERE n * (n * q6 - s6 * s6) > 0
+), t AS (
+  SELECT comp.vec_id, comp.label,
+         CAST(floor(CAST(momf.n * comp.x6 - momf.s6 AS DOUBLE)
+                    * (momf.n * comp.x6 - momf.s6)
+                    / momf.den * momf.n * 1e9 + {_OFF}) AS BIGINT) AS t9
+  FROM comp JOIN momf ON momf.label = comp.label AND momf.d = comp.d
+), per AS (
+  SELECT vec_id, label, count(*) AS dims,
+         CAST(sum(t9) AS BIGINT) AS d29
+  FROM t GROUP BY 1, 2
+), agg AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_pts,
+         CAST(max(dims) AS BIGINT) AS dims,
+         CAST(sum(d29) AS BIGINT) AS sd29,
+         CAST(sum(CASE WHEN CAST(d29 AS DOUBLE) / 1e9
+                            > dims + 3.0 * sqrt(2.0 * dims)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+  FROM per GROUP BY 1
+)
+SELECT CAST(label AS BIGINT) AS label, n_pts, dims,
+       CAST(floor(CAST(sd29 AS DOUBLE) / 1e9 / n_pts * 10000 + {_OFF})
+            AS BIGINT) AS mean_d2_e4,
+       n_outliers
+FROM agg
+ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# xie_beni — Xie-Beni clustering validity index over the labels
+# ---------------------------------------------------------------------------
+# Xie & Beni (IEEE TPAMI 1991): XB = [sum_x ||x - c(x)||^2] /
+# (n min_{i<j} ||c_i - c_j||^2) — compactness over separation.  The
+# numerator's per-point squared distances are e6-floored to BIGINT
+# before the sum (order-free exactness); the k x k centroid grid is a
+# broadcast cross join exactly as in davies_bouldin.
+
+
+def q_xie_beni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats8 import _centroids
+    from diive_spark.text.similarity import l2sq_pair_udf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", "embedding"
+    )
+    cent = _centroids(emb)
+    own = emb.join(F.broadcast(cent), "label").select(
+        F.floor(
+            F.round(l2sq_pair_udf(F.col("embedding"), F.col("carr")), 6)
+            * 1e6
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("o6"),
+    )
+    num = own.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o6").alias("so6")
+    )
+    c2 = cent.select(
+        F.col("label").alias("label_r"), F.col("carr").alias("carr_r")
+    )
+    sep = (
+        cent.crossJoin(F.broadcast(c2))
+        .filter(F.col("label") < F.col("label_r"))
+        .select(
+            F.round(l2sq_pair_udf(F.col("carr"), F.col("carr_r")), 6).alias(
+                "c2d"
+            )
+        )
+        .agg(F.min("c2d").alias("sep2"), F.count(F.lit(1)).alias("npairs"))
+    )
+    kcnt = cent.agg(F.count(F.lit(1)).alias("k"))
+    j = num.crossJoin(F.broadcast(sep)).crossJoin(F.broadcast(kcnt))
+    xb = (
+        F.col("so6").cast("double")
+        / 1e6
+        / (F.col("n").cast("double") * F.col("sep2"))
+    )
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_labels"),
+        F.floor(F.col("sep2") * 1e6 + F.lit(_OFF)).cast("long").alias(
+            "min_sep2_e6"
+        ),
+        F.floor(xb * 1_000_000 + F.lit(_OFF)).cast("long").alias("xb_e6"),
+    )
+
+
+SQL_XIE_BENI = f"""
+WITH {{cent}},
+own AS (
+  SELECT CAST(floor(round(list_sum(list_transform(
+           generate_series(1, len(e.embedding)),
+           i -> (CAST(e.embedding[i] AS DOUBLE) - c.carr[i])
+                * (CAST(e.embedding[i] AS DOUBLE) - c.carr[i]))), 6)
+           * 1e6 + {_OFF}) AS BIGINT) AS o6
+  FROM embeddings e JOIN cent c ON c.label = e.label
+), num AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(o6) AS BIGINT) AS so6
+  FROM own
+), sep AS (
+  SELECT min(round(list_sum(list_transform(
+           generate_series(1, len(a.carr)),
+           i -> (a.carr[i] - b.carr[i]) * (a.carr[i] - b.carr[i]))), 6))
+         AS sep2
+  FROM cent a JOIN cent b ON a.label < b.label
+), kcnt AS (
+  SELECT CAST(count(*) AS BIGINT) AS k FROM cent
+)
+SELECT n, k AS k_labels,
+       CAST(floor(sep2 * 1e6 + {_OFF}) AS BIGINT) AS min_sep2_e6,
+       CAST(floor(CAST(so6 AS DOUBLE) / 1e6 / (CAST(n AS DOUBLE) * sep2)
+                  * 1000000 + {_OFF}) AS BIGINT) AS xb_e6
+FROM num CROSS JOIN sep CROSS JOIN kcnt
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jonckheere_terpstra": q_jonckheere_terpstra,
     "mood_median": q_mood_median,
@@ -1455,6 +1905,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "petrosian_fd": q_petrosian_fd,
     "katz_fd": q_katz_fd,
     "higuchi_fd": q_higuchi_fd,
+    "lid_mle": q_lid_mle,
+    "dunn_index": q_dunn_index,
+    "mahalanobis_census": q_mahalanobis_census,
+    "xie_beni": q_xie_beni,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1470,4 +1924,15 @@ ORACLE_SQL: dict[str, str] = {
     "petrosian_fd": SQL_PETROSIAN,
     "katz_fd": SQL_KATZ,
     "higuchi_fd": SQL_HIGUCHI,
+    "lid_mle": SQL_LID,
+    "dunn_index": SQL_DUNN,
+    "mahalanobis_census": SQL_MAHALANOBIS,
+    "xie_beni": SQL_XIE_BENI,
 }
+
+# the centroid CTE block is shared verbatim with the stats8 cluster
+# indices so the two batteries stay numerically comparable
+from diive_spark.queries_stats8 import _SQL_CENT as _SQL_CENT10  # noqa: E402
+
+ORACLE_SQL["dunn_index"] = SQL_DUNN.format(cent=_SQL_CENT10)
+ORACLE_SQL["xie_beni"] = SQL_XIE_BENI.format(cent=_SQL_CENT10)
