@@ -1892,6 +1892,423 @@ FROM num CROSS JOIN sep CROSS JOIN kcnt
 """
 
 
+# ---------------------------------------------------------------------------
+# hellinger_drift — Hellinger distance of diel profiles, early vs late
+# ---------------------------------------------------------------------------
+# H^2 = 1 - sum_h sqrt(p_h q_h) between each event type's hour-of-day
+# profile over the FIRST half of its day span and the second half
+# (day-midpoint split on exact integer epoch days).  The 24
+# sqrt(p q) terms are e9-floored to BIGINT before the sum (order-free
+# exactness), so BC and H = sqrt(1 - BC) leave integer space only in
+# the final two expressions.
+
+
+def q_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+            )
+            % 24
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    spans = ev.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    lab = ev.join(F.broadcast(spans), "event_type").withColumn(
+        "late",
+        (2 * (F.col("day") - F.col("d0")) > (F.col("d1") - F.col("d0")))
+        .cast("long"),
+    )
+    cells = lab.groupBy("event_type", "h").agg(
+        F.sum((F.col("late") == 0).cast("long")).alias("c"),
+        F.sum((F.col("late") == 1).cast("long")).alias("d"),
+    )
+    wt = Window.partitionBy("event_type")
+    cells = cells.withColumn("cc", F.sum("c").over(wt)).withColumn(
+        "dd", F.sum("d").over(wt)
+    )
+    t9 = F.floor(
+        F.sqrt(
+            F.col("c").cast("double")
+            / F.col("cc")
+            * (F.col("d").cast("double") / F.col("dd"))
+        )
+        * 1e9
+        + F.lit(_OFF)
+    ).cast("long")
+    agg = cells.groupBy("event_type").agg(
+        F.max("cc").alias("n_early"),
+        F.max("dd").alias("n_late"),
+        F.sum(t9).alias("bc9"),
+    )
+    bc = F.col("bc9").cast("double") / 1e9
+    return (
+        agg.filter((F.col("n_early") > 0) & (F.col("n_late") > 0))
+        .select(
+            "event_type",
+            F.col("n_early").cast("long").alias("n_early"),
+            F.col("n_late").cast("long").alias("n_late"),
+            F.floor(bc * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "bc_e6"
+            ),
+            F.floor(
+                F.sqrt(F.greatest(1.0 - bc, F.lit(0.0))) * 1_000_000
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("hellinger_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_HELLINGER = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS h
+  FROM events
+), spans AS (
+  SELECT event_type, min(day) AS d0, max(day) AS d1
+  FROM ev GROUP BY 1
+), lab AS (
+  SELECT ev.event_type, h,
+         CASE WHEN 2 * (day - d0) > (d1 - d0) THEN 1 ELSE 0 END AS late
+  FROM ev JOIN spans ON spans.event_type = ev.event_type
+), cells AS (
+  SELECT event_type, h,
+         CAST(sum(CASE WHEN late = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN late = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM lab GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, h, c, d,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS cc,
+         CAST(sum(d) OVER (PARTITION BY event_type) AS BIGINT) AS dd
+  FROM cells
+), agg AS (
+  SELECT event_type, max(cc) AS n_early, max(dd) AS n_late,
+         CAST(sum(CAST(floor(sqrt(CAST(c AS DOUBLE) / cc
+                                  * (CAST(d AS DOUBLE) / dd))
+                             * 1e9 + {_OFF}) AS BIGINT)) AS BIGINT) AS bc9
+  FROM tot GROUP BY 1
+)
+SELECT event_type, n_early, n_late,
+       CAST(floor(CAST(bc9 AS DOUBLE) / 1e9 * 1000000 + {_OFF})
+            AS BIGINT) AS bc_e6,
+       CAST(floor(sqrt(greatest(1.0 - CAST(bc9 AS DOUBLE) / 1e9, 0.0))
+                  * 1000000 + {_OFF}) AS BIGINT) AS hellinger_e6
+FROM agg
+WHERE n_early > 0 AND n_late > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# bhattacharyya_pairs — Bhattacharyya distance between type pairs
+# ---------------------------------------------------------------------------
+# Bhattacharyya (Bull. Calcutta Math. Soc. 1943): BC(p, q) = sum_h
+# sqrt(p_h q_h) over the two types' 24-bin diel profiles, D_B =
+# -ln BC.  All |types|(|types|-1)/2 pairs via a broadcast self-join of
+# the tiny per-type profile table; sqrt terms e9-floored before the
+# 24-term sum, exactly as hellinger_drift.
+
+
+def q_bhattacharyya_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+            )
+            % 24
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    prof = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wt = Window.partitionBy("event_type")
+    prof = prof.withColumn("n", F.sum("c").over(wt))
+    b = prof.select(
+        F.col("event_type").alias("type_b"),
+        F.col("h").alias("h_b"),
+        F.col("c").alias("c_b"),
+        F.col("n").alias("n_b"),
+    )
+    pairs = prof.join(
+        F.broadcast(b),
+        (F.col("h") == F.col("h_b"))
+        & (F.col("event_type") < F.col("type_b")),
+    )
+    t9 = F.floor(
+        F.sqrt(
+            F.col("c").cast("double")
+            / F.col("n")
+            * (F.col("c_b").cast("double") / F.col("n_b"))
+        )
+        * 1e9
+        + F.lit(_OFF)
+    ).cast("long")
+    agg = pairs.groupBy("event_type", "type_b").agg(
+        F.sum(t9).alias("bc9")
+    )
+    bc = F.col("bc9").cast("double") / 1e9
+    return (
+        agg.filter(F.col("bc9") > 0)
+        .select(
+            F.col("event_type").alias("type_a"),
+            "type_b",
+            F.floor(bc * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "bc_e6"
+            ),
+            F.floor(-F.log(bc) * 1_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("db_e6"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+SQL_BHATTACHARYYA = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS h
+  FROM events
+), prof AS (
+  SELECT event_type, h, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(count(*)) OVER (PARTITION BY event_type) AS BIGINT)
+           AS n
+  FROM ev GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(floor(sqrt(CAST(a.c AS DOUBLE) / a.n
+                         * (CAST(b.c AS DOUBLE) / b.n)) * 1e9 + {_OFF})
+              AS BIGINT) AS t9
+  FROM prof a JOIN prof b
+    ON b.h = a.h AND a.event_type < b.event_type
+), agg AS (
+  SELECT type_a, type_b, CAST(sum(t9) AS BIGINT) AS bc9
+  FROM pairs GROUP BY 1, 2
+)
+SELECT type_a, type_b,
+       CAST(floor(CAST(bc9 AS DOUBLE) / 1e9 * 1000000 + {_OFF})
+            AS BIGINT) AS bc_e6,
+       CAST(floor(-ln(CAST(bc9 AS DOUBLE) / 1e9) * 1000000 + {_OFF})
+            AS BIGINT) AS db_e6
+FROM agg
+WHERE bc9 > 0
+ORDER BY type_a, type_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# tv_distance — total variation between weekday and weekend profiles
+# ---------------------------------------------------------------------------
+# TV(p, q) = (1/2) sum_h |p_h - q_h| per event type between the
+# weekday and weekend diel profiles — EXACT end to end: with weekday
+# counts c_h (total C) and weekend counts d_h (total D), TV =
+# sum_h |c_h D - d_h C| / (2 C D), kept as an exact BIGINT numerator
+# until one final division.
+
+
+def q_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (
+            (
+                F.floor(
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    / 86_400_000_000
+                )
+                % 7
+            ).isin(2, 3)
+        )
+        .cast("long")
+        .alias("we"),
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+            )
+            % 24
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    cells = ev.groupBy("event_type", "h").agg(
+        F.sum((F.col("we") == 0).cast("long")).alias("c"),
+        F.sum((F.col("we") == 1).cast("long")).alias("d"),
+    )
+    wt = Window.partitionBy("event_type")
+    cells = cells.withColumn("cc", F.sum("c").over(wt)).withColumn(
+        "dd", F.sum("d").over(wt)
+    )
+    agg = cells.groupBy("event_type").agg(
+        F.max("cc").alias("n_weekday"),
+        F.max("dd").alias("n_weekend"),
+        F.sum(
+            F.abs(F.col("c") * F.col("dd") - F.col("d") * F.col("cc"))
+        ).alias("num"),
+    )
+    tv = F.col("num").cast("double") / (
+        2.0 * F.col("n_weekday").cast("double") * F.col("n_weekend")
+    )
+    return (
+        agg.filter((F.col("n_weekday") > 0) & (F.col("n_weekend") > 0))
+        .select(
+            "event_type",
+            F.col("n_weekday").cast("long").alias("n_weekday"),
+            F.col("n_weekend").cast("long").alias("n_weekend"),
+            F.col("num").cast("long").alias("tv_num"),
+            F.floor(tv * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "tv_e6"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_TV = """
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN (CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7)
+                   IN (2, 3) THEN 1 ELSE 0 END AS we,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS h
+  FROM events
+), cells AS (
+  SELECT event_type, h,
+         CAST(sum(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN we = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM ev GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, h, c, d,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS cc,
+         CAST(sum(d) OVER (PARTITION BY event_type) AS BIGINT) AS dd
+  FROM cells
+), agg AS (
+  SELECT event_type, max(cc) AS n_weekday, max(dd) AS n_weekend,
+         CAST(sum(abs(c * dd - d * cc)) AS BIGINT) AS num
+  FROM tot GROUP BY 1
+)
+SELECT event_type, n_weekday, n_weekend, num AS tv_num,
+       CAST(floor(CAST(num AS DOUBLE)
+                  / (2.0 * CAST(n_weekday AS DOUBLE) * n_weekend)
+                  * 1000000 + {OFF}) AS BIGINT) AS tv_e6
+FROM agg
+WHERE n_weekday > 0 AND n_weekend > 0
+ORDER BY event_type
+""".replace("{OFF}", str(_OFF))
+
+
+# ---------------------------------------------------------------------------
+# kuiper_test — Kuiper circular-uniformity test of time-of-day
+# ---------------------------------------------------------------------------
+# Kuiper (Proc. KNAW 1960): V = D+ + D- over the empirical CDF of
+# time-of-day against uniform — the rotation-invariant KS for circular
+# data (complements rayleigh_diel, which only sees the first
+# harmonic).  Both sup-statistics are EXACT rationals on the
+# second-of-day domain: scaling by n * 86400 gives integer numerators
+# max(cc * 86400 - s * n) and max(s * n - (cc - c) * 86400), so the
+# whole statistic is exact until the final normalization; V* uses the
+# Stephens (1970) finite-n factor.
+
+
+def q_kuiper_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
+            )
+            % 86_400
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    dom = ev.groupBy("event_type", "s").agg(F.count(F.lit(1)).alias("c"))
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    d = (
+        dom.withColumn("cc", F.sum("c").over(wo))
+        .withColumn("n", F.sum("c").over(wt))
+    )
+    # ECDF convention: after sorting, F_n steps at u_i = (s+1)/86400
+    # would be one choice; we test against U(0,1) with u = s/86400 —
+    # D+ = max_i (i/n - u_i), D- = max_i (u_i - (i-1)/n), evaluated at
+    # block boundaries (the max over a tie block is at its edges).
+    agg = d.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(F.col("cc") * 86_400 - F.col("s") * F.col("n")).alias(
+            "dplus_num"
+        ),
+        F.max(
+            F.col("s") * F.col("n") - (F.col("cc") - F.col("c")) * 86_400
+        ).alias("dminus_num"),
+    )
+    nd = F.col("n").cast("double")
+    v = (F.col("dplus_num") + F.col("dminus_num")).cast("double") / (
+        nd * 86_400.0
+    )
+    vstar = v * (F.sqrt(nd) + 0.155 + 0.24 / F.sqrt(nd))
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("dplus_num").cast("long").alias("dplus_num"),
+        F.col("dminus_num").cast("long").alias("dminus_num"),
+        F.floor(v * 1_000_000 + F.lit(_OFF)).cast("long").alias("v_e6"),
+        F.floor(vstar * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "vstar_e4"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_KUIPER = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) % 86400 AS s
+  FROM events
+), dom AS (
+  SELECT event_type, s, CAST(count(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2
+), d AS (
+  SELECT event_type, s, c,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY s)
+              AS BIGINT) AS cc,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM dom
+), agg AS (
+  SELECT event_type, max(n) AS n,
+         CAST(max(cc * 86400 - s * n) AS BIGINT) AS dplus_num,
+         CAST(max(s * n - (cc - c) * 86400) AS BIGINT) AS dminus_num
+  FROM d GROUP BY 1
+)
+SELECT event_type, n, dplus_num, dminus_num,
+       CAST(floor(CAST(dplus_num + dminus_num AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * 86400.0) * 1000000 + {_OFF})
+            AS BIGINT) AS v_e6,
+       CAST(floor(CAST(dplus_num + dminus_num AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * 86400.0)
+                  * (sqrt(CAST(n AS DOUBLE)) + 0.155
+                     + 0.24 / sqrt(CAST(n AS DOUBLE)))
+                  * 10000 + {_OFF}) AS BIGINT) AS vstar_e4
+FROM agg
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jonckheere_terpstra": q_jonckheere_terpstra,
     "mood_median": q_mood_median,
@@ -1909,6 +2326,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dunn_index": q_dunn_index,
     "mahalanobis_census": q_mahalanobis_census,
     "xie_beni": q_xie_beni,
+    "hellinger_drift": q_hellinger_drift,
+    "bhattacharyya_pairs": q_bhattacharyya_pairs,
+    "tv_distance": q_tv_distance,
+    "kuiper_test": q_kuiper_test,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1928,6 +2349,10 @@ ORACLE_SQL: dict[str, str] = {
     "dunn_index": SQL_DUNN,
     "mahalanobis_census": SQL_MAHALANOBIS,
     "xie_beni": SQL_XIE_BENI,
+    "hellinger_drift": SQL_HELLINGER,
+    "bhattacharyya_pairs": SQL_BHATTACHARYYA,
+    "tv_distance": SQL_TV,
+    "kuiper_test": SQL_KUIPER,
 }
 
 # the centroid CTE block is shared verbatim with the stats8 cluster
