@@ -2309,6 +2309,508 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# watson_u2 — Watson two-sample U^2, weekday vs weekend time-of-day
+# ---------------------------------------------------------------------------
+# Watson (Biometrika 1962): the rotation-invariant two-sample test on
+# the circle, U^2 = (nm/N^2) [sum_j d_j^2 - (sum_j d_j)^2 / N] with
+# d_j the running ECDF difference over the pooled sample.  On the
+# second-of-day DOMAIN the difference at value v is the exact integer
+# D_v = cc0 m - cc1 n (inclusive cumulatives), each pooled observation
+# contributes its tie weight t_v, and U^2 = [N sum t D^2 -
+# (sum t D)^2] / (n m N^3) — exact BIGINT until one final division.
+
+
+def q_watson_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (
+            (
+                F.floor(
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    / 86_400_000_000
+                )
+                % 7
+            ).isin(2, 3)
+        )
+        .cast("long")
+        .alias("we"),
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
+            )
+            % 86_400
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    dom = ev.groupBy("event_type", "s").agg(
+        F.sum((F.col("we") == 0).cast("long")).alias("t0"),
+        F.sum((F.col("we") == 1).cast("long")).alias("t1"),
+    )
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    d = (
+        dom.withColumn("cc0", F.sum("t0").over(wo))
+        .withColumn("cc1", F.sum("t1").over(wo))
+        .withColumn("n0", F.sum("t0").over(wt))
+        .withColumn("n1", F.sum("t1").over(wt))
+    )
+    dv = F.col("cc0") * F.col("n1") - F.col("cc1") * F.col("n0")
+    t = F.col("t0") + F.col("t1")
+    agg = d.groupBy("event_type").agg(
+        F.max("n0").alias("n0"),
+        F.max("n1").alias("n1"),
+        F.sum(t * dv).alias("std"),
+        F.sum(t * dv * dv).alias("std2"),
+    )
+    nn = (F.col("n0") + F.col("n1")).cast("double")
+    u2 = (
+        nn * F.col("std2").cast("double")
+        - F.col("std").cast("double") * F.col("std").cast("double")
+    ) / (
+        F.col("n0").cast("double")
+        * F.col("n1").cast("double")
+        * nn
+        * nn
+        * nn
+    )
+    return (
+        agg.filter((F.col("n0") > 0) & (F.col("n1") > 0))
+        .select(
+            "event_type",
+            F.col("n0").cast("long").alias("n_weekday"),
+            F.col("n1").cast("long").alias("n_weekend"),
+            F.floor(u2 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "u2_e6"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_WATSON = f"""
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN (CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7)
+                   IN (2, 3) THEN 1 ELSE 0 END AS we,
+         CAST(floor(epoch(ts)) AS BIGINT) % 86400 AS s
+  FROM events
+), dom AS (
+  SELECT event_type, s,
+         CAST(sum(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t0,
+         CAST(sum(CASE WHEN we = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1
+  FROM ev GROUP BY 1, 2
+), d AS (
+  SELECT event_type, t0, t1,
+         CAST(sum(t0) OVER (PARTITION BY event_type ORDER BY s)
+              AS BIGINT) AS cc0,
+         CAST(sum(t1) OVER (PARTITION BY event_type ORDER BY s)
+              AS BIGINT) AS cc1,
+         CAST(sum(t0) OVER (PARTITION BY event_type) AS BIGINT) AS n0,
+         CAST(sum(t1) OVER (PARTITION BY event_type) AS BIGINT) AS n1
+  FROM dom
+), agg AS (
+  SELECT event_type, max(n0) AS n0, max(n1) AS n1,
+         CAST(sum((t0 + t1) * (cc0 * n1 - cc1 * n0)) AS BIGINT) AS std,
+         CAST(sum((t0 + t1) * (cc0 * n1 - cc1 * n0)
+                  * (cc0 * n1 - cc1 * n0)) AS BIGINT) AS std2
+  FROM d GROUP BY 1
+)
+SELECT event_type, n0 AS n_weekday, n1 AS n_weekend,
+       CAST(floor(
+         (CAST(n0 + n1 AS DOUBLE) * CAST(std2 AS DOUBLE)
+          - CAST(std AS DOUBLE) * CAST(std AS DOUBLE))
+         / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+            * CAST(n0 + n1 AS DOUBLE) * CAST(n0 + n1 AS DOUBLE)
+            * CAST(n0 + n1 AS DOUBLE))
+         * 1000000 + {_OFF}) AS BIGINT) AS u2_e6
+FROM agg
+WHERE n0 > 0 AND n1 > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# circ_linear_corr — Mardia circular-linear correlation (hour vs value)
+# ---------------------------------------------------------------------------
+# Mardia (Biometrika 1976) / Johnson & Wehrly: R^2 = (r_xc^2 + r_xs^2
+# - 2 r_xc r_xs r_cs) / (1 - r_cs^2) with c = cos(2 pi h / 24), s =
+# sin(2 pi h / 24).  Trig values come from the SAME e6-scaled integer
+# lookup table embedded in both engines (the rayleigh_diel zero-libm
+# discipline), so every moment sum is an exact BIGINT; the three
+# Pearson correlations are the statistic ON the quantized angle by
+# contract.
+
+
+import math as _math
+
+_COS6 = [
+    int(_math.floor(_math.cos(2.0 * _math.pi * h / 24.0) * 1e6))
+    for h in range(24)
+]
+_SIN6 = [
+    int(_math.floor(_math.sin(2.0 * _math.pi * h / 24.0) * 1e6))
+    for h in range(24)
+]
+
+
+def q_circ_linear_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hr = (
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+        )
+        % 24
+    ).cast("int")
+    d = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("x"),
+        F.element_at(F.array(*[F.lit(v) for v in _COS6]), hr + 1)
+        .cast("long")
+        .alias("c"),
+        F.element_at(F.array(*[F.lit(v) for v in _SIN6]), hr + 1)
+        .cast("long")
+        .alias("s"),
+    )
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+        F.sum("s").alias("ss"),
+        F.sum(F.col("s") * F.col("s")).alias("sss"),
+        F.sum(F.col("x") * F.col("c")).alias("sxc"),
+        F.sum(F.col("x") * F.col("s")).alias("sxs"),
+        F.sum(F.col("c") * F.col("s")).alias("scs"),
+    )
+
+    def corr(sab, sa, sb, saa, sbb):
+        num = F.col("n").cast("double") * F.col(sab).cast("double") - F.col(
+            sa
+        ).cast("double") * F.col(sb).cast("double")
+        da = F.col("n").cast("double") * F.col(saa).cast("double") - F.col(
+            sa
+        ).cast("double") * F.col(sa).cast("double")
+        db = F.col("n").cast("double") * F.col(sbb).cast("double") - F.col(
+            sb
+        ).cast("double") * F.col(sb).cast("double")
+        return num / F.sqrt(da * db)
+
+    rxc = corr("sxc", "sx", "sc", "sxx", "scc")
+    rxs = corr("sxs", "sx", "ss", "sxx", "sss")
+    rcs = corr("scs", "sc", "ss", "scc", "sss")
+    r2 = (rxc * rxc + rxs * rxs - 2.0 * rxc * rxs * rcs) / (
+        1.0 - rcs * rcs
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(rxc * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "rxc_e6"
+        ),
+        F.floor(rxs * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "rxs_e6"
+        ),
+        F.floor(rcs * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "rcs_e6"
+        ),
+        F.floor(r2 * 1_000_000 + F.lit(_OFF)).cast("long").alias("r2_e6"),
+    ).orderBy("event_type")
+
+
+_COS6_SQL = "[" + ", ".join(str(v) for v in _COS6) + "]"
+_SIN6_SQL = "[" + ", ".join(str(v) for v in _SIN6) + "]"
+
+SQL_CIRC_LINEAR = f"""
+WITH d AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS x,
+         CAST({_COS6_SQL}[
+           CAST(CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS INTEGER)
+           + 1] AS BIGINT) AS c,
+         CAST({_SIN6_SQL}[
+           CAST(CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS INTEGER)
+           + 1] AS BIGINT) AS s
+  FROM events
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(c) AS BIGINT) AS sc,
+         CAST(sum(c * c) AS BIGINT) AS scc,
+         CAST(sum(s) AS BIGINT) AS ss,
+         CAST(sum(s * s) AS BIGINT) AS sss,
+         CAST(sum(x * c) AS BIGINT) AS sxc,
+         CAST(sum(x * s) AS BIGINT) AS sxs,
+         CAST(sum(c * s) AS BIGINT) AS scs
+  FROM d GROUP BY 1
+), r AS (
+  SELECT event_type, n,
+         (CAST(n AS DOUBLE) * CAST(sxc AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sc AS DOUBLE))
+         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(scc AS DOUBLE)
+                   - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))) AS rxc,
+         (CAST(n AS DOUBLE) * CAST(sxs AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(ss AS DOUBLE))
+         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(sss AS DOUBLE)
+                   - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))) AS rxs,
+         (CAST(n AS DOUBLE) * CAST(scs AS DOUBLE)
+          - CAST(sc AS DOUBLE) * CAST(ss AS DOUBLE))
+         / sqrt((CAST(n AS DOUBLE) * CAST(scc AS DOUBLE)
+                 - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(sss AS DOUBLE)
+                   - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))) AS rcs
+  FROM agg
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(floor(rxc * 1000000 + {_OFF}) AS BIGINT) AS rxc_e6,
+       CAST(floor(rxs * 1000000 + {_OFF}) AS BIGINT) AS rxs_e6,
+       CAST(floor(rcs * 1000000 + {_OFF}) AS BIGINT) AS rcs_e6,
+       CAST(floor((rxc * rxc + rxs * rxs - 2.0 * rxc * rxs * rcs)
+                  / (1.0 - rcs * rcs) * 1000000 + {_OFF})
+            AS BIGINT) AS r2_e6
+FROM r
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# bowker_symmetry — symmetry test of the first-vs-last type table
+# ---------------------------------------------------------------------------
+# Bowker (JASA 1948): for each user pair up the FIRST and LAST event
+# type (ts then event_id order); chi^2 = sum_{{i<j}} (n_ij - n_ji)^2 /
+# (n_ij + n_ji) tests whether entry type -> exit type flows are
+# symmetric.  Exact integer counting; each unordered pair's
+# contribution is e6-floored before the windowed total, df = count of
+# non-empty pairs.
+
+
+def q_bowker_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("tts"),
+        "event_id",
+    )
+    wa = Window.partitionBy("user_id").orderBy("tts", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("tts").desc(), F.col("event_id").desc()
+    )
+    fl = (
+        ev.withColumn("ra", F.row_number().over(wa))
+        .withColumn("rd", F.row_number().over(wd))
+        .filter((F.col("ra") == 1) | (F.col("rd") == 1))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("ra") == 1, F.col("event_type"))).alias(
+                "first_type"
+            ),
+            F.min(F.when(F.col("rd") == 1, F.col("event_type"))).alias(
+                "last_type"
+            ),
+        )
+    )
+    cnt = fl.groupBy("first_type", "last_type").agg(
+        F.count(F.lit(1)).alias("nij")
+    )
+    rev = cnt.select(
+        F.col("first_type").alias("last_type"),
+        F.col("last_type").alias("first_type"),
+        F.col("nij").alias("nji"),
+    )
+    pairs = (
+        cnt.join(rev, ["first_type", "last_type"], "full_outer")
+        .fillna(0, ["nij", "nji"])
+        .filter(F.col("first_type") < F.col("last_type"))
+        .filter(F.col("nij") + F.col("nji") > 0)
+    )
+    contrib = F.floor(
+        (F.col("nij") - F.col("nji")).cast("double")
+        * (F.col("nij") - F.col("nji"))
+        / (F.col("nij") + F.col("nji"))
+        * 1_000_000
+        + F.lit(_OFF)
+    ).cast("long")
+    out = pairs.select(
+        F.col("first_type").alias("type_a"),
+        F.col("last_type").alias("type_b"),
+        F.col("nij").cast("long").alias("n_ab"),
+        F.col("nji").cast("long").alias("n_ba"),
+        contrib.alias("contrib_e6"),
+    )
+    wall = Window.partitionBy()
+    return (
+        out.withColumn(
+            "chi2_e6", F.sum("contrib_e6").over(wall).cast("long")
+        )
+        .withColumn("df", F.count(F.lit(1)).over(wall).cast("long"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+SQL_BOWKER = f"""
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM events
+), fl AS (
+  SELECT user_id,
+         min(CASE WHEN ra = 1 THEN event_type END) AS first_type,
+         min(CASE WHEN rd = 1 THEN event_type END) AS last_type
+  FROM ranked WHERE ra = 1 OR rd = 1
+  GROUP BY 1
+), cnt AS (
+  SELECT first_type, last_type, CAST(count(*) AS BIGINT) AS nij
+  FROM fl GROUP BY 1, 2
+), pairs AS (
+  SELECT COALESCE(a.first_type, b.last_type) AS type_a,
+         COALESCE(a.last_type, b.first_type) AS type_b,
+         COALESCE(a.nij, 0) AS nij, COALESCE(b.nij, 0) AS nji
+  FROM cnt a FULL OUTER JOIN cnt b
+    ON b.first_type = a.last_type AND b.last_type = a.first_type
+  WHERE COALESCE(a.first_type, b.last_type)
+        < COALESCE(a.last_type, b.first_type)
+    AND COALESCE(a.nij, 0) + COALESCE(b.nij, 0) > 0
+), c AS (
+  SELECT type_a, type_b, nij AS n_ab, nji AS n_ba,
+         CAST(floor(CAST(nij - nji AS DOUBLE) * (nij - nji)
+                    / (nij + nji) * 1000000 + {_OFF}) AS BIGINT)
+           AS contrib_e6
+  FROM pairs
+)
+SELECT type_a, type_b, n_ab, n_ba, contrib_e6,
+       CAST(sum(contrib_e6) OVER () AS BIGINT) AS chi2_e6,
+       CAST(count(*) OVER () AS BIGINT) AS df
+FROM c
+ORDER BY type_a, type_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# chao1_ace — Chao1 and ACE unseen-vocabulary richness per language
+# ---------------------------------------------------------------------------
+# Chao (Scand. J. Stat. 1984) bias-corrected form V + f1(f1-1) /
+# (2(f2+1)), and ACE (Chao & Lee JASA 1992) with the standard rare
+# cutoff 10: S_abund + S_rare/C + (f1/C) gamma^2, C = 1 - f1/N_rare,
+# gamma^2 = max(S_rare sum i(i-1)f_i / (C N_rare (N_rare-1)) - 1, 0).
+# Complements good_toulmin (unseen MASS) and lexical_richness
+# (diversity indices) with ESTIMATED RICHNESS.  Everything up to the
+# last four arithmetic expressions is exact BIGINT off the word
+# frequency table.
+
+
+def q_chao1_ace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats2 import _documents
+
+    toks = _documents(spark, sf_dir).select(
+        "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    freq = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("m"))
+    agg = freq.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum((F.col("m") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("m") == 2).cast("long")).alias("f2"),
+        F.sum((F.col("m") <= 10).cast("long")).alias("s_rare"),
+        F.sum(F.when(F.col("m") <= 10, F.col("m")).otherwise(0)).alias(
+            "n_rare"
+        ),
+        F.sum(
+            F.when(
+                F.col("m") <= 10, F.col("m") * (F.col("m") - 1)
+            ).otherwise(0)
+        ).alias("sii"),
+    )
+    chao1 = F.col("v").cast("double") + F.col("f1").cast("double") * (
+        F.col("f1") - 1
+    ) / (2.0 * (F.col("f2") + 1))
+    cace = 1.0 - F.col("f1").cast("double") / F.col("n_rare")
+    g2 = F.greatest(
+        F.col("s_rare").cast("double")
+        * F.col("sii")
+        / (
+            cace
+            * F.col("n_rare").cast("double")
+            * (F.col("n_rare") - 1)
+        )
+        - 1.0,
+        F.lit(0.0),
+    )
+    ace = (
+        (F.col("v") - F.col("s_rare")).cast("double")
+        + F.col("s_rare").cast("double") / cace
+        + F.col("f1").cast("double") / cace * g2
+    )
+    return (
+        agg.filter((F.col("n_rare") > 1) & (F.col("f1") < F.col("n_rare")))
+        .select(
+            "lang",
+            F.col("v").cast("long").alias("v"),
+            F.col("f1").cast("long").alias("f1"),
+            F.col("f2").cast("long").alias("f2"),
+            F.col("s_rare").cast("long").alias("s_rare"),
+            F.floor(chao1 * 100 + F.lit(_OFF)).cast("long").alias(
+                "chao1_e2"
+            ),
+            F.floor(ace * 100 + F.lit(_OFF)).cast("long").alias("ace_e2"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_CHAO1 = f"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), freq AS (
+  SELECT lang, w, count(*) AS m FROM toks GROUP BY 1, 2
+), agg AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+         CAST(sum(CASE WHEN m <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+           AS s_rare,
+         CAST(sum(CASE WHEN m <= 10 THEN m ELSE 0 END) AS BIGINT)
+           AS n_rare,
+         CAST(sum(CASE WHEN m <= 10 THEN m * (m - 1) ELSE 0 END)
+              AS BIGINT) AS sii
+  FROM freq GROUP BY 1
+)
+SELECT lang, v, f1, f2, s_rare,
+       CAST(floor((CAST(v AS DOUBLE)
+                   + CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1)))
+                  * 100 + {_OFF}) AS BIGINT) AS chao1_e2,
+       CAST(floor(
+         (CAST(v - s_rare AS DOUBLE)
+          + CAST(s_rare AS DOUBLE)
+            / (1.0 - CAST(f1 AS DOUBLE) / n_rare)
+          + CAST(f1 AS DOUBLE)
+            / (1.0 - CAST(f1 AS DOUBLE) / n_rare)
+            * greatest(
+                CAST(s_rare AS DOUBLE) * sii
+                / ((1.0 - CAST(f1 AS DOUBLE) / n_rare)
+                   * CAST(n_rare AS DOUBLE) * (n_rare - 1)) - 1.0,
+                0.0))
+         * 100 + {_OFF}) AS BIGINT) AS ace_e2
+FROM agg
+WHERE n_rare > 1 AND f1 < n_rare
+ORDER BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jonckheere_terpstra": q_jonckheere_terpstra,
     "mood_median": q_mood_median,
@@ -2330,6 +2832,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bhattacharyya_pairs": q_bhattacharyya_pairs,
     "tv_distance": q_tv_distance,
     "kuiper_test": q_kuiper_test,
+    "watson_u2": q_watson_u2,
+    "circ_linear_corr": q_circ_linear_corr,
+    "bowker_symmetry": q_bowker_symmetry,
+    "chao1_ace": q_chao1_ace,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2353,6 +2859,10 @@ ORACLE_SQL: dict[str, str] = {
     "bhattacharyya_pairs": SQL_BHATTACHARYYA,
     "tv_distance": SQL_TV,
     "kuiper_test": SQL_KUIPER,
+    "watson_u2": SQL_WATSON,
+    "circ_linear_corr": SQL_CIRC_LINEAR,
+    "bowker_symmetry": SQL_BOWKER,
+    "chao1_ace": SQL_CHAO1,
 }
 
 # the centroid CTE block is shared verbatim with the stats8 cluster
