@@ -2811,6 +2811,597 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# dagostino_k2 — D'Agostino-Pearson omnibus normality test per user
+# ---------------------------------------------------------------------------
+# D'Agostino, Belanger & D'Agostino Jr (Am. Stat. 1990), the scipy
+# ``normaltest`` ladder: Z1 from the skewness transform, Z2 from the
+# Anscombe-Glynn kurtosis transform, K^2 = Z1^2 + Z2^2.  Raw power
+# sums (up to v^4) ride exact BIGINTs on DECIvalues (floor(value*10)):
+# at centivalue scale a single v^4 would overflow; deci bounds the
+# per-user quartic sum at ~4e16 for 1e4 rows/user.  Both engines
+# evaluate the identical closed-form transform on identical integers.
+
+
+def q_dagostino_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.floor(F.col("value") * 10 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+        F.sum(F.col("v") * F.col("v") * F.col("v")).alias("s3"),
+        F.sum(
+            F.col("v") * F.col("v") * F.col("v") * F.col("v")
+        ).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n - mu * mu
+    m3 = (
+        F.col("s3").cast("double") / n
+        - 3.0 * mu * (F.col("s2").cast("double") / n)
+        + 2.0 * mu * mu * mu
+    )
+    m4 = (
+        F.col("s4").cast("double") / n
+        - 4.0 * mu * (F.col("s3").cast("double") / n)
+        + 6.0 * mu * mu * (F.col("s2").cast("double") / n)
+        - 3.0 * mu * mu * mu * mu
+    )
+    g1 = m3 / F.sqrt(m2 * m2 * m2)
+    b2 = m4 / (m2 * m2)
+    # skewtest (D'Agostino 1970)
+    y = g1 * F.sqrt((n + 1.0) * (n + 3.0) / (6.0 * (n - 2.0)))
+    beta2 = (
+        3.0
+        * (n * n + 27.0 * n - 70.0)
+        * (n + 1.0)
+        * (n + 3.0)
+        / ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0))
+    )
+    w2 = -1.0 + F.sqrt(2.0 * (beta2 - 1.0))
+    delta = 1.0 / F.sqrt(0.5 * F.log(w2))
+    alpha = F.sqrt(2.0 / (w2 - 1.0))
+    ya = y / alpha
+    z1 = delta * F.log(ya + F.sqrt(ya * ya + 1.0))
+    # kurtosistest (Anscombe & Glynn 1983)
+    eb2 = 3.0 * (n - 1.0) / (n + 1.0)
+    vb2 = (
+        24.0
+        * n
+        * (n - 2.0)
+        * (n - 3.0)
+        / ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0))
+    )
+    x = (b2 - eb2) / F.sqrt(vb2)
+    sb1 = (
+        6.0
+        * (n * n - 5.0 * n + 2.0)
+        / ((n + 7.0) * (n + 9.0))
+        * F.sqrt(
+            6.0 * (n + 3.0) * (n + 5.0) / (n * (n - 2.0) * (n - 3.0))
+        )
+    )
+    a = 6.0 + 8.0 / sb1 * (
+        2.0 / sb1 + F.sqrt(1.0 + 4.0 / (sb1 * sb1))
+    )
+    z2 = (
+        (1.0 - 2.0 / (9.0 * a))
+        - F.cbrt(
+            (1.0 - 2.0 / a) / (1.0 + x * F.sqrt(2.0 / (a - 4.0)))
+        )
+    ) / F.sqrt(2.0 / (9.0 * a))
+    k2 = z1 * z1 + z2 * z2
+    return (
+        agg.filter((F.col("n") >= 20) & (m2 > 0))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            F.floor(g1 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "g1_e6"
+            ),
+            F.floor(b2 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "b2_e6"
+            ),
+            F.floor(k2 * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "k2_e4"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_DAGOSTINO = f"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(value * 10 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), agg AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(v) AS BIGINT) AS s1,
+         CAST(sum(v * v) AS BIGINT) AS s2,
+         CAST(sum(v * v * v) AS BIGINT) AS s3,
+         CAST(sum(v * v * v * v) AS BIGINT) AS s4
+  FROM ev GROUP BY 1
+), mom AS (
+  SELECT user_id, CAST(n AS DOUBLE) AS n,
+         CAST(s1 AS DOUBLE) / n AS mu,
+         CAST(s2 AS DOUBLE) / n AS r2,
+         CAST(s3 AS DOUBLE) / n AS r3,
+         CAST(s4 AS DOUBLE) / n AS r4
+  FROM agg
+), cm AS (
+  SELECT user_id, n,
+         r2 - mu * mu AS m2,
+         r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+         r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+            - 3.0 * mu * mu * mu * mu AS m4
+  FROM mom
+), gb AS (
+  SELECT user_id, n,
+         m3 / sqrt(m2 * m2 * m2) AS g1,
+         m4 / (m2 * m2) AS b2, m2
+  FROM cm
+), z AS (
+  SELECT user_id, n, g1, b2, m2,
+         g1 * sqrt((n + 1.0) * (n + 3.0) / (6.0 * (n - 2.0))) AS y,
+         -1.0 + sqrt(2.0 * (3.0 * (n * n + 27.0 * n - 70.0)
+                            * (n + 1.0) * (n + 3.0)
+                            / ((n - 2.0) * (n + 5.0) * (n + 7.0)
+                               * (n + 9.0)) - 1.0)) AS w2,
+         (b2 - 3.0 * (n - 1.0) / (n + 1.0))
+         / sqrt(24.0 * n * (n - 2.0) * (n - 3.0)
+                / ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0))) AS x,
+         6.0 * (n * n - 5.0 * n + 2.0) / ((n + 7.0) * (n + 9.0))
+         * sqrt(6.0 * (n + 3.0) * (n + 5.0)
+                / (n * (n - 2.0) * (n - 3.0))) AS sb1
+  FROM gb
+), z2_ AS (
+  SELECT user_id, n, g1, b2, m2, y, w2, x,
+         6.0 + 8.0 / sb1 * (2.0 / sb1 + sqrt(1.0 + 4.0 / (sb1 * sb1)))
+           AS a
+  FROM z
+), fin AS (
+  SELECT user_id, n, g1, b2, m2,
+         (1.0 / sqrt(0.5 * ln(w2)))
+         * ln(y / sqrt(2.0 / (w2 - 1.0))
+              + sqrt((y / sqrt(2.0 / (w2 - 1.0)))
+                     * (y / sqrt(2.0 / (w2 - 1.0))) + 1.0)) AS z1,
+         ((1.0 - 2.0 / (9.0 * a))
+          - cbrt((1.0 - 2.0 / a)
+                 / (1.0 + x * sqrt(2.0 / (a - 4.0)))))
+         / sqrt(2.0 / (9.0 * a)) AS z2
+  FROM z2_
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CAST(floor(g1 * 1000000 + {_OFF}) AS BIGINT) AS g1_e6,
+       CAST(floor(b2 * 1000000 + {_OFF}) AS BIGINT) AS b2_e6,
+       CAST(floor((z1 * z1 + z2 * z2) * 10000 + {_OFF}) AS BIGINT)
+         AS k2_e4
+FROM fin
+WHERE n >= 20 AND m2 > 0
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# range_volatility — Parkinson / Garman-Klass / Rogers-Satchell
+# ---------------------------------------------------------------------------
+# The three classic range-based variance estimators (Parkinson JB
+# 1980; Garman & Klass JB 1980; Rogers & Satchell Ann. Appl. Prob.
+# 1991) on per-day OHLC of each type's value series — the natural
+# rollup companions for tier engines that already keep M4 (min/max/
+# first/last) partials.  O/C come from exact rank windows (ts,
+# event_id tie-break), H/L from exact max/min centivalues; each day's
+# log terms are e9-floored BEFORE the per-type mean so the folds are
+# exact-integer.
+
+
+def q_range_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+        F.col("ts").cast("timestamp").alias("tts"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    wa = Window.partitionBy("event_type", "day").orderBy("tts", "event_id")
+    wd = Window.partitionBy("event_type", "day").orderBy(
+        F.col("tts").desc(), F.col("event_id").desc()
+    )
+    r = ev.withColumn("ra", F.row_number().over(wa)).withColumn(
+        "rd", F.row_number().over(wd)
+    )
+    ohlc = r.groupBy("event_type", "day").agg(
+        F.min(F.when(F.col("ra") == 1, F.col("v"))).alias("o"),
+        F.min(F.when(F.col("rd") == 1, F.col("v"))).alias("c"),
+        F.max("v").alias("h"),
+        F.min("v").alias("l"),
+    )
+    hl = F.log(F.col("h").cast("double") / F.col("l"))
+    co = F.log(F.col("c").cast("double") / F.col("o"))
+    hc = F.log(F.col("h").cast("double") / F.col("c"))
+    ho = F.log(F.col("h").cast("double") / F.col("o"))
+    lc = F.log(F.col("l").cast("double") / F.col("c"))
+    lo = F.log(F.col("l").cast("double") / F.col("o"))
+    ln2 = 0.6931471805599453
+    park9 = F.floor(hl * hl / (4.0 * ln2) * 1e9 + F.lit(_OFF)).cast("long")
+    gk9 = F.floor(
+        (0.5 * hl * hl - (2.0 * ln2 - 1.0) * co * co) * 1e9 + F.lit(_OFF)
+    ).cast("long")
+    rs9 = F.floor((hc * ho + lc * lo) * 1e9 + F.lit(_OFF)).cast("long")
+    agg = ohlc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(park9).alias("p9"),
+        F.sum(gk9).alias("g9"),
+        F.sum(rs9).alias("r9"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.floor(
+            F.col("p9").cast("double") / F.col("n_days") / 1000.0
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("park_var_e6"),
+        F.floor(
+            F.col("g9").cast("double") / F.col("n_days") / 1000.0
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("gk_var_e6"),
+        F.floor(
+            F.col("r9").cast("double") / F.col("n_days") / 1000.0
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("rs_var_e6"),
+    ).orderBy("event_type")
+
+
+SQL_RANGE_VOL = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         ts, event_id,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), r AS (
+  SELECT event_type, day, v,
+         row_number() OVER (PARTITION BY event_type, day
+                            ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY event_type, day
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM ev
+), ohlc AS (
+  SELECT event_type, day,
+         min(CASE WHEN ra = 1 THEN v END) AS o,
+         min(CASE WHEN rd = 1 THEN v END) AS c,
+         max(v) AS h, min(v) AS l
+  FROM r GROUP BY 1, 2
+), terms AS (
+  SELECT event_type,
+         CAST(floor(ln(CAST(h AS DOUBLE) / l) * ln(CAST(h AS DOUBLE) / l)
+                    / (4.0 * 0.6931471805599453) * 1e9 + {_OFF})
+              AS BIGINT) AS park9,
+         CAST(floor((0.5 * ln(CAST(h AS DOUBLE) / l)
+                         * ln(CAST(h AS DOUBLE) / l)
+                     - (2.0 * 0.6931471805599453 - 1.0)
+                       * ln(CAST(c AS DOUBLE) / o)
+                       * ln(CAST(c AS DOUBLE) / o)) * 1e9 + {_OFF})
+              AS BIGINT) AS gk9,
+         CAST(floor((ln(CAST(h AS DOUBLE) / c) * ln(CAST(h AS DOUBLE) / o)
+                     + ln(CAST(l AS DOUBLE) / c)
+                       * ln(CAST(l AS DOUBLE) / o)) * 1e9 + {_OFF})
+              AS BIGINT) AS rs9
+  FROM ohlc
+), agg AS (
+  SELECT event_type, count(*) AS n_days,
+         CAST(sum(park9) AS BIGINT) AS p9,
+         CAST(sum(gk9) AS BIGINT) AS g9,
+         CAST(sum(rs9) AS BIGINT) AS r9
+  FROM terms GROUP BY 1
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       CAST(floor(CAST(p9 AS DOUBLE) / n_days / 1000.0 + {_OFF})
+            AS BIGINT) AS park_var_e6,
+       CAST(floor(CAST(g9 AS DOUBLE) / n_days / 1000.0 + {_OFF})
+            AS BIGINT) AS gk_var_e6,
+       CAST(floor(CAST(r9 AS DOUBLE) / n_days / 1000.0 + {_OFF})
+            AS BIGINT) AS rs_var_e6
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# downside_risk — Sortino ratio and Omega(0) on daily log-returns
+# ---------------------------------------------------------------------------
+# Sortino & Price (J. Investing 1994) and Keating & Shadwick (2002):
+# target-0 downside statistics of each type's daily total-value
+# log-returns.  Returns are e6-floored integers r6 = floor(ln(V_d /
+# V_{d-1}) 1e6) so the gain/loss split, the downside second moment
+# (r6^2 <= 2.5e13 per day — BIGINT-safe where an e9 scale would not
+# be) and Omega's two one-sided sums are ALL exact integers; doubles
+# appear only in the final three ratios.
+
+
+def q_downside_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+        ).alias("vv")
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    r = daily.withColumn("vp", F.lag("vv").over(wo)).filter(
+        F.col("vp").isNotNull() & (F.col("vp") > 0) & (F.col("vv") > 0)
+    )
+    r6 = F.floor(
+        F.log(F.col("vv").cast("double") / F.col("vp")) * 1e6 + F.lit(_OFF)
+    ).cast("long")
+    t = r.select("event_type", r6.alias("r6"))
+    agg = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("r6").alias("sr"),
+        F.sum(
+            F.when(F.col("r6") < 0, F.col("r6") * F.col("r6")).otherwise(0)
+        ).alias("sd2"),
+        F.sum(
+            F.when(F.col("r6") > 0, F.col("r6")).otherwise(0)
+        ).alias("gains"),
+        F.sum(
+            F.when(F.col("r6") < 0, -F.col("r6")).otherwise(0)
+        ).alias("losses"),
+    )
+    nd = F.col("n_days").cast("double")
+    meanr = F.col("sr").cast("double") / nd / 1e6
+    ddev = F.sqrt(F.col("sd2").cast("double") / nd) / 1e6
+    sortino = meanr / ddev
+    omega = F.col("gains").cast("double") / F.col("losses")
+    return (
+        agg.filter((F.col("sd2") > 0) & (F.col("losses") > 0))
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.floor(meanr * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "mean_r_e6"
+            ),
+            F.floor(ddev * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "downside_dev_e6"
+            ),
+            F.floor(sortino * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "sortino_e4"
+            ),
+            F.floor(omega * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "omega_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_DOWNSIDE = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS vv
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, vv,
+         lag(vv) OVER (PARTITION BY event_type ORDER BY day) AS vp
+  FROM daily
+), t AS (
+  SELECT event_type,
+         CAST(floor(ln(CAST(vv AS DOUBLE) / vp) * 1e6 + {_OFF})
+              AS BIGINT) AS r6
+  FROM r WHERE vp IS NOT NULL AND vp > 0 AND vv > 0
+), agg AS (
+  SELECT event_type, count(*) AS n_days,
+         CAST(sum(r6) AS BIGINT) AS sr,
+         CAST(sum(CASE WHEN r6 < 0 THEN r6 * r6 ELSE 0 END) AS BIGINT)
+           AS sd2,
+         CAST(sum(CASE WHEN r6 > 0 THEN r6 ELSE 0 END) AS BIGINT)
+           AS gains,
+         CAST(sum(CASE WHEN r6 < 0 THEN -r6 ELSE 0 END) AS BIGINT)
+           AS losses
+  FROM t GROUP BY 1
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       CAST(floor(CAST(sr AS DOUBLE) / n_days / 1e6 * 1000000 + {_OFF})
+            AS BIGINT) AS mean_r_e6,
+       CAST(floor(sqrt(CAST(sd2 AS DOUBLE) / n_days) / 1e6 * 1000000
+                  + {_OFF}) AS BIGINT) AS downside_dev_e6,
+       CAST(floor((CAST(sr AS DOUBLE) / n_days / 1e6)
+                  / (sqrt(CAST(sd2 AS DOUBLE) / n_days) / 1e6)
+                  * 10000 + {_OFF}) AS BIGINT) AS sortino_e4,
+       CAST(floor(CAST(gains AS DOUBLE) / losses * 10000 + {_OFF})
+            AS BIGINT) AS omega_e4
+FROM agg
+WHERE sd2 > 0 AND losses > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# ansari_bradley — rank scale test, weekday vs weekend, per type
+# ---------------------------------------------------------------------------
+# Ansari & Bradley (Ann. Math. Stat. 1960): scores a(i) = min(i,
+# N+1-i) fold from both ends, so a dispersion shift moves the score
+# sum.  Tie blocks live on the centivalue DOMAIN: block score sums
+# come from the closed forms f(x) = T(min(x,m)) + [x > m] (T(N-m) -
+# T(N-x)) and the square-sum twin with Q(y) = y(y+1)(2y+1)/6 — exact
+# BIGINTs.  Tied-average per-block terms (AB contribution and the
+# Conover tie-corrected variance) are e6-floored before their sums;
+# z uses the exact finite-population moments.
+
+
+def q_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (
+            (
+                F.floor(
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    / 86_400_000_000
+                )
+                % 7
+            ).isin(2, 3)
+        )
+        .cast("long")
+        .alias("we"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    dom = ev.groupBy("event_type", "v").agg(
+        F.sum((F.col("we") == 0).cast("long")).alias("t0"),
+        F.sum((F.col("we") == 1).cast("long")).alias("t1"),
+    )
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    d = (
+        dom.withColumn("hi", F.sum(F.col("t0") + F.col("t1")).over(wo))
+        .withColumn("nn", F.sum(F.col("t0") + F.col("t1")).over(wt))
+        .withColumn("lo", F.col("hi") - F.col("t0") - F.col("t1"))
+    )
+    m = F.floor((F.col("nn") + 1) / 2).cast("long")
+
+    def tri(x):
+        # x(x+1) is even, so the double division is exact (< 2^53 for
+        # any per-type N this engine meets below ~1e8 rows per key)
+        return x * (x + 1) / 2
+
+    def fsum(x):
+        return F.when(x <= m, tri(x)).otherwise(
+            tri(m) + tri(F.col("nn") - m) - tri(F.col("nn") - x)
+        )
+
+    blk = (fsum(F.col("hi")) - fsum(F.col("lo"))).cast("long")
+    t = F.col("t0") + F.col("t1")
+    ab6 = F.floor(
+        F.col("t1").cast("double") * blk / t * 1e6 + F.lit(_OFF)
+    ).cast("long")
+    a26 = F.floor(
+        blk.cast("double") * blk / t * 1e6 + F.lit(_OFF)
+    ).cast("long")
+    agg = d.groupBy("event_type").agg(
+        F.max("nn").alias("nn"),
+        F.sum("t0").alias("n0"),
+        F.sum("t1").alias("n1"),
+        F.sum(ab6).alias("ab6"),
+        F.sum(a26).alias("a26"),
+        F.sum(blk).alias("suma"),
+    )
+    nd = F.col("nn").cast("double")
+    ab = F.col("ab6").cast("double") / 1e6
+    suma = F.col("suma").cast("double")
+    suma2 = F.col("a26").cast("double") / 1e6
+    mean = F.col("n1").cast("double") * suma / nd
+    var = (
+        F.col("n0").cast("double")
+        * F.col("n1").cast("double")
+        * (nd * suma2 - suma * suma)
+        / (nd * nd * (nd - 1.0))
+    )
+    z = (ab - mean) / F.sqrt(var)
+    return (
+        agg.filter((F.col("n0") > 0) & (F.col("n1") > 0) & (var > 0))
+        .select(
+            "event_type",
+            F.col("n0").cast("long").alias("n_weekday"),
+            F.col("n1").cast("long").alias("n_weekend"),
+            F.col("ab6").cast("long").alias("ab_e6"),
+            F.floor(z * 10_000 + F.lit(_OFF)).cast("long").alias("z_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_ANSARI = f"""
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN (CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7)
+                   IN (2, 3) THEN 1 ELSE 0 END AS we,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), dom AS (
+  SELECT event_type, v,
+         CAST(sum(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t0,
+         CAST(sum(CASE WHEN we = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1
+  FROM ev GROUP BY 1, 2
+), d AS (
+  SELECT event_type, t0, t1,
+         CAST(sum(t0 + t1) OVER (PARTITION BY event_type ORDER BY v)
+              AS BIGINT) AS hi,
+         CAST(sum(t0 + t1) OVER (PARTITION BY event_type) AS BIGINT)
+           AS nn
+  FROM dom
+), blk AS (
+  SELECT event_type, t0, t1, nn, hi - t0 - t1 AS lo, hi,
+         (nn + 1) // 2 AS m
+  FROM d
+), scored AS (
+  SELECT event_type, t0, t1, nn,
+         (CASE WHEN hi <= m THEN hi * (hi + 1) // 2
+               ELSE m * (m + 1) // 2 + (nn - m) * (nn - m + 1) // 2
+                    - (nn - hi) * (nn - hi + 1) // 2 END
+          - CASE WHEN lo <= m THEN lo * (lo + 1) // 2
+                 ELSE m * (m + 1) // 2 + (nn - m) * (nn - m + 1) // 2
+                      - (nn - lo) * (nn - lo + 1) // 2 END) AS blk
+  FROM blk
+), terms AS (
+  SELECT event_type, t0, t1, nn, blk,
+         CAST(floor(CAST(t1 AS DOUBLE) * blk / (t0 + t1) * 1e6 + {_OFF})
+              AS BIGINT) AS ab6,
+         CAST(floor(CAST(blk AS DOUBLE) * blk / (t0 + t1) * 1e6
+                    + {_OFF}) AS BIGINT) AS a26
+  FROM scored
+), agg AS (
+  SELECT event_type, max(nn) AS nn,
+         CAST(sum(t0) AS BIGINT) AS n0,
+         CAST(sum(t1) AS BIGINT) AS n1,
+         CAST(sum(ab6) AS BIGINT) AS ab6,
+         CAST(sum(a26) AS BIGINT) AS a26,
+         CAST(sum(blk) AS BIGINT) AS suma
+  FROM terms GROUP BY 1
+)
+SELECT event_type, n0 AS n_weekday, n1 AS n_weekend, ab6 AS ab_e6,
+       CAST(floor(
+         (CAST(ab6 AS DOUBLE) / 1e6
+          - CAST(n1 AS DOUBLE) * suma / nn)
+         / sqrt(CAST(n0 AS DOUBLE) * n1
+                * (nn * (CAST(a26 AS DOUBLE) / 1e6) - CAST(suma AS
+                   DOUBLE) * suma)
+                / (CAST(nn AS DOUBLE) * nn * (nn - 1.0)))
+         * 10000 + {_OFF}) AS BIGINT) AS z_e4
+FROM agg
+WHERE n0 > 0 AND n1 > 0
+  AND CAST(n0 AS DOUBLE) * n1
+      * (nn * (CAST(a26 AS DOUBLE) / 1e6)
+         - CAST(suma AS DOUBLE) * suma)
+      / (CAST(nn AS DOUBLE) * nn * (nn - 1.0)) > 0
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jonckheere_terpstra": q_jonckheere_terpstra,
     "mood_median": q_mood_median,
@@ -2836,6 +3427,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "circ_linear_corr": q_circ_linear_corr,
     "bowker_symmetry": q_bowker_symmetry,
     "chao1_ace": q_chao1_ace,
+    "dagostino_k2": q_dagostino_k2,
+    "range_volatility": q_range_volatility,
+    "downside_risk": q_downside_risk,
+    "ansari_bradley": q_ansari_bradley,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2863,6 +3458,10 @@ ORACLE_SQL: dict[str, str] = {
     "circ_linear_corr": SQL_CIRC_LINEAR,
     "bowker_symmetry": SQL_BOWKER,
     "chao1_ace": SQL_CHAO1,
+    "dagostino_k2": SQL_DAGOSTINO,
+    "range_volatility": SQL_RANGE_VOL,
+    "downside_risk": SQL_DOWNSIDE,
+    "ansari_bradley": SQL_ANSARI,
 }
 
 # the centroid CTE block is shared verbatim with the stats8 cluster
