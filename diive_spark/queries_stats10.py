@@ -3402,6 +3402,600 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# theil_u2 — Theil's U accuracy of the seasonal-naive forecast
+# ---------------------------------------------------------------------------
+# Theil (Applied Economic Forecasting 1966): U2 compares a forecast's
+# RMSE to the naive no-change forecast.  Here the lag-7 seasonal-naive
+# daily-count forecast is scored against the lag-1 naive per event
+# type on the common support (day >= first + 7) — the census
+# companion to forecast_mase (which scales by in-sample MAE, not by
+# the naive RMSE).  Squared-error sums are exact BIGINTs; U1
+# (bounded [0,1] form) and U2 hit doubles only in the final ratios.
+
+
+def q_theil_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    d = (
+        daily.withColumn("y1", F.lag("y", 1).over(wo))
+        .withColumn("y7", F.lag("y", 7).over(wo))
+        .filter(F.col("y1").isNotNull() & F.col("y7").isNotNull())
+    )
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("y7") - F.col("y")) * (F.col("y7") - F.col("y"))
+        ).alias("se_f"),
+        F.sum(
+            (F.col("y1") - F.col("y")) * (F.col("y1") - F.col("y"))
+        ).alias("se_n"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+        F.sum(F.col("y7") * F.col("y7")).alias("sf2"),
+    )
+    nd = F.col("n").cast("double")
+    u2 = F.sqrt(F.col("se_f").cast("double") / F.col("se_n"))
+    u1 = F.sqrt(F.col("se_f").cast("double") / nd) / (
+        F.sqrt(F.col("sy2").cast("double") / nd)
+        + F.sqrt(F.col("sf2").cast("double") / nd)
+    )
+    return (
+        agg.filter(F.col("se_n") > 0)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("se_f").cast("long").alias("sse_seasonal"),
+            F.col("se_n").cast("long").alias("sse_naive"),
+            F.floor(u1 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "u1_e6"
+            ),
+            F.floor(u2 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "u2_e6"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_THEIL_U2 = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type, y,
+         lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1,
+         lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS y7
+  FROM daily
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum((y7 - y) * (y7 - y)) AS BIGINT) AS se_f,
+         CAST(sum((y1 - y) * (y1 - y)) AS BIGINT) AS se_n,
+         CAST(sum(y * y) AS BIGINT) AS sy2,
+         CAST(sum(y7 * y7) AS BIGINT) AS sf2
+  FROM d WHERE y1 IS NOT NULL AND y7 IS NOT NULL
+  GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       se_f AS sse_seasonal, se_n AS sse_naive,
+       CAST(floor(sqrt(CAST(se_f AS DOUBLE) / n)
+                  / (sqrt(CAST(sy2 AS DOUBLE) / n)
+                     + sqrt(CAST(sf2 AS DOUBLE) / n))
+                  * 1000000 + {_OFF}) AS BIGINT) AS u1_e6,
+       CAST(floor(sqrt(CAST(se_f AS DOUBLE) / se_n) * 1000000 + {_OFF})
+            AS BIGINT) AS u2_e6
+FROM agg
+WHERE se_n > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# cochrane_orcutt — AR(1)-corrected trend slope on daily counts
+# ---------------------------------------------------------------------------
+# Cochrane & Orcutt (JASA 1949): fit OLS, estimate rho from lag-1
+# residual autocorrelation, quasi-difference (y_t - rho y_{t-1} on
+# x_t - rho x_{t-1}) and refit — the classical serial-correlation
+# repair for trend slopes (complements trend_ols_hc0, which fixes the
+# SE instead of the estimate).  Stage-1 OLS runs on exact integer
+# (day, count) sums; residuals and the transformed pairs are
+# e6-floored per row so the stage-2 sums are exact integers again.
+
+
+def q_cochrane_orcutt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    wt = Window.partitionBy("event_type")
+    d = daily.withColumn("x", F.col("day") - F.min("day").over(wt))
+    agg1 = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    b1 = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    a1 = (F.col("sy").cast("double") - b1 * F.col("sx")) / nd
+    fit = agg1.select("event_type", b1.alias("b1"), a1.alias("a1"))
+    r = d.join(F.broadcast(fit), "event_type").withColumn(
+        "e6",
+        F.floor(
+            (F.col("y") - F.col("a1") - F.col("b1") * F.col("x")) * 1e6
+            + F.lit(_OFF)
+        ).cast("long"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("x")
+    rl = r.withColumn("ep6", F.lag("e6").over(wo)).filter(
+        F.col("ep6").isNotNull()
+    )
+    rho_agg = rl.groupBy("event_type").agg(
+        F.sum(F.col("e6") * F.col("ep6")).alias("sep"),
+        F.sum(F.col("ep6") * F.col("ep6")).alias("spp"),
+    )
+    rho = (
+        F.col("sep").cast("double") / F.col("spp").cast("double")
+    )
+    rhof = rho_agg.filter(F.col("spp") > 0).select(
+        "event_type", rho.alias("rho")
+    )
+    tr = (
+        d.join(F.broadcast(rhof), "event_type")
+        .withColumn("yl", F.lag("y").over(wo))
+        .withColumn("xl", F.lag("x").over(wo))
+        .filter(F.col("yl").isNotNull())
+        .select(
+            "event_type",
+            "rho",
+            F.floor(
+                (F.col("y") - F.col("rho") * F.col("yl")) * 1e6
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("ys6"),
+            F.floor(
+                (F.col("x") - F.col("rho") * F.col("xl")) * 1e6
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("xs6"),
+        )
+    )
+    agg2 = tr.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.max("rho").alias("rho"),
+        F.sum("xs6").alias("sx"),
+        F.sum("ys6").alias("sy"),
+        # products <= ~2.7e15 and their sums <= ~2.4e18 stay in BIGINT;
+        # a double sum here would be order-dependent past 2^53
+        F.sum(F.col("xs6") * F.col("ys6")).alias("sxy"),
+        F.sum(F.col("xs6") * F.col("xs6")).alias("sxx"),
+    )
+    md = F.col("m").cast("double")
+    b2 = (
+        md * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        md * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    j = agg1.select("event_type", F.col("n"), b1.alias("b_ols")).join(
+        agg2.select(
+            "event_type", F.col("rho"), b2.alias("b_gls")
+        ),
+        "event_type",
+    )
+    return j.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(F.col("b_ols") * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("b_ols_e6"),
+        F.floor(F.col("rho") * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("rho_e6"),
+        F.floor(F.col("b_gls") * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("b_gls_e6"),
+    ).orderBy("event_type")
+
+
+SQL_COCHRANE = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type, y,
+         day - min(day) OVER (PARTITION BY event_type) AS x
+  FROM daily
+), agg1 AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM d GROUP BY 1
+), fit AS (
+  SELECT event_type, n,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b1,
+         (CAST(sy AS DOUBLE)
+          - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            * sx) / n AS a1
+  FROM agg1
+), r AS (
+  SELECT d.event_type, x, y,
+         CAST(floor((y - a1 - b1 * x) * 1e6 + {_OFF}) AS BIGINT) AS e6
+  FROM d JOIN fit ON fit.event_type = d.event_type
+), rl AS (
+  SELECT event_type, e6,
+         lag(e6) OVER (PARTITION BY event_type ORDER BY x) AS ep6
+  FROM r
+), rhot AS (
+  SELECT event_type,
+         CAST(sum(e6 * ep6) AS DOUBLE)
+         / CAST(sum(ep6 * ep6) AS DOUBLE) AS rho
+  FROM rl WHERE ep6 IS NOT NULL
+  GROUP BY 1
+  HAVING CAST(sum(ep6 * ep6) AS BIGINT) > 0
+), tr AS (
+  SELECT d.event_type, rho,
+         CAST(floor((y - rho * lag(y)
+             OVER (PARTITION BY d.event_type ORDER BY x)) * 1e6
+             + {_OFF}) AS BIGINT) AS ys6,
+         CAST(floor((x - rho * lag(x)
+             OVER (PARTITION BY d.event_type ORDER BY x)) * 1e6
+             + {_OFF}) AS BIGINT) AS xs6
+  FROM d JOIN rhot ON rhot.event_type = d.event_type
+), agg2 AS (
+  SELECT event_type, count(*) AS m, max(rho) AS rho,
+         CAST(sum(xs6) AS BIGINT) AS sx,
+         CAST(sum(ys6) AS BIGINT) AS sy,
+         CAST(sum(xs6 * ys6) AS BIGINT) AS sxy,
+         CAST(sum(xs6 * xs6) AS BIGINT) AS sxx
+  FROM tr WHERE ys6 IS NOT NULL AND xs6 IS NOT NULL
+  GROUP BY 1
+)
+SELECT f.event_type, CAST(f.n AS BIGINT) AS n,
+       CAST(floor(b1 * 1000000 + {_OFF}) AS BIGINT) AS b_ols_e6,
+       CAST(floor(rho * 1000000 + {_OFF}) AS BIGINT) AS rho_e6,
+       CAST(floor((CAST(m AS DOUBLE) * sxy
+                   - CAST(sx AS DOUBLE) * sy)
+                  / (CAST(m AS DOUBLE) * sxx
+                     - CAST(sx AS DOUBLE) * sx)
+                  * 1000000 + {_OFF}) AS BIGINT) AS b_gls_e6
+FROM fit f JOIN agg2 ON agg2.event_type = f.event_type
+ORDER BY f.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# capture_recapture — Chapman population estimate from week pairs
+# ---------------------------------------------------------------------------
+# Lincoln-Petersen capture-recapture with the Chapman (1951)
+# bias-corrected estimator: treating consecutive ISO-week user sets as
+# two capture occasions, N-hat = (n1+1)(n2+1)/(m+1) - 1 estimates the
+# active population, with Seber's variance.  Pure exact-integer set
+# arithmetic (two distinct aggregates + one equi-join per week pair);
+# doubles only in the final two expressions.
+
+
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.floor(
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+            / 7
+        )
+        .cast("long")
+        .alias("week"),
+    )
+    wk = ev.distinct()
+    sizes = wk.groupBy("week").agg(F.count(F.lit(1)).alias("n1"))
+    nxt = sizes.select(
+        (F.col("week") - 1).alias("week"), F.col("n1").alias("n2")
+    )
+    ovl = (
+        wk.alias("a")
+        .join(
+            wk.select(
+                (F.col("week") - 1).alias("week"), "user_id"
+            ).alias("b"),
+            ["week", "user_id"],
+        )
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    j = sizes.join(nxt, "week").join(ovl, "week")
+    nhat = (
+        (F.col("n1") + 1).cast("double")
+        * (F.col("n2") + 1)
+        / (F.col("m") + 1)
+        - 1.0
+    )
+    varn = (
+        (F.col("n1") + 1).cast("double")
+        * (F.col("n2") + 1)
+        * (F.col("n1") - F.col("m"))
+        * (F.col("n2") - F.col("m"))
+        / (
+            (F.col("m") + 1).cast("double")
+            * (F.col("m") + 1)
+            * (F.col("m") + 2)
+        )
+    )
+    return j.select(
+        "week",
+        F.col("n1").cast("long").alias("n_week"),
+        F.col("n2").cast("long").alias("n_next"),
+        F.col("m").cast("long").alias("n_both"),
+        F.floor(nhat * 100 + F.lit(_OFF)).cast("long").alias("nhat_e2"),
+        F.floor(F.sqrt(varn) * 100 + F.lit(_OFF)).cast("long").alias(
+            "se_e2"
+        ),
+    ).orderBy("week")
+
+
+SQL_CAPTURE = f"""
+WITH wk AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) // 7 AS week
+  FROM events
+), sizes AS (
+  SELECT week, CAST(count(*) AS BIGINT) AS n1 FROM wk GROUP BY 1
+), ovl AS (
+  SELECT a.week, CAST(count(*) AS BIGINT) AS m
+  FROM wk a JOIN wk b
+    ON b.user_id = a.user_id AND b.week = a.week + 1
+  GROUP BY 1
+)
+SELECT s.week, s.n1 AS n_week, s2.n1 AS n_next, m AS n_both,
+       CAST(floor((CAST(s.n1 + 1 AS DOUBLE) * (s2.n1 + 1) / (m + 1)
+                   - 1.0) * 100 + {_OFF}) AS BIGINT) AS nhat_e2,
+       CAST(floor(sqrt(CAST(s.n1 + 1 AS DOUBLE) * (s2.n1 + 1)
+                       * (s.n1 - m) * (s2.n1 - m)
+                       / (CAST(m + 1 AS DOUBLE) * (m + 1) * (m + 2)))
+                  * 100 + {_OFF}) AS BIGINT) AS se_e2
+FROM sizes s
+JOIN sizes s2 ON s2.week = s.week + 1
+JOIN ovl ON ovl.week = s.week
+ORDER BY s.week
+"""
+
+
+# ---------------------------------------------------------------------------
+# median_polish — Tukey median polish of the DOW x hour activity grid
+# ---------------------------------------------------------------------------
+# Tukey (EDA 1977): alternately sweep row and column medians out of a
+# two-way table, accumulating row/column effects and an overall term —
+# the robust two-way decomposition (the median analogue of the
+# dow_seasonal_index mean model).  TWO full sweeps, fixed by contract
+# (markov_stationary fixed-round precedent).  All arithmetic stays
+# EXACT: the grid enters at 16x integer scale, every even-count median
+# is the mean of two order statistics (a provably even sum halved),
+# so residuals and effects remain integers at x16 through both
+# sweeps; medians are order-statistic picks from sorted collect_list
+# arrays (<= 24 elements per group).  Both engines output the full
+# 168-cell decomposition.
+
+
+def q_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+            % 7
+        )
+        .cast("long")
+        .alias("dow"),
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+            )
+            % 24
+        )
+        .cast("long")
+        .alias("hour"),
+    )
+    cnt = ev.groupBy("dow", "hour").agg(F.count(F.lit(1)).alias("c"))
+    grid = (
+        spark.range(7)
+        .select(F.col("id").alias("dow"))
+        .crossJoin(spark.range(24).select(F.col("id").alias("hour")))
+        .join(cnt, ["dow", "hour"], "left")
+        .select(
+            "dow",
+            "hour",
+            (F.coalesce(F.col("c"), F.lit(0)) * 16).alias("v"),
+        )
+    )
+
+    def med_of(df, key, val, out):
+        lo = (F.col("_n") + 1) / 2
+        hi = (F.col("_n") + 2) / 2
+        g = df.groupBy(key).agg(
+            F.sort_array(F.collect_list(val)).alias("_arr"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        m = (
+            F.element_at(F.col("_arr"), F.floor(lo).cast("int"))
+            + F.element_at(F.col("_arr"), F.floor(hi).cast("int"))
+        ) / 2
+        return g.select(key, m.cast("long").alias(out))
+
+    resid = grid
+    reff = None  # DataFrame(dow, r)
+    ceff = None  # DataFrame(hour, cx)
+    overall = 0  # carried as a literal chain via a 1-row DF join
+    ov = spark.range(1).select(F.lit(0).cast("long").alias("ov"))
+    for _ in range(2):
+        rm = med_of(resid, "dow", "v", "rm")
+        resid = resid.join(F.broadcast(rm), "dow").select(
+            "dow", "hour", (F.col("v") - F.col("rm")).alias("v")
+        )
+        reff = (
+            rm.select("dow", F.col("rm").alias("r"))
+            if reff is None
+            else reff.join(rm, "dow").select(
+                "dow", (F.col("r") + F.col("rm")).alias("r")
+            )
+        )
+        oc = med_of(reff, F.lit(1).alias("one"), "r", "oc").select("oc")
+        reff = reff.crossJoin(F.broadcast(oc)).select(
+            "dow", (F.col("r") - F.col("oc")).alias("r")
+        )
+        ov = ov.crossJoin(F.broadcast(oc)).select(
+            (F.col("ov") + F.col("oc")).alias("ov")
+        )
+        cm = med_of(resid, "hour", "v", "cm")
+        resid = resid.join(F.broadcast(cm), "hour").select(
+            "dow", "hour", (F.col("v") - F.col("cm")).alias("v")
+        )
+        ceff = (
+            cm.select("hour", F.col("cm").alias("cx"))
+            if ceff is None
+            else ceff.join(cm, "hour").select(
+                "hour", (F.col("cx") + F.col("cm")).alias("cx")
+            )
+        )
+        orr = med_of(ceff, F.lit(1).alias("one"), "cx", "orr").select(
+            "orr"
+        )
+        ceff = ceff.crossJoin(F.broadcast(orr)).select(
+            "hour", (F.col("cx") - F.col("orr")).alias("cx")
+        )
+        ov = ov.crossJoin(F.broadcast(orr)).select(
+            (F.col("ov") + F.col("orr")).alias("ov")
+        )
+    out = (
+        resid.join(F.broadcast(reff), "dow")
+        .join(F.broadcast(ceff), "hour")
+        .crossJoin(F.broadcast(ov))
+        .select(
+            "dow",
+            "hour",
+            F.col("v").cast("long").alias("resid_x16"),
+            F.col("r").cast("long").alias("row_eff_x16"),
+            F.col("cx").cast("long").alias("col_eff_x16"),
+            F.col("ov").cast("long").alias("overall_x16"),
+        )
+    )
+    return out.orderBy("dow", "hour")
+
+
+def _mp_sql() -> str:
+    # unrolled two-sweep median polish; every median is the mean of the
+    # two middle order statistics of a list() sorted pick (exact at the
+    # x16 integer scale)
+    def med(src, key, val, out):
+        return (
+            f"SELECT {key}, CAST((list({val} ORDER BY {val})"
+            f"[CAST(floor((count(*) + 1) / 2) AS INTEGER)]"
+            f" + list({val} ORDER BY {val})"
+            f"[CAST(floor((count(*) + 2) / 2) AS INTEGER)]) / 2 AS BIGINT)"
+            f" AS {out} FROM {src} GROUP BY 1"
+        )
+
+    sql = f"""
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS dow,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hour
+  FROM events
+), cnt AS (
+  SELECT dow, hour, CAST(count(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2
+), grid AS MATERIALIZED (
+  SELECT d.dow, h.hour, COALESCE(c, 0) * 16 AS v
+  FROM (SELECT unnest(generate_series(0, 6)) AS dow) d
+  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS hour) h
+  LEFT JOIN cnt ON cnt.dow = d.dow AND cnt.hour = h.hour
+),
+rm1 AS MATERIALIZED ({med('grid', 'dow', 'v', 'rm')}),
+res1 AS MATERIALIZED (
+  SELECT grid.dow, hour, v - rm AS v
+  FROM grid JOIN rm1 ON rm1.dow = grid.dow
+),
+re1 AS MATERIALIZED (SELECT dow, rm AS r FROM rm1),
+oc1 AS MATERIALIZED ({med('re1', '1 AS one', 'r', 'oc')}),
+re1b AS MATERIALIZED (SELECT dow, r - oc AS r FROM re1, oc1),
+cm1 AS MATERIALIZED ({med('res1', 'hour', 'v', 'cm')}),
+res2 AS MATERIALIZED (
+  SELECT dow, res1.hour, v - cm AS v
+  FROM res1 JOIN cm1 ON cm1.hour = res1.hour
+),
+ce1 AS MATERIALIZED (SELECT hour, cm AS cx FROM cm1),
+or1 AS MATERIALIZED ({med('ce1', '1 AS one', 'cx', 'orr')}),
+ce1b AS MATERIALIZED (SELECT hour, cx - orr AS cx FROM ce1, or1),
+rm2 AS MATERIALIZED ({med('res2', 'dow', 'v', 'rm')}),
+res3 AS MATERIALIZED (
+  SELECT res2.dow, hour, v - rm AS v
+  FROM res2 JOIN rm2 ON rm2.dow = res2.dow
+),
+re2 AS MATERIALIZED (
+  SELECT re1b.dow, r + rm AS r
+  FROM re1b JOIN rm2 ON rm2.dow = re1b.dow
+),
+oc2 AS MATERIALIZED ({med('re2', '1 AS one', 'r', 'oc')}),
+re2b AS MATERIALIZED (SELECT dow, r - oc AS r FROM re2, oc2),
+cm2 AS MATERIALIZED ({med('res3', 'hour', 'v', 'cm')}),
+res4 AS MATERIALIZED (
+  SELECT dow, res3.hour, v - cm AS v
+  FROM res3 JOIN cm2 ON cm2.hour = res3.hour
+),
+ce2 AS MATERIALIZED (
+  SELECT ce1b.hour, cx + cm AS cx
+  FROM ce1b JOIN cm2 ON cm2.hour = ce1b.hour
+),
+or2 AS MATERIALIZED ({med('ce2', '1 AS one', 'cx', 'orr')}),
+ce2b AS MATERIALIZED (SELECT hour, cx - orr AS cx FROM ce2, or2),
+ovr AS MATERIALIZED (
+  SELECT oc1.oc + or1.orr + oc2.oc + or2.orr AS ov
+  FROM oc1, or1, oc2, or2
+)
+SELECT res4.dow, res4.hour,
+       CAST(v AS BIGINT) AS resid_x16,
+       CAST(r AS BIGINT) AS row_eff_x16,
+       CAST(cx AS BIGINT) AS col_eff_x16,
+       CAST(ov AS BIGINT) AS overall_x16
+FROM res4
+JOIN re2b ON re2b.dow = res4.dow
+JOIN ce2b ON ce2b.hour = res4.hour
+CROSS JOIN ovr
+ORDER BY res4.dow, res4.hour
+"""
+    return sql
+
+
+SQL_MEDIAN_POLISH = _mp_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jonckheere_terpstra": q_jonckheere_terpstra,
     "mood_median": q_mood_median,
@@ -3431,6 +4025,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_volatility": q_range_volatility,
     "downside_risk": q_downside_risk,
     "ansari_bradley": q_ansari_bradley,
+    "theil_u2": q_theil_u2,
+    "cochrane_orcutt": q_cochrane_orcutt,
+    "capture_recapture": q_capture_recapture,
+    "median_polish": q_median_polish,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3462,6 +4060,10 @@ ORACLE_SQL: dict[str, str] = {
     "range_volatility": SQL_RANGE_VOL,
     "downside_risk": SQL_DOWNSIDE,
     "ansari_bradley": SQL_ANSARI,
+    "theil_u2": SQL_THEIL_U2,
+    "cochrane_orcutt": SQL_COCHRANE,
+    "capture_recapture": SQL_CAPTURE,
+    "median_polish": SQL_MEDIAN_POLISH,
 }
 
 # the centroid CTE block is shared verbatim with the stats8 cluster
