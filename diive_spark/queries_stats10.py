@@ -3996,6 +3996,399 @@ ORDER BY res4.dow, res4.hour
 SQL_MEDIAN_POLISH = _mp_sql()
 
 
+# ---------------------------------------------------------------------------
+# readability_char — Coleman-Liau and ARI per source (char-based)
+# ---------------------------------------------------------------------------
+# Coleman & Liau (J. Appl. Psych. 1975) and the Automated Readability
+# Index (Senter & Smith 1967) need only character / word / sentence
+# counts — no syllable heuristic — so unlike q_readability (Flesch)
+# they are EXACT integer censuses until the final two linear forms.
+# Corpus-level per source: ratios off summed counts.
+
+
+def q_readability_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats2 import _documents
+
+    d = _documents(spark, sf_dir).select(
+        "source",
+        F.regexp_count(F.col("text"), F.lit("[A-Za-z]")).cast("long").alias(
+            "letters"
+        ),
+        F.regexp_count(F.col("text"), F.lit("[A-Za-z0-9]"))
+        .cast("long")
+        .alias("chars"),
+        F.regexp_count(F.col("text"), F.lit("[A-Za-z]+"))
+        .cast("long")
+        .alias("words"),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1)
+        )
+        .cast("long")
+        .alias("sents"),
+    ).filter(F.col("words") > 0)
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("letters").alias("letters"),
+        F.sum("chars").alias("chars"),
+        F.sum("words").alias("words"),
+        F.sum("sents").alias("sents"),
+    )
+    lw = F.col("letters").cast("double") / F.col("words") * 100.0
+    sw = F.col("sents").cast("double") / F.col("words") * 100.0
+    cli = 0.0588 * lw - 0.296 * sw - 15.8
+    ari = (
+        4.71 * (F.col("chars").cast("double") / F.col("words"))
+        + 0.5 * (F.col("words").cast("double") / F.col("sents"))
+        - 21.43
+    )
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("letters").cast("long").alias("letters"),
+        F.col("words").cast("long").alias("words"),
+        F.col("sents").cast("long").alias("sents"),
+        F.floor(cli * 10_000 + F.lit(_OFF)).cast("long").alias("cli_e4"),
+        F.floor(ari * 10_000 + F.lit(_OFF)).cast("long").alias("ari_e4"),
+    ).orderBy("source")
+
+
+SQL_READABILITY_CHAR = f"""
+WITH d AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT)
+           AS letters,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]')) AS BIGINT)
+           AS chars,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+           AS words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS sents
+  FROM documents
+), f AS (
+  SELECT * FROM d WHERE words > 0
+), agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(letters) AS BIGINT) AS letters,
+         CAST(sum(chars) AS BIGINT) AS chars,
+         CAST(sum(words) AS BIGINT) AS words,
+         CAST(sum(sents) AS BIGINT) AS sents
+  FROM f GROUP BY 1
+)
+SELECT source, n_docs, letters, words, sents,
+       CAST(floor((0.0588 * (CAST(letters AS DOUBLE) / words * 100.0)
+                   - 0.296 * (CAST(sents AS DOUBLE) / words * 100.0)
+                   - 15.8) * 10000 + {_OFF}) AS BIGINT) AS cli_e4,
+       CAST(floor((4.71 * (CAST(chars AS DOUBLE) / words)
+                   + 0.5 * (CAST(words AS DOUBLE) / sents)
+                   - 21.43) * 10000 + {_OFF}) AS BIGINT) AS ari_e4
+FROM agg
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# word_shape_entropy — orthographic shape distribution per language
+# ---------------------------------------------------------------------------
+# The classic NER feature (e.g. Finkel et al. 2005): map characters to
+# class symbols (x/X/d/o), collapse same-class runs, and census the
+# shape distribution per language — a language/quality signal that
+# survives vocabulary shift.  Run collapsing uses four per-class
+# regexes (NO backreferences — DuckDB's RE2 has none, so the form is
+# chosen to be engine-portable by construction).  Shape entropy terms
+# are e9-floored before the sum; top-shape share is exact.
+
+
+def q_word_shape_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats2 import _documents
+
+    toks = _documents(spark, sf_dir).select(
+        "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    ).filter(F.length("w") > 0)
+    s = toks.withColumn(
+        "sh", F.regexp_replace(F.col("w"), "[a-z]", "x")
+    )
+    s = s.withColumn("sh", F.regexp_replace(F.col("sh"), "[A-Z]", "X"))
+    s = s.withColumn("sh", F.regexp_replace(F.col("sh"), "[0-9]", "d"))
+    s = s.withColumn("sh", F.regexp_replace(F.col("sh"), "[^xXd]", "o"))
+    for cls in ["x", "X", "d", "o"]:
+        s = s.withColumn(
+            "sh", F.regexp_replace(F.col("sh"), f"{cls}+", cls)
+        )
+    cnt = s.groupBy("lang", "sh").agg(F.count(F.lit(1)).alias("c"))
+    wt = Window.partitionBy("lang")
+    cnt = cnt.withColumn("n", F.sum("c").over(wt))
+    t9 = F.floor(
+        F.col("c").cast("double")
+        / F.col("n")
+        * F.log(F.col("n").cast("double") / F.col("c"))
+        * 1e9
+        + F.lit(_OFF)
+    ).cast("long")
+    agg = cnt.groupBy("lang").agg(
+        F.max("n").alias("n_words"),
+        F.count(F.lit(1)).alias("n_shapes"),
+        F.sum(t9).alias("h9"),
+        F.max("c").alias("top_c"),
+    )
+    return agg.select(
+        "lang",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_shapes").cast("long").alias("n_shapes"),
+        F.floor(F.col("h9").cast("double") / 1000.0 + F.lit(_OFF))
+        .cast("long")
+        .alias("entropy_e6"),
+        F.floor(
+            F.col("top_c").cast("double") / F.col("n_words") * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("top_share_e6"),
+    ).orderBy("lang")
+
+
+SQL_WORD_SHAPE = f"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), s AS (
+  SELECT lang,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(w, '[a-z]', 'x', 'g'),
+             '[A-Z]', 'X', 'g'),
+             '[0-9]', 'd', 'g'),
+             '[^xXd]', 'o', 'g'),
+           'x+', 'x', 'g'),
+           'X+', 'X', 'g'),
+           'd+', 'd', 'g'),
+           'o+', 'o', 'g') AS sh
+  FROM toks WHERE len(w) > 0
+), cnt AS (
+  SELECT lang, sh, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(count(*)) OVER (PARTITION BY lang) AS BIGINT) AS n
+  FROM s GROUP BY 1, 2
+), agg AS (
+  SELECT lang, max(n) AS n_words, CAST(count(*) AS BIGINT) AS n_shapes,
+         CAST(sum(CAST(floor(CAST(c AS DOUBLE) / n
+                             * ln(CAST(n AS DOUBLE) / c) * 1e9 + {_OFF})
+                       AS BIGINT)) AS BIGINT) AS h9,
+         max(c) AS top_c
+  FROM cnt GROUP BY 1
+)
+SELECT lang, n_words, n_shapes,
+       CAST(floor(CAST(h9 AS DOUBLE) / 1000.0 + {_OFF}) AS BIGINT)
+         AS entropy_e6,
+       CAST(floor(CAST(top_c AS DOUBLE) / n_words * 1000000 + {_OFF})
+            AS BIGINT) AS top_share_e6
+FROM agg
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# wallis_moore — phase-frequency randomness test on daily counts
+# ---------------------------------------------------------------------------
+# Wallis & Moore (JASA 1941): count PHASES (maximal runs of equal
+# difference sign, zero diffs dropped by contract, first and last
+# phase excluded), H ~ N((2n-7)/3, (16n-29)/90) under randomness —
+# the difference-sign complement to runs_test (above/below median)
+# and bartels_rvn (rank vN).  Exact integer counting off two lag
+# windows; n is the count of non-zero diffs + 1.
+
+
+def q_wallis_moore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    d = daily.withColumn("dy", F.col("y") - F.lag("y").over(wo)).filter(
+        F.col("dy").isNotNull() & (F.col("dy") != 0)
+    )
+    d = d.withColumn(
+        "sgn", F.when(F.col("dy") > 0, F.lit(1)).otherwise(F.lit(-1))
+    )
+    d = d.withColumn("sp", F.lag("sgn").over(wo))
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ndiff"),
+        F.sum(
+            (F.col("sp").isNotNull() & (F.col("sgn") != F.col("sp")))
+            .cast("long")
+        ).alias("changes"),
+    )
+    n = (F.col("ndiff") + 1).cast("double")
+    h = (F.col("changes") + 1 - 2).cast("double")
+    eh = (2.0 * n - 7.0) / 3.0
+    vh = (16.0 * n - 29.0) / 90.0
+    z = (h - eh) / F.sqrt(vh)
+    return (
+        agg.filter(F.col("ndiff") >= 3)
+        .select(
+            "event_type",
+            (F.col("ndiff") + 1).cast("long").alias("n"),
+            (F.col("changes") - 1).cast("long").alias("phases_inner"),
+            F.floor(z * 10_000 + F.lit(_OFF)).cast("long").alias("z_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_WALLIS = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), d0 AS (
+  SELECT event_type, day,
+         y - lag(y) OVER (PARTITION BY event_type ORDER BY day) AS dy
+  FROM daily
+), d1 AS (
+  SELECT event_type, day,
+         CASE WHEN dy > 0 THEN 1 ELSE -1 END AS sgn
+  FROM d0 WHERE dy IS NOT NULL AND dy <> 0
+), d2 AS (
+  SELECT event_type, sgn,
+         lag(sgn) OVER (PARTITION BY event_type ORDER BY day) AS sp
+  FROM d1
+), agg AS (
+  SELECT event_type, count(*) AS ndiff,
+         CAST(sum(CASE WHEN sp IS NOT NULL AND sgn <> sp
+                       THEN 1 ELSE 0 END) AS BIGINT) AS changes
+  FROM d2 GROUP BY 1
+)
+SELECT event_type, CAST(ndiff + 1 AS BIGINT) AS n,
+       CAST(changes - 1 AS BIGINT) AS phases_inner,
+       CAST(floor(
+         (CAST(changes - 1 AS DOUBLE)
+          - (2.0 * (ndiff + 1) - 7.0) / 3.0)
+         / sqrt((16.0 * (ndiff + 1) - 29.0) / 90.0)
+         * 10000 + {_OFF}) AS BIGINT) AS z_e4
+FROM agg
+WHERE ndiff >= 3
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# centroid_purity — nearest-centroid label agreement census
+# ---------------------------------------------------------------------------
+# The classification view of cluster quality (complement to
+# silhouette/DB/CH/Dunn): assign every point to its nearest label
+# centroid (6-dp rounded distance, centroid-label tie-break) and
+# census per TRUE label the agreement rate and the most attractive
+# wrong label.  Points x 10 broadcast centroid rows through the Arrow
+# kernel; the argmin is a per-point rank window over 10 rows.
+
+
+def q_centroid_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats8 import _centroids
+    from diive_spark.text.similarity import l2sq_pair_udf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", "embedding"
+    )
+    cent = _centroids(emb).select(
+        F.col("label").alias("clabel"), "carr"
+    )
+    pairs = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.round(l2sq_pair_udf(F.col("embedding"), F.col("carr")), 6).alias(
+            "d2"
+        ),
+    )
+    wo = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("clabel").asc()
+    )
+    near = pairs.withColumn("rk", F.row_number().over(wo)).filter(
+        F.col("rk") == 1
+    )
+    per = near.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("label") == F.col("clabel")).cast("long")).alias(
+            "n_own"
+        ),
+    )
+    wrong = (
+        near.filter(F.col("label") != F.col("clabel"))
+        .groupBy("label", "clabel")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    ww = Window.partitionBy("label").orderBy(
+        F.col("wc").desc(), F.col("clabel").asc()
+    )
+    top_wrong = (
+        wrong.withColumn("rk", F.row_number().over(ww))
+        .filter(F.col("rk") == 1)
+        .select("label", F.col("clabel").alias("top_other"))
+    )
+    out = per.join(top_wrong, "label", "left").select(
+        F.col("label").cast("long").alias("label"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_own").cast("long").alias("n_own"),
+        F.floor(
+            F.col("n_own").cast("double") / F.col("n") * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("purity_e6"),
+        F.coalesce(F.col("top_other").cast("long"), F.lit(-1)).alias(
+            "top_other"
+        ),
+    )
+    return out.orderBy("label")
+
+
+SQL_CENTROID_PURITY = f"""
+WITH {{cent}},
+pairs AS (
+  SELECT e.vec_id, e.label, c.label AS clabel,
+         round(list_sum(list_transform(
+           generate_series(1, len(e.embedding)),
+           i -> (CAST(e.embedding[i] AS DOUBLE) - c.carr[i])
+                * (CAST(e.embedding[i] AS DOUBLE) - c.carr[i]))), 6)
+           AS d2
+  FROM embeddings e CROSS JOIN cent c
+), near AS (
+  SELECT vec_id, label, clabel,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2 ASC, clabel ASC) AS rk
+  FROM pairs
+), n1 AS (
+  SELECT * FROM near WHERE rk = 1
+), per AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN label = clabel THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_own
+  FROM n1 GROUP BY 1
+), wrong AS (
+  SELECT label, clabel, CAST(count(*) AS BIGINT) AS wc
+  FROM n1 WHERE label <> clabel GROUP BY 1, 2
+), tw AS (
+  SELECT label, clabel AS top_other
+  FROM (
+    SELECT label, clabel, row_number()
+             OVER (PARTITION BY label ORDER BY wc DESC, clabel ASC)
+             AS rk
+    FROM wrong
+  ) WHERE rk = 1
+)
+SELECT CAST(per.label AS BIGINT) AS label, n, n_own,
+       CAST(floor(CAST(n_own AS DOUBLE) / n * 1000000 + {_OFF})
+            AS BIGINT) AS purity_e6,
+       CAST(COALESCE(top_other, -1) AS BIGINT) AS top_other
+FROM per LEFT JOIN tw ON tw.label = per.label
+ORDER BY per.label
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jonckheere_terpstra": q_jonckheere_terpstra,
     "mood_median": q_mood_median,
@@ -4029,6 +4422,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cochrane_orcutt": q_cochrane_orcutt,
     "capture_recapture": q_capture_recapture,
     "median_polish": q_median_polish,
+    "readability_char": q_readability_char,
+    "word_shape_entropy": q_word_shape_entropy,
+    "wallis_moore": q_wallis_moore,
+    "centroid_purity": q_centroid_purity,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4064,6 +4461,10 @@ ORACLE_SQL: dict[str, str] = {
     "cochrane_orcutt": SQL_COCHRANE,
     "capture_recapture": SQL_CAPTURE,
     "median_polish": SQL_MEDIAN_POLISH,
+    "readability_char": SQL_READABILITY_CHAR,
+    "word_shape_entropy": SQL_WORD_SHAPE,
+    "wallis_moore": SQL_WALLIS,
+    "centroid_purity": SQL_CENTROID_PURITY,
 }
 
 # the centroid CTE block is shared verbatim with the stats8 cluster
@@ -4072,3 +4473,6 @@ from diive_spark.queries_stats8 import _SQL_CENT as _SQL_CENT10  # noqa: E402
 
 ORACLE_SQL["dunn_index"] = SQL_DUNN.format(cent=_SQL_CENT10)
 ORACLE_SQL["xie_beni"] = SQL_XIE_BENI.format(cent=_SQL_CENT10)
+ORACLE_SQL["centroid_purity"] = SQL_CENTROID_PURITY.format(
+    cent=_SQL_CENT10
+)
