@@ -4389,6 +4389,431 @@ ORDER BY per.label
 """
 
 
+# ---------------------------------------------------------------------------
+# shared daily type-pair table for the method-comparison trio
+# ---------------------------------------------------------------------------
+# (type_a, type_b, day, x, y) for every unordered type pair on days
+# where both types fired — the classic "two methods measuring the same
+# day" framing.  Exact integer counts; the self-join is day-equi with
+# the a < b triangle filter.
+
+
+def _daily_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    b = daily.select(
+        F.col("event_type").alias("type_b"),
+        F.col("day").alias("day_b"),
+        F.col("c").alias("y"),
+    )
+    return daily.join(
+        b,
+        (F.col("day") == F.col("day_b"))
+        & (F.col("event_type") < F.col("type_b")),
+    ).select(
+        F.col("event_type").alias("type_a"),
+        "type_b",
+        "day",
+        F.col("c").alias("x"),
+        "y",
+    )
+
+
+_DAILY_PAIRS_SQL = """
+daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, a.day,
+         a.c AS x, b.c AS y
+  FROM daily a JOIN daily b
+    ON b.day = a.day AND a.event_type < b.event_type
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# deming_regression — errors-in-both-variables slope per type pair
+# ---------------------------------------------------------------------------
+# Deming (Statistical Adjustment of Data 1943), lambda = 1: slope =
+# (s_yy - s_xx + sqrt((s_yy - s_xx)^2 + 4 s_xy^2)) / (2 s_xy) — the
+# method-comparison regression that OLS gets wrong when x is also
+# noisy.  Central moments off exact BIGINT power sums of daily
+# counts; closed form only at the end.
+
+
+def q_deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _daily_pairs(spark, sf_dir)
+    agg = p.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    cxx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ) / nd
+    cyy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ) / nd
+    cxy = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ) / nd
+    slope = (
+        cyy - cxx + F.sqrt((cyy - cxx) * (cyy - cxx) + 4.0 * cxy * cxy)
+    ) / (2.0 * cxy)
+    icept = (F.col("sy").cast("double") - slope * F.col("sx")) / nd
+    return (
+        agg.filter((F.col("n") >= 3) & (F.col("sxy") != 0))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n").cast("long").alias("n_days"),
+            F.floor(slope * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "slope_e6"
+            ),
+            F.floor(icept * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "intercept_e4"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+SQL_DEMING = f"""
+WITH {_DAILY_PAIRS_SQL},
+agg AS (
+  SELECT type_a, type_b, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY 1, 2
+), c AS (
+  SELECT type_a, type_b, n, sx, sy, sxy,
+         CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS cxx,
+         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS cyy,
+         CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n AS cxy
+  FROM agg
+)
+SELECT type_a, type_b, CAST(n AS BIGINT) AS n_days,
+       CAST(floor((cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+                                    + 4.0 * cxy * cxy))
+                  / (2.0 * cxy) * 1000000 + {_OFF}) AS BIGINT)
+         AS slope_e6,
+       CAST(floor((CAST(sy AS DOUBLE)
+                   - (cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+                                       + 4.0 * cxy * cxy))
+                     / (2.0 * cxy) * sx) / n * 10000 + {_OFF})
+            AS BIGINT) AS intercept_e4
+FROM c
+WHERE n >= 3 AND sxy <> 0
+ORDER BY type_a, type_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# lin_ccc — Lin's concordance correlation per type pair
+# ---------------------------------------------------------------------------
+# Lin (Biometrics 1989): CCC = 2 s_xy / (s_xx + s_yy + (mx - my)^2)
+# measures agreement with the 45-degree line — precision (Pearson r)
+# times accuracy (C_b).  Population moments off the same exact sums
+# as deming_regression; three output statistics.
+
+
+def q_lin_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _daily_pairs(spark, sf_dir)
+    agg = p.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    vx = (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    vy = (
+        nd * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    cxy = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    )
+    dm = F.col("sy").cast("double") - F.col("sx").cast("double")
+    # scale-free: ccc = 2 cxy / (vx + vy + dm^2) with everything in
+    # the n^2-scaled frame ((mx-my)^2 -> dm^2 since dm = n(my-mx)/1)
+    ccc = 2.0 * cxy / (vx + vy + dm * dm)
+    r = cxy / F.sqrt(vx * vy)
+    return (
+        agg.filter((F.col("n") >= 3) & (vx > 0) & (vy > 0))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n").cast("long").alias("n_days"),
+            F.floor(r * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "r_e6"
+            ),
+            F.floor(ccc * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "ccc_e6"
+            ),
+            F.floor(ccc / r * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "cb_e6"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+SQL_LIN_CCC = f"""
+WITH {_DAILY_PAIRS_SQL},
+agg AS (
+  SELECT type_a, type_b, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY 1, 2
+), c AS (
+  SELECT type_a, type_b, n,
+         CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS vx,
+         CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS vy,
+         CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cxy,
+         CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE) AS dm
+  FROM agg
+)
+SELECT type_a, type_b, CAST(n AS BIGINT) AS n_days,
+       CAST(floor(cxy / sqrt(vx * vy) * 1000000 + {_OFF}) AS BIGINT)
+         AS r_e6,
+       CAST(floor(2.0 * cxy / (vx + vy + dm * dm) * 1000000 + {_OFF})
+            AS BIGINT) AS ccc_e6,
+       CAST(floor(2.0 * cxy / (vx + vy + dm * dm)
+                  / (cxy / sqrt(vx * vy)) * 1000000 + {_OFF})
+            AS BIGINT) AS cb_e6
+FROM c
+WHERE n >= 3 AND vx > 0 AND vy > 0
+ORDER BY type_a, type_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# bland_altman — agreement limits per type pair
+# ---------------------------------------------------------------------------
+# Bland & Altman (Lancet 1986): mean difference, sample-SD limits of
+# agreement (+-1.96 s), and the census of days inside the limits.
+# Differences are exact integers; the within-LoA comparison tests an
+# exact integer against the same double threshold in both engines.
+
+
+def q_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _daily_pairs(spark, sf_dir).withColumn(
+        "d", F.col("x") - F.col("y")
+    )
+    agg = p.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).alias("qd"),
+    )
+    nd = F.col("n").cast("double")
+    md = F.col("sd").cast("double") / nd
+    s2 = (
+        F.col("qd").cast("double") - F.col("sd").cast("double") * md
+    ) / (nd - 1.0)
+    s = F.sqrt(s2)
+    lo = md - 1.96 * s
+    hi = md + 1.96 * s
+    fit = agg.select(
+        "type_a", "type_b", F.col("n"), md.alias("md"), s.alias("s"),
+        lo.alias("lo"), hi.alias("hi"),
+    )
+    within = (
+        p.join(F.broadcast(fit), ["type_a", "type_b"])
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(
+                (
+                    (F.col("d").cast("double") >= F.col("lo"))
+                    & (F.col("d").cast("double") <= F.col("hi"))
+                ).cast("long")
+            ).alias("n_within")
+        )
+    )
+    j = fit.join(within, ["type_a", "type_b"])
+    return (
+        j.filter(F.col("n") >= 3)
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n").cast("long").alias("n_days"),
+            F.floor(F.col("md") * 10_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("mean_diff_e4"),
+            F.floor(F.col("s") * 10_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("sd_diff_e4"),
+            F.col("n_within").cast("long").alias("n_within"),
+            F.floor(
+                F.col("n_within").cast("double") / F.col("n") * 1_000_000
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("pct_within_e6"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+SQL_BLAND_ALTMAN = f"""
+WITH {_DAILY_PAIRS_SQL},
+dd AS (
+  SELECT type_a, type_b, x - y AS dv FROM pairs
+), agg AS (
+  SELECT type_a, type_b, count(*) AS n,
+         CAST(sum(dv) AS BIGINT) AS sd,
+         CAST(sum(dv * dv) AS BIGINT) AS qd
+  FROM dd GROUP BY 1, 2
+), fit AS (
+  SELECT type_a, type_b, n,
+         CAST(sd AS DOUBLE) / n AS md,
+         sqrt((CAST(qd AS DOUBLE)
+               - CAST(sd AS DOUBLE) * (CAST(sd AS DOUBLE) / n))
+              / (n - 1.0)) AS s
+  FROM agg
+), within AS (
+  SELECT dd.type_a, dd.type_b,
+         CAST(sum(CASE WHEN CAST(dv AS DOUBLE) >= md - 1.96 * s
+                        AND CAST(dv AS DOUBLE) <= md + 1.96 * s
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_within
+  FROM dd JOIN fit ON fit.type_a = dd.type_a AND fit.type_b = dd.type_b
+  GROUP BY 1, 2
+)
+SELECT f.type_a, f.type_b, CAST(f.n AS BIGINT) AS n_days,
+       CAST(floor(md * 10000 + {_OFF}) AS BIGINT) AS mean_diff_e4,
+       CAST(floor(s * 10000 + {_OFF}) AS BIGINT) AS sd_diff_e4,
+       n_within,
+       CAST(floor(CAST(n_within AS DOUBLE) / f.n * 1000000 + {_OFF})
+            AS BIGINT) AS pct_within_e6
+FROM fit f JOIN within w
+  ON w.type_a = f.type_a AND w.type_b = f.type_b
+WHERE f.n >= 3
+ORDER BY f.type_a, f.type_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# odds_ratio_woolf — weekend odds ratio per type with Woolf CI
+# ---------------------------------------------------------------------------
+# Woolf (Ann. Hum. Genet. 1955) with the Haldane-Anscombe 0.5
+# correction applied unconditionally (documented contract): for each
+# type the 2x2 is (this type vs all others) x (weekend vs weekday);
+# OR = a'd'/(b'c'), ln-scale CI half-width 1.96 sqrt(sum 1/cell).
+# Complements rate_ratio (Poisson RR on exposure-days) with the
+# case-control framing.  Exact counts; doubles at the end.
+
+
+def q_odds_ratio_woolf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (
+            (
+                F.floor(
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    / 86_400_000_000
+                )
+                % 7
+            ).isin(2, 3)
+        )
+        .cast("long")
+        .alias("we"),
+    )
+    per = ev.groupBy("event_type").agg(
+        F.sum("we").alias("a"),
+        F.sum(1 - F.col("we")).alias("b"),
+    )
+    tot = per.agg(
+        F.sum("a").alias("ta"), F.sum("b").alias("tb")
+    )
+    j = per.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "a",
+        "b",
+        (F.col("ta") - F.col("a")).alias("c"),
+        (F.col("tb") - F.col("b")).alias("d"),
+    )
+    ah = F.col("a").cast("double") + 0.5
+    bh = F.col("b").cast("double") + 0.5
+    ch = F.col("c").cast("double") + 0.5
+    dh = F.col("d").cast("double") + 0.5
+    orr = ah * dh / (bh * ch)
+    half = 1.96 * F.sqrt(1.0 / ah + 1.0 / bh + 1.0 / ch + 1.0 / dh)
+    return j.select(
+        "event_type",
+        F.col("a").cast("long").alias("n_weekend"),
+        F.col("b").cast("long").alias("n_weekday"),
+        F.col("c").cast("long").alias("oth_weekend"),
+        F.col("d").cast("long").alias("oth_weekday"),
+        F.floor(orr * 10_000 + F.lit(_OFF)).cast("long").alias("or_e4"),
+        F.floor(F.exp(F.log(orr) - half) * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("lo_e4"),
+        F.floor(F.exp(F.log(orr) + half) * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("hi_e4"),
+    ).orderBy("event_type")
+
+
+SQL_ODDS_RATIO = f"""
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN (CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7)
+                   IN (2, 3) THEN 1 ELSE 0 END AS we
+  FROM events
+), per AS (
+  SELECT event_type,
+         CAST(sum(we) AS BIGINT) AS a,
+         CAST(sum(1 - we) AS BIGINT) AS b
+  FROM ev GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb
+  FROM per
+), j AS (
+  SELECT event_type, a, b, ta - a AS c, tb - b AS d
+  FROM per CROSS JOIN tot
+), h AS (
+  SELECT event_type, a, b, c, d,
+         (a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5)) AS orr,
+         1.96 * sqrt(1.0 / (a + 0.5) + 1.0 / (b + 0.5)
+                     + 1.0 / (c + 0.5) + 1.0 / (d + 0.5)) AS half
+  FROM j
+)
+SELECT event_type, a AS n_weekend, b AS n_weekday,
+       c AS oth_weekend, d AS oth_weekday,
+       CAST(floor(orr * 10000 + {_OFF}) AS BIGINT) AS or_e4,
+       CAST(floor(exp(ln(orr) - half) * 10000 + {_OFF}) AS BIGINT)
+         AS lo_e4,
+       CAST(floor(exp(ln(orr) + half) * 10000 + {_OFF}) AS BIGINT)
+         AS hi_e4
+FROM h
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jonckheere_terpstra": q_jonckheere_terpstra,
     "mood_median": q_mood_median,
@@ -4426,6 +4851,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "word_shape_entropy": q_word_shape_entropy,
     "wallis_moore": q_wallis_moore,
     "centroid_purity": q_centroid_purity,
+    "deming_regression": q_deming_regression,
+    "lin_ccc": q_lin_ccc,
+    "bland_altman": q_bland_altman,
+    "odds_ratio_woolf": q_odds_ratio_woolf,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4465,6 +4894,10 @@ ORACLE_SQL: dict[str, str] = {
     "word_shape_entropy": SQL_WORD_SHAPE,
     "wallis_moore": SQL_WALLIS,
     "centroid_purity": SQL_CENTROID_PURITY,
+    "deming_regression": SQL_DEMING,
+    "lin_ccc": SQL_LIN_CCC,
+    "bland_altman": SQL_BLAND_ALTMAN,
+    "odds_ratio_woolf": SQL_ODDS_RATIO,
 }
 
 # the centroid CTE block is shared verbatim with the stats8 cluster
