@@ -4814,6 +4814,546 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# effective_sample_size — autocorrelation-adjusted ESS per user
+# ---------------------------------------------------------------------------
+# The MCMC/geostatistics workhorse (e.g. Kass et al. 1998): ESS =
+# n / (1 + 2 sum_k rho_k), here with the k = 1..5 window on the
+# hourly per-user series.  Every lag covariance is the exact BIGINT
+# n^2-scaled form n^2 sum(v_t v_{t-k}) - n S (S_h + S_t) + m S^2, so
+# rho_k = num_k / num_0 shares one scale and doubles appear only in
+# the final three expressions.
+
+
+_ESS_K = 5
+
+
+def q_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hourly10(spark, sf_dir)
+    wo = Window.partitionBy("user_id").orderBy("t")
+    d = h
+    for k in range(1, _ESS_K + 1):
+        d = d.withColumn(f"l{k}", F.lag("v", k).over(wo))
+    base = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("q"),
+        *[
+            x
+            for k in range(1, _ESS_K + 1)
+            for x in (
+                F.count(f"l{k}").alias(f"m{k}"),
+                F.sum(F.col("v") * F.col(f"l{k}")).alias(f"p{k}"),
+                F.sum(
+                    F.when(F.col(f"l{k}").isNotNull(), F.col("v"))
+                ).alias(f"sh{k}"),
+                F.sum(f"l{k}").alias(f"st{k}"),
+            )
+        ],
+    )
+    num0 = F.col("n") * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    rhos = []
+    for k in range(1, _ESS_K + 1):
+        numk = (
+            F.col("n") * F.col("n") * F.col(f"p{k}")
+            - F.col("n")
+            * F.col("s")
+            * (F.col(f"sh{k}") + F.col(f"st{k}"))
+            + F.col(f"m{k}") * F.col("s") * F.col("s")
+        )
+        rhos.append(numk.cast("double") / num0.cast("double"))
+    tau = 1.0 + 2.0 * sum(rhos)
+    ess = F.col("n").cast("double") / tau
+    return (
+        base.filter(
+            (F.col("n") >= 2 * _ESS_K)
+            & (F.col("n") * F.col("q") - F.col("s") * F.col("s") > 0)
+        )
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            F.floor(rhos[0] * 1_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("rho1_e6"),
+            F.floor(tau * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "tau_e4"
+            ),
+            F.floor(ess * 100 + F.lit(_OFF)).cast("long").alias("ess_e2"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _ess_sql() -> str:
+    lags = ",\n         ".join(
+        f"lag(v, {k}) OVER (PARTITION BY user_id ORDER BY t) AS l{k}"
+        for k in range(1, _ESS_K + 1)
+    )
+    moms = ",\n         ".join(
+        f"count(l{k}) AS m{k},\n"
+        f"         CAST(sum(v * l{k}) AS BIGINT) AS p{k},\n"
+        f"         CAST(sum(CASE WHEN l{k} IS NOT NULL THEN v END)"
+        f" AS BIGINT) AS sh{k},\n"
+        f"         CAST(sum(l{k}) AS BIGINT) AS st{k}"
+        for k in range(1, _ESS_K + 1)
+    )
+    rhos = " + ".join(
+        f"(CAST(n * n * p{k} - n * s * (sh{k} + st{k})"
+        f" + m{k} * s * s AS DOUBLE)"
+        f" / CAST(n * (n * q - s * s) AS DOUBLE))"
+        for k in range(1, _ESS_K + 1)
+    )
+    rho1 = (
+        "CAST(n * n * p1 - n * s * (sh1 + st1) + m1 * s * s AS DOUBLE)"
+        " / CAST(n * (n * q - s * s) AS DOUBLE)"
+    )
+    return f"""
+WITH {_HOURLY10_SQL},
+d AS (
+  SELECT user_id, v,
+         {lags}
+  FROM hourly
+), base AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(v) AS BIGINT) AS s,
+         CAST(sum(v * v) AS BIGINT) AS q,
+         {moms}
+  FROM d GROUP BY 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CAST(floor(({rho1}) * 1000000 + {_OFF}) AS BIGINT) AS rho1_e6,
+       CAST(floor((1.0 + 2.0 * ({rhos})) * 10000 + {_OFF}) AS BIGINT)
+         AS tau_e4,
+       CAST(floor(CAST(n AS DOUBLE) / (1.0 + 2.0 * ({rhos})) * 100
+                  + {_OFF}) AS BIGINT) AS ess_e2
+FROM base
+WHERE n >= {2 * _ESS_K} AND n * q - s * s > 0
+ORDER BY user_id
+"""
+
+
+SQL_ESS = _ess_sql()
+
+
+# ---------------------------------------------------------------------------
+# partial_corr — partial correlation of click/view given purchase
+# ---------------------------------------------------------------------------
+# The classical first-order partial r_xy.z = (r_xy - r_xz r_zy) /
+# sqrt((1 - r_xz^2)(1 - r_zy^2)) on daily counts (x = click, y =
+# view, z = purchase) — does the click/view co-movement survive
+# conditioning on purchase volume?  All three Pearson correlations
+# from exact BIGINT moment sums on the day-joined triple.
+
+
+def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("x"),
+        F.sum((F.col("event_type") == "view").cast("long")).alias("y"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "z"
+        ),
+    )
+    agg = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).alias("syz"),
+    )
+    nd = F.col("n").cast("double")
+
+    def r(sab, sa, sb, saa, sbb):
+        num = nd * F.col(sab).cast("double") - F.col(sa).cast(
+            "double"
+        ) * F.col(sb).cast("double")
+        da = nd * F.col(saa).cast("double") - F.col(sa).cast(
+            "double"
+        ) * F.col(sa).cast("double")
+        db = nd * F.col(sbb).cast("double") - F.col(sb).cast(
+            "double"
+        ) * F.col(sb).cast("double")
+        return num / F.sqrt(da * db)
+
+    rxy = r("sxy", "sx", "sy", "sxx", "syy")
+    rxz = r("sxz", "sx", "sz", "sxx", "szz")
+    rzy = r("syz", "sy", "sz", "syy", "szz")
+    pc = (rxy - rxz * rzy) / F.sqrt(
+        (1.0 - rxz * rxz) * (1.0 - rzy * rzy)
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.floor(rxy * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "rxy_e6"
+        ),
+        F.floor(rxz * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "rxz_e6"
+        ),
+        F.floor(rzy * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "rzy_e6"
+        ),
+        F.floor(pc * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "rxy_given_z_e6"
+        ),
+    )
+
+
+SQL_PARTIAL = f"""
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS z
+  FROM events GROUP BY 1
+), agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(z) AS BIGINT) AS sz,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(z * z) AS BIGINT) AS szz,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * z) AS BIGINT) AS sxz,
+         CAST(sum(y * z) AS BIGINT) AS syz
+  FROM daily
+), r AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+           AS rxy,
+         (CAST(n AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz)
+         / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz))
+           AS rxz,
+         (CAST(n AS DOUBLE) * syz - CAST(sy AS DOUBLE) * sz)
+         / sqrt((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                * (CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz))
+           AS rzy
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(floor(rxy * 1000000 + {_OFF}) AS BIGINT) AS rxy_e6,
+       CAST(floor(rxz * 1000000 + {_OFF}) AS BIGINT) AS rxz_e6,
+       CAST(floor(rzy * 1000000 + {_OFF}) AS BIGINT) AS rzy_e6,
+       CAST(floor((rxy - rxz * rzy)
+                  / sqrt((1.0 - rxz * rxz) * (1.0 - rzy * rzy))
+                  * 1000000 + {_OFF}) AS BIGINT) AS rxy_given_z_e6
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# breusch_pagan — heteroskedasticity LM test on the daily trend
+# ---------------------------------------------------------------------------
+# Breusch & Pagan (Econometrica 1979), Koenker's studentized form:
+# LM = n R^2 of the auxiliary regression of squared residuals on the
+# regressor.  Stage-1 OLS on exact (day-index, count) sums; residuals
+# e2-floored per row — e2, not e4/e6, because the auxiliary R^2 needs
+# sum(g^2) with g = e^2 and (e4^2)^2 would overflow BIGINT; at e2 the
+# quartic sum stays under ~1e18 for daily counts up to ~1e3 per key.
+
+
+def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    wt = Window.partitionBy("event_type")
+    d = daily.withColumn("x", F.col("day") - F.min("day").over(wt))
+    agg1 = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    b1 = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    a1 = (F.col("sy").cast("double") - b1 * F.col("sx")) / nd
+    fit = agg1.select("event_type", b1.alias("b1"), a1.alias("a1"))
+    r = d.join(F.broadcast(fit), "event_type").withColumn(
+        "g",
+        F.pow(
+            F.floor(
+                (F.col("y") - F.col("a1") - F.col("b1") * F.col("x"))
+                * 100
+                + F.lit(_OFF)
+            ),
+            2,
+        ).cast("long"),
+    )
+    agg2 = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("g").alias("sg"),
+        F.sum(F.col("x") * F.col("g")).alias("sxg"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("g") * F.col("g")).alias("sgg"),
+    )
+    num = (
+        nd * F.col("sxg").cast("double")
+        - F.col("sx").cast("double") * F.col("sg").cast("double")
+    )
+    dx = (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    dg = (
+        nd * F.col("sgg").cast("double")
+        - F.col("sg").cast("double") * F.col("sg").cast("double")
+    )
+    r2 = num * num / (dx * dg)
+    return (
+        agg2.filter((F.col("n") >= 4) & (dg > 0))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.floor(r2 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "r2_e6"
+            ),
+            F.floor(nd * r2 * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "lm_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_BREUSCH = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type, y,
+         day - min(day) OVER (PARTITION BY event_type) AS x
+  FROM daily
+), agg1 AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM d GROUP BY 1
+), fit AS (
+  SELECT event_type,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b1,
+         (CAST(sy AS DOUBLE)
+          - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            * sx) / n AS a1
+  FROM agg1
+), r AS (
+  SELECT d.event_type, x,
+         CAST(floor((y - a1 - b1 * x) * 100 + {_OFF}) AS BIGINT)
+         * CAST(floor((y - a1 - b1 * x) * 100 + {_OFF}) AS BIGINT)
+           AS g
+  FROM d JOIN fit ON fit.event_type = d.event_type
+), agg2 AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(g) AS BIGINT) AS sg,
+         CAST(sum(x * g) AS BIGINT) AS sxg,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(g * g) AS BIGINT) AS sgg
+  FROM r GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(floor((CAST(n AS DOUBLE) * sxg - CAST(sx AS DOUBLE) * sg)
+                  * (CAST(n AS DOUBLE) * sxg - CAST(sx AS DOUBLE) * sg)
+                  / ((CAST(n AS DOUBLE) * sxx
+                      - CAST(sx AS DOUBLE) * sx)
+                     * (CAST(n AS DOUBLE) * sgg
+                        - CAST(sg AS DOUBLE) * sg))
+                  * 1000000 + {_OFF}) AS BIGINT) AS r2_e6,
+       CAST(floor(CAST(n AS DOUBLE)
+                  * (CAST(n AS DOUBLE) * sxg - CAST(sx AS DOUBLE) * sg)
+                  * (CAST(n AS DOUBLE) * sxg - CAST(sx AS DOUBLE) * sg)
+                  / ((CAST(n AS DOUBLE) * sxx
+                      - CAST(sx AS DOUBLE) * sx)
+                     * (CAST(n AS DOUBLE) * sgg
+                        - CAST(sg AS DOUBLE) * sg))
+                  * 10000 + {_OFF}) AS BIGINT) AS lm_e4
+FROM agg2
+WHERE n >= 4
+  AND CAST(n AS DOUBLE) * sgg - CAST(sg AS DOUBLE) * sg > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# chow_test — structural break F-test at the span midpoint
+# ---------------------------------------------------------------------------
+# Chow (Econometrica 1960): F = [(SSR_pooled - SSR_1 - SSR_2) / k] /
+# [(SSR_1 + SSR_2) / (n - 2k)], k = 2, at the KNOWN candidate break
+# (the day-span midpoint) — the parametric companion to the
+# nonparametric changepoint family (pettitt/binseg/cusum).  Each
+# segment's SSR comes from exact BIGINT moment sums via SSR = (A -
+# B^2/C) / n in the n^2-scaled frame; one combinable aggregate per
+# segment.
+
+
+def q_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    wt = Window.partitionBy("event_type")
+    d = (
+        daily.withColumn("d0", F.min("day").over(wt))
+        .withColumn("d1", F.max("day").over(wt))
+        .withColumn("x", F.col("day") - F.col("d0"))
+        .withColumn(
+            "seg",
+            (
+                2 * (F.col("day") - F.col("d0"))
+                > (F.col("d1") - F.col("d0"))
+            ).cast("long"),
+        )
+    )
+
+    def ssr_cols(pref):
+        return [
+            F.count(F.lit(1)).alias(f"n{pref}"),
+            F.sum("x").alias(f"sx{pref}"),
+            F.sum("y").alias(f"sy{pref}"),
+            F.sum(F.col("x") * F.col("y")).alias(f"sxy{pref}"),
+            F.sum(F.col("x") * F.col("x")).alias(f"sxx{pref}"),
+            F.sum(F.col("y") * F.col("y")).alias(f"syy{pref}"),
+        ]
+
+    pool = d.groupBy("event_type").agg(*ssr_cols("p"))
+    seg0 = d.filter(F.col("seg") == 0).groupBy("event_type").agg(
+        *ssr_cols("a")
+    )
+    seg1 = d.filter(F.col("seg") == 1).groupBy("event_type").agg(
+        *ssr_cols("b")
+    )
+    j = pool.join(seg0, "event_type").join(seg1, "event_type")
+
+    def ssr(pref):
+        n = F.col(f"n{pref}").cast("double")
+        a = n * F.col(f"syy{pref}").cast("double") - F.col(
+            f"sy{pref}"
+        ).cast("double") * F.col(f"sy{pref}").cast("double")
+        b = n * F.col(f"sxy{pref}").cast("double") - F.col(
+            f"sx{pref}"
+        ).cast("double") * F.col(f"sy{pref}").cast("double")
+        c = n * F.col(f"sxx{pref}").cast("double") - F.col(
+            f"sx{pref}"
+        ).cast("double") * F.col(f"sx{pref}").cast("double")
+        return (a - b * b / c) / n
+
+    sp, sa, sb = ssr("p"), ssr("a"), ssr("b")
+    n = F.col("np").cast("double")
+    f = ((sp - sa - sb) / 2.0) / ((sa + sb) / (n - 4.0))
+    return (
+        j.filter(
+            (F.col("na") >= 3) & (F.col("nb") >= 3) & (sa + sb > 0)
+        )
+        .select(
+            "event_type",
+            F.col("np").cast("long").alias("n"),
+            F.col("na").cast("long").alias("n_pre"),
+            F.col("nb").cast("long").alias("n_post"),
+            F.floor(f * 10_000 + F.lit(_OFF)).cast("long").alias("f_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _chow_mom(src: str, pref: str) -> str:
+    return (
+        f"SELECT event_type, count(*) AS n{pref},\n"
+        f"       CAST(sum(x) AS BIGINT) AS sx{pref},\n"
+        f"       CAST(sum(y) AS BIGINT) AS sy{pref},\n"
+        f"       CAST(sum(x * y) AS BIGINT) AS sxy{pref},\n"
+        f"       CAST(sum(x * x) AS BIGINT) AS sxx{pref},\n"
+        f"       CAST(sum(y * y) AS BIGINT) AS syy{pref}\n"
+        f"FROM {src} GROUP BY 1"
+    )
+
+
+def _chow_ssr(pref: str) -> str:
+    n = f"CAST(n{pref} AS DOUBLE)"
+    return (
+        f"(({n} * syy{pref} - CAST(sy{pref} AS DOUBLE) * sy{pref})"
+        f" - ({n} * sxy{pref} - CAST(sx{pref} AS DOUBLE) * sy{pref})"
+        f" * ({n} * sxy{pref} - CAST(sx{pref} AS DOUBLE) * sy{pref})"
+        f" / ({n} * sxx{pref} - CAST(sx{pref} AS DOUBLE) * sx{pref}))"
+        f" / {n}"
+    )
+
+
+SQL_CHOW = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type, y,
+         day - min(day) OVER (PARTITION BY event_type) AS x,
+         CASE WHEN 2 * (day - min(day) OVER (PARTITION BY event_type))
+                   > max(day) OVER (PARTITION BY event_type)
+                     - min(day) OVER (PARTITION BY event_type)
+              THEN 1 ELSE 0 END AS seg
+  FROM daily
+), pool AS ({_chow_mom('d', 'p')}),
+sa AS ({_chow_mom('(SELECT * FROM d WHERE seg = 0)', 'a')}),
+sb AS ({_chow_mom('(SELECT * FROM d WHERE seg = 1)', 'b')}),
+j AS (
+  SELECT pool.event_type, np, na, nb,
+         {_chow_ssr('p')} AS ssrp,
+         {_chow_ssr('a')} AS ssra,
+         {_chow_ssr('b')} AS ssrb
+  FROM pool
+  JOIN sa ON sa.event_type = pool.event_type
+  JOIN sb ON sb.event_type = pool.event_type
+)
+SELECT event_type, CAST(np AS BIGINT) AS n,
+       CAST(na AS BIGINT) AS n_pre, CAST(nb AS BIGINT) AS n_post,
+       CAST(floor(((ssrp - ssra - ssrb) / 2.0)
+                  / ((ssra + ssrb) / (CAST(np AS DOUBLE) - 4.0))
+                  * 10000 + {_OFF}) AS BIGINT) AS f_e4
+FROM j
+WHERE na >= 3 AND nb >= 3 AND ssra + ssrb > 0
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jonckheere_terpstra": q_jonckheere_terpstra,
     "mood_median": q_mood_median,
@@ -4855,6 +5395,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lin_ccc": q_lin_ccc,
     "bland_altman": q_bland_altman,
     "odds_ratio_woolf": q_odds_ratio_woolf,
+    "effective_sample_size": q_effective_sample_size,
+    "partial_corr": q_partial_corr,
+    "breusch_pagan": q_breusch_pagan,
+    "chow_test": q_chow_test,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4898,6 +5442,10 @@ ORACLE_SQL: dict[str, str] = {
     "lin_ccc": SQL_LIN_CCC,
     "bland_altman": SQL_BLAND_ALTMAN,
     "odds_ratio_woolf": SQL_ODDS_RATIO,
+    "effective_sample_size": SQL_ESS,
+    "partial_corr": SQL_PARTIAL,
+    "breusch_pagan": SQL_BREUSCH,
+    "chow_test": SQL_CHOW,
 }
 
 # the centroid CTE block is shared verbatim with the stats8 cluster
