@@ -5354,6 +5354,502 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# bracket_balance — delimiter balance data-quality audit per source
+# ---------------------------------------------------------------------------
+# The classic extraction-quality tripwire: truncated or mis-parsed
+# pages leave unbalanced (), [], {} and odd double-quote counts.
+# Pure exact-integer censuses off regexp_count / regexp_extract_all;
+# one combinable aggregate per source.
+
+
+def q_bracket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats2 import _documents
+
+    d = _documents(spark, sf_dir).select(
+        "source",
+        (
+            F.regexp_count(F.col("text"), F.lit(r"\("))
+            - F.regexp_count(F.col("text"), F.lit(r"\)"))
+        ).alias("dp"),
+        (
+            F.regexp_count(F.col("text"), F.lit(r"\["))
+            - F.regexp_count(F.col("text"), F.lit(r"\]"))
+        ).alias("db"),
+        (
+            F.regexp_count(F.col("text"), F.lit(r"\{"))
+            - F.regexp_count(F.col("text"), F.lit(r"\}"))
+        ).alias("dc"),
+        (F.regexp_count(F.col("text"), F.lit('"')) % 2).alias("oq"),
+    )
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("dp") != 0).cast("long")).alias("paren_bad"),
+        F.sum((F.col("db") != 0).cast("long")).alias("bracket_bad"),
+        F.sum((F.col("dc") != 0).cast("long")).alias("brace_bad"),
+        F.sum((F.col("oq") != 0).cast("long")).alias("quote_bad"),
+        F.sum(
+            (
+                (F.col("dp") == 0)
+                & (F.col("db") == 0)
+                & (F.col("dc") == 0)
+                & (F.col("oq") == 0)
+            ).cast("long")
+        ).alias("clean"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("paren_bad").cast("long").alias("paren_bad"),
+        F.col("bracket_bad").cast("long").alias("bracket_bad"),
+        F.col("brace_bad").cast("long").alias("brace_bad"),
+        F.col("quote_bad").cast("long").alias("quote_bad"),
+        F.floor(
+            F.col("clean").cast("double") / F.col("n_docs") * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("clean_rate_e6"),
+    ).orderBy("source")
+
+
+SQL_BRACKET = f"""
+WITH d AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '\\(')) AS BIGINT)
+         - CAST(len(regexp_extract_all(text, '\\)')) AS BIGINT) AS dp,
+         CAST(len(regexp_extract_all(text, '\\[')) AS BIGINT)
+         - CAST(len(regexp_extract_all(text, '\\]')) AS BIGINT) AS db,
+         CAST(len(regexp_extract_all(text, '\\{{')) AS BIGINT)
+         - CAST(len(regexp_extract_all(text, '\\}}')) AS BIGINT) AS dc,
+         CAST(len(regexp_extract_all(text, '"')) AS BIGINT) % 2 AS oq
+  FROM documents
+), agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN dp <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS paren_bad,
+         CAST(sum(CASE WHEN db <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS bracket_bad,
+         CAST(sum(CASE WHEN dc <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS brace_bad,
+         CAST(sum(CASE WHEN oq <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS quote_bad,
+         CAST(sum(CASE WHEN dp = 0 AND db = 0 AND dc = 0 AND oq = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS clean
+  FROM d GROUP BY 1
+)
+SELECT source, n_docs, paren_bad, bracket_bad, brace_bad, quote_bad,
+       CAST(floor(CAST(clean AS DOUBLE) / n_docs * 1000000 + {_OFF})
+            AS BIGINT) AS clean_rate_e6
+FROM agg
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# herdan_c — Herdan's law (type-token allometry) across docs per lang
+# ---------------------------------------------------------------------------
+# Herdan (Type-Token Mathematics 1960): ln V = C ln N + b across
+# documents — the per-document allometric twin of the corpus-level
+# heaps_law curve.  Per-doc (ln N, ln V) pairs are e6-floored to
+# BIGINT (e6, not e9 — the cross-moment sums must stay inside
+# BIGINT); OLS slope/intercept/R^2 off exact integer sums.
+
+
+def q_herdan_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats2 import _documents
+
+    toks = _documents(spark, sf_dir).select(
+        "lang",
+        "doc_id",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("w"),
+    ).filter(F.length("w") > 0)
+    per = toks.groupBy("lang", "doc_id").agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.countDistinct("w").alias("v"),
+    ).filter((F.col("nn") >= 2) & (F.col("v") >= 2))
+    pts = per.select(
+        "lang",
+        F.floor(F.log(F.col("nn").cast("double")) * 1e6 + F.lit(_OFF))
+        .cast("long")
+        .alias("x6"),
+        F.floor(F.log(F.col("v").cast("double")) * 1e6 + F.lit(_OFF))
+        .cast("long")
+        .alias("y6"),
+    )
+    agg = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x6").alias("sx"),
+        F.sum("y6").alias("sy"),
+        F.sum(F.col("x6") * F.col("y6")).alias("sxy"),
+        F.sum(F.col("x6") * F.col("x6")).alias("sxx"),
+        F.sum(F.col("y6") * F.col("y6")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    dx = nd * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    dy = nd * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    c = num / dx
+    r2 = num * num / (dx * dy)
+    return (
+        agg.filter((F.col("n") >= 3) & (dx > 0) & (dy > 0))
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_docs"),
+            F.floor(c * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "c_e6"
+            ),
+            F.floor(r2 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "r2_e6"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_HERDAN = f"""
+WITH toks AS (
+  SELECT lang, doc_id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), per AS (
+  SELECT lang, doc_id, count(*) AS nn,
+         CAST(count(DISTINCT w) AS BIGINT) AS v
+  FROM toks WHERE len(w) > 0
+  GROUP BY 1, 2
+  HAVING count(*) >= 2 AND count(DISTINCT w) >= 2
+), pts AS (
+  SELECT lang,
+         CAST(floor(ln(CAST(nn AS DOUBLE)) * 1e6 + {_OFF}) AS BIGINT)
+           AS x6,
+         CAST(floor(ln(CAST(v AS DOUBLE)) * 1e6 + {_OFF}) AS BIGINT)
+           AS y6
+  FROM per
+), agg AS (
+  SELECT lang, count(*) AS n,
+         CAST(sum(x6) AS BIGINT) AS sx, CAST(sum(y6) AS BIGINT) AS sy,
+         CAST(sum(x6 * y6) AS BIGINT) AS sxy,
+         CAST(sum(x6 * x6) AS BIGINT) AS sxx,
+         CAST(sum(y6 * y6) AS BIGINT) AS syy
+  FROM pts GROUP BY 1
+)
+SELECT lang, CAST(n AS BIGINT) AS n_docs,
+       CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * 1000000 + {_OFF}) AS BIGINT) AS c_e6,
+       CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / ((CAST(n AS DOUBLE) * sxx
+                      - CAST(sx AS DOUBLE) * sx)
+                     * (CAST(n AS DOUBLE) * syy
+                        - CAST(sy AS DOUBLE) * sy))
+                  * 1000000 + {_OFF}) AS BIGINT) AS r2_e6
+FROM agg
+WHERE n >= 3
+  AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+  AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# mark_gap_corr — marked-point-process mark/gap correlation per type
+# ---------------------------------------------------------------------------
+# In marked point process terms (Daley & Vere-Jones): does the mark
+# (event value) correlate with the preceding inter-event gap?
+# Independence of marks and gaps is the standard null for "renewal
+# with iid marks".  Gaps are exact integer seconds off one per-type
+# lag window; Pearson r from exact BIGINT moment sums.
+
+
+def q_mark_gap_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
+        )
+        .cast("long")
+        .alias("s"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("s", "event_id")
+    d = ev.withColumn("g", F.col("s") - F.lag("s").over(wo)).filter(
+        F.col("g").isNotNull()
+    )
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum("g").alias("sg"),
+        F.sum(F.col("v") * F.col("g")).alias("svg"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+        F.sum(F.col("g") * F.col("g")).alias("sgg"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("svg").cast("double") - F.col("sv").cast(
+        "double"
+    ) * F.col("sg").cast("double")
+    dv = nd * F.col("svv").cast("double") - F.col("sv").cast(
+        "double"
+    ) * F.col("sv").cast("double")
+    dg = nd * F.col("sgg").cast("double") - F.col("sg").cast(
+        "double"
+    ) * F.col("sg").cast("double")
+    r = num / F.sqrt(dv * dg)
+    return (
+        agg.filter((F.col("n") >= 3) & (dv > 0) & (dg > 0))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_gaps"),
+            F.floor(
+                F.col("sg").cast("double") / F.col("n") * 100 + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("mean_gap_e2"),
+            F.floor(r * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "r_e6"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_MARK_GAP = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s, event_id,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), d AS (
+  SELECT event_type, v,
+         s - lag(s) OVER (PARTITION BY event_type
+                          ORDER BY s, event_id) AS g
+  FROM ev
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(v) AS BIGINT) AS sv, CAST(sum(g) AS BIGINT) AS sg,
+         CAST(sum(v * g) AS BIGINT) AS svg,
+         CAST(sum(v * v) AS BIGINT) AS svv,
+         CAST(sum(g * g) AS BIGINT) AS sgg
+  FROM d WHERE g IS NOT NULL
+  GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+       CAST(floor(CAST(sg AS DOUBLE) / n * 100 + {_OFF}) AS BIGINT)
+         AS mean_gap_e2,
+       CAST(floor((CAST(n AS DOUBLE) * svg - CAST(sv AS DOUBLE) * sg)
+                  / sqrt((CAST(n AS DOUBLE) * svv
+                          - CAST(sv AS DOUBLE) * sv)
+                         * (CAST(n AS DOUBLE) * sgg
+                            - CAST(sg AS DOUBLE) * sg))
+                  * 1000000 + {_OFF}) AS BIGINT) AS r_e6
+FROM agg
+WHERE n >= 3
+  AND CAST(n AS DOUBLE) * svv - CAST(sv AS DOUBLE) * sv > 0
+  AND CAST(n AS DOUBLE) * sgg - CAST(sg AS DOUBLE) * sg > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# ecological_corr — Simpson's-paradox audit: pooled vs within vs between
+# ---------------------------------------------------------------------------
+# Robinson (ASR 1950): the correlation of hour-of-day and value can
+# differ between the pooled rows, the within-user centered rows, and
+# the between-user means (the ecological fallacy).  Pooled and
+# between moments ride exact BIGINTs (user means e6-floored before
+# the between sums); the within covariance/variances fold per-user
+# exact-rational contributions e6-floored per user.
+
+
+def q_ecological_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+            )
+            % 24
+        )
+        .cast("long")
+        .alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("y"),
+    )
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+
+    def wscale(expr, s):
+        # e2 for the within moments and the y mean, e4 for the x mean —
+        # anything finer overflows BIGINT in the between cross-moments
+        # (my at e6 is ~5e10; squared-sum over users would pass 9e18)
+        return F.floor(expr * s + F.lit(_OFF)).cast("long")
+
+    nd = F.col("n").cast("double")
+    within = per.select(
+        wscale(
+            (
+                F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy") / nd
+            ),
+            100,
+        ).alias("wxy6"),
+        wscale(
+            (
+                F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx") / nd
+            ),
+            100,
+        ).alias("wxx6"),
+        wscale(
+            (
+                F.col("syy").cast("double")
+                - F.col("sy").cast("double") * F.col("sy") / nd
+            ),
+            100,
+        ).alias("wyy6"),
+        wscale(F.col("sx").cast("double") / nd, 10_000).alias("mx6"),
+        wscale(F.col("sy").cast("double") / nd, 100).alias("my6"),
+    )
+    tot = within.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("wxy6").alias("wxy"),
+        F.sum("wxx6").alias("wxx"),
+        F.sum("wyy6").alias("wyy"),
+        F.sum("mx6").alias("bmx"),
+        F.sum("my6").alias("bmy"),
+        F.sum(F.col("mx6") * F.col("my6")).alias("bxy"),
+        F.sum(F.col("mx6") * F.col("mx6")).alias("bxx"),
+        F.sum(F.col("my6") * F.col("my6")).alias("byy"),
+    )
+    pool = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    j = pool.crossJoin(F.broadcast(tot))
+    npd = F.col("n").cast("double")
+    pnum = npd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    pdx = npd * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    pdy = npd * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    r_pool = pnum / F.sqrt(pdx * pdy)
+    r_within = F.col("wxy").cast("double") / F.sqrt(
+        F.col("wxx").cast("double") * F.col("wyy").cast("double")
+    )
+    kd = F.col("k").cast("double")
+    bnum = kd * F.col("bxy").cast("double") - F.col("bmx").cast(
+        "double"
+    ) * F.col("bmy").cast("double")
+    bdx = kd * F.col("bxx").cast("double") - F.col("bmx").cast(
+        "double"
+    ) * F.col("bmx").cast("double")
+    bdy = kd * F.col("byy").cast("double") - F.col("bmy").cast(
+        "double"
+    ) * F.col("bmy").cast("double")
+    r_between = bnum / F.sqrt(bdx * bdy)
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("n_users"),
+        F.floor(r_pool * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "r_pooled_e6"
+        ),
+        F.floor(r_within * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "r_within_e6"
+        ),
+        F.floor(r_between * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "r_between_e6"
+        ),
+    )
+
+
+SQL_ECOLOGICAL = f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS x,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS y
+  FROM events
+), per AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM ev GROUP BY 1
+), within AS (
+  SELECT
+    CAST(floor((CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * sy / n) * 100 + {_OFF})
+         AS BIGINT) AS wxy6,
+    CAST(floor((CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * sx / n) * 100 + {_OFF})
+         AS BIGINT) AS wxx6,
+    CAST(floor((CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * sy / n) * 100 + {_OFF})
+         AS BIGINT) AS wyy6,
+    CAST(floor(CAST(sx AS DOUBLE) / n * 10000 + {_OFF}) AS BIGINT)
+      AS mx6,
+    CAST(floor(CAST(sy AS DOUBLE) / n * 100 + {_OFF}) AS BIGINT)
+      AS my6
+  FROM per
+), tot AS (
+  SELECT count(*) AS k,
+         CAST(sum(wxy6) AS BIGINT) AS wxy,
+         CAST(sum(wxx6) AS BIGINT) AS wxx,
+         CAST(sum(wyy6) AS BIGINT) AS wyy,
+         CAST(sum(mx6) AS BIGINT) AS bmx,
+         CAST(sum(my6) AS BIGINT) AS bmy,
+         CAST(sum(mx6 * my6) AS BIGINT) AS bxy,
+         CAST(sum(mx6 * mx6) AS BIGINT) AS bxx,
+         CAST(sum(my6 * my6) AS BIGINT) AS byy
+  FROM within
+), pool AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM ev
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS n_users,
+       CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / sqrt((CAST(n AS DOUBLE) * sxx
+                          - CAST(sx AS DOUBLE) * sx)
+                         * (CAST(n AS DOUBLE) * syy
+                            - CAST(sy AS DOUBLE) * sy))
+                  * 1000000 + {_OFF}) AS BIGINT) AS r_pooled_e6,
+       CAST(floor(CAST(wxy AS DOUBLE)
+                  / sqrt(CAST(wxx AS DOUBLE) * CAST(wyy AS DOUBLE))
+                  * 1000000 + {_OFF}) AS BIGINT) AS r_within_e6,
+       CAST(floor((CAST(k AS DOUBLE) * bxy - CAST(bmx AS DOUBLE) * bmy)
+                  / sqrt((CAST(k AS DOUBLE) * bxx
+                          - CAST(bmx AS DOUBLE) * bmx)
+                         * (CAST(k AS DOUBLE) * byy
+                            - CAST(bmy AS DOUBLE) * bmy))
+                  * 1000000 + {_OFF}) AS BIGINT) AS r_between_e6
+FROM pool CROSS JOIN tot
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jonckheere_terpstra": q_jonckheere_terpstra,
     "mood_median": q_mood_median,
@@ -5399,6 +5895,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "partial_corr": q_partial_corr,
     "breusch_pagan": q_breusch_pagan,
     "chow_test": q_chow_test,
+    "bracket_balance": q_bracket_balance,
+    "herdan_c": q_herdan_c,
+    "mark_gap_corr": q_mark_gap_corr,
+    "ecological_corr": q_ecological_corr,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5446,6 +5946,10 @@ ORACLE_SQL: dict[str, str] = {
     "partial_corr": SQL_PARTIAL,
     "breusch_pagan": SQL_BREUSCH,
     "chow_test": SQL_CHOW,
+    "bracket_balance": SQL_BRACKET,
+    "herdan_c": SQL_HERDAN,
+    "mark_gap_corr": SQL_MARK_GAP,
+    "ecological_corr": SQL_ECOLOGICAL,
 }
 
 # the centroid CTE block is shared verbatim with the stats8 cluster
