@@ -5850,6 +5850,674 @@ FROM pool CROSS JOIN tot
 """
 
 
+# ---------------------------------------------------------------------------
+# zipf_mandelbrot — Zipf-Mandelbrot rank-frequency fit per language
+# ---------------------------------------------------------------------------
+# Mandelbrot (1953) generalizes Zipf with a rank offset: f(r) ~
+# (r + beta)^-s.  beta is chosen from the literal grid {0, 1, 2, 5,
+# 10} by best OLS R^2 of ln f on ln(r + beta) over the top-100 ranks
+# (deterministic grid search — no iterative optimizer), tie-break
+# smallest beta.  Ranks ride WindowGroupLimit; per-point lns are
+# e6-floored so all regression sums are exact BIGINTs.
+
+
+_ZM_BETAS = [0, 1, 2, 5, 10]
+_ZM_TOP = 100
+
+
+def q_zipf_mandelbrot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats2 import _documents
+
+    toks = _documents(spark, sf_dir).select(
+        "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    ).filter(F.length("w") > 0)
+    freq = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("f"))
+    wr = Window.partitionBy("lang").orderBy(
+        F.col("f").desc(), F.col("w").asc()
+    )
+    top = freq.withColumn("r", F.row_number().over(wr)).filter(
+        F.col("r") <= _ZM_TOP
+    )
+    pts = top.crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [(b,) for b in _ZM_BETAS], "beta long"
+            )
+        )
+    ).select(
+        "lang",
+        "beta",
+        F.floor(
+            F.log((F.col("r") + F.col("beta")).cast("double")) * 1e6
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("x6"),
+        F.floor(F.log(F.col("f").cast("double")) * 1e6 + F.lit(_OFF))
+        .cast("long")
+        .alias("y6"),
+    )
+    agg = pts.groupBy("lang", "beta").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x6").alias("sx"),
+        F.sum("y6").alias("sy"),
+        F.sum(F.col("x6") * F.col("y6")).alias("sxy"),
+        F.sum(F.col("x6") * F.col("x6")).alias("sxx"),
+        F.sum(F.col("y6") * F.col("y6")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    dx = nd * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    dy = nd * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    scored = agg.filter((dx > 0) & (dy > 0)).select(
+        "lang",
+        "beta",
+        F.col("n"),
+        (-num / dx).alias("s"),
+        (num * num / (dx * dy)).alias("r2"),
+    )
+    wb = Window.partitionBy("lang").orderBy(
+        F.col("r2").desc(), F.col("beta").asc()
+    )
+    best = scored.withColumn("rk", F.row_number().over(wb)).filter(
+        F.col("rk") == 1
+    )
+    return best.select(
+        "lang",
+        F.col("n").cast("long").alias("n_ranks"),
+        F.col("beta").cast("long").alias("beta"),
+        F.floor(F.col("s") * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "s_e6"
+        ),
+        F.floor(F.col("r2") * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("r2_e6"),
+    ).orderBy("lang")
+
+
+SQL_ZIPF_MANDELBROT = f"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), freq AS (
+  SELECT lang, w, CAST(count(*) AS BIGINT) AS f
+  FROM toks WHERE len(w) > 0 GROUP BY 1, 2
+), top AS (
+  SELECT lang, f,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY f DESC, w ASC) AS r
+  FROM freq QUALIFY r <= {_ZM_TOP}
+), pts AS (
+  SELECT lang, beta,
+         CAST(floor(ln(CAST(r + beta AS DOUBLE)) * 1e6 + {_OFF})
+              AS BIGINT) AS x6,
+         CAST(floor(ln(CAST(f AS DOUBLE)) * 1e6 + {_OFF}) AS BIGINT)
+           AS y6
+  FROM top CROSS JOIN
+       (SELECT unnest([{", ".join(str(b) for b in _ZM_BETAS)}])
+          AS beta)
+), agg AS (
+  SELECT lang, beta, count(*) AS n,
+         CAST(sum(x6) AS BIGINT) AS sx, CAST(sum(y6) AS BIGINT) AS sy,
+         CAST(sum(x6 * y6) AS BIGINT) AS sxy,
+         CAST(sum(x6 * x6) AS BIGINT) AS sxx,
+         CAST(sum(y6 * y6) AS BIGINT) AS syy
+  FROM pts GROUP BY 1, 2
+), scored AS (
+  SELECT lang, beta, n,
+         -(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS s,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+           AS r2
+  FROM agg
+  WHERE CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+    AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+), best AS (
+  SELECT lang, n, beta, s, r2,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY r2 DESC, beta ASC) AS rk
+  FROM scored
+)
+SELECT lang, CAST(n AS BIGINT) AS n_ranks, CAST(beta AS BIGINT) AS beta,
+       CAST(floor(s * 1000000 + {_OFF}) AS BIGINT) AS s_e6,
+       CAST(floor(r2 * 1000000 + {_OFF}) AS BIGINT) AS r2_e6
+FROM best WHERE rk = 1
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# ad_ksample — k-sample Anderson-Darling across event types
+# ---------------------------------------------------------------------------
+# Scholz & Stephens (JASA 1987), the midrank (ties) version scipy
+# ships as ``anderson_ksamp``: A2akN over the k = |types| value
+# samples, standardized by the exact variance polynomial in (N, k, H,
+# h, g).  Everything heavy rides the centivalue DOMAIN: with 2x-scaled
+# midrank cumulatives M2/B2 the per-(sample, value) term is l (N M2 -
+# n_i B2)^2 / (B2 (2N - B2) - N l) — exact integers e6-floored per
+# cell before the sums.  The harmonic ladders h and g fold an
+# e6-quantized 1/i table (exact prefix-sum integers; the statistic is
+# defined on that quantized ladder by contract, error < 1e-4 at the
+# driver scales).
+
+
+def q_ad_ksample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    cell = ev.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).alias("fij")
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    lj = cell.groupBy("v").agg(F.sum("fij").alias("l"))
+    lj = lj.withColumn(
+        "b2", 2 * F.coalesce(F.sum("l").over(wv), F.lit(0)) + F.col("l")
+    )
+    wall = Window.partitionBy()
+    lj = lj.withColumn("nn", F.sum("l").over(wall))
+    ni = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("ni"))
+    # cells where f_ij = 0 still matter in the exact formula — the
+    # full sample x value grid comes from a cross join of the (small)
+    # per-sample table with the value domain
+    grid = ni.crossJoin(lj.select("v", "l", "b2", "nn"))
+    mfull = grid.join(
+        cell, ["event_type", "v"], "left"
+    ).fillna(0, ["fij"])
+    wiv2 = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    mfull = mfull.withColumn(
+        "m2",
+        2 * F.coalesce(F.sum("fij").over(wiv2), F.lit(0)) + F.col("fij"),
+    )
+    tfull = (
+        mfull.withColumn(
+            "dd",
+            F.col("nn") * F.col("m2") - F.col("ni") * F.col("b2"),
+        )
+        .withColumn(
+            "den",
+            F.col("b2") * (2 * F.col("nn") - F.col("b2"))
+            - F.col("nn") * F.col("l"),
+        )
+        .filter(F.col("den") > 0)
+        .withColumn(
+            "t6",
+            F.floor(
+                F.col("l").cast("double")
+                * F.col("dd").cast("double")
+                * F.col("dd").cast("double")
+                / F.col("den")
+                * 1e6
+                + F.lit(_OFF)
+            ).cast("long"),
+        )
+    )
+    inner = tfull.groupBy("event_type").agg(
+        F.max("ni").alias("ni"),
+        F.max("nn").alias("nn"),
+        F.sum("t6").alias("s6"),
+    )
+    # A2akN = (N-1)/N * sum_i s_i / n_i (s back from the e6 scale);
+    # per-sample terms <= |types| doubles (anova discipline)
+    contrib = inner.select(
+        "nn",
+        (
+            F.col("s6").cast("double")
+            / 1e6
+            / F.col("ni").cast("double")
+        ).alias("ci"),
+    )
+    a2 = contrib.groupBy("nn").agg(
+        F.count(F.lit(1)).alias("k"), F.sum("ci").alias("sci")
+    )
+    # harmonic ladders on the e6-quantized 1/i table; the Scholz-
+    # Stephens g = sum_{k=2}^{N-1} (1/k) sum_{j=N+1-k}^{N-1} 1/j is
+    # re-indexed as sum over i = N+1-k of u6(i) * suffix-sum R(i)
+    hh = (
+        a2.select("nn", "k", "sci")
+        .withColumn(
+            "i", F.explode(F.sequence(F.lit(1), F.col("nn") - 1))
+        )
+        .withColumn("t6", F.floor(1e6 / F.col("i")).cast("long"))
+    )
+    wi = Window.partitionBy("nn").orderBy("i")
+    hh = hh.withColumn(
+        "rsuf",
+        F.sum("t6").over(wi.rowsBetween(0, Window.unboundedFollowing)),
+    )
+    u6 = F.floor(1e6 / (F.col("nn") + 1 - F.col("i"))).cast("long")
+    gterm = F.when(
+        F.col("i") >= 2,
+        F.floor(
+            u6.cast("double")
+            * F.col("rsuf").cast("double")
+            / 1e12
+            * 1e9
+            + F.lit(_OFF)
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    lad = hh.groupBy("nn", "k", "sci").agg(
+        F.sum("t6").alias("h6"),
+        F.sum(gterm).alias("g9"),
+    )
+    ninv = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ni")
+    ).agg(
+        F.sum(F.floor(1e6 / F.col("ni")).cast("long")).alias("hcap6")
+    )
+    j = lad.crossJoin(F.broadcast(ninv))
+    nd = F.col("nn").cast("double")
+    kd = F.col("k").cast("double")
+    hbig = F.col("hcap6").cast("double") / 1e6
+    hsm = F.col("h6").cast("double") / 1e6
+    g = F.col("g9").cast("double") / 1e9
+    a = (4.0 * g - 6.0) * (kd - 1.0) + (10.0 - 6.0 * g) * hbig
+    b = (2.0 * g - 4.0) * kd * kd + 8.0 * hsm * kd + (
+        2.0 * g - 14.0 * hsm - 4.0
+    ) * hbig - 8.0 * hsm + 4.0 * g - 6.0
+    c = (6.0 * hsm + 2.0 * g - 2.0) * kd * kd + (
+        4.0 * hsm - 4.0 * g + 6.0
+    ) * kd + (2.0 * hsm - 6.0) * hbig + 4.0 * hsm
+    dterm = (2.0 * hsm + 6.0) * kd * kd - 4.0 * hsm * kd
+    var = (
+        a * nd * nd * nd + b * nd * nd + c * nd + dterm
+    ) / ((nd - 1.0) * (nd - 2.0) * (nd - 3.0))
+    # the scipy inner term is (l_j / N) * D^2 / den — the domain sums
+    # above carry l_j, so one more /N lands here
+    a2akn = (nd - 1.0) / nd * F.col("sci") / nd
+    tn = (a2akn - (kd - 1.0)) / F.sqrt(var)
+    return j.select(
+        F.col("nn").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.floor(a2akn * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "a2_e4"
+        ),
+        F.floor(tn * 10_000 + F.lit(_OFF)).cast("long").alias("tn_e4"),
+    )
+
+
+SQL_AD_KSAMPLE = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), cell AS (
+  SELECT event_type, v, CAST(count(*) AS BIGINT) AS fij
+  FROM ev GROUP BY 1, 2
+), lj AS (
+  SELECT v, CAST(sum(fij) AS BIGINT) AS l FROM cell GROUP BY 1
+), lj2 AS (
+  SELECT v, l,
+         2 * COALESCE(CAST(sum(l) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS BIGINT), 0) + l AS b2,
+         CAST(sum(l) OVER () AS BIGINT) AS nn
+  FROM lj
+), ni AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS ni FROM ev GROUP BY 1
+), grid AS (
+  SELECT ni.event_type, ni.ni, lj2.v, lj2.l, lj2.b2, lj2.nn,
+         COALESCE(cell.fij, 0) AS fij
+  FROM ni CROSS JOIN lj2
+  LEFT JOIN cell ON cell.event_type = ni.event_type
+               AND cell.v = lj2.v
+), m AS (
+  SELECT event_type, ni, v, l, b2, nn, fij,
+         2 * COALESCE(CAST(sum(fij) OVER (PARTITION BY event_type
+             ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING) AS BIGINT), 0) + fij AS m2
+  FROM grid
+), t AS (
+  SELECT event_type, ni, nn,
+         CAST(floor(CAST(l AS DOUBLE)
+                    * CAST(nn * m2 - ni * b2 AS DOUBLE)
+                    * CAST(nn * m2 - ni * b2 AS DOUBLE)
+                    / (b2 * (2 * nn - b2) - nn * l) * 1e6 + {_OFF})
+              AS BIGINT) AS t6
+  FROM m
+  WHERE b2 * (2 * nn - b2) - nn * l > 0
+), inner_ AS (
+  SELECT event_type, max(ni) AS ni, max(nn) AS nn,
+         CAST(sum(t6) AS BIGINT) AS s6
+  FROM t GROUP BY 1
+), a2 AS (
+  SELECT nn, count(*) AS k,
+         sum(CAST(s6 AS DOUBLE) / 1e6 / ni) AS sci
+  FROM inner_ GROUP BY 1
+), ladder AS (
+  SELECT a2.nn, a2.k, a2.sci,
+         i, CAST(floor(1e6 / i) AS BIGINT) AS t6
+  FROM a2, unnest(generate_series(1, CAST(a2.nn - 1 AS INTEGER))) AS s(i)
+), lad2 AS (
+  SELECT nn, k, sci, i, t6,
+         CAST(sum(t6) OVER (PARTITION BY nn ORDER BY i
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS BIGINT) AS rsuf
+  FROM ladder
+), lad3 AS (
+  SELECT nn, k, sci,
+         CAST(sum(t6) AS BIGINT) AS h6,
+         CAST(sum(CASE WHEN i >= 2 THEN
+             CAST(floor(CAST(CAST(floor(1e6 / (nn + 1 - i)) AS BIGINT)
+                             AS DOUBLE)
+                        * CAST(rsuf AS DOUBLE)
+                        / 1e12 * 1e9 + {_OFF}) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS g9
+  FROM lad2 GROUP BY 1, 2, 3
+), hcap AS (
+  SELECT CAST(sum(CAST(floor(1e6 / ni) AS BIGINT)) AS BIGINT) AS hcap6
+  FROM ni
+), fin AS (
+  SELECT nn, k, sci,
+         CAST(h6 AS DOUBLE) / 1e6 AS hsm,
+         CAST(g9 AS DOUBLE) / 1e9 AS g,
+         CAST(hcap6 AS DOUBLE) / 1e6 AS hbig
+  FROM lad3 CROSS JOIN hcap
+)
+SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       CAST(floor((nn - 1.0) / nn * sci / nn * 10000 + {_OFF})
+            AS BIGINT) AS a2_e4,
+       CAST(floor(((nn - 1.0) / nn * sci / nn - (k - 1.0))
+                  / sqrt((((4.0 * g - 6.0) * (k - 1.0)
+                           + (10.0 - 6.0 * g) * hbig) * nn * nn * nn
+                          + ((2.0 * g - 4.0) * k * k + 8.0 * hsm * k
+                             + (2.0 * g - 14.0 * hsm - 4.0) * hbig
+                             - 8.0 * hsm + 4.0 * g - 6.0) * nn * nn
+                          + ((6.0 * hsm + 2.0 * g - 2.0) * k * k
+                             + (4.0 * hsm - 4.0 * g + 6.0) * k
+                             + (2.0 * hsm - 6.0) * hbig + 4.0 * hsm)
+                            * nn
+                          + ((2.0 * hsm + 6.0) * k * k
+                             - 4.0 * hsm * k))
+                         / ((nn - 1.0) * (nn - 2.0) * (nn - 3.0)))
+                  * 10000 + {_OFF}) AS BIGINT) AS tn_e4
+FROM fin
+"""
+
+
+# ---------------------------------------------------------------------------
+# negbin_fit — negative-binomial method-of-moments fit per type
+# ---------------------------------------------------------------------------
+# The standard overdispersed-count model: with per-user totals x_u
+# (zeros included via the distinct-user grid), MoM gives p = m/s^2,
+# r = m^2/(s^2 - m); the implied skewness (2 - p)/sqrt(r(1 - p)) is
+# compared against the observed third-moment skewness — a one-pass
+# lack-of-fit signal beyond poisson_dispersion.  Power sums exact
+# BIGINT; sample variance/skewness closed forms at the end.
+
+
+def q_negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    users = ev.select("user_id").distinct()
+    types = ev.select("event_type").distinct()
+    per = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    grid = (
+        types.crossJoin(users)
+        .join(per, ["event_type", "user_id"], "left")
+        .fillna(0, ["x"])
+    )
+    agg = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).alias("s3"),
+    )
+    nd = F.col("n").cast("double")
+    m = F.col("s1").cast("double") / nd
+    s2 = (
+        F.col("s2").cast("double") - nd * m * m
+    ) / (nd - 1.0)
+    m3 = (
+        F.col("s3").cast("double")
+        - 3.0 * m * F.col("s2").cast("double")
+        + 2.0 * nd * m * m * m
+    ) / nd
+    skew_obs = m3 / F.sqrt(
+        ((F.col("s2").cast("double") - nd * m * m) / nd)
+        * ((F.col("s2").cast("double") - nd * m * m) / nd)
+        * ((F.col("s2").cast("double") - nd * m * m) / nd)
+    )
+    p = m / s2
+    r = m * m / (s2 - m)
+    skew_imp = (2.0 - p) / F.sqrt(r * (1.0 - p))
+    return (
+        agg.filter(
+            (F.col("n") >= 3)
+            & (s2 > m)
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_users"),
+            F.floor(m * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "mean_e4"
+            ),
+            F.floor(s2 / m * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "dispersion_e4"
+            ),
+            F.floor(r * 10_000 + F.lit(_OFF)).cast("long").alias("r_e4"),
+            F.floor(p * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "p_e6"
+            ),
+            F.floor(skew_obs * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "skew_obs_e4"
+            ),
+            F.floor(skew_imp * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "skew_nb_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_NEGBIN = f"""
+WITH users AS (SELECT DISTINCT user_id FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+per AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT t.event_type, u.user_id, COALESCE(per.x, 0) AS x
+  FROM types t CROSS JOIN users u
+  LEFT JOIN per ON per.event_type = t.event_type
+              AND per.user_id = u.user_id
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS s1,
+         CAST(sum(x * x) AS BIGINT) AS s2,
+         CAST(sum(x * x * x) AS BIGINT) AS s3
+  FROM grid GROUP BY 1
+), mom AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / n AS m,
+         CAST(s2 AS DOUBLE) AS r2, CAST(s3 AS DOUBLE) AS r3,
+         CAST(n AS DOUBLE) AS nd
+  FROM agg
+), fit AS (
+  SELECT event_type, n, m,
+         (r2 - nd * m * m) / (nd - 1.0) AS s2v,
+         (r3 - 3.0 * m * r2 + 2.0 * nd * m * m * m) / nd AS m3,
+         (r2 - nd * m * m) / nd AS m2
+  FROM mom
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_users,
+       CAST(floor(m * 10000 + {_OFF}) AS BIGINT) AS mean_e4,
+       CAST(floor(s2v / m * 10000 + {_OFF}) AS BIGINT)
+         AS dispersion_e4,
+       CAST(floor(m * m / (s2v - m) * 10000 + {_OFF}) AS BIGINT)
+         AS r_e4,
+       CAST(floor(m / s2v * 1000000 + {_OFF}) AS BIGINT) AS p_e6,
+       CAST(floor(m3 / sqrt(m2 * m2 * m2) * 10000 + {_OFF}) AS BIGINT)
+         AS skew_obs_e4,
+       CAST(floor((2.0 - m / s2v)
+                  / sqrt((m * m / (s2v - m)) * (1.0 - m / s2v))
+                  * 10000 + {_OFF}) AS BIGINT) AS skew_nb_e4
+FROM fit
+WHERE n >= 3 AND s2v > m
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# kupiec_pof — VaR proportion-of-failures backtest per type
+# ---------------------------------------------------------------------------
+# Kupiec (J. Derivatives 1995): the likelihood-ratio test that the
+# (ln 0.95 / ln 0.05 enter BOTH engines as the same Python-computed
+# literals — the zero-libm discipline)
+# observed VaR breach rate matches the nominal p = 5%.  The VaR
+# threshold is the exact lower 5th percentile of FIRST-half daily
+# counts (domain-cumulative pick, day-midpoint split); breaches are
+# exact counts on the second half; LR closed form with the x = 0
+# limit handled by contract.
+
+
+_LN95 = _math.log(0.95)
+_LN05 = _math.log(0.05)
+
+
+def q_kupiec_pof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    wt = Window.partitionBy("event_type")
+    d = (
+        daily.withColumn("d0", F.min("day").over(wt))
+        .withColumn("d1", F.max("day").over(wt))
+        .withColumn(
+            "late",
+            (
+                2 * (F.col("day") - F.col("d0"))
+                > (F.col("d1") - F.col("d0"))
+            ).cast("long"),
+        )
+    )
+    early = d.filter(F.col("late") == 0)
+    dom = early.groupBy("event_type", "y").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtd = Window.partitionBy("event_type")
+    dom = dom.withColumn("cc", F.sum("c").over(wo)).withColumn(
+        "m", F.sum("c").over(wtd)
+    )
+    var_t = (
+        dom.filter(F.col("cc") * 20 >= F.col("m"))
+        .groupBy("event_type")
+        .agg(F.min("y").alias("var_y"))
+    )
+    late = d.filter(F.col("late") == 1).join(
+        F.broadcast(var_t), "event_type"
+    )
+    agg = late.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("var_y").alias("var_y"),
+        F.sum((F.col("y") < F.col("var_y")).cast("long")).alias("x"),
+    )
+    nd = F.col("n").cast("double")
+    xd = F.col("x").cast("double")
+    l1p = _LN95
+    lp = _LN05
+    lr = -2.0 * (
+        (nd - xd) * l1p
+        + xd * lp
+        - F.when(
+            F.col("x") < F.col("n"),
+            (nd - xd) * F.log(1.0 - xd / nd),
+        ).otherwise(F.lit(0.0))
+        - F.when(F.col("x") > 0, xd * F.log(xd / nd)).otherwise(
+            F.lit(0.0)
+        )
+    )
+    return (
+        agg.filter(F.col("n") >= 4)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.col("var_y").cast("long").alias("var_threshold"),
+            F.col("x").cast("long").alias("n_breaches"),
+            F.floor(lr * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "lr_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_KUPIEC = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type, day, y,
+         CASE WHEN 2 * (day - min(day) OVER (PARTITION BY event_type))
+                   > max(day) OVER (PARTITION BY event_type)
+                     - min(day) OVER (PARTITION BY event_type)
+              THEN 1 ELSE 0 END AS late
+  FROM daily
+), dom AS (
+  SELECT event_type, y, CAST(count(*) AS BIGINT) AS c
+  FROM d WHERE late = 0 GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, y,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY y)
+              AS BIGINT) AS cc,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS m
+  FROM dom
+), var_t AS (
+  SELECT event_type, min(y) AS var_y
+  FROM cum WHERE cc * 20 >= m GROUP BY 1
+), agg AS (
+  SELECT d.event_type, count(*) AS n, max(var_y) AS var_y,
+         CAST(sum(CASE WHEN y < var_y THEN 1 ELSE 0 END) AS BIGINT)
+           AS x
+  FROM d JOIN var_t ON var_t.event_type = d.event_type
+  WHERE late = 1
+  GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days, var_y AS var_threshold,
+       x AS n_breaches,
+       CAST(floor(-2.0 * (
+           (n - CAST(x AS DOUBLE)) * ({_LN95!r})
+           + CAST(x AS DOUBLE) * ({_LN05!r})
+           - CASE WHEN x < n THEN (n - CAST(x AS DOUBLE))
+                                  * ln(1.0 - CAST(x AS DOUBLE) / n)
+                  ELSE 0.0 END
+           - CASE WHEN x > 0 THEN CAST(x AS DOUBLE)
+                                  * ln(CAST(x AS DOUBLE) / n)
+                  ELSE 0.0 END)
+           * 10000 + {_OFF}) AS BIGINT) AS lr_e4
+FROM agg
+WHERE n >= 4
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jonckheere_terpstra": q_jonckheere_terpstra,
     "mood_median": q_mood_median,
@@ -5899,6 +6567,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "herdan_c": q_herdan_c,
     "mark_gap_corr": q_mark_gap_corr,
     "ecological_corr": q_ecological_corr,
+    "zipf_mandelbrot": q_zipf_mandelbrot,
+    "ad_ksample": q_ad_ksample,
+    "negbin_fit": q_negbin_fit,
+    "kupiec_pof": q_kupiec_pof,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5950,6 +6622,10 @@ ORACLE_SQL: dict[str, str] = {
     "herdan_c": SQL_HERDAN,
     "mark_gap_corr": SQL_MARK_GAP,
     "ecological_corr": SQL_ECOLOGICAL,
+    "zipf_mandelbrot": SQL_ZIPF_MANDELBROT,
+    "ad_ksample": SQL_AD_KSAMPLE,
+    "negbin_fit": SQL_NEGBIN,
+    "kupiec_pof": SQL_KUPIEC,
 }
 
 # the centroid CTE block is shared verbatim with the stats8 cluster
