@@ -6518,6 +6518,413 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# sprt_conversion — Wald SPRT trace on the daily purchase share
+# ---------------------------------------------------------------------------
+# Wald (1945): the sequential test of p0 = 0.04 vs p1 = 0.06 on the
+# purchase share, replayed over days — cumulative LLR_d = sum x ln
+# (p1/p0) + (n - x) ln((1-p1)/(1-p0)) against the +-ln 19 boundaries
+# (alpha = beta = 0.05).  Counts exact; both ln factors enter BOTH
+# engines as the same Python literals (zero-libm); the cumulative is
+# an exact scaled-integer window over the ~|days| domain.
+
+
+_SPRT_LR1 = _math.log(0.06 / 0.04)
+_SPRT_LR0 = _math.log(0.94 / 0.96)
+_SPRT_BOUND = _math.log(19.0)
+
+
+def q_sprt_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "x"
+        ),
+    )
+    # per-day LLR e9-floored to BIGINT so the cumulative is exact
+    llr9 = F.floor(
+        (
+            F.col("x").cast("double") * _SPRT_LR1
+            + (F.col("n") - F.col("x")).cast("double") * _SPRT_LR0
+        )
+        * 1e9
+        + F.lit(_OFF)
+    ).cast("long")
+    d = daily.withColumn("llr9", llr9)
+    wo = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    d = d.withColumn("cum9", F.sum("llr9").over(wo))
+    bound9 = int(_SPRT_BOUND * 1e9)
+    decision = (
+        F.when(F.col("cum9") >= bound9, F.lit(1))
+        .when(F.col("cum9") <= -bound9, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    return d.select(
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.col("x").cast("long").alias("x"),
+        F.floor(F.col("cum9").cast("double") / 1000.0 + F.lit(_OFF))
+        .cast("long")
+        .alias("cum_llr_e6"),
+        decision.cast("long").alias("decision"),
+    ).orderBy("day")
+
+
+SQL_SPRT = f"""
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM events GROUP BY 1
+), d AS (
+  SELECT day, n, x,
+         CAST(floor((CAST(x AS DOUBLE) * ({_SPRT_LR1!r})
+                     + CAST(n - x AS DOUBLE) * ({_SPRT_LR0!r}))
+                    * 1e9 + {_OFF}) AS BIGINT) AS llr9
+  FROM daily
+), c AS (
+  SELECT day, n, x,
+         CAST(sum(llr9) OVER (ORDER BY day) AS BIGINT) AS cum9
+  FROM d
+)
+SELECT day, n, x,
+       CAST(floor(CAST(cum9 AS DOUBLE) / 1000.0 + {_OFF}) AS BIGINT)
+         AS cum_llr_e6,
+       CAST(CASE WHEN cum9 >= {int(_SPRT_BOUND * 1e9)} THEN 1
+                 WHEN cum9 <= -{int(_SPRT_BOUND * 1e9)} THEN -1
+                 ELSE 0 END AS BIGINT) AS decision
+FROM c
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# good_turing_counts — Katz/Good-Turing adjusted counts per language
+# ---------------------------------------------------------------------------
+# Good (Biometrika 1953): r* = (r+1) N_{{r+1}} / N_r re-estimates the
+# probability mass of words seen r times (r <= 5, the Katz cutoff) —
+# the count-table companion to good_toulmin (which estimates unseen
+# MASS under corpus growth).  Pure exact-integer frequency-of-
+# frequencies table; doubles only in the final two ratios.
+
+
+def q_good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats2 import _documents
+
+    toks = _documents(spark, sf_dir).select(
+        "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    ).filter(F.length("w") > 0)
+    freq = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("m"))
+    nr = freq.groupBy("lang", "m").agg(F.count(F.lit(1)).alias("nr"))
+    tot = freq.groupBy("lang").agg(F.sum("m").alias("nn"))
+    nxt = nr.select(
+        "lang", (F.col("m") - 1).alias("m"), F.col("nr").alias("nr1")
+    )
+    j = (
+        nr.join(nxt, ["lang", "m"], "left")
+        .join(tot, "lang")
+        .filter((F.col("m") >= 1) & (F.col("m") <= 5))
+        .fillna(0, ["nr1"])
+    )
+    rstar = (F.col("m") + 1).cast("double") * F.col("nr1") / F.col("nr")
+    return j.select(
+        "lang",
+        F.col("m").cast("long").alias("r"),
+        F.col("nr").cast("long").alias("n_r"),
+        F.col("nr1").cast("long").alias("n_r1"),
+        F.floor(rstar * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "r_star_e6"
+        ),
+        F.floor(
+            rstar / F.col("nn").cast("double") * 1e9 + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("p_star_e9"),
+    ).orderBy("lang", "r")
+
+
+SQL_GOOD_TURING = f"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), freq AS (
+  SELECT lang, w, CAST(count(*) AS BIGINT) AS m
+  FROM toks WHERE len(w) > 0 GROUP BY 1, 2
+), nr AS (
+  SELECT lang, m, CAST(count(*) AS BIGINT) AS nr
+  FROM freq GROUP BY 1, 2
+), tot AS (
+  SELECT lang, CAST(sum(m) AS BIGINT) AS nn FROM freq GROUP BY 1
+), j AS (
+  SELECT a.lang, a.m, a.nr, COALESCE(b.nr, 0) AS nr1, tot.nn
+  FROM nr a
+  LEFT JOIN nr b ON b.lang = a.lang AND b.m = a.m + 1
+  JOIN tot ON tot.lang = a.lang
+  WHERE a.m BETWEEN 1 AND 5
+)
+SELECT lang, m AS r, nr AS n_r, nr1 AS n_r1,
+       CAST(floor(CAST(m + 1 AS DOUBLE) * nr1 / nr * 1000000 + {_OFF})
+            AS BIGINT) AS r_star_e6,
+       CAST(floor(CAST(m + 1 AS DOUBLE) * nr1 / nr / nn * 1e9 + {_OFF})
+            AS BIGINT) AS p_star_e9
+FROM j
+ORDER BY lang, r
+"""
+
+
+# ---------------------------------------------------------------------------
+# dunning_llr — log-likelihood-ratio keyness per source (top 5)
+# ---------------------------------------------------------------------------
+# Dunning (Comp. Ling. 1993): G^2 = 2 [a ln(a/E1) + b ln(b/E2)]
+# flags terms over-represented in one source vs the rest — the
+# significance-calibrated companion to log_odds_terms.  Counts exact;
+# expectations are rationals of exact integers; 0 ln 0 = 0 by the
+# standard convention; top-5 per source through WindowGroupLimit with
+# (G^2 desc, term asc) tie-break.
+
+
+def q_dunning_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats2 import _documents
+
+    toks = _documents(spark, sf_dir).select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    ).filter(F.length("w") > 0)
+    cnt = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("a"))
+    wterm = Window.partitionBy("w")
+    wall = Window.partitionBy()
+    wsrc = Window.partitionBy("source")
+    d = (
+        cnt.withColumn("tw", F.sum("a").over(wterm))
+        .withColumn("n1", F.sum("a").over(wsrc))
+        .withColumn("nn", F.sum("a").over(wall))
+        .withColumn("b", F.col("tw") - F.col("a"))
+        .withColumn("n2", F.col("nn") - F.col("n1"))
+    )
+    e1 = F.col("tw").cast("double") * F.col("n1") / F.col("nn")
+    e2 = F.col("tw").cast("double") * F.col("n2") / F.col("nn")
+    g2 = 2.0 * (
+        F.when(
+            F.col("a") > 0,
+            F.col("a").cast("double")
+            * F.log(F.col("a").cast("double") / e1),
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("b") > 0,
+            F.col("b").cast("double")
+            * F.log(F.col("b").cast("double") / e2),
+        ).otherwise(F.lit(0.0))
+    )
+    scored = d.withColumn(
+        "g2_e4", F.floor(g2 * 10_000 + F.lit(_OFF)).cast("long")
+    ).filter(F.col("a").cast("double") > e1)
+    wr = Window.partitionBy("source").orderBy(
+        F.col("g2_e4").desc(), F.col("w").asc()
+    )
+    top = scored.withColumn("rk", F.row_number().over(wr)).filter(
+        F.col("rk") <= 5
+    )
+    return top.select(
+        "source",
+        F.col("rk").cast("long").alias("rank"),
+        F.col("w").alias("term"),
+        F.col("a").cast("long").alias("count_in"),
+        F.col("b").cast("long").alias("count_out"),
+        "g2_e4",
+    ).orderBy("source", "rank")
+
+
+SQL_DUNNING = f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), cnt AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS a
+  FROM toks WHERE len(w) > 0 GROUP BY 1, 2
+), d AS (
+  SELECT source, w, a,
+         CAST(sum(a) OVER (PARTITION BY w) AS BIGINT) AS tw,
+         CAST(sum(a) OVER (PARTITION BY source) AS BIGINT) AS n1,
+         CAST(sum(a) OVER () AS BIGINT) AS nn
+  FROM cnt
+), g AS (
+  SELECT source, w, a, tw - a AS b, tw, n1, nn - n1 AS n2, nn,
+         2.0 * (
+           CASE WHEN a > 0 THEN CAST(a AS DOUBLE)
+                * ln(CAST(a AS DOUBLE)
+                     / (CAST(tw AS DOUBLE) * n1 / nn)) ELSE 0.0 END
+           + CASE WHEN tw - a > 0 THEN CAST(tw - a AS DOUBLE)
+                  * ln(CAST(tw - a AS DOUBLE)
+                       / (CAST(tw AS DOUBLE) * (nn - n1) / nn))
+                  ELSE 0.0 END) AS g2
+  FROM d
+), scored AS (
+  SELECT source, w, a, b,
+         CAST(floor(g2 * 10000 + {_OFF}) AS BIGINT) AS g2_e4,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(floor(g2 * 10000 + {_OFF}) AS BIGINT) DESC,
+                    w ASC) AS rk
+  FROM g
+  WHERE CAST(a AS DOUBLE) > CAST(tw AS DOUBLE) * n1 / nn
+)
+SELECT source, CAST(rk AS BIGINT) AS rank, w AS term,
+       a AS count_in, b AS count_out, g2_e4
+FROM scored
+WHERE rk <= 5
+ORDER BY source, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# tukey_additivity — one-degree-of-freedom non-additivity test
+# ---------------------------------------------------------------------------
+# Tukey (Biometrics 1949): in the unreplicated DOW x hour count grid,
+# SS_nonadd = [sum r_i c_j y_ij]^2 / (sum r_i^2 sum c_j^2) with 1 df
+# against the interaction residual — the parametric complement to
+# median_polish on the same two-way table.  Row/column effects ride
+# the common x168 integer scale (R_i = 7 S_row - S, C_j = 24 S_col -
+# S) so EVERY sum is exact BIGINT and the scale factors cancel in
+# both SS ratios.
+
+
+def q_tukey_additivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+            % 7
+        )
+        .cast("long")
+        .alias("dow"),
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+            )
+            % 24
+        )
+        .cast("long")
+        .alias("hour"),
+    )
+    cnt = ev.groupBy("dow", "hour").agg(F.count(F.lit(1)).alias("c"))
+    grid = (
+        spark.range(7)
+        .select(F.col("id").alias("dow"))
+        .crossJoin(spark.range(24).select(F.col("id").alias("hour")))
+        .join(cnt, ["dow", "hour"], "left")
+        .select(
+            "dow", "hour", F.coalesce(F.col("c"), F.lit(0)).alias("y")
+        )
+    )
+    wr = Window.partitionBy("dow")
+    wc = Window.partitionBy("hour")
+    wall = Window.partitionBy()
+    g = (
+        grid.withColumn("srow", F.sum("y").over(wr))
+        .withColumn("scol", F.sum("y").over(wc))
+        .withColumn("s", F.sum("y").over(wall))
+        .withColumn("rr", 7 * F.col("srow") - F.col("s"))
+        .withColumn("cc", 24 * F.col("scol") - F.col("s"))
+    )
+    agg = g.agg(
+        F.sum(F.col("rr") * F.col("cc") * F.col("y")).alias("num"),
+        F.sum(
+            F.when(F.col("hour") == 0, F.col("rr") * F.col("rr"))
+        ).alias("sr2"),
+        F.sum(
+            F.when(F.col("dow") == 0, F.col("cc") * F.col("cc"))
+        ).alias("sc2"),
+        F.sum(
+            (
+                168 * F.col("y")
+                - F.col("s")
+                - F.col("rr")
+                - F.col("cc")
+            )
+            * (
+                168 * F.col("y")
+                - F.col("s")
+                - F.col("rr")
+                - F.col("cc")
+            )
+        ).alias("sres2"),
+    )
+    ss_nonadd = (
+        F.col("num").cast("double") * F.col("num").cast("double")
+    ) / (F.col("sr2").cast("double") * F.col("sc2").cast("double"))
+    ss_resid = F.col("sres2").cast("double") / (168.0 * 168.0)
+    df = (7 - 1) * (24 - 1) - 1
+    fstat = ss_nonadd / ((ss_resid - ss_nonadd) / float(df))
+    return agg.select(
+        F.lit(168).cast("long").alias("n_cells"),
+        F.floor(ss_nonadd * 100 + F.lit(_OFF)).cast("long").alias(
+            "ss_nonadd_e2"
+        ),
+        F.floor(ss_resid * 100 + F.lit(_OFF)).cast("long").alias(
+            "ss_resid_e2"
+        ),
+        F.floor(fstat * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "f_e4"
+        ),
+    )
+
+
+SQL_TUKEY_ADD = f"""
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS dow,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hour
+  FROM events
+), cnt AS (
+  SELECT dow, hour, CAST(count(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2
+), grid AS (
+  SELECT d.dow, h.hour, COALESCE(c, 0) AS y
+  FROM (SELECT unnest(generate_series(0, 6)) AS dow) d
+  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS hour) h
+  LEFT JOIN cnt ON cnt.dow = d.dow AND cnt.hour = h.hour
+), g AS (
+  SELECT dow, hour, y,
+         7 * CAST(sum(y) OVER (PARTITION BY dow) AS BIGINT)
+           - CAST(sum(y) OVER () AS BIGINT) AS rr,
+         24 * CAST(sum(y) OVER (PARTITION BY hour) AS BIGINT)
+           - CAST(sum(y) OVER () AS BIGINT) AS cc,
+         CAST(sum(y) OVER () AS BIGINT) AS s
+  FROM grid
+), agg AS (
+  SELECT CAST(sum(rr * cc * y) AS BIGINT) AS num,
+         CAST(sum(CASE WHEN hour = 0 THEN rr * rr END) AS BIGINT)
+           AS sr2,
+         CAST(sum(CASE WHEN dow = 0 THEN cc * cc END) AS BIGINT)
+           AS sc2,
+         CAST(sum((168 * y - s - rr - cc) * (168 * y - s - rr - cc))
+              AS BIGINT) AS sres2
+  FROM g
+)
+SELECT CAST(168 AS BIGINT) AS n_cells,
+       CAST(floor(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+                  / (CAST(sr2 AS DOUBLE) * CAST(sc2 AS DOUBLE))
+                  * 100 + {_OFF}) AS BIGINT) AS ss_nonadd_e2,
+       CAST(floor(CAST(sres2 AS DOUBLE) / (168.0 * 168.0) * 100
+                  + {_OFF}) AS BIGINT) AS ss_resid_e2,
+       CAST(floor((CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+                   / (CAST(sr2 AS DOUBLE) * CAST(sc2 AS DOUBLE)))
+                  / ((CAST(sres2 AS DOUBLE) / (168.0 * 168.0)
+                      - CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+                        / (CAST(sr2 AS DOUBLE) * CAST(sc2 AS DOUBLE)))
+                     / {(7 - 1) * (24 - 1) - 1}.0)
+                  * 10000 + {_OFF}) AS BIGINT) AS f_e4
+FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jonckheere_terpstra": q_jonckheere_terpstra,
     "mood_median": q_mood_median,
@@ -6571,6 +6978,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ad_ksample": q_ad_ksample,
     "negbin_fit": q_negbin_fit,
     "kupiec_pof": q_kupiec_pof,
+    "sprt_conversion": q_sprt_conversion,
+    "good_turing_counts": q_good_turing_counts,
+    "dunning_llr": q_dunning_llr,
+    "tukey_additivity": q_tukey_additivity,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -6626,6 +7037,10 @@ ORACLE_SQL: dict[str, str] = {
     "ad_ksample": SQL_AD_KSAMPLE,
     "negbin_fit": SQL_NEGBIN,
     "kupiec_pof": SQL_KUPIEC,
+    "sprt_conversion": SQL_SPRT,
+    "good_turing_counts": SQL_GOOD_TURING,
+    "dunning_llr": SQL_DUNNING,
+    "tukey_additivity": SQL_TUKEY_ADD,
 }
 
 # the centroid CTE block is shared verbatim with the stats8 cluster
