@@ -6925,6 +6925,467 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# gries_dp — Gries' deviation-of-proportions dispersion, top-10 terms
+# ---------------------------------------------------------------------------
+# Gries (IJCL 2008): DP = 0.5 sum_i |v_i - s_i| measures how evenly a
+# term spreads over corpus parts (sources), weighting parts by size —
+# the modern complement to juilland_d.  With the common denominator
+# t_w N the deviation sum is the exact BIGINT sum |a_wi N - n_i t_w|;
+# the top-10 term grid (term x all sources, zeros included) comes
+# from a broadcast cross join.
+
+
+def q_gries_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats2 import _documents
+
+    toks = _documents(spark, sf_dir).select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    ).filter(F.length("w") > 0)
+    cnt = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("a"))
+    tw = cnt.groupBy("w").agg(F.sum("a").alias("tw"))
+    wr = Window.orderBy(F.col("tw").desc(), F.col("w").asc())
+    top = tw.withColumn("rk", F.row_number().over(wr)).filter(
+        F.col("rk") <= 10
+    )
+    parts = cnt.groupBy("source").agg(F.sum("a").alias("np"))
+    wall = Window.partitionBy()
+    parts = parts.withColumn("nn", F.sum("np").over(wall))
+    grid = (
+        F.broadcast(top)
+        .crossJoin(F.broadcast(parts))
+        .join(cnt, ["source", "w"], "left")
+        .fillna(0, ["a"])
+    )
+    dev = F.abs(
+        F.col("a") * F.col("nn") - F.col("np") * F.col("tw")
+    )
+    agg = grid.groupBy("w", "rk", "tw", "nn").agg(
+        F.sum(dev).alias("num")
+    )
+    dp = F.col("num").cast("double") / (
+        2.0 * F.col("tw").cast("double") * F.col("nn")
+    )
+    return agg.select(
+        F.col("rk").cast("long").alias("rank"),
+        F.col("w").alias("term"),
+        F.col("tw").cast("long").alias("total_count"),
+        F.floor(dp * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "dp_e6"
+        ),
+    ).orderBy("rank")
+
+
+SQL_GRIES_DP = f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), cnt AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS a
+  FROM toks WHERE len(w) > 0 GROUP BY 1, 2
+), tw AS (
+  SELECT w, CAST(sum(a) AS BIGINT) AS tw FROM cnt GROUP BY 1
+), top AS (
+  SELECT w, tw,
+         row_number() OVER (ORDER BY tw DESC, w ASC) AS rk
+  FROM tw QUALIFY rk <= 10
+), parts AS (
+  SELECT source, CAST(sum(a) AS BIGINT) AS np,
+         CAST(sum(sum(a)) OVER () AS BIGINT) AS nn
+  FROM cnt GROUP BY 1
+), grid AS (
+  SELECT top.w, top.rk, top.tw, parts.source, parts.np, parts.nn,
+         COALESCE(cnt.a, 0) AS a
+  FROM top CROSS JOIN parts
+  LEFT JOIN cnt ON cnt.w = top.w AND cnt.source = parts.source
+), agg AS (
+  SELECT w, rk, tw, nn,
+         CAST(sum(abs(a * nn - np * tw)) AS BIGINT) AS num
+  FROM grid GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(rk AS BIGINT) AS rank, w AS term, tw AS total_count,
+       CAST(floor(CAST(num AS DOUBLE)
+                  / (2.0 * CAST(tw AS DOUBLE) * nn)
+                  * 1000000 + {_OFF}) AS BIGINT) AS dp_e6
+FROM agg
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# fisher_score_dims — Fisher discriminant ratio per embedding dim
+# ---------------------------------------------------------------------------
+# The classic filter feature selector (Duda & Hart): F_d = sum_l n_l
+# (mu_ld - mu_d)^2 / sum_l n_l sigma_ld^2 — which embedding
+# dimensions separate the labels?  Between terms are exact-integer
+# squares in double (bounded < 2^53, documented) floored per (label,
+# dim); within terms are exact BIGINT rationals floored per cell; the
+# <= |labels| folds per dim are exact integer sums.  Top-10 dims.
+
+
+def q_fisher_score_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", "embedding"
+    )
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("d", "x")
+    ).select(
+        "label",
+        "d",
+        F.floor(F.col("x").cast("double") * 1e6 + F.lit(_OFF))
+        .cast("long")
+        .alias("x6"),
+    )
+    mom = comp.groupBy("label", "d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x6").alias("s6"),
+        F.sum(F.col("x6") * F.col("x6")).alias("q6"),
+    )
+    wd = Window.partitionBy("d")
+    mom = mom.withColumn("ss", F.sum("s6").over(wd)).withColumn(
+        "nn", F.sum("n").over(wd)
+    )
+    between = F.floor(
+        (
+            (
+                F.col("s6").cast("double") * F.col("nn")
+                - F.col("ss").cast("double") * F.col("n")
+            )
+            * (
+                F.col("s6").cast("double") * F.col("nn")
+                - F.col("ss").cast("double") * F.col("n")
+            )
+        )
+        / (
+            F.col("n").cast("double")
+            * F.col("nn").cast("double")
+            * F.col("nn")
+        )
+        + F.lit(_OFF)
+    ).cast("long")
+    within = F.floor(
+        (
+            F.col("n").cast("double") * F.col("q6")
+            - F.col("s6").cast("double") * F.col("s6")
+        )
+        / F.col("n")
+        + F.lit(_OFF)
+    ).cast("long")
+    agg = mom.groupBy("d").agg(
+        F.sum(between).alias("sb"), F.sum(within).alias("sw")
+    )
+    fd = F.col("sb").cast("double") / F.col("sw")
+    scored = agg.filter(F.col("sw") > 0).select(
+        "d", fd.alias("f")
+    )
+    wr = Window.orderBy(F.col("f").desc(), F.col("d").asc())
+    top = scored.withColumn("rk", F.row_number().over(wr)).filter(
+        F.col("rk") <= 10
+    )
+    return top.select(
+        F.col("rk").cast("long").alias("rank"),
+        # posexplode is 0-indexed; the oracle's generate_series is
+        # 1-indexed — emit 1-indexed dims
+        (F.col("d") + 1).cast("long").alias("dim"),
+        F.floor(F.col("f") * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("fisher_e6"),
+    ).orderBy("rank")
+
+
+SQL_FISHER_DIMS = f"""
+WITH comp0 AS (
+  SELECT label,
+         unnest(list_transform(generate_series(1, len(embedding)),
+           i -> struct_pack(d := i,
+                x6 := CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6
+                                 + {_OFF}) AS BIGINT)))) AS u
+  FROM embeddings
+), comp AS (
+  SELECT label, u.d AS d, u.x6 AS x6 FROM comp0
+), mom AS (
+  SELECT label, d, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x6) AS BIGINT) AS s6,
+         CAST(sum(x6 * x6) AS BIGINT) AS q6
+  FROM comp GROUP BY 1, 2
+), wide AS (
+  SELECT label, d, n, s6, q6,
+         CAST(sum(s6) OVER (PARTITION BY d) AS BIGINT) AS ss,
+         CAST(sum(n) OVER (PARTITION BY d) AS BIGINT) AS nn
+  FROM mom
+), terms AS (
+  SELECT d,
+         CAST(floor((CAST(s6 AS DOUBLE) * nn - CAST(ss AS DOUBLE) * n)
+                    * (CAST(s6 AS DOUBLE) * nn
+                       - CAST(ss AS DOUBLE) * n)
+                    / (CAST(n AS DOUBLE) * CAST(nn AS DOUBLE) * nn)
+                    + {_OFF}) AS BIGINT) AS between_t,
+         CAST(floor((CAST(n AS DOUBLE) * q6
+                     - CAST(s6 AS DOUBLE) * s6) / n + {_OFF})
+              AS BIGINT) AS within_t
+  FROM wide
+), agg AS (
+  SELECT d, CAST(sum(between_t) AS BIGINT) AS sb,
+         CAST(sum(within_t) AS BIGINT) AS sw
+  FROM terms GROUP BY 1
+), scored AS (
+  SELECT d, CAST(sb AS DOUBLE) / sw AS f
+  FROM agg WHERE sw > 0
+), top AS (
+  SELECT d, f, row_number() OVER (ORDER BY f DESC, d ASC) AS rk
+  FROM scored QUALIFY rk <= 10
+)
+SELECT CAST(rk AS BIGINT) AS rank, CAST(d AS BIGINT) AS dim,
+       CAST(floor(f * 1000000 + {_OFF}) AS BIGINT) AS fisher_e6
+FROM top
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# dow_profile_cosine — user weekly-rhythm alignment census
+# ---------------------------------------------------------------------------
+# Each user's 7-bin day-of-week activity profile against the global
+# profile: cosine similarity per user (exact BIGINT dot product and
+# norms, e6-floored), then an exact census — mean and the lower
+# 10/50/90th percentiles picked off the cosine value domain.
+
+
+def q_dow_profile_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+            % 7
+        )
+        .cast("long")
+        .alias("dow"),
+    )
+    per = ev.groupBy("user_id", "dow").agg(
+        F.count(F.lit(1)).alias("u")
+    )
+    glob = ev.groupBy("dow").agg(F.count(F.lit(1)).alias("g"))
+    j = per.join(F.broadcast(glob), "dow")
+    dots = j.groupBy("user_id").agg(
+        F.sum(F.col("u") * F.col("g")).alias("dot"),
+        F.sum(F.col("u") * F.col("u")).alias("uu"),
+    )
+    gg = glob.agg(F.sum(F.col("g") * F.col("g")).alias("gg"))
+    cos6 = dots.crossJoin(F.broadcast(gg)).select(
+        "user_id",
+        F.floor(
+            F.col("dot").cast("double")
+            / F.sqrt(
+                F.col("uu").cast("double") * F.col("gg").cast("double")
+            )
+            * 1e6
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("c6"),
+    )
+    dom = cos6.groupBy("c6").agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.orderBy("c6").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    dom = dom.withColumn("cc", F.sum("c").over(wo)).withColumn(
+        "k", F.sum("c").over(wall)
+    ).withColumn("sv", F.sum(F.col("c6") * F.col("c")).over(wall))
+
+    def pick(q_num, q_den):
+        return F.min(
+            F.when(
+                F.col("cc") * q_den >= F.col("k") * q_num, F.col("c6")
+            )
+        )
+
+    agg = dom.agg(
+        F.max("k").alias("n_users"),
+        F.max("sv").alias("sv"),
+        pick(1, 10).alias("p10_e6"),
+        pick(1, 2).alias("p50_e6"),
+        pick(9, 10).alias("p90_e6"),
+    )
+    return agg.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.floor(
+            F.col("sv").cast("double") / F.col("n_users") + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("mean_e6"),
+        F.col("p10_e6").cast("long").alias("p10_e6"),
+        F.col("p50_e6").cast("long").alias("p50_e6"),
+        F.col("p90_e6").cast("long").alias("p90_e6"),
+    )
+
+
+SQL_DOW_COSINE = f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS dow
+  FROM events
+), per AS (
+  SELECT user_id, dow, CAST(count(*) AS BIGINT) AS u
+  FROM ev GROUP BY 1, 2
+), gprof AS (
+  SELECT dow, CAST(count(*) AS BIGINT) AS g FROM ev GROUP BY 1
+), dots AS (
+  SELECT user_id,
+         CAST(sum(u * g) AS BIGINT) AS dot,
+         CAST(sum(u * u) AS BIGINT) AS uu
+  FROM per JOIN gprof ON gprof.dow = per.dow
+  GROUP BY 1
+), gg AS (
+  SELECT CAST(sum(g * g) AS BIGINT) AS gg FROM gprof
+), cos6 AS (
+  SELECT user_id,
+         CAST(floor(CAST(dot AS DOUBLE)
+                    / sqrt(CAST(uu AS DOUBLE) * CAST(gg AS DOUBLE))
+                    * 1e6 + {_OFF}) AS BIGINT) AS c6
+  FROM dots CROSS JOIN gg
+), dom AS (
+  SELECT c6, CAST(count(*) AS BIGINT) AS c FROM cos6 GROUP BY 1
+), cum AS (
+  SELECT c6, c,
+         CAST(sum(c) OVER (ORDER BY c6) AS BIGINT) AS cc,
+         CAST(sum(c) OVER () AS BIGINT) AS k,
+         CAST(sum(c6 * c) OVER () AS BIGINT) AS sv
+  FROM dom
+), agg AS (
+  SELECT max(k) AS n_users, max(sv) AS sv,
+         min(CASE WHEN cc * 10 >= k THEN c6 END) AS p10_e6,
+         min(CASE WHEN cc * 2 >= k THEN c6 END) AS p50_e6,
+         min(CASE WHEN cc * 10 >= k * 9 THEN c6 END) AS p90_e6
+  FROM cum
+)
+SELECT n_users,
+       CAST(floor(CAST(sv AS DOUBLE) / n_users + {_OFF}) AS BIGINT)
+         AS mean_e6,
+       p10_e6, p50_e6, p90_e6
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# peak_shift — weekday-vs-weekend diel peak displacement per type
+# ---------------------------------------------------------------------------
+# The circular mean hour (first-harmonic vector via the shared e6
+# integer trig tables) computed separately for weekday and weekend
+# events; the displacement is the wrapped angular difference mapped
+# to minutes.  All vector sums are exact BIGINT; atan2 and the
+# floor-based wrap are the only late doubles (identical expressions
+# in both engines).
+
+
+def q_peak_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hr = (
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+        )
+        % 24
+    ).cast("int")
+    we = (
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                / 86_400_000_000
+            )
+            % 7
+        ).isin(2, 3)
+    ).cast("long")
+    d = ev.select(
+        "event_type",
+        we.alias("we"),
+        F.element_at(F.array(*[F.lit(v) for v in _COS6]), hr + 1)
+        .cast("long")
+        .alias("c"),
+        F.element_at(F.array(*[F.lit(v) for v in _SIN6]), hr + 1)
+        .cast("long")
+        .alias("s"),
+    )
+    agg = d.groupBy("event_type").agg(
+        F.sum(F.when(F.col("we") == 0, F.col("c")).otherwise(0)).alias(
+            "c0"
+        ),
+        F.sum(F.when(F.col("we") == 0, F.col("s")).otherwise(0)).alias(
+            "s0"
+        ),
+        F.sum(F.when(F.col("we") == 1, F.col("c")).otherwise(0)).alias(
+            "c1"
+        ),
+        F.sum(F.when(F.col("we") == 1, F.col("s")).otherwise(0)).alias(
+            "s1"
+        ),
+        F.sum((F.col("we") == 0).cast("long")).alias("n0"),
+        F.sum((F.col("we") == 1).cast("long")).alias("n1"),
+    )
+    a0 = F.atan2(F.col("s0").cast("double"), F.col("c0").cast("double"))
+    a1 = F.atan2(F.col("s1").cast("double"), F.col("c1").cast("double"))
+    two_pi = 2.0 * _math.pi
+    dd = a1 - a0
+    wrapped = dd - two_pi * F.floor((dd + _math.pi) / two_pi)
+    return (
+        agg.filter((F.col("n0") > 0) & (F.col("n1") > 0))
+        .select(
+            "event_type",
+            F.col("n0").cast("long").alias("n_weekday"),
+            F.col("n1").cast("long").alias("n_weekend"),
+            F.floor(a0 * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "angle_weekday_e4"
+            ),
+            F.floor(a1 * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "angle_weekend_e4"
+            ),
+            F.floor(wrapped / two_pi * 1440.0 + F.lit(_OFF))
+            .cast("long")
+            .alias("shift_minutes"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_PEAK_SHIFT = f"""
+WITH d AS (
+  SELECT event_type,
+         CASE WHEN (CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7)
+                   IN (2, 3) THEN 1 ELSE 0 END AS we,
+         CAST({_COS6_SQL}[
+           CAST(CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24
+                AS INTEGER) + 1] AS BIGINT) AS c,
+         CAST({_SIN6_SQL}[
+           CAST(CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24
+                AS INTEGER) + 1] AS BIGINT) AS s
+  FROM events
+), agg AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN we = 0 THEN c ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN we = 0 THEN s ELSE 0 END) AS BIGINT) AS s0,
+         CAST(sum(CASE WHEN we = 1 THEN c ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN we = 1 THEN s ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN we = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM d GROUP BY 1
+), ang AS (
+  SELECT event_type, n0, n1,
+         atan2(CAST(s0 AS DOUBLE), CAST(c0 AS DOUBLE)) AS a0,
+         atan2(CAST(s1 AS DOUBLE), CAST(c1 AS DOUBLE)) AS a1
+  FROM agg
+)
+SELECT event_type, n0 AS n_weekday, n1 AS n_weekend,
+       CAST(floor(a0 * 10000 + {_OFF}) AS BIGINT) AS angle_weekday_e4,
+       CAST(floor(a1 * 10000 + {_OFF}) AS BIGINT) AS angle_weekend_e4,
+       CAST(floor((a1 - a0 - 2 * pi()
+                   * floor((a1 - a0 + pi()) / (2 * pi())))
+                  / (2 * pi()) * 1440.0 + {_OFF}) AS BIGINT)
+         AS shift_minutes
+FROM ang
+WHERE n0 > 0 AND n1 > 0
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jonckheere_terpstra": q_jonckheere_terpstra,
     "mood_median": q_mood_median,
@@ -6982,6 +7443,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "good_turing_counts": q_good_turing_counts,
     "dunning_llr": q_dunning_llr,
     "tukey_additivity": q_tukey_additivity,
+    "gries_dp": q_gries_dp,
+    "fisher_score_dims": q_fisher_score_dims,
+    "dow_profile_cosine": q_dow_profile_cosine,
+    "peak_shift": q_peak_shift,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -7041,6 +7506,10 @@ ORACLE_SQL: dict[str, str] = {
     "good_turing_counts": SQL_GOOD_TURING,
     "dunning_llr": SQL_DUNNING,
     "tukey_additivity": SQL_TUKEY_ADD,
+    "gries_dp": SQL_GRIES_DP,
+    "fisher_score_dims": SQL_FISHER_DIMS,
+    "dow_profile_cosine": SQL_DOW_COSINE,
+    "peak_shift": SQL_PEAK_SHIFT,
 }
 
 # the centroid CTE block is shared verbatim with the stats8 cluster
