@@ -7386,6 +7386,565 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# rmst — restricted mean survival time at tau = 14 days
+# ---------------------------------------------------------------------------
+# Royston & Parmar (Stat. Med. 2013) popularized RMST = integral of
+# the KM curve to tau as the robust effect summary.  Subjects,
+# lifetimes and internal censoring are EXACTLY survival_km's
+# ((user, type) lifetimes, churn = last use >= 7 days before the
+# user's horizon); the integral folds prev-S x interval over the
+# distinct-lifetime domain plus the flat tail to tau.  The ordered
+# prefix of ln terms is deterministic (fixed window order), as in
+# survival_km.
+
+
+_RMST_TAU = 14
+
+
+def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000)
+        .cast("long")
+        .alias("day"),
+    )
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    horizon = ut.groupBy("user_id").agg(F.max("d1").alias("ud1"))
+    u = ut.join(horizon, "user_id").select(
+        (F.col("d1") - F.col("d0")).alias("life"),
+        (F.col("d1") <= F.col("ud1") - 7).cast("long").alias("observed"),
+    )
+    per_t = u.groupBy("life").agg(
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum("observed").alias("d"),
+    )
+    w_risk = Window.orderBy("life").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("life").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_lag = Window.orderBy("life")
+    km = (
+        per_t.withColumn("n_risk", F.sum("n_at").over(w_risk))
+        .withColumn(
+            "lnterm",
+            F.log(
+                F.lit(1.0)
+                - F.col("d").cast("double")
+                / F.col("n_risk").cast("double")
+            ),
+        )
+        .withColumn("s", F.exp(F.sum("lnterm").over(w_cum)))
+        .withColumn("prev_t", F.coalesce(F.lag("life").over(w_lag) + 1, F.lit(0)))
+        .withColumn("prev_s", F.coalesce(F.lag("s").over(w_lag), F.lit(1.0)))
+    )
+    # interval [prev_t, min(life+1, tau)) carries prev_s; the +1 shifts
+    # because S drops AFTER the step day completes (right-continuous KM
+    # on integer days); the tail beyond the last step carries s_last
+    tau = float(_RMST_TAU)
+    contrib = F.when(
+        F.col("prev_t") < tau,
+        F.col("prev_s")
+        * (
+            F.least(
+                (F.col("life") + 1).cast("double"), F.lit(tau)
+            )
+            - F.col("prev_t")
+        ),
+    ).otherwise(F.lit(0.0))
+    km = km.withColumn(
+        "mx", F.max("life").over(Window.partitionBy())
+    )
+    body = km.agg(
+        F.sum(contrib).alias("body"),
+        F.max(F.col("life") + 1).alias("t_last"),
+        F.min(
+            F.when(F.col("life") == F.col("mx"), F.col("s"))
+        ).alias("s_last"),
+        F.sum("n_at").alias("n_subjects"),
+        F.sum("d").alias("n_events"),
+    )
+    tail = F.when(
+        F.col("t_last") < tau,
+        F.col("s_last") * (tau - F.col("t_last")),
+    ).otherwise(F.lit(0.0))
+    return body.select(
+        F.lit(_RMST_TAU).cast("long").alias("tau_days"),
+        F.col("n_subjects").cast("long").alias("n_subjects"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.floor((F.col("body") + tail) * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("rmst_e4"),
+    )
+
+
+SQL_RMST = f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+), ut AS (
+  SELECT user_id, event_type, min(day) AS d0, max(day) AS d1
+  FROM ev GROUP BY 1, 2
+), horizon AS (
+  SELECT user_id, max(d1) AS ud1 FROM ut GROUP BY 1
+), u AS (
+  SELECT ut.d1 - ut.d0 AS life,
+         CASE WHEN ut.d1 <= horizon.ud1 - 7 THEN 1 ELSE 0 END
+           AS observed
+  FROM ut JOIN horizon USING (user_id)
+), per_t AS (
+  SELECT life, count(*) AS n_at, CAST(sum(observed) AS BIGINT) AS d
+  FROM u GROUP BY 1
+), km AS (
+  SELECT life, n_at, d,
+         CAST(sum(n_at) OVER (ORDER BY life
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS BIGINT) AS n_risk
+  FROM per_t
+), km2 AS (
+  SELECT life, n_at, d,
+         exp(sum(ln(1.0 - CAST(d AS DOUBLE) / n_risk))
+             OVER (ORDER BY life
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS s
+  FROM km
+), km3 AS (
+  SELECT life, n_at, d, s,
+         COALESCE(lag(life) OVER (ORDER BY life) + 1, 0) AS prev_t,
+         COALESCE(lag(s) OVER (ORDER BY life), 1.0) AS prev_s
+  FROM km2
+), body AS (
+  SELECT sum(CASE WHEN prev_t < {_RMST_TAU}.0 THEN
+               prev_s * (least(CAST(life + 1 AS DOUBLE),
+                               {_RMST_TAU}.0) - prev_t)
+             ELSE 0.0 END) AS body,
+         max(life + 1) AS t_last,
+         CAST(sum(n_at) AS BIGINT) AS n_subjects,
+         CAST(sum(d) AS BIGINT) AS n_events
+  FROM km3
+), slast AS (
+  SELECT s AS s_last FROM km2
+  QUALIFY row_number() OVER (ORDER BY life DESC) = 1
+)
+SELECT CAST({_RMST_TAU} AS BIGINT) AS tau_days, n_subjects, n_events,
+       CAST(floor((body + CASE WHEN t_last < {_RMST_TAU}.0
+                               THEN s_last * ({_RMST_TAU}.0 - t_last)
+                               ELSE 0.0 END) * 10000 + {_OFF})
+            AS BIGINT) AS rmst_e4
+FROM body CROSS JOIN slast
+"""
+
+
+# ---------------------------------------------------------------------------
+# yuen_t — Yuen's 20%-trimmed two-sample t, weekday vs weekend
+# ---------------------------------------------------------------------------
+# Yuen (Biometrika 1974): trimmed means with winsorized variances fix
+# the t-test under heavy tails.  Both samples' trimmed/winsorized
+# moments are EXACT: g = floor(0.2 n), the middle-slab sum comes from
+# per-block overlap counts on the value domain, and the boundary
+# order statistics are domain-cumulative picks; so numerator and both
+# variance pieces are exact integers until the final ratio.  Welch-
+# style df per Yuen's formula.
+
+
+def q_yuen_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (
+            (
+                F.floor(
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    / 86_400_000_000
+                )
+                % 7
+            ).isin(2, 3)
+        )
+        .cast("long")
+        .alias("we"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    dom = ev.groupBy("event_type", "we", "v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wo = (
+        Window.partitionBy("event_type", "we")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type", "we")
+    d = (
+        dom.withColumn("hi", F.sum("c").over(wo))
+        .withColumn("n", F.sum("c").over(wt))
+        .withColumn("lo", F.col("hi") - F.col("c"))
+        .withColumn("g", F.floor(F.col("n") / 5).cast("long"))
+    )
+    ov = F.greatest(
+        F.lit(0),
+        F.least(F.col("hi"), F.col("n") - F.col("g"))
+        - F.greatest(F.col("lo"), F.col("g")),
+    )
+    agg = d.groupBy("event_type", "we").agg(
+        F.max("n").alias("n"),
+        F.max("g").alias("g"),
+        F.sum(ov * F.col("v")).alias("smid"),
+        F.sum(ov * F.col("v") * F.col("v")).alias("qmid"),
+        F.min(
+            F.when(F.col("hi") >= F.col("g") + 1, F.col("v"))
+        ).alias("xlo"),
+        F.min(
+            F.when(F.col("hi") >= F.col("n") - F.col("g"), F.col("v"))
+        ).alias("xhi"),
+    )
+    h = F.col("n") - 2 * F.col("g")
+    wsum = F.col("smid") + F.col("g") * (F.col("xlo") + F.col("xhi"))
+    wsq = F.col("qmid") + F.col("g") * (
+        F.col("xlo") * F.col("xlo") + F.col("xhi") * F.col("xhi")
+    )
+    tmean = F.col("smid").cast("double") / h.cast("double")
+    swvar = (
+        F.col("n").cast("double") * wsq.cast("double")
+        - wsum.cast("double") * wsum.cast("double")
+    ) / (F.col("n").cast("double") * (F.col("n") - 1))
+    side = agg.select(
+        "event_type",
+        "we",
+        F.col("n").cast("long").alias("n"),
+        h.cast("long").alias("h"),
+        tmean.alias("tm"),
+        (swvar * (F.col("n") - 1).cast("double")).alias("ssw"),
+    )
+    a = side.filter(F.col("we") == 0).select(
+        "event_type",
+        F.col("n").alias("n0"),
+        F.col("h").alias("h0"),
+        F.col("tm").alias("tm0"),
+        F.col("ssw").alias("ssw0"),
+    )
+    b = side.filter(F.col("we") == 1).select(
+        "event_type",
+        F.col("n").alias("n1"),
+        F.col("h").alias("h1"),
+        F.col("tm").alias("tm1"),
+        F.col("ssw").alias("ssw1"),
+    )
+    j = a.join(b, "event_type")
+    d0 = F.col("ssw0") / (
+        F.col("h0").cast("double") * (F.col("h0") - 1)
+    )
+    d1 = F.col("ssw1") / (
+        F.col("h1").cast("double") * (F.col("h1") - 1)
+    )
+    t = (F.col("tm0") - F.col("tm1")) / F.sqrt(d0 + d1)
+    df = (d0 + d1) * (d0 + d1) / (
+        d0 * d0 / (F.col("h0") - 1) + d1 * d1 / (F.col("h1") - 1)
+    )
+    return (
+        j.filter((F.col("h0") >= 3) & (F.col("h1") >= 3))
+        .select(
+            "event_type",
+            F.col("n0").cast("long").alias("n_weekday"),
+            F.col("n1").cast("long").alias("n_weekend"),
+            F.floor(F.col("tm0") * 10_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("tmean_weekday_e4"),
+            F.floor(F.col("tm1") * 10_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("tmean_weekend_e4"),
+            F.floor(t * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "t_e4"
+            ),
+            F.floor(df * 100 + F.lit(_OFF)).cast("long").alias("df_e2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_YUEN = f"""
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN (CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7)
+                   IN (2, 3) THEN 1 ELSE 0 END AS we,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), dom AS (
+  SELECT event_type, we, v, CAST(count(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2, 3
+), d AS (
+  SELECT event_type, we, v, c,
+         CAST(sum(c) OVER (PARTITION BY event_type, we ORDER BY v)
+              AS BIGINT) AS hi,
+         CAST(sum(c) OVER (PARTITION BY event_type, we) AS BIGINT)
+           AS n
+  FROM dom
+), d2 AS (
+  SELECT event_type, we, v, c, hi, n, hi - c AS lo, n // 5 AS g
+  FROM d
+), agg AS (
+  SELECT event_type, we, max(n) AS n, max(g) AS g,
+         CAST(sum(greatest(0, least(hi, n - g) - greatest(lo, g)) * v)
+              AS BIGINT) AS smid,
+         CAST(sum(greatest(0, least(hi, n - g) - greatest(lo, g))
+                  * v * v) AS BIGINT) AS qmid,
+         min(CASE WHEN hi >= g + 1 THEN v END) AS xlo,
+         min(CASE WHEN hi >= n - g THEN v END) AS xhi
+  FROM d2 GROUP BY 1, 2
+), side AS (
+  SELECT event_type, we, n, n - 2 * g AS h,
+         CAST(smid AS DOUBLE) / (n - 2 * g) AS tm,
+         (CAST(n AS DOUBLE)
+            * (qmid + g * (xlo * xlo + xhi * xhi))
+          - CAST(smid + g * (xlo + xhi) AS DOUBLE)
+            * (smid + g * (xlo + xhi)))
+         / (CAST(n AS DOUBLE) * (n - 1))
+         * (n - 1) AS ssw
+  FROM agg
+), j AS (
+  SELECT a.event_type,
+         a.n AS n0, a.h AS h0, a.tm AS tm0, a.ssw AS ssw0,
+         b.n AS n1, b.h AS h1, b.tm AS tm1, b.ssw AS ssw1
+  FROM side a JOIN side b
+    ON b.event_type = a.event_type AND a.we = 0 AND b.we = 1
+), f AS (
+  SELECT event_type, n0, n1, tm0, tm1, h0, h1,
+         ssw0 / (CAST(h0 AS DOUBLE) * (h0 - 1)) AS d0,
+         ssw1 / (CAST(h1 AS DOUBLE) * (h1 - 1)) AS d1
+  FROM j
+)
+SELECT event_type, n0 AS n_weekday, n1 AS n_weekend,
+       CAST(floor(tm0 * 10000 + {_OFF}) AS BIGINT)
+         AS tmean_weekday_e4,
+       CAST(floor(tm1 * 10000 + {_OFF}) AS BIGINT)
+         AS tmean_weekend_e4,
+       CAST(floor((tm0 - tm1) / sqrt(d0 + d1) * 10000 + {_OFF})
+            AS BIGINT) AS t_e4,
+       CAST(floor((d0 + d1) * (d0 + d1)
+                  / (d0 * d0 / (h0 - 1) + d1 * d1 / (h1 - 1))
+                  * 100 + {_OFF}) AS BIGINT) AS df_e2
+FROM f
+WHERE h0 >= 3 AND h1 >= 3
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# siegel_slope — repeated-medians robust trend per type
+# ---------------------------------------------------------------------------
+# Siegel (Biometrika 1982): slope = median_i median_{{j != i}}
+# (y_j - y_i)/(x_j - x_i) — 50% breakdown vs Theil-Sen's 29%.  The
+# pair fan-out is bounded by span-days^2 per key (the daily domain,
+# never raw rows); both median layers are LOWER-median order-statistic
+# picks with deterministic tie-breaks.
+
+
+def q_siegel_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    b = daily.select(
+        F.col("event_type").alias("et"),
+        F.col("day").alias("day_b"),
+        F.col("y").alias("y_b"),
+    )
+    pairs = daily.join(
+        b,
+        (F.col("event_type") == F.col("et"))
+        & (F.col("day") != F.col("day_b")),
+    ).select(
+        "event_type",
+        "day",
+        F.col("day_b"),
+        (
+            (F.col("y_b") - F.col("y")).cast("double")
+            / (F.col("day_b") - F.col("day")).cast("double")
+        ).alias("sl"),
+    )
+    wi = Window.partitionBy("event_type", "day").orderBy(
+        "sl", "day_b"
+    )
+    wic = Window.partitionBy("event_type", "day")
+    inner = (
+        pairs.withColumn("rk", F.row_number().over(wi))
+        .withColumn("m", F.count(F.lit(1)).over(wic))
+        .filter(F.col("rk") * 2 == F.col("m") + (F.col("m") % 2))
+        .select("event_type", "day", F.col("sl").alias("med_i"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("med_i", "day")
+    woc = Window.partitionBy("event_type")
+    outer = (
+        inner.withColumn("rk", F.row_number().over(wo))
+        .withColumn("m", F.count(F.lit(1)).over(woc))
+        .filter(F.col("rk") * 2 == F.col("m") + (F.col("m") % 2))
+    )
+    return outer.select(
+        "event_type",
+        F.col("m").cast("long").alias("n_days"),
+        F.floor(F.col("med_i") * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("slope_e6"),
+    ).orderBy("event_type")
+
+
+SQL_SIEGEL = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type, a.day, b.day AS day_b,
+         CAST(b.y - a.y AS DOUBLE) / (b.day - a.day) AS sl
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.day <> a.day
+), inner_ AS (
+  SELECT event_type, day, sl AS med_i
+  FROM (
+    SELECT event_type, day, sl,
+           row_number() OVER (PARTITION BY event_type, day
+                              ORDER BY sl, day_b) AS rk,
+           count(*) OVER (PARTITION BY event_type, day) AS m
+    FROM pairs
+  ) WHERE rk * 2 = m + (m % 2)
+), outer_ AS (
+  SELECT event_type, med_i,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY med_i, day) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM inner_
+)
+SELECT event_type, CAST(m AS BIGINT) AS n_days,
+       CAST(floor(med_i * 1000000 + {_OFF}) AS BIGINT) AS slope_e6
+FROM outer_
+WHERE rk * 2 = m + (m % 2)
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# adamic_adar — link-prediction scores on the crawl-order graph
+# ---------------------------------------------------------------------------
+# Adamic & Adar (Social Networks 2003): for non-adjacent pairs,
+# score = sum over common neighbours z of 1/ln(deg z) — the standard
+# link-prediction baseline, on the SAME crawl-order source graph as
+# triangle_count/domain_pagerank.  Common neighbours come from the
+# z-pivot self-join of the adjacency list (never node-pair cross
+# join); per-z weights are e9-floored so pair scores are exact
+# integer sums; top-10 pairs.
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source"
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    e0 = (
+        d.withColumn("nxt", F.lead("source").over(w))
+        .filter(F.col("nxt").isNotNull() & (F.col("source") != F.col("nxt")))
+        .select(
+            F.least("source", "nxt").alias("a"),
+            F.greatest("source", "nxt").alias("b"),
+        )
+        .distinct()
+    )
+    adj = e0.select(F.col("a").alias("z"), F.col("b").alias("n")).union(
+        e0.select(F.col("b").alias("z"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    wz = deg.filter(F.col("deg") >= 2).withColumn(
+        "w9",
+        F.floor(
+            1e9 / F.log(F.col("deg").cast("double")) + F.lit(_OFF)
+        ).cast("long"),
+    )
+    a2 = adj.join(wz.select("z", "w9"), "z")
+    b2 = a2.select(
+        F.col("z"), F.col("n").alias("n_b"), F.col("w9").alias("w9b")
+    )
+    cand = (
+        a2.join(b2, "z")
+        .filter(F.col("n") < F.col("n_b"))
+        .groupBy(F.col("n").alias("a"), F.col("n_b").alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("w9").alias("aa9"),
+        )
+    )
+    nonedge = cand.join(
+        e0, ["a", "b"], "left_anti"
+    )
+    wr = Window.orderBy(
+        F.col("aa9").desc(), F.col("a").asc(), F.col("b").asc()
+    )
+    top = nonedge.withColumn("rk", F.row_number().over(wr)).filter(
+        F.col("rk") <= 10
+    )
+    return top.select(
+        F.col("rk").cast("long").alias("rank"),
+        F.col("a").alias("node_a"),
+        F.col("b").alias("node_b"),
+        F.col("n_common").cast("long").alias("n_common"),
+        F.floor(F.col("aa9").cast("double") / 1000.0 + F.lit(_OFF))
+        .cast("long")
+        .alias("aa_e6"),
+    ).orderBy("rank")
+
+
+SQL_ADAMIC = f"""
+WITH e0 AS (
+  SELECT DISTINCT least(sa, sb) AS a, greatest(sa, sb) AS b
+  FROM (
+    SELECT source AS sa,
+           lead(source) OVER (PARTITION BY lang ORDER BY doc_id) AS sb
+    FROM documents
+  ) WHERE sb IS NOT NULL AND sa <> sb
+), adj AS (
+  SELECT a AS z, b AS n FROM e0
+  UNION ALL
+  SELECT b AS z, a AS n FROM e0
+), deg AS (
+  SELECT z, count(*) AS deg FROM adj GROUP BY 1
+), wz AS (
+  SELECT z, CAST(floor(1e9 / ln(CAST(deg AS DOUBLE)) + {_OFF})
+                 AS BIGINT) AS w9
+  FROM deg WHERE deg >= 2
+), a2 AS (
+  SELECT adj.z, adj.n, wz.w9 FROM adj JOIN wz ON wz.z = adj.z
+), cand AS (
+  SELECT x.n AS a, y.n AS b,
+         CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(x.w9) AS BIGINT) AS aa9
+  FROM a2 x JOIN a2 y ON y.z = x.z AND x.n < y.n
+  GROUP BY 1, 2
+), nonedge AS (
+  SELECT cand.* FROM cand
+  LEFT JOIN e0 ON e0.a = cand.a AND e0.b = cand.b
+  WHERE e0.a IS NULL
+), top AS (
+  SELECT a, b, n_common, aa9,
+         row_number() OVER (ORDER BY aa9 DESC, a ASC, b ASC) AS rk
+  FROM nonedge
+)
+SELECT CAST(rk AS BIGINT) AS rank, a AS node_a, b AS node_b,
+       n_common,
+       CAST(floor(CAST(aa9 AS DOUBLE) / 1000.0 + {_OFF}) AS BIGINT)
+         AS aa_e6
+FROM top
+WHERE rk <= 10
+ORDER BY rank
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jonckheere_terpstra": q_jonckheere_terpstra,
     "mood_median": q_mood_median,
@@ -7447,6 +8006,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fisher_score_dims": q_fisher_score_dims,
     "dow_profile_cosine": q_dow_profile_cosine,
     "peak_shift": q_peak_shift,
+    "rmst": q_rmst,
+    "yuen_t": q_yuen_t,
+    "siegel_slope": q_siegel_slope,
+    "adamic_adar": q_adamic_adar,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -7510,6 +8073,10 @@ ORACLE_SQL: dict[str, str] = {
     "fisher_score_dims": SQL_FISHER_DIMS,
     "dow_profile_cosine": SQL_DOW_COSINE,
     "peak_shift": SQL_PEAK_SHIFT,
+    "rmst": SQL_RMST,
+    "yuen_t": SQL_YUEN,
+    "siegel_slope": SQL_SIEGEL,
+    "adamic_adar": SQL_ADAMIC,
 }
 
 # the centroid CTE block is shared verbatim with the stats8 cluster
