@@ -7945,6 +7945,524 @@ ORDER BY rank
 """
 
 
+# ---------------------------------------------------------------------------
+# markov_order_test — LR test of 2nd- vs 1st-order type chains
+# ---------------------------------------------------------------------------
+# The classical model-order test (Anderson & Goodman, Ann. Math.
+# Stat. 1957): G^2 = 2 sum n_abc ln(n_abc n_b / (n_ab n_bc)) over
+# per-user type trigrams pools the evidence that yesterday's state
+# still matters given today's.  Counts exact; per-cell ln terms
+# e6-floored before the sum; df = |S|(|S|-1)^2 exact.
+
+
+def q_markov_order_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("tts"),
+        "event_id",
+    )
+    wo = Window.partitionBy("user_id").orderBy("tts", "event_id")
+    tri = (
+        ev.withColumn("b", F.lag("event_type", 1).over(wo))
+        .withColumn("a", F.lag("event_type", 2).over(wo))
+        .filter(F.col("a").isNotNull())
+        .select(
+            F.col("a"),
+            F.col("b"),
+            F.col("event_type").alias("c"),
+        )
+    )
+    nabc = tri.groupBy("a", "b", "c").agg(
+        F.count(F.lit(1)).alias("n3")
+    )
+    wab = Window.partitionBy("a", "b")
+    wbc = Window.partitionBy("b", "c")
+    wb = Window.partitionBy("b")
+    d = (
+        nabc.withColumn("nab", F.sum("n3").over(wab))
+        .withColumn("nbc", F.sum("n3").over(wbc))
+        .withColumn("nb", F.sum("n3").over(wb))
+    )
+    t6 = F.floor(
+        2.0
+        * F.col("n3").cast("double")
+        * F.log(
+            F.col("n3").cast("double")
+            * F.col("nb")
+            / (F.col("nab").cast("double") * F.col("nbc"))
+        )
+        * 1e6
+        + F.lit(_OFF)
+    ).cast("long")
+    states = tri.select(F.col("c").alias("s")).distinct().agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    agg = d.agg(
+        F.sum("n3").alias("n"), F.sum(t6).alias("g6")
+    ).crossJoin(F.broadcast(states))
+    return agg.select(
+        F.col("n").cast("long").alias("n_trigrams"),
+        F.col("k").cast("long").alias("k_states"),
+        (
+            F.col("k") * (F.col("k") - 1) * (F.col("k") - 1)
+        ).cast("long").alias("df"),
+        F.floor(F.col("g6").cast("double") / 100.0 + F.lit(_OFF))
+        .cast("long")
+        .alias("g2_e4"),
+    )
+
+
+SQL_MARKOV_ORDER = f"""
+WITH ev AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM events
+), tri AS (
+  SELECT lag(event_type, 2) OVER w AS a,
+         lag(event_type, 1) OVER w AS b,
+         event_type AS c
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  QUALIFY a IS NOT NULL
+), nabc AS (
+  SELECT a, b, c, CAST(count(*) AS BIGINT) AS n3
+  FROM tri GROUP BY 1, 2, 3
+), d AS (
+  SELECT a, b, c, n3,
+         CAST(sum(n3) OVER (PARTITION BY a, b) AS BIGINT) AS nab,
+         CAST(sum(n3) OVER (PARTITION BY b, c) AS BIGINT) AS nbc,
+         CAST(sum(n3) OVER (PARTITION BY b) AS BIGINT) AS nb
+  FROM nabc
+), states AS (
+  SELECT CAST(count(DISTINCT c) AS BIGINT) AS k FROM tri
+), agg AS (
+  SELECT CAST(sum(n3) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(2.0 * CAST(n3 AS DOUBLE)
+                             * ln(CAST(n3 AS DOUBLE) * nb
+                                  / (CAST(nab AS DOUBLE) * nbc))
+                             * 1e6 + {_OFF}) AS BIGINT)) AS BIGINT)
+           AS g6
+  FROM d
+)
+SELECT n AS n_trigrams, k AS k_states,
+       CAST(k * (k - 1) * (k - 1) AS BIGINT) AS df,
+       CAST(floor(CAST(g6 AS DOUBLE) / 100.0 + {_OFF}) AS BIGINT)
+         AS g2_e4
+FROM agg CROSS JOIN states
+"""
+
+
+# ---------------------------------------------------------------------------
+# isotonic_hour — isotonic (PAV) fit of conversion rate by hour
+# ---------------------------------------------------------------------------
+# The isotonic regression of purchase share on hour-of-day via the
+# CLOSED minimax identity iso(i) = max_{{j<=i}} min_{{k>=i}}
+# wavg(y[j..k]) (Barlow et al. 1972) — equivalent to PAV but with NO
+# data-dependent iteration, so both engines evaluate the identical
+# bounded triple fan-out over the 24-bin domain (24^3 combinations).
+# Weighted prefix sums exact; the interval averages are exact
+# rationals compared in double (same operands both engines).
+
+
+def q_isotonic_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+            )
+            % 24
+        )
+        .cast("long")
+        .alias("h"),
+        (F.col("event_type") == "purchase").cast("long").alias("p"),
+    )
+    hour = ev.groupBy("h").agg(
+        F.count(F.lit(1)).alias("w"), F.sum("p").alias("s")
+    )
+    wo = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    pre = hour.select(
+        "h",
+        "w",
+        "s",
+        F.sum("w").over(wo).alias("cw"),
+        F.sum("s").over(wo).alias("cs"),
+    )
+    # interval [j, k] average = (cs_k - cs_{j-1}) / (cw_k - cw_{j-1});
+    # build it from the 24-row prefix table three-way
+    jt = pre.select(
+        F.col("h").alias("j"),
+        (F.col("cw") - F.col("w")).alias("cwj"),
+        (F.col("cs") - F.col("s")).alias("csj"),
+    )
+    kt = pre.select(
+        F.col("h").alias("k"),
+        F.col("cw").alias("cwk"),
+        F.col("cs").alias("csk"),
+    )
+    it = pre.select(F.col("h").alias("i"))
+    ivals = (
+        it.crossJoin(F.broadcast(jt))
+        .crossJoin(F.broadcast(kt))
+        .filter((F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .select(
+            "i",
+            "j",
+            (
+                (F.col("csk") - F.col("csj")).cast("double")
+                / (F.col("cwk") - F.col("cwj")).cast("double")
+            ).alias("avg"),
+        )
+    )
+    inner = ivals.groupBy("i", "j").agg(F.min("avg").alias("mn"))
+    iso = inner.groupBy("i").agg(F.max("mn").alias("iso"))
+    raw = hour.select(
+        F.col("h").alias("i"),
+        (F.col("s").cast("double") / F.col("w")).alias("raw"),
+        F.col("w"),
+        F.col("s"),
+    )
+    out = raw.join(iso, "i")
+    return out.select(
+        F.col("i").cast("long").alias("hour"),
+        F.col("w").cast("long").alias("n"),
+        F.col("s").cast("long").alias("n_purchase"),
+        F.floor(F.col("raw") * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("raw_rate_e6"),
+        F.floor(F.col("iso") * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("iso_rate_e6"),
+    ).orderBy("hour")
+
+
+SQL_ISOTONIC = f"""
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS h,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+  FROM events
+), hour AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS w, CAST(sum(p) AS BIGINT) AS s
+  FROM ev GROUP BY 1
+), pre AS (
+  SELECT h, w, s,
+         CAST(sum(w) OVER (ORDER BY h) AS BIGINT) AS cw,
+         CAST(sum(s) OVER (ORDER BY h) AS BIGINT) AS cs
+  FROM hour
+), ivals AS (
+  SELECT i.h AS i, j.h AS j,
+         CAST(k.cs - (j.cs - j.s) AS DOUBLE)
+         / (k.cw - (j.cw - j.w)) AS avg
+  FROM pre i
+  JOIN pre j ON j.h <= i.h
+  JOIN pre k ON k.h >= i.h
+), inner_ AS (
+  SELECT i, j, min(avg) AS mn FROM ivals GROUP BY 1, 2
+), iso AS (
+  SELECT i, max(mn) AS iso FROM inner_ GROUP BY 1
+)
+SELECT hour.h AS hour, w AS n, s AS n_purchase,
+       CAST(floor(CAST(s AS DOUBLE) / w * 1000000 + {_OFF}) AS BIGINT)
+         AS raw_rate_e6,
+       CAST(floor(iso * 1000000 + {_OFF}) AS BIGINT) AS iso_rate_e6
+FROM hour JOIN iso ON iso.i = hour.h
+ORDER BY hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# christoffersen_ind — VaR breach independence (Markov) test
+# ---------------------------------------------------------------------------
+# Christoffersen (IER 1998): breaches should not cluster — LR_ind
+# compares the breach indicator's first-order Markov fit against the
+# iid fit.  Breach definition EXACTLY as kupiec_pof (first-half
+# exact-domain VaR, second-half daily counts); transition counts
+# exact; the four ln terms enter as per-cell e6-floored integers with
+# the 0 ln 0 convention.
+
+
+def q_christoffersen_ind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    wt = Window.partitionBy("event_type")
+    d = (
+        daily.withColumn("d0", F.min("day").over(wt))
+        .withColumn("d1", F.max("day").over(wt))
+        .withColumn(
+            "late",
+            (
+                2 * (F.col("day") - F.col("d0"))
+                > (F.col("d1") - F.col("d0"))
+            ).cast("long"),
+        )
+    )
+    early = d.filter(F.col("late") == 0)
+    dom = early.groupBy("event_type", "y").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtd = Window.partitionBy("event_type")
+    dom = dom.withColumn("cc", F.sum("c").over(wo)).withColumn(
+        "m", F.sum("c").over(wtd)
+    )
+    var_t = (
+        dom.filter(F.col("cc") * 20 >= F.col("m"))
+        .groupBy("event_type")
+        .agg(F.min("y").alias("var_y"))
+    )
+    late = d.filter(F.col("late") == 1).join(
+        F.broadcast(var_t), "event_type"
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    ind = late.withColumn(
+        "i", (F.col("y") < F.col("var_y")).cast("long")
+    ).withColumn("ip", F.lag("i").over(wd)).filter(
+        F.col("ip").isNotNull()
+    )
+    agg = ind.groupBy("event_type").agg(
+        F.sum(
+            ((F.col("ip") == 0) & (F.col("i") == 0)).cast("long")
+        ).alias("n00"),
+        F.sum(
+            ((F.col("ip") == 0) & (F.col("i") == 1)).cast("long")
+        ).alias("n01"),
+        F.sum(
+            ((F.col("ip") == 1) & (F.col("i") == 0)).cast("long")
+        ).alias("n10"),
+        F.sum(
+            ((F.col("ip") == 1) & (F.col("i") == 1)).cast("long")
+        ).alias("n11"),
+    )
+    n0 = F.col("n00") + F.col("n01")
+    n1 = F.col("n10") + F.col("n11")
+    nn = n0 + n1
+    nb = F.col("n01") + F.col("n11")
+
+    def term(cnt, num, den):
+        return F.when(
+            cnt > 0,
+            cnt.cast("double")
+            * F.log(num.cast("double") / den.cast("double")),
+        ).otherwise(F.lit(0.0))
+
+    # LR_ind = 2 [ sum n_ij ln(n_ij / n_i.) - sum over columns
+    #              n_.j ln(n_.j / n) ]  (0 ln 0 = 0)
+    ll1 = (
+        term(F.col("n00"), F.col("n00"), n0)
+        + term(F.col("n01"), F.col("n01"), n0)
+        + term(F.col("n10"), F.col("n10"), n1)
+        + term(F.col("n11"), F.col("n11"), n1)
+    )
+    ll0 = term(nn - nb, nn - nb, nn) + term(nb, nb, nn)
+    lr = 2.0 * (ll1 - ll0)
+    return (
+        agg.filter((n0 > 0) & (nn > 1))
+        .select(
+            "event_type",
+            F.col("n00").cast("long").alias("n00"),
+            F.col("n01").cast("long").alias("n01"),
+            F.col("n10").cast("long").alias("n10"),
+            F.col("n11").cast("long").alias("n11"),
+            F.floor(lr * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "lr_ind_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_CHRISTOFFERSEN = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type, day, y,
+         CASE WHEN 2 * (day - min(day) OVER (PARTITION BY event_type))
+                   > max(day) OVER (PARTITION BY event_type)
+                     - min(day) OVER (PARTITION BY event_type)
+              THEN 1 ELSE 0 END AS late
+  FROM daily
+), dom AS (
+  SELECT event_type, y, CAST(count(*) AS BIGINT) AS c
+  FROM d WHERE late = 0 GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, y,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY y)
+              AS BIGINT) AS cc,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS m
+  FROM dom
+), var_t AS (
+  SELECT event_type, min(y) AS var_y
+  FROM cum WHERE cc * 20 >= m GROUP BY 1
+), ind AS (
+  SELECT d.event_type, day,
+         CASE WHEN y < var_y THEN 1 ELSE 0 END AS i
+  FROM d JOIN var_t ON var_t.event_type = d.event_type
+  WHERE late = 1
+), tr AS (
+  SELECT event_type, i,
+         lag(i) OVER (PARTITION BY event_type ORDER BY day) AS ip
+  FROM ind
+), agg AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN ip = 0 AND i = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n00,
+         CAST(sum(CASE WHEN ip = 0 AND i = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n01,
+         CAST(sum(CASE WHEN ip = 1 AND i = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n10,
+         CAST(sum(CASE WHEN ip = 1 AND i = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n11
+  FROM tr WHERE ip IS NOT NULL
+  GROUP BY 1
+), f AS (
+  SELECT event_type, n00, n01, n10, n11,
+         n00 + n01 AS r0, n10 + n11 AS r1,
+         n00 + n01 + n10 + n11 AS nn,
+         n01 + n11 AS nb
+  FROM agg
+)
+SELECT event_type, n00, n01, n10, n11,
+       CAST(floor(2.0 * (
+           (CASE WHEN n00 > 0 THEN n00 * ln(CAST(n00 AS DOUBLE) / r0)
+                 ELSE 0.0 END
+            + CASE WHEN n01 > 0 THEN n01 * ln(CAST(n01 AS DOUBLE) / r0)
+                   ELSE 0.0 END
+            + CASE WHEN n10 > 0 THEN n10 * ln(CAST(n10 AS DOUBLE) / r1)
+                   ELSE 0.0 END
+            + CASE WHEN n11 > 0 THEN n11 * ln(CAST(n11 AS DOUBLE) / r1)
+                   ELSE 0.0 END)
+           - (CASE WHEN nn - nb > 0 THEN (nn - nb)
+                   * ln(CAST(nn - nb AS DOUBLE) / nn) ELSE 0.0 END
+              + CASE WHEN nb > 0 THEN nb * ln(CAST(nb AS DOUBLE) / nn)
+                     ELSE 0.0 END))
+           * 10000 + {_OFF}) AS BIGINT) AS lr_ind_e4
+FROM f
+WHERE r0 > 0 AND nn > 1
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# weekly_coherence — cross-spectral coherence at the 1/7d frequency
+# ---------------------------------------------------------------------------
+# The frequency-domain twin of ccf_lags: for each type pair, the
+# squared coherence |S_xy|^2 / (S_x S_y) of the single weekly Fourier
+# ordinate of the two daily count series — trig values from a shared
+# 7-entry e6 integer table (zero-libm), so all DFT component sums are
+# exact BIGINTs and doubles appear only in the final ratio.
+
+
+_COS7 = [
+    int(_math.floor(_math.cos(2.0 * _math.pi * d / 7.0) * 1e6))
+    for d in range(7)
+]
+_SIN7 = [
+    int(_math.floor(_math.sin(2.0 * _math.pi * d / 7.0) * 1e6))
+    for d in range(7)
+]
+
+
+def q_weekly_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _daily_pairs(spark, sf_dir)
+    ph = (F.col("day") % 7).cast("int")
+    d = p.select(
+        "type_a",
+        "type_b",
+        "x",
+        "y",
+        F.element_at(F.array(*[F.lit(v) for v in _COS7]), ph + 1)
+        .cast("long")
+        .alias("c"),
+        F.element_at(F.array(*[F.lit(v) for v in _SIN7]), ph + 1)
+        .cast("long")
+        .alias("s"),
+    )
+    agg = d.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x") * F.col("c")).alias("xc"),
+        F.sum(F.col("x") * F.col("s")).alias("xs"),
+        F.sum(F.col("y") * F.col("c")).alias("yc"),
+        F.sum(F.col("y") * F.col("s")).alias("ys"),
+    )
+    xr = F.col("xc").cast("double")
+    xi = F.col("xs").cast("double")
+    yr = F.col("yc").cast("double")
+    yi = F.col("ys").cast("double")
+    sx = xr * xr + xi * xi
+    sy = yr * yr + yi * yi
+    cross_r = xr * yr + xi * yi
+    cross_i = xi * yr - xr * yi
+    coh = (cross_r * cross_r + cross_i * cross_i) / (sx * sy)
+    return (
+        agg.filter((sx > 0) & (sy > 0))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n").cast("long").alias("n_days"),
+            F.floor(coh * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "coherence_e6"
+            ),
+            F.floor(
+                F.atan2(cross_i, cross_r) * 10_000 + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("phase_e4"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_COS7_SQL = "[" + ", ".join(str(v) for v in _COS7) + "]"
+_SIN7_SQL = "[" + ", ".join(str(v) for v in _SIN7) + "]"
+
+SQL_WEEKLY_COHERENCE = f"""
+WITH {_DAILY_PAIRS_SQL},
+d AS (
+  SELECT type_a, type_b, x, y,
+         CAST({_COS7_SQL}[CAST(day % 7 AS INTEGER) + 1] AS BIGINT)
+           AS c,
+         CAST({_SIN7_SQL}[CAST(day % 7 AS INTEGER) + 1] AS BIGINT)
+           AS s
+  FROM pairs
+), agg AS (
+  SELECT type_a, type_b, count(*) AS n,
+         CAST(sum(x * c) AS BIGINT) AS xc,
+         CAST(sum(x * s) AS BIGINT) AS xs,
+         CAST(sum(y * c) AS BIGINT) AS yc,
+         CAST(sum(y * s) AS BIGINT) AS ys
+  FROM d GROUP BY 1, 2
+), f AS (
+  SELECT type_a, type_b, n,
+         CAST(xc AS DOUBLE) AS xr, CAST(xs AS DOUBLE) AS xi,
+         CAST(yc AS DOUBLE) AS yr, CAST(ys AS DOUBLE) AS yi
+  FROM agg
+)
+SELECT type_a, type_b, CAST(n AS BIGINT) AS n_days,
+       CAST(floor(((xr * yr + xi * yi) * (xr * yr + xi * yi)
+                   + (xi * yr - xr * yi) * (xi * yr - xr * yi))
+                  / ((xr * xr + xi * xi) * (yr * yr + yi * yi))
+                  * 1000000 + {_OFF}) AS BIGINT) AS coherence_e6,
+       CAST(floor(atan2(xi * yr - xr * yi, xr * yr + xi * yi)
+                  * 10000 + {_OFF}) AS BIGINT) AS phase_e4
+FROM f
+WHERE xr * xr + xi * xi > 0 AND yr * yr + yi * yi > 0
+ORDER BY type_a, type_b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jonckheere_terpstra": q_jonckheere_terpstra,
     "mood_median": q_mood_median,
@@ -8010,6 +8528,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "yuen_t": q_yuen_t,
     "siegel_slope": q_siegel_slope,
     "adamic_adar": q_adamic_adar,
+    "markov_order_test": q_markov_order_test,
+    "isotonic_hour": q_isotonic_hour,
+    "christoffersen_ind": q_christoffersen_ind,
+    "weekly_coherence": q_weekly_coherence,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -8077,6 +8599,10 @@ ORACLE_SQL: dict[str, str] = {
     "yuen_t": SQL_YUEN,
     "siegel_slope": SQL_SIEGEL,
     "adamic_adar": SQL_ADAMIC,
+    "markov_order_test": SQL_MARKOV_ORDER,
+    "isotonic_hour": SQL_ISOTONIC,
+    "christoffersen_ind": SQL_CHRISTOFFERSEN,
+    "weekly_coherence": SQL_WEEKLY_COHERENCE,
 }
 
 # the centroid CTE block is shared verbatim with the stats8 cluster
