@@ -8463,6 +8463,477 @@ ORDER BY type_a, type_b
 """
 
 
+# ---------------------------------------------------------------------------
+# benford_second — second-significant-digit Benford conformity
+# ---------------------------------------------------------------------------
+# Nigrini's forensic standard: the second digit is a stronger fraud /
+# rounding tripwire than the first.  Expected shares P(d) =
+# sum_d1 log10(1 + 1/(10 d1 + d)) enter both engines as the same ten
+# Python literals; digits are pure integer arithmetic on centivalues
+# (values < 0.1 have no second significant digit and are excluded by
+# contract).  Chi-square and Nigrini's MAD from exact counts.
+
+
+_BENFORD2 = [
+    sum(
+        _math.log10(1.0 + 1.0 / (10 * d1 + d)) for d1 in range(1, 10)
+    )
+    for d in range(10)
+]
+
+
+def q_benford_second(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    ).filter(F.col("v") >= 10)
+    nd = F.length(F.col("v").cast("string"))
+    # floor() in BOTH engines — a bare double->int cast truncates in
+    # Spark but rounds in DuckDB
+    d2 = F.floor(
+        F.col("v") / F.pow(F.lit(10.0), (nd - 2).cast("double"))
+    ).cast("long") % 10
+    cnt = ev.withColumn("d", d2).groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wt = Window.partitionBy("event_type")
+    cnt = cnt.withColumn("n", F.sum("c").over(wt))
+    exp_arr = F.array(*[F.lit(p) for p in _BENFORD2])
+    e = F.element_at(exp_arr, F.col("d").cast("int") + 1) * F.col("n")
+    chi6 = F.floor(
+        (F.col("c").cast("double") - e) * (F.col("c") - e) / e * 1e6
+        + F.lit(_OFF)
+    ).cast("long")
+    mad9 = F.floor(
+        F.abs(
+            F.col("c").cast("double") / F.col("n")
+            - F.element_at(exp_arr, F.col("d").cast("int") + 1)
+        )
+        * 1e9
+        + F.lit(_OFF)
+    ).cast("long")
+    agg = cnt.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("k_digits"),
+        F.sum(chi6).alias("chi6"),
+        F.sum(mad9).alias("mad9"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("k_digits").cast("long").alias("k_digits"),
+        F.floor(F.col("chi6").cast("double") / 100.0 + F.lit(_OFF))
+        .cast("long")
+        .alias("chi2_e4"),
+        F.floor(
+            F.col("mad9").cast("double")
+            / F.col("k_digits")
+            / 1000.0
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("mad_e6"),
+    ).orderBy("event_type")
+
+
+_BENFORD2_SQL = "[" + ", ".join(repr(p) for p in _BENFORD2) + "]"
+
+SQL_BENFORD2 = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), dd AS (
+  SELECT event_type,
+         CAST(floor(v / CAST(pow(10.0, len(CAST(v AS VARCHAR)) - 2)
+                             AS DOUBLE)) AS BIGINT) % 10 AS d
+  FROM ev WHERE v >= 10
+), cnt AS (
+  SELECT event_type, d, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(count(*)) OVER (PARTITION BY event_type) AS BIGINT)
+           AS n
+  FROM dd GROUP BY 1, 2
+), t AS (
+  SELECT event_type, n, d, c,
+         {_BENFORD2_SQL}[CAST(d AS INTEGER) + 1] * n AS e
+  FROM cnt
+), agg AS (
+  SELECT event_type, max(n) AS n, count(*) AS k_digits,
+         CAST(sum(CAST(floor((c - e) * (c - e) / e * 1e6 + {_OFF})
+                       AS BIGINT)) AS BIGINT) AS chi6,
+         CAST(sum(CAST(floor(abs(CAST(c AS DOUBLE) / n
+                                 - {_BENFORD2_SQL}[
+                                     CAST(d AS INTEGER) + 1])
+                             * 1e9 + {_OFF}) AS BIGINT)) AS BIGINT)
+           AS mad9
+  FROM t GROUP BY 1
+)
+SELECT event_type, n, CAST(k_digits AS BIGINT) AS k_digits,
+       CAST(floor(CAST(chi6 AS DOUBLE) / 100.0 + {_OFF}) AS BIGINT)
+         AS chi2_e4,
+       CAST(floor(CAST(mad9 AS DOUBLE) / k_digits / 1000.0 + {_OFF})
+            AS BIGINT) AS mad_e6
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# binning_rules — Sturges / Freedman-Diaconis / Scott bin counts
+# ---------------------------------------------------------------------------
+# The three classical histogram binning rules compared per type —
+# the audit a rollup engine runs before materializing histogram
+# tiers.  IQR from exact lower-quartile domain picks, sigma from
+# exact power sums, range exact; the cube roots are the only libm
+# calls (identical operands both engines).
+
+
+def q_binning_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    dom = ev.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    d = dom.withColumn("cc", F.sum("c").over(wo)).withColumn(
+        "n", F.sum("c").over(wt)
+    )
+    picks = d.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(F.col("cc") * 4 >= F.col("n"), F.col("v"))
+        ).alias("q1"),
+        F.min(
+            F.when(F.col("cc") * 4 >= 3 * F.col("n"), F.col("v"))
+        ).alias("q3"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+    )
+    mom = ev.groupBy("event_type").agg(
+        F.sum("v").alias("s"), F.sum(F.col("v") * F.col("v")).alias("q")
+    )
+    j = picks.join(mom, "event_type")
+    nd = F.col("n").cast("double")
+    sigma = F.sqrt(
+        (
+            nd * F.col("q").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+        )
+        / (nd * (nd - 1.0))
+    )
+    rng = (F.col("vmax") - F.col("vmin")).cast("double")
+    iqr = (F.col("q3") - F.col("q1")).cast("double")
+    crt = F.cbrt(nd)
+    fd_w = 2.0 * iqr / crt
+    sc_w = 3.49 * sigma / crt
+    sturges = F.ceil(F.log2(nd)).cast("long") + 1
+    return (
+        j.filter((F.col("n") >= 2) & (iqr > 0))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            (F.col("q3") - F.col("q1")).cast("long").alias("iqr_centi"),
+            F.floor(sigma * 100 + F.lit(_OFF)).cast("long").alias(
+                "sigma_e2"
+            ),
+            sturges.alias("sturges_k"),
+            F.ceil(rng / fd_w).cast("long").alias("fd_k"),
+            F.ceil(rng / sc_w).cast("long").alias("scott_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_BINNING = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), dom AS (
+  SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2
+), d AS (
+  SELECT event_type, v,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v)
+              AS BIGINT) AS cc,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM dom
+), picks AS (
+  SELECT event_type, max(n) AS n,
+         min(CASE WHEN cc * 4 >= n THEN v END) AS q1,
+         min(CASE WHEN cc * 4 >= 3 * n THEN v END) AS q3,
+         min(v) AS vmin, max(v) AS vmax
+  FROM d GROUP BY 1
+), mom AS (
+  SELECT event_type, CAST(sum(v) AS BIGINT) AS s,
+         CAST(sum(v * v) AS BIGINT) AS q
+  FROM ev GROUP BY 1
+), j AS (
+  SELECT picks.event_type, n, q1, q3, vmin, vmax,
+         sqrt((CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)
+              / (CAST(n AS DOUBLE) * (n - 1.0))) AS sigma
+  FROM picks JOIN mom ON mom.event_type = picks.event_type
+)
+SELECT event_type, n, q3 - q1 AS iqr_centi,
+       CAST(floor(sigma * 100 + {_OFF}) AS BIGINT) AS sigma_e2,
+       CAST(ceil(log2(CAST(n AS DOUBLE))) AS BIGINT) + 1 AS sturges_k,
+       CAST(ceil(CAST(vmax - vmin AS DOUBLE)
+                 / (2.0 * (q3 - q1) / cbrt(CAST(n AS DOUBLE))))
+            AS BIGINT) AS fd_k,
+       CAST(ceil(CAST(vmax - vmin AS DOUBLE)
+                 / (3.49 * sigma / cbrt(CAST(n AS DOUBLE))))
+            AS BIGINT) AS scott_k
+FROM j
+WHERE n >= 2 AND q3 - q1 > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# katz_centrality — 3-step truncated Katz on the crawl-order graph
+# ---------------------------------------------------------------------------
+# Katz (Psychometrika 1953), truncated at walk length 3 with beta =
+# 0.1 (the fixed-round discipline — no spectral iteration): c(v) =
+# sum_l beta^l (A^l 1)(v).  Walk counts are two sparse adjacency
+# self-joins on the ~|sources| node domain — exact integers; the
+# final weighting is an exact rational.
+
+
+def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source"
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    e0 = (
+        d.withColumn("nxt", F.lead("source").over(w))
+        .filter(
+            F.col("nxt").isNotNull() & (F.col("source") != F.col("nxt"))
+        )
+        .select(
+            F.least("source", "nxt").alias("a"),
+            F.greatest("source", "nxt").alias("b"),
+        )
+        .distinct()
+    )
+    adj = e0.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        e0.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    w1 = adj.groupBy("u").agg(F.count(F.lit(1)).alias("w1"))
+    w2 = (
+        adj.join(
+            w1.select(F.col("u").alias("v"), F.col("w1").alias("wv")),
+            "v",
+        )
+        .groupBy("u")
+        .agg(F.sum("wv").alias("w2"))
+    )
+    w3 = (
+        adj.join(
+            w2.select(F.col("u").alias("v"), F.col("w2").alias("wv")),
+            "v",
+        )
+        .groupBy("u")
+        .agg(F.sum("wv").alias("w3"))
+    )
+    j = w1.join(w2, "u").join(w3, "u")
+    katz = (
+        F.col("w1").cast("double") * 0.1
+        + F.col("w2").cast("double") * 0.01
+        + F.col("w3").cast("double") * 0.001
+    )
+    return j.select(
+        F.col("u").alias("node"),
+        F.col("w1").cast("long").alias("walks1"),
+        F.col("w2").cast("long").alias("walks2"),
+        F.col("w3").cast("long").alias("walks3"),
+        F.floor(katz * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "katz_e6"
+        ),
+    ).orderBy("node")
+
+
+SQL_KATZ = f"""
+WITH e0 AS (
+  SELECT DISTINCT least(sa, sb) AS a, greatest(sa, sb) AS b
+  FROM (
+    SELECT source AS sa,
+           lead(source) OVER (PARTITION BY lang ORDER BY doc_id) AS sb
+    FROM documents
+  ) WHERE sb IS NOT NULL AND sa <> sb
+), adj AS (
+  SELECT a AS u, b AS v FROM e0
+  UNION ALL
+  SELECT b AS u, a AS v FROM e0
+), w1 AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS w1 FROM adj GROUP BY 1
+), w2 AS (
+  SELECT adj.u, CAST(sum(w1.w1) AS BIGINT) AS w2
+  FROM adj JOIN w1 ON w1.u = adj.v GROUP BY 1
+), w3 AS (
+  SELECT adj.u, CAST(sum(w2.w2) AS BIGINT) AS w3
+  FROM adj JOIN w2 ON w2.u = adj.v GROUP BY 1
+)
+SELECT w1.u AS node, w1.w1 AS walks1, w2.w2 AS walks2, w3.w3 AS walks3,
+       CAST(floor((CAST(w1.w1 AS DOUBLE) * 0.1
+                   + CAST(w2.w2 AS DOUBLE) * 0.01
+                   + CAST(w3.w3 AS DOUBLE) * 0.001) * 1000000
+                  + {_OFF}) AS BIGINT) AS katz_e6
+FROM w1 JOIN w2 ON w2.u = w1.u JOIN w3 ON w3.u = w1.u
+ORDER BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# quantile_effects — weekend-vs-weekday quantile shifts with order-
+# statistic CIs
+# ---------------------------------------------------------------------------
+# Distribution-free quantile inference (Woodruff 1952): at tau = .25 /
+# .5 / .75 the weekend CI is the pair of order statistics at ranks
+# n tau -+ z sqrt(n tau (1 - tau)) — no bootstrap, pure exact domain
+# picks.  All quantiles are lower picks on the centivalue domain; the
+# rank bounds use the shared z = 1.959964 literal and are clamped to
+# [1, n].
+
+
+_QE_Z = 1.959964
+
+
+def q_quantile_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (
+            (
+                F.floor(
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    / 86_400_000_000
+                )
+                % 7
+            ).isin(2, 3)
+        )
+        .cast("long")
+        .alias("we"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    dom = ev.groupBy("event_type", "we", "v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wo = (
+        Window.partitionBy("event_type", "we")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type", "we")
+    d = dom.withColumn("cc", F.sum("c").over(wo)).withColumn(
+        "n", F.sum("c").over(wt)
+    )
+    taus = spark.createDataFrame(
+        [(25,), (50,), (75,)], "tau_e2 long"
+    )
+    dt = d.crossJoin(F.broadcast(taus))
+    tq = F.col("tau_e2").cast("double") / 100.0
+    target = F.ceil(F.col("n").cast("double") * tq)
+    half = _QE_Z * F.sqrt(
+        F.col("n").cast("double") * tq * (1.0 - tq)
+    )
+    rlo = F.greatest(
+        F.lit(1.0), F.ceil(F.col("n").cast("double") * tq - half)
+    )
+    rhi = F.least(
+        F.col("n").cast("double"),
+        F.ceil(F.col("n").cast("double") * tq + half),
+    )
+    picks = dt.groupBy("event_type", "we", "tau_e2").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("cc") >= target, F.col("v"))).alias("q"),
+        F.min(F.when(F.col("cc") >= rlo, F.col("v"))).alias("lo"),
+        F.min(F.when(F.col("cc") >= rhi, F.col("v"))).alias("hi"),
+    )
+    a = picks.filter(F.col("we") == 0).select(
+        "event_type",
+        "tau_e2",
+        F.col("n").alias("n_weekday"),
+        F.col("q").alias("q_weekday"),
+    )
+    b = picks.filter(F.col("we") == 1).select(
+        "event_type",
+        "tau_e2",
+        F.col("n").alias("n_weekend"),
+        F.col("q").alias("q_weekend"),
+        F.col("lo").alias("we_ci_lo"),
+        F.col("hi").alias("we_ci_hi"),
+    )
+    j = a.join(b, ["event_type", "tau_e2"])
+    return j.select(
+        "event_type",
+        "tau_e2",
+        F.col("n_weekday").cast("long").alias("n_weekday"),
+        F.col("n_weekend").cast("long").alias("n_weekend"),
+        F.col("q_weekday").cast("long").alias("q_weekday"),
+        F.col("q_weekend").cast("long").alias("q_weekend"),
+        (F.col("q_weekend") - F.col("q_weekday"))
+        .cast("long")
+        .alias("diff_centi"),
+        F.col("we_ci_lo").cast("long").alias("we_ci_lo"),
+        F.col("we_ci_hi").cast("long").alias("we_ci_hi"),
+    ).orderBy("event_type", "tau_e2")
+
+
+SQL_QUANTILE_EFFECTS = f"""
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN (CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7)
+                   IN (2, 3) THEN 1 ELSE 0 END AS we,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), dom AS (
+  SELECT event_type, we, v, CAST(count(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2, 3
+), d AS (
+  SELECT event_type, we, v,
+         CAST(sum(c) OVER (PARTITION BY event_type, we ORDER BY v)
+              AS BIGINT) AS cc,
+         CAST(sum(c) OVER (PARTITION BY event_type, we) AS BIGINT)
+           AS n
+  FROM dom
+), dt AS (
+  SELECT d.*, tau_e2 FROM d
+  CROSS JOIN (SELECT unnest([25, 50, 75]) AS tau_e2)
+), picks AS (
+  SELECT event_type, we, tau_e2, max(n) AS n,
+         min(CASE WHEN cc >= ceil(CAST(n AS DOUBLE)
+                                  * (tau_e2 / 100.0))
+                  THEN v END) AS q,
+         min(CASE WHEN cc >= greatest(1.0,
+               ceil(CAST(n AS DOUBLE) * (tau_e2 / 100.0)
+                    - {_QE_Z!r} * sqrt(CAST(n AS DOUBLE)
+                      * (tau_e2 / 100.0) * (1.0 - tau_e2 / 100.0))))
+                  THEN v END) AS lo,
+         min(CASE WHEN cc >= least(CAST(n AS DOUBLE),
+               ceil(CAST(n AS DOUBLE) * (tau_e2 / 100.0)
+                    + {_QE_Z!r} * sqrt(CAST(n AS DOUBLE)
+                      * (tau_e2 / 100.0) * (1.0 - tau_e2 / 100.0))))
+                  THEN v END) AS hi
+  FROM dt GROUP BY 1, 2, 3
+)
+SELECT a.event_type, CAST(a.tau_e2 AS BIGINT) AS tau_e2,
+       a.n AS n_weekday, b.n AS n_weekend,
+       a.q AS q_weekday, b.q AS q_weekend,
+       b.q - a.q AS diff_centi,
+       b.lo AS we_ci_lo, b.hi AS we_ci_hi
+FROM picks a JOIN picks b
+  ON b.event_type = a.event_type AND b.tau_e2 = a.tau_e2
+ AND a.we = 0 AND b.we = 1
+ORDER BY a.event_type, a.tau_e2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jonckheere_terpstra": q_jonckheere_terpstra,
     "mood_median": q_mood_median,
@@ -8532,6 +9003,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "isotonic_hour": q_isotonic_hour,
     "christoffersen_ind": q_christoffersen_ind,
     "weekly_coherence": q_weekly_coherence,
+    "benford_second": q_benford_second,
+    "binning_rules": q_binning_rules,
+    "katz_centrality": q_katz_centrality,
+    "quantile_effects": q_quantile_effects,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -8603,6 +9078,10 @@ ORACLE_SQL: dict[str, str] = {
     "isotonic_hour": SQL_ISOTONIC,
     "christoffersen_ind": SQL_CHRISTOFFERSEN,
     "weekly_coherence": SQL_WEEKLY_COHERENCE,
+    "benford_second": SQL_BENFORD2,
+    "binning_rules": SQL_BINNING,
+    "katz_centrality": SQL_KATZ,
+    "quantile_effects": SQL_QUANTILE_EFFECTS,
 }
 
 # the centroid CTE block is shared verbatim with the stats8 cluster
