@@ -1,0 +1,415 @@
+"""Round-4 continuation registry (eleventh battery): extreme-value
+tail estimators beyond Hill, KMV distinct sketching against the shared
+md5-based 60-bit hash, and survey-design allocation.
+
+Oracle conventions as everywhere in this repo: identical column names,
+every DuckDB integer SUM wrapped in ``CAST(... AS BIGINT)``, derived
+doubles floor-scaled with the house 1/pi offset; order statistics are
+exact lower/upper picks on aggregated value domains; shared constants
+(hash formula, z literals) enter both engines verbatim.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from diive_spark.queries_stats2 import _OFF
+
+# ---------------------------------------------------------------------------
+# dekkers_moment — Dekkers-Einmahl-de Haan moment tail estimator
+# ---------------------------------------------------------------------------
+# Dekkers, Einmahl & de Haan (Ann. Stat. 1989): gamma-hat = M1 + 1 -
+# 0.5 / (1 - M1^2/M2) with M_r the r-th moment of log exceedances over
+# the k-th upper order statistic — valid for ALL gamma (Hill only for
+# gamma > 0).  k = 100; the top-(k+1) ranks ride WindowGroupLimit;
+# each row's ln ratio and its square are e9-floored so both moment
+# sums are exact integers.
+
+
+_DM_K = 100
+
+
+def q_dekkers_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+        "event_id",
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("v").desc(), F.col("event_id").asc()
+    )
+    top = ev.withColumn("rk", F.row_number().over(wr)).filter(
+        F.col("rk") <= _DM_K + 1
+    )
+    xk = top.filter(F.col("rk") == _DM_K + 1).select(
+        "event_type", F.col("v").alias("xk")
+    )
+    t = (
+        top.filter(F.col("rk") <= _DM_K)
+        .join(F.broadcast(xk), "event_type")
+        .filter((F.col("v") > 0) & (F.col("xk") > 0))
+        .withColumn(
+            "l", F.log(F.col("v").cast("double") / F.col("xk"))
+        )
+        .withColumn(
+            "l9", F.floor(F.col("l") * 1e9 + F.lit(_OFF)).cast("long")
+        )
+        .withColumn(
+            "q9",
+            F.floor(F.col("l") * F.col("l") * 1e9 + F.lit(_OFF)).cast(
+                "long"
+            ),
+        )
+    )
+    agg = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max("xk").alias("xk"),
+        F.sum("l9").alias("s1"),
+        F.sum("q9").alias("s2"),
+    )
+    m1 = F.col("s1").cast("double") / 1e9 / F.col("k")
+    m2 = F.col("s2").cast("double") / 1e9 / F.col("k")
+    gamma = m1 + 1.0 - 0.5 / (1.0 - m1 * m1 / m2)
+    return (
+        agg.filter((F.col("k") == _DM_K) & (F.col("s2") > 0))
+        .select(
+            "event_type",
+            F.col("k").cast("long").alias("k"),
+            F.col("xk").cast("long").alias("threshold_centi"),
+            F.floor(m1 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "m1_e6"
+            ),
+            F.floor(m2 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "m2_e6"
+            ),
+            F.floor(gamma * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "gamma_e6"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_DEKKERS = f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), top AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY v DESC, event_id ASC) AS rk
+  FROM ev QUALIFY rk <= {_DM_K + 1}
+), xk AS (
+  SELECT event_type, v AS xk FROM top WHERE rk = {_DM_K + 1}
+), t AS (
+  SELECT top.event_type, xk.xk,
+         ln(CAST(top.v AS DOUBLE) / xk.xk) AS l
+  FROM top JOIN xk ON xk.event_type = top.event_type
+  WHERE rk <= {_DM_K} AND top.v > 0 AND xk.xk > 0
+), agg AS (
+  SELECT event_type, count(*) AS k, max(xk) AS xk,
+         CAST(sum(CAST(floor(l * 1e9 + {_OFF}) AS BIGINT)) AS BIGINT)
+           AS s1,
+         CAST(sum(CAST(floor(l * l * 1e9 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS s2
+  FROM t GROUP BY 1
+), m AS (
+  SELECT event_type, k, xk,
+         CAST(s1 AS DOUBLE) / 1e9 / k AS m1,
+         CAST(s2 AS DOUBLE) / 1e9 / k AS m2, s2
+  FROM agg
+)
+SELECT event_type, CAST(k AS BIGINT) AS k, xk AS threshold_centi,
+       CAST(floor(m1 * 1000000 + {_OFF}) AS BIGINT) AS m1_e6,
+       CAST(floor(m2 * 1000000 + {_OFF}) AS BIGINT) AS m2_e6,
+       CAST(floor((m1 + 1.0 - 0.5 / (1.0 - m1 * m1 / m2)) * 1000000
+                  + {_OFF}) AS BIGINT) AS gamma_e6
+FROM m
+WHERE k = {_DM_K} AND s2 > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# pickands_gamma — Pickands quantile-spacing tail estimator
+# ---------------------------------------------------------------------------
+# Pickands (Ann. Stat. 1975): gamma-hat = ln((x_(k) - x_(2k)) /
+# (x_(2k) - x_(4k))) / ln 2 from three upper order statistics, k =
+# max(1, n // 40) — location-invariant and valid for all gamma.  The
+# three picks come off the descending domain cumulative (exact); one
+# ln at the end with the shared ln 2 literal.
+
+
+import math as _math
+
+_LN2 = _math.log(2.0)
+
+
+def q_pickands_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    dom = ev.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("v").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    d = dom.withColumn("cc", F.sum("c").over(wo)).withColumn(
+        "n", F.sum("c").over(wt)
+    )
+    k = F.greatest(F.lit(1), F.floor(F.col("n") / 40)).cast("long")
+    picks = d.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(k).alias("k"),
+        # descending cumulative: cc >= k holds from the k-th largest
+        # DOWNWARD, so the pick is the MAX qualifying value
+        F.max(F.when(F.col("cc") >= k, F.col("v"))).alias("xk"),
+        F.max(F.when(F.col("cc") >= 2 * k, F.col("v"))).alias("x2k"),
+        F.max(F.when(F.col("cc") >= 4 * k, F.col("v"))).alias("x4k"),
+    )
+    num = (F.col("xk") - F.col("x2k")).cast("double")
+    den = (F.col("x2k") - F.col("x4k")).cast("double")
+    gamma = F.log(num / den) / _LN2
+    return (
+        picks.filter(
+            (F.col("n") >= 4 * F.col("k"))
+            & (F.col("xk") > F.col("x2k"))
+            & (F.col("x2k") > F.col("x4k"))
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("k").cast("long").alias("k"),
+            F.col("xk").cast("long").alias("xk_centi"),
+            F.col("x2k").cast("long").alias("x2k_centi"),
+            F.col("x4k").cast("long").alias("x4k_centi"),
+            F.floor(gamma * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "gamma_e6"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_PICKANDS = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), dom AS (
+  SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2
+), d AS (
+  SELECT event_type, v,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v DESC)
+              AS BIGINT) AS cc,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM dom
+), d2 AS (
+  SELECT event_type, v, cc, n,
+         greatest(1, n // 40) AS k
+  FROM d
+), picks AS (
+  SELECT event_type, max(n) AS n, max(k) AS k,
+         max(CASE WHEN cc >= k THEN v END) AS xk,
+         max(CASE WHEN cc >= 2 * k THEN v END) AS x2k,
+         max(CASE WHEN cc >= 4 * k THEN v END) AS x4k
+  FROM d2 GROUP BY 1
+)
+SELECT event_type, n, k, xk AS xk_centi, x2k AS x2k_centi,
+       x4k AS x4k_centi,
+       CAST(floor(ln(CAST(xk - x2k AS DOUBLE) / (x2k - x4k))
+                  / {_LN2!r} * 1000000 + {_OFF}) AS BIGINT)
+         AS gamma_e6
+FROM picks
+WHERE n >= 4 * k AND xk > x2k AND x2k > x4k
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# kmv_distinct — k-minimum-values distinct sketch vs exact
+# ---------------------------------------------------------------------------
+# Bar-Yossef et al. (RANDOM 2002): with k minimum hash values over a
+# 2^60 hash space, D-hat = (k-1) 2^60 / h_(k).  The hash is the
+# repo's shared md5-based 60-bit formula (text/dedup.py::_h60 and its
+# DuckDB twin), so both engines sketch IDENTICAL hash streams — the
+# estimate, the exact distinct count and the relative error are all
+# deterministic.  k = 32.
+
+
+_KMV_K = 32
+_H60_SPACE = float(1 << 60)
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.text.dedup import _h60
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    hashed = ev.select(
+        "event_type", _h60(F.col("uid")).alias("h")
+    ).distinct()
+    wr = Window.partitionBy("event_type").orderBy(F.col("h").asc())
+    kth = (
+        hashed.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == _KMV_K)
+        .select("event_type", F.col("h").alias("hk"))
+    )
+    exact = hashed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    j = exact.join(kth, "event_type")
+    est = (_KMV_K - 1) * _H60_SPACE / F.col("hk").cast("double")
+    err = (est - F.col("exact_distinct").cast("double")) / F.col(
+        "exact_distinct"
+    )
+    return j.select(
+        "event_type",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        F.col("hk").cast("long").alias("h_k"),
+        F.floor(est * 100 + F.lit(_OFF)).cast("long").alias(
+            "kmv_est_e2"
+        ),
+        F.floor(err * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "err_e4"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_KMV = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h
+  FROM events
+), kth AS (
+  SELECT event_type, h AS hk
+  FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h ASC)
+             AS rk
+    FROM hashed
+  ) WHERE rk = {_KMV_K}
+), exact AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS exact_distinct
+  FROM hashed GROUP BY 1
+)
+SELECT exact.event_type, exact_distinct, hk AS h_k,
+       CAST(floor({_KMV_K - 1} * {_H60_SPACE!r}
+                  / CAST(hk AS DOUBLE) * 100 + {_OFF}) AS BIGINT)
+         AS kmv_est_e2,
+       CAST(floor(({_KMV_K - 1} * {_H60_SPACE!r}
+                   / CAST(hk AS DOUBLE) - exact_distinct)
+                  / exact_distinct * 10000 + {_OFF}) AS BIGINT)
+         AS err_e4
+FROM exact JOIN kth ON kth.event_type = exact.event_type
+ORDER BY exact.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# neyman_allocation — optimal stratified-sample allocation by source
+# ---------------------------------------------------------------------------
+# Neyman (JRSS 1934): for a fixed budget n, allocate n_h proportional
+# to N_h S_h — the design a 100 TB corpus sampler runs before drawing
+# a quality-audit sample.  Strata = sources, variable = n_chars.
+# N_h S_h terms are e2-floored per stratum so the total is an exact
+# integer sum; budget 1000.
+
+
+_NEYMAN_BUDGET = 1000
+
+
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", F.col("n_chars").cast("long").alias("x")
+    )
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    nd = F.col("nh").cast("double")
+    sd = F.sqrt(
+        (
+            nd * F.col("q").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+        )
+        / (nd * (nd - 1.0))
+    )
+    agg = agg.filter(F.col("nh") >= 2).withColumn(
+        "w2", F.floor(nd * sd * 100 + F.lit(_OFF)).cast("long")
+    )
+    wall = Window.partitionBy()
+    agg = agg.withColumn("tot2", F.sum("w2").over(wall))
+    alloc = (
+        F.col("w2").cast("double")
+        / F.col("tot2")
+        * float(_NEYMAN_BUDGET)
+    )
+    return agg.select(
+        "source",
+        F.col("nh").cast("long").alias("n_docs"),
+        F.floor(sd * 100 + F.lit(_OFF)).cast("long").alias("sd_e2"),
+        F.col("w2").cast("long").alias("nh_sh_e2"),
+        F.floor(alloc * 100 + F.lit(_OFF)).cast("long").alias(
+            "alloc_e2"
+        ),
+    ).orderBy("source")
+
+
+SQL_NEYMAN = f"""
+WITH agg AS (
+  SELECT source, count(*) AS nh,
+         CAST(sum(n_chars) AS BIGINT) AS s,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS q
+  FROM documents GROUP BY 1
+), f AS (
+  SELECT source, nh,
+         sqrt((CAST(nh AS DOUBLE) * q - CAST(s AS DOUBLE) * s)
+              / (CAST(nh AS DOUBLE) * (nh - 1.0))) AS sd
+  FROM agg WHERE nh >= 2
+), w AS (
+  SELECT source, nh, sd,
+         CAST(floor(CAST(nh AS DOUBLE) * sd * 100 + {_OFF}) AS BIGINT)
+           AS w2
+  FROM f
+), t AS (
+  SELECT source, nh, sd, w2,
+         CAST(sum(w2) OVER () AS BIGINT) AS tot2
+  FROM w
+)
+SELECT source, CAST(nh AS BIGINT) AS n_docs,
+       CAST(floor(sd * 100 + {_OFF}) AS BIGINT) AS sd_e2,
+       w2 AS nh_sh_e2,
+       CAST(floor(CAST(w2 AS DOUBLE) / tot2 * {_NEYMAN_BUDGET}.0 * 100
+                  + {_OFF}) AS BIGINT) AS alloc_e2
+FROM t
+ORDER BY source
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dekkers_moment": q_dekkers_moment,
+    "pickands_gamma": q_pickands_gamma,
+    "kmv_distinct": q_kmv_distinct,
+    "neyman_allocation": q_neyman_allocation,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "dekkers_moment": SQL_DEKKERS,
+    "pickands_gamma": SQL_PICKANDS,
+    "kmv_distinct": SQL_KMV,
+    "neyman_allocation": SQL_NEYMAN,
+}
