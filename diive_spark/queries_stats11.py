@@ -400,11 +400,433 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# morph_productivity — Baayen's productivity P for common suffixes
+# ---------------------------------------------------------------------------
+# Baayen (Linguistics 1992): P = n1 / N — the share of hapax
+# legomena among a suffix's tokens estimates how productive the
+# morphological process still is.  Suffix family {'ing', 'ed', 'ly',
+# 'er', 's'} with longest-match-first assignment (literal CASE
+# ladder, identical in both engines); exact counting throughout.
+
+
+def q_morph_productivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats2 import _documents
+
+    toks = _documents(spark, sf_dir).select(
+        "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 4)
+    w = F.lower(F.col("w"))
+    suf = (
+        F.when(w.endswith("ing"), F.lit("ing"))
+        .when(w.endswith("ed"), F.lit("ed"))
+        .when(w.endswith("ly"), F.lit("ly"))
+        .when(w.endswith("er"), F.lit("er"))
+        .when(w.endswith("s"), F.lit("s"))
+    )
+    t = toks.withColumn("suffix", suf).filter(
+        F.col("suffix").isNotNull()
+    )
+    freq = t.groupBy("lang", "suffix", w.alias("wl")).agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    agg = freq.groupBy("lang", "suffix").agg(
+        F.sum("m").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((F.col("m") == 1).cast("long")).alias("n_hapax"),
+    )
+    p = F.col("n_hapax").cast("double") / F.col("n_tokens")
+    return agg.select(
+        "lang",
+        "suffix",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("n_hapax").cast("long").alias("n_hapax"),
+        F.floor(p * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "productivity_e6"
+        ),
+    ).orderBy("lang", "suffix")
+
+
+SQL_MORPH = f"""
+WITH toks AS (
+  SELECT lang,
+         lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS w
+  FROM documents
+), t AS (
+  SELECT lang, w,
+         CASE WHEN w LIKE '%ing' THEN 'ing'
+              WHEN w LIKE '%ed' THEN 'ed'
+              WHEN w LIKE '%ly' THEN 'ly'
+              WHEN w LIKE '%er' THEN 'er'
+              WHEN w LIKE '%s' THEN 's' END AS suffix
+  FROM toks WHERE len(w) >= 4
+), f AS (
+  SELECT lang, suffix, w, count(*) AS m
+  FROM t WHERE suffix IS NOT NULL
+  GROUP BY 1, 2, 3
+), agg AS (
+  SELECT lang, suffix,
+         CAST(sum(m) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax
+  FROM f GROUP BY 1, 2
+)
+SELECT lang, suffix, n_tokens, n_types, n_hapax,
+       CAST(floor(CAST(n_hapax AS DOUBLE) / n_tokens * 1000000
+                  + {_OFF}) AS BIGINT) AS productivity_e6
+FROM agg
+ORDER BY lang, suffix
+"""
+
+
+# ---------------------------------------------------------------------------
+# concentration_index — value concentration over the activity ranking
+# ---------------------------------------------------------------------------
+# The health-economics concentration index (Kakwani; Wagstaff et al.
+# 1991): C = 2 sum(r_i y_i) / (n sum y) - (n + 1)/n with users RANKED
+# BY EVENT COUNT (not by y) — is value concentrated among the most
+# active users?  Tie-safe via exact 2x midranks on the count domain
+# (the kruskal_wallis discipline); everything before the final
+# expression is exact BIGINT.
+
+
+def q_concentration_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = ev.groupBy(
+        F.col("user_id").cast("long").alias("user_id")
+    ).agg(
+        F.count(F.lit(1)).alias("a"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+        ).alias("y"),
+    )
+    wr = Window.orderBy("a")
+    wt = Window.partitionBy("a")
+    r = per.withColumn("minrk", F.rank().over(wr)).withColumn(
+        "t", F.count(F.lit(1)).over(wt)
+    )
+    r = r.withColumn("rk2", 2 * F.col("minrk") + F.col("t") - 1)
+    agg = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("rk2") * F.col("y")).alias("sry2"),
+    )
+    nd = F.col("n").cast("double")
+    c = F.col("sry2").cast("double") / (
+        nd * F.col("sy").cast("double")
+    ) - (nd + 1.0) / nd
+    return agg.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("sy").cast("long").alias("total_value_centi"),
+        F.floor(c * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "conc_index_e6"
+        ),
+    )
+
+
+SQL_CONCENTRATION = f"""
+WITH per AS (
+  SELECT user_id, count(*) AS a,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS y
+  FROM events GROUP BY 1
+), r AS (
+  SELECT y,
+         2 * rank() OVER (ORDER BY a)
+           + count(*) OVER (PARTITION BY a) - 1 AS rk2
+  FROM per
+), agg AS (
+  SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(rk2 * y) AS BIGINT) AS sry2
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_users, sy AS total_value_centi,
+       CAST(floor((CAST(sry2 AS DOUBLE) / (CAST(n AS DOUBLE) * sy)
+                   - (n + 1.0) / n) * 1000000 + {_OFF}) AS BIGINT)
+         AS conc_index_e6
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# map_at_k — mean average precision@5 of label retrieval
+# ---------------------------------------------------------------------------
+# The IR view of embedding quality: treat each point's label-blocked…
+# no — each point queries the FULL corpus (blocked by nothing would be
+# all-pairs); instead each point's candidate set is its own label plus
+# the nearest rival label's points via centroids?  To stay in the
+# audited all-pairs-free posture, candidates are the point's own label
+# and the centroid-nearest OTHER label (two blocks), ranked by 6-dp
+# distance with the cand_id tie-break; AP@5 uses the label-match
+# indicator.  Per-point AP is e6-floored; per-label mAP is an exact
+# integer mean.
+
+
+_MAP_K = 5
+
+
+def q_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats8 import _centroids
+    from diive_spark.text.similarity import l2sq_pair_udf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", "embedding"
+    )
+    cent = _centroids(emb)
+    c2 = cent.select(
+        F.col("label").alias("label_r"), F.col("carr").alias("carr_r")
+    )
+    rival = (
+        cent.crossJoin(F.broadcast(c2))
+        .filter(F.col("label") != F.col("label_r"))
+        .select(
+            "label",
+            "label_r",
+            F.round(
+                l2sq_pair_udf(F.col("carr"), F.col("carr_r")), 6
+            ).alias("cd"),
+        )
+    )
+    wrv = Window.partitionBy("label").orderBy(
+        F.col("cd").asc(), F.col("label_r").asc()
+    )
+    nearest = (
+        rival.withColumn("rk", F.row_number().over(wrv))
+        .filter(F.col("rk") == 1)
+        .select("label", F.col("label_r").alias("rival"))
+    )
+    cand = emb.select(
+        F.col("label").alias("clabel"),
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("emb_r"),
+    )
+    pairs = emb.join(F.broadcast(nearest), "label").join(
+        cand,
+        (
+            (F.col("clabel") == F.col("label"))
+            | (F.col("clabel") == F.col("rival"))
+        )
+        & (F.col("cand_id") != F.col("vec_id")),
+    ).select(
+        "label",
+        "vec_id",
+        "cand_id",
+        "clabel",
+        F.round(
+            l2sq_pair_udf(F.col("embedding"), F.col("emb_r")), 6
+        ).alias("d2"),
+    )
+    wo = Window.partitionBy("label", "vec_id").orderBy(
+        F.col("d2").asc(), F.col("cand_id").asc()
+    )
+    topk = pairs.withColumn("rk", F.row_number().over(wo)).filter(
+        F.col("rk") <= _MAP_K
+    )
+    wk = Window.partitionBy("label", "vec_id").orderBy("rk")
+    topk = topk.withColumn(
+        "hit", (F.col("clabel") == F.col("label")).cast("long")
+    ).withColumn(
+        "cumhit",
+        F.sum("hit").over(
+            wk.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    perq = topk.groupBy("label", "vec_id").agg(
+        F.sum("hit").alias("nrel"),
+        F.sum(
+            F.when(
+                F.col("hit") == 1,
+                F.col("cumhit").cast("double") / F.col("rk"),
+            ).otherwise(F.lit(0.0))
+        ).alias("apsum"),
+        F.count(F.lit(1)).alias("kk"),
+    )
+    ap6 = F.floor(
+        F.when(
+            F.col("nrel") > 0, F.col("apsum") / F.col("nrel")
+        ).otherwise(F.lit(0.0))
+        * 1e6
+        + F.lit(_OFF)
+    ).cast("long")
+    agg = perq.filter(F.col("kk") == _MAP_K).select(
+        "label", ap6.alias("ap6")
+    ).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("ap6").alias("sap6"),
+    )
+    return agg.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.floor(
+            F.col("sap6").cast("double") / F.col("n_queries")
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("map_e6"),
+    ).orderBy("label")
+
+
+SQL_MAP_AT_K = f"""
+WITH {{cent}},
+rival AS (
+  SELECT label, rival FROM (
+    SELECT a.label, b.label AS rival,
+           row_number() OVER (
+             PARTITION BY a.label
+             ORDER BY round(list_sum(list_transform(
+               generate_series(1, len(a.carr)),
+               i -> (a.carr[i] - b.carr[i]) * (a.carr[i] - b.carr[i])
+             )), 6) ASC, b.label ASC) AS rk
+    FROM cent a JOIN cent b ON b.label <> a.label
+  ) WHERE rk = 1
+), pairs AS (
+  SELECT e.label, e.vec_id, c.vec_id AS cand_id, c.label AS clabel,
+         round(list_sum(list_transform(
+           generate_series(1, len(e.embedding)),
+           i -> (CAST(e.embedding[i] AS DOUBLE)
+                 - CAST(c.embedding[i] AS DOUBLE))
+                * (CAST(e.embedding[i] AS DOUBLE)
+                   - CAST(c.embedding[i] AS DOUBLE)))), 6) AS d2
+  FROM embeddings e
+  JOIN rival ON rival.label = e.label
+  JOIN embeddings c
+    ON (c.label = e.label OR c.label = rival.rival)
+   AND c.vec_id <> e.vec_id
+), topk AS (
+  SELECT label, vec_id, clabel,
+         row_number() OVER (PARTITION BY label, vec_id
+                            ORDER BY d2 ASC, cand_id ASC) AS rk
+  FROM pairs QUALIFY rk <= {_MAP_K}
+), hits AS (
+  SELECT label, vec_id, rk,
+         CASE WHEN clabel = label THEN 1 ELSE 0 END AS hit,
+         CAST(sum(CASE WHEN clabel = label THEN 1 ELSE 0 END)
+              OVER (PARTITION BY label, vec_id ORDER BY rk)
+              AS BIGINT) AS cumhit
+  FROM topk
+), perq AS (
+  SELECT label, vec_id,
+         CAST(sum(hit) AS BIGINT) AS nrel,
+         sum(CASE WHEN hit = 1
+                  THEN CAST(cumhit AS DOUBLE) / rk ELSE 0.0 END)
+           AS apsum,
+         count(*) AS kk
+  FROM hits GROUP BY 1, 2
+), ap AS (
+  SELECT label,
+         CAST(floor(CASE WHEN nrel > 0 THEN apsum / nrel
+                         ELSE 0.0 END * 1e6 + {_OFF}) AS BIGINT)
+           AS ap6
+  FROM perq WHERE kk = {_MAP_K}
+), agg AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_queries,
+         CAST(sum(ap6) AS BIGINT) AS sap6
+  FROM ap GROUP BY 1
+)
+SELECT CAST(label AS BIGINT) AS label, n_queries,
+       CAST(floor(CAST(sap6 AS DOUBLE) / n_queries + {_OFF})
+            AS BIGINT) AS map_e6
+FROM agg
+ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# trie_branching — character-trie branching factors per language
+# ---------------------------------------------------------------------------
+# Vocabulary-structure census: the average branching factor at trie
+# depth d is |distinct (d+1)-prefixes| / |distinct d-prefixes| over
+# the word types — a compact signature of orthographic entropy
+# (complements char_entropy_lang, which is token-weighted).  Exact
+# distinct counting at depths 1-3.
+
+
+def q_trie_branching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats2 import _documents
+
+    toks = (
+        _documents(spark, sf_dir)
+        .select(
+            "lang",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("w0"),
+        )
+        .select("lang", F.lower("w0").alias("w"))
+        .filter(F.length("w") >= 4)
+        .distinct()
+    )
+    agg = toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.countDistinct(F.substring("w", 1, 1)).alias("p1"),
+        F.countDistinct(F.substring("w", 1, 2)).alias("p2"),
+        F.countDistinct(F.substring("w", 1, 3)).alias("p3"),
+        F.countDistinct(F.substring("w", 1, 4)).alias("p4"),
+    )
+    return agg.select(
+        "lang",
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("p1").cast("long").alias("p1"),
+        F.col("p2").cast("long").alias("p2"),
+        F.col("p3").cast("long").alias("p3"),
+        F.floor(
+            F.col("p2").cast("double") / F.col("p1") * 10_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("b1_e4"),
+        F.floor(
+            F.col("p3").cast("double") / F.col("p2") * 10_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("b2_e4"),
+        F.floor(
+            F.col("p4").cast("double") / F.col("p3") * 10_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("b3_e4"),
+    ).orderBy("lang")
+
+
+SQL_TRIE = f"""
+WITH toks AS (
+  SELECT DISTINCT lang,
+         lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS w
+  FROM documents
+), f AS (
+  SELECT lang, w FROM toks WHERE len(w) >= 4
+), agg AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(count(DISTINCT substr(w, 1, 1)) AS BIGINT) AS p1,
+         CAST(count(DISTINCT substr(w, 1, 2)) AS BIGINT) AS p2,
+         CAST(count(DISTINCT substr(w, 1, 3)) AS BIGINT) AS p3,
+         CAST(count(DISTINCT substr(w, 1, 4)) AS BIGINT) AS p4
+  FROM f GROUP BY 1
+)
+SELECT lang, n_types, p1, p2, p3,
+       CAST(floor(CAST(p2 AS DOUBLE) / p1 * 10000 + {_OFF}) AS BIGINT)
+         AS b1_e4,
+       CAST(floor(CAST(p3 AS DOUBLE) / p2 * 10000 + {_OFF}) AS BIGINT)
+         AS b2_e4,
+       CAST(floor(CAST(p4 AS DOUBLE) / p3 * 10000 + {_OFF}) AS BIGINT)
+         AS b3_e4
+FROM agg
+ORDER BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dekkers_moment": q_dekkers_moment,
     "pickands_gamma": q_pickands_gamma,
     "kmv_distinct": q_kmv_distinct,
     "neyman_allocation": q_neyman_allocation,
+    "morph_productivity": q_morph_productivity,
+    "concentration_index": q_concentration_index,
+    "map_at_k": q_map_at_k,
+    "trie_branching": q_trie_branching,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -412,4 +834,13 @@ ORACLE_SQL: dict[str, str] = {
     "pickands_gamma": SQL_PICKANDS,
     "kmv_distinct": SQL_KMV,
     "neyman_allocation": SQL_NEYMAN,
+    "morph_productivity": SQL_MORPH,
+    "concentration_index": SQL_CONCENTRATION,
+    "map_at_k": SQL_MAP_AT_K,
+    "trie_branching": SQL_TRIE,
 }
+
+# shared centroid CTE block (stats8 discipline)
+from diive_spark.queries_stats8 import _SQL_CENT as _SQL_CENT11  # noqa: E402
+
+ORACLE_SQL["map_at_k"] = SQL_MAP_AT_K.format(cent=_SQL_CENT11)
