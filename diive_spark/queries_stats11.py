@@ -818,6 +818,452 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# gesd_outliers — generalized ESD statistics, 3 unrolled rounds
+# ---------------------------------------------------------------------------
+# Rosner (Technometrics 1983): iteratively remove the most extreme
+# point and recompute R_r = max |x - mean| / sd — the multi-outlier
+# fix for Grubbs' masking problem.  THREE fixed rounds by contract
+# (markov_stationary unrolled-iteration precedent); argmax tie-break
+# by day; means/sds off exact integer sums of the shrinking set.
+# Critical values need t-quantiles (unavailable in-engine), so the
+# census reports the R statistics themselves.
+
+
+def q_gesd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    out_rows = []
+    cur = daily
+    for r in range(1, 4):
+        wt = Window.partitionBy("event_type")
+        d = (
+            cur.withColumn("n", F.count(F.lit(1)).over(wt))
+            .withColumn("s", F.sum("y").over(wt))
+            .withColumn("q", F.sum(F.col("y") * F.col("y")).over(wt))
+        )
+        nd = F.col("n").cast("double")
+        mean = F.col("s").cast("double") / nd
+        sd = F.sqrt(
+            (
+                nd * F.col("q").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double")
+            )
+            / (nd * (nd - 1.0))
+        )
+        d = d.withColumn("dev", F.abs(F.col("y").cast("double") - mean))
+        wr = Window.partitionBy("event_type").orderBy(
+            F.col("dev").desc(), F.col("day").asc()
+        )
+        d = d.withColumn("rk", F.row_number().over(wr)).withColumn(
+            "rstat", F.col("dev") / sd
+        )
+        hit = d.filter(F.col("rk") == 1).select(
+            "event_type",
+            F.lit(r).cast("long").alias("round"),
+            F.col("day").alias("day"),
+            F.col("y").cast("long").alias("y"),
+            F.floor(F.col("rstat") * 10_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("r_e4"),
+        )
+        out_rows.append(hit)
+        cur = d.filter(F.col("rk") > 1).select("event_type", "day", "y")
+    out = out_rows[0]
+    for h in out_rows[1:]:
+        out = out.unionByName(h)
+    return out.orderBy("event_type", "round")
+
+
+def _gesd_round_sql(src: str, r: int) -> str:
+    return f"""
+stat{r} AS (
+  SELECT event_type, day, y,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+         CAST(sum(y * y) OVER (PARTITION BY event_type) AS BIGINT)
+           AS q
+  FROM {src}
+), dev{r} AS (
+  SELECT event_type, day, y,
+         abs(y - CAST(s AS DOUBLE) / n) AS dev,
+         sqrt((CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)
+              / (CAST(n AS DOUBLE) * (n - 1.0))) AS sd,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(y - CAST(s AS DOUBLE) / n)
+                                     DESC, day ASC) AS rk
+  FROM stat{r}
+), hit{r} AS (
+  SELECT event_type, CAST({r} AS BIGINT) AS round, day,
+         CAST(y AS BIGINT) AS y,
+         CAST(floor(dev / sd * 10000 + {_OFF}) AS BIGINT) AS r_e4
+  FROM dev{r} WHERE rk = 1
+), rest{r} AS (
+  SELECT event_type, day, y FROM dev{r} WHERE rk > 1
+)"""
+
+
+SQL_GESD = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+{_gesd_round_sql('daily', 1)},
+{_gesd_round_sql('rest1', 2)},
+{_gesd_round_sql('rest2', 3)}
+SELECT * FROM hit1
+UNION ALL SELECT * FROM hit2
+UNION ALL SELECT * FROM hit3
+ORDER BY event_type, round
+"""
+
+
+# ---------------------------------------------------------------------------
+# ttt_statistic — total-time-on-test exponentiality / IFR test
+# ---------------------------------------------------------------------------
+# Barlow & Campo (1975) / Epstein: the scaled TTT statistic V = sum_j
+# TTT_j / TTT_n over j = 1..n-1 equals (n-1)/2 in expectation under
+# the exponential renewal null; V >> implies increasing failure rate
+# of inter-event gaps.  TTT_j = sum_{{i<=j}} x_(i) + (n-j) x_(j) is
+# exact-integer off the ascending gap domain; the cumulative-of-
+# cumulatives folds exactly; one division at the end.
+
+
+def q_ttt_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
+        )
+        .cast("long")
+        .alias("s"),
+        "event_id",
+    )
+    wo = Window.partitionBy("event_type").orderBy("s", "event_id")
+    g = ev.withColumn("g", F.col("s") - F.lag("s").over(wo)).filter(
+        F.col("g").isNotNull() & (F.col("g") > 0)
+    )
+    dom = g.groupBy("event_type", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wv = (
+        Window.partitionBy("event_type")
+        .orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    d = (
+        dom.withColumn("cc", F.sum("c").over(wv))
+        .withColumn("cs", F.sum(F.col("c") * F.col("g")).over(wv))
+        .withColumn("n", F.sum("c").over(wt))
+        .withColumn("tot", F.sum(F.col("c") * F.col("g")).over(wt))
+    )
+    # TTT at the END of each tie block j (rank cc): cs + (n - cc) g.
+    # Within a tie block of c equal gaps the TTT values at the c
+    # interior ranks are cs_prev + m g + (n - cc_prev - m) g ... all
+    # equal to cs_prev + (n - cc_prev) g ... no: TTT_j at rank
+    # j = cc_prev + m is cs_prev + m g + (n - j) g = cs_prev +
+    # (n - cc_prev) g for every m — constant within the block, so
+    # the block contributes c * (cs_prev + (n - cc_prev) g) with the
+    # LAST block dropping its final rank (j runs to n-1).
+    blk = (
+        F.col("cs")
+        - F.col("c") * F.col("g")
+        + (F.col("n") - F.col("cc") + F.col("c")) * F.col("g")
+    )
+    cnt_eff = F.when(
+        F.col("cc") == F.col("n"), F.col("c") - 1
+    ).otherwise(F.col("c"))
+    agg = d.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("tot").alias("tot"),
+        F.sum(cnt_eff * blk).alias("sttt"),
+    )
+    v = F.col("sttt").cast("double") / F.col("tot")
+    e = (F.col("n") - 1).cast("double") / 2.0
+    # Var(V) = (n-1)/12 under the exponential null
+    z = (v - e) / F.sqrt((F.col("n") - 1).cast("double") / 12.0)
+    return (
+        agg.filter(F.col("n") >= 3)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_gaps"),
+            F.col("tot").cast("long").alias("ttt_total_s"),
+            F.floor(v * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "v_e4"
+            ),
+            F.floor(z * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "z_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_TTT = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s, event_id
+  FROM events
+), gaps AS (
+  SELECT event_type,
+         s - lag(s) OVER (PARTITION BY event_type
+                          ORDER BY s, event_id) AS g
+  FROM ev
+), dom AS (
+  SELECT event_type, g, CAST(count(*) AS BIGINT) AS c
+  FROM gaps WHERE g IS NOT NULL AND g > 0
+  GROUP BY 1, 2
+), d AS (
+  SELECT event_type, g, c,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY g)
+              AS BIGINT) AS cc,
+         CAST(sum(c * g) OVER (PARTITION BY event_type ORDER BY g)
+              AS BIGINT) AS cs,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(sum(c * g) OVER (PARTITION BY event_type) AS BIGINT)
+           AS tot
+  FROM dom
+), agg AS (
+  SELECT event_type, max(n) AS n, max(tot) AS tot,
+         CAST(sum((CASE WHEN cc = n THEN c - 1 ELSE c END)
+                  * (cs - c * g + (n - cc + c) * g)) AS BIGINT)
+           AS sttt
+  FROM d GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+       tot AS ttt_total_s,
+       CAST(floor(CAST(sttt AS DOUBLE) / tot * 10000 + {_OFF})
+            AS BIGINT) AS v_e4,
+       CAST(floor((CAST(sttt AS DOUBLE) / tot - (n - 1.0) / 2.0)
+                  / sqrt((n - 1.0) / 12.0) * 10000 + {_OFF})
+            AS BIGINT) AS z_e4
+FROM agg
+WHERE n >= 3
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# last_digit_bias — terminal-digit uniformity (rounding forensics)
+# ---------------------------------------------------------------------------
+# The classic data-entry / rounding tripwire (complement to the
+# Benford family, which tests LEADING digits): the final centivalue
+# digit should be uniform on 0-9; chi-square against 1/10 plus the
+# 0/5 round-number excess share.  Pure exact counting.
+
+
+def q_last_digit_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (
+            F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long") % 10
+        ).alias("d"),
+    )
+    cnt = ev.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wt = Window.partitionBy("event_type")
+    cnt = cnt.withColumn("n", F.sum("c").over(wt))
+    e = F.col("n").cast("double") / 10.0
+    chi6 = F.floor(
+        (F.col("c").cast("double") - e) * (F.col("c") - e) / e * 1e6
+        + F.lit(_OFF)
+    ).cast("long")
+    agg = cnt.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(chi6).alias("chi6"),
+        F.sum(
+            F.when(F.col("d").isin(0, 5), F.col("c")).otherwise(0)
+        ).alias("round05"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(F.col("chi6").cast("double") / 100.0 + F.lit(_OFF))
+        .cast("long")
+        .alias("chi2_e4"),
+        F.col("round05").cast("long").alias("n_digit_0_or_5"),
+        F.floor(
+            F.col("round05").cast("double") / F.col("n") * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("round_share_e6"),
+    ).orderBy("event_type")
+
+
+SQL_LAST_DIGIT = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) % 10 AS d
+  FROM events
+), cnt AS (
+  SELECT event_type, d, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(count(*)) OVER (PARTITION BY event_type) AS BIGINT)
+           AS n
+  FROM ev GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, max(n) AS n,
+         CAST(sum(CAST(floor((c - CAST(n AS DOUBLE) / 10.0)
+                             * (c - CAST(n AS DOUBLE) / 10.0)
+                             / (CAST(n AS DOUBLE) / 10.0) * 1e6
+                             + {_OFF}) AS BIGINT)) AS BIGINT) AS chi6,
+         CAST(sum(CASE WHEN d IN (0, 5) THEN c ELSE 0 END) AS BIGINT)
+           AS round05
+  FROM cnt GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(floor(CAST(chi6 AS DOUBLE) / 100.0 + {_OFF}) AS BIGINT)
+         AS chi2_e4,
+       round05 AS n_digit_0_or_5,
+       CAST(floor(CAST(round05 AS DOUBLE) / n * 1000000 + {_OFF})
+            AS BIGINT) AS round_share_e6
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# shorrocks_mobility — weekly activity-quintile mobility index
+# ---------------------------------------------------------------------------
+# Shorrocks (Econometrica 1978): M = (k - trace(P)) / (k - 1) on the
+# quintile transition matrix — how much users move between weekly
+# activity quintiles.  Quintiles are exact rank arithmetic per week
+# (ceil(5 rank / n), rank by (count, user_id) — deterministic
+# tie-break); transition counts exact; the trace ratio per row is the
+# only division.
+
+
+def q_shorrocks_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.floor(
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+            / 7
+        )
+        .cast("long")
+        .alias("week"),
+    )
+    per = ev.groupBy("week", "user_id").agg(
+        F.count(F.lit(1)).alias("a")
+    )
+    wr = Window.partitionBy("week").orderBy("a", "user_id")
+    wn = Window.partitionBy("week")
+    q = per.withColumn("rk", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    ).withColumn(
+        "quint",
+        F.ceil(5.0 * F.col("rk") / F.col("n")).cast("long"),
+    )
+    nxt = q.select(
+        (F.col("week") - 1).alias("week"),
+        "user_id",
+        F.col("quint").alias("quint_next"),
+    )
+    tr = q.join(nxt, ["week", "user_id"]).groupBy(
+        "quint", "quint_next"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wall = Window.partitionBy()
+    agg = tr.agg(
+        F.sum("c").alias("n_trans"),
+        F.sum(
+            F.when(F.col("quint") == F.col("quint_next"), F.col("c"))
+            .otherwise(0)
+        ).alias("n_stay"),
+    )
+    # trace(P) = sum_q P_qq needs row-normalized shares; fold per-row
+    rows = tr.groupBy("quint").agg(F.sum("c").alias("rowsum"))
+    diag = tr.filter(F.col("quint") == F.col("quint_next")).select(
+        "quint", F.col("c").alias("cdiag")
+    )
+    pq = rows.join(diag, "quint", "left").fillna(0, ["cdiag"])
+    pq6 = pq.select(
+        F.floor(
+            F.col("cdiag").cast("double") / F.col("rowsum") * 1e6
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("p6")
+    )
+    trace = pq6.agg(
+        F.count(F.lit(1)).alias("k"), F.sum("p6").alias("tr6")
+    )
+    j = agg.crossJoin(F.broadcast(trace))
+    kd = F.col("k").cast("double")
+    m = (kd - F.col("tr6").cast("double") / 1e6) / (kd - 1.0)
+    return j.select(
+        F.col("n_trans").cast("long").alias("n_transitions"),
+        F.col("n_stay").cast("long").alias("n_stay"),
+        F.col("k").cast("long").alias("k_quintiles"),
+        F.floor(F.col("tr6").cast("double") / 100.0 + F.lit(_OFF))
+        .cast("long")
+        .alias("trace_e4"),
+        F.floor(m * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "shorrocks_e6"
+        ),
+    )
+
+
+SQL_SHORROCKS = f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) // 7 AS week
+  FROM events
+), per AS (
+  SELECT week, user_id, CAST(count(*) AS BIGINT) AS a
+  FROM ev GROUP BY 1, 2
+), q AS (
+  SELECT week, user_id,
+         CAST(ceil(5.0 * row_number()
+                   OVER (PARTITION BY week ORDER BY a, user_id)
+                   / count(*) OVER (PARTITION BY week)) AS BIGINT)
+           AS quint
+  FROM per
+), tr AS (
+  SELECT a.quint, b.quint AS quint_next, CAST(count(*) AS BIGINT) AS c
+  FROM q a JOIN q b
+    ON b.user_id = a.user_id AND b.week = a.week + 1
+  GROUP BY 1, 2
+), agg AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_trans,
+         CAST(sum(CASE WHEN quint = quint_next THEN c ELSE 0 END)
+              AS BIGINT) AS n_stay
+  FROM tr
+), rows_ AS (
+  SELECT quint, CAST(sum(c) AS BIGINT) AS rowsum FROM tr GROUP BY 1
+), diag AS (
+  SELECT quint, c AS cdiag FROM tr WHERE quint = quint_next
+), pq AS (
+  SELECT rows_.quint, rowsum, COALESCE(cdiag, 0) AS cdiag
+  FROM rows_ LEFT JOIN diag ON diag.quint = rows_.quint
+), trace_ AS (
+  SELECT count(*) AS k,
+         CAST(sum(CAST(floor(CAST(cdiag AS DOUBLE) / rowsum * 1e6
+                             + {_OFF}) AS BIGINT)) AS BIGINT) AS tr6
+  FROM pq
+)
+SELECT n_trans AS n_transitions, n_stay,
+       CAST(k AS BIGINT) AS k_quintiles,
+       CAST(floor(CAST(tr6 AS DOUBLE) / 100.0 + {_OFF}) AS BIGINT)
+         AS trace_e4,
+       CAST(floor((k - CAST(tr6 AS DOUBLE) / 1e6) / (k - 1.0)
+                  * 1000000 + {_OFF}) AS BIGINT) AS shorrocks_e6
+FROM agg CROSS JOIN trace_
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dekkers_moment": q_dekkers_moment,
     "pickands_gamma": q_pickands_gamma,
@@ -827,6 +1273,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "concentration_index": q_concentration_index,
     "map_at_k": q_map_at_k,
     "trie_branching": q_trie_branching,
+    "gesd_outliers": q_gesd_outliers,
+    "ttt_statistic": q_ttt_statistic,
+    "last_digit_bias": q_last_digit_bias,
+    "shorrocks_mobility": q_shorrocks_mobility,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -838,6 +1288,10 @@ ORACLE_SQL: dict[str, str] = {
     "concentration_index": SQL_CONCENTRATION,
     "map_at_k": SQL_MAP_AT_K,
     "trie_branching": SQL_TRIE,
+    "gesd_outliers": SQL_GESD,
+    "ttt_statistic": SQL_TTT,
+    "last_digit_bias": SQL_LAST_DIGIT,
+    "shorrocks_mobility": SQL_SHORROCKS,
 }
 
 # shared centroid CTE block (stats8 discipline)
