@@ -1264,6 +1264,469 @@ FROM agg CROSS JOIN trace_
 """
 
 
+# ---------------------------------------------------------------------------
+# gehan_wilcoxon — Gehan-Breslow weighted logrank (weight = n at risk)
+# ---------------------------------------------------------------------------
+# Gehan (Biometrika 1965) / Breslow (1970): the early-difference-
+# sensitive weighted logrank, on EXACTLY the logrank_test setup
+# (lifetime = span days + 1, group = daytime-first-seen).  With
+# weight n_t the score U = sum (n d1 - d n1) is an EXACT BIGINT (the
+# n cancels the hypergeometric mean's denominator); per-term
+# variances d n1 (n - n1)(n - d)/(n - 1) are e6-floored rationals.
+
+
+def q_gehan_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
+    per = ev.groupBy("user_id").agg(
+        F.min(F.floor(sec).cast("long")).alias("first_s"),
+        F.min(F.floor(sec / 86_400).cast("long")).alias("d0"),
+        F.max(F.floor(sec / 86_400).cast("long")).alias("d1"),
+    )
+    per = per.select(
+        (F.col("d1") - F.col("d0") + 1).alias("t"),
+        F.when(
+            ((F.col("first_s") % 86_400) / 3_600)
+            .cast("long")
+            .between(8, 19),
+            1,
+        )
+        .otherwise(0)
+        .alias("g1"),
+    )
+    dt = per.groupBy("t").agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum("g1").alias("d1"),
+    )
+    wo = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = dt.withColumn("n", F.sum("d").over(wo)).withColumn(
+        "n1", F.sum("d1").over(wo)
+    )
+    u_t = F.col("n") * F.col("d1") - F.col("d") * F.col("n1")
+    v6 = F.floor(
+        F.col("d").cast("double")
+        * F.col("n1")
+        * (F.col("n") - F.col("n1"))
+        * (F.col("n") - F.col("d"))
+        / (F.col("n") - 1).cast("double")
+        * 1e6
+        + F.lit(_OFF)
+    ).cast("long")
+    agg = risk.filter(F.col("n") > 1).agg(
+        F.sum("d").alias("n_subjects"),
+        F.sum("d1").alias("n_group1"),
+        F.sum(u_t).alias("u"),
+        F.sum(v6).alias("v6"),
+    )
+    z = F.col("u").cast("double") / F.sqrt(
+        F.col("v6").cast("double") / 1e6
+    )
+    return agg.select(
+        F.col("n_subjects").cast("long").alias("n_subjects"),
+        F.col("n_group1").cast("long").alias("n_daytime"),
+        F.col("u").cast("long").alias("gehan_u"),
+        F.floor(z * 10_000 + F.lit(_OFF)).cast("long").alias("z_e4"),
+    )
+
+
+SQL_GEHAN = f"""
+WITH per AS (
+  SELECT user_id,
+         min(CAST(floor(epoch(ts)) AS BIGINT)) AS first_s,
+         min(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS d0,
+         max(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS d1
+  FROM events GROUP BY 1
+), life AS (
+  SELECT d1 - d0 + 1 AS t,
+         CASE WHEN CAST(floor((first_s % 86400) / 3600) AS BIGINT)
+                   BETWEEN 8 AND 19 THEN 1 ELSE 0 END AS g1
+  FROM per
+), dt AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS d,
+         CAST(sum(g1) AS BIGINT) AS d1
+  FROM life GROUP BY 1
+), risk AS (
+  SELECT t, d, d1,
+         CAST(sum(d) OVER (ORDER BY t DESC) AS BIGINT) AS n,
+         CAST(sum(d1) OVER (ORDER BY t DESC) AS BIGINT) AS n1
+  FROM dt
+), agg AS (
+  SELECT CAST(sum(d) AS BIGINT) AS n_subjects,
+         CAST(sum(d1) AS BIGINT) AS n_group1,
+         CAST(sum(n * d1 - d * n1) AS BIGINT) AS u,
+         CAST(sum(CAST(floor(CAST(d AS DOUBLE) * n1 * (n - n1)
+                             * (n - d) / (n - 1.0) * 1e6 + {_OFF})
+                       AS BIGINT)) AS BIGINT) AS v6
+  FROM risk WHERE n > 1
+)
+SELECT n_subjects, n_group1 AS n_daytime, u AS gehan_u,
+       CAST(floor(CAST(u AS DOUBLE) / sqrt(CAST(v6 AS DOUBLE) / 1e6)
+                  * 10000 + {_OFF}) AS BIGINT) AS z_e4
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# cvm_exponential — one-sample Cramer-von Mises vs fitted exponential
+# ---------------------------------------------------------------------------
+# W^2 = sum (F(x_(i)) - (2i - 1)/(2n))^2 + 1/(12n) against the
+# mean-fitted exponential F(x) = 1 - exp(-x / mean) — the goodness-
+# of-fit companion to exp_gap_fit.  On the gap DOMAIN tie blocks
+# share F, so the block sum telescopes: sum over ranks i in the block
+# of (F - (2i-1)/2n)^2 has a closed quadratic form in the exact
+# integers (lo, hi]; each block's value is e9-floored before the fold.
+
+
+def q_cvm_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
+        )
+        .cast("long")
+        .alias("s"),
+        "event_id",
+    )
+    wo = Window.partitionBy("event_type").orderBy("s", "event_id")
+    g = ev.withColumn("g", F.col("s") - F.lag("s").over(wo)).filter(
+        F.col("g").isNotNull() & (F.col("g") > 0)
+    )
+    dom = g.groupBy("event_type", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wv = (
+        Window.partitionBy("event_type")
+        .orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    d = (
+        dom.withColumn("hi", F.sum("c").over(wv))
+        .withColumn("n", F.sum("c").over(wt))
+        .withColumn("tot", F.sum(F.col("c") * F.col("g")).over(wt))
+        .withColumn("lo", F.col("hi") - F.col("c"))
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("tot").cast("double") / nd
+    ff = 1.0 - F.exp(-F.col("g").cast("double") / mean)
+    # sum_{i=lo+1..hi} (F - (2i-1)/(2n))^2
+    #   = c F^2 - 2F (hi^2 - lo^2)/(2n)·... closed form with
+    # S1 = sum(2i-1) = hi^2 - lo^2, S2 = sum(2i-1)^2
+    s1 = (F.col("hi") * F.col("hi") - F.col("lo") * F.col("lo")).cast(
+        "double"
+    )
+    # sum_{i=a..b} (2i-1)^2 = (2b-1)(2b)(2b+1)/6 - (2a-3)(2a-2)(2a-1)/6
+    # with a = lo+1, b = hi  (sum of odd squares via consecutive cubes)
+    b2 = 2 * F.col("hi")
+    a2 = 2 * F.col("lo")
+    s2 = (
+        ((b2 - 1) * b2 * (b2 + 1)).cast("double")
+        - ((a2 - 1) * a2 * (a2 + 1)).cast("double")
+    ) / 6.0
+    blk = (
+        F.col("c").cast("double") * ff * ff
+        - ff * s1 / nd
+        + s2 / (4.0 * nd * nd)
+    )
+    b9 = F.floor(blk * 1e9 + F.lit(_OFF)).cast("long")
+    agg = d.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("tot").alias("tot"),
+        F.sum(b9).alias("s9"),
+    )
+    w2 = F.col("s9").cast("double") / 1e9 + 1.0 / (
+        12.0 * F.col("n").cast("double")
+    )
+    return (
+        agg.filter(F.col("n") >= 3)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_gaps"),
+            F.floor(
+                F.col("tot").cast("double") / F.col("n") * 100
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("mean_gap_e2"),
+            F.floor(w2 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "w2_e6"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_CVM_EXP = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s, event_id
+  FROM events
+), gaps AS (
+  SELECT event_type,
+         s - lag(s) OVER (PARTITION BY event_type
+                          ORDER BY s, event_id) AS g
+  FROM ev
+), dom AS (
+  SELECT event_type, g, CAST(count(*) AS BIGINT) AS c
+  FROM gaps WHERE g IS NOT NULL AND g > 0
+  GROUP BY 1, 2
+), d AS (
+  SELECT event_type, g, c,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY g)
+              AS BIGINT) AS hi,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(sum(c * g) OVER (PARTITION BY event_type) AS BIGINT)
+           AS tot
+  FROM dom
+), blk AS (
+  SELECT event_type, n, tot,
+         CAST(floor((
+           c * (1.0 - exp(-CAST(g AS DOUBLE)
+                          / (CAST(tot AS DOUBLE) / n)))
+             * (1.0 - exp(-CAST(g AS DOUBLE)
+                          / (CAST(tot AS DOUBLE) / n)))
+           - (1.0 - exp(-CAST(g AS DOUBLE)
+                        / (CAST(tot AS DOUBLE) / n)))
+             * CAST(hi * hi - (hi - c) * (hi - c) AS DOUBLE)
+             / n
+           + (CAST((2 * hi - 1) * (2 * hi) * (2 * hi + 1) AS DOUBLE)
+              - CAST((2 * (hi - c) - 1) * (2 * (hi - c))
+                     * (2 * (hi - c) + 1) AS DOUBLE)) / 6.0
+             / (4.0 * CAST(n AS DOUBLE) * n)
+         ) * 1e9 + {_OFF}) AS BIGINT) AS b9
+  FROM d
+), agg AS (
+  SELECT event_type, max(n) AS n, max(tot) AS tot,
+         CAST(sum(b9) AS BIGINT) AS s9
+  FROM blk GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+       CAST(floor(CAST(tot AS DOUBLE) / n * 100 + {_OFF}) AS BIGINT)
+         AS mean_gap_e2,
+       CAST(floor((CAST(s9 AS DOUBLE) / 1e9 + 1.0 / (12.0 * n))
+                  * 1000000 + {_OFF}) AS BIGINT) AS w2_e6
+FROM agg
+WHERE n >= 3
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# chao_shen_entropy — coverage-adjusted Shannon entropy per language
+# ---------------------------------------------------------------------------
+# Chao & Shen (EEST 2003): H-hat = -sum (C p) ln(C p) / (1 - (1 -
+# C p)^n) with Good's coverage C = 1 - f1/n — the Horvitz-Thompson
+# entropy estimator that fixes the plug-in's undercount on unseen
+# vocabulary.  Per-word terms e9-floored before the fold; pow/ln are
+# row-level on identical operands.
+
+
+def q_chao_shen_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats2 import _documents
+
+    toks = _documents(spark, sf_dir).select(
+        "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    ).filter(F.length("w") > 0)
+    freq = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("m"))
+    wt = Window.partitionBy("lang")
+    d = freq.withColumn("n", F.sum("m").over(wt)).withColumn(
+        "f1", F.sum((F.col("m") == 1).cast("long")).over(wt)
+    )
+    nd = F.col("n").cast("double")
+    cgood = 1.0 - F.col("f1").cast("double") / nd
+    cp = cgood * F.col("m").cast("double") / nd
+    t9 = F.floor(
+        -cp
+        * F.log(cp)
+        / (1.0 - F.pow(1.0 - cp, nd))
+        * 1e9
+        + F.lit(_OFF)
+    ).cast("long")
+    plug9 = F.floor(
+        -(F.col("m").cast("double") / nd)
+        * F.log(F.col("m").cast("double") / nd)
+        * 1e9
+        + F.lit(_OFF)
+    ).cast("long")
+    agg = d.filter(F.col("f1") < F.col("n")).groupBy("lang").agg(
+        F.max("n").alias("n_tokens"),
+        F.max("f1").alias("f1"),
+        F.sum(t9).alias("h9"),
+        F.sum(plug9).alias("p9"),
+    )
+    return agg.select(
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("f1").cast("long").alias("f1"),
+        F.floor(F.col("p9").cast("double") / 1000.0 + F.lit(_OFF))
+        .cast("long")
+        .alias("h_plugin_e6"),
+        F.floor(F.col("h9").cast("double") / 1000.0 + F.lit(_OFF))
+        .cast("long")
+        .alias("h_chao_shen_e6"),
+    ).orderBy("lang")
+
+
+SQL_CHAO_SHEN = f"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), freq AS (
+  SELECT lang, w, CAST(count(*) AS BIGINT) AS m
+  FROM toks WHERE len(w) > 0 GROUP BY 1, 2
+), d AS (
+  SELECT lang, m,
+         CAST(sum(m) OVER (PARTITION BY lang) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY lang) AS BIGINT) AS f1
+  FROM freq
+), t AS (
+  SELECT lang, n, f1,
+         CAST(floor(
+           -((1.0 - CAST(f1 AS DOUBLE) / n) * m / n)
+           * ln((1.0 - CAST(f1 AS DOUBLE) / n) * m / n)
+           / (1.0 - pow(1.0 - (1.0 - CAST(f1 AS DOUBLE) / n) * m / n,
+                        CAST(n AS DOUBLE)))
+           * 1e9 + {_OFF}) AS BIGINT) AS t9,
+         CAST(floor(
+           -(CAST(m AS DOUBLE) / n) * ln(CAST(m AS DOUBLE) / n)
+           * 1e9 + {_OFF}) AS BIGINT) AS p9
+  FROM d WHERE f1 < n
+), agg AS (
+  SELECT lang, max(n) AS n_tokens, max(f1) AS f1,
+         CAST(sum(t9) AS BIGINT) AS h9,
+         CAST(sum(p9) AS BIGINT) AS p9s
+  FROM t GROUP BY 1
+)
+SELECT lang, n_tokens, f1,
+       CAST(floor(CAST(p9s AS DOUBLE) / 1000.0 + {_OFF}) AS BIGINT)
+         AS h_plugin_e6,
+       CAST(floor(CAST(h9 AS DOUBLE) / 1000.0 + {_OFF}) AS BIGINT)
+         AS h_chao_shen_e6
+FROM agg
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# cmh_test — Cochran-Mantel-Haenszel across weekly strata
+# ---------------------------------------------------------------------------
+# Mantel & Haenszel (JNCI 1959) / Cochran (1954): the stratified 2x2
+# test of exposure (weekend) vs outcome (purchase) controlling for
+# week — CMH = (|sum a_k - sum E_k|)^2 / sum V_k with the
+# hypergeometric mean/variance per stratum.  E terms are exact
+# rationals e9-floored; V terms e9-floored; counts exact.
+
+
+def q_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.floor(
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+            / 7
+        )
+        .cast("long")
+        .alias("week"),
+        (
+            (
+                F.floor(
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    / 86_400_000_000
+                )
+                % 7
+            ).isin(2, 3)
+        )
+        .cast("long")
+        .alias("we"),
+        (F.col("event_type") == "purchase").cast("long").alias("p"),
+    )
+    per = ev.groupBy("week").agg(
+        F.sum(F.col("we") * F.col("p")).alias("a"),
+        F.sum(F.col("we") * (1 - F.col("p"))).alias("b"),
+        F.sum((1 - F.col("we")) * F.col("p")).alias("c"),
+        F.sum((1 - F.col("we")) * (1 - F.col("p"))).alias("d"),
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    r1 = F.col("a") + F.col("b")
+    c1 = F.col("a") + F.col("c")
+    e9 = F.floor(
+        r1.cast("double") * c1 / n * 1e9 + F.lit(_OFF)
+    ).cast("long")
+    v9 = F.floor(
+        r1.cast("double")
+        * (F.col("c") + F.col("d"))
+        * c1
+        * (F.col("b") + F.col("d"))
+        / (n.cast("double") * n * (n - 1))
+        * 1e9
+        + F.lit(_OFF)
+    ).cast("long")
+    agg = per.filter(n > 1).agg(
+        F.count(F.lit(1)).alias("k_strata"),
+        F.sum("a").alias("sa"),
+        F.sum(e9).alias("se9"),
+        F.sum(v9).alias("sv9"),
+    )
+    num = F.col("sa").cast("double") - F.col("se9").cast("double") / 1e9
+    cmh = num * num / (F.col("sv9").cast("double") / 1e9)
+    return agg.select(
+        F.col("k_strata").cast("long").alias("k_strata"),
+        F.col("sa").cast("long").alias("sum_a"),
+        F.floor(F.col("se9").cast("double") / 1e5 + F.lit(_OFF))
+        .cast("long")
+        .alias("sum_e_e4"),
+        F.floor(cmh * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "cmh_e4"
+        ),
+    )
+
+
+SQL_CMH = f"""
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) // 7 AS week,
+         CASE WHEN (CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7)
+                   IN (2, 3) THEN 1 ELSE 0 END AS we,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+  FROM events
+), per AS (
+  SELECT week,
+         CAST(sum(we * p) AS BIGINT) AS a,
+         CAST(sum(we * (1 - p)) AS BIGINT) AS b,
+         CAST(sum((1 - we) * p) AS BIGINT) AS c,
+         CAST(sum((1 - we) * (1 - p)) AS BIGINT) AS d
+  FROM ev GROUP BY 1
+), t AS (
+  SELECT a, b, c, d, a + b + c + d AS n,
+         a + b AS r1, a + c AS c1
+  FROM per
+), f AS (
+  SELECT a,
+         CAST(floor(CAST(r1 AS DOUBLE) * c1 / n * 1e9 + {_OFF})
+              AS BIGINT) AS e9,
+         CAST(floor(CAST(r1 AS DOUBLE) * (c + d) * c1 * (b + d)
+                    / (CAST(n AS DOUBLE) * n * (n - 1)) * 1e9
+                    + {_OFF}) AS BIGINT) AS v9
+  FROM t WHERE n > 1
+), agg AS (
+  SELECT count(*) AS k_strata, CAST(sum(a) AS BIGINT) AS sa,
+         CAST(sum(e9) AS BIGINT) AS se9,
+         CAST(sum(v9) AS BIGINT) AS sv9
+  FROM f
+)
+SELECT CAST(k_strata AS BIGINT) AS k_strata, sa AS sum_a,
+       CAST(floor(CAST(se9 AS DOUBLE) / 1e5 + {_OFF}) AS BIGINT)
+         AS sum_e_e4,
+       CAST(floor((sa - CAST(se9 AS DOUBLE) / 1e9)
+                  * (sa - CAST(se9 AS DOUBLE) / 1e9)
+                  / (CAST(sv9 AS DOUBLE) / 1e9) * 10000 + {_OFF})
+            AS BIGINT) AS cmh_e4
+FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dekkers_moment": q_dekkers_moment,
     "pickands_gamma": q_pickands_gamma,
@@ -1277,6 +1740,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ttt_statistic": q_ttt_statistic,
     "last_digit_bias": q_last_digit_bias,
     "shorrocks_mobility": q_shorrocks_mobility,
+    "gehan_wilcoxon": q_gehan_wilcoxon,
+    "cvm_exponential": q_cvm_exponential,
+    "chao_shen_entropy": q_chao_shen_entropy,
+    "cmh_test": q_cmh_test,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1292,6 +1759,10 @@ ORACLE_SQL: dict[str, str] = {
     "ttt_statistic": SQL_TTT,
     "last_digit_bias": SQL_LAST_DIGIT,
     "shorrocks_mobility": SQL_SHORROCKS,
+    "gehan_wilcoxon": SQL_GEHAN,
+    "cvm_exponential": SQL_CVM_EXP,
+    "chao_shen_entropy": SQL_CHAO_SHEN,
+    "cmh_test": SQL_CMH,
 }
 
 # shared centroid CTE block (stats8 discipline)
