@@ -1727,6 +1727,375 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# arrival_uniformity — conditional-uniformity KS of arrival times
+# ---------------------------------------------------------------------------
+# The classic Poisson-process check (Cox & Lewis 1966): conditional
+# on N events in the span, arrival times are iid U(span) — KS of the
+# normalized arrivals against uniform per type.  D+ / D- are exact
+# integer suprema on the second domain (the kuiper machinery, but on
+# the FULL span, not time-of-day); span endpoints exact.
+
+
+def q_arrival_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    wt = Window.partitionBy("event_type")
+    d0 = ev.withColumn("s0", F.min("s").over(wt)).withColumn(
+        "s1", F.max("s").over(wt)
+    )
+    dom = d0.groupBy(
+        "event_type", "s", "s0", "s1"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = dom.withColumn("cc", F.sum("c").over(wo)).withColumn(
+        "n", F.sum("c").over(wt)
+    )
+    span = F.col("s1") - F.col("s0")
+    u_num = F.col("s") - F.col("s0")  # u = u_num / span
+    dplus = F.col("cc") * span - u_num * F.col("n")
+    dminus = u_num * F.col("n") - (F.col("cc") - F.col("c")) * span
+    agg = d.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(span).alias("span_s"),
+        F.max(dplus).alias("dp"),
+        F.max(dminus).alias("dm"),
+    )
+    nd = F.col("n").cast("double")
+    ks = F.greatest(F.col("dp"), F.col("dm")).cast("double") / (
+        nd * F.col("span_s").cast("double")
+    )
+    return (
+        agg.filter((F.col("span_s") > 0) & (F.col("n") >= 3))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("span_s").cast("long").alias("span_s"),
+            F.floor(ks * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "ks_e6"
+            ),
+            F.floor(ks * F.sqrt(nd) * 10_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("ks_scaled_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_ARRIVAL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+), d0 AS (
+  SELECT event_type, s,
+         min(s) OVER (PARTITION BY event_type) AS s0,
+         max(s) OVER (PARTITION BY event_type) AS s1
+  FROM ev
+), dom AS (
+  SELECT event_type, s, s0, s1, CAST(count(*) AS BIGINT) AS c
+  FROM d0 GROUP BY 1, 2, 3, 4
+), d AS (
+  SELECT event_type, s, s0, s1, c,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY s)
+              AS BIGINT) AS cc,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM dom
+), agg AS (
+  SELECT event_type, max(n) AS n, max(s1 - s0) AS span_s,
+         CAST(max(cc * (s1 - s0) - (s - s0) * n) AS BIGINT) AS dp,
+         CAST(max((s - s0) * n - (cc - c) * (s1 - s0)) AS BIGINT)
+           AS dm
+  FROM d GROUP BY 1
+)
+SELECT event_type, n, span_s,
+       CAST(floor(CAST(greatest(dp, dm) AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * span_s) * 1000000 + {_OFF})
+            AS BIGINT) AS ks_e6,
+       CAST(floor(CAST(greatest(dp, dm) AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * span_s)
+                  * sqrt(CAST(n AS DOUBLE)) * 10000 + {_OFF})
+            AS BIGINT) AS ks_scaled_e4
+FROM agg
+WHERE span_s > 0 AND n >= 3
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# ratio_estimators — ratio-of-means vs mean-of-ratios vs Hartley-Ross
+# ---------------------------------------------------------------------------
+# The survey-sampling classic (Cochran ch. 6): estimating value-per-
+# event across users, R1 = sum y / sum n (combined), R2 = mean of
+# per-user ratios (biased), and the Hartley-Ross (1954) unbiased
+# correction R_HR = R2 + (n_u - 1)/(n_u n-bar) (y-bar - R2 n-bar) —
+# the audit that shows WHICH ratio a rollup tier should store.
+# Per-user ratios e6-floored before the fold; everything else exact.
+
+
+def q_ratio_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = ev.groupBy(
+        F.col("user_id").cast("long").alias("user_id")
+    ).agg(
+        F.count(F.lit(1)).alias("a"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+        ).alias("y"),
+    )
+    r6 = F.floor(
+        F.col("y").cast("double") / F.col("a") * 1e6 + F.lit(_OFF)
+    ).cast("long")
+    agg = per.select("a", "y", r6.alias("r6")).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("a").alias("sa"),
+        F.sum("y").alias("sy"),
+        F.sum("r6").alias("sr6"),
+    )
+    kd = F.col("k").cast("double")
+    r1 = F.col("sy").cast("double") / F.col("sa")
+    r2 = F.col("sr6").cast("double") / 1e6 / kd
+    nbar = F.col("sa").cast("double") / kd
+    ybar = F.col("sy").cast("double") / kd
+    # infinite-population Hartley-Ross: r-bar + n/((n-1) x-bar)
+    # (y-bar - r-bar x-bar)
+    rhr = r2 + kd / (kd - 1.0) * (ybar - r2 * nbar) / nbar
+    return agg.select(
+        F.col("k").cast("long").alias("n_users"),
+        F.col("sa").cast("long").alias("n_events"),
+        F.floor(r1 * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "ratio_of_means_e4"
+        ),
+        F.floor(r2 * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "mean_of_ratios_e4"
+        ),
+        F.floor(rhr * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "hartley_ross_e4"
+        ),
+    )
+
+
+SQL_RATIO_EST = f"""
+WITH per AS (
+  SELECT user_id, count(*) AS a,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS y
+  FROM events GROUP BY 1
+), t AS (
+  SELECT a, y,
+         CAST(floor(CAST(y AS DOUBLE) / a * 1e6 + {_OFF}) AS BIGINT)
+           AS r6
+  FROM per
+), agg AS (
+  SELECT count(*) AS k, CAST(sum(a) AS BIGINT) AS sa,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(r6) AS BIGINT) AS sr6
+  FROM t
+)
+SELECT CAST(k AS BIGINT) AS n_users, sa AS n_events,
+       CAST(floor(CAST(sy AS DOUBLE) / sa * 10000 + {_OFF})
+            AS BIGINT) AS ratio_of_means_e4,
+       CAST(floor(CAST(sr6 AS DOUBLE) / 1e6 / k * 10000 + {_OFF})
+            AS BIGINT) AS mean_of_ratios_e4,
+       CAST(floor((CAST(sr6 AS DOUBLE) / 1e6 / k
+                   + k / (k - 1.0)
+                     * (CAST(sy AS DOUBLE) / k
+                        - CAST(sr6 AS DOUBLE) / 1e6 / k
+                          * (CAST(sa AS DOUBLE) / k))
+                     / (CAST(sa AS DOUBLE) / k))
+                  * 10000 + {_OFF}) AS BIGINT) AS hartley_ross_e4
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# moran_calendar — Moran's I on the calendar lattice of daily counts
+# ---------------------------------------------------------------------------
+# Moran (Biometrika 1950) with rook adjacency on the (week, dow)
+# calendar lattice: neighbours are consecutive days (lag 1) and the
+# same weekday a week apart (lag 7) — does the daily total cluster in
+# calendar space beyond its mean?  With Z_i = n y_i - S the n-scale
+# cancels in I = (n / S0) * sum w Z Z / sum Z^2, so the whole
+# statistic is a ratio of exact BIGINTs; E[I] = -1/(n-1) exact.
+
+
+def q_moran_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    wall = Window.partitionBy()
+    d = daily.withColumn("n", F.count(F.lit(1)).over(wall)).withColumn(
+        "s", F.sum("y").over(wall)
+    )
+    d = d.withColumn("z", F.col("n") * F.col("y") - F.col("s"))
+    zz = d.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("z") * F.col("z")).alias("sz2"),
+    )
+    b1 = d.select(
+        (F.col("day") - 1).alias("day"), F.col("z").alias("z1")
+    )
+    b7 = d.select(
+        (F.col("day") - 7).alias("day"), F.col("z").alias("z7")
+    )
+    e1 = d.join(b1, "day").select((F.col("z") * F.col("z1")).alias("p"))
+    e7 = d.join(b7, "day").select((F.col("z") * F.col("z7")).alias("p"))
+    edges = e1.unionByName(e7).agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum("p").alias("szz"),
+    )
+    j = zz.crossJoin(F.broadcast(edges))
+    nd = F.col("n").cast("double")
+    s0 = 2.0 * F.col("n_edges").cast("double")
+    i = (
+        nd
+        / s0
+        * (2.0 * F.col("szz").cast("double"))
+        / F.col("sz2").cast("double")
+    )
+    ei = -1.0 / (nd - 1.0)
+    return j.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.floor(i * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "moran_i_e6"
+        ),
+        F.floor(ei * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "e_i_e6"
+        ),
+    )
+
+
+SQL_MORAN = f"""
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), d AS (
+  SELECT day, y,
+         count(*) OVER () AS n,
+         CAST(sum(y) OVER () AS BIGINT) AS s
+  FROM daily
+), z AS (
+  SELECT day, n * y - s AS z, n FROM d
+), zz AS (
+  SELECT max(n) AS n, CAST(sum(z * z) AS BIGINT) AS sz2 FROM z
+), e1 AS (
+  SELECT a.z * b.z AS p FROM z a JOIN z b ON b.day = a.day + 1
+), e7 AS (
+  SELECT a.z * b.z AS p FROM z a JOIN z b ON b.day = a.day + 7
+), edges AS (
+  SELECT count(*) AS n_edges, CAST(sum(p) AS BIGINT) AS szz
+  FROM (SELECT p FROM e1 UNION ALL SELECT p FROM e7)
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(floor(CAST(n AS DOUBLE) / (2.0 * n_edges)
+                  * (2.0 * CAST(szz AS DOUBLE))
+                  / CAST(sz2 AS DOUBLE) * 1000000 + {_OFF})
+            AS BIGINT) AS moran_i_e6,
+       CAST(floor(-1.0 / (n - 1.0) * 1000000 + {_OFF}) AS BIGINT)
+         AS e_i_e6
+FROM zz CROSS JOIN edges
+"""
+
+
+# ---------------------------------------------------------------------------
+# inspection_paradox — length-biased vs plain mean inter-event gap
+# ---------------------------------------------------------------------------
+# The renewal-theory inspection paradox: a random TIME falls in a gap
+# of expected length E[g^2]/E[g] = mean (1 + CV^2) — the factor by
+# which naive "time between events at a random moment" overestimates
+# the plain mean.  Both means and the paradox factor come from exact
+# BIGINT gap moments.
+
+
+def q_inspection_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
+        )
+        .cast("long")
+        .alias("s"),
+        "event_id",
+    )
+    wo = Window.partitionBy("event_type").orderBy("s", "event_id")
+    g = ev.withColumn("g", F.col("s") - F.lag("s").over(wo)).filter(
+        F.col("g").isNotNull() & (F.col("g") > 0)
+    )
+    agg = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("g").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).alias("qg"),
+    )
+    mean = F.col("sg").cast("double") / F.col("n")
+    lb = F.col("qg").cast("double") / F.col("sg")
+    factor = lb / mean
+    return (
+        agg.filter(F.col("n") >= 2)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_gaps"),
+            F.floor(mean * 100 + F.lit(_OFF)).cast("long").alias(
+                "mean_gap_e2"
+            ),
+            F.floor(lb * 100 + F.lit(_OFF)).cast("long").alias(
+                "length_biased_e2"
+            ),
+            F.floor(factor * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "paradox_factor_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_INSPECTION = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s, event_id
+  FROM events
+), gaps AS (
+  SELECT event_type,
+         s - lag(s) OVER (PARTITION BY event_type
+                          ORDER BY s, event_id) AS g
+  FROM ev
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(g) AS BIGINT) AS sg,
+         CAST(sum(g * g) AS BIGINT) AS qg
+  FROM gaps WHERE g IS NOT NULL AND g > 0
+  GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+       CAST(floor(CAST(sg AS DOUBLE) / n * 100 + {_OFF}) AS BIGINT)
+         AS mean_gap_e2,
+       CAST(floor(CAST(qg AS DOUBLE) / sg * 100 + {_OFF}) AS BIGINT)
+         AS length_biased_e2,
+       CAST(floor((CAST(qg AS DOUBLE) / sg)
+                  / (CAST(sg AS DOUBLE) / n) * 10000 + {_OFF})
+            AS BIGINT) AS paradox_factor_e4
+FROM agg
+WHERE n >= 2
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dekkers_moment": q_dekkers_moment,
     "pickands_gamma": q_pickands_gamma,
@@ -1744,6 +2113,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cvm_exponential": q_cvm_exponential,
     "chao_shen_entropy": q_chao_shen_entropy,
     "cmh_test": q_cmh_test,
+    "arrival_uniformity": q_arrival_uniformity,
+    "ratio_estimators": q_ratio_estimators,
+    "moran_calendar": q_moran_calendar,
+    "inspection_paradox": q_inspection_paradox,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1763,6 +2136,10 @@ ORACLE_SQL: dict[str, str] = {
     "cvm_exponential": SQL_CVM_EXP,
     "chao_shen_entropy": SQL_CHAO_SHEN,
     "cmh_test": SQL_CMH,
+    "arrival_uniformity": SQL_ARRIVAL,
+    "ratio_estimators": SQL_RATIO_EST,
+    "moran_calendar": SQL_MORAN,
+    "inspection_paradox": SQL_INSPECTION,
 }
 
 # shared centroid CTE block (stats8 discipline)
