@@ -2096,6 +2096,445 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# qn_scale — Rousseeuw-Croux Qn robust scale on daily counts
+# ---------------------------------------------------------------------------
+# Rousseeuw & Croux (JASA 1993): Qn = d * {{|x_i - x_j|, i < j}}_(k)
+# with k = C(h, 2), h = n//2 + 1 — a 50% breakdown scale with 82%
+# Gaussian efficiency (far above MAD's 37%).  The pair fan-out is
+# bounded by span-days^2 per key; the k-th order statistic is an
+# exact rank pick with (diff, day-pair) tie-break; d = 2.2219 is the
+# shared consistency literal.
+
+
+_QN_D = 2.2219
+
+
+def q_qn_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    b = daily.select(
+        F.col("event_type").alias("et"),
+        F.col("day").alias("day_b"),
+        F.col("y").alias("y_b"),
+    )
+    pairs = daily.join(
+        b,
+        (F.col("event_type") == F.col("et"))
+        & (F.col("day") < F.col("day_b")),
+    ).select(
+        "event_type",
+        "day",
+        "day_b",
+        F.abs(F.col("y_b") - F.col("y")).alias("ad"),
+    )
+    wt = Window.partitionBy("event_type")
+    wr = Window.partitionBy("event_type").orderBy(
+        "ad", "day", "day_b"
+    )
+    r = pairs.withColumn("npairs", F.count(F.lit(1)).over(wt)).withColumn(
+        "rk", F.row_number().over(wr)
+    )
+    # n from npairs: n(n-1)/2 = npairs; h = n//2 + 1; k = h(h-1)/2
+    n = F.floor(
+        (1.0 + F.sqrt(1.0 + 8.0 * F.col("npairs").cast("double"))) / 2.0
+    ).cast("long")
+    h = F.floor(n / 2).cast("long") + 1
+    kk = (h * (h - 1) / 2).cast("long")
+    picked = r.withColumn("n", n).withColumn("kk", kk).filter(
+        F.col("rk") == F.col("kk")
+    )
+    return picked.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("kk").cast("long").alias("k"),
+        F.col("ad").cast("long").alias("kth_absdiff"),
+        F.floor(F.col("ad").cast("double") * _QN_D * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("qn_e4"),
+    ).orderBy("event_type")
+
+
+SQL_QN = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type, a.day, b.day AS day_b,
+         abs(b.y - a.y) AS ad
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND a.day < b.day
+), r AS (
+  SELECT event_type, ad,
+         count(*) OVER (PARTITION BY event_type) AS npairs,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ad, day, day_b) AS rk
+  FROM pairs
+), p2 AS (
+  SELECT event_type, ad, rk,
+         CAST(floor((1.0 + sqrt(1.0 + 8.0 * npairs)) / 2.0) AS BIGINT)
+           AS n
+  FROM r
+), p3 AS (
+  SELECT event_type, ad, rk, n,
+         (n // 2 + 1) * (n // 2) // 2 AS kk
+  FROM p2
+)
+SELECT event_type, n AS n_days, kk AS k, ad AS kth_absdiff,
+       CAST(floor(CAST(ad AS DOUBLE) * {_QN_D!r} * 10000 + {_OFF})
+            AS BIGINT) AS qn_e4
+FROM p3
+WHERE rk = kk
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# flatline_runs — stuck-sensor run census on the hourly series
+# ---------------------------------------------------------------------------
+# The sensor-QC complement to flag_localsd (which needs a window of
+# low variance): exact runs of IDENTICAL consecutive hourly values
+# per user — max run length and the count of runs >= 3, the classic
+# stuck-value tripwire.  One lag window + exact run-id cumulative.
+
+
+def q_flatline_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    h = ev.groupBy(
+        F.col("user_id").cast("long").alias("user_id"),
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+            )
+            * 3600
+        )
+        .cast("long")
+        .alias("t"),
+    ).agg(
+        F.floor(F.avg("value") * 100 + F.lit(_OFF)).cast("long").alias("v")
+    )
+    wo = Window.partitionBy("user_id").orderBy("t")
+    d = h.withColumn(
+        "brk",
+        (
+            F.lag("v").over(wo).isNull()
+            | (F.col("v") != F.lag("v").over(wo))
+        ).cast("long"),
+    ).withColumn(
+        "rid",
+        F.sum("brk").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = d.groupBy("user_id", "rid").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    agg = runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("len").alias("max_run"),
+        F.sum((F.col("len") >= 3).cast("long")).alias("runs_ge3"),
+        F.sum("len").alias("n_points"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("n_points").cast("long").alias("n_points"),
+        F.col("n_runs").cast("long").alias("n_runs"),
+        F.col("max_run").cast("long").alias("max_run"),
+        F.col("runs_ge3").cast("long").alias("runs_ge3"),
+    ).orderBy("user_id")
+
+
+SQL_FLATLINE = f"""
+WITH hourly AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS t,
+         CAST(floor(avg(value) * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT user_id, t, v,
+         CASE WHEN lag(v) OVER w IS NULL
+                OR v <> lag(v) OVER w THEN 1 ELSE 0 END AS brk
+  FROM hourly
+  WINDOW w AS (PARTITION BY user_id ORDER BY t)
+), rid AS (
+  SELECT user_id,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t)
+              AS BIGINT) AS rid
+  FROM d
+), runs AS (
+  SELECT user_id, rid, count(*) AS len
+  FROM rid GROUP BY 1, 2
+), agg AS (
+  SELECT user_id, count(*) AS n_runs,
+         CAST(max(len) AS BIGINT) AS max_run,
+         CAST(sum(CASE WHEN len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS runs_ge3,
+         CAST(sum(len) AS BIGINT) AS n_points
+  FROM runs GROUP BY 1
+)
+SELECT user_id, n_points, CAST(n_runs AS BIGINT) AS n_runs,
+       max_run, runs_ge3
+FROM agg
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# norm_anova — one-way ANOVA of L1 norms by label
+# ---------------------------------------------------------------------------
+# The corpus embeddings are L2-normalized (squared norms are constant
+# by construction — verified), so the informative magnitude signal is
+# the L1 norm: for unit vectors ||x||_1 measures how SPREAD the mass
+# is across dimensions (sqrt(dim) for diffuse, 1 for axis-aligned).
+# L1 norms are EXACT BIGINTs off the e6 component table (no flooring
+# at all); F = MSB/MSW via exact per-group terms (the cancellation-
+# free (sg n - s ng)^2 form — the naive w - s^2/n form collapses
+# catastrophically).
+
+
+def q_norm_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", "embedding"
+    )
+    comp = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("d", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        F.floor(F.col("x").cast("double") * 1e6 + F.lit(_OFF))
+        .cast("long")
+        .alias("x6"),
+    )
+    norms = comp.groupBy("vec_id", "label").agg(
+        F.floor(
+            F.sum(F.abs(F.col("x6"))).cast("double") / 100.0
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("n2"),
+    )
+    g = norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("n2").alias("sg"),
+        F.sum(F.col("n2") * F.col("n2")).alias("qg"),
+    )
+    wall = Window.partitionBy()
+    g = g.withColumn("n", F.sum("ng").over(wall)).withColumn(
+        "s", F.sum("sg").over(wall)
+    )
+    # the naive w - s^2/n form cancels catastrophically (w ~ 1e18,
+    # ssb ~ 1e1) and the two engines' sum orders diverge — instead
+    # fold EXACT per-group terms: ssb_g = (sg n - s ng)^2 / (ng n^2),
+    # ssw_g = (ng qg - sg^2) / ng, each e4-floored
+    dd = F.col("sg") * F.col("n") - F.col("s") * F.col("ng")
+    ssb4 = F.floor(
+        dd.cast("double")
+        * dd.cast("double")
+        / (
+            F.col("ng").cast("double")
+            * F.col("n").cast("double")
+            * F.col("n")
+        )
+        * 1e4
+        + F.lit(_OFF)
+    ).cast("long")
+    ssw4 = F.floor(
+        (
+            F.col("ng") * F.col("qg") - F.col("sg") * F.col("sg")
+        ).cast("double")
+        / F.col("ng")
+        * 1e4
+        + F.lit(_OFF)
+    ).cast("long")
+    tot = g.groupBy("n").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(ssb4).alias("sb4"),
+        F.sum(ssw4).alias("sw4"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    f = (F.col("sb4").cast("double") / (kd - 1.0)) / (
+        F.col("sw4").cast("double") / (nd - kd)
+    )
+    tot = tot.filter(F.col("sw4") > 0)
+    return tot.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.col("k").cast("long").alias("k_labels"),
+        F.floor(
+            F.col("sb4").cast("double") / 1e4 / nd * 100 + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("msb_scaled_e2"),
+        F.floor(f * 10_000 + F.lit(_OFF)).cast("long").alias("f_e4"),
+    )
+
+
+SQL_NORM_ANOVA = f"""
+WITH comp0 AS (
+  SELECT vec_id, label,
+         unnest(list_transform(generate_series(1, len(embedding)),
+           i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6
+                           + {_OFF}) AS BIGINT))) AS x6
+  FROM embeddings
+), norms AS (
+  SELECT vec_id, label,
+         CAST(floor(CAST(sum(abs(x6)) AS DOUBLE) / 100.0 + {_OFF})
+              AS BIGINT) AS n2
+  FROM comp0 GROUP BY 1, 2
+), g AS (
+  SELECT label, count(*) AS ng,
+         CAST(sum(n2) AS BIGINT) AS sg,
+         CAST(sum(n2 * n2) AS BIGINT) AS qg
+  FROM norms GROUP BY 1
+), w AS (
+  SELECT label, ng, sg, qg,
+         CAST(sum(ng) OVER () AS BIGINT) AS n,
+         CAST(sum(sg) OVER () AS BIGINT) AS s
+  FROM g
+), terms AS (
+  SELECT n,
+         CAST(floor(CAST(sg * n - s * ng AS DOUBLE)
+                    * CAST(sg * n - s * ng AS DOUBLE)
+                    / (CAST(ng AS DOUBLE) * CAST(n AS DOUBLE) * n)
+                    * 1e4 + {_OFF}) AS BIGINT) AS ssb4,
+         CAST(floor(CAST(ng * qg - sg * sg AS DOUBLE) / ng * 1e4
+                    + {_OFF}) AS BIGINT) AS ssw4
+  FROM w
+), tot AS (
+  SELECT n, count(*) AS k,
+         CAST(sum(ssb4) AS BIGINT) AS sb4,
+         CAST(sum(ssw4) AS BIGINT) AS sw4
+  FROM terms GROUP BY 1
+)
+SELECT CAST(n AS BIGINT) AS n_points, CAST(k AS BIGINT) AS k_labels,
+       CAST(floor(CAST(sb4 AS DOUBLE) / 1e4 / n * 100 + {_OFF})
+            AS BIGINT) AS msb_scaled_e2,
+       CAST(floor((CAST(sb4 AS DOUBLE) / (k - 1.0))
+                  / (CAST(sw4 AS DOUBLE) / (CAST(n AS DOUBLE) - k))
+                  * 10000 + {_OFF}) AS BIGINT) AS f_e4
+FROM tot
+WHERE sw4 > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# session_flow — hourly session start/end flow balance
+# ---------------------------------------------------------------------------
+# Ops flow-conservation audit on the house 1800 s sessionize: how
+# many sessions START vs END in each hour of day, the net flow, and
+# the start share — peak-hour capacity planning numbers.  Exact
+# counting end to end (two rank windows per session).
+
+
+def q_session_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_id",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("s", "event_id")
+    g = (
+        ev.withColumn("prev", F.lag("s").over(wo))
+        .withColumn(
+            "brk",
+            (
+                F.col("prev").isNull()
+                | ((F.col("s") - F.col("prev")) > 1800)
+            ).cast("long"),
+        )
+        .withColumn(
+            "sid",
+            F.sum("brk").over(
+                wo.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    ses = g.groupBy("user_id", "sid").agg(
+        F.min("s").alias("t0"), F.max("s").alias("t1")
+    )
+    starts = ses.groupBy(
+        ((F.col("t0") % 86_400) / 3_600).cast("long").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_starts"))
+    ends = ses.groupBy(
+        ((F.col("t1") % 86_400) / 3_600).cast("long").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_ends"))
+    j = starts.join(ends, "hour", "full_outer").fillna(
+        0, ["n_starts", "n_ends"]
+    )
+    wall = Window.partitionBy()
+    j = j.withColumn("tot", F.sum("n_starts").over(wall))
+    return j.select(
+        F.col("hour").cast("long").alias("hour"),
+        F.col("n_starts").cast("long").alias("n_starts"),
+        F.col("n_ends").cast("long").alias("n_ends"),
+        (F.col("n_starts") - F.col("n_ends")).cast("long").alias(
+            "net_flow"
+        ),
+        F.floor(
+            F.col("n_starts").cast("double") / F.col("tot") * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("start_share_e6"),
+    ).orderBy("hour")
+
+
+SQL_SESSION_FLOW = f"""
+WITH ev AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+), g AS (
+  SELECT user_id, event_id, s,
+         lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id)
+           AS prev
+  FROM ev
+), b AS (
+  SELECT user_id, s,
+         CAST(sum(CASE WHEN prev IS NULL OR s - prev > 1800
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY s, event_id)
+              AS BIGINT) AS sid
+  FROM g
+), ses AS (
+  SELECT user_id, sid, min(s) AS t0, max(s) AS t1
+  FROM b GROUP BY 1, 2
+), starts AS (
+  SELECT CAST(floor((t0 % 86400) / 3600) AS BIGINT) AS hour,
+         CAST(count(*) AS BIGINT) AS n_starts
+  FROM ses GROUP BY 1
+), ends AS (
+  SELECT CAST(floor((t1 % 86400) / 3600) AS BIGINT) AS hour,
+         CAST(count(*) AS BIGINT) AS n_ends
+  FROM ses GROUP BY 1
+), j AS (
+  SELECT COALESCE(starts.hour, ends.hour) AS hour,
+         COALESCE(n_starts, 0) AS n_starts,
+         COALESCE(n_ends, 0) AS n_ends
+  FROM starts FULL OUTER JOIN ends ON ends.hour = starts.hour
+)
+SELECT hour, n_starts, n_ends, n_starts - n_ends AS net_flow,
+       CAST(floor(CAST(n_starts AS DOUBLE)
+                  / (CAST(sum(n_starts) OVER () AS BIGINT))
+                  * 1000000 + {_OFF}) AS BIGINT) AS start_share_e6
+FROM j
+ORDER BY hour
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dekkers_moment": q_dekkers_moment,
     "pickands_gamma": q_pickands_gamma,
@@ -2117,6 +2556,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ratio_estimators": q_ratio_estimators,
     "moran_calendar": q_moran_calendar,
     "inspection_paradox": q_inspection_paradox,
+    "qn_scale": q_qn_scale,
+    "flatline_runs": q_flatline_runs,
+    "norm_anova": q_norm_anova,
+    "session_flow": q_session_flow,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2140,6 +2583,10 @@ ORACLE_SQL: dict[str, str] = {
     "ratio_estimators": SQL_RATIO_EST,
     "moran_calendar": SQL_MORAN,
     "inspection_paradox": SQL_INSPECTION,
+    "qn_scale": SQL_QN,
+    "flatline_runs": SQL_FLATLINE,
+    "norm_anova": SQL_NORM_ANOVA,
+    "session_flow": SQL_SESSION_FLOW,
 }
 
 # shared centroid CTE block (stats8 discipline)
