@@ -2535,6 +2535,457 @@ ORDER BY hour
 """
 
 
+# ---------------------------------------------------------------------------
+# tost_equivalence — two one-sided tests of weekday/weekend mean value
+# ---------------------------------------------------------------------------
+# Schuirmann (1987): equivalence is shown when BOTH one-sided t
+# statistics clear the margin — here +-5% of the pooled mean value per
+# type, the reverse question of every difference test in the
+# registry.  Welch SEs off exact centivalue moments; margins exact
+# rationals; both t's and the equivalent flag (|t| >= 1.644854 each
+# side, the shared z-approx literal) are emitted.
+
+
+_TOST_Z = 1.644854
+
+
+def q_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (
+            (
+                F.floor(
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    / 86_400_000_000
+                )
+                % 7
+            ).isin(2, 3)
+        )
+        .cast("long")
+        .alias("we"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    g = ev.groupBy("event_type", "we").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("q"),
+    )
+    a = g.filter(F.col("we") == 0).select(
+        "event_type",
+        F.col("n").alias("n0"),
+        F.col("s").alias("s0"),
+        F.col("q").alias("q0"),
+    )
+    b = g.filter(F.col("we") == 1).select(
+        "event_type",
+        F.col("n").alias("n1"),
+        F.col("s").alias("s1"),
+        F.col("q").alias("q1"),
+    )
+    j = a.join(b, "event_type")
+    n0 = F.col("n0").cast("double")
+    n1 = F.col("n1").cast("double")
+    m0 = F.col("s0").cast("double") / n0
+    m1 = F.col("s1").cast("double") / n1
+    v0 = (
+        n0 * F.col("q0").cast("double")
+        - F.col("s0").cast("double") * F.col("s0").cast("double")
+    ) / (n0 * (n0 - 1.0))
+    v1 = (
+        n1 * F.col("q1").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    ) / (n1 * (n1 - 1.0))
+    se = F.sqrt(v0 / n0 + v1 / n1)
+    pooled = (F.col("s0") + F.col("s1")).cast("double") / (n0 + n1)
+    margin = 0.05 * pooled
+    diff = m1 - m0
+    t_lo = (diff + margin) / se
+    t_hi = (diff - margin) / se
+    equiv = (
+        (t_lo >= _TOST_Z) & (t_hi <= -_TOST_Z)
+    ).cast("long")
+    return j.select(
+        "event_type",
+        F.col("n0").cast("long").alias("n_weekday"),
+        F.col("n1").cast("long").alias("n_weekend"),
+        F.floor(diff * 100 + F.lit(_OFF)).cast("long").alias(
+            "diff_e2"
+        ),
+        F.floor(margin * 100 + F.lit(_OFF)).cast("long").alias(
+            "margin_e2"
+        ),
+        F.floor(t_lo * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "t_lower_e4"
+        ),
+        F.floor(t_hi * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "t_upper_e4"
+        ),
+        equiv.alias("equivalent"),
+    ).orderBy("event_type")
+
+
+SQL_TOST = f"""
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN (CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7)
+                   IN (2, 3) THEN 1 ELSE 0 END AS we,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), g AS (
+  SELECT event_type, we, count(*) AS n,
+         CAST(sum(v) AS BIGINT) AS s,
+         CAST(sum(v * v) AS BIGINT) AS q
+  FROM ev GROUP BY 1, 2
+), j AS (
+  SELECT a.event_type,
+         a.n AS n0, a.s AS s0, a.q AS q0,
+         b.n AS n1, b.s AS s1, b.q AS q1
+  FROM g a JOIN g b
+    ON b.event_type = a.event_type AND a.we = 0 AND b.we = 1
+), t AS (
+  SELECT event_type, n0, n1,
+         CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0 AS diff,
+         0.05 * (CAST(s0 + s1 AS DOUBLE) / (n0 + n1)) AS margin,
+         sqrt((CAST(n0 AS DOUBLE) * q0 - CAST(s0 AS DOUBLE) * s0)
+              / (CAST(n0 AS DOUBLE) * (n0 - 1.0)) / n0
+              + (CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)
+                / (CAST(n1 AS DOUBLE) * (n1 - 1.0)) / n1) AS se
+  FROM j
+)
+SELECT event_type, CAST(n0 AS BIGINT) AS n_weekday,
+       CAST(n1 AS BIGINT) AS n_weekend,
+       CAST(floor(diff * 100 + {_OFF}) AS BIGINT) AS diff_e2,
+       CAST(floor(margin * 100 + {_OFF}) AS BIGINT) AS margin_e2,
+       CAST(floor((diff + margin) / se * 10000 + {_OFF}) AS BIGINT)
+         AS t_lower_e4,
+       CAST(floor((diff - margin) / se * 10000 + {_OFF}) AS BIGINT)
+         AS t_upper_e4,
+       CAST(CASE WHEN (diff + margin) / se >= {_TOST_Z!r}
+                  AND (diff - margin) / se <= -{_TOST_Z!r}
+                 THEN 1 ELSE 0 END AS BIGINT) AS equivalent
+FROM t
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# mde_power — post-hoc minimum detectable effect at 80% power
+# ---------------------------------------------------------------------------
+# The experiment-design readout: with the observed group sizes and
+# variances, the smallest weekday/weekend mean difference detectable
+# at alpha = .05 (two-sided) and 80% power is (z_a + z_b) SE — the
+# honest "what could this data even see" number.  z literals shared;
+# SE off exact moments; also emitted relative to the pooled mean.
+
+
+_MDE_ZA = 1.959964
+_MDE_ZB = 0.841621
+
+
+def q_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (
+            (
+                F.floor(
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    / 86_400_000_000
+                )
+                % 7
+            ).isin(2, 3)
+        )
+        .cast("long")
+        .alias("we"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    g = ev.groupBy("event_type", "we").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("q"),
+    )
+    a = g.filter(F.col("we") == 0).select(
+        "event_type",
+        F.col("n").alias("n0"),
+        F.col("s").alias("s0"),
+        F.col("q").alias("q0"),
+    )
+    b = g.filter(F.col("we") == 1).select(
+        "event_type",
+        F.col("n").alias("n1"),
+        F.col("s").alias("s1"),
+        F.col("q").alias("q1"),
+    )
+    j = a.join(b, "event_type")
+    n0 = F.col("n0").cast("double")
+    n1 = F.col("n1").cast("double")
+    v0 = (
+        n0 * F.col("q0").cast("double")
+        - F.col("s0").cast("double") * F.col("s0").cast("double")
+    ) / (n0 * (n0 - 1.0))
+    v1 = (
+        n1 * F.col("q1").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    ) / (n1 * (n1 - 1.0))
+    se = F.sqrt(v0 / n0 + v1 / n1)
+    mde = (_MDE_ZA + _MDE_ZB) * se
+    pooled = (F.col("s0") + F.col("s1")).cast("double") / (n0 + n1)
+    return j.select(
+        "event_type",
+        F.col("n0").cast("long").alias("n_weekday"),
+        F.col("n1").cast("long").alias("n_weekend"),
+        F.floor(se * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "se_e4"
+        ),
+        F.floor(mde * 100 + F.lit(_OFF)).cast("long").alias(
+            "mde_centi_e2"
+        ),
+        F.floor(mde / pooled * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("mde_rel_e6"),
+    ).orderBy("event_type")
+
+
+SQL_MDE = f"""
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN (CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7)
+                   IN (2, 3) THEN 1 ELSE 0 END AS we,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), g AS (
+  SELECT event_type, we, count(*) AS n,
+         CAST(sum(v) AS BIGINT) AS s,
+         CAST(sum(v * v) AS BIGINT) AS q
+  FROM ev GROUP BY 1, 2
+), j AS (
+  SELECT a.event_type,
+         a.n AS n0, a.s AS s0, a.q AS q0,
+         b.n AS n1, b.s AS s1, b.q AS q1
+  FROM g a JOIN g b
+    ON b.event_type = a.event_type AND a.we = 0 AND b.we = 1
+), t AS (
+  SELECT event_type, n0, n1,
+         sqrt((CAST(n0 AS DOUBLE) * q0 - CAST(s0 AS DOUBLE) * s0)
+              / (CAST(n0 AS DOUBLE) * (n0 - 1.0)) / n0
+              + (CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)
+                / (CAST(n1 AS DOUBLE) * (n1 - 1.0)) / n1) AS se,
+         CAST(s0 + s1 AS DOUBLE) / (n0 + n1) AS pooled
+  FROM j
+)
+SELECT event_type, CAST(n0 AS BIGINT) AS n_weekday,
+       CAST(n1 AS BIGINT) AS n_weekend,
+       CAST(floor(se * 10000 + {_OFF}) AS BIGINT) AS se_e4,
+       CAST(floor(({_MDE_ZA!r} + {_MDE_ZB!r}) * se * 100 + {_OFF})
+            AS BIGINT) AS mde_centi_e2,
+       CAST(floor(({_MDE_ZA!r} + {_MDE_ZB!r}) * se / pooled * 1000000
+                  + {_OFF}) AS BIGINT) AS mde_rel_e6
+FROM t
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# price_indexes — Laspeyres / Paasche / Fisher week-over-week
+# ---------------------------------------------------------------------------
+# Index-number theory (Fisher 1922): with event types as the basket,
+# p = mean value (e4-floored per (week, type) — the quoted "price")
+# and q = event count, the three classic indexes decompose weekly
+# value change into price and quantity moves.  All basket sums are
+# exact BIGINTs (p4 x q products); Fisher is the geometric mean.
+
+
+def q_price_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wk = ev.groupBy(
+        F.floor(
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+            / 7
+        )
+        .cast("long")
+        .alias("week"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("qty"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+        ).alias("val"),
+    )
+    wk = wk.withColumn(
+        "p4",
+        F.floor(
+            F.col("val").cast("double") / F.col("qty") * 100
+            + F.lit(_OFF)
+        ).cast("long"),
+    )
+    nxt = wk.select(
+        (F.col("week") - 1).alias("week"),
+        "event_type",
+        F.col("qty").alias("q1"),
+        F.col("p4").alias("p1"),
+    )
+    j = wk.join(nxt, ["week", "event_type"])
+    agg = j.groupBy("week").agg(
+        F.count(F.lit(1)).alias("k_types"),
+        F.sum(F.col("p4") * F.col("qty")).alias("p0q0"),
+        F.sum(F.col("p1") * F.col("qty")).alias("p1q0"),
+        F.sum(F.col("p4") * F.col("q1")).alias("p0q1"),
+        F.sum(F.col("p1") * F.col("q1")).alias("p1q1"),
+    )
+    lasp = F.col("p1q0").cast("double") / F.col("p0q0")
+    paas = F.col("p1q1").cast("double") / F.col("p0q1")
+    fisher = F.sqrt(lasp * paas)
+    return (
+        agg.filter((F.col("p0q0") > 0) & (F.col("p0q1") > 0))
+        .select(
+            "week",
+            F.col("k_types").cast("long").alias("k_types"),
+            F.floor(lasp * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "laspeyres_e6"
+            ),
+            F.floor(paas * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "paasche_e6"
+            ),
+            F.floor(fisher * 1_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("fisher_e6"),
+        )
+        .orderBy("week")
+    )
+
+
+SQL_PRICE_INDEXES = f"""
+WITH wk AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) // 7 AS week,
+         event_type,
+         CAST(count(*) AS BIGINT) AS qty,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS val
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT week, event_type, qty,
+         CAST(floor(CAST(val AS DOUBLE) / qty * 100 + {_OFF})
+              AS BIGINT) AS p4
+  FROM wk
+), j AS (
+  SELECT a.week, a.event_type,
+         a.qty AS q0, a.p4 AS p0, b.qty AS q1, b.p4 AS p1
+  FROM p a JOIN p b
+    ON b.event_type = a.event_type AND b.week = a.week + 1
+), agg AS (
+  SELECT week, count(*) AS k_types,
+         CAST(sum(p0 * q0) AS BIGINT) AS p0q0,
+         CAST(sum(p1 * q0) AS BIGINT) AS p1q0,
+         CAST(sum(p0 * q1) AS BIGINT) AS p0q1,
+         CAST(sum(p1 * q1) AS BIGINT) AS p1q1
+  FROM j GROUP BY 1
+)
+SELECT week, CAST(k_types AS BIGINT) AS k_types,
+       CAST(floor(CAST(p1q0 AS DOUBLE) / p0q0 * 1000000 + {_OFF})
+            AS BIGINT) AS laspeyres_e6,
+       CAST(floor(CAST(p1q1 AS DOUBLE) / p0q1 * 1000000 + {_OFF})
+            AS BIGINT) AS paasche_e6,
+       CAST(floor(sqrt(CAST(p1q0 AS DOUBLE) / p0q0
+                       * (CAST(p1q1 AS DOUBLE) / p0q1))
+                  * 1000000 + {_OFF}) AS BIGINT) AS fisher_e6
+FROM agg
+WHERE p0q0 > 0 AND p0q1 > 0
+ORDER BY week
+"""
+
+
+# ---------------------------------------------------------------------------
+# systematic_sample_audit — every-10th-event estimator bias check
+# ---------------------------------------------------------------------------
+# Survey-sampling QC: systematic sampling (every k-th record) is only
+# unbiased when the frame order carries no periodicity — this audit
+# takes every 10th event in (ts, event_id) order per type and
+# compares the sample mean value against the full mean, with the
+# SRS-based z for the observed deviation.  Exact integer sums
+# everywhere; the sampler is a deterministic rank filter.
+
+
+def q_systematic_sample_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.col("ts").cast("timestamp").alias("tts"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("tts", "event_id")
+    d = ev.withColumn("rk", F.row_number().over(wo))
+    full = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("q"),
+    )
+    samp = d.filter(F.col("rk") % 10 == 1).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("v").alias("sm"),
+    )
+    j = full.join(samp, "event_type")
+    nd = F.col("n").cast("double")
+    md = F.col("m").cast("double")
+    mean_full = F.col("s").cast("double") / nd
+    mean_samp = F.col("sm").cast("double") / md
+    var = (
+        nd * F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+    ) / (nd * (nd - 1.0))
+    z = (mean_samp - mean_full) / F.sqrt(var / md)
+    return j.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("m").cast("long").alias("n_sampled"),
+        F.floor(mean_full * 100 + F.lit(_OFF)).cast("long").alias(
+            "mean_full_e2"
+        ),
+        F.floor(mean_samp * 100 + F.lit(_OFF)).cast("long").alias(
+            "mean_sample_e2"
+        ),
+        F.floor(z * 10_000 + F.lit(_OFF)).cast("long").alias("z_e4"),
+    ).orderBy("event_type")
+
+
+SQL_SYSTEMATIC = f"""
+WITH ev AS (
+  SELECT event_type, ts, event_id,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), d AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS rk
+  FROM ev
+), full_ AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(v) AS BIGINT) AS s,
+         CAST(sum(v * v) AS BIGINT) AS q
+  FROM d GROUP BY 1
+), samp AS (
+  SELECT event_type, count(*) AS m,
+         CAST(sum(v) AS BIGINT) AS sm
+  FROM d WHERE rk % 10 = 1 GROUP BY 1
+)
+SELECT f.event_type, CAST(n AS BIGINT) AS n,
+       CAST(m AS BIGINT) AS n_sampled,
+       CAST(floor(CAST(s AS DOUBLE) / n * 100 + {_OFF}) AS BIGINT)
+         AS mean_full_e2,
+       CAST(floor(CAST(sm AS DOUBLE) / m * 100 + {_OFF}) AS BIGINT)
+         AS mean_sample_e2,
+       CAST(floor((CAST(sm AS DOUBLE) / m - CAST(s AS DOUBLE) / n)
+                  / sqrt((CAST(n AS DOUBLE) * q
+                          - CAST(s AS DOUBLE) * s)
+                         / (CAST(n AS DOUBLE) * (n - 1.0)) / m)
+                  * 10000 + {_OFF}) AS BIGINT) AS z_e4
+FROM full_ f JOIN samp ON samp.event_type = f.event_type
+ORDER BY f.event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dekkers_moment": q_dekkers_moment,
     "pickands_gamma": q_pickands_gamma,
@@ -2560,6 +3011,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flatline_runs": q_flatline_runs,
     "norm_anova": q_norm_anova,
     "session_flow": q_session_flow,
+    "tost_equivalence": q_tost_equivalence,
+    "mde_power": q_mde_power,
+    "price_indexes": q_price_indexes,
+    "systematic_sample_audit": q_systematic_sample_audit,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2587,6 +3042,10 @@ ORACLE_SQL: dict[str, str] = {
     "flatline_runs": SQL_FLATLINE,
     "norm_anova": SQL_NORM_ANOVA,
     "session_flow": SQL_SESSION_FLOW,
+    "tost_equivalence": SQL_TOST,
+    "mde_power": SQL_MDE,
+    "price_indexes": SQL_PRICE_INDEXES,
+    "systematic_sample_audit": SQL_SYSTEMATIC,
 }
 
 # shared centroid CTE block (stats8 discipline)
