@@ -2986,6 +2986,447 @@ ORDER BY f.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# pr_auc — tie-aware average precision of value as a purchase score
+# ---------------------------------------------------------------------------
+# The PR-curve companion to length_auc_langid's exact ROC AUC: rank
+# events by value (descending) and score how well value retrieves
+# purchases.  Ties are handled at BLOCK level by contract: each
+# distinct value contributes pos_v * (cumpos / cumall) at its
+# inclusive cumulative — deterministic in both engines, never a
+# per-row rank shuffle.  Everything is exact integers until the
+# per-block division, which is e9-floored before the fold.
+
+
+def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    )
+    dom = ev.groupBy("v").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("pos").alias("p")
+    )
+    wo = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    d = (
+        dom.withColumn("cc", F.sum("c").over(wo))
+        .withColumn("cp", F.sum("p").over(wo))
+        .withColumn("n", F.sum("c").over(wall))
+        .withColumn("np", F.sum("p").over(wall))
+    )
+    t9 = F.floor(
+        F.col("p").cast("double")
+        * F.col("cp")
+        / F.col("cc")
+        * 1e9
+        + F.lit(_OFF)
+    ).cast("long")
+    agg = d.agg(
+        F.max("n").alias("n"),
+        F.max("np").alias("np"),
+        F.sum(t9).alias("s9"),
+    )
+    ap = F.col("s9").cast("double") / 1e9 / F.col("np")
+    base = F.col("np").cast("double") / F.col("n")
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("np").cast("long").alias("n_pos"),
+        F.floor(base * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "baseline_e6"
+        ),
+        F.floor(ap * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "ap_e6"
+        ),
+    )
+
+
+SQL_PR_AUC = f"""
+WITH ev AS (
+  SELECT CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+), dom AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(pos) AS BIGINT) AS p
+  FROM ev GROUP BY 1
+), d AS (
+  SELECT v, c, p,
+         CAST(sum(c) OVER (ORDER BY v DESC) AS BIGINT) AS cc,
+         CAST(sum(p) OVER (ORDER BY v DESC) AS BIGINT) AS cp,
+         CAST(sum(c) OVER () AS BIGINT) AS n,
+         CAST(sum(p) OVER () AS BIGINT) AS np
+  FROM dom
+), agg AS (
+  SELECT max(n) AS n, max(np) AS np,
+         CAST(sum(CAST(floor(CAST(p AS DOUBLE) * cp / cc * 1e9
+                             + {_OFF}) AS BIGINT)) AS BIGINT) AS s9
+  FROM d
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(np AS BIGINT) AS n_pos,
+       CAST(floor(CAST(np AS DOUBLE) / n * 1000000 + {_OFF})
+            AS BIGINT) AS baseline_e6,
+       CAST(floor(CAST(s9 AS DOUBLE) / 1e9 / np * 1000000 + {_OFF})
+            AS BIGINT) AS ap_e6
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# gains_deciles — decile gains / lift table for value vs purchase
+# ---------------------------------------------------------------------------
+# The marketing-science standard: bucket events into value deciles
+# (exact rank arithmetic on the descending cumulative — decile =
+# ceil(10 cc / n) at block level by contract), then purchase rate,
+# cumulative capture and lift per decile.  Exact counting; three
+# divisions at the end per row.
+
+
+def q_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    )
+    dom = ev.groupBy("v").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("pos").alias("p")
+    )
+    wo = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    d = (
+        dom.withColumn("cc", F.sum("c").over(wo))
+        .withColumn("n", F.sum("c").over(wall))
+        .withColumn(
+            "dec",
+            F.ceil(
+                10.0 * F.col("cc").cast("double") / F.col("n")
+            ).cast("long"),
+        )
+    )
+    per = d.groupBy("dec").agg(
+        F.sum("c").alias("n_events"),
+        F.sum("p").alias("n_pos"),
+    )
+    wd = Window.orderBy("dec").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    per = (
+        per.withColumn("cum_pos", F.sum("n_pos").over(wd))
+        .withColumn("tot_pos", F.sum("n_pos").over(wall))
+        .withColumn("cum_n", F.sum("n_events").over(wd))
+        .withColumn("tot_n", F.sum("n_events").over(wall))
+    )
+    rate = F.col("n_pos").cast("double") / F.col("n_events")
+    capture = F.col("cum_pos").cast("double") / F.col("tot_pos")
+    lift = (
+        F.col("cum_pos").cast("double") / F.col("cum_n")
+    ) / (F.col("tot_pos").cast("double") / F.col("tot_n"))
+    return per.select(
+        F.col("dec").cast("long").alias("decile"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.floor(rate * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "rate_e6"
+        ),
+        F.floor(capture * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "capture_e6"
+        ),
+        F.floor(lift * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "lift_e4"
+        ),
+    ).orderBy("decile")
+
+
+SQL_GAINS = f"""
+WITH ev AS (
+  SELECT CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+), dom AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(pos) AS BIGINT) AS p
+  FROM ev GROUP BY 1
+), d AS (
+  SELECT v, c, p,
+         CAST(ceil(10.0 * CAST(sum(c) OVER (ORDER BY v DESC)
+                                AS BIGINT)
+                   / CAST(sum(c) OVER () AS BIGINT)) AS BIGINT)
+           AS dec
+  FROM dom
+), per AS (
+  SELECT dec, CAST(sum(c) AS BIGINT) AS n_events,
+         CAST(sum(p) AS BIGINT) AS n_pos
+  FROM d GROUP BY 1
+), cum AS (
+  SELECT dec, n_events, n_pos,
+         CAST(sum(n_pos) OVER (ORDER BY dec) AS BIGINT) AS cum_pos,
+         CAST(sum(n_pos) OVER () AS BIGINT) AS tot_pos,
+         CAST(sum(n_events) OVER (ORDER BY dec) AS BIGINT) AS cum_n,
+         CAST(sum(n_events) OVER () AS BIGINT) AS tot_n
+  FROM per
+)
+SELECT dec AS decile, n_events, n_pos,
+       CAST(floor(CAST(n_pos AS DOUBLE) / n_events * 1000000 + {_OFF})
+            AS BIGINT) AS rate_e6,
+       CAST(floor(CAST(cum_pos AS DOUBLE) / tot_pos * 1000000
+                  + {_OFF}) AS BIGINT) AS capture_e6,
+       CAST(floor((CAST(cum_pos AS DOUBLE) / cum_n)
+                  / (CAST(tot_pos AS DOUBLE) / tot_n) * 10000
+                  + {_OFF}) AS BIGINT) AS lift_e4
+FROM cum
+ORDER BY decile
+"""
+
+
+# ---------------------------------------------------------------------------
+# session_fatigue — within-session value decline census
+# ---------------------------------------------------------------------------
+# Does engagement value decay within a session?  For every session
+# with >= 4 events (house 1800 s rule), compare the mean centivalue
+# of the first half vs the second half (exact integer split by event
+# rank), then census: share of declining sessions with the sign-test
+# z (ties dropped), and the mean paired difference (per-session
+# diffs e2-floored before the fold).
+
+
+def q_session_fatigue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_id",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
+        )
+        .cast("long")
+        .alias("s"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("s", "event_id")
+    g = (
+        ev.withColumn("prev", F.lag("s").over(wo))
+        .withColumn(
+            "brk",
+            (
+                F.col("prev").isNull()
+                | ((F.col("s") - F.col("prev")) > 1800)
+            ).cast("long"),
+        )
+        .withColumn(
+            "sid",
+            F.sum("brk").over(
+                wo.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("s", "event_id")
+    wsc = Window.partitionBy("user_id", "sid")
+    r = g.withColumn("rk", F.row_number().over(ws)).withColumn(
+        "m", F.count(F.lit(1)).over(wsc)
+    ).filter(F.col("m") >= 4)
+    half = F.floor(F.col("m") / 2).cast("long")
+    per = r.groupBy("user_id", "sid").agg(
+        F.max("m").alias("m"),
+        F.sum(
+            F.when(F.col("rk") <= half, F.col("v")).otherwise(0)
+        ).alias("s1"),
+        F.sum(
+            F.when(F.col("rk") > F.col("m") - half, F.col("v")).otherwise(
+                0
+            )
+        ).alias("s2"),
+        F.max(half).alias("h"),
+    )
+    d2 = F.floor(
+        (
+            F.col("s2").cast("double") - F.col("s1").cast("double")
+        )
+        / F.col("h")
+        * 100
+        + F.lit(_OFF)
+    ).cast("long")
+    scored = per.select(
+        d2.alias("d2"),
+        (F.col("s2") < F.col("s1")).cast("long").alias("dec"),
+        (F.col("s2") > F.col("s1")).cast("long").alias("inc"),
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("dec").alias("n_declining"),
+        F.sum("inc").alias("n_increasing"),
+        F.sum("d2").alias("sd2"),
+    )
+    nd = (F.col("n_declining") + F.col("n_increasing")).cast("double")
+    z = (
+        F.col("n_declining").cast("double")
+        - F.col("n_increasing")
+    ) / F.sqrt(nd)
+    return agg.select(
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        F.col("n_declining").cast("long").alias("n_declining"),
+        F.col("n_increasing").cast("long").alias("n_increasing"),
+        F.floor(
+            F.col("sd2").cast("double") / F.col("n_sessions") + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("mean_diff_e2"),
+        F.floor(z * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "sign_z_e4"
+        ),
+    )
+
+
+SQL_SESSION_FATIGUE = f"""
+WITH ev AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), g AS (
+  SELECT user_id, event_id, s, v,
+         lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id)
+           AS prev
+  FROM ev
+), b AS (
+  SELECT user_id, s, v, event_id,
+         CAST(sum(CASE WHEN prev IS NULL OR s - prev > 1800
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY s, event_id)
+              AS BIGINT) AS sid
+  FROM g
+), r AS (
+  SELECT user_id, sid, v,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY s, event_id) AS rk,
+         count(*) OVER (PARTITION BY user_id, sid) AS m
+  FROM b
+), per AS (
+  SELECT user_id, sid, max(m) AS m, max(m // 2) AS h,
+         CAST(sum(CASE WHEN rk <= m // 2 THEN v ELSE 0 END)
+              AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN rk > m - m // 2 THEN v ELSE 0 END)
+              AS BIGINT) AS s2
+  FROM r WHERE m >= 4 GROUP BY 1, 2
+), scored AS (
+  SELECT CAST(floor((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)) / h
+                    * 100 + {_OFF}) AS BIGINT) AS d2,
+         CASE WHEN s2 < s1 THEN 1 ELSE 0 END AS dec,
+         CASE WHEN s2 > s1 THEN 1 ELSE 0 END AS inc
+  FROM per
+), agg AS (
+  SELECT count(*) AS n_sessions,
+         CAST(sum(dec) AS BIGINT) AS n_declining,
+         CAST(sum(inc) AS BIGINT) AS n_increasing,
+         CAST(sum(d2) AS BIGINT) AS sd2
+  FROM scored
+)
+SELECT CAST(n_sessions AS BIGINT) AS n_sessions,
+       n_declining, n_increasing,
+       CAST(floor(CAST(sd2 AS DOUBLE) / n_sessions + {_OFF})
+            AS BIGINT) AS mean_diff_e2,
+       CAST(floor((n_declining - CAST(n_increasing AS DOUBLE))
+                  / sqrt(CAST(n_declining + n_increasing AS DOUBLE))
+                  * 10000 + {_OFF}) AS BIGINT) AS sign_z_e4
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# parity_split_audit — even/odd-second thinning independence check
+# ---------------------------------------------------------------------------
+# Poisson thinning says a split on an independent coin (here the
+# parity of the epoch second) yields two processes whose daily counts
+# correlate only through the common rate.  The audit reports the
+# even/odd share (should be ~1/2) and the daily-count Pearson r
+# between the halves — a clock-artifact tripwire.  Exact moments.
+
+
+def q_parity_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
+            )
+            % 2
+        )
+        .cast("long")
+        .alias("par"),
+    )
+    daily = ev.groupBy("day").agg(
+        F.sum(1 - F.col("par")).alias("x"),
+        F.sum("par").alias("y"),
+    )
+    agg = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    dx = nd * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    dy = nd * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    r = num / F.sqrt(dx * dy)
+    share = F.col("sx").cast("double") / (
+        F.col("sx") + F.col("sy")
+    ).cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("sx").cast("long").alias("n_even"),
+        F.col("sy").cast("long").alias("n_odd"),
+        F.floor(share * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "even_share_e6"
+        ),
+        F.floor(r * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "r_e6"
+        ),
+    )
+
+
+SQL_PARITY = f"""
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(floor(epoch(ts)) AS BIGINT) % 2 AS par
+  FROM events
+), daily AS (
+  SELECT day,
+         CAST(sum(1 - par) AS BIGINT) AS x,
+         CAST(sum(par) AS BIGINT) AS y
+  FROM ev GROUP BY 1
+), agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM daily
+)
+SELECT CAST(n AS BIGINT) AS n_days, sx AS n_even, sy AS n_odd,
+       CAST(floor(CAST(sx AS DOUBLE) / (sx + sy) * 1000000 + {_OFF})
+            AS BIGINT) AS even_share_e6,
+       CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / sqrt((CAST(n AS DOUBLE) * sxx
+                          - CAST(sx AS DOUBLE) * sx)
+                         * (CAST(n AS DOUBLE) * syy
+                            - CAST(sy AS DOUBLE) * sy))
+                  * 1000000 + {_OFF}) AS BIGINT) AS r_e6
+FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dekkers_moment": q_dekkers_moment,
     "pickands_gamma": q_pickands_gamma,
@@ -3015,6 +3456,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mde_power": q_mde_power,
     "price_indexes": q_price_indexes,
     "systematic_sample_audit": q_systematic_sample_audit,
+    "pr_auc": q_pr_auc,
+    "gains_deciles": q_gains_deciles,
+    "session_fatigue": q_session_fatigue,
+    "parity_split_audit": q_parity_split_audit,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3046,6 +3491,10 @@ ORACLE_SQL: dict[str, str] = {
     "mde_power": SQL_MDE,
     "price_indexes": SQL_PRICE_INDEXES,
     "systematic_sample_audit": SQL_SYSTEMATIC,
+    "pr_auc": SQL_PR_AUC,
+    "gains_deciles": SQL_GAINS,
+    "session_fatigue": SQL_SESSION_FATIGUE,
+    "parity_split_audit": SQL_PARITY,
 }
 
 # shared centroid CTE block (stats8 discipline)
