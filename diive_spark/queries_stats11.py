@@ -3427,6 +3427,419 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# source_clarity — IR clarity score (KL from the corpus LM) per source
+# ---------------------------------------------------------------------------
+# Cronen-Townsend et al. (SIGIR 2002): clarity = KL(source LM ||
+# corpus LM) over the source's own support — how topically focused a
+# source is.  MLE unigram models (no smoothing needed on the source
+# support since p_c > 0 wherever p_s > 0); per-word terms e9-floored
+# before the fold.
+
+
+def q_source_clarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats2 import _documents
+
+    toks = _documents(spark, sf_dir).select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    ).filter(F.length("w") > 0)
+    cnt = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("a"))
+    wterm = Window.partitionBy("w")
+    wsrc = Window.partitionBy("source")
+    wall = Window.partitionBy()
+    d = (
+        cnt.withColumn("tw", F.sum("a").over(wterm))
+        .withColumn("ns", F.sum("a").over(wsrc))
+        .withColumn("nn", F.sum("a").over(wall))
+    )
+    # p_s = a/ns ; p_c = tw/nn ; term = p_s ln(p_s/p_c)
+    t9 = F.floor(
+        F.col("a").cast("double")
+        / F.col("ns")
+        * F.log(
+            F.col("a").cast("double")
+            * F.col("nn")
+            / (F.col("ns").cast("double") * F.col("tw"))
+        )
+        * 1e9
+        + F.lit(_OFF)
+    ).cast("long")
+    agg = d.groupBy("source").agg(
+        F.max("ns").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(t9).alias("s9"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.floor(F.col("s9").cast("double") / 1000.0 + F.lit(_OFF))
+        .cast("long")
+        .alias("clarity_e6"),
+    ).orderBy("source")
+
+
+SQL_CLARITY = f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), cnt AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS a
+  FROM toks WHERE len(w) > 0 GROUP BY 1, 2
+), d AS (
+  SELECT source, w, a,
+         CAST(sum(a) OVER (PARTITION BY w) AS BIGINT) AS tw,
+         CAST(sum(a) OVER (PARTITION BY source) AS BIGINT) AS ns,
+         CAST(sum(a) OVER () AS BIGINT) AS nn
+  FROM cnt
+), agg AS (
+  SELECT source, max(ns) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CAST(floor(CAST(a AS DOUBLE) / ns
+                             * ln(CAST(a AS DOUBLE) * nn
+                                  / (CAST(ns AS DOUBLE) * tw))
+                             * 1e9 + {_OFF}) AS BIGINT)) AS BIGINT)
+           AS s9
+  FROM d GROUP BY 1
+)
+SELECT source, n_tokens, n_types,
+       CAST(floor(CAST(s9 AS DOUBLE) / 1000.0 + {_OFF}) AS BIGINT)
+         AS clarity_e6
+FROM agg
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# detailed_balance — reversibility test of the type transition chain
+# ---------------------------------------------------------------------------
+# A stationary reversible chain satisfies n_ab ~ n_ba; the Bowker-form
+# statistic sum_{{a<b}} (n_ab - n_ba)^2 / (n_ab + n_ba) on the FULL
+# per-user consecutive-event transition counts tests detailed balance
+# (bowker_symmetry tests only the first-vs-last marginal).  Exact
+# counting; per-pair contributions e6-floored; df = non-empty pairs.
+
+
+def q_detailed_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("tts"),
+        "event_id",
+    )
+    wo = Window.partitionBy("user_id").orderBy("tts", "event_id")
+    tr = (
+        ev.withColumn("prev", F.lag("event_type").over(wo))
+        .filter(F.col("prev").isNotNull())
+        .groupBy(
+            F.col("prev").alias("a"),
+            F.col("event_type").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    rev = tr.select(
+        F.col("a").alias("b"),
+        F.col("b").alias("a"),
+        F.col("n_ab").alias("n_ba"),
+    )
+    pairs = (
+        tr.join(rev, ["a", "b"], "full_outer")
+        .fillna(0, ["n_ab", "n_ba"])
+        .filter(F.col("a") < F.col("b"))
+        .filter(F.col("n_ab") + F.col("n_ba") > 0)
+    )
+    contrib = F.floor(
+        (F.col("n_ab") - F.col("n_ba")).cast("double")
+        * (F.col("n_ab") - F.col("n_ba"))
+        / (F.col("n_ab") + F.col("n_ba"))
+        * 1_000_000
+        + F.lit(_OFF)
+    ).cast("long")
+    out = pairs.select(
+        "a",
+        "b",
+        F.col("n_ab").cast("long").alias("n_ab"),
+        F.col("n_ba").cast("long").alias("n_ba"),
+        contrib.alias("contrib_e6"),
+    )
+    wall = Window.partitionBy()
+    return (
+        out.withColumn(
+            "chi2_e6", F.sum("contrib_e6").over(wall).cast("long")
+        )
+        .withColumn("df", F.count(F.lit(1)).over(wall).cast("long"))
+        .orderBy("a", "b")
+    )
+
+
+SQL_DETAILED_BALANCE = f"""
+WITH ev AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), tr AS (
+  SELECT prev AS a, event_type AS b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM ev WHERE prev IS NOT NULL GROUP BY 1, 2
+), pairs AS (
+  SELECT COALESCE(x.a, y.b) AS a, COALESCE(x.b, y.a) AS b,
+         COALESCE(x.n_ab, 0) AS n_ab, COALESCE(y.n_ab, 0) AS n_ba
+  FROM tr x FULL OUTER JOIN tr y
+    ON y.a = x.b AND y.b = x.a
+  WHERE COALESCE(x.a, y.b) < COALESCE(x.b, y.a)
+    AND COALESCE(x.n_ab, 0) + COALESCE(y.n_ab, 0) > 0
+), c AS (
+  SELECT a, b, n_ab, n_ba,
+         CAST(floor(CAST(n_ab - n_ba AS DOUBLE) * (n_ab - n_ba)
+                    / (n_ab + n_ba) * 1000000 + {_OFF}) AS BIGINT)
+           AS contrib_e6
+  FROM pairs
+)
+SELECT a, b, n_ab, n_ba, contrib_e6,
+       CAST(sum(contrib_e6) OVER () AS BIGINT) AS chi2_e6,
+       CAST(count(*) OVER () AS BIGINT) AS df
+FROM c
+ORDER BY a, b
+"""
+
+
+# ---------------------------------------------------------------------------
+# ams_f2 — AMS second-moment sketch vs the exact F2
+# ---------------------------------------------------------------------------
+# Alon, Matias & Szegedy (STOC 1996): F2 = sum c_u^2 is estimated by
+# Z^2 with Z = sum s(u) c_u, s(u) = +-1 from a hash bit — here bit 0
+# of the repo's shared md5 h60, with bits 1-3 selecting one of 8
+# independent estimators whose MEAN is reported against the exact F2.
+# Identical hash streams in both engines; everything exact integer
+# until the final ratio.
+
+
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.text.dedup import _h60
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("long").alias("user_id")
+    )
+    per = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    h = per.withColumn(
+        "hh", _h60(F.col("user_id").cast("string"))
+    ).withColumn(
+        "sgn", (F.col("hh") % 2) * 2 - 1
+    ).withColumn(
+        "grp", F.floor(F.col("hh") / 2).cast("long") % 8
+    )
+    z = h.groupBy("grp").agg(
+        F.sum(F.col("sgn") * F.col("c")).alias("z")
+    )
+    est = z.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("z") * F.col("z")).alias("sz2"),
+    )
+    exact = per.agg(
+        F.sum(F.col("c") * F.col("c")).alias("f2"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    j = exact.crossJoin(F.broadcast(est))
+    mean_est = F.col("sz2").cast("double") / F.col("k")
+    err = (mean_est - F.col("f2").cast("double")) / F.col("f2")
+    return j.select(
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("f2").cast("long").alias("f2_exact"),
+        F.col("k").cast("long").alias("k_estimators"),
+        F.floor(mean_est + F.lit(_OFF)).cast("long").alias(
+            "f2_ams_est"
+        ),
+        F.floor(err * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "err_e4"
+        ),
+    )
+
+
+SQL_AMS = f"""
+WITH per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), h AS (
+  SELECT c,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS hh
+  FROM per
+), s AS (
+  SELECT c, (hh % 2) * 2 - 1 AS sgn,
+         CAST(floor(hh / 2.0) AS BIGINT) % 8 AS grp
+  FROM h
+), z AS (
+  SELECT grp, CAST(sum(sgn * c) AS BIGINT) AS z FROM s GROUP BY 1
+), est AS (
+  SELECT count(*) AS k, CAST(sum(z * z) AS BIGINT) AS sz2 FROM z
+), exact AS (
+  SELECT CAST(sum(c * c) AS BIGINT) AS f2,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM per
+)
+SELECT n_keys, f2 AS f2_exact, CAST(k AS BIGINT) AS k_estimators,
+       CAST(floor(CAST(sz2 AS DOUBLE) / k + {_OFF}) AS BIGINT)
+         AS f2_ams_est,
+       CAST(floor((CAST(sz2 AS DOUBLE) / k - f2) / f2 * 10000
+                  + {_OFF}) AS BIGINT) AS err_e4
+FROM exact CROSS JOIN est
+"""
+
+
+# ---------------------------------------------------------------------------
+# huber_location — Huber M-estimate via 3 unrolled IRLS rounds
+# ---------------------------------------------------------------------------
+# Huber (Ann. Math. Stat. 1964): the location M-estimator with the
+# clip constant k = 1.345 * (MAD / 0.6745).  Start at the exact
+# domain median, scale from the exact MAD pick, then THREE fixed
+# Winsorized-mean rounds (gesd fixed-iteration precedent): each round
+# clamps values to mu +- k and refits the mean; clamped values are
+# e2-floored per row so every round's sum is exact integer.
+
+
+def q_huber_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    dom = ev.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    d = dom.withColumn("cc", F.sum("c").over(wo)).withColumn(
+        "n", F.sum("c").over(wt)
+    )
+    med = d.filter(F.col("cc") * 2 >= F.col("n")).groupBy(
+        "event_type"
+    ).agg(F.min("v").alias("med"), F.max("n").alias("n"))
+    dd = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("v") - F.col("med"))
+    )
+    dom2 = dd.groupBy("event_type", "ad").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wo2 = (
+        Window.partitionBy("event_type")
+        .orderBy("ad")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d2 = dom2.withColumn("cc", F.sum("c").over(wo2)).withColumn(
+        "n", F.sum("c").over(wt)
+    )
+    mad = d2.filter(F.col("cc") * 2 >= F.col("n")).groupBy(
+        "event_type"
+    ).agg(F.min("ad").alias("mad"))
+    base = ev.join(
+        F.broadcast(med.select("event_type", "med", "n")), "event_type"
+    ).join(F.broadcast(mad), "event_type")
+    kclip = 1.345 / 0.6745
+    mus = med.select(
+        "event_type", F.col("med").cast("double").alias("mu")
+    )
+    for _ in range(3):
+        joined = base.join(F.broadcast(mus), "event_type")
+        lo = F.col("mu") - kclip * F.col("mad").cast("double")
+        hi = F.col("mu") + kclip * F.col("mad").cast("double")
+        w2 = F.floor(
+            F.greatest(F.least(F.col("v").cast("double"), hi), lo)
+            * 100
+            + F.lit(_OFF)
+        ).cast("long")
+        mus = joined.groupBy("event_type").agg(
+            (
+                F.sum(w2).cast("double") / 100.0 / F.count(F.lit(1))
+            ).alias("mu")
+        )
+    out = (
+        med.select("event_type", "med", "n")
+        .join(mad, "event_type")
+        .join(mus, "event_type")
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("med").cast("long").alias("median_centi"),
+        F.col("mad").cast("long").alias("mad_centi"),
+        F.floor(F.col("mu") * 100 + F.lit(_OFF)).cast("long").alias(
+            "huber_e2"
+        ),
+    ).orderBy("event_type")
+
+
+def _huber_round_sql(prev_mu: str, r: int) -> str:
+    k = 1.345 / 0.6745
+    return f"""
+w{r} AS (
+  SELECT b.event_type,
+         CAST(sum(CAST(floor(greatest(least(CAST(v AS DOUBLE),
+                    {prev_mu} + {k!r} * mad),
+                    {prev_mu} - {k!r} * mad) * 100 + {_OFF})
+               AS BIGINT)) AS BIGINT) AS sw,
+         count(*) AS m
+  FROM base b {"JOIN mu" + str(r - 1) + " USING (event_type)" if r > 1 else ""}
+  GROUP BY 1
+), mu{r} AS (
+  SELECT event_type, CAST(sw AS DOUBLE) / 100.0 / m AS mu
+  FROM w{r}
+)"""
+
+
+SQL_HUBER = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), dom AS (
+  SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2
+), d AS (
+  SELECT event_type, v,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v)
+              AS BIGINT) AS cc,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM dom
+), med AS (
+  SELECT event_type, min(v) AS med, max(n) AS n
+  FROM d WHERE cc * 2 >= n GROUP BY 1
+), ad AS (
+  SELECT ev.event_type, abs(v - med) AS ad
+  FROM ev JOIN med ON med.event_type = ev.event_type
+), dom2 AS (
+  SELECT event_type, ad, CAST(count(*) AS BIGINT) AS c
+  FROM ad GROUP BY 1, 2
+), d2 AS (
+  SELECT event_type, ad,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY ad)
+              AS BIGINT) AS cc,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM dom2
+), madt AS (
+  SELECT event_type, min(ad) AS mad
+  FROM d2 WHERE cc * 2 >= n GROUP BY 1
+), base AS MATERIALIZED (
+  SELECT ev.event_type, v, med, n, mad
+  FROM ev
+  JOIN med ON med.event_type = ev.event_type
+  JOIN madt ON madt.event_type = ev.event_type
+),
+{_huber_round_sql('CAST(med AS DOUBLE)', 1)},
+{_huber_round_sql('mu', 2)},
+{_huber_round_sql('mu', 3)}
+SELECT b.event_type, CAST(max(n) AS BIGINT) AS n,
+       CAST(max(med) AS BIGINT) AS median_centi,
+       CAST(max(mad) AS BIGINT) AS mad_centi,
+       CAST(floor(max(mu3.mu) * 100 + {_OFF}) AS BIGINT) AS huber_e2
+FROM base b JOIN mu3 USING (event_type)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dekkers_moment": q_dekkers_moment,
     "pickands_gamma": q_pickands_gamma,
@@ -3460,6 +3873,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gains_deciles": q_gains_deciles,
     "session_fatigue": q_session_fatigue,
     "parity_split_audit": q_parity_split_audit,
+    "source_clarity": q_source_clarity,
+    "detailed_balance": q_detailed_balance,
+    "ams_f2": q_ams_f2,
+    "huber_location": q_huber_location,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3495,6 +3912,10 @@ ORACLE_SQL: dict[str, str] = {
     "gains_deciles": SQL_GAINS,
     "session_fatigue": SQL_SESSION_FATIGUE,
     "parity_split_audit": SQL_PARITY,
+    "source_clarity": SQL_CLARITY,
+    "detailed_balance": SQL_DETAILED_BALANCE,
+    "ams_f2": SQL_AMS,
+    "huber_location": SQL_HUBER,
 }
 
 # shared centroid CTE block (stats8 discipline)
