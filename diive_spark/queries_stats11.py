@@ -3840,6 +3840,467 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# expectiles — tau = 0.25 / 0.75 expectiles via 3 unrolled ALS rounds
+# ---------------------------------------------------------------------------
+# Newey & Powell (Econometrica 1987): the expectile e_tau is the
+# asymmetric-least-squares location; the fixed point e = [tau S+ +
+# (1-tau) S-] / [tau n+ + (1-tau) n-] (S+/n+ sums/counts above e)
+# converges monotonically — THREE fixed rounds from the mean by
+# contract.  Each round's split sums are exact integers (the split
+# point is the same double in both engines); tau enters as exact
+# dyadic literals.
+
+
+def q_expectiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    out_cols = {}
+    for tau_e2, tau in ((25, 0.25), (75, 0.75)):
+        mus = base.select(
+            "event_type",
+            (F.col("s").cast("double") / F.col("n")).alias("mu"),
+        )
+        for _ in range(3):
+            joined = ev.join(F.broadcast(mus), "event_type")
+            above = (F.col("v").cast("double") > F.col("mu")).cast(
+                "long"
+            )
+            stats = joined.groupBy("event_type").agg(
+                F.sum(F.col("v") * above).alias("sp"),
+                F.sum(above).alias("np"),
+                F.sum(F.col("v") * (1 - above)).alias("sm"),
+                F.sum(1 - above).alias("nm"),
+            )
+            mus = stats.select(
+                "event_type",
+                (
+                    (
+                        tau * F.col("sp").cast("double")
+                        + (1.0 - tau) * F.col("sm").cast("double")
+                    )
+                    / (
+                        tau * F.col("np").cast("double")
+                        + (1.0 - tau) * F.col("nm").cast("double")
+                    )
+                ).alias("mu"),
+            )
+        out_cols[tau_e2] = mus.select(
+            "event_type", F.col("mu").alias(f"e{tau_e2}")
+        )
+    j = base.join(out_cols[25], "event_type").join(
+        out_cols[75], "event_type"
+    )
+    return j.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(F.col("e25") * 100 + F.lit(_OFF)).cast("long").alias(
+            "expectile25_e2"
+        ),
+        F.floor(
+            F.col("s").cast("double") / F.col("n") * 100 + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("mean_e2"),
+        F.floor(F.col("e75") * 100 + F.lit(_OFF)).cast("long").alias(
+            "expectile75_e2"
+        ),
+    ).orderBy("event_type")
+
+
+def _expectile_rounds_sql(tau: float, tag: str) -> str:
+    blocks = []
+    prev = "CAST(s AS DOUBLE) / n"
+    src = "base"
+    for r in range(1, 4):
+        blocks.append(f"""
+st{tag}{r} AS (
+  SELECT ev.event_type,
+         CAST(sum(CASE WHEN CAST(v AS DOUBLE) > {prev} THEN v
+                       ELSE 0 END) AS BIGINT) AS sp,
+         CAST(sum(CASE WHEN CAST(v AS DOUBLE) > {prev} THEN 1
+                       ELSE 0 END) AS BIGINT) AS np,
+         CAST(sum(CASE WHEN CAST(v AS DOUBLE) > {prev} THEN 0
+                       ELSE v END) AS BIGINT) AS sm,
+         CAST(sum(CASE WHEN CAST(v AS DOUBLE) > {prev} THEN 0
+                       ELSE 1 END) AS BIGINT) AS nm
+  FROM ev JOIN {src} USING (event_type)
+  GROUP BY 1
+), mu{tag}{r} AS (
+  SELECT event_type,
+         ({tau!r} * CAST(sp AS DOUBLE)
+          + {1.0 - tau!r} * CAST(sm AS DOUBLE))
+         / ({tau!r} * CAST(np AS DOUBLE)
+            + {1.0 - tau!r} * CAST(nm AS DOUBLE)) AS mu
+  FROM st{tag}{r}
+)""")
+        prev = "mu"
+        src = f"mu{tag}{r}"
+    return ",".join(blocks)
+
+
+SQL_EXPECTILES = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), base AS (
+  SELECT event_type, count(*) AS n, CAST(sum(v) AS BIGINT) AS s
+  FROM ev GROUP BY 1
+),
+{_expectile_rounds_sql(0.25, 'a')},
+{_expectile_rounds_sql(0.75, 'b')}
+SELECT base.event_type, CAST(n AS BIGINT) AS n,
+       CAST(floor(mua3.mu * 100 + {_OFF}) AS BIGINT)
+         AS expectile25_e2,
+       CAST(floor(CAST(s AS DOUBLE) / n * 100 + {_OFF}) AS BIGINT)
+         AS mean_e2,
+       CAST(floor(mub3.mu * 100 + {_OFF}) AS BIGINT)
+         AS expectile75_e2
+FROM base
+JOIN mua3 USING (event_type)
+JOIN mub3 USING (event_type)
+ORDER BY base.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# palma_ratio — top-10% / bottom-40% value share ratio per type
+# ---------------------------------------------------------------------------
+# Palma (2011) / Cobham & Sumner: inequality as the ratio of the top
+# decile's share to the bottom four deciles' share of per-user value
+# — the policy-world alternative to Gini.  Boundary tie blocks are
+# split EXACTLY (the pareto_ratio fractional-block interpolation);
+# everything is exact BIGINT until the final ratio.
+
+
+def q_palma_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = ev.groupBy("user_id").agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+        ).alias("y")
+    )
+    dom = per.groupBy("y").agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    d = (
+        dom.withColumn("cc", F.sum("c").over(wo))
+        .withColumn("cv", F.sum(F.col("c") * F.col("y")).over(wo))
+        .withColumn("n", F.sum("c").over(wall))
+        .withColumn("tv", F.sum(F.col("c") * F.col("y")).over(wall))
+    )
+    # bottom 40%: k40 = floor(0.4 n) users (ascending) with fractional
+    # last block; top 10%: k10 = floor(0.1 n) users (descending)
+    k40 = F.floor(F.col("n") * 2 / 5).cast("long")
+    b40 = d.filter(
+        ((F.col("cc") - F.col("c")) < k40) & (k40 <= F.col("cc"))
+    ).select(
+        "n",
+        "tv",
+        (
+            F.col("cv")
+            - F.col("c") * F.col("y")
+            + (k40 - (F.col("cc") - F.col("c"))) * F.col("y")
+        ).alias("v40"),
+    )
+    k10 = F.floor(F.col("n") / 10).cast("long")
+    # descending: users above rank n-k10
+    t10 = d.filter(
+        ((F.col("n") - F.col("cc")) < k10)
+        & (k10 <= F.col("n") - F.col("cc") + F.col("c"))
+    ).select(
+        (
+            F.col("tv")
+            - F.col("cv")
+            + (k10 - (F.col("n") - F.col("cc"))) * F.col("y")
+        ).alias("v10"),
+    )
+    j = b40.crossJoin(F.broadcast(t10))
+    palma = F.col("v10").cast("double") / F.col("v40")
+    return j.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("v40").cast("long").alias("bottom40_value"),
+        F.col("v10").cast("long").alias("top10_value"),
+        F.floor(
+            F.col("v10").cast("double") / F.col("tv") * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("top10_share_e6"),
+        F.floor(palma * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "palma_e4"
+        ),
+    )
+
+
+SQL_PALMA = f"""
+WITH per AS (
+  SELECT user_id,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS y
+  FROM events GROUP BY 1
+), dom AS (
+  SELECT y, CAST(count(*) AS BIGINT) AS c FROM per GROUP BY 1
+), d AS (
+  SELECT y, c,
+         CAST(sum(c) OVER (ORDER BY y) AS BIGINT) AS cc,
+         CAST(sum(c * y) OVER (ORDER BY y) AS BIGINT) AS cv,
+         CAST(sum(c) OVER () AS BIGINT) AS n,
+         CAST(sum(c * y) OVER () AS BIGINT) AS tv
+  FROM dom
+), b40 AS (
+  SELECT n, tv,
+         cv - c * y + (n * 2 // 5 - (cc - c)) * y AS v40
+  FROM d
+  WHERE cc - c < n * 2 // 5 AND n * 2 // 5 <= cc
+), t10 AS (
+  SELECT tv - cv + (n // 10 - (n - cc)) * y AS v10
+  FROM d
+  WHERE n - cc < n // 10 AND n // 10 <= n - cc + c
+)
+SELECT n AS n_users, v40 AS bottom40_value, v10 AS top10_value,
+       CAST(floor(CAST(v10 AS DOUBLE) / tv * 1000000 + {_OFF})
+            AS BIGINT) AS top10_share_e6,
+       CAST(floor(CAST(v10 AS DOUBLE) / v40 * 10000 + {_OFF})
+            AS BIGINT) AS palma_e4
+FROM b40 CROSS JOIN t10
+"""
+
+
+# ---------------------------------------------------------------------------
+# quadrant_corr — Blomqvist's beta (medial correlation) per type pair
+# ---------------------------------------------------------------------------
+# Blomqvist (Ann. Math. Stat. 1950): beta = (n_concordant -
+# n_discordant) / (n_concordant + n_discordant) counting quadrants
+# around the coordinate-wise medians — the maximally robust
+# correlation sign.  Daily count pairs; medians are exact lower
+# domain picks; points ON a median line are dropped by contract.
+
+
+def q_quadrant_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats10 import _daily_pairs
+
+    p = _daily_pairs(spark, sf_dir)
+    dx = p.groupBy("type_a", "type_b", "x").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wox = (
+        Window.partitionBy("type_a", "type_b")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("type_a", "type_b")
+    mx = (
+        dx.withColumn("cc", F.sum("c").over(wox))
+        .withColumn("n", F.sum("c").over(wt))
+        .filter(F.col("cc") * 2 >= F.col("n"))
+        .groupBy("type_a", "type_b")
+        .agg(F.min("x").alias("medx"))
+    )
+    dy = p.groupBy("type_a", "type_b", "y").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    woy = (
+        Window.partitionBy("type_a", "type_b")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    my = (
+        dy.withColumn("cc", F.sum("c").over(woy))
+        .withColumn("n", F.sum("c").over(wt))
+        .filter(F.col("cc") * 2 >= F.col("n"))
+        .groupBy("type_a", "type_b")
+        .agg(F.min("y").alias("medy"))
+    )
+    j = p.join(F.broadcast(mx), ["type_a", "type_b"]).join(
+        F.broadcast(my), ["type_a", "type_b"]
+    )
+    sx = F.when(F.col("x") > F.col("medx"), 1).when(
+        F.col("x") < F.col("medx"), -1
+    ).otherwise(0)
+    sy = F.when(F.col("y") > F.col("medy"), 1).when(
+        F.col("y") < F.col("medy"), -1
+    ).otherwise(0)
+    agg = j.select(
+        "type_a", "type_b", (sx * sy).alias("q")
+    ).groupBy("type_a", "type_b").agg(
+        F.sum((F.col("q") == 1).cast("long")).alias("nc"),
+        F.sum((F.col("q") == -1).cast("long")).alias("nd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    beta = (F.col("nc") - F.col("nd")).cast("double") / (
+        F.col("nc") + F.col("nd")
+    )
+    return (
+        agg.filter(F.col("nc") + F.col("nd") > 0)
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n").cast("long").alias("n_days"),
+            F.col("nc").cast("long").alias("n_concordant"),
+            F.col("nd").cast("long").alias("n_discordant"),
+            F.floor(beta * 1_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("beta_e6"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+from diive_spark.queries_stats10 import _DAILY_PAIRS_SQL as _DP_SQL11
+
+SQL_QUADRANT = f"""
+WITH {_DP_SQL11},
+mx AS (
+  SELECT type_a, type_b, min(x) AS medx
+  FROM (
+    SELECT type_a, type_b, x,
+           CAST(sum(count(*)) OVER (PARTITION BY type_a, type_b
+                                    ORDER BY x) AS BIGINT) AS cc,
+           CAST(sum(count(*)) OVER (PARTITION BY type_a, type_b)
+                AS BIGINT) AS n
+    FROM pairs GROUP BY 1, 2, 3
+  ) WHERE cc * 2 >= n GROUP BY 1, 2
+), my AS (
+  SELECT type_a, type_b, min(y) AS medy
+  FROM (
+    SELECT type_a, type_b, y,
+           CAST(sum(count(*)) OVER (PARTITION BY type_a, type_b
+                                    ORDER BY y) AS BIGINT) AS cc,
+           CAST(sum(count(*)) OVER (PARTITION BY type_a, type_b)
+                AS BIGINT) AS n
+    FROM pairs GROUP BY 1, 2, 3
+  ) WHERE cc * 2 >= n GROUP BY 1, 2
+), q AS (
+  SELECT p.type_a, p.type_b,
+         (CASE WHEN x > medx THEN 1 WHEN x < medx THEN -1 ELSE 0 END)
+         * (CASE WHEN y > medy THEN 1 WHEN y < medy THEN -1
+                 ELSE 0 END) AS q
+  FROM pairs p
+  JOIN mx ON mx.type_a = p.type_a AND mx.type_b = p.type_b
+  JOIN my ON my.type_a = p.type_a AND my.type_b = p.type_b
+), agg AS (
+  SELECT type_a, type_b, count(*) AS n,
+         CAST(sum(CASE WHEN q = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nc,
+         CAST(sum(CASE WHEN q = -1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nd
+  FROM q GROUP BY 1, 2
+)
+SELECT type_a, type_b, CAST(n AS BIGINT) AS n_days,
+       nc AS n_concordant, nd AS n_discordant,
+       CAST(floor(CAST(nc - nd AS DOUBLE) / (nc + nd) * 1000000
+                  + {_OFF}) AS BIGINT) AS beta_e6
+FROM agg
+WHERE nc + nd > 0
+ORDER BY type_a, type_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# youden_threshold — Youden's J optimal decision threshold
+# ---------------------------------------------------------------------------
+# Youden (Cancer 1950): the threshold maximizing J = TPR - FPR for
+# classifying purchases from value — the decision-theory complement
+# to otsu_threshold (variance split) and the exact ROC machinery.
+# TPR/FPR are exact integer ratios on the descending value domain;
+# the argmax tie-breaks to the smallest threshold via the exact
+# integer cross-multiplied J numerator.
+
+
+def q_youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    )
+    dom = ev.groupBy("v").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("pos").alias("p")
+    )
+    wo = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    d = (
+        dom.withColumn("cp", F.sum("p").over(wo))
+        .withColumn("cn", F.sum(F.col("c") - F.col("p")).over(wo))
+        .withColumn("np", F.sum("p").over(wall))
+        .withColumn("nn", F.sum(F.col("c") - F.col("p")).over(wall))
+    )
+    # J numerator at threshold >= v: cp * nn - cn * np (exact ints,
+    # common denominator np * nn)
+    jnum = F.col("cp") * F.col("nn") - F.col("cn") * F.col("np")
+    wr = Window.orderBy(F.col("_jnum").desc(), F.col("v").asc())
+    best = (
+        d.withColumn("_jnum", jnum)
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+    )
+    jd = F.col("_jnum").cast("double") / (
+        F.col("np").cast("double") * F.col("nn")
+    )
+    return best.select(
+        F.col("v").cast("long").alias("threshold_centi"),
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        F.floor(
+            F.col("cp").cast("double") / F.col("np") * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("tpr_e6"),
+        F.floor(
+            F.col("cn").cast("double") / F.col("nn") * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("fpr_e6"),
+        F.floor(jd * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "j_e6"
+        ),
+    )
+
+
+SQL_YOUDEN = f"""
+WITH ev AS (
+  SELECT CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+), dom AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(pos) AS BIGINT) AS p
+  FROM ev GROUP BY 1
+), d AS (
+  SELECT v,
+         CAST(sum(p) OVER (ORDER BY v DESC) AS BIGINT) AS cp,
+         CAST(sum(c - p) OVER (ORDER BY v DESC) AS BIGINT) AS cn,
+         CAST(sum(p) OVER () AS BIGINT) AS np,
+         CAST(sum(c - p) OVER () AS BIGINT) AS nn
+  FROM dom
+), best AS (
+  SELECT v, cp, cn, np, nn,
+         row_number() OVER (ORDER BY cp * nn - cn * np DESC,
+                            v ASC) AS rk
+  FROM d
+)
+SELECT v AS threshold_centi, np AS n_pos, nn AS n_neg,
+       CAST(floor(CAST(cp AS DOUBLE) / np * 1000000 + {_OFF})
+            AS BIGINT) AS tpr_e6,
+       CAST(floor(CAST(cn AS DOUBLE) / nn * 1000000 + {_OFF})
+            AS BIGINT) AS fpr_e6,
+       CAST(floor(CAST(cp * nn - cn * np AS DOUBLE)
+                  / (CAST(np AS DOUBLE) * nn) * 1000000 + {_OFF})
+            AS BIGINT) AS j_e6
+FROM best
+WHERE rk = 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dekkers_moment": q_dekkers_moment,
     "pickands_gamma": q_pickands_gamma,
@@ -3877,6 +4338,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "detailed_balance": q_detailed_balance,
     "ams_f2": q_ams_f2,
     "huber_location": q_huber_location,
+    "expectiles": q_expectiles,
+    "palma_ratio": q_palma_ratio,
+    "quadrant_corr": q_quadrant_corr,
+    "youden_threshold": q_youden_threshold,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3916,6 +4381,10 @@ ORACLE_SQL: dict[str, str] = {
     "detailed_balance": SQL_DETAILED_BALANCE,
     "ams_f2": SQL_AMS,
     "huber_location": SQL_HUBER,
+    "expectiles": SQL_EXPECTILES,
+    "palma_ratio": SQL_PALMA,
+    "quadrant_corr": SQL_QUADRANT,
+    "youden_threshold": SQL_YOUDEN,
 }
 
 # shared centroid CTE block (stats8 discipline)
