@@ -4301,6 +4301,345 @@ WHERE rk = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# ripley_k — 1-D Ripley's K at 60 s / 600 s / 3600 s radii per type
+# ---------------------------------------------------------------------------
+# Ripley (JRSS-B 1977) in one dimension: K(t) = span * E[#neighbours
+# within t] / (n - 1); under CSR, K(t) = 2t.  Pair counts within t
+# ride the house ASOF operator (operators/asofjoin.py — the union +
+# carry-forward plan, NEVER a range join): for each distinct second
+# v the neighbour count to the right is C(v + t) - C(v), an as-of
+# lookup of the cumulative at the largest second <= v + t; the DuckDB
+# twin uses native ASOF JOIN (asof_join_events precedent).  All pair
+# counts exact BIGINT; K and the CSR reference hit doubles at the
+# end.
+
+
+_RIPLEY_RADII = [60, 600, 3600]
+
+
+def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.asofjoin import asof_join_backward
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    dom = ev.groupBy("event_type", "s").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    d = (
+        dom.withColumn("cc", F.sum("c").over(wo))
+        .withColumn("n", F.sum("c").over(wt))
+        .withColumn("s0", F.min("s").over(wt))
+        .withColumn("s1", F.max("s").over(wt))
+    )
+    radii = spark.createDataFrame(
+        [(r,) for r in _RIPLEY_RADII], "r long"
+    )
+    left = d.crossJoin(F.broadcast(radii)).select(
+        F.concat_ws("#", F.col("event_type"), F.col("r")).alias("key"),
+        "event_type",
+        "r",
+        "c",
+        F.col("cc").alias("cc_own"),
+        (F.col("s") + F.col("r")).alias("pos"),
+        "n",
+        (F.col("s1") - F.col("s0")).alias("span"),
+    )
+    right = d.crossJoin(F.broadcast(radii)).select(
+        F.concat_ws("#", F.col("event_type"), F.col("r")).alias("key"),
+        F.col("s").alias("pos"),
+        F.col("cc").alias("cc_r"),
+    )
+    j = asof_join_backward(
+        left, right, on="pos", by="key", value_cols=["cc_r"]
+    )
+    # cross pairs to the right within r, plus same-second pairs
+    cross = F.col("asof_cc_r") - F.col("cc_own")
+    internal = F.col("c") * (F.col("c") - 1) / 2
+    agg = j.groupBy("event_type", "r").agg(
+        F.max("n").alias("n"),
+        F.max("span").alias("span"),
+        F.sum(F.col("c") * cross).alias("pc"),
+        F.sum(internal).alias("pi"),
+    )
+    p = F.col("pc") + F.col("pi").cast("long")
+    nd = F.col("n").cast("double")
+    k = (
+        F.col("span").cast("double")
+        * 2.0
+        * p.cast("double")
+        / (nd * (nd - 1.0))
+    )
+    return (
+        agg.filter(F.col("n") >= 2)
+        .select(
+            "event_type",
+            F.col("r").cast("long").alias("radius_s"),
+            F.col("n").cast("long").alias("n"),
+            p.cast("long").alias("n_pairs"),
+            F.floor(k * 100 + F.lit(_OFF)).cast("long").alias("k_e2"),
+            (2 * F.col("r")).cast("long").alias("csr_expected"),
+        )
+        .orderBy("event_type", "radius_s")
+    )
+
+
+SQL_RIPLEY = f"""
+WITH ev AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+), dom AS (
+  SELECT event_type, s, CAST(count(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2
+), d AS (
+  SELECT event_type, s, c,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY s)
+              AS BIGINT) AS cc,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         max(s) OVER (PARTITION BY event_type)
+           - min(s) OVER (PARTITION BY event_type) AS span
+  FROM dom
+), lr AS (
+  SELECT d.*, r, s + r AS pos FROM d
+  CROSS JOIN (SELECT unnest([{", ".join(str(r) for r in _RIPLEY_RADII)}])
+                AS r)
+), j AS (
+  SELECT a.event_type, a.r, a.n, a.span, a.c,
+         b.cc AS cc_match, a.cc AS cc_own
+  FROM lr a
+  ASOF JOIN d b
+    ON a.event_type = b.event_type AND a.pos >= b.s
+), agg AS (
+  SELECT event_type, r, max(n) AS n, max(span) AS span,
+         CAST(sum(c * (cc_match - cc_own)) AS BIGINT) AS pc,
+         CAST(sum(c * (c - 1) // 2) AS BIGINT) AS pi
+  FROM j GROUP BY 1, 2
+)
+SELECT event_type, CAST(r AS BIGINT) AS radius_s,
+       CAST(n AS BIGINT) AS n, pc + pi AS n_pairs,
+       CAST(floor(CAST(span AS DOUBLE) * 2.0 * (pc + pi)
+                  / (CAST(n AS DOUBLE) * (n - 1.0)) * 100 + {_OFF})
+            AS BIGINT) AS k_e2,
+       CAST(2 * r AS BIGINT) AS csr_expected
+FROM agg
+WHERE n >= 2
+ORDER BY event_type, radius_s
+"""
+
+
+# ---------------------------------------------------------------------------
+# collision_audit — same-second collision excess vs Poisson baseline
+# ---------------------------------------------------------------------------
+# The birthday-paradox QC: within each hour with n events, uniform
+# placement over 3600 s expects C(n, 2)/3600 same-second pairs;
+# observed pairs come from exact per-second counts.  Excess ratio
+# flags clock quantization or batching artifacts.  Exact integers;
+# the expectation is an exact rational folded at e6 per hour.
+
+
+def q_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    per_s = ev.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    obs = per_s.agg(
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("obs_pairs"),
+        F.sum("c").alias("n"),
+    )
+    per_h = ev.groupBy(
+        F.floor(F.col("s") / 3600).alias("h")
+    ).agg(F.count(F.lit(1)).alias("nh"))
+    exp6 = F.floor(
+        F.col("nh").cast("double")
+        * (F.col("nh") - 1)
+        / 2.0
+        / 3600.0
+        * 1e6
+        + F.lit(_OFF)
+    ).cast("long")
+    expd = per_h.agg(F.sum(exp6).alias("e6"))
+    j = obs.crossJoin(F.broadcast(expd))
+    ratio = (
+        F.col("obs_pairs").cast("double")
+        / (F.col("e6").cast("double") / 1e6)
+    )
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("obs_pairs").cast("long").alias("obs_pairs"),
+        F.floor(F.col("e6").cast("double") / 1e4 + F.lit(_OFF))
+        .cast("long")
+        .alias("exp_pairs_e2"),
+        F.floor(ratio * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "excess_ratio_e4"
+        ),
+    )
+
+
+SQL_COLLISION = f"""
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+), per_s AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY 1
+), obs AS (
+  SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS obs_pairs,
+         CAST(sum(c) AS BIGINT) AS n
+  FROM per_s
+), per_h AS (
+  SELECT s // 3600 AS h, CAST(count(*) AS BIGINT) AS nh
+  FROM ev GROUP BY 1
+), expd AS (
+  SELECT CAST(sum(CAST(floor(CAST(nh AS DOUBLE) * (nh - 1) / 2.0
+                             / 3600.0 * 1e6 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS e6
+  FROM per_h
+)
+SELECT n, obs_pairs,
+       CAST(floor(CAST(e6 AS DOUBLE) / 1e4 + {_OFF}) AS BIGINT)
+         AS exp_pairs_e2,
+       CAST(floor(CAST(obs_pairs AS DOUBLE)
+                  / (CAST(e6 AS DOUBLE) / 1e6) * 10000 + {_OFF})
+            AS BIGINT) AS excess_ratio_e4
+FROM obs CROSS JOIN expd
+"""
+
+
+# ---------------------------------------------------------------------------
+# nchars_audit — n_chars metadata-vs-payload consistency per source
+# ---------------------------------------------------------------------------
+# The bread-and-butter ingestion audit: the n_chars column must equal
+# length(text).  Census of exact matches, drift magnitude, and the
+# worst offender per source.  Pure exact counting.
+
+
+def q_nchars_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source",
+        "doc_id",
+        (F.length("text") - F.col("n_chars")).alias("delta"),
+    )
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("delta") == 0).cast("long")).alias("n_exact"),
+        F.sum(F.abs("delta")).alias("sum_abs_delta"),
+        F.max(F.abs("delta")).alias("max_abs_delta"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("sum_abs_delta").cast("long").alias("sum_abs_delta"),
+        F.col("max_abs_delta").cast("long").alias("max_abs_delta"),
+        F.floor(
+            F.col("n_exact").cast("double") / F.col("n_docs") * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("exact_rate_e6"),
+    ).orderBy("source")
+
+
+SQL_NCHARS = f"""
+WITH d AS (
+  SELECT source, doc_id,
+         CAST(len(text) AS BIGINT) - n_chars AS delta
+  FROM documents
+), agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN delta = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact,
+         CAST(sum(abs(delta)) AS BIGINT) AS sum_abs_delta,
+         CAST(max(abs(delta)) AS BIGINT) AS max_abs_delta
+  FROM d GROUP BY 1
+)
+SELECT source, n_docs, n_exact, sum_abs_delta, max_abs_delta,
+       CAST(floor(CAST(n_exact AS DOUBLE) / n_docs * 1000000 + {_OFF})
+            AS BIGINT) AS exact_rate_e6
+FROM agg
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# loo_influence — leave-one-source-out influence on mean doc length
+# ---------------------------------------------------------------------------
+# Case-deletion diagnostics at the SOURCE grain: how much does the
+# corpus mean document length move when each source is removed?  The
+# closed form needs only per-source and global sums — one combinable
+# aggregate, no re-scan per deletion.  Exact integers until the final
+# divisions.
+
+
+def q_loo_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", F.col("n_chars").cast("long").alias("x")
+    )
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("nh"), F.sum("x").alias("sh")
+    )
+    wall = Window.partitionBy()
+    per = per.withColumn("n", F.sum("nh").over(wall)).withColumn(
+        "s", F.sum("sh").over(wall)
+    )
+    full_mean = F.col("s").cast("double") / F.col("n")
+    loo_mean = (F.col("s") - F.col("sh")).cast("double") / (
+        F.col("n") - F.col("nh")
+    )
+    infl = loo_mean - full_mean
+    return per.select(
+        "source",
+        F.col("nh").cast("long").alias("n_docs"),
+        F.floor(full_mean * 100 + F.lit(_OFF)).cast("long").alias(
+            "mean_full_e2"
+        ),
+        F.floor(loo_mean * 100 + F.lit(_OFF)).cast("long").alias(
+            "mean_loo_e2"
+        ),
+        F.floor(infl * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "influence_e4"
+        ),
+    ).orderBy("source")
+
+
+SQL_LOO = f"""
+WITH per AS (
+  SELECT source, count(*) AS nh,
+         CAST(sum(n_chars) AS BIGINT) AS sh
+  FROM documents GROUP BY 1
+), t AS (
+  SELECT source, nh, sh,
+         CAST(sum(nh) OVER () AS BIGINT) AS n,
+         CAST(sum(sh) OVER () AS BIGINT) AS s
+  FROM per
+)
+SELECT source, CAST(nh AS BIGINT) AS n_docs,
+       CAST(floor(CAST(s AS DOUBLE) / n * 100 + {_OFF}) AS BIGINT)
+         AS mean_full_e2,
+       CAST(floor(CAST(s - sh AS DOUBLE) / (n - nh) * 100 + {_OFF})
+            AS BIGINT) AS mean_loo_e2,
+       CAST(floor((CAST(s - sh AS DOUBLE) / (n - nh)
+                   - CAST(s AS DOUBLE) / n) * 10000 + {_OFF})
+            AS BIGINT) AS influence_e4
+FROM t
+ORDER BY source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dekkers_moment": q_dekkers_moment,
     "pickands_gamma": q_pickands_gamma,
@@ -4342,6 +4681,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "palma_ratio": q_palma_ratio,
     "quadrant_corr": q_quadrant_corr,
     "youden_threshold": q_youden_threshold,
+    "ripley_k": q_ripley_k,
+    "collision_audit": q_collision_audit,
+    "nchars_audit": q_nchars_audit,
+    "loo_influence": q_loo_influence,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4385,6 +4728,10 @@ ORACLE_SQL: dict[str, str] = {
     "palma_ratio": SQL_PALMA,
     "quadrant_corr": SQL_QUADRANT,
     "youden_threshold": SQL_YOUDEN,
+    "ripley_k": SQL_RIPLEY,
+    "collision_audit": SQL_COLLISION,
+    "nchars_audit": SQL_NCHARS,
+    "loo_influence": SQL_LOO,
 }
 
 # shared centroid CTE block (stats8 discipline)
