@@ -4640,6 +4640,396 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# activity_persistence — day-over-day active-user persistence lift
+# ---------------------------------------------------------------------------
+# The DAU stickiness number: P(user active on d+1 | active on d)
+# against the base rate P(active) over each user's span — lift > 1 is
+# habit, < 1 is burst-and-churn.  Exact counting on the distinct
+# (user, day) grid; base rate uses user-span-days as the exposure.
+
+
+def q_activity_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    )
+    ud = ev.distinct()
+    nxt = ud.select(
+        "user_id", (F.col("day") - 1).alias("day")
+    ).withColumn("nx", F.lit(1))
+    j = ud.join(nxt, ["user_id", "day"], "left").fillna(0, ["nx"])
+    spans = ud.groupBy("user_id").agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        F.count(F.lit(1)).alias("adays"),
+    )
+    # pairs eligible: days strictly before the user's last day
+    el = j.join(F.broadcast(spans), "user_id").filter(
+        F.col("day") < F.col("d1")
+    )
+    agg = el.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("nx").alias("n_retained"),
+    )
+    base = spans.agg(
+        F.sum("adays").alias("sa"),
+        F.sum(F.col("d1") - F.col("d0") + 1).alias("sspan"),
+    )
+    o = agg.crossJoin(F.broadcast(base))
+    p_cond = F.col("n_retained").cast("double") / F.col("n_pairs")
+    p_base = F.col("sa").cast("double") / F.col("sspan")
+    return o.select(
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_retained").cast("long").alias("n_retained"),
+        F.floor(p_cond * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "p_next_e6"
+        ),
+        F.floor(p_base * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "p_base_e6"
+        ),
+        F.floor(p_cond / p_base * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("lift_e4"),
+    )
+
+
+SQL_PERSISTENCE = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+), spans AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1,
+         CAST(count(*) AS BIGINT) AS adays
+  FROM ud GROUP BY 1
+), el AS (
+  SELECT a.user_id, a.day,
+         CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END AS nx
+  FROM ud a
+  JOIN spans ON spans.user_id = a.user_id
+  LEFT JOIN ud b ON b.user_id = a.user_id AND b.day = a.day + 1
+  WHERE a.day < spans.d1
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(nx) AS BIGINT) AS n_retained
+  FROM el
+), base AS (
+  SELECT CAST(sum(adays) AS BIGINT) AS sa,
+         CAST(sum(d1 - d0 + 1) AS BIGINT) AS sspan
+  FROM spans
+)
+SELECT n_pairs, n_retained,
+       CAST(floor(CAST(n_retained AS DOUBLE) / n_pairs * 1000000
+                  + {_OFF}) AS BIGINT) AS p_next_e6,
+       CAST(floor(CAST(sa AS DOUBLE) / sspan * 1000000 + {_OFF})
+            AS BIGINT) AS p_base_e6,
+       CAST(floor((CAST(n_retained AS DOUBLE) / n_pairs)
+                  / (CAST(sa AS DOUBLE) / sspan) * 10000 + {_OFF})
+            AS BIGINT) AS lift_e4
+FROM agg CROSS JOIN base
+"""
+
+
+# ---------------------------------------------------------------------------
+# null_census — column null/blank completeness audit
+# ---------------------------------------------------------------------------
+# The first query every ingestion pipeline runs: per-column null and
+# blank counts over events and documents, one row per (table,
+# column).  Pure exact counting; literal unpivot.
+
+
+def q_null_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    e = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("user_id"),
+        F.sum(F.col("event_type").isNull().cast("long")).alias(
+            "event_type"
+        ),
+        F.sum(F.col("value").isNull().cast("long")).alias("value"),
+        F.sum(
+            (
+                F.col("props").isNull() | (F.length("props") == 0)
+            ).cast("long")
+        ).alias("props"),
+    )
+    d = dc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (
+                F.col("text").isNull() | (F.length("text") == 0)
+            ).cast("long")
+        ).alias("text"),
+        F.sum(F.col("lang").isNull().cast("long")).alias("lang"),
+        F.sum(F.col("source").isNull().cast("long")).alias("source"),
+    )
+    rows = []
+    for tbl, df, cols in (
+        ("events", e, ["user_id", "event_type", "value", "props"]),
+        ("documents", d, ["text", "lang", "source"]),
+    ):
+        for c in cols:
+            rows.append(
+                df.select(
+                    F.lit(tbl).alias("tbl"),
+                    F.lit(c).alias("col"),
+                    F.col("n").cast("long").alias("n_rows"),
+                    F.col(c).cast("long").alias("n_null_or_blank"),
+                )
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("tbl", "col")
+
+
+SQL_NULL_CENSUS = """
+WITH e AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS user_id,
+         CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS event_type,
+         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS value,
+         CAST(sum(CASE WHEN props IS NULL OR len(props) = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS props
+  FROM events
+), d AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN text IS NULL OR len(text) = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS text,
+         CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS lang,
+         CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS source
+  FROM documents
+)
+SELECT 'documents' AS tbl, 'lang' AS col, n AS n_rows,
+       lang AS n_null_or_blank FROM d
+UNION ALL
+SELECT 'documents', 'source', n, source FROM d
+UNION ALL
+SELECT 'documents', 'text', n, text FROM d
+UNION ALL
+SELECT 'events', 'event_type', n, event_type FROM e
+UNION ALL
+SELECT 'events', 'props', n, props FROM e
+UNION ALL
+SELECT 'events', 'user_id', n, user_id FROM e
+UNION ALL
+SELECT 'events', 'value', n, value FROM e
+ORDER BY tbl, col
+"""
+
+
+# ---------------------------------------------------------------------------
+# time_heaping — round-timestamp heaping audit (minute/5-min/hour)
+# ---------------------------------------------------------------------------
+# Digit-preference for TIME: human-entered or batch-written events
+# heap on round marks.  Observed shares at s % 60 = 0, % 300 = 0,
+# % 3600 = 0 against the uniform 1/60, 1/300, 1/3600 baselines with
+# binomial z — the temporal twin of last_digit_bias.  Exact counts;
+# z from exact rationals.
+
+
+def q_time_heaping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("s") % 60 == 0).cast("long")).alias("m60"),
+        F.sum((F.col("s") % 300 == 0).cast("long")).alias("m300"),
+        F.sum((F.col("s") % 3600 == 0).cast("long")).alias("m3600"),
+    )
+    rows = []
+    for mark, cnt in ((60, "m60"), (300, "m300"), (3600, "m3600")):
+        p0 = 1.0 / mark
+        nd = F.col("n").cast("double")
+        obs = F.col(cnt).cast("double") / nd
+        z = (obs - p0) / F.sqrt(p0 * (1.0 - p0) / nd)
+        rows.append(
+            agg.select(
+                F.lit(mark).cast("long").alias("mark_s"),
+                F.col("n").cast("long").alias("n"),
+                F.col(cnt).cast("long").alias("n_on_mark"),
+                F.floor(obs * 1e9 + F.lit(_OFF)).cast("long").alias(
+                    "share_e9"
+                ),
+                F.floor(z * 10_000 + F.lit(_OFF)).cast("long").alias(
+                    "z_e4"
+                ),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("mark_s")
+
+
+def _heap_sql(mark: int, cnt: str) -> str:
+    p0 = 1.0 / mark
+    return f"""
+SELECT CAST({mark} AS BIGINT) AS mark_s, n, {cnt} AS n_on_mark,
+       CAST(floor(CAST({cnt} AS DOUBLE) / n * 1e9 + {_OFF})
+            AS BIGINT) AS share_e9,
+       CAST(floor((CAST({cnt} AS DOUBLE) / n - {p0!r})
+                  / sqrt({p0!r} * (1.0 - {p0!r})
+                         / CAST(n AS DOUBLE)) * 10000 + {_OFF})
+            AS BIGINT) AS z_e4
+FROM agg"""
+
+
+SQL_TIME_HEAPING = f"""
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN s % 60 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS m60,
+         CAST(sum(CASE WHEN s % 300 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS m300,
+         CAST(sum(CASE WHEN s % 3600 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS m3600
+  FROM ev
+)
+{_heap_sql(60, 'm60')}
+UNION ALL
+{_heap_sql(300, 'm300')}
+UNION ALL
+{_heap_sql(3600, 'm3600')}
+ORDER BY mark_s
+"""
+
+
+# ---------------------------------------------------------------------------
+# anova_effect_sizes — eta^2 / omega^2 / epsilon^2 for type means
+# ---------------------------------------------------------------------------
+# The effect-size ladder (Hays; Olejnik & Algina 2003) for the value-
+# by-type one-way design: eta^2 (biased), epsilon^2 and omega^2 (both
+# bias-corrected) — anova_event_types reports the F, this reports HOW
+# MUCH variance types actually explain.  SSB from the cancellation-
+# free per-group form (norm_anova precedent); everything else exact.
+
+
+def q_anova_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("v").alias("sg"),
+        F.sum(F.col("v") * F.col("v")).alias("qg"),
+    )
+    wall = Window.partitionBy()
+    g = g.withColumn("n", F.sum("ng").over(wall)).withColumn(
+        "s", F.sum("sg").over(wall)
+    )
+    dd = F.col("sg") * F.col("n") - F.col("s") * F.col("ng")
+    ssb4 = F.floor(
+        dd.cast("double")
+        * dd.cast("double")
+        / (
+            F.col("ng").cast("double")
+            * F.col("n").cast("double")
+            * F.col("n")
+        )
+        * 1e4
+        + F.lit(_OFF)
+    ).cast("long")
+    ssw4 = F.floor(
+        (
+            F.col("ng") * F.col("qg") - F.col("sg") * F.col("sg")
+        ).cast("double")
+        / F.col("ng")
+        * 1e4
+        + F.lit(_OFF)
+    ).cast("long")
+    tot = g.groupBy("n").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(ssb4).alias("sb4"),
+        F.sum(ssw4).alias("sw4"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    ssb = F.col("sb4").cast("double")
+    ssw = F.col("sw4").cast("double")
+    sst = ssb + ssw
+    msw = ssw / (nd - kd)
+    eta2 = ssb / sst
+    eps2 = (ssb - (kd - 1.0) * msw) / sst
+    omega2 = (ssb - (kd - 1.0) * msw) / (sst + msw)
+    return tot.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_types"),
+        F.floor(eta2 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "eta2_e6"
+        ),
+        F.floor(eps2 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "epsilon2_e6"
+        ),
+        F.floor(omega2 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "omega2_e6"
+        ),
+    )
+
+
+SQL_ANOVA_EFFECTS = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), g AS (
+  SELECT event_type, count(*) AS ng,
+         CAST(sum(v) AS BIGINT) AS sg,
+         CAST(sum(v * v) AS BIGINT) AS qg
+  FROM ev GROUP BY 1
+), w AS (
+  SELECT event_type, ng, sg, qg,
+         CAST(sum(ng) OVER () AS BIGINT) AS n,
+         CAST(sum(sg) OVER () AS BIGINT) AS s
+  FROM g
+), terms AS (
+  SELECT n,
+         CAST(floor(CAST(sg * n - s * ng AS DOUBLE)
+                    * CAST(sg * n - s * ng AS DOUBLE)
+                    / (CAST(ng AS DOUBLE) * CAST(n AS DOUBLE) * n)
+                    * 1e4 + {_OFF}) AS BIGINT) AS ssb4,
+         CAST(floor(CAST(ng * qg - sg * sg AS DOUBLE) / ng * 1e4
+                    + {_OFF}) AS BIGINT) AS ssw4
+  FROM w
+), tot AS (
+  SELECT n, count(*) AS k,
+         CAST(sum(ssb4) AS BIGINT) AS sb4,
+         CAST(sum(ssw4) AS BIGINT) AS sw4
+  FROM terms GROUP BY 1
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_types,
+       CAST(floor(CAST(sb4 AS DOUBLE) / (sb4 + sw4) * 1000000
+                  + {_OFF}) AS BIGINT) AS eta2_e6,
+       CAST(floor((sb4 - (k - 1.0) * (sw4 / (CAST(n AS DOUBLE) - k)))
+                  / (CAST(sb4 + sw4 AS DOUBLE)) * 1000000 + {_OFF})
+            AS BIGINT) AS epsilon2_e6,
+       CAST(floor((sb4 - (k - 1.0) * (sw4 / (CAST(n AS DOUBLE) - k)))
+                  / (sb4 + sw4
+                     + sw4 / (CAST(n AS DOUBLE) - k)) * 1000000
+                  + {_OFF}) AS BIGINT) AS omega2_e6
+FROM tot
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dekkers_moment": q_dekkers_moment,
     "pickands_gamma": q_pickands_gamma,
@@ -4685,6 +5075,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "collision_audit": q_collision_audit,
     "nchars_audit": q_nchars_audit,
     "loo_influence": q_loo_influence,
+    "activity_persistence": q_activity_persistence,
+    "null_census": q_null_census,
+    "time_heaping": q_time_heaping,
+    "anova_effect_sizes": q_anova_effect_sizes,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4732,6 +5126,10 @@ ORACLE_SQL: dict[str, str] = {
     "collision_audit": SQL_COLLISION,
     "nchars_audit": SQL_NCHARS,
     "loo_influence": SQL_LOO,
+    "activity_persistence": SQL_PERSISTENCE,
+    "null_census": SQL_NULL_CENSUS,
+    "time_heaping": SQL_TIME_HEAPING,
+    "anova_effect_sizes": SQL_ANOVA_EFFECTS,
 }
 
 # shared centroid CTE block (stats8 discipline)
