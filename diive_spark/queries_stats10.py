@@ -8759,7 +8759,7 @@ def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
-SQL_KATZ = f"""
+SQL_KATZ_CENTRALITY = f"""
 WITH e0 AS (
   SELECT DISTINCT least(sa, sb) AS a, greatest(sa, sb) AS b
   FROM (
@@ -9080,7 +9080,7 @@ ORACLE_SQL: dict[str, str] = {
     "weekly_coherence": SQL_WEEKLY_COHERENCE,
     "benford_second": SQL_BENFORD2,
     "binning_rules": SQL_BINNING,
-    "katz_centrality": SQL_KATZ,
+    "katz_centrality": SQL_KATZ_CENTRALITY,
     "quantile_effects": SQL_QUANTILE_EFFECTS,
 }
 
