@@ -1,0 +1,613 @@
+"""Round-4 continuation registry (twelfth battery): modern rank
+correlation (Chatterjee's xi), heteroscedasticity split-sample testing
+(Goldfeld-Quandt), stratified 2x2 odds-ratio homogeneity (Breslow-Day
+with Tarone's correction), and calendar spatial autocorrelation
+(Geary's C) — none previously covered by the registry.
+
+Oracle conventions as everywhere in this repo: identical column names,
+every DuckDB integer SUM wrapped in ``CAST(... AS BIGINT)``, derived
+doubles floor-scaled with the house 1/pi offset BEFORE any cross-row
+aggregation (so both engines sum exact integers, never doubles), and
+shared thresholds/constants entering both engines verbatim.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from diive_spark.queries_stats2 import _OFF
+
+# ---------------------------------------------------------------------------
+# chatterjee_xi — Chatterjee's rank correlation coefficient (JASA 2021)
+# ---------------------------------------------------------------------------
+# xi_n(X,Y) = 1 - n * sum_i |r_{i+1} - r_i| / (2 * sum_i l_i (n - l_i))
+# with rows sorted by X, r_i = #{j: Y_j <= Y_i}, l_i = #{j: Y_j >= Y_i}
+# (the general tie-robust form).  X = arrival order (ts, event_id),
+# Y = centi-scaled value.  Both rank vectors are cumulative-count RANGE
+# windows partitioned by event_type — every sum is an exact BIGINT, so
+# the two engines agree bit-for-bit; the only double is the final ratio.
+# xi ~ 0 for independent sequences, 1 for Y a measurable function of X.
+
+
+def q_chatterjee_xi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    wr = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("v").desc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wx = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t = (
+        ev.withColumn("r", F.count(F.lit(1)).over(wr))
+        .withColumn("l", F.count(F.lit(1)).over(wl))
+        .withColumn("r_next", F.lead("r").over(wx))
+    )
+    agg = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.col("r_next").isNotNull(),
+                F.abs(F.col("r_next") - F.col("r")),
+            ).otherwise(F.lit(0))
+        ).alias("s_abs"),
+        F.sum("l").alias("sum_l"),
+        F.sum(F.col("l") * F.col("l")).alias("sum_l2"),
+    )
+    out = (
+        agg.withColumn(
+            "denom_half",
+            F.col("n") * F.col("sum_l") - F.col("sum_l2"),
+        )
+        .withColumn(
+            "xi_e6",
+            F.floor(
+                (
+                    F.lit(1.0)
+                    - F.col("n").cast("double")
+                    * F.col("s_abs")
+                    / (F.lit(2.0) * F.col("denom_half"))
+                )
+                * 1_000_000
+                + F.lit(_OFF)
+            ).cast("long"),
+        )
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("s_abs").cast("long").alias("s_abs"),
+        (F.col("denom_half") * 2).cast("long").alias("denom"),
+        "xi_e6",
+    ).orderBy("event_type")
+
+
+SQL_CHATTERJEE = f"""
+WITH ev AS (
+  SELECT event_type, event_id, ts,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), t AS (
+  SELECT event_type, event_id, ts, v,
+         count(*) OVER (PARTITION BY event_type ORDER BY v
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS r,
+         count(*) OVER (PARTITION BY event_type ORDER BY v DESC
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS l
+  FROM ev
+), tx AS (
+  SELECT event_type, r, l,
+         lead(r) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS r_next
+  FROM t
+), agg AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(CASE WHEN r_next IS NOT NULL
+                       THEN abs(r_next - r) ELSE 0 END) AS BIGINT) AS s_abs,
+         CAST(sum(l) AS BIGINT) AS sum_l,
+         CAST(sum(l * l) AS BIGINT) AS sum_l2
+  FROM tx GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       s_abs,
+       CAST(2 * (n * sum_l - sum_l2) AS BIGINT) AS denom,
+       CAST(floor((1.0 - CAST(n AS DOUBLE) * s_abs
+                         / (2.0 * (n * sum_l - sum_l2)))
+                  * 1000000 + {_OFF}) AS BIGINT) AS xi_e6
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# goldfeld_quandt — split-sample heteroscedasticity F test (JASA 1965)
+# ---------------------------------------------------------------------------
+# Rows ordered by arrival (ts, event_id) per event_type; the first 40%
+# and last 40% (middle fifth dropped) each get a 1-regressor OLS of
+# centi-value on the within-segment time index; F = (RSS2/df2)/(RSS1/df1)
+# flags variance growth over the crawl.  All OLS sums are exact BIGINTs
+# (index <= n, centi-values <= ~5e4); RSS is the standard closed form
+# Syy - Sy^2/n - (Sxy - SxSy/n)^2/(Sxx - Sx^2/n) evaluated identically
+# in both engines from those integers.
+
+
+def q_goldfeld_quandt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    wx = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wn = Window.partitionBy("event_type")
+    t = (
+        ev.withColumn("idx", F.row_number().over(wx))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn("k", F.floor(F.col("n") * 4 / 10).cast("long"))
+        .withColumn(
+            "seg",
+            F.when(F.col("idx") <= F.col("k"), F.lit(1))
+            .when(F.col("idx") > F.col("n") - F.col("k"), F.lit(2))
+            .otherwise(F.lit(0)),
+        )
+        .filter(F.col("seg") > 0)
+        .withColumn(
+            "x",
+            F.when(F.col("seg") == 1, F.col("idx")).otherwise(
+                F.col("idx") - (F.col("n") - F.col("k"))
+            ),
+        )
+    )
+    seg = t.groupBy("event_type", "seg").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("v").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("v")).alias("sxy"),
+        F.sum(F.col("v") * F.col("v")).alias("syy"),
+    )
+    md = F.col("m").cast("double")
+    rss = (
+        F.col("syy")
+        - F.col("sy") * F.col("sy") / md
+        - F.pow(F.col("sxy") - F.col("sx") * F.col("sy") / md, 2)
+        / (F.col("sxx") - F.col("sx") * F.col("sx") / md)
+    )
+    seg = seg.withColumn(
+        "rss_c2", F.floor(rss + F.lit(_OFF)).cast("long")
+    ).withColumn("df", (F.col("m") - 2).cast("long"))
+    s1 = seg.filter(F.col("seg") == 1).select(
+        "event_type",
+        F.col("m").cast("long").alias("n1"),
+        F.col("rss_c2").alias("rss1_c2"),
+        F.col("df").alias("df1"),
+    )
+    s2 = seg.filter(F.col("seg") == 2).select(
+        "event_type",
+        F.col("m").cast("long").alias("n2"),
+        F.col("rss_c2").alias("rss2_c2"),
+        F.col("df").alias("df2"),
+    )
+    out = s1.join(s2, "event_type").withColumn(
+        "f_e6",
+        F.floor(
+            (F.col("rss2_c2").cast("double") / F.col("df2"))
+            / (F.col("rss1_c2").cast("double") / F.col("df1"))
+            * 1_000_000
+            + F.lit(_OFF)
+        ).cast("long"),
+    )
+    return out.select(
+        "event_type", "n1", "n2", "rss1_c2", "rss2_c2", "f_e6"
+    ).orderBy("event_type")
+
+
+SQL_GOLDFELD = f"""
+WITH ev AS (
+  SELECT event_type, event_id, ts,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), t0 AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS idx,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+), t AS (
+  SELECT event_type, v,
+         CASE WHEN idx <= k THEN 1
+              WHEN idx > n - k THEN 2 ELSE 0 END AS seg,
+         CASE WHEN idx <= k THEN idx ELSE idx - (n - k) END AS x
+  FROM (SELECT *, CAST(floor(n * 4 / 10) AS BIGINT) AS k FROM t0)
+  WHERE idx <= k OR idx > n - k
+), seg AS (
+  SELECT event_type, seg,
+         count(*) AS m,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(v) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * v) AS BIGINT) AS sxy,
+         CAST(sum(v * v) AS BIGINT) AS syy
+  FROM t GROUP BY 1, 2
+), r AS (
+  SELECT event_type, seg, m,
+         CAST(floor(syy - sy * sy / CAST(m AS DOUBLE)
+                    - pow(sxy - sx * sy / CAST(m AS DOUBLE), 2)
+                      / (sxx - sx * sx / CAST(m AS DOUBLE))
+                    + {_OFF}) AS BIGINT) AS rss_c2,
+         CAST(m - 2 AS BIGINT) AS df
+  FROM seg
+)
+SELECT a.event_type,
+       CAST(a.m AS BIGINT) AS n1,
+       CAST(b.m AS BIGINT) AS n2,
+       a.rss_c2 AS rss1_c2,
+       b.rss_c2 AS rss2_c2,
+       CAST(floor((CAST(b.rss_c2 AS DOUBLE) / b.df)
+                  / (CAST(a.rss_c2 AS DOUBLE) / a.df)
+                  * 1000000 + {_OFF}) AS BIGINT) AS f_e6
+FROM r a JOIN r b ON a.event_type = b.event_type
+WHERE a.seg = 1 AND b.seg = 2
+ORDER BY a.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# breslow_day — odds-ratio homogeneity across strata + Tarone correction
+# ---------------------------------------------------------------------------
+# Strata = ISO day-of-week; exposure = morning arrival (hour < 12);
+# outcome = centi-value > 3500 (~ the global median).  The common odds
+# ratio is Mantel-Haenszel, with each stratum's a*d/n and b*c/n terms
+# e6-floored BEFORE summation so psi is a ratio of exact integers.  Per
+# stratum the expected a-cell under psi solves the Breslow-Day quadratic
+# (psi-1)E^2 - (psi(n1+m1)+(m1_-col complement))E + psi*n1*m1 = 0 taking
+# the root inside (max(0, m1-n2), min(n1, m1)); the chi-square terms and
+# Tarone's (sum(a-E))^2 / sum(V) correction are again e6-floored before
+# the final sums.  Deterministic-by-construction beats textbook float
+# order here (house convention).
+
+
+_BD_T = 3500  # centi-value outcome threshold (global median ~ 35)
+
+
+def q_breslow_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.dayofweek("ts").alias("dow"),
+        (F.hour("ts") < 12).cast("int").alias("am"),
+        (
+            F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+            > F.lit(_BD_T)
+        )
+        .cast("int")
+        .alias("hi"),
+    )
+    cells = ev.groupBy("dow").agg(
+        F.sum(F.col("am") * F.col("hi")).alias("a"),
+        F.sum(F.col("am") * (1 - F.col("hi"))).alias("b"),
+        F.sum((1 - F.col("am")) * F.col("hi")).alias("c"),
+        F.sum((1 - F.col("am")) * (1 - F.col("hi"))).alias("d"),
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    cells = cells.withColumn(
+        "num_e6",
+        F.floor(
+            F.col("a") * F.col("d") * F.lit(1_000_000.0) / n + F.lit(_OFF)
+        ).cast("long"),
+    ).withColumn(
+        "den_e6",
+        F.floor(
+            F.col("b") * F.col("c") * F.lit(1_000_000.0) / n + F.lit(_OFF)
+        ).cast("long"),
+    )
+    mh = cells.agg(
+        F.sum("num_e6").alias("mh_num"), F.sum("den_e6").alias("mh_den")
+    )
+    t = cells.crossJoin(F.broadcast(mh)).withColumn(
+        "psi", F.col("mh_num").cast("double") / F.col("mh_den")
+    )
+    n1 = F.col("a") + F.col("b")
+    n2 = F.col("c") + F.col("d")
+    m1 = F.col("a") + F.col("c")
+    A = F.col("psi") - 1.0
+    B = -(F.col("psi") * (n1 + m1) + (n2 - m1))
+    C = F.col("psi") * n1 * m1
+    disc = F.sqrt(B * B - 4.0 * A * C)
+    e1 = (-B - disc) / (2.0 * A)
+    e2 = (-B + disc) / (2.0 * A)
+    lo = F.greatest(F.lit(0.0), (m1 - n2).cast("double"))
+    hi = F.least(n1.cast("double"), m1.cast("double"))
+    E = F.when(
+        F.abs(A) < 1e-12, n1.cast("double") * m1 / (n1 + n2)
+    ).otherwise(
+        F.when((e1 > lo) & (e1 < hi), e1).otherwise(e2)
+    )
+    t = t.withColumn("E", E)
+    V = 1.0 / (
+        1.0 / F.col("E")
+        + 1.0 / (n1 - F.col("E"))
+        + 1.0 / (m1 - F.col("E"))
+        + 1.0 / (F.col("E") + n2 - m1)
+    )
+    t = (
+        t.withColumn("V", V)
+        .withColumn(
+            "x2_e6",
+            F.floor(
+                (F.col("a") - F.col("E"))
+                * (F.col("a") - F.col("E"))
+                / F.col("V")
+                * 1_000_000
+                + F.lit(_OFF)
+            ).cast("long"),
+        )
+        .withColumn(
+            "dev_e6",
+            F.floor(
+                (F.col("a") - F.col("E")) * 1_000_000 + F.lit(_OFF)
+            ).cast("long"),
+        )
+        .withColumn(
+            "v_e6", F.floor(F.col("V") * 1_000_000 + F.lit(_OFF)).cast("long")
+        )
+    )
+    out = t.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.max(
+            F.floor(F.col("psi") * 1_000_000 + F.lit(_OFF)).cast("long")
+        ).alias("psi_e6"),
+        F.sum("x2_e6").alias("x2_sum_e6"),
+        F.sum("dev_e6").alias("dev_sum_e6"),
+        F.sum("v_e6").alias("v_sum_e6"),
+    )
+    return out.select(
+        F.col("n_strata").cast("long").alias("n_strata"),
+        "psi_e6",
+        F.col("x2_sum_e6").cast("long").alias("x2_bd_e6"),
+        F.floor(
+            F.col("x2_sum_e6")
+            - F.col("dev_sum_e6").cast("double")
+            * F.col("dev_sum_e6")
+            / F.col("v_sum_e6")
+            / 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("x2_tarone_e6"),
+    )
+
+
+SQL_BRESLOW = f"""
+WITH ev AS (
+  SELECT dayofweek(ts) + 1 AS dow,
+         CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END AS am,
+         CASE WHEN CAST(floor(value * 100 + {_OFF}) AS BIGINT) > {_BD_T}
+              THEN 1 ELSE 0 END AS hi
+  FROM events
+), cells AS (
+  SELECT dow,
+         CAST(sum(am * hi) AS BIGINT) AS a,
+         CAST(sum(am * (1 - hi)) AS BIGINT) AS b,
+         CAST(sum((1 - am) * hi) AS BIGINT) AS c,
+         CAST(sum((1 - am) * (1 - hi)) AS BIGINT) AS d
+  FROM ev GROUP BY 1
+), terms AS (
+  SELECT *,
+         CAST(floor(a * d * 1000000.0 / (a + b + c + d) + {_OFF})
+              AS BIGINT) AS num_e6,
+         CAST(floor(b * c * 1000000.0 / (a + b + c + d) + {_OFF})
+              AS BIGINT) AS den_e6
+  FROM cells
+), mh AS (
+  SELECT CAST(sum(num_e6) AS BIGINT) AS mh_num,
+         CAST(sum(den_e6) AS BIGINT) AS mh_den
+  FROM terms
+), st AS (
+  SELECT a, b, c, d,
+         CAST(mh_num AS DOUBLE) / mh_den AS psi,
+         a + b AS n1, c + d AS n2, a + c AS m1
+  FROM terms, mh
+), quad AS (
+  SELECT *,
+         psi - 1.0 AS qa,
+         -(psi * (n1 + m1) + (n2 - m1)) AS qb,
+         psi * n1 * m1 AS qc
+  FROM st
+), root AS (
+  SELECT *,
+         CASE WHEN abs(qa) < 1e-12
+              THEN CAST(n1 AS DOUBLE) * m1 / (n1 + n2)
+              WHEN (-qb - sqrt(qb * qb - 4.0 * qa * qc)) / (2.0 * qa)
+                     > greatest(0.0, CAST(m1 - n2 AS DOUBLE))
+               AND (-qb - sqrt(qb * qb - 4.0 * qa * qc)) / (2.0 * qa)
+                     < least(CAST(n1 AS DOUBLE), CAST(m1 AS DOUBLE))
+              THEN (-qb - sqrt(qb * qb - 4.0 * qa * qc)) / (2.0 * qa)
+              ELSE (-qb + sqrt(qb * qb - 4.0 * qa * qc)) / (2.0 * qa)
+         END AS E
+  FROM quad
+), vv AS (
+  SELECT *,
+         1.0 / (1.0 / E + 1.0 / (n1 - E) + 1.0 / (m1 - E)
+                + 1.0 / (E + n2 - m1)) AS V
+  FROM root
+), fl AS (
+  SELECT psi,
+         CAST(floor((a - E) * (a - E) / V * 1000000 + {_OFF}) AS BIGINT)
+           AS x2_e6,
+         CAST(floor((a - E) * 1000000 + {_OFF}) AS BIGINT) AS dev_e6,
+         CAST(floor(V * 1000000 + {_OFF}) AS BIGINT) AS v_e6
+  FROM vv
+)
+SELECT CAST(count(*) AS BIGINT) AS n_strata,
+       CAST(max(CAST(floor(psi * 1000000 + {_OFF}) AS BIGINT)) AS BIGINT)
+         AS psi_e6,
+       CAST(sum(x2_e6) AS BIGINT) AS x2_bd_e6,
+       CAST(floor(CAST(sum(x2_e6) AS BIGINT)
+                  - CAST(CAST(sum(dev_e6) AS BIGINT) AS DOUBLE)
+                    * CAST(sum(dev_e6) AS BIGINT)
+                    / CAST(sum(v_e6) AS BIGINT) / 1000000
+                  + {_OFF}) AS BIGINT) AS x2_tarone_e6
+FROM fl
+"""
+
+
+# ---------------------------------------------------------------------------
+# geary_c — Geary's contiguity ratio on the daily calendar chain (1954)
+# ---------------------------------------------------------------------------
+# Daily mean centi-values per event_type form a 1-D lattice whose
+# neighbor weights are day-adjacency (|d_i - d_j| = 1 day).  Geary's
+# C = (n-1) * sum_pairs (x_i - x_j)^2 / (2 * P * sum_i (x_i - xbar)^2)
+# with P the number of adjacent pairs (chain: each unordered pair once;
+# the symmetric-weight factors cancel).  Daily means are e2-floored to
+# integers, so the numerator is an exact BIGINT; the deviance sum floors
+# each squared deviation to e2 before aggregation.  C < 1 = positive
+# autocorrelation, > 1 = negative.
+
+
+def q_geary_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.floor(
+            F.sum("v") * F.lit(100.0) / F.count(F.lit(1)) + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("m_e2")
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    chain = (
+        daily.withColumn("prev_day", F.lag("day").over(wd))
+        .withColumn("prev_m", F.lag("m_e2").over(wd))
+        .withColumn(
+            "is_pair",
+            (F.datediff(F.col("day"), F.col("prev_day")) == 1).cast("int"),
+        )
+    )
+    num = chain.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.coalesce(F.col("is_pair"), F.lit(0))).alias("n_pairs"),
+        F.sum(
+            F.when(
+                F.col("is_pair") == 1,
+                (F.col("m_e2") - F.col("prev_m"))
+                * (F.col("m_e2") - F.col("prev_m")),
+            ).otherwise(F.lit(0))
+        ).alias("num_e4"),
+        F.sum("m_e2").alias("sum_m"),
+    )
+    dev = (
+        daily.join(
+            num.select("event_type", "n_days", "sum_m"), "event_type"
+        )
+        .withColumn(
+            "dev_e2",
+            F.floor(
+                F.pow(
+                    F.col("m_e2")
+                    - F.col("sum_m").cast("double") / F.col("n_days"),
+                    2,
+                )
+                / 100.0
+                + F.lit(_OFF)
+            ).cast("long"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("dev_e2").alias("den_e2"))
+    )
+    out = num.join(dev, "event_type").withColumn(
+        "geary_e6",
+        F.floor(
+            (F.col("n_days") - 1).cast("double")
+            * F.col("num_e4")
+            / 100.0
+            / (2.0 * F.col("n_pairs") * F.col("den_e2"))
+            * 1_000_000
+            + F.lit(_OFF)
+        ).cast("long"),
+    )
+    return out.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("num_e4").cast("long").alias("num_e4"),
+        F.col("den_e2").cast("long").alias("den_e2"),
+        "geary_e6",
+    ).orderBy("event_type")
+
+
+SQL_GEARY = f"""
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), daily AS (
+  SELECT event_type, day,
+         CAST(floor(CAST(sum(v) AS BIGINT) * 100.0 / count(*) + {_OFF})
+              AS BIGINT) AS m_e2
+  FROM ev GROUP BY 1, 2
+), chain AS (
+  SELECT event_type, day, m_e2,
+         lag(day) OVER (PARTITION BY event_type ORDER BY day) AS prev_day,
+         lag(m_e2) OVER (PARTITION BY event_type ORDER BY day) AS prev_m
+  FROM daily
+), num AS (
+  SELECT event_type,
+         count(*) AS n_days,
+         CAST(sum(CASE WHEN day - prev_day = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN day - prev_day = 1
+                       THEN (m_e2 - prev_m) * (m_e2 - prev_m)
+                       ELSE 0 END) AS BIGINT) AS num_e4,
+         CAST(sum(m_e2) AS BIGINT) AS sum_m
+  FROM chain GROUP BY 1
+), dev AS (
+  SELECT d.event_type,
+         CAST(sum(CAST(floor(pow(d.m_e2 - CAST(n.sum_m AS DOUBLE)
+                                            / n.n_days, 2) / 100.0
+                             + {_OFF}) AS BIGINT)) AS BIGINT) AS den_e2
+  FROM daily d JOIN num n ON n.event_type = d.event_type
+  GROUP BY 1
+)
+SELECT n.event_type,
+       CAST(n.n_days AS BIGINT) AS n_days,
+       n.n_pairs,
+       n.num_e4,
+       dev.den_e2,
+       CAST(floor(CAST(n.n_days - 1 AS DOUBLE) * n.num_e4 / 100.0
+                  / (2.0 * n.n_pairs * dev.den_e2) * 1000000 + {_OFF})
+            AS BIGINT) AS geary_e6
+FROM num n JOIN dev ON dev.event_type = n.event_type
+ORDER BY n.event_type
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "chatterjee_xi": q_chatterjee_xi,
+    "goldfeld_quandt": q_goldfeld_quandt,
+    "breslow_day": q_breslow_day,
+    "geary_c": q_geary_c,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "chatterjee_xi": SQL_CHATTERJEE,
+    "goldfeld_quandt": SQL_GOLDFELD,
+    "breslow_day": SQL_BRESLOW,
+    "geary_c": SQL_GEARY,
+}
