@@ -611,3 +611,498 @@ ORACLE_SQL: dict[str, str] = {
     "breslow_day": SQL_BRESLOW,
     "geary_c": SQL_GEARY,
 }
+
+
+# ---------------------------------------------------------------------------
+# lepage_test — combined location-scale two-sample rank test (Lepage 1971)
+# ---------------------------------------------------------------------------
+# L = B_W + B_A with B = (S - E[S])^2 / Var[S] for the Wilcoxon rank-sum
+# (location) and Ansari-Bradley (scale) statistics, weekend vs weekday
+# samples per event_type; L ~ chi^2(2) under H0.  Ties are handled with
+# doubled midranks (2*midrank = #[v_j < v_i] + #[v_j <= v_i] + 1, an
+# exact integer), and BOTH statistics use the general linear-rank-score
+# moments E[S] = m*S1/N, Var[S] = m*n*(N*S2 - S1^2)/(N^2*(N-1)) from
+# exact integer score sums — tie-robust by construction.
+
+
+def q_lepage_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.dayofweek("ts").isin(1, 7).cast("int").alias("g1"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    wlt = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    wle = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("event_type")
+    t = (
+        ev.withColumn("r2", F.count(F.lit(1)).over(wlt)
+                      + F.count(F.lit(1)).over(wle) + 1)
+        .withColumn("N", F.count(F.lit(1)).over(wn))
+        .withColumn(
+            "a2", F.least(F.col("r2"), 2 * (F.col("N") + 1) - F.col("r2"))
+        )
+    )
+    agg = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("N"),
+        F.sum("g1").alias("m"),
+        F.sum("r2").alias("sr1"),
+        F.sum(F.col("r2") * F.col("r2")).alias("sr2"),
+        F.sum("a2").alias("sa1"),
+        F.sum(F.col("a2") * F.col("a2")).alias("sa2"),
+        F.sum(F.col("g1") * F.col("r2")).alias("w2"),
+        F.sum(F.col("g1") * F.col("a2")).alias("aa2"),
+    )
+    Nd = F.col("N").cast("double")
+    md = F.col("m").cast("double")
+    nd = (F.col("N") - F.col("m")).cast("double")
+
+    def bstat(s, s1, s2):
+        e = md * F.col(s1) / Nd
+        var = (
+            md
+            * nd
+            * (Nd * F.col(s2) - F.col(s1) * F.col(s1))
+            / (Nd * Nd * (Nd - 1.0))
+        )
+        return (F.col(s) - e) * (F.col(s) - e) / var
+
+    out = agg.withColumn(
+        "lepage_e6",
+        F.floor(
+            (bstat("w2", "sr1", "sr2") + bstat("aa2", "sa1", "sa2"))
+            * 1_000_000
+            + F.lit(_OFF)
+        ).cast("long"),
+    )
+    return out.select(
+        "event_type",
+        F.col("m").cast("long").alias("m_weekend"),
+        (F.col("N") - F.col("m")).cast("long").alias("n_weekday"),
+        F.col("w2").cast("long").alias("w2"),
+        F.col("aa2").cast("long").alias("a2"),
+        "lepage_e6",
+    ).orderBy("event_type")
+
+
+SQL_LEPAGE = f"""
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS g1,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), t AS (
+  SELECT event_type, g1,
+         count(*) OVER (PARTITION BY event_type ORDER BY v
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         + count(*) OVER (PARTITION BY event_type ORDER BY v
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         + 1 AS r2,
+         count(*) OVER (PARTITION BY event_type) AS N
+  FROM ev
+), t2 AS (
+  SELECT event_type, g1, r2, N,
+         least(r2, 2 * (N + 1) - r2) AS a2
+  FROM t
+), agg AS (
+  SELECT event_type,
+         count(*) AS N,
+         CAST(sum(g1) AS BIGINT) AS m,
+         CAST(sum(r2) AS BIGINT) AS sr1,
+         CAST(sum(r2 * r2) AS BIGINT) AS sr2,
+         CAST(sum(a2) AS BIGINT) AS sa1,
+         CAST(sum(a2 * a2) AS BIGINT) AS sa2,
+         CAST(sum(g1 * r2) AS BIGINT) AS w2,
+         CAST(sum(g1 * a2) AS BIGINT) AS aa2
+  FROM t2 GROUP BY 1
+)
+SELECT event_type,
+       m AS m_weekend,
+       CAST(N - m AS BIGINT) AS n_weekday,
+       w2,
+       aa2 AS a2,
+       CAST(floor((
+         pow(w2 - CAST(m AS DOUBLE) * sr1 / N, 2)
+           / (CAST(m AS DOUBLE) * (N - m)
+              * (CAST(N AS DOUBLE) * sr2 - CAST(sr1 AS DOUBLE) * sr1)
+              / (CAST(N AS DOUBLE) * N * (N - 1.0)))
+         + pow(aa2 - CAST(m AS DOUBLE) * sa1 / N, 2)
+           / (CAST(m AS DOUBLE) * (N - m)
+              * (CAST(N AS DOUBLE) * sa2 - CAST(sa1 AS DOUBLE) * sa1)
+              / (CAST(N AS DOUBLE) * N * (N - 1.0)))
+       ) * 1000000 + {_OFF}) AS BIGINT) AS lepage_e6
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# cuzick_trend — Wilcoxon-type test for trend across ordered groups
+# ---------------------------------------------------------------------------
+# Cuzick (Stat. Med. 1985): T = sum_i l_i R_i with group scores l
+# (here the four 6-hour diel buckets, ordered 1..4) and global midranks
+# R within each event_type.  Doubled midranks keep every sum an exact
+# BIGINT; the linear-rank moments E[T2] = Sl*S_r/N and
+# Var[T2] = (N*Sll - Sl^2)(N*Srr - Sr^2) / (N^2 (N-1)) are tie-robust.
+# z > 0 means value drifts upward across the diel buckets.
+
+
+def q_cuzick_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (F.floor(F.hour("ts") / 6) + 1).cast("long").alias("g"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    wlt = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    wle = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = ev.withColumn(
+        "r2",
+        F.count(F.lit(1)).over(wlt) + F.count(F.lit(1)).over(wle) + 1,
+    )
+    agg = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("N"),
+        F.sum("g").alias("sl"),
+        F.sum(F.col("g") * F.col("g")).alias("sll"),
+        F.sum("r2").alias("sr"),
+        F.sum(F.col("r2") * F.col("r2")).alias("srr"),
+        F.sum(F.col("g") * F.col("r2")).alias("t2"),
+    )
+    Nd = F.col("N").cast("double")
+    e = F.col("sl").cast("double") * F.col("sr") / Nd
+    var = (
+        (Nd * F.col("sll") - F.col("sl") * F.col("sl"))
+        * (Nd * F.col("srr") - F.col("sr") * F.col("sr"))
+        / (Nd * Nd * (Nd - 1.0))
+    )
+    out = agg.withColumn(
+        "z_e6",
+        F.floor(
+            (F.col("t2") - e) / F.sqrt(var) * 1_000_000 + F.lit(_OFF)
+        ).cast("long"),
+    )
+    return out.select(
+        "event_type",
+        F.col("N").cast("long").alias("n"),
+        F.col("t2").cast("long").alias("t2"),
+        "z_e6",
+    ).orderBy("event_type")
+
+
+SQL_CUZICK = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(hour(ts) / 6) + 1 AS BIGINT) AS g,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), t AS (
+  SELECT event_type, g,
+         count(*) OVER (PARTITION BY event_type ORDER BY v
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         + count(*) OVER (PARTITION BY event_type ORDER BY v
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         + 1 AS r2
+  FROM ev
+), agg AS (
+  SELECT event_type,
+         count(*) AS N,
+         CAST(sum(g) AS BIGINT) AS sl,
+         CAST(sum(g * g) AS BIGINT) AS sll,
+         CAST(sum(r2) AS BIGINT) AS sr,
+         CAST(sum(r2 * r2) AS BIGINT) AS srr,
+         CAST(sum(g * r2) AS BIGINT) AS t2
+  FROM t GROUP BY 1
+)
+SELECT event_type,
+       CAST(N AS BIGINT) AS n,
+       t2,
+       CAST(floor(
+         (t2 - CAST(sl AS DOUBLE) * sr / N)
+         / sqrt((CAST(N AS DOUBLE) * sll - CAST(sl AS DOUBLE) * sl)
+                * (CAST(N AS DOUBLE) * srr - CAST(sr AS DOUBLE) * sr)
+                / (CAST(N AS DOUBLE) * N * (N - 1.0)))
+         * 1000000 + {_OFF}) AS BIGINT) AS z_e6
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# krippendorff_alpha — chance-corrected agreement (nominal, 2 raters)
+# ---------------------------------------------------------------------------
+# Rater A = the document's recorded lang; rater B = the majority lang of
+# the document's source (ties broken lang-ascending) — i.e. "does a
+# source-level prior predict the page language".  Krippendorff's alpha
+# (nominal) = 1 - Do/De with Do = mismatch/n and De the pooled-marginal
+# pairable disagreement ((2n)^2 - sum_c n_c^2) / (2n(2n-1)); Scott's pi
+# uses the squared averaged marginals.  Every term is an exact integer
+# count until the final ratios.
+
+
+def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "lang"
+    )
+    counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wm = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("lang").asc()
+    )
+    major = (
+        counts.withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("pred"))
+    )
+    pairs = docs.join(F.broadcast(major), "source").select(
+        "doc_id", "lang", "pred"
+    )
+    matches = pairs.agg(
+        F.sum((F.col("lang") == F.col("pred")).cast("long")).alias(
+            "n_match"
+        )
+    )
+    # pooled marginals over both raters' values
+    pooled = (
+        pairs.select(F.col("lang").alias("val"))
+        .unionAll(pairs.select(F.col("pred").alias("val")))
+        .groupBy("val")
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    marg = pooled.agg(
+        F.sum("nc").alias("n2"),
+        F.sum(F.col("nc") * F.col("nc")).alias("sum_nc2"),
+    ).crossJoin(F.broadcast(matches))
+    # per-rater marginals for Scott's pi averaged distribution:
+    # pe_pi = sum_c ((nA_c + nB_c) / 2n)^2 = sum_nc2 / (2n)^2
+    out = marg.select(
+        (F.col("n2") / 2).cast("long").alias("n_docs"),
+        F.col("n_match").cast("long").alias("n_match"),
+        F.col("sum_nc2").cast("long").alias("pooled_sq"),
+        F.floor(
+            (
+                (F.col("n_match").cast("double") * 2 / F.col("n2")
+                 - F.col("sum_nc2").cast("double")
+                 / (F.col("n2") * F.col("n2")))
+                / (1.0 - F.col("sum_nc2").cast("double")
+                   / (F.col("n2") * F.col("n2")))
+            )
+            * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("scott_pi_e6"),
+        F.floor(
+            (
+                1.0
+                - (1.0 - F.col("n_match").cast("double") * 2 / F.col("n2"))
+                / (
+                    (F.col("n2") * F.col("n2") - F.col("sum_nc2"))
+                    .cast("double")
+                    / (F.col("n2") * (F.col("n2") - 1))
+                )
+            )
+            * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("kripp_alpha_e6"),
+    )
+    return out
+
+
+SQL_KRIPPENDORFF = f"""
+WITH counts AS (
+  SELECT source, lang, count(*) AS c
+  FROM documents GROUP BY 1, 2
+), major AS (
+  SELECT source, lang AS pred,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY c DESC, lang ASC) AS rk
+  FROM counts QUALIFY rk = 1
+), pairs AS (
+  SELECT d.doc_id, d.lang, m.pred
+  FROM documents d JOIN major m ON m.source = d.source
+), pooled AS (
+  SELECT val, count(*) AS nc FROM (
+    SELECT lang AS val FROM pairs
+    UNION ALL
+    SELECT pred AS val FROM pairs
+  ) GROUP BY 1
+), marg AS (
+  SELECT CAST(sum(nc) AS BIGINT) AS n2,
+         CAST(sum(nc * nc) AS BIGINT) AS sum_nc2
+  FROM pooled
+), matches AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_match
+  FROM pairs WHERE lang = pred
+)
+SELECT CAST(n2 / 2 AS BIGINT) AS n_docs,
+       n_match,
+       sum_nc2 AS pooled_sq,
+       CAST(floor((
+         (CAST(n_match AS DOUBLE) * 2 / n2
+          - CAST(sum_nc2 AS DOUBLE) / (n2 * n2))
+         / (1.0 - CAST(sum_nc2 AS DOUBLE) / (n2 * n2))
+       ) * 1000000 + {_OFF}) AS BIGINT) AS scott_pi_e6,
+       CAST(floor((
+         1.0 - (1.0 - CAST(n_match AS DOUBLE) * 2 / n2)
+               / (CAST(n2 * n2 - sum_nc2 AS DOUBLE) / (n2 * (n2 - 1)))
+       ) * 1000000 + {_OFF}) AS BIGINT) AS kripp_alpha_e6
+FROM marg, matches
+"""
+
+
+# ---------------------------------------------------------------------------
+# gk_tau — Goodman-Kruskal tau (PRE association, both directions)
+# ---------------------------------------------------------------------------
+# Completes the Goodman-Kruskal family (gamma and lambda are in
+# queries_stats10): tau_{Y|X} = (sum_ij n_ij^2/n_i. - sum_j n_.j^2/n)
+# / (n - sum_j n_.j^2/n), the proportional reduction in Gini variation
+# when predicting Y from X.  X = event_type, Y = the 6-hour diel bucket.
+# Each rational term is e6-floored per conditioning cell before the
+# cross-cell sum, so both engines aggregate exact integers.
+
+
+def q_gk_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("x"),
+        F.floor(F.hour("ts") / 6).cast("long").alias("y"),
+    )
+    cell = ev.groupBy("x", "y").agg(F.count(F.lit(1)).alias("nij"))
+    rowm = cell.groupBy("x").agg(F.sum("nij").alias("ni"))
+    colm = cell.groupBy("y").agg(F.sum("nij").alias("nj"))
+    n = cell.agg(F.sum("nij").alias("n"))
+    # per-row conditional concentration, e6-floored per conditioning cell
+    yx = (
+        cell.join(rowm, "x")
+        .groupBy("x")
+        .agg(
+            F.max("ni").alias("ni"),
+            F.sum(F.col("nij") * F.col("nij")).alias("s2"),
+        )
+        .select(
+            F.floor(
+                F.col("s2") * F.lit(1_000_000.0) / F.col("ni") + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("t_e6")
+        )
+        .agg(F.sum("t_e6").alias("syx_e6"))
+    )
+    xy = (
+        cell.join(colm, "y")
+        .groupBy("y")
+        .agg(
+            F.max("nj").alias("nj"),
+            F.sum(F.col("nij") * F.col("nij")).alias("s2"),
+        )
+        .select(
+            F.floor(
+                F.col("s2") * F.lit(1_000_000.0) / F.col("nj") + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("t_e6")
+        )
+        .agg(F.sum("t_e6").alias("sxy_e6"))
+    )
+    margy = colm.agg(F.sum(F.col("nj") * F.col("nj")).alias("sy2"))
+    margx = rowm.agg(F.sum(F.col("ni") * F.col("ni")).alias("sx2"))
+    out = (
+        yx.crossJoin(xy)
+        .crossJoin(margy)
+        .crossJoin(margx)
+        .crossJoin(n)
+    )
+    nd = F.col("n").cast("double")
+    base_y = F.col("sy2").cast("double") / nd
+    base_x = F.col("sx2").cast("double") / nd
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.floor(
+            (F.col("syx_e6") / 1e6 - base_y) / (nd - base_y) * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("tau_yx_e6"),
+        F.floor(
+            (F.col("sxy_e6") / 1e6 - base_x) / (nd - base_x) * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("tau_xy_e6"),
+    )
+
+
+SQL_GK_TAU = f"""
+WITH ev AS (
+  SELECT event_type AS x,
+         CAST(floor(hour(ts) / 6) AS BIGINT) AS y
+  FROM events
+), cell AS (
+  SELECT x, y, count(*) AS nij FROM ev GROUP BY 1, 2
+), rowm AS (
+  SELECT x, CAST(sum(nij) AS BIGINT) AS ni FROM cell GROUP BY 1
+), colm AS (
+  SELECT y, CAST(sum(nij) AS BIGINT) AS nj FROM cell GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(nij) AS BIGINT) AS n FROM cell
+), yx AS (
+  SELECT CAST(sum(t_e6) AS BIGINT) AS syx_e6 FROM (
+    SELECT CAST(floor(CAST(sum(c.nij * c.nij) AS BIGINT) * 1000000.0
+                      / max(r.ni) + {_OFF}) AS BIGINT) AS t_e6
+    FROM cell c JOIN rowm r ON r.x = c.x GROUP BY c.x
+  )
+), xy AS (
+  SELECT CAST(sum(t_e6) AS BIGINT) AS sxy_e6 FROM (
+    SELECT CAST(floor(CAST(sum(c.nij * c.nij) AS BIGINT) * 1000000.0
+                      / max(m.nj) + {_OFF}) AS BIGINT) AS t_e6
+    FROM cell c JOIN colm m ON m.y = c.y GROUP BY c.y
+  )
+), margs AS (
+  SELECT CAST(sum(nj * nj) AS BIGINT) AS sy2 FROM colm
+), margsx AS (
+  SELECT CAST(sum(ni * ni) AS BIGINT) AS sx2 FROM rowm
+)
+SELECT n,
+       CAST(floor((syx_e6 / 1e6 - CAST(sy2 AS DOUBLE) / n)
+                  / (CAST(n AS DOUBLE) - CAST(sy2 AS DOUBLE) / n)
+                  * 1000000 + {_OFF}) AS BIGINT) AS tau_yx_e6,
+       CAST(floor((sxy_e6 / 1e6 - CAST(sx2 AS DOUBLE) / n)
+                  / (CAST(n AS DOUBLE) - CAST(sx2 AS DOUBLE) / n)
+                  * 1000000 + {_OFF}) AS BIGINT) AS tau_xy_e6
+FROM yx, xy, margs, margsx, tot
+"""
+
+
+QUERIES.update(
+    {
+        "lepage_test": q_lepage_test,
+        "cuzick_trend": q_cuzick_trend,
+        "krippendorff_alpha": q_krippendorff_alpha,
+        "gk_tau": q_gk_tau,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "lepage_test": SQL_LEPAGE,
+        "cuzick_trend": SQL_CUZICK,
+        "krippendorff_alpha": SQL_KRIPPENDORFF,
+        "gk_tau": SQL_GK_TAU,
+    }
+)
