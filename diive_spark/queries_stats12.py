@@ -1106,3 +1106,650 @@ ORACLE_SQL.update(
         "gk_tau": SQL_GK_TAU,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# phillips_perron — PP unit-root Z_t with Bartlett long-run variance
+# ---------------------------------------------------------------------------
+# Hourly mean centi-values per event_type (observation-order series);
+# OLS y_t = a + rho*y_{t-1} + u_t from exact integer sums, then
+# Hamilton (1994, 17.6.8): Z_t = sqrt(g0/l2)*t_rho - (l2 - g0) * n *
+# se(rho) / (2 * sqrt(l2) * s) with l2 the Bartlett(4) long-run
+# variance of u.  Residuals are deterministic doubles (coefficients
+# come from identical integer sums in both engines); each residual and
+# lag product is e2-floored before the cross-row autocovariance sums.
+
+
+_PP_L = 4
+
+
+def q_phillips_perron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hr"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    hourly = ev.groupBy("event_type", "hr").agg(
+        F.floor(
+            F.sum("v") * F.lit(100.0) / F.count(F.lit(1)) + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("y")
+    )
+    wt = Window.partitionBy("event_type").orderBy("hr")
+    t = hourly.withColumn("x", F.lag("y").over(wt)).filter(
+        F.col("x").isNotNull()
+    )
+    ols = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    rho = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    ols = ols.withColumn("rho", rho).withColumn(
+        "alpha", (F.col("sy") - F.col("rho") * F.col("sx")) / nd
+    )
+    r = t.join(F.broadcast(ols.select("event_type", "rho", "alpha")),
+               "event_type").withColumn(
+        "ui",
+        F.floor(
+            (F.col("y") - F.col("alpha") - F.col("rho") * F.col("x"))
+            * 100
+            + F.lit(_OFF)
+        ).cast("long"),
+    )
+    lag_cols = [
+        F.lag("ui", j).over(wt).alias(f"u{j}") for j in range(1, _PP_L + 1)
+    ]
+    r = r.select("event_type", "hr", "ui", *lag_cols)
+    gam = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("ui") * F.col("ui")).alias("g0s"),
+        *[
+            F.sum(F.col("ui") * F.col(f"u{j}")).alias(f"g{j}s")
+            for j in range(1, _PP_L + 1)
+        ],
+    )
+    nd2 = F.col("n").cast("double")
+    g0 = F.col("g0s").cast("double") / 1e4 / nd2
+    l2 = g0
+    for j in range(1, _PP_L + 1):
+        w = 1.0 - j / (_PP_L + 1.0)
+        l2 = l2 + 2.0 * w * (
+            F.coalesce(F.col(f"g{j}s"), F.lit(0)).cast("double")
+            / 1e4
+            / nd2
+        )
+    stats = gam.select("event_type", F.col("n").alias("n_res"),
+                       g0.alias("g0"), l2.alias("l2"))
+    out = (
+        ols.join(stats, "event_type")
+        .withColumn(
+            "sxx_c",
+            (nd * F.col("sxx") - F.col("sx") * F.col("sx")) / nd,
+        )
+        .withColumn(
+            "s2", F.col("g0") * nd / (nd - 2.0)
+        )
+        .withColumn(
+            "se", F.sqrt(F.col("s2") / F.col("sxx_c"))
+        )
+        .withColumn(
+            "t_rho", (F.col("rho") - 1.0) / F.col("se")
+        )
+        .withColumn(
+            "zt",
+            F.sqrt(F.col("g0") / F.col("l2")) * F.col("t_rho")
+            - (F.col("l2") - F.col("g0"))
+            * nd
+            * F.col("se")
+            / (2.0 * F.sqrt(F.col("l2")) * F.sqrt(F.col("s2"))),
+        )
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(F.col("rho") * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("rho_e6"),
+        F.floor(F.col("t_rho") * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("t_e6"),
+        F.floor(F.col("zt") * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("zt_e6"),
+    ).orderBy("event_type")
+
+
+SQL_PP = f"""
+WITH ev AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), hourly AS (
+  SELECT event_type, hr,
+         CAST(floor(CAST(sum(v) AS BIGINT) * 100.0 / count(*) + {_OFF})
+              AS BIGINT) AS y
+  FROM ev GROUP BY 1, 2
+), t AS (
+  SELECT event_type, hr, y,
+         lag(y) OVER (PARTITION BY event_type ORDER BY hr) AS x
+  FROM hourly QUALIFY x IS NOT NULL
+), ols AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM t GROUP BY 1
+), coef AS (
+  SELECT *,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS rho,
+         (sy - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               * sx) / CAST(n AS DOUBLE) AS alpha
+  FROM ols
+), res AS (
+  SELECT t.event_type, t.hr,
+         CAST(floor((t.y - c.alpha - c.rho * t.x) * 100 + {_OFF})
+              AS BIGINT) AS ui
+  FROM t JOIN coef c ON c.event_type = t.event_type
+), lags AS (
+  SELECT event_type, ui,
+         lag(ui, 1) OVER w AS u1, lag(ui, 2) OVER w AS u2,
+         lag(ui, 3) OVER w AS u3, lag(ui, 4) OVER w AS u4
+  FROM res WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+), gam AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(ui * ui) AS BIGINT) AS g0s,
+         CAST(sum(ui * u1) AS BIGINT) AS g1s,
+         CAST(sum(ui * u2) AS BIGINT) AS g2s,
+         CAST(sum(ui * u3) AS BIGINT) AS g3s,
+         CAST(sum(ui * u4) AS BIGINT) AS g4s
+  FROM lags GROUP BY 1
+), st AS (
+  SELECT c.event_type, c.n, c.rho, c.sx, c.sxx,
+         CAST(g.g0s AS DOUBLE) / 1e4 / g.n AS g0,
+         CAST(g.g0s AS DOUBLE) / 1e4 / g.n
+         + 2.0 * 0.8 * (COALESCE(g.g1s, 0) / 1e4 / g.n)
+         + 2.0 * 0.6 * (COALESCE(g.g2s, 0) / 1e4 / g.n)
+         + 2.0 * 0.4 * (COALESCE(g.g3s, 0) / 1e4 / g.n)
+         + 2.0 * 0.2 * (COALESCE(g.g4s, 0) / 1e4 / g.n) AS l2
+  FROM coef c JOIN gam g ON g.event_type = c.event_type
+), fin AS (
+  SELECT *,
+         (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+           / CAST(n AS DOUBLE) AS sxx_c,
+         g0 * n / (n - 2.0) AS s2
+  FROM st
+), fin2 AS (
+  SELECT *,
+         sqrt(s2 / sxx_c) AS se,
+         (rho - 1.0) / sqrt(s2 / sxx_c) AS t_rho
+  FROM fin
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(floor(rho * 1000000 + {_OFF}) AS BIGINT) AS rho_e6,
+       CAST(floor(t_rho * 1000000 + {_OFF}) AS BIGINT) AS t_e6,
+       CAST(floor((sqrt(g0 / l2) * t_rho
+                   - (l2 - g0) * n * se / (2.0 * sqrt(l2) * sqrt(s2)))
+                  * 1000000 + {_OFF}) AS BIGINT) AS zt_e6
+FROM fin2
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# mcleod_li — Ljung-Box portmanteau on squared deviations (ARCH check)
+# ---------------------------------------------------------------------------
+# McLeod & Li (J. Time Series Anal. 1983): the Ljung-Box Q statistic
+# applied to z_t = (v_t - vbar)^2 detects conditional heteroscedasticity
+# that the plain ACF misses.  z_t is floored to whole value^2 units
+# (exact per row — vbar is the ratio of integer sums), lagged products
+# are exact BIGINTs, and Q = n(n+2) sum_k r_k^2/(n-k) over lags 1..5.
+
+
+_ML_L = 5
+
+
+def q_mcleod_li(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    wn = Window.partitionBy("event_type")
+    wt = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t = ev.withColumn(
+        "z",
+        F.floor(
+            F.pow(
+                F.col("v")
+                - F.sum("v").over(wn).cast("double")
+                / F.count(F.lit(1)).over(wn),
+                2,
+            )
+            / 1e4
+            + F.lit(_OFF)
+        ).cast("long"),
+    )
+    # center z by its own mean via the numerator trick: work with
+    # d_t = n*z_t - Sz (exact BIGINT), so c_k = sum d_t d_{t-k} / n^2.
+    t = t.withColumn(
+        "d",
+        F.count(F.lit(1)).over(wn) * F.col("z") - F.sum("z").over(wn),
+    )
+    lag_cols = [
+        F.lag("d", k).over(wt).alias(f"d{k}") for k in range(1, _ML_L + 1)
+    ]
+    t = t.select("event_type", "d", *lag_cols)
+    # d up to ~2000*2.4e5 = 5e8; d*d up to 2.5e17 — sum in DOUBLE after
+    # per-row e-9 downscale to keep both engines in exact-int range.
+    dcols = [(F.col("d").cast("double") * F.col(f"d{k}")).alias(f"p{k}")
+             for k in range(1, _ML_L + 1)]
+    t = t.select(
+        "event_type",
+        F.floor(F.col("d").cast("double") * F.col("d") / 1e9 + F.lit(_OFF))
+        .cast("long")
+        .alias("p0"),
+        *[
+            F.floor(p / 1e9 + F.lit(_OFF)).cast("long").alias(f"p{k}")
+            for k, p in zip(range(1, _ML_L + 1), dcols)
+        ],
+    )
+    agg = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p0").alias("c0"),
+        *[F.sum(f"p{k}").alias(f"c{k}") for k in range(1, _ML_L + 1)],
+    )
+    nd = F.col("n").cast("double")
+    q = F.lit(0.0)
+    for k in range(1, _ML_L + 1):
+        rk = F.coalesce(F.col(f"c{k}"), F.lit(0)).cast("double") / F.col(
+            "c0"
+        )
+        q = q + rk * rk / (nd - k)
+    q = nd * (nd + 2.0) * q
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("c0").cast("long").alias("c0_e9"),
+        F.floor(q * 1_000_000 + F.lit(_OFF)).cast("long").alias("q_e6"),
+    ).orderBy("event_type")
+
+
+SQL_MCLEOD = f"""
+WITH ev AS (
+  SELECT event_type, event_id, ts,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), z AS (
+  SELECT event_type, event_id, ts,
+         CAST(floor(pow(v - CAST(sum(v) OVER w AS DOUBLE)
+                            / count(*) OVER w, 2) / 1e4 + {_OFF})
+              AS BIGINT) AS z,
+         count(*) OVER w AS n
+  FROM ev WINDOW w AS (PARTITION BY event_type)
+), d AS (
+  SELECT event_type, event_id, ts,
+         n * z - CAST(sum(z) OVER (PARTITION BY event_type) AS BIGINT)
+           AS d
+  FROM z
+), lags AS (
+  SELECT event_type, d,
+         lag(d, 1) OVER w AS d1, lag(d, 2) OVER w AS d2,
+         lag(d, 3) OVER w AS d3, lag(d, 4) OVER w AS d4,
+         lag(d, 5) OVER w AS d5
+  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), fl AS (
+  SELECT event_type,
+         CAST(floor(CAST(d AS DOUBLE) * d / 1e9 + {_OFF}) AS BIGINT)
+           AS p0,
+         CAST(floor(CAST(d AS DOUBLE) * d1 / 1e9 + {_OFF}) AS BIGINT)
+           AS p1,
+         CAST(floor(CAST(d AS DOUBLE) * d2 / 1e9 + {_OFF}) AS BIGINT)
+           AS p2,
+         CAST(floor(CAST(d AS DOUBLE) * d3 / 1e9 + {_OFF}) AS BIGINT)
+           AS p3,
+         CAST(floor(CAST(d AS DOUBLE) * d4 / 1e9 + {_OFF}) AS BIGINT)
+           AS p4,
+         CAST(floor(CAST(d AS DOUBLE) * d5 / 1e9 + {_OFF}) AS BIGINT)
+           AS p5
+  FROM lags
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(p0) AS BIGINT) AS c0,
+         CAST(sum(p1) AS BIGINT) AS c1,
+         CAST(sum(p2) AS BIGINT) AS c2,
+         CAST(sum(p3) AS BIGINT) AS c3,
+         CAST(sum(p4) AS BIGINT) AS c4,
+         CAST(sum(p5) AS BIGINT) AS c5
+  FROM fl GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       c0 AS c0_e9,
+       CAST(floor(CAST(n AS DOUBLE) * (n + 2.0) * (
+           pow(CAST(COALESCE(c1, 0) AS DOUBLE) / c0, 2) / (n - 1)
+         + pow(CAST(COALESCE(c2, 0) AS DOUBLE) / c0, 2) / (n - 2)
+         + pow(CAST(COALESCE(c3, 0) AS DOUBLE) / c0, 2) / (n - 3)
+         + pow(CAST(COALESCE(c4, 0) AS DOUBLE) / c0, 2) / (n - 4)
+         + pow(CAST(COALESCE(c5, 0) AS DOUBLE) / c0, 2) / (n - 5)
+       ) * 1000000 + {_OFF}) AS BIGINT) AS q_e6
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# conover_scale — Conover squared-ranks test for equality of scale
+# ---------------------------------------------------------------------------
+# Conover (Practical Nonparametric Statistics): rank |v - median_g| over
+# the pooled sample, score a = rank^2, T = sum of group-1 scores; with
+# doubled midranks and the tie-robust linear-rank moments E = m*Sa/N,
+# Var = m*n*(N*Saa - Sa^2)/(N^2 (N-1)).  Group medians are exact order
+# statistics kept integral via the doubled-median trick (med2 = the two
+# middle centi-values summed; odd n hits the same row twice).
+
+
+def q_conover_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "event_id",
+        F.dayofweek("ts").isin(1, 7).cast("int").alias("g1"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    wg = Window.partitionBy("event_type", "g1").orderBy("v", "event_id")
+    wgn = Window.partitionBy("event_type", "g1")
+    t = ev.withColumn("rn", F.row_number().over(wg)).withColumn(
+        "ng", F.count(F.lit(1)).over(wgn)
+    )
+    med = (
+        t.withColumn(
+            "pick",
+            (F.col("rn") == F.floor((F.col("ng") + 1) / 2)).cast("int")
+            + (F.col("rn") == F.floor((F.col("ng") + 2) / 2)).cast("int"),
+        )
+        .groupBy("event_type", "g1")
+        .agg(F.sum(F.col("pick") * F.col("v")).alias("med2"))
+    )
+    dev = ev.join(F.broadcast(med), ["event_type", "g1"]).withColumn(
+        "dv", F.abs(2 * F.col("v") - F.col("med2"))
+    )
+    wlt = (
+        Window.partitionBy("event_type")
+        .orderBy("dv")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    wle = (
+        Window.partitionBy("event_type")
+        .orderBy("dv")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t2 = dev.withColumn(
+        "r2",
+        F.count(F.lit(1)).over(wlt) + F.count(F.lit(1)).over(wle) + 1,
+    ).withColumn("a", F.col("r2") * F.col("r2"))
+    agg = t2.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("N"),
+        F.sum("g1").alias("m"),
+        F.sum("a").alias("sa"),
+        F.sum(F.col("a").cast("double") * F.col("a")).alias("saa"),
+        F.sum(F.col("g1") * F.col("a")).alias("t_stat"),
+    )
+    Nd = F.col("N").cast("double")
+    md = F.col("m").cast("double")
+    nd = (F.col("N") - F.col("m")).cast("double")
+    e = md * F.col("sa") / Nd
+    var = (
+        md
+        * nd
+        * (Nd * F.col("saa") - F.col("sa").cast("double") * F.col("sa"))
+        / (Nd * Nd * (Nd - 1.0))
+    )
+    out = agg.withColumn(
+        "z_e6",
+        F.floor(
+            (F.col("t_stat") - e) / F.sqrt(var) * 1_000_000 + F.lit(_OFF)
+        ).cast("long"),
+    )
+    return out.select(
+        "event_type",
+        F.col("m").cast("long").alias("m_weekend"),
+        (F.col("N") - F.col("m")).cast("long").alias("n_weekday"),
+        F.col("t_stat").cast("long").alias("t_scores"),
+        "z_e6",
+    ).orderBy("event_type")
+
+
+SQL_CONOVER = f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS g1,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), rn AS (
+  SELECT event_type, event_id, g1, v,
+         row_number() OVER (PARTITION BY event_type, g1
+                            ORDER BY v, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type, g1) AS ng
+  FROM ev
+), med AS (
+  SELECT event_type, g1,
+         CAST(sum((CASE WHEN rn = floor((ng + 1) / 2) THEN 1 ELSE 0 END
+                   + CASE WHEN rn = floor((ng + 2) / 2) THEN 1 ELSE 0 END)
+                  * v) AS BIGINT) AS med2
+  FROM rn GROUP BY 1, 2
+), dev AS (
+  SELECT e.event_type, e.g1, abs(2 * e.v - m.med2) AS dv
+  FROM ev e JOIN med m ON m.event_type = e.event_type AND m.g1 = e.g1
+), t2 AS (
+  SELECT event_type, g1,
+         count(*) OVER (PARTITION BY event_type ORDER BY dv
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         + count(*) OVER (PARTITION BY event_type ORDER BY dv
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         + 1 AS r2
+  FROM dev
+), sc AS (
+  SELECT event_type, g1, r2 * r2 AS a FROM t2
+), agg AS (
+  SELECT event_type, count(*) AS N,
+         CAST(sum(g1) AS BIGINT) AS m,
+         CAST(sum(a) AS BIGINT) AS sa,
+         sum(CAST(a AS DOUBLE) * a) AS saa,
+         CAST(sum(g1 * a) AS BIGINT) AS t_stat
+  FROM sc GROUP BY 1
+)
+SELECT event_type,
+       m AS m_weekend,
+       CAST(N - m AS BIGINT) AS n_weekday,
+       t_stat AS t_scores,
+       CAST(floor(
+         (t_stat - CAST(m AS DOUBLE) * sa / N)
+         / sqrt(CAST(m AS DOUBLE) * (N - m)
+                * (CAST(N AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+                / (CAST(N AS DOUBLE) * N * (N - 1.0)))
+         * 1000000 + {_OFF}) AS BIGINT) AS z_e6
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# quade_test — weighted blocked rank ANOVA (Quade 1979)
+# ---------------------------------------------------------------------------
+# Friedman's sibling that weights blocks by their range: blocks = days
+# with all k event_types present, treatments = event_types, values =
+# e2-floored daily means.  Doubled within-block midranks r2 and doubled
+# cross-block range midranks q2 make S'_ij = q2*(r2-(k+1)) an exact
+# integer (4x the textbook S_ij — the scale cancels in F).  F =
+# (b-1)*B' / (A'-B') with A' = sum S'^2, B' = sum_j S'_j^2 / b, both
+# exact, so F = (b-1)*SB / (b*A' - SB) with SB = sum_j S'_j^2.
+
+
+def q_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    daily = ev.groupBy("day", "event_type").agg(
+        F.floor(
+            F.sum("v") * F.lit(100.0) / F.count(F.lit(1)) + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("m")
+    )
+    k = daily.select("event_type").distinct().count()
+    full = (
+        daily.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("kk"),
+            F.max("m").alias("mx"),
+            F.min("m").alias("mn"),
+        )
+        .filter(F.col("kk") == k)
+        .select("day", (F.col("mx") - F.col("mn")).alias("rng"))
+    )
+    blocks = daily.join(F.broadcast(full), "day")
+    # doubled midranks of m within each block
+    wlt = (
+        Window.partitionBy("day")
+        .orderBy("m")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    wle = (
+        Window.partitionBy("day")
+        .orderBy("m")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    blocks = blocks.withColumn(
+        "r2",
+        F.count(F.lit(1)).over(wlt) + F.count(F.lit(1)).over(wle) + 1,
+    )
+    # doubled midranks of block ranges across blocks (rank the distinct
+    # day rows, then join back)
+    days = full.select("day", "rng")
+    wqlt = Window.orderBy("rng").rangeBetween(Window.unboundedPreceding, -1)
+    wqle = Window.orderBy("rng").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    days = days.withColumn(
+        "q2",
+        F.count(F.lit(1)).over(wqlt) + F.count(F.lit(1)).over(wqle) + 1,
+    )
+    t = blocks.join(F.broadcast(days.select("day", "q2")), "day").withColumn(
+        "s", F.col("q2") * (F.col("r2") - (k + 1))
+    )
+    per_j = t.groupBy("event_type").agg(
+        F.sum("s").alias("sj"),
+        F.sum(F.col("s") * F.col("s")).alias("aj"),
+        F.count(F.lit(1)).alias("b"),
+    )
+    tot = per_j.agg(
+        F.max("b").alias("b"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("sj") * F.col("sj")).alias("sb"),
+        F.sum("aj").alias("aa"),
+    )
+    bd = F.col("b").cast("double")
+    f = (
+        (bd - 1.0)
+        * F.col("sb").cast("double")
+        / (bd * F.col("aa") - F.col("sb"))
+    )
+    return tot.select(
+        F.col("b").cast("long").alias("n_blocks"),
+        F.col("k").cast("long").alias("k_treat"),
+        F.col("sb").cast("long").alias("sb"),
+        F.col("aa").cast("long").alias("a_tot"),
+        F.floor(f * 1_000_000 + F.lit(_OFF)).cast("long").alias("f_e6"),
+    )
+
+
+SQL_QUADE = f"""
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), daily AS (
+  SELECT day, event_type,
+         CAST(floor(CAST(sum(v) AS BIGINT) * 100.0 / count(*) + {_OFF})
+              AS BIGINT) AS m
+  FROM ev GROUP BY 1, 2
+), kk AS (
+  SELECT count(DISTINCT event_type) AS k FROM daily
+), full_blocks AS (
+  SELECT day, max(m) - min(m) AS rng
+  FROM daily GROUP BY 1
+  HAVING count(*) = (SELECT k FROM kk)
+), ranked AS (
+  SELECT d.day, d.event_type, d.m, f.rng,
+         count(*) OVER (PARTITION BY d.day ORDER BY d.m
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         + count(*) OVER (PARTITION BY d.day ORDER BY d.m
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         + 1 AS r2
+  FROM daily d JOIN full_blocks f ON f.day = d.day
+), qr AS (
+  SELECT day,
+         count(*) OVER (ORDER BY rng
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         + count(*) OVER (ORDER BY rng
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         + 1 AS q2
+  FROM full_blocks
+), s AS (
+  SELECT r.event_type,
+         q.q2 * (r.r2 - ((SELECT k FROM kk) + 1)) AS s
+  FROM ranked r JOIN qr q ON q.day = r.day
+), per_j AS (
+  SELECT event_type,
+         CAST(sum(s) AS BIGINT) AS sj,
+         CAST(sum(s * s) AS BIGINT) AS aj,
+         count(*) AS b
+  FROM s GROUP BY 1
+), tot AS (
+  SELECT CAST(max(b) AS BIGINT) AS b,
+         count(*) AS k,
+         CAST(sum(sj * sj) AS BIGINT) AS sb,
+         CAST(sum(aj) AS BIGINT) AS aa
+  FROM per_j
+)
+SELECT b AS n_blocks,
+       CAST(k AS BIGINT) AS k_treat,
+       sb,
+       aa AS a_tot,
+       CAST(floor((CAST(b AS DOUBLE) - 1.0) * sb
+                  / (CAST(b AS DOUBLE) * aa - sb)
+                  * 1000000 + {_OFF}) AS BIGINT) AS f_e6
+FROM tot
+"""
+
+
+QUERIES.update(
+    {
+        "phillips_perron": q_phillips_perron,
+        "mcleod_li": q_mcleod_li,
+        "conover_scale": q_conover_scale,
+        "quade_test": q_quade_test,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "phillips_perron": SQL_PP,
+        "mcleod_li": SQL_MCLEOD,
+        "conover_scale": SQL_CONOVER,
+        "quade_test": SQL_QUADE,
+    }
+)
