@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1751,5 +1752,519 @@ ORACLE_SQL.update(
         "mcleod_li": SQL_MCLEOD,
         "conover_scale": SQL_CONOVER,
         "quade_test": SQL_QUADE,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# jaro_winkler_dedup — JW-similarity verify stage, kernel vs native
+# ---------------------------------------------------------------------------
+# Same blocked-pair shape as title_edit_dedup (lang x 64-char length
+# band, 40-char title prefixes), but scored with Jaro-Winkler (Winkler,
+# ASA Proc. 1990): prefix bonus up to 4 chars at scale 0.1, applied
+# only when jaro > 0.7 (the boost threshold DuckDB's native
+# jaro_winkler_similarity uses — verified empirically on
+# discriminating cases, e.g. 'abcdxxxxxx' vs 'abcdyyyyyyyyyy' =
+# 0.5619 not 0.7371).  The Spark side is an independent Arrow-batched
+# pandas_udf kernel (string DP has no vectorized form; the per-pair
+# loop is inside the Arrow batch, never per-row Python at the plan
+# level), making this a true cross-implementation differential.
+
+
+def _jaro_winkler_py(s1: str, s2: str) -> float:
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    md = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    m = 0
+    for i, c in enumerate(s1):
+        lo = 0 if i < md else i - md
+        hi = min(l2, i + md + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    jaro = (m / l1 + m / l2 + (m - t) / m) / 3
+    if jaro <= 0.7:
+        return jaro
+    p = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a != b:
+            break
+        p += 1
+    return jaro + p * 0.1 * (1 - jaro)
+
+
+def q_jaro_winkler_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("double")
+    def _jw(pa: pd.Series, pb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_jaro_winkler_py(a, b) for a, b in zip(pa, pb)],
+            dtype="float64",
+        )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 64).cast("long").alias("band"),
+        F.substring(F.trim("text"), 1, 40).alias("title"),
+    )
+    b = d.select(
+        F.col("lang").alias("lang_r"),
+        F.col("band").alias("band_r"),
+        F.col("doc_id").alias("doc_r"),
+        F.col("title").alias("title_r"),
+    )
+    pairs = d.join(
+        b,
+        (F.col("lang") == F.col("lang_r"))
+        & (F.col("band") == F.col("band_r"))
+        & (F.col("doc_id") < F.col("doc_r")),
+    ).select(
+        "lang",
+        "band",
+        F.floor(_jw(F.col("title"), F.col("title_r")) * 1_000_000
+                + F.lit(_OFF)).cast("long").alias("jw6"),
+    )
+    agg = pairs.groupBy("lang", "band").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.max("jw6").alias("max_jw_e6"),
+        F.sum("jw6").alias("s6"),
+        F.sum(F.when(F.col("jw6") >= 850_000, 1).otherwise(0)).alias(
+            "n_sim"
+        ),
+    )
+    return agg.select(
+        "lang",
+        "band",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("max_jw_e6").cast("long").alias("max_jw_e6"),
+        F.floor(
+            F.col("s6").cast("double") / F.col("n_pairs") + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("mean_jw_e6"),
+        F.col("n_sim").cast("long").alias("n_sim"),
+    ).orderBy("lang", "band")
+
+
+SQL_JARO = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(floor(n_chars / 64.0) AS BIGINT) AS band,
+         substr(trim(text), 1, 40) AS title
+  FROM documents
+), pairs AS (
+  SELECT a.lang, a.band,
+         CAST(floor(jaro_winkler_similarity(a.title, b.title) * 1000000
+                    + {_OFF}) AS BIGINT) AS jw6
+  FROM d a JOIN d b
+    ON b.lang = a.lang AND b.band = a.band AND a.doc_id < b.doc_id
+)
+SELECT lang, band,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(max(jw6) AS BIGINT) AS max_jw_e6,
+       CAST(floor(CAST(sum(jw6) AS DOUBLE) / count(*) + {_OFF})
+            AS BIGINT) AS mean_jw_e6,
+       CAST(sum(CASE WHEN jw6 >= 850000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sim
+FROM pairs
+GROUP BY 1, 2
+ORDER BY lang, band
+"""
+
+
+# ---------------------------------------------------------------------------
+# stuart_maxwell — marginal homogeneity of modal activity (k = 3)
+# ---------------------------------------------------------------------------
+# Stuart (Biometrika 1955) / Maxwell (1970): did users' modal activity
+# bucket (browse = click/view, convert = purchase/signup, error) shift
+# between the first half of the month and the second?  The k=3 test has
+# the closed form chi2 = (S22 d1^2 + S11 d2^2 - 2 S12 d1 d2) /
+# (S11 S22 - S12^2) with d_h = row_h - col_h marginal gaps and
+# S_hh = row_h + col_h - 2 n_hh, S_12 = -(n_12 + n_21) over categories
+# {1, 2} — every term an exact BIGINT from the paired contingency.
+
+
+def q_stuart_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        (F.dayofmonth("ts") <= 15).cast("int").alias("h1"),
+        F.when(F.col("event_type").isin("click", "view"), "browse")
+        .when(F.col("event_type").isin("purchase", "signup"), "convert")
+        .otherwise("error")
+        .alias("bucket"),
+    )
+    cnt = ev.groupBy("user_id", "h1", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wm = Window.partitionBy("user_id", "h1").orderBy(
+        F.col("c").desc(), F.col("bucket").asc()
+    )
+    modal = (
+        cnt.withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "h1", "bucket")
+    )
+    paired = (
+        modal.filter(F.col("h1") == 1)
+        .select("user_id", F.col("bucket").alias("b1"))
+        .join(
+            modal.filter(F.col("h1") == 0).select(
+                "user_id", F.col("bucket").alias("b2")
+            ),
+            "user_id",
+        )
+    )
+    cell = paired.groupBy("b1", "b2").agg(F.count(F.lit(1)).alias("n"))
+
+    def pick(b1, b2):
+        return F.sum(
+            F.when((F.col("b1") == b1) & (F.col("b2") == b2), F.col("n"))
+            .otherwise(F.lit(0))
+        )
+
+    cats = ["browse", "convert", "error"]
+    flat = cell.agg(
+        *[
+            pick(a, b).alias(f"n{i}{j}")
+            for i, a in enumerate(cats, 1)
+            for j, b in enumerate(cats, 1)
+        ]
+    )
+    r1 = F.col("n11") + F.col("n12") + F.col("n13")
+    r2 = F.col("n21") + F.col("n22") + F.col("n23")
+    c1 = F.col("n11") + F.col("n21") + F.col("n31")
+    c2 = F.col("n12") + F.col("n22") + F.col("n32")
+    d1 = r1 - c1
+    d2 = r2 - c2
+    s11 = r1 + c1 - 2 * F.col("n11")
+    s22 = r2 + c2 - 2 * F.col("n22")
+    s12 = -(F.col("n12") + F.col("n21"))
+    num = s22 * d1 * d1 + s11 * d2 * d2 - 2 * s12 * d1 * d2
+    den = s11 * s22 - s12 * s12
+    return flat.select(
+        (r1 + r2 + F.col("n31") + F.col("n32") + F.col("n33")).cast(
+            "long"
+        ).alias("n_users"),
+        d1.cast("long").alias("d_browse"),
+        d2.cast("long").alias("d_convert"),
+        F.floor(
+            num.cast("double") / den * 1_000_000 + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("chi2_e6"),
+    )
+
+
+SQL_STUART = f"""
+WITH ev AS (
+  SELECT user_id,
+         CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS h1,
+         CASE WHEN event_type IN ('click', 'view') THEN 'browse'
+              WHEN event_type IN ('purchase', 'signup') THEN 'convert'
+              ELSE 'error' END AS bucket
+  FROM events
+), cnt AS (
+  SELECT user_id, h1, bucket, count(*) AS c
+  FROM ev GROUP BY 1, 2, 3
+), modal AS (
+  SELECT user_id, h1, bucket,
+         row_number() OVER (PARTITION BY user_id, h1
+                            ORDER BY c DESC, bucket ASC) AS rk
+  FROM cnt QUALIFY rk = 1
+), paired AS (
+  SELECT a.user_id, a.bucket AS b1, b.bucket AS b2
+  FROM modal a JOIN modal b
+    ON b.user_id = a.user_id AND a.h1 = 1 AND b.h1 = 0
+), flat AS (
+  SELECT
+    CAST(sum(CASE WHEN b1 = 'browse' AND b2 = 'browse' THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+    CAST(sum(CASE WHEN b1 = 'browse' AND b2 = 'convert' THEN 1 ELSE 0 END) AS BIGINT) AS n12,
+    CAST(sum(CASE WHEN b1 = 'browse' AND b2 = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n13,
+    CAST(sum(CASE WHEN b1 = 'convert' AND b2 = 'browse' THEN 1 ELSE 0 END) AS BIGINT) AS n21,
+    CAST(sum(CASE WHEN b1 = 'convert' AND b2 = 'convert' THEN 1 ELSE 0 END) AS BIGINT) AS n22,
+    CAST(sum(CASE WHEN b1 = 'convert' AND b2 = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n23,
+    CAST(sum(CASE WHEN b1 = 'error' AND b2 = 'browse' THEN 1 ELSE 0 END) AS BIGINT) AS n31,
+    CAST(sum(CASE WHEN b1 = 'error' AND b2 = 'convert' THEN 1 ELSE 0 END) AS BIGINT) AS n32,
+    CAST(sum(CASE WHEN b1 = 'error' AND b2 = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n33
+  FROM paired
+), terms AS (
+  SELECT n11 + n12 + n13 + n21 + n22 + n23 + n31 + n32 + n33 AS n_users,
+         (n11 + n12 + n13) - (n11 + n21 + n31) AS d1,
+         (n21 + n22 + n23) - (n12 + n22 + n32) AS d2,
+         (n11 + n12 + n13) + (n11 + n21 + n31) - 2 * n11 AS s11,
+         (n21 + n22 + n23) + (n12 + n22 + n32) - 2 * n22 AS s22,
+         -(n12 + n21) AS s12
+  FROM flat
+)
+SELECT CAST(n_users AS BIGINT) AS n_users,
+       CAST(d1 AS BIGINT) AS d_browse,
+       CAST(d2 AS BIGINT) AS d_convert,
+       CAST(floor(CAST(s22 * d1 * d1 + s11 * d2 * d2
+                       - 2 * s12 * d1 * d2 AS DOUBLE)
+                  / (s11 * s22 - s12 * s12) * 1000000 + {_OFF})
+            AS BIGINT) AS chi2_e6
+FROM terms
+"""
+
+
+# ---------------------------------------------------------------------------
+# fleming_harrington — FH(1,0) weighted log-rank on user lifetimes
+# ---------------------------------------------------------------------------
+# Harrington & Fleming (Biometrika 1982): the log-rank chain of
+# logrank_test (same day-vs-night first-event groups, same lifetime
+# clock) with per-time weight w_t = S(t-), the Kaplan-Meier left limit
+# — emphasizing EARLY lifetime differences.  S(t-) = exp(cumsum over
+# s < t of ln(1 - d/n)) via an ordered strictly-prior window (ordered
+# cumulative sums are deterministic in both engines); weighted O-E and
+# V terms are e9-floored per t before summing.
+
+
+def q_fleming_harrington(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
+    per = ev.groupBy("user_id").agg(
+        F.min(F.floor(sec).cast("long")).alias("first_s"),
+        F.min(F.floor(sec / 86_400).cast("long")).alias("d0"),
+        F.max(F.floor(sec / 86_400).cast("long")).alias("d1"),
+    )
+    per = per.select(
+        (F.col("d1") - F.col("d0") + 1).alias("t"),
+        F.when(
+            ((F.col("first_s") % 86_400) / 3_600).cast("long").between(8, 19),
+            1,
+        )
+        .otherwise(0)
+        .alias("g1"),
+    )
+    dt = per.groupBy("t").agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum("g1").alias("d1"),
+    )
+    wo = Window.orderBy(F.col("t").desc())
+    risk = dt.withColumn(
+        "n", F.sum("d").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn(
+        "n1", F.sum("d1").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    wasc = Window.orderBy(F.col("t").asc())
+    lnterm = F.when(
+        F.col("d") < F.col("n"),
+        F.log(1.0 - F.col("d").cast("double") / F.col("n")),
+    ).otherwise(F.lit(0.0))
+    risk = risk.withColumn("lnt", lnterm).withColumn(
+        "w",
+        F.exp(
+            F.coalesce(
+                F.sum("lnt").over(
+                    wasc.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0.0),
+            )
+        ),
+    )
+    nd = F.col("n").cast("double")
+    p1 = F.col("n1").cast("double") / nd
+    z_t = F.col("w") * (F.col("d1").cast("double") - F.col("d") * p1)
+    v_t = (
+        F.col("w")
+        * F.col("w")
+        * F.col("d").cast("double")
+        * p1
+        * (1.0 - p1)
+        * (F.col("n") - F.col("d")).cast("double")
+        / (nd - 1.0)
+    )
+    terms = risk.filter(F.col("n") > 1).select(
+        F.floor(z_t * 1e9 + F.lit(_OFF)).cast("long").alias("z9"),
+        F.floor(v_t * 1e9 + F.lit(_OFF)).cast("long").alias("v9"),
+    )
+    agg = terms.agg(
+        F.sum("z9").alias("sz9"), F.sum("v9").alias("sv9")
+    ).crossJoin(
+        F.broadcast(
+            per.agg(
+                F.count(F.lit(1)).alias("n_users"),
+                F.sum("g1").alias("n_day"),
+            )
+        )
+    )
+    z = F.col("sz9").cast("double") / 1e9
+    v = F.col("sv9").cast("double") / 1e9
+    return agg.filter(F.col("sv9") > 0).select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_day").cast("long").alias("n_day"),
+        F.floor(z * 10_000 + F.lit(_OFF)).cast("long").alias("z_e4"),
+        F.floor(v * 10_000 + F.lit(_OFF)).cast("long").alias("v_e4"),
+        F.floor(z * z / v * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("chi2_e4"),
+    )
+
+
+SQL_FLEMING = f"""
+WITH per AS (
+  SELECT CAST(max(floor(epoch(ts) / 86400))
+              - min(floor(epoch(ts) / 86400)) + 1 AS BIGINT) AS t,
+         CASE WHEN CAST(floor((CAST(min(floor(epoch(ts))) AS BIGINT) % 86400)
+                              / 3600) AS BIGINT) BETWEEN 8 AND 19
+              THEN 1 ELSE 0 END AS g1
+  FROM events GROUP BY user_id
+), dt AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS d,
+         CAST(sum(g1) AS BIGINT) AS d1
+  FROM per GROUP BY 1
+), risk AS (
+  SELECT t, d, d1,
+         CAST(sum(d) OVER (ORDER BY t DESC) AS BIGINT) AS n,
+         CAST(sum(d1) OVER (ORDER BY t DESC) AS BIGINT) AS n1
+  FROM dt
+), wts AS (
+  SELECT t, d, d1, n, n1,
+         exp(COALESCE(sum(CASE WHEN d < n
+                               THEN ln(1.0 - CAST(d AS DOUBLE) / n)
+                               ELSE 0.0 END)
+                      OVER (ORDER BY t ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0.0)) AS w
+  FROM risk
+), terms AS (
+  SELECT CAST(floor(w * (d1 - d * (CAST(n1 AS DOUBLE) / n)) * 1e9
+                    + {_OFF}) AS BIGINT) AS z9,
+         CAST(floor(w * w * d * (CAST(n1 AS DOUBLE) / n)
+                      * (1.0 - CAST(n1 AS DOUBLE) / n)
+                      * CAST(n - d AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)
+                      * 1e9 + {_OFF}) AS BIGINT) AS v9
+  FROM wts WHERE n > 1
+), agg AS (
+  SELECT CAST(sum(z9) AS BIGINT) AS sz9,
+         CAST(sum(v9) AS BIGINT) AS sv9
+  FROM terms
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(g1) AS BIGINT) AS n_day
+  FROM per
+)
+SELECT n_users, n_day,
+       CAST(floor(CAST(sz9 AS DOUBLE) / 1e9 * 10000 + {_OFF})
+            AS BIGINT) AS z_e4,
+       CAST(floor(CAST(sv9 AS DOUBLE) / 1e9 * 10000 + {_OFF})
+            AS BIGINT) AS v_e4,
+       CAST(floor(pow(CAST(sz9 AS DOUBLE) / 1e9, 2)
+                  / (CAST(sv9 AS DOUBLE) / 1e9) * 10000 + {_OFF})
+            AS BIGINT) AS chi2_e4
+FROM agg CROSS JOIN tot
+WHERE sv9 > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# mcc_threshold — Matthews correlation for the fixed-threshold detector
+# ---------------------------------------------------------------------------
+# Completes the confusion-matrix family (pr_auc, youden_threshold,
+# gains_deciles): label = purchase event, prediction = centi-value >
+# 3500; phi/MCC = (tp*tn - fp*fn) / sqrt((tp+fp)(tp+fn)(tn+fp)(tn+fn))
+# from four exact BIGINT counts, with balanced accuracy and F1
+# alongside.
+
+
+def q_mcc_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        (
+            F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+            > F.lit(_BD_T)
+        )
+        .cast("int")
+        .alias("p"),
+    )
+    flat = ev.agg(
+        F.sum(F.col("y") * F.col("p")).alias("tp"),
+        F.sum((1 - F.col("y")) * F.col("p")).alias("fp"),
+        F.sum(F.col("y") * (1 - F.col("p"))).alias("fn"),
+        F.sum((1 - F.col("y")) * (1 - F.col("p"))).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c).cast("double") for c in
+                      ("tp", "fp", "fn", "tn"))
+    mcc = (tp * tn - fp * fn) / F.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    bacc = (tp / (tp + fn) + tn / (tn + fp)) / 2.0
+    f1 = 2.0 * tp / (2.0 * tp + fp + fn)
+    return flat.select(
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        F.floor(mcc * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "mcc_e6"
+        ),
+        F.floor(bacc * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "bacc_e6"
+        ),
+        F.floor(f1 * 1_000_000 + F.lit(_OFF)).cast("long").alias("f1_e6"),
+    )
+
+
+SQL_MCC = f"""
+WITH ev AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         CASE WHEN CAST(floor(value * 100 + {_OFF}) AS BIGINT) > {_BD_T}
+              THEN 1 ELSE 0 END AS p
+  FROM events
+), flat AS (
+  SELECT CAST(sum(y * p) AS BIGINT) AS tp,
+         CAST(sum((1 - y) * p) AS BIGINT) AS fp,
+         CAST(sum(y * (1 - p)) AS BIGINT) AS fn,
+         CAST(sum((1 - y) * (1 - p)) AS BIGINT) AS tn
+  FROM ev
+)
+SELECT tp, fp, fn, tn,
+       CAST(floor((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                  / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
+                         * (tn + fp) * (tn + fn))
+                  * 1000000 + {_OFF}) AS BIGINT) AS mcc_e6,
+       CAST(floor((CAST(tp AS DOUBLE) / (tp + fn)
+                   + CAST(tn AS DOUBLE) / (tn + fp)) / 2.0
+                  * 1000000 + {_OFF}) AS BIGINT) AS bacc_e6,
+       CAST(floor(2.0 * tp / (2.0 * CAST(tp AS DOUBLE) + fp + fn)
+                  * 1000000 + {_OFF}) AS BIGINT) AS f1_e6
+FROM flat
+"""
+
+
+QUERIES.update(
+    {
+        "jaro_winkler_dedup": q_jaro_winkler_dedup,
+        "stuart_maxwell": q_stuart_maxwell,
+        "fleming_harrington": q_fleming_harrington,
+        "mcc_threshold": q_mcc_threshold,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "jaro_winkler_dedup": SQL_JARO,
+        "stuart_maxwell": SQL_STUART,
+        "fleming_harrington": SQL_FLEMING,
+        "mcc_threshold": SQL_MCC,
     }
 )
