@@ -2268,3 +2268,566 @@ ORACLE_SQL.update(
         "mcc_threshold": SQL_MCC,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# damerau_levenshtein_dedup — unrestricted DL verify stage, kernel vs native
+# ---------------------------------------------------------------------------
+# Companion differential to jaro_winkler_dedup: DuckDB's
+# damerau_levenshtein is the UNRESTRICTED Lowrance-Wagner distance
+# (verified: 'CA' -> 'ABC' = 2, not the OSA 3), so the Spark kernel
+# implements the full alphabet-tracking DP.  Distances are exact
+# integers — every aggregate is exact.
+
+
+def _damerau_py(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    maxd = la + lb
+    da: dict[str, int] = {}
+    d = [[maxd] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][l] + (i - 1 - k) + 1 + (j - 1 - l),
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+def q_damerau_levenshtein_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    @F.pandas_udf("long")
+    def _dl(pa: pd.Series, pb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_damerau_py(a, b) for a, b in zip(pa, pb)], dtype="int64"
+        )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 64).cast("long").alias("band"),
+        F.substring(F.trim("text"), 1, 32).alias("title"),
+    )
+    b = d.select(
+        F.col("lang").alias("lang_r"),
+        F.col("band").alias("band_r"),
+        F.col("doc_id").alias("doc_r"),
+        F.col("title").alias("title_r"),
+    )
+    pairs = d.join(
+        b,
+        (F.col("lang") == F.col("lang_r"))
+        & (F.col("band") == F.col("band_r"))
+        & (F.col("doc_id") < F.col("doc_r")),
+    ).select(
+        "lang",
+        "band",
+        _dl(F.col("title"), F.col("title_r")).alias("dist"),
+        F.levenshtein("title", "title_r").alias("lev"),
+    )
+    agg = pairs.groupBy("lang", "band").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("dist").alias("min_dist"),
+        F.sum("dist").alias("sd"),
+        F.sum(F.col("lev") - F.col("dist")).alias("transp_gain"),
+    )
+    return agg.select(
+        "lang",
+        "band",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("min_dist").cast("long").alias("min_dist"),
+        F.floor(
+            F.col("sd").cast("double") / F.col("n_pairs") * 10_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("mean_dist_e4"),
+        F.col("transp_gain").cast("long").alias("transp_gain"),
+    ).orderBy("lang", "band")
+
+
+SQL_DAMERAU = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(floor(n_chars / 64.0) AS BIGINT) AS band,
+         substr(trim(text), 1, 32) AS title
+  FROM documents
+), pairs AS (
+  SELECT a.lang, a.band,
+         damerau_levenshtein(a.title, b.title) AS dist,
+         levenshtein(a.title, b.title) AS lev
+  FROM d a JOIN d b
+    ON b.lang = a.lang AND b.band = a.band AND a.doc_id < b.doc_id
+)
+SELECT lang, band,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(dist) AS BIGINT) AS min_dist,
+       CAST(floor(CAST(sum(dist) AS DOUBLE) / count(*) * 10000 + {_OFF})
+            AS BIGINT) AS mean_dist_e4,
+       CAST(sum(lev - dist) AS BIGINT) AS transp_gain
+FROM pairs
+GROUP BY 1, 2
+ORDER BY lang, band
+"""
+
+
+# ---------------------------------------------------------------------------
+# hoeffding_d — Hoeffding's omnibus dependence D (Ann. Math. Stat. 1948)
+# ---------------------------------------------------------------------------
+# Between daily mean value (x) and daily event count (y) per
+# event_type: D = 30 * ((n-2)(n-3)D1 + D2 - 2(n-2)D3) /
+# (n(n-1)(n-2)(n-3)(n-4)) with D1 = sum (Q-1)(Q-2), D2 = sum
+# (R-1)(R-2)(S-1)(S-2), D3 = sum (R-2)(S-2)(Q-1); R, S midranks and
+# Q the bivariate rank Q_i = sum_j c(x_i-x_j)c(y_i-y_j) + 3/4 with
+# c(0) = 1/2 (self term 1/4, so Q = 1 + #{both strictly less} under
+# no ties).  The 30-row-per-type daily grid makes the within-type
+# self-join a bounded 900-row block (house small-block posture);
+# quadrupled/doubled ranks keep every sum an exact BIGINT.
+
+
+def q_hoeffding_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.floor(
+            F.sum("v") * F.lit(100.0) / F.count(F.lit(1)) + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    r = daily.select(
+        "event_type",
+        F.col("day").alias("day_r"),
+        F.col("x").alias("x_r"),
+        F.col("y").alias("y_r"),
+    )
+    phix = (
+        F.when(F.col("x") > F.col("x_r"), 2)
+        .when(F.col("x") == F.col("x_r"), 1)
+        .otherwise(0)
+    )
+    phiy = (
+        F.when(F.col("y") > F.col("y_r"), 2)
+        .when(F.col("y") == F.col("y_r"), 1)
+        .otherwise(0)
+    )
+    j = daily.join(r, "event_type").groupBy("event_type", "day").agg(
+        F.sum(phix * phiy).alias("q4m"),
+        F.sum(phix).alias("rx2m"),
+        F.sum(phiy).alias("ry2m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # doubled midranks r2 = sum phi + 1; quadrupled Q4 = q4m + 3
+    t = j.select(
+        "event_type",
+        F.col("n"),
+        (F.col("q4m") + 3).alias("q4"),
+        (F.col("rx2m") + 1).alias("r2"),
+        (F.col("ry2m") + 1).alias("s2"),
+    )
+    d1t = (F.col("q4") - 4) * (F.col("q4") - 8)
+    d2t = (
+        (F.col("r2") - 2)
+        * (F.col("r2") - 4)
+        * (F.col("s2") - 2)
+        * (F.col("s2") - 4)
+    )
+    d3t = (F.col("r2") - 4) * (F.col("s2") - 4) * (F.col("q4") - 4)
+    agg = t.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(d1t).alias("d1_16"),
+        F.sum(d2t).alias("d2_16"),
+        F.sum(d3t).alias("d3_16"),
+    )
+    nd = F.col("n").cast("double")
+    dstat = (
+        30.0
+        * (
+            (nd - 2.0) * (nd - 3.0) * F.col("d1_16")
+            + F.col("d2_16")
+            - 2.0 * (nd - 2.0) * F.col("d3_16")
+        )
+        / 16.0
+        / (nd * (nd - 1.0) * (nd - 2.0) * (nd - 3.0) * (nd - 4.0))
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("d1_16").cast("long").alias("d1_16"),
+        F.col("d2_16").cast("long").alias("d2_16"),
+        F.col("d3_16").cast("long").alias("d3_16"),
+        F.floor(dstat * 100_000_000 + F.lit(_OFF)).cast("long").alias(
+            "d_e8"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_HOEFFDING = f"""
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), daily AS (
+  SELECT event_type, day,
+         CAST(floor(CAST(sum(v) AS BIGINT) * 100.0 / count(*) + {_OFF})
+              AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM ev GROUP BY 1, 2
+), j AS (
+  SELECT a.event_type, a.day,
+         CAST(sum((CASE WHEN a.x > b.x THEN 2
+                        WHEN a.x = b.x THEN 1 ELSE 0 END)
+                  * (CASE WHEN a.y > b.y THEN 2
+                          WHEN a.y = b.y THEN 1 ELSE 0 END))
+              AS BIGINT) + 3 AS q4,
+         CAST(sum(CASE WHEN a.x > b.x THEN 2
+                       WHEN a.x = b.x THEN 1 ELSE 0 END)
+              AS BIGINT) + 1 AS r2,
+         CAST(sum(CASE WHEN a.y > b.y THEN 2
+                       WHEN a.y = b.y THEN 1 ELSE 0 END)
+              AS BIGINT) + 1 AS s2,
+         count(*) AS n
+  FROM daily a JOIN daily b ON b.event_type = a.event_type
+  GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, max(n) AS n,
+         CAST(sum((q4 - 4) * (q4 - 8)) AS BIGINT) AS d1_16,
+         CAST(sum((r2 - 2) * (r2 - 4) * (s2 - 2) * (s2 - 4)) AS BIGINT)
+           AS d2_16,
+         CAST(sum((r2 - 4) * (s2 - 4) * (q4 - 4)) AS BIGINT) AS d3_16
+  FROM j GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       d1_16, d2_16, d3_16,
+       CAST(floor(30.0 * ((CAST(n AS DOUBLE) - 2.0) * (n - 3.0) * d1_16
+                          + d2_16 - 2.0 * (n - 2.0) * d3_16) / 16.0
+                  / (CAST(n AS DOUBLE) * (n - 1.0) * (n - 2.0)
+                     * (n - 3.0) * (n - 4.0))
+                  * 100000000 + {_OFF}) AS BIGINT) AS d_e8
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# distance_correlation — Szekely's dCor on the daily (mean, count) pairs
+# ---------------------------------------------------------------------------
+# Szekely, Rizzo & Bakirov (Ann. Stat. 2007): dCov^2 = mean(A o B) of
+# the double-centered pairwise |.| distance matrices; dCor = sqrt(
+# dCov^2 / sqrt(dVarX dVarY)).  Same bounded 30x30 per-type daily
+# block as hoeffding_d; distances and row/grand sums are exact
+# BIGINTs, the centered products are e4-floored per pair before the
+# final sums (house order-free discipline).  Detects the nonlinear
+# dependence the Pearson daily_corr misses.
+
+
+def q_distance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.floor(
+            F.sum("v") * F.lit(100.0) / F.count(F.lit(1)) + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    r = daily.select(
+        "event_type",
+        F.col("day").alias("day_r"),
+        F.col("x").alias("x_r"),
+        F.col("y").alias("y_r"),
+    )
+    pairs = daily.join(r, "event_type").select(
+        "event_type",
+        "day",
+        "day_r",
+        F.abs(F.col("x") - F.col("x_r")).alias("a"),
+        F.abs(F.col("y") - F.col("y_r")).alias("b"),
+    )
+    rows = pairs.groupBy("event_type", "day").agg(
+        F.sum("a").alias("ra"),
+        F.sum("b").alias("rb"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    tot = rows.groupBy("event_type").agg(
+        F.sum("ra").alias("sa"),
+        F.sum("rb").alias("sb"),
+        F.max("n").alias("n"),
+    )
+    rj = rows.select(
+        "event_type",
+        F.col("day").alias("day_r"),
+        F.col("ra").alias("ra_r"),
+        F.col("rb").alias("rb_r"),
+    )
+    cent = (
+        pairs.join(rows.select("event_type", "day", "ra", "rb"),
+                   ["event_type", "day"])
+        .join(rj, ["event_type", "day_r"])
+        .join(F.broadcast(tot), "event_type")
+    )
+    nd = F.col("n").cast("double")
+    A = (
+        F.col("a")
+        - F.col("ra") / nd
+        - F.col("ra_r") / nd
+        + F.col("sa") / (nd * nd)
+    )
+    B = (
+        F.col("b")
+        - F.col("rb") / nd
+        - F.col("rb_r") / nd
+        + F.col("sb") / (nd * nd)
+    )
+    fl = cent.select(
+        "event_type",
+        F.col("n"),
+        F.floor(A * B * 10_000 + F.lit(_OFF)).cast("long").alias("ab4"),
+        F.floor(A * A * 10_000 + F.lit(_OFF)).cast("long").alias("aa4"),
+        F.floor(B * B * 10_000 + F.lit(_OFF)).cast("long").alias("bb4"),
+    )
+    agg = fl.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum("ab4").alias("vxy4"),
+        F.sum("aa4").alias("vxx4"),
+        F.sum("bb4").alias("vyy4"),
+    )
+    dcor = F.sqrt(
+        F.col("vxy4").cast("double")
+        / F.sqrt(
+            F.col("vxx4").cast("double") * F.col("vyy4").cast("double")
+        )
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("vxy4").cast("long").alias("vxy_e4"),
+        F.col("vxx4").cast("long").alias("vxx_e4"),
+        F.col("vyy4").cast("long").alias("vyy_e4"),
+        F.when(F.col("vxy4") > 0,
+               F.floor(dcor * 1_000_000 + F.lit(_OFF)).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("dcor_e6"),
+    ).orderBy("event_type")
+
+
+SQL_DCOR = f"""
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), daily AS (
+  SELECT event_type, day,
+         CAST(floor(CAST(sum(v) AS BIGINT) * 100.0 / count(*) + {_OFF})
+              AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM ev GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type, a.day, b.day AS day_r,
+         abs(a.x - b.x) AS a, abs(a.y - b.y) AS b
+  FROM daily a JOIN daily b ON b.event_type = a.event_type
+), rows_ AS (
+  SELECT event_type, day,
+         CAST(sum(a) AS BIGINT) AS ra,
+         CAST(sum(b) AS BIGINT) AS rb,
+         count(*) AS n
+  FROM pairs GROUP BY 1, 2
+), tot AS (
+  SELECT event_type,
+         CAST(sum(ra) AS BIGINT) AS sa,
+         CAST(sum(rb) AS BIGINT) AS sb,
+         CAST(max(n) AS BIGINT) AS n
+  FROM rows_ GROUP BY 1
+), cent AS (
+  SELECT p.event_type,
+         t.n,
+         CAST(floor((p.a - r1.ra / CAST(t.n AS DOUBLE)
+                     - r2.ra / CAST(t.n AS DOUBLE)
+                     + t.sa / (CAST(t.n AS DOUBLE) * t.n))
+                    * (p.b - r1.rb / CAST(t.n AS DOUBLE)
+                       - r2.rb / CAST(t.n AS DOUBLE)
+                       + t.sb / (CAST(t.n AS DOUBLE) * t.n))
+                    * 10000 + {_OFF}) AS BIGINT) AS ab4,
+         CAST(floor(pow(p.a - r1.ra / CAST(t.n AS DOUBLE)
+                        - r2.ra / CAST(t.n AS DOUBLE)
+                        + t.sa / (CAST(t.n AS DOUBLE) * t.n), 2)
+                    * 10000 + {_OFF}) AS BIGINT) AS aa4,
+         CAST(floor(pow(p.b - r1.rb / CAST(t.n AS DOUBLE)
+                        - r2.rb / CAST(t.n AS DOUBLE)
+                        + t.sb / (CAST(t.n AS DOUBLE) * t.n), 2)
+                    * 10000 + {_OFF}) AS BIGINT) AS bb4
+  FROM pairs p
+  JOIN rows_ r1 ON r1.event_type = p.event_type AND r1.day = p.day
+  JOIN rows_ r2 ON r2.event_type = p.event_type AND r2.day = p.day_r
+  JOIN tot t ON t.event_type = p.event_type
+), agg AS (
+  SELECT event_type, max(n) AS n,
+         CAST(sum(ab4) AS BIGINT) AS vxy4,
+         CAST(sum(aa4) AS BIGINT) AS vxx4,
+         CAST(sum(bb4) AS BIGINT) AS vyy4
+  FROM cent GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       vxy4 AS vxy_e4,
+       vxx4 AS vxx_e4,
+       vyy4 AS vyy_e4,
+       CASE WHEN vxy4 > 0
+            THEN CAST(floor(sqrt(CAST(vxy4 AS DOUBLE)
+                                 / sqrt(CAST(vxx4 AS DOUBLE) * vyy4))
+                            * 1000000 + {_OFF}) AS BIGINT)
+            ELSE 0 END AS dcor_e6
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# cressie_read — power-divergence family over the type x diel table
+# ---------------------------------------------------------------------------
+# Cressie & Read (JRSS B 1984): PD(lambda) = 2/(lambda(lambda+1)) *
+# sum O [(O/E)^lambda - 1] unifies Pearson X^2 (lambda=1), the G test
+# (lambda -> 0 limit, 2 sum O ln(O/E)) and the recommended
+# lambda = 2/3 statistic.  E = row*col/n; each cell's contribution is
+# e6-floored before the sums so both engines aggregate exact integers.
+
+
+def q_cressie_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("x"),
+        F.floor(F.hour("ts") / 6).cast("long").alias("y"),
+    )
+    cell = ev.groupBy("x", "y").agg(F.count(F.lit(1)).alias("o"))
+    rowm = cell.groupBy("x").agg(F.sum("o").alias("ri"))
+    colm = cell.groupBy("y").agg(F.sum("o").alias("cj"))
+    tot = cell.agg(F.sum("o").alias("n"))
+    t = (
+        cell.join(rowm, "x")
+        .join(colm, "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("ri").cast("double") * F.col("cj") / F.col("n")
+    od = F.col("o").cast("double")
+    ratio = od / e
+    pd1 = od * (ratio - 1.0)  # lambda = 1: 2/(1*2) * sum O(O/E - 1)
+    pdg = od * F.log(ratio)  # lambda -> 0: 2 sum O ln(O/E)
+    pd23 = od * (F.pow(ratio, 2.0 / 3.0) - 1.0)
+    fl = t.select(
+        F.floor(pd1 * 1_000_000 + F.lit(_OFF)).cast("long").alias("p1"),
+        F.floor(pdg * 1_000_000 + F.lit(_OFF)).cast("long").alias("pg"),
+        F.floor(pd23 * 1_000_000 + F.lit(_OFF)).cast("long").alias("p23"),
+    )
+    agg = fl.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("p1").alias("s1"),
+        F.sum("pg").alias("sg"),
+        F.sum("p23").alias("s23"),
+    )
+    return agg.select(
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.floor(F.col("s1") * 2.0 / 2.0 / 1e6 * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("pearson_e4"),
+        F.floor(F.col("sg") * 2.0 / 1e6 * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("g_e4"),
+        F.floor(
+            F.col("s23") * 2.0 / (2.0 / 3.0 * 5.0 / 3.0) / 1e6 * 10_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("cr23_e4"),
+    )
+
+
+SQL_CRESSIE = f"""
+WITH ev AS (
+  SELECT event_type AS x,
+         CAST(floor(hour(ts) / 6) AS BIGINT) AS y
+  FROM events
+), cell AS (
+  SELECT x, y, count(*) AS o FROM ev GROUP BY 1, 2
+), rowm AS (
+  SELECT x, CAST(sum(o) AS BIGINT) AS ri FROM cell GROUP BY 1
+), colm AS (
+  SELECT y, CAST(sum(o) AS BIGINT) AS cj FROM cell GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n FROM cell
+), fl AS (
+  SELECT
+    CAST(floor(o * (CAST(o AS DOUBLE)
+                    / (CAST(r.ri AS DOUBLE) * c.cj / t.n) - 1.0)
+               * 1000000 + {_OFF}) AS BIGINT) AS p1,
+    CAST(floor(o * ln(CAST(o AS DOUBLE)
+                      / (CAST(r.ri AS DOUBLE) * c.cj / t.n))
+               * 1000000 + {_OFF}) AS BIGINT) AS pg,
+    CAST(floor(o * (pow(CAST(o AS DOUBLE)
+                        / (CAST(r.ri AS DOUBLE) * c.cj / t.n),
+                        2.0 / 3.0) - 1.0)
+               * 1000000 + {_OFF}) AS BIGINT) AS p23
+  FROM cell JOIN rowm r ON r.x = cell.x
+            JOIN colm c ON c.y = cell.y
+            CROSS JOIN tot t
+), agg AS (
+  SELECT count(*) AS n_cells,
+         CAST(sum(p1) AS BIGINT) AS s1,
+         CAST(sum(pg) AS BIGINT) AS sg,
+         CAST(sum(p23) AS BIGINT) AS s23
+  FROM fl
+)
+SELECT CAST(n_cells AS BIGINT) AS n_cells,
+       CAST(floor(s1 * 2.0 / 2.0 / 1e6 * 10000 + {_OFF}) AS BIGINT)
+         AS pearson_e4,
+       CAST(floor(sg * 2.0 / 1e6 * 10000 + {_OFF}) AS BIGINT) AS g_e4,
+       CAST(floor(s23 * 2.0 / (2.0 / 3.0 * 5.0 / 3.0) / 1e6 * 10000
+                  + {_OFF}) AS BIGINT) AS cr23_e4
+FROM agg
+"""
+
+
+QUERIES.update(
+    {
+        "damerau_levenshtein_dedup": q_damerau_levenshtein_dedup,
+        "hoeffding_d": q_hoeffding_d,
+        "distance_correlation": q_distance_correlation,
+        "cressie_read": q_cressie_read,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "damerau_levenshtein_dedup": SQL_DAMERAU,
+        "hoeffding_d": SQL_HOEFFDING,
+        "distance_correlation": SQL_DCOR,
+        "cressie_read": SQL_CRESSIE,
+    }
+)
