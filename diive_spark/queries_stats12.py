@@ -2831,3 +2831,441 @@ ORACLE_SQL.update(
         "cressie_read": SQL_CRESSIE,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# cucconi_test — Cucconi's joint location-scale rank test (1968)
+# ---------------------------------------------------------------------------
+# Older than Lepage and needs no combination of two separate tests:
+# U standardizes the sum of squared ranks of sample 1, V the sum of
+# squared CONTRARY ranks (N+1-R), and C = (U^2 + V^2 - 2*rho*U*V) /
+# (2(1-rho^2)) with rho = 2(N^2-4)/((2N+1)(8N+11)) - 1.  Doubled
+# midranks keep both squared-rank sums exact BIGINTs (R^2 = r2^2/4).
+
+
+def q_cucconi_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.dayofweek("ts").isin(1, 7).cast("int").alias("g1"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    wlt = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    wle = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("event_type")
+    t = ev.withColumn(
+        "r2",
+        F.count(F.lit(1)).over(wlt) + F.count(F.lit(1)).over(wle) + 1,
+    ).withColumn("N", F.count(F.lit(1)).over(wn))
+    t = t.withColumn("c2", 2 * (F.col("N") + 1) - F.col("r2"))
+    agg = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("N"),
+        F.sum("g1").alias("m"),
+        F.sum(F.col("g1") * F.col("r2") * F.col("r2")).alias("sr2q"),
+        F.sum(F.col("g1") * F.col("c2") * F.col("c2")).alias("sc2q"),
+    )
+    Nd = F.col("N").cast("double")
+    md = F.col("m").cast("double")
+    nd = (F.col("N") - F.col("m")).cast("double")
+    denom = F.sqrt(
+        md * nd * (Nd + 1.0) * (2.0 * Nd + 1.0) * (8.0 * Nd + 11.0) / 5.0
+    )
+    u = (
+        6.0 * F.col("sr2q").cast("double") / 4.0
+        - md * (Nd + 1.0) * (2.0 * Nd + 1.0)
+    ) / denom
+    v = (
+        6.0 * F.col("sc2q").cast("double") / 4.0
+        - md * (Nd + 1.0) * (2.0 * Nd + 1.0)
+    ) / denom
+    rho = 2.0 * (Nd * Nd - 4.0) / ((2.0 * Nd + 1.0) * (8.0 * Nd + 11.0)) - 1.0
+    c = (u * u + v * v - 2.0 * rho * u * v) / (2.0 * (1.0 - rho * rho))
+    out = agg.select(
+        "event_type",
+        F.col("m").cast("long").alias("m_weekend"),
+        (F.col("N") - F.col("m")).cast("long").alias("n_weekday"),
+        F.floor(u * 1_000_000 + F.lit(_OFF)).cast("long").alias("u_e6"),
+        F.floor(v * 1_000_000 + F.lit(_OFF)).cast("long").alias("v_e6"),
+        F.floor(c * 1_000_000 + F.lit(_OFF)).cast("long").alias("c_e6"),
+    )
+    return out.orderBy("event_type")
+
+
+SQL_CUCCONI = f"""
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS g1,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), t AS (
+  SELECT event_type, g1,
+         count(*) OVER (PARTITION BY event_type ORDER BY v
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         + count(*) OVER (PARTITION BY event_type ORDER BY v
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         + 1 AS r2,
+         count(*) OVER (PARTITION BY event_type) AS N
+  FROM ev
+), agg AS (
+  SELECT event_type, count(*) AS N,
+         CAST(sum(g1) AS BIGINT) AS m,
+         CAST(sum(g1 * r2 * r2) AS BIGINT) AS sr2q,
+         CAST(sum(g1 * (2 * (N + 1) - r2) * (2 * (N + 1) - r2))
+              AS BIGINT) AS sc2q
+  FROM t GROUP BY 1
+), uv AS (
+  SELECT event_type, m, N,
+         (6.0 * sr2q / 4.0 - CAST(m AS DOUBLE) * (N + 1.0) * (2.0 * N + 1.0))
+           / sqrt(CAST(m AS DOUBLE) * (N - m) * (N + 1.0) * (2.0 * N + 1.0)
+                  * (8.0 * N + 11.0) / 5.0) AS u,
+         (6.0 * sc2q / 4.0 - CAST(m AS DOUBLE) * (N + 1.0) * (2.0 * N + 1.0))
+           / sqrt(CAST(m AS DOUBLE) * (N - m) * (N + 1.0) * (2.0 * N + 1.0)
+                  * (8.0 * N + 11.0) / 5.0) AS v,
+         2.0 * (CAST(N AS DOUBLE) * N - 4.0)
+           / ((2.0 * N + 1.0) * (8.0 * N + 11.0)) - 1.0 AS rho
+  FROM agg
+)
+SELECT event_type,
+       m AS m_weekend,
+       CAST(N - m AS BIGINT) AS n_weekday,
+       CAST(floor(u * 1000000 + {_OFF}) AS BIGINT) AS u_e6,
+       CAST(floor(v * 1000000 + {_OFF}) AS BIGINT) AS v_e6,
+       CAST(floor((u * u + v * v - 2.0 * rho * u * v)
+                  / (2.0 * (1.0 - rho * rho)) * 1000000 + {_OFF})
+            AS BIGINT) AS c_e6
+FROM uv
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# wald_wolfowitz_2s — two-sample runs test on the merged ordering
+# ---------------------------------------------------------------------------
+# Wald & Wolfowitz (Ann. Math. Stat. 1940): merge both samples sorted
+# by value, count runs of the group label; too FEW runs rejects
+# identical distributions.  Tie order within equal centi-values is
+# fixed by event_id — deterministic in both engines (documented; the
+# test classically assumes continuity).  R, m, n exact integers;
+# E[R] = 2mn/N + 1, Var = 2mn(2mn-N)/(N^2 (N-1)).
+
+
+def q_wald_wolfowitz_2s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "event_id",
+        F.dayofweek("ts").isin(1, 7).cast("int").alias("g1"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("v", "event_id")
+    t = ev.withColumn("prev", F.lag("g1").over(wo)).withColumn(
+        "chg",
+        F.when(
+            F.col("prev").isNull() | (F.col("prev") != F.col("g1")), 1
+        ).otherwise(0),
+    )
+    agg = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("N"),
+        F.sum("g1").alias("m"),
+        F.sum("chg").alias("runs"),
+    )
+    Nd = F.col("N").cast("double")
+    md = F.col("m").cast("double")
+    nd = (F.col("N") - F.col("m")).cast("double")
+    e = 2.0 * md * nd / Nd + 1.0
+    var = (
+        2.0
+        * md
+        * nd
+        * (2.0 * md * nd - Nd)
+        / (Nd * Nd * (Nd - 1.0))
+    )
+    return agg.select(
+        "event_type",
+        F.col("m").cast("long").alias("m_weekend"),
+        (F.col("N") - F.col("m")).cast("long").alias("n_weekday"),
+        F.col("runs").cast("long").alias("runs"),
+        F.floor((F.col("runs") - e) / F.sqrt(var) * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("z_e6"),
+    ).orderBy("event_type")
+
+
+SQL_WW2S = f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS g1,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), t AS (
+  SELECT event_type, g1,
+         lag(g1) OVER (PARTITION BY event_type ORDER BY v, event_id)
+           AS prev
+  FROM ev
+), agg AS (
+  SELECT event_type, count(*) AS N,
+         CAST(sum(g1) AS BIGINT) AS m,
+         CAST(sum(CASE WHEN prev IS NULL OR prev <> g1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS runs
+  FROM t GROUP BY 1
+)
+SELECT event_type,
+       m AS m_weekend,
+       CAST(N - m AS BIGINT) AS n_weekday,
+       runs,
+       CAST(floor((runs - (2.0 * m * (N - m) / N + 1.0))
+                  / sqrt(2.0 * m * (N - m)
+                         * (2.0 * CAST(m AS DOUBLE) * (N - m) - N)
+                         / (CAST(N AS DOUBLE) * N * (N - 1.0)))
+                  * 1000000 + {_OFF}) AS BIGINT) AS z_e6
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# oaxaca_blinder — two-fold decomposition of the purchase-click gap
+# ---------------------------------------------------------------------------
+# Oaxaca (1973) / Blinder (1973) with a categorical regressor (the
+# 6-hour diel bucket): gap = mean_A - mean_B splits into the
+# composition (explained) part sum_h (w_Ah - w_Bh) m_Bh and the
+# structure (unexplained) part sum_h w_Ah (m_Ah - m_Bh), B-weighted
+# reference.  Group means per bucket are ratios of exact integer
+# sums; each bucket's contribution is e6-floored before summing.
+
+
+def q_oaxaca_blinder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            (F.col("event_type") == "purchase").cast("int").alias("a"),
+            F.floor(F.hour("ts") / 6).cast("long").alias("h"),
+            F.floor(F.col("value") * 100 + F.lit(_OFF))
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    cell = ev.groupBy("a", "h").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    )
+    grp = cell.groupBy("a").agg(
+        F.sum("n").alias("ng"), F.sum("sv").alias("svg")
+    )
+    wide = (
+        cell.join(grp, "a")
+        .select(
+            "h",
+            F.when(F.col("a") == 1, F.col("n")).otherwise(0).alias("na"),
+            F.when(F.col("a") == 0, F.col("n")).otherwise(0).alias("nb"),
+            F.when(F.col("a") == 1, F.col("sv")).otherwise(0).alias("sva"),
+            F.when(F.col("a") == 0, F.col("sv")).otherwise(0).alias("svb"),
+            F.when(F.col("a") == 1, F.col("ng")).otherwise(0).alias("nga"),
+            F.when(F.col("a") == 0, F.col("ng")).otherwise(0).alias("ngb"),
+        )
+        .groupBy("h")
+        .agg(
+            F.sum("na").alias("na"),
+            F.sum("nb").alias("nb"),
+            F.sum("sva").alias("sva"),
+            F.sum("svb").alias("svb"),
+            F.max("nga").alias("nga"),
+            F.max("ngb").alias("ngb"),
+        )
+    )
+    wa = F.col("na").cast("double") / F.col("nga")
+    wb = F.col("nb").cast("double") / F.col("ngb")
+    ma = F.col("sva").cast("double") / F.col("na")
+    mb = F.col("svb").cast("double") / F.col("nb")
+    fl = wide.select(
+        F.floor((wa - wb) * mb * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("exp6"),
+        F.floor(wa * (ma - mb) * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("unexp6"),
+    )
+    parts = fl.agg(
+        F.sum("exp6").alias("se6"), F.sum("unexp6").alias("su6")
+    )
+    gap = grp.select(
+        F.when(F.col("a") == 1,
+               F.col("svg").cast("double") / F.col("ng"))
+        .otherwise(-F.col("svg").cast("double") / F.col("ng"))
+        .alias("signed_mean")
+    ).agg(F.sum(
+        F.floor(F.col("signed_mean") * 1_000_000 + F.lit(_OFF)).cast(
+            "long"
+        )
+    ).alias("gap6"))
+    out = parts.crossJoin(F.broadcast(gap))
+    return out.select(
+        F.col("gap6").cast("long").alias("gap_centi_e6"),
+        F.col("se6").cast("long").alias("explained_centi_e6"),
+        F.col("su6").cast("long").alias("unexplained_centi_e6"),
+    )
+
+
+SQL_OAXACA = f"""
+WITH ev AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+         CAST(floor(hour(ts) / 6) AS BIGINT) AS h,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('purchase', 'click')
+), cell AS (
+  SELECT a, h, count(*) AS n, CAST(sum(v) AS BIGINT) AS sv
+  FROM ev GROUP BY 1, 2
+), grp AS (
+  SELECT a, CAST(sum(n) AS BIGINT) AS ng,
+         CAST(sum(sv) AS BIGINT) AS svg
+  FROM cell GROUP BY 1
+), wide AS (
+  SELECT h,
+         CAST(sum(CASE WHEN a = 1 THEN n ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN a = 0 THEN n ELSE 0 END) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN a = 1 THEN sv ELSE 0 END) AS BIGINT) AS sva,
+         CAST(sum(CASE WHEN a = 0 THEN sv ELSE 0 END) AS BIGINT) AS svb,
+         CAST(max(CASE WHEN a = 1 THEN ng ELSE 0 END) AS BIGINT) AS nga,
+         CAST(max(CASE WHEN a = 0 THEN ng ELSE 0 END) AS BIGINT) AS ngb
+  FROM cell JOIN grp USING (a) GROUP BY 1
+), fl AS (
+  SELECT
+    CAST(floor((CAST(na AS DOUBLE) / nga - CAST(nb AS DOUBLE) / ngb)
+               * (CAST(svb AS DOUBLE) / nb) * 1000000 + {_OFF})
+         AS BIGINT) AS exp6,
+    CAST(floor(CAST(na AS DOUBLE) / nga
+               * (CAST(sva AS DOUBLE) / na - CAST(svb AS DOUBLE) / nb)
+               * 1000000 + {_OFF}) AS BIGINT) AS unexp6
+  FROM wide
+), parts AS (
+  SELECT CAST(sum(exp6) AS BIGINT) AS se6,
+         CAST(sum(unexp6) AS BIGINT) AS su6
+  FROM fl
+), gap AS (
+  SELECT CAST(sum(CAST(floor((CASE WHEN a = 1 THEN 1.0 ELSE -1.0 END)
+                             * svg / ng * 1000000 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS gap6
+  FROM grp
+)
+SELECT gap6 AS gap_centi_e6,
+       se6 AS explained_centi_e6,
+       su6 AS unexplained_centi_e6
+FROM parts CROSS JOIN gap
+"""
+
+
+# ---------------------------------------------------------------------------
+# duncan_dissimilarity — segregation of languages across sources
+# ---------------------------------------------------------------------------
+# Duncan & Duncan (ASR 1955) dissimilarity D_l = 1/2 sum_s
+# |n_sl/N_l - (n_s - n_sl)/(N - N_l)| (share of either group that
+# would have to move sources to equalize), plus the isolation index
+# P*_ll = sum_s (n_sl/N_l)(n_sl/n_s).  Per-source terms are e6-floored
+# before the sums; every input is an exact count.
+
+
+def q_duncan_dissimilarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", "lang"
+    )
+    cell = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("nsl")
+    )
+    src = cell.groupBy("source").agg(F.sum("nsl").alias("ns"))
+    lng = cell.groupBy("lang").agg(F.sum("nsl").alias("nl"))
+    tot = cell.agg(F.sum("nsl").alias("n"))
+    # complete lang x source grid (zero cells matter for D)
+    grid = src.crossJoin(lng).join(
+        cell, ["source", "lang"], "left"
+    ).withColumn("nsl", F.coalesce(F.col("nsl"), F.lit(0)))
+    t = grid.crossJoin(F.broadcast(tot))
+    term_d = F.abs(
+        F.col("nsl").cast("double") / F.col("nl")
+        - (F.col("ns") - F.col("nsl")).cast("double")
+        / (F.col("n") - F.col("nl"))
+    )
+    term_p = (
+        F.col("nsl").cast("double")
+        / F.col("nl")
+        * F.col("nsl")
+        / F.col("ns")
+    )
+    fl = t.select(
+        "lang",
+        F.col("nl"),
+        F.floor(term_d * 1_000_000 + F.lit(_OFF)).cast("long").alias("d6"),
+        F.floor(term_p * 1_000_000 + F.lit(_OFF)).cast("long").alias("p6"),
+    )
+    agg = fl.groupBy("lang").agg(
+        F.max("nl").alias("n_docs"),
+        F.sum("d6").alias("sd6"),
+        F.sum("p6").alias("sp6"),
+    )
+    return agg.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.floor(F.col("sd6") / 2.0 + F.lit(_OFF))
+        .cast("long")
+        .alias("duncan_d_e6"),
+        F.col("sp6").cast("long").alias("isolation_e6"),
+    ).orderBy("lang")
+
+
+SQL_DUNCAN = f"""
+WITH cell AS (
+  SELECT source, lang, count(*) AS nsl
+  FROM documents GROUP BY 1, 2
+), src AS (
+  SELECT source, CAST(sum(nsl) AS BIGINT) AS ns FROM cell GROUP BY 1
+), lng AS (
+  SELECT lang, CAST(sum(nsl) AS BIGINT) AS nl FROM cell GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(nsl) AS BIGINT) AS n FROM cell
+), grid AS (
+  SELECT s.source, l.lang, s.ns, l.nl,
+         COALESCE(c.nsl, 0) AS nsl
+  FROM src s CROSS JOIN lng l
+  LEFT JOIN cell c ON c.source = s.source AND c.lang = l.lang
+), fl AS (
+  SELECT lang, nl,
+         CAST(floor(abs(CAST(nsl AS DOUBLE) / nl
+                        - CAST(ns - nsl AS DOUBLE) / (t.n - nl))
+                    * 1000000 + {_OFF}) AS BIGINT) AS d6,
+         CAST(floor(CAST(nsl AS DOUBLE) / nl * nsl / ns
+                    * 1000000 + {_OFF}) AS BIGINT) AS p6
+  FROM grid CROSS JOIN tot t
+)
+SELECT lang,
+       CAST(max(nl) AS BIGINT) AS n_docs,
+       CAST(floor(CAST(sum(d6) AS BIGINT) / 2.0 + {_OFF}) AS BIGINT)
+         AS duncan_d_e6,
+       CAST(sum(p6) AS BIGINT) AS isolation_e6
+FROM fl
+GROUP BY 1
+ORDER BY lang
+"""
+
+
+QUERIES.update(
+    {
+        "cucconi_test": q_cucconi_test,
+        "wald_wolfowitz_2s": q_wald_wolfowitz_2s,
+        "oaxaca_blinder": q_oaxaca_blinder,
+        "duncan_dissimilarity": q_duncan_dissimilarity,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "cucconi_test": SQL_CUCCONI,
+        "wald_wolfowitz_2s": SQL_WW2S,
+        "oaxaca_blinder": SQL_OAXACA,
+        "duncan_dissimilarity": SQL_DUNCAN,
+    }
+)
