@@ -846,6 +846,11 @@ from diive_spark import queries_stats12 as _qst12  # noqa: E402
 QUERIES.update(_qst12.QUERIES)
 ORACLE_SQL.update(_qst12.ORACLE_SQL)
 
+from diive_spark import queries_meteo2 as _qmet2  # noqa: E402
+
+QUERIES.update(_qmet2.QUERIES)
+ORACLE_SQL.update(_qmet2.ORACLE_SQL)
+
 # Driver-window ordering: the driver records correctness rows for exactly the
 # first 50 registry entries.  Round-4 rotation (VERDICT r3 #1/#2): the three
 # r03 hash-fails stay in the window so CORRECTNESS_r04 records the HUGEINT
