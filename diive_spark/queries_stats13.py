@@ -1,0 +1,714 @@
+"""Round-4 continuation registry (thirteenth battery): structural-break
+and specification econometrics — the Quandt sup-Chow likelihood-ratio
+scan (Quandt 1960; Andrews 1993 critical values), MOSUM residual
+stability (Bauer & Hackl 1978; Chu, Hornik & Kuan 1995), White's
+heteroskedasticity LM test (White 1980), and the Breusch-Godfrey
+serial-correlation LM test (Breusch 1978, Godfrey 1978) — none
+previously in the registry (chow_test is the single-known-break
+variant; breusch_pagan tests variance on the level regressor only).
+
+House oracle conventions: inputs floor-scaled to exact integers with
+the 1/pi offset BEFORE any cross-row aggregation; every DuckDB integer
+SUM wrapped in CAST(... AS BIGINT); closed forms evaluated as identical
+doubles from those exact integers in both engines; derived outputs
+floor-scaled, never round()ed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from diive_spark.queries_stats2 import _OFF
+
+
+def _rss(m: Column, sx: Column, sy: Column, sxx: Column, sxy: Column,
+         syy: Column) -> Column:
+    """Closed-form 1-regressor OLS residual sum of squares from exact
+    integer sums (evaluated in doubles; both engines bit-identical)."""
+    md = m.cast("double")
+    return (
+        syy.cast("double")
+        - sy.cast("double") * sy.cast("double") / md
+        - F.pow(
+            sxy.cast("double") - sx.cast("double") * sy.cast("double") / md, 2
+        )
+        / (sxx.cast("double") - sx.cast("double") * sx.cast("double") / md)
+    )
+
+
+def _rss_sql(m: str, sx: str, sy: str, sxx: str, sxy: str, syy: str) -> str:
+    return (
+        f"(CAST({syy} AS DOUBLE) "
+        f" - CAST({sy} AS DOUBLE) * CAST({sy} AS DOUBLE) / CAST({m} AS DOUBLE)"
+        f" - (CAST({sxy} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sy} AS DOUBLE)"
+        f"    / CAST({m} AS DOUBLE)) ^ 2"
+        f"   / (CAST({sxx} AS DOUBLE) - CAST({sx} AS DOUBLE) * CAST({sx} AS DOUBLE)"
+        f"      / CAST({m} AS DOUBLE)))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# qlr_supchow — Quandt likelihood ratio / sup-F over unknown breakpoints
+# ---------------------------------------------------------------------------
+# Per event_type, rows in arrival order carry y = centi-value and
+# x = row index.  For every candidate break k in the middle 70%
+# (Andrews' 15% trimming), the two-segment RSS comes from CUMULATIVE
+# integer sums (prefix Sy/Sxy/Syy via a running window; Sx(k), Sxx(k)
+# are the closed forms k(k+1)/2 and k(k+1)(2k+1)/6 since x IS the
+# index); segment 2 = totals - prefix (RSS is shift-invariant in x, so
+# no re-basing).  F(k) = ((RSSf - RSS1 - RSS2)/2) / ((RSS1 + RSS2)/
+# (n - 4)); the sup and its argmin-k tie-break compare identical
+# doubles in both engines.  One per-key ordered window + one combinable
+# max_by — no cross-key shuffle beyond the groupBy.
+
+
+def q_qlr_supchow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("y"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    idx = ev.withColumn("k", F.row_number().over(wo))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("event_type")
+    t = (
+        idx.withColumn("cy", F.sum("y").over(wc))
+        .withColumn("cxy", F.sum(F.col("y") * F.col("k")).over(wc))
+        .withColumn("cyy", F.sum(F.col("y") * F.col("y")).over(wc))
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+        .withColumn("ty", F.sum("y").over(wp))
+        .withColumn("txy", F.sum(F.col("y") * F.col("k")).over(wp))
+        .withColumn("tyy", F.sum(F.col("y") * F.col("y")).over(wp))
+    )
+    n = F.col("n")
+    k = F.col("k").cast("long")  # row_number is int32; k^3-scale products
+    cand = t.filter(
+        (k >= F.ceil(n * F.lit(0.15))) & (k <= F.floor(n * F.lit(0.85)))
+        & (k >= 3) & (n - k >= 3)
+    )
+    sx1 = k * (k + 1) / 2
+    sxx1 = k * (k + 1) * (2 * k + 1) / 6
+    sxn = n * (n + 1) / 2
+    sxxn = n * (n + 1) * (2 * n + 1) / 6
+    rss1 = _rss(k, sx1, F.col("cy"), sxx1, F.col("cxy"), F.col("cyy"))
+    rss2 = _rss(
+        n - k, sxn - sx1, F.col("ty") - F.col("cy"), sxxn - sxx1,
+        F.col("txy") - F.col("cxy"), F.col("tyy") - F.col("cyy"),
+    )
+    rssf = _rss(n, sxn, F.col("ty"), sxxn, F.col("txy"), F.col("tyy"))
+    fstat = ((rssf - rss1 - rss2) / F.lit(2.0)) / (
+        (rss1 + rss2) / (n - 4).cast("double")
+    )
+    scored = cand.select("event_type", "n", "k", fstat.alias("f"))
+    best = scored.groupBy("event_type").agg(
+        F.max_by(
+            F.struct(F.col("k"), F.col("f"), F.col("n")),
+            F.struct(F.col("f"), -F.col("k")),
+        ).alias("b")
+    )
+    return best.select(
+        "event_type",
+        F.col("b.n").cast("long").alias("n"),
+        F.col("b.k").cast("long").alias("k_break"),
+        F.floor(F.col("b.f") * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "sup_f_e4"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_QLR = f"""
+WITH ev AS (
+  SELECT event_type, event_id, ts,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS y
+  FROM events
+), idx AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS k
+  FROM ev
+), t AS (
+  SELECT event_type, y, k,
+         CAST(sum(y) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cy,
+         CAST(sum(y * k)
+              OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cxy,
+         CAST(sum(y * y) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND
+                               CURRENT ROW) AS BIGINT) AS cyy,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT) AS ty,
+         CAST(sum(y * k) OVER (PARTITION BY event_type) AS BIGINT) AS txy,
+         CAST(sum(y * y) OVER (PARTITION BY event_type) AS BIGINT) AS tyy
+  FROM idx
+  WINDOW w AS (PARTITION BY event_type ORDER BY k)
+), cand AS (
+  SELECT *,
+         k * (k + 1) / 2 AS sx1,
+         k * (k + 1) * (2 * k + 1) / 6 AS sxx1,
+         n * (n + 1) / 2 AS sxn,
+         n * (n + 1) * (2 * n + 1) / 6 AS sxxn
+  FROM t
+  WHERE k >= ceil(n * 0.15) AND k <= floor(n * 0.85)
+    AND k >= 3 AND n - k >= 3
+), scored AS (
+  SELECT event_type, n, k,
+         (({_rss_sql('n', 'sxn', 'ty', 'sxxn', 'txy', 'tyy')}
+           - {_rss_sql('k', 'sx1', 'cy', 'sxx1', 'cxy', 'cyy')}
+           - {_rss_sql('(n - k)', '(sxn - sx1)', '(ty - cy)', '(sxxn - sxx1)',
+                       '(txy - cxy)', '(tyy - cyy)')}) / 2.0)
+         / (({_rss_sql('k', 'sx1', 'cy', 'sxx1', 'cxy', 'cyy')}
+             + {_rss_sql('(n - k)', '(sxn - sx1)', '(ty - cy)',
+                         '(sxxn - sxx1)', '(txy - cxy)', '(tyy - cyy)')})
+            / CAST(n - 4 AS DOUBLE)) AS f
+  FROM cand
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY f DESC, k) AS rk
+  FROM scored
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(k AS BIGINT) AS k_break,
+       CAST(floor(f * 10000 + {_OFF}) AS BIGINT) AS sup_f_e4
+FROM ranked
+WHERE rk = 1
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# mosum_stability — moving sums of recursive-free OLS residuals
+# ---------------------------------------------------------------------------
+# Per event_type, stage 1 fits y = a + b*index by closed-form OLS from
+# exact integer sums; per-row residuals (identical doubles in both
+# engines) are floor-scaled back to centi integers so the h = n/10
+# moving window sum is EXACT in both engines (DuckDB's segment-tree
+# sliding aggregation vs Spark's running frame would otherwise
+# re-associate double additions).  Statistic: max_k |sum of h
+# residuals| / (sigma_hat * sqrt(h)) with sigma_hat^2 = RSS/(n-2).
+
+
+def q_mosum_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("y"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wp = Window.partitionBy("event_type")
+    idx = ev.withColumn("x", F.row_number().over(wo))
+    t = (
+        idx.withColumn("n", F.count(F.lit(1)).over(wp))
+        .withColumn("sy", F.sum("y").over(wp))
+        .withColumn("sxy", F.sum(F.col("y") * F.col("x")).over(wp))
+        .withColumn("syy", F.sum(F.col("y") * F.col("y")).over(wp))
+    )
+    n = F.col("n")
+    sx = n * (n + 1) / 2
+    sxx = n * (n + 1) * (2 * n + 1) / 6
+    den = n.cast("double") * F.col("sxx_c") - F.col("sx_c") * F.col("sx_c")
+    t = t.withColumn("sx_c", sx.cast("double")).withColumn(
+        "sxx_c", sxx.cast("double")
+    )
+    b = (
+        n.cast("double") * F.col("sxy").cast("double")
+        - F.col("sx_c") * F.col("sy").cast("double")
+    ) / den
+    a = (F.col("sy").cast("double") - b * F.col("sx_c")) / n.cast("double")
+    resid = F.col("y").cast("double") - a - b * F.col("x").cast("double")
+    t = t.withColumn("r", F.floor(resid + F.lit(_OFF)).cast("long")).withColumn(
+        "h", F.floor(n / 10).cast("long")
+    )
+    rssf = _rss(n, sx, F.col("sy"), sxx, F.col("sxy"), F.col("syy"))
+    t = t.withColumn("sigma2", rssf / (n - 2).cast("double"))
+    # h varies per key, so the exact trailing-h integer sum is the
+    # cum-sum difference cr_k - cr_{k-h} via a per-key equi self-join
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = t.withColumn("cr", F.sum("r").over(wc))
+    left = t.select(
+        "event_type", "x", "n", "h", "cr", "sigma2"
+    )
+    right = t.select(
+        F.col("event_type").alias("event_type_r"),
+        F.col("x").alias("x_r"),
+        F.col("cr").alias("cr_r"),
+    )
+    m = (
+        left.filter(F.col("x") >= F.col("h"))
+        .join(
+            right,
+            (F.col("event_type") == F.col("event_type_r"))
+            & (F.col("x_r") == F.col("x") - F.col("h")),
+            "left",
+        )
+        .withColumn("msum", F.col("cr") - F.coalesce(F.col("cr_r"), F.lit(0)))
+    )
+    stat = F.abs(F.col("msum")).cast("double") / F.sqrt(
+        F.col("sigma2") * F.col("h").cast("double")
+    )
+    scored = m.select("event_type", "n", "h", "x", stat.alias("s"))
+    best = scored.groupBy("event_type").agg(
+        F.max_by(
+            F.struct(F.col("x"), F.col("s"), F.col("n"), F.col("h")),
+            F.struct(F.col("s"), -F.col("x")),
+        ).alias("b")
+    )
+    return best.select(
+        "event_type",
+        F.col("b.n").cast("long").alias("n"),
+        F.col("b.h").cast("long").alias("h"),
+        F.col("b.x").cast("long").alias("k_end"),
+        F.floor(F.col("b.s") * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "mosum_max_e6"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_MOSUM = f"""
+WITH ev AS (
+  SELECT event_type, event_id, ts,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS y
+  FROM events
+), idx AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS x
+  FROM ev
+), t AS (
+  SELECT event_type, y, x,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT) AS sy,
+         CAST(sum(y * x) OVER (PARTITION BY event_type) AS BIGINT) AS sxy,
+         CAST(sum(y * y) OVER (PARTITION BY event_type) AS BIGINT) AS syy
+  FROM idx
+), fit AS (
+  SELECT *,
+         CAST(n * (n + 1) / 2 AS DOUBLE) AS sx_c,
+         CAST(n * (n + 1) * (2 * n + 1) / 6 AS DOUBLE) AS sxx_c,
+         floor(n / 10) AS h
+  FROM t
+), r AS (
+  SELECT event_type, x, n, h,
+         CAST(floor(CAST(y AS DOUBLE)
+               - (CAST(sy AS DOUBLE)
+                  - (n * CAST(sxy AS DOUBLE) - sx_c * CAST(sy AS DOUBLE))
+                    / (n * sxx_c - sx_c * sx_c) * sx_c) / n
+               - (n * CAST(sxy AS DOUBLE) - sx_c * CAST(sy AS DOUBLE))
+                 / (n * sxx_c - sx_c * sx_c) * x
+               + {_OFF}) AS BIGINT) AS res,
+         ({_rss_sql('n', 'sx_c', 'sy', 'sxx_c', 'sxy', 'syy')})
+           / CAST(n - 2 AS DOUBLE) AS sigma2
+  FROM fit
+), c AS (
+  SELECT event_type, x, n, h, sigma2,
+         CAST(sum(res) OVER (PARTITION BY event_type ORDER BY x
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cr
+  FROM r
+), m AS (
+  SELECT a.event_type, a.x, a.n, a.h, a.sigma2,
+         a.cr - COALESCE(b.cr, 0) AS msum
+  FROM c a LEFT JOIN c b
+    ON b.event_type = a.event_type AND b.x = a.x - a.h
+  WHERE a.x >= a.h
+), scored AS (
+  SELECT event_type, n, h, x,
+         CAST(abs(msum) AS DOUBLE) / sqrt(sigma2 * h) AS s
+  FROM m
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY s DESC, x) AS rk
+  FROM scored
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(h AS BIGINT) AS h,
+       CAST(x AS BIGINT) AS k_end,
+       CAST(floor(s * 1000000 + {_OFF}) AS BIGINT) AS mosum_max_e6
+FROM ranked
+WHERE rk = 1
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# white_test — White (1980) heteroskedasticity LM: e^2 on (h, h^2)
+# ---------------------------------------------------------------------------
+# Stage 1 per event_type: OLS of deci-scaled value on hour-of-day from
+# exact integer sums; per-row residuals floored back to deci integers.
+# Stage 2: auxiliary regression of u = e^2 on (1, h, h^2) solved by
+# Cramer's rule on the 3x3 normal equations — every matrix entry is an
+# exact BIGINT (h <= 23 so S(h^4) is tiny; u <= ~6.3e6 in deci^2 units
+# keeps S(u^2) = S(e^4) inside int64 for per-key n up to ~1e6; coarsen
+# the residual floor one decade per 100x key growth).  LM = n * R^2.
+
+
+def q_white_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.hour("ts").cast("long").alias("h"),
+        F.floor(F.col("value") * 10 + F.lit(_OFF)).cast("long").alias("y"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("h").alias("sh"),
+        F.sum(F.col("h") * F.col("h")).alias("shh"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("h")).alias("syh"),
+    )
+    nd = F.col("n").cast("double")
+    b = (
+        nd * F.col("syh").cast("double")
+        - F.col("sh").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("shh").cast("double")
+        - F.col("sh").cast("double") * F.col("sh").cast("double")
+    )
+    a = (F.col("sy").cast("double") - b * F.col("sh").cast("double")) / nd
+    coef = g.select("event_type", a.alias("a"), b.alias("b"))
+    t = ev.join(F.broadcast(coef), "event_type").withColumn(
+        "e",
+        F.floor(
+            F.col("y").cast("double")
+            - F.col("a")
+            - F.col("b") * F.col("h").cast("double")
+            + F.lit(_OFF)
+        ).cast("long"),
+    ).withColumn("u", F.col("e") * F.col("e"))
+    aux = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("h").alias("s1"),
+        F.sum(F.col("h") * F.col("h")).alias("s2"),
+        F.sum(F.col("h") * F.col("h") * F.col("h")).alias("s3"),
+        F.sum(F.col("h") * F.col("h") * F.col("h") * F.col("h")).alias("s4"),
+        F.sum("u").alias("su"),
+        F.sum(F.col("u") * F.col("h")).alias("su1"),
+        F.sum(F.col("u") * F.col("h") * F.col("h")).alias("su2"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    s4 = F.col("s4").cast("double")
+    cu = F.col("su").cast("double")
+    c1 = F.col("su1").cast("double")
+    c2 = F.col("su2").cast("double")
+    suu = F.col("suu").cast("double")
+    det = (
+        n * (s2 * s4 - s3 * s3)
+        - s1 * (s1 * s4 - s3 * s2)
+        + s2 * (s1 * s3 - s2 * s2)
+    )
+    b0 = (
+        cu * (s2 * s4 - s3 * s3)
+        - s1 * (c1 * s4 - s3 * c2)
+        + s2 * (c1 * s3 - s2 * c2)
+    ) / det
+    b1 = (
+        n * (c1 * s4 - c2 * s3)
+        - cu * (s1 * s4 - s3 * s2)
+        + s2 * (s1 * c2 - s2 * c1)
+    ) / det
+    b2 = (
+        n * (s2 * c2 - s3 * c1)
+        - s1 * (s1 * c2 - s2 * c1)
+        + cu * (s1 * s3 - s2 * s2)
+    ) / det
+    ess = b0 * cu + b1 * c1 + b2 * c2 - cu * cu / n
+    sst = suu - cu * cu / n
+    r2 = ess / sst
+    out = aux.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(r2 * 1_000_000 + F.lit(_OFF)).cast("long").alias("r2_e6"),
+        F.floor(n * r2 * 10_000 + F.lit(_OFF)).cast("long").alias("lm_e4"),
+    )
+    return out.orderBy("event_type")
+
+
+SQL_WHITE = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+         CAST(floor(value * 10 + {_OFF}) AS BIGINT) AS y
+  FROM events
+), g AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(h) AS BIGINT) AS sh,
+         CAST(sum(h * h) AS BIGINT) AS shh,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * h) AS BIGINT) AS syh
+  FROM ev GROUP BY 1
+), coef AS (
+  SELECT event_type,
+         (CAST(sy AS DOUBLE)
+          - (n * CAST(syh AS DOUBLE) - CAST(sh AS DOUBLE) * sy)
+            / (n * CAST(shh AS DOUBLE) - CAST(sh AS DOUBLE) * sh)
+            * sh) / n AS a,
+         (n * CAST(syh AS DOUBLE) - CAST(sh AS DOUBLE) * sy)
+           / (n * CAST(shh AS DOUBLE) - CAST(sh AS DOUBLE) * sh) AS b
+  FROM g
+), t AS (
+  SELECT ev.event_type, h,
+         CAST(floor(CAST(y AS DOUBLE) - a - b * h + {_OFF}) AS BIGINT) AS e
+  FROM ev JOIN coef ON coef.event_type = ev.event_type
+), aux AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(h) AS BIGINT) AS s1,
+         CAST(sum(h * h) AS BIGINT) AS s2,
+         CAST(sum(h * h * h) AS BIGINT) AS s3,
+         CAST(sum(h * h * h * h) AS BIGINT) AS s4,
+         CAST(sum(e * e) AS BIGINT) AS su,
+         CAST(sum(e * e * h) AS BIGINT) AS su1,
+         CAST(sum(e * e * h * h) AS BIGINT) AS su2,
+         CAST(sum(e * e * e * e) AS BIGINT) AS suu
+  FROM t GROUP BY 1
+), f AS (
+  SELECT event_type, n,
+         (CAST(n AS DOUBLE) * (CAST(s2 AS DOUBLE) * s4 - CAST(s3 AS DOUBLE) * s3)
+          - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s4 - CAST(s3 AS DOUBLE) * s2)
+          + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s3 - CAST(s2 AS DOUBLE) * s2))
+           AS det,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+         CAST(s3 AS DOUBLE) AS d3, CAST(s4 AS DOUBLE) AS d4,
+         CAST(su AS DOUBLE) AS cu, CAST(su1 AS DOUBLE) AS c1,
+         CAST(su2 AS DOUBLE) AS c2, CAST(suu AS DOUBLE) AS suu
+  FROM aux
+), r AS (
+  SELECT event_type, n, nd, cu, c1, c2, suu,
+         ((cu * (d2 * d4 - d3 * d3) - d1 * (c1 * d4 - d3 * c2)
+           + d2 * (c1 * d3 - d2 * c2)) / det) AS b0,
+         ((nd * (c1 * d4 - c2 * d3) - cu * (d1 * d4 - d3 * d2)
+           + d2 * (d1 * c2 - d2 * c1)) / det) AS b1,
+         ((nd * (d2 * c2 - d3 * c1) - d1 * (d1 * c2 - d2 * c1)
+           + cu * (d1 * d3 - d2 * d2)) / det) AS b2
+  FROM f
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(floor((b0 * cu + b1 * c1 + b2 * c2 - cu * cu / nd)
+                  / (suu - cu * cu / nd) * 1000000 + {_OFF}) AS BIGINT)
+         AS r2_e6,
+       CAST(floor(nd * (b0 * cu + b1 * c1 + b2 * c2 - cu * cu / nd)
+                  / (suu - cu * cu / nd) * 10000 + {_OFF}) AS BIGINT)
+         AS lm_e4
+FROM r
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# breusch_godfrey — serial-correlation LM (order 1) on the hour fit
+# ---------------------------------------------------------------------------
+# Same stage-1 hour regression; auxiliary regression of e_t on
+# (1, h_t, e_{t-1}) over arrival order, solved by the same 3x3 Cramer
+# machinery on exact BIGINT sums (residuals are deci integers <= ~2.5e3
+# so every product is <= ~6.3e6 — int64-safe to 10^12 rows per key).
+# LM = m * R^2 with m = n - 1 usable rows.
+
+
+def q_breusch_godfrey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.hour("ts").cast("long").alias("h"),
+        F.floor(F.col("value") * 10 + F.lit(_OFF)).cast("long").alias("y"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("h").alias("sh"),
+        F.sum(F.col("h") * F.col("h")).alias("shh"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("h")).alias("syh"),
+    )
+    nd = F.col("n").cast("double")
+    b = (
+        nd * F.col("syh").cast("double")
+        - F.col("sh").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("shh").cast("double")
+        - F.col("sh").cast("double") * F.col("sh").cast("double")
+    )
+    a = (F.col("sy").cast("double") - b * F.col("sh").cast("double")) / nd
+    coef = g.select("event_type", a.alias("a"), b.alias("b"))
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t = (
+        ev.join(F.broadcast(coef), "event_type")
+        .withColumn(
+            "e",
+            F.floor(
+                F.col("y").cast("double")
+                - F.col("a")
+                - F.col("b") * F.col("h").cast("double")
+                + F.lit(_OFF)
+            ).cast("long"),
+        )
+        .withColumn("d", F.lag("e", 1).over(wo))
+        .filter(F.col("d").isNotNull())
+    )
+    aux = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("h").alias("s1"),
+        F.sum(F.col("h") * F.col("h")).alias("s11"),
+        F.sum("d").alias("s2"),
+        F.sum(F.col("d") * F.col("d")).alias("s22"),
+        F.sum(F.col("h") * F.col("d")).alias("s12"),
+        F.sum("e").alias("se"),
+        F.sum(F.col("e") * F.col("h")).alias("se1"),
+        F.sum(F.col("e") * F.col("d")).alias("se2"),
+        F.sum(F.col("e") * F.col("e")).alias("see"),
+    )
+    m = F.col("m").cast("double")
+    s1 = F.col("s1").cast("double")
+    s11 = F.col("s11").cast("double")
+    s2 = F.col("s2").cast("double")
+    s22 = F.col("s22").cast("double")
+    s12 = F.col("s12").cast("double")
+    ce = F.col("se").cast("double")
+    ce1 = F.col("se1").cast("double")
+    ce2 = F.col("se2").cast("double")
+    see = F.col("see").cast("double")
+    det = (
+        m * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    b0 = (
+        ce * (s11 * s22 - s12 * s12)
+        - s1 * (ce1 * s22 - s12 * ce2)
+        + s2 * (ce1 * s12 - s11 * ce2)
+    ) / det
+    b1 = (
+        m * (ce1 * s22 - ce2 * s12)
+        - ce * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * ce2 - s2 * ce1)
+    ) / det
+    b2 = (
+        m * (s11 * ce2 - s12 * ce1)
+        - s1 * (s1 * ce2 - s2 * ce1)
+        + ce * (s1 * s12 - s11 * s2)
+    ) / det
+    ess = b0 * ce + b1 * ce1 + b2 * ce2 - ce * ce / m
+    sst = see - ce * ce / m
+    r2 = ess / sst
+    out = aux.select(
+        "event_type",
+        F.col("m").cast("long").alias("m"),
+        F.floor(r2 * 1_000_000 + F.lit(_OFF)).cast("long").alias("r2_e6"),
+        F.floor(m * r2 * 10_000 + F.lit(_OFF)).cast("long").alias("lm_e4"),
+    )
+    return out.orderBy("event_type")
+
+
+SQL_BG = f"""
+WITH ev AS (
+  SELECT event_type, event_id, ts,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+         CAST(floor(value * 10 + {_OFF}) AS BIGINT) AS y
+  FROM events
+), g AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(h) AS BIGINT) AS sh,
+         CAST(sum(h * h) AS BIGINT) AS shh,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * h) AS BIGINT) AS syh
+  FROM ev GROUP BY 1
+), coef AS (
+  SELECT event_type,
+         (CAST(sy AS DOUBLE)
+          - (n * CAST(syh AS DOUBLE) - CAST(sh AS DOUBLE) * sy)
+            / (n * CAST(shh AS DOUBLE) - CAST(sh AS DOUBLE) * sh)
+            * sh) / n AS a,
+         (n * CAST(syh AS DOUBLE) - CAST(sh AS DOUBLE) * sy)
+           / (n * CAST(shh AS DOUBLE) - CAST(sh AS DOUBLE) * sh) AS b
+  FROM g
+), resid AS (
+  SELECT ev.event_type, ev.event_id, ev.ts, h,
+         CAST(floor(CAST(y AS DOUBLE) - a - b * h + {_OFF}) AS BIGINT) AS e
+  FROM ev JOIN coef ON coef.event_type = ev.event_type
+), lagd AS (
+  SELECT event_type, h, e,
+         lag(e) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS d
+  FROM resid
+), t AS (
+  SELECT * FROM lagd WHERE d IS NOT NULL
+), aux AS (
+  SELECT event_type, count(*) AS m,
+         CAST(sum(h) AS BIGINT) AS s1,
+         CAST(sum(h * h) AS BIGINT) AS s11,
+         CAST(sum(d) AS BIGINT) AS s2,
+         CAST(sum(d * d) AS BIGINT) AS s22,
+         CAST(sum(h * d) AS BIGINT) AS s12,
+         CAST(sum(e) AS BIGINT) AS se,
+         CAST(sum(e * h) AS BIGINT) AS se1,
+         CAST(sum(e * d) AS BIGINT) AS se2,
+         CAST(sum(e * e) AS BIGINT) AS see
+  FROM t GROUP BY 1
+), f AS (
+  SELECT event_type, m,
+         CAST(m AS DOUBLE) AS md,
+         CAST(s1 AS DOUBLE) AS d1, CAST(s11 AS DOUBLE) AS d11,
+         CAST(s2 AS DOUBLE) AS d2, CAST(s22 AS DOUBLE) AS d22,
+         CAST(s12 AS DOUBLE) AS d12,
+         CAST(se AS DOUBLE) AS ce, CAST(se1 AS DOUBLE) AS ce1,
+         CAST(se2 AS DOUBLE) AS ce2, CAST(see AS DOUBLE) AS see
+  FROM aux
+), r AS (
+  SELECT event_type, m, md, ce, ce1, ce2, see,
+         (md * (d11 * d22 - d12 * d12) - d1 * (d1 * d22 - d12 * d2)
+          + d2 * (d1 * d12 - d11 * d2)) AS det,
+         d1, d11, d2, d22, d12
+  FROM f
+), s AS (
+  SELECT event_type, m, md, ce, ce1, ce2, see,
+         ((ce * (d11 * d22 - d12 * d12) - d1 * (ce1 * d22 - d12 * ce2)
+           + d2 * (ce1 * d12 - d11 * ce2)) / det) AS b0,
+         ((md * (ce1 * d22 - ce2 * d12) - ce * (d1 * d22 - d12 * d2)
+           + d2 * (d1 * ce2 - d2 * ce1)) / det) AS b1,
+         ((md * (d11 * ce2 - d12 * ce1) - d1 * (d1 * ce2 - d2 * ce1)
+           + ce * (d1 * d12 - d11 * d2)) / det) AS b2
+  FROM r
+)
+SELECT event_type,
+       CAST(m AS BIGINT) AS m,
+       CAST(floor((b0 * ce + b1 * ce1 + b2 * ce2 - ce * ce / md)
+                  / (see - ce * ce / md) * 1000000 + {_OFF}) AS BIGINT)
+         AS r2_e6,
+       CAST(floor(md * (b0 * ce + b1 * ce1 + b2 * ce2 - ce * ce / md)
+                  / (see - ce * ce / md) * 10000 + {_OFF}) AS BIGINT)
+         AS lm_e4
+FROM s
+ORDER BY event_type
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "qlr_supchow": q_qlr_supchow,
+    "mosum_stability": q_mosum_stability,
+    "white_test": q_white_test,
+    "breusch_godfrey": q_breusch_godfrey,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "qlr_supchow": SQL_QLR,
+    "mosum_stability": SQL_MOSUM,
+    "white_test": SQL_WHITE,
+    "breusch_godfrey": SQL_BG,
+}
