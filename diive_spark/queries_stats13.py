@@ -712,3 +712,429 @@ ORACLE_SQL: dict[str, str] = {
     "white_test": SQL_WHITE,
     "breusch_godfrey": SQL_BG,
 }
+
+
+# ---------------------------------------------------------------------------
+# bws_test — Baumgartner-Weiss-Schindler two-sample test (Biometrics 1998)
+# ---------------------------------------------------------------------------
+# Weekend vs weekday values per event_type.  B_X = (1/n) sum_i
+# (R_i - (m+n)/n * i)^2 / [ (i/(n+1))(1 - i/(n+1)) * m(m+n)/n ] over the
+# ordered X sample (R_i = combined rank), symmetrically B_Y; B =
+# (B_X + B_Y)/2.  Combined ranks use the house deterministic tie order
+# (value, event_id) — documented, matching wald_wolfowitz_2s.  Each
+# per-row term is floor-scaled to e6 BEFORE summation so both engines
+# sum exact integers.
+
+
+def q_bws_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+        (F.dayofweek("ts").isin(1, 7)).cast("int").alias("grp"),
+    )
+    wcomb = Window.partitionBy("event_type").orderBy("v", "event_id")
+    wgrp = Window.partitionBy("event_type", "grp").orderBy("v", "event_id")
+    wcnt = Window.partitionBy("event_type")
+    t = (
+        ev.withColumn("r", F.row_number().over(wcomb).cast("long"))
+        .withColumn("i", F.row_number().over(wgrp).cast("long"))
+        .withColumn("tot", F.count(F.lit(1)).over(wcnt).cast("long"))
+        .withColumn(
+            "sz",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("event_type", "grp"))
+            .cast("long"),
+        )
+    )
+    nn = F.col("sz").cast("double")
+    mm = (F.col("tot") - F.col("sz")).cast("double")
+    ii = F.col("i").cast("double")
+    rr = F.col("r").cast("double")
+    frac = ii / (nn + F.lit(1.0))
+    term = (
+        F.pow(rr - (mm + nn) / nn * ii, 2)
+        / (frac * (F.lit(1.0) - frac) * mm * (mm + nn) / nn)
+    )
+    t = t.withColumn(
+        "term_e6", F.floor(term * 1_000_000 + F.lit(_OFF)).cast("long")
+    )
+    agg = t.groupBy("event_type", "grp").agg(
+        F.max("sz").alias("sz"),
+        F.sum("term_e6").alias("s_e6"),
+    )
+    b = agg.withColumn(
+        "b_e6",
+        F.floor(
+            F.col("s_e6").cast("double") / F.col("sz").cast("double")
+            + F.lit(_OFF)
+        ).cast("long"),
+    )
+    wknd = b.filter(F.col("grp") == 1).select(
+        "event_type",
+        F.col("sz").alias("n_wknd"),
+        F.col("b_e6").alias("b_wknd_e6"),
+    )
+    wday = b.filter(F.col("grp") == 0).select(
+        "event_type",
+        F.col("sz").alias("n_wday"),
+        F.col("b_e6").alias("b_wday_e6"),
+    )
+    out = wknd.join(wday, "event_type").select(
+        "event_type",
+        "n_wknd",
+        "n_wday",
+        "b_wknd_e6",
+        "b_wday_e6",
+        F.floor(
+            (F.col("b_wknd_e6") + F.col("b_wday_e6")).cast("double") / 2.0
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("b_e6"),
+    )
+    return out.orderBy("event_type")
+
+
+SQL_BWS = f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS grp
+  FROM events
+), t AS (
+  SELECT event_type, grp,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY v, event_id) AS r,
+         row_number() OVER (PARTITION BY event_type, grp
+                            ORDER BY v, event_id) AS i,
+         count(*) OVER (PARTITION BY event_type) AS tot,
+         count(*) OVER (PARTITION BY event_type, grp) AS sz
+  FROM ev
+), terms AS (
+  SELECT event_type, grp, sz,
+         CAST(floor(
+           (r - CAST(tot AS DOUBLE) / sz * i) ^ 2
+           / ((CAST(i AS DOUBLE) / (sz + 1.0))
+              * (1.0 - CAST(i AS DOUBLE) / (sz + 1.0))
+              * (tot - sz) * CAST(tot AS DOUBLE) / sz)
+           * 1000000 + {_OFF}) AS BIGINT) AS term_e6
+  FROM t
+), agg AS (
+  SELECT event_type, grp, max(sz) AS sz,
+         CAST(sum(term_e6) AS BIGINT) AS s_e6
+  FROM terms GROUP BY 1, 2
+), b AS (
+  SELECT event_type, grp, sz,
+         CAST(floor(CAST(s_e6 AS DOUBLE) / sz + {_OFF}) AS BIGINT) AS b_e6
+  FROM agg
+)
+SELECT w.event_type,
+       CAST(w.sz AS BIGINT) AS n_wknd,
+       CAST(d.sz AS BIGINT) AS n_wday,
+       w.b_e6 AS b_wknd_e6,
+       d.b_e6 AS b_wday_e6,
+       CAST(floor(CAST(w.b_e6 + d.b_e6 AS DOUBLE) / 2.0 + {_OFF}) AS BIGINT)
+         AS b_e6
+FROM b w JOIN b d ON d.event_type = w.event_type
+WHERE w.grp = 1 AND d.grp = 0
+ORDER BY w.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# zhang_uniformity — Zhang's ZA statistic (JRSS-B 2002) for uniformity
+# of the within-day arrival fraction
+# ---------------------------------------------------------------------------
+# u_i = microsecond-of-day / 86400e6 in (0,1); ordered u_(i) with the
+# house (u, event_id) tie order.  ZA = -sum_i [ ln(u_(i))/(n-i+0.5)
+# + ln(1-u_(i))/(i-0.5) ]; large values reject uniform arrivals.
+# Per-row terms e6-floored before the exact integer sum.
+
+
+def q_zhang_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # microsecond-of-day from calendar fields (tz-free: EXTRACT(SECOND)
+    # carries the fractional micros as an exact decimal in Spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "event_id",
+        (
+            F.hour("ts").cast("long") * 3_600_000_000
+            + F.minute("ts").cast("long") * 60_000_000
+            + (F.expr("extract(second from ts)") * 1_000_000).cast("long")
+        ).alias("us"),
+    )
+    u = F.col("us").cast("double") / 86_400_000_000.0
+    t = ev.filter((F.col("us") > 0)).withColumn("u", u)
+    wo = Window.partitionBy("event_type").orderBy("u", "event_id")
+    wc = Window.partitionBy("event_type")
+    t = (
+        t.withColumn("i", F.row_number().over(wo).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(wc).cast("long"))
+    )
+    term = -(
+        F.log(F.col("u"))
+        / (F.col("n").cast("double") - F.col("i").cast("double") + F.lit(0.5))
+        + F.log(F.lit(1.0) - F.col("u"))
+        / (F.col("i").cast("double") - F.lit(0.5))
+    )
+    t = t.withColumn(
+        "term_e6", F.floor(term * 1_000_000 + F.lit(_OFF)).cast("long")
+    )
+    out = t.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum("term_e6").alias("za_e6"),
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("za_e6").cast("long").alias("za_e6"),
+    ).orderBy("event_type")
+
+
+SQL_ZHANG = f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(
+           EXTRACT(hour FROM ts) * 3600000000
+           + EXTRACT(minute FROM ts) * 60000000
+           + EXTRACT(microsecond FROM ts)
+         AS BIGINT) AS us
+  FROM events
+), t AS (
+  SELECT event_type, event_id,
+         CAST(us AS DOUBLE) / 86400000000.0 AS u
+  FROM ev WHERE us > 0
+), r AS (
+  SELECT event_type, u,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY u, event_id) AS i,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM t
+), terms AS (
+  SELECT event_type, n,
+         CAST(floor(
+           -(ln(u) / (CAST(n AS DOUBLE) - i + 0.5)
+             + ln(1.0 - u) / (CAST(i AS DOUBLE) - 0.5))
+           * 1000000 + {_OFF}) AS BIGINT) AS term_e6
+  FROM r
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(sum(term_e6) AS BIGINT) AS za_e6
+FROM terms
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# dixon_q — Dixon's Q gap/range outlier ratios per day (Dixon 1950)
+# ---------------------------------------------------------------------------
+# Per day the r10 ratios at both extremes: (x(2)-x(1))/(x(n)-x(1)) and
+# (x(n)-x(n-1))/(x(n)-x(1))) on exact centi order statistics; order
+# statistics include duplicates (row_number order), so ties yield 0
+# numerators — the classical convention on discretized data.
+
+
+def q_dixon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.to_date("ts").alias("day"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    wa = Window.partitionBy("day").orderBy("v", "event_id")
+    wd = Window.partitionBy("day").orderBy(
+        F.col("v").desc(), F.col("event_id").desc()
+    )
+    t = ev.withColumn("ra", F.row_number().over(wa)).withColumn(
+        "rd", F.row_number().over(wd)
+    )
+    agg = t.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.when(F.col("ra") == 1, F.col("v"))).alias("x1"),
+        F.max(F.when(F.col("ra") == 2, F.col("v"))).alias("x2"),
+        F.max(F.when(F.col("rd") == 2, F.col("v"))).alias("xn1"),
+        F.max(F.when(F.col("rd") == 1, F.col("v"))).alias("xn"),
+    )
+    rng = (F.col("xn") - F.col("x1")).cast("double")
+    out = agg.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        F.col("x1").cast("long").alias("x1"),
+        F.col("x2").cast("long").alias("x2"),
+        F.col("xn1").cast("long").alias("xn1"),
+        F.col("xn").cast("long").alias("xn"),
+        F.floor(
+            (F.col("x2") - F.col("x1")).cast("double") / rng * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("q_low_e6"),
+        F.floor(
+            (F.col("xn") - F.col("xn1")).cast("double") / rng * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("q_high_e6"),
+    )
+    return out.orderBy("day")
+
+
+SQL_DIXON = f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, event_id,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), t AS (
+  SELECT day, v,
+         row_number() OVER (PARTITION BY day ORDER BY v, event_id) AS ra,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY v DESC, event_id DESC) AS rd
+  FROM ev
+), agg AS (
+  SELECT day, count(*) AS n,
+         max(CASE WHEN ra = 1 THEN v END) AS x1,
+         max(CASE WHEN ra = 2 THEN v END) AS x2,
+         max(CASE WHEN rd = 2 THEN v END) AS xn1,
+         max(CASE WHEN rd = 1 THEN v END) AS xn
+  FROM t GROUP BY 1
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(n AS BIGINT) AS n,
+       CAST(x1 AS BIGINT) AS x1,
+       CAST(x2 AS BIGINT) AS x2,
+       CAST(xn1 AS BIGINT) AS xn1,
+       CAST(xn AS BIGINT) AS xn,
+       CAST(floor(CAST(x2 - x1 AS DOUBLE) / (xn - x1) * 1000000 + {_OFF})
+            AS BIGINT) AS q_low_e6,
+       CAST(floor(CAST(xn - xn1 AS DOUBLE) / (xn - x1) * 1000000 + {_OFF})
+            AS BIGINT) AS q_high_e6
+FROM agg
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# cochran_c_hartley — variance-homogeneity screens over hour-of-day
+# groups: Cochran's C (1941) and Hartley's Fmax (1950)
+# ---------------------------------------------------------------------------
+# 24 hour groups of centi-values; per-group variance from exact BIGINT
+# sums (n*Syy - Sy^2 numerator trick); C = max var / sum var, Fmax =
+# max var / min var, with argmax/argmin hours (tie -> smaller hour).
+# Single-row output; pure combinable two-level agg.
+
+
+def q_cochran_c_hartley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.hour("ts").cast("long").alias("h"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    g = ev.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sy"),
+        F.sum(F.col("v") * F.col("v")).alias("syy"),
+    )
+    var = (
+        F.col("n").cast("double") * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.col("n").cast("double") * (F.col("n") - 1).cast("double")
+    )
+    g = g.withColumn("var_e4", F.floor(var * 10_000 + F.lit(_OFF)).cast("long"))
+    out = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.min("n").alias("n_min"),
+        F.max("n").alias("n_max"),
+        F.sum("var_e4").alias("sum_var_e4"),
+        F.max_by(F.col("h"), F.struct(F.col("var_e4"), -F.col("h"))).alias(
+            "h_max"
+        ),
+        F.min_by(F.col("h"), F.struct(F.col("var_e4"), F.col("h"))).alias(
+            "h_min"
+        ),
+        F.max("var_e4").alias("vmax_e4"),
+        F.min("var_e4").alias("vmin_e4"),
+    )
+    return out.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n_min").cast("long").alias("n_min"),
+        F.col("n_max").cast("long").alias("n_max"),
+        F.col("h_max").cast("long").alias("h_max"),
+        F.col("h_min").cast("long").alias("h_min"),
+        F.floor(
+            F.col("vmax_e4").cast("double")
+            / F.col("sum_var_e4").cast("double")
+            * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("cochran_c_e6"),
+        F.floor(
+            F.col("vmax_e4").cast("double") / F.col("vmin_e4").cast("double")
+            * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("fmax_e6"),
+    )
+
+
+SQL_COCHRAN_HARTLEY = f"""
+WITH ev AS (
+  SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), g AS (
+  SELECT h, count(*) AS n,
+         CAST(sum(v) AS BIGINT) AS sy,
+         CAST(sum(v * v) AS BIGINT) AS syy
+  FROM ev GROUP BY 1
+), v AS (
+  SELECT h, n,
+         CAST(floor((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                    / (CAST(n AS DOUBLE) * (n - 1)) * 10000 + {_OFF})
+              AS BIGINT) AS var_e4
+  FROM g
+), pick AS (
+  SELECT count(*) AS k,
+         CAST(min(n) AS BIGINT) AS n_min,
+         CAST(max(n) AS BIGINT) AS n_max,
+         CAST(sum(var_e4) AS BIGINT) AS sum_var_e4,
+         CAST(max(var_e4) AS BIGINT) AS vmax_e4,
+         CAST(min(var_e4) AS BIGINT) AS vmin_e4
+  FROM v
+), hmax AS (
+  SELECT h AS h_max FROM v ORDER BY var_e4 DESC, h LIMIT 1
+), hmin AS (
+  SELECT h AS h_min FROM v ORDER BY var_e4 ASC, h LIMIT 1
+)
+SELECT CAST(k AS BIGINT) AS k,
+       n_min, n_max,
+       CAST(h_max AS BIGINT) AS h_max,
+       CAST(h_min AS BIGINT) AS h_min,
+       CAST(floor(CAST(vmax_e4 AS DOUBLE) / sum_var_e4 * 1000000 + {_OFF})
+            AS BIGINT) AS cochran_c_e6,
+       CAST(floor(CAST(vmax_e4 AS DOUBLE) / vmin_e4 * 1000000 + {_OFF})
+            AS BIGINT) AS fmax_e6
+FROM pick CROSS JOIN hmax CROSS JOIN hmin
+"""
+
+
+QUERIES.update(
+    {
+        "bws_test": q_bws_test,
+        "zhang_uniformity": q_zhang_uniformity,
+        "dixon_q": q_dixon_q,
+        "cochran_c_hartley": q_cochran_c_hartley,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "bws_test": SQL_BWS,
+        "zhang_uniformity": SQL_ZHANG,
+        "dixon_q": SQL_DIXON,
+        "cochran_c_hartley": SQL_COCHRAN_HARTLEY,
+    }
+)
