@@ -1138,3 +1138,483 @@ ORACLE_SQL.update(
         "cochran_c_hartley": SQL_COCHRAN_HARTLEY,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# competing_risks_cif — Aalen-Johansen cumulative incidence (1978)
+# ---------------------------------------------------------------------------
+# Per user: entry = first activity day, cause-1 event = first purchase,
+# cause-2 event = first error (earlier wins; purchase on ties), else
+# censored at last activity.  CIF_k(t) = sum_{s<=t} S(s-) d_k(s)/n(s)
+# with all-cause KM S.  The strictly-prior ln cumsum (the
+# fleming_harrington house pattern) is made engine-exact by e12-flooring
+# each ln(1 - d/n) BEFORE the cumulative sum, and e9-flooring each CIF
+# increment.  The global orderBy window is bounded by DISTINCT DURATIONS
+# (~tens of rows after the per-duration rollup), not by corpus size —
+# same scope note as survival_km.
+
+
+def q_competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000)
+        .cast("long")
+        .alias("day"),
+    )
+    per_u = ev.groupBy("user_id").agg(
+        F.min("day").alias("t0"),
+        F.max("day").alias("dlast"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("day"))).alias(
+            "p1"
+        ),
+        F.min(F.when(F.col("event_type") == "error", F.col("day"))).alias(
+            "e1"
+        ),
+    )
+    cause = (
+        F.when(F.col("p1").isNotNull() & (
+            F.col("e1").isNull() | (F.col("p1") <= F.col("e1"))
+        ), F.lit(1))
+        .when(F.col("e1").isNotNull(), F.lit(2))
+        .otherwise(F.lit(0))
+    )
+    tend = F.when(cause == 1, F.col("p1")).when(cause == 2, F.col("e1")).otherwise(
+        F.col("dlast")
+    )
+    u = per_u.select(
+        (tend - F.col("t0")).alias("dur"), cause.alias("cause")
+    )
+    per_t = u.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum((F.col("cause") == 1).cast("long")).alias("d1"),
+        F.sum((F.col("cause") == 2).cast("long")).alias("d2"),
+    )
+    w_risk = Window.orderBy("dur").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_prior = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = per_t.withColumn("n_risk", F.sum("n_at").over(w_risk))
+    dall = (F.col("d1") + F.col("d2")).cast("double")
+    # d == n_risk can only happen on the final duration row, whose ln
+    # term is never consumed (only strictly-prior rows feed s_prev)
+    lnterm = F.when(
+        F.col("d1") + F.col("d2") < F.col("n_risk"),
+        F.log(F.lit(1.0) - dall / F.col("n_risk").cast("double")),
+    ).otherwise(F.lit(0.0))
+    t = t.withColumn(
+        "ln_e12", F.floor(lnterm * 1e12 + F.lit(_OFF)).cast("long")
+    )
+    t = t.withColumn(
+        "s_prev",
+        F.exp(
+            F.coalesce(F.sum("ln_e12").over(w_prior), F.lit(0)).cast("double")
+            / 1e12
+        ),
+    )
+    inc1 = F.col("s_prev") * F.col("d1").cast("double") / F.col(
+        "n_risk"
+    ).cast("double")
+    inc2 = F.col("s_prev") * F.col("d2").cast("double") / F.col(
+        "n_risk"
+    ).cast("double")
+    t = t.withColumn(
+        "i1_e9", F.floor(inc1 * 1e9 + F.lit(_OFF)).cast("long")
+    ).withColumn("i2_e9", F.floor(inc2 * 1e9 + F.lit(_OFF)).cast("long"))
+    out = t.withColumn("cif1_e9", F.sum("i1_e9").over(w_cum)).withColumn(
+        "cif2_e9", F.sum("i2_e9").over(w_cum)
+    )
+    return out.select(
+        F.col("dur").cast("long").alias("dur"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d1").cast("long").alias("d1"),
+        F.col("d2").cast("long").alias("d2"),
+        F.col("cif1_e9").cast("long").alias("cif1_e9"),
+        F.col("cif2_e9").cast("long").alias("cif2_e9"),
+    ).orderBy("dur")
+
+
+SQL_CIF = f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+), per_u AS (
+  SELECT user_id,
+         min(day) AS t0,
+         max(day) AS dlast,
+         min(CASE WHEN event_type = 'purchase' THEN day END) AS p1,
+         min(CASE WHEN event_type = 'error' THEN day END) AS e1
+  FROM ev GROUP BY 1
+), u AS (
+  SELECT CASE
+           WHEN p1 IS NOT NULL AND (e1 IS NULL OR p1 <= e1) THEN p1 - t0
+           WHEN e1 IS NOT NULL THEN e1 - t0
+           ELSE dlast - t0
+         END AS dur,
+         CASE
+           WHEN p1 IS NOT NULL AND (e1 IS NULL OR p1 <= e1) THEN 1
+           WHEN e1 IS NOT NULL THEN 2
+           ELSE 0
+         END AS cause
+  FROM per_u
+), per_t AS (
+  SELECT dur, count(*) AS n_at,
+         CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         CAST(sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+  FROM u GROUP BY 1
+), r AS (
+  SELECT *,
+         CAST(sum(n_at) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW AND
+                              UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+  FROM per_t
+), l AS (
+  SELECT *,
+         CAST(floor(CASE WHEN d1 + d2 < n_risk
+                         THEN ln(1.0 - CAST(d1 + d2 AS DOUBLE) / n_risk)
+                         ELSE 0.0 END * 1e12
+                    + {_OFF}) AS BIGINT) AS ln_e12
+  FROM r
+), s AS (
+  SELECT *,
+         exp(CAST(COALESCE(sum(ln_e12) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS DOUBLE) / 1e12) AS s_prev
+  FROM l
+), inc AS (
+  SELECT dur, n_risk, d1, d2,
+         CAST(floor(s_prev * d1 / n_risk * 1e9 + {_OFF}) AS BIGINT) AS i1_e9,
+         CAST(floor(s_prev * d2 / n_risk * 1e9 + {_OFF}) AS BIGINT) AS i2_e9
+  FROM s
+)
+SELECT CAST(dur AS BIGINT) AS dur,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       d1, d2,
+       CAST(sum(i1_e9) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS cif1_e9,
+       CAST(sum(i2_e9) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS cif2_e9
+FROM inc
+ORDER BY dur
+"""
+
+
+# ---------------------------------------------------------------------------
+# getis_ord_g — global Getis-Ord G over the day chain (Getis & Ord 1992)
+# ---------------------------------------------------------------------------
+# Per event_type, x_i = the day's exact centi-value sum (positive by
+# construction); binary contiguity weights w_ij = 1 iff |i-j| = 1.
+# G = 2 sum_i x_i x_{i+1} / ((sum x)^2 - sum x^2); E[G] under CSR =
+# W / (n(n-1)) with W = 2(n-1).  Everything except the two final ratios
+# is an exact BIGINT (moran_calendar / geary_c family).
+
+
+def q_getis_ord_g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    d = ev.groupBy("event_type", "day").agg(F.sum("v").alias("x"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    t = d.withColumn("x_next", F.lead("x").over(wo))
+    agg = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(
+            F.when(
+                F.col("x_next").isNotNull(), F.col("x") * F.col("x_next")
+            ).otherwise(F.lit(0))
+        ).alias("sadj"),
+    )
+    g = (
+        F.lit(2.0)
+        * F.col("sadj").cast("double")
+        / (
+            F.col("sx").cast("double") * F.col("sx").cast("double")
+            - F.col("sxx").cast("double")
+        )
+    )
+    eg = (F.lit(2.0) * (F.col("n") - 1).cast("double")) / (
+        F.col("n").cast("double") * (F.col("n") - 1).cast("double")
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("sadj").cast("long").alias("s_adj"),
+        F.floor(g * 1e9 + F.lit(_OFF)).cast("long").alias("g_e9"),
+        F.floor(eg * 1e9 + F.lit(_OFF)).cast("long").alias("eg_e9"),
+    ).orderBy("event_type")
+
+
+SQL_GETIS = f"""
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), d AS (
+  SELECT event_type, day, CAST(sum(v) AS BIGINT) AS x
+  FROM ev GROUP BY 1, 2
+), t AS (
+  SELECT event_type, x,
+         lead(x) OVER (PARTITION BY event_type ORDER BY day) AS x_next
+  FROM d
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(CASE WHEN x_next IS NOT NULL THEN x * x_next
+                       ELSE 0 END) AS BIGINT) AS sadj
+  FROM t GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       sadj AS s_adj,
+       CAST(floor(2.0 * sadj / (CAST(sx AS DOUBLE) * sx - sxx) * 1e9
+                  + {_OFF}) AS BIGINT) AS g_e9,
+       CAST(floor(2.0 * (n - 1) / (CAST(n AS DOUBLE) * (n - 1)) * 1e9
+                  + {_OFF}) AS BIGINT) AS eg_e9
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# join_counts — binary join-count statistics on the day chain
+# (Moran 1948; Cliff & Ord 1981)
+# ---------------------------------------------------------------------------
+# Per event_type the day is Black iff its e6-floored daily mean exceeds
+# the type's lower-median daily mean (exact order statistic, 15th of
+# 30, house deterministic tie order by day).  BB/BW/WW counts over the
+# 29 adjacent day pairs are exact integers; expected BB under free
+# sampling = W/2 * (nb/n)((nb-1)/(n-1)).
+
+
+def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    d = ev.groupBy("event_type", "day").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("m")
+    )
+    d = d.withColumn(
+        "mean_e6",
+        F.floor(
+            F.col("s").cast("double") / F.col("m").cast("double") * 10_000
+            + F.lit(_OFF)
+        ).cast("long"),
+    )
+    wmed = Window.partitionBy("event_type").orderBy("mean_e6", "day")
+    wn = Window.partitionBy("event_type")
+    d = d.withColumn("rk", F.row_number().over(wmed)).withColumn(
+        "nd", F.count(F.lit(1)).over(wn)
+    )
+    med = d.filter(
+        F.col("rk") == F.floor((F.col("nd") + 1) / 2).cast("int")
+    ).select("event_type", F.col("mean_e6").alias("med_e6"))
+    t = d.join(F.broadcast(med), "event_type").withColumn(
+        "b", (F.col("mean_e6") > F.col("med_e6")).cast("long")
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    t = t.withColumn("b_next", F.lead("b").over(wo))
+    agg = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("b").alias("nb"),
+        F.sum(
+            F.when((F.col("b") == 1) & (F.col("b_next") == 1), 1).otherwise(0)
+        ).alias("bb"),
+        F.sum(
+            F.when(
+                F.col("b_next").isNotNull()
+                & (F.col("b") != F.col("b_next")),
+                1,
+            ).otherwise(0)
+        ).alias("bw"),
+        F.sum(
+            F.when((F.col("b") == 0) & (F.col("b_next") == 0), 1).otherwise(0)
+        ).alias("ww"),
+    )
+    ebb = (
+        (F.col("n") - 1).cast("double")
+        * F.col("nb").cast("double")
+        * (F.col("nb") - 1).cast("double")
+        / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("nb").cast("long").alias("n_black"),
+        F.col("bb").cast("long").alias("bb"),
+        F.col("bw").cast("long").alias("bw"),
+        F.col("ww").cast("long").alias("ww"),
+        F.floor(ebb * 1_000_000 + F.lit(_OFF)).cast("long").alias("ebb_e6"),
+    ).orderBy("event_type")
+
+
+SQL_JOINCOUNTS = f"""
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), d AS (
+  SELECT event_type, day,
+         CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) * 10000 + {_OFF})
+              AS BIGINT) AS mean_e6
+  FROM ev GROUP BY 1, 2
+), rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY mean_e6, day) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS nd
+  FROM d
+), med AS (
+  SELECT event_type, mean_e6 AS med_e6
+  FROM rk WHERE rk = CAST(floor((nd + 1) / 2) AS INT)
+), t AS (
+  SELECT d.event_type, d.day,
+         CASE WHEN d.mean_e6 > med.med_e6 THEN 1 ELSE 0 END AS b
+  FROM d JOIN med ON med.event_type = d.event_type
+), c AS (
+  SELECT event_type, b,
+         lead(b) OVER (PARTITION BY event_type ORDER BY day) AS b_next
+  FROM t
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(b) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN b = 1 AND b_next = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS bb,
+         CAST(sum(CASE WHEN b_next IS NOT NULL AND b <> b_next
+                       THEN 1 ELSE 0 END) AS BIGINT) AS bw,
+         CAST(sum(CASE WHEN b = 0 AND b_next = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS ww
+  FROM c GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       nb AS n_black,
+       bb, bw, ww,
+       CAST(floor((n - 1) * CAST(nb AS DOUBLE) * (nb - 1)
+                  / (CAST(n AS DOUBLE) * (n - 1)) * 1000000 + {_OFF})
+            AS BIGINT) AS ebb_e6
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# moses_extreme — Moses test of extreme reactions (Moses 1952)
+# ---------------------------------------------------------------------------
+# Control = weekday rows, experimental = weekend rows per event_type.
+# Combined ranks use the house (value, event_id) tie order; the span of
+# the control sample after trimming h = floor(0.05 nc) from each end is
+# S_h = r_(nc-h) - r_(h+1) + 1 (exact integers throughout).
+
+
+def q_moses_extreme(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+        (F.dayofweek("ts").isin(1, 7)).cast("int").alias("grp"),
+    )
+    wcomb = Window.partitionBy("event_type").orderBy("v", "event_id")
+    t = ev.withColumn("r", F.row_number().over(wcomb).cast("long"))
+    ctrl = t.filter(F.col("grp") == 0)
+    wctrl = Window.partitionBy("event_type").orderBy("r")
+    wn = Window.partitionBy("event_type")
+    c = (
+        ctrl.withColumn("i", F.row_number().over(wctrl).cast("long"))
+        .withColumn("nc", F.count(F.lit(1)).over(wn).cast("long"))
+        .withColumn("h", F.floor(F.col("nc") * 0.05).cast("long"))
+    )
+    lo = c.filter(F.col("i") == F.col("h") + 1).select(
+        "event_type", F.col("r").alias("r_lo"), "nc", "h"
+    )
+    hi = c.filter(F.col("i") == F.col("nc") - F.col("h")).select(
+        "event_type", F.col("r").alias("r_hi")
+    )
+    ne = t.filter(F.col("grp") == 1).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ne")
+    )
+    out = (
+        lo.join(hi, "event_type")
+        .join(ne, "event_type")
+        .select(
+            "event_type",
+            F.col("nc").alias("n_ctrl"),
+            F.col("ne").cast("long").alias("n_exp"),
+            F.col("h").alias("h"),
+            (F.col("r_hi") - F.col("r_lo") + 1).cast("long").alias("span"),
+        )
+    )
+    return out.orderBy("event_type")
+
+
+SQL_MOSES = f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS grp
+  FROM events
+), t AS (
+  SELECT event_type, grp,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY v, event_id) AS r
+  FROM ev
+), c AS (
+  SELECT event_type, r,
+         row_number() OVER (PARTITION BY event_type ORDER BY r) AS i,
+         count(*) OVER (PARTITION BY event_type) AS nc
+  FROM t WHERE grp = 0
+), lim AS (
+  SELECT event_type, nc, floor(nc * 0.05) AS h
+  FROM c GROUP BY 1, 2, floor(nc * 0.05)
+), lo AS (
+  SELECT c.event_type, c.r AS r_lo, lim.nc, lim.h
+  FROM c JOIN lim ON lim.event_type = c.event_type
+  WHERE c.i = lim.h + 1
+), hi AS (
+  SELECT c.event_type, c.r AS r_hi
+  FROM c JOIN lim ON lim.event_type = c.event_type
+  WHERE c.i = lim.nc - lim.h
+), ne AS (
+  SELECT event_type, count(*) AS ne
+  FROM t WHERE grp = 1 GROUP BY 1
+)
+SELECT lo.event_type,
+       CAST(lo.nc AS BIGINT) AS n_ctrl,
+       CAST(ne.ne AS BIGINT) AS n_exp,
+       CAST(lo.h AS BIGINT) AS h,
+       CAST(hi.r_hi - lo.r_lo + 1 AS BIGINT) AS span
+FROM lo
+JOIN hi ON hi.event_type = lo.event_type
+JOIN ne ON ne.event_type = lo.event_type
+ORDER BY lo.event_type
+"""
+
+
+QUERIES.update(
+    {
+        "competing_risks_cif": q_competing_risks_cif,
+        "getis_ord_g": q_getis_ord_g,
+        "join_counts": q_join_counts,
+        "moses_extreme": q_moses_extreme,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "competing_risks_cif": SQL_CIF,
+        "getis_ord_g": SQL_GETIS,
+        "join_counts": SQL_JOINCOUNTS,
+        "moses_extreme": SQL_MOSES,
+    }
+)
