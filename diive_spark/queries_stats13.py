@@ -1618,3 +1618,516 @@ ORACLE_SQL.update(
         "moses_extreme": SQL_MOSES,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# mack_wolfe — umbrella-pattern alternative over diel buckets
+# (Mack & Wolfe 1981, JASA)
+# ---------------------------------------------------------------------------
+# Four 6-hour diel buckets with known peak p = bucket 2 (12:00-18:00).
+# A_p = sum_{i<j<=p} U_ij + sum_{p<=i<j} U_ji with tie-midrank
+# Mann-Whitney counts; Jonckheere (in the registry) is the monotone
+# special case.  DOUBLED U keeps ties exact: 2U_{uv} = sum_a
+# c_v(a) * (2*Cless_u(a) + c_u(a)) from per-value per-bucket cell
+# counts and cumulative counts — everything BIGINT until the final
+# expectation ratio.  E[A_p] = (N1^2 + N2^2 - sum n_i^2)/4.
+
+
+def q_mack_wolfe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (F.hour("ts") / 6).cast("int").alias("g"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    cells = ev.groupBy("event_type", "v").agg(
+        F.sum((F.col("g") == 0).cast("long")).alias("c0"),
+        F.sum((F.col("g") == 1).cast("long")).alias("c1"),
+        F.sum((F.col("g") == 2).cast("long")).alias("c2"),
+        F.sum((F.col("g") == 3).cast("long")).alias("c3"),
+    )
+    wv = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    t = cells
+    for i in range(4):
+        t = t.withColumn(
+            f"l{i}", F.coalesce(F.sum(f"c{i}").over(wv), F.lit(0))
+        )
+    # doubled U_{uv}: pairs with u-value < v-value (x2) + ties (x1)
+    pairs_asc = [(0, 1), (0, 2), (1, 2)]   # i < j <= p
+    pairs_desc = [(2, 3)]                   # p <= i < j, use U_{ji}
+    two_a = None
+    for u, v in pairs_asc:
+        term = F.col(f"c{v}") * (2 * F.col(f"l{u}") + F.col(f"c{u}"))
+        two_a = term if two_a is None else two_a + term
+    for u, v in pairs_desc:
+        term = F.col(f"c{u}") * (2 * F.col(f"l{v}") + F.col(f"c{v}"))
+        two_a = two_a + term
+    agg = t.groupBy("event_type").agg(
+        F.sum(two_a).alias("two_a"),
+        F.sum("c0").alias("n0"),
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum("c3").alias("n3"),
+    )
+    n1tot = F.col("n0") + F.col("n1") + F.col("n2")
+    n2tot = F.col("n2") + F.col("n3")
+    ssq = (
+        F.col("n0") * F.col("n0")
+        + F.col("n1") * F.col("n1")
+        + F.col("n2") * F.col("n2")
+        + F.col("n3") * F.col("n3")
+    )
+    ea4 = n1tot * n1tot + n2tot * n2tot - ssq  # 4*E[A_p]
+    return agg.select(
+        "event_type",
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("n3").cast("long").alias("n3"),
+        F.col("two_a").cast("long").alias("a_doubled"),
+        ea4.cast("long").alias("ea_x4"),
+    ).orderBy("event_type")
+
+
+SQL_MACK_WOLFE = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(EXTRACT(hour FROM ts) / 6) AS INT) AS g,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), cells AS (
+  SELECT event_type, v,
+         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(sum(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3
+  FROM ev GROUP BY 1, 2
+), cum AS (
+  SELECT *,
+         CAST(COALESCE(sum(c0) OVER w, 0) AS BIGINT) AS l0,
+         CAST(COALESCE(sum(c1) OVER w, 0) AS BIGINT) AS l1,
+         CAST(COALESCE(sum(c2) OVER w, 0) AS BIGINT) AS l2,
+         CAST(COALESCE(sum(c3) OVER w, 0) AS BIGINT) AS l3
+  FROM cells
+  WINDOW w AS (PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), agg AS (
+  SELECT event_type,
+         CAST(sum(  c1 * (2 * l0 + c0)
+                  + c2 * (2 * l0 + c0)
+                  + c2 * (2 * l1 + c1)
+                  + c2 * (2 * l3 + c3)) AS BIGINT) AS two_a,
+         CAST(sum(c0) AS BIGINT) AS n0,
+         CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(sum(c2) AS BIGINT) AS n2,
+         CAST(sum(c3) AS BIGINT) AS n3
+  FROM cum GROUP BY 1
+)
+SELECT event_type, n0, n1, n2, n3,
+       two_a AS a_doubled,
+       CAST((n0 + n1 + n2) * (n0 + n1 + n2) + (n2 + n3) * (n2 + n3)
+            - (n0*n0 + n1*n1 + n2*n2 + n3*n3) AS BIGINT) AS ea_x4
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# kendall_tau_c — Stuart's tau-c on the diel-bucket x value-quartile
+# grid (Stuart 1953)
+# ---------------------------------------------------------------------------
+# tau_c = 2m(C - D) / (n^2 (m-1)) with m = min(rows, cols) = 4; C/D
+# from exact cell counts of the 4x4 contingency table via a bounded
+# 16x16 cell self-join.  Value quartiles use the house deterministic
+# (v, event_id) order; kendall_tau (registry) is the pairwise-ranks
+# tau-b — tau-c corrects for the rectangular-table ceiling instead.
+
+
+def q_kendall_tau_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "event_id",
+        (F.hour("ts") / 6).cast("int").alias("r"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    wq = Window.partitionBy("event_type").orderBy("v", "event_id")
+    wn = Window.partitionBy("event_type")
+    t = ev.withColumn("rk", F.row_number().over(wq)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    ).withColumn(
+        "c",
+        F.least(
+            F.lit(3),
+            F.floor((F.col("rk") - 1) * 4 / F.col("n")).cast("int"),
+        ),
+    )
+    cells = t.groupBy("event_type", "r", "c").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    a = cells.select(
+        "event_type",
+        F.col("r").alias("r1"),
+        F.col("c").alias("c1"),
+        F.col("m").alias("m1"),
+    )
+    b = cells.select(
+        F.col("event_type").alias("et2"),
+        F.col("r").alias("r2"),
+        F.col("c").alias("c2"),
+        F.col("m").alias("m2"),
+    )
+    j = a.join(b, a.event_type == b.et2)
+    conc = (
+        j.filter((F.col("r1") < F.col("r2")) & (F.col("c1") < F.col("c2")))
+        .groupBy("event_type")
+        .agg(F.sum(F.col("m1") * F.col("m2")).alias("cc"))
+    )
+    disc = (
+        j.filter((F.col("r1") < F.col("r2")) & (F.col("c1") > F.col("c2")))
+        .groupBy("event_type")
+        .agg(F.sum(F.col("m1") * F.col("m2")).alias("dd"))
+    )
+    nn = cells.groupBy("event_type").agg(F.sum("m").alias("n"))
+    out = (
+        nn.join(conc, "event_type")
+        .join(disc, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("cc").cast("long").alias("concordant"),
+            F.col("dd").cast("long").alias("discordant"),
+            F.floor(
+                F.lit(8.0)
+                * (F.col("cc") - F.col("dd")).cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * F.col("n").cast("double")
+                    * F.lit(3.0)
+                )
+                * 1_000_000
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("tau_c_e6"),
+        )
+    )
+    return out.orderBy("event_type")
+
+
+SQL_TAU_C = f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(floor(EXTRACT(hour FROM ts) / 6) AS INT) AS r,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), t AS (
+  SELECT event_type, r,
+         least(3, CAST(floor(
+           (row_number() OVER (PARTITION BY event_type
+                               ORDER BY v, event_id) - 1) * 4.0
+           / count(*) OVER (PARTITION BY event_type)) AS INT)) AS c
+  FROM ev
+), cells AS (
+  SELECT event_type, r, c, count(*) AS m
+  FROM t GROUP BY 1, 2, 3
+), pairs AS (
+  SELECT a.event_type,
+         CAST(sum(CASE WHEN a.r < b.r AND a.c < b.c
+                       THEN a.m * b.m ELSE 0 END) AS BIGINT) AS cc,
+         CAST(sum(CASE WHEN a.r < b.r AND a.c > b.c
+                       THEN a.m * b.m ELSE 0 END) AS BIGINT) AS dd
+  FROM cells a JOIN cells b ON b.event_type = a.event_type
+  GROUP BY 1
+), nn AS (
+  SELECT event_type, CAST(sum(m) AS BIGINT) AS n
+  FROM cells GROUP BY 1
+)
+SELECT nn.event_type,
+       nn.n,
+       pairs.cc AS concordant,
+       pairs.dd AS discordant,
+       CAST(floor(8.0 * (pairs.cc - pairs.dd)
+                  / (CAST(nn.n AS DOUBLE) * nn.n * 3.0)
+                  * 1000000 + {_OFF}) AS BIGINT) AS tau_c_e6
+FROM nn JOIN pairs ON pairs.event_type = nn.event_type
+ORDER BY nn.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# sign_test — paired sign test on daily purchase-vs-click means
+# (Arbuthnott 1710; Dixon & Mood 1946)
+# ---------------------------------------------------------------------------
+# Day-paired comparison done on exact rationals (s_p * n_c vs s_c *
+# n_p, never a divided mean), so the sign is engine-exact; z uses the
+# tie-dropping convention z = (S+ - S-) / sqrt(S+ + S-).
+
+
+def q_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    d = ev.groupBy("day").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("v"))).alias(
+            "sp"
+        ),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("np"),
+        F.sum(F.when(F.col("event_type") == "click", F.col("v"))).alias("sc"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("nc"),
+    ).filter((F.col("np") > 0) & (F.col("nc") > 0))
+    lhs = F.col("sp") * F.col("nc")
+    rhs = F.col("sc") * F.col("np")
+    agg = d.select(
+        F.when(lhs > rhs, 1).otherwise(0).alias("pos"),
+        F.when(lhs < rhs, 1).otherwise(0).alias("neg"),
+        F.when(lhs == rhs, 1).otherwise(0).alias("tie"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("pos").alias("s_plus"),
+        F.sum("neg").alias("s_minus"),
+        F.sum("tie").alias("s_zero"),
+    )
+    z = (F.col("s_plus") - F.col("s_minus")).cast("double") / F.sqrt(
+        (F.col("s_plus") + F.col("s_minus")).cast("double")
+    )
+    return agg.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("s_plus").cast("long").alias("s_plus"),
+        F.col("s_minus").cast("long").alias("s_minus"),
+        F.col("s_zero").cast("long").alias("s_zero"),
+        F.floor(z * 1_000_000 + F.lit(_OFF)).cast("long").alias("z_e6"),
+    )
+
+
+SQL_SIGN = f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+  WHERE event_type IN ('purchase', 'click')
+), d AS (
+  SELECT day,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN v END) AS BIGINT)
+           AS sp,
+         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS np,
+         CAST(sum(CASE WHEN event_type = 'click' THEN v END) AS BIGINT)
+           AS sc,
+         count(CASE WHEN event_type = 'click' THEN 1 END) AS nc
+  FROM ev GROUP BY 1
+  HAVING count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+     AND count(CASE WHEN event_type = 'click' THEN 1 END) > 0
+), s AS (
+  SELECT count(*) AS n_days,
+         CAST(sum(CASE WHEN sp * nc > sc * np THEN 1 ELSE 0 END) AS BIGINT)
+           AS s_plus,
+         CAST(sum(CASE WHEN sp * nc < sc * np THEN 1 ELSE 0 END) AS BIGINT)
+           AS s_minus,
+         CAST(sum(CASE WHEN sp * nc = sc * np THEN 1 ELSE 0 END) AS BIGINT)
+           AS s_zero
+  FROM d
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       s_plus, s_minus, s_zero,
+       CAST(floor(CAST(s_plus - s_minus AS DOUBLE)
+                  / sqrt(CAST(s_plus + s_minus AS DOUBLE))
+                  * 1000000 + {_OFF}) AS BIGINT) AS z_e6
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# passing_bablok — nonparametric method-comparison regression
+# (Passing & Bablok 1983)
+# ---------------------------------------------------------------------------
+# x = daily click mean, y = daily purchase mean (e4-floored exact
+# ints).  All C(30,2) pairwise slopes (vertical pairs dropped, slope
+# = -1 dropped per the method); K = #slopes < -1; b = the (N+1)/2+K-th
+# (odd N) or averaged N/2+K / N/2+1+K (even N) order statistic of the
+# e9-floored slopes with deterministic (slope, i, j) tie order; a =
+# lower median of y - b x.  Bounded 435-pair intermediate; single row.
+
+
+def q_passing_bablok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    d = (
+        ev.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", F.col("v"))).alias(
+                "sx"
+            ),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("nx"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("v"))
+            ).alias("sy"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "ny"
+            ),
+        )
+        .filter((F.col("nx") > 0) & (F.col("ny") > 0))
+        .select(
+            "day",
+            F.floor(
+                F.col("sx").cast("double") / F.col("nx").cast("double") * 100
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("x"),
+            F.floor(
+                F.col("sy").cast("double") / F.col("ny").cast("double") * 100
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    a = d.select(
+        F.col("day").alias("di"), F.col("x").alias("xi"), F.col("y").alias("yi")
+    )
+    b = d.select(
+        F.col("day").alias("dj"), F.col("x").alias("xj"), F.col("y").alias("yj")
+    )
+    pr = a.join(b, F.col("di") < F.col("dj")).filter(
+        F.col("xj") != F.col("xi")
+    )
+    slope = (F.col("yj") - F.col("yi")).cast("double") / (
+        F.col("xj") - F.col("xi")
+    ).cast("double")
+    pr = pr.withColumn(
+        "s_e9", F.floor(slope * 1e9 + F.lit(_OFF)).cast("long")
+    ).filter(F.col("s_e9") != -1_000_000_000)
+    wr = Window.orderBy("s_e9", "di", "dj")
+    stats = pr.agg(
+        F.count(F.lit(1)).alias("n_slopes"),
+        F.sum((F.col("s_e9") < -1_000_000_000).cast("long")).alias("k_neg"),
+    )
+    ranked = pr.withColumn("rk", F.row_number().over(wr))
+    picked = ranked.join(F.broadcast(stats), how="cross").filter(
+        (
+            (F.col("n_slopes") % 2 == 1)
+            & (F.col("rk") == (F.col("n_slopes") + 1) / 2 + F.col("k_neg"))
+        )
+        | (
+            (F.col("n_slopes") % 2 == 0)
+            & (
+                (F.col("rk") == F.col("n_slopes") / 2 + F.col("k_neg"))
+                | (F.col("rk") == F.col("n_slopes") / 2 + 1 + F.col("k_neg"))
+            )
+        )
+    )
+    bsel = picked.groupBy("n_slopes", "k_neg").agg(
+        F.floor(F.avg(F.col("s_e9").cast("double")) + F.lit(_OFF))
+        .cast("long")
+        .alias("b_e9")
+    )
+    withb = d.join(F.broadcast(bsel), how="cross").withColumn(
+        "resid_e9",
+        F.col("y") * F.lit(1_000_000_000)
+        - F.col("b_e9") * F.col("x"),
+    )
+    wmed = Window.orderBy("resid_e9", "day")
+    med = (
+        withb.withColumn("rk", F.row_number().over(wmed))
+        .withColumn("nd", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))))
+        .filter(F.col("rk") == F.floor((F.col("nd") + 1) / 2).cast("int"))
+    )
+    return med.select(
+        F.col("nd").cast("long").alias("n_days"),
+        F.col("n_slopes").cast("long").alias("n_slopes"),
+        F.col("k_neg").cast("long").alias("k_neg"),
+        F.col("b_e9").cast("long").alias("b_e9"),
+        # a in centi units scaled e9 -> report floor(resid/1e9) centi
+        F.floor(F.col("resid_e9").cast("double") / 1e9 + F.lit(_OFF))
+        .cast("long")
+        .alias("a_centi"),
+    )
+
+
+SQL_PB = f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+  WHERE event_type IN ('purchase', 'click')
+), d AS (
+  SELECT day,
+         CAST(floor(CAST(sum(CASE WHEN event_type = 'click' THEN v END)
+                         AS DOUBLE)
+                    / count(CASE WHEN event_type = 'click' THEN 1 END)
+                    * 100 + {_OFF}) AS BIGINT) AS x,
+         CAST(floor(CAST(sum(CASE WHEN event_type = 'purchase' THEN v END)
+                         AS DOUBLE)
+                    / count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    * 100 + {_OFF}) AS BIGINT) AS y
+  FROM ev GROUP BY 1
+  HAVING count(CASE WHEN event_type = 'click' THEN 1 END) > 0
+     AND count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+), pr AS (
+  SELECT a.day AS di, b.day AS dj,
+         CAST(floor(CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) * 1e9
+                    + {_OFF}) AS BIGINT) AS s_e9
+  FROM d a JOIN d b ON a.day < b.day AND b.x <> a.x
+), prf AS (
+  SELECT * FROM pr WHERE s_e9 <> -1000000000
+), stats AS (
+  SELECT count(*) AS n_slopes,
+         CAST(sum(CASE WHEN s_e9 < -1000000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS k_neg
+  FROM prf
+), ranked AS (
+  SELECT s_e9, row_number() OVER (ORDER BY s_e9, di, dj) AS rk
+  FROM prf
+), bsel AS (
+  SELECT stats.n_slopes, stats.k_neg,
+         CAST(floor(avg(CAST(s_e9 AS DOUBLE)) + {_OFF}) AS BIGINT) AS b_e9
+  FROM ranked CROSS JOIN stats
+  WHERE (n_slopes % 2 = 1 AND rk = (n_slopes + 1) / 2 + k_neg)
+     OR (n_slopes % 2 = 0 AND (rk = n_slopes / 2 + k_neg
+                               OR rk = n_slopes / 2 + 1 + k_neg))
+  GROUP BY 1, 2
+), resid AS (
+  SELECT d.day, n_slopes, k_neg, b_e9,
+         d.y * 1000000000 - b_e9 * d.x AS resid_e9,
+         count(*) OVER () AS nd,
+         row_number() OVER (ORDER BY d.y * 1000000000 - b_e9 * d.x, d.day)
+           AS rk
+  FROM d CROSS JOIN bsel
+)
+SELECT CAST(nd AS BIGINT) AS n_days,
+       CAST(n_slopes AS BIGINT) AS n_slopes,
+       k_neg,
+       b_e9,
+       CAST(floor(CAST(resid_e9 AS DOUBLE) / 1e9 + {_OFF}) AS BIGINT)
+         AS a_centi
+FROM resid
+WHERE rk = CAST(floor((nd + 1) / 2) AS INT)
+"""
+
+
+QUERIES.update(
+    {
+        "mack_wolfe": q_mack_wolfe,
+        "kendall_tau_c": q_kendall_tau_c,
+        "sign_test": q_sign_test,
+        "passing_bablok": q_passing_bablok,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "mack_wolfe": SQL_MACK_WOLFE,
+        "kendall_tau_c": SQL_TAU_C,
+        "sign_test": SQL_SIGN,
+        "passing_bablok": SQL_PB,
+    }
+)
