@@ -2131,3 +2131,416 @@ ORACLE_SQL.update(
         "passing_bablok": SQL_PB,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# tukey_quick — Tukey's quick (pocket) test end counts (Tukey 1959)
+# ---------------------------------------------------------------------------
+# Two samples per event_type (weekend vs weekday centi-values): the
+# statistic in each direction is (#weekend above the weekday max) +
+# (#weekday below the weekend min), strict inequalities.  Exact
+# integers end-to-end (group min/max + conditional counts).
+
+
+def q_tukey_quick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+        (F.dayofweek("ts").isin(1, 7)).cast("int").alias("grp"),
+    )
+    ext = ev.groupBy("event_type").agg(
+        F.min(F.when(F.col("grp") == 1, F.col("v"))).alias("min_e"),
+        F.max(F.when(F.col("grp") == 1, F.col("v"))).alias("max_e"),
+        F.min(F.when(F.col("grp") == 0, F.col("v"))).alias("min_c"),
+        F.max(F.when(F.col("grp") == 0, F.col("v"))).alias("max_c"),
+        F.sum(F.col("grp").cast("long")).alias("ne"),
+        F.sum((1 - F.col("grp")).cast("long")).alias("nc"),
+    )
+    t = ev.join(F.broadcast(ext), "event_type")
+    out = t.groupBy("event_type").agg(
+        F.max("ne").alias("n_wknd"),
+        F.max("nc").alias("n_wday"),
+        (
+            F.sum(
+                ((F.col("grp") == 1) & (F.col("v") > F.col("max_c"))).cast(
+                    "long"
+                )
+            )
+            + F.sum(
+                ((F.col("grp") == 0) & (F.col("v") < F.col("min_e"))).cast(
+                    "long"
+                )
+            )
+        ).alias("t_wknd_high"),
+        (
+            F.sum(
+                ((F.col("grp") == 0) & (F.col("v") > F.col("max_e"))).cast(
+                    "long"
+                )
+            )
+            + F.sum(
+                ((F.col("grp") == 1) & (F.col("v") < F.col("min_c"))).cast(
+                    "long"
+                )
+            )
+        ).alias("t_wday_high"),
+    )
+    return out.select(
+        "event_type",
+        F.col("n_wknd").cast("long").alias("n_wknd"),
+        F.col("n_wday").cast("long").alias("n_wday"),
+        F.col("t_wknd_high").cast("long").alias("t_wknd_high"),
+        F.col("t_wday_high").cast("long").alias("t_wday_high"),
+    ).orderBy("event_type")
+
+
+SQL_TUKEY_QUICK = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS grp
+  FROM events
+), ext AS (
+  SELECT event_type,
+         min(CASE WHEN grp = 1 THEN v END) AS min_e,
+         max(CASE WHEN grp = 1 THEN v END) AS max_e,
+         min(CASE WHEN grp = 0 THEN v END) AS min_c,
+         max(CASE WHEN grp = 0 THEN v END) AS max_c,
+         CAST(sum(grp) AS BIGINT) AS ne,
+         CAST(sum(1 - grp) AS BIGINT) AS nc
+  FROM ev GROUP BY 1
+)
+SELECT ev.event_type,
+       max(ne) AS n_wknd,
+       max(nc) AS n_wday,
+       CAST(sum(CASE WHEN grp = 1 AND v > max_c THEN 1 ELSE 0 END)
+            + sum(CASE WHEN grp = 0 AND v < min_e THEN 1 ELSE 0 END)
+            AS BIGINT) AS t_wknd_high,
+       CAST(sum(CASE WHEN grp = 0 AND v > max_e THEN 1 ELSE 0 END)
+            + sum(CASE WHEN grp = 1 AND v < min_c THEN 1 ELSE 0 END)
+            AS BIGINT) AS t_wday_high
+FROM ev JOIN ext ON ext.event_type = ev.event_type
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# hodges_ajne — circular uniformity by minimum half-circle count
+# (Hodges 1955; Ajne 1968) on minute-of-day
+# ---------------------------------------------------------------------------
+# Dense 1440-minute grid per event_type (tiny constant — 1440 x k rows,
+# broadcast-scale); cumulative counts P(m); each rotation s gets its
+# closed 720-minute half-window count by fixed-offset lead/lag on the
+# dense grid (wraparound via n - P(s-1) + P(s-721)); the statistic is
+# m = min_s H(s), tie -> smallest s.  Exact integers end-to-end;
+# completes the circular family (rayleigh_diel, kuiper, watson_u2).
+
+
+def q_hodges_ajne(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (F.hour("ts") * 60 + F.minute("ts")).cast("long").alias("m"),
+    )
+    cnt = ev.groupBy("event_type", "m").agg(F.count(F.lit(1)).alias("c"))
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(
+        F.broadcast(
+            ev.sparkSession.range(0, 1440).select(F.col("id").alias("m"))
+        )
+    )
+    d = grid.join(cnt, ["event_type", "m"], "left").withColumn(
+        "c", F.coalesce(F.col("c"), F.lit(0))
+    )
+    wo = Window.partitionBy("event_type").orderBy("m")
+    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wp = Window.partitionBy("event_type")
+    d = (
+        d.withColumn("p", F.sum("c").over(wc))
+        .withColumn("n", F.sum("c").over(wp))
+        .withColumn("p_lag1", F.coalesce(F.lag("p", 1).over(wo), F.lit(0)))
+        .withColumn("p_lead719", F.lead("p", 719).over(wo))
+        .withColumn("p_lag721", F.coalesce(F.lag("p", 721).over(wo), F.lit(0)))
+    )
+    h = F.when(
+        F.col("m") <= 720, F.col("p_lead719") - F.col("p_lag1")
+    ).otherwise(F.col("n") - F.col("p_lag1") + F.col("p_lag721"))
+    scored = d.withColumn("h", h)
+    best = scored.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min_by(
+            F.struct(F.col("m"), F.col("h")), F.struct(F.col("h"), F.col("m"))
+        ).alias("b"),
+    )
+    return best.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("b.m").cast("long").alias("s_min"),
+        F.col("b.h").cast("long").alias("m_stat"),
+        F.floor(
+            F.col("b.h").cast("double") / F.col("n").cast("double") * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("frac_e6"),
+    ).orderBy("event_type")
+
+
+SQL_HODGES_AJNE = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)
+              AS BIGINT) AS m
+  FROM events
+), cnt AS (
+  SELECT event_type, m, count(*) AS c
+  FROM ev GROUP BY 1, 2
+), grid AS (
+  SELECT t.event_type, g.m
+  FROM (SELECT DISTINCT event_type FROM ev) t
+  CROSS JOIN (SELECT CAST(i AS BIGINT) AS m
+              FROM generate_series(0, 1439) AS s(i)) g
+), d AS (
+  SELECT grid.event_type, grid.m,
+         COALESCE(cnt.c, 0) AS c
+  FROM grid LEFT JOIN cnt
+    ON cnt.event_type = grid.event_type AND cnt.m = grid.m
+), cum AS (
+  SELECT event_type, m,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY m
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS p,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM d
+), off AS (
+  SELECT event_type, m, n,
+         COALESCE(lag(p, 1) OVER w, 0) AS p_lag1,
+         lead(p, 719) OVER w AS p_lead719,
+         COALESCE(lag(p, 721) OVER w, 0) AS p_lag721
+  FROM cum
+  WINDOW w AS (PARTITION BY event_type ORDER BY m)
+), scored AS (
+  SELECT event_type, m, n,
+         CASE WHEN m <= 720 THEN p_lead719 - p_lag1
+              ELSE n - p_lag1 + p_lag721 END AS h
+  FROM off
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY h, m) AS rk
+  FROM scored
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(m AS BIGINT) AS s_min,
+       CAST(h AS BIGINT) AS m_stat,
+       CAST(floor(CAST(h AS DOUBLE) / n * 1000000 + {_OFF}) AS BIGINT)
+         AS frac_e6
+FROM ranked
+WHERE rk = 1
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# wheeler_watson — two-sample circular homogeneity via uniform scores
+# (Wheeler & Watson 1964)
+# ---------------------------------------------------------------------------
+# Combined circular ranks of minute-of-day (house (m, event_id) tie
+# order) give uniform-score angles 2*pi*r/N; W = 2 * sum_g
+# (C_g^2 + S_g^2)/n_g.  Per-row cos/sin e6-floored BEFORE the exact
+# integer group sums.
+
+
+def q_wheeler_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "event_id",
+        (F.hour("ts") * 60 + F.minute("ts")).cast("long").alias("m"),
+        (F.dayofweek("ts").isin(1, 7)).cast("int").alias("grp"),
+    )
+    wcomb = Window.partitionBy("event_type").orderBy("m", "event_id")
+    wp = Window.partitionBy("event_type")
+    t = ev.withColumn("r", F.row_number().over(wcomb).cast("long")).withColumn(
+        "nn", F.count(F.lit(1)).over(wp).cast("long")
+    )
+    ang = (
+        F.lit(2.0 * math.pi)
+        * F.col("r").cast("double")
+        / F.col("nn").cast("double")
+    )
+    t = t.withColumn(
+        "c_e6", F.floor(F.cos(ang) * 1_000_000 + F.lit(_OFF)).cast("long")
+    ).withColumn(
+        "s_e6", F.floor(F.sin(ang) * 1_000_000 + F.lit(_OFF)).cast("long")
+    )
+    g = t.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("c_e6").alias("cg"),
+        F.sum("s_e6").alias("sg"),
+    )
+    term = (
+        F.col("cg").cast("double") * F.col("cg").cast("double")
+        + F.col("sg").cast("double") * F.col("sg").cast("double")
+    ) / F.col("ng").cast("double") / 1e12
+    g = g.withColumn(
+        "term_e9", F.floor(term * 1e9 + F.lit(_OFF)).cast("long")
+    )
+    out = g.groupBy("event_type").agg(
+        F.sum(F.when(F.col("grp") == 0, F.col("ng"))).alias("n_wday"),
+        F.sum(F.when(F.col("grp") == 1, F.col("ng"))).alias("n_wknd"),
+        F.sum("term_e9").alias("sum_e9"),
+    )
+    return out.select(
+        "event_type",
+        F.col("n_wday").cast("long").alias("n_wday"),
+        F.col("n_wknd").cast("long").alias("n_wknd"),
+        (F.col("sum_e9") * 2).cast("long").alias("w_x2_e9"),
+    ).orderBy("event_type")
+
+
+SQL_WHEELER = f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)
+              AS BIGINT) AS m,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS grp
+  FROM events
+), t AS (
+  SELECT event_type, grp,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY m, event_id) AS r,
+         count(*) OVER (PARTITION BY event_type) AS nn
+  FROM ev
+), sc AS (
+  SELECT event_type, grp,
+         CAST(floor(cos(2 * pi() * r / nn) * 1000000 + {_OFF}) AS BIGINT)
+           AS c_e6,
+         CAST(floor(sin(2 * pi() * r / nn) * 1000000 + {_OFF}) AS BIGINT)
+           AS s_e6
+  FROM t
+), g AS (
+  SELECT event_type, grp, count(*) AS ng,
+         CAST(sum(c_e6) AS BIGINT) AS cg,
+         CAST(sum(s_e6) AS BIGINT) AS sg
+  FROM sc GROUP BY 1, 2
+), terms AS (
+  SELECT event_type, grp, ng,
+         CAST(floor((CAST(cg AS DOUBLE) * cg + CAST(sg AS DOUBLE) * sg)
+                    / ng / 1e12 * 1e9 + {_OFF}) AS BIGINT) AS term_e9
+  FROM g
+)
+SELECT event_type,
+       CAST(sum(CASE WHEN grp = 0 THEN ng END) AS BIGINT) AS n_wday,
+       CAST(sum(CASE WHEN grp = 1 THEN ng END) AS BIGINT) AS n_wknd,
+       CAST(sum(term_e9) * 2 AS BIGINT) AS w_x2_e9
+FROM terms
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# bowley_moors — octile-based robust shape: Bowley (1901) quartile
+# skewness + Moors (1988) octile kurtosis
+# ---------------------------------------------------------------------------
+# Octiles E1..E7 as exact order statistics (row_number = ceil(i*n/8),
+# house deterministic (v, event_id) order).  Bowley = (E6 + E2 - 2*E4)
+# / (E6 - E2); Moors = ((E7 - E5) + (E3 - E1)) / (E6 - E2).
+
+
+def q_bowley_moors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    wq = Window.partitionBy("event_type").orderBy("v", "event_id")
+    wn = Window.partitionBy("event_type")
+    t = ev.withColumn("rk", F.row_number().over(wq).cast("long")).withColumn(
+        "n", F.count(F.lit(1)).over(wn).cast("long")
+    )
+    octs = [
+        F.max(
+            F.when(
+                F.col("rk") == F.ceil(F.col("n") * i / 8).cast("long"),
+                F.col("v"),
+            )
+        ).alias(f"e{i}")
+        for i in range(1, 8)
+    ]
+    agg = t.groupBy("event_type").agg(F.max("n").alias("n"), *octs)
+    iqr = (F.col("e6") - F.col("e2")).cast("double")
+    bowley = (F.col("e6") + F.col("e2") - 2 * F.col("e4")).cast("double") / iqr
+    moors = (
+        (F.col("e7") - F.col("e5")) + (F.col("e3") - F.col("e1"))
+    ).cast("double") / iqr
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("e2").cast("long").alias("q1"),
+        F.col("e4").cast("long").alias("q2"),
+        F.col("e6").cast("long").alias("q3"),
+        F.floor(bowley * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "bowley_e6"
+        ),
+        F.floor(moors * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "moors_e6"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_BOWLEY = f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), t AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY v, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+), agg AS (
+  SELECT event_type, max(n) AS n,
+         max(CASE WHEN rk = CAST(ceil(n * 1 / 8.0) AS BIGINT) THEN v END) AS e1,
+         max(CASE WHEN rk = CAST(ceil(n * 2 / 8.0) AS BIGINT) THEN v END) AS e2,
+         max(CASE WHEN rk = CAST(ceil(n * 3 / 8.0) AS BIGINT) THEN v END) AS e3,
+         max(CASE WHEN rk = CAST(ceil(n * 4 / 8.0) AS BIGINT) THEN v END) AS e4,
+         max(CASE WHEN rk = CAST(ceil(n * 5 / 8.0) AS BIGINT) THEN v END) AS e5,
+         max(CASE WHEN rk = CAST(ceil(n * 6 / 8.0) AS BIGINT) THEN v END) AS e6,
+         max(CASE WHEN rk = CAST(ceil(n * 7 / 8.0) AS BIGINT) THEN v END) AS e7
+  FROM t GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(e2 AS BIGINT) AS q1,
+       CAST(e4 AS BIGINT) AS q2,
+       CAST(e6 AS BIGINT) AS q3,
+       CAST(floor(CAST(e6 + e2 - 2 * e4 AS DOUBLE) / (e6 - e2) * 1000000
+                  + {_OFF}) AS BIGINT) AS bowley_e6,
+       CAST(floor(CAST((e7 - e5) + (e3 - e1) AS DOUBLE) / (e6 - e2) * 1000000
+                  + {_OFF}) AS BIGINT) AS moors_e6
+FROM agg
+ORDER BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "tukey_quick": q_tukey_quick,
+        "hodges_ajne": q_hodges_ajne,
+        "wheeler_watson": q_wheeler_watson,
+        "bowley_moors": q_bowley_moors,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "tukey_quick": SQL_TUKEY_QUICK,
+        "hodges_ajne": SQL_HODGES_AJNE,
+        "wheeler_watson": SQL_WHEELER,
+        "bowley_moors": SQL_BOWLEY,
+    }
+)
