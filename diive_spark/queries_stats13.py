@@ -2544,3 +2544,515 @@ ORACLE_SQL.update(
         "bowley_moors": SQL_BOWLEY,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# mmd_quadratic — two-sample maximum mean discrepancy with the
+# quadratic polynomial kernel (Gretton et al. 2012, JMLR)
+# ---------------------------------------------------------------------------
+# k(x, y) = (1 + xy/c)^2 expands into pure moments, so the unbiased
+# MMD^2_u over weekend-vs-weekday value-unit integers is a CLOSED FORM
+# of exact BIGINT sums (S1, S2, S4 per group): sum_{i<>j} k =
+# m(m-1) + (2/c)(S1^2 - S2) + (1/c^2)(S2^2 - S4).  No pairwise join —
+# O(n) where the generic kernel MMD is O(n^2).  c = 1e4 keeps the
+# kernel O(1) for values <= ~500.
+
+
+def q_mmd_quadratic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") + F.lit(_OFF)).cast("long").alias("v"),
+        (F.dayofweek("ts").isin(1, 7)).cast("int").alias("grp"),
+    )
+    g = ev.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+        F.sum(F.col("v") * F.col("v") * F.col("v") * F.col("v")).alias("s4"),
+    )
+    e = g.filter(F.col("grp") == 1).select(
+        "event_type",
+        F.col("n").alias("m"),
+        F.col("s1").alias("ex1"),
+        F.col("s2").alias("ex2"),
+        F.col("s4").alias("ex4"),
+    )
+    c = g.filter(F.col("grp") == 0).select(
+        "event_type",
+        F.col("n").alias("n"),
+        F.col("s1").alias("cy1"),
+        F.col("s2").alias("cy2"),
+        F.col("s4").alias("cy4"),
+    )
+    j = e.join(c, "event_type")
+    C = 10_000.0
+    md = F.col("m").cast("double")
+    nd = F.col("n").cast("double")
+    ex1 = F.col("ex1").cast("double")
+    ex2 = F.col("ex2").cast("double")
+    ex4 = F.col("ex4").cast("double")
+    cy1 = F.col("cy1").cast("double")
+    cy2 = F.col("cy2").cast("double")
+    cy4 = F.col("cy4").cast("double")
+    kxx = md * (md - 1) + (2.0 / C) * (ex1 * ex1 - ex2) + (
+        ex2 * ex2 - ex4
+    ) / (C * C)
+    kyy = nd * (nd - 1) + (2.0 / C) * (cy1 * cy1 - cy2) + (
+        cy2 * cy2 - cy4
+    ) / (C * C)
+    kxy = md * nd + (2.0 / C) * ex1 * cy1 + ex2 * cy2 / (C * C)
+    mmd2 = (
+        kxx / (md * (md - 1))
+        + kyy / (nd * (nd - 1))
+        - 2.0 * kxy / (md * nd)
+    )
+    return j.select(
+        "event_type",
+        F.col("m").cast("long").alias("n_wknd"),
+        F.col("n").cast("long").alias("n_wday"),
+        F.floor(mmd2 * 1e9 + F.lit(_OFF)).cast("long").alias("mmd2_e9"),
+    ).orderBy("event_type")
+
+
+SQL_MMD = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(value + {_OFF}) AS BIGINT) AS v,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS grp
+  FROM events
+), g AS (
+  SELECT event_type, grp, count(*) AS n,
+         CAST(sum(v) AS BIGINT) AS s1,
+         CAST(sum(v * v) AS BIGINT) AS s2,
+         CAST(sum(v * v * v * v) AS BIGINT) AS s4
+  FROM ev GROUP BY 1, 2
+), j AS (
+  SELECT e.event_type,
+         CAST(e.n AS DOUBLE) AS md, CAST(c.n AS DOUBLE) AS nd,
+         e.n AS m, c.n AS n,
+         CAST(e.s1 AS DOUBLE) AS ex1, CAST(e.s2 AS DOUBLE) AS ex2,
+         CAST(e.s4 AS DOUBLE) AS ex4,
+         CAST(c.s1 AS DOUBLE) AS cy1, CAST(c.s2 AS DOUBLE) AS cy2,
+         CAST(c.s4 AS DOUBLE) AS cy4
+  FROM g e JOIN g c ON c.event_type = e.event_type
+  WHERE e.grp = 1 AND c.grp = 0
+)
+SELECT event_type,
+       CAST(m AS BIGINT) AS n_wknd,
+       CAST(n AS BIGINT) AS n_wday,
+       CAST(floor(
+         ((md * (md - 1) + (2.0 / 10000) * (ex1 * ex1 - ex2)
+           + (ex2 * ex2 - ex4) / 1e8) / (md * (md - 1))
+          + (nd * (nd - 1) + (2.0 / 10000) * (cy1 * cy1 - cy2)
+             + (cy2 * cy2 - cy4) / 1e8) / (nd * (nd - 1))
+          - 2.0 * (md * nd + (2.0 / 10000) * ex1 * cy1
+                   + ex2 * cy2 / 1e8) / (md * nd))
+         * 1e9 + {_OFF}) AS BIGINT) AS mmd2_e9
+FROM j
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# biweight_midcorr — Tukey biweight midcorrelation on daily means
+# (Wilcox 2012; the WGCNA default robust correlation)
+# ---------------------------------------------------------------------------
+# x = daily click mean, y = daily purchase mean (e4-floored ints).
+# Medians and MADs are exact lower-median order statistics; per-row
+# biweight terms a_i = (x_i - med)(1 - u^2)^2 1{|u|<1} are identical
+# doubles, e6-floored before the exact cross sums.
+
+
+def q_biweight_midcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    d = (
+        ev.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", F.col("v"))).alias(
+                "sx"
+            ),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("nx"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("v"))
+            ).alias("sy"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("ny"),
+        )
+        .filter((F.col("nx") > 0) & (F.col("ny") > 0))
+        .select(
+            "day",
+            F.floor(
+                F.col("sx").cast("double") / F.col("nx").cast("double") * 100
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("x"),
+            F.floor(
+                F.col("sy").cast("double") / F.col("ny").cast("double") * 100
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+
+    def _med(df, col, out):
+        w = Window.orderBy(col, "day")
+        wn = Window.partitionBy(F.lit(1))
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .withColumn("nd", F.count(F.lit(1)).over(wn))
+            .filter(F.col("rk") == F.floor((F.col("nd") + 1) / 2).cast("int"))
+            .select(F.col(col).alias(out))
+        )
+
+    mx = _med(d, "x", "med_x")
+    my = _med(d, "y", "med_y")
+    base = d.crossJoin(F.broadcast(mx)).crossJoin(F.broadcast(my))
+    ax = base.select(
+        "day",
+        "x",
+        "y",
+        "med_x",
+        "med_y",
+        F.abs(F.col("x") - F.col("med_x")).alias("adx"),
+        F.abs(F.col("y") - F.col("med_y")).alias("ady"),
+    )
+    madx = _med(ax, "adx", "mad_x")
+    mady = _med(ax, "ady", "mad_y")
+    t = ax.crossJoin(F.broadcast(madx)).crossJoin(F.broadcast(mady))
+    ux = (F.col("x") - F.col("med_x")).cast("double") / (
+        9.0 * F.col("mad_x").cast("double")
+    )
+    uy = (F.col("y") - F.col("med_y")).cast("double") / (
+        9.0 * F.col("mad_y").cast("double")
+    )
+    aw = F.when(
+        F.abs(ux) < 1.0,
+        (F.col("x") - F.col("med_x")).cast("double")
+        * F.pow(F.lit(1.0) - ux * ux, 2),
+    ).otherwise(F.lit(0.0))
+    bw = F.when(
+        F.abs(uy) < 1.0,
+        (F.col("y") - F.col("med_y")).cast("double")
+        * F.pow(F.lit(1.0) - uy * uy, 2),
+    ).otherwise(F.lit(0.0))
+    t = t.withColumn(
+        "a_e2", F.floor(aw + F.lit(_OFF)).cast("long")
+    ).withColumn("b_e2", F.floor(bw + F.lit(_OFF)).cast("long"))
+    agg = t.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("a_e2") * F.col("b_e2")).alias("sab"),
+        F.sum(F.col("a_e2") * F.col("a_e2")).alias("saa"),
+        F.sum(F.col("b_e2") * F.col("b_e2")).alias("sbb"),
+    )
+    r = F.col("sab").cast("double") / F.sqrt(
+        F.col("saa").cast("double") * F.col("sbb").cast("double")
+    )
+    return agg.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("sab").cast("long").alias("sab"),
+        F.floor(r * 1_000_000 + F.lit(_OFF)).cast("long").alias("bicor_e6"),
+    )
+
+
+SQL_BICOR = f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+  WHERE event_type IN ('purchase', 'click')
+), d AS (
+  SELECT day,
+         CAST(floor(CAST(sum(CASE WHEN event_type = 'click' THEN v END)
+                         AS DOUBLE)
+                    / count(CASE WHEN event_type = 'click' THEN 1 END)
+                    * 100 + {_OFF}) AS BIGINT) AS x,
+         CAST(floor(CAST(sum(CASE WHEN event_type = 'purchase' THEN v END)
+                         AS DOUBLE)
+                    / count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    * 100 + {_OFF}) AS BIGINT) AS y
+  FROM ev GROUP BY 1
+  HAVING count(CASE WHEN event_type = 'click' THEN 1 END) > 0
+     AND count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+), mx AS (
+  SELECT x AS med_x FROM (
+    SELECT x, row_number() OVER (ORDER BY x, day) AS rk,
+           count(*) OVER () AS nd FROM d) s
+  WHERE rk = CAST(floor((nd + 1) / 2) AS INT)
+), my AS (
+  SELECT y AS med_y FROM (
+    SELECT y, row_number() OVER (ORDER BY y, day) AS rk,
+           count(*) OVER () AS nd FROM d) s
+  WHERE rk = CAST(floor((nd + 1) / 2) AS INT)
+), ax AS (
+  SELECT day, x, y, med_x, med_y,
+         abs(x - med_x) AS adx, abs(y - med_y) AS ady
+  FROM d CROSS JOIN mx CROSS JOIN my
+), madx AS (
+  SELECT adx AS mad_x FROM (
+    SELECT adx, row_number() OVER (ORDER BY adx, day) AS rk,
+           count(*) OVER () AS nd FROM ax) s
+  WHERE rk = CAST(floor((nd + 1) / 2) AS INT)
+), mady AS (
+  SELECT ady AS mad_y FROM (
+    SELECT ady, row_number() OVER (ORDER BY ady, day) AS rk,
+           count(*) OVER () AS nd FROM ax) s
+  WHERE rk = CAST(floor((nd + 1) / 2) AS INT)
+), t AS (
+  SELECT
+    CAST(floor(CASE WHEN abs(CAST(x - med_x AS DOUBLE) / (9.0 * mad_x)) < 1.0
+      THEN (x - med_x)
+           * (1.0 - (CAST(x - med_x AS DOUBLE) / (9.0 * mad_x)) ^ 2) ^ 2
+      ELSE 0.0 END + {_OFF}) AS BIGINT) AS a_e2,
+    CAST(floor(CASE WHEN abs(CAST(y - med_y AS DOUBLE) / (9.0 * mad_y)) < 1.0
+      THEN (y - med_y)
+           * (1.0 - (CAST(y - med_y AS DOUBLE) / (9.0 * mad_y)) ^ 2) ^ 2
+      ELSE 0.0 END + {_OFF}) AS BIGINT) AS b_e2
+  FROM ax CROSS JOIN madx CROSS JOIN mady
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(a_e2 * b_e2) AS BIGINT) AS sab,
+       CAST(floor(CAST(sum(a_e2 * b_e2) AS DOUBLE)
+                  / sqrt(CAST(sum(a_e2 * a_e2) AS DOUBLE)
+                         * sum(b_e2 * b_e2))
+                  * 1000000 + {_OFF}) AS BIGINT) AS bicor_e6
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# peak_concurrency — maximum simultaneous gap-timeout sessions per day
+# ---------------------------------------------------------------------------
+# Sessions are the house 30-min gap-timeout (sessionize_events
+# convention); each contributes +1 at its start instant, -1 at its end,
+# assigned to the day of its START (documented clipping semantics).
+# Boundary order (+1 before -1 at equal ts, then user/session) is
+# pinned identically in both engines; running integer sum per day ->
+# max and its argmax time.  Per-day windows, not a global sweep.
+
+
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("us")
+    t = ev.withColumn("prev", F.lag("us").over(wu)).withColumn(
+        "new_s",
+        (
+            F.col("prev").isNull()
+            | (F.col("us") - F.col("prev") > 1_800_000_000)
+        ).cast("long"),
+    )
+    wc = Window.partitionBy("user_id").orderBy("us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = t.withColumn("sess", F.sum("new_s").over(wc))
+    s = t.groupBy("user_id", "sess").agg(
+        F.min("us").alias("t0"), F.max("us").alias("t1")
+    )
+    pts = s.select(
+        F.col("user_id"),
+        F.col("sess"),
+        F.col("t0").alias("pt"),
+        F.lit(1).alias("delta"),
+        F.floor(F.col("t0") / 86_400_000_000).cast("long").alias("day"),
+    ).unionAll(
+        s.select(
+            F.col("user_id"),
+            F.col("sess"),
+            F.col("t1").alias("pt"),
+            F.lit(-1).alias("delta"),
+            F.floor(F.col("t0") / 86_400_000_000).cast("long").alias("day"),
+        )
+    )
+    wsweep = Window.partitionBy("day").orderBy(
+        "pt", F.col("delta").desc(), "user_id", "sess"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    swept = pts.withColumn("conc", F.sum("delta").over(wsweep))
+    best = swept.groupBy("day").agg(
+        F.max_by(
+            F.struct(F.col("pt"), F.col("conc")),
+            F.struct(F.col("conc"), -F.col("pt")),
+        ).alias("b"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
+    )
+    return best.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("n_sessions"),
+        F.col("b.conc").cast("long").alias("peak"),
+        F.col("b.pt").cast("long").alias("peak_us"),
+    ).orderBy("day")
+
+
+SQL_PEAK_CONC = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM events
+), t AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev
+), sd AS (
+  SELECT user_id, us,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS sess
+  FROM t
+), s AS (
+  SELECT user_id, sess, min(us) AS t0, max(us) AS t1
+  FROM sd GROUP BY 1, 2
+), pts AS (
+  SELECT user_id, sess, t0 AS pt, 1 AS delta,
+         CAST(floor(t0 / 86400000000) AS BIGINT) AS day
+  FROM s
+  UNION ALL
+  SELECT user_id, sess, t1 AS pt, -1 AS delta,
+         CAST(floor(t0 / 86400000000) AS BIGINT) AS day
+  FROM s
+), swept AS (
+  SELECT day, pt,
+         CAST(sum(delta) OVER (PARTITION BY day
+               ORDER BY pt, delta DESC, user_id, sess
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS conc
+  FROM pts
+), ranked AS (
+  SELECT day, pt, conc,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY conc DESC, pt) AS rk,
+         count(*) OVER (PARTITION BY day) AS n2
+  FROM swept
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(n2 / 2 AS BIGINT) AS n_sessions,
+       conc AS peak,
+       CAST(pt AS BIGINT) AS peak_us
+FROM ranked
+WHERE rk = 1
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# borda_condorcet — rank aggregation of daily event-type leaderboards
+# (Borda 1781; Condorcet 1785)
+# ---------------------------------------------------------------------------
+# Each day ranks the k event types by e4-floored mean value (tie ->
+# type name); Borda points are k - rank per day; Condorcet pairwise
+# wins count days where one type's floored mean strictly exceeds
+# another's.  Exact integers end-to-end; bounded k x k day join.
+
+
+def q_borda_condorcet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    d = ev.groupBy("day", "event_type").agg(
+        F.floor(
+            F.sum("v").cast("double") / F.count(F.lit(1)).cast("double") * 100
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("m")
+    )
+    wr = Window.partitionBy("day").orderBy(
+        F.col("m").desc(), F.col("event_type")
+    )
+    wk = Window.partitionBy("day")
+    r = d.withColumn("rk", F.row_number().over(wr)).withColumn(
+        "k", F.count(F.lit(1)).over(wk)
+    )
+    borda = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("k") - F.col("rk")).alias("borda"),
+    )
+    a = d.select(
+        F.col("day").alias("d2"),
+        F.col("event_type").alias("et_b"),
+        F.col("m").alias("m_b"),
+    )
+    wins = (
+        d.join(a, (F.col("day") == F.col("d2")))
+        .filter(F.col("event_type") != F.col("et_b"))
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("m") > F.col("m_b")).cast("long")).alias(
+                "pair_wins"
+            )
+        )
+    )
+    out = borda.join(wins, "event_type").select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("borda").cast("long").alias("borda"),
+        F.col("pair_wins").cast("long").alias("pair_wins"),
+    )
+    return out.orderBy("event_type")
+
+
+SQL_BORDA = f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), d AS (
+  SELECT day, event_type,
+         CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) * 100 + {_OFF})
+              AS BIGINT) AS m
+  FROM ev GROUP BY 1, 2
+), r AS (
+  SELECT day, event_type, m,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY m DESC, event_type) AS rk,
+         count(*) OVER (PARTITION BY day) AS k
+  FROM d
+), borda AS (
+  SELECT event_type, count(*) AS n_days,
+         CAST(sum(k - rk) AS BIGINT) AS borda
+  FROM r GROUP BY 1
+), wins AS (
+  SELECT a.event_type,
+         CAST(sum(CASE WHEN a.m > b.m THEN 1 ELSE 0 END) AS BIGINT)
+           AS pair_wins
+  FROM d a JOIN d b ON b.day = a.day AND b.event_type <> a.event_type
+  GROUP BY 1
+)
+SELECT borda.event_type,
+       CAST(borda.n_days AS BIGINT) AS n_days,
+       borda.borda,
+       wins.pair_wins
+FROM borda JOIN wins ON wins.event_type = borda.event_type
+ORDER BY borda.event_type
+"""
+
+
+QUERIES.update(
+    {
+        "mmd_quadratic": q_mmd_quadratic,
+        "biweight_midcorr": q_biweight_midcorr,
+        "peak_concurrency": q_peak_concurrency,
+        "borda_condorcet": q_borda_condorcet,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "mmd_quadratic": SQL_MMD,
+        "biweight_midcorr": SQL_BICOR,
+        "peak_concurrency": SQL_PEAK_CONC,
+        "borda_condorcet": SQL_BORDA,
+    }
+)
