@@ -3056,3 +3056,466 @@ ORACLE_SQL.update(
         "borda_condorcet": SQL_BORDA,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# xbar_r_chart — Shewhart X-bar / R chart with n=4 subgroups
+# (Shewhart 1931; constants A2/D3/D4 for n=4 from the standard tables)
+# ---------------------------------------------------------------------------
+# Subgroup = the first 4 events of each (day, hour) in the house
+# deterministic (ts, event_id) order; subgroup sums and ranges are
+# exact centi integers, the chart limits are closed-form doubles from
+# the exact grand sums.  A2 = 0.729, D3 = 0, D4 = 2.282.
+
+
+def q_xbar_r_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hh"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    wsub = Window.partitionBy("day", "hh").orderBy("ts", "event_id")
+    sub = (
+        ev.withColumn("rk", F.row_number().over(wsub))
+        .filter(F.col("rk") <= 4)
+        .groupBy("day", "hh")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum("v").alias("s"),
+            (F.max("v") - F.min("v")).alias("r"),
+        )
+        .filter(F.col("m") == 4)
+    )
+    tot = sub.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("s").alias("ss"),
+        F.sum("r").alias("sr"),
+    )
+    j = sub.crossJoin(F.broadcast(tot))
+    grand = F.col("ss").cast("double") / (4.0 * F.col("k").cast("double"))
+    rbar = F.col("sr").cast("double") / F.col("k").cast("double")
+    xbar = F.col("s").cast("double") / 4.0
+    out_x = (
+        (xbar > grand + 0.729 * rbar) | (xbar < grand - 0.729 * rbar)
+    ).cast("long")
+    out_r = (F.col("r").cast("double") > 2.282 * rbar).cast("long")
+    day = j.groupBy("day").agg(
+        F.count(F.lit(1)).alias("k_day"),
+        F.sum(out_x).alias("out_xbar"),
+        F.sum(out_r).alias("out_r"),
+        F.max(
+            F.floor(grand * 10_000 + F.lit(_OFF)).cast("long")
+        ).alias("grand_e4"),
+        F.max(F.floor(rbar * 10_000 + F.lit(_OFF)).cast("long")).alias(
+            "rbar_e4"
+        ),
+    )
+    return day.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("k_day").cast("long").alias("k_subgroups"),
+        F.col("out_xbar").cast("long").alias("out_xbar"),
+        F.col("out_r").cast("long").alias("out_r"),
+        "grand_e4",
+        "rbar_e4",
+    ).orderBy("day")
+
+
+SQL_XBAR_R = f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day,
+         EXTRACT(hour FROM ts) AS hh, ts, event_id,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), rk AS (
+  SELECT day, hh, v,
+         row_number() OVER (PARTITION BY day, hh
+                            ORDER BY ts, event_id) AS rk
+  FROM ev
+), sub AS (
+  SELECT day, hh, count(*) AS m,
+         CAST(sum(v) AS BIGINT) AS s,
+         CAST(max(v) - min(v) AS BIGINT) AS r
+  FROM rk WHERE rk <= 4
+  GROUP BY 1, 2
+  HAVING count(*) = 4
+), tot AS (
+  SELECT count(*) AS k,
+         CAST(sum(s) AS BIGINT) AS ss,
+         CAST(sum(r) AS BIGINT) AS sr
+  FROM sub
+), j AS (
+  SELECT day,
+         CAST(s AS DOUBLE) / 4.0 AS xbar,
+         CAST(r AS DOUBLE) AS rr,
+         CAST(ss AS DOUBLE) / (4.0 * k) AS grand,
+         CAST(sr AS DOUBLE) / k AS rbar
+  FROM sub CROSS JOIN tot
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(count(*) AS BIGINT) AS k_subgroups,
+       CAST(sum(CASE WHEN xbar > grand + 0.729 * rbar
+                      OR xbar < grand - 0.729 * rbar
+                     THEN 1 ELSE 0 END) AS BIGINT) AS out_xbar,
+       CAST(sum(CASE WHEN rr > 2.282 * rbar THEN 1 ELSE 0 END) AS BIGINT)
+         AS out_r,
+       CAST(max(CAST(floor(grand * 10000 + {_OFF}) AS BIGINT)) AS BIGINT)
+         AS grand_e4,
+       CAST(max(CAST(floor(rbar * 10000 + {_OFF}) AS BIGINT)) AS BIGINT)
+         AS rbar_e4
+FROM j
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# western_electric_rules — WE runs rules 1-4 on the individuals chart
+# (Western Electric SQC Handbook 1956)
+# ---------------------------------------------------------------------------
+# Per event_type: center = mean, sigma = MRbar/1.128 (the shewhart_imr
+# convention).  R1: beyond 3 sigma; R2: >= 2 of 3 consecutive beyond
+# 2 sigma, same side; R3: >= 4 of 5 beyond 1 sigma, same side; R4: 8
+# consecutive on one side.  Zone indicators are exact (centi ints vs
+# identically-derived double limits); rolling indicator sums are exact
+# integer window sums.
+
+
+def q_western_electric_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t = ev.withColumn("prev", F.lag("v").over(wo))
+    g = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull(), F.abs(F.col("v") - F.col("prev"))
+            )
+        ).alias("smr"),
+    )
+    mu = F.col("sv").cast("double") / F.col("n").cast("double")
+    sig = (
+        F.col("smr").cast("double") / (F.col("n") - 1).cast("double") / 1.128
+    )
+    coef = g.select("event_type", mu.alias("mu"), sig.alias("sig"))
+    t = t.join(F.broadcast(coef), "event_type")
+    vd = F.col("v").cast("double")
+    above = (vd > F.col("mu")).cast("long")
+    below = (vd < F.col("mu")).cast("long")
+    a1 = (vd > F.col("mu") + F.col("sig")).cast("long")
+    b1 = (vd < F.col("mu") - F.col("sig")).cast("long")
+    a2 = (vd > F.col("mu") + 2 * F.col("sig")).cast("long")
+    b2 = (vd < F.col("mu") - 2 * F.col("sig")).cast("long")
+    r1 = (
+        (vd > F.col("mu") + 3 * F.col("sig"))
+        | (vd < F.col("mu") - 3 * F.col("sig"))
+    ).cast("long")
+    t = (
+        t.withColumn("above", above)
+        .withColumn("below", below)
+        .withColumn("a1", a1)
+        .withColumn("b1", b1)
+        .withColumn("a2", a2)
+        .withColumn("b2", b2)
+        .withColumn("r1", r1)
+    )
+    w3 = wo.rowsBetween(-2, Window.currentRow)
+    w5 = wo.rowsBetween(-4, Window.currentRow)
+    w8 = wo.rowsBetween(-7, Window.currentRow)
+    wi = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t = (
+        t.withColumn("i", F.row_number().over(wi))
+        .withColumn(
+            "r2",
+            (
+                ((F.sum("a2").over(w3) >= 2) | (F.sum("b2").over(w3) >= 2))
+                & (F.col("i") >= 3)
+            ).cast("long"),
+        )
+        .withColumn(
+            "r3",
+            (
+                ((F.sum("a1").over(w5) >= 4) | (F.sum("b1").over(w5) >= 4))
+                & (F.col("i") >= 5)
+            ).cast("long"),
+        )
+        .withColumn(
+            "r4",
+            (
+                ((F.sum("above").over(w8) == 8) | (F.sum("below").over(w8) == 8))
+                & (F.col("i") >= 8)
+            ).cast("long"),
+        )
+    )
+    out = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r1").alias("rule1"),
+        F.sum("r2").alias("rule2"),
+        F.sum("r3").alias("rule3"),
+        F.sum("r4").alias("rule4"),
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("rule1").cast("long").alias("rule1"),
+        F.col("rule2").cast("long").alias("rule2"),
+        F.col("rule3").cast("long").alias("rule3"),
+        F.col("rule4").cast("long").alias("rule4"),
+    ).orderBy("event_type")
+
+
+SQL_WE_RULES = f"""
+WITH ev AS (
+  SELECT event_type, event_id, ts,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), t AS (
+  SELECT event_type, event_id, ts, v,
+         lag(v) OVER w AS prev
+  FROM ev
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), g AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(v) AS BIGINT) AS sv,
+         CAST(sum(CASE WHEN prev IS NOT NULL
+                       THEN abs(v - prev) END) AS BIGINT) AS smr
+  FROM t GROUP BY 1
+), coef AS (
+  SELECT event_type,
+         CAST(sv AS DOUBLE) / n AS mu,
+         CAST(smr AS DOUBLE) / (n - 1) / 1.128 AS sig
+  FROM g
+), z AS (
+  SELECT t.event_type, t.ts, t.event_id,
+         CASE WHEN v > mu THEN 1 ELSE 0 END AS above,
+         CASE WHEN v < mu THEN 1 ELSE 0 END AS below,
+         CASE WHEN v > mu + sig THEN 1 ELSE 0 END AS a1,
+         CASE WHEN v < mu - sig THEN 1 ELSE 0 END AS b1,
+         CASE WHEN v > mu + 2 * sig THEN 1 ELSE 0 END AS a2,
+         CASE WHEN v < mu - 2 * sig THEN 1 ELSE 0 END AS b2,
+         CASE WHEN v > mu + 3 * sig OR v < mu - 3 * sig
+              THEN 1 ELSE 0 END AS r1
+  FROM t JOIN coef ON coef.event_type = t.event_type
+), roll AS (
+  SELECT event_type, r1,
+         row_number() OVER w AS i,
+         sum(a2) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS sa2,
+         sum(b2) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS sb2,
+         sum(a1) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sa1,
+         sum(b1) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sb1,
+         sum(above) OVER (w ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS sab,
+         sum(below) OVER (w ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS sbe
+  FROM z
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(r1) AS BIGINT) AS rule1,
+       CAST(sum(CASE WHEN i >= 3 AND (sa2 >= 2 OR sb2 >= 2)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS rule2,
+       CAST(sum(CASE WHEN i >= 5 AND (sa1 >= 4 OR sb1 >= 4)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS rule3,
+       CAST(sum(CASE WHEN i >= 8 AND (sab = 8 OR sbe = 8)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS rule4
+FROM roll
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# attribute_control_charts — p-chart (error share) and c-chart (error
+# count) per day (Shewhart attribute charts)
+# ---------------------------------------------------------------------------
+# pbar/cbar from exact totals; per-day 3-sigma binomial / Poisson
+# limits as identical doubles; out-of-control flags exact.
+
+
+def q_attribute_control_charts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.to_date("ts").alias("day"),
+        (F.col("event_type") == "error").cast("long").alias("is_err"),
+    )
+    d = ev.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("is_err").alias("x"),
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("sn"),
+        F.sum("x").alias("sx"),
+    )
+    j = d.crossJoin(F.broadcast(tot))
+    pbar = F.col("sx").cast("double") / F.col("sn").cast("double")
+    cbar = F.col("sx").cast("double") / F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    p = F.col("x").cast("double") / nd
+    sig_p = F.sqrt(pbar * (1 - pbar) / nd)
+    out_p = ((p > pbar + 3 * sig_p) | (p < pbar - 3 * sig_p)).cast("long")
+    out_c = (
+        (F.col("x").cast("double") > cbar + 3 * F.sqrt(cbar))
+        | (F.col("x").cast("double") < cbar - 3 * F.sqrt(cbar))
+    ).cast("long")
+    return j.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        F.col("x").cast("long").alias("x_err"),
+        F.floor(p * 1_000_000 + F.lit(_OFF)).cast("long").alias("p_e6"),
+        out_p.alias("out_p"),
+        out_c.alias("out_c"),
+    ).orderBy("day")
+
+
+SQL_ATTR_CHARTS = f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+  FROM events
+), d AS (
+  SELECT day, count(*) AS n, CAST(sum(is_err) AS BIGINT) AS x
+  FROM ev GROUP BY 1
+), tot AS (
+  SELECT count(*) AS k,
+         CAST(sum(n) AS BIGINT) AS sn,
+         CAST(sum(x) AS BIGINT) AS sx
+  FROM d
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(n AS BIGINT) AS n,
+       x AS x_err,
+       CAST(floor(CAST(x AS DOUBLE) / n * 1000000 + {_OFF}) AS BIGINT)
+         AS p_e6,
+       CAST(CASE WHEN CAST(x AS DOUBLE) / n
+                      > CAST(sx AS DOUBLE) / sn
+                        + 3 * sqrt(CAST(sx AS DOUBLE) / sn
+                                   * (1 - CAST(sx AS DOUBLE) / sn) / n)
+                  OR CAST(x AS DOUBLE) / n
+                      < CAST(sx AS DOUBLE) / sn
+                        - 3 * sqrt(CAST(sx AS DOUBLE) / sn
+                                   * (1 - CAST(sx AS DOUBLE) / sn) / n)
+                 THEN 1 ELSE 0 END AS BIGINT) AS out_p,
+       CAST(CASE WHEN CAST(x AS DOUBLE)
+                      > CAST(sx AS DOUBLE) / k
+                        + 3 * sqrt(CAST(sx AS DOUBLE) / k)
+                  OR CAST(x AS DOUBLE)
+                      < CAST(sx AS DOUBLE) / k
+                        - 3 * sqrt(CAST(sx AS DOUBLE) / k)
+                 THEN 1 ELSE 0 END AS BIGINT) AS out_c
+FROM d CROSS JOIN tot
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# process_capability — Cp/Cpk (within, MRbar/1.128 sigma) and Pp/Ppk
+# (overall sigma) per event_type against spec [0, 50000] centi
+# ---------------------------------------------------------------------------
+# Within-sigma follows the shewhart_imr moving-range convention; the
+# overall sigma is the sample sd from the exact numerator-trick sums.
+
+
+def q_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t = ev.withColumn("prev", F.lag("v").over(wo))
+    g = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull(), F.abs(F.col("v") - F.col("prev"))
+            )
+        ).alias("smr"),
+    )
+    LSL, USL = 0.0, 50_000.0
+    nd = F.col("n").cast("double")
+    mu = F.col("sv").cast("double") / nd
+    sig_w = F.col("smr").cast("double") / (nd - 1) / 1.128
+    var_o = (
+        nd * F.col("svv").cast("double")
+        - F.col("sv").cast("double") * F.col("sv").cast("double")
+    ) / (nd * (nd - 1))
+    sig_o = F.sqrt(var_o)
+    cp = (USL - LSL) / (6 * sig_w)
+    cpk = F.least(USL - mu, mu - LSL) / (3 * sig_w)
+    pp = (USL - LSL) / (6 * sig_o)
+    ppk = F.least(USL - mu, mu - LSL) / (3 * sig_o)
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(cp * 1_000_000 + F.lit(_OFF)).cast("long").alias("cp_e6"),
+        F.floor(cpk * 1_000_000 + F.lit(_OFF)).cast("long").alias("cpk_e6"),
+        F.floor(pp * 1_000_000 + F.lit(_OFF)).cast("long").alias("pp_e6"),
+        F.floor(ppk * 1_000_000 + F.lit(_OFF)).cast("long").alias("ppk_e6"),
+    ).orderBy("event_type")
+
+
+SQL_CAPABILITY = f"""
+WITH ev AS (
+  SELECT event_type, event_id, ts,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), t AS (
+  SELECT event_type, v,
+         lag(v) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+  FROM ev
+), g AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(v) AS BIGINT) AS sv,
+         CAST(sum(v * v) AS BIGINT) AS svv,
+         CAST(sum(CASE WHEN prev IS NOT NULL
+                       THEN abs(v - prev) END) AS BIGINT) AS smr
+  FROM t GROUP BY 1
+), f AS (
+  SELECT event_type, n,
+         CAST(sv AS DOUBLE) / n AS mu,
+         CAST(smr AS DOUBLE) / (n - 1) / 1.128 AS sig_w,
+         sqrt((CAST(n AS DOUBLE) * svv - CAST(sv AS DOUBLE) * sv)
+              / (CAST(n AS DOUBLE) * (n - 1))) AS sig_o
+  FROM g
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(floor(50000.0 / (6 * sig_w) * 1000000 + {_OFF}) AS BIGINT)
+         AS cp_e6,
+       CAST(floor(least(50000.0 - mu, mu - 0.0) / (3 * sig_w)
+                  * 1000000 + {_OFF}) AS BIGINT) AS cpk_e6,
+       CAST(floor(50000.0 / (6 * sig_o) * 1000000 + {_OFF}) AS BIGINT)
+         AS pp_e6,
+       CAST(floor(least(50000.0 - mu, mu - 0.0) / (3 * sig_o)
+                  * 1000000 + {_OFF}) AS BIGINT) AS ppk_e6
+FROM f
+ORDER BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "xbar_r_chart": q_xbar_r_chart,
+        "western_electric_rules": q_western_electric_rules,
+        "attribute_control_charts": q_attribute_control_charts,
+        "process_capability": q_process_capability,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "xbar_r_chart": SQL_XBAR_R,
+        "western_electric_rules": SQL_WE_RULES,
+        "attribute_control_charts": SQL_ATTR_CHARTS,
+        "process_capability": SQL_CAPABILITY,
+    }
+)
