@@ -3519,3 +3519,590 @@ ORACLE_SQL.update(
         "process_capability": SQL_CAPABILITY,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# pps_horvitz_thompson — systematic probability-proportional-to-size
+# sampling + Horvitz-Thompson total (Horvitz & Thompson 1952; Madow 1949)
+# ---------------------------------------------------------------------------
+# Population = users, size measure = event count, target = total
+# centi-value.  Systematic PPS with skip I = S/n and the house 1/pi
+# fraction as the deterministic start: unit u is hit m_u =
+# floor((C_u - d)/I) - floor((C_{u-1} - d)/I) times (exact cumulative
+# integer sizes, identical doubles).  HT total = (S/n) sum m_u y_u/s_u.
+
+
+def q_pps_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("s"), F.sum("v").alias("y")
+    )
+    wc = Window.orderBy("user_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = u.withColumn("cu", F.sum("s").over(wc)).withColumn(
+        "cprev", F.col("cu") - F.col("s")
+    )
+    tot = u.agg(
+        F.count(F.lit(1)).alias("n_pop"),
+        F.sum("s").alias("stot"),
+        F.sum("y").alias("ytrue"),
+    )
+    NDRAW = 100.0
+    j = t.crossJoin(F.broadcast(tot))
+    i_skip = F.col("stot").cast("double") / F.lit(NDRAW)
+    d0 = i_skip * F.lit(_OFF)
+    m_u = (
+        F.floor((F.col("cu").cast("double") - d0) / i_skip)
+        - F.floor((F.col("cprev").cast("double") - d0) / i_skip)
+    ).cast("long")
+    j = j.withColumn("m_u", m_u)
+    sel = j.filter(F.col("m_u") > 0)
+    ht_term = (
+        F.col("m_u").cast("double")
+        * F.col("y").cast("double")
+        / F.col("s").cast("double")
+    )
+    sel = sel.withColumn(
+        "term_e2", F.floor(ht_term * 100 + F.lit(_OFF)).cast("long")
+    )
+    agg = sel.groupBy().agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("m_u").alias("n_draws"),
+        F.sum("term_e2").alias("sterm_e2"),
+        F.max("stot").alias("stot"),
+        F.max("ytrue").alias("ytrue"),
+        F.max("n_pop").alias("n_pop"),
+    )
+    ht = (
+        F.col("stot").cast("double")
+        / F.lit(NDRAW)
+        * F.col("sterm_e2").cast("double")
+        / 100.0
+    )
+    rel = (ht - F.col("ytrue").cast("double")) / F.col("ytrue").cast("double")
+    return agg.select(
+        F.col("n_pop").cast("long").alias("n_pop"),
+        F.col("n_units").cast("long").alias("n_units"),
+        F.col("n_draws").cast("long").alias("n_draws"),
+        F.col("ytrue").cast("long").alias("true_total"),
+        F.floor(ht + F.lit(_OFF)).cast("long").alias("ht_total"),
+        F.floor(rel * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "rel_err_e6"
+        ),
+    )
+
+
+SQL_PPS_HT = f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), u AS (
+  SELECT user_id, count(*) AS s, CAST(sum(v) AS BIGINT) AS y
+  FROM ev GROUP BY 1
+), t AS (
+  SELECT *,
+         CAST(sum(s) OVER (ORDER BY user_id ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cu
+  FROM u
+), tot AS (
+  SELECT count(*) AS n_pop,
+         CAST(sum(s) AS BIGINT) AS stot,
+         CAST(sum(y) AS BIGINT) AS ytrue
+  FROM u
+), m AS (
+  SELECT t.*, tot.n_pop, tot.stot, tot.ytrue,
+         CAST(floor((CAST(cu AS DOUBLE)
+                     - CAST(stot AS DOUBLE) / 100.0 * {_OFF})
+                    / (CAST(stot AS DOUBLE) / 100.0))
+              - floor((CAST(cu - s AS DOUBLE)
+                       - CAST(stot AS DOUBLE) / 100.0 * {_OFF})
+                      / (CAST(stot AS DOUBLE) / 100.0)) AS BIGINT) AS m_u
+  FROM t CROSS JOIN tot
+), sel AS (
+  SELECT *,
+         CAST(floor(CAST(m_u AS DOUBLE) * y / s * 100 + {_OFF}) AS BIGINT)
+           AS term_e2
+  FROM m WHERE m_u > 0
+), agg AS (
+  SELECT count(*) AS n_units,
+         CAST(sum(m_u) AS BIGINT) AS n_draws,
+         CAST(sum(term_e2) AS BIGINT) AS sterm_e2,
+         max(stot) AS stot, max(ytrue) AS ytrue, max(n_pop) AS n_pop
+  FROM sel
+)
+SELECT CAST(n_pop AS BIGINT) AS n_pop,
+       CAST(n_units AS BIGINT) AS n_units,
+       n_draws,
+       CAST(ytrue AS BIGINT) AS true_total,
+       CAST(floor(CAST(stot AS DOUBLE) / 100.0
+                  * CAST(sterm_e2 AS DOUBLE) / 100.0 + {_OFF}) AS BIGINT)
+         AS ht_total,
+       CAST(floor((CAST(stot AS DOUBLE) / 100.0
+                   * CAST(sterm_e2 AS DOUBLE) / 100.0 - ytrue)
+                  / CAST(ytrue AS DOUBLE) * 1000000 + {_OFF}) AS BIGINT)
+         AS rel_err_e6
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# ipf_raking — iterative proportional fitting of the hour x type count
+# table to uniform margins, 3 unrolled rounds (Deming & Stephan 1940)
+# ---------------------------------------------------------------------------
+# The 24 x 5 contingency table is raked row->col three times with the
+# house unrolled-fixed-point pattern (huber/price-indexes precedent):
+# every scaling is the identical double chain from exact integer
+# counts in both engines.  Reported per type: the column total after
+# the round-3 ROW scaling (its deviation from the target measures
+# convergence).
+
+
+def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.hour("ts").cast("long").alias("h"), "event_type"
+    )
+    cells = ev.groupBy("h", "event_type").agg(
+        F.count(F.lit(1)).alias("n0")
+    )
+    wn = Window.partitionBy(F.lit(1))
+    wr = Window.partitionBy("h")
+    wc = Window.partitionBy("event_type")
+    t = cells.withColumn("ntot", F.sum("n0").over(wn))
+    tr = F.col("ntot").cast("double") / 24.0
+    tc = F.col("ntot").cast("double") / 5.0
+    m = F.col("n0").cast("double")
+    for rnd in range(3):
+        rs = F.sum(m).over(wr)
+        m = m * tr / rs
+        t = t.withColumn(f"m_r{rnd}", m)
+        m = F.col(f"m_r{rnd}")
+        if rnd < 2:
+            cs = F.sum(m).over(wc)
+            m = m * tc / cs
+            t = t.withColumn(f"m_c{rnd}", m)
+            m = F.col(f"m_c{rnd}")
+    out = t.groupBy("event_type").agg(
+        F.sum("n0").alias("n0_col"),
+        F.floor(F.sum("m_r2") * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("col_total_e4"),
+        F.max(F.col("ntot")).alias("ntot"),
+    )
+    dev = F.abs(
+        F.col("col_total_e4").cast("double") / 10_000.0
+        - F.col("ntot").cast("double") / 5.0
+    )
+    return out.select(
+        "event_type",
+        F.col("n0_col").cast("long").alias("n0_col"),
+        "col_total_e4",
+        F.floor(dev * 10_000 + F.lit(_OFF)).cast("long").alias("dev_e4"),
+    ).orderBy("event_type")
+
+
+SQL_IPF = f"""
+WITH ev AS (
+  SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h, event_type
+  FROM events
+), cells AS (
+  SELECT h, event_type, count(*) AS n0
+  FROM ev GROUP BY 1, 2
+), base AS (
+  SELECT *,
+         CAST(sum(n0) OVER () AS BIGINT) AS ntot
+  FROM cells
+), r0 AS (
+  SELECT *, CAST(n0 AS DOUBLE) * (CAST(ntot AS DOUBLE) / 24.0)
+            / sum(CAST(n0 AS DOUBLE)) OVER (PARTITION BY h) AS m
+  FROM base
+), c0 AS (
+  SELECT h, event_type, n0, ntot,
+         m * (CAST(ntot AS DOUBLE) / 5.0)
+           / sum(m) OVER (PARTITION BY event_type) AS m
+  FROM r0
+), r1 AS (
+  SELECT h, event_type, n0, ntot,
+         m * (CAST(ntot AS DOUBLE) / 24.0)
+           / sum(m) OVER (PARTITION BY h) AS m
+  FROM c0
+), c1 AS (
+  SELECT h, event_type, n0, ntot,
+         m * (CAST(ntot AS DOUBLE) / 5.0)
+           / sum(m) OVER (PARTITION BY event_type) AS m
+  FROM r1
+), r2 AS (
+  SELECT h, event_type, n0, ntot,
+         m * (CAST(ntot AS DOUBLE) / 24.0)
+           / sum(m) OVER (PARTITION BY h) AS m
+  FROM c1
+), agg AS (
+  SELECT event_type,
+         CAST(sum(n0) AS BIGINT) AS n0_col,
+         CAST(floor(sum(m) * 10000 + {_OFF}) AS BIGINT) AS col_total_e4,
+         max(ntot) AS ntot
+  FROM r2 GROUP BY 1
+)
+SELECT event_type, n0_col, col_total_e4,
+       CAST(floor(abs(CAST(col_total_e4 AS DOUBLE) / 10000.0
+                      - CAST(ntot AS DOUBLE) / 5.0) * 10000 + {_OFF})
+            AS BIGINT) AS dev_e4
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# cyclic_shift_test — circular-shift surrogate test for daily
+# click-purchase correlation (the time-series permutation test of
+# choice when autocorrelation must be preserved)
+# ---------------------------------------------------------------------------
+# corr numerator n*Sxy_k - Sx*Sy at every cyclic lag k is an EXACT
+# BIGINT (margins are shift-invariant, so the denominator cancels);
+# p = #{k >= 1 : |num_k| >= |num_0|} / (n_days - 1) involves only
+# integer comparisons.  Bounded 30 x 30 shift join.
+
+
+def q_cyclic_shift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    d = (
+        ev.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", F.col("v"))).alias(
+                "sx"
+            ),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("nx"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("v"))
+            ).alias("sy"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "ny"
+            ),
+        )
+        .filter((F.col("nx") > 0) & (F.col("ny") > 0))
+        .select(
+            "day",
+            F.floor(
+                F.col("sx").cast("double") / F.col("nx").cast("double") * 100
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("x"),
+            F.floor(
+                F.col("sy").cast("double") / F.col("ny").cast("double") * 100
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    wi = Window.orderBy("day")
+    wn = Window.partitionBy(F.lit(1))
+    idx = d.withColumn("i", F.row_number().over(wi) - 1).withColumn(
+        "nd", F.count(F.lit(1)).over(wn)
+    )
+    a = idx.select("i", "x", "nd")
+    b = idx.select(F.col("i").alias("j"), F.col("y").alias("yj"))
+    shifts = idx.sparkSession.range(0, 64).select(
+        F.col("id").cast("long").alias("k")
+    )
+    pr = (
+        a.crossJoin(F.broadcast(shifts))
+        .filter(F.col("k") < F.col("nd"))
+        .join(
+            b,
+            F.col("j") == (F.col("i") + F.col("k")) % F.col("nd"),
+        )
+    )
+    sxy = pr.groupBy("k").agg(
+        F.sum(F.col("x") * F.col("yj")).alias("sxy"),
+        F.max("nd").alias("nd"),
+    )
+    marg = idx.agg(
+        F.sum("x").alias("sx"), F.sum("y").alias("sy")
+    )
+    num = sxy.crossJoin(F.broadcast(marg)).select(
+        "k",
+        "nd",
+        (
+            F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy")
+        ).alias("num"),
+    )
+    obs = num.filter(F.col("k") == 0).select(
+        F.col("num").alias("num0"), F.col("nd").alias("n_days")
+    )
+    cnt = (
+        num.filter(F.col("k") >= 1)
+        .crossJoin(F.broadcast(obs))
+        .agg(
+            F.max("n_days").alias("n_days"),
+            F.max("num0").alias("num0"),
+            F.sum(
+                (F.abs(F.col("num")) >= F.abs(F.col("num0"))).cast("long")
+            ).alias("n_ge"),
+        )
+    )
+    p = F.col("n_ge").cast("double") / (F.col("n_days") - 1).cast("double")
+    return cnt.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("num0").cast("long").alias("num0"),
+        F.col("n_ge").cast("long").alias("n_ge"),
+        F.floor(p * 1_000_000 + F.lit(_OFF)).cast("long").alias("p_e6"),
+    )
+
+
+SQL_CYCLIC = f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+  WHERE event_type IN ('purchase', 'click')
+), d AS (
+  SELECT day,
+         CAST(floor(CAST(sum(CASE WHEN event_type = 'click' THEN v END)
+                         AS DOUBLE)
+                    / count(CASE WHEN event_type = 'click' THEN 1 END)
+                    * 100 + {_OFF}) AS BIGINT) AS x,
+         CAST(floor(CAST(sum(CASE WHEN event_type = 'purchase' THEN v END)
+                         AS DOUBLE)
+                    / count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    * 100 + {_OFF}) AS BIGINT) AS y
+  FROM ev GROUP BY 1
+  HAVING count(CASE WHEN event_type = 'click' THEN 1 END) > 0
+     AND count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+), idx AS (
+  SELECT x, y,
+         row_number() OVER (ORDER BY day) - 1 AS i,
+         count(*) OVER () AS nd
+  FROM d
+), shifts AS (
+  SELECT CAST(k AS BIGINT) AS k FROM generate_series(0, 63) AS s(k)
+), pr AS (
+  SELECT a.i, s.k, a.nd, a.x, b.y AS yj
+  FROM idx a
+  CROSS JOIN shifts s
+  JOIN idx b ON b.i = (a.i + s.k) % a.nd
+  WHERE s.k < a.nd
+), sxy AS (
+  SELECT k, CAST(sum(x * yj) AS BIGINT) AS sxy, max(nd) AS nd
+  FROM pr GROUP BY 1
+), marg AS (
+  SELECT CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+  FROM idx
+), num AS (
+  SELECT k, nd, CAST(nd * sxy - sx * sy AS BIGINT) AS num
+  FROM sxy CROSS JOIN marg
+), obs AS (
+  SELECT num AS num0, nd AS n_days FROM num WHERE k = 0
+)
+SELECT CAST(obs.n_days AS BIGINT) AS n_days,
+       obs.num0,
+       CAST(sum(CASE WHEN abs(num.num) >= abs(obs.num0)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+       CAST(floor(CAST(sum(CASE WHEN abs(num.num) >= abs(obs.num0)
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                  / (obs.n_days - 1) * 1000000 + {_OFF}) AS BIGINT) AS p_e6
+FROM num CROSS JOIN obs
+WHERE num.k >= 1
+GROUP BY obs.n_days, obs.num0
+"""
+
+
+# ---------------------------------------------------------------------------
+# bartlett_cumper — Bartlett's cumulative-periodogram white-noise test
+# (Bartlett 1955) on the hourly mean series
+# ---------------------------------------------------------------------------
+# Mean removal via the exact n*y - S numerator trick keeps z integer;
+# per-(freq, hour) DFT terms are e4-floored before the exact sums, the
+# periodogram I_j = C^2 + S^2 is scaled to /1e16 integers for the exact
+# cumulative, and D = max_k |U_k - k/m| is the KS departure.  Freq grid
+# is the fixed m = (n-1)/2 Fourier set — bounded fanout.
+
+
+def q_bartlett_cumper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+        ).cast("long").alias("hr"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    hmean = ev.groupBy("event_type", "hr").agg(
+        F.floor(
+            F.sum("v").cast("double") / F.count(F.lit(1)).cast("double") * 100
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("y")
+    )
+    wo = Window.partitionBy("event_type").orderBy("hr")
+    wp = Window.partitionBy("event_type")
+    idx = (
+        hmean.withColumn("h", F.row_number().over(wo).cast("long") - 1)
+        .withColumn("n", F.count(F.lit(1)).over(wp).cast("long"))
+        .withColumn("sy", F.sum("y").over(wp))
+        .withColumn("z", F.col("n") * F.col("y") - F.col("sy"))
+    )
+    mmax = idx.sparkSession.range(1, 400).select(
+        F.col("id").cast("long").alias("j")
+    )
+    t = idx.crossJoin(F.broadcast(mmax)).filter(
+        F.col("j") <= F.floor((F.col("n") - 1) / 2)
+    )
+    ang = (
+        F.lit(2.0 * math.pi)
+        * F.col("j").cast("double")
+        * F.col("h").cast("double")
+        / F.col("n").cast("double")
+    )
+    t = t.withColumn(
+        "ct",
+        F.floor(
+            F.col("z").cast("double") * F.cos(ang) / 10_000 + F.lit(_OFF)
+        ).cast("long"),
+    ).withColumn(
+        "st",
+        F.floor(
+            F.col("z").cast("double") * F.sin(ang) / 10_000 + F.lit(_OFF)
+        ).cast("long"),
+    )
+    per = t.groupBy("event_type", "j").agg(
+        F.sum("ct").alias("c"),
+        F.sum("st").alias("s"),
+        F.max("n").alias("n"),
+    )
+    i_e = F.floor(
+        (
+            F.col("c").cast("double") * F.col("c").cast("double")
+            + F.col("s").cast("double") * F.col("s").cast("double")
+        )
+        / 1e10
+        + F.lit(_OFF)
+    ).cast("long")
+    per = per.withColumn("i_e", i_e)
+    wcum = Window.partitionBy("event_type").orderBy("j").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy("event_type")
+    per = (
+        per.withColumn("cum", F.sum("i_e").over(wcum))
+        .withColumn("tot", F.sum("i_e").over(wtot))
+        .withColumn("m", F.count(F.lit(1)).over(wtot).cast("long"))
+    )
+    dev = F.abs(
+        F.col("cum").cast("double") / F.col("tot").cast("double")
+        - F.col("j").cast("double") / F.col("m").cast("double")
+    )
+    scored = per.withColumn("dev", dev)
+    best = scored.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("m").alias("m"),
+        F.max_by(
+            F.struct(F.col("j"), F.col("dev")),
+            F.struct(F.col("dev"), -F.col("j")),
+        ).alias("b"),
+    )
+    return best.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_hours"),
+        F.col("m").cast("long").alias("m_freqs"),
+        F.col("b.j").cast("long").alias("j_at_max"),
+        F.floor(F.col("b.dev") * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("d_e6"),
+    ).orderBy("event_type")
+
+
+SQL_BARTLETT_CP = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), hmean AS (
+  SELECT event_type, hr,
+         CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) * 100 + {_OFF})
+              AS BIGINT) AS y
+  FROM ev GROUP BY 1, 2
+), idx AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY hr) - 1 AS h,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT) AS sy
+  FROM hmean
+), t AS (
+  SELECT event_type, h, n,
+         n * y - sy AS z,
+         CAST(j AS BIGINT) AS j
+  FROM idx CROSS JOIN generate_series(1, 399) AS s(j)
+  WHERE j <= floor((n - 1) / 2.0)
+), terms AS (
+  SELECT event_type, j, n,
+         CAST(floor(CAST(z AS DOUBLE) * cos(2 * pi() * j * h / n) / 10000
+                    + {_OFF}) AS BIGINT) AS ct,
+         CAST(floor(CAST(z AS DOUBLE) * sin(2 * pi() * j * h / n) / 10000
+                    + {_OFF}) AS BIGINT) AS st
+  FROM t
+), per AS (
+  SELECT event_type, j, max(n) AS n,
+         CAST(floor((CAST(sum(ct) AS DOUBLE) * sum(ct)
+                     + CAST(sum(st) AS DOUBLE) * sum(st)) / 1e10 + {_OFF})
+              AS BIGINT) AS i_e
+  FROM terms GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, j, n,
+         CAST(sum(i_e) OVER (PARTITION BY event_type ORDER BY j
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(sum(i_e) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM per
+), scored AS (
+  SELECT event_type, n, m, j,
+         abs(CAST(cum AS DOUBLE) / tot - CAST(j AS DOUBLE) / m) AS dev
+  FROM cum
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY dev DESC, j) AS rk
+  FROM scored
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_hours,
+       CAST(m AS BIGINT) AS m_freqs,
+       CAST(j AS BIGINT) AS j_at_max,
+       CAST(floor(dev * 1000000 + {_OFF}) AS BIGINT) AS d_e6
+FROM ranked
+WHERE rk = 1
+ORDER BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "pps_horvitz_thompson": q_pps_horvitz_thompson,
+        "ipf_raking": q_ipf_raking,
+        "cyclic_shift_test": q_cyclic_shift_test,
+        "bartlett_cumper": q_bartlett_cumper,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "pps_horvitz_thompson": SQL_PPS_HT,
+        "ipf_raking": SQL_IPF,
+        "cyclic_shift_test": SQL_CYCLIC,
+        "bartlett_cumper": SQL_BARTLETT_CP,
+    }
+)
