@@ -1,0 +1,452 @@
+"""Round-4 embeddings battery: leave-one-out kNN label accuracy,
+sign-hyperplane LSH collision audit, per-label norm profile, and the
+label-centroid Gram matrix — vector-QC components a 100 TB embedding
+pipeline runs alongside ANN retrieval (the registry's ann_* /
+semantic_dedup / anisotropy family).
+
+Engine-exactness trick for ALL of these: float32 components are
+e6-floored to integers FIRST (float->double casts are exact, so the
+floor is identical), making every dot product / norm an exact BIGINT —
+no cross-engine float-summation-order risk anywhere, unlike the
+round(...,6) convention the older embedding oracles need.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from diive_spark.queries_stats2 import _OFF
+
+_DIM = 64
+
+
+def _emb_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, pos, e) with e = floor(component * 1e6 + OFF)."""
+    d = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return d.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.floor(F.col("x").cast("double") * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("e"),
+    )
+
+
+_EMB_INT_SQL = f"""
+  SELECT vec_id, label, u.i - 1 AS pos,
+         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000 + {_OFF})
+              AS BIGINT) AS e
+  FROM embeddings,
+       unnest(generate_series(1, len(embedding))) AS u(i)
+"""
+
+
+# ---------------------------------------------------------------------------
+# knn_loo_accuracy — leave-one-out 5-NN cosine classification accuracy
+# on the deterministic vec_id % 5 == 0 query subset
+# ---------------------------------------------------------------------------
+# Dot products and squared norms are exact BIGINTs (components <= ~1e6,
+# 64 dims -> sums <= ~6.4e13); the top-5 pick orders by the identical
+# double cosine with vec_id tie-break, majority label ties resolve to
+# the smaller label.  The query side is a 20% sample — the probe join
+# is sample x corpus, the ANN-oracle shape (brute force as ground
+# truth), never corpus x corpus.
+
+
+def q_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _emb_int(spark, sf_dir)
+    norms = t.groupBy("vec_id", "label").agg(
+        F.sum(F.col("e") * F.col("e")).alias("n2")
+    )
+    q = t.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        "pos",
+        F.col("e").alias("eq"),
+    )
+    dots = (
+        q.join(t, "pos")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "qlabel", "vec_id", "label")
+        .agg(F.sum(F.col("eq") * F.col("e")).alias("dot"))
+    )
+    qn = norms.select(
+        F.col("vec_id").alias("qid"), F.col("n2").alias("qn2")
+    )
+    rn = norms.select("vec_id", F.col("n2").alias("rn2"))
+    scored = dots.join(F.broadcast(qn), "qid").join(
+        F.broadcast(rn), "vec_id"
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("qn2").cast("double") * F.col("rn2").cast("double")
+    )
+    wk = Window.partitionBy("qid").orderBy(
+        cos.desc(), F.col("vec_id")
+    )
+    top5 = scored.withColumn("rk", F.row_number().over(wk)).filter(
+        F.col("rk") <= 5
+    )
+    votes = top5.groupBy("qid", "qlabel", "label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    pick = votes.groupBy("qid", "qlabel").agg(
+        F.max_by(
+            F.col("label"), F.struct(F.col("v"), -F.col("label"))
+        ).alias("pred")
+    )
+    out = pick.groupBy("qlabel").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum((F.col("pred") == F.col("qlabel")).cast("long")).alias(
+            "n_correct"
+        ),
+    )
+    return out.select(
+        F.col("qlabel").cast("long").alias("label"),
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.col("n_correct").cast("long").alias("n_correct"),
+        F.floor(
+            F.col("n_correct").cast("double")
+            / F.col("n_queries").cast("double")
+            * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("acc_e6"),
+    ).orderBy("label")
+
+
+SQL_KNN_LOO = f"""
+WITH t AS ({_EMB_INT_SQL}),
+norms AS (
+  SELECT vec_id, label, CAST(sum(e * e) AS BIGINT) AS n2
+  FROM t GROUP BY 1, 2
+), q AS (
+  SELECT vec_id AS qid, label AS qlabel, pos, e AS eq
+  FROM t WHERE vec_id % 5 = 0
+), dots AS (
+  SELECT q.qid, q.qlabel, t.vec_id, t.label,
+         CAST(sum(q.eq * t.e) AS BIGINT) AS dot
+  FROM q JOIN t ON t.pos = q.pos AND t.vec_id <> q.qid
+  GROUP BY 1, 2, 3, 4
+), scored AS (
+  SELECT dots.*,
+         CAST(dot AS DOUBLE)
+           / sqrt(CAST(qn.n2 AS DOUBLE) * rn.n2) AS cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY CAST(dot AS DOUBLE)
+                              / sqrt(CAST(qn.n2 AS DOUBLE) * rn.n2) DESC,
+                              dots.vec_id) AS rk
+  FROM dots
+  JOIN norms qn ON qn.vec_id = dots.qid
+  JOIN norms rn ON rn.vec_id = dots.vec_id
+), votes AS (
+  SELECT qid, qlabel, label, count(*) AS v
+  FROM scored WHERE rk <= 5
+  GROUP BY 1, 2, 3
+), pick AS (
+  SELECT qid, qlabel, label AS pred,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY v DESC, label) AS rk
+  FROM votes
+), acc AS (
+  SELECT qlabel, count(*) AS n_queries,
+         CAST(sum(CASE WHEN pred = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct
+  FROM pick WHERE rk = 1
+  GROUP BY 1
+)
+SELECT CAST(qlabel AS BIGINT) AS label,
+       CAST(n_queries AS BIGINT) AS n_queries,
+       n_correct,
+       CAST(floor(CAST(n_correct AS DOUBLE) / n_queries * 1000000 + {_OFF})
+            AS BIGINT) AS acc_e6
+FROM acc
+ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# hyperplane_lsh_audit — sign-random-projection (SimHash-for-vectors,
+# Charikar 2002) collision audit over 16 deterministic hyperplanes
+# ---------------------------------------------------------------------------
+# Hyperplane j component i = floor(cos(j * 64 + i + 0.5) * 1e6 + OFF)
+# (the house deterministic pseudo-direction); bit_j = 1 iff the exact
+# BIGINT projection is positive; signatures pack into one BIGINT and
+# same-label pair agreement = 16 - bit_count(xor).  Validates the LSH
+# banding math the dedup_simhash family relies on.
+
+
+def q_hyperplane_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _emb_int(spark, sf_dir)
+    planes = t.sparkSession.range(0, 16).select(
+        F.col("id").cast("int").alias("j")
+    )
+    proj = (
+        t.crossJoin(F.broadcast(planes))
+        .withColumn(
+            "r",
+            F.floor(
+                F.cos(
+                    F.col("j").cast("double") * 64.0
+                    + F.col("pos").cast("double")
+                    + 0.5
+                )
+                * 1_000_000
+                + F.lit(_OFF)
+            ).cast("long"),
+        )
+        .groupBy("vec_id", "label", "j")
+        .agg(F.sum(F.col("e") * F.col("r")).alias("p"))
+    )
+    sig = proj.groupBy("vec_id", "label").agg(
+        F.sum(
+            F.when(
+                F.col("p") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), j)"),
+            ).otherwise(F.lit(0))
+        ).alias("sig")
+    )
+    a = sig.select(
+        F.col("label"),
+        F.col("vec_id").alias("ida"),
+        F.col("sig").alias("sa"),
+    )
+    b = sig.select(
+        F.col("label").alias("lb"),
+        F.col("vec_id").alias("idb"),
+        F.col("sig").alias("sb"),
+    )
+    pairs = a.join(
+        b, (F.col("label") == F.col("lb")) & (F.col("ida") < F.col("idb"))
+    ).withColumn(
+        "match",
+        F.lit(16) - F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))),
+    )
+    out = pairs.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("match").alias("s_match"),
+    )
+    return out.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("s_match").cast("long").alias("s_match"),
+        F.floor(
+            F.col("s_match").cast("double")
+            / (F.col("n_pairs") * 16).cast("double")
+            * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("agree_e6"),
+    ).orderBy("label")
+
+
+SQL_LSH_AUDIT = f"""
+WITH t AS ({_EMB_INT_SQL}),
+proj AS (
+  SELECT vec_id, label, j,
+         CAST(sum(e * CAST(floor(cos(j * 64.0 + pos + 0.5) * 1000000
+                                 + {_OFF}) AS BIGINT)) AS BIGINT) AS p
+  FROM t, unnest(generate_series(0, 15)) AS g(j)
+  GROUP BY 1, 2, 3
+), sig AS (
+  SELECT vec_id, label,
+         CAST(sum(CASE WHEN p > 0 THEN CAST(1 AS BIGINT) << j
+                       ELSE 0 END) AS BIGINT) AS sig
+  FROM proj GROUP BY 1, 2
+), pairs AS (
+  SELECT a.label,
+         16 - bit_count(CAST(xor(a.sig, b.sig) AS BIGINT)) AS match
+  FROM sig a JOIN sig b
+    ON b.label = a.label AND a.vec_id < b.vec_id
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(match) AS BIGINT) AS s_match,
+       CAST(floor(CAST(sum(match) AS DOUBLE) / (count(*) * 16)
+                  * 1000000 + {_OFF}) AS BIGINT) AS agree_e6
+FROM pairs
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding_norm_profile — per-label L2-norm distribution QC
+# ---------------------------------------------------------------------------
+# Squared norms exact BIGINTs; median norm2 is the lower-median order
+# statistic; the mean norm e6-floors each sqrt before the exact sum.
+
+
+def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _emb_int(spark, sf_dir)
+    n2 = t.groupBy("vec_id", "label").agg(
+        F.sum(F.col("e") * F.col("e")).alias("n2")
+    )
+    wq = Window.partitionBy("label").orderBy("n2", "vec_id")
+    wn = Window.partitionBy("label")
+    r = (
+        n2.withColumn("rk", F.row_number().over(wq))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn(
+            "norm_e6",
+            F.floor(F.sqrt(F.col("n2").cast("double")) + F.lit(_OFF)).cast(
+                "long"
+            ),
+        )
+    )
+    med = r.filter(
+        F.col("rk") == F.floor((F.col("n") + 1) / 2).cast("int")
+    ).select("label", F.col("n2").alias("med_n2"))
+    agg = r.groupBy("label").agg(
+        F.max("n").alias("n"),
+        F.min("n2").alias("min_n2"),
+        F.max("n2").alias("max_n2"),
+        F.sum("norm_e6").alias("s_norm"),
+    )
+    out = agg.join(med, "label").select(
+        F.col("label").cast("long").alias("label"),
+        F.col("n").cast("long").alias("n"),
+        F.col("min_n2").cast("long").alias("min_n2"),
+        F.col("med_n2").cast("long").alias("med_n2"),
+        F.col("max_n2").cast("long").alias("max_n2"),
+        F.floor(
+            F.col("s_norm").cast("double") / F.col("n").cast("double")
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("mean_norm_e6"),
+    )
+    return out.orderBy("label")
+
+
+SQL_NORM_PROFILE = f"""
+WITH t AS ({_EMB_INT_SQL}),
+n2 AS (
+  SELECT vec_id, label, CAST(sum(e * e) AS BIGINT) AS n2
+  FROM t GROUP BY 1, 2
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY label ORDER BY n2, vec_id) AS rk,
+         count(*) OVER (PARTITION BY label) AS n,
+         CAST(floor(sqrt(CAST(n2 AS DOUBLE)) + {_OFF}) AS BIGINT)
+           AS norm_e6
+  FROM n2
+), med AS (
+  SELECT label, n2 AS med_n2
+  FROM r WHERE rk = CAST(floor((n + 1) / 2) AS INT)
+), agg AS (
+  SELECT label, max(n) AS n,
+         min(n2) AS min_n2, max(n2) AS max_n2,
+         CAST(sum(norm_e6) AS BIGINT) AS s_norm
+  FROM r GROUP BY 1
+)
+SELECT CAST(agg.label AS BIGINT) AS label,
+       CAST(n AS BIGINT) AS n,
+       CAST(min_n2 AS BIGINT) AS min_n2,
+       CAST(med_n2 AS BIGINT) AS med_n2,
+       CAST(max_n2 AS BIGINT) AS max_n2,
+       CAST(floor(CAST(s_norm AS DOUBLE) / n + {_OFF}) AS BIGINT)
+         AS mean_norm_e6
+FROM agg JOIN med ON med.label = agg.label
+ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# centroid_gram — pairwise cosine Gram matrix of label centroids
+# ---------------------------------------------------------------------------
+# Centroid component sums are exact BIGINTs via posexplode + groupBy;
+# the 45-pair Gram uses cosines of the SUM vectors (mean scaling
+# cancels).  Label-separation map for the ANN/semantic-dedup family.
+
+
+def q_centroid_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _emb_int(spark, sf_dir)
+    cent = t.groupBy("label", "pos").agg(F.sum("e").alias("s"))
+    norm = cent.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).alias("n2")
+    )
+    a = cent.select(
+        F.col("label").alias("la"), "pos", F.col("s").alias("sa")
+    )
+    b = cent.select(
+        F.col("label").alias("lb"),
+        F.col("pos").alias("pos_b"),
+        F.col("s").alias("sb"),
+    )
+    dots = (
+        a.join(b, (F.col("pos") == F.col("pos_b")) & (F.col("la") < F.col("lb")))
+        .groupBy("la", "lb")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+    )
+    na = norm.select(F.col("label").alias("la"), F.col("n2").alias("na2"))
+    nb = norm.select(F.col("label").alias("lb"), F.col("n2").alias("nb2"))
+    out = (
+        dots.join(F.broadcast(na), "la")
+        .join(F.broadcast(nb), "lb")
+        .select(
+            F.col("la").cast("long").alias("label_a"),
+            F.col("lb").cast("long").alias("label_b"),
+            F.floor(
+                F.col("dot").cast("double")
+                / F.sqrt(
+                    F.col("na2").cast("double") * F.col("nb2").cast("double")
+                )
+                * 1_000_000
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("cos_e6"),
+        )
+    )
+    return out.orderBy("label_a", "label_b")
+
+
+SQL_CENTROID_GRAM = f"""
+WITH t AS ({_EMB_INT_SQL}),
+cent AS (
+  SELECT label, pos, CAST(sum(e) AS BIGINT) AS s
+  FROM t GROUP BY 1, 2
+), norm AS (
+  SELECT label, CAST(sum(s * s) AS BIGINT) AS n2
+  FROM cent GROUP BY 1
+), dots AS (
+  SELECT a.label AS la, b.label AS lb,
+         CAST(sum(a.s * b.s) AS BIGINT) AS dot
+  FROM cent a JOIN cent b ON b.pos = a.pos AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT CAST(la AS BIGINT) AS label_a,
+       CAST(lb AS BIGINT) AS label_b,
+       CAST(floor(CAST(dot AS DOUBLE)
+                  / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2)
+                  * 1000000 + {_OFF}) AS BIGINT) AS cos_e6
+FROM dots
+JOIN norm na ON na.label = la
+JOIN norm nb ON nb.label = lb
+ORDER BY label_a, label_b
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "knn_loo_accuracy": q_knn_loo_accuracy,
+    "hyperplane_lsh_audit": q_hyperplane_lsh_audit,
+    "embedding_norm_profile": q_embedding_norm_profile,
+    "centroid_gram": q_centroid_gram,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "knn_loo_accuracy": SQL_KNN_LOO,
+    "hyperplane_lsh_audit": SQL_LSH_AUDIT,
+    "embedding_norm_profile": SQL_NORM_PROFILE,
+    "centroid_gram": SQL_CENTROID_GRAM,
+}
