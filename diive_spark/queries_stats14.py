@@ -574,3 +574,561 @@ ORACLE_SQL: dict[str, str] = {
     "polynomial_contrasts": SQL_CONTRASTS,
     "mtbf_mttr": SQL_MTBF,
 }
+
+
+# ---------------------------------------------------------------------------
+# lad_regression — exact least-absolute-deviations line on daily means
+# ---------------------------------------------------------------------------
+# The L1-optimal line passes through two data points (classical LP
+# basic-solution fact), so the exhaustive candidate set is the C(30,2)
+# pairwise slopes.  For candidate (dy, dx): residual numerators
+# r_i = y_i*dx - dy*x_i are exact BIGINTs; the optimal intercept is the
+# |dx|-scaled lower median of r_i, the loss is sum|r_i - med| (exact),
+# and candidate losses compare by CROSS-MULTIPLICATION loss*|dx'| vs
+# loss'*|dx| — the whole argmin is integer-exact, no epsilon anywhere.
+
+
+def q_lad_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    d = (
+        ev.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", F.col("v"))).alias(
+                "sx"
+            ),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("nx"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("v"))
+            ).alias("sy"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "ny"
+            ),
+        )
+        .filter((F.col("nx") > 0) & (F.col("ny") > 0))
+        .select(
+            "day",
+            F.floor(
+                F.col("sx").cast("double") / F.col("nx").cast("double") * 100
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("x"),
+            F.floor(
+                F.col("sy").cast("double") / F.col("ny").cast("double") * 100
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    a = d.select(
+        F.col("day").alias("di"), F.col("x").alias("xi"), F.col("y").alias("yi")
+    )
+    b = d.select(
+        F.col("day").alias("dj"), F.col("x").alias("xj"), F.col("y").alias("yj")
+    )
+    cand = a.join(b, F.col("di") < F.col("dj")).filter(
+        F.col("xj") != F.col("xi")
+    ).select(
+        "di",
+        "dj",
+        (F.col("yj") - F.col("yi")).alias("dy"),
+        (F.col("xj") - F.col("xi")).alias("dx"),
+    )
+    # residual numerators per (candidate, point); |dx| normalization kept
+    # symbolic until the final cross-multiplied compare
+    pts = cand.crossJoin(d).select(
+        "di",
+        "dj",
+        "dy",
+        "dx",
+        "day",
+        (F.col("y") * F.col("dx") - F.col("dy") * F.col("x")).alias("r"),
+        F.abs(F.col("dx")).alias("adx"),
+    )
+    wmed = Window.partitionBy("di", "dj").orderBy("r", "day")
+    wn = Window.partitionBy("di", "dj")
+    pts = pts.withColumn("rk", F.row_number().over(wmed)).withColumn(
+        "np", F.count(F.lit(1)).over(wn)
+    )
+    med = pts.filter(
+        F.col("rk") == F.floor((F.col("np") + 1) / 2).cast("int")
+    ).select("di", "dj", F.col("r").alias("med_r"))
+    loss = (
+        pts.join(med, ["di", "dj"])
+        .groupBy("di", "dj", "dy", "dx", "adx", "med_r")
+        .agg(F.sum(F.abs(F.col("r") - F.col("med_r"))).alias("l"))
+    )
+    # integer-exact argmin: compare l/adx via cross-multiplication.
+    # adx <= 5e6 and l <= 30*|r| <= ~3e13 => l*adx' <= ~1.5e20 overflows
+    # int64, so compare in DOUBLE — products of exact ints are the same
+    # doubles in both engines; ties broken by (di, dj).
+    scored = loss.select(
+        "di",
+        "dj",
+        "dy",
+        "dx",
+        "med_r",
+        (F.col("l").cast("double") / F.col("adx").cast("double")).alias(
+            "nloss"
+        ),
+    )
+    best = scored.orderBy("nloss", "di", "dj").limit(1)
+    return best.select(
+        F.col("di").cast("string").alias("di"),
+        F.col("dj").cast("string").alias("dj"),
+        F.floor(
+            F.col("dy").cast("double") / F.col("dx").cast("double") * 1e6
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("slope_e6"),
+        F.floor(
+            F.col("med_r").cast("double") / F.col("dx").cast("double")
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("intercept_centi"),
+        F.floor(F.col("nloss") + F.lit(_OFF)).cast("long").alias("loss_centi"),
+    )
+
+
+SQL_LAD = f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+  WHERE event_type IN ('purchase', 'click')
+), d AS (
+  SELECT day,
+         CAST(floor(CAST(sum(CASE WHEN event_type = 'click' THEN v END)
+                         AS DOUBLE)
+                    / count(CASE WHEN event_type = 'click' THEN 1 END)
+                    * 100 + {_OFF}) AS BIGINT) AS x,
+         CAST(floor(CAST(sum(CASE WHEN event_type = 'purchase' THEN v END)
+                         AS DOUBLE)
+                    / count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    * 100 + {_OFF}) AS BIGINT) AS y
+  FROM ev GROUP BY 1
+  HAVING count(CASE WHEN event_type = 'click' THEN 1 END) > 0
+     AND count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+), cand AS (
+  SELECT a.day AS di, b.day AS dj,
+         b.y - a.y AS dy, b.x - a.x AS dx, abs(b.x - a.x) AS adx
+  FROM d a JOIN d b ON a.day < b.day AND b.x <> a.x
+), pts AS (
+  SELECT c.di, c.dj, c.dy, c.dx, c.adx, d.day,
+         d.y * c.dx - c.dy * d.x AS r
+  FROM cand c CROSS JOIN d
+), rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY di, dj ORDER BY r, day) AS rk,
+         count(*) OVER (PARTITION BY di, dj) AS np
+  FROM pts
+), med AS (
+  SELECT di, dj, r AS med_r FROM rk
+  WHERE rk = CAST(floor((np + 1) / 2) AS INT)
+), loss AS (
+  SELECT p.di, p.dj, p.dy, p.dx, p.adx, m.med_r,
+         CAST(sum(abs(p.r - m.med_r)) AS BIGINT) AS l
+  FROM pts p JOIN med m ON m.di = p.di AND m.dj = p.dj
+  GROUP BY 1, 2, 3, 4, 5, 6
+), scored AS (
+  SELECT *, CAST(l AS DOUBLE) / adx AS nloss,
+         row_number() OVER (ORDER BY CAST(l AS DOUBLE) / adx, di, dj)
+           AS rnk
+  FROM loss
+)
+SELECT CAST(di AS VARCHAR) AS di,
+       CAST(dj AS VARCHAR) AS dj,
+       CAST(floor(CAST(dy AS DOUBLE) / dx * 1e6 + {_OFF}) AS BIGINT)
+         AS slope_e6,
+       CAST(floor(CAST(med_r AS DOUBLE) / dx + {_OFF}) AS BIGINT)
+         AS intercept_centi,
+       CAST(floor(nloss + {_OFF}) AS BIGINT) AS loss_centi
+FROM scored
+WHERE rnk = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# ransac_line — exhaustive-candidate RANSAC consensus line
+# (Fischler & Bolles 1981, determinized: every point pair is a
+# hypothesis, no sampling)
+# ---------------------------------------------------------------------------
+# Inlier test |y - (a + b x)| <= tol becomes the exact integer
+# comparison |r_i - r_anchor| <= tol * |dx| with r_i = y_i*dx - dy*x_i
+# (anchor = the hypothesis pair's own residual numerator).  Best
+# hypothesis = max inliers, tie -> (di, dj).  Everything BIGINT.
+
+
+def q_ransac_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    TOL = 300  # centi-units tolerance band
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    d = (
+        ev.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", F.col("v"))).alias(
+                "sx"
+            ),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("nx"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("v"))
+            ).alias("sy"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "ny"
+            ),
+        )
+        .filter((F.col("nx") > 0) & (F.col("ny") > 0))
+        .select(
+            "day",
+            F.floor(
+                F.col("sx").cast("double") / F.col("nx").cast("double") * 100
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("x"),
+            F.floor(
+                F.col("sy").cast("double") / F.col("ny").cast("double") * 100
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    a = d.select(
+        F.col("day").alias("di"), F.col("x").alias("xi"), F.col("y").alias("yi")
+    )
+    b = d.select(
+        F.col("day").alias("dj"), F.col("x").alias("xj"), F.col("y").alias("yj")
+    )
+    cand = a.join(b, F.col("di") < F.col("dj")).filter(
+        F.col("xj") != F.col("xi")
+    ).select(
+        "di",
+        "dj",
+        (F.col("yj") - F.col("yi")).alias("dy"),
+        (F.col("xj") - F.col("xi")).alias("dx"),
+        F.col("xi"),
+        F.col("yi"),
+    )
+    pts = cand.crossJoin(d)
+    r = F.col("y") * F.col("dx") - F.col("dy") * F.col("x")
+    r0 = F.col("yi") * F.col("dx") - F.col("dy") * F.col("xi")
+    inlier = (
+        F.abs(r - r0) <= F.lit(TOL) * F.abs(F.col("dx"))
+    ).cast("long")
+    scored = pts.groupBy("di", "dj", "dy", "dx").agg(
+        F.sum(inlier).alias("n_inliers"),
+        F.count(F.lit(1)).alias("n_pts"),
+    )
+    best = scored.orderBy(
+        F.col("n_inliers").desc(), "di", "dj"
+    ).limit(1)
+    return best.select(
+        F.col("di").cast("string").alias("di"),
+        F.col("dj").cast("string").alias("dj"),
+        F.col("n_pts").cast("long").alias("n_pts"),
+        F.col("n_inliers").cast("long").alias("n_inliers"),
+        F.floor(
+            F.col("dy").cast("double") / F.col("dx").cast("double") * 1e6
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("slope_e6"),
+    )
+
+
+SQL_RANSAC = f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+  WHERE event_type IN ('purchase', 'click')
+), d AS (
+  SELECT day,
+         CAST(floor(CAST(sum(CASE WHEN event_type = 'click' THEN v END)
+                         AS DOUBLE)
+                    / count(CASE WHEN event_type = 'click' THEN 1 END)
+                    * 100 + {_OFF}) AS BIGINT) AS x,
+         CAST(floor(CAST(sum(CASE WHEN event_type = 'purchase' THEN v END)
+                         AS DOUBLE)
+                    / count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    * 100 + {_OFF}) AS BIGINT) AS y
+  FROM ev GROUP BY 1
+  HAVING count(CASE WHEN event_type = 'click' THEN 1 END) > 0
+     AND count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+), cand AS (
+  SELECT a.day AS di, b.day AS dj,
+         b.y - a.y AS dy, b.x - a.x AS dx,
+         a.x AS xi, a.y AS yi
+  FROM d a JOIN d b ON a.day < b.day AND b.x <> a.x
+), scored AS (
+  SELECT c.di, c.dj, c.dy, c.dx,
+         count(*) AS n_pts,
+         CAST(sum(CASE WHEN abs((d.y * c.dx - c.dy * d.x)
+                               - (c.yi * c.dx - c.dy * c.xi))
+                            <= 300 * abs(c.dx)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers
+  FROM cand c CROSS JOIN d
+  GROUP BY 1, 2, 3, 4
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY n_inliers DESC, di, dj) AS rk
+  FROM scored
+)
+SELECT CAST(di AS VARCHAR) AS di,
+       CAST(dj AS VARCHAR) AS dj,
+       CAST(n_pts AS BIGINT) AS n_pts,
+       n_inliers,
+       CAST(floor(CAST(dy AS DOUBLE) / dx * 1e6 + {_OFF}) AS BIGINT)
+         AS slope_e6
+FROM ranked
+WHERE rk = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# vonmises_fit — von Mises concentration fit on minute-of-day angles
+# (Best & Fisher 1981 kappa approximation; Mardia & Jupp 2000)
+# ---------------------------------------------------------------------------
+# C/S are e6-floored per-row cos/sin sums (exact BIGINTs); Rbar and the
+# piecewise Best-Fisher kappa are identical doubles; the mean direction
+# comes from atan2 shifted into [0, 2 pi).
+
+
+def q_vonmises_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (
+            (F.hour("ts") * 60 + F.minute("ts")).cast("double")
+            * (2.0 * math.pi / 1440.0)
+        ).alias("ang"),
+    )
+    t = ev.withColumn(
+        "c_e6", F.floor(F.cos("ang") * 1_000_000 + F.lit(_OFF)).cast("long")
+    ).withColumn(
+        "s_e6", F.floor(F.sin("ang") * 1_000_000 + F.lit(_OFF)).cast("long")
+    )
+    g = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c_e6").alias("c"),
+        F.sum("s_e6").alias("s"),
+    )
+    cd = F.col("c").cast("double")
+    sd = F.col("s").cast("double")
+    nd = F.col("n").cast("double")
+    rbar = F.sqrt(cd * cd + sd * sd) / (nd * 1e6)
+    kappa = (
+        F.when(
+            rbar < 0.53,
+            2 * rbar + F.pow(rbar, 3) + F.lit(5.0) * F.pow(rbar, 5) / 6.0,
+        )
+        .when(rbar < 0.85, -0.4 + 1.39 * rbar + 0.43 / (1 - rbar))
+        .otherwise(
+            1.0 / (F.pow(rbar, 3) - 4 * F.pow(rbar, 2) + 3 * rbar)
+        )
+    )
+    mu = F.atan2(sd, cd)
+    mu_pos = F.when(mu < 0, mu + F.lit(2.0 * math.pi)).otherwise(mu)
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(rbar * 1_000_000 + F.lit(_OFF)).cast("long").alias("rbar_e6"),
+        F.floor(kappa * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "kappa_e6"
+        ),
+        F.floor(mu_pos / (2.0 * math.pi) * 1440 + F.lit(_OFF))
+        .cast("long")
+        .alias("mu_minute"),
+    ).orderBy("event_type")
+
+
+SQL_VONMISES = f"""
+WITH ev AS (
+  SELECT event_type,
+         (EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts))
+           * (2 * pi() / 1440.0) AS ang
+  FROM events
+), t AS (
+  SELECT event_type,
+         CAST(floor(cos(ang) * 1000000 + {_OFF}) AS BIGINT) AS c_e6,
+         CAST(floor(sin(ang) * 1000000 + {_OFF}) AS BIGINT) AS s_e6
+  FROM ev
+), g AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(c_e6) AS BIGINT) AS c,
+         CAST(sum(s_e6) AS BIGINT) AS s
+  FROM t GROUP BY 1
+), f AS (
+  SELECT event_type, n,
+         sqrt(CAST(c AS DOUBLE) * c + CAST(s AS DOUBLE) * s)
+           / (CAST(n AS DOUBLE) * 1e6) AS rbar,
+         atan2(CAST(s AS DOUBLE), CAST(c AS DOUBLE)) AS mu
+  FROM g
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(floor(rbar * 1000000 + {_OFF}) AS BIGINT) AS rbar_e6,
+       CAST(floor(CASE
+              WHEN rbar < 0.53
+                THEN 2 * rbar + rbar ^ 3 + 5.0 * rbar ^ 5 / 6.0
+              WHEN rbar < 0.85
+                THEN -0.4 + 1.39 * rbar + 0.43 / (1 - rbar)
+              ELSE 1.0 / (rbar ^ 3 - 4 * rbar ^ 2 + 3 * rbar)
+            END * 1000000 + {_OFF}) AS BIGINT) AS kappa_e6,
+       CAST(floor((CASE WHEN mu < 0 THEN mu + 2 * pi() ELSE mu END)
+                  / (2 * pi()) * 1440 + {_OFF}) AS BIGINT) AS mu_minute
+FROM f
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# fisher_lee_circcorr — circular-circular correlation between
+# minute-of-day and day-of-month angles (Fisher & Lee 1983)
+# ---------------------------------------------------------------------------
+# rho_T = sum sin(a - abar) sin(b - bbar) /
+#         sqrt(sum sin^2(a - abar) * sum sin^2(b - bbar)); the angular
+# means come from exact e6-floored C/S sums (stage 1, broadcast back),
+# then stage-2 per-row sin terms are e6-floored before the exact sums.
+
+
+def q_fisher_lee_circcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (
+            (F.hour("ts") * 60 + F.minute("ts")).cast("double")
+            * (2.0 * math.pi / 1440.0)
+        ).alias("a"),
+        (
+            (F.dayofmonth("ts") - 1).cast("double")
+            * (2.0 * math.pi / 31.0)
+        ).alias("b"),
+    )
+    t = (
+        ev.withColumn(
+            "ca", F.floor(F.cos("a") * 1_000_000 + F.lit(_OFF)).cast("long")
+        )
+        .withColumn(
+            "sa", F.floor(F.sin("a") * 1_000_000 + F.lit(_OFF)).cast("long")
+        )
+        .withColumn(
+            "cb", F.floor(F.cos("b") * 1_000_000 + F.lit(_OFF)).cast("long")
+        )
+        .withColumn(
+            "sb", F.floor(F.sin("b") * 1_000_000 + F.lit(_OFF)).cast("long")
+        )
+    )
+    g = t.groupBy("event_type").agg(
+        F.sum("ca").alias("sca"),
+        F.sum("sa").alias("ssa"),
+        F.sum("cb").alias("scb"),
+        F.sum("sb").alias("ssb"),
+    )
+    means = g.select(
+        "event_type",
+        F.atan2(F.col("ssa").cast("double"), F.col("sca").cast("double")).alias(
+            "abar"
+        ),
+        F.atan2(F.col("ssb").cast("double"), F.col("scb").cast("double")).alias(
+            "bbar"
+        ),
+    )
+    t2 = t.join(F.broadcast(means), "event_type")
+    u = F.sin(F.col("a") - F.col("abar"))
+    v = F.sin(F.col("b") - F.col("bbar"))
+    t2 = t2.withColumn(
+        "u_e6", F.floor(u * 1_000_000 + F.lit(_OFF)).cast("long")
+    ).withColumn("v_e6", F.floor(v * 1_000_000 + F.lit(_OFF)).cast("long"))
+    agg = t2.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("u_e6") * F.col("v_e6")).alias("suv"),
+        F.sum(F.col("u_e6") * F.col("u_e6")).alias("suu"),
+        F.sum(F.col("v_e6") * F.col("v_e6")).alias("svv"),
+    )
+    rho = F.col("suv").cast("double") / F.sqrt(
+        F.col("suu").cast("double") * F.col("svv").cast("double")
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("suv").cast("long").alias("suv"),
+        F.floor(rho * 1_000_000 + F.lit(_OFF)).cast("long").alias("rho_e6"),
+    ).orderBy("event_type")
+
+
+SQL_FISHER_LEE = f"""
+WITH ev AS (
+  SELECT event_type,
+         (EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts))
+           * (2 * pi() / 1440.0) AS a,
+         (EXTRACT(day FROM ts) - 1) * (2 * pi() / 31.0) AS b
+  FROM events
+), t AS (
+  SELECT event_type, a, b,
+         CAST(floor(cos(a) * 1000000 + {_OFF}) AS BIGINT) AS ca,
+         CAST(floor(sin(a) * 1000000 + {_OFF}) AS BIGINT) AS sa,
+         CAST(floor(cos(b) * 1000000 + {_OFF}) AS BIGINT) AS cb,
+         CAST(floor(sin(b) * 1000000 + {_OFF}) AS BIGINT) AS sb
+  FROM ev
+), g AS (
+  SELECT event_type,
+         atan2(CAST(sum(sa) AS DOUBLE), CAST(sum(ca) AS DOUBLE)) AS abar,
+         atan2(CAST(sum(sb) AS DOUBLE), CAST(sum(cb) AS DOUBLE)) AS bbar
+  FROM t GROUP BY 1
+), t2 AS (
+  SELECT t.event_type,
+         CAST(floor(sin(a - abar) * 1000000 + {_OFF}) AS BIGINT) AS u_e6,
+         CAST(floor(sin(b - bbar) * 1000000 + {_OFF}) AS BIGINT) AS v_e6
+  FROM t JOIN g ON g.event_type = t.event_type
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(u_e6 * v_e6) AS BIGINT) AS suv,
+         CAST(sum(u_e6 * u_e6) AS BIGINT) AS suu,
+         CAST(sum(v_e6 * v_e6) AS BIGINT) AS svv
+  FROM t2 GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       suv,
+       CAST(floor(CAST(suv AS DOUBLE)
+                  / sqrt(CAST(suu AS DOUBLE) * svv) * 1000000 + {_OFF})
+            AS BIGINT) AS rho_e6
+FROM agg
+ORDER BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "lad_regression": q_lad_regression,
+        "ransac_line": q_ransac_line,
+        "vonmises_fit": q_vonmises_fit,
+        "fisher_lee_circcorr": q_fisher_lee_circcorr,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "lad_regression": SQL_LAD,
+        "ransac_line": SQL_RANSAC,
+        "vonmises_fit": SQL_VONMISES,
+        "fisher_lee_circcorr": SQL_FISHER_LEE,
+    }
+)
