@@ -1132,3 +1132,535 @@ ORACLE_SQL.update(
         "fisher_lee_circcorr": SQL_FISHER_LEE,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# kz_filter — Kolmogorov-Zurbenko KZ(25,3) low-pass on hourly means
+# (Zurbenko 1986; the EPA air-quality standard smoother)
+# ---------------------------------------------------------------------------
+# Three iterated length-25 moving averages.  The key exactness move:
+# iterate on NUMERATORS — ma1 = 25-row sum of e4 ints, ma2 = 25-row sum
+# of ma1, ma3 = 25-row sum of ma2 — all exact BIGINTs with the constant
+# denominator 25^3; only full (valid-mode) windows survive each pass.
+# Reported per type: valid length, variance-reduction ratio, max
+# smoothed value.
+
+
+def q_kz_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    M = 25
+    H = M // 2
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+        ).cast("long").alias("hr"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    hm = ev.groupBy("event_type", "hr").agg(
+        F.floor(
+            F.sum("v").cast("double") / F.count(F.lit(1)).cast("double") * 100
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("y")
+    )
+    wo = Window.partitionBy("event_type").orderBy("hr")
+    idx = hm.withColumn("i", F.row_number().over(wo)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    wmov = Window.partitionBy("event_type").orderBy("i").rowsBetween(-H, H)
+    t = idx.withColumn("m1", F.sum("y").over(wmov)).withColumn(
+        "c1", F.count(F.lit(1)).over(wmov)
+    )
+    t = t.withColumn(
+        "m1", F.when(F.col("c1") == M, F.col("m1"))
+    )
+    t = t.withColumn("m2", F.sum("m1").over(wmov)).withColumn(
+        "c2", F.count("m1").over(wmov)
+    )
+    t = t.withColumn(
+        "m2", F.when(F.col("c2") == M, F.col("m2"))
+    )
+    t = t.withColumn("m3", F.sum("m2").over(wmov)).withColumn(
+        "c3", F.count("m2").over(wmov)
+    )
+    t = t.withColumn(
+        "m3", F.when(F.col("c3") == M, F.col("m3"))
+    )
+    valid = t.filter(F.col("m3").isNotNull())
+    agg_raw = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    agg_kz = valid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nv"),
+        F.sum("m3").alias("sm"),
+        # m3 <= 25^3 * 5e6 ~ 7.8e10; m3^2 ~ 6e21 overflows, so sum the
+        # denominator-reduced double (identical in both engines after
+        # e4 flooring per row)
+        F.sum(
+            F.floor(
+                F.pow(F.col("m3").cast("double") / (M * M * M), 2) / 100.0
+                + F.lit(_OFF)
+            ).cast("long")
+        ).alias("smm_d2"),
+        F.max("m3").alias("max_m3"),
+    )
+    j = agg_raw.join(agg_kz, "event_type")
+    nd = F.col("n").cast("double")
+    nv = F.col("nv").cast("double")
+    var_raw = (
+        nd * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    ) / (nd * (nd - 1))
+    mean_kz = F.col("sm").cast("double") / (M * M * M) / nv
+    var_kz = (
+        F.col("smm_d2").cast("double") * 100.0 / nv - mean_kz * mean_kz
+    ) * nv / (nv - 1)
+    return j.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_hours"),
+        F.col("nv").cast("long").alias("n_valid"),
+        F.floor(var_kz / var_raw * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("var_ratio_e6"),
+        F.floor(
+            F.col("max_m3").cast("double") / (M * M * M) + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("max_kz_e4"),
+    ).orderBy("event_type")
+
+
+SQL_KZ = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), hm AS (
+  SELECT event_type, hr,
+         CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) * 100 + {_OFF})
+              AS BIGINT) AS y
+  FROM ev GROUP BY 1, 2
+), idx AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY hr) AS i,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM hm
+), p1 AS (
+  SELECT *,
+         CASE WHEN count(*) OVER w = 25
+              THEN CAST(sum(y) OVER w AS BIGINT) END AS m1
+  FROM idx
+  WINDOW w AS (PARTITION BY event_type ORDER BY i
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), p2 AS (
+  SELECT *,
+         CASE WHEN count(m1) OVER w = 25
+              THEN CAST(sum(m1) OVER w AS BIGINT) END AS m2
+  FROM p1
+  WINDOW w AS (PARTITION BY event_type ORDER BY i
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), p3 AS (
+  SELECT *,
+         CASE WHEN count(m2) OVER w = 25
+              THEN CAST(sum(m2) OVER w AS BIGINT) END AS m3
+  FROM p2
+  WINDOW w AS (PARTITION BY event_type ORDER BY i
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), agg_raw AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM idx GROUP BY 1
+), agg_kz AS (
+  SELECT event_type, count(*) AS nv,
+         CAST(sum(m3) AS BIGINT) AS sm,
+         CAST(sum(CAST(floor((CAST(m3 AS DOUBLE) / 15625) ^ 2 / 100.0
+                             + {_OFF}) AS BIGINT)) AS BIGINT) AS smm_d2,
+         CAST(max(m3) AS BIGINT) AS max_m3
+  FROM p3 WHERE m3 IS NOT NULL
+  GROUP BY 1
+)
+SELECT r.event_type,
+       CAST(r.n AS BIGINT) AS n_hours,
+       CAST(k.nv AS BIGINT) AS n_valid,
+       CAST(floor(
+         ((CAST(k.smm_d2 AS DOUBLE) * 100.0 / k.nv
+           - (CAST(k.sm AS DOUBLE) / 15625 / k.nv) ^ 2) * k.nv / (k.nv - 1))
+         / ((CAST(r.n AS DOUBLE) * r.syy - CAST(r.sy AS DOUBLE) * r.sy)
+            / (CAST(r.n AS DOUBLE) * (r.n - 1)))
+         * 1000000 + {_OFF}) AS BIGINT) AS var_ratio_e6,
+       CAST(floor(CAST(k.max_m3 AS DOUBLE) / 15625 + {_OFF}) AS BIGINT)
+         AS max_kz_e4
+FROM agg_raw r JOIN agg_kz k ON k.event_type = r.event_type
+ORDER BY r.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# savitzky_golay — quadratic SG(7) smoothing on hourly means
+# (Savitzky & Golay 1964; integer coefficients (-2,3,6,7,6,3,-2)/21)
+# ---------------------------------------------------------------------------
+# The convolution is EXACT: integer coefficient dot products over
+# lag/lead values, denominator 21 constant; valid-mode edges.  Reported
+# per type: smoothing MSE vs raw and the peak smoothed value.
+
+
+def q_savitzky_golay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    COEF = [-2, 3, 6, 7, 6, 3, -2]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+        ).cast("long").alias("hr"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    hm = ev.groupBy("event_type", "hr").agg(
+        F.floor(
+            F.sum("v").cast("double") / F.count(F.lit(1)).cast("double") * 100
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("y")
+    )
+    wo = Window.partitionBy("event_type").orderBy("hr")
+    t = hm.withColumn("i", F.row_number().over(wo))
+    conv = None
+    for k, c in enumerate(COEF):
+        off = k - 3
+        col = (
+            F.lag("y", -off).over(wo)
+            if off < 0
+            else (F.lead("y", off).over(wo) if off > 0 else F.col("y"))
+        )
+        term = F.lit(c).cast("long") * col
+        conv = term if conv is None else conv + term
+    t = t.withColumn("sg21", conv)
+    valid = t.filter(F.col("sg21").isNotNull())
+    # residual in 1/21 units: 21*y - sg21 exact
+    agg = valid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nv"),
+        F.sum(
+            (F.lit(21) * F.col("y") - F.col("sg21"))
+            * (F.lit(21) * F.col("y") - F.col("sg21"))
+        ).alias("sse441"),
+        F.max("sg21").alias("max21"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("nv").cast("long").alias("n_valid"),
+        F.floor(
+            F.col("sse441").cast("double")
+            / 441.0
+            / F.col("nv").cast("double")
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("mse_e8"),
+        F.floor(F.col("max21").cast("double") / 21.0 + F.lit(_OFF))
+        .cast("long")
+        .alias("max_sg_e4"),
+    ).orderBy("event_type")
+
+
+SQL_SG = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), hm AS (
+  SELECT event_type, hr,
+         CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) * 100 + {_OFF})
+              AS BIGINT) AS y
+  FROM ev GROUP BY 1, 2
+), t AS (
+  SELECT event_type, y,
+         -2 * lag(y, 3) OVER w + 3 * lag(y, 2) OVER w
+         + 6 * lag(y, 1) OVER w + 7 * y
+         + 6 * lead(y, 1) OVER w + 3 * lead(y, 2) OVER w
+         - 2 * lead(y, 3) OVER w AS sg21
+  FROM hm
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+), valid AS (
+  SELECT * FROM t WHERE sg21 IS NOT NULL
+), agg AS (
+  SELECT event_type, count(*) AS nv,
+         CAST(sum((21 * y - sg21) * (21 * y - sg21)) AS BIGINT) AS sse441,
+         CAST(max(sg21) AS BIGINT) AS max21
+  FROM valid GROUP BY 1
+)
+SELECT event_type,
+       CAST(nv AS BIGINT) AS n_valid,
+       CAST(floor(CAST(sse441 AS DOUBLE) / 441.0 / nv + {_OFF}) AS BIGINT)
+         AS mse_e8,
+       CAST(floor(CAST(max21 AS DOUBLE) / 21.0 + {_OFF}) AS BIGINT)
+         AS max_sg_e4
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# ztp_fit — zero-truncated Poisson MLE for events-per-active-day
+# (David & Johnson 1952; three unrolled Newton steps, house fixed-point
+# pattern)
+# ---------------------------------------------------------------------------
+# Mean of the ZTP is lambda/(1 - exp(-lambda)); starting from
+# lambda0 = mean, three Newton iterations on f(l) = l/(1-exp(-l)) - m
+# are the identical double chain from the exact integer count sums.
+
+
+def q_ztp_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    c = ev.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("k"))
+    agg = c.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sk"),
+        F.sum((F.col("k") == 1).cast("long")).alias("n1"),
+    )
+    m = F.col("sk").cast("double") / F.col("n").cast("double")
+    lam = m
+    for _ in range(3):
+        e = F.exp(-lam)
+        f = lam / (1 - e) - m
+        fp = (1 - e - lam * e) / F.pow(1 - e, 2)
+        lam = lam - f / fp
+    return agg.select(
+        F.col("n").cast("long").alias("n_user_days"),
+        F.col("sk").cast("long").alias("n_events"),
+        F.col("n1").cast("long").alias("n_singletons"),
+        F.floor(m * 1_000_000 + F.lit(_OFF)).cast("long").alias("mean_e6"),
+        F.floor(lam * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "lambda_e6"
+        ),
+    )
+
+
+SQL_ZTP = f"""
+WITH c AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS k
+  FROM events GROUP BY 1, 2
+), agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(k) AS BIGINT) AS sk,
+         CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM c
+), it AS (
+  SELECT n, sk, n1,
+         CAST(sk AS DOUBLE) / n AS m
+  FROM agg
+), s1 AS (
+  SELECT *,
+         m - (m / (1 - exp(-m)) - m)
+             / ((1 - exp(-m) - m * exp(-m)) / (1 - exp(-m)) ^ 2) AS l1
+  FROM it
+), s2 AS (
+  SELECT *,
+         l1 - (l1 / (1 - exp(-l1)) - m)
+              / ((1 - exp(-l1) - l1 * exp(-l1)) / (1 - exp(-l1)) ^ 2) AS l2
+  FROM s1
+), s3 AS (
+  SELECT *,
+         l2 - (l2 / (1 - exp(-l2)) - m)
+              / ((1 - exp(-l2) - l2 * exp(-l2)) / (1 - exp(-l2)) ^ 2) AS l3
+  FROM s2
+)
+SELECT CAST(n AS BIGINT) AS n_user_days,
+       sk AS n_events,
+       n1 AS n_singletons,
+       CAST(floor(m * 1000000 + {_OFF}) AS BIGINT) AS mean_e6,
+       CAST(floor(l3 * 1000000 + {_OFF}) AS BIGINT) AS lambda_e6
+FROM s3
+"""
+
+
+# ---------------------------------------------------------------------------
+# dersimonian_laird — random-effects meta-analysis of the daily
+# purchase-click mean difference (DerSimonian & Laird 1986)
+# ---------------------------------------------------------------------------
+# Each day is a "study": effect = mean difference, variance =
+# var_p/n_p + var_c/n_c from exact numerator-trick sums.  Fixed-effect
+# weights w = 1/v; Cochran's Q; tau^2 = max(0, (Q - (k-1)) /
+# (sum w - sum w^2 / sum w)); random-effects pooled mean with weights
+# 1/(v + tau^2).  Per-day terms e9-floored before the exact sums.
+
+
+def q_dersimonian_laird(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    d = ev.groupBy("day").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("np"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("v"))).alias(
+            "sp"
+        ),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("v") * F.col("v")
+            )
+        ).alias("qp"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("nc"),
+        F.sum(F.when(F.col("event_type") == "click", F.col("v"))).alias("sc"),
+        F.sum(
+            F.when(F.col("event_type") == "click", F.col("v") * F.col("v"))
+        ).alias("qc"),
+    ).filter((F.col("np") > 1) & (F.col("nc") > 1))
+    npd = F.col("np").cast("double")
+    ncd = F.col("nc").cast("double")
+    eff = F.col("sp").cast("double") / npd - F.col("sc").cast("double") / ncd
+    varp = (
+        npd * F.col("qp").cast("double")
+        - F.col("sp").cast("double") * F.col("sp").cast("double")
+    ) / (npd * (npd - 1))
+    varc = (
+        ncd * F.col("qc").cast("double")
+        - F.col("sc").cast("double") * F.col("sc").cast("double")
+    ) / (ncd * (ncd - 1))
+    vi = varp / npd + varc / ncd
+    w = 1.0 / vi
+    t = d.select(
+        F.floor(eff * 1_000_000 + F.lit(_OFF)).cast("long").alias("e_e6"),
+        F.floor(w * 1e9 + F.lit(_OFF)).cast("long").alias("w_e9"),
+        F.floor(w * w * 1e9 + F.lit(_OFF)).cast("long").alias("w2_e9"),
+        F.floor(w * eff * 1e6 + F.lit(_OFF)).cast("long").alias("we_e6"),
+        F.floor(w * eff * eff * 1e4 + F.lit(_OFF)).cast("long").alias(
+            "wee_e4"
+        ),
+        F.floor(vi * 1e6 + F.lit(_OFF)).cast("long").alias("v_e6"),
+    )
+    agg = t.groupBy().agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("w_e9").alias("sw"),
+        F.sum("w2_e9").alias("sw2"),
+        F.sum("we_e6").alias("swe"),
+        F.sum("wee_e4").alias("swee"),
+        F.sum("v_e6").alias("sv"),
+    )
+    kd = F.col("k").cast("double")
+    sw = F.col("sw").cast("double") / 1e9
+    sw2 = F.col("sw2").cast("double") / 1e9
+    swe = F.col("swe").cast("double") / 1e6
+    swee = F.col("swee").cast("double") / 1e4
+    mu_fe = swe / sw
+    q = swee - swe * swe / sw
+    tau2 = F.greatest(
+        F.lit(0.0), (q - (kd - 1)) / (sw - sw2 / sw)
+    )
+    # random-effects weights approximated with the mean within-study
+    # variance (identical closed chain in both engines)
+    vbar = F.col("sv").cast("double") / 1e6 / kd
+    mu_re = swe / sw * (vbar / (vbar + tau2)) + mu_fe * (
+        tau2 / (vbar + tau2)
+    )
+    return agg.select(
+        F.col("k").cast("long").alias("k_days"),
+        F.floor(mu_fe * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "mu_fixed_e4"
+        ),
+        F.floor(q * 10_000 + F.lit(_OFF)).cast("long").alias("q_e4"),
+        F.floor(tau2 * 10_000 + F.lit(_OFF)).cast("long").alias("tau2_e4"),
+        F.floor(mu_re * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "mu_random_e4"
+        ),
+    )
+
+
+SQL_DL = f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+  WHERE event_type IN ('purchase', 'click')
+), d AS (
+  SELECT day,
+         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS np,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN v END) AS BIGINT)
+           AS sp,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN v * v END)
+              AS BIGINT) AS qp,
+         count(CASE WHEN event_type = 'click' THEN 1 END) AS nc,
+         CAST(sum(CASE WHEN event_type = 'click' THEN v END) AS BIGINT)
+           AS sc,
+         CAST(sum(CASE WHEN event_type = 'click' THEN v * v END) AS BIGINT)
+           AS qc
+  FROM ev GROUP BY 1
+  HAVING count(CASE WHEN event_type = 'purchase' THEN 1 END) > 1
+     AND count(CASE WHEN event_type = 'click' THEN 1 END) > 1
+), s AS (
+  SELECT day,
+         CAST(sp AS DOUBLE) / np - CAST(sc AS DOUBLE) / nc AS eff,
+         (CAST(np AS DOUBLE) * qp - CAST(sp AS DOUBLE) * sp)
+           / (CAST(np AS DOUBLE) * (np - 1)) / np
+         + (CAST(nc AS DOUBLE) * qc - CAST(sc AS DOUBLE) * sc)
+           / (CAST(nc AS DOUBLE) * (nc - 1)) / nc AS vi
+  FROM d
+), t AS (
+  SELECT CAST(floor(eff * 1000000 + {_OFF}) AS BIGINT) AS e_e6,
+         CAST(floor(1.0 / vi * 1e9 + {_OFF}) AS BIGINT) AS w_e9,
+         CAST(floor(1.0 / vi / vi * 1e9 + {_OFF}) AS BIGINT) AS w2_e9,
+         CAST(floor(eff / vi * 1e6 + {_OFF}) AS BIGINT) AS we_e6,
+         CAST(floor(eff * eff / vi * 1e4 + {_OFF}) AS BIGINT) AS wee_e4,
+         CAST(floor(vi * 1e6 + {_OFF}) AS BIGINT) AS v_e6
+  FROM s
+), agg AS (
+  SELECT count(*) AS k,
+         CAST(sum(w_e9) AS BIGINT) AS sw,
+         CAST(sum(w2_e9) AS BIGINT) AS sw2,
+         CAST(sum(we_e6) AS BIGINT) AS swe,
+         CAST(sum(wee_e4) AS BIGINT) AS swee,
+         CAST(sum(v_e6) AS BIGINT) AS sv
+  FROM t
+), f AS (
+  SELECT CAST(k AS BIGINT) AS k,
+         CAST(sw AS DOUBLE) / 1e9 AS sw,
+         CAST(sw2 AS DOUBLE) / 1e9 AS sw2,
+         CAST(swe AS DOUBLE) / 1e6 AS swe,
+         CAST(swee AS DOUBLE) / 1e4 AS swee,
+         CAST(sv AS DOUBLE) / 1e6 / k AS vbar
+  FROM agg
+), g AS (
+  SELECT k, swe / sw AS mu_fe,
+         swee - swe * swe / sw AS q,
+         greatest(0.0, (swee - swe * swe / sw - (k - 1))
+                       / (sw - sw2 / sw)) AS tau2,
+         vbar, sw, swe
+  FROM f
+)
+SELECT k AS k_days,
+       CAST(floor(mu_fe * 10000 + {_OFF}) AS BIGINT) AS mu_fixed_e4,
+       CAST(floor(q * 10000 + {_OFF}) AS BIGINT) AS q_e4,
+       CAST(floor(tau2 * 10000 + {_OFF}) AS BIGINT) AS tau2_e4,
+       CAST(floor((swe / sw * (vbar / (vbar + tau2))
+                   + mu_fe * (tau2 / (vbar + tau2))) * 10000 + {_OFF})
+            AS BIGINT) AS mu_random_e4
+FROM g
+"""
+
+
+QUERIES.update(
+    {
+        "kz_filter": q_kz_filter,
+        "savitzky_golay": q_savitzky_golay,
+        "ztp_fit": q_ztp_fit,
+        "dersimonian_laird": q_dersimonian_laird,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "kz_filter": SQL_KZ,
+        "savitzky_golay": SQL_SG,
+        "ztp_fit": SQL_ZTP,
+        "dersimonian_laird": SQL_DL,
+    }
+)
