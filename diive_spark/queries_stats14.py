@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from diive_spark.queries_stats2 import _OFF
+from diive_spark.queries_stats13 import _rss_sql
 
 
 # ---------------------------------------------------------------------------
@@ -1662,5 +1663,798 @@ ORACLE_SQL.update(
         "savitzky_golay": SQL_SG,
         "ztp_fit": SQL_ZTP,
         "dersimonian_laird": SQL_DL,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# bds_test — BDS correlation-integral independence test, m = 2
+# (Brock, Dechert, Scheinkman 1987) on the hourly mean series
+# ---------------------------------------------------------------------------
+# eps = the integer floor of 0.5 * sd; over the common pair domain
+# i < j <= n-1 (both leads present): C1 = #{|y_i - y_j| <= eps}/P,
+# C2 = #{jointly close at t and t+1}/P.  All counts exact BIGINTs from
+# a bounded per-type pair join (the hourly grid is fixed-size, so the
+# join is ~260k rows/key regardless of corpus scale).
+
+
+def q_bds_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+        ).cast("long").alias("hr"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    hm = ev.groupBy("event_type", "hr").agg(
+        F.floor(
+            F.sum("v").cast("double") / F.count(F.lit(1)).cast("double") * 100
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("y")
+    )
+    wo = Window.partitionBy("event_type").orderBy("hr")
+    t = hm.withColumn("i", F.row_number().over(wo)).withColumn(
+        "ynext", F.lead("y").over(wo)
+    ).filter(F.col("ynext").isNotNull())
+    g = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.sqrt(
+        (
+            nd * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
+        / (nd * (nd - 1))
+    )
+    eps = g.select(
+        "event_type",
+        F.floor(F.lit(0.5) * sd + F.lit(_OFF)).cast("long").alias("eps"),
+    )
+    a = t.select(
+        "event_type",
+        F.col("i").alias("ia"),
+        F.col("y").alias("ya"),
+        F.col("ynext").alias("yna"),
+    )
+    b = t.select(
+        F.col("event_type").alias("et2"),
+        F.col("i").alias("ib"),
+        F.col("y").alias("yb"),
+        F.col("ynext").alias("ynb"),
+    )
+    pr = a.join(
+        b, (F.col("event_type") == F.col("et2")) & (F.col("ia") < F.col("ib"))
+    ).join(F.broadcast(eps), "event_type")
+    close1 = (F.abs(F.col("ya") - F.col("yb")) <= F.col("eps")).cast("long")
+    close2 = (
+        (F.abs(F.col("ya") - F.col("yb")) <= F.col("eps"))
+        & (F.abs(F.col("yna") - F.col("ynb")) <= F.col("eps"))
+    ).cast("long")
+    agg = pr.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("p"),
+        F.sum(close1).alias("k1"),
+        F.sum(close2).alias("k2"),
+        F.max("eps").alias("eps"),
+    )
+    c1 = F.col("k1").cast("double") / F.col("p").cast("double")
+    c2 = F.col("k2").cast("double") / F.col("p").cast("double")
+    return agg.select(
+        "event_type",
+        F.col("p").cast("long").alias("n_pairs"),
+        F.col("eps").cast("long").alias("eps_e4"),
+        F.col("k1").cast("long").alias("k1"),
+        F.col("k2").cast("long").alias("k2"),
+        F.floor((c2 - c1 * c1) * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("bds_num_e6"),
+    ).orderBy("event_type")
+
+
+SQL_BDS = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), hm AS (
+  SELECT event_type, hr,
+         CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) * 100 + {_OFF})
+              AS BIGINT) AS y
+  FROM ev GROUP BY 1, 2
+), t0 AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY hr) AS i,
+         lead(y) OVER (PARTITION BY event_type ORDER BY hr) AS ynext
+  FROM hm
+), t AS (
+  SELECT * FROM t0 WHERE ynext IS NOT NULL
+), g AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM t GROUP BY 1
+), eps AS (
+  SELECT event_type,
+         CAST(floor(0.5 * sqrt((CAST(n AS DOUBLE) * syy
+                                - CAST(sy AS DOUBLE) * sy)
+                               / (CAST(n AS DOUBLE) * (n - 1)))
+                    + {_OFF}) AS BIGINT) AS eps
+  FROM g
+), pr AS (
+  SELECT a.event_type, e.eps,
+         CASE WHEN abs(a.y - b.y) <= e.eps THEN 1 ELSE 0 END AS c1,
+         CASE WHEN abs(a.y - b.y) <= e.eps
+               AND abs(a.ynext - b.ynext) <= e.eps THEN 1 ELSE 0 END AS c2
+  FROM t a
+  JOIN t b ON b.event_type = a.event_type AND a.i < b.i
+  JOIN eps e ON e.event_type = a.event_type
+), agg AS (
+  SELECT event_type, count(*) AS p,
+         CAST(sum(c1) AS BIGINT) AS k1,
+         CAST(sum(c2) AS BIGINT) AS k2,
+         max(eps) AS eps
+  FROM pr GROUP BY 1
+)
+SELECT event_type,
+       CAST(p AS BIGINT) AS n_pairs,
+       CAST(eps AS BIGINT) AS eps_e4,
+       k1, k2,
+       CAST(floor((CAST(k2 AS DOUBLE) / p
+                   - (CAST(k1 AS DOUBLE) / p) ^ 2) * 1000000 + {_OFF})
+            AS BIGINT) AS bds_num_e6
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# engle_granger — two-step cointegration test on daily means
+# (Engle & Granger 1987)
+# ---------------------------------------------------------------------------
+# Stage 1: OLS purchase-mean on click-mean from exact sums; residuals
+# floored to centi ints.  Stage 2: no-intercept Dickey-Fuller on the
+# residuals: rho = sum e_{t-1} de_t / sum e_{t-1}^2 with its t ratio —
+# everything from exact BIGINTs.
+
+
+def q_engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    d = (
+        ev.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", F.col("v"))).alias(
+                "sx"
+            ),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("nx"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("v"))
+            ).alias("sy"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "ny"
+            ),
+        )
+        .filter((F.col("nx") > 0) & (F.col("ny") > 0))
+        .select(
+            "day",
+            F.floor(
+                F.col("sx").cast("double") / F.col("nx").cast("double") * 100
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("x"),
+            F.floor(
+                F.col("sy").cast("double") / F.col("ny").cast("double") * 100
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    g = d.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    b = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    a = (F.col("sy").cast("double") - b * F.col("sx").cast("double")) / nd
+    coef = g.select(F.lit(1).alias("k"), a.alias("a"), b.alias("b"),
+                    F.col("n").alias("n_days"))
+    t = d.withColumn("k", F.lit(1)).join(F.broadcast(coef), "k").withColumn(
+        "e",
+        F.floor(
+            F.col("y").cast("double")
+            - F.col("a")
+            - F.col("b") * F.col("x").cast("double")
+            + F.lit(_OFF)
+        ).cast("long"),
+    )
+    wo = Window.orderBy("day")
+    t = t.withColumn("eprev", F.lag("e").over(wo)).filter(
+        F.col("eprev").isNotNull()
+    ).withColumn("de", F.col("e") - F.col("eprev"))
+    agg = t.groupBy("n_days").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("eprev") * F.col("de")).alias("sed"),
+        F.sum(F.col("eprev") * F.col("eprev")).alias("see"),
+        F.sum(F.col("de") * F.col("de")).alias("sdd"),
+        F.max("b").alias("b"),
+    )
+    md = F.col("m").cast("double")
+    rho = F.col("sed").cast("double") / F.col("see").cast("double")
+    s2 = (
+        F.col("sdd").cast("double")
+        - rho * F.col("sed").cast("double")
+    ) / (md - 1)
+    tstat = rho / F.sqrt(s2 / F.col("see").cast("double"))
+    return agg.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.floor(F.col("b") * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "beta_e6"
+        ),
+        F.floor(rho * 1_000_000 + F.lit(_OFF)).cast("long").alias("rho_e6"),
+        F.floor(tstat * 10_000 + F.lit(_OFF)).cast("long").alias("t_e4"),
+    )
+
+
+SQL_EG = f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+  WHERE event_type IN ('purchase', 'click')
+), d AS (
+  SELECT day,
+         CAST(floor(CAST(sum(CASE WHEN event_type = 'click' THEN v END)
+                         AS DOUBLE)
+                    / count(CASE WHEN event_type = 'click' THEN 1 END)
+                    * 100 + {_OFF}) AS BIGINT) AS x,
+         CAST(floor(CAST(sum(CASE WHEN event_type = 'purchase' THEN v END)
+                         AS DOUBLE)
+                    / count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    * 100 + {_OFF}) AS BIGINT) AS y
+  FROM ev GROUP BY 1
+  HAVING count(CASE WHEN event_type = 'click' THEN 1 END) > 0
+     AND count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+), g AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM d
+), coef AS (
+  SELECT n AS n_days,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b,
+         (CAST(sy AS DOUBLE)
+          - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx)
+           / n AS a
+  FROM g
+), resid AS (
+  SELECT day, n_days, b,
+         CAST(floor(CAST(y AS DOUBLE) - a - b * x + {_OFF}) AS BIGINT) AS e
+  FROM d CROSS JOIN coef
+), lagd AS (
+  SELECT n_days, b, e,
+         lag(e) OVER (ORDER BY day) AS eprev
+  FROM resid
+), t AS (
+  SELECT n_days, b, eprev, e - eprev AS de
+  FROM lagd WHERE eprev IS NOT NULL
+), agg AS (
+  SELECT n_days, count(*) AS m, max(b) AS b,
+         CAST(sum(eprev * de) AS BIGINT) AS sed,
+         CAST(sum(eprev * eprev) AS BIGINT) AS see,
+         CAST(sum(de * de) AS BIGINT) AS sdd
+  FROM t GROUP BY 1
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       CAST(floor(b * 1000000 + {_OFF}) AS BIGINT) AS beta_e6,
+       CAST(floor(CAST(sed AS DOUBLE) / see * 1000000 + {_OFF}) AS BIGINT)
+         AS rho_e6,
+       CAST(floor(CAST(sed AS DOUBLE) / see
+                  / sqrt(((CAST(sdd AS DOUBLE)
+                           - CAST(sed AS DOUBLE) / see * sed) / (m - 1))
+                         / see) * 10000 + {_OFF}) AS BIGINT) AS t_e4
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# var1_fit — bivariate VAR(1) on daily (click, purchase) means with
+# stability (spectral radius) check
+# ---------------------------------------------------------------------------
+# Each equation is a 2-regressor OLS with intercept solved by the 3x3
+# Cramer machinery on exact BIGINT lag sums; the spectral radius of the
+# companion matrix comes from the closed 2x2 eigen form (complex case
+# |eig| = sqrt(det)).
+
+
+def q_var1_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    d = (
+        ev.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", F.col("v"))).alias(
+                "sx"
+            ),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("nx"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("v"))
+            ).alias("sy"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "ny"
+            ),
+        )
+        .filter((F.col("nx") > 0) & (F.col("ny") > 0))
+        .select(
+            "day",
+            F.floor(
+                F.col("sx").cast("double") / F.col("nx").cast("double") * 100
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("x"),
+            F.floor(
+                F.col("sy").cast("double") / F.col("ny").cast("double") * 100
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    wo = Window.orderBy("day")
+    t = (
+        d.withColumn("xl", F.lag("x").over(wo))
+        .withColumn("yl", F.lag("y").over(wo))
+        .filter(F.col("xl").isNotNull())
+    )
+    agg = t.groupBy().agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("xl").alias("s1"),
+        F.sum("yl").alias("s2"),
+        F.sum(F.col("xl") * F.col("xl")).alias("s11"),
+        F.sum(F.col("yl") * F.col("yl")).alias("s22"),
+        F.sum(F.col("xl") * F.col("yl")).alias("s12"),
+        F.sum("x").alias("tx"),
+        F.sum(F.col("x") * F.col("xl")).alias("tx1"),
+        F.sum(F.col("x") * F.col("yl")).alias("tx2"),
+        F.sum("y").alias("ty"),
+        F.sum(F.col("y") * F.col("xl")).alias("ty1"),
+        F.sum(F.col("y") * F.col("yl")).alias("ty2"),
+    )
+    m = F.col("m").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s11 = F.col("s11").cast("double")
+    s22 = F.col("s22").cast("double")
+    s12 = F.col("s12").cast("double")
+    det = (
+        m * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+
+    def solve(c0, c1, c2):
+        b1 = (
+            m * (c1 * s22 - c2 * s12)
+            - c0 * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * c2 - s2 * c1)
+        ) / det
+        b2 = (
+            m * (s11 * c2 - s12 * c1)
+            - s1 * (s1 * c2 - s2 * c1)
+            + c0 * (s1 * s12 - s11 * s2)
+        ) / det
+        return b1, b2
+
+    a11, a12 = solve(
+        F.col("tx").cast("double"),
+        F.col("tx1").cast("double"),
+        F.col("tx2").cast("double"),
+    )
+    a21, a22 = solve(
+        F.col("ty").cast("double"),
+        F.col("ty1").cast("double"),
+        F.col("ty2").cast("double"),
+    )
+    tr = a11 + a22
+    dt = a11 * a22 - a12 * a21
+    disc = tr * tr - 4 * dt
+    rho = F.when(
+        disc >= 0,
+        F.greatest(
+            F.abs((tr + F.sqrt(disc)) / 2), F.abs((tr - F.sqrt(disc)) / 2)
+        ),
+    ).otherwise(F.sqrt(dt))
+    return agg.select(
+        F.col("m").cast("long").alias("m_days"),
+        F.floor(a11 * 1_000_000 + F.lit(_OFF)).cast("long").alias("a11_e6"),
+        F.floor(a12 * 1_000_000 + F.lit(_OFF)).cast("long").alias("a12_e6"),
+        F.floor(a21 * 1_000_000 + F.lit(_OFF)).cast("long").alias("a21_e6"),
+        F.floor(a22 * 1_000_000 + F.lit(_OFF)).cast("long").alias("a22_e6"),
+        F.floor(rho * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "spec_rad_e6"
+        ),
+    )
+
+
+SQL_VAR1 = f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+  WHERE event_type IN ('purchase', 'click')
+), d AS (
+  SELECT day,
+         CAST(floor(CAST(sum(CASE WHEN event_type = 'click' THEN v END)
+                         AS DOUBLE)
+                    / count(CASE WHEN event_type = 'click' THEN 1 END)
+                    * 100 + {_OFF}) AS BIGINT) AS x,
+         CAST(floor(CAST(sum(CASE WHEN event_type = 'purchase' THEN v END)
+                         AS DOUBLE)
+                    / count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    * 100 + {_OFF}) AS BIGINT) AS y
+  FROM ev GROUP BY 1
+  HAVING count(CASE WHEN event_type = 'click' THEN 1 END) > 0
+     AND count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+), t AS (
+  SELECT x, y,
+         lag(x) OVER (ORDER BY day) AS xl,
+         lag(y) OVER (ORDER BY day) AS yl
+  FROM d
+), v AS (
+  SELECT * FROM t WHERE xl IS NOT NULL
+), agg AS (
+  SELECT count(*) AS m,
+         CAST(sum(xl) AS BIGINT) AS s1, CAST(sum(yl) AS BIGINT) AS s2,
+         CAST(sum(xl * xl) AS BIGINT) AS s11,
+         CAST(sum(yl * yl) AS BIGINT) AS s22,
+         CAST(sum(xl * yl) AS BIGINT) AS s12,
+         CAST(sum(x) AS BIGINT) AS tx,
+         CAST(sum(x * xl) AS BIGINT) AS tx1,
+         CAST(sum(x * yl) AS BIGINT) AS tx2,
+         CAST(sum(y) AS BIGINT) AS ty,
+         CAST(sum(y * xl) AS BIGINT) AS ty1,
+         CAST(sum(y * yl) AS BIGINT) AS ty2
+  FROM v
+), f AS (
+  SELECT CAST(m AS DOUBLE) AS m, m AS m_int,
+         CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+         CAST(s11 AS DOUBLE) AS s11, CAST(s22 AS DOUBLE) AS s22,
+         CAST(s12 AS DOUBLE) AS s12,
+         CAST(tx AS DOUBLE) AS tx, CAST(tx1 AS DOUBLE) AS tx1,
+         CAST(tx2 AS DOUBLE) AS tx2,
+         CAST(ty AS DOUBLE) AS ty, CAST(ty1 AS DOUBLE) AS ty1,
+         CAST(ty2 AS DOUBLE) AS ty2
+  FROM agg
+), det AS (
+  SELECT *,
+         m * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+         + s2 * (s1 * s12 - s11 * s2) AS dt3
+  FROM f
+), coefs AS (
+  SELECT m_int,
+         (m * (tx1 * s22 - tx2 * s12) - tx * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * tx2 - s2 * tx1)) / dt3 AS a11,
+         (m * (s11 * tx2 - s12 * tx1) - s1 * (s1 * tx2 - s2 * tx1)
+          + tx * (s1 * s12 - s11 * s2)) / dt3 AS a12,
+         (m * (ty1 * s22 - ty2 * s12) - ty * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * ty2 - s2 * ty1)) / dt3 AS a21,
+         (m * (s11 * ty2 - s12 * ty1) - s1 * (s1 * ty2 - s2 * ty1)
+          + ty * (s1 * s12 - s11 * s2)) / dt3 AS a22
+  FROM det
+)
+SELECT CAST(m_int AS BIGINT) AS m_days,
+       CAST(floor(a11 * 1000000 + {_OFF}) AS BIGINT) AS a11_e6,
+       CAST(floor(a12 * 1000000 + {_OFF}) AS BIGINT) AS a12_e6,
+       CAST(floor(a21 * 1000000 + {_OFF}) AS BIGINT) AS a21_e6,
+       CAST(floor(a22 * 1000000 + {_OFF}) AS BIGINT) AS a22_e6,
+       CAST(floor(CASE
+              WHEN (a11 + a22) ^ 2 - 4 * (a11 * a22 - a12 * a21) >= 0
+              THEN greatest(
+                abs((a11 + a22
+                     + sqrt((a11 + a22) ^ 2
+                            - 4 * (a11 * a22 - a12 * a21))) / 2),
+                abs((a11 + a22
+                     - sqrt((a11 + a22) ^ 2
+                            - 4 * (a11 * a22 - a12 * a21))) / 2))
+              ELSE sqrt(a11 * a22 - a12 * a21)
+            END * 1000000 + {_OFF}) AS BIGINT) AS spec_rad_e6
+FROM coefs
+"""
+
+
+# ---------------------------------------------------------------------------
+# setar_fit — two-regime SETAR(1) with decile-grid threshold search
+# (Tong & Lim 1980) on the hourly mean series per event_type
+# ---------------------------------------------------------------------------
+# Candidate thresholds = the 9 deciles of y_{t-1} (exact order stats);
+# for each c the two-regime RSS is closed-form from conditional exact
+# sums; argmin (tie -> smaller c) compares identical doubles; the AR(1)
+# RSS baseline gives the variance-explained ratio.
+
+
+def q_setar_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+        ).cast("long").alias("hr"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    hm = ev.groupBy("event_type", "hr").agg(
+        F.floor(
+            F.sum("v").cast("double") / F.count(F.lit(1)).cast("double") * 100
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("y")
+    )
+    wo = Window.partitionBy("event_type").orderBy("hr")
+    t = hm.withColumn("yl", F.lag("y").over(wo)).filter(
+        F.col("yl").isNotNull()
+    )
+    wq = Window.partitionBy("event_type").orderBy("yl", "hr")
+    wn = Window.partitionBy("event_type")
+    r = t.withColumn("rk", F.row_number().over(wq)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    dec = (
+        r.withColumn("dd", F.lit(1))
+        .filter(
+            F.col("rk").isin(
+                *[]
+            )
+            | (
+                F.expr(
+                    "rk in (cast(ceil(n*1/10.0) as int),"
+                    " cast(ceil(n*2/10.0) as int),"
+                    " cast(ceil(n*3/10.0) as int),"
+                    " cast(ceil(n*4/10.0) as int),"
+                    " cast(ceil(n*5/10.0) as int),"
+                    " cast(ceil(n*6/10.0) as int),"
+                    " cast(ceil(n*7/10.0) as int),"
+                    " cast(ceil(n*8/10.0) as int),"
+                    " cast(ceil(n*9/10.0) as int))"
+                )
+            )
+        )
+        .select("event_type", F.col("yl").alias("c"))
+        .distinct()
+    )
+    j = t.join(dec, "event_type")
+    lo = F.col("yl") <= F.col("c")
+
+    def rss_parts(cond):
+        cnt = F.sum(cond.cast("long"))
+        sx = F.sum(F.when(cond, F.col("yl")).otherwise(0))
+        sy = F.sum(F.when(cond, F.col("y")).otherwise(0))
+        sxx = F.sum(F.when(cond, F.col("yl") * F.col("yl")).otherwise(0))
+        sxy = F.sum(F.when(cond, F.col("yl") * F.col("y")).otherwise(0))
+        syy = F.sum(F.when(cond, F.col("y") * F.col("y")).otherwise(0))
+        return cnt, sx, sy, sxx, sxy, syy
+
+    nl, sxl, syl, sxxl, sxyl, syyl = rss_parts(lo)
+    nh, sxh, syh, sxxh, sxyh, syyh = rss_parts(~lo)
+    agg = j.groupBy("event_type", "c").agg(
+        nl.alias("nl"),
+        sxl.alias("sxl"),
+        syl.alias("syl"),
+        sxxl.alias("sxxl"),
+        sxyl.alias("sxyl"),
+        syyl.alias("syyl"),
+        nh.alias("nh"),
+        sxh.alias("sxh"),
+        syh.alias("syh"),
+        sxxh.alias("sxxh"),
+        sxyh.alias("sxyh"),
+        syyh.alias("syyh"),
+    ).filter((F.col("nl") >= 5) & (F.col("nh") >= 5))
+
+    def rss(n, sx, sy, sxx, sxy, syy):
+        ndd = n.cast("double")
+        return (
+            syy.cast("double")
+            - sy.cast("double") * sy.cast("double") / ndd
+            - F.pow(
+                sxy.cast("double") - sx.cast("double") * sy.cast("double") / ndd,
+                2,
+            )
+            / (sxx.cast("double") - sx.cast("double") * sx.cast("double") / ndd)
+        )
+
+    rss2 = rss(
+        F.col("nl"), F.col("sxl"), F.col("syl"), F.col("sxxl"),
+        F.col("sxyl"), F.col("syyl"),
+    ) + rss(
+        F.col("nh"), F.col("sxh"), F.col("syh"), F.col("sxxh"),
+        F.col("sxyh"), F.col("syyh"),
+    )
+    blow = (
+        F.col("nl").cast("double") * F.col("sxyl").cast("double")
+        - F.col("sxl").cast("double") * F.col("syl").cast("double")
+    ) / (
+        F.col("nl").cast("double") * F.col("sxxl").cast("double")
+        - F.col("sxl").cast("double") * F.col("sxl").cast("double")
+    )
+    bhigh = (
+        F.col("nh").cast("double") * F.col("sxyh").cast("double")
+        - F.col("sxh").cast("double") * F.col("syh").cast("double")
+    ) / (
+        F.col("nh").cast("double") * F.col("sxxh").cast("double")
+        - F.col("sxh").cast("double") * F.col("sxh").cast("double")
+    )
+    scored = agg.select(
+        "event_type",
+        "c",
+        rss2.alias("rss2"),
+        blow.alias("bl"),
+        bhigh.alias("bh"),
+        (F.col("nl") + F.col("nh")).alias("m"),
+    )
+    best = scored.groupBy("event_type").agg(
+        F.min_by(
+            F.struct(F.col("c"), F.col("rss2"), F.col("bl"), F.col("bh"),
+                     F.col("m")),
+            F.struct(F.col("rss2"), F.col("c")),
+        ).alias("b")
+    )
+    ar1 = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("yl").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("yl") * F.col("yl")).alias("sxx"),
+        F.sum(F.col("yl") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    rss1 = rss(
+        F.col("n"), F.col("sx"), F.col("sy"), F.col("sxx"),
+        F.col("sxy"), F.col("syy"),
+    )
+    base = ar1.select("event_type", rss1.alias("rss1"))
+    out = best.join(base, "event_type").select(
+        "event_type",
+        F.col("b.m").cast("long").alias("m"),
+        F.col("b.c").cast("long").alias("c_best"),
+        F.floor(F.col("b.bl") * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("b_low_e6"),
+        F.floor(F.col("b.bh") * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("b_high_e6"),
+        F.floor(
+            F.col("b.rss2") / F.col("rss1") * 1_000_000 + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("rss_ratio_e6"),
+    )
+    return out.orderBy("event_type")
+
+
+SQL_SETAR = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), hm AS (
+  SELECT event_type, hr,
+         CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) * 100 + {_OFF})
+              AS BIGINT) AS y
+  FROM ev GROUP BY 1, 2
+), t AS (
+  SELECT event_type, hr, y,
+         lag(y) OVER (PARTITION BY event_type ORDER BY hr) AS yl
+  FROM hm
+), v AS (
+  SELECT * FROM t WHERE yl IS NOT NULL
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY yl, hr) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+), dec AS (
+  SELECT DISTINCT event_type, yl AS c
+  FROM r
+  WHERE rk IN (CAST(ceil(n*1/10.0) AS INT), CAST(ceil(n*2/10.0) AS INT),
+               CAST(ceil(n*3/10.0) AS INT), CAST(ceil(n*4/10.0) AS INT),
+               CAST(ceil(n*5/10.0) AS INT), CAST(ceil(n*6/10.0) AS INT),
+               CAST(ceil(n*7/10.0) AS INT), CAST(ceil(n*8/10.0) AS INT),
+               CAST(ceil(n*9/10.0) AS INT))
+), j AS (
+  SELECT v.event_type, dec.c, v.y, v.yl,
+         CASE WHEN v.yl <= dec.c THEN 1 ELSE 0 END AS lo
+  FROM v JOIN dec ON dec.event_type = v.event_type
+), agg AS (
+  SELECT event_type, c,
+         CAST(sum(lo) AS BIGINT) AS nl,
+         CAST(sum(lo * yl) AS BIGINT) AS sxl,
+         CAST(sum(lo * y) AS BIGINT) AS syl,
+         CAST(sum(lo * yl * yl) AS BIGINT) AS sxxl,
+         CAST(sum(lo * yl * y) AS BIGINT) AS sxyl,
+         CAST(sum(lo * y * y) AS BIGINT) AS syyl,
+         CAST(sum(1 - lo) AS BIGINT) AS nh,
+         CAST(sum((1 - lo) * yl) AS BIGINT) AS sxh,
+         CAST(sum((1 - lo) * y) AS BIGINT) AS syh,
+         CAST(sum((1 - lo) * yl * yl) AS BIGINT) AS sxxh,
+         CAST(sum((1 - lo) * yl * y) AS BIGINT) AS sxyh,
+         CAST(sum((1 - lo) * y * y) AS BIGINT) AS syyh
+  FROM j GROUP BY 1, 2
+  HAVING sum(lo) >= 5 AND sum(1 - lo) >= 5
+), scored AS (
+  SELECT event_type, c, nl + nh AS m,
+         ({_rss_sql('nl', 'sxl', 'syl', 'sxxl', 'sxyl', 'syyl')}
+          + {_rss_sql('nh', 'sxh', 'syh', 'sxxh', 'sxyh', 'syyh')}) AS rss2,
+         (CAST(nl AS DOUBLE) * sxyl - CAST(sxl AS DOUBLE) * syl)
+           / (CAST(nl AS DOUBLE) * sxxl - CAST(sxl AS DOUBLE) * sxl) AS bl,
+         (CAST(nh AS DOUBLE) * sxyh - CAST(sxh AS DOUBLE) * syh)
+           / (CAST(nh AS DOUBLE) * sxxh - CAST(sxh AS DOUBLE) * sxh) AS bh
+  FROM agg
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY rss2, c) AS rnk
+  FROM scored
+), ar1 AS (
+  SELECT event_type,
+         {_rss_sql('count(*)', 'sum(yl)', 'sum(y)', 'sum(yl * yl)',
+                   'sum(yl * y)', 'sum(y * y)')} AS rss1
+  FROM v GROUP BY 1
+)
+SELECT ranked.event_type,
+       CAST(m AS BIGINT) AS m,
+       CAST(c AS BIGINT) AS c_best,
+       CAST(floor(bl * 1000000 + {_OFF}) AS BIGINT) AS b_low_e6,
+       CAST(floor(bh * 1000000 + {_OFF}) AS BIGINT) AS b_high_e6,
+       CAST(floor(rss2 / rss1 * 1000000 + {_OFF}) AS BIGINT)
+         AS rss_ratio_e6
+FROM ranked JOIN ar1 ON ar1.event_type = ranked.event_type
+WHERE rnk = 1
+ORDER BY ranked.event_type
+"""
+
+
+QUERIES.update(
+    {
+        "bds_test": q_bds_test,
+        "engle_granger": q_engle_granger,
+        "var1_fit": q_var1_fit,
+        "setar_fit": q_setar_fit,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "bds_test": SQL_BDS,
+        "engle_granger": SQL_EG,
+        "var1_fit": SQL_VAR1,
+        "setar_fit": SQL_SETAR,
     }
 )
