@@ -450,3 +450,177 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_norm_profile": SQL_NORM_PROFILE,
     "centroid_gram": SQL_CENTROID_GRAM,
 }
+
+
+# ---------------------------------------------------------------------------
+# ndcg_mrr_at5 — NDCG@5 + MRR@5 for cosine retrieval with same-label
+# relevance (Jaervelin & Kekaelaeinen 2002)
+# ---------------------------------------------------------------------------
+# Same exact-integer dot machinery as knn_loo_accuracy; per query
+# DCG = sum rel_i / log2(i + 1) over the top 5 (e6-floored terms),
+# IDCG assumes min(5, #same-label - 1) perfect hits, MRR uses the first
+# relevant rank.  Per-label averages from exact term sums.
+
+
+def q_ndcg_mrr_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    t = _emb_int(spark, sf_dir)
+    norms = t.groupBy("vec_id", "label").agg(
+        F.sum(F.col("e") * F.col("e")).alias("n2")
+    )
+    labc = norms.groupBy("label").agg(F.count(F.lit(1)).alias("n_lab"))
+    q = t.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        "pos",
+        F.col("e").alias("eq"),
+    )
+    dots = (
+        q.join(t, "pos")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "qlabel", "vec_id", "label")
+        .agg(F.sum(F.col("eq") * F.col("e")).alias("dot"))
+    )
+    qn = norms.select(F.col("vec_id").alias("qid"), F.col("n2").alias("qn2"))
+    rn = norms.select("vec_id", F.col("n2").alias("rn2"))
+    scored = dots.join(F.broadcast(qn), "qid").join(F.broadcast(rn), "vec_id")
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("qn2").cast("double") * F.col("rn2").cast("double")
+    )
+    wk = Window.partitionBy("qid").orderBy(cos.desc(), F.col("vec_id"))
+    top5 = scored.withColumn("rk", F.row_number().over(wk)).filter(
+        F.col("rk") <= 5
+    )
+    rel = (F.col("label") == F.col("qlabel")).cast("long")
+    disc = {
+        i: 1_000_000.0 / math.log2(i + 1) for i in range(1, 6)
+    }
+    dcg_term = rel * F.when(F.col("rk") == 1, F.lit(int(disc[1]))).when(
+        F.col("rk") == 2, F.lit(int(disc[2]))
+    ).when(F.col("rk") == 3, F.lit(int(disc[3]))).when(
+        F.col("rk") == 4, F.lit(int(disc[4]))
+    ).otherwise(F.lit(int(disc[5])))
+    perq = top5.groupBy("qid", "qlabel").agg(
+        F.sum(dcg_term).alias("dcg_e6"),
+        F.min(F.when(rel == 1, F.col("rk"))).alias("first_rel"),
+    )
+    perq = perq.join(
+        F.broadcast(labc.select(F.col("label").alias("qlabel"), "n_lab")),
+        "qlabel",
+    )
+    # IDCG with k = min(5, n_lab - 1) ideal hits, same integer discounts
+    idcg = sum(
+        [
+            F.when(F.col("n_lab") - 1 >= i, F.lit(int(disc[i]))).otherwise(
+                F.lit(0)
+            )
+            for i in range(1, 6)
+        ]
+    )
+    perq = perq.withColumn("idcg_e6", idcg).withColumn(
+        "ndcg_e6",
+        F.floor(
+            F.col("dcg_e6").cast("double")
+            / F.col("idcg_e6").cast("double")
+            * 1_000_000
+            + F.lit(_OFF)
+        ).cast("long"),
+    ).withColumn(
+        "rr_e6",
+        F.coalesce(
+            F.floor(
+                F.lit(1_000_000.0) / F.col("first_rel").cast("double")
+                + F.lit(_OFF)
+            ).cast("long"),
+            F.lit(0),
+        ),
+    )
+    out = perq.groupBy("qlabel").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("ndcg_e6").alias("s_ndcg"),
+        F.sum("rr_e6").alias("s_rr"),
+    )
+    return out.select(
+        F.col("qlabel").cast("long").alias("label"),
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.floor(
+            F.col("s_ndcg").cast("double") / F.col("n_queries").cast("double")
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("ndcg5_e6"),
+        F.floor(
+            F.col("s_rr").cast("double") / F.col("n_queries").cast("double")
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("mrr5_e6"),
+    ).orderBy("label")
+
+
+SQL_NDCG = f"""
+WITH t AS ({_EMB_INT_SQL}),
+norms AS (
+  SELECT vec_id, label, CAST(sum(e * e) AS BIGINT) AS n2
+  FROM t GROUP BY 1, 2
+), labc AS (
+  SELECT label, count(*) AS n_lab FROM norms GROUP BY 1
+), q AS (
+  SELECT vec_id AS qid, label AS qlabel, pos, e AS eq
+  FROM t WHERE vec_id % 5 = 0
+), dots AS (
+  SELECT q.qid, q.qlabel, t.vec_id, t.label,
+         CAST(sum(q.eq * t.e) AS BIGINT) AS dot
+  FROM q JOIN t ON t.pos = q.pos AND t.vec_id <> q.qid
+  GROUP BY 1, 2, 3, 4
+), scored AS (
+  SELECT dots.*,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY CAST(dot AS DOUBLE)
+                              / sqrt(CAST(qn.n2 AS DOUBLE) * rn.n2) DESC,
+                              dots.vec_id) AS rk
+  FROM dots
+  JOIN norms qn ON qn.vec_id = dots.qid
+  JOIN norms rn ON rn.vec_id = dots.vec_id
+), top5 AS (
+  SELECT *, CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel
+  FROM scored WHERE rk <= 5
+), perq AS (
+  SELECT qid, qlabel,
+         CAST(sum(rel * CASE rk WHEN 1 THEN 1000000 WHEN 2 THEN 630929
+                                WHEN 3 THEN 500000 WHEN 4 THEN 430676
+                                ELSE 386852 END) AS BIGINT) AS dcg_e6,
+         min(CASE WHEN rel = 1 THEN rk END) AS first_rel
+  FROM top5 GROUP BY 1, 2
+), withi AS (
+  SELECT perq.*,
+         CAST((CASE WHEN n_lab - 1 >= 1 THEN 1000000 ELSE 0 END
+             + CASE WHEN n_lab - 1 >= 2 THEN 630929 ELSE 0 END
+             + CASE WHEN n_lab - 1 >= 3 THEN 500000 ELSE 0 END
+             + CASE WHEN n_lab - 1 >= 4 THEN 430676 ELSE 0 END
+             + CASE WHEN n_lab - 1 >= 5 THEN 386852 ELSE 0 END) AS BIGINT)
+           AS idcg_e6
+  FROM perq JOIN labc ON labc.label = perq.qlabel
+), per AS (
+  SELECT qlabel,
+         CAST(floor(CAST(dcg_e6 AS DOUBLE) / idcg_e6 * 1000000 + {_OFF})
+              AS BIGINT) AS ndcg_e6,
+         COALESCE(CAST(floor(1000000.0 / first_rel + {_OFF}) AS BIGINT), 0)
+           AS rr_e6
+  FROM withi
+)
+SELECT CAST(qlabel AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(floor(CAST(sum(ndcg_e6) AS DOUBLE) / count(*) + {_OFF})
+            AS BIGINT) AS ndcg5_e6,
+       CAST(floor(CAST(sum(rr_e6) AS DOUBLE) / count(*) + {_OFF})
+            AS BIGINT) AS mrr5_e6
+FROM per
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QUERIES.update({"ndcg_mrr_at5": q_ndcg_mrr_at5})
+ORACLE_SQL.update({"ndcg_mrr_at5": SQL_NDCG})

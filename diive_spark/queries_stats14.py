@@ -2458,3 +2458,233 @@ ORACLE_SQL.update(
         "setar_fit": SQL_SETAR,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# obrien_fleming_looks — group-sequential monitoring at 5 calendar
+# looks with O'Brien-Fleming boundaries (O'Brien & Fleming 1979;
+# two-sided alpha = 0.05 constants 4.8769/3.3569/2.6803/2.2898/2.0310)
+# ---------------------------------------------------------------------------
+# Looks = cumulative 6-day windows (no global event sort — day-level
+# rollups then a 30-row cumulative); z_k is the Welch z of weekend vs
+# weekday centi-values from exact cumulative sums.
+
+
+def q_obrien_fleming_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.dayofmonth("ts").alias("dom"),
+        (F.dayofweek("ts").isin(1, 7)).cast("int").alias("grp"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    d = ev.groupBy("dom", "grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("q"),
+    )
+    d = d.withColumn("look", F.ceil(F.col("dom") / 6).cast("int"))
+    cum = (
+        d.groupBy("look", "grp")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.sum("q").alias("q"),
+        )
+    )
+    wcum = Window.partitionBy("grp").orderBy("look").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        cum.withColumn("cn", F.sum("n").over(wcum))
+        .withColumn("cs", F.sum("s").over(wcum))
+        .withColumn("cq", F.sum("q").over(wcum))
+    )
+    e = cum.filter(F.col("grp") == 1).select(
+        "look",
+        F.col("cn").alias("ne"),
+        F.col("cs").alias("se"),
+        F.col("cq").alias("qe"),
+    )
+    c = cum.filter(F.col("grp") == 0).select(
+        "look",
+        F.col("cn").alias("nc"),
+        F.col("cs").alias("sc"),
+        F.col("cq").alias("qc"),
+    )
+    j = e.join(c, "look")
+    ned = F.col("ne").cast("double")
+    ncd = F.col("nc").cast("double")
+    diff = F.col("se").cast("double") / ned - F.col("sc").cast("double") / ncd
+    vare = (
+        ned * F.col("qe").cast("double")
+        - F.col("se").cast("double") * F.col("se").cast("double")
+    ) / (ned * (ned - 1))
+    varc = (
+        ncd * F.col("qc").cast("double")
+        - F.col("sc").cast("double") * F.col("sc").cast("double")
+    ) / (ncd * (ncd - 1))
+    z = diff / F.sqrt(vare / ned + varc / ncd)
+    bnd = (
+        F.when(F.col("look") == 1, F.lit(4.8769))
+        .when(F.col("look") == 2, F.lit(3.3569))
+        .when(F.col("look") == 3, F.lit(2.6803))
+        .when(F.col("look") == 4, F.lit(2.2898))
+        .otherwise(F.lit(2.0310))
+    )
+    out = j.select(
+        F.col("look").cast("long").alias("look"),
+        F.col("ne").cast("long").alias("n_wknd"),
+        F.col("nc").cast("long").alias("n_wday"),
+        F.floor(z * 1_000_000 + F.lit(_OFF)).cast("long").alias("z_e6"),
+        F.floor(bnd * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "boundary_e4"
+        ),
+        (F.abs(z) > bnd).cast("long").alias("crossed"),
+    )
+    return out.orderBy("look")
+
+
+SQL_OBF = f"""
+WITH ev AS (
+  SELECT EXTRACT(day FROM ts) AS dom,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS grp,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), d AS (
+  SELECT CAST(ceil(dom / 6.0) AS INT) AS look, grp,
+         count(*) AS n,
+         CAST(sum(v) AS BIGINT) AS s,
+         CAST(sum(v * v) AS BIGINT) AS q
+  FROM ev GROUP BY 1, 2
+), cum AS (
+  SELECT look, grp,
+         CAST(sum(n) OVER w AS BIGINT) AS cn,
+         CAST(sum(s) OVER w AS BIGINT) AS cs,
+         CAST(sum(q) OVER w AS BIGINT) AS cq
+  FROM d
+  WINDOW w AS (PARTITION BY grp ORDER BY look
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), j AS (
+  SELECT e.look,
+         e.cn AS ne, e.cs AS se, e.cq AS qe,
+         c.cn AS nc, c.cs AS sc, c.cq AS qc
+  FROM (SELECT * FROM cum WHERE grp = 1) e
+  JOIN (SELECT * FROM cum WHERE grp = 0) c ON c.look = e.look
+), f AS (
+  SELECT look, ne, nc,
+         (CAST(se AS DOUBLE) / ne - CAST(sc AS DOUBLE) / nc)
+         / sqrt(((CAST(ne AS DOUBLE) * qe - CAST(se AS DOUBLE) * se)
+                 / (CAST(ne AS DOUBLE) * (ne - 1))) / ne
+                + ((CAST(nc AS DOUBLE) * qc - CAST(sc AS DOUBLE) * sc)
+                   / (CAST(nc AS DOUBLE) * (nc - 1))) / nc) AS z,
+         CAST(CASE look WHEN 1 THEN 4.8769 WHEN 2 THEN 3.3569
+                        WHEN 3 THEN 2.6803 WHEN 4 THEN 2.2898
+                        ELSE 2.0310 END AS DOUBLE) AS bnd
+  FROM j
+)
+SELECT CAST(look AS BIGINT) AS look,
+       CAST(ne AS BIGINT) AS n_wknd,
+       CAST(nc AS BIGINT) AS n_wday,
+       CAST(floor(z * 1000000 + {_OFF}) AS BIGINT) AS z_e6,
+       CAST(floor(bnd * 10000 + {_OFF}) AS BIGINT) AS boundary_e4,
+       CAST(CASE WHEN abs(z) > bnd THEN 1 ELSE 0 END AS BIGINT) AS crossed
+FROM f
+ORDER BY look
+"""
+
+
+# ---------------------------------------------------------------------------
+# concentration_audit — empirical block-mean exceedances vs the
+# Hoeffding (1963) bound, the sanity check for sampled estimators
+# ---------------------------------------------------------------------------
+# 100 deterministic hash blocks (event_id % 100); the exceedance
+# |mean_b - mu| >= t is decided by exact cross-multiplication
+# |s_b*N - S*n_b| >= t*n_b*N (t = 500 centi); the per-block Hoeffding
+# bound 2 exp(-2 n_b t^2 / R^2) uses the exact observed range R.
+
+
+def q_concentration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("event_id") % 100).alias("blk"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    tot = ev.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum("v").alias("ss"),
+        (F.max("v") - F.min("v")).alias("rng"),
+    )
+    b = ev.groupBy("blk").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("v").alias("sb"),
+    )
+    T = 500  # centi-units deviation threshold
+    j = b.crossJoin(F.broadcast(tot))
+    exceed = (
+        F.abs(F.col("sb") * F.col("nn") - F.col("ss") * F.col("nb"))
+        >= F.lit(T) * F.col("nb") * F.col("nn")
+    ).cast("long")
+    bound = 2.0 * F.exp(
+        -2.0
+        * F.col("nb").cast("double")
+        * (T * T)
+        / (F.col("rng").cast("double") * F.col("rng").cast("double"))
+    )
+    j = j.withColumn("exceed", exceed).withColumn(
+        "bound_e6", F.floor(bound * 1_000_000 + F.lit(_OFF)).cast("long")
+    )
+    agg = j.groupBy().agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("exceed").alias("n_exceed"),
+        F.sum("bound_e6").alias("bound_sum_e6"),
+        F.max("rng").alias("range_centi"),
+    )
+    return agg.select(
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.col("n_exceed").cast("long").alias("n_exceed"),
+        F.col("bound_sum_e6").cast("long").alias("bound_sum_e6"),
+        F.col("range_centi").cast("long").alias("range_centi"),
+    )
+
+
+SQL_CONC = f"""
+WITH ev AS (
+  SELECT event_id % 100 AS blk,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), tot AS (
+  SELECT count(*) AS nn,
+         CAST(sum(v) AS BIGINT) AS ss,
+         CAST(max(v) - min(v) AS BIGINT) AS rng
+  FROM ev
+), b AS (
+  SELECT blk, count(*) AS nb, CAST(sum(v) AS BIGINT) AS sb
+  FROM ev GROUP BY 1
+), j AS (
+  SELECT b.*, tot.nn, tot.ss, tot.rng,
+         CASE WHEN abs(sb * nn - ss * nb) >= 500 * nb * nn
+              THEN 1 ELSE 0 END AS exceed,
+         CAST(floor(2.0 * exp(-2.0 * nb * 250000.0
+                              / (CAST(rng AS DOUBLE) * rng))
+                    * 1000000 + {_OFF}) AS BIGINT) AS bound_e6
+  FROM b CROSS JOIN tot
+)
+SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(exceed) AS BIGINT) AS n_exceed,
+       CAST(sum(bound_e6) AS BIGINT) AS bound_sum_e6,
+       CAST(max(rng) AS BIGINT) AS range_centi
+FROM j
+"""
+
+
+QUERIES.update(
+    {
+        "obrien_fleming_looks": q_obrien_fleming_looks,
+        "concentration_audit": q_concentration_audit,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "obrien_fleming_looks": SQL_OBF,
+        "concentration_audit": SQL_CONC,
+    }
+)

@@ -393,3 +393,130 @@ ORACLE_SQL: dict[str, str] = {
     "oov_rate": SQL_OOV,
     "cooccurrence_jaccard": SQL_COOC,
 }
+
+
+# ---------------------------------------------------------------------------
+# fairness_metrics — demographic parity + equalized-odds audit
+# (Hardt, Price & Srebro 2016) of a length-threshold classifier
+# ---------------------------------------------------------------------------
+# Protected group g = lang in (en, de) vs rest; ground truth y =
+# n_chars > corpus median (exact order stat); classifier yhat = token
+# count > corpus median token count.  Positive rate / TPR / FPR per
+# group are exact counts — the standard pre-deployment fairness audit
+# for a filtering pipeline.
+
+
+def q_fairness_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("nc"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("tok"),
+    )
+    wc = Window.orderBy("nc", "doc_id")
+    wt = Window.orderBy("tok", "doc_id")
+    wn = Window.partitionBy(F.lit(1))
+    r = (
+        d.withColumn("rc", F.row_number().over(wc))
+        .withColumn("rt", F.row_number().over(wt))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+    med_nc = r.filter(
+        F.col("rc") == F.floor((F.col("n") + 1) / 2).cast("int")
+    ).select(F.col("nc").alias("med_nc"))
+    med_tok = r.filter(
+        F.col("rt") == F.floor((F.col("n") + 1) / 2).cast("int")
+    ).select(F.col("tok").alias("med_tok"))
+    t = (
+        d.crossJoin(F.broadcast(med_nc))
+        .crossJoin(F.broadcast(med_tok))
+        .select(
+            F.when(F.col("lang").isin("en", "de"), F.lit("en_de"))
+            .otherwise(F.lit("other"))
+            .alias("grp"),
+            (F.col("nc") > F.col("med_nc")).cast("long").alias("y"),
+            (F.col("tok") > F.col("med_tok")).cast("long").alias("yhat"),
+        )
+    )
+    agg = t.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("yhat").alias("n_pos"),
+        F.sum(F.col("y") * F.col("yhat")).alias("tp"),
+        F.sum("y").alias("n_y1"),
+        F.sum((1 - F.col("y")) * F.col("yhat")).alias("fp"),
+    )
+    return agg.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.floor(
+            F.col("n_pos").cast("double") / F.col("n").cast("double")
+            * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("pos_rate_e6"),
+        F.floor(
+            F.col("tp").cast("double") / F.col("n_y1").cast("double")
+            * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("tpr_e6"),
+        F.floor(
+            F.col("fp").cast("double")
+            / (F.col("n") - F.col("n_y1")).cast("double")
+            * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("fpr_e6"),
+    ).orderBy("grp")
+
+
+SQL_FAIRNESS = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(n_chars AS BIGINT) AS nc,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok
+  FROM documents
+), r AS (
+  SELECT *,
+         row_number() OVER (ORDER BY nc, doc_id) AS rc,
+         row_number() OVER (ORDER BY tok, doc_id) AS rt,
+         count(*) OVER () AS n
+  FROM d
+), med_nc AS (
+  SELECT nc AS med_nc FROM r
+  WHERE rc = CAST(floor((n + 1) / 2) AS INT)
+), med_tok AS (
+  SELECT tok AS med_tok FROM r
+  WHERE rt = CAST(floor((n + 1) / 2) AS INT)
+), t AS (
+  SELECT CASE WHEN lang IN ('en', 'de') THEN 'en_de'
+              ELSE 'other' END AS grp,
+         CASE WHEN nc > med_nc THEN 1 ELSE 0 END AS y,
+         CASE WHEN tok > med_tok THEN 1 ELSE 0 END AS yhat
+  FROM d CROSS JOIN med_nc CROSS JOIN med_tok
+), agg AS (
+  SELECT grp, count(*) AS n,
+         CAST(sum(yhat) AS BIGINT) AS n_pos,
+         CAST(sum(y * yhat) AS BIGINT) AS tp,
+         CAST(sum(y) AS BIGINT) AS n_y1,
+         CAST(sum((1 - y) * yhat) AS BIGINT) AS fp
+  FROM t GROUP BY 1
+)
+SELECT grp,
+       CAST(n AS BIGINT) AS n,
+       CAST(floor(CAST(n_pos AS DOUBLE) / n * 1000000 + {_OFF}) AS BIGINT)
+         AS pos_rate_e6,
+       CAST(floor(CAST(tp AS DOUBLE) / n_y1 * 1000000 + {_OFF}) AS BIGINT)
+         AS tpr_e6,
+       CAST(floor(CAST(fp AS DOUBLE) / (n - n_y1) * 1000000 + {_OFF})
+            AS BIGINT) AS fpr_e6
+FROM agg
+ORDER BY grp
+"""
+
+
+QUERIES.update({"fairness_metrics": q_fairness_metrics})
+ORACLE_SQL.update({"fairness_metrics": SQL_FAIRNESS})
