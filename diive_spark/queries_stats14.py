@@ -2688,3 +2688,448 @@ ORACLE_SQL.update(
         "concentration_audit": SQL_CONC,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# stratified_ate — direct standardization / stratified average
+# treatment effect (Rubin 1977), weekend as treatment, diel bucket as
+# the confounder
+# ---------------------------------------------------------------------------
+# ATE = sum_s (n_s / N) (ybar_1s - ybar_0s) plus the crude difference
+# for contrast — strata terms e6-floored before the exact sum.
+
+
+def q_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.floor(F.hour("ts") / 6).cast("int").alias("s"),
+        (F.dayofweek("ts").isin(1, 7)).cast("int").alias("tr"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    g = ev.groupBy("s", "tr").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    )
+    t1 = g.filter(F.col("tr") == 1).select(
+        "s", F.col("n").alias("n1"), F.col("sv").alias("s1")
+    )
+    t0 = g.filter(F.col("tr") == 0).select(
+        "s", F.col("n").alias("n0"), F.col("sv").alias("s0")
+    )
+    j = t1.join(t0, "s")
+    diff = F.col("s1").cast("double") / F.col("n1").cast("double") - F.col(
+        "s0"
+    ).cast("double") / F.col("n0").cast("double")
+    j = j.withColumn("ns", F.col("n1") + F.col("n0")).withColumn(
+        "term_e6",
+        F.floor(
+            diff * (F.col("n1") + F.col("n0")).cast("double") * 10_000
+            + F.lit(_OFF)
+        ).cast("long"),
+    )
+    crude = ev.groupBy("tr").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    )
+    c1 = crude.filter(F.col("tr") == 1).select(
+        F.col("n").alias("cn1"), F.col("sv").alias("cs1")
+    )
+    c0 = crude.filter(F.col("tr") == 0).select(
+        F.col("n").alias("cn0"), F.col("sv").alias("cs0")
+    )
+    agg = j.groupBy().agg(
+        F.count(F.lit(1)).alias("k_strata"),
+        F.sum("ns").alias("nn"),
+        F.sum("term_e6").alias("s_term"),
+    ).crossJoin(F.broadcast(c1)).crossJoin(F.broadcast(c0))
+    ate = F.col("s_term").cast("double") / F.col("nn").cast("double") / 10_000
+    crude_d = F.col("cs1").cast("double") / F.col("cn1").cast(
+        "double"
+    ) - F.col("cs0").cast("double") / F.col("cn0").cast("double")
+    return agg.select(
+        F.col("k_strata").cast("long").alias("k_strata"),
+        F.col("nn").cast("long").alias("n"),
+        F.floor(ate * 10_000 + F.lit(_OFF)).cast("long").alias("ate_e4"),
+        F.floor(crude_d * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "crude_e4"
+        ),
+    )
+
+
+SQL_SATE = f"""
+WITH ev AS (
+  SELECT CAST(floor(EXTRACT(hour FROM ts) / 6) AS INT) AS s,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS tr,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), g AS (
+  SELECT s, tr, count(*) AS n, CAST(sum(v) AS BIGINT) AS sv
+  FROM ev GROUP BY 1, 2
+), j AS (
+  SELECT a.s, a.n AS n1, a.sv AS s1, b.n AS n0, b.sv AS s0,
+         a.n + b.n AS ns,
+         CAST(floor((CAST(a.sv AS DOUBLE) / a.n
+                     - CAST(b.sv AS DOUBLE) / b.n)
+                    * (a.n + b.n) * 10000 + {_OFF}) AS BIGINT) AS term_e6
+  FROM (SELECT * FROM g WHERE tr = 1) a
+  JOIN (SELECT * FROM g WHERE tr = 0) b ON b.s = a.s
+), crude AS (
+  SELECT CAST(sum(CASE WHEN tr = 1 THEN v END) AS BIGINT) AS cs1,
+         count(CASE WHEN tr = 1 THEN 1 END) AS cn1,
+         CAST(sum(CASE WHEN tr = 0 THEN v END) AS BIGINT) AS cs0,
+         count(CASE WHEN tr = 0 THEN 1 END) AS cn0
+  FROM ev
+), agg AS (
+  SELECT count(*) AS k_strata,
+         CAST(sum(ns) AS BIGINT) AS nn,
+         CAST(sum(term_e6) AS BIGINT) AS s_term
+  FROM j
+)
+SELECT CAST(k_strata AS BIGINT) AS k_strata,
+       nn AS n,
+       CAST(floor(CAST(s_term AS DOUBLE) / nn / 10000 * 10000 + {_OFF})
+            AS BIGINT) AS ate_e4,
+       CAST(floor((CAST(cs1 AS DOUBLE) / cn1 - CAST(cs0 AS DOUBLE) / cn0)
+                  * 10000 + {_OFF}) AS BIGINT) AS crude_e4
+FROM agg CROSS JOIN crude
+"""
+
+
+# ---------------------------------------------------------------------------
+# simpsons_paradox_audit — aggregation-reversal detector (Simpson 1951)
+# ---------------------------------------------------------------------------
+# Association = odds ratio of (weekend, above-median value) overall and
+# within each diel stratum; the audit counts strata whose log-OR sign
+# differs from the pooled sign.  The median is an exact order stat; OR
+# comparisons are cross-multiplied integers (ad vs bc), so sign logic
+# never touches doubles.
+
+
+def q_simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.floor(F.hour("ts") / 6).cast("int").alias("s"),
+        (F.dayofweek("ts").isin(1, 7)).cast("int").alias("tr"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    wm = Window.orderBy("v", "event_id")
+    wn = Window.partitionBy(F.lit(1))
+    r = ev.withColumn("rk", F.row_number().over(wm)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    med = r.filter(
+        F.col("rk") == F.floor((F.col("n") + 1) / 2).cast("int")
+    ).select(F.col("v").alias("med"))
+    t = ev.crossJoin(F.broadcast(med)).withColumn(
+        "hi", (F.col("v") > F.col("med")).cast("long")
+    )
+    cell = t.groupBy("s").agg(
+        F.sum((F.col("tr") * F.col("hi"))).alias("a"),
+        F.sum((F.col("tr") * (1 - F.col("hi")))).alias("b"),
+        F.sum(((1 - F.col("tr")) * F.col("hi"))).alias("c"),
+        F.sum(((1 - F.col("tr")) * (1 - F.col("hi")))).alias("d"),
+    )
+    pooled = cell.groupBy().agg(
+        F.sum("a").alias("pa"),
+        F.sum("b").alias("pb"),
+        F.sum("c").alias("pc"),
+        F.sum("d").alias("pd"),
+    )
+    j = cell.crossJoin(F.broadcast(pooled))
+    sgn_s = F.signum(
+        (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast("double")
+    )
+    sgn_p = F.signum(
+        (F.col("pa") * F.col("pd") - F.col("pb") * F.col("pc")).cast(
+            "double"
+        )
+    )
+    j = j.withColumn(
+        "reversed", (sgn_s * sgn_p < 0).cast("long")
+    ).withColumn(
+        "or_e6",
+        F.floor(
+            (F.col("a") * F.col("d")).cast("double")
+            / (F.col("b") * F.col("c")).cast("double")
+            * 1_000_000
+            + F.lit(_OFF)
+        ).cast("long"),
+    )
+    agg = j.groupBy().agg(
+        F.count(F.lit(1)).alias("k_strata"),
+        F.sum("reversed").alias("n_reversed"),
+        F.max(
+            F.floor(
+                (F.col("pa") * F.col("pd")).cast("double")
+                / (F.col("pb") * F.col("pc")).cast("double")
+                * 1_000_000
+                + F.lit(_OFF)
+            ).cast("long")
+        ).alias("pooled_or_e6"),
+        F.min("or_e6").alias("min_or_e6"),
+        F.max("or_e6").alias("max_or_e6"),
+    )
+    return agg.select(
+        F.col("k_strata").cast("long").alias("k_strata"),
+        F.col("n_reversed").cast("long").alias("n_reversed"),
+        "pooled_or_e6",
+        "min_or_e6",
+        "max_or_e6",
+    )
+
+
+SQL_SIMPSON = f"""
+WITH ev AS (
+  SELECT event_id,
+         CAST(floor(EXTRACT(hour FROM ts) / 6) AS INT) AS s,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS tr,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), r AS (
+  SELECT *, row_number() OVER (ORDER BY v, event_id) AS rk,
+         count(*) OVER () AS n
+  FROM ev
+), med AS (
+  SELECT v AS med FROM r WHERE rk = CAST(floor((n + 1) / 2) AS INT)
+), t AS (
+  SELECT s, tr, CASE WHEN v > med THEN 1 ELSE 0 END AS hi
+  FROM ev CROSS JOIN med
+), cell AS (
+  SELECT s,
+         CAST(sum(tr * hi) AS BIGINT) AS a,
+         CAST(sum(tr * (1 - hi)) AS BIGINT) AS b,
+         CAST(sum((1 - tr) * hi) AS BIGINT) AS c,
+         CAST(sum((1 - tr) * (1 - hi)) AS BIGINT) AS d
+  FROM t GROUP BY 1
+), pooled AS (
+  SELECT CAST(sum(a) AS BIGINT) AS pa, CAST(sum(b) AS BIGINT) AS pb,
+         CAST(sum(c) AS BIGINT) AS pc, CAST(sum(d) AS BIGINT) AS pd
+  FROM cell
+), j AS (
+  SELECT cell.*, pa, pb, pc, pd,
+         CASE WHEN sign(CAST(a * d - b * c AS DOUBLE))
+                   * sign(CAST(pa * pd - pb * pc AS DOUBLE)) < 0
+              THEN 1 ELSE 0 END AS reversed,
+         CAST(floor(CAST(a * d AS DOUBLE) / (b * c) * 1000000 + {_OFF})
+              AS BIGINT) AS or_e6
+  FROM cell CROSS JOIN pooled
+)
+SELECT CAST(count(*) AS BIGINT) AS k_strata,
+       CAST(sum(reversed) AS BIGINT) AS n_reversed,
+       CAST(max(CAST(floor(CAST(pa * pd AS DOUBLE) / (pb * pc) * 1000000
+                           + {_OFF}) AS BIGINT)) AS BIGINT)
+         AS pooled_or_e6,
+       CAST(min(or_e6) AS BIGINT) AS min_or_e6,
+       CAST(max(or_e6) AS BIGINT) AS max_or_e6
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# sharp_rdd — sharp regression discontinuity at minute 30 of the hour
+# (Thistlethwaite & Campbell 1960; local linear, bandwidth 15)
+# ---------------------------------------------------------------------------
+# Running variable x = minute - 30 in [-15, 15); separate 1-regressor
+# OLS on each side from exact sums; the jump is the difference of the
+# two intercepts at x = 0.  Per event_type.
+
+
+def q_sharp_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (F.minute("ts") - 30).cast("long").alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    ).filter((F.col("x") >= -15) & (F.col("x") < 15))
+    t = ev.withColumn("side", (F.col("x") >= 0).cast("int"))
+    g = t.groupBy("event_type", "side").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("v").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("v")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    b = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    a = (F.col("sy").cast("double") - b * F.col("sx").cast("double")) / nd
+    g = g.withColumn("a0", a).withColumn("b0", b)
+    lft = g.filter(F.col("side") == 0).select(
+        "event_type",
+        F.col("n").alias("n_l"),
+        F.col("a0").alias("a_l"),
+        F.col("b0").alias("b_l"),
+    )
+    rgt = g.filter(F.col("side") == 1).select(
+        "event_type",
+        F.col("n").alias("n_r"),
+        F.col("a0").alias("a_r"),
+        F.col("b0").alias("b_r"),
+    )
+    j = lft.join(rgt, "event_type")
+    return j.select(
+        "event_type",
+        F.col("n_l").cast("long").alias("n_left"),
+        F.col("n_r").cast("long").alias("n_right"),
+        F.floor((F.col("a_r") - F.col("a_l")) * 100 + F.lit(_OFF))
+        .cast("long")
+        .alias("jump_e4"),
+        F.floor(F.col("b_l") * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "slope_l_e4"
+        ),
+        F.floor(F.col("b_r") * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "slope_r_e4"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_RDD = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(EXTRACT(minute FROM ts) - 30 AS BIGINT) AS x,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+  WHERE EXTRACT(minute FROM ts) - 30 >= -15
+    AND EXTRACT(minute FROM ts) - 30 < 15
+), g AS (
+  SELECT event_type,
+         CASE WHEN x >= 0 THEN 1 ELSE 0 END AS side,
+         count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(v) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * v) AS BIGINT) AS sxy
+  FROM ev GROUP BY 1, 2
+), f AS (
+  SELECT event_type, side, n,
+         (CAST(sy AS DOUBLE)
+          - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx)
+           / n AS a,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b
+  FROM g
+)
+SELECT l.event_type,
+       CAST(l.n AS BIGINT) AS n_left,
+       CAST(r.n AS BIGINT) AS n_right,
+       CAST(floor((r.a - l.a) * 100 + {_OFF}) AS BIGINT) AS jump_e4,
+       CAST(floor(l.b * 10000 + {_OFF}) AS BIGINT) AS slope_l_e4,
+       CAST(floor(r.b * 10000 + {_OFF}) AS BIGINT) AS slope_r_e4
+FROM (SELECT * FROM f WHERE side = 0) l
+JOIN (SELECT * FROM f WHERE side = 1) r ON r.event_type = l.event_type
+ORDER BY l.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# evalue_sensitivity — VanderWeele & Ding (2017) E-value for the
+# weekend risk ratio of high-value events
+# ---------------------------------------------------------------------------
+# RR from exact counts (above-median outcome); E = RR + sqrt(RR(RR-1))
+# for RR >= 1, computed on 1/RR otherwise — the minimum confounding
+# strength that could explain the association away.
+
+
+def q_evalue_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "event_type",
+        (F.dayofweek("ts").isin(1, 7)).cast("int").alias("tr"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    wm = Window.partitionBy("event_type").orderBy("v", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.withColumn("rk", F.row_number().over(wm)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    med = r.filter(
+        F.col("rk") == F.floor((F.col("n") + 1) / 2).cast("int")
+    ).select("event_type", F.col("v").alias("med"))
+    t = ev.join(F.broadcast(med), "event_type").withColumn(
+        "hi", (F.col("v") > F.col("med")).cast("long")
+    )
+    g = t.groupBy("event_type").agg(
+        F.sum(F.col("tr") * F.col("hi")).alias("a"),
+        F.sum(F.col("tr")).alias("n1"),
+        F.sum((1 - F.col("tr")) * F.col("hi")).alias("c"),
+        F.sum(1 - F.col("tr")).alias("n0"),
+    )
+    rr = (
+        F.col("a").cast("double") / F.col("n1").cast("double")
+    ) / (F.col("c").cast("double") / F.col("n0").cast("double"))
+    rr_star = F.when(rr >= 1.0, rr).otherwise(1.0 / rr)
+    evalue = rr_star + F.sqrt(rr_star * (rr_star - 1.0))
+    return g.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n_wknd"),
+        F.col("n0").cast("long").alias("n_wday"),
+        F.floor(rr * 1_000_000 + F.lit(_OFF)).cast("long").alias("rr_e6"),
+        F.floor(evalue * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "evalue_e6"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_EVALUE = f"""
+WITH ev AS (
+  SELECT event_id, event_type,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS tr,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY v, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+), med AS (
+  SELECT event_type, v AS med FROM r
+  WHERE rk = CAST(floor((n + 1) / 2) AS INT)
+), t AS (
+  SELECT ev.event_type, tr,
+         CASE WHEN v > med THEN 1 ELSE 0 END AS hi
+  FROM ev JOIN med ON med.event_type = ev.event_type
+), g AS (
+  SELECT event_type,
+         CAST(sum(tr * hi) AS BIGINT) AS a,
+         CAST(sum(tr) AS BIGINT) AS n1,
+         CAST(sum((1 - tr) * hi) AS BIGINT) AS c,
+         CAST(sum(1 - tr) AS BIGINT) AS n0
+  FROM t GROUP BY 1
+), f AS (
+  SELECT event_type, n1, n0,
+         (CAST(a AS DOUBLE) / n1) / (CAST(c AS DOUBLE) / n0) AS rr
+  FROM g
+), s AS (
+  SELECT *, CASE WHEN rr >= 1.0 THEN rr ELSE 1.0 / rr END AS rr_star
+  FROM f
+)
+SELECT event_type,
+       n1 AS n_wknd,
+       n0 AS n_wday,
+       CAST(floor(rr * 1000000 + {_OFF}) AS BIGINT) AS rr_e6,
+       CAST(floor((rr_star + sqrt(rr_star * (rr_star - 1.0)))
+                  * 1000000 + {_OFF}) AS BIGINT) AS evalue_e6
+FROM s
+ORDER BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "stratified_ate": q_stratified_ate,
+        "simpsons_paradox_audit": q_simpsons_paradox_audit,
+        "sharp_rdd": q_sharp_rdd,
+        "evalue_sensitivity": q_evalue_sensitivity,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "stratified_ate": SQL_SATE,
+        "simpsons_paradox_audit": SQL_SIMPSON,
+        "sharp_rdd": SQL_RDD,
+        "evalue_sensitivity": SQL_EVALUE,
+    }
+)
