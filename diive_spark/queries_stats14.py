@@ -3133,3 +3133,548 @@ ORACLE_SQL.update(
         "evalue_sensitivity": SQL_EVALUE,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# tl_moments — trimmed L-moments, t = 1 (Elamir & Seheult 2003)
+# ---------------------------------------------------------------------------
+# lambda1^(1) = E[X_{2:3}], lambda2^(1) = (E[X_{3:4}] - E[X_{2:4}])/2
+# with the unbiased order-statistic estimators; per-row combinatorial
+# RATIOS C(i-1,.)C(n-i,.)/C(n,m) are identical doubles from exact
+# integer indices (scale-safe at any n, unlike raw weight sums), and
+# each x*ratio term is e6-floored before the exact integer sum.
+# The robust EVT companion to the registry's l_moments.
+
+
+def q_tl_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    wq = Window.partitionBy("event_type").orderBy("v", "event_id")
+    wn = Window.partitionBy("event_type")
+    t = ev.withColumn("i", F.row_number().over(wq).cast("long")).withColumn(
+        "n", F.count(F.lit(1)).over(wn).cast("long")
+    )
+    i = F.col("i").cast("double")
+    n = F.col("n").cast("double")
+    x = F.col("v").cast("double")
+    c_n3 = n * (n - 1) * (n - 2) / 6.0
+    c_n4 = n * (n - 1) * (n - 2) * (n - 3) / 24.0
+    r1 = (i - 1) * (n - i) / c_n3
+    r34 = (i - 1) * (i - 2) / 2.0 * (n - i) / c_n4
+    r24 = (i - 1) * (n - i) * (n - i - 1) / 2.0 / c_n4
+    t = t.withColumn(
+        "t1_e6", F.floor(x * r1 * 1_000_000 + F.lit(_OFF)).cast("long")
+    ).withColumn(
+        "t2_e6",
+        F.floor(x * (r34 - r24) / 2.0 * 1_000_000 + F.lit(_OFF)).cast(
+            "long"
+        ),
+    )
+    agg = t.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum("t1_e6").alias("l1_e6"),
+        F.sum("t2_e6").alias("l2_e6"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("l1_e6").cast("long").alias("tl1_centi_e6"),
+        F.col("l2_e6").cast("long").alias("tl2_centi_e6"),
+        F.floor(
+            F.col("l2_e6").cast("double") / F.col("l1_e6").cast("double")
+            * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("tl_cv_e6"),
+    ).orderBy("event_type")
+
+
+SQL_TLMOM = f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), t AS (
+  SELECT event_type, v,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY v, event_id) AS BIGINT) AS i,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM ev
+), terms AS (
+  SELECT event_type, n,
+         CAST(floor(CAST(v AS DOUBLE)
+               * ((i - 1.0) * (n - i)
+                  / (CAST(n AS DOUBLE) * (n - 1) * (n - 2) / 6.0))
+               * 1000000 + {_OFF}) AS BIGINT) AS t1_e6,
+         CAST(floor(CAST(v AS DOUBLE)
+               * (((i - 1.0) * (i - 2) / 2.0 * (n - i)
+                   / (CAST(n AS DOUBLE) * (n - 1) * (n - 2) * (n - 3)
+                      / 24.0))
+                  - ((i - 1.0) * (n - i) * (n - i - 1.0) / 2.0
+                     / (CAST(n AS DOUBLE) * (n - 1) * (n - 2) * (n - 3)
+                        / 24.0))) / 2.0
+               * 1000000 + {_OFF}) AS BIGINT) AS t2_e6
+  FROM t
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(sum(t1_e6) AS BIGINT) AS tl1_centi_e6,
+       CAST(sum(t2_e6) AS BIGINT) AS tl2_centi_e6,
+       CAST(floor(CAST(sum(t2_e6) AS DOUBLE) / sum(t1_e6) * 1000000
+                  + {_OFF}) AS BIGINT) AS tl_cv_e6
+FROM terms
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# baxter_king — BK(6,32,12) bandpass business-cycle filter on hourly
+# means (Baxter & King 1999)
+# ---------------------------------------------------------------------------
+# The 25-tap symmetric FIR weights are CONSTANTS (computed once,
+# e9-floored, embedded verbatim in both engines, zero-sum corrected):
+# the convolution is an exact BIGINT dot product; reported per type:
+# valid length, sum |cycle|, max |cycle|, and the number of cycle
+# sign changes (periodicity proxy).
+
+
+_BK_W = [
+    277664849, 220396785, 83757780, -52116317, -118354366, -101234373,
+    -42181816, 1613058, 1500836, -27856668, -50142928, -42289343,
+    -11925074,
+]
+
+
+def q_baxter_king(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+        ).cast("long").alias("hr"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    hm = ev.groupBy("event_type", "hr").agg(
+        F.floor(
+            F.sum("v").cast("double") / F.count(F.lit(1)).cast("double") * 100
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("y")
+    )
+    wo = Window.partitionBy("event_type").orderBy("hr")
+    conv = F.lit(_BK_W[0]).cast("long") * F.col("y")
+    for j in range(1, 13):
+        conv = conv + F.lit(_BK_W[j]).cast("long") * (
+            F.lag("y", j).over(wo) + F.lead("y", j).over(wo)
+        )
+    t = hm.withColumn("cyc", conv).filter(F.col("cyc").isNotNull())
+    ws = Window.partitionBy("event_type").orderBy("hr")
+    t = t.withColumn("prev_cyc", F.lag("cyc").over(ws))
+    flip = (
+        F.col("prev_cyc").isNotNull()
+        & (F.signum(F.col("cyc").cast("double"))
+           * F.signum(F.col("prev_cyc").cast("double")) < 0)
+    ).cast("long")
+    agg = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nv"),
+        F.sum(F.abs(F.col("cyc"))).alias("sabs"),
+        F.max(F.abs(F.col("cyc"))).alias("mx"),
+        F.sum(flip).alias("flips"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("nv").cast("long").alias("n_valid"),
+        F.floor(F.col("sabs").cast("double") / 1e9 + F.lit(_OFF))
+        .cast("long")
+        .alias("sum_abs_cycle_e4"),
+        F.floor(F.col("mx").cast("double") / 1e9 + F.lit(_OFF))
+        .cast("long")
+        .alias("max_cycle_e4"),
+        F.col("flips").cast("long").alias("sign_changes"),
+    ).orderBy("event_type")
+
+
+_BK_SQL_CONV = " + ".join(
+    [f"{_BK_W[0]} * y"]
+    + [
+        f"{_BK_W[j]} * (lag(y, {j}) OVER w + lead(y, {j}) OVER w)"
+        for j in range(1, 13)
+    ]
+)
+
+SQL_BK = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), hm AS (
+  SELECT event_type, hr,
+         CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) * 100 + {_OFF})
+              AS BIGINT) AS y
+  FROM ev GROUP BY 1, 2
+), conv AS (
+  SELECT event_type, hr,
+         {_BK_SQL_CONV} AS cyc
+  FROM hm
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+), t AS (
+  SELECT event_type, hr, CAST(cyc AS BIGINT) AS cyc,
+         lag(cyc) OVER (PARTITION BY event_type ORDER BY hr) AS prev_cyc
+  FROM conv WHERE cyc IS NOT NULL
+), agg AS (
+  SELECT event_type, count(*) AS nv,
+         CAST(sum(abs(cyc)) AS BIGINT) AS sabs,
+         CAST(max(abs(cyc)) AS BIGINT) AS mx,
+         CAST(sum(CASE WHEN prev_cyc IS NOT NULL
+                        AND sign(CAST(cyc AS DOUBLE))
+                            * sign(CAST(prev_cyc AS DOUBLE)) < 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS flips
+  FROM t GROUP BY 1
+)
+SELECT event_type,
+       CAST(nv AS BIGINT) AS n_valid,
+       CAST(floor(CAST(sabs AS DOUBLE) / 1e9 + {_OFF}) AS BIGINT)
+         AS sum_abs_cycle_e4,
+       CAST(floor(CAST(mx AS DOUBLE) / 1e9 + {_OFF}) AS BIGINT)
+         AS max_cycle_e4,
+       flips AS sign_changes
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# cca_2x2 — first/second canonical correlations between the daily
+# (click, view) and (purchase, signup) mean pairs (Hotelling 1936)
+# ---------------------------------------------------------------------------
+# All covariance entries come from exact BIGINT sums via the numerator
+# trick (n*Sxy - SxSy); the 2x2 inverses and the eigenvalues of
+# Sxx^-1 Sxy Syy^-1 Syx are closed forms — identical doubles.
+
+
+def q_cca_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type").isin("click", "view", "purchase", "signup")
+    ).select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+
+    def daily(et, name):
+        return [
+            F.floor(
+                F.sum(F.when(F.col("event_type") == et, F.col("v"))).cast(
+                    "double"
+                )
+                / F.count(F.when(F.col("event_type") == et, 1)).cast(
+                    "double"
+                )
+                * 100
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias(name)
+        ]
+
+    d = ev.groupBy("day").agg(
+        *(
+            daily("click", "x1")
+            + daily("view", "x2")
+            + daily("purchase", "y1")
+            + daily("signup", "y2")
+        )
+    ).filter(
+        F.col("x1").isNotNull()
+        & F.col("x2").isNotNull()
+        & F.col("y1").isNotNull()
+        & F.col("y2").isNotNull()
+    )
+    cols = ["x1", "x2", "y1", "y2"]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(c).alias(f"s_{c}"))
+    for a_i in range(4):
+        for b_i in range(a_i, 4):
+            ca, cb = cols[a_i], cols[b_i]
+            aggs.append(F.sum(F.col(ca) * F.col(cb)).alias(f"p_{ca}{cb}"))
+    g = d.groupBy().agg(*aggs)
+    n = F.col("n").cast("double")
+
+    def cov(ca, cb):
+        key = f"p_{ca}{cb}" if f"p_{ca}{cb}" in g.columns else f"p_{cb}{ca}"
+        return n * F.col(key).cast("double") - F.col(f"s_{ca}").cast(
+            "double"
+        ) * F.col(f"s_{cb}").cast("double")
+
+    sxx11, sxx12, sxx22 = cov("x1", "x1"), cov("x1", "x2"), cov("x2", "x2")
+    syy11, syy12, syy22 = cov("y1", "y1"), cov("y1", "y2"), cov("y2", "y2")
+    sxy11, sxy12 = cov("x1", "y1"), cov("x1", "y2")
+    sxy21, sxy22 = cov("x2", "y1"), cov("x2", "y2")
+    detx = sxx11 * sxx22 - sxx12 * sxx12
+    dety = syy11 * syy22 - syy12 * syy12
+    # A = Sxx^-1 Sxy, B = Syy^-1 Syx; M = A B (2x2), eigenvalues of M
+    a11 = (sxx22 * sxy11 - sxx12 * sxy21) / detx
+    a12 = (sxx22 * sxy12 - sxx12 * sxy22) / detx
+    a21 = (sxx11 * sxy21 - sxx12 * sxy11) / detx
+    a22 = (sxx11 * sxy22 - sxx12 * sxy12) / detx
+    b11 = (syy22 * sxy11 - syy12 * sxy12) / dety
+    b12 = (syy22 * sxy21 - syy12 * sxy22) / dety
+    b21 = (syy11 * sxy12 - syy12 * sxy11) / dety
+    b22 = (syy11 * sxy22 - syy12 * sxy21) / dety
+    m11 = a11 * b11 + a12 * b21
+    m12 = a11 * b12 + a12 * b22
+    m21 = a21 * b11 + a22 * b21
+    m22 = a21 * b12 + a22 * b22
+    tr = m11 + m22
+    dt = m11 * m22 - m12 * m21
+    disc = F.sqrt(F.greatest(tr * tr - 4 * dt, F.lit(0.0)))
+    lam1 = (tr + disc) / 2
+    lam2 = (tr - disc) / 2
+    return g.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.floor(F.sqrt(F.greatest(lam1, F.lit(0.0))) * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("rho1_e6"),
+        F.floor(F.sqrt(F.greatest(lam2, F.lit(0.0))) * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("rho2_e6"),
+    )
+
+
+SQL_CCA = f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+  WHERE event_type IN ('click', 'view', 'purchase', 'signup')
+), d AS (
+  SELECT day,
+         CAST(floor(CAST(sum(CASE WHEN event_type = 'click' THEN v END)
+               AS DOUBLE) / count(CASE WHEN event_type = 'click' THEN 1 END)
+               * 100 + {_OFF}) AS BIGINT) AS x1,
+         CAST(floor(CAST(sum(CASE WHEN event_type = 'view' THEN v END)
+               AS DOUBLE) / count(CASE WHEN event_type = 'view' THEN 1 END)
+               * 100 + {_OFF}) AS BIGINT) AS x2,
+         CAST(floor(CAST(sum(CASE WHEN event_type = 'purchase' THEN v END)
+               AS DOUBLE)
+               / count(CASE WHEN event_type = 'purchase' THEN 1 END)
+               * 100 + {_OFF}) AS BIGINT) AS y1,
+         CAST(floor(CAST(sum(CASE WHEN event_type = 'signup' THEN v END)
+               AS DOUBLE) / count(CASE WHEN event_type = 'signup' THEN 1 END)
+               * 100 + {_OFF}) AS BIGINT) AS y2
+  FROM ev GROUP BY 1
+  HAVING count(CASE WHEN event_type = 'click' THEN 1 END) > 0
+     AND count(CASE WHEN event_type = 'view' THEN 1 END) > 0
+     AND count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+     AND count(CASE WHEN event_type = 'signup' THEN 1 END) > 0
+), g AS (
+  SELECT count(*) AS n,
+         CAST(sum(x1) AS BIGINT) AS s_x1, CAST(sum(x2) AS BIGINT) AS s_x2,
+         CAST(sum(y1) AS BIGINT) AS s_y1, CAST(sum(y2) AS BIGINT) AS s_y2,
+         CAST(sum(x1 * x1) AS BIGINT) AS p_x1x1,
+         CAST(sum(x1 * x2) AS BIGINT) AS p_x1x2,
+         CAST(sum(x2 * x2) AS BIGINT) AS p_x2x2,
+         CAST(sum(y1 * y1) AS BIGINT) AS p_y1y1,
+         CAST(sum(y1 * y2) AS BIGINT) AS p_y1y2,
+         CAST(sum(y2 * y2) AS BIGINT) AS p_y2y2,
+         CAST(sum(x1 * y1) AS BIGINT) AS p_x1y1,
+         CAST(sum(x1 * y2) AS BIGINT) AS p_x1y2,
+         CAST(sum(x2 * y1) AS BIGINT) AS p_x2y1,
+         CAST(sum(x2 * y2) AS BIGINT) AS p_x2y2
+  FROM d
+), c AS (
+  SELECT CAST(n AS BIGINT) AS n_int, CAST(n AS DOUBLE) AS n,
+         CAST(n AS DOUBLE) * p_x1x1 - CAST(s_x1 AS DOUBLE) * s_x1 AS sxx11,
+         CAST(n AS DOUBLE) * p_x1x2 - CAST(s_x1 AS DOUBLE) * s_x2 AS sxx12,
+         CAST(n AS DOUBLE) * p_x2x2 - CAST(s_x2 AS DOUBLE) * s_x2 AS sxx22,
+         CAST(n AS DOUBLE) * p_y1y1 - CAST(s_y1 AS DOUBLE) * s_y1 AS syy11,
+         CAST(n AS DOUBLE) * p_y1y2 - CAST(s_y1 AS DOUBLE) * s_y2 AS syy12,
+         CAST(n AS DOUBLE) * p_y2y2 - CAST(s_y2 AS DOUBLE) * s_y2 AS syy22,
+         CAST(n AS DOUBLE) * p_x1y1 - CAST(s_x1 AS DOUBLE) * s_y1 AS sxy11,
+         CAST(n AS DOUBLE) * p_x1y2 - CAST(s_x1 AS DOUBLE) * s_y2 AS sxy12,
+         CAST(n AS DOUBLE) * p_x2y1 - CAST(s_x2 AS DOUBLE) * s_y1 AS sxy21,
+         CAST(n AS DOUBLE) * p_x2y2 - CAST(s_x2 AS DOUBLE) * s_y2 AS sxy22
+  FROM g
+), m AS (
+  SELECT n_int,
+         ((sxx22 * sxy11 - sxx12 * sxy21) / (sxx11 * sxx22 - sxx12 * sxx12))
+           AS a11,
+         ((sxx22 * sxy12 - sxx12 * sxy22) / (sxx11 * sxx22 - sxx12 * sxx12))
+           AS a12,
+         ((sxx11 * sxy21 - sxx12 * sxy11) / (sxx11 * sxx22 - sxx12 * sxx12))
+           AS a21,
+         ((sxx11 * sxy22 - sxx12 * sxy12) / (sxx11 * sxx22 - sxx12 * sxx12))
+           AS a22,
+         ((syy22 * sxy11 - syy12 * sxy12) / (syy11 * syy22 - syy12 * syy12))
+           AS b11,
+         ((syy22 * sxy21 - syy12 * sxy22) / (syy11 * syy22 - syy12 * syy12))
+           AS b12,
+         ((syy11 * sxy12 - syy12 * sxy11) / (syy11 * syy22 - syy12 * syy12))
+           AS b21,
+         ((syy11 * sxy22 - syy12 * sxy21) / (syy11 * syy22 - syy12 * syy12))
+           AS b22
+  FROM c
+), e AS (
+  SELECT n_int,
+         a11 * b11 + a12 * b21 AS m11,
+         a11 * b12 + a12 * b22 AS m12,
+         a21 * b11 + a22 * b21 AS m21,
+         a21 * b12 + a22 * b22 AS m22
+  FROM m
+), f AS (
+  SELECT n_int,
+         (m11 + m22
+          + sqrt(greatest((m11 + m22) ^ 2
+                          - 4 * (m11 * m22 - m12 * m21), 0.0))) / 2 AS lam1,
+         (m11 + m22
+          - sqrt(greatest((m11 + m22) ^ 2
+                          - 4 * (m11 * m22 - m12 * m21), 0.0))) / 2 AS lam2
+  FROM e
+)
+SELECT CAST(n_int AS BIGINT) AS n_days,
+       CAST(floor(sqrt(greatest(lam1, 0.0)) * 1000000 + {_OFF}) AS BIGINT)
+         AS rho1_e6,
+       CAST(floor(sqrt(greatest(lam2, 0.0)) * 1000000 + {_OFF}) AS BIGINT)
+         AS rho2_e6
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# drawdown_durations — longest underwater spell of the daily cumulative
+# value series per event_type (the duration companion to max_drawdown)
+# ---------------------------------------------------------------------------
+# Daily exact cumulative sums; underwater = cum < running peak; run
+# lengths via the day-index minus row_number grouping trick — exact
+# integers end-to-end.
+
+
+def q_drawdown_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        # centered contribution so the cumulative meanders: v - 4900
+        (F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long") - 4900)
+        .alias("dv"),
+    )
+    d = ev.groupBy("event_type", "day").agg(F.sum("dv").alias("x"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = (
+        d.withColumn("i", F.row_number().over(wo))
+        .withColumn("cum", F.sum("x").over(wc))
+        .withColumn("peak", F.max(F.sum("x").over(wc)).over(wc))
+    )
+    t = t.withColumn("uw", (F.col("cum") < F.col("peak")).cast("int"))
+    wuw = Window.partitionBy("event_type", "uw").orderBy("i")
+    t = t.withColumn(
+        "grpkey",
+        F.when(F.col("uw") == 1, F.col("i") - F.row_number().over(wuw)),
+    )
+    runs = (
+        t.filter(F.col("uw") == 1)
+        .groupBy("event_type", "grpkey")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    longest = runs.groupBy("event_type").agg(
+        F.max("len").alias("longest_uw"),
+        F.count(F.lit(1)).alias("n_spells"),
+    )
+    dd = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max(F.col("peak") - F.col("cum")).alias("max_dd"),
+    )
+    out = dd.join(longest, "event_type", "left").select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("max_dd").cast("long").alias("max_dd_centi"),
+        F.coalesce(F.col("longest_uw"), F.lit(0)).cast("long").alias(
+            "longest_underwater"
+        ),
+        F.coalesce(F.col("n_spells"), F.lit(0)).cast("long").alias(
+            "n_spells"
+        ),
+    )
+    return out.orderBy("event_type")
+
+
+SQL_DDUR = f"""
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) - 4900 AS dv
+  FROM events
+), d AS (
+  SELECT event_type, day, CAST(sum(dv) AS BIGINT) AS x
+  FROM ev GROUP BY 1, 2
+), t AS (
+  SELECT event_type, day,
+         row_number() OVER w AS i,
+         CAST(sum(x) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND
+                           CURRENT ROW) AS BIGINT) AS cum
+  FROM d
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+), p AS (
+  SELECT *,
+         CAST(max(cum) OVER (PARTITION BY event_type ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS peak
+  FROM t
+), u AS (
+  SELECT *,
+         CASE WHEN cum < peak THEN 1 ELSE 0 END AS uw
+  FROM p
+), keyed AS (
+  SELECT event_type,
+         i - row_number() OVER (PARTITION BY event_type, uw
+                                ORDER BY i) AS grpkey,
+         uw
+  FROM u
+), runs AS (
+  SELECT event_type, grpkey, count(*) AS len
+  FROM keyed WHERE uw = 1
+  GROUP BY 1, 2
+), longest AS (
+  SELECT event_type,
+         CAST(max(len) AS BIGINT) AS longest_uw,
+         CAST(count(*) AS BIGINT) AS n_spells
+  FROM runs
+  GROUP BY 1
+), dd AS (
+  SELECT event_type, count(*) AS n_days,
+         CAST(max(peak - cum) AS BIGINT) AS max_dd
+  FROM u GROUP BY 1
+)
+SELECT dd.event_type,
+       CAST(n_days AS BIGINT) AS n_days,
+       max_dd AS max_dd_centi,
+       COALESCE(longest.longest_uw, 0) AS longest_underwater,
+       COALESCE(longest.n_spells, 0) AS n_spells
+FROM dd LEFT JOIN longest ON longest.event_type = dd.event_type
+ORDER BY dd.event_type
+"""
+
+
+QUERIES.update(
+    {
+        "tl_moments": q_tl_moments,
+        "baxter_king": q_baxter_king,
+        "cca_2x2": q_cca_2x2,
+        "drawdown_durations": q_drawdown_durations,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "tl_moments": SQL_TLMOM,
+        "baxter_king": SQL_BK,
+        "cca_2x2": SQL_CCA,
+        "drawdown_durations": SQL_DDUR,
+    }
+)
