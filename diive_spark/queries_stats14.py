@@ -3678,3 +3678,581 @@ ORACLE_SQL.update(
         "drawdown_durations": SQL_DDUR,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# cornish_fisher_audit — moments -> quantile expansion vs exact order
+# statistics (Cornish & Fisher 1938), the "moment sketch" accuracy
+# check
+# ---------------------------------------------------------------------------
+# Power sums in VALUE units keep v^4 int64-safe to ~10^7 rows/key; the
+# CF expansion at z90/z99 (constants embedded verbatim) is compared to
+# the exact empirical quantiles (ceil(p n) order stats).
+
+
+def q_cornish_fisher_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+        F.sum(F.col("v") * F.col("v") * F.col("v")).alias("s3"),
+        F.sum(F.col("v") * F.col("v") * F.col("v") * F.col("v")).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n - m1 * m1
+    m3 = (
+        F.col("s3").cast("double") / n
+        - 3 * m1 * F.col("s2").cast("double") / n
+        + 2 * m1 * m1 * m1
+    )
+    m4 = (
+        F.col("s4").cast("double") / n
+        - 4 * m1 * F.col("s3").cast("double") / n
+        + 6 * m1 * m1 * F.col("s2").cast("double") / n
+        - 3 * m1 * m1 * m1 * m1
+    )
+    sd = F.sqrt(m2)
+    skew = m3 / F.pow(sd, 3)
+    exk = m4 / (m2 * m2) - 3.0
+
+    def cf(z):
+        zc = F.lit(z)
+        return m1 + sd * (
+            zc
+            + (zc * zc - 1) * skew / 6.0
+            + (zc * zc * zc - 3 * zc) * exk / 24.0
+            - (2 * zc * zc * zc - 5 * zc) * skew * skew / 36.0
+        )
+
+    coef = g.select(
+        "event_type",
+        F.col("n").alias("n"),
+        F.floor(cf(1.2815515655) * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("cf_q90_e4"),
+        F.floor(cf(2.3263478740) * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("cf_q99_e4"),
+    )
+    wq = Window.partitionBy("event_type").orderBy("v", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.withColumn("rk", F.row_number().over(wq)).withColumn(
+        "nn", F.count(F.lit(1)).over(wn)
+    )
+    q90 = r.filter(
+        F.col("rk") == F.ceil(F.col("nn") * 0.9).cast("int")
+    ).select("event_type", F.col("v").alias("q90_exact"))
+    q99 = r.filter(
+        F.col("rk") == F.ceil(F.col("nn") * 0.99).cast("int")
+    ).select("event_type", F.col("v").alias("q99_exact"))
+    out = coef.join(q90, "event_type").join(q99, "event_type")
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("q90_exact").cast("long").alias("q90_exact"),
+        "cf_q90_e4",
+        F.col("q99_exact").cast("long").alias("q99_exact"),
+        "cf_q99_e4",
+    ).orderBy("event_type")
+
+
+SQL_CF_AUDIT = f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(floor(value + {_OFF}) AS BIGINT) AS v
+  FROM events
+), g AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(v) AS BIGINT) AS s1,
+         CAST(sum(v * v) AS BIGINT) AS s2,
+         CAST(sum(v * v * v) AS BIGINT) AS s3,
+         CAST(sum(v * v * v * v) AS BIGINT) AS s4
+  FROM ev GROUP BY 1
+), m AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / n AS m1,
+         CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) ^ 2 AS m2,
+         CAST(s3 AS DOUBLE) / n
+           - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+           + 2 * (CAST(s1 AS DOUBLE) / n) ^ 3 AS m3,
+         CAST(s4 AS DOUBLE) / n
+           - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+           + 6 * (CAST(s1 AS DOUBLE) / n) ^ 2 * (CAST(s2 AS DOUBLE) / n)
+           - 3 * (CAST(s1 AS DOUBLE) / n) ^ 4 AS m4
+  FROM g
+), c AS (
+  SELECT event_type, n, m1, sqrt(m2) AS sd,
+         m3 / sqrt(m2) ^ 3 AS skew,
+         m4 / (m2 * m2) - 3.0 AS exk
+  FROM m
+), cf AS (
+  SELECT event_type, n,
+         CAST(floor((m1 + sd * (1.2815515655
+                + (1.2815515655 ^ 2 - 1) * skew / 6.0
+                + (1.2815515655 ^ 3 - 3 * 1.2815515655) * exk / 24.0
+                - (2 * 1.2815515655 ^ 3 - 5 * 1.2815515655)
+                  * skew * skew / 36.0)) * 10000 + {_OFF}) AS BIGINT)
+           AS cf_q90_e4,
+         CAST(floor((m1 + sd * (2.3263478740
+                + (2.3263478740 ^ 2 - 1) * skew / 6.0
+                + (2.3263478740 ^ 3 - 3 * 2.3263478740) * exk / 24.0
+                - (2 * 2.3263478740 ^ 3 - 5 * 2.3263478740)
+                  * skew * skew / 36.0)) * 10000 + {_OFF}) AS BIGINT)
+           AS cf_q99_e4
+  FROM c
+), r AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY v, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS nn
+  FROM ev
+), q90 AS (
+  SELECT event_type, v AS q90_exact FROM r
+  WHERE rk = CAST(ceil(nn * 0.9) AS INT)
+), q99 AS (
+  SELECT event_type, v AS q99_exact FROM r
+  WHERE rk = CAST(ceil(nn * 0.99) AS INT)
+)
+SELECT cf.event_type,
+       CAST(cf.n AS BIGINT) AS n,
+       CAST(q90.q90_exact AS BIGINT) AS q90_exact,
+       cf_q90_e4,
+       CAST(q99.q99_exact AS BIGINT) AS q99_exact,
+       cf_q99_e4
+FROM cf
+JOIN q90 ON q90.event_type = cf.event_type
+JOIN q99 ON q99.event_type = cf.event_type
+ORDER BY cf.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# minhash_accuracy_audit — k=16 MinHash Jaccard estimate vs exact
+# Jaccard on within-source doc pairs (Broder 1997)
+# ---------------------------------------------------------------------------
+# Hashes are the repo's shared md5 h60 with seed mixing (word||'|'||s),
+# so both engines sketch IDENTICAL streams; the audit reports the mean
+# absolute estimate error per source — the accuracy story behind
+# dedup_minhash_lsh.
+
+
+def q_minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.text.dedup import _h60
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias(
+            "w"
+        ),
+    ).filter(F.length("w") > 0)
+    seeds = d.sparkSession.range(0, 16).select(
+        F.col("id").cast("int").alias("s")
+    )
+    mins = (
+        words.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "source",
+            "s",
+            _h60(
+                F.concat(F.col("w"), F.lit("|"), F.col("s").cast("string"))
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "source", "s")
+        .agg(F.min("h").alias("mh"))
+    )
+    a = mins.select(
+        F.col("source"),
+        F.col("doc_id").alias("da"),
+        "s",
+        F.col("mh").alias("ha"),
+    )
+    b = mins.select(
+        F.col("source").alias("src2"),
+        F.col("doc_id").alias("db"),
+        F.col("s").alias("s2"),
+        F.col("mh").alias("hb"),
+    )
+    est = (
+        a.join(
+            b,
+            (F.col("source") == F.col("src2"))
+            & (F.col("da") < F.col("db"))
+            & (F.col("s") == F.col("s2")),
+        )
+        .groupBy("source", "da", "db")
+        .agg(F.sum((F.col("ha") == F.col("hb")).cast("long")).alias("match"))
+    )
+    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    wa = words.select(F.col("doc_id").alias("da"), "source", "w")
+    wb = words.select(F.col("doc_id").alias("db"), F.col("source").alias(
+        "src2"
+    ), F.col("w").alias("w2"))
+    inter = (
+        wa.join(
+            wb,
+            (F.col("source") == F.col("src2"))
+            & (F.col("da") < F.col("db"))
+            & (F.col("w") == F.col("w2")),
+        )
+        .groupBy("source", "da", "db")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))
+    j = (
+        est.join(inter, ["source", "da", "db"], "left")
+        .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0)))
+        .join(F.broadcast(sa), "da")
+        .join(F.broadcast(sb), "db")
+    )
+    exact = F.col("inter").cast("double") / (
+        F.col("sza") + F.col("szb") - F.col("inter")
+    ).cast("double")
+    estj = F.col("match").cast("double") / 16.0
+    j = j.withColumn(
+        "abserr_e6",
+        F.floor(F.abs(estj - exact) * 1_000_000 + F.lit(_OFF)).cast("long"),
+    )
+    out = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("abserr_e6").alias("s_err"),
+    )
+    return out.select(
+        "source",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.floor(
+            F.col("s_err").cast("double") / F.col("n_pairs").cast("double")
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("mae_e6"),
+    ).orderBy("source")
+
+
+SQL_MINHASH_AUDIT = f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, source, w
+  FROM documents,
+       unnest(string_split_regex(trim(text), '\\s+')) AS u(w)
+  WHERE length(w) > 0
+), mins AS (
+  SELECT doc_id, source, s,
+         min(CAST('0x' || substr(md5(w || '|' || CAST(s AS VARCHAR)), 1, 15)
+                  AS BIGINT)) AS mh
+  FROM words, unnest(generate_series(0, 15)) AS g(s)
+  GROUP BY 1, 2, 3
+), est AS (
+  SELECT a.source, a.doc_id AS da, b.doc_id AS db,
+         CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+           AS match
+  FROM mins a
+  JOIN mins b ON b.source = a.source AND a.doc_id < b.doc_id
+             AND b.s = a.s
+  GROUP BY 1, 2, 3
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM words GROUP BY 1
+), inter AS (
+  SELECT a.source, a.doc_id AS da, b.doc_id AS db,
+         count(*) AS inter
+  FROM words a
+  JOIN words b ON b.source = a.source AND a.doc_id < b.doc_id
+             AND b.w = a.w
+  GROUP BY 1, 2, 3
+), j AS (
+  SELECT est.source, est.da, est.db, est.match,
+         COALESCE(inter.inter, 0) AS inter,
+         sa.sz AS sza, sb.sz AS szb
+  FROM est
+  LEFT JOIN inter ON inter.source = est.source
+                 AND inter.da = est.da AND inter.db = est.db
+  JOIN sizes sa ON sa.doc_id = est.da
+  JOIN sizes sb ON sb.doc_id = est.db
+), e AS (
+  SELECT source,
+         CAST(floor(abs(CAST(match AS DOUBLE) / 16.0
+                        - CAST(inter AS DOUBLE) / (sza + szb - inter))
+                    * 1000000 + {_OFF}) AS BIGINT) AS abserr_e6
+  FROM j
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(floor(CAST(sum(abserr_e6) AS DOUBLE) / count(*) + {_OFF})
+            AS BIGINT) AS mae_e6
+FROM e
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# chisq_posthoc_residuals — standardized Pearson residuals per cell of
+# the event_type x diel-bucket table (Haberman 1973 post-hoc)
+# ---------------------------------------------------------------------------
+# r = (O - E) / sqrt(E (1 - row/N)(1 - col/N)); exact counts, identical
+# doubles; cells with |r| > 2 flagged.
+
+
+def q_chisq_posthoc_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.hour("ts") / 6).cast("int").alias("b"),
+    )
+    cell = ev.groupBy("event_type", "b").agg(F.count(F.lit(1)).alias("o"))
+    row = cell.groupBy("event_type").agg(F.sum("o").alias("rn"))
+    col = cell.groupBy("b").agg(F.sum("o").alias("cn"))
+    tot = cell.groupBy().agg(F.sum("o").alias("nn"))
+    j = (
+        cell.join(F.broadcast(row), "event_type")
+        .join(F.broadcast(col), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    nd = F.col("nn").cast("double")
+    e = F.col("rn").cast("double") * F.col("cn").cast("double") / nd
+    r = (F.col("o").cast("double") - e) / F.sqrt(
+        e
+        * (1 - F.col("rn").cast("double") / nd)
+        * (1 - F.col("cn").cast("double") / nd)
+    )
+    return j.select(
+        "event_type",
+        F.col("b").cast("long").alias("bucket"),
+        F.col("o").cast("long").alias("o"),
+        F.floor(e * 10_000 + F.lit(_OFF)).cast("long").alias("e_e4"),
+        F.floor(r * 10_000 + F.lit(_OFF)).cast("long").alias("r_e4"),
+        (F.abs(r) > 2.0).cast("long").alias("flagged"),
+    ).orderBy("event_type", "bucket")
+
+
+SQL_POSTHOC = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(EXTRACT(hour FROM ts) / 6) AS INT) AS b
+  FROM events
+), cell AS (
+  SELECT event_type, b, count(*) AS o
+  FROM ev GROUP BY 1, 2
+), rowm AS (
+  SELECT event_type, CAST(sum(o) AS BIGINT) AS rn FROM cell GROUP BY 1
+), colm AS (
+  SELECT b, CAST(sum(o) AS BIGINT) AS cn FROM cell GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(o) AS BIGINT) AS nn FROM cell
+), j AS (
+  SELECT cell.event_type, cell.b, cell.o, rn, cn, nn,
+         CAST(rn AS DOUBLE) * cn / nn AS e
+  FROM cell
+  JOIN rowm ON rowm.event_type = cell.event_type
+  JOIN colm ON colm.b = cell.b
+  CROSS JOIN tot
+)
+SELECT event_type,
+       CAST(b AS BIGINT) AS bucket,
+       CAST(o AS BIGINT) AS o,
+       CAST(floor(e * 10000 + {_OFF}) AS BIGINT) AS e_e4,
+       CAST(floor((o - e) / sqrt(e * (1 - CAST(rn AS DOUBLE) / nn)
+                                   * (1 - CAST(cn AS DOUBLE) / nn))
+                  * 10000 + {_OFF}) AS BIGINT) AS r_e4,
+       CAST(CASE WHEN abs((o - e) / sqrt(e * (1 - CAST(rn AS DOUBLE) / nn)
+                                           * (1 - CAST(cn AS DOUBLE) / nn)))
+                      > 2.0
+                 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM j
+ORDER BY event_type, bucket
+"""
+
+
+QUERIES.update(
+    {
+        "cornish_fisher_audit": q_cornish_fisher_audit,
+        "minhash_accuracy_audit": q_minhash_accuracy_audit,
+        "chisq_posthoc_residuals": q_chisq_posthoc_residuals,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "cornish_fisher_audit": SQL_CF_AUDIT,
+        "minhash_accuracy_audit": SQL_MINHASH_AUDIT,
+        "chisq_posthoc_residuals": SQL_POSTHOC,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# gev_lmom_fit — GEV fit by L-moments on daily maxima (Hosking,
+# Wallis & Wood 1985); completes the EVT family (gumbel_maxima is the
+# k = 0 special case)
+# ---------------------------------------------------------------------------
+# b0/b1/b2 from per-row order-statistic RATIO terms (e6-floored before
+# the exact sums); k = 7.8590c + 2.9554c^2 with c = 2/(3+t3) -
+# ln2/ln3; Gamma(1+k) via the SAME Lanczos g=5 series written verbatim
+# in both engines (no engine gamma() builtin is used — Spark has none).
+# Return level at p = 0.99 from the Hosking quantile form.
+
+
+def q_gev_lmom_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    mx = ev.groupBy("event_type", "day").agg(F.max("v").alias("x"))
+    wq = Window.partitionBy("event_type").orderBy("x", "day")
+    wn = Window.partitionBy("event_type")
+    t = mx.withColumn("i", F.row_number().over(wq).cast("double")).withColumn(
+        "n", F.count(F.lit(1)).over(wn).cast("double")
+    )
+    x = F.col("x").cast("double")
+    i = F.col("i")
+    n = F.col("n")
+    t = (
+        t.withColumn(
+            "b0_e6", F.floor(x / n * 1_000_000 + F.lit(_OFF)).cast("long")
+        )
+        .withColumn(
+            "b1_e6",
+            F.floor(
+                x * (i - 1) / (n - 1) / n * 1_000_000 + F.lit(_OFF)
+            ).cast("long"),
+        )
+        .withColumn(
+            "b2_e6",
+            F.floor(
+                x * (i - 1) * (i - 2) / ((n - 1) * (n - 2)) / n * 1_000_000
+                + F.lit(_OFF)
+            ).cast("long"),
+        )
+    )
+    agg = t.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum("b0_e6").alias("b0"),
+        F.sum("b1_e6").alias("b1"),
+        F.sum("b2_e6").alias("b2"),
+    )
+    b0 = F.col("b0").cast("double") / 1e6
+    b1 = F.col("b1").cast("double") / 1e6
+    b2 = F.col("b2").cast("double") / 1e6
+    lam1 = b0
+    lam2 = 2 * b1 - b0
+    lam3 = 6 * b2 - 6 * b1 + b0
+    t3 = lam3 / lam2
+    c = 2.0 / (3.0 + t3) - math.log(2) / math.log(3)
+    k = 7.8590 * c + 2.9554 * c * c
+
+    def lanczos_gamma(xx):
+        # Numerical Recipes g=5 series, valid here for xx in (0.5, 1.5)
+        tmp = xx + 5.5
+        ser = (
+            F.lit(1.000000000190015)
+            + 76.18009172947146 / (xx + 1)
+            - 86.50532032941677 / (xx + 2)
+            + 24.01409824083091 / (xx + 3)
+            - 1.231739572450155 / (xx + 4)
+            + 0.1208650973866179e-2 / (xx + 5)
+            - 0.5395239384953e-5 / (xx + 6)
+        )
+        return (
+            F.exp((xx + 0.5) * F.log(tmp) - tmp)
+            * F.lit(2.5066282746310005)
+            * ser
+            / xx
+        )
+
+    gam = lanczos_gamma(F.lit(1.0) + k)
+    sigma = lam2 * k / ((1 - F.pow(F.lit(2.0), -k)) * gam)
+    mu = lam1 - sigma * (1 - gam) / k
+    rl99 = mu + sigma * (1 - F.pow(-F.log(F.lit(0.99)), k)) / k
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.floor(k * 1_000_000 + F.lit(_OFF)).cast("long").alias("k_e6"),
+        F.floor(sigma * 100 + F.lit(_OFF)).cast("long").alias("sigma_e4"),
+        F.floor(mu * 100 + F.lit(_OFF)).cast("long").alias("mu_e4"),
+        F.floor(rl99 * 100 + F.lit(_OFF)).cast("long").alias("rl99_e4"),
+    ).orderBy("event_type")
+
+
+SQL_GEV = f"""
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), mx AS (
+  SELECT event_type, day, max(v) AS x
+  FROM ev GROUP BY 1, 2
+), t AS (
+  SELECT event_type, x,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY x, day) AS DOUBLE) AS i,
+         CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE) AS n
+  FROM mx
+), terms AS (
+  SELECT event_type, n,
+         CAST(floor(x / n * 1000000 + {_OFF}) AS BIGINT) AS b0_e6,
+         CAST(floor(x * (i - 1) / (n - 1) / n * 1000000 + {_OFF})
+              AS BIGINT) AS b1_e6,
+         CAST(floor(x * (i - 1) * (i - 2) / ((n - 1) * (n - 2)) / n
+                    * 1000000 + {_OFF}) AS BIGINT) AS b2_e6
+  FROM t
+), agg AS (
+  SELECT event_type, max(n) AS n,
+         CAST(sum(b0_e6) AS BIGINT) AS b0,
+         CAST(sum(b1_e6) AS BIGINT) AS b1,
+         CAST(sum(b2_e6) AS BIGINT) AS b2
+  FROM terms GROUP BY 1
+), lm AS (
+  SELECT event_type, n,
+         CAST(b0 AS DOUBLE) / 1e6 AS lam1,
+         2 * CAST(b1 AS DOUBLE) / 1e6 - CAST(b0 AS DOUBLE) / 1e6 AS lam2,
+         6 * CAST(b2 AS DOUBLE) / 1e6 - 6 * CAST(b1 AS DOUBLE) / 1e6
+           + CAST(b0 AS DOUBLE) / 1e6 AS lam3
+  FROM agg
+), kk AS (
+  SELECT event_type, n, lam1, lam2,
+         7.8590 * (2.0 / (3.0 + lam3 / lam2) - ln(2) / ln(3))
+         + 2.9554 * (2.0 / (3.0 + lam3 / lam2) - ln(2) / ln(3)) ^ 2 AS k
+  FROM lm
+), gm AS (
+  SELECT event_type, n, lam1, lam2, k,
+         exp((1.0 + k + 0.5) * ln(1.0 + k + 5.5) - (1.0 + k + 5.5))
+           * 2.5066282746310005
+           * (1.000000000190015
+              + 76.18009172947146 / (1.0 + k + 1)
+              - 86.50532032941677 / (1.0 + k + 2)
+              + 24.01409824083091 / (1.0 + k + 3)
+              - 1.231739572450155 / (1.0 + k + 4)
+              + 0.1208650973866179e-2 / (1.0 + k + 5)
+              - 0.5395239384953e-5 / (1.0 + k + 6))
+           / (1.0 + k) AS gam
+  FROM kk
+), f AS (
+  SELECT event_type, n, k,
+         lam2 * k / ((1 - 2 ^ (-k)) * gam) AS sigma,
+         lam1 - lam2 * k / ((1 - 2 ^ (-k)) * gam) * (1 - gam) / k AS mu
+  FROM gm
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(floor(k * 1000000 + {_OFF}) AS BIGINT) AS k_e6,
+       CAST(floor(sigma * 100 + {_OFF}) AS BIGINT) AS sigma_e4,
+       CAST(floor(mu * 100 + {_OFF}) AS BIGINT) AS mu_e4,
+       CAST(floor((mu + sigma * (1 - (-ln(0.99)) ^ k) / k) * 100 + {_OFF})
+            AS BIGINT) AS rl99_e4
+FROM f
+ORDER BY event_type
+"""
+
+
+QUERIES.update({"gev_lmom_fit": q_gev_lmom_fit})
+ORACLE_SQL.update({"gev_lmom_fit": SQL_GEV})
