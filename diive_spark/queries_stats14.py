@@ -4256,3 +4256,495 @@ ORDER BY event_type
 
 QUERIES.update({"gev_lmom_fit": q_gev_lmom_fit})
 ORACLE_SQL.update({"gev_lmom_fit": SQL_GEV})
+
+
+# ---------------------------------------------------------------------------
+# boxcox_grid — Box-Cox (1964) lambda by profile log-likelihood over
+# the standard grid {-1, -0.5, 0, 0.5, 1}
+# ---------------------------------------------------------------------------
+# LL(lambda) = -n/2 ln(sigma2(lambda)) + (lambda - 1) sum ln x; the
+# transformed values and ln x are e6-floored per row so every sum is an
+# exact BIGINT; argmax compares identical doubles (tie -> smaller
+# lambda index).
+
+
+def q_boxcox_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long") + 1).alias(
+            "v"
+        ),
+    )
+    grid = ev.sparkSession.createDataFrame(
+        [(0, -1.0), (1, -0.5), (2, 0.0), (3, 0.5), (4, 1.0)],
+        ["gi", "lam"],
+    )
+    t = ev.crossJoin(F.broadcast(grid))
+    x = F.col("v").cast("double")
+    y = F.when(
+        F.col("lam") == 0.0, F.log(x)
+    ).otherwise((F.pow(x, F.col("lam")) - 1) / F.col("lam"))
+    t = t.withColumn(
+        "y_e6", F.floor(y * 1_000 + F.lit(_OFF)).cast("long")
+    ).withColumn(
+        "lx_e6", F.floor(F.log(x) * 1_000_000 + F.lit(_OFF)).cast("long")
+    )
+    agg = t.groupBy("event_type", "gi", "lam").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y_e6").alias("sy"),
+        F.sum(F.col("y_e6") * F.col("y_e6")).alias("syy"),
+        F.sum("lx_e6").alias("slx"),
+    )
+    n = F.col("n").cast("double")
+    var = (
+        n * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    ) / (n * n) / 1e6  # y scaled e3 -> var scaled e6
+    ll = -n / 2.0 * F.log(var) + (F.col("lam") - 1) * F.col("slx").cast(
+        "double"
+    ) / 1e6
+    scored = agg.withColumn("ll", ll)
+    best = scored.groupBy("event_type").agg(
+        F.max_by(
+            F.struct(F.col("lam"), F.col("ll"), F.col("n")),
+            F.struct(F.col("ll"), -F.col("gi")),
+        ).alias("b")
+    )
+    return best.select(
+        "event_type",
+        F.col("b.n").cast("long").alias("n"),
+        F.floor(F.col("b.lam") * 10 + F.lit(_OFF)).cast("long").alias(
+            "lambda_x10"
+        ),
+        F.floor(F.col("b.ll") * 100 + F.lit(_OFF)).cast("long").alias(
+            "ll_e2"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_BOXCOX = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) + 1 AS v
+  FROM events
+), grid AS (
+  SELECT * FROM (VALUES (0, -1.0), (1, -0.5), (2, 0.0), (3, 0.5),
+                        (4, 1.0)) AS g(gi, lam)
+), t AS (
+  SELECT event_type, gi, lam,
+         CAST(floor(CASE WHEN lam = 0.0 THEN ln(CAST(v AS DOUBLE))
+                         ELSE (CAST(v AS DOUBLE) ^ lam - 1) / lam END
+                    * 1000 + {_OFF}) AS BIGINT) AS y_e6,
+         CAST(floor(ln(CAST(v AS DOUBLE)) * 1000000 + {_OFF}) AS BIGINT)
+           AS lx_e6
+  FROM ev CROSS JOIN grid
+), agg AS (
+  SELECT event_type, gi, lam, count(*) AS n,
+         CAST(sum(y_e6) AS BIGINT) AS sy,
+         CAST(sum(y_e6 * y_e6) AS BIGINT) AS syy,
+         CAST(sum(lx_e6) AS BIGINT) AS slx
+  FROM t GROUP BY 1, 2, 3
+), scored AS (
+  SELECT event_type, gi, lam, n,
+         -CAST(n AS DOUBLE) / 2.0
+           * ln((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                / (CAST(n AS DOUBLE) * n) / 1e6)
+         + (lam - 1) * CAST(slx AS DOUBLE) / 1e6 AS ll
+  FROM agg
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY ll DESC, gi) AS rk
+  FROM scored
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(floor(lam * 10 + {_OFF}) AS BIGINT) AS lambda_x10,
+       CAST(floor(ll * 100 + {_OFF}) AS BIGINT) AS ll_e2
+FROM ranked
+WHERE rk = 1
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# anscombe_vst_audit — Anscombe (1948) variance-stabilizing transform
+# check on per-(user, day) Poisson-ish counts
+# ---------------------------------------------------------------------------
+# If counts are Poisson, 2 sqrt(k + 3/8) has variance ~1; the audit
+# reports the per-day variance of the transformed counts (e6-floored
+# per row) and the share of days inside [0.5, 2].
+
+
+def q_anscombe_vst_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    c = ev.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("k"))
+    z = 2.0 * F.sqrt(F.col("k").cast("double") + 0.375)
+    t = c.withColumn(
+        "z_e6", F.floor(z * 1_000_000 + F.lit(_OFF)).cast("long")
+    )
+    d = t.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("z_e6").alias("sz"),
+        F.sum(F.col("z_e6") * F.col("z_e6")).alias("szz"),
+    )
+    n = F.col("n").cast("double")
+    var = (
+        n * F.col("szz").cast("double")
+        - F.col("sz").cast("double") * F.col("sz").cast("double")
+    ) / (n * (n - 1)) / 1e12
+    d = d.withColumn("var_e6", F.floor(var * 1_000_000 + F.lit(_OFF)).cast(
+        "long"
+    ))
+    agg = d.groupBy().agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(
+            (
+                (F.col("var_e6") >= 500_000) & (F.col("var_e6") <= 2_000_000)
+            ).cast("long")
+        ).alias("n_in_band"),
+        F.min("var_e6").alias("min_var_e6"),
+        F.max("var_e6").alias("max_var_e6"),
+    )
+    return agg.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("n_in_band").cast("long").alias("n_in_band"),
+        F.col("min_var_e6").cast("long").alias("min_var_e6"),
+        F.col("max_var_e6").cast("long").alias("max_var_e6"),
+    )
+
+
+SQL_ANSCOMBE = f"""
+WITH c AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS k
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT day,
+         CAST(floor(2.0 * sqrt(CAST(k AS DOUBLE) + 0.375) * 1000000
+                    + {_OFF}) AS BIGINT) AS z_e6
+  FROM c
+), d AS (
+  SELECT day, count(*) AS n,
+         CAST(sum(z_e6) AS BIGINT) AS sz,
+         CAST(sum(z_e6 * z_e6) AS BIGINT) AS szz
+  FROM t GROUP BY 1
+), v AS (
+  SELECT day,
+         CAST(floor((CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz)
+                    / (CAST(n AS DOUBLE) * (n - 1)) / 1e12 * 1000000
+                    + {_OFF}) AS BIGINT) AS var_e6
+  FROM d
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(CASE WHEN var_e6 BETWEEN 500000 AND 2000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_in_band,
+       CAST(min(var_e6) AS BIGINT) AS min_var_e6,
+       CAST(max(var_e6) AS BIGINT) AS max_var_e6
+FROM v
+"""
+
+
+# ---------------------------------------------------------------------------
+# copula_tail_fit — Gumbel/Clayton copula parameters from Kendall's
+# tau on daily (click, purchase) means, with implied tail dependence
+# (Genest & Rivest 1993 inversion)
+# ---------------------------------------------------------------------------
+# tau_a from exact concordant/discordant pair counts over the bounded
+# daily pair set; Gumbel theta = 1/(1 - tau) with upper tail
+# lambda_U = 2 - 2^(1/theta); Clayton theta = 2 tau/(1 - tau) with
+# lower tail lambda_L = 2^(-1/theta).
+
+
+def q_copula_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    d = (
+        ev.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", F.col("v"))).alias(
+                "sx"
+            ),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("nx"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("v"))
+            ).alias("sy"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "ny"
+            ),
+        )
+        .filter((F.col("nx") > 0) & (F.col("ny") > 0))
+        .select(
+            "day",
+            F.floor(
+                F.col("sx").cast("double") / F.col("nx").cast("double") * 100
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("x"),
+            F.floor(
+                F.col("sy").cast("double") / F.col("ny").cast("double") * 100
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    a = d.select(
+        F.col("day").alias("di"), F.col("x").alias("xi"), F.col("y").alias("yi")
+    )
+    b = d.select(
+        F.col("day").alias("dj"), F.col("x").alias("xj"), F.col("y").alias("yj")
+    )
+    pr = a.join(b, F.col("di") < F.col("dj"))
+    conc = (
+        F.signum((F.col("xj") - F.col("xi")).cast("double"))
+        * F.signum((F.col("yj") - F.col("yi")).cast("double"))
+    )
+    agg = pr.groupBy().agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((conc > 0).cast("long")).alias("nc"),
+        F.sum((conc < 0).cast("long")).alias("nd"),
+    )
+    tau = (F.col("nc") - F.col("nd")).cast("double") / F.col(
+        "n_pairs"
+    ).cast("double")
+    th_g = 1.0 / (1.0 - tau)
+    th_c = 2.0 * tau / (1.0 - tau)
+    # exponents written via tau directly so the double chain is
+    # STRUCTURALLY identical to the SQL twin (1/(1/(1-tau)) can differ
+    # from (1-tau) by one ulp)
+    lam_u = 2.0 - F.pow(F.lit(2.0), 1.0 - tau)
+    lam_l = F.pow(F.lit(2.0), -(1.0 - tau) / (2.0 * tau))
+    return agg.select(
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("nc").cast("long").alias("concordant"),
+        F.col("nd").cast("long").alias("discordant"),
+        F.floor(tau * 1_000_000 + F.lit(_OFF)).cast("long").alias("tau_e6"),
+        F.floor(th_g * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "gumbel_theta_e6"
+        ),
+        F.floor(lam_u * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "lambda_upper_e6"
+        ),
+        F.floor(th_c * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "clayton_theta_e6"
+        ),
+        F.floor(lam_l * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "lambda_lower_e6"
+        ),
+    )
+
+
+SQL_COPULA = f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+  WHERE event_type IN ('purchase', 'click')
+), d AS (
+  SELECT day,
+         CAST(floor(CAST(sum(CASE WHEN event_type = 'click' THEN v END)
+                         AS DOUBLE)
+                    / count(CASE WHEN event_type = 'click' THEN 1 END)
+                    * 100 + {_OFF}) AS BIGINT) AS x,
+         CAST(floor(CAST(sum(CASE WHEN event_type = 'purchase' THEN v END)
+                         AS DOUBLE)
+                    / count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    * 100 + {_OFF}) AS BIGINT) AS y
+  FROM ev GROUP BY 1
+  HAVING count(CASE WHEN event_type = 'click' THEN 1 END) > 0
+     AND count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+), pr AS (
+  SELECT sign(CAST(b.x - a.x AS DOUBLE))
+         * sign(CAST(b.y - a.y AS DOUBLE)) AS conc
+  FROM d a JOIN d b ON a.day < b.day
+), agg AS (
+  SELECT count(*) AS n_pairs,
+         CAST(sum(CASE WHEN conc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+         CAST(sum(CASE WHEN conc < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd
+  FROM pr
+), f AS (
+  SELECT n_pairs, nc, nd,
+         CAST(nc - nd AS DOUBLE) / n_pairs AS tau
+  FROM agg
+)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+       nc AS concordant,
+       nd AS discordant,
+       CAST(floor(tau * 1000000 + {_OFF}) AS BIGINT) AS tau_e6,
+       CAST(floor(1.0 / (1.0 - tau) * 1000000 + {_OFF}) AS BIGINT)
+         AS gumbel_theta_e6,
+       CAST(floor((2.0 - 2 ^ (1.0 - tau)) * 1000000 + {_OFF}) AS BIGINT)
+         AS lambda_upper_e6,
+       CAST(floor(2.0 * tau / (1.0 - tau) * 1000000 + {_OFF}) AS BIGINT)
+         AS clayton_theta_e6,
+       CAST(floor(2 ^ (-(1.0 - tau) / (2.0 * tau)) * 1000000 + {_OFF})
+            AS BIGINT) AS lambda_lower_e6
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# tukey_depth_approx — halfspace (Tukey 1975) depth approximated over
+# 8 fixed projection directions; the deepest daily point is the
+# approximate Tukey median
+# ---------------------------------------------------------------------------
+# For each direction angle pi*j/8 the projection is e4-floored; 1-D
+# rank depth = min(rank, n+1-rank); point depth = min over directions.
+# Output: the deepest point (tie -> day) and the depth distribution.
+
+
+def q_tukey_depth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    d = (
+        ev.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", F.col("v"))).alias(
+                "sx"
+            ),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("nx"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("v"))
+            ).alias("sy"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "ny"
+            ),
+        )
+        .filter((F.col("nx") > 0) & (F.col("ny") > 0))
+        .select(
+            "day",
+            F.floor(
+                F.col("sx").cast("double") / F.col("nx").cast("double") * 100
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("x"),
+            F.floor(
+                F.col("sy").cast("double") / F.col("ny").cast("double") * 100
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    dirs = d.sparkSession.range(0, 8).select(
+        F.col("id").cast("int").alias("j")
+    )
+    t = d.crossJoin(F.broadcast(dirs))
+    ang = F.col("j").cast("double") * math.pi / 8.0
+    proj = F.floor(
+        (
+            F.col("x").cast("double") * F.cos(ang)
+            + F.col("y").cast("double") * F.sin(ang)
+        )
+        + F.lit(_OFF)
+    ).cast("long")
+    t = t.withColumn("p", proj)
+    wr = Window.partitionBy("j").orderBy("p", "day")
+    wn = Window.partitionBy("j")
+    t = t.withColumn("rk", F.row_number().over(wr).cast("long")).withColumn(
+        "n", F.count(F.lit(1)).over(wn).cast("long")
+    )
+    t = t.withColumn(
+        "d1", F.least(F.col("rk"), F.col("n") + 1 - F.col("rk"))
+    )
+    depth = t.groupBy("day").agg(F.min("d1").alias("depth"))
+    agg = depth.groupBy().agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max_by(
+            F.struct(F.col("day"), F.col("depth")),
+            F.struct(F.col("depth"), F.col("day").cast("string")),
+        ).alias("b"),
+        F.sum("depth").alias("s_depth"),
+        F.max("depth").alias("max_depth"),
+    )
+    return agg.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("b.day").cast("string").alias("median_day"),
+        F.col("max_depth").cast("long").alias("max_depth"),
+        F.col("s_depth").cast("long").alias("sum_depth"),
+    )
+
+
+SQL_TUKEY_DEPTH = f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+  WHERE event_type IN ('purchase', 'click')
+), d AS (
+  SELECT day,
+         CAST(floor(CAST(sum(CASE WHEN event_type = 'click' THEN v END)
+                         AS DOUBLE)
+                    / count(CASE WHEN event_type = 'click' THEN 1 END)
+                    * 100 + {_OFF}) AS BIGINT) AS x,
+         CAST(floor(CAST(sum(CASE WHEN event_type = 'purchase' THEN v END)
+                         AS DOUBLE)
+                    / count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    * 100 + {_OFF}) AS BIGINT) AS y
+  FROM ev GROUP BY 1
+  HAVING count(CASE WHEN event_type = 'click' THEN 1 END) > 0
+     AND count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+), t AS (
+  SELECT day, j,
+         CAST(floor(CAST(x AS DOUBLE) * cos(j * pi() / 8.0)
+                    + CAST(y AS DOUBLE) * sin(j * pi() / 8.0) + {_OFF})
+              AS BIGINT) AS p
+  FROM d, unnest(generate_series(0, 7)) AS g(j)
+), r AS (
+  SELECT day, j,
+         CAST(row_number() OVER (PARTITION BY j ORDER BY p, day)
+              AS BIGINT) AS rk,
+         CAST(count(*) OVER (PARTITION BY j) AS BIGINT) AS n
+  FROM t
+), depth AS (
+  SELECT day, min(least(rk, n + 1 - rk)) AS depth
+  FROM r GROUP BY 1
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY depth DESC,
+                               CAST(day AS VARCHAR) DESC) AS rnk,
+         count(*) OVER () AS n_days,
+         CAST(sum(depth) OVER () AS BIGINT) AS s_depth,
+         CAST(max(depth) OVER () AS BIGINT) AS max_depth
+  FROM depth
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       CAST(day AS VARCHAR) AS median_day,
+       max_depth,
+       s_depth AS sum_depth
+FROM ranked
+WHERE rnk = 1
+"""
+
+
+QUERIES.update(
+    {
+        "boxcox_grid": q_boxcox_grid,
+        "anscombe_vst_audit": q_anscombe_vst_audit,
+        "copula_tail_fit": q_copula_tail_fit,
+        "tukey_depth_approx": q_tukey_depth_approx,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "boxcox_grid": SQL_BOXCOX,
+        "anscombe_vst_audit": SQL_ANSCOMBE,
+        "copula_tail_fit": SQL_COPULA,
+        "tukey_depth_approx": SQL_TUKEY_DEPTH,
+    }
+)
