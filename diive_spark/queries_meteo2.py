@@ -427,3 +427,363 @@ ORACLE_SQL: dict[str, str] = {
     "penman_monteith_et0": SQL_PM_ET0,
     "lloyd_taylor_grid": SQL_LLOYD_TAYLOR,
 }
+
+
+# ---------------------------------------------------------------------------
+# stability_parameter — Monin-Obukhov stability z/L and class census
+# (Monin & Obukhov 1954; Foken 2008 class conventions)
+# ---------------------------------------------------------------------------
+# zeta = -kappa z g H / (rho cp T ustar^3) with kappa = 0.4, z = 2 m;
+# H and ustar synthesized deterministically (exact integer inputs);
+# daily class counts for unstable (zeta < -0.0625), neutral
+# (|zeta| <= 0.0625) and stable.
+
+
+def q_stability_parameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    h_c = (
+        F.floor(F.col("value") * 55 + F.lit(_OFF)).cast("long")
+        + F.col("event_id") % 97
+        - F.lit(48)
+    )  # sensible heat, centi-W/m2, may be negative
+    us_d = (F.lit(15) + F.col("event_id") % 70).cast("long")  # u* deci-m/s*100
+    ta_c = (F.floor(F.col("value") * 10 + F.lit(_OFF)).cast("long") + 27315)
+    t = ev.select(
+        F.to_date("ts").alias("day"),
+        h_c.alias("h_c"),
+        us_d.alias("us_d"),
+        ta_c.alias("ta_c"),
+    )
+    h = F.col("h_c").cast("double") / 100.0
+    ustar = F.col("us_d").cast("double") / 100.0
+    tk = F.col("ta_c").cast("double") / 100.0
+    KAPPA, Z, G, RHO_CP = 0.4, 2.0, 9.81, 1231.0
+    zeta = -KAPPA * Z * G * h / (RHO_CP * tk * F.pow(ustar, 3))
+    cls = (
+        F.when(zeta < -0.0625, F.lit("unstable"))
+        .when(zeta > 0.0625, F.lit("stable"))
+        .otherwise(F.lit("neutral"))
+    )
+    t = t.withColumn(
+        "zeta_e6", F.floor(zeta * 1_000_000 + F.lit(_OFF)).cast("long")
+    ).withColumn("cls", cls)
+    out = t.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("cls") == "unstable").cast("long")).alias("n_unstable"),
+        F.sum((F.col("cls") == "neutral").cast("long")).alias("n_neutral"),
+        F.sum((F.col("cls") == "stable").cast("long")).alias("n_stable"),
+        F.min("zeta_e6").alias("zeta_min_e6"),
+        F.max("zeta_e6").alias("zeta_max_e6"),
+    )
+    return out.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_unstable").cast("long").alias("n_unstable"),
+        F.col("n_neutral").cast("long").alias("n_neutral"),
+        F.col("n_stable").cast("long").alias("n_stable"),
+        "zeta_min_e6",
+        "zeta_max_e6",
+    ).orderBy("day")
+
+
+SQL_STABILITY = f"""
+WITH t AS (
+  SELECT CAST(ts AS DATE) AS day,
+         (CAST(floor(value * 55 + {_OFF}) AS BIGINT)
+          + event_id % 97 - 48) AS h_c,
+         CAST(15 + event_id % 70 AS BIGINT) AS us_d,
+         CAST(floor(value * 10 + {_OFF}) AS BIGINT) + 27315 AS ta_c
+  FROM events
+), z AS (
+  SELECT day,
+         CAST(floor(-0.4 * 2.0 * 9.81 * (CAST(h_c AS DOUBLE) / 100.0)
+                    / (1231.0 * (CAST(ta_c AS DOUBLE) / 100.0)
+                       * (CAST(us_d AS DOUBLE) / 100.0) ^ 3)
+                    * 1000000 + {_OFF}) AS BIGINT) AS zeta_e6
+  FROM t
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN zeta_e6 < -62500 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unstable,
+       CAST(sum(CASE WHEN zeta_e6 >= -62500 AND zeta_e6 <= 62500
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_neutral,
+       CAST(sum(CASE WHEN zeta_e6 > 62500 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stable,
+       CAST(min(zeta_e6) AS BIGINT) AS zeta_min_e6,
+       CAST(max(zeta_e6) AS BIGINT) AS zeta_max_e6
+FROM z
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# footprint_schuepp — analytical flux footprint (Schuepp et al. 1990):
+# peak distance and 80% fetch per record, daily profile
+# ---------------------------------------------------------------------------
+# CDF(x) = exp(-U zm / (kappa ustar x)); x_peak = U zm / (2 kappa
+# ustar), x_80 = U zm / (kappa ustar ln(1/0.8)).  U and ustar
+# synthesized as exact integers; closed forms identical.
+
+
+def q_footprint_schuepp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    u_d = (F.lit(10) + F.col("event_id") % 80).cast("long")   # wind deci-m/s
+    us_d = (F.lit(15) + F.col("event_id") % 70).cast("long")  # u* centi-m/s
+    t = ev.select(
+        F.to_date("ts").alias("day"), u_d.alias("u_d"), us_d.alias("us_d")
+    )
+    KAPPA, ZM = 0.4, 2.0
+    u = F.col("u_d").cast("double") / 10.0
+    ustar = F.col("us_d").cast("double") / 100.0
+    xpeak = u * ZM / (2.0 * KAPPA * ustar)
+    import math
+
+    x80 = u * ZM / (KAPPA * ustar * math.log(1.0 / 0.8))
+    t = t.withColumn(
+        "xp_e2", F.floor(xpeak * 100 + F.lit(_OFF)).cast("long")
+    ).withColumn("x80_e2", F.floor(x80 * 100 + F.lit(_OFF)).cast("long"))
+    out = t.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xp_e2").alias("s_xp"),
+        F.max("x80_e2").alias("max_x80_e2"),
+    )
+    return out.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        F.floor(
+            F.col("s_xp").cast("double") / F.col("n").cast("double")
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("mean_xpeak_e2"),
+        F.col("max_x80_e2").cast("long").alias("max_x80_e2"),
+    ).orderBy("day")
+
+
+SQL_FOOTPRINT = f"""
+WITH t AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(10 + event_id % 80 AS BIGINT) AS u_d,
+         CAST(15 + event_id % 70 AS BIGINT) AS us_d
+  FROM events
+), f AS (
+  SELECT day,
+         CAST(floor((CAST(u_d AS DOUBLE) / 10.0) * 2.0
+                    / (2.0 * 0.4 * (CAST(us_d AS DOUBLE) / 100.0))
+                    * 100 + {_OFF}) AS BIGINT) AS xp_e2,
+         CAST(floor((CAST(u_d AS DOUBLE) / 10.0) * 2.0
+                    / (0.4 * (CAST(us_d AS DOUBLE) / 100.0)
+                       * ln(1.0 / 0.8))
+                    * 100 + {_OFF}) AS BIGINT) AS x80_e2
+  FROM t
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(floor(CAST(sum(xp_e2) AS DOUBLE) / count(*) + {_OFF})
+            AS BIGINT) AS mean_xpeak_e2,
+       CAST(max(x80_e2) AS BIGINT) AS max_x80_e2
+FROM f
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# wpl_correction — Webb-Pearman-Leuning (1980) density correction for
+# the CO2 flux, the standard open-path eddy-covariance adjustment
+# ---------------------------------------------------------------------------
+# Fc_corr = Fc_raw + mu (E/rho_d) rho_c + (1 + mu sigma) rho_c H /
+# (rho cp T); implemented with the usual simplification Fc_corr =
+# Fc_raw + 0.000064 * LE + 0.000040 * H * rhoc_factor(T) — here kept
+# in the EXPLICIT two-term form with mu = 1.6077, sigma = rho_v/rho_d
+# from synthesized integer inputs; daily corrected sums.
+
+
+def q_wpl_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fc_c = (
+        F.floor(F.col("value") * 3 + F.lit(_OFF)).cast("long")
+        - F.lit(500)
+        + F.col("event_id") % 41
+        - 20
+    )  # raw CO2 flux, centi-umol/m2/s
+    le_c = (
+        F.floor(F.col("value") * 30 + F.lit(_OFF)).cast("long")
+        + F.col("event_id") % 53
+        - 26
+    )
+    h_c = (
+        F.floor(F.col("value") * 55 + F.lit(_OFF)).cast("long")
+        + F.col("event_id") % 97
+        - 48
+    )
+    ta_c = (F.floor(F.col("value") * 10 + F.lit(_OFF)).cast("long") + 27315)
+    q_m = (F.lit(40) + F.col("event_id") % 60).cast("long")  # rho_v, e-4 kg/m3*100
+    t = ev.select(
+        F.to_date("ts").alias("day"),
+        fc_c.alias("fc_c"),
+        le_c.alias("le_c"),
+        h_c.alias("h_c"),
+        ta_c.alias("ta_c"),
+        q_m.alias("q_m"),
+    )
+    MU, RHO_D, CP, LV, RHO_C = 1.6077, 1.20, 1004.0, 2.45e6, 0.76
+    fc = F.col("fc_c").cast("double") / 100.0
+    le = F.col("le_c").cast("double") / 100.0
+    h = F.col("h_c").cast("double") / 100.0
+    tk = F.col("ta_c").cast("double") / 100.0
+    rho_v = F.col("q_m").cast("double") / 10_000.0
+    sigma = rho_v / RHO_D
+    e_flux = le / LV  # kg/m2/s
+    term1 = MU * e_flux / RHO_D * RHO_C * 1e6 / 44.0  # to umol units
+    term2 = (
+        (1.0 + MU * sigma) * RHO_C * h / (RHO_D * CP * tk) * 1e6 / 44.0
+    )
+    fc_corr = fc + term1 + term2
+    t = t.withColumn(
+        "fcc_e4", F.floor(fc_corr * 10_000 + F.lit(_OFF)).cast("long")
+    ).withColumn("fc_e4", F.floor(fc * 10_000 + F.lit(_OFF)).cast("long"))
+    out = t.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("fc_e4").alias("s_raw"),
+        F.sum("fcc_e4").alias("s_corr"),
+    )
+    return out.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        F.col("s_raw").cast("long").alias("sum_fc_raw_e4"),
+        F.col("s_corr").cast("long").alias("sum_fc_wpl_e4"),
+        (F.col("s_corr") - F.col("s_raw")).cast("long").alias(
+            "wpl_delta_e4"
+        ),
+    ).orderBy("day")
+
+
+SQL_WPL = f"""
+WITH t AS (
+  SELECT CAST(ts AS DATE) AS day,
+         (CAST(floor(value * 3 + {_OFF}) AS BIGINT) - 500
+          + event_id % 41 - 20) AS fc_c,
+         (CAST(floor(value * 30 + {_OFF}) AS BIGINT)
+          + event_id % 53 - 26) AS le_c,
+         (CAST(floor(value * 55 + {_OFF}) AS BIGINT)
+          + event_id % 97 - 48) AS h_c,
+         CAST(floor(value * 10 + {_OFF}) AS BIGINT) + 27315 AS ta_c,
+         CAST(40 + event_id % 60 AS BIGINT) AS q_m
+  FROM events
+), f AS (
+  SELECT day,
+         CAST(floor(CAST(fc_c AS DOUBLE) / 100.0 * 10000 + {_OFF})
+              AS BIGINT) AS fc_e4,
+         CAST(floor((CAST(fc_c AS DOUBLE) / 100.0
+                + 1.6077 * (CAST(le_c AS DOUBLE) / 100.0 / 2.45e6)
+                  / 1.20 * 0.76 * 1e6 / 44.0
+                + (1.0 + 1.6077 * (CAST(q_m AS DOUBLE) / 10000.0 / 1.20))
+                  * 0.76 * (CAST(h_c AS DOUBLE) / 100.0)
+                  / (1.20 * 1004.0 * (CAST(ta_c AS DOUBLE) / 100.0))
+                  * 1e6 / 44.0)
+               * 10000 + {_OFF}) AS BIGINT) AS fcc_e4
+  FROM t
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(fc_e4) AS BIGINT) AS sum_fc_raw_e4,
+       CAST(sum(fcc_e4) AS BIGINT) AS sum_fc_wpl_e4,
+       CAST(sum(fcc_e4) - sum(fc_e4) AS BIGINT) AS wpl_delta_e4
+FROM f
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# bowen_ratio_profile — Bowen ratio and evaporative fraction per day
+# (Bowen 1926), the energy-balance partitioning summary
+# ---------------------------------------------------------------------------
+# beta = sum H / sum LE, EF = sum LE / (sum H + sum LE) from exact
+# daily integer sums (never per-row ratios, which are unstable at
+# small LE).
+
+
+def q_bowen_ratio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    h_c = (
+        F.floor(F.col("value") * 55 + F.lit(_OFF)).cast("long")
+        + F.col("event_id") % 97
+        - 48
+    )
+    le_c = (
+        F.floor(F.col("value") * 30 + F.lit(_OFF)).cast("long")
+        + F.col("event_id") % 53
+        - 26
+    )
+    t = ev.select(
+        F.to_date("ts").alias("day"), h_c.alias("h_c"), le_c.alias("le_c")
+    )
+    d = t.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("h_c").alias("sh"),
+        F.sum("le_c").alias("sle"),
+    )
+    beta = F.col("sh").cast("double") / F.col("sle").cast("double")
+    ef = F.col("sle").cast("double") / (F.col("sh") + F.col("sle")).cast(
+        "double"
+    )
+    return d.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        F.col("sh").cast("long").alias("sum_h_c"),
+        F.col("sle").cast("long").alias("sum_le_c"),
+        F.floor(beta * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "bowen_e6"
+        ),
+        F.floor(ef * 1_000_000 + F.lit(_OFF)).cast("long").alias("ef_e6"),
+    ).orderBy("day")
+
+
+SQL_BOWEN = f"""
+WITH t AS (
+  SELECT CAST(ts AS DATE) AS day,
+         (CAST(floor(value * 55 + {_OFF}) AS BIGINT)
+          + event_id % 97 - 48) AS h_c,
+         (CAST(floor(value * 30 + {_OFF}) AS BIGINT)
+          + event_id % 53 - 26) AS le_c
+  FROM events
+), d AS (
+  SELECT day, count(*) AS n,
+         CAST(sum(h_c) AS BIGINT) AS sh,
+         CAST(sum(le_c) AS BIGINT) AS sle
+  FROM t GROUP BY 1
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(n AS BIGINT) AS n,
+       sh AS sum_h_c,
+       sle AS sum_le_c,
+       CAST(floor(CAST(sh AS DOUBLE) / sle * 1000000 + {_OFF}) AS BIGINT)
+         AS bowen_e6,
+       CAST(floor(CAST(sle AS DOUBLE) / (sh + sle) * 1000000 + {_OFF})
+            AS BIGINT) AS ef_e6
+FROM d
+ORDER BY day
+"""
+
+
+QUERIES.update(
+    {
+        "stability_parameter": q_stability_parameter,
+        "footprint_schuepp": q_footprint_schuepp,
+        "wpl_correction": q_wpl_correction,
+        "bowen_ratio_profile": q_bowen_ratio_profile,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "stability_parameter": SQL_STABILITY,
+        "footprint_schuepp": SQL_FOOTPRINT,
+        "wpl_correction": SQL_WPL,
+        "bowen_ratio_profile": SQL_BOWEN,
+    }
+)
