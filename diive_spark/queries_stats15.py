@@ -511,3 +511,512 @@ ORACLE_SQL: dict[str, str] = {
     "term_enrichment_exact": SQL_ENRICH,
     "tukey_hsd_q": SQL_HSD,
 }
+
+
+# ---------------------------------------------------------------------------
+# life_table — actuarial life table over user lifetimes (survival_km's
+# classical presentation: qx, lx, and expectation of life ex)
+# ---------------------------------------------------------------------------
+# Lifetimes/censoring follow the survival_km construction; qx =
+# d_x / n_x (exact), lx via the e12-floored ln cumsum (KM pattern),
+# L_x = (l_x + l_{x+1})/2, e_x = T_x / l_x with T_x a reverse cumsum of
+# e9-floored L terms.  Global windows bounded by distinct durations.
+
+
+def q_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000)
+        .cast("long")
+        .alias("day"),
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    horizon = u.agg(F.max("d1").alias("hmax"))
+    t = u.crossJoin(F.broadcast(horizon)).select(
+        (F.col("d1") - F.col("d0")).alias("dur"),
+        (F.col("d1") <= F.col("hmax") - 7).cast("long").alias("observed"),
+    )
+    per = t.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum("observed").alias("d"),
+    )
+    w_risk = Window.orderBy("dur").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_prior = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    w_rev = Window.orderBy("dur").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    per = per.withColumn("n_risk", F.sum("n_at").over(w_risk))
+    qx = F.col("d").cast("double") / F.col("n_risk").cast("double")
+    lnterm = F.when(
+        F.col("d") < F.col("n_risk"), F.log(F.lit(1.0) - qx)
+    ).otherwise(F.lit(0.0))
+    per = per.withColumn(
+        "ln_e12", F.floor(lnterm * 1e12 + F.lit(_OFF)).cast("long")
+    )
+    per = per.withColumn(
+        "lx",
+        F.exp(
+            F.coalesce(F.sum("ln_e12").over(w_prior), F.lit(0)).cast(
+                "double"
+            )
+            / 1e12
+        ),
+    )
+    per = per.withColumn(
+        "lnext",
+        F.col("lx") * (F.lit(1.0) - qx),
+    )
+    per = per.withColumn(
+        "bigl_e9",
+        F.floor(
+            (F.col("lx") + F.col("lnext")) / 2.0 * 1e9 + F.lit(_OFF)
+        ).cast("long"),
+    )
+    per = per.withColumn("tx_e9", F.sum("bigl_e9").over(w_rev))
+    ex = F.col("tx_e9").cast("double") / 1e9 / F.col("lx")
+    return per.select(
+        F.col("dur").cast("long").alias("dur"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("deaths"),
+        F.floor(qx * 1_000_000 + F.lit(_OFF)).cast("long").alias("qx_e6"),
+        F.floor(F.col("lx") * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "lx_e6"
+        ),
+        F.floor(ex * 10_000 + F.lit(_OFF)).cast("long").alias("ex_e4"),
+    ).orderBy("dur")
+
+
+SQL_LIFE_TABLE = f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+), u AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1
+  FROM ev GROUP BY 1
+), h AS (
+  SELECT max(d1) AS hmax FROM u
+), t AS (
+  SELECT d1 - d0 AS dur,
+         CASE WHEN d1 <= hmax - 7 THEN 1 ELSE 0 END AS observed
+  FROM u CROSS JOIN h
+), per AS (
+  SELECT dur, count(*) AS n_at,
+         CAST(sum(observed) AS BIGINT) AS d
+  FROM t GROUP BY 1
+), r AS (
+  SELECT *,
+         CAST(sum(n_at) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW AND
+                              UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+  FROM per
+), l AS (
+  SELECT *,
+         CAST(floor(CASE WHEN d < n_risk
+                         THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                         ELSE 0.0 END * 1e12 + {_OFF}) AS BIGINT) AS ln_e12
+  FROM r
+), s AS (
+  SELECT *,
+         exp(CAST(COALESCE(sum(ln_e12) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS DOUBLE) / 1e12) AS lx
+  FROM l
+), bl AS (
+  SELECT *,
+         CAST(floor((lx + lx * (1.0 - CAST(d AS DOUBLE) / n_risk)) / 2.0
+                    * 1e9 + {_OFF}) AS BIGINT) AS bigl_e9
+  FROM s
+), tx AS (
+  SELECT *,
+         CAST(sum(bigl_e9) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+               AND UNBOUNDED FOLLOWING) AS BIGINT) AS tx_e9
+  FROM bl
+)
+SELECT CAST(dur AS BIGINT) AS dur,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       d AS deaths,
+       CAST(floor(CAST(d AS DOUBLE) / n_risk * 1000000 + {_OFF}) AS BIGINT)
+         AS qx_e6,
+       CAST(floor(lx * 1000000 + {_OFF}) AS BIGINT) AS lx_e6,
+       CAST(floor(CAST(tx_e9 AS DOUBLE) / 1e9 / lx * 10000 + {_OFF})
+            AS BIGINT) AS ex_e4
+FROM tx
+ORDER BY dur
+"""
+
+
+# ---------------------------------------------------------------------------
+# chain_ladder — loss-development triangle + chain-ladder ultimates
+# (Mack 1993 deterministic core) on weekly purchase cohorts
+# ---------------------------------------------------------------------------
+# Cohort i = first-activity week, development lag j = weeks since; the
+# cumulative triangle is exact counts; development factors f_j =
+# sum C_{i,j+1} / sum C_{i,j} over rows with both cells; ultimates
+# chain the (at most 3) remaining factors — closed doubles.
+
+
+def q_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000)
+        .cast("long")
+        .alias("day"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("d0"))
+    pur = ev.filter(F.col("event_type") == "purchase").join(first, "user_id")
+    base = first.agg(F.min("d0").alias("day0"))
+    t = pur.crossJoin(F.broadcast(base)).select(
+        F.floor((F.col("d0") - F.col("day0")) / 7).cast("int").alias("cohort"),
+        F.floor((F.col("day") - F.col("d0")) / 7).cast("int").alias("lag"),
+    ).filter((F.col("cohort") <= 3) & (F.col("lag") <= 3))
+    inc = t.groupBy("cohort", "lag").agg(F.count(F.lit(1)).alias("x"))
+    wcum = Window.partitionBy("cohort").orderBy("lag").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = inc.withColumn("c", F.sum("x").over(wcum))
+    # observable cells: lag <= 3 - cohort (calendar cut)
+    cum = cum.filter(F.col("lag") <= 3 - F.col("cohort"))
+    a = cum.select(
+        F.col("cohort").alias("ci"), F.col("lag").alias("lj"), F.col("c").alias("cj")
+    )
+    b = cum.select(
+        F.col("cohort").alias("ci2"),
+        F.col("lag").alias("lj2"),
+        F.col("c").alias("cj2"),
+    )
+    fpairs = a.join(
+        b,
+        (F.col("ci") == F.col("ci2")) & (F.col("lj2") == F.col("lj") + 1),
+    )
+    f = fpairs.groupBy("lj").agg(
+        F.sum("cj2").alias("num"), F.sum("cj").alias("den")
+    ).withColumn(
+        "f", F.col("num").cast("double") / F.col("den").cast("double")
+    )
+    fs = {r["lj"]: r["f"] for r in []}  # factors joined via crossJoin below
+    fw = f.select(F.col("lj").alias("fl"), "f")
+    latest = cum.withColumn(
+        "is_latest", (F.col("lag") == 3 - F.col("cohort")).cast("int")
+    ).filter(F.col("is_latest") == 1)
+    # chain remaining factors lag..2 via up-to-3 broadcast joins
+    f0 = fw.filter(F.col("fl") == 0).select(F.col("f").alias("f0"))
+    f1 = fw.filter(F.col("fl") == 1).select(F.col("f").alias("f1"))
+    f2 = fw.filter(F.col("fl") == 2).select(F.col("f").alias("f2"))
+    j = (
+        latest.crossJoin(F.broadcast(f0))
+        .crossJoin(F.broadcast(f1))
+        .crossJoin(F.broadcast(f2))
+    )
+    chain = (
+        F.when(F.col("lag") <= 0, F.col("f0")).otherwise(F.lit(1.0))
+        * F.when(F.col("lag") <= 1, F.col("f1")).otherwise(F.lit(1.0))
+        * F.when(F.col("lag") <= 2, F.col("f2")).otherwise(F.lit(1.0))
+    )
+    ult = F.col("c").cast("double") * chain
+    return j.select(
+        F.col("cohort").cast("long").alias("cohort"),
+        F.col("lag").cast("long").alias("latest_lag"),
+        F.col("c").cast("long").alias("latest_cum"),
+        F.floor(ult * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "ultimate_e4"
+        ),
+    ).orderBy("cohort")
+
+
+SQL_CHAIN_LADDER = f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+), first AS (
+  SELECT user_id, min(day) AS d0 FROM ev GROUP BY 1
+), base AS (
+  SELECT min(d0) AS day0 FROM first
+), t AS (
+  SELECT CAST(floor((f.d0 - day0) / 7.0) AS INT) AS cohort,
+         CAST(floor((e.day - f.d0) / 7.0) AS INT) AS lag
+  FROM ev e
+  JOIN first f ON f.user_id = e.user_id
+  CROSS JOIN base
+  WHERE e.event_type = 'purchase'
+    AND floor((f.d0 - day0) / 7.0) <= 3
+    AND floor((e.day - f.d0) / 7.0) <= 3
+), inc AS (
+  SELECT cohort, lag, count(*) AS x
+  FROM t GROUP BY 1, 2
+), cum0 AS (
+  SELECT cohort, lag,
+         CAST(sum(x) OVER (PARTITION BY cohort ORDER BY lag
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS c
+  FROM inc
+), cum AS (
+  SELECT * FROM cum0 WHERE lag <= 3 - cohort
+), f AS (
+  SELECT a.lag AS fl,
+         CAST(sum(b.c) AS DOUBLE) / sum(a.c) AS f
+  FROM cum a JOIN cum b ON b.cohort = a.cohort AND b.lag = a.lag + 1
+  GROUP BY 1
+), latest AS (
+  SELECT * FROM cum WHERE lag = 3 - cohort
+), wide AS (
+  SELECT latest.*,
+         (SELECT f FROM f WHERE fl = 0) AS f0,
+         (SELECT f FROM f WHERE fl = 1) AS f1,
+         (SELECT f FROM f WHERE fl = 2) AS f2
+  FROM latest
+)
+SELECT CAST(cohort AS BIGINT) AS cohort,
+       CAST(lag AS BIGINT) AS latest_lag,
+       CAST(c AS BIGINT) AS latest_cum,
+       CAST(floor(CAST(c AS DOUBLE)
+                  * (CASE WHEN lag <= 0 THEN f0 ELSE 1.0 END)
+                  * (CASE WHEN lag <= 1 THEN f1 ELSE 1.0 END)
+                  * (CASE WHEN lag <= 2 THEN f2 ELSE 1.0 END)
+                  * 10000 + {_OFF}) AS BIGINT) AS ultimate_e4
+FROM wide
+ORDER BY cohort
+"""
+
+
+# ---------------------------------------------------------------------------
+# buhlmann_credibility — Buhlmann (1967) credibility factors for
+# per-user daily activity counts within each event_type
+# ---------------------------------------------------------------------------
+# EPV = mean within-user variance, VHM = variance of user means minus
+# EPV/nbar (the classical estimators on balanced-ish panels); k =
+# EPV/VHM, Z = nbar/(nbar + k).  All moments from exact integer sums.
+
+
+def q_buhlmann_credibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    )
+    c = ev.groupBy("event_type", "user_id", "day").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    peru = c.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("k").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).alias("skk"),
+    ).filter(F.col("m") > 1)
+    md = F.col("m").cast("double")
+    uvar = (
+        md * F.col("skk").cast("double")
+        - F.col("sk").cast("double") * F.col("sk").cast("double")
+    ) / (md * (md - 1))
+    umean = F.col("sk").cast("double") / md
+    peru = peru.withColumn(
+        "uvar_e6", F.floor(uvar * 1_000_000 + F.lit(_OFF)).cast("long")
+    ).withColumn(
+        "umean_e6", F.floor(umean * 1_000_000 + F.lit(_OFF)).cast("long")
+    )
+    g = peru.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("r"),
+        F.sum("m").alias("sm"),
+        F.sum("uvar_e6").alias("s_uvar"),
+        F.sum("umean_e6").alias("s_umean"),
+        F.sum(F.col("umean_e6") * F.col("umean_e6")).alias("s_umean2"),
+    )
+    r = F.col("r").cast("double")
+    nbar = F.col("sm").cast("double") / r
+    epv = F.col("s_uvar").cast("double") / r / 1e6
+    vom = (
+        r * F.col("s_umean2").cast("double")
+        - F.col("s_umean").cast("double") * F.col("s_umean").cast("double")
+    ) / (r * (r - 1)) / 1e12
+    vhm = F.greatest(F.lit(1e-9), vom - epv / nbar)
+    k = epv / vhm
+    z = nbar / (nbar + k)
+    return g.select(
+        "event_type",
+        F.col("r").cast("long").alias("n_users"),
+        F.floor(nbar * 10_000 + F.lit(_OFF)).cast("long").alias("nbar_e4"),
+        F.floor(epv * 10_000 + F.lit(_OFF)).cast("long").alias("epv_e4"),
+        F.floor(vhm * 10_000 + F.lit(_OFF)).cast("long").alias("vhm_e4"),
+        F.floor(z * 1_000_000 + F.lit(_OFF)).cast("long").alias("z_e6"),
+    ).orderBy("event_type")
+
+
+SQL_BUHLMANN = f"""
+WITH ev AS (
+  SELECT event_type, user_id, CAST(ts AS DATE) AS day
+  FROM events
+), c AS (
+  SELECT event_type, user_id, day, count(*) AS k
+  FROM ev GROUP BY 1, 2, 3
+), peru AS (
+  SELECT event_type, user_id, count(*) AS m,
+         CAST(sum(k) AS BIGINT) AS sk,
+         CAST(sum(k * k) AS BIGINT) AS skk
+  FROM c GROUP BY 1, 2
+  HAVING count(*) > 1
+), fl AS (
+  SELECT event_type, m,
+         CAST(floor((CAST(m AS DOUBLE) * skk - CAST(sk AS DOUBLE) * sk)
+                    / (CAST(m AS DOUBLE) * (m - 1)) * 1000000 + {_OFF})
+              AS BIGINT) AS uvar_e6,
+         CAST(floor(CAST(sk AS DOUBLE) / m * 1000000 + {_OFF}) AS BIGINT)
+           AS umean_e6
+  FROM peru
+), g AS (
+  SELECT event_type, count(*) AS r,
+         CAST(sum(m) AS BIGINT) AS sm,
+         CAST(sum(uvar_e6) AS BIGINT) AS s_uvar,
+         CAST(sum(umean_e6) AS BIGINT) AS s_umean,
+         CAST(sum(umean_e6 * umean_e6) AS BIGINT) AS s_umean2
+  FROM fl GROUP BY 1
+), f AS (
+  SELECT event_type, r,
+         CAST(sm AS DOUBLE) / r AS nbar,
+         CAST(s_uvar AS DOUBLE) / r / 1e6 AS epv,
+         greatest(1e-9,
+           (CAST(r AS DOUBLE) * s_umean2
+            - CAST(s_umean AS DOUBLE) * s_umean)
+           / (CAST(r AS DOUBLE) * (r - 1)) / 1e12
+           - CAST(s_uvar AS DOUBLE) / r / 1e6 / (CAST(sm AS DOUBLE) / r))
+           AS vhm
+  FROM g
+)
+SELECT event_type,
+       CAST(r AS BIGINT) AS n_users,
+       CAST(floor(nbar * 10000 + {_OFF}) AS BIGINT) AS nbar_e4,
+       CAST(floor(epv * 10000 + {_OFF}) AS BIGINT) AS epv_e4,
+       CAST(floor(vhm * 10000 + {_OFF}) AS BIGINT) AS vhm_e4,
+       CAST(floor(nbar / (nbar + epv / vhm) * 1000000 + {_OFF}) AS BIGINT)
+         AS z_e6
+FROM f
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# gompertz_fit — Gompertz (1825) log-hazard line on the life-table
+# discrete hazards
+# ---------------------------------------------------------------------------
+# ln(qx) is linear in duration under Gompertz mortality; the fit uses
+# the same life-table construction, keeps durations with 0 < qx < 1,
+# e6-floors ln(qx), and runs the exact-sum OLS.  Slope ln(c) > 0 means
+# aging (rising hazard).
+
+
+def q_gompertz_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000)
+        .cast("long")
+        .alias("day"),
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    horizon = u.agg(F.max("d1").alias("hmax"))
+    t = u.crossJoin(F.broadcast(horizon)).select(
+        (F.col("d1") - F.col("d0")).alias("dur"),
+        (F.col("d1") <= F.col("hmax") - 7).cast("long").alias("observed"),
+    )
+    per = t.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_at"), F.sum("observed").alias("d")
+    )
+    w_risk = Window.orderBy("dur").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    per = per.withColumn("n_risk", F.sum("n_at").over(w_risk))
+    per = per.filter((F.col("d") > 0) & (F.col("d") < F.col("n_risk")))
+    lnq = F.log(F.col("d").cast("double") / F.col("n_risk").cast("double"))
+    per = per.withColumn(
+        "y", F.floor(lnq * 1_000_000 + F.lit(_OFF)).cast("long")
+    )
+    g = per.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dur").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("dur") * F.col("dur")).alias("sxx"),
+        F.sum(F.col("dur") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    b = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    a = (F.col("sy").cast("double") - b * F.col("sx").cast("double")) / nd
+    return g.select(
+        F.col("n").cast("long").alias("n_durations"),
+        F.floor(b + F.lit(_OFF)).cast("long").alias("ln_c_e6"),
+        F.floor(a + F.lit(_OFF)).cast("long").alias("ln_b_e6"),
+    )
+
+
+SQL_GOMPERTZ = f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+), u AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1
+  FROM ev GROUP BY 1
+), h AS (
+  SELECT max(d1) AS hmax FROM u
+), t AS (
+  SELECT d1 - d0 AS dur,
+         CASE WHEN d1 <= hmax - 7 THEN 1 ELSE 0 END AS observed
+  FROM u CROSS JOIN h
+), per AS (
+  SELECT dur, count(*) AS n_at,
+         CAST(sum(observed) AS BIGINT) AS d
+  FROM t GROUP BY 1
+), r AS (
+  SELECT *,
+         CAST(sum(n_at) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW AND
+                              UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+  FROM per
+), v AS (
+  SELECT dur,
+         CAST(floor(ln(CAST(d AS DOUBLE) / n_risk) * 1000000 + {_OFF})
+              AS BIGINT) AS y
+  FROM r WHERE d > 0 AND d < n_risk
+), g AS (
+  SELECT count(*) AS n,
+         CAST(sum(dur) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(dur * dur) AS BIGINT) AS sxx,
+         CAST(sum(dur * y) AS BIGINT) AS sxy
+  FROM v
+)
+SELECT CAST(n AS BIGINT) AS n_durations,
+       CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  + {_OFF}) AS BIGINT) AS ln_c_e6,
+       CAST(floor((CAST(sy AS DOUBLE)
+                   - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                     * sx) / n + {_OFF}) AS BIGINT) AS ln_b_e6
+FROM g
+"""
+
+
+QUERIES.update(
+    {
+        "life_table": q_life_table,
+        "chain_ladder": q_chain_ladder,
+        "buhlmann_credibility": q_buhlmann_credibility,
+        "gompertz_fit": q_gompertz_fit,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "life_table": SQL_LIFE_TABLE,
+        "chain_ladder": SQL_CHAIN_LADDER,
+        "buhlmann_credibility": SQL_BUHLMANN,
+        "gompertz_fit": SQL_GOMPERTZ,
+    }
+)
