@@ -1020,3 +1020,543 @@ ORACLE_SQL.update(
         "gompertz_fit": SQL_GOMPERTZ,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# wilks_tolerance — distribution-free two-sided tolerance interval
+# (Wilks 1941): smallest symmetric trim r with >= 95% confidence of
+# covering 90% of the population
+# ---------------------------------------------------------------------------
+# Confidence(r) = P(Beta-binomial coverage) = 1 - sum_{j=n-2r+1}^{n}
+# C(n,j) g^j (1-g)^(n-j) with g = 0.9 — binomial terms via the shared
+# Lanczos lnGamma, e12-floored; the interval endpoints are exact order
+# statistics at the chosen r.
+
+
+def q_wilks_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    wn = Window.partitionBy("event_type")
+    sizes = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    rs = ev.sparkSession.range(1, 11).select(
+        F.col("id").cast("long").alias("r")
+    )
+    js = ev.sparkSession.range(0, 25).select(
+        F.col("id").cast("long").alias("jj")
+    )
+    grid = sizes.crossJoin(F.broadcast(rs)).crossJoin(F.broadcast(js))
+    # tail term index j = n - 2r + 1 + jj, valid while j <= n
+    j = F.col("n") - 2 * F.col("r") + 1 + F.col("jj")
+    nd = F.col("n").cast("double")
+    jd = j.cast("double")
+    G = 0.9
+    import math
+
+    lnpmf = (
+        _lnchoose(nd, jd)
+        + jd * math.log(G)
+        + (nd - jd) * math.log(1 - G)
+    )
+    term = F.when((j >= 0) & (j <= F.col("n")), F.exp(lnpmf)).otherwise(
+        F.lit(0.0)
+    )
+    grid = grid.withColumn(
+        "term_e12", F.floor(term * 1e12 + F.lit(_OFF)).cast("long")
+    )
+    conf = grid.groupBy("event_type", "n", "r").agg(
+        (F.lit(1_000_000_000_000) - F.sum("term_e12")).alias("conf_e12")
+    )
+    pick = conf.filter(F.col("conf_e12") >= 950_000_000_000).groupBy(
+        "event_type", "n"
+    ).agg(F.max("r").alias("r_star"), F.max_by(
+        F.col("conf_e12"), -F.col("r")
+    ).alias("conf_e12"))
+    wq = Window.partitionBy("event_type").orderBy("v", "event_id")
+    t = ev.withColumn("rk", F.row_number().over(wq)).withColumn(
+        "nn", F.count(F.lit(1)).over(wn)
+    )
+    lo = t.join(
+        pick.select("event_type", F.col("r_star")), "event_type"
+    ).filter(F.col("rk") == F.col("r_star")).select(
+        "event_type", F.col("v").alias("lower_c")
+    )
+    hi = t.join(
+        pick.select("event_type", F.col("r_star").alias("r2")), "event_type"
+    ).filter(F.col("rk") == F.col("nn") - F.col("r2") + 1).select(
+        "event_type", F.col("v").alias("upper_c")
+    )
+    out = (
+        pick.join(lo, "event_type")
+        .join(hi, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("r_star").cast("long").alias("r_trim"),
+            F.floor(F.col("conf_e12").cast("double") / 1e6 + F.lit(_OFF))
+            .cast("long")
+            .alias("conf_e6"),
+            F.col("lower_c").cast("long").alias("lower_c"),
+            F.col("upper_c").cast("long").alias("upper_c"),
+        )
+    )
+    return out.orderBy("event_type")
+
+
+SQL_WILKS = f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), sizes AS (
+  SELECT event_type, count(*) AS n FROM ev GROUP BY 1
+), grid AS (
+  SELECT event_type, n,
+         CAST(r AS BIGINT) AS r, CAST(jj AS BIGINT) AS jj
+  FROM sizes, unnest(generate_series(1, 10)) AS gr(r),
+       unnest(generate_series(0, 24)) AS gj(jj)
+), terms AS (
+  SELECT event_type, n, r,
+         CAST(floor(CASE WHEN n - 2 * r + 1 + jj >= 0
+                          AND n - 2 * r + 1 + jj <= n
+                         THEN exp({_lnchoose_sql(
+                             'CAST(n AS DOUBLE)',
+                             'CAST(n - 2 * r + 1 + jj AS DOUBLE)')}
+                                  + (n - 2 * r + 1 + jj) * ln(0.9)
+                                  + (n - (n - 2 * r + 1 + jj)) * ln(0.1))
+                         ELSE 0.0 END * 1e12 + {_OFF}) AS BIGINT)
+           AS term_e12
+  FROM grid
+), conf AS (
+  SELECT event_type, n, r,
+         1000000000000 - CAST(sum(term_e12) AS BIGINT) AS conf_e12
+  FROM terms GROUP BY 1, 2, 3
+), pick AS (
+  SELECT event_type, n, max(r) AS r_star,
+         max_by(conf_e12, -r) AS conf_e12
+  FROM conf WHERE conf_e12 >= 950000000000
+  GROUP BY 1, 2
+), rk AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY v, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS nn
+  FROM ev
+), lo AS (
+  SELECT rk.event_type, v AS lower_c
+  FROM rk JOIN pick ON pick.event_type = rk.event_type
+  WHERE rk.rk = pick.r_star
+), hi AS (
+  SELECT rk.event_type, v AS upper_c
+  FROM rk JOIN pick ON pick.event_type = rk.event_type
+  WHERE rk.rk = rk.nn - pick.r_star + 1
+)
+SELECT pick.event_type,
+       CAST(n AS BIGINT) AS n,
+       r_star AS r_trim,
+       CAST(floor(CAST(conf_e12 AS DOUBLE) / 1e6 + {_OFF}) AS BIGINT)
+         AS conf_e6,
+       CAST(lower_c AS BIGINT) AS lower_c,
+       CAST(upper_c AS BIGINT) AS upper_c
+FROM pick
+JOIN lo ON lo.event_type = pick.event_type
+JOIN hi ON hi.event_type = pick.event_type
+ORDER BY pick.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# split_conformal_audit — split conformal prediction intervals with
+# empirical coverage (Papadopoulos 2002; Vovk 2005; Lei 2018)
+# ---------------------------------------------------------------------------
+# Train (days 1-10): per-(type, hour) mean predictor from exact sums.
+# Calibrate (days 11-20): nonconformity |v - pred| (exact ints), q =
+# the ceil((n_cal + 1) * 0.9)-th order statistic.  Test (days 21-30):
+# empirical coverage of pred +- q — the finite-sample 90% guarantee
+# audited end-to-end.
+
+
+def q_split_conformal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "event_id",
+        F.dayofmonth("ts").alias("dom"),
+        F.hour("ts").alias("hh"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    train = ev.filter(F.col("dom") <= 10)
+    calib = ev.filter((F.col("dom") > 10) & (F.col("dom") <= 20))
+    test = ev.filter(F.col("dom") > 20)
+    pred = train.groupBy("event_type", "hh").agg(
+        F.floor(
+            F.sum("v").cast("double") / F.count(F.lit(1)).cast("double")
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("yhat")
+    )
+    cal = calib.join(F.broadcast(pred), ["event_type", "hh"]).withColumn(
+        "score", F.abs(F.col("v") - F.col("yhat"))
+    )
+    wq = Window.partitionBy("event_type").orderBy("score", "event_id")
+    wn = Window.partitionBy("event_type")
+    cal = cal.withColumn("rk", F.row_number().over(wq)).withColumn(
+        "nc", F.count(F.lit(1)).over(wn)
+    )
+    q = cal.filter(
+        F.col("rk")
+        == F.ceil((F.col("nc") + 1).cast("double") * 0.9).cast("int")
+    ).select("event_type", F.col("score").alias("q"), F.col("nc"))
+    tst = test.join(F.broadcast(pred), ["event_type", "hh"]).join(
+        F.broadcast(q), "event_type"
+    )
+    cov = (F.abs(F.col("v") - F.col("yhat")) <= F.col("q")).cast("long")
+    out = tst.groupBy("event_type").agg(
+        F.max("nc").alias("n_cal"),
+        F.max("q").alias("q_centi"),
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(cov).alias("n_covered"),
+    )
+    return out.select(
+        "event_type",
+        F.col("n_cal").cast("long").alias("n_cal"),
+        F.col("q_centi").cast("long").alias("q_centi"),
+        F.col("n_test").cast("long").alias("n_test"),
+        F.col("n_covered").cast("long").alias("n_covered"),
+        F.floor(
+            F.col("n_covered").cast("double")
+            / F.col("n_test").cast("double")
+            * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("coverage_e6"),
+    ).orderBy("event_type")
+
+
+SQL_CONFORMAL = f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+         EXTRACT(day FROM ts) AS dom,
+         EXTRACT(hour FROM ts) AS hh,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), pred AS (
+  SELECT event_type, hh,
+         CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) + {_OFF}) AS BIGINT)
+           AS yhat
+  FROM ev WHERE dom <= 10
+  GROUP BY 1, 2
+), cal AS (
+  SELECT ev.event_type, ev.event_id,
+         abs(v - yhat) AS score
+  FROM ev JOIN pred ON pred.event_type = ev.event_type
+                   AND pred.hh = ev.hh
+  WHERE dom > 10 AND dom <= 20
+), rk AS (
+  SELECT event_type, score,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY score, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS nc
+  FROM cal
+), q AS (
+  SELECT event_type, score AS q, nc
+  FROM rk WHERE rk = CAST(ceil((nc + 1) * 0.9) AS INT)
+), tst AS (
+  SELECT ev.event_type,
+         CASE WHEN abs(v - yhat) <= q.q THEN 1 ELSE 0 END AS cov
+  FROM ev
+  JOIN pred ON pred.event_type = ev.event_type AND pred.hh = ev.hh
+  JOIN q ON q.event_type = ev.event_type
+  WHERE dom > 20
+)
+SELECT tst.event_type,
+       CAST(max(q.nc) AS BIGINT) AS n_cal,
+       CAST(max(q.q) AS BIGINT) AS q_centi,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(cov) AS BIGINT) AS n_covered,
+       CAST(floor(CAST(sum(cov) AS DOUBLE) / count(*) * 1000000 + {_OFF})
+            AS BIGINT) AS coverage_e6
+FROM tst JOIN q ON q.event_type = tst.event_type
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# target_encoding_audit — leakage audit: naive vs leave-one-out target
+# encoding (the Micci-Barreca 2001 encoder, LOO variant)
+# ---------------------------------------------------------------------------
+# Category = user_id, target = centi-value.  Naive encoding includes
+# the row's own target (leaks); LOO removes it: (sum - v)/(n - 1).
+# The audit reports the correlation of each encoding with the target —
+# the naive-minus-LOO gap IS the leakage.  Encodings e4-floored before
+# the exact correlation sums; users with n = 1 dropped (LOO undefined).
+
+
+def q_target_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    g = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    ).filter(F.col("n") > 1)
+    t = ev.join(g, "user_id")
+    enc_n = F.floor(
+        F.col("s").cast("double") / F.col("n").cast("double") * 100
+        + F.lit(_OFF)
+    ).cast("long")
+    enc_l = F.floor(
+        (F.col("s") - F.col("v")).cast("double")
+        / (F.col("n") - 1).cast("double")
+        * 100
+        + F.lit(_OFF)
+    ).cast("long")
+    t = t.withColumn("en", enc_n).withColumn("el", enc_l)
+    agg = t.groupBy().agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+        F.sum("en").alias("sen"),
+        F.sum(F.col("en") * F.col("en")).alias("senn"),
+        F.sum(F.col("v") * F.col("en")).alias("sven"),
+        F.sum("el").alias("sel"),
+        F.sum(F.col("el") * F.col("el")).alias("sell"),
+        F.sum(F.col("v") * F.col("el")).alias("svel"),
+    )
+    m = F.col("m").cast("double")
+
+    def corr(sx, sxx, sxy):
+        num = m * F.col(sxy).cast("double") - F.col(sx).cast(
+            "double"
+        ) * F.col("sv").cast("double")
+        den = F.sqrt(
+            (
+                m * F.col(sxx).cast("double")
+                - F.col(sx).cast("double") * F.col(sx).cast("double")
+            )
+            * (
+                m * F.col("svv").cast("double")
+                - F.col("sv").cast("double") * F.col("sv").cast("double")
+            )
+        )
+        return num / den
+
+    r_n = corr("sen", "senn", "sven")
+    r_l = corr("sel", "sell", "svel")
+    return agg.select(
+        F.col("m").cast("long").alias("n_rows"),
+        F.floor(r_n * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "r_naive_e6"
+        ),
+        F.floor(r_l * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "r_loo_e6"
+        ),
+        F.floor((r_n - r_l) * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "leakage_gap_e6"
+        ),
+    )
+
+
+SQL_TARGET_ENC = f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), g AS (
+  SELECT user_id, count(*) AS n, CAST(sum(v) AS BIGINT) AS s
+  FROM ev GROUP BY 1
+  HAVING count(*) > 1
+), t AS (
+  SELECT ev.v,
+         CAST(floor(CAST(s AS DOUBLE) / n * 100 + {_OFF}) AS BIGINT) AS en,
+         CAST(floor(CAST(s - ev.v AS DOUBLE) / (n - 1) * 100 + {_OFF})
+              AS BIGINT) AS el
+  FROM ev JOIN g ON g.user_id = ev.user_id
+), agg AS (
+  SELECT count(*) AS m,
+         CAST(sum(v) AS BIGINT) AS sv,
+         CAST(sum(v * v) AS BIGINT) AS svv,
+         CAST(sum(en) AS BIGINT) AS sen,
+         CAST(sum(en * en) AS BIGINT) AS senn,
+         CAST(sum(v * en) AS BIGINT) AS sven,
+         CAST(sum(el) AS BIGINT) AS sel,
+         CAST(sum(el * el) AS BIGINT) AS sell,
+         CAST(sum(v * el) AS BIGINT) AS svel
+  FROM t
+), f AS (
+  SELECT m,
+         (CAST(m AS DOUBLE) * sven - CAST(sen AS DOUBLE) * sv)
+           / sqrt((CAST(m AS DOUBLE) * senn - CAST(sen AS DOUBLE) * sen)
+                  * (CAST(m AS DOUBLE) * svv - CAST(sv AS DOUBLE) * sv))
+           AS r_n,
+         (CAST(m AS DOUBLE) * svel - CAST(sel AS DOUBLE) * sv)
+           / sqrt((CAST(m AS DOUBLE) * sell - CAST(sel AS DOUBLE) * sel)
+                  * (CAST(m AS DOUBLE) * svv - CAST(sv AS DOUBLE) * sv))
+           AS r_l
+  FROM agg
+)
+SELECT CAST(m AS BIGINT) AS n_rows,
+       CAST(floor(r_n * 1000000 + {_OFF}) AS BIGINT) AS r_naive_e6,
+       CAST(floor(r_l * 1000000 + {_OFF}) AS BIGINT) AS r_loo_e6,
+       CAST(floor((r_n - r_l) * 1000000 + {_OFF}) AS BIGINT)
+         AS leakage_gap_e6
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# delong_auc_ci — AUC with the DeLong (1988) standard error for the
+# value-predicts-weekend classifier
+# ---------------------------------------------------------------------------
+# Placement values via per-key cumulative value-domain counts (exact
+# midrank machinery); V10 = placement of each positive among negatives
+# (e6-floored), V01 symmetric; SE^2 = S10/(m(m-1) m?) — the standard
+# var(V10)/m + var(V01)/n form, moments from exact sums.
+
+
+def q_delong_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (F.dayofweek("ts").isin(1, 7)).cast("int").alias("pos"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    cells = ev.groupBy("event_type", "v").agg(
+        F.sum(F.col("pos").cast("long")).alias("cp"),
+        F.sum((1 - F.col("pos")).cast("long")).alias("cn"),
+    )
+    wv = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wt = Window.partitionBy("event_type")
+    t = (
+        cells.withColumn(
+            "ln_", F.coalesce(F.sum("cn").over(wv), F.lit(0))
+        )
+        .withColumn(
+            "lp_", F.coalesce(F.sum("cp").over(wv), F.lit(0))
+        )
+        .withColumn("tn", F.sum("cn").over(wt))
+        .withColumn("tp", F.sum("cp").over(wt))
+    )
+    # doubled placement of a positive at value v among negatives:
+    # 2*#less + #ties; per-cell aggregate carries cp copies
+    v10x2 = 2 * F.col("ln_") + F.col("cn")
+    v01x2 = 2 * (F.col("tp") - F.col("lp_") - F.col("cp")) + F.col("cp")
+    t = t.withColumn(
+        "p10_e6",
+        F.floor(
+            v10x2.cast("double")
+            / (2.0 * F.col("tn").cast("double"))
+            * 1_000_000
+            + F.lit(_OFF)
+        ).cast("long"),
+    ).withColumn(
+        "p01_e6",
+        F.floor(
+            v01x2.cast("double")
+            / (2.0 * F.col("tp").cast("double"))
+            * 1_000_000
+            + F.lit(_OFF)
+        ).cast("long"),
+    )
+    agg = t.groupBy("event_type").agg(
+        F.max("tp").alias("m"),
+        F.max("tn").alias("n"),
+        F.sum(F.col("cp") * F.col("p10_e6")).alias("s10"),
+        F.sum(F.col("cp") * F.col("p10_e6") * F.col("p10_e6")).alias("s10q"),
+        F.sum(F.col("cn") * F.col("p01_e6")).alias("s01"),
+        F.sum(F.col("cn") * F.col("p01_e6") * F.col("p01_e6")).alias("s01q"),
+    )
+    m = F.col("m").cast("double")
+    n = F.col("n").cast("double")
+    auc = F.col("s10").cast("double") / m / 1e6
+    v10var = (
+        m * F.col("s10q").cast("double")
+        - F.col("s10").cast("double") * F.col("s10").cast("double")
+    ) / (m * (m - 1)) / 1e12
+    v01var = (
+        n * F.col("s01q").cast("double")
+        - F.col("s01").cast("double") * F.col("s01").cast("double")
+    ) / (n * (n - 1)) / 1e12
+    se = F.sqrt(v10var / m + v01var / n)
+    return agg.select(
+        "event_type",
+        F.col("m").cast("long").alias("n_pos"),
+        F.col("n").cast("long").alias("n_neg"),
+        F.floor(auc * 1_000_000 + F.lit(_OFF)).cast("long").alias("auc_e6"),
+        F.floor(se * 1_000_000 + F.lit(_OFF)).cast("long").alias("se_e6"),
+    ).orderBy("event_type")
+
+
+SQL_DELONG = f"""
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS pos,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), cells AS (
+  SELECT event_type, v,
+         CAST(sum(pos) AS BIGINT) AS cp,
+         CAST(sum(1 - pos) AS BIGINT) AS cn
+  FROM ev GROUP BY 1, 2
+), cum AS (
+  SELECT *,
+         CAST(COALESCE(sum(cn) OVER w, 0) AS BIGINT) AS ln_,
+         CAST(COALESCE(sum(cp) OVER w, 0) AS BIGINT) AS lp_,
+         CAST(sum(cn) OVER (PARTITION BY event_type) AS BIGINT) AS tn,
+         CAST(sum(cp) OVER (PARTITION BY event_type) AS BIGINT) AS tp
+  FROM cells
+  WINDOW w AS (PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), pl AS (
+  SELECT *,
+         CAST(floor(CAST(2 * ln_ + cn AS DOUBLE) / (2.0 * tn) * 1000000
+                    + {_OFF}) AS BIGINT) AS p10_e6,
+         CAST(floor(CAST(2 * (tp - lp_ - cp) + cp AS DOUBLE) / (2.0 * tp)
+                    * 1000000 + {_OFF}) AS BIGINT) AS p01_e6
+  FROM cum
+), agg AS (
+  SELECT event_type, max(tp) AS m, max(tn) AS n,
+         CAST(sum(cp * p10_e6) AS BIGINT) AS s10,
+         CAST(sum(cp * p10_e6 * p10_e6) AS BIGINT) AS s10q,
+         CAST(sum(cn * p01_e6) AS BIGINT) AS s01,
+         CAST(sum(cn * p01_e6 * p01_e6) AS BIGINT) AS s01q
+  FROM pl GROUP BY 1
+)
+SELECT event_type,
+       CAST(m AS BIGINT) AS n_pos,
+       CAST(n AS BIGINT) AS n_neg,
+       CAST(floor(CAST(s10 AS DOUBLE) / m / 1e6 * 1000000 + {_OFF})
+            AS BIGINT) AS auc_e6,
+       CAST(floor(sqrt(
+              ((CAST(m AS DOUBLE) * s10q - CAST(s10 AS DOUBLE) * s10)
+               / (CAST(m AS DOUBLE) * (m - 1)) / 1e12) / m
+              + ((CAST(n AS DOUBLE) * s01q - CAST(s01 AS DOUBLE) * s01)
+                 / (CAST(n AS DOUBLE) * (n - 1)) / 1e12) / n)
+            * 1000000 + {_OFF}) AS BIGINT) AS se_e6
+FROM agg
+ORDER BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "wilks_tolerance": q_wilks_tolerance,
+        "split_conformal_audit": q_split_conformal_audit,
+        "target_encoding_audit": q_target_encoding_audit,
+        "delong_auc_ci": q_delong_auc_ci,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "wilks_tolerance": SQL_WILKS,
+        "split_conformal_audit": SQL_CONFORMAL,
+        "target_encoding_audit": SQL_TARGET_ENC,
+        "delong_auc_ci": SQL_DELONG,
+    }
+)
