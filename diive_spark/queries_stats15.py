@@ -1560,3 +1560,557 @@ ORACLE_SQL.update(
         "delong_auc_ci": SQL_DELONG,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# greedy_replay_regret — offline policy replay (Li et al. WSDM 2011):
+# greedy argmax-of-running-mean vs uniform vs per-day oracle
+# ---------------------------------------------------------------------------
+# Daily per-type exact means (e6 ints); the greedy arm at day d is the
+# argmax of the cumulative mean through d-1 (tie -> type name); all
+# three value streams are exact integer sums of the picked day-means.
+
+
+def q_greedy_replay_regret(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    d = ev.groupBy("day", "event_type").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    d = d.withColumn(
+        "m_e6",
+        F.floor(
+            F.col("s").cast("double") / F.col("n").cast("double") * 10_000
+            + F.lit(_OFF)
+        ).cast("long"),
+    )
+    wcum = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    d = d.withColumn("cs", F.sum("s").over(wcum)).withColumn(
+        "cn", F.sum("n").over(wcum)
+    )
+    # greedy pick at day d: argmax cumulative mean (cross-multiplied
+    # rational compare via row_number on the floored cum mean)
+    d = d.withColumn(
+        "cm_e6",
+        F.when(
+            F.col("cn").isNotNull() & (F.col("cn") > 0),
+            F.floor(
+                F.col("cs").cast("double") / F.col("cn").cast("double")
+                * 10_000
+                + F.lit(_OFF)
+            ).cast("long"),
+        ),
+    )
+    wpick = Window.partitionBy("day").orderBy(
+        F.col("cm_e6").desc_nulls_last(), F.col("event_type")
+    )
+    worc = Window.partitionBy("day").orderBy(
+        F.col("m_e6").desc(), F.col("event_type")
+    )
+    d = d.withColumn("rk_g", F.row_number().over(wpick)).withColumn(
+        "rk_o", F.row_number().over(worc)
+    )
+    valid = d.filter(F.col("cm_e6").isNotNull())
+    greedy = valid.filter(F.col("rk_g") == 1).select(
+        "day", F.col("m_e6").alias("r_greedy")
+    )
+    oracle = d.filter(F.col("rk_o") == 1).select(
+        "day", F.col("m_e6").alias("r_oracle")
+    )
+    uniform = d.groupBy("day").agg(
+        F.floor(
+            F.sum("m_e6").cast("double") / F.count(F.lit(1)).cast("double")
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("r_uniform"),
+        F.count(F.lit(1)).alias("k_arms"),
+    )
+    j = greedy.join(oracle, "day").join(uniform, "day")
+    agg = j.groupBy().agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("r_greedy").alias("v_greedy"),
+        F.sum("r_uniform").alias("v_uniform"),
+        F.sum("r_oracle").alias("v_oracle"),
+    )
+    return agg.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("v_greedy").cast("long").alias("v_greedy_e6"),
+        F.col("v_uniform").cast("long").alias("v_uniform_e6"),
+        F.col("v_oracle").cast("long").alias("v_oracle_e6"),
+        (F.col("v_oracle") - F.col("v_greedy")).cast("long").alias(
+            "regret_e6"
+        ),
+    )
+
+
+SQL_REPLAY = f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), d AS (
+  SELECT day, event_type,
+         CAST(sum(v) AS BIGINT) AS s, count(*) AS n,
+         CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) * 10000 + {_OFF})
+              AS BIGINT) AS m_e6
+  FROM ev GROUP BY 1, 2
+), c AS (
+  SELECT *,
+         CAST(sum(s) OVER w AS BIGINT) AS cs,
+         CAST(sum(n) OVER w AS BIGINT) AS cn
+  FROM d
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), cm AS (
+  SELECT *,
+         CASE WHEN cn IS NOT NULL AND cn > 0
+              THEN CAST(floor(CAST(cs AS DOUBLE) / cn * 10000 + {_OFF})
+                        AS BIGINT) END AS cm_e6
+  FROM c
+), rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY cm_e6 DESC NULLS LAST, event_type)
+           AS rk_g,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY m_e6 DESC, event_type) AS rk_o
+  FROM cm
+), greedy AS (
+  SELECT day, m_e6 AS r_greedy FROM rk
+  WHERE rk_g = 1 AND cm_e6 IS NOT NULL
+), oracle AS (
+  SELECT day, m_e6 AS r_oracle FROM rk WHERE rk_o = 1
+), uni AS (
+  SELECT day,
+         CAST(floor(CAST(sum(m_e6) AS DOUBLE) / count(*) + {_OFF})
+              AS BIGINT) AS r_uniform
+  FROM d GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(r_greedy) AS BIGINT) AS v_greedy_e6,
+       CAST(sum(r_uniform) AS BIGINT) AS v_uniform_e6,
+       CAST(sum(r_oracle) AS BIGINT) AS v_oracle_e6,
+       CAST(sum(r_oracle) - sum(r_greedy) AS BIGINT) AS regret_e6
+FROM greedy
+JOIN oracle USING (day)
+JOIN uni USING (day)
+"""
+
+
+# ---------------------------------------------------------------------------
+# qini_uplift — uplift-by-decile and Qini-style summary per event_type
+# (Radcliffe 2007), treatment = weekend, response = above-median value
+# ---------------------------------------------------------------------------
+# Deciles are PER-TYPE rank windows (never a global sort); uplift_d =
+# rt/nt - rc/nc per decile from exact counts.
+
+
+def q_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "event_id",
+        (F.dayofweek("ts").isin(1, 7)).cast("long").alias("tr"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    wm = Window.partitionBy("event_type").orderBy("v", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.withColumn("rk", F.row_number().over(wm)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    med = r.filter(
+        F.col("rk") == F.floor((F.col("n") + 1) / 2).cast("int")
+    ).select("event_type", F.col("v").alias("med"))
+    t = r.join(F.broadcast(med), "event_type").withColumn(
+        "resp", (F.col("v") > F.col("med")).cast("long")
+    ).withColumn(
+        "dec",
+        F.least(
+            F.lit(9), F.floor((F.col("rk") - 1) * 10 / F.col("n")).cast("int")
+        ),
+    )
+    cell = t.groupBy("event_type", "dec").agg(
+        F.sum("tr").alias("nt"),
+        F.sum(F.col("tr") * F.col("resp")).alias("rt"),
+        F.sum(1 - F.col("tr")).alias("nc"),
+        F.sum((1 - F.col("tr")) * F.col("resp")).alias("rc"),
+    )
+    up = (
+        F.col("rt").cast("double") / F.col("nt").cast("double")
+        - F.col("rc").cast("double") / F.col("nc").cast("double")
+    )
+    cell = cell.withColumn(
+        "up_e6", F.floor(up * 1_000_000 + F.lit(_OFF)).cast("long")
+    )
+    agg = cell.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k_dec"),
+        F.sum(F.abs(F.col("up_e6"))).alias("sum_abs_uplift_e6"),
+        F.max_by(F.col("dec"), F.struct(F.col("up_e6"), -F.col("dec"))).alias(
+            "best_dec"
+        ),
+        F.max("up_e6").alias("max_uplift_e6"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("k_dec").cast("long").alias("k_deciles"),
+        F.col("sum_abs_uplift_e6").cast("long").alias("sum_abs_uplift_e6"),
+        F.col("best_dec").cast("long").alias("best_decile"),
+        F.col("max_uplift_e6").cast("long").alias("max_uplift_e6"),
+    ).orderBy("event_type")
+
+
+SQL_QINI = f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS tr,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY v, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+), med AS (
+  SELECT event_type, v AS med FROM r
+  WHERE rk = CAST(floor((n + 1) / 2) AS INT)
+), t AS (
+  SELECT r.event_type, r.tr,
+         CASE WHEN r.v > med.med THEN 1 ELSE 0 END AS resp,
+         least(9, CAST(floor((r.rk - 1) * 10.0 / r.n) AS INT)) AS dec
+  FROM r JOIN med ON med.event_type = r.event_type
+), cell AS (
+  SELECT event_type, dec,
+         CAST(sum(tr) AS BIGINT) AS nt,
+         CAST(sum(tr * resp) AS BIGINT) AS rt,
+         CAST(sum(1 - tr) AS BIGINT) AS nc,
+         CAST(sum((1 - tr) * resp) AS BIGINT) AS rc
+  FROM t GROUP BY 1, 2
+), up AS (
+  SELECT event_type, dec,
+         CAST(floor((CAST(rt AS DOUBLE) / nt - CAST(rc AS DOUBLE) / nc)
+                    * 1000000 + {_OFF}) AS BIGINT) AS up_e6
+  FROM cell
+), best AS (
+  SELECT event_type, dec AS best_decile
+  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY up_e6 DESC, dec) AS rk
+        FROM up) s
+  WHERE rk = 1
+)
+SELECT up.event_type,
+       CAST(count(*) AS BIGINT) AS k_deciles,
+       CAST(sum(abs(up_e6)) AS BIGINT) AS sum_abs_uplift_e6,
+       CAST(max(best.best_decile) AS BIGINT) AS best_decile,
+       CAST(max(up_e6) AS BIGINT) AS max_uplift_e6
+FROM up JOIN best ON best.event_type = up.event_type
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# shapley_r2_lmg — LMG / Shapley decomposition of R^2 over the three
+# calendar features hour, dow, minute (Lindeman-Merenda-Gold 1980;
+# the Shapley value of the R^2 game)
+# ---------------------------------------------------------------------------
+# All seven subset R^2 values are closed forms on centered covariance
+# entries (numerator-trick exact BIGINTs; 2x2 and cofactor 3x3
+# inverses); phi_i = (1/3) R2(i) + (1/6) sum_j [R2(ij) - R2(j)]
+# + (1/3) [R2(123) - R2(jk)].  phi sums to the full R^2 by
+# construction — reported for audit.
+
+
+def q_shapley_r2_lmg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x1"),
+        F.dayofweek("ts").cast("long").alias("x2"),
+        F.minute("ts").cast("long").alias("x3"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("y"),
+    )
+    cols = ["x1", "x2", "x3", "y"]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(c).alias(f"s_{c}"))
+    for i in range(4):
+        for j in range(i, 4):
+            a, b = cols[i], cols[j]
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"p_{a}{b}"))
+    g = ev.groupBy("event_type").agg(*aggs)
+    n = F.col("n").cast("double")
+
+    def cov(a, b):
+        key = f"p_{a}{b}" if f"p_{a}{b}" in g.columns else f"p_{b}{a}"
+        return n * F.col(key).cast("double") - F.col(f"s_{a}").cast(
+            "double"
+        ) * F.col(f"s_{b}").cast("double")
+
+    c11, c12, c13 = cov("x1", "x1"), cov("x1", "x2"), cov("x1", "x3")
+    c22, c23, c33 = cov("x2", "x2"), cov("x2", "x3"), cov("x3", "x3")
+    b1, b2, b3 = cov("x1", "y"), cov("x2", "y"), cov("x3", "y")
+    vy = cov("y", "y")
+
+    def r2_1(cii, bi):
+        return bi * bi / (cii * vy)
+
+    def r2_2(cii, cjj, cij, bi, bj):
+        det = cii * cjj - cij * cij
+        return (cjj * bi * bi - 2 * cij * bi * bj + cii * bj * bj) / (
+            det * vy
+        )
+
+    det3 = (
+        c11 * (c22 * c33 - c23 * c23)
+        - c12 * (c12 * c33 - c23 * c13)
+        + c13 * (c12 * c23 - c22 * c13)
+    )
+    # C^{-1} c via cofactors
+    i11 = c22 * c33 - c23 * c23
+    i12 = -(c12 * c33 - c13 * c23)
+    i13 = c12 * c23 - c13 * c22
+    i22 = c11 * c33 - c13 * c13
+    i23 = -(c11 * c23 - c12 * c13)
+    i33 = c11 * c22 - c12 * c12
+    quad = (
+        b1 * (i11 * b1 + i12 * b2 + i13 * b3)
+        + b2 * (i12 * b1 + i22 * b2 + i23 * b3)
+        + b3 * (i13 * b1 + i23 * b2 + i33 * b3)
+    )
+    r2_123 = quad / (det3 * vy)
+    r2a = r2_1(c11, b1)
+    r2b = r2_1(c22, b2)
+    r2c = r2_1(c33, b3)
+    r2ab = r2_2(c11, c22, c12, b1, b2)
+    r2ac = r2_2(c11, c33, c13, b1, b3)
+    r2bc = r2_2(c22, c33, c23, b2, b3)
+    phi1 = (
+        r2a / 3.0
+        + ((r2ab - r2b) + (r2ac - r2c)) / 6.0
+        + (r2_123 - r2bc) / 3.0
+    )
+    phi2 = (
+        r2b / 3.0
+        + ((r2ab - r2a) + (r2bc - r2c)) / 6.0
+        + (r2_123 - r2ac) / 3.0
+    )
+    phi3 = (
+        r2c / 3.0
+        + ((r2ac - r2a) + (r2bc - r2b)) / 6.0
+        + (r2_123 - r2ab) / 3.0
+    )
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(r2_123 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "r2_full_e6"
+        ),
+        F.floor(phi1 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "phi_hour_e6"
+        ),
+        F.floor(phi2 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "phi_dow_e6"
+        ),
+        F.floor(phi3 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "phi_minute_e6"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_SHAPLEY = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x1,
+         CAST(dayofweek(ts) + 1 AS BIGINT) AS x2,
+         CAST(EXTRACT(minute FROM ts) AS BIGINT) AS x3,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS y
+  FROM events
+), g AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         CAST(sum(x3) AS BIGINT) AS s3, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x1 * x1) AS BIGINT) AS p11,
+         CAST(sum(x1 * x2) AS BIGINT) AS p12,
+         CAST(sum(x1 * x3) AS BIGINT) AS p13,
+         CAST(sum(x2 * x2) AS BIGINT) AS p22,
+         CAST(sum(x2 * x3) AS BIGINT) AS p23,
+         CAST(sum(x3 * x3) AS BIGINT) AS p33,
+         CAST(sum(x1 * y) AS BIGINT) AS py1,
+         CAST(sum(x2 * y) AS BIGINT) AS py2,
+         CAST(sum(x3 * y) AS BIGINT) AS py3,
+         CAST(sum(y * y) AS BIGINT) AS pyy
+  FROM ev GROUP BY 1
+), c AS (
+  SELECT event_type, n,
+         CAST(n AS DOUBLE) * p11 - CAST(s1 AS DOUBLE) * s1 AS c11,
+         CAST(n AS DOUBLE) * p12 - CAST(s1 AS DOUBLE) * s2 AS c12,
+         CAST(n AS DOUBLE) * p13 - CAST(s1 AS DOUBLE) * s3 AS c13,
+         CAST(n AS DOUBLE) * p22 - CAST(s2 AS DOUBLE) * s2 AS c22,
+         CAST(n AS DOUBLE) * p23 - CAST(s2 AS DOUBLE) * s3 AS c23,
+         CAST(n AS DOUBLE) * p33 - CAST(s3 AS DOUBLE) * s3 AS c33,
+         CAST(n AS DOUBLE) * py1 - CAST(s1 AS DOUBLE) * sy AS b1,
+         CAST(n AS DOUBLE) * py2 - CAST(s2 AS DOUBLE) * sy AS b2,
+         CAST(n AS DOUBLE) * py3 - CAST(s3 AS DOUBLE) * sy AS b3,
+         CAST(n AS DOUBLE) * pyy - CAST(sy AS DOUBLE) * sy AS vy
+  FROM g
+), r AS (
+  SELECT event_type, n,
+         b1 * b1 / (c11 * vy) AS r2a,
+         b2 * b2 / (c22 * vy) AS r2b,
+         b3 * b3 / (c33 * vy) AS r2c,
+         (c22 * b1 * b1 - 2 * c12 * b1 * b2 + c11 * b2 * b2)
+           / ((c11 * c22 - c12 * c12) * vy) AS r2ab,
+         (c33 * b1 * b1 - 2 * c13 * b1 * b3 + c11 * b3 * b3)
+           / ((c11 * c33 - c13 * c13) * vy) AS r2ac,
+         (c33 * b2 * b2 - 2 * c23 * b2 * b3 + c22 * b3 * b3)
+           / ((c22 * c33 - c23 * c23) * vy) AS r2bc,
+         (b1 * ((c22 * c33 - c23 * c23) * b1
+                + (-(c12 * c33 - c13 * c23)) * b2
+                + (c12 * c23 - c13 * c22) * b3)
+          + b2 * ((-(c12 * c33 - c13 * c23)) * b1
+                  + (c11 * c33 - c13 * c13) * b2
+                  + (-(c11 * c23 - c12 * c13)) * b3)
+          + b3 * ((c12 * c23 - c13 * c22) * b1
+                  + (-(c11 * c23 - c12 * c13)) * b2
+                  + (c11 * c22 - c12 * c12) * b3))
+         / ((c11 * (c22 * c33 - c23 * c23)
+             - c12 * (c12 * c33 - c23 * c13)
+             + c13 * (c12 * c23 - c22 * c13)) * vy) AS r2f
+  FROM c
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(floor(r2f * 1000000 + {_OFF}) AS BIGINT) AS r2_full_e6,
+       CAST(floor((r2a / 3.0 + ((r2ab - r2b) + (r2ac - r2c)) / 6.0
+                   + (r2f - r2bc) / 3.0) * 1000000 + {_OFF}) AS BIGINT)
+         AS phi_hour_e6,
+       CAST(floor((r2b / 3.0 + ((r2ab - r2a) + (r2bc - r2c)) / 6.0
+                   + (r2f - r2ac) / 3.0) * 1000000 + {_OFF}) AS BIGINT)
+         AS phi_dow_e6,
+       CAST(floor((r2c / 3.0 + ((r2ac - r2a) + (r2bc - r2b)) / 6.0
+                   + (r2f - r2ab) / 3.0) * 1000000 + {_OFF}) AS BIGINT)
+         AS phi_minute_e6
+FROM r
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# weighted_kappa — quadratic-weighted Cohen's kappa (Cohen 1968)
+# between each user's first and last diel bucket
+# ---------------------------------------------------------------------------
+# kappa_w = 1 - sum O_ij (i-j)^2 / sum E_ij (i-j)^2 with E from the
+# margins; everything exact integers except the final ratio.
+
+
+def q_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.hour("ts") / 6).cast("int").alias("b"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    t = ev.withColumn("rf", F.row_number().over(wo)).withColumn(
+        "rl", F.row_number().over(wd)
+    )
+    first = t.filter(F.col("rf") == 1).select(
+        "user_id", F.col("b").alias("bi")
+    )
+    last = t.filter(F.col("rl") == 1).select(
+        "user_id", F.col("b").alias("bj")
+    )
+    pairs = first.join(last, "user_id")
+    o = pairs.groupBy("bi", "bj").agg(F.count(F.lit(1)).alias("o"))
+    ri = o.groupBy("bi").agg(F.sum("o").alias("ri"))
+    cj = o.groupBy("bj").agg(F.sum("o").alias("cj"))
+    nn = o.groupBy().agg(F.sum("o").alias("nn"))
+    # observed weighted disagreement (exact BIGINT)
+    od = o.select(
+        (F.col("o") * (F.col("bi") - F.col("bj")) * (F.col("bi") - F.col("bj")))
+        .alias("t")
+    ).groupBy().agg(F.sum("t").alias("o_w"))
+    # expected: sum_ij ri*cj*(i-j)^2 (exact BIGINT), scaled by 1/n
+    grid = ri.crossJoin(cj)
+    ed = grid.select(
+        (F.col("ri") * F.col("cj") * (F.col("bi") - F.col("bj"))
+         * (F.col("bi") - F.col("bj"))).alias("t")
+    ).groupBy().agg(F.sum("t").alias("e_w"))
+    j = od.crossJoin(F.broadcast(ed)).crossJoin(F.broadcast(nn))
+    kappa = 1.0 - F.col("o_w").cast("double") * F.col("nn").cast(
+        "double"
+    ) / F.col("e_w").cast("double")
+    return j.select(
+        F.col("nn").cast("long").alias("n_users"),
+        F.col("o_w").cast("long").alias("o_weighted"),
+        F.col("e_w").cast("long").alias("e_weighted_xn"),
+        F.floor(kappa * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "kappa_w_e6"
+        ),
+    )
+
+
+SQL_WKAPPA = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(EXTRACT(hour FROM ts) / 6) AS INT) AS b
+  FROM events
+), t AS (
+  SELECT user_id, b,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rf,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rl
+  FROM ev
+), pairs AS (
+  SELECT f.user_id, f.b AS bi, l.b AS bj
+  FROM (SELECT user_id, b FROM t WHERE rf = 1) f
+  JOIN (SELECT user_id, b FROM t WHERE rl = 1) l
+    ON l.user_id = f.user_id
+), o AS (
+  SELECT bi, bj, count(*) AS o FROM pairs GROUP BY 1, 2
+), ri AS (
+  SELECT bi, CAST(sum(o) AS BIGINT) AS ri FROM o GROUP BY 1
+), cj AS (
+  SELECT bj, CAST(sum(o) AS BIGINT) AS cj FROM o GROUP BY 1
+), nn AS (
+  SELECT CAST(sum(o) AS BIGINT) AS nn FROM o
+), od AS (
+  SELECT CAST(sum(o * (bi - bj) * (bi - bj)) AS BIGINT) AS o_w FROM o
+), ed AS (
+  SELECT CAST(sum(ri * cj * (bi - bj) * (bi - bj)) AS BIGINT) AS e_w
+  FROM ri CROSS JOIN cj
+)
+SELECT nn AS n_users,
+       o_w AS o_weighted,
+       e_w AS e_weighted_xn,
+       CAST(floor((1.0 - CAST(o_w AS DOUBLE) * nn / e_w) * 1000000
+                  + {_OFF}) AS BIGINT) AS kappa_w_e6
+FROM od CROSS JOIN ed CROSS JOIN nn
+"""
+
+
+QUERIES.update(
+    {
+        "greedy_replay_regret": q_greedy_replay_regret,
+        "qini_uplift": q_qini_uplift,
+        "shapley_r2_lmg": q_shapley_r2_lmg,
+        "weighted_kappa": q_weighted_kappa,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "greedy_replay_regret": SQL_REPLAY,
+        "qini_uplift": SQL_QINI,
+        "shapley_r2_lmg": SQL_SHAPLEY,
+        "weighted_kappa": SQL_WKAPPA,
+    }
+)
