@@ -2114,3 +2114,500 @@ ORACLE_SQL.update(
         "weighted_kappa": SQL_WKAPPA,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# prequential_model_select — progressive-validation (Dawid 1984;
+# Blum-Kalai-Langford 1999) MAE duel: global running mean vs
+# hour-of-day running mean
+# ---------------------------------------------------------------------------
+# Both predictors use only STRICTLY PRIOR data (cumulative windows per
+# key / per (key, hour)); absolute errors are floored per row and
+# summed exactly.  The winner column makes the model selection audit
+# explicit.
+
+
+def q_prequential_model_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.hour("ts").alias("hh"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    wg = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wh = Window.partitionBy("event_type", "hh").orderBy(
+        "ts", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    t = (
+        ev.withColumn("cs_g", F.sum("v").over(wg))
+        .withColumn("cn_g", F.count(F.lit(1)).over(wg))
+        .withColumn("cs_h", F.sum("v").over(wh))
+        .withColumn("cn_h", F.count(F.lit(1)).over(wh))
+        .filter((F.col("cn_g") > 0) & (F.col("cn_h") > 0))
+    )
+    pred_g = F.col("cs_g").cast("double") / F.col("cn_g").cast("double")
+    pred_h = F.col("cs_h").cast("double") / F.col("cn_h").cast("double")
+    t = t.withColumn(
+        "e_g",
+        F.floor(F.abs(F.col("v").cast("double") - pred_g) + F.lit(_OFF)).cast(
+            "long"
+        ),
+    ).withColumn(
+        "e_h",
+        F.floor(F.abs(F.col("v").cast("double") - pred_h) + F.lit(_OFF)).cast(
+            "long"
+        ),
+    )
+    agg = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum("e_g").alias("s_eg"),
+        F.sum("e_h").alias("s_eh"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_scored").cast("long").alias("n_scored"),
+        F.floor(
+            F.col("s_eg").cast("double") / F.col("n_scored").cast("double")
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("mae_global_centi"),
+        F.floor(
+            F.col("s_eh").cast("double") / F.col("n_scored").cast("double")
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("mae_hourly_centi"),
+        F.when(F.col("s_eh") < F.col("s_eg"), F.lit("hourly"))
+        .when(F.col("s_eh") > F.col("s_eg"), F.lit("global"))
+        .otherwise(F.lit("tie"))
+        .alias("winner"),
+    ).orderBy("event_type")
+
+
+SQL_PREQUENTIAL = f"""
+WITH ev AS (
+  SELECT event_type, event_id, ts,
+         EXTRACT(hour FROM ts) AS hh,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), t AS (
+  SELECT *,
+         CAST(sum(v) OVER (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT) AS cs_g,
+         count(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cn_g,
+         CAST(sum(v) OVER (PARTITION BY event_type, hh
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT) AS cs_h,
+         count(*) OVER (PARTITION BY event_type, hh ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cn_h
+  FROM ev
+), e AS (
+  SELECT event_type,
+         CAST(floor(abs(CAST(v AS DOUBLE)
+                        - CAST(cs_g AS DOUBLE) / cn_g) + {_OFF}) AS BIGINT)
+           AS e_g,
+         CAST(floor(abs(CAST(v AS DOUBLE)
+                        - CAST(cs_h AS DOUBLE) / cn_h) + {_OFF}) AS BIGINT)
+           AS e_h
+  FROM t WHERE cn_g > 0 AND cn_h > 0
+), agg AS (
+  SELECT event_type, count(*) AS n_scored,
+         CAST(sum(e_g) AS BIGINT) AS s_eg,
+         CAST(sum(e_h) AS BIGINT) AS s_eh
+  FROM e GROUP BY 1
+)
+SELECT event_type,
+       CAST(n_scored AS BIGINT) AS n_scored,
+       CAST(floor(CAST(s_eg AS DOUBLE) / n_scored + {_OFF}) AS BIGINT)
+         AS mae_global_centi,
+       CAST(floor(CAST(s_eh AS DOUBLE) / n_scored + {_OFF}) AS BIGINT)
+         AS mae_hourly_centi,
+       CASE WHEN s_eh < s_eg THEN 'hourly'
+            WHEN s_eh > s_eg THEN 'global'
+            ELSE 'tie' END AS winner
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# srm_check — sample-ratio-mismatch guardrail (the experimentation
+# platform pre-check; Fabijan et al. 2019): weekend-hour share vs the
+# calendar expectation, chi-square with 1 df per event_type
+# ---------------------------------------------------------------------------
+# Expected weekend share = weekend hours / total hours in the window
+# (exact calendar integers — Jan 2024 has 8 weekend days); chi2 from
+# exact counts.
+
+
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (F.dayofweek("ts").isin(1, 7)).cast("long").alias("wk"),
+        F.to_date("ts").alias("day"),
+    )
+    cal = ev.select("day").distinct().select(
+        F.sum(
+            (F.dayofweek("day").isin(1, 7)).cast("long")
+        ).alias("wk_days"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("wk").alias("n_wk"),
+    )
+    j = g.crossJoin(F.broadcast(cal))
+    p0 = F.col("wk_days").cast("double") / F.col("n_days").cast("double")
+    exp_wk = F.col("n").cast("double") * p0
+    exp_wd = F.col("n").cast("double") * (1 - p0)
+    obs_wd = (F.col("n") - F.col("n_wk")).cast("double")
+    chi2 = (
+        F.pow(F.col("n_wk").cast("double") - exp_wk, 2) / exp_wk
+        + F.pow(obs_wd - exp_wd, 2) / exp_wd
+    )
+    return j.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_wk").cast("long").alias("n_weekend"),
+        F.floor(exp_wk * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "expected_weekend_e4"
+        ),
+        F.floor(chi2 * 10_000 + F.lit(_OFF)).cast("long").alias("chi2_e4"),
+        (chi2 > 3.841).cast("long").alias("srm_flag"),
+    ).orderBy("event_type")
+
+
+SQL_SRM = f"""
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS wk,
+         CAST(ts AS DATE) AS day
+  FROM events
+), cal AS (
+  SELECT CAST(sum(CASE WHEN dayofweek(day) IN (0, 6) THEN 1 ELSE 0 END)
+              AS BIGINT) AS wk_days,
+         count(*) AS n_days
+  FROM (SELECT DISTINCT day FROM ev)
+), g AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(wk) AS BIGINT) AS n_wk
+  FROM ev GROUP BY 1
+), f AS (
+  SELECT event_type, n, n_wk,
+         CAST(n AS DOUBLE) * wk_days / n_days AS exp_wk,
+         CAST(n AS DOUBLE) * (1.0 - CAST(wk_days AS DOUBLE) / n_days)
+           AS exp_wd
+  FROM g CROSS JOIN cal
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       n_wk AS n_weekend,
+       CAST(floor(exp_wk * 10000 + {_OFF}) AS BIGINT)
+         AS expected_weekend_e4,
+       CAST(floor(((n_wk - exp_wk) ^ 2 / exp_wk
+                   + ((n - n_wk) - exp_wd) ^ 2 / exp_wd) * 10000 + {_OFF})
+            AS BIGINT) AS chi2_e4,
+       CAST(CASE WHEN ((n_wk - exp_wk) ^ 2 / exp_wk
+                       + ((n - n_wk) - exp_wd) ^ 2 / exp_wd) > 3.841
+                 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+FROM f
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# hausman_test — Hausman (1978) specification test: pooled OLS vs
+# within (fixed-effects) slope of value on hour over user panels
+# ---------------------------------------------------------------------------
+# Within slope = sum_u (Sxy_u - Sx_u Sy_u / n_u) / sum_u (Sxx_u -
+# Sx_u^2 / n_u) — per-user numerators e4-floored before exact sums;
+# the pooled slope and both sampling variances come from the same
+# moment machinery; H = (b_fe - b_ols)^2 / (V_fe - V_ols).
+
+
+def q_hausman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.hour("ts").cast("long").alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("y"),
+    )
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).filter(F.col("m") > 1)
+    md = F.col("m").cast("double")
+    wxy = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double") / md
+    wxx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double") / md
+    wyy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double") / md
+    u = (
+        u.withColumn("wxy_e4", F.floor(wxy * 100 + F.lit(_OFF)).cast("long"))
+        .withColumn("wxx_e4", F.floor(wxx * 100 + F.lit(_OFF)).cast("long"))
+        .withColumn("wyy_e4", F.floor(wyy * 100 + F.lit(_OFF)).cast("long"))
+    )
+    agg = u.groupBy().agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("m").alias("nt"),
+        F.sum("wxy_e4").alias("swxy"),
+        F.sum("wxx_e4").alias("swxx"),
+        F.sum("wyy_e4").alias("swyy"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("sxy").alias("tsxy"),
+        F.sum("syy").alias("tsyy"),
+    )
+    ntd = F.col("nt").cast("double")
+    b_fe = F.col("swxy").cast("double") / F.col("swxx").cast("double")
+    pxx = F.col("tsxx").cast("double") - F.col("tsx").cast("double") * F.col(
+        "tsx"
+    ).cast("double") / ntd
+    pxy = F.col("tsxy").cast("double") - F.col("tsx").cast("double") * F.col(
+        "tsy"
+    ).cast("double") / ntd
+    pyy = F.col("tsyy").cast("double") - F.col("tsy").cast("double") * F.col(
+        "tsy"
+    ).cast("double") / ntd
+    b_ols = pxy / pxx
+    k_users = F.col("n_users").cast("double")
+    sse_fe = (
+        F.col("swyy").cast("double")
+        - b_fe * F.col("swxy").cast("double")
+    ) / 100.0
+    v_fe = sse_fe / (ntd - k_users - 1) / (
+        F.col("swxx").cast("double") / 100.0
+    )
+    sse_ols = pyy - b_ols * pxy
+    v_ols = sse_ols / (ntd - 2) / pxx
+    h = F.pow(b_fe - b_ols, 2) / F.abs(v_fe - v_ols)
+    return agg.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("nt").cast("long").alias("n_obs"),
+        F.floor(b_fe * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "b_within_e6"
+        ),
+        F.floor(b_ols * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "b_pooled_e6"
+        ),
+        F.floor(h * 10_000 + F.lit(_OFF)).cast("long").alias("h_e4"),
+    )
+
+
+SQL_HAUSMAN = f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS y
+  FROM events
+), u AS (
+  SELECT user_id, count(*) AS m,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM ev GROUP BY 1
+  HAVING count(*) > 1
+), fl AS (
+  SELECT m, sx, sy, sxx, sxy, syy,
+         CAST(floor((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / m)
+                    * 100 + {_OFF}) AS BIGINT) AS wxy_e4,
+         CAST(floor((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / m)
+                    * 100 + {_OFF}) AS BIGINT) AS wxx_e4,
+         CAST(floor((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / m)
+                    * 100 + {_OFF}) AS BIGINT) AS wyy_e4
+  FROM u
+), agg AS (
+  SELECT count(*) AS n_users,
+         CAST(sum(m) AS BIGINT) AS nt,
+         CAST(sum(wxy_e4) AS BIGINT) AS swxy,
+         CAST(sum(wxx_e4) AS BIGINT) AS swxx,
+         CAST(sum(wyy_e4) AS BIGINT) AS swyy,
+         CAST(sum(sx) AS BIGINT) AS tsx,
+         CAST(sum(sy) AS BIGINT) AS tsy,
+         CAST(sum(sxx) AS BIGINT) AS tsxx,
+         CAST(sum(sxy) AS BIGINT) AS tsxy,
+         CAST(sum(syy) AS BIGINT) AS tsyy
+  FROM fl
+), f AS (
+  SELECT n_users, nt,
+         CAST(swxy AS DOUBLE) / swxx AS b_fe,
+         (CAST(tsxy AS DOUBLE) - CAST(tsx AS DOUBLE) * tsy / nt)
+           / (CAST(tsxx AS DOUBLE) - CAST(tsx AS DOUBLE) * tsx / nt)
+           AS b_ols,
+         (CAST(swyy AS DOUBLE)
+          - CAST(swxy AS DOUBLE) / swxx * swxy) / 100.0
+           / (nt - n_users - 1)
+           / (CAST(swxx AS DOUBLE) / 100.0) AS v_fe,
+         ((CAST(tsyy AS DOUBLE) - CAST(tsy AS DOUBLE) * tsy / nt)
+          - (CAST(tsxy AS DOUBLE) - CAST(tsx AS DOUBLE) * tsy / nt)
+            * ((CAST(tsxy AS DOUBLE) - CAST(tsx AS DOUBLE) * tsy / nt)
+               / (CAST(tsxx AS DOUBLE) - CAST(tsx AS DOUBLE) * tsx / nt)))
+           / (nt - 2)
+           / (CAST(tsxx AS DOUBLE) - CAST(tsx AS DOUBLE) * tsx / nt)
+           AS v_ols
+  FROM agg
+)
+SELECT CAST(n_users AS BIGINT) AS n_users,
+       nt AS n_obs,
+       CAST(floor(b_fe * 1000000 + {_OFF}) AS BIGINT) AS b_within_e6,
+       CAST(floor(b_ols * 1000000 + {_OFF}) AS BIGINT) AS b_pooled_e6,
+       CAST(floor((b_fe - b_ols) ^ 2 / abs(v_fe - v_ols) * 10000 + {_OFF})
+            AS BIGINT) AS h_e4
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# mincer_zarnowitz — forecast rationality regression (Mincer &
+# Zarnowitz 1969): actual on forecast, H0: intercept 0, slope 1
+# ---------------------------------------------------------------------------
+# Forecast = per-(type, hour) mean from days 1-15; evaluation on days
+# 16-30; OLS from exact sums with t statistics for a = 0 and b = 1.
+
+
+def q_mincer_zarnowitz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.dayofmonth("ts").alias("dom"),
+        F.hour("ts").alias("hh"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    train = ev.filter(F.col("dom") <= 15)
+    test = ev.filter(F.col("dom") > 15)
+    fc = train.groupBy("event_type", "hh").agg(
+        F.floor(
+            F.sum("v").cast("double") / F.count(F.lit(1)).cast("double")
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("f")
+    )
+    t = test.join(F.broadcast(fc), ["event_type", "hh"])
+    g = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("f").alias("sx"),
+        F.sum("v").alias("sy"),
+        F.sum(F.col("f") * F.col("f")).alias("sxx"),
+        F.sum(F.col("f") * F.col("v")).alias("sxy"),
+        F.sum(F.col("v") * F.col("v")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxx_c = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double") / nd
+    sxy_c = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double") / nd
+    syy_c = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double") / nd
+    b = sxy_c / sxx_c
+    a = (F.col("sy").cast("double") - b * F.col("sx").cast("double")) / nd
+    sse = syy_c - b * sxy_c
+    s2 = sse / (nd - 2)
+    se_b = F.sqrt(s2 / sxx_c)
+    se_a = F.sqrt(
+        s2 * (1.0 / nd + (F.col("sx").cast("double") / nd)
+              * (F.col("sx").cast("double") / nd) / sxx_c)
+    )
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(a + F.lit(_OFF)).cast("long").alias("a_centi"),
+        F.floor(b * 1_000_000 + F.lit(_OFF)).cast("long").alias("b_e6"),
+        F.floor(a / se_a * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "t_a0_e4"
+        ),
+        F.floor((b - 1.0) / se_b * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "t_b1_e4"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_MZ = f"""
+WITH ev AS (
+  SELECT event_type,
+         EXTRACT(day FROM ts) AS dom,
+         EXTRACT(hour FROM ts) AS hh,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), fc AS (
+  SELECT event_type, hh,
+         CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) + {_OFF}) AS BIGINT)
+           AS f
+  FROM ev WHERE dom <= 15
+  GROUP BY 1, 2
+), t AS (
+  SELECT ev.event_type, f, v
+  FROM ev JOIN fc ON fc.event_type = ev.event_type AND fc.hh = ev.hh
+  WHERE dom > 15
+), g AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(f) AS BIGINT) AS sx,
+         CAST(sum(v) AS BIGINT) AS sy,
+         CAST(sum(f * f) AS BIGINT) AS sxx,
+         CAST(sum(f * v) AS BIGINT) AS sxy,
+         CAST(sum(v * v) AS BIGINT) AS syy
+  FROM t GROUP BY 1
+), c AS (
+  SELECT event_type, n,
+         CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS sxx_c,
+         CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n AS sxy_c,
+         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS syy_c,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM g
+), f2 AS (
+  SELECT event_type, n, sxx_c,
+         sxy_c / sxx_c AS b,
+         (syd - sxy_c / sxx_c * sxd) / n AS a,
+         (syy_c - sxy_c / sxx_c * sxy_c) / (n - 2) AS s2,
+         sxd / n AS xbar
+  FROM c
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(floor(a + {_OFF}) AS BIGINT) AS a_centi,
+       CAST(floor(b * 1000000 + {_OFF}) AS BIGINT) AS b_e6,
+       CAST(floor(a / sqrt(s2 * (1.0 / n + xbar * xbar / sxx_c)) * 10000
+                  + {_OFF}) AS BIGINT) AS t_a0_e4,
+       CAST(floor((b - 1.0) / sqrt(s2 / sxx_c) * 10000 + {_OFF}) AS BIGINT)
+         AS t_b1_e4
+FROM f2
+ORDER BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "prequential_model_select": q_prequential_model_select,
+        "srm_check": q_srm_check,
+        "hausman_test": q_hausman_test,
+        "mincer_zarnowitz": q_mincer_zarnowitz,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "prequential_model_select": SQL_PREQUENTIAL,
+        "srm_check": SQL_SRM,
+        "hausman_test": SQL_HAUSMAN,
+        "mincer_zarnowitz": SQL_MZ,
+    }
+)
