@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from diive_spark.queries_stats2 import _OFF
@@ -391,5 +391,414 @@ ORACLE_SQL.update(
         "spiegelhalter_z": SQL_SPIEGEL,
         "ece_audit": SQL_ECE,
         "kish_deff": SQL_KISH,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Forecast-evaluation scaffold: two competing in-engine forecasts on
+# the test half (days 16-30) — f1 = per-(type, hour) train mean
+# ("hourly model"), f2 = per-type train mean ("climatology") — with
+# exact centi-integer errors.
+# ---------------------------------------------------------------------------
+
+
+def _forecast_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.dayofmonth("ts").alias("dom"),
+        F.hour("ts").alias("hh"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    train = ev.filter(F.col("dom") <= 15)
+    f1 = train.groupBy("event_type", "hh").agg(
+        F.floor(F.sum("v") / F.count(F.lit(1))).cast("long").alias("f1")
+    )
+    f2 = train.groupBy("event_type").agg(
+        F.floor(F.sum("v") / F.count(F.lit(1))).cast("long").alias("f2")
+    )
+    t = (
+        ev.filter(F.col("dom") > 15)
+        .join(F.broadcast(f1), ["event_type", "hh"])
+        .join(F.broadcast(f2), "event_type")
+    )
+    return t.select(
+        "event_type",
+        (F.col("v") - F.col("f1")).alias("e1"),
+        (F.col("v") - F.col("f2")).alias("e2"),
+        (F.col("f1") - F.col("f2")).alias("x"),
+    )
+
+
+_SQL_FCERR = f"""
+  ev AS (
+    SELECT event_type,
+           EXTRACT(day FROM ts) AS dom,
+           EXTRACT(hour FROM ts) AS hh,
+           CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+    FROM events
+  ), f1 AS (
+    SELECT event_type, hh,
+           CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS f1
+    FROM ev WHERE dom <= 15 GROUP BY 1, 2
+  ), f2 AS (
+    SELECT event_type,
+           CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS f2
+    FROM ev WHERE dom <= 15 GROUP BY 1
+  ), errs AS (
+    SELECT ev.event_type, v - f1.f1 AS e1, v - f2.f2 AS e2,
+           f1.f1 - f2.f2 AS x
+    FROM ev
+    JOIN f1 ON f1.event_type = ev.event_type AND f1.hh = ev.hh
+    JOIN f2 ON f2.event_type = ev.event_type
+    WHERE dom > 15
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# diebold_mariano — equal-predictive-accuracy test (Diebold & Mariano
+# 1995), squared-error loss, 1-step variance
+# ---------------------------------------------------------------------------
+# Loss differential d = e1^2 - e2^2 is an EXACT integer per row; the
+# statistic is computed on d/1e4 (centi^2 -> value^2 scale), whose
+# per-row floor keeps sum(dk^2) inside BIGINT at any realistic SF.
+# DM = dbar / sqrt(var(d)/n); negative favors the hourly model.
+
+
+def q_diebold_mariano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _forecast_errors(spark, sf_dir).select(
+        "event_type",
+        F.floor(
+            (
+                F.col("e1") * F.col("e1") - F.col("e2") * F.col("e2")
+            ).cast("double")
+            / 10_000.0
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("dk"),
+    )
+    g = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dk").alias("sd"),
+        F.sum(F.col("dk") * F.col("dk")).alias("sdd"),
+    )
+    nd = F.col("n").cast("double")
+    dbar = F.col("sd").cast("double") / nd
+    vard = (
+        F.col("sdd").cast("double") - nd * dbar * dbar
+    ) / (nd - 1.0)
+    dm = dbar / F.sqrt(vard / nd)
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_test"),
+        F.floor(dbar * 100 + F.lit(_OFF)).cast("long").alias("dbar_centi"),
+        F.floor(dm * 10_000 + F.lit(_OFF)).cast("long").alias("dm_e4"),
+        (dm < -1.959964).cast("long").alias("hourly_wins"),
+    ).orderBy("event_type")
+
+
+SQL_DM = f"""
+WITH {_SQL_FCERR}, d AS (
+  SELECT event_type,
+         CAST(floor(CAST(e1 * e1 - e2 * e2 AS DOUBLE) / 10000.0 + {_OFF})
+              AS BIGINT) AS dk
+  FROM errs
+), g AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(dk) AS BIGINT) AS sd,
+         CAST(sum(dk * dk) AS BIGINT) AS sdd
+  FROM d GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_test,
+       CAST(floor(CAST(sd AS DOUBLE) / n * 100 + {_OFF}) AS BIGINT)
+         AS dbar_centi,
+       CAST(floor(CAST(sd AS DOUBLE) / n
+                  / sqrt(((sdd - CAST(sd AS DOUBLE) * sd / n) / (n - 1.0))
+                         / n) * 10000 + {_OFF}) AS BIGINT) AS dm_e4,
+       CAST(CASE WHEN CAST(sd AS DOUBLE) / n
+                      / sqrt(((sdd - CAST(sd AS DOUBLE) * sd / n)
+                              / (n - 1.0)) / n) < -1.959964
+                 THEN 1 ELSE 0 END AS BIGINT) AS hourly_wins
+FROM g ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# forecast_encompassing — does the hourly model encompass climatology?
+# (Harvey-Leybourne-Newbold 1998 regression form): e1 on (f1 - f2)
+# ---------------------------------------------------------------------------
+# lambda = sum(e1 x)/sum(x^2) with x = f1 - f2; t-stat from the OLS
+# through-origin SE.  All moments exact BIGINT.  lambda near 0 =>
+# climatology adds nothing.
+
+
+def q_forecast_encompassing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _forecast_errors(spark, sf_dir)
+    g = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("e1") * F.col("x")).alias("sex"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("e1") * F.col("e1")).alias("see"),
+    )
+    lam = F.col("sex").cast("double") / F.col("sxx").cast("double")
+    sse = F.col("see").cast("double") - lam * F.col("sex").cast("double")
+    se = F.sqrt(
+        sse / (F.col("n").cast("double") - 1.0)
+        / F.col("sxx").cast("double")
+    )
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_test"),
+        F.floor(lam * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "lambda_e6"
+        ),
+        F.floor(lam / se * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "t_e4"
+        ),
+        (F.abs(lam / se) > 1.959964).cast("long").alias(
+            "climatology_adds_info"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_ENC = f"""
+WITH {_SQL_FCERR}, g AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(e1 * x) AS BIGINT) AS sex,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(e1 * e1) AS BIGINT) AS see
+  FROM errs GROUP BY 1
+), f AS (
+  SELECT event_type, n,
+         CAST(sex AS DOUBLE) / sxx AS lam,
+         sqrt((see - CAST(sex AS DOUBLE) / sxx * sex) / (n - 1.0) / sxx)
+           AS se
+  FROM g
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_test,
+       CAST(floor(lam * 1000000 + {_OFF}) AS BIGINT) AS lambda_e6,
+       CAST(floor(lam / se * 10000 + {_OFF}) AS BIGINT) AS t_e4,
+       CAST(CASE WHEN abs(lam / se) > 1.959964 THEN 1 ELSE 0 END AS BIGINT)
+         AS climatology_adds_info
+FROM f ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# bates_granger_combo — optimal linear forecast combination (Bates &
+# Granger 1969): weight on climatology and the combined MSE
+# ---------------------------------------------------------------------------
+# w* = (s11 - s12) / (s11 + s22 - 2 s12); MSE_c = s11 - (s11-s12)^2 /
+# (s11 + s22 - 2 s12).  Error moments are exact BIGINTs.
+
+
+def q_bates_granger_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _forecast_errors(spark, sf_dir)
+    g = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("e1") * F.col("e1")).alias("s11"),
+        F.sum(F.col("e2") * F.col("e2")).alias("s22"),
+        F.sum(F.col("e1") * F.col("e2")).alias("s12"),
+    )
+    nd = F.col("n").cast("double")
+    s11 = F.col("s11").cast("double") / nd
+    s22 = F.col("s22").cast("double") / nd
+    s12 = F.col("s12").cast("double") / nd
+    den = s11 + s22 - 2.0 * s12
+    w = (s11 - s12) / den
+    msec = s11 - F.pow(s11 - s12, 2) / den
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_test"),
+        F.floor(w * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "w_climatology_e6"
+        ),
+        F.floor(s11 / 10_000.0 + F.lit(_OFF)).cast("long").alias("mse_hourly"),
+        F.floor(s22 / 10_000.0 + F.lit(_OFF)).cast("long").alias(
+            "mse_climatology"
+        ),
+        F.floor(msec / 10_000.0 + F.lit(_OFF)).cast("long").alias(
+            "mse_combined"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_BG = f"""
+WITH {_SQL_FCERR}, g AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(e1 * e1) AS BIGINT) AS s11,
+         CAST(sum(e2 * e2) AS BIGINT) AS s22,
+         CAST(sum(e1 * e2) AS BIGINT) AS s12
+  FROM errs GROUP BY 1
+), m AS (
+  SELECT event_type, n,
+         CAST(s11 AS DOUBLE) / n AS m11,
+         CAST(s22 AS DOUBLE) / n AS m22,
+         CAST(s12 AS DOUBLE) / n AS m12
+  FROM g
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_test,
+       CAST(floor((m11 - m12) / (m11 + m22 - 2.0 * m12) * 1000000 + {_OFF})
+            AS BIGINT) AS w_climatology_e6,
+       CAST(floor(m11 / 10000.0 + {_OFF}) AS BIGINT) AS mse_hourly,
+       CAST(floor(m22 / 10000.0 + {_OFF}) AS BIGINT) AS mse_climatology,
+       CAST(floor((m11 - (m11 - m12) ^ 2 / (m11 + m22 - 2.0 * m12))
+                  / 10000.0 + {_OFF}) AS BIGINT) AS mse_combined
+FROM m ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# pesaran_timmermann — directional forecast accuracy test (Pesaran &
+# Timmermann 1992) on the test-half daily-mean series
+# ---------------------------------------------------------------------------
+# Actual direction: day-over-day daily-mean change, compared EXACTLY
+# by integer cross-multiplication (s_t * n_{t-1} > s_{t-1} * n_t).
+# Forecast direction: the train-half day-of-week mean profile applied
+# to the same day pairs, compared the same exact way.  PT statistic
+# from the 1992 closed form with independence variance.
+
+
+def q_pesaran_timmermann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.dayofmonth("ts").alias("dom"),
+        F.dayofweek("ts").alias("dow"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    dowp = ev.filter(F.col("dom") <= 15).groupBy("event_type", "dow").agg(
+        F.sum("v").alias("ps"), F.count(F.lit(1)).alias("pn")
+    )
+    daily = (
+        ev.filter(F.col("dom") > 15)
+        .groupBy("event_type", "dom", "dow")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(dowp), ["event_type", "dow"])
+    )
+    w = Window.partitionBy("event_type").orderBy("dom")
+    d = (
+        daily.withColumn("ls", F.lag("s").over(w))
+        .withColumn("ln", F.lag("n").over(w))
+        .withColumn("lps", F.lag("ps").over(w))
+        .withColumn("lpn", F.lag("pn").over(w))
+        .filter(F.col("ls").isNotNull())
+    )
+    x = (F.col("s") * F.col("ln") > F.col("ls") * F.col("n")).cast("long")
+    y = (F.col("ps") * F.col("lpn") > F.col("lps") * F.col("pn")).cast(
+        "long"
+    )
+    d = d.select("event_type", x.alias("x"), y.alias("y"))
+    g = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(
+            (F.col("x") == F.col("y")).cast("long")
+        ).alias("hits"),
+    )
+    nd = F.col("n").cast("double")
+    px = F.col("sx").cast("double") / nd
+    py = F.col("sy").cast("double") / nd
+    phat = F.col("hits").cast("double") / nd
+    pstar = px * py + (1.0 - px) * (1.0 - py)
+    vhat = pstar * (1.0 - pstar) / nd
+    vstar = (
+        F.pow(2.0 * py - 1.0, 2) * px * (1.0 - px) / nd
+        + F.pow(2.0 * px - 1.0, 2) * py * (1.0 - py) / nd
+        + 4.0 * px * py * (1.0 - px) * (1.0 - py) / (nd * nd)
+    )
+    pt = (phat - pstar) / F.sqrt(vhat - vstar)
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.col("hits").cast("long").alias("n_hits"),
+        F.floor(pstar * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "pstar_e4"
+        ),
+        F.floor(pt * 10_000 + F.lit(_OFF)).cast("long").alias("pt_e4"),
+    ).orderBy("event_type")
+
+
+SQL_PT = f"""
+WITH ev AS (
+  SELECT event_type,
+         EXTRACT(day FROM ts) AS dom,
+         dayofweek(ts) AS dow,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), dowp AS (
+  SELECT event_type, dow,
+         CAST(sum(v) AS BIGINT) AS ps, count(*) AS pn
+  FROM ev WHERE dom <= 15 GROUP BY 1, 2
+), daily AS (
+  SELECT ev.event_type, dom, ev.dow,
+         CAST(sum(v) AS BIGINT) AS s, count(*) AS n,
+         any_value(ps) AS ps, any_value(pn) AS pn
+  FROM ev JOIN dowp ON dowp.event_type = ev.event_type
+                   AND dowp.dow = ev.dow
+  WHERE dom > 15 GROUP BY 1, 2, 3
+), lagged AS (
+  SELECT event_type, s, n, ps, pn,
+         lag(s) OVER w AS ls, lag(n) OVER w AS ln,
+         lag(ps) OVER w AS lps, lag(pn) OVER w AS lpn
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY dom)
+), d AS (
+  SELECT event_type,
+         CASE WHEN s * ln > ls * n THEN 1 ELSE 0 END AS x,
+         CASE WHEN ps * lpn > lps * pn THEN 1 ELSE 0 END AS y
+  FROM lagged WHERE ls IS NOT NULL
+), g AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(CASE WHEN x = y THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM d GROUP BY 1
+), f AS (
+  SELECT event_type, n, hits,
+         CAST(sx AS DOUBLE) / n AS px,
+         CAST(sy AS DOUBLE) / n AS py,
+         CAST(hits AS DOUBLE) / n AS phat
+  FROM g
+), f2 AS (
+  SELECT event_type, n, hits, px, py, phat,
+         px * py + (1.0 - px) * (1.0 - py) AS pstar,
+         (px * py + (1.0 - px) * (1.0 - py))
+           * (1.0 - px * py - (1.0 - px) * (1.0 - py)) / n AS vhat,
+         (2.0 * py - 1.0) ^ 2 * px * (1.0 - px) / n
+           + (2.0 * px - 1.0) ^ 2 * py * (1.0 - py) / n
+           + 4.0 * px * py * (1.0 - px) * (1.0 - py)
+             / (CAST(n AS DOUBLE) * n) AS vstar
+  FROM f
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_pairs,
+       hits AS n_hits,
+       CAST(floor(pstar * 10000 + {_OFF}) AS BIGINT) AS pstar_e4,
+       CAST(floor((phat - pstar) / sqrt(vhat - vstar) * 10000 + {_OFF})
+            AS BIGINT) AS pt_e4
+FROM f2 ORDER BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "diebold_mariano": q_diebold_mariano,
+        "pesaran_timmermann": q_pesaran_timmermann,
+        "forecast_encompassing": q_forecast_encompassing,
+        "bates_granger_combo": q_bates_granger_combo,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "diebold_mariano": SQL_DM,
+        "pesaran_timmermann": SQL_PT,
+        "forecast_encompassing": SQL_ENC,
+        "bates_granger_combo": SQL_BG,
     }
 )
