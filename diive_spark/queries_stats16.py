@@ -802,3 +802,514 @@ ORACLE_SQL.update(
         "bates_granger_combo": SQL_BG,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# kulldorff_hour_scan — Kulldorff (1997) Poisson scan statistic over
+# circular hour-of-day windows (width 1..12): which window of the day
+# over-represents each event type vs the all-types baseline?
+# ---------------------------------------------------------------------------
+# Candidate windows are enumerated as a tiny (24 x 12) dimension and
+# broadcast; counts are exact integers, the high-side condition c/E>1
+# is the exact integer cross-product c*B > C*b, and ties break by
+# (llr desc, width asc, start asc) through an integer rank.
+
+
+def q_kulldorff_hour_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.hour("ts").alias("hh")
+    )
+    hc = ev.groupBy("event_type", "hh").agg(
+        F.count(F.lit(1)).alias("c_th")
+    )
+    tot_h = ev.groupBy("hh").agg(F.count(F.lit(1)).alias("n_h"))
+    wins = (
+        spark.range(24)
+        .select(F.col("id").cast("int").alias("start"))
+        .crossJoin(
+            spark.range(1, 13).select(F.col("id").cast("int").alias("width"))
+        )
+    )
+    memb = F.pmod(F.col("hh") - F.col("start") + 24, F.lit(24)) < F.col(
+        "width"
+    )
+    cases = (
+        hc.crossJoin(F.broadcast(wins))
+        .filter(memb)
+        .groupBy("event_type", "start", "width")
+        .agg(F.sum("c_th").alias("c"))
+    )
+    base = (
+        tot_h.crossJoin(F.broadcast(wins))
+        .filter(memb)
+        .groupBy("start", "width")
+        .agg(F.sum("n_h").alias("b"))
+    )
+    totals = hc.groupBy("event_type").agg(F.sum("c_th").alias("ctot"))
+    big = ev.groupBy().agg(F.count(F.lit(1)).alias("btot"))
+    t = (
+        cases.join(F.broadcast(base), ["start", "width"])
+        .join(F.broadcast(totals), "event_type")
+        .crossJoin(F.broadcast(big))
+    )
+    c = F.col("c").cast("double")
+    ctot = F.col("ctot").cast("double")
+    e = ctot * F.col("b").cast("double") / F.col("btot").cast("double")
+    high = F.col("c") * F.col("btot") > F.col("ctot") * F.col("b")
+    llr = F.when(
+        high,
+        c * F.log(c / e)
+        + F.when(
+            F.col("c") < F.col("ctot"),
+            (ctot - c) * F.log((ctot - c) / (ctot - e)),
+        ).otherwise(F.lit(0.0)),
+    ).otherwise(F.lit(0.0))
+    t = t.withColumn(
+        "llr_e6", F.floor(llr * 1_000_000 + F.lit(_OFF)).cast("long")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("llr_e6").desc(), F.col("width").asc(), F.col("start").asc()
+    )
+    return (
+        t.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("start").cast("long").alias("win_start_hh"),
+            F.col("width").cast("long").alias("win_width_h"),
+            F.col("c").cast("long").alias("cases_in_win"),
+            F.floor(e + F.lit(_OFF)).cast("long").alias("expected_in_win"),
+            F.col("llr_e6").alias("llr_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_KULLDORFF = f"""
+WITH ev AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hh FROM events
+), hc AS (
+  SELECT event_type, hh, count(*) AS c_th FROM ev GROUP BY 1, 2
+), tot_h AS (
+  SELECT hh, count(*) AS n_h FROM ev GROUP BY 1
+), wins AS (
+  SELECT s.s AS start, w.w AS width
+  FROM generate_series(0, 23) AS s(s), generate_series(1, 12) AS w(w)
+), cases AS (
+  SELECT event_type, start, width, CAST(sum(c_th) AS BIGINT) AS c
+  FROM hc, wins
+  WHERE ((hh - start + 24) % 24) < width
+  GROUP BY 1, 2, 3
+), base AS (
+  SELECT start, width, CAST(sum(n_h) AS BIGINT) AS b
+  FROM tot_h, wins
+  WHERE ((hh - start + 24) % 24) < width
+  GROUP BY 1, 2
+), totals AS (
+  SELECT event_type, CAST(sum(c_th) AS BIGINT) AS ctot FROM hc GROUP BY 1
+), big AS (
+  SELECT count(*) AS btot FROM ev
+), t AS (
+  SELECT cases.event_type, cases.start, cases.width, c, b, ctot, btot,
+         CAST(ctot AS DOUBLE) * b / btot AS e
+  FROM cases
+  JOIN base USING (start, width)
+  JOIN totals ON totals.event_type = cases.event_type
+  CROSS JOIN big
+), scored AS (
+  SELECT event_type, start, width, c, e,
+         CAST(floor(CASE WHEN c * btot > ctot * b THEN
+                 c * ln(CAST(c AS DOUBLE) / e)
+                 + CASE WHEN c < ctot
+                        THEN (ctot - c) * ln((ctot - c) / (ctot - e))
+                        ELSE 0.0 END
+               ELSE 0.0 END * 1000000 + {_OFF}) AS BIGINT) AS llr_e6
+  FROM t
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY llr_e6 DESC, width ASC, start ASC) AS rn
+  FROM scored
+)
+SELECT event_type,
+       CAST(start AS BIGINT) AS win_start_hh,
+       CAST(width AS BIGINT) AS win_width_h,
+       c AS cases_in_win,
+       CAST(floor(e + {_OFF}) AS BIGINT) AS expected_in_win,
+       llr_e6
+FROM ranked WHERE rn = 1 ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# sokolove_bushell — chi-square periodogram (Sokolove & Bushell 1978):
+# Qp over candidate periods 12..36 h on the hourly-count series
+# ---------------------------------------------------------------------------
+# Qp = N * sum_h K_h (M_h - Mbar)^2 / sum_i (x_i - Mbar)^2 with phase
+# h = t mod p.  Per-phase and per-row squared terms are e6-floored
+# before exact summation; the winner is Qp normalized by df = p - 1.
+
+
+def q_sokolove_bushell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (
+            F.dayofmonth("ts").cast("long") * 24
+            + F.hour("ts").cast("long")
+        ).alias("t"),
+    )
+    x = ev.groupBy("event_type", "t").agg(F.count(F.lit(1)).alias("x"))
+    g = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    xg = x.join(F.broadcast(g), "event_type")
+    mbar = F.col("s").cast("double") / F.col("n").cast("double")
+    den = xg.select(
+        "event_type",
+        F.floor(F.pow(F.col("x").cast("double") - mbar, 2) * 1_000_000
+                + F.lit(_OFF)).cast("long").alias("d_e6"),
+    ).groupBy("event_type").agg(F.sum("d_e6").alias("den_e6"))
+    periods = spark.range(12, 37).select(
+        F.col("id").cast("int").alias("p")
+    )
+    ph = (
+        x.crossJoin(F.broadcast(periods))
+        .withColumn("h", F.pmod(F.col("t"), F.col("p")))
+        .groupBy("event_type", "p", "h")
+        .agg(F.count(F.lit(1)).alias("k"), F.sum("x").alias("sh"))
+        .join(F.broadcast(g), "event_type")
+    )
+    term = (
+        F.col("k").cast("double")
+        * F.pow(
+            F.col("sh").cast("double") / F.col("k").cast("double")
+            - F.col("s").cast("double") / F.col("n").cast("double"),
+            2,
+        )
+    )
+    num = ph.select(
+        "event_type",
+        "p",
+        F.floor(term * 1_000_000 + F.lit(_OFF)).cast("long").alias("t_e6"),
+    ).groupBy("event_type", "p").agg(F.sum("t_e6").alias("num_e6"))
+    q = (
+        num.join(F.broadcast(den), "event_type")
+        .join(F.broadcast(g), "event_type")
+        .withColumn(
+            "qp_e4",
+            F.floor(
+                F.col("n").cast("double")
+                * F.col("num_e6").cast("double")
+                / F.col("den_e6").cast("double")
+                * 10_000
+                + F.lit(_OFF)
+            ).cast("long"),
+        )
+        .withColumn(
+            "qpn_e4",
+            F.floor(
+                F.col("n").cast("double")
+                * F.col("num_e6").cast("double")
+                / F.col("den_e6").cast("double")
+                / (F.col("p").cast("double") - 1.0)
+                * 10_000
+                + F.lit(_OFF)
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("qpn_e4").desc(), F.col("p").asc()
+    )
+    return (
+        q.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("p").cast("long").alias("best_period_h"),
+            "qp_e4",
+            "qpn_e4",
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_SB = f"""
+WITH ev AS (
+  SELECT event_type,
+         EXTRACT(day FROM ts) * 24 + EXTRACT(hour FROM ts) AS t
+  FROM events
+), x AS (
+  SELECT event_type, t, count(*) AS x FROM ev GROUP BY 1, 2
+), g AS (
+  SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS s
+  FROM x GROUP BY 1
+), den AS (
+  SELECT x.event_type,
+         CAST(sum(CAST(floor((x - CAST(s AS DOUBLE) / n) ^ 2 * 1000000
+                             + {_OFF}) AS BIGINT)) AS BIGINT) AS den_e6
+  FROM x JOIN g ON g.event_type = x.event_type
+  GROUP BY 1
+), ph AS (
+  SELECT x.event_type, p.p AS p, x.t % p.p AS h,
+         count(*) AS k, CAST(sum(x) AS BIGINT) AS sh
+  FROM x, generate_series(12, 36) AS p(p)
+  GROUP BY 1, 2, 3
+), num AS (
+  SELECT ph.event_type, p,
+         CAST(sum(CAST(floor(k * (CAST(sh AS DOUBLE) / k
+                                  - CAST(s AS DOUBLE) / n) ^ 2 * 1000000
+                             + {_OFF}) AS BIGINT)) AS BIGINT) AS num_e6
+  FROM ph JOIN g ON g.event_type = ph.event_type
+  GROUP BY 1, 2
+), q AS (
+  SELECT num.event_type, p,
+         CAST(floor(n * CAST(num_e6 AS DOUBLE) / den_e6 * 10000 + {_OFF})
+              AS BIGINT) AS qp_e4,
+         CAST(floor(n * CAST(num_e6 AS DOUBLE) / den_e6 / (p - 1.0)
+                    * 10000 + {_OFF}) AS BIGINT) AS qpn_e4
+  FROM num
+  JOIN den ON den.event_type = num.event_type
+  JOIN g ON g.event_type = num.event_type
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY qpn_e4 DESC, p ASC) AS rn
+  FROM q
+)
+SELECT event_type,
+       CAST(p AS BIGINT) AS best_period_h,
+       qp_e4, qpn_e4
+FROM ranked WHERE rn = 1 ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# foster_stuart — records-based trend test (Foster & Stuart 1954) on
+# the daily-max series: D = upper - lower records, S = both
+# ---------------------------------------------------------------------------
+# Records via cumulative max/min windows on exact daily-max integers;
+# Var(D) = 2 * sum_{t=2..n} 1/t (independence null), z = D/sqrt(var).
+
+
+def q_foster_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.dayofmonth("ts").alias("dom"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    daily = ev.groupBy("event_type", "dom").agg(F.max("v").alias("mx"))
+    w = Window.partitionBy("event_type").orderBy("dom")
+    prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    d = (
+        daily.withColumn("pmax", F.max("mx").over(prior))
+        .withColumn("pmin", F.min("mx").over(prior))
+        .withColumn("t", F.row_number().over(w))
+        .filter(F.col("t") >= 2)
+        .withColumn("u", (F.col("mx") > F.col("pmax")).cast("long"))
+        .withColumn("l", (F.col("mx") < F.col("pmin")).cast("long"))
+    )
+    g = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("npairs"),
+        F.sum(F.col("u") - F.col("l")).alias("dstat"),
+        F.sum(F.col("u") + F.col("l")).alias("sstat"),
+        F.sum(2.0 / F.col("t").cast("double")).alias("vard"),
+    )
+    z = F.col("dstat").cast("double") / F.sqrt(F.col("vard"))
+    return g.select(
+        "event_type",
+        (F.col("npairs") + 1).cast("long").alias("n_days"),
+        F.col("dstat").cast("long").alias("d_stat"),
+        F.col("sstat").cast("long").alias("s_stat"),
+        F.floor(z * 10_000 + F.lit(_OFF)).cast("long").alias("z_e4"),
+    ).orderBy("event_type")
+
+
+SQL_FS = f"""
+WITH ev AS (
+  SELECT event_type, EXTRACT(day FROM ts) AS dom,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), daily AS (
+  SELECT event_type, dom, max(v) AS mx FROM ev GROUP BY 1, 2
+), d AS (
+  SELECT event_type, mx,
+         max(mx) OVER w AS pmax,
+         min(mx) OVER w AS pmin,
+         row_number() OVER (PARTITION BY event_type ORDER BY dom) AS t
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY dom
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), r AS (
+  SELECT event_type, t,
+         CASE WHEN mx > pmax THEN 1 ELSE 0 END AS u,
+         CASE WHEN mx < pmin THEN 1 ELSE 0 END AS l
+  FROM d WHERE t >= 2
+), g AS (
+  SELECT event_type, count(*) AS npairs,
+         CAST(sum(u - l) AS BIGINT) AS dstat,
+         CAST(sum(u + l) AS BIGINT) AS sstat,
+         sum(2.0 / t) AS vard
+  FROM r GROUP BY 1
+)
+SELECT event_type,
+       CAST(npairs + 1 AS BIGINT) AS n_days,
+       dstat AS d_stat,
+       sstat AS s_stat,
+       CAST(floor(dstat / sqrt(vard) * 10000 + {_OFF}) AS BIGINT) AS z_e4
+FROM g ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# mantel_corr — Mantel (1967) correlation between two inter-type
+# distance matrices: hourly-profile L1 distance vs |mean-value gap|
+# ---------------------------------------------------------------------------
+# Upper-triangle pairs only (10 pairs over 5 types); both distances
+# are e6 integers from exact count/sum arithmetic, the Pearson r over
+# pairs from exact integer moments.
+
+
+def q_mantel_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.hour("ts").alias("hh"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    prof = ev.groupBy("event_type", "hh").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    p = prof.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hh",
+        F.floor(
+            F.col("c").cast("double") / F.col("n").cast("double") * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("share_e6"),
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.hh") == F.col("b.hh"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).groupBy(
+        F.col("a.event_type").alias("t1"),
+        F.col("b.event_type").alias("t2"),
+    ).agg(
+        F.sum(F.abs(F.col("a.share_e6") - F.col("b.share_e6"))).alias(
+            "d1_e6"
+        )
+    )
+    ta = tot.alias("ta")
+    tb = tot.alias("tb")
+    mg = ta.join(
+        tb, F.col("ta.event_type") < F.col("tb.event_type")
+    ).select(
+        F.col("ta.event_type").alias("t1"),
+        F.col("tb.event_type").alias("t2"),
+        F.floor(
+            F.abs(
+                F.col("ta.s").cast("double") / F.col("ta.n").cast("double")
+                - F.col("tb.s").cast("double") / F.col("tb.n").cast("double")
+            )
+            * 100
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("d2_e4"),
+    )
+    t = pairs.join(mg, ["t1", "t2"])
+    g = t.groupBy().agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("d1_e6").alias("s1"),
+        F.sum("d2_e4").alias("s2"),
+        F.sum(F.col("d1_e6") * F.col("d1_e6")).alias("s11"),
+        F.sum(F.col("d2_e4") * F.col("d2_e4")).alias("s22"),
+        F.sum(F.col("d1_e6") * F.col("d2_e4")).alias("s12"),
+    )
+    md = F.col("m").cast("double")
+    cov = F.col("s12").cast("double") - F.col("s1").cast("double") * F.col(
+        "s2"
+    ).cast("double") / md
+    v1 = F.col("s11").cast("double") - F.pow(
+        F.col("s1").cast("double"), 2
+    ) / md
+    v2 = F.col("s22").cast("double") - F.pow(
+        F.col("s2").cast("double"), 2
+    ) / md
+    r = cov / F.sqrt(v1 * v2)
+    return g.select(
+        F.col("m").cast("long").alias("n_pairs"),
+        F.floor(r * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "mantel_r_e6"
+        ),
+    )
+
+
+SQL_MANTEL = f"""
+WITH ev AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hh,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), prof AS (
+  SELECT event_type, hh, count(*) AS c FROM ev GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, count(*) AS n, CAST(sum(v) AS BIGINT) AS s
+  FROM ev GROUP BY 1
+), p AS (
+  SELECT prof.event_type, hh,
+         CAST(floor(CAST(c AS DOUBLE) / n * 1000000 + {_OFF}) AS BIGINT)
+           AS share_e6
+  FROM prof JOIN tot ON tot.event_type = prof.event_type
+), pairs AS (
+  SELECT a.event_type AS t1, b.event_type AS t2,
+         CAST(sum(abs(a.share_e6 - b.share_e6)) AS BIGINT) AS d1_e6
+  FROM p a JOIN p b ON a.hh = b.hh AND a.event_type < b.event_type
+  GROUP BY 1, 2
+), mg AS (
+  SELECT ta.event_type AS t1, tb.event_type AS t2,
+         CAST(floor(abs(CAST(ta.s AS DOUBLE) / ta.n
+                        - CAST(tb.s AS DOUBLE) / tb.n) * 100 + {_OFF})
+              AS BIGINT) AS d2_e4
+  FROM tot ta JOIN tot tb ON ta.event_type < tb.event_type
+), t AS (
+  SELECT pairs.t1, pairs.t2, d1_e6, d2_e4
+  FROM pairs JOIN mg ON mg.t1 = pairs.t1 AND mg.t2 = pairs.t2
+), g AS (
+  SELECT count(*) AS m,
+         CAST(sum(d1_e6) AS BIGINT) AS s1,
+         CAST(sum(d2_e4) AS BIGINT) AS s2,
+         CAST(sum(d1_e6 * d1_e6) AS BIGINT) AS s11,
+         CAST(sum(d2_e4 * d2_e4) AS BIGINT) AS s22,
+         CAST(sum(d1_e6 * d2_e4) AS BIGINT) AS s12
+  FROM t
+)
+SELECT CAST(m AS BIGINT) AS n_pairs,
+       CAST(floor((s12 - CAST(s1 AS DOUBLE) * s2 / m)
+                  / sqrt((s11 - CAST(s1 AS DOUBLE) ^ 2 / m)
+                         * (s22 - CAST(s2 AS DOUBLE) ^ 2 / m))
+                  * 1000000 + {_OFF}) AS BIGINT) AS mantel_r_e6
+FROM g
+"""
+
+
+QUERIES.update(
+    {
+        "kulldorff_hour_scan": q_kulldorff_hour_scan,
+        "sokolove_bushell": q_sokolove_bushell,
+        "foster_stuart": q_foster_stuart,
+        "mantel_corr": q_mantel_corr,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "kulldorff_hour_scan": SQL_KULLDORFF,
+        "sokolove_bushell": SQL_SB,
+        "foster_stuart": SQL_FS,
+        "mantel_corr": SQL_MANTEL,
+    }
+)
