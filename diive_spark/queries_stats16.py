@@ -1313,3 +1313,560 @@ ORACLE_SQL.update(
         "mantel_corr": SQL_MANTEL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# mardia_kurtosis — Mardia (1970) multivariate kurtosis b2 of the
+# (value, hour) pair per event type, with the asymptotic z
+# ---------------------------------------------------------------------------
+# 2x2 covariance inverted in closed form; the per-row Mahalanobis
+# quadratic q is squared, e6-floored, and exactly summed.  z =
+# (b2 - d(d+2)) / sqrt(8 d (d+2) / n), d = 2.
+
+
+def q_mardia_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("x"),
+        F.hour("ts").cast("long").alias("y"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    t = ev.join(F.broadcast(g), "event_type")
+    nd = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / nd
+    my = F.col("sy").cast("double") / nd
+    c11 = (F.col("sxx").cast("double") - nd * mx * mx) / nd
+    c22 = (F.col("syy").cast("double") - nd * my * my) / nd
+    c12 = (F.col("sxy").cast("double") - nd * mx * my) / nd
+    det = c11 * c22 - c12 * c12
+    dx = F.col("x").cast("double") - mx
+    dy = F.col("y").cast("double") - my
+    q = (c22 * dx * dx - 2.0 * c12 * dx * dy + c11 * dy * dy) / det
+    t = t.select(
+        "event_type",
+        F.floor(q * q * 1_000_000 + F.lit(_OFF)).cast("long").alias("qq_e6"),
+    )
+    out = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("qq_e6").alias("sq")
+    )
+    b2 = F.col("sq").cast("double") / 1e6 / F.col("n").cast("double")
+    z = (b2 - 8.0) / F.sqrt(64.0 / F.col("n").cast("double"))
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(b2 * 10_000 + F.lit(_OFF)).cast("long").alias("b2_e4"),
+        F.floor(z * 10_000 + F.lit(_OFF)).cast("long").alias("z_e4"),
+    ).orderBy("event_type")
+
+
+SQL_MARDIA = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS x,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS y
+  FROM events
+), g AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM ev GROUP BY 1
+), c AS (
+  SELECT event_type, n,
+         CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+         (sxx - CAST(sx AS DOUBLE) * sx / n) / n AS c11,
+         (syy - CAST(sy AS DOUBLE) * sy / n) / n AS c22,
+         (sxy - CAST(sx AS DOUBLE) * sy / n) / n AS c12
+  FROM g
+), t AS (
+  SELECT ev.event_type,
+         CAST(floor(((c22 * (x - mx) ^ 2 - 2.0 * c12 * (x - mx) * (y - my)
+                      + c11 * (y - my) ^ 2)
+                     / (c11 * c22 - c12 * c12)) ^ 2 * 1000000 + {_OFF})
+              AS BIGINT) AS qq_e6
+  FROM ev JOIN c ON c.event_type = ev.event_type
+), o AS (
+  SELECT event_type, count(*) AS n, CAST(sum(qq_e6) AS BIGINT) AS sq
+  FROM t GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(floor(CAST(sq AS DOUBLE) / 1e6 / n * 10000 + {_OFF}) AS BIGINT)
+         AS b2_e4,
+       CAST(floor((CAST(sq AS DOUBLE) / 1e6 / n - 8.0) / sqrt(64.0 / n)
+                  * 10000 + {_OFF}) AS BIGINT) AS z_e4
+FROM o ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# box_m — Box (1949) M test for homogeneity of the (value, hour)
+# covariance matrices across event types
+# ---------------------------------------------------------------------------
+# Per-type central-SS matrices are e4-floored integers so the pooled
+# matrix is an exact sum; 2x2 log-determinants in closed form; the
+# chi-square approximation uses Box's small-sample scaling.
+
+
+def q_box_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("x"),
+        F.hour("ts").cast("long").alias("y"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    a11 = F.col("sxx").cast("double") - F.pow(F.col("sx").cast("double"), 2) / nd
+    a22 = F.col("syy").cast("double") - F.pow(F.col("sy").cast("double"), 2) / nd
+    a12 = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double") / nd
+    )
+    dfi = nd - 1.0
+    lndet_i = F.log(
+        (a11 / dfi) * (a22 / dfi) - F.pow(a12 / dfi, 2)
+    )
+    per = g.select(
+        "event_type",
+        F.col("n"),
+        F.floor(a11 * 10_000 + F.lit(_OFF)).cast("long").alias("a11_e4"),
+        F.floor(a22 * 10_000 + F.lit(_OFF)).cast("long").alias("a22_e4"),
+        F.floor(a12 * 10_000 + F.lit(_OFF)).cast("long").alias("a12_e4"),
+        F.floor(dfi * lndet_i * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("wld_e6"),
+        F.floor(1.0 / dfi * 1e12 + F.lit(_OFF)).cast("long").alias(
+            "invdf_e12"
+        ),
+    )
+    agg = per.groupBy().agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("bign"),
+        F.sum("a11_e4").alias("p11"),
+        F.sum("a22_e4").alias("p22"),
+        F.sum("a12_e4").alias("p12"),
+        F.sum("wld_e6").alias("swld"),
+        F.sum("invdf_e12").alias("sinv"),
+    )
+    kd = F.col("k").cast("double")
+    nk = (F.col("bign") - F.col("k")).cast("double")
+    sp11 = F.col("p11").cast("double") / 1e4 / nk
+    sp22 = F.col("p22").cast("double") / 1e4 / nk
+    sp12 = F.col("p12").cast("double") / 1e4 / nk
+    lndet_p = F.log(sp11 * sp22 - sp12 * sp12)
+    m = nk * lndet_p - F.col("swld").cast("double") / 1e6
+    cfac = (F.col("sinv").cast("double") / 1e12 - 1.0 / nk) * (
+        (2.0 * 4.0 + 3.0 * 2.0 - 1.0) / (6.0 * 3.0 * (kd - 1.0))
+    )
+    chi2 = m * (1.0 - cfac)
+    df = (kd - 1.0) * 3.0
+    return agg.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("bign").cast("long").alias("n_total"),
+        F.floor(m * 10_000 + F.lit(_OFF)).cast("long").alias("box_m_e4"),
+        F.floor(chi2 * 10_000 + F.lit(_OFF)).cast("long").alias("chi2_e4"),
+        df.cast("long").alias("df"),
+    )
+
+
+SQL_BOXM = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS x,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS y
+  FROM events
+), g AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM ev GROUP BY 1
+), per AS (
+  SELECT event_type, n,
+         CAST(floor((sxx - CAST(sx AS DOUBLE) ^ 2 / n) * 10000 + {_OFF})
+              AS BIGINT) AS a11_e4,
+         CAST(floor((syy - CAST(sy AS DOUBLE) ^ 2 / n) * 10000 + {_OFF})
+              AS BIGINT) AS a22_e4,
+         CAST(floor((sxy - CAST(sx AS DOUBLE) * sy / n) * 10000 + {_OFF})
+              AS BIGINT) AS a12_e4,
+         CAST(floor((n - 1.0) * ln(
+             ((sxx - CAST(sx AS DOUBLE) ^ 2 / n) / (n - 1.0))
+             * ((syy - CAST(sy AS DOUBLE) ^ 2 / n) / (n - 1.0))
+             - ((sxy - CAST(sx AS DOUBLE) * sy / n) / (n - 1.0)) ^ 2)
+             * 1000000 + {_OFF}) AS BIGINT) AS wld_e6,
+         CAST(floor(1.0 / (n - 1.0) * 1e12 + {_OFF}) AS BIGINT)
+           AS invdf_e12
+  FROM g
+), agg AS (
+  SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS bign,
+         CAST(sum(a11_e4) AS BIGINT) AS p11,
+         CAST(sum(a22_e4) AS BIGINT) AS p22,
+         CAST(sum(a12_e4) AS BIGINT) AS p12,
+         CAST(sum(wld_e6) AS BIGINT) AS swld,
+         CAST(sum(invdf_e12) AS BIGINT) AS sinv
+  FROM per
+), f AS (
+  SELECT k, bign,
+         (bign - k) * ln(
+             (CAST(p11 AS DOUBLE) / 1e4 / (bign - k))
+             * (CAST(p22 AS DOUBLE) / 1e4 / (bign - k))
+             - (CAST(p12 AS DOUBLE) / 1e4 / (bign - k)) ^ 2)
+           - CAST(swld AS DOUBLE) / 1e6 AS m,
+         (CAST(sinv AS DOUBLE) / 1e12 - 1.0 / (bign - k))
+           * ((2.0 * 4.0 + 3.0 * 2.0 - 1.0) / (6.0 * 3.0 * (k - 1.0)))
+           AS cfac
+  FROM agg
+)
+SELECT CAST(k AS BIGINT) AS n_groups,
+       bign AS n_total,
+       CAST(floor(m * 10000 + {_OFF}) AS BIGINT) AS box_m_e4,
+       CAST(floor(m * (1.0 - cfac) * 10000 + {_OFF}) AS BIGINT) AS chi2_e4,
+       CAST((k - 1.0) * 3.0 AS BIGINT) AS df
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# hamed_rao_mk — Mann-Kendall trend with the Hamed-Rao (1998)
+# autocorrelation variance correction (lags 1-3 on rank series)
+# ---------------------------------------------------------------------------
+# Daily e4-mean integers make every comparison exact; S from the
+# triangular self-join; min-ranks feed lag-1..3 autocorrelations
+# (per-term e6 floors); tie-corrected base variance inflated by n/n*.
+
+
+def q_hamed_rao_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.dayofmonth("ts").alias("dom"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    daily = ev.groupBy("event_type", "dom").agg(
+        F.floor(F.sum("v") * 10_000 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("dm")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.dom") < F.col("b.dom")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.signum(
+                    (F.col("b.dm") - F.col("a.dm")).cast("double")
+                ).cast("long")
+            ).alias("s")
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("dm")
+    wo = Window.partitionBy("event_type").orderBy("dom")
+    r = daily.withColumn("r", F.rank().over(wr)).withColumn(
+        "rl1", F.lag("r", 1).over(wo)
+    ).withColumn("rl2", F.lag("r", 2).over(wo)).withColumn(
+        "rl3", F.lag("r", 3).over(wo)
+    )
+    rb = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("r").alias("sr")
+    )
+    rj = r.join(F.broadcast(rb), "event_type")
+    rbar = F.col("sr").cast("double") / F.col("n").cast("double")
+    dev = F.col("r").cast("double") - rbar
+    terms = rj.select(
+        "event_type",
+        F.floor(dev * dev * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "d0"
+        ),
+        *[
+            F.when(
+                F.col(f"rl{k}").isNotNull(),
+                F.floor(
+                    dev
+                    * (F.col(f"rl{k}").cast("double") - rbar)
+                    * 1_000_000
+                    + F.lit(_OFF)
+                ).cast("long"),
+            ).alias(f"d{k}")
+            for k in (1, 2, 3)
+        ],
+    )
+    ac = terms.groupBy("event_type").agg(
+        F.sum("d0").alias("s0"),
+        F.sum("d1").alias("s1"),
+        F.sum("d2").alias("s2"),
+        F.sum("d3").alias("s3"),
+    )
+    ties = (
+        daily.groupBy("event_type", "dm")
+        .agg(F.count(F.lit(1)).alias("tj"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("tj") * (F.col("tj") - 1) * (2 * F.col("tj") + 5)
+            ).alias("tie_adj")
+        )
+    )
+    t = (
+        s.join(ac, "event_type")
+        .join(ties, "event_type")
+        .join(F.broadcast(rb.select("event_type", "n")), "event_type")
+    )
+    nd = F.col("n").cast("double")
+    var0 = (
+        nd * (nd - 1.0) * (2.0 * nd + 5.0)
+        - F.col("tie_adj").cast("double")
+    ) / 18.0
+    corr = F.lit(1.0)
+    for k in (1, 2, 3):
+        rk = F.col(f"s{k}").cast("double") / F.col("s0").cast("double")
+        corr = corr + (
+            2.0
+            / (nd * (nd - 1.0) * (nd - 2.0))
+            * (nd - k)
+            * (nd - k - 1.0)
+            * (nd - k - 2.0)
+            * rk
+        )
+    vs = var0 * corr
+    sd = F.col("s").cast("double")
+    z = F.when(F.col("s") > 0, (sd - 1.0) / F.sqrt(vs)).when(
+        F.col("s") < 0, (sd + 1.0) / F.sqrt(vs)
+    ).otherwise(F.lit(0.0))
+    return t.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s").cast("long").alias("s_stat"),
+        F.floor(corr * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "var_inflation_e6"
+        ),
+        F.floor(z * 10_000 + F.lit(_OFF)).cast("long").alias("z_e4"),
+    ).orderBy("event_type")
+
+
+SQL_HAMED_RAO = f"""
+WITH ev AS (
+  SELECT event_type, EXTRACT(day FROM ts) AS dom,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), daily AS (
+  SELECT event_type, dom,
+         CAST(floor(CAST(sum(v) AS DOUBLE) * 10000 / count(*)) AS BIGINT)
+           AS dm
+  FROM ev GROUP BY 1, 2
+), s AS (
+  SELECT a.event_type,
+         CAST(sum(CASE WHEN b.dm > a.dm THEN 1
+                       WHEN b.dm < a.dm THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.dom < b.dom
+  GROUP BY 1
+), r AS (
+  SELECT event_type, dom, dm,
+         rank() OVER (PARTITION BY event_type ORDER BY dm) AS r
+  FROM daily
+), rl AS (
+  SELECT event_type, r,
+         lag(r, 1) OVER w AS rl1,
+         lag(r, 2) OVER w AS rl2,
+         lag(r, 3) OVER w AS rl3
+  FROM r WINDOW w AS (PARTITION BY event_type ORDER BY dom)
+), rb AS (
+  SELECT event_type, count(*) AS n, CAST(sum(r) AS BIGINT) AS sr
+  FROM r GROUP BY 1
+), terms AS (
+  SELECT rl.event_type,
+         CAST(floor((r - CAST(sr AS DOUBLE) / n) ^ 2 * 1000000 + {_OFF})
+              AS BIGINT) AS d0,
+         CASE WHEN rl1 IS NOT NULL THEN
+           CAST(floor((r - CAST(sr AS DOUBLE) / n)
+                      * (rl1 - CAST(sr AS DOUBLE) / n) * 1000000 + {_OFF})
+                AS BIGINT) END AS d1,
+         CASE WHEN rl2 IS NOT NULL THEN
+           CAST(floor((r - CAST(sr AS DOUBLE) / n)
+                      * (rl2 - CAST(sr AS DOUBLE) / n) * 1000000 + {_OFF})
+                AS BIGINT) END AS d2,
+         CASE WHEN rl3 IS NOT NULL THEN
+           CAST(floor((r - CAST(sr AS DOUBLE) / n)
+                      * (rl3 - CAST(sr AS DOUBLE) / n) * 1000000 + {_OFF})
+                AS BIGINT) END AS d3
+  FROM rl JOIN rb ON rb.event_type = rl.event_type
+), ac AS (
+  SELECT event_type,
+         CAST(sum(d0) AS BIGINT) AS s0, CAST(sum(d1) AS BIGINT) AS s1,
+         CAST(sum(d2) AS BIGINT) AS s2, CAST(sum(d3) AS BIGINT) AS s3
+  FROM terms GROUP BY 1
+), ties AS (
+  SELECT event_type,
+         CAST(sum(tj * (tj - 1) * (2 * tj + 5)) AS BIGINT) AS tie_adj
+  FROM (SELECT event_type, dm, count(*) AS tj FROM daily GROUP BY 1, 2)
+  GROUP BY 1
+), t AS (
+  SELECT s.event_type, s.s, n, tie_adj,
+         (n * (n - 1.0) * (2.0 * n + 5.0) - tie_adj) / 18.0 AS var0,
+         1.0
+         + 2.0 / (n * (n - 1.0) * (n - 2.0))
+           * ((n - 1) * (n - 2.0) * (n - 3.0) * (CAST(s1 AS DOUBLE) / s0)
+              + (n - 2) * (n - 3.0) * (n - 4.0) * (CAST(s2 AS DOUBLE) / s0)
+              + (n - 3) * (n - 4.0) * (n - 5.0) * (CAST(s3 AS DOUBLE) / s0))
+           AS corr
+  FROM s
+  JOIN ac ON ac.event_type = s.event_type
+  JOIN ties ON ties.event_type = s.event_type
+  JOIN rb ON rb.event_type = s.event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       s AS s_stat,
+       CAST(floor(corr * 1000000 + {_OFF}) AS BIGINT) AS var_inflation_e6,
+       CAST(floor(CASE WHEN s > 0 THEN (s - 1.0) / sqrt(var0 * corr)
+                       WHEN s < 0 THEN (s + 1.0) / sqrt(var0 * corr)
+                       ELSE 0.0 END * 10000 + {_OFF}) AS BIGINT) AS z_e4
+FROM t ORDER BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "mardia_kurtosis": q_mardia_kurtosis,
+        "box_m": q_box_m,
+        "hamed_rao_mk": q_hamed_rao_mk,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "mardia_kurtosis": SQL_MARDIA,
+        "box_m": SQL_BOXM,
+        "hamed_rao_mk": SQL_HAMED_RAO,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# rarefaction_curve — hypergeometric vocabulary rarefaction (Hurlbert
+# 1971 / Heck 1975): expected distinct-word richness per source at
+# 10% / 25% / 50% token subsamples
+# ---------------------------------------------------------------------------
+# E[S_m] = sum_w (1 - C(N - N_w, m) / C(N, m)); every binomial ratio
+# goes through the shared Lanczos lnGamma twins (stats15), per-word
+# contributions e9-floored before exact summation.  Words with
+# N_w > N - m contribute exactly 1 (certain to appear).
+
+from diive_spark.queries_stats15 import _lnchoose, _lnchoose_sql
+
+
+def q_rarefaction_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    wc = docs.groupBy("source", "w").agg(F.count(F.lit(1)).alias("nw"))
+    tot = wc.groupBy("source").agg(
+        F.sum("nw").alias("n"), F.count(F.lit(1)).alias("vocab")
+    )
+    t = wc.join(F.broadcast(tot), "source")
+    cols = {}
+    for name, frac in (("s10", 10), ("s25", 4), ("s50", 2)):
+        m = F.floor(F.col("n") / frac).cast("long")
+        nn = F.col("n").cast("double")
+        nwd = F.col("nw").cast("double")
+        md = m.cast("double")
+        ln_ratio = _lnchoose(nn - nwd, md) - _lnchoose(nn, md)
+        contrib = F.when(
+            F.col("nw") > F.col("n") - m, F.lit(1.0)
+        ).otherwise(1.0 - F.exp(ln_ratio))
+        cols[name] = F.floor(contrib * 1e9 + F.lit(_OFF)).cast("long")
+    t = t.select(
+        "source", cols["s10"].alias("c10"), cols["s25"].alias("c25"),
+        cols["s50"].alias("c50"),
+    )
+    out = t.groupBy("source").agg(
+        F.sum("c10").alias("e10"),
+        F.sum("c25").alias("e25"),
+        F.sum("c50").alias("e50"),
+    ).join(F.broadcast(tot), "source")
+    return out.select(
+        "source",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab"),
+        F.floor(F.col("e10").cast("double") / 1e9 + F.lit(_OFF))
+        .cast("long")
+        .alias("e_richness_10pct"),
+        F.floor(F.col("e25").cast("double") / 1e9 + F.lit(_OFF))
+        .cast("long")
+        .alias("e_richness_25pct"),
+        F.floor(F.col("e50").cast("double") / 1e9 + F.lit(_OFF))
+        .cast("long")
+        .alias("e_richness_50pct"),
+    ).orderBy("source")
+
+
+def _rare_sql_term(frac: int) -> str:
+    m = f"CAST(floor(CAST(n AS DOUBLE) / {frac}) AS BIGINT)"
+    ln_ratio = (
+        f"({_lnchoose_sql(f'CAST(n AS DOUBLE) - nw', f'CAST({m} AS DOUBLE)')}"
+        f" - {_lnchoose_sql('CAST(n AS DOUBLE)', f'CAST({m} AS DOUBLE)')})"
+    )
+    return (
+        f"CAST(floor((CASE WHEN nw > n - {m} THEN 1.0"
+        f" ELSE 1.0 - exp({ln_ratio}) END) * 1e9 + {{off}}) AS BIGINT)"
+    )
+
+
+SQL_RAREFACTION = f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), wc AS (
+  SELECT source, w, count(*) AS nw FROM toks GROUP BY 1, 2
+), tot AS (
+  SELECT source, CAST(sum(nw) AS BIGINT) AS n, count(*) AS vocab
+  FROM wc GROUP BY 1
+), t AS (
+  SELECT wc.source,
+         {_rare_sql_term(10).format(off=_OFF)} AS c10,
+         {_rare_sql_term(4).format(off=_OFF)} AS c25,
+         {_rare_sql_term(2).format(off=_OFF)} AS c50
+  FROM wc JOIN tot ON tot.source = wc.source
+), agg AS (
+  SELECT source,
+         CAST(sum(c10) AS BIGINT) AS e10,
+         CAST(sum(c25) AS BIGINT) AS e25,
+         CAST(sum(c50) AS BIGINT) AS e50
+  FROM t GROUP BY 1
+)
+SELECT agg.source,
+       n AS n_tokens,
+       CAST(vocab AS BIGINT) AS vocab,
+       CAST(floor(CAST(e10 AS DOUBLE) / 1e9 + {_OFF}) AS BIGINT)
+         AS e_richness_10pct,
+       CAST(floor(CAST(e25 AS DOUBLE) / 1e9 + {_OFF}) AS BIGINT)
+         AS e_richness_25pct,
+       CAST(floor(CAST(e50 AS DOUBLE) / 1e9 + {_OFF}) AS BIGINT)
+         AS e_richness_50pct
+FROM agg JOIN tot ON tot.source = agg.source
+ORDER BY agg.source
+"""
+
+
+QUERIES.update({"rarefaction_curve": q_rarefaction_curve})
+ORACLE_SQL.update({"rarefaction_curve": SQL_RAREFACTION})
