@@ -1870,3 +1870,331 @@ ORDER BY agg.source
 
 QUERIES.update({"rarefaction_curve": q_rarefaction_curve})
 ORACLE_SQL.update({"rarefaction_curve": SQL_RAREFACTION})
+
+
+# ---------------------------------------------------------------------------
+# Parametric-fit battery 2 (complements lognormal/Weibull/GEV/GPD/
+# negbin/ZTP/von Mises/Gompertz): gamma by method of moments, inverse
+# Gaussian by closed-form MLE, Laplace by median/MAD MLE, logistic by
+# MoM — each with a moment-diagnostic lack-of-fit check (implied vs
+# sample higher moment), since neither engine ships the incomplete
+# gamma / erf needed for CDF-based GOF.
+# ---------------------------------------------------------------------------
+
+
+def _vals16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+
+
+_SQL_VALS16 = f"""
+  vals AS (
+    SELECT event_type,
+           CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+    FROM events
+  )
+"""
+
+
+def _moments16(df: DataFrame) -> DataFrame:
+    x = F.col("v").cast("double") / 100.0
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+        F.sum(F.floor(x * x * x * 100 + F.lit(_OFF)).cast("long")).alias(
+            "s3_e2"
+        ),
+        F.sum(F.floor(x * x * x * x + F.lit(_OFF)).cast("long")).alias(
+            "s4_e0"
+        ),
+        F.sum(
+            F.floor(1e9 / F.col("v").cast("double") + F.lit(_OFF)).cast(
+                "long"
+            )
+        ).alias("sinv_e9x100"),
+    )
+
+
+_SQL_MOM16 = f"""
+  mom AS (
+    SELECT event_type, count(*) AS n,
+           CAST(sum(v) AS BIGINT) AS s1,
+           CAST(sum(v * v) AS BIGINT) AS s2,
+           CAST(sum(CAST(floor((v / 100.0) ^ 3 * 100 + {_OFF}) AS BIGINT))
+                AS BIGINT) AS s3_e2,
+           CAST(sum(CAST(floor((v / 100.0) ^ 4 + {_OFF}) AS BIGINT))
+                AS BIGINT) AS s4_e0,
+           CAST(sum(CAST(floor(1e9 / v + {_OFF}) AS BIGINT)) AS BIGINT)
+             AS sinv_e9x100
+    FROM vals GROUP BY 1
+  )
+"""
+
+
+def _central16(nd, m1, m2, m3, m4):
+    """Central moments mu2..mu4 from raw value-unit moments."""
+    mu2 = m2 - m1 * m1
+    mu3 = m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1
+    mu4 = (
+        m4
+        - 4.0 * m1 * m3
+        + 6.0 * m1 * m1 * m2
+        - 3.0 * m1 * m1 * m1 * m1
+    )
+    return mu2, mu3, mu4
+
+
+def q_gamma_fit_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _moments16(_vals16(spark, sf_dir))
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / 100.0 / nd
+    m2 = F.col("s2").cast("double") / 10_000.0 / nd
+    m3 = F.col("s3_e2").cast("double") / 100.0 / nd
+    m4 = F.col("s4_e0").cast("double") / nd
+    mu2, mu3, _ = _central16(nd, m1, m2, m3, m4)
+    shape = m1 * m1 / mu2
+    scale = mu2 / m1
+    skew_sample = mu3 / F.pow(mu2, 1.5)
+    skew_implied = 2.0 / F.sqrt(shape)
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(shape * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "shape_e4"
+        ),
+        F.floor(scale * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "scale_e4"
+        ),
+        F.floor(skew_sample * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "skew_sample_e4"
+        ),
+        F.floor(skew_implied * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "skew_implied_e4"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_GAMMA = f"""
+WITH {_SQL_VALS16}, {_SQL_MOM16}, c AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / 100.0 / n AS m1,
+         CAST(s2 AS DOUBLE) / 10000.0 / n AS m2,
+         CAST(s3_e2 AS DOUBLE) / 100.0 / n AS m3
+  FROM mom
+), f AS (
+  SELECT event_type, n, m1,
+         m2 - m1 * m1 AS mu2,
+         m3 - 3.0 * m1 * m2 + 2.0 * m1 ^ 3 AS mu3
+  FROM c
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(floor(m1 * m1 / mu2 * 10000 + {_OFF}) AS BIGINT) AS shape_e4,
+       CAST(floor(mu2 / m1 * 10000 + {_OFF}) AS BIGINT) AS scale_e4,
+       CAST(floor(mu3 / mu2 ^ 1.5 * 10000 + {_OFF}) AS BIGINT)
+         AS skew_sample_e4,
+       CAST(floor(2.0 / sqrt(m1 * m1 / mu2) * 10000 + {_OFF}) AS BIGINT)
+         AS skew_implied_e4
+FROM f ORDER BY event_type
+"""
+
+
+def q_invgauss_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _moments16(_vals16(spark, sf_dir))
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / 100.0 / nd
+    m2 = F.col("s2").cast("double") / 10_000.0 / nd
+    m3 = F.col("s3_e2").cast("double") / 100.0 / nd
+    m4 = F.col("s4_e0").cast("double") / nd
+    mu2, mu3, _ = _central16(nd, m1, m2, m3, m4)
+    sinv = F.col("sinv_e9x100").cast("double") / 1e9 * 100.0
+    lam = nd / (sinv - nd / m1)
+    var_implied = F.pow(m1, 3) / lam
+    skew_sample = mu3 / F.pow(mu2, 1.5)
+    skew_implied = 3.0 * F.sqrt(m1 / lam)
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(m1 * 10_000 + F.lit(_OFF)).cast("long").alias("mu_e4"),
+        F.floor(lam * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "lambda_e4"
+        ),
+        F.floor((var_implied - mu2) * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("var_gap_e4"),
+        F.floor((skew_implied - skew_sample) * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("skew_gap_e4"),
+    ).orderBy("event_type")
+
+
+SQL_INVGAUSS = f"""
+WITH {_SQL_VALS16}, {_SQL_MOM16}, c AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / 100.0 / n AS m1,
+         CAST(s2 AS DOUBLE) / 10000.0 / n AS m2,
+         CAST(s3_e2 AS DOUBLE) / 100.0 / n AS m3,
+         CAST(sinv_e9x100 AS DOUBLE) / 1e9 * 100.0 AS sinv
+  FROM mom
+), f AS (
+  SELECT event_type, n, m1,
+         m2 - m1 * m1 AS mu2,
+         m3 - 3.0 * m1 * m2 + 2.0 * m1 ^ 3 AS mu3,
+         n / (sinv - n / m1) AS lam
+  FROM c
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(floor(m1 * 10000 + {_OFF}) AS BIGINT) AS mu_e4,
+       CAST(floor(lam * 10000 + {_OFF}) AS BIGINT) AS lambda_e4,
+       CAST(floor((m1 ^ 3 / lam - mu2) * 10000 + {_OFF}) AS BIGINT)
+         AS var_gap_e4,
+       CAST(floor((3.0 * sqrt(m1 / lam) - mu3 / mu2 ^ 1.5) * 10000 + {_OFF})
+            AS BIGINT) AS skew_gap_e4
+FROM f ORDER BY event_type
+"""
+
+
+def q_laplace_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vals16(spark, sf_dir)
+    v = v.withColumn(
+        "rn0",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("v")
+        ),
+    )
+    cnt = v.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    med = (
+        v.join(F.broadcast(cnt), "event_type")
+        .filter(
+            (F.col("rn0") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn0") == F.floor(F.col("n") / 2) + 1)
+        )
+        .groupBy("event_type")
+        .agg(F.floor(F.avg("v")).cast("long").alias("med"))
+    )
+    t = v.join(F.broadcast(med), "event_type")
+    g = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.abs(F.col("v") - F.col("med"))).alias("sad"),
+        F.sum(
+            (F.col("v") - F.col("med")) * (F.col("v") - F.col("med"))
+        ).alias("ssq"),
+        F.max("med").alias("med"),
+    )
+    nd = F.col("n").cast("double")
+    b = F.col("sad").cast("double") / 100.0 / nd
+    var_m = F.col("ssq").cast("double") / 10_000.0 / nd
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(F.col("med").cast("double") / 100.0 * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("loc_e4"),
+        F.floor(b * 10_000 + F.lit(_OFF)).cast("long").alias("b_e4"),
+        F.floor((2.0 * b * b - var_m) * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("var_gap_e4"),
+    ).orderBy("event_type")
+
+
+SQL_LAPLACE = f"""
+WITH {_SQL_VALS16}, r AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn0,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM vals
+), med AS (
+  SELECT event_type, CAST(floor(avg(v)) AS BIGINT) AS med
+  FROM r
+  WHERE rn0 = CAST(floor((n + 1) / 2.0) AS BIGINT)
+     OR rn0 = CAST(floor(n / 2.0) AS BIGINT) + 1
+  GROUP BY 1
+), g AS (
+  SELECT vals.event_type, count(*) AS n,
+         CAST(sum(abs(v - med)) AS BIGINT) AS sad,
+         CAST(sum((v - med) * (v - med)) AS BIGINT) AS ssq,
+         max(med) AS med
+  FROM vals JOIN med ON med.event_type = vals.event_type
+  GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(floor(med / 100.0 * 10000 + {_OFF}) AS BIGINT) AS loc_e4,
+       CAST(floor(CAST(sad AS DOUBLE) / 100.0 / n * 10000 + {_OFF})
+            AS BIGINT) AS b_e4,
+       CAST(floor((2.0 * (CAST(sad AS DOUBLE) / 100.0 / n) ^ 2
+                   - CAST(ssq AS DOUBLE) / 10000.0 / n) * 10000 + {_OFF})
+            AS BIGINT) AS var_gap_e4
+FROM g ORDER BY event_type
+"""
+
+
+def q_logistic_fit_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _moments16(_vals16(spark, sf_dir))
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / 100.0 / nd
+    m2 = F.col("s2").cast("double") / 10_000.0 / nd
+    m3 = F.col("s3_e2").cast("double") / 100.0 / nd
+    m4 = F.col("s4_e0").cast("double") / nd
+    mu2, _, mu4 = _central16(nd, m1, m2, m3, m4)
+    s = F.sqrt(3.0 * mu2) / 3.141592653589793
+    exkurt = mu4 / (mu2 * mu2) - 3.0
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(m1 * 10_000 + F.lit(_OFF)).cast("long").alias("mu_e4"),
+        F.floor(s * 10_000 + F.lit(_OFF)).cast("long").alias("s_e4"),
+        F.floor(exkurt * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "exkurt_sample_e4"
+        ),
+        F.lit(12_000).cast("long").alias("exkurt_implied_e4"),
+    ).orderBy("event_type")
+
+
+SQL_LOGISTIC = f"""
+WITH {_SQL_VALS16}, {_SQL_MOM16}, c AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / 100.0 / n AS m1,
+         CAST(s2 AS DOUBLE) / 10000.0 / n AS m2,
+         CAST(s3_e2 AS DOUBLE) / 100.0 / n AS m3,
+         CAST(s4_e0 AS DOUBLE) / n AS m4
+  FROM mom
+), f AS (
+  SELECT event_type, n, m1,
+         m2 - m1 * m1 AS mu2,
+         m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2 - 3.0 * m1 ^ 4 AS mu4
+  FROM c
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(floor(m1 * 10000 + {_OFF}) AS BIGINT) AS mu_e4,
+       CAST(floor(sqrt(3.0 * mu2) / 3.141592653589793 * 10000 + {_OFF})
+            AS BIGINT) AS s_e4,
+       CAST(floor((mu4 / (mu2 * mu2) - 3.0) * 10000 + {_OFF}) AS BIGINT)
+         AS exkurt_sample_e4,
+       CAST(12000 AS BIGINT) AS exkurt_implied_e4
+FROM f ORDER BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "gamma_fit_mom": q_gamma_fit_mom,
+        "invgauss_fit": q_invgauss_fit,
+        "laplace_fit": q_laplace_fit,
+        "logistic_fit_mom": q_logistic_fit_mom,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "gamma_fit_mom": SQL_GAMMA,
+        "invgauss_fit": SQL_INVGAUSS,
+        "laplace_fit": SQL_LAPLACE,
+        "logistic_fit_mom": SQL_LOGISTIC,
+    }
+)
