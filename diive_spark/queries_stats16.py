@@ -2198,3 +2198,327 @@ ORACLE_SQL.update(
         "logistic_fit_mom": SQL_LOGISTIC,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Queueing / capacity battery: each event is a job whose service time
+# is value/100 hours; the arrival rate is events per hour over the
+# 30-day window.  Erlang sums a^k/k! go through the shared Lanczos
+# lnGamma (k! = Gamma(k+1)) with per-term e9 floors, enumerated over a
+# tiny broadcast k-range — the classic workforce-management math as
+# distributed DataFrame plans.
+# ---------------------------------------------------------------------------
+
+from diive_spark.queries_stats15 import _lngamma, _lngamma_sql
+
+
+def _offered_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+        F.unix_timestamp("ts").alias("t_s"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+        ((F.max("t_s") - F.min("t_s")).cast("double") / 3600.0).alias(
+            "span_h"
+        ),
+    )
+
+
+_SQL_LOAD = f"""
+  ev AS (
+    SELECT event_type,
+           CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v,
+           CAST(floor(epoch(ts)) AS BIGINT) AS t_s
+    FROM events
+  ), load AS (
+    SELECT event_type, count(*) AS n,
+           CAST(sum(v) AS BIGINT) AS s1,
+           CAST(sum(v * v) AS BIGINT) AS s2,
+           (max(t_s) - min(t_s)) / 3600.0 AS span_h
+    FROM ev GROUP BY 1
+  )
+"""
+
+_A_EXPR_SQL = "(n / span_h) * (CAST(s1 AS DOUBLE) / n / 100.0 / 100.0)"
+
+
+def _a_expr():
+    lam = F.col("n").cast("double") / F.col("span_h")
+    sbar_h = (
+        F.col("s1").cast("double") / F.col("n").cast("double") / 100.0 / 100.0
+    )
+    return lam * sbar_h
+
+
+def q_erlang_c_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _offered_load(spark, sf_dir).withColumn("a", _a_expr()).withColumn(
+        "c", (F.floor(F.col("a")) + 1).cast("long")
+    )
+    ks = spark.range(0, 61).select(F.col("id").cast("long").alias("k"))
+    t = g.crossJoin(F.broadcast(ks)).filter(F.col("k") < F.col("c"))
+    term = F.exp(
+        F.col("k").cast("double") * F.log(F.col("a"))
+        - _lngamma(F.col("k").cast("double") + 1.0)
+    )
+    partial = t.withColumn(
+        "term_e9", F.floor(term * 1e9 + F.lit(_OFF)).cast("long")
+    ).groupBy("event_type").agg(F.sum("term_e9").alias("s0_e9"))
+    f = g.join(partial, "event_type")
+    a = F.col("a")
+    c = F.col("c").cast("double")
+    top = F.exp(c * F.log(a) - _lngamma(c + 1.0)) * (c / (c - a))
+    s0 = F.col("s0_e9").cast("double") / 1e9
+    pw = top / (s0 + top)
+    sbar_s = F.col("s1").cast("double") / F.col("n").cast("double") / 100.0 * 36.0
+    wq_s = pw * sbar_s / (c - a)
+    return f.select(
+        "event_type",
+        F.floor(a * 10_000 + F.lit(_OFF)).cast("long").alias("load_e4"),
+        F.col("c").alias("servers"),
+        F.floor(pw * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "p_wait_e6"
+        ),
+        F.floor(wq_s * 1_000 + F.lit(_OFF)).cast("long").alias("wq_ms"),
+    ).orderBy("event_type")
+
+
+SQL_ERLANG_C = f"""
+WITH {_SQL_LOAD}, base AS (
+  SELECT event_type, n, s1, span_h,
+         {_A_EXPR_SQL} AS a,
+         CAST(floor({_A_EXPR_SQL}) + 1 AS BIGINT) AS c
+  FROM load
+), partial AS (
+  SELECT event_type,
+         CAST(sum(CAST(floor(exp(k * ln(a) -
+             {_lngamma_sql('k + 1.0')}) * 1e9 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS s0_e9
+  FROM base, generate_series(0, 60) AS ks(k)
+  WHERE k < c
+  GROUP BY 1
+), f AS (
+  SELECT base.event_type, a, c, n, s1,
+         exp(c * ln(a) - {_lngamma_sql('c + 1.0')}) * (c / (c - a)) AS top,
+         CAST(s0_e9 AS DOUBLE) / 1e9 AS s0
+  FROM base JOIN partial ON partial.event_type = base.event_type
+)
+SELECT event_type,
+       CAST(floor(a * 10000 + {_OFF}) AS BIGINT) AS load_e4,
+       c AS servers,
+       CAST(floor(top / (s0 + top) * 1000000 + {_OFF}) AS BIGINT)
+         AS p_wait_e6,
+       CAST(floor(top / (s0 + top)
+                  * (CAST(s1 AS DOUBLE) / n / 100.0 * 36.0)
+                  / (c - a) * 1000 + {_OFF}) AS BIGINT) AS wq_ms
+FROM f ORDER BY event_type
+"""
+
+
+def q_erlang_b_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _offered_load(spark, sf_dir).withColumn("a", _a_expr()).withColumn(
+        "c", (F.floor(F.col("a")) + 1).cast("long")
+    )
+    ks = spark.range(0, 62).select(F.col("id").cast("long").alias("k"))
+    t = g.crossJoin(F.broadcast(ks)).filter(F.col("k") <= F.col("c"))
+    term = F.exp(
+        F.col("k").cast("double") * F.log(F.col("a"))
+        - _lngamma(F.col("k").cast("double") + 1.0)
+    )
+    partial = t.withColumn(
+        "term_e9", F.floor(term * 1e9 + F.lit(_OFF)).cast("long")
+    ).groupBy("event_type").agg(F.sum("term_e9").alias("den_e9"))
+    f = g.join(partial, "event_type")
+    a = F.col("a")
+    c = F.col("c").cast("double")
+    top = F.exp(c * F.log(a) - _lngamma(c + 1.0))
+    b = top / (F.col("den_e9").cast("double") / 1e9)
+    carried = a * (1.0 - b)
+    return f.select(
+        "event_type",
+        F.floor(a * 10_000 + F.lit(_OFF)).cast("long").alias("load_e4"),
+        F.col("c").alias("trunks"),
+        F.floor(b * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "p_block_e6"
+        ),
+        F.floor(carried * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "carried_load_e4"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_ERLANG_B = f"""
+WITH {_SQL_LOAD}, base AS (
+  SELECT event_type, n, s1, span_h,
+         {_A_EXPR_SQL} AS a,
+         CAST(floor({_A_EXPR_SQL}) + 1 AS BIGINT) AS c
+  FROM load
+), partial AS (
+  SELECT event_type,
+         CAST(sum(CAST(floor(exp(k * ln(a) -
+             {_lngamma_sql('k + 1.0')}) * 1e9 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS den_e9
+  FROM base, generate_series(0, 61) AS ks(k)
+  WHERE k <= c
+  GROUP BY 1
+), f AS (
+  SELECT base.event_type, a, c,
+         exp(c * ln(a) - {_lngamma_sql('c + 1.0')})
+           / (CAST(den_e9 AS DOUBLE) / 1e9) AS b
+  FROM base JOIN partial ON partial.event_type = base.event_type
+)
+SELECT event_type,
+       CAST(floor(a * 10000 + {_OFF}) AS BIGINT) AS load_e4,
+       c AS trunks,
+       CAST(floor(b * 1000000 + {_OFF}) AS BIGINT) AS p_block_e6,
+       CAST(floor(a * (1.0 - b) * 10000 + {_OFF}) AS BIGINT)
+         AS carried_load_e4
+FROM f ORDER BY event_type
+"""
+
+
+def q_staffing_min_servers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _offered_load(spark, sf_dir).withColumn("a", _a_expr())
+    cs = spark.range(1, 61).select(F.col("id").cast("long").alias("c"))
+    ks = spark.range(0, 61).select(F.col("id").cast("long").alias("k"))
+    cand = g.crossJoin(F.broadcast(cs)).filter(
+        F.col("c").cast("double") > F.col("a")
+    )
+    t = cand.join(F.broadcast(ks), F.col("k") < F.col("c"))
+    term = F.exp(
+        F.col("k").cast("double") * F.log(F.col("a"))
+        - _lngamma(F.col("k").cast("double") + 1.0)
+    )
+    partial = t.withColumn(
+        "term_e9", F.floor(term * 1e9 + F.lit(_OFF)).cast("long")
+    ).groupBy("event_type", "c", "a").agg(
+        F.sum("term_e9").alias("s0_e9")
+    )
+    a = F.col("a")
+    c = F.col("c").cast("double")
+    top = F.exp(c * F.log(a) - _lngamma(c + 1.0)) * (c / (c - a))
+    pw = top / (F.col("s0_e9").cast("double") / 1e9 + top)
+    scored = partial.withColumn(
+        "pw_e9", F.floor(pw * 1e9 + F.lit(_OFF)).cast("long")
+    ).filter(F.col("pw_e9") <= 200_000_000)
+    w = Window.partitionBy("event_type").orderBy(F.col("c").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.floor(F.col("a") * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "load_e4"
+            ),
+            F.col("c").alias("min_servers"),
+            F.floor(
+                F.col("pw_e9").cast("double") / 1000.0 + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("p_wait_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_STAFFING = f"""
+WITH {_SQL_LOAD}, base AS (
+  SELECT event_type, {_A_EXPR_SQL} AS a
+  FROM load
+), partial AS (
+  SELECT event_type, c, a,
+         CAST(sum(CAST(floor(exp(k * ln(a) -
+             {_lngamma_sql('k + 1.0')}) * 1e9 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS s0_e9
+  FROM base, generate_series(1, 60) AS cs(c),
+       generate_series(0, 60) AS ks(k)
+  WHERE c > a AND k < c
+  GROUP BY 1, 2, 3
+), scored AS (
+  SELECT event_type, c, a,
+         CAST(floor(
+           (exp(c * ln(a) - {_lngamma_sql('c + 1.0')}) * (c / (c - a)))
+           / (CAST(s0_e9 AS DOUBLE) / 1e9
+              + exp(c * ln(a) - {_lngamma_sql('c + 1.0')})
+                * (c / (c - a))) * 1e9 + {_OFF}) AS BIGINT) AS pw_e9
+  FROM partial
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY c ASC)
+           AS rn
+  FROM scored WHERE pw_e9 <= 200000000
+)
+SELECT event_type,
+       CAST(floor(a * 10000 + {_OFF}) AS BIGINT) AS load_e4,
+       CAST(c AS BIGINT) AS min_servers,
+       CAST(floor(pw_e9 / 1000.0 + {_OFF}) AS BIGINT) AS p_wait_e6
+FROM ranked WHERE rn = 1 ORDER BY event_type
+"""
+
+
+def q_pollaczek_khinchine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _offered_load(spark, sf_dir)
+    nd = F.col("n").cast("double")
+    lam_s = nd / (F.col("span_h") * 3600.0)
+    es = F.col("s1").cast("double") / nd / 100.0
+    es2 = F.col("s2").cast("double") / nd / 10_000.0
+    rho = lam_s * es
+    wq = lam_s * es2 / (2.0 * (1.0 - rho))
+    lq = lam_s * wq
+    cv2 = (es2 - es * es) / (es * es)
+    return g.select(
+        "event_type",
+        F.floor(rho * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "rho_e6"
+        ),
+        F.floor(cv2 * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "service_cv2_e4"
+        ),
+        F.floor(wq * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "wq_us"
+        ),
+        F.floor(lq * 1_000_000_000 + F.lit(_OFF)).cast("long").alias(
+            "lq_e9"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_PK = f"""
+WITH {_SQL_LOAD}, f AS (
+  SELECT event_type,
+         n / (span_h * 3600.0) AS lam_s,
+         CAST(s1 AS DOUBLE) / n / 100.0 AS es,
+         CAST(s2 AS DOUBLE) / n / 10000.0 AS es2
+  FROM load
+)
+SELECT event_type,
+       CAST(floor(lam_s * es * 1000000 + {_OFF}) AS BIGINT) AS rho_e6,
+       CAST(floor((es2 - es * es) / (es * es) * 10000 + {_OFF}) AS BIGINT)
+         AS service_cv2_e4,
+       CAST(floor(lam_s * es2 / (2.0 * (1.0 - lam_s * es)) * 1000000
+                  + {_OFF}) AS BIGINT) AS wq_us,
+       CAST(floor(lam_s * lam_s * es2 / (2.0 * (1.0 - lam_s * es))
+                  * 1000000000 + {_OFF}) AS BIGINT) AS lq_e9
+FROM f ORDER BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "erlang_c_wait": q_erlang_c_wait,
+        "erlang_b_blocking": q_erlang_b_blocking,
+        "staffing_min_servers": q_staffing_min_servers,
+        "pollaczek_khinchine": q_pollaczek_khinchine,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "erlang_c_wait": SQL_ERLANG_C,
+        "erlang_b_blocking": SQL_ERLANG_B,
+        "staffing_min_servers": SQL_STAFFING,
+        "pollaczek_khinchine": SQL_PK,
+    }
+)
