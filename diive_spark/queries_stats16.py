@@ -2522,3 +2522,383 @@ ORACLE_SQL.update(
         "pollaczek_khinchine": SQL_PK,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Privacy-release auditing (Machanavajjhala 2007; Li/Li/Venkatasubramanian
+# 2007): quasi-identifier cells are (day, hour); the sensitive
+# attribute is event_type.  l_diversity_audit reports distinct- and
+# entropy-l floors per day-of-week; t_closeness_audit the worst
+# total-variation gap between any cell's sensitive distribution and
+# the global one.
+# ---------------------------------------------------------------------------
+
+
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.dayofweek("ts").alias("dow"),
+        F.dayofmonth("ts").alias("dom"),
+        F.hour("ts").alias("hh"),
+        "event_type",
+    )
+    cell = ev.groupBy("dow", "dom", "hh", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    grp = cell.groupBy("dow", "dom", "hh").agg(
+        F.count(F.lit(1)).alias("l_distinct"),
+        F.sum("c").alias("n"),
+        F.sum(
+            F.floor(
+                -(F.col("c").cast("double"))
+                * F.log(F.col("c").cast("double"))
+                * 1_000_000
+                + F.lit(_OFF)
+            ).cast("long")
+        ).alias("sclogc_e6"),
+    )
+    ent = (
+        F.col("sclogc_e6").cast("double") / 1e6
+        / F.col("n").cast("double")
+        + F.log(F.col("n").cast("double"))
+    )
+    grp = grp.withColumn(
+        "expent_e4",
+        F.floor(F.exp(ent) * 10_000 + F.lit(_OFF)).cast("long"),
+    )
+    out = grp.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.min("l_distinct").cast("long").alias("min_l_distinct"),
+        F.min("expent_e4").cast("long").alias("min_entropy_l_e4"),
+        F.sum((F.col("l_distinct") >= 3).cast("long"))
+        .cast("long")
+        .alias("cells_l_ge_3"),
+    )
+    return out.select(
+        F.col("dow").cast("long").alias("dow_spark"),
+        "n_cells",
+        "min_l_distinct",
+        "min_entropy_l_e4",
+        "cells_l_ge_3",
+    ).orderBy("dow_spark")
+
+
+SQL_LDIV = f"""
+WITH ev AS (
+  SELECT dayofweek(ts) + 1 AS dow, EXTRACT(day FROM ts) AS dom,
+         EXTRACT(hour FROM ts) AS hh, event_type
+  FROM events
+), cell AS (
+  SELECT dow, dom, hh, event_type, count(*) AS c
+  FROM ev GROUP BY 1, 2, 3, 4
+), grp AS (
+  SELECT dow, dom, hh,
+         count(*) AS l_distinct,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(-c * ln(CAST(c AS DOUBLE)) * 1000000 + {_OFF})
+                       AS BIGINT)) AS BIGINT) AS sclogc_e6
+  FROM cell GROUP BY 1, 2, 3
+), scored AS (
+  SELECT dow, l_distinct,
+         CAST(floor(exp(CAST(sclogc_e6 AS DOUBLE) / 1e6 / n
+                        + ln(CAST(n AS DOUBLE))) * 10000 + {_OFF})
+              AS BIGINT) AS expent_e4
+  FROM grp
+)
+SELECT CAST(dow AS BIGINT) AS dow_spark,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(min(l_distinct) AS BIGINT) AS min_l_distinct,
+       CAST(min(expent_e4) AS BIGINT) AS min_entropy_l_e4,
+       CAST(sum(CASE WHEN l_distinct >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS cells_l_ge_3
+FROM scored GROUP BY 1 ORDER BY dow_spark
+"""
+
+
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.dayofmonth("ts").alias("dom"),
+        F.hour("ts").alias("hh"),
+        "event_type",
+    )
+    cell = ev.groupBy("dom", "hh", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    gl = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("gc"))
+    big = ev.groupBy().agg(F.count(F.lit(1)).alias("gn"))
+    cn = cell.groupBy("dom", "hh").agg(F.sum("c").alias("n"))
+    t = (
+        cell.join(F.broadcast(gl), "event_type")
+        .join(F.broadcast(cn), ["dom", "hh"])
+        .crossJoin(F.broadcast(big))
+    )
+    gap = F.abs(
+        F.col("c").cast("double") / F.col("n").cast("double")
+        - F.col("gc").cast("double") / F.col("gn").cast("double")
+    )
+    # present-type gaps plus the missing-type mass (types absent from
+    # the cell contribute their full global share to the L1 distance)
+    tv = t.groupBy("dom", "hh").agg(
+        F.sum(F.floor(gap * 1e9 + F.lit(_OFF)).cast("long")).alias(
+            "stv_e9"
+        ),
+        F.sum("gc").alias("gc_present"),
+        F.max("gn").alias("gn"),
+    )
+    missing = (
+        F.col("gn") - F.col("gc_present")
+    ).cast("double") / F.col("gn").cast("double")
+    tv = tv.withColumn(
+        "tv_e9",
+        F.floor(
+            (
+                F.col("stv_e9").cast("double")
+                + F.floor(missing * 1e9 + F.lit(_OFF))
+            )
+            / 2.0
+        ).cast("long"),
+    )
+    return tv.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.max("tv_e9").cast("long").alias("max_tv_e9"),
+        F.sum((F.col("tv_e9") <= 200_000_000).cast("long"))
+        .cast("long")
+        .alias("cells_t_le_02"),
+    )
+
+
+SQL_TCLOSE = f"""
+WITH ev AS (
+  SELECT EXTRACT(day FROM ts) AS dom, EXTRACT(hour FROM ts) AS hh,
+         event_type
+  FROM events
+), cell AS (
+  SELECT dom, hh, event_type, count(*) AS c FROM ev GROUP BY 1, 2, 3
+), gl AS (
+  SELECT event_type, count(*) AS gc FROM ev GROUP BY 1
+), big AS (SELECT count(*) AS gn FROM ev),
+cn AS (
+  SELECT dom, hh, CAST(sum(c) AS BIGINT) AS n FROM cell GROUP BY 1, 2
+), t AS (
+  SELECT cell.dom, cell.hh,
+         CAST(sum(CAST(floor(abs(CAST(c AS DOUBLE) / n
+                                 - CAST(gc AS DOUBLE) / gn) * 1e9 + {_OFF})
+                       AS BIGINT)) AS BIGINT) AS stv_e9,
+         CAST(sum(gc) AS BIGINT) AS gc_present,
+         max(gn) AS gn
+  FROM cell
+  JOIN gl USING (event_type)
+  JOIN cn ON cn.dom = cell.dom AND cn.hh = cell.hh
+  CROSS JOIN big
+  GROUP BY 1, 2
+), tv AS (
+  SELECT dom, hh,
+         CAST(floor((stv_e9
+                     + floor(CAST(gn - gc_present AS DOUBLE) / gn * 1e9
+                             + {_OFF})) / 2.0) AS BIGINT) AS tv_e9
+  FROM t
+)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(max(tv_e9) AS BIGINT) AS max_tv_e9,
+       CAST(sum(CASE WHEN tv_e9 <= 200000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS cells_t_le_02
+FROM tv
+"""
+
+
+QUERIES.update(
+    {
+        "l_diversity_audit": q_l_diversity_audit,
+        "t_closeness_audit": q_t_closeness_audit,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "l_diversity_audit": SQL_LDIV,
+        "t_closeness_audit": SQL_TCLOSE,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# bayesian_ab_prob — exact posterior P(p_weekend > p_weekday) under
+# independent Beta(1,1) priors (Evan Miller's closed form / Raiffa-
+# Schlaifer): P = sum_{i=0}^{aA-1} exp(lnB(aB+i, bA+bB) - ln(bA+i)
+# - lnB(1+i, bA) - lnB(aB, bB)), A = weekend arm
+# ---------------------------------------------------------------------------
+# Conversion = centi-value above the type's integer mean.  The i-sum
+# is DATA-SIZED (successes on the weekend arm) and runs distributed:
+# a broadcast range cross-joined and filtered, per-term e12 floors,
+# one exact integer sum — no driver loop at any SF.
+
+
+def _lnbeta(x, y):
+    return _lngamma(x) + _lngamma(y) - _lngamma(x + y)
+
+
+def _lnbeta_sql(x: str, y: str) -> str:
+    return (
+        f"({_lngamma_sql(x)} + {_lngamma_sql(y)}"
+        f" - {_lngamma_sql(f'({x}) + ({y})')})"
+    )
+
+
+def q_bayesian_ab_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.dayofweek("ts").isin(1, 7).cast("long").alias("wk"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    thr = ev.groupBy("event_type").agg(
+        F.floor(F.sum("v") / F.count(F.lit(1))).cast("long").alias("thr")
+    )
+    t = ev.join(F.broadcast(thr), "event_type").withColumn(
+        "y", (F.col("v") > F.col("thr")).cast("long")
+    )
+    arms = t.groupBy("event_type").agg(
+        (F.sum(F.col("wk") * F.col("y")) + 1).alias("aa"),
+        (F.sum(F.col("wk") * (1 - F.col("y"))) + 1).alias("ba"),
+        (F.sum((1 - F.col("wk")) * F.col("y")) + 1).alias("ab"),
+        (F.sum((1 - F.col("wk")) * (1 - F.col("y"))) + 1).alias("bb"),
+    )
+    mx = arms.groupBy().agg(F.max("aa").alias("m")).collect()[0]["m"]
+    ks = spark.range(0, int(mx)).select(F.col("id").alias("i"))
+    grid = arms.join(F.broadcast(ks), F.col("i") < F.col("aa"))
+    i = F.col("i").cast("double")
+    ab = F.col("ab").cast("double")
+    bb = F.col("bb").cast("double")
+    ba = F.col("ba").cast("double")
+    lnterm = (
+        _lnbeta(ab + i, ba + bb)
+        - F.log(ba + i)
+        - _lnbeta(1.0 + i, ba)
+        - _lnbeta(ab, bb)
+    )
+    g = grid.withColumn(
+        "t_e12", F.floor(F.exp(lnterm) * 1e12 + F.lit(_OFF)).cast("long")
+    ).groupBy("event_type", "aa", "ba", "ab", "bb").agg(
+        F.sum("t_e12").alias("p_e12")
+    )
+    return g.select(
+        "event_type",
+        (F.col("aa") - 1).cast("long").alias("conv_weekend"),
+        (F.col("ab") - 1).cast("long").alias("conv_weekday"),
+        F.floor(F.col("p_e12").cast("double") / 1e6 + F.lit(_OFF))
+        .cast("long")
+        .alias("p_weekend_better_e6"),
+    ).orderBy("event_type")
+
+
+SQL_BAYES_AB = f"""
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS wk,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), thr AS (
+  SELECT event_type,
+         CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS thr
+  FROM ev GROUP BY 1
+), t AS (
+  SELECT ev.event_type, wk,
+         CASE WHEN v > thr THEN 1 ELSE 0 END AS y
+  FROM ev JOIN thr ON thr.event_type = ev.event_type
+), arms AS (
+  SELECT event_type,
+         CAST(sum(wk * y) + 1 AS BIGINT) AS aa,
+         CAST(sum(wk * (1 - y)) + 1 AS BIGINT) AS ba,
+         CAST(sum((1 - wk) * y) + 1 AS BIGINT) AS ab,
+         CAST(sum((1 - wk) * (1 - y)) + 1 AS BIGINT) AS bb
+  FROM t GROUP BY 1
+), ks AS (
+  SELECT CAST(row_number() OVER () AS BIGINT) - 1 AS i FROM events
+), grid AS (
+  SELECT event_type, aa, ba, ab, bb, i
+  FROM arms JOIN ks ON i < aa
+), terms AS (
+  SELECT event_type, aa, ab,
+         CAST(floor(exp(
+             {_lnbeta_sql('ab + CAST(i AS DOUBLE)', 'ba + bb')}
+             - ln(ba + CAST(i AS DOUBLE))
+             - {_lnbeta_sql('1.0 + CAST(i AS DOUBLE)', 'CAST(ba AS DOUBLE)')}
+             - {_lnbeta_sql('CAST(ab AS DOUBLE)', 'CAST(bb AS DOUBLE)')})
+             * 1e12 + {_OFF}) AS BIGINT) AS t_e12
+  FROM grid
+)
+SELECT event_type,
+       CAST(aa - 1 AS BIGINT) AS conv_weekend,
+       CAST(ab - 1 AS BIGINT) AS conv_weekday,
+       CAST(floor(CAST(sum(t_e12) AS DOUBLE) / 1e6 + {_OFF}) AS BIGINT)
+         AS p_weekend_better_e6
+FROM terms GROUP BY 1, 2, 3 ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# hoover_index — Robin Hood / Hoover concentration index per source:
+# H = sum|x_i - mu| / (2 sum x_i) over document lengths
+# ---------------------------------------------------------------------------
+# The share of total "mass" that would have to move to equalize; the
+# deviation sum uses the exact integer mean-comparison n*x_i vs S.
+
+
+def q_hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", F.col("n_chars").alias("x")
+    )
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    t = d.join(F.broadcast(g), "source")
+    dev = F.abs(F.col("n") * F.col("x") - F.col("s"))
+    out = t.groupBy("source").agg(
+        F.sum(dev).alias("sdev"),
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+    )
+    h = F.col("sdev").cast("double") / (
+        2.0 * F.col("n").cast("double") * F.col("s").cast("double")
+    )
+    return out.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.floor(h * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "hoover_e6"
+        ),
+    ).orderBy("source")
+
+
+SQL_HOOVER = f"""
+WITH d AS (
+  SELECT source, n_chars AS x FROM documents
+), g AS (
+  SELECT source, count(*) AS n, CAST(sum(x) AS BIGINT) AS s
+  FROM d GROUP BY 1
+), t AS (
+  SELECT d.source,
+         CAST(sum(abs(n * x - s)) AS BIGINT) AS sdev,
+         max(n) AS n, max(s) AS s
+  FROM d JOIN g ON g.source = d.source
+  GROUP BY 1
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(floor(CAST(sdev AS DOUBLE) / (2.0 * n * s) * 1000000 + {_OFF})
+            AS BIGINT) AS hoover_e6
+FROM t ORDER BY source
+"""
+
+
+QUERIES.update(
+    {
+        "bayesian_ab_prob": q_bayesian_ab_prob,
+        "hoover_index": q_hoover_index,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "bayesian_ab_prob": SQL_BAYES_AB,
+        "hoover_index": SQL_HOOVER,
+    }
+)
