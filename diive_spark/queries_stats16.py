@@ -2902,3 +2902,362 @@ ORACLE_SQL.update(
         "hoover_index": SQL_HOOVER,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Operations-research battery: absorbing-chain time-to-purchase,
+# Syntetos-Boylan demand classification, safety-stock / reorder-point
+# dimensioning, and the newsvendor quantile — the inventory/funnel
+# math a commerce event stream feeds.
+# ---------------------------------------------------------------------------
+
+
+_ABS_TARGET = "purchase"
+_ABS_H = 30
+
+
+def q_absorbing_markov_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected steps to absorption (capped at H=30) into 'purchase'
+    from each starting event type, over the per-user event-sequence
+    Markov chain.  The distribution vector iterates as e9 integers so
+    every step is bit-identical cross-engine (IEEE division of exact
+    integers); absorbing mass is dropped each step and the survival
+    sum IS the truncated expectation (E[min(T, H)] = sum_k P(T > k)).
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("i"), F.col("nxt").alias("j"))
+        .agg(F.count(F.lit(1)).alias("cij"))
+    )
+    ci = pairs.groupBy("i").agg(F.sum("cij").alias("ci"))
+    p = pairs.join(ci, "i").filter(F.col("i") != _ABS_TARGET)
+    states = ci.select(F.col("i").alias("start")).filter(
+        F.col("start") != _ABS_TARGET
+    )
+    dist = states.select(
+        "start",
+        F.col("start").alias("state"),
+        F.lit(10**9).alias("m_e9"),
+    )
+    surv = states.select("start", F.lit(10**9).alias("s_e9"))
+    for _ in range(_ABS_H - 1):
+        dist = (
+            dist.join(
+                p,
+                dist["state"] == p["i"],
+            )
+            .select(
+                "start",
+                F.col("j").alias("state2"),
+                F.floor(
+                    F.col("m_e9").cast("double")
+                    * F.col("cij").cast("double")
+                    / F.col("ci").cast("double")
+                ).cast("long").alias("m_e9"),
+            )
+            .filter(F.col("state2") != _ABS_TARGET)
+            .groupBy("start", "state2")
+            .agg(F.sum("m_e9").alias("m_e9"))
+            .withColumnRenamed("state2", "state")
+        )
+        step = dist.groupBy("start").agg(F.sum("m_e9").alias("s_e9"))
+        surv = surv.union(step.select("start", "s_e9"))
+    out = surv.groupBy("start").agg(
+        F.sum("s_e9").alias("et_e9"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    return out.select(
+        F.col("start").alias("event_type"),
+        F.floor(F.col("et_e9").cast("double") / 1e5 + F.lit(_OFF))
+        .cast("long")
+        .alias("e_steps_capped_e4"),
+    ).orderBy("event_type")
+
+
+SQL_ABSORB = f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+), seq AS (
+  SELECT event_type AS i,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS j
+  FROM ev
+), pairs AS (
+  SELECT i, j, count(*) AS cij FROM seq WHERE j IS NOT NULL GROUP BY 1, 2
+), ci AS (
+  SELECT i, CAST(sum(cij) AS BIGINT) AS ci FROM pairs GROUP BY 1
+), p AS (
+  SELECT pairs.i, j, cij, ci
+  FROM pairs JOIN ci USING (i)
+  WHERE pairs.i <> '{_ABS_TARGET}'
+), states AS (
+  SELECT i AS start FROM ci WHERE i <> '{_ABS_TARGET}'
+), walk AS (
+  SELECT start, start AS state, CAST(1000000000 AS BIGINT) AS m_e9,
+         0 AS k
+  FROM states
+  UNION ALL
+  SELECT start, state, CAST(sum(m_e9) AS BIGINT) AS m_e9, k FROM (
+    SELECT w.start, p.j AS state,
+           CAST(floor(CAST(w.m_e9 AS DOUBLE) * p.cij / p.ci) AS BIGINT)
+             AS m_e9,
+           w.k + 1 AS k
+    FROM walk w JOIN p ON p.i = w.state
+    WHERE w.k < {_ABS_H - 1}
+  ) stepped
+  WHERE state <> '{_ABS_TARGET}'
+  GROUP BY 1, 2, 4
+), surv AS (
+  SELECT start, k, CAST(sum(m_e9) AS BIGINT) AS s_e9
+  FROM walk GROUP BY 1, 2
+)
+SELECT start AS event_type,
+       CAST(floor(CAST(sum(s_e9) AS DOUBLE) / 1e5 + {_OFF}) AS BIGINT)
+         AS e_steps_capped_e4
+FROM surv GROUP BY 1 ORDER BY event_type
+"""
+
+
+def _daily_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == _ABS_TARGET)
+        .groupBy(
+            F.col("user_id") % 10,
+            F.dayofmonth("ts").alias("dom"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("d"),
+        )
+        .withColumnRenamed("(user_id % 10)", "cohort")
+    )
+
+
+def q_demand_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syntetos-Boylan (2005) demand-pattern quadrants per user cohort
+    (user_id % 10): ADI = days-with-window / demand-days, CV^2 of
+    daily demand sizes; cutoffs ADI 1.32, CV^2 0.49."""
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == _ABS_TARGET)
+        .select(
+            (F.col("user_id") % 10).alias("cohort"),
+            F.dayofmonth("ts").alias("dom"),
+        )
+    )
+    daily = ev.groupBy("cohort", "dom").agg(F.count(F.lit(1)).alias("d"))
+    span = ev.groupBy("cohort").agg(
+        (F.max("dom") - F.min("dom") + 1).alias("span_days")
+    )
+    g = daily.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("d").alias("s"),
+        F.sum(F.col("d") * F.col("d")).alias("ss"),
+    ).join(F.broadcast(span), "cohort")
+    nd = F.col("nd").cast("double")
+    adi = F.col("span_days").cast("double") / nd
+    mean = F.col("s").cast("double") / nd
+    var = (F.col("ss").cast("double") - nd * mean * mean) / nd
+    cv2 = var / (mean * mean)
+    cls = (
+        F.when((adi < 1.32) & (cv2 < 0.49), F.lit("smooth"))
+        .when((adi < 1.32) & (cv2 >= 0.49), F.lit("erratic"))
+        .when((adi >= 1.32) & (cv2 < 0.49), F.lit("intermittent"))
+        .otherwise(F.lit("lumpy"))
+    )
+    return g.select(
+        F.col("cohort").cast("long").alias("cohort"),
+        F.col("nd").cast("long").alias("demand_days"),
+        F.floor(adi * 10_000 + F.lit(_OFF)).cast("long").alias("adi_e4"),
+        F.floor(cv2 * 10_000 + F.lit(_OFF)).cast("long").alias("cv2_e4"),
+        cls.alias("pattern"),
+    ).orderBy("cohort")
+
+
+SQL_DEMAND_CLASS = f"""
+WITH ev AS (
+  SELECT user_id % 10 AS cohort, EXTRACT(day FROM ts) AS dom
+  FROM events WHERE event_type = '{_ABS_TARGET}'
+), daily AS (
+  SELECT cohort, dom, count(*) AS d FROM ev GROUP BY 1, 2
+), span AS (
+  SELECT cohort, max(dom) - min(dom) + 1 AS span_days FROM ev GROUP BY 1
+), g AS (
+  SELECT daily.cohort, count(*) AS nd,
+         CAST(sum(d) AS BIGINT) AS s,
+         CAST(sum(d * d) AS BIGINT) AS ss,
+         max(span_days) AS span_days
+  FROM daily JOIN span ON span.cohort = daily.cohort
+  GROUP BY 1
+), f AS (
+  SELECT cohort, nd,
+         CAST(span_days AS DOUBLE) / nd AS adi,
+         ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / nd) / nd)
+           / ((CAST(s AS DOUBLE) / nd) ^ 2) AS cv2
+  FROM g
+)
+SELECT CAST(cohort AS BIGINT) AS cohort,
+       CAST(nd AS BIGINT) AS demand_days,
+       CAST(floor(adi * 10000 + {_OFF}) AS BIGINT) AS adi_e4,
+       CAST(floor(cv2 * 10000 + {_OFF}) AS BIGINT) AS cv2_e4,
+       CASE WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth'
+            WHEN adi < 1.32 AND cv2 >= 0.49 THEN 'erratic'
+            WHEN adi >= 1.32 AND cv2 < 0.49 THEN 'intermittent'
+            ELSE 'lumpy' END AS pattern
+FROM f ORDER BY cohort
+"""
+
+
+def q_safety_stock_rop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic (mu, sigma) safety stock at 95% cycle service (z =
+    1.6449) with a 3-day lead time, from exact per-type daily demand
+    counts: SS = z * sigma_d * sqrt(LT), ROP = mu_d * LT + SS."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.dayofmonth("ts").alias("dom")
+    )
+    daily = ev.groupBy("event_type", "dom").agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("d").alias("s"),
+        F.sum(F.col("d") * F.col("d")).alias("ss"),
+    )
+    nd = F.col("nd").cast("double")
+    mu = F.col("s").cast("double") / nd
+    sd = F.sqrt(
+        (F.col("ss").cast("double") - nd * mu * mu) / (nd - 1.0)
+    )
+    ss95 = 1.6449 * sd * F.sqrt(F.lit(3.0))
+    rop = mu * 3.0 + ss95
+    return g.select(
+        "event_type",
+        F.floor(mu * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "mu_daily_e4"
+        ),
+        F.floor(sd * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "sigma_daily_e4"
+        ),
+        F.floor(ss95 * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "safety_stock_e4"
+        ),
+        F.floor(rop * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "reorder_point_e4"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_SAFETY = f"""
+WITH ev AS (
+  SELECT event_type, EXTRACT(day FROM ts) AS dom FROM events
+), daily AS (
+  SELECT event_type, dom, count(*) AS d FROM ev GROUP BY 1, 2
+), g AS (
+  SELECT event_type, count(*) AS nd,
+         CAST(sum(d) AS BIGINT) AS s,
+         CAST(sum(d * d) AS BIGINT) AS ss
+  FROM daily GROUP BY 1
+), f AS (
+  SELECT event_type, nd,
+         CAST(s AS DOUBLE) / nd AS mu,
+         sqrt((ss - CAST(s AS DOUBLE) * s / nd) / (nd - 1.0)) AS sd
+  FROM g
+)
+SELECT event_type,
+       CAST(floor(mu * 10000 + {_OFF}) AS BIGINT) AS mu_daily_e4,
+       CAST(floor(sd * 10000 + {_OFF}) AS BIGINT) AS sigma_daily_e4,
+       CAST(floor(1.6449 * sd * sqrt(3.0) * 10000 + {_OFF}) AS BIGINT)
+         AS safety_stock_e4,
+       CAST(floor((mu * 3.0 + 1.6449 * sd * sqrt(3.0)) * 10000 + {_OFF})
+            AS BIGINT) AS reorder_point_e4
+FROM f ORDER BY event_type
+"""
+
+
+def q_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor optimal stock = the ceil(q*n)-th order statistic of
+    daily demand at critical ratio q = cu/(cu+co) = 3/4 (underage 3,
+    overage 1), exact by rank — no interpolation ambiguity."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.dayofmonth("ts").alias("dom")
+    )
+    daily = ev.groupBy("event_type", "dom").agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    w = Window.partitionBy("event_type").orderBy("d", "dom")
+    r = daily.withColumn("rn", F.row_number().over(w))
+    cnt = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("nd"))
+    t = r.join(F.broadcast(cnt), "event_type").filter(
+        F.col("rn") == F.ceil(F.col("nd").cast("double") * 0.75)
+    )
+    g = daily.groupBy("event_type").agg(
+        F.sum("d").alias("s"), F.count(F.lit(1)).alias("nd")
+    )
+    return (
+        t.select("event_type", F.col("d").alias("q75"))
+        .join(g, "event_type")
+        .select(
+            "event_type",
+            F.col("nd").cast("long").alias("n_days"),
+            F.floor(
+                F.col("s").cast("double") / F.col("nd").cast("double")
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("mean_daily"),
+            F.col("q75").cast("long").alias("optimal_stock"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_NEWSVENDOR = f"""
+WITH ev AS (
+  SELECT event_type, EXTRACT(day FROM ts) AS dom FROM events
+), daily AS (
+  SELECT event_type, dom, count(*) AS d FROM ev GROUP BY 1, 2
+), r AS (
+  SELECT event_type, d,
+         row_number() OVER (PARTITION BY event_type ORDER BY d, dom)
+           AS rn,
+         count(*) OVER (PARTITION BY event_type) AS nd
+  FROM daily
+), pick AS (
+  SELECT event_type, d AS q75
+  FROM r WHERE rn = CAST(ceil(nd * 0.75) AS BIGINT)
+), g AS (
+  SELECT event_type, CAST(sum(d) AS BIGINT) AS s, count(*) AS nd
+  FROM daily GROUP BY 1
+)
+SELECT pick.event_type,
+       CAST(nd AS BIGINT) AS n_days,
+       CAST(floor(CAST(s AS DOUBLE) / nd + {_OFF}) AS BIGINT)
+         AS mean_daily,
+       CAST(q75 AS BIGINT) AS optimal_stock
+FROM pick JOIN g ON g.event_type = pick.event_type
+ORDER BY pick.event_type
+"""
+
+
+QUERIES.update(
+    {
+        "absorbing_markov_time": q_absorbing_markov_time,
+        "demand_classification": q_demand_classification,
+        "safety_stock_rop": q_safety_stock_rop,
+        "newsvendor_quantile": q_newsvendor_quantile,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "absorbing_markov_time": SQL_ABSORB,
+        "demand_classification": SQL_DEMAND_CLASS,
+        "safety_stock_rop": SQL_SAFETY,
+        "newsvendor_quantile": SQL_NEWSVENDOR,
+    }
+)
