@@ -3261,3 +3261,448 @@ ORACLE_SQL.update(
         "newsvendor_quantile": SQL_NEWSVENDOR,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Panel econometrics battery 2 (completes the stats15 Hausman trio):
+# Fama-MacBeth two-pass slopes, the between estimator, Mundlak's
+# (1978) augmented regression, and one-regressor cluster-robust
+# (CR1, clustered by user) standard errors vs the naive OLS SE.
+# Regression: centi-value on hour-of-day.
+# ---------------------------------------------------------------------------
+
+
+def _panel16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "user_id",
+        F.dayofmonth("ts").alias("dom"),
+        F.hour("ts").cast("long").alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("y"),
+    )
+
+
+_SQL_PANEL16 = f"""
+  panel AS (
+    SELECT event_type, user_id,
+           EXTRACT(day FROM ts) AS dom,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x,
+           CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS y
+    FROM events
+  )
+"""
+
+
+def q_fama_macbeth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fama-MacBeth (1973): cross-sectional OLS slope each day, then
+    the time-series mean and SE of the 30 daily slopes.  Daily slopes
+    are e6-floored integers so the second pass is exact."""
+    p = _panel16(spark, sf_dir)
+    d = p.groupBy("event_type", "dom").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double") / nd
+    den = F.col("sxx").cast("double") - F.pow(
+        F.col("sx").cast("double"), 2
+    ) / nd
+    d = d.filter(den > 0).select(
+        "event_type",
+        F.floor(num / den * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "b_e6"
+        ),
+    )
+    g = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum("b_e6").alias("sb"),
+        F.sum(F.col("b_e6") * F.col("b_e6")).alias("sbb"),
+    )
+    td = F.col("t").cast("double")
+    bbar = F.col("sb").cast("double") / td / 1e6
+    varb = (
+        F.col("sbb").cast("double") / 1e12
+        - td * bbar * bbar
+    ) / (td - 1.0)
+    tstat = bbar / F.sqrt(varb / td)
+    return g.select(
+        "event_type",
+        F.col("t").cast("long").alias("n_days"),
+        F.floor(bbar * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "fm_slope_e6"
+        ),
+        F.floor(tstat * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "fm_t_e4"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_FM = f"""
+WITH {_SQL_PANEL16}, d AS (
+  SELECT event_type, dom, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM panel GROUP BY 1, 2
+), slopes AS (
+  SELECT event_type,
+         CAST(floor((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                    / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) ^ 2 / n)
+                    * 1000000 + {_OFF}) AS BIGINT) AS b_e6
+  FROM d
+  WHERE CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) ^ 2 / n > 0
+), g AS (
+  SELECT event_type, count(*) AS t,
+         CAST(sum(b_e6) AS BIGINT) AS sb,
+         CAST(sum(b_e6 * b_e6) AS BIGINT) AS sbb
+  FROM slopes GROUP BY 1
+), f AS (
+  SELECT event_type, t,
+         CAST(sb AS DOUBLE) / t / 1e6 AS bbar,
+         (CAST(sbb AS DOUBLE) / 1e12
+          - t * (CAST(sb AS DOUBLE) / t / 1e6) ^ 2) / (t - 1.0) AS varb
+  FROM g
+)
+SELECT event_type,
+       CAST(t AS BIGINT) AS n_days,
+       CAST(floor(bbar * 1000000 + {_OFF}) AS BIGINT) AS fm_slope_e6,
+       CAST(floor(bbar / sqrt(varb / t) * 10000 + {_OFF}) AS BIGINT)
+         AS fm_t_e4
+FROM f ORDER BY event_type
+"""
+
+
+def q_panel_between_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Between estimator: OLS on user means (e4-floored exact
+    integers), the cross-sectional complement of the stats15 within
+    estimator."""
+    p = _panel16(spark, sf_dir)
+    u = p.groupBy("event_type", "user_id").agg(
+        F.floor(F.sum("x") * 10_000 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("xb_e4"),
+        F.floor(F.sum("y") * 10_000 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("yb_e4"),
+    )
+    g = u.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xb_e4").alias("sx"),
+        F.sum("yb_e4").alias("sy"),
+        F.sum(F.col("xb_e4") * F.col("xb_e4")).alias("sxx"),
+        F.sum(F.col("xb_e4") * F.col("yb_e4")).alias("sxy"),
+        F.sum(F.col("yb_e4") * F.col("yb_e4")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxx_c = F.col("sxx").cast("double") - F.pow(
+        F.col("sx").cast("double"), 2
+    ) / nd
+    sxy_c = F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double") / nd
+    syy_c = F.col("syy").cast("double") - F.pow(
+        F.col("sy").cast("double"), 2
+    ) / nd
+    b = sxy_c / sxx_c
+    r2 = sxy_c * sxy_c / (sxx_c * syy_c)
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_users"),
+        F.floor(b * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "b_between_e6"
+        ),
+        F.floor(r2 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "r2_between_e6"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_BETWEEN = f"""
+WITH {_SQL_PANEL16}, u AS (
+  SELECT event_type, user_id,
+         CAST(floor(CAST(sum(x) AS DOUBLE) * 10000 / count(*)) AS BIGINT)
+           AS xb_e4,
+         CAST(floor(CAST(sum(y) AS DOUBLE) * 10000 / count(*)) AS BIGINT)
+           AS yb_e4
+  FROM panel GROUP BY 1, 2
+), g AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(xb_e4) AS BIGINT) AS sx,
+         CAST(sum(yb_e4) AS BIGINT) AS sy,
+         CAST(sum(xb_e4 * xb_e4) AS BIGINT) AS sxx,
+         CAST(sum(xb_e4 * yb_e4) AS BIGINT) AS sxy,
+         CAST(sum(yb_e4 * yb_e4) AS BIGINT) AS syy
+  FROM u GROUP BY 1
+), f AS (
+  SELECT event_type, n,
+         CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n AS sxy_c,
+         CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) ^ 2 / n AS sxx_c,
+         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) ^ 2 / n AS syy_c
+  FROM g
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_users,
+       CAST(floor(sxy_c / sxx_c * 1000000 + {_OFF}) AS BIGINT)
+         AS b_between_e6,
+       CAST(floor(sxy_c * sxy_c / (sxx_c * syy_c) * 1000000 + {_OFF})
+            AS BIGINT) AS r2_between_e6
+FROM f ORDER BY event_type
+"""
+
+
+def q_mundlak_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mundlak (1978) device: regress y on (x, user-mean-of-x); the
+    coefficient on the group mean tests random- vs fixed-effects
+    (gamma = b_between - b_within).  2x2 normal equations in closed
+    form from exact centered moments."""
+    p = _panel16(spark, sf_dir)
+    um = p.groupBy("event_type", "user_id").agg(
+        F.floor(F.sum("x") * 10_000 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("xm_e4")
+    )
+    t = p.join(um, ["event_type", "user_id"]).select(
+        "event_type",
+        (F.col("x") * 10_000).alias("x1"),
+        F.col("xm_e4").alias("x2"),
+        F.col("y").alias("y"),
+    )
+    g = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    nd = F.col("n").cast("double")
+    c11 = F.col("s11").cast("double") - F.pow(
+        F.col("s1").cast("double"), 2
+    ) / nd
+    c12 = F.col("s12").cast("double") - F.col("s1").cast(
+        "double"
+    ) * F.col("s2").cast("double") / nd
+    c22 = F.col("s22").cast("double") - F.pow(
+        F.col("s2").cast("double"), 2
+    ) / nd
+    c1y = F.col("s1y").cast("double") - F.col("s1").cast(
+        "double"
+    ) * F.col("sy").cast("double") / nd
+    c2y = F.col("s2y").cast("double") - F.col("s2").cast(
+        "double"
+    ) * F.col("sy").cast("double") / nd
+    det = c11 * c22 - c12 * c12
+    beta = (c22 * c1y - c12 * c2y) / det
+    gamma = (c11 * c2y - c12 * c1y) / det
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_obs"),
+        F.floor(beta * 10_000 * 100 + F.lit(_OFF)).cast("long").alias(
+            "beta_within_e6"
+        ),
+        F.floor(gamma * 10_000 * 100 + F.lit(_OFF)).cast("long").alias(
+            "gamma_mundlak_e6"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_MUNDLAK = f"""
+WITH {_SQL_PANEL16}, um AS (
+  SELECT event_type, user_id,
+         CAST(floor(CAST(sum(x) AS DOUBLE) * 10000 / count(*)) AS BIGINT)
+           AS xm_e4
+  FROM panel GROUP BY 1, 2
+), t AS (
+  SELECT panel.event_type, x * 10000 AS x1, xm_e4 AS x2, y
+  FROM panel JOIN um ON um.event_type = panel.event_type
+                    AND um.user_id = panel.user_id
+), g AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x1 * x1) AS BIGINT) AS s11,
+         CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         CAST(sum(x2 * x2) AS BIGINT) AS s22,
+         CAST(sum(x1 * y) AS BIGINT) AS s1y,
+         CAST(sum(x2 * y) AS BIGINT) AS s2y
+  FROM t GROUP BY 1
+), c AS (
+  SELECT event_type, n,
+         CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) ^ 2 / n AS c11,
+         CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n AS c12,
+         CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) ^ 2 / n AS c22,
+         CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * sy / n AS c1y,
+         CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * sy / n AS c2y
+  FROM g
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_obs,
+       CAST(floor((c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12)
+                  * 10000 * 100 + {_OFF}) AS BIGINT) AS beta_within_e6,
+       CAST(floor((c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12)
+                  * 10000 * 100 + {_OFF}) AS BIGINT) AS gamma_mundlak_e6
+FROM c ORDER BY event_type
+"""
+
+
+def q_cluster_robust_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-regressor OLS of centi-value on hour with naive vs CR1
+    user-clustered SEs (Liang-Zeger 1986; small-sample G/(G-1) *
+    (N-1)/(N-2)).  Cluster score sums are exact integers because the
+    residual numerator is carried unscaled: e_i = y - a - b x with
+    a, b rationals applied per cluster via exact sums."""
+    p = _panel16(spark, sf_dir)
+    g = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxx_c = F.col("sxx").cast("double") - F.pow(
+        F.col("sx").cast("double"), 2
+    ) / nd
+    sxy_c = F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double") / nd
+    syy_c = F.col("syy").cast("double") - F.pow(
+        F.col("sy").cast("double"), 2
+    ) / nd
+    stats = g.select(
+        "event_type",
+        "n",
+        (F.col("sx").cast("double") / nd).alias("xbar"),
+        (sxy_c / sxx_c).alias("b"),
+        (
+            (F.col("sy").cast("double") - sxy_c / sxx_c
+             * F.col("sx").cast("double")) / nd
+        ).alias("a"),
+        sxx_c.alias("sxx_c"),
+        ((syy_c - sxy_c * sxy_c / sxx_c) / (nd - 2.0)).alias("s2"),
+    )
+    t = p.join(F.broadcast(stats), "event_type")
+    score = (
+        (F.col("x").cast("double") - F.col("xbar"))
+        * (
+            F.col("y").cast("double")
+            - F.col("a")
+            - F.col("b") * F.col("x").cast("double")
+        )
+    )
+    cl = t.groupBy("event_type", "user_id").agg(
+        F.sum(
+            F.floor(score * 100 + F.lit(_OFF)).cast("long")
+        ).alias("u_e2"),
+        F.max("n").alias("n"),
+        F.max("sxx_c").alias("sxx_c"),
+        F.max("s2").alias("s2"),
+    )
+    out = cl.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("gn"),
+        F.sum(F.col("u_e2") * F.col("u_e2")).alias("suu"),
+        F.max("n").alias("n"),
+        F.max("sxx_c").alias("sxx_c"),
+        F.max("s2").alias("s2"),
+    )
+    gd = F.col("gn").cast("double")
+    nd2 = F.col("n").cast("double")
+    meat = F.col("suu").cast("double") / 1e4
+    vcl = (
+        gd / (gd - 1.0) * (nd2 - 1.0) / (nd2 - 2.0) * meat
+        / F.pow(F.col("sxx_c"), 2)
+    )
+    se_naive = F.sqrt(F.col("s2") / F.col("sxx_c"))
+    return out.select(
+        "event_type",
+        F.col("gn").cast("long").alias("n_clusters"),
+        F.floor(se_naive * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "se_naive_e6"
+        ),
+        F.floor(F.sqrt(vcl) * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("se_cluster_e6"),
+        F.floor(F.sqrt(vcl) / se_naive * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("inflation_e4"),
+    ).orderBy("event_type")
+
+
+SQL_CRSE = f"""
+WITH {_SQL_PANEL16}, g AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM panel GROUP BY 1
+), stats AS (
+  SELECT event_type, n,
+         CAST(sx AS DOUBLE) / n AS xbar,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+           / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) ^ 2 / n) AS b,
+         (CAST(sy AS DOUBLE)
+          - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+            / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) ^ 2 / n) * sx)
+           / n AS a,
+         CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) ^ 2 / n AS sxx_c,
+         ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) ^ 2 / n)
+          - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) ^ 2
+            / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) ^ 2 / n))
+           / (n - 2.0) AS s2
+  FROM g
+), cl AS (
+  SELECT panel.event_type, user_id,
+         CAST(sum(CAST(floor((x - xbar) * (y - a - b * x) * 100 + {_OFF})
+                       AS BIGINT)) AS BIGINT) AS u_e2,
+         max(n) AS n, max(sxx_c) AS sxx_c, max(s2) AS s2
+  FROM panel JOIN stats ON stats.event_type = panel.event_type
+  GROUP BY 1, 2
+), o AS (
+  SELECT event_type, count(*) AS gn,
+         CAST(sum(u_e2 * u_e2) AS BIGINT) AS suu,
+         max(n) AS n, max(sxx_c) AS sxx_c, max(s2) AS s2
+  FROM cl GROUP BY 1
+), f AS (
+  SELECT event_type, gn,
+         sqrt(s2 / sxx_c) AS se_naive,
+         sqrt(CAST(gn AS DOUBLE) / (gn - 1.0) * (n - 1.0) / (n - 2.0)
+              * (CAST(suu AS DOUBLE) / 1e4) / (sxx_c * sxx_c)) AS se_cl
+  FROM o
+)
+SELECT event_type,
+       CAST(gn AS BIGINT) AS n_clusters,
+       CAST(floor(se_naive * 1000000 + {_OFF}) AS BIGINT) AS se_naive_e6,
+       CAST(floor(se_cl * 1000000 + {_OFF}) AS BIGINT) AS se_cluster_e6,
+       CAST(floor(se_cl / se_naive * 10000 + {_OFF}) AS BIGINT)
+         AS inflation_e4
+FROM f ORDER BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "fama_macbeth": q_fama_macbeth,
+        "panel_between_estimator": q_panel_between_estimator,
+        "mundlak_test": q_mundlak_test,
+        "cluster_robust_se": q_cluster_robust_se,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "fama_macbeth": SQL_FM,
+        "panel_between_estimator": SQL_BETWEEN,
+        "mundlak_test": SQL_MUNDLAK,
+        "cluster_robust_se": SQL_CRSE,
+    }
+)
