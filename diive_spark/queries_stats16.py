@@ -3706,3 +3706,353 @@ ORACLE_SQL.update(
         "cluster_robust_se": SQL_CRSE,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Multiple-testing battery over the 24 per-hour mean tests within each
+# event type.  The unlock is a shared erf twin (Abramowitz & Stegun
+# 7.1.26, |err| < 1.5e-7) written verbatim in both engines — the same
+# trick as the Lanczos lnGamma — giving identical normal-CDF p-values
+# as e9 integers, on which Holm, Benjamini-Yekutieli, Storey's pi0,
+# and Fisher's combined statistic (Wilson-Hilferty normalized) are
+# exact integer programs.
+# ---------------------------------------------------------------------------
+
+
+def _erf(x):
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = (
+        t
+        * (
+            0.254829592
+            + t
+            * (
+                -0.284496736
+                + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))
+            )
+        )
+    )
+    return 1.0 - poly * F.exp(-x * x)
+
+
+def _erf_sql(x: str) -> str:
+    t = f"(1.0 / (1.0 + 0.3275911 * ({x})))"
+    return (
+        f"(1.0 - {t} * (0.254829592 + {t} * (-0.284496736 + {t}"
+        f" * (1.421413741 + {t} * (-1.453152027 + {t} * 1.061405429))))"
+        f" * exp(-({x}) * ({x})))"
+    )
+
+
+def _hour_pvals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch z of each hour's mean vs the rest of the type, two-sided
+    p as an e9 integer (floored at 1)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.hour("ts").alias("hh"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    h = ev.groupBy("event_type", "hh").agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("q1"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nt"),
+        F.sum("v").alias("st"),
+        F.sum(F.col("v") * F.col("v")).alias("qt"),
+    )
+    t = h.join(F.broadcast(g), "event_type")
+    n1 = F.col("n1").cast("double")
+    n2 = (F.col("nt") - F.col("n1")).cast("double")
+    s2v = (F.col("st") - F.col("s1")).cast("double")
+    q2v = (F.col("qt") - F.col("q1")).cast("double")
+    m1 = F.col("s1").cast("double") / n1
+    m2 = s2v / n2
+    v1 = (F.col("q1").cast("double") - n1 * m1 * m1) / (n1 - 1.0)
+    v2 = (q2v - n2 * m2 * m2) / (n2 - 1.0)
+    z = (m1 - m2) / F.sqrt(v1 / n1 + v2 / n2)
+    az = F.abs(z) / F.sqrt(F.lit(2.0))
+    p = 1.0 - _erf(az)
+    return t.select(
+        "event_type",
+        "hh",
+        F.greatest(
+            F.floor(p * 1e9 + F.lit(_OFF)).cast("long"), F.lit(1)
+        ).alias("p_e9"),
+    )
+
+
+_SQL_HOUR_P = f"""
+  ev AS (
+    SELECT event_type, EXTRACT(hour FROM ts) AS hh,
+           CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+    FROM events
+  ), h AS (
+    SELECT event_type, hh, count(*) AS n1,
+           CAST(sum(v) AS BIGINT) AS s1,
+           CAST(sum(v * v) AS BIGINT) AS q1
+    FROM ev GROUP BY 1, 2
+  ), g AS (
+    SELECT event_type, count(*) AS nt,
+           CAST(sum(v) AS BIGINT) AS st,
+           CAST(sum(v * v) AS BIGINT) AS qt
+    FROM ev GROUP BY 1
+  ), zsc AS (
+    SELECT h.event_type, hh,
+           (CAST(s1 AS DOUBLE) / n1 - CAST(st - s1 AS DOUBLE) / (nt - n1))
+           / sqrt(
+               ((CAST(q1 AS DOUBLE) - n1 * (CAST(s1 AS DOUBLE) / n1) ^ 2)
+                / (n1 - 1.0)) / n1
+               + ((CAST(qt - q1 AS DOUBLE)
+                   - (nt - n1) * (CAST(st - s1 AS DOUBLE) / (nt - n1)) ^ 2)
+                  / (nt - n1 - 1.0)) / (nt - n1)) AS z
+    FROM h JOIN g ON g.event_type = h.event_type
+  ), pv AS (
+    SELECT event_type, hh,
+           greatest(CAST(floor(
+             (1.0 - {_erf_sql('abs(z) / sqrt(2.0)')}) * 1e9 + {_OFF})
+             AS BIGINT), 1) AS p_e9
+    FROM zsc
+  )
+"""
+
+
+def q_holm_bonferroni_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _hour_pvals(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("p_e9", "hh")
+    cnt = Window.partitionBy("event_type")
+    t = p.withColumn("rn", F.row_number().over(w)).withColumn(
+        "m", F.count(F.lit(1)).over(cnt)
+    )
+    alpha_num = F.lit(50_000_000)  # 0.05 * 1e9
+    ok = F.col("p_e9") * (F.col("m") - F.col("rn") + 1) <= alpha_num
+    t = t.withColumn("fail_rn", F.when(~ok, F.col("rn")))
+    out = t.groupBy("event_type").agg(
+        F.max("m").cast("long").alias("m_tests"),
+        F.min("p_e9").cast("long").alias("min_p_e9"),
+        (
+            F.coalesce(F.min("fail_rn"), F.max("m") + 1) - 1
+        ).cast("long").alias("holm_rejections"),
+        F.sum(
+            (F.col("p_e9") * F.col("m") <= alpha_num).cast("long")
+        ).cast("long").alias("bonferroni_rejections"),
+    )
+    return out.orderBy("event_type")
+
+
+SQL_HOLM = f"""
+WITH {_SQL_HOUR_P}, r AS (
+  SELECT event_type, hh, p_e9,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY p_e9, hh) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM pv
+)
+SELECT event_type,
+       CAST(max(m) AS BIGINT) AS m_tests,
+       CAST(min(p_e9) AS BIGINT) AS min_p_e9,
+       CAST(coalesce(min(CASE WHEN p_e9 * (m - rn + 1) > 50000000
+                               THEN rn END), max(m) + 1) - 1 AS BIGINT)
+         AS holm_rejections,
+       CAST(sum(CASE WHEN p_e9 * m <= 50000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS bonferroni_rejections
+FROM r GROUP BY 1 ORDER BY event_type
+"""
+
+
+def q_by_fdr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Yekutieli (2001) FDR under arbitrary dependence:
+    the BH step-up with the harmonic penalty c(m); the BH count is
+    reported alongside.  The step-up max is the exact integer
+    comparison p * m * cm_e9 <= rn * alpha * 1e9."""
+    p = _hour_pvals(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("p_e9", "hh")
+    cnt = Window.partitionBy("event_type")
+    t = p.withColumn("rn", F.row_number().over(w)).withColumn(
+        "m", F.count(F.lit(1)).over(cnt)
+    )
+    cm = t.groupBy("event_type").agg(
+        F.sum(
+            F.floor(1e9 / F.col("rn").cast("double") + F.lit(_OFF)).cast(
+                "long"
+            )
+        ).alias("cm_e9")
+    )
+    t = t.join(F.broadcast(cm), "event_type")
+    bh_ok = (
+        F.col("p_e9").cast("double") * F.col("m").cast("double")
+        <= F.col("rn").cast("double") * 5e7
+    )
+    by_ok = (
+        F.col("p_e9").cast("double")
+        * F.col("m").cast("double")
+        * F.col("cm_e9").cast("double")
+        <= F.col("rn").cast("double") * 5e7 * 1e9
+    )
+    out = t.groupBy("event_type").agg(
+        F.max("m").cast("long").alias("m_tests"),
+        F.coalesce(
+            F.max(F.when(bh_ok, F.col("rn"))), F.lit(0)
+        ).cast("long").alias("bh_rejections"),
+        F.coalesce(
+            F.max(F.when(by_ok, F.col("rn"))), F.lit(0)
+        ).cast("long").alias("by_rejections"),
+        F.floor(
+            F.max("cm_e9").cast("double") / 1e5 + F.lit(_OFF)
+        ).cast("long").alias("cm_e4"),
+    )
+    return out.orderBy("event_type")
+
+
+SQL_BY = f"""
+WITH {_SQL_HOUR_P}, r AS (
+  SELECT event_type, hh, p_e9,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY p_e9, hh) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM pv
+), cm AS (
+  SELECT event_type,
+         CAST(sum(CAST(floor(1e9 / rn + {_OFF}) AS BIGINT)) AS BIGINT)
+           AS cm_e9
+  FROM r GROUP BY 1
+)
+SELECT r.event_type,
+       CAST(max(m) AS BIGINT) AS m_tests,
+       CAST(coalesce(max(CASE WHEN CAST(p_e9 AS DOUBLE) * m
+                                   <= rn * 5e7 THEN rn END), 0) AS BIGINT)
+         AS bh_rejections,
+       CAST(coalesce(max(CASE WHEN CAST(p_e9 AS DOUBLE) * m
+                                     * CAST(cm_e9 AS DOUBLE)
+                                   <= rn * 5e7 * 1e9 THEN rn END), 0)
+            AS BIGINT) AS by_rejections,
+       CAST(floor(CAST(max(cm_e9) AS DOUBLE) / 1e5 + {_OFF}) AS BIGINT)
+         AS cm_e4
+FROM r JOIN cm ON cm.event_type = r.event_type
+GROUP BY 1 ORDER BY r.event_type
+"""
+
+
+def q_storey_pi0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storey (2002) null-proportion estimate at lambda = 0.5:
+    pi0 = #{p > 0.5} / ((1 - 0.5) m), clipped to 1; plus the
+    implied q-value floor min(p) * m * pi0."""
+    p = _hour_pvals(spark, sf_dir)
+    g = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum((F.col("p_e9") > 500_000_000).cast("long")).alias("nbig"),
+        F.min("p_e9").alias("minp"),
+    )
+    pi0 = F.least(
+        F.col("nbig").cast("double")
+        / (0.5 * F.col("m").cast("double")),
+        F.lit(1.0),
+    )
+    return g.select(
+        "event_type",
+        F.col("m").cast("long").alias("m_tests"),
+        F.col("nbig").cast("long").alias("n_p_gt_half"),
+        F.floor(pi0 * 10_000 + F.lit(_OFF)).cast("long").alias("pi0_e4"),
+        F.floor(
+            F.least(
+                F.col("minp").cast("double")
+                * F.col("m").cast("double")
+                * pi0,
+                F.lit(1e9),
+            )
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("min_q_e9"),
+    ).orderBy("event_type")
+
+
+SQL_STOREY = f"""
+WITH {_SQL_HOUR_P}, agg AS (
+  SELECT event_type, count(*) AS m,
+         CAST(sum(CASE WHEN p_e9 > 500000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nbig,
+         CAST(min(p_e9) AS BIGINT) AS minp
+  FROM pv GROUP BY 1
+)
+SELECT event_type,
+       CAST(m AS BIGINT) AS m_tests,
+       nbig AS n_p_gt_half,
+       CAST(floor(least(nbig / (0.5 * m), 1.0) * 10000 + {_OFF})
+            AS BIGINT) AS pi0_e4,
+       CAST(floor(least(CAST(minp AS DOUBLE) * m
+                        * least(nbig / (0.5 * m), 1.0), 1e9) + {_OFF})
+            AS BIGINT) AS min_q_e9
+FROM agg ORDER BY event_type
+"""
+
+
+def q_fisher_combined_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's combined probability X = -2 sum ln p over the 24 hour
+    tests, with the Wilson-Hilferty cube-root normal approximation of
+    the chi-square(2m) tail as the headline z."""
+    p = _hour_pvals(spark, sf_dir)
+    term = -2.0 * F.log(F.col("p_e9").cast("double") / 1e9)
+    g = p.select(
+        "event_type",
+        F.floor(term * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "t_e6"
+        ),
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"), F.sum("t_e6").alias("sx")
+    )
+    x = F.col("sx").cast("double") / 1e6
+    dfree = 2.0 * F.col("m").cast("double")
+    wh = (
+        (F.pow(x / dfree, 1.0 / 3.0) - (1.0 - 2.0 / (9.0 * dfree)))
+        / F.sqrt(2.0 / (9.0 * dfree))
+    )
+    return g.select(
+        "event_type",
+        (2 * F.col("m")).cast("long").alias("df"),
+        F.floor(x * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "fisher_x_e4"
+        ),
+        F.floor(wh * 10_000 + F.lit(_OFF)).cast("long").alias("wh_z_e4"),
+    ).orderBy("event_type")
+
+
+SQL_FISHER_META = f"""
+WITH {_SQL_HOUR_P}, agg AS (
+  SELECT event_type, count(*) AS m,
+         CAST(sum(CAST(floor(-2.0 * ln(p_e9 / 1e9) * 1000000 + {_OFF})
+                       AS BIGINT)) AS BIGINT) AS sx
+  FROM pv GROUP BY 1
+), f AS (
+  SELECT event_type, m, CAST(sx AS DOUBLE) / 1e6 AS x,
+         2.0 * m AS dfree
+  FROM agg
+)
+SELECT event_type,
+       CAST(2 * m AS BIGINT) AS df,
+       CAST(floor(x * 10000 + {_OFF}) AS BIGINT) AS fisher_x_e4,
+       CAST(floor(((x / dfree) ^ (1.0 / 3.0) - (1.0 - 2.0 / (9.0 * dfree)))
+                  / sqrt(2.0 / (9.0 * dfree)) * 10000 + {_OFF}) AS BIGINT)
+         AS wh_z_e4
+FROM f ORDER BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "holm_bonferroni_audit": q_holm_bonferroni_audit,
+        "by_fdr_audit": q_by_fdr_audit,
+        "storey_pi0": q_storey_pi0,
+        "fisher_combined_meta": q_fisher_combined_meta,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "holm_bonferroni_audit": SQL_HOLM,
+        "by_fdr_audit": SQL_BY,
+        "storey_pi0": SQL_STOREY,
+        "fisher_combined_meta": SQL_FISHER_META,
+    }
+)
