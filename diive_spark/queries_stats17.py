@@ -628,3 +628,356 @@ ORACLE_SQL.update(
         "ryan_joiner": SQL_RYAN_JOINER,
     }
 )
+
+
+# ===========================================================================
+# Battery B: one-sample normality GoF — Lilliefors KS, Anderson-Darling,
+# Cramer-von Mises, Watson U^2 — via the shared erf twin (stats16).
+# All rank-position sums are collapsed to exact integer block moments
+# over the distinct-value domain:
+#   sum(2i-1)   over a tie block = cum^2 - (cum-tcnt)^2
+#   sum(2i-1)^2 over a tie block = (g(cum) - g(cum-tcnt)) / 3,
+#                                  g(h) = 4h^3 - h  (3*m2 stays integer)
+# so no per-row work and no per-row windows exist anywhere.
+# ===========================================================================
+
+from diive_spark.queries_stats16 import _erf, _erf_sql  # noqa: E402
+
+
+def _phi_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, v): tie count, cumulative count, type total n,
+    and the standard-normal CDF of the standardized value as a clamped
+    e9 integer (sample mean/sd from exact integer moments)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    cv = ev.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("tcnt"))
+    wo = Window.partitionBy("event_type").orderBy("v")
+    wn = Window.partitionBy("event_type")
+    d = (
+        cv.withColumn("cum", F.sum("tcnt").over(wo))
+        .withColumn("n", F.sum("tcnt").over(wn))
+        .withColumn("sv", F.sum(F.col("tcnt") * F.col("v")).over(wn))
+        .withColumn(
+            "sv2", F.sum(F.col("tcnt") * F.col("v") * F.col("v")).over(wn)
+        )
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("sv").cast("double") / n
+    sd = F.sqrt(
+        (F.col("sv2").cast("double") - F.col("sv").cast("double") * mean)
+        / (n - 1.0)
+    )
+    z = (F.col("v") - mean) / sd
+    phi = 0.5 * (
+        1.0
+        + F.when(z >= 0, _erf(z / F.sqrt(F.lit(2.0)))).otherwise(
+            -_erf(-z / F.sqrt(F.lit(2.0)))
+        )
+    )
+    return d.select(
+        "event_type",
+        "v",
+        "tcnt",
+        "cum",
+        "n",
+        F.greatest(
+            F.lit(1),
+            F.least(
+                F.floor(phi * 1e9 + F.lit(_OFF)).cast("long"),
+                F.lit(999_999_999),
+            ),
+        ).alias("f_e9"),
+    )
+
+
+_PHI_Z = (
+    "((v - CAST(sv AS DOUBLE) / n)"
+    " / sqrt((CAST(sv2 AS DOUBLE)"
+    "         - CAST(sv AS DOUBLE) * (CAST(sv AS DOUBLE) / n)) / (n - 1.0)))"
+)
+_SQL_PHI = f"""
+  ev AS (
+    SELECT event_type,
+           CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+    FROM events
+  ), cv AS (
+    SELECT event_type, v, count(*) AS tcnt FROM ev GROUP BY 1, 2
+  ), cw AS (
+    SELECT event_type, v, tcnt,
+           CAST(sum(tcnt) OVER (PARTITION BY event_type ORDER BY v)
+                AS BIGINT) AS cum,
+           CAST(sum(tcnt) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+           CAST(sum(tcnt * v) OVER (PARTITION BY event_type) AS BIGINT) AS sv,
+           CAST(sum(tcnt * v * v) OVER (PARTITION BY event_type)
+                AS BIGINT) AS sv2
+    FROM cv
+  ), pb AS (
+    SELECT event_type, v, tcnt, cum, n,
+           greatest(1, least(CAST(floor(
+             0.5 * (1.0 + (CASE WHEN {_PHI_Z} >= 0
+                    THEN {_erf_sql(f"{_PHI_Z} / sqrt(2.0)")}
+                    ELSE -({_erf_sql(f"-{_PHI_Z} / sqrt(2.0)")}) END))
+             * 1e9 + {_OFF}) AS BIGINT), 999999999)) AS f_e9
+    FROM cw
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# lilliefors — KS distance to the FITTED normal (Lilliefors 1967).
+# D = max_i max(i/n - F_i, F_i - (i-1)/n); per tie block the extremes
+# are at i = cum and i = cum - tcnt + 1, so the max is exact per block.
+# ---------------------------------------------------------------------------
+
+
+def q_lilliefors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pb = _phi_blocks(spark, sf_dir)
+    f = F.col("f_e9").cast("double") / 1e9
+    dterm = F.greatest(
+        F.col("cum").cast("double") / F.col("n") - f,
+        f - (F.col("cum") - F.col("tcnt")).cast("double") / F.col("n"),
+    )
+    agg = pb.groupBy("event_type").agg(
+        F.max("n").alias("n"), F.max(dterm).alias("d")
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(F.col("d") * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "d_e6"
+        ),
+        F.floor(
+            F.sqrt(F.col("n").cast("double")) * F.col("d") * 10_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("ks_e4"),
+    ).orderBy("event_type")
+
+
+SQL_LILLIEFORS = f"""
+WITH {_SQL_PHI}, agg AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         max(greatest(
+           CAST(cum AS DOUBLE) / n - CAST(f_e9 AS DOUBLE) / 1e9,
+           CAST(f_e9 AS DOUBLE) / 1e9 - CAST(cum - tcnt AS DOUBLE) / n)) AS d
+  FROM pb GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(floor(d * 1000000 + {_OFF}) AS BIGINT) AS d_e6,
+       CAST(floor(sqrt(CAST(n AS DOUBLE)) * d * 10000 + {_OFF})
+            AS BIGINT) AS ks_e4
+FROM agg ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# ad_normality — one-sample Anderson-Darling vs the fitted normal
+# (Anderson & Darling 1954; Stephens 1974 case 3):
+#   A2 = -n - (1/n) sum_i [(2i-1) ln F_i + (2(n-i)+1) ln(1-F_i)]
+# Block weights are the exact integer moments above; F constant within
+# a block makes the per-block contribution exact.
+# ---------------------------------------------------------------------------
+
+
+def q_ad_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pb = _phi_blocks(spark, sf_dir)
+    lo1 = F.col("cum") - F.col("tcnt")  # lo - 1
+    w1 = F.col("cum") * F.col("cum") - lo1 * lo1
+    # sum over block of (2(n-i)+1) = tcnt*(2n+1) - 2*sum(i)
+    w2 = F.col("tcnt") * (2 * F.col("n") + 1) - (
+        F.col("cum") * (F.col("cum") + 1) - lo1 * (lo1 + 1)
+    )
+    lnf = F.log(F.col("f_e9").cast("double") / 1e9)
+    ln1mf = F.log(1.0 - F.col("f_e9").cast("double") / 1e9)
+    agg = pb.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.floor(
+                (w1.cast("double") * lnf + w2.cast("double") * ln1mf) * 1_000
+                + F.lit(_OFF)
+            ).cast("long")
+        ).alias("s_e3"),
+    )
+    n = F.col("n").cast("double")
+    a2 = -n - F.col("s_e3").cast("double") / 1_000.0 / n
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(a2 * 10_000 + F.lit(_OFF)).cast("long").alias("a2_e4"),
+    ).orderBy("event_type")
+
+
+SQL_AD_NORM = f"""
+WITH {_SQL_PHI}, terms AS (
+  SELECT event_type, n,
+         CAST(floor(
+           (CAST(cum * cum - (cum - tcnt) * (cum - tcnt) AS DOUBLE)
+              * ln(CAST(f_e9 AS DOUBLE) / 1e9)
+            + CAST(tcnt * (2 * n + 1)
+                   - (cum * (cum + 1) - (cum - tcnt) * (cum - tcnt + 1))
+                   AS DOUBLE)
+              * ln(1.0 - CAST(f_e9 AS DOUBLE) / 1e9)) * 1000 + {_OFF})
+           AS BIGINT) AS t_e3
+  FROM pb
+), agg AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(t_e3) AS BIGINT) AS s_e3
+  FROM terms GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(floor((-CAST(n AS DOUBLE)
+                   - CAST(s_e3 AS DOUBLE) / 1000.0 / CAST(n AS DOUBLE))
+                  * 10000 + {_OFF}) AS BIGINT) AS a2_e4
+FROM agg ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# cvm_normality — Cramer-von Mises W^2 vs the fitted normal:
+#   W2 = 1/(12n) + sum_i (F_i - (2i-1)/(2n))^2
+# Per block: tcnt*F^2 - w1*F/n + (3*m2)/3 / (4n^2), with
+# 3*m2 = g(cum) - g(cum-tcnt), g(h) = 4h^3 - h (exact integer).
+# ---------------------------------------------------------------------------
+
+
+def q_cvm_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pb = _phi_blocks(spark, sf_dir)
+    lo1 = F.col("cum") - F.col("tcnt")
+    w1 = F.col("cum") * F.col("cum") - lo1 * lo1
+    m2x3 = (
+        4 * F.col("cum") * F.col("cum") * F.col("cum")
+        - F.col("cum")
+        - (4 * lo1 * lo1 * lo1 - lo1)
+    )
+    f = F.col("f_e9").cast("double") / 1e9
+    n = F.col("n").cast("double")
+    term = (
+        F.col("tcnt").cast("double") * f * f
+        - w1.cast("double") * f / n
+        + m2x3.cast("double") / 3.0 / (4.0 * n * n)
+    )
+    agg = pb.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.floor(term * 1e9 + F.lit(_OFF)).cast("long")
+        ).alias("s_e9"),
+    )
+    w2 = (
+        1.0 / (12.0 * F.col("n").cast("double"))
+        + F.col("s_e9").cast("double") / 1e9
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(w2 * 1_000_000 + F.lit(_OFF)).cast("long").alias("w2_e6"),
+    ).orderBy("event_type")
+
+
+_SQL_CVM_TERMS = f"""
+  terms AS (
+    SELECT event_type, n, tcnt, f_e9,
+           CAST(floor(
+             (CAST(tcnt AS DOUBLE) * (CAST(f_e9 AS DOUBLE) / 1e9)
+                * (CAST(f_e9 AS DOUBLE) / 1e9)
+              - CAST(cum * cum - (cum - tcnt) * (cum - tcnt) AS DOUBLE)
+                * (CAST(f_e9 AS DOUBLE) / 1e9) / CAST(n AS DOUBLE)
+              + CAST(4 * cum * cum * cum - cum
+                     - (4 * (cum - tcnt) * (cum - tcnt) * (cum - tcnt)
+                        - (cum - tcnt)) AS DOUBLE)
+                / 3.0 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             * 1e9 + {_OFF}) AS BIGINT) AS t_e9
+    FROM pb
+  )
+"""
+
+SQL_CVM_NORM = f"""
+WITH {_SQL_PHI}, {_SQL_CVM_TERMS}, agg AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(t_e9) AS BIGINT) AS s_e9
+  FROM terms GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(floor((1.0 / (12.0 * CAST(n AS DOUBLE))
+                   + CAST(s_e9 AS DOUBLE) / 1e9) * 1000000 + {_OFF})
+            AS BIGINT) AS w2_e6
+FROM agg ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# watson_normality — Watson's U^2 (1961): the rotation-invariant CvM,
+#   U2 = W2 - n (Fbar - 1/2)^2,  Fbar = (1/n) sum_i F_i
+# Fbar comes exact from sum(tcnt * f_e9).
+# ---------------------------------------------------------------------------
+
+
+def q_watson_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pb = _phi_blocks(spark, sf_dir)
+    lo1 = F.col("cum") - F.col("tcnt")
+    w1 = F.col("cum") * F.col("cum") - lo1 * lo1
+    m2x3 = (
+        4 * F.col("cum") * F.col("cum") * F.col("cum")
+        - F.col("cum")
+        - (4 * lo1 * lo1 * lo1 - lo1)
+    )
+    f = F.col("f_e9").cast("double") / 1e9
+    n = F.col("n").cast("double")
+    term = (
+        F.col("tcnt").cast("double") * f * f
+        - w1.cast("double") * f / n
+        + m2x3.cast("double") / 3.0 / (4.0 * n * n)
+    )
+    agg = pb.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(F.floor(term * 1e9 + F.lit(_OFF)).cast("long")).alias("s_e9"),
+        F.sum(F.col("tcnt") * F.col("f_e9")).alias("fb"),
+    )
+    nn = F.col("n").cast("double")
+    w2 = 1.0 / (12.0 * nn) + F.col("s_e9").cast("double") / 1e9
+    fbar = F.col("fb").cast("double") / (nn * 1e9)
+    u2 = w2 - nn * (fbar - 0.5) * (fbar - 0.5)
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(u2 * 1_000_000 + F.lit(_OFF)).cast("long").alias("u2_e6"),
+    ).orderBy("event_type")
+
+
+SQL_WATSON_NORM = f"""
+WITH {_SQL_PHI}, {_SQL_CVM_TERMS}, agg AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(t_e9) AS BIGINT) AS s_e9,
+         CAST(sum(tcnt * f_e9) AS BIGINT) AS fb
+  FROM terms GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(floor(
+         (1.0 / (12.0 * CAST(n AS DOUBLE)) + CAST(s_e9 AS DOUBLE) / 1e9
+          - CAST(n AS DOUBLE)
+            * (CAST(fb AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9) - 0.5)
+            * (CAST(fb AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9) - 0.5))
+         * 1000000 + {_OFF}) AS BIGINT) AS u2_e6
+FROM agg ORDER BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "lilliefors": q_lilliefors,
+        "ad_normality": q_ad_normality,
+        "cvm_normality": q_cvm_normality,
+        "watson_normality": q_watson_normality,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "lilliefors": SQL_LILLIEFORS,
+        "ad_normality": SQL_AD_NORM,
+        "cvm_normality": SQL_CVM_NORM,
+        "watson_normality": SQL_WATSON_NORM,
+    }
+)
