@@ -981,3 +981,390 @@ ORACLE_SQL.update(
         "watson_normality": SQL_WATSON_NORM,
     }
 )
+
+
+# ===========================================================================
+# Battery C: post-hoc pairwise multiple comparisons across event types —
+# the follow-up layer for the omnibus tests already in the registry
+# (anova_event_types, kruskal_wallis, friedman_test).  All four reduce
+# to self-joins of a k-row per-type statistics table (k = #types), so
+# the pairwise stage is broadcast-trivial at any scale; rank machinery
+# stays on the value domain.  The pooled-rank window is ORDER BY v with
+# no partition key BY DESIGN: it runs over the distinct centi-value
+# domain (bounded by the value range, not the row count).
+# ===========================================================================
+
+
+def _pooled_rank_stats(spark: SparkSession, sf_dir: str):
+    """(per-type rank sums, global scalars) over pooled values."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    gv = ev.groupBy("v").agg(F.count(F.lit(1)).alias("tcnt"))
+    wo = Window.orderBy("v")
+    gv = gv.withColumn("cum", F.sum("tcnt").over(wo)).withColumn(
+        "r2", 2 * F.col("cum") - F.col("tcnt") + 1
+    )
+    glob = gv.agg(
+        F.sum("tcnt").alias("n"),
+        F.sum(
+            F.col("tcnt") * F.col("tcnt") * F.col("tcnt") - F.col("tcnt")
+        ).alias("tie3"),
+    )
+    per_type = (
+        ev.groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).alias("gcnt"))
+        .join(gv.select("v", "r2"), "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("gcnt").alias("ni"),
+            F.sum(F.col("gcnt") * F.col("r2")).alias("si"),
+            F.sum(F.col("gcnt") * F.col("r2") * F.col("r2")).alias("qi"),
+        )
+    )
+    return per_type, glob
+
+
+_SQL_POOLED = f"""
+  ev AS (
+    SELECT event_type,
+           CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+    FROM events
+  ), gv AS (
+    SELECT v, tcnt,
+           2 * CAST(sum(tcnt) OVER (ORDER BY v) AS BIGINT) - tcnt + 1 AS r2
+    FROM (SELECT v, count(*) AS tcnt FROM ev GROUP BY 1)
+  ), gstats AS (
+    SELECT CAST(sum(tcnt) AS BIGINT) AS n,
+           CAST(sum(tcnt * tcnt * tcnt - tcnt) AS BIGINT) AS tie3
+    FROM gv
+  ), per_type AS (
+    SELECT event_type,
+           CAST(sum(gcnt) AS BIGINT) AS ni,
+           CAST(sum(gcnt * r2) AS BIGINT) AS si,
+           CAST(sum(gcnt * r2 * r2) AS BIGINT) AS qi
+    FROM (
+      SELECT event_type, v, count(*) AS gcnt FROM ev GROUP BY 1, 2
+    ) t JOIN gv USING (v)
+    GROUP BY 1
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# games_howell — pairwise Welch comparisons with Welch-Satterthwaite
+# df and the studentized-range statistic q = t*sqrt(2) (Games & Howell
+# 1976).  The per-type moment table is k rows; the pair stage is a
+# broadcast self-join.
+# ---------------------------------------------------------------------------
+
+
+def q_games_howell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("sv2"),
+    )
+    a = st.alias("a")
+    b = st.alias("b")
+    pr = a.join(
+        F.broadcast(b), F.col("a.event_type") < F.col("b.event_type")
+    )
+
+    def m(side: str) -> Column:
+        return F.col(f"{side}.sv").cast("double") / F.col(f"{side}.n")
+
+    def var(side: str) -> Column:
+        n = F.col(f"{side}.n").cast("double")
+        return (F.col(f"{side}.sv2").cast("double") - n * m(side) * m(side)) / (
+            n - 1.0
+        )
+
+    va_n = var("a") / F.col("a.n")
+    vb_n = var("b") / F.col("b.n")
+    se2 = va_n + vb_n
+    q = (m("a") - m("b")) / F.sqrt(se2) * F.sqrt(F.lit(2.0))
+    dfw = se2 * se2 / (
+        va_n * va_n / (F.col("a.n") - 1.0) + vb_n * vb_n / (F.col("b.n") - 1.0)
+    )
+    return pr.select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.floor(q * 10_000 + F.lit(_OFF)).cast("long").alias("q_e4"),
+        F.floor(dfw * 100 + F.lit(_OFF)).cast("long").alias("df_e2"),
+    ).orderBy("type_a", "type_b")
+
+
+SQL_GAMES_HOWELL = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), st AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(v) AS BIGINT) AS sv,
+         CAST(sum(v * v) AS BIGINT) AS sv2
+  FROM ev GROUP BY 1
+), pr AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         (CAST(a.sv2 AS DOUBLE)
+          - a.n * (CAST(a.sv AS DOUBLE) / a.n)
+                * (CAST(a.sv AS DOUBLE) / a.n)) / (a.n - 1.0) / a.n AS van,
+         (CAST(b.sv2 AS DOUBLE)
+          - b.n * (CAST(b.sv AS DOUBLE) / b.n)
+                * (CAST(b.sv AS DOUBLE) / b.n)) / (b.n - 1.0) / b.n AS vbn,
+         CAST(a.sv AS DOUBLE) / a.n - CAST(b.sv AS DOUBLE) / b.n AS md,
+         a.n AS na, b.n AS nb
+  FROM st a JOIN st b ON a.event_type < b.event_type
+)
+SELECT type_a, type_b,
+       CAST(floor(md / sqrt(van + vbn) * sqrt(2.0) * 10000 + {_OFF})
+            AS BIGINT) AS q_e4,
+       CAST(floor((van + vbn) * (van + vbn)
+                  / (van * van / (na - 1.0) + vbn * vbn / (nb - 1.0))
+                  * 100 + {_OFF}) AS BIGINT) AS df_e2
+FROM pr ORDER BY type_a, type_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# dunn_posthoc — Dunn's (1964) pairwise z on pooled average ranks with
+# the tie-corrected variance (n(n+1) - tie3/(n-1))/12.
+# ---------------------------------------------------------------------------
+
+
+def q_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_type, glob = _pooled_rank_stats(spark, sf_dir)
+    a = per_type.alias("a")
+    b = per_type.alias("b")
+    pr = a.join(
+        F.broadcast(b), F.col("a.event_type") < F.col("b.event_type")
+    ).crossJoin(F.broadcast(glob))
+    n = F.col("n").cast("double")
+    rbar_a = F.col("a.si").cast("double") / (2.0 * F.col("a.ni"))
+    rbar_b = F.col("b.si").cast("double") / (2.0 * F.col("b.ni"))
+    sig2 = (
+        (n * (n + 1.0) - F.col("tie3").cast("double") / (n - 1.0))
+        / 12.0
+        * (1.0 / F.col("a.ni") + 1.0 / F.col("b.ni"))
+    )
+    z = (rbar_a - rbar_b) / F.sqrt(sig2)
+    return pr.select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.ni").cast("long").alias("n_a"),
+        F.col("b.ni").cast("long").alias("n_b"),
+        F.floor(z * 10_000 + F.lit(_OFF)).cast("long").alias("z_e4"),
+    ).orderBy("type_a", "type_b")
+
+
+SQL_DUNN = f"""
+WITH {_SQL_POOLED}
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       a.ni AS n_a, b.ni AS n_b,
+       CAST(floor(
+         (CAST(a.si AS DOUBLE) / (2.0 * a.ni)
+          - CAST(b.si AS DOUBLE) / (2.0 * b.ni))
+         / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                 - CAST(tie3 AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)) / 12.0
+                * (1.0 / a.ni + 1.0 / b.ni))
+         * 10000 + {_OFF}) AS BIGINT) AS z_e4
+FROM per_type a JOIN per_type b ON a.event_type < b.event_type
+CROSS JOIN gstats
+ORDER BY type_a, type_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# conover_iman — Conover & Iman (1979) rank t-test after Kruskal-
+# Wallis: t = (Rbar_i - Rbar_j) / sqrt(S2 (n-1-H)/(n-k) (1/ni + 1/nj))
+# with S2 = (sum R^2 - n(n+1)^2/4)/(n-1) and H the tie-corrected KW
+# statistic — every sum an exact integer in doubled-rank units.
+# ---------------------------------------------------------------------------
+
+
+def q_conover_iman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_type, glob = _pooled_rank_stats(spark, sf_dir)
+    kw = per_type.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.col("si").cast("double")
+            * F.col("si").cast("double")
+            / (4.0 * F.col("ni"))
+        ).alias("ssr"),
+        F.sum("qi").alias("qtot"),
+    )
+    a = per_type.alias("a")
+    b = per_type.alias("b")
+    pr = (
+        a.join(F.broadcast(b), F.col("a.event_type") < F.col("b.event_type"))
+        .crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(kw))
+    )
+    n = F.col("n").cast("double")
+    h_unc = 12.0 / (n * (n + 1.0)) * F.col("ssr") - 3.0 * (n + 1.0)
+    c = 1.0 - F.col("tie3").cast("double") / (n * n * n - n)
+    h = h_unc / c
+    s2 = (F.col("qtot").cast("double") / 4.0 - n * (n + 1.0) * (n + 1.0) / 4.0) / (
+        n - 1.0
+    )
+    rbar_a = F.col("a.si").cast("double") / (2.0 * F.col("a.ni"))
+    rbar_b = F.col("b.si").cast("double") / (2.0 * F.col("b.ni"))
+    t = (rbar_a - rbar_b) / F.sqrt(
+        s2
+        * (n - 1.0 - h)
+        / (n - F.col("k"))
+        * (1.0 / F.col("a.ni") + 1.0 / F.col("b.ni"))
+    )
+    return pr.select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.floor(h * 10_000 + F.lit(_OFF)).cast("long").alias("h_e4"),
+        F.floor(t * 10_000 + F.lit(_OFF)).cast("long").alias("t_e4"),
+    ).orderBy("type_a", "type_b")
+
+
+SQL_CONOVER_IMAN = f"""
+WITH {_SQL_POOLED}, kw AS (
+  SELECT count(*) AS k,
+         sum(CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / (4.0 * ni)) AS ssr,
+         CAST(sum(qi) AS BIGINT) AS qtot
+  FROM per_type
+), sc AS (
+  SELECT k, qtot,
+         (12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * ssr
+          - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+         / (1.0 - CAST(tie3 AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     - CAST(n AS DOUBLE))) AS h,
+         (CAST(qtot AS DOUBLE) / 4.0
+          - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+            * (CAST(n AS DOUBLE) + 1.0) / 4.0)
+         / (CAST(n AS DOUBLE) - 1.0) AS s2,
+         CAST(n AS DOUBLE) AS nd
+  FROM kw CROSS JOIN gstats
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(floor(h * 10000 + {_OFF}) AS BIGINT) AS h_e4,
+       CAST(floor(
+         (CAST(a.si AS DOUBLE) / (2.0 * a.ni)
+          - CAST(b.si AS DOUBLE) / (2.0 * b.ni))
+         / sqrt(s2 * (nd - 1.0 - h) / (nd - k) * (1.0 / a.ni + 1.0 / b.ni))
+         * 10000 + {_OFF}) AS BIGINT) AS t_e4
+FROM per_type a JOIN per_type b ON a.event_type < b.event_type
+CROSS JOIN sc
+ORDER BY type_a, type_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# nemenyi_friedman — Nemenyi pairwise q after Friedman over complete
+# day blocks: within each day the k types are ranked by their floored
+# daily mean (average ranks for ties); q = (Rbar_i - Rbar_j)
+# / sqrt(k(k+1)/(12 b)).  Blocks missing a type are dropped (complete-
+# block requirement); the rank window is per day over k rows.
+# ---------------------------------------------------------------------------
+
+
+def q_nemenyi_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.dayofmonth("ts").alias("dom"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    daily = ev.groupBy("dom", "event_type").agg(
+        F.floor(
+            F.sum("v").cast("double") / F.count(F.lit(1)) + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("mv")
+    )
+    k_all = daily.select("event_type").distinct().count()
+    complete = (
+        daily.groupBy("dom")
+        .agg(F.count(F.lit(1)).alias("kk"))
+        .filter(F.col("kk") == k_all)
+        .select("dom")
+    )
+    d = daily.join(F.broadcast(complete), "dom")
+    wr = Window.partitionBy("dom").orderBy("mv")
+    wt = Window.partitionBy("dom", "mv")
+    r = d.withColumn(
+        "r2", 2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1
+    )
+    per_type = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("b"), F.sum("r2").alias("sr2")
+    )
+    a = per_type.alias("a")
+    bb = per_type.alias("b")
+    pr = a.join(
+        F.broadcast(bb), F.col("a.event_type") < F.col("b.event_type")
+    )
+    bkd = F.col("a.b").cast("double")
+    q = (
+        F.col("a.sr2").cast("double") / (2.0 * bkd)
+        - F.col("b.sr2").cast("double") / (2.0 * bkd)
+    ) / F.sqrt(k_all * (k_all + 1.0) / (12.0 * bkd))
+    return pr.select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.b").cast("long").alias("blocks"),
+        F.floor(q * 10_000 + F.lit(_OFF)).cast("long").alias("q_e4"),
+    ).orderBy("type_a", "type_b")
+
+
+SQL_NEMENYI = f"""
+WITH daily AS (
+  SELECT EXTRACT(day FROM ts) AS dom, event_type,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+                         AS DOUBLE) / count(*) + {_OFF}) AS BIGINT) AS mv
+  FROM events GROUP BY 1, 2
+), kk AS (
+  SELECT count(DISTINCT event_type) AS k FROM daily
+), complete AS (
+  SELECT dom FROM daily GROUP BY dom
+  HAVING count(*) = (SELECT k FROM kk)
+), r AS (
+  SELECT event_type,
+         2 * rank() OVER (PARTITION BY dom ORDER BY mv)
+           + count(*) OVER (PARTITION BY dom, mv) - 1 AS r2
+  FROM daily JOIN complete USING (dom)
+), per_type AS (
+  SELECT event_type, count(*) AS b, CAST(sum(r2) AS BIGINT) AS sr2
+  FROM r GROUP BY 1
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(a.b AS BIGINT) AS blocks,
+       CAST(floor(
+         (CAST(a.sr2 AS DOUBLE) / (2.0 * a.b)
+          - CAST(b.sr2 AS DOUBLE) / (2.0 * a.b))
+         / sqrt(k * (k + 1.0) / (12.0 * a.b))
+         * 10000 + {_OFF}) AS BIGINT) AS q_e4
+FROM per_type a JOIN per_type b ON a.event_type < b.event_type
+CROSS JOIN kk
+ORDER BY type_a, type_b
+"""
+
+
+QUERIES.update(
+    {
+        "games_howell": q_games_howell,
+        "dunn_posthoc": q_dunn_posthoc,
+        "conover_iman": q_conover_iman,
+        "nemenyi_friedman": q_nemenyi_friedman,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "games_howell": SQL_GAMES_HOWELL,
+        "dunn_posthoc": SQL_DUNN,
+        "conover_iman": SQL_CONOVER_IMAN,
+        "nemenyi_friedman": SQL_NEMENYI,
+    }
+)
