@@ -1368,3 +1368,342 @@ ORACLE_SQL.update(
         "nemenyi_friedman": SQL_NEMENYI,
     }
 )
+
+
+# ===========================================================================
+# Battery D: operations-research / reliability layer — EOQ ordering
+# policy, Crow-AMSAA (power-law NHPP) reliability growth, the grouped
+# delete-a-day jackknife SE, and the Omega ratio on daily deltas.
+# Everything is per-type combinable aggregation; the only windows run
+# over ~30 daily rows per type.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# eoq_policy — classic Wilson EOQ per event type (Harris 1913):
+# Q* = sqrt(2 D K / h) with annualized demand D = 12 * monthly count,
+# ordering cost K = 100, holding cost h = 25% of the mean unit value.
+# ---------------------------------------------------------------------------
+
+
+def q_eoq_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    )
+    d = 12.0 * F.col("n").cast("double")
+    k = F.lit(100.0)
+    h = 0.25 * (F.col("sv").cast("double") / F.col("n") / 100.0)
+    qstar = F.sqrt(2.0 * d * k / h)
+    cost = F.sqrt(2.0 * d * k * h)
+    return st.select(
+        "event_type",
+        (12 * F.col("n")).cast("long").alias("d_annual"),
+        F.floor(qstar * 10_000 + F.lit(_OFF)).cast("long").alias("q_star_e4"),
+        F.floor(cost * 10_000 + F.lit(_OFF)).cast("long").alias("cost_e4"),
+        F.floor(d / qstar * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "orders_e4"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_EOQ = f"""
+WITH st AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT)) AS BIGINT)
+           AS sv
+  FROM events GROUP BY 1
+)
+SELECT event_type,
+       CAST(12 * n AS BIGINT) AS d_annual,
+       CAST(floor(sqrt(2.0 * (12.0 * n) * 100.0
+                       / (0.25 * (CAST(sv AS DOUBLE) / n / 100.0)))
+                  * 10000 + {_OFF}) AS BIGINT) AS q_star_e4,
+       CAST(floor(sqrt(2.0 * (12.0 * n) * 100.0
+                       * (0.25 * (CAST(sv AS DOUBLE) / n / 100.0)))
+                  * 10000 + {_OFF}) AS BIGINT) AS cost_e4,
+       CAST(floor((12.0 * n)
+                  / sqrt(2.0 * (12.0 * n) * 100.0
+                         / (0.25 * (CAST(sv AS DOUBLE) / n / 100.0)))
+                  * 10000 + {_OFF}) AS BIGINT) AS orders_e4
+FROM st ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# crow_amsaa — power-law NHPP reliability-growth MLE (Crow 1974;
+# AMSAA TR-138): treating each type's events as failure epochs,
+# beta = n / sum ln(T / t_i), ln lambda = ln n - beta ln T,
+# with t_i measured in microseconds from the global window start
+# (+1 s so the first event never hits ln(0)).  Per-row ln terms are
+# e6-floored; everything else is exact integer sums.
+# ---------------------------------------------------------------------------
+
+
+def q_crow_amsaa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    g = ev.agg(
+        F.min("us").alias("start_us"), F.max("us").alias("end_us")
+    )
+    j = ev.crossJoin(F.broadcast(g))
+    td = (F.col("end_us") - F.col("start_us") + 1_000_000).cast("double")
+    ti = (F.col("us") - F.col("start_us") + 1_000_000).cast("double")
+    term = F.floor((F.log(td) - F.log(ti)) * 1_000_000 + F.lit(_OFF)).cast(
+        "long"
+    )
+    agg = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(term).alias("s_e6"),
+        F.max(td).alias("td"),
+    )
+    beta = F.col("n").cast("double") / (F.col("s_e6").cast("double") / 1e6)
+    lnlam = F.log(F.col("n").cast("double")) - beta * F.log(F.col("td"))
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(beta * 1_000_000 + F.lit(_OFF)).cast("long").alias("beta_e6"),
+        F.floor(lnlam * 10_000 + F.lit(_OFF)).cast("long").alias("lnlam_e4"),
+    ).orderBy("event_type")
+
+
+SQL_CROW = f"""
+WITH g AS (
+  SELECT min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+  FROM events
+), terms AS (
+  SELECT event_type,
+         CAST(floor((ln(CAST(end_us - start_us + 1000000 AS DOUBLE))
+                     - ln(CAST(epoch_us(ts) - start_us + 1000000 AS DOUBLE)))
+                    * 1000000 + {_OFF}) AS BIGINT) AS t_e6,
+         CAST(end_us - start_us + 1000000 AS DOUBLE) AS td
+  FROM events CROSS JOIN g
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(t_e6) AS BIGINT) AS s_e6,
+         max(td) AS td
+  FROM terms GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(floor(n / (CAST(s_e6 AS DOUBLE) / 1e6) * 1000000 + {_OFF})
+            AS BIGINT) AS beta_e6,
+       CAST(floor((ln(CAST(n AS DOUBLE))
+                   - n / (CAST(s_e6 AS DOUBLE) / 1e6) * ln(td))
+                  * 10000 + {_OFF}) AS BIGINT) AS lnlam_e4
+FROM agg ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# jackknife_day_se — grouped (delete-one-day) jackknife SE of the mean
+# (Quenouille 1956; Tukey 1958): theta_(d) = (S - s_d)/(N - n_d),
+# SE^2 = (D-1)/D * sum_d (theta_(d) - mean_d theta_(d))^2.
+# Leave-one-out estimates are e6-floored integers, so the variance sum
+# is exact; the day layer is ~30 rows per type.
+# ---------------------------------------------------------------------------
+
+
+def q_jackknife_day_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.dayofmonth("ts").alias("dom"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    day = ev.groupBy("event_type", "dom").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("v").alias("sd")
+    )
+    tot = day.groupBy("event_type").agg(
+        F.sum("nd").alias("n"), F.sum("sd").alias("s")
+    )
+    j = day.join(F.broadcast(tot), "event_type")
+    theta_d = (F.col("s") - F.col("sd")).cast("double") / (
+        F.col("n") - F.col("nd")
+    )
+    # center at the full-sample mean (integer shift, variance-invariant)
+    # so the e6-scaled squares stay far inside int64
+    c = F.floor(
+        F.col("s").cast("double") / F.col("n") * 1_000_000 + F.lit(_OFF)
+    ).cast("long")
+    t_e6 = (
+        F.floor(theta_d * 1_000_000 + F.lit(_OFF)).cast("long") - c
+    )
+    agg = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("d"),
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.sum(t_e6).alias("st"),
+        F.sum(t_e6 * t_e6).alias("sq"),
+    )
+    dd = F.col("d").cast("double")
+    var_e12 = F.col("sq").cast("double") - F.col("st").cast("double") * F.col(
+        "st"
+    ).cast("double") / dd
+    se = F.sqrt((dd - 1.0) / dd * var_e12) / 1e6
+    return agg.select(
+        "event_type",
+        F.col("d").cast("long").alias("d"),
+        F.floor(
+            F.col("s").cast("double") / F.col("n") * 10_000 + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("theta_e4"),
+        F.floor(se * 1_000_000 + F.lit(_OFF)).cast("long").alias("se_e6"),
+    ).orderBy("event_type")
+
+
+SQL_JACKKNIFE = f"""
+WITH day AS (
+  SELECT event_type, EXTRACT(day FROM ts) AS dom, count(*) AS nd,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT)) AS BIGINT)
+           AS sd
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, CAST(sum(nd) AS BIGINT) AS n,
+         CAST(sum(sd) AS BIGINT) AS s
+  FROM day GROUP BY 1
+), t AS (
+  SELECT day.event_type, n, s,
+         CAST(floor(CAST(s - sd AS DOUBLE) / (n - nd) * 1000000 + {_OFF})
+              AS BIGINT)
+         - CAST(floor(CAST(s AS DOUBLE) / n * 1000000 + {_OFF}) AS BIGINT)
+           AS t_e6
+  FROM day JOIN tot ON tot.event_type = day.event_type
+), agg AS (
+  SELECT event_type, count(*) AS d,
+         CAST(max(n) AS BIGINT) AS n, CAST(max(s) AS BIGINT) AS s,
+         CAST(sum(t_e6) AS BIGINT) AS st,
+         CAST(sum(t_e6 * t_e6) AS BIGINT) AS sq
+  FROM t GROUP BY 1
+)
+SELECT event_type, CAST(d AS BIGINT) AS d,
+       CAST(floor(CAST(s AS DOUBLE) / n * 10000 + {_OFF}) AS BIGINT)
+         AS theta_e4,
+       CAST(floor(sqrt((d - 1.0) / d
+                       * (CAST(sq AS DOUBLE)
+                          - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / d))
+                  / 1e6 * 1000000 + {_OFF}) AS BIGINT) AS se_e6
+FROM agg ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# omega_ratio — Keating & Shadwick (2002) gain/loss ratio of the daily
+# total-value deltas, at threshold 0 and at the mean delta.  Deltas are
+# exact integer diffs over the ~30-row day layer per type.
+# ---------------------------------------------------------------------------
+
+
+def q_omega_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.dayofmonth("ts").alias("dom"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    day = ev.groupBy("event_type", "dom").agg(F.sum("v").alias("sd"))
+    wd = Window.partitionBy("event_type").orderBy("dom")
+    r = day.withColumn("r", F.col("sd") - F.lag("sd").over(wd)).filter(
+        F.col("r").isNotNull()
+    )
+    agg = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum("r").alias("sr"),
+        F.sum(F.greatest(F.col("r"), F.lit(0))).alias("gain0"),
+        F.sum(F.greatest(-F.col("r"), F.lit(0))).alias("loss0"),
+    )
+    mean = F.col("sr").cast("double") / F.col("d")
+    rm = r.join(F.broadcast(agg.select("event_type", "d", "sr")), "event_type")
+    mu = F.col("sr").cast("double") / F.col("d")
+    gm = F.floor(
+        F.greatest(F.col("r").cast("double") - mu, F.lit(0.0)) * 100
+        + F.lit(_OFF)
+    ).cast("long")
+    lm = F.floor(
+        F.greatest(mu - F.col("r").cast("double"), F.lit(0.0)) * 100
+        + F.lit(_OFF)
+    ).cast("long")
+    mm = rm.groupBy("event_type").agg(
+        F.sum(gm).alias("gainm"), F.sum(lm).alias("lossm")
+    )
+    out = agg.join(mm, "event_type")
+    return out.select(
+        "event_type",
+        F.col("d").cast("long").alias("d"),
+        F.floor(
+            F.col("gain0").cast("double")
+            / F.col("loss0").cast("double")
+            * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("omega0_e6"),
+        F.floor(
+            F.col("gainm").cast("double")
+            / F.col("lossm").cast("double")
+            * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("omegam_e6"),
+    ).orderBy("event_type")
+
+
+SQL_OMEGA = f"""
+WITH day AS (
+  SELECT event_type, EXTRACT(day FROM ts) AS dom,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT)) AS BIGINT)
+           AS sd
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type,
+         sd - lag(sd) OVER (PARTITION BY event_type ORDER BY dom) AS r
+  FROM day
+  QUALIFY r IS NOT NULL
+), agg AS (
+  SELECT event_type, count(*) AS d,
+         CAST(sum(r) AS BIGINT) AS sr,
+         CAST(sum(greatest(r, 0)) AS BIGINT) AS gain0,
+         CAST(sum(greatest(-r, 0)) AS BIGINT) AS loss0
+  FROM r GROUP BY 1
+), mm AS (
+  SELECT r.event_type,
+         CAST(sum(CAST(floor(greatest(CAST(r AS DOUBLE)
+                                      - CAST(sr AS DOUBLE) / d, 0.0) * 100
+                             + {_OFF}) AS BIGINT)) AS BIGINT) AS gainm,
+         CAST(sum(CAST(floor(greatest(CAST(sr AS DOUBLE) / d
+                                      - CAST(r AS DOUBLE), 0.0) * 100
+                             + {_OFF}) AS BIGINT)) AS BIGINT) AS lossm
+  FROM r JOIN agg ON agg.event_type = r.event_type
+  GROUP BY 1
+)
+SELECT agg.event_type, CAST(d AS BIGINT) AS d,
+       CAST(floor(CAST(gain0 AS DOUBLE) / CAST(loss0 AS DOUBLE) * 1000000
+                  + {_OFF}) AS BIGINT) AS omega0_e6,
+       CAST(floor(CAST(gainm AS DOUBLE) / CAST(lossm AS DOUBLE) * 1000000
+                  + {_OFF}) AS BIGINT) AS omegam_e6
+FROM agg JOIN mm ON mm.event_type = agg.event_type
+ORDER BY agg.event_type
+"""
+
+
+QUERIES.update(
+    {
+        "eoq_policy": q_eoq_policy,
+        "crow_amsaa": q_crow_amsaa,
+        "jackknife_day_se": q_jackknife_day_se,
+        "omega_ratio": q_omega_ratio,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "eoq_policy": SQL_EOQ,
+        "crow_amsaa": SQL_CROW,
+        "jackknife_day_se": SQL_JACKKNIFE,
+        "omega_ratio": SQL_OMEGA,
+    }
+)
