@@ -1707,3 +1707,500 @@ ORACLE_SQL.update(
         "omega_ratio": SQL_OMEGA,
     }
 )
+
+
+# ===========================================================================
+# Battery E: classic rank / specification tests — Siegel-Tukey
+# alternating-extreme scale test, Fligner-Policello robust rank-order
+# test, Ramsey's RESET, and Durbin's incomplete-block rank test.
+# Rank machinery stays on the value domain; Siegel-Tukey regenerates
+# positions from rank blocks via sequence-explode (tie-block averages
+# are position-set invariant).
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# siegel_tukey — scale test via alternating extreme ranks (Siegel &
+# Tukey 1960), day vs night per type.  Position i (of n) gets
+#   w = least(2i - [i odd], 2(n+1-i) - [n+1-i even])
+# (the valid side is always the smaller); tie blocks use the exact
+# block average via the integer block sum of w.  Linear-rank z with
+# the general score variance n1 n2/(n(n-1)) sum (a_i - abar)^2.
+# ---------------------------------------------------------------------------
+
+
+def q_siegel_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c0 = _typed_counts(spark, sf_dir)
+    cv = c0.groupBy("event_type", "v").agg(
+        F.sum("cnt").alias("tcnt"),
+        F.sum(F.when(F.col("is_day") == 1, F.col("cnt")).otherwise(0)).alias(
+            "dcnt"
+        ),
+    )
+    wo = Window.partitionBy("event_type").orderBy("v")
+    wn = Window.partitionBy("event_type")
+    rv = (
+        cv.withColumn("cum", F.sum("tcnt").over(wo))
+        .withColumn("n", F.sum("tcnt").over(wn))
+        .withColumn("lo", F.col("cum") - F.col("tcnt") + 1)
+    )
+    ex = rv.select(
+        "event_type",
+        "v",
+        "n",
+        F.explode(F.sequence(F.col("lo"), F.col("cum"))).alias("i"),
+    )
+    j = F.col("n") + 1 - F.col("i")
+    bottom = F.when(F.col("i") % 2 == 1, 2 * F.col("i") - 1).otherwise(
+        2 * F.col("i")
+    )
+    top = F.when(j % 2 == 1, 2 * j).otherwise(2 * j - 1)
+    sw = ex.withColumn("w", F.least(bottom, top)).groupBy(
+        "event_type", "v"
+    ).agg(F.sum("w").alias("sw"))
+    blk = cv.join(sw, ["event_type", "v"])
+    t1_e6 = F.floor(
+        F.col("dcnt").cast("double")
+        * F.col("sw").cast("double")
+        / F.col("tcnt")
+        * 1_000_000
+        + F.lit(_OFF)
+    ).cast("long")
+    q_e3 = F.floor(
+        F.col("sw").cast("double")
+        * F.col("sw").cast("double")
+        / F.col("tcnt")
+        * 1_000
+        + F.lit(_OFF)
+    ).cast("long")
+    agg = blk.groupBy("event_type").agg(
+        F.sum("tcnt").alias("n"),
+        F.sum("dcnt").alias("n1"),
+        F.sum("sw").alias("sa"),
+        F.sum(t1_e6).alias("t1_e6"),
+        F.sum(q_e3).alias("sq_e3"),
+    )
+    n = F.col("n").cast("double")
+    n1 = F.col("n1").cast("double")
+    n2 = n - n1
+    sa = F.col("sa").cast("double")
+    varsum = F.col("sq_e3").cast("double") / 1_000.0 - sa * sa / n
+    z = (F.col("t1_e6").cast("double") / 1e6 - n1 * sa / n) / F.sqrt(
+        n1 * n2 / (n * (n - 1.0)) * varsum
+    )
+    return agg.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n1"),
+        (F.col("n") - F.col("n1")).cast("long").alias("n2"),
+        F.floor(z * 10_000 + F.lit(_OFF)).cast("long").alias("z_e4"),
+    ).orderBy("event_type")
+
+
+SQL_SIEGEL_TUKEY = f"""
+WITH {_SQL_COUNTS}, cv AS (
+  SELECT event_type, v,
+         CAST(sum(cnt) AS BIGINT) AS tcnt,
+         CAST(sum(CASE WHEN is_day = 1 THEN cnt ELSE 0 END) AS BIGINT)
+           AS dcnt
+  FROM c0 GROUP BY 1, 2
+), rv AS (
+  SELECT event_type, v, tcnt, dcnt,
+         CAST(sum(tcnt) OVER (PARTITION BY event_type ORDER BY v)
+              AS BIGINT) AS cum,
+         CAST(sum(tcnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM cv
+), ex AS (
+  SELECT event_type, v, n,
+         unnest(generate_series(cum - tcnt + 1, cum)) AS i
+  FROM rv
+), sw AS (
+  SELECT event_type, v,
+         CAST(sum(least(
+           CASE WHEN i % 2 = 1 THEN 2 * i - 1 ELSE 2 * i END,
+           CASE WHEN (n + 1 - i) % 2 = 1 THEN 2 * (n + 1 - i)
+                ELSE 2 * (n + 1 - i) - 1 END)) AS BIGINT) AS sw
+  FROM ex GROUP BY 1, 2
+), agg AS (
+  SELECT rv.event_type,
+         CAST(sum(tcnt) AS BIGINT) AS n,
+         CAST(sum(dcnt) AS BIGINT) AS n1,
+         CAST(sum(sw.sw) AS BIGINT) AS sa,
+         CAST(sum(CAST(floor(CAST(dcnt AS DOUBLE) * CAST(sw.sw AS DOUBLE)
+                             / tcnt * 1000000 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS t1_e6,
+         CAST(sum(CAST(floor(CAST(sw.sw AS DOUBLE) * CAST(sw.sw AS DOUBLE)
+                             / tcnt * 1000 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS sq_e3
+  FROM rv JOIN sw ON sw.event_type = rv.event_type AND sw.v = rv.v
+  GROUP BY 1
+)
+SELECT event_type, n1, n - n1 AS n2,
+       CAST(floor(
+         (CAST(t1_e6 AS DOUBLE) / 1e6
+          - CAST(n1 AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(n AS DOUBLE))
+         / sqrt(CAST(n1 AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE))
+                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                * (CAST(sq_e3 AS DOUBLE) / 1000.0
+                   - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                     / CAST(n AS DOUBLE)))
+         * 10000 + {_OFF}) AS BIGINT) AS z_e4
+FROM agg ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# fligner_policello — robust rank-order test (Fligner & Policello
+# 1981), day vs night per type, on placement counts with half-tie
+# credit (doubled to stay integer):
+#   p2(x) = 2*#{night < x} + #{night = x},  q2 symmetric,
+#   U* = (sumP - sumQ) / (2 sqrt(V1 + V2 + Pbar Qbar)).
+# Pure value-domain cumulative counts — no explode, no per-row work.
+# ---------------------------------------------------------------------------
+
+
+def q_fligner_policello(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c0 = _typed_counts(spark, sf_dir)
+    cv = c0.groupBy("event_type", "v").agg(
+        F.sum(F.when(F.col("is_day") == 1, F.col("cnt")).otherwise(0)).alias(
+            "dcnt"
+        ),
+        F.sum(F.when(F.col("is_day") == 0, F.col("cnt")).otherwise(0)).alias(
+            "ncnt"
+        ),
+    )
+    wo = Window.partitionBy("event_type").orderBy("v")
+    rv = cv.withColumn(
+        "dlt", F.sum("dcnt").over(wo) - F.col("dcnt")
+    ).withColumn("nlt", F.sum("ncnt").over(wo) - F.col("ncnt"))
+    p2 = 2 * F.col("nlt") + F.col("ncnt")
+    q2 = 2 * F.col("dlt") + F.col("dcnt")
+    agg = rv.groupBy("event_type").agg(
+        F.sum("dcnt").alias("n1"),
+        F.sum("ncnt").alias("n2"),
+        F.sum(F.col("dcnt") * p2).alias("sp"),
+        F.sum(F.col("ncnt") * q2).alias("sq"),
+        F.sum(F.col("dcnt") * p2 * p2).alias("spp"),
+        F.sum(F.col("ncnt") * q2 * q2).alias("sqq"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    sp = F.col("sp").cast("double")
+    sq = F.col("sq").cast("double")
+    v1x4 = F.col("spp").cast("double") - sp * sp / n1
+    v2x4 = F.col("sqq").cast("double") - sq * sq / n2
+    pq_x4 = sp / n1 * (sq / n2)
+    z = (sp - sq) / (4.0 * F.sqrt(v1x4 / 4.0 + v2x4 / 4.0 + pq_x4 / 4.0))
+    return agg.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("sp").cast("long").alias("sp2"),
+        F.floor(z * 10_000 + F.lit(_OFF)).cast("long").alias("z_e4"),
+    ).orderBy("event_type")
+
+
+SQL_FLIGNER_POLICELLO = f"""
+WITH {_SQL_COUNTS}, cv AS (
+  SELECT event_type, v,
+         CAST(sum(CASE WHEN is_day = 1 THEN cnt ELSE 0 END) AS BIGINT)
+           AS dcnt,
+         CAST(sum(CASE WHEN is_day = 0 THEN cnt ELSE 0 END) AS BIGINT)
+           AS ncnt
+  FROM c0 GROUP BY 1, 2
+), rv AS (
+  SELECT event_type, dcnt, ncnt,
+         CAST(sum(dcnt) OVER (PARTITION BY event_type ORDER BY v)
+              AS BIGINT) - dcnt AS dlt,
+         CAST(sum(ncnt) OVER (PARTITION BY event_type ORDER BY v)
+              AS BIGINT) - ncnt AS nlt
+  FROM cv
+), agg AS (
+  SELECT event_type,
+         CAST(sum(dcnt) AS BIGINT) AS n1,
+         CAST(sum(ncnt) AS BIGINT) AS n2,
+         CAST(sum(dcnt * (2 * nlt + ncnt)) AS BIGINT) AS sp,
+         CAST(sum(ncnt * (2 * dlt + dcnt)) AS BIGINT) AS sq,
+         CAST(sum(dcnt * (2 * nlt + ncnt) * (2 * nlt + ncnt)) AS BIGINT)
+           AS spp,
+         CAST(sum(ncnt * (2 * dlt + dcnt) * (2 * dlt + dcnt)) AS BIGINT)
+           AS sqq
+  FROM rv GROUP BY 1
+)
+SELECT event_type, n1, n2, sp AS sp2,
+       CAST(floor(
+         (CAST(sp AS DOUBLE) - CAST(sq AS DOUBLE))
+         / (4.0 * sqrt(
+             (CAST(spp AS DOUBLE)
+              - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / n1) / 4.0
+             + (CAST(sqq AS DOUBLE)
+                - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n2) / 4.0
+             + CAST(sp AS DOUBLE) / n1 * (CAST(sq AS DOUBLE) / n2) / 4.0))
+         * 10000 + {_OFF}) AS BIGINT) AS z_e4
+FROM agg ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# reset_ramsey — Ramsey's (1969) RESET with the squared fitted value:
+# stage 1 regresses the centi-value on hour-of-day; stage 2 adds
+# z = fitted^2 (value units, e0-floored so second-stage moments are
+# exact integers) and reports the t of its coefficient via 2x2
+# centered normal equations.
+# ---------------------------------------------------------------------------
+
+
+def q_reset_ramsey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.hour("ts").alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("y"),
+    )
+    s1 = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nn = F.col("n").cast("double")
+    b1 = (nn * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        nn * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    a1 = (F.col("sy").cast("double") - b1 * F.col("sx")) / nn
+    st = s1.select("event_type", a1.alias("a"), b1.alias("b"))
+    j = ev.join(F.broadcast(st), "event_type")
+    fit = (F.col("a") + F.col("b") * F.col("x")) / 100.0
+    z = F.floor(fit * fit + F.lit(_OFF)).cast("long")
+    m = j.withColumn("z", z).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("z") * F.col("y")).alias("szy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cxx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double") / nd
+    czz = F.col("szz").cast("double") - F.col("sz").cast("double") * F.col(
+        "sz"
+    ).cast("double") / nd
+    cxz = F.col("sxz").cast("double") - F.col("sx").cast("double") * F.col(
+        "sz"
+    ).cast("double") / nd
+    cxy = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double") / nd
+    czy = F.col("szy").cast("double") - F.col("sz").cast("double") * F.col(
+        "sy"
+    ).cast("double") / nd
+    cyy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double") / nd
+    det = cxx * czz - cxz * cxz
+    bz = (cxx * czy - cxz * cxy) / det
+    bx = (czz * cxy - cxz * czy) / det
+    sse = cyy - bx * cxy - bz * czy
+    s2 = sse / (nd - 3.0)
+    tstat = bz / F.sqrt(s2 * cxx / det)
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(tstat * 10_000 + F.lit(_OFF)).cast("long").alias("t_e4"),
+        F.floor(tstat * tstat * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "f_e4"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_RESET = f"""
+WITH ev AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS x,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS y
+  FROM events
+), s1 AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM ev GROUP BY 1
+), st AS (
+  SELECT event_type,
+         (CAST(sy AS DOUBLE)
+          - CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE) * sx) / n AS a,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS b
+  FROM s1
+), m AS (
+  SELECT ev.event_type, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(z) AS BIGINT) AS sz,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(z * z) AS BIGINT) AS szz,
+         CAST(sum(x * z) AS BIGINT) AS sxz,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(z * y) AS BIGINT) AS szy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM (
+    SELECT ev.event_type, x, y,
+           CAST(floor(((a + b * x) / 100.0) * ((a + b * x) / 100.0)
+                      + {_OFF}) AS BIGINT) AS z
+    FROM ev JOIN st ON st.event_type = ev.event_type
+  ) ev GROUP BY 1
+), c AS (
+  SELECT event_type, CAST(n AS DOUBLE) AS nd,
+         CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n
+           AS cxx,
+         CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / n
+           AS czz,
+         CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE) / n
+           AS cxz,
+         CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n
+           AS cxy,
+         CAST(szy AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sy AS DOUBLE) / n
+           AS czy,
+         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n
+           AS cyy
+  FROM m
+), f AS (
+  SELECT event_type, CAST(nd AS BIGINT) AS n,
+         ((cxx * czy - cxz * cxy) / (cxx * czz - cxz * cxz))
+         / sqrt(((cyy - (czz * cxy - cxz * czy) / (cxx * czz - cxz * cxz)
+                        * cxy
+                      - (cxx * czy - cxz * cxy) / (cxx * czz - cxz * cxz)
+                        * czy)
+                 / (nd - 3.0))
+                * cxx / (cxx * czz - cxz * cxz)) AS t
+  FROM c
+)
+SELECT event_type, n,
+       CAST(floor(t * 10000 + {_OFF}) AS BIGINT) AS t_e4,
+       CAST(floor(t * t * 10000 + {_OFF}) AS BIGINT) AS f_e4
+FROM f ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# durbin_incomplete — Durbin's (1951) rank test for incomplete blocks
+# in Conover's (1999) general tie-robust form.  Blocks are (day, hour)
+# cells that contain EXACTLY k=3 of the event types (a genuinely
+# incomplete design); treatments are ranked within the cell by the
+# floored cell mean.  With doubled average ranks everything is exact:
+#   T1 = (t-1) * sum_j (R2_j - (k+1) r_j)^2 / (A4 - C4),
+#   A4 = sum r2^2,  C4 = b k (k+1)^2.
+# ---------------------------------------------------------------------------
+
+
+def q_durbin_incomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.dayofmonth("ts").alias("dom"),
+        F.hour("ts").alias("hh"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    cell = ev.groupBy("dom", "hh", "event_type").agg(
+        F.floor(
+            F.sum("v").cast("double") / F.count(F.lit(1)) + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("mv")
+    )
+    k3 = (
+        cell.groupBy("dom", "hh")
+        .agg(F.count(F.lit(1)).alias("kk"))
+        .filter(F.col("kk") == 3)
+        .select("dom", "hh")
+    )
+    d = cell.join(k3, ["dom", "hh"])
+    wr = Window.partitionBy("dom", "hh").orderBy("mv")
+    wt = Window.partitionBy("dom", "hh", "mv")
+    r = d.withColumn(
+        "r2", 2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1
+    )
+    per_j = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("rj"), F.sum("r2").alias("r2j")
+    )
+    gl = r.agg(
+        (F.count(F.lit(1)) / 3).cast("long").alias("b"),
+        F.sum(F.col("r2") * F.col("r2")).alias("a4"),
+    )
+    stat = per_j.crossJoin(F.broadcast(gl)).agg(
+        F.count(F.lit(1)).alias("t"),
+        F.max("b").alias("b"),
+        F.max("a4").alias("a4"),
+        F.sum(
+            (F.col("r2j") - 4 * F.col("rj")).cast("double")
+            * (F.col("r2j") - 4 * F.col("rj")).cast("double")
+        ).alias("ss"),
+    )
+    c4 = F.col("b").cast("double") * 3.0 * 16.0
+    d_stat = (
+        (F.col("t") - 1).cast("double")
+        * F.col("ss")
+        / (F.col("a4").cast("double") - c4)
+    )
+    return stat.select(
+        F.col("t").cast("long").alias("t"),
+        F.col("b").cast("long").alias("b"),
+        (F.col("t") - 1).cast("long").alias("df"),
+        F.floor(d_stat * 10_000 + F.lit(_OFF)).cast("long").alias("d_e4"),
+    )
+
+
+SQL_DURBIN = f"""
+WITH cell AS (
+  SELECT EXTRACT(day FROM ts) AS dom, EXTRACT(hour FROM ts) AS hh,
+         event_type,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+                         AS DOUBLE) / count(*) + {_OFF}) AS BIGINT) AS mv
+  FROM events GROUP BY 1, 2, 3
+), k3 AS (
+  SELECT dom, hh FROM cell GROUP BY 1, 2 HAVING count(*) = 3
+), r AS (
+  SELECT event_type,
+         2 * rank() OVER (PARTITION BY dom, hh ORDER BY mv)
+           + count(*) OVER (PARTITION BY dom, hh, mv) - 1 AS r2
+  FROM cell JOIN k3 USING (dom, hh)
+), per_j AS (
+  SELECT event_type, count(*) AS rj, CAST(sum(r2) AS BIGINT) AS r2j
+  FROM r GROUP BY 1
+), gl AS (
+  SELECT CAST(count(*) / 3 AS BIGINT) AS b,
+         CAST(sum(r2 * r2) AS BIGINT) AS a4
+  FROM r
+)
+SELECT CAST(count(*) AS BIGINT) AS t,
+       CAST(max(b) AS BIGINT) AS b,
+       CAST(count(*) - 1 AS BIGINT) AS df,
+       CAST(floor(
+         (count(*) - 1.0)
+         * sum(CAST(r2j - 4 * rj AS DOUBLE) * CAST(r2j - 4 * rj AS DOUBLE))
+         / (CAST(max(a4) AS DOUBLE) - CAST(max(b) AS DOUBLE) * 3.0 * 16.0)
+         * 10000 + {_OFF}) AS BIGINT) AS d_e4
+FROM per_j CROSS JOIN gl
+"""
+
+
+QUERIES.update(
+    {
+        "siegel_tukey": q_siegel_tukey,
+        "fligner_policello": q_fligner_policello,
+        "reset_ramsey": q_reset_ramsey,
+        "durbin_incomplete": q_durbin_incomplete,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "siegel_tukey": SQL_SIEGEL_TUKEY,
+        "fligner_policello": SQL_FLIGNER_POLICELLO,
+        "reset_ramsey": SQL_RESET,
+        "durbin_incomplete": SQL_DURBIN,
+    }
+)
