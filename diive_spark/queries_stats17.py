@@ -2204,3 +2204,491 @@ ORACLE_SQL.update(
         "durbin_incomplete": SQL_DURBIN,
     }
 )
+
+
+# ===========================================================================
+# Battery F: weighted log-rank family + repeated-measures sphericity +
+# tabular CUSUM.  The survival scaffold mirrors logrank_test
+# (queries_stats8): user lifetimes in days, groups by first-event hour,
+# risk sets from suffix sums over the bounded lifetime domain.
+# ===========================================================================
+
+
+def _survival_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
+    per = ev.groupBy("user_id").agg(
+        F.min(F.floor(sec).cast("long")).alias("first_s"),
+        F.min(F.floor(sec / 86_400).cast("long")).alias("d0"),
+        F.max(F.floor(sec / 86_400).cast("long")).alias("d1"),
+    )
+    per = per.select(
+        (F.col("d1") - F.col("d0") + 1).alias("t"),
+        F.when(
+            ((F.col("first_s") % 86_400) / 3_600).cast("long").between(8, 19),
+            1,
+        )
+        .otherwise(0)
+        .alias("g1"),
+    )
+    dt = per.groupBy("t").agg(
+        F.count(F.lit(1)).alias("d"), F.sum("g1").alias("d1")
+    )
+    wo = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return dt.withColumn("n", F.sum("d").over(wo)).withColumn(
+        "n1", F.sum("d1").over(wo)
+    )
+
+
+_SQL_RISK = """
+  per AS (
+    SELECT CAST(max(floor(epoch(ts) / 86400))
+                - min(floor(epoch(ts) / 86400)) + 1 AS BIGINT) AS t,
+           CASE WHEN CAST(floor((CAST(min(floor(epoch(ts))) AS BIGINT)
+                                 % 86400) / 3600) AS BIGINT)
+                     BETWEEN 8 AND 19
+                THEN 1 ELSE 0 END AS g1
+    FROM events GROUP BY user_id
+  ), dt AS (
+    SELECT t, CAST(count(*) AS BIGINT) AS d, CAST(sum(g1) AS BIGINT) AS d1
+    FROM per GROUP BY 1
+  ), risk AS (
+    SELECT t, d, d1,
+           CAST(sum(d) OVER (ORDER BY t DESC) AS BIGINT) AS n,
+           CAST(sum(d1) OVER (ORDER BY t DESC) AS BIGINT) AS n1
+    FROM dt
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# tarone_ware — weighted log-rank with w_t = sqrt(n_t) (Tarone & Ware
+# 1977), between Gehan (w = n) and log-rank (w = 1) already in the
+# registry.  Z = sum w (d1 - e) / sqrt(sum w^2 v), per-t terms
+# e9-floored so the sums are exact.
+# ---------------------------------------------------------------------------
+
+
+def q_tarone_ware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    risk = _survival_risk(spark, sf_dir)
+    nd = F.col("n").cast("double")
+    p1 = F.col("n1").cast("double") / nd
+    e_t = F.col("d").cast("double") * p1
+    v_t = (
+        F.col("d").cast("double")
+        * p1
+        * (1.0 - p1)
+        * (F.col("n") - F.col("d")).cast("double")
+        / (nd - 1.0)
+    )
+    w = F.sqrt(nd)
+    terms = risk.filter(F.col("n") > 1).select(
+        F.floor(w * (F.col("d1").cast("double") - e_t) * 1e9 + F.lit(_OFF))
+        .cast("long")
+        .alias("num9"),
+        F.floor(nd * v_t * 1e9 + F.lit(_OFF)).cast("long").alias("den9"),
+    )
+    agg = terms.agg(
+        F.sum("num9").alias("snum"), F.sum("den9").alias("sden")
+    )
+    z = (
+        F.col("snum").cast("double")
+        / 1e9
+        / F.sqrt(F.col("sden").cast("double") / 1e9)
+    )
+    return agg.filter(F.col("sden") > 0).select(
+        F.floor(z * 10_000 + F.lit(_OFF)).cast("long").alias("z_e4"),
+        F.floor(z * z * 10_000 + F.lit(_OFF)).cast("long").alias("chi2_e4"),
+    )
+
+
+SQL_TARONE_WARE = f"""
+WITH {_SQL_RISK}, terms AS (
+  SELECT CAST(floor(sqrt(CAST(n AS DOUBLE))
+                    * (CAST(d1 AS DOUBLE)
+                       - d * (CAST(n1 AS DOUBLE) / n)) * 1e9 + {_OFF})
+              AS BIGINT) AS num9,
+         CAST(floor(CAST(n AS DOUBLE)
+                    * (d * (CAST(n1 AS DOUBLE) / n)
+                       * (1.0 - CAST(n1 AS DOUBLE) / n)
+                       * CAST(n - d AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0))
+                    * 1e9 + {_OFF}) AS BIGINT) AS den9
+  FROM risk WHERE n > 1
+), agg AS (
+  SELECT CAST(sum(num9) AS BIGINT) AS snum,
+         CAST(sum(den9) AS BIGINT) AS sden
+  FROM terms
+)
+SELECT CAST(floor(CAST(snum AS DOUBLE) / 1e9
+                  / sqrt(CAST(sden AS DOUBLE) / 1e9) * 10000 + {_OFF})
+            AS BIGINT) AS z_e4,
+       CAST(floor((CAST(snum AS DOUBLE) / 1e9)
+                  * (CAST(snum AS DOUBLE) / 1e9)
+                  / (CAST(sden AS DOUBLE) / 1e9) * 10000 + {_OFF})
+            AS BIGINT) AS chi2_e4
+FROM agg WHERE sden > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# peto_peto — Peto-Peto-Prentice weighted log-rank, w_t = the left-
+# continuous survivor estimate S~(t) = prod_{t_i <= t} (1 - d_i/(n_i+1)).
+# The product is a prefix sum of e9-floored logs (exact integers), so
+# the weights are cross-engine identical; then the same Z as above.
+# ---------------------------------------------------------------------------
+
+
+def q_peto_peto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    risk = _survival_risk(spark, sf_dir)
+    lnterm = F.floor(
+        F.log(
+            1.0
+            - F.col("d").cast("double") / (F.col("n").cast("double") + 1.0)
+        )
+        * 1e9
+        + F.lit(_OFF)
+    ).cast("long")
+    wa = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    r = risk.withColumn("lnw9", F.sum(lnterm).over(wa)).withColumn(
+        "w_e6",
+        F.floor(
+            F.exp(F.col("lnw9").cast("double") / 1e9) * 1_000_000
+            + F.lit(_OFF)
+        ).cast("long"),
+    )
+    nd = F.col("n").cast("double")
+    p1 = F.col("n1").cast("double") / nd
+    e_t = F.col("d").cast("double") * p1
+    v_t = (
+        F.col("d").cast("double")
+        * p1
+        * (1.0 - p1)
+        * (F.col("n") - F.col("d")).cast("double")
+        / (nd - 1.0)
+    )
+    w = F.col("w_e6").cast("double") / 1e6
+    terms = r.filter(F.col("n") > 1).select(
+        F.floor(w * (F.col("d1").cast("double") - e_t) * 1e9 + F.lit(_OFF))
+        .cast("long")
+        .alias("num9"),
+        F.floor(w * w * v_t * 1e9 + F.lit(_OFF)).cast("long").alias("den9"),
+    )
+    agg = terms.agg(F.sum("num9").alias("snum"), F.sum("den9").alias("sden"))
+    z = (
+        F.col("snum").cast("double")
+        / 1e9
+        / F.sqrt(F.col("sden").cast("double") / 1e9)
+    )
+    return agg.filter(F.col("sden") > 0).select(
+        F.floor(z * 10_000 + F.lit(_OFF)).cast("long").alias("z_e4"),
+        F.floor(z * z * 10_000 + F.lit(_OFF)).cast("long").alias("chi2_e4"),
+    )
+
+
+SQL_PETO_PETO = f"""
+WITH {_SQL_RISK}, wts AS (
+  SELECT t, d, d1, n, n1,
+         CAST(floor(exp(CAST(sum(CAST(floor(
+             ln(1.0 - CAST(d AS DOUBLE) / (CAST(n AS DOUBLE) + 1.0)) * 1e9
+             + {_OFF}) AS BIGINT)) OVER (ORDER BY t) AS DOUBLE) / 1e9)
+           * 1000000 + {_OFF}) AS BIGINT) AS w_e6
+  FROM risk
+), terms AS (
+  SELECT CAST(floor((CAST(w_e6 AS DOUBLE) / 1e6)
+                    * (CAST(d1 AS DOUBLE)
+                       - d * (CAST(n1 AS DOUBLE) / n)) * 1e9 + {_OFF})
+              AS BIGINT) AS num9,
+         CAST(floor((CAST(w_e6 AS DOUBLE) / 1e6)
+                    * (CAST(w_e6 AS DOUBLE) / 1e6)
+                    * (d * (CAST(n1 AS DOUBLE) / n)
+                       * (1.0 - CAST(n1 AS DOUBLE) / n)
+                       * CAST(n - d AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0))
+                    * 1e9 + {_OFF}) AS BIGINT) AS den9
+  FROM wts WHERE n > 1
+), agg AS (
+  SELECT CAST(sum(num9) AS BIGINT) AS snum,
+         CAST(sum(den9) AS BIGINT) AS sden
+  FROM terms
+)
+SELECT CAST(floor(CAST(snum AS DOUBLE) / 1e9
+                  / sqrt(CAST(sden AS DOUBLE) / 1e9) * 10000 + {_OFF})
+            AS BIGINT) AS z_e4,
+       CAST(floor((CAST(snum AS DOUBLE) / 1e9)
+                  * (CAST(snum AS DOUBLE) / 1e9)
+                  / (CAST(sden AS DOUBLE) / 1e9) * 10000 + {_OFF})
+            AS BIGINT) AS chi2_e4
+FROM agg WHERE sden > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# mauchly_sphericity — Mauchly's (1940) W for p = 3 repeated measures
+# (8-hour diel blocks per day), on the 2x2 Helmert-contrast covariance:
+# W = det(Sc)/(tr(Sc)/2)^2, chi2 = -(n-2) ln W (df = 2; the p = 3
+# correction factor is exactly 1).  Covariance from exact integer day
+# sums; only complete days (all 3 blocks) enter.
+# ---------------------------------------------------------------------------
+
+
+def q_mauchly_sphericity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.dayofmonth("ts").alias("dom"),
+        (F.hour("ts") / 8).cast("long").alias("blk"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    cell = ev.groupBy("event_type", "dom", "blk").agg(
+        F.floor(
+            F.sum("v").cast("double") / F.count(F.lit(1)) + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("mv")
+    )
+    wide = cell.groupBy("event_type", "dom").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(F.when(F.col("blk") == 0, F.col("mv")).otherwise(0)).alias(
+            "m1"
+        ),
+        F.sum(F.when(F.col("blk") == 1, F.col("mv")).otherwise(0)).alias(
+            "m2"
+        ),
+        F.sum(F.when(F.col("blk") == 2, F.col("mv")).otherwise(0)).alias(
+            "m3"
+        ),
+    ).filter(F.col("nb") == 3)
+    # Helmert contrasts scaled x2 to stay integer: c1x2 = sqrt2*(m1-m2)
+    # carried as (m1 - m2) with the 1/2 factor folded analytically;
+    # we use unnormalized u = m1 - m2, w = m1 + m2 - 2 m3 and rescale:
+    # Sc = diag(1/2, 1/6)-scaled covariance of (u, w) — W is invariant
+    # to the joint scale but NOT the relative one, so keep 1/2 and 1/6.
+    agg = wide.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum(F.col("m1") - F.col("m2")).alias("su"),
+        F.sum(F.col("m1") + F.col("m2") - 2 * F.col("m3")).alias("sw"),
+        F.sum(
+            (F.col("m1") - F.col("m2")) * (F.col("m1") - F.col("m2"))
+        ).alias("suu"),
+        F.sum(
+            (F.col("m1") + F.col("m2") - 2 * F.col("m3"))
+            * (F.col("m1") + F.col("m2") - 2 * F.col("m3"))
+        ).alias("sww"),
+        F.sum(
+            (F.col("m1") - F.col("m2"))
+            * (F.col("m1") + F.col("m2") - 2 * F.col("m3"))
+        ).alias("suw"),
+    )
+    nd = F.col("nd").cast("double")
+    a = (
+        (F.col("suu").cast("double") - F.col("su").cast("double") ** 2 / nd)
+        / (nd - 1.0)
+        / 2.0
+    )
+    b = (
+        (F.col("sww").cast("double") - F.col("sw").cast("double") ** 2 / nd)
+        / (nd - 1.0)
+        / 6.0
+    )
+    c = (
+        (
+            F.col("suw").cast("double")
+            - F.col("su").cast("double") * F.col("sw").cast("double") / nd
+        )
+        / (nd - 1.0)
+        / F.sqrt(F.lit(12.0))
+    )
+    w_st = (a * b - c * c) / (((a + b) / 2.0) * ((a + b) / 2.0))
+    chi2 = -(nd - 2.0) * F.log(w_st)
+    return agg.select(
+        "event_type",
+        F.col("nd").cast("long").alias("n_days"),
+        F.floor(w_st * 1_000_000 + F.lit(_OFF)).cast("long").alias("w_e6"),
+        F.floor(chi2 * 10_000 + F.lit(_OFF)).cast("long").alias("chi2_e4"),
+        F.lit(2).cast("long").alias("df"),
+    ).orderBy("event_type")
+
+
+SQL_MAUCHLY = f"""
+WITH cell AS (
+  SELECT event_type, EXTRACT(day FROM ts) AS dom,
+         CAST(EXTRACT(hour FROM ts) // 8 AS BIGINT) AS blk,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+                         AS DOUBLE) / count(*) + {_OFF}) AS BIGINT) AS mv
+  FROM events GROUP BY 1, 2, 3
+), wide AS (
+  SELECT event_type, dom,
+         CAST(sum(CASE WHEN blk = 0 THEN mv ELSE 0 END) AS BIGINT) AS m1,
+         CAST(sum(CASE WHEN blk = 1 THEN mv ELSE 0 END) AS BIGINT) AS m2,
+         CAST(sum(CASE WHEN blk = 2 THEN mv ELSE 0 END) AS BIGINT) AS m3
+  FROM cell GROUP BY 1, 2 HAVING count(*) = 3
+), agg AS (
+  SELECT event_type, count(*) AS nd,
+         CAST(sum(m1 - m2) AS BIGINT) AS su,
+         CAST(sum(m1 + m2 - 2 * m3) AS BIGINT) AS sw,
+         CAST(sum((m1 - m2) * (m1 - m2)) AS BIGINT) AS suu,
+         CAST(sum((m1 + m2 - 2 * m3) * (m1 + m2 - 2 * m3)) AS BIGINT)
+           AS sww,
+         CAST(sum((m1 - m2) * (m1 + m2 - 2 * m3)) AS BIGINT) AS suw
+  FROM wide GROUP BY 1
+), sc AS (
+  SELECT event_type, CAST(nd AS DOUBLE) AS nd,
+         (CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE) / nd)
+           / (nd - 1.0) / 2.0 AS a,
+         (CAST(sww AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / nd)
+           / (nd - 1.0) / 6.0 AS b,
+         (CAST(suw AS DOUBLE) - CAST(su AS DOUBLE) * CAST(sw AS DOUBLE) / nd)
+           / (nd - 1.0) / sqrt(12.0) AS c
+  FROM agg
+)
+SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+       CAST(floor((a * b - c * c) / (((a + b) / 2.0) * ((a + b) / 2.0))
+                  * 1000000 + {_OFF}) AS BIGINT) AS w_e6,
+       CAST(floor(-(nd - 2.0)
+                  * ln((a * b - c * c) / (((a + b) / 2.0) * ((a + b) / 2.0)))
+                  * 10000 + {_OFF}) AS BIGINT) AS chi2_e4,
+       CAST(2 AS BIGINT) AS df
+FROM sc ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# cusum_tabular — two-sided tabular CUSUM (Page 1954) on daily means
+# with k = sigma/2, h = 4 sigma, via the shuffle-free closed form
+#   C+_t = S_t - min_{j<=t} S_j,  S_t = prefix sum of (x_t - mu - k)
+# (and the mirrored form for C-).  All state is two prefix windows
+# over the ~30-row day layer per type; increments are e4-floored ints.
+# ---------------------------------------------------------------------------
+
+
+def q_cusum_tabular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.dayofmonth("ts").alias("dom"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    day = ev.groupBy("event_type", "dom").agg(
+        F.floor(
+            F.sum("v").cast("double") / F.count(F.lit(1)) + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("x")
+    )
+    st = day.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    dd = F.col("d").cast("double")
+    mu = F.col("sx").cast("double") / dd
+    sig = F.sqrt(
+        (F.col("sxx").cast("double") - F.col("sx").cast("double") * mu)
+        / (dd - 1.0)
+    )
+    params = st.select(
+        "event_type",
+        F.floor(mu * 10_000 + F.lit(_OFF)).cast("long").alias("mu_e4"),
+        F.floor(sig / 2.0 * 10_000 + F.lit(_OFF)).cast("long").alias("k_e4"),
+        F.floor(sig * 4.0 * 10_000 + F.lit(_OFF)).cast("long").alias("h_e4"),
+    )
+    j = day.join(F.broadcast(params), "event_type")
+    incp = 10_000 * F.col("x") - F.col("mu_e4") - F.col("k_e4")
+    incn = F.col("mu_e4") - 10_000 * F.col("x") - F.col("k_e4")
+    wo = Window.partitionBy("event_type").orderBy("dom").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = (
+        j.withColumn("sp", F.sum(incp).over(wo))
+        .withColumn("sn", F.sum(incn).over(wo))
+        .withColumn(
+            "cp", F.col("sp") - F.least(F.min("sp").over(wo), F.lit(0))
+        )
+        .withColumn(
+            "cn", F.col("sn") - F.least(F.min("sn").over(wo), F.lit(0))
+        )
+    )
+    agg = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum((F.col("cp") > F.col("h_e4")).cast("long")).alias("n_pos"),
+        F.sum((F.col("cn") > F.col("h_e4")).cast("long")).alias("n_neg"),
+        F.max("cp").alias("cpmax"),
+        F.max("cn").alias("cnmax"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("d").cast("long").alias("d"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.col("cpmax").cast("long").alias("cpos_max_e4"),
+        F.col("cnmax").cast("long").alias("cneg_max_e4"),
+    ).orderBy("event_type")
+
+
+SQL_CUSUM_TAB = f"""
+WITH day AS (
+  SELECT event_type, EXTRACT(day FROM ts) AS dom,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+                         AS DOUBLE) / count(*) + {_OFF}) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), st AS (
+  SELECT event_type, count(*) AS d,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM day GROUP BY 1
+), params AS (
+  SELECT event_type,
+         CAST(floor(CAST(sx AS DOUBLE) / d * 10000 + {_OFF}) AS BIGINT)
+           AS mu_e4,
+         CAST(floor(sqrt((CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) / d))
+                         / (d - 1.0)) / 2.0 * 10000 + {_OFF}) AS BIGINT)
+           AS k_e4,
+         CAST(floor(sqrt((CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) / d))
+                         / (d - 1.0)) * 4.0 * 10000 + {_OFF}) AS BIGINT)
+           AS h_e4
+  FROM st
+), s AS (
+  SELECT day.event_type, dom, h_e4,
+         sum(10000 * x - mu_e4 - k_e4)
+           OVER (PARTITION BY day.event_type ORDER BY dom) AS sp,
+         sum(mu_e4 - 10000 * x - k_e4)
+           OVER (PARTITION BY day.event_type ORDER BY dom) AS sn
+  FROM day JOIN params ON params.event_type = day.event_type
+), r AS (
+  SELECT event_type, h_e4, sp, sn,
+         min(sp) OVER (PARTITION BY event_type ORDER BY dom) AS minp,
+         min(sn) OVER (PARTITION BY event_type ORDER BY dom) AS minn
+  FROM s
+), c AS (
+  SELECT event_type, h_e4,
+         sp - least(minp, 0) AS cp,
+         sn - least(minn, 0) AS cn
+  FROM r
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS d,
+       CAST(sum(CASE WHEN cp > h_e4 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN cn > h_e4 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+       CAST(max(cp) AS BIGINT) AS cpos_max_e4,
+       CAST(max(cn) AS BIGINT) AS cneg_max_e4
+FROM c GROUP BY 1 ORDER BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "tarone_ware": q_tarone_ware,
+        "peto_peto": q_peto_peto,
+        "mauchly_sphericity": q_mauchly_sphericity,
+        "cusum_tabular": q_cusum_tabular,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "tarone_ware": SQL_TARONE_WARE,
+        "peto_peto": SQL_PETO_PETO,
+        "mauchly_sphericity": SQL_MAUCHLY,
+        "cusum_tabular": SQL_CUSUM_TAB,
+    }
+)
