@@ -2692,3 +2692,437 @@ ORACLE_SQL.update(
         "cusum_tabular": SQL_CUSUM_TAB,
     }
 )
+
+
+# ===========================================================================
+# Battery G: corpus dispersion (Carroll's D2, Rosengren's S) on the
+# documents table — companions to Juilland's D and Gries' DP already
+# in the registry — plus Pesaran's CD cross-section-dependence test
+# and a closed-form grid search for simple exponential smoothing.
+# ===========================================================================
+
+_G_K = 30
+
+
+def _word_source_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense top-30-word x source grid with per-cell counts and part
+    totals — the juilland_d / burrows_delta discipline (stats7/8)."""
+    toks = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+    )
+    cnt = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        cnt.groupBy("w")
+        .agg(F.sum("c").alias("gc"))
+        .orderBy(F.desc("gc"), F.asc("w"))
+        .limit(_G_K)
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("t"))
+    return (
+        tot.crossJoin(F.broadcast(vocab))
+        .join(cnt, ["source", "w"], "left")
+        .fillna(0, subset=["c"])
+    )
+
+
+_SQL_GRID = f"""
+  toks AS (
+    SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+    FROM documents
+  ), cnt AS (
+    SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+  ), vocab AS (
+    SELECT w, gc FROM (
+      SELECT w, CAST(sum(c) AS BIGINT) AS gc FROM cnt GROUP BY 1
+    ) ORDER BY gc DESC, w ASC LIMIT {_G_K}
+  ), tot AS (
+    SELECT source, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1
+  ), grid AS (
+    SELECT tot.source, vocab.w, vocab.gc, tot.t, COALESCE(cnt.c, 0) AS c
+    FROM tot CROSS JOIN vocab
+    LEFT JOIN cnt ON cnt.source = tot.source AND cnt.w = vocab.w
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# carroll_d2 — Carroll's (1970) entropy dispersion: D2 = H / log2(k)
+# with H the Shannon entropy of the word's occurrence shares across
+# parts (shares are exact integer ratios c_i / gc); zero cells drop out.
+# ---------------------------------------------------------------------------
+
+
+def q_carroll_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = _word_source_grid(spark, sf_dir).filter(F.col("c") > 0)
+    p = F.col("c").cast("double") / F.col("gc").cast("double")
+    term = F.floor(
+        -p * F.log2(p) * 1e9 + F.lit(_OFF)
+    ).cast("long")
+    agg = grid.groupBy("w").agg(
+        F.max("gc").alias("gc"),
+        F.count(F.lit(1)).alias("k_used"),
+        F.sum(term).alias("h9"),
+    )
+    kall = grid.select("source").distinct().count()
+    d2 = F.col("h9").cast("double") / 1e9 / (
+        F.log2(F.lit(float(kall)))
+    )
+    return agg.select(
+        "w",
+        F.col("gc").cast("long").alias("gc"),
+        F.col("k_used").cast("long").alias("k_used"),
+        F.floor(d2 * 1_000_000 + F.lit(_OFF)).cast("long").alias("d2_e6"),
+    ).orderBy("w")
+
+
+SQL_CARROLL_D2 = f"""
+WITH {_SQL_GRID}, kk AS (
+  SELECT CAST(count(DISTINCT source) AS BIGINT) AS k FROM grid
+), terms AS (
+  SELECT w, gc,
+         CAST(floor(-(CAST(c AS DOUBLE) / gc)
+                    * log2(CAST(c AS DOUBLE) / gc) * 1e9 + {_OFF})
+              AS BIGINT) AS t9
+  FROM grid WHERE c > 0
+), agg AS (
+  SELECT w, CAST(max(gc) AS BIGINT) AS gc, count(*) AS k_used,
+         CAST(sum(t9) AS BIGINT) AS h9
+  FROM terms GROUP BY 1
+)
+SELECT w, gc, CAST(k_used AS BIGINT) AS k_used,
+       CAST(floor(CAST(h9 AS DOUBLE) / 1e9 / log2(CAST(k AS DOUBLE))
+                  * 1000000 + {_OFF}) AS BIGINT) AS d2_e6
+FROM agg CROSS JOIN kk ORDER BY w
+"""
+
+
+# ---------------------------------------------------------------------------
+# rosengren_s — Rosengren's (1971) adjusted-frequency dispersion:
+# S = (sum_i sqrt(s_i v_i))^2 / f, s_i = part-size share, v_i = count
+# in part, f = total count.  Per-cell sqrt terms e6-floored.
+# ---------------------------------------------------------------------------
+
+
+def q_rosengren_s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = _word_source_grid(spark, sf_dir)
+    ttot = grid.select("source", "t").distinct().agg(
+        F.sum("t").alias("tt")
+    )
+    g = grid.crossJoin(F.broadcast(ttot))
+    s_i = F.col("t").cast("double") / F.col("tt").cast("double")
+    term = F.floor(
+        F.sqrt(s_i * F.col("c").cast("double")) * 1_000_000 + F.lit(_OFF)
+    ).cast("long")
+    agg = g.groupBy("w").agg(
+        F.max("gc").alias("gc"), F.sum(term).alias("s6")
+    )
+    s = F.col("s6").cast("double") / 1e6
+    sros = s * s / F.col("gc").cast("double")
+    return agg.select(
+        "w",
+        F.col("gc").cast("long").alias("gc"),
+        F.floor(sros * 1_000_000 + F.lit(_OFF)).cast("long").alias("s_e6"),
+    ).orderBy("w")
+
+
+SQL_ROSENGREN = f"""
+WITH {_SQL_GRID}, tt AS (
+  SELECT CAST(sum(t) AS BIGINT) AS tt
+  FROM (SELECT DISTINCT source, t FROM grid)
+), terms AS (
+  SELECT w, gc,
+         CAST(floor(sqrt((CAST(t AS DOUBLE) / tt) * CAST(c AS DOUBLE))
+                    * 1000000 + {_OFF}) AS BIGINT) AS t6
+  FROM grid CROSS JOIN tt
+), agg AS (
+  SELECT w, CAST(max(gc) AS BIGINT) AS gc, CAST(sum(t6) AS BIGINT) AS s6
+  FROM terms GROUP BY 1
+)
+SELECT w, gc,
+       CAST(floor((CAST(s6 AS DOUBLE) / 1e6) * (CAST(s6 AS DOUBLE) / 1e6)
+                  / gc * 1000000 + {_OFF}) AS BIGINT) AS s_e6
+FROM agg ORDER BY w
+"""
+
+
+# ---------------------------------------------------------------------------
+# pesaran_cd — Pesaran's (2004) cross-section dependence test over the
+# k daily series (one per event type):
+#   CD = sqrt(2 / (N(N-1))) * sum_{i<j} sqrt(T_ij) rho_ij
+# with pairwise Pearson rho from exact integer day sums on common days.
+# ---------------------------------------------------------------------------
+
+
+def q_pesaran_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.dayofmonth("ts").alias("dom"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    day = ev.groupBy("event_type", "dom").agg(
+        F.floor(
+            F.sum("v").cast("double") / F.count(F.lit(1)) + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("x")
+    )
+    a = day.alias("a")
+    b = day.alias("b")
+    pr = a.join(
+        b,
+        (F.col("a.dom") == F.col("b.dom"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    )
+    mom = pr.groupBy(
+        F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+    ).agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum("a.x").alias("sx"),
+        F.sum("b.x").alias("sy"),
+        F.sum(F.col("a.x") * F.col("a.x")).alias("sxx"),
+        F.sum(F.col("b.x") * F.col("b.x")).alias("syy"),
+        F.sum(F.col("a.x") * F.col("b.x")).alias("sxy"),
+    )
+    td = F.col("t").cast("double")
+    num = td * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = F.sqrt(
+        (td * F.col("sxx").cast("double") - F.col("sx").cast("double") ** 2)
+        * (td * F.col("syy").cast("double") - F.col("sy").cast("double") ** 2)
+    )
+    rho = num / den
+    terms = mom.select(
+        F.floor(F.sqrt(td) * rho * 1e9 + F.lit(_OFF)).cast("long").alias(
+            "c9"
+        ),
+        F.floor(F.abs(rho) * 1e9 + F.lit(_OFF)).cast("long").alias("ar9"),
+    )
+    n_types = day.select("event_type").distinct().count()
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("c9").alias("sc9"),
+        F.sum("ar9").alias("sar9"),
+    )
+    cd = F.sqrt(F.lit(2.0 / (n_types * (n_types - 1.0)))) * (
+        F.col("sc9").cast("double") / 1e9
+    )
+    return agg.select(
+        F.lit(n_types).cast("long").alias("n_types"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.floor(cd * 10_000 + F.lit(_OFF)).cast("long").alias("cd_e4"),
+        F.floor(
+            F.col("sar9").cast("double") / 1e9 / F.col("n_pairs") * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("mean_absrho_e6"),
+    )
+
+
+SQL_PESARAN_CD = f"""
+WITH day AS (
+  SELECT event_type, EXTRACT(day FROM ts) AS dom,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+                         AS DOUBLE) / count(*) + {_OFF}) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), mom AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS t,
+         CAST(sum(a.x) AS BIGINT) AS sx, CAST(sum(b.x) AS BIGINT) AS sy,
+         CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
+         CAST(sum(b.x * b.x) AS BIGINT) AS syy,
+         CAST(sum(a.x * b.x) AS BIGINT) AS sxy
+  FROM day a JOIN day b
+    ON a.dom = b.dom AND a.event_type < b.event_type
+  GROUP BY 1, 2
+), terms AS (
+  SELECT CAST(floor(sqrt(CAST(t AS DOUBLE))
+                    * ((t * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / sqrt((t * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (t * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+                    * 1e9 + {_OFF}) AS BIGINT) AS c9,
+         CAST(floor(abs((t * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / sqrt((t * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                               * (t * CAST(syy AS DOUBLE)
+                                  - CAST(sy AS DOUBLE)
+                                    * CAST(sy AS DOUBLE))))
+                    * 1e9 + {_OFF}) AS BIGINT) AS ar9
+  FROM mom
+), kk AS (
+  SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_types FROM day
+)
+SELECT n_types, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(floor(sqrt(2.0 / (n_types * (n_types - 1.0)))
+                  * (CAST(sum(c9) AS DOUBLE) / 1e9) * 10000 + {_OFF})
+            AS BIGINT) AS cd_e4,
+       CAST(floor(CAST(sum(ar9) AS DOUBLE) / 1e9 / count(*) * 1000000
+                  + {_OFF}) AS BIGINT) AS mean_absrho_e6
+FROM terms CROSS JOIN kk
+GROUP BY n_types
+"""
+
+
+# ---------------------------------------------------------------------------
+# ses_grid — simple exponential smoothing alpha grid (alpha = 0.1..0.9)
+# on the daily-mean layer, with the level UNROLLED to its closed form
+#   l_m = sum_{j<=m} w(alpha,m,j) x_j,  w(1) = (1-a)^(m-1),
+#                                       w(j) = a (1-a)^(m-j)
+# so there is no sequential recursion: the day self-join is ~T^2/2
+# pairs on the BOUNDED day layer, never on raw rows.  One-step SSE
+# picks the best alpha per type (ties to the smaller alpha).
+# ---------------------------------------------------------------------------
+
+
+def q_ses_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.dayofmonth("ts").alias("dom"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    day = ev.groupBy("event_type", "dom").agg(
+        F.floor(
+            F.sum("v").cast("double") / F.count(F.lit(1)) + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("x")
+    )
+    wt = Window.partitionBy("event_type").orderBy("dom")
+    day = day.withColumn("t", F.row_number().over(wt))
+    alphas = spark.range(1, 10).select(
+        (F.col("id").cast("double") / 10.0).alias("alpha"),
+        F.col("id").alias("a10"),
+    )
+    a = day.alias("a")  # anchor m
+    b = day.alias("b")  # contributor j
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.t") <= F.col("a.t")),
+        )
+        .crossJoin(F.broadcast(alphas))
+    )
+    w = F.when(
+        F.col("b.t") == 1,
+        F.pow(1.0 - F.col("alpha"), F.col("a.t").cast("double") - 1.0),
+    ).otherwise(
+        F.col("alpha")
+        * F.pow(
+            1.0 - F.col("alpha"),
+            (F.col("a.t") - F.col("b.t")).cast("double"),
+        )
+    )
+    lvl = pairs.groupBy(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.t").alias("m"),
+        "a10",
+    ).agg(
+        F.sum(
+            F.floor(w * F.col("b.x") * 100 + F.lit(_OFF)).cast("long")
+        ).alias("l_e2")
+    )
+    nxt = day.select(
+        "event_type", (F.col("t") - 1).alias("m"), "x"
+    ).filter(F.col("m") >= 1)
+    err = nxt.join(lvl, ["event_type", "m"]).withColumn(
+        "e_e2", 100 * F.col("x") - F.col("l_e2")
+    )
+    sse = err.groupBy("event_type", "a10").agg(
+        F.sum(F.col("e_e2") * F.col("e_e2")).alias("sse_e4"),
+        F.count(F.lit(1)).alias("h"),
+    )
+    wbest = Window.partitionBy("event_type").orderBy("sse_e4", "a10")
+    best = sse.withColumn("rn", F.row_number().over(wbest)).filter(
+        F.col("rn") == 1
+    )
+    tmax = day.groupBy("event_type").agg(F.max("t").alias("m"))
+    fc = best.join(tmax, "event_type").join(
+        lvl, ["event_type", "m", "a10"]
+    )
+    return fc.select(
+        "event_type",
+        F.col("a10").cast("long").alias("alpha_x10"),
+        F.col("sse_e4").cast("long").alias("sse_e4"),
+        F.col("l_e2").cast("long").alias("forecast_e2"),
+    ).orderBy("event_type")
+
+
+SQL_SES_GRID = f"""
+WITH day0 AS (
+  SELECT event_type, EXTRACT(day FROM ts) AS dom,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+                         AS DOUBLE) / count(*) + {_OFF}) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), day AS (
+  SELECT event_type, x,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY dom)
+              AS BIGINT) AS t
+  FROM day0
+), alphas AS (
+  SELECT CAST(a10 AS DOUBLE) / 10.0 AS alpha, a10
+  FROM (SELECT unnest(generate_series(1, 9)) AS a10)
+), lvl AS (
+  SELECT a.event_type, a.t AS m, a10,
+         CAST(sum(CAST(floor(
+           (CASE WHEN b.t = 1
+                 THEN (1.0 - alpha) ^ (CAST(a.t AS DOUBLE) - 1.0)
+                 ELSE alpha * (1.0 - alpha)
+                              ^ CAST(a.t - b.t AS DOUBLE) END)
+           * b.x * 100 + {_OFF}) AS BIGINT)) AS BIGINT) AS l_e2
+  FROM day a
+  JOIN day b ON b.event_type = a.event_type AND b.t <= a.t
+  CROSS JOIN alphas
+  GROUP BY 1, 2, 3
+), err AS (
+  SELECT day.event_type, a10,
+         100 * x - l_e2 AS e_e2
+  FROM day JOIN lvl ON lvl.event_type = day.event_type
+                   AND lvl.m = day.t - 1 AND lvl.a10 = a10
+  WHERE day.t >= 2
+), sse AS (
+  SELECT event_type, a10,
+         CAST(sum(e_e2 * e_e2) AS BIGINT) AS sse_e4
+  FROM err GROUP BY 1, 2
+), best AS (
+  SELECT event_type, a10, sse_e4
+  FROM sse
+  QUALIFY row_number() OVER (PARTITION BY event_type
+                             ORDER BY sse_e4, a10) = 1
+), tmax AS (
+  SELECT event_type, CAST(max(t) AS BIGINT) AS m FROM day GROUP BY 1
+)
+SELECT best.event_type,
+       CAST(best.a10 AS BIGINT) AS alpha_x10,
+       sse_e4,
+       l_e2 AS forecast_e2
+FROM best
+JOIN tmax ON tmax.event_type = best.event_type
+JOIN lvl ON lvl.event_type = best.event_type AND lvl.m = tmax.m
+        AND lvl.a10 = best.a10
+ORDER BY best.event_type
+"""
+
+
+QUERIES.update(
+    {
+        "carroll_d2": q_carroll_d2,
+        "rosengren_s": q_rosengren_s,
+        "pesaran_cd": q_pesaran_cd,
+        "ses_grid": q_ses_grid,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "carroll_d2": SQL_CARROLL_D2,
+        "rosengren_s": SQL_ROSENGREN,
+        "pesaran_cd": SQL_PESARAN_CD,
+        "ses_grid": SQL_SES_GRID,
+    }
+)
