@@ -3126,3 +3126,423 @@ ORACLE_SQL.update(
         "ses_grid": SQL_SES_GRID,
     }
 )
+
+
+# ===========================================================================
+# Battery H: superlative price indexes (Törnqvist, Walsh) completing
+# the stats11 Laspeyres/Paasche/Fisher family, Knox space-time
+# interaction, Chao2/Zelterman incidence richness, and the Gini mean
+# difference as a closed-form value-domain scale estimator.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# tornqvist_walsh — Törnqvist (1936) and Walsh (1901) superlative
+# indexes on the weekly (type = basket item) panel, same p4/qty
+# scaffold as price_indexes (stats11).  Share-weighted log terms and
+# sqrt(q0 q1) baskets are e9-floored per item before the week sum.
+# ---------------------------------------------------------------------------
+
+
+def q_tornqvist_walsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wk = ev.groupBy(
+        F.floor(
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            )
+            / 7
+        )
+        .cast("long")
+        .alias("week"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("qty"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+        ).alias("val"),
+    )
+    wk = wk.withColumn(
+        "p4",
+        F.floor(
+            F.col("val").cast("double") / F.col("qty") * 100 + F.lit(_OFF)
+        ).cast("long"),
+    )
+    nxt = wk.select(
+        (F.col("week") - 1).alias("week"),
+        "event_type",
+        F.col("qty").alias("q1"),
+        F.col("p4").alias("p1"),
+    )
+    j = wk.join(nxt, ["week", "event_type"])
+    tot = j.groupBy("week").agg(
+        F.sum(F.col("p4") * F.col("qty")).alias("t00"),
+        F.sum(F.col("p1") * F.col("q1")).alias("t11"),
+    )
+    jt = j.join(F.broadcast(tot), "week")
+    s0 = (F.col("p4") * F.col("qty")).cast("double") / F.col("t00")
+    s1 = (F.col("p1") * F.col("q1")).cast("double") / F.col("t11")
+    lt = F.floor(
+        (s0 + s1)
+        / 2.0
+        * F.log(F.col("p1").cast("double") / F.col("p4"))
+        * 1e9
+        + F.lit(_OFF)
+    ).cast("long")
+    wq = F.sqrt(F.col("qty").cast("double") * F.col("q1"))
+    wn = F.floor(F.col("p1") * wq * 100 + F.lit(_OFF)).cast("long")
+    wd = F.floor(F.col("p4") * wq * 100 + F.lit(_OFF)).cast("long")
+    agg = jt.groupBy("week").agg(
+        F.count(F.lit(1)).alias("k_types"),
+        F.sum(lt).alias("lt9"),
+        F.sum(wn).alias("wn2"),
+        F.sum(wd).alias("wd2"),
+    )
+    return agg.select(
+        "week",
+        F.col("k_types").cast("long").alias("k_types"),
+        F.floor(
+            F.exp(F.col("lt9").cast("double") / 1e9) * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("tornqvist_e6"),
+        F.floor(
+            F.col("wn2").cast("double") / F.col("wd2").cast("double")
+            * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("walsh_e6"),
+    ).orderBy("week")
+
+
+SQL_TORNQVIST = f"""
+WITH wk AS (
+  SELECT CAST(floor(floor(epoch(ts) / 86400) / 7) AS BIGINT) AS week,
+         event_type, count(*) AS qty,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT)) AS BIGINT)
+           AS val
+  FROM events GROUP BY 1, 2
+), wp AS (
+  SELECT week, event_type, qty,
+         CAST(floor(CAST(val AS DOUBLE) / qty * 100 + {_OFF}) AS BIGINT)
+           AS p4
+  FROM wk
+), j AS (
+  SELECT a.week, a.event_type, a.qty, a.p4, b.qty AS q1, b.p4 AS p1
+  FROM wp a JOIN wp b
+    ON b.week = a.week + 1 AND b.event_type = a.event_type
+), tot AS (
+  SELECT week, CAST(sum(p4 * qty) AS BIGINT) AS t00,
+         CAST(sum(p1 * q1) AS BIGINT) AS t11
+  FROM j GROUP BY 1
+), terms AS (
+  SELECT j.week,
+         CAST(floor((CAST(p4 * qty AS DOUBLE) / t00
+                     + CAST(p1 * q1 AS DOUBLE) / t11) / 2.0
+                    * ln(CAST(p1 AS DOUBLE) / p4) * 1e9 + {_OFF})
+              AS BIGINT) AS lt9,
+         CAST(floor(p1 * sqrt(CAST(qty AS DOUBLE) * q1) * 100 + {_OFF})
+              AS BIGINT) AS wn2,
+         CAST(floor(p4 * sqrt(CAST(qty AS DOUBLE) * q1) * 100 + {_OFF})
+              AS BIGINT) AS wd2
+  FROM j JOIN tot ON tot.week = j.week
+)
+SELECT week, CAST(count(*) AS BIGINT) AS k_types,
+       CAST(floor(exp(CAST(sum(lt9) AS DOUBLE) / 1e9) * 1000000 + {_OFF})
+            AS BIGINT) AS tornqvist_e6,
+       CAST(floor(CAST(sum(wn2) AS DOUBLE) / CAST(sum(wd2) AS DOUBLE)
+                  * 1000000 + {_OFF}) AS BIGINT) AS walsh_e6
+FROM terms GROUP BY 1 ORDER BY week
+"""
+
+
+# ---------------------------------------------------------------------------
+# knox_test — Knox (1964) space-time interaction per event type:
+# "space-close" = same user, "time-close" = within 1 hour.  The time
+# pairing is a BANDED hour-bucket self-join (each unordered pair counted
+# once: same-bucket by id order, adjacent-bucket by direction), so the
+# pair stage scales with local density, never all-pairs.  z from the
+# Poisson approximation X ~ Poisson(Ns Nt / Npairs).
+# ---------------------------------------------------------------------------
+
+
+def q_knox_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    ).withColumn("b", F.floor(F.col("us") / 3_600_000_000).cast("long"))
+    a = ev.select(
+        "event_type",
+        F.col("user_id").alias("ua"),
+        F.col("event_id").alias("ia"),
+        F.col("us").alias("usa"),
+        F.col("b").alias("ba"),
+        F.explode(F.array(F.col("b"), F.col("b") + 1)).alias("bb"),
+    )
+    pr = a.join(
+        ev.select(
+            "event_type",
+            F.col("user_id").alias("ub"),
+            F.col("event_id").alias("ib"),
+            F.col("us").alias("usb"),
+            F.col("b").alias("bbr"),
+        ),
+        ["event_type"],
+    ).filter(
+        (F.col("bb") == F.col("bbr"))
+        & (
+            ((F.col("bbr") == F.col("ba")) & (F.col("ia") < F.col("ib")))
+            | (F.col("bbr") == F.col("ba") + 1)
+        )
+        & (F.abs(F.col("usa") - F.col("usb")) <= 3_600_000_000)
+    )
+    tpairs = pr.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nt"),
+        F.sum((F.col("ua") == F.col("ub")).cast("long")).alias("x"),
+    )
+    su = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("nu")
+    )
+    stats = su.groupBy("event_type").agg(
+        F.sum("nu").alias("n"),
+        F.sum(F.col("nu") * (F.col("nu") - 1) / 2).cast("long").alias("ns"),
+    )
+    out = tpairs.join(stats, "event_type")
+    npairs = (
+        F.col("n").cast("double") * (F.col("n") - 1).cast("double") / 2.0
+    )
+    e = F.col("ns").cast("double") * F.col("nt").cast("double") / npairs
+    z = (F.col("x").cast("double") - e) / F.sqrt(e)
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("nt").cast("long").alias("n_time"),
+        F.col("ns").cast("long").alias("n_space"),
+        F.col("x").cast("long").alias("x"),
+        F.floor(e * 10_000 + F.lit(_OFF)).cast("long").alias("e_e4"),
+        F.floor(z * 10_000 + F.lit(_OFF)).cast("long").alias("z_e4"),
+    ).orderBy("event_type")
+
+
+SQL_KNOX = f"""
+WITH e AS (
+  SELECT event_type, user_id, event_id, epoch_us(ts) AS us,
+         CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS b
+  FROM events
+), a AS (
+  SELECT event_type, user_id AS ua, event_id AS ia, us AS usa, b AS ba,
+         unnest([b, b + 1]) AS bb
+  FROM e
+), pr AS (
+  SELECT a.event_type, ua, e.user_id AS ub
+  FROM a JOIN e ON e.event_type = a.event_type AND e.b = a.bb
+  WHERE ((e.b = a.ba AND a.ia < e.event_id) OR e.b = a.ba + 1)
+    AND abs(a.usa - e.us) <= 3600000000
+), tpairs AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS nt,
+         CAST(sum(CASE WHEN ua = ub THEN 1 ELSE 0 END) AS BIGINT) AS x
+  FROM pr GROUP BY 1
+), su AS (
+  SELECT event_type, user_id, count(*) AS nu FROM e GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, CAST(sum(nu) AS BIGINT) AS n,
+         CAST(sum(nu * (nu - 1) // 2) AS BIGINT) AS ns
+  FROM su GROUP BY 1
+)
+SELECT tpairs.event_type, n, nt AS n_time, ns AS n_space, x,
+       CAST(floor(CAST(ns AS DOUBLE) * CAST(nt AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0)
+                  * 10000 + {_OFF}) AS BIGINT) AS e_e4,
+       CAST(floor((CAST(x AS DOUBLE)
+                   - CAST(ns AS DOUBLE) * CAST(nt AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0))
+                  / sqrt(CAST(ns AS DOUBLE) * CAST(nt AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                            / 2.0))
+                  * 10000 + {_OFF}) AS BIGINT) AS z_e4
+FROM tpairs JOIN stats ON stats.event_type = tpairs.event_type
+ORDER BY tpairs.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# chao2_incidence — incidence-based richness of the value support:
+# species = distinct centi-values, samples = days (per type).  How many
+# distinct values would exhaustive observation reveal?  Bias-corrected
+# Chao2 (Chao 1987) from singleton/doubleton day-incidence counts plus
+# Zelterman's (1988) truncated-Poisson estimate — the incidence twin
+# of chao1_ace (stats10, abundance-based).
+# ---------------------------------------------------------------------------
+
+
+def q_chao2_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_type",
+            F.dayofmonth("ts").alias("dom"),
+            F.floor(F.col("value") * 100 + F.lit(_OFF))
+            .cast("long")
+            .alias("v"),
+        )
+        .distinct()
+    )
+    inc = ev.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("d"))
+    m = ev.groupBy("event_type").agg(F.countDistinct("dom").alias("m"))
+    agg = inc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("s_obs"),
+        F.sum((F.col("d") == 1).cast("long")).alias("q1"),
+        F.sum((F.col("d") == 2).cast("long")).alias("q2"),
+    ).join(F.broadcast(m), "event_type")
+    md = F.col("m").cast("double")
+    q1 = F.col("q1").cast("double")
+    q2 = F.col("q2").cast("double")
+    chao2 = F.col("s_obs").cast("double") + (md - 1.0) / md * q1 * (
+        q1 - 1.0
+    ) / (2.0 * (q2 + 1.0))
+    zelt = F.col("s_obs").cast("double") / (
+        1.0 - F.exp(-2.0 * q2 / q1)
+    )
+    return agg.filter((F.col("q1") > 0) & (F.col("q2") > 0)).select(
+        "event_type",
+        F.col("s_obs").cast("long").alias("s_obs"),
+        F.col("q1").cast("long").alias("q1"),
+        F.col("q2").cast("long").alias("q2"),
+        F.col("m").cast("long").alias("m"),
+        F.floor(chao2 * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "chao2_e4"
+        ),
+        F.floor(zelt * 10_000 + F.lit(_OFF)).cast("long").alias("zelt_e4"),
+    ).orderBy("event_type")
+
+
+SQL_CHAO2 = f"""
+WITH ev AS (
+  SELECT DISTINCT event_type, EXTRACT(day FROM ts) AS dom,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), inc AS (
+  SELECT event_type, v, count(*) AS d FROM ev GROUP BY 1, 2
+), m AS (
+  SELECT event_type, CAST(count(DISTINCT dom) AS BIGINT) AS m
+  FROM ev GROUP BY 1
+), agg AS (
+  SELECT inc.event_type, count(*) AS s_obs,
+         CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS q1,
+         CAST(sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS q2
+  FROM inc GROUP BY 1
+)
+SELECT agg.event_type, CAST(s_obs AS BIGINT) AS s_obs, q1, q2, m,
+       CAST(floor((s_obs + (CAST(m AS DOUBLE) - 1.0) / m
+                           * q1 * (CAST(q1 AS DOUBLE) - 1.0)
+                           / (2.0 * (q2 + 1.0))) * 10000 + {_OFF})
+            AS BIGINT) AS chao2_e4,
+       CAST(floor(s_obs / (1.0 - exp(-2.0 * CAST(q2 AS DOUBLE) / q1))
+                  * 10000 + {_OFF}) AS BIGINT) AS zelt_e4
+FROM agg JOIN m ON m.event_type = agg.event_type
+WHERE q1 > 0 AND q2 > 0
+ORDER BY agg.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# gmd_scale — Gini mean difference as a robust scale estimator
+# (Gini 1912; Yitzhaki 2003) with its relative form (the value Gini):
+#   GMD = 2/(n(n-1)) * sum_i x_(i) (2i - n - 1)
+# The position sum telescopes per tie block (exact integers on the
+# value domain) — no pair join at all.
+# ---------------------------------------------------------------------------
+
+
+def q_gmd_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    cv = ev.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("tcnt"))
+    wo = Window.partitionBy("event_type").orderBy("v")
+    wn = Window.partitionBy("event_type")
+    rv = (
+        cv.withColumn("cum", F.sum("tcnt").over(wo))
+        .withColumn("n", F.sum("tcnt").over(wn))
+    )
+    lo1 = F.col("cum") - F.col("tcnt")
+    # sum over block of (2i - n - 1) =
+    #   cum(cum+1) - lo1(lo1+1) - (n+1) tcnt
+    wsum = (
+        F.col("cum") * (F.col("cum") + 1)
+        - lo1 * (lo1 + 1)
+        - (F.col("n") + 1) * F.col("tcnt")
+    )
+    agg = rv.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("v") * wsum).alias("s"),
+        F.sum(F.col("v") * F.col("tcnt")).alias("sv"),
+    )
+    n = F.col("n").cast("double")
+    gmd = 2.0 * F.col("s").cast("double") / (n * (n - 1.0))
+    mean = F.col("sv").cast("double") / n
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(gmd * 10_000 + F.lit(_OFF)).cast("long").alias("gmd_e4"),
+        F.floor(gmd / (2.0 * mean) * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("gini_e6"),
+    ).orderBy("event_type")
+
+
+SQL_GMD = f"""
+WITH ev AS (
+  SELECT event_type, CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), cv AS (
+  SELECT event_type, v, CAST(count(*) AS BIGINT) AS tcnt
+  FROM ev GROUP BY 1, 2
+), rv AS (
+  SELECT event_type, v, tcnt,
+         CAST(sum(tcnt) OVER (PARTITION BY event_type ORDER BY v)
+              AS BIGINT) AS cum,
+         CAST(sum(tcnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM cv
+), agg AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(v * (cum * (cum + 1)
+                       - (cum - tcnt) * (cum - tcnt + 1)
+                       - (n + 1) * tcnt)) AS BIGINT) AS s,
+         CAST(sum(v * tcnt) AS BIGINT) AS sv
+  FROM rv GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(floor(2.0 * CAST(s AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                  * 10000 + {_OFF}) AS BIGINT) AS gmd_e4,
+       CAST(floor(2.0 * CAST(s AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                  / (2.0 * CAST(sv AS DOUBLE) / n) * 1000000 + {_OFF})
+            AS BIGINT) AS gini_e6
+FROM agg ORDER BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "tornqvist_walsh": q_tornqvist_walsh,
+        "knox_test": q_knox_test,
+        "chao2_incidence": q_chao2_incidence,
+        "gmd_scale": q_gmd_scale,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "tornqvist_walsh": SQL_TORNQVIST,
+        "knox_test": SQL_KNOX,
+        "chao2_incidence": SQL_CHAO2,
+        "gmd_scale": SQL_GMD,
+    }
+)
