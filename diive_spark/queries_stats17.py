@@ -3546,3 +3546,479 @@ ORACLE_SQL.update(
         "gmd_scale": SQL_GMD,
     }
 )
+
+
+# ===========================================================================
+# Battery I: smooth GoF, Gini correlation, a Poisson GLM via fixed
+# Newton steps on the collapsed hour domain, and Kaplan-Meier with the
+# Greenwood variance — all on bounded domains (value/hour/day layers).
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# neyman_smooth — Neyman's (1937) smooth test of normality on the PIT
+# values u = Phi(z): N4 = sum_k (1/n) (sum_i phi_k(u_i))^2 with the
+# orthonormal shifted-Legendre components phi_1..phi_4.  u is constant
+# within a tie block, so each component sum collapses to the value
+# domain with exact tcnt weights.
+# ---------------------------------------------------------------------------
+
+
+def q_neyman_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pb = _phi_blocks(spark, sf_dir)
+    u = F.col("f_e9").cast("double") / 1e9
+    p1 = F.sqrt(F.lit(3.0)) * (2.0 * u - 1.0)
+    p2 = F.sqrt(F.lit(5.0)) * (6.0 * u * u - 6.0 * u + 1.0)
+    p3 = F.sqrt(F.lit(7.0)) * (
+        20.0 * u * u * u - 30.0 * u * u + 12.0 * u - 1.0
+    )
+    p4 = 3.0 * (
+        70.0 * u * u * u * u
+        - 140.0 * u * u * u
+        + 90.0 * u * u
+        - 20.0 * u
+        + 1.0
+    )
+    agg = pb.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        *[
+            F.sum(
+                F.col("tcnt")
+                * F.floor(p * 1_000_000 + F.lit(_OFF)).cast("long")
+            ).alias(f"s{k}")
+            for k, p in [(1, p1), (2, p2), (3, p3), (4, p4)]
+        ],
+    )
+    n = F.col("n").cast("double")
+    comps = [
+        (F.col(f"s{k}").cast("double") / 1e6)
+        * (F.col(f"s{k}").cast("double") / 1e6)
+        / n
+        for k in (1, 2, 3, 4)
+    ]
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        *[
+            F.floor(c * 10_000 + F.lit(_OFF)).cast("long").alias(
+                f"n{k}_e4"
+            )
+            for k, c in zip((1, 2, 3, 4), comps)
+        ],
+        F.floor(
+            (comps[0] + comps[1] + comps[2] + comps[3]) * 10_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("total_e4"),
+    ).orderBy("event_type")
+
+
+SQL_NEYMAN = f"""
+WITH {_SQL_PHI}, terms AS (
+  SELECT event_type, n, tcnt,
+         CAST(floor(sqrt(3.0) * (2.0 * (CAST(f_e9 AS DOUBLE) / 1e9) - 1.0)
+                    * 1000000 + {_OFF}) AS BIGINT) AS t1,
+         CAST(floor(sqrt(5.0) * (6.0 * (CAST(f_e9 AS DOUBLE) / 1e9)
+                                     * (CAST(f_e9 AS DOUBLE) / 1e9)
+                                 - 6.0 * (CAST(f_e9 AS DOUBLE) / 1e9) + 1.0)
+                    * 1000000 + {_OFF}) AS BIGINT) AS t2,
+         CAST(floor(sqrt(7.0) * (20.0 * (CAST(f_e9 AS DOUBLE) / 1e9)
+                                      * (CAST(f_e9 AS DOUBLE) / 1e9)
+                                      * (CAST(f_e9 AS DOUBLE) / 1e9)
+                                 - 30.0 * (CAST(f_e9 AS DOUBLE) / 1e9)
+                                        * (CAST(f_e9 AS DOUBLE) / 1e9)
+                                 + 12.0 * (CAST(f_e9 AS DOUBLE) / 1e9)
+                                 - 1.0)
+                    * 1000000 + {_OFF}) AS BIGINT) AS t3,
+         CAST(floor(3.0 * (70.0 * (CAST(f_e9 AS DOUBLE) / 1e9)
+                                * (CAST(f_e9 AS DOUBLE) / 1e9)
+                                * (CAST(f_e9 AS DOUBLE) / 1e9)
+                                * (CAST(f_e9 AS DOUBLE) / 1e9)
+                           - 140.0 * (CAST(f_e9 AS DOUBLE) / 1e9)
+                                   * (CAST(f_e9 AS DOUBLE) / 1e9)
+                                   * (CAST(f_e9 AS DOUBLE) / 1e9)
+                           + 90.0 * (CAST(f_e9 AS DOUBLE) / 1e9)
+                                  * (CAST(f_e9 AS DOUBLE) / 1e9)
+                           - 20.0 * (CAST(f_e9 AS DOUBLE) / 1e9) + 1.0)
+                    * 1000000 + {_OFF}) AS BIGINT) AS t4
+  FROM pb
+), agg AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(tcnt * t1) AS BIGINT) AS s1,
+         CAST(sum(tcnt * t2) AS BIGINT) AS s2,
+         CAST(sum(tcnt * t3) AS BIGINT) AS s3,
+         CAST(sum(tcnt * t4) AS BIGINT) AS s4
+  FROM terms GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(floor((CAST(s1 AS DOUBLE) / 1e6) * (CAST(s1 AS DOUBLE) / 1e6)
+                  / n * 10000 + {_OFF}) AS BIGINT) AS n1_e4,
+       CAST(floor((CAST(s2 AS DOUBLE) / 1e6) * (CAST(s2 AS DOUBLE) / 1e6)
+                  / n * 10000 + {_OFF}) AS BIGINT) AS n2_e4,
+       CAST(floor((CAST(s3 AS DOUBLE) / 1e6) * (CAST(s3 AS DOUBLE) / 1e6)
+                  / n * 10000 + {_OFF}) AS BIGINT) AS n3_e4,
+       CAST(floor((CAST(s4 AS DOUBLE) / 1e6) * (CAST(s4 AS DOUBLE) / 1e6)
+                  / n * 10000 + {_OFF}) AS BIGINT) AS n4_e4,
+       CAST(floor(((CAST(s1 AS DOUBLE) / 1e6) * (CAST(s1 AS DOUBLE) / 1e6)
+                   / n
+                   + (CAST(s2 AS DOUBLE) / 1e6) * (CAST(s2 AS DOUBLE) / 1e6)
+                     / n
+                   + (CAST(s3 AS DOUBLE) / 1e6) * (CAST(s3 AS DOUBLE) / 1e6)
+                     / n
+                   + (CAST(s4 AS DOUBLE) / 1e6) * (CAST(s4 AS DOUBLE) / 1e6)
+                     / n) * 10000 + {_OFF}) AS BIGINT) AS total_e4
+FROM agg ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# gini_correlation — Schechtman & Yitzhaki (1987) Gini correlations
+# between type daily series: G(x|y) = cov(x, r(y)) / cov(x, r(x)),
+# asymmetric in both directions.  Doubled average ranks per series
+# keep every moment an exact integer.
+# ---------------------------------------------------------------------------
+
+
+def q_gini_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.dayofmonth("ts").alias("dom"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    day = ev.groupBy("event_type", "dom").agg(
+        F.floor(
+            F.sum("v").cast("double") / F.count(F.lit(1)) + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("x")
+    )
+    wv = Window.partitionBy("event_type").orderBy("x")
+    wt = Window.partitionBy("event_type", "x")
+    day = day.withColumn(
+        "r2", 2 * F.rank().over(wv) + F.count(F.lit(1)).over(wt) - 1
+    )
+    a = day.alias("a")
+    b = day.alias("b")
+    pr = a.join(
+        b,
+        (F.col("a.dom") == F.col("b.dom"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    )
+    mom = pr.groupBy(
+        F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+    ).agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum("a.x").alias("sxa"),
+        F.sum("b.x").alias("sxb"),
+        F.sum("a.r2").alias("sra"),
+        F.sum("b.r2").alias("srb"),
+        F.sum(F.col("a.x") * F.col("b.r2")).alias("sab"),
+        F.sum(F.col("a.x") * F.col("a.r2")).alias("saa"),
+        F.sum(F.col("b.x") * F.col("a.r2")).alias("sba"),
+        F.sum(F.col("b.x") * F.col("b.r2")).alias("sbb"),
+    )
+    t = F.col("t").cast("double")
+
+    def cov(sxy, sx, sy) -> Column:
+        return (
+            F.col(sxy).cast("double")
+            - F.col(sx).cast("double") * F.col(sy).cast("double") / t
+        )
+
+    gab = cov("sab", "sxa", "srb") / cov("saa", "sxa", "sra")
+    gba = cov("sba", "sxb", "sra") / cov("sbb", "sxb", "srb")
+    return mom.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("t").cast("long").alias("days"),
+        F.floor(gab * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "g_ab_e6"
+        ),
+        F.floor(gba * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "g_ba_e6"
+        ),
+    ).orderBy("type_a", "type_b")
+
+
+SQL_GINI_CORR = f"""
+WITH day0 AS (
+  SELECT event_type, EXTRACT(day FROM ts) AS dom,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+                         AS DOUBLE) / count(*) + {_OFF}) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), day AS (
+  SELECT event_type, dom, x,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+           + count(*) OVER (PARTITION BY event_type, x) - 1 AS r2
+  FROM day0
+), mom AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS t,
+         CAST(sum(a.x) AS BIGINT) AS sxa,
+         CAST(sum(b.x) AS BIGINT) AS sxb,
+         CAST(sum(a.r2) AS BIGINT) AS sra,
+         CAST(sum(b.r2) AS BIGINT) AS srb,
+         CAST(sum(a.x * b.r2) AS BIGINT) AS sab,
+         CAST(sum(a.x * a.r2) AS BIGINT) AS saa,
+         CAST(sum(b.x * a.r2) AS BIGINT) AS sba,
+         CAST(sum(b.x * b.r2) AS BIGINT) AS sbb
+  FROM day a JOIN day b
+    ON a.dom = b.dom AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT ta AS type_a, tb AS type_b, CAST(t AS BIGINT) AS days,
+       CAST(floor((CAST(sab AS DOUBLE)
+                   - CAST(sxa AS DOUBLE) * CAST(srb AS DOUBLE) / t)
+                  / (CAST(saa AS DOUBLE)
+                     - CAST(sxa AS DOUBLE) * CAST(sra AS DOUBLE) / t)
+                  * 1000000 + {_OFF}) AS BIGINT) AS g_ab_e6,
+       CAST(floor((CAST(sba AS DOUBLE)
+                   - CAST(sxb AS DOUBLE) * CAST(sra AS DOUBLE) / t)
+                  / (CAST(sbb AS DOUBLE)
+                     - CAST(sxb AS DOUBLE) * CAST(srb AS DOUBLE) / t)
+                  * 1000000 + {_OFF}) AS BIGINT) AS g_ba_e6
+FROM mom ORDER BY type_a, type_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# poisson_glm_newton — Poisson log-linear GLM of hourly counts on
+# centered hour, fitted by TWO explicit Newton-Raphson steps from
+# (ln ybar, 0) — deterministic fixed-iteration IRLS with no driver
+# loop: each step is one aggregate over the 24-cell hour domain.
+# Reports the coefficients and the Pearson chi-square.
+# ---------------------------------------------------------------------------
+
+
+def q_poisson_glm_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.hour("ts").alias("hh")
+    )
+    cell = ev.groupBy("event_type", "hh").agg(
+        F.count(F.lit(1)).alias("y")
+    ).withColumn("x", F.col("hh").cast("double") - 11.5)
+
+    def newton(df: DataFrame) -> DataFrame:
+        mu = F.exp(F.col("b0") + F.col("b1") * F.col("x"))
+        m6 = F.floor(mu * 1_000_000 + F.lit(_OFF)).cast("long")
+        g = df.groupBy("event_type", "b0", "b1").agg(
+            F.sum(F.col("y") * 1_000_000 - m6).alias("g0"),
+            F.sum(
+                F.floor(
+                    F.col("x") * (F.col("y") * 1_000_000 - m6)
+                    + F.lit(_OFF)
+                ).cast("long")
+            ).alias("g1"),
+            F.sum(m6).alias("h00"),
+            F.sum(
+                F.floor(F.col("x") * m6 + F.lit(_OFF)).cast("long")
+            ).alias("h01"),
+            F.sum(
+                F.floor(F.col("x") * F.col("x") * m6 + F.lit(_OFF)).cast(
+                    "long"
+                )
+            ).alias("h11"),
+        )
+        det = (
+            F.col("h00").cast("double") * F.col("h11").cast("double")
+            - F.col("h01").cast("double") * F.col("h01").cast("double")
+        )
+        nb0 = F.col("b0") + (
+            F.col("h11").cast("double") * F.col("g0").cast("double")
+            - F.col("h01").cast("double") * F.col("g1").cast("double")
+        ) / det
+        nb1 = F.col("b1") + (
+            F.col("h00").cast("double") * F.col("g1").cast("double")
+            - F.col("h01").cast("double") * F.col("g0").cast("double")
+        ) / det
+        return g.select("event_type", nb0.alias("b0"), nb1.alias("b1"))
+
+    init = cell.groupBy("event_type").agg(
+        F.log(
+            F.sum("y").cast("double") / F.count(F.lit(1))
+        ).alias("b0"),
+        F.lit(0.0).alias("b1"),
+    )
+    p1 = newton(cell.join(F.broadcast(init), "event_type"))
+    p2 = newton(cell.join(F.broadcast(p1), "event_type"))
+    fin = cell.join(F.broadcast(p2), "event_type")
+    mu = F.exp(F.col("b0") + F.col("b1") * F.col("x"))
+    chi = F.floor(
+        (F.col("y") - mu) * (F.col("y") - mu) / mu * 1_000_000 + F.lit(_OFF)
+    ).cast("long")
+    out = fin.groupBy("event_type", "b0", "b1").agg(
+        F.sum(chi).alias("chi6"), F.count(F.lit(1)).alias("cells")
+    )
+    return out.select(
+        "event_type",
+        F.col("cells").cast("long").alias("cells"),
+        F.floor(F.col("b0") * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "b0_e6"
+        ),
+        F.floor(F.col("b1") * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "b1_e6"
+        ),
+        F.floor(F.col("chi6").cast("double") / 1e6 * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("pearson_e4"),
+    ).orderBy("event_type")
+
+
+def _sql_newton(src: str, out: str) -> str:
+    return f"""
+  {out} AS (
+    SELECT g.event_type,
+           b0 + (CAST(h11 AS DOUBLE) * g0 - CAST(h01 AS DOUBLE) * g1)
+                / (CAST(h00 AS DOUBLE) * h11
+                   - CAST(h01 AS DOUBLE) * h01) AS b0,
+           b1 + (CAST(h00 AS DOUBLE) * g1 - CAST(h01 AS DOUBLE) * g0)
+                / (CAST(h00 AS DOUBLE) * h11
+                   - CAST(h01 AS DOUBLE) * h01) AS b1
+    FROM (
+      SELECT cell.event_type, b0, b1,
+             CAST(sum(y * 1000000
+                      - CAST(floor(exp(b0 + b1 * x) * 1000000 + {_OFF})
+                             AS BIGINT)) AS BIGINT) AS g0,
+             CAST(sum(CAST(floor(x * (y * 1000000
+                      - CAST(floor(exp(b0 + b1 * x) * 1000000 + {_OFF})
+                             AS BIGINT)) + {_OFF}) AS BIGINT))
+                  AS BIGINT) AS g1,
+             CAST(sum(CAST(floor(exp(b0 + b1 * x) * 1000000 + {_OFF})
+                           AS BIGINT)) AS BIGINT) AS h00,
+             CAST(sum(CAST(floor(x * CAST(floor(exp(b0 + b1 * x) * 1000000
+                                                + {_OFF}) AS BIGINT)
+                                 + {_OFF}) AS BIGINT)) AS BIGINT) AS h01,
+             CAST(sum(CAST(floor(x * x * CAST(floor(exp(b0 + b1 * x)
+                                                    * 1000000 + {_OFF})
+                                               AS BIGINT)
+                                 + {_OFF}) AS BIGINT)) AS BIGINT) AS h11
+      FROM cell JOIN {src} ON {src}.event_type = cell.event_type
+      GROUP BY 1, 2, 3
+    ) g
+  )
+"""
+
+
+SQL_POISSON_GLM = f"""
+WITH cell AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS y,
+         EXTRACT(hour FROM ts) - 11.5 AS x
+  FROM events GROUP BY event_type, EXTRACT(hour FROM ts)
+), init AS (
+  SELECT event_type,
+         ln(CAST(sum(y) AS DOUBLE) / count(*)) AS b0, 0.0 AS b1
+  FROM cell GROUP BY 1
+), {_sql_newton("init", "p1")}, {_sql_newton("p1", "p2")}
+SELECT cell.event_type,
+       CAST(count(*) AS BIGINT) AS cells,
+       CAST(floor(b0 * 1000000 + {_OFF}) AS BIGINT) AS b0_e6,
+       CAST(floor(b1 * 1000000 + {_OFF}) AS BIGINT) AS b1_e6,
+       CAST(floor(CAST(sum(CAST(floor((y - exp(b0 + b1 * x))
+                                      * (y - exp(b0 + b1 * x))
+                                      / exp(b0 + b1 * x) * 1000000
+                                      + {_OFF}) AS BIGINT)) AS DOUBLE)
+                  / 1e6 * 10000 + {_OFF}) AS BIGINT) AS pearson_e4
+FROM cell JOIN p2 ON p2.event_type = cell.event_type
+GROUP BY 1, b0, b1
+ORDER BY cell.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# km_greenwood — Kaplan-Meier survivor curve of user lifetimes with the
+# Greenwood (1926) variance: S via prefix sums of e9-floored
+# ln(1 - d/n), Var = S^2 * prefix sum of e12-floored d/(n(n-d)),
+# plus the linear 95% band (z = 1.96).  All on the bounded lifetime
+# domain; censoring-free design documented (shared with logrank_test).
+# ---------------------------------------------------------------------------
+
+
+def q_km_greenwood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    risk = _survival_risk(spark, sf_dir).filter(
+        F.col("n") > F.col("d")
+    )
+    lns = F.floor(
+        F.log(
+            1.0 - F.col("d").cast("double") / F.col("n").cast("double")
+        )
+        * 1e9
+        + F.lit(_OFF)
+    ).cast("long")
+    gw = F.floor(
+        F.col("d").cast("double")
+        / (
+            F.col("n").cast("double")
+            * (F.col("n") - F.col("d")).cast("double")
+        )
+        * 1e12
+        + F.lit(_OFF)
+    ).cast("long")
+    wa = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    r = (
+        risk.withColumn("lnS9", F.sum(lns).over(wa))
+        .withColumn("gw12", F.sum(gw).over(wa))
+    )
+    s = F.exp(F.col("lnS9").cast("double") / 1e9)
+    se = s * F.sqrt(F.col("gw12").cast("double") / 1e12)
+    return r.select(
+        "t",
+        F.col("d").cast("long").alias("d"),
+        F.col("n").cast("long").alias("n_risk"),
+        F.floor(s * 1_000_000 + F.lit(_OFF)).cast("long").alias("s_e6"),
+        F.floor(se * 1_000_000 + F.lit(_OFF)).cast("long").alias("se_e6"),
+        F.floor((s - 1.96 * se) * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("lo_e6"),
+        F.floor((s + 1.96 * se) * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("hi_e6"),
+    ).orderBy("t")
+
+
+SQL_KM_GREENWOOD = f"""
+WITH {_SQL_RISK}, pre AS (
+  SELECT t, d, n,
+         CAST(sum(CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / n) * 1e9
+                             + {_OFF}) AS BIGINT))
+              OVER (ORDER BY t) AS BIGINT) AS lnS9,
+         CAST(sum(CAST(floor(CAST(d AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * (n - d)) * 1e12
+                             + {_OFF}) AS BIGINT))
+              OVER (ORDER BY t) AS BIGINT) AS gw12
+  FROM risk WHERE n > d
+)
+SELECT t, d, n AS n_risk,
+       CAST(floor(exp(CAST(lnS9 AS DOUBLE) / 1e9) * 1000000 + {_OFF})
+            AS BIGINT) AS s_e6,
+       CAST(floor(exp(CAST(lnS9 AS DOUBLE) / 1e9)
+                  * sqrt(CAST(gw12 AS DOUBLE) / 1e12) * 1000000 + {_OFF})
+            AS BIGINT) AS se_e6,
+       CAST(floor((exp(CAST(lnS9 AS DOUBLE) / 1e9)
+                   - 1.96 * exp(CAST(lnS9 AS DOUBLE) / 1e9)
+                     * sqrt(CAST(gw12 AS DOUBLE) / 1e12)) * 1000000
+                  + {_OFF}) AS BIGINT) AS lo_e6,
+       CAST(floor((exp(CAST(lnS9 AS DOUBLE) / 1e9)
+                   + 1.96 * exp(CAST(lnS9 AS DOUBLE) / 1e9)
+                     * sqrt(CAST(gw12 AS DOUBLE) / 1e12)) * 1000000
+                  + {_OFF}) AS BIGINT) AS hi_e6
+FROM pre ORDER BY t
+"""
+
+
+QUERIES.update(
+    {
+        "neyman_smooth": q_neyman_smooth,
+        "gini_correlation": q_gini_correlation,
+        "poisson_glm_newton": q_poisson_glm_newton,
+        "km_greenwood": q_km_greenwood,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "neyman_smooth": SQL_NEYMAN,
+        "gini_correlation": SQL_GINI_CORR,
+        "poisson_glm_newton": SQL_POISSON_GLM,
+        "km_greenwood": SQL_KM_GREENWOOD,
+    }
+)
