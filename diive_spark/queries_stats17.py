@@ -4022,3 +4022,439 @@ ORACLE_SQL.update(
         "km_greenwood": SQL_KM_GREENWOOD,
     }
 )
+
+
+# ===========================================================================
+# Battery J: Fisher k-statistics (unbiased cumulants), Rao's circular
+# spacing test on time-of-day, and the two classic count-model
+# diagnostics (Hoaglin's Poissonness plot, Ord's ratio plot) on the
+# lines-per-order distribution of the TPC-H lineitem table.
+# ===========================================================================
+
+from diive_spark.queries_stats15 import _lngamma, _lngamma_sql  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# fisher_kstats — Fisher's (1930) unbiased cumulant estimates k1..k4
+# and the g1/g2 shape ratios, from exact integer power sums of the
+# value-unit deviations dv = floor((v - c)/100) (centered at the
+# type's floored mean c so fourth powers stay far inside int64;
+# the coarsening to value units is part of the statistic definition).
+# ---------------------------------------------------------------------------
+
+
+def q_fisher_kstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    c = ev.groupBy("event_type").agg(
+        F.floor(
+            F.sum("v").cast("double") / F.count(F.lit(1)) + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("c")
+    )
+    d = ev.join(F.broadcast(c), "event_type").withColumn(
+        "dv",
+        F.floor((F.col("v") - F.col("c")) / 100.0 + F.lit(_OFF)).cast(
+            "long"
+        ),
+    )
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dv").alias("s1"),
+        F.sum(F.col("dv") * F.col("dv")).alias("s2"),
+        F.sum(F.col("dv") * F.col("dv") * F.col("dv")).alias("s3"),
+        F.sum(
+            F.col("dv") * F.col("dv") * F.col("dv") * F.col("dv")
+        ).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    s4 = F.col("s4").cast("double")
+    k2 = (n * s2 - s1 * s1) / (n * (n - 1.0))
+    k3 = (2.0 * s1 * s1 * s1 - 3.0 * n * s1 * s2 + n * n * s3) / (
+        n * (n - 1.0) * (n - 2.0)
+    )
+    k4 = (
+        -6.0 * s1 * s1 * s1 * s1
+        + 12.0 * n * s1 * s1 * s2
+        - 3.0 * n * (n - 1.0) * s2 * s2
+        - 4.0 * n * (n + 1.0) * s1 * s3
+        + n * n * (n + 1.0) * s4
+    ) / (n * (n - 1.0) * (n - 2.0) * (n - 3.0))
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(k2 * 10_000 + F.lit(_OFF)).cast("long").alias("k2_e4"),
+        F.floor(k3 * 10_000 + F.lit(_OFF)).cast("long").alias("k3_e4"),
+        F.floor(k4 * 10_000 + F.lit(_OFF)).cast("long").alias("k4_e4"),
+        F.floor(k3 / F.pow(k2, 1.5) * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("g1_e6"),
+        F.floor(k4 / (k2 * k2) * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("g2_e6"),
+    ).orderBy("event_type")
+
+
+SQL_KSTATS = f"""
+WITH ev AS (
+  SELECT event_type, CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), c AS (
+  SELECT event_type,
+         CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) + {_OFF}) AS BIGINT)
+           AS c
+  FROM ev GROUP BY 1
+), d AS (
+  SELECT ev.event_type,
+         CAST(floor((v - c) / 100.0 + {_OFF}) AS BIGINT) AS dv
+  FROM ev JOIN c ON c.event_type = ev.event_type
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(dv) AS BIGINT) AS s1,
+         CAST(sum(dv * dv) AS BIGINT) AS s2,
+         CAST(sum(dv * dv * dv) AS BIGINT) AS s3,
+         CAST(sum(dv * dv * dv * dv) AS BIGINT) AS s4
+  FROM d GROUP BY 1
+), k AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n,
+         (n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)
+           / (n * (n - 1.0)) AS k2,
+         (2.0 * CAST(s1 AS DOUBLE) * s1 * s1
+          - 3.0 * n * CAST(s1 AS DOUBLE) * s2
+          + CAST(n AS DOUBLE) * n * s3)
+           / (n * (n - 1.0) * (n - 2.0)) AS k3,
+         (-6.0 * CAST(s1 AS DOUBLE) * s1 * s1 * s1
+          + 12.0 * n * CAST(s1 AS DOUBLE) * s1 * s2
+          - 3.0 * n * (n - 1.0) * CAST(s2 AS DOUBLE) * s2
+          - 4.0 * n * (n + 1.0) * CAST(s1 AS DOUBLE) * s3
+          + CAST(n AS DOUBLE) * n * (n + 1.0) * s4)
+           / (n * (n - 1.0) * (n - 2.0) * (n - 3.0)) AS k4
+  FROM agg
+)
+SELECT event_type, n,
+       CAST(floor(k2 * 10000 + {_OFF}) AS BIGINT) AS k2_e4,
+       CAST(floor(k3 * 10000 + {_OFF}) AS BIGINT) AS k3_e4,
+       CAST(floor(k4 * 10000 + {_OFF}) AS BIGINT) AS k4_e4,
+       CAST(floor(k3 / (k2 ^ 1.5) * 1000000 + {_OFF}) AS BIGINT) AS g1_e6,
+       CAST(floor(k4 / (k2 * k2) * 1000000 + {_OFF}) AS BIGINT) AS g2_e6
+FROM k ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# rao_spacing — Rao's (1976) spacing test of diel uniformity per type:
+# U = 1/2 sum |T_i - lambda| over the n circular spacings of the
+# time-of-day points (lambda = circle/n).  Tied points contribute
+# zero spacings ((n - d) of them, each |0 - lambda|); the d distinct-
+# point gaps (incl. the wraparound) come off the bounded second-of-day
+# domain.  Reported in degrees.
+# ---------------------------------------------------------------------------
+
+
+def q_rao_spacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
+            )
+            % 86_400
+        ).alias("sod"),
+    )
+    cv = ev.groupBy("event_type", "sod").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wo = Window.partitionBy("event_type").orderBy("sod")
+    g = cv.withColumn("nxt", F.lead("sod").over(wo))
+    stats = cv.groupBy("event_type").agg(
+        F.sum("cnt").alias("n"),
+        F.count(F.lit(1)).alias("d"),
+        F.min("sod").alias("first"),
+        F.max("sod").alias("last"),
+    )
+    lam = F.lit(86_400.0) / F.col("n")
+    gaps = g.filter(F.col("nxt").isNotNull()).join(
+        F.broadcast(stats.select("event_type", "n")), "event_type"
+    )
+    term = F.floor(
+        F.abs(
+            (F.col("nxt") - F.col("sod")).cast("double")
+            - F.lit(86_400.0) / F.col("n")
+        )
+        * 10_000
+        + F.lit(_OFF)
+    ).cast("long")
+    sg = gaps.groupBy("event_type").agg(F.sum(term).alias("sgap4"))
+    out = stats.join(sg, "event_type")
+    wrap = F.abs(
+        (F.col("first") + 86_400 - F.col("last")).cast("double") - lam
+    )
+    zeros = (F.col("n") - F.col("d")).cast("double") * lam
+    u_sec = 0.5 * (
+        F.col("sgap4").cast("double") / 1e4 + wrap + zeros
+    )
+    u_deg = u_sec / 86_400.0 * 360.0
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("d").cast("long").alias("d_distinct"),
+        F.floor(u_deg * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "u_deg_e4"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_RAO = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) % 86400 AS sod
+  FROM events
+), cv AS (
+  SELECT event_type, sod, count(*) AS cnt FROM ev GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS d,
+         CAST(min(sod) AS BIGINT) AS first,
+         CAST(max(sod) AS BIGINT) AS last
+  FROM cv GROUP BY 1
+), g AS (
+  SELECT cv.event_type,
+         lead(sod) OVER (PARTITION BY cv.event_type ORDER BY sod) - sod
+           AS gap,
+         n
+  FROM cv JOIN stats ON stats.event_type = cv.event_type
+), sg AS (
+  SELECT event_type,
+         CAST(sum(CAST(floor(abs(CAST(gap AS DOUBLE) - 86400.0 / n)
+                             * 10000 + {_OFF}) AS BIGINT)) AS BIGINT)
+           AS sgap4
+  FROM g WHERE gap IS NOT NULL GROUP BY 1
+)
+SELECT stats.event_type, n, d AS d_distinct,
+       CAST(floor(
+         0.5 * (CAST(sgap4 AS DOUBLE) / 1e4
+                + abs(CAST(first + 86400 - last AS DOUBLE) - 86400.0 / n)
+                + CAST(n - d AS DOUBLE) * (86400.0 / n))
+         / 86400.0 * 360.0 * 10000 + {_OFF}) AS BIGINT) AS u_deg_e4
+FROM stats JOIN sg ON sg.event_type = stats.event_type
+ORDER BY stats.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# poissonness_lineitems — Hoaglin's (1980) Poissonness plot of the
+# lines-per-order distribution: phi(k) = ln(k! n_k / N) is linear in k
+# under a Poisson law; the OLS slope estimates ln(lambda), and
+# intercept + exp(slope) ~ 0 measures lack of fit.  ln k! rides the
+# shared Lanczos lnGamma twin (stats15).
+# ---------------------------------------------------------------------------
+
+
+def q_poissonness_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    per = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k"))
+    nk = per.groupBy("k").agg(F.count(F.lit(1)).alias("n_k"))
+    tot = nk.agg(F.sum("n_k").alias("nn"))
+    j = nk.crossJoin(F.broadcast(tot))
+    phi = _lngamma(F.col("k").cast("double") + 1.0) + F.log(
+        F.col("n_k").cast("double") / F.col("nn").cast("double")
+    )
+    pts = j.select(
+        F.col("k").cast("long").alias("k"),
+        F.floor(phi * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "phi_e6"
+        ),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("k").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).alias("skk"),
+        F.sum("phi_e6").alias("sp"),
+        F.sum(F.col("k") * F.col("phi_e6")).alias("skp"),
+    )
+    m = F.col("m").cast("double")
+    slope = (
+        m * F.col("skp").cast("double")
+        - F.col("sk").cast("double") * F.col("sp").cast("double")
+    ) / (
+        (
+            m * F.col("skk").cast("double")
+            - F.col("sk").cast("double") * F.col("sk").cast("double")
+        )
+        * 1e6
+    )
+    icept = (
+        F.col("sp").cast("double") / 1e6 - slope * F.col("sk").cast("double")
+    ) / m
+    return mom.select(
+        F.col("m").cast("long").alias("m_points"),
+        F.floor(slope * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "slope_e6"
+        ),
+        F.floor(F.exp(slope) * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "lambda_e6"
+        ),
+        F.floor((icept + F.exp(slope)) * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("misfit_e6"),
+    )
+
+
+SQL_POISSONNESS = f"""
+WITH per AS (
+  SELECT l_orderkey, count(*) AS k FROM lineitem GROUP BY 1
+), nk AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_k FROM per GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_k) AS BIGINT) AS nn FROM nk
+), pts AS (
+  SELECT CAST(k AS BIGINT) AS k,
+         CAST(floor(({_lngamma_sql("CAST(k AS DOUBLE) + 1.0")}
+                     + ln(CAST(n_k AS DOUBLE) / nn)) * 1000000 + {_OFF})
+              AS BIGINT) AS phi_e6
+  FROM nk CROSS JOIN tot
+), mom AS (
+  SELECT count(*) AS m,
+         CAST(sum(k) AS BIGINT) AS sk,
+         CAST(sum(k * k) AS BIGINT) AS skk,
+         CAST(sum(phi_e6) AS BIGINT) AS sp,
+         CAST(sum(k * phi_e6) AS BIGINT) AS skp
+  FROM pts
+), fit AS (
+  SELECT CAST(m AS BIGINT) AS m_points,
+         (m * CAST(skp AS DOUBLE) - CAST(sk AS DOUBLE) * sp)
+           / ((m * CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE) * sk) * 1e6)
+           AS slope,
+         CAST(sk AS DOUBLE) AS skd, CAST(sp AS DOUBLE) AS spd,
+         CAST(m AS DOUBLE) AS md
+  FROM mom
+)
+SELECT m_points,
+       CAST(floor(slope * 1000000 + {_OFF}) AS BIGINT) AS slope_e6,
+       CAST(floor(exp(slope) * 1000000 + {_OFF}) AS BIGINT) AS lambda_e6,
+       CAST(floor(((spd / 1e6 - slope * skd) / md + exp(slope)) * 1000000
+                  + {_OFF}) AS BIGINT) AS misfit_e6
+FROM fit
+"""
+
+
+# ---------------------------------------------------------------------------
+# ord_plot_lineitems — Ord's (1967) ratio plot on the same counts:
+# u_k = k n_k / n_{k-1} is linear in k with (intercept a, slope b)
+# signing the family: Poisson (b=0, a=lambda), negative binomial
+# (b>0), binomial (b<0).  Unweighted OLS over the observed k points.
+# ---------------------------------------------------------------------------
+
+
+def q_ord_plot_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    per = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k"))
+    nk = per.groupBy("k").agg(F.count(F.lit(1)).alias("n_k"))
+    wo = Window.orderBy("k")
+    u = nk.withColumn("kprev", F.lag("k").over(wo)).withColumn(
+        "nprev", F.lag("n_k").over(wo)
+    ).filter(
+        F.col("nprev").isNotNull() & (F.col("kprev") == F.col("k") - 1)
+    )
+    pts = u.select(
+        "k",
+        F.floor(
+            F.col("k").cast("double")
+            * F.col("n_k").cast("double")
+            / F.col("nprev").cast("double")
+            * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("u_e6"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("k").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).alias("skk"),
+        F.sum("u_e6").alias("su"),
+        F.sum(F.col("k") * F.col("u_e6")).alias("sku"),
+    )
+    m = F.col("m").cast("double")
+    slope = (
+        m * F.col("sku").cast("double")
+        - F.col("sk").cast("double") * F.col("su").cast("double")
+    ) / (
+        (
+            m * F.col("skk").cast("double")
+            - F.col("sk").cast("double") * F.col("sk").cast("double")
+        )
+        * 1e6
+    )
+    icept = (
+        F.col("su").cast("double") / 1e6 - slope * F.col("sk").cast("double")
+    ) / m
+    return mom.select(
+        F.col("m").cast("long").alias("m_points"),
+        F.floor(slope * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "b_e6"
+        ),
+        F.floor(icept * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "a_e6"
+        ),
+    )
+
+
+SQL_ORD_PLOT = f"""
+WITH per AS (
+  SELECT l_orderkey, count(*) AS k FROM lineitem GROUP BY 1
+), nk AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_k FROM per GROUP BY 1
+), u AS (
+  SELECT CAST(k AS BIGINT) AS k,
+         CAST(floor(CAST(k AS DOUBLE) * n_k
+                    / lag(n_k) OVER (ORDER BY k) * 1000000 + {_OFF})
+              AS BIGINT) AS u_e6,
+         lag(k) OVER (ORDER BY k) AS kprev
+  FROM nk
+  QUALIFY kprev = k - 1
+), mom AS (
+  SELECT count(*) AS m,
+         CAST(sum(k) AS BIGINT) AS sk,
+         CAST(sum(k * k) AS BIGINT) AS skk,
+         CAST(sum(u_e6) AS BIGINT) AS su,
+         CAST(sum(k * u_e6) AS BIGINT) AS sku
+  FROM u
+)
+SELECT CAST(m AS BIGINT) AS m_points,
+       CAST(floor((m * CAST(sku AS DOUBLE) - CAST(sk AS DOUBLE) * su)
+                  / ((m * CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE) * sk)
+                     * 1e6) * 1000000 + {_OFF}) AS BIGINT) AS b_e6,
+       CAST(floor((CAST(su AS DOUBLE) / 1e6
+                   - (m * CAST(sku AS DOUBLE) - CAST(sk AS DOUBLE) * su)
+                     / ((m * CAST(skk AS DOUBLE)
+                         - CAST(sk AS DOUBLE) * sk) * 1e6)
+                     * CAST(sk AS DOUBLE)) / m * 1000000 + {_OFF})
+            AS BIGINT) AS a_e6
+FROM mom
+"""
+
+
+QUERIES.update(
+    {
+        "fisher_kstats": q_fisher_kstats,
+        "rao_spacing": q_rao_spacing,
+        "poissonness_lineitems": q_poissonness_lineitems,
+        "ord_plot_lineitems": q_ord_plot_lineitems,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "fisher_kstats": SQL_KSTATS,
+        "rao_spacing": SQL_RAO,
+        "poissonness_lineitems": SQL_POISSONNESS,
+        "ord_plot_lineitems": SQL_ORD_PLOT,
+    }
+)
