@@ -4458,3 +4458,402 @@ ORACLE_SQL.update(
         "ord_plot_lineitems": SQL_ORD_PLOT,
     }
 )
+
+
+# ===========================================================================
+# Battery K: model-evaluation + agro-meteo layer, following the
+# queries_meteo2 convention (physical columns synthesized
+# DETERMINISTICALLY from events; identical arithmetic both engines).
+# Hydrology-standard skill scores (NSE, KGE, Willmott's d) of the
+# cross-type "climatology" model, Stull's wet-bulb approximation, and
+# the FAO-56 Hargreaves-Samani ET0 companion to penman_monteith_et0.
+# ===========================================================================
+
+
+def _obs_model_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (type, day): observed daily mean (exact int) and the grand
+    cross-type daily mean as the 'climatology' model (exact int)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.dayofmonth("ts").alias("dom"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    obs = ev.groupBy("event_type", "dom").agg(
+        F.floor(
+            F.sum("v").cast("double") / F.count(F.lit(1)) + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("o")
+    )
+    mod = ev.groupBy("dom").agg(
+        F.floor(
+            F.sum("v").cast("double") / F.count(F.lit(1)) + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("m")
+    )
+    return obs.join(F.broadcast(mod), "dom")
+
+
+_SQL_OBSMOD = f"""
+  ev AS (
+    SELECT event_type, EXTRACT(day FROM ts) AS dom,
+           CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+    FROM events
+  ), obs AS (
+    SELECT event_type, dom,
+           CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) + {_OFF})
+                AS BIGINT) AS o
+    FROM ev GROUP BY 1, 2
+  ), mod AS (
+    SELECT dom,
+           CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) + {_OFF})
+                AS BIGINT) AS m
+    FROM ev GROUP BY 1
+  ), om AS (
+    SELECT obs.event_type, obs.dom, o, m
+    FROM obs JOIN mod ON mod.dom = obs.dom
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# kge_nse — Nash-Sutcliffe efficiency (1970) and Kling-Gupta
+# efficiency (Gupta et al. 2009) of the climatology model per type:
+# NSE = 1 - SSE/SSO;  KGE = 1 - sqrt((r-1)^2 + (alpha-1)^2 + (beta-1)^2)
+# with r Pearson, alpha = sd ratio, beta = mean ratio — every moment
+# an exact integer day sum.
+# ---------------------------------------------------------------------------
+
+
+def q_kge_nse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    om = _obs_model_days(spark, sf_dir)
+    agg = om.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o").alias("so"),
+        F.sum("m").alias("sm"),
+        F.sum(F.col("o") * F.col("o")).alias("soo"),
+        F.sum(F.col("m") * F.col("m")).alias("smm"),
+        F.sum(F.col("o") * F.col("m")).alias("som"),
+        F.sum(
+            (F.col("o") - F.col("m")) * (F.col("o") - F.col("m"))
+        ).alias("sse"),
+    )
+    n = F.col("n").cast("double")
+    so = F.col("so").cast("double")
+    sm = F.col("sm").cast("double")
+    co = F.col("soo").cast("double") - so * so / n
+    cm = F.col("smm").cast("double") - sm * sm / n
+    com = F.col("som").cast("double") - so * sm / n
+    nse = 1.0 - F.col("sse").cast("double") / co
+    r = com / F.sqrt(co * cm)
+    alpha = F.sqrt(cm / co)
+    beta = sm / so
+    kge = 1.0 - F.sqrt(
+        (r - 1.0) * (r - 1.0)
+        + (alpha - 1.0) * (alpha - 1.0)
+        + (beta - 1.0) * (beta - 1.0)
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.floor(nse * 1_000_000 + F.lit(_OFF)).cast("long").alias("nse_e6"),
+        F.floor(kge * 1_000_000 + F.lit(_OFF)).cast("long").alias("kge_e6"),
+        F.floor(r * 1_000_000 + F.lit(_OFF)).cast("long").alias("r_e6"),
+        F.floor(alpha * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "alpha_e6"
+        ),
+        F.floor(beta * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "beta_e6"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_KGE = f"""
+WITH {_SQL_OBSMOD}, agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(o) AS BIGINT) AS so, CAST(sum(m) AS BIGINT) AS sm,
+         CAST(sum(o * o) AS BIGINT) AS soo,
+         CAST(sum(m * m) AS BIGINT) AS smm,
+         CAST(sum(o * m) AS BIGINT) AS som,
+         CAST(sum((o - m) * (o - m)) AS BIGINT) AS sse
+  FROM om GROUP BY 1
+), c AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n_days,
+         CAST(soo AS DOUBLE) - CAST(so AS DOUBLE) * so / n AS co,
+         CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * sm / n AS cm,
+         CAST(som AS DOUBLE) - CAST(so AS DOUBLE) * sm / n AS com,
+         CAST(sse AS DOUBLE) AS sse,
+         CAST(sm AS DOUBLE) / so AS beta
+  FROM agg
+)
+SELECT event_type, n_days,
+       CAST(floor((1.0 - sse / co) * 1000000 + {_OFF}) AS BIGINT) AS nse_e6,
+       CAST(floor((1.0 - sqrt((com / sqrt(co * cm) - 1.0)
+                              * (com / sqrt(co * cm) - 1.0)
+                              + (sqrt(cm / co) - 1.0)
+                                * (sqrt(cm / co) - 1.0)
+                              + (beta - 1.0) * (beta - 1.0)))
+                  * 1000000 + {_OFF}) AS BIGINT) AS kge_e6,
+       CAST(floor(com / sqrt(co * cm) * 1000000 + {_OFF}) AS BIGINT)
+         AS r_e6,
+       CAST(floor(sqrt(cm / co) * 1000000 + {_OFF}) AS BIGINT) AS alpha_e6,
+       CAST(floor(beta * 1000000 + {_OFF}) AS BIGINT) AS beta_e6
+FROM c ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# willmott_d — Willmott's (1981) index of agreement d and the refined
+# absolute-value d1 (1985): per-day potential-error terms are floored
+# to e4 integers against the exact rational observed mean So/n.
+# ---------------------------------------------------------------------------
+
+
+def q_willmott_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    om = _obs_model_days(spark, sf_dir)
+    tot = om.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o").alias("so")
+    )
+    j = om.join(F.broadcast(tot), "event_type")
+    obar = F.col("so").cast("double") / F.col("n")
+    pe = F.abs(F.col("m").cast("double") - obar) + F.abs(
+        F.col("o").cast("double") - obar
+    )
+    pe2_e4 = F.floor(pe * pe * 10_000 + F.lit(_OFF)).cast("long")
+    pe1_e4 = F.floor(pe * 10_000 + F.lit(_OFF)).cast("long")
+    agg = j.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(
+            (F.col("o") - F.col("m")) * (F.col("o") - F.col("m"))
+        ).alias("sse"),
+        F.sum(F.abs(F.col("o") - F.col("m"))).alias("sae"),
+        F.sum(pe2_e4).alias("spe2"),
+        F.sum(pe1_e4).alias("spe1"),
+    )
+    d = 1.0 - F.col("sse").cast("double") / (
+        F.col("spe2").cast("double") / 1e4
+    )
+    d1 = 1.0 - F.col("sae").cast("double") / (
+        F.col("spe1").cast("double") / 1e4
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.floor(d * 1_000_000 + F.lit(_OFF)).cast("long").alias("d_e6"),
+        F.floor(d1 * 1_000_000 + F.lit(_OFF)).cast("long").alias("d1_e6"),
+    ).orderBy("event_type")
+
+
+SQL_WILLMOTT = f"""
+WITH {_SQL_OBSMOD}, tot AS (
+  SELECT event_type, count(*) AS n, CAST(sum(o) AS BIGINT) AS so
+  FROM om GROUP BY 1
+), terms AS (
+  SELECT om.event_type, tot.n, o, m,
+         abs(CAST(m AS DOUBLE) - CAST(so AS DOUBLE) / n)
+         + abs(CAST(o AS DOUBLE) - CAST(so AS DOUBLE) / n) AS pe
+  FROM om JOIN tot ON tot.event_type = om.event_type
+), agg AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+         CAST(sum((o - m) * (o - m)) AS BIGINT) AS sse,
+         CAST(sum(abs(o - m)) AS BIGINT) AS sae,
+         CAST(sum(CAST(floor(pe * pe * 10000 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS spe2,
+         CAST(sum(CAST(floor(pe * 10000 + {_OFF}) AS BIGINT)) AS BIGINT)
+           AS spe1
+  FROM terms GROUP BY 1
+)
+SELECT event_type, n_days,
+       CAST(floor((1.0 - CAST(sse AS DOUBLE)
+                         / (CAST(spe2 AS DOUBLE) / 1e4)) * 1000000
+                  + {_OFF}) AS BIGINT) AS d_e6,
+       CAST(floor((1.0 - CAST(sae AS DOUBLE)
+                         / (CAST(spe1 AS DOUBLE) / 1e4)) * 1000000
+                  + {_OFF}) AS BIGINT) AS d1_e6
+FROM agg ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# wetbulb_stull — Stull's (2011, JAMC) wet-bulb temperature
+# approximation on the diel cycle: synthetic T (deci-degC) and RH (%)
+# per event, aggregated to exact hourly integer means, then one
+# closed-form Tw per hour-of-day evaluated identically in both engines.
+# ---------------------------------------------------------------------------
+
+
+def q_wetbulb_stull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.hour("ts").alias("hh"),
+        (
+            F.floor(F.col("value") * 3 + F.lit(_OFF)).cast("long")
+            + F.col("event_id") % 11
+        ).alias("t10"),
+        (40 + F.col("event_id") % 55).alias("rh"),
+    )
+    agg = ev.groupBy("hh").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t10").alias("st"),
+        F.sum("rh").alias("srh"),
+    )
+    t = F.col("st").cast("double") / F.col("n") / 10.0
+    rh = F.col("srh").cast("double") / F.col("n")
+    tw = (
+        t * F.atan(0.151977 * F.sqrt(rh + 8.313659))
+        + F.atan(t + rh)
+        - F.atan(rh - 1.676331)
+        + 0.00391838 * F.pow(rh, 1.5) * F.atan(0.023101 * rh)
+        - 4.686035
+    )
+    return agg.select(
+        F.col("hh").cast("long").alias("hh"),
+        F.col("n").cast("long").alias("n"),
+        F.floor(t * 10_000 + F.lit(_OFF)).cast("long").alias("t_e4"),
+        F.floor(rh * 10_000 + F.lit(_OFF)).cast("long").alias("rh_e4"),
+        F.floor(tw * 10_000 + F.lit(_OFF)).cast("long").alias("tw_e4"),
+    ).orderBy("hh")
+
+
+SQL_WETBULB = f"""
+WITH ev AS (
+  SELECT EXTRACT(hour FROM ts) AS hh,
+         CAST(floor(value * 3 + {_OFF}) AS BIGINT) + event_id % 11 AS t10,
+         40 + event_id % 55 AS rh
+  FROM events
+), agg AS (
+  SELECT hh, count(*) AS n,
+         CAST(sum(t10) AS BIGINT) AS st,
+         CAST(sum(rh) AS BIGINT) AS srh
+  FROM ev GROUP BY 1
+), c AS (
+  SELECT hh, CAST(n AS BIGINT) AS n,
+         CAST(st AS DOUBLE) / n / 10.0 AS t,
+         CAST(srh AS DOUBLE) / n AS rh
+  FROM agg
+)
+SELECT hh, n,
+       CAST(floor(t * 10000 + {_OFF}) AS BIGINT) AS t_e4,
+       CAST(floor(rh * 10000 + {_OFF}) AS BIGINT) AS rh_e4,
+       CAST(floor((t * atan(0.151977 * sqrt(rh + 8.313659))
+                   + atan(t + rh) - atan(rh - 1.676331)
+                   + 0.00391838 * (rh ^ 1.5) * atan(0.023101 * rh)
+                   - 4.686035) * 10000 + {_OFF}) AS BIGINT) AS tw_e4
+FROM c ORDER BY hh
+"""
+
+
+# ---------------------------------------------------------------------------
+# hargreaves_et0 — Hargreaves & Samani (1985) / FAO-56 Eq. 52
+# reference ET0, the data-sparse companion to penman_monteith_et0
+# (meteo2): ET0 = 0.0023 (Tmean + 17.8) (Tmax - Tmin)^0.5 Ra, with
+# extraterrestrial radiation Ra from the FAO-56 day-of-year closed
+# form at latitude 47 N.  Daily Tmax/Tmin/Tmean from exact integer
+# deci-degC extremes.
+# ---------------------------------------------------------------------------
+
+_LAT = 0.8203047484374765  # 47 deg N in radians (exact double literal)
+
+
+def q_hargreaves_et0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.dayofyear("ts").alias("doy"),
+        (
+            F.floor(F.col("value") * 3 + F.lit(_OFF)).cast("long")
+            + F.col("event_id") % 11
+        ).alias("t10"),
+    )
+    day = ev.groupBy("doy").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("t10").alias("tmax10"),
+        F.min("t10").alias("tmin10"),
+        F.sum("t10").alias("st"),
+    )
+    tmean = F.col("st").cast("double") / F.col("n") / 10.0
+    tmax = F.col("tmax10").cast("double") / 10.0
+    tmin = F.col("tmin10").cast("double") / 10.0
+    d = F.col("doy").cast("double")
+    dr = 1.0 + 0.033 * F.cos(2.0 * F.lit(3.141592653589793) / 365.0 * d)
+    dec = 0.409 * F.sin(
+        2.0 * F.lit(3.141592653589793) / 365.0 * d - 1.39
+    )
+    ws = F.acos(-F.tan(F.lit(_LAT)) * F.tan(dec))
+    ra = (
+        24.0
+        * 60.0
+        / F.lit(3.141592653589793)
+        * 0.0820
+        * dr
+        * (
+            ws * F.sin(F.lit(_LAT)) * F.sin(dec)
+            + F.cos(F.lit(_LAT)) * F.cos(dec) * F.sin(ws)
+        )
+    )
+    et0 = 0.0023 * (tmean + 17.8) * F.sqrt(tmax - tmin) * ra * 0.408
+    return day.select(
+        F.col("doy").cast("long").alias("doy"),
+        F.floor(ra * 10_000 + F.lit(_OFF)).cast("long").alias("ra_e4"),
+        F.floor(tmean * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "tmean_e4"
+        ),
+        F.floor(et0 * 10_000 + F.lit(_OFF)).cast("long").alias("et0_e4"),
+    ).orderBy("doy")
+
+
+SQL_HARGREAVES = f"""
+WITH ev AS (
+  SELECT EXTRACT(doy FROM ts) AS doy,
+         CAST(floor(value * 3 + {_OFF}) AS BIGINT) + event_id % 11 AS t10
+  FROM events
+), day AS (
+  SELECT doy, count(*) AS n,
+         CAST(max(t10) AS BIGINT) AS tmax10,
+         CAST(min(t10) AS BIGINT) AS tmin10,
+         CAST(sum(t10) AS BIGINT) AS st
+  FROM ev GROUP BY 1
+), c AS (
+  SELECT doy, CAST(st AS DOUBLE) / n / 10.0 AS tmean,
+         CAST(tmax10 AS DOUBLE) / 10.0 AS tmax,
+         CAST(tmin10 AS DOUBLE) / 10.0 AS tmin,
+         1.0 + 0.033 * cos(2.0 * 3.141592653589793 / 365.0
+                           * CAST(doy AS DOUBLE)) AS dr,
+         0.409 * sin(2.0 * 3.141592653589793 / 365.0
+                     * CAST(doy AS DOUBLE) - 1.39) AS dec
+  FROM day
+), r AS (
+  SELECT doy, tmean, tmax, tmin, dr, dec,
+         acos(-tan({_LAT!r}) * tan(dec)) AS ws
+  FROM c
+)
+SELECT CAST(doy AS BIGINT) AS doy,
+       CAST(floor(24.0 * 60.0 / 3.141592653589793 * 0.0820 * dr
+                  * (ws * sin({_LAT!r}) * sin(dec)
+                     + cos({_LAT!r}) * cos(dec) * sin(ws))
+                  * 10000 + {_OFF}) AS BIGINT) AS ra_e4,
+       CAST(floor(tmean * 10000 + {_OFF}) AS BIGINT) AS tmean_e4,
+       CAST(floor(0.0023 * (tmean + 17.8) * sqrt(tmax - tmin)
+                  * (24.0 * 60.0 / 3.141592653589793 * 0.0820 * dr
+                     * (ws * sin({_LAT!r}) * sin(dec)
+                        + cos({_LAT!r}) * cos(dec) * sin(ws)))
+                  * 0.408 * 10000 + {_OFF}) AS BIGINT) AS et0_e4
+FROM r ORDER BY doy
+"""
+
+
+QUERIES.update(
+    {
+        "kge_nse": q_kge_nse,
+        "willmott_d": q_willmott_d,
+        "wetbulb_stull": q_wetbulb_stull,
+        "hargreaves_et0": q_hargreaves_et0,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "kge_nse": SQL_KGE,
+        "willmott_d": SQL_WILLMOTT,
+        "wetbulb_stull": SQL_WETBULB,
+        "hargreaves_et0": SQL_HARGREAVES,
+    }
+)
