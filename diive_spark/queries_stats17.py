@@ -4857,3 +4857,289 @@ ORACLE_SQL.update(
         "hargreaves_et0": SQL_HARGREAVES,
     }
 )
+
+
+# ===========================================================================
+# Battery L: TPC-H-style multi-way join analytics — the registry's
+# join-planning showcases have lived in round-1 J1-J6; these add the
+# canonical dimensional patterns (Q4/Q5/Q8/Q10 analogs) with every
+# dimension broadcast and revenue carried as the exact integer
+# p2 * (100 - d2) (cents x discount-hundredths, e4 cents-scale).
+# ===========================================================================
+
+
+def _rev_e4() -> Column:
+    p2 = F.floor(F.col("l_extendedprice") * 100 + F.lit(_OFF)).cast("long")
+    d2 = F.floor(F.col("l_discount") * 100 + F.lit(_OFF)).cast("long")
+    return p2 * (100 - d2)
+
+
+_SQL_REV = (
+    "CAST(floor(l_extendedprice * 100 + {OFF}) AS BIGINT)"
+    " * (100 - CAST(floor(l_discount * 100 + {OFF}) AS BIGINT))"
+).format(OFF="0.31830988618367")
+
+
+# ---------------------------------------------------------------------------
+# tpch_q5_local_revenue — TPC-H Q5 analog: revenue by nation for 1996
+# orders where the supplier and the customer share the nation, within
+# the EUROPE region.  lineitem is the only fact-sized input; orders is
+# the one fact-fact shuffle join; customer/supplier/nation/region all
+# broadcast.
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q5_local_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.year("o_orderdate") == 1996
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey)
+    )
+    agg = j.groupBy("n_name").agg(
+        F.sum(_rev_e4()).alias("rev_e4"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return agg.select(
+        "n_name",
+        F.col("rev_e4").cast("long").alias("revenue_e4"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+    ).orderBy(F.desc("revenue_e4"), "n_name")
+
+
+SQL_Q5 = f"""
+SELECT n_name,
+       CAST(sum({_SQL_REV}) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE' AND EXTRACT(year FROM o_orderdate) = 1996
+GROUP BY 1
+ORDER BY revenue_e4 DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# tpch_q8_market_share — Q8 analog: yearly market share of AMERICA-
+# nation suppliers within the EUROPE customer market.  The share is an
+# exact integer ratio of revenue sums.
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("c_custkey")
+    sn = s.join(
+        F.broadcast(
+            n.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_regionkey").alias("sn_rkey"),
+            )
+        ),
+        s.s_nationkey == F.col("sn_key"),
+    ).join(
+        F.broadcast(
+            r.select(
+                F.col("r_regionkey").alias("sr_key"),
+                F.col("r_name").alias("sr_name"),
+            )
+        ),
+        F.col("sn_rkey") == F.col("sr_key"),
+    ).select("s_suppkey", "sr_name")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cn), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
+    )
+    agg = j.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.sum(_rev_e4()).alias("tot_e4"),
+        F.sum(
+            F.when(F.col("sr_name") == "AMERICA", _rev_e4()).otherwise(0)
+        ).alias("amer_e4"),
+    )
+    share = F.col("amer_e4").cast("double") / F.col("tot_e4").cast("double")
+    return agg.select(
+        F.col("yr").cast("long").alias("yr"),
+        F.col("amer_e4").cast("long").alias("america_rev_e4"),
+        F.col("tot_e4").cast("long").alias("total_rev_e4"),
+        F.floor(share * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "share_e6"
+        ),
+    ).orderBy("yr")
+
+
+SQL_Q8 = f"""
+WITH cn AS (
+  SELECT c_custkey FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), sn AS (
+  SELECT s_suppkey, r_name AS sr_name FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+), agg AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS yr,
+         CAST(sum({_SQL_REV}) AS BIGINT) AS tot_e4,
+         CAST(sum(CASE WHEN sr_name = 'AMERICA' THEN {_SQL_REV}
+                       ELSE 0 END) AS BIGINT) AS amer_e4
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN cn ON o_custkey = c_custkey
+  JOIN sn ON l_suppkey = s_suppkey
+  GROUP BY 1
+)
+SELECT CAST(yr AS BIGINT) AS yr,
+       amer_e4 AS america_rev_e4,
+       tot_e4 AS total_rev_e4,
+       CAST(floor(CAST(amer_e4 AS DOUBLE) / CAST(tot_e4 AS DOUBLE)
+                  * 1000000 + {_OFF}) AS BIGINT) AS share_e6
+FROM agg ORDER BY yr
+"""
+
+
+# ---------------------------------------------------------------------------
+# tpch_q10_returned_topk — Q10 analog: top 20 customers by returned-
+# item revenue in 1996 H1, deterministic tie-break by custkey.  The
+# top-k is a TakeOrderedAndProject (sort-limit), never a global
+# row_number window.
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q10_returned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.year("o_orderdate") == 1996) & (F.month("o_orderdate") <= 6)
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum(_rev_e4()).alias("rev_e4"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return (
+        agg.orderBy(F.desc("rev_e4"), "c_custkey")
+        .limit(20)
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            "n_name",
+            F.col("rev_e4").cast("long").alias("revenue_e4"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+        )
+    )
+
+
+SQL_Q10 = f"""
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, n_name,
+       CAST(sum({_SQL_REV}) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND EXTRACT(year FROM o_orderdate) = 1996
+  AND EXTRACT(month FROM o_orderdate) <= 6
+GROUP BY 1, 2, 3
+ORDER BY revenue_e4 DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# tpch_q4_priority_semi — Q4 analog: 1996 order counts per priority
+# where at least one lineitem shipped after the order date — the
+# canonical EXISTS semi-join pattern.
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q4_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.year("o_orderdate") == 1996
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    late = (
+        li.join(
+            o.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select("l_orderkey")
+        .distinct()
+    )
+    j = o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "o_orderpriority",
+            F.col("n_orders").cast("long").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_Q4 = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE EXTRACT(year FROM o_orderdate) = 1996
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES.update(
+    {
+        "tpch_q5_local_revenue": q_tpch_q5_local_revenue,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q10_returned_topk": q_tpch_q10_returned_topk,
+        "tpch_q4_priority_semi": q_tpch_q4_priority_semi,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "tpch_q5_local_revenue": SQL_Q5,
+        "tpch_q8_market_share": SQL_Q8,
+        "tpch_q10_returned_topk": SQL_Q10,
+        "tpch_q4_priority_semi": SQL_Q4,
+    }
+)
