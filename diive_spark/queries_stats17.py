@@ -5143,3 +5143,451 @@ ORACLE_SQL.update(
         "tpch_q4_priority_semi": SQL_Q4,
     }
 )
+
+
+# ===========================================================================
+# Battery M: modern experimentation + reliability layer — the mixture
+# SPRT always-valid p-value (Johari et al. 2017), Gamma-Poisson
+# empirical-Bayes rate shrinkage, the Hadamard variance (the 3-point
+# sibling of allan_variance), and the shifted-Beta-Geometric retention
+# fit (Fader & Hardie 2007) with closed-form parameters from the first
+# two retention ratios.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# msprt_always_valid — mixture SPRT on the daily-mean stream per type:
+# train on days 1-10 (theta0 = training mean, sigma2 = tau2 = training
+# daily variance), monitor days 11-30 with the closed-form normal
+# mixture likelihood ratio; always-valid p = 1/max(Lambda) running.
+# ---------------------------------------------------------------------------
+
+
+def q_msprt_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.dayofmonth("ts").alias("dom"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    day = ev.groupBy("event_type", "dom").agg(
+        F.floor(
+            F.sum("v").cast("double") / F.count(F.lit(1)) + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("x")
+    )
+    tr = day.filter(F.col("dom") <= 10).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n0 = F.col("n0").cast("double")
+    th0 = F.col("sx").cast("double") / n0
+    s2 = (F.col("sxx").cast("double") - F.col("sx").cast("double") * th0) / (
+        n0 - 1.0
+    )
+    params = tr.select(
+        "event_type",
+        F.floor(th0 * 10_000 + F.lit(_OFF)).cast("long").alias("th0_e4"),
+        F.floor(s2 * 10_000 + F.lit(_OFF)).cast("long").alias("s2_e4"),
+    )
+    mon = day.filter(F.col("dom") > 10).join(F.broadcast(params), "event_type")
+    wc = Window.partitionBy("event_type").orderBy("dom").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    mon = mon.withColumn("n", F.count(F.lit(1)).over(wc)).withColumn(
+        "sxm", F.sum("x").over(wc)
+    )
+    nd = F.col("n").cast("double")
+    xbar = F.col("sxm").cast("double") / nd
+    th = F.col("th0_e4").cast("double") / 1e4
+    sig2 = F.col("s2_e4").cast("double") / 1e4
+    tau2 = sig2
+    lam = F.sqrt(sig2 / (sig2 + nd * tau2)) * F.exp(
+        F.least(
+            nd * nd * tau2 * (xbar - th) * (xbar - th)
+            / (2.0 * sig2 * (sig2 + nd * tau2)),
+            F.lit(50.0),
+        )
+    )
+    mon = mon.withColumn(
+        "lam_e6", F.floor(lam * 1_000_000 + F.lit(_OFF)).cast("long")
+    ).withColumn("lmax", F.max("lam_e6").over(wc))
+    p = F.least(
+        F.lit(1.0), 1e6 / F.col("lmax").cast("double")
+    )
+    return mon.select(
+        "event_type",
+        F.col("dom").cast("long").alias("dom"),
+        "lam_e6",
+        F.floor(p * 1_000_000 + F.lit(_OFF)).cast("long").alias("p_e6"),
+    ).orderBy("event_type", "dom")
+
+
+SQL_MSPRT = f"""
+WITH day AS (
+  SELECT event_type, EXTRACT(day FROM ts) AS dom,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+                         AS DOUBLE) / count(*) + {_OFF}) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), tr AS (
+  SELECT event_type,
+         CAST(floor(CAST(sum(x) AS DOUBLE) / count(*) * 10000 + {_OFF})
+              AS BIGINT) AS th0_e4,
+         CAST(floor((CAST(sum(x * x) AS DOUBLE)
+                     - CAST(sum(x) AS DOUBLE)
+                       * (CAST(sum(x) AS DOUBLE) / count(*)))
+                    / (count(*) - 1.0) * 10000 + {_OFF}) AS BIGINT)
+           AS s2_e4
+  FROM day WHERE dom <= 10 GROUP BY 1
+), mon AS (
+  SELECT day.event_type, dom, th0_e4, s2_e4,
+         count(*) OVER w AS n,
+         CAST(sum(x) OVER w AS BIGINT) AS sxm
+  FROM day JOIN tr ON tr.event_type = day.event_type
+  WHERE dom > 10
+  WINDOW w AS (PARTITION BY day.event_type ORDER BY dom)
+), lam AS (
+  SELECT event_type, dom,
+         CAST(floor(sqrt((CAST(s2_e4 AS DOUBLE) / 1e4)
+                         / (CAST(s2_e4 AS DOUBLE) / 1e4
+                            + n * (CAST(s2_e4 AS DOUBLE) / 1e4)))
+                    * exp(least(
+                        CAST(n AS DOUBLE) * n
+                        * (CAST(s2_e4 AS DOUBLE) / 1e4)
+                        * (CAST(sxm AS DOUBLE) / n
+                           - CAST(th0_e4 AS DOUBLE) / 1e4)
+                        * (CAST(sxm AS DOUBLE) / n
+                           - CAST(th0_e4 AS DOUBLE) / 1e4)
+                        / (2.0 * (CAST(s2_e4 AS DOUBLE) / 1e4)
+                           * (CAST(s2_e4 AS DOUBLE) / 1e4
+                              + n * (CAST(s2_e4 AS DOUBLE) / 1e4))),
+                        50.0))
+                    * 1000000 + {_OFF}) AS BIGINT) AS lam_e6
+  FROM mon
+)
+SELECT event_type, CAST(dom AS BIGINT) AS dom, lam_e6,
+       CAST(floor(least(1.0, 1e6 / CAST(max(lam_e6)
+                OVER (PARTITION BY event_type ORDER BY dom) AS DOUBLE))
+                  * 1000000 + {_OFF}) AS BIGINT) AS p_e6
+FROM lam ORDER BY event_type, dom
+"""
+
+
+# ---------------------------------------------------------------------------
+# gamma_poisson_eb — empirical-Bayes shrinkage of per-user event rates
+# (Gamma prior by method of moments on the user-count distribution;
+# posterior rate (alpha + k)/(beta + T), T = 30 days).  The Gamma-
+# Poisson twin of eb_shrinkage (beta-binomial).
+# ---------------------------------------------------------------------------
+
+
+def q_gamma_poisson_eb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    ku = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    agg = ku.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("u"),
+        F.sum("k").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).alias("skk"),
+        F.max("k").alias("kmax"),
+        F.min("k").alias("kmin"),
+    )
+    u = F.col("u").cast("double")
+    m = F.col("sk").cast("double") / u
+    v = (F.col("skk").cast("double") - F.col("sk").cast("double") * m) / (
+        u - 1.0
+    )
+    # MoM for k ~ Poisson(lambda*T) with lambda ~ Gamma(alpha, beta):
+    # E[k] = T alpha/beta, Var[k] = E[k] + T^2 alpha/beta^2,  T = 30
+    beta = 30.0 * m / (v - m)
+    alpha = m * beta / 30.0
+    hi = (alpha + F.col("kmax").cast("double")) / (beta + 30.0)
+    lo = (alpha + F.col("kmin").cast("double")) / (beta + 30.0)
+    return agg.filter(v > m).select(
+        "event_type",
+        F.col("u").cast("long").alias("n_users"),
+        F.floor(alpha * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "alpha_e6"
+        ),
+        F.floor(beta * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "beta_e6"
+        ),
+        F.floor(hi * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "top_rate_e6"
+        ),
+        F.floor(lo * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "bot_rate_e6"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_GAMMA_EB = f"""
+WITH ku AS (
+  SELECT event_type, user_id, count(*) AS k FROM events GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, count(*) AS u,
+         CAST(sum(k) AS BIGINT) AS sk,
+         CAST(sum(k * k) AS BIGINT) AS skk,
+         CAST(max(k) AS BIGINT) AS kmax,
+         CAST(min(k) AS BIGINT) AS kmin
+  FROM ku GROUP BY 1
+), c AS (
+  SELECT event_type, CAST(u AS BIGINT) AS n_users,
+         CAST(sk AS DOUBLE) / u AS m,
+         (CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE)
+            * (CAST(sk AS DOUBLE) / u)) / (u - 1.0) AS v,
+         CAST(kmax AS DOUBLE) AS kmax, CAST(kmin AS DOUBLE) AS kmin
+  FROM agg
+)
+SELECT event_type, n_users,
+       CAST(floor(m * (30.0 * m / (v - m)) / 30.0 * 1000000 + {_OFF})
+            AS BIGINT) AS alpha_e6,
+       CAST(floor(30.0 * m / (v - m) * 1000000 + {_OFF}) AS BIGINT)
+         AS beta_e6,
+       CAST(floor((m * (30.0 * m / (v - m)) / 30.0 + kmax)
+                  / (30.0 * m / (v - m) + 30.0) * 1000000 + {_OFF})
+            AS BIGINT) AS top_rate_e6,
+       CAST(floor((m * (30.0 * m / (v - m)) / 30.0 + kmin)
+                  / (30.0 * m / (v - m) + 30.0) * 1000000 + {_OFF})
+            AS BIGINT) AS bot_rate_e6
+FROM c WHERE v > m ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# hadamard_variance — the 3-point second-difference variance at octave
+# lags (Baugh 1971), drift-immune sibling of allan_variance:
+# H(tau) = mean((x_{t+2tau} - 2 x_{t+tau} + x_t)^2) / 6 on the hourly
+# grid — two fixed-lag equi-joins per tau on the bounded grid.
+# ---------------------------------------------------------------------------
+
+
+def q_hadamard_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+        ).alias("h"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    hr = ev.groupBy("event_type", "h").agg(
+        F.floor(
+            F.sum("v").cast("double") / F.count(F.lit(1)) + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("x")
+    )
+    taus = spark.range(0, 5).select(
+        F.pow(F.lit(2.0), F.col("id").cast("double"))
+        .cast("long")
+        .alias("tau")
+    )
+    base = hr.crossJoin(F.broadcast(taus))
+    m1 = hr.select(
+        F.col("event_type").alias("et1"),
+        F.col("h").alias("h1"),
+        F.col("x").alias("x1"),
+    )
+    m2 = hr.select(
+        F.col("event_type").alias("et2"),
+        F.col("h").alias("h2"),
+        F.col("x").alias("x2"),
+    )
+    j = (
+        base.join(
+            m1,
+            (F.col("et1") == F.col("event_type"))
+            & (F.col("h1") == F.col("h") + F.col("tau")),
+        )
+        .join(
+            m2,
+            (F.col("et2") == F.col("event_type"))
+            & (F.col("h2") == F.col("h") + 2 * F.col("tau")),
+        )
+    )
+    d = F.col("x2") - 2 * F.col("x1") + F.col("x")
+    agg = j.groupBy("event_type", "tau").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(d * d).alias("sd2"),
+    )
+    hv = F.col("sd2").cast("double") / F.col("n_terms") / 6.0
+    return agg.select(
+        "event_type",
+        F.col("tau").cast("long").alias("tau_h"),
+        F.col("n_terms").cast("long").alias("n_terms"),
+        F.floor(hv * 10_000 + F.lit(_OFF)).cast("long").alias("hvar_e4"),
+    ).orderBy("event_type", "tau_h")
+
+
+SQL_HADAMARD = f"""
+WITH hr AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+                         AS DOUBLE) / count(*) + {_OFF}) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), taus AS (
+  SELECT CAST(2 ** u AS BIGINT) AS tau
+  FROM (SELECT unnest(generate_series(0, 4)) AS u)
+), j AS (
+  SELECT a.event_type, tau,
+         c.x - 2 * b.x + a.x AS d
+  FROM hr a
+  CROSS JOIN taus
+  JOIN hr b ON b.event_type = a.event_type AND b.h = a.h + tau
+  JOIN hr c ON c.event_type = a.event_type AND c.h = a.h + 2 * tau
+)
+SELECT event_type, tau AS tau_h,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(floor(CAST(sum(d * d) AS DOUBLE) / count(*) / 6.0 * 10000
+                  + {_OFF}) AS BIGINT) AS hvar_e4
+FROM j GROUP BY 1, 2 ORDER BY event_type, tau_h
+"""
+
+
+# ---------------------------------------------------------------------------
+# retention_geom_fit — geometric retention fit of purchase streaks
+# (customer = a user's consecutive-day purchase streak; alive at
+# period t iff streak length L >= t+1).  The geometric renewal MLE is
+# p = (sum L - n)/(sum L) (censoring-free streaks, documented); the
+# model curve p^t is compared to the observed survival, and the
+# shifted-Beta-Geometric heterogeneity diagnostic r2 - r1 (Fader &
+# Hardie 2007: sBG applies iff retention ratios INCREASE) is reported
+# alongside — this corpus's streaks are homogeneous (r2 <= r1), so the
+# geometric baseline is the correct closed-form model.
+# ---------------------------------------------------------------------------
+
+
+def q_retention_geom_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            ).alias("d"),
+        )
+        .distinct()
+    )
+    wu = Window.partitionBy("user_id").orderBy("d")
+    wn = Window.partitionBy("user_id")
+    st = ev.withColumn("rn", F.row_number().over(wu)).withColumn(
+        "fw", F.min("d").over(wn)
+    )
+    life = st.filter(
+        F.col("d") - F.col("fw") == F.col("rn") - 1
+    ).groupBy("user_id").agg(F.count(F.lit(1)).alias("life"))
+    s = life.agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum("life").alias("sl"),
+        F.sum((F.col("life") >= 2).cast("long")).alias("s1"),
+        F.sum((F.col("life") >= 3).cast("long")).alias("s2"),
+    )
+    p = (F.col("sl") - F.col("s0")).cast("double") / F.col("sl")
+    r1 = F.col("s1").cast("double") / F.col("s0")
+    r2 = F.col("s2").cast("double") / F.col("s1")
+    params = s.select(
+        F.col("s0").cast("long").alias("s0"),
+        F.floor(p * 1e9 + F.lit(_OFF)).cast("long").alias("p9"),
+        F.floor(r1 * 1_000_000 + F.lit(_OFF)).cast("long").alias("r1_e6"),
+        F.floor(r2 * 1_000_000 + F.lit(_OFF)).cast("long").alias("r2_e6"),
+        F.floor((r2 - r1) * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "het_e6"
+        ),
+    )
+    grid = spark.range(1, 7).select(F.col("id").alias("t"))
+    g = grid.crossJoin(F.broadcast(params))
+    smodel = F.pow(F.col("p9").cast("double") / 1e9, F.col("t").cast("double"))
+    obs = life.crossJoin(F.broadcast(grid)).groupBy("t").agg(
+        F.sum((F.col("life") >= F.col("t") + 1).cast("long")).alias(
+            "alive"
+        )
+    )
+    out = g.join(obs, "t")
+    return out.select(
+        F.col("t").cast("long").alias("t"),
+        F.floor(smodel * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "s_model_e6"
+        ),
+        F.floor(
+            F.col("alive").cast("double") / F.col("s0") * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("s_obs_e6"),
+        "r1_e6",
+        "r2_e6",
+        "het_e6",
+    ).orderBy("t")
+
+
+SQL_RETENTION_GEOM = f"""
+WITH ev AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+  FROM events WHERE event_type = 'purchase'
+), st AS (
+  SELECT user_id, d,
+         row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn,
+         min(d) OVER (PARTITION BY user_id) AS fw
+  FROM ev
+), life AS (
+  SELECT user_id, count(*) AS life
+  FROM st WHERE d - fw = rn - 1 GROUP BY 1
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS s0,
+         CAST(sum(life) AS BIGINT) AS sl,
+         CAST(sum(CASE WHEN life >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN life >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS s2
+  FROM life
+), params AS (
+  SELECT s0,
+         CAST(floor(CAST(sl - s0 AS DOUBLE) / sl * 1e9 + {_OFF})
+              AS BIGINT) AS p9,
+         CAST(floor(CAST(s1 AS DOUBLE) / s0 * 1000000 + {_OFF})
+              AS BIGINT) AS r1_e6,
+         CAST(floor(CAST(s2 AS DOUBLE) / s1 * 1000000 + {_OFF})
+              AS BIGINT) AS r2_e6,
+         CAST(floor((CAST(s2 AS DOUBLE) / s1 - CAST(s1 AS DOUBLE) / s0)
+                    * 1000000 + {_OFF}) AS BIGINT) AS het_e6
+  FROM s
+), grid AS (
+  SELECT unnest(generate_series(1, 6)) AS t
+), obs AS (
+  SELECT t, CAST(sum(CASE WHEN life >= t + 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS alive
+  FROM life CROSS JOIN grid GROUP BY 1
+)
+SELECT CAST(grid.t AS BIGINT) AS t,
+       CAST(floor((CAST(p9 AS DOUBLE) / 1e9) ^ CAST(grid.t AS DOUBLE)
+                  * 1000000 + {_OFF}) AS BIGINT) AS s_model_e6,
+       CAST(floor(CAST(alive AS DOUBLE) / s0 * 1000000 + {_OFF})
+            AS BIGINT) AS s_obs_e6,
+       r1_e6, r2_e6, het_e6
+FROM grid CROSS JOIN params JOIN obs ON obs.t = grid.t
+ORDER BY t
+"""
+
+
+QUERIES.update(
+    {
+        "msprt_always_valid": q_msprt_always_valid,
+        "gamma_poisson_eb": q_gamma_poisson_eb,
+        "hadamard_variance": q_hadamard_variance,
+        "retention_geom_fit": q_retention_geom_fit,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "msprt_always_valid": SQL_MSPRT,
+        "gamma_poisson_eb": SQL_GAMMA_EB,
+        "hadamard_variance": SQL_HADAMARD,
+        "retention_geom_fit": SQL_RETENTION_GEOM,
+    }
+)
