@@ -5591,3 +5591,341 @@ ORACLE_SQL.update(
         "retention_geom_fit": SQL_RETENTION_GEOM,
     }
 )
+
+
+# ===========================================================================
+# Battery N: the remaining classical linear-rank family — Savage
+# (exponential) scores, Klotz squared-normal scores, Mood's squared
+# rank deviations — all two-sample day-vs-night per type on the value
+# domain, sharing the general score-statistic form
+#   z = (T1 - n1 abar) / sqrt(n1 n2/(n(n-1)) sum(a_i - abar)^2)
+# — plus a deterministic Poisson-weight cluster bootstrap SE.
+# ===========================================================================
+
+
+def _linear_rank_two_sample(
+    rv_scored: DataFrame, c0: DataFrame, score_col: str
+) -> DataFrame:
+    """Generic two-sample linear-rank z from per-(type, v) e6 scores."""
+    per_grp = (
+        c0.groupBy("event_type", "v", "is_day")
+        .agg(F.sum("cnt").alias("gcnt"))
+        .join(
+            rv_scored.select("event_type", "v", score_col, "n"),
+            ["event_type", "v"],
+        )
+    )
+    s = F.col(score_col)
+    agg = per_grp.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(F.when(F.col("is_day") == 1, F.col("gcnt")).otherwise(0)).alias(
+            "n1"
+        ),
+        F.sum(
+            F.when(F.col("is_day") == 1, F.col("gcnt") * s).otherwise(0)
+        ).alias("t1"),
+        F.sum(F.col("gcnt") * s).alias("st"),
+        F.sum(F.col("gcnt") * s * s).alias("sq"),
+    )
+    n = F.col("n").cast("double")
+    n1 = F.col("n1").cast("double")
+    st = F.col("st").cast("double")
+    varsum = F.col("sq").cast("double") - st * st / n
+    z = (F.col("t1").cast("double") - n1 * st / n) / F.sqrt(
+        (n1 * (n - n1)) / (n * (n - 1.0)) * varsum
+    )
+    return agg.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n1"),
+        (F.col("n") - F.col("n1")).cast("long").alias("n2"),
+        F.floor(z * 10_000 + F.lit(_OFF)).cast("long").alias("z_e4"),
+    ).orderBy("event_type")
+
+
+_SQL_LINRANK = f"""
+  pg AS (
+    SELECT c.event_type, c.v, c.is_day,
+           CAST(sum(cnt) AS BIGINT) AS gcnt
+    FROM c0 c GROUP BY 1, 2, 3
+  ), agg AS (
+    SELECT pg.event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN is_day = 1 THEN gcnt ELSE 0 END) AS BIGINT)
+             AS n1,
+           CAST(sum(CASE WHEN is_day = 1 THEN gcnt * s_e6 ELSE 0 END)
+                AS BIGINT) AS t1,
+           CAST(sum(gcnt * s_e6) AS BIGINT) AS st,
+           CAST(sum(gcnt * s_e6 * s_e6) AS BIGINT) AS sq
+    FROM pg JOIN sc ON sc.event_type = pg.event_type AND sc.v = pg.v
+    GROUP BY 1
+  )
+"""
+
+_SQL_LINRANK_OUT = f"""
+SELECT event_type, n1, n - n1 AS n2,
+       CAST(floor(
+         (CAST(t1 AS DOUBLE)
+          - CAST(n1 AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+         / sqrt(CAST(n1 AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE))
+                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                * (CAST(sq AS DOUBLE)
+                   - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                     / CAST(n AS DOUBLE)))
+         * 10000 + {_OFF}) AS BIGINT) AS z_e4
+FROM agg ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# savage_scores — Savage (1956) exponential-scores test in Peto's PIT
+# form: a_i = -ln(1 - u_i), u = avgrank/(n+1) — the locally most
+# powerful rank test against exponential-scale alternatives (the
+# log-rank test's rank-statistic ancestor).
+# ---------------------------------------------------------------------------
+
+
+def q_savage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c0 = _typed_counts(spark, sf_dir)
+    rv = _ranked_values(c0).withColumn(
+        "s_e6",
+        F.floor(
+            -F.log(
+                1.0
+                - F.col("r2").cast("double") / (2.0 * (F.col("n") + 1))
+            )
+            * 1_000_000
+            + F.lit(_OFF)
+        ).cast("long"),
+    )
+    return _linear_rank_two_sample(rv, c0, "s_e6")
+
+
+SQL_SAVAGE = f"""
+WITH {_SQL_COUNTS}, {_SQL_RANKED}, sc AS (
+  SELECT event_type, v, n,
+         CAST(floor(-ln(1.0 - CAST(r2 AS DOUBLE) / (2.0 * (n + 1)))
+                    * 1000000 + {_OFF}) AS BIGINT) AS s_e6
+  FROM rv
+), {_SQL_LINRANK}
+{_SQL_LINRANK_OUT}
+"""
+
+
+# ---------------------------------------------------------------------------
+# klotz_scale — Klotz (1962) squared-normal-scores scale test:
+# a_i = probit(u_i)^2 — the normal-scores twin of Mood's scale test,
+# riding the shared Acklam probit.
+# ---------------------------------------------------------------------------
+
+
+def q_klotz_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c0 = _typed_counts(spark, sf_dir)
+    pb = _probit(F.col("r2").cast("double") / (2.0 * (F.col("n") + 1)))
+    rv = _ranked_values(c0).withColumn(
+        "s_e6",
+        F.floor(pb * pb * 1_000_000 + F.lit(_OFF)).cast("long"),
+    )
+    return _linear_rank_two_sample(rv, c0, "s_e6")
+
+
+_KLOTZ_P = "CAST(r2 AS DOUBLE) / (2.0 * (n + 1))"
+SQL_KLOTZ = f"""
+WITH {_SQL_COUNTS}, {_SQL_RANKED}, sc AS (
+  SELECT event_type, v, n,
+         CAST(floor({_probit_sql(_KLOTZ_P)} * {_probit_sql(_KLOTZ_P)}
+                    * 1000000 + {_OFF}) AS BIGINT) AS s_e6
+  FROM rv
+), {_SQL_LINRANK}
+{_SQL_LINRANK_OUT}
+"""
+
+
+# ---------------------------------------------------------------------------
+# mood_scale — Mood's (1954) squared rank-deviation scale test:
+# a_i = (avgrank - (n+1)/2)^2; with doubled ranks the score
+# (r2 - (n+1))^2 / 4 is exact in quarter units (kept x4 as integers).
+# ---------------------------------------------------------------------------
+
+
+def q_mood_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c0 = _typed_counts(spark, sf_dir)
+    rv = _ranked_values(c0).withColumn(
+        "s_e6",
+        (F.col("r2") - (F.col("n") + 1))
+        * (F.col("r2") - (F.col("n") + 1)),
+    )
+    return _linear_rank_two_sample(rv, c0, "s_e6")
+
+
+SQL_MOOD_SCALE = f"""
+WITH {_SQL_COUNTS}, {_SQL_RANKED}, sc AS (
+  SELECT event_type, v, n,
+         (r2 - (n + 1)) * (r2 - (n + 1)) AS s_e6
+  FROM rv
+), {_SQL_LINRANK}
+{_SQL_LINRANK_OUT}
+"""
+
+
+# ---------------------------------------------------------------------------
+# cluster_bootstrap_se — deterministic Poisson(1)-weight cluster
+# bootstrap (users are the clusters; Owen & Eckles 2012 online
+# bootstrap) with B = 50 replicates.  Weights come from a pure
+# arithmetic multiplicative hash evaluated identically in both engines
+# (residue thresholds matching the Poisson(1) pmf), so the "random"
+# resample is reproducible cross-engine by construction.
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 50
+
+
+def q_cluster_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    per_u = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("nu"), F.sum("v").alias("su")
+    )
+    reps = spark.range(1, _BOOT_B + 1).select(F.col("id").alias("b"))
+    x = per_u.crossJoin(F.broadcast(reps))
+    r = (
+        F.col("user_id") * 2_654_435_761 + F.col("b") * 40_503
+    ) % 1_000_000
+    w = (
+        F.when(r < 367_879, 0)
+        .when(r < 735_758, 1)
+        .when(r < 919_698, 2)
+        .when(r < 980_998, 3)
+        .otherwise(4)
+    )
+    boot = x.withColumn("w", w).groupBy("event_type", "b").agg(
+        F.sum(F.col("w") * F.col("su")).alias("sv"),
+        F.sum(F.col("w") * F.col("nu")).alias("sn"),
+    ).filter(F.col("sn") > 0)
+    m_e6 = F.floor(
+        F.col("sv").cast("double") / F.col("sn") * 1_000_000 + F.lit(_OFF)
+    ).cast("long")
+    # m_e6 ~ mean*1e6 can reach 1e11, so m_e6^2 would overflow int64;
+    # center each replicate on the per-group integer mean first (exact
+    # in both engines: sm <= 50*1e11 is exact in a double) so the
+    # squared deviations stay small-integer.
+    means = boot.select("event_type", m_e6.alias("m_e6"))
+    gm = (
+        means.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("bb"), F.sum("m_e6").alias("sm"))
+        .withColumn(
+            "m0", F.floor(F.col("sm") / F.col("bb")).cast("long")
+        )
+    )
+    agg = (
+        means.join(F.broadcast(gm), "event_type")
+        .withColumn("d", F.col("m_e6") - F.col("m0"))
+        .groupBy("event_type")
+        .agg(
+            F.max("bb").alias("bb"),
+            F.sum("d").alias("sd1"),
+            F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        )
+    )
+    bbd = F.col("bb").cast("double")
+    sd_e6 = F.sqrt(
+        (
+            F.col("sdd").cast("double")
+            - F.col("sd1").cast("double")
+            * F.col("sd1").cast("double")
+            / bbd
+        )
+        / (bbd - 1.0)
+    )
+    full = per_u.groupBy("event_type").agg(
+        (F.sum("su").cast("double") / F.sum("nu")).alias("mean")
+    )
+    out = agg.join(full, "event_type")
+    return out.select(
+        "event_type",
+        F.col("bb").cast("long").alias("b_reps"),
+        F.floor(F.col("mean") * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "mean_e4"
+        ),
+        F.floor(sd_e6 + F.lit(_OFF)).cast("long").alias("boot_se_e6"),
+    ).orderBy("event_type")
+
+
+SQL_CLUSTER_BOOT = f"""
+WITH per_u AS (
+  SELECT event_type, user_id, count(*) AS nu,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT)) AS BIGINT)
+           AS su
+  FROM events GROUP BY 1, 2
+), reps AS (
+  SELECT unnest(generate_series(1, {_BOOT_B})) AS b
+), x AS (
+  SELECT event_type, b, nu, su,
+         (user_id * 2654435761 + b * 40503) % 1000000 AS r
+  FROM per_u CROSS JOIN reps
+), boot AS (
+  SELECT event_type, b,
+         CAST(sum((CASE WHEN r < 367879 THEN 0
+                        WHEN r < 735758 THEN 1
+                        WHEN r < 919698 THEN 2
+                        WHEN r < 980998 THEN 3
+                        ELSE 4 END) * su) AS BIGINT) AS sv,
+         CAST(sum((CASE WHEN r < 367879 THEN 0
+                        WHEN r < 735758 THEN 1
+                        WHEN r < 919698 THEN 2
+                        WHEN r < 980998 THEN 3
+                        ELSE 4 END) * nu) AS BIGINT) AS sn
+  FROM x GROUP BY 1, 2
+), means AS (
+  SELECT event_type,
+         CAST(floor(CAST(sv AS DOUBLE) / sn * 1000000 + {_OFF})
+              AS BIGINT) AS m_e6
+  FROM boot WHERE sn > 0
+), gm AS (
+  SELECT event_type, count(*) AS bb,
+         CAST(sum(m_e6) AS BIGINT) AS sm
+  FROM means GROUP BY 1
+), gm2 AS (
+  SELECT event_type, bb,
+         CAST(floor(CAST(sm AS DOUBLE) / bb) AS BIGINT) AS m0
+  FROM gm
+), agg AS (
+  SELECT means.event_type, CAST(max(bb) AS BIGINT) AS bb,
+         CAST(sum(m_e6 - m0) AS BIGINT) AS sd1,
+         CAST(sum((m_e6 - m0) * (m_e6 - m0)) AS BIGINT) AS sdd
+  FROM means JOIN gm2 ON gm2.event_type = means.event_type
+  GROUP BY 1
+), fl AS (
+  SELECT event_type, CAST(sum(su) AS DOUBLE) / sum(nu) AS mean
+  FROM per_u GROUP BY 1
+)
+SELECT agg.event_type, CAST(bb AS BIGINT) AS b_reps,
+       CAST(floor(mean * 10000 + {_OFF}) AS BIGINT) AS mean_e4,
+       CAST(floor(sqrt((CAST(sdd AS DOUBLE)
+                        - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE) / bb)
+                       / (bb - 1.0)) + {_OFF})
+            AS BIGINT) AS boot_se_e6
+FROM agg JOIN fl ON fl.event_type = agg.event_type
+ORDER BY agg.event_type
+"""
+
+
+QUERIES.update(
+    {
+        "savage_scores": q_savage_scores,
+        "klotz_scale": q_klotz_scale,
+        "mood_scale": q_mood_scale,
+        "cluster_bootstrap_se": q_cluster_bootstrap_se,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "savage_scores": SQL_SAVAGE,
+        "klotz_scale": SQL_KLOTZ,
+        "mood_scale": SQL_MOOD_SCALE,
+        "cluster_bootstrap_se": SQL_CLUSTER_BOOT,
+    }
+)
