@@ -5929,3 +5929,403 @@ ORACLE_SQL.update(
         "cluster_bootstrap_se": SQL_CLUSTER_BOOT,
     }
 )
+
+
+# ===========================================================================
+# Battery O: market-microstructure / portfolio diagnostics on the
+# daily total-value layer — CAPM beta/alpha vs the all-type "market",
+# Treynor + information ratios, Amihud illiquidity, and Roll's
+# implied spread from negative first-order return autocovariance.
+# Shared scaffold: per-(type, day) integer value sums; daily
+# log-returns e6-floored so every second moment is an exact BIGINT.
+# ===========================================================================
+
+
+def _daily_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+        ).alias("vv"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+def _daily_returns(daily: DataFrame) -> DataFrame:
+    """e6-floored daily log-returns per type (positive-value guard)."""
+    wo = Window.partitionBy("event_type").orderBy("day")
+    r = daily.withColumn("vp", F.lag("vv").over(wo)).filter(
+        F.col("vp").isNotNull() & (F.col("vp") > 0) & (F.col("vv") > 0)
+    )
+    return r.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.floor(
+            F.log(F.col("vv").cast("double") / F.col("vp")) * 1e6
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("r6"),
+    )
+
+
+def _market_returns(daily: DataFrame) -> DataFrame:
+    """e6-floored daily log-returns of the all-type market total."""
+    mkt = daily.groupBy("day").agg(F.sum("vv").alias("mv"))
+    wo = Window.orderBy("day")
+    m = mkt.withColumn("mp", F.lag("mv").over(wo)).filter(
+        F.col("mp").isNotNull() & (F.col("mp") > 0) & (F.col("mv") > 0)
+    )
+    return m.select(
+        "day",
+        F.floor(
+            F.log(F.col("mv").cast("double") / F.col("mp")) * 1e6
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("m6"),
+    )
+
+
+_SQL_DAILY_VC = f"""
+  daily AS (
+    SELECT event_type,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+             AS day,
+           CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+                AS BIGINT) AS vv,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2
+  )
+"""
+
+_SQL_TYPE_RET = """
+  tr AS (
+    SELECT event_type, day, cnt, vv,
+           lag(vv) OVER (PARTITION BY event_type ORDER BY day) AS vp
+    FROM daily
+  ), rr AS (
+    SELECT event_type, day, cnt,
+           CAST(floor(ln(CAST(vv AS DOUBLE) / vp) * 1e6 + {off})
+                AS BIGINT) AS r6
+    FROM tr WHERE vp IS NOT NULL AND vp > 0 AND vv > 0
+  )
+""".format(off=_OFF)
+
+_SQL_MKT_RET = """
+  mkt AS (
+    SELECT day, CAST(sum(vv) AS BIGINT) AS mv FROM daily GROUP BY 1
+  ), mk2 AS (
+    SELECT day, mv, lag(mv) OVER (ORDER BY day) AS mp FROM mkt
+  ), mr AS (
+    SELECT day,
+           CAST(floor(ln(CAST(mv AS DOUBLE) / mp) * 1e6 + {off})
+                AS BIGINT) AS m6
+    FROM mk2 WHERE mp IS NOT NULL AND mp > 0 AND mv > 0
+  )
+""".format(off=_OFF)
+
+
+# ---------------------------------------------------------------------------
+# capm_beta — single-index market-model OLS per type: r_t = alpha +
+# beta m_t + e.  The market factor is the all-type daily total (a
+# 1-row-per-day table, broadcast to the type series).  Sharpe (1963).
+# ---------------------------------------------------------------------------
+
+
+def q_capm_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_value_counts(spark, sf_dir)
+    j = _daily_returns(daily).join(
+        F.broadcast(_market_returns(daily)), "day"
+    )
+    agg = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("m6").alias("sx"),
+        F.sum("r6").alias("sy"),
+        F.sum(F.col("m6") * F.col("m6")).alias("sxx"),
+        F.sum(F.col("m6") * F.col("r6")).alias("sxy"),
+        F.sum(F.col("r6") * F.col("r6")).alias("syy"),
+    )
+    n = F.col("n_days").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    vx = F.col("sxx").cast("double") - sx * sx / n
+    vy = F.col("syy").cast("double") - sy * sy / n
+    cxy = F.col("sxy").cast("double") - sx * sy / n
+    beta = cxy / vx
+    alpha6 = (sy - beta * sx) / n
+    r2 = cxy * cxy / (vx * vy)
+    return (
+        agg.filter((F.col("n_days") > 2))
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.floor(beta * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "beta_e4"
+            ),
+            F.floor(alpha6 * 100 + F.lit(_OFF)).cast("long").alias(
+                "alpha_e8"
+            ),
+            F.floor(r2 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "r2_e6"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_CAPM = f"""
+WITH {_SQL_DAILY_VC}, {_SQL_TYPE_RET}, {_SQL_MKT_RET}, j AS (
+  SELECT rr.event_type, rr.r6, mr.m6
+  FROM rr JOIN mr ON mr.day = rr.day
+), agg AS (
+  SELECT event_type, count(*) AS n_days,
+         CAST(sum(m6) AS BIGINT) AS sx,
+         CAST(sum(r6) AS BIGINT) AS sy,
+         CAST(sum(m6 * m6) AS BIGINT) AS sxx,
+         CAST(sum(m6 * r6) AS BIGINT) AS sxy,
+         CAST(sum(r6 * r6) AS BIGINT) AS syy
+  FROM j GROUP BY 1
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       CAST(floor((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n_days)
+                  / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n_days)
+                  * 10000 + {_OFF}) AS BIGINT) AS beta_e4,
+       CAST(floor((CAST(sy AS DOUBLE)
+                   - (CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * sy / n_days)
+                     / (CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * sx / n_days) * sx)
+                  / n_days * 100 + {_OFF}) AS BIGINT) AS alpha_e8,
+       CAST(floor((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n_days)
+                  * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n_days)
+                  / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n_days)
+                     * (CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * sy / n_days))
+                  * 1000000 + {_OFF}) AS BIGINT) AS r2_e6
+FROM agg WHERE n_days > 2
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# treynor_information — Treynor ratio (mean return per unit market
+# beta) and the information ratio mean(r - m)/sd(r - m) of each type
+# against the market factor (Treynor 1965; Goodwin 1998).
+# ---------------------------------------------------------------------------
+
+
+def q_treynor_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_value_counts(spark, sf_dir)
+    j = _daily_returns(daily).join(
+        F.broadcast(_market_returns(daily)), "day"
+    )
+    d = j.withColumn("d6", F.col("r6") - F.col("m6"))
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("m6").alias("sx"),
+        F.sum("r6").alias("sy"),
+        F.sum(F.col("m6") * F.col("m6")).alias("sxx"),
+        F.sum(F.col("m6") * F.col("r6")).alias("sxy"),
+        F.sum("d6").alias("sd1"),
+        F.sum(F.col("d6") * F.col("d6")).alias("sdd"),
+    )
+    n = F.col("n_days").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    beta = (F.col("sxy").cast("double") - sx * sy / n) / (
+        F.col("sxx").cast("double") - sx * sx / n
+    )
+    treynor = sy / n / 1e6 / beta
+    sd1 = F.col("sd1").cast("double")
+    sdd = F.col("sdd").cast("double")
+    ir = (sd1 / n) / F.sqrt((sdd - sd1 * sd1 / n) / (n - 1.0))
+    return (
+        agg.filter(F.col("n_days") > 2)
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.floor(treynor * 1e8 + F.lit(_OFF)).cast("long").alias(
+                "treynor_e8"
+            ),
+            F.floor(ir * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "info_ratio_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_TREYNOR = f"""
+WITH {_SQL_DAILY_VC}, {_SQL_TYPE_RET}, {_SQL_MKT_RET}, j AS (
+  SELECT rr.event_type, rr.r6, mr.m6, rr.r6 - mr.m6 AS d6
+  FROM rr JOIN mr ON mr.day = rr.day
+), agg AS (
+  SELECT event_type, count(*) AS n_days,
+         CAST(sum(m6) AS BIGINT) AS sx,
+         CAST(sum(r6) AS BIGINT) AS sy,
+         CAST(sum(m6 * m6) AS BIGINT) AS sxx,
+         CAST(sum(m6 * r6) AS BIGINT) AS sxy,
+         CAST(sum(d6) AS BIGINT) AS sd1,
+         CAST(sum(d6 * d6) AS BIGINT) AS sdd
+  FROM j GROUP BY 1
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       CAST(floor(CAST(sy AS DOUBLE) / n_days / 1e6
+                  / ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n_days)
+                     / (CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * sx / n_days))
+                  * 1e8 + {_OFF}) AS BIGINT) AS treynor_e8,
+       CAST(floor((CAST(sd1 AS DOUBLE) / n_days)
+                  / sqrt((CAST(sdd AS DOUBLE)
+                          - CAST(sd1 AS DOUBLE) * sd1 / n_days)
+                         / (n_days - 1.0))
+                  * 10000 + {_OFF}) AS BIGINT) AS info_ratio_e4
+FROM agg WHERE n_days > 2
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# amihud_illiquidity — Amihud (2002) ILLIQ: mean over days of
+# |daily return| / daily volume (event count as the volume proxy).
+# Per-day terms e9-floored integers so the day mean is exact.
+# ---------------------------------------------------------------------------
+
+
+def q_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_value_counts(spark, sf_dir)
+    r = _daily_returns(daily)
+    # |r6|/1e6 / cnt * 1e9 = |r6| * 1000 / cnt, floored per day
+    term = F.floor(
+        F.abs(F.col("r6")).cast("double") * 1000.0 / F.col("cnt")
+        + F.lit(_OFF)
+    ).cast("long")
+    agg = r.select("event_type", term.alias("t9")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("t9").alias("st")
+    )
+    illiq = F.col("st").cast("double") / F.col("n_days").cast("double")
+    return agg.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.floor(illiq + F.lit(_OFF)).cast("long").alias("illiq_e9"),
+    ).orderBy("event_type")
+
+
+SQL_AMIHUD = f"""
+WITH {_SQL_DAILY_VC}, {_SQL_TYPE_RET}, terms AS (
+  SELECT event_type,
+         CAST(floor(CAST(abs(r6) AS DOUBLE) * 1000.0 / cnt + {_OFF})
+              AS BIGINT) AS t9
+  FROM rr
+), agg AS (
+  SELECT event_type, count(*) AS n_days, CAST(sum(t9) AS BIGINT) AS st
+  FROM terms GROUP BY 1
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       CAST(floor(CAST(st AS DOUBLE) / n_days + {_OFF}) AS BIGINT)
+         AS illiq_e9
+FROM agg ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# roll_spread — Roll (1984) implied effective spread from the
+# first-order serial covariance of consecutive-day returns:
+# s = 2 sqrt(-cov(r_t, r_{t-1})) when the covariance is negative
+# (bid-ask bounce signature); cov >= 0 reports spread 0 + flag.
+# ---------------------------------------------------------------------------
+
+
+def q_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_value_counts(spark, sf_dir)
+    r = _daily_returns(daily)
+    wo = Window.partitionBy("event_type").orderBy("day")
+    p = r.withColumn("r6p", F.lag("r6").over(wo)).filter(
+        F.col("r6p").isNotNull()
+    )
+    agg = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("r6").alias("sa"),
+        F.sum("r6p").alias("sb"),
+        F.sum(F.col("r6") * F.col("r6p")).alias("sab"),
+    )
+    n = F.col("np").cast("double")
+    cov = (
+        F.col("sab").cast("double")
+        - F.col("sa").cast("double") * F.col("sb").cast("double") / n
+    ) / n
+    neg = cov < 0
+    spread6 = F.when(neg, 2.0 * F.sqrt(-cov)).otherwise(F.lit(0.0))
+    return (
+        agg.filter(F.col("np") > 2)
+        .select(
+            "event_type",
+            F.col("np").cast("long").alias("n_pairs"),
+            F.floor(cov + F.lit(_OFF)).cast("long").alias("autocov_e12"),
+            F.when(neg, F.lit(1)).otherwise(F.lit(0))
+            .cast("long")
+            .alias("bounce_flag"),
+            F.floor(spread6 + F.lit(_OFF)).cast("long").alias(
+                "spread_e6"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_ROLL = f"""
+WITH {_SQL_DAILY_VC}, {_SQL_TYPE_RET}, p AS (
+  SELECT event_type, r6,
+         lag(r6) OVER (PARTITION BY event_type ORDER BY day) AS r6p
+  FROM rr
+), p2 AS (
+  SELECT * FROM p WHERE r6p IS NOT NULL
+), agg AS (
+  SELECT event_type, count(*) AS np,
+         CAST(sum(r6) AS BIGINT) AS sa,
+         CAST(sum(r6p) AS BIGINT) AS sb,
+         CAST(sum(r6 * r6p) AS BIGINT) AS sab
+  FROM p2 GROUP BY 1
+), cv AS (
+  SELECT event_type, np,
+         (CAST(sab AS DOUBLE)
+          - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / np) / np AS cov
+  FROM agg WHERE np > 2
+)
+SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+       CAST(floor(cov + {_OFF}) AS BIGINT) AS autocov_e12,
+       CAST(CASE WHEN cov < 0 THEN 1 ELSE 0 END AS BIGINT) AS bounce_flag,
+       CAST(floor(CASE WHEN cov < 0 THEN 2.0 * sqrt(-cov) ELSE 0.0 END
+                  + {_OFF}) AS BIGINT) AS spread_e6
+FROM cv ORDER BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "capm_beta": q_capm_beta,
+        "treynor_information": q_treynor_information,
+        "amihud_illiquidity": q_amihud_illiquidity,
+        "roll_spread": q_roll_spread,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "capm_beta": SQL_CAPM,
+        "treynor_information": SQL_TREYNOR,
+        "amihud_illiquidity": SQL_AMIHUD,
+        "roll_spread": SQL_ROLL,
+    }
+)
