@@ -6329,3 +6329,642 @@ ORACLE_SQL.update(
         "roll_spread": SQL_ROLL,
     }
 )
+
+
+# ===========================================================================
+# Battery P: semiparametric survival + A/B ratio metrics + non-nested
+# model choice — Cox proportional hazards by two explicit Newton steps
+# on the Breslow partial likelihood (riding the logrank risk-set
+# scaffold, cf. queries_stats8.py::q_logrank_test), the Schoenfeld
+# residual-vs-time PH check, the delta-method / cluster-linearized SE
+# of an A/B ratio metric, and a Vuong-style non-nested LR z comparing
+# Poisson vs negative-binomial plug-in fits.
+# ===========================================================================
+
+from diive_spark.queries_stats15 import _lngamma, _lngamma_sql
+
+
+def _cox_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(t, d, d1, n, n1) risk table on user lifetimes, day vs night.
+
+    Same group/time construction as q_logrank_test: group = first
+    event in [8, 20) local hours; t = lifetime span in days; suffix
+    sums over the BOUNDED lifetime domain give the risk sets.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
+    per = ev.groupBy("user_id").agg(
+        F.min(F.floor(sec).cast("long")).alias("first_s"),
+        F.min(F.floor(sec / 86_400).cast("long")).alias("d0"),
+        F.max(F.floor(sec / 86_400).cast("long")).alias("d1x"),
+    )
+    per = per.select(
+        (F.col("d1x") - F.col("d0") + 1).alias("t"),
+        F.when(
+            ((F.col("first_s") % 86_400) / 3_600)
+            .cast("long")
+            .between(8, 19),
+            1,
+        )
+        .otherwise(0)
+        .alias("g1"),
+    )
+    dt = per.groupBy("t").agg(
+        F.count(F.lit(1)).alias("d"), F.sum("g1").alias("d1")
+    )
+    wo = Window.orderBy(F.col("t").desc())
+    return (
+        dt.withColumn(
+            "n",
+            F.sum("d").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "n1",
+            F.sum("d1").over(
+                wo.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .filter(F.col("n") > 1)
+    )
+
+
+_SQL_COX_RISK = """
+  per AS (
+    SELECT CAST(max(floor(epoch(ts) / 86400))
+                - min(floor(epoch(ts) / 86400)) + 1 AS BIGINT) AS t,
+           CASE WHEN CAST(floor((CAST(min(floor(epoch(ts))) AS BIGINT)
+                                 % 86400) / 3600) AS BIGINT)
+                     BETWEEN 8 AND 19
+                THEN 1 ELSE 0 END AS g1
+    FROM events GROUP BY user_id
+  ), dt AS (
+    SELECT t, CAST(count(*) AS BIGINT) AS d,
+           CAST(sum(g1) AS BIGINT) AS d1
+    FROM per GROUP BY 1
+  ), risk AS (
+    SELECT t, d, d1,
+           CAST(sum(d) OVER (ORDER BY t DESC) AS BIGINT) AS n,
+           CAST(sum(d1) OVER (ORDER BY t DESC) AS BIGINT) AS n1
+    FROM dt
+  ), risk2 AS (
+    SELECT * FROM risk WHERE n > 1
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# cox_ph_newton — Cox (1972) PH model, one binary covariate (day vs
+# night first-event cohort), Breslow tie handling, exactly TWO Newton
+# steps from beta = 0 (no driver loop; step 1 is the classical
+# logrank-score step U(0)/I(0)).  Per-time score/information terms
+# are e9-floored so both engines iterate from identical rationals.
+# ---------------------------------------------------------------------------
+
+
+def q_cox_ph_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    risk = _cox_risk(spark, sf_dir)
+    d = F.col("d").cast("double")
+    n1 = F.col("n1").cast("double")
+    n0 = (F.col("n") - F.col("n1")).cast("double")
+    nn = F.col("n").cast("double")
+    s0 = risk.select(
+        F.col("d1").alias("d1"),
+        F.floor((F.col("d1") - d * n1 / nn) * 1e9 + F.lit(_OFF))
+        .cast("long")
+        .alias("u9"),
+        F.floor(d * n1 * n0 / (nn * nn) * 1e9 + F.lit(_OFF))
+        .cast("long")
+        .alias("i9"),
+    ).agg(F.sum("u9").alias("su"), F.sum("i9").alias("si"))
+    b1c = F.col("su").cast("double") / F.col("si").cast("double")
+    step1 = s0.select(b1c.alias("b1"))
+    r2 = risk.crossJoin(F.broadcast(step1))
+    eb = F.exp(F.col("b1"))
+    den = n0 + n1 * eb
+    p1 = n1 * eb / den
+    s1 = r2.select(
+        F.col("b1"),
+        F.floor((F.col("d1") - d * p1) * 1e9 + F.lit(_OFF))
+        .cast("long")
+        .alias("u9"),
+        F.floor(d * n0 * n1 * eb / (den * den) * 1e9 + F.lit(_OFF))
+        .cast("long")
+        .alias("i9"),
+    ).groupBy("b1").agg(F.sum("u9").alias("su"), F.sum("i9").alias("si"))
+    b2 = F.col("b1") + F.col("su").cast("double") / F.col(
+        "si"
+    ).cast("double")
+    info = F.col("si").cast("double") / 1e9
+    se = 1.0 / F.sqrt(info)
+    return s1.select(
+        F.floor(F.col("b1") * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("beta1_e6"),
+        F.floor(b2 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "beta2_e6"
+        ),
+        F.floor(F.exp(b2) * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "hr_e4"
+        ),
+        F.floor(se * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "se_e6"
+        ),
+        F.floor(b2 / se * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "wald_z_e4"
+        ),
+    )
+
+
+SQL_COX = f"""
+WITH {_SQL_COX_RISK}, s0 AS (
+  SELECT CAST(sum(CAST(floor((d1 - CAST(d AS DOUBLE) * n1 / n) * 1e9
+                             + {_OFF}) AS BIGINT)) AS BIGINT) AS su,
+         CAST(sum(CAST(floor(CAST(d AS DOUBLE) * n1 * (n - n1)
+                             / (CAST(n AS DOUBLE) * n) * 1e9 + {_OFF})
+                       AS BIGINT)) AS BIGINT) AS si
+  FROM risk2
+), step1 AS (
+  SELECT CAST(su AS DOUBLE) / si AS b1 FROM s0
+), s1 AS (
+  SELECT b1,
+         CAST(sum(CAST(floor(
+           (d1 - CAST(d AS DOUBLE)
+                 * (n1 * exp(b1))
+                 / ((n - n1) + n1 * exp(b1))) * 1e9 + {_OFF})
+           AS BIGINT)) AS BIGINT) AS su,
+         CAST(sum(CAST(floor(
+           CAST(d AS DOUBLE) * (n - n1) * n1 * exp(b1)
+           / (((n - n1) + n1 * exp(b1))
+              * ((n - n1) + n1 * exp(b1))) * 1e9 + {_OFF})
+           AS BIGINT)) AS BIGINT) AS si
+  FROM risk2 CROSS JOIN step1
+  GROUP BY b1
+)
+SELECT CAST(floor(b1 * 1000000 + {_OFF}) AS BIGINT) AS beta1_e6,
+       CAST(floor((b1 + CAST(su AS DOUBLE) / si) * 1000000 + {_OFF})
+            AS BIGINT) AS beta2_e6,
+       CAST(floor(exp(b1 + CAST(su AS DOUBLE) / si) * 10000 + {_OFF})
+            AS BIGINT) AS hr_e4,
+       CAST(floor(1.0 / sqrt(CAST(si AS DOUBLE) / 1e9) * 1000000
+                  + {_OFF}) AS BIGINT) AS se_e6,
+       CAST(floor((b1 + CAST(su AS DOUBLE) / si)
+                  / (1.0 / sqrt(CAST(si AS DOUBLE) / 1e9)) * 10000
+                  + {_OFF}) AS BIGINT) AS wald_z_e4
+FROM s1
+"""
+
+
+# ---------------------------------------------------------------------------
+# schoenfeld_trend — proportional-hazards check: Pearson correlation
+# of per-time (summed) Schoenfeld residuals d1 - d*pi(beta2) with the
+# event time, at the two-step Breslow beta from cox_ph_newton
+# (Schoenfeld 1982; the informal residual-vs-time PH scatter test).
+# Residuals are e3-floored so second moments over the bounded
+# lifetime domain stay far inside int64.
+# ---------------------------------------------------------------------------
+
+
+def q_schoenfeld_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    risk = _cox_risk(spark, sf_dir)
+    d = F.col("d").cast("double")
+    n1 = F.col("n1").cast("double")
+    n0 = (F.col("n") - F.col("n1")).cast("double")
+    nn = F.col("n").cast("double")
+    s0 = risk.select(
+        F.floor((F.col("d1") - d * n1 / nn) * 1e9 + F.lit(_OFF))
+        .cast("long")
+        .alias("u9"),
+        F.floor(d * n1 * n0 / (nn * nn) * 1e9 + F.lit(_OFF))
+        .cast("long")
+        .alias("i9"),
+    ).agg(
+        (F.sum("u9").cast("double") / F.sum("i9").cast("double")).alias(
+            "b1"
+        )
+    )
+    r1 = risk.crossJoin(F.broadcast(s0))
+    eb1 = F.exp(F.col("b1"))
+    den1 = n0 + n1 * eb1
+    s1 = r1.select(
+        F.col("b1"),
+        F.floor(
+            (F.col("d1") - d * n1 * eb1 / den1) * 1e9 + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("u9"),
+        F.floor(d * n0 * n1 * eb1 / (den1 * den1) * 1e9 + F.lit(_OFF))
+        .cast("long")
+        .alias("i9"),
+    ).groupBy("b1").agg(F.sum("u9").alias("su"), F.sum("i9").alias("si"))
+    b2df = s1.select(
+        (
+            F.col("b1")
+            + F.col("su").cast("double") / F.col("si").cast("double")
+        ).alias("b2")
+    )
+    r2 = risk.crossJoin(F.broadcast(b2df))
+    eb2 = F.exp(F.col("b2"))
+    den2 = n0 + n1 * eb2
+    res = r2.select(
+        F.col("t"),
+        F.floor(
+            (F.col("d1") - d * n1 * eb2 / den2) * 1000 + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("r3"),
+    )
+    agg = res.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum("r3").alias("sr"),
+        F.sum(F.col("r3") * F.col("r3")).alias("srr"),
+        F.sum(F.col("t") * F.col("r3")).alias("str"),
+    )
+    md = F.col("m").cast("double")
+    vt = F.col("stt").cast("double") - F.col("st").cast(
+        "double"
+    ) * F.col("st").cast("double") / md
+    vr = F.col("srr").cast("double") - F.col("sr").cast(
+        "double"
+    ) * F.col("sr").cast("double") / md
+    ctr = F.col("str").cast("double") - F.col("st").cast(
+        "double"
+    ) * F.col("sr").cast("double") / md
+    corr = ctr / F.sqrt(vt * vr)
+    slope = ctr / vt
+    return agg.filter((F.col("m") > 2)).select(
+        F.col("m").cast("long").alias("n_times"),
+        F.floor(corr * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "corr_e6"
+        ),
+        F.floor(slope * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "slope_e6"
+        ),
+    )
+
+
+SQL_SCHOENFELD = f"""
+WITH {_SQL_COX_RISK}, s0 AS (
+  SELECT CAST(sum(CAST(floor((d1 - CAST(d AS DOUBLE) * n1 / n) * 1e9
+                             + {_OFF}) AS BIGINT)) AS DOUBLE)
+         / sum(CAST(floor(CAST(d AS DOUBLE) * n1 * (n - n1)
+                          / (CAST(n AS DOUBLE) * n) * 1e9 + {_OFF})
+                    AS BIGINT)) AS b1
+  FROM risk2
+), s1 AS (
+  SELECT b1,
+         CAST(sum(CAST(floor(
+           (d1 - CAST(d AS DOUBLE) * (n1 * exp(b1))
+                 / ((n - n1) + n1 * exp(b1))) * 1e9 + {_OFF})
+           AS BIGINT)) AS BIGINT) AS su,
+         CAST(sum(CAST(floor(
+           CAST(d AS DOUBLE) * (n - n1) * n1 * exp(b1)
+           / (((n - n1) + n1 * exp(b1))
+              * ((n - n1) + n1 * exp(b1))) * 1e9 + {_OFF})
+           AS BIGINT)) AS BIGINT) AS si
+  FROM risk2 CROSS JOIN s0
+  GROUP BY b1
+), b2t AS (
+  SELECT b1 + CAST(su AS DOUBLE) / si AS b2 FROM s1
+), res AS (
+  SELECT t,
+         CAST(floor((d1 - CAST(d AS DOUBLE) * (n1 * exp(b2))
+                          / ((n - n1) + n1 * exp(b2))) * 1000
+                    + {_OFF}) AS BIGINT) AS r3
+  FROM risk2 CROSS JOIN b2t
+), agg AS (
+  SELECT count(*) AS m,
+         CAST(sum(t) AS BIGINT) AS st,
+         CAST(sum(t * t) AS BIGINT) AS stt,
+         CAST(sum(r3) AS BIGINT) AS sr,
+         CAST(sum(r3 * r3) AS BIGINT) AS srr,
+         CAST(sum(t * r3) AS BIGINT) AS str
+  FROM res
+)
+SELECT CAST(m AS BIGINT) AS n_times,
+       CAST(floor((CAST(str AS DOUBLE) - CAST(st AS DOUBLE) * sr / m)
+                  / sqrt((CAST(stt AS DOUBLE)
+                          - CAST(st AS DOUBLE) * st / m)
+                         * (CAST(srr AS DOUBLE)
+                            - CAST(sr AS DOUBLE) * sr / m))
+                  * 1000000 + {_OFF}) AS BIGINT) AS corr_e6,
+       CAST(floor((CAST(str AS DOUBLE) - CAST(st AS DOUBLE) * sr / m)
+                  / (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st / m)
+                  * 1000000 + {_OFF}) AS BIGINT) AS slope_e6
+FROM agg WHERE m > 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# delta_method_ratio — cluster-linearized (delta-method) SE of the
+# A/B ratio metric sum(value)/count with users as clusters (Deng,
+# Knoblich & Lu, KDD 2018).  Arms = day vs night first-event cohorts.
+# R = Y/N is an exact integer ratio; per-user linearization terms
+# (y_u - R n_u)^2 are floored to integers before the cluster sum.
+# ---------------------------------------------------------------------------
+
+
+def q_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
+    arm = ev.groupBy("user_id").agg(
+        F.min(F.floor(sec).cast("long")).alias("first_s")
+    ).select(
+        "user_id",
+        F.when(
+            ((F.col("first_s") % 86_400) / 3_600)
+            .cast("long")
+            .between(8, 19),
+            1,
+        )
+        .otherwise(0)
+        .alias("arm"),
+    )
+    per = ev.groupBy("event_type", "user_id").agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+        ).alias("yu"),
+        F.count(F.lit(1)).alias("nu"),
+    ).join(arm, "user_id")
+    tot = per.groupBy("event_type", "arm").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("yu").alias("yy"),
+        F.sum("nu").alias("nn"),
+    ).withColumn(
+        "r", F.col("yy").cast("double") / F.col("nn").cast("double")
+    )
+    terms = per.join(
+        F.broadcast(tot.select("event_type", "arm", "k", "nn", "r")),
+        ["event_type", "arm"],
+    ).select(
+        "event_type",
+        "arm",
+        "k",
+        "nn",
+        "r",
+        F.floor(
+            (F.col("yu") - F.col("r") * F.col("nu"))
+            * (F.col("yu") - F.col("r") * F.col("nu"))
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("t2"),
+    )
+    g = terms.groupBy("event_type", "arm", "k", "nn", "r").agg(
+        F.sum("t2").alias("s2")
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("nn").cast("double")
+    se = F.sqrt(
+        F.col("s2").cast("double") * kd / (kd - 1.0)
+    ) / nd
+    g2 = g.select(
+        "event_type",
+        "arm",
+        F.col("k").cast("long").alias("k"),
+        F.col("r").alias("r"),
+        se.alias("se"),
+    )
+    dda = g2.filter(F.col("arm") == 1).select(
+        "event_type",
+        F.col("k").alias("k_day"),
+        F.col("r").alias("rd"),
+        F.col("se").alias("sed"),
+    )
+    ddn = g2.filter(F.col("arm") == 0).select(
+        "event_type",
+        F.col("k").alias("k_night"),
+        F.col("r").alias("rn"),
+        F.col("se").alias("sen"),
+    )
+    j = dda.join(ddn, "event_type")
+    z = (F.col("rd") - F.col("rn")) / F.sqrt(
+        F.col("sed") * F.col("sed") + F.col("sen") * F.col("sen")
+    )
+    return j.select(
+        "event_type",
+        F.col("k_day").cast("long").alias("k_day"),
+        F.col("k_night").cast("long").alias("k_night"),
+        F.floor(F.col("rd") * 100 + F.lit(_OFF)).cast("long").alias(
+            "r_day_e4"
+        ),
+        F.floor(F.col("rn") * 100 + F.lit(_OFF)).cast("long").alias(
+            "r_night_e4"
+        ),
+        F.floor(F.col("sed") * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "se_day_e6"
+        ),
+        F.floor(F.col("sen") * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "se_night_e6"
+        ),
+        F.floor(z * 10_000 + F.lit(_OFF)).cast("long").alias("z_e4"),
+    ).orderBy("event_type")
+
+
+SQL_DELTA_RATIO = f"""
+WITH arm AS (
+  SELECT user_id,
+         CASE WHEN CAST(floor((CAST(min(floor(epoch(ts))) AS BIGINT)
+                               % 86400) / 3600) AS BIGINT)
+                   BETWEEN 8 AND 19
+              THEN 1 ELSE 0 END AS arm
+  FROM events GROUP BY user_id
+), per AS (
+  SELECT e.event_type, e.user_id, a.arm,
+         CAST(sum(CAST(floor(e.value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS yu,
+         count(*) AS nu
+  FROM events e JOIN arm a ON a.user_id = e.user_id
+  GROUP BY 1, 2, 3
+), tot AS (
+  SELECT event_type, arm, count(*) AS k,
+         CAST(sum(yu) AS BIGINT) AS yy,
+         CAST(sum(nu) AS BIGINT) AS nn
+  FROM per GROUP BY 1, 2
+), tr AS (
+  SELECT event_type, arm, k, nn,
+         CAST(yy AS DOUBLE) / nn AS r
+  FROM tot
+), terms AS (
+  SELECT p.event_type, p.arm, t.k, t.nn, t.r,
+         CAST(floor((p.yu - t.r * p.nu) * (p.yu - t.r * p.nu)
+                    + {_OFF}) AS BIGINT) AS t2
+  FROM per p JOIN tr t
+    ON t.event_type = p.event_type AND t.arm = p.arm
+), g AS (
+  SELECT event_type, arm, k, nn, r,
+         CAST(sum(t2) AS BIGINT) AS s2
+  FROM terms GROUP BY 1, 2, 3, 4, 5
+), g2 AS (
+  SELECT event_type, arm, k, r,
+         sqrt(CAST(s2 AS DOUBLE) * k / (k - 1.0)) / nn AS se
+  FROM g
+)
+SELECT d.event_type,
+       CAST(d.k AS BIGINT) AS k_day,
+       CAST(n.k AS BIGINT) AS k_night,
+       CAST(floor(d.r * 100 + {_OFF}) AS BIGINT) AS r_day_e4,
+       CAST(floor(n.r * 100 + {_OFF}) AS BIGINT) AS r_night_e4,
+       CAST(floor(d.se * 10000 + {_OFF}) AS BIGINT) AS se_day_e6,
+       CAST(floor(n.se * 10000 + {_OFF}) AS BIGINT) AS se_night_e6,
+       CAST(floor((d.r - n.r) / sqrt(d.se * d.se + n.se * n.se)
+                  * 10000 + {_OFF}) AS BIGINT) AS z_e4
+FROM g2 d JOIN g2 n
+  ON n.event_type = d.event_type AND d.arm = 1 AND n.arm = 0
+ORDER BY d.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# vuong_poisson_negbin — Vuong (Econometrica 1989) non-nested LR z
+# between Poisson(lambda = xbar) and the MoM negative binomial on
+# per-user event counts (zeros from the user grid).  The ln k! terms
+# cancel inside the per-observation log-lik difference; what remains
+# needs only the shared Lanczos lnGamma twin.  Differences collapse
+# onto the bounded count domain (e3-floored so n_k-weighted squares
+# stay well inside int64); z > 0 favours the negative binomial.
+# ---------------------------------------------------------------------------
+
+
+def q_vuong_poisson_negbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    users = ev.select("user_id").distinct()
+    types = ev.select("event_type").distinct()
+    per = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    grid = (
+        types.crossJoin(users)
+        .join(per, ["event_type", "user_id"], "left")
+        .fillna(0, ["x"])
+    )
+    kdom = grid.groupBy("event_type", "x").agg(
+        F.count(F.lit(1)).alias("nk")
+    )
+    mom = kdom.groupBy("event_type").agg(
+        F.sum("nk").alias("n"),
+        F.sum(F.col("nk") * F.col("x")).alias("s1"),
+        F.sum(F.col("nk") * F.col("x") * F.col("x")).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    m = F.col("s1").cast("double") / nd
+    s2v = (F.col("s2").cast("double") - nd * m * m) / (nd - 1.0)
+    mom = mom.select(
+        "event_type",
+        F.col("n"),
+        m.alias("lam"),
+        (m / s2v).alias("p"),
+        (m * m / (s2v - m)).alias("r"),
+        (s2v > m).alias("overd"),
+    ).filter(F.col("overd"))
+    j = kdom.join(F.broadcast(mom), "event_type")
+    k = F.col("x").cast("double")
+    mterm = (
+        _lngamma(k + F.col("r"))
+        - _lngamma(F.col("r"))
+        + F.col("r") * F.log(F.col("p"))
+        + k * F.log(1.0 - F.col("p"))
+        + F.col("lam")
+        - k * F.log(F.col("lam"))
+    )
+    t = j.select(
+        "event_type",
+        "n",
+        F.col("nk"),
+        F.floor(mterm * 1000 + F.lit(_OFF)).cast("long").alias("m3"),
+    )
+    agg = t.groupBy("event_type", "n").agg(
+        F.sum(F.col("nk") * F.col("m3")).alias("sm"),
+        F.sum(F.col("nk") * F.col("m3") * F.col("m3")).alias("smm"),
+    )
+    mean3 = F.col("sm").cast("double") / nd
+    var3 = F.col("smm").cast("double") / nd - mean3 * mean3
+    z = F.sqrt(nd) * mean3 / F.sqrt(var3)
+    return agg.filter(var3 > 0).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_users"),
+        F.floor(mean3 * 1000 + F.lit(_OFF)).cast("long").alias(
+            "mean_llr_e6"
+        ),
+        F.floor(z * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "vuong_z_e4"
+        ),
+    ).orderBy("event_type")
+
+
+_VG_K = "CAST(x AS DOUBLE)"
+SQL_VUONG = f"""
+WITH users AS (SELECT DISTINCT user_id FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+per AS (
+  SELECT event_type, user_id, count(*) AS x
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT t.event_type, u.user_id, COALESCE(p.x, 0) AS x
+  FROM types t CROSS JOIN users u
+  LEFT JOIN per p
+    ON p.event_type = t.event_type AND p.user_id = u.user_id
+), kdom AS (
+  SELECT event_type, x, count(*) AS nk FROM grid GROUP BY 1, 2
+), mom AS (
+  SELECT event_type,
+         CAST(sum(nk) AS BIGINT) AS n,
+         CAST(sum(nk * x) AS DOUBLE) / sum(nk) AS lam,
+         (CAST(sum(nk * x * x) AS DOUBLE)
+          - sum(nk) * (CAST(sum(nk * x) AS DOUBLE) / sum(nk))
+                    * (CAST(sum(nk * x) AS DOUBLE) / sum(nk)))
+           / (sum(nk) - 1.0) AS s2v
+  FROM kdom GROUP BY 1
+), momp AS (
+  SELECT event_type, n, lam, lam / s2v AS p,
+         lam * lam / (s2v - lam) AS r
+  FROM mom WHERE s2v > lam
+), t AS (
+  SELECT k.event_type, m.n, k.nk,
+         CAST(floor((
+           {_lngamma_sql(f"{_VG_K} + r")}
+           - {_lngamma_sql("r")}
+           + r * ln(p) + {_VG_K} * ln(1.0 - p)
+           + lam - {_VG_K} * ln(lam)) * 1000 + {_OFF})
+           AS BIGINT) AS m3
+  FROM kdom k JOIN momp m ON m.event_type = k.event_type
+), agg AS (
+  SELECT event_type, n,
+         CAST(sum(nk * m3) AS BIGINT) AS sm,
+         CAST(sum(nk * m3 * m3) AS BIGINT) AS smm
+  FROM t GROUP BY 1, 2
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_users,
+       CAST(floor(CAST(sm AS DOUBLE) / n * 1000 + {_OFF}) AS BIGINT)
+         AS mean_llr_e6,
+       CAST(floor(sqrt(CAST(n AS DOUBLE))
+                  * (CAST(sm AS DOUBLE) / n)
+                  / sqrt(CAST(smm AS DOUBLE) / n
+                         - (CAST(sm AS DOUBLE) / n)
+                           * (CAST(sm AS DOUBLE) / n))
+                  * 10000 + {_OFF}) AS BIGINT) AS vuong_z_e4
+FROM agg
+WHERE CAST(smm AS DOUBLE) / n
+      - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n) > 0
+ORDER BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "cox_ph_newton": q_cox_ph_newton,
+        "schoenfeld_trend": q_schoenfeld_trend,
+        "delta_method_ratio": q_delta_method_ratio,
+        "vuong_poisson_negbin": q_vuong_poisson_negbin,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "cox_ph_newton": SQL_COX,
+        "schoenfeld_trend": SQL_SCHOENFELD,
+        "delta_method_ratio": SQL_DELTA_RATIO,
+        "vuong_poisson_negbin": SQL_VUONG,
+    }
+)
