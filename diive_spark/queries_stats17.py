@@ -6968,3 +6968,625 @@ ORACLE_SQL.update(
         "vuong_poisson_negbin": SQL_VUONG,
     }
 )
+
+
+# ===========================================================================
+# Battery Q: GLM calibration, keyword extraction, compositional
+# geometry, and second-order periodicity — logistic GLM by two
+# explicit Newton steps (Bernoulli sibling of poisson_glm_newton),
+# RAKE keyword scores over stopword-delimited phrases, Aitchison CLR
+# total variance of the diel composition, and Whittle's second-peak
+# periodogram test after removing Fisher's top ordinate.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# logistic_glm_newton — weekend ~ standardized centi-value, fitted by
+# exactly two Newton-Raphson steps from (logit(pbar), 0) on the
+# collapsed value domain (IRLS with fixed iteration count — no driver
+# loop; cf. poisson_glm_newton).  Gradient/Hessian terms e6-floored
+# per distinct value so both engines step from identical rationals.
+# ---------------------------------------------------------------------------
+
+
+def _logit_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (F.dayofweek("ts").isin(1, 7)).cast("long").alias("pos"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    return ev.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).alias("nv"), F.sum("pos").alias("yv")
+    )
+
+
+def q_logistic_glm_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = _logit_cells(spark, sf_dir)
+    mom = cells.groupBy("event_type").agg(
+        F.sum("nv").alias("n"),
+        F.sum("yv").alias("y"),
+        F.sum(F.col("nv") * F.col("v")).alias("sv"),
+        F.sum(F.col("nv") * F.col("v") * F.col("v")).alias("svv"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("sv").cast("double") / nd
+    sd = F.sqrt(
+        (F.col("svv").cast("double") - nd * mu * mu) / nd
+    )
+    mom = mom.select(
+        "event_type",
+        "n",
+        "y",
+        mu.alias("mv"),
+        sd.alias("sdv"),
+        F.log(
+            F.col("y").cast("double")
+            / (F.col("n") - F.col("y")).cast("double")
+        ).alias("a0"),
+    ).filter((F.col("y") > 0) & (F.col("y") < F.col("n")) & (sd > 0))
+
+    def newton(cells_j: DataFrame, acol: str, bcol: str, tag: str):
+        x = (F.col("v").cast("double") - F.col("mv")) / F.col("sdv")
+        z = F.col(acol) + F.col(bcol) * x
+        muz = 1.0 / (1.0 + F.exp(-z))
+        w = muz * (1.0 - muz)
+        nvd = F.col("nv").cast("double")
+        yvd = F.col("yv").cast("double")
+        t = cells_j.select(
+            "event_type",
+            acol,
+            bcol,
+            F.floor((yvd - nvd * muz) * 1e6 + F.lit(_OFF))
+            .cast("long")
+            .alias("g1"),
+            F.floor(x * (yvd - nvd * muz) * 1e6 + F.lit(_OFF))
+            .cast("long")
+            .alias("g2"),
+            F.floor(nvd * w * 1e6 + F.lit(_OFF)).cast("long").alias(
+                "h11"
+            ),
+            F.floor(x * nvd * w * 1e6 + F.lit(_OFF)).cast("long").alias(
+                "h12"
+            ),
+            F.floor(x * x * nvd * w * 1e6 + F.lit(_OFF))
+            .cast("long")
+            .alias("h22"),
+        )
+        agg = t.groupBy("event_type", acol, bcol).agg(
+            F.sum("g1").alias("sg1"),
+            F.sum("g2").alias("sg2"),
+            F.sum("h11").alias("sh11"),
+            F.sum("h12").alias("sh12"),
+            F.sum("h22").alias("sh22"),
+        )
+        g1 = F.col("sg1").cast("double")
+        g2 = F.col("sg2").cast("double")
+        h11 = F.col("sh11").cast("double")
+        h12 = F.col("sh12").cast("double")
+        h22 = F.col("sh22").cast("double")
+        det = h11 * h22 - h12 * h12
+        return agg.select(
+            "event_type",
+            (F.col(acol) + (h22 * g1 - h12 * g2) / det).alias(
+                f"a{tag}"
+            ),
+            (F.col(bcol) + (h11 * g2 - h12 * g1) / det).alias(
+                f"b{tag}"
+            ),
+        )
+
+    j0 = cells.join(
+        F.broadcast(
+            mom.select("event_type", "mv", "sdv", "a0").withColumn(
+                "b0", F.lit(0.0)
+            )
+        ),
+        "event_type",
+    )
+    p1 = newton(j0, "a0", "b0", "1")
+    j1 = cells.join(
+        F.broadcast(
+            mom.select("event_type", "mv", "sdv").join(p1, "event_type")
+        ),
+        "event_type",
+    )
+    p2 = newton(j1, "a1", "b1", "2")
+    out = p2.join(F.broadcast(mom.select("event_type", "n", "y")),
+                  "event_type")
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("y").cast("long").alias("n_pos"),
+        F.floor(F.col("a2") * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("alpha_e6"),
+        F.floor(F.col("b2") * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("beta_e6"),
+    ).orderBy("event_type")
+
+
+_LG_CELLS = f"""
+  cells AS (
+    SELECT event_type,
+           CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v,
+           count(*) AS nv,
+           CAST(sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END)
+                AS BIGINT) AS yv
+    FROM events GROUP BY 1, 2
+  ), mom AS (
+    SELECT event_type,
+           CAST(sum(nv) AS BIGINT) AS n,
+           CAST(sum(yv) AS BIGINT) AS y,
+           CAST(sum(nv * v) AS DOUBLE) / sum(nv) AS mv,
+           sqrt((CAST(sum(nv * v * v) AS DOUBLE)
+                 - sum(nv) * (CAST(sum(nv * v) AS DOUBLE) / sum(nv))
+                           * (CAST(sum(nv * v) AS DOUBLE) / sum(nv)))
+                / sum(nv)) AS sdv
+    FROM cells GROUP BY 1
+  ), momf AS (
+    SELECT *, ln(CAST(y AS DOUBLE) / (n - y)) AS a0, 0.0 AS b0
+    FROM mom
+    WHERE y > 0 AND y < n AND sdv > 0
+  )
+"""
+
+
+def _lg_step_sql(prev: str, acol: str, bcol: str, tag: str) -> str:
+    return f"""
+  t{tag} AS (
+    SELECT c.event_type, p.{acol}, p.{bcol}, p.mv, p.sdv,
+           CAST(floor((c.yv - c.nv
+                       / (1.0 + exp(-(p.{acol} + p.{bcol}
+                            * ((c.v - p.mv) / p.sdv))))) * 1e6 + {_OFF})
+                AS BIGINT) AS g1,
+           CAST(floor(((c.v - p.mv) / p.sdv)
+                      * (c.yv - c.nv
+                         / (1.0 + exp(-(p.{acol} + p.{bcol}
+                              * ((c.v - p.mv) / p.sdv))))) * 1e6 + {_OFF})
+                AS BIGINT) AS g2,
+           CAST(floor(c.nv
+                      * (1.0 / (1.0 + exp(-(p.{acol} + p.{bcol}
+                           * ((c.v - p.mv) / p.sdv)))))
+                      * (1.0 - 1.0 / (1.0 + exp(-(p.{acol} + p.{bcol}
+                           * ((c.v - p.mv) / p.sdv))))) * 1e6 + {_OFF})
+                AS BIGINT) AS h11,
+           CAST(floor(((c.v - p.mv) / p.sdv) * c.nv
+                      * (1.0 / (1.0 + exp(-(p.{acol} + p.{bcol}
+                           * ((c.v - p.mv) / p.sdv)))))
+                      * (1.0 - 1.0 / (1.0 + exp(-(p.{acol} + p.{bcol}
+                           * ((c.v - p.mv) / p.sdv))))) * 1e6 + {_OFF})
+                AS BIGINT) AS h12,
+           CAST(floor(((c.v - p.mv) / p.sdv) * ((c.v - p.mv) / p.sdv)
+                      * c.nv
+                      * (1.0 / (1.0 + exp(-(p.{acol} + p.{bcol}
+                           * ((c.v - p.mv) / p.sdv)))))
+                      * (1.0 - 1.0 / (1.0 + exp(-(p.{acol} + p.{bcol}
+                           * ((c.v - p.mv) / p.sdv))))) * 1e6 + {_OFF})
+                AS BIGINT) AS h22
+    FROM cells c JOIN {prev} p ON p.event_type = c.event_type
+  ), s{tag} AS (
+    SELECT event_type, {acol}, {bcol}, mv, sdv,
+           CAST(sum(g1) AS BIGINT) AS sg1,
+           CAST(sum(g2) AS BIGINT) AS sg2,
+           CAST(sum(h11) AS BIGINT) AS sh11,
+           CAST(sum(h12) AS BIGINT) AS sh12,
+           CAST(sum(h22) AS BIGINT) AS sh22
+    FROM t{tag} GROUP BY 1, 2, 3, 4, 5
+  ), p{tag} AS (
+    SELECT event_type, mv, sdv,
+           {acol} + (CAST(sh22 AS DOUBLE) * sg1
+                     - CAST(sh12 AS DOUBLE) * sg2)
+                    / (CAST(sh11 AS DOUBLE) * sh22
+                       - CAST(sh12 AS DOUBLE) * sh12) AS a{tag},
+           {bcol} + (CAST(sh11 AS DOUBLE) * sg2
+                     - CAST(sh12 AS DOUBLE) * sg1)
+                    / (CAST(sh11 AS DOUBLE) * sh22
+                       - CAST(sh12 AS DOUBLE) * sh12) AS b{tag}
+    FROM s{tag}
+  )
+"""
+
+
+SQL_LOGISTIC_GLM = f"""
+WITH {_LG_CELLS}, {_lg_step_sql("momf", "a0", "b0", "1")},
+{_lg_step_sql("p1", "a1", "b1", "2")}
+SELECT p2.event_type, m.n, m.y AS n_pos,
+       CAST(floor(a2 * 1000000 + {_OFF}) AS BIGINT) AS alpha_e6,
+       CAST(floor(b2 * 1000000 + {_OFF}) AS BIGINT) AS beta_e6
+FROM p2 JOIN momf m ON m.event_type = p2.event_type
+ORDER BY p2.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# aitchison_clr — compositional total variance (Aitchison 1986) of
+# the 24-hour diel activity composition per type.  CLR(p)_h = ln p_h
+# - mean_h ln p_h, and because the mean is removed the shared ln N
+# cancels — the statistic needs only ln of the raw hourly counts,
+# e6-floored, so the 24-part variance is exact-integer arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def q_aitchison_clr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hc = ev.groupBy(
+        "event_type", F.hour("ts").alias("hh")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    l6 = F.floor(
+        F.log(F.col("c").cast("double")) * 1_000_000 + F.lit(_OFF)
+    ).cast("long")
+    t = hc.select("event_type", "hh", "c", l6.alias("l6"))
+    agg = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("l6").alias("sl"),
+        F.sum(F.col("l6") * F.col("l6")).alias("sll"),
+        F.max_by(
+            "hh", F.col("c") * 100 + (23 - F.col("hh"))
+        ).alias("peak_hh"),
+    )
+    kd = F.col("k").cast("double")
+    var = (
+        F.col("sll").cast("double")
+        - F.col("sl").cast("double") * F.col("sl").cast("double") / kd
+    ) / kd / 1e12
+    return agg.filter(F.col("k") == 24).select(
+        "event_type",
+        F.col("k").cast("long").alias("n_parts"),
+        F.col("peak_hh").cast("long").alias("peak_hour"),
+        F.floor(var * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "clr_totvar_e6"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_AITCHISON = f"""
+WITH hc AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hh,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, hh, c,
+         CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + {_OFF})
+              AS BIGINT) AS l6
+  FROM hc
+), agg AS (
+  SELECT event_type, count(*) AS k,
+         CAST(sum(l6) AS BIGINT) AS sl,
+         CAST(sum(l6 * l6) AS BIGINT) AS sll,
+         arg_max(hh, c * 100 + (23 - hh)) AS peak_hh
+  FROM t GROUP BY 1
+)
+SELECT event_type, CAST(k AS BIGINT) AS n_parts,
+       CAST(peak_hh AS BIGINT) AS peak_hour,
+       CAST(floor((CAST(sll AS DOUBLE)
+                   - CAST(sl AS DOUBLE) * sl / k) / k / 1e12
+                  * 1000000 + {_OFF}) AS BIGINT) AS clr_totvar_e6
+FROM agg WHERE k = 24
+ORDER BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "logistic_glm_newton": q_logistic_glm_newton,
+        "aitchison_clr": q_aitchison_clr,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "logistic_glm_newton": SQL_LOGISTIC_GLM,
+        "aitchison_clr": SQL_AITCHISON,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# rake_keywords — RAKE (Rose et al. 2010) keyword extraction per lang:
+# candidate phrases are maximal runs of non-stopword tokens; for each
+# word, freq = occurrences and degree = sum of the lengths of the
+# phrases containing it; score = degree/freq.  Top-5 words per lang
+# by (floored e6 score, word) — exact integer ordering in both
+# engines.  The phrase segmentation is a per-document prefix count of
+# stop/boundary markers (doc-bounded window, parallel across docs).
+# ---------------------------------------------------------------------------
+
+_RAKE_STOP = (
+    "the", "of", "and", "a", "in", "to", "is", "for", "on", "with",
+    "as", "by", "at", "it", "that", "this", "are", "be", "or", "an",
+    "was", "from", "we", "you", "not", "have", "has", "but", "they",
+    "their",
+)
+
+
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", F.lower(F.col("text")).alias("lt")
+    )
+    words = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split(F.col("lt"), "[^a-z0-9]+")).alias(
+            "pos", "w"
+        ),
+    ).withColumn(
+        "stop",
+        (F.col("w") == "") | F.col("w").isin(*_RAKE_STOP),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    seg = words.withColumn(
+        "pid", F.sum(F.col("stop").cast("long")).over(wdoc)
+    ).filter(~F.col("stop"))
+    ph = seg.groupBy("doc_id", "lang", "pid").agg(
+        F.count(F.lit(1)).alias("plen")
+    )
+    wp = seg.join(ph, ["doc_id", "lang", "pid"])
+    sc = wp.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    ).filter(F.col("freq") >= 3)
+    r6 = F.floor(
+        F.col("deg").cast("double") * 1_000_000 / F.col("freq")
+    ).cast("long")
+    ranked = sc.select(
+        "lang", "w", "freq", "deg", r6.alias("score_e6")
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(
+                F.col("score_e6").desc(), F.col("w").asc()
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rk") <= 5)
+        .select(
+            "lang",
+            F.col("rk").cast("long").alias("rk"),
+            "w",
+            F.col("freq").cast("long").alias("freq"),
+            F.col("deg").cast("long").alias("deg"),
+            "score_e6",
+        )
+        .orderBy("lang", "rk")
+    )
+
+
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOP)
+SQL_RAKE = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         string_split_regex(lower(text), '[^a-z0-9]+') AS l
+  FROM documents
+), words AS (
+  SELECT doc_id, lang, u.i AS pos, l[u.i] AS w,
+         CASE WHEN l[u.i] = ''
+                   OR l[u.i] IN ({_RAKE_STOP_SQL})
+              THEN 1 ELSE 0 END AS stop
+  FROM toks, unnest(generate_series(1, len(l))) AS u(i)
+), seg AS (
+  SELECT doc_id, lang, w,
+         sum(stop) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS pid,
+         stop
+  FROM words
+), nw AS (
+  SELECT doc_id, lang, w, pid FROM seg WHERE stop = 0
+), ph AS (
+  SELECT doc_id, lang, pid, count(*) AS plen
+  FROM nw GROUP BY 1, 2, 3
+), wp AS (
+  SELECT nw.lang, nw.w, ph.plen
+  FROM nw JOIN ph ON ph.doc_id = nw.doc_id AND ph.pid = nw.pid
+), sc AS (
+  SELECT lang, w, count(*) AS freq,
+         CAST(sum(plen) AS BIGINT) AS deg
+  FROM wp GROUP BY 1, 2
+  HAVING count(*) >= 3
+), ranked AS (
+  SELECT lang, w, freq, deg,
+         CAST(floor(CAST(deg AS DOUBLE) * 1000000 / freq) AS BIGINT)
+           AS score_e6,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(floor(CAST(deg AS DOUBLE) * 1000000 / freq)
+                         AS BIGINT) DESC, w ASC) AS rk
+  FROM sc
+)
+SELECT lang, CAST(rk AS BIGINT) AS rk, w,
+       CAST(freq AS BIGINT) AS freq, deg, score_e6
+FROM ranked WHERE rk <= 5
+ORDER BY lang, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# whittle_second_peak — Whittle's (1952) sequential extension of
+# Fisher's g: after removing the largest periodogram ordinate, test
+# the SECOND peak with g2 = I_(2) / (sum I - I_(1)) and
+# log p2 = ln(m - 1) + (m - 2) ln(1 - g2) — is there a second hidden
+# periodicity beyond the diel peak?  Same exact-lattice DFT scaffold
+# as fisher_g_test (e3-floored ordinates, bounded by the calendar).
+# ---------------------------------------------------------------------------
+
+
+def q_whittle_second_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                / 3_600_000_000
+            )
+        )
+        .cast("long")
+        .alias("h"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("h")
+    wn = Window.partitionBy("event_type")
+    base = (
+        hourly.withColumn("t", F.row_number().over(wo) - 1)
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("n") >= 8)
+    )
+    m = F.floor((F.col("n") - 1) / 2).cast("long")
+    fan = base.select(
+        "event_type",
+        "t",
+        "c",
+        "n",
+        F.explode(F.sequence(F.lit(1), m)).alias("j"),
+    )
+    k = (F.col("j") * F.col("t")) % F.col("n")
+    ang = (
+        F.lit(2.0)
+        * F.lit(math.pi)
+        * k.cast("double")
+        / F.col("n").cast("double")
+    )
+    trig = fan.select(
+        "event_type",
+        "j",
+        "n",
+        (F.col("c").cast("double") * F.cos(ang)).alias("ca"),
+        (F.col("c").cast("double") * F.sin(ang)).alias("sa"),
+    )
+    ords = trig.groupBy("event_type", "j").agg(
+        F.max("n").alias("n"),
+        F.sum("ca").alias("a"),
+        F.sum("sa").alias("b"),
+    )
+    i_j = (F.col("a") * F.col("a") + F.col("b") * F.col("b")) / F.col(
+        "n"
+    ).cast("double")
+    ords = ords.select(
+        "event_type",
+        "j",
+        "n",
+        F.floor(i_j * 1_000 + F.lit(_OFF)).cast("long").alias("i3"),
+    )
+    wmax = Window.partitionBy("event_type").orderBy(
+        F.col("i3").desc(), F.col("j").asc()
+    )
+    agg = (
+        ords.withColumn("rk", F.row_number().over(wmax))
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.count(F.lit(1)).alias("m"),
+            F.sum("i3").alias("si3"),
+            F.max(F.when(F.col("rk") == 1, F.col("i3"))).alias("i1"),
+            F.max(F.when(F.col("rk") == 2, F.col("i3"))).alias("i2"),
+            F.max(F.when(F.col("rk") == 2, F.col("j"))).alias(
+                "second_j"
+            ),
+        )
+    )
+    g2 = F.col("i2").cast("double") / (
+        F.col("si3") - F.col("i1")
+    ).cast("double")
+    md = F.col("m").cast("double")
+    logp = F.log(md - 1.0) + (md - 2.0) * F.log(1.0 - g2)
+    return (
+        agg.filter(
+            (F.col("si3") > F.col("i1"))
+            & (F.col("i2") < (F.col("si3") - F.col("i1")))
+            & (F.col("m") > 2)
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_hours"),
+            F.col("m").cast("long").alias("m_ords"),
+            F.col("second_j").cast("long").alias("second_j"),
+            F.floor(
+                F.col("n").cast("double")
+                / F.col("second_j").cast("double")
+                * 100
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("second_period_h_e2"),
+            F.floor(g2 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "g2_e6"
+            ),
+            F.floor(logp * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "logp2_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_WHITTLE = f"""
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), base AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) - 1 AS t,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM hourly
+), fan AS (
+  SELECT event_type, t, c, n,
+         unnest(generate_series(1, CAST((n - 1) // 2 AS BIGINT))) AS j
+  FROM base WHERE n >= 8
+), trig AS (
+  SELECT event_type, j, n,
+         CAST(c AS DOUBLE)
+           * cos(2 * pi() * CAST((j * t) % n AS DOUBLE) / n) AS ca,
+         CAST(c AS DOUBLE)
+           * sin(2 * pi() * CAST((j * t) % n AS DOUBLE) / n) AS sa
+  FROM fan
+), ords AS (
+  SELECT event_type, j, max(n) AS n,
+         CAST(floor((sum(ca) * sum(ca) + sum(sa) * sum(sa))
+                    / max(n) * 1000 + {_OFF}) AS BIGINT) AS i3
+  FROM trig GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, j, n, i3,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY i3 DESC, j ASC) AS rk
+  FROM ords
+), agg AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(i3) AS BIGINT) AS si3,
+         CAST(max(CASE WHEN rk = 1 THEN i3 END) AS BIGINT) AS i1,
+         CAST(max(CASE WHEN rk = 2 THEN i3 END) AS BIGINT) AS i2,
+         CAST(max(CASE WHEN rk = 2 THEN j END) AS BIGINT) AS second_j
+  FROM ranked GROUP BY 1
+)
+SELECT event_type, n AS n_hours, m AS m_ords, second_j,
+       CAST(floor(CAST(n AS DOUBLE) / second_j * 100 + {_OFF})
+            AS BIGINT) AS second_period_h_e2,
+       CAST(floor(CAST(i2 AS DOUBLE) / (si3 - i1) * 1000000 + {_OFF})
+            AS BIGINT) AS g2_e6,
+       CAST(floor((ln(CAST(m AS DOUBLE) - 1.0)
+                   + (CAST(m AS DOUBLE) - 2.0)
+                     * ln(1.0 - CAST(i2 AS DOUBLE) / (si3 - i1)))
+                  * 10000 + {_OFF}) AS BIGINT) AS logp2_e4
+FROM agg
+WHERE si3 > i1 AND i2 < si3 - i1 AND m > 2
+ORDER BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "rake_keywords": q_rake_keywords,
+        "whittle_second_peak": q_whittle_second_peak,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "rake_keywords": SQL_RAKE,
+        "whittle_second_peak": SQL_WHITTLE,
+    }
+)
