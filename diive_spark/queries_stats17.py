@@ -7590,3 +7590,787 @@ ORACLE_SQL.update(
         "whittle_second_peak": SQL_WHITTLE,
     }
 )
+
+
+# ===========================================================================
+# Battery R: fixed-point estimation + shrinkage + model selection +
+# instrumental variables — a two-step EM Gaussian mixture on the
+# collapsed value domain, the James-Stein shrinkage of hourly means,
+# AIC selection of the daily-trend polynomial degree, and the Wald IV
+# estimator with a delta-method SE.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# gmm2_em — 2-component Gaussian mixture per type fitted by exactly
+# TWO EM steps (Dempster, Laird & Rubin 1977) from the deterministic
+# quantile init (mu = q25/q75, unit sigmas on standardized values,
+# pi = 0.5).  E-step responsibilities are e9-floored per distinct
+# value; M-step moment terms e6-floored — so both engines walk the
+# identical fixed-point path with exact-integer aggregation.  Reports
+# Ashman's D separation.  No driver loop: the two steps are unrolled.
+# ---------------------------------------------------------------------------
+
+
+def _gmm_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    return ev.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).alias("nv")
+    )
+
+
+def q_gmm2_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = _gmm_cells(spark, sf_dir)
+    wt = Window.partitionBy("event_type")
+    wc = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c2 = (
+        cells.withColumn("cum", F.sum("nv").over(wc))
+        .withColumn("n", F.sum("nv").over(wt))
+        .withColumn("sv", F.sum(F.col("nv") * F.col("v")).over(wt))
+        .withColumn(
+            "svv", F.sum(F.col("nv") * F.col("v") * F.col("v")).over(wt)
+        )
+    )
+    init = c2.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("sv").alias("svt"),
+        F.max("svv").alias("svvt"),
+        F.min(F.when(4 * F.col("cum") >= F.col("n"), F.col("v"))).alias(
+            "q25"
+        ),
+        F.min(
+            F.when(4 * F.col("cum") >= 3 * F.col("n"), F.col("v"))
+        ).alias("q75"),
+    )
+    nd = F.col("n").cast("double")
+    mv = F.col("svt").cast("double") / nd
+    sdv = F.sqrt(
+        (F.col("svvt").cast("double") - nd * mv * mv) / nd
+    )
+    init = init.select(
+        "event_type",
+        "n",
+        mv.alias("mv"),
+        sdv.alias("sdv"),
+        ((F.col("q25").cast("double") - mv) / sdv).alias("mu1"),
+        ((F.col("q75").cast("double") - mv) / sdv).alias("mu2"),
+        F.lit(1.0).alias("s1"),
+        F.lit(1.0).alias("s2"),
+        F.lit(0.5).alias("pi"),
+    ).filter(sdv > 0)
+
+    def em_step(params: DataFrame) -> DataFrame:
+        j = cells.join(F.broadcast(params), "event_type")
+        x = (F.col("v").cast("double") - F.col("mv")) / F.col("sdv")
+        d1 = (x - F.col("mu1")) / F.col("s1")
+        d2 = (x - F.col("mu2")) / F.col("s2")
+        a1 = F.col("pi") / F.col("s1") * F.exp(-d1 * d1 / 2.0)
+        a2 = (1.0 - F.col("pi")) / F.col("s2") * F.exp(-d2 * d2 / 2.0)
+        r = a1 / (a1 + a2)
+        nvd = F.col("nv").cast("double")
+        t = j.select(
+            "event_type",
+            "n",
+            "mv",
+            "sdv",
+            F.floor(nvd * r * 1e6 + F.lit(_OFF)).cast("long").alias(
+                "w1"
+            ),
+            F.floor(nvd * r * x * 1e6 + F.lit(_OFF)).cast("long").alias(
+                "x1"
+            ),
+            F.floor(nvd * r * x * x * 1e6 + F.lit(_OFF))
+            .cast("long")
+            .alias("xx1"),
+            F.floor(nvd * (1.0 - r) * 1e6 + F.lit(_OFF))
+            .cast("long")
+            .alias("w2"),
+            F.floor(nvd * (1.0 - r) * x * 1e6 + F.lit(_OFF))
+            .cast("long")
+            .alias("x2"),
+            F.floor(nvd * (1.0 - r) * x * x * 1e6 + F.lit(_OFF))
+            .cast("long")
+            .alias("xx2"),
+        )
+        agg = t.groupBy("event_type", "n", "mv", "sdv").agg(
+            F.sum("w1").alias("sw1"),
+            F.sum("x1").alias("sx1"),
+            F.sum("xx1").alias("sxx1"),
+            F.sum("w2").alias("sw2"),
+            F.sum("x2").alias("sx2"),
+            F.sum("xx2").alias("sxx2"),
+        )
+        w1 = F.col("sw1").cast("double")
+        w2 = F.col("sw2").cast("double")
+        m1 = F.col("sx1").cast("double") / w1
+        m2 = F.col("sx2").cast("double") / w2
+        v1 = F.col("sxx1").cast("double") / w1 - m1 * m1
+        v2 = F.col("sxx2").cast("double") / w2 - m2 * m2
+        return agg.filter(
+            (F.col("sw1") > 0) & (F.col("sw2") > 0) & (v1 > 0) & (v2 > 0)
+        ).select(
+            "event_type",
+            "n",
+            "mv",
+            "sdv",
+            m1.alias("mu1"),
+            m2.alias("mu2"),
+            F.sqrt(v1).alias("s1"),
+            F.sqrt(v2).alias("s2"),
+            (w1 / (w1 + w2)).alias("pi"),
+        )
+
+    p2 = em_step(em_step(init))
+    sep = F.abs(F.col("mu2") - F.col("mu1")) / F.sqrt(
+        (F.col("s1") * F.col("s1") + F.col("s2") * F.col("s2")) / 2.0
+    )
+    return p2.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(F.col("pi") * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("pi_e6"),
+        F.floor(
+            (F.col("mv") + F.col("sdv") * F.col("mu1")) * 100
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("mu1_e4"),
+        F.floor(
+            (F.col("mv") + F.col("sdv") * F.col("mu2")) * 100
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("mu2_e4"),
+        F.floor(F.col("sdv") * F.col("s1") * 100 + F.lit(_OFF))
+        .cast("long")
+        .alias("sd1_e4"),
+        F.floor(F.col("sdv") * F.col("s2") * 100 + F.lit(_OFF))
+        .cast("long")
+        .alias("sd2_e4"),
+        F.floor(sep * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "ashman_d_e4"
+        ),
+    ).orderBy("event_type")
+
+
+def _gmm_estep_sql(prev: str, tag: str) -> str:
+    x = "((c.v - p.mv) / p.sdv)"
+    d1 = f"(({x} - p.mu1) / p.s1)"
+    d2 = f"(({x} - p.mu2) / p.s2)"
+    a1 = f"(p.pi / p.s1 * exp(-{d1} * {d1} / 2.0))"
+    a2 = f"((1.0 - p.pi) / p.s2 * exp(-{d2} * {d2} / 2.0))"
+    r = f"({a1} / ({a1} + {a2}))"
+    return f"""
+  t{tag} AS (
+    SELECT c.event_type, p.n, p.mv, p.sdv,
+           CAST(floor(c.nv * {r} * 1e6 + {_OFF}) AS BIGINT) AS w1,
+           CAST(floor(c.nv * {r} * {x} * 1e6 + {_OFF}) AS BIGINT) AS x1,
+           CAST(floor(c.nv * {r} * {x} * {x} * 1e6 + {_OFF})
+                AS BIGINT) AS xx1,
+           CAST(floor(c.nv * (1.0 - {r}) * 1e6 + {_OFF}) AS BIGINT)
+             AS w2,
+           CAST(floor(c.nv * (1.0 - {r}) * {x} * 1e6 + {_OFF})
+                AS BIGINT) AS x2,
+           CAST(floor(c.nv * (1.0 - {r}) * {x} * {x} * 1e6 + {_OFF})
+                AS BIGINT) AS xx2
+    FROM cells c JOIN {prev} p ON p.event_type = c.event_type
+  ), s{tag} AS (
+    SELECT event_type, n, mv, sdv,
+           CAST(sum(w1) AS BIGINT) AS sw1,
+           CAST(sum(x1) AS BIGINT) AS sx1,
+           CAST(sum(xx1) AS BIGINT) AS sxx1,
+           CAST(sum(w2) AS BIGINT) AS sw2,
+           CAST(sum(x2) AS BIGINT) AS sx2,
+           CAST(sum(xx2) AS BIGINT) AS sxx2
+    FROM t{tag} GROUP BY 1, 2, 3, 4
+  ), p{tag} AS (
+    SELECT event_type, n, mv, sdv,
+           CAST(sx1 AS DOUBLE) / sw1 AS mu1,
+           CAST(sx2 AS DOUBLE) / sw2 AS mu2,
+           sqrt(CAST(sxx1 AS DOUBLE) / sw1
+                - (CAST(sx1 AS DOUBLE) / sw1)
+                  * (CAST(sx1 AS DOUBLE) / sw1)) AS s1,
+           sqrt(CAST(sxx2 AS DOUBLE) / sw2
+                - (CAST(sx2 AS DOUBLE) / sw2)
+                  * (CAST(sx2 AS DOUBLE) / sw2)) AS s2,
+           CAST(sw1 AS DOUBLE) / (sw1 + sw2) AS pi
+    FROM s{tag}
+    WHERE sw1 > 0 AND sw2 > 0
+      AND CAST(sxx1 AS DOUBLE) / sw1
+          - (CAST(sx1 AS DOUBLE) / sw1) * (CAST(sx1 AS DOUBLE) / sw1)
+          > 0
+      AND CAST(sxx2 AS DOUBLE) / sw2
+          - (CAST(sx2 AS DOUBLE) / sw2) * (CAST(sx2 AS DOUBLE) / sw2)
+          > 0
+  )
+"""
+
+
+SQL_GMM2 = f"""
+WITH cells AS (
+  SELECT event_type, CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v,
+         count(*) AS nv
+  FROM events GROUP BY 1, 2
+), c2 AS (
+  SELECT event_type, v, nv,
+         sum(nv) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(nv) OVER (PARTITION BY event_type) AS n,
+         sum(nv * v) OVER (PARTITION BY event_type) AS sv,
+         sum(nv * v * v) OVER (PARTITION BY event_type) AS svv
+  FROM cells
+), initm AS (
+  SELECT event_type,
+         CAST(max(n) AS BIGINT) AS n,
+         CAST(max(sv) AS BIGINT) AS svt,
+         CAST(max(svv) AS BIGINT) AS svvt,
+         CAST(min(CASE WHEN 4 * cum >= n THEN v END) AS BIGINT) AS q25,
+         CAST(min(CASE WHEN 4 * cum >= 3 * n THEN v END) AS BIGINT)
+           AS q75
+  FROM c2 GROUP BY 1
+), init AS (
+  SELECT event_type, n,
+         CAST(svt AS DOUBLE) / n AS mv,
+         sqrt((CAST(svvt AS DOUBLE)
+               - n * (CAST(svt AS DOUBLE) / n)
+                   * (CAST(svt AS DOUBLE) / n)) / n) AS sdv,
+         (q25 - CAST(svt AS DOUBLE) / n)
+           / sqrt((CAST(svvt AS DOUBLE)
+                   - n * (CAST(svt AS DOUBLE) / n)
+                       * (CAST(svt AS DOUBLE) / n)) / n) AS mu1,
+         (q75 - CAST(svt AS DOUBLE) / n)
+           / sqrt((CAST(svvt AS DOUBLE)
+                   - n * (CAST(svt AS DOUBLE) / n)
+                       * (CAST(svt AS DOUBLE) / n)) / n) AS mu2,
+         1.0 AS s1, 1.0 AS s2, 0.5 AS pi
+  FROM initm
+  WHERE (CAST(svvt AS DOUBLE)
+         - n * (CAST(svt AS DOUBLE) / n) * (CAST(svt AS DOUBLE) / n))
+        / n > 0
+), {_gmm_estep_sql("init", "1")}, {_gmm_estep_sql("p1", "2")}
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(floor(pi * 1000000 + {_OFF}) AS BIGINT) AS pi_e6,
+       CAST(floor((mv + sdv * mu1) * 100 + {_OFF}) AS BIGINT)
+         AS mu1_e4,
+       CAST(floor((mv + sdv * mu2) * 100 + {_OFF}) AS BIGINT)
+         AS mu2_e4,
+       CAST(floor(sdv * s1 * 100 + {_OFF}) AS BIGINT) AS sd1_e4,
+       CAST(floor(sdv * s2 * 100 + {_OFF}) AS BIGINT) AS sd2_e4,
+       CAST(floor(abs(mu2 - mu1) / sqrt((s1 * s1 + s2 * s2) / 2.0)
+                  * 10000 + {_OFF}) AS BIGINT) AS ashman_d_e4
+FROM p2
+ORDER BY event_type
+"""
+
+
+QUERIES.update({"gmm2_em": q_gmm2_em})
+ORACLE_SQL.update({"gmm2_em": SQL_GMM2})
+
+
+# ---------------------------------------------------------------------------
+# james_stein_hours — positive-part James-Stein (Stein 1961; Efron &
+# Morris 1975) shrinkage of the 24 hourly mean values toward the
+# unweighted grand hour mean: shrink = max(0, 1 - (K-3) sigma2bar/S)
+# with sigma2bar the mean squared SE of the hour means and S the sum
+# of squared deviations.  Per-hour terms e4-floored; the Gaussian
+# sibling of eb_shrinkage/gamma_poisson_eb.
+# ---------------------------------------------------------------------------
+
+
+def q_james_stein_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.hour("ts").alias("hh"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    hc = ev.groupBy("event_type", "hh").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("v").alias("sh"),
+        F.sum(F.col("v") * F.col("v")).alias("qh"),
+    ).filter(F.col("nh") > 1)
+    nh = F.col("nh").cast("double")
+    xh = F.col("sh").cast("double") / nh
+    varh = (
+        F.col("qh").cast("double")
+        - F.col("sh").cast("double") * F.col("sh").cast("double") / nh
+    ) / (nh - 1.0)
+    wt = Window.partitionBy("event_type")
+    t = hc.select(
+        "event_type",
+        "hh",
+        xh.alias("xh"),
+        F.floor(varh / nh * 1e4 + F.lit(_OFF)).cast("long").alias("v4"),
+        F.floor(xh * 1e4 + F.lit(_OFF)).cast("long").alias("m4"),
+    ).withColumn("k", F.count(F.lit(1)).over(wt)).withColumn(
+        "sm4", F.sum("m4").over(wt)
+    )
+    # grand mean of hour means from the e4-floored hour means (exact)
+    xbar = F.col("sm4").cast("double") / F.col("k").cast("double") / 1e4
+    t = t.withColumn(
+        "d4",
+        F.floor(
+            (F.col("xh") - xbar) * (F.col("xh") - xbar) * 1e4
+            + F.lit(_OFF)
+        ).cast("long"),
+    )
+    agg = t.groupBy("event_type").agg(
+        F.max("k").alias("k"),
+        F.max("sm4").alias("sm4"),
+        F.sum("d4").alias("sd4"),
+        F.sum("v4").alias("sv4"),
+        F.max_by(
+            "m4", F.col("m4") * 100 + (23 - F.col("hh"))
+        ).alias("peak_m4"),
+    ).filter((F.col("k") == 24) & (F.col("sd4") > 0))
+    s = F.col("sd4").cast("double") / 1e4
+    s2bar = F.col("sv4").cast("double") / 24.0 / 1e4
+    shrink = F.greatest(F.lit(0.0), 1.0 - 21.0 * s2bar / s)
+    xb = F.col("sm4").cast("double") / 24.0 / 1e4
+    peak = F.col("peak_m4").cast("double") / 1e4
+    return agg.select(
+        "event_type",
+        F.col("k").cast("long").alias("k_hours"),
+        F.floor(shrink * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "shrink_e6"
+        ),
+        F.floor(peak * 100 + F.lit(_OFF)).cast("long").alias(
+            "peak_raw_e4"
+        ),
+        F.floor((xb + shrink * (peak - xb)) * 100 + F.lit(_OFF))
+        .cast("long")
+        .alias("peak_js_e4"),
+    ).orderBy("event_type")
+
+
+SQL_JAMES_STEIN = f"""
+WITH hc AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hh,
+         count(*) AS nh,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS sh,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT)
+                  * CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS qh
+  FROM events GROUP BY 1, 2
+  HAVING count(*) > 1
+), t0 AS (
+  SELECT event_type, hh,
+         CAST(sh AS DOUBLE) / nh AS xh,
+         CAST(floor((CAST(qh AS DOUBLE)
+                     - CAST(sh AS DOUBLE) * sh / nh) / (nh - 1.0)
+                    / nh * 1e4 + {_OFF}) AS BIGINT) AS v4,
+         CAST(floor(CAST(sh AS DOUBLE) / nh * 1e4 + {_OFF})
+              AS BIGINT) AS m4
+  FROM hc
+), t1 AS (
+  SELECT event_type, hh, xh, v4, m4,
+         count(*) OVER (PARTITION BY event_type) AS k,
+         CAST(sum(m4) OVER (PARTITION BY event_type) AS BIGINT) AS sm4
+  FROM t0
+), t2 AS (
+  SELECT event_type, v4, m4, k, sm4,
+         CAST(floor((xh - CAST(sm4 AS DOUBLE) / k / 1e4)
+                    * (xh - CAST(sm4 AS DOUBLE) / k / 1e4) * 1e4
+                    + {_OFF}) AS BIGINT) AS d4,
+         hh
+  FROM t1
+), agg AS (
+  SELECT event_type, CAST(max(k) AS BIGINT) AS k,
+         CAST(max(sm4) AS BIGINT) AS sm4,
+         CAST(sum(d4) AS BIGINT) AS sd4,
+         CAST(sum(v4) AS BIGINT) AS sv4,
+         arg_max(m4, m4 * 100 + (23 - hh)) AS peak_m4
+  FROM t2 GROUP BY 1
+  HAVING max(k) = 24 AND sum(d4) > 0
+)
+SELECT event_type, k AS k_hours,
+       CAST(floor(greatest(0.0,
+                  1.0 - 21.0 * (CAST(sv4 AS DOUBLE) / 24.0 / 1e4)
+                        / (CAST(sd4 AS DOUBLE) / 1e4)) * 1000000
+                  + {_OFF}) AS BIGINT) AS shrink_e6,
+       CAST(floor(CAST(peak_m4 AS DOUBLE) / 1e4 * 100 + {_OFF})
+            AS BIGINT) AS peak_raw_e4,
+       CAST(floor((CAST(sm4 AS DOUBLE) / 24.0 / 1e4
+                   + greatest(0.0,
+                     1.0 - 21.0 * (CAST(sv4 AS DOUBLE) / 24.0 / 1e4)
+                           / (CAST(sd4 AS DOUBLE) / 1e4))
+                     * (CAST(peak_m4 AS DOUBLE) / 1e4
+                        - CAST(sm4 AS DOUBLE) / 24.0 / 1e4)) * 100
+                  + {_OFF}) AS BIGINT) AS peak_js_e4
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# aic_trend_degree — polynomial trend-degree selection (0/1/2) on the
+# per-type daily mean series by AIC = n ln(RSS/n) + 2(k+1) (Akaike
+# 1974).  Daily means e4-floored to integers; RSS0/1/2 come from the
+# closed-form nested OLS decomposition (2x2 normal equations for the
+# quadratic), so no iterative fitting anywhere.
+# ---------------------------------------------------------------------------
+
+
+def q_aic_trend_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+        ).alias("sd"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    t = daily.withColumn("t", F.row_number().over(wo) - 1).select(
+        "event_type",
+        "t",
+        F.floor(
+            F.col("sd").cast("double") / F.col("nd") * 100 + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("y4"),
+    )
+    agg = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y4").alias("sy"),
+        F.sum(F.col("y4") * F.col("y4")).alias("syy"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("t") * F.col("t")).alias("st3"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") * F.col("t")
+        ).alias("st4"),
+        F.sum(F.col("t") * F.col("y4")).alias("sty"),
+        F.sum(F.col("t") * F.col("t") * F.col("y4")).alias("stty"),
+    )
+    n = F.col("n").cast("double")
+    sy = F.col("sy").cast("double")
+    st = F.col("st").cast("double")
+    stt = F.col("stt").cast("double")
+    st3 = F.col("st3").cast("double")
+    st4 = F.col("st4").cast("double")
+    sty = F.col("sty").cast("double")
+    stty = F.col("stty").cast("double")
+    syy = F.col("syy").cast("double")
+    rss0 = syy - sy * sy / n
+    suu = stt - st * st / n
+    suy = sty - st * sy / n
+    rss1 = rss0 - suy * suy / suu
+    # centered quadratic regressor w = t^2 - mean(t^2)
+    suw = st3 - st * stt / n
+    sww = st4 - stt * stt / n
+    swy = stty - stt * sy / n
+    det = suu * sww - suw * suw
+    b1 = (sww * suy - suw * swy) / det
+    b2 = (suu * swy - suw * suy) / det
+    rss2 = rss0 - (b1 * suy + b2 * swy)
+    aic0 = n * F.log(rss0 / n) + 2.0
+    aic1 = n * F.log(rss1 / n) + 4.0
+    aic2 = n * F.log(rss2 / n) + 6.0
+    best = (
+        F.when((aic0 <= aic1) & (aic0 <= aic2), F.lit(0))
+        .when(aic1 <= aic2, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    return agg.filter(
+        (F.col("n") > 5) & (rss0 > 0) & (rss1 > 0) & (rss2 > 0)
+        & (det > 0)
+    ).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.floor(aic0 * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "aic0_e4"
+        ),
+        F.floor(aic1 * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "aic1_e4"
+        ),
+        F.floor(aic2 * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "aic2_e4"
+        ),
+        best.cast("long").alias("best_degree"),
+    ).orderBy("event_type")
+
+
+SQL_AIC_TREND = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS nd,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS sd
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
+           AS t,
+         CAST(floor(CAST(sd AS DOUBLE) / nd * 100 + {_OFF}) AS BIGINT)
+           AS y4
+  FROM daily
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(y4) AS BIGINT) AS sy,
+         CAST(sum(y4 * y4) AS BIGINT) AS syy,
+         CAST(sum(t) AS BIGINT) AS st,
+         CAST(sum(t * t) AS BIGINT) AS stt,
+         CAST(sum(t * t * t) AS BIGINT) AS st3,
+         CAST(sum(t * t * t * t) AS BIGINT) AS st4,
+         CAST(sum(t * y4) AS BIGINT) AS sty,
+         CAST(sum(t * t * y4) AS BIGINT) AS stty
+  FROM t GROUP BY 1
+), m AS (
+  SELECT event_type, n,
+         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS rss0,
+         CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st / n AS suu,
+         CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy / n AS suy,
+         CAST(st3 AS DOUBLE) - CAST(st AS DOUBLE) * stt / n AS suw,
+         CAST(st4 AS DOUBLE) - CAST(stt AS DOUBLE) * stt / n AS sww,
+         CAST(stty AS DOUBLE) - CAST(stt AS DOUBLE) * sy / n AS swy
+  FROM agg
+), f AS (
+  SELECT event_type, n, rss0,
+         rss0 - suy * suy / suu AS rss1,
+         rss0 - ((sww * suy - suw * swy) / (suu * sww - suw * suw)
+                   * suy
+                 + (suu * swy - suw * suy) / (suu * sww - suw * suw)
+                   * swy) AS rss2,
+         suu * sww - suw * suw AS det
+  FROM m
+), a AS (
+  SELECT event_type, n,
+         n * ln(rss0 / n) + 2.0 AS aic0,
+         n * ln(rss1 / n) + 4.0 AS aic1,
+         n * ln(rss2 / n) + 6.0 AS aic2
+  FROM f
+  WHERE n > 5 AND rss0 > 0 AND rss1 > 0 AND rss2 > 0 AND det > 0
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       CAST(floor(aic0 * 10000 + {_OFF}) AS BIGINT) AS aic0_e4,
+       CAST(floor(aic1 * 10000 + {_OFF}) AS BIGINT) AS aic1_e4,
+       CAST(floor(aic2 * 10000 + {_OFF}) AS BIGINT) AS aic2_e4,
+       CAST(CASE WHEN aic0 <= aic1 AND aic0 <= aic2 THEN 0
+                 WHEN aic1 <= aic2 THEN 1 ELSE 2 END AS BIGINT)
+         AS best_degree
+FROM a
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# wald_iv_estimate — the Wald (1940) instrumental-variable estimator:
+# instrument z = day/night first-event cohort, treatment d = heavy
+# user (per-user event count >= global lower-median count), outcome
+# y = per-user mean centi-value.  beta_IV = (ybar1 - ybar0) /
+# (dbar1 - dbar0), delta-method SE including the within-group y-d
+# covariance.  Per-user y e4-floored; all group moments exact BIGINT.
+# ---------------------------------------------------------------------------
+
+
+def q_wald_iv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
+    per = ev.groupBy("user_id").agg(
+        F.min(F.floor(sec).cast("long")).alias("first_s"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+        ).alias("sv"),
+    ).select(
+        F.when(
+            ((F.col("first_s") % 86_400) / 3_600)
+            .cast("long")
+            .between(8, 19),
+            1,
+        )
+        .otherwise(0)
+        .alias("z"),
+        "cnt",
+        F.floor(
+            F.col("sv").cast("double") / F.col("cnt") * 100
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("y4"),
+    )
+    cdom = per.groupBy("cnt").agg(F.count(F.lit(1)).alias("nc"))
+    wcd = Window.orderBy("cnt").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    med = (
+        cdom.withColumn("cum", F.sum("nc").over(wcd))
+        .withColumn("n", F.sum("nc").over(Window.partitionBy()))
+        .filter(2 * F.col("cum") >= F.col("n"))
+        .agg(F.min("cnt").alias("medc"))
+    )
+    per2 = per.crossJoin(F.broadcast(med)).withColumn(
+        "d", (F.col("cnt") >= F.col("medc")).cast("long")
+    )
+    g = per2.groupBy("z").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("y4").alias("sy"),
+        F.sum(F.col("y4") * F.col("y4")).alias("syy"),
+        F.sum("d").alias("sd_"),
+        F.sum(F.col("d") * F.col("y4")).alias("sdy"),
+    )
+    ngd = F.col("ng").cast("double")
+    ybar = F.col("sy").cast("double") / ngd
+    dbar = F.col("sd_").cast("double") / ngd
+    vary = (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double") / ngd
+    ) / (ngd - 1.0)
+    vard = dbar * (1.0 - dbar) * ngd / (ngd - 1.0)
+    covyd = (
+        F.col("sdy").cast("double")
+        - F.col("sd_").cast("double") * F.col("sy").cast("double") / ngd
+    ) / (ngd - 1.0)
+    g2 = g.select(
+        "z",
+        "ng",
+        ybar.alias("ybar"),
+        dbar.alias("dbar"),
+        (vary / ngd).alias("vy"),
+        (vard / ngd).alias("vd"),
+        (covyd / ngd).alias("cyd"),
+    )
+    a = g2.filter(F.col("z") == 1).select(
+        F.col("ng").alias("n1"),
+        F.col("ybar").alias("y1"),
+        F.col("dbar").alias("d1"),
+        F.col("vy").alias("vy1"),
+        F.col("vd").alias("vd1"),
+        F.col("cyd").alias("c1"),
+    )
+    b = g2.filter(F.col("z") == 0).select(
+        F.col("ng").alias("n0"),
+        F.col("ybar").alias("y0"),
+        F.col("dbar").alias("d0"),
+        F.col("vy").alias("vy0"),
+        F.col("vd").alias("vd0"),
+        F.col("cyd").alias("c0"),
+    )
+    j = a.crossJoin(b)
+    num = F.col("y1") - F.col("y0")
+    den = F.col("d1") - F.col("d0")
+    w = num / den
+    se2 = (
+        F.col("vy1")
+        + F.col("vy0")
+        + w * w * (F.col("vd1") + F.col("vd0"))
+        - 2.0 * w * (F.col("c1") + F.col("c0"))
+    ) / (den * den)
+    return j.filter(den != 0).select(
+        F.col("n1").cast("long").alias("n_day"),
+        F.col("n0").cast("long").alias("n_night"),
+        F.floor(den * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "first_stage_e6"
+        ),
+        F.floor(w + F.lit(_OFF)).cast("long").alias("wald_iv_e4"),
+        F.floor(F.sqrt(se2) + F.lit(_OFF)).cast("long").alias(
+            "se_e4"
+        ),
+        F.floor(w / F.sqrt(se2) * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("z_e4"),
+    )
+
+
+SQL_WALD_IV = f"""
+WITH per AS (
+  SELECT CASE WHEN CAST(floor((CAST(min(floor(epoch(ts))) AS BIGINT)
+                               % 86400) / 3600) AS BIGINT)
+                   BETWEEN 8 AND 19
+              THEN 1 ELSE 0 END AS z,
+         count(*) AS cnt,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF})
+                                  AS BIGINT)) AS DOUBLE)
+                    / count(*) * 100 + {_OFF}) AS BIGINT) AS y4
+  FROM events GROUP BY user_id
+), cdom AS (
+  SELECT cnt, count(*) AS nc FROM per GROUP BY 1
+), medt AS (
+  SELECT CAST(min(cnt) AS BIGINT) AS medc
+  FROM (
+    SELECT cnt,
+           sum(nc) OVER (ORDER BY cnt ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(nc) OVER () AS n
+    FROM cdom
+  ) WHERE 2 * cum >= n
+), per2 AS (
+  SELECT z, y4,
+         CASE WHEN cnt >= medc THEN 1 ELSE 0 END AS d
+  FROM per CROSS JOIN medt
+), g AS (
+  SELECT z, count(*) AS ng,
+         CAST(sum(y4) AS BIGINT) AS sy,
+         CAST(sum(y4 * y4) AS BIGINT) AS syy,
+         CAST(sum(d) AS BIGINT) AS sd_,
+         CAST(sum(d * y4) AS BIGINT) AS sdy
+  FROM per2 GROUP BY 1
+), g2 AS (
+  SELECT z, ng,
+         CAST(sy AS DOUBLE) / ng AS ybar,
+         CAST(sd_ AS DOUBLE) / ng AS dbar,
+         (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / ng)
+           / (ng - 1.0) / ng AS vy,
+         (CAST(sd_ AS DOUBLE) / ng) * (1.0 - CAST(sd_ AS DOUBLE) / ng)
+           * ng / (ng - 1.0) / ng AS vd,
+         (CAST(sdy AS DOUBLE) - CAST(sd_ AS DOUBLE) * sy / ng)
+           / (ng - 1.0) / ng AS cyd
+  FROM g
+)
+SELECT CAST(a.ng AS BIGINT) AS n_day,
+       CAST(b.ng AS BIGINT) AS n_night,
+       CAST(floor((a.dbar - b.dbar) * 1000000 + {_OFF}) AS BIGINT)
+         AS first_stage_e6,
+       CAST(floor((a.ybar - b.ybar) / (a.dbar - b.dbar) + {_OFF})
+            AS BIGINT) AS wald_iv_e4,
+       CAST(floor(sqrt((a.vy + b.vy
+                        + ((a.ybar - b.ybar) / (a.dbar - b.dbar))
+                          * ((a.ybar - b.ybar) / (a.dbar - b.dbar))
+                          * (a.vd + b.vd)
+                        - 2.0 * ((a.ybar - b.ybar) / (a.dbar - b.dbar))
+                          * (a.cyd + b.cyd))
+                       / ((a.dbar - b.dbar) * (a.dbar - b.dbar)))
+                  + {_OFF}) AS BIGINT) AS se_e4,
+       CAST(floor((a.ybar - b.ybar) / (a.dbar - b.dbar)
+                  / sqrt((a.vy + b.vy
+                          + ((a.ybar - b.ybar) / (a.dbar - b.dbar))
+                            * ((a.ybar - b.ybar) / (a.dbar - b.dbar))
+                            * (a.vd + b.vd)
+                          - 2.0 * ((a.ybar - b.ybar)
+                                   / (a.dbar - b.dbar))
+                            * (a.cyd + b.cyd))
+                         / ((a.dbar - b.dbar) * (a.dbar - b.dbar)))
+                  * 10000 + {_OFF}) AS BIGINT) AS z_e4
+FROM g2 a CROSS JOIN g2 b
+WHERE a.z = 1 AND b.z = 0 AND a.dbar <> b.dbar
+"""
+
+
+QUERIES.update(
+    {
+        "james_stein_hours": q_james_stein_hours,
+        "aic_trend_degree": q_aic_trend_degree,
+        "wald_iv_estimate": q_wald_iv_estimate,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "james_stein_hours": SQL_JAMES_STEIN,
+        "aic_trend_degree": SQL_AIC_TREND,
+        "wald_iv_estimate": SQL_WALD_IV,
+    }
+)
