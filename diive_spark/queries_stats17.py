@@ -8374,3 +8374,502 @@ ORACLE_SQL.update(
         "wald_iv_estimate": SQL_WALD_IV,
     }
 )
+
+
+# ===========================================================================
+# Battery S: kernel regression + MANOVA + extremes — Nadaraya-Watson
+# and local-linear smoothers of value over the circular hour-of-week,
+# the Pillai trace MANOVA for the (value, second-of-hour) pair across
+# day/night, and peaks-over-threshold return levels from the MoM GPD
+# on value exceedances.
+# ===========================================================================
+
+
+def _how_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(type, hour-of-week) cells with count and centi-value sum."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    how = (
+        (F.dayofweek("ts") - 1) * 24 + F.hour("ts")
+    ).cast("long")
+    return ev.groupBy("event_type", how.alias("x")).agg(
+        F.count(F.lit(1)).alias("nc"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+        ).alias("sc"),
+    )
+
+
+_SQL_HOW = f"""
+  cells AS (
+    SELECT event_type,
+           CAST(dayofweek(ts) * 24 + EXTRACT(hour FROM ts) AS BIGINT)
+             AS x,
+           count(*) AS nc,
+           CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+                AS BIGINT) AS sc
+    FROM events GROUP BY 1, 2
+  ), grid AS (
+    SELECT unnest(generate_series(0, 161, 7)) AS g
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# nadaraya_watson — Gaussian-kernel regression of value on the
+# CIRCULAR hour-of-week (Nadaraya 1964; Watson 1964), evaluated on a
+# fixed 24-point grid with bandwidth h = 12 h and circular distance
+# min(|g-x|, 168-|g-x|).  The smoother collapses to the bounded
+# 168-cell domain x 24 grid points; numerator/denominator terms are
+# e2/e6-floored so the weighted ratio is exact cross-engine.
+# ---------------------------------------------------------------------------
+
+
+def q_nadaraya_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = _how_cells(spark, sf_dir)
+    grid = spark.range(0, 162, 7).select(F.col("id").alias("g"))
+    j = cells.crossJoin(F.broadcast(grid))
+    ad = F.abs(F.col("g") - F.col("x")).cast("double")
+    d = F.least(ad, 168.0 - ad)
+    kw = F.exp(-d * d / (2.0 * 144.0))
+    t = j.select(
+        "event_type",
+        "g",
+        F.floor(kw * F.col("sc").cast("double") * 100 + F.lit(_OFF))
+        .cast("long")
+        .alias("num2"),
+        F.floor(kw * F.col("nc").cast("double") * 1e6 + F.lit(_OFF))
+        .cast("long")
+        .alias("den6"),
+    )
+    agg = t.groupBy("event_type", "g").agg(
+        F.sum("num2").alias("sn"), F.sum("den6").alias("sd_")
+    )
+    m = (
+        F.col("sn").cast("double")
+        / 100.0
+        / (F.col("sd_").cast("double") / 1e6)
+    )
+    return agg.filter(F.col("sd_") > 0).select(
+        "event_type",
+        F.col("g").cast("long").alias("g"),
+        F.floor(m * 100 + F.lit(_OFF)).cast("long").alias("m_e4"),
+    ).orderBy("event_type", "g")
+
+
+SQL_NW = f"""
+WITH {_SQL_HOW}, j AS (
+  SELECT c.event_type, g.g, c.nc, c.sc,
+         exp(-least(abs(g.g - c.x), 168.0 - abs(g.g - c.x))
+             * least(abs(g.g - c.x), 168.0 - abs(g.g - c.x))
+             / (2.0 * 144.0)) AS kw
+  FROM cells c CROSS JOIN grid g
+), t AS (
+  SELECT event_type, g,
+         CAST(floor(kw * CAST(sc AS DOUBLE) * 100 + {_OFF})
+              AS BIGINT) AS num2,
+         CAST(floor(kw * CAST(nc AS DOUBLE) * 1e6 + {_OFF})
+              AS BIGINT) AS den6
+  FROM j
+), agg AS (
+  SELECT event_type, g,
+         CAST(sum(num2) AS BIGINT) AS sn,
+         CAST(sum(den6) AS BIGINT) AS sd_
+  FROM t GROUP BY 1, 2
+)
+SELECT event_type, CAST(g AS BIGINT) AS g,
+       CAST(floor(CAST(sn AS DOUBLE) / 100.0
+                  / (CAST(sd_ AS DOUBLE) / 1e6) * 100 + {_OFF})
+            AS BIGINT) AS m_e4
+FROM agg WHERE sd_ > 0
+ORDER BY event_type, g
+"""
+
+
+# ---------------------------------------------------------------------------
+# local_linear_smooth — degree-1 local polynomial (Fan 1992) at the
+# same circular grid: solves the 2x2 weighted normal equations with
+# SIGNED circular distance dx = ((x - g + 84) mod 168) - 84, which
+# removes the Nadaraya-Watson boundary/design bias.  Five kernel-
+# moment sums per (type, g), each floored before aggregation.
+# ---------------------------------------------------------------------------
+
+
+def q_local_linear_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = _how_cells(spark, sf_dir)
+    grid = spark.range(0, 162, 7).select(F.col("id").alias("g"))
+    j = cells.crossJoin(F.broadcast(grid))
+    dx = (
+        ((F.col("x") - F.col("g") + 84 + 168) % 168) - 84
+    ).cast("double")
+    kw = F.exp(-dx * dx / (2.0 * 144.0))
+    ncd = F.col("nc").cast("double")
+    scd = F.col("sc").cast("double")
+    t = j.select(
+        "event_type",
+        "g",
+        F.floor(kw * ncd * 1e6 + F.lit(_OFF)).cast("long").alias("s0"),
+        F.floor(kw * ncd * dx * 1e4 + F.lit(_OFF))
+        .cast("long")
+        .alias("s1"),
+        F.floor(kw * ncd * dx * dx * 1e2 + F.lit(_OFF))
+        .cast("long")
+        .alias("s2"),
+        F.floor(kw * scd * 100 + F.lit(_OFF)).cast("long").alias("t0"),
+        F.floor(kw * scd * dx + F.lit(_OFF)).cast("long").alias("t1"),
+    )
+    agg = t.groupBy("event_type", "g").agg(
+        F.sum("s0").alias("a0"),
+        F.sum("s1").alias("a1"),
+        F.sum("s2").alias("a2"),
+        F.sum("t0").alias("b0"),
+        F.sum("t1").alias("b1"),
+    )
+    s0 = F.col("a0").cast("double") / 1e6
+    s1 = F.col("a1").cast("double") / 1e4
+    s2 = F.col("a2").cast("double") / 1e2
+    t0 = F.col("b0").cast("double") / 1e2
+    t1 = F.col("b1").cast("double")
+    det = s0 * s2 - s1 * s1
+    m = (s2 * t0 - s1 * t1) / det
+    return agg.filter(
+        (F.col("a0") > 0) & (det > 0)
+    ).select(
+        "event_type",
+        F.col("g").cast("long").alias("g"),
+        F.floor(m * 100 + F.lit(_OFF)).cast("long").alias("m_e4"),
+    ).orderBy("event_type", "g")
+
+
+SQL_LL = f"""
+WITH {_SQL_HOW}, j AS (
+  SELECT c.event_type, g.g, c.nc, c.sc,
+         CAST(((c.x - g.g + 84 + 168) % 168) - 84 AS DOUBLE) AS dx
+  FROM cells c CROSS JOIN grid g
+), t AS (
+  SELECT event_type, g,
+         CAST(floor(exp(-dx * dx / 288.0) * nc * 1e6 + {_OFF})
+              AS BIGINT) AS s0,
+         CAST(floor(exp(-dx * dx / 288.0) * nc * dx * 1e4 + {_OFF})
+              AS BIGINT) AS s1,
+         CAST(floor(exp(-dx * dx / 288.0) * nc * dx * dx * 1e2
+                    + {_OFF}) AS BIGINT) AS s2,
+         CAST(floor(exp(-dx * dx / 288.0) * sc * 100 + {_OFF})
+              AS BIGINT) AS t0,
+         CAST(floor(exp(-dx * dx / 288.0) * sc * dx + {_OFF})
+              AS BIGINT) AS t1
+  FROM j
+), agg AS (
+  SELECT event_type, g,
+         CAST(sum(s0) AS BIGINT) AS a0,
+         CAST(sum(s1) AS BIGINT) AS a1,
+         CAST(sum(s2) AS BIGINT) AS a2,
+         CAST(sum(t0) AS BIGINT) AS b0,
+         CAST(sum(t1) AS BIGINT) AS b1
+  FROM t GROUP BY 1, 2
+)
+SELECT event_type, CAST(g AS BIGINT) AS g,
+       CAST(floor(((CAST(a2 AS DOUBLE) / 1e2) * (CAST(b0 AS DOUBLE) / 1e2)
+                   - (CAST(a1 AS DOUBLE) / 1e4) * CAST(b1 AS DOUBLE))
+                  / ((CAST(a0 AS DOUBLE) / 1e6)
+                       * (CAST(a2 AS DOUBLE) / 1e2)
+                     - (CAST(a1 AS DOUBLE) / 1e4)
+                       * (CAST(a1 AS DOUBLE) / 1e4))
+                  * 100 + {_OFF}) AS BIGINT) AS m_e4
+FROM agg
+WHERE a0 > 0
+  AND (CAST(a0 AS DOUBLE) / 1e6) * (CAST(a2 AS DOUBLE) / 1e2)
+      - (CAST(a1 AS DOUBLE) / 1e4) * (CAST(a1 AS DOUBLE) / 1e4) > 0
+ORDER BY event_type, g
+"""
+
+
+QUERIES.update(
+    {
+        "nadaraya_watson": q_nadaraya_watson,
+        "local_linear_smooth": q_local_linear_smooth,
+    }
+)
+ORACLE_SQL.update(
+    {"nadaraya_watson": SQL_NW, "local_linear_smooth": SQL_LL}
+)
+
+
+# ---------------------------------------------------------------------------
+# pillai_manova — one-way MANOVA (2 groups: day/night; 2 responses:
+# centi-value, second-of-hour) via the Pillai (1955) trace
+# V = tr(H (H + E)^-1).  With 2 groups H has rank 1, so the exact
+# F is (n - p - 1)/p * V/(1 - V).  All SSCP entries come from exact
+# integer cross-moment sums; the 2x2 inverse is closed-form.
+# ---------------------------------------------------------------------------
+
+
+def q_pillai_manova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.when(F.hour("ts").between(8, 19), 1).otherwise(0).alias("g"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "y1"
+        ),
+        (F.minute("ts") * 60 + F.second("ts")).cast("long").alias("y2"),
+    )
+    gm = ev.groupBy("event_type", "g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y1").alias("s1"),
+        F.sum("y2").alias("s2"),
+        F.sum(F.col("y1") * F.col("y1")).alias("s11"),
+        F.sum(F.col("y2") * F.col("y2")).alias("s22"),
+        F.sum(F.col("y1") * F.col("y2")).alias("s12"),
+    )
+    tot = gm.groupBy("event_type").agg(
+        F.sum("n").alias("nt"),
+        F.sum("s1").alias("t1"),
+        F.sum("s2").alias("t2"),
+        F.sum("s11").alias("t11"),
+        F.sum("s22").alias("t22"),
+        F.sum("s12").alias("t12"),
+        # between-group SSCP: sum_g s_i s_j / n_g (exact rationals)
+        F.sum(
+            F.col("s1").cast("double")
+            * F.col("s1").cast("double")
+            / F.col("n")
+        ).alias("b11"),
+        F.sum(
+            F.col("s2").cast("double")
+            * F.col("s2").cast("double")
+            / F.col("n")
+        ).alias("b22"),
+        F.sum(
+            F.col("s1").cast("double")
+            * F.col("s2").cast("double")
+            / F.col("n")
+        ).alias("b12"),
+    )
+    nt = F.col("nt").cast("double")
+    # T = total SSCP about the grand mean; H = B - correction; E = T - H
+    t11 = F.col("t11").cast("double") - F.col("t1").cast(
+        "double"
+    ) * F.col("t1").cast("double") / nt
+    t22 = F.col("t22").cast("double") - F.col("t2").cast(
+        "double"
+    ) * F.col("t2").cast("double") / nt
+    t12 = F.col("t12").cast("double") - F.col("t1").cast(
+        "double"
+    ) * F.col("t2").cast("double") / nt
+    h11 = F.col("b11") - F.col("t1").cast("double") * F.col("t1").cast(
+        "double"
+    ) / nt
+    h22 = F.col("b22") - F.col("t2").cast("double") * F.col("t2").cast(
+        "double"
+    ) / nt
+    h12 = F.col("b12") - F.col("t1").cast("double") * F.col("t2").cast(
+        "double"
+    ) / nt
+    # V = tr(H T^-1) with T = H + E the total SSCP
+    dett = t11 * t22 - t12 * t12
+    v = (h11 * t22 - 2.0 * h12 * t12 + h22 * t11) / dett
+    fstat = (nt - 3.0) / 2.0 * v / (1.0 - v)
+    return tot.filter((dett > 0) & (F.col("nt") > 3)).select(
+        "event_type",
+        F.col("nt").cast("long").alias("n"),
+        F.floor(v * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "pillai_e6"
+        ),
+        F.floor(fstat * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "f_e4"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_PILLAI = f"""
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN EXTRACT(hour FROM ts) BETWEEN 8 AND 19
+              THEN 1 ELSE 0 END AS g,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS y1,
+         CAST(EXTRACT(minute FROM ts) * 60 + EXTRACT(second FROM ts)
+              AS BIGINT) AS y2
+  FROM events
+), gm AS (
+  SELECT event_type, g, count(*) AS n,
+         CAST(sum(y1) AS BIGINT) AS s1,
+         CAST(sum(y2) AS BIGINT) AS s2,
+         CAST(sum(y1 * y1) AS BIGINT) AS s11,
+         CAST(sum(y2 * y2) AS BIGINT) AS s22,
+         CAST(sum(y1 * y2) AS BIGINT) AS s12
+  FROM ev GROUP BY 1, 2
+), tot AS (
+  SELECT event_type,
+         CAST(sum(n) AS BIGINT) AS nt,
+         CAST(sum(s1) AS BIGINT) AS t1,
+         CAST(sum(s2) AS BIGINT) AS t2,
+         CAST(sum(s11) AS BIGINT) AS t11,
+         CAST(sum(s22) AS BIGINT) AS t22,
+         CAST(sum(s12) AS BIGINT) AS t12,
+         sum(CAST(s1 AS DOUBLE) * s1 / n) AS b11,
+         sum(CAST(s2 AS DOUBLE) * s2 / n) AS b22,
+         sum(CAST(s1 AS DOUBLE) * s2 / n) AS b12
+  FROM gm GROUP BY 1
+), m AS (
+  SELECT event_type, nt,
+         CAST(t11 AS DOUBLE) - CAST(t1 AS DOUBLE) * t1 / nt AS tt11,
+         CAST(t22 AS DOUBLE) - CAST(t2 AS DOUBLE) * t2 / nt AS tt22,
+         CAST(t12 AS DOUBLE) - CAST(t1 AS DOUBLE) * t2 / nt AS tt12,
+         b11 - CAST(t1 AS DOUBLE) * t1 / nt AS h11,
+         b22 - CAST(t2 AS DOUBLE) * t2 / nt AS h22,
+         b12 - CAST(t1 AS DOUBLE) * t2 / nt AS h12
+  FROM tot
+), f AS (
+  SELECT event_type, nt,
+         (h11 * tt22 - 2.0 * h12 * tt12 + h22 * tt11)
+           / (tt11 * tt22 - tt12 * tt12) AS v
+  FROM m
+  WHERE tt11 * tt22 - tt12 * tt12 > 0 AND nt > 3
+)
+SELECT event_type, nt AS n,
+       CAST(floor(v * 1000000 + {_OFF}) AS BIGINT) AS pillai_e6,
+       CAST(floor((nt - 3.0) / 2.0 * v / (1.0 - v) * 10000 + {_OFF})
+            AS BIGINT) AS f_e4
+FROM f
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# pot_return_level — peaks-over-threshold return levels: threshold
+# u = per-type lower q90 of the centi-value domain, exceedances fitted
+# by the method-of-moments GPD (xi = (1 - m^2/s^2)/2, sigma =
+# m (m^2/s^2 + 1)/2; Hosking & Wallis 1987), and the T-day return
+# level u + sigma/xi ((lambda T)^xi - 1) at T = 100 days with lambda
+# the exceedances-per-day rate.  The power is an explicit
+# exp(xi ln ...) tree.  Companion of the daily-count gpd_fit.
+# ---------------------------------------------------------------------------
+
+
+def q_pot_return_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    )
+    cells = ev.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).alias("nv")
+    )
+    wc = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("event_type")
+    thr = (
+        cells.withColumn("cum", F.sum("nv").over(wc))
+        .withColumn("n", F.sum("nv").over(wt))
+        .filter(10 * F.col("cum") >= 9 * F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("v").alias("u"))
+    )
+    days = ev.groupBy("event_type").agg(
+        (F.max("day") - F.min("day") + 1).alias("span_d")
+    )
+    exc = ev.join(F.broadcast(thr), "event_type").filter(
+        F.col("v") > F.col("u")
+    ).select("event_type", "u", (F.col("v") - F.col("u")).alias("y"))
+    agg = exc.groupBy("event_type", "u").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).join(F.broadcast(days), "event_type")
+    kd = F.col("k").cast("double")
+    m = F.col("sy").cast("double") / kd
+    s2 = (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double") / kd
+    ) / (kd - 1.0)
+    ratio = m * m / s2
+    xi = (1.0 - ratio) / 2.0
+    sig = m * (ratio + 1.0) / 2.0
+    lam = kd / F.col("span_d").cast("double")
+    rl = F.col("u").cast("double") + sig / xi * (
+        F.exp(xi * F.log(lam * 100.0)) - 1.0
+    )
+    return agg.filter(
+        (F.col("k") > 5) & (s2 > 0) & (xi != 0) & (lam * 100.0 > 0)
+    ).select(
+        "event_type",
+        F.col("k").cast("long").alias("n_exceed"),
+        F.col("u").cast("long").alias("u_e2"),
+        F.floor(xi * 10_000 + F.lit(_OFF)).cast("long").alias("xi_e4"),
+        F.floor(sig * 100 + F.lit(_OFF)).cast("long").alias(
+            "sigma_e4"
+        ),
+        F.floor(rl * 100 + F.lit(_OFF)).cast("long").alias(
+            "rl100_e4"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_POT_RL = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+), cells AS (
+  SELECT event_type, v, count(*) AS nv FROM ev GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, v,
+         sum(nv) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(nv) OVER (PARTITION BY event_type) AS n
+  FROM cells
+), thr AS (
+  SELECT event_type, CAST(min(v) AS BIGINT) AS u
+  FROM cum WHERE 10 * cum >= 9 * n GROUP BY 1
+), days AS (
+  SELECT event_type,
+         CAST(max(day) - min(day) + 1 AS BIGINT) AS span_d
+  FROM ev GROUP BY 1
+), exc AS (
+  SELECT e.event_type, t.u, e.v - t.u AS y
+  FROM ev e JOIN thr t ON t.event_type = e.event_type
+  WHERE e.v > t.u
+), agg AS (
+  SELECT x.event_type, x.u, count(*) AS k,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(max(d.span_d) AS BIGINT) AS span_d
+  FROM exc x JOIN days d ON d.event_type = x.event_type
+  GROUP BY 1, 2
+), f AS (
+  SELECT event_type, k, u, span_d,
+         CAST(sy AS DOUBLE) / k AS m,
+         (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / k)
+           / (k - 1.0) AS s2
+  FROM agg WHERE k > 5
+), p AS (
+  SELECT event_type, k, u,
+         (1.0 - m * m / s2) / 2.0 AS xi,
+         m * (m * m / s2 + 1.0) / 2.0 AS sig,
+         CAST(k AS DOUBLE) / span_d AS lam
+  FROM f WHERE s2 > 0
+)
+SELECT event_type, CAST(k AS BIGINT) AS n_exceed, u AS u_e2,
+       CAST(floor(xi * 10000 + {_OFF}) AS BIGINT) AS xi_e4,
+       CAST(floor(sig * 100 + {_OFF}) AS BIGINT) AS sigma_e4,
+       CAST(floor((u + sig / xi * (exp(xi * ln(lam * 100.0)) - 1.0))
+                  * 100 + {_OFF}) AS BIGINT) AS rl100_e4
+FROM p WHERE xi <> 0 AND lam * 100.0 > 0
+ORDER BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "pillai_manova": q_pillai_manova,
+        "pot_return_level": q_pot_return_level,
+    }
+)
+ORACLE_SQL.update(
+    {"pillai_manova": SQL_PILLAI, "pot_return_level": SQL_POT_RL}
+)
