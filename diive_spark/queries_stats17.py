@@ -8873,3 +8873,44 @@ QUERIES.update(
 ORACLE_SQL.update(
     {"pillai_manova": SQL_PILLAI, "pot_return_level": SQL_POT_RL}
 )
+
+
+# ---------------------------------------------------------------------------
+# lz76_complexity — rows-only kernel: Lempel-Ziv (1976) phrase-count
+# complexity of the median-binarized hourly count series per type
+# (Kaspar-Schuster production counting inside a grouped Arrow kernel;
+# the parse is inherently sequential, so no SQL twin — exactness is
+# pinned in tests/test_lz76.py against a brute-force substring parse).
+# The compression-side twin of sample_entropy.
+# ---------------------------------------------------------------------------
+
+
+def q_lz76_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.lzcomplexity import lz76_complexity
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+            )
+            * 3600
+        )
+        .cast("long")
+        .alias("ts_s"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    out = lz76_complexity(
+        hourly, "event_type", "ts_s", "cnt", step_s=3600,
+        key_type="string",
+    )
+    return out.select(
+        "event_type",
+        "n",
+        "ones",
+        "phrases",
+        F.round("c_norm", 4).alias("c_norm"),
+    ).orderBy("event_type")
+
+
+QUERIES.update({"lz76_complexity": q_lz76_complexity})
