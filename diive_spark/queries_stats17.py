@@ -9299,3 +9299,507 @@ ORACLE_SQL.update(
         "kuiper_two_sample": SQL_KUIPER2,
     }
 )
+
+
+# ===========================================================================
+# Battery U: event studies + actuarial priors + ranking models — the
+# market-model event study of the Monday calendar effect (MacKinlay
+# 1997), the Bornhuetter-Ferguson ultimate composing the chain-ladder
+# development pattern with an exposure prior, and a Plackett-Luce
+# ranking model fitted by two unrolled MM iterations.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# event_study_car — market-model event study: estimate (alpha, beta)
+# per type on NON-Monday days, compute abnormal returns AR = r - a -
+# b m on Mondays, and report AAR, CAR and the t from the estimation
+# residual variance (MacKinlay, J Econ Lit 1997 — here the recurring
+# "event" is the week boundary, i.e. a Monday-effect study).
+# ---------------------------------------------------------------------------
+
+
+def q_event_study_car(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_value_counts(spark, sf_dir)
+    r = _daily_returns(daily).join(
+        F.broadcast(_market_returns(daily)), "day"
+    )
+    # day 0 of the unix epoch was a Thursday; (day + 3) % 7 == 0 -> Mon
+    r = r.withColumn(
+        "is_mon", (((F.col("day") + 3) % 7) == 0).cast("long")
+    )
+    est = r.filter(F.col("is_mon") == 0)
+    agg = est.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ne"),
+        F.sum("m6").alias("sx"),
+        F.sum("r6").alias("sy"),
+        F.sum(F.col("m6") * F.col("m6")).alias("sxx"),
+        F.sum(F.col("m6") * F.col("r6")).alias("sxy"),
+        F.sum(F.col("r6") * F.col("r6")).alias("syy"),
+    )
+    ned = F.col("ne").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    vx = F.col("sxx").cast("double") - sx * sx / ned
+    cxy = F.col("sxy").cast("double") - sx * sy / ned
+    beta = cxy / vx
+    alpha = (sy - beta * sx) / ned
+    rss = (
+        F.col("syy").cast("double")
+        - sy * sy / ned
+        - cxy * cxy / vx
+    )
+    s2 = rss / (ned - 2.0)
+    params = agg.filter((F.col("ne") > 3) & (vx > 0)).select(
+        "event_type",
+        "ne",
+        alpha.alias("a"),
+        beta.alias("b"),
+        s2.alias("s2"),
+    )
+    evt = r.filter(F.col("is_mon") == 1).join(
+        F.broadcast(params), "event_type"
+    )
+    ar = (
+        F.col("r6").cast("double")
+        - F.col("a")
+        - F.col("b") * F.col("m6").cast("double")
+    )
+    t = evt.select(
+        "event_type",
+        "ne",
+        "s2",
+        F.floor(ar * 1000 + F.lit(_OFF)).cast("long").alias("ar3"),
+    )
+    out = t.groupBy("event_type", "ne", "s2").agg(
+        F.count(F.lit(1)).alias("nev"),
+        F.sum("ar3").alias("car3"),
+    )
+    nev = F.col("nev").cast("double")
+    aar = F.col("car3").cast("double") / nev / 1000.0
+    tstat = aar / F.sqrt(F.col("s2") / nev)
+    return out.filter(F.col("nev") > 0).select(
+        "event_type",
+        F.col("ne").cast("long").alias("n_est"),
+        F.col("nev").cast("long").alias("n_event"),
+        F.floor(aar + F.lit(_OFF)).cast("long").alias("aar_e6"),
+        F.floor(F.col("car3").cast("double") / 1000.0 + F.lit(_OFF))
+        .cast("long")
+        .alias("car_e6"),
+        F.floor(tstat * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "t_e4"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_EVENT_STUDY = f"""
+WITH {_SQL_DAILY_VC}, {_SQL_TYPE_RET}, {_SQL_MKT_RET}, j AS (
+  SELECT rr.event_type, rr.day, rr.r6, mr.m6,
+         CASE WHEN (rr.day + 3) % 7 = 0 THEN 1 ELSE 0 END AS is_mon
+  FROM rr JOIN mr ON mr.day = rr.day
+), agg AS (
+  SELECT event_type, count(*) AS ne,
+         CAST(sum(m6) AS BIGINT) AS sx,
+         CAST(sum(r6) AS BIGINT) AS sy,
+         CAST(sum(m6 * m6) AS BIGINT) AS sxx,
+         CAST(sum(m6 * r6) AS BIGINT) AS sxy,
+         CAST(sum(r6 * r6) AS BIGINT) AS syy
+  FROM j WHERE is_mon = 0 GROUP BY 1
+), params AS (
+  SELECT event_type, ne,
+         (CAST(sy AS DOUBLE)
+          - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / ne)
+            / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / ne)
+            * sx) / ne AS a,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / ne)
+           / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / ne) AS b,
+         (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / ne
+          - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / ne)
+            * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / ne)
+            / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / ne))
+           / (ne - 2.0) AS s2
+  FROM agg
+  WHERE ne > 3
+    AND CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / ne > 0
+), t AS (
+  SELECT j.event_type, p.ne, p.s2,
+         CAST(floor((j.r6 - p.a - p.b * j.m6) * 1000 + {_OFF})
+              AS BIGINT) AS ar3
+  FROM j JOIN params p ON p.event_type = j.event_type
+  WHERE j.is_mon = 1
+), outt AS (
+  SELECT event_type, ne, s2, count(*) AS nev,
+         CAST(sum(ar3) AS BIGINT) AS car3
+  FROM t GROUP BY 1, 2, 3
+)
+SELECT event_type, CAST(ne AS BIGINT) AS n_est,
+       CAST(nev AS BIGINT) AS n_event,
+       CAST(floor(CAST(car3 AS DOUBLE) / nev / 1000.0 + {_OFF})
+            AS BIGINT) AS aar_e6,
+       CAST(floor(CAST(car3 AS DOUBLE) / 1000.0 + {_OFF}) AS BIGINT)
+         AS car_e6,
+       CAST(floor(CAST(car3 AS DOUBLE) / nev / 1000.0
+                  / sqrt(s2 / nev) * 10000 + {_OFF}) AS BIGINT)
+         AS t_e4
+FROM outt WHERE nev > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# bornhuetter_ferguson — BF (1972) ultimates on the chain-ladder
+# triangle: ultimate = C_latest + (1 - 1/CDF_lag) * prior, prior =
+# cohort user count x overall purchases-per-user.  Composes the
+# chain_ladder development pattern (queries_stats15.py) with an
+# exposure prior — the standard stabilization when young cohorts make
+# pure chain-ladder ultimates noisy.
+# ---------------------------------------------------------------------------
+
+
+def q_bornhuetter_ferguson(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000)
+        .cast("long")
+        .alias("day"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("d0"))
+    base = first.agg(F.min("d0").alias("day0"))
+    fc = first.crossJoin(F.broadcast(base)).select(
+        "user_id",
+        F.floor((F.col("d0") - F.col("day0")) / 7)
+        .cast("int")
+        .alias("cohort"),
+    )
+    expo = fc.filter(F.col("cohort") <= 3).groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").join(
+        first, "user_id"
+    )
+    t = pur.crossJoin(F.broadcast(base)).select(
+        F.floor((F.col("d0") - F.col("day0")) / 7)
+        .cast("int")
+        .alias("cohort"),
+        F.floor((F.col("day") - F.col("d0")) / 7)
+        .cast("int")
+        .alias("lag"),
+    ).filter((F.col("cohort") <= 3) & (F.col("lag") <= 3))
+    inc = t.groupBy("cohort", "lag").agg(F.count(F.lit(1)).alias("x"))
+    wcum = Window.partitionBy("cohort").orderBy("lag").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = inc.withColumn("c", F.sum("x").over(wcum)).filter(
+        F.col("lag") <= 3 - F.col("cohort")
+    )
+    a = cum.select(
+        F.col("cohort").alias("ci"),
+        F.col("lag").alias("lj"),
+        F.col("c").alias("cj"),
+    )
+    b = cum.select(
+        F.col("cohort").alias("ci2"),
+        F.col("lag").alias("lj2"),
+        F.col("c").alias("cj2"),
+    )
+    f = (
+        a.join(
+            b,
+            (F.col("ci") == F.col("ci2"))
+            & (F.col("lj2") == F.col("lj") + 1),
+        )
+        .groupBy("lj")
+        .agg(F.sum("cj2").alias("num"), F.sum("cj").alias("den"))
+        .withColumn(
+            "f", F.col("num").cast("double") / F.col("den").cast("double")
+        )
+    )
+    f0 = f.filter(F.col("lj") == 0).select(F.col("f").alias("f0"))
+    f1 = f.filter(F.col("lj") == 1).select(F.col("f").alias("f1"))
+    f2 = f.filter(F.col("lj") == 2).select(F.col("f").alias("f2"))
+    latest = cum.filter(F.col("lag") == 3 - F.col("cohort"))
+    # overall purchases-per-user prior rate (fully-developed cohort 0)
+    rate = (
+        latest.filter(F.col("cohort") == 0)
+        .join(expo.filter(F.col("cohort") == 0), "cohort")
+        .select(
+            (
+                F.col("c").cast("double")
+                / F.col("n_users").cast("double")
+            ).alias("elr")
+        )
+    )
+    j = (
+        latest.join(expo, "cohort")
+        .crossJoin(F.broadcast(f0))
+        .crossJoin(F.broadcast(f1))
+        .crossJoin(F.broadcast(f2))
+        .crossJoin(F.broadcast(rate))
+    )
+    cdf = (
+        F.when(F.col("lag") <= 0, F.col("f0")).otherwise(F.lit(1.0))
+        * F.when(F.col("lag") <= 1, F.col("f1")).otherwise(F.lit(1.0))
+        * F.when(F.col("lag") <= 2, F.col("f2")).otherwise(F.lit(1.0))
+    )
+    prior = F.col("n_users").cast("double") * F.col("elr")
+    ult_bf = F.col("c").cast("double") + (1.0 - 1.0 / cdf) * prior
+    return j.select(
+        F.col("cohort").cast("long").alias("cohort"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("c").cast("long").alias("latest_cum"),
+        F.floor(cdf * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "cdf_e6"
+        ),
+        F.floor(prior * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "prior_e4"
+        ),
+        F.floor(ult_bf * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "ultimate_bf_e4"
+        ),
+    ).orderBy("cohort")
+
+
+SQL_BF = f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+), first AS (
+  SELECT user_id, min(day) AS d0 FROM ev GROUP BY 1
+), base AS (
+  SELECT min(d0) AS day0 FROM first
+), fc AS (
+  SELECT user_id,
+         CAST(floor((d0 - day0) / 7.0) AS INT) AS cohort
+  FROM first CROSS JOIN base
+), expo AS (
+  SELECT cohort, count(*) AS n_users
+  FROM fc WHERE cohort <= 3 GROUP BY 1
+), t AS (
+  SELECT CAST(floor((f.d0 - day0) / 7.0) AS INT) AS cohort,
+         CAST(floor((e.day - f.d0) / 7.0) AS INT) AS lag
+  FROM ev e
+  JOIN first f ON f.user_id = e.user_id
+  CROSS JOIN base
+  WHERE e.event_type = 'purchase'
+    AND floor((f.d0 - day0) / 7.0) <= 3
+    AND floor((e.day - f.d0) / 7.0) <= 3
+), inc AS (
+  SELECT cohort, lag, count(*) AS x FROM t GROUP BY 1, 2
+), cum0 AS (
+  SELECT cohort, lag,
+         CAST(sum(x) OVER (PARTITION BY cohort ORDER BY lag
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS c
+  FROM inc
+), cum AS (
+  SELECT * FROM cum0 WHERE lag <= 3 - cohort
+), f AS (
+  SELECT a.lag AS lj,
+         CAST(sum(b.c) AS BIGINT) AS num,
+         CAST(sum(a.c) AS BIGINT) AS den
+  FROM cum a JOIN cum b
+    ON b.cohort = a.cohort AND b.lag = a.lag + 1
+  GROUP BY 1
+), ff AS (
+  SELECT lj, CAST(num AS DOUBLE) / den AS f FROM f
+), latest AS (
+  SELECT * FROM cum WHERE lag = 3 - cohort
+), rate AS (
+  SELECT CAST(l.c AS DOUBLE) / e.n_users AS elr
+  FROM latest l JOIN expo e ON e.cohort = l.cohort
+  WHERE l.cohort = 0
+), j AS (
+  SELECT l.cohort, l.lag, l.c, e.n_users, r.elr,
+         (CASE WHEN l.lag <= 0
+               THEN (SELECT f FROM ff WHERE lj = 0) ELSE 1.0 END)
+         * (CASE WHEN l.lag <= 1
+                 THEN (SELECT f FROM ff WHERE lj = 1) ELSE 1.0 END)
+         * (CASE WHEN l.lag <= 2
+                 THEN (SELECT f FROM ff WHERE lj = 2) ELSE 1.0 END)
+           AS cdf
+  FROM latest l
+  JOIN expo e ON e.cohort = l.cohort
+  CROSS JOIN rate r
+)
+SELECT CAST(cohort AS BIGINT) AS cohort,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(c AS BIGINT) AS latest_cum,
+       CAST(floor(cdf * 1000000 + {_OFF}) AS BIGINT) AS cdf_e6,
+       CAST(floor(n_users * elr * 10000 + {_OFF}) AS BIGINT)
+         AS prior_e4,
+       CAST(floor((c + (1.0 - 1.0 / cdf) * n_users * elr) * 10000
+                  + {_OFF}) AS BIGINT) AS ultimate_bf_e4
+FROM j
+ORDER BY cohort
+"""
+
+
+QUERIES.update(
+    {
+        "event_study_car": q_event_study_car,
+        "bornhuetter_ferguson": q_bornhuetter_ferguson,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "event_study_car": SQL_EVENT_STUDY,
+        "bornhuetter_ferguson": SQL_BF,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# plackett_luce_mm — Plackett-Luce ranking model over the daily
+# count-ranking of the 5 event types, fitted by TWO unrolled
+# minorize-maximize iterations (Hunter, Ann Stat 2004) from gamma = 1:
+# gamma_i' = W_i / sum_days sum_{p <= min(rk_i, k-1)} 1/S_p(day),
+# S_p = suffix sum of gamma from position p.  Identification: gamma
+# is normalized by the alphabetically-first type, making each update
+# an EXACT INTEGER ratio (W_i * den_ref) / (W_ref * den_i) of
+# e9-floored denominators — both engines walk the identical MM path.
+# Windows run over 5-row per-day rankings only.
+# ---------------------------------------------------------------------------
+
+
+def q_plackett_luce_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wday = Window.partitionBy("day").orderBy(
+        F.col("cnt").desc(), F.col("event_type").asc()
+    )
+    ranks = daily.withColumn("rk", F.row_number().over(wday))
+    full = (
+        ranks.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") == 5)
+        .select("day")
+    )
+    ranks = ranks.join(full, "day")
+
+    def mm(gamma: DataFrame) -> DataFrame:
+        j = ranks.join(F.broadcast(gamma), "event_type")
+        wsuf = Window.partitionBy("day").orderBy(
+            F.col("rk").desc()
+        ).rowsBetween(Window.unboundedPreceding, 0)
+        s = j.withColumn("s", F.sum("g").over(wsuf))
+        c9 = F.when(
+            F.col("rk") <= 4,
+            F.floor(1e9 / F.col("s") + F.lit(_OFF)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        wpre = Window.partitionBy("day").orderBy(
+            F.col("rk").asc()
+        ).rowsBetween(Window.unboundedPreceding, 0)
+        p = s.withColumn("c9", c9).withColumn(
+            "p9", F.sum("c9").over(wpre)
+        )
+        den = p.groupBy("event_type").agg(
+            F.sum("p9").alias("den9"),
+            F.sum((F.col("rk") <= 4).cast("long")).alias("w"),
+        )
+        ref = (
+            den.orderBy("event_type")
+            .limit(1)
+            .select(
+                F.col("den9").alias("dref"), F.col("w").alias("wref")
+            )
+        )
+        out = den.crossJoin(F.broadcast(ref))
+        return out.select(
+            "event_type",
+            "w",
+            (
+                (F.col("w") * F.col("dref")).cast("double")
+                / (F.col("wref") * F.col("den9")).cast("double")
+            ).alias("g"),
+        )
+
+    g0 = ranks.select("event_type").distinct().withColumn(
+        "g", F.lit(1.0)
+    )
+    g2 = mm(mm(g0).select("event_type", "g"))
+    return g2.select(
+        "event_type",
+        F.col("w").cast("long").alias("wins"),
+        F.floor(F.col("g") * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("gamma_e6"),
+    ).orderBy("event_type")
+
+
+def _pl_step_sql(prev: str, tag: str) -> str:
+    return f"""
+  j{tag} AS (
+    SELECT r.day, r.event_type, r.rk, p.g
+    FROM ranks r JOIN {prev} p ON p.event_type = r.event_type
+  ), s{tag} AS (
+    SELECT day, event_type, rk,
+           sum(g) OVER (PARTITION BY day ORDER BY rk DESC
+                        ROWS UNBOUNDED PRECEDING) AS s
+    FROM j{tag}
+  ), c{tag} AS (
+    SELECT day, event_type, rk,
+           CASE WHEN rk <= 4
+                THEN CAST(floor(1e9 / s + {_OFF}) AS BIGINT)
+                ELSE 0 END AS c9
+    FROM s{tag}
+  ), pp{tag} AS (
+    SELECT day, event_type, rk,
+           CAST(sum(c9) OVER (PARTITION BY day ORDER BY rk ASC
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS p9
+    FROM c{tag}
+  ), den{tag} AS (
+    SELECT event_type,
+           CAST(sum(p9) AS BIGINT) AS den9,
+           CAST(sum(CASE WHEN rk <= 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS w
+    FROM pp{tag} GROUP BY 1
+  ), ref{tag} AS (
+    SELECT den9 AS dref, w AS wref
+    FROM den{tag} ORDER BY event_type LIMIT 1
+  ), g{tag} AS (
+    SELECT event_type, w,
+           CAST(w * dref AS DOUBLE) / (wref * den9) AS g
+    FROM den{tag} CROSS JOIN ref{tag}
+  )
+"""
+
+
+SQL_PLACKETT = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), ranks0 AS (
+  SELECT event_type, day, cnt,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY cnt DESC, event_type ASC) AS rk
+  FROM daily
+), full_days AS (
+  SELECT day FROM ranks0 GROUP BY 1 HAVING count(*) = 5
+), ranks AS (
+  SELECT r.* FROM ranks0 r JOIN full_days f ON f.day = r.day
+), g0 AS (
+  SELECT DISTINCT event_type, 1.0 AS g FROM ranks
+), {_pl_step_sql("g0", "1")}, {_pl_step_sql("g1", "2")}
+SELECT event_type, w AS wins,
+       CAST(floor(g * 1000000 + {_OFF}) AS BIGINT) AS gamma_e6
+FROM g2
+ORDER BY event_type
+"""
+
+
+QUERIES.update({"plackett_luce_mm": q_plackett_luce_mm})
+ORACLE_SQL.update({"plackett_luce_mm": SQL_PLACKETT})
