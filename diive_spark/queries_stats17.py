@@ -9803,3 +9803,259 @@ ORDER BY event_type
 
 QUERIES.update({"plackett_luce_mm": q_plackett_luce_mm})
 ORACLE_SQL.update({"plackett_luce_mm": SQL_PLACKETT})
+
+
+# ===========================================================================
+# Battery V: paired-comparison models — Bradley-Terry strengths by
+# two unrolled MM iterations on daily pairwise count wins, and the
+# Thurstone Case V scale from probit win rates (completing the
+# ranking-model family next to plackett_luce_mm / borda_condorcet).
+# ===========================================================================
+
+
+def _daily_pair_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(i, j, wins, n) for ordered type pairs over complete days."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    a = daily.select(
+        "day",
+        F.col("event_type").alias("i"),
+        F.col("cnt").alias("ci"),
+    )
+    b = daily.select(
+        "day",
+        F.col("event_type").alias("j"),
+        F.col("cnt").alias("cj"),
+    )
+    p = a.join(b, "day").filter(F.col("i") != F.col("j"))
+    # i beats j on a day iff (cnt, type) orders i first — exact total
+    # order, no ties possible with the type tiebreak
+    win = (
+        (F.col("ci") > F.col("cj"))
+        | ((F.col("ci") == F.col("cj")) & (F.col("i") < F.col("j")))
+    ).cast("long")
+    return p.groupBy("i", "j").agg(
+        F.sum(win).alias("w"), F.count(F.lit(1)).alias("n")
+    )
+
+
+_SQL_PAIR_WINS = """
+  daily AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2
+  ), pw AS (
+    SELECT a.event_type AS i, b.event_type AS j,
+           CAST(sum(CASE WHEN a.cnt > b.cnt
+                           OR (a.cnt = b.cnt
+                               AND a.event_type < b.event_type)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS w,
+           count(*) AS n
+    FROM daily a JOIN daily b
+      ON b.day = a.day AND a.event_type <> b.event_type
+    GROUP BY 1, 2
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# bradley_terry_mm — Bradley-Terry (1952) strengths by two unrolled
+# MM iterations (Hunter 2004): gamma_i' = W_i / sum_j N_ij /
+# (gamma_i + gamma_j), reference-type identified so each update is an
+# exact integer ratio of e9-floored denominators (the same discipline
+# as plackett_luce_mm — both engines walk the identical MM path).
+# ---------------------------------------------------------------------------
+
+
+def q_bradley_terry_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pw = _daily_pair_wins(spark, sf_dir)
+    wins = pw.groupBy("i").agg(F.sum("w").alias("wi"))
+
+    def mm(gamma: DataFrame) -> DataFrame:
+        gi = gamma.select(
+            F.col("event_type").alias("i"), F.col("g").alias("gi")
+        )
+        gj = gamma.select(
+            F.col("event_type").alias("j"), F.col("g").alias("gj")
+        )
+        j = pw.join(F.broadcast(gi), "i").join(F.broadcast(gj), "j")
+        t9 = F.floor(
+            F.col("n").cast("double")
+            * 1e9
+            / (F.col("gi") + F.col("gj"))
+            + F.lit(_OFF)
+        ).cast("long")
+        den = j.select("i", t9.alias("t9")).groupBy("i").agg(
+            F.sum("t9").alias("den9")
+        ).join(F.broadcast(wins), "i")
+        ref = (
+            den.orderBy("i")
+            .limit(1)
+            .select(
+                F.col("den9").alias("dref"), F.col("wi").alias("wref")
+            )
+        )
+        out = den.crossJoin(F.broadcast(ref))
+        return out.select(
+            F.col("i").alias("event_type"),
+            F.col("wi"),
+            (
+                (F.col("wi") * F.col("dref")).cast("double")
+                / (F.col("wref") * F.col("den9")).cast("double")
+            ).alias("g"),
+        )
+
+    g0 = pw.select(F.col("i").alias("event_type")).distinct().withColumn(
+        "g", F.lit(1.0)
+    )
+    g2 = mm(mm(g0).select("event_type", "g"))
+    return g2.select(
+        "event_type",
+        F.col("wi").cast("long").alias("wins"),
+        F.floor(F.col("g") * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("gamma_e6"),
+    ).orderBy("event_type")
+
+
+def _bt_step_sql(prev: str, tag: str) -> str:
+    return f"""
+  j{tag} AS (
+    SELECT pw.i, pw.n,
+           CAST(floor(CAST(pw.n AS DOUBLE) * 1e9 / (gi.g + gj.g)
+                      + {_OFF}) AS BIGINT) AS t9
+    FROM pw
+    JOIN {prev} gi ON gi.event_type = pw.i
+    JOIN {prev} gj ON gj.event_type = pw.j
+  ), den{tag} AS (
+    SELECT j{tag}.i, CAST(sum(t9) AS BIGINT) AS den9,
+           CAST(max(wins.wi) AS BIGINT) AS wi
+    FROM j{tag} JOIN wins ON wins.i = j{tag}.i
+    GROUP BY 1
+  ), ref{tag} AS (
+    SELECT den9 AS dref, wi AS wref FROM den{tag}
+    ORDER BY i LIMIT 1
+  ), g{tag} AS (
+    SELECT i AS event_type, wi,
+           CAST(wi * dref AS DOUBLE) / (wref * den9) AS g
+    FROM den{tag} CROSS JOIN ref{tag}
+  )
+"""
+
+
+SQL_BRADLEY_TERRY = f"""
+WITH {_SQL_PAIR_WINS}, wins AS (
+  SELECT i, CAST(sum(w) AS BIGINT) AS wi FROM pw GROUP BY 1
+), g0 AS (
+  SELECT DISTINCT i AS event_type, 1.0 AS g FROM pw
+), {_bt_step_sql("g0", "1")}, {_bt_step_sql("g1", "2")}
+SELECT event_type, wi AS wins,
+       CAST(floor(g * 1000000 + {_OFF}) AS BIGINT) AS gamma_e6
+FROM g2
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# thurstone_case_v — Thurstone (1927) Case V scaling: scale_i = mean
+# over j of probit(p_ij), with Laplace-smoothed win rates p_ij =
+# (w_ij + 0.5)/(n_ij + 1) through the shared Acklam probit twin.
+# The pairwise table is k x k (broadcast-sized at any corpus size).
+# ---------------------------------------------------------------------------
+
+
+def q_thurstone_case_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pw = _daily_pair_wins(spark, sf_dir)
+    p = (F.col("w").cast("double") + 0.5) / (
+        F.col("n").cast("double") + 1.0
+    )
+    z6 = F.floor(_probit(p) * 1_000_000 + F.lit(_OFF)).cast("long")
+    t = pw.select("i", z6.alias("z6"), F.col("w"))
+    agg = t.groupBy("i").agg(
+        F.count(F.lit(1)).alias("k1"),
+        F.sum("z6").alias("sz"),
+        F.sum("w").alias("wins"),
+    )
+    scale = F.col("sz").cast("double") / (
+        F.col("k1").cast("double") + 1.0
+    ) / 1e6
+    return agg.select(
+        F.col("i").alias("event_type"),
+        F.col("wins").cast("long").alias("wins"),
+        F.floor(scale * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "scale_e6"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_THURSTONE = f"""
+WITH {_SQL_PAIR_WINS}, t AS (
+  SELECT i, w,
+         CAST(floor(
+           {_probit_sql("(CAST(w AS DOUBLE) + 0.5) / (n + 1.0)")}
+           * 1000000 + {_OFF}) AS BIGINT) AS z6
+  FROM pw
+), agg AS (
+  SELECT i, count(*) AS k1,
+         CAST(sum(z6) AS BIGINT) AS sz,
+         CAST(sum(w) AS BIGINT) AS wins
+  FROM t GROUP BY 1
+)
+SELECT i AS event_type, wins,
+       CAST(floor(CAST(sz AS DOUBLE) / (k1 + 1.0) / 1e6 * 1000000
+                  + {_OFF}) AS BIGINT) AS scale_e6
+FROM agg
+ORDER BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "bradley_terry_mm": q_bradley_terry_mm,
+        "thurstone_case_v": q_thurstone_case_v,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "bradley_terry_mm": SQL_BRADLEY_TERRY,
+        "thurstone_case_v": SQL_THURSTONE,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# elo_daily — rows-only kernel: Elo ratings of the 5 event types from
+# daily count standings (batched per-day updates, K = 32).  The
+# day-over-day recursion is a non-associative fold, so no SQL twin —
+# pinned in tests/test_elo.py against an independent match-by-match
+# loop.  Input collapses to the bounded calendar layer upstream.
+# ---------------------------------------------------------------------------
+
+
+def q_elo_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.elo import elo_daily
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.col("event_type"),
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    out = elo_daily(daily, "event_type", "day", "cnt")
+    return out.select(
+        "event_type", "n_days", F.round("elo", 4).alias("elo")
+    ).orderBy("event_type")
+
+
+QUERIES.update({"elo_daily": q_elo_daily})
