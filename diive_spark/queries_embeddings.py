@@ -749,3 +749,108 @@ FROM agg CROSS JOIN ee
 
 QUERIES.update({"schilling_knn": q_schilling_knn})
 ORACLE_SQL.update({"schilling_knn": SQL_SCHILLING})
+
+
+# ---------------------------------------------------------------------------
+# cka_halves — linear Centered Kernel Alignment (Kornblith et al.
+# 2019) between the first and second 32 dimensions of the embedding
+# space: CKA = ||Xc'Yc||_F^2 / (||Xc'Xc||_F ||Yc'Yc||_F).  Each
+# centered cross-covariance numerator N_ab = n S_ab - S_a S_b is an
+# EXACT int64 (|.| < 3e17); cells are squared after a deterministic
+# /1e12 rescale and floored, so the three Frobenius sums are exact
+# integers in both engines.  Feature-pair fan-out is 64x64 cells.
+# ---------------------------------------------------------------------------
+
+
+def q_cka_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _emb_int(spark, sf_dir)
+    a = t.select(
+        "vec_id", F.col("pos").alias("pa"), F.col("e").alias("ea")
+    )
+    b = t.select(
+        "vec_id", F.col("pos").alias("pb"), F.col("e").alias("eb")
+    )
+    pairs = a.join(b, "vec_id").groupBy("pa", "pb").agg(
+        F.sum(F.col("ea") * F.col("eb")).alias("sab"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    sums = t.groupBy("pos").agg(F.sum("e").alias("sp"))
+    sa = sums.select(F.col("pos").alias("pa"), F.col("sp").alias("sa"))
+    sb = sums.select(F.col("pos").alias("pb"), F.col("sp").alias("sb"))
+    c = pairs.join(F.broadcast(sa), "pa").join(F.broadcast(sb), "pb")
+    nab = (
+        F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+    ).cast("double") / 1e12
+    q = F.floor(nab * nab + F.lit(_OFF)).cast("long")
+    blk = (
+        F.when((F.col("pa") < 32) & (F.col("pb") < 32), F.lit("xx"))
+        .when((F.col("pa") >= 32) & (F.col("pb") >= 32), F.lit("yy"))
+        .when((F.col("pa") < 32) & (F.col("pb") >= 32), F.lit("xy"))
+        .otherwise(F.lit("yx"))
+    )
+    g = c.select(blk.alias("blk"), q.alias("q"), "n").groupBy(
+        "blk"
+    ).agg(F.sum("q").alias("s"), F.max("n").alias("n"))
+    xx = g.filter(F.col("blk") == "xx").select(
+        F.col("s").alias("sxx"), F.col("n").alias("n")
+    )
+    yy = g.filter(F.col("blk") == "yy").select(
+        F.col("s").alias("syy")
+    )
+    xy = g.filter(F.col("blk") == "xy").select(
+        F.col("s").alias("sxy")
+    )
+    j = xx.crossJoin(yy).crossJoin(xy)
+    cka = F.col("sxy").cast("double") / F.sqrt(
+        F.col("sxx").cast("double") * F.col("syy").cast("double")
+    )
+    return j.filter((F.col("sxx") > 0) & (F.col("syy") > 0)).select(
+        F.col("n").cast("long").alias("n_vecs"),
+        F.lit(32).cast("long").alias("dims_per_half"),
+        F.floor(cka * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "cka_e6"
+        ),
+    )
+
+
+SQL_CKA = f"""
+WITH t AS ({_EMB_INT_SQL}),
+pairs AS (
+  SELECT a.pos AS pa, b.pos AS pb,
+         CAST(sum(a.e * b.e) AS BIGINT) AS sab,
+         count(*) AS n
+  FROM t a JOIN t b ON b.vec_id = a.vec_id
+  GROUP BY 1, 2
+), sums AS (
+  SELECT pos, CAST(sum(e) AS BIGINT) AS sp FROM t GROUP BY 1
+), c AS (
+  SELECT p.pa, p.pb, p.n,
+         CAST(floor((CAST(p.n * p.sab - sa.sp * sb.sp AS DOUBLE)
+                     / 1e12)
+                    * (CAST(p.n * p.sab - sa.sp * sb.sp AS DOUBLE)
+                       / 1e12) + {_OFF}) AS BIGINT) AS q,
+         CASE WHEN p.pa < 32 AND p.pb < 32 THEN 'xx'
+              WHEN p.pa >= 32 AND p.pb >= 32 THEN 'yy'
+              WHEN p.pa < 32 AND p.pb >= 32 THEN 'xy'
+              ELSE 'yx' END AS blk
+  FROM pairs p
+  JOIN sums sa ON sa.pos = p.pa
+  JOIN sums sb ON sb.pos = p.pb
+), g AS (
+  SELECT blk, CAST(sum(q) AS BIGINT) AS s,
+         CAST(max(n) AS BIGINT) AS n
+  FROM c GROUP BY 1
+)
+SELECT xx.n AS n_vecs, CAST(32 AS BIGINT) AS dims_per_half,
+       CAST(floor(CAST(xy.s AS DOUBLE)
+                  / sqrt(CAST(xx.s AS DOUBLE) * yy.s) * 1000000
+                  + {_OFF}) AS BIGINT) AS cka_e6
+FROM (SELECT * FROM g WHERE blk = 'xx') xx
+CROSS JOIN (SELECT * FROM g WHERE blk = 'yy') yy
+CROSS JOIN (SELECT * FROM g WHERE blk = 'xy') xy
+WHERE xx.s > 0 AND yy.s > 0
+"""
+
+
+QUERIES.update({"cka_halves": q_cka_halves})
+ORACLE_SQL.update({"cka_halves": SQL_CKA})

@@ -10059,3 +10059,294 @@ def q_elo_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"elo_daily": q_elo_daily})
+
+
+# ===========================================================================
+# Battery W: density estimation + panel unit roots + representation
+# similarity — Gaussian KDE on a Silverman bandwidth over a 10-point
+# grid, the Levin-Lin-Chu-style pooled panel unit-root t, and linear
+# CKA between the two halves of the embedding space.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# kde_silverman — Gaussian kernel density of the centi-value at 10
+# equally spaced grid points between q05 and q95, bandwidth h = 0.9
+# min(sd, IQR/1.34) n^(-1/5) (Silverman 1986 rule of thumb; the power
+# is an explicit exp/ln tree).  Kernel sums collapse to the bounded
+# value domain x 10 broadcast grid points; terms e9-floored.
+# ---------------------------------------------------------------------------
+
+
+def q_kde_silverman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = _gmm_cells(spark, sf_dir)
+    wc = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("event_type")
+    c2 = (
+        cells.withColumn("cum", F.sum("nv").over(wc))
+        .withColumn("n", F.sum("nv").over(wt))
+        .withColumn("sv", F.sum(F.col("nv") * F.col("v")).over(wt))
+        .withColumn(
+            "svv", F.sum(F.col("nv") * F.col("v") * F.col("v")).over(wt)
+        )
+    )
+    mom = c2.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("sv").alias("sv"),
+        F.max("svv").alias("svv"),
+        F.min(
+            F.when(20 * F.col("cum") >= F.col("n"), F.col("v"))
+        ).alias("q05"),
+        F.min(
+            F.when(4 * F.col("cum") >= F.col("n"), F.col("v"))
+        ).alias("q25"),
+        F.min(
+            F.when(4 * F.col("cum") >= 3 * F.col("n"), F.col("v"))
+        ).alias("q75"),
+        F.min(
+            F.when(20 * F.col("cum") >= 19 * F.col("n"), F.col("v"))
+        ).alias("q95"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("sv").cast("double") / nd
+    sd = F.sqrt((F.col("svv").cast("double") - nd * mu * mu) / nd)
+    iqr = (F.col("q75") - F.col("q25")).cast("double")
+    h = (
+        0.9
+        * F.least(sd, iqr / 1.34)
+        * F.exp(-0.2 * F.log(nd))
+    )
+    params = mom.filter((sd > 0) & (iqr > 0)).select(
+        "event_type", "n", "q05", "q95", h.alias("h")
+    )
+    grid = spark.range(0, 10).select(F.col("id").alias("k"))
+    g = params.crossJoin(F.broadcast(grid)).select(
+        "event_type",
+        "n",
+        "h",
+        "k",
+        (
+            F.col("q05")
+            + F.floor(
+                F.col("k")
+                * (F.col("q95") - F.col("q05")).cast("double")
+                / 9.0
+            ).cast("long")
+        ).alias("g"),
+    )
+    j = g.join(cells, "event_type")
+    u = (F.col("g") - F.col("v")).cast("double") / F.col("h")
+    k9 = F.floor(
+        F.col("nv").cast("double") * F.exp(-u * u / 2.0) * 1e9
+        + F.lit(_OFF)
+    ).cast("long")
+    t = j.select("event_type", "n", "h", "k", "g", k9.alias("k9"))
+    agg = t.groupBy("event_type", "n", "h", "k", "g").agg(
+        F.sum("k9").alias("sk9")
+    )
+    dens = (
+        F.col("sk9").cast("double")
+        / 1e9
+        / (
+            F.col("n").cast("double")
+            * F.col("h")
+            * F.sqrt(F.lit(2.0) * F.lit(3.141592653589793))
+        )
+    )
+    return agg.select(
+        "event_type",
+        F.col("k").cast("long").alias("k"),
+        F.col("g").cast("long").alias("g_e2"),
+        F.floor(F.col("h") * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "h_e6"
+        ),
+        F.floor(dens * 1e8 + F.lit(_OFF)).cast("long").alias(
+            "dens_e8"
+        ),
+    ).orderBy("event_type", "k")
+
+
+SQL_KDE = f"""
+WITH cells AS (
+  SELECT event_type, CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v,
+         count(*) AS nv
+  FROM events GROUP BY 1, 2
+), c2 AS (
+  SELECT event_type, v, nv,
+         sum(nv) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(nv) OVER (PARTITION BY event_type) AS n,
+         sum(nv * v) OVER (PARTITION BY event_type) AS sv,
+         sum(nv * v * v) OVER (PARTITION BY event_type) AS svv
+  FROM cells
+), mom AS (
+  SELECT event_type,
+         CAST(max(n) AS BIGINT) AS n,
+         CAST(max(sv) AS BIGINT) AS sv,
+         CAST(max(svv) AS BIGINT) AS svv,
+         CAST(min(CASE WHEN 20 * cum >= n THEN v END) AS BIGINT)
+           AS q05,
+         CAST(min(CASE WHEN 4 * cum >= n THEN v END) AS BIGINT)
+           AS q25,
+         CAST(min(CASE WHEN 4 * cum >= 3 * n THEN v END) AS BIGINT)
+           AS q75,
+         CAST(min(CASE WHEN 20 * cum >= 19 * n THEN v END) AS BIGINT)
+           AS q95
+  FROM c2 GROUP BY 1
+), params AS (
+  SELECT event_type, n, q05, q95,
+         0.9 * least(
+           sqrt((CAST(svv AS DOUBLE)
+                 - n * (CAST(sv AS DOUBLE) / n)
+                     * (CAST(sv AS DOUBLE) / n)) / n),
+           CAST(q75 - q25 AS DOUBLE) / 1.34)
+         * exp(-0.2 * ln(CAST(n AS DOUBLE))) AS h
+  FROM mom
+  WHERE (CAST(svv AS DOUBLE)
+         - n * (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n))
+        / n > 0
+    AND q75 > q25
+), g AS (
+  SELECT event_type, n, h, k.k,
+         q05 + CAST(floor(k.k * CAST(q95 - q05 AS DOUBLE) / 9.0)
+                    AS BIGINT) AS g
+  FROM params
+  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS k) k
+), t AS (
+  SELECT g.event_type, g.n, g.h, g.k, g.g,
+         CAST(floor(c.nv
+                    * exp(-(CAST(g.g - c.v AS DOUBLE) / g.h)
+                          * (CAST(g.g - c.v AS DOUBLE) / g.h) / 2.0)
+                    * 1e9 + {_OFF}) AS BIGINT) AS k9
+  FROM g JOIN cells c ON c.event_type = g.event_type
+), agg AS (
+  SELECT event_type, n, h, k, g,
+         CAST(sum(k9) AS BIGINT) AS sk9
+  FROM t GROUP BY 1, 2, 3, 4, 5
+)
+SELECT event_type, CAST(k AS BIGINT) AS k, g AS g_e2,
+       CAST(floor(h * 10000 + {_OFF}) AS BIGINT) AS h_e6,
+       CAST(floor(CAST(sk9 AS DOUBLE) / 1e9
+                  / (n * h * sqrt(2.0 * 3.141592653589793)) * 1e8
+                  + {_OFF}) AS BIGINT) AS dens_e8
+FROM agg
+ORDER BY event_type, k
+"""
+
+
+QUERIES.update({"kde_silverman": q_kde_silverman})
+ORACLE_SQL.update({"kde_silverman": SQL_KDE})
+
+
+# ---------------------------------------------------------------------------
+# llc_panel_unit_root — Levin-Lin-Chu-style POOLED Dickey-Fuller t on
+# the panel of per-type daily mean values (within-type demeaned, no
+# lag augmentation — the LLC pooling idea in its closed-form core;
+# Levin, Lin & Chu 2002).  Demeaned values are floor-quantized to
+# integers so the pooled cross-products are exact.
+# ---------------------------------------------------------------------------
+
+
+def q_llc_panel_unit_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.floor(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1))
+            * 100
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("y4"),
+    )
+    wt = Window.partitionBy("event_type")
+    dm = daily.withColumn(
+        "d",
+        F.floor(
+            F.col("y4")
+            - F.sum("y4").over(wt).cast("double")
+            / F.count(F.lit(1)).over(wt)
+            + F.lit(_OFF)
+        ).cast("long"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    p = dm.withColumn("dp", F.lag("d").over(wo)).filter(
+        F.col("dp").isNotNull()
+    )
+    agg = p.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("dp") * (F.col("d") - F.col("dp"))).alias("sxy"),
+        F.sum(F.col("dp") * F.col("dp")).alias("sxx"),
+        F.sum(
+            (F.col("d") - F.col("dp")) * (F.col("d") - F.col("dp"))
+        ).alias("syy"),
+    )
+    md = F.col("m").cast("double")
+    rho = F.col("sxy").cast("double") / F.col("sxx").cast("double")
+    rss = F.col("syy").cast("double") - rho * F.col("sxy").cast(
+        "double"
+    )
+    s2 = rss / (md - 1.0)
+    t = rho / F.sqrt(s2 / F.col("sxx").cast("double"))
+    return agg.filter((F.col("m") > 2) & (F.col("sxx") > 0)).select(
+        F.col("m").cast("long").alias("n_obs"),
+        F.floor(rho * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "rho_e6"
+        ),
+        F.floor(t * 10_000 + F.lit(_OFF)).cast("long").alias("t_e4"),
+    )
+
+
+SQL_LLC = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF})
+                                  AS BIGINT)) AS DOUBLE)
+                    / count(*) * 100 + {_OFF}) AS BIGINT) AS y4
+  FROM events GROUP BY 1, 2
+), dm AS (
+  SELECT event_type, day,
+         CAST(floor(y4 - CAST(sum(y4) OVER (PARTITION BY event_type)
+                              AS DOUBLE)
+                         / count(*) OVER (PARTITION BY event_type)
+                    + {_OFF}) AS BIGINT) AS d
+  FROM daily
+), p AS (
+  SELECT event_type, d,
+         lag(d) OVER (PARTITION BY event_type ORDER BY day) AS dp
+  FROM dm
+), p2 AS (
+  SELECT * FROM p WHERE dp IS NOT NULL
+), agg AS (
+  SELECT count(*) AS m,
+         CAST(sum(dp * (d - dp)) AS BIGINT) AS sxy,
+         CAST(sum(dp * dp) AS BIGINT) AS sxx,
+         CAST(sum((d - dp) * (d - dp)) AS BIGINT) AS syy
+  FROM p2
+)
+SELECT CAST(m AS BIGINT) AS n_obs,
+       CAST(floor(CAST(sxy AS DOUBLE) / sxx * 1000000 + {_OFF})
+            AS BIGINT) AS rho_e6,
+       CAST(floor(CAST(sxy AS DOUBLE) / sxx
+                  / sqrt(((CAST(syy AS DOUBLE)
+                           - (CAST(sxy AS DOUBLE) / sxx) * sxy)
+                          / (m - 1.0)) / sxx) * 10000 + {_OFF})
+            AS BIGINT) AS t_e4
+FROM agg WHERE m > 2 AND sxx > 0
+"""
+
+
+QUERIES.update({"llc_panel_unit_root": q_llc_panel_unit_root})
+ORACLE_SQL.update({"llc_panel_unit_root": SQL_LLC})
