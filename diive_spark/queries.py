@@ -891,6 +891,11 @@ from diive_spark import queries_stats17 as _qst17  # noqa: E402
 QUERIES.update(_qst17.QUERIES)
 ORACLE_SQL.update(_qst17.ORACLE_SQL)
 
+from diive_spark import queries_stats18 as _qst18  # noqa: E402
+
+QUERIES.update(_qst18.QUERIES)
+ORACLE_SQL.update(_qst18.ORACLE_SQL)
+
 # Driver-window ordering: the driver records correctness rows for exactly the
 # first 50 registry entries.  Round-4 rotation (VERDICT r3 #1/#2): the three
 # r03 hash-fails stay in the window so CORRECTNESS_r04 records the HUGEINT
