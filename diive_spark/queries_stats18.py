@@ -214,3 +214,446 @@ ORDER BY lang
 
 QUERIES["sichel_brunet"] = q_sichel_brunet
 ORACLE_SQL["sichel_brunet"] = SQL_SICHEL_BRUNET
+
+
+# ===========================================================================
+# Battery B — diversity / dissimilarity profiles (ecology-style indices
+# over the word-count tables).
+#
+# Scale posture: everything rides the (key, word) count table.  The
+# diversity profile collapses to the (source, c) FREQUENCY-SPECTRUM
+# domain before any float math (hundreds of rows); the pairwise
+# dissimilarities are inner self-joins ON WORD (co-partitioned,
+# vocab-sized — never a pair-of-rows blowup), with union-side masses
+# recovered from per-key scalars instead of a full-outer join:
+#   sum_union |x-y|      = (Na + Nb) - 2 * sum_inter min(x, y)
+#   canberra over union  = sum_inter |x-y|/(x+y) + (Va - Vint) + (Vb - Vint)
+#   JSD zero-side terms  = (1 - mass_inter)/2 * ln 2  (per side, exact
+#                          rational masses)
+# House exactness: per-term floats are floored to BIGINT per
+# spectrum/word row so cross-engine sums are exact-integer.
+# ===========================================================================
+
+
+def _word_counts(spark: SparkSession, sf_dir: str, key: str) -> DataFrame:
+    return (
+        _documents(spark, sf_dir)
+        .select(
+            key,
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("w"),
+        )
+        .filter(F.length("w") > 0)
+        .groupBy(key, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _counts_cte(key: str) -> str:
+    return f"""
+WITH toks AS (
+  SELECT {key},
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), cnt AS (
+  SELECT {key}, w, CAST(count(*) AS BIGINT) AS c
+  FROM toks WHERE len(w) > 0
+  GROUP BY 1, 2
+)"""
+
+
+# ---------------------------------------------------------------------------
+# diversity_profile — Shannon H, Pielou J, Simpson D, Berger-Parker d
+# ---------------------------------------------------------------------------
+# Classic ecology indices (Magurran 2004) of the word distribution per
+# source.  H is summed over the frequency-spectrum domain (m types at
+# count c contribute m*(c/N)*ln(N/c)), each spectrum term e9-floored so
+# the cross-engine sum is an exact integer; Simpson = S2/N^2 and
+# Berger-Parker = cmax/N are exact rationals.
+
+
+def q_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cnt = _word_counts(spark, sf_dir, "source")
+    spec = cnt.groupBy("source", "c").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    w = Window.partitionBy("source")
+    spec = (
+        spec.withColumn("n_tok", F.sum(F.col("c") * F.col("m")).over(w))
+        .withColumn("v_types", F.sum("m").over(w))
+        .withColumn("s2", F.sum(F.col("c") * F.col("c") * F.col("m")).over(w))
+        .withColumn("cmax", F.max("c").over(w))
+    )
+    nd = F.col("n_tok").cast("double")
+    term = (
+        F.col("m").cast("double")
+        * (F.col("c").cast("double") / nd)
+        * F.log(nd / F.col("c").cast("double"))
+    )
+    spec = spec.withColumn(
+        "t9", F.floor(term * 1e9 + F.lit(_OFF)).cast("long")
+    )
+    agg = spec.groupBy("source").agg(
+        F.sum("t9").alias("h9"),
+        F.max("n_tok").alias("n_tok"),
+        F.max("v_types").alias("v_types"),
+        F.max("s2").alias("s2"),
+        F.max("cmax").alias("cmax"),
+    )
+    h = F.col("h9").cast("double") / 1e9
+    nd2 = F.col("n_tok").cast("double")
+    return (
+        agg.filter(F.col("v_types") >= 2)
+        .select(
+            "source",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.col("v_types").cast("long").alias("v_types"),
+            F.floor(h * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "shannon_e6"
+            ),
+            F.floor(
+                h / F.log(F.col("v_types").cast("double")) * 1_000_000
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("pielou_e6"),
+            F.floor(
+                F.col("s2").cast("double") / (nd2 * nd2) * 1_000_000_000
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("simpson_e9"),
+            F.floor(
+                F.col("cmax").cast("double") / nd2 * 1_000_000
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("berger_e6"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DIVERSITY = f"""{_counts_cte("source")}
+, spec AS (
+  SELECT source, c, CAST(count(*) AS BIGINT) AS m
+  FROM cnt GROUP BY 1, 2
+), spec2 AS (
+  SELECT source, c, m,
+         CAST(sum(c * m) OVER (PARTITION BY source) AS BIGINT) AS n_tok,
+         CAST(sum(m) OVER (PARTITION BY source) AS BIGINT) AS v_types,
+         CAST(sum(c * c * m) OVER (PARTITION BY source) AS BIGINT) AS s2,
+         max(c) OVER (PARTITION BY source) AS cmax
+  FROM spec
+), terms AS (
+  SELECT source, n_tok, v_types, s2, cmax,
+         CAST(floor(CAST(m AS DOUBLE) * (CAST(c AS DOUBLE) / n_tok)
+                    * ln(CAST(n_tok AS DOUBLE) / c) * 1e9 + {_OFF})
+              AS BIGINT) AS t9
+  FROM spec2
+), agg AS (
+  SELECT source, CAST(sum(t9) AS BIGINT) AS h9,
+         max(n_tok) AS n_tok, max(v_types) AS v_types,
+         max(s2) AS s2, max(cmax) AS cmax
+  FROM terms GROUP BY 1
+)
+SELECT source, n_tok, v_types,
+       CAST(floor(CAST(h9 AS DOUBLE) / 1e9 * 1000000 + {_OFF})
+            AS BIGINT) AS shannon_e6,
+       CAST(floor(CAST(h9 AS DOUBLE) / 1e9
+                  / ln(CAST(v_types AS DOUBLE)) * 1000000 + {_OFF})
+            AS BIGINT) AS pielou_e6,
+       CAST(floor(CAST(s2 AS DOUBLE)
+                  / (CAST(n_tok AS DOUBLE) * n_tok) * 1000000000
+                  + {_OFF}) AS BIGINT) AS simpson_e9,
+       CAST(floor(CAST(cmax AS DOUBLE) / n_tok * 1000000 + {_OFF})
+            AS BIGINT) AS berger_e6
+FROM agg
+WHERE v_types >= 2
+ORDER BY source
+"""
+
+QUERIES["diversity_profile"] = q_diversity_profile
+ORACLE_SQL["diversity_profile"] = SQL_DIVERSITY
+
+
+# ---------------------------------------------------------------------------
+# bray_curtis_langs — Bray-Curtis dissimilarity between language
+# word-count profiles
+# ---------------------------------------------------------------------------
+# BC(a,b) = sum_union |x-y| / sum_union (x+y)
+#         = 1 - 2 * sum_inter min(x,y) / (Na + Nb)
+# — the min-sum identity means the union never has to be materialized:
+# one inner join on word plus two per-lang scalars, all exact integers.
+
+
+def q_bray_curtis_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cnt = _word_counts(spark, sf_dir, "lang")
+    tot = cnt.groupBy("lang").agg(F.sum("c").alias("n_tok"))
+    a = cnt.select(
+        F.col("lang").alias("lang_a"), "w", F.col("c").alias("ca")
+    )
+    b = cnt.select(
+        F.col("lang").alias("lang_b"), "w", F.col("c").alias("cb")
+    )
+    pairs = a.join(b, "w").filter(F.col("lang_a") < F.col("lang_b"))
+    smin = pairs.groupBy("lang_a", "lang_b").agg(
+        F.sum(F.least("ca", "cb")).alias("smin"),
+        F.count(F.lit(1)).alias("n_common"),
+    )
+    ta = tot.select(
+        F.col("lang").alias("lang_a"), F.col("n_tok").alias("na")
+    )
+    tb = tot.select(
+        F.col("lang").alias("lang_b"), F.col("n_tok").alias("nb")
+    )
+    out = smin.join(F.broadcast(ta), "lang_a").join(
+        F.broadcast(tb), "lang_b"
+    )
+    bc = F.lit(1.0) - 2.0 * F.col("smin").cast("double") / (
+        F.col("na") + F.col("nb")
+    ).cast("double")
+    return out.select(
+        "lang_a",
+        "lang_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.floor(bc * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "bc_e6"
+        ),
+    ).orderBy("lang_a", "lang_b")
+
+
+SQL_BRAY_CURTIS = f"""{_counts_cte("lang")}
+, tot AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS n_tok FROM cnt GROUP BY 1
+), pairs AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b,
+         CAST(sum(least(a.c, b.c)) AS BIGINT) AS smin,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM cnt a JOIN cnt b ON a.w = b.w AND a.lang < b.lang
+  GROUP BY 1, 2
+)
+SELECT p.lang_a, p.lang_b, p.n_common,
+       CAST(floor((1.0 - 2.0 * CAST(p.smin AS DOUBLE)
+                   / (ta.n_tok + tb.n_tok)) * 1000000 + {_OFF})
+            AS BIGINT) AS bc_e6
+FROM pairs p
+JOIN tot ta ON ta.lang = p.lang_a
+JOIN tot tb ON tb.lang = p.lang_b
+ORDER BY p.lang_a, p.lang_b
+"""
+
+QUERIES["bray_curtis_langs"] = q_bray_curtis_langs
+ORACLE_SQL["bray_curtis_langs"] = SQL_BRAY_CURTIS
+
+
+# ---------------------------------------------------------------------------
+# jensen_shannon_langs — Jensen-Shannon divergence between language
+# unigram distributions (nats)
+# ---------------------------------------------------------------------------
+# JSD(P,Q) = H(M) - (H(P)+H(Q))/2 with M = (P+Q)/2; computed in the
+# pointwise form JSD = sum_w [p/2 ln(p/m) + q/2 ln(q/m)].  Words
+# present on only one side contribute (p/2) ln 2, so the union
+# collapses to the inner join plus per-side intersection masses:
+#   JSD = sum_inter terms + (1 - massP)/2 ln2 + (1 - massQ)/2 ln2
+# where massP = sum_inter ca / Na is an exact rational.  Per-word
+# terms are e12-floored so the cross-engine sum is exact-integer;
+# the log argument p/m is spelled 2*ca*Nb / (ca*Nb + cb*Na) in exact
+# double products so both engines feed libm the identical bits.
+
+
+def q_jensen_shannon_langs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cnt = _word_counts(spark, sf_dir, "lang")
+    tot = cnt.groupBy("lang").agg(F.sum("c").alias("n_tok"))
+    a = cnt.select(
+        F.col("lang").alias("lang_a"), "w", F.col("c").alias("ca")
+    )
+    b = cnt.select(
+        F.col("lang").alias("lang_b"), "w", F.col("c").alias("cb")
+    )
+    ta = tot.select(
+        F.col("lang").alias("lang_a"), F.col("n_tok").alias("na")
+    )
+    tb = tot.select(
+        F.col("lang").alias("lang_b"), F.col("n_tok").alias("nb")
+    )
+    pairs = (
+        a.join(b, "w")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .join(F.broadcast(ta), "lang_a")
+        .join(F.broadcast(tb), "lang_b")
+    )
+    cad = F.col("ca").cast("double")
+    cbd = F.col("cb").cast("double")
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    p = cad / nad
+    q = cbd / nbd
+    ratio_p = 2.0 * cad * nbd / (cad * nbd + cbd * nad)
+    ratio_q = 2.0 * cbd * nad / (cad * nbd + cbd * nad)
+    term = p / 2.0 * F.log(ratio_p) + q / 2.0 * F.log(ratio_q)
+    pairs = pairs.withColumn(
+        "t12", F.floor(term * 1e12 + F.lit(_OFF)).cast("long")
+    )
+    agg = pairs.groupBy("lang_a", "lang_b").agg(
+        F.sum("t12").alias("s12"),
+        F.sum("ca").alias("ca_int"),
+        F.sum("cb").alias("cb_int"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.count(F.lit(1)).alias("n_common"),
+    )
+    mass_p = F.col("ca_int").cast("double") / F.col("na").cast("double")
+    mass_q = F.col("cb_int").cast("double") / F.col("nb").cast("double")
+    ln2 = 0.6931471805599453
+    jsd = (
+        F.col("s12").cast("double") / 1e12
+        + (F.lit(1.0) - mass_p) / 2.0 * F.lit(ln2)
+        + (F.lit(1.0) - mass_q) / 2.0 * F.lit(ln2)
+    )
+    return agg.select(
+        "lang_a",
+        "lang_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.floor(jsd * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "jsd_e6"
+        ),
+    ).orderBy("lang_a", "lang_b")
+
+
+SQL_JENSEN_SHANNON = f"""{_counts_cte("lang")}
+, tot AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS n_tok FROM cnt GROUP BY 1
+), pairs AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, a.c AS ca, b.c AS cb,
+         ta.n_tok AS na, tb.n_tok AS nb
+  FROM cnt a
+  JOIN cnt b ON a.w = b.w AND a.lang < b.lang
+  JOIN tot ta ON ta.lang = a.lang
+  JOIN tot tb ON tb.lang = b.lang
+), terms AS (
+  SELECT lang_a, lang_b, ca, cb, na, nb,
+         CAST(floor((CAST(ca AS DOUBLE) / na / 2.0
+                     * ln(2.0 * CAST(ca AS DOUBLE) * nb
+                          / (CAST(ca AS DOUBLE) * nb
+                             + CAST(cb AS DOUBLE) * na))
+                     + CAST(cb AS DOUBLE) / nb / 2.0
+                     * ln(2.0 * CAST(cb AS DOUBLE) * na
+                          / (CAST(ca AS DOUBLE) * nb
+                             + CAST(cb AS DOUBLE) * na)))
+                    * 1e12 + {_OFF}) AS BIGINT) AS t12
+  FROM pairs
+), agg AS (
+  SELECT lang_a, lang_b,
+         CAST(sum(t12) AS BIGINT) AS s12,
+         CAST(sum(ca) AS BIGINT) AS ca_int,
+         CAST(sum(cb) AS BIGINT) AS cb_int,
+         max(na) AS na, max(nb) AS nb,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM terms GROUP BY 1, 2
+)
+SELECT lang_a, lang_b, n_common,
+       CAST(floor((CAST(s12 AS DOUBLE) / 1e12
+                   + (1.0 - CAST(ca_int AS DOUBLE) / na) / 2.0
+                     * 0.6931471805599453
+                   + (1.0 - CAST(cb_int AS DOUBLE) / nb) / 2.0
+                     * 0.6931471805599453) * 1000000 + {_OFF})
+            AS BIGINT) AS jsd_e6
+FROM agg
+ORDER BY lang_a, lang_b
+"""
+
+QUERIES["jensen_shannon_langs"] = q_jensen_shannon_langs
+ORACLE_SQL["jensen_shannon_langs"] = SQL_JENSEN_SHANNON
+
+
+# ---------------------------------------------------------------------------
+# canberra_sources — normalized Canberra distance between source
+# word-count profiles
+# ---------------------------------------------------------------------------
+# Canberra(a,b) = sum_union |x-y|/(x+y).  A word absent on one side
+# contributes exactly 1, so the union decomposes as
+#   sum_inter |x-y|/(x+y) + (Va - Vint) + (Vb - Vint),
+# needing only the inner join plus per-source vocabulary sizes.
+# Reported normalized by the union size (Lance-Williams form).
+
+
+def q_canberra_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cnt = _word_counts(spark, sf_dir, "source")
+    voc = cnt.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    a = cnt.select(
+        F.col("source").alias("src_a"), "w", F.col("c").alias("ca")
+    )
+    b = cnt.select(
+        F.col("source").alias("src_b"), "w", F.col("c").alias("cb")
+    )
+    pairs = a.join(b, "w").filter(F.col("src_a") < F.col("src_b"))
+    term = (
+        F.abs(F.col("ca") - F.col("cb")).cast("double")
+        / (F.col("ca") + F.col("cb")).cast("double")
+    )
+    pairs = pairs.withColumn(
+        "t9", F.floor(term * 1e9 + F.lit(_OFF)).cast("long")
+    )
+    agg = pairs.groupBy("src_a", "src_b").agg(
+        F.sum("t9").alias("s9"),
+        F.count(F.lit(1)).alias("v_int"),
+    )
+    va = voc.select(
+        F.col("source").alias("src_a"), F.col("v").alias("va")
+    )
+    vb = voc.select(
+        F.col("source").alias("src_b"), F.col("v").alias("vb")
+    )
+    out = agg.join(F.broadcast(va), "src_a").join(
+        F.broadcast(vb), "src_b"
+    )
+    dist = (
+        F.col("s9").cast("double") / 1e9
+        + (F.col("va") - F.col("v_int")).cast("double")
+        + (F.col("vb") - F.col("v_int")).cast("double")
+    )
+    n_union = (
+        F.col("va") + F.col("vb") - F.col("v_int")
+    ).cast("double")
+    return out.select(
+        "src_a",
+        "src_b",
+        (F.col("va") + F.col("vb") - F.col("v_int"))
+        .cast("long")
+        .alias("n_union"),
+        F.floor(dist / n_union * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("canberra_e6"),
+    ).orderBy("src_a", "src_b")
+
+
+SQL_CANBERRA = f"""{_counts_cte("source")}
+, voc AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS v FROM cnt GROUP BY 1
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(sum(CAST(floor(CAST(abs(a.c - b.c) AS DOUBLE)
+                             / (a.c + b.c) * 1e9 + {_OFF})
+                       AS BIGINT)) AS BIGINT) AS s9,
+         CAST(count(*) AS BIGINT) AS v_int
+  FROM cnt a JOIN cnt b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b,
+       CAST(va.v + vb.v - p.v_int AS BIGINT) AS n_union,
+       CAST(floor((CAST(p.s9 AS DOUBLE) / 1e9
+                   + (va.v - p.v_int) + (vb.v - p.v_int))
+                  / (va.v + vb.v - p.v_int) * 1000000 + {_OFF})
+            AS BIGINT) AS canberra_e6
+FROM pairs p
+JOIN voc va ON va.source = p.src_a
+JOIN voc vb ON vb.source = p.src_b
+ORDER BY p.src_a, p.src_b
+"""
+
+QUERIES["canberra_sources"] = q_canberra_sources
+ORACLE_SQL["canberra_sources"] = SQL_CANBERRA
