@@ -657,3 +657,372 @@ ORDER BY p.src_a, p.src_b
 
 QUERIES["canberra_sources"] = q_canberra_sources
 ORACLE_SQL["canberra_sources"] = SQL_CANBERRA
+
+
+# ===========================================================================
+# Battery C — spatial/temporal dispersion (quadrat-count ecology) and
+# binomial overdispersion over the events stream.
+#
+# Quadrats are deterministic cells (user_id % 16 buckets x day, or
+# calendar hours), so zero cells never need materializing: with B
+# quadrats and nonzero-cell sums s1 = sum c, s2 = sum c^2, the moments
+# are m = s1/B and var = (s2 - s1^2/B)/(B-1) — all exact integers in
+# both engines until the final division.
+# ===========================================================================
+
+_EVENTS_DAY_BUCKET_CTE = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         user_id % 16 AS bucket
+  FROM events
+), cells AS (
+  SELECT event_type, day, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2, 3
+)"""
+
+
+def _event_day_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+        (F.col("user_id") % 16).alias("bucket"),
+    ).groupBy("event_type", "day", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+# ---------------------------------------------------------------------------
+# iwao_patchiness — Iwao's mean-crowding regression (m* on m)
+# ---------------------------------------------------------------------------
+# Lloyd (1967) mean crowding m* = m + s^2/m - 1 per (type, day) over
+# the 16 user-bucket quadrats; Iwao (1968) regresses m* on m across
+# days: intercept alpha = index of basic contagion, slope beta =
+# density-contagion coefficient.  (m, m*) pairs are e6-floored before
+# the exact-integer OLS (the herdan_c discipline).
+
+
+def q_iwao_patchiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = _event_day_cells(spark, sf_dir)
+    day = cells.groupBy("event_type", "day").agg(
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    b = F.lit(16.0)
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    m = s1d / b
+    var = (s2d - s1d * s1d / b) / (b - 1.0)
+    mstar = m + var / m - 1.0
+    pts = day.filter(F.col("s1") >= 2).select(
+        "event_type",
+        F.floor(m * 1e6 + F.lit(_OFF)).cast("long").alias("x6"),
+        F.floor(mstar * 1e6 + F.lit(_OFF)).cast("long").alias("y6"),
+    )
+    agg = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x6").alias("sx"),
+        F.sum("y6").alias("sy"),
+        F.sum(F.col("x6") * F.col("y6")).alias("sxy"),
+        F.sum(F.col("x6") * F.col("x6")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = nd * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    beta = num / den
+    alpha = (
+        F.col("sy").cast("double") / 1e6
+        - beta * F.col("sx").cast("double") / 1e6
+    ) / nd
+    return (
+        agg.filter((F.col("n") >= 3) & (den > 0))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.floor(alpha * 1_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("alpha_e6"),
+            F.floor(beta * 1_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("beta_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_IWAO = f"""{_EVENTS_DAY_BUCKET_CTE}
+, day AS (
+  SELECT event_type, day,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM cells GROUP BY 1, 2
+), pts AS (
+  SELECT event_type,
+         CAST(floor(CAST(s1 AS DOUBLE) / 16.0 * 1e6 + {_OFF})
+              AS BIGINT) AS x6,
+         CAST(floor((CAST(s1 AS DOUBLE) / 16.0
+                     + ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1
+                         / 16.0) / 15.0)
+                       / (CAST(s1 AS DOUBLE) / 16.0)
+                     - 1.0) * 1e6 + {_OFF}) AS BIGINT) AS y6
+  FROM day WHERE s1 >= 2
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x6) AS BIGINT) AS sx, CAST(sum(y6) AS BIGINT) AS sy,
+         CAST(sum(x6 * y6) AS BIGINT) AS sxy,
+         CAST(sum(x6 * x6) AS BIGINT) AS sxx
+  FROM pts GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       CAST(floor((CAST(sy AS DOUBLE) / 1e6
+                   - (CAST(n AS DOUBLE) * sxy
+                      - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx)
+                     * CAST(sx AS DOUBLE) / 1e6)
+                  / n * 1000000 + {_OFF}) AS BIGINT) AS alpha_e6,
+       CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * 1000000 + {_OFF}) AS BIGINT) AS beta_e6
+FROM agg
+WHERE n >= 3
+  AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+ORDER BY event_type
+"""
+
+QUERIES["iwao_patchiness"] = q_iwao_patchiness
+ORACLE_SQL["iwao_patchiness"] = SQL_IWAO
+
+
+# ---------------------------------------------------------------------------
+# lloyd_green_dispersion — Lloyd patchiness index + Green's coefficient
+# ---------------------------------------------------------------------------
+# Hourly quadrats per event_type over the type's own calendar span
+# (B = hmax - hmin + 1 grid hours, zero cells implicit).  Lloyd
+# patchiness P = m*/m; Green Cx = (s^2/m - 1)/(N - 1) — 0 for random
+# (Poisson), 1 for maximally clumped.
+
+
+def q_lloyd_green_dispersion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cells = ev.select(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+        )
+        .cast("long")
+        .alias("slot"),
+    ).groupBy("event_type", "slot").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = cells.groupBy("event_type").agg(
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.min("slot").alias("hmin"),
+        F.max("slot").alias("hmax"),
+    )
+    b = (F.col("hmax") - F.col("hmin") + 1).cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    m = s1d / b
+    var = (s2d - s1d * s1d / b) / (b - 1.0)
+    mstar = m + var / m - 1.0
+    lloyd = mstar / m
+    green = (var / m - 1.0) / (s1d - 1.0)
+    return (
+        agg.filter((F.col("s1") >= 2) & (F.col("hmax") > F.col("hmin")))
+        .select(
+            "event_type",
+            (F.col("hmax") - F.col("hmin") + 1)
+            .cast("long")
+            .alias("n_quadrats"),
+            F.col("s1").cast("long").alias("n_events"),
+            F.floor(lloyd * 1_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("lloyd_e6"),
+            F.floor(green * 1_000_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("green_e9"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_LLOYD_GREEN = f"""
+WITH cells AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS slot,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), agg AS (
+  SELECT event_type,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2,
+         min(slot) AS hmin, max(slot) AS hmax
+  FROM cells GROUP BY 1
+), m AS (
+  SELECT event_type, s1, s2,
+         CAST(hmax - hmin + 1 AS BIGINT) AS nq,
+         CAST(s1 AS DOUBLE) / (hmax - hmin + 1) AS mm,
+         (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1
+          / (hmax - hmin + 1)) / (hmax - hmin + 1 - 1.0) AS vv
+  FROM agg WHERE s1 >= 2 AND hmax > hmin
+)
+SELECT event_type, nq AS n_quadrats, s1 AS n_events,
+       CAST(floor((mm + vv / mm - 1.0) / mm * 1000000 + {_OFF})
+            AS BIGINT) AS lloyd_e6,
+       CAST(floor((vv / mm - 1.0) / (CAST(s1 AS DOUBLE) - 1.0)
+                  * 1000000000 + {_OFF}) AS BIGINT) AS green_e9
+FROM m
+ORDER BY event_type
+"""
+
+QUERIES["lloyd_green_dispersion"] = q_lloyd_green_dispersion
+ORACLE_SQL["lloyd_green_dispersion"] = SQL_LLOYD_GREEN
+
+
+# ---------------------------------------------------------------------------
+# beta_binomial_mom — intra-day clustering of binary outcomes
+# ---------------------------------------------------------------------------
+# Days are clusters; success = value > 50.  The ANOVA method of
+# moments for clustered binary data (Kleinman 1973):
+#   MSB = sum n_i (p_i - pbar)^2 / (k-1)
+#   MSW = sum n_i p_i (1-p_i) / sum (n_i - 1)
+#   n_c = (N - sum n_i^2 / N) / (k-1)
+#   rho = (MSB - MSW) / (MSB + (n_c - 1) MSW)
+# Every sum is over exact integers (x_i, n_i), so MSB/MSW are
+# deterministic doubles: n_i p_i(1-p_i) = x_i(n_i-x_i)/n_i and
+# n_i(p_i-pbar)^2 = (x_i - n_i pbar)^2 / n_i with pbar = X/N exact.
+
+
+def q_beta_binomial_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = ev.select(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+        F.when(F.col("value") > 50.0, 1).otherwise(0).alias("s"),
+    ).groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s").alias("x"),
+    )
+    tot = day.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("x").alias("xx"),
+        F.sum(F.col("n") * F.col("n")).alias("sn2"),
+    )
+    joined = day.join(
+        F.broadcast(
+            tot.select(
+                "event_type",
+                (F.col("xx").cast("double") / F.col("nn").cast("double"))
+                .alias("pbar"),
+            )
+        ),
+        "event_type",
+    )
+    xd = F.col("x").cast("double")
+    ndc = F.col("n").cast("double")
+    bsum = joined.groupBy("event_type").agg(
+        F.sum(
+            F.floor(
+                (xd - ndc * F.col("pbar"))
+                * (xd - ndc * F.col("pbar"))
+                / ndc
+                * 1e6
+                + F.lit(_OFF)
+            ).cast("long")
+        ).alias("ssb6"),
+        F.sum(
+            F.floor(xd * (ndc - xd) / ndc * 1e6 + F.lit(_OFF)).cast(
+                "long"
+            )
+        ).alias("ssw6"),
+    )
+    out = tot.join(bsum, "event_type")
+    kd = F.col("k").cast("double")
+    nd2 = F.col("nn").cast("double")
+    msb = F.col("ssb6").cast("double") / 1e6 / (kd - 1.0)
+    msw = F.col("ssw6").cast("double") / 1e6 / (nd2 - kd)
+    nc = (nd2 - F.col("sn2").cast("double") / nd2) / (kd - 1.0)
+    rho = (msb - msw) / (msb + (nc - 1.0) * msw)
+    return (
+        out.filter((F.col("k") >= 3) & (F.col("nn") > F.col("k")))
+        .select(
+            "event_type",
+            F.col("k").cast("long").alias("n_days"),
+            F.floor(
+                F.col("xx").cast("double") / nd2 * 1_000_000
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("pbar_e6"),
+            F.floor(rho * 1_000_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("rho_e9"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_BETA_BINOM = f"""
+WITH day AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(x) AS BIGINT) AS xx,
+         CAST(sum(n * n) AS BIGINT) AS sn2
+  FROM day GROUP BY 1
+), bsum AS (
+  SELECT d.event_type,
+         CAST(sum(CAST(floor((d.x - d.n * (CAST(t.xx AS DOUBLE) / t.nn))
+                             * (d.x - d.n * (CAST(t.xx AS DOUBLE) / t.nn))
+                             / d.n * 1e6 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS ssb6,
+         CAST(sum(CAST(floor(CAST(d.x AS DOUBLE) * (d.n - d.x) / d.n
+                             * 1e6 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS ssw6
+  FROM day d JOIN tot t ON t.event_type = d.event_type
+  GROUP BY 1
+)
+SELECT t.event_type, t.k AS n_days,
+       CAST(floor(CAST(t.xx AS DOUBLE) / t.nn * 1000000 + {_OFF})
+            AS BIGINT) AS pbar_e6,
+       CAST(floor((CAST(b.ssb6 AS DOUBLE) / 1e6 / (t.k - 1.0)
+                   - CAST(b.ssw6 AS DOUBLE) / 1e6
+                     / (t.nn - CAST(t.k AS DOUBLE)))
+                  / (CAST(b.ssb6 AS DOUBLE) / 1e6 / (t.k - 1.0)
+                     + (((t.nn - CAST(t.sn2 AS DOUBLE) / t.nn)
+                         / (t.k - 1.0)) - 1.0)
+                       * (CAST(b.ssw6 AS DOUBLE) / 1e6
+                          / (t.nn - CAST(t.k AS DOUBLE))))
+                  * 1000000000 + {_OFF}) AS BIGINT) AS rho_e9
+FROM tot t JOIN bsum b ON b.event_type = t.event_type
+WHERE t.k >= 3 AND t.nn > t.k
+ORDER BY t.event_type
+"""
+
+QUERIES["beta_binomial_mom"] = q_beta_binomial_mom
+ORACLE_SQL["beta_binomial_mom"] = SQL_BETA_BINOM
