@@ -1026,3 +1026,484 @@ ORDER BY t.event_type
 
 QUERIES["beta_binomial_mom"] = q_beta_binomial_mom
 ORACLE_SQL["beta_binomial_mom"] = SQL_BETA_BINOM
+
+
+# ===========================================================================
+# Battery D — regression extensions: closed-form ridge, the Rainbow
+# linearity test, and a Gamma GLM with log link by two unrolled
+# Fisher-scoring steps (the poisson/logistic_glm_newton posture:
+# cells x broadcast(param row), fixed iteration count, no driver loop).
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# ridge_regression — L2-regularized two-predictor linear model
+# ---------------------------------------------------------------------------
+# y = daily mean centi-value; x1 = day index (trend), x2 = day-of-week
+# weekend flag, both standardized; lambda = 1.0.  beta =
+# (X'X + n*lambda*I)^-1 X'y with the 2x2 inverse in closed form.
+# All cross-moments are exact integers (x1 integer days, x2 binary,
+# y e2-floored), so the solve is a deterministic double expression.
+
+
+def q_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.floor(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    daily = daily.withColumn(
+        "x2", ((F.col("day") + 4) % 7 >= 5).cast("long")
+    )
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("day").alias("s1"),
+        F.sum(F.col("day") * F.col("day")).alias("s11"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("day") * F.col("x2")).alias("s12"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("day") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / nd
+    m2 = F.col("s2").cast("double") / nd
+    my = F.col("sy").cast("double") / nd
+    v1 = F.col("s11").cast("double") / nd - m1 * m1
+    v2 = F.col("s22").cast("double") / nd - m2 * m2
+    sd1 = F.sqrt(v1)
+    sd2 = F.sqrt(v2)
+    # standardized centered cross-moments
+    c11 = nd  # sum z1^2 = n when dividing by population sd
+    c22 = nd
+    c12 = (F.col("s12").cast("double") - nd * m1 * m2) / (sd1 * sd2)
+    c1y = (F.col("s1y").cast("double") - nd * m1 * my) / sd1
+    c2y = (F.col("s2y").cast("double") - nd * m2 * my) / sd2
+    lam = nd * 1.0
+    a11 = c11 + lam
+    a22 = c22 + lam
+    det = a11 * a22 - c12 * c12
+    b1 = (a22 * c1y - c12 * c2y) / det
+    b2 = (a11 * c2y - c12 * c1y) / det
+    return (
+        agg.filter((F.col("n") >= 3) & (v1 > 0) & (v2 > 0))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.floor(b1 * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "beta_trend_e4"
+            ),
+            F.floor(b2 * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "beta_weekend_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_RIDGE = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF})
+                                  AS BIGINT)) AS DOUBLE)
+                    / count(*) + {_OFF}) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), d2 AS (
+  SELECT *, CASE WHEN (day + 4) % 7 >= 5 THEN 1 ELSE 0 END AS x2
+  FROM daily
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(day) AS BIGINT) AS s1,
+         CAST(sum(day * day) AS BIGINT) AS s11,
+         CAST(sum(x2) AS BIGINT) AS s2,
+         CAST(sum(x2 * x2) AS BIGINT) AS s22,
+         CAST(sum(day * x2) AS BIGINT) AS s12,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(day * y) AS BIGINT) AS s1y,
+         CAST(sum(x2 * y) AS BIGINT) AS s2y
+  FROM d2 GROUP BY 1
+), m AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / n AS m1, CAST(s2 AS DOUBLE) / n AS m2,
+         CAST(sy AS DOUBLE) / n AS my,
+         CAST(s11 AS DOUBLE) / n
+           - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS v1,
+         CAST(s22 AS DOUBLE) / n
+           - (CAST(s2 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n) AS v2,
+         CAST(s12 AS DOUBLE) AS s12d, CAST(s1y AS DOUBLE) AS s1yd,
+         CAST(s2y AS DOUBLE) AS s2yd
+  FROM agg
+), z AS (
+  SELECT event_type, n, v1, v2,
+         (s12d - n * m1 * m2) / (sqrt(v1) * sqrt(v2)) AS c12,
+         (s1yd - n * m1 * my) / sqrt(v1) AS c1y,
+         (s2yd - n * m2 * my) / sqrt(v2) AS c2y,
+         CAST(n AS DOUBLE) + n * 1.0 AS a11,
+         CAST(n AS DOUBLE) + n * 1.0 AS a22
+  FROM m
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       CAST(floor((a22 * c1y - c12 * c2y) / (a11 * a22 - c12 * c12)
+                  * 10000 + {_OFF}) AS BIGINT) AS beta_trend_e4,
+       CAST(floor((a11 * c2y - c12 * c1y) / (a11 * a22 - c12 * c12)
+                  * 10000 + {_OFF}) AS BIGINT) AS beta_weekend_e4
+FROM z
+WHERE n >= 3 AND v1 > 0 AND v2 > 0
+ORDER BY event_type
+"""
+
+QUERIES["ridge_regression"] = q_ridge_regression
+ORACLE_SQL["ridge_regression"] = SQL_RIDGE
+
+
+# ---------------------------------------------------------------------------
+# rainbow_test — Utts (1982) linearity test
+# ---------------------------------------------------------------------------
+# Fit daily-mean ~ day by OLS on the FULL span and on the MIDDLE HALF
+# (days within the central 50% by day index, a calendar predicate —
+# no sort needed).  F = ((RSS_full - RSS_mid)/(n - n_mid)) /
+# (RSS_mid/(n_mid - 2)).  RSS computed from exact integer moments via
+# RSS = Syy - Sxy^2/Sxx on centered sums.
+
+
+def q_rainbow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.floor(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("dmin"), F.max("day").alias("dmax")
+    )
+    j = daily.join(F.broadcast(bounds), "event_type")
+    span = F.col("dmax") - F.col("dmin")
+    lo = F.col("dmin").cast("double") + 0.25 * span.cast("double")
+    hi = F.col("dmin").cast("double") + 0.75 * span.cast("double")
+    mid = (F.col("day") >= lo) & (F.col("day") <= hi)
+
+    def olsagg(df, flag, tag):
+        src = df.filter(flag) if flag is not None else df
+        return src.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.sum("day").alias(f"sx_{tag}"),
+            F.sum(F.col("day") * F.col("day")).alias(f"sxx_{tag}"),
+            F.sum("y").alias(f"sy_{tag}"),
+            F.sum(F.col("day") * F.col("y")).alias(f"sxy_{tag}"),
+            F.sum(F.col("y") * F.col("y")).alias(f"syy_{tag}"),
+        )
+
+    full = olsagg(j, None, "f")
+    mida = olsagg(j, mid, "m")
+    out = full.join(mida, "event_type")
+
+    def rss(tag):
+        n = F.col(f"n_{tag}").cast("double")
+        sx = F.col(f"sx_{tag}").cast("double")
+        sy = F.col(f"sy_{tag}").cast("double")
+        sxx = F.col(f"sxx_{tag}").cast("double")
+        sxy = F.col(f"sxy_{tag}").cast("double")
+        syy = F.col(f"syy_{tag}").cast("double")
+        cxx = sxx - sx * sx / n
+        cxy = sxy - sx * sy / n
+        cyy = syy - sy * sy / n
+        return cyy - cxy * cxy / cxx
+
+    rf = rss("f")
+    rm = rss("m")
+    nf = F.col("n_f").cast("double")
+    nm = F.col("n_m").cast("double")
+    fstat = ((rf - rm) / (nf - nm)) / (rm / (nm - 2.0))
+    return (
+        out.filter(
+            (F.col("n_m") >= 3) & (F.col("n_f") > F.col("n_m")) & (rm > 0)
+        )
+        .select(
+            "event_type",
+            F.col("n_f").cast("long").alias("n_days"),
+            F.col("n_m").cast("long").alias("n_mid"),
+            F.floor(fstat * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "f_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_RAINBOW = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF})
+                                  AS BIGINT)) AS DOUBLE)
+                    / count(*) + {_OFF}) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(day) AS dmin, max(day) AS dmax
+  FROM daily GROUP BY 1
+), j AS (
+  SELECT d.*,
+         CASE WHEN d.day >= b.dmin + 0.25 * (b.dmax - b.dmin)
+               AND d.day <= b.dmin + 0.75 * (b.dmax - b.dmin)
+              THEN 1 ELSE 0 END AS in_mid
+  FROM daily d JOIN bounds b ON b.event_type = d.event_type
+), agg AS (
+  SELECT event_type,
+         count(*) AS n_f,
+         CAST(sum(day) AS BIGINT) AS sx_f,
+         CAST(sum(day * day) AS BIGINT) AS sxx_f,
+         CAST(sum(y) AS BIGINT) AS sy_f,
+         CAST(sum(day * y) AS BIGINT) AS sxy_f,
+         CAST(sum(y * y) AS BIGINT) AS syy_f,
+         CAST(sum(in_mid) AS BIGINT) AS n_m,
+         CAST(sum(CASE WHEN in_mid = 1 THEN day ELSE 0 END)
+              AS BIGINT) AS sx_m,
+         CAST(sum(CASE WHEN in_mid = 1 THEN day * day ELSE 0 END)
+              AS BIGINT) AS sxx_m,
+         CAST(sum(CASE WHEN in_mid = 1 THEN y ELSE 0 END)
+              AS BIGINT) AS sy_m,
+         CAST(sum(CASE WHEN in_mid = 1 THEN day * y ELSE 0 END)
+              AS BIGINT) AS sxy_m,
+         CAST(sum(CASE WHEN in_mid = 1 THEN y * y ELSE 0 END)
+              AS BIGINT) AS syy_m
+  FROM j GROUP BY 1
+), r AS (
+  SELECT event_type, n_f, n_m,
+         (CAST(syy_f AS DOUBLE) - CAST(sy_f AS DOUBLE) * sy_f / n_f)
+         - (CAST(sxy_f AS DOUBLE) - CAST(sx_f AS DOUBLE) * sy_f / n_f)
+           * (CAST(sxy_f AS DOUBLE) - CAST(sx_f AS DOUBLE) * sy_f / n_f)
+           / (CAST(sxx_f AS DOUBLE) - CAST(sx_f AS DOUBLE) * sx_f / n_f)
+           AS rf,
+         (CAST(syy_m AS DOUBLE) - CAST(sy_m AS DOUBLE) * sy_m / n_m)
+         - (CAST(sxy_m AS DOUBLE) - CAST(sx_m AS DOUBLE) * sy_m / n_m)
+           * (CAST(sxy_m AS DOUBLE) - CAST(sx_m AS DOUBLE) * sy_m / n_m)
+           / (CAST(sxx_m AS DOUBLE) - CAST(sx_m AS DOUBLE) * sx_m / n_m)
+           AS rm
+  FROM agg
+)
+SELECT event_type, CAST(n_f AS BIGINT) AS n_days,
+       CAST(n_m AS BIGINT) AS n_mid,
+       CAST(floor(((rf - rm) / (n_f - CAST(n_m AS DOUBLE)))
+                  / (rm / (n_m - 2.0)) * 10000 + {_OFF})
+            AS BIGINT) AS f_e4
+FROM r
+WHERE n_m >= 3 AND n_f > n_m AND rm > 0
+ORDER BY event_type
+"""
+
+QUERIES["rainbow_test"] = q_rainbow_test
+ORACLE_SQL["rainbow_test"] = SQL_RAINBOW
+
+
+# ---------------------------------------------------------------------------
+# gamma_glm_newton — Gamma GLM, log link, two unrolled Fisher-scoring
+# steps: value ~ standardized hour-of-day
+# ---------------------------------------------------------------------------
+# With log link the working update is beta += (X'WX)^-1 X'(y/mu - 1)
+# with W = I (Fisher weights are constant for Gamma/log), so each step
+# needs only the per-hour sufficient statistics (n_h, S_h = sum y):
+# sum_i in h (y_i/mu_h - 1) = S_h/mu_h - n_h.  The 24-row hour domain
+# collapses the corpus before ANY float math; per-hour step terms are
+# e6-floored so both engines take identical Newton paths.  Start at
+# (ln ybar, 0) — the null model.
+
+
+def q_gamma_glm_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cells = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("h"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "yv"
+        ),
+    ).groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum("yv").alias("s_h"),
+    )
+    mom = cells.groupBy("event_type").agg(
+        F.sum("n_h").alias("n"),
+        F.sum("s_h").alias("sy"),
+        F.sum(F.col("n_h") * F.col("h")).alias("sh"),
+        F.sum(F.col("n_h") * F.col("h") * F.col("h")).alias("shh"),
+    )
+    nd = F.col("n").cast("double")
+    mh = F.col("sh").cast("double") / nd
+    vh = F.col("shh").cast("double") / nd - mh * mh
+    mom = mom.select(
+        "event_type",
+        "n",
+        mh.alias("mh"),
+        F.sqrt(vh).alias("sdh"),
+        F.log(F.col("sy").cast("double") / 100.0 / nd).alias("a0"),
+    ).filter((F.col("sy") > 0) & (vh > 0))
+
+    def step(params: DataFrame, acol: str, bcol: str, tag: str):
+        j = cells.join(F.broadcast(params), "event_type")
+        x = (F.col("h").cast("double") - F.col("mh")) / F.col("sdh")
+        mu = F.exp(F.col(acol) + F.col(bcol) * x)
+        g = F.col("s_h").cast("double") / 100.0 / mu - F.col(
+            "n_h"
+        ).cast("double")
+        nhd = F.col("n_h").cast("double")
+        t = j.select(
+            "event_type",
+            acol,
+            bcol,
+            "mh",
+            "sdh",
+            F.floor(g * 1e6 + F.lit(_OFF)).cast("long").alias("g1"),
+            F.floor(x * g * 1e6 + F.lit(_OFF)).cast("long").alias("g2"),
+            F.floor(nhd * x * 1e9 + F.lit(_OFF)).cast("long").alias(
+                "sx9"
+            ),
+            F.floor(nhd * x * x * 1e9 + F.lit(_OFF))
+            .cast("long")
+            .alias("sxx9"),
+            F.col("n_h").alias("n_h"),
+        )
+        agg = t.groupBy("event_type", acol, bcol, "mh", "sdh").agg(
+            F.sum("g1").alias("sg1"),
+            F.sum("g2").alias("sg2"),
+            F.sum("sx9").alias("ssx"),
+            F.sum("sxx9").alias("ssxx"),
+            F.sum("n_h").alias("s0"),
+        )
+        g1 = F.col("sg1").cast("double") / 1e6
+        g2 = F.col("sg2").cast("double") / 1e6
+        s0 = F.col("s0").cast("double")
+        sx = F.col("ssx").cast("double") / 1e9
+        sxx = F.col("ssxx").cast("double") / 1e9
+        det = s0 * sxx - sx * sx
+        return agg.select(
+            "event_type",
+            "mh",
+            "sdh",
+            (F.col(acol) + (sxx * g1 - sx * g2) / det).alias(f"a{tag}"),
+            (F.col(bcol) + (s0 * g2 - sx * g1) / det).alias(f"b{tag}"),
+        )
+
+    p0 = mom.select(
+        "event_type", "mh", "sdh", F.col("a0"), F.lit(0.0).alias("b0")
+    )
+    p1 = step(p0, "a0", "b0", "1")
+    p2 = step(p1, "a1", "b1", "2")
+    out = p2.join(F.broadcast(mom.select("event_type", "n")), "event_type")
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(F.col("a2") * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("alpha_e6"),
+        F.floor(F.col("b2") * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("beta_e6"),
+    ).orderBy("event_type")
+
+
+def _gg_step_sql(prev: str, acol: str, bcol: str, tag: str) -> str:
+    x = f"((c.h - p.mh) / p.sdh)"
+    mu = f"exp(p.{acol} + p.{bcol} * {x})"
+    g = f"(CAST(c.s_h AS DOUBLE) / 100.0 / {mu} - c.n_h)"
+    return f""",
+  t{tag} AS (
+    SELECT c.event_type, p.{acol}, p.{bcol}, p.mh, p.sdh,
+           CAST(floor({g} * 1e6 + {_OFF}) AS BIGINT) AS g1,
+           CAST(floor({x} * {g} * 1e6 + {_OFF}) AS BIGINT) AS g2,
+           CAST(floor(c.n_h * {x} * 1e9 + {_OFF}) AS BIGINT) AS sx9,
+           CAST(floor(c.n_h * {x} * {x} * 1e9 + {_OFF})
+                AS BIGINT) AS sxx9,
+           c.n_h
+    FROM cells c JOIN {prev} p ON p.event_type = c.event_type
+  ), s{tag} AS (
+    SELECT event_type, {acol}, {bcol}, mh, sdh,
+           CAST(sum(g1) AS BIGINT) AS sg1,
+           CAST(sum(g2) AS BIGINT) AS sg2,
+           CAST(sum(sx9) AS BIGINT) AS ssx,
+           CAST(sum(sxx9) AS BIGINT) AS ssxx,
+           CAST(sum(n_h) AS BIGINT) AS s0
+    FROM t{tag} GROUP BY 1, 2, 3, 4, 5
+  ), p{tag} AS (
+    SELECT event_type, mh, sdh,
+           {acol} + (CAST(ssxx AS DOUBLE) / 1e9
+                     * (CAST(sg1 AS DOUBLE) / 1e6)
+                     - CAST(ssx AS DOUBLE) / 1e9
+                       * (CAST(sg2 AS DOUBLE) / 1e6))
+                    / (CAST(s0 AS DOUBLE) * (CAST(ssxx AS DOUBLE) / 1e9)
+                       - (CAST(ssx AS DOUBLE) / 1e9)
+                         * (CAST(ssx AS DOUBLE) / 1e9)) AS a{tag},
+           {bcol} + (CAST(s0 AS DOUBLE)
+                     * (CAST(sg2 AS DOUBLE) / 1e6)
+                     - CAST(ssx AS DOUBLE) / 1e9
+                       * (CAST(sg1 AS DOUBLE) / 1e6))
+                    / (CAST(s0 AS DOUBLE) * (CAST(ssxx AS DOUBLE) / 1e9)
+                       - (CAST(ssx AS DOUBLE) / 1e9)
+                         * (CAST(ssx AS DOUBLE) / 1e9)) AS b{tag}
+    FROM s{tag}
+  )"""
+
+
+SQL_GAMMA_GLM = f"""
+WITH cells AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS n_h,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS s_h
+  FROM events GROUP BY 1, 2
+), mom AS (
+  SELECT event_type,
+         CAST(sum(n_h) AS BIGINT) AS n,
+         CAST(sum(s_h) AS BIGINT) AS sy,
+         CAST(sum(n_h * h) AS BIGINT) AS sh,
+         CAST(sum(n_h * h * h) AS BIGINT) AS shh
+  FROM cells GROUP BY 1
+), p0 AS (
+  SELECT event_type,
+         CAST(sh AS DOUBLE) / n AS mh,
+         sqrt(CAST(shh AS DOUBLE) / n
+              - (CAST(sh AS DOUBLE) / n) * (CAST(sh AS DOUBLE) / n))
+           AS sdh,
+         ln(CAST(sy AS DOUBLE) / 100.0 / n) AS a0,
+         0.0 AS b0, n
+  FROM mom
+  WHERE sy > 0
+    AND CAST(shh AS DOUBLE) / n
+        - (CAST(sh AS DOUBLE) / n) * (CAST(sh AS DOUBLE) / n) > 0
+){_gg_step_sql("p0", "a0", "b0", "1")}{_gg_step_sql("p1", "a1", "b1", "2")}
+SELECT p2.event_type, p0.n AS n,
+       CAST(floor(p2.a2 * 1000000 + {_OFF}) AS BIGINT) AS alpha_e6,
+       CAST(floor(p2.b2 * 1000000 + {_OFF}) AS BIGINT) AS beta_e6
+FROM p2 JOIN p0 ON p0.event_type = p2.event_type
+ORDER BY p2.event_type
+"""
+
+QUERIES["gamma_glm_newton"] = q_gamma_glm_newton
+ORACLE_SQL["gamma_glm_newton"] = SQL_GAMMA_GLM
