@@ -1507,3 +1507,473 @@ ORDER BY p2.event_type
 
 QUERIES["gamma_glm_newton"] = q_gamma_glm_newton
 ORACLE_SQL["gamma_glm_newton"] = SQL_GAMMA_GLM
+
+
+# ===========================================================================
+# Battery E — robust association / robust ANOVA / MANOVA extremes:
+# Blomqvist's medial correlation, the Alexander-Govern heteroscedastic
+# one-way test, and Roy's largest root for the diel 3-group MANOVA
+# (the eigen sibling of pillai_manova / wilks_lambda).
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# blomqvist_beta — quadrant (medial) correlation between daily mean
+# value and daily event count
+# ---------------------------------------------------------------------------
+# Blomqvist (1950): beta = (n_concordant - n_discordant)/n relative to
+# the coordinatewise medians.  Lower medians are picked by rank over
+# the BOUNDED day domain (deterministic total order with day as
+# tie-break); days sitting exactly on a median are excluded (the
+# classical treatment of ties).
+
+
+def q_blomqvist_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.floor(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    wn = Window.partitionBy("event_type")
+    wy = Window.partitionBy("event_type").orderBy("y", "day")
+    wc = Window.partitionBy("event_type").orderBy("c", "day")
+    d2 = (
+        daily.withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn("ry", F.row_number().over(wy))
+        .withColumn("rc", F.row_number().over(wc))
+    )
+    med_pos = F.floor((F.col("n") + 1) / 2).cast("long")
+    my = d2.filter(F.col("ry") == med_pos).select(
+        "event_type", F.col("y").alias("my")
+    )
+    mc = d2.filter(F.col("rc") == med_pos).select(
+        "event_type", F.col("c").alias("mc")
+    )
+    j = daily.join(F.broadcast(my), "event_type").join(
+        F.broadcast(mc), "event_type"
+    )
+    j = j.filter((F.col("y") != F.col("my")) & (F.col("c") != F.col("mc")))
+    conc = (
+        ((F.col("y") > F.col("my")) & (F.col("c") > F.col("mc")))
+        | ((F.col("y") < F.col("my")) & (F.col("c") < F.col("mc")))
+    ).cast("long")
+    agg = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum(conc).alias("n_conc"),
+    )
+    beta = (
+        2.0 * F.col("n_conc").cast("double")
+        - F.col("n_used").cast("double")
+    ) / F.col("n_used").cast("double")
+    return (
+        agg.filter(F.col("n_used") >= 4)
+        .select(
+            "event_type",
+            F.col("n_used").cast("long").alias("n_used"),
+            F.floor(beta * 1_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("beta_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_BLOMQVIST = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS c,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF})
+                                  AS BIGINT)) AS DOUBLE)
+                    / count(*) + {_OFF}) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT *,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         row_number() OVER (PARTITION BY event_type ORDER BY y, day)
+           AS ry,
+         row_number() OVER (PARTITION BY event_type ORDER BY c, day)
+           AS rc
+  FROM daily
+), my AS (
+  SELECT event_type, y AS my FROM r WHERE ry = CAST(floor((n + 1) / 2.0) AS BIGINT)
+), mc AS (
+  SELECT event_type, c AS mc FROM r WHERE rc = CAST(floor((n + 1) / 2.0) AS BIGINT)
+), j AS (
+  SELECT d.event_type, d.y, d.c, my.my, mc.mc
+  FROM daily d
+  JOIN my ON my.event_type = d.event_type
+  JOIN mc ON mc.event_type = d.event_type
+  WHERE d.y <> my.my AND d.c <> mc.mc
+), agg AS (
+  SELECT event_type, count(*) AS n_used,
+         CAST(sum(CASE WHEN (y > my AND c > mc) OR (y < my AND c < mc)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_conc
+  FROM j GROUP BY 1
+)
+SELECT event_type, CAST(n_used AS BIGINT) AS n_used,
+       CAST(floor((2.0 * n_conc - n_used) / n_used * 1000000 + {_OFF})
+            AS BIGINT) AS beta_e6
+FROM agg
+WHERE n_used >= 4
+ORDER BY event_type
+"""
+
+QUERIES["blomqvist_beta"] = q_blomqvist_beta
+ORACLE_SQL["blomqvist_beta"] = SQL_BLOMQVIST
+
+
+# ---------------------------------------------------------------------------
+# alexander_govern — heteroscedastic one-way test across day-of-week
+# groups (Alexander & Govern 1994)
+# ---------------------------------------------------------------------------
+# Per group: t_j = (mean_j - yhat)/se_j with yhat the inverse-variance
+# weighted grand mean; Hill's normalizing transform
+#   a = nu - 0.5, b = 48 a^2, c = sqrt(a ln(1 + t^2/nu))
+#   z = c + (c^3 + 3c)/b - (4c^7 + 33c^5 + 240c^3 + 855c)
+#       / (10 b^2 + 8 b c^4 + 1000 b)
+# A = sum z_j^2 ~ chi2(k-1).  Group moments are exact integers; z^2
+# terms are e9-floored before the cross-engine sum.
+
+
+def q_alexander_govern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    g = ev.select(
+        "event_type",
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "v"
+        ),
+    ).groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    ).filter(F.col("n") >= 3)
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd / 100.0
+    var = (
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double") / nd
+        )
+        / (nd - 1.0)
+        / 10_000.0
+    )
+    se2 = var / nd
+    g = g.select(
+        "event_type", "dow", "n", mean.alias("m"), se2.alias("se2")
+    ).filter(F.col("se2") > 0)
+    tot = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(1.0 / F.col("se2")).alias("sw"),
+        F.sum(F.col("m") / F.col("se2")).alias("swm"),
+    )
+    j = g.join(F.broadcast(tot), "event_type")
+    yhat = F.col("swm") / F.col("sw")
+    t = (F.col("m") - yhat) / F.sqrt(F.col("se2"))
+    nu = (F.col("n") - 1).cast("double")
+    a = nu - 0.5
+    b = 48.0 * a * a
+    c = F.sqrt(a * F.log(1.0 + t * t / nu))
+    z = (
+        c
+        + (c * c * c + 3.0 * c) / b
+        - (
+            4.0 * F.pow(c, 7)
+            + 33.0 * F.pow(c, 5)
+            + 240.0 * c * c * c
+            + 855.0 * c
+        )
+        / (10.0 * b * b + 8.0 * b * F.pow(c, 4) + 1000.0 * b)
+    )
+    zsq = F.when(t < 0, z * z).otherwise(z * z)  # z^2 is sign-free
+    j = j.withColumn(
+        "z9", F.floor(zsq * 1e9 + F.lit(_OFF)).cast("long")
+    )
+    agg = j.groupBy("event_type").agg(
+        F.max("k").alias("k"), F.sum("z9").alias("a9")
+    )
+    return (
+        agg.filter(F.col("k") >= 2)
+        .select(
+            "event_type",
+            F.col("k").cast("long").alias("k_groups"),
+            F.floor(
+                F.col("a9").cast("double") / 1e9 * 10_000 + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("a_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_ALEXANDER = f"""
+WITH g AS (
+  SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS s,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT)
+                  * CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS ss
+  FROM events GROUP BY 1, 2
+  HAVING count(*) >= 3
+), m AS (
+  SELECT event_type, dow, n,
+         CAST(s AS DOUBLE) / n / 100.0 AS m,
+         ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1.0)
+          / 10000.0) / n AS se2
+  FROM g
+), m2 AS (
+  SELECT * FROM m WHERE se2 > 0
+), tot AS (
+  SELECT event_type, count(*) AS k,
+         sum(1.0 / se2) AS sw, sum(m / se2) AS swm
+  FROM m2 GROUP BY 1
+), z AS (
+  SELECT m2.event_type, t.k,
+         CAST(floor(
+           (c + (c*c*c + 3.0*c) / b
+              - (4.0*c*c*c*c*c*c*c + 33.0*c*c*c*c*c + 240.0*c*c*c
+                 + 855.0*c)
+                / (10.0*b*b + 8.0*b*c*c*c*c + 1000.0*b))
+           * (c + (c*c*c + 3.0*c) / b
+              - (4.0*c*c*c*c*c*c*c + 33.0*c*c*c*c*c + 240.0*c*c*c
+                 + 855.0*c)
+                / (10.0*b*b + 8.0*b*c*c*c*c + 1000.0*b))
+           * 1e9 + {_OFF}) AS BIGINT) AS z9
+  FROM (
+    SELECT m2.*, t.k, t.sw, t.swm,
+           sqrt((n - 1.5)
+                * ln(1.0 + ((m - swm / sw) / sqrt(se2))
+                           * ((m - swm / sw) / sqrt(se2))
+                           / (n - 1.0))) AS c,
+           48.0 * (n - 1.5) * (n - 1.5) AS b
+    FROM m2 JOIN tot t ON t.event_type = m2.event_type
+  ) m2
+  JOIN tot t ON t.event_type = m2.event_type
+), agg AS (
+  SELECT event_type, max(k) AS k, CAST(sum(z9) AS BIGINT) AS a9
+  FROM z GROUP BY 1
+)
+SELECT event_type, CAST(k AS BIGINT) AS k_groups,
+       CAST(floor(CAST(a9 AS DOUBLE) / 1e9 * 10000 + {_OFF})
+            AS BIGINT) AS a_e4
+FROM agg
+WHERE k >= 2
+ORDER BY event_type
+"""
+
+QUERIES["alexander_govern"] = q_alexander_govern
+ORACLE_SQL["alexander_govern"] = SQL_ALEXANDER
+
+
+# ---------------------------------------------------------------------------
+# roys_largest_root — Roy's greatest characteristic root for the diel
+# 3-group MANOVA on (centi-value, second-of-hour)
+# ---------------------------------------------------------------------------
+# The eigen sibling of pillai_manova: lambda_max of E^-1 H from the
+# 2x2 characteristic quadratic lambda^2 - tr(M) lambda + det(M) = 0,
+# theta = lambda_max/(1+lambda_max).  THREE diel groups (night /
+# morning / evening) so H has rank 2 and the quadratic is
+# non-degenerate.  SSCP blocks come from exact integer sums; the
+# between-group rationals s_i s_j / n_g are per-group exact doubles
+# summed over the 3-row group domain (floored e6 per group first).
+
+
+def q_roys_largest_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.when(F.hour("ts") < 8, 0)
+        .when(F.hour("ts") < 16, 1)
+        .otherwise(2)
+        .alias("g"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "y1"
+        ),
+        (F.minute("ts") * 60 + F.second("ts")).cast("long").alias("y2"),
+    )
+    gm = ev.groupBy("event_type", "g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y1").alias("s1"),
+        F.sum("y2").alias("s2"),
+        F.sum(F.col("y1") * F.col("y1")).alias("s11"),
+        F.sum(F.col("y2") * F.col("y2")).alias("s22"),
+        F.sum(F.col("y1") * F.col("y2")).alias("s12"),
+    )
+    b11t = F.floor(
+        F.col("s1").cast("double") * F.col("s1").cast("double")
+        / F.col("n")
+        * 1e6
+        + F.lit(_OFF)
+    ).cast("long")
+    b22t = F.floor(
+        F.col("s2").cast("double") * F.col("s2").cast("double")
+        / F.col("n")
+        * 1e6
+        + F.lit(_OFF)
+    ).cast("long")
+    b12t = F.floor(
+        F.col("s1").cast("double") * F.col("s2").cast("double")
+        / F.col("n")
+        * 1e6
+        + F.lit(_OFF)
+    ).cast("long")
+    tot = gm.groupBy("event_type").agg(
+        F.sum("n").alias("nt"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("s1").alias("t1"),
+        F.sum("s2").alias("t2"),
+        F.sum("s11").alias("t11"),
+        F.sum("s22").alias("t22"),
+        F.sum("s12").alias("t12"),
+        F.sum(b11t).alias("b11i"),
+        F.sum(b22t).alias("b22i"),
+        F.sum(b12t).alias("b12i"),
+    )
+    nt = F.col("nt").cast("double")
+    tt11 = F.col("t11").cast("double") - F.col("t1").cast(
+        "double"
+    ) * F.col("t1").cast("double") / nt
+    tt22 = F.col("t22").cast("double") - F.col("t2").cast(
+        "double"
+    ) * F.col("t2").cast("double") / nt
+    tt12 = F.col("t12").cast("double") - F.col("t1").cast(
+        "double"
+    ) * F.col("t2").cast("double") / nt
+    h11 = F.col("b11i").cast("double") / 1e6 - F.col("t1").cast(
+        "double"
+    ) * F.col("t1").cast("double") / nt
+    h22 = F.col("b22i").cast("double") / 1e6 - F.col("t2").cast(
+        "double"
+    ) * F.col("t2").cast("double") / nt
+    h12 = F.col("b12i").cast("double") / 1e6 - F.col("t1").cast(
+        "double"
+    ) * F.col("t2").cast("double") / nt
+    e11 = tt11 - h11
+    e22 = tt22 - h22
+    e12 = tt12 - h12
+    dete = e11 * e22 - e12 * e12
+    m11 = (e22 * h11 - e12 * h12) / dete
+    m12 = (e22 * h12 - e12 * h22) / dete
+    m21 = (e11 * h12 - e12 * h11) / dete
+    m22 = (e11 * h22 - e12 * h12) / dete
+    tr = m11 + m22
+    dt = m11 * m22 - m12 * m21
+    disc = tr * tr - 4.0 * dt
+    lmax = (tr + F.sqrt(F.when(disc > 0, disc).otherwise(0.0))) / 2.0
+    theta = lmax / (1.0 + lmax)
+    return (
+        tot.filter((F.col("k") == 3) & (dete > 0) & (F.col("nt") > 6))
+        .select(
+            "event_type",
+            F.col("nt").cast("long").alias("n"),
+            F.floor(lmax * 1_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("lambda_e6"),
+            F.floor(theta * 1_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("theta_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_ROYS = f"""
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN EXTRACT(hour FROM ts) < 8 THEN 0
+              WHEN EXTRACT(hour FROM ts) < 16 THEN 1
+              ELSE 2 END AS g,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS y1,
+         CAST(EXTRACT(minute FROM ts) * 60 + EXTRACT(second FROM ts)
+              AS BIGINT) AS y2
+  FROM events
+), gm AS (
+  SELECT event_type, g,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y1) AS BIGINT) AS s1,
+         CAST(sum(y2) AS BIGINT) AS s2,
+         CAST(sum(y1 * y1) AS BIGINT) AS s11,
+         CAST(sum(y2 * y2) AS BIGINT) AS s22,
+         CAST(sum(y1 * y2) AS BIGINT) AS s12
+  FROM ev GROUP BY 1, 2
+), tot AS (
+  SELECT event_type,
+         CAST(sum(n) AS BIGINT) AS nt,
+         count(*) AS k,
+         CAST(sum(s1) AS BIGINT) AS t1,
+         CAST(sum(s2) AS BIGINT) AS t2,
+         CAST(sum(s11) AS BIGINT) AS t11,
+         CAST(sum(s22) AS BIGINT) AS t22,
+         CAST(sum(s12) AS BIGINT) AS t12,
+         CAST(sum(CAST(floor(CAST(s1 AS DOUBLE) * s1 / n * 1e6 + {_OFF})
+                       AS BIGINT)) AS BIGINT) AS b11i,
+         CAST(sum(CAST(floor(CAST(s2 AS DOUBLE) * s2 / n * 1e6 + {_OFF})
+                       AS BIGINT)) AS BIGINT) AS b22i,
+         CAST(sum(CAST(floor(CAST(s1 AS DOUBLE) * s2 / n * 1e6 + {_OFF})
+                       AS BIGINT)) AS BIGINT) AS b12i
+  FROM gm GROUP BY 1
+), m AS (
+  SELECT event_type, nt, k,
+         CAST(t11 AS DOUBLE) - CAST(t1 AS DOUBLE) * t1 / nt AS tt11,
+         CAST(t22 AS DOUBLE) - CAST(t2 AS DOUBLE) * t2 / nt AS tt22,
+         CAST(t12 AS DOUBLE) - CAST(t1 AS DOUBLE) * t2 / nt AS tt12,
+         CAST(b11i AS DOUBLE) / 1e6
+           - CAST(t1 AS DOUBLE) * t1 / nt AS h11,
+         CAST(b22i AS DOUBLE) / 1e6
+           - CAST(t2 AS DOUBLE) * t2 / nt AS h22,
+         CAST(b12i AS DOUBLE) / 1e6
+           - CAST(t1 AS DOUBLE) * t2 / nt AS h12
+  FROM tot
+), e AS (
+  SELECT event_type, nt, k, h11, h22, h12,
+         tt11 - h11 AS e11, tt22 - h22 AS e22, tt12 - h12 AS e12
+  FROM m
+), mm AS (
+  SELECT event_type, nt, k,
+         e11 * e22 - e12 * e12 AS dete,
+         (e22 * h11 - e12 * h12) / (e11 * e22 - e12 * e12) AS m11,
+         (e22 * h12 - e12 * h22) / (e11 * e22 - e12 * e12) AS m12,
+         (e11 * h12 - e12 * h11) / (e11 * e22 - e12 * e12) AS m21,
+         (e11 * h22 - e12 * h12) / (e11 * e22 - e12 * e12) AS m22
+  FROM e
+), lam AS (
+  SELECT event_type, nt, k, dete,
+         (m11 + m22
+          + sqrt(CASE WHEN (m11 + m22) * (m11 + m22)
+                           - 4.0 * (m11 * m22 - m12 * m21) > 0
+                      THEN (m11 + m22) * (m11 + m22)
+                           - 4.0 * (m11 * m22 - m12 * m21)
+                      ELSE 0.0 END)) / 2.0 AS lmax
+  FROM mm
+)
+SELECT event_type, nt AS n,
+       CAST(floor(lmax * 1000000 + {_OFF}) AS BIGINT) AS lambda_e6,
+       CAST(floor(lmax / (1.0 + lmax) * 1000000 + {_OFF})
+            AS BIGINT) AS theta_e6
+FROM lam
+WHERE k = 3 AND dete > 0 AND nt > 6
+ORDER BY event_type
+"""
+
+QUERIES["roys_largest_root"] = q_roys_largest_root
+ORACLE_SQL["roys_largest_root"] = SQL_ROYS
