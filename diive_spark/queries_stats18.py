@@ -1977,3 +1977,409 @@ ORDER BY event_type
 
 QUERIES["roys_largest_root"] = q_roys_largest_root
 ORACLE_SQL["roys_largest_root"] = SQL_ROYS
+
+
+# ===========================================================================
+# Battery F — multiple-comparison post-hocs, round 2: Steel-Dwass
+# pairwise joint-rank z (the nonparametric Tukey analog), Dunnett
+# many-to-one t statistics vs a control group, and the Scheffe
+# contrast test for weekend-vs-weekday.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# steel_dwass — pairwise two-sample rank z over all event-type pairs
+# with JOINT (per-pair) ranking and tie correction
+# ---------------------------------------------------------------------------
+# For each pair the rank-sum is computed on the collapsed value
+# domain: 2R_a = sum_v ca(v) * (2 cumbefore(v) + t(v) + 1) — an exact
+# integer; Var(R) carries the tie term sum t(t^2-1).  Each count row
+# joins the broadcast 10-row pair table (explodes into at most 4
+# pairs), so the only window runs over (pair, value) — bounded by the
+# centi-value domain, never by row count.
+
+
+def q_steel_dwass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cnt = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "v"
+        ),
+    ).groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    types = cnt.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("ta"))
+        .crossJoin(types.select(F.col("event_type").alias("tb")))
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    tagged = cnt.join(
+        F.broadcast(pairs),
+        (F.col("event_type") == F.col("ta"))
+        | (F.col("event_type") == F.col("tb")),
+    ).select(
+        "ta",
+        "tb",
+        "v",
+        F.when(F.col("event_type") == F.col("ta"), F.col("c"))
+        .otherwise(0)
+        .alias("ca"),
+        F.when(F.col("event_type") == F.col("tb"), F.col("c"))
+        .otherwise(0)
+        .alias("cb"),
+    )
+    pv = tagged.groupBy("ta", "tb", "v").agg(
+        F.sum("ca").alias("ca"), F.sum("cb").alias("cb")
+    )
+    w = (
+        Window.partitionBy("ta", "tb")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pv = pv.withColumn(
+        "cumbefore",
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0)),
+    )
+    t = F.col("ca") + F.col("cb")
+    agg = pv.groupBy("ta", "tb").agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.sum(
+            F.col("ca") * (2 * F.col("cumbefore") + t + 1)
+        ).alias("r2a"),
+        F.sum(t * (t * t - 1)).alias("ties"),
+    )
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    nn = na + nb
+    r_a = F.col("r2a").cast("double") / 2.0
+    mean_r = na * (nn + 1.0) / 2.0
+    var_r = (
+        na
+        * nb
+        / 12.0
+        * (
+            (nn + 1.0)
+            - F.col("ties").cast("double") / (nn * (nn - 1.0))
+        )
+    )
+    z = (r_a - mean_r) / F.sqrt(var_r)
+    return (
+        agg.filter((F.col("na") >= 2) & (F.col("nb") >= 2) & (var_r > 0))
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            (F.col("na") + F.col("nb")).cast("long").alias("n"),
+            F.floor(z * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "z_e6"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+SQL_STEEL_DWASS = f"""
+WITH cnt AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), types AS (
+  SELECT DISTINCT event_type FROM cnt
+), pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM types a, types b WHERE a.event_type < b.event_type
+), tagged AS (
+  SELECT p.ta, p.tb, c.v,
+         CASE WHEN c.event_type = p.ta THEN c.c ELSE 0 END AS ca,
+         CASE WHEN c.event_type = p.tb THEN c.c ELSE 0 END AS cb
+  FROM cnt c JOIN pairs p
+    ON c.event_type = p.ta OR c.event_type = p.tb
+), pv AS (
+  SELECT ta, tb, v,
+         CAST(sum(ca) AS BIGINT) AS ca,
+         CAST(sum(cb) AS BIGINT) AS cb
+  FROM tagged GROUP BY 1, 2, 3
+), cum AS (
+  SELECT *,
+         CAST(coalesce(sum(ca + cb) OVER (
+                PARTITION BY ta, tb ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cumbefore
+  FROM pv
+), agg AS (
+  SELECT ta, tb,
+         CAST(sum(ca) AS BIGINT) AS na,
+         CAST(sum(cb) AS BIGINT) AS nb,
+         CAST(sum(ca * (2 * cumbefore + ca + cb + 1)) AS BIGINT) AS r2a,
+         CAST(sum((ca + cb) * ((ca + cb) * (ca + cb) - 1))
+              AS BIGINT) AS ties
+  FROM cum GROUP BY 1, 2
+)
+SELECT ta AS type_a, tb AS type_b,
+       CAST(na + nb AS BIGINT) AS n,
+       CAST(floor((CAST(r2a AS DOUBLE) / 2.0
+                   - na * (na + nb + 1.0) / 2.0)
+                  / sqrt(CAST(na AS DOUBLE) * nb / 12.0
+                         * ((na + nb + 1.0)
+                            - CAST(ties AS DOUBLE)
+                              / ((na + CAST(nb AS DOUBLE))
+                                 * (na + nb - 1.0))))
+                  * 1000000 + {_OFF}) AS BIGINT) AS z_e6
+FROM agg
+WHERE na >= 2 AND nb >= 2
+  AND CAST(na AS DOUBLE) * nb / 12.0
+      * ((na + nb + 1.0)
+         - CAST(ties AS DOUBLE)
+           / ((na + CAST(nb AS DOUBLE)) * (na + nb - 1.0))) > 0
+ORDER BY type_a, type_b
+"""
+
+QUERIES["steel_dwass"] = q_steel_dwass
+ORACLE_SQL["steel_dwass"] = SQL_STEEL_DWASS
+
+
+# ---------------------------------------------------------------------------
+# dunnett_control — many-to-one comparisons vs the 'click' control
+# ---------------------------------------------------------------------------
+# Dunnett (1955) t_i = (m_i - m_0) / sqrt(s2_p (1/n_i + 1/n_0)) with
+# the pooled within-group variance over ALL groups.  Group moments are
+# exact integers; s2_p numerator terms are per-group exact rationals
+# e6-floored before the k-row sum.
+
+
+def q_dunnett_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    g = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "v"
+        ),
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    ssw6 = F.floor(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("n")
+        )
+        / 10_000.0
+        * 1e6
+        + F.lit(_OFF)
+    ).cast("long")
+    g2 = g.withColumn("ssw6", ssw6)
+    tot = g2.agg(
+        F.sum("n").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ssw6").alias("sswt"),
+    )
+    ctrl = g2.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n0"), F.col("s").alias("s0")
+    )
+    j = g2.filter(F.col("event_type") != "click").crossJoin(
+        F.broadcast(tot)
+    ).crossJoin(F.broadcast(ctrl))
+    s2p = (
+        F.col("sswt").cast("double")
+        / 1e6
+        / (F.col("nn") - F.col("k")).cast("double")
+    )
+    mi = F.col("s").cast("double") / F.col("n") / 100.0
+    m0 = F.col("s0").cast("double") / F.col("n0") / 100.0
+    t = (mi - m0) / F.sqrt(
+        s2p * (1.0 / F.col("n") + 1.0 / F.col("n0"))
+    )
+    return j.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor((mi - m0) * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "diff_e4"
+        ),
+        F.floor(t * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "t_e6"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_DUNNETT = f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS s,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT)
+                  * CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS ss
+  FROM events GROUP BY 1
+), g2 AS (
+  SELECT *,
+         CAST(floor((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                    / 10000.0 * 1e6 + {_OFF}) AS BIGINT) AS ssw6
+  FROM g
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn, count(*) AS k,
+         CAST(sum(ssw6) AS BIGINT) AS sswt
+  FROM g2
+), ctrl AS (
+  SELECT n AS n0, s AS s0 FROM g2 WHERE event_type = 'click'
+)
+SELECT g2.event_type, g2.n,
+       CAST(floor((CAST(g2.s AS DOUBLE) / g2.n / 100.0
+                   - CAST(c.s0 AS DOUBLE) / c.n0 / 100.0) * 10000
+                  + {_OFF}) AS BIGINT) AS diff_e4,
+       CAST(floor((CAST(g2.s AS DOUBLE) / g2.n / 100.0
+                   - CAST(c.s0 AS DOUBLE) / c.n0 / 100.0)
+                  / sqrt((CAST(t.sswt AS DOUBLE) / 1e6 / (t.nn - t.k))
+                         * (1.0 / g2.n + 1.0 / c.n0))
+                  * 1000000 + {_OFF}) AS BIGINT) AS t_e6
+FROM g2, tot t, ctrl c
+WHERE g2.event_type <> 'click'
+ORDER BY g2.event_type
+"""
+
+QUERIES["dunnett_control"] = q_dunnett_control
+ORACLE_SQL["dunnett_control"] = SQL_DUNNETT
+
+
+# ---------------------------------------------------------------------------
+# scheffe_contrast — Scheffe test for the weekend-vs-weekday contrast
+# across the 7 day-of-week groups
+# ---------------------------------------------------------------------------
+# Contrast c_j = 1/2 (Sat, Sun), -1/5 (Mon..Fri); estimate L = sum c_j
+# m_j; S^2 = L^2 / (s2_p sum c_j^2/n_j); Scheffe compares S^2/(k-1) to
+# F(k-1, N-k).  Spelled with integer numerators (c_j = w_j/10 with
+# w in {5, -2}) so L is a deterministic rational of exact moments.
+
+
+def q_scheffe_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    g = ev.select(
+        "event_type",
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "v"
+        ),
+    ).groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    ).filter(F.col("n") >= 2)
+    wgt = F.when(F.col("dow").isin(1, 7), F.lit(5)).otherwise(
+        F.lit(-2)
+    )
+    ssw6 = F.floor(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("n")
+        )
+        / 10_000.0
+        * 1e6
+        + F.lit(_OFF)
+    ).cast("long")
+    lterm9 = F.floor(
+        wgt.cast("double")
+        / 10.0
+        * F.col("s").cast("double")
+        / F.col("n")
+        / 100.0
+        * 1e9
+        + F.lit(_OFF)
+    ).cast("long")
+    cn9 = F.floor(
+        wgt.cast("double")
+        * wgt.cast("double")
+        / 100.0
+        / F.col("n")
+        * 1e9
+        + F.lit(_OFF)
+    ).cast("long")
+    agg = g.select(
+        "event_type",
+        F.col("n"),
+        ssw6.alias("ssw6"),
+        lterm9.alias("l9"),
+        cn9.alias("cn9"),
+    ).groupBy("event_type").agg(
+        F.sum("n").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ssw6").alias("sswt"),
+        F.sum("l9").alias("l9"),
+        F.sum("cn9").alias("cn9"),
+    )
+    s2p = (
+        F.col("sswt").cast("double")
+        / 1e6
+        / (F.col("nn") - F.col("k")).cast("double")
+    )
+    ll = F.col("l9").cast("double") / 1e9
+    cn = F.col("cn9").cast("double") / 1e9
+    ssq = ll * ll / (s2p * cn)
+    kd = F.col("k").cast("double")
+    return (
+        agg.filter((F.col("k") == 7) & (F.col("nn") > F.col("k")))
+        .select(
+            "event_type",
+            F.col("nn").cast("long").alias("n"),
+            F.floor(ll * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "contrast_e4"
+            ),
+            F.floor(ssq / (kd - 1.0) * 10_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("f_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_SCHEFFE = f"""
+WITH g AS (
+  SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS s,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT)
+                  * CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS ss
+  FROM events GROUP BY 1, 2
+  HAVING count(*) >= 2
+), t AS (
+  SELECT event_type, n,
+         CASE WHEN dow IN (0, 6) THEN 5 ELSE -2 END AS wgt,
+         CAST(floor((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                    / 10000.0 * 1e6 + {_OFF}) AS BIGINT) AS ssw6,
+         CAST(floor((CASE WHEN dow IN (0, 6) THEN 5 ELSE -2 END)
+                    / 10.0 * CAST(s AS DOUBLE) / n / 100.0 * 1e9
+                    + {_OFF}) AS BIGINT) AS l9,
+         CAST(floor((CASE WHEN dow IN (0, 6) THEN 5 ELSE -2 END)
+                    * (CASE WHEN dow IN (0, 6) THEN 5.0 ELSE -2.0 END)
+                    / 100.0 / n * 1e9 + {_OFF}) AS BIGINT) AS cn9
+  FROM g
+), agg AS (
+  SELECT event_type,
+         CAST(sum(n) AS BIGINT) AS nn, count(*) AS k,
+         CAST(sum(ssw6) AS BIGINT) AS sswt,
+         CAST(sum(l9) AS BIGINT) AS l9,
+         CAST(sum(cn9) AS BIGINT) AS cn9
+  FROM t GROUP BY 1
+)
+SELECT event_type, nn AS n,
+       CAST(floor(CAST(l9 AS DOUBLE) / 1e9 * 10000 + {_OFF})
+            AS BIGINT) AS contrast_e4,
+       CAST(floor((CAST(l9 AS DOUBLE) / 1e9)
+                  * (CAST(l9 AS DOUBLE) / 1e9)
+                  / ((CAST(sswt AS DOUBLE) / 1e6 / (nn - k))
+                     * (CAST(cn9 AS DOUBLE) / 1e9))
+                  / (k - 1.0) * 10000 + {_OFF}) AS BIGINT) AS f_e4
+FROM agg
+WHERE k = 7 AND nn > k
+ORDER BY event_type
+"""
+
+QUERIES["scheffe_contrast"] = q_scheffe_contrast
+ORACLE_SQL["scheffe_contrast"] = SQL_SCHEFFE
