@@ -2383,3 +2383,495 @@ ORDER BY event_type
 
 QUERIES["scheffe_contrast"] = q_scheffe_contrast
 ORACLE_SQL["scheffe_contrast"] = SQL_SCHEFFE
+
+
+# ===========================================================================
+# Battery G — probit GLM by two unrolled Fisher-scoring steps (the
+# erf/Acklam-twin sibling of logistic_glm_newton), the Epps-Pulley
+# characteristic-function normality statistic on the bounded daily
+# domain, and Mandel's h/k interlaboratory consistency statistics.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# probit_glm_newton — weekend ~ standardized centi-value with a probit
+# link, two Fisher-scoring steps from (probit(pbar), 0)
+# ---------------------------------------------------------------------------
+# Working quantities per collapsed value cell: Phi via the shared A&S
+# erf twin (sign-folded), phi = exp(-z^2/2)/sqrt(2pi); score r =
+# (y - n Phi) phi/(Phi(1-Phi)), info w = n phi^2/(Phi(1-Phi)).  z is
+# clamped to [-6, 6] in BOTH engines so Phi(1-Phi) never underflows.
+# Start intercept = Acklam probit of the pooled rate (stats17 twin).
+
+
+def q_probit_glm_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats16 import _erf
+    from diive_spark.queries_stats17 import _probit
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (F.dayofweek("ts").isin(1, 7)).cast("long").alias("pos"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "v"
+        ),
+    )
+    cells = ev.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).alias("nv"), F.sum("pos").alias("yv")
+    )
+    mom = cells.groupBy("event_type").agg(
+        F.sum("nv").alias("n"),
+        F.sum("yv").alias("y"),
+        F.sum(F.col("nv") * F.col("v")).alias("sv"),
+        F.sum(F.col("nv") * F.col("v") * F.col("v")).alias("svv"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("sv").cast("double") / nd
+    sd = F.sqrt((F.col("svv").cast("double") - nd * mu * mu) / nd)
+    mom = mom.select(
+        "event_type",
+        "n",
+        "y",
+        mu.alias("mv"),
+        sd.alias("sdv"),
+        _probit(
+            F.col("y").cast("double") / F.col("n").cast("double")
+        ).alias("a0"),
+    ).filter((F.col("y") > 0) & (F.col("y") < F.col("n")) & (sd > 0))
+
+    inv_sqrt2 = 0.7071067811865476
+    inv_sqrt2pi = 0.3989422804014327
+
+    def step(params: DataFrame, acol: str, bcol: str, tag: str):
+        j = cells.join(F.broadcast(params), "event_type")
+        x = (F.col("v").cast("double") - F.col("mv")) / F.col("sdv")
+        zraw = F.col(acol) + F.col(bcol) * x
+        z = F.greatest(F.least(zraw, F.lit(6.0)), F.lit(-6.0))
+        phi_cap = F.when(
+            z >= 0,
+            0.5 * (1.0 + _erf(z * inv_sqrt2)),
+        ).otherwise(0.5 * (1.0 - _erf(-z * inv_sqrt2)))
+        pdf = F.exp(-z * z / 2.0) * inv_sqrt2pi
+        den = phi_cap * (1.0 - phi_cap)
+        nvd = F.col("nv").cast("double")
+        yvd = F.col("yv").cast("double")
+        r = (yvd - nvd * phi_cap) * pdf / den
+        w = nvd * pdf * pdf / den
+        t = j.select(
+            "event_type",
+            acol,
+            bcol,
+            "mv",
+            "sdv",
+            F.floor(r * 1e6 + F.lit(_OFF)).cast("long").alias("g1"),
+            F.floor(x * r * 1e6 + F.lit(_OFF)).cast("long").alias("g2"),
+            F.floor(w * 1e6 + F.lit(_OFF)).cast("long").alias("h11"),
+            F.floor(x * w * 1e6 + F.lit(_OFF)).cast("long").alias(
+                "h12"
+            ),
+            F.floor(x * x * w * 1e6 + F.lit(_OFF)).cast("long").alias(
+                "h22"
+            ),
+        )
+        agg = t.groupBy("event_type", acol, bcol, "mv", "sdv").agg(
+            F.sum("g1").alias("sg1"),
+            F.sum("g2").alias("sg2"),
+            F.sum("h11").alias("sh11"),
+            F.sum("h12").alias("sh12"),
+            F.sum("h22").alias("sh22"),
+        )
+        g1 = F.col("sg1").cast("double")
+        g2 = F.col("sg2").cast("double")
+        h11 = F.col("sh11").cast("double")
+        h12 = F.col("sh12").cast("double")
+        h22 = F.col("sh22").cast("double")
+        det = h11 * h22 - h12 * h12
+        return agg.select(
+            "event_type",
+            "mv",
+            "sdv",
+            (F.col(acol) + (h22 * g1 - h12 * g2) / det).alias(f"a{tag}"),
+            (F.col(bcol) + (h11 * g2 - h12 * g1) / det).alias(f"b{tag}"),
+        )
+
+    p0 = mom.select(
+        "event_type", "mv", "sdv", "a0", F.lit(0.0).alias("b0")
+    )
+    p1 = step(p0, "a0", "b0", "1")
+    p2 = step(p1, "a1", "b1", "2")
+    out = p2.join(F.broadcast(mom.select("event_type", "n", "y")),
+                  "event_type")
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("y").cast("long").alias("n_pos"),
+        F.floor(F.col("a2") * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("alpha_e6"),
+        F.floor(F.col("b2") * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("beta_e6"),
+    ).orderBy("event_type")
+
+
+def _pg_step_sql(prev: str, acol: str, bcol: str, tag: str) -> str:
+    from diive_spark.queries_stats16 import _erf_sql
+
+    zc = (
+        f"greatest(least(p.{acol} + p.{bcol}"
+        f" * ((c.v - p.mv) / p.sdv), 6.0), -6.0)"
+    )
+    return f""",
+  z{tag} AS (
+    SELECT c.event_type, p.{acol}, p.{bcol}, p.mv, p.sdv,
+           c.nv, c.yv, (c.v - p.mv) / p.sdv AS x,
+           {zc} AS z
+    FROM cells c JOIN {prev} p ON p.event_type = c.event_type
+  ), u{tag} AS (
+    SELECT *,
+           CASE WHEN z >= 0
+                THEN 0.5 * (1.0 + {_erf_sql('z * 0.7071067811865476')})
+                ELSE 0.5 * (1.0 - {_erf_sql('-z * 0.7071067811865476')})
+           END AS cap,
+           exp(-z * z / 2.0) * 0.3989422804014327 AS pdf
+    FROM z{tag}
+  ), t{tag} AS (
+    SELECT event_type, {acol}, {bcol}, mv, sdv,
+           CAST(floor((yv - nv * cap) * pdf / (cap * (1.0 - cap))
+                      * 1e6 + {_OFF}) AS BIGINT) AS g1,
+           CAST(floor(x * (yv - nv * cap) * pdf / (cap * (1.0 - cap))
+                      * 1e6 + {_OFF}) AS BIGINT) AS g2,
+           CAST(floor(nv * pdf * pdf / (cap * (1.0 - cap)) * 1e6
+                      + {_OFF}) AS BIGINT) AS h11,
+           CAST(floor(x * nv * pdf * pdf / (cap * (1.0 - cap)) * 1e6
+                      + {_OFF}) AS BIGINT) AS h12,
+           CAST(floor(x * x * nv * pdf * pdf / (cap * (1.0 - cap))
+                      * 1e6 + {_OFF}) AS BIGINT) AS h22
+    FROM u{tag}
+  ), s{tag} AS (
+    SELECT event_type, {acol}, {bcol}, mv, sdv,
+           CAST(sum(g1) AS BIGINT) AS sg1,
+           CAST(sum(g2) AS BIGINT) AS sg2,
+           CAST(sum(h11) AS BIGINT) AS sh11,
+           CAST(sum(h12) AS BIGINT) AS sh12,
+           CAST(sum(h22) AS BIGINT) AS sh22
+    FROM t{tag} GROUP BY 1, 2, 3, 4, 5
+  ), p{tag} AS (
+    SELECT event_type, mv, sdv,
+           {acol} + (CAST(sh22 AS DOUBLE) * sg1
+                     - CAST(sh12 AS DOUBLE) * sg2)
+                    / (CAST(sh11 AS DOUBLE) * sh22
+                       - CAST(sh12 AS DOUBLE) * sh12) AS a{tag},
+           {bcol} + (CAST(sh11 AS DOUBLE) * sg2
+                     - CAST(sh12 AS DOUBLE) * sg1)
+                    / (CAST(sh11 AS DOUBLE) * sh22
+                       - CAST(sh12 AS DOUBLE) * sh12) AS b{tag}
+    FROM s{tag}
+  )"""
+
+
+def _probit_glm_sql() -> str:
+    from diive_spark.queries_stats17 import _probit_sql
+
+    return f"""
+WITH cells AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS nv,
+         CAST(sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END)
+              AS BIGINT) AS yv
+  FROM events GROUP BY 1, 2
+), mom AS (
+  SELECT event_type,
+         CAST(sum(nv) AS BIGINT) AS n,
+         CAST(sum(yv) AS BIGINT) AS y,
+         CAST(sum(nv * v) AS DOUBLE) / sum(nv) AS mv,
+         sqrt((CAST(sum(nv * v * v) AS DOUBLE)
+               - sum(nv) * (CAST(sum(nv * v) AS DOUBLE) / sum(nv))
+                         * (CAST(sum(nv * v) AS DOUBLE) / sum(nv)))
+              / sum(nv)) AS sdv
+  FROM cells GROUP BY 1
+), p0 AS (
+  SELECT event_type, n, y, mv, sdv,
+         {_probit_sql('CAST(y AS DOUBLE) / n')} AS a0,
+         0.0 AS b0
+  FROM mom
+  WHERE y > 0 AND y < n AND sdv > 0
+){_pg_step_sql("p0", "a0", "b0", "1")}{_pg_step_sql("p1", "a1", "b1", "2")}
+SELECT p2.event_type, p0.n, p0.y AS n_pos,
+       CAST(floor(p2.a2 * 1000000 + {_OFF}) AS BIGINT) AS alpha_e6,
+       CAST(floor(p2.b2 * 1000000 + {_OFF}) AS BIGINT) AS beta_e6
+FROM p2 JOIN p0 ON p0.event_type = p2.event_type
+ORDER BY p2.event_type
+"""
+
+
+QUERIES["probit_glm_newton"] = q_probit_glm_newton
+ORACLE_SQL["probit_glm_newton"] = _probit_glm_sql()
+
+
+# ---------------------------------------------------------------------------
+# epps_pulley — characteristic-function normality test (Epps & Pulley
+# 1983, Henze 1990 representation) on the daily-mean series
+# ---------------------------------------------------------------------------
+# TEP = 1 + n/sqrt(3) + (2/n) sum_{j<k} exp(-(y_j-y_k)^2/2)
+#       - sqrt(2) sum_j exp(-y_j^2/4),  y = (x - xbar)/sqrt(m2).
+# The pair sum runs over the BOUNDED day domain (calendar-sized
+# self-join per type, never raw rows); pair terms use (x_j-x_k)/s
+# directly so the mean cancels exactly.  All exp terms e12-floored.
+
+
+def q_epps_pulley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.floor(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sy").cast("double") / nd
+    m2 = F.col("syy").cast("double") / nd - mean * mean
+    mom = mom.select(
+        "event_type", "n", mean.alias("mean"), F.sqrt(m2).alias("s")
+    ).filter((F.col("n") >= 4) & (m2 > 0))
+    a = daily.select(
+        "event_type", F.col("day").alias("da"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("db"), F.col("y").alias("yb")
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("da") < F.col("db"))
+        .join(F.broadcast(mom), "event_type")
+    )
+    d = (F.col("ya") - F.col("yb")).cast("double") / F.col("s")
+    pterm = pairs.select(
+        "event_type",
+        F.floor(F.exp(-d * d / 2.0) * 1e12 + F.lit(_OFF))
+        .cast("long")
+        .alias("t12"),
+    ).groupBy("event_type").agg(F.sum("t12").alias("pair12"))
+    singles = daily.join(F.broadcast(mom), "event_type")
+    yz = (F.col("y").cast("double") - F.col("mean")) / F.col("s")
+    sterm = singles.select(
+        "event_type",
+        F.floor(F.exp(-yz * yz / 4.0) * 1e12 + F.lit(_OFF))
+        .cast("long")
+        .alias("s12"),
+    ).groupBy("event_type").agg(F.sum("s12").alias("single12"))
+    out = mom.join(pterm, "event_type").join(sterm, "event_type")
+    nd2 = F.col("n").cast("double")
+    tep = (
+        1.0
+        + nd2 * F.lit(0.5773502691896258)
+        + 2.0 / nd2 * F.col("pair12").cast("double") / 1e12
+        - F.lit(1.4142135623730951) * F.col("single12").cast("double") / 1e12
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.floor(tep * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "tep_e6"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_EPPS = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF})
+                                  AS BIGINT)) AS DOUBLE)
+                    / count(*) + {_OFF}) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), mom AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(y) AS DOUBLE) / count(*) AS mean,
+         sqrt(CAST(sum(y * y) AS DOUBLE) / count(*)
+              - (CAST(sum(y) AS DOUBLE) / count(*))
+                * (CAST(sum(y) AS DOUBLE) / count(*))) AS s
+  FROM daily GROUP BY 1
+  HAVING count(*) >= 4
+     AND CAST(sum(y * y) AS DOUBLE) / count(*)
+         - (CAST(sum(y) AS DOUBLE) / count(*))
+           * (CAST(sum(y) AS DOUBLE) / count(*)) > 0
+), pterm AS (
+  SELECT a.event_type,
+         CAST(sum(CAST(floor(exp(-((a.y - b.y) / m.s)
+                                 * ((a.y - b.y) / m.s) / 2.0) * 1e12
+                             + {_OFF}) AS BIGINT)) AS BIGINT) AS pair12
+  FROM daily a
+  JOIN daily b ON b.event_type = a.event_type AND a.day < b.day
+  JOIN mom m ON m.event_type = a.event_type
+  GROUP BY 1
+), sterm AS (
+  SELECT d.event_type,
+         CAST(sum(CAST(floor(exp(-((d.y - m.mean) / m.s)
+                                 * ((d.y - m.mean) / m.s) / 4.0) * 1e12
+                             + {_OFF}) AS BIGINT)) AS BIGINT) AS single12
+  FROM daily d JOIN mom m ON m.event_type = d.event_type
+  GROUP BY 1
+)
+SELECT m.event_type, CAST(m.n AS BIGINT) AS n_days,
+       CAST(floor((1.0 + m.n * 0.5773502691896258
+                   + 2.0 / m.n * (CAST(p.pair12 AS DOUBLE) / 1e12)
+                   - 1.4142135623730951 * (CAST(s.single12 AS DOUBLE) / 1e12))
+                  * 1000000 + {_OFF}) AS BIGINT) AS tep_e6
+FROM mom m
+JOIN pterm p ON p.event_type = m.event_type
+JOIN sterm s ON s.event_type = m.event_type
+ORDER BY m.event_type
+"""
+
+QUERIES["epps_pulley"] = q_epps_pulley
+ORACLE_SQL["epps_pulley"] = SQL_EPPS
+
+
+# ---------------------------------------------------------------------------
+# mandel_hk — Mandel's between-lab h and within-lab k consistency
+# statistics (ISO 5725-2), labs = user_id % 8, materials = event types
+# ---------------------------------------------------------------------------
+# h_i = (m_i - mbar) / s_m (s_m = sd of lab means, n-1 denominator);
+# k_i = s_i / s_r with s_r^2 the unweighted mean of lab variances.
+# Lab means / variances are exact rationals e6-floored before the
+# 8-row cross-lab sums, so both engines share exact integers.
+
+
+def q_mandel_hk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cell = ev.select(
+        "event_type",
+        (F.col("user_id") % 8).alias("lab"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "v"
+        ),
+    ).groupBy("event_type", "lab").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    ).filter(F.col("n") >= 2)
+    nd = F.col("n").cast("double")
+    m6 = F.floor(
+        F.col("s").cast("double") / nd / 100.0 * 1e6 + F.lit(_OFF)
+    ).cast("long")
+    v6 = F.floor(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double") / nd
+        )
+        / (nd - 1.0)
+        / 10_000.0
+        * 1e6
+        + F.lit(_OFF)
+    ).cast("long")
+    cell = cell.select(
+        "event_type", "lab", "n", m6.alias("m6"), v6.alias("v6")
+    )
+    tot = cell.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("p"),
+        F.sum("m6").alias("sm"),
+        F.sum(F.col("m6") * F.col("m6")).alias("smm"),
+        F.sum("v6").alias("sv"),
+    )
+    pd_ = F.col("p").cast("double")
+    mbar = F.col("sm").cast("double") / pd_ / 1e6
+    sm2 = (
+        (
+            F.col("smm").cast("double")
+            - F.col("sm").cast("double") * F.col("sm").cast("double")
+            / pd_
+        )
+        / (pd_ - 1.0)
+        / 1e12
+    )
+    sr2 = F.col("sv").cast("double") / pd_ / 1e6
+    tot = tot.select(
+        "event_type",
+        "p",
+        mbar.alias("mbar"),
+        F.sqrt(sm2).alias("sm"),
+        F.sqrt(sr2).alias("sr"),
+    ).filter((F.col("p") >= 3) & (sm2 > 0) & (sr2 > 0))
+    j = cell.join(F.broadcast(tot), "event_type")
+    h = (F.col("m6").cast("double") / 1e6 - F.col("mbar")) / F.col(
+        "sm"
+    )
+    k = F.sqrt(F.col("v6").cast("double") / 1e6) / F.col("sr")
+    return j.select(
+        "event_type",
+        F.col("lab").cast("long").alias("lab"),
+        F.col("n").cast("long").alias("n"),
+        F.floor(h * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "h_e6"
+        ),
+        F.floor(k * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "k_e6"
+        ),
+    ).orderBy("event_type", "lab")
+
+
+SQL_MANDEL = f"""
+WITH cell AS (
+  SELECT event_type, user_id % 8 AS lab,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS s,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT)
+                  * CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS ss
+  FROM events GROUP BY 1, 2
+  HAVING count(*) >= 2
+), c2 AS (
+  SELECT event_type, lab, n,
+         CAST(floor(CAST(s AS DOUBLE) / n / 100.0 * 1e6 + {_OFF})
+              AS BIGINT) AS m6,
+         CAST(floor((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                    / (n - 1.0) / 10000.0 * 1e6 + {_OFF})
+              AS BIGINT) AS v6
+  FROM cell
+), tot AS (
+  SELECT event_type, count(*) AS p,
+         CAST(sum(m6) AS BIGINT) AS sm,
+         CAST(sum(m6 * m6) AS BIGINT) AS smm,
+         CAST(sum(v6) AS BIGINT) AS sv
+  FROM c2 GROUP BY 1
+), t2 AS (
+  SELECT event_type, p,
+         CAST(sm AS DOUBLE) / p / 1e6 AS mbar,
+         sqrt((CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * sm / p)
+              / (p - 1.0) / 1e12) AS smv,
+         sqrt(CAST(sv AS DOUBLE) / p / 1e6) AS sr
+  FROM tot
+  WHERE p >= 3
+    AND (CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * sm / p) > 0
+    AND sv > 0
+)
+SELECT c.event_type, CAST(c.lab AS BIGINT) AS lab, c.n,
+       CAST(floor((CAST(c.m6 AS DOUBLE) / 1e6 - t.mbar) / t.smv
+                  * 1000000 + {_OFF}) AS BIGINT) AS h_e6,
+       CAST(floor(sqrt(CAST(c.v6 AS DOUBLE) / 1e6) / t.sr * 1000000
+                  + {_OFF}) AS BIGINT) AS k_e6
+FROM c2 c JOIN t2 t ON t.event_type = c.event_type
+ORDER BY c.event_type, c.lab
+"""
+
+QUERIES["mandel_hk"] = q_mandel_hk
+ORACLE_SQL["mandel_hk"] = SQL_MANDEL
