@@ -2875,3 +2875,373 @@ ORDER BY c.event_type, c.lab
 
 QUERIES["mandel_hk"] = q_mandel_hk
 ORACLE_SQL["mandel_hk"] = SQL_MANDEL
+
+
+# ===========================================================================
+# Battery H — multivariate skewness (the pair-sum sibling of
+# mardia_kurtosis), a k-anonymity / l-diversity privacy audit over the
+# documents corpus, and empirical tail-dependence coefficients between
+# event-type daily series (the copula-diagnostics complement of
+# copula_tail_fit).
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# mardia_skewness — Mardia's multivariate skewness b1,2 of the daily
+# (mean centi-value, count) vectors
+# ---------------------------------------------------------------------------
+# b1,p = (1/n^2) sum_ij [(y_i-ybar)' S^-1 (y_j-ybar)]^3 with S the MLE
+# covariance; A = n b1,p / 6 ~ chi2(p(p+1)(p+2)/6) = chi2(4) for p=2.
+# The pair sum is day x day PER TYPE (calendar^2-bounded); S and ybar
+# come from exact integer moments; per-pair cubes are e9-floored.
+
+
+def q_mardia_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.floor(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s1"),
+        F.sum("c").alias("s2"),
+        F.sum(F.col("y") * F.col("y")).alias("s11"),
+        F.sum(F.col("c") * F.col("c")).alias("s22"),
+        F.sum(F.col("y") * F.col("c")).alias("s12"),
+    )
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / nd
+    m2 = F.col("s2").cast("double") / nd
+    c11 = F.col("s11").cast("double") / nd - m1 * m1
+    c22 = F.col("s22").cast("double") / nd - m2 * m2
+    c12 = F.col("s12").cast("double") / nd - m1 * m2
+    det = c11 * c22 - c12 * c12
+    mom = mom.select(
+        "event_type",
+        "n",
+        m1.alias("m1"),
+        m2.alias("m2"),
+        (c22 / det).alias("i11"),
+        (c11 / det).alias("i22"),
+        (-c12 / det).alias("i12"),
+    ).filter((F.col("n") >= 4) & (det > 0))
+    a = daily.select(
+        "event_type",
+        F.col("day").alias("da"),
+        F.col("y").alias("ya"),
+        F.col("c").alias("ca"),
+    )
+    b = daily.select(
+        "event_type",
+        F.col("day").alias("db"),
+        F.col("y").alias("yb"),
+        F.col("c").alias("cb"),
+    )
+    p = a.join(b, "event_type").join(F.broadcast(mom), "event_type")
+    u1 = F.col("ya").cast("double") - F.col("m1")
+    u2 = F.col("ca").cast("double") - F.col("m2")
+    v1 = F.col("yb").cast("double") - F.col("m1")
+    v2 = F.col("cb").cast("double") - F.col("m2")
+    d = (
+        u1 * (F.col("i11") * v1 + F.col("i12") * v2)
+        + u2 * (F.col("i12") * v1 + F.col("i22") * v2)
+    )
+    terms = p.select(
+        "event_type",
+        F.floor(d * d * d * 1e9 + F.lit(_OFF)).cast("long").alias(
+            "t9"
+        ),
+    ).groupBy("event_type").agg(F.sum("t9").alias("s9"))
+    out = mom.join(terms, "event_type")
+    nd2 = F.col("n").cast("double")
+    b12 = F.col("s9").cast("double") / 1e9 / (nd2 * nd2)
+    stat = nd2 * b12 / 6.0
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.floor(b12 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "b1p_e6"
+        ),
+        F.floor(stat * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "a_e4"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_MARDIA_SKEW = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS c,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF})
+                                  AS BIGINT)) AS DOUBLE)
+                    / count(*) + {_OFF}) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), mom AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(y) AS DOUBLE) / count(*) AS m1,
+         CAST(sum(c) AS DOUBLE) / count(*) AS m2,
+         CAST(sum(y * y) AS DOUBLE) / count(*)
+           - (CAST(sum(y) AS DOUBLE) / count(*))
+             * (CAST(sum(y) AS DOUBLE) / count(*)) AS c11,
+         CAST(sum(c * c) AS DOUBLE) / count(*)
+           - (CAST(sum(c) AS DOUBLE) / count(*))
+             * (CAST(sum(c) AS DOUBLE) / count(*)) AS c22,
+         CAST(sum(y * c) AS DOUBLE) / count(*)
+           - (CAST(sum(y) AS DOUBLE) / count(*))
+             * (CAST(sum(c) AS DOUBLE) / count(*)) AS c12
+  FROM daily GROUP BY 1
+), mi AS (
+  SELECT event_type, n, m1, m2,
+         c22 / (c11 * c22 - c12 * c12) AS i11,
+         c11 / (c11 * c22 - c12 * c12) AS i22,
+         -c12 / (c11 * c22 - c12 * c12) AS i12
+  FROM mom
+  WHERE n >= 4 AND c11 * c22 - c12 * c12 > 0
+), terms AS (
+  SELECT a.event_type,
+         CAST(sum(CAST(floor(
+           ((a.y - m.m1) * (m.i11 * (b.y - m.m1)
+                            + m.i12 * (b.c - m.m2))
+            + (a.c - m.m2) * (m.i12 * (b.y - m.m1)
+                              + m.i22 * (b.c - m.m2)))
+           * ((a.y - m.m1) * (m.i11 * (b.y - m.m1)
+                              + m.i12 * (b.c - m.m2))
+              + (a.c - m.m2) * (m.i12 * (b.y - m.m1)
+                                + m.i22 * (b.c - m.m2)))
+           * ((a.y - m.m1) * (m.i11 * (b.y - m.m1)
+                              + m.i12 * (b.c - m.m2))
+              + (a.c - m.m2) * (m.i12 * (b.y - m.m1)
+                                + m.i22 * (b.c - m.m2)))
+           * 1e9 + {_OFF}) AS BIGINT)) AS BIGINT) AS s9
+  FROM daily a
+  JOIN daily b ON b.event_type = a.event_type
+  JOIN mi m ON m.event_type = a.event_type
+  GROUP BY 1
+)
+SELECT m.event_type, CAST(m.n AS BIGINT) AS n_days,
+       CAST(floor(CAST(t.s9 AS DOUBLE) / 1e9
+                  / (CAST(m.n AS DOUBLE) * m.n) * 1000000 + {_OFF})
+            AS BIGINT) AS b1p_e6,
+       CAST(floor(m.n * (CAST(t.s9 AS DOUBLE) / 1e9
+                         / (CAST(m.n AS DOUBLE) * m.n)) / 6.0 * 10000
+                  + {_OFF}) AS BIGINT) AS a_e4
+FROM mi m JOIN terms t ON t.event_type = m.event_type
+ORDER BY m.event_type
+"""
+
+QUERIES["mardia_skewness"] = q_mardia_skewness
+ORACLE_SQL["mardia_skewness"] = SQL_MARDIA_SKEW
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity_audit — k-anonymity and l-diversity of the documents
+# corpus under the (source, length-bucket) quasi-identifier
+# ---------------------------------------------------------------------------
+# Equivalence classes = (source, floor(n_chars/100)); sensitive
+# attribute = lang.  Reports per source: the k of the weakest class,
+# the fraction of docs in classes with k < 5, and the minimum
+# l-diversity (distinct langs) across classes — the Sweeney/Machanava-
+# jjhala audit pair a release pipeline runs before publishing shards.
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    cls = docs.select(
+        "source",
+        F.floor(F.col("n_chars") / 100).cast("long").alias("lb"),
+        "lang",
+    ).groupBy("source", "lb").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.countDistinct("lang").alias("l"),
+    )
+    agg = cls.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("k").alias("n_docs"),
+        F.min("k").alias("min_k"),
+        F.min("l").alias("min_l"),
+        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0)).alias(
+            "below"
+        ),
+    )
+    frac = F.col("below").cast("double") / F.col("n_docs").cast(
+        "double"
+    )
+    return agg.select(
+        "source",
+        F.col("n_classes").cast("long").alias("n_classes"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("min_k").cast("long").alias("min_k"),
+        F.col("min_l").cast("long").alias("min_l"),
+        F.floor(frac * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "frac_below5_e6"
+        ),
+    ).orderBy("source")
+
+
+SQL_KANON = f"""
+WITH cls AS (
+  SELECT source, CAST(floor(n_chars / 100.0) AS BIGINT) AS lb,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(count(DISTINCT lang) AS BIGINT) AS l
+  FROM documents GROUP BY 1, 2
+), agg AS (
+  SELECT source,
+         count(*) AS n_classes,
+         CAST(sum(k) AS BIGINT) AS n_docs,
+         min(k) AS min_k, min(l) AS min_l,
+         CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+           AS below
+  FROM cls GROUP BY 1
+)
+SELECT source, CAST(n_classes AS BIGINT) AS n_classes, n_docs,
+       min_k, min_l,
+       CAST(floor(CAST(below AS DOUBLE) / n_docs * 1000000 + {_OFF})
+            AS BIGINT) AS frac_below5_e6
+FROM agg
+ORDER BY source
+"""
+
+QUERIES["k_anonymity_audit"] = q_k_anonymity_audit
+ORACLE_SQL["k_anonymity_audit"] = SQL_KANON
+
+
+# ---------------------------------------------------------------------------
+# tail_dependence — empirical upper/lower tail-dependence coefficients
+# between event-type pairs' daily mean series
+# ---------------------------------------------------------------------------
+# lambda_U(q) = P(U > q, V > q)/(1-q), lambda_L(q) = P(U <= 1-q,
+# V <= 1-q)/(1-q) at q = 0.8, with U = rank/(n+1) per series.  Ranks
+# are deterministic (value, day) orderings over the bounded day
+# domain; the threshold r/(n+1) > q is the integer inequality
+# 5 r > 4 (n+1), so the tail counts are exact in both engines.
+
+
+def q_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.floor(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    w = Window.partitionBy("event_type").orderBy("y", "day")
+    d2 = daily.withColumn("r", F.row_number().over(w))
+    a = d2.select(
+        F.col("event_type").alias("ta"),
+        "day",
+        F.col("r").alias("ra"),
+    )
+    b = d2.select(
+        F.col("event_type").alias("tb"),
+        "day",
+        F.col("r").alias("rb"),
+    )
+    j = a.join(b, "day").filter(F.col("ta") < F.col("tb"))
+    cnt = j.groupBy("ta", "tb").agg(F.count(F.lit(1)).alias("n"))
+    j2 = j.join(F.broadcast(cnt), ["ta", "tb"])
+    up = (
+        (5 * F.col("ra") > 4 * (F.col("n") + 1))
+        & (5 * F.col("rb") > 4 * (F.col("n") + 1))
+    ).cast("long")
+    lo = (
+        (5 * F.col("ra") <= F.col("n") + 1)
+        & (5 * F.col("rb") <= F.col("n") + 1)
+    ).cast("long")
+    out = j2.groupBy("ta", "tb").agg(
+        F.max("n").alias("n"),
+        F.sum(up).alias("cu"),
+        F.sum(lo).alias("cl"),
+    )
+    nd = F.col("n").cast("double")
+    lu = F.col("cu").cast("double") / nd / 0.2
+    ll = F.col("cl").cast("double") / nd / 0.2
+    return (
+        out.filter(F.col("n") >= 10)
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.col("n").cast("long").alias("n_days"),
+            F.floor(lu * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "lambda_u_e6"
+            ),
+            F.floor(ll * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "lambda_l_e6"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+SQL_TAILDEP = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF})
+                                  AS BIGINT)) AS DOUBLE)
+                    / count(*) + {_OFF}) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, day,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY y, day) AS BIGINT) AS r
+  FROM daily
+), j AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, a.day,
+         a.r AS ra, b.r AS rb
+  FROM r a JOIN r b ON b.day = a.day AND a.event_type < b.event_type
+), cnt AS (
+  SELECT ta, tb, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1, 2
+), agg AS (
+  SELECT j.ta, j.tb, max(c.n) AS n,
+         CAST(sum(CASE WHEN 5 * j.ra > 4 * (c.n + 1)
+                        AND 5 * j.rb > 4 * (c.n + 1)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS cu,
+         CAST(sum(CASE WHEN 5 * j.ra <= c.n + 1
+                        AND 5 * j.rb <= c.n + 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS cl
+  FROM j JOIN cnt c ON c.ta = j.ta AND c.tb = j.tb
+  GROUP BY 1, 2
+)
+SELECT ta AS type_a, tb AS type_b, CAST(n AS BIGINT) AS n_days,
+       CAST(floor(CAST(cu AS DOUBLE) / n / 0.2 * 1000000 + {_OFF})
+            AS BIGINT) AS lambda_u_e6,
+       CAST(floor(CAST(cl AS DOUBLE) / n / 0.2 * 1000000 + {_OFF})
+            AS BIGINT) AS lambda_l_e6
+FROM agg
+WHERE n >= 10
+ORDER BY type_a, type_b
+"""
+
+QUERIES["tail_dependence"] = q_tail_dependence
+ORACLE_SQL["tail_dependence"] = SQL_TAILDEP
