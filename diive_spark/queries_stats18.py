@@ -3245,3 +3245,400 @@ ORDER BY type_a, type_b
 
 QUERIES["tail_dependence"] = q_tail_dependence
 ORACLE_SQL["tail_dependence"] = SQL_TAILDEP
+
+
+# ===========================================================================
+# Battery I — multiscale entropy (coarse-grained SampEn, Costa 2002),
+# the Hopkins clustering-tendency statistic over the embedding space,
+# and a CUBE grouping-sets rollup (the missing member of the OLAP
+# rollup family).
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# multiscale_entropy — SampEn(m=1, r=0.2 sd) of the daily-count series
+# coarse-grained at scales 1, 2, 3 (non-overlapping block SUMS, which
+# keep every quantity an exact integer)
+# ---------------------------------------------------------------------------
+# Costa, Goldberger & Peng (PRL 2002).  Rides the sample_entropy
+# machinery: the tolerance test is the integer inequality
+# (xa-xb)^2 * 25 * n(n-1) <= n S2 - S^2 per (type, scale); template
+# extension via lead() over the block index.  Block sums (not means)
+# are used so the inequality stays integral — SampEn is scale-free
+# under the matching r.
+
+
+def q_multiscale_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.withColumn("i", F.row_number().over(wo))
+    scales = idx.crossJoin(
+        F.broadcast(
+            idx.sparkSession.range(1, 4).select(
+                F.col("id").alias("scale")
+            )
+        )
+    )
+    blk = scales.groupBy(
+        "event_type",
+        "scale",
+        F.floor((F.col("i") - 1) / F.col("scale")).alias("b"),
+    ).agg(F.sum("c").alias("x"), F.count(F.lit(1)).alias("m"))
+    blk = blk.filter(F.col("m") == F.col("scale"))
+    wb = Window.partitionBy("event_type", "scale").orderBy("b")
+    wn = Window.partitionBy("event_type", "scale")
+    d = (
+        blk.withColumn("j", F.row_number().over(wb))
+        .withColumn("nxt", F.lead("x").over(wb))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn("s", F.sum("x").over(wn))
+        .withColumn("q", F.sum(F.col("x") * F.col("x")).over(wn))
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.scale") == F.col("b.scale"))
+        & (F.col("b.j") > F.col("a.j")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.scale").alias("scale"),
+        F.col("a.x").alias("xa"),
+        F.col("b.x").alias("xb"),
+        F.col("a.nxt").alias("na_"),
+        F.col("b.nxt").alias("nb_"),
+        F.col("a.n").alias("n"),
+        F.col("a.s").alias("s"),
+        F.col("a.q").alias("q"),
+    )
+    var_num = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    nn1 = F.col("n") * (F.col("n") - 1)
+    m1 = (
+        (F.col("xa") - F.col("xb"))
+        * (F.col("xa") - F.col("xb"))
+        * 25
+        * nn1
+        <= var_num
+    ).cast("long")
+    m2 = (
+        F.col("na_").isNotNull()
+        & F.col("nb_").isNotNull()
+        & (
+            (F.col("na_") - F.col("nb_"))
+            * (F.col("na_") - F.col("nb_"))
+            * 25
+            * nn1
+            <= var_num
+        )
+    ).cast("long")
+    agg = p.groupBy("event_type", "scale").agg(
+        F.max("n").alias("n"),
+        F.sum(m1).alias("bb"),
+        F.sum(m1 * m2).alias("aa"),
+    )
+    se = F.log(F.col("bb").cast("double") / F.col("aa"))
+    return (
+        agg.filter((F.col("aa") > 0) & (F.col("bb") > 0))
+        .select(
+            "event_type",
+            F.col("scale").cast("long").alias("scale"),
+            F.col("n").cast("long").alias("n_blocks"),
+            F.floor(se * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "sampen_e4"
+            ),
+        )
+        .orderBy("event_type", "scale")
+    )
+
+
+SQL_MSE = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+                                    ORDER BY day) AS BIGINT) AS i
+  FROM daily
+), sc AS (
+  SELECT i.*, s.scale
+  FROM idx i, (SELECT unnest([1, 2, 3]) AS scale) s
+), blk AS (
+  SELECT event_type, CAST(scale AS BIGINT) AS scale,
+         CAST(floor((i - 1.0) / scale) AS BIGINT) AS b,
+         CAST(sum(c) AS BIGINT) AS x,
+         count(*) AS m
+  FROM sc GROUP BY 1, 2, 3
+  HAVING count(*) = CAST(scale AS BIGINT)
+), d AS (
+  SELECT event_type, scale, b, x,
+         CAST(row_number() OVER (PARTITION BY event_type, scale
+                                 ORDER BY b) AS BIGINT) AS j,
+         lead(x) OVER (PARTITION BY event_type, scale ORDER BY b)
+           AS nxt,
+         CAST(count(*) OVER (PARTITION BY event_type, scale)
+              AS BIGINT) AS n,
+         CAST(sum(x) OVER (PARTITION BY event_type, scale)
+              AS BIGINT) AS s,
+         CAST(sum(x * x) OVER (PARTITION BY event_type, scale)
+              AS BIGINT) AS q
+  FROM blk
+), p AS (
+  SELECT a.event_type, a.scale, a.n,
+         CASE WHEN (a.x - b.x) * (a.x - b.x) * 25 * a.n * (a.n - 1)
+                   <= a.n * a.q - a.s * a.s
+              THEN 1 ELSE 0 END AS m1,
+         CASE WHEN a.nxt IS NOT NULL AND b.nxt IS NOT NULL
+               AND (a.nxt - b.nxt) * (a.nxt - b.nxt) * 25
+                   * a.n * (a.n - 1)
+                   <= a.n * a.q - a.s * a.s
+              THEN 1 ELSE 0 END AS m2
+  FROM d a
+  JOIN d b ON b.event_type = a.event_type AND b.scale = a.scale
+          AND b.j > a.j
+), agg AS (
+  SELECT event_type, scale, max(n) AS n,
+         CAST(sum(m1) AS BIGINT) AS bb,
+         CAST(sum(m1 * m2) AS BIGINT) AS aa
+  FROM p GROUP BY 1, 2
+)
+SELECT event_type, scale, CAST(n AS BIGINT) AS n_blocks,
+       CAST(floor(ln(CAST(bb AS DOUBLE) / aa) * 10000 + {_OFF})
+            AS BIGINT) AS sampen_e4
+FROM agg
+WHERE aa > 0 AND bb > 0
+ORDER BY event_type, scale
+"""
+
+QUERIES["multiscale_entropy"] = q_multiscale_entropy
+ORACLE_SQL["multiscale_entropy"] = SQL_MSE
+
+
+# ---------------------------------------------------------------------------
+# hopkins_statistic — clustering tendency of the embedding cloud
+# (Hopkins & Skellam 1954; Lawson & Jurs distance form)
+# ---------------------------------------------------------------------------
+# H = sum u_i / (sum u_i + sum w_i): w_i = NN distance of each probe
+# (vec_id % 10 == 0, self excluded) to the corpus; u_i = NN distance
+# of a matched DETERMINISTIC pseudo-uniform point to the corpus.
+# Synthetic coordinates are integers in the per-dim [min, max] box:
+# emin + floor(h * (emax - emin) / 1000003) with the LCG-style hash
+# h = (vec_id * 2654435761 + pos * 40503) % 1000003 — identical BIGINT
+# arithmetic in both engines, so every squared distance is an exact
+# BIGINT and the min/argmin is unambiguous.  H ~ 0.5 for CSR data,
+# -> 1 for clustered data.  Probe-side joins are sample x corpus (the
+# knn_loo posture), never corpus x corpus.
+
+
+def q_hopkins_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t = d.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("x").cast("double") * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("e"),
+    )
+    box = t.groupBy("pos").agg(
+        F.min("e").alias("emin"), F.max("e").alias("emax")
+    )
+    probes = t.filter(F.col("vec_id") % 10 == 0)
+    # real-probe NN
+    q = probes.select(
+        F.col("vec_id").alias("qid"), "pos", F.col("e").alias("eq")
+    )
+    dreal = (
+        q.join(t, "pos")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum(
+                (F.col("eq") - F.col("e")) * (F.col("eq") - F.col("e"))
+            ).alias("d2")
+        )
+        .groupBy("qid")
+        .agg(F.min("d2").alias("w2"))
+    )
+    # synthetic pseudo-uniform points on the same probe ids
+    synth = (
+        probes.select("vec_id", "pos")
+        .join(F.broadcast(box), "pos")
+        .select(
+            F.col("vec_id").alias("qid"),
+            "pos",
+            (
+                F.col("emin")
+                + F.floor(
+                    (
+                        (
+                            F.col("vec_id") * F.lit(2654435761)
+                            + F.col("pos") * F.lit(40503)
+                        )
+                        % 1000003
+                    )
+                    * (F.col("emax") - F.col("emin"))
+                    / 1000003
+                )
+            )
+            .cast("long")
+            .alias("eq"),
+        )
+    )
+    dsyn = (
+        synth.join(t, "pos")
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum(
+                (F.col("eq") - F.col("e")) * (F.col("eq") - F.col("e"))
+            ).alias("d2")
+        )
+        .groupBy("qid")
+        .agg(F.min("d2").alias("u2"))
+    )
+    both = dreal.join(dsyn, "qid").select(
+        "qid",
+        F.floor(F.sqrt(F.col("w2").cast("double")) + F.lit(_OFF))
+        .cast("long")
+        .alias("w"),
+        F.floor(F.sqrt(F.col("u2").cast("double")) + F.lit(_OFF))
+        .cast("long")
+        .alias("u"),
+    )
+    agg = both.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("w").alias("sw"),
+        F.sum("u").alias("su"),
+    )
+    h = F.col("su").cast("double") / (
+        F.col("su") + F.col("sw")
+    ).cast("double")
+    return agg.select(
+        F.col("m").cast("long").alias("m_probes"),
+        F.floor(h * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "h_e6"
+        ),
+    )
+
+
+SQL_HOPKINS = f"""
+WITH t AS (
+  SELECT vec_id, u.i - 1 AS pos,
+         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000 + {_OFF})
+              AS BIGINT) AS e
+  FROM embeddings,
+       unnest(generate_series(1, len(embedding))) AS u(i)
+), box AS (
+  SELECT pos, min(e) AS emin, max(e) AS emax FROM t GROUP BY 1
+), probes AS (
+  SELECT * FROM t WHERE vec_id % 10 = 0
+), dreal AS (
+  SELECT q.vec_id AS qid, r.vec_id,
+         CAST(sum((q.e - r.e) * (q.e - r.e)) AS BIGINT) AS d2
+  FROM probes q JOIN t r ON r.pos = q.pos AND r.vec_id <> q.vec_id
+  GROUP BY 1, 2
+), wmin AS (
+  SELECT qid, min(d2) AS w2 FROM dreal GROUP BY 1
+), synth AS (
+  SELECT p.vec_id AS qid, p.pos,
+         CAST(b.emin
+              + floor(((p.vec_id * 2654435761 + p.pos * 40503)
+                       % 1000003)
+                      * (b.emax - b.emin) / 1000003.0)
+              AS BIGINT) AS eq
+  FROM probes p JOIN box b ON b.pos = p.pos
+), dsyn AS (
+  SELECT s.qid, r.vec_id,
+         CAST(sum((s.eq - r.e) * (s.eq - r.e)) AS BIGINT) AS d2
+  FROM synth s JOIN t r ON r.pos = s.pos
+  GROUP BY 1, 2
+), umin AS (
+  SELECT qid, min(d2) AS u2 FROM dsyn GROUP BY 1
+), bw AS (
+  SELECT w.qid,
+         CAST(floor(sqrt(CAST(w.w2 AS DOUBLE)) + {_OFF})
+              AS BIGINT) AS w,
+         CAST(floor(sqrt(CAST(u.u2 AS DOUBLE)) + {_OFF})
+              AS BIGINT) AS u
+  FROM wmin w JOIN umin u ON u.qid = w.qid
+), agg AS (
+  SELECT count(*) AS m, CAST(sum(w) AS BIGINT) AS sw,
+         CAST(sum(u) AS BIGINT) AS su
+  FROM bw
+)
+SELECT CAST(m AS BIGINT) AS m_probes,
+       CAST(floor(CAST(su AS DOUBLE) / (su + sw) * 1000000 + {_OFF})
+            AS BIGINT) AS h_e6
+FROM agg
+"""
+
+QUERIES["hopkins_statistic"] = q_hopkins_statistic
+ORACLE_SQL["hopkins_statistic"] = SQL_HOPKINS
+
+
+# ---------------------------------------------------------------------------
+# cube_type_dow — full CUBE grouping sets over (event_type, dow)
+# ---------------------------------------------------------------------------
+# The missing member of the OLAP rollup family (queries_olap has
+# ROLLUP): all four grouping sets — (type, dow), (type), (dow), () —
+# in one pass via Spark's cube() operator / DuckDB GROUP BY CUBE.
+# Margins are labeled 'ALL' so the output schema is plain strings;
+# value sums ride e2-floored integers.
+
+
+def q_cube_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "v"
+        ),
+    )
+    out = ev.cube("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v").alias("sum_v2"),
+    )
+    return out.select(
+        F.coalesce(F.col("event_type"), F.lit("ALL")).alias("etype"),
+        F.coalesce(F.col("dow").cast("string"), F.lit("ALL")).alias(
+            "dow"
+        ),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_v2").cast("long").alias("sum_v2"),
+    ).orderBy("etype", "dow")
+
+
+SQL_CUBE = f"""
+WITH ev AS (
+  SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), c AS (
+  SELECT event_type, dow,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(v) AS BIGINT) AS sum_v2
+  FROM ev
+  GROUP BY CUBE (event_type, dow)
+)
+SELECT coalesce(event_type, 'ALL') AS etype,
+       coalesce(CAST(dow AS VARCHAR), 'ALL') AS dow,
+       n_events, sum_v2
+FROM c
+ORDER BY etype, dow
+"""
+
+QUERIES["cube_type_dow"] = q_cube_type_dow
+ORACLE_SQL["cube_type_dow"] = SQL_CUBE
