@@ -1682,11 +1682,18 @@ def q_alexander_govern(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("se2") > 0)
     tot = g.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("k"),
-        F.sum(1.0 / F.col("se2")).alias("sw"),
-        F.sum(F.col("m") / F.col("se2")).alias("swm"),
+        F.sum(
+            F.floor(1.0 / F.col("se2") * 1e9 + F.lit(_OFF)).cast(
+                "long"
+            )
+        ).alias("sw9"),
+        F.sum(
+            F.floor(F.col("m") / F.col("se2") * 1e9 + F.lit(_OFF))
+            .cast("long")
+        ).alias("swm9"),
     )
     j = g.join(F.broadcast(tot), "event_type")
-    yhat = F.col("swm") / F.col("sw")
+    yhat = F.col("swm9").cast("double") / F.col("sw9").cast("double")
     t = (F.col("m") - yhat) / F.sqrt(F.col("se2"))
     nu = (F.col("n") - 1).cast("double")
     a = nu - 0.5
@@ -1746,7 +1753,10 @@ WITH g AS (
   SELECT * FROM m WHERE se2 > 0
 ), tot AS (
   SELECT event_type, count(*) AS k,
-         sum(1.0 / se2) AS sw, sum(m / se2) AS swm
+         CAST(sum(CAST(floor(1.0 / se2 * 1e9 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS sw9,
+         CAST(sum(CAST(floor(m / se2 * 1e9 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS swm9
   FROM m2 GROUP BY 1
 ), z AS (
   SELECT m2.event_type, t.k,
@@ -1761,10 +1771,12 @@ WITH g AS (
                 / (10.0*b*b + 8.0*b*c*c*c*c + 1000.0*b))
            * 1e9 + {_OFF}) AS BIGINT) AS z9
   FROM (
-    SELECT m2.*, t.k, t.sw, t.swm,
+    SELECT m2.*, t.k,
            sqrt((n - 1.5)
-                * ln(1.0 + ((m - swm / sw) / sqrt(se2))
-                           * ((m - swm / sw) / sqrt(se2))
+                * ln(1.0 + ((m - CAST(t.swm9 AS DOUBLE) / t.sw9)
+                            / sqrt(se2))
+                           * ((m - CAST(t.swm9 AS DOUBLE) / t.sw9)
+                              / sqrt(se2))
                            / (n - 1.0))) AS c,
            48.0 * (n - 1.5) * (n - 1.5) AS b
     FROM m2 JOIN tot t ON t.event_type = m2.event_type
@@ -3642,3 +3654,456 @@ ORDER BY etype, dow
 
 QUERIES["cube_type_dow"] = q_cube_type_dow
 ORACLE_SQL["cube_type_dow"] = SQL_CUBE
+
+
+# ===========================================================================
+# Battery J — circular ANOVA (Watson-Williams), the German-tank
+# serial-number estimator, Swamy's random-coefficients heterogeneity
+# test, and McKay's CV confidence interval with Wilson-Hilferty chi2
+# quantiles driven by the Acklam probit twin.
+# ===========================================================================
+
+_TWO_PI = 6.283185307179586
+
+
+# ---------------------------------------------------------------------------
+# watson_williams — equality of mean event time-of-day directions
+# across event types
+# ---------------------------------------------------------------------------
+# Watson & Williams (1956): F = (N-k)(sum R_i - R) / ((k-1)(N - sum
+# R_i)) on resultant lengths.  Events collapse to the bounded
+# second-of-day domain first; cos/sin terms are e6-floored per
+# distinct second so the resultant components are exact integers.
+
+
+def q_watson_williams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sod = ev.select(
+        "event_type",
+        (
+            F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
+        ).cast("long").alias("sod"),
+    ).groupBy("event_type", "sod").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ang = F.col("sod").cast("double") / 86_400.0 * _TWO_PI
+    terms = sod.select(
+        "event_type",
+        "c",
+        F.floor(F.cos(ang) * F.col("c") * 1e6 + F.lit(_OFF))
+        .cast("long")
+        .alias("co6"),
+        F.floor(F.sin(ang) * F.col("c") * 1e6 + F.lit(_OFF))
+        .cast("long")
+        .alias("si6"),
+    )
+    grp = terms.groupBy("event_type").agg(
+        F.sum("c").alias("n"),
+        F.sum("co6").alias("cc"),
+        F.sum("si6").alias("ss"),
+    )
+    r_i = F.sqrt(
+        F.col("cc").cast("double") * F.col("cc").cast("double")
+        + F.col("ss").cast("double") * F.col("ss").cast("double")
+    ) / 1e6
+    g2 = grp.select(
+        "event_type",
+        "n",
+        F.floor(r_i * 1e6 + F.lit(_OFF)).cast("long").alias("ri6"),
+        "cc",
+        "ss",
+    )
+    tot = g2.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("ri6").alias("sri6"),
+        F.sum("cc").alias("tc"),
+        F.sum("ss").alias("ts"),
+    )
+    rr = F.sqrt(
+        F.col("tc").cast("double") * F.col("tc").cast("double")
+        + F.col("ts").cast("double") * F.col("ts").cast("double")
+    ) / 1e6
+    sri = F.col("sri6").cast("double") / 1e6
+    nd = F.col("nn").cast("double")
+    kd = F.col("k").cast("double")
+    fstat = (nd - kd) * (sri - rr) / ((kd - 1.0) * (nd - sri))
+    rbar = rr / nd
+    return tot.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nn").cast("long").alias("n"),
+        F.floor(rbar * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "rbar_e6"
+        ),
+        F.floor(fstat * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "f_e4"
+        ),
+    )
+
+
+SQL_WATSON_WILLIAMS = f"""
+WITH sod AS (
+  SELECT event_type,
+         CAST(EXTRACT(hour FROM ts) * 3600
+              + EXTRACT(minute FROM ts) * 60
+              + EXTRACT(second FROM ts) AS BIGINT) AS sod,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), terms AS (
+  SELECT event_type, c,
+         CAST(floor(cos(sod / 86400.0 * {_TWO_PI}) * c * 1e6 + {_OFF})
+              AS BIGINT) AS co6,
+         CAST(floor(sin(sod / 86400.0 * {_TWO_PI}) * c * 1e6 + {_OFF})
+              AS BIGINT) AS si6
+  FROM sod
+), grp AS (
+  SELECT event_type,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(co6) AS BIGINT) AS cc,
+         CAST(sum(si6) AS BIGINT) AS ss
+  FROM terms GROUP BY 1
+), g2 AS (
+  SELECT event_type, n, cc, ss,
+         CAST(floor(sqrt(CAST(cc AS DOUBLE) * cc
+                         + CAST(ss AS DOUBLE) * ss) / 1e6 * 1e6
+                    + {_OFF}) AS BIGINT) AS ri6
+  FROM grp
+), tot AS (
+  SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(ri6) AS BIGINT) AS sri6,
+         CAST(sum(cc) AS BIGINT) AS tc,
+         CAST(sum(ss) AS BIGINT) AS ts
+  FROM g2
+)
+SELECT CAST(k AS BIGINT) AS k_groups, nn AS n,
+       CAST(floor(sqrt(CAST(tc AS DOUBLE) * tc + CAST(ts AS DOUBLE) * ts)
+                  / 1e6 / nn * 1000000 + {_OFF}) AS BIGINT) AS rbar_e6,
+       CAST(floor((nn - CAST(k AS DOUBLE))
+                  * (CAST(sri6 AS DOUBLE) / 1e6
+                     - sqrt(CAST(tc AS DOUBLE) * tc
+                            + CAST(ts AS DOUBLE) * ts) / 1e6)
+                  / ((k - 1.0)
+                     * (nn - CAST(sri6 AS DOUBLE) / 1e6))
+                  * 10000 + {_OFF}) AS BIGINT) AS f_e4
+FROM tot
+"""
+
+QUERIES["watson_williams"] = q_watson_williams
+ORACLE_SQL["watson_williams"] = SQL_WATSON_WILLIAMS
+
+
+# ---------------------------------------------------------------------------
+# german_tank — serial-number (maximum-spacing) population estimates
+# from the user ids seen per event type
+# ---------------------------------------------------------------------------
+# With k distinct 1-based serials and observed maximum M, the MVUE is
+# N^ = M + M/k - 1; also reported: the moment estimator 2*mean - 1.
+# Exact integers throughout until the final rationals.
+
+
+def q_german_tank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    g = ev.select(
+        "event_type", (F.col("user_id") + 1).alias("serial")
+    ).groupBy("event_type").agg(
+        F.countDistinct("serial").alias("k"),
+        F.max("serial").alias("m"),
+        F.sum(F.col("serial")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    md = F.col("m").cast("double")
+    kd = F.col("k").cast("double")
+    nhat = md + md / kd - 1.0
+    mom = 2.0 * F.col("s").cast("double") / F.col("n").cast(
+        "double"
+    ) - 1.0
+    return g.select(
+        "event_type",
+        F.col("k").cast("long").alias("k_distinct"),
+        F.col("m").cast("long").alias("max_serial"),
+        F.floor(nhat * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "nhat_mvue_e4"
+        ),
+        F.floor(mom * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "nhat_moment_e4"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_GERMAN_TANK = f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(count(DISTINCT user_id + 1) AS BIGINT) AS k,
+         CAST(max(user_id + 1) AS BIGINT) AS m,
+         CAST(sum(user_id + 1) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+)
+SELECT event_type, k AS k_distinct, m AS max_serial,
+       CAST(floor((CAST(m AS DOUBLE) + CAST(m AS DOUBLE) / k - 1.0)
+                  * 10000 + {_OFF}) AS BIGINT) AS nhat_mvue_e4,
+       CAST(floor((2.0 * CAST(s AS DOUBLE) / n - 1.0) * 10000 + {_OFF})
+            AS BIGINT) AS nhat_moment_e4
+FROM g
+ORDER BY event_type
+"""
+
+QUERIES["german_tank"] = q_german_tank
+ORACLE_SQL["german_tank"] = SQL_GERMAN_TANK
+
+
+# ---------------------------------------------------------------------------
+# swamy_random_coefficients — Swamy (1970) slope-heterogeneity S
+# across the event-type panels (daily mean ~ day index)
+# ---------------------------------------------------------------------------
+# Per panel: OLS slope b_i, Var(b_i) = s_i^2 / Sxx_i; the
+# precision-weighted pooled slope bbar = sum(b_i/v_i)/sum(1/v_i);
+# S = sum (b_i - bbar)^2 / v_i ~ chi2(k-1) under homogeneity.
+# Panel moments are exact integers; per-panel (b, v) doubles are
+# combined over the 5-row panel domain with e9-floored S terms.
+
+
+def q_swamy_random_coefficients(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.floor(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("day").alias("sx"),
+        F.sum(F.col("day") * F.col("day")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("day") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cxx = F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double") / nd
+    cxy = F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double") / nd
+    cyy = F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double") / nd
+    b = cxy / cxx
+    s2 = (cyy - b * cxy) / (nd - 2.0)
+    v = s2 / cxx
+    p = agg.filter((F.col("n") >= 4) & (cxx > 0)).select(
+        "event_type", "n", b.alias("b"), v.alias("v")
+    ).filter(F.col("v") > 0)
+    tot = p.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.floor(1.0 / F.col("v") * 1e9 + F.lit(_OFF)).cast("long")
+        ).alias("sw9"),
+        F.sum(
+            F.floor(F.col("b") / F.col("v") * 1e9 + F.lit(_OFF)).cast(
+                "long"
+            )
+        ).alias("swb9"),
+    )
+    j = p.crossJoin(F.broadcast(tot))
+    bbar = F.col("swb9").cast("double") / F.col("sw9").cast("double")
+    term = (F.col("b") - bbar) * (F.col("b") - bbar) / F.col("v")
+    j = j.withColumn(
+        "t9", F.floor(term * 1e9 + F.lit(_OFF)).cast("long")
+    )
+    out = j.groupBy("k").agg(F.sum("t9").alias("s9"))
+    return out.select(
+        F.col("k").cast("long").alias("k_panels"),
+        F.floor(
+            F.col("s9").cast("double") / 1e9 * 10_000 + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("s_e4"),
+    )
+
+
+SQL_SWAMY = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF})
+                                  AS BIGINT)) AS DOUBLE)
+                    / count(*) + {_OFF}) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(day) AS BIGINT) AS sx,
+         CAST(sum(day * day) AS BIGINT) AS sxx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(day * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM daily GROUP BY 1
+), p AS (
+  SELECT event_type, n,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+         / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS b,
+         ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+          - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+            * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+            / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n))
+         / (n - 2.0)
+         / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS v
+  FROM agg
+  WHERE n >= 4
+    AND CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n > 0
+), p2 AS (
+  SELECT * FROM p WHERE v > 0
+), tot AS (
+  SELECT count(*) AS k,
+         CAST(sum(CAST(floor(1.0 / v * 1e9 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS sw9,
+         CAST(sum(CAST(floor(b / v * 1e9 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS swb9
+  FROM p2
+), terms AS (
+  SELECT t.k,
+         CAST(floor((p2.b - CAST(t.swb9 AS DOUBLE) / t.sw9)
+                    * (p2.b - CAST(t.swb9 AS DOUBLE) / t.sw9)
+                    / p2.v * 1e9 + {_OFF}) AS BIGINT) AS t9
+  FROM p2, tot t
+)
+SELECT CAST(k AS BIGINT) AS k_panels,
+       CAST(floor(CAST(sum(t9) AS DOUBLE) / 1e9 * 10000 + {_OFF})
+            AS BIGINT) AS s_e4
+FROM terms GROUP BY k
+"""
+
+QUERIES["swamy_random_coefficients"] = q_swamy_random_coefficients
+ORACLE_SQL["swamy_random_coefficients"] = SQL_SWAMY
+
+
+# ---------------------------------------------------------------------------
+# mckay_cv_ci — McKay (1932) confidence interval for the coefficient
+# of variation, Vangel (1996) form, with Wilson-Hilferty chi-square
+# quantiles
+# ---------------------------------------------------------------------------
+# limit(theta) = K * [ (theta/(nu+1) - 1) K^2 + theta/nu ]^(-1/2) with
+# theta = chi2 quantile at 1-alpha/2 (lower) / alpha/2 (upper),
+# approximated by the Wilson-Hilferty cube
+#   chi2_q(p, nu) = nu (1 - 2/(9 nu) + z_p sqrt(2/(9 nu)))^3,
+# z_{0.975} spelled as the same literal in both engines.  Sample
+# moments are exact integers.
+
+
+def q_mckay_cv_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    g = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "v"
+        ),
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    m = F.col("s").cast("double") / nd
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / nd
+    ) / (nd - 1.0)
+    k = F.sqrt(var) / m
+    nu = nd - 1.0
+    z = 1.959963984540054
+
+    def chi2q(zp):
+        base = 1.0 - 2.0 / (9.0 * nu) + zp * F.sqrt(2.0 / (9.0 * nu))
+        return nu * base * base * base
+
+    def limit(theta):
+        return k / F.sqrt(
+            (theta / (nu + 1.0) - 1.0) * k * k + theta / nu
+        )
+
+    lo = limit(chi2q(F.lit(z)))
+    hi = limit(chi2q(F.lit(-z)))
+    return (
+        g.filter((F.col("n") >= 3) & (F.col("s") > 0) & (var > 0))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.floor(k * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "cv_e6"
+            ),
+            F.floor(lo * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "lo_e6"
+            ),
+            F.floor(hi * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "hi_e6"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_MCKAY = f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS s,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT)
+                  * CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS ss
+  FROM events GROUP BY 1
+), m AS (
+  SELECT event_type, n,
+         sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+              / (n - 1.0))
+         / (CAST(s AS DOUBLE) / n) AS k,
+         n - 1.0 AS nu, s,
+         (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+         / (n - 1.0) AS var
+  FROM g
+), q AS (
+  SELECT event_type, n, k, nu,
+         nu * (1.0 - 2.0 / (9.0 * nu)
+               + 1.959963984540054 * sqrt(2.0 / (9.0 * nu)))
+            * (1.0 - 2.0 / (9.0 * nu)
+               + 1.959963984540054 * sqrt(2.0 / (9.0 * nu)))
+            * (1.0 - 2.0 / (9.0 * nu)
+               + 1.959963984540054 * sqrt(2.0 / (9.0 * nu))) AS th_hi,
+         nu * (1.0 - 2.0 / (9.0 * nu)
+               - 1.959963984540054 * sqrt(2.0 / (9.0 * nu)))
+            * (1.0 - 2.0 / (9.0 * nu)
+               - 1.959963984540054 * sqrt(2.0 / (9.0 * nu)))
+            * (1.0 - 2.0 / (9.0 * nu)
+               - 1.959963984540054 * sqrt(2.0 / (9.0 * nu))) AS th_lo
+  FROM m
+  WHERE n >= 3 AND s > 0 AND var > 0
+)
+SELECT event_type, n,
+       CAST(floor(k * 1000000 + {_OFF}) AS BIGINT) AS cv_e6,
+       CAST(floor(k / sqrt((th_hi / (nu + 1.0) - 1.0) * k * k
+                           + th_hi / nu) * 1000000 + {_OFF})
+            AS BIGINT) AS lo_e6,
+       CAST(floor(k / sqrt((th_lo / (nu + 1.0) - 1.0) * k * k
+                           + th_lo / nu) * 1000000 + {_OFF})
+            AS BIGINT) AS hi_e6
+FROM q
+ORDER BY event_type
+"""
+
+QUERIES["mckay_cv_ci"] = q_mckay_cv_ci
+ORACLE_SQL["mckay_cv_ci"] = SQL_MCKAY
