@@ -4107,3 +4107,562 @@ ORDER BY event_type
 
 QUERIES["mckay_cv_ci"] = q_mckay_cv_ci
 ORACLE_SQL["mckay_cv_ci"] = SQL_MCKAY
+
+
+# ===========================================================================
+# Battery K — epidemiology-style rate standardization, the Theta
+# forecasting method (Assimakopoulos & Nikolopoulos 2000), a
+# Kulldorff-style Poisson scan statistic over diel windows, and the
+# Hamilton (2018) regression filter.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# rate_standardization — direct and indirect standardization of
+# per-user event rates across hour-of-day strata
+# ---------------------------------------------------------------------------
+# Strata = hour of day; 'population' at risk per (type, hour) = the
+# distinct users active; standard population = the all-types hour
+# profile.  Direct: sum_h rate_th * N_h / sum_h N_h; Indirect SMR:
+# observed_t / sum_h (overall rate_h * n_th).  All rates are exact
+# rationals; stratum terms e9-floored before the 24-row sums.
+
+
+def q_rate_standardization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cell = ev.select(
+        "event_type", F.hour("ts").cast("long").alias("h"), "user_id"
+    ).groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.countDistinct("user_id").alias("u"),
+    )
+    std = cell.groupBy("h").agg(
+        F.sum("c").alias("ch"), F.sum("u").alias("uh")
+    )
+    j = cell.join(F.broadcast(std), "h")
+    direct9 = F.floor(
+        F.col("c").cast("double")
+        / F.col("u").cast("double")
+        * F.col("uh").cast("double")
+        * 1e9
+        + F.lit(_OFF)
+    ).cast("long")
+    expect9 = F.floor(
+        F.col("ch").cast("double")
+        / F.col("uh").cast("double")
+        * F.col("u").cast("double")
+        * 1e9
+        + F.lit(_OFF)
+    ).cast("long")
+    agg = j.groupBy("event_type").agg(
+        F.sum("c").alias("obs"),
+        F.sum("u").alias("n_at_risk"),
+        F.sum(direct9).alias("d9"),
+        F.sum(expect9).alias("e9"),
+        F.sum("uh").alias("std_pop"),
+    )
+    crude = F.col("obs").cast("double") / F.col("n_at_risk").cast(
+        "double"
+    )
+    direct = (
+        F.col("d9").cast("double") / 1e9 / F.col("std_pop").cast(
+            "double"
+        )
+    )
+    smr = F.col("obs").cast("double") / (
+        F.col("e9").cast("double") / 1e9
+    )
+    return agg.select(
+        "event_type",
+        F.col("obs").cast("long").alias("observed"),
+        F.floor(crude * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "crude_rate_e6"
+        ),
+        F.floor(direct * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "direct_rate_e6"
+        ),
+        F.floor(smr * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "smr_e6"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_RATE_STD = f"""
+WITH cell AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS c,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS u
+  FROM events GROUP BY 1, 2
+), std AS (
+  SELECT h, CAST(sum(c) AS BIGINT) AS ch,
+         CAST(sum(u) AS BIGINT) AS uh
+  FROM cell GROUP BY 1
+), j AS (
+  SELECT c.event_type, c.c, c.u, s.ch, s.uh,
+         CAST(floor(CAST(c.c AS DOUBLE) / c.u * s.uh * 1e9 + {_OFF})
+              AS BIGINT) AS d9,
+         CAST(floor(CAST(s.ch AS DOUBLE) / s.uh * c.u * 1e9 + {_OFF})
+              AS BIGINT) AS e9
+  FROM cell c JOIN std s ON s.h = c.h
+), agg AS (
+  SELECT event_type,
+         CAST(sum(c) AS BIGINT) AS obs,
+         CAST(sum(u) AS BIGINT) AS n_at_risk,
+         CAST(sum(d9) AS BIGINT) AS d9,
+         CAST(sum(e9) AS BIGINT) AS e9,
+         CAST(sum(uh) AS BIGINT) AS std_pop
+  FROM j GROUP BY 1
+)
+SELECT event_type, obs AS observed,
+       CAST(floor(CAST(obs AS DOUBLE) / n_at_risk * 1000000 + {_OFF})
+            AS BIGINT) AS crude_rate_e6,
+       CAST(floor(CAST(d9 AS DOUBLE) / 1e9 / std_pop * 1000000
+                  + {_OFF}) AS BIGINT) AS direct_rate_e6,
+       CAST(floor(CAST(obs AS DOUBLE) / (CAST(e9 AS DOUBLE) / 1e9)
+                  * 1000000 + {_OFF}) AS BIGINT) AS smr_e6
+FROM agg
+ORDER BY event_type
+"""
+
+QUERIES["rate_standardization"] = q_rate_standardization
+ORACLE_SQL["rate_standardization"] = SQL_RATE_STD
+
+
+# ---------------------------------------------------------------------------
+# poisson_scan_statistic — Kulldorff Poisson scan over diel windows
+# ---------------------------------------------------------------------------
+# Zones = circular hour windows of length 1..6 (24 starts x 6 lengths
+# = 144 zones); LLR(z) = c ln(c/e) + (C-c) ln((C-c)/(C-e)) when c > e
+# else 0, with e = C * zone_hours/24-weighted baseline from the
+# all-type profile.  The zone domain is a broadcast 144-row table; the
+# per-type hour profile (24 rows) joins it — everything after the
+# first agg is constant-size at any corpus scale.
+
+
+def q_poisson_scan_statistic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hp = ev.select(
+        "event_type", F.hour("ts").cast("long").alias("h")
+    ).groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("c"))
+    base = hp.groupBy("h").agg(F.sum("c").alias("bh"))
+    spark_ = hp.sparkSession
+    zones = (
+        spark_.range(0, 24)
+        .select(F.col("id").alias("start"))
+        .crossJoin(
+            spark_.range(1, 7).select(F.col("id").alias("length"))
+        )
+    )
+    zh = zones.join(
+        spark_.range(0, 6).select(F.col("id").alias("off")),
+        F.col("off") < F.col("length"),
+    ).select(
+        "start", "length", ((F.col("start") + F.col("off")) % 24).alias("h")
+    )
+    jz = zh.join(hp, "h").join(F.broadcast(base), "h")
+    z = jz.groupBy("event_type", "start", "length").agg(
+        F.sum("c").alias("cz"),
+        F.sum("bh").alias("bz"),
+    )
+    tot = hp.groupBy("event_type").agg(F.sum("c").alias("ct"))
+    btot = base.agg(F.sum("bh").alias("bt"))
+    z = z.join(F.broadcast(tot), "event_type").crossJoin(
+        F.broadcast(btot)
+    )
+    cz = F.col("cz").cast("double")
+    ct = F.col("ct").cast("double")
+    e = ct * F.col("bz").cast("double") / F.col("bt").cast("double")
+    llr = F.when(
+        (cz > e) & (F.col("ct") > F.col("cz")),
+        cz * F.log(cz / e)
+        + (ct - cz) * F.log((ct - cz) / (ct - e)),
+    ).otherwise(0.0)
+    scored = z.withColumn(
+        "llr6", F.floor(llr * 1e6 + F.lit(_OFF)).cast("long")
+    )
+    best = scored.groupBy("event_type").agg(
+        F.max_by(
+            F.struct("start", "length", "llr6"),
+            F.struct(
+                F.col("llr6"), -F.col("length"), -F.col("start")
+            ),
+        ).alias("b")
+    )
+    return best.select(
+        "event_type",
+        F.col("b.start").cast("long").alias("best_start"),
+        F.col("b.length").cast("long").alias("best_length"),
+        F.col("b.llr6").alias("llr_e6"),
+    ).orderBy("event_type")
+
+
+SQL_SCAN = f"""
+WITH hp AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), base AS (
+  SELECT h, CAST(sum(c) AS BIGINT) AS bh FROM hp GROUP BY 1
+), zones AS (
+  SELECT s.start, l.length, (s.start + o.off) % 24 AS h
+  FROM (SELECT unnest(generate_series(0, 23)) AS start) s,
+       (SELECT unnest(generate_series(1, 6)) AS length) l,
+       (SELECT unnest(generate_series(0, 5)) AS off) o
+  WHERE o.off < l.length
+), z AS (
+  SELECT p.event_type, zo.start, zo.length,
+         CAST(sum(p.c) AS BIGINT) AS cz,
+         CAST(sum(b.bh) AS BIGINT) AS bz
+  FROM zones zo
+  JOIN hp p ON p.h = zo.h
+  JOIN base b ON b.h = zo.h
+  GROUP BY 1, 2, 3
+), tot AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS ct FROM hp GROUP BY 1
+), bt AS (
+  SELECT CAST(sum(bh) AS BIGINT) AS bt FROM base
+), scored AS (
+  SELECT z.event_type, z.start, z.length,
+         CASE WHEN CAST(z.cz AS DOUBLE)
+                   > t.ct * (CAST(z.bz AS DOUBLE) / b.bt)
+               AND t.ct > z.cz
+              THEN CAST(floor(
+                (z.cz * ln(CAST(z.cz AS DOUBLE)
+                           / (t.ct * (CAST(z.bz AS DOUBLE) / b.bt)))
+                 + (t.ct - z.cz)
+                   * ln((t.ct - CAST(z.cz AS DOUBLE))
+                        / (t.ct - t.ct * (CAST(z.bz AS DOUBLE)
+                                          / b.bt))))
+                * 1e6 + {_OFF}) AS BIGINT)
+              ELSE CAST(floor(0.0 * 1e6 + {_OFF}) AS BIGINT)
+         END AS llr6
+  FROM z, bt b
+  JOIN tot t ON t.event_type = z.event_type
+), rk AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY llr6 DESC, length ASC, start ASC) AS r
+  FROM scored
+)
+SELECT event_type,
+       CAST(start AS BIGINT) AS best_start,
+       CAST(length AS BIGINT) AS best_length,
+       llr6 AS llr_e6
+FROM rk WHERE r = 1
+ORDER BY event_type
+"""
+
+QUERIES["poisson_scan_statistic"] = q_poisson_scan_statistic
+ORACLE_SQL["poisson_scan_statistic"] = SQL_SCAN
+
+
+# ---------------------------------------------------------------------------
+# theta_method_forecast — the Theta method (Assimakopoulos &
+# Nikolopoulos 2000, M3 winner) on daily means, alpha = 0.5
+# ---------------------------------------------------------------------------
+# Theta0 = OLS trend line; Theta2 = 2y - trend; SES(alpha=1/2) level
+# of Theta2 as a closed-form weighted sum (w_j = 0.5^(n-j+1), j >= 2;
+# w_1 = 0.5^(n-1)), each weight spelled exp(k * ln(1/2)) with the same
+# literal in both engines; forecast(h) = (trend(n+h) + level)/2.
+# Weighted terms are e9-floored so the cross-engine sum is exact.
+
+
+def q_theta_method_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    ln_half = -0.6931471805599453
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.floor(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.withColumn("i", F.row_number().over(wo))
+    mom = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("i").alias("sx"),
+        F.sum(F.col("i") * F.col("i")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("i") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    cxx = F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double") / nd
+    cxy = F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double") / nd
+    b = cxy / cxx
+    a = (F.col("sy").cast("double") - b * F.col("sx").cast("double")) / nd
+    mom = mom.filter((F.col("n") >= 10) & (cxx > 0)).select(
+        "event_type", "n", a.alias("a"), b.alias("b")
+    )
+    j = idx.join(F.broadcast(mom), "event_type")
+    z = 2.0 * F.col("y").cast("double") - (
+        F.col("a") + F.col("b") * F.col("i").cast("double")
+    )
+    k = F.when(
+        F.col("i") == 1, (F.col("n") - 1).cast("double")
+    ).otherwise((F.col("n") - F.col("i") + 1).cast("double"))
+    w = F.exp(k * F.lit(ln_half))
+    j = j.withColumn(
+        "t9", F.floor(w * z * 1e9 + F.lit(_OFF)).cast("long")
+    )
+    lev = j.groupBy("event_type").agg(F.sum("t9").alias("l9"))
+    out = mom.join(lev, "event_type")
+    level = F.col("l9").cast("double") / 1e9
+    fc = (
+        F.col("a")
+        + F.col("b") * (F.col("n").cast("double") + 7.0)
+        + level
+    ) / 2.0 / 100.0
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.floor(F.col("b") * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "trend_e4"
+        ),
+        F.floor(level / 100.0 * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("level_e4"),
+        F.floor(fc * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "forecast7_e4"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_THETA = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF})
+                                  AS BIGINT)) AS DOUBLE)
+                    / count(*) + {_OFF}) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+                                    ORDER BY day) AS BIGINT) AS i
+  FROM daily
+), mom AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(i) AS BIGINT) AS sx,
+         CAST(sum(i * i) AS BIGINT) AS sxx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(i * y) AS BIGINT) AS sxy
+  FROM idx GROUP BY 1
+), p AS (
+  SELECT event_type, n,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+         / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS b,
+         (CAST(sy AS DOUBLE)
+          - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+            / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+            * sx) / n AS a
+  FROM mom
+  WHERE n >= 10
+    AND CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n > 0
+), terms AS (
+  SELECT i.event_type,
+         CAST(floor(exp((CASE WHEN i.i = 1 THEN p.n - 1.0
+                              ELSE p.n - i.i + 1.0 END)
+                        * -0.6931471805599453)
+                    * (2.0 * i.y - (p.a + p.b * i.i)) * 1e9 + {_OFF})
+              AS BIGINT) AS t9
+  FROM idx i JOIN p ON p.event_type = i.event_type
+), lev AS (
+  SELECT event_type, CAST(sum(t9) AS BIGINT) AS l9
+  FROM terms GROUP BY 1
+)
+SELECT p.event_type, CAST(p.n AS BIGINT) AS n_days,
+       CAST(floor(p.b * 10000 + {_OFF}) AS BIGINT) AS trend_e4,
+       CAST(floor(CAST(l.l9 AS DOUBLE) / 1e9 / 100.0 * 10000 + {_OFF})
+            AS BIGINT) AS level_e4,
+       CAST(floor((p.a + p.b * (p.n + 7.0)
+                   + CAST(l.l9 AS DOUBLE) / 1e9) / 2.0 / 100.0 * 10000
+                  + {_OFF}) AS BIGINT) AS forecast7_e4
+FROM p JOIN lev l ON l.event_type = p.event_type
+ORDER BY p.event_type
+"""
+
+QUERIES["theta_method_forecast"] = q_theta_method_forecast
+ORACLE_SQL["theta_method_forecast"] = SQL_THETA
+
+
+# ---------------------------------------------------------------------------
+# hamilton_filter — Hamilton (2018) regression filter: the cycle is
+# the residual of y_{t} on (1, y_{t-8}, y_{t-9})
+# ---------------------------------------------------------------------------
+# "Why you should never use the HP filter": regress h=8 steps ahead on
+# p=2 most recent observations.  Lags ride the consecutive day INDEX
+# (gaps closed by indexing); the 3x3 normal equations are solved by
+# Cramer determinants of exact integer moments; cycle sd from the
+# closed-form SSR = Syy - b'X'y.
+
+
+def q_hamilton_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.floor(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    d = daily.withColumn("x1", F.lag("y", 8).over(wo)).withColumn(
+        "x2", F.lag("y", 9).over(wo)
+    ).filter(F.col("x2").isNotNull())
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    sy = F.col("sy").cast("double")
+    s11 = F.col("s11").cast("double")
+    s22 = F.col("s22").cast("double")
+    s12 = F.col("s12").cast("double")
+    s1y = F.col("s1y").cast("double")
+    s2y = F.col("s2y").cast("double")
+    syy = F.col("syy").cast("double")
+
+    def det3(a, bq, c, dd, e, f, g, h, i):
+        return (
+            a * (e * i - f * h) - bq * (dd * i - f * g)
+            + c * (dd * h - e * g)
+        )
+
+    dd = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    d0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    d1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    d2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    b0 = d0 / dd
+    b1 = d1 / dd
+    b2 = d2 / dd
+    ssr = syy - (b0 * sy + b1 * s1y + b2 * s2y)
+    sd = F.sqrt(ssr / (n - 3.0)) / 100.0
+    return (
+        agg.filter((F.col("n") >= 12) & (dd > 0))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_used"),
+            F.floor(b1 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "b1_e6"
+            ),
+            F.floor(b2 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "b2_e6"
+            ),
+            F.floor(sd * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "cycle_sd_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_HAMILTON = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF})
+                                  AS BIGINT)) AS DOUBLE)
+                    / count(*) + {_OFF}) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type, y,
+         lag(y, 8) OVER (PARTITION BY event_type ORDER BY day) AS x1,
+         lag(y, 9) OVER (PARTITION BY event_type ORDER BY day) AS x2
+  FROM daily
+), d2 AS (
+  SELECT * FROM d WHERE x2 IS NOT NULL
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x1) AS BIGINT) AS s1,
+         CAST(sum(x2) AS BIGINT) AS s2,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x1 * x1) AS BIGINT) AS s11,
+         CAST(sum(x2 * x2) AS BIGINT) AS s22,
+         CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         CAST(sum(x1 * y) AS BIGINT) AS s1y,
+         CAST(sum(x2 * y) AS BIGINT) AS s2y,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM d2 GROUP BY 1
+), m AS (
+  SELECT event_type, n,
+         CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d,
+         CAST(s2 AS DOUBLE) AS s2d, CAST(sy AS DOUBLE) AS syd,
+         CAST(s11 AS DOUBLE) AS s11d, CAST(s22 AS DOUBLE) AS s22d,
+         CAST(s12 AS DOUBLE) AS s12d, CAST(s1y AS DOUBLE) AS s1yd,
+         CAST(s2y AS DOUBLE) AS s2yd, CAST(syy AS DOUBLE) AS syyd
+  FROM agg
+), det AS (
+  SELECT *,
+         nd * (s11d * s22d - s12d * s12d)
+         - s1d * (s1d * s22d - s12d * s2d)
+         + s2d * (s1d * s12d - s11d * s2d) AS dd,
+         syd * (s11d * s22d - s12d * s12d)
+         - s1d * (s1yd * s22d - s12d * s2yd)
+         + s2d * (s1yd * s12d - s11d * s2yd) AS d0,
+         nd * (s1yd * s22d - s12d * s2yd)
+         - syd * (s1d * s22d - s12d * s2d)
+         + s2d * (s1d * s2yd - s1yd * s2d) AS d1,
+         nd * (s11d * s2yd - s1yd * s12d)
+         - s1d * (s1d * s2yd - s1yd * s2d)
+         + syd * (s1d * s12d - s11d * s2d) AS d2
+  FROM m
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_used,
+       CAST(floor(d1 / dd * 1000000 + {_OFF}) AS BIGINT) AS b1_e6,
+       CAST(floor(d2 / dd * 1000000 + {_OFF}) AS BIGINT) AS b2_e6,
+       CAST(floor(sqrt((syyd - (d0 / dd * syd + d1 / dd * s1yd
+                                + d2 / dd * s2yd)) / (nd - 3.0))
+                  / 100.0 * 10000 + {_OFF}) AS BIGINT) AS cycle_sd_e4
+FROM det
+WHERE n >= 12 AND dd > 0
+ORDER BY event_type
+"""
+
+QUERIES["hamilton_filter"] = q_hamilton_filter
+ORACLE_SQL["hamilton_filter"] = SQL_HAMILTON
