@@ -4666,3 +4666,379 @@ ORDER BY event_type
 
 QUERIES["hamilton_filter"] = q_hamilton_filter
 ORACLE_SQL["hamilton_filter"] = SQL_HAMILTON
+
+
+# ===========================================================================
+# Battery L — distance-based two-sample testing (Szekely energy
+# distance), the Rousseeuw-Croux Sn robust scale, and bias-corrected
+# Cramer's V for the type x day-of-week contingency table.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# energy_distance — Szekely-Rizzo two-sample energy statistic between
+# day (hour 8-19) and night values
+# ---------------------------------------------------------------------------
+# E = 2 E|X-Y| - E|X-X'| - E|Y-Y'| with U-statistic pair means; every
+# pairwise |.| sum comes from the value-domain prefix cumulative
+# (the gmd/CRPS discipline) — ZERO pair joins:
+#   sum_{x<y} (y-x) = sum_v c(v) * (v * cumcnt<(v) - cumsum<(v)).
+# T = nA nB/(nA+nB) * E is the test statistic.  All sums exact BIGINT.
+
+
+def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cnt = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "v"
+        ),
+        F.when(F.hour("ts").between(8, 19), 1).otherwise(0).alias("g"),
+    ).groupBy("event_type", "v").agg(
+        F.sum("g").alias("ca"),
+        F.sum(1 - F.col("g")).alias("cb"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = (
+        cnt.withColumn(
+            "cuma", F.coalesce(F.sum("ca").over(w), F.lit(0))
+        )
+        .withColumn(
+            "cumsa",
+            F.coalesce(F.sum(F.col("ca") * F.col("v")).over(w), F.lit(0)),
+        )
+        .withColumn(
+            "cumb", F.coalesce(F.sum("cb").over(w), F.lit(0))
+        )
+        .withColumn(
+            "cumsb",
+            F.coalesce(F.sum(F.col("cb") * F.col("v")).over(w), F.lit(0)),
+        )
+    )
+    sab = (
+        F.col("cb") * (F.col("v") * F.col("cuma") - F.col("cumsa"))
+        + F.col("ca") * (F.col("v") * F.col("cumb") - F.col("cumsb"))
+    )
+    saa = F.col("ca") * (F.col("v") * F.col("cuma") - F.col("cumsa"))
+    sbb = F.col("cb") * (F.col("v") * F.col("cumb") - F.col("cumsb"))
+    agg = c.groupBy("event_type").agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.sum(sab).alias("sab"),
+        F.sum(saa).alias("saa"),
+        F.sum(sbb).alias("sbb"),
+    )
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    exy = F.col("sab").cast("double") / (na * nb)
+    exx = 2.0 * F.col("saa").cast("double") / (na * (na - 1.0))
+    eyy = 2.0 * F.col("sbb").cast("double") / (nb * (nb - 1.0))
+    e = (2.0 * exy - exx - eyy) / 100.0
+    t = na * nb / (na + nb) * e
+    return (
+        agg.filter((F.col("na") >= 2) & (F.col("nb") >= 2))
+        .select(
+            "event_type",
+            (F.col("na") + F.col("nb")).cast("long").alias("n"),
+            F.floor(e * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "e_dist_e6"
+            ),
+            F.floor(t * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "t_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_ENERGY = f"""
+WITH cnt AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 8 AND 19
+                       THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 8 AND 19
+                       THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT *,
+         CAST(coalesce(sum(ca) OVER (PARTITION BY event_type ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cuma,
+         CAST(coalesce(sum(ca * v) OVER (PARTITION BY event_type
+                ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cumsa,
+         CAST(coalesce(sum(cb) OVER (PARTITION BY event_type ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cumb,
+         CAST(coalesce(sum(cb * v) OVER (PARTITION BY event_type
+                ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cumsb
+  FROM cnt
+), agg AS (
+  SELECT event_type,
+         CAST(sum(ca) AS BIGINT) AS na,
+         CAST(sum(cb) AS BIGINT) AS nb,
+         CAST(sum(cb * (v * cuma - cumsa)
+                  + ca * (v * cumb - cumsb)) AS BIGINT) AS sab,
+         CAST(sum(ca * (v * cuma - cumsa)) AS BIGINT) AS saa,
+         CAST(sum(cb * (v * cumb - cumsb)) AS BIGINT) AS sbb
+  FROM c GROUP BY 1
+)
+SELECT event_type, CAST(na + nb AS BIGINT) AS n,
+       CAST(floor((2.0 * CAST(sab AS DOUBLE) / (CAST(na AS DOUBLE) * nb)
+                   - 2.0 * CAST(saa AS DOUBLE)
+                     / (CAST(na AS DOUBLE) * (na - 1.0))
+                   - 2.0 * CAST(sbb AS DOUBLE)
+                     / (CAST(nb AS DOUBLE) * (nb - 1.0))) / 100.0
+                  * 1000000 + {_OFF}) AS BIGINT) AS e_dist_e6,
+       CAST(floor(CAST(na AS DOUBLE) * nb / (na + nb)
+                  * ((2.0 * CAST(sab AS DOUBLE)
+                      / (CAST(na AS DOUBLE) * nb)
+                      - 2.0 * CAST(saa AS DOUBLE)
+                        / (CAST(na AS DOUBLE) * (na - 1.0))
+                      - 2.0 * CAST(sbb AS DOUBLE)
+                        / (CAST(nb AS DOUBLE) * (nb - 1.0))) / 100.0)
+                  * 10000 + {_OFF}) AS BIGINT) AS t_e4
+FROM agg
+WHERE na >= 2 AND nb >= 2
+ORDER BY event_type
+"""
+
+QUERIES["energy_distance"] = q_energy_distance
+ORACLE_SQL["energy_distance"] = SQL_ENERGY
+
+
+# ---------------------------------------------------------------------------
+# sn_scale — Rousseeuw-Croux Sn robust scale of the daily-mean series
+# ---------------------------------------------------------------------------
+# Sn = 1.1926 * med_i med_{j != i} |x_i - x_j| (lower-median
+# convention at both levels, deterministic day tie-breaks).  Pairs
+# ride the bounded day x day self-join; medians are rank windows over
+# the pair/day domains.
+
+
+def q_sn_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.floor(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("di"), F.col("y").alias("yi")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("dj"), F.col("y").alias("yj")
+    )
+    p = a.join(b, "event_type").filter(F.col("di") != F.col("dj"))
+    p = p.withColumn("d", F.abs(F.col("yi") - F.col("yj")))
+    wi = Window.partitionBy("event_type", "di").orderBy("d", "dj")
+    wni = Window.partitionBy("event_type", "di")
+    inner = (
+        p.withColumn("r", F.row_number().over(wi))
+        .withColumn("m", F.count(F.lit(1)).over(wni))
+        .filter(
+            F.col("r")
+            == F.floor((F.col("m") + 1) / 2).cast("long")
+        )
+        .select("event_type", "di", F.col("d").alias("dmed"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("dmed", "di")
+    wno = Window.partitionBy("event_type")
+    outer = (
+        inner.withColumn("r", F.row_number().over(wo))
+        .withColumn("n", F.count(F.lit(1)).over(wno))
+        .filter(
+            F.col("r")
+            == F.floor((F.col("n") + 1) / 2).cast("long")
+        )
+    )
+    sn = F.col("dmed").cast("double") / 100.0 * 1.1926
+    return outer.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.floor(sn * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "sn_e4"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_SN = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF})
+                                  AS BIGINT)) AS DOUBLE)
+                    / count(*) + {_OFF}) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT a.event_type, a.day AS di, b.day AS dj,
+         abs(a.y - b.y) AS d
+  FROM daily a
+  JOIN daily b ON b.event_type = a.event_type AND a.day <> b.day
+), inner_med AS (
+  SELECT event_type, di, d AS dmed
+  FROM (
+    SELECT *,
+           row_number() OVER (PARTITION BY event_type, di
+                              ORDER BY d, dj) AS r,
+           count(*) OVER (PARTITION BY event_type, di) AS m
+    FROM p
+  ) t
+  WHERE r = CAST(floor((m + 1) / 2.0) AS BIGINT)
+), outer_med AS (
+  SELECT event_type, dmed,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY dmed, di) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM inner_med
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       CAST(floor(CAST(dmed AS DOUBLE) / 100.0 * 1.1926 * 10000
+                  + {_OFF}) AS BIGINT) AS sn_e4
+FROM outer_med
+WHERE r = CAST(floor((n + 1) / 2.0) AS BIGINT)
+ORDER BY event_type
+"""
+
+QUERIES["sn_scale"] = q_sn_scale
+ORACLE_SQL["sn_scale"] = SQL_SN
+
+
+# ---------------------------------------------------------------------------
+# cramers_v_corrected — Cramer's V with the Bergsma (2013) bias
+# correction for the event_type x day-of-week table
+# ---------------------------------------------------------------------------
+# phi2 = chi2/N; phi2corr = max(0, phi2 - (r-1)(c-1)/(N-1));
+# rcorr = r - (r-1)^2/(N-1), ccorr likewise;
+# Vcorr = sqrt(phi2corr / min(rcorr-1, ccorr-1)).  Cell chi2 terms are
+# e6-floored; margins exact integers.
+
+
+def q_cramers_v_corrected(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cell = ev.select(
+        "event_type", F.dayofweek("ts").cast("long").alias("dow")
+    ).groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("c"))
+    rows = cell.groupBy("event_type").agg(F.sum("c").alias("rc"))
+    cols = cell.groupBy("dow").agg(F.sum("c").alias("cc"))
+    tot = cell.agg(
+        F.sum("c").alias("nn"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("dow").alias("cdim"),
+    )
+    j = (
+        cell.join(F.broadcast(rows), "event_type")
+        .join(F.broadcast(cols), "dow")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("rc").cast("double") * F.col("cc").cast("double") / F.col(
+        "nn"
+    ).cast("double")
+    term = (F.col("c").cast("double") - e) * (
+        F.col("c").cast("double") - e
+    ) / e
+    j = j.withColumn(
+        "t6", F.floor(term * 1e6 + F.lit(_OFF)).cast("long")
+    )
+    agg = j.groupBy("nn", "r", "cdim").agg(F.sum("t6").alias("chi6"))
+    nd = F.col("nn").cast("double")
+    rd = F.col("r").cast("double")
+    cd = F.col("cdim").cast("double")
+    chi2 = F.col("chi6").cast("double") / 1e6
+    phi2 = chi2 / nd
+    phi2c = F.greatest(
+        phi2 - (rd - 1.0) * (cd - 1.0) / (nd - 1.0), F.lit(0.0)
+    )
+    rcorr = rd - (rd - 1.0) * (rd - 1.0) / (nd - 1.0)
+    ccorr = cd - (cd - 1.0) * (cd - 1.0) / (nd - 1.0)
+    v = F.sqrt(chi2 / (nd * F.least(rd - 1.0, cd - 1.0)))
+    vc = F.sqrt(phi2c / F.least(rcorr - 1.0, ccorr - 1.0))
+    return agg.select(
+        F.col("nn").cast("long").alias("n"),
+        F.floor(chi2 * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "chi2_e4"
+        ),
+        F.floor(v * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "v_e6"
+        ),
+        F.floor(vc * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "v_corr_e6"
+        ),
+    )
+
+
+SQL_CRAMERS_V = f"""
+WITH cell AS (
+  SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), rows_ AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS rc
+  FROM cell GROUP BY 1
+), cols_ AS (
+  SELECT dow, CAST(sum(c) AS BIGINT) AS cc FROM cell GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS nn,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+         CAST(count(DISTINCT dow) AS BIGINT) AS cdim
+  FROM cell
+), terms AS (
+  SELECT t.nn, t.r, t.cdim,
+         CAST(floor((ce.c - CAST(ro.rc AS DOUBLE) * co.cc / t.nn)
+                    * (ce.c - CAST(ro.rc AS DOUBLE) * co.cc / t.nn)
+                    / (CAST(ro.rc AS DOUBLE) * co.cc / t.nn) * 1e6
+                    + {_OFF}) AS BIGINT) AS t6
+  FROM cell ce
+  JOIN rows_ ro ON ro.event_type = ce.event_type
+  JOIN cols_ co ON co.dow = ce.dow
+  CROSS JOIN tot t
+), agg AS (
+  SELECT nn, r, cdim, CAST(sum(t6) AS BIGINT) AS chi6
+  FROM terms GROUP BY 1, 2, 3
+)
+SELECT nn AS n,
+       CAST(floor(CAST(chi6 AS DOUBLE) / 1e6 * 10000 + {_OFF})
+            AS BIGINT) AS chi2_e4,
+       CAST(floor(sqrt(CAST(chi6 AS DOUBLE) / 1e6
+                       / (nn * least(r - 1.0, cdim - 1.0))) * 1000000
+                  + {_OFF}) AS BIGINT) AS v_e6,
+       CAST(floor(sqrt(greatest(CAST(chi6 AS DOUBLE) / 1e6 / nn
+                                - (r - 1.0) * (cdim - 1.0) / (nn - 1.0),
+                                0.0)
+                       / least(r - (r - 1.0) * (r - 1.0) / (nn - 1.0)
+                               - 1.0,
+                               cdim - (cdim - 1.0) * (cdim - 1.0)
+                               / (nn - 1.0) - 1.0)) * 1000000
+                  + {_OFF}) AS BIGINT) AS v_corr_e6
+FROM agg
+"""
+
+QUERIES["cramers_v_corrected"] = q_cramers_v_corrected
+ORACLE_SQL["cramers_v_corrected"] = SQL_CRAMERS_V
