@@ -4813,8 +4813,8 @@ WHERE na >= 2 AND nb >= 2
 ORDER BY event_type
 """
 
-QUERIES["energy_distance"] = q_energy_distance
-ORACLE_SQL["energy_distance"] = SQL_ENERGY
+QUERIES["energy_distance_daynight"] = q_energy_distance
+ORACLE_SQL["energy_distance_daynight"] = SQL_ENERGY
 
 
 # ---------------------------------------------------------------------------
