@@ -5042,3 +5042,441 @@ FROM agg
 
 QUERIES["cramers_v_corrected"] = q_cramers_v_corrected
 ORACLE_SQL["cramers_v_corrected"] = SQL_CRAMERS_V
+
+
+# ===========================================================================
+# Battery M — microstructure & volatility, wave 2 (complements
+# amihud_illiquidity / roll_spread / capm_beta): Kyle's lambda price
+# impact, bipower-variation jump detection, RiskMetrics EWMA VaR, and
+# the Gatev pairs-trading SSD distance.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# kyle_lambda — price-impact regression Delta p ~ signed flow
+# ---------------------------------------------------------------------------
+# Kyle (1985): lambda = cov(dp, q)/var(q) with dp = change in daily
+# mean centi-value, q = change in daily event count (signed flow
+# proxy).  Day-lag differences over the bounded day domain; exact
+# integer cross-moments.
+
+
+def q_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.floor(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    d = (
+        daily.withColumn("dp", F.col("y") - F.lag("y").over(wo))
+        .withColumn("q", F.col("c") - F.lag("c").over(wo))
+        .filter(F.col("dp").isNotNull())
+    )
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum("dp").alias("sp"),
+        F.sum(F.col("q") * F.col("dp")).alias("sqp"),
+    )
+    nd = F.col("n").cast("double")
+    cqq = F.col("sqq").cast("double") - F.col("sq").cast(
+        "double"
+    ) * F.col("sq").cast("double") / nd
+    cqp = F.col("sqp").cast("double") - F.col("sq").cast(
+        "double"
+    ) * F.col("sp").cast("double") / nd
+    lam = cqp / cqq
+    return (
+        agg.filter((F.col("n") >= 3) & (cqq > 0))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.floor(lam * 1_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("lambda_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_KYLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS c,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF})
+                                  AS BIGINT)) AS DOUBLE)
+                    / count(*) + {_OFF}) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type,
+         y - lag(y) OVER (PARTITION BY event_type ORDER BY day) AS dp,
+         c - lag(c) OVER (PARTITION BY event_type ORDER BY day) AS q
+  FROM daily
+), d2 AS (
+  SELECT * FROM d WHERE dp IS NOT NULL
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(q) AS BIGINT) AS sq,
+         CAST(sum(q * q) AS BIGINT) AS sqq,
+         CAST(sum(dp) AS BIGINT) AS sp,
+         CAST(sum(q * dp) AS BIGINT) AS sqp
+  FROM d2 GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       CAST(floor((CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * sp / n)
+                  / (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n)
+                  * 1000000 + {_OFF}) AS BIGINT) AS lambda_e6
+FROM agg
+WHERE n >= 3
+  AND CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n > 0
+ORDER BY event_type
+"""
+
+QUERIES["kyle_lambda"] = q_kyle_lambda
+ORACLE_SQL["kyle_lambda"] = SQL_KYLE
+
+
+# ---------------------------------------------------------------------------
+# bipower_jump_ratio — realized variance vs bipower variation on
+# hourly returns (Barndorff-Nielsen & Shephard 2004)
+# ---------------------------------------------------------------------------
+# RV = sum r^2; BV = (pi/2) sum |r_t||r_{t-1}|; the relative jump
+# component J = max(0, 1 - BV/RV) isolates the squared-jump share.
+# Hourly returns are integer diffs over the consecutive hour INDEX;
+# |r||r'| products stay exact BIGINT — pi/2 enters once at the end.
+
+
+def q_bipower_jump_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+        )
+        .cast("long")
+        .alias("slot"),
+    ).agg(
+        F.floor(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("slot")
+    r = hourly.withColumn(
+        "r", F.col("y") - F.lag("y").over(wo)
+    ).filter(F.col("r").isNotNull())
+    r = r.withColumn("rp", F.abs(F.lag("r").over(wo)))
+    agg = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("r") * F.col("r")).alias("rv_i"),
+        F.sum(
+            F.when(
+                F.col("rp").isNotNull(), F.abs(F.col("r")) * F.col("rp")
+            ).otherwise(0)
+        ).alias("bp_i"),
+    )
+    half_pi = 1.5707963267948966
+    rv = F.col("rv_i").cast("double") / 10_000.0
+    bv = F.lit(half_pi) * F.col("bp_i").cast("double") / 10_000.0
+    jr = F.greatest(F.lit(0.0), 1.0 - bv / rv)
+    return (
+        agg.filter((F.col("n") >= 10) & (F.col("rv_i") > 0))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_returns"),
+            F.floor(rv * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "rv_e4"
+            ),
+            F.floor(bv * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "bv_e4"
+            ),
+            F.floor(jr * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "jump_ratio_e6"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_BIPOWER = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS slot,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF})
+                                  AS BIGINT)) AS DOUBLE)
+                    / count(*) + {_OFF}) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, slot,
+         y - lag(y) OVER (PARTITION BY event_type ORDER BY slot) AS r
+  FROM hourly
+), r2 AS (
+  SELECT event_type, r,
+         abs(lag(r) OVER (PARTITION BY event_type ORDER BY slot))
+           AS rp
+  FROM r WHERE r IS NOT NULL
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(r * r) AS BIGINT) AS rv_i,
+         CAST(sum(CASE WHEN rp IS NOT NULL THEN abs(r) * rp
+                       ELSE 0 END) AS BIGINT) AS bp_i
+  FROM r2 GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_returns,
+       CAST(floor(CAST(rv_i AS DOUBLE) / 10000.0 * 10000 + {_OFF})
+            AS BIGINT) AS rv_e4,
+       CAST(floor(1.5707963267948966 * bp_i / 10000.0 * 10000 + {_OFF})
+            AS BIGINT) AS bv_e4,
+       CAST(floor(greatest(0.0,
+                           1.0 - 1.5707963267948966 * bp_i
+                                 / CAST(rv_i AS DOUBLE)) * 1000000
+                  + {_OFF}) AS BIGINT) AS jump_ratio_e6
+FROM agg
+WHERE n >= 10 AND rv_i > 0
+ORDER BY event_type
+"""
+
+QUERIES["bipower_jump_ratio"] = q_bipower_jump_ratio
+ORACLE_SQL["bipower_jump_ratio"] = SQL_BIPOWER
+
+
+# ---------------------------------------------------------------------------
+# riskmetrics_var — EWMA (lambda = 0.94) volatility and 95% VaR of
+# daily returns (J.P. Morgan RiskMetrics 1996)
+# ---------------------------------------------------------------------------
+# sigma^2 = sum_k w_k r_{n-k}^2 with w_k = lambda^k (1-lambda) /
+# (1 - lambda^m) normalized over the m available returns; weights are
+# exp(k ln 0.94) with the shared literal; terms e6-floored.
+# VaR95 = 1.6448536269514722 * sigma.
+
+
+def q_riskmetrics_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ln_lam = -0.06187540371808753  # ln(0.94)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.floor(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    r = daily.withColumn(
+        "r", F.col("y") - F.lag("y").over(wo)
+    ).filter(F.col("r").isNotNull())
+    r = r.withColumn("j", F.row_number().over(wo))
+    wn = Window.partitionBy("event_type")
+    r = r.withColumn("m", F.count(F.lit(1)).over(wn))
+    k = (F.col("m") - F.col("j")).cast("double")
+    w = F.exp(k * F.lit(ln_lam)) * F.lit(0.06)
+    term = w * F.col("r").cast("double") * F.col("r").cast("double")
+    r = r.withColumn(
+        "t6", F.floor(term * 1e6 + F.lit(_OFF)).cast("long")
+    )
+    agg = r.groupBy("event_type").agg(
+        F.max("m").alias("m"), F.sum("t6").alias("s6")
+    )
+    md = F.col("m").cast("double")
+    norm = 1.0 - F.exp(md * F.lit(ln_lam))
+    sig = F.sqrt(F.col("s6").cast("double") / 1e6 / norm) / 100.0
+    var95 = F.lit(1.6448536269514722) * sig
+    return agg.select(
+        "event_type",
+        F.col("m").cast("long").alias("n_returns"),
+        F.floor(sig * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "sigma_e6"
+        ),
+        F.floor(var95 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "var95_e6"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_RISKMETRICS = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF})
+                                  AS BIGINT)) AS DOUBLE)
+                    / count(*) + {_OFF}) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, day,
+         y - lag(y) OVER (PARTITION BY event_type ORDER BY day) AS r
+  FROM daily
+), r2 AS (
+  SELECT event_type, r,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS j,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM r WHERE r IS NOT NULL
+), t AS (
+  SELECT event_type, m,
+         CAST(floor(exp((m - j) * -0.06187540371808753) * 0.06
+                    * r * r * 1e6 + {_OFF}) AS BIGINT) AS t6
+  FROM r2
+), agg AS (
+  SELECT event_type, max(m) AS m, CAST(sum(t6) AS BIGINT) AS s6
+  FROM t GROUP BY 1
+)
+SELECT event_type, CAST(m AS BIGINT) AS n_returns,
+       CAST(floor(sqrt(CAST(s6 AS DOUBLE) / 1e6
+                       / (1.0 - exp(m * -0.06187540371808753)))
+                  / 100.0 * 1000000 + {_OFF}) AS BIGINT) AS sigma_e6,
+       CAST(floor(1.6448536269514722
+                  * sqrt(CAST(s6 AS DOUBLE) / 1e6
+                         / (1.0 - exp(m * -0.06187540371808753)))
+                  / 100.0 * 1000000 + {_OFF}) AS BIGINT) AS var95_e6
+FROM agg
+ORDER BY event_type
+"""
+
+QUERIES["riskmetrics_var"] = q_riskmetrics_var
+ORACLE_SQL["riskmetrics_var"] = SQL_RISKMETRICS
+
+
+# ---------------------------------------------------------------------------
+# gatev_pairs_distance — pairs-trading formation-period SSD between
+# normalized type series (Gatev, Goetzmann & Rouwenhorst 2006)
+# ---------------------------------------------------------------------------
+# Each type's daily mean is normalized by its first-day value (e6
+# fixed-point integers), pairs join on day, SSD = sum (pa - pb)^2 —
+# exact BIGINT; smaller SSD = better pair candidate.
+
+
+def q_gatev_pairs_distance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.floor(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    d = daily.withColumn("y0", F.first("y").over(wo))
+    d = d.withColumn(
+        "p",
+        F.floor(
+            F.col("y").cast("double")
+            / F.col("y0").cast("double")
+            * 1e6
+            + F.lit(_OFF)
+        ).cast("long"),
+    )
+    a = d.select(
+        F.col("event_type").alias("ta"), "day", F.col("p").alias("pa")
+    )
+    b = d.select(
+        F.col("event_type").alias("tb"), "day", F.col("p").alias("pb")
+    )
+    j = a.join(b, "day").filter(F.col("ta") < F.col("tb"))
+    agg = j.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("pa") - F.col("pb")) * (F.col("pa") - F.col("pb"))
+        ).alias("ssd"),
+    )
+    ssd = F.col("ssd").cast("double") / 1e12
+    return (
+        agg.filter(F.col("n") >= 10)
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.col("n").cast("long").alias("n_days"),
+            F.floor(ssd * 1_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("ssd_e6"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+SQL_GATEV = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF})
+                                  AS BIGINT)) AS DOUBLE)
+                    / count(*) + {_OFF}) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type, day,
+         CAST(floor(CAST(y AS DOUBLE)
+                    / first_value(y) OVER (PARTITION BY event_type
+                                           ORDER BY day)
+                    * 1e6 + {_OFF}) AS BIGINT) AS p
+  FROM daily
+), j AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, a.day,
+         a.p AS pa, b.p AS pb
+  FROM d a JOIN d b ON b.day = a.day AND a.event_type < b.event_type
+), agg AS (
+  SELECT ta, tb, count(*) AS n,
+         CAST(sum((pa - pb) * (pa - pb)) AS BIGINT) AS ssd
+  FROM j GROUP BY 1, 2
+)
+SELECT ta AS type_a, tb AS type_b, CAST(n AS BIGINT) AS n_days,
+       CAST(floor(CAST(ssd AS DOUBLE) / 1e12 * 1000000 + {_OFF})
+            AS BIGINT) AS ssd_e6
+FROM agg
+WHERE n >= 10
+ORDER BY type_a, type_b
+"""
+
+QUERIES["gatev_pairs_distance"] = q_gatev_pairs_distance
+ORACLE_SQL["gatev_pairs_distance"] = SQL_GATEV
