@@ -5480,3 +5480,380 @@ ORDER BY type_a, type_b
 
 QUERIES["gatev_pairs_distance"] = q_gatev_pairs_distance
 ORACLE_SQL["gatev_pairs_distance"] = SQL_GATEV
+
+
+# ===========================================================================
+# Battery N — non-Gaussianity (FastICA negentropy approximation),
+# Taguchi signal-to-noise ratios, and SAX symbolic motif mining.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# negentropy_approx — Hyvarinen (1998) negentropy approximation of the
+# standardized daily-mean distribution
+# ---------------------------------------------------------------------------
+# J ~ k1 (E[y exp(-y^2/2)])^2 + k2 (E[exp(-y^2/2)] - sqrt(1/2))^2 with
+# k1 = 36/(8 sqrt3 - 9), k2 = 24/(16 sqrt3 - 27) — the FastICA
+# contrast pair.  Day-domain expectations with e12-floored terms.
+
+
+def q_negentropy_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k1 = 7.412888621904903   # 36/(8*sqrt(3)-9)
+    k2 = 33.67480105770059   # 24/(16*sqrt(3)-27)
+    sqrt_half = 0.7071067811865476
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.floor(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sy").cast("double") / nd
+    var = F.col("syy").cast("double") / nd - mean * mean
+    mom = mom.select(
+        "event_type", "n", mean.alias("mean"), F.sqrt(var).alias("s")
+    ).filter((F.col("n") >= 4) & (var > 0))
+    j = daily.join(F.broadcast(mom), "event_type")
+    z = (F.col("y").cast("double") - F.col("mean")) / F.col("s")
+    g = F.exp(-z * z / 2.0)
+    j = j.withColumn(
+        "t1", F.floor(z * g * 1e12 + F.lit(_OFF)).cast("long")
+    ).withColumn("t2", F.floor(g * 1e12 + F.lit(_OFF)).cast("long"))
+    agg = j.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum("t1").alias("s1"),
+        F.sum("t2").alias("s2"),
+    )
+    nd2 = F.col("n").cast("double")
+    e1 = F.col("s1").cast("double") / 1e12 / nd2
+    e2 = F.col("s2").cast("double") / 1e12 / nd2
+    jn = F.lit(k1) * e1 * e1 + F.lit(k2) * (
+        e2 - F.lit(sqrt_half)
+    ) * (e2 - F.lit(sqrt_half))
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.floor(e1 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "skew_term_e6"
+        ),
+        F.floor(e2 * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "kurt_term_e6"
+        ),
+        F.floor(jn * 1_000_000_000 + F.lit(_OFF)).cast("long").alias(
+            "negentropy_e9"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_NEGENTROPY = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF})
+                                  AS BIGINT)) AS DOUBLE)
+                    / count(*) + {_OFF}) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), mom AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(y) AS DOUBLE) / count(*) AS mean,
+         sqrt(CAST(sum(y * y) AS DOUBLE) / count(*)
+              - (CAST(sum(y) AS DOUBLE) / count(*))
+                * (CAST(sum(y) AS DOUBLE) / count(*))) AS s
+  FROM daily GROUP BY 1
+  HAVING count(*) >= 4
+     AND CAST(sum(y * y) AS DOUBLE) / count(*)
+         - (CAST(sum(y) AS DOUBLE) / count(*))
+           * (CAST(sum(y) AS DOUBLE) / count(*)) > 0
+), t AS (
+  SELECT d.event_type, m.n,
+         CAST(floor(((d.y - m.mean) / m.s)
+                    * exp(-((d.y - m.mean) / m.s)
+                          * ((d.y - m.mean) / m.s) / 2.0) * 1e12
+                    + {_OFF}) AS BIGINT) AS t1,
+         CAST(floor(exp(-((d.y - m.mean) / m.s)
+                        * ((d.y - m.mean) / m.s) / 2.0) * 1e12
+                    + {_OFF}) AS BIGINT) AS t2
+  FROM daily d JOIN mom m ON m.event_type = d.event_type
+), agg AS (
+  SELECT event_type, max(n) AS n,
+         CAST(sum(t1) AS BIGINT) AS s1,
+         CAST(sum(t2) AS BIGINT) AS s2
+  FROM t GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       CAST(floor(CAST(s1 AS DOUBLE) / 1e12 / n * 1000000 + {_OFF})
+            AS BIGINT) AS skew_term_e6,
+       CAST(floor(CAST(s2 AS DOUBLE) / 1e12 / n * 1000000 + {_OFF})
+            AS BIGINT) AS kurt_term_e6,
+       CAST(floor((7.412888621904903
+                   * (CAST(s1 AS DOUBLE) / 1e12 / n)
+                   * (CAST(s1 AS DOUBLE) / 1e12 / n)
+                   + 33.67480105770059
+                     * (CAST(s2 AS DOUBLE) / 1e12 / n
+                        - 0.7071067811865476)
+                     * (CAST(s2 AS DOUBLE) / 1e12 / n
+                        - 0.7071067811865476)) * 1000000000 + {_OFF})
+            AS BIGINT) AS negentropy_e9
+FROM agg
+ORDER BY event_type
+"""
+
+QUERIES["negentropy_approx"] = q_negentropy_approx
+ORACLE_SQL["negentropy_approx"] = SQL_NEGENTROPY
+
+
+# ---------------------------------------------------------------------------
+# taguchi_sn — Taguchi signal-to-noise ratios (larger-better,
+# smaller-better, nominal-best) of event values per type
+# ---------------------------------------------------------------------------
+# SN_L = -10 log10(mean 1/y^2); SN_S = -10 log10(mean y^2);
+# SN_N = 10 log10(ybar^2 / s^2).  1/y^2 collapses to the distinct
+# centi-value domain with e12-floored reciprocal terms; everything
+# else is exact moments.  log10 = ln / ln(10) with the shared literal.
+
+
+def q_taguchi_sn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ln10 = 2.302585092994046
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cnt = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "v"
+        ),
+    ).filter(F.col("v") > 0).groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    vd = F.col("v").cast("double") / 100.0
+    rec12 = F.floor(
+        F.col("c").cast("double") / (vd * vd) * 1e12 + F.lit(_OFF)
+    ).cast("long")
+    agg = cnt.select(
+        "event_type", "c", "v", rec12.alias("r12")
+    ).groupBy("event_type").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("v")).alias("sv"),
+        F.sum(F.col("c") * F.col("v") * F.col("v")).alias("svv"),
+        F.sum("r12").alias("sr12"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sv").cast("double") / nd / 100.0
+    msq = F.col("svv").cast("double") / nd / 10_000.0
+    var = (
+        (
+            F.col("svv").cast("double")
+            - F.col("sv").cast("double") * F.col("sv").cast("double")
+            / nd
+        )
+        / (nd - 1.0)
+        / 10_000.0
+    )
+    mrec = F.col("sr12").cast("double") / 1e12 / nd
+    sn_l = -10.0 * F.log(mrec) / F.lit(ln10)
+    sn_s = -10.0 * F.log(msq) / F.lit(ln10)
+    sn_n = 10.0 * F.log(mean * mean / var) / F.lit(ln10)
+    return (
+        agg.filter((F.col("n") >= 3) & (var > 0))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.floor(sn_l * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "sn_larger_e4"
+            ),
+            F.floor(sn_s * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "sn_smaller_e4"
+            ),
+            F.floor(sn_n * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "sn_nominal_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_TAGUCHI = f"""
+WITH cnt AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events
+  WHERE CAST(floor(value * 100 + {_OFF}) AS BIGINT) > 0
+  GROUP BY 1, 2
+), t AS (
+  SELECT event_type, c, v,
+         CAST(floor(CAST(c AS DOUBLE)
+                    / ((v / 100.0) * (v / 100.0)) * 1e12 + {_OFF})
+              AS BIGINT) AS r12
+  FROM cnt
+), agg AS (
+  SELECT event_type,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c * v) AS BIGINT) AS sv,
+         CAST(sum(c * v * v) AS BIGINT) AS svv,
+         CAST(sum(r12) AS BIGINT) AS sr12
+  FROM t GROUP BY 1
+), m AS (
+  SELECT event_type, n,
+         CAST(sv AS DOUBLE) / n / 100.0 AS mean,
+         CAST(svv AS DOUBLE) / n / 10000.0 AS msq,
+         (CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n)
+         / (n - 1.0) / 10000.0 AS var,
+         CAST(sr12 AS DOUBLE) / 1e12 / n AS mrec
+  FROM agg
+)
+SELECT event_type, n,
+       CAST(floor(-10.0 * ln(mrec) / 2.302585092994046 * 10000
+                  + {_OFF}) AS BIGINT) AS sn_larger_e4,
+       CAST(floor(-10.0 * ln(msq) / 2.302585092994046 * 10000
+                  + {_OFF}) AS BIGINT) AS sn_smaller_e4,
+       CAST(floor(10.0 * ln(mean * mean / var) / 2.302585092994046
+                  * 10000 + {_OFF}) AS BIGINT) AS sn_nominal_e4
+FROM m
+WHERE n >= 3 AND var > 0
+ORDER BY event_type
+"""
+
+QUERIES["taguchi_sn"] = q_taguchi_sn
+ORACLE_SQL["taguchi_sn"] = SQL_TAGUCHI
+
+
+# ---------------------------------------------------------------------------
+# sax_motifs — SAX symbolic trigram motifs of the daily-mean series
+# (Lin, Keogh, Lonardi & Chiu 2003)
+# ---------------------------------------------------------------------------
+# Standardized daily means discretized to {a, b, c} at the Gaussian
+# tertile breakpoints +-0.4307272992954576; trigrams via two lags over
+# the day index; top-3 motifs per type with (count desc, motif asc)
+# tie-break.
+
+
+def q_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    bp = 0.4307272992954576
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.floor(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sy").cast("double") / nd
+    var = F.col("syy").cast("double") / nd - mean * mean
+    mom = mom.select(
+        "event_type", mean.alias("mean"), F.sqrt(var).alias("s")
+    ).filter(var > 0)
+    j = daily.join(F.broadcast(mom), "event_type")
+    z = (F.col("y").cast("double") - F.col("mean")) / F.col("s")
+    sym = (
+        F.when(z < -bp, F.lit("a"))
+        .when(z > bp, F.lit("c"))
+        .otherwise(F.lit("b"))
+    )
+    j = j.withColumn("sym", sym)
+    wo = Window.partitionBy("event_type").orderBy("day")
+    tri = j.withColumn(
+        "motif",
+        F.concat(
+            F.lag("sym", 2).over(wo), F.lag("sym", 1).over(wo),
+            F.col("sym"),
+        ),
+    ).filter(F.col("motif").isNotNull())
+    cnt = tri.groupBy("event_type", "motif").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("motif")
+    )
+    top = cnt.withColumn("rk", F.row_number().over(wr)).filter(
+        F.col("rk") <= 3
+    )
+    return top.select(
+        "event_type",
+        F.col("rk").cast("long").alias("rank"),
+        "motif",
+        F.col("cnt").cast("long").alias("cnt"),
+    ).orderBy("event_type", "rank")
+
+
+SQL_SAX = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF})
+                                  AS BIGINT)) AS DOUBLE)
+                    / count(*) + {_OFF}) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), mom AS (
+  SELECT event_type,
+         CAST(sum(y) AS DOUBLE) / count(*) AS mean,
+         sqrt(CAST(sum(y * y) AS DOUBLE) / count(*)
+              - (CAST(sum(y) AS DOUBLE) / count(*))
+                * (CAST(sum(y) AS DOUBLE) / count(*))) AS s
+  FROM daily GROUP BY 1
+  HAVING CAST(sum(y * y) AS DOUBLE) / count(*)
+         - (CAST(sum(y) AS DOUBLE) / count(*))
+           * (CAST(sum(y) AS DOUBLE) / count(*)) > 0
+), sym AS (
+  SELECT d.event_type, d.day,
+         CASE WHEN (d.y - m.mean) / m.s < -0.4307272992954576 THEN 'a'
+              WHEN (d.y - m.mean) / m.s > 0.4307272992954576 THEN 'c'
+              ELSE 'b' END AS sym
+  FROM daily d JOIN mom m ON m.event_type = d.event_type
+), tri AS (
+  SELECT event_type,
+         lag(sym, 2) OVER (PARTITION BY event_type ORDER BY day)
+         || lag(sym, 1) OVER (PARTITION BY event_type ORDER BY day)
+         || sym AS motif
+  FROM sym
+), cnt AS (
+  SELECT event_type, motif, CAST(count(*) AS BIGINT) AS cnt
+  FROM tri WHERE motif IS NOT NULL
+  GROUP BY 1, 2
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY cnt DESC, motif) AS rk
+  FROM cnt
+)
+SELECT event_type, CAST(rk AS BIGINT) AS rank, motif, cnt
+FROM rk WHERE rk <= 3
+ORDER BY event_type, rank
+"""
+
+QUERIES["sax_motifs"] = q_sax_motifs
+ORACLE_SQL["sax_motifs"] = SQL_SAX
