@@ -1,0 +1,482 @@
+"""Round-4 continuation registry (nineteenth battery): inequality
+decomposition and segregation — Dagum's three-way Gini decomposition,
+Wolfson's bipolarization index, and the exposure/isolation segregation
+pair (complementing the existing gini/lorenz/atkinson/palma/hoover/
+duncan family).
+
+Scale posture: every pairwise |x-y| sum (total, within-group, and all
+cross-group pairs) comes from value-domain prefix cumulatives — the
+gmd/energy-distance discipline — so there are ZERO pair joins; the
+cross-group streams ride the broadcast pair-table tagging trick from
+steel_dwass (each count row lands in at most k-1 pair streams).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from diive_spark.queries_stats2 import _OFF
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+# ---------------------------------------------------------------------------
+# gini_dagum_decomposition — Dagum (1997) G = Gw + Ggb over event-type
+# subpopulations
+# ---------------------------------------------------------------------------
+# G      = sum_ij |x_i - x_j| / (2 n^2 ybar)          (V-statistic form)
+# Gw     = sum_g G_g p_g s_g,  p_g = n_g/n, s_g = n_g ybar_g/(n ybar)
+# Ggb    = sum_{g<h} Delta_gh (p_g s_h + p_h s_g) / ybar ... spelled
+#          directly as cross-pair sums so Gw + Ggb == G identically:
+#          Ggb = sum_{g<h} S_gh / (n^2 ybar)  with S_gh the cross
+#          absolute-difference sum (each unordered group pair counted
+#          once covers both ij orders of the V-statistic).
+# All three levels use sum_{x<y}(y-x) = sum_v c(v)(v cum< - cumsum<).
+
+
+def q_gini_dagum_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cnt = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "v"
+        ),
+    ).groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+
+    # within-group sums S_gg = sum_{x<y in g} (y-x)
+    wg = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    win = (
+        cnt.withColumn(
+            "cum", F.coalesce(F.sum("c").over(wg), F.lit(0))
+        )
+        .withColumn(
+            "cums",
+            F.coalesce(F.sum(F.col("c") * F.col("v")).over(wg), F.lit(0)),
+        )
+    )
+    sgg = win.groupBy("event_type").agg(
+        F.sum("c").alias("n_g"),
+        F.sum(F.col("c") * F.col("v")).alias("sum_g"),
+        F.sum(
+            F.col("c") * (F.col("v") * F.col("cum") - F.col("cums"))
+        ).alias("s_gg"),
+    )
+
+    # cross-group sums S_gh via tagged pair streams
+    types = cnt.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("ta"))
+        .crossJoin(types.select(F.col("event_type").alias("tb")))
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    tagged = cnt.join(
+        F.broadcast(pairs),
+        (F.col("event_type") == F.col("ta"))
+        | (F.col("event_type") == F.col("tb")),
+    ).select(
+        "ta",
+        "tb",
+        "v",
+        F.when(F.col("event_type") == F.col("ta"), F.col("c"))
+        .otherwise(0)
+        .alias("ca"),
+        F.when(F.col("event_type") == F.col("tb"), F.col("c"))
+        .otherwise(0)
+        .alias("cb"),
+    )
+    pv = tagged.groupBy("ta", "tb", "v").agg(
+        F.sum("ca").alias("ca"), F.sum("cb").alias("cb")
+    )
+    wp = (
+        Window.partitionBy("ta", "tb")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pv = (
+        pv.withColumn(
+            "cuma", F.coalesce(F.sum("ca").over(wp), F.lit(0))
+        )
+        .withColumn(
+            "cumsa",
+            F.coalesce(F.sum(F.col("ca") * F.col("v")).over(wp), F.lit(0)),
+        )
+        .withColumn(
+            "cumb", F.coalesce(F.sum("cb").over(wp), F.lit(0))
+        )
+        .withColumn(
+            "cumsb",
+            F.coalesce(F.sum(F.col("cb") * F.col("v")).over(wp), F.lit(0)),
+        )
+    )
+    s_gh = pv.groupBy("ta", "tb").agg(
+        F.sum(
+            F.col("cb") * (F.col("v") * F.col("cuma") - F.col("cumsa"))
+            + F.col("ca") * (F.col("v") * F.col("cumb") - F.col("cumsb"))
+        ).alias("s_gh")
+    )
+    cross = s_gh.agg(F.sum("s_gh").alias("s_between"))
+
+    tot = sgg.agg(
+        F.sum("n_g").alias("n"),
+        F.sum("sum_g").alias("sum_all"),
+        F.sum("s_gg").alias("s_within_raw"),
+    ).crossJoin(cross)
+    nd = F.col("n").cast("double")
+    ybar = F.col("sum_all").cast("double") / nd
+    # V-statistic double sums: each unordered pair counted twice
+    g_total = (
+        2.0
+        * (
+            F.col("s_within_raw").cast("double")
+            + F.col("s_between").cast("double")
+        )
+        / (2.0 * nd * nd * ybar)
+    )
+    g_within = (
+        2.0
+        * F.col("s_within_raw").cast("double")
+        / (2.0 * nd * nd * ybar)
+    )
+    g_between = (
+        2.0
+        * F.col("s_between").cast("double")
+        / (2.0 * nd * nd * ybar)
+    )
+    return tot.select(
+        F.col("n").cast("long").alias("n"),
+        F.floor(g_total * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "gini_e6"
+        ),
+        F.floor(g_within * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "gini_within_e6"
+        ),
+        F.floor(g_between * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("gini_between_e6"),
+    )
+
+
+SQL_DAGUM = f"""
+WITH cnt AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), win AS (
+  SELECT *,
+         CAST(coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum,
+         CAST(coalesce(sum(c * v) OVER (PARTITION BY event_type
+                ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cums
+  FROM cnt
+), sgg AS (
+  SELECT event_type,
+         CAST(sum(c) AS BIGINT) AS n_g,
+         CAST(sum(c * v) AS BIGINT) AS sum_g,
+         CAST(sum(c * (v * cum - cums)) AS BIGINT) AS s_gg
+  FROM win GROUP BY 1
+), types AS (
+  SELECT DISTINCT event_type FROM cnt
+), pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM types a, types b WHERE a.event_type < b.event_type
+), tagged AS (
+  SELECT p.ta, p.tb, c.v,
+         CASE WHEN c.event_type = p.ta THEN c.c ELSE 0 END AS ca,
+         CASE WHEN c.event_type = p.tb THEN c.c ELSE 0 END AS cb
+  FROM cnt c JOIN pairs p
+    ON c.event_type = p.ta OR c.event_type = p.tb
+), pv AS (
+  SELECT ta, tb, v,
+         CAST(sum(ca) AS BIGINT) AS ca,
+         CAST(sum(cb) AS BIGINT) AS cb
+  FROM tagged GROUP BY 1, 2, 3
+), cum AS (
+  SELECT *,
+         CAST(coalesce(sum(ca) OVER (PARTITION BY ta, tb ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cuma,
+         CAST(coalesce(sum(ca * v) OVER (PARTITION BY ta, tb ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cumsa,
+         CAST(coalesce(sum(cb) OVER (PARTITION BY ta, tb ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cumb,
+         CAST(coalesce(sum(cb * v) OVER (PARTITION BY ta, tb ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cumsb
+  FROM pv
+), sgh AS (
+  SELECT ta, tb,
+         CAST(sum(cb * (v * cuma - cumsa)
+                  + ca * (v * cumb - cumsb)) AS BIGINT) AS s_gh
+  FROM cum GROUP BY 1, 2
+), cross_ AS (
+  SELECT CAST(sum(s_gh) AS BIGINT) AS s_between FROM sgh
+), tot AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(sum(sum_g) AS BIGINT) AS sum_all,
+         CAST(sum(s_gg) AS BIGINT) AS s_within_raw
+  FROM sgg
+)
+SELECT t.n,
+       CAST(floor(2.0 * (CAST(t.s_within_raw AS DOUBLE) + c.s_between)
+                  / (2.0 * CAST(t.n AS DOUBLE) * t.n
+                     * (CAST(t.sum_all AS DOUBLE) / t.n)) * 1000000
+                  + {_OFF}) AS BIGINT) AS gini_e6,
+       CAST(floor(2.0 * CAST(t.s_within_raw AS DOUBLE)
+                  / (2.0 * CAST(t.n AS DOUBLE) * t.n
+                     * (CAST(t.sum_all AS DOUBLE) / t.n)) * 1000000
+                  + {_OFF}) AS BIGINT) AS gini_within_e6,
+       CAST(floor(2.0 * CAST(c.s_between AS DOUBLE)
+                  / (2.0 * CAST(t.n AS DOUBLE) * t.n
+                     * (CAST(t.sum_all AS DOUBLE) / t.n)) * 1000000
+                  + {_OFF}) AS BIGINT) AS gini_between_e6
+FROM tot t, cross_ c
+"""
+
+QUERIES["gini_dagum_decomposition"] = q_gini_dagum_decomposition
+ORACLE_SQL["gini_dagum_decomposition"] = SQL_DAGUM
+
+
+# ---------------------------------------------------------------------------
+# wolfson_polarization — Wolfson (1994) bipolarization index of event
+# values per type
+# ---------------------------------------------------------------------------
+# W = (2 ybar / median) * (0.5 - L(0.5) - G/2) where L(0.5) is the
+# Lorenz ordinate at the median person and G the Gini.  Median person
+# and the below-median income share both come from the value-domain
+# cumulative; the "0.5 - L(0.5)" term uses the exact below-median sum
+# plus the fractional slice of the median value.
+
+
+def q_wolfson_polarization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cnt = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "v"
+        ),
+    ).groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    wg = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = Window.partitionBy("event_type")
+    win = (
+        cnt.withColumn(
+            "cum", F.coalesce(F.sum("c").over(wg), F.lit(0))
+        )
+        .withColumn(
+            "cums",
+            F.coalesce(F.sum(F.col("c") * F.col("v")).over(wg), F.lit(0)),
+        )
+        .withColumn("n", F.sum("c").over(wn))
+        .withColumn("tot", F.sum(F.col("c") * F.col("v")).over(wn))
+        .withColumn(
+            "gsum",
+            F.sum(
+                F.col("c") * (F.col("v") * F.col("cum") - F.col("cums"))
+            ).over(wn),
+        )
+    )
+    # the row containing the n/2-th person (1-indexed positions
+    # cum+1 .. cum+c); h = how many of the first n/2 fall in this row
+    med_row = win.filter(
+        (2 * F.col("cum") < F.col("n"))
+        & (2 * (F.col("cum") + F.col("c")) >= F.col("n"))
+    )
+    nd = F.col("n").cast("double")
+    half = nd / 2.0
+    h = half - F.col("cum").cast("double")  # persons taken from this row
+    lhalf_sum = F.col("cums").cast("double") + h * F.col("v").cast(
+        "double"
+    )
+    ybar = F.col("tot").cast("double") / nd
+    lorenz_half = lhalf_sum / F.col("tot").cast("double")
+    gini = (
+        2.0
+        * F.col("gsum").cast("double")
+        / (nd * nd * ybar)
+    )
+    median = F.col("v").cast("double")
+    w = (
+        2.0
+        * ybar
+        / median
+        * (F.lit(0.5) - lorenz_half - gini / 2.0)
+    )
+    return med_row.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(gini * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "gini_e6"
+        ),
+        F.floor(lorenz_half * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("lorenz_half_e6"),
+        F.floor(w * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "wolfson_e6"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_WOLFSON = f"""
+WITH cnt AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), win AS (
+  SELECT *,
+         CAST(coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum,
+         CAST(coalesce(sum(c * v) OVER (PARTITION BY event_type
+                ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cums,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(sum(c * v) OVER (PARTITION BY event_type)
+              AS BIGINT) AS tot
+  FROM cnt
+), win2 AS (
+  SELECT *,
+         CAST(sum(c * (v * cum - cums))
+              OVER (PARTITION BY event_type) AS BIGINT) AS gsum
+  FROM win
+), med AS (
+  SELECT * FROM win2
+  WHERE 2 * cum < n AND 2 * (cum + c) >= n
+)
+SELECT event_type, n,
+       CAST(floor(2.0 * gsum
+                  / (CAST(n AS DOUBLE) * n * (CAST(tot AS DOUBLE) / n))
+                  * 1000000 + {_OFF}) AS BIGINT) AS gini_e6,
+       CAST(floor((cums + (n / 2.0 - cum) * v) / tot * 1000000
+                  + {_OFF}) AS BIGINT) AS lorenz_half_e6,
+       CAST(floor(2.0 * (CAST(tot AS DOUBLE) / n) / v
+                  * (0.5 - (cums + (n / 2.0 - cum) * v)
+                           / CAST(tot AS DOUBLE)
+                     - (2.0 * gsum
+                        / (CAST(n AS DOUBLE) * n
+                           * (CAST(tot AS DOUBLE) / n))) / 2.0)
+                  * 1000000 + {_OFF}) AS BIGINT) AS wolfson_e6
+FROM med
+ORDER BY event_type
+"""
+
+QUERIES["wolfson_polarization"] = q_wolfson_polarization
+ORACLE_SQL["wolfson_polarization"] = SQL_WOLFSON
+
+
+# ---------------------------------------------------------------------------
+# isolation_exposure — P* exposure/isolation segregation indices of
+# each language across sources (Bell 1954; Lieberson 1981)
+# ---------------------------------------------------------------------------
+# Isolation xPx = sum_i (x_i/X)(x_i/t_i); exposure of x to the rest
+# xPy = sum_i (x_i/X)((t_i - x_i)/t_i); xPx + xPy = 1.  Per-source
+# terms are exact rationals e9-floored before the source sum.
+
+
+def q_isolation_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats2 import _documents
+
+    docs = _documents(spark, sf_dir)
+    cell = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    tots = cell.groupBy("source").agg(F.sum("x").alias("t"))
+    lt = cell.groupBy("lang").agg(F.sum("x").alias("xx"))
+    j = cell.join(F.broadcast(tots), "source").join(
+        F.broadcast(lt), "lang"
+    )
+    iso9 = F.floor(
+        F.col("x").cast("double")
+        / F.col("xx").cast("double")
+        * F.col("x").cast("double")
+        / F.col("t").cast("double")
+        * 1e9
+        + F.lit(_OFF)
+    ).cast("long")
+    exp9 = F.floor(
+        F.col("x").cast("double")
+        / F.col("xx").cast("double")
+        * (F.col("t") - F.col("x")).cast("double")
+        / F.col("t").cast("double")
+        * 1e9
+        + F.lit(_OFF)
+    ).cast("long")
+    agg = j.select(
+        "lang", F.col("xx"), iso9.alias("i9"), exp9.alias("e9")
+    ).groupBy("lang").agg(
+        F.max("xx").alias("n_docs"),
+        F.sum("i9").alias("si9"),
+        F.sum("e9").alias("se9"),
+    )
+    return agg.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.floor(
+            F.col("si9").cast("double") / 1e9 * 1_000_000 + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("isolation_e6"),
+        F.floor(
+            F.col("se9").cast("double") / 1e9 * 1_000_000 + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("exposure_e6"),
+    ).orderBy("lang")
+
+
+SQL_ISOLATION = f"""
+WITH cell AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS x
+  FROM documents GROUP BY 1, 2
+), tots AS (
+  SELECT source, CAST(sum(x) AS BIGINT) AS t FROM cell GROUP BY 1
+), lt AS (
+  SELECT lang, CAST(sum(x) AS BIGINT) AS xx FROM cell GROUP BY 1
+), j AS (
+  SELECT c.lang, l.xx,
+         CAST(floor(CAST(c.x AS DOUBLE) / l.xx * c.x / t.t * 1e9
+                    + {_OFF}) AS BIGINT) AS i9,
+         CAST(floor(CAST(c.x AS DOUBLE) / l.xx * (t.t - c.x) / t.t
+                    * 1e9 + {_OFF}) AS BIGINT) AS e9
+  FROM cell c
+  JOIN tots t ON t.source = c.source
+  JOIN lt l ON l.lang = c.lang
+), agg AS (
+  SELECT lang, max(xx) AS n_docs,
+         CAST(sum(i9) AS BIGINT) AS si9,
+         CAST(sum(e9) AS BIGINT) AS se9
+  FROM j GROUP BY 1
+)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(floor(CAST(si9 AS DOUBLE) / 1e9 * 1000000 + {_OFF})
+            AS BIGINT) AS isolation_e6,
+       CAST(floor(CAST(se9 AS DOUBLE) / 1e9 * 1000000 + {_OFF})
+            AS BIGINT) AS exposure_e6
+FROM agg
+ORDER BY lang
+"""
+
+QUERIES["isolation_exposure"] = q_isolation_exposure
+ORACLE_SQL["isolation_exposure"] = SQL_ISOLATION
