@@ -480,3 +480,391 @@ ORDER BY lang
 
 QUERIES["isolation_exposure"] = q_isolation_exposure
 ORACLE_SQL["isolation_exposure"] = SQL_ISOLATION
+
+
+# ===========================================================================
+# Battery P — point-process / lattice spatial statistics in time:
+# Ripley's K on the hourly grid, Anselin local Moran hotspots on the
+# hour-of-week lattice, and the nearest-neighbour G-function.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# ripley_k_time — discretized Ripley K at radii 1, 2, 4 hours
+# ---------------------------------------------------------------------------
+# P(r) = # ordered event pairs with |slot_i - slot_j| <= r (same-slot
+# pairs counted c(c-1)); K(r) = T * P(r) / (n(n-1)); under CSR the
+# expectation is ~(2r+1) slots, reported as ratio K/(2r+1).  The pair
+# count is a BANDED join on the bounded hourly-slot domain (offsets
+# 0..4 exploded) — never an event-pair join.
+
+
+def q_ripley_k_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    slots = ev.select(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+        )
+        .cast("long")
+        .alias("s"),
+    ).groupBy("event_type", "s").agg(F.count(F.lit(1)).alias("c"))
+    offs = slots.sparkSession.range(1, 5).select(
+        F.col("id").alias("d")
+    )
+    a = slots.select(
+        "event_type", F.col("s").alias("sa"), F.col("c").alias("ca")
+    )
+    b = slots.select(
+        F.col("event_type").alias("et_b"),
+        F.col("s").alias("sb"),
+        F.col("c").alias("cb"),
+    )
+    shifted = a.crossJoin(F.broadcast(offs)).join(
+        b,
+        (F.col("event_type") == F.col("et_b"))
+        & (F.col("sb") == F.col("sa") + F.col("d")),
+    ).select(
+        "event_type",
+        "d",
+        (F.col("ca") * F.col("cb")).alias("pp"),
+    )
+    cross = shifted.groupBy("event_type", "d").agg(
+        F.sum("pp").alias("pd")
+    )
+    same = slots.groupBy("event_type").agg(
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("p0"),
+        F.sum("c").alias("n"),
+        (F.max("s") - F.min("s") + 1).alias("t"),
+    )
+    radii = slots.sparkSession.createDataFrame(
+        [(1,), (2,), (4,)], ["r"]
+    )
+    jr = same.crossJoin(F.broadcast(radii)).join(
+        cross, "event_type"
+    ).filter(F.col("d") <= F.col("r"))
+    agg = jr.groupBy("event_type", "r").agg(
+        F.max("p0").alias("p0"),
+        F.max("n").alias("n"),
+        F.max("t").alias("t"),
+        F.sum("pd").alias("pcross"),
+    )
+    p = (F.col("p0") + 2 * F.col("pcross")).cast("double")
+    nd = F.col("n").cast("double")
+    k = F.col("t").cast("double") * p / (nd * (nd - 1.0))
+    ratio = k / (2.0 * F.col("r").cast("double") + 1.0)
+    return (
+        agg.filter(F.col("n") >= 2)
+        .select(
+            "event_type",
+            F.col("r").cast("long").alias("r_hours"),
+            F.col("n").cast("long").alias("n"),
+            F.floor(k * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "k_e4"
+            ),
+            F.floor(ratio * 1_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("csr_ratio_e6"),
+        )
+        .orderBy("event_type", "r_hours")
+    )
+
+
+SQL_RIPLEY = f"""
+WITH slots AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), cross_ AS (
+  SELECT a.event_type, d.d,
+         CAST(sum(a.c * b.c) AS BIGINT) AS pd
+  FROM slots a
+  JOIN (SELECT unnest(generate_series(1, 4)) AS d) d ON TRUE
+  JOIN slots b ON b.event_type = a.event_type AND b.s = a.s + d.d
+  GROUP BY 1, 2
+), same AS (
+  SELECT event_type,
+         CAST(sum(c * (c - 1)) AS BIGINT) AS p0,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(max(s) - min(s) + 1 AS BIGINT) AS t
+  FROM slots GROUP BY 1
+), agg AS (
+  SELECT s.event_type, r.r, max(s.p0) AS p0, max(s.n) AS n,
+         max(s.t) AS t, CAST(sum(c.pd) AS BIGINT) AS pcross
+  FROM same s
+  JOIN (SELECT unnest([1, 2, 4]) AS r) r ON TRUE
+  JOIN cross_ c ON c.event_type = s.event_type AND c.d <= r.r
+  GROUP BY 1, 2
+)
+SELECT event_type, CAST(r AS BIGINT) AS r_hours,
+       CAST(n AS BIGINT) AS n,
+       CAST(floor(CAST(t AS DOUBLE) * (p0 + 2 * pcross)
+                  / (CAST(n AS DOUBLE) * (n - 1.0)) * 10000 + {_OFF})
+            AS BIGINT) AS k_e4,
+       CAST(floor(CAST(t AS DOUBLE) * (p0 + 2 * pcross)
+                  / (CAST(n AS DOUBLE) * (n - 1.0))
+                  / (2.0 * r + 1.0) * 1000000 + {_OFF})
+            AS BIGINT) AS csr_ratio_e6
+FROM agg
+WHERE n >= 2
+ORDER BY event_type, r_hours
+"""
+
+QUERIES["ripley_k_time"] = q_ripley_k_time
+ORACLE_SQL["ripley_k_time"] = SQL_RIPLEY
+
+
+# ---------------------------------------------------------------------------
+# local_moran_hotspots — Anselin (1995) LISA on the hour-of-week
+# lattice with circular +-1 adjacency
+# ---------------------------------------------------------------------------
+# I_i = (x_i - xbar)/m2 * sum_j w_ij (x_j - xbar), m2 = sum (x_k -
+# xbar)^2 / n.  The 168-cell lattice INCLUDES zero cells (generated
+# grid x types); reports hot (I>0, z>0), cold (I>0, z<0) counts and
+# the max-|I| cell per type.
+
+
+def q_local_moran_hotspots(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    how = ev.select(
+        "event_type",
+        (
+            (F.dayofweek("ts") - 1) * 24 + F.hour("ts")
+        ).cast("long").alias("hw"),
+    ).groupBy("event_type", "hw").agg(F.count(F.lit(1)).alias("c"))
+    types = how.select("event_type").distinct()
+    grid = types.crossJoin(
+        F.broadcast(
+            how.sparkSession.range(0, 168).select(
+                F.col("id").alias("hw")
+            )
+        )
+    )
+    full = grid.join(how, ["event_type", "hw"], "left").select(
+        "event_type", "hw", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    mom = full.groupBy("event_type").agg(
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    )
+    nd = F.lit(168.0)
+    mean = F.col("sc").cast("double") / nd
+    m2 = F.col("scc").cast("double") / nd - mean * mean
+    mom = mom.select(
+        "event_type", mean.alias("mean"), m2.alias("m2")
+    ).filter(F.col("m2") > 0)
+    l1 = full.select(
+        "event_type",
+        ((F.col("hw") + 1) % 168).alias("hw"),
+        F.col("c").alias("cl"),
+    )
+    r1 = full.select(
+        "event_type",
+        ((F.col("hw") + 167) % 168).alias("hw"),
+        F.col("c").alias("cr"),
+    )
+    j = (
+        full.join(l1, ["event_type", "hw"])
+        .join(r1, ["event_type", "hw"])
+        .join(F.broadcast(mom), "event_type")
+    )
+    z = (F.col("c").cast("double") - F.col("mean"))
+    lagv = (
+        F.col("cl").cast("double")
+        - F.col("mean")
+        + F.col("cr").cast("double")
+        - F.col("mean")
+    )
+    ii = z / F.col("m2") * lagv
+    j = j.withColumn(
+        "i6", F.floor(ii * 1e6 + F.lit(_OFF)).cast("long")
+    ).withColumn("zpos", (z > 0).cast("long"))
+    agg = j.groupBy("event_type").agg(
+        F.sum(
+            ((F.col("i6") > 0) & (F.col("zpos") == 1)).cast("long")
+        ).alias("n_hot"),
+        F.sum(
+            ((F.col("i6") > 0) & (F.col("zpos") == 0)).cast("long")
+        ).alias("n_cold"),
+        F.max_by(
+            F.struct(F.col("hw"), F.col("i6")),
+            F.struct(F.abs(F.col("i6")), -F.col("hw")),
+        ).alias("b"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_hot").cast("long").alias("n_hot"),
+        F.col("n_cold").cast("long").alias("n_cold"),
+        F.col("b.hw").cast("long").alias("peak_cell"),
+        F.col("b.i6").alias("peak_i_e6"),
+    ).orderBy("event_type")
+
+
+SQL_LOCAL_MORAN = f"""
+WITH how AS (
+  SELECT event_type,
+         CAST(dayofweek(ts) * 24 + EXTRACT(hour FROM ts)
+              AS BIGINT) AS hw,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), types AS (
+  SELECT DISTINCT event_type FROM how
+), grid AS (
+  SELECT t.event_type, g.hw
+  FROM types t, (SELECT unnest(generate_series(0, 167)) AS hw) g
+), full_ AS (
+  SELECT g.event_type, g.hw, coalesce(h.c, 0) AS c
+  FROM grid g
+  LEFT JOIN how h ON h.event_type = g.event_type AND h.hw = g.hw
+), mom AS (
+  SELECT event_type,
+         CAST(sum(c) AS DOUBLE) / 168.0 AS mean,
+         CAST(sum(c * c) AS DOUBLE) / 168.0
+           - (CAST(sum(c) AS DOUBLE) / 168.0)
+             * (CAST(sum(c) AS DOUBLE) / 168.0) AS m2
+  FROM full_ GROUP BY 1
+  HAVING CAST(sum(c * c) AS DOUBLE) / 168.0
+         - (CAST(sum(c) AS DOUBLE) / 168.0)
+           * (CAST(sum(c) AS DOUBLE) / 168.0) > 0
+), j AS (
+  SELECT f.event_type, f.hw, f.c, l.c AS cl, r.c AS cr,
+         m.mean, m.m2
+  FROM full_ f
+  JOIN full_ l ON l.event_type = f.event_type
+              AND l.hw = (f.hw + 167) % 168
+  JOIN full_ r ON r.event_type = f.event_type
+              AND r.hw = (f.hw + 1) % 168
+  JOIN mom m ON m.event_type = f.event_type
+), scored AS (
+  SELECT event_type, hw,
+         CAST(floor((c - mean) / m2
+                    * ((cl - mean) + (cr - mean)) * 1e6 + {_OFF})
+              AS BIGINT) AS i6,
+         CASE WHEN c - mean > 0 THEN 1 ELSE 0 END AS zpos
+  FROM j
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY abs(i6) DESC, hw ASC) AS r
+  FROM scored
+), agg AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN i6 > 0 AND zpos = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hot,
+         CAST(sum(CASE WHEN i6 > 0 AND zpos = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_cold
+  FROM scored GROUP BY 1
+)
+SELECT a.event_type, a.n_hot, a.n_cold,
+       CAST(rk.hw AS BIGINT) AS peak_cell,
+       rk.i6 AS peak_i_e6
+FROM agg a JOIN rk ON rk.event_type = a.event_type AND rk.r = 1
+ORDER BY a.event_type
+"""
+
+QUERIES["local_moran_hotspots"] = q_local_moran_hotspots
+ORACLE_SQL["local_moran_hotspots"] = SQL_LOCAL_MORAN
+
+
+# ---------------------------------------------------------------------------
+# nn_g_function — nearest-neighbour G-function of each user's event
+# stream (per type): G(t) = P(nearest other event within t)
+# ---------------------------------------------------------------------------
+# nn = min(gap to previous, gap to next) within the (type, user)
+# stream (lag/lead windows over fine-grained keys — bounded per user);
+# evaluated at t = 60 s, 300 s, 1800 s; exact integer second gaps.
+
+
+def q_nn_g_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select(
+        "event_type",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("event_type", "user_id").orderBy("us")
+    g = e.withColumn(
+        "gp", F.col("us") - F.lag("us").over(w)
+    ).withColumn("gn", F.lead("us").over(w) - F.col("us"))
+    nn = F.least(
+        F.coalesce(F.col("gp"), F.col("gn")),
+        F.coalesce(F.col("gn"), F.col("gp")),
+    )
+    g = g.withColumn("nn", nn).filter(F.col("nn").isNotNull())
+    agg = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("nn") <= 60_000_000).cast("long")).alias("c60"),
+        F.sum((F.col("nn") <= 300_000_000).cast("long")).alias(
+            "c300"
+        ),
+        F.sum((F.col("nn") <= 1_800_000_000).cast("long")).alias(
+            "c1800"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(
+            F.col("c60").cast("double") / nd * 1_000_000 + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("g60_e6"),
+        F.floor(
+            F.col("c300").cast("double") / nd * 1_000_000 + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("g300_e6"),
+        F.floor(
+            F.col("c1800").cast("double") / nd * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("g1800_e6"),
+    ).orderBy("event_type")
+
+
+SQL_NN_G = f"""
+WITH e AS (
+  SELECT event_type, user_id,
+         CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM events
+), g AS (
+  SELECT event_type,
+         us - lag(us) OVER (PARTITION BY event_type, user_id
+                            ORDER BY us) AS gp,
+         lead(us) OVER (PARTITION BY event_type, user_id
+                        ORDER BY us) - us AS gn
+  FROM e
+), nn AS (
+  SELECT event_type,
+         least(coalesce(gp, gn), coalesce(gn, gp)) AS nn
+  FROM g
+  WHERE coalesce(gp, gn) IS NOT NULL
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(CASE WHEN nn <= 60000000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c60,
+         CAST(sum(CASE WHEN nn <= 300000000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c300,
+         CAST(sum(CASE WHEN nn <= 1800000000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1800
+  FROM nn GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(floor(CAST(c60 AS DOUBLE) / n * 1000000 + {_OFF})
+            AS BIGINT) AS g60_e6,
+       CAST(floor(CAST(c300 AS DOUBLE) / n * 1000000 + {_OFF})
+            AS BIGINT) AS g300_e6,
+       CAST(floor(CAST(c1800 AS DOUBLE) / n * 1000000 + {_OFF})
+            AS BIGINT) AS g1800_e6
+FROM agg
+ORDER BY event_type
+"""
+
+QUERIES["nn_g_function"] = q_nn_g_function
+ORACLE_SQL["nn_g_function"] = SQL_NN_G
