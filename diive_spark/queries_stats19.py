@@ -868,3 +868,244 @@ ORDER BY event_type
 
 QUERIES["nn_g_function"] = q_nn_g_function
 ORACLE_SQL["nn_g_function"] = SQL_NN_G
+
+
+# ===========================================================================
+# Battery Q — TPC-H analogs, wave 2 (complements the Q4/Q5/Q8/Q10
+# battery): Q3 shipping priority (top-k revenue), Q16 supplier counts
+# with NOT-IN exclusions, Q22 global sales opportunity (anti-join +
+# broadcast scalar subquery).  Revenue in exact centi-integers.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# tpch_q3_shipping_priority — top-10 unshipped-revenue orders for the
+# BUILDING segment as of 1998-01-01
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q3_shipping_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    rev = F.floor(
+        F.col("l_extendedprice")
+        * 100
+        * (F.lit(1_000_000) - F.floor(F.col("l_discount") * 1e6 + F.lit(_OFF)))
+        / 1e6
+        + F.lit(_OFF)
+    ).cast("long")
+    j = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "l_orderkey",
+            F.unix_micros(
+                F.col("o_orderdate").cast("timestamp")
+            ).alias("od_us"),
+            rev.alias("rev2"),
+        )
+    )
+    agg = j.groupBy("l_orderkey", "od_us").agg(
+        F.sum("rev2").alias("revenue2")
+    )
+    return (
+        agg.orderBy(
+            F.col("revenue2").desc(), F.col("l_orderkey")
+        )
+        .limit(10)
+        .select(
+            F.col("l_orderkey").cast("long").alias("o_orderkey"),
+            (F.col("od_us") / 1_000_000).cast("long").alias(
+                "o_orderdate_s"
+            ),
+            F.col("revenue2").cast("long").alias("revenue_c2"),
+        )
+    )
+
+
+SQL_Q3 = f"""
+SELECT CAST(l.l_orderkey AS BIGINT) AS o_orderkey,
+       CAST(epoch(o.o_orderdate) AS BIGINT) AS o_orderdate_s,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100
+                           * (1000000 - CAST(floor(l.l_discount * 1e6
+                                                   + {_OFF}) AS BIGINT))
+                           / 1e6 + {_OFF}) AS BIGINT)) AS BIGINT)
+         AS revenue_c2
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2
+ORDER BY revenue_c2 DESC, o_orderkey
+LIMIT 10
+"""
+
+
+QUERIES["tpch_q3_shipping_priority"] = q_tpch_q3_shipping_priority
+ORACLE_SQL["tpch_q3_shipping_priority"] = SQL_Q3
+
+
+# ---------------------------------------------------------------------------
+# tpch_q16_supplier_cnt — distinct-supplier counts per (brand, size)
+# with brand and complaint-supplier exclusions (Q16 analog on the
+# lineitem part-supplier relation)
+# ---------------------------------------------------------------------------
+# Excludes Brand#9 parts and suppliers with negative account balance
+# (the 'customer complaints' NOT IN analog — an anti-join on the tiny
+# supplier dim).
+
+
+def q_tpch_q16_supplier_cnt(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_brand") != "Brand#9"
+    )
+    bad = spark.read.parquet(f"{sf_dir}/supplier.parquet").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("bad_key"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey"
+    )
+    j = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            li["l_partkey"] == part["p_partkey"],
+        )
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("bad_key"),
+            "left_anti",
+        )
+    )
+    agg = j.groupBy("p_brand", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+    return agg.select(
+        "p_brand",
+        F.col("p_size").cast("long").alias("p_size"),
+        F.col("supplier_cnt").cast("long").alias("supplier_cnt"),
+    ).orderBy(
+        F.col("supplier_cnt").desc(), "p_brand", "p_size"
+    ).limit(20)
+
+
+SQL_Q16 = """
+SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#9'
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY 1, 2
+ORDER BY supplier_cnt DESC, p_brand, p_size
+LIMIT 20
+"""
+
+QUERIES["tpch_q16_supplier_cnt"] = q_tpch_q16_supplier_cnt
+ORACLE_SQL["tpch_q16_supplier_cnt"] = SQL_Q16
+
+
+# ---------------------------------------------------------------------------
+# tpch_q22_sales_opportunity — above-average-balance customers with no
+# RECENT orders, per nation (Q22 analog: anti-join + broadcast scalar)
+# ---------------------------------------------------------------------------
+# The scalar subquery (average positive balance) broadcasts as one
+# row; "no orders since 2000-08-01" is a left-anti join against the
+# recent-orders projection; acctbal totals in exact centi-integers.
+
+
+def q_tpch_q22_sales_opportunity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    recent = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") >= "2000-08-01"
+    ).select("o_custkey").distinct()
+    pos = cust.filter(F.col("c_acctbal") > 0)
+    avg2 = pos.agg(
+        F.floor(
+            F.sum(
+                F.floor(F.col("c_acctbal") * 100 + F.lit(_OFF)).cast(
+                    "long"
+                )
+            ).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("avg2")
+    )
+    j = (
+        cust.crossJoin(F.broadcast(avg2))
+        .filter(
+            F.floor(F.col("c_acctbal") * 100 + F.lit(_OFF)).cast("long")
+            > F.col("avg2")
+        )
+        .join(
+            recent,
+            cust["c_custkey"] == recent["o_custkey"],
+            "left_anti",
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    agg = j.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(
+            F.floor(F.col("c_acctbal") * 100 + F.lit(_OFF)).cast("long")
+        ).alias("totacctbal2"),
+    )
+    return agg.select(
+        "n_name",
+        F.col("numcust").cast("long").alias("numcust"),
+        F.col("totacctbal2").cast("long").alias("totacctbal_c2"),
+    ).orderBy("n_name")
+
+
+SQL_Q22 = f"""
+WITH avg2 AS (
+  SELECT CAST(floor(CAST(sum(CAST(floor(c_acctbal * 100 + {_OFF})
+                                  AS BIGINT)) AS DOUBLE)
+                    / count(*) + {_OFF}) AS BIGINT) AS avg2
+  FROM customer WHERE c_acctbal > 0
+), recent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2000-08-01'
+)
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(floor(c.c_acctbal * 100 + {_OFF}) AS BIGINT))
+            AS BIGINT) AS totacctbal_c2
+FROM customer c, avg2 a
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE CAST(floor(c.c_acctbal * 100 + {_OFF}) AS BIGINT) > a.avg2
+  AND c.c_custkey NOT IN (SELECT o_custkey FROM recent)
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES["tpch_q22_sales_opportunity"] = q_tpch_q22_sales_opportunity
+ORACLE_SQL["tpch_q22_sales_opportunity"] = SQL_Q22
