@@ -1109,3 +1109,283 @@ ORDER BY 1
 
 QUERIES["tpch_q22_sales_opportunity"] = q_tpch_q22_sales_opportunity
 ORACLE_SQL["tpch_q22_sales_opportunity"] = SQL_Q22
+
+
+# ===========================================================================
+# Battery R — multi-touch attribution: cooperative-game Shapley values
+# over channel coalitions, and rule-based U-shaped / time-decay credit
+# (the marketing-science complement of shapley_lmg / position_bias).
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# shapley_attribution — Shapley channel credit with coalition value
+# v(S) = (# conversions by users whose channel set is a subset of S)
+# / (# users)
+# ---------------------------------------------------------------------------
+# Channels = {click, view, signup, error}; conversion = any purchase.
+# Users collapse to 16 channel-set masks; v(S) is a 16 x 16 subset
+# join (m & S == m); Shapley_i = sum_{S not ni i} w(|S|) (v(S u i) -
+# v(S)) with 24 w(|S|) in {6, 2, 2, 6} kept as exact integers.
+# Everything after the user collapse is constant-size.
+
+
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    peru = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("long")).alias(
+            "conv"
+        ),
+        F.max((F.col("event_type") == "click").cast("long")).alias("b0"),
+        F.max((F.col("event_type") == "view").cast("long")).alias("b1"),
+        F.max((F.col("event_type") == "signup").cast("long")).alias(
+            "b2"
+        ),
+        F.max((F.col("event_type") == "error").cast("long")).alias("b3"),
+    )
+    peru = peru.withColumn(
+        "mask",
+        F.col("b0") + 2 * F.col("b1") + 4 * F.col("b2") + 8 * F.col("b3"),
+    )
+    bym = peru.groupBy("mask").agg(
+        F.count(F.lit(1)).alias("nu"),
+        F.sum("conv").alias("nc"),
+    )
+    spark_ = ev.sparkSession
+    ss = spark_.range(0, 16).select(F.col("id").alias("s"))
+    sub = (
+        ss.join(bym, F.expr("(mask & s) = mask"), "left")
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("nc"), F.lit(0)).alias("vc"))
+    )
+    ntot = peru.agg(F.count(F.lit(1)).alias("n"))
+    # channel-marginal pairs
+    chans = spark_.createDataFrame(
+        [(0, "click"), (1, "view"), (2, "signup"), (3, "error")],
+        ["bit", "channel"],
+    )
+    pairs = ss.crossJoin(F.broadcast(chans)).filter(
+        F.expr("(s & (1 << bit)) = 0")
+    )
+
+    def pop(c):
+        return (
+            F.floor(c / 1) % 2
+            + F.floor(c / 2) % 2
+            + F.floor(c / 4) % 2
+            + F.floor(c / 8) % 2
+        )
+
+    pairs = pairs.withColumn("ssize", pop(F.col("s")).cast("long"))
+    w24 = (
+        F.when(F.col("ssize") == 0, 6)
+        .when(F.col("ssize") == 3, 6)
+        .otherwise(2)
+    )
+    vs = sub.select(F.col("s").alias("s_"), F.col("vc"))
+    j = (
+        pairs.join(vs, F.col("s") == F.col("s_"))
+        .drop("s_")
+        .join(
+            vs.select(
+                F.col("s_").alias("si_"), F.col("vc").alias("vci")
+            ),
+            F.expr("si_ = s + (1 << bit)"),
+        )
+        .crossJoin(F.broadcast(ntot))
+    )
+    j = j.withColumn(
+        "contrib24", w24 * (F.col("vci") - F.col("vc"))
+    )
+    agg = j.groupBy("channel").agg(
+        F.sum("contrib24").alias("c24"),
+        F.max("n").alias("n"),
+    )
+    shap = F.col("c24").cast("double") / 24.0 / F.col("n").cast(
+        "double"
+    )
+    return agg.select(
+        "channel",
+        F.col("n").cast("long").alias("n_users"),
+        F.floor(shap * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "shapley_e6"
+        ),
+    ).orderBy("channel")
+
+
+SQL_SHAPLEY_ATTR = f"""
+WITH peru AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS conv,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         + 2 * max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+         + 8 * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           AS mask
+  FROM events GROUP BY 1
+), bym AS (
+  SELECT mask, CAST(count(*) AS BIGINT) AS nu,
+         CAST(sum(conv) AS BIGINT) AS nc
+  FROM peru GROUP BY 1
+), ss AS (
+  SELECT unnest(generate_series(0, 15)) AS s
+), sub AS (
+  SELECT ss.s, CAST(coalesce(sum(b.nc), 0) AS BIGINT) AS vc
+  FROM ss LEFT JOIN bym b ON (b.mask & ss.s) = b.mask
+  GROUP BY 1
+), ntot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM peru
+), chans AS (
+  SELECT * FROM (VALUES (0, 'click'), (1, 'view'), (2, 'signup'),
+                        (3, 'error')) AS t(bit, channel)
+), pairs AS (
+  SELECT ss.s, c.bit, c.channel,
+         CAST(ss.s % 2 + (ss.s // 2) % 2 + (ss.s // 4) % 2
+              + (ss.s // 8) % 2 AS BIGINT) AS ssize
+  FROM ss, chans c
+  WHERE (ss.s & (1 << c.bit)) = 0
+), j AS (
+  SELECT p.channel,
+         (CASE WHEN p.ssize IN (0, 3) THEN 6 ELSE 2 END)
+         * (vi.vc - v0.vc) AS contrib24,
+         n.n
+  FROM pairs p
+  JOIN sub v0 ON v0.s = p.s
+  JOIN sub vi ON vi.s = p.s + (1 << p.bit)
+  CROSS JOIN ntot n
+)
+SELECT channel, CAST(max(n) AS BIGINT) AS n_users,
+       CAST(floor(CAST(sum(contrib24) AS DOUBLE) / 24.0 / max(n)
+                  * 1000000 + {_OFF}) AS BIGINT) AS shapley_e6
+FROM j GROUP BY 1
+ORDER BY channel
+"""
+
+QUERIES["shapley_attribution"] = q_shapley_attribution
+ORACLE_SQL["shapley_attribution"] = SQL_SHAPLEY_ATTR
+
+
+# ---------------------------------------------------------------------------
+# attribution_credit — U-shaped (40/20/40) and 7-day-half-life
+# time-decay credit over pre-conversion touches
+# ---------------------------------------------------------------------------
+# Touches = channel events strictly before the user's FIRST purchase;
+# U-shape: 1.0 if one touch, 0.5/0.5 if two, else 0.4 first, 0.4
+# last, 0.2 split over the middle; time-decay weight 0.5^(dt/7d)
+# normalized per user.  Per-touch credits are e9-floored before the
+# channel rollup.
+
+
+def q_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ln_half = -0.6931471805599453
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    conv = e.filter(F.col("event_type") == "purchase").groupBy(
+        "user_id"
+    ).agg(F.min("us").alias("cus"))
+    touches = (
+        e.filter(F.col("event_type") != "purchase")
+        .join(conv, "user_id")
+        .filter(F.col("us") < F.col("cus"))
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_type")
+    wn = Window.partitionBy("user_id")
+    t = (
+        touches.withColumn("r", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+    ucredit = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when(F.col("r") == 1, F.lit(0.4))
+        .when(F.col("r") == F.col("n"), F.lit(0.4))
+        .otherwise(0.2 / (F.col("n") - 2).cast("double"))
+    )
+    dt_days = (F.col("cus") - F.col("us")).cast("double") / 86_400_000_000.0
+    dw = F.exp(dt_days / 7.0 * F.lit(ln_half))
+    t = t.withColumn("dw9", F.floor(dw * 1e9 + F.lit(_OFF)).cast("long"))
+    t = t.withColumn("dwsum", F.sum("dw9").over(wn))
+    dcredit = F.col("dw9").cast("double") / F.col("dwsum").cast(
+        "double"
+    )
+    t = t.withColumn(
+        "u9", F.floor(ucredit * 1e9 + F.lit(_OFF)).cast("long")
+    ).withColumn(
+        "d9", F.floor(dcredit * 1e9 + F.lit(_OFF)).cast("long")
+    )
+    agg = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("u9").alias("su9"),
+        F.sum("d9").alias("sd9"),
+    )
+    return agg.select(
+        F.col("event_type").alias("channel"),
+        F.col("n_touches").cast("long").alias("n_touches"),
+        F.floor(
+            F.col("su9").cast("double") / 1e9 * 10_000 + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("u_credit_e4"),
+        F.floor(
+            F.col("sd9").cast("double") / 1e9 * 10_000 + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("decay_credit_e4"),
+    ).orderBy("channel")
+
+
+SQL_ATTR_CREDIT = f"""
+WITH e AS (
+  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM events
+), conv AS (
+  SELECT user_id, min(us) AS cus
+  FROM e WHERE event_type = 'purchase' GROUP BY 1
+), touches AS (
+  SELECT e.user_id, e.event_type, e.us, c.cus
+  FROM e JOIN conv c ON c.user_id = e.user_id
+  WHERE e.event_type <> 'purchase' AND e.us < c.cus
+), t AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY us, event_type) AS r,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         CAST(floor(exp((cus - us) / 86400000000.0 / 7.0
+                        * -0.6931471805599453) * 1e9 + {_OFF})
+              AS BIGINT) AS dw9
+  FROM touches
+), t2 AS (
+  SELECT *,
+         CAST(sum(dw9) OVER (PARTITION BY user_id) AS BIGINT) AS dwsum,
+         CASE WHEN n = 1 THEN 1.0
+              WHEN n = 2 THEN 0.5
+              WHEN r = 1 THEN 0.4
+              WHEN r = n THEN 0.4
+              ELSE 0.2 / (n - 2.0) END AS ucredit
+  FROM t
+), t3 AS (
+  SELECT event_type,
+         CAST(floor(ucredit * 1e9 + {_OFF}) AS BIGINT) AS u9,
+         CAST(floor(CAST(dw9 AS DOUBLE) / dwsum * 1e9 + {_OFF})
+              AS BIGINT) AS d9
+  FROM t2
+)
+SELECT event_type AS channel,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(floor(CAST(sum(u9) AS DOUBLE) / 1e9 * 10000 + {_OFF})
+            AS BIGINT) AS u_credit_e4,
+       CAST(floor(CAST(sum(d9) AS DOUBLE) / 1e9 * 10000 + {_OFF})
+            AS BIGINT) AS decay_credit_e4
+FROM t3 GROUP BY 1
+ORDER BY channel
+"""
+
+QUERIES["attribution_credit"] = q_attribution_credit
+ORACLE_SQL["attribution_credit"] = SQL_ATTR_CREDIT
