@@ -1389,3 +1389,369 @@ ORDER BY channel
 
 QUERIES["attribution_credit"] = q_attribution_credit
 ORACLE_SQL["attribution_credit"] = SQL_ATTR_CREDIT
+
+
+# ===========================================================================
+# Battery S — meta-analysis wave 2 (complements dersimonian_laird):
+# Egger's small-study/publication-bias regression, leave-one-out
+# fixed-effect influence, and Dirichlet-multinomial precision (MoM)
+# of the daily event-type composition.
+# 'Studies' = the 20 document sources; effect = source mean n_chars
+# minus the grand mean.
+# ===========================================================================
+
+
+def _source_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats2 import _documents
+
+    docs = _documents(spark, sf_dir)
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("ss"),
+    ).filter(F.col("n") >= 3)
+    tot = per.agg(
+        F.sum("s").alias("st"), F.sum("n").alias("nt")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    gmean = F.col("st").cast("double") / F.col("nt").cast("double")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / nd
+    ) / (nd - 1.0)
+    se2 = var / nd
+    return j.select(
+        "source",
+        "n",
+        (mean - gmean).alias("theta"),
+        se2.alias("se2"),
+    ).filter(F.col("se2") > 0)
+
+
+_SOURCE_EFFECTS_SQL = """
+per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS s,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+  FROM documents GROUP BY 1
+  HAVING count(*) >= 3
+), tot AS (
+  SELECT CAST(sum(s) AS BIGINT) AS st, CAST(sum(n) AS BIGINT) AS nt
+  FROM per
+), eff AS (
+  SELECT p.source, p.n,
+         CAST(p.s AS DOUBLE) / p.n
+           - CAST(t.st AS DOUBLE) / t.nt AS theta,
+         ((CAST(p.ss AS DOUBLE) - CAST(p.s AS DOUBLE) * p.s / p.n)
+          / (p.n - 1.0)) / p.n AS se2
+  FROM per p, tot t
+  WHERE ((CAST(p.ss AS DOUBLE) - CAST(p.s AS DOUBLE) * p.s / p.n)
+         / (p.n - 1.0)) / p.n > 0
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# egger_test — Egger, Smith, Schneider & Minder (1997) regression of
+# standardized effect on precision; a nonzero intercept flags
+# small-study (publication) bias
+# ---------------------------------------------------------------------------
+# z_i = theta_i/SE_i on x_i = 1/SE_i; report intercept b0, its t, and
+# slope.  (z, x) pairs are e6-floored into exact-integer OLS.
+
+
+def q_egger_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eff = _source_effects(spark, sf_dir)
+    se = F.sqrt(F.col("se2"))
+    pts = eff.select(
+        F.floor(F.col("theta") / se * 1e6 + F.lit(_OFF))
+        .cast("long")
+        .alias("z6"),
+        F.floor(1.0 / se * 1e6 + F.lit(_OFF)).cast("long").alias("x6"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x6").alias("sx"),
+        F.sum("z6").alias("sz"),
+        F.sum(F.col("x6") * F.col("z6")).alias("sxz"),
+        F.sum(F.col("x6") * F.col("x6")).alias("sxx"),
+        F.sum(F.col("z6") * F.col("z6")).alias("szz"),
+    )
+    kd = F.col("k").cast("double")
+    sx = F.col("sx").cast("double") / 1e6
+    sz = F.col("sz").cast("double") / 1e6
+    sxz = F.col("sxz").cast("double") / 1e12
+    sxx = F.col("sxx").cast("double") / 1e12
+    szz = F.col("szz").cast("double") / 1e12
+    cxx = sxx - sx * sx / kd
+    cxz = sxz - sx * sz / kd
+    czz = szz - sz * sz / kd
+    slope = cxz / cxx
+    b0 = (sz - slope * sx) / kd
+    rss = czz - cxz * cxz / cxx
+    s2 = rss / (kd - 2.0)
+    seb0 = F.sqrt(s2 * (1.0 / kd + (sx / kd) * (sx / kd) / cxx))
+    t0 = b0 / seb0
+    return agg.filter((F.col("k") >= 4) & (cxx > 0) & (rss > 0)).select(
+        F.col("k").cast("long").alias("k_studies"),
+        F.floor(b0 * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "intercept_e4"
+        ),
+        F.floor(t0 * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "t_e4"
+        ),
+        F.floor(slope * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "slope_e4"
+        ),
+    )
+
+
+SQL_EGGER = f"""
+WITH {_SOURCE_EFFECTS_SQL.strip()}
+, pts AS (
+  SELECT CAST(floor(theta / sqrt(se2) * 1e6 + {_OFF}) AS BIGINT) AS z6,
+         CAST(floor(1.0 / sqrt(se2) * 1e6 + {_OFF}) AS BIGINT) AS x6
+  FROM eff
+), agg AS (
+  SELECT count(*) AS k,
+         CAST(sum(x6) AS BIGINT) AS sx, CAST(sum(z6) AS BIGINT) AS sz,
+         CAST(sum(x6 * z6) AS BIGINT) AS sxz,
+         CAST(sum(x6 * x6) AS BIGINT) AS sxx,
+         CAST(sum(z6 * z6) AS BIGINT) AS szz
+  FROM pts
+), m AS (
+  SELECT k, CAST(sx AS DOUBLE) / 1e6 AS sx,
+         CAST(sz AS DOUBLE) / 1e6 AS sz,
+         CAST(sxz AS DOUBLE) / 1e12 AS sxz,
+         CAST(sxx AS DOUBLE) / 1e12 AS sxx,
+         CAST(szz AS DOUBLE) / 1e12 AS szz
+  FROM agg
+), d AS (
+  SELECT k, sx, sz,
+         sxx - sx * sx / k AS cxx,
+         sxz - sx * sz / k AS cxz,
+         szz - sz * sz / k AS czz
+  FROM m
+), f AS (
+  SELECT k, sx, sz, cxx, czz,
+         cxz / cxx AS slope,
+         (sz - cxz / cxx * sx) / k AS b0,
+         czz - cxz * cxz / cxx AS rss
+  FROM d
+)
+SELECT CAST(k AS BIGINT) AS k_studies,
+       CAST(floor(b0 * 10000 + {_OFF}) AS BIGINT) AS intercept_e4,
+       CAST(floor(b0 / sqrt((rss / (k - 2.0))
+                            * (1.0 / k + (sx / k) * (sx / k) / cxx))
+                  * 10000 + {_OFF}) AS BIGINT) AS t_e4,
+       CAST(floor(slope * 10000 + {_OFF}) AS BIGINT) AS slope_e4
+FROM f
+WHERE k >= 4 AND cxx > 0 AND rss > 0
+"""
+
+QUERIES["egger_test"] = q_egger_test
+ORACLE_SQL["egger_test"] = SQL_EGGER
+
+
+# ---------------------------------------------------------------------------
+# loo_meta_influence — leave-one-out fixed-effect pooled estimates
+# ---------------------------------------------------------------------------
+# theta_(-i) = (sum w theta - w_i theta_i) / (sum w - w_i); the totals
+# broadcast, so influence is a per-study closed form.  w theta and w
+# terms are e6-floored so the totals are exact integers.
+
+
+def q_loo_meta_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eff = _source_effects(spark, sf_dir)
+    eff = eff.withColumn(
+        "w6", F.floor(1.0 / F.col("se2") * 1e6 + F.lit(_OFF)).cast("long")
+    ).withColumn(
+        "wt6",
+        F.floor(F.col("theta") / F.col("se2") * 1e6 + F.lit(_OFF)).cast(
+            "long"
+        ),
+    )
+    tot = eff.agg(
+        F.sum("w6").alias("swt"), F.sum("wt6").alias("swtt"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = eff.crossJoin(F.broadcast(tot))
+    pooled = F.col("swtt").cast("double") / F.col("swt").cast("double")
+    loo = (
+        (F.col("swtt") - F.col("wt6")).cast("double")
+        / (F.col("swt") - F.col("w6")).cast("double")
+    )
+    return j.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.floor(pooled * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "pooled_e4"
+        ),
+        F.floor(loo * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "loo_e4"
+        ),
+        F.floor((loo - pooled) * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("influence_e4"),
+    ).orderBy("source")
+
+
+SQL_LOO_META = f"""
+WITH {_SOURCE_EFFECTS_SQL.strip()}
+, w AS (
+  SELECT source, n,
+         CAST(floor(1.0 / se2 * 1e6 + {_OFF}) AS BIGINT) AS w6,
+         CAST(floor(theta / se2 * 1e6 + {_OFF}) AS BIGINT) AS wt6
+  FROM eff
+), wtot AS (
+  SELECT CAST(sum(w6) AS BIGINT) AS swt,
+         CAST(sum(wt6) AS BIGINT) AS swtt,
+         count(*) AS k
+  FROM w
+)
+SELECT w.source, CAST(w.n AS BIGINT) AS n_docs,
+       CAST(floor(CAST(t.swtt AS DOUBLE) / t.swt * 10000 + {_OFF})
+            AS BIGINT) AS pooled_e4,
+       CAST(floor(CAST(t.swtt - w.wt6 AS DOUBLE) / (t.swt - w.w6)
+                  * 10000 + {_OFF}) AS BIGINT) AS loo_e4,
+       CAST(floor((CAST(t.swtt - w.wt6 AS DOUBLE) / (t.swt - w.w6)
+                   - CAST(t.swtt AS DOUBLE) / t.swt) * 10000 + {_OFF})
+            AS BIGINT) AS influence_e4
+FROM w, wtot t
+ORDER BY w.source
+"""
+
+QUERIES["loo_meta_influence"] = q_loo_meta_influence
+ORACLE_SQL["loo_meta_influence"] = SQL_LOO_META
+
+
+# ---------------------------------------------------------------------------
+# dirichlet_precision_mom — Dirichlet-multinomial precision of the
+# daily event-type composition (Mosimann 1962 method of moments)
+# ---------------------------------------------------------------------------
+# Daily proportions p_dt; per type: pbar_t, var_t across days;
+# alpha0_t = pbar(1-pbar)/var - 1; alpha0 = unweighted mean across
+# types; alpha_t = alpha0 * pbar_t.  Daily proportions are e6-floored
+# so the cross-day moments are exact integers.
+
+
+def q_dirichlet_precision_mom(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = ev.groupBy(
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    dtot = day.groupBy("day").agg(F.sum("c").alias("t"))
+    p = day.join(F.broadcast(dtot), "day").select(
+        "event_type",
+        "day",
+        F.floor(
+            F.col("c").cast("double") / F.col("t").cast("double") * 1e6
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("p6"),
+    )
+    per = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("p6").alias("sp"),
+        F.sum(F.col("p6") * F.col("p6")).alias("spp"),
+    )
+    ndd = F.col("nd").cast("double")
+    pbar = F.col("sp").cast("double") / ndd / 1e6
+    var = (
+        (
+            F.col("spp").cast("double")
+            - F.col("sp").cast("double") * F.col("sp").cast("double")
+            / ndd
+        )
+        / (ndd - 1.0)
+        / 1e12
+    )
+    a0t = pbar * (1.0 - pbar) / var - 1.0
+    per = per.select(
+        "event_type", "nd", pbar.alias("pbar"), a0t.alias("a0t")
+    ).filter((F.col("nd") >= 3) & (var > 0))
+    a0 = per.agg(
+        F.floor(
+            F.sum(F.floor(F.col("a0t") * 1e6 + F.lit(_OFF)).cast("long"))
+            .cast("double")
+            / F.count(F.lit(1))
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("a06")
+    )
+    out = per.crossJoin(F.broadcast(a0))
+    alpha_t = F.col("a06").cast("double") / 1e6 * F.col("pbar")
+    return out.select(
+        "event_type",
+        F.col("nd").cast("long").alias("n_days"),
+        F.floor(F.col("pbar") * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("pbar_e6"),
+        F.floor(
+            F.col("a06").cast("double") / 1e6 * 10_000 + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("alpha0_e4"),
+        F.floor(alpha_t * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "alpha_t_e4"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_DIRICHLET = f"""
+WITH day AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, event_type,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), dtot AS (
+  SELECT day, CAST(sum(c) AS BIGINT) AS t FROM day GROUP BY 1
+), p AS (
+  SELECT d.event_type, d.day,
+         CAST(floor(CAST(d.c AS DOUBLE) / t.t * 1e6 + {_OFF})
+              AS BIGINT) AS p6
+  FROM day d JOIN dtot t ON t.day = d.day
+), per AS (
+  SELECT event_type, count(*) AS nd,
+         CAST(sum(p6) AS BIGINT) AS sp,
+         CAST(sum(p6 * p6) AS BIGINT) AS spp
+  FROM p GROUP BY 1
+), m AS (
+  SELECT event_type, nd,
+         CAST(sp AS DOUBLE) / nd / 1e6 AS pbar,
+         (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * sp / nd)
+         / (nd - 1.0) / 1e12 AS var
+  FROM per
+), m2 AS (
+  SELECT event_type, nd, pbar,
+         pbar * (1.0 - pbar) / var - 1.0 AS a0t
+  FROM m
+  WHERE nd >= 3 AND var > 0
+), a0 AS (
+  SELECT CAST(floor(CAST(sum(CAST(floor(a0t * 1e6 + {_OFF})
+                                  AS BIGINT)) AS DOUBLE)
+                    / count(*) + {_OFF}) AS BIGINT) AS a06
+  FROM m2
+)
+SELECT m2.event_type, CAST(m2.nd AS BIGINT) AS n_days,
+       CAST(floor(m2.pbar * 1000000 + {_OFF}) AS BIGINT) AS pbar_e6,
+       CAST(floor(CAST(a.a06 AS DOUBLE) / 1e6 * 10000 + {_OFF})
+            AS BIGINT) AS alpha0_e4,
+       CAST(floor(CAST(a.a06 AS DOUBLE) / 1e6 * m2.pbar * 10000
+                  + {_OFF}) AS BIGINT) AS alpha_t_e4
+FROM m2, a0 a
+ORDER BY m2.event_type
+"""
+
+QUERIES["dirichlet_precision_mom"] = q_dirichlet_precision_mom
+ORACLE_SQL["dirichlet_precision_mom"] = SQL_DIRICHLET
