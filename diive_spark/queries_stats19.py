@@ -1755,3 +1755,251 @@ ORDER BY m2.event_type
 
 QUERIES["dirichlet_precision_mom"] = q_dirichlet_precision_mom
 ORACLE_SQL["dirichlet_precision_mom"] = SQL_DIRICHLET
+
+
+# ===========================================================================
+# Battery T — distributed-systems audits: rendezvous (HRW) hashing
+# shard balance with the minimal-movement invariant, and an empirical
+# Bloom-filter false-positive-rate audit against the analytic rate
+# (the operational complement of bloom_decontaminate / hash_audit).
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# rendezvous_hashing_balance — highest-random-weight shard assignment
+# of documents to 10 shards, plus the movement fraction when an 11th
+# shard joins
+# ---------------------------------------------------------------------------
+# shard(key) = argmax_b h(key, b) with the integer mix
+# h = sq((key * 2654435761 + b * 40503 + 2246822519) % p) % p,
+# p = 1e9+7 — the quadratic mix breaks the linearity in b that a
+# plain LCG leaves (argmax of a linear-in-b hash is nearly always
+# the top bucket; caught when the first draft yielded 2 shards).  HRW guarantees
+# only keys whose argmax is the NEW shard move: measured movement
+# should be ~1/11 of keys.  Reports per-shard counts, chi2 balance,
+# and the movement fraction.
+
+
+def q_rendezvous_hashing_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from diive_spark.queries_stats2 import _documents
+
+    docs = _documents(spark, sf_dir).select("doc_id")
+    spark_ = docs.sparkSession
+    b10 = spark_.range(0, 10).select(F.col("id").alias("b"))
+    b11 = spark_.range(0, 11).select(F.col("id").alias("b"))
+    t_lin = (
+        F.col("doc_id") * F.lit(2654435761)
+        + F.col("b") * F.lit(40503)
+        + F.lit(2246822519)
+    ) % F.lit(1_000_000_007)
+    h = (t_lin * t_lin) % F.lit(1_000_000_007)
+
+    def assign(buckets):
+        j = docs.crossJoin(F.broadcast(buckets)).withColumn("h", h)
+        return j.groupBy("doc_id").agg(
+            F.max_by(F.col("b"), F.struct(F.col("h"), F.col("b"))).alias(
+                "shard"
+            )
+        )
+
+    a10 = assign(b10)
+    a11 = assign(b11).select(
+        F.col("doc_id"), F.col("shard").alias("shard11")
+    )
+    moved = a10.join(a11, "doc_id").select(
+        "shard",
+        (F.col("shard") != F.col("shard11")).cast("long").alias("mv"),
+    )
+    per = moved.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("mv").alias("n_moved"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("nt"), F.count(F.lit(1)).alias("k")
+    )
+    j2 = per.crossJoin(F.broadcast(tot))
+    e = F.col("nt").cast("double") / F.col("k").cast("double")
+    chi_term = (F.col("n_docs").cast("double") - e) * (
+        F.col("n_docs").cast("double") - e
+    ) / e
+    j2 = j2.withColumn(
+        "chi6", F.floor(chi_term * 1e6 + F.lit(_OFF)).cast("long")
+    )
+    return j2.select(
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.floor(
+            F.col("n_moved").cast("double")
+            / F.col("n_docs").cast("double")
+            * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("moved_frac_e6"),
+        F.col("chi6").alias("chi2_term_e6"),
+    ).orderBy("shard")
+
+
+SQL_RENDEZVOUS = f"""
+WITH b10 AS (
+  SELECT unnest(generate_series(0, 9)) AS b
+), b11 AS (
+  SELECT unnest(generate_series(0, 10)) AS b
+), a10 AS (
+  SELECT doc_id, b AS shard
+  FROM (
+    SELECT d.doc_id, b.b,
+           row_number() OVER (
+             PARTITION BY d.doc_id
+             ORDER BY (((d.doc_id * 2654435761 + b.b * 40503
+                        + 2246822519) % 1000000007)
+                     * ((d.doc_id * 2654435761 + b.b * 40503
+                         + 2246822519) % 1000000007))
+                    % 1000000007 DESC, b.b DESC) AS r
+    FROM documents d, b10 b
+  ) t WHERE r = 1
+), a11 AS (
+  SELECT doc_id, b AS shard11
+  FROM (
+    SELECT d.doc_id, b.b,
+           row_number() OVER (
+             PARTITION BY d.doc_id
+             ORDER BY (((d.doc_id * 2654435761 + b.b * 40503
+                        + 2246822519) % 1000000007)
+                     * ((d.doc_id * 2654435761 + b.b * 40503
+                         + 2246822519) % 1000000007))
+                    % 1000000007 DESC, b.b DESC) AS r
+    FROM documents d, b11 b
+  ) t WHERE r = 1
+), mv AS (
+  SELECT a.shard,
+         CASE WHEN a.shard <> c.shard11 THEN 1 ELSE 0 END AS mv
+  FROM a10 a JOIN a11 c ON c.doc_id = a.doc_id
+), per AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(mv) AS BIGINT) AS n_moved
+  FROM mv GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS nt, count(*) AS k FROM per
+)
+SELECT CAST(p.shard AS BIGINT) AS shard, p.n_docs,
+       CAST(floor(CAST(p.n_moved AS DOUBLE) / p.n_docs * 1000000
+                  + {_OFF}) AS BIGINT) AS moved_frac_e6,
+       CAST(floor((p.n_docs - CAST(t.nt AS DOUBLE) / t.k)
+                  * (p.n_docs - CAST(t.nt AS DOUBLE) / t.k)
+                  / (CAST(t.nt AS DOUBLE) / t.k) * 1e6 + {_OFF})
+            AS BIGINT) AS chi2_term_e6
+FROM per p, tot t
+ORDER BY shard
+"""
+
+QUERIES["rendezvous_hashing_balance"] = q_rendezvous_hashing_balance
+ORACLE_SQL["rendezvous_hashing_balance"] = SQL_RENDEZVOUS
+
+
+# ---------------------------------------------------------------------------
+# bloom_fpr_audit — empirical vs analytic Bloom false-positive rate
+# ---------------------------------------------------------------------------
+# Even doc_ids are inserted (k = 3 integer hash positions in m = 2^14
+# bits); odd doc_ids probe.  A probe is a false positive when all 3 of
+# its positions are set.  Analytic rate (1 - exp(-k n/m))^k uses the
+# same n, m, k.  All hashing is BIGINT arithmetic.
+
+
+def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats2 import _documents
+
+    m = 16_384
+    docs = _documents(spark, sf_dir).select("doc_id")
+    ins = docs.filter(F.col("doc_id") % 2 == 0)
+    probe = docs.filter(F.col("doc_id") % 2 == 1)
+    ks = docs.sparkSession.range(0, 3).select(F.col("id").alias("k"))
+    t_lin = (
+        F.col("doc_id") * F.lit(2654435761)
+        + F.col("k") * F.lit(97_003)
+        + F.lit(2246822519)
+    ) % F.lit(1_000_000_007)
+    pos = ((t_lin * t_lin) % F.lit(1_000_000_007)) % F.lit(m)
+    bits = (
+        ins.crossJoin(F.broadcast(ks))
+        .select(pos.alias("pos"))
+        .distinct()
+    )
+    n_bits = bits.count()  # bounded: <= m rows
+    probe_pos = probe.crossJoin(F.broadcast(ks)).select(
+        "doc_id", pos.alias("pos")
+    )
+    hit = probe_pos.join(bits, "pos").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nhit")
+    )
+    fp = hit.filter(F.col("nhit") == 3)
+    counts = probe.agg(F.count(F.lit(1)).alias("np")).crossJoin(
+        fp.agg(F.count(F.lit(1)).alias("nfp"))
+    ).crossJoin(ins.agg(F.count(F.lit(1)).alias("ni")))
+    nd = F.col("np").cast("double")
+    fpr = F.col("nfp").cast("double") / nd
+    load = 3.0 * F.col("ni").cast("double") / float(m)
+    analytic = (
+        (1.0 - F.exp(-load)) * (1.0 - F.exp(-load)) * (1.0 - F.exp(-load))
+    )
+    return counts.select(
+        F.col("ni").cast("long").alias("n_inserted"),
+        F.col("np").cast("long").alias("n_probes"),
+        F.lit(n_bits).cast("long").alias("n_bits_set"),
+        F.floor(fpr * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "fpr_e6"
+        ),
+        F.floor(analytic * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("fpr_analytic_e6"),
+    )
+
+
+SQL_BLOOM_FPR = f"""
+WITH ks AS (
+  SELECT unnest(generate_series(0, 2)) AS k
+), ins AS (
+  SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+), probe AS (
+  SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+), bits AS (
+  SELECT DISTINCT ((((i.doc_id * 2654435761 + k.k * 97003
+                      + 2246822519) % 1000000007)
+                    * ((i.doc_id * 2654435761 + k.k * 97003
+                        + 2246822519) % 1000000007))
+                   % 1000000007) % 16384 AS pos
+  FROM ins i, ks k
+), ppos AS (
+  SELECT p.doc_id,
+         ((((p.doc_id * 2654435761 + k.k * 97003
+             + 2246822519) % 1000000007)
+           * ((p.doc_id * 2654435761 + k.k * 97003
+               + 2246822519) % 1000000007))
+          % 1000000007) % 16384 AS pos
+  FROM probe p, ks k
+), hit AS (
+  SELECT pp.doc_id, count(*) AS nhit
+  FROM ppos pp JOIN bits b ON b.pos = pp.pos
+  GROUP BY 1
+), fp AS (
+  SELECT count(*) AS nfp FROM hit WHERE nhit = 3
+), counts AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM ins) AS ni,
+         (SELECT CAST(count(*) AS BIGINT) FROM probe) AS np,
+         (SELECT CAST(count(*) AS BIGINT) FROM bits) AS nbits,
+         (SELECT CAST(nfp AS BIGINT) FROM fp) AS nfp
+)
+SELECT ni AS n_inserted, np AS n_probes, nbits AS n_bits_set,
+       CAST(floor(CAST(nfp AS DOUBLE) / np * 1000000 + {_OFF})
+            AS BIGINT) AS fpr_e6,
+       CAST(floor((1.0 - exp(-(3.0 * ni / 16384.0)))
+                  * (1.0 - exp(-(3.0 * ni / 16384.0)))
+                  * (1.0 - exp(-(3.0 * ni / 16384.0))) * 1000000
+                  + {_OFF}) AS BIGINT) AS fpr_analytic_e6
+FROM counts
+"""
+
+QUERIES["bloom_fpr_audit"] = q_bloom_fpr_audit
+ORACLE_SQL["bloom_fpr_audit"] = SQL_BLOOM_FPR
