@@ -2003,3 +2003,376 @@ FROM counts
 
 QUERIES["bloom_fpr_audit"] = q_bloom_fpr_audit
 ORACLE_SQL["bloom_fpr_audit"] = SQL_BLOOM_FPR
+
+
+# ===========================================================================
+# Battery U — two-sample standardized effect sizes, the Wagenmakers
+# BIC Bayes-factor approximation, and arcsine-law lead statistics of
+# the day-night random walk.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# standardized_effect_sizes — Cohen's d, Hedges' g, Glass's Delta,
+# and the common-language effect size for day vs night values
+# ---------------------------------------------------------------------------
+# d = (m1 - m2)/s_pooled; g = d J with J = 1 - 3/(4 df - 1)
+# (Hedges' approximation); Glass Delta = (m1 - m2)/s_night;
+# CLES = Phi(d / sqrt2) via the shared A&S erf twin (sign-folded).
+
+
+def q_standardized_effect_sizes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from diive_spark.queries_stats16 import _erf
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    g = ev.select(
+        "event_type",
+        F.when(F.hour("ts").between(8, 19), 1).otherwise(0).alias("grp"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "v"
+        ),
+    ).groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    day = g.filter(F.col("grp") == 1).select(
+        "event_type",
+        F.col("n").alias("n1"),
+        F.col("s").alias("s1"),
+        F.col("ss").alias("ss1"),
+    )
+    night = g.filter(F.col("grp") == 0).select(
+        "event_type",
+        F.col("n").alias("n2"),
+        F.col("s").alias("s2"),
+        F.col("ss").alias("ss2"),
+    )
+    j = day.join(night, "event_type")
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    m1 = F.col("s1").cast("double") / n1 / 100.0
+    m2 = F.col("s2").cast("double") / n2 / 100.0
+    v1 = (
+        (
+            F.col("ss1").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double") / n1
+        )
+        / (n1 - 1.0)
+        / 10_000.0
+    )
+    v2 = (
+        (
+            F.col("ss2").cast("double")
+            - F.col("s2").cast("double") * F.col("s2").cast("double") / n2
+        )
+        / (n2 - 1.0)
+        / 10_000.0
+    )
+    sp = F.sqrt(
+        ((n1 - 1.0) * v1 + (n2 - 1.0) * v2) / (n1 + n2 - 2.0)
+    )
+    d = (m1 - m2) / sp
+    jf = 1.0 - 3.0 / (4.0 * (n1 + n2 - 2.0) - 1.0)
+    gg = d * jf
+    glass = (m1 - m2) / F.sqrt(v2)
+    zz = d * F.lit(0.7071067811865476)
+    cles = F.when(
+        zz >= 0, 0.5 * (1.0 + _erf(zz * 0.7071067811865476))
+    ).otherwise(0.5 * (1.0 - _erf(-zz * 0.7071067811865476)))
+    return (
+        j.filter((F.col("n1") >= 3) & (F.col("n2") >= 3) & (v2 > 0))
+        .select(
+            "event_type",
+            (F.col("n1") + F.col("n2")).cast("long").alias("n"),
+            F.floor(d * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "cohens_d_e6"
+            ),
+            F.floor(gg * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "hedges_g_e6"
+            ),
+            F.floor(glass * 1_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("glass_delta_e6"),
+            F.floor(cles * 1_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("cles_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _effsize_sql() -> str:
+    from diive_spark.queries_stats16 import _erf_sql
+
+    z = "((m1 - m2) / sp * 0.7071067811865476)"
+    cles = (
+        f"CASE WHEN {z} >= 0"
+        f" THEN 0.5 * (1.0 + {_erf_sql(z + ' * 0.7071067811865476')})"
+        f" ELSE 0.5 * (1.0 - {_erf_sql('-' + z + ' * 0.7071067811865476')})"
+        f" END"
+    )
+    return f"""
+WITH g AS (
+  SELECT event_type,
+         CASE WHEN EXTRACT(hour FROM ts) BETWEEN 8 AND 19
+              THEN 1 ELSE 0 END AS grp,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS s,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT)
+                  * CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS ss
+  FROM events GROUP BY 1, 2
+), j AS (
+  SELECT d.event_type,
+         d.n AS n1, d.s AS s1, d.ss AS ss1,
+         x.n AS n2, x.s AS s2, x.ss AS ss2
+  FROM g d JOIN g x ON x.event_type = d.event_type
+  WHERE d.grp = 1 AND x.grp = 0
+), m AS (
+  SELECT event_type, n1, n2,
+         CAST(s1 AS DOUBLE) / n1 / 100.0 AS m1,
+         CAST(s2 AS DOUBLE) / n2 / 100.0 AS m2,
+         (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+         / (n1 - 1.0) / 10000.0 AS v1,
+         (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+         / (n2 - 1.0) / 10000.0 AS v2
+  FROM j
+), f AS (
+  SELECT event_type, n1, n2, m1, m2, v1, v2,
+         sqrt(((n1 - 1.0) * v1 + (n2 - 1.0) * v2)
+              / (n1 + n2 - 2.0)) AS sp
+  FROM m
+  WHERE n1 >= 3 AND n2 >= 3 AND v2 > 0
+)
+SELECT event_type, CAST(n1 + n2 AS BIGINT) AS n,
+       CAST(floor((m1 - m2) / sp * 1000000 + {_OFF})
+            AS BIGINT) AS cohens_d_e6,
+       CAST(floor((m1 - m2) / sp
+                  * (1.0 - 3.0 / (4.0 * (n1 + n2 - 2.0) - 1.0))
+                  * 1000000 + {_OFF}) AS BIGINT) AS hedges_g_e6,
+       CAST(floor((m1 - m2) / sqrt(v2) * 1000000 + {_OFF})
+            AS BIGINT) AS glass_delta_e6,
+       CAST(floor({cles} * 1000000 + {_OFF}) AS BIGINT) AS cles_e6
+FROM f
+ORDER BY event_type
+"""
+
+
+QUERIES["standardized_effect_sizes"] = q_standardized_effect_sizes
+ORACLE_SQL["standardized_effect_sizes"] = _effsize_sql()
+
+
+# ---------------------------------------------------------------------------
+# bic_bayes_factor — Wagenmakers (2007) BIC approximation to the
+# Bayes factor for the day-night mean difference
+# ---------------------------------------------------------------------------
+# BF01 ~ exp((BIC1 - BIC0)/2) with BIC_i = n ln(RSS_i/n) + k_i ln n;
+# RSS0 = total SS, RSS1 = within-groups SS — both exact-integer
+# derived.  Reports ln BF10 (positive favours a real difference).
+
+
+def q_bic_bayes_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    g = ev.select(
+        "event_type",
+        F.when(F.hour("ts").between(8, 19), 1).otherwise(0).alias("grp"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "v"
+        ),
+    ).groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    tot = g.groupBy("event_type").agg(
+        F.sum("n").alias("nt"),
+        F.sum("s").alias("st"),
+        F.sum("ss").alias("sst"),
+        F.sum(
+            F.floor(
+                F.col("s").cast("double")
+                * F.col("s").cast("double")
+                / F.col("n")
+                * 1e6
+                + F.lit(_OFF)
+            ).cast("long")
+        ).alias("bg6"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    nt = F.col("nt").cast("double")
+    rss0 = (
+        F.col("sst").cast("double")
+        - F.col("st").cast("double") * F.col("st").cast("double") / nt
+    )
+    rss1 = F.col("sst").cast("double") - F.col("bg6").cast("double") / 1e6
+    lnbf10 = (
+        nt / 2.0 * (F.log(rss0 / nt) - F.log(rss1 / nt))
+        - 0.5 * F.log(nt)
+    )
+    return (
+        tot.filter((F.col("k") == 2) & (rss1 > 0) & (rss0 > 0))
+        .select(
+            "event_type",
+            F.col("nt").cast("long").alias("n"),
+            F.floor(lnbf10 * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "ln_bf10_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_BIC_BF = f"""
+WITH g AS (
+  SELECT event_type,
+         CASE WHEN EXTRACT(hour FROM ts) BETWEEN 8 AND 19
+              THEN 1 ELSE 0 END AS grp,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS s,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT)
+                  * CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS ss
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type,
+         CAST(sum(n) AS BIGINT) AS nt,
+         CAST(sum(s) AS BIGINT) AS st,
+         CAST(sum(ss) AS BIGINT) AS sst,
+         CAST(sum(CAST(floor(CAST(s AS DOUBLE) * s / n * 1e6 + {_OFF})
+                       AS BIGINT)) AS BIGINT) AS bg6,
+         count(*) AS k
+  FROM g GROUP BY 1
+), m AS (
+  SELECT event_type, nt, k,
+         CAST(sst AS DOUBLE)
+           - CAST(st AS DOUBLE) * st / nt AS rss0,
+         CAST(sst AS DOUBLE) - CAST(bg6 AS DOUBLE) / 1e6 AS rss1
+  FROM tot
+)
+SELECT event_type, CAST(nt AS BIGINT) AS n,
+       CAST(floor((nt / 2.0 * (ln(rss0 / nt) - ln(rss1 / nt))
+                   - 0.5 * ln(CAST(nt AS DOUBLE))) * 10000 + {_OFF})
+            AS BIGINT) AS ln_bf10_e4
+FROM m
+WHERE k = 2 AND rss1 > 0 AND rss0 > 0
+ORDER BY event_type
+"""
+
+QUERIES["bic_bayes_factor"] = q_bic_bayes_factor
+ORACLE_SQL["bic_bayes_factor"] = SQL_BIC_BF
+
+
+# ---------------------------------------------------------------------------
+# arcsine_lead_time — Levy arcsine-law statistics of the day-minus-
+# night cumulative random walk over days
+# ---------------------------------------------------------------------------
+# S_d = cumulative (day count - night count); reports the fraction of
+# days in positive lead (arcsine-distributed under symmetry), the
+# number of lead changes, and the last zero-crossing position
+# fraction.
+
+
+def q_arcsine_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.sum(
+            F.when(F.hour("ts").between(8, 19), 1).otherwise(-1)
+        ).alias("step")
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wn = Window.partitionBy("event_type")
+    s = day.withColumn("cum", F.sum("step").over(wo))
+    s = s.withColumn("prev", F.lag("cum").over(wo))
+    s = s.withColumn("i", F.row_number().over(wo)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    lead_pos = (F.col("cum") > 0).cast("long")
+    sign_now = F.signum(F.col("cum").cast("double"))
+    sign_prev = F.signum(F.col("prev").cast("double"))
+    change = (
+        F.col("prev").isNotNull()
+        & (sign_now * sign_prev < 0)
+    ).cast("long")
+    zerox = F.when(F.col("cum") == 0, F.col("i")).otherwise(None)
+    agg = s.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(lead_pos).alias("npos"),
+        F.sum(change).alias("nchg"),
+        F.max(zerox).alias("lastzero"),
+    )
+    nd = F.col("n").cast("double")
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.floor(
+            F.col("npos").cast("double") / nd * 1_000_000 + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("lead_frac_e6"),
+        F.col("nchg").cast("long").alias("n_lead_changes"),
+        F.coalesce(
+            F.floor(
+                F.col("lastzero").cast("double") / nd * 1_000_000
+                + F.lit(_OFF)
+            ).cast("long"),
+            F.lit(0),
+        ).alias("last_zero_frac_e6"),
+    ).orderBy("event_type")
+
+
+SQL_ARCSINE = f"""
+WITH day AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(sum(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 8 AND 19
+                       THEN 1 ELSE -1 END) AS BIGINT) AS step
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, day,
+         CAST(sum(step) OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS cum,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS i,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM day
+), s2 AS (
+  SELECT *,
+         lag(cum) OVER (PARTITION BY event_type ORDER BY day) AS prev
+  FROM s
+), agg AS (
+  SELECT event_type, max(n) AS n,
+         CAST(sum(CASE WHEN cum > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS npos,
+         CAST(sum(CASE WHEN prev IS NOT NULL
+                        AND sign(cum) * sign(prev) < 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS nchg,
+         max(CASE WHEN cum = 0 THEN i ELSE NULL END) AS lastzero
+  FROM s2 GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       CAST(floor(CAST(npos AS DOUBLE) / n * 1000000 + {_OFF})
+            AS BIGINT) AS lead_frac_e6,
+       nchg AS n_lead_changes,
+       coalesce(CAST(floor(CAST(lastzero AS DOUBLE) / n * 1000000
+                           + {_OFF}) AS BIGINT), 0)
+         AS last_zero_frac_e6
+FROM agg
+ORDER BY event_type
+"""
+
+QUERIES["arcsine_lead_time"] = q_arcsine_lead_time
+ORACLE_SQL["arcsine_lead_time"] = SQL_ARCSINE
