@@ -2376,3 +2376,232 @@ ORDER BY event_type
 
 QUERIES["arcsine_lead_time"] = q_arcsine_lead_time
 ORACLE_SQL["arcsine_lead_time"] = SQL_ARCSINE
+
+
+# ===========================================================================
+# Battery V — robust location M-estimators: Huber and Tukey biweight,
+# each by two unrolled IRLS steps from (median, MAD).  Medians ride
+# the value-domain cumulative (lower-median convention: smallest v
+# with 2*cum_inclusive >= n); per-value weights are e9-floored so the
+# weighted sums are exact integers.
+# ===========================================================================
+
+
+def _median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n, med, mad) from the centi-value domain."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cnt = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "v"
+        ),
+    ).groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("event_type")
+    cum = cnt.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(wn)
+    )
+    med = cum.filter(2 * F.col("cum") >= F.col("n")).groupBy(
+        "event_type"
+    ).agg(F.min("v").alias("med"), F.max("n").alias("n"))
+    dev = cnt.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("v") - F.col("med")).alias("d"),
+        "c",
+    ).groupBy("event_type", "d").agg(F.sum("c").alias("c"))
+    wd = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum2 = dev.withColumn("cum", F.sum("c").over(wd)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("event_type"))
+    )
+    mad = cum2.filter(2 * F.col("cum") >= F.col("n")).groupBy(
+        "event_type"
+    ).agg(F.min("d").alias("mad"))
+    return med.join(mad, "event_type")
+
+
+_MEDIAN_MAD_SQL = f"""
+cnt AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT *,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cumv,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM cnt
+), med AS (
+  SELECT event_type, min(v) AS med, max(n) AS n
+  FROM cum WHERE 2 * cumv >= n GROUP BY 1
+), dev AS (
+  SELECT c.event_type, abs(c.v - m.med) AS d,
+         CAST(sum(c.c) AS BIGINT) AS c
+  FROM cnt c JOIN med m ON m.event_type = c.event_type
+  GROUP BY 1, 2
+), cum2 AS (
+  SELECT *,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cumd,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n2
+  FROM dev
+), mad AS (
+  SELECT event_type, min(d) AS mad
+  FROM cum2 WHERE 2 * cumd >= n2 GROUP BY 1
+), mm AS (
+  SELECT m.event_type, m.n, m.med, a.mad
+  FROM med m JOIN mad a ON a.event_type = m.event_type
+)
+"""
+
+
+def _irls_location(
+    spark: SparkSession, sf_dir: str, flavor: str
+) -> DataFrame:
+    """Two IRLS steps; flavor 'huber' (c=1.345 sigma) or
+    'biweight' (c=4.685 sigma), sigma = 1.4826 MAD."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cnt = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "v"
+        ),
+    ).groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    mm = _median_mad(spark, sf_dir)
+    cmult = 1.345 if flavor == "huber" else 4.685
+    mm = mm.select(
+        "event_type",
+        "n",
+        F.col("med").cast("double").alias("mu0"),
+        (F.lit(cmult) * 1.4826 * F.col("mad").cast("double")).alias(
+            "cc"
+        ),
+    ).filter(F.col("cc") > 0)
+
+    def step(params, mucol, tag):
+        j = cnt.join(F.broadcast(params), "event_type")
+        r = F.col("v").cast("double") - F.col(mucol)
+        absr = F.abs(r)
+        if flavor == "huber":
+            wgt = F.when(absr <= F.col("cc"), 1.0).otherwise(
+                F.col("cc") / absr
+            )
+        else:
+            u = r / F.col("cc")
+            wgt = F.when(
+                absr <= F.col("cc"),
+                (1.0 - u * u) * (1.0 - u * u),
+            ).otherwise(0.0)
+        t = j.select(
+            "event_type",
+            "cc",
+            F.floor(
+                wgt * F.col("c").cast("double") * F.col("v").cast(
+                    "double"
+                )
+                * 1e6
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("wx6"),
+            F.floor(
+                wgt * F.col("c").cast("double") * 1e6 + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("w6"),
+        )
+        agg = t.groupBy("event_type", "cc").agg(
+            F.sum("wx6").alias("swx"), F.sum("w6").alias("sw")
+        )
+        return agg.select(
+            "event_type",
+            "cc",
+            (
+                F.col("swx").cast("double") / F.col("sw").cast("double")
+            ).alias(f"mu{tag}"),
+        )
+
+    p1 = step(mm.select("event_type", "cc", "mu0"), "mu0", "1")
+    p2 = step(p1, "mu1", "2")
+    out = p2.join(F.broadcast(mm.select("event_type", "n")), "event_type")
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(F.col("mu2") / 100.0 * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("location_e4"),
+    ).orderBy("event_type")
+
+
+def q_huber_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _irls_location(spark, sf_dir, "huber")
+
+
+def q_biweight_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _irls_location(spark, sf_dir, "biweight")
+
+
+def _irls_sql(flavor: str) -> str:
+    cmult = "1.345" if flavor == "huber" else "4.685"
+    if flavor == "huber":
+        wgt = (
+            "CASE WHEN abs(c.v - p.{mu}) <= p.cc THEN 1.0"
+            " ELSE p.cc / abs(c.v - p.{mu}) END"
+        )
+    else:
+        wgt = (
+            "CASE WHEN abs(c.v - p.{mu}) <= p.cc"
+            " THEN (1.0 - ((c.v - p.{mu}) / p.cc)"
+            "        * ((c.v - p.{mu}) / p.cc))"
+            "      * (1.0 - ((c.v - p.{mu}) / p.cc)"
+            "         * ((c.v - p.{mu}) / p.cc))"
+            " ELSE 0.0 END"
+        )
+
+    def step(prev, mu, tag):
+        w = wgt.format(mu=mu)
+        return f""", t{tag} AS (
+  SELECT c.event_type, p.cc,
+         CAST(floor({w} * c.c * c.v * 1e6 + {{OFF}}) AS BIGINT) AS wx6,
+         CAST(floor({w} * c.c * 1e6 + {{OFF}}) AS BIGINT) AS w6
+  FROM cnt c JOIN {prev} p ON p.event_type = c.event_type
+), p{tag} AS (
+  SELECT event_type, cc,
+         CAST(sum(wx6) AS DOUBLE) / sum(w6) AS mu{tag}
+  FROM t{tag} GROUP BY 1, 2
+)"""
+
+    sql = f"""
+WITH {{MEDMAD}}
+, p0 AS (
+  SELECT event_type, n, CAST(med AS DOUBLE) AS mu0,
+         {cmult} * 1.4826 * mad AS cc
+  FROM mm WHERE {cmult} * 1.4826 * mad > 0
+){step("p0", "mu0", "1")}{step("p1", "mu1", "2")}
+SELECT p2.event_type, CAST(p0.n AS BIGINT) AS n,
+       CAST(floor(p2.mu2 / 100.0 * 10000 + {{OFF}}) AS BIGINT)
+         AS location_e4
+FROM p2 JOIN p0 ON p0.event_type = p2.event_type
+ORDER BY p2.event_type
+"""
+    return sql.replace("{MEDMAD}", _MEDIAN_MAD_SQL.strip()).replace(
+        "{OFF}", str(_OFF)
+    )
+
+
+QUERIES["huber_location"] = q_huber_location
+ORACLE_SQL["huber_location"] = _irls_sql("huber")
+QUERIES["biweight_location"] = q_biweight_location
+ORACLE_SQL["biweight_location"] = _irls_sql("biweight")
