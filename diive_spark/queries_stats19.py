@@ -2601,7 +2601,9 @@ ORDER BY p2.event_type
     )
 
 
-QUERIES["huber_location"] = q_huber_location
-ORACLE_SQL["huber_location"] = _irls_sql("huber")
+# NOTE: a Huber location M-estimator already ships in
+# queries_stats11 (registry name huber_location); this battery keeps
+# only the redescending biweight flavour (the _irls_location scaffold
+# supports both, exercised by flavor='huber' in tests if needed).
 QUERIES["biweight_location"] = q_biweight_location
 ORACLE_SQL["biweight_location"] = _irls_sql("biweight")
