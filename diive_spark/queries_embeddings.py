@@ -639,41 +639,66 @@ ORACLE_SQL.update({"ndcg_mrr_at5": SQL_NDCG})
 
 
 def q_schilling_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The N^2 x 64 pos-join formulation cost ~35 s at sf0.1 (BENCH
+    # round-4 tail audit); the statistic only needs, per query, the
+    # top-5 agree count, so the dots now run as an Arrow kernel — an
+    # int64 batch x N matmul against the collected reference matrix
+    # (exact: components <= 1e6, 64 dims -> dots <= 6.4e13).  cos and
+    # the (cos desc, vec_id) tie-break replicate the oracle's
+    # row_number ordering bit-for-bit (IEEE divide/sqrt of exact
+    # ints + lexsort).  The dense reference collect is the documented
+    # test-scale brute-force oracle; at 100 TB the same statistic runs
+    # on hyperplane-LSH candidates (hyperplane_lsh_audit path).
+    import numpy as np
+    import pandas as pd
+
     t = _emb_int(spark, sf_dir)
     norms = t.groupBy("vec_id", "label").agg(
         F.sum(F.col("e") * F.col("e")).alias("n2")
     )
-    q = t.select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("qlabel"),
-        "pos",
-        F.col("e").alias("eq"),
+    src = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ref_rows = (
+        t.groupBy("vec_id", "label")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "e"))).alias("pe"))
+        .select("vec_id", "label", F.col("pe.e").alias("evec"))
+        .collect()
     )
-    dots = (
-        q.join(t, "pos")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", "qlabel", "vec_id", "label")
-        .agg(F.sum(F.col("eq") * F.col("e")).alias("dot"))
+    ref_rows.sort(key=lambda r: r["vec_id"])
+    ref_ids = np.array([r["vec_id"] for r in ref_rows], dtype=np.int64)
+    ref_lab = np.array([r["label"] for r in ref_rows], dtype=np.int64)
+    ref_e = np.array([r["evec"] for r in ref_rows], dtype=np.int64)
+    ref_n2 = (ref_e.astype(np.float64) ** 2).sum(axis=1)
+
+    def agree_batches(it):
+        for pdf in it:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            labs = pdf["label"].to_numpy(dtype=np.int64)
+            emb = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                * 1_000_000
+                + _OFF
+            ).astype(np.int64)
+            dots = emb @ ref_e.T  # exact int64
+            qn2 = (emb.astype(np.float64) ** 2).sum(axis=1)
+            cos = dots.astype(np.float64) / np.sqrt(
+                qn2[:, None] * ref_n2[None, :]
+            )
+            cos[ids[:, None] == ref_ids[None, :]] = -np.inf
+            order = np.lexsort(
+                (np.broadcast_to(ref_ids, cos.shape), -cos), axis=1
+            )
+            top5 = order[:, :5]
+            agree = (ref_lab[top5] == labs[:, None]).sum()
+            yield pd.DataFrame(
+                {"nq": [len(ids)], "agree": [int(agree)]}
+            )
+
+    partials = src.select("vec_id", "label", "embedding").mapInPandas(
+        agree_batches, "nq long, agree long"
     )
-    qn = norms.select(
-        F.col("vec_id").alias("qid"), F.col("n2").alias("qn2")
-    )
-    rn = norms.select("vec_id", F.col("n2").alias("rn2"))
-    scored = dots.join(F.broadcast(qn), "qid").join(
-        F.broadcast(rn), "vec_id"
-    )
-    cos = F.col("dot").cast("double") / F.sqrt(
-        F.col("qn2").cast("double") * F.col("rn2").cast("double")
-    )
-    wk = Window.partitionBy("qid").orderBy(cos.desc(), F.col("vec_id"))
-    top = scored.withColumn("rk", F.row_number().over(wk)).filter(
-        F.col("rk") <= 5
-    )
-    agg = top.agg(
-        F.count_distinct(F.col("qid")).alias("n"),
-        F.sum(
-            (F.col("label") == F.col("qlabel")).cast("long")
-        ).alias("agree"),
+    agg = partials.agg(
+        F.sum("nq").alias("n"),
+        F.sum("agree").alias("agree"),
     )
     sizes = norms.groupBy("label").agg(F.count(F.lit(1)).alias("ng"))
     ee = sizes.agg(

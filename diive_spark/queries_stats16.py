@@ -2936,46 +2936,41 @@ def q_absorbing_markov_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ci = pairs.groupBy("i").agg(F.sum("cij").alias("ci"))
     p = pairs.join(ci, "i").filter(F.col("i") != _ABS_TARGET)
-    states = ci.select(F.col("i").alias("start")).filter(
-        F.col("start") != _ABS_TARGET
-    )
-    dist = states.select(
-        "start",
-        F.col("start").alias("state"),
-        F.lit(10**9).alias("m_e9"),
-    )
-    surv = states.select("start", F.lit(10**9).alias("s_e9"))
-    for _ in range(_ABS_H - 1):
-        dist = (
-            dist.join(
-                p,
-                dist["state"] == p["i"],
-            )
-            .select(
-                "start",
-                F.col("j").alias("state2"),
-                F.floor(
-                    F.col("m_e9").cast("double")
-                    * F.col("cij").cast("double")
-                    / F.col("ci").cast("double")
-                ).cast("long").alias("m_e9"),
-            )
-            .filter(F.col("state2") != _ABS_TARGET)
-            .groupBy("start", "state2")
-            .agg(F.sum("m_e9").alias("m_e9"))
-            .withColumnRenamed("state2", "state")
+    # The Markov MODEL is k x k (k = #event types) — a bounded-size
+    # object, so the H-step vector iteration runs on the COLLECTED
+    # matrix (the house k-row-collect rule: k centroids, BPE merges,
+    # manifest rows).  The original DataFrame-loop formulation built a
+    # 29-join lineage for 16 rows of state and cost ~50 s at sf0.1 in
+    # pure plan overhead (BENCH round-4 tail audit).  Arithmetic is
+    # REPLICATED bit-for-bit: per-edge floor(double(m) * cij / ci),
+    # then integer sums — identical to the oracle's recursive CTE.
+    import math
+
+    edges = p.select("i", "j", "cij", "ci").collect()  # k*k rows max
+    trans: dict[str, list[tuple[str, int, int]]] = {}
+    starts: set[str] = set()
+    for r in edges:
+        trans.setdefault(r["i"], []).append((r["j"], r["cij"], r["ci"]))
+        starts.add(r["i"])
+    rows = []
+    for start in sorted(starts):
+        m = {start: 10**9}
+        total = 10**9  # k = 0 survival mass
+        for _ in range(_ABS_H - 1):
+            nxt: dict[str, int] = {}
+            for state, mass in m.items():
+                for j, cij, cci in trans.get(state, []):
+                    if j == _ABS_TARGET:
+                        continue
+                    contrib = math.floor(float(mass) * cij / cci)
+                    nxt[j] = nxt.get(j, 0) + contrib
+            m = nxt
+            total += sum(m.values())
+        rows.append(
+            (start, math.floor(total / 1e5 + _OFF))
         )
-        step = dist.groupBy("start").agg(F.sum("m_e9").alias("s_e9"))
-        surv = surv.union(step.select("start", "s_e9"))
-    out = surv.groupBy("start").agg(
-        F.sum("s_e9").alias("et_e9"),
-        F.count(F.lit(1)).alias("k"),
-    )
-    return out.select(
-        F.col("start").alias("event_type"),
-        F.floor(F.col("et_e9").cast("double") / 1e5 + F.lit(_OFF))
-        .cast("long")
-        .alias("e_steps_capped_e4"),
+    return spark.createDataFrame(
+        rows, "event_type string, e_steps_capped_e4 long"
     ).orderBy("event_type")
 
 
