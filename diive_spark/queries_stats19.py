@@ -2607,3 +2607,418 @@ ORDER BY p2.event_type
 # supports both, exercised by flavor='huber' in tests if needed).
 QUERIES["biweight_location"] = q_biweight_location
 ORACLE_SQL["biweight_location"] = _irls_sql("biweight")
+
+
+# ===========================================================================
+# Battery W — actuarial/scorecard wave 2: Mack (1993) standard errors
+# for the chain-ladder ultimates, and Weight-of-Evidence /
+# Information-Value predictor screening.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# mack_chain_ladder_se — distribution-free chain-ladder prediction
+# error (Mack 1993) on the weekly purchase triangle
+# ---------------------------------------------------------------------------
+# Rides the queries_stats15 chain_ladder triangle (4 cohorts x 4
+# lags): sigma^2_j = 1/(n_j-1) sum_i C_ij (C_{i,j+1}/C_ij - f_j)^2,
+# with Mack's tail convention sigma^2_2 = min(sigma_1^4/sigma_0^2,
+# sigma_0^2, sigma_1^2); mse_i = Ult_i^2 sum_{j>=L_i} sigma^2_j/f_j^2
+# (1/C^_ij + 1/S_j) unrolled over the <= 3 remaining lags.  Per-lag
+# sigma terms are e6-floored before the cross-cohort sums.
+
+
+def q_mack_chain_ladder_se(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000)
+        .cast("long")
+        .alias("day"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("d0"))
+    pur = ev.filter(F.col("event_type") == "purchase").join(
+        first, "user_id"
+    )
+    # accident "years" = user buckets with a SIMULATED run-off cut
+    # (cohort k observed only through lag 3-k) — the sf0.01 calendar
+    # puts every user in week 0, which collapses the natural triangle
+    # to one fully-developed row and makes every Mack term vanish.
+    t = pur.select(
+        (F.col("user_id") % 4).cast("int").alias("cohort"),
+        F.floor((F.col("day") - F.col("d0")) / 7).cast("int").alias(
+            "lag"
+        ),
+    ).filter(F.col("lag") <= 3)
+    inc = t.groupBy("cohort", "lag").agg(F.count(F.lit(1)).alias("x"))
+    wcum = (
+        Window.partitionBy("cohort")
+        .orderBy("lag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = inc.withColumn("c", F.sum("x").over(wcum)).filter(
+        F.col("lag") <= 3 - F.col("cohort")
+    )
+    a = cum.select(
+        F.col("cohort").alias("ci"),
+        F.col("lag").alias("lj"),
+        F.col("c").alias("cj"),
+    )
+    b = cum.select(
+        F.col("cohort").alias("ci2"),
+        F.col("lag").alias("lj2"),
+        F.col("c").alias("cj2"),
+    )
+    fpairs = a.join(
+        b,
+        (F.col("ci") == F.col("ci2"))
+        & (F.col("lj2") == F.col("lj") + 1),
+    )
+    f = fpairs.groupBy("lj").agg(
+        F.sum("cj2").alias("num"),
+        F.sum("cj").alias("den"),
+        F.count(F.lit(1)).alias("nj"),
+    ).withColumn(
+        "f", F.col("num").cast("double") / F.col("den").cast("double")
+    )
+    sig = fpairs.join(F.broadcast(f.select("lj", "f")), "lj")
+    dev = (
+        F.col("cj2").cast("double") / F.col("cj").cast("double")
+        - F.col("f")
+    )
+    sig = sig.withColumn(
+        "t6",
+        F.floor(
+            F.col("cj").cast("double") * dev * dev * 1e6 + F.lit(_OFF)
+        ).cast("long"),
+    )
+    s2 = sig.groupBy("lj").agg(
+        F.sum("t6").alias("st6"), F.count(F.lit(1)).alias("nj")
+    ).withColumn(
+        "s2",
+        F.when(
+            F.col("nj") >= 2,
+            F.col("st6").cast("double") / 1e6 / (F.col("nj") - 1.0),
+        ).otherwise(None),
+    )
+
+    def pick(df, col, lj, alias):
+        return df.filter(F.col("lj") == lj).select(
+            F.col(col).alias(alias)
+        )
+
+    f0 = pick(f, "f", 0, "f0")
+    f1 = pick(f, "f", 1, "f1")
+    f2 = pick(f, "f", 2, "f2")
+    d0 = pick(f, "den", 0, "den0")
+    d1 = pick(f, "den", 1, "den1")
+    d2 = pick(f, "den", 2, "den2")
+    s0 = pick(s2, "s2", 0, "s20")
+    s1 = pick(s2, "s2", 1, "s21")
+    latest = cum.filter(F.col("lag") == 3 - F.col("cohort"))
+    j = (
+        latest.crossJoin(F.broadcast(f0))
+        .crossJoin(F.broadcast(f1))
+        .crossJoin(F.broadcast(f2))
+        .crossJoin(F.broadcast(d0))
+        .crossJoin(F.broadcast(d1))
+        .crossJoin(F.broadcast(d2))
+        .crossJoin(F.broadcast(s0))
+        .crossJoin(F.broadcast(s1))
+    )
+    s22 = F.least(
+        F.col("s21") * F.col("s21") / F.col("s20"),
+        F.col("s20"),
+        F.col("s21"),
+    )
+    cd = F.col("c").cast("double")
+    chat0 = cd  # value at the latest lag
+    # chained estimates at later lags depend on the cohort's latest lag
+    ult = (
+        cd
+        * F.when(F.col("lag") <= 0, F.col("f0")).otherwise(F.lit(1.0))
+        * F.when(F.col("lag") <= 1, F.col("f1")).otherwise(F.lit(1.0))
+        * F.when(F.col("lag") <= 2, F.col("f2")).otherwise(F.lit(1.0))
+    )
+    # per-lag terms (sigma_j^2 / f_j^2) * (1/Chat_ij + 1/S_j),
+    # included when the cohort still develops through lag j
+    chat_j0 = cd
+    chat_j1 = F.when(F.col("lag") == 1, cd).otherwise(cd * F.col("f0"))
+    chat_j2 = F.when(F.col("lag") == 2, cd).when(
+        F.col("lag") == 1, cd * F.col("f1")
+    ).otherwise(cd * F.col("f0") * F.col("f1"))
+    term0 = F.when(
+        F.col("lag") <= 0,
+        F.col("s20")
+        / (F.col("f0") * F.col("f0"))
+        * (1.0 / chat_j0 + 1.0 / F.col("den0").cast("double")),
+    ).otherwise(F.lit(0.0))
+    term1 = F.when(
+        F.col("lag") <= 1,
+        F.col("s21")
+        / (F.col("f1") * F.col("f1"))
+        * (1.0 / chat_j1 + 1.0 / F.col("den1").cast("double")),
+    ).otherwise(F.lit(0.0))
+    term2 = F.when(
+        F.col("lag") <= 2,
+        s22
+        / (F.col("f2") * F.col("f2"))
+        * (1.0 / chat_j2 + 1.0 / F.col("den2").cast("double")),
+    ).otherwise(F.lit(0.0))
+    mse = ult * ult * (term0 + term1 + term2)
+    return j.select(
+        F.col("cohort").cast("long").alias("cohort"),
+        F.col("c").cast("long").alias("latest_cum"),
+        F.floor(ult * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "ultimate_e4"
+        ),
+        F.floor(F.sqrt(mse) * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("mack_se_e4"),
+    ).orderBy("cohort")
+
+
+SQL_MACK = f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+), first AS (
+  SELECT user_id, min(day) AS d0 FROM ev GROUP BY 1
+), t AS (
+  SELECT CAST(e.user_id % 4 AS INT) AS cohort,
+         CAST(floor((e.day - f.d0) / 7.0) AS INT) AS lag
+  FROM ev e
+  JOIN first f ON f.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND floor((e.day - f.d0) / 7.0) <= 3
+), inc AS (
+  SELECT cohort, lag, count(*) AS x FROM t GROUP BY 1, 2
+), cum0 AS (
+  SELECT cohort, lag,
+         CAST(sum(x) OVER (PARTITION BY cohort ORDER BY lag
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS c
+  FROM inc
+), cum AS (
+  SELECT * FROM cum0 WHERE lag <= 3 - cohort
+), fpairs AS (
+  SELECT a.cohort AS ci, a.lag AS lj, a.c AS cj, b.c AS cj2
+  FROM cum a JOIN cum b
+    ON b.cohort = a.cohort AND b.lag = a.lag + 1
+), f AS (
+  SELECT lj, CAST(sum(cj2) AS BIGINT) AS num,
+         CAST(sum(cj) AS BIGINT) AS den,
+         count(*) AS nj,
+         CAST(sum(cj2) AS DOUBLE) / sum(cj) AS f
+  FROM fpairs GROUP BY 1
+), sig AS (
+  SELECT fp.lj,
+         CAST(floor(fp.cj
+                    * (CAST(fp.cj2 AS DOUBLE) / fp.cj - f.f)
+                    * (CAST(fp.cj2 AS DOUBLE) / fp.cj - f.f) * 1e6
+                    + {_OFF}) AS BIGINT) AS t6
+  FROM fpairs fp JOIN f ON f.lj = fp.lj
+), s2 AS (
+  SELECT lj, CASE WHEN count(*) >= 2
+                  THEN CAST(sum(t6) AS DOUBLE) / 1e6 / (count(*) - 1.0)
+                  ELSE NULL END AS s2
+  FROM sig GROUP BY 1
+), scal AS (
+  SELECT
+    (SELECT f FROM f WHERE lj = 0) AS f0,
+    (SELECT f FROM f WHERE lj = 1) AS f1,
+    (SELECT f FROM f WHERE lj = 2) AS f2,
+    (SELECT den FROM f WHERE lj = 0) AS den0,
+    (SELECT den FROM f WHERE lj = 1) AS den1,
+    (SELECT den FROM f WHERE lj = 2) AS den2,
+    (SELECT s2 FROM s2 WHERE lj = 0) AS s20,
+    (SELECT s2 FROM s2 WHERE lj = 1) AS s21
+), latest AS (
+  SELECT * FROM cum WHERE lag = 3 - cohort
+), jj AS (
+  SELECT l.cohort, l.lag, l.c, s.*,
+         least(s.s21 * s.s21 / s.s20, s.s20, s.s21) AS s22,
+         l.c * (CASE WHEN l.lag <= 0 THEN s.f0 ELSE 1.0 END)
+             * (CASE WHEN l.lag <= 1 THEN s.f1 ELSE 1.0 END)
+             * (CASE WHEN l.lag <= 2 THEN s.f2 ELSE 1.0 END) AS ult,
+         CAST(l.c AS DOUBLE) AS chat_j0,
+         CASE WHEN l.lag = 1 THEN CAST(l.c AS DOUBLE)
+              ELSE l.c * s.f0 END AS chat_j1,
+         CASE WHEN l.lag = 2 THEN CAST(l.c AS DOUBLE)
+              WHEN l.lag = 1 THEN l.c * s.f1
+              ELSE l.c * s.f0 * s.f1 END AS chat_j2
+  FROM latest l, scal s
+), m AS (
+  SELECT cohort, c, ult,
+         ult * ult *
+         ((CASE WHEN lag <= 0
+                THEN s20 / (f0 * f0)
+                     * (1.0 / chat_j0 + 1.0 / den0)
+                ELSE 0.0 END)
+          + (CASE WHEN lag <= 1
+                  THEN s21 / (f1 * f1)
+                       * (1.0 / chat_j1 + 1.0 / den1)
+                  ELSE 0.0 END)
+          + (CASE WHEN lag <= 2
+                  THEN s22 / (f2 * f2)
+                       * (1.0 / chat_j2 + 1.0 / den2)
+                  ELSE 0.0 END)) AS mse
+  FROM jj
+)
+SELECT CAST(cohort AS BIGINT) AS cohort,
+       CAST(c AS BIGINT) AS latest_cum,
+       CAST(floor(ult * 10000 + {_OFF}) AS BIGINT) AS ultimate_e4,
+       CAST(floor(sqrt(mse) * 10000 + {_OFF}) AS BIGINT)
+         AS mack_se_e4
+FROM m
+ORDER BY cohort
+"""
+
+QUERIES["mack_chain_ladder_se"] = q_mack_chain_ladder_se
+ORACLE_SQL["mack_chain_ladder_se"] = SQL_MACK
+
+
+# ---------------------------------------------------------------------------
+# woe_information_value — Weight of Evidence / Information Value of
+# the click-activity band for predicting heavy purchasers
+# ---------------------------------------------------------------------------
+# Good = user's purchase count >= the per-user median purchase count
+# (median via the count-domain cumulative); predictor bands = fixed
+# click-count thresholds (scalable — no global ntile).  WoE_b =
+# ln((good_b + 0.5)/(G + 0.5) / ((bad_b + 0.5)/(B + 0.5))) with
+# Laplace smoothing; IV = sum (good_b/G - bad_b/B) WoE_b, terms
+# e9-floored before the cross-band sum.
+
+
+def q_woe_information_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    peru = ev.groupBy("user_id").agg(
+        F.sum(
+            (F.col("event_type") == "purchase").cast("long")
+        ).alias("np"),
+        F.sum((F.col("event_type") == "click").cast("long")).alias(
+            "nc"
+        ),
+    )
+    pc = peru.groupBy("np").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.orderBy("np")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = pc.withColumn("cumv", F.sum("c").over(w)).crossJoin(
+        F.broadcast(pc.agg(F.sum("c").alias("n")))
+    )
+    med = cum.filter(2 * F.col("cumv") >= F.col("n")).agg(
+        F.min("np").alias("med")
+    )
+    lab = peru.crossJoin(F.broadcast(med)).select(
+        "user_id",
+        "nc",
+        (F.col("np") >= F.col("med")).cast("long").alias("good"),
+    )
+    band = (
+        F.when(F.col("nc") < 5, F.lit("b0_lt5"))
+        .when(F.col("nc") < 10, F.lit("b1_5to9"))
+        .when(F.col("nc") < 15, F.lit("b2_10to14"))
+        .when(F.col("nc") < 20, F.lit("b3_15to19"))
+        .otherwise(F.lit("b4_ge20"))
+    )
+    cell = lab.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("good").alias("g"),
+        F.sum(1 - F.col("good")).alias("bd"),
+    )
+    tot = cell.agg(
+        F.sum("g").alias("gt"), F.sum("bd").alias("bt")
+    )
+    j = cell.crossJoin(F.broadcast(tot))
+    gshare = (F.col("g").cast("double") + 0.5) / (
+        F.col("gt").cast("double") + 0.5
+    )
+    bshare = (F.col("bd").cast("double") + 0.5) / (
+        F.col("bt").cast("double") + 0.5
+    )
+    woe = F.log(gshare / bshare)
+    ivterm = (
+        F.col("g").cast("double") / F.col("gt").cast("double")
+        - F.col("bd").cast("double") / F.col("bt").cast("double")
+    ) * woe
+    j = j.withColumn(
+        "iv9", F.floor(ivterm * 1e9 + F.lit(_OFF)).cast("long")
+    )
+    wtot = Window.partitionBy()
+    j = j.withColumn("ivsum9", F.sum("iv9").over(wtot))
+    return j.select(
+        "band",
+        F.col("n").cast("long").alias("n_users"),
+        F.col("g").cast("long").alias("n_good"),
+        F.floor(woe * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "woe_e6"
+        ),
+        F.col("iv9").alias("iv_term_e9"),
+        F.col("ivsum9").alias("iv_total_e9"),
+    ).orderBy("band")
+
+
+SQL_WOE = f"""
+WITH peru AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS np,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nc
+  FROM events GROUP BY 1
+), pc AS (
+  SELECT np, CAST(count(*) AS BIGINT) AS c FROM peru GROUP BY 1
+), cum AS (
+  SELECT *,
+         CAST(sum(c) OVER (ORDER BY np
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cumv,
+         CAST(sum(c) OVER () AS BIGINT) AS n
+  FROM pc
+), med AS (
+  SELECT min(np) AS med FROM cum WHERE 2 * cumv >= n
+), lab AS (
+  SELECT p.user_id, p.nc,
+         CASE WHEN p.np >= m.med THEN 1 ELSE 0 END AS good
+  FROM peru p, med m
+), cell AS (
+  SELECT CASE WHEN nc < 5 THEN 'b0_lt5'
+              WHEN nc < 10 THEN 'b1_5to9'
+              WHEN nc < 15 THEN 'b2_10to14'
+              WHEN nc < 20 THEN 'b3_15to19'
+              ELSE 'b4_ge20' END AS band,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(good) AS BIGINT) AS g,
+         CAST(sum(1 - good) AS BIGINT) AS bd
+  FROM lab GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(g) AS BIGINT) AS gt, CAST(sum(bd) AS BIGINT) AS bt
+  FROM cell
+), j AS (
+  SELECT c.*, t.gt, t.bt,
+         ln(((c.g + 0.5) / (t.gt + 0.5))
+            / ((c.bd + 0.5) / (t.bt + 0.5))) AS woe,
+         CAST(floor((CAST(c.g AS DOUBLE) / t.gt
+                     - CAST(c.bd AS DOUBLE) / t.bt)
+                    * ln(((c.g + 0.5) / (t.gt + 0.5))
+                         / ((c.bd + 0.5) / (t.bt + 0.5))) * 1e9
+                    + {_OFF}) AS BIGINT) AS iv9
+  FROM cell c, tot t
+)
+SELECT band, n AS n_users, g AS n_good,
+       CAST(floor(woe * 1000000 + {_OFF}) AS BIGINT) AS woe_e6,
+       iv9 AS iv_term_e9,
+       CAST(sum(iv9) OVER () AS BIGINT) AS iv_total_e9
+FROM j
+ORDER BY band
+"""
+
+QUERIES["woe_information_value"] = q_woe_information_value
+ORACLE_SQL["woe_information_value"] = SQL_WOE
