@@ -3022,3 +3022,100 @@ ORDER BY band
 
 QUERIES["woe_information_value"] = q_woe_information_value
 ORACLE_SQL["woe_information_value"] = SQL_WOE
+
+
+# ===========================================================================
+# Battery X — sequential kernels (rows-only + pytest pins, the lz76
+# posture): Hodrick-Prescott trend/cycle split, Sakoe-Chiba DTW of
+# diel profiles against the global profile, and 2-state Viterbi
+# regime decoding.  Not SQL-expressible (pentadiagonal solve /
+# data-dependent DP), so no oracle twins; exactness pinned by
+# tests/test_seqkernels.py.
+# ===========================================================================
+
+
+def q_hp_filter_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.seqkernels import hp_filter_frame
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.avg("value").alias("y"))
+    out = hp_filter_frame(daily, "event_type", "day", "y", lam=1600.0)
+    return out.select(
+        "event_type",
+        "n",
+        F.round("trend_var", 4).alias("trend_var"),
+        F.round("cycle_var", 4).alias("cycle_var"),
+        F.round("smoothness", 6).alias("smoothness"),
+    ).orderBy("event_type")
+
+
+QUERIES["hp_filter_trend"] = q_hp_filter_trend
+
+
+def q_dtw_diel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.seqkernels import dtw_profile_frame
+    import numpy as np
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    prof = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    ref_rows = (
+        ev.groupBy(F.hour("ts").cast("long").alias("h"))
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .orderBy("h")
+        .collect()
+    )  # 24 rows
+    ref = np.array([r["c"] for r in ref_rows])
+    out = dtw_profile_frame(prof, "event_type", "h", "c", ref, r=3)
+    return out.select(
+        "event_type",
+        "n",
+        F.round("dtw", 4).alias("dtw"),
+        F.round("euclid", 4).alias("euclid"),
+    ).orderBy("event_type")
+
+
+QUERIES["dtw_diel_profile"] = q_dtw_diel_profile
+
+
+def q_viterbi_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.seqkernels import viterbi_regimes_frame
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wn = Window.partitionBy("event_type")
+    med = daily.withColumn(
+        "medc",
+        F.expr("percentile_approx(c, 0.5)").over(wn),
+    )
+    bits = med.select(
+        "event_type",
+        "day",
+        (F.col("c") > F.col("medc")).cast("int").alias("bit"),
+    )
+    out = viterbi_regimes_frame(bits, "event_type", "day", "bit")
+    return out.select(
+        "event_type",
+        "n",
+        "n_switches",
+        F.round("frac_high", 4).alias("frac_high"),
+    ).orderBy("event_type")
+
+
+QUERIES["viterbi_regimes"] = q_viterbi_regimes
