@@ -3119,3 +3119,412 @@ def q_viterbi_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["viterbi_regimes"] = q_viterbi_regimes
+
+
+# ===========================================================================
+# Battery Y — health-econometrics & exact ratio inference: the
+# two-part (hurdle) spend model with Duan smearing, Fieller's exact
+# ratio-of-means interval, and the Brown-Mood median test.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# two_part_duan — two-part model of per-user daily spend: P(any
+# purchase) x E[amount | any] with Duan's (1983) nonparametric
+# smearing retransformation for the log-normal part
+# ---------------------------------------------------------------------------
+# Part 1: share of (user, day) cells with any purchase.  Part 2: on
+# purchase cells, regress nothing (intercept-only log model): mu =
+# mean ln(amount), smear = mean exp(ln a - mu); E = p * exp(mu) *
+# smear.  ln/exp terms collapse to the distinct centi-amount domain
+# and are e9-floored.
+
+
+def q_two_part_duan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cells = ev.groupBy(
+        "event_type",
+        "user_id",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+        ).alias("amt"),
+    )
+    # "purchase" semantics: treat each type's own events as spend;
+    # a cell is active when amt > 0
+    allcells = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("nu"),
+        (F.max(
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                / 86_400_000_000
+            )
+        ) - F.min(
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                / 86_400_000_000
+            )
+        ) + 1).alias("ndays"),
+    )
+    act = cells.filter(F.col("amt") > 0)
+    dom = act.groupBy("event_type", "amt").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    lnv = F.log(F.col("amt").cast("double") / 100.0)
+    dom = dom.withColumn(
+        "ln9",
+        F.floor(lnv * F.col("c").cast("double") * 1e9 + F.lit(_OFF))
+        .cast("long"),
+    )
+    mom = dom.groupBy("event_type").agg(
+        F.sum("c").alias("n_act"),
+        F.sum("ln9").alias("sln9"),
+    )
+    mu = F.col("sln9").cast("double") / 1e9 / F.col("n_act").cast(
+        "double"
+    )
+    mom = mom.select("event_type", "n_act", mu.alias("mu"))
+    smear = dom.join(F.broadcast(mom), "event_type").withColumn(
+        "sm9",
+        F.floor(
+            F.exp(lnv - F.col("mu"))
+            * F.col("c").cast("double")
+            * 1e9
+            + F.lit(_OFF)
+        ).cast("long"),
+    ).groupBy("event_type").agg(F.sum("sm9").alias("ssm9"))
+    out = (
+        mom.join(smear, "event_type")
+        .join(F.broadcast(allcells), "event_type")
+    )
+    total_cells = F.col("nu").cast("double") * F.col("ndays").cast(
+        "double"
+    )
+    p = F.col("n_act").cast("double") / total_cells
+    sm = F.col("ssm9").cast("double") / 1e9 / F.col("n_act").cast(
+        "double"
+    )
+    expected = p * F.exp(F.col("mu")) * sm
+    return out.select(
+        "event_type",
+        F.col("n_act").cast("long").alias("n_active_cells"),
+        F.floor(p * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "p_any_e6"
+        ),
+        F.floor(sm * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "smear_e6"
+        ),
+        F.floor(expected * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "expected_spend_e4"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_TWO_PART = f"""
+WITH cells AS (
+  SELECT event_type, user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS amt
+  FROM events GROUP BY 1, 2, 3
+), allc AS (
+  SELECT event_type,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS nu,
+         CAST(max(floor(epoch(ts) / 86400))
+              - min(floor(epoch(ts) / 86400)) + 1 AS BIGINT) AS ndays
+  FROM events GROUP BY 1
+), dom AS (
+  SELECT event_type, amt, CAST(count(*) AS BIGINT) AS c
+  FROM cells WHERE amt > 0 GROUP BY 1, 2
+), dom2 AS (
+  SELECT *,
+         CAST(floor(ln(amt / 100.0) * c * 1e9 + {_OFF})
+              AS BIGINT) AS ln9
+  FROM dom
+), mom AS (
+  SELECT event_type,
+         CAST(sum(c) AS BIGINT) AS n_act,
+         CAST(sum(ln9) AS DOUBLE) / 1e9 / sum(c) AS mu
+  FROM dom2 GROUP BY 1
+), sm AS (
+  SELECT d.event_type,
+         CAST(sum(CAST(floor(exp(ln(d.amt / 100.0) - m.mu) * d.c * 1e9
+                             + {_OFF}) AS BIGINT)) AS BIGINT) AS ssm9
+  FROM dom d JOIN mom m ON m.event_type = d.event_type
+  GROUP BY 1
+)
+SELECT m.event_type, m.n_act AS n_active_cells,
+       CAST(floor(CAST(m.n_act AS DOUBLE) / (a.nu * a.ndays) * 1000000
+                  + {_OFF}) AS BIGINT) AS p_any_e6,
+       CAST(floor(CAST(s.ssm9 AS DOUBLE) / 1e9 / m.n_act * 1000000
+                  + {_OFF}) AS BIGINT) AS smear_e6,
+       CAST(floor(CAST(m.n_act AS DOUBLE) / (a.nu * a.ndays)
+                  * exp(m.mu)
+                  * (CAST(s.ssm9 AS DOUBLE) / 1e9 / m.n_act) * 10000
+                  + {_OFF}) AS BIGINT) AS expected_spend_e4
+FROM mom m
+JOIN sm s ON s.event_type = m.event_type
+JOIN allc a ON a.event_type = m.event_type
+ORDER BY m.event_type
+"""
+
+QUERIES["two_part_duan"] = q_two_part_duan
+ORACLE_SQL["two_part_duan"] = SQL_TWO_PART
+
+
+# ---------------------------------------------------------------------------
+# fieller_ratio_ci — Fieller's (1954) exact confidence interval for
+# the ratio of day to night mean values
+# ---------------------------------------------------------------------------
+# With independent means: g = z^2 v2 / m2^2; limits =
+# (m1/m2) * [1 +- z sqrt(v1/m1^2 (1-g) + v2/m2^2) ... spelled in the
+# standard quadratic form: roots of (m2^2 - z^2 v2) r^2 - 2 m1 m2 r +
+# (m1^2 - z^2 v1) = 0.  Exact moments; z = 1.959963984540054.
+
+
+def q_fieller_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    g = ev.select(
+        "event_type",
+        F.when(F.hour("ts").between(8, 19), 1).otherwise(0).alias("grp"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "v"
+        ),
+    ).groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    day = g.filter(F.col("grp") == 1).select(
+        "event_type",
+        F.col("n").alias("n1"),
+        F.col("s").alias("s1"),
+        F.col("ss").alias("ss1"),
+    )
+    night = g.filter(F.col("grp") == 0).select(
+        "event_type",
+        F.col("n").alias("n2"),
+        F.col("s").alias("s2"),
+        F.col("ss").alias("ss2"),
+    )
+    j = day.join(night, "event_type")
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    m1 = F.col("s1").cast("double") / n1 / 100.0
+    m2 = F.col("s2").cast("double") / n2 / 100.0
+    v1 = (
+        (
+            F.col("ss1").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double")
+            / n1
+        )
+        / (n1 - 1.0)
+        / 10_000.0
+        / n1
+    )
+    v2 = (
+        (
+            F.col("ss2").cast("double")
+            - F.col("s2").cast("double") * F.col("s2").cast("double")
+            / n2
+        )
+        / (n2 - 1.0)
+        / 10_000.0
+        / n2
+    )
+    z = 1.959963984540054
+    aa = m2 * m2 - z * z * v2
+    bb = -2.0 * m1 * m2
+    cc = m1 * m1 - z * z * v1
+    disc = bb * bb - 4.0 * aa * cc
+    lo = (-bb - F.sqrt(disc)) / (2.0 * aa)
+    hi = (-bb + F.sqrt(disc)) / (2.0 * aa)
+    ratio = m1 / m2
+    return (
+        j.filter((F.col("n1") >= 3) & (F.col("n2") >= 3) & (aa > 0)
+                 & (disc > 0))
+        .select(
+            "event_type",
+            (F.col("n1") + F.col("n2")).cast("long").alias("n"),
+            F.floor(ratio * 1_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("ratio_e6"),
+            F.floor(lo * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "lo_e6"
+            ),
+            F.floor(hi * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "hi_e6"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_FIELLER = f"""
+WITH g AS (
+  SELECT event_type,
+         CASE WHEN EXTRACT(hour FROM ts) BETWEEN 8 AND 19
+              THEN 1 ELSE 0 END AS grp,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS s,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT)
+                  * CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS ss
+  FROM events GROUP BY 1, 2
+), j AS (
+  SELECT d.event_type, d.n AS n1, d.s AS s1, d.ss AS ss1,
+         x.n AS n2, x.s AS s2, x.ss AS ss2
+  FROM g d JOIN g x ON x.event_type = d.event_type
+  WHERE d.grp = 1 AND x.grp = 0
+), m AS (
+  SELECT event_type, n1, n2,
+         CAST(s1 AS DOUBLE) / n1 / 100.0 AS m1,
+         CAST(s2 AS DOUBLE) / n2 / 100.0 AS m2,
+         (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+         / (n1 - 1.0) / 10000.0 / n1 AS v1,
+         (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+         / (n2 - 1.0) / 10000.0 / n2 AS v2
+  FROM j
+), q AS (
+  SELECT event_type, n1, n2, m1, m2,
+         m2 * m2 - 1.959963984540054 * 1.959963984540054 * v2 AS aa,
+         -2.0 * m1 * m2 AS bb,
+         m1 * m1 - 1.959963984540054 * 1.959963984540054 * v1 AS cc
+  FROM m
+), r AS (
+  SELECT *, bb * bb - 4.0 * aa * cc AS disc FROM q
+)
+SELECT event_type, CAST(n1 + n2 AS BIGINT) AS n,
+       CAST(floor(m1 / m2 * 1000000 + {_OFF}) AS BIGINT) AS ratio_e6,
+       CAST(floor((-bb - sqrt(disc)) / (2.0 * aa) * 1000000 + {_OFF})
+            AS BIGINT) AS lo_e6,
+       CAST(floor((-bb + sqrt(disc)) / (2.0 * aa) * 1000000 + {_OFF})
+            AS BIGINT) AS hi_e6
+FROM r
+WHERE n1 >= 3 AND n2 >= 3 AND aa > 0 AND disc > 0
+ORDER BY event_type
+"""
+
+QUERIES["fieller_ratio_ci"] = q_fieller_ratio_ci
+ORACLE_SQL["fieller_ratio_ci"] = SQL_FIELLER
+
+
+# ---------------------------------------------------------------------------
+# brown_mood_median — the Brown-Mood median test across event types
+# ---------------------------------------------------------------------------
+# Chi-square on the k x 2 table of above/below the GRAND median
+# (lower-median convention on the pooled value domain); continuity-
+# free Pearson form with exact integer cells.
+
+
+def q_brown_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cnt = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "v"
+        ),
+    )
+    pooled = cnt.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = pooled.withColumn("cumv", F.sum("c").over(w)).crossJoin(
+        F.broadcast(pooled.agg(F.sum("c").alias("n")))
+    )
+    med = cum.filter(2 * F.col("cumv") >= F.col("n")).agg(
+        F.min("v").alias("med")
+    )
+    lab = cnt.crossJoin(F.broadcast(med)).select(
+        "event_type",
+        (F.col("v") > F.col("med")).cast("long").alias("above"),
+    )
+    cell = lab.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("above").alias("a"),
+    )
+    tot = cell.agg(
+        F.sum("n").alias("nt"),
+        F.sum("a").alias("at_"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = cell.crossJoin(F.broadcast(tot))
+    pa = F.col("at_").cast("double") / F.col("nt").cast("double")
+    ea = F.col("n").cast("double") * pa
+    eb = F.col("n").cast("double") * (1.0 - pa)
+    term = (F.col("a").cast("double") - ea) * (
+        F.col("a").cast("double") - ea
+    ) / ea + (
+        (F.col("n") - F.col("a")).cast("double") - eb
+    ) * (
+        (F.col("n") - F.col("a")).cast("double") - eb
+    ) / eb
+    j = j.withColumn(
+        "t6", F.floor(term * 1e6 + F.lit(_OFF)).cast("long")
+    )
+    agg = j.groupBy("k").agg(F.sum("t6").alias("chi6"))
+    return agg.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.floor(
+            F.col("chi6").cast("double") / 1e6 * 10_000 + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("chi2_e4"),
+    )
+
+
+SQL_BROWN_MOOD = f"""
+WITH cnt AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), pooled AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS c FROM cnt GROUP BY 1
+), cum AS (
+  SELECT *,
+         CAST(sum(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cumv,
+         CAST(sum(c) OVER () AS BIGINT) AS n
+  FROM pooled
+), med AS (
+  SELECT min(v) AS med FROM cum WHERE 2 * cumv >= n
+), cell AS (
+  SELECT c.event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN c.v > m.med THEN 1 ELSE 0 END)
+              AS BIGINT) AS a
+  FROM cnt c, med m
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(a) AS BIGINT) AS at_,
+         count(*) AS k
+  FROM cell
+), terms AS (
+  SELECT t.k,
+         CAST(floor(((c.a - c.n * (CAST(t.at_ AS DOUBLE) / t.nt))
+                     * (c.a - c.n * (CAST(t.at_ AS DOUBLE) / t.nt))
+                     / (c.n * (CAST(t.at_ AS DOUBLE) / t.nt))
+                     + ((c.n - c.a)
+                        - c.n * (1.0 - CAST(t.at_ AS DOUBLE) / t.nt))
+                       * ((c.n - c.a)
+                          - c.n * (1.0 - CAST(t.at_ AS DOUBLE) / t.nt))
+                       / (c.n * (1.0 - CAST(t.at_ AS DOUBLE) / t.nt)))
+                    * 1e6 + {_OFF}) AS BIGINT) AS t6
+  FROM cell c, tot t
+)
+SELECT CAST(k AS BIGINT) AS k_groups,
+       CAST(floor(CAST(sum(t6) AS DOUBLE) / 1e6 * 10000 + {_OFF})
+            AS BIGINT) AS chi2_e4
+FROM terms GROUP BY k
+"""
+
+QUERIES["brown_mood_median"] = q_brown_mood_median
+ORACLE_SQL["brown_mood_median"] = SQL_BROWN_MOOD
