@@ -3528,3 +3528,302 @@ FROM terms GROUP BY k
 
 QUERIES["brown_mood_median"] = q_brown_mood_median
 ORACLE_SQL["brown_mood_median"] = SQL_BROWN_MOOD
+
+
+# ===========================================================================
+# Battery Z — clinical-decision analytics: decision-curve net benefit
+# (Vickers & Elkin 2006) for the activity score, and the classical
+# 2 x 2 risk-measure panel (RR, ARD, NNT, Levin PAF) for heavy-click
+# exposure vs heavy-purchase outcome.
+# ===========================================================================
+
+
+def _user_outcome(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, nc = clicks, outcome = purchase count above the
+    cross-user lower median)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    peru = ev.groupBy("user_id").agg(
+        F.sum(
+            (F.col("event_type") == "purchase").cast("long")
+        ).alias("np"),
+        F.sum((F.col("event_type") == "click").cast("long")).alias(
+            "nc"
+        ),
+    )
+    pc = peru.groupBy("np").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("np").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = pc.withColumn("cumv", F.sum("c").over(w)).crossJoin(
+        F.broadcast(pc.agg(F.sum("c").alias("n")))
+    )
+    med = cum.filter(2 * F.col("cumv") >= F.col("n")).agg(
+        F.min("np").alias("med")
+    )
+    return peru.crossJoin(F.broadcast(med)).select(
+        "user_id",
+        "nc",
+        (F.col("np") >= F.col("med")).cast("long").alias("outcome"),
+    )
+
+
+_USER_OUTCOME_SQL = """
+peru AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS np,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nc
+  FROM events GROUP BY 1
+), pc AS (
+  SELECT np, CAST(count(*) AS BIGINT) AS c FROM peru GROUP BY 1
+), cum AS (
+  SELECT *,
+         CAST(sum(c) OVER (ORDER BY np
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cumv,
+         CAST(sum(c) OVER () AS BIGINT) AS n
+  FROM pc
+), med AS (
+  SELECT min(np) AS med FROM cum WHERE 2 * cumv >= n
+), lab AS (
+  SELECT p.user_id, p.nc,
+         CASE WHEN p.np >= m.med THEN 1 ELSE 0 END AS outcome
+  FROM peru p, med m
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# decision_curve_net_benefit — net benefit of "treat if click count
+# >= cutoff" policies at thresholds pt in {0.2, 0.4, 0.6, 0.8}
+# ---------------------------------------------------------------------------
+# NB(pt) = TP/N - FP/N * pt/(1-pt), with the classifier "treat when
+# nc >= cutoff" (cutoff = the click-count value domain); reports, per
+# threshold, the best cutoff's net benefit vs treat-all and the best
+# cutoff — cumulative counts over the click-count domain, exact ints.
+
+
+def q_decision_curve_net_benefit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    lab = _user_outcome(spark, sf_dir)
+    dom = lab.groupBy("nc").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("outcome").alias("o"),
+    )
+    w = Window.orderBy(F.col("nc").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        dom.withColumn("tp", F.sum("o").over(w))
+        .withColumn("treat", F.sum("m").over(w))
+        .crossJoin(
+            F.broadcast(
+                dom.agg(
+                    F.sum("m").alias("n"),
+                    F.sum("o").alias("pos"),
+                )
+            )
+        )
+    )
+    th = lab.sparkSession.createDataFrame(
+        [(2, 8), (4, 6), (6, 4), (8, 2)], ["ptn", "ptd"]
+    )  # pt = ptn/10, pt/(1-pt) = ptn/ptd
+    jc = cum.crossJoin(F.broadcast(th))
+    nd = F.col("n").cast("double")
+    nb = (
+        F.col("tp").cast("double")
+        - (F.col("treat") - F.col("tp")).cast("double")
+        * F.col("ptn").cast("double")
+        / F.col("ptd").cast("double")
+    ) / nd
+    jc = jc.withColumn(
+        "nb9", F.floor(nb * 1e9 + F.lit(_OFF)).cast("long")
+    )
+    best = jc.groupBy("ptn", "ptd", "n", "pos").agg(
+        F.max_by(
+            F.struct(F.col("nc"), F.col("nb9")),
+            F.struct(F.col("nb9"), -F.col("nc")),
+        ).alias("b")
+    )
+    treat_all = (
+        F.col("pos").cast("double")
+        - (F.col("n") - F.col("pos")).cast("double")
+        * F.col("ptn").cast("double")
+        / F.col("ptd").cast("double")
+    ) / F.col("n").cast("double")
+    return best.select(
+        (F.col("ptn").cast("double") / 10.0 * 100)
+        .cast("long")
+        .alias("pt_pct"),
+        F.col("b.nc").cast("long").alias("best_cutoff"),
+        F.floor(
+            F.col("b.nb9").cast("double") / 1e9 * 1_000_000
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("net_benefit_e6"),
+        F.floor(treat_all * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("treat_all_e6"),
+    ).orderBy("pt_pct")
+
+
+SQL_DECISION_CURVE = f"""
+WITH {_USER_OUTCOME_SQL.strip()}
+, dom AS (
+  SELECT nc, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(outcome) AS BIGINT) AS o
+  FROM lab GROUP BY 1
+), dcum AS (
+  SELECT *,
+         CAST(sum(o) OVER (ORDER BY nc DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS tp,
+         CAST(sum(m) OVER (ORDER BY nc DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS treat,
+         CAST(sum(m) OVER () AS BIGINT) AS n,
+         CAST(sum(o) OVER () AS BIGINT) AS pos
+  FROM dom
+), th AS (
+  SELECT * FROM (VALUES (2, 8), (4, 6), (6, 4), (8, 2)) t(ptn, ptd)
+), scored AS (
+  SELECT c.nc, t.ptn, t.ptd, c.n, c.pos,
+         CAST(floor((c.tp - (c.treat - CAST(c.tp AS DOUBLE))
+                            * t.ptn / t.ptd) / c.n * 1e9 + {_OFF})
+              AS BIGINT) AS nb9
+  FROM dcum c, th t
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY ptn
+                               ORDER BY nb9 DESC, nc ASC) AS r
+  FROM scored
+)
+SELECT CAST(ptn * 10 AS BIGINT) AS pt_pct,
+       CAST(nc AS BIGINT) AS best_cutoff,
+       CAST(floor(CAST(nb9 AS DOUBLE) / 1e9 * 1000000 + {_OFF})
+            AS BIGINT) AS net_benefit_e6,
+       CAST(floor((pos - (n - CAST(pos AS DOUBLE)) * ptn / ptd)
+                  / n * 1000000 + {_OFF}) AS BIGINT) AS treat_all_e6
+FROM rk WHERE r = 1
+ORDER BY pt_pct
+"""
+
+QUERIES["decision_curve_net_benefit"] = q_decision_curve_net_benefit
+ORACLE_SQL["decision_curve_net_benefit"] = SQL_DECISION_CURVE
+
+
+# ---------------------------------------------------------------------------
+# risk_measures_2x2 — RR, ARD, NNT, and Levin's population
+# attributable fraction for heavy-click exposure vs heavy-purchase
+# outcome
+# ---------------------------------------------------------------------------
+# Exposure = click count above the cross-user click lower median.
+# RR = (a/(a+b)) / (c/(c+d)); ARD = risk_e - risk_u; NNT = 1/|ARD|;
+# PAF = p_e (RR - 1) / (1 + p_e (RR - 1)).  Exact 2 x 2 integers.
+
+
+def q_risk_measures_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab = _user_outcome(spark, sf_dir)
+    ncdom = lab.groupBy("nc").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("nc").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = ncdom.withColumn("cumv", F.sum("c").over(w)).crossJoin(
+        F.broadcast(ncdom.agg(F.sum("c").alias("n")))
+    )
+    cmed = cum.filter(2 * F.col("cumv") >= F.col("n")).agg(
+        F.min("nc").alias("cmed")
+    )
+    t = lab.crossJoin(F.broadcast(cmed)).select(
+        (F.col("nc") >= F.col("cmed")).cast("long").alias("exp_"),
+        "outcome",
+    )
+    cell = t.agg(
+        F.sum(F.col("exp_") * F.col("outcome")).alias("a"),
+        F.sum(F.col("exp_") * (1 - F.col("outcome"))).alias("b"),
+        F.sum((1 - F.col("exp_")) * F.col("outcome")).alias("c"),
+        F.sum((1 - F.col("exp_")) * (1 - F.col("outcome"))).alias("d"),
+    )
+    a = F.col("a").cast("double")
+    b = F.col("b").cast("double")
+    c = F.col("c").cast("double")
+    d = F.col("d").cast("double")
+    re = a / (a + b)
+    ru = c / (c + d)
+    rr = re / ru
+    ard = re - ru
+    nnt = 1.0 / F.abs(ard)
+    pe = (a + b) / (a + b + c + d)
+    paf = pe * (rr - 1.0) / (1.0 + pe * (rr - 1.0))
+    return cell.filter(
+        (F.col("a") + F.col("b") > 0)
+        & (F.col("c") + F.col("d") > 0)
+        & (F.col("c") > 0)
+    ).select(
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d"))
+        .cast("long")
+        .alias("n"),
+        F.floor(rr * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "rr_e6"
+        ),
+        F.floor(ard * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "ard_e6"
+        ),
+        F.floor(nnt * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "nnt_e4"
+        ),
+        F.floor(paf * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "paf_e6"
+        ),
+    )
+
+
+SQL_RISK_2X2 = f"""
+WITH {_USER_OUTCOME_SQL.strip()}
+, ncdom AS (
+  SELECT nc, CAST(count(*) AS BIGINT) AS c FROM lab GROUP BY 1
+), cum2 AS (
+  SELECT *,
+         CAST(sum(c) OVER (ORDER BY nc
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cumv,
+         CAST(sum(c) OVER () AS BIGINT) AS n
+  FROM ncdom
+), cmed AS (
+  SELECT min(nc) AS cmed FROM cum2 WHERE 2 * cumv >= n
+), t AS (
+  SELECT CASE WHEN l.nc >= m.cmed THEN 1 ELSE 0 END AS exp_,
+         l.outcome
+  FROM lab l, cmed m
+), cell AS (
+  SELECT CAST(sum(exp_ * outcome) AS BIGINT) AS a,
+         CAST(sum(exp_ * (1 - outcome)) AS BIGINT) AS b,
+         CAST(sum((1 - exp_) * outcome) AS BIGINT) AS c,
+         CAST(sum((1 - exp_) * (1 - outcome)) AS BIGINT) AS d
+  FROM t
+)
+SELECT CAST(a + b + c + d AS BIGINT) AS n,
+       CAST(floor((CAST(a AS DOUBLE) / (a + b))
+                  / (CAST(c AS DOUBLE) / (c + d)) * 1000000 + {_OFF})
+            AS BIGINT) AS rr_e6,
+       CAST(floor((CAST(a AS DOUBLE) / (a + b)
+                   - CAST(c AS DOUBLE) / (c + d)) * 1000000 + {_OFF})
+            AS BIGINT) AS ard_e6,
+       CAST(floor(1.0 / abs(CAST(a AS DOUBLE) / (a + b)
+                            - CAST(c AS DOUBLE) / (c + d)) * 10000
+                  + {_OFF}) AS BIGINT) AS nnt_e4,
+       CAST(floor(((CAST(a AS DOUBLE) + b) / (a + b + c + d)
+                   * ((CAST(a AS DOUBLE) / (a + b))
+                      / (CAST(c AS DOUBLE) / (c + d)) - 1.0))
+                  / (1.0 + (CAST(a AS DOUBLE) + b) / (a + b + c + d)
+                           * ((CAST(a AS DOUBLE) / (a + b))
+                              / (CAST(c AS DOUBLE) / (c + d)) - 1.0))
+                  * 1000000 + {_OFF}) AS BIGINT) AS paf_e6
+FROM cell
+WHERE a + b > 0 AND c + d > 0 AND c > 0
+"""
+
+QUERIES["risk_measures_2x2"] = q_risk_measures_2x2
+ORACLE_SQL["risk_measures_2x2"] = SQL_RISK_2X2
