@@ -3827,3 +3827,266 @@ WHERE a + b > 0 AND c + d > 0 AND c > 0
 
 QUERIES["risk_measures_2x2"] = q_risk_measures_2x2
 ORACLE_SQL["risk_measures_2x2"] = SQL_RISK_2X2
+
+
+# ===========================================================================
+# Battery AA — experiment design & forecast validation: post-hoc
+# power / required-n analysis at the observed day-night effect, and
+# Hyndman rolling-origin cross-validation of the seasonal-naive
+# forecaster.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# power_analysis — power of the two-sample z test at the observed
+# standardized effect, and the n per arm for 80% power
+# ---------------------------------------------------------------------------
+# power = Phi(|d| sqrt(nh/2) - z_a) with nh the harmonic mean arm
+# size; n80 = 2 (z_a + z_b)^2 / d^2 (z_a = 1.959963984540054,
+# z_b = 0.8416212335729143).  d from exact moments; Phi via the
+# sign-folded A&S erf twin.
+
+
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats16 import _erf
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    g = ev.select(
+        "event_type",
+        F.when(F.hour("ts").between(8, 19), 1).otherwise(0).alias("grp"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "v"
+        ),
+    ).groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    day = g.filter(F.col("grp") == 1).select(
+        "event_type",
+        F.col("n").alias("n1"),
+        F.col("s").alias("s1"),
+        F.col("ss").alias("ss1"),
+    )
+    night = g.filter(F.col("grp") == 0).select(
+        "event_type",
+        F.col("n").alias("n2"),
+        F.col("s").alias("s2"),
+        F.col("ss").alias("ss2"),
+    )
+    j = day.join(night, "event_type")
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    m1 = F.col("s1").cast("double") / n1 / 100.0
+    m2 = F.col("s2").cast("double") / n2 / 100.0
+    v1 = (
+        (
+            F.col("ss1").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double") / n1
+        )
+        / (n1 - 1.0)
+        / 10_000.0
+    )
+    v2 = (
+        (
+            F.col("ss2").cast("double")
+            - F.col("s2").cast("double") * F.col("s2").cast("double") / n2
+        )
+        / (n2 - 1.0)
+        / 10_000.0
+    )
+    sp = F.sqrt(
+        ((n1 - 1.0) * v1 + (n2 - 1.0) * v2) / (n1 + n2 - 2.0)
+    )
+    d = F.abs(m1 - m2) / sp
+    nh = 2.0 * n1 * n2 / (n1 + n2)
+    za = 1.959963984540054
+    zb = 0.8416212335729143
+    zz = d * F.sqrt(nh / 2.0) - F.lit(za)
+    power = F.when(
+        zz >= 0, 0.5 * (1.0 + _erf(zz * 0.7071067811865476))
+    ).otherwise(0.5 * (1.0 - _erf(-zz * 0.7071067811865476)))
+    n80 = 2.0 * (za + zb) * (za + zb) / (d * d)
+    return (
+        j.filter((F.col("n1") >= 3) & (F.col("n2") >= 3) & (d > 0))
+        .select(
+            "event_type",
+            (F.col("n1") + F.col("n2")).cast("long").alias("n"),
+            F.floor(d * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "d_e6"
+            ),
+            F.floor(power * 1_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("power_e6"),
+            F.ceil(n80).cast("long").alias("n80_per_arm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _power_sql() -> str:
+    from diive_spark.queries_stats16 import _erf_sql
+
+    z = "(d * sqrt(nh / 2.0) - 1.959963984540054)"
+    phi = (
+        f"CASE WHEN {z} >= 0"
+        f" THEN 0.5 * (1.0 + {_erf_sql(z + ' * 0.7071067811865476')})"
+        f" ELSE 0.5 * (1.0 - {_erf_sql('-' + z + ' * 0.7071067811865476')})"
+        f" END"
+    )
+    return f"""
+WITH g AS (
+  SELECT event_type,
+         CASE WHEN EXTRACT(hour FROM ts) BETWEEN 8 AND 19
+              THEN 1 ELSE 0 END AS grp,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS s,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT)
+                  * CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS ss
+  FROM events GROUP BY 1, 2
+), j AS (
+  SELECT d.event_type,
+         d.n AS n1, d.s AS s1, d.ss AS ss1,
+         x.n AS n2, x.s AS s2, x.ss AS ss2
+  FROM g d JOIN g x ON x.event_type = d.event_type
+  WHERE d.grp = 1 AND x.grp = 0
+), m AS (
+  SELECT event_type, n1, n2,
+         abs(CAST(s1 AS DOUBLE) / n1 / 100.0
+             - CAST(s2 AS DOUBLE) / n2 / 100.0)
+         / sqrt((((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                  / (n1 - 1.0) / 10000.0) * (n1 - 1.0)
+                 + ((CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+                    / (n2 - 1.0) / 10000.0) * (n2 - 1.0))
+                / (n1 + n2 - 2.0)) AS d,
+         2.0 * n1 * n2 / (n1 + CAST(n2 AS DOUBLE)) AS nh
+  FROM j
+  WHERE n1 >= 3 AND n2 >= 3
+), f AS (
+  SELECT * FROM m WHERE d > 0
+)
+SELECT event_type, CAST(n1 + n2 AS BIGINT) AS n,
+       CAST(floor(d * 1000000 + {_OFF}) AS BIGINT) AS d_e6,
+       CAST(floor({phi} * 1000000 + {_OFF}) AS BIGINT) AS power_e6,
+       CAST(ceil(2.0 * (1.959963984540054 + 0.8416212335729143)
+                 * (1.959963984540054 + 0.8416212335729143)
+                 / (d * d)) AS BIGINT) AS n80_per_arm
+FROM f
+ORDER BY event_type
+"""
+
+
+QUERIES["power_analysis"] = q_power_analysis
+ORACLE_SQL["power_analysis"] = _power_sql()
+
+
+# ---------------------------------------------------------------------------
+# rolling_origin_cv — Hyndman-style rolling-origin evaluation of the
+# seasonal-naive (lag-7) daily forecaster
+# ---------------------------------------------------------------------------
+# Three expanding origins at 60/70/80% of each type's span; each fold
+# scores the next 7 days with |y_d - y_{d-7}| (exact integer daily
+# means).  Reports per (type, fold): n_scored, MAE; a final row per
+# type would be a second agg — kept per-fold for inspectability.
+
+
+def q_rolling_origin_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.floor(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    d = daily.withColumn("yl7", F.lag("y", 7).over(wo))
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("dmin"), F.max("day").alias("dmax")
+    )
+    folds = d.sparkSession.createDataFrame(
+        [(1, 6), (2, 7), (3, 8)], ["fold", "tenths"]
+    )
+    j = d.join(F.broadcast(bounds), "event_type").crossJoin(
+        F.broadcast(folds)
+    )
+    span = (F.col("dmax") - F.col("dmin") + 1).cast("double")
+    origin = F.col("dmin") + F.floor(
+        span * F.col("tenths").cast("double") / 10.0
+    ).cast("long")
+    scored = j.filter(
+        (F.col("day") >= origin)
+        & (F.col("day") < origin + 7)
+        & F.col("yl7").isNotNull()
+    )
+    agg = scored.groupBy("event_type", "fold").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(F.abs(F.col("y") - F.col("yl7"))).alias("sae"),
+    )
+    mae = (
+        F.col("sae").cast("double")
+        / F.col("n_scored").cast("double")
+        / 100.0
+    )
+    return agg.select(
+        "event_type",
+        F.col("fold").cast("long").alias("fold"),
+        F.col("n_scored").cast("long").alias("n_scored"),
+        F.floor(mae * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "mae_e4"
+        ),
+    ).orderBy("event_type", "fold")
+
+
+SQL_ROLLING_CV = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF})
+                                  AS BIGINT)) AS DOUBLE)
+                    / count(*) + {_OFF}) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT *,
+         lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS yl7
+  FROM daily
+), bounds AS (
+  SELECT event_type, min(day) AS dmin, max(day) AS dmax
+  FROM daily GROUP BY 1
+), folds AS (
+  SELECT * FROM (VALUES (1, 6), (2, 7), (3, 8)) t(fold, tenths)
+), scored AS (
+  SELECT d.event_type, f.fold, d.y, d.yl7
+  FROM d
+  JOIN bounds b ON b.event_type = d.event_type
+  CROSS JOIN folds f
+  WHERE d.day >= b.dmin + CAST(floor((b.dmax - b.dmin + 1.0)
+                                     * f.tenths / 10.0) AS BIGINT)
+    AND d.day < b.dmin + CAST(floor((b.dmax - b.dmin + 1.0)
+                                    * f.tenths / 10.0) AS BIGINT) + 7
+    AND d.yl7 IS NOT NULL
+)
+SELECT event_type, CAST(fold AS BIGINT) AS fold,
+       CAST(count(*) AS BIGINT) AS n_scored,
+       CAST(floor(CAST(sum(abs(y - yl7)) AS DOUBLE) / count(*)
+                  / 100.0 * 10000 + {_OFF}) AS BIGINT) AS mae_e4
+FROM scored
+GROUP BY 1, 2
+ORDER BY event_type, fold
+"""
+
+QUERIES["rolling_origin_cv"] = q_rolling_origin_cv
+ORACLE_SQL["rolling_origin_cv"] = SQL_ROLLING_CV
