@@ -4090,3 +4090,218 @@ ORDER BY event_type, fold
 
 QUERIES["rolling_origin_cv"] = q_rolling_origin_cv
 ORACLE_SQL["rolling_origin_cv"] = SQL_ROLLING_CV
+
+
+# ===========================================================================
+# Battery AB — directed-graph motifs on the event-type transition
+# graph (triad census), and balanced repeated replication variance
+# (survey statistics).
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# triad_census_transitions — transitive vs cyclic triads in the
+# binarized type-transition digraph
+# ---------------------------------------------------------------------------
+# Edges: i -> j present iff the per-user consecutive-event transition
+# count exceeds the uniform expectation (total off-diagonal / 20).
+# Over the 60 ordered distinct triples: transitive = (i->j, j->k,
+# i->k); cyclic = (i->j, j->k, k->i) counted once per unordered
+# cycle (divide by 3).  The graph is k x k — everything after the
+# transition agg is constant-size.
+
+
+def q_triad_census_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .filter(F.col("nxt") != F.col("event_type"))
+        .groupBy(
+            F.col("event_type").alias("i"), F.col("nxt").alias("j")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = pairs.agg(
+        F.sum("c").alias("ct"), F.count(F.lit(1)).alias("ne")
+    )
+    edges = pairs.crossJoin(F.broadcast(tot)).filter(
+        F.col("c").cast("double") * 20.0 > F.col("ct").cast("double")
+    ).select("i", "j")
+    e1 = edges
+    e2 = edges.select(
+        F.col("i").alias("j"), F.col("j").alias("k")
+    )
+    e3t = edges.select(
+        F.col("i").alias("i2"), F.col("j").alias("k2")
+    )
+    two = e1.join(e2, "j").filter(F.col("i") != F.col("k"))
+    trans = two.join(
+        e3t,
+        (F.col("i2") == F.col("i")) & (F.col("k2") == F.col("k")),
+    ).count()
+    e3c = edges.select(
+        F.col("i").alias("k3"), F.col("j").alias("i3")
+    )
+    cyc = two.join(
+        e3c,
+        (F.col("k3") == F.col("k")) & (F.col("i3") == F.col("i")),
+    ).count()
+    nedges = edges.count()
+    rows = [(int(nedges), int(trans), int(cyc) // 3)]
+    return spark.createDataFrame(
+        rows, "n_edges long, n_transitive long, n_cyclic long"
+    )
+
+
+SQL_TRIADS = """
+WITH seq AS (
+  SELECT event_type AS i,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS j
+  FROM events
+), pairs AS (
+  SELECT i, j, CAST(count(*) AS BIGINT) AS c
+  FROM seq WHERE j IS NOT NULL AND j <> i GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS ct FROM pairs
+), edges AS (
+  SELECT p.i, p.j FROM pairs p, tot t
+  WHERE CAST(p.c AS DOUBLE) * 20.0 > t.ct
+), two AS (
+  SELECT a.i, a.j, b.j AS k
+  FROM edges a JOIN edges b ON b.i = a.j
+  WHERE a.i <> b.j
+), counts AS (
+  SELECT
+    (SELECT count(*) FROM edges) AS n_edges,
+    (SELECT count(*) FROM two t
+      JOIN edges e ON e.i = t.i AND e.j = t.k) AS n_trans,
+    (SELECT count(*) FROM two t
+      JOIN edges e ON e.i = t.k AND e.j = t.i) AS n_cyc
+)
+SELECT CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_trans AS BIGINT) AS n_transitive,
+       CAST(n_cyc // 3 AS BIGINT) AS n_cyclic
+FROM counts
+"""
+
+QUERIES["triad_census_transitions"] = q_triad_census_transitions
+ORACLE_SQL["triad_census_transitions"] = SQL_TRIADS
+
+
+# ---------------------------------------------------------------------------
+# brr_variance — balanced repeated replication (Hadamard 4x4) variance
+# of the mean event value under a 4-strata, 2-PSU design
+# ---------------------------------------------------------------------------
+# Strata = user_id % 4, PSU = (user_id // 4) % 2; replicate r keeps
+# PSU 0 of stratum h when H[r][h] = +1, doubling the kept PSU's
+# weight.  v_BRR = mean_r (theta_r - theta)^2.  Exact cell moments;
+# replicate means are closed-form rationals of the 8-cell table.
+
+
+def q_brr_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cell = ev.select(
+        (F.col("user_id") % 4).alias("h"),
+        ((F.col("user_id") / 4).cast("long") % 2).alias("psu"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "v"
+        ),
+    ).groupBy("h", "psu").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+    )
+    had = ev.sparkSession.createDataFrame(
+        [
+            (0, 0, 1), (0, 1, 1), (0, 2, 1), (0, 3, 1),
+            (1, 0, 1), (1, 1, -1), (1, 2, 1), (1, 3, -1),
+            (2, 0, 1), (2, 1, 1), (2, 2, -1), (2, 3, -1),
+            (3, 0, 1), (3, 1, -1), (3, 2, -1), (3, 3, 1),
+        ],
+        ["r", "h", "sign"],
+    )
+    j = cell.join(F.broadcast(had), "h")
+    keep = (
+        (F.col("sign") == 1) & (F.col("psu") == 0)
+    ) | ((F.col("sign") == -1) & (F.col("psu") == 1))
+    rep = j.filter(keep).groupBy("r").agg(
+        F.sum(2 * F.col("s")).alias("rs"),
+        F.sum(2 * F.col("n")).alias("rn"),
+    )
+    full = cell.agg(F.sum("s").alias("fs"), F.sum("n").alias("fn"))
+    theta = F.col("fs").cast("double") / F.col("fn").cast("double")
+    rtheta = F.col("rs").cast("double") / F.col("rn").cast("double")
+    jj = rep.crossJoin(F.broadcast(full))
+    jj = jj.withColumn(
+        "d9",
+        F.floor(
+            (rtheta - theta) * (rtheta - theta) * 1e9 + F.lit(_OFF)
+        ).cast("long"),
+    )
+    agg = jj.groupBy("fn", "fs").agg(
+        F.count(F.lit(1)).alias("nr"), F.sum("d9").alias("sd9")
+    )
+    vbrr = F.col("sd9").cast("double") / 1e9 / F.col("nr").cast(
+        "double"
+    )
+    theta2 = F.col("fs").cast("double") / F.col("fn").cast("double")
+    return agg.select(
+        F.col("fn").cast("long").alias("n"),
+        F.floor(theta2 / 100.0 * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("mean_e4"),
+        F.floor(F.sqrt(vbrr) / 100.0 * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("se_brr_e6"),
+    )
+
+
+SQL_BRR = f"""
+WITH cell AS (
+  SELECT user_id % 4 AS h, (user_id // 4) % 2 AS psu,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS s
+  FROM events GROUP BY 1, 2
+), had AS (
+  SELECT * FROM (VALUES
+    (0, 0, 1), (0, 1, 1), (0, 2, 1), (0, 3, 1),
+    (1, 0, 1), (1, 1, -1), (1, 2, 1), (1, 3, -1),
+    (2, 0, 1), (2, 1, 1), (2, 2, -1), (2, 3, -1),
+    (3, 0, 1), (3, 1, -1), (3, 2, -1), (3, 3, 1)
+  ) t(r, h, sign)
+), rep AS (
+  SELECT hh.r,
+         CAST(sum(2 * c.s) AS BIGINT) AS rs,
+         CAST(sum(2 * c.n) AS BIGINT) AS rn
+  FROM cell c JOIN had hh ON hh.h = c.h
+  WHERE (hh.sign = 1 AND c.psu = 0) OR (hh.sign = -1 AND c.psu = 1)
+  GROUP BY 1
+), full_ AS (
+  SELECT CAST(sum(s) AS BIGINT) AS fs, CAST(sum(n) AS BIGINT) AS fn
+  FROM cell
+), d AS (
+  SELECT f.fn, f.fs,
+         CAST(floor((CAST(r.rs AS DOUBLE) / r.rn
+                     - CAST(f.fs AS DOUBLE) / f.fn)
+                    * (CAST(r.rs AS DOUBLE) / r.rn
+                       - CAST(f.fs AS DOUBLE) / f.fn) * 1e9 + {_OFF})
+              AS BIGINT) AS d9
+  FROM rep r, full_ f
+)
+SELECT CAST(fn AS BIGINT) AS n,
+       CAST(floor(CAST(fs AS DOUBLE) / fn / 100.0 * 10000 + {_OFF})
+            AS BIGINT) AS mean_e4,
+       CAST(floor(sqrt(CAST(sum(d9) AS DOUBLE) / 1e9 / count(*))
+                  / 100.0 * 1000000 + {_OFF}) AS BIGINT) AS se_brr_e6
+FROM d GROUP BY fn, fs
+"""
+
+QUERIES["brr_variance"] = q_brr_variance
+ORACLE_SQL["brr_variance"] = SQL_BRR
