@@ -4305,3 +4305,292 @@ FROM d GROUP BY fn, fs
 
 QUERIES["brr_variance"] = q_brr_variance
 ORACLE_SQL["brr_variance"] = SQL_BRR
+
+
+# ===========================================================================
+# Battery AC — revenue management (Littlewood's rule / overbooking)
+# and regional-economics shift-share decomposition.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# littlewood_emsr — Littlewood protection level for high-value demand
+# and the normal-approximation overbooking limit, per event type
+# ---------------------------------------------------------------------------
+# High-fare demand = daily count of value > 50 events (mean mu, sd s
+# from exact moments); critical ratio 1 - f_low/f_high with f_high =
+# mean value of the high band, f_low of the low band; protection
+# y* = mu + probit(CR) s (Acklam twin).  Overbooking: capacity C =
+# ceil(1.1 mu), show rate p = 0.9, limit b* = the largest b with
+# P(shows <= C) >= 0.95 under the normal approx: b* = floor((C -
+# z sqrt(...)) / p) spelled via the quadratic in sqrt(b) — kept to
+# the standard simple form b* = floor(C / p) with the service buffer
+# z sqrt(C (1-p)/p) subtracted.
+
+
+def q_littlewood_emsr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.queries_stats17 import _probit
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.sum((F.col("value") > 50.0).cast("long")).alias("hi"),
+    )
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("hi").alias("sh"),
+        F.sum(F.col("hi") * F.col("hi")).alias("shh"),
+    )
+    fares = ev.groupBy("event_type").agg(
+        F.sum(
+            F.when(
+                F.col("value") > 50.0,
+                F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long"),
+            ).otherwise(0)
+        ).alias("sfh"),
+        F.sum((F.col("value") > 50.0).cast("long")).alias("nh"),
+        F.sum(
+            F.when(
+                F.col("value") <= 50.0,
+                F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long"),
+            ).otherwise(0)
+        ).alias("sfl"),
+        F.sum((F.col("value") <= 50.0).cast("long")).alias("nl"),
+    )
+    j = mom.join(fares, "event_type")
+    ndd = F.col("nd").cast("double")
+    mu = F.col("sh").cast("double") / ndd
+    var = (
+        F.col("shh").cast("double")
+        - F.col("sh").cast("double") * F.col("sh").cast("double") / ndd
+    ) / (ndd - 1.0)
+    fh = F.col("sfh").cast("double") / F.col("nh").cast("double")
+    fl = F.col("sfl").cast("double") / F.col("nl").cast("double")
+    cr = 1.0 - fl / fh
+    prot = mu + _probit(cr) * F.sqrt(var)
+    cap = F.ceil(1.1 * mu).cast("double")
+    p = 0.9
+    z95 = 1.6448536269514722
+    bstar = F.floor(
+        (cap - F.lit(z95) * F.sqrt(cap * (1.0 - p))) / p
+    )
+    return (
+        j.filter(
+            (F.col("nd") >= 3)
+            & (var > 0)
+            & (F.col("nh") > 0)
+            & (F.col("nl") > 0)
+            & (cr > 0)
+            & (cr < 1)
+        )
+        .select(
+            "event_type",
+            F.col("nd").cast("long").alias("n_days"),
+            F.floor(mu * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "mu_hi_e4"
+            ),
+            F.floor(cr * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "critical_ratio_e6"
+            ),
+            F.floor(prot * 10_000 + F.lit(_OFF)).cast("long").alias(
+                "protection_e4"
+            ),
+            bstar.cast("long").alias("overbook_limit"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _littlewood_sql() -> str:
+    from diive_spark.queries_stats17 import _probit_sql
+
+    cr = "(1.0 - (CAST(sfl AS DOUBLE) / nl) / (CAST(sfh AS DOUBLE) / nh))"
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS hi
+  FROM events GROUP BY 1, 2
+), mom AS (
+  SELECT event_type, count(*) AS nd,
+         CAST(sum(hi) AS BIGINT) AS sh,
+         CAST(sum(hi * hi) AS BIGINT) AS shh
+  FROM daily GROUP BY 1
+), fares AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN value > 50.0
+                       THEN CAST(floor(value * 100 + {_OFF}) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS sfh,
+         CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS nh,
+         CAST(sum(CASE WHEN value <= 50.0
+                       THEN CAST(floor(value * 100 + {_OFF}) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS sfl,
+         CAST(sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS nl
+  FROM events GROUP BY 1
+), j AS (
+  SELECT m.event_type, m.nd, m.sh, m.shh, f.sfh, f.nh, f.sfl, f.nl,
+         CAST(m.sh AS DOUBLE) / m.nd AS mu,
+         (CAST(m.shh AS DOUBLE) - CAST(m.sh AS DOUBLE) * m.sh / m.nd)
+         / (m.nd - 1.0) AS var,
+         {cr} AS cr
+  FROM mom m JOIN fares f ON f.event_type = m.event_type
+), f2 AS (
+  SELECT * FROM j
+  WHERE nd >= 3 AND var > 0 AND nh > 0 AND nl > 0
+    AND cr > 0 AND cr < 1
+)
+SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+       CAST(floor(mu * 10000 + {_OFF}) AS BIGINT) AS mu_hi_e4,
+       CAST(floor(cr * 1000000 + {_OFF}) AS BIGINT)
+         AS critical_ratio_e6,
+       CAST(floor((mu + {_probit_sql('cr')} * sqrt(var)) * 10000
+                  + {_OFF}) AS BIGINT) AS protection_e4,
+       CAST(floor((ceil(1.1 * mu)
+                   - 1.6448536269514722
+                     * sqrt(ceil(1.1 * mu) * 0.1)) / 0.9)
+            AS BIGINT) AS overbook_limit
+FROM f2
+ORDER BY event_type
+"""
+
+
+QUERIES["littlewood_emsr"] = q_littlewood_emsr
+ORACLE_SQL["littlewood_emsr"] = _littlewood_sql()
+
+
+# ---------------------------------------------------------------------------
+# shift_share_analysis — decompose each source's doc-count growth
+# (first vs second half by doc_id) into national, industry-mix (lang),
+# and competitive-shift components
+# ---------------------------------------------------------------------------
+# g = national growth rate; g_l = per-lang national rates; for source
+# s: NS = base_s g; IM = sum_l base_sl (g_l - g); CS = sum_l base_sl
+# (g_sl - g_l); NS + IM + CS = actual change EXACTLY (rational
+# identity).  Components e6-floored per (source, lang) before sums.
+
+
+def q_shift_share_analysis(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from diive_spark.queries_stats2 import _documents
+
+    docs = _documents(spark, sf_dir)
+    half = docs.crossJoin(
+        F.broadcast(docs.agg(F.max("doc_id").alias("mx")))
+    ).select(
+        "source",
+        "lang",
+        (2 * F.col("doc_id") >= F.col("mx")).cast("long").alias("h"),
+    )
+    cell = half.groupBy("source", "lang").agg(
+        F.sum(1 - F.col("h")).alias("b"),
+        F.sum("h").alias("e"),
+    ).filter(F.col("b") > 0)
+    lgr = cell.groupBy("lang").agg(
+        F.sum("b").alias("lb"), F.sum("e").alias("le")
+    )
+    nat = cell.agg(F.sum("b").alias("nb"), F.sum("e").alias("ne"))
+    j = cell.join(F.broadcast(lgr), "lang").crossJoin(
+        F.broadcast(nat)
+    )
+    g = F.col("ne").cast("double") / F.col("nb").cast("double") - 1.0
+    gl = F.col("le").cast("double") / F.col("lb").cast("double") - 1.0
+    gsl = F.col("e").cast("double") / F.col("b").cast("double") - 1.0
+    bd = F.col("b").cast("double")
+    ns6 = F.floor(bd * g * 1e6 + F.lit(_OFF)).cast("long")
+    im6 = F.floor(bd * (gl - g) * 1e6 + F.lit(_OFF)).cast("long")
+    cs6 = F.floor(bd * (gsl - gl) * 1e6 + F.lit(_OFF)).cast("long")
+    agg = j.select(
+        "source",
+        F.col("b"),
+        F.col("e"),
+        ns6.alias("ns6"),
+        im6.alias("im6"),
+        cs6.alias("cs6"),
+    ).groupBy("source").agg(
+        F.sum("b").alias("base"),
+        F.sum("e").alias("end_"),
+        F.sum("ns6").alias("ns"),
+        F.sum("im6").alias("im"),
+        F.sum("cs6").alias("cs"),
+    )
+    return agg.select(
+        "source",
+        F.col("base").cast("long").alias("base_docs"),
+        (F.col("end_") - F.col("base")).cast("long").alias("change"),
+        F.floor(
+            F.col("ns").cast("double") / 1e6 * 10_000 + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("national_e4"),
+        F.floor(
+            F.col("im").cast("double") / 1e6 * 10_000 + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("industry_mix_e4"),
+        F.floor(
+            F.col("cs").cast("double") / 1e6 * 10_000 + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("competitive_e4"),
+    ).orderBy("source")
+
+
+SQL_SHIFT_SHARE = f"""
+WITH mx AS (
+  SELECT max(doc_id) AS mx FROM documents
+), half AS (
+  SELECT d.source, d.lang,
+         CASE WHEN 2 * d.doc_id >= m.mx THEN 1 ELSE 0 END AS h
+  FROM documents d, mx m
+), cell AS (
+  SELECT source, lang,
+         CAST(sum(1 - h) AS BIGINT) AS b,
+         CAST(sum(h) AS BIGINT) AS e
+  FROM half GROUP BY 1, 2
+  HAVING sum(1 - h) > 0
+), lgr AS (
+  SELECT lang, CAST(sum(b) AS BIGINT) AS lb,
+         CAST(sum(e) AS BIGINT) AS le
+  FROM cell GROUP BY 1
+), nat AS (
+  SELECT CAST(sum(b) AS BIGINT) AS nb, CAST(sum(e) AS BIGINT) AS ne
+  FROM cell
+), terms AS (
+  SELECT c.source, c.b, c.e,
+         CAST(floor(c.b * (CAST(n.ne AS DOUBLE) / n.nb - 1.0) * 1e6
+                    + {_OFF}) AS BIGINT) AS ns6,
+         CAST(floor(c.b * ((CAST(l.le AS DOUBLE) / l.lb - 1.0)
+                           - (CAST(n.ne AS DOUBLE) / n.nb - 1.0)) * 1e6
+                    + {_OFF}) AS BIGINT) AS im6,
+         CAST(floor(c.b * ((CAST(c.e AS DOUBLE) / c.b - 1.0)
+                           - (CAST(l.le AS DOUBLE) / l.lb - 1.0)) * 1e6
+                    + {_OFF}) AS BIGINT) AS cs6
+  FROM cell c
+  JOIN lgr l ON l.lang = c.lang
+  CROSS JOIN nat n
+)
+SELECT source,
+       CAST(sum(b) AS BIGINT) AS base_docs,
+       CAST(sum(e) - sum(b) AS BIGINT) AS change,
+       CAST(floor(CAST(sum(ns6) AS DOUBLE) / 1e6 * 10000 + {_OFF})
+            AS BIGINT) AS national_e4,
+       CAST(floor(CAST(sum(im6) AS DOUBLE) / 1e6 * 10000 + {_OFF})
+            AS BIGINT) AS industry_mix_e4,
+       CAST(floor(CAST(sum(cs6) AS DOUBLE) / 1e6 * 10000 + {_OFF})
+            AS BIGINT) AS competitive_e4
+FROM terms GROUP BY 1
+ORDER BY source
+"""
+
+QUERIES["shift_share_analysis"] = q_shift_share_analysis
+ORACLE_SQL["shift_share_analysis"] = SQL_SHIFT_SHARE
