@@ -4594,3 +4594,230 @@ ORDER BY source
 
 QUERIES["shift_share_analysis"] = q_shift_share_analysis
 ORACLE_SQL["shift_share_analysis"] = SQL_SHIFT_SHARE
+
+
+# ===========================================================================
+# Battery AD — psychometrics (classical test theory): item
+# difficulty / point-biserial discrimination / Rasch MoM difficulty,
+# and the Guttman scalogram coefficient of reproducibility.  "Items" =
+# event types; a user "passes" an item when their count of that type
+# exceeds the cross-user lower median for the type.
+# ===========================================================================
+
+
+def _item_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, event_type, x) binary pass matrix."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cnt = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dom = cnt.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("event_type")
+    cum = dom.withColumn("cumv", F.sum("m").over(w)).withColumn(
+        "n", F.sum("m").over(wn)
+    )
+    med = cum.filter(2 * F.col("cumv") >= F.col("n")).groupBy(
+        "event_type"
+    ).agg(F.min("c").alias("med"))
+    return cnt.join(F.broadcast(med), "event_type").select(
+        "user_id",
+        "event_type",
+        (F.col("c") > F.col("med")).cast("long").alias("x"),
+    )
+
+
+_ITEM_MATRIX_SQL = """
+cnt AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), dom AS (
+  SELECT event_type, c, CAST(count(*) AS BIGINT) AS m
+  FROM cnt GROUP BY 1, 2
+), cum AS (
+  SELECT *,
+         CAST(sum(m) OVER (PARTITION BY event_type ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cumv,
+         CAST(sum(m) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM dom
+), med AS (
+  SELECT event_type, min(c) AS med
+  FROM cum WHERE 2 * cumv >= n GROUP BY 1
+), im AS (
+  SELECT c.user_id, c.event_type,
+         CASE WHEN c.c > m.med THEN 1 ELSE 0 END AS x
+  FROM cnt c JOIN med m ON m.event_type = c.event_type
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# item_analysis_ctt — difficulty, point-biserial discrimination vs
+# the rest score, and Rasch MoM difficulty per item
+# ---------------------------------------------------------------------------
+# r_pb = (M1 - M0) sqrt(p(1-p)) / S_rest with rest = total - x_item;
+# Rasch b = ln((1-p)/p).  All moments exact integers.
+
+
+def q_item_analysis_ctt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    im = _item_matrix(spark, sf_dir)
+    wtu = Window.partitionBy("user_id")
+    t = im.withColumn("tot", F.sum("x").over(wtu)).withColumn(
+        "rest", F.col("tot") - F.col("x")
+    )
+    agg = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("rest").alias("sr"),
+        F.sum(F.col("rest") * F.col("rest")).alias("srr"),
+        F.sum(F.col("x") * F.col("rest")).alias("sxr"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("sx").cast("double") / nd
+    mr = F.col("sr").cast("double") / nd
+    vr = F.col("srr").cast("double") / nd - mr * mr
+    m1 = F.col("sxr").cast("double") / F.col("sx").cast("double")
+    m0 = (F.col("sr") - F.col("sxr")).cast("double") / (
+        F.col("n") - F.col("sx")
+    ).cast("double")
+    rpb = (m1 - m0) * F.sqrt(p * (1.0 - p)) / F.sqrt(vr)
+    rasch = F.log((1.0 - p) / p)
+    return (
+        agg.filter(
+            (F.col("sx") > 0) & (F.col("sx") < F.col("n")) & (vr > 0)
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_users"),
+            F.floor(p * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "difficulty_e6"
+            ),
+            F.floor(rpb * 1_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("discrimination_e6"),
+            F.floor(rasch * 1_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("rasch_b_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_ITEM_CTT = f"""
+WITH {_ITEM_MATRIX_SQL.strip()}
+, t AS (
+  SELECT *,
+         CAST(sum(x) OVER (PARTITION BY user_id) AS BIGINT) - x
+           AS rest
+  FROM im
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(rest) AS BIGINT) AS sr,
+         CAST(sum(rest * rest) AS BIGINT) AS srr,
+         CAST(sum(x * rest) AS BIGINT) AS sxr
+  FROM t GROUP BY 1
+), m AS (
+  SELECT event_type, n, sx,
+         CAST(sx AS DOUBLE) / n AS p,
+         CAST(srr AS DOUBLE) / n
+           - (CAST(sr AS DOUBLE) / n) * (CAST(sr AS DOUBLE) / n) AS vr,
+         CAST(sxr AS DOUBLE) / sx AS m1,
+         CAST(sr - sxr AS DOUBLE) / (n - sx) AS m0
+  FROM agg
+  WHERE sx > 0 AND sx < n
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_users,
+       CAST(floor(p * 1000000 + {_OFF}) AS BIGINT) AS difficulty_e6,
+       CAST(floor((m1 - m0) * sqrt(p * (1.0 - p)) / sqrt(vr)
+                  * 1000000 + {_OFF}) AS BIGINT) AS discrimination_e6,
+       CAST(floor(ln((1.0 - p) / p) * 1000000 + {_OFF})
+            AS BIGINT) AS rasch_b_e6
+FROM m
+WHERE vr > 0
+ORDER BY event_type
+"""
+
+QUERIES["item_analysis_ctt"] = q_item_analysis_ctt
+ORACLE_SQL["item_analysis_ctt"] = SQL_ITEM_CTT
+
+
+# ---------------------------------------------------------------------------
+# guttman_reproducibility — coefficient of reproducibility of the
+# item-response scalogram (Goodenough error counting)
+# ---------------------------------------------------------------------------
+# Items ranked by popularity (desc difficulty, type tie-break); a
+# user with total t ideally passes the t most popular items; errors =
+# # cells deviating from that step pattern; CR = 1 - errors/(n k).
+# CR >= 0.9 is the classical scalability bar.
+
+
+def q_guttman_reproducibility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    im = _item_matrix(spark, sf_dir)
+    pop = im.groupBy("event_type").agg(F.sum("x").alias("sx"))
+    wr = Window.orderBy(F.col("sx").desc(), F.col("event_type"))
+    rank = pop.withColumn("rk", F.row_number().over(wr)).select(
+        "event_type", "rk"
+    )
+    wtu = Window.partitionBy("user_id")
+    t = (
+        im.join(F.broadcast(rank), "event_type")
+        .withColumn("tot", F.sum("x").over(wtu))
+    )
+    ideal = (F.col("rk") <= F.col("tot")).cast("long")
+    err = (F.col("x") != ideal).cast("long")
+    agg = t.agg(
+        F.count(F.lit(1)).alias("cells"),
+        F.sum(err).alias("errors"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    cr = 1.0 - F.col("errors").cast("double") / F.col("cells").cast(
+        "double"
+    )
+    return agg.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("cells").cast("long").alias("cells"),
+        F.col("errors").cast("long").alias("errors"),
+        F.floor(cr * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "reproducibility_e6"
+        ),
+    )
+
+
+SQL_GUTTMAN = f"""
+WITH {_ITEM_MATRIX_SQL.strip()}
+, pop AS (
+  SELECT event_type, CAST(sum(x) AS BIGINT) AS sx
+  FROM im GROUP BY 1
+), rank_ AS (
+  SELECT event_type,
+         row_number() OVER (ORDER BY sx DESC, event_type) AS rk
+  FROM pop
+), t AS (
+  SELECT i.user_id, i.x, r.rk,
+         CAST(sum(i.x) OVER (PARTITION BY i.user_id) AS BIGINT) AS tot
+  FROM im i JOIN rank_ r ON r.event_type = i.event_type
+), agg AS (
+  SELECT count(*) AS cells,
+         CAST(sum(CASE WHEN x <> (CASE WHEN rk <= tot THEN 1 ELSE 0 END)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM t
+)
+SELECT n_users, CAST(cells AS BIGINT) AS cells, errors,
+       CAST(floor((1.0 - CAST(errors AS DOUBLE) / cells) * 1000000
+                  + {_OFF}) AS BIGINT) AS reproducibility_e6
+FROM agg
+"""
+
+QUERIES["guttman_reproducibility"] = q_guttman_reproducibility
+ORACLE_SQL["guttman_reproducibility"] = SQL_GUTTMAN
