@@ -4821,3 +4821,358 @@ FROM agg
 
 QUERIES["guttman_reproducibility"] = q_guttman_reproducibility
 ORACLE_SQL["guttman_reproducibility"] = SQL_GUTTMAN
+
+
+# ===========================================================================
+# Battery AE — efficiency econometrics (COLS stochastic frontier) and
+# cepstral periodicity detection on the exact DFT lattice.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# stochastic_frontier_cols — corrected OLS production frontier
+# ln(chars) ~ ln(docs) across sources; technical efficiency =
+# exp(resid - max resid)  (Winsten 1957 COLS)
+# ---------------------------------------------------------------------------
+# 20-point exact-integer OLS (e6-floored log pairs); the frontier
+# shift is the broadcast max residual; residual skewness (e9-floored
+# third moment) is reported as the half-normal MoM diagnostic.
+
+
+def q_stochastic_frontier_cols(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from diive_spark.queries_stats2 import _documents
+
+    docs = _documents(spark, sf_dir)
+    # units = (source, lang) cells — per-source doc counts are a
+    # constant 25 in the generator, so the source-level regressor has
+    # zero variance (caught by an empty first draft); the cell level
+    # varies
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s"),
+    ).filter((F.col("n") >= 2) & (F.col("s") > 0))
+    pts = per.select(
+        "source",
+        "lang",
+        "n",
+        F.floor(F.log(F.col("n").cast("double")) * 1e6 + F.lit(_OFF))
+        .cast("long")
+        .alias("x6"),
+        F.floor(F.log(F.col("s").cast("double")) * 1e6 + F.lit(_OFF))
+        .cast("long")
+        .alias("y6"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x6").alias("sx"),
+        F.sum("y6").alias("sy"),
+        F.sum(F.col("x6") * F.col("y6")).alias("sxy"),
+        F.sum(F.col("x6") * F.col("x6")).alias("sxx"),
+    )
+    kd = F.col("k").cast("double")
+    cxx = F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double") / kd
+    cxy = F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double") / kd
+    b = cxy / cxx
+    a = (
+        F.col("sy").cast("double") - b * F.col("sx").cast("double")
+    ) / kd / 1e6
+    mom = mom.select(
+        "k", b.alias("b"), a.alias("a")
+    ).filter(cxx > 0)
+    j = pts.crossJoin(F.broadcast(mom))
+    resid = (
+        F.col("y6").cast("double") / 1e6
+        - F.col("a")
+        - F.col("b") * F.col("x6").cast("double") / 1e6
+    )
+    j = j.withColumn(
+        "r9", F.floor(resid * 1e9 + F.lit(_OFF)).cast("long")
+    )
+    rmax = j.agg(F.max("r9").alias("rmax9"))
+    out = j.crossJoin(F.broadcast(rmax))
+    eff = F.exp(
+        (F.col("r9") - F.col("rmax9")).cast("double") / 1e9
+    )
+    return out.select(
+        "source",
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        F.floor(F.col("b") * 1_000_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("elasticity_e6"),
+        F.floor(eff * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "efficiency_e6"
+        ),
+    ).orderBy("source", "lang")
+
+
+SQL_COLS_FRONTIER = f"""
+WITH per AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS s
+  FROM documents GROUP BY 1, 2
+  HAVING count(*) >= 2 AND sum(n_chars) > 0
+), pts AS (
+  SELECT source, lang, n,
+         CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6 + {_OFF})
+              AS BIGINT) AS x6,
+         CAST(floor(ln(CAST(s AS DOUBLE)) * 1e6 + {_OFF})
+              AS BIGINT) AS y6
+  FROM per
+), mom AS (
+  SELECT count(*) AS k,
+         CAST(sum(x6) AS BIGINT) AS sx, CAST(sum(y6) AS BIGINT) AS sy,
+         CAST(sum(x6 * y6) AS BIGINT) AS sxy,
+         CAST(sum(x6 * x6) AS BIGINT) AS sxx
+  FROM pts
+), p AS (
+  SELECT k,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / k)
+         / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / k) AS b,
+         (CAST(sy AS DOUBLE)
+          - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / k)
+            / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / k)
+            * sx) / k / 1e6 AS a
+  FROM mom
+  WHERE CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / k > 0
+), r AS (
+  SELECT pts.source, pts.lang, pts.n, p.b,
+         CAST(floor((pts.y6 / 1e6 - p.a - p.b * pts.x6 / 1e6) * 1e9
+                    + {_OFF}) AS BIGINT) AS r9
+  FROM pts, p
+), rmax AS (
+  SELECT max(r9) AS rmax9 FROM r
+)
+SELECT r.source, r.lang, CAST(r.n AS BIGINT) AS n_docs,
+       CAST(floor(r.b * 1000000 + {_OFF}) AS BIGINT) AS elasticity_e6,
+       CAST(floor(exp(CAST(r.r9 - m.rmax9 AS DOUBLE) / 1e9) * 1000000
+                  + {_OFF}) AS BIGINT) AS efficiency_e6
+FROM r, rmax m
+ORDER BY r.source, r.lang
+"""
+
+QUERIES["stochastic_frontier_cols"] = q_stochastic_frontier_cols
+ORACLE_SQL["stochastic_frontier_cols"] = SQL_COLS_FRONTIER
+
+
+# ---------------------------------------------------------------------------
+# cepstrum_peak — cepstral quefrency of the hourly series (second
+# transform over the log-periodogram on the exact DFT lattice)
+# ---------------------------------------------------------------------------
+# Rides the fisher_g discipline: periodogram ordinates I_j as exact
+# e3 integers, then C_q = sum_j ln(I_j) cos(2 pi j q / m) with the
+# angle on the integer lattice (j q mod m); per-(j, q) terms are
+# e6-floored so the cepstral sums are exact integers; the peak
+# quefrency is reported with its implied harmonic spacing m/q.
+
+
+def q_cepstrum_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+            )
+        )
+        .cast("long")
+        .alias("h"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("h")
+    wn = Window.partitionBy("event_type")
+    base = (
+        hourly.withColumn("t", F.row_number().over(wo) - 1)
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("n") >= 16)
+    )
+    m = F.floor((F.col("n") - 1) / 2).cast("long")
+    fan = base.select(
+        "event_type",
+        "t",
+        "c",
+        "n",
+        F.explode(F.sequence(F.lit(1), m)).alias("j"),
+    )
+    k = (F.col("j") * F.col("t")) % F.col("n")
+    ang = (
+        F.lit(2.0)
+        * F.lit(math.pi)
+        * k.cast("double")
+        / F.col("n").cast("double")
+    )
+    trig = fan.select(
+        "event_type",
+        "j",
+        "n",
+        F.floor(
+            F.col("c").cast("double") * F.cos(ang) * 1e6 + F.lit(_OFF)
+        ).cast("long").alias("ca6"),
+        F.floor(
+            F.col("c").cast("double") * F.sin(ang) * 1e6 + F.lit(_OFF)
+        ).cast("long").alias("sa6"),
+    )
+    ords = trig.groupBy("event_type", "j").agg(
+        F.max("n").alias("n"),
+        F.sum("ca6").alias("a6"),
+        F.sum("sa6").alias("b6"),
+    )
+    i_j = (
+        F.col("a6").cast("double") / 1e6 * F.col("a6").cast("double")
+        / 1e6
+        + F.col("b6").cast("double") / 1e6 * F.col("b6").cast("double")
+        / 1e6
+    ) / F.col("n").cast("double")
+    ords = ords.select(
+        "event_type",
+        "j",
+        "n",
+        F.floor(i_j * 1_000 + F.lit(_OFF)).cast("long").alias("i3"),
+    ).withColumn(
+        "lni6",
+        F.floor(
+            F.log(
+                F.greatest(F.col("i3"), F.lit(1)).cast("double") / 1e3
+            )
+            * 1e6
+            + F.lit(_OFF)
+        ).cast("long"),
+    )
+    wm = Window.partitionBy("event_type")
+    ords = ords.withColumn("m", F.count(F.lit(1)).over(wm))
+    qmax = F.floor(F.col("m") / 2).cast("long")
+    fan2 = ords.select(
+        "event_type",
+        "j",
+        "m",
+        "n",
+        "lni6",
+        F.explode(F.sequence(F.lit(2), qmax)).alias("q"),
+    ).filter(F.col("m") >= 8)
+    k2 = (F.col("j") * F.col("q")) % F.col("m")
+    ang2 = (
+        F.lit(2.0)
+        * F.lit(math.pi)
+        * k2.cast("double")
+        / F.col("m").cast("double")
+    )
+    terms = fan2.select(
+        "event_type",
+        "q",
+        "m",
+        "n",
+        F.floor(
+            F.col("lni6").cast("double") / 1e6 * F.cos(ang2) * 1e6
+            + F.lit(_OFF)
+        ).cast("long").alias("t6"),
+    )
+    ceps = terms.groupBy("event_type", "q").agg(
+        F.max("m").alias("m"),
+        F.max("n").alias("n"),
+        F.sum("t6").alias("c6"),
+    )
+    wpk = Window.partitionBy("event_type").orderBy(
+        F.col("c6").desc(), F.col("q").asc()
+    )
+    best = ceps.withColumn("rk", F.row_number().over(wpk)).filter(
+        F.col("rk") == 1
+    )
+    spacing = F.col("m").cast("double") / F.col("q").cast("double")
+    return best.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_hours"),
+        F.col("m").cast("long").alias("m_ords"),
+        F.col("q").cast("long").alias("peak_quefrency"),
+        F.floor(
+            F.col("c6").cast("double") / 1e6 * 10_000 + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("cepstrum_e4"),
+        F.floor(spacing * 100 + F.lit(_OFF)).cast("long").alias(
+            "harmonic_spacing_e2"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_CEPSTRUM = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), base AS (
+  SELECT event_type, c,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
+              - 1 AS BIGINT) AS t,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM hourly
+), b2 AS (
+  SELECT * FROM base WHERE n >= 16
+), fan AS (
+  SELECT event_type, t, c, n, u.j
+  FROM b2, unnest(generate_series(1,
+         CAST(floor((n - 1) / 2.0) AS BIGINT))) AS u(j)
+), trig AS (
+  SELECT event_type, j, n,
+         CAST(floor(c * cos(2.0 * pi() * ((j * t) % n) / n) * 1e6
+                    + {_OFF}) AS BIGINT) AS ca6,
+         CAST(floor(c * sin(2.0 * pi() * ((j * t) % n) / n) * 1e6
+                    + {_OFF}) AS BIGINT) AS sa6
+  FROM fan
+), ords AS (
+  SELECT event_type, j, max(n) AS n,
+         CAST(sum(ca6) AS BIGINT) AS a6,
+         CAST(sum(sa6) AS BIGINT) AS b6
+  FROM trig GROUP BY 1, 2
+), i3t AS (
+  SELECT event_type, j, n,
+         CAST(floor(((a6 / 1e6) * (a6 / 1e6)
+                     + (b6 / 1e6) * (b6 / 1e6)) / n * 1000 + {_OFF})
+              AS BIGINT) AS i3,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+  FROM ords
+), lg AS (
+  SELECT *,
+         CAST(floor(ln(greatest(i3, 1) / 1e3) * 1e6 + {_OFF})
+              AS BIGINT) AS lni6
+  FROM i3t
+), fan2 AS (
+  SELECT event_type, j, m, n, lni6, u.q
+  FROM lg, unnest(generate_series(2,
+         CAST(floor(m / 2.0) AS BIGINT))) AS u(q)
+  WHERE m >= 8
+), terms AS (
+  SELECT event_type, q, m, n,
+         CAST(floor(lni6 / 1e6
+                    * cos(2.0 * pi() * ((j * q) % m) / m) * 1e6
+                    + {_OFF}) AS BIGINT) AS t6
+  FROM fan2
+), ceps AS (
+  SELECT event_type, q, max(m) AS m, max(n) AS n,
+         CAST(sum(t6) AS BIGINT) AS c6
+  FROM terms GROUP BY 1, 2
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY c6 DESC, q ASC) AS r
+  FROM ceps
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+       CAST(m AS BIGINT) AS m_ords,
+       CAST(q AS BIGINT) AS peak_quefrency,
+       CAST(floor(CAST(c6 AS DOUBLE) / 1e6 * 10000 + {_OFF})
+            AS BIGINT) AS cepstrum_e4,
+       CAST(floor(CAST(m AS DOUBLE) / q * 100 + {_OFF})
+            AS BIGINT) AS harmonic_spacing_e2
+FROM rk WHERE r = 1
+ORDER BY event_type
+"""
+
+QUERIES["cepstrum_peak"] = q_cepstrum_peak
+ORACLE_SQL["cepstrum_peak"] = SQL_CEPSTRUM
