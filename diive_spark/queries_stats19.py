@@ -5176,3 +5176,319 @@ ORDER BY event_type
 
 QUERIES["cepstrum_peak"] = q_cepstrum_peak
 ORACLE_SQL["cepstrum_peak"] = SQL_CEPSTRUM
+
+
+# ===========================================================================
+# Battery AF — computational social choice beyond borda_condorcet:
+# the Schulze beatpath method (unrolled Floyd-Warshall over the 5
+# candidates) and instant-runoff voting (4 unrolled elimination
+# rounds).  Ballots = days; a day ranks the event types by
+# (count desc, type asc).
+# ===========================================================================
+
+_CANDS = ["click", "error", "purchase", "signup", "view"]
+
+
+def _day_ballots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = ev.groupBy(
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("day").orderBy(
+        F.col("c").desc(), F.col("event_type")
+    )
+    return day.withColumn("rk", F.row_number().over(w))
+
+
+_BALLOTS_SQL = """
+day AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, event_type,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), ballots AS (
+  SELECT day, event_type,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY c DESC, event_type) AS rk
+  FROM day
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# schulze_ranking — Schulze beatpath winner/ranking
+# ---------------------------------------------------------------------------
+# d[i][j] = # ballots preferring i to j; initial strength = d where
+# d[i][j] > d[j][i] else 0; five Floyd-Warshall passes (one per
+# candidate, alphabetical) of s = max(s, min(s[i][c], s[c][j]));
+# wins_i = #{j : s[i][j] >= s[j][i]}.  The matrix is 20 rows —
+# everything after the ballot agg is constant-size.
+
+
+def q_schulze_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _day_ballots(spark, sf_dir)
+    a = b.select(
+        "day", F.col("event_type").alias("i"), F.col("rk").alias("ri")
+    )
+    c = b.select(
+        "day", F.col("event_type").alias("j"), F.col("rk").alias("rj")
+    )
+    d = (
+        a.join(c, "day")
+        .filter(F.col("i") != F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.sum((F.col("ri") < F.col("rj")).cast("long")).alias("d"))
+    )
+    drev = d.select(
+        F.col("i").alias("j2"), F.col("j").alias("i2"),
+        F.col("d").alias("drev"),
+    )
+    s = d.join(
+        drev,
+        (F.col("i") == F.col("i2")) & (F.col("j") == F.col("j2")),
+    ).select(
+        "i",
+        "j",
+        F.when(F.col("d") > F.col("drev"), F.col("d"))
+        .otherwise(0)
+        .alias("s"),
+    )
+    for cand in _CANDS:
+        ic = s.filter(F.col("j") == cand).select(
+            F.col("i").alias("i_"), F.col("s").alias("sic")
+        )
+        cj = s.filter(F.col("i") == cand).select(
+            F.col("j").alias("j_"), F.col("s").alias("scj")
+        )
+        path = ic.crossJoin(cj).select(
+            F.col("i_").alias("i"),
+            F.col("j_").alias("j"),
+            F.least("sic", "scj").alias("p"),
+        )
+        s = (
+            s.join(path, ["i", "j"], "left")
+            .select(
+                "i",
+                "j",
+                F.greatest(
+                    F.col("s"), F.coalesce(F.col("p"), F.lit(0))
+                ).alias("s"),
+            )
+            # 20-row matrix: truncate the lineage each FW pass so the
+            # 5-round self-join chain doesn't deepen the plan (the
+            # dedup_clusters localCheckpoint discipline)
+            .localCheckpoint(eager=True)
+        )
+    srev = s.select(
+        F.col("i").alias("j3"), F.col("j").alias("i3"),
+        F.col("s").alias("srev"),
+    )
+    wins = (
+        s.join(
+            srev,
+            (F.col("i") == F.col("i3")) & (F.col("j") == F.col("j3")),
+        )
+        .groupBy("i")
+        .agg(
+            F.sum((F.col("s") >= F.col("srev")).cast("long")).alias(
+                "wins"
+            )
+        )
+    )
+    w = Window.orderBy(F.col("wins").desc(), F.col("i"))
+    return wins.withColumn("rank", F.row_number().over(w)).select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("i").alias("event_type"),
+        F.col("wins").cast("long").alias("beatpath_wins"),
+    ).orderBy("rank")
+
+
+def _schulze_sql() -> str:
+    rounds = []
+    prev = "s0"
+    for idx, cand in enumerate(_CANDS):
+        cur = f"s{idx + 1}"
+        rounds.append(f""", {cur} AS (
+  SELECT m.i, m.j,
+         greatest(m.s, coalesce(
+           least(ic.s, cj.s), 0)) AS s
+  FROM {prev} m
+  LEFT JOIN {prev} ic ON ic.i = m.i AND ic.j = '{cand}'
+  LEFT JOIN {prev} cj ON cj.i = '{cand}' AND cj.j = m.j
+)""")
+        prev = cur
+    return f"""
+WITH {_BALLOTS_SQL.strip()}
+, d AS (
+  SELECT a.event_type AS i, b.event_type AS j,
+         CAST(sum(CASE WHEN a.rk < b.rk THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+  FROM ballots a JOIN ballots b
+    ON b.day = a.day AND b.event_type <> a.event_type
+  GROUP BY 1, 2
+), s0 AS (
+  SELECT d.i, d.j,
+         CASE WHEN d.d > r.d THEN d.d ELSE 0 END AS s
+  FROM d JOIN d r ON r.i = d.j AND r.j = d.i
+){"".join(rounds)}
+, wins AS (
+  SELECT a.i, CAST(sum(CASE WHEN a.s >= b.s THEN 1 ELSE 0 END)
+                   AS BIGINT) AS wins
+  FROM {prev} a JOIN {prev} b ON b.i = a.j AND b.j = a.i
+  GROUP BY 1
+)
+SELECT CAST(row_number() OVER (ORDER BY wins DESC, i) AS BIGINT)
+         AS rank,
+       i AS event_type, wins AS beatpath_wins
+FROM wins
+ORDER BY rank
+"""
+
+
+QUERIES["schulze_ranking"] = q_schulze_ranking
+ORACLE_SQL["schulze_ranking"] = _schulze_sql()
+
+
+# ---------------------------------------------------------------------------
+# instant_runoff_voting — IRV elimination order over day ballots
+# ---------------------------------------------------------------------------
+# Each round counts first preferences among the REMAINING candidates
+# (min rank per ballot) and eliminates the fewest-votes candidate
+# (tie-break: alphabetically first).  Four unrolled rounds leave the
+# winner; output = (round, eliminated/winner, votes at that round).
+
+
+def q_instant_runoff_voting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    b = _day_ballots(spark, sf_dir)
+    eliminated: list = []
+    rows_out = None
+    current = b
+    for rnd in range(1, 5):
+        remaining = current.filter(
+            ~F.col("event_type").isin(eliminated)
+            if eliminated
+            else F.lit(True)
+        )
+        wmin = Window.partitionBy("day").orderBy("rk")
+        first = (
+            remaining.withColumn("r2", F.row_number().over(wmin))
+            .filter(F.col("r2") == 1)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        # deterministic elimination: fewest votes, then alphabetical
+        worst = first.orderBy(
+            F.col("votes").asc(), F.col("event_type").asc()
+        ).limit(1)
+        wrow = worst.collect()[0]
+        eliminated.append(wrow["event_type"])
+        rec = current.sparkSession.createDataFrame(
+            [(rnd, wrow["event_type"], int(wrow["votes"]), "eliminated")],
+            "round long, event_type string, votes long, outcome string",
+        )
+        rows_out = rec if rows_out is None else rows_out.union(rec)
+    final = (
+        b.filter(~F.col("event_type").isin(eliminated))
+        .withColumn(
+            "r2",
+            F.row_number().over(Window.partitionBy("day").orderBy("rk")),
+        )
+        .filter(F.col("r2") == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .select(
+            F.lit(5).cast("long").alias("round"),
+            "event_type",
+            F.col("votes").cast("long").alias("votes"),
+            F.lit("winner").alias("outcome"),
+        )
+    )
+    return rows_out.union(final).orderBy("round")
+
+
+def _irv_sql() -> str:
+    # unrolled rounds: each round recomputes first preferences among
+    # candidates not yet eliminated (elim CTEs chain)
+    sql = f"""
+WITH {_BALLOTS_SQL.strip()}
+, f1 AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS votes
+  FROM (
+    SELECT day, event_type,
+           row_number() OVER (PARTITION BY day ORDER BY rk) AS r2
+    FROM ballots
+  ) t WHERE r2 = 1 GROUP BY 1
+), e1 AS (
+  SELECT event_type, votes FROM f1
+  ORDER BY votes ASC, event_type ASC LIMIT 1
+), f2 AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS votes
+  FROM (
+    SELECT b.day, b.event_type,
+           row_number() OVER (PARTITION BY b.day ORDER BY b.rk) AS r2
+    FROM ballots b
+    WHERE b.event_type NOT IN (SELECT event_type FROM e1)
+  ) t WHERE r2 = 1 GROUP BY 1
+), e2 AS (
+  SELECT event_type, votes FROM f2
+  ORDER BY votes ASC, event_type ASC LIMIT 1
+), f3 AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS votes
+  FROM (
+    SELECT b.day, b.event_type,
+           row_number() OVER (PARTITION BY b.day ORDER BY b.rk) AS r2
+    FROM ballots b
+    WHERE b.event_type NOT IN (SELECT event_type FROM e1)
+      AND b.event_type NOT IN (SELECT event_type FROM e2)
+  ) t WHERE r2 = 1 GROUP BY 1
+), e3 AS (
+  SELECT event_type, votes FROM f3
+  ORDER BY votes ASC, event_type ASC LIMIT 1
+), f4 AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS votes
+  FROM (
+    SELECT b.day, b.event_type,
+           row_number() OVER (PARTITION BY b.day ORDER BY b.rk) AS r2
+    FROM ballots b
+    WHERE b.event_type NOT IN (SELECT event_type FROM e1)
+      AND b.event_type NOT IN (SELECT event_type FROM e2)
+      AND b.event_type NOT IN (SELECT event_type FROM e3)
+  ) t WHERE r2 = 1 GROUP BY 1
+), e4 AS (
+  SELECT event_type, votes FROM f4
+  ORDER BY votes ASC, event_type ASC LIMIT 1
+), f5 AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS votes
+  FROM (
+    SELECT b.day, b.event_type,
+           row_number() OVER (PARTITION BY b.day ORDER BY b.rk) AS r2
+    FROM ballots b
+    WHERE b.event_type NOT IN (SELECT event_type FROM e1)
+      AND b.event_type NOT IN (SELECT event_type FROM e2)
+      AND b.event_type NOT IN (SELECT event_type FROM e3)
+      AND b.event_type NOT IN (SELECT event_type FROM e4)
+  ) t WHERE r2 = 1 GROUP BY 1
+)
+SELECT CAST(1 AS BIGINT) AS round, event_type, votes,
+       'eliminated' AS outcome FROM e1
+UNION ALL
+SELECT 2, event_type, votes, 'eliminated' FROM e2
+UNION ALL
+SELECT 3, event_type, votes, 'eliminated' FROM e3
+UNION ALL
+SELECT 4, event_type, votes, 'eliminated' FROM e4
+UNION ALL
+SELECT 5, event_type, votes, 'winner' FROM f5
+ORDER BY round
+"""
+    return sql
+
+
+QUERIES["instant_runoff_voting"] = q_instant_runoff_voting
+ORACLE_SQL["instant_runoff_voting"] = _irv_sql()
