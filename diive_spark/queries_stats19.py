@@ -5492,3 +5492,53 @@ ORDER BY round
 
 QUERIES["instant_runoff_voting"] = q_instant_runoff_voting
 ORACLE_SQL["instant_runoff_voting"] = _irv_sql()
+
+
+# ===========================================================================
+# Battery AG — state-space kernels (rows-only + pytest pins): local-
+# level Kalman filtering and Bayesian online changepoint detection.
+# ===========================================================================
+
+
+def q_kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.statekernels import kalman_frame
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.avg("value").alias("y"))
+    out = kalman_frame(daily, "event_type", "day", "y", q=1.0, r=10.0)
+    return out.select(
+        "event_type",
+        "n",
+        F.round("level", 4).alias("level"),
+        F.round("loglik", 4).alias("loglik"),
+        F.round("gain_gap", 8).alias("gain_gap"),
+    ).orderBy("event_type")
+
+
+QUERIES["kalman_local_level"] = q_kalman_local_level
+
+
+def q_bocd_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.statekernels import bocd_frame
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    out = bocd_frame(daily, "event_type", "day", "y", hazard=0.02)
+    return out.orderBy("event_type")
+
+
+QUERIES["bocd_changepoints"] = q_bocd_changepoints
