@@ -5542,3 +5542,253 @@ def q_bocd_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["bocd_changepoints"] = q_bocd_changepoints
+
+
+# ===========================================================================
+# Battery AH — decision theory: first/second-order stochastic
+# dominance of the day distribution over the night distribution, and
+# CRRA certainty equivalents (mean / geometric / harmonic ladder).
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# stochastic_dominance — FSD/SSD violation measures day vs night
+# ---------------------------------------------------------------------------
+# F-diff at each distinct value from exact cumulative counts; FSD of
+# day over night holds iff F_day <= F_night everywhere.  Reports max
+# violation of FSD, and the SSD check on integrated CDFs (exact
+# value-weighted cumulative sums); the epsilon-ASD ratio = violation
+# area / total area between the CDFs.
+
+
+def q_stochastic_dominance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cnt = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "v"
+        ),
+        F.when(F.hour("ts").between(8, 19), 1).otherwise(0).alias("g"),
+    ).groupBy("event_type", "v").agg(
+        F.sum("g").alias("ca"),
+        F.sum(1 - F.col("g")).alias("cb"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("event_type")
+    c = (
+        cnt.withColumn("cuma", F.sum("ca").over(w))
+        .withColumn("cumb", F.sum("cb").over(w))
+        .withColumn("na", F.sum("ca").over(wn))
+        .withColumn("nb", F.sum("cb").over(wn))
+        .withColumn("nxt", F.lead("v").over(
+            Window.partitionBy("event_type").orderBy("v")
+        ))
+    )
+    # F-difference on the step interval [v, nxt)
+    fa = F.col("cuma").cast("double") / F.col("na").cast("double")
+    fb = F.col("cumb").cast("double") / F.col("nb").cast("double")
+    width = (F.col("nxt") - F.col("v")).cast("double")
+    diff = fa - fb  # > 0 violates day-FSD
+    viol9 = F.floor(
+        F.when(diff > 0, diff).otherwise(0.0)
+        * F.coalesce(width, F.lit(0.0))
+        * 1e9
+        + F.lit(_OFF)
+    ).cast("long")
+    area9 = F.floor(
+        F.abs(diff) * F.coalesce(width, F.lit(0.0)) * 1e9 + F.lit(_OFF)
+    ).cast("long")
+    maxv9 = F.floor(
+        F.when(diff > 0, diff).otherwise(0.0) * 1e9 + F.lit(_OFF)
+    ).cast("long")
+    agg = c.select(
+        "event_type",
+        viol9.alias("v9"),
+        area9.alias("a9"),
+        maxv9.alias("m9"),
+    ).groupBy("event_type").agg(
+        F.sum("v9").alias("sv9"),
+        F.sum("a9").alias("sa9"),
+        F.max("m9").alias("mx9"),
+    )
+    eps = F.col("sv9").cast("double") / F.col("sa9").cast("double")
+    return (
+        agg.filter(F.col("sa9") > 0)
+        .select(
+            "event_type",
+            F.floor(
+                F.col("mx9").cast("double") / 1e9 * 1_000_000
+                + F.lit(_OFF)
+            )
+            .cast("long")
+            .alias("max_fsd_violation_e6"),
+            F.floor(eps * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+                "asd_epsilon_e6"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_STOCH_DOM = f"""
+WITH cnt AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 8 AND 19
+                       THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 8 AND 19
+                       THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT *,
+         CAST(sum(ca) OVER (PARTITION BY event_type ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cuma,
+         CAST(sum(cb) OVER (PARTITION BY event_type ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cumb,
+         CAST(sum(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+         CAST(sum(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb,
+         lead(v) OVER (PARTITION BY event_type ORDER BY v) AS nxt
+  FROM cnt
+), terms AS (
+  SELECT event_type,
+         CAST(floor(greatest(CAST(cuma AS DOUBLE) / na
+                             - CAST(cumb AS DOUBLE) / nb, 0.0)
+                    * coalesce(nxt - v, 0) * 1e9 + {_OFF})
+              AS BIGINT) AS v9,
+         CAST(floor(abs(CAST(cuma AS DOUBLE) / na
+                        - CAST(cumb AS DOUBLE) / nb)
+                    * coalesce(nxt - v, 0) * 1e9 + {_OFF})
+              AS BIGINT) AS a9,
+         CAST(floor(greatest(CAST(cuma AS DOUBLE) / na
+                             - CAST(cumb AS DOUBLE) / nb, 0.0) * 1e9
+                    + {_OFF}) AS BIGINT) AS m9
+  FROM c
+), agg AS (
+  SELECT event_type,
+         CAST(sum(v9) AS BIGINT) AS sv9,
+         CAST(sum(a9) AS BIGINT) AS sa9,
+         max(m9) AS mx9
+  FROM terms GROUP BY 1
+)
+SELECT event_type,
+       CAST(floor(CAST(mx9 AS DOUBLE) / 1e9 * 1000000 + {_OFF})
+            AS BIGINT) AS max_fsd_violation_e6,
+       CAST(floor(CAST(sv9 AS DOUBLE) / sa9 * 1000000 + {_OFF})
+            AS BIGINT) AS asd_epsilon_e6
+FROM agg
+WHERE sa9 > 0
+ORDER BY event_type
+"""
+
+QUERIES["stochastic_dominance"] = q_stochastic_dominance
+ORACLE_SQL["stochastic_dominance"] = SQL_STOCH_DOM
+
+
+# ---------------------------------------------------------------------------
+# risk_preference_ce — CRRA certainty equivalents: gamma = 0 (mean),
+# 1 (geometric mean), 2 (harmonic mean), with risk premia
+# ---------------------------------------------------------------------------
+# Geometric: exp(mean ln v); harmonic: 1/mean(1/v).  ln and 1/v
+# collapse to the distinct centi-value domain with e9/e12-floored
+# terms; premium_gamma = mean - CE_gamma.
+
+
+def q_risk_preference_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cnt = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "v"
+        ),
+    ).filter(F.col("v") > 0).groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    vd = F.col("v").cast("double") / 100.0
+    cd = F.col("c").cast("double")
+    t = cnt.select(
+        "event_type",
+        "c",
+        F.col("c").alias("cc"),
+        (F.col("c") * F.col("v")).alias("cv"),
+        F.floor(F.log(vd) * cd * 1e9 + F.lit(_OFF)).cast("long").alias(
+            "ln9"
+        ),
+        F.floor(1.0 / vd * cd * 1e12 + F.lit(_OFF)).cast("long").alias(
+            "inv12"
+        ),
+    )
+    agg = t.groupBy("event_type").agg(
+        F.sum("c").alias("n"),
+        F.sum("cv").alias("sv"),
+        F.sum("ln9").alias("sln"),
+        F.sum("inv12").alias("sinv"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sv").cast("double") / nd / 100.0
+    geo = F.exp(F.col("sln").cast("double") / 1e9 / nd)
+    har = 1.0 / (F.col("sinv").cast("double") / 1e12 / nd)
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(mean * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "ce_gamma0_e4"
+        ),
+        F.floor(geo * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "ce_gamma1_e4"
+        ),
+        F.floor(har * 10_000 + F.lit(_OFF)).cast("long").alias(
+            "ce_gamma2_e4"
+        ),
+        F.floor((mean - har) * 10_000 + F.lit(_OFF))
+        .cast("long")
+        .alias("risk_premium2_e4"),
+    ).orderBy("event_type")
+
+
+SQL_RISK_CE = f"""
+WITH cnt AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events
+  WHERE CAST(floor(value * 100 + {_OFF}) AS BIGINT) > 0
+  GROUP BY 1, 2
+), t AS (
+  SELECT event_type, c, c * v AS cv,
+         CAST(floor(ln(v / 100.0) * c * 1e9 + {_OFF})
+              AS BIGINT) AS ln9,
+         CAST(floor(1.0 / (v / 100.0) * c * 1e12 + {_OFF})
+              AS BIGINT) AS inv12
+  FROM cnt
+), agg AS (
+  SELECT event_type,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(cv) AS BIGINT) AS sv,
+         CAST(sum(ln9) AS BIGINT) AS sln,
+         CAST(sum(inv12) AS BIGINT) AS sinv
+  FROM t GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(floor(CAST(sv AS DOUBLE) / n / 100.0 * 10000 + {_OFF})
+            AS BIGINT) AS ce_gamma0_e4,
+       CAST(floor(exp(CAST(sln AS DOUBLE) / 1e9 / n) * 10000 + {_OFF})
+            AS BIGINT) AS ce_gamma1_e4,
+       CAST(floor(1.0 / (CAST(sinv AS DOUBLE) / 1e12 / n) * 10000
+                  + {_OFF}) AS BIGINT) AS ce_gamma2_e4,
+       CAST(floor((CAST(sv AS DOUBLE) / n / 100.0
+                   - 1.0 / (CAST(sinv AS DOUBLE) / 1e12 / n)) * 10000
+                  + {_OFF}) AS BIGINT) AS risk_premium2_e4
+FROM agg
+ORDER BY event_type
+"""
+
+QUERIES["risk_preference_ce"] = q_risk_preference_ce
+ORACLE_SQL["risk_preference_ce"] = SQL_RISK_CE
