@@ -5792,3 +5792,242 @@ ORDER BY event_type
 
 QUERIES["risk_preference_ce"] = q_risk_preference_ce
 ORACLE_SQL["risk_preference_ce"] = SQL_RISK_CE
+
+
+# ===========================================================================
+# Battery AI — empirical pricing: the Myerson/monopoly reserve price
+# on the empirical willingness-to-pay distribution, and the revenue
+# gain from third-degree (day/night) price discrimination.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# myerson_reserve — argmax_r r * (1 - F(r)) on the empirical value
+# distribution per type
+# ---------------------------------------------------------------------------
+# Revenue at each candidate price (every distinct value) is the exact
+# integer v * n_geq; the argmax uses the (revenue desc, price asc)
+# house tie-break; reported against the revenue at the median price.
+
+
+def q_myerson_reserve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cnt = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "v"
+        ),
+    ).groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("v").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("event_type")
+    c = cnt.withColumn("ngeq", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(wn)
+    )
+    c = c.withColumn("rev", F.col("v") * F.col("ngeq"))
+    best = c.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max_by(
+            F.struct("v", "rev", "ngeq"),
+            F.struct(F.col("rev"), -F.col("v")),
+        ).alias("b"),
+    )
+    # median-price revenue for comparison
+    wlo = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    med = (
+        cnt.withColumn("cumv", F.sum("c").over(wlo))
+        .withColumn("n", F.sum("c").over(wn))
+        .filter(2 * F.col("cumv") >= F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("v").alias("vmed"))
+    )
+    medrev = (
+        c.join(F.broadcast(med), "event_type")
+        .filter(F.col("v") == F.col("vmed"))
+        .select("event_type", F.col("rev").alias("rev_med"))
+    )
+    out = best.join(medrev, "event_type")
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(F.col("b.v").cast("double") / 100.0 * 100 + F.lit(_OFF))
+        .cast("long")
+        .alias("reserve_price_c"),
+        (F.col("b.rev") / 100).cast("long").alias("revenue_at_reserve"),
+        (F.col("rev_med") / 100).cast("long").alias("revenue_at_median"),
+    ).orderBy("event_type")
+
+
+SQL_MYERSON = f"""
+WITH cnt AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT *,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS ngeq,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM cnt
+), r AS (
+  SELECT *, v * ngeq AS rev,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY v * ngeq DESC, v ASC) AS rk
+  FROM c
+), med AS (
+  SELECT event_type, min(v) AS vmed
+  FROM (
+    SELECT *,
+           CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumv
+    FROM c
+  ) t WHERE 2 * cumv >= n GROUP BY 1
+), medrev AS (
+  SELECT c.event_type, c.rev AS rev_med
+  FROM r c JOIN med m ON m.event_type = c.event_type
+  WHERE c.v = m.vmed
+)
+SELECT r.event_type, CAST(r.n AS BIGINT) AS n,
+       CAST(floor(r.v / 100.0 * 100 + {_OFF}) AS BIGINT)
+         AS reserve_price_c,
+       CAST(r.rev // 100 AS BIGINT) AS revenue_at_reserve,
+       CAST(m.rev_med // 100 AS BIGINT) AS revenue_at_median
+FROM r JOIN medrev m ON m.event_type = r.event_type
+WHERE r.rk = 1
+ORDER BY r.event_type
+"""
+
+QUERIES["myerson_reserve"] = q_myerson_reserve
+ORACLE_SQL["myerson_reserve"] = SQL_MYERSON
+
+
+# ---------------------------------------------------------------------------
+# segmented_pricing_gain — third-degree price discrimination: optimal
+# per-segment (day/night) prices vs the optimal uniform price
+# ---------------------------------------------------------------------------
+# Same revenue-curve machinery per segment; gain = (rev_day* +
+# rev_night*) / rev_uniform* - 1.  Exact integer revenues.
+
+
+def q_segmented_pricing_gain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cnt = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "v"
+        ),
+        F.when(F.hour("ts").between(8, 19), 1).otherwise(0).alias("g"),
+    ).groupBy("event_type", "g", "v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wseg = (
+        Window.partitionBy("event_type", "g")
+        .orderBy(F.col("v").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seg = cnt.withColumn("ngeq", F.sum("c").over(wseg)).withColumn(
+        "rev", F.col("v") * F.col("ngeq")
+    )
+    segbest = seg.groupBy("event_type", "g").agg(
+        F.max("rev").alias("rev_seg")
+    ).groupBy("event_type").agg(
+        F.sum("rev_seg").alias("rev_discrim"),
+        F.count(F.lit(1)).alias("n_seg"),
+    )
+    uni = cnt.groupBy("event_type", "v").agg(F.sum("c").alias("c"))
+    wuni = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("v").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ubest = (
+        uni.withColumn("ngeq", F.sum("c").over(wuni))
+        .withColumn("rev", F.col("v") * F.col("ngeq"))
+        .groupBy("event_type")
+        .agg(F.max("rev").alias("rev_uniform"))
+    )
+    out = segbest.join(ubest, "event_type")
+    gain = (
+        F.col("rev_discrim").cast("double")
+        / F.col("rev_uniform").cast("double")
+        - 1.0
+    )
+    return (
+        out.filter(F.col("n_seg") == 2)
+        .select(
+            "event_type",
+            (F.col("rev_uniform") / 100).cast("long").alias(
+                "rev_uniform"
+            ),
+            (F.col("rev_discrim") / 100).cast("long").alias(
+                "rev_discrim"
+            ),
+            F.floor(gain * 1_000_000 + F.lit(_OFF))
+            .cast("long")
+            .alias("gain_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_SEG_PRICING = f"""
+WITH cnt AS (
+  SELECT event_type,
+         CASE WHEN EXTRACT(hour FROM ts) BETWEEN 8 AND 19
+              THEN 1 ELSE 0 END AS g,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3
+), seg AS (
+  SELECT event_type, g, v,
+         v * CAST(sum(c) OVER (PARTITION BY event_type, g
+                ORDER BY v DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS rev
+  FROM cnt
+), segbest AS (
+  SELECT event_type,
+         CAST(sum(rev_seg) AS BIGINT) AS rev_discrim,
+         count(*) AS n_seg
+  FROM (
+    SELECT event_type, g, max(rev) AS rev_seg
+    FROM seg GROUP BY 1, 2
+  ) t GROUP BY 1
+), uni AS (
+  SELECT event_type, v, CAST(sum(c) AS BIGINT) AS c
+  FROM cnt GROUP BY 1, 2
+), ubest AS (
+  SELECT event_type, CAST(max(rev) AS BIGINT) AS rev_uniform
+  FROM (
+    SELECT event_type,
+           v * CAST(sum(c) OVER (PARTITION BY event_type
+                  ORDER BY v DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS rev
+    FROM uni
+  ) t GROUP BY 1
+)
+SELECT s.event_type,
+       CAST(u.rev_uniform // 100 AS BIGINT) AS rev_uniform,
+       CAST(s.rev_discrim // 100 AS BIGINT) AS rev_discrim,
+       CAST(floor((CAST(s.rev_discrim AS DOUBLE) / u.rev_uniform
+                   - 1.0) * 1000000 + {_OFF}) AS BIGINT) AS gain_e6
+FROM segbest s JOIN ubest u ON u.event_type = s.event_type
+WHERE s.n_seg = 2
+ORDER BY s.event_type
+"""
+
+QUERIES["segmented_pricing_gain"] = q_segmented_pricing_gain
+ORACLE_SQL["segmented_pricing_gain"] = SQL_SEG_PRICING
