@@ -6031,3 +6031,192 @@ ORDER BY s.event_type
 
 QUERIES["segmented_pricing_gain"] = q_segmented_pricing_gain
 ORACLE_SQL["segmented_pricing_gain"] = SQL_SEG_PRICING
+
+
+# ===========================================================================
+# Battery AJ — maximal information coefficient (equipartition
+# approximation) between value and hour-of-day, completing the
+# dependence family (dcor / hoeffding_d / chatterjee_xi /
+# uncertainty_coeff).
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# mic_equipartition — max over small grids (x, y in 2..4, x*y <= 16)
+# of MI(hour-bin, value-quantile-bin) / ln(min(x, y))
+# ---------------------------------------------------------------------------
+# Reshef et al. (Science 2011) with the EQUIPARTITION restriction
+# (true MIC optimizes partition boundaries; the equipartition grid is
+# the standard cheap surrogate and is documented as such).  Value
+# bins are quantile bins assigned on the collapsed value domain via
+# ceil(k * cum_incl / n) — deterministic integers; MI cell terms are
+# e9-floored over <= 16 cells per grid.
+
+
+def q_mic_equipartition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("h"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "v"
+        ),
+    )
+    dom = base.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("event_type")
+    cum = dom.withColumn("cumv", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(wn)
+    )
+    grids = base.sparkSession.createDataFrame(
+        [
+            (x, y)
+            for x in (2, 3, 4)
+            for y in (2, 3, 4)
+            if x * y <= 16
+        ],
+        ["gx", "gy"],
+    )
+    vb = cum.crossJoin(F.broadcast(grids)).select(
+        "event_type",
+        "v",
+        "gx",
+        "gy",
+        "n",
+        F.least(
+            F.ceil(
+                F.col("gy").cast("double")
+                * F.col("cumv").cast("double")
+                / F.col("n").cast("double")
+            ).cast("long"),
+            F.col("gy").cast("long"),
+        ).alias("yb"),
+    )
+    j = base.join(vb, ["event_type", "v"]).select(
+        "event_type",
+        "gx",
+        "gy",
+        "n",
+        "yb",
+        F.floor(
+            F.col("h").cast("double") * F.col("gx").cast("double") / 24.0
+        ).cast("long").alias("xb"),
+    )
+    cell = j.groupBy("event_type", "gx", "gy", "n", "xb", "yb").agg(
+        F.count(F.lit(1)).alias("nc")
+    )
+    wx = Window.partitionBy("event_type", "gx", "gy", "xb")
+    wy = Window.partitionBy("event_type", "gx", "gy", "yb")
+    cell = cell.withColumn("nx", F.sum("nc").over(wx)).withColumn(
+        "ny", F.sum("nc").over(wy)
+    )
+    nd = F.col("n").cast("double")
+    term = (
+        F.col("nc").cast("double")
+        / nd
+        * F.log(
+            F.col("nc").cast("double")
+            * nd
+            / (F.col("nx").cast("double") * F.col("ny").cast("double"))
+        )
+    )
+    cell = cell.withColumn(
+        "t9", F.floor(term * 1e9 + F.lit(_OFF)).cast("long")
+    )
+    mi = cell.groupBy("event_type", "gx", "gy").agg(
+        F.sum("t9").alias("mi9")
+    )
+    norm = F.log(
+        F.least(F.col("gx"), F.col("gy")).cast("double")
+    )
+    mic = F.col("mi9").cast("double") / 1e9 / norm
+    mi = mi.withColumn(
+        "mic6", F.floor(mic * 1e6 + F.lit(_OFF)).cast("long")
+    )
+    best = mi.groupBy("event_type").agg(
+        F.max_by(
+            F.struct("gx", "gy", "mic6"),
+            F.struct(F.col("mic6"), -F.col("gx"), -F.col("gy")),
+        ).alias("b")
+    )
+    return best.select(
+        "event_type",
+        F.col("b.gx").cast("long").alias("best_gx"),
+        F.col("b.gy").cast("long").alias("best_gy"),
+        F.col("b.mic6").alias("mic_e6"),
+    ).orderBy("event_type")
+
+
+SQL_MIC = f"""
+WITH base AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS v
+  FROM events
+), dom AS (
+  SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+  FROM base GROUP BY 1, 2
+), cum AS (
+  SELECT *,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cumv,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM dom
+), grids AS (
+  SELECT * FROM (VALUES (2,2),(2,3),(2,4),(3,2),(3,3),(3,4),
+                        (4,2),(4,3),(4,4)) t(gx, gy)
+), vb AS (
+  SELECT c.event_type, c.v, g.gx, g.gy, c.n,
+         least(CAST(ceil(g.gy * CAST(c.cumv AS DOUBLE) / c.n)
+                    AS BIGINT), g.gy) AS yb
+  FROM cum c, grids g
+), j AS (
+  SELECT b.event_type, v.gx, v.gy, v.n, v.yb,
+         CAST(floor(b.h * CAST(v.gx AS DOUBLE) / 24.0)
+              AS BIGINT) AS xb
+  FROM base b
+  JOIN vb v ON v.event_type = b.event_type AND v.v = b.v
+), cell AS (
+  SELECT event_type, gx, gy, n, xb, yb,
+         CAST(count(*) AS BIGINT) AS nc
+  FROM j GROUP BY 1, 2, 3, 4, 5, 6
+), marg AS (
+  SELECT *,
+         CAST(sum(nc) OVER (PARTITION BY event_type, gx, gy, xb)
+              AS BIGINT) AS nx,
+         CAST(sum(nc) OVER (PARTITION BY event_type, gx, gy, yb)
+              AS BIGINT) AS ny
+  FROM cell
+), terms AS (
+  SELECT event_type, gx, gy,
+         CAST(floor(CAST(nc AS DOUBLE) / n
+                    * ln(CAST(nc AS DOUBLE) * n
+                         / (CAST(nx AS DOUBLE) * ny)) * 1e9 + {_OFF})
+              AS BIGINT) AS t9
+  FROM marg
+), mi AS (
+  SELECT event_type, gx, gy,
+         CAST(floor(CAST(sum(t9) AS DOUBLE) / 1e9
+                    / ln(CAST(least(gx, gy) AS DOUBLE)) * 1e6 + {_OFF})
+              AS BIGINT) AS mic6
+  FROM terms GROUP BY 1, 2, 3
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY mic6 DESC, gx ASC, gy ASC)
+              AS r
+  FROM mi
+)
+SELECT event_type, CAST(gx AS BIGINT) AS best_gx,
+       CAST(gy AS BIGINT) AS best_gy, mic6 AS mic_e6
+FROM rk WHERE r = 1
+ORDER BY event_type
+"""
+
+QUERIES["mic_equipartition"] = q_mic_equipartition
+ORACLE_SQL["mic_equipartition"] = SQL_MIC
