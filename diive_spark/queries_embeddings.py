@@ -909,3 +909,73 @@ def _top5_cos_rows(
         top5_batches,
         "qid long, qlabel long, rk long, vec_id long, label long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Shared within-label L2 top-k kernel (round-4 bench-tail repair #2):
+# hubness_skew / twonn_intrinsic_dim / lid_mle all rank within-label
+# neighbours by round(l2sq, 6) with cand_id tie-break.  The kernel
+# preselects the top (k + slack) candidates by RAW einsum distance —
+# the same per-row np.einsum arithmetic as l2sq_pair_udf, so the raw
+# doubles are bit-identical — and the callers re-apply F.round(., 6)
+# and the original window over <= k+slack rows, keeping the rounded
+# ordering (and the oracles) byte-identical.  Slack absorbs rounded
+# ties that straddle the raw cut (requires raw gaps < 1e-6 across 20
+# ranks to fail — and any failure would hash-mismatch the oracle).
+# ---------------------------------------------------------------------------
+
+
+def _l2_topk_rows(
+    spark: SparkSession, sf_dir: str, k: int, slack: int = 20
+) -> DataFrame:
+    """(label, vec_id, cand_id, d2) raw squared distances of each
+    vector's top (k+slack) same-label neighbours."""
+    import numpy as np
+    import pandas as pd
+
+    src = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", "embedding"
+    )
+    ref_rows = src.collect()
+    ref_rows.sort(key=lambda r: r["vec_id"])
+    ref_ids = np.array([r["vec_id"] for r in ref_rows], dtype=np.int64)
+    ref_lab = np.array([r["label"] for r in ref_rows], dtype=np.int64)
+    ref_e = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in ref_rows]
+    )
+    take = k + slack
+
+    def topk_batches(it):
+        for pdf in it:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            labs = pdf["label"].to_numpy(dtype=np.int64)
+            emb = np.stack(pdf["embedding"].to_numpy()).astype(
+                np.float64
+            )
+            out_vid, out_lab, out_cid, out_d2 = [], [], [], []
+            for bi in range(len(ids)):
+                mask = (ref_lab == labs[bi]) & (ref_ids != ids[bi])
+                cand = np.where(mask)[0]
+                if len(cand) == 0:
+                    continue
+                diff = emb[bi][None, :] - ref_e[cand]
+                d2 = np.einsum("ij,ij->i", diff, diff)
+                order = np.lexsort((ref_ids[cand], d2))[:take]
+                sel = cand[order]
+                out_vid.extend([ids[bi]] * len(sel))
+                out_lab.extend([labs[bi]] * len(sel))
+                out_cid.extend(ref_ids[sel].tolist())
+                out_d2.extend(d2[order].tolist())
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.array(out_vid, dtype=np.int64),
+                    "label": np.array(out_lab, dtype=np.int64),
+                    "cand_id": np.array(out_cid, dtype=np.int64),
+                    "d2raw": np.array(out_d2, dtype=np.float64),
+                }
+            )
+
+    return src.mapInPandas(
+        topk_batches,
+        "vec_id long, label long, cand_id long, d2raw double",
+    )

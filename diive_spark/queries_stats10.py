@@ -1458,26 +1458,14 @@ _LID_K = 5
 
 
 def q_lid_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from diive_spark.text.similarity import l2sq_pair_udf
+    # round-4 bench-tail repair: shared _l2_topk_rows kernel (raw
+    # einsum distances, slack preselect), rounded ordering unchanged.
+    from diive_spark.queries_embeddings import _l2_topk_rows
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", "label", "embedding"
-    )
-    b = emb.select(
-        F.col("label").alias("label_r"),
-        F.col("vec_id").alias("cand_id"),
-        F.col("embedding").alias("emb_r"),
-    )
-    pairs = emb.join(
-        b,
-        (F.col("label") == F.col("label_r"))
-        & (F.col("vec_id") != F.col("cand_id")),
-    ).select(
+    pairs = _l2_topk_rows(spark, sf_dir, _LID_K).select(
         "label",
         "vec_id",
-        F.round(l2sq_pair_udf(F.col("embedding"), F.col("emb_r")), 6).alias(
-            "d2"
-        ),
+        F.round(F.col("d2raw"), 6).alias("d2"),
         "cand_id",
     )
     wo = Window.partitionBy("label", "vec_id").orderBy(

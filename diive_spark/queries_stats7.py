@@ -2472,27 +2472,15 @@ ORDER BY family_size
 
 
 def q_twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from diive_spark.text.similarity import l2sq_pair_udf
+    # round-4 bench-tail repair: shared _l2_topk_rows kernel (raw
+    # einsum distances, slack preselect), rounded ordering unchanged.
+    from diive_spark.queries_embeddings import _l2_topk_rows
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", "label", "embedding"
-    )
-    b = emb.select(
-        F.col("label").alias("label_r"),
-        F.col("vec_id").alias("cand_id"),
-        F.col("embedding").alias("emb_r"),
-    )
-    pairs = emb.join(
-        b,
-        (F.col("label") == F.col("label_r"))
-        & (F.col("vec_id") != F.col("cand_id")),
-    ).select(
+    pairs = _l2_topk_rows(spark, sf_dir, 2).select(
         "label",
         "vec_id",
         "cand_id",
-        F.round(l2sq_pair_udf(F.col("embedding"), F.col("emb_r")), 6).alias(
-            "d2"
-        ),
+        F.round(F.col("d2raw"), 6).alias("d2"),
     )
     wo = Window.partitionBy("label", "vec_id").orderBy(
         F.col("d2").asc(), F.col("cand_id").asc()

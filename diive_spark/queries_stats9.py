@@ -37,27 +37,20 @@ _HUB_K = 5
 
 
 def q_hubness_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from diive_spark.text.similarity import l2sq_pair_udf
+    # round-4 bench-tail repair: the within-label pair join + pandas
+    # UDF is now the shared _l2_topk_rows Arrow kernel (raw einsum
+    # distances, slack-20 preselect); the rounded ordering below is
+    # unchanged, so the oracle stays byte-identical.
+    from diive_spark.queries_embeddings import _l2_topk_rows
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "label", "embedding"
     )
-    b = emb.select(
-        F.col("label").alias("label_r"),
-        F.col("vec_id").alias("cand_id"),
-        F.col("embedding").alias("emb_r"),
-    )
-    pairs = emb.join(
-        b,
-        (F.col("label") == F.col("label_r"))
-        & (F.col("vec_id") != F.col("cand_id")),
-    ).select(
+    pairs = _l2_topk_rows(spark, sf_dir, _HUB_K).select(
         "label",
         "vec_id",
         "cand_id",
-        F.round(l2sq_pair_udf(F.col("embedding"), F.col("emb_r")), 6).alias(
-            "d2"
-        ),
+        F.round(F.col("d2raw"), 6).alias("d2"),
     )
     wo = Window.partitionBy("label", "vec_id").orderBy(
         F.col("d2").asc(), F.col("cand_id").asc()
