@@ -926,10 +926,16 @@ def _top5_cos_rows(
 
 
 def _l2_topk_rows(
-    spark: SparkSession, sf_dir: str, k: int, slack: int = 20
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    slack: int = 20,
+    allowed: dict | None = None,
 ) -> DataFrame:
-    """(label, vec_id, cand_id, d2) raw squared distances of each
-    vector's top (k+slack) same-label neighbours."""
+    """(label, vec_id, cand_id, cand_label, d2raw) raw squared
+    distances of each vector's top (k+slack) candidate neighbours;
+    candidates are same-label by default, or the labels listed in
+    ``allowed[label]`` (e.g. own + rival for map_at_k)."""
     import numpy as np
     import pandas as pd
 
@@ -952,9 +958,16 @@ def _l2_topk_rows(
             emb = np.stack(pdf["embedding"].to_numpy()).astype(
                 np.float64
             )
-            out_vid, out_lab, out_cid, out_d2 = [], [], [], []
+            out_vid, out_lab, out_cid = [], [], []
+            out_clab, out_d2 = [], []
             for bi in range(len(ids)):
-                mask = (ref_lab == labs[bi]) & (ref_ids != ids[bi])
+                if allowed is None:
+                    lmask = ref_lab == labs[bi]
+                else:
+                    lmask = np.isin(
+                        ref_lab, list(allowed[int(labs[bi])])
+                    )
+                mask = lmask & (ref_ids != ids[bi])
                 cand = np.where(mask)[0]
                 if len(cand) == 0:
                     continue
@@ -965,17 +978,20 @@ def _l2_topk_rows(
                 out_vid.extend([ids[bi]] * len(sel))
                 out_lab.extend([labs[bi]] * len(sel))
                 out_cid.extend(ref_ids[sel].tolist())
+                out_clab.extend(ref_lab[sel].tolist())
                 out_d2.extend(d2[order].tolist())
             yield pd.DataFrame(
                 {
                     "vec_id": np.array(out_vid, dtype=np.int64),
                     "label": np.array(out_lab, dtype=np.int64),
                     "cand_id": np.array(out_cid, dtype=np.int64),
+                    "cand_label": np.array(out_clab, dtype=np.int64),
                     "d2raw": np.array(out_d2, dtype=np.float64),
                 }
             )
 
     return src.mapInPandas(
         topk_batches,
-        "vec_id long, label long, cand_id long, d2raw double",
+        "vec_id long, label long, cand_id long, cand_label long,"
+        " d2raw double",
     )

@@ -597,26 +597,24 @@ def q_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("label", F.col("label_r").alias("rival"))
     )
-    cand = emb.select(
-        F.col("label").alias("clabel"),
-        F.col("vec_id").alias("cand_id"),
-        F.col("embedding").alias("emb_r"),
-    )
-    pairs = emb.join(F.broadcast(nearest), "label").join(
-        cand,
-        (
-            (F.col("clabel") == F.col("label"))
-            | (F.col("clabel") == F.col("rival"))
-        )
-        & (F.col("cand_id") != F.col("vec_id")),
+    # round-4 bench-tail repair: candidates (own + rival label) come
+    # from the shared _l2_topk_rows kernel with an allowed-labels map
+    # (rival rows are a bounded k-row collect); the rounded ordering
+    # below and the oracle are unchanged.
+    from diive_spark.queries_embeddings import _l2_topk_rows
+
+    rmap = {
+        int(r["label"]): (int(r["label"]), int(r["rival"]))
+        for r in nearest.collect()
+    }
+    pairs = _l2_topk_rows(
+        spark, sf_dir, _MAP_K, allowed=rmap
     ).select(
         "label",
         "vec_id",
         "cand_id",
-        "clabel",
-        F.round(
-            l2sq_pair_udf(F.col("embedding"), F.col("emb_r")), 6
-        ).alias("d2"),
+        F.col("cand_label").alias("clabel"),
+        F.round(F.col("d2raw"), 6).alias("d2"),
     )
     wo = Window.partitionBy("label", "vec_id").orderBy(
         F.col("d2").asc(), F.col("cand_id").asc()
