@@ -6220,3 +6220,310 @@ ORDER BY event_type
 
 QUERIES["mic_equipartition"] = q_mic_equipartition
 ORACLE_SQL["mic_equipartition"] = SQL_MIC
+
+
+# ===========================================================================
+# Battery AK — structural network measures on the (bounded) symmetrized
+# type-transition graph: Burt's constraint (structural holes) and the
+# Borgatti-Everett core-periphery fit by exhaustive 32-mask search.
+# ===========================================================================
+
+
+def _sym_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized transition weights m_ij = c_ij + c_ji (i != j)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .filter(F.col("nxt") != F.col("event_type"))
+        .groupBy(
+            F.col("event_type").alias("i"), F.col("nxt").alias("j")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rev = pairs.select(
+        F.col("j").alias("i"), F.col("i").alias("j"),
+        F.col("c").alias("crev"),
+    )
+    return (
+        pairs.join(rev, ["i", "j"], "full")
+        .select(
+            F.coalesce(pairs["i"], rev["i"]).alias("i"),
+            F.coalesce(pairs["j"], rev["j"]).alias("j"),
+            (
+                F.coalesce(F.col("c"), F.lit(0))
+                + F.coalesce(F.col("crev"), F.lit(0))
+            ).alias("m"),
+        )
+    )
+
+
+_SYM_WEIGHTS_SQL = """
+seq AS (
+  SELECT event_type AS i,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS j
+  FROM events
+), pairs AS (
+  SELECT i, j, CAST(count(*) AS BIGINT) AS c
+  FROM seq WHERE j IS NOT NULL AND j <> i GROUP BY 1, 2
+), sym AS (
+  SELECT coalesce(a.i, b.j) AS i, coalesce(a.j, b.i) AS j,
+         CAST(coalesce(a.c, 0) + coalesce(b.c, 0) AS BIGINT) AS m
+  FROM pairs a
+  FULL JOIN pairs b ON b.i = a.j AND b.j = a.i
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# burt_constraint — Burt (1992) network constraint per event type
+# ---------------------------------------------------------------------------
+# p_ij = m_ij / sum_j m_ij; c_ij = (p_ij + sum_q p_iq p_qj)^2;
+# C_i = sum_j c_ij.  Indirect terms e12-floored per (i, q, j) triple
+# (the k^3 <= 125 triple domain).
+
+
+def q_burt_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sym = _sym_weights(spark, sf_dir)
+    tot = sym.groupBy("i").agg(F.sum("m").alias("mi"))
+    p = sym.join(F.broadcast(tot), "i").select(
+        "i",
+        "j",
+        (F.col("m").cast("double") / F.col("mi").cast("double")).alias(
+            "p"
+        ),
+    )
+    piq = p.select(
+        F.col("i"), F.col("j").alias("q"), F.col("p").alias("piq")
+    )
+    pqj = p.select(
+        F.col("i").alias("q"), F.col("j"), F.col("p").alias("pqj")
+    )
+    ind = (
+        piq.join(pqj, "q")
+        .filter((F.col("j") != F.col("i")) & (F.col("q") != F.col("j")))
+        .select(
+            "i",
+            "j",
+            F.floor(
+                F.col("piq") * F.col("pqj") * 1e12 + F.lit(_OFF)
+            ).cast("long").alias("t12"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("t12").alias("ind12"))
+    )
+    cij = p.join(ind, ["i", "j"], "left").select(
+        "i",
+        "j",
+        (
+            F.col("p")
+            + F.coalesce(F.col("ind12"), F.lit(0)).cast("double") / 1e12
+        ).alias("pc"),
+    )
+    con = cij.groupBy("i").agg(
+        F.sum(
+            F.floor(
+                F.col("pc") * F.col("pc") * 1e9 + F.lit(_OFF)
+            ).cast("long")
+        ).alias("c9"),
+        F.count(F.lit(1)).alias("deg"),
+    )
+    return con.select(
+        F.col("i").alias("event_type"),
+        F.col("deg").cast("long").alias("degree"),
+        F.floor(
+            F.col("c9").cast("double") / 1e9 * 1_000_000 + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("constraint_e6"),
+    ).orderBy("event_type")
+
+
+SQL_BURT = f"""
+WITH {_SYM_WEIGHTS_SQL.strip()}
+, tot AS (
+  SELECT i, CAST(sum(m) AS BIGINT) AS mi FROM sym GROUP BY 1
+), p AS (
+  SELECT s.i, s.j, CAST(s.m AS DOUBLE) / t.mi AS p
+  FROM sym s JOIN tot t ON t.i = s.i
+), ind AS (
+  SELECT a.i, b.j,
+         CAST(sum(CAST(floor(a.p * b.p * 1e12 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS ind12
+  FROM p a JOIN p b ON b.i = a.j
+  WHERE b.j <> a.i AND a.j <> b.j
+  GROUP BY 1, 2
+), cij AS (
+  SELECT p.i, p.j,
+         p.p + coalesce(ind.ind12, 0) / 1e12 AS pc
+  FROM p LEFT JOIN ind ON ind.i = p.i AND ind.j = p.j
+), con AS (
+  SELECT i,
+         CAST(sum(CAST(floor(pc * pc * 1e9 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS c9,
+         count(*) AS deg
+  FROM cij GROUP BY 1
+)
+SELECT i AS event_type, CAST(deg AS BIGINT) AS degree,
+       CAST(floor(CAST(c9 AS DOUBLE) / 1e9 * 1000000 + {_OFF})
+            AS BIGINT) AS constraint_e6
+FROM con
+ORDER BY event_type
+"""
+
+QUERIES["burt_constraint"] = q_burt_constraint
+ORACLE_SQL["burt_constraint"] = SQL_BURT
+
+
+# ---------------------------------------------------------------------------
+# core_periphery_fit — Borgatti-Everett core set by exhaustive search
+# over the 32 candidate masks
+# ---------------------------------------------------------------------------
+# Ideal pattern: 1 unless both endpoints peripheral; fit = Pearson
+# correlation between edge weights and the ideal over the 10
+# unordered pairs — exact integer sums throughout; best (corr desc,
+# smaller core, mask asc) reported.
+
+
+def q_core_periphery_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sym = _sym_weights(spark, sf_dir)
+    und = sym.filter(F.col("i") < F.col("j"))
+    spark_ = sym.sparkSession
+    cands = spark_.createDataFrame(
+        [(t, 1 << idx) for idx, t in enumerate(sorted(_CANDS))],
+        ["t", "bit"],
+    )
+    masks = spark_.range(1, 31).select(F.col("id").alias("mask"))
+    e = (
+        und.join(
+            F.broadcast(cands.select(F.col("t").alias("i"),
+                                     F.col("bit").alias("bi"))), "i"
+        )
+        .join(
+            F.broadcast(cands.select(F.col("t").alias("j"),
+                                     F.col("bit").alias("bj"))), "j"
+        )
+        .crossJoin(F.broadcast(masks))
+    )
+    ideal = (
+        1
+        - (
+            (F.expr("mask & bi") == 0) & (F.expr("mask & bj") == 0)
+        ).cast("long")
+    )
+    agg = e.select("mask", "m", ideal.alias("y")).groupBy("mask").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("m").alias("sw"),
+        F.sum(F.col("m") * F.col("m")).alias("sww"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("m") * F.col("y")).alias("swy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("swy").cast("double") - F.col("sw").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    dw = nd * F.col("sww").cast("double") - F.col("sw").cast(
+        "double"
+    ) * F.col("sw").cast("double")
+    dy = nd * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    corr = num / F.sqrt(dw * dy)
+    scored = agg.filter((dw > 0) & (dy > 0)).select(
+        "mask",
+        F.floor(corr * 1_000_000 + F.lit(_OFF)).cast("long").alias(
+            "corr6"
+        ),
+    )
+
+    def pop(c):
+        return sum(
+            (F.floor(c / (1 << b)) % 2) for b in range(5)
+        )
+
+    scored = scored.withColumn("csize", pop(F.col("mask")).cast("long"))
+    w = Window.orderBy(
+        F.col("corr6").desc(), F.col("csize").asc(), F.col("mask").asc()
+    )
+    best = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    core = best.crossJoin(F.broadcast(cands)).filter(
+        F.expr("mask & bit") > 0
+    ).agg(
+        F.max("mask").alias("mask"),
+        F.max("corr6").alias("corr6"),
+        F.max("csize").alias("csize"),
+        F.concat_ws(",", F.sort_array(F.collect_list("t"))).alias(
+            "core_members"
+        ),
+    )
+    return core.select(
+        "core_members",
+        F.col("csize").cast("long").alias("core_size"),
+        F.col("corr6").alias("fit_corr_e6"),
+    )
+
+
+def _core_periphery_sql() -> str:
+    vals = ", ".join(
+        f"('{t}', {1 << idx})"
+        for idx, t in enumerate(sorted(_CANDS))
+    )
+    return f"""
+WITH {_SYM_WEIGHTS_SQL.strip()}
+, und AS (
+  SELECT * FROM sym WHERE i < j
+), cands AS (
+  SELECT * FROM (VALUES {vals}) t(t, bit)
+), masks AS (
+  SELECT unnest(generate_series(1, 30)) AS mask
+), e AS (
+  SELECT mk.mask, u.m,
+         1 - CASE WHEN (mk.mask & ci.bit) = 0
+                   AND (mk.mask & cj.bit) = 0
+                  THEN 1 ELSE 0 END AS y
+  FROM und u
+  JOIN cands ci ON ci.t = u.i
+  JOIN cands cj ON cj.t = u.j
+  CROSS JOIN masks mk
+), agg AS (
+  SELECT mask, count(*) AS n,
+         CAST(sum(m) AS BIGINT) AS sw,
+         CAST(sum(m * m) AS BIGINT) AS sww,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(m * y) AS BIGINT) AS swy
+  FROM e GROUP BY 1
+), scored AS (
+  SELECT mask,
+         CAST(floor((CAST(n AS DOUBLE) * swy
+                     - CAST(sw AS DOUBLE) * sy)
+                    / sqrt((CAST(n AS DOUBLE) * sww
+                            - CAST(sw AS DOUBLE) * sw)
+                           * (CAST(n AS DOUBLE) * syy
+                              - CAST(sy AS DOUBLE) * sy)) * 1000000
+                    + {_OFF}) AS BIGINT) AS corr6,
+         CAST(mask % 2 + (mask // 2) % 2 + (mask // 4) % 2
+              + (mask // 8) % 2 + (mask // 16) % 2 AS BIGINT) AS csize
+  FROM agg
+  WHERE CAST(n AS DOUBLE) * sww - CAST(sw AS DOUBLE) * sw > 0
+    AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+), best AS (
+  SELECT * FROM scored
+  ORDER BY corr6 DESC, csize ASC, mask ASC LIMIT 1
+)
+SELECT string_agg(c.t, ',' ORDER BY c.t) AS core_members,
+       CAST(max(b.csize) AS BIGINT) AS core_size,
+       max(b.corr6) AS fit_corr_e6
+FROM best b JOIN cands c ON (b.mask & c.bit) > 0
+"""
+
+
+QUERIES["core_periphery_fit"] = q_core_periphery_fit
+ORACLE_SQL["core_periphery_fit"] = _core_periphery_sql()
