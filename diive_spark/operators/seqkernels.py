@@ -247,3 +247,79 @@ def viterbi_regimes_frame(
         .groupBy(key_col)
         .applyInPandas(apply, schema=schema)
     )
+
+
+def lru_stack_distances(keys: np.ndarray) -> np.ndarray:
+    """Mattson stack distances of a reference stream: distance = the
+    1-based LRU stack depth of the key at access time (2**62 for cold
+    misses).  A hit-rate curve for ANY cache size C follows as
+    P(distance <= C) — the inclusion property of LRU.  O(n log n) via
+    a Fenwick tree over last-access positions (the Bennett-Kruskal
+    algorithm); a naive move-to-front list was O(n k) and 10x slower
+    at bench scale."""
+    n = len(keys)
+    out = np.zeros(n, dtype=np.int64)
+    bit = [0] * (n + 1)
+
+    def upd(i: int, v: int) -> None:
+        i += 1
+        while i <= n:
+            bit[i] += v
+            i += i & -i
+
+    def pref(i: int) -> int:
+        i += 1
+        s = 0
+        while i > 0:
+            s += bit[i]
+            i -= i & -i
+        return s
+
+    last: dict = {}
+    for i, k in enumerate(keys):
+        p = last.get(k)
+        if p is None:
+            out[i] = 2**62
+        else:
+            # distinct keys touched strictly between p and i, + 1
+            out[i] = (pref(i - 1) - pref(p)) + 1
+            upd(p, -1)
+        upd(i, 1)
+        last[k] = i
+    return out
+
+
+def lru_hit_curve_frame(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    ref_col: str,
+    sizes: tuple = (1, 2, 4, 8, 16),
+) -> DataFrame:
+    """Per key: LRU hit rates at the given cache sizes from one
+    stack-distance pass (rows-only kernel; pinned by
+    tests/test_seqkernels.py::test_lru_* vs per-size simulation)."""
+    cols = ", ".join(f"hit_c{c} double" for c in sizes)
+    schema = f"{key_col} string, n long, n_unique long, {cols}"
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        refs = pdf[ref_col].to_numpy()
+        d = lru_stack_distances(refs)
+        n = len(refs)
+        row = {
+            key_col: [pdf[key_col].iloc[0]],
+            "n": [n],
+            "n_unique": [int(len(set(refs.tolist())))],
+        }
+        for c in sizes:
+            row[f"hit_c{c}"] = [
+                float((d <= c).sum() / n) if n else float("nan")
+            ]
+        return pd.DataFrame(row)
+
+    return (
+        kernel_partition(df.select(key_col, ts_col, ref_col), key_col)
+        .groupBy(key_col)
+        .applyInPandas(apply, schema=schema)
+    )

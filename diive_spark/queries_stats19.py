@@ -6527,3 +6527,33 @@ FROM best b JOIN cands c ON (b.mask & c.bit) > 0
 
 QUERIES["core_periphery_fit"] = q_core_periphery_fit
 ORACLE_SQL["core_periphery_fit"] = _core_periphery_sql()
+
+
+# ===========================================================================
+# Battery AL — cache analytics: LRU hit-rate curves by the Mattson
+# stack-distance algorithm (rows-only kernel; one pass gives the hit
+# rate at EVERY cache size via the LRU inclusion property).
+# ===========================================================================
+
+
+def q_lru_hit_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from diive_spark.operators.seqkernels import lru_hit_curve_frame
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    reqs = ev.select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("user_id").alias("ref"),
+    )
+    out = lru_hit_curve_frame(reqs, "event_type", "us", "ref")
+    return out.select(
+        "event_type",
+        "n",
+        "n_unique",
+        F.round("hit_c1", 4).alias("hit_c1"),
+        F.round("hit_c4", 4).alias("hit_c4"),
+        F.round("hit_c16", 4).alias("hit_c16"),
+    ).orderBy("event_type")
+
+
+QUERIES["lru_hit_curve"] = q_lru_hit_curve

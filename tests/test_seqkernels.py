@@ -135,3 +135,40 @@ def test_viterbi_denoises_isolated_flips():
     path = viterbi_2state(bits, 0.95, 0.75)
     # isolated flips are absorbed: at most one switch block each way
     assert (np.diff(path) != 0).sum() <= 2
+
+
+def _lru_simulate(keys, size):
+    """Independent per-size LRU simulation (move-to-front list)."""
+    cache: list = []
+    hits = 0
+    for k in keys:
+        if k in cache:
+            hits += 1
+            cache.remove(k)
+        cache.append(k)
+        if len(cache) > size:
+            cache.pop(0)
+    return hits / len(keys)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("size", [1, 2, 4, 8])
+def test_lru_stack_distance_matches_simulation(seed, size):
+    from diive_spark.operators.seqkernels import lru_stack_distances
+
+    rng = np.random.default_rng(seed)
+    keys = rng.integers(0, 12, size=300)
+    d = lru_stack_distances(keys)
+    got = (d <= size).sum() / len(keys)
+    want = _lru_simulate(list(keys), size)
+    assert got == pytest.approx(want, abs=1e-12)
+
+
+def test_lru_inclusion_property():
+    from diive_spark.operators.seqkernels import lru_stack_distances
+
+    rng = np.random.default_rng(9)
+    keys = rng.integers(0, 30, size=500)
+    d = lru_stack_distances(keys)
+    rates = [(d <= c).sum() for c in (1, 2, 4, 8, 16, 32)]
+    assert rates == sorted(rates)
