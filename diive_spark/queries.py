@@ -901,6 +901,11 @@ from diive_spark import queries_stats19 as _qst19  # noqa: E402
 QUERIES.update(_qst19.QUERIES)
 ORACLE_SQL.update(_qst19.ORACLE_SQL)
 
+from diive_spark import queries_stats20 as _qst20  # noqa: E402
+
+QUERIES.update(_qst20.QUERIES)
+ORACLE_SQL.update(_qst20.ORACLE_SQL)
+
 # Driver-window ordering: the driver records correctness rows for exactly the
 # first 50 registry entries.  Round-4 rotation (VERDICT r3 #1/#2): the three
 # r03 hash-fails stay in the window so CORRECTNESS_r04 records the HUGEINT
