@@ -264,3 +264,260 @@ FROM hab JOIN ha USING (nn) JOIN hb USING (nn)
 
 QUERIES["v_measure_clustering"] = q_v_measure_clustering
 ORACLE_SQL["v_measure_clustering"] = SQL_VMEASURE
+
+
+# ===========================================================================
+# Battery B — fiscal incidence: Kakwani progressivity, Suits index,
+# Reynolds-Smolensky redistribution over a deterministic in-engine
+# marginal levy (30% of per-user spend above the per-type median).
+# ===========================================================================
+# Treating each user's exact centivalue spend inside an event type as
+# the "income" unit, the levy is tax(v) = (v - T) * 3 // 10 for
+# v > T (T = the type's exact median-order-statistic income), an
+# integer-pure rule both engines spell identically.  All four
+# concentration curves (Lorenz L, tax concentration Q, post-tax R,
+# population p) are trapezoid integrals over the COLLAPSED income
+# value-domain: per-type windows over ~n_users(type) distinct incomes
+# — the lorenz_curve/gmd posture, no pair joins, no global windows.
+#   G_pre    = 1 - sum dp (L_i + L_{i-1})
+#   C_tax    = 1 - sum dp (Q_i + Q_{i-1})     Kakwani = C_tax - G_pre
+#   C_post   = 1 - sum dp (R_i + R_{i-1})     RS      = G_pre - C_post
+#   Suits    = 1 - sum dL (Q_i + Q_{i-1})
+# Per-row trapezoid terms are e12-floored doubles built from exact
+# int64 cumulatives, then exactly summed per type.
+
+
+def _incidence_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "cv"
+        ),
+    )
+    inc = ev.groupBy("event_type", "user_id").agg(
+        F.sum("cv").alias("inc")
+    )
+    dom = inc.groupBy("event_type", "inc").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wv = Window.partitionBy("event_type").orderBy("inc")
+    wt = Window.partitionBy("event_type")
+    cum = (
+        dom.withColumn("cumn", F.sum("c").over(wv))
+        .withColumn("n", F.sum("c").over(wt))
+    )
+    med = cum.filter(
+        F.col("cumn") >= (F.col("n") + 1) / 2
+    ).groupBy("event_type").agg(F.min("inc").alias("t_med"))
+    d = dom.join(med, "event_type").withColumn(
+        "tax",
+        F.when(
+            F.col("inc") > F.col("t_med"),
+            ((F.col("inc") - F.col("t_med")) * 3 / 10).cast("long"),
+        ).otherwise(F.lit(0)),
+    ).withColumn("post", F.col("inc") - F.col("tax"))
+    s = (
+        d.withColumn("si", F.col("c") * F.col("inc"))
+        .withColumn("sq", F.col("c") * F.col("tax"))
+        .withColumn("sr", F.col("c") * F.col("post"))
+    )
+    c2 = (
+        s.withColumn("cumn", F.sum("c").over(wv))
+        .withColumn("cums", F.sum("si").over(wv))
+        .withColumn("cumq", F.sum("sq").over(wv))
+        .withColumn("cumr", F.sum("sr").over(wv))
+        .withColumn("n", F.sum("c").over(wt))
+        .withColumn("st", F.sum("si").over(wt))
+        .withColumn("qt", F.sum("sq").over(wt))
+        .withColumn("rt", F.sum("sr").over(wt))
+    )
+
+    def trap12(dshare_num, dshare_den, lev_cum, lev_row, lev_tot):
+        # dshare * (Lev_i + Lev_{i-1}) with Lev cum shares, e12-floored
+        return F.floor(
+            dshare_num.cast("double")
+            / dshare_den.cast("double")
+            * (2 * lev_cum - lev_row).cast("double")
+            / lev_tot.cast("double")
+            * 1e12
+            + F.lit(_OFF)
+        ).cast("long")
+
+    return c2.select(
+        "event_type",
+        "n",
+        "st",
+        "qt",
+        F.col("t_med").alias("t_med"),
+        trap12(F.col("c"), F.col("n"), F.col("cums"), F.col("si"), F.col("st")).alias("g12"),
+        trap12(F.col("c"), F.col("n"), F.col("cumq"), F.col("sq"), F.col("qt")).alias("q12"),
+        trap12(F.col("c"), F.col("n"), F.col("cumr"), F.col("sr"), F.col("rt")).alias("r12"),
+        trap12(F.col("si"), F.col("st"), F.col("cumq"), F.col("sq"), F.col("qt")).alias("s12"),
+    )
+
+
+_INCIDENCE_SQL = """terms AS (
+  WITH inc AS (
+    SELECT event_type, user_id,
+           CAST(sum(CAST(floor(value * 100 + {off}) AS BIGINT))
+                AS BIGINT) AS inc
+    FROM events GROUP BY 1, 2
+  ), dom AS (
+    SELECT event_type, inc, CAST(count(*) AS BIGINT) AS c
+    FROM inc GROUP BY 1, 2
+  ), cum0 AS (
+    SELECT *,
+           CAST(sum(c) OVER (PARTITION BY event_type ORDER BY inc)
+                AS BIGINT) AS cumn,
+           CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+    FROM dom
+  ), med AS (
+    SELECT event_type, min(inc) AS t_med
+    FROM cum0 WHERE cumn >= (n + 1) / 2.0 GROUP BY 1
+  ), d AS (
+    SELECT dom.event_type, dom.inc, dom.c, med.t_med,
+           CASE WHEN dom.inc > med.t_med
+                THEN (dom.inc - med.t_med) * 3 // 10 ELSE 0 END AS tax
+    FROM dom JOIN med USING (event_type)
+  ), s AS (
+    SELECT *, inc - tax AS post,
+           c * inc AS si, c * tax AS sq, c * (inc - tax) AS sr
+    FROM d
+  ), c2 AS (
+    SELECT *,
+           CAST(sum(c)  OVER w AS BIGINT) AS cumn,
+           CAST(sum(si) OVER w AS BIGINT) AS cums,
+           CAST(sum(sq) OVER w AS BIGINT) AS cumq,
+           CAST(sum(sr) OVER w AS BIGINT) AS cumr,
+           CAST(sum(c)  OVER t AS BIGINT) AS n,
+           CAST(sum(si) OVER t AS BIGINT) AS st,
+           CAST(sum(sq) OVER t AS BIGINT) AS qt,
+           CAST(sum(sr) OVER t AS BIGINT) AS rt
+    FROM s
+    WINDOW w AS (PARTITION BY event_type ORDER BY inc),
+           t AS (PARTITION BY event_type)
+  )
+  SELECT event_type, n, st, qt, t_med,
+         CAST(floor(CAST(c AS DOUBLE) / n
+                    * CAST(2 * cums - si AS DOUBLE) / st * 1e12
+                    + {off}) AS BIGINT) AS g12,
+         CAST(floor(CAST(c AS DOUBLE) / n
+                    * CAST(2 * cumq - sq AS DOUBLE) / qt * 1e12
+                    + {off}) AS BIGINT) AS q12,
+         CAST(floor(CAST(c AS DOUBLE) / n
+                    * CAST(2 * cumr - sr AS DOUBLE) / rt * 1e12
+                    + {off}) AS BIGINT) AS r12,
+         CAST(floor(CAST(si AS DOUBLE) / st
+                    * CAST(2 * cumq - sq AS DOUBLE) / qt * 1e12
+                    + {off}) AS BIGINT) AS s12
+  FROM c2
+)"""
+
+
+def q_kakwani_suits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _incidence_terms(spark, sf_dir)
+    agg = t.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("st").alias("st"),
+        F.max("qt").alias("qt"),
+        F.max("t_med").alias("t_med"),
+        F.sum("g12").alias("sg"),
+        F.sum("q12").alias("sq"),
+        F.sum("s12").alias("ss"),
+    )
+    g = 1.0 - F.col("sg").cast("double") / 1e12
+    cq = 1.0 - F.col("sq").cast("double") / 1e12
+    su = 1.0 - F.col("ss").cast("double") / 1e12
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_users"),
+        F.col("t_med").cast("long").alias("median_income_c"),
+        F.floor(
+            F.col("qt").cast("double") / F.col("st").cast("double") * 1e6
+            + F.lit(_OFF)
+        ).cast("long").alias("avg_rate_e6"),
+        F.floor(g * 1e6 + F.lit(_OFF)).cast("long").alias("gini_pre_e6"),
+        F.floor(cq * 1e6 + F.lit(_OFF)).cast("long").alias("c_tax_e6"),
+        F.floor((cq - g) * 1e6 + F.lit(_OFF)).cast("long").alias(
+            "kakwani_e6"
+        ),
+        F.floor(su * 1e6 + F.lit(_OFF)).cast("long").alias("suits_e6"),
+    ).orderBy("event_type")
+
+
+SQL_KAKWANI = f"""
+WITH {_INCIDENCE_SQL.format(off=_OFF)}
+, agg AS (
+  SELECT event_type, max(n) AS n, max(st) AS st, max(qt) AS qt,
+         max(t_med) AS t_med,
+         CAST(sum(g12) AS BIGINT) AS sg,
+         CAST(sum(q12) AS BIGINT) AS sq,
+         CAST(sum(s12) AS BIGINT) AS ss
+  FROM terms GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_users,
+       CAST(t_med AS BIGINT) AS median_income_c,
+       CAST(floor(CAST(qt AS DOUBLE) / st * 1e6 + {_OFF}) AS BIGINT)
+         AS avg_rate_e6,
+       CAST(floor((1.0 - CAST(sg AS DOUBLE) / 1e12) * 1e6 + {_OFF})
+            AS BIGINT) AS gini_pre_e6,
+       CAST(floor((1.0 - CAST(sq AS DOUBLE) / 1e12) * 1e6 + {_OFF})
+            AS BIGINT) AS c_tax_e6,
+       CAST(floor(((1.0 - CAST(sq AS DOUBLE) / 1e12)
+                   - (1.0 - CAST(sg AS DOUBLE) / 1e12)) * 1e6 + {_OFF})
+            AS BIGINT) AS kakwani_e6,
+       CAST(floor((1.0 - CAST(ss AS DOUBLE) / 1e12) * 1e6 + {_OFF})
+            AS BIGINT) AS suits_e6
+FROM agg
+ORDER BY event_type
+"""
+
+QUERIES["kakwani_suits"] = q_kakwani_suits
+ORACLE_SQL["kakwani_suits"] = SQL_KAKWANI
+
+
+def q_reynolds_smolensky(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _incidence_terms(spark, sf_dir)
+    agg = t.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum("g12").alias("sg"),
+        F.sum("r12").alias("sr"),
+    )
+    g = 1.0 - F.col("sg").cast("double") / 1e12
+    cr = 1.0 - F.col("sr").cast("double") / 1e12
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_users"),
+        F.floor(g * 1e6 + F.lit(_OFF)).cast("long").alias("gini_pre_e6"),
+        F.floor(cr * 1e6 + F.lit(_OFF)).cast("long").alias("c_post_e6"),
+        F.floor((g - cr) * 1e6 + F.lit(_OFF)).cast("long").alias(
+            "reynolds_smolensky_e6"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_RS = f"""
+WITH {_INCIDENCE_SQL.format(off=_OFF)}
+, agg AS (
+  SELECT event_type, max(n) AS n,
+         CAST(sum(g12) AS BIGINT) AS sg,
+         CAST(sum(r12) AS BIGINT) AS sr
+  FROM terms GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_users,
+       CAST(floor((1.0 - CAST(sg AS DOUBLE) / 1e12) * 1e6 + {_OFF})
+            AS BIGINT) AS gini_pre_e6,
+       CAST(floor((1.0 - CAST(sr AS DOUBLE) / 1e12) * 1e6 + {_OFF})
+            AS BIGINT) AS c_post_e6,
+       CAST(floor(((1.0 - CAST(sg AS DOUBLE) / 1e12)
+                   - (1.0 - CAST(sr AS DOUBLE) / 1e12)) * 1e6 + {_OFF})
+            AS BIGINT) AS reynolds_smolensky_e6
+FROM agg
+ORDER BY event_type
+"""
+
+QUERIES["reynolds_smolensky"] = q_reynolds_smolensky
+ORACLE_SQL["reynolds_smolensky"] = SQL_RS
