@@ -521,3 +521,267 @@ ORDER BY event_type
 
 QUERIES["reynolds_smolensky"] = q_reynolds_smolensky
 ORACLE_SQL["reynolds_smolensky"] = SQL_RS
+
+
+# ===========================================================================
+# Battery C — queueing audits: Pollaczek-Khinchine M/G/1 mean queue
+# wait and the Kingman (1961) G/G/1 heavy-traffic approximation, per
+# event type, from moments fitted in-engine.
+# ===========================================================================
+# Arrival stream = the type's event times (exact second-truncated
+# interarrival gaps off ONE per-type lag window); service times = the
+# event's value in seconds (exact centivalue integers).  Every moment
+# is an exact int64 sum, so the squared-CVs are pure integer ratios:
+#   ca2 = (m sum(g^2) - sum(g)^2) / sum(g)^2     (population CV^2)
+#   cs2 = (n sum(s^2) - sum(s)^2) / sum(s)^2
+#   rho = sum(s_c) * 1e4 / T_us
+#   Wq_PK      = 100 sum(s_c^2) / (2 T_us (1 - rho))       [seconds]
+#   Wq_Kingman = rho/(1-rho) * (ca2+cs2)/2 * sum(s_c)/(100 n)
+# Complements erlang_b_blocking / erlang_c_wait (Markovian multi-
+# server) with the single-server general-service laws; inspection
+# paradox / think_time cover the residual-life side.
+
+
+def q_mg1_pollaczek_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "sc"
+        ),
+    )
+    wt = Window.partitionBy("event_type").orderBy("us", "event_id")
+    g = ev.withColumn(
+        "gs",
+        ((F.lead("us").over(wt) - F.col("us")) / 1_000_000).cast("long"),
+    )
+    agg = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("us").alias("us0"),
+        F.max("us").alias("us1"),
+        F.sum("sc").alias("ss"),
+        F.sum(F.col("sc") * F.col("sc")).alias("ss2"),
+        F.sum("gs").alias("sg"),
+        F.sum(F.col("gs") * F.col("gs")).alias("sg2"),
+        F.count("gs").alias("m"),
+    )
+    tus = (F.col("us1") - F.col("us0")).cast("double")
+    rho = F.col("ss").cast("double") * 1e4 / tus
+    ca2 = (
+        F.col("m").cast("double") * F.col("sg2").cast("double")
+        - F.col("sg").cast("double") * F.col("sg").cast("double")
+    ) / (F.col("sg").cast("double") * F.col("sg").cast("double"))
+    cs2 = (
+        F.col("n").cast("double") * F.col("ss2").cast("double")
+        - F.col("ss").cast("double") * F.col("ss").cast("double")
+    ) / (F.col("ss").cast("double") * F.col("ss").cast("double"))
+    wq_pk = (
+        100.0 * F.col("ss2").cast("double") / (2.0 * tus * (1.0 - rho))
+    )
+    wq_k = (
+        rho
+        / (1.0 - rho)
+        * (ca2 + cs2)
+        / 2.0
+        * F.col("ss").cast("double")
+        / (100.0 * F.col("n").cast("double"))
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(rho * 1e6 + F.lit(_OFF)).cast("long").alias("rho_e6"),
+        F.floor(ca2 * 1e6 + F.lit(_OFF)).cast("long").alias("ca2_e6"),
+        F.floor(cs2 * 1e6 + F.lit(_OFF)).cast("long").alias("cs2_e6"),
+        F.floor(wq_pk * 1e6 + F.lit(_OFF)).cast("long").alias(
+            "wq_pk_e6_s"
+        ),
+        F.floor(wq_k * 1e6 + F.lit(_OFF)).cast("long").alias(
+            "wq_kingman_e6_s"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_MG1 = f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS us,
+         CAST(floor(value * 100 + {_OFF}) AS BIGINT) AS sc,
+         (lead(CAST(epoch_us(ts) AS BIGINT)) OVER (
+            PARTITION BY event_type
+            ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id
+          ) - CAST(epoch_us(ts) AS BIGINT)) // 1000000 AS gs
+  FROM events
+), agg AS (
+  SELECT event_type,
+         count(*) AS n,
+         min(us) AS us0, max(us) AS us1,
+         CAST(sum(sc) AS BIGINT) AS ss,
+         CAST(sum(sc * sc) AS BIGINT) AS ss2,
+         CAST(sum(gs) AS BIGINT) AS sg,
+         CAST(sum(gs * gs) AS BIGINT) AS sg2,
+         count(gs) AS m
+  FROM g GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(floor(CAST(ss AS DOUBLE) * 1e4 / (us1 - us0) * 1e6 + {_OFF})
+            AS BIGINT) AS rho_e6,
+       CAST(floor((CAST(m AS DOUBLE) * sg2 - CAST(sg AS DOUBLE) * sg)
+                  / (CAST(sg AS DOUBLE) * sg) * 1e6 + {_OFF})
+            AS BIGINT) AS ca2_e6,
+       CAST(floor((CAST(n AS DOUBLE) * ss2 - CAST(ss AS DOUBLE) * ss)
+                  / (CAST(ss AS DOUBLE) * ss) * 1e6 + {_OFF})
+            AS BIGINT) AS cs2_e6,
+       CAST(floor(100.0 * CAST(ss2 AS DOUBLE)
+                  / (2.0 * (us1 - us0)
+                     * (1.0 - CAST(ss AS DOUBLE) * 1e4 / (us1 - us0)))
+                  * 1e6 + {_OFF}) AS BIGINT) AS wq_pk_e6_s,
+       CAST(floor(
+         (CAST(ss AS DOUBLE) * 1e4 / (us1 - us0))
+         / (1.0 - CAST(ss AS DOUBLE) * 1e4 / (us1 - us0))
+         * ((CAST(m AS DOUBLE) * sg2 - CAST(sg AS DOUBLE) * sg)
+              / (CAST(sg AS DOUBLE) * sg)
+            + (CAST(n AS DOUBLE) * ss2 - CAST(ss AS DOUBLE) * ss)
+              / (CAST(ss AS DOUBLE) * ss)) / 2.0
+         * CAST(ss AS DOUBLE) / (100.0 * n)
+         * 1e6 + {_OFF}) AS BIGINT) AS wq_kingman_e6_s
+FROM agg
+ORDER BY event_type
+"""
+
+QUERIES["mg1_pollaczek_wait"] = q_mg1_pollaczek_wait
+ORACLE_SQL["mg1_pollaczek_wait"] = SQL_MG1
+
+
+# ===========================================================================
+# Battery C2 — dcca_coefficient: detrended cross-correlation (Zebende
+# 2011 rho_DCCA) between every event-type pair's hourly mean series.
+# ===========================================================================
+# Common-hour alignment via one self-join of the (type, hour) table on
+# hour; per-pair position index t; boxes of 8 points (partial tail box
+# dropped).  Within each box the linear-detrended residual cross sum
+# has the closed form (t_loc = 0..7, St=28, Stt=140, 8*Stt-St^2=336):
+#   N = 336*(8*Sxy - Sx*Sy) - (8*Sxt - 28*Sx)(8*Syt - 28*Sy)
+#   F2_xy(box) = N / 2688        (exact integer numerator N)
+# rho_DCCA = sum N_xy / (sqrt(sum N_xx) sqrt(sum N_yy)) — the 2688s
+# cancel; hourly means are e2-floored centivalue integers so every box
+# sum is exact int64.
+
+
+def q_dcca_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+        ).cast("long").alias("hr"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "cv"
+        ),
+    )
+    hm = ev.groupBy("event_type", "hr").agg(
+        F.floor(
+            F.sum("cv").cast("double") / F.count(F.lit(1)).cast("double")
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("y")
+    )
+    a = hm.select(
+        F.col("event_type").alias("ta"), "hr", F.col("y").alias("x")
+    )
+    b = hm.select(
+        F.col("event_type").alias("tb"), "hr", F.col("y").alias("yv")
+    )
+    pr = a.join(b, "hr").filter(F.col("ta") < F.col("tb"))
+    wp = Window.partitionBy("ta", "tb").orderBy("hr")
+    t = pr.withColumn("t", F.row_number().over(wp) - 1).withColumn(
+        "box", F.floor(F.col("t") / 8)
+    ).withColumn("tl", F.col("t") % 8)
+    box = t.groupBy("ta", "tb", "box").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("yv").alias("sy"),
+        F.sum(F.col("x") * F.col("yv")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("yv") * F.col("yv")).alias("syy"),
+        F.sum(F.col("x") * F.col("tl")).alias("sxt"),
+        F.sum(F.col("yv") * F.col("tl")).alias("syt"),
+    ).filter(F.col("m") == 8)
+    bx = 8 * F.col("sxt") - 28 * F.col("sx")
+    by = 8 * F.col("syt") - 28 * F.col("sy")
+    nxy = 336 * (8 * F.col("sxy") - F.col("sx") * F.col("sy")) - bx * by
+    nxx = 336 * (8 * F.col("sxx") - F.col("sx") * F.col("sx")) - bx * bx
+    nyy = 336 * (8 * F.col("syy") - F.col("sy") * F.col("sy")) - by * by
+    agg = box.select(
+        "ta", "tb", nxy.alias("nxy"), nxx.alias("nxx"), nyy.alias("nyy")
+    ).groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("n_boxes"),
+        F.sum("nxy").alias("fxy"),
+        F.sum("nxx").alias("fxx"),
+        F.sum("nyy").alias("fyy"),
+    )
+    rho = F.col("fxy").cast("double") / (
+        F.sqrt(F.col("fxx").cast("double"))
+        * F.sqrt(F.col("fyy").cast("double"))
+    )
+    return agg.select(
+        "ta",
+        "tb",
+        F.col("n_boxes").cast("long").alias("n_boxes"),
+        F.floor(rho * 1e6 + F.lit(_OFF)).cast("long").alias(
+            "rho_dcca_e6"
+        ),
+    ).orderBy("ta", "tb")
+
+
+SQL_DCCA = f"""
+WITH hm AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hr,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+                         AS DOUBLE) / count(*) + {_OFF}) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), pr AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, a.hr,
+         a.y AS x, b.y AS yv
+  FROM hm a JOIN hm b ON a.hr = b.hr AND a.event_type < b.event_type
+), t AS (
+  SELECT *, row_number() OVER (PARTITION BY ta, tb ORDER BY hr) - 1 AS tt
+  FROM pr
+), boxed AS (
+  SELECT ta, tb, tt // 8 AS box, tt % 8 AS tl, x, yv FROM t
+), box AS (
+  SELECT ta, tb, box, count(*) AS m,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(yv) AS BIGINT) AS sy,
+         CAST(sum(x * yv) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(yv * yv) AS BIGINT) AS syy,
+         CAST(sum(x * tl) AS BIGINT) AS sxt,
+         CAST(sum(yv * tl) AS BIGINT) AS syt
+  FROM boxed GROUP BY 1, 2, 3
+  HAVING count(*) = 8
+), agg AS (
+  SELECT ta, tb, count(*) AS n_boxes,
+         CAST(sum(336 * (8 * sxy - sx * sy)
+                  - (8 * sxt - 28 * sx) * (8 * syt - 28 * sy))
+              AS BIGINT) AS fxy,
+         CAST(sum(336 * (8 * sxx - sx * sx)
+                  - (8 * sxt - 28 * sx) * (8 * sxt - 28 * sx))
+              AS BIGINT) AS fxx,
+         CAST(sum(336 * (8 * syy - sy * sy)
+                  - (8 * syt - 28 * sy) * (8 * syt - 28 * sy))
+              AS BIGINT) AS fyy
+  FROM box GROUP BY 1, 2
+)
+SELECT ta, tb, CAST(n_boxes AS BIGINT) AS n_boxes,
+       CAST(floor(CAST(fxy AS DOUBLE)
+                  / (sqrt(CAST(fxx AS DOUBLE)) * sqrt(CAST(fyy AS DOUBLE)))
+                  * 1e6 + {_OFF}) AS BIGINT) AS rho_dcca_e6
+FROM agg
+ORDER BY ta, tb
+"""
+
+QUERIES["dcca_coefficient"] = q_dcca_coefficient
+ORACLE_SQL["dcca_coefficient"] = SQL_DCCA
