@@ -785,3 +785,213 @@ ORDER BY ta, tb
 
 QUERIES["dcca_coefficient"] = q_dcca_coefficient
 ORACLE_SQL["dcca_coefficient"] = SQL_DCCA
+
+
+# ===========================================================================
+# Battery D — fellegi_sunter_em: probabilistic record linkage
+# (Fellegi & Sunter 1969) with conditional-independence EM (Winkler
+# 1988), the entity-resolution scorer behind dedup review queues.
+# ===========================================================================
+# Candidate pairs come from (lang, n_chars//64) blocking — the house
+# dedup posture, never all-pairs.  Four binary comparison fields per
+# pair: same source, 16-char prefix match, 16-char suffix match, exact
+# length match.  The pair stream collapses immediately to the <= 16
+# agreement-pattern contingency; EM runs 3 unrolled iterations ON THAT
+# BOUNDED TABLE (collected driver-side, the absorbing_markov_time
+# pattern) with the e12-floor discipline: E-step posteriors are
+# floor(pm/(pm+pu)*1e12 + OFF) ints, M-step ratios are doubles of the
+# exact integer sums — bit-identical to the SQL twin's unrolled CTE
+# chain.  Output: per-pattern pair count, match posterior, and the
+# log2 likelihood-ratio match weight.
+
+_FS_INIT = (0.1, (0.9, 0.9, 0.9, 0.9), (0.1, 0.1, 0.1, 0.1))
+
+
+def q_fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "lang",
+        F.expr("left(text, 16)").alias("pre"),
+        F.expr("right(text, 16)").alias("suf"),
+        (F.col("n_chars") / 64).cast("long").alias("lb"),
+    )
+    a = d.select(*[F.col(c).alias(f"a_{c}") for c in d.columns])
+    b = d.select(*[F.col(c).alias(f"b_{c}") for c in d.columns])
+    pr = a.join(
+        b,
+        (F.col("a_lang") == F.col("b_lang"))
+        & (F.col("a_lb") == F.col("b_lb"))
+        & (F.col("a_doc_id") < F.col("b_doc_id")),
+    ).select(
+        (F.col("a_source") == F.col("b_source")).cast("long").alias("g1"),
+        (F.col("a_pre") == F.col("b_pre")).cast("long").alias("g2"),
+        (F.col("a_suf") == F.col("b_suf")).cast("long").alias("g3"),
+        (F.col("a_n_chars") == F.col("b_n_chars")).cast("long").alias("g4"),
+    )
+    pat = (
+        pr.groupBy("g1", "g2", "g3", "g4")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )  # bounded: <= 16 rows by construction
+    rows = [(int(r.g1), int(r.g2), int(r.g3), int(r.g4), int(r.c)) for r in pat]
+    n = sum(r[4] for r in rows)
+    p, m, u = _FS_INIT
+
+    def estep(p, m, u):
+        out = []
+        for g1, g2, g3, g4, c in rows:
+            gs = (g1, g2, g3, g4)
+            pm = p
+            pu = 1.0 - p
+            for f in range(4):
+                pm = pm * (m[f] if gs[f] else 1.0 - m[f])
+                pu = pu * (u[f] if gs[f] else 1.0 - u[f])
+            w12 = math.floor(pm / (pm + pu) * 1e12 + _OFF)
+            out.append((gs, c, w12))
+        return out
+
+    for _ in range(3):
+        e = estep(p, m, u)
+        sw = sum(c * w12 for _, c, w12 in e)
+        su = sum(c * (10**12 - w12) for _, c, w12 in e)
+        p = float(sw) / (float(n) * 1e12)
+        m = tuple(
+            float(sum(c * w12 * gs[f] for gs, c, w12 in e)) / float(sw)
+            for f in range(4)
+        )
+        u = tuple(
+            float(sum(c * (10**12 - w12) * gs[f] for gs, c, w12 in e))
+            / float(su)
+            for f in range(4)
+        )
+    final = estep(p, m, u)
+    out_rows = []
+    for gs, c, w12 in final:
+        num = 1.0
+        den = 1.0
+        for f in range(4):
+            num = num * (m[f] if gs[f] else 1.0 - m[f])
+            den = den * (u[f] if gs[f] else 1.0 - u[f])
+        lr6 = math.floor(math.log2(num / den) * 1e6 + _OFF)
+        out_rows.append(
+            (
+                int(8 * gs[0] + 4 * gs[1] + 2 * gs[2] + gs[3]),
+                int(c),
+                int(w12 // 10**6),
+                int(lr6),
+            )
+        )
+    out_rows.sort()
+    return spark.createDataFrame(
+        out_rows,
+        "pattern long, n_pairs long, posterior_e6 long, log2_lr_e6 long",
+    )
+
+
+def _fs_sql() -> str:
+    p0, m0, u0 = _FS_INIT
+    params0 = (
+        f"SELECT CAST({p0} AS DOUBLE) AS p, "
+        + ", ".join(f"CAST({m0[f]} AS DOUBLE) AS m{f + 1}" for f in range(4))
+        + ", "
+        + ", ".join(f"CAST({u0[f]} AS DOUBLE) AS u{f + 1}" for f in range(4))
+    )
+
+    def estep_prod(prefix: str) -> str:
+        # matches the Python fold order: p (or 1-p), then fields 1..4
+        s = "p" if prefix == "m" else "(1.0 - p)"
+        for f in range(1, 5):
+            s += (
+                f" * (CASE WHEN g{f} = 1 THEN {prefix}{f}"
+                f" ELSE 1.0 - {prefix}{f} END)"
+            )
+        return s
+
+    def lr_prod(prefix: str) -> str:
+        # matches Python: 1.0, then fields 1..4
+        s = "1.0"
+        for f in range(1, 5):
+            s += (
+                f" * (CASE WHEN g{f} = 1 THEN {prefix}{f}"
+                f" ELSE 1.0 - {prefix}{f} END)"
+            )
+        return s
+
+    chain = [f"params0 AS ({params0})"]
+    for k in range(3):
+        chain.append(
+            f"""e{k} AS (
+  SELECT pat.*, CAST(floor(
+    ({estep_prod("m")})
+    / (({estep_prod("m")}) + ({estep_prod("u")})) * 1e12 + {_OFF})
+    AS BIGINT) AS w12
+  FROM pat CROSS JOIN params{k}
+)"""
+        )
+        mf = ", ".join(
+            f"CAST(sum(c * w12 * g{f}) AS DOUBLE)"
+            f" / CAST(sum(c * w12) AS DOUBLE) AS m{f}"
+            for f in range(1, 5)
+        )
+        uf = ", ".join(
+            f"CAST(sum(c * (1000000000000 - w12) * g{f}) AS DOUBLE)"
+            f" / CAST(sum(c * (1000000000000 - w12)) AS DOUBLE) AS u{f}"
+            for f in range(1, 5)
+        )
+        chain.append(
+            f"""params{k + 1} AS (
+  SELECT CAST(sum(c * w12) AS DOUBLE)
+           / (CAST((SELECT n FROM nt) AS DOUBLE) * 1e12) AS p,
+         {mf}, {uf}
+  FROM e{k}
+)"""
+        )
+    chain.append(
+        f"""efin AS (
+  SELECT pat.*, CAST(floor(
+    ({estep_prod("m")})
+    / (({estep_prod("m")}) + ({estep_prod("u")})) * 1e12 + {_OFF})
+    AS BIGINT) AS w12,
+         CAST(floor(log2(({lr_prod("m")}) / ({lr_prod("u")})) * 1e6
+                    + {_OFF}) AS BIGINT) AS lr6
+  FROM pat CROSS JOIN params3
+)"""
+    )
+    return (
+        """
+WITH d AS (
+  SELECT doc_id, source, n_chars, lang,
+         left(text, 16) AS pre, right(text, 16) AS suf,
+         n_chars // 64 AS lb
+  FROM documents
+), pr AS (
+  SELECT CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS g1,
+         CASE WHEN a.pre = b.pre THEN 1 ELSE 0 END AS g2,
+         CASE WHEN a.suf = b.suf THEN 1 ELSE 0 END AS g3,
+         CASE WHEN a.n_chars = b.n_chars THEN 1 ELSE 0 END AS g4
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+), pat AS (
+  SELECT g1, g2, g3, g4, CAST(count(*) AS BIGINT) AS c
+  FROM pr GROUP BY 1, 2, 3, 4
+), nt AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM pat
+), """
+        + ",\n".join(chain)
+        + """
+SELECT CAST(8 * g1 + 4 * g2 + 2 * g3 + g4 AS BIGINT) AS pattern,
+       c AS n_pairs,
+       CAST(w12 // 1000000 AS BIGINT) AS posterior_e6,
+       lr6 AS log2_lr_e6
+FROM efin
+ORDER BY pattern
+"""
+    )
+
+
+QUERIES["fellegi_sunter_em"] = q_fellegi_sunter_em
+ORACLE_SQL["fellegi_sunter_em"] = _fs_sql()
