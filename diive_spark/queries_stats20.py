@@ -995,3 +995,77 @@ ORDER BY pattern
 
 QUERIES["fellegi_sunter_em"] = q_fellegi_sunter_em
 ORACLE_SQL["fellegi_sunter_em"] = _fs_sql()
+
+
+# ===========================================================================
+# Battery E — TDA / streaming-sketch kernels (rows-only, pytest-pinned
+# in tests/test_persistence_dgim.py)
+# ===========================================================================
+
+
+def q_sublevel_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """0-dim sublevel persistence diagram summary of each type's hourly
+    mean series — the TDA roughness profile (bars = (local min, merge
+    saddle) pairs under the elder rule)."""
+    from diive_spark.operators.persistence import persistence_frame
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+        ).cast("long").alias("hr"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "cv"
+        ),
+    )
+    hm = ev.groupBy("event_type", "hr").agg(
+        (
+            F.floor(
+                F.sum("cv").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                + F.lit(_OFF)
+            )
+            / 100.0
+        ).alias("y")
+    )
+    out = persistence_frame(hm, "event_type", "hr", "y")
+    return out.select(
+        "event_type",
+        "n",
+        "n_bars",
+        F.round("total_persistence", 4).alias("total_persistence"),
+        F.round("max_persistence", 4).alias("max_persistence"),
+        F.round("top_birth", 4).alias("top_birth"),
+        F.round("top_death", 4).alias("top_death"),
+        F.round("essential_birth", 4).alias("essential_birth"),
+    ).orderBy("event_type")
+
+
+QUERIES["sublevel_persistence"] = q_sublevel_persistence
+
+
+def q_dgim_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DGIM exponential-histogram audit: bounded-state trailing-1024
+    high-value counts per type vs the exact sliding count (error bound
+    <= 50% by construction, typically ~2%)."""
+    from diive_spark.operators.persistence import dgim_frame
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("event_id"),
+        (F.col("value") > 50.0).cast("long").alias("bit"),
+    )
+    out = dgim_frame(ev, "event_type", ["us", "event_id"], "bit", window=1024)
+    return out.select(
+        "event_type",
+        "n",
+        "window",
+        "exact_last",
+        F.round("dgim_last", 1).alias("dgim_last"),
+        F.round("rel_err_last", 4).alias("rel_err_last"),
+        F.round("max_rel_err", 4).alias("max_rel_err"),
+    ).orderBy("event_type")
+
+
+QUERIES["dgim_window_count"] = q_dgim_window_count
