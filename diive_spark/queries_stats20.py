@@ -1069,3 +1069,168 @@ def q_dgim_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["dgim_window_count"] = q_dgim_window_count
+
+
+# ===========================================================================
+# Battery F — apsp_closeness: Floyd-Warshall all-pairs shortest paths
+# on the event-type transition graph; closeness centrality,
+# eccentricity, and the shortest-path betweenness indicator count.
+# ===========================================================================
+# Edge weights are e6-floored -ln(transition probability) integers
+# (surprisal distance), so EVERY Floyd-Warshall relaxation is exact
+# integer min/plus arithmetic — the k<=5 pivot steps are bit-identical
+# between the collected-matrix Python sweep (absorbing_markov device)
+# and the SQL twin's unrolled pivot CTE chain.  Betweenness here is
+# the distance-matrix indicator variant: for vertex v, the number of
+# ordered pairs (s,t), s!=t!=v, with d(s,v)+d(v,t) = d(s,t) (v lies on
+# SOME shortest path) — computable without path counts and therefore
+# exactly, documented as the indicator (stress-style) form.
+
+_INF_E6 = 10**15
+
+
+def q_apsp_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_type",
+    )
+    wu = Window.partitionBy("user_id").orderBy("us", "event_id")
+    tr = ev.withColumn("nxt", F.lead("event_type").over(wu)).filter(
+        F.col("nxt").isNotNull() & (F.col("nxt") != F.col("event_type"))
+    )
+    cnt = tr.groupBy("event_type", "nxt").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    out = cnt.groupBy("event_type").agg(F.sum("c").alias("tot"))
+    w = cnt.join(out, "event_type").select(
+        F.col("event_type").alias("i"),
+        F.col("nxt").alias("j"),
+        F.floor(
+            -F.log(F.col("c").cast("double") / F.col("tot").cast("double"))
+            * 1e6
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    rows = w.collect()  # bounded: k*(k-1) <= 20 edges
+    nodes = sorted(
+        {r.i for r in rows} | {r.j for r in rows}
+    )
+    k = len(nodes)
+    idx = {t: x for x, t in enumerate(nodes)}
+    d = [[0 if a == b else _INF_E6 for b in range(k)] for a in range(k)]
+    for r in rows:
+        d[idx[r.i]][idx[r.j]] = min(d[idx[r.i]][idx[r.j]], int(r.w))
+    for p in range(k):
+        for a in range(k):
+            for b in range(k):
+                alt = d[a][p] + d[p][b]
+                if alt < d[a][b]:
+                    d[a][b] = alt
+    res = []
+    for v in range(k):
+        dists = [d[v][b] for b in range(k) if b != v]
+        ecc = max(dists)
+        tot = sum(dists)
+        clos6 = (
+            int((k - 1) / (tot / 1e6) * 1e6 + _OFF) if tot > 0 else 0
+        )
+        btw = sum(
+            1
+            for s in range(k)
+            for t in range(k)
+            if s != v and t != v and s != t
+            and d[s][v] + d[v][t] == d[s][t]
+        )
+        res.append((nodes[v], int(ecc), int(tot), int(clos6), int(btw)))
+    return spark.createDataFrame(
+        res,
+        "event_type string, eccentricity_e6 long, farness_e6 long,"
+        " closeness_e6 long, betweenness_ind long",
+    ).orderBy("event_type")
+
+
+def _apsp_sql() -> str:
+    base = f"""
+WITH tr AS (
+  SELECT event_type AS i,
+         lead(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id
+         ) AS j
+  FROM events
+), cnt AS (
+  SELECT i, j, CAST(count(*) AS BIGINT) AS c
+  FROM tr WHERE j IS NOT NULL AND j <> i GROUP BY 1, 2
+), outdeg AS (
+  SELECT i, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY 1
+), nodes AS (
+  SELECT DISTINCT t, CAST(dense_rank() OVER (ORDER BY t) AS BIGINT) AS id
+  FROM (SELECT i AS t FROM cnt UNION SELECT j FROM cnt)
+), w AS (
+  SELECT ni.id AS i, nj.id AS j,
+         CAST(floor(-ln(CAST(c.c AS DOUBLE) / o.tot) * 1e6 + {_OFF})
+              AS BIGINT) AS w
+  FROM cnt c
+  JOIN outdeg o ON o.i = c.i
+  JOIN nodes ni ON ni.t = c.i
+  JOIN nodes nj ON nj.t = c.j
+), kk AS (
+  SELECT CAST(max(id) AS BIGINT) AS k FROM nodes
+), d0 AS (
+  SELECT a.id AS i, b.id AS j,
+         CASE WHEN a.id = b.id THEN 0
+              ELSE coalesce(min(w.w), {_INF_E6}) END AS d
+  FROM nodes a CROSS JOIN nodes b
+  LEFT JOIN w ON w.i = a.id AND w.j = b.id
+  GROUP BY 1, 2
+)"""
+    steps = []
+    prev = "d0"
+    for p in range(1, 6):
+        steps.append(
+            f""", d{p} AS MATERIALIZED (
+  SELECT m.i, m.j,
+         CASE WHEN ik.d + kj.d < m.d THEN ik.d + kj.d ELSE m.d END AS d
+  FROM {prev} m
+  LEFT JOIN {prev} ik ON ik.i = m.i AND ik.j = {p}
+  LEFT JOIN {prev} kj ON kj.i = {p} AND kj.j = m.j
+)"""
+        )
+        prev = f"d{p}"
+    tail = f""", fin AS MATERIALIZED (
+  SELECT * FROM {prev}
+), per AS (
+  SELECT i AS v,
+         CAST(max(d) AS BIGINT) AS ecc,
+         CAST(sum(d) AS BIGINT) AS farness
+  FROM fin WHERE i <> j GROUP BY 1
+), btw AS (
+  SELECT v.id AS v,
+         CAST(sum(CASE WHEN sv.d + vt.d = st.d THEN 1 ELSE 0 END)
+              AS BIGINT) AS b
+  FROM nodes v
+  JOIN fin st ON st.i <> v.id AND st.j <> v.id AND st.i <> st.j
+  JOIN fin sv ON sv.i = st.i AND sv.j = v.id
+  JOIN fin vt ON vt.i = v.id AND vt.j = st.j
+  GROUP BY 1
+)
+SELECT n.t AS event_type,
+       p.ecc AS eccentricity_e6,
+       p.farness AS farness_e6,
+       CAST(CASE WHEN p.farness > 0 THEN
+         floor(((SELECT k FROM kk) - 1)
+               / (CAST(p.farness AS DOUBLE) / 1e6) * 1e6 + {_OFF})
+         ELSE 0 END AS BIGINT) AS closeness_e6,
+       b.b AS betweenness_ind
+FROM per p JOIN nodes n ON n.id = p.v JOIN btw b ON b.v = p.v
+ORDER BY event_type
+"""
+    return base + "".join(steps) + tail
+
+
+QUERIES["apsp_closeness"] = q_apsp_closeness
+ORACLE_SQL["apsp_closeness"] = _apsp_sql()
