@@ -1234,3 +1234,34 @@ ORDER BY event_type
 
 QUERIES["apsp_closeness"] = q_apsp_closeness
 ORACLE_SQL["apsp_closeness"] = _apsp_sql()
+
+
+# ===========================================================================
+# Battery G — sequence-alignment triage (rows-only, pytest-pinned in
+# tests/test_alignkernels.py)
+# ===========================================================================
+
+
+def q_seq_alignment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Needleman-Wunsch / Smith-Waterman / LCS profile of sampled
+    documents against their source's representative — order-preserving
+    overlap triage that complements the shingle-hash dedup family."""
+    from diive_spark.operators.alignkernels import align_frame
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", "doc_id", "text"
+    )
+    out = align_frame(d, "source", "doc_id", "text")
+    return out.select(
+        "source",
+        "n_members",
+        "n_scored",
+        F.round("mean_nw", 4).alias("mean_nw"),
+        F.round("mean_sw", 4).alias("mean_sw"),
+        "max_sw",
+        F.round("mean_lcs", 4).alias("mean_lcs"),
+        F.round("max_lcs_ratio", 4).alias("max_lcs_ratio"),
+    ).orderBy("source")
+
+
+QUERIES["seq_alignment_scores"] = q_seq_alignment_scores
