@@ -1265,3 +1265,37 @@ def q_seq_alignment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["seq_alignment_scores"] = q_seq_alignment_scores
+
+
+# ===========================================================================
+# Battery H — ADWIN drift detection (rows-only, pytest-pinned in
+# tests/test_adwin.py)
+# ===========================================================================
+
+
+def q_adwin_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADWIN2 self-sizing drift window over each type's value stream —
+    the canonical adaptive complement to the fixed-window drift panel
+    (ks/psi/char-kl) and the reference-mean trackers (page_hinkley,
+    cusum_shift)."""
+    from diive_spark.operators.adwin import adwin_frame
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("event_id"),
+        F.col("value"),
+    )
+    out = adwin_frame(ev, "event_type", ["us", "event_id"], "value")
+    return out.select(
+        "event_type",
+        "n",
+        "n_detections",
+        "first_detection",
+        "last_detection",
+        "final_window",
+        F.round("final_mean", 4).alias("final_mean"),
+    ).orderBy("event_type")
+
+
+QUERIES["adwin_drift"] = q_adwin_drift
