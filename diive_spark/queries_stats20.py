@@ -1299,3 +1299,175 @@ def q_adwin_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["adwin_drift"] = q_adwin_drift
+
+
+# ===========================================================================
+# Battery I — mewma_t2: multivariate EWMA control chart (Lowry et al.
+# 1992) on the (hourly mean, hourly count) vector per event type.
+# ===========================================================================
+# Deviations are the exact n*y - S integers (the bartlett_cumper
+# trick), so the n-scaling cancels in the T^2 quadratic form:
+#   T^2_t = (2-l)/l * [zm^2 Syy - 2 zm zc Sxy + zc^2 Sxx] / det
+# with S.. = n*sum(x^2) - sum(x)^2 the exact integer co-moments and
+# (zm, zc) the truncated 16-lag EWMA (decay 3/4, binary-exact weights,
+# missing-lag renormalization — the ewma_hourly discipline) of the
+# scaled deviations.  l = 1/4 -> the leading constant is exactly 7.
+# Exceedances against the standard 2-dim h4 ~ 10.6 limit.
+
+_MEWMA_K = 16
+_MEWMA_Q = 0.75
+_MEWMA_H4_E4 = 106_000  # 10.6 * 1e4
+
+
+def q_mewma_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+        ).cast("long").alias("hr"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "cv"
+        ),
+    )
+    h = ev.groupBy("event_type", "hr").agg(
+        F.floor(
+            F.sum("cv").cast("double") / F.count(F.lit(1)).cast("double")
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("m"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    wt = Window.partitionBy("event_type")
+    h = (
+        h.withColumn("n", F.count(F.lit(1)).over(wt))
+        .withColumn("sm", F.sum("m").over(wt))
+        .withColumn("sc", F.sum("c").over(wt))
+        .withColumn("smm", F.sum(F.col("m") * F.col("m")).over(wt))
+        .withColumn("scc", F.sum(F.col("c") * F.col("c")).over(wt))
+        .withColumn("smc", F.sum(F.col("m") * F.col("c")).over(wt))
+        .withColumn("dm", F.col("n") * F.col("m") - F.col("sm"))
+        .withColumn("dc", F.col("n") * F.col("c") - F.col("sc"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("hr")
+    num_m = None
+    num_c = None
+    den = None
+    for j in range(_MEWMA_K):
+        wj = _MEWMA_Q**j
+        lm = F.lag("dm", j).over(wo) if j else F.col("dm")
+        lc = F.lag("dc", j).over(wo) if j else F.col("dc")
+        tm = F.coalesce(lm.cast("double") * F.lit(wj), F.lit(0.0))
+        tc = F.coalesce(lc.cast("double") * F.lit(wj), F.lit(0.0))
+        td = F.when(lm.isNotNull(), F.lit(wj)).otherwise(F.lit(0.0))
+        num_m = tm if num_m is None else num_m + tm
+        num_c = tc if num_c is None else num_c + tc
+        den = td if den is None else den + td
+    z = h.withColumn("zm", num_m / den).withColumn("zc", num_c / den)
+    sxx = F.col("n") * F.col("smm") - F.col("sm") * F.col("sm")
+    syy = F.col("n") * F.col("scc") - F.col("sc") * F.col("sc")
+    sxy = F.col("n") * F.col("smc") - F.col("sm") * F.col("sc")
+    det = sxx.cast("double") * syy.cast("double") - sxy.cast(
+        "double"
+    ) * sxy.cast("double")
+    quad = (
+        F.col("zm") * F.col("zm") * syy.cast("double")
+        - 2.0 * F.col("zm") * F.col("zc") * sxy.cast("double")
+        + F.col("zc") * F.col("zc") * sxx.cast("double")
+    )
+    t2e4 = F.floor(7.0 * quad / det * 1e4 + F.lit(_OFF)).cast("long")
+    scored = z.withColumn("t2e4", t2e4).withColumn(
+        "mx", F.max(t2e4).over(Window.partitionBy("event_type"))
+    )
+    return scored.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_hours"),
+        F.sum(
+            (F.col("t2e4") > _MEWMA_H4_E4).cast("long")
+        ).cast("long").alias("n_exceed"),
+        F.max("t2e4").cast("long").alias("max_t2_e4"),
+        F.min(
+            F.when(F.col("t2e4") == F.col("mx"), F.col("hr"))
+        ).cast("long").alias("argmax_hr"),
+    ).orderBy("event_type")
+
+
+def _mewma_sql() -> str:
+    num_m = " + ".join(
+        (
+            f"coalesce(lag(dm, {j}) OVER w * {_MEWMA_Q**j!r}, 0.0)"
+            if j
+            else "coalesce(dm * 1.0, 0.0)"
+        )
+        for j in range(_MEWMA_K)
+    )
+    num_c = " + ".join(
+        (
+            f"coalesce(lag(dc, {j}) OVER w * {_MEWMA_Q**j!r}, 0.0)"
+            if j
+            else "coalesce(dc * 1.0, 0.0)"
+        )
+        for j in range(_MEWMA_K)
+    )
+    den = " + ".join(
+        (
+            f"(CASE WHEN lag(dm, {j}) OVER w IS NOT NULL"
+            f" THEN {_MEWMA_Q**j!r} ELSE 0.0 END)"
+            if j
+            else "1.0"
+        )
+        for j in range(_MEWMA_K)
+    )
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hr,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+                         AS DOUBLE) / count(*) + {_OFF}) AS BIGINT) AS m,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), mom AS (
+  SELECT *,
+         CAST(count(*) OVER t AS BIGINT) AS n,
+         CAST(sum(m) OVER t AS BIGINT) AS sm,
+         CAST(sum(c) OVER t AS BIGINT) AS sc,
+         CAST(sum(m * m) OVER t AS BIGINT) AS smm,
+         CAST(sum(c * c) OVER t AS BIGINT) AS scc,
+         CAST(sum(m * c) OVER t AS BIGINT) AS smc
+  FROM h
+  WINDOW t AS (PARTITION BY event_type)
+), d AS (
+  SELECT *, n * m - sm AS dm, n * c - sc AS dc FROM mom
+), z AS (
+  SELECT *,
+         ({num_m}) / ({den}) AS zm,
+         ({num_c}) / ({den}) AS zc
+  FROM d
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+), scored AS (
+  SELECT event_type, hr, n,
+         CAST(floor(7.0 *
+           (zm * zm * CAST(n * scc - sc * sc AS DOUBLE)
+            - 2.0 * zm * zc * CAST(n * smc - sm * sc AS DOUBLE)
+            + zc * zc * CAST(n * smm - sm * sm AS DOUBLE))
+           / (CAST(n * smm - sm * sm AS DOUBLE)
+                * CAST(n * scc - sc * sc AS DOUBLE)
+              - CAST(n * smc - sm * sc AS DOUBLE)
+                * CAST(n * smc - sm * sc AS DOUBLE))
+           * 1e4 + {_OFF}) AS BIGINT) AS t2e4
+  FROM z
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_hours,
+       CAST(sum(CASE WHEN t2e4 > {_MEWMA_H4_E4} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exceed,
+       CAST(max(t2e4) AS BIGINT) AS max_t2_e4,
+       CAST(min(CASE WHEN t2e4 = mx THEN hr END) AS BIGINT) AS argmax_hr
+FROM (SELECT *, max(t2e4) OVER (PARTITION BY event_type) AS mx
+      FROM scored)
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
+QUERIES["mewma_t2"] = q_mewma_t2
+ORACLE_SQL["mewma_t2"] = _mewma_sql()
