@@ -1471,3 +1471,226 @@ ORDER BY event_type
 
 QUERIES["mewma_t2"] = q_mewma_t2
 ORACLE_SQL["mewma_t2"] = _mewma_sql()
+
+
+# ===========================================================================
+# Battery J — soundex_phonetic_blocks: American Soundex phonetic
+# blocking audit over document lead tokens, per language.
+# ===========================================================================
+# Pure-expression Soundex (documented h/w-by-deletion variant: h/w are
+# transparent separators, implemented by deleting them from position 2
+# on BEFORE coding — equivalent for the collapse step):
+#   1. lead token = first ASCII-alpha run of the text, lowercased;
+#   2. drop h/w after position 1, code all letters via translate
+#      (bfpv->1 cgjkq sxz->2 dt->3 l->4 mn->5 r->6, vowels->0);
+#   3. collapse adjacent equal codes with a chained per-digit
+#      regexp_replace (RE2-safe: DuckDB has no backreferences);
+#   4. code = first letter + first 3 non-zero tail codes, 0-padded.
+# Output: phonetic-bucket profile per language — the blocking-key
+# audit a linkage pipeline runs before choosing keys (pairs with
+# fellegi_sunter_em).
+
+
+def _soundex_col(tok):
+    first = F.upper(F.substring(tok, 1, 1))
+    dropped = F.concat(
+        F.substring(tok, 1, 1),
+        F.translate(F.expr("substring(tok, 2)"), "hw", ""),
+    )
+    coded = F.translate(
+        dropped,
+        "abcdefghijklmnopqrstuvwxyz",
+        "01230120022455012623010202",
+    )
+    collapsed = coded
+    for dg in "0123456":
+        collapsed = F.regexp_replace(collapsed, f"{dg}{dg}+", dg)
+    tail = F.translate(F.expr("substring(collapsed_c, 2)"), "0", "")
+    return first, collapsed, tail
+
+
+def q_soundex_phonetic_blocks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "lang",
+        F.lower(
+            F.regexp_extract(F.col("text"), "[A-Za-z]+", 0)
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    first, collapsed, _ = _soundex_col(F.col("tok"))
+    d = d.withColumn("collapsed_c", collapsed)
+    sdx = F.concat(
+        first,
+        F.rpad(
+            F.substring(
+                F.translate(F.expr("substring(collapsed_c, 2)"), "0", ""),
+                1,
+                3,
+            ),
+            3,
+            "0",
+        ),
+    )
+    toks = d.select("lang", "tok", sdx.alias("sdx")).distinct()
+    buck = toks.groupBy("lang", "sdx").agg(
+        F.count(F.lit(1)).alias("bs")
+    )
+    mx = buck.groupBy("lang").agg(F.max("bs").alias("mxb"))
+    top = (
+        buck.join(mx, "lang")
+        .filter(F.col("bs") == F.col("mxb"))
+        .groupBy("lang")
+        .agg(F.min("sdx").alias("top_code"), F.max("bs").alias("max_bucket"))
+    )
+    agg = buck.groupBy("lang").agg(
+        F.sum("bs").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_codes"),
+    )
+    out = agg.join(top, "lang")
+    return out.select(
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_codes").cast("long").alias("n_codes"),
+        F.col("max_bucket").cast("long").alias("max_bucket"),
+        "top_code",
+        F.floor(
+            (
+                1.0
+                - F.col("n_codes").cast("double")
+                / F.col("n_tokens").cast("double")
+            )
+            * 1e6
+            + F.lit(_OFF)
+        ).cast("long").alias("collision_rate_e6"),
+    ).orderBy("lang")
+
+
+def _soundex_sql() -> str:
+    collapse = "coded"
+    for dg in "0123456":
+        collapse = f"regexp_replace({collapse}, '{dg}{dg}+', '{dg}', 'g')"
+    return f"""
+WITH tk AS (
+  SELECT lang, lower(regexp_extract(text, '[A-Za-z]+', 0)) AS tok
+  FROM documents
+  WHERE regexp_extract(text, '[A-Za-z]+', 0) <> ''
+), coded AS (
+  SELECT lang, tok,
+         translate(substring(tok, 1, 1) || translate(substring(tok, 2),
+                   'hw', ''),
+                   'abcdefghijklmnopqrstuvwxyz',
+                   '01230120022455012623010202') AS coded
+  FROM tk
+), sdx AS (
+  SELECT DISTINCT lang, tok,
+         upper(substring(tok, 1, 1)) ||
+         rpad(substring(translate(substring({collapse}, 2), '0', ''),
+                        1, 3), 3, '0') AS sdx
+  FROM coded
+), buck AS (
+  SELECT lang, sdx, CAST(count(*) AS BIGINT) AS bs
+  FROM sdx GROUP BY 1, 2
+), mx AS (
+  SELECT lang, max(bs) AS mxb FROM buck GROUP BY 1
+), top AS (
+  SELECT b.lang, min(b.sdx) AS top_code, max(b.bs) AS max_bucket
+  FROM buck b JOIN mx ON mx.lang = b.lang AND b.bs = mx.mxb
+  GROUP BY 1
+), agg AS (
+  SELECT lang, CAST(sum(bs) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_codes
+  FROM buck GROUP BY 1
+)
+SELECT a.lang AS lang, a.n_tokens, a.n_codes,
+       CAST(t.max_bucket AS BIGINT) AS max_bucket,
+       t.top_code,
+       CAST(floor((1.0 - CAST(a.n_codes AS DOUBLE) / a.n_tokens) * 1e6
+                  + {_OFF}) AS BIGINT) AS collision_rate_e6
+FROM agg a JOIN top t ON t.lang = a.lang
+ORDER BY lang
+"""
+
+
+QUERIES["soundex_phonetic_blocks"] = q_soundex_phonetic_blocks
+ORACLE_SQL["soundex_phonetic_blocks"] = _soundex_sql()
+
+
+# ---------------------------------------------------------------------------
+# theil_u1 — Theil's U1 inequality coefficient of the naive forecast
+# on the hourly mean series (complements theil_u2, which scores
+# forecast changes; U1 is the bounded [0,1] accuracy form)
+# ---------------------------------------------------------------------------
+
+
+def q_theil_u1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+        ).cast("long").alias("hr"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "cv"
+        ),
+    )
+    h = ev.groupBy("event_type", "hr").agg(
+        F.floor(
+            F.sum("cv").cast("double") / F.count(F.lit(1)).cast("double")
+            + F.lit(_OFF)
+        )
+        .cast("long")
+        .alias("y")
+    )
+    wo = Window.partitionBy("event_type").orderBy("hr")
+    p = h.withColumn("f", F.lag("y").over(wo)).filter(
+        F.col("f").isNotNull()
+    )
+    agg = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("y") - F.col("f")) * (F.col("y") - F.col("f"))
+        ).alias("se"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("f") * F.col("f")).alias("sff"),
+    )
+    nd = F.col("n").cast("double")
+    u1 = F.sqrt(F.col("se").cast("double") / nd) / (
+        F.sqrt(F.col("syy").cast("double") / nd)
+        + F.sqrt(F.col("sff").cast("double") / nd)
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(u1 * 1e6 + F.lit(_OFF)).cast("long").alias("u1_e6"),
+    ).orderBy("event_type")
+
+
+SQL_THEIL_U1 = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hr,
+         CAST(floor(CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+                         AS DOUBLE) / count(*) + {_OFF}) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT event_type, y,
+         lag(y) OVER (PARTITION BY event_type ORDER BY hr) AS f
+  FROM h
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum((y - f) * (y - f)) AS BIGINT) AS se,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(f * f) AS BIGINT) AS sff
+  FROM p WHERE f IS NOT NULL GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(floor(sqrt(CAST(se AS DOUBLE) / n)
+                  / (sqrt(CAST(syy AS DOUBLE) / n)
+                     + sqrt(CAST(sff AS DOUBLE) / n)) * 1e6 + {_OFF})
+            AS BIGINT) AS u1_e6
+FROM agg
+ORDER BY event_type
+"""
+
+QUERIES["theil_u1"] = q_theil_u1
+ORACLE_SQL["theil_u1"] = SQL_THEIL_U1
