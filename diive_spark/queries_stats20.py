@@ -1694,3 +1694,34 @@ ORDER BY event_type
 
 QUERIES["theil_u1"] = q_theil_u1
 ORACLE_SQL["theil_u1"] = SQL_THEIL_U1
+
+
+# ===========================================================================
+# Battery K — ncd_similarity: normalized compression distance triage
+# (rows-only, pytest-pinned in tests/test_ncd.py)
+# ===========================================================================
+
+
+def q_ncd_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflate-based NCD of sampled documents vs their source
+    representative — the parameter-free paraphrase-level similarity
+    that completes the dedup trio (shingle hashes = set overlap,
+    alignment = order overlap, compression = model overlap)."""
+    from diive_spark.text.ncd import ncd_frame
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", "doc_id", "text"
+    )
+    out = ncd_frame(d, "source", "doc_id", "text")
+    return out.select(
+        "source",
+        "n_members",
+        "n_scored",
+        F.round("mean_ncd", 4).alias("mean_ncd"),
+        F.round("min_ncd", 4).alias("min_ncd"),
+        F.round("max_ncd", 4).alias("max_ncd"),
+        "rep_clen",
+    ).orderBy("source")
+
+
+QUERIES["ncd_similarity"] = q_ncd_similarity
