@@ -1729,16 +1729,13 @@ QUERIES["ncd_similarity"] = q_ncd_similarity
 
 # ===========================================================================
 # Battery L — climate-homogeneity tests on the hourly series (the
-# family diive's meteoscreening sits inside): Pettitt's rank test,
-# Alexandersson's SNHT, the von Neumann ratio, and the seasonal
-# (Hirsch-Slack) Mann-Kendall.
+# family diive's meteoscreening sits inside): Alexandersson's SNHT
+# and the von Neumann ratio (Pettitt and seasonal MK already ship in
+# queries_stats4 / queries_stats2).
 # ===========================================================================
 # All per event type over the e2-floored hourly means.  Exact-integer
-# backbones: Pettitt's U_t = sum(2r) - t(n+1) uses doubled average
-# ranks (2r = 2*cnt_less + cnt_eq + 1, always integer); SNHT's
-# numerator D_k = n*S_k - k*S is exact (squared in double); the von
-# Neumann ratio is a pure integer ratio scaled by n; seasonal MK sums
-# exact stratum S and 18*Var integers.
+# backbones: SNHT's numerator D_k = n*S_k - k*S is exact (squared in
+# double); the von Neumann ratio is a pure integer ratio scaled by n.
 
 
 def _hourly20(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1768,89 +1765,6 @@ _HOURLY20_SQL = """hourly AS (
                          AS DOUBLE) / count(*) + {off}) AS BIGINT) AS y
   FROM events GROUP BY 1, 2
 )"""
-
-
-def q_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    h = _hourly20(spark, sf_dir)
-    wt = Window.partitionBy("event_type")
-    wv = Window.partitionBy("event_type").orderBy("y")
-    we = Window.partitionBy("event_type", "y")
-    wo = Window.partitionBy("event_type").orderBy("hr")
-    r = (
-        h.withColumn("n", F.count(F.lit(1)).over(wt))
-        .withColumn("mr", F.rank().over(wv))
-        .withColumn("ce", F.count(F.lit(1)).over(we))
-        .withColumn("r2", 2 * (F.col("mr") - 1) + F.col("ce") + 1)
-        .withColumn("t", F.row_number().over(wo))
-        .withColumn(
-            "u",
-            F.sum("r2").over(
-                wo.rowsBetween(Window.unboundedPreceding, 0)
-            )
-            - F.col("t") * (F.col("n") + 1),
-        )
-    ).filter(F.col("t") < F.col("n"))
-    mx = r.withColumn(
-        "k", F.max(F.abs(F.col("u"))).over(wt)
-    )
-    agg = mx.groupBy("event_type").agg(
-        F.max("n").alias("n"),
-        F.max("k").alias("k"),
-        F.min(
-            F.when(F.abs(F.col("u")) == F.col("k"), F.col("hr"))
-        ).alias("tau_hr"),
-    )
-    nd = F.col("n").cast("double")
-    p = 2.0 * F.exp(
-        -6.0
-        * F.col("k").cast("double")
-        * F.col("k").cast("double")
-        / (nd * nd * nd + nd * nd)
-    )
-    return agg.select(
-        "event_type",
-        F.col("n").cast("long").alias("n"),
-        F.col("k").cast("long").alias("k_stat"),
-        F.col("tau_hr").cast("long").alias("tau_hr"),
-        F.floor(p * 1e6 + F.lit(_OFF)).cast("long").alias("p_e6"),
-    ).orderBy("event_type")
-
-
-SQL_PETTITT = f"""
-WITH {_HOURLY20_SQL.format(off=_OFF)}
-, r AS (
-  SELECT event_type, hr, y,
-         count(*) OVER (PARTITION BY event_type) AS n,
-         rank() OVER (PARTITION BY event_type ORDER BY y) AS mr,
-         count(*) OVER (PARTITION BY event_type, y) AS ce,
-         row_number() OVER (PARTITION BY event_type ORDER BY hr) AS t
-  FROM hourly
-), u AS (
-  SELECT event_type, hr, n, t,
-         sum(2 * (mr - 1) + ce + 1) OVER (
-           PARTITION BY event_type ORDER BY hr
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) - t * (n + 1) AS u
-  FROM r
-), f AS (
-  SELECT *, max(abs(u)) OVER (PARTITION BY event_type) AS k
-  FROM u WHERE t < n
-)
-SELECT event_type,
-       CAST(max(n) AS BIGINT) AS n,
-       CAST(max(k) AS BIGINT) AS k_stat,
-       CAST(min(CASE WHEN abs(u) = k THEN hr END) AS BIGINT) AS tau_hr,
-       CAST(floor(2.0 * exp(-6.0 * CAST(max(k) AS DOUBLE) * max(k)
-                            / (CAST(max(n) AS DOUBLE) * max(n) * max(n)
-                               + CAST(max(n) AS DOUBLE) * max(n)))
-                  * 1e6 + {_OFF}) AS BIGINT) AS p_e6
-FROM f
-GROUP BY 1
-ORDER BY event_type
-"""
-
-QUERIES["pettitt_test"] = q_pettitt_test
-ORACLE_SQL["pettitt_test"] = SQL_PETTITT
 
 
 def q_snht_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1983,89 +1897,3 @@ QUERIES["von_neumann_ratio"] = q_von_neumann_ratio
 ORACLE_SQL["von_neumann_ratio"] = SQL_VN
 
 
-def q_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    h = _hourly20(spark, sf_dir).withColumn(
-        "hod", (F.col("hr") % 24).cast("long")
-    )
-    a = h.select(
-        "event_type", "hod", F.col("hr").alias("ta"), F.col("y").alias("ya")
-    )
-    b = h.select(
-        "event_type", "hod", F.col("hr").alias("tb"), F.col("y").alias("yb")
-    )
-    pr = a.join(b, ["event_type", "hod"]).filter(F.col("tb") > F.col("ta"))
-    s = pr.groupBy("event_type").agg(
-        F.sum(F.signum((F.col("yb") - F.col("ya")).cast("double")))
-        .cast("long")
-        .alias("s")
-    )
-    nh = h.groupBy("event_type", "hod").agg(F.count(F.lit(1)).alias("nh"))
-    ties = h.groupBy("event_type", "hod", "y").agg(
-        F.count(F.lit(1)).alias("c")
-    ).groupBy("event_type", "hod").agg(
-        F.sum(
-            F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)
-        ).alias("tie")
-    )
-    var = nh.join(ties, ["event_type", "hod"]).groupBy("event_type").agg(
-        F.sum(
-            F.col("nh") * (F.col("nh") - 1) * (2 * F.col("nh") + 5)
-            - F.col("tie")
-        ).alias("var18")
-    )
-    j = s.join(var, "event_type")
-    z = F.when(
-        (F.col("var18") <= 0) | (F.col("s") == 0), F.lit(0.0)
-    ).when(
-        F.col("s") > 0,
-        (F.col("s") - 1).cast("double")
-        / F.sqrt(F.col("var18").cast("double") / 18.0),
-    ).otherwise(
-        (F.col("s") + 1).cast("double")
-        / F.sqrt(F.col("var18").cast("double") / 18.0)
-    )
-    return j.select(
-        "event_type",
-        F.col("s").cast("long").alias("s"),
-        F.col("var18").cast("long").alias("var_s18"),
-        F.floor(z * 1e4 + F.lit(_OFF)).cast("long").alias("z_e4"),
-    ).orderBy("event_type")
-
-
-SQL_SMK = f"""
-WITH {_HOURLY20_SQL.format(off=_OFF)}
-, hh AS (
-  SELECT *, hr % 24 AS hod FROM hourly
-), pr AS (
-  SELECT a.event_type, CAST(sign(b.y - a.y) AS BIGINT) AS sg
-  FROM hh a JOIN hh b
-    ON a.event_type = b.event_type AND a.hod = b.hod AND b.hr > a.hr
-), s AS (
-  SELECT event_type, CAST(sum(sg) AS BIGINT) AS s FROM pr GROUP BY 1
-), nh AS (
-  SELECT event_type, hod, count(*) AS nh FROM hh GROUP BY 1, 2
-), ties AS (
-  SELECT event_type, hod,
-         CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tie
-  FROM (SELECT event_type, hod, y, count(*) AS c
-        FROM hh GROUP BY 1, 2, 3)
-  GROUP BY 1, 2
-), var AS (
-  SELECT n.event_type,
-         CAST(sum(n.nh * (n.nh - 1) * (2 * n.nh + 5) - t.tie)
-              AS BIGINT) AS var18
-  FROM nh n JOIN ties t ON t.event_type = n.event_type AND t.hod = n.hod
-  GROUP BY 1
-)
-SELECT s.event_type AS event_type, s.s, var.var18 AS var_s18,
-       CAST(floor(
-         CASE WHEN var.var18 <= 0 OR s.s = 0 THEN 0.0
-              WHEN s.s > 0 THEN (s.s - 1) / sqrt(var.var18 / 18.0)
-              ELSE (s.s + 1) / sqrt(var.var18 / 18.0)
-         END * 1e4 + {_OFF}) AS BIGINT) AS z_e4
-FROM s JOIN var ON var.event_type = s.event_type
-ORDER BY event_type
-"""
-
-QUERIES["seasonal_mann_kendall"] = q_seasonal_mann_kendall
-ORACLE_SQL["seasonal_mann_kendall"] = SQL_SMK
