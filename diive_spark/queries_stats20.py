@@ -1897,3 +1897,147 @@ QUERIES["von_neumann_ratio"] = q_von_neumann_ratio
 ORACLE_SQL["von_neumann_ratio"] = SQL_VN
 
 
+
+
+# ===========================================================================
+# Battery M — cvm_2sample: two-sample Cramer-von Mises (Anderson 1962
+# rank form) between every event-type pair's hourly mean samples.
+# ===========================================================================
+# T = U/(nm(n+m)) - (4nm-1)/(6(n+m)), with
+# U = n sum_i (r_i - i)^2 + m sum_j (s_j - j)^2 over the pooled
+# ranking.  Midrank ties are carried as DOUBLED ranks so U4 = 4U is an
+# exact integer: U4 = n sum (2r_i - 2i)^2 + m sum (2s_j - 2j)^2.
+# Pooled doubled midranks come from one window over the pair-tagged
+# union (2r = 2*cnt_less + cnt_eq + 1).
+
+
+def q_cvm_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hourly20(spark, sf_dir)
+    types = h.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("ta"))
+        .crossJoin(types.select(F.col("event_type").alias("tb")))
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    tagged = (
+        h.join(
+            F.broadcast(pairs),
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .withColumn(
+            "side", (F.col("event_type") == F.col("ta")).cast("long")
+        )
+    )
+    wp = Window.partitionBy("ta", "tb")
+    wv = Window.partitionBy("ta", "tb").orderBy("y")
+    we = Window.partitionBy("ta", "tb", "y")
+    ws = Window.partitionBy("ta", "tb", "side").orderBy("y", "hr")
+    r = (
+        tagged.withColumn("mr", F.rank().over(wv))
+        .withColumn("ce", F.count(F.lit(1)).over(we))
+        .withColumn("r2", 2 * (F.col("mr") - 1) + F.col("ce") + 1)
+        .withColumn("i", F.row_number().over(ws))
+        .withColumn("nn", F.sum("side").over(wp))
+        .withColumn(
+            "mm", F.sum(F.lit(1) - F.col("side")).over(wp)
+        )
+    )
+    d = (F.col("r2") - 2 * F.col("i")).cast("long")
+    term = F.when(F.col("side") == 1, F.col("nn")).otherwise(
+        F.col("mm")
+    ) * d * d
+    agg = r.groupBy("ta", "tb").agg(
+        F.max("nn").alias("n"),
+        F.max("mm").alias("m"),
+        F.sum(term).alias("u4"),
+    )
+    nd = F.col("n").cast("double")
+    md = F.col("m").cast("double")
+    t = F.col("u4").cast("double") / (
+        4.0 * nd * md * (nd + md)
+    ) - (4.0 * nd * md - 1.0) / (6.0 * (nd + md))
+    return agg.select(
+        "ta",
+        "tb",
+        F.col("n").cast("long").alias("n"),
+        F.col("m").cast("long").alias("m"),
+        F.col("u4").cast("long").alias("u4"),
+        F.floor(t * 1e6 + F.lit(_OFF)).cast("long").alias("t_e6"),
+    ).orderBy("ta", "tb")
+
+
+SQL_CVM2 = f"""
+WITH {_HOURLY20_SQL.format(off=_OFF)}
+, types AS (
+  SELECT DISTINCT event_type AS t FROM hourly
+), pairs AS (
+  SELECT a.t AS ta, b.t AS tb FROM types a JOIN types b ON a.t < b.t
+), tagged AS (
+  SELECT p.ta, p.tb, h.hr, h.y,
+         CASE WHEN h.event_type = p.ta THEN 1 ELSE 0 END AS side
+  FROM hourly h JOIN pairs p
+    ON h.event_type = p.ta OR h.event_type = p.tb
+), r AS (
+  SELECT *,
+         rank() OVER (PARTITION BY ta, tb ORDER BY y) AS mr,
+         count(*) OVER (PARTITION BY ta, tb, y) AS ce,
+         row_number() OVER (PARTITION BY ta, tb, side
+                            ORDER BY y, hr) AS i,
+         CAST(sum(side) OVER (PARTITION BY ta, tb) AS BIGINT) AS nn,
+         CAST(sum(1 - side) OVER (PARTITION BY ta, tb) AS BIGINT) AS mm
+  FROM tagged
+), agg AS (
+  SELECT ta, tb, max(nn) AS n, max(mm) AS m,
+         CAST(sum((CASE WHEN side = 1 THEN nn ELSE mm END)
+                  * (2 * (mr - 1) + ce + 1 - 2 * i)
+                  * (2 * (mr - 1) + ce + 1 - 2 * i)) AS BIGINT) AS u4
+  FROM r GROUP BY 1, 2
+)
+SELECT ta, tb,
+       CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m, u4,
+       CAST(floor(
+         (CAST(u4 AS DOUBLE) / (4.0 * n * m * (n + m))
+          - (4.0 * CAST(n AS DOUBLE) * m - 1.0) / (6.0 * (n + m)))
+         * 1e6 + {_OFF}) AS BIGINT) AS t_e6
+FROM agg
+ORDER BY ta, tb
+"""
+
+QUERIES["cvm_2sample"] = q_cvm_2sample
+ORACLE_SQL["cvm_2sample"] = SQL_CVM2
+
+
+# ===========================================================================
+# Battery M2 — ucb1_replay: off-policy bandit evaluation by replay
+# (rows-only, pytest-pinned in tests/test_bandits.py)
+# ===========================================================================
+
+
+def q_ucb1_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 replayed against the logged event stream (arms = event
+    types, reward = value > 50) — the Li et al. counterfactual
+    evaluator; one policy, documented single-partition scope."""
+    from diive_spark.operators.bandits import ucb1_replay_frame
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        (F.col("value") > 50.0).cast("long").alias("reward"),
+    )
+    out = ucb1_replay_frame(
+        ev, "event_type", ["us", "event_id"], "reward"
+    )
+    return out.select(
+        "event_type",
+        "plays",
+        "reward_sum",
+        F.round("mean_reward", 4).alias("mean_reward"),
+        "n_stream",
+        "n_accepted",
+        "total_reward",
+    ).orderBy("event_type")
+
+
+QUERIES["ucb1_replay"] = q_ucb1_replay
