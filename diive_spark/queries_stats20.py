@@ -2041,3 +2041,195 @@ def q_ucb1_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ucb1_replay"] = q_ucb1_replay
+
+
+# ===========================================================================
+# Battery N — information/signal profile queries
+# ===========================================================================
+# renyi_spectrum: the Renyi entropy spectrum H_alpha of each type's
+# user-visit distribution at alpha = 0, 1/2, 1, 2, inf — the spectrum
+# view that nests richness (alpha=0), Shannon (alpha->1), collision/
+# Simpson (alpha=2) and min-entropy (alpha=inf).  Exact backbones:
+# alpha=0 is a count; alpha=2 is -ln of the exact integer ratio
+# sum(c^2)/n^2; alpha=inf is -ln(max c/n); Shannon and alpha=1/2 use
+# the house per-cell e9-floor (sqrt/ln per cell, exact sums).
+
+
+def q_renyi_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    c = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wt = Window.partitionBy("event_type")
+    c = c.withColumn("n", F.sum("c").over(wt))
+    half9 = F.floor(
+        F.sqrt(F.col("c").cast("double") / F.col("n").cast("double"))
+        * 1e9
+        + F.lit(_OFF)
+    ).cast("long")
+    sh9 = F.floor(
+        F.col("c").cast("double")
+        / F.col("n")
+        * F.log(F.col("n").cast("double") / F.col("c"))
+        * 1e9
+        + F.lit(_OFF)
+    ).cast("long")
+    agg = c.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("c") * F.col("c")).alias("c2"),
+        F.max("c").alias("cmax"),
+        F.sum(half9).alias("h9"),
+        F.sum(sh9).alias("s9"),
+    )
+    nd = F.col("n").cast("double")
+    h0 = F.log(F.col("k").cast("double"))
+    hhalf = 2.0 * F.log(F.col("h9").cast("double") / 1e9)
+    h1 = F.col("s9").cast("double") / 1e9
+    h2 = -F.log(F.col("c2").cast("double") / (nd * nd))
+    hinf = -F.log(F.col("cmax").cast("double") / nd)
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("support"),
+        F.floor(h0 * 1e6 + F.lit(_OFF)).cast("long").alias("h0_e6"),
+        F.floor(hhalf * 1e6 + F.lit(_OFF)).cast("long").alias(
+            "h_half_e6"
+        ),
+        F.floor(h1 * 1e6 + F.lit(_OFF)).cast("long").alias("h1_e6"),
+        F.floor(h2 * 1e6 + F.lit(_OFF)).cast("long").alias("h2_e6"),
+        F.floor(hinf * 1e6 + F.lit(_OFF)).cast("long").alias(
+            "hinf_e6"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_RENYI = f"""
+WITH c AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), cc AS (
+  SELECT *, CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM c
+), agg AS (
+  SELECT event_type, max(n) AS n, count(*) AS k,
+         CAST(sum(c * c) AS BIGINT) AS c2,
+         CAST(max(c) AS BIGINT) AS cmax,
+         CAST(sum(CAST(floor(sqrt(CAST(c AS DOUBLE) / n) * 1e9 + {_OFF})
+                       AS BIGINT)) AS BIGINT) AS h9,
+         CAST(sum(CAST(floor(CAST(c AS DOUBLE) / n
+                             * ln(CAST(n AS DOUBLE) / c) * 1e9 + {_OFF})
+                       AS BIGINT)) AS BIGINT) AS s9
+  FROM cc GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(k AS BIGINT) AS support,
+       CAST(floor(ln(CAST(k AS DOUBLE)) * 1e6 + {_OFF}) AS BIGINT)
+         AS h0_e6,
+       CAST(floor(2.0 * ln(CAST(h9 AS DOUBLE) / 1e9) * 1e6 + {_OFF})
+            AS BIGINT) AS h_half_e6,
+       CAST(floor(CAST(s9 AS DOUBLE) / 1e9 * 1e6 + {_OFF}) AS BIGINT)
+         AS h1_e6,
+       CAST(floor(-ln(CAST(c2 AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+                  * 1e6 + {_OFF}) AS BIGINT) AS h2_e6,
+       CAST(floor(-ln(CAST(cmax AS DOUBLE) / n) * 1e6 + {_OFF})
+            AS BIGINT) AS hinf_e6
+FROM agg
+ORDER BY event_type
+"""
+
+QUERIES["renyi_spectrum"] = q_renyi_spectrum
+ORACLE_SQL["renyi_spectrum"] = SQL_RENYI
+
+
+# ---------------------------------------------------------------------------
+# signal_shape_stats — crest factor, impulse factor and zero-crossing
+# rate of the mean-centered hourly series (vibration-analysis shape
+# panel; ZCR counts sign changes of the exact n*y - S deviations)
+# ---------------------------------------------------------------------------
+
+
+def q_signal_shape_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hourly20(spark, sf_dir)
+    wt = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("hr")
+    r = (
+        h.withColumn("n", F.count(F.lit(1)).over(wt))
+        .withColumn("s", F.sum("y").over(wt))
+        .withColumn("d", F.col("n") * F.col("y") - F.col("s"))
+        .withColumn("dl", F.lag("d").over(wo))
+    )
+    agg = r.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.max(F.abs(F.col("d"))).alias("dmax"),
+        F.sum(F.abs(F.col("d"))).alias("sabs"),
+        F.sum(
+            (
+                F.col("dl").isNotNull()
+                & (F.signum(F.col("d")) * F.signum(F.col("dl")) < 0)
+            ).cast("long")
+        ).alias("zc"),
+    )
+    nd = F.col("n").cast("double")
+    rms = F.sqrt(F.col("sdd").cast("double") / nd)
+    crest = F.col("dmax").cast("double") / rms
+    impulse = F.col("dmax").cast("double") / (
+        F.col("sabs").cast("double") / nd
+    )
+    zcr = F.col("zc").cast("double") / (nd - 1.0)
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("zc").cast("long").alias("zero_crossings"),
+        F.floor(crest * 1e6 + F.lit(_OFF)).cast("long").alias(
+            "crest_e6"
+        ),
+        F.floor(impulse * 1e6 + F.lit(_OFF)).cast("long").alias(
+            "impulse_e6"
+        ),
+        F.floor(zcr * 1e6 + F.lit(_OFF)).cast("long").alias("zcr_e6"),
+    ).orderBy("event_type")
+
+
+SQL_SIGSHAPE = f"""
+WITH {_HOURLY20_SQL.format(off=_OFF)}
+, r AS (
+  SELECT event_type, hr, y,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT) AS s
+  FROM hourly
+), d AS (
+  SELECT event_type, n, n * y - s AS d,
+         lag(n * y - s) OVER (PARTITION BY event_type ORDER BY hr) AS dl
+  FROM r
+), agg AS (
+  SELECT event_type, max(n) AS n,
+         CAST(sum(d * d) AS BIGINT) AS sdd,
+         CAST(max(abs(d)) AS BIGINT) AS dmax,
+         CAST(sum(abs(d)) AS BIGINT) AS sabs,
+         CAST(sum(CASE WHEN dl IS NOT NULL
+                        AND sign(d) * sign(dl) < 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS zc
+  FROM d GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       zc AS zero_crossings,
+       CAST(floor(CAST(dmax AS DOUBLE)
+                  / sqrt(CAST(sdd AS DOUBLE) / n) * 1e6 + {_OFF})
+            AS BIGINT) AS crest_e6,
+       CAST(floor(CAST(dmax AS DOUBLE)
+                  / (CAST(sabs AS DOUBLE) / n) * 1e6 + {_OFF})
+            AS BIGINT) AS impulse_e6,
+       CAST(floor(CAST(zc AS DOUBLE) / (n - 1.0) * 1e6 + {_OFF})
+            AS BIGINT) AS zcr_e6
+FROM agg
+ORDER BY event_type
+"""
+
+QUERIES["signal_shape_stats"] = q_signal_shape_stats
+ORACLE_SQL["signal_shape_stats"] = SQL_SIGSHAPE
