@@ -2233,3 +2233,232 @@ ORDER BY event_type
 
 QUERIES["signal_shape_stats"] = q_signal_shape_stats
 ORACLE_SQL["signal_shape_stats"] = SQL_SIGSHAPE
+
+
+# ===========================================================================
+# Battery O — variance-structure tests
+# ===========================================================================
+# icss_variance_break: Inclan-Tiao (1994) ICSS centered cumulative
+# sum of squares D_k = C_k/C_n - k/n, IT = sqrt(n/2) max|D_k| — the
+# variance-change twin of cusum_shift (which tracks the mean).  The
+# n-scaling of the exact deviations d = n*y - S cancels in C_k/C_n,
+# so the backbone is an exact-integer cumulative of d^2 (bounded by
+# the calendar grid, PLANS §127).
+
+
+def q_icss_variance_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hourly20(spark, sf_dir)
+    wt = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("hr")
+    r = (
+        h.withColumn("n", F.count(F.lit(1)).over(wt))
+        .withColumn("s", F.sum("y").over(wt))
+        .withColumn("d", F.col("n") * F.col("y") - F.col("s"))
+    )
+    r = (
+        r.withColumn("k", F.row_number().over(wo))
+        .withColumn(
+            "ck",
+            F.sum(F.col("d") * F.col("d")).over(
+                wo.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("cn", F.sum(F.col("d") * F.col("d")).over(wt))
+    ).filter(F.col("k") < F.col("n"))
+    dk = F.col("ck").cast("double") / F.col("cn").cast("double") - F.col(
+        "k"
+    ).cast("double") / F.col("n").cast("double")
+    sc = r.withColumn(
+        "a6", F.floor(F.abs(dk) * 1e6 + F.lit(_OFF)).cast("long")
+    ).withColumn("mx", F.max(F.col("a6")).over(wt))
+    agg = sc.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("mx").alias("mx"),
+        F.min(F.when(F.col("a6") == F.col("mx"), F.col("k"))).alias(
+            "k_break"
+        ),
+        F.min(F.when(F.col("a6") == F.col("mx"), F.col("hr"))).alias(
+            "hr_break"
+        ),
+    )
+    it = F.sqrt(F.col("n").cast("double") / 2.0) * (
+        F.col("mx").cast("double") / 1e6
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("mx").cast("long").alias("max_abs_d_e6"),
+        F.col("k_break").cast("long").alias("k_break"),
+        F.col("hr_break").cast("long").alias("hr_break"),
+        F.floor(it * 1e4 + F.lit(_OFF)).cast("long").alias("it_e4"),
+    ).orderBy("event_type")
+
+
+SQL_ICSS = f"""
+WITH {_HOURLY20_SQL.format(off=_OFF)}
+, r AS (
+  SELECT event_type, hr, y,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT) AS s
+  FROM hourly
+), d AS (
+  SELECT event_type, hr, n, n * y - s AS d,
+         row_number() OVER (PARTITION BY event_type ORDER BY hr) AS k
+  FROM r
+), c AS (
+  SELECT event_type, hr, n, k,
+         CAST(sum(d * d) OVER (PARTITION BY event_type ORDER BY hr
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS ck,
+         CAST(sum(d * d) OVER (PARTITION BY event_type) AS BIGINT) AS cn
+  FROM d
+), sc AS (
+  SELECT event_type, hr, n, k,
+         CAST(floor(abs(CAST(ck AS DOUBLE) / cn
+                        - CAST(k AS DOUBLE) / n) * 1e6 + {_OFF})
+              AS BIGINT) AS a6
+  FROM c WHERE k < n
+), f AS (
+  SELECT *, max(a6) OVER (PARTITION BY event_type) AS mx FROM sc
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(max(mx) AS BIGINT) AS max_abs_d_e6,
+       CAST(min(CASE WHEN a6 = mx THEN k END) AS BIGINT) AS k_break,
+       CAST(min(CASE WHEN a6 = mx THEN hr END) AS BIGINT) AS hr_break,
+       CAST(floor(sqrt(CAST(max(n) AS DOUBLE) / 2.0)
+                  * (CAST(max(mx) AS DOUBLE) / 1e6) * 1e4 + {_OFF})
+            AS BIGINT) AS it_e4
+FROM f
+GROUP BY 1
+ORDER BY event_type
+"""
+
+QUERIES["icss_variance_break"] = q_icss_variance_break
+ORACLE_SQL["icss_variance_break"] = SQL_ICSS
+
+
+# ---------------------------------------------------------------------------
+# brown_forsythe_levene — Brown-Forsythe (median-centered Levene)
+# equality-of-spread test across the event types
+# ---------------------------------------------------------------------------
+# Z_ij = |y_ij - median_i| (median = exact per-type order-statistic
+# pick on the hourly means, so Z is an exact integer); W is assembled
+# from exact Z sums with the n*z - S device — one double at the end.
+
+
+def q_brown_forsythe_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hourly20(spark, sf_dir)
+    wv = Window.partitionBy("event_type").orderBy("y", "hr")
+    wt = Window.partitionBy("event_type")
+    med = (
+        h.withColumn("rn", F.row_number().over(wv))
+        .withColumn("n", F.count(F.lit(1)).over(wt))
+        .filter(F.col("rn") == F.floor((F.col("n") - 1) / 2) + 1)
+        .select("event_type", F.col("y").alias("med"))
+    )
+    z = h.join(med, "event_type").withColumn(
+        "z", F.abs(F.col("y") - F.col("med"))
+    )
+    per = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ni"),
+        F.sum("z").alias("szi"),
+        F.sum(F.col("z") * F.col("z")).alias("szzi"),
+    )
+    tot = per.agg(
+        F.sum("ni").alias("nn"),
+        F.sum("szi").alias("sz"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    # between: sum_i n_i (zbar_i - zbar)^2 = sum_i (n*szi - ni*sz)^2/(ni*n^2)
+    bd = (
+        F.col("nn") * F.col("szi") - F.col("ni") * F.col("sz")
+    ).cast("double")
+    betw12 = F.floor(
+        bd * bd
+        / (
+            F.col("ni").cast("double")
+            * F.col("nn").cast("double")
+            * F.col("nn").cast("double")
+        )
+        * 1e6
+        + F.lit(_OFF)
+    ).cast("long")
+    # within: sum_ij (z - zbar_i)^2 = szzi - szi^2/ni
+    with12 = F.floor(
+        (
+            F.col("szzi").cast("double")
+            - F.col("szi").cast("double")
+            * F.col("szi").cast("double")
+            / F.col("ni").cast("double")
+        )
+        * 1e6
+        + F.lit(_OFF)
+    ).cast("long")
+    agg = j.groupBy().agg(
+        F.max("nn").alias("nn"),
+        F.max("k").alias("k"),
+        F.sum(betw12).alias("b6"),
+        F.sum(with12).alias("w6"),
+    )
+    w = (
+        (F.col("nn") - F.col("k")).cast("double")
+        / (F.col("k") - 1).cast("double")
+        * F.col("b6").cast("double")
+        / F.col("w6").cast("double")
+    )
+    return agg.select(
+        F.col("nn").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_groups"),
+        F.floor(w * 1e6 + F.lit(_OFF)).cast("long").alias("w_e6"),
+    )
+
+
+SQL_BF = f"""
+WITH {_HOURLY20_SQL.format(off=_OFF)}
+, med AS (
+  SELECT event_type, y AS med
+  FROM (
+    SELECT event_type, y, hr,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY y, hr) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM hourly
+  ) WHERE rn = (n - 1) // 2 + 1
+), z AS (
+  SELECT h.event_type, abs(h.y - m.med) AS z
+  FROM hourly h JOIN med m ON m.event_type = h.event_type
+), per AS (
+  SELECT event_type, count(*) AS ni,
+         CAST(sum(z) AS BIGINT) AS szi,
+         CAST(sum(z * z) AS BIGINT) AS szzi
+  FROM z GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(ni) AS BIGINT) AS nn,
+         CAST(sum(szi) AS BIGINT) AS sz,
+         count(*) AS k
+  FROM per
+), terms AS (
+  SELECT max(t.nn) AS nn, max(t.k) AS k,
+         CAST(sum(CAST(floor(
+           CAST(t.nn * p.szi - p.ni * t.sz AS DOUBLE)
+           * CAST(t.nn * p.szi - p.ni * t.sz AS DOUBLE)
+           / (CAST(p.ni AS DOUBLE) * t.nn * t.nn) * 1e6 + {_OFF})
+           AS BIGINT)) AS BIGINT) AS b6,
+         CAST(sum(CAST(floor(
+           (CAST(p.szzi AS DOUBLE)
+            - CAST(p.szi AS DOUBLE) * p.szi / p.ni) * 1e6 + {_OFF})
+           AS BIGINT)) AS BIGINT) AS w6
+  FROM per p CROSS JOIN tot t
+)
+SELECT CAST(nn AS BIGINT) AS n,
+       CAST(k AS BIGINT) AS k_groups,
+       CAST(floor(CAST(nn - k AS DOUBLE) / (k - 1)
+                  * CAST(b6 AS DOUBLE) / w6 * 1e6 + {_OFF})
+            AS BIGINT) AS w_e6
+FROM terms
+"""
+
+QUERIES["brown_forsythe_levene"] = q_brown_forsythe_levene
+ORACLE_SQL["brown_forsythe_levene"] = SQL_BF
