@@ -2462,3 +2462,299 @@ FROM terms
 
 QUERIES["brown_forsythe_levene"] = q_brown_forsythe_levene
 ORACLE_SQL["brown_forsythe_levene"] = SQL_BF
+
+
+# ===========================================================================
+# Battery P — poverty measurement and a circular-robust two-sample
+# ===========================================================================
+# fgt_poverty: Foster-Greer-Thorbecke FGT(0/1/2) at the EU line (60%
+# of the per-type median user spend), plus the within-poor Gini and
+# Sen's (1976) composite S = F0 (I + (1-I) G_poor).  Backbones: the
+# kakwani_suits income collapse, an exact order-statistic median, an
+# integer poverty line zl = 6*med // 10, and the gmd value-domain
+# prefix for the poor-subset Gini.
+
+
+def q_fgt_poverty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "cv"
+        ),
+    )
+    inc = ev.groupBy("event_type", "user_id").agg(
+        F.sum("cv").alias("x")
+    )
+    wv = Window.partitionBy("event_type").orderBy("x", "user_id")
+    wt = Window.partitionBy("event_type")
+    med = (
+        inc.withColumn("rn", F.row_number().over(wv))
+        .withColumn("n", F.count(F.lit(1)).over(wt))
+        .filter(F.col("rn") == F.floor((F.col("n") - 1) / 2) + 1)
+        .select("event_type", ((F.col("x") * 6) / 10).cast("long").alias("zl"))
+    )
+    d = inc.join(med, "event_type")
+    poor = d.filter(F.col("x") < F.col("zl"))
+    g1_12 = F.floor(
+        (F.col("zl") - F.col("x")).cast("double")
+        / F.col("zl").cast("double")
+        * 1e12
+        + F.lit(_OFF)
+    ).cast("long")
+    g2_12 = F.floor(
+        (F.col("zl") - F.col("x")).cast("double")
+        / F.col("zl").cast("double")
+        * (F.col("zl") - F.col("x")).cast("double")
+        / F.col("zl").cast("double")
+        * 1e12
+        + F.lit(_OFF)
+    ).cast("long")
+    pagg = poor.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("q"),
+        F.sum(g1_12).alias("s1"),
+        F.sum(g2_12).alias("s2"),
+    )
+    # within-poor Gini via the value-domain prefix trick
+    pd_ = poor.groupBy("event_type", "x").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wpv = Window.partitionBy("event_type").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pw = pd_.withColumn(
+        "cum", F.coalesce(F.sum("c").over(wpv), F.lit(0))
+    ).withColumn(
+        "cums",
+        F.coalesce(F.sum(F.col("c") * F.col("x")).over(wpv), F.lit(0)),
+    )
+    gini = pw.groupBy("event_type").agg(
+        F.sum("c").alias("qq"),
+        F.sum(F.col("c") * F.col("x")).alias("sx"),
+        F.sum(
+            F.col("c") * (F.col("x") * F.col("cum") - F.col("cums"))
+        ).alias("sdiff"),
+    )
+    nall = inc.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    j = nall.join(pagg, "event_type", "left").join(
+        gini, "event_type", "left"
+    )
+    nd = F.col("n").cast("double")
+    f0 = F.coalesce(F.col("q"), F.lit(0)).cast("double") / nd
+    f1 = F.coalesce(F.col("s1"), F.lit(0)).cast("double") / (nd * 1e12)
+    f2 = F.coalesce(F.col("s2"), F.lit(0)).cast("double") / (nd * 1e12)
+    gp = (
+        F.coalesce(F.col("sdiff"), F.lit(0)).cast("double")
+        / (
+            F.coalesce(F.col("qq"), F.lit(1)).cast("double")
+            * F.coalesce(F.col("sx"), F.lit(1)).cast("double")
+        )
+    )
+    i_gap = f1 / f0
+    sen = f0 * (i_gap + (1.0 - i_gap) * gp)
+    return j.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_users"),
+        F.coalesce(F.col("q"), F.lit(0)).cast("long").alias("n_poor"),
+        F.floor(f0 * 1e6 + F.lit(_OFF)).cast("long").alias("fgt0_e6"),
+        F.floor(f1 * 1e6 + F.lit(_OFF)).cast("long").alias("fgt1_e6"),
+        F.floor(f2 * 1e6 + F.lit(_OFF)).cast("long").alias("fgt2_e6"),
+        F.floor(gp * 1e6 + F.lit(_OFF)).cast("long").alias(
+            "gini_poor_e6"
+        ),
+        F.floor(sen * 1e6 + F.lit(_OFF)).cast("long").alias("sen_e6"),
+    ).orderBy("event_type")
+
+
+SQL_FGT = f"""
+WITH inc AS (
+  SELECT event_type, user_id,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT event_type, CAST(x * 6 // 10 AS BIGINT) AS zl
+  FROM (
+    SELECT event_type, x,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY x, user_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM inc
+  ) WHERE rn = (n - 1) // 2 + 1
+), d AS (
+  SELECT i.event_type, i.x, m.zl
+  FROM inc i JOIN med m ON m.event_type = i.event_type
+), poor AS (
+  SELECT * FROM d WHERE x < zl
+), pagg AS (
+  SELECT event_type, count(*) AS q,
+         CAST(sum(CAST(floor(CAST(zl - x AS DOUBLE) / zl * 1e12
+                             + {_OFF}) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(sum(CAST(floor(CAST(zl - x AS DOUBLE) / zl
+                             * CAST(zl - x AS DOUBLE) / zl * 1e12
+                             + {_OFF}) AS BIGINT)) AS BIGINT) AS s2
+  FROM poor GROUP BY 1
+), pdom AS (
+  SELECT event_type, x, CAST(count(*) AS BIGINT) AS c
+  FROM poor GROUP BY 1, 2
+), pw AS (
+  SELECT *,
+         CAST(coalesce(sum(c) OVER wv, 0) AS BIGINT) AS cum,
+         CAST(coalesce(sum(c * x) OVER wv, 0) AS BIGINT) AS cums
+  FROM pdom
+  WINDOW wv AS (PARTITION BY event_type ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), gini AS (
+  SELECT event_type,
+         CAST(sum(c) AS BIGINT) AS qq,
+         CAST(sum(c * x) AS BIGINT) AS sx,
+         CAST(sum(c * (x * cum - cums)) AS BIGINT) AS sdiff
+  FROM pw GROUP BY 1
+), nall AS (
+  SELECT event_type, count(*) AS n FROM inc GROUP BY 1
+)
+SELECT nall.event_type AS event_type,
+       CAST(nall.n AS BIGINT) AS n_users,
+       CAST(coalesce(pagg.q, 0) AS BIGINT) AS n_poor,
+       CAST(floor(CAST(coalesce(pagg.q, 0) AS DOUBLE) / nall.n * 1e6
+                  + {_OFF}) AS BIGINT) AS fgt0_e6,
+       CAST(floor(CAST(coalesce(pagg.s1, 0) AS DOUBLE)
+                  / (CAST(nall.n AS DOUBLE) * 1e12) * 1e6 + {_OFF})
+            AS BIGINT) AS fgt1_e6,
+       CAST(floor(CAST(coalesce(pagg.s2, 0) AS DOUBLE)
+                  / (CAST(nall.n AS DOUBLE) * 1e12) * 1e6 + {_OFF})
+            AS BIGINT) AS fgt2_e6,
+       CAST(floor(CAST(coalesce(gini.sdiff, 0) AS DOUBLE)
+                  / (CAST(coalesce(gini.qq, 1) AS DOUBLE)
+                     * CAST(coalesce(gini.sx, 1) AS DOUBLE)) * 1e6
+                  + {_OFF}) AS BIGINT) AS gini_poor_e6,
+       CAST(floor(
+         (CAST(coalesce(pagg.q, 0) AS DOUBLE) / nall.n)
+         * ((CAST(coalesce(pagg.s1, 0) AS DOUBLE)
+             / (CAST(nall.n AS DOUBLE) * 1e12))
+            / (CAST(coalesce(pagg.q, 0) AS DOUBLE) / nall.n)
+            + (1.0 - (CAST(coalesce(pagg.s1, 0) AS DOUBLE)
+                      / (CAST(nall.n AS DOUBLE) * 1e12))
+                     / (CAST(coalesce(pagg.q, 0) AS DOUBLE) / nall.n))
+              * (CAST(coalesce(gini.sdiff, 0) AS DOUBLE)
+                 / (CAST(coalesce(gini.qq, 1) AS DOUBLE)
+                    * CAST(coalesce(gini.sx, 1) AS DOUBLE))))
+         * 1e6 + {_OFF}) AS BIGINT) AS sen_e6
+FROM nall
+LEFT JOIN pagg ON pagg.event_type = nall.event_type
+LEFT JOIN gini ON gini.event_type = nall.event_type
+ORDER BY event_type
+"""
+
+QUERIES["fgt_poverty"] = q_fgt_poverty
+ORACLE_SQL["fgt_poverty"] = SQL_FGT
+
+
+# ---------------------------------------------------------------------------
+# kuiper_2sample — Kuiper's V = D+ + D- between type-pair hourly
+# samples (rotation-invariant ECDF test; pairs with cvm_2sample)
+# ---------------------------------------------------------------------------
+# Value-domain collapse per pair; D+ = max(m*cumx - n*cumy),
+# D- = max(n*cumy - m*cumx) over the pooled distinct values — exact
+# integers scaled by n*m.
+
+
+def q_kuiper_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hourly20(spark, sf_dir)
+    types = h.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("ta"))
+        .crossJoin(types.select(F.col("event_type").alias("tb")))
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    tagged = h.join(
+        F.broadcast(pairs),
+        (F.col("event_type") == F.col("ta"))
+        | (F.col("event_type") == F.col("tb")),
+    ).withColumn(
+        "sa", (F.col("event_type") == F.col("ta")).cast("long")
+    )
+    dom = tagged.groupBy("ta", "tb", "y").agg(
+        F.sum("sa").alias("ca"),
+        F.sum(F.lit(1) - F.col("sa")).alias("cb"),
+    )
+    wp = Window.partitionBy("ta", "tb")
+    wv = Window.partitionBy("ta", "tb").orderBy("y")
+    r = (
+        dom.withColumn("n", F.sum("ca").over(wp))
+        .withColumn("m", F.sum("cb").over(wp))
+        .withColumn(
+            "cax",
+            F.sum("ca").over(wv.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "cby",
+            F.sum("cb").over(wv.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    diff = F.col("m") * F.col("cax") - F.col("n") * F.col("cby")
+    agg = r.groupBy("ta", "tb").agg(
+        F.max("n").alias("n"),
+        F.max("m").alias("m"),
+        F.greatest(F.max(diff), F.lit(0)).alias("dp"),
+        F.greatest(F.max(-diff), F.lit(0)).alias("dm"),
+    )
+    nd = F.col("n").cast("double")
+    md = F.col("m").cast("double")
+    v = (F.col("dp") + F.col("dm")).cast("double") / (nd * md)
+    stat = v * F.sqrt(nd * md / (nd + md))
+    return agg.select(
+        "ta",
+        "tb",
+        F.col("n").cast("long").alias("n"),
+        F.col("m").cast("long").alias("m"),
+        F.floor(v * 1e6 + F.lit(_OFF)).cast("long").alias("v_e6"),
+        F.floor(stat * 1e4 + F.lit(_OFF)).cast("long").alias(
+            "stat_e4"
+        ),
+    ).orderBy("ta", "tb")
+
+
+SQL_KUIPER2 = f"""
+WITH {_HOURLY20_SQL.format(off=_OFF)}
+, types AS (
+  SELECT DISTINCT event_type AS t FROM hourly
+), pairs AS (
+  SELECT a.t AS ta, b.t AS tb FROM types a JOIN types b ON a.t < b.t
+), tagged AS (
+  SELECT p.ta, p.tb, h.y,
+         CASE WHEN h.event_type = p.ta THEN 1 ELSE 0 END AS sa
+  FROM hourly h JOIN pairs p
+    ON h.event_type = p.ta OR h.event_type = p.tb
+), dom AS (
+  SELECT ta, tb, y,
+         CAST(sum(sa) AS BIGINT) AS ca,
+         CAST(sum(1 - sa) AS BIGINT) AS cb
+  FROM tagged GROUP BY 1, 2, 3
+), r AS (
+  SELECT *,
+         CAST(sum(ca) OVER (PARTITION BY ta, tb) AS BIGINT) AS n,
+         CAST(sum(cb) OVER (PARTITION BY ta, tb) AS BIGINT) AS m,
+         CAST(sum(ca) OVER wv AS BIGINT) AS cax,
+         CAST(sum(cb) OVER wv AS BIGINT) AS cby
+  FROM dom
+  WINDOW wv AS (PARTITION BY ta, tb ORDER BY y
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), agg AS (
+  SELECT ta, tb, max(n) AS n, max(m) AS m,
+         greatest(max(m * cax - n * cby), 0) AS dp,
+         greatest(max(n * cby - m * cax), 0) AS dm
+  FROM r GROUP BY 1, 2
+)
+SELECT ta, tb, CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
+       CAST(floor(CAST(dp + dm AS DOUBLE) / (CAST(n AS DOUBLE) * m)
+                  * 1e6 + {_OFF}) AS BIGINT) AS v_e6,
+       CAST(floor(CAST(dp + dm AS DOUBLE) / (CAST(n AS DOUBLE) * m)
+                  * sqrt(CAST(n AS DOUBLE) * m / (n + m)) * 1e4
+                  + {_OFF}) AS BIGINT) AS stat_e4
+FROM agg
+ORDER BY ta, tb
+"""
+
+QUERIES["kuiper_2sample"] = q_kuiper_2sample
+ORACLE_SQL["kuiper_2sample"] = SQL_KUIPER2
