@@ -2758,3 +2758,157 @@ ORDER BY ta, tb
 
 QUERIES["kuiper_2sample"] = q_kuiper_2sample
 ORACLE_SQL["kuiper_2sample"] = SQL_KUIPER2
+
+
+# ===========================================================================
+# Battery R — rank_turbulence_divergence: Dodds et al. (2020)
+# rank-turbulence divergence between the English and non-English
+# token frequency rankings (common-vocabulary form, alpha = 1/3).
+# ===========================================================================
+# Tokens are lowercased alpha runs; per-system ranks are deterministic
+# (count desc, token asc dense ranks); the divergence sums
+# |r1^(-1/3) - r2^(-1/3)| over the COMMON vocabulary (the documented
+# variant — exclusive-vocabulary terms are counted separately), with
+# per-term e9 floors and an exact final sum.  Output also surfaces
+# the top-contributing token — the "what changed" readout.
+
+
+def q_rank_turbulence_divergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        (F.col("lang") == "en").cast("long").alias("sys"),
+        F.explode(
+            F.split(F.lower(F.col("text")), "[^a-z]+")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    cnt = d.groupBy("sys", "w").agg(F.count(F.lit(1)).alias("c"))
+    # vocabulary ranking WITHOUT a 2-partition window: one distributed
+    # global row_number over (sys, count desc, token), then per-system
+    # ranks fall out by subtracting the bounded sys-0 offset
+    from diive_spark.operators.rank import global_row_number
+
+    sizes = {
+        int(r0["sys"]): int(r0["n"])
+        for r0 in cnt.groupBy("sys")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n0 = sizes.get(0, 0)
+    rr = global_row_number(
+        cnt,
+        [F.col("sys").asc(), F.col("c").desc(), F.col("w").asc()],
+        "rn",
+    )
+    r = rr.withColumn(
+        "rk",
+        F.when(F.col("sys") == 0, F.col("rn")).otherwise(
+            F.col("rn") - F.lit(n0)
+        ),
+    )
+    a = r.filter(F.col("sys") == 1).select(
+        "w", F.col("rk").alias("r1")
+    )
+    b = r.filter(F.col("sys") == 0).select(
+        "w", F.col("rk").alias("r2")
+    )
+    both = a.join(b, "w")
+    term9 = F.floor(
+        F.abs(
+            F.pow(F.col("r1").cast("double"), F.lit(-1.0 / 3.0))
+            - F.pow(F.col("r2").cast("double"), F.lit(-1.0 / 3.0))
+        )
+        * 1e9
+        + F.lit(_OFF)
+    ).cast("long")
+    sc = both.withColumn("t9", term9)
+    mx = sc.agg(F.max("t9").alias("m")).collect()[0].m
+    top = (
+        sc.filter(F.col("t9") == mx)
+        .agg(F.min("w").alias("top_word"))
+    )
+    agg = sc.agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum("t9").alias("s9"),
+        F.max("t9").alias("t9max"),
+    )
+    na = a.count()
+    nb = b.count()
+    out = agg.crossJoin(top)
+    return out.select(
+        F.lit(int(na)).cast("long").alias("vocab_en"),
+        F.lit(int(nb)).cast("long").alias("vocab_other"),
+        F.col("n_common").cast("long").alias("n_common"),
+        F.floor(F.col("s9") / 1000).cast("long").alias("rtd_e6"),
+        F.col("t9max").cast("long").alias("top_term_e9"),
+        "top_word",
+    )
+
+
+SQL_RTD = f"""
+WITH toks AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS sys,
+         unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+  FROM documents
+), cnt AS (
+  SELECT sys, w, CAST(count(*) AS BIGINT) AS c
+  FROM toks WHERE w <> '' GROUP BY 1, 2
+), r AS (
+  SELECT sys, w,
+         row_number() OVER (PARTITION BY sys ORDER BY c DESC, w ASC)
+           AS rk
+  FROM cnt
+), a AS (SELECT w, rk AS r1 FROM r WHERE sys = 1),
+b AS (SELECT w, rk AS r2 FROM r WHERE sys = 0),
+cm AS (
+  SELECT a.w, a.r1, b.r2,
+         CAST(floor(abs(pow(CAST(a.r1 AS DOUBLE), -1.0 / 3.0)
+                        - pow(CAST(b.r2 AS DOUBLE), -1.0 / 3.0)) * 1e9
+                    + {_OFF}) AS BIGINT) AS t9
+  FROM a JOIN b ON b.w = a.w
+), mx AS (
+  SELECT max(t9) AS m FROM cm
+), top AS (
+  SELECT min(w) AS top_word FROM cm, mx WHERE t9 = m
+)
+SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS vocab_en,
+       CAST((SELECT count(*) FROM b) AS BIGINT) AS vocab_other,
+       CAST(count(*) AS BIGINT) AS n_common,
+       CAST(floor(CAST(sum(t9) AS DOUBLE) / 1000) AS BIGINT) AS rtd_e6,
+       CAST(max(t9) AS BIGINT) AS top_term_e9,
+       (SELECT top_word FROM top) AS top_word
+FROM cm
+"""
+
+QUERIES["rank_turbulence_divergence"] = q_rank_turbulence_divergence
+ORACLE_SQL["rank_turbulence_divergence"] = SQL_RTD
+
+
+# ===========================================================================
+# Battery R2 — jenks_natural_breaks (rows-only, pytest-pinned in
+# tests/test_jenks.py)
+# ===========================================================================
+
+
+def q_jenks_natural_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Fisher-Jenks optimal 4-class natural breaks of each
+    type's hourly mean distribution — the optimal-binning complement
+    to otsu_threshold (k=2) and binning_rules (heuristic widths)."""
+    from diive_spark.operators.jenks import jenks_frame
+
+    h = _hourly20(spark, sf_dir).withColumn(
+        "yv", F.col("y").cast("double") / 100.0
+    )
+    out = jenks_frame(h, "event_type", "yv", k=4)
+    return out.select(
+        "event_type",
+        "n",
+        "k",
+        F.round("b1", 4).alias("b1"),
+        F.round("b2", 4).alias("b2"),
+        F.round("b3", 4).alias("b3"),
+        F.round("gvf", 4).alias("gvf"),
+    ).orderBy("event_type")
+
+
+QUERIES["jenks_natural_breaks"] = q_jenks_natural_breaks
