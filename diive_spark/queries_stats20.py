@@ -2912,3 +2912,136 @@ def q_jenks_natural_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["jenks_natural_breaks"] = q_jenks_natural_breaks
+
+
+# ===========================================================================
+# Battery T — time_irreversibility: Porta's P%, Guzik's G% and
+# Ehlers' skewness index over successive hourly differences (the HRV
+# asymmetry panel; a reversible process has P ~ 50%, G ~ 50%, E ~ 0).
+# ===========================================================================
+# d_t = y_t - y_{t-1} over the hourly grid (exact integers); P% =
+# #(d<0)/#(d!=0), G% = sum(d+^2)/sum(d^2), E = sum(d^3)/sum(d^2)^1.5
+# — integer numerators throughout, one double each at the end.
+
+
+def q_time_irreversibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hourly20(spark, sf_dir)
+    wo = Window.partitionBy("event_type").orderBy("hr")
+    d = h.withColumn("d", F.col("y") - F.lag("y").over(wo)).filter(
+        F.col("d").isNotNull()
+    )
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("d") < 0).cast("long")).alias("neg"),
+        F.sum((F.col("d") != 0).cast("long")).alias("nz"),
+        F.sum(
+            F.when(F.col("d") > 0, F.col("d") * F.col("d")).otherwise(0)
+        ).alias("sp2"),
+        F.sum(F.col("d") * F.col("d")).alias("s2"),
+        F.sum(F.col("d") * F.col("d") * F.col("d")).alias("s3"),
+    )
+    p = F.col("neg").cast("double") / F.col("nz").cast("double")
+    g = F.col("sp2").cast("double") / F.col("s2").cast("double")
+    e = F.col("s3").cast("double") / F.pow(
+        F.col("s2").cast("double"), F.lit(1.5)
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_diffs"),
+        F.col("nz").cast("long").alias("n_nonzero"),
+        F.floor(p * 1e6 + F.lit(_OFF)).cast("long").alias(
+            "porta_e6"
+        ),
+        F.floor(g * 1e6 + F.lit(_OFF)).cast("long").alias(
+            "guzik_e6"
+        ),
+        F.floor(e * 1e6 + F.lit(_OFF)).cast("long").alias(
+            "ehlers_e6"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_IRREV = f"""
+WITH {_HOURLY20_SQL.format(off=_OFF)}
+, d AS (
+  SELECT event_type,
+         y - lag(y) OVER (PARTITION BY event_type ORDER BY hr) AS d
+  FROM hourly
+), agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg,
+         CAST(sum(CASE WHEN d <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz,
+         CAST(sum(CASE WHEN d > 0 THEN d * d ELSE 0 END)
+              AS BIGINT) AS sp2,
+         CAST(sum(d * d) AS BIGINT) AS s2,
+         CAST(sum(d * d * d) AS BIGINT) AS s3
+  FROM d WHERE d IS NOT NULL GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_diffs,
+       nz AS n_nonzero,
+       CAST(floor(CAST(neg AS DOUBLE) / nz * 1e6 + {_OFF}) AS BIGINT)
+         AS porta_e6,
+       CAST(floor(CAST(sp2 AS DOUBLE) / s2 * 1e6 + {_OFF}) AS BIGINT)
+         AS guzik_e6,
+       CAST(floor(CAST(s3 AS DOUBLE) / pow(CAST(s2 AS DOUBLE), 1.5)
+                  * 1e6 + {_OFF})
+            AS BIGINT) AS ehlers_e6
+FROM agg
+ORDER BY event_type
+"""
+
+QUERIES["time_irreversibility"] = q_time_irreversibility
+ORACLE_SQL["time_irreversibility"] = SQL_IRREV
+
+
+# ===========================================================================
+# Battery U — series-geometry kernels (rows-only, pytest-pinned in
+# tests/test_hvg_ssa.py)
+# ===========================================================================
+
+
+def q_hvg_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizontal visibility graph degree profile of each type's
+    hourly series (Luque 2009) — iid noise gives mean degree -> 4;
+    structure pulls it down."""
+    from diive_spark.operators.visibility import hvg_frame
+
+    h = _hourly20(spark, sf_dir)
+    out = hvg_frame(h, "event_type", "hr", "y")
+    return out.select(
+        "event_type",
+        "n",
+        "n_edges",
+        F.round("mean_degree", 4).alias("mean_degree"),
+        "max_degree",
+        F.round("degree_entropy", 4).alias("degree_entropy"),
+    ).orderBy("event_type")
+
+
+QUERIES["hvg_degree_stats"] = q_hvg_degree_stats
+
+
+def q_ssa_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSA eigen-spectrum (L=24) of each type's hourly series: top
+    shares + spectral effective rank, with the full-reconstruction
+    residual as an in-row exactness witness."""
+    from diive_spark.operators.ssa import ssa_frame
+
+    h = _hourly20(spark, sf_dir).withColumn(
+        "yv", F.col("y").cast("double") / 100.0
+    )
+    out = ssa_frame(h, "event_type", "hr", "yv", L=24)
+    return out.select(
+        "event_type",
+        "n",
+        "l",
+        F.round("share1", 4).alias("share1"),
+        F.round("share2", 4).alias("share2"),
+        F.round("share3", 4).alias("share3"),
+        F.round("eff_rank", 4).alias("eff_rank"),
+        (F.col("recon_resid") < 1e-6).cast("long").alias("recon_ok"),
+    ).orderBy("event_type")
+
+
+QUERIES["ssa_spectrum"] = q_ssa_spectrum
