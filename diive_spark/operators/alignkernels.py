@@ -36,22 +36,25 @@ def _codes(s: str) -> np.ndarray:
 
 
 def nw_score(a: str, b: str) -> int:
-    """Global alignment score (match +2 / mismatch -1 / gap -1)."""
+    """Global alignment score (match +2 / mismatch -1 / gap -1).
+
+    The left-gap dependency b_j = max(d_{j-1}, b_{j-1} + GAP) is a
+    prefix max in disguise: with unit gaps, b_j + j =
+    max_{k<=j}(d_{k-1} + k), so each row is one maximum.accumulate."""
     x, y = _codes(a), _codes(b)
     n, m = len(x), len(y)
     prev = np.arange(m + 1, dtype=np.int64) * GAP
+    idx = np.arange(1, m + 1, dtype=np.int64)
     for i in range(1, n + 1):
-        cur = np.empty(m + 1, dtype=np.int64)
-        cur[0] = i * GAP
         sub = np.where(y == x[i - 1], MATCH, MISMATCH)
         diag = prev[:-1] + sub
-        up = prev[1:] + GAP
-        np.maximum(diag, up, out=diag)
-        # left dependency is sequential: resolve with a running scan
-        best = cur[0]
-        for j in range(1, m + 1):
-            best = max(diag[j - 1], best + GAP)
-            cur[j] = best
+        np.maximum(diag, prev[1:] + GAP, out=diag)
+        cur = np.empty(m + 1, dtype=np.int64)
+        cur[0] = i * GAP
+        c = np.maximum.accumulate(
+            np.maximum(diag + idx, cur[0])
+        )
+        cur[1:] = c - idx
         prev = cur
     return int(prev[m])
 
@@ -61,18 +64,17 @@ def sw_score(a: str, b: str) -> int:
     x, y = _codes(a), _codes(b)
     n, m = len(x), len(y)
     prev = np.zeros(m + 1, dtype=np.int64)
+    idx = np.arange(1, m + 1, dtype=np.int64)
     hi = 0
     for i in range(1, n + 1):
-        cur = np.zeros(m + 1, dtype=np.int64)
         sub = np.where(y == x[i - 1], MATCH, MISMATCH)
         diag = prev[:-1] + sub
-        up = prev[1:] + GAP
-        np.maximum(diag, up, out=diag)
+        np.maximum(diag, prev[1:] + GAP, out=diag)
         np.maximum(diag, 0, out=diag)
-        best = 0
-        for j in range(1, m + 1):
-            best = max(diag[j - 1], best + GAP, 0)
-            cur[j] = best
+        # b_j = max(d_{j-1}, b_{j-1}+GAP, 0): same prefix-max trick
+        cur = np.zeros(m + 1, dtype=np.int64)
+        c = np.maximum.accumulate(np.maximum(diag + idx, idx))
+        cur[1:] = c - idx
         hi = max(hi, int(cur.max()))
         prev = cur
     return hi
@@ -84,13 +86,12 @@ def lcs_len(a: str, b: str) -> int:
     n, m = len(x), len(y)
     prev = np.zeros(m + 1, dtype=np.int64)
     for i in range(1, n + 1):
+        # rows are non-decreasing, so cur[j] = max(prev[j],
+        # max_{k<=j}(prev[k-1] + eq_k)) — one accumulate per row
+        eq = (y == x[i - 1]).astype(np.int64)
         cur = np.zeros(m + 1, dtype=np.int64)
-        eq = y == x[i - 1]
-        for j in range(1, m + 1):
-            if eq[j - 1]:
-                cur[j] = prev[j - 1] + 1
-            else:
-                cur[j] = max(prev[j], cur[j - 1])
+        cand = np.maximum.accumulate(prev[:-1] + eq)
+        cur[1:] = np.maximum(prev[1:], cand)
         prev = cur
     return int(prev[m])
 
