@@ -3045,3 +3045,62 @@ def q_ssa_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ssa_spectrum"] = q_ssa_spectrum
+
+
+# ===========================================================================
+# Battery V — replay-against-the-ideal kernels (rows-only, pinned in
+# tests/test_queuesim.py)
+# ===========================================================================
+
+
+def q_lindley_wait_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical FIFO waits by the Lindley recursion vs the P-K
+    prediction from the same moments — the model-error audit for
+    mg1_pollaczek_wait (service = value/100 seconds)."""
+    from diive_spark.operators.queuesim import lindley_frame
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1e6).alias(
+            "at_s"
+        ),
+        (F.col("value") / 100.0).alias("svc_s"),
+    )
+    out = lindley_frame(ev, "event_type", "at_s", "svc_s")
+    return out.select(
+        "event_type",
+        "n",
+        F.round("rho", 4).alias("rho"),
+        F.round("mean_wait", 4).alias("mean_wait_s"),
+        F.round("p95_wait", 4).alias("p95_wait_s"),
+        F.round("frac_delayed", 4).alias("frac_delayed"),
+        F.round("pk_wait", 4).alias("pk_wait_s"),
+    ).orderBy("event_type")
+
+
+QUERIES["lindley_wait_audit"] = q_lindley_wait_audit
+
+
+def q_belady_opt_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Belady's clairvoyant OPT hit rates at the lru_hit_curve
+    capacities — the offline-optimal bound the online LRU curve is
+    judged against (OPT >= LRU pinned per stream)."""
+    from diive_spark.operators.queuesim import belady_frame
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("user_id").alias("ref"),
+    )
+    out = belady_frame(ev, "event_type", "us", "ref")
+    return out.select(
+        "event_type",
+        "n",
+        "n_unique",
+        F.round("opt_c1", 4).alias("opt_c1"),
+        F.round("opt_c4", 4).alias("opt_c4"),
+        F.round("opt_c16", 4).alias("opt_c16"),
+    ).orderBy("event_type")
+
+
+QUERIES["belady_opt_hit"] = q_belady_opt_hit
