@@ -32,9 +32,65 @@ from pyspark.sql import DataFrame
 
 from diive_spark.session import kernel_partition
 
-__all__ = ["adwin_detect", "adwin_frame"]
+__all__ = ["adwin_step", "adwin_detect", "adwin_frame"]
 
 MAXB = 5  # buckets kept per capacity before the oldest two merge
+
+
+def adwin_step(
+    buckets: list[list[float]], v: float, delta: float
+) -> bool:
+    """Insert one value into the bucket state (newest-first rows of
+    [capacity, count, sum, sumsq]), compress, and shrink on cuts.
+    Returns True if any cut happened.  Shared verbatim by the batch
+    sweep and the streaming twin so replay equality is structural."""
+    buckets.insert(0, [1, 1, float(v), float(v) * float(v)])
+    cap = 1
+    while True:
+        idxs = [k for k, b in enumerate(buckets) if b[0] == cap]
+        if len(idxs) <= MAXB:
+            break
+        a, bb = idxs[-2], idxs[-1]  # two oldest of this capacity
+        buckets[a] = [
+            cap * 2,
+            buckets[a][1] + buckets[bb][1],
+            buckets[a][2] + buckets[bb][2],
+            buckets[a][3] + buckets[bb][3],
+        ]
+        del buckets[bb]
+        cap *= 2
+    any_cut = False
+    # check cuts, oldest-boundary first, repeat while shrinking
+    while len(buckets) > 1:
+        n = sum(b[1] for b in buckets)
+        s = sum(b[2] for b in buckets)
+        ss = sum(b[3] for b in buckets)
+        var = max(0.0, ss / n - (s / n) * (s / n))
+        dp = delta / max(n, 1)
+        ln2d = math.log(2.0 / dp)
+        cut = False
+        n1 = 0.0
+        s1 = 0.0
+        # walk boundaries from newest side, accumulate W1 (newer)
+        for k in range(len(buckets) - 1):
+            n1 += buckets[k][1]
+            s1 += buckets[k][2]
+            n0 = n - n1
+            s0 = s - s1
+            if n0 < 1 or n1 < 1:
+                continue
+            m = 1.0 / (1.0 / n0 + 1.0 / n1)
+            eps = math.sqrt(2.0 / m * var * ln2d) + 2.0 / (
+                3.0 * m
+            ) * ln2d
+            if abs(s1 / n1 - s0 / n0) >= eps:
+                cut = True
+                break
+        if not cut:
+            break
+        buckets.pop()  # drop the oldest bucket
+        any_cut = True
+    return any_cut
 
 
 def adwin_detect(
@@ -47,50 +103,7 @@ def adwin_detect(
     buckets: list[list[float]] = []
     detections: list[int] = []
     for t, v in enumerate(x, start=1):
-        buckets.insert(0, [1, 1, float(v), float(v) * float(v)])
-        cap = 1
-        while True:
-            idxs = [k for k, b in enumerate(buckets) if b[0] == cap]
-            if len(idxs) <= MAXB:
-                break
-            a, bb = idxs[-2], idxs[-1]  # two oldest of this capacity
-            buckets[a] = [
-                cap * 2,
-                buckets[a][1] + buckets[bb][1],
-                buckets[a][2] + buckets[bb][2],
-                buckets[a][3] + buckets[bb][3],
-            ]
-            del buckets[bb]
-            cap *= 2
-        # check cuts, oldest-boundary first, repeat while shrinking
-        while len(buckets) > 1:
-            n = sum(b[1] for b in buckets)
-            s = sum(b[2] for b in buckets)
-            ss = sum(b[3] for b in buckets)
-            var = max(0.0, ss / n - (s / n) * (s / n))
-            dp = delta / max(n, 1)
-            ln2d = math.log(2.0 / dp)
-            cut = False
-            n1 = 0.0
-            s1 = 0.0
-            # walk boundaries from newest side, accumulate W1 (newer)
-            for k in range(len(buckets) - 1):
-                n1 += buckets[k][1]
-                s1 += buckets[k][2]
-                n0 = n - n1
-                s0 = s - s1
-                if n0 < 1 or n1 < 1:
-                    continue
-                m = 1.0 / (1.0 / n0 + 1.0 / n1)
-                eps = math.sqrt(2.0 / m * var * ln2d) + 2.0 / (
-                    3.0 * m
-                ) * ln2d
-                if abs(s1 / n1 - s0 / n0) >= eps:
-                    cut = True
-                    break
-            if not cut:
-                break
-            buckets.pop()  # drop the oldest bucket
+        if adwin_step(buckets, float(v), delta):
             if not detections or detections[-1] != t:
                 detections.append(t)
     n = sum(b[1] for b in buckets)
