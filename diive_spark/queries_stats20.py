@@ -1,22 +1,28 @@
-"""Round-4 continuation registry (twentieth battery): external
-clustering-agreement indices — the Adjusted Rand Index (Hubert &
-Arabie 1985) and the V-measure homogeneity/completeness pair
-(Rosenberg & Hirschberg 2007) — between two in-engine user labelings:
-A = the user's modal event type (deterministic count-desc/name-asc
-tie-break) and B = the user's activity magnitude floor(log2(n)).
+"""Round-4 continuation registry (twentieth module): the
+late-session battery set.
 
-Complements the existing agreement family (cohens_kappa, wkappa,
-fleiss, gwet, krippendorff judge the same NOMINAL labels; mutual_info
-and uncertainty_coeff score dependence) — ARI is the pair-counting
-index and V-measure the entropy index used to compare CLUSTERINGS,
-the standard report when auditing two corpus-partitioning runs
-against each other (e.g. SemDeDup cells vs topic buckets).
+Oracle-backed: clustering agreement (Adjusted Rand, V-measure),
+fiscal incidence (Kakwani/Suits/Reynolds-Smolensky), queueing laws
+(Pollaczek-Khinchine + Kingman), dependence (rho_DCCA), record
+linkage (Fellegi-Sunter EM), graph distances (Floyd-Warshall APSP),
+phonetic blocking (Soundex), forecast accuracy (Theil U1), SPC
+(MEWMA), homogeneity (SNHT, von Neumann), two-sample (CvM, Kuiper),
+information (Renyi spectrum), signal shape, variance structure
+(ICSS, Brown-Forsythe), poverty (FGT + Sen), corpus comparison
+(rank-turbulence divergence), and time irreversibility
+(Porta/Guzik/Ehlers).
 
-Scale posture: two combinable per-user aggregations joined on the
-user key, then everything collapses to the bounded label-pair
-contingency (|types| x ~log2(max activity) cells); all index math
-runs on that tiny table with exact integer pair counts and the house
-e9-floored entropy terms.
+Rows-only kernels (each pytest-pinned against an independent
+oracle): 0-dim sublevel persistence, DGIM window counting, sequence
+alignment (NW/SW/LCS), ADWIN drift, NCD similarity, UCB1 replay,
+Jenks natural breaks, horizontal visibility graphs, SSA spectra,
+Lindley wait audit, and Belady OPT cache bounds.
+
+House discipline throughout: exact integer backbones (floor-scaled
+centivalues, n*y - S deviations, doubled midranks), per-term e-floor
+before any cross-engine double sum, deterministic tie-breaks, and
+bounded collects only (<= 16-row EM tables, k x k matrices).  Every
+battery's physical-plan audit lives in PLANS.md §§114-135.
 """
 
 from __future__ import annotations
