@@ -3110,3 +3110,418 @@ def q_belady_opt_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["belady_opt_hit"] = q_belady_opt_hit
+
+
+# ===========================================================================
+# Battery W — customer-base analysis and consensus ranking
+# ===========================================================================
+# sbg_retention_fit: Fader-Hardie shifted-beta-geometric churn model
+# fitted in closed form from the first two weekly retention rates
+# (method of moments on the sBG recursion r_t = (b+t-1)/(a+b+t-1)):
+#   a = (1-r1)(1-r2)/(r2-r1),  b = r1(1-r2)/(r2-r1)
+# Cohort = users whose first event falls in the data's first calendar
+# week; s_k = cohort members active in week k (exact integers).  The
+# fitted curve's week-4 projection is emitted next to the OBSERVED
+# week-4 survival — the model-vs-data readout.
+
+
+def q_sbg_retention_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "user_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp")) / 604_800_000_000
+        ).cast("long").alias("wk"),
+    )
+    w0 = ev.groupBy("event_type").agg(F.min("wk").alias("wk0"))
+    e = ev.join(w0, "event_type").withColumn(
+        "k", F.col("wk") - F.col("wk0")
+    )
+    first = e.groupBy("event_type", "user_id").agg(
+        F.min("k").alias("fk")
+    )
+    cohort = first.filter(F.col("fk") == 0).select(
+        "event_type", "user_id"
+    )
+    # survival form: alive at week k iff the LAST event is in week >= k
+    # (monotone by construction — sBG models once-dead-stays-dead)
+    last = (
+        e.join(cohort, ["event_type", "user_id"])
+        .groupBy("event_type", "user_id")
+        .agg(F.max("k").alias("lk"))
+    )
+    s = last.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum((F.col("lk") >= 1).cast("long")).alias("s1"),
+        F.sum((F.col("lk") >= 2).cast("long")).alias("s2"),
+        F.sum((F.col("lk") >= 4).cast("long")).alias("s4"),
+    )
+    r1 = F.col("s1").cast("double") / F.col("s0").cast("double")
+    r2 = F.col("s2").cast("double") / F.col("s1").cast("double")
+    den = F.when(r2 - r1 != 0.0, r2 - r1)
+    a = (1.0 - r1) * (1.0 - r2) / den
+    b = r1 * (1.0 - r2) / den
+    # projected survival S(4) = prod_{t=1..4} (b+t-1)/(a+b+t-1)
+    surv4 = (
+        (b / (a + b))
+        * ((b + 1.0) / (a + b + 1.0))
+        * ((b + 2.0) / (a + b + 2.0))
+        * ((b + 3.0) / (a + b + 3.0))
+    )
+    return s.select(
+        "event_type",
+        F.col("s0").cast("long").alias("cohort_n"),
+        F.col("s1").cast("long").alias("week1_n"),
+        F.col("s2").cast("long").alias("week2_n"),
+        F.floor(a * 1e6 + F.lit(_OFF)).cast("long").alias("alpha_e6"),
+        F.floor(b * 1e6 + F.lit(_OFF)).cast("long").alias("beta_e6"),
+        F.floor(surv4 * 1e6 + F.lit(_OFF)).cast("long").alias(
+            "surv4_pred_e6"
+        ),
+        F.floor(
+            F.col("s4").cast("double") / F.col("s0").cast("double") * 1e6
+            + F.lit(_OFF)
+        ).cast("long").alias("surv4_obs_e6"),
+    ).orderBy("event_type")
+
+
+SQL_SBG = f"""
+WITH ev AS (
+  SELECT event_type, user_id,
+         CAST(epoch_us(ts) AS BIGINT) // 604800000000 AS wk
+  FROM events
+), w0 AS (
+  SELECT event_type, min(wk) AS wk0 FROM ev GROUP BY 1
+), e AS (
+  SELECT ev.event_type, ev.user_id, ev.wk - w0.wk0 AS k
+  FROM ev JOIN w0 ON w0.event_type = ev.event_type
+), first AS (
+  SELECT event_type, user_id, min(k) AS fk FROM e GROUP BY 1, 2
+), cohort AS (
+  SELECT event_type, user_id FROM first WHERE fk = 0
+), last AS (
+  SELECT e.event_type, e.user_id, max(e.k) AS lk
+  FROM e JOIN cohort c
+    ON c.event_type = e.event_type AND c.user_id = e.user_id
+  GROUP BY 1, 2
+), s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS s0,
+         CAST(sum(CASE WHEN lk >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN lk >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         CAST(sum(CASE WHEN lk >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+  FROM last GROUP BY 1
+), fit AS (
+  SELECT *,
+         CAST(s1 AS DOUBLE) / s0 AS r1,
+         CAST(s2 AS DOUBLE) / s1 AS r2
+  FROM s
+), ab AS (
+  SELECT *,
+         (1.0 - r1) * (1.0 - r2) / nullif(r2 - r1, 0.0) AS a,
+         r1 * (1.0 - r2) / nullif(r2 - r1, 0.0) AS b
+  FROM fit
+)
+SELECT event_type,
+       s0 AS cohort_n, s1 AS week1_n, s2 AS week2_n,
+       CAST(floor(a * 1e6 + {_OFF}) AS BIGINT) AS alpha_e6,
+       CAST(floor(b * 1e6 + {_OFF}) AS BIGINT) AS beta_e6,
+       CAST(floor((b / (a + b)) * ((b + 1.0) / (a + b + 1.0))
+                  * ((b + 2.0) / (a + b + 2.0))
+                  * ((b + 3.0) / (a + b + 3.0)) * 1e6 + {_OFF})
+            AS BIGINT) AS surv4_pred_e6,
+       CAST(floor(CAST(s4 AS DOUBLE) / s0 * 1e6 + {_OFF}) AS BIGINT)
+         AS surv4_obs_e6
+FROM ab
+ORDER BY event_type
+"""
+
+QUERIES["sbg_retention_fit"] = q_sbg_retention_fit
+ORACLE_SQL["sbg_retention_fit"] = SQL_SBG
+
+
+# ---------------------------------------------------------------------------
+# kemeny_ranking — exact Kemeny-Young consensus order of the event
+# types (minimum total pairwise disagreement), exhaustive over the
+# 120 permutations of the 5 observed types
+# ---------------------------------------------------------------------------
+# Voter preferences: user u prefers i over j iff u fired more
+# i-events than j-events; prefs(i,j) = #users preferring i.  The
+# Kemeny cost of an order is sum over ordered positions (a before b)
+# of prefs(b,a).  The 20-cell preference matrix is bounded ->
+# collected and scored exhaustively in Python (absorbing_markov
+# device); the SQL twin builds the 120 permutations by a 5-way
+# all-distinct self-join.  Completes the social-choice family
+# (borda, schulze beatpath, IRV) with the exact MLE-of-Condorcet
+# order.  Ties in the pair counts and between orders break
+# deterministically (lexicographic permutation string).
+
+
+def q_kemeny_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type"
+    )
+    cnt = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a = cnt.select(
+        "user_id", F.col("event_type").alias("i"), F.col("c").alias("ci")
+    )
+    b = cnt.select(
+        "user_id", F.col("event_type").alias("j"), F.col("c").alias("cj")
+    )
+    prefs = (
+        a.join(b, "user_id")
+        .filter(F.col("i") != F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum((F.col("ci") > F.col("cj")).cast("long")).alias("w")
+        )
+    )
+    rows = prefs.collect()  # bounded: k(k-1) <= 20 cells
+    types = sorted({r.i for r in rows} | {r.j for r in rows})
+    w = {(r.i, r.j): int(r.w) for r in rows}
+    from itertools import permutations
+
+    best = None
+    for perm in permutations(types):
+        cost = 0
+        for x in range(len(perm)):
+            for y in range(x + 1, len(perm)):
+                cost += w.get((perm[y], perm[x]), 0)
+        key = (cost, ">".join(perm))
+        if best is None or key < best:
+            best = key
+    return spark.createDataFrame(
+        [(best[1], int(best[0]), 120)],
+        "ranking string, kemeny_cost long, n_orders long",
+    )
+
+
+SQL_KEMENY = """
+WITH cnt AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+), prefs AS (
+  SELECT a.event_type AS i, b.event_type AS j,
+         CAST(sum(CASE WHEN a.c > b.c THEN 1 ELSE 0 END)
+              AS BIGINT) AS w
+  FROM cnt a JOIN cnt b
+    ON b.user_id = a.user_id AND a.event_type <> b.event_type
+  GROUP BY 1, 2
+), t AS (
+  SELECT DISTINCT i AS t FROM prefs
+), perms AS (
+  SELECT t1.t AS p1, t2.t AS p2, t3.t AS p3, t4.t AS p4, t5.t AS p5
+  FROM t t1, t t2, t t3, t t4, t t5
+  WHERE t2.t <> t1.t AND t3.t NOT IN (t1.t, t2.t)
+    AND t4.t NOT IN (t1.t, t2.t, t3.t)
+    AND t5.t NOT IN (t1.t, t2.t, t3.t, t4.t)
+), scored AS (
+  SELECT p1 || '>' || p2 || '>' || p3 || '>' || p4 || '>' || p5
+           AS ranking,
+         (SELECT w FROM prefs WHERE i = p2 AND j = p1)
+         + (SELECT w FROM prefs WHERE i = p3 AND j = p1)
+         + (SELECT w FROM prefs WHERE i = p4 AND j = p1)
+         + (SELECT w FROM prefs WHERE i = p5 AND j = p1)
+         + (SELECT w FROM prefs WHERE i = p3 AND j = p2)
+         + (SELECT w FROM prefs WHERE i = p4 AND j = p2)
+         + (SELECT w FROM prefs WHERE i = p5 AND j = p2)
+         + (SELECT w FROM prefs WHERE i = p4 AND j = p3)
+         + (SELECT w FROM prefs WHERE i = p5 AND j = p3)
+         + (SELECT w FROM prefs WHERE i = p5 AND j = p4)
+           AS kemeny_cost
+  FROM perms
+)
+SELECT ranking, CAST(kemeny_cost AS BIGINT) AS kemeny_cost,
+       CAST((SELECT count(*) FROM perms) AS BIGINT) AS n_orders
+FROM scored
+ORDER BY kemeny_cost, ranking
+LIMIT 1
+"""
+
+QUERIES["kemeny_ranking"] = q_kemeny_ranking
+ORACLE_SQL["kemeny_ranking"] = SQL_KEMENY
+
+
+# ---------------------------------------------------------------------------
+# geometric_median_weiszfeld — 5 unrolled Weiszfeld iterations for the
+# per-label geometric median (L1-of-L2 center) of the first two
+# embedding dimensions — the robust-center complement to the k-means
+# family (centroid_purity, semantic_dedup cells).
+# ---------------------------------------------------------------------------
+# Discipline: coordinates are e9-floored integers (float32 inputs are
+# exactly representable in double, so both engines floor the same
+# value); every iteration floors its per-row weights (1e12/d) and
+# weighted coordinates before the exact integer sums, so the carried
+# medians are bit-identical doubles; near-zero distances (d < 1e-9)
+# are excluded in both engines (the Weiszfeld singularity guard).
+
+_WEIS_ITERS = 5
+
+
+def q_geometric_median_weiszfeld(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "label",
+        F.floor(
+            F.element_at("embedding", 1).cast("double") * 1e9 + F.lit(_OFF)
+        ).cast("long").alias("x9"),
+        F.floor(
+            F.element_at("embedding", 2).cast("double") * 1e9 + F.lit(_OFF)
+        ).cast("long").alias("y9"),
+    )
+    emb = emb.persist()
+    cent = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x9").alias("sx"),
+        F.sum("y9").alias("sy"),
+    ).collect()
+    med = {
+        int(r.label): (
+            float(r.sx) / (float(r.n) * 1e9),
+            float(r.sy) / (float(r.n) * 1e9),
+        )
+        for r in cent
+    }
+    labels = sorted(med)
+    for _ in range(_WEIS_ITERS):
+        mdf = spark.createDataFrame(
+            [(lb, med[lb][0], med[lb][1]) for lb in labels],
+            "label int, mx double, my double",
+        )
+        j = emb.join(F.broadcast(mdf), "label")
+        dx = F.col("x9").cast("double") / 1e9 - F.col("mx")
+        dy = F.col("y9").cast("double") / 1e9 - F.col("my")
+        d = F.sqrt(dx * dx + dy * dy)
+        g = j.filter(d >= 1e-9)
+        w12 = F.floor(1e12 / d + F.lit(_OFF)).cast("long")
+        nx12 = F.floor(
+            F.col("x9").cast("double") / 1e9 / d * 1e12 + F.lit(_OFF)
+        ).cast("long")
+        ny12 = F.floor(
+            F.col("y9").cast("double") / 1e9 / d * 1e12 + F.lit(_OFF)
+        ).cast("long")
+        agg = g.groupBy("label").agg(
+            F.sum(w12).alias("sw"),
+            F.sum(nx12).alias("sx"),
+            F.sum(ny12).alias("sy"),
+        ).collect()
+        med = {
+            int(r.label): (
+                float(r.sx) / float(r.sw),
+                float(r.sy) / float(r.sw),
+            )
+            for r in agg
+        }
+    mdf = spark.createDataFrame(
+        [(lb, med[lb][0], med[lb][1]) for lb in labels],
+        "label int, mx double, my double",
+    )
+    j = emb.join(F.broadcast(mdf), "label")
+    dx = F.col("x9").cast("double") / 1e9 - F.col("mx")
+    dy = F.col("y9").cast("double") / 1e9 - F.col("my")
+    d9 = F.floor(
+        F.sqrt(dx * dx + dy * dy) * 1e9 + F.lit(_OFF)
+    ).cast("long")
+    out = j.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("mx").alias("mx"),
+        F.max("my").alias("my"),
+        F.sum(d9).alias("sd9"),
+    )
+    res = out.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("n").cast("long").alias("n"),
+        F.floor(F.col("mx") * 1e6 + F.lit(_OFF)).cast("long").alias(
+            "mx_e6"
+        ),
+        F.floor(F.col("my") * 1e6 + F.lit(_OFF)).cast("long").alias(
+            "my_e6"
+        ),
+        F.floor(
+            F.col("sd9").cast("double")
+            / (F.col("n").cast("double") * 1e9)
+            * 1e6
+            + F.lit(_OFF)
+        ).cast("long").alias("mean_dist_e6"),
+    ).orderBy("label")
+    emb.unpersist()
+    return res
+
+
+def _weiszfeld_sql() -> str:
+    head = f"""
+WITH pts AS (
+  SELECT label,
+         CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e9 + {_OFF})
+              AS BIGINT) AS x9,
+         CAST(floor(CAST(embedding[2] AS DOUBLE) * 1e9 + {_OFF})
+              AS BIGINT) AS y9
+  FROM embeddings
+), m0 AS (
+  SELECT label,
+         CAST(sum(x9) AS DOUBLE) / (count(*) * 1e9) AS mx,
+         CAST(sum(y9) AS DOUBLE) / (count(*) * 1e9) AS my
+  FROM pts GROUP BY 1
+)"""
+    prev = "m0"
+    steps = []
+    for k in range(1, _WEIS_ITERS + 1):
+        steps.append(f""", w{k} AS (
+  SELECT p.label,
+         CAST(sum(CAST(floor(1e12 / sqrt(
+           (CAST(p.x9 AS DOUBLE) / 1e9 - m.mx)
+             * (CAST(p.x9 AS DOUBLE) / 1e9 - m.mx)
+           + (CAST(p.y9 AS DOUBLE) / 1e9 - m.my)
+             * (CAST(p.y9 AS DOUBLE) / 1e9 - m.my)) + {_OFF})
+           AS BIGINT)) AS BIGINT) AS sw,
+         CAST(sum(CAST(floor(CAST(p.x9 AS DOUBLE) / 1e9 / sqrt(
+           (CAST(p.x9 AS DOUBLE) / 1e9 - m.mx)
+             * (CAST(p.x9 AS DOUBLE) / 1e9 - m.mx)
+           + (CAST(p.y9 AS DOUBLE) / 1e9 - m.my)
+             * (CAST(p.y9 AS DOUBLE) / 1e9 - m.my)) * 1e12 + {_OFF})
+           AS BIGINT)) AS BIGINT) AS sx,
+         CAST(sum(CAST(floor(CAST(p.y9 AS DOUBLE) / 1e9 / sqrt(
+           (CAST(p.x9 AS DOUBLE) / 1e9 - m.mx)
+             * (CAST(p.x9 AS DOUBLE) / 1e9 - m.mx)
+           + (CAST(p.y9 AS DOUBLE) / 1e9 - m.my)
+             * (CAST(p.y9 AS DOUBLE) / 1e9 - m.my)) * 1e12 + {_OFF})
+           AS BIGINT)) AS BIGINT) AS sy
+  FROM pts p JOIN {prev} m ON m.label = p.label
+  WHERE sqrt(
+           (CAST(p.x9 AS DOUBLE) / 1e9 - m.mx)
+             * (CAST(p.x9 AS DOUBLE) / 1e9 - m.mx)
+           + (CAST(p.y9 AS DOUBLE) / 1e9 - m.my)
+             * (CAST(p.y9 AS DOUBLE) / 1e9 - m.my)) >= 1e-9
+  GROUP BY 1
+), m{k} AS (
+  SELECT label,
+         CAST(sx AS DOUBLE) / sw AS mx,
+         CAST(sy AS DOUBLE) / sw AS my
+  FROM w{k}
+)""")
+        prev = f"m{k}"
+    tail = f"""
+SELECT CAST(p.label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(floor(max(m.mx) * 1e6 + {_OFF}) AS BIGINT) AS mx_e6,
+       CAST(floor(max(m.my) * 1e6 + {_OFF}) AS BIGINT) AS my_e6,
+       CAST(floor(CAST(sum(CAST(floor(sqrt(
+           (CAST(p.x9 AS DOUBLE) / 1e9 - m.mx)
+             * (CAST(p.x9 AS DOUBLE) / 1e9 - m.mx)
+           + (CAST(p.y9 AS DOUBLE) / 1e9 - m.my)
+             * (CAST(p.y9 AS DOUBLE) / 1e9 - m.my)) * 1e9 + {_OFF})
+           AS BIGINT)) AS DOUBLE)
+                  / (count(*) * 1e9) * 1e6 + {_OFF}) AS BIGINT)
+         AS mean_dist_e6
+FROM pts p JOIN {prev} m ON m.label = p.label
+GROUP BY 1
+ORDER BY label
+"""
+    return head + "".join(steps) + tail
+
+
+QUERIES["geometric_median_weiszfeld"] = q_geometric_median_weiszfeld
+ORACLE_SQL["geometric_median_weiszfeld"] = _weiszfeld_sql()
