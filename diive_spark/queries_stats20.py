@@ -3525,3 +3525,310 @@ ORDER BY label
 
 QUERIES["geometric_median_weiszfeld"] = q_geometric_median_weiszfeld
 ORACLE_SQL["geometric_median_weiszfeld"] = _weiszfeld_sql()
+
+
+# ===========================================================================
+# Battery X — causal-inference companions
+# ===========================================================================
+# psm_att_nn: propensity-style nearest-neighbor matching ATT (with
+# replacement): treated users (user_id%2==1) match the activity-score-
+# nearest control via ONE sorted union window (last/first_value IGNORE
+# NULLS over the (score, side, id) order — the asof discipline without
+# a pair join); |gap| ties choose the backward (lower-or-equal-score)
+# match, both engines spelling the same order.  Complements
+# stratified_ate (coarsened strata) and diff_in_diff.
+
+
+def q_psm_att_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "cv"
+        ),
+    )
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("s"),
+        F.sum("cv").alias("y"),
+    ).withColumn("treated", (F.col("user_id") % 2 == 1).cast("long"))
+    # NO partition-less window: range-exchange on the match order, do
+    # the IGNORE NULLS scan within each physical partition, then repair
+    # partition-boundary rows from the bounded per-partition control
+    # extremes (the global_row_number offsets device) — result is
+    # independent of where the range boundaries fall.
+    parts = int(
+        per.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = per.repartitionByRange(
+        parts, "s", "treated", "user_id"
+    ).withColumn("_pid", F.spark_partition_id())
+    wp = Window.partitionBy("_pid").orderBy("s", "treated", "user_id")
+    ctl = F.when(
+        F.col("treated") == 0,
+        F.struct(F.col("s").alias("cs"), F.col("y").alias("cy")),
+    )
+    loc = ranged.withColumn(
+        "back",
+        F.last(ctl, ignorenulls=True).over(
+            wp.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn(
+        "fwd",
+        F.first(ctl, ignorenulls=True).over(
+            wp.rowsBetween(0, Window.unboundedFollowing)
+        ),
+    )
+    ext = (
+        ranged.filter(F.col("treated") == 0)
+        .groupBy("_pid")
+        .agg(
+            F.max(F.struct("s", "user_id", "y")).alias("mx"),
+            F.min(F.struct("s", "user_id", "y")).alias("mn"),
+        )
+        .collect()
+    )  # bounded: <= shuffle-partition count rows
+    lastc = {int(r._pid): (int(r.mx.s), int(r.mx.y)) for r in ext}
+    firstc = {int(r._pid): (int(r.mn.s), int(r.mn.y)) for r in ext}
+    fill = []
+    for pid in range(parts):
+        prev = None
+        for q in range(pid - 1, -1, -1):
+            if q in lastc:
+                prev = lastc[q]
+                break
+        nxt = None
+        for q in range(pid + 1, parts):
+            if q in firstc:
+                nxt = firstc[q]
+                break
+        fill.append(
+            (
+                pid,
+                prev[0] if prev else None,
+                prev[1] if prev else None,
+                nxt[0] if nxt else None,
+                nxt[1] if nxt else None,
+            )
+        )
+    fdf = per.sparkSession.createDataFrame(
+        fill, "_pid int, pbs long, pby long, nfs long, nfy long"
+    )
+    j2 = loc.join(F.broadcast(fdf), "_pid")
+    back_fix = F.when(F.col("back").isNotNull(), F.col("back")).when(
+        F.col("pbs").isNotNull(),
+        F.struct(F.col("pbs").alias("cs"), F.col("pby").alias("cy")),
+    )
+    fwd_fix = F.when(F.col("fwd").isNotNull(), F.col("fwd")).when(
+        F.col("nfs").isNotNull(),
+        F.struct(F.col("nfs").alias("cs"), F.col("nfy").alias("cy")),
+    )
+    m = (
+        j2.withColumn("back", back_fix)
+        .withColumn("fwd", fwd_fix)
+        .filter(F.col("treated") == 1)
+    )
+    gb = F.abs(F.col("back.cs") - F.col("s"))
+    gf = F.abs(F.col("fwd.cs") - F.col("s"))
+    ymatch = F.when(
+        F.col("back").isNull(), F.col("fwd.cy")
+    ).when(
+        F.col("fwd").isNull(), F.col("back.cy")
+    ).when(gb <= gf, F.col("back.cy")).otherwise(F.col("fwd.cy"))
+    d = m.select(
+        (F.col("y") - ymatch).alias("dy"),
+        F.lit(1).alias("one"),
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n_treated"),
+        F.sum("dy").alias("sdy"),
+    )
+    return agg.select(
+        F.col("n_treated").cast("long").alias("n_treated"),
+        F.col("sdy").cast("long").alias("sum_diff_c"),
+        F.floor(
+            F.col("sdy").cast("double")
+            / (F.col("n_treated").cast("double") * 100.0)
+            * 1e4
+            + F.lit(_OFF)
+        ).cast("long").alias("att_e4"),
+    )
+
+
+SQL_PSM = f"""
+WITH per AS (
+  SELECT user_id, count(*) AS s,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS y,
+         CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treated
+  FROM events GROUP BY 1
+), m AS (
+  SELECT *,
+         last_value(CASE WHEN treated = 0 THEN s END IGNORE NULLS)
+           OVER wb AS back_s,
+         last_value(CASE WHEN treated = 0 THEN y END IGNORE NULLS)
+           OVER wb AS back_y,
+         first_value(CASE WHEN treated = 0 THEN s END IGNORE NULLS)
+           OVER wf AS fwd_s,
+         first_value(CASE WHEN treated = 0 THEN y END IGNORE NULLS)
+           OVER wf AS fwd_y
+  FROM per
+  WINDOW wb AS (ORDER BY s, treated, user_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (ORDER BY s, treated, user_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+), t AS (
+  SELECT y,
+         CASE WHEN back_s IS NULL THEN fwd_y
+              WHEN fwd_s IS NULL THEN back_y
+              WHEN abs(back_s - s) <= abs(fwd_s - s) THEN back_y
+              ELSE fwd_y END AS ym
+  FROM m WHERE treated = 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_treated,
+       CAST(sum(y - ym) AS BIGINT) AS sum_diff_c,
+       CAST(floor(CAST(sum(y - ym) AS DOUBLE)
+                  / (count(*) * 100.0) * 1e4 + {_OFF}) AS BIGINT)
+         AS att_e4
+FROM t
+"""
+
+QUERIES["psm_att_nn"] = q_psm_att_nn
+ORACLE_SQL["psm_att_nn"] = SQL_PSM
+
+
+# ---------------------------------------------------------------------------
+# sobel_mediation — Baron-Kenny product-of-coefficients mediation with
+# the Sobel z: x = activity count -> m = distinct active days -> y =
+# total spend; a from m~x, b from y~m+x (closed-form bivariate OLS on
+# exact n-scaled co-moments), z = ab / sqrt(b^2 sa^2 + a^2 sb^2).
+# ---------------------------------------------------------------------------
+
+
+def q_sobel_mediation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        ).cast("long").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(_OFF)).cast("long").alias(
+            "cv"
+        ),
+    )
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("x"),
+        F.count_distinct("day").alias("m"),
+        F.sum("cv").alias("y"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("m").alias("sm"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("m")).alias("sxm"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("m") * F.col("m")).alias("smm"),
+        F.sum(F.col("m") * F.col("y")).alias("smy"),
+        F.sum(F.col("y").cast("double") * F.col("y").cast("double")).alias(
+            "syy"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    cxx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    cxm = (F.col("n") * F.col("sxm") - F.col("sx") * F.col("sm")).cast(
+        "double"
+    )
+    cxy = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    cmm = (F.col("n") * F.col("smm") - F.col("sm") * F.col("sm")).cast(
+        "double"
+    )
+    cmy = (F.col("n") * F.col("smy") - F.col("sm") * F.col("sy")).cast(
+        "double"
+    )
+    cyy = nd * F.col("syy") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    a = cxm / cxx
+    det = cxx * cmm - cxm * cxm
+    b = (cxx * cmy - cxm * cxy) / det
+    cdir = (cmm * cxy - cxm * cmy) / det
+    # residual variances (n-scaled cancels): sigma1^2 ~ m|x,
+    # sigma2^2 ~ y|m,x ; SEs in the same scale-free ratio form
+    s1 = (cmm - a * cxm) / (nd * (nd - 2.0))
+    s2 = (cyy - b * cmy - cdir * cxy) / (nd * (nd - 3.0))
+    sa2 = s1 * nd / cxx * nd
+    sb2 = s2 * nd * cxx / det * nd
+    z = (a * b) / F.sqrt(b * b * sa2 + a * a * sb2)
+    return agg.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.floor(a * 1e6 + F.lit(_OFF)).cast("long").alias("a_e6"),
+        F.floor(b * 1e6 + F.lit(_OFF)).cast("long").alias("b_e6"),
+        F.floor(cdir * 1e6 + F.lit(_OFF)).cast("long").alias(
+            "direct_e6"
+        ),
+        F.floor(a * b * 1e6 + F.lit(_OFF)).cast("long").alias(
+            "indirect_e6"
+        ),
+        F.floor(z * 1e4 + F.lit(_OFF)).cast("long").alias(
+            "sobel_z_e4"
+        ),
+    )
+
+
+SQL_SOBEL = f"""
+WITH per AS (
+  SELECT user_id, count(*) AS x,
+         count(DISTINCT CAST(epoch_us(ts) AS BIGINT) // 86400000000)
+           AS m,
+         CAST(sum(CAST(floor(value * 100 + {_OFF}) AS BIGINT))
+              AS BIGINT) AS y
+  FROM events GROUP BY 1
+), agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(m) AS BIGINT) AS sm,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * m) AS BIGINT) AS sxm,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(m * m) AS BIGINT) AS smm,
+         CAST(sum(m * y) AS BIGINT) AS smy,
+         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS syy
+  FROM per
+), c AS (
+  SELECT n,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS cxx,
+         CAST(n * sxm - sx * sm AS DOUBLE) AS cxm,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS cxy,
+         CAST(n * smm - sm * sm AS DOUBLE) AS cmm,
+         CAST(n * smy - sm * sy AS DOUBLE) AS cmy,
+         n * syy - CAST(sx AS DOUBLE) * 0 - CAST(sy AS DOUBLE) * sy
+           AS cyy
+  FROM agg
+), f AS (
+  SELECT n, cxx, cxm, cxy, cmm, cmy, cyy,
+         cxm / cxx AS a,
+         (cxx * cmy - cxm * cxy) / (cxx * cmm - cxm * cxm) AS b,
+         (cmm * cxy - cxm * cmy) / (cxx * cmm - cxm * cxm) AS cdir
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(floor(a * 1e6 + {_OFF}) AS BIGINT) AS a_e6,
+       CAST(floor(b * 1e6 + {_OFF}) AS BIGINT) AS b_e6,
+       CAST(floor(cdir * 1e6 + {_OFF}) AS BIGINT) AS direct_e6,
+       CAST(floor(a * b * 1e6 + {_OFF}) AS BIGINT) AS indirect_e6,
+       CAST(floor((a * b) / sqrt(
+         b * b * ((cmm - a * cxm) / (CAST(n AS DOUBLE) * (n - 2.0))
+                  * n / cxx * n)
+         + a * a * ((cyy - b * cmy - cdir * cxy)
+                    / (CAST(n AS DOUBLE) * (n - 3.0))
+                    * n * cxx / (cxx * cmm - cxm * cxm) * n))
+         * 1e4 + {_OFF}) AS BIGINT) AS sobel_z_e4
+FROM f
+"""
+
+QUERIES["sobel_mediation"] = q_sobel_mediation
+ORACLE_SQL["sobel_mediation"] = SQL_SOBEL
