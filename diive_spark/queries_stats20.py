@@ -3832,3 +3832,187 @@ FROM f
 
 QUERIES["sobel_mediation"] = q_sobel_mediation
 ORACLE_SQL["sobel_mediation"] = SQL_SOBEL
+
+
+# ===========================================================================
+# Battery Y — bibliometric laws over user productivity
+# ===========================================================================
+# lotka_law_fit: Lotka's inverse-power law of productivity — the
+# frequency-of-frequencies n_k (#users with exactly k events of a
+# type) should follow n_k ~ C k^-b with b ~ 2.  Log-log OLS on the
+# collapsed (k, n_k) domain with the zipf_slope e9-floor discipline.
+
+
+def q_lotka_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    pk = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    fof = pk.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).alias("nk")
+    )
+    # e6 scale: e9-squared products overflow int64 in the moment sums
+    lx9 = F.floor(
+        F.log(F.col("k").cast("double")) * 1e6 + F.lit(_OFF)
+    ).cast("long")
+    ly9 = F.floor(
+        F.log(F.col("nk").cast("double")) * 1e6 + F.lit(_OFF)
+    ).cast("long")
+    t = fof.select("event_type", lx9.alias("x"), ly9.alias("y"))
+    agg = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    md = F.col("m").cast("double")
+    cxy = md * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    cxx = md * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    cyy = md * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    slope = cxy / cxx
+    r2 = cxy * cxy / (cxx * cyy)
+    return agg.select(
+        "event_type",
+        F.col("m").cast("long").alias("n_levels"),
+        F.floor(-slope * 1e6 + F.lit(_OFF)).cast("long").alias(
+            "lotka_b_e6"
+        ),
+        F.floor(r2 * 1e6 + F.lit(_OFF)).cast("long").alias("r2_e6"),
+    ).orderBy("event_type")
+
+
+SQL_LOTKA = f"""
+WITH pk AS (
+  SELECT event_type, user_id, count(*) AS k
+  FROM events GROUP BY 1, 2
+), fof AS (
+  SELECT event_type, k, CAST(count(*) AS BIGINT) AS nk
+  FROM pk GROUP BY 1, 2
+), t AS (
+  SELECT event_type,
+         CAST(floor(ln(CAST(k AS DOUBLE)) * 1e6 + {_OFF})
+              AS BIGINT) AS x,
+         CAST(floor(ln(CAST(nk AS DOUBLE)) * 1e6 + {_OFF})
+              AS BIGINT) AS y
+  FROM fof
+), agg AS (
+  SELECT event_type, count(*) AS m,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM t GROUP BY 1
+)
+SELECT event_type,
+       CAST(m AS BIGINT) AS n_levels,
+       CAST(floor(-(CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * 1e6 + {_OFF}) AS BIGINT) AS lotka_b_e6,
+       CAST(floor((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  * (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / ((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                     * (CAST(m AS DOUBLE) * syy
+                        - CAST(sy AS DOUBLE) * sy)) * 1e6 + {_OFF})
+            AS BIGINT) AS r2_e6
+FROM agg
+ORDER BY event_type
+"""
+
+QUERIES["lotka_law_fit"] = q_lotka_law_fit
+ORACLE_SQL["lotka_law_fit"] = SQL_LOTKA
+
+
+# ---------------------------------------------------------------------------
+# prices_law_audit — Price's square-root law: do the top ceil(sqrt(U))
+# users of each type account for half its events?  Exact rank cut via
+# the distributed-safe per-type count window; reports the observed
+# top-sqrt share and the half-output head count h (smallest head
+# reaching 50%).
+# ---------------------------------------------------------------------------
+
+
+def q_prices_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    pk = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    wt = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy(
+        F.col("k").desc(), F.col("user_id").asc()
+    )
+    r = (
+        pk.withColumn("u", F.count(F.lit(1)).over(wt))
+        .withColumn("tot", F.sum("k").over(wt))
+        .withColumn("rn", F.row_number().over(wo))
+        .withColumn(
+            "cum",
+            F.sum("k").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    sq = F.ceil(F.sqrt(F.col("u").cast("double"))).cast("long")
+    agg = r.groupBy("event_type").agg(
+        F.max("u").alias("u"),
+        F.max("tot").alias("tot"),
+        F.max(F.when(F.col("rn") == sq, F.col("cum"))).alias("cum_sq"),
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("tot"), F.col("rn"))
+        ).alias("half_head"),
+    )
+    sq2 = F.ceil(F.sqrt(F.col("u").cast("double"))).cast("long")
+    return agg.select(
+        "event_type",
+        F.col("u").cast("long").alias("n_users"),
+        sq2.alias("sqrt_head"),
+        F.floor(
+            F.col("cum_sq").cast("double") / F.col("tot").cast("double")
+            * 1e6
+            + F.lit(_OFF)
+        ).cast("long").alias("sqrt_head_share_e6"),
+        F.col("half_head").cast("long").alias("half_output_head"),
+    ).orderBy("event_type")
+
+
+SQL_PRICES = f"""
+WITH pk AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS k
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, k,
+         count(*) OVER (PARTITION BY event_type) AS u,
+         CAST(sum(k) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+         row_number() OVER wo AS rn,
+         CAST(sum(k) OVER (wo ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum
+  FROM pk
+  WINDOW wo AS (PARTITION BY event_type ORDER BY k DESC, user_id ASC)
+)
+SELECT event_type,
+       CAST(max(u) AS BIGINT) AS n_users,
+       CAST(ceil(sqrt(CAST(max(u) AS DOUBLE))) AS BIGINT) AS sqrt_head,
+       CAST(floor(CAST(max(CASE WHEN rn = CAST(ceil(sqrt(
+                    CAST(u AS DOUBLE))) AS BIGINT)
+                    THEN cum END) AS DOUBLE)
+                  / max(tot) * 1e6 + {_OFF}) AS BIGINT)
+         AS sqrt_head_share_e6,
+       CAST(min(CASE WHEN 2 * cum >= tot THEN rn END) AS BIGINT)
+         AS half_output_head
+FROM r
+GROUP BY 1
+ORDER BY event_type
+"""
+
+QUERIES["prices_law_audit"] = q_prices_law_audit
+ORACLE_SQL["prices_law_audit"] = SQL_PRICES
