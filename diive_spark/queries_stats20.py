@@ -4016,3 +4016,61 @@ ORDER BY event_type
 
 QUERIES["prices_law_audit"] = q_prices_law_audit
 ORACLE_SQL["prices_law_audit"] = SQL_PRICES
+
+
+# ===========================================================================
+# Battery Z — sketch-tier completions (rows-only, pytest-pinned in
+# tests/test_sketches2.py)
+# ===========================================================================
+
+
+def q_kll_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile-sketch rank-error audit per type (deterministic-
+    offset compactors, k=64): worst relative rank error at the
+    5/25/50/75/95% exact order statistics — the mergeable-quantile
+    companion to tdigest_quantiles."""
+    from diive_spark.operators.sketches2 import kll_frame
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.col("value").alias("v")
+    )
+    out = kll_frame(ev, "event_type", "v", k=64)
+    return out.select(
+        "event_type",
+        "n",
+        "sketch_items",
+        F.round("max_rank_err", 4).alias("max_rank_err"),
+        F.round("p50_est", 1).alias("p50_est"),
+        F.round("p50_exact", 1).alias("p50_exact"),
+    ).orderBy("event_type")
+
+
+QUERIES["kll_sketch_audit"] = q_kll_sketch_audit
+
+
+def q_frequent_directions_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Frequent-Directions covariance sketch (l=16) of each label's
+    embedding rows, audited against the Liberty spectral bound
+    2||A||_F^2/l — the matrix-sketch sibling of Misra-Gries heavy
+    hitters, and the streaming path to centroid_gram-style
+    covariance summaries."""
+    from diive_spark.operators.sketches2 import fd_frame
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("label").cast("string").alias("label"), "embedding"
+    )
+    out = fd_frame(emb, "label", "embedding", ell=16)
+    return out.select(
+        F.col("label").cast("long").alias("label"),
+        "n",
+        "d",
+        "ell",
+        F.round("spec_err", 4).alias("spec_err"),
+        F.round("bound", 4).alias("bound"),
+        "within_bound",
+    ).orderBy("label")
+
+
+QUERIES["frequent_directions_audit"] = q_frequent_directions_audit
