@@ -4074,3 +4074,189 @@ def q_frequent_directions_audit(
 
 
 QUERIES["frequent_directions_audit"] = q_frequent_directions_audit
+
+
+# ===========================================================================
+# Battery AB — data-profiling layer: the dependency-discovery audits
+# a warehouse runs before trusting joins (Metanome/Kivinen-Mannila
+# family).
+# ===========================================================================
+# fd_violation_audit: approximate functional dependencies under the
+# g3 measure — g3(X -> Y) = 1 - sum_x max_y count(x, y) / n, the
+# minimum fraction of rows to delete for the FD to hold exactly.
+# Four fixed candidates over documents/events; exact integers
+# throughout.
+
+
+def q_fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def g3(df, lhs, rhs, name):
+        c = df.select(
+            F.col(lhs).cast("string").alias("x"),
+            F.col(rhs).cast("string").alias("y"),
+        ).groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+        per = c.groupBy("x").agg(
+            F.sum("c").alias("nx"), F.max("c").alias("mx")
+        )
+        return per.agg(
+            F.lit(name).alias("fd"),
+            F.sum("nx").cast("long").alias("n"),
+            (F.sum("nx") - F.sum("mx")).cast("long").alias(
+                "n_violations"
+            ),
+            F.floor(
+                (F.sum("nx") - F.sum("mx")).cast("double")
+                / F.sum("nx").cast("double")
+                * 1e6
+                + F.lit(_OFF)
+            ).cast("long").alias("g3_e6"),
+        )
+
+    hi = ev.withColumn("hv", (F.col("value") > 50.0).cast("long"))
+    out = (
+        g3(doc, "source", "lang", "doc.source->lang")
+        .unionAll(g3(doc, "lang", "source", "doc.lang->source"))
+        .unionAll(g3(ev, "user_id", "event_type", "ev.user->type"))
+        .unionAll(g3(hi, "user_id", "hv", "ev.user->highvalue"))
+    )
+    return out.orderBy("fd")
+
+
+SQL_FDG3 = f"""
+WITH cand AS (
+  SELECT 'doc.source->lang' AS fd, CAST(source AS VARCHAR) AS x,
+         CAST(lang AS VARCHAR) AS y FROM documents
+  UNION ALL
+  SELECT 'doc.lang->source', CAST(lang AS VARCHAR),
+         CAST(source AS VARCHAR) FROM documents
+  UNION ALL
+  SELECT 'ev.user->type', CAST(user_id AS VARCHAR),
+         CAST(event_type AS VARCHAR) FROM events
+  UNION ALL
+  SELECT 'ev.user->highvalue', CAST(user_id AS VARCHAR),
+         CAST(CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS VARCHAR)
+  FROM events
+), c AS (
+  SELECT fd, x, y, CAST(count(*) AS BIGINT) AS c
+  FROM cand GROUP BY 1, 2, 3
+), per AS (
+  SELECT fd, x, CAST(sum(c) AS BIGINT) AS nx,
+         CAST(max(c) AS BIGINT) AS mx
+  FROM c GROUP BY 1, 2
+)
+SELECT fd,
+       CAST(sum(nx) AS BIGINT) AS n,
+       CAST(sum(nx) - sum(mx) AS BIGINT) AS n_violations,
+       CAST(floor(CAST(sum(nx) - sum(mx) AS DOUBLE) / sum(nx) * 1e6
+                  + {_OFF}) AS BIGINT) AS g3_e6
+FROM per
+GROUP BY 1
+ORDER BY fd
+"""
+
+QUERIES["fd_violation_audit"] = q_fd_violation_audit
+ORACLE_SQL["fd_violation_audit"] = SQL_FDG3
+
+
+# ---------------------------------------------------------------------------
+# ind_coverage_audit — inclusion-dependency (referential-integrity)
+# coverage for four candidate FK ⊆ PK pairs over the TPC-H tables +
+# the events stream: distinct-value and row-level coverage.
+# ---------------------------------------------------------------------------
+
+
+def q_ind_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def ind(fk_df, fk, pk_df, pk, name):
+        f = fk_df.select(F.col(fk).cast("long").alias("k"))
+        p = pk_df.select(F.col(pk).cast("long").alias("k")).distinct()
+        rows = f.join(p.withColumn("hit", F.lit(1)), "k", "left")
+        ragg = rows.agg(
+            F.lit(name).alias("ind"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("rows_covered"),
+        )
+        d = f.distinct().join(p.withColumn("hit", F.lit(1)), "k", "left")
+        dagg = d.agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("distinct_covered"),
+        )
+        return ragg.crossJoin(dagg)
+
+    out = (
+        ind(li, "l_orderkey", od, "o_orderkey", "lineitem->orders")
+        .unionAll(ind(od, "o_custkey", cu, "c_custkey", "orders->customer"))
+        .unionAll(ind(li, "l_partkey", pt, "p_partkey", "lineitem->part"))
+        .unionAll(ind(ev, "user_id", cu, "c_custkey", "events->customer"))
+    )
+    return out.select(
+        "ind",
+        "n_rows",
+        "rows_covered",
+        "n_distinct",
+        "distinct_covered",
+        F.floor(
+            F.col("distinct_covered").cast("double")
+            / F.col("n_distinct").cast("double")
+            * 1e6
+            + F.lit(_OFF)
+        ).cast("long").alias("coverage_e6"),
+    ).orderBy("ind")
+
+
+SQL_IND = f"""
+WITH cand AS (
+  SELECT 'lineitem->orders' AS ind, CAST(l_orderkey AS BIGINT) AS k,
+         'orders' AS pk FROM lineitem
+  UNION ALL
+  SELECT 'orders->customer', CAST(o_custkey AS BIGINT), 'customer'
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem->part', CAST(l_partkey AS BIGINT), 'part'
+  FROM lineitem
+  UNION ALL
+  SELECT 'events->customer', CAST(user_id AS BIGINT), 'customer'
+  FROM events
+), pks AS (
+  SELECT 'orders' AS pk, CAST(o_orderkey AS BIGINT) AS k FROM orders
+  UNION SELECT 'customer', CAST(c_custkey AS BIGINT) FROM customer
+  UNION SELECT 'part', CAST(p_partkey AS BIGINT) FROM part
+), rows_ AS (
+  SELECT c.ind, count(*) AS n_rows,
+         CAST(sum(CASE WHEN p.k IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS rows_covered
+  FROM cand c LEFT JOIN pks p ON p.pk = c.pk AND p.k = c.k
+  GROUP BY 1
+), dst AS (
+  SELECT ind, count(*) AS n_distinct,
+         CAST(sum(hit) AS BIGINT) AS distinct_covered
+  FROM (
+    SELECT DISTINCT c.ind, c.k,
+           CASE WHEN p.k IS NOT NULL THEN 1 ELSE 0 END AS hit
+    FROM cand c LEFT JOIN pks p ON p.pk = c.pk AND p.k = c.k
+  ) GROUP BY 1
+)
+SELECT r.ind AS ind,
+       CAST(r.n_rows AS BIGINT) AS n_rows,
+       r.rows_covered,
+       CAST(d.n_distinct AS BIGINT) AS n_distinct,
+       d.distinct_covered,
+       CAST(floor(CAST(d.distinct_covered AS DOUBLE) / d.n_distinct
+                  * 1e6 + {_OFF}) AS BIGINT) AS coverage_e6
+FROM rows_ r JOIN dst d ON d.ind = r.ind
+ORDER BY ind
+"""
+
+QUERIES["ind_coverage_audit"] = q_ind_coverage_audit
+ORACLE_SQL["ind_coverage_audit"] = SQL_IND
