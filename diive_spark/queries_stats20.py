@@ -4260,3 +4260,94 @@ ORDER BY ind
 
 QUERIES["ind_coverage_audit"] = q_ind_coverage_audit
 ORACLE_SQL["ind_coverage_audit"] = SQL_IND
+
+
+# ---------------------------------------------------------------------------
+# ucc_key_audit — unique-column-combination (key-candidate) discovery
+# audit: uniqueness ratio of five candidate keys across events and
+# documents (completes the profiling trio with fd_violation_audit and
+# ind_coverage_audit)
+# ---------------------------------------------------------------------------
+
+
+def q_ucc_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def ucc(df, cols, name):
+        d = df.select(
+            F.concat_ws(
+                "\x1f", *[F.col(c).cast("string") for c in cols]
+            ).alias("k")
+        )
+        return d.agg(
+            F.lit(name).alias("candidate"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct("k").cast("long").alias("n_distinct"),
+        )
+
+    out = (
+        ucc(ev, ["event_id"], "ev(event_id)")
+        .unionAll(ucc(ev, ["user_id", "ts"], "ev(user_id,ts)"))
+        .unionAll(
+            ucc(
+                ev,
+                ["user_id", "event_type", "ts"],
+                "ev(user_id,type,ts)",
+            )
+        )
+        .unionAll(ucc(doc, ["doc_id"], "doc(doc_id)"))
+        .unionAll(
+            ucc(doc, ["lang", "source", "n_chars"], "doc(lang,src,len)")
+        )
+    )
+    return out.select(
+        "candidate",
+        "n_rows",
+        "n_distinct",
+        (F.col("n_rows") - F.col("n_distinct")).cast("long").alias(
+            "dup_rows"
+        ),
+        F.floor(
+            F.col("n_distinct").cast("double")
+            / F.col("n_rows").cast("double")
+            * 1e6
+            + F.lit(_OFF)
+        ).cast("long").alias("uniqueness_e6"),
+    ).orderBy("candidate")
+
+
+SQL_UCC = f"""
+WITH cand AS (
+  SELECT 'ev(event_id)' AS candidate,
+         CAST(event_id AS VARCHAR) AS k FROM events
+  UNION ALL
+  SELECT 'ev(user_id,ts)',
+         CAST(user_id AS VARCHAR) || chr(31) || CAST(ts AS VARCHAR)
+  FROM events
+  UNION ALL
+  SELECT 'ev(user_id,type,ts)',
+         CAST(user_id AS VARCHAR) || chr(31) || event_type
+           || chr(31) || CAST(ts AS VARCHAR)
+  FROM events
+  UNION ALL
+  SELECT 'doc(doc_id)', CAST(doc_id AS VARCHAR) FROM documents
+  UNION ALL
+  SELECT 'doc(lang,src,len)',
+         lang || chr(31) || source || chr(31)
+           || CAST(n_chars AS VARCHAR)
+  FROM documents
+)
+SELECT candidate,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_distinct,
+       CAST(count(*) - count(DISTINCT k) AS BIGINT) AS dup_rows,
+       CAST(floor(CAST(count(DISTINCT k) AS DOUBLE) / count(*) * 1e6
+                  + {_OFF}) AS BIGINT) AS uniqueness_e6
+FROM cand
+GROUP BY 1
+ORDER BY candidate
+"""
+
+QUERIES["ucc_key_audit"] = q_ucc_key_audit
+ORACLE_SQL["ucc_key_audit"] = SQL_UCC
