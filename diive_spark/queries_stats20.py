@@ -4351,3 +4351,111 @@ ORDER BY candidate
 
 QUERIES["ucc_key_audit"] = q_ucc_key_audit
 ORACLE_SQL["ucc_key_audit"] = SQL_UCC
+
+
+# ---------------------------------------------------------------------------
+# session_timeout_sweep — the timeout-tuning audit behind every
+# sessionization choice: for T in {5, 15, 30, 60} minutes, session
+# counts, events/session, and mean intra-session duration — all from
+# ONE per-user lag pass (sessions(T) = n_users + #gaps > T; total
+# session time(T) = sum of gaps <= T), so the whole sweep is four
+# conditional sums over the same gap stream.
+# ---------------------------------------------------------------------------
+
+_SWEEP_TS = (300, 900, 1800, 3600)
+
+
+def q_session_timeout_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = ev.withColumn(
+        "gs", ((F.col("us") - F.lag("us").over(wu)) / 1_000_000).cast("long")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    ]
+    for t in _SWEEP_TS:
+        aggs.append(
+            F.sum(
+                (F.col("gs").isNotNull() & (F.col("gs") > t)).cast("long")
+            ).alias(f"brk{t}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col("gs").isNotNull() & (F.col("gs") <= t),
+                    F.col("gs"),
+                ).otherwise(0)
+            ).alias(f"dur{t}")
+        )
+    a = g.agg(*aggs)
+    rows = []
+    for t in _SWEEP_TS:
+        ses = F.col("n_users") + F.col(f"brk{t}")
+        rows.append(
+            a.select(
+                F.lit(t).cast("long").alias("timeout_s"),
+                ses.cast("long").alias("n_sessions"),
+                F.floor(
+                    F.col("n_events").cast("double") / ses.cast("double")
+                    * 1e4
+                    + F.lit(_OFF)
+                ).cast("long").alias("events_per_session_e4"),
+                F.floor(
+                    F.col(f"dur{t}").cast("double") / ses.cast("double")
+                    * 100
+                    + F.lit(_OFF)
+                ).cast("long").alias("mean_duration_cs"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("timeout_s")
+
+
+def _sweep_sql() -> str:
+    parts = []
+    for t in _SWEEP_TS:
+        parts.append(f"""
+  SELECT CAST({t} AS BIGINT) AS timeout_s,
+         CAST(n_users + brk{t} AS BIGINT) AS n_sessions,
+         CAST(floor(CAST(n_events AS DOUBLE) / (n_users + brk{t}) * 1e4
+                    + {_OFF}) AS BIGINT) AS events_per_session_e4,
+         CAST(floor(CAST(dur{t} AS DOUBLE) / (n_users + brk{t}) * 100
+                    + {_OFF}) AS BIGINT) AS mean_duration_cs
+  FROM agg""")
+    sums = ",\n".join(
+        f"""         CAST(sum(CASE WHEN gs > {t} THEN 1 ELSE 0 END)
+              AS BIGINT) AS brk{t},
+         CAST(sum(CASE WHEN gs <= {t} THEN gs ELSE 0 END)
+              AS BIGINT) AS dur{t}"""
+        for t in _SWEEP_TS
+    )
+    return f"""
+WITH g AS (
+  SELECT user_id,
+         (CAST(epoch_us(ts) AS BIGINT)
+          - lag(CAST(epoch_us(ts) AS BIGINT)) OVER (
+              PARTITION BY user_id
+              ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id
+            )) // 1000000 AS gs
+  FROM events
+), agg AS (
+  SELECT count(*) AS n_events,
+         count(DISTINCT user_id) AS n_users,
+{sums}
+  FROM g
+)
+SELECT * FROM ({" UNION ALL ".join(parts)})
+ORDER BY timeout_s
+"""
+
+
+QUERIES["session_timeout_sweep"] = q_session_timeout_sweep
+ORACLE_SQL["session_timeout_sweep"] = _sweep_sql()
