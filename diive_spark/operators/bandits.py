@@ -33,7 +33,17 @@ def ucb1_replay(
     """Replay UCB1 over (logged arm, reward) pairs.
 
     Returns (per-arm {name: (plays, reward_sum)}, n_accepted,
-    total_reward)."""
+    total_reward).
+
+    Degenerate-stream note (ADVICE r4): arm names derive from the logged
+    stream itself, so every named arm occurs at least once — but if some
+    arm's only occurrences all precede the first occurrences of the other
+    arms, the untried-first phase can deterministically propose that
+    still-untried arm on every remaining round and accept nothing further
+    (``n_accepted`` freezes).  Silent by design: replay evaluation
+    (Li et al. 2011, WSDM — unbiased offline policy replay) only scores
+    rounds where the policy's choice matches the log; a frozen stream just
+    yields fewer accepted rounds, not a wrong estimate."""
     names = sorted(set(arms.tolist()))
     plays = {a: 0 for a in names}
     rsum = {a: 0 for a in names}

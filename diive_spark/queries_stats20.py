@@ -59,10 +59,27 @@ def _label_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("a"))
     )
-    tot = ev.groupBy("user_id").agg(
-        F.floor(F.log2(F.count(F.lit(1)).cast("double")))
-        .cast("long")
-        .alias("b")
+    # ADVICE r4: floor(log2(c)) is the boundary-double class CLAUDE.md bans
+    # (Spark StrictMath.log(x)/log(2) vs DuckDB libm log2 differ in the last
+    # ulp at exact powers of two).  Compute the bucket in exact integer
+    # arithmetic instead: broadcast-join a 41-row power-of-two threshold
+    # table (covers counts < 2^41; beyond that the inner join drops the user
+    # and the row-count compare fails LOUDLY rather than silently drifting).
+    thr = spark.range(0, 41).select(
+        F.col("id").cast("long").alias("b"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").alias("lo"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(id + 1 AS INT)) - 1"
+        ).alias("hi"),
+    )
+    tot = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(
+            F.broadcast(thr),
+            (F.col("c") >= F.col("lo")) & (F.col("c") <= F.col("hi")),
+        )
+        .select("user_id", "b")
     )
     lab = mode.join(tot, "user_id")
     return lab.groupBy("a", "b").agg(F.count(F.lit(1)).alias("nij"))
@@ -80,9 +97,18 @@ _CELLS_SQL = """cells AS (
              ) AS rn
       FROM pu
     ) WHERE rn = 1
-  ), tot AS (
-    SELECT user_id, CAST(floor(log2(count(*))) AS BIGINT) AS b
+  ), cnt AS (
+    SELECT user_id, count(*) AS c
     FROM events GROUP BY 1
+  ), thr AS (
+    -- exact-integer twin of the Spark power-of-two bucket join (ADVICE r4)
+    SELECT CAST(k AS BIGINT) AS b,
+           (CAST(1 AS BIGINT) << k) AS lo,
+           ((CAST(1 AS BIGINT) << (k + 1)) - 1) AS hi
+    FROM range(41) t(k)
+  ), tot AS (
+    SELECT cnt.user_id, thr.b
+    FROM cnt JOIN thr ON cnt.c BETWEEN thr.lo AND thr.hi
   )
   SELECT mode.a, tot.b, CAST(count(*) AS BIGINT) AS nij
   FROM mode JOIN tot USING (user_id)
@@ -1126,6 +1152,16 @@ def q_apsp_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         {r.i for r in rows} | {r.j for r in rows}
     )
     k = len(nodes)
+    # ADVICE r4: the SQL oracle unrolls exactly 5 Floyd-Warshall pivot
+    # CTEs (d1..d5, _apsp_sql).  If the event-type cardinality ever grows
+    # past that, the oracle would silently under-relax paths — fail loudly
+    # here instead so a data change surfaces as an error, not a hash drift.
+    if k > 5:
+        raise ValueError(
+            f"apsp_closeness: {k} node types but the SQL oracle unrolls "
+            "only 5 Floyd-Warshall pivots — regenerate _apsp_sql() for "
+            f"k={k}"
+        )
     idx = {t: x for x, t in enumerate(nodes)}
     d = [[0 if a == b else _INF_E6 for b in range(k)] for a in range(k)]
     for r in rows:
@@ -3282,6 +3318,7 @@ def q_kemeny_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     types = sorted({r.i for r in rows} | {r.j for r in rows})
     w = {(r.i, r.j): int(r.w) for r in rows}
     from itertools import permutations
+    from math import factorial
 
     best = None
     for perm in permutations(types):
@@ -3292,8 +3329,11 @@ def q_kemeny_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         key = (cost, ">".join(perm))
         if best is None or key < best:
             best = key
+    # ADVICE r4: n_orders derived from the observed type set (matches the
+    # SQL twin's COUNT over its generated permutations) instead of a
+    # hardcoded 120 — the engines now agree on degenerate type counts too.
     return spark.createDataFrame(
-        [(best[1], int(best[0]), 120)],
+        [(best[1], int(best[0]), factorial(len(types)))],
         "ranking string, kemeny_cost long, n_orders long",
     )
 
@@ -3320,16 +3360,16 @@ WITH cnt AS (
 ), scored AS (
   SELECT p1 || '>' || p2 || '>' || p3 || '>' || p4 || '>' || p5
            AS ranking,
-         (SELECT w FROM prefs WHERE i = p2 AND j = p1)
-         + (SELECT w FROM prefs WHERE i = p3 AND j = p1)
-         + (SELECT w FROM prefs WHERE i = p4 AND j = p1)
-         + (SELECT w FROM prefs WHERE i = p5 AND j = p1)
-         + (SELECT w FROM prefs WHERE i = p3 AND j = p2)
-         + (SELECT w FROM prefs WHERE i = p4 AND j = p2)
-         + (SELECT w FROM prefs WHERE i = p5 AND j = p2)
-         + (SELECT w FROM prefs WHERE i = p4 AND j = p3)
-         + (SELECT w FROM prefs WHERE i = p5 AND j = p3)
-         + (SELECT w FROM prefs WHERE i = p5 AND j = p4)
+         COALESCE((SELECT w FROM prefs WHERE i = p2 AND j = p1), 0)
+         + COALESCE((SELECT w FROM prefs WHERE i = p3 AND j = p1), 0)
+         + COALESCE((SELECT w FROM prefs WHERE i = p4 AND j = p1), 0)
+         + COALESCE((SELECT w FROM prefs WHERE i = p5 AND j = p1), 0)
+         + COALESCE((SELECT w FROM prefs WHERE i = p3 AND j = p2), 0)
+         + COALESCE((SELECT w FROM prefs WHERE i = p4 AND j = p2), 0)
+         + COALESCE((SELECT w FROM prefs WHERE i = p5 AND j = p2), 0)
+         + COALESCE((SELECT w FROM prefs WHERE i = p4 AND j = p3), 0)
+         + COALESCE((SELECT w FROM prefs WHERE i = p5 AND j = p3), 0)
+         + COALESCE((SELECT w FROM prefs WHERE i = p5 AND j = p4), 0)
            AS kemeny_cost
   FROM perms
 )
@@ -4275,9 +4315,16 @@ def q_ucc_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     def ucc(df, cols, name):
+        # ADVICE r4: concat_ws SKIPS null components while the DuckDB twin's
+        # `||` nulls the whole key — make NULL semantics identical in both
+        # engines by coalescing every component to an explicit sentinel.
         d = df.select(
             F.concat_ws(
-                "\x1f", *[F.col(c).cast("string") for c in cols]
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+                    for c in cols
+                ],
             ).alias("k")
         )
         return d.agg(
@@ -4319,23 +4366,29 @@ def q_ucc_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_UCC = f"""
 WITH cand AS (
+  -- ADVICE r4: every component COALESCEd to '<null>' so NULL semantics
+  -- match Spark's sentinel-coalesced concat_ws exactly.
   SELECT 'ev(event_id)' AS candidate,
-         CAST(event_id AS VARCHAR) AS k FROM events
+         COALESCE(CAST(event_id AS VARCHAR), '<null>') AS k FROM events
   UNION ALL
   SELECT 'ev(user_id,ts)',
-         CAST(user_id AS VARCHAR) || chr(31) || CAST(ts AS VARCHAR)
+         COALESCE(CAST(user_id AS VARCHAR), '<null>') || chr(31)
+           || COALESCE(CAST(ts AS VARCHAR), '<null>')
   FROM events
   UNION ALL
   SELECT 'ev(user_id,type,ts)',
-         CAST(user_id AS VARCHAR) || chr(31) || event_type
-           || chr(31) || CAST(ts AS VARCHAR)
+         COALESCE(CAST(user_id AS VARCHAR), '<null>') || chr(31)
+           || COALESCE(event_type, '<null>')
+           || chr(31) || COALESCE(CAST(ts AS VARCHAR), '<null>')
   FROM events
   UNION ALL
-  SELECT 'doc(doc_id)', CAST(doc_id AS VARCHAR) FROM documents
+  SELECT 'doc(doc_id)',
+         COALESCE(CAST(doc_id AS VARCHAR), '<null>') FROM documents
   UNION ALL
   SELECT 'doc(lang,src,len)',
-         lang || chr(31) || source || chr(31)
-           || CAST(n_chars AS VARCHAR)
+         COALESCE(lang, '<null>') || chr(31)
+           || COALESCE(source, '<null>') || chr(31)
+           || COALESCE(CAST(n_chars AS VARCHAR), '<null>')
   FROM documents
 )
 SELECT candidate,
