@@ -907,72 +907,74 @@ QUERIES.update(_qst20.QUERIES)
 ORACLE_SQL.update(_qst20.ORACLE_SQL)
 
 # Driver-window ordering: the driver records correctness rows for exactly the
-# first 50 registry entries.  Round-4 rotation (VERDICT r3 #1/#2): the three
-# r03 hash-fails stay in the window so CORRECTNESS_r04 records the HUGEINT
-# repair; the 29 oracle-backed queries that have NEVER had a driver row come
-# next (this finishes the job round 2 started — after r04 every oracle query
-# has a driver row); then every query whose PHYSICAL PLAN changed this round
-# (distributed ntile/rank swaps, persist changes), then the riskiest prior
-# greens (the round-3 rewrites that kept their old driver history).
+# first 50 registry entries.  Round-5 rotation (VERDICT r4 #1/#8): registry
+# FROZEN — every slot retires verification debt.  44 never-driver-checked
+# oracle queries, risk-ranked per the verdict (cross-engine-numerics-heaviest
+# first: the stats20 kernel audits just touched by the ADVICE fixes, then
+# meteo2, embeddings, text5, the stats17 Newton/EM/special-function twins,
+# and the stats19/20 kernel audits), plus the 6 LLM-pipeline-heart re-checks
+# whose last driver row was r03 (VERDICT r4 #8).
 _FRONT = [
-    # --- 3 re-checks: r03 hash-fails, oracle casts repaired this round ---
-    "trend_mann_kendall",
-    "scd2_url_versions",
-    "hysteresis_alerts",
-    # --- 29 never-driver-checked oracle queries (VERDICT list) ---
-    "acf_hourly",
-    "asof_join_events",
-    "cohort_retention",
-    "corpus_as_of",
-    "cusum_shift",
-    "decontaminate_ngram",
-    "domain_cap",
-    "ewma_hourly",
-    "funnel_events",
-    "heatmap_datetime",
-    "heavy_hitters_verified",
-    "interval_join_sessions",
-    "line_dedup",
-    "lm_bigram_score",
-    "ngram_repetition",
-    "overlap_outages",
-    "politeness_schedule",
-    "quality_filter",
-    "redact_pii",
-    "repeated_spans",
-    "seasonal_decompose",
-    "sessionize_events",
-    "shard_pack",
-    "stratified_sample",
-    "tier_quantile_hist",
-    "tier_topk_users",
-    "time_in_state_median",
-    "time_weighted_hourly",
-    "url_canon_dedup",
-    # --- plans changed this round: re-verify against unchanged oracles ---
-    "qxy_binagg",
-    "optimum_range",
-    "dsir_select",
-    "perplexity_buckets",
-    "binseg_changepoints",
-    # --- new oracle-backed queries this round (no driver row yet) ---
-    "trend_ols",
-    "doc_keywords",
-    "term_pmi",
-    "zipf_slope",
-    "readability",
-    "bloom_decontaminate",
-    "minmax_preselect",
-    "weighted_sample",
-    # --- drift battery (new this round, no driver row yet); these displace
-    # the 5 riskiest-prior-greens (dedup_simhash/minhash/clusters,
-    # random_uncertainty, dedup_incremental) which all have green driver
-    # rows from r02/r03 — never-checked beats re-check ---
-    "ks_drift",
-    "psi_drift",
-    "benford_digits",
-    "max_drawdown",
-    "ccf_lags",
+    # --- 5 ADVICE-fix verifications (stats20, oracle/semantics changed
+    #     this round — never driver-checked AND just modified) ---
+    "adjusted_rand_index",
+    "v_measure_clustering",
+    "kemeny_ranking",
+    "apsp_closeness",
+    "ucc_key_audit",
+    # --- meteo2 battery (8, never checked) ---
+    "energy_balance_closure",
+    "degree_days",
+    "penman_monteith_et0",
+    "lloyd_taylor_grid",
+    "stability_parameter",
+    "footprint_schuepp",
+    "wpl_correction",
+    "bowen_ratio_profile",
+    # --- embeddings audits (7, never checked) ---
+    "knn_loo_accuracy",
+    "hyperplane_lsh_audit",
+    "embedding_norm_profile",
+    "centroid_gram",
+    "ndcg_mrr_at5",
+    "schilling_knn",
+    "cka_halves",
+    # --- text5 battery (5, never checked) ---
+    "symspell_neighbors",
+    "craigs_zeta",
+    "oov_rate",
+    "cooccurrence_jaccard",
+    "fairness_metrics",
+    # --- stats17 numerics-heaviest twins (12: Newton GLMs, EM, special
+    #     functions, extreme-value tails — the class most exposed to
+    #     cross-engine double drift) ---
+    "poisson_glm_newton",
+    "logistic_glm_newton",
+    "cox_ph_newton",
+    "gmm2_em",
+    "kde_silverman",
+    "pot_return_level",
+    "crps_climatology",
+    "winkler_interval_score",
+    "thurstone_case_v",
+    "plackett_luce_mm",
+    "bradley_terry_mm",
+    "llc_panel_unit_root",
+    # --- stats19/20 kernel audits (7, never checked) ---
+    "fellegi_sunter_em",
+    "geometric_median_weiszfeld",
+    "mewma_t2",
+    "mic_equipartition",
+    "fd_violation_audit",
+    "ind_coverage_audit",
+    "core_periphery_fit",
+    # --- 6 LLM-pipeline-heart re-checks (last driver row r03) ---
+    "dedup_incremental",
+    "semantic_dedup",
+    "ann_cosine_ivf_trained",
+    "nb_langid_train",
+    "curation_pipeline",
+    "dedup_clusters",
 ]
 _front = {k: QUERIES[k] for k in _FRONT if k in QUERIES}
 QUERIES = {
