@@ -49,47 +49,83 @@ def run_bench() -> dict:
     # Each query still builds its DataFrame fresh per run (no cached
     # plans are reused across the two runs beyond Spark's normal
     # session state).
+    #
+    # VERDICT r4 #3: the old single-loop budget guard silently degraded
+    # 703/981 queries to one run once the wall passed 480 s.  Two-pass
+    # structure instead: pass 1 times EVERY query once (full coverage
+    # survives any interruption), pass 2 spends the remaining budget on
+    # second runs in registry order and takes the min.  A SIGTERM from a
+    # caller-side timeout dumps whatever is complete so the round artifact
+    # is never lost.
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    # Wall-clock budget guard: the registry is 300+ queries, so a
-    # best-of-2 pass can outlive a caller-side timeout — and this
-    # harness prints ONLY at the end, which would lose the whole
-    # record.  Past the budget, degrade remaining queries to a single
-    # run (recorded in "degraded" so the methodology stays honest).
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "480"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2100"))
     bench_t0 = time.perf_counter()
     timings: dict[str, float] = {}
-    degraded: list[str] = []
-    for name, fn in q.QUERIES.items():
-        runs = runs_per_query
-        if time.perf_counter() - bench_t0 > budget_s and runs > 1:
-            runs = 1
-            degraded.append(name)
-        best = float("inf")
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            _ = df.count()
-            best = min(best, time.perf_counter() - t0)
-            # queries that persist intermediates (signature tables) must
-            # rebuild them each run — cache reuse would hide their cost
-            spark.catalog.clearCache()
-        timings[name] = round(best, 4)
-    total = round(sum(timings.values()), 4)
-    try:
-        sf = float(SF_DIR.rstrip("/").split("sf")[-1])
-    except ValueError:
-        sf = None
-    rec = {
-        "metric": "total_query_time",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "runs_per_query": runs_per_query,
-    }
-    if degraded:
-        rec["degraded_to_one_run"] = degraded
-    return rec
+    second_runs: set[str] = set()
+
+    def one_run(fn) -> float:
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        _ = df.count()
+        dt = time.perf_counter() - t0
+        # queries that persist intermediates (signature tables) must
+        # rebuild them each run — cache reuse would hide their cost
+        spark.catalog.clearCache()
+        return dt
+
+    def snapshot() -> dict:
+        degraded = [n for n in timings if n not in second_runs]
+        try:
+            sf = float(SF_DIR.rstrip("/").split("sf")[-1])
+        except ValueError:
+            sf = None
+        rec = {
+            "metric": "total_query_time",
+            "value": round(sum(timings.values()), 4),
+            "unit": "sec",
+            "queries": {n: round(v, 4) for n, v in timings.items()},
+            "sf": sf,
+            "runs_per_query": runs_per_query,
+        }
+        if degraded and runs_per_query > 1:
+            rec["degraded_to_one_run"] = degraded
+        return rec
+
+    import signal
+
+    def on_term(signum, frame):  # pragma: no cover - driver-kill path
+        rec = snapshot()
+        rec["interrupted"] = True
+        (REPO / "bench_out.json").write_text(json.dumps(rec, indent=1))
+        print(json.dumps(rec), flush=True)
+        print(
+            json.dumps(
+                {
+                    "metric": rec["metric"],
+                    "value": rec["value"],
+                    "unit": rec["unit"],
+                    "sf": rec["sf"],
+                    "n_queries": len(rec["queries"]),
+                    "interrupted": True,
+                }
+            ),
+            flush=True,
+        )
+        sys.exit(1)
+
+    signal.signal(signal.SIGTERM, on_term)
+    signal.signal(signal.SIGINT, on_term)
+
+    items = list(q.QUERIES.items())
+    for name, fn in items:  # pass 1: coverage
+        timings[name] = one_run(fn)
+    for rep in range(1, runs_per_query):  # pass 2+: stability
+        for name, fn in items:
+            if time.perf_counter() - bench_t0 > budget_s:
+                break
+            timings[name] = min(timings[name], one_run(fn))
+            second_runs.add(name)
+    return snapshot()
 
 
 SCALE_KEYS = 8000
