@@ -30,6 +30,8 @@ __all__ = [
     "kll_sketch",
     "kll_rank",
     "kll_frame",
+    "kll_merge",
+    "kll_quantile",
     "frequent_directions",
     "fd_frame",
 ]
@@ -69,6 +71,57 @@ def kll_sketch(x: np.ndarray, k: int = 64) -> KLL:
     for v in x:
         sk.update(float(v))
     return sk
+
+
+def kll_merge(a: KLL, b: KLL) -> KLL:
+    """Merge two KLL sketches (tier-partials path, plans/sketch_partials).
+
+    Standard mergeable-summary construction: concatenate level buffers
+    pairwise, then re-run the compaction loop bottom-up.  Deterministic
+    (no randomness — the derandomized offset alternation continues from
+    the summed flip counters), which is what lets the tier tests pin
+    engine-merged state bit-equal to a direct Python fold.  NOT
+    commutative bit-for-bit (like any KLL merge); the rank-error
+    guarantee is preserved under any merge tree (Karnin-Lang-Liberty
+    FOCS'16, Thm 2 mergeability)."""
+    out = KLL(a.k)
+    out.n = a.n + b.n
+    out._flips = a._flips + b._flips
+    H = max(len(a.levels), len(b.levels))
+    out.levels = [
+        (a.levels[h] if h < len(a.levels) else [])
+        + (b.levels[h] if h < len(b.levels) else [])
+        for h in range(H)
+    ]
+    h = 0
+    while h < len(out.levels):
+        while len(out.levels[h]) > out._cap(h):
+            buf = sorted(out.levels[h])
+            off = out._flips & 1
+            out._flips += 1
+            promoted = buf[off::2]
+            out.levels[h] = []
+            if h + 1 == len(out.levels):
+                out.levels.append([])
+            out.levels[h + 1].extend(promoted)
+        h += 1
+    return out
+
+
+def kll_quantile(sk: KLL, q: float) -> float:
+    """Smallest stored item whose estimated rank reaches q*n."""
+    items: list[tuple[float, float]] = []
+    for h, buf in enumerate(sk.levels):
+        w = float(1 << h)
+        items.extend((u, w) for u in buf)
+    items.sort()
+    target = q * sk.n
+    cum = 0.0
+    for v, w in items:
+        cum += w
+        if cum >= target:
+            return v
+    return items[-1][0] if items else float("nan")
 
 
 def kll_rank(sk: KLL, v: float) -> float:

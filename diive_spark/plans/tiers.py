@@ -196,29 +196,42 @@ class TierEngine:
 
     # -- partial aggregation -------------------------------------------------
     def _partials(self, df: DataFrame, tier: TierSpec) -> DataFrame:
-        """Map-side partial aggregates per (key, window_end)."""
+        """Map-side partial aggregates per (key, window_end).
+
+        A spec normally supplies Column aggregates (``partial_exprs``);
+        kernel specs whose partial state is not expressible as built-in
+        aggregates (KLL / Frequent-Directions sketches,
+        ``plans/sketch_partials.py``) instead supply ``partial_frame``, an
+        applyInPandas grouped transform over the same (key, window_end_s)
+        grouping — the rest of the engine (lineage, intent-log resume,
+        partition-scoped swap, expiry, compaction) is unchanged either way.
+        """
         ts_eff = F.col(self.ts_col)
         if self.source_freq_seconds:
             ts_eff = ts_shift(ts_eff, -self.source_freq_seconds / 2)
         us = tier.seconds * 1_000_000
         wend = (F.floor(F.unix_micros(ts_eff.cast("timestamp")) / us) + 1) * tier.seconds
-        return (
-            df.withColumn("window_end_s", wend.cast("long"))
-            .withColumn(
-                "_ts_s",
-                F.floor(
-                    F.unix_micros(F.col(self.ts_col).cast("timestamp"))
-                    / 1_000_000
-                ).cast("long"),
+        base = df.withColumn("window_end_s", wend.cast("long")).withColumn(
+            "_ts_s",
+            F.floor(
+                F.unix_micros(F.col(self.ts_col).cast("timestamp"))
+                / 1_000_000
+            ).cast("long"),
+        )
+        if hasattr(self.partials, "partial_frame"):
+            agg = self.partials.partial_frame(
+                base, self.key_col, self.value_col, "_ts_s",
+                ["window_end_s"],
             )
-            .groupBy(self.key_col, "window_end_s")
-            .agg(*self.partials.partial_exprs(self.value_col, "_ts_s"))
-            .withColumn(
-                "window_day",
-                F.date_format(
-                    F.timestamp_seconds(F.col("window_end_s") - 1), "yyyy-MM-dd"
-                ),
+        else:
+            agg = base.groupBy(self.key_col, "window_end_s").agg(
+                *self.partials.partial_exprs(self.value_col, "_ts_s")
             )
+        return agg.withColumn(
+            "window_day",
+            F.date_format(
+                F.timestamp_seconds(F.col("window_end_s") - 1), "yyyy-MM-dd"
+            ),
         )
 
     # -- incremental apply ----------------------------------------------------
@@ -280,11 +293,16 @@ class TierEngine:
                         .parquet(*live_paths)
                         .withColumn("window_day", F.col("window_day").cast("string"))
                     )
-                    merged_touch = (
-                        touch.unionByName(delta)
-                        .groupBy(self.key_col, "window_end_s", "window_day")
-                        .agg(*self.partials.merge_exprs())
-                    )
+                    both = touch.unionByName(delta)
+                    if hasattr(self.partials, "merge_frame"):
+                        merged_touch = self.partials.merge_frame(
+                            both,
+                            [self.key_col, "window_end_s", "window_day"],
+                        )
+                    else:
+                        merged_touch = both.groupBy(
+                            self.key_col, "window_end_s", "window_day"
+                        ).agg(*self.partials.merge_exprs())
                 else:
                     merged_touch = delta
                 (
