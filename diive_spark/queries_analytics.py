@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from diive_spark.operators import analytics as AN
-from diive_spark.operators.analytics import global_ntile
+from diive_spark.operators.analytics import global_ntile, global_ntile_multi
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -353,14 +353,22 @@ def q_qxy_binagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-3 verdict #4: an unpartitioned Window.orderBy ntile funnels the
     # whole table through ONE task; global_ntile is the distributed exact
     # equivalent (range-bucketed rank, pinned bit-identical in tests).
-    li = _lineitem(spark, sf_dir)
-    binned = global_ntile(
-        li, ["l_quantity", "l_orderkey", "l_linenumber"], 10,
-        out_col="xbin",
+    li = _lineitem(spark, sf_dir).select(
+        # explicit prune: only the sort keys + the z measure ride the two
+        # rank-window sort exchanges
+        "l_quantity", "l_extendedprice", "l_orderkey", "l_linenumber",
+        "l_discount",
     )
-    binned = global_ntile(
-        binned, ["l_extendedprice", "l_orderkey", "l_linenumber"], 10,
-        out_col="ybin",
+    # VERDICT r4 #6: both deciles in ONE fused plan — one shared
+    # approxQuantile sampling action, offsets from the raw bucketed scan
+    # (the old chained form re-ran the x window inside the y offsets
+    # branch), chained rank windows in a single job.
+    binned = global_ntile_multi(
+        li,
+        [
+            (["l_quantity", "l_orderkey", "l_linenumber"], 10, "xbin"),
+            (["l_extendedprice", "l_orderkey", "l_linenumber"], 10, "ybin"),
+        ],
     )
     return (
         binned.groupBy(
