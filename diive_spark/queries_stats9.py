@@ -860,23 +860,29 @@ def q_adjacent_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _documents(spark, sf_dir).select("source", "doc_id", "text")
     w = Window.partitionBy("source").orderBy("doc_id")
     d = d.withColumn("nxt", F.lead("doc_id").over(w))
-    sh = d.select(
-        "source",
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                # sequence(1, 0) DESCENDS and slice() rejects start 0
-                # (house trap, cf. text/rankprofile.py) — gate on token
-                # count instead of filtering after the fact
-                F.expr(
-                    "CASE WHEN size(split(trim(text), '\\\\s+')) >= 5 THEN"
-                    " transform(sequence(1, size(split(trim(text), '\\\\s+'))"
-                    " - 4), i -> array_join(slice(split(trim(text),"
-                    " '\\\\s+'), i, 5), ' '))"
-                    " ELSE array() END"
+    sh = (
+        # hoist the tokenization OUT of the lambda (round-5 profile): the
+        # inline form re-ran split(trim(text)) for every i — O(tokens^2)
+        # splits per doc, 2.7 s for this stage alone at sf0.1; hoisted
+        # it is 0.57 s
+        d.withColumn("toks", F.expr("split(trim(text), '\\\\s+')"))
+        .select(
+            "source",
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    # sequence(1, 0) DESCENDS and slice() rejects start 0
+                    # (house trap, cf. text/rankprofile.py) — gate on token
+                    # count instead of filtering after the fact
+                    F.expr(
+                        "CASE WHEN size(toks) >= 5 THEN"
+                        " transform(sequence(1, size(toks) - 4),"
+                        " i -> array_join(slice(toks, i, 5), ' '))"
+                        " ELSE array() END"
+                    )
                 )
-            )
-        ).alias("g"),
+            ).alias("g"),
+        )
     )
     sz = sh.groupBy("source", "doc_id").agg(
         F.count(F.lit(1)).alias("na")
@@ -4738,13 +4744,16 @@ def q_char_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("h1"),
         "text",
     )
+    # trim hoisted out of the lambda (round-5 profile; O(len^2) -> O(len))
     ch = d.select(
+        "lang", "h1", F.expr("trim(text)").alias("_t")
+    ).select(
         "lang",
         "h1",
         F.explode(
             F.expr(
-                "filter(transform(sequence(1, greatest(length(trim(text)),"
-                " 0)), i -> substring(trim(text), i, 1)), x -> x <> '')"
+                "filter(transform(sequence(1, greatest(length(_t),"
+                " 0)), i -> substring(_t, i, 1)), x -> x <> '')"
             )
         ).alias("ch"),
     )

@@ -45,12 +45,16 @@ def char_ngrams(df: DataFrame, id_cols: list[str], text_col: str, n: int = 3) ->
     DuckDB's generate_series — the trailing length filter drops the
     short substrings that descent would otherwise produce (a no-op for
     DuckDB, where every generated gram has exactly ``n`` chars)."""
+    # trim hoisted out of the lambda (round-5 profile): the inline form
+    # re-trimmed the whole string for every i — O(len^2) char work
     return df.select(
+        *id_cols, F.expr(f"trim({text_col})").alias("_t")
+    ).select(
         *id_cols,
         F.explode(
             F.expr(
-                f"filter(transform(sequence(1, greatest(length(trim({text_col})) - {n - 1}, 0)),"
-                f" i -> substring(trim({text_col}), i, {n})),"
+                f"filter(transform(sequence(1, greatest(length(_t) - {n - 1}, 0)),"
+                f" i -> substring(_t, i, {n})),"
                 f" x -> length(x) = {n})"
             )
         ).alias("ngram"),
