@@ -20,7 +20,9 @@ sys.path.insert(0, str(REPO))
 import __spark_entry__ as entrymod  # noqa: E402
 from diive_spark.session import get_spark  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+
+SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
