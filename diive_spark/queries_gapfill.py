@@ -33,8 +33,22 @@ _W2 = 168   # ±7 days
 def q_mds_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     hr = F.floor(_epoch_s("ts") / 3600).cast("long").alias("hr")
+    # target carried as an exact e4 INTEGER (sf0.001 sweep): the fill is
+    # avg(tgt) over a candidate set, and engine avg() over doubles differs
+    # by a sum-order ulp exactly at the .xx5 floor boundary the e2 output
+    # lands on.  Over BIGINTs both engines compute exact-sum/count — one
+    # correctly-rounded division, bit-identical.
     h = ev.groupBy(hr).agg(
-        F.round(F.avg(F.when(F.col("event_type") == "purchase", F.col("value"))), 4)
+        F.round(
+            F.round(
+                F.avg(
+                    F.when(F.col("event_type") == "purchase", F.col("value"))
+                ),
+                4,
+            )
+            * 10000
+        )
+        .cast("long")
         .alias("tgt"),
         F.round(F.avg(F.when(F.col("event_type") == "click", F.col("value"))), 4)
         .alias("cov1"),
@@ -60,7 +74,8 @@ def q_mds_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         (F.col("hr") * 3600).cast("long").alias("ts_s"),
-        F.floor(F.col("y") * F.lit(100.0) + F.lit(0.5)).cast("long").alias("y_e2"),
+        # y is in e4-integer target scale; e2 output = y / 100
+        F.floor(F.col("y") / F.lit(100.0) + F.lit(0.5)).cast("long").alias("y_e2"),
         "mds_flag",
         "n_used",
     ).orderBy("ts_s")
@@ -68,8 +83,11 @@ def q_mds_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MDS_GAPFILL = f"""
 WITH h AS (
+  -- tgt as exact e4 BIGINT, mirrors Spark (see query docstring)
   SELECT CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS hr,
-         round(avg(CASE WHEN event_type = 'purchase' THEN value END), 4) AS tgt,
+         CAST(round(round(avg(CASE WHEN event_type = 'purchase'
+                               THEN value END), 4) * 10000)
+              AS BIGINT) AS tgt,
          round(avg(CASE WHEN event_type = 'click' THEN value END), 4) AS cov1,
          round(avg(CASE WHEN event_type = 'view' THEN value END), 4) AS cov2
   FROM events GROUP BY 1
@@ -101,10 +119,10 @@ t1 AS (
   GROUP BY 1
 )
 SELECT g.hr * 3600 AS ts_s,
-       CAST(floor((CASE WHEN g.tgt IS NOT NULL THEN g.tgt
+       CAST(floor((CASE WHEN g.tgt IS NOT NULL THEN CAST(g.tgt AS DOUBLE)
             WHEN n1 >= 2 THEN f1 WHEN n2 >= 2 THEN f2
             WHEN n3 >= 2 THEN f3 WHEN n4 >= 2 THEN f4 END)
-            * 100.0 + 0.5) AS BIGINT) AS y_e2,
+            / 100.0 + 0.5) AS BIGINT) AS y_e2,
        CAST(CASE WHEN g.tgt IS NOT NULL THEN 0
             WHEN n1 >= 2 THEN 1 WHEN n2 >= 2 THEN 2
             WHEN n3 >= 2 THEN 3 WHEN n4 >= 2 THEN 4 ELSE 9 END AS INT) AS mds_flag,

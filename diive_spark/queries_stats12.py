@@ -1966,11 +1966,15 @@ def q_stuart_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_users"),
         d1.cast("long").alias("d_browse"),
         d2.cast("long").alias("d_convert"),
-        F.floor(
-            num.cast("double") / den * 1_000_000 + F.lit(_OFF)
-        )
-        .cast("long")
-        .alias("chi2_e6"),
+        # degenerate guard (sf0.001 sweep): a singular 2x2 covariance
+        # (all off-diagonal movement in one direction, or no movement)
+        # leaves the statistic undefined -> NULL in both engines
+        F.when(
+            den != 0,
+            F.floor(
+                num.cast("double") / den * 1_000_000 + F.lit(_OFF)
+            ).cast("long"),
+        ).alias("chi2_e6"),
     )
 
 
@@ -2018,10 +2022,11 @@ WITH ev AS (
 SELECT CAST(n_users AS BIGINT) AS n_users,
        CAST(d1 AS BIGINT) AS d_browse,
        CAST(d2 AS BIGINT) AS d_convert,
-       CAST(floor(CAST(s22 * d1 * d1 + s11 * d2 * d2
-                       - 2 * s12 * d1 * d2 AS DOUBLE)
-                  / (s11 * s22 - s12 * s12) * 1000000 + {_OFF})
-            AS BIGINT) AS chi2_e6
+       CAST(CASE WHEN s11 * s22 - s12 * s12 = 0 THEN NULL
+            ELSE floor(CAST(s22 * d1 * d1 + s11 * d2 * d2
+                            - 2 * s12 * d1 * d2 AS DOUBLE)
+                       / (s11 * s22 - s12 * s12) * 1000000 + {_OFF})
+            END AS BIGINT) AS chi2_e6
 FROM terms
 """
 
@@ -2595,19 +2600,25 @@ def q_distance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rj, ["event_type", "day_r"])
         .join(F.broadcast(tot), "event_type")
     )
-    nd = F.col("n").cast("double")
-    A = (
-        F.col("a")
-        - F.col("ra") / nd
-        - F.col("ra_r") / nd
-        + F.col("sa") / (nd * nd)
+    # exact-integer centering (sf0.001 sweep): the old per-term double
+    # chain (a - ra/n - ra_r/n + sa/n^2) left engine-associativity ulps
+    # that the e4 floor amplified into off-by-one sums.  Multiply through
+    # by n^2: U = a*n^2 - (ra + ra_r)*n + sa is an exact BIGINT (bounded
+    # by distance-scale * 31^2), and A = U / n^2 is then ONE correctly-
+    # rounded IEEE division — bit-identical in both engines.
+    n2 = F.col("n") * F.col("n")
+    ua = (
+        F.col("a") * n2
+        - (F.col("ra") + F.col("ra_r")) * F.col("n")
+        + F.col("sa")
     )
-    B = (
-        F.col("b")
-        - F.col("rb") / nd
-        - F.col("rb_r") / nd
-        + F.col("sb") / (nd * nd)
+    ub = (
+        F.col("b") * n2
+        - (F.col("rb") + F.col("rb_r")) * F.col("n")
+        + F.col("sb")
     )
+    A = ua.cast("double") / n2.cast("double")
+    B = ub.cast("double") / n2.cast("double")
     fl = cent.select(
         "event_type",
         F.col("n"),
@@ -2668,33 +2679,30 @@ WITH ev AS (
          CAST(max(n) AS BIGINT) AS n
   FROM rows_ GROUP BY 1
 ), cent AS (
+  -- exact-integer centering, mirrors Spark (sf0.001 sweep): U is an
+  -- exact BIGINT; A = U / n^2 is one correctly-rounded IEEE division
   SELECT p.event_type,
          t.n,
-         CAST(floor((p.a - r1.ra / CAST(t.n AS DOUBLE)
-                     - r2.ra / CAST(t.n AS DOUBLE)
-                     + t.sa / (CAST(t.n AS DOUBLE) * t.n))
-                    * (p.b - r1.rb / CAST(t.n AS DOUBLE)
-                       - r2.rb / CAST(t.n AS DOUBLE)
-                       + t.sb / (CAST(t.n AS DOUBLE) * t.n))
-                    * 10000 + {_OFF}) AS BIGINT) AS ab4,
-         CAST(floor(pow(p.a - r1.ra / CAST(t.n AS DOUBLE)
-                        - r2.ra / CAST(t.n AS DOUBLE)
-                        + t.sa / (CAST(t.n AS DOUBLE) * t.n), 2)
-                    * 10000 + {_OFF}) AS BIGINT) AS aa4,
-         CAST(floor(pow(p.b - r1.rb / CAST(t.n AS DOUBLE)
-                        - r2.rb / CAST(t.n AS DOUBLE)
-                        + t.sb / (CAST(t.n AS DOUBLE) * t.n), 2)
-                    * 10000 + {_OFF}) AS BIGINT) AS bb4
+         (CAST(p.a * t.n * t.n - (r1.ra + r2.ra) * t.n + t.sa
+               AS DOUBLE) / (t.n * t.n)) AS ca,
+         (CAST(p.b * t.n * t.n - (r1.rb + r2.rb) * t.n + t.sb
+               AS DOUBLE) / (t.n * t.n)) AS cb
   FROM pairs p
   JOIN rows_ r1 ON r1.event_type = p.event_type AND r1.day = p.day
   JOIN rows_ r2 ON r2.event_type = p.event_type AND r2.day = p.day_r
   JOIN tot t ON t.event_type = p.event_type
+), fl AS (
+  SELECT event_type, n,
+         CAST(floor(ca * cb * 10000 + {_OFF}) AS BIGINT) AS ab4,
+         CAST(floor(ca * ca * 10000 + {_OFF}) AS BIGINT) AS aa4,
+         CAST(floor(cb * cb * 10000 + {_OFF}) AS BIGINT) AS bb4
+  FROM cent
 ), agg AS (
   SELECT event_type, max(n) AS n,
          CAST(sum(ab4) AS BIGINT) AS vxy4,
          CAST(sum(aa4) AS BIGINT) AS vxx4,
          CAST(sum(bb4) AS BIGINT) AS vyy4
-  FROM cent GROUP BY 1
+  FROM fl GROUP BY 1
 )
 SELECT event_type,
        CAST(n AS BIGINT) AS n_days,

@@ -4530,23 +4530,29 @@ def q_copula_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from (1-tau) by one ulp)
     lam_u = 2.0 - F.pow(F.lit(2.0), 1.0 - tau)
     lam_l = F.pow(F.lit(2.0), -(1.0 - tau) / (2.0 * tau))
+    # degenerate guard (sf0.001 sweep): with a handful of days, tau can
+    # reach 1 (all pairs concordant) or drop to <= 0; the Gumbel/Clayton
+    # inversions 1/(1-tau), 2tau/(1-tau), 2^(-(1-tau)/(2tau)) then blow
+    # past int64 (DuckDB refused a 4e71 cast) or are undefined.  The fits
+    # exist only for tau in (0, 1) -> NULL outside, both engines.
+    tau_ok = (tau > 0.0) & (tau < 0.999999)
     return agg.select(
         F.col("n_pairs").cast("long").alias("n_pairs"),
         F.col("nc").cast("long").alias("concordant"),
         F.col("nd").cast("long").alias("discordant"),
         F.floor(tau * 1_000_000 + F.lit(_OFF)).cast("long").alias("tau_e6"),
-        F.floor(th_g * 1_000_000 + F.lit(_OFF)).cast("long").alias(
-            "gumbel_theta_e6"
-        ),
-        F.floor(lam_u * 1_000_000 + F.lit(_OFF)).cast("long").alias(
-            "lambda_upper_e6"
-        ),
-        F.floor(th_c * 1_000_000 + F.lit(_OFF)).cast("long").alias(
-            "clayton_theta_e6"
-        ),
-        F.floor(lam_l * 1_000_000 + F.lit(_OFF)).cast("long").alias(
-            "lambda_lower_e6"
-        ),
+        F.when(
+            tau_ok, F.floor(th_g * 1_000_000 + F.lit(_OFF)).cast("long")
+        ).alias("gumbel_theta_e6"),
+        F.when(
+            tau_ok, F.floor(lam_u * 1_000_000 + F.lit(_OFF)).cast("long")
+        ).alias("lambda_upper_e6"),
+        F.when(
+            tau_ok, F.floor(th_c * 1_000_000 + F.lit(_OFF)).cast("long")
+        ).alias("clayton_theta_e6"),
+        F.when(
+            tau_ok, F.floor(lam_l * 1_000_000 + F.lit(_OFF)).cast("long")
+        ).alias("lambda_lower_e6"),
     )
 
 
@@ -4587,14 +4593,18 @@ SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
        nc AS concordant,
        nd AS discordant,
        CAST(floor(tau * 1000000 + {_OFF}) AS BIGINT) AS tau_e6,
-       CAST(floor(1.0 / (1.0 - tau) * 1000000 + {_OFF}) AS BIGINT)
-         AS gumbel_theta_e6,
-       CAST(floor((2.0 - 2 ^ (1.0 - tau)) * 1000000 + {_OFF}) AS BIGINT)
-         AS lambda_upper_e6,
-       CAST(floor(2.0 * tau / (1.0 - tau) * 1000000 + {_OFF}) AS BIGINT)
-         AS clayton_theta_e6,
-       CAST(floor(2 ^ (-(1.0 - tau) / (2.0 * tau)) * 1000000 + {_OFF})
-            AS BIGINT) AS lambda_lower_e6
+       CAST(CASE WHEN tau > 0.0 AND tau < 0.999999
+            THEN floor(1.0 / (1.0 - tau) * 1000000 + {_OFF})
+            END AS BIGINT) AS gumbel_theta_e6,
+       CAST(CASE WHEN tau > 0.0 AND tau < 0.999999
+            THEN floor((2.0 - 2 ^ (1.0 - tau)) * 1000000 + {_OFF})
+            END AS BIGINT) AS lambda_upper_e6,
+       CAST(CASE WHEN tau > 0.0 AND tau < 0.999999
+            THEN floor(2.0 * tau / (1.0 - tau) * 1000000 + {_OFF})
+            END AS BIGINT) AS clayton_theta_e6,
+       CAST(CASE WHEN tau > 0.0 AND tau < 0.999999
+            THEN floor(2 ^ (-(1.0 - tau) / (2.0 * tau)) * 1000000 + {_OFF})
+            END AS BIGINT) AS lambda_lower_e6
 FROM f
 """
 

@@ -3313,6 +3313,13 @@ def q_fama_macbeth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b_e6"
         ),
     )
+    # degenerate guard (sf0.001 sweep): a near-singular daily cross-
+    # section (2-3 points, den ~ eps) yields astronomically scaled
+    # slopes whose squares overflow the exact BIGINT second pass.  A
+    # daily |slope| >= 500 (b_e6 >= 5e8) is a degenerate-fit artifact,
+    # not a signal — drop it in BOTH engines (<= 31 days x (5e8)^2
+    # stays inside int64).
+    d = d.filter(F.abs(F.col("b_e6")) < 500_000_000)
     g = d.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("t"),
         F.sum("b_e6").alias("sb"),
@@ -3325,15 +3332,17 @@ def q_fama_macbeth(spark: SparkSession, sf_dir: str) -> DataFrame:
         - td * bbar * bbar
     ) / (td - 1.0)
     tstat = bbar / F.sqrt(varb / td)
-    return g.select(
+    return g.filter(F.col("t") >= 2).select(
         "event_type",
         F.col("t").cast("long").alias("n_days"),
         F.floor(bbar * 1_000_000 + F.lit(_OFF)).cast("long").alias(
             "fm_slope_e6"
         ),
-        F.floor(tstat * 10_000 + F.lit(_OFF)).cast("long").alias(
-            "fm_t_e4"
-        ),
+        # a zero slope variance (or t<2) leaves the t-stat undefined
+        F.when(
+            varb > 0,
+            F.floor(tstat * 10_000 + F.lit(_OFF)).cast("long"),
+        ).alias("fm_t_e4"),
     ).orderBy("event_type")
 
 
@@ -3355,19 +3364,22 @@ WITH {_SQL_PANEL16}, d AS (
   SELECT event_type, count(*) AS t,
          CAST(sum(b_e6) AS BIGINT) AS sb,
          CAST(sum(b_e6 * b_e6) AS BIGINT) AS sbb
-  FROM slopes GROUP BY 1
+  FROM slopes
+  WHERE abs(b_e6) < 500000000  -- degenerate-fit guard, mirrors Spark
+  GROUP BY 1
 ), f AS (
   SELECT event_type, t,
          CAST(sb AS DOUBLE) / t / 1e6 AS bbar,
          (CAST(sbb AS DOUBLE) / 1e12
           - t * (CAST(sb AS DOUBLE) / t / 1e6) ^ 2) / (t - 1.0) AS varb
-  FROM g
+  FROM g WHERE t >= 2
 )
 SELECT event_type,
        CAST(t AS BIGINT) AS n_days,
        CAST(floor(bbar * 1000000 + {_OFF}) AS BIGINT) AS fm_slope_e6,
-       CAST(floor(bbar / sqrt(varb / t) * 10000 + {_OFF}) AS BIGINT)
-         AS fm_t_e4
+       CAST(CASE WHEN varb > 0
+            THEN floor(bbar / sqrt(varb / t) * 10000 + {_OFF})
+            END AS BIGINT) AS fm_t_e4
 FROM f ORDER BY event_type
 """
 

@@ -2585,14 +2585,19 @@ def q_fgt_poverty(spark: SparkSession, sf_dir: str) -> DataFrame:
     f0 = F.coalesce(F.col("q"), F.lit(0)).cast("double") / nd
     f1 = F.coalesce(F.col("s1"), F.lit(0)).cast("double") / (nd * 1e12)
     f2 = F.coalesce(F.col("s2"), F.lit(0)).cast("double") / (nd * 1e12)
-    gp = (
-        F.coalesce(F.col("sdiff"), F.lit(0)).cast("double")
-        / (
-            F.coalesce(F.col("qq"), F.lit(1)).cast("double")
-            * F.coalesce(F.col("sx"), F.lit(1)).cast("double")
-        )
+    # degenerate guards (sf0.001 sweep): a type with ZERO poor users has
+    # f0 = 0, making the income-gap ratio 0/0 — all poverty measures are
+    # 0 by definition then.  A poor subset whose spends are all zero
+    # (sx = 0) leaves the within-poor Gini undefined -> 0.
+    gp_den = (
+        F.coalesce(F.col("qq"), F.lit(1)).cast("double")
+        * F.coalesce(F.col("sx"), F.lit(1)).cast("double")
     )
-    i_gap = f1 / f0
+    gp = F.when(
+        gp_den != 0,
+        F.coalesce(F.col("sdiff"), F.lit(0)).cast("double") / gp_den,
+    ).otherwise(F.lit(0.0))
+    i_gap = F.when(f0 != 0, f1 / f0).otherwise(F.lit(0.0))
     sen = f0 * (i_gap + (1.0 - i_gap) * gp)
     return j.select(
         "event_type",
@@ -2666,11 +2671,15 @@ SELECT nall.event_type AS event_type,
        CAST(floor(CAST(coalesce(pagg.s2, 0) AS DOUBLE)
                   / (CAST(nall.n AS DOUBLE) * 1e12) * 1e6 + {_OFF})
             AS BIGINT) AS fgt2_e6,
-       CAST(floor(CAST(coalesce(gini.sdiff, 0) AS DOUBLE)
+       CAST(CASE WHEN coalesce(gini.qq, 1) * coalesce(gini.sx, 1) = 0
+            THEN 0
+            ELSE floor(CAST(coalesce(gini.sdiff, 0) AS DOUBLE)
                   / (CAST(coalesce(gini.qq, 1) AS DOUBLE)
                      * CAST(coalesce(gini.sx, 1) AS DOUBLE)) * 1e6
-                  + {_OFF}) AS BIGINT) AS gini_poor_e6,
-       CAST(floor(
+                  + {_OFF})
+            END AS BIGINT) AS gini_poor_e6,
+       CAST(CASE WHEN coalesce(pagg.q, 0) = 0 THEN 0
+            ELSE floor(
          (CAST(coalesce(pagg.q, 0) AS DOUBLE) / nall.n)
          * ((CAST(coalesce(pagg.s1, 0) AS DOUBLE)
              / (CAST(nall.n AS DOUBLE) * 1e12))
@@ -2678,10 +2687,13 @@ SELECT nall.event_type AS event_type,
             + (1.0 - (CAST(coalesce(pagg.s1, 0) AS DOUBLE)
                       / (CAST(nall.n AS DOUBLE) * 1e12))
                      / (CAST(coalesce(pagg.q, 0) AS DOUBLE) / nall.n))
-              * (CAST(coalesce(gini.sdiff, 0) AS DOUBLE)
+              * (CASE WHEN coalesce(gini.qq, 1) * coalesce(gini.sx, 1) = 0
+                 THEN 0.0
+                 ELSE CAST(coalesce(gini.sdiff, 0) AS DOUBLE)
                  / (CAST(coalesce(gini.qq, 1) AS DOUBLE)
-                    * CAST(coalesce(gini.sx, 1) AS DOUBLE))))
-         * 1e6 + {_OFF}) AS BIGINT) AS sen_e6
+                    * CAST(coalesce(gini.sx, 1) AS DOUBLE)) END))
+         * 1e6 + {_OFF})
+            END AS BIGINT) AS sen_e6
 FROM nall
 LEFT JOIN pagg ON pagg.event_type = nall.event_type
 LEFT JOIN gini ON gini.event_type = nall.event_type
