@@ -42,8 +42,20 @@ def global_row_number(
     parts = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"
     )
-    ranged = df.repartitionByRange(int(parts), *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    from pyspark import StorageLevel
+
+    ranged = (
+        df.repartitionByRange(int(parts), *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        # PERSIST is load-bearing (sf0.1 sweep found duplicates+gaps):
+        # without it the counts job and the ranking job each execute the
+        # range exchange independently, and AQE coalescing / boundary
+        # sampling may produce DIFFERENT physical layouts — offsets keyed
+        # by the first run's partition ids then misalign with the second
+        # run's rows.  Materializing once pins a single layout that both
+        # jobs read (the standard sortWithinPartitions+zipWithIndex
+        # construction; disk-spilling level for the 100 TB shape).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # one tiny job: per-partition row counts -> cumulative offsets
     counts = {

@@ -163,37 +163,78 @@ FROM (
 
 def q_sstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series summary statistics: count/mean/std/var/sum/median/min/max
-    + exact percentiles (SURVEY §2.3 A6 `sstats`)."""
-    ev = _events(spark, sf_dir)
+    + exact percentiles (SURVEY §2.3 A6 `sstats`).
+
+    sf0.1-sweep hardening: the SUM-based columns (mean/sd/var/sum) used
+    to be round(avg(value), 4) over raw doubles — engine summation order
+    differs by an ulp and 1-in-100k rows land on the round boundary.
+    They now derive from exact e4-integer sums (v4 = floor(value*1e4 +
+    1/pi)) with floor-scaled integer output, bit-identical at any scale.
+    Selection-based columns (min/max/median/percentiles) keep the raw
+    metric: their inputs are identical doubles in both engines.
+    """
+    off = 0.31830988618367
+    ev = _events(spark, sf_dir).withColumn(
+        "v4", F.floor(F.col("value") * 10_000 + F.lit(off)).cast("long")
+    )
     out = ev.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
         F.count("value").cast("long").alias("n_vals"),
-        F.round(F.avg("value"), 4).alias("mean"),
-        F.round(F.stddev_samp("value"), 4).alias("sd"),
-        F.round(F.var_samp("value"), 4).alias("var"),
-        F.round(F.sum("value"), 4).alias("sum"),
+        F.sum("v4").alias("_s1"),
+        F.sum(F.col("v4") * F.col("v4")).alias("_s2"),
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("median"),
         F.round(F.min("value"), 4).alias("min"),
         F.round(F.max("value"), 4).alias("max"),
         F.round(F.expr("percentile(value, 0.05)"), 4).alias("p05"),
         F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
     )
-    return out
+    nd = F.col("n_vals").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    var4 = (s2 - s1 * s1 / nd) / (nd - 1.0) / 10_000.0
+    return out.select(
+        "user_id",
+        "n_vals",
+        F.floor(s1 / nd + F.lit(off)).cast("long").alias("mean_e4"),
+        F.floor(F.sqrt(var4) * 10_000 + F.lit(off)).cast("long").alias(
+            "sd_e4"
+        ),
+        F.floor(var4 + F.lit(off)).cast("long").alias("var_e4"),
+        F.col("_s1").alias("sum_e4"),
+        "median", "min", "max", "p05", "p95",
+    )
 
 
 SQL_SSTATS = """
-SELECT CAST(user_id AS BIGINT) AS user_id,
-       CAST(count(value) AS BIGINT) AS n_vals,
-       round(avg(value), 4) AS mean,
-       round(stddev_samp(value), 4) AS sd,
-       round(var_samp(value), 4) AS var,
-       round(sum(value), 4) AS sum,
-       round(quantile_cont(value, 0.5), 4) AS median,
-       round(min(value), 4) AS min,
-       round(max(value), 4) AS max,
-       round(quantile_cont(value, 0.05), 4) AS p05,
-       round(quantile_cont(value, 0.95), 4) AS p95
-FROM events
-GROUP BY 1
+WITH b AS (
+  SELECT user_id, value,
+         CAST(floor(value * 10000 + 0.31830988618367) AS BIGINT) AS v4
+  FROM events
+), g AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(count(value) AS BIGINT) AS n_vals,
+         CAST(sum(v4) AS BIGINT) AS s1,
+         CAST(sum(v4 * v4) AS BIGINT) AS s2,
+         round(quantile_cont(value, 0.5), 4) AS median,
+         round(min(value), 4) AS min,
+         round(max(value), 4) AS max,
+         round(quantile_cont(value, 0.05), 4) AS p05,
+         round(quantile_cont(value, 0.95), 4) AS p95
+  FROM b GROUP BY 1
+)
+SELECT user_id, n_vals,
+       CAST(floor(CAST(s1 AS DOUBLE) / n_vals + 0.31830988618367)
+            AS BIGINT) AS mean_e4,
+       CAST(floor(sqrt((CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * s1 / n_vals)
+                       / (n_vals - 1.0) / 10000.0) * 10000
+                  + 0.31830988618367) AS BIGINT) AS sd_e4,
+       CAST(floor((CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * s1 / n_vals)
+                  / (n_vals - 1.0) / 10000.0 + 0.31830988618367)
+            AS BIGINT) AS var_e4,
+       s1 AS sum_e4,
+       median, min, max, p05, p95
+FROM g
 """
 
 
@@ -502,8 +543,18 @@ FROM g
 def q_tier_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-resolution rollup: the reference re-runs the gated resample per
     resolution (SURVEY §2.3 note after A17); one row set per tier, tagged."""
+    # sf0.1-sweep hardening: the operator is fed e4-INTEGER-valued
+    # doubles (floor(value*1e4 + 1/pi)) so its internal avg() sums are
+    # integral at every partial — exact in ANY summation order — and the
+    # emitted mean is one correctly-rounded division presented back at
+    # value scale.  The gated-resample operator itself stays under test.
+    off = 0.31830988618367
     ev = _events(spark, sf_dir).select(
-        F.col("user_id").cast("long").alias("user_id"), "ts", "value"
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts",
+        F.floor(F.col("value") * 10_000 + F.lit(off))
+        .cast("double")
+        .alias("value"),
     )
     outs = []
     for tier_name, secs in (("1h", 3600), ("1d", 86400)):
@@ -513,7 +564,9 @@ def q_tier_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(tier_name).alias("tier"),
             "user_id",
             _epoch_s("window_end").cast("long").alias("window_end_s"),
-            F.round("agg_mean", 4).alias("agg_mean"),
+            (F.floor(F.col("agg_mean") + F.lit(off)) / 10_000.0).alias(
+                "agg_mean"
+            ),
             F.col("n_vals").cast("long").alias("n_vals"),
         )
         outs.append(t)
@@ -521,16 +574,20 @@ def q_tier_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_tier(tier_name: str, secs: int) -> str:
+    # e4-integer mean, mirrors Spark (see q_tier_cascade comment)
     return f"""
 SELECT '{tier_name}' AS tier, CAST(user_id AS BIGINT) AS user_id,
-       window_end_s, round(agg_mean, 4) AS agg_mean,
+       window_end_s,
+       floor(agg_mean + 0.31830988618367) / 10000.0 AS agg_mean,
        CAST(n_vals AS BIGINT) AS n_vals
 FROM (
   SELECT *, max(n_slots) OVER (PARTITION BY user_id) AS maxcount
   FROM (
     SELECT user_id,
            (CAST(floor(epoch(ts) / {secs}) AS BIGINT) + 1) * {secs} AS window_end_s,
-           avg(value) AS agg_mean, count(value) AS n_vals, count(*) AS n_slots
+           avg(CAST(floor(value * 10000 + 0.31830988618367) AS BIGINT))
+             AS agg_mean,
+           count(value) AS n_vals, count(*) AS n_slots
     FROM events GROUP BY 1, 2
   )
 )

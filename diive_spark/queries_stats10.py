@@ -3012,6 +3012,10 @@ def q_range_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").alias("h"),
         F.min("v").alias("l"),
     )
+    # degenerate guard (sf0.1 sweep): a day whose low tick is 0 (value
+    # rounds to 0 cents) has no defined log-range — OHLC estimators need
+    # strictly positive prices.  Drop such days in BOTH engines.
+    ohlc = ohlc.filter(F.col("l") > 0)
     hl = F.log(F.col("h").cast("double") / F.col("l"))
     co = F.log(F.col("c").cast("double") / F.col("o"))
     hc = F.log(F.col("h").cast("double") / F.col("c"))
@@ -3090,6 +3094,7 @@ WITH ev AS (
                        * ln(CAST(l AS DOUBLE) / o)) * 1e9 + {_OFF})
               AS BIGINT) AS rs9
   FROM ohlc
+  WHERE l > 0  -- zero-low days have no defined log-range, mirrors Spark
 ), agg AS (
   SELECT event_type, count(*) AS n_days,
          CAST(sum(park9) AS BIGINT) AS p9,

@@ -316,19 +316,23 @@ def q_term_enrichment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = df.withColumn("rk", F.row_number().over(wtop)).filter(
         F.col("rk") <= 10
     )
+    # k-grid ANCHORED at the observed count a (sf0.1 sweep): the old
+    # absolute grid 0..599 broke as soon as a > 599 (bench-scale document
+    # frequencies), leaving no valid term and engine-divergent empty-tail
+    # handling.  The upper tail sums k = a .. a+599; the hypergeometric
+    # pmf decays geometrically long before 600 steps at any corpus size,
+    # and both engines truncate IDENTICALLY so parity is exact.
     ks = d.sparkSession.range(0, 600).select(
-        F.col("id").cast("long").alias("k")
+        F.col("id").cast("long").alias("j")
     )
-    t = top.crossJoin(F.broadcast(tot)).crossJoin(ks)
+    t = top.crossJoin(F.broadcast(tot)).crossJoin(ks).withColumn(
+        "k", F.col("a") + F.col("j")
+    )
     kd = F.col("k").cast("double")
     Kd = F.col("kk").cast("double")
     Nd = F.col("nn").cast("double")
     md = F.col("m").cast("double")
-    valid = (
-        (F.col("k") >= F.col("a"))
-        & (kd <= F.least(md, Kd))
-        & (md - kd <= Nd - Kd)
-    )
+    valid = (kd <= F.least(md, Kd)) & (md - kd <= Nd - Kd)
     lnp = (
         _lnchoose(Kd, kd)
         + _lnchoose(Nd - Kd, md - kd)
@@ -368,14 +372,15 @@ WITH words AS (
     SELECT *, row_number() OVER (ORDER BY m DESC, w) AS rk FROM df) s
   WHERE rk <= 10
 ), t AS (
+  -- k-grid anchored at a, mirrors Spark (see query docstring)
   SELECT top.w, top.m, top.a,
-         CAST(k AS DOUBLE) AS kd, CAST(k AS BIGINT) AS k,
+         CAST(top.a + j AS DOUBLE) AS kd,
          CAST(kk AS DOUBLE) AS capk, CAST(nn AS DOUBLE) AS capn,
          CAST(m AS DOUBLE) AS dm
-  FROM top CROSS JOIN tot, unnest(generate_series(0, 599)) AS g(k)
+  FROM top CROSS JOIN tot, unnest(generate_series(0, 599)) AS g(j)
 ), valid AS (
   SELECT * FROM t
-  WHERE k >= a AND kd <= least(dm, capk) AND dm - kd <= capn - capk
+  WHERE kd <= least(dm, capk) AND dm - kd <= capn - capk
 ), terms AS (
   SELECT w, m, a,
          CAST(floor(exp({_lnchoose_sql('capk', 'kd')}
@@ -384,15 +389,17 @@ WITH words AS (
                     * 1e12 + {_OFF}) AS BIGINT)
            AS term_e12
   FROM valid
+), psum AS (
+  SELECT w, CAST(sum(term_e12) AS BIGINT) AS p_e12
+  FROM terms GROUP BY 1
 )
-SELECT w,
-       CAST(m AS BIGINT) AS df_total,
-       a AS df_en,
-       CAST(floor(CAST(sum(term_e12) AS DOUBLE) / 1000 + {_OFF}) AS BIGINT)
-         AS p_upper_e9
-FROM terms
-GROUP BY 1, 2, 3
-ORDER BY w
+SELECT top.w,
+       CAST(top.m AS BIGINT) AS df_total,
+       top.a AS df_en,
+       CAST(floor(CAST(coalesce(psum.p_e12, 0) AS DOUBLE) / 1000 + {_OFF})
+            AS BIGINT) AS p_upper_e9
+FROM top LEFT JOIN psum ON psum.w = top.w
+ORDER BY top.w
 """
 
 

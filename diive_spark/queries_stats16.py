@@ -2003,7 +2003,10 @@ FROM f ORDER BY event_type
 
 
 def q_invgauss_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = _moments16(_vals16(spark, sf_dir))
+    # degenerate guard (sf0.1 sweep): the IG harmonic-mean term 1/v blows
+    # up on zero-cent observations; the distribution's support is (0, inf),
+    # so zero values are excluded from the fit in BOTH engines.
+    g = _moments16(_vals16(spark, sf_dir).filter(F.col("v") > 0))
     nd = F.col("n").cast("double")
     m1 = F.col("s1").cast("double") / 100.0 / nd
     m2 = F.col("s2").cast("double") / 10_000.0 / nd
@@ -2032,7 +2035,20 @@ def q_invgauss_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_INVGAUSS = f"""
-WITH {_SQL_VALS16}, {_SQL_MOM16}, c AS (
+WITH {_SQL_VALS16},
+-- IG support is (0, inf): zero-cent observations excluded, mirrors Spark
+mom AS (
+    SELECT event_type, count(*) AS n,
+           CAST(sum(v) AS BIGINT) AS s1,
+           CAST(sum(v * v) AS BIGINT) AS s2,
+           CAST(sum(CAST(floor((v / 100.0) ^ 3 * 100 + {_OFF}) AS BIGINT))
+                AS BIGINT) AS s3_e2,
+           CAST(sum(CAST(floor((v / 100.0) ^ 4 + {_OFF}) AS BIGINT))
+                AS BIGINT) AS s4_e0,
+           CAST(sum(CAST(floor(1e9 / v + {_OFF}) AS BIGINT)) AS BIGINT)
+             AS sinv_e9x100
+    FROM vals WHERE v > 0 GROUP BY 1
+), c AS (
   SELECT event_type, n,
          CAST(s1 AS DOUBLE) / 100.0 / n AS m1,
          CAST(s2 AS DOUBLE) / 10000.0 / n AS m2,

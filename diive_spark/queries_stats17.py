@@ -5625,7 +5625,12 @@ def _linear_rank_two_sample(
             F.when(F.col("is_day") == 1, F.col("gcnt") * s).otherwise(0)
         ).alias("t1"),
         F.sum(F.col("gcnt") * s).alias("st"),
-        F.sum(F.col("gcnt") * s * s).alias("sq"),
+        # sq carried in 128-bit (sf0.1 sweep): Mood's quadratic scores
+        # reach (n-1)^2, so gcnt*s^2 overflows int64 at bench-scale group
+        # sizes; decimal(38,0) keeps the sum EXACT (DuckDB twin: HUGEINT)
+        # and the final cast-to-double is the same correctly-rounded value
+        # in both engines.
+        F.sum(F.col("gcnt").cast("decimal(38,0)") * s * s).alias("sq"),
     )
     n = F.col("n").cast("double")
     n1 = F.col("n1").cast("double")
@@ -5655,7 +5660,8 @@ _SQL_LINRANK = f"""
            CAST(sum(CASE WHEN is_day = 1 THEN gcnt * s_e6 ELSE 0 END)
                 AS BIGINT) AS t1,
            CAST(sum(gcnt * s_e6) AS BIGINT) AS st,
-           CAST(sum(gcnt * s_e6 * s_e6) AS BIGINT) AS sq
+           -- HUGEINT: mirrors the Spark decimal(38,0) overflow guard
+           sum(CAST(gcnt AS HUGEINT) * s_e6 * s_e6) AS sq
     FROM pg JOIN sc ON sc.event_type = pg.event_type AND sc.v = pg.v
     GROUP BY 1
   )

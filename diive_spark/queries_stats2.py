@@ -2441,56 +2441,94 @@ ORACLE_SQL["ts_strength"] = SQL_TS_STRENGTH
 
 
 def q_ts_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # sf0.1-sweep hardening: avg/var_pop over raw doubles are summation-
+    # order-dependent at every level (Spark's partial-merge vs DuckDB's
+    # streaming variance differ by ulps on IDENTICAL inputs).  Every
+    # level now folds exact integers: hourly mean y4 (e4), tile mean m4
+    # (e4) and tile variance tv2 (e2 of raw variance), then the outer
+    # variances from exact Σ/Σ² of those ints — all double ops are
+    # fixed-association over exact integers, so both engines compute
+    # bit-identical values.
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "v4", F.floor(F.col("value") * 10_000 + F.lit(_OFF)).cast("long")
+    )
     hr = (
         F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000)
         * 3600
     ).cast("long")
     hourly = ev.groupBy("event_type", hr.alias("ts_s")).agg(
-        F.round(F.avg("value"), 4).alias("y")
+        F.floor(
+            F.sum("v4").cast("double") / F.count(F.lit(1)) + F.lit(_OFF)
+        ).cast("long").alias("y4")
     )
+    cnt = F.count(F.lit(1))
+    sy = F.sum("y4").cast("double")
+    syy = F.sum(F.col("y4") * F.col("y4")).cast("double")
+    rawvar = (syy - sy * sy / cnt) / cnt / 1e8
     tiles = hourly.groupBy(
         "event_type", (F.col("ts_s") / 86_400).cast("long").alias("tile")
     ).agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.avg("y").alias("m"),
-        F.var_pop("y").alias("s2"),
+        cnt.alias("cnt"),
+        F.floor(sy / cnt + F.lit(_OFF)).cast("long").alias("m4"),
+        F.floor(rawvar * 100 + F.lit(_OFF)).cast("long").alias("tv2"),
     ).filter(F.col("cnt") >= 12)  # tiles at least half full
     agg = tiles.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_tiles"),
-        F.var_pop("m").alias("stab"),
-        F.var_pop("s2").alias("lump"),
+        F.sum("m4").alias("sm"),
+        F.sum(F.col("m4") * F.col("m4")).alias("smm"),
+        F.sum("tv2").alias("sv"),
+        F.sum(F.col("tv2") * F.col("tv2")).alias("svv"),
     )
+    td = F.col("n_tiles").cast("double")
+    sm = F.col("sm").cast("double")
+    smm = F.col("smm").cast("double")
+    sv = F.col("sv").cast("double")
+    svv = F.col("svv").cast("double")
     return agg.filter(F.col("n_tiles") >= 2).select(
         "event_type",
         "n_tiles",
-        F.floor(F.col("stab") * 10_000 + F.lit(_OFF))
+        F.floor((smm - sm * sm / td) / td / 1e4 + F.lit(_OFF))
         .cast("long")
         .alias("stability_e4"),
-        F.floor(F.col("lump") * 10_000 + F.lit(_OFF))
+        F.floor((svv - sv * sv / td) / td + F.lit(_OFF))
         .cast("long")
         .alias("lumpiness_e4"),
     ).orderBy("event_type")
 
 
 SQL_TS_STABILITY = f"""
-WITH h AS (
+WITH b AS (
+  SELECT event_type, ts,
+         CAST(floor(value * 10000 + {_OFF}) AS BIGINT) AS v4
+  FROM events
+), h AS (
   SELECT event_type,
          CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS ts_s,
-         round(avg(value), 4) AS y
-  FROM events GROUP BY 1, 2
+         CAST(floor(CAST(sum(v4) AS DOUBLE) / count(*) + {_OFF})
+              AS BIGINT) AS y4
+  FROM b GROUP BY 1, 2
 ), tiles AS (
   SELECT event_type, ts_s // 86400 AS tile,
-         count(*) AS cnt, avg(y) AS m, var_pop(y) AS s2
+         count(*) AS cnt,
+         CAST(floor(CAST(sum(y4) AS DOUBLE) / count(*) + {_OFF})
+              AS BIGINT) AS m4,
+         CAST(floor((CAST(sum(y4 * y4) AS DOUBLE)
+                     - CAST(sum(y4) AS DOUBLE) * sum(y4) / count(*))
+                    / count(*) / 1e8 * 100 + {_OFF}) AS BIGINT) AS tv2
   FROM h GROUP BY 1, 2 HAVING count(*) >= 12
 ), agg AS (
   SELECT event_type, count(*) AS n_tiles,
-         var_pop(m) AS stab, var_pop(s2) AS lump
+         CAST(sum(m4) AS BIGINT) AS sm,
+         CAST(sum(m4 * m4) AS BIGINT) AS smm,
+         CAST(sum(tv2) AS BIGINT) AS sv,
+         CAST(sum(tv2 * tv2) AS BIGINT) AS svv
   FROM tiles GROUP BY 1
 )
 SELECT event_type, CAST(n_tiles AS BIGINT) AS n_tiles,
-       CAST(floor(stab * 10000 + {_OFF}) AS BIGINT) AS stability_e4,
-       CAST(floor(lump * 10000 + {_OFF}) AS BIGINT) AS lumpiness_e4
+       CAST(floor((CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * sm / n_tiles)
+                  / n_tiles / 1e4 + {_OFF}) AS BIGINT) AS stability_e4,
+       CAST(floor((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n_tiles)
+                  / n_tiles + {_OFF}) AS BIGINT) AS lumpiness_e4
 FROM agg WHERE n_tiles >= 2
 ORDER BY event_type
 """

@@ -102,12 +102,23 @@ FROM documents
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _documents(spark, sf_dir).select("doc_id", "text")
     out = TA.with_quality_score(d)
+
+    # floor-scale with the 1/pi offset instead of round(., 4) (sf0.1
+    # sweep): the engines compute the SAME double here, but at an exact
+    # .xxxx5 boundary Spark's BigDecimal HALF_UP and DuckDB's rounding
+    # disagree (quality_score hit 0.48125).  floor(x*1e4+OFF)/1e4 is
+    # deterministic for identical doubles.
+    def f4(c):
+        return F.floor(
+            F.col(c) * 10_000 + F.lit(0.31830988618367)
+        ) / 10_000.0
+
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.round("stopword_ratio", 4).alias("stopword_ratio"),
-        F.round("punct_ratio", 4).alias("punct_ratio"),
-        F.round("mean_token_len", 4).alias("mean_token_len"),
-        F.round("quality_score", 4).alias("quality_score"),
+        f4("stopword_ratio").alias("stopword_ratio"),
+        f4("punct_ratio").alias("punct_ratio"),
+        f4("mean_token_len").alias("mean_token_len"),
+        f4("quality_score").alias("quality_score"),
     )
 
 
@@ -128,12 +139,16 @@ WITH t AS (
   FROM t
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       round(stop_ratio, 4) AS stopword_ratio,
-       round(punct_ratio, 4) AS punct_ratio,
-       round(mean_token_len, 4) AS mean_token_len,
-       round(0.35 * len_score + 0.25 * rep_score
-             + 0.25 * least(stop_ratio * 2.0, 1.0)
-             + 0.15 * (1.0 - least(punct_ratio * 4.0, 1.0)), 4) AS quality_score
+       floor(stop_ratio * 10000 + 0.31830988618367) / 10000.0
+         AS stopword_ratio,
+       floor(punct_ratio * 10000 + 0.31830988618367) / 10000.0
+         AS punct_ratio,
+       floor(mean_token_len * 10000 + 0.31830988618367) / 10000.0
+         AS mean_token_len,
+       floor((0.35 * len_score + 0.25 * rep_score
+              + 0.25 * least(stop_ratio * 2.0, 1.0)
+              + 0.15 * (1.0 - least(punct_ratio * 4.0, 1.0))) * 10000
+             + 0.31830988618367) / 10000.0 AS quality_score
 FROM feat
 """
 

@@ -471,9 +471,22 @@ def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     hr = (F.floor(_epoch_s("ts") / 3600) * 3600).cast("long")
+    # exact e4-floored hourly mean — same hardening as ewma_hourly
     hourly = ev.groupBy(
         "event_type", hr.alias("ts_s")
-    ).agg(F.round(F.avg("value"), 4).alias("y"))
+    ).agg(
+        (
+            F.floor(
+                F.sum(
+                    F.floor(F.col("value") * 10_000 + F.lit(0.31830988618367))
+                    .cast("long")
+                ).cast("double")
+                / F.count(F.lit(1))
+                + F.lit(0.31830988618367)
+            )
+            / 10_000.0
+        ).alias("y")
+    )
     out = SEA.cusum_flags(
         hourly, ts_col="ts_s", value_col="y", by=["event_type"],
         drift_k=0.5, threshold_h=5.0,
@@ -490,9 +503,12 @@ def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CUSUM_SHIFT = """
 WITH h AS (
+  -- exact e4-floored hourly mean, mirrors Spark
   SELECT event_type,
          CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS ts_s,
-         round(avg(value), 4) AS y
+         floor(CAST(sum(CAST(floor(value * 10000 + 0.31830988618367)
+                             AS BIGINT)) AS DOUBLE)
+               / count(*) + 0.31830988618367) / 10000.0 AS y
   FROM events GROUP BY 1, 2
 ), z AS (
   SELECT event_type, ts_s, y,
@@ -651,10 +667,26 @@ def q_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from diive_spark.operators.counters import ewma_truncated
 
     ev = _events(spark, sf_dir)
+    # exact e4-floored hourly mean (sf0.1 sweep): round(avg(value), 4)
+    # drifts by a summation-order ulp at round boundaries and the EWMA
+    # chain amplifies the differing hour into neighbouring rows; the
+    # integer-sum mean is bit-identical in both engines
     hourly = ev.groupBy(
         "event_type",
         F.floor(_epoch_s("ts") / 3600).cast("long").alias("hr"),
-    ).agg(F.round(F.avg("value"), 4).alias("y"))
+    ).agg(
+        (
+            F.floor(
+                F.sum(
+                    F.floor(F.col("value") * 10_000 + F.lit(0.31830988618367))
+                    .cast("long")
+                ).cast("double")
+                / F.count(F.lit(1))
+                + F.lit(0.31830988618367)
+            )
+            / 10_000.0
+        ).alias("y")
+    )
     out = ewma_truncated(
         hourly, key_cols=["event_type"], ts_col="hr", value_col="y",
         decay=_EWMA_DECAY, k=_EWMA_K,
@@ -677,9 +709,12 @@ def _sql_ewma() -> str:
     )
     return f"""
 WITH h AS (
+  -- exact e4-floored hourly mean, mirrors Spark (see query comment)
   SELECT event_type,
          CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS hr,
-         round(avg(value), 4) AS y
+         floor(CAST(sum(CAST(floor(value * 10000 + 0.31830988618367)
+                             AS BIGINT)) AS DOUBLE)
+               / count(*) + 0.31830988618367) / 10000.0 AS y
   FROM events GROUP BY 1, 2
 )
 SELECT event_type, hr, y,
