@@ -325,10 +325,24 @@ def scenario_threshold_fanout(
     t = F.explode(F.array(*[F.lit(float(x)) for x in thresholds])).alias("threshold")
     masked = df.select(F.col(key_col), F.col(value_col).alias("_v"), t).withColumn(
         "_kept", F.when(F.col("_v") >= F.col("threshold"), F.col("_v"))
+    ).withColumn(
+        # surviving values as exact e4 integers: the scenario mean is then
+        # an order-free integer sum + one division (round(avg(double), 4)
+        # drifted at .xxxx5 boundaries in the sf0.1 sweep)
+        "_k4",
+        F.floor(F.col("_kept") * 10_000 + F.lit(0.31830988618367)).cast(
+            "long"
+        ),
     )
     return masked.groupBy(key_col, "threshold").agg(
         F.count("_kept").cast("long").alias("n_kept"),
-        F.round(F.avg("_kept"), 4).alias("mean_kept"),
+        (
+            F.floor(
+                F.sum("_k4").cast("double") / F.count("_kept")
+                + F.lit(0.31830988618367)
+            )
+            / 10_000.0
+        ).alias("mean_kept"),
     )
 
 

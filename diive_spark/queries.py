@@ -245,14 +245,29 @@ FROM g
 # ---------------------------------------------------------------------------
 
 def _gridded_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # slot mean from exact e4-integer sums (sf0.1 sweep): raw avg(value)
+    # is summation-order-dependent, and downstream round(.,4) consumers
+    # (interp_linear) flipped at .xxxx5 boundaries.  The e4-floored mean
+    # is bit-identical in both engines; all SQL twins share SQL_GRIDDED.
     ev = _events(spark, sf_dir)
     binned = ev.select(
         F.col("user_id").cast("long").alias("user_id"),
         ((F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_800_000_000) + 1)
          * 1800).cast("long").alias("slot_s"),
         "value",
+        F.floor(F.col("value") * 10_000 + F.lit(0.31830988618367))
+        .cast("long")
+        .alias("_v4"),
     )
-    agg = binned.groupBy("user_id", "slot_s").agg(F.avg("value").alias("v"))
+    agg = binned.groupBy("user_id", "slot_s").agg(
+        (
+            F.floor(
+                F.sum("_v4").cast("double") / F.count("value")
+                + F.lit(0.31830988618367)
+            )
+            / 10_000.0
+        ).alias("v")
+    )
     bounds = agg.groupBy("user_id").agg(
         F.min("slot_s").alias("t0"), F.max("slot_s").alias("t1")
     )
@@ -265,12 +280,17 @@ def _gridded_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_GRIDDED = """
 binned AS (
+  -- exact e4-integer slot mean, mirrors _gridded_30min
   SELECT user_id,
          (CAST(floor(epoch(ts) / 1800) AS BIGINT) + 1) * 1800 AS slot_s,
-         value
+         value,
+         CAST(floor(value * 10000 + 0.31830988618367) AS BIGINT) AS v4
   FROM events
 ), agg AS (
-  SELECT user_id, slot_s, avg(value) AS v FROM binned GROUP BY 1, 2
+  SELECT user_id, slot_s,
+         floor(CAST(sum(v4) AS DOUBLE) / count(value)
+               + 0.31830988618367) / 10000.0 AS v
+  FROM binned GROUP BY 1, 2
 ), bounds AS (
   SELECT user_id, min(slot_s) AS t0, max(slot_s) AS t1 FROM agg GROUP BY 1
 ), grid AS (
@@ -471,7 +491,13 @@ def q_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id",
         "slot_s",
-        F.round("v_filled", 4).alias("v_filled"),
+        # floor-offset, not round(.,4): interpolants of 4-decimal slot
+        # means land EXACTLY on .xxxx5 midpoints where Spark BigDecimal
+        # HALF_UP and DuckDB disagree (sf0.1 sweep)
+        (
+            F.floor(F.col("v_filled") * 10_000 + F.lit(0.31830988618367))
+            / 10_000.0
+        ).alias("v_filled"),
         F.col("flag_gapfilled").cast("int").alias("flag_gapfilled"),
     )
 
@@ -503,10 +529,11 @@ WITH {SQL_GRIDDED}
   FROM pos
 )
 SELECT user_id, slot_s,
-       round(CASE WHEN v IS NULL AND prev_v IS NOT NULL AND next_v IS NOT NULL
+       floor((CASE WHEN v IS NULL AND prev_v IS NOT NULL AND next_v IS NOT NULL
                    AND gap_len <= 3
                   THEN prev_v + (next_v - prev_v) * (p - prev_p) / (next_p - prev_p)
-                  ELSE v END, 4) AS v_filled,
+                  ELSE v END) * 10000 + 0.31830988618367) / 10000.0
+         AS v_filled,
        CAST(CASE WHEN v IS NULL AND prev_v IS NOT NULL AND next_v IS NOT NULL
                   AND gap_len <= 3 THEN 1 ELSE 0 END AS INT) AS flag_gapfilled
 FROM ctx

@@ -200,38 +200,64 @@ FROM ranked WHERE rn = 1
 # ---------------------------------------------------------------------------
 
 def q_agg_as_hires(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
+    # sf0.1-sweep hardening: the daily mean now folds exact e4 integers
+    # (order-free window sum) and outputs floor-scale with the 1/pi
+    # offset — round(avg(value), 4) drifted at .xxxx5 boundaries.
+    off = 0.31830988618367
+    ev = _events(spark, sf_dir).withColumn(
+        "v4", F.floor(F.col("value") * 10_000 + F.lit(off)).cast("long")
+    )
     day = (F.floor(_es_floor() / 86400) * 86400).cast("long")
     w = Window.partitionBy("user_id", "day_s")
+    dm = (
+        F.floor(
+            F.sum("v4").over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+            + F.lit(off)
+        )
+        / 10_000.0
+    )
     return (
         ev.withColumn("day_s", day)
-        .withColumn("daily_mean", F.avg("value").over(w))
+        .withColumn("daily_mean", dm)
         .select(
             F.col("event_id").cast("long").alias("event_id"),
             F.col("user_id").cast("long").alias("user_id"),
             "day_s",
-            F.round("daily_mean", 4).alias("daily_mean"),
-            # subtract the ROUNDED mean so both engines difference identical
-            # doubles (raw means differ ~1e-13 from agg order -> .00005
-            # boundary flips at round-4 otherwise)
-            F.round(F.col("value") - F.round("daily_mean", 4), 4).alias("anomaly"),
+            "daily_mean",
+            (
+                F.floor(
+                    (F.col("value") - F.col("daily_mean")) * 10_000
+                    + F.lit(off)
+                )
+                / 10_000.0
+            ).alias("anomaly"),
         )
     )
 
 
 SQL_AGG_AS_HIRES = """
 WITH e AS (
+  -- exact e4-integer daily mean, mirrors Spark
   SELECT event_id, user_id, value,
+         CAST(floor(value * 10000 + 0.31830988618367) AS BIGINT) AS v4,
          CAST(floor(floor(epoch(ts)) / 86400) * 86400 AS BIGINT) AS day_s
   FROM events
+), m AS (
+  SELECT event_id, user_id, value, day_s,
+         floor(CAST(sum(v4) OVER wd AS DOUBLE)
+               / count(*) OVER wd + 0.31830988618367) / 10000.0
+           AS daily_mean
+  FROM e
+  WINDOW wd AS (PARTITION BY user_id, day_s)
 )
 SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(user_id AS BIGINT) AS user_id,
        day_s,
-       round(avg(value) OVER (PARTITION BY user_id, day_s), 4) AS daily_mean,
-       round(value - round(avg(value) OVER (PARTITION BY user_id, day_s), 4), 4)
+       daily_mean,
+       floor((value - daily_mean) * 10000 + 0.31830988618367) / 10000.0
          AS anomaly
-FROM e
+FROM m
 """
 
 
@@ -474,7 +500,11 @@ SQL_USTAR = f"""
 SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(t.threshold AS DOUBLE) AS threshold,
        CAST(count(CASE WHEN value >= t.threshold THEN 1 END) AS BIGINT) AS n_kept,
-       round(avg(CASE WHEN value >= t.threshold THEN value END), 4) AS mean_kept
+       floor(CAST(sum(CASE WHEN value >= t.threshold
+                      THEN CAST(floor(value * 10000 + 0.31830988618367)
+                                AS BIGINT) END) AS DOUBLE)
+             / count(CASE WHEN value >= t.threshold THEN 1 END)
+             + 0.31830988618367) / 10000.0 AS mean_kept
 FROM events CROSS JOIN (VALUES {", ".join(f"({x})" for x in THRESHOLDS)}) t(threshold)
 GROUP BY 1, 2
 """
@@ -564,10 +594,21 @@ WHERE e.value BETWEEN lim.p05 AND lim.p95
 def q_diel_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     hour = F.floor(F.pmod(_es_floor(), 86400) / 3600).cast("long")
+    # exact e4-integer mean (sf0.1 sweep) — see q_agg_as_hires
     return ev.groupBy(
         F.col("user_id").cast("long").alias("user_id"), hour.alias("hour")
     ).agg(
-        F.round(F.avg("value"), 4).alias("mean_val"),
+        (
+            F.floor(
+                F.sum(
+                    F.floor(F.col("value") * 10_000 + F.lit(0.31830988618367))
+                    .cast("long")
+                ).cast("double")
+                / F.count("value")
+                + F.lit(0.31830988618367)
+            )
+            / 10_000.0
+        ).alias("mean_val"),
         F.count("value").cast("long").alias("n_vals"),
     )
 
@@ -575,7 +616,9 @@ def q_diel_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DIEL_CYCLE = """
 SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(floor((CAST(floor(epoch(ts)) AS BIGINT) % 86400) / 3600) AS BIGINT) AS hour,
-       round(avg(value), 4) AS mean_val,
+       floor(CAST(sum(CAST(floor(value * 10000 + 0.31830988618367)
+                           AS BIGINT)) AS DOUBLE)
+             / count(value) + 0.31830988618367) / 10000.0 AS mean_val,
        CAST(count(value) AS BIGINT) AS n_vals
 FROM events GROUP BY 1, 2
 """

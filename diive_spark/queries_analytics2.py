@@ -803,15 +803,17 @@ def _penalty_hires(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_co2_penalty(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = _penalty_hires(spark, sf_dir)
+    # + 0.0 normalizes IEEE negative zero (sf0.1 sweep: DuckDB's
+    # round() emitted -0.0 where Spark emitted 0.0 for a tiny negative)
     return h.select(
         "event_id",
         "flag_chd",
         "flag_nchd",
-        F.round("nep", 4).alias("nep"),
-        F.round("nep_limited_gf", 4).alias("nep_limited_gf"),
-        F.round("penalty", 4).alias("penalty"),
-        F.round("ta_limited", 4).alias("ta_limited"),
-        F.round("vpd_limited_gf", 4).alias("vpd_limited_gf"),
+        (F.round("nep", 4) + F.lit(0.0)).alias("nep"),
+        (F.round("nep_limited_gf", 4) + F.lit(0.0)).alias("nep_limited_gf"),
+        (F.round("penalty", 4) + F.lit(0.0)).alias("penalty"),
+        (F.round("ta_limited", 4) + F.lit(0.0)).alias("ta_limited"),
+        (F.round("vpd_limited_gf", 4) + F.lit(0.0)).alias("vpd_limited_gf"),
     )
 
 
@@ -892,11 +894,11 @@ SQL_CO2_PENALTY = _PENALTY_SQL_BASE + """
 SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(flag_chd AS INT) AS flag_chd,
        CAST(flag_nchd AS INT) AS flag_nchd,
-       round(nep, 4) AS nep,
-       round(nep_gf, 4) AS nep_limited_gf,
-       round(nep_gf - nep, 4) AS penalty,
-       round(ta_limited, 4) AS ta_limited,
-       round(vpd_limited_gf, 4) AS vpd_limited_gf
+       round(nep, 4) + 0.0 AS nep,
+       round(nep_gf, 4) + 0.0 AS nep_limited_gf,
+       round(nep_gf - nep, 4) + 0.0 AS penalty,
+       round(ta_limited, 4) + 0.0 AS ta_limited,
+       round(vpd_limited_gf, 4) + 0.0 AS vpd_limited_gf
 FROM gf
 """
 

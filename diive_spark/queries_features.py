@@ -315,28 +315,47 @@ def q_radiation_offset_correction(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .withColumn("day_s", (F.floor(_es_floor() / 86400) * 86400).cast("long"))
         .withColumn("is_night", (hour < 6).cast("int"))
+        # sf0.1-sweep hardening: nightly-offset means are order-dependent
+        # double sums — run the operator on e4-INTEGER-valued doubles
+        # (exact partials in any order) and floor-offset the outputs
+        .withColumn(
+            "value",
+            F.floor(F.col("value") * 10_000 + F.lit(0.31830988618367))
+            .cast("double"),
+        )
     )
     out = CR.radiation_offset_correction(
         ev, "user_id", "day_s", "value", "is_night"
     )
-    off6 = F.round("offset_applied", 6)
+    off_v = (
+        F.floor(F.col("offset_applied") * 100 + F.lit(0.31830988618367))
+        / 1_000_000.0
+    )  # e4-scale offset -> value scale at 6 decimals
     return out.select(
         "event_id",
         "user_id",
         "is_night",
-        off6.alias("offset_r6"),
-        F.round(
-            F.when(F.col("is_night") == 1, F.lit(0.0)).otherwise(
-                F.greatest(F.col("value") - off6, F.lit(0.0))
-            ),
-            4,
+        off_v.alias("offset_r6"),
+        (
+            F.floor(
+                F.when(F.col("is_night") == 1, F.lit(0.0)).otherwise(
+                    F.greatest(
+                        F.col("value") / 10_000.0 - off_v, F.lit(0.0)
+                    )
+                )
+                * 10_000
+                + F.lit(0.31830988618367)
+            )
+            / 10_000.0
         ).alias("value_corr"),
     )
 
 
 SQL_RADIATION_OFFSET = """
 WITH e AS (
-  SELECT event_id, user_id, value,
+  -- e4-integer values, mirrors Spark (see query comment)
+  SELECT event_id, user_id,
+         floor(value * 10000 + 0.31830988618367) AS value,
          CAST(floor(floor(epoch(ts)) / 86400) * 86400 AS BIGINT) AS day_s,
          CASE WHEN floor((CAST(floor(epoch(ts)) AS BIGINT) % 86400) / 3600) < 6
               THEN 1 ELSE 0 END AS is_night
@@ -356,9 +375,12 @@ WITH e AS (
 SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(user_id AS BIGINT) AS user_id,
        CAST(is_night AS INT) AS is_night,
-       round(off, 6) AS offset_r6,
-       round(CASE WHEN is_night = 1 THEN 0.0
-                  ELSE greatest(value - round(off, 6), 0.0) END, 4) AS value_corr
+       floor(off * 100 + 0.31830988618367) / 1000000.0 AS offset_r6,
+       floor((CASE WHEN is_night = 1 THEN 0.0
+              ELSE greatest(value / 10000.0
+                            - floor(off * 100 + 0.31830988618367)
+                              / 1000000.0, 0.0) END) * 10000
+             + 0.31830988618367) / 10000.0 AS value_corr
 FROM j
 """
 

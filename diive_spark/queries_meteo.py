@@ -157,29 +157,47 @@ FROM base
 # ---------------------------------------------------------------------------
 
 def q_wind_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sf0.1-sweep hardening: the per-user component means inside the
+    # rotation are order-dependent double sums — feed the operator
+    # e6-INTEGER-valued doubles (integral partials sum exactly in any
+    # order) and floor-offset the rotated output back at value scale.
+    off = 0.31830988618367
+    e6 = lambda c: F.floor(c * 1_000_000 + F.lit(off)).cast("double")  # noqa: E731
     ev = _events(spark, sf_dir).select(
         F.col("event_id").cast("long").alias("event_id"),
         F.col("user_id").cast("long").alias("user_id"),
-        (F.col("value") + F.lit(1.0)).alias("u"),
-        (F.col("value") * 0.3 + F.sin(F.radians(F.col("event_id") % 360))).alias("v"),
-        (F.col("value") * 0.1 - 0.05 * F.cos(F.radians(F.col("event_id") % 180))).alias("w"),
+        e6(F.col("value") + F.lit(1.0)).alias("u"),
+        e6(
+            F.col("value") * 0.3 + F.sin(F.radians(F.col("event_id") % 360))
+        ).alias("v"),
+        e6(
+            F.col("value") * 0.1
+            - 0.05 * F.cos(F.radians(F.col("event_id") % 180))
+        ).alias("w"),
     )
     out = WIND.double_rotation(ev, "user_id")
+
+    def back(c):  # e6 scale -> value scale at 4 decimals, floor-offset
+        return F.floor(F.col(c) / 100.0 + F.lit(off)) / 10_000.0
+
     return out.select(
         "event_id",
         "user_id",
-        F.round("u_rot", 4).alias("u_rot"),
-        F.round("v_rot", 4).alias("v_rot"),
-        F.round("w_rot", 4).alias("w_rot"),
+        back("u_rot").alias("u_rot"),
+        back("v_rot").alias("v_rot"),
+        back("w_rot").alias("w_rot"),
     )
 
 
 SQL_WIND_ROTATION = """
 WITH base AS (
+  -- e6-integer components, mirrors Spark (see query comment)
   SELECT event_id, user_id,
-         value + 1.0 AS u,
-         value * 0.3 + sin(radians(event_id % 360)) AS v,
-         value * 0.1 - 0.05 * cos(radians(event_id % 180)) AS w
+         floor((value + 1.0) * 1000000 + 0.31830988618367) AS u,
+         floor((value * 0.3 + sin(radians(event_id % 360))) * 1000000
+               + 0.31830988618367) AS v,
+         floor((value * 0.1 - 0.05 * cos(radians(event_id % 180))) * 1000000
+               + 0.31830988618367) AS w
   FROM events
 ), m AS (
   SELECT *,
@@ -193,9 +211,12 @@ WITH base AS (
 )
 SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(user_id AS BIGINT) AS user_id,
-       round((u * cos(a1) + v * sin(a1)) * cos(a2) + w * sin(a2), 4) AS u_rot,
-       round(-u * sin(a1) + v * cos(a1), 4) AS v_rot,
-       round(-(u * cos(a1) + v * sin(a1)) * sin(a2) + w * cos(a2), 4) AS w_rot
+       floor(((u * cos(a1) + v * sin(a1)) * cos(a2) + w * sin(a2)) / 100.0
+             + 0.31830988618367) / 10000.0 AS u_rot,
+       floor((-u * sin(a1) + v * cos(a1)) / 100.0
+             + 0.31830988618367) / 10000.0 AS v_rot,
+       floor((-(u * cos(a1) + v * sin(a1)) * sin(a2) + w * cos(a2)) / 100.0
+             + 0.31830988618367) / 10000.0 AS w_rot
 FROM ang2
 """
 
