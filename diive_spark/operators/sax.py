@@ -80,11 +80,16 @@ def sax_symbols(
         *key_cols,
         F.col("_fid").alias("frame_id"),
         "n_in_frame",
-        F.round(
-            F.when(F.col("_sd") > 0,
-                   (F.col("_paa_raw") - F.col("_mu")) / F.col("_sd"))
-            .otherwise(F.lit(0.0)),
-            4,
+        (
+            F.round(
+                F.when(F.col("_sd") > 0,
+                       (F.col("_paa_raw") - F.col("_mu")) / F.col("_sd"))
+                .otherwise(F.lit(0.0)),
+                4,
+            )
+            # + 0.0 normalizes IEEE negative zero (DuckDB round() yields
+            # -0.0 for tiny negatives; Spark yields 0.0 — sf0.1 sweep)
+            + F.lit(0.0)
         ).alias("paa_z"),
         sym.cast("long").alias("symbol"),
     )

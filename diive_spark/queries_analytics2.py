@@ -221,52 +221,132 @@ FROM events GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 
 def q_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sf0.1-sweep hardening: every mean (daily prediction, user mean,
+    # MAE/MSE) is an order-dependent double sum — fold exact e4-integer
+    # errors instead; all emitted metrics are floor-offset derivations of
+    # exact integer sums, bit-identical in both engines.
+    off = 0.31830988618367
     ev = _events(spark, sf_dir).select(
         F.col("user_id").cast("long").alias("user_id"),
         F.to_date("ts").alias("d"),
         "value",
+        F.floor(F.col("value") * 10_000 + F.lit(off))
+        .cast("long")
+        .alias("v4"),
     )
     wd = Window.partitionBy("user_id", "d")
-    scored = ev.withColumn("pred", F.avg("value").over(wd)).withColumn(
-        "err", F.col("value") - F.col("pred")
-    )
     wu = Window.partitionBy("user_id")
-    scored = scored.withColumn("mean_t", F.avg("value").over(wu))
-    return scored.groupBy("user_id").agg(
-        F.round(F.avg(F.abs("err")), 4).alias("mae"),
-        F.round(F.expr("percentile(abs(err), 0.5)"), 4).alias("medae"),
-        F.round(F.avg(F.col("err") * F.col("err")), 4).alias("mse"),
-        F.round(F.sqrt(F.avg(F.col("err") * F.col("err"))), 4).alias("rmse"),
-        F.round(F.max(F.abs("err")), 4).alias("maxe"),
-        F.round(
-            F.lit(1.0)
-            - F.sum(F.col("err") * F.col("err"))
-            / F.sum(
-                (F.col("value") - F.col("mean_t")) * (F.col("value") - F.col("mean_t"))
-            ),
-            4,
+    pred = (
+        F.floor(
+            F.sum("v4").over(wd).cast("double")
+            / F.count(F.lit(1)).over(wd)
+            + F.lit(off)
+        )
+        / 10_000.0
+    )
+    mean_t = (
+        F.floor(
+            F.sum("v4").over(wu).cast("double")
+            / F.count(F.lit(1)).over(wu)
+            + F.lit(off)
+        )
+        / 10_000.0
+    )
+    scored = (
+        ev.withColumn(
+            "e4",
+            F.floor(
+                (F.col("value") - pred) * 10_000 + F.lit(off)
+            ).cast("long"),
+        )
+        .withColumn(
+            "t4",
+            F.floor(
+                (F.col("value") - mean_t) * 10_000 + F.lit(off)
+            ).cast("long"),
+        )
+    )
+    agg = scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.abs("e4")).alias("sae"),
+        F.sum(F.col("e4") * F.col("e4")).alias("see"),
+        F.sum(F.col("t4") * F.col("t4")).alias("stt"),
+        F.max(F.abs("e4")).alias("mx"),
+        F.expr("percentile(abs(e4), 0.5)").alias("med4"),
+    )
+    nd = F.col("n").cast("double")
+    return agg.select(
+        "user_id",
+        (F.floor(F.col("sae").cast("double") / nd + F.lit(off)) / 10_000.0)
+        .alias("mae"),
+        (F.floor(F.col("med4") + F.lit(off)) / 10_000.0).alias("medae"),
+        (
+            F.floor(
+                F.col("see").cast("double") / nd / 10_000.0 + F.lit(off)
+            )
+            / 10_000.0
+        ).alias("mse"),
+        (
+            F.floor(
+                F.sqrt(F.col("see").cast("double") / nd) + F.lit(off)
+            )
+            / 10_000.0
+        ).alias("rmse"),
+        (F.col("mx") / 10_000.0).alias("maxe"),
+        (
+            F.floor(
+                (
+                    F.lit(1.0)
+                    - F.col("see").cast("double")
+                    / F.col("stt").cast("double")
+                )
+                * 10_000
+                + F.lit(off)
+            )
+            / 10_000.0
         ).alias("r2"),
     )
 
 
 SQL_PREDICTION_SCORES = """
 WITH base AS (
-  SELECT user_id, CAST(ts AS DATE) AS d, value FROM events
+  -- exact e4-integer error folds, mirrors Spark (see query comment)
+  SELECT user_id, CAST(ts AS DATE) AS d, value,
+         CAST(floor(value * 10000 + 0.31830988618367) AS BIGINT) AS v4
+  FROM events
 ), p AS (
   SELECT *,
-         value - avg(value) OVER (PARTITION BY user_id, d) AS err,
-         avg(value) OVER (PARTITION BY user_id) AS mean_t
+         CAST(floor((value
+                - floor(CAST(sum(v4) OVER wd AS DOUBLE)
+                        / count(*) OVER wd + 0.31830988618367) / 10000.0)
+               * 10000 + 0.31830988618367) AS BIGINT) AS e4,
+         CAST(floor((value
+                - floor(CAST(sum(v4) OVER wu AS DOUBLE)
+                        / count(*) OVER wu + 0.31830988618367) / 10000.0)
+               * 10000 + 0.31830988618367) AS BIGINT) AS t4
   FROM base
+  WINDOW wd AS (PARTITION BY user_id, d),
+         wu AS (PARTITION BY user_id)
+), agg AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(abs(e4)) AS BIGINT) AS sae,
+         CAST(sum(e4 * e4) AS BIGINT) AS see,
+         CAST(sum(t4 * t4) AS BIGINT) AS stt,
+         CAST(max(abs(e4)) AS BIGINT) AS mx,
+         quantile_cont(abs(e4), 0.5) AS med4
+  FROM p GROUP BY 1
 )
 SELECT CAST(user_id AS BIGINT) AS user_id,
-       round(avg(abs(err)), 4) AS mae,
-       round(quantile_cont(abs(err), 0.5), 4) AS medae,
-       round(avg(err * err), 4) AS mse,
-       round(sqrt(avg(err * err)), 4) AS rmse,
-       round(max(abs(err)), 4) AS maxe,
-       round(1.0 - sum(err * err)
-                   / sum((value - mean_t) * (value - mean_t)), 4) AS r2
-FROM p GROUP BY 1
+       floor(CAST(sae AS DOUBLE) / n + 0.31830988618367) / 10000.0 AS mae,
+       floor(med4 + 0.31830988618367) / 10000.0 AS medae,
+       floor(CAST(see AS DOUBLE) / n / 10000.0 + 0.31830988618367)
+         / 10000.0 AS mse,
+       floor(sqrt(CAST(see AS DOUBLE) / n) + 0.31830988618367)
+         / 10000.0 AS rmse,
+       mx / 10000.0 AS maxe,
+       floor((1.0 - CAST(see AS DOUBLE) / stt) * 10000
+             + 0.31830988618367) / 10000.0 AS r2
+FROM agg
 """
 
 
@@ -375,22 +455,38 @@ COS_THRES = 0.25  # synthetic embeddings are near-orthogonal; P99 of same-label 
 
 
 def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _embeddings(spark, sf_dir)
+    # sf0.1-sweep hardening: components pre-floored to e6 INTEGER-valued
+    # doubles, so the kernel's BLAS matmul partial sums are integral
+    # (exact in any order — dim * (1e6)^2 << 2^53) and match DuckDB's
+    # sequential list_sum bit-for-bit; output floor-offset at e4.
+    emb = _embeddings(spark, sf_dir).withColumn(
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * 1_000_000 + F.lit(0.31830988618367)
+            ).cast("double"),
+        ),
+    )
     out = SIM.cosine_neardup_pairs_kernel(
         emb, "vec_id", "embedding", block_col="label", threshold=COS_THRES
     )
     return out.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
-        F.round("cos_sim", 4).alias("cos_sim"),
+        (
+            F.floor(F.col("cos_sim") * 10_000 + F.lit(0.31830988618367))
+            / 10_000.0
+        ).alias("cos_sim"),
     )
 
 
+_DUCK_E6 = "floor(CAST({v} AS DOUBLE) * 1000000 + 0.31830988618367)"
 _DUCK_COS_AB = (
     "round(list_sum(list_transform(generate_series(1, len(a.embedding)), "
-    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) "
-    "/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
-    "* sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+    f"i -> {_DUCK_E6.format(v='a.embedding[i]')} * {_DUCK_E6.format(v='b.embedding[i]')})) "
+    f"/ (sqrt(list_sum(list_transform(a.embedding, x -> {_DUCK_E6.format(v='x')} * {_DUCK_E6.format(v='x')}))) "
+    f"* sqrt(list_sum(list_transform(b.embedding, x -> {_DUCK_E6.format(v='x')} * {_DUCK_E6.format(v='x')})))), 6)"
 )
 
 SQL_DEDUP_EMBED_COSINE = f"""
@@ -401,7 +497,7 @@ WITH pairs AS (
     ON a.label = b.label AND a.vec_id < b.vec_id
 )
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
-       round(cos_sim, 4) AS cos_sim
+       floor(cos_sim * 10000 + 0.31830988618367) / 10000.0 AS cos_sim
 FROM pairs WHERE cos_sim >= {COS_THRES}
 """
 

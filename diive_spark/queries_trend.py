@@ -989,7 +989,7 @@ stats AS (
 SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(fid AS BIGINT) AS frame_id,
        CAST(n_in_frame AS BIGINT) AS n_in_frame,
-       round(zz, 4) AS paa_z,
+       round(zz, 4) + 0.0 AS paa_z,
        CAST((CASE WHEN zz > -0.67 THEN 1 ELSE 0 END
              + CASE WHEN zz > 0.0 THEN 1 ELSE 0 END
              + CASE WHEN zz > 0.67 THEN 1 ELSE 0 END) AS BIGINT) AS symbol
